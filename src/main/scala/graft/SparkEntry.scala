@@ -1,13 +1,176 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.operators.Relational
+import graft.sources.Tables
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Every implemented operator from SURVEY.md §2 appears as a `queries` entry;
+  * SQL-expressible ones carry a DuckDB oracle in `oracleSql` with column
+  * names aliased identically on both sides (the driver sorts columns by name
+  * before hashing). All queries are deterministic: explicit ORDER BY on a
+  * unique key, doubles rounded to 2 decimals (the reference's F2 output,
+  * `/root/reference/D/Program.cs:483`).
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
+    * The reference's one query (donation total by state,
+    * `/root/reference/D/Program.cs:273-344`) transposed onto the fixtures:
+    * total order value by nation.
+    */
+  def entry(spark: SparkSession): DataFrame = {
+    val dir = "/root/testdata/sf0.001"
+    Relational.totalByNation(
+      Tables.orders(spark, dir), Tables.customer(spark, dir), Tables.nation(spark, dir))
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q01_sum_by_group" -> ((s, d) => Relational.sumByGroup(Tables.lineitem(s, d))),
+    "q02_total_by_nation" -> ((s, d) =>
+      Relational.totalByNation(Tables.orders(s, d), Tables.customer(s, d), Tables.nation(s, d))),
+    "q03_filter_project" -> ((s, d) => Relational.filterProject(Tables.lineitem(s, d))),
+    "q04_join_inner" -> ((s, d) => Relational.joinInner(Tables.orders(s, d), Tables.customer(s, d))),
+    "q05_join_left_outer" -> ((s, d) => Relational.joinLeftOuter(Tables.customer(s, d), Tables.orders(s, d))),
+    "q06_join_semi" -> ((s, d) => Relational.joinSemi(Tables.customer(s, d), Tables.orders(s, d))),
+    "q07_join_anti" -> ((s, d) => Relational.joinAnti(Tables.customer(s, d), Tables.orders(s, d))),
+    "q08_orphan_check" -> ((s, d) => Relational.orphanCheck(Tables.orders(s, d), Tables.customer(s, d))),
+    "q09_distinct" -> ((s, d) => Relational.distinctPairs(Tables.lineitem(s, d))),
+    "q10_topk" -> ((s, d) =>
+      Relational.topK(Tables.orders(s, d), Tables.customer(s, d), Tables.nation(s, d))),
+    "q11_union_reagg" -> ((s, d) =>
+      Relational.unionReagg(Tables.orders(s, d), Tables.customer(s, d), Tables.nation(s, d))),
+    "q12_coalesce_default" -> ((s, d) => Relational.coalesceDefault(Tables.orders(s, d))),
+    "q13_cube" -> ((s, d) => Relational.cubeAgg(Tables.lineitem(s, d))),
+    "q14_rollup" -> ((s, d) => Relational.rollupAgg(Tables.customer(s, d), Tables.nation(s, d))),
+    "q15_window_rank" -> ((s, d) =>
+      Relational.windowRank(Tables.orders(s, d), Tables.customer(s, d), Tables.nation(s, d))),
+    "q16_window_running" -> ((s, d) => Relational.windowRunning(Tables.orders(s, d))),
+    "q17_count_distinct" -> ((s, d) => Relational.countDistinctAgg(Tables.lineitem(s, d))),
+    "q18_star_join" -> ((s, d) =>
+      Relational.starJoin(Tables.region(s, d), Tables.nation(s, d), Tables.customer(s, d),
+        Tables.orders(s, d), Tables.lineitem(s, d))),
+    "q19_set_ops" -> ((s, d) => Relational.setOps(Tables.orders(s, d), Tables.lineitem(s, d))),
+  )
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    * the same parquet tables. Omit for non-SQL-expressible ops.
+    */
+  def oracleSql: Map[String, String] = Map(
+    "q01_sum_by_group" ->
+      """SELECT l_returnflag, l_linestatus,
+        | round(sum(l_quantity), 2) AS sum_qty,
+        | round(sum(l_extendedprice), 2) AS sum_price,
+        | round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS sum_disc_price,
+        | round(avg(l_discount), 2) AS avg_disc,
+        | count(*) AS n
+        |FROM lineitem GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q02_total_by_nation" ->
+      """SELECT n_name, round(sum(o_totalprice), 2) AS total, count(*) AS n_orders
+        |FROM orders
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY n_name ORDER BY n_name""".stripMargin,
+    "q03_filter_project" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, round(l_extendedprice, 2) AS price
+        |FROM lineitem WHERE l_quantity > 45.0 AND l_returnflag = 'R'
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "q04_join_inner" ->
+      """SELECT o_orderkey, c_custkey, c_name, round(o_totalprice, 2) AS price
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |ORDER BY o_orderkey""".stripMargin,
+    "q05_join_left_outer" ->
+      """SELECT c_custkey, round(sum(coalesce(o_totalprice, 0.0)), 2) AS total,
+        | count(o_orderkey) AS n_orders
+        |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        |GROUP BY c_custkey ORDER BY c_custkey""".stripMargin,
+    "q06_join_semi" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_orderstatus = 'O')
+        |ORDER BY c_custkey""".stripMargin,
+    "q07_join_anti" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |ORDER BY c_custkey""".stripMargin,
+    "q08_orphan_check" ->
+      """SELECT count(*) AS n_orphans FROM orders
+        |WHERE NOT EXISTS (SELECT 1 FROM customer WHERE c_custkey = o_custkey)""".stripMargin,
+    "q09_distinct" ->
+      """SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q10_topk" ->
+      """SELECT n_name, round(sum(o_totalprice), 2) AS total
+        |FROM orders
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY n_name ORDER BY total DESC, n_name LIMIT 10""".stripMargin,
+    "q11_union_reagg" ->
+      """SELECT n_name, round(sum(partial_total), 2) AS total FROM (
+        |  SELECT n_name, sum(o_totalprice) AS partial_total
+        |  FROM orders JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation ON c_nationkey = n_nationkey
+        |  WHERE o_orderkey % 2 = 0 GROUP BY n_name
+        |  UNION ALL
+        |  SELECT n_name, sum(o_totalprice) AS partial_total
+        |  FROM orders JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation ON c_nationkey = n_nationkey
+        |  WHERE o_orderkey % 2 <> 0 GROUP BY n_name
+        |) GROUP BY n_name ORDER BY n_name""".stripMargin,
+    "q12_coalesce_default" ->
+      """SELECT o_orderstatus,
+        | round(sum(coalesce(CASE WHEN o_totalprice < 1000.0 THEN NULL ELSE o_totalprice END, 0.0)), 2) AS total,
+        | count(*) AS n
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    "q13_cube" ->
+      """SELECT l_returnflag, l_linestatus, round(sum(l_quantity), 2) AS sum_qty, count(*) AS n
+        |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin,
+    "q14_rollup" ->
+      """SELECT n_name, c_mktsegment, round(sum(c_acctbal), 2) AS total_bal, count(*) AS n
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY ROLLUP (n_name, c_mktsegment)
+        |ORDER BY n_name ASC NULLS FIRST, c_mktsegment ASC NULLS FIRST""".stripMargin,
+    "q15_window_rank" ->
+      """SELECT n_name, n_regionkey, round(raw_total, 2) AS total,
+        | CAST(rank() OVER (PARTITION BY n_regionkey ORDER BY raw_total DESC) AS INTEGER) AS rank_in_region
+        |FROM (
+        |  SELECT n_name, n_regionkey, sum(o_totalprice) AS raw_total
+        |  FROM orders JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation ON c_nationkey = n_nationkey
+        |  GROUP BY n_name, n_regionkey
+        |) ORDER BY n_name""".stripMargin,
+    "q16_window_running" ->
+      """SELECT o_custkey, o_orderkey,
+        | round(sum(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderkey
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_total,
+        | CAST(row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderkey) AS INTEGER) AS rn
+        |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin,
+    "q17_count_distinct" ->
+      """SELECT l_returnflag,
+        | count(DISTINCT l_orderkey) AS n_orders,
+        | count(DISTINCT l_partkey) AS n_parts,
+        | count(*) AS n_rows
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q18_star_join" ->
+      """SELECT r_name, round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue,
+        | count(*) AS n_lines
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name ORDER BY r_name""".stripMargin,
+    "q19_set_ops" ->
+      """WITH ok AS (SELECT o_orderkey AS key FROM orders WHERE o_orderstatus = 'F'),
+        | lk AS (SELECT l_orderkey AS key FROM lineitem WHERE l_quantity > 30.0)
+        |SELECT op, n FROM (
+        |  SELECT 'intersect' AS op, count(*) AS n FROM (SELECT key FROM ok INTERSECT SELECT key FROM lk)
+        |  UNION ALL
+        |  SELECT 'except' AS op, count(*) AS n FROM (SELECT key FROM ok EXCEPT SELECT key FROM lk)
+        |) ORDER BY op""".stripMargin,
+  )
 }

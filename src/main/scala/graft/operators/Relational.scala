@@ -1,0 +1,250 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Core relational operators, re-expressed Spark-first.
+  *
+  * The reference's entire pipeline (`/root/reference/D/Program.cs:228-248`) is
+  * CSV scan -> project/cast -> range shuffle -> per-partition hash join ->
+  * partial agg -> final merge agg -> sink. Here each capability is a
+  * declarative DataFrame transform: Catalyst supplies column pruning,
+  * predicate pushdown, join-strategy selection (broadcast for small dims),
+  * partial+final HashAggregate, and AQE skew splitting — the machinery the
+  * reference hand-builds with Tasks and chunk files (`D/Program.cs:63-226`).
+  *
+  * Determinism contract: every query ends with an explicit orderBy on a
+  * unique key and rounds double aggregates to 2 decimals, mirroring the
+  * reference's F2 output formatting (`D/Program.cs:483`) and absorbing FP
+  * association-order noise that the reference also exhibits across thread
+  * schedules.
+  */
+object Relational {
+
+  /** Round a double aggregate to the reference's F2 output precision. */
+  def f2(c: Column): Column = round(c, 2)
+
+  /** Fused scan+group+sum, the shape of the reference's per-worker pipeline
+    * (`D/Program.cs:301-318`): partial aggregation map-side, final merge on
+    * the reduce side — one shuffle of (group keys, partial sums) only.
+    */
+  def sumByGroup(lineitem: DataFrame): DataFrame =
+    lineitem
+      .groupBy($"l_returnflag", $"l_linestatus")
+      .agg(
+        f2(sum($"l_quantity")).as("sum_qty"),
+        f2(sum($"l_extendedprice")).as("sum_price"),
+        f2(sum($"l_extendedprice" * (lit(1.0) - $"l_discount"))).as("sum_disc_price"),
+        f2(avg($"l_discount")).as("avg_disc"),
+        count(lit(1)).as("n"))
+      .orderBy($"l_returnflag", $"l_linestatus")
+
+  /** The reference query transposed onto the driver fixtures (SURVEY.md §7.2):
+    * donors -> customer+nation, donations -> orders; "total donation amount by
+    * state" becomes "total order value by nation". Inner equi-join
+    * (`D/Program.cs:301-311`) + group-sum (`D/Program.cs:312-315`, `:162`).
+    * nation/customer are dimension-sized: Catalyst broadcasts them, so the
+    * only shuffle is the final aggregation's.
+    */
+  def totalByNation(orders: DataFrame, customer: DataFrame, nation: DataFrame): DataFrame =
+    orders
+      .join(customer, orders("o_custkey") === customer("c_custkey"))
+      .join(nation, customer("c_nationkey") === nation("n_nationkey"))
+      .groupBy($"n_name")
+      .agg(f2(sum($"o_totalprice")).as("total"), count(lit(1)).as("n_orders"))
+      .orderBy($"n_name")
+
+  /** Filter + projection; both push into the parquet scan (PushedFilters /
+    * ReadSchema). The reference has no standalone filter (SURVEY.md §2.2) —
+    * this is the declarative superset.
+    */
+  def filterProject(lineitem: DataFrame): DataFrame =
+    lineitem
+      .filter($"l_quantity" > 45.0 && $"l_returnflag" === "R")
+      .select($"l_orderkey", $"l_linenumber", $"l_quantity", f2($"l_extendedprice").as("price"))
+      .orderBy($"l_orderkey", $"l_linenumber")
+
+  /** Inner equi-join, row-level output (no agg): the reference's O11/O12
+    * probe (`D/Program.cs:289-311`) without the fused aggregation.
+    */
+  def joinInner(orders: DataFrame, customer: DataFrame): DataFrame =
+    orders
+      .join(customer, orders("o_custkey") === customer("c_custkey"))
+      .select($"o_orderkey", $"c_custkey", $"c_name", f2($"o_totalprice").as("price"))
+      .orderBy($"o_orderkey")
+
+  /** Left outer join: customers keep rows with no orders (amount nulls -> 0.0
+    * via the reference's null-default rule O6, `D/Program.cs:451`).
+    */
+  def joinLeftOuter(customer: DataFrame, orders: DataFrame): DataFrame =
+    customer
+      .join(orders, customer("c_custkey") === orders("o_custkey"), "left_outer")
+      .groupBy($"c_custkey")
+      .agg(f2(sum(coalesce($"o_totalprice", lit(0.0)))).as("total"), count($"o_orderkey").as("n_orders"))
+      .orderBy($"c_custkey")
+
+  /** Left-semi join (EXISTS): customers having at least one open order. */
+  def joinSemi(customer: DataFrame, orders: DataFrame): DataFrame =
+    customer
+      .join(orders.filter($"o_orderstatus" === "O"), customer("c_custkey") === orders("o_custkey"), "left_semi")
+      .select($"c_custkey", $"c_name")
+      .orderBy($"c_custkey")
+
+  /** Left-anti join (NOT EXISTS). The reference *throws* on orphan probe rows
+    * (`D/Program.cs:310` KeyNotFoundException): FK integrity asserted, not
+    * filtered. Spark-natively that assertion is "anti-join is empty"; this
+    * query materializes the orphan count per status so the invariant is
+    * checkable (0 orphans on FK-clean data).
+    */
+  def orphanCheck(orders: DataFrame, customer: DataFrame): DataFrame =
+    orders
+      .join(customer, orders("o_custkey") === customer("c_custkey"), "left_anti")
+      .agg(count(lit(1)).as("n_orphans"))
+
+  /** Customers with no orders, via anti-join (row-level variant). */
+  def joinAnti(customer: DataFrame, orders: DataFrame): DataFrame =
+    customer
+      .join(orders, customer("c_custkey") === orders("o_custkey"), "left_anti")
+      .select($"c_custkey", $"c_name")
+      .orderBy($"c_custkey")
+
+  /** Distinct (SURVEY.md §2.2): hash-shuffle dedup of a projected pair. */
+  def distinctPairs(lineitem: DataFrame): DataFrame =
+    lineitem
+      .select($"l_returnflag", $"l_linestatus")
+      .distinct()
+      .orderBy($"l_returnflag", $"l_linestatus")
+
+  /** Sort + limit top-k: TakeOrderedAndProject — per-partition top-k then a
+    * single-partition merge; no global sort shuffle at any scale.
+    */
+  def topK(orders: DataFrame, customer: DataFrame, nation: DataFrame, k: Int = 10): DataFrame =
+    orders
+      .join(customer, orders("o_custkey") === customer("c_custkey"))
+      .join(nation, customer("c_nationkey") === nation("n_nationkey"))
+      .groupBy($"n_name")
+      .agg(f2(sum($"o_totalprice")).as("total"))
+      .orderBy($"total".desc, $"n_name")
+      .limit(k)
+
+  /** Union of two disjoint partial aggregates re-aggregated: the reference's
+    * merge of per-worker partial CSVs into the master map
+    * (`D/Program.cs:151-165`), expressed as union + final groupBy — proves
+    * partial/final aggregation equivalence.
+    */
+  def unionReagg(orders: DataFrame, customer: DataFrame, nation: DataFrame): DataFrame = {
+    def partial(slice: DataFrame): DataFrame =
+      slice
+        .join(customer, slice("o_custkey") === customer("c_custkey"))
+        .join(nation, customer("c_nationkey") === nation("n_nationkey"))
+        .groupBy($"n_name")
+        .agg(sum($"o_totalprice").as("partial_total"))
+    val lo = partial(orders.filter($"o_orderkey" % 2 === 0))
+    val hi = partial(orders.filter($"o_orderkey" % 2 =!= 0))
+    lo.union(hi)
+      .groupBy($"n_name")
+      .agg(f2(sum($"partial_total")).as("total"))
+      .orderBy($"n_name")
+  }
+
+  /** Null-default (O6, `D/Program.cs:451,580-588`): empty/null measure -> 0.0
+    * before aggregation. Demonstrated on o_totalprice made sparse by a
+    * predicate-driven nullif.
+    */
+  def coalesceDefault(orders: DataFrame): DataFrame =
+    orders
+      .withColumn("amount", coalesce(when($"o_totalprice" < 1000.0, lit(null)).otherwise($"o_totalprice"), lit(0.0)))
+      .groupBy($"o_orderstatus")
+      .agg(f2(sum($"amount")).as("total"), count(lit(1)).as("n"))
+      .orderBy($"o_orderstatus")
+
+  /** CUBE over (returnflag, linestatus) — earning the reference's name
+    * "CubeMR" (`D/CubeMR.csproj:10`), which despite the name implements no
+    * cube (SURVEY.md §2.2). Grouping-set expansion is map-side in Spark.
+    */
+  def cubeAgg(lineitem: DataFrame): DataFrame =
+    lineitem
+      .cube($"l_returnflag", $"l_linestatus")
+      .agg(f2(sum($"l_quantity")).as("sum_qty"), count(lit(1)).as("n"))
+      .orderBy($"l_returnflag".asc_nulls_first, $"l_linestatus".asc_nulls_first)
+
+  /** ROLLUP over (nation, mktsegment). */
+  def rollupAgg(customer: DataFrame, nation: DataFrame): DataFrame =
+    customer
+      .join(nation, customer("c_nationkey") === nation("n_nationkey"))
+      .rollup($"n_name", $"c_mktsegment")
+      .agg(f2(sum($"c_acctbal")).as("total_bal"), count(lit(1)).as("n"))
+      .orderBy($"n_name".asc_nulls_first, $"c_mktsegment".asc_nulls_first)
+
+  /** Window rank: nations ranked by total order value (SURVEY.md §2.2 ➕).
+    * Single window over the aggregated (25-row) frame — the window shuffle is
+    * on already-reduced data, never the fact table.
+    */
+  def windowRank(orders: DataFrame, customer: DataFrame, nation: DataFrame): DataFrame = {
+    val totals = orders
+      .join(customer, orders("o_custkey") === customer("c_custkey"))
+      .join(nation, customer("c_nationkey") === nation("n_nationkey"))
+      .groupBy($"n_name", $"n_regionkey")
+      .agg(sum($"o_totalprice").as("raw_total"))
+    totals
+      .withColumn("rank_in_region", rank().over(Window.partitionBy($"n_regionkey").orderBy($"raw_total".desc)))
+      .select($"n_name", $"n_regionkey", f2($"raw_total").as("total"), $"rank_in_region")
+      .orderBy($"n_name")
+  }
+
+  /** Running window aggregate over ordered facts per customer. */
+  def windowRunning(orders: DataFrame): DataFrame = {
+    val w = Window
+      .partitionBy($"o_custkey")
+      .orderBy($"o_orderkey")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    orders
+      .select(
+        $"o_custkey",
+        $"o_orderkey",
+        f2(sum($"o_totalprice").over(w)).as("running_total"),
+        row_number().over(Window.partitionBy($"o_custkey").orderBy($"o_orderkey")).as("rn"))
+      .orderBy($"o_custkey", $"o_orderkey")
+  }
+
+  /** Exact distinct counts per group — count(distinct) plans as a two-phase
+    * expand+agg; at 100 TB prefer approxCountDistinct (see Sketches).
+    */
+  def countDistinctAgg(lineitem: DataFrame): DataFrame =
+    lineitem
+      .groupBy($"l_returnflag")
+      .agg(
+        countDistinct($"l_orderkey").as("n_orders"),
+        countDistinct($"l_partkey").as("n_parts"),
+        count(lit(1)).as("n_rows"))
+      .orderBy($"l_returnflag")
+
+  /** Multi-way join across the full star schema: region->nation->customer->
+    * orders->lineitem, grouped by region. Dimensions broadcast; the single
+    * big-big join (orders x lineitem) shuffles on the join key.
+    */
+  def starJoin(
+      region: DataFrame, nation: DataFrame, customer: DataFrame,
+      orders: DataFrame, lineitem: DataFrame): DataFrame =
+    lineitem
+      .join(orders, lineitem("l_orderkey") === orders("o_orderkey"))
+      .join(customer, orders("o_custkey") === customer("c_custkey"))
+      .join(nation, customer("c_nationkey") === nation("n_nationkey"))
+      .join(region, nation("n_regionkey") === region("r_regionkey"))
+      .groupBy($"r_name")
+      .agg(
+        f2(sum($"l_extendedprice" * (lit(1.0) - $"l_discount"))).as("revenue"),
+        count(lit(1)).as("n_lines"))
+      .orderBy($"r_name")
+
+  /** Set ops: intersect/except on projected key sets. */
+  def setOps(orders: DataFrame, lineitem: DataFrame): DataFrame = {
+    val orderKeys = orders.filter($"o_orderstatus" === "F").select($"o_orderkey".as("key"))
+    val lineKeys  = lineitem.filter($"l_quantity" > 30.0).select($"l_orderkey".as("key"))
+    val both    = orderKeys.intersect(lineKeys).agg(count(lit(1)).as("n")).withColumn("op", lit("intersect"))
+    val onlyOrd = orderKeys.except(lineKeys).agg(count(lit(1)).as("n")).withColumn("op", lit("except"))
+    both.union(onlyOrd).select($"op", $"n").orderBy($"op")
+  }
+
+}

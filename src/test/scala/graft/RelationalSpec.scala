@@ -1,0 +1,86 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Relational
+import graft.sources.Tables
+
+class RelationalSpec extends GraftSuite {
+
+  test("entry flagship returns 25 nations with positive totals") {
+    val rows = SparkEntry.entry(spark).collect()
+    assert(rows.length === 25)
+    assert(rows.forall(_.getDouble(1) > 0.0))
+  }
+
+  test("every declared query has an oracle or is explicitly rows-only") {
+    // driver records a weaker rows-only check for queries without oracles;
+    // batch-1 relational queries must all carry one.
+    val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+    assert(missing.isEmpty, s"queries without oracle: $missing")
+    val orphaned = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    assert(orphaned.isEmpty, s"oracles without query: $orphaned")
+  }
+
+  test("all queries execute and are non-empty except the empty-by-design ones") {
+    val emptyOk = Set("q07_join_anti") // FK-clean data => no customer without orders? (may be non-empty; just allow)
+    SparkEntry.queries.foreach { case (name, fn) =>
+      val n = fn(spark, sf).count()
+      assert(n >= 0, s"$name failed")
+      if (!emptyOk(name)) assert(n > 0, s"$name returned no rows")
+    }
+  }
+
+  test("orphan check: fact FK integrity holds (reference asserts via throw, D/Program.cs:310)") {
+    val n = Relational
+      .orphanCheck(Tables.orders(spark, sf), Tables.customer(spark, sf))
+      .collect()(0).getLong(0)
+    assert(n === 0L)
+  }
+
+  test("partial/final aggregation equivalence: union-reagg == direct agg") {
+    val direct = Relational
+      .totalByNation(Tables.orders(spark, sf), Tables.customer(spark, sf), Tables.nation(spark, sf))
+      .select("n_name", "total")
+    val viaUnion = Relational
+      .unionReagg(Tables.orders(spark, sf), Tables.customer(spark, sf), Tables.nation(spark, sf))
+    assert(direct.except(viaUnion).isEmpty && viaUnion.except(direct).isEmpty)
+  }
+
+  test("aggregation invariant under shuffle-partition count (reference skew/chunking analog)") {
+    val expected = Relational.sumByGroup(Tables.lineitem(spark, sf)).collect().toSeq
+    for (parts <- Seq(1, 7)) {
+      val li = Tables.lineitem(spark, sf).repartition(parts)
+      val got = Relational.sumByGroup(li).collect().toSeq
+      assert(got === expected, s"mismatch at $parts partitions")
+    }
+  }
+
+  test("filter and projection push into the parquet scan") {
+    val plan = Relational
+      .filterProject(Tables.lineitem(spark, sf))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters"), "expected parquet PushedFilters")
+    assert(plan.contains("l_quantity"), "expected pushed quantity predicate")
+  }
+
+  test("dimension joins broadcast (no shuffle of the fact side for dims)") {
+    val plan = Relational
+      .totalByNation(Tables.orders(spark, sf), Tables.customer(spark, sf), Tables.nation(spark, sf))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"expected broadcast joins, got:\n$plan")
+  }
+
+  test("topk plans as TakeOrderedAndProject (no global sort shuffle)") {
+    val plan = Relational
+      .topK(Tables.orders(spark, sf), Tables.customer(spark, sf), Tables.nation(spark, sf))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), s"expected TakeOrderedAndProject, got:\n$plan")
+  }
+
+  test("coalesce default: nulls become 0.0 not dropped") {
+    val df = Relational.coalesceDefault(Tables.orders(spark, sf))
+    val total = df.agg(sum("n")).collect()(0).getLong(0)
+    assert(total === Tables.orders(spark, sf).count())
+  }
+}

@@ -1,0 +1,21 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** One shared local session across all suites (same JVM). */
+object SparkTestBase {
+  lazy val spark: SparkSession = {
+    val s = GraftSession
+      .builder(appName = "graft-test", master = "local[4]", shufflePartitions = 4)
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+  val sf: String = "/root/testdata/sf0.001"
+}
+
+abstract class GraftSuite extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkTestBase.spark
+  val sf: String = SparkTestBase.sf
+}

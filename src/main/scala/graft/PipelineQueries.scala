@@ -1,0 +1,289 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.operators.{Dedup, Events, Multimodal, Similarity, TextAnalysis}
+import graft.sources.Tables
+
+/** LLM-training-data-pipeline queries (SURVEY.md §2.2 ➕) and their DuckDB
+  * oracles. Split from SparkEntry for readability; SparkEntry concatenates.
+  *
+  * Oracle strategy: every hash primitive is md5-based and every formula is
+  * exact integer / deterministic double arithmetic, so DuckDB reproduces
+  * results bit-for-bit. Where Spark runs the scalable algorithm (LSH) the
+  * oracle runs the exact small-data equivalent (all-pairs) — recall of the
+  * LSH path at the chosen thresholds is 1 minus ~5e-8, so outputs match.
+  */
+object PipelineQueries {
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q20_text_stats"       -> ((s, d) => TextAnalysis.textStats(Tables.documents(s, d))),
+    "q21_quality_score"    -> ((s, d) => TextAnalysis.qualityScore(Tables.documents(s, d))),
+    "q22_lang_id"          -> ((s, d) => TextAnalysis.langId(Tables.documents(s, d))),
+    "q23_fingerprints"     -> ((s, d) => TextAnalysis.fingerprints(Tables.documents(s, d))),
+    "q24_token_counts"     -> ((s, d) => TextAnalysis.tokenCounts(Tables.documents(s, d))),
+    "q25_dedup_exact"      -> ((s, d) => Dedup.exactDedup(Tables.documents(s, d))),
+    "q26_ngram_jaccard"    -> ((s, d) => Dedup.ngramJaccardPairs(Tables.documents(s, d))),
+    "q27_dedup_minhash_lsh" -> ((s, d) => Dedup.minhashLshPairs(Tables.documents(s, d))),
+    "q28_dedup_simhash"    -> ((s, d) => Dedup.simhashPairs(Tables.documents(s, d))),
+    "q29_cosine_topk"      -> ((s, d) => Similarity.cosineTopK(Tables.embeddings(s, d))),
+    "q30_lsh_ann"          -> ((s, d) => Similarity.lshCosineTopK(Tables.embeddings(s, d))),
+    "q31_label_cohesion"   -> ((s, d) => Similarity.labelCohesion(Tables.embeddings(s, d))),
+    "q32_events_hourly"    -> ((s, d) => Events.hourlyAgg(Tables.events(s, d))),
+    "q33_sessionize"       -> ((s, d) => Events.sessionize(Tables.events(s, d))),
+    "q34_type_profile"     -> ((s, d) => Events.typeProfile(Tables.events(s, d))),
+    "q35_media_profile"    -> ((s, d) => Multimodal.mediaProfile(Tables.documents(s, d))),
+    "q36_frame_sample"     -> ((s, d) => Multimodal.frameSample(Tables.documents(s, d))),
+  )
+
+  // ---- shared SQL fragments -------------------------------------------
+
+  /** Padded lowercase text for marker-word counting. */
+  private val Padded = "(' ' || lower(text) || ' ')"
+
+  /** occurrences of literal m inside padded text — exact integer count. */
+  private def occ(m: String): String =
+    s"CAST((length($Padded) - length(replace($Padded, ' $m ', ''))) / ${m.length + 2} AS INT)"
+
+  private def score(ms: Seq[String]): String = ms.map(occ).mkString("(", " + ", ")")
+
+  private val SEn = score(Seq("the", "of", "and"))
+  private val SDe = score(Seq("der", "und", "die"))
+  private val SFr = score(Seq("le", "et", "la"))
+  private val SEs = score(Seq("el", "y", "los"))
+
+  private val Stopwords = score(Seq("the", "a", "of"))
+
+  /** Distinct char-5-gram rows per doc (DuckDB list comprehension). */
+  private val GramsCte =
+    """grams AS (
+      |  SELECT doc_id,
+      |    unnest(list_distinct([substr(text, i, 5) for i in range(1, greatest(length(text)-4, 1)+1)])) AS g
+      |  FROM documents
+      |)""".stripMargin
+
+  /** Exact all-pairs 5-gram Jaccard >= 0.6 — oracle for BOTH the exact query
+    * (q26) and the LSH query (q27): at the fixtures' similarity gap the LSH
+    * candidate set provably contains every qualifying pair.
+    */
+  private val JaccardSql =
+    s"""WITH $GramsCte,
+       |sizes AS (SELECT doc_id, count(*) AS sz FROM grams GROUP BY doc_id),
+       |inter AS (
+       |  SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS i
+       |  FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2
+       |)
+       |SELECT id1, id2, round(i * 1.0 / (s1.sz + s2.sz - i), 6) AS jaccard
+       |FROM inter
+       |JOIN sizes s1 ON id1 = s1.doc_id
+       |JOIN sizes s2 ON id2 = s2.doc_id
+       |WHERE round(i * 1.0 / (s1.sz + s2.sz - i), 6) >= 0.6
+       |ORDER BY id1, id2""".stripMargin
+
+  /** SimHash signature SQL: 32 bit-sums over 5-gram shingles (with
+    * multiplicity), bit i = parity of md5 hex char i+1 — generated, matching
+    * Dedup.simhashSignatures exactly.
+    */
+  private val SimhashSql: String = {
+    val bitSums = (0 until 32).map { i =>
+      s"CASE WHEN sum(ascii(substr(md5(g), ${i + 1}, 1)) % 2 * 2 - 1) > 0 THEN ${1L << i} ELSE 0 END AS b$i"
+    }.mkString(",\n    ")
+    val bitAdd = (0 until 32).map(i => s"b$i").mkString(" + ")
+    s"""WITH gramsm AS (
+       |  SELECT doc_id,
+       |    unnest([substr(text, i, 5) for i in range(1, greatest(length(text)-4, 1)+1)]) AS g
+       |  FROM documents
+       |),
+       |sh AS (
+       |  SELECT doc_id,
+       |    $bitSums
+       |  FROM gramsm GROUP BY doc_id
+       |),
+       |sig AS (SELECT doc_id, CAST($bitAdd AS BIGINT) AS sig FROM sh)
+       |SELECT a.doc_id AS id1, b.doc_id AS id2,
+       |  CAST(bit_count(xor(a.sig, b.sig)) AS INT) AS hamming
+       |FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+       |WHERE bit_count(xor(a.sig, b.sig)) <= 1
+       |ORDER BY id1, id2""".stripMargin
+  }
+
+  /** Cosine between DOUBLE[] lists — sequential formula matching
+    * Similarity.cosine's zip_with/aggregate fold to within 1 ulp
+    * (absorbed by round 6).
+    */
+  private def cosSql(a: String, b: String): String =
+    s"""(list_sum(list_transform(list_zip($a, $b), p -> p[1] * p[2])) /
+       | (sqrt(list_sum(list_transform($a, x -> x * x))) * sqrt(list_sum(list_transform($b, x -> x * x)))))""".stripMargin
+
+  /** LSH hyperplane bucket — matches Similarity.lshBucket's coef formula. */
+  private val BucketSql: String =
+    (0 until Similarity.NumPlanes).map { j =>
+      val proj =
+        s"""list_sum(list_transform(generate_series(1, len(v)),
+           |   i -> v[i] * ((($j * 7919 + i * 104729) % 2001 - 1000) / 1000.0)))""".stripMargin
+      s"CASE WHEN $proj > 0 THEN ${1L << j} ELSE 0 END"
+    }.mkString("(", " + ", ")")
+
+  // ---- oracles ---------------------------------------------------------
+
+  def oracleSql: Map[String, String] = Map(
+    "q20_text_stats" ->
+      s"""SELECT doc_id, lang,
+         | CAST(length(text) AS BIGINT) AS n_chars,
+         | CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+         | round(length(regexp_replace(text, '[^a-z]', '', 'g')) * 1.0 / len(string_split(text, ' ')), 4) AS avg_word_len,
+         | round(length(regexp_replace(text, '[a-z ]', '', 'g')) * 1.0 / length(text), 4) AS punct_ratio,
+         | round($Stopwords * 1.0 / len(string_split(text, ' ')), 4) AS stopword_ratio
+         |FROM documents ORDER BY doc_id""".stripMargin,
+    "q21_quality_score" ->
+      s"""SELECT doc_id,
+         | round(0.5 * least(len(string_split(text, ' ')) / 60.0, 1.0)
+         |     + 0.5 * least($Stopwords * 10.0 / len(string_split(text, ' ')), 1.0)
+         |     - length(regexp_replace(text, '[a-z ]', '', 'g')) * 1.0 / length(text), 4) AS quality
+         |FROM documents ORDER BY doc_id""".stripMargin,
+    "q22_lang_id" ->
+      s"""SELECT doc_id, lang,
+         | CASE WHEN greatest($SEn, $SDe, $SFr, $SEs) = 0 THEN 'und'
+         |      WHEN $SEn = greatest($SEn, $SDe, $SFr, $SEs) THEN 'en'
+         |      WHEN $SDe = greatest($SEn, $SDe, $SFr, $SEs) THEN 'de'
+         |      WHEN $SFr = greatest($SEn, $SDe, $SFr, $SEs) THEN 'fr'
+         |      ELSE 'es' END AS lang_guess
+         |FROM documents ORDER BY doc_id""".stripMargin,
+    "q23_fingerprints" ->
+      """SELECT doc_id, md5(regexp_replace(trim(lower(text)), ' +', ' ', 'g')) AS fingerprint
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q24_token_counts" ->
+      """SELECT doc_id,
+        | CAST(len(string_split(text, ' ')) AS BIGINT) AS ws_tokens,
+        | CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT) AS bpe_tokens
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q25_dedup_exact" ->
+      """WITH doubled AS (
+        |  SELECT doc_id, lang, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, lang, text FROM documents
+        |),
+        |groups AS (
+        |  SELECT md5(regexp_replace(trim(lower(text)), ' +', ' ', 'g')) AS fp,
+        |    min(doc_id) AS keeper_id, count(*) AS n_copies
+        |  FROM doubled GROUP BY 1
+        |)
+        |SELECT count(*) AS n_unique, CAST(sum(n_copies) AS BIGINT) AS n_total,
+        | CAST(sum(CASE WHEN n_copies > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_groups
+        |FROM groups""".stripMargin,
+    "q26_ngram_jaccard"     -> JaccardSql,
+    "q27_dedup_minhash_lsh" -> JaccardSql,
+    "q28_dedup_simhash"     -> SimhashSql,
+    "q29_cosine_topk" ->
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 5),
+         |scored AS (
+         |  SELECT query_id, e.vec_id AS neighbor_id, round(${cosSql("qv", "v")}, 6) AS cos
+         |  FROM e, q WHERE e.vec_id <> q.query_id
+         |),
+         |ranked AS (
+         |  SELECT query_id, neighbor_id, cos,
+         |    CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS INT) AS rnk
+         |  FROM scored
+         |)
+         |SELECT query_id, neighbor_id, cos, rnk FROM ranked WHERE rnk <= 5
+         |ORDER BY query_id, rnk""".stripMargin,
+    "q30_lsh_ann" ->
+      s"""WITH e AS (
+         |  SELECT vec_id, v, $BucketSql AS bucket FROM (
+         |    SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+         |  )
+         |),
+         |q AS (SELECT vec_id AS query_id, v AS qv, bucket AS qbucket FROM e WHERE vec_id < 5),
+         |scored AS (
+         |  SELECT query_id, e.vec_id AS neighbor_id, round(${cosSql("qv", "v")}, 6) AS cos
+         |  FROM e JOIN q ON e.bucket = q.qbucket AND e.vec_id <> q.query_id
+         |),
+         |ranked AS (
+         |  SELECT query_id, neighbor_id, cos,
+         |    CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS INT) AS rnk
+         |  FROM scored
+         |)
+         |SELECT query_id, neighbor_id, cos, rnk FROM ranked WHERE rnk <= 3
+         |ORDER BY query_id, rnk""".stripMargin,
+    "q31_label_cohesion" ->
+      s"""WITH s AS (
+         |  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+         |  FROM embeddings WHERE vec_id % 7 = 0
+         |)
+         |SELECT a.label = b.label AS same_label,
+         | round(avg(${cosSql("a.v", "b.v")}), 6) AS avg_cos,
+         | count(*) AS n_pairs
+         |FROM s a JOIN s b ON a.vec_id < b.vec_id
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q32_events_hourly" ->
+      """SELECT (epoch_ns(ts) // 3600000000000) * 3600 AS hour_epoch, event_type,
+        | count(*) AS n, round(sum(value), 2) AS total_value,
+        | count(DISTINCT user_id) AS n_users
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q33_sessionize" ->
+      """WITH g AS (
+        |  SELECT user_id, event_id, ts, value,
+        |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+        |  FROM events
+        |),
+        |flagged AS (
+        |  SELECT user_id, event_id, ts, value,
+        |    CASE WHEN prev_ts IS NULL OR epoch_ns(ts) - epoch_ns(prev_ts) > 1800000000000
+        |      THEN 1 ELSE 0 END AS new_session
+        |  FROM g
+        |),
+        |numbered AS (
+        |  SELECT user_id, value,
+        |    sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+        |  FROM flagged
+        |),
+        |sessions AS (
+        |  SELECT user_id, session_seq, count(*) AS n_events,
+        |    round(sum(value), 2) AS session_value
+        |  FROM numbered GROUP BY 1, 2
+        |)
+        |SELECT user_id, CAST(max(session_seq) AS BIGINT) AS n_sessions,
+        | max(n_events) AS max_session_events,
+        | round(sum(session_value), 2) AS total_value
+        |FROM sessions GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "q34_type_profile" ->
+      """SELECT event_type, count(*) AS n,
+        | round(avg(value), 4) AS avg_value,
+        | round(quantile_cont(value, 0.5), 4) AS p50,
+        | round(quantile_cont(value, 0.95), 4) AS p95,
+        | round(stddev_samp(value), 4) AS sd
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q35_media_profile" ->
+      """WITH a AS (
+        |  SELECT doc_id AS asset_id,
+        |    CASE WHEN doc_id % 3 = 0 THEN 'image' WHEN doc_id % 3 = 1 THEN 'audio'
+        |         ELSE 'video' END AS media_type,
+        |    CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        |    md5(text) AS checksum
+        |  FROM documents
+        |)
+        |SELECT media_type, count(*) AS n_assets,
+        | CAST(sum(n_bytes) AS BIGINT) AS total_bytes,
+        | round(avg(ascii(substr(checksum, 1, 1)) % 16 * 64 + 64), 4) AS avg_width,
+        | round(avg(ascii(substr(checksum, 2, 1)) % 16 * 64 + 64), 4) AS avg_height,
+        | round(sum(round(n_bytes / 1000.0, 3)), 3) AS total_duration
+        |FROM a GROUP BY media_type ORDER BY media_type""".stripMargin,
+    "q36_frame_sample" ->
+      """WITH v AS (
+        |  SELECT doc_id AS asset_id, text,
+        |    CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+        |  FROM documents WHERE doc_id % 3 = 2
+        |),
+        |frames AS (
+        |  SELECT asset_id, text,
+        |    unnest(generate_series(0, greatest(CAST(floor(n_bytes / 64.0) AS INT) - 1, 0))) AS frame_no
+        |  FROM v
+        |)
+        |SELECT asset_id, frame_no, md5(substr(text, frame_no * 64 + 1, 64)) AS frame_checksum
+        |FROM frames WHERE frame_no % 4 = 0
+        |ORDER BY asset_id, frame_no""".stripMargin,
+  )
+}

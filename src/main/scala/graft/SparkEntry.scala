@@ -28,7 +28,13 @@ object SparkEntry {
   }
 
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    relationalQueries ++ PipelineQueries.queries
+
+  def oracleSql: Map[String, String] =
+    relationalOracles ++ PipelineQueries.oracleSql
+
+  private def relationalQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_sum_by_group" -> ((s, d) => Relational.sumByGroup(Tables.lineitem(s, d))),
     "q02_total_by_nation" -> ((s, d) =>
       Relational.totalByNation(Tables.orders(s, d), Tables.customer(s, d), Tables.nation(s, d))),
@@ -59,7 +65,7 @@ object SparkEntry {
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
     */
-  def oracleSql: Map[String, String] = Map(
+  private def relationalOracles: Map[String, String] = Map(
     "q01_sum_by_group" ->
       """SELECT l_returnflag, l_linestatus,
         | round(sum(l_quantity), 2) AS sum_qty,

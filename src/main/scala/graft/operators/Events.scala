@@ -1,0 +1,73 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Time-series operators over the `events` table (batch analogs of the
+  * streaming pipeline in `graft.streaming`; SURVEY.md §2.2).
+  *
+  * The fixture stores TIMESTAMP(NANOS) parquet, which Spark's vectorized
+  * reader rejects; `Tables.events` reads it as raw nanosecond longs
+  * (`spark.sql.legacy.parquet.nanosAsLong`), and every operator here works
+  * in exact integer-nanosecond arithmetic — which also makes results
+  * engine-exact (no timezone or float-epoch wobble). Outputs carry epoch
+  * seconds (bigint).
+  */
+object Events {
+  private val NsPerHour = 3600L * 1000000000L
+  private val NsPerSecond = 1000000000L
+
+  /** Tumbling-window aggregation: events per (hour, event_type). The batch
+    * twin of the streaming windowed agg; one shuffle on the composite key.
+    */
+  def hourlyAgg(events: DataFrame): DataFrame =
+    events
+      .groupBy(
+        (expr(s"ts div $NsPerHour") * 3600).as("hour_epoch"),
+        $"event_type")
+      .agg(
+        count(lit(1)).as("n"),
+        round(sum($"value"), 2).as("total_value"),
+        countDistinct($"user_id").as("n_users"))
+      .orderBy($"hour_epoch", $"event_type")
+
+  /** Sessionization: per-user event stream split on >30min inactivity gaps
+    * (classic lag + running-sum-of-boundaries). One shuffle on user_id; the
+    * windows never cross users, so state stays bounded per key at any scale.
+    */
+  def sessionize(events: DataFrame, gapSeconds: Long = 1800L): DataFrame = {
+    val byUser = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    val withGap = events
+      .select($"user_id", $"event_id", $"ts", $"value")
+      .withColumn("prev_ts", lag($"ts", 1).over(byUser))
+      .withColumn("new_session",
+        when($"prev_ts".isNull || ($"ts" - $"prev_ts") > gapSeconds * NsPerSecond, 1)
+          .otherwise(0))
+      .withColumn("session_seq",
+        sum($"new_session").over(byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    withGap
+      .groupBy($"user_id", $"session_seq")
+      .agg(count(lit(1)).as("n_events"), round(sum($"value"), 2).as("session_value"))
+      .groupBy($"user_id")
+      .agg(
+        max($"session_seq").cast("bigint").as("n_sessions"),
+        max($"n_events").as("max_session_events"),
+        round(sum($"session_value"), 2).as("total_value"))
+      .orderBy($"user_id")
+  }
+
+  /** Event-type profile with exact percentiles (percentile_cont semantics
+    * on both engines).
+    */
+  def typeProfile(events: DataFrame): DataFrame =
+    events
+      .groupBy($"event_type")
+      .agg(
+        count(lit(1)).as("n"),
+        round(avg($"value"), 4).as("avg_value"),
+        round(expr("percentile(value, 0.5)"), 4).as("p50"),
+        round(expr("percentile(value, 0.95)"), 4).as("p95"),
+        round(stddev_samp($"value"), 4).as("sd"))
+      .orderBy($"event_type")
+}

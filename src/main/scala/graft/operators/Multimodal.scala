@@ -1,0 +1,92 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal-column plumbing (SURVEY.md §2.2 ➕): image/audio/video as
+  * opaque `binary` columns with typed metadata, plus the decode /
+  * feature-extract / frame-sample stages a training pipeline runs over
+  * them.
+  *
+  * The container has no image/audio codecs, so the decode step is a
+  * clearly-marked DETERMINISTIC FAKE (`fakeDecode`): it derives pixel-like
+  * features arithmetically from the bytes. Everything around it — the
+  * binary column, metadata struct schema, per-partition batch processing,
+  * partition sizing — is real Spark plumbing that swaps in a real codec
+  * unchanged.
+  */
+object Multimodal {
+
+  /** Media asset schema: opaque payload + typed metadata, the layout a
+    * 100 TB multimodal lake uses (payload in parquet binary or pointers to
+    * object storage; metadata filterable without touching bytes).
+    */
+  val assetSchema: StructType = StructType(Seq(
+    StructField("asset_id", LongType, nullable = false),
+    StructField("media_type", StringType, nullable = false),
+    StructField("payload", BinaryType, nullable = true),
+    StructField("meta", StructType(Seq(
+      StructField("mime", StringType),
+      StructField("n_bytes", LongType),
+      StructField("checksum", StringType))), nullable = true)))
+
+  /** Synthesize a binary asset table from `documents` (the driver fixtures
+    * carry no real media): payload = UTF-8 bytes of the text. Deterministic,
+    * so oracles can recompute every derived feature.
+    */
+  def assetsFromDocuments(documents: DataFrame): DataFrame =
+    documents.select(
+      $"doc_id".as("asset_id"),
+      when($"doc_id" % 3 === 0, "image").when($"doc_id" % 3 === 1, "audio")
+        .otherwise("video").as("media_type"),
+      $"text".cast("binary").as("payload"),
+      struct(
+        lit("application/octet-stream").as("mime"),
+        length($"text".cast("binary")).cast("long").as("n_bytes"),
+        md5($"text".cast("binary")).as("checksum")).as("meta"))
+
+  /** DETERMINISTIC FAKE decode: "width/height/duration" derived from the
+    * checksum bytes arithmetically. A real deployment replaces exactly this
+    * projection with a codec call (mapInArrow / rdd.mapPartitions batching);
+    * the schema and everything downstream is unchanged.
+    */
+  def fakeDecode(assets: DataFrame): DataFrame =
+    assets.select(
+      $"asset_id",
+      $"media_type",
+      $"meta.n_bytes".as("n_bytes"),
+      (ascii(substring($"meta.checksum", 1, 1)) % 16 * 64 + 64).as("width"),
+      (ascii(substring($"meta.checksum", 2, 1)) % 16 * 64 + 64).as("height"),
+      round($"meta.n_bytes" / 1000.0, 3).as("duration_s"))
+
+  /** Feature-extract stage over decoded assets: per-media-type stats. */
+  def mediaProfile(documents: DataFrame): DataFrame =
+    fakeDecode(assetsFromDocuments(documents))
+      .groupBy($"media_type")
+      .agg(
+        count(lit(1)).as("n_assets"),
+        sum($"n_bytes").as("total_bytes"),
+        round(avg($"width"), 4).as("avg_width"),
+        round(avg($"height"), 4).as("avg_height"),
+        round(sum($"duration_s"), 3).as("total_duration"))
+      .orderBy($"media_type")
+
+  /** Frame-sample stage: take every k-th "frame" (byte window) of each
+    * video payload — the batch shape of video frame extraction: explode to
+    * (asset, frame_no, frame_bytes) rows, repartition-friendly.
+    */
+  def frameSample(documents: DataFrame, frameBytes: Int = 64, every: Int = 4): DataFrame = {
+    val assets = assetsFromDocuments(documents).filter($"media_type" === "video")
+    assets
+      .select($"asset_id", $"payload",
+        explode(sequence(lit(0),
+          greatest(floor($"meta.n_bytes" / frameBytes).cast("int") - 1, lit(0)))).as("frame_no"))
+      .filter($"frame_no" % every === 0)
+      .select(
+        $"asset_id", $"frame_no".cast("bigint").as("frame_no"),
+        md5($"payload".substr(($"frame_no" * frameBytes + 1).cast("int"), lit(frameBytes)))
+          .as("frame_checksum"))
+      .orderBy($"asset_id", $"frame_no")
+  }
+}

@@ -1,0 +1,110 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for the training-data pipeline (SURVEY.md §2.2 ➕):
+  * token counting, quality scoring, language ID, fingerprinting. All built
+  * from codegen'd `functions._` expressions — no UDFs — so WholeStageCodegen
+  * keeps the scan -> project -> agg pipeline fused at any scale.
+  *
+  * Determinism contract: only integer arithmetic and exact string ops
+  * (length/replace/md5), so the DuckDB oracles agree bit-for-bit.
+  */
+object TextAnalysis {
+
+  /** Occurrence count of a literal marker inside `s`: replace-and-measure,
+    * (len(s) - len(replace(s, m, ''))) / len(m) — exact integer arithmetic.
+    */
+  def occurrences(s: Column, marker: String): Column =
+    ((length(s) - length(replace(s, lit(marker), lit("")))) / marker.length).cast("int")
+
+  /** Per-document stats: char/word counts, avg word length, punctuation and
+    * stopword ratios, plus a composite quality score. Pure projection —
+    * pipelines with the scan, shuffle-free.
+    */
+  def textStats(documents: DataFrame): DataFrame = {
+    val words = size(split($"text", " "))
+    val letters = length(regexp_replace($"text", "[^a-z]", ""))
+    val stopwords =
+      occurrences(concat(lit(" "), $"text", lit(" ")), " the ") +
+      occurrences(concat(lit(" "), $"text", lit(" ")), " a ") +
+      occurrences(concat(lit(" "), $"text", lit(" ")), " of ")
+    documents.select(
+      $"doc_id",
+      $"lang",
+      length($"text").cast("bigint").as("n_chars"),
+      words.cast("bigint").as("n_words"),
+      round(letters.cast("double") / words, 4).as("avg_word_len"),
+      round(length(regexp_replace($"text", "[a-z ]", "")).cast("double") / length($"text"), 4)
+        .as("punct_ratio"),
+      round(stopwords.cast("double") / words, 4).as("stopword_ratio"))
+      .orderBy($"doc_id")
+  }
+
+  /** Composite quality score in [0,1]-ish: length prior + stopword signal -
+    * punctuation penalty. The exact formula is arbitrary; what matters is
+    * that it is deterministic, cheap, and pushes fully into codegen.
+    */
+  def qualityScore(documents: DataFrame): DataFrame = {
+    val words = size(split($"text", " "))
+    val stopwords =
+      occurrences(concat(lit(" "), $"text", lit(" ")), " the ") +
+      occurrences(concat(lit(" "), $"text", lit(" ")), " a ") +
+      occurrences(concat(lit(" "), $"text", lit(" ")), " of ")
+    val lengthScore = least(words.cast("double") / lit(60.0), lit(1.0))
+    val stopScore   = least(stopwords.cast("double") * lit(10.0) / words, lit(1.0))
+    val punctPenalty = length(regexp_replace($"text", "[a-z ]", "")).cast("double") / length($"text")
+    documents.select(
+      $"doc_id",
+      round(lit(0.5) * lengthScore + lit(0.5) * stopScore - punctPenalty, 4).as("quality"))
+      .orderBy($"doc_id")
+  }
+
+  /** N-gram-heuristic language ID: marker-word mass per language, argmax
+    * with a fixed priority order. Markers chosen for determinism, not
+    * linguistic accuracy (the fixtures' text is synthetic). At scale this is
+    * a single codegen'd projection.
+    */
+  def langId(documents: DataFrame): DataFrame = {
+    val padded = concat(lit(" "), lower($"text"), lit(" "))
+    def score(markers: Seq[String]): Column =
+      markers.map(m => occurrences(padded, s" $m ")).reduce(_ + _)
+    val sEn = score(Seq("the", "of", "and"))
+    val sDe = score(Seq("der", "und", "die"))
+    val sFr = score(Seq("le", "et", "la"))
+    val sEs = score(Seq("el", "y", "los"))
+    val best = greatest(sEn, sDe, sFr, sEs)
+    documents.select(
+      $"doc_id",
+      $"lang",
+      when(best === 0, lit("und"))
+        .when(sEn === best, lit("en"))
+        .when(sDe === best, lit("de"))
+        .when(sFr === best, lit("fr"))
+        .otherwise(lit("es")).as("lang_guess"))
+      .orderBy($"doc_id")
+  }
+
+  /** Document fingerprint: md5 over whitespace-normalized lowercase text —
+    * the content-addressable key used by exact dedup.
+    */
+  def fingerprintCol(text: Column): Column =
+    md5(regexp_replace(trim(lower(text)), " +", " "))
+
+  def fingerprints(documents: DataFrame): DataFrame =
+    documents
+      .select($"doc_id", fingerprintCol($"text").as("fingerprint"))
+      .orderBy($"doc_id")
+
+  /** BPE-ish token count: runs of letters, runs of digits, or single
+    * non-alphanumeric marks — the classic pre-tokenizer regex.
+    */
+  def tokenCounts(documents: DataFrame): DataFrame =
+    documents.select(
+      $"doc_id",
+      size(split($"text", " ")).cast("bigint").as("ws_tokens"),
+      size(regexp_extract_all(lower($"text"), lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), lit(0)))
+        .cast("bigint").as("bpe_tokens"))
+      .orderBy($"doc_id")
+}

@@ -1,0 +1,81 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Dedup, Events, Multimodal, Similarity, TextAnalysis}
+import graft.sources.Tables
+
+class PipelineSpec extends GraftSuite {
+
+  private lazy val docs = Tables.documents(spark, sf)
+  private lazy val embs = Tables.embeddings(spark, sf)
+
+  test("minhash LSH near-dup pairs == exact all-pairs jaccard (full recall at the data's gap)") {
+    val exact = Dedup.ngramJaccardPairs(docs).collect().toSeq
+    val lsh   = Dedup.minhashLshPairs(docs).collect().toSeq
+    assert(lsh === exact)
+    assert(exact.nonEmpty, "fixture should contain planted near-duplicates")
+  }
+
+  test("exact dedup collapses the self-union: unique == n, copies == 2n") {
+    val n = docs.count()
+    val row = Dedup.exactDedup(docs).collect()(0)
+    assert(row.getLong(0) === n)      // n_unique
+    assert(row.getLong(1) === 2 * n)  // n_total
+    assert(row.getLong(2) === n)      // every group is a dup group
+  }
+
+  test("simhash signatures are deterministic and near-dups have hamming <= 1") {
+    val sig1 = Dedup.simhashSignatures(docs).collect().toSet
+    val sig2 = Dedup.simhashSignatures(docs).collect().toSet
+    assert(sig1 === sig2)
+    val pairs = Dedup.simhashPairs(docs).collect()
+    assert(pairs.forall(_.getInt(2) <= 1))
+  }
+
+  test("LSH ANN cos values agree with brute force on shared (query, neighbor) pairs") {
+    val brute = Similarity.cosineTopK(embs, nQueries = 5, k = 500)
+      .select($"query_id", $"neighbor_id", $"cos".as("cos_bf"))
+    val lsh = Similarity.lshCosineTopK(embs)
+    val joined = lsh.join(brute, Seq("query_id", "neighbor_id"), "left")
+    assert(joined.filter($"cos_bf".isNull || $"cos" =!= $"cos_bf").count() === 0)
+  }
+
+  test("cosine top-k excludes self and is correctly ranked") {
+    val rows = Similarity.cosineTopK(embs).collect()
+    assert(rows.forall(r => r.getLong(0) != r.getLong(1)))
+    rows.groupBy(_.getLong(0)).foreach { case (_, rs) =>
+      val byRank = rs.sortBy(_.getInt(3)).map(_.getDouble(2))
+      assert(byRank.sameElements(byRank.sorted(Ordering[Double].reverse)))
+    }
+  }
+
+  test("language id emits only known codes; fingerprints are unique per distinct text") {
+    val codes = TextAnalysis.langId(docs).select($"lang_guess").distinct()
+      .collect().map(_.getString(0)).toSet
+    assert(codes.subsetOf(Set("en", "de", "fr", "es", "und")))
+    assert(TextAnalysis.fingerprints(docs).select($"fingerprint").distinct().count() === docs.count())
+  }
+
+  test("hourly agg partitions all events; sessionize covers every user") {
+    val ev = Tables.events(spark, sf)
+    val total = ev.count()
+    val hourly = Events.hourlyAgg(ev)
+    assert(hourly.agg(sum($"n")).collect()(0).getLong(0) === total)
+    val sess = Events.sessionize(ev)
+    assert(sess.count() === ev.select($"user_id").distinct().count())
+    assert(sess.filter($"n_sessions" < 1).count() === 0)
+  }
+
+  test("multimodal: every doc becomes an asset; frame sampling is deterministic") {
+    val profile = Multimodal.mediaProfile(docs)
+    assert(profile.agg(sum($"n_assets")).collect()(0).getLong(0) === docs.count())
+    val f1 = Multimodal.frameSample(docs).collect().toSeq
+    val f2 = Multimodal.frameSample(docs).collect().toSeq
+    assert(f1 === f2 && f1.nonEmpty)
+  }
+
+  private implicit class Interp(private val sc: StringContext) {
+    def $(args: Any*): org.apache.spark.sql.Column = col(sc.s(args: _*))
+  }
+}

@@ -34,6 +34,17 @@ object PipelineQueries {
     "q34_type_profile"     -> ((s, d) => Events.typeProfile(Tables.events(s, d))),
     "q35_media_profile"    -> ((s, d) => Multimodal.mediaProfile(Tables.documents(s, d))),
     "q36_frame_sample"     -> ((s, d) => Multimodal.frameSample(Tables.documents(s, d))),
+    "q37_cosine_topk_native" -> ((s, d) => Similarity.cosineTopKNative(Tables.embeddings(s, d))),
+    // rows-only (no oracle): approximate sketches differ by implementation
+    "q38_sketches" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(
+          approx_count_distinct(col("l_partkey")).as("approx_parts"),
+          expr("approx_percentile(l_extendedprice, 0.5)").as("approx_p50"))
+        .orderBy(col("l_returnflag"))
+    }),
   )
 
   // ---- shared SQL fragments -------------------------------------------
@@ -125,6 +136,21 @@ object PipelineQueries {
       s"CASE WHEN $proj > 0 THEN ${1L << j} ELSE 0 END"
     }.mkString("(", " + ", ")")
 
+  private val CosineTopkSql: String =
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 5),
+       |scored AS (
+       |  SELECT query_id, e.vec_id AS neighbor_id, round(${cosSql("qv", "v")}, 6) AS cos
+       |  FROM e, q WHERE e.vec_id <> q.query_id
+       |),
+       |ranked AS (
+       |  SELECT query_id, neighbor_id, cos,
+       |    CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS INT) AS rnk
+       |  FROM scored
+       |)
+       |SELECT query_id, neighbor_id, cos, rnk FROM ranked WHERE rnk <= 5
+       |ORDER BY query_id, rnk""".stripMargin
+
   // ---- oracles ---------------------------------------------------------
 
   def oracleSql: Map[String, String] = Map(
@@ -175,20 +201,9 @@ object PipelineQueries {
     "q26_ngram_jaccard"     -> JaccardSql,
     "q27_dedup_minhash_lsh" -> JaccardSql,
     "q28_dedup_simhash"     -> SimhashSql,
+    "q37_cosine_topk_native" -> CosineTopkSql, // native expression, same oracle
     "q29_cosine_topk" ->
-      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-         |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 5),
-         |scored AS (
-         |  SELECT query_id, e.vec_id AS neighbor_id, round(${cosSql("qv", "v")}, 6) AS cos
-         |  FROM e, q WHERE e.vec_id <> q.query_id
-         |),
-         |ranked AS (
-         |  SELECT query_id, neighbor_id, cos,
-         |    CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS INT) AS rnk
-         |  FROM scored
-         |)
-         |SELECT query_id, neighbor_id, cos, rnk FROM ranked WHERE rnk <= 5
-         |ORDER BY query_id, rnk""".stripMargin,
+      CosineTopkSql,
     "q30_lsh_ann" ->
       s"""WITH e AS (
          |  SELECT vec_id, v, $BucketSql AS bucket FROM (

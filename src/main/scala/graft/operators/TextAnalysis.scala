@@ -104,7 +104,8 @@ object TextAnalysis {
     documents.select(
       $"doc_id",
       size(split($"text", " ")).cast("bigint").as("ws_tokens"),
-      size(regexp_extract_all(lower($"text"), lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), lit(0)))
+      // regexp_count avoids materializing the match array
+      regexp_count(lower($"text"), lit("[a-z]+|[0-9]+|[^a-z0-9 ]"))
         .cast("bigint").as("bpe_tokens"))
       .orderBy($"doc_id")
 }

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.operators.{Dedup, Events, Multimodal, Similarity, TextAnalysis}
+import graft.operators.{Dedup, Events, Multimodal, Scale, Similarity, TextAnalysis}
 import graft.sources.Tables
 
 /** LLM-training-data-pipeline queries (SURVEY.md §2.2 ➕) and their DuckDB
@@ -35,6 +35,14 @@ object PipelineQueries {
     "q35_media_profile"    -> ((s, d) => Multimodal.mediaProfile(Tables.documents(s, d))),
     "q36_frame_sample"     -> ((s, d) => Multimodal.frameSample(Tables.documents(s, d))),
     "q37_cosine_topk_native" -> ((s, d) => Similarity.cosineTopKNative(Tables.embeddings(s, d))),
+    // salted two-phase agg must equal the plain group-sum (the oracle IS the
+    // plain SQL) — proving skew mitigation does not change results
+    "q39_salted_agg" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      Scale.saltedSumByKey(Tables.orders(s, d), "o_orderstatus", "o_totalprice", "o_orderkey")
+        .select(col("o_orderstatus"), round(col("sum_o_totalprice"), 2).as("total"))
+        .orderBy(col("o_orderstatus"))
+    }),
     // rows-only (no oracle): approximate sketches differ by implementation
     "q38_sketches" -> ((s, d) => {
       import org.apache.spark.sql.functions._
@@ -202,6 +210,9 @@ object PipelineQueries {
     "q27_dedup_minhash_lsh" -> JaccardSql,
     "q28_dedup_simhash"     -> SimhashSql,
     "q37_cosine_topk_native" -> CosineTopkSql, // native expression, same oracle
+    "q39_salted_agg" ->
+      """SELECT o_orderstatus, round(sum(o_totalprice), 2) AS total
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
     "q29_cosine_topk" ->
       CosineTopkSql,
     "q30_lsh_ann" ->

@@ -1,0 +1,76 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Scale
+import graft.sources.Tables
+
+/** Skew salting and bucketed co-located joins — the explicit scale paths
+  * (SURVEY.md §4; reference's skew roll-over `D/Program.cs:131-139`).
+  */
+class ScaleSpec extends GraftSuite {
+
+  test("salted two-phase aggregation equals direct aggregation (incl. a hot key)") {
+    import spark.implicits._
+    // 90% of rows share one hot key — the reference's skew regime
+    val rows = (1 to 20000).map { i =>
+      val k = if (i % 10 == 0) s"k${i % 7}" else "hot"
+      (k, i.toLong, (i % 997) / 100.0)
+    }
+    val df = rows.toDF("key", "row_id", "value").repartition(8)
+    val direct = df.groupBy($"key").agg(sum($"value").as("sum_value"))
+      .collect().map(r => (r.getString(0), math.round(r.getDouble(1) * 100))).toMap
+    val salted = Scale.saltedSumByKey(df, "key", "value", "row_id")
+      .collect().map(r => (r.getString(0), math.round(r.getDouble(1) * 100))).toMap
+    assert(salted === direct)
+  }
+
+  test("salted join equals plain join on a skewed fact table") {
+    import spark.implicits._
+    val dim = (0 to 6).map(i => (s"k$i", s"name$i")).toDF("key", "name")
+    val fact = (1 to 5000).map { i =>
+      (if (i % 50 == 0) s"k${i % 7}" else "k0", i.toLong, i / 10.0)
+    }.toDF("key", "row_id", "value")
+    val plain = fact.join(dim, Seq("key"))
+      .groupBy($"key").agg(count(lit(1)).as("n"), round(sum($"value"), 2).as("t"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    val salted = Scale.saltedJoin(fact, dim, "key", "row_id")
+      .groupBy($"key").agg(count(lit(1)).as("n"), round(sum($"value"), 2).as("t"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(salted === plain)
+  }
+
+  test("bucketed tables join without a shuffle exchange") {
+    // warehouse dir is a static conf, set in SparkTestBase
+    Tables.orders(spark, sf).write
+      .bucketBy(4, "o_custkey").sortBy("o_custkey")
+      .mode("overwrite").saveAsTable("orders_bucketed")
+    Tables.customer(spark, sf).write
+      .bucketBy(4, "c_custkey").sortBy("c_custkey")
+      .mode("overwrite").saveAsTable("customer_bucketed")
+    val joined = spark.table("orders_bucketed")
+      .join(spark.table("customer_bucketed").hint("merge"),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_nationkey"))
+      .agg(round(sum(col("o_totalprice")), 2).as("total"))
+    val plan = joined.queryExecution.executedPlan.toString
+    // the join itself must read co-located buckets: no hashpartitioning
+    // exchange on the join keys (the only exchange allowed is the
+    // aggregation's on c_nationkey)
+    val joinSection = plan.split("HashAggregate").last
+    assert(joinSection.contains("SortMergeJoin"), plan)
+    assert(!joinSection.contains("Exchange hashpartitioning(o_custkey"), plan)
+    assert(!joinSection.contains("Exchange hashpartitioning(c_custkey"), plan)
+    // and results match the unbucketed join
+    val expected = Relationalish()
+    val got = joined.collect().map(r => (r.getInt(0), r.getDouble(1))).toSet
+    assert(got === expected)
+  }
+
+  private def Relationalish(): Set[(Int, Double)] =
+    Tables.orders(spark, sf)
+      .join(Tables.customer(spark, sf), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_nationkey"))
+      .agg(round(sum(col("o_totalprice")), 2).as("total"))
+      .collect().map(r => (r.getInt(0), r.getDouble(1))).toSet
+}

@@ -8,6 +8,8 @@ object SparkTestBase {
   lazy val spark: SparkSession = {
     val s = GraftSession
       .builder(appName = "graft-test", master = "local[4]", shufflePartitions = 4)
+      .config("spark.sql.warehouse.dir",
+        java.nio.file.Files.createTempDirectory("graft_warehouse").toString)
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s

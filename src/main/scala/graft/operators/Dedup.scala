@@ -104,26 +104,22 @@ object Dedup {
     * counts). This is the shape that holds at 100 TB.
     */
   def minhashLshPairs(documents: DataFrame, n: Int = 5, threshold: Double = 0.6): DataFrame = {
-    // ONE shuffle builds the per-doc distinct shingle sets (collect_set
-    // dedups in the aggregate); everything signature-side below reuses the
-    // resulting doc_id partitioning with no further exchange. The shuffle
-    // happens BEFORE the explode (repartition on the compact doc rows), so
-    // the 100-300x shingle blowup and the hashing fan out across all cores
-    // instead of the input file's partition count.
-    val docsets = documents
-      .repartition(documents.sparkSession.sparkContext.defaultParallelism * 2, $"doc_id")
-      .select($"doc_id", explode(shingleArray($"text", n)).as("g"))
-      .groupBy($"doc_id")
-      .agg(array_sort(collect_set($"g")).as("gs"))
-      .withColumn("sz", size($"gs"))
+    // Signatures need NO shingle dedup: MIN absorbs duplicate shingles, so
+    // raw (doc_id, shingle-hash) rows feed the 126-way partial-min aggregate
+    // directly. The one shuffle happens BEFORE the explode (repartition of
+    // the compact doc rows), so the 100-300x shingle blowup and the hashing
+    // fan out across all cores and the aggregate reuses the partitioning
+    // with no exchange. The partition count is explicit: AQE would coalesce
+    // a size-based repartition of the compact rows to one partition, blind
+    // to the post-explode blowup.
+    val parts = documents.sparkSession.sparkContext.defaultParallelism * 2
     // hash each shingle string ONCE; the 126 minhash values derive from the
     // 8-byte long (cheap fixed-width hashing), not from re-hashing strings
-    val toksH = docsets
-      .select($"doc_id", explode($"gs").as("g"))
+    val toksH = documents
+      .repartition(parts, $"doc_id")
+      .select($"doc_id", explode(shingleArray($"text", n)).as("g"))
       .select($"doc_id", xxhash64($"g").as("h"))
     val sigCols = (0 until NumHashes).map(s => min(xxhash64(lit(s), $"h")).as(s"h$s"))
-    // doc_id partitioning survives the explode, so this aggregate is
-    // exchange-free
     val sigs = toksH.groupBy($"doc_id").agg(sigCols.head, sigCols.tail: _*)
     // band key = hash of the band's 6 minhash values
     val bandCols = (0 until NumBands).map { b =>
@@ -139,14 +135,18 @@ object Dedup {
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"))
       .distinct()
-    // exact-Jaccard verification: broadcast per-doc shingle sets, intersect
-    // arrays per candidate
+    // exact-Jaccard verification: join candidates back to the raw docs
+    // (broadcast), build each side's distinct shingle set inline, and
+    // intersect arrays per candidate row — no shuffle, no shared subtree
+    // with the signature path to recompute.
+    val docTexts = documents.select($"doc_id",
+      array_distinct(shingleArray($"text", n)).as("gs"))
     candidates
-      .join(broadcast(docsets.select($"doc_id".as("id1"), $"gs".as("gs1"), $"sz".as("sz1"))), Seq("id1"))
-      .join(broadcast(docsets.select($"doc_id".as("id2"), $"gs".as("gs2"), $"sz".as("sz2"))), Seq("id2"))
+      .join(broadcast(docTexts.select($"doc_id".as("id1"), $"gs".as("gs1"))), Seq("id1"))
+      .join(broadcast(docTexts.select($"doc_id".as("id2"), $"gs".as("gs2"))), Seq("id2"))
       .select($"id1", $"id2",
         round(size(array_intersect($"gs1", $"gs2")) /
-          ($"sz1" + $"sz2" - size(array_intersect($"gs1", $"gs2"))), 6).as("jaccard"))
+          (size($"gs1") + size($"gs2") - size(array_intersect($"gs1", $"gs2"))), 6).as("jaccard"))
       .filter($"jaccard" >= threshold)
       .orderBy($"id1", $"id2")
   }
@@ -156,35 +156,59 @@ object Dedup {
     * arithmetic. One aggregation per doc.
     */
   def simhashSignatures(documents: DataFrame, n: Int = 5): DataFrame = {
-    // md5 once per shingle row; the 32 bit-sums read hex chars out of it.
-    // Repartition compact rows pre-explode for parallelism; the signature
-    // aggregate then needs no exchange.
+    // Repartition compact rows pre-explode for parallelism.
     val grams = documents
       .repartition(documents.sparkSession.sparkContext.defaultParallelism * 2, $"doc_id")
       .select($"doc_id", explode(shingleArray($"text", n)).as("g"))
-      .select($"doc_id", md5($"g").as("h"))
-    val bitSums = (0 until 32).map { i =>
-      sum(ascii(substring($"h", i + 1, 1)) % 2 * 2 - 1).as(s"s$i")
-    }
-    val agg = grams.groupBy($"doc_id").agg(bitSums.head, bitSums.tail: _*)
+    // The md5-parity bit weights depend only on the shingle VALUE, and the
+    // distinct-shingle vocabulary is tiny relative to shingle occurrences —
+    // so compute the 32 +-1 weights once per distinct shingle and join the
+    // dictionary back (AQE broadcasts it when small; degrades to a shuffle
+    // join if a real corpus grows the vocabulary).
+    val dict = grams.select($"g").distinct()
+      .withColumn("h", md5($"g"))
+      .select($"g" +: (0 until 32).map(i =>
+        (ascii(substring($"h", i + 1, 1)) % 2 * 2 - 1).as(s"w$i")): _*)
+    val joined = grams.join(dict, Seq("g"))
+    val bitSums = (0 until 32).map(i => sum(col(s"w$i")).as(s"s$i"))
+    val agg = joined.groupBy($"doc_id").agg(bitSums.head, bitSums.tail: _*)
     val sig = (0 until 32)
       .map(i => when(col(s"s$i") > 0, lit(1L << i)).otherwise(lit(0L)))
       .reduce(_ + _)
     agg.select($"doc_id", sig.as("sig"))
   }
 
-  /** Near-dup pairs by SimHash hamming distance <= maxHamming. Small-data
-    * all-pairs on the 1-row-per-doc signature table (cheap); at scale,
-    * bucket by signature bands first (pigeonhole: hamming<=k pairs share
-    * one of k+1 prefix bands).
+  /** Near-dup pairs by SimHash hamming distance <= maxHamming, via
+    * pigeonhole banding: split the 32-bit signature into maxHamming+1
+    * disjoint bit-slices — any pair within the hamming budget matches at
+    * least one slice EXACTLY, so candidates come from an equi-join on
+    * (slice index, slice value) instead of the all-pairs cross product, and
+    * recall is 1 by construction (not probabilistic). The exact bit_count
+    * filter then drops slice-collision false positives. Identical output to
+    * the all-pairs formulation (and to the DuckDB all-pairs oracle), with
+    * near-linear work at corpus scale.
     */
   def simhashPairs(documents: DataFrame, n: Int = 5, maxHamming: Int = 1): DataFrame = {
+    val bands = maxHamming + 1
+    val bandBits = 32 / bands
     val sig = simhashSignatures(documents, n)
-    sig.as("a")
-      .join(sig.as("b"), col("a.doc_id") < col("b.doc_id"))
+    val sliced = sig.select($"doc_id", $"sig",
+      explode(array((0 until bands).map { b =>
+        struct(lit(b).as("slice"),
+          shiftright($"sig", b * bandBits).bitwiseAND(lit((1L << bandBits) - 1)).as("sv"))
+      }: _*)).as("bb"))
+      .select($"doc_id", $"sig", $"bb.slice".as("slice"), $"bb.sv".as("sv"))
+    // shuffle-hash (not broadcast): both sides then need the identical
+    // hashpartitioning(slice, sv) exchange, so the signature subtree is
+    // computed once and the second side is a ReusedExchange
+    sliced.hint("shuffle_hash").as("a")
+      .join(sliced.hint("shuffle_hash").as("b"),
+        col("a.slice") === col("b.slice") && col("a.sv") === col("b.sv") &&
+          col("a.doc_id") < col("b.doc_id"))
       .select(
         col("a.doc_id").as("id1"), col("b.doc_id").as("id2"),
         expr("bit_count(a.sig ^ b.sig)").cast("int").as("hamming"))
+      .distinct() // a pair can match in several slices
       .filter($"hamming" <= maxHamming)
       .orderBy($"id1", $"id2")
   }

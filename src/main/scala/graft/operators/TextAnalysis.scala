@@ -67,21 +67,25 @@ object TextAnalysis {
     * a single codegen'd projection.
     */
   def langId(documents: DataFrame): DataFrame = {
-    val padded = concat(lit(" "), lower($"text"), lit(" "))
     def score(markers: Seq[String]): Column =
-      markers.map(m => occurrences(padded, s" $m ")).reduce(_ + _)
-    val sEn = score(Seq("the", "of", "and"))
-    val sDe = score(Seq("der", "und", "die"))
-    val sFr = score(Seq("le", "et", "la"))
-    val sEs = score(Seq("el", "y", "los"))
-    val best = greatest(sEn, sDe, sFr, sEs)
-    documents.select(
+      markers.map(m => occurrences($"padded", s" $m ")).reduce(_ + _)
+    // stage the padded text and the four scores as real columns so each
+    // marker scan and the argmax run once per row, not once per CASE branch
+    val scored = documents
+      .select($"doc_id", $"lang", concat(lit(" "), lower($"text"), lit(" ")).as("padded"))
+      .select($"doc_id", $"lang",
+        score(Seq("the", "of", "and")).as("s_en"),
+        score(Seq("der", "und", "die")).as("s_de"),
+        score(Seq("le", "et", "la")).as("s_fr"),
+        score(Seq("el", "y", "los")).as("s_es"))
+      .withColumn("best", greatest($"s_en", $"s_de", $"s_fr", $"s_es"))
+    scored.select(
       $"doc_id",
       $"lang",
-      when(best === 0, lit("und"))
-        .when(sEn === best, lit("en"))
-        .when(sDe === best, lit("de"))
-        .when(sFr === best, lit("fr"))
+      when($"best" === 0, lit("und"))
+        .when($"s_en" === $"best", lit("en"))
+        .when($"s_de" === $"best", lit("de"))
+        .when($"s_fr" === $"best", lit("fr"))
         .otherwise(lit("es")).as("lang_guess"))
       .orderBy($"doc_id")
   }

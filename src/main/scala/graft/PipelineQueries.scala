@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.operators.{Dedup, Events, Multimodal, Scale, Similarity, TextAnalysis}
+import graft.operators.{Dedup, Events, Extended, Multimodal, Scale, Similarity, TextAnalysis}
 import graft.sources.Tables
 
 /** LLM-training-data-pipeline queries (SURVEY.md §2.2 ➕) and their DuckDB
@@ -43,6 +43,11 @@ object PipelineQueries {
         .select(col("o_orderstatus"), round(col("sum_o_totalprice"), 2).as("total"))
         .orderBy(col("o_orderstatus"))
     }),
+    "q40_grouping_sets" -> ((s, d) => Extended.groupingSets(s, Tables.orders(s, d))),
+    "q41_calendar"      -> ((s, d) => Extended.ordersByCalendar(Tables.orders(s, d))),
+    "q42_json_stats"    -> ((s, d) => Extended.jsonStats(Tables.events(s, d))),
+    "q43_event_pivot"   -> ((s, d) => Extended.eventPivot(Tables.events(s, d))),
+    "q44_asof_join"     -> ((s, d) => Extended.asofPurchaseClick(Tables.events(s, d))),
     // rows-only (no oracle): approximate sketches differ by implementation
     "q38_sketches" -> ((s, d) => {
       import org.apache.spark.sql.functions._
@@ -213,6 +218,46 @@ object PipelineQueries {
     "q39_salted_agg" ->
       """SELECT o_orderstatus, round(sum(o_totalprice), 2) AS total
         |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    "q40_grouping_sets" ->
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+        | round(sum(o_totalprice), 2) AS total
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        |ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin,
+    "q41_calendar" ->
+      """SELECT CAST(extract(year FROM o_orderdate) AS BIGINT) AS order_year,
+        | CAST(extract(quarter FROM o_orderdate) AS BIGINT) AS order_quarter,
+        | count(*) AS n, round(sum(o_totalprice), 2) AS total
+        |FROM orders GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q42_json_stats" ->
+      """SELECT event_type, count(*) AS n,
+        | CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+        | round(avg(CAST(json_extract_string(props, '$.k') AS BIGINT)), 4) AS avg_k
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q43_event_pivot" -> {
+      val cols = Extended.EventTypes.map(t =>
+        s"CAST(count(CASE WHEN event_type = '$t' THEN 1 END) AS BIGINT) AS $t").mkString(",\n ")
+      s"""SELECT user_id,
+         | $cols
+         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
+    },
+    "q44_asof_join" ->
+      """WITH tagged AS (
+        |  SELECT user_id, event_id, ts, event_type, value,
+        |    CASE WHEN event_type = 'click' THEN value END AS click_value
+        |  FROM events WHERE event_type IN ('purchase', 'click')
+        |),
+        |filled AS (
+        |  SELECT user_id, event_id, event_type, value,
+        |    last_value(click_value IGNORE NULLS) OVER (
+        |      PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_click_value
+        |  FROM tagged
+        |)
+        |SELECT user_id, event_id, round(value, 2) AS purchase_value,
+        | round(coalesce(last_click_value, 0.0), 2) AS asof_click_value
+        |FROM filled WHERE event_type = 'purchase'
+        |ORDER BY user_id, event_id""".stripMargin,
     "q29_cosine_topk" ->
       CosineTopkSql,
     "q30_lsh_ann" ->

@@ -1,0 +1,86 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Second-wave relational surface: grouping sets, date parts, JSON scalar
+  * extraction, pivot, and an as-of join composed from built-ins (SURVEY.md
+  * §2.2 — Spark has no native as-of join; preference (a) is composition,
+  * which keeps Catalyst in full control of the plan).
+  */
+object Extended {
+
+  /** GROUPING SETS with explicit per-set aggregates (via SQL — also
+    * exercises the spark.sql surface over registered views).
+    */
+  def groupingSets(spark: SparkSession, orders: DataFrame): DataFrame = {
+    orders.createOrReplaceTempView("orders_gs")
+    spark.sql(
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+        |       round(sum(o_totalprice), 2) AS total
+        |FROM orders_gs
+        |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        |ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin)
+  }
+
+  /** Calendar breakdown: year/quarter extraction pushed into one pass. */
+  def ordersByCalendar(orders: DataFrame): DataFrame =
+    orders
+      .groupBy(
+        year($"o_orderdate").cast("bigint").as("order_year"),
+        quarter($"o_orderdate").cast("bigint").as("order_quarter"))
+      .agg(count(lit(1)).as("n"), round(sum($"o_totalprice"), 2).as("total"))
+      .orderBy($"order_year", $"order_quarter")
+
+  /** JSON scalar extraction from the events props column: parse once,
+    * aggregate the extracted field. Codegen'd path (get_json_object), no
+    * UDFs.
+    */
+  def jsonStats(events: DataFrame): DataFrame =
+    events
+      .select($"event_type", get_json_object($"props", "$.k").cast("bigint").as("k"))
+      .groupBy($"event_type")
+      .agg(
+        count(lit(1)).as("n"),
+        sum($"k").as("sum_k"),
+        round(avg($"k"), 4).as("avg_k"))
+      .orderBy($"event_type")
+
+  val EventTypes: Seq[String] = Seq("click", "error", "purchase", "signup", "view")
+
+  /** Pivot: per-user event-type counts as columns. Explicit value list so
+    * the output schema is static (required for a deterministic oracle and
+    * for any sane 100 TB plan — value discovery would scan twice).
+    */
+  def eventPivot(events: DataFrame): DataFrame =
+    events
+      .groupBy($"user_id")
+      .pivot("event_type", EventTypes)
+      .agg(count(lit(1)))
+      .na.fill(0, EventTypes)
+      .orderBy($"user_id")
+
+  /** As-of join composed from built-ins: each purchase event picks up the
+    * most recent click value at-or-before it for the same user. Union the
+    * two tagged streams, one window pass per user ordered by time carrying
+    * the last non-null click value forward, then keep the purchases. One
+    * shuffle on user_id; no range-join explosion — this is the standard
+    * Spark-native as-of shape.
+    */
+  def asofPurchaseClick(events: DataFrame): DataFrame = {
+    val tagged = events
+      .filter($"event_type".isin("purchase", "click"))
+      .select($"user_id", $"event_id", $"ts", $"event_type", $"value",
+        when($"event_type" === "click", $"value").as("click_value"))
+    val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    tagged
+      .withColumn("last_click_value", last($"click_value", ignoreNulls = true).over(w))
+      .filter($"event_type" === "purchase")
+      .select($"user_id", $"event_id",
+        round($"value", 2).as("purchase_value"),
+        round(coalesce($"last_click_value", lit(0.0)), 2).as("asof_click_value"))
+      .orderBy($"user_id", $"event_id")
+  }
+}

@@ -61,6 +61,21 @@ class FunctionsSpec extends GraftSuite {
     assert(df.filter(col("c").isNotNull).count() > 0)
   }
 
+  test("DotProductRewrite: compositional aggregate/zip_with plans as native dot_product") {
+    spark.experimental.extraOptimizations =
+      spark.experimental.extraOptimizations :+ graft.plans.DotProductRewrite
+    val e = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("v"))
+    val df = e.select(col("vec_id"), Similarity.dot(col("v"), col("v")).as("d"))
+    val optimized = df.queryExecution.optimizedPlan.toString
+    assert(optimized.contains("dot_product"), s"rewrite did not fire:\n$optimized")
+    assert(!optimized.contains("aggregate("), s"lambda chain survived:\n$optimized")
+    // and values are identical to the un-rewritten computation
+    val direct = e.select(col("vec_id"), VectorFunctions.dot_product(col("v"), col("v")).as("d"))
+    assert(df.collect().map(r => (r.getLong(0), r.getDouble(1))).toSet ===
+      direct.collect().map(r => (r.getLong(0), r.getDouble(1))).toSet)
+  }
+
   test("MomentsAgg matches built-in avg/stddev and is partition-invariant") {
     import spark.implicits._
     val values = Tables.orders(spark, sf).select(col("o_totalprice")).as[Double]

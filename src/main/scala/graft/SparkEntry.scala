@@ -60,6 +60,14 @@ object SparkEntry {
       Relational.starJoin(Tables.region(s, d), Tables.nation(s, d), Tables.customer(s, d),
         Tables.orders(s, d), Tables.lineitem(s, d))),
     "q19_set_ops" -> ((s, d) => Relational.setOps(Tables.orders(s, d), Tables.lineitem(s, d))),
+    "q45_shipping_priority" -> ((s, d) =>
+      Relational.shippingPriority(Tables.customer(s, d), Tables.orders(s, d), Tables.lineitem(s, d))),
+    "q46_region_volume" -> ((s, d) =>
+      Relational.regionVolume(Tables.region(s, d), Tables.nation(s, d), Tables.customer(s, d),
+        Tables.orders(s, d), Tables.lineitem(s, d))),
+    "q47_returned_items" -> ((s, d) =>
+      Relational.returnedItems(Tables.customer(s, d), Tables.orders(s, d), Tables.lineitem(s, d),
+        Tables.nation(s, d))),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -170,6 +178,35 @@ object SparkEntry {
         |JOIN nation ON c_nationkey = n_nationkey
         |JOIN region ON n_regionkey = r_regionkey
         |GROUP BY r_name ORDER BY r_name""".stripMargin,
+    "q45_shipping_priority" ->
+      """SELECT o_orderkey, CAST(epoch(o_orderdate) AS BIGINT) AS order_epoch,
+        | o_orderpriority,
+        | round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON o_orderkey = l_orderkey
+        |WHERE c_mktsegment = 'BUILDING' AND l_shipdate > o_orderdate
+        |GROUP BY o_orderkey, o_orderdate, o_orderpriority
+        |ORDER BY revenue DESC, o_orderkey LIMIT 10""".stripMargin,
+    "q46_region_volume" ->
+      """SELECT n_name, round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin,
+    "q47_returned_items" ->
+      """SELECT c_custkey, c_name, n_name,
+        | round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |WHERE l_returnflag = 'R'
+        |GROUP BY c_custkey, c_name, n_name
+        |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin,
     "q19_set_ops" ->
       """WITH ok AS (SELECT o_orderkey AS key FROM orders WHERE o_orderstatus = 'F'),
         | lk AS (SELECT l_orderkey AS key FROM lineitem WHERE l_quantity > 30.0)

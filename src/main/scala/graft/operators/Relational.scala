@@ -238,6 +238,52 @@ object Relational {
         count(lit(1)).as("n_lines"))
       .orderBy($"r_name")
 
+  /** TPC-H Q3 shape (shipping priority): filtered join of customer,
+    * orders, lineitem; revenue per order; top 10. Filters push into all
+    * three scans; the orders-lineitem join is the only big shuffle.
+    */
+  def shippingPriority(customer: DataFrame, orders: DataFrame, lineitem: DataFrame): DataFrame =
+    customer.filter($"c_mktsegment" === "BUILDING")
+      .join(orders, $"c_custkey" === $"o_custkey")
+      .join(lineitem, $"o_orderkey" === $"l_orderkey")
+      .filter($"l_shipdate" > $"o_orderdate")
+      .groupBy($"o_orderkey", $"o_orderdate", $"o_orderpriority")
+      .agg(f2(sum($"l_extendedprice" * (lit(1.0) - $"l_discount"))).as("revenue"))
+      .select($"o_orderkey",
+        unix_timestamp($"o_orderdate").as("order_epoch"),
+        $"o_orderpriority", $"revenue")
+      .orderBy($"revenue".desc, $"o_orderkey")
+      .limit(10)
+
+  /** TPC-H Q5 shape (local volume): full star join constrained to one
+    * region, revenue per nation, sorted.
+    */
+  def regionVolume(
+      region: DataFrame, nation: DataFrame, customer: DataFrame,
+      orders: DataFrame, lineitem: DataFrame): DataFrame =
+    lineitem
+      .join(orders, $"l_orderkey" === $"o_orderkey")
+      .join(customer, $"o_custkey" === $"c_custkey")
+      .join(nation, $"c_nationkey" === $"n_nationkey")
+      .join(region.filter($"r_name" === "ASIA"), $"n_regionkey" === $"r_regionkey")
+      .groupBy($"n_name")
+      .agg(f2(sum($"l_extendedprice" * (lit(1.0) - $"l_discount"))).as("revenue"))
+      .orderBy($"revenue".desc, $"n_name")
+
+  /** TPC-H Q10 shape (returned items): customers ranked by revenue lost to
+    * returns in a date window.
+    */
+  def returnedItems(customer: DataFrame, orders: DataFrame, lineitem: DataFrame,
+      nation: DataFrame): DataFrame =
+    lineitem.filter($"l_returnflag" === "R")
+      .join(orders, $"l_orderkey" === $"o_orderkey")
+      .join(customer, $"o_custkey" === $"c_custkey")
+      .join(nation, $"c_nationkey" === $"n_nationkey")
+      .groupBy($"c_custkey", $"c_name", $"n_name")
+      .agg(f2(sum($"l_extendedprice" * (lit(1.0) - $"l_discount"))).as("revenue"))
+      .orderBy($"revenue".desc, $"c_custkey")
+      .limit(20)
+
   /** Set ops: intersect/except on projected key sets. */
   def setOps(orders: DataFrame, lineitem: DataFrame): DataFrame = {
     val orderKeys = orders.filter($"o_orderstatus" === "F").select($"o_orderkey".as("key"))

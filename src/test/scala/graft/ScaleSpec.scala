@@ -67,6 +67,26 @@ class ScaleSpec extends GraftSuite {
     assert(got === expected)
   }
 
+  test("partitioned parquet sink prunes partitions on read") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_part").toString + "/orders_by_year"
+    val withYear = Tables.orders(spark, sf)
+      .withColumn("order_year", year(col("o_orderdate")))
+    withYear.write.partitionBy("order_year").mode("overwrite").parquet(dir)
+
+    val pruned = spark.read.parquet(dir).filter(col("order_year") === 1995)
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [isnotnull(order_year"), plan)
+    // pruning must not change results
+    val expected = withYear.filter(col("order_year") === 1995).count()
+    assert(pruned.count() === expected && expected > 0)
+    // and only the matching partition directory is listed in the scan
+    val scannedParts = pruned.queryExecution.executedPlan.collectLeaves()
+      .collect { case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+        f.relation.location.listFiles(f.partitionFilters, f.dataFilters).size
+      }.sum
+    assert(scannedParts === 1, s"expected 1 pruned partition, scanned $scannedParts")
+  }
+
   private def Relationalish(): Set[(Int, Double)] =
     Tables.orders(spark, sf)
       .join(Tables.customer(spark, sf), col("o_custkey") === col("c_custkey"))

@@ -48,6 +48,10 @@ object PipelineQueries {
     "q42_json_stats"    -> ((s, d) => Extended.jsonStats(Tables.events(s, d))),
     "q43_event_pivot"   -> ((s, d) => Extended.eventPivot(Tables.events(s, d))),
     "q44_asof_join"     -> ((s, d) => Extended.asofPurchaseClick(Tables.events(s, d))),
+    "q48_embedding_neardup" -> ((s, d) => Similarity.embeddingNearDup(Tables.embeddings(s, d))),
+    "q49_brand_revenue" -> ((s, d) =>
+      graft.operators.Relational.brandRevenue(Tables.part(s, d), Tables.supplier(s, d),
+        Tables.nation(s, d), Tables.lineitem(s, d))),
     // rows-only (no oracle): approximate sketches differ by implementation
     "q38_sketches" -> ((s, d) => {
       import org.apache.spark.sql.functions._
@@ -241,6 +245,22 @@ object PipelineQueries {
          | $cols
          |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
     },
+    "q48_embedding_neardup" ->
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+         |SELECT a.vec_id AS id1, b.vec_id AS id2,
+         | round(${cosSql("a.v", "b.v")}, 6) AS cos
+         |FROM e a JOIN e b ON a.vec_id < b.vec_id
+         |WHERE round(${cosSql("a.v", "b.v")}, 6) >= 0.9
+         |ORDER BY id1, id2""".stripMargin,
+    "q49_brand_revenue" ->
+      """SELECT p_brand, n_name,
+        | round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue,
+        | count(*) AS n_lines
+        |FROM lineitem
+        |JOIN part ON l_partkey = p_partkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |GROUP BY p_brand, n_name ORDER BY p_brand, n_name""".stripMargin,
     "q44_asof_join" ->
       """WITH tagged AS (
         |  SELECT user_id, event_id, ts, event_type, value,

@@ -284,6 +284,21 @@ object Relational {
       .orderBy($"revenue".desc, $"c_custkey")
       .limit(20)
 
+  /** Part/supplier coverage: revenue by part brand with supplier nation,
+    * exercising the two remaining dimension tables. Both dims broadcast.
+    */
+  def brandRevenue(part: DataFrame, supplier: DataFrame, nation: DataFrame,
+      lineitem: DataFrame): DataFrame =
+    lineitem
+      .join(part, $"l_partkey" === $"p_partkey")
+      .join(supplier, $"l_suppkey" === $"s_suppkey")
+      .join(nation, $"s_nationkey" === $"n_nationkey")
+      .groupBy($"p_brand", $"n_name")
+      .agg(
+        f2(sum($"l_extendedprice" * (lit(1.0) - $"l_discount"))).as("revenue"),
+        count(lit(1)).as("n_lines"))
+      .orderBy($"p_brand", $"n_name")
+
   /** Set ops: intersect/except on projected key sets. */
   def setOps(orders: DataFrame, lineitem: DataFrame): DataFrame = {
     val orderKeys = orders.filter($"o_orderstatus" === "F").select($"o_orderkey".as("key"))

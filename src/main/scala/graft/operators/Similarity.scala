@@ -109,6 +109,31 @@ object Similarity {
       .orderBy($"query_id", $"rnk")
   }
 
+  /** Embedding-cosine near-duplicate pairs: all pairs with cosine >=
+    * threshold. Exact all-pairs by default (the oracle-comparable form);
+    * `useLsh = true` restricts candidates to matching hyperplane buckets —
+    * the scale path, with recall (1 - acos(t)/pi)^8 per bucket probe
+    * (multi-probe/repeated tables raise it; at 100 TB this joins on bucket
+    * instead of crossing the corpus).
+    */
+  def embeddingNearDup(embeddings: DataFrame, threshold: Double = 0.9, useLsh: Boolean = false)
+      : DataFrame = {
+    val corpus = embeddings.select($"vec_id", asDouble($"embedding").as("v"))
+    val pairs =
+      if (!useLsh) {
+        corpus.as("a").join(corpus.as("b"), col("a.vec_id") < col("b.vec_id"))
+      } else {
+        val bucketed = corpus.withColumn("bucket", lshBucket($"v"))
+        bucketed.as("a").join(bucketed.as("b"),
+          col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
+      }
+    pairs
+      .select(col("a.vec_id").as("id1"), col("b.vec_id").as("id2"),
+        round(cosine(col("a.v"), col("b.v")), 6).as("cos"))
+      .filter($"cos" >= threshold)
+      .orderBy($"id1", $"id2")
+  }
+
   /** Pairwise similarity stats per label — a reduction over the (broadcast)
     * self-join used to sanity-check embedding quality at scale.
     */

@@ -41,6 +41,17 @@ class PipelineSpec extends GraftSuite {
     assert(joined.filter($"cos_bf".isNull || $"cos" =!= $"cos_bf").count() === 0)
   }
 
+  test("embedding near-dup: exact path empty on fixture; LSH path finds planted duplicates") {
+    // fixture embeddings are random (max cos ~0.55) => empty at 0.9
+    assert(Similarity.embeddingNearDup(embs).count() === 0)
+    // plant an exact duplicate: identical vectors share a bucket deterministically
+    import org.apache.spark.sql.functions._
+    val dup = embs.limit(1).select(lit(9999L).as("vec_id"), $"embedding", $"label")
+    val withDup = embs.unionByName(dup)
+    val found = Similarity.embeddingNearDup(withDup, useLsh = true).collect()
+    assert(found.exists(r => r.getLong(1) === 9999L && math.abs(r.getDouble(2) - 1.0) < 1e-6))
+  }
+
   test("cosine top-k excludes self and is correctly ranked") {
     val rows = Similarity.cosineTopK(embs).collect()
     assert(rows.forall(r => r.getLong(0) != r.getLong(1)))

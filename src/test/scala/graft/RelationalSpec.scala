@@ -24,7 +24,8 @@ class RelationalSpec extends GraftSuite {
   }
 
   test("all queries execute and are non-empty except the empty-by-design ones") {
-    val emptyOk = Set("q07_join_anti") // FK-clean data => no customer without orders? (may be non-empty; just allow)
+    // FK-clean data => q07 may be empty; random embeddings => q48 empty at 0.9
+    val emptyOk = Set("q07_join_anti", "q48_embedding_neardup")
     SparkEntry.queries.foreach { case (name, fn) =>
       val n = fn(spark, sf).count()
       assert(n >= 0, s"$name failed")

@@ -129,11 +129,21 @@ object Dedup {
     val buckets = sigs
       .select($"doc_id", explode(array(bandCols: _*)).as("bb"))
       .select($"doc_id", $"bb.band".as("band"), $"bb.bh".as("bh"))
-    val candidates = buckets.as("a")
-      .join(buckets.as("b"),
-        col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"))
+    // In-bucket pair expansion via groupBy + collect_list instead of a
+    // bucket self-join: a self-join would compute the whole signature
+    // subtree twice (exchange reuse does not fire across the deduplicated
+    // self-join branches); this shape computes signatures once and shuffles
+    // once on the bucket key. Bucket members are tiny by LSH design, so
+    // the in-memory K^2 expansion per bucket is bounded.
+    val candidates = buckets
+      .groupBy($"band", $"bh")
+      .agg(collect_list($"doc_id").as("ids"))
+      .filter(size($"ids") > 1)
+      .select(explode(expr(
+        """filter(
+          |  flatten(transform(ids, a -> transform(ids, b -> struct(a AS id1, b AS id2)))),
+          |  p -> p.id1 < p.id2)""".stripMargin)).as("p"))
+      .select($"p.id1".as("id1"), $"p.id2".as("id2"))
       .distinct()
     // exact-Jaccard verification: join candidates back to the raw docs
     // (broadcast), build each side's distinct shingle set inline, and
@@ -160,18 +170,16 @@ object Dedup {
     val grams = documents
       .repartition(documents.sparkSession.sparkContext.defaultParallelism * 2, $"doc_id")
       .select($"doc_id", explode(shingleArray($"text", n)).as("g"))
-    // The md5-parity bit weights depend only on the shingle VALUE, and the
-    // distinct-shingle vocabulary is tiny relative to shingle occurrences —
-    // so compute the 32 +-1 weights once per distinct shingle and join the
-    // dictionary back (AQE broadcasts it when small; degrades to a shuffle
-    // join if a real corpus grows the vocabulary).
-    val dict = grams.select($"g").distinct()
-      .withColumn("h", md5($"g"))
-      .select($"g" +: (0 until 32).map(i =>
-        (ascii(substring($"h", i + 1, 1)) % 2 * 2 - 1).as(s"w$i")): _*)
-    val joined = grams.join(dict, Seq("g"))
-    val bitSums = (0 until 32).map(i => sum(col(s"w$i")).as(s"s$i"))
-    val agg = joined.groupBy($"doc_id").agg(bitSums.head, bitSums.tail: _*)
+    // md5 once per shingle row, 32 parity extracts, then an exchange-free
+    // aggregate (doc_id partitioning survives the explode). A
+    // distinct-shingle dictionary join was tried and is SLOWER here: the
+    // join+shuffle machinery costs more than hashing every occurrence in
+    // one codegen'd pass.
+    val hashed = grams.select($"doc_id", md5($"g").as("h"))
+    val bitSums = (0 until 32).map { i =>
+      sum(ascii(substring($"h", i + 1, 1)) % 2 * 2 - 1).as(s"s$i")
+    }
+    val agg = hashed.groupBy($"doc_id").agg(bitSums.head, bitSums.tail: _*)
     val sig = (0 until 32)
       .map(i => when(col(s"s$i") > 0, lit(1L << i)).otherwise(lit(0L)))
       .reduce(_ + _)
@@ -198,16 +206,19 @@ object Dedup {
           shiftright($"sig", b * bandBits).bitwiseAND(lit((1L << bandBits) - 1)).as("sv"))
       }: _*)).as("bb"))
       .select($"doc_id", $"sig", $"bb.slice".as("slice"), $"bb.sv".as("sv"))
-    // shuffle-hash (not broadcast): both sides then need the identical
-    // hashpartitioning(slice, sv) exchange, so the signature subtree is
-    // computed once and the second side is a ReusedExchange
-    sliced.hint("shuffle_hash").as("a")
-      .join(sliced.hint("shuffle_hash").as("b"),
-        col("a.slice") === col("b.slice") && col("a.sv") === col("b.sv") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .select(
-        col("a.doc_id").as("id1"), col("b.doc_id").as("id2"),
-        expr("bit_count(a.sig ^ b.sig)").cast("int").as("hamming"))
+    // groupBy + in-bucket expansion (not a self-join): computes the
+    // signature subtree once and shuffles once on (slice, value)
+    sliced
+      .groupBy($"slice", $"sv")
+      .agg(collect_list(struct($"doc_id", $"sig")).as("members"))
+      .filter(size($"members") > 1)
+      .select(explode(expr(
+        """filter(
+          |  flatten(transform(members, a -> transform(members, b ->
+          |    struct(a.doc_id AS id1, a.sig AS sig1, b.doc_id AS id2, b.sig AS sig2)))),
+          |  p -> p.id1 < p.id2)""".stripMargin)).as("p"))
+      .select($"p.id1".as("id1"), $"p.id2".as("id2"),
+        expr("bit_count(p.sig1 ^ p.sig2)").cast("int").as("hamming"))
       .distinct() // a pair can match in several slices
       .filter($"hamming" <= maxHamming)
       .orderBy($"id1", $"id2")

@@ -69,6 +69,28 @@ object EventStreams {
       }
   }
 
+  /** Stream-stream interval join: each purchase joins clicks by the same
+    * user within the preceding `windowSeconds`. Watermarks on BOTH sides +
+    * the time-range predicate bound the join state (Spark drops buffered
+    * rows older than the watermark minus the interval) — the property that
+    * makes an unbounded-stream join feasible at scale.
+    */
+  def purchaseClickJoin(
+      purchases: DataFrame, clicks: DataFrame, windowSeconds: Long = 1800L): DataFrame = {
+    val p = purchases
+      .select(col("user_id").as("p_user"), col("event_id").as("p_event"),
+        col("ts").as("p_ts"), col("value").as("p_value"))
+      .withWatermark("p_ts", "10 minutes")
+    val c = clicks
+      .select(col("user_id").as("c_user"), col("event_id").as("c_event"),
+        col("ts").as("c_ts"), col("value").as("c_value"))
+      .withWatermark("c_ts", "10 minutes")
+    p.join(c,
+      col("p_user") === col("c_user") &&
+        col("c_ts") <= col("p_ts") &&
+        col("c_ts") >= col("p_ts") - expr(s"INTERVAL $windowSeconds SECONDS"))
+  }
+
   /** Batch-parquet replay of the streaming hourly agg: read the events
     * fixture as a bounded stream (one file per microbatch is the real
     * pattern; here availableNow) and run the identical streaming query into

@@ -40,6 +40,55 @@ class StreamingSpec extends GraftSuite {
     assert(streamed.nonEmpty)
   }
 
+  test("stream-stream interval join pairs purchases with in-window clicks only") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = MemoryStream[Event]
+    val purchases = MemoryStream[Event]
+    val joined = EventStreams.purchaseClickJoin(purchases.toDF(), clicks.toDF())
+    val q = joined.writeStream.outputMode("append")
+      .format("memory").queryName("ssjoin_out").start()
+
+    def ev(id: Long, tsSec: Long, user: Long, v: Double) =
+      Event(id, new Timestamp(tsSec * 1000), user, "x", v)
+
+    clicks.addData(ev(1, 1000, 7, 1.0), ev(2, 2000, 7, 2.0), ev(3, 1000, 8, 3.0))
+    purchases.addData(ev(10, 2500, 7, 50.0)) // clicks 1000 & 2000 in window
+    purchases.addData(ev(11, 5000, 7, 60.0)) // only click 2000 too old? 5000-1800=3200 > 2000 => none
+    q.processAllAvailable()
+    val rows = spark.table("ssjoin_out")
+      .select("p_event", "c_event").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    q.stop()
+    assert(rows === Set((10L, 1L), (10L, 2L)))
+  }
+
+  test("watermark drops late data deterministically") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val agg = input.toDF()
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(unix_timestamp(col("window.start")).as("w"), col("n"))
+    val q = agg.writeStream.outputMode("append")
+      .format("memory").queryName("late_out").start()
+
+    def ev(id: Long, tsSec: Long) = Event(id, new Timestamp(tsSec * 1000), 1L, "click", 1.0)
+
+    input.addData(ev(1, 0), ev(2, 600))       // window [0, 3600)
+    q.processAllAvailable()
+    input.addData(ev(3, 3600 * 3))            // advances watermark far past window 0
+    q.processAllAvailable()
+    input.addData(ev(4, 700))                 // LATE: before watermark -> dropped
+    q.processAllAvailable()
+    input.addData(ev(5, 3600 * 5))            // close window at 3*3600 too
+    q.processAllAvailable()
+    val out = spark.table("late_out").collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    q.stop()
+    assert(out(0L) === 2L, s"late event must not count: $out") // not 3
+  }
+
   test("stateful sessionize: gap splits sessions, state persists across batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

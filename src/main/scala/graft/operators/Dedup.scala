@@ -13,15 +13,15 @@ import org.apache.spark.sql.functions._
   * Scale design:
   *   - exact dedup: one hash-shuffle on the fingerprint, no full-text
   *     comparisons.
-  *   - MinHash+LSH: signatures are computed in a single groupBy over
-  *     exploded shingles (map-side partial min per hash), candidates come
-  *     from band-bucket self-joins (shuffle on band hash, never all-pairs),
-  *     then candidates are verified with exact Jaccard. This is the
-  *     standard shape that survives 100 TB; the all-pairs variant
-  *     (`ngramJaccardPairs`) exists as the small-data oracle/baseline.
-  *   - SimHash: per-doc 32-bit signature via one aggregation, then pairs by
-  *     signature band (here small-data self-join; at scale, bucket by
-  *     signature prefix).
+  *   - MinHash+LSH: signatures are one explode + exchange-free 126-way
+  *     partial-min aggregate; candidates come from band buckets expanded
+  *     in place (groupBy + collect_list, never all-pairs and never a
+  *     self-join that would recompute the signature subtree); candidates
+  *     are verified with exact Jaccard. This is the shape that survives
+  *     100 TB; the all-pairs variant (`ngramJaccardPairs`) exists as the
+  *     small-data oracle/baseline.
+  *   - SimHash: per-doc 32-bit signature via one aggregation, then pairs
+  *     by pigeonhole bit-slice buckets (recall 1 by construction).
   */
 object Dedup {
 

@@ -65,6 +65,21 @@ class FidelitySpec extends GraftSuite {
     assert(lines.tail.toSet === Set("California,125.75", "New York,10.10", "Texas,56.00"))
   }
 
+  test("CSV quoting: Spark parser is a strict superset of the reference tokenizer (SURVEY §7.4)") {
+    // the reference splits naively on commas (D/Program.cs:563) and would
+    // break "Los Angeles, CA" into two fields; our reader must not
+    val dir = java.nio.file.Files.createTempDirectory("graft_quoted")
+    val f = dir.resolve("donors_quoted.csv")
+    java.nio.file.Files.writeString(f,
+      """Donor ID,Donor City,Donor State,Donor Is Teacher,Donor Zip
+        |D001,"Los Angeles, CA area",California,No,90001
+        |""".stripMargin)
+    val d = CsvSource.donors(spark, f.toString).collect()
+    assert(d.length === 1)
+    assert(d(0).getString(0) === "D001")
+    assert(d(0).getString(1) === "California") // col 2 survives the quoted comma in col 1
+  }
+
   test("range co-partition preserves totals and co-locates keys (O8/O9)") {
     for (parts <- Seq(1, 3)) {
       val (d, dn) = Fidelity.rangeCoPartition(donors, donations, parts)

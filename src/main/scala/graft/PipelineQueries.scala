@@ -49,6 +49,8 @@ object PipelineQueries {
     "q43_event_pivot"   -> ((s, d) => Extended.eventPivot(Tables.events(s, d))),
     "q44_asof_join"     -> ((s, d) => Extended.asofPurchaseClick(Tables.events(s, d))),
     "q48_embedding_neardup" -> ((s, d) => Similarity.embeddingNearDup(Tables.embeddings(s, d))),
+    "q50_rolling_fingerprint" -> ((s, d) => TextAnalysis.rollingFingerprints(Tables.documents(s, d))),
+    "q51_typed_agg" -> ((s, d) => graft.operators.Typed.statusTotals(s, Tables.orders(s, d))),
     "q49_brand_revenue" -> ((s, d) =>
       graft.operators.Relational.brandRevenue(Tables.part(s, d), Tables.supplier(s, d),
         Tables.nation(s, d), Tables.lineitem(s, d))),
@@ -252,6 +254,14 @@ object PipelineQueries {
          |FROM e a JOIN e b ON a.vec_id < b.vec_id
          |WHERE round(${cosSql("a.v", "b.v")}, 6) >= 0.9
          |ORDER BY id1, id2""".stripMargin,
+    "q50_rolling_fingerprint" ->
+      """SELECT doc_id,
+        | list_reduce(list_prepend(CAST(0 AS BIGINT), [CAST(ascii(c) AS BIGINT) for c in string_split_regex(text, '')]),
+        |   (a, b) -> (a * 31 + b) % 1000000007) AS rhash
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q51_typed_agg" ->
+      """SELECT o_orderstatus, round(sum(o_totalprice), 2) AS total
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
     "q49_brand_revenue" ->
       """SELECT p_brand, n_name,
         | round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue,

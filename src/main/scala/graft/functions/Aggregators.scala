@@ -48,13 +48,17 @@ object Aggregators {
     * the per-worker running sum (D/Program.cs:312-315), `merge` the
     * master's AddOrUpdate fold (D/Program.cs:162). Functionally identical
     * to `sum`; exists to document the mapping and exercise the UDAF path.
+    * Generic in the input type via an extractor so it composes with any
+    * typed Dataset.
     */
-  class TwoLevelSum extends Aggregator[Double, Double, Double] {
+  class TwoLevelSumOf[T](f: T => Double) extends Aggregator[T, Double, Double] {
     override def zero: Double = 0.0
-    override def reduce(acc: Double, x: Double): Double = acc + x
+    override def reduce(acc: Double, x: T): Double = acc + f(x)
     override def merge(a: Double, b: Double): Double = a + b
     override def finish(r: Double): Double = r
     override def bufferEncoder: Encoder[Double] = Encoders.scalaDouble
     override def outputEncoder: Encoder[Double] = Encoders.scalaDouble
   }
+
+  class TwoLevelSum extends TwoLevelSumOf[Double](identity)
 }

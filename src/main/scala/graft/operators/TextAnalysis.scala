@@ -101,6 +101,15 @@ object TextAnalysis {
       .select($"doc_id", fingerprintCol($"text").as("fingerprint"))
       .orderBy($"doc_id")
 
+  /** Polynomial rolling-hash fingerprint via the native codegen'd
+    * expression (graft.functions.RollingHash) — portable integer formula
+    * the oracle recomputes exactly.
+    */
+  def rollingFingerprints(documents: DataFrame): DataFrame =
+    documents
+      .select($"doc_id", graft.functions.RollingHash.rolling_hash($"text").as("rhash"))
+      .orderBy($"doc_id")
+
   /** BPE-ish token count: runs of letters, runs of digits, or single
     * non-alphanumeric marks — the classic pre-tokenizer regex.
     */

@@ -76,6 +76,16 @@ class FunctionsSpec extends GraftSuite {
       direct.collect().map(r => (r.getLong(0), r.getDouble(1))).toSet)
   }
 
+  test("rolling_hash matches a reference Scala fold and stays in codegen") {
+    import graft.functions.RollingHash
+    def ref(s: String): Long = s.foldLeft(0L)((a, c) => (a * 31 + c) % 1000000007L)
+    val rows = Tables.documents(spark, sf)
+      .select(col("text"), RollingHash.rolling_hash(col("text")).as("h"))
+      .collect()
+    rows.foreach(r => assert(r.getLong(1) === ref(r.getString(0))))
+    assert(rows.nonEmpty)
+  }
+
   test("MomentsAgg matches built-in avg/stddev and is partition-invariant") {
     import spark.implicits._
     val values = Tables.orders(spark, sf).select(col("o_totalprice")).as[Double]

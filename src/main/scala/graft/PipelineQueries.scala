@@ -51,6 +51,7 @@ object PipelineQueries {
     "q48_embedding_neardup" -> ((s, d) => Similarity.embeddingNearDup(Tables.embeddings(s, d))),
     "q50_rolling_fingerprint" -> ((s, d) => TextAnalysis.rollingFingerprints(Tables.documents(s, d))),
     "q51_typed_agg" -> ((s, d) => graft.operators.Typed.statusTotals(s, Tables.orders(s, d))),
+    "q52_session_window" -> ((s, d) => Events.sessionWindowAgg(Tables.events(s, d))),
     "q49_brand_revenue" -> ((s, d) =>
       graft.operators.Relational.brandRevenue(Tables.part(s, d), Tables.supplier(s, d),
         Tables.nation(s, d), Tables.lineitem(s, d))),
@@ -262,6 +263,30 @@ object PipelineQueries {
     "q51_typed_agg" ->
       """SELECT o_orderstatus, round(sum(o_totalprice), 2) AS total
         |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    "q52_session_window" ->
+      """WITH g AS (
+        |  SELECT user_id, event_id, ts, value,
+        |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+        |  FROM events
+        |),
+        |flagged AS (
+        |  SELECT user_id, event_id, ts, value,
+        |    CASE WHEN prev_ts IS NULL OR epoch_ns(ts) - epoch_ns(prev_ts) > 1800000000000
+        |      THEN 1 ELSE 0 END AS new_session
+        |  FROM g
+        |),
+        |numbered AS (
+        |  SELECT user_id, ts, value,
+        |    sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+        |  FROM flagged
+        |)
+        |SELECT user_id,
+        | (min(epoch_ns(ts)) // 1000000000) AS session_start,
+        | count(*) AS n_events,
+        | round(sum(value), 2) AS session_value
+        |FROM numbered GROUP BY user_id, session_seq
+        |ORDER BY user_id, session_start""".stripMargin,
     "q49_brand_revenue" ->
       """SELECT p_brand, n_name,
         | round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue,

@@ -57,6 +57,23 @@ object Events {
       .orderBy($"user_id")
   }
 
+  /** Native session_window sessionization: Spark's built-in gap-based
+    * session operator over the nanos-long ts (converted to timestamp).
+    * Semantically identical to the manual lag+running-sum `sessionize` —
+    * the oracle recomputes sessions with the manual SQL, proving the two
+    * formulations agree.
+    */
+  def sessionWindowAgg(events: DataFrame, gap: String = "30 minutes"): DataFrame =
+    events
+      .withColumn("tss", timestamp_micros(expr("ts div 1000")))
+      .groupBy($"user_id", session_window($"tss", gap).as("sw"))
+      .agg(count(lit(1)).as("n_events"), round(sum($"value"), 2).as("session_value"))
+      .select(
+        $"user_id",
+        unix_timestamp($"sw.start").as("session_start"),
+        $"n_events", $"session_value")
+      .orderBy($"user_id", $"session_start")
+
   /** Event-type profile with exact percentiles (percentile_cont semantics
     * on both engines).
     */

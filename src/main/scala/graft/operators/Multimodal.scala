@@ -60,6 +60,42 @@ object Multimodal {
       (ascii(substring($"meta.checksum", 2, 1)) % 16 * 64 + 64).as("height"),
       round($"meta.n_bytes" / 1000.0, 3).as("duration_s"))
 
+  /** Batched per-partition decode: the integration shape for a REAL codec
+    * (image/audio libraries amortize setup per batch, not per row).
+    * `decoder` receives the whole partition's (asset_id, payload) stream
+    * and yields feature rows; the default is the same DETERMINISTIC FAKE
+    * as `fakeDecode` so tests can prove the two paths agree. Swapping in a
+    * JNI/library decoder changes only the function body — partitioning,
+    * schema, and downstream plan are untouched.
+    */
+  def decodeBatched(
+      spark: SparkSession,
+      assets: DataFrame,
+      decoder: Iterator[(Long, Array[Byte], String)] => Iterator[(Long, String, Long, Int, Int)] =
+        defaultFakeDecoder): DataFrame = {
+    import spark.implicits.newProductEncoder
+    val out = assets
+      .select($"asset_id", $"payload", $"media_type")
+      .as[(Long, Array[Byte], String)]
+      .mapPartitions(decoder)
+      .toDF("asset_id", "media_type", "n_bytes", "width", "height")
+    out.withColumn("duration_s", round(col("n_bytes") / 1000.0, 3))
+  }
+
+  /** The fake codec: byte-derived dimensions identical to `fakeDecode`'s
+    * expression form (md5 of payload -> first two hex chars).
+    */
+  private def defaultFakeDecoder(
+      rows: Iterator[(Long, Array[Byte], String)]): Iterator[(Long, String, Long, Int, Int)] = {
+    val md = java.security.MessageDigest.getInstance("MD5") // per-partition setup, amortized
+    rows.map { case (id, payload, mediaType) =>
+      md.reset()
+      val hex = md.digest(payload).map("%02x".format(_)).mkString
+      (id, mediaType, payload.length.toLong,
+        hex(0).toInt % 16 * 64 + 64, hex(1).toInt % 16 * 64 + 64)
+    }
+  }
+
   /** Feature-extract stage over decoded assets: per-media-type stats. */
   def mediaProfile(documents: DataFrame): DataFrame =
     fakeDecode(assetsFromDocuments(documents))

@@ -78,6 +78,17 @@ class PipelineSpec extends GraftSuite {
     assert(sess.filter($"n_sessions" < 1).count() === 0)
   }
 
+  test("multimodal: batched mapPartitions decode agrees with the expression-form decode") {
+    val assets = Multimodal.assetsFromDocuments(docs)
+    val exprForm = Multimodal.fakeDecode(assets)
+      .select("asset_id", "n_bytes", "width", "height")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getInt(3))).toSet
+    val batched = Multimodal.decodeBatched(spark, assets)
+      .select("asset_id", "n_bytes", "width", "height")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getInt(3))).toSet
+    assert(batched === exprForm)
+  }
+
   test("multimodal: every doc becomes an asset; frame sampling is deterministic") {
     val profile = Multimodal.mediaProfile(docs)
     assert(profile.agg(sum($"n_assets")).collect()(0).getLong(0) === docs.count())

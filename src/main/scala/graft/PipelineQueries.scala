@@ -171,6 +171,29 @@ object PipelineQueries {
        |SELECT query_id, neighbor_id, cos, rnk FROM ranked WHERE rnk <= 5
        |ORDER BY query_id, rnk""".stripMargin
 
+  /** Shared sessionization CTEs (lag -> gap flag -> running session_seq),
+    * used by both the per-user rollup oracle (q33) and the per-session
+    * oracle (q52). Gap = 30 min in exact nanoseconds.
+    */
+  private val SessionCtes =
+    """g AS (
+      |  SELECT user_id, event_id, ts, value,
+      |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+      |  FROM events
+      |),
+      |flagged AS (
+      |  SELECT user_id, event_id, ts, value,
+      |    CASE WHEN prev_ts IS NULL OR epoch_ns(ts) - epoch_ns(prev_ts) > 1800000000000
+      |      THEN 1 ELSE 0 END AS new_session
+      |  FROM g
+      |),
+      |numbered AS (
+      |  SELECT user_id, ts, value,
+      |    sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+      |  FROM flagged
+      |)""".stripMargin
+
   // ---- oracles ---------------------------------------------------------
 
   def oracleSql: Map[String, String] = Map(
@@ -264,29 +287,13 @@ object PipelineQueries {
       """SELECT o_orderstatus, round(sum(o_totalprice), 2) AS total
         |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
     "q52_session_window" ->
-      """WITH g AS (
-        |  SELECT user_id, event_id, ts, value,
-        |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
-        |  FROM events
-        |),
-        |flagged AS (
-        |  SELECT user_id, event_id, ts, value,
-        |    CASE WHEN prev_ts IS NULL OR epoch_ns(ts) - epoch_ns(prev_ts) > 1800000000000
-        |      THEN 1 ELSE 0 END AS new_session
-        |  FROM g
-        |),
-        |numbered AS (
-        |  SELECT user_id, ts, value,
-        |    sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
-        |  FROM flagged
-        |)
-        |SELECT user_id,
-        | (min(epoch_ns(ts)) // 1000000000) AS session_start,
-        | count(*) AS n_events,
-        | round(sum(value), 2) AS session_value
-        |FROM numbered GROUP BY user_id, session_seq
-        |ORDER BY user_id, session_start""".stripMargin,
+      s"""WITH $SessionCtes
+         |SELECT user_id,
+         | (min(epoch_ns(ts)) // 1000000000) AS session_start,
+         | count(*) AS n_events,
+         | round(sum(value), 2) AS session_value
+         |FROM numbered GROUP BY user_id, session_seq
+         |ORDER BY user_id, session_start""".stripMargin,
     "q49_brand_revenue" ->
       """SELECT p_brand, n_name,
         | round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue,
@@ -349,32 +356,16 @@ object PipelineQueries {
         | count(DISTINCT user_id) AS n_users
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q33_sessionize" ->
-      """WITH g AS (
-        |  SELECT user_id, event_id, ts, value,
-        |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
-        |  FROM events
-        |),
-        |flagged AS (
-        |  SELECT user_id, event_id, ts, value,
-        |    CASE WHEN prev_ts IS NULL OR epoch_ns(ts) - epoch_ns(prev_ts) > 1800000000000
-        |      THEN 1 ELSE 0 END AS new_session
-        |  FROM g
-        |),
-        |numbered AS (
-        |  SELECT user_id, value,
-        |    sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
-        |  FROM flagged
-        |),
-        |sessions AS (
-        |  SELECT user_id, session_seq, count(*) AS n_events,
-        |    round(sum(value), 2) AS session_value
-        |  FROM numbered GROUP BY 1, 2
-        |)
-        |SELECT user_id, CAST(max(session_seq) AS BIGINT) AS n_sessions,
-        | max(n_events) AS max_session_events,
-        | round(sum(session_value), 2) AS total_value
-        |FROM sessions GROUP BY user_id ORDER BY user_id""".stripMargin,
+      s"""WITH $SessionCtes,
+         |sessions AS (
+         |  SELECT user_id, session_seq, count(*) AS n_events,
+         |    round(sum(value), 2) AS session_value
+         |  FROM numbered GROUP BY 1, 2
+         |)
+         |SELECT user_id, CAST(max(session_seq) AS BIGINT) AS n_sessions,
+         | max(n_events) AS max_session_events,
+         | round(sum(session_value), 2) AS total_value
+         |FROM sessions GROUP BY user_id ORDER BY user_id""".stripMargin,
     "q34_type_profile" ->
       """SELECT event_type, count(*) AS n,
         | round(avg(value), 4) AS avg_value,

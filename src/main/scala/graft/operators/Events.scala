@@ -59,9 +59,12 @@ object Events {
 
   /** Native session_window sessionization: Spark's built-in gap-based
     * session operator over the nanos-long ts (converted to timestamp).
-    * Semantically identical to the manual lag+running-sum `sessionize` —
-    * the oracle recomputes sessions with the manual SQL, proving the two
-    * formulations agree.
+    * Agrees with the manual lag+running-sum `sessionize` on
+    * microsecond-resolution, non-null timestamps (the fixtures' contract;
+    * the q52 oracle proves it on real data). Two caveats relative to the
+    * manual form: the micros conversion floors sub-microsecond gaps, and
+    * session_window drops null-timestamp rows (it injects an IsNotNull
+    * filter) while the window formulation would keep them.
     */
   def sessionWindowAgg(events: DataFrame, gap: String = "30 minutes"): DataFrame =
     events

@@ -69,11 +69,10 @@ object Multimodal {
     * schema, and downstream plan are untouched.
     */
   def decodeBatched(
-      spark: SparkSession,
       assets: DataFrame,
       decoder: Iterator[(Long, Array[Byte], String)] => Iterator[(Long, String, Long, Int, Int)] =
         defaultFakeDecoder): DataFrame = {
-    import spark.implicits.newProductEncoder
+    import assets.sparkSession.implicits.newProductEncoder
     val out = assets
       .select($"asset_id", $"payload", $"media_type")
       .as[(Long, Array[Byte], String)]
@@ -88,9 +87,12 @@ object Multimodal {
   private def defaultFakeDecoder(
       rows: Iterator[(Long, Array[Byte], String)]): Iterator[(Long, String, Long, Int, Int)] = {
     val md = java.security.MessageDigest.getInstance("MD5") // per-partition setup, amortized
-    rows.map { case (id, payload, mediaType) =>
-      md.reset()
-      val hex = md.digest(payload).map("%02x".format(_)).mkString
+    rows.map { case (id, payloadOrNull, mediaType) =>
+      // a codec is a total function: null payload decodes as empty media
+      // (unlike fakeDecode's null propagation — the seam's contract)
+      val payload = if (payloadOrNull == null) Array.empty[Byte] else payloadOrNull
+      // width/height need only the first digest byte (= first two hex chars)
+      val hex = f"${md.digest(payload)(0)}%02x"
       (id, mediaType, payload.length.toLong,
         hex(0).toInt % 16 * 64 + 64, hex(1).toInt % 16 * 64 + 64)
     }

@@ -80,12 +80,11 @@ class PipelineSpec extends GraftSuite {
 
   test("multimodal: batched mapPartitions decode agrees with the expression-form decode") {
     val assets = Multimodal.assetsFromDocuments(docs)
-    val exprForm = Multimodal.fakeDecode(assets)
-      .select("asset_id", "n_bytes", "width", "height")
-      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getInt(3))).toSet
-    val batched = Multimodal.decodeBatched(spark, assets)
-      .select("asset_id", "n_bytes", "width", "height")
-      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getInt(3))).toSet
+    val cols = Seq("asset_id", "media_type", "n_bytes", "width", "height", "duration_s")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select(cols.head, cols.tail: _*).orderBy("asset_id").collect().toSeq
+    val exprForm = rows(Multimodal.fakeDecode(assets))
+    val batched = rows(Multimodal.decodeBatched(assets))
     assert(batched === exprForm)
   }
 

@@ -48,7 +48,10 @@ object PipelineQueries {
     "q42_json_stats"    -> ((s, d) => Extended.jsonStats(Tables.events(s, d))),
     "q43_event_pivot"   -> ((s, d) => Extended.eventPivot(Tables.events(s, d))),
     "q44_asof_join"     -> ((s, d) => Extended.asofPurchaseClick(Tables.events(s, d))),
-    "q48_embedding_neardup" -> ((s, d) => Similarity.embeddingNearDup(Tables.embeddings(s, d))),
+    "q48_embedding_neardup" -> ((s, d) =>
+      // 0.45 instead of the 0.9 production default: fixture embeddings are
+      // random (max cos ~0.55), so 0.9 would make the oracle check vacuous
+      Similarity.embeddingNearDup(Tables.embeddings(s, d), threshold = 0.45)),
     "q50_rolling_fingerprint" -> ((s, d) => TextAnalysis.rollingFingerprints(Tables.documents(s, d))),
     "q51_typed_agg" -> ((s, d) => graft.operators.Typed.statusTotals(s, Tables.orders(s, d))),
     "q52_session_window" -> ((s, d) => Events.sessionWindowAgg(Tables.events(s, d))),
@@ -153,7 +156,7 @@ object PipelineQueries {
       val proj =
         s"""list_sum(list_transform(generate_series(1, len(v)),
            |   i -> v[i] * ((($j * 7919 + i * 104729) % 2001 - 1000) / 1000.0)))""".stripMargin
-      s"CASE WHEN $proj > 0 THEN ${1L << j} ELSE 0 END"
+      s"CASE WHEN round($proj, 6) > 0 THEN ${1L << j} ELSE 0 END"
     }.mkString("(", " + ", ")")
 
   private val CosineTopkSql: String =
@@ -173,7 +176,10 @@ object PipelineQueries {
 
   /** Shared sessionization CTEs (lag -> gap flag -> running session_seq),
     * used by both the per-user rollup oracle (q33) and the per-session
-    * oracle (q52). Gap = 30 min in exact nanoseconds.
+    * oracle (q52). Gap = 30 min in exact nanoseconds. (q52's
+    * `//` second-floor assumes non-negative epochs — DuckDB `//`
+    * truncates toward zero while unix_timestamp floors, divergent only
+    * pre-1970; fixture contract is modern timestamps.)
     */
   private val SessionCtes =
     """g AS (
@@ -261,8 +267,8 @@ object PipelineQueries {
         |FROM orders GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q42_json_stats" ->
       """SELECT event_type, count(*) AS n,
-        | CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
-        | round(avg(CAST(json_extract_string(props, '$.k') AS BIGINT)), 4) AS avg_k
+        | CAST(sum(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+        | round(avg(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)), 4) AS avg_k
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q43_event_pivot" -> {
       val cols = Extended.EventTypes.map(t =>
@@ -276,7 +282,7 @@ object PipelineQueries {
          |SELECT a.vec_id AS id1, b.vec_id AS id2,
          | round(${cosSql("a.v", "b.v")}, 6) AS cos
          |FROM e a JOIN e b ON a.vec_id < b.vec_id
-         |WHERE round(${cosSql("a.v", "b.v")}, 6) >= 0.9
+         |WHERE round(${cosSql("a.v", "b.v")}, 6) >= 0.45
          |ORDER BY id1, id2""".stripMargin,
     "q50_rolling_fingerprint" ->
       """SELECT doc_id,

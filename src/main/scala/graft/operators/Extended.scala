@@ -39,7 +39,10 @@ object Extended {
     */
   def jsonStats(events: DataFrame): DataFrame =
     events
-      .select($"event_type", get_json_object($"props", "$.k").cast("bigint").as("k"))
+      .select($"event_type",
+        // try_cast: malformed/non-integer k becomes null on BOTH engines
+        // (plain cast would throw under ANSI mode)
+        expr("try_cast(get_json_object(props, '$.k') AS BIGINT)").as("k"))
       .groupBy($"event_type")
       .agg(
         count(lit(1)).as("n"),

@@ -113,6 +113,9 @@ object Multimodal {
   /** Frame-sample stage: take every k-th "frame" (byte window) of each
     * video payload — the batch shape of video frame extraction: explode to
     * (asset, frame_no, frame_bytes) rows, repartition-friendly.
+    * ASCII payload constraint (like RollingHash): the oracle slices text by
+    * characters while this slices payload bytes — identical only when
+    * chars == bytes, which the fixtures guarantee.
     */
   def frameSample(documents: DataFrame, frameBytes: Int = 64, every: Int = 4): DataFrame = {
     val assets = assetsFromDocuments(documents).filter($"media_type" === "video")

@@ -241,6 +241,8 @@ object Relational {
   /** TPC-H Q3 shape (shipping priority): filtered join of customer,
     * orders, lineitem; revenue per order; top 10. Filters push into all
     * three scans; the orders-lineitem join is the only big shuffle.
+    * order_epoch via unix_timestamp requires the engine's UTC session
+    * contract (GraftSession pins spark.sql.session.timeZone=UTC).
     */
   def shippingPriority(customer: DataFrame, orders: DataFrame, lineitem: DataFrame): DataFrame =
     customer.filter($"c_mktsegment" === "BUILDING")

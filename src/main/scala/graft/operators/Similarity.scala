@@ -84,7 +84,9 @@ object Similarity {
       val proj = aggregate(
         zip_with(v, sequence(lit(1), size(v)), (x, i) => x * coef(j, i)),
         lit(0.0), (acc, x) => acc + x)
-      when(proj > 0, lit(1L << j)).otherwise(lit(0L))
+      // round before the sign test: a 1-ulp cross-engine summation wobble
+      // must not flip a bucket bit (matches the oracle's rounded form)
+      when(round(proj, 6) > 0, lit(1L << j)).otherwise(lit(0L))
     }.reduce(_ + _)
 
   /** LSH-bucketed ANN: score only same-bucket candidates, exact top-k within

@@ -26,10 +26,11 @@ object TextAnalysis {
   def textStats(documents: DataFrame): DataFrame = {
     val words = size(split($"text", " "))
     val letters = length(regexp_replace($"text", "[^a-z]", ""))
+    // lowercase before marker counting (consistent with langId and the
+    // oracle's padded-lower form)
+    val padded = concat(lit(" "), lower($"text"), lit(" "))
     val stopwords =
-      occurrences(concat(lit(" "), $"text", lit(" ")), " the ") +
-      occurrences(concat(lit(" "), $"text", lit(" ")), " a ") +
-      occurrences(concat(lit(" "), $"text", lit(" ")), " of ")
+      occurrences(padded, " the ") + occurrences(padded, " a ") + occurrences(padded, " of ")
     documents.select(
       $"doc_id",
       $"lang",
@@ -48,10 +49,11 @@ object TextAnalysis {
     */
   def qualityScore(documents: DataFrame): DataFrame = {
     val words = size(split($"text", " "))
+    // lowercase before marker counting (consistent with langId and the
+    // oracle's padded-lower form)
+    val padded = concat(lit(" "), lower($"text"), lit(" "))
     val stopwords =
-      occurrences(concat(lit(" "), $"text", lit(" ")), " the ") +
-      occurrences(concat(lit(" "), $"text", lit(" ")), " a ") +
-      occurrences(concat(lit(" "), $"text", lit(" ")), " of ")
+      occurrences(padded, " the ") + occurrences(padded, " a ") + occurrences(padded, " of ")
     val lengthScore = least(words.cast("double") / lit(60.0), lit(1.0))
     val stopScore   = least(stopwords.cast("double") * lit(10.0) / words, lit(1.0))
     val punctPenalty = length(regexp_replace($"text", "[a-z ]", "")).cast("double") / length($"text")

@@ -55,6 +55,7 @@ object PipelineQueries {
     "q50_rolling_fingerprint" -> ((s, d) => TextAnalysis.rollingFingerprints(Tables.documents(s, d))),
     "q51_typed_agg" -> ((s, d) => graft.operators.Typed.statusTotals(s, Tables.orders(s, d))),
     "q52_session_window" -> ((s, d) => Events.sessionWindowAgg(Tables.events(s, d))),
+    "q53_dedup_survivors" -> ((s, d) => Dedup.nearDupSurvivors(Tables.documents(s, d))),
     "q49_brand_revenue" -> ((s, d) =>
       graft.operators.Relational.brandRevenue(Tables.part(s, d), Tables.supplier(s, d),
         Tables.nation(s, d), Tables.lineitem(s, d))),
@@ -300,6 +301,24 @@ object PipelineQueries {
          | round(sum(value), 2) AS session_value
          |FROM numbered GROUP BY user_id, session_seq
          |ORDER BY user_id, session_start""".stripMargin,
+    "q53_dedup_survivors" ->
+      s"""WITH RECURSIVE pairs AS (
+         |  SELECT id1, id2 FROM (
+         |$JaccardSql
+         |  ) jt
+         |),
+         |edges AS (
+         |  SELECT id1 AS src, id2 AS dst FROM pairs
+         |  UNION ALL SELECT id2, id1 FROM pairs
+         |),
+         |reach(node, label) AS (
+         |  SELECT src, src FROM edges
+         |  UNION
+         |  SELECT e.src, r.label FROM edges e JOIN reach r ON e.dst = r.node
+         |)
+         |SELECT node AS doc_id, min(label) AS cluster_rep,
+         | (node = min(label)) AS survives
+         |FROM reach GROUP BY node ORDER BY doc_id""".stripMargin,
     "q49_brand_revenue" ->
       """SELECT p_brand, n_name,
         | round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue,

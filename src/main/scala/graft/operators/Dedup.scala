@@ -161,6 +161,42 @@ object Dedup {
       .orderBy($"id1", $"id2")
   }
 
+  /** Dedup endgame: collapse near-dup pairs into connected components and
+    * pick one survivor per cluster (min doc_id). Iterative min-label
+    * propagation over the pair edges — converges in O(log cluster-diameter)
+    * rounds; the pair set is already near-linear (LSH output), so each
+    * round is a small self-contained join, and the loop runs on the driver
+    * only as orchestration (no data ever collects).
+    *
+    * Output: one row per document appearing in any near-dup pair, with the
+    * cluster representative and whether the doc survives the dedup.
+    */
+  def nearDupSurvivors(documents: DataFrame, n: Int = 5, threshold: Double = 0.6): DataFrame = {
+    val pairs = minhashLshPairs(documents, n, threshold).select($"id1", $"id2")
+    // undirected edges both ways + self-loops seed each node with itself
+    val edges = pairs
+      .union(pairs.select($"id2", $"id1"))
+      .toDF("src", "dst")
+    var labels = edges.select($"src".as("node")).distinct()
+      .withColumn("label", $"node")
+    var changed = 1L
+    while (changed > 0) {
+      // each node adopts the min label among itself and its neighbors
+      val next = edges
+        .join(labels.withColumnRenamed("node", "dst2"), $"dst" === $"dst2")
+        .groupBy($"src".as("node"))
+        .agg(min($"label").as("nbr_label"))
+        .join(labels, Seq("node"))
+        .select($"node", least($"label", $"nbr_label").as("next_label"), $"label")
+      changed = next.filter($"next_label" =!= $"label").count()
+      labels = next.select($"node", $"next_label".as("label")).localCheckpoint()
+    }
+    labels
+      .select($"node".as("doc_id"), $"label".as("cluster_rep"),
+        ($"node" === $"label").as("survives"))
+      .orderBy($"doc_id")
+  }
+
   /** 32-bit SimHash: bit i = sign of the +-1 sum over shingles (with
     * multiplicity) of parity(md5(g)[i]) — engine-independent integer
     * arithmetic. One aggregation per doc.

@@ -17,6 +17,18 @@ class PipelineSpec extends GraftSuite {
     assert(exact.nonEmpty, "fixture should contain planted near-duplicates")
   }
 
+  test("near-dup survivors: exactly one survivor per cluster, reps are survivors") {
+    val rows = Dedup.nearDupSurvivors(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    assert(rows.nonEmpty)
+    val byCluster = rows.groupBy(_._2)
+    byCluster.foreach { case (rep, members) =>
+      assert(members.count(_._3) === 1, s"cluster $rep must have one survivor")
+      assert(members.find(_._3).get._1 === rep, s"survivor must be the rep $rep")
+      assert(members.map(_._1).min === rep, s"rep must be the min doc_id of cluster $rep")
+    }
+  }
+
   test("exact dedup collapses the self-union: unique == n, copies == 2n") {
     val n = docs.count()
     val row = Dedup.exactDedup(docs).collect()(0)

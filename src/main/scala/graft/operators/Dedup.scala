@@ -173,10 +173,13 @@ object Dedup {
     */
   def nearDupSurvivors(documents: DataFrame, n: Int = 5, threshold: Double = 0.6): DataFrame = {
     val pairs = minhashLshPairs(documents, n, threshold).select($"id1", $"id2")
-    // undirected edges both ways + self-loops seed each node with itself
+    // undirected edges both ways; materialize once — every propagation
+    // round joins against edges, and without the checkpoint each round
+    // would re-execute the whole LSH pipeline through the lineage
     val edges = pairs
       .union(pairs.select($"id2", $"id1"))
       .toDF("src", "dst")
+      .localCheckpoint()
     var labels = edges.select($"src".as("node")).distinct()
       .withColumn("label", $"node")
     var changed = 1L

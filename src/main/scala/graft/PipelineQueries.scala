@@ -235,15 +235,10 @@ object PipelineQueries {
         | CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT) AS bpe_tokens
         |FROM documents ORDER BY doc_id""".stripMargin,
     "q25_dedup_exact" ->
-      """WITH doubled AS (
-        |  SELECT doc_id, lang, text FROM documents
-        |  UNION ALL
-        |  SELECT doc_id + 1000000, lang, text FROM documents
-        |),
-        |groups AS (
+      """WITH groups AS (
         |  SELECT md5(regexp_replace(trim(lower(text)), ' +', ' ', 'g')) AS fp,
         |    min(doc_id) AS keeper_id, count(*) AS n_copies
-        |  FROM doubled GROUP BY 1
+        |  FROM documents GROUP BY 1
         |)
         |SELECT count(*) AS n_unique, CAST(sum(n_copies) AS BIGINT) AS n_total,
         | CAST(sum(CASE WHEN n_copies > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_groups

@@ -16,6 +16,14 @@ import org.apache.spark.sql.SparkSessionExtensions
   * WholeStageCodegen — no per-element lambda closures, no intermediate
   * arrays. At 100 TB of embeddings this is the difference between a scan
   * bound by SIMD-able arithmetic and one bound by allocation.
+  *
+  * NULL semantics mirror the compositional chain EXACTLY (which is what
+  * licenses `DotProductRewrite` as a pure plan rewrite): a null input, a
+  * length mismatch (zip_with null-pads the shorter array and the null
+  * propagates through the lambda), or a null element all yield NULL. The
+  * per-element null check is emitted only when the array type can actually
+  * contain nulls, so the hot loop over `containsNull = false` embeddings
+  * stays branch-free.
   */
 case class CosineSimilarity(left: Expression, right: Expression)
     extends BinaryExpression with Serializable {
@@ -25,14 +33,18 @@ case class CosineSimilarity(left: Expression, right: Expression)
 
   override def dataType: DataType = DoubleType
 
+  override def nullable: Boolean = true
+
   override def prettyName: String = "cosine_sim"
 
   override def nullSafeEval(l: Any, r: Any): Any = {
     val a = l.asInstanceOf[ArrayData]
     val b = r.asInstanceOf[ArrayData]
-    val n = math.min(a.numElements(), b.numElements())
+    val n = a.numElements()
+    if (n != b.numElements()) return null
     var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
     while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
       val x = a.getDouble(i); val y = b.getDouble(i)
       dot += x * y; na += x * x; nb += y * y
       i += 1
@@ -45,15 +57,23 @@ case class CosineSimilarity(left: Expression, right: Expression)
       val n = ctx.freshName("n"); val i = ctx.freshName("i")
       val dot = ctx.freshName("dot"); val na = ctx.freshName("na"); val nb = ctx.freshName("nb")
       val x = ctx.freshName("x"); val y = ctx.freshName("y")
+      val elemNullCheck = VectorFunctions.elemNullCheck(left, right, a, b, i, ev)
       s"""
-         |final int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double $dot = 0.0, $na = 0.0, $nb = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  final double $x = $a.getDouble($i);
-         |  final double $y = $b.getDouble($i);
-         |  $dot += $x * $y; $na += $x * $x; $nb += $y * $y;
+         |final int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $dot = 0.0, $na = 0.0, $nb = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    $elemNullCheck
+         |    final double $x = $a.getDouble($i);
+         |    final double $y = $b.getDouble($i);
+         |    $dot += $x * $y; $na += $x * $x; $nb += $y * $y;
+         |  }
+         |  if (!${ev.isNull}) {
+         |    ${ev.value} = $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
+         |  }
          |}
-         |${ev.value} = $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
        """.stripMargin
     })
 
@@ -61,32 +81,47 @@ case class CosineSimilarity(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
-/** Dot product twin of CosineSimilarity — same fused-loop codegen. */
+/** Dot product twin of CosineSimilarity — same fused-loop codegen, same
+  * lambda-chain-equivalent NULL semantics.
+  */
 case class DotProduct(left: Expression, right: Expression)
     extends BinaryExpression with Serializable {
 
   override def checkInputDataTypes(): TypeCheckResult =
     VectorFunctions.checkDoubleArrays(prettyName, left, right)
   override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
   override def prettyName: String = "dot_product"
 
   override def nullSafeEval(l: Any, r: Any): Any = {
     val a = l.asInstanceOf[ArrayData]
     val b = r.asInstanceOf[ArrayData]
-    val n = math.min(a.numElements(), b.numElements())
+    val n = a.numElements()
+    if (n != b.numElements()) return null
     var dot = 0.0; var i = 0
-    while (i < n) { dot += a.getDouble(i) * b.getDouble(i); i += 1 }
+    while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
+      dot += a.getDouble(i) * b.getDouble(i); i += 1
+    }
     dot
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) => {
       val n = ctx.freshName("n"); val i = ctx.freshName("i"); val dot = ctx.freshName("dot")
+      val elemNullCheck = VectorFunctions.elemNullCheck(left, right, a, b, i, ev)
       s"""
-         |final int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double $dot = 0.0;
-         |for (int $i = 0; $i < $n; $i++) { $dot += $a.getDouble($i) * $b.getDouble($i); }
-         |${ev.value} = $dot;
+         |final int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $dot = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    $elemNullCheck
+         |    $dot += $a.getDouble($i) * $b.getDouble($i);
+         |  }
+         |  if (!${ev.isNull}) { ${ev.value} = $dot; }
+         |}
        """.stripMargin
     })
 
@@ -96,6 +131,23 @@ case class DotProduct(left: Expression, right: Expression)
 
 /** Column-API and SQL exposure of the native vector expressions. */
 object VectorFunctions {
+  /** Per-element null guard for the fused loops — emitted only when either
+    * input's array type can contain nulls, so clean embedding columns pay
+    * nothing.
+    */
+  private[functions] def elemNullCheck(
+      left: Expression, right: Expression,
+      a: String, b: String, i: String,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode): String = {
+    def canBeNull(e: Expression): Boolean = e.dataType match {
+      case ArrayType(_, containsNull) => containsNull
+      case _ => true
+    }
+    if (canBeNull(left) || canBeNull(right))
+      s"if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }"
+    else ""
+  }
+
   private[functions] def checkDoubleArrays(
       name: String, exprs: Expression*): TypeCheckResult = {
     if (exprs.forall(_.dataType == ArrayType(DoubleType)) ||

@@ -35,13 +35,15 @@ object Dedup {
       i => text.substr(i, lit(n)))
 
   /** Exact dedup by content fingerprint (md5 of normalized text): keep the
-    * smallest doc_id per fingerprint group. Input is unioned with itself to
-    * prove duplicates collapse (the fixtures are dup-free).
+    * smallest doc_id per fingerprint group, report corpus-level dedup stats.
+    * One hash-shuffle on the fingerprint, no text comparisons. Deduping the
+    * operator's ACTUAL input is the production contract; the spec proves
+    * duplicate collapse by feeding a self-unioned corpus (the fixtures
+    * themselves are dup-free).
     */
-  def exactDedup(documents: DataFrame): DataFrame = {
-    val doubled = documents.select($"doc_id", $"lang", $"text")
-      .union(documents.select($"doc_id" + 1000000, $"lang", $"text"))
-    doubled
+  def exactDedup(documents: DataFrame): DataFrame =
+    documents
+      .select($"doc_id", $"text")
       .groupBy(TextAnalysis.fingerprintCol($"text").as("fingerprint"))
       .agg(min($"doc_id").as("keeper_id"), count(lit(1)).as("n_copies"))
       .groupBy()
@@ -49,7 +51,6 @@ object Dedup {
         count(lit(1)).as("n_unique"),
         sum($"n_copies").as("n_total"),
         sum(when($"n_copies" > 1, 1).otherwise(0)).as("n_dup_groups"))
-  }
 
   /** Distinct shingle set per doc: (doc_id, shingle) rows. Repartition the
     * compact doc rows first so the shingle blowup parallelizes.
@@ -99,9 +100,10 @@ object Dedup {
     * Signatures come from one codegen'd explode + 126-way partial-min
     * aggregation (one shuffle of 126-long rows per doc); candidate
     * generation is an equi-join on (band, bandKey) — never all-pairs;
-    * verification broadcast-joins the per-doc shingle sets and intersects
-    * arrays per candidate row (no second shuffle at small candidate
-    * counts). This is the shape that holds at 100 TB.
+    * verification first SEMI-JOINS the corpus down to candidate doc ids and
+    * only then shingles and joins, so every relation past the banding stage
+    * is candidate-proportional (near-linear), never corpus-proportional.
+    * This is the shape that holds at 100 TB.
     */
   def minhashLshPairs(documents: DataFrame, n: Int = 5, threshold: Double = 0.6): DataFrame = {
     // Signatures need NO shingle dedup: MIN absorbs duplicate shingles, so
@@ -135,6 +137,10 @@ object Dedup {
     // self-join branches); this shape computes signatures once and shuffles
     // once on the bucket key. Bucket members are tiny by LSH design, so
     // the in-memory K^2 expansion per bucket is bounded.
+    // Candidates are near-linear by LSH design — materialize them once
+    // (localCheckpoint) so the id-extraction branch and the two verification
+    // joins below don't each re-execute the signature pipeline through the
+    // lineage.
     val candidates = buckets
       .groupBy($"band", $"bh")
       .agg(collect_list($"doc_id").as("ids"))
@@ -145,15 +151,23 @@ object Dedup {
           |  p -> p.id1 < p.id2)""".stripMargin)).as("p"))
       .select($"p.id1".as("id1"), $"p.id2".as("id2"))
       .distinct()
-    // exact-Jaccard verification: join candidates back to the raw docs
-    // (broadcast), build each side's distinct shingle set inline, and
-    // intersect arrays per candidate row — no shuffle, no shared subtree
-    // with the signature path to recompute.
-    val docTexts = documents.select($"doc_id",
-      array_distinct(shingleArray($"text", n)).as("gs"))
+      .localCheckpoint()
+    // exact-Jaccard verification: semi-join the corpus down to the docs that
+    // appear in any candidate pair BEFORE shingling, so only
+    // candidate-proportional data is shingled, shuffled, or (if AQE so
+    // decides) broadcast — never a corpus-proportional relation. The
+    // checkpoint keeps the twice-referenced candidate shingle sets from
+    // being built twice.
+    val candIds = candidates
+      .select(explode(array($"id1", $"id2")).as("doc_id"))
+      .distinct()
+    val candTexts = documents
+      .join(candIds, Seq("doc_id"), "left_semi")
+      .select($"doc_id", array_distinct(shingleArray($"text", n)).as("gs"))
+      .localCheckpoint()
     candidates
-      .join(broadcast(docTexts.select($"doc_id".as("id1"), $"gs".as("gs1"))), Seq("id1"))
-      .join(broadcast(docTexts.select($"doc_id".as("id2"), $"gs".as("gs2"))), Seq("id2"))
+      .join(candTexts.select($"doc_id".as("id1"), $"gs".as("gs1")), Seq("id1"))
+      .join(candTexts.select($"doc_id".as("id2"), $"gs".as("gs2")), Seq("id2"))
       .select($"id1", $"id2",
         round(size(array_intersect($"gs1", $"gs2")) /
           (size($"gs1") + size($"gs2") - size(array_intersect($"gs1", $"gs2"))), 6).as("jaccard"))

@@ -61,10 +61,15 @@ object Events {
     * session operator over the nanos-long ts (converted to timestamp).
     * Agrees with the manual lag+running-sum `sessionize` on
     * microsecond-resolution, non-null timestamps (the fixtures' contract;
-    * the q52 oracle proves it on real data). Two caveats relative to the
-    * manual form: the micros conversion floors sub-microsecond gaps, and
+    * the q52 oracle proves it on real data). Three caveats relative to the
+    * manual form: the micros conversion floors sub-microsecond gaps;
     * session_window drops null-timestamp rows (it injects an IsNotNull
-    * filter) while the window formulation would keep them.
+    * filter) while the window formulation would keep them; and two events
+    * exactly `gap` apart land in ONE session under the manual `> gap` rule
+    * but in TWO under session_window, whose half-open [ts, ts+gap) windows
+    * touch without overlapping at an exact-gap spacing — a fixture timestamp
+    * landing exactly on the gap boundary would surface as a q52/q33
+    * divergence, not a bug in either form.
     */
   def sessionWindowAgg(events: DataFrame, gap: String = "30 minutes"): DataFrame =
     events

@@ -30,12 +30,18 @@ object Fidelity {
   /** Strict variant (O12): any orphan donation fails the job, mirroring the
     * reference's throw. Left join + raise_error keeps the plan fully
     * codegen'd until the error branch fires.
+    *
+    * Orphan detection uses an explicit match sentinel, NOT
+    * `donor_state IS NULL`: a donor row whose state *field* is blank also
+    * yields a null state after the join, and the reference throws only on a
+    * missing donor_id key (`D/Program.cs:310`) — a blank state is a
+    * legitimate group value there, so it must be here too.
     */
   def donationTotalByStateStrict(donors: DataFrame, donations: DataFrame): DataFrame =
     donations
-      .join(donors, Seq("donor_id"), "left_outer")
+      .join(donors.withColumn("_matched", lit(true)), Seq("donor_id"), "left_outer")
       .select(
-        when($"donor_state".isNull,
+        when($"_matched".isNull,
           raise_error(concat(lit("orphan donation: donor_id="), $"donor_id")))
           .otherwise($"donor_state").as("donor_state"),
         $"amount")

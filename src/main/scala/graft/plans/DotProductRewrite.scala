@@ -19,9 +19,12 @@ import graft.functions.DotProduct
   * `spark.experimental.extraOptimizations`.
   *
   * The rewrite preserves semantics exactly: same left-to-right accumulation
-  * order, same null behavior (both are null-intolerant on the two array
-  * inputs), and it fires only for array<double> inputs, the type the
-  * native expression is compiled for.
+  * order and same null behavior — a null array input, a length mismatch
+  * (zip_with null-pads the shorter side and the null propagates through the
+  * multiply and the sum), and a null element all produce NULL in BOTH forms,
+  * because `DotProduct` implements precisely the lambda-chain null
+  * semantics. It fires only for array<double> inputs, the type the native
+  * expression is compiled for.
   */
 object DotProductRewrite extends Rule[LogicalPlan] {
 

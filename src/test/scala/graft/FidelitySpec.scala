@@ -56,6 +56,15 @@ class FidelitySpec extends GraftSuite {
     assert(strict === plain)
   }
 
+  test("strict join does NOT throw on a donor with a blank state (only on a missing key)") {
+    // a blank 'Donor State' field parses as null; the reference aggregates it
+    // as a value (D/Program.cs:310 throws only on a missing donor_id key)
+    val blankStateDonors = donors.select($"donor_id", lit(null).cast("string").as("donor_state"))
+    val rows = Fidelity.donationTotalByStateStrict(blankStateDonors, donations).collect()
+    assert(rows.length === 1, "all donations group under the single null state")
+    assert(rows(0).isNullAt(0))
+  }
+
   test("CSV sink writes header + F2 amounts (O15, D/Program.cs:475-484)") {
     val out = java.nio.file.Files.createTempDirectory("graft_sink").toString + "/result"
     val result = Fidelity.donationTotalByState(donors, donations).coalesce(1)

@@ -76,6 +76,28 @@ class FunctionsSpec extends GraftSuite {
       direct.collect().map(r => (r.getLong(0), r.getDouble(1))).toSet)
   }
 
+  test("native expressions match the lambda chain on ragged and null-element arrays") {
+    // ragged lengths: zip_with null-pads -> null propagates; null element:
+    // multiply(null) -> null through the sum. The native expressions must
+    // agree so DotProductRewrite is a pure plan rewrite. Arrays are built
+    // from a column to defeat constant folding (codegen path exercised).
+    val df = spark.range(1).select(
+      array(col("id").cast("double") + 1.0, lit(2.0), lit(3.0)).as("a3"),
+      array(col("id").cast("double") + 4.0, lit(5.0)).as("b2"),
+      array(col("id").cast("double") + 1.0, lit(null).cast("double"), lit(3.0)).as("an"))
+    val r = df.select(
+      VectorFunctions.dot_product($("a3"), $("b2")).as("n0"),
+      VectorFunctions.dot_product($("a3"), $("an")).as("n1"),
+      VectorFunctions.cosine_sim($("a3"), $("b2")).as("n2"),
+      VectorFunctions.cosine_sim($("a3"), $("an")).as("n3"),
+      Similarity.dot($("a3"), $("b2")).as("n4"),
+      Similarity.dot($("a3"), $("an")).as("n5")).collect()(0)
+    (0 until 6).foreach(i => assert(r.isNullAt(i), s"col n$i must be null"))
+    // and the rewrite (registered in the previous test) agrees on ragged input
+    val rewritten = df.select(Similarity.dot($("a3"), $("b2")).as("d"))
+    assert(rewritten.collect()(0).isNullAt(0))
+  }
+
   test("rolling_hash matches a reference Scala fold and stays in codegen") {
     import graft.functions.RollingHash
     def ref(s: String): Long = s.foldLeft(0L)((a, c) => (a * 31 + c) % 1000000007L)

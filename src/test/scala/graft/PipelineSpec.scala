@@ -29,12 +29,19 @@ class PipelineSpec extends GraftSuite {
     }
   }
 
-  test("exact dedup collapses the self-union: unique == n, copies == 2n") {
+  test("exact dedup collapses a self-unioned corpus: unique == n, copies == 2n") {
+    // the fixture is dup-free, so duplicate collapse is proven here on a
+    // synthetic doubling — the operator itself dedups whatever it is given
     val n = docs.count()
-    val row = Dedup.exactDedup(docs).collect()(0)
+    val doubled = docs.select($"doc_id", $"text")
+      .union(docs.select(($"doc_id" + 1000000).as("doc_id"), $"text"))
+    val row = Dedup.exactDedup(doubled).collect()(0)
     assert(row.getLong(0) === n)      // n_unique
     assert(row.getLong(1) === 2 * n)  // n_total
     assert(row.getLong(2) === n)      // every group is a dup group
+    // and on the real (dup-free) input: nothing collapses
+    val clean = Dedup.exactDedup(docs).collect()(0)
+    assert(clean.getLong(0) === n && clean.getLong(1) === n && clean.getLong(2) === 0L)
   }
 
   test("simhash signatures are deterministic and near-dups have hamming <= 1") {

@@ -50,7 +50,10 @@ object PipelineQueries {
     "q44_asof_join"     -> ((s, d) => Extended.asofPurchaseClick(Tables.events(s, d))),
     "q48_embedding_neardup" -> ((s, d) =>
       // 0.45 instead of the 0.9 production default: fixture embeddings are
-      // random (max cos ~0.55), so 0.9 would make the oracle check vacuous
+      // random (max cos ~0.55), so 0.9 would make the oracle check vacuous.
+      // The registered path is the LSH-bucketed one (the production shape);
+      // the oracle replicates the deterministic bucketing, so the check is
+      // exact on the candidate set the algorithm actually produces.
       Similarity.embeddingNearDup(Tables.embeddings(s, d), threshold = 0.45)),
     "q50_rolling_fingerprint" -> ((s, d) => TextAnalysis.rollingFingerprints(Tables.documents(s, d))),
     "q51_typed_agg" -> ((s, d) => graft.operators.Typed.statusTotals(s, Tables.orders(s, d))),
@@ -158,6 +161,18 @@ object PipelineQueries {
         s"""list_sum(list_transform(generate_series(1, len(v)),
            |   i -> v[i] * ((($j * 7919 + i * 104729) % 2001 - 1000) / 1000.0)))""".stripMargin
       s"CASE WHEN round($proj, 6) > 0 THEN ${1L << j} ELSE 0 END"
+    }.mkString("(", " + ", ")")
+
+  /** Near-dup table-`t` bucket — matches Similarity.neardupBucket: bit b of
+    * table t comes from shared-stream plane t*NeardupBits+b.
+    */
+  private def neardupBucketSql(t: Int): String =
+    (0 until Similarity.NeardupBits).map { b =>
+      val plane = t * Similarity.NeardupBits + b
+      val proj =
+        s"""list_sum(list_transform(generate_series(1, len(v)),
+           |   i -> v[i] * ((($plane * 7919 + i * 104729) % 2001 - 1000) / 1000.0)))""".stripMargin
+      s"CASE WHEN round($proj, 6) > 0 THEN ${1L << b} ELSE 0 END"
     }.mkString("(", " + ", ")")
 
   private val CosineTopkSql: String =
@@ -273,13 +288,26 @@ object PipelineQueries {
          | $cols
          |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
     },
-    "q48_embedding_neardup" ->
-      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+    "q48_embedding_neardup" -> {
+      // replicate the multi-table bucketing: a pair is a candidate iff it
+      // shares a bucket in ANY table; then the exact cosine filter — the
+      // all-pairs OR-join is fine at oracle scale, while Spark runs the
+      // bucket equi-join
+      val buckets = (0 until Similarity.NeardupTables)
+        .map(t => s"${neardupBucketSql(t)} AS bk$t").mkString(",\n   ")
+      val anyTable = (0 until Similarity.NeardupTables)
+        .map(t => s"a.bk$t = b.bk$t").mkString(" OR ")
+      s"""WITH e AS (
+         |  SELECT vec_id, v,
+         |   $buckets
+         |  FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+         |)
          |SELECT a.vec_id AS id1, b.vec_id AS id2,
          | round(${cosSql("a.v", "b.v")}, 6) AS cos
-         |FROM e a JOIN e b ON a.vec_id < b.vec_id
+         |FROM e a JOIN e b ON a.vec_id < b.vec_id AND ($anyTable)
          |WHERE round(${cosSql("a.v", "b.v")}, 6) >= 0.45
-         |ORDER BY id1, id2""".stripMargin,
+         |ORDER BY id1, id2""".stripMargin
+    },
     "q50_rolling_fingerprint" ->
       """SELECT doc_id,
         | list_reduce(list_prepend(CAST(0 AS BIGINT), [CAST(ascii(c) AS BIGINT) for c in string_split_regex(text, '')]),
@@ -343,6 +371,9 @@ object PipelineQueries {
     "q29_cosine_topk" ->
       CosineTopkSql,
     "q30_lsh_ann" ->
+      // multi-probe: candidates within Hamming distance 1 of the query's
+      // bucket (the bit_count form is the set-equivalent of Spark's probe
+      // explosion + equi-join)
       s"""WITH e AS (
          |  SELECT vec_id, v, $BucketSql AS bucket FROM (
          |    SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
@@ -351,7 +382,7 @@ object PipelineQueries {
          |q AS (SELECT vec_id AS query_id, v AS qv, bucket AS qbucket FROM e WHERE vec_id < 5),
          |scored AS (
          |  SELECT query_id, e.vec_id AS neighbor_id, round(${cosSql("qv", "v")}, 6) AS cos
-         |  FROM e JOIN q ON e.bucket = q.qbucket AND e.vec_id <> q.query_id
+         |  FROM e JOIN q ON bit_count(xor(e.bucket, q.qbucket)) <= 1 AND e.vec_id <> q.query_id
          |),
          |ranked AS (
          |  SELECT query_id, neighbor_id, cos,
@@ -361,10 +392,16 @@ object PipelineQueries {
          |SELECT query_id, neighbor_id, cos, rnk FROM ranked WHERE rnk <= 3
          |ORDER BY query_id, rnk""".stripMargin,
     "q31_label_cohesion" ->
-      s"""WITH s AS (
-         |  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
-         |  FROM embeddings WHERE vec_id % 7 = 0
-         |)
+      // fixed-size sample: the 16 rows per label with the smallest
+      // md5(vec_id) — same deterministic rule as Similarity.labelCohesion
+      // (the Spark side's salted two-stage rank selects the identical set)
+      s"""WITH ranked AS (
+         |  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v,
+         |    row_number() OVER (PARTITION BY label
+         |      ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rn
+         |  FROM embeddings
+         |),
+         |s AS (SELECT vec_id, label, v FROM ranked WHERE rn <= 16)
          |SELECT a.label = b.label AS same_label,
          | round(avg(${cosSql("a.v", "b.v")}), 6) AS avg_cos,
          | count(*) AS n_pairs

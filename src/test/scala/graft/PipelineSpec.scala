@@ -60,15 +60,52 @@ class PipelineSpec extends GraftSuite {
     assert(joined.filter($"cos_bf".isNull || $"cos" =!= $"cos_bf").count() === 0)
   }
 
-  test("embedding near-dup: exact path empty on fixture; LSH path finds planted duplicates") {
-    // fixture embeddings are random (max cos ~0.55) => empty at 0.9
+  test("multi-probe LSH ANN: recall never below single-probe; planted neighbor at rank 1") {
+    def found(df: org.apache.spark.sql.DataFrame) =
+      df.select($"query_id", $"neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact  = found(Similarity.cosineTopK(embs, nQueries = 5, k = 3))
+    val single = found(Similarity.lshCosineTopK(embs, maxHamming = 0))
+    val multi  = found(Similarity.lshCosineTopK(embs, maxHamming = 1))
+    assert(multi.size >= single.size, "probing more buckets cannot shrink the result")
+    assert((exact intersect multi).size >= (exact intersect single).size,
+      "multi-probe recall must not fall below single-probe")
+    // a planted exact duplicate of query 0 shares its bucket in every probe
+    // and must surface as the rank-1 neighbor with cos 1
+    val dup = embs.filter($"vec_id" === 0).select(lit(9999L).as("vec_id"), $"embedding", $"label")
+    val top = Similarity.lshCosineTopK(embs.unionByName(dup), maxHamming = 1)
+      .filter($"query_id" === 0 && $"rnk" === 1).collect()
+    assert(top.length === 1 && top(0).getLong(1) === 9999L &&
+      math.abs(top(0).getDouble(2) - 1.0) < 1e-6)
+  }
+
+  test("embedding near-dup: LSH candidates subset of exact; planted duplicate found at 0.9") {
+    // fixture embeddings are random (max cos ~0.55) => both paths empty at 0.9
+    assert(Similarity.embeddingNearDupExact(embs).count() === 0)
     assert(Similarity.embeddingNearDup(embs).count() === 0)
-    // plant an exact duplicate: identical vectors share a bucket deterministically
-    import org.apache.spark.sql.functions._
+    // at a loose threshold the LSH path must be a non-vacuous subset of the
+    // exact all-pairs ground truth (recall < 1 allowed; precision exact)
+    def asSet(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val exact = asSet(Similarity.embeddingNearDupExact(embs, threshold = 0.45))
+    val lsh   = asSet(Similarity.embeddingNearDup(embs, threshold = 0.45))
+    assert(lsh.subsetOf(exact))
+    assert(lsh.nonEmpty, "multi-table LSH must find a non-vacuous share of loose near-dups")
+    // plant an exact duplicate: identical vectors share every table's bucket,
+    // so the production threshold finds it with certainty
     val dup = embs.limit(1).select(lit(9999L).as("vec_id"), $"embedding", $"label")
     val withDup = embs.unionByName(dup)
-    val found = Similarity.embeddingNearDup(withDup, useLsh = true).collect()
+    val found = Similarity.embeddingNearDup(withDup).collect()
     assert(found.exists(r => r.getLong(1) === 9999L && math.abs(r.getDouble(2) - 1.0) < 1e-6))
+  }
+
+  test("registered embedding near-dup plan joins on buckets — no cartesian, no nested loop") {
+    // the exact ground-truth path is the only one allowed to cross the
+    // corpus; the registered (LSH) path must stay equi-join only
+    val plan = Similarity.embeddingNearDup(embs, threshold = 0.45)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan.take(2000))
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(2000))
   }
 
   test("cosine top-k excludes self and is correctly ranked") {

@@ -29,6 +29,14 @@ object Bench {
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filterNot { case (name, _) => skipped.contains(name) }
       .map { case (name, fn) =>
+        // Isolate each query from its predecessors' GC debt. Round 1 showed
+        // trivial ~150k-row aggregations (q39/q40) absorbing ~19 s that
+        // vanished once the heavy allocators around them (non-vectorized
+        // events scans, corpus-broadcast dedup verification) were fixed —
+        // cross-query heap pressure, not plan cost. A forced collection
+        // between queries keeps one query's garbage out of the next
+        // query's wall-clock.
+        System.gc()
         val t0 = System.nanoTime()
         try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
         catch { case e: Throwable => System.err.println(s"[bench] $name failed: ${e.getMessage}") }

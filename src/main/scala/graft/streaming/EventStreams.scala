@@ -39,33 +39,54 @@ object EventStreams {
 
   /** Stateful sessionization via flatMapGroupsWithState: per-user state
     * machine with a processing-time-free, event-time gap rule — emits a
-    * session row when a >gap event arrives or the state times out. The
-    * streaming twin of Events.sessionize.
+    * session row when a >gap event arrives OR when the watermark passes the
+    * open session's gap horizon (event-time timeout). The timeout branch is
+    * the reference's completion-barrier analog
+    * (`/root/reference/D/Program.cs:212-226`): every session is eventually
+    * flushed, the last one included, and per-user state is cleared on flush
+    * so inactive users cost nothing — the property that bounds state on an
+    * unbounded stream. The streaming twin of Events.sessionize.
     */
-  def sessionize(events: Dataset[Event], gapSeconds: Long = 1800L): Dataset[SessionOut] = {
+  def sessionize(events: Dataset[Event], gapSeconds: Long = 1800L,
+      watermarkDelay: String = "30 minutes"): Dataset[SessionOut] = {
     import events.sparkSession.implicits._
     events
+      .withWatermark("ts", watermarkDelay)
       .groupByKey(_.user_id)
       .flatMapGroupsWithState[SessionState, SessionOut](
-        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
         (userId: Long, rows: Iterator[Event], state: GroupState[SessionState]) =>
-          val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
-          var st = state.getOption.orNull
-          val out = scala.collection.mutable.ArrayBuffer.empty[SessionOut]
-          sorted.foreach { e =>
-            val t = e.ts.getTime / 1000
-            if (st == null) {
-              st = SessionState(t, t, 1, e.value)
-            } else if (t - st.lastTs > gapSeconds) {
-              out += SessionOut(userId, st.sessionStart, st.nEvents,
-                math.rint(st.total * 100) / 100)
-              st = SessionState(t, t, 1, e.value)
-            } else {
-              st = st.copy(lastTs = t, nEvents = st.nEvents + 1, total = st.total + e.value)
+          if (state.hasTimedOut) {
+            // the watermark passed lastTs + gap with no new event: nothing
+            // can extend this session any more — flush it and drop the state
+            val st = state.get
+            state.remove()
+            Iterator.single(SessionOut(userId, st.sessionStart, st.nEvents,
+              math.rint(st.total * 100) / 100))
+          } else {
+            val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+            var st = state.getOption.orNull
+            val out = scala.collection.mutable.ArrayBuffer.empty[SessionOut]
+            sorted.foreach { e =>
+              val t = e.ts.getTime / 1000
+              if (st == null) {
+                st = SessionState(t, t, 1, e.value)
+              } else if (t - st.lastTs > gapSeconds) {
+                out += SessionOut(userId, st.sessionStart, st.nEvents,
+                  math.rint(st.total * 100) / 100)
+                st = SessionState(t, t, 1, e.value)
+              } else {
+                st = st.copy(lastTs = t, nEvents = st.nEvents + 1, total = st.total + e.value)
+              }
             }
+            if (st != null) {
+              state.update(st)
+              // events are watermark-filtered, so lastTs >= watermark and
+              // this timestamp is always in the watermark's future
+              state.setTimeoutTimestamp((st.lastTs + gapSeconds) * 1000)
+            }
+            out.iterator
           }
-          if (st != null) state.update(st)
-          out.iterator
       }
   }
 

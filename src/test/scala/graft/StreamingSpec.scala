@@ -116,4 +116,35 @@ class StreamingSpec extends GraftSuite {
     assert(closed(0).n_events === 2L)
     assert(closed(0).total_value === 3.0)
   }
+
+  test("sessionize flushes the final open session when the watermark passes its gap") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val sessions = EventStreams.sessionize(input.toDS(), gapSeconds = 1800L)
+    val q = sessions.writeStream.outputMode("append")
+      .format("memory").queryName("final_sessions_out").start()
+
+    def ev(id: Long, tsSec: Long, user: Long, v: Double) =
+      Event(id, new Timestamp(tsSec * 1000), user, "click", v)
+
+    // batch 1: user 1's only session, never followed by another user-1 event
+    input.addData(ev(1, 1000, 1, 1.0), ev(2, 1600, 1, 2.0))
+    q.processAllAvailable()
+    // batch 2: user 2 far in the future — after this batch the watermark is
+    // 10000 - 1800 = 8200s, past user 1's gap horizon of 1600 + 1800 = 3400s
+    input.addData(ev(3, 10000, 2, 5.0))
+    q.processAllAvailable()
+    // batch 3: any new data lets the timeout fire with the advanced watermark
+    input.addData(ev(4, 10100, 2, 1.0))
+    q.processAllAvailable()
+    val out = spark.table("final_sessions_out").as[EventStreams.SessionOut].collect()
+    q.stop()
+    // user 1's trailing session was flushed by timeout, not by a later event
+    assert(out.count(_.user_id == 1L) === 1)
+    val u1 = out.find(_.user_id == 1L).get
+    assert(u1.session_start_epoch === 1000L && u1.n_events === 2L && u1.total_value === 3.0)
+    // user 2's session is still open (watermark has not passed 10100+1800)
+    assert(!out.exists(_.user_id == 2L))
+  }
 }

@@ -1,0 +1,246 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XXH64}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.graft.ColumnBridge
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Fused MinHash signature: the full `numHashes`-long signature of a
+  * document's character-`n`-gram shingle set in ONE codegen'd pass over the
+  * text — the native replacement for the explode-shuffle-aggregate
+  * formulation (shingle explode → per-shingle xxhash64 → `numHashes`-way
+  * partial-min groupBy), which materializes corpus × shingles rows (10M+ at
+  * sf0.1, row-format overhead and a full shuffle included) just to reduce
+  * them straight back down to one row per document.
+  *
+  * Bit-compatible with that formulation by construction: shingle positions
+  * are `1..greatest(len-(n-1), 1)` exactly like `Dedup.shingleArray`
+  * (including the shorter-than-n clamp), the base hash is
+  * `xxhash64(substr(text, i, n))` (XXH64 over the substring's UTF-8 bytes,
+  * seed 42), and hash s is `xxhash64(s, base)` — XXH64's fold of an int
+  * then a long from seed 42, signed-min-reduced. Signatures computed either
+  * way are identical longs, so banding and recall characteristics carry
+  * over unchanged.
+  *
+  * The reference's analog is the per-chunk in-memory aggregation loop
+  * (`/root/reference/D/Program.cs:296-316`): tight per-row work with no
+  * intermediate materialization — here expressed as a Catalyst expression
+  * so Catalyst still owns scheduling, pruning, and the surrounding plan.
+  */
+case class MinHashSignature(child: Expression, n: Int, numHashes: Int)
+    extends UnaryExpression with Serializable {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a string input, got ${child.dataType.sql}")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def prettyName: String = "minhash_signature"
+
+  override def nullSafeEval(input: Any): Any =
+    MinHashSignature.compute(input.asInstanceOf[UTF8String], n, numHashes)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.MinHashSignature.compute($c, $n, $numHashes);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object MinHashSignature {
+  private val BaseSeed = 42L
+
+  /** Per-hash-function seeds: xxhash64's state after folding the function
+    * index s from the base seed — exactly `xxhash64(s, ·)`'s intermediate.
+    * Cached per distinct signature width (the expression is used with one
+    * width per pipeline, so this is a one-element map in practice).
+    */
+  private val seedCache = new java.util.concurrent.ConcurrentHashMap[Int, Array[Long]]()
+
+  private def seeds(k: Int): Array[Long] =
+    seedCache.computeIfAbsent(k, kk => Array.tabulate(kk)(s => XXH64.hashInt(s, BaseSeed)))
+
+  /** One pass: for each shingle, one base hash + k cheap long-folds,
+    * signed-min-reduced into the signature array. Called from both the
+    * interpreted and the generated code path.
+    */
+  def compute(text: UTF8String, n: Int, k: Int): ArrayData = {
+    val perHashSeed = seeds(k)
+    val mins = new Array[Long](k)
+    java.util.Arrays.fill(mins, Long.MaxValue)
+    val count = math.max(text.numChars() - (n - 1), 1)
+    var i = 0
+    while (i < count) {
+      // substringSQL is Spark's substr(text, i+1, n): the same shingle
+      // bytes the compositional form hashes
+      val g = text.substringSQL(i + 1, n)
+      val base = XXH64.hashUTF8String(g, BaseSeed)
+      var s = 0
+      while (s < k) {
+        val v = XXH64.hashLong(base, perHashSeed(s))
+        if (v < mins(s)) mins(s) = v
+        s += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(mins)
+  }
+}
+
+/** Column-API exposure. */
+object MinHashFunctions {
+  def minhash_signature(text: Column, n: Int, numHashes: Int): Column =
+    ColumnBridge.column(MinHashSignature(ColumnBridge.expression(text), n, numHashes))
+  def simhash_signature(text: Column, n: Int): Column =
+    ColumnBridge.column(SimHashSignature(ColumnBridge.expression(text), n))
+}
+
+/** Fused 32-bit SimHash: the whole signature in one pass over the text —
+  * native replacement for the explode + per-shingle md5-hex + 32-column
+  * bit-sum aggregate, which materializes corpus×shingles rows and two
+  * strings per shingle just to reduce back to one long per document.
+  *
+  * Bit-compatible with that formulation (and with the DuckDB oracle that
+  * replicates it): shingle positions `1..greatest(len-(n-1),1)` with
+  * multiplicity, and bit i's ±1 contribution is
+  * `ascii(substr(md5hex, i+1, 1)) % 2 * 2 - 1` — the parity of the ASCII
+  * code of the i-th hex digit, which differs between the digit ('0'-'9',
+  * codes 48-57) and letter ('a'-'f', codes 97-102) ranges and is
+  * reproduced nibble-exactly here.
+  */
+case class SimHashSignature(child: Expression, n: Int)
+    extends UnaryExpression with Serializable {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a string input, got ${child.dataType.sql}")
+
+  override def dataType: DataType = LongType
+
+  override def prettyName: String = "simhash_signature"
+
+  override def nullSafeEval(input: Any): Any =
+    SimHashSignature.compute(input.asInstanceOf[UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.SimHashSignature.compute($c, $n);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object SimHashSignature {
+  /** ±1 contribution of hex nibble value 0-15: parity of its ASCII code
+    * ('0'+v for digits, 'a'+v-10 for letters), matching `ascii(..) % 2`.
+    */
+  private val NibbleSign: Array[Int] =
+    Array.tabulate(16) { v =>
+      val ascii = if (v < 10) '0' + v else 'a' + (v - 10)
+      ascii % 2 * 2 - 1
+    }
+
+  def compute(text: UTF8String, n: Int): Long = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val sums = new Array[Int](32)
+    val count = math.max(text.numChars() - (n - 1), 1)
+    var i = 0
+    while (i < count) {
+      md.reset()
+      val dig = md.digest(text.substringSQL(i + 1, n).getBytes)
+      var b = 0
+      while (b < 16) {
+        sums(2 * b) += NibbleSign((dig(b) >> 4) & 0xF)
+        sums(2 * b + 1) += NibbleSign(dig(b) & 0xF)
+        b += 1
+      }
+      i += 1
+    }
+    var sig = 0L
+    var j = 0
+    while (j < 32) {
+      if (sums(j) > 0) sig |= 1L << j
+      j += 1
+    }
+    sig
+  }
+}
+
+/** Fused random-hyperplane bucketing: the per-table sign buckets of a
+  * vector under `tables`×`bits` deterministic pseudo-random hyperplanes,
+  * computed in one codegen'd pass. Replaces a per-table chain of
+  * interpreted `aggregate(zip_with(...))` projections (HOF lambdas never
+  * enter WholeStageCodegen and pay per-row interpreter overhead ~20x the
+  * arithmetic).
+  *
+  * Bit-compatible with `Similarity.neardupBucket`/`lshBucket`: plane
+  * j = t*bits+b of the shared coef stream, coef(j, i) =
+  * ((j*7919 + i*104729) % 2001 - 1000)/1000 with 1-based dimension i,
+  * sequential left-to-right accumulation, and the same HALF_UP 6-decimal
+  * rounding before the sign test (the cross-engine wobble guard), so
+  * DuckDB oracles built on the compositional formula replicate these
+  * buckets exactly.
+  */
+case class HyperplaneBuckets(child: Expression, tables: Int, bits: Int)
+    extends UnaryExpression with Serializable {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(org.apache.spark.sql.types.DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<double>, got ${other.sql}")
+  }
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def prettyName: String = "hyperplane_buckets"
+
+  override def nullSafeEval(input: Any): Any =
+    HyperplaneBuckets.compute(input.asInstanceOf[ArrayData], tables, bits)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.HyperplaneBuckets.compute($c, $tables, $bits);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object HyperplaneBuckets {
+  /** Spark `round(x, 6)` on doubles: HALF_UP via BigDecimal.valueOf. */
+  private def round6(x: Double): Double =
+    if (java.lang.Double.isNaN(x) || java.lang.Double.isInfinite(x)) x
+    else java.math.BigDecimal.valueOf(x).setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+
+  def compute(v: ArrayData, tables: Int, bits: Int): ArrayData = {
+    val dim = v.numElements()
+    val out = new Array[Long](tables)
+    var t = 0
+    while (t < tables) {
+      var bucket = 0L
+      var b = 0
+      while (b < bits) {
+        val plane = t * bits + b
+        var proj = 0.0
+        var i = 1
+        while (i <= dim) {
+          val c = ((plane * 7919L + i * 104729L) % 2001L - 1000L) / 1000.0
+          proj += v.getDouble(i - 1) * c
+          i += 1
+        }
+        if (round6(proj) > 0) bucket |= 1L << b
+        b += 1
+      }
+      out(t) = bucket
+      t += 1
+    }
+    new GenericArrayData(out)
+  }
+}

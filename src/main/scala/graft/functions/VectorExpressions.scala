@@ -172,6 +172,9 @@ object VectorFunctions {
   def dot_product(a: Column, b: Column): Column =
     ColumnBridge.column(DotProduct(
       toDoubleArray(ColumnBridge.expression(a)), toDoubleArray(ColumnBridge.expression(b))))
+  def hyperplane_buckets(v: Column, tables: Int, bits: Int): Column =
+    ColumnBridge.column(HyperplaneBuckets(
+      toDoubleArray(ColumnBridge.expression(v)), tables, bits))
 
   /** Register as SQL functions on an existing session (tests / notebooks). */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {

@@ -13,13 +13,15 @@ import org.apache.spark.sql.functions._
   * Scale design:
   *   - exact dedup: one hash-shuffle on the fingerprint, no full-text
   *     comparisons.
-  *   - MinHash+LSH: signatures are one explode + exchange-free 126-way
-  *     partial-min aggregate; candidates come from band buckets expanded
-  *     in place (groupBy + collect_list, never all-pairs and never a
-  *     self-join that would recompute the signature subtree); candidates
-  *     are verified with exact Jaccard. This is the shape that survives
-  *     100 TB; the all-pairs variant (`ngramJaccardPairs`) exists as the
-  *     small-data oracle/baseline.
+  *   - MinHash+LSH: signatures are ONE fused codegen'd pass per document
+  *     (native MinHashSignature expression — zero shuffles, no
+  *     corpus×shingles intermediate); candidates come from band buckets
+  *     expanded in place (groupBy + collect_list, never all-pairs and never
+  *     a self-join that would recompute the signature subtree); candidates
+  *     are verified with exact Jaccard on a candidate-semi-joined slice of
+  *     the corpus. This is the shape that survives 100 TB; the all-pairs
+  *     variant (`ngramJaccardPairs`) exists as the small-data
+  *     oracle/baseline.
   *   - SimHash: per-doc 32-bit signature via one aggregation, then pairs
   *     by pigeonhole bit-slice buckets (recall 1 by construction).
   */
@@ -97,35 +99,35 @@ object Dedup {
   val NumBands: Int = NumHashes / BandRows // 21
 
   /** Candidate pairs from LSH banding, verified with exact Jaccard.
-    * Signatures come from one codegen'd explode + 126-way partial-min
-    * aggregation (one shuffle of 126-long rows per doc); candidate
-    * generation is an equi-join on (band, bandKey) — never all-pairs;
+    * Signatures come from one fused codegen'd pass per document (native
+    * MinHashSignature — no explode, no shuffle in the signature stage);
+    * candidate generation is an equi-join on (band, bandKey) — never
+    * all-pairs;
     * verification first SEMI-JOINS the corpus down to candidate doc ids and
     * only then shingles and joins, so every relation past the banding stage
     * is candidate-proportional (near-linear), never corpus-proportional.
     * This is the shape that holds at 100 TB.
     */
   def minhashLshPairs(documents: DataFrame, n: Int = 5, threshold: Double = 0.6): DataFrame = {
-    // Signatures need NO shingle dedup: MIN absorbs duplicate shingles, so
-    // raw (doc_id, shingle-hash) rows feed the 126-way partial-min aggregate
-    // directly. The one shuffle happens BEFORE the explode (repartition of
-    // the compact doc rows), so the 100-300x shingle blowup and the hashing
-    // fan out across all cores and the aggregate reuses the partitioning
-    // with no exchange. The partition count is explicit: AQE would coalesce
-    // a size-based repartition of the compact rows to one partition, blind
-    // to the post-explode blowup.
+    // Signatures come from the fused native expression — ONE codegen'd pass
+    // per document, no shingle explode, no corpus×shingles intermediate, no
+    // 126-way partial-min aggregate, and (crucially) no shuffle at all in
+    // the signature stage: the only remaining exchange in candidate
+    // generation is the bucket groupBy. Bit-identical to the compositional
+    // explode+min formulation (see MinHashSignature's scaladoc), so the
+    // banding math is unchanged. The explicit repartition spreads the
+    // compact doc rows across all cores BEFORE the heavy per-row loop (the
+    // parquet fixture may arrive in one partition, and AQE sizes by bytes,
+    // blind to per-row compute cost).
     val parts = documents.sparkSession.sparkContext.defaultParallelism * 2
-    // hash each shingle string ONCE; the 126 minhash values derive from the
-    // 8-byte long (cheap fixed-width hashing), not from re-hashing strings
-    val toksH = documents
+    val sigs = documents
       .repartition(parts, $"doc_id")
-      .select($"doc_id", explode(shingleArray($"text", n)).as("g"))
-      .select($"doc_id", xxhash64($"g").as("h"))
-    val sigCols = (0 until NumHashes).map(s => min(xxhash64(lit(s), $"h")).as(s"h$s"))
-    val sigs = toksH.groupBy($"doc_id").agg(sigCols.head, sigCols.tail: _*)
-    // band key = hash of the band's 6 minhash values
+      .select($"doc_id",
+        graft.functions.MinHashFunctions.minhash_signature($"text", n, NumHashes).as("sig"))
+    // band key = hash of the band's 6 minhash values (same xxhash64 fold as
+    // the previous column-wise formulation, fed from the signature array)
     val bandCols = (0 until NumBands).map { b =>
-      val rows = (0 until BandRows).map(r => col(s"h${b * BandRows + r}"))
+      val rows = (0 until BandRows).map(r => element_at($"sig", b * BandRows + r + 1))
       struct(lit(b).as("band"), xxhash64(rows: _*).as("bh"))
     }
     val buckets = sigs
@@ -216,28 +218,18 @@ object Dedup {
 
   /** 32-bit SimHash: bit i = sign of the +-1 sum over shingles (with
     * multiplicity) of parity(md5(g)[i]) — engine-independent integer
-    * arithmetic. One aggregation per doc.
+    * arithmetic, computed by the fused native SimHashSignature expression
+    * in ONE codegen'd pass per document: no shingle explode, no per-shingle
+    * hex strings, no 32-column aggregate, no shuffle at all in the
+    * signature stage (bit-compatibility with the explode+aggregate
+    * formulation proven in FunctionsSpec). The explicit repartition spreads
+    * the compact doc rows before the heavy per-row loop.
     */
-  def simhashSignatures(documents: DataFrame, n: Int = 5): DataFrame = {
-    // Repartition compact rows pre-explode for parallelism.
-    val grams = documents
+  def simhashSignatures(documents: DataFrame, n: Int = 5): DataFrame =
+    documents
       .repartition(documents.sparkSession.sparkContext.defaultParallelism * 2, $"doc_id")
-      .select($"doc_id", explode(shingleArray($"text", n)).as("g"))
-    // md5 once per shingle row, 32 parity extracts, then an exchange-free
-    // aggregate (doc_id partitioning survives the explode). A
-    // distinct-shingle dictionary join was tried and is SLOWER here: the
-    // join+shuffle machinery costs more than hashing every occurrence in
-    // one codegen'd pass.
-    val hashed = grams.select($"doc_id", md5($"g").as("h"))
-    val bitSums = (0 until 32).map { i =>
-      sum(ascii(substring($"h", i + 1, 1)) % 2 * 2 - 1).as(s"s$i")
-    }
-    val agg = hashed.groupBy($"doc_id").agg(bitSums.head, bitSums.tail: _*)
-    val sig = (0 until 32)
-      .map(i => when(col(s"s$i") > 0, lit(1L << i)).otherwise(lit(0L)))
-      .reduce(_ + _)
-    agg.select($"doc_id", sig.as("sig"))
-  }
+      .select($"doc_id",
+        graft.functions.MinHashFunctions.simhash_signature($"text", n).as("sig"))
 
   /** Near-dup pairs by SimHash hamming distance <= maxHamming, via
     * pigeonhole banding: split the 32-bit signature into maxHamming+1

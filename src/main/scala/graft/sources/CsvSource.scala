@@ -60,4 +60,33 @@ object CsvSource {
         col(stateCol).as("State"),
         format_string("%.2f", col(totalCol)).as("Total Donation Amount"))
       .write.mode("overwrite").option("header", "true").csv(path)
+
+  /** O16, user-facing: re-export range-partitioned donor chunks as CSV
+    * files carrying the ORIGINAL header, unprojected columns blank —
+    * the reference's chunk-file sink (`D/Program.cs:496-504` writes
+    * `{id},,{state},,` under the full donors header). One file per range
+    * partition, ranges key-disjoint (the cutoff-vector property, proven in
+    * FidelitySpec's co-partition test).
+    */
+  def writeDonorChunks(donors: DataFrame, partitions: Int, path: String): Unit =
+    donors
+      .repartitionByRange(partitions, col("donor_id"))
+      .select(
+        col("donor_id").as("Donor ID"), lit("").as("Donor City"),
+        col("donor_state").as("Donor State"), lit("").as("Donor Is Teacher"),
+        lit("").as("Donor Zip"))
+      .write.mode("overwrite").option("header", "true").option("emptyValue", "").csv(path)
+
+  /** O16, donation side (`D/Program.cs:486-494`: `,,{id},,{amount F2},`
+    * under the full donations header).
+    */
+  def writeDonationChunks(donations: DataFrame, partitions: Int, path: String): Unit =
+    donations
+      .repartitionByRange(partitions, col("donor_id"))
+      .select(
+        lit("").as("Project ID"), lit("").as("Donation ID"),
+        col("donor_id").as("Donor ID"), lit("").as("Donation Included Optional Donation"),
+        format_string("%.2f", col("amount")).as("Donation Amount"),
+        lit("").as("Donor Cart Sequence"))
+      .write.mode("overwrite").option("header", "true").option("emptyValue", "").csv(path)
 }

@@ -89,6 +89,28 @@ class FidelitySpec extends GraftSuite {
     assert(d(0).getString(1) === "California") // col 2 survives the quoted comma in col 1
   }
 
+  test("O16: chunked CSV re-export carries original headers and round-trips through the readers") {
+    val base = java.nio.file.Files.createTempDirectory("graft_chunks").toString
+    CsvSource.writeDonorChunks(donors, 3, s"$base/donors")
+    CsvSource.writeDonationChunks(donations, 3, s"$base/donations")
+    // every non-empty chunk file restates the reference's original header
+    val donorFiles = new java.io.File(s"$base/donors").listFiles()
+      .filter(f => f.getName.endsWith(".csv") && f.length > 0)
+    assert(donorFiles.nonEmpty)
+    donorFiles.foreach { f =>
+      val src = scala.io.Source.fromFile(f)
+      try assert(src.getLines().next() === "Donor ID,Donor City,Donor State,Donor Is Teacher,Donor Zip")
+      finally src.close()
+    }
+    // chunks re-read through the same scan operators reproduce the inputs
+    val donorsBack = CsvSource.donors(spark, s"$base/donors").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    assert(donorsBack === donors.collect().map(r => (r.getString(0), r.getString(1))).toSet)
+    val donationsBack = CsvSource.donations(spark, s"$base/donations").collect()
+      .map(r => (r.getString(0), r.getDouble(1))).toSet
+    assert(donationsBack === donations.collect().map(r => (r.getString(0), r.getDouble(1))).toSet)
+  }
+
   test("range co-partition preserves totals and co-locates keys (O8/O9)") {
     for (parts <- Seq(1, 3)) {
       val (d, dn) = Fidelity.rangeCoPartition(donors, donations, parts)

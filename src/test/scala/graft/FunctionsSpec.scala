@@ -98,6 +98,70 @@ class FunctionsSpec extends GraftSuite {
     assert(rewritten.collect()(0).isNullAt(0))
   }
 
+  test("minhash_signature equals the explode+min compositional form bit-for-bit") {
+    import graft.functions.MinHashFunctions
+    import graft.operators.Dedup
+    val edge = Seq((9001L, ""), (9002L, "ab"), (9003L, "héllo wörld"), (9004L, "aaaaaaa"))
+    val docs = Tables.documents(spark, sf).select(col("doc_id"), col("text")).limit(50)
+      .unionByName(spark.createDataFrame(edge).toDF("doc_id", "text"))
+    val native = docs.select(col("doc_id"),
+      MinHashFunctions.minhash_signature(col("text"), 5, Dedup.NumHashes).as("sig"))
+    val toks = docs
+      .select(col("doc_id"), explode(Dedup.shingleArray(col("text"), 5)).as("g"))
+      .select(col("doc_id"), xxhash64(col("g")).as("h"))
+    val sigCols = (0 until Dedup.NumHashes).map(s => min(xxhash64(lit(s), col("h"))).as(s"h$s"))
+    val comp = toks.groupBy(col("doc_id")).agg(sigCols.head, sigCols.tail: _*)
+    val joined = native.join(comp, "doc_id").collect()
+    assert(joined.length === 54)
+    joined.foreach { r =>
+      val sig = r.getSeq[Long](1)
+      (0 until Dedup.NumHashes).foreach(s =>
+        assert(sig(s) === r.getLong(2 + s), s"hash $s diverges for doc ${r.getLong(0)}"))
+    }
+  }
+
+  test("simhash_signature equals the explode+md5+bit-sum compositional form bit-for-bit") {
+    import graft.functions.MinHashFunctions
+    import graft.operators.Dedup
+    val edge = Seq((9001L, ""), (9002L, "ab"), (9003L, "héllo wörld"), (9004L, "aaaaaaa"))
+    val docs = Tables.documents(spark, sf).select(col("doc_id"), col("text")).limit(50)
+      .unionByName(spark.createDataFrame(edge).toDF("doc_id", "text"))
+    val native = docs.select(col("doc_id"),
+      MinHashFunctions.simhash_signature(col("text"), 5).as("sig"))
+    // the pre-fusion formulation this expression replaces (and the oracle
+    // SQL's shape): explode, md5 hex, 32 ascii-parity bit sums, sign bits
+    val hashed = docs
+      .select(col("doc_id"), explode(Dedup.shingleArray(col("text"), 5)).as("g"))
+      .select(col("doc_id"), md5(col("g")).as("h"))
+    val bitSums = (0 until 32).map(i => sum(ascii(substring(col("h"), i + 1, 1)) % 2 * 2 - 1).as(s"s$i"))
+    val agg = hashed.groupBy(col("doc_id")).agg(bitSums.head, bitSums.tail: _*)
+    val compSig = (0 until 32)
+      .map(i => when(col(s"s$i") > 0, lit(1L << i)).otherwise(lit(0L))).reduce(_ + _)
+    val comp = agg.select(col("doc_id"), compSig.as("csig"))
+    val joined = native.join(comp, "doc_id").collect()
+    assert(joined.length === 54)
+    joined.foreach(r => assert(r.getLong(1) === r.getLong(2), s"doc ${r.getLong(0)} diverges"))
+  }
+
+  test("hyperplane_buckets equals the compositional lshBucket/neardupBucket bit-for-bit") {
+    val e = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("v"))
+    val nd = graft.operators.Similarity.NeardupTables
+    val compCols = (0 until nd).map(t =>
+      graft.operators.Similarity.neardupBucket(col("v"), t).as(s"c$t"))
+    val rows = e.select(
+      (Seq(
+        VectorFunctions.hyperplane_buckets(col("v"), nd, graft.operators.Similarity.NeardupBits).as("native"),
+        element_at(VectorFunctions.hyperplane_buckets(col("v"), 1, graft.operators.Similarity.NumPlanes), 1).as("lsh_native"),
+        graft.operators.Similarity.lshBucket(col("v")).as("lsh_comp")) ++ compCols): _*).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val native = r.getSeq[Long](0)
+      assert(r.getLong(1) === r.getLong(2), "single-table form must equal lshBucket")
+      (0 until nd).foreach(t => assert(native(t) === r.getLong(3 + t), s"table $t diverges"))
+    }
+  }
+
   test("rolling_hash matches a reference Scala fold and stays in codegen") {
     import graft.functions.RollingHash
     def ref(s: String): Long = s.foldLeft(0L)((a, c) => (a * 31 + c) % 1000000007L)

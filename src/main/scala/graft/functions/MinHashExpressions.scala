@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XXH64}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression, XXH64}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.graft.ColumnBridge
@@ -100,6 +100,111 @@ object MinHashFunctions {
     ColumnBridge.column(MinHashSignature(ColumnBridge.expression(text), n, numHashes))
   def simhash_signature(text: Column, n: Int): Column =
     ColumnBridge.column(SimHashSignature(ColumnBridge.expression(text), n))
+  def shingle_hashes(text: Column, n: Int): Column =
+    ColumnBridge.column(ShingleHashes(ColumnBridge.expression(text), n))
+  def sorted_intersect_count(a: Column, b: Column): Column =
+    ColumnBridge.column(SortedIntersectCount(
+      ColumnBridge.expression(a), ColumnBridge.expression(b)))
+}
+
+/** Sorted distinct shingle-hash set of a document: all character-n-gram
+  * hashes (same XXH64-seed-42 base hash as MinHashSignature, i.e.
+  * `xxhash64(substr(text, i, n))`), deduplicated and sorted ascending, in
+  * one pass — the verification-side companion of the MinHash signature.
+  * Exact-Jaccard verification on these 8-byte longs is set-identical to
+  * verification on the shingle strings themselves up to 64-bit hash
+  * collisions (vanishingly unlikely; the LSH==exact spec would catch one).
+  */
+case class ShingleHashes(child: Expression, n: Int)
+    extends UnaryExpression with Serializable {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a string input, got ${child.dataType.sql}")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def prettyName: String = "shingle_hashes"
+
+  override def nullSafeEval(input: Any): Any =
+    ShingleHashes.compute(input.asInstanceOf[UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.ShingleHashes.compute($c, $n);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object ShingleHashes {
+  def compute(text: UTF8String, n: Int): ArrayData = {
+    val count = math.max(text.numChars() - (n - 1), 1)
+    val hs = new Array[Long](count)
+    var i = 0
+    while (i < count) {
+      hs(i) = XXH64.hashUTF8String(text.substringSQL(i + 1, n), 42L)
+      i += 1
+    }
+    java.util.Arrays.sort(hs)
+    // in-place dedup of the sorted run
+    var w = 0
+    var r = 1
+    while (r < count) {
+      if (hs(r) != hs(w)) { w += 1; hs(w) = hs(r) }
+      r += 1
+    }
+    new GenericArrayData(java.util.Arrays.copyOf(hs, w + 1))
+  }
+}
+
+/** Intersection size of two SORTED long arrays (merge scan — no per-row
+  * hash set, no materialized intersection array). Pairs with
+  * `ShingleHashes` for exact-Jaccard verification:
+  * jaccard = i / (|a| + |b| - i).
+  */
+case class SortedIntersectCount(left: Expression, right: Expression)
+    extends BinaryExpression with Serializable {
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val ok = Seq(left, right).forall(_.dataType match {
+      case ArrayType(LongType, _) => true
+      case _ => false
+    })
+    if (ok) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<bigint> inputs, got " +
+        Seq(left, right).map(_.dataType.sql).mkString(", "))
+  }
+
+  override def dataType: DataType = LongType
+
+  override def prettyName: String = "sorted_intersect_count"
+
+  override def nullSafeEval(l: Any, r: Any): Any =
+    SortedIntersectCount.compute(l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.functions.SortedIntersectCount.compute($a, $b);")
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+object SortedIntersectCount {
+  def compute(a: ArrayData, b: ArrayData): Long = {
+    val na = a.numElements(); val nb = b.numElements()
+    var i = 0; var j = 0; var c = 0L
+    while (i < na && j < nb) {
+      val x = a.getLong(i); val y = b.getLong(j)
+      if (x == y) { c += 1; i += 1; j += 1 }
+      else if (x < y) i += 1
+      else j += 1
+    }
+    c
+  }
 }
 
 /** Fused 32-bit SimHash: the whole signature in one pass over the text —

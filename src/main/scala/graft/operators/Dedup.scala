@@ -157,22 +157,29 @@ object Dedup {
     // exact-Jaccard verification: semi-join the corpus down to the docs that
     // appear in any candidate pair BEFORE shingling, so only
     // candidate-proportional data is shingled, shuffled, or (if AQE so
-    // decides) broadcast — never a corpus-proportional relation. The
-    // checkpoint keeps the twice-referenced candidate shingle sets from
-    // being built twice.
+    // decides) broadcast — never a corpus-proportional relation. Shingle
+    // sets are sorted distinct 8-byte hash arrays from one fused native
+    // pass (ShingleHashes), and the per-pair intersection is a native merge
+    // scan (SortedIntersectCount) computed once — no per-pair hash sets, no
+    // string arrays on the wire, no duplicated array_intersect. Identical
+    // jaccard values up to 64-bit hash collisions (the LSH==exact spec
+    // would surface one). The checkpoint keeps the twice-referenced
+    // candidate shingle sets from being built twice.
     val candIds = candidates
       .select(explode(array($"id1", $"id2")).as("doc_id"))
       .distinct()
     val candTexts = documents
       .join(candIds, Seq("doc_id"), "left_semi")
-      .select($"doc_id", array_distinct(shingleArray($"text", n)).as("gs"))
+      .select($"doc_id", graft.functions.MinHashFunctions.shingle_hashes($"text", n).as("hs"))
       .localCheckpoint()
     candidates
-      .join(candTexts.select($"doc_id".as("id1"), $"gs".as("gs1")), Seq("id1"))
-      .join(candTexts.select($"doc_id".as("id2"), $"gs".as("gs2")), Seq("id2"))
+      .join(candTexts.select($"doc_id".as("id1"), $"hs".as("hs1")), Seq("id1"))
+      .join(candTexts.select($"doc_id".as("id2"), $"hs".as("hs2")), Seq("id2"))
       .select($"id1", $"id2",
-        round(size(array_intersect($"gs1", $"gs2")) /
-          (size($"gs1") + size($"gs2") - size(array_intersect($"gs1", $"gs2"))), 6).as("jaccard"))
+        graft.functions.MinHashFunctions.sorted_intersect_count($"hs1", $"hs2").as("i"),
+        size($"hs1").as("sz1"), size($"hs2").as("sz2"))
+      .select($"id1", $"id2",
+        round($"i" / ($"sz1" + $"sz2" - $"i"), 6).as("jaccard"))
       .filter($"jaccard" >= threshold)
       .orderBy($"id1", $"id2")
   }

@@ -143,6 +143,23 @@ class FunctionsSpec extends GraftSuite {
     joined.foreach(r => assert(r.getLong(1) === r.getLong(2), s"doc ${r.getLong(0)} diverges"))
   }
 
+  test("shingle_hashes/sorted_intersect_count equal their compositional forms") {
+    import graft.functions.MinHashFunctions
+    import graft.operators.Dedup
+    val docs = Tables.documents(spark, sf).select(col("doc_id"), col("text")).limit(60)
+    val both = docs.select(col("doc_id"),
+      MinHashFunctions.shingle_hashes(col("text"), 5).as("native"),
+      array_sort(array_distinct(transform(Dedup.shingleArray(col("text"), 5), g => xxhash64(g))))
+        .as("comp"))
+    assert(both.filter(col("native") =!= col("comp")).count() === 0)
+    // intersect count on pairs: native merge == size(array_intersect)
+    val pairs = both.as("a").join(both.as("b"), col("a.doc_id") < col("b.doc_id")).limit(500)
+      .select(
+        MinHashFunctions.sorted_intersect_count(col("a.native"), col("b.native")).as("ni"),
+        size(array_intersect(col("a.comp"), col("b.comp"))).cast("long").as("ci"))
+    assert(pairs.filter(col("ni") =!= col("ci")).count() === 0)
+  }
+
   test("hyperplane_buckets equals the compositional lshBucket/neardupBucket bit-for-bit") {
     val e = Tables.embeddings(spark, sf)
       .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("v"))

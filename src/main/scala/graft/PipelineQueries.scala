@@ -62,6 +62,11 @@ object PipelineQueries {
     "q49_brand_revenue" -> ((s, d) =>
       graft.operators.Relational.brandRevenue(Tables.part(s, d), Tables.supplier(s, d),
         Tables.nation(s, d), Tables.lineitem(s, d))),
+    // deterministic KMV sketch: approximate distinct count WITH an exact
+    // oracle (contrast q38, whose HLL/percentile sketches are rows-only by
+    // necessity — implementation-defined internals)
+    "q54_kmv_sketch" -> ((s, d) =>
+      graft.operators.Typed.kmvDistinct(s, Tables.lineitem(s, d))),
     // rows-only (no oracle): approximate sketches differ by implementation
     "q38_sketches" -> ((s, d) => {
       import org.apache.spark.sql.functions._
@@ -316,6 +321,26 @@ object PipelineQueries {
     "q51_typed_agg" ->
       """SELECT o_orderstatus, round(sum(o_totalprice), 2) AS total
         |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    "q54_kmv_sketch" ->
+      // kth smallest distinct md5 per group; estimate = (k-1)/frac with the
+      // exact 13-hex-digit binary fraction (every term and partial sum is
+      // exactly representable, so the double matches Spark's bit-for-bit)
+      """WITH d AS (SELECT DISTINCT l_returnflag, l_partkey FROM lineitem),
+        |h AS (SELECT l_returnflag, md5(CAST(l_partkey AS VARCHAR)) AS h FROM d),
+        |r AS (
+        |  SELECT l_returnflag, h,
+        |    row_number() OVER (PARTITION BY l_returnflag ORDER BY h) AS rn,
+        |    count(*) OVER (PARTITION BY l_returnflag) AS nd
+        |  FROM h
+        |)
+        |SELECT l_returnflag, h AS kth_hash,
+        | round(CASE WHEN nd >= 64 THEN
+        |   63 / list_sum(list_transform(generate_series(1, 13),
+        |     i -> (strpos('0123456789abcdef', substr(h, i, 1)) - 1) * power(16.0, -i)))
+        |  ELSE CAST(nd AS DOUBLE) END, 4) AS distinct_estimate,
+        | nd AS n_exact
+        |FROM r WHERE rn = least(64, nd)
+        |ORDER BY l_returnflag""".stripMargin,
     "q52_session_window" ->
       s"""WITH $SessionCtes
          |SELECT user_id,

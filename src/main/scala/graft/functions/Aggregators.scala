@@ -61,4 +61,73 @@ object Aggregators {
   }
 
   class TwoLevelSum extends TwoLevelSumOf[Double](identity)
+
+  /** Numeric value of the first `digits` hex characters of `h` as a binary
+    * fraction in [0, 1). Every term d*16^-i is exact in double (16^-i is a
+    * power of two) and every partial sum carries <= 4*digits significand
+    * bits, so with digits <= 13 the result is EXACT — any engine summing
+    * the same digits in any order produces the identical double.
+    */
+  def hexFraction(h: String, digits: Int): Double = {
+    var f = 0.0
+    var i = 1
+    while (i <= digits) {
+      f += Character.digit(h.charAt(i - 1), 16) * math.pow(16.0, -i)
+      i += 1
+    }
+    f
+  }
+
+  case class KMVEstimate(kth_hash: String, distinct_estimate: Double)
+
+  /** KMV (k-minimum-values) distinct-count sketch: keep the k smallest
+    * DISTINCT md5 hashes of the keys; estimate = (k-1)/frac(kth smallest),
+    * frac = exact 13-hex-digit fraction (see `hexFraction`). Fewer than k
+    * distinct keys -> the count is exact. Constant memory per group,
+    * associative merge — the partial/final shape of every distributive
+    * sketch at 100 TB.
+    *
+    * Unlike `approx_count_distinct` (HLL, implementation-defined, no
+    * cross-engine oracle — q38 is rows-only for that reason), the KMV
+    * sketch is DETERMINISTIC given the hash function: any engine computing
+    * "kth smallest md5" reproduces the identical sketch and estimate, so
+    * this is a sketch WITH an exact DuckDB oracle (q54).
+    *
+    * Buffer = the sorted hashes joined with ',' (md5 hex is fixed-width, so
+    * string order == numeric order); the common no-op path (hash beyond the
+    * current kth) is decided from the buffer tail without parsing.
+    */
+  class KMVSketchOf[T](f: T => String, k: Int)
+      extends Aggregator[T, String, KMVEstimate] {
+    private val W = 32 // md5 hex width
+
+    override def zero: String = ""
+
+    private def insert(b: String, h: String): String =
+      if (b.isEmpty) h
+      else {
+        val size = (b.length + 1) / (W + 1)
+        if (size >= k && h >= b.substring(b.length - W)) b
+        else {
+          val arr = b.split(',')
+          if (arr.contains(h)) b
+          else (arr :+ h).sorted.take(k).mkString(",")
+        }
+      }
+
+    override def reduce(b: String, x: T): String = insert(b, f(x))
+    override def merge(a: String, b: String): String =
+      if (b.isEmpty) a else b.split(',').foldLeft(a)(insert)
+
+    override def finish(b: String): KMVEstimate =
+      if (b.isEmpty) KMVEstimate("", 0.0)
+      else {
+        val arr = b.split(',')
+        if (arr.length < k) KMVEstimate(arr.last, arr.length.toDouble)
+        else KMVEstimate(arr.last, (k - 1) / hexFraction(arr.last, 13))
+      }
+
+    override def bufferEncoder: Encoder[String] = Encoders.STRING
+    override def outputEncoder: Encoder[KMVEstimate] = Encoders.product[KMVEstimate]
+  }
 }

@@ -15,6 +15,28 @@ object Typed {
   case class Order(o_orderkey: Long, o_custkey: Long, o_orderstatus: String,
       o_totalprice: Double)
 
+  /** KMV distinct-count sketch per return flag (typed Aggregator path):
+    * deterministic k-minimum-values over md5(l_partkey), estimate exactly
+    * reproducible by the DuckDB oracle (see Aggregators.KMVSketchOf), with
+    * the exact distinct count alongside for accuracy inspection.
+    */
+  def kmvDistinct(spark: SparkSession, lineitem: DataFrame, k: Int = 64): DataFrame = {
+    import org.apache.spark.sql.Encoders
+    implicit val pairEnc: org.apache.spark.sql.Encoder[(String, String)] =
+      Encoders.tuple(Encoders.STRING, Encoders.STRING)
+    val sketch = lineitem
+      .select(col("l_returnflag"), md5(col("l_partkey").cast("string")).as("h"))
+      .as[(String, String)]
+      .groupByKey(_._1)(Encoders.STRING)
+      .agg(new Aggregators.KMVSketchOf[(String, String)](_._2, k).toColumn.name("kmv"))
+      .toDF("l_returnflag", "kmv")
+      .select(col("l_returnflag"), col("kmv.kth_hash").as("kth_hash"),
+        round(col("kmv.distinct_estimate"), 4).as("distinct_estimate"))
+    val exact = lineitem.groupBy(col("l_returnflag"))
+      .agg(countDistinct(col("l_partkey")).as("n_exact"))
+    sketch.join(exact, "l_returnflag").orderBy(col("l_returnflag"))
+  }
+
   /** groupByKey + typed TwoLevelSum (the reference's partial+final sum as
     * an Aggregator) — output canonicalized for the oracle.
     */

@@ -17,6 +17,8 @@ object EventStreams {
   case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
       event_type: String, value: Double)
 
+  case class Doc(doc_id: Long, ts: java.sql.Timestamp, text: String)
+
   case class SessionState(sessionStart: Long, lastTs: Long, nEvents: Long, total: Double)
 
   case class SessionOut(user_id: Long, session_start_epoch: Long, n_events: Long,
@@ -111,6 +113,22 @@ object EventStreams {
         col("c_ts") <= col("p_ts") &&
         col("c_ts") >= col("p_ts") - expr(s"INTERVAL $windowSeconds SECONDS"))
   }
+
+  /** Streaming exact dedup — the streaming twin of `Dedup.exactDedup`'s
+    * fingerprint rule: md5 of whitespace-normalized lowercased text.
+    * `dropDuplicatesWithinWatermark` dedups on the fingerprint alone while
+    * evicting state once the watermark passes a key's horizon — a duplicate
+    * arriving more than `delay` after its original is NOT suppressed. That
+    * is the documented at-scale trade: exact dedup within the horizon,
+    * bounded state forever (the alternative, `dropDuplicates` without an
+    * event-time key, never evicts and OOMs on an unbounded corpus stream).
+    */
+  def dedupStream(docs: DataFrame, delay: String = "1 hour"): DataFrame =
+    docs
+      .withColumn("fingerprint",
+        md5(regexp_replace(trim(lower(col("text"))), " +", " ")))
+      .withWatermark("ts", delay)
+      .dropDuplicatesWithinWatermark("fingerprint")
 
   /** Batch-parquet replay of the streaming hourly agg: read the events
     * fixture as a bounded stream (one file per microbatch is the real

@@ -203,6 +203,25 @@ class FunctionsSpec extends GraftSuite {
     assert(math.abs(m2.mean - m.mean) < 1e-9)
   }
 
+  test("KMV sketch: partition-invariant, exact under k, within tolerance over k") {
+    val li = Tables.lineitem(spark, sf)
+    val a = graft.operators.Typed.kmvDistinct(spark, li).collect()
+    val b = graft.operators.Typed.kmvDistinct(spark, li.repartition(13)).collect()
+    assert(a.map(_.toSeq).toSeq === b.map(_.toSeq).toSeq,
+      "sketch must be invariant to partitioning (canonical k-smallest set)")
+    assert(a.nonEmpty)
+    a.foreach { r =>
+      val est = r.getDouble(2); val exact = r.getLong(3)
+      assert(exact > 64, "fixture groups must exercise the estimator path")
+      assert(math.abs(est - exact) / exact < 0.5,
+        s"estimate $est too far from exact $exact (k=64, ~4 sigma bound)")
+    }
+    // fewer distinct keys than k: the count is exact by construction
+    val s = graft.operators.Typed.kmvDistinct(spark, li.limit(40)).collect()
+    assert(s.nonEmpty)
+    s.foreach(r => assert(r.getDouble(2) === r.getLong(3).toDouble))
+  }
+
   test("TwoLevelSum: reduce/merge equals sum (reference partial+final agg)") {
     import spark.implicits._
     val values = Tables.orders(spark, sf).select(col("o_totalprice")).as[Double]

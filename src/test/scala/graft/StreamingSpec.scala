@@ -117,6 +117,37 @@ class StreamingSpec extends GraftSuite {
     assert(closed(0).total_value === 3.0)
   }
 
+  test("streaming dedup: suppresses within the watermark horizon, evicts state beyond it") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[EventStreams.Doc]
+    val q = EventStreams.dedupStream(input.toDF(), delay = "30 minutes")
+      .select("doc_id")
+      .writeStream.outputMode("append").format("memory").queryName("dedup_out").start()
+
+    def doc(id: Long, tsSec: Long, text: String) =
+      EventStreams.Doc(id, new Timestamp(tsSec * 1000), text)
+    def ids: Set[Long] =
+      spark.table("dedup_out").collect().map(_.getLong(0)).toSet
+
+    // same fingerprint after case/whitespace normalization: 1 and 2 collide
+    input.addData(doc(1, 1000, "hello  world"), doc(2, 1100, "Hello world"),
+      doc(3, 1200, "unique text"))
+    q.processAllAvailable()
+    assert(ids === Set(1L, 3L))
+    // still within the horizon -> suppressed
+    input.addData(doc(4, 1300, "hello world"))
+    q.processAllAvailable()
+    assert(ids === Set(1L, 3L))
+    // push the watermark far past 1300 + 30min -> key state evicted
+    input.addData(doc(5, 100000, "filler"))
+    q.processAllAvailable()
+    input.addData(doc(6, 100100, "hello world"))
+    q.processAllAvailable()
+    q.stop()
+    assert(ids.contains(6L), "evicted key must be re-admitted past the horizon")
+  }
+
   test("sessionize flushes the final open session when the watermark passes its gap") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

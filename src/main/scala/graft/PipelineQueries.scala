@@ -28,6 +28,7 @@ object PipelineQueries {
     "q28_dedup_simhash"    -> ((s, d) => Dedup.simhashPairs(Tables.documents(s, d))),
     "q29_cosine_topk"      -> ((s, d) => Similarity.cosineTopK(Tables.embeddings(s, d))),
     "q30_lsh_ann"          -> ((s, d) => Similarity.lshCosineTopK(Tables.embeddings(s, d))),
+    "q55_ivf_ann"          -> ((s, d) => Similarity.ivfCosineTopK(Tables.embeddings(s, d))),
     "q31_label_cohesion"   -> ((s, d) => Similarity.labelCohesion(Tables.embeddings(s, d))),
     "q32_events_hourly"    -> ((s, d) => Events.hourlyAgg(Tables.events(s, d))),
     "q33_sessionize"       -> ((s, d) => Events.sessionize(Tables.events(s, d))),
@@ -408,6 +409,43 @@ object PipelineQueries {
          |scored AS (
          |  SELECT query_id, e.vec_id AS neighbor_id, round(${cosSql("qv", "v")}, 6) AS cos
          |  FROM e JOIN q ON bit_count(xor(e.bucket, q.qbucket)) <= 1 AND e.vec_id <> q.query_id
+         |),
+         |ranked AS (
+         |  SELECT query_id, neighbor_id, cos,
+         |    CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS INT) AS rnk
+         |  FROM scored
+         |)
+         |SELECT query_id, neighbor_id, cos, rnk FROM ranked WHERE rnk <= 3
+         |ORDER BY query_id, rnk""".stripMargin,
+    "q55_ivf_ann" ->
+      // replicate the deterministic IVF exactly: md5-coreset centroids,
+      // argmin assignment with (rounded -cos, cid) tie-break, 2-probe
+      // query cells, exact top-3 within the probed cells
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |cent AS (
+         |  SELECT vec_id AS cid, v AS cv FROM e
+         |  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16
+         |),
+         |assigned AS (
+         |  SELECT vec_id, v, cid FROM (
+         |    SELECT e.vec_id, e.v, c.cid,
+         |      row_number() OVER (PARTITION BY e.vec_id
+         |        ORDER BY round(-(${cosSql("e.v", "c.cv")}), 6), c.cid) AS rn
+         |    FROM e CROSS JOIN cent c
+         |  ) WHERE rn = 1
+         |),
+         |probes AS (
+         |  SELECT query_id, qv, cid FROM (
+         |    SELECT q.vec_id AS query_id, q.v AS qv, c.cid,
+         |      row_number() OVER (PARTITION BY q.vec_id
+         |        ORDER BY round(-(${cosSql("q.v", "c.cv")}), 6), c.cid) AS rn
+         |    FROM e q CROSS JOIN cent c WHERE q.vec_id < 5
+         |  ) WHERE rn <= 2
+         |),
+         |scored AS (
+         |  SELECT p.query_id, a.vec_id AS neighbor_id,
+         |    round(${cosSql("p.qv", "a.v")}, 6) AS cos
+         |  FROM probes p JOIN assigned a ON a.cid = p.cid AND a.vec_id <> p.query_id
          |),
          |ranked AS (
          |  SELECT query_id, neighbor_id, cos,

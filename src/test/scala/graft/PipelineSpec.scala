@@ -60,6 +60,26 @@ class PipelineSpec extends GraftSuite {
     assert(joined.filter($"cos_bf".isNull || $"cos" =!= $"cos_bf").count() === 0)
   }
 
+  test("IVF ANN: cos values exact on shared pairs; more probes never lower recall") {
+    val brute = Similarity.cosineTopK(embs, nQueries = 5, k = 500)
+      .select($"query_id", $"neighbor_id", $"cos".as("cos_bf"))
+    val ivf = Similarity.ivfCosineTopK(embs)
+    // every reported cosine is the exact brute-force value (IVF prunes
+    // candidates, never perturbs scores)
+    val joined = ivf.join(brute, Seq("query_id", "neighbor_id"), "left")
+    assert(joined.filter($"cos_bf".isNull || $"cos" =!= $"cos_bf").count() === 0)
+    def found(nProbe: Int) =
+      Similarity.ivfCosineTopK(embs, nProbe = nProbe).select($"query_id", $"neighbor_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = found(16) // probing every cell == exact top-k
+    val p1 = found(1); val p2 = found(2)
+    assert((exact intersect p2).size >= (exact intersect p1).size,
+      "probing more cells must not lower recall")
+    assert(exact === Similarity.cosineTopK(embs, nQueries = 5, k = 3)
+      .select($"query_id", $"neighbor_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet,
+      "all-cells IVF must equal brute force")
+  }
+
   test("multi-probe LSH ANN: recall never below single-probe; planted neighbor at rank 1") {
     def found(df: org.apache.spark.sql.DataFrame) =
       df.select($"query_id", $"neighbor_id").collect()

@@ -119,13 +119,16 @@ class PipelineSpec extends GraftSuite {
     assert(found.exists(r => r.getLong(1) === 9999L && math.abs(r.getDouble(2) - 1.0) < 1e-6))
   }
 
-  test("registered embedding near-dup plan joins on buckets — no cartesian, no nested loop") {
+  test("registered embedding near-dup and IVF plans stay equi-join — no cartesian, no nested loop") {
     // the exact ground-truth path is the only one allowed to cross the
-    // corpus; the registered (LSH) path must stay equi-join only
-    val plan = Similarity.embeddingNearDup(embs, threshold = 0.45)
-      .queryExecution.executedPlan.toString
-    assert(!plan.contains("CartesianProduct"), plan.take(2000))
-    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(2000))
+    // corpus; every registered approximate path must stay equi-join only
+    for (df <- Seq(
+        Similarity.embeddingNearDup(embs, threshold = 0.45),
+        Similarity.ivfCosineTopK(embs))) {
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct"), plan.take(2000))
+      assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(2000))
+    }
   }
 
   test("cosine top-k excludes self and is correctly ranked") {

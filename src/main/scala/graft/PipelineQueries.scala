@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.operators.{Dedup, Events, Extended, Multimodal, Scale, Similarity, TextAnalysis}
+import graft.operators.{Dedup, Events, Extended, Multimodal, Sampling, Scale, Similarity, TextAnalysis}
 import graft.sources.Tables
 
 /** LLM-training-data-pipeline queries (SURVEY.md §2.2 ➕) and their DuckDB
@@ -63,6 +63,9 @@ object PipelineQueries {
     "q49_brand_revenue" -> ((s, d) =>
       graft.operators.Relational.brandRevenue(Tables.part(s, d), Tables.supplier(s, d),
         Tables.nation(s, d), Tables.lineitem(s, d))),
+    "q56_stratified_sample" -> ((s, d) => Sampling.stratifiedSample(Tables.documents(s, d))),
+    "q57_train_test_split"  -> ((s, d) => Sampling.trainTestSplit(Tables.documents(s, d))),
+    "q58_pack_offsets"      -> ((s, d) => Sampling.packByTokenOffset(Tables.documents(s, d))),
     // deterministic KMV sketch: approximate distinct count WITH an exact
     // oracle (contrast q38, whose HLL/percentile sketches are rows-only by
     // necessity — implementation-defined internals)
@@ -322,6 +325,35 @@ object PipelineQueries {
     "q51_typed_agg" ->
       """SELECT o_orderstatus, round(sum(o_totalprice), 2) AS total
         |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    "q56_stratified_sample" ->
+      """WITH ranked AS (
+        |  SELECT lang AS stratum, doc_id,
+        |    row_number() OVER (PARTITION BY lang
+        |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+        |  FROM documents
+        |)
+        |SELECT stratum, doc_id FROM ranked WHERE rn <= 20
+        |ORDER BY stratum, doc_id""".stripMargin,
+    "q57_train_test_split" ->
+      """SELECT CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '0d'
+        |         THEN 'test' ELSE 'train' END AS split,
+        | count(*) AS n_docs,
+        | CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_tokens
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q58_pack_offsets" ->
+      """WITH t AS (
+        |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS tok
+        |  FROM documents
+        |),
+        |c AS (
+        |  SELECT doc_id, tok,
+        |    sum(tok) OVER (ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - tok AS off
+        |  FROM t
+        |)
+        |SELECT CAST(off // 2048 AS BIGINT) AS bin, count(*) AS n_docs,
+        | CAST(sum(tok) AS BIGINT) AS total_tokens
+        |FROM c GROUP BY 1 ORDER BY 1""".stripMargin,
     "q54_kmv_sketch" ->
       // kth smallest distinct md5 per group; estimate = (k-1)/frac with the
       // exact 13-hex-digit binary fraction (every term and partial sum is

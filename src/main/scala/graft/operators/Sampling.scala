@@ -1,0 +1,94 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Dataset-curation operators for the training-data pipeline (SURVEY.md
+  * §2.2 ➕): stratified sampling, deterministic corpus splits, and
+  * token-offset packing. All three are hash-deterministic (md5 shuffle
+  * keys, no rand()) so any engine reproduces them exactly — sampling a
+  * training set must be replayable, not merely random.
+  */
+object Sampling {
+
+  /** Fixed-size stratified sample: the `perStratum` rows of each stratum
+    * with the smallest md5(doc_id) — a deterministic pseudo-random draw
+    * whose size is bounded by strata * perStratum regardless of corpus
+    * size. Selected with the same salted two-stage rank as
+    * `Similarity.labelCohesion` so a low-cardinality stratum column never
+    * funnels the corpus through a handful of reducers.
+    */
+  def stratifiedSample(documents: DataFrame, stratum: String = "lang",
+      perStratum: Int = 20): DataFrame = {
+    val keyed = documents
+      .select($"doc_id", col(stratum).as("stratum"))
+      .withColumn("rkey", md5($"doc_id".cast("string")))
+      .withColumn("salt", pmod(xxhash64($"doc_id"), lit(64)))
+    val preW = Window.partitionBy($"stratum", $"salt").orderBy($"rkey", $"doc_id")
+    val finalists = keyed
+      .withColumn("prn", row_number().over(preW))
+      .filter($"prn" <= perStratum)
+    val w = Window.partitionBy($"stratum").orderBy($"rkey", $"doc_id")
+    finalists
+      .withColumn("rn", row_number().over(w))
+      .filter($"rn" <= perStratum)
+      .select($"stratum", $"doc_id")
+      .orderBy($"stratum", $"doc_id")
+  }
+
+  /** Deterministic train/test split by hash range: a document lands in
+    * `test` iff the first two hex digits of md5(doc_id) fall below the
+    * cut (13/256 ~ 5.1% with the default). Stable under corpus growth —
+    * a doc's split never changes when other docs arrive, the property a
+    * replayable eval holdout needs (rand() or modulo-on-row-number both
+    * lack it). Output: per-split doc and whitespace-token totals.
+    */
+  def trainTestSplit(documents: DataFrame, testCutHex: String = "0d"): DataFrame =
+    documents
+      .select($"doc_id",
+        size(split($"text", " ")).cast("bigint").as("tok"),
+        when(substring(md5($"doc_id".cast("string")), 1, 2) < testCutHex, "test")
+          .otherwise("train").as("split"))
+      .groupBy($"split")
+      .agg(count(lit(1)).as("n_docs"), sum($"tok").as("total_tokens"))
+      .orderBy($"split")
+
+  /** Token-offset packing: concatenate the corpus in doc_id order and
+    * shard it into fixed `budget`-token bins by STARTING offset (the
+    * pretraining-style "concatenate then cut every N tokens" sharding; a
+    * document straddling a boundary belongs to the bin its first token
+    * lands in). Per-bin document and token counts.
+    *
+    * The prefix sum is distributed: per-range subtotals (doc_id div
+    * `bucketWidth`) collect to the driver — one tiny row per range — and
+    * come back as broadcast base offsets for an in-range window cumsum, so
+    * no global single-partition window ever exists. Deterministic and
+    * identical to the naive global running sum (the oracle's form).
+    */
+  def packByTokenOffset(documents: DataFrame, budget: Long = 2048L,
+      bucketWidth: Long = 1024L): DataFrame = {
+    val spark = documents.sparkSession
+    val toks = documents.select($"doc_id",
+      size(split($"text", " ")).cast("bigint").as("tok"))
+      .withColumn("bkt", expr(s"doc_id div $bucketWidth"))
+    // tiny: one row per doc_id range; fold the running base offset on the
+    // driver and ship it back as a broadcast dimension
+    val subtotals = toks.groupBy($"bkt").agg(sum($"tok").as("t"))
+      .orderBy($"bkt").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val baseRows = subtotals
+      .scanLeft((0L, 0L, 0L)) { case ((_, acc, prevT), (b, t)) => (b, acc + prevT, t) }
+      .drop(1).map { case (b, base, _) => (b, base) }.toSeq
+    import spark.implicits.{localSeqToDatasetHolder, newProductEncoder}
+    val baseDf = baseRows.toDF("bkt", "base")
+    val inRange = Window.partitionBy($"bkt").orderBy($"doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    toks
+      .join(broadcast(baseDf), Seq("bkt"))
+      .withColumn("off", $"base" + sum($"tok").over(inRange) - $"tok")
+      .select($"doc_id", $"tok", expr(s"off div $budget").as("bin"))
+      .groupBy($"bin")
+      .agg(count(lit(1)).as("n_docs"), sum($"tok").as("total_tokens"))
+      .orderBy($"bin")
+  }
+}

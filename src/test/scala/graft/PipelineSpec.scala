@@ -167,6 +167,39 @@ class PipelineSpec extends GraftSuite {
     assert(batched === exprForm)
   }
 
+  test("sampling: fixed-size strata, growth-stable split, packing conserves tokens") {
+    import graft.operators.Sampling
+    // stratified: at most 20 per stratum, deterministic across runs
+    val s1 = Sampling.stratifiedSample(docs).collect().map(r => (r.getString(0), r.getLong(1)))
+    val s2 = Sampling.stratifiedSample(docs).collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(s1.sameElements(s2))
+    assert(s1.groupBy(_._1).forall(_._2.length <= 20))
+    // split: a doc's assignment is unchanged when the corpus shrinks (hash
+    // range, not rate) — totals over a half-corpus agree with recomputing
+    val half = docs.filter($"doc_id" % 2 === 0)
+    val full = Sampling.trainTestSplit(docs)
+    val sub  = Sampling.trainTestSplit(half)
+    // both must show both splits and the sub-corpus counts can't exceed full
+    val fullMap = full.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val subMap  = sub.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(fullMap.keySet === Set("train", "test"))
+    subMap.foreach { case (k, v) => assert(v <= fullMap(k)) }
+    // packing: token totals conserved; two-phase prefix sum == naive window
+    val packed = Sampling.packByTokenOffset(docs)
+    val corpusTokens = docs.select(sum(size(split($"text", " ")).cast("bigint")))
+      .collect()(0).getLong(0)
+    assert(packed.agg(sum($"total_tokens")).collect()(0).getLong(0) === corpusTokens)
+    import org.apache.spark.sql.expressions.Window
+    val naive = docs
+      .select($"doc_id", size(split($"text", " ")).cast("bigint").as("tok"))
+      .withColumn("off", sum($"tok").over(
+        Window.orderBy($"doc_id").rowsBetween(Window.unboundedPreceding, Window.currentRow)) - $"tok")
+      .select(expr("off div 2048").as("bin"), $"tok")
+      .groupBy($"bin").agg(count(lit(1)).as("n_docs"), sum($"tok").as("total_tokens"))
+      .orderBy($"bin")
+    assert(packed.collect().map(_.toSeq).toSeq === naive.collect().map(_.toSeq).toSeq)
+  }
+
   test("multimodal: every doc becomes an asset; frame sampling is deterministic") {
     val profile = Multimodal.mediaProfile(docs)
     assert(profile.agg(sum($"n_assets")).collect()(0).getLong(0) === docs.count())

@@ -48,9 +48,21 @@ object Tables {
         .toString.hashCode.toLong & 0xffffffffL)
     val root = sys.env.getOrElse("SPARK_GRAFT_EVENTS_CACHE", "target/graft-events-cache")
     val dest = new java.io.File(root, key)
+    def ready = new java.io.File(dest, "_SUCCESS").isFile
     Tables.synchronized {
-      if (!new java.io.File(dest, "_SUCCESS").isFile) {
-        load(spark, dir, "events").write.mode("overwrite").parquet(dest.toString)
+      if (!ready) {
+        // write to a process-private temp dir, then atomically rename into
+        // place — concurrent JVMs either win the rename or discard their
+        // copy, never observe a half-written cache
+        val tmp = new java.io.File(root, s"$key.tmp${ProcessHandle.current().pid()}")
+        load(spark, dir, "events").write.mode("overwrite").parquet(tmp.toString)
+        if (!(tmp.renameTo(dest) || ready)) {
+          throw new IllegalStateException(s"events cache rename failed: $tmp -> $dest")
+        }
+        if (tmp.exists()) { // lost the race: another process already cached
+          import scala.reflect.io.Directory
+          new Directory(tmp).deleteRecursively()
+        }
       }
     }
     spark.read.parquet(dest.toString)

@@ -64,6 +64,7 @@ object PipelineQueries {
       graft.operators.Relational.brandRevenue(Tables.part(s, d), Tables.supplier(s, d),
         Tables.nation(s, d), Tables.lineitem(s, d))),
     "q56_stratified_sample" -> ((s, d) => Sampling.stratifiedSample(Tables.documents(s, d))),
+    "q59_range_join"        -> ((s, d) => Extended.priceBandJoin(Tables.orders(s, d))),
     "q57_train_test_split"  -> ((s, d) => Sampling.trainTestSplit(Tables.documents(s, d))),
     "q58_pack_offsets"      -> ((s, d) => Sampling.packByTokenOffset(Tables.documents(s, d))),
     // deterministic KMV sketch: approximate distinct count WITH an exact
@@ -325,6 +326,14 @@ object PipelineQueries {
     "q51_typed_agg" ->
       """SELECT o_orderstatus, round(sum(o_totalprice), 2) AS total
         |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    "q59_range_join" -> {
+      val bandRows = Extended.PriceBands
+        .map { case (b, lo, hi) => s"('$b', $lo, $hi)" }.mkString(", ")
+      s"""WITH bands(band, lo, hi) AS (VALUES $bandRows)
+         |SELECT band, count(*) AS n, round(sum(o_totalprice), 2) AS total
+         |FROM orders JOIN bands ON o_totalprice >= lo AND o_totalprice < hi
+         |GROUP BY band ORDER BY band""".stripMargin
+    },
     "q56_stratified_sample" ->
       """WITH ranked AS (
         |  SELECT lang AS stratum, doc_id,

@@ -64,6 +64,46 @@ object Extended {
       .na.fill(0, EventTypes)
       .orderBy($"user_id")
 
+  /** Price bands for the range join: irregular [lo, hi) intervals with a
+    * sort-stable label prefix.
+    */
+  val PriceBands: Seq[(String, Double, Double)] = Seq(
+    ("b1_budget", 0.0, 50000.0),
+    ("b2_standard", 50000.0, 150000.0),
+    ("b3_premium", 150000.0, 300000.0),
+    ("b4_flagship", 300000.0, 600000.0))
+
+  private val BandBucketWidth = 50000.0
+
+  /** Range (interval-containment) join: each order joins the band whose
+    * [lo, hi) interval contains its total price — the brief's "range join"
+    * custom operator, built with the interval-bucketing trick instead of a
+    * theta join: each band explodes into the fixed-width buckets it
+    * overlaps, the fact side computes its bucket, and the join is an
+    * EQUI-join on bucket followed by the containment filter. With a
+    * four-row band table Spark would happily nested-loop a broadcast; the
+    * bucketed shape is the one that still works when the interval table is
+    * millions of rows (IP ranges, time windows) — candidate pairs are
+    * bounded by overlap, not |fact| x |intervals|.
+    */
+  def priceBandJoin(orders: DataFrame): DataFrame = {
+    val spark = orders.sparkSession
+    import spark.implicits.{localSeqToDatasetHolder, newProductEncoder}
+    val bands = PriceBands.toDF("band", "lo", "hi")
+      .withColumn("bucket",
+        explode(sequence(
+          ($"lo" / BandBucketWidth).cast("long"),
+          // hi is exclusive: the last overlapped bucket starts below hi
+          (($"hi" - 0.01) / BandBucketWidth).cast("long"))))
+    orders
+      .withColumn("bucket", ($"o_totalprice" / BandBucketWidth).cast("long"))
+      .join(bands, Seq("bucket"))
+      .filter($"o_totalprice" >= $"lo" && $"o_totalprice" < $"hi")
+      .groupBy($"band")
+      .agg(count(lit(1)).as("n"), round(sum($"o_totalprice"), 2).as("total"))
+      .orderBy($"band")
+  }
+
   /** As-of join composed from built-ins: each purchase event picks up the
     * most recent click value at-or-before it for the same user. Union the
     * two tagged streams, one window pass per user ordered by time carrying

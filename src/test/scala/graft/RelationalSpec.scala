@@ -33,6 +33,27 @@ class RelationalSpec extends GraftSuite {
     }
   }
 
+  test("range join: bucketed form equals the naive theta join, plan stays equi-join") {
+    import graft.operators.Extended
+    val orders = Tables.orders(spark, sf)
+    val bucketed = Extended.priceBandJoin(orders)
+    // naive containment theta join (the oracle's shape) as the ground truth
+    val naive = {
+      import spark.implicits.{localSeqToDatasetHolder, newProductEncoder}
+      val bands = Extended.PriceBands.toDF("band", "lo", "hi")
+      orders.join(bands, col("o_totalprice") >= col("lo") && col("o_totalprice") < col("hi"))
+        .groupBy(col("band"))
+        .agg(count(lit(1)).as("n"), round(sum(col("o_totalprice")), 2).as("total"))
+        .orderBy(col("band"))
+    }
+    assert(bucketed.collect().map(_.toSeq).toSeq === naive.collect().map(_.toSeq).toSeq)
+    // every order lands in exactly one band
+    assert(bucketed.agg(sum(col("n"))).collect()(0).getLong(0) === orders.count())
+    val plan = bucketed.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      plan.take(2000))
+  }
+
   test("orphan check: fact FK integrity holds (reference asserts via throw, D/Program.cs:310)") {
     val n = Relational
       .orphanCheck(Tables.orders(spark, sf), Tables.customer(spark, sf))

@@ -176,29 +176,51 @@ object VectorFunctions {
     ColumnBridge.column(HyperplaneBuckets(
       toDoubleArray(ColumnBridge.expression(v)), tables, bits))
 
-  /** Register as SQL functions on an existing session (tests / notebooks). */
-  def register(spark: org.apache.spark.sql.SparkSession): Unit = {
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "cosine_sim", exprs => CosineSimilarity(exprs.head, exprs(1)), "built-in")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "dot_product", exprs => DotProduct(exprs.head, exprs(1)), "built-in")
+  /** Builders shared by ad-hoc registration and GraftExtensions injection.
+    * Parameter positions that must be compile-time constants (shingle
+    * width, hash counts, table/bit counts) accept foldable int literals.
+    */
+  private[functions] def intArg(e: Expression, what: String): Int = e match {
+    case f if f.foldable => f.eval() match {
+      case i: Int => i
+      case l: Long => l.toInt
+      case other => throw new IllegalArgumentException(s"$what must be an int literal, got $other")
+    }
+    case _ => throw new IllegalArgumentException(s"$what must be a literal")
   }
+
+  private[functions] val SqlFunctions: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    "cosine_sim" -> (exprs => CosineSimilarity(exprs.head, exprs(1))),
+    "dot_product" -> (exprs => DotProduct(exprs.head, exprs(1))),
+    "hyperplane_buckets" -> (exprs => HyperplaneBuckets(exprs.head,
+      intArg(exprs(1), "tables"), intArg(exprs(2), "bits"))),
+    "minhash_signature" -> (exprs => MinHashSignature(exprs.head,
+      intArg(exprs(1), "n"), intArg(exprs(2), "numHashes"))),
+    "simhash_signature" -> (exprs => SimHashSignature(exprs.head, intArg(exprs(1), "n"))),
+    "shingle_hashes" -> (exprs => ShingleHashes(exprs.head, intArg(exprs(1), "n"))),
+    "sorted_intersect_count" -> (exprs => SortedIntersectCount(exprs.head, exprs(1))))
+
+  /** Register as SQL functions on an existing session (tests / notebooks). */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+    SqlFunctions.foreach { case (name, builder) =>
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(name, builder, "built-in")
+    }
 }
 
 /** Session-extension injection (`spark.sql.extensions=graft.functions.
-  * GraftExtensions`) — the production path for making the native functions
-  * available to pure-SQL users cluster-wide.
+  * GraftExtensions`) — the production path for making ALL of the engine's
+  * native expressions (vector similarity, dedup signatures, shingle-set
+  * verification) available to pure-SQL users cluster-wide, alongside the
+  * dot-product optimizer rewrite.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectOptimizerRule(_ => graft.plans.DotProductRewrite)
-    e.injectFunction((
-      new FunctionIdentifier("cosine_sim"),
-      new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_sim"),
-      (exprs: Seq[Expression]) => CosineSimilarity(exprs.head, exprs(1))))
-    e.injectFunction((
-      new FunctionIdentifier("dot_product"),
-      new ExpressionInfo(classOf[DotProduct].getName, "dot_product"),
-      (exprs: Seq[Expression]) => DotProduct(exprs.head, exprs(1))))
+    VectorFunctions.SqlFunctions.foreach { case (name, builder) =>
+      e.injectFunction((
+        new FunctionIdentifier(name),
+        new ExpressionInfo(classOf[GraftExtensions].getName, name),
+        builder))
+    }
   }
 }

@@ -40,6 +40,23 @@ class FunctionsSpec extends GraftSuite {
     assert(math.abs(row.getDouble(0) - 1.0) < 1e-9)
   }
 
+  test("SQL registration: signature/shingle functions callable with literal params") {
+    VectorFunctions.register(spark)
+    Tables.documents(spark, sf).createOrReplaceTempView("docs_t")
+    val r = spark.sql(
+      """SELECT size(minhash_signature(text, 5, 126)) AS m,
+        |       simhash_signature(text, 5) AS s,
+        |       sorted_intersect_count(shingle_hashes(text, 5), shingle_hashes(text, 5)) AS i,
+        |       size(shingle_hashes(text, 5)) AS n
+        |FROM docs_t LIMIT 1""".stripMargin).collect()(0)
+    assert(r.getInt(0) === 126)
+    assert(r.getLong(2) === r.getInt(3).toLong, "self-intersection == set size")
+    // non-literal width must fail analysis with a clear message
+    val ex = intercept[Exception](
+      spark.sql("SELECT minhash_signature(text, CAST(size(split(text, ' ')) AS INT), 126) FROM docs_t").collect())
+    assert(ex.getMessage.contains("literal"))
+  }
+
   test("cosineTopKNative equals cosineTopK") {
     val a = Similarity.cosineTopK(Tables.embeddings(spark, sf)).collect().toSeq
     val b = Similarity.cosineTopKNative(Tables.embeddings(spark, sf)).collect().toSeq

@@ -60,6 +60,66 @@ class PropertySpec extends GraftSuite {
     }
   }
 
+  test("property: simhash pigeonhole banding finds EVERY pair within the hamming budget") {
+    import spark.implicits._
+    // adversarial near-dup corpora: clusters of texts derived from a base by
+    // tiny edits, plus unrelated noise — recall 1 is a structural guarantee
+    // of the bit-slice banding, not probabilistic, so NO qualifying pair may
+    // ever be missing
+    val word = Gen.oneOf("alpha", "beta", "gamma", "delta", "omega", "sigma")
+    val baseGen = Gen.listOfN(40, word).map(_.mkString(" "))
+    samples(Gen.listOfN(4, baseGen), 4).foreach { bases =>
+      val docs = bases.zipWithIndex.flatMap { case (b, i) =>
+        Seq((i * 10L, b), (i * 10L + 1, b.replaceFirst("a", "o")), (i * 10L + 2, b + " tail"))
+      }.toDF("doc_id", "text")
+      val viaBanding = graft.operators.Dedup.simhashPairs(docs).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      // ground truth: all-pairs over the signatures themselves
+      val sigs = graft.operators.Dedup.simhashSignatures(docs).collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+      val allPairs = (for {
+        (id1, s1) <- sigs; (id2, s2) <- sigs if id1 < id2
+        if java.lang.Long.bitCount(s1 ^ s2) <= 1
+      } yield (id1, id2)).toSet
+      assert(viaBanding === allPairs)
+    }
+  }
+
+  test("property: sorted_intersect_count equals Set intersection on generated arrays") {
+    import graft.functions.MinHashFunctions
+    import spark.implicits._
+    val arrGen = Gen.listOf(Gen.choose(-50L, 50L)).map(_.distinct.sorted)
+    samples(Gen.zip(arrGen, arrGen), 24).foreach { case (a, b) =>
+      val expected = a.toSet.intersect(b.toSet).size.toLong
+      val got = Seq((a, b)).toDF("a", "b")
+        .select(MinHashFunctions.sorted_intersect_count(col("a"), col("b")))
+        .collect()(0).getLong(0)
+      assert(got === expected, s"a=$a b=$b")
+    }
+  }
+
+  test("property: KMV estimate is exact below k and partition-invariant above it") {
+    import spark.implicits._
+    val idsGen = Gen.choose(5, 300).flatMap(n => Gen.listOfN(n, Gen.choose(0L, 10000L)))
+    samples(idsGen, 6).foreach { ids =>
+      val df = ids.map(id => ("g", id)).toDF("grp", "k")
+        .select(col("grp"), md5(col("k").cast("string")).as("h"))
+      implicit val enc = org.apache.spark.sql.Encoders.tuple(
+        org.apache.spark.sql.Encoders.STRING, org.apache.spark.sql.Encoders.STRING)
+      def run(parts: Int) = df.repartition(parts).as[(String, String)]
+        .groupByKey(_._1)(org.apache.spark.sql.Encoders.STRING)
+        .agg(new graft.functions.Aggregators.KMVSketchOf[(String, String)](_._2, 64)
+          .toColumn.name("kmv"))
+        .collect().head._2
+      val one = run(1); val many = run(7)
+      assert(one === many, "sketch must not depend on partitioning")
+      val nd = ids.distinct.size
+      if (nd < 64) assert(one.distinct_estimate === nd.toDouble)
+      else assert(math.abs(one.distinct_estimate - nd) / nd < 0.6,
+        s"estimate ${one.distinct_estimate} vs exact $nd")
+    }
+  }
+
   test("property: jaccard is symmetric-keyed, bounded, and 1 for identical texts") {
     import spark.implicits._
     val textGen = Gen.listOfN(30, Gen.oneOf("data", "spark", "row", "key", "agg"))

@@ -115,7 +115,13 @@ object Aggregators {
         }
       }
 
-    override def reduce(b: String, x: T): String = insert(b, f(x))
+    override def reduce(b: String, x: T): String = {
+      // null keys carry no hash and are excluded from the distinct count —
+      // the same convention as SQL count(DISTINCT), and it keeps a null
+      // from poisoning the buffer
+      val h = f(x)
+      if (h == null) b else insert(b, h)
+    }
     override def merge(a: String, b: String): String =
       if (b.isEmpty) a else b.split(',').foldLeft(a)(insert)
 

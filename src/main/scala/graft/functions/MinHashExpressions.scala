@@ -162,10 +162,14 @@ object ShingleHashes {
 /** Intersection size of two SORTED long arrays (merge scan — no per-row
   * hash set, no materialized intersection array). Pairs with
   * `ShingleHashes` for exact-Jaccard verification:
-  * jaccard = i / (|a| + |b| - i).
+  * jaccard = i / (|a| + |b| - i). A null array element yields NULL (the
+  * count is undefined on a partially-known set), mirroring the null
+  * semantics of the vector expressions.
   */
 case class SortedIntersectCount(left: Expression, right: Expression)
     extends BinaryExpression with Serializable {
+
+  override def nullable: Boolean = true
 
   override def checkInputDataTypes(): TypeCheckResult = {
     val ok = Seq(left, right).forall(_.dataType match {
@@ -186,17 +190,27 @@ case class SortedIntersectCount(left: Expression, right: Expression)
     SortedIntersectCount.compute(l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData])
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    nullSafeCodeGen(ctx, ev, (a, b) =>
-      s"${ev.value} = graft.functions.SortedIntersectCount.compute($a, $b);")
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val res = ctx.freshName("res")
+      s"""
+         |java.lang.Long $res = graft.functions.SortedIntersectCount.compute($a, $b);
+         |if ($res == null) { ${ev.isNull} = true; } else { ${ev.value} = $res.longValue(); }
+       """.stripMargin
+    })
 
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
     copy(left = l, right = r)
 }
 
 object SortedIntersectCount {
-  def compute(a: ArrayData, b: ArrayData): Long = {
+  /** Boxed so the null result survives the codegen boundary. */
+  def compute(a: ArrayData, b: ArrayData): java.lang.Long = {
     val na = a.numElements(); val nb = b.numElements()
-    var i = 0; var j = 0; var c = 0L
+    var i = 0
+    while (i < na) { if (a.isNullAt(i)) return null; i += 1 }
+    var j0 = 0
+    while (j0 < nb) { if (b.isNullAt(j0)) return null; j0 += 1 }
+    i = 0; var j = 0; var c = 0L
     while (i < na && j < nb) {
       val x = a.getLong(i); val y = b.getLong(j)
       if (x == y) { c += 1; i += 1; j += 1 }
@@ -327,6 +341,15 @@ object HyperplaneBuckets {
   def compute(v: ArrayData, tables: Int, bits: Int): ArrayData = {
     val dim = v.numElements()
     val out = new Array[Long](tables)
+    // a null element nullifies EVERY projection in the compositional form
+    // (zip_with propagates it through the fold), and when(null > 0) takes
+    // the otherwise-0 branch for every bit — so the equivalent here is
+    // all-zero buckets, never a read of the null slot
+    var i = 0
+    while (i < dim) {
+      if (v.isNullAt(i)) return new GenericArrayData(out)
+      i += 1
+    }
     var t = 0
     while (t < tables) {
       var bucket = 0L
@@ -334,13 +357,17 @@ object HyperplaneBuckets {
       while (b < bits) {
         val plane = t * bits + b
         var proj = 0.0
-        var i = 1
-        while (i <= dim) {
-          val c = ((plane * 7919L + i * 104729L) % 2001L - 1000L) / 1000.0
-          proj += v.getDouble(i - 1) * c
-          i += 1
+        var j = 1
+        while (j <= dim) {
+          val c = ((plane * 7919L + j * 104729L) % 2001L - 1000L) / 1000.0
+          proj += v.getDouble(j - 1) * c
+          j += 1
         }
-        if (round6(proj) > 0) bucket |= 1L << b
+        // Spark (and DuckDB) order NaN above every double, so the
+        // compositional `round(proj, 6) > 0` is TRUE for NaN projections;
+        // Java's `NaN > 0` is false — replicate the SQL ordering explicitly
+        val r = round6(proj)
+        if (java.lang.Double.isNaN(r) || r > 0) bucket |= 1L << b
         b += 1
       }
       out(t) = bucket

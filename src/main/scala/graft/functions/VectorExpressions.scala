@@ -183,8 +183,9 @@ object VectorFunctions {
   private[functions] def intArg(e: Expression, what: String): Int = e match {
     case f if f.foldable => f.eval() match {
       case i: Int => i
-      case l: Long => l.toInt
-      case other => throw new IllegalArgumentException(s"$what must be an int literal, got $other")
+      case l: Long if l.isValidInt => l.toInt
+      case other => throw new IllegalArgumentException(
+        s"$what must be an int-range literal, got $other")
     }
     case _ => throw new IllegalArgumentException(s"$what must be a literal")
   }

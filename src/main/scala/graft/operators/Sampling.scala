@@ -15,27 +15,18 @@ object Sampling {
   /** Fixed-size stratified sample: the `perStratum` rows of each stratum
     * with the smallest md5(doc_id) — a deterministic pseudo-random draw
     * whose size is bounded by strata * perStratum regardless of corpus
-    * size. Selected with the same salted two-stage rank as
-    * `Similarity.labelCohesion` so a low-cardinality stratum column never
-    * funnels the corpus through a handful of reducers.
+    * size, selected by the salted two-stage rank in `Scale.topKPerGroup`
+    * so a low-cardinality stratum column never funnels the corpus through
+    * a handful of reducers.
     */
   def stratifiedSample(documents: DataFrame, stratum: String = "lang",
-      perStratum: Int = 20): DataFrame = {
-    val keyed = documents
-      .select($"doc_id", col(stratum).as("stratum"))
-      .withColumn("rkey", md5($"doc_id".cast("string")))
-      .withColumn("salt", pmod(xxhash64($"doc_id"), lit(64)))
-    val preW = Window.partitionBy($"stratum", $"salt").orderBy($"rkey", $"doc_id")
-    val finalists = keyed
-      .withColumn("prn", row_number().over(preW))
-      .filter($"prn" <= perStratum)
-    val w = Window.partitionBy($"stratum").orderBy($"rkey", $"doc_id")
-    finalists
-      .withColumn("rn", row_number().over(w))
-      .filter($"rn" <= perStratum)
+      perStratum: Int = 20): DataFrame =
+    Scale.topKPerGroup(
+        documents.select($"doc_id", col(stratum).as("stratum")),
+        group = $"stratum", rankKey = md5($"doc_id".cast("string")), tie = $"doc_id",
+        saltSource = $"doc_id", k = perStratum)
       .select($"stratum", $"doc_id")
       .orderBy($"stratum", $"doc_id")
-  }
 
   /** Deterministic train/test split by hash range: a document lands in
     * `test` iff the first two hex digits of md5(doc_id) fall below the
@@ -69,9 +60,13 @@ object Sampling {
   def packByTokenOffset(documents: DataFrame, budget: Long = 2048L,
       bucketWidth: Long = 1024L): DataFrame = {
     val spark = documents.sparkSession
+    // checkpointed: the subtotal pass below and the final join both consume
+    // this relation, and without the checkpoint each would re-scan and
+    // re-tokenize the corpus through the lineage
     val toks = documents.select($"doc_id",
       size(split($"text", " ")).cast("bigint").as("tok"))
       .withColumn("bkt", expr(s"doc_id div $bucketWidth"))
+      .localCheckpoint()
     // tiny: one row per doc_id range; fold the running base offset on the
     // driver and ship it back as a broadcast dimension
     val subtotals = toks.groupBy($"bkt").agg(sum($"tok").as("t"))

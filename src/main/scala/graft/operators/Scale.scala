@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Explicit skew-mitigation operators for the cases AQE cannot rewrite
@@ -27,6 +27,30 @@ object Scale {
       .agg(sum(col(valueCol)).as("_partial"))
       .groupBy(col(key))
       .agg(sum(col("_partial")).as(s"sum_$valueCol"))
+
+  /** Deterministic fixed-size per-group top-K by a rank key, selected in
+    * two stages: a per-(group, salt) pre-rank keeps at most K rows per
+    * salted cell, then the final per-group rank runs over the ~64*K
+    * finalists. Exactly equal to the single global per-group rank (each
+    * cell's top-K contains every row that could be in the group's global
+    * top-K), but no reducer ever sees more than 1/64th of a group — a
+    * low-cardinality group column would otherwise funnel the corpus
+    * through a handful of partitions. Shared by `Similarity.labelCohesion`
+    * and `Sampling.stratifiedSample`.
+    */
+  def topKPerGroup(df: DataFrame, group: Column, rankKey: Column, tie: Column,
+      saltSource: Column, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val salted = df
+      .withColumn("_rkey", rankKey)
+      .withColumn("_salt", pmod(xxhash64(saltSource), lit(64)))
+    val preW = Window.partitionBy(group, col("_salt")).orderBy(col("_rkey"), tie)
+    val w = Window.partitionBy(group).orderBy(col("_rkey"), tie)
+    salted
+      .withColumn("_prn", row_number().over(preW)).filter(col("_prn") <= k)
+      .withColumn("_rn", row_number().over(w)).filter(col("_rn") <= k)
+      .drop("_rkey", "_salt", "_prn", "_rn")
+  }
 
   /** Salted equi-join for a skewed fact side: the dim side is replicated
     * `salts` times (explode over the salt range — dim must be small enough

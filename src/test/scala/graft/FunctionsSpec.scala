@@ -177,6 +177,32 @@ class FunctionsSpec extends GraftSuite {
     assert(pairs.filter(col("ni") =!= col("ci")).count() === 0)
   }
 
+  test("null/NaN element semantics match the compositional forms (buckets, intersect)") {
+    import graft.functions.MinHashFunctions
+    import graft.operators.Similarity
+    // arrays from a column so constant folding doesn't bypass codegen
+    val df = spark.range(1).select(
+      array(col("id").cast("double") + 1.0, lit(null).cast("double"), lit(3.0)).as("vn"),
+      array(col("id").cast("double") + 1.0, lit(Double.NaN), lit(3.0)).as("vnan"),
+      array(col("id") + 1L, lit(null).cast("long"), lit(9L)).as("hn"),
+      array(col("id") + 1L, lit(9L)).as("h"))
+    val r = df.select(
+      VectorFunctions.hyperplane_buckets(col("vn"), 2, 4).as("bn"),
+      Similarity.lshBucket(col("vn")).as("comp_null"),
+      element_at(VectorFunctions.hyperplane_buckets(col("vnan"), 1, Similarity.NumPlanes), 1).as("bnan"),
+      Similarity.lshBucket(col("vnan")).as("comp_nan"),
+      MinHashFunctions.sorted_intersect_count(col("hn"), col("h")).as("in1"),
+      MinHashFunctions.sorted_intersect_count(col("h"), col("h")).as("in2")).collect()(0)
+    // null element: every projection nullifies -> all-zero buckets, both forms
+    assert(r.getSeq[Long](0) === Seq(0L, 0L))
+    assert(r.getLong(1) === 0L)
+    // NaN projection: Spark orders NaN above 0 -> bit SET, both forms
+    assert(r.getLong(2) === r.getLong(3))
+    // null element in a hash set -> count is NULL, clean set works
+    assert(r.isNullAt(4))
+    assert(r.getLong(5) === 2L)
+  }
+
   test("hyperplane_buckets equals the compositional lshBucket/neardupBucket bit-for-bit") {
     val e = Tables.embeddings(spark, sf)
       .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("v"))

@@ -130,15 +130,20 @@ class StreamingSpec extends GraftSuite {
     def ids: Set[Long] =
       spark.table("dedup_out").collect().map(_.getLong(0)).toSet
 
-    // same fingerprint after case/whitespace normalization: 1 and 2 collide
+    // same fingerprint after case/whitespace normalization: 1 and 2 collide.
+    // WHICH of two same-batch duplicates survives is not contractual (it is
+    // whichever the operator meets first after the fingerprint exchange) —
+    // assert exactly one of them did, not a specific one
     input.addData(doc(1, 1000, "hello  world"), doc(2, 1100, "Hello world"),
       doc(3, 1200, "unique text"))
     q.processAllAvailable()
-    assert(ids === Set(1L, 3L))
+    val firstBatch = ids
+    assert(firstBatch.intersect(Set(1L, 2L)).size === 1, s"one of the dup pair: $firstBatch")
+    assert(firstBatch.contains(3L) && firstBatch.size === 2)
     // still within the horizon -> suppressed
     input.addData(doc(4, 1300, "hello world"))
     q.processAllAvailable()
-    assert(ids === Set(1L, 3L))
+    assert(ids === firstBatch)
     // push the watermark far past 1300 + 30min -> key state evicted
     input.addData(doc(5, 100000, "filler"))
     q.processAllAvailable()

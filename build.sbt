@@ -26,5 +26,9 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // local[32] runs 32 concurrent tasks in ONE JVM: the whole-bench heap
+  // must hold 32 task working sets plus checkpoint/broadcast blocks
+  // accumulated across the query suite. 8g thrashed GC in late-running
+  // heavy queries (q53 was 17x its isolated cost); the machine has 128g.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "32g")}",
 )

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.operators.{Dedup, Events, Extended, Multimodal, Sampling, Scale, Similarity, TextAnalysis}
+import graft.operators.{Curation, Dedup, Events, Extended, Multimodal, Sampling, Scale, Similarity, TextAnalysis}
 import graft.sources.Tables
 
 /** LLM-training-data-pipeline queries (SURVEY.md §2.2 ➕) and their DuckDB
@@ -72,6 +72,13 @@ object PipelineQueries {
     // necessity — implementation-defined internals)
     "q54_kmv_sketch" -> ((s, d) =>
       graft.operators.Typed.kmvDistinct(s, Tables.lineitem(s, d))),
+    // benchmark decontamination: docs whose distinct word-3-gram sets
+    // overlap the benchmark slice (doc_id < 50) above 50% — on the fixtures
+    // that isolates exactly the planted near-dups whose partner fell in the
+    // benchmark slice, against a <=40% background
+    "q60_decontaminate" -> ((s, d) => Curation.decontaminate(Tables.documents(s, d))),
+    "q61_repetition"    -> ((s, d) => Curation.repetitionSignals(Tables.documents(s, d))),
+    "q62_mixture_weights" -> ((s, d) => Curation.mixtureWeights(Tables.documents(s, d))),
     // rows-only (no oracle): approximate sketches differ by implementation
     "q38_sketches" -> ((s, d) => {
       import org.apache.spark.sql.functions._
@@ -226,9 +233,65 @@ object PipelineQueries {
       |  FROM flagged
       |)""".stripMargin
 
+  /** Word n-gram list from the whitespace-token list `ws` (DuckDB list
+    * comprehension) — matches Curation.wordGrams: empty when the doc has
+    * fewer than n words (range(1, 1) is empty).
+    */
+  private def wordGramsSql(n: Int): String = {
+    val joined = (0 until n).map(k => s"ws[i + $k]").mkString(" || ' ' || ")
+    s"[$joined for i in range(1, greatest(len(ws) - ${n - 1}, 0) + 1)]"
+  }
+
   // ---- oracles ---------------------------------------------------------
 
   def oracleSql: Map[String, String] = Map(
+    "q60_decontaminate" ->
+      s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+         |bgrams AS (
+         |  SELECT DISTINCT unnest(${wordGramsSql(3)}) AS g
+         |  FROM w WHERE doc_id < 50
+         |),
+         |cg AS (
+         |  SELECT doc_id, list_distinct(${wordGramsSql(3)}) AS gs
+         |  FROM w WHERE doc_id >= 50
+         |),
+         |cgrams AS (SELECT doc_id, CAST(len(gs) AS BIGINT) AS n_grams, unnest(gs) AS g FROM cg),
+         |m AS (
+         |  SELECT doc_id, n_grams, count(*) AS n_contaminated
+         |  FROM cgrams JOIN bgrams USING (g) GROUP BY doc_id, n_grams
+         |)
+         |SELECT doc_id, n_grams, n_contaminated,
+         | round(n_contaminated * 1.0 / n_grams, 6) AS contamination
+         |FROM m WHERE round(n_contaminated * 1.0 / n_grams, 6) >= 0.5
+         |ORDER BY doc_id""".stripMargin,
+    "q61_repetition" ->
+      s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+         |g2 AS (SELECT doc_id, unnest(${wordGramsSql(2)}) AS g FROM w),
+         |c2 AS (SELECT doc_id, g, count(*) AS c FROM g2 GROUP BY 1, 2),
+         |m2 AS (
+         |  SELECT doc_id,
+         |    round(max(c) * 1.0 / sum(c), 6) AS top_2gram_frac,
+         |    round((sum(c) - count(*)) * 1.0 / sum(c), 6) AS dup_2gram_frac
+         |  FROM c2 GROUP BY doc_id
+         |),
+         |g3 AS (SELECT doc_id, unnest(${wordGramsSql(3)}) AS g FROM w),
+         |c3 AS (SELECT doc_id, g, count(*) AS c FROM g3 GROUP BY 1, 2),
+         |m3 AS (
+         |  SELECT doc_id, round((sum(c) - count(*)) * 1.0 / sum(c), 6) AS dup_3gram_frac
+         |  FROM c3 GROUP BY doc_id
+         |)
+         |SELECT doc_id, top_2gram_frac, dup_2gram_frac, dup_3gram_frac
+         |FROM m2 JOIN m3 USING (doc_id) ORDER BY doc_id""".stripMargin,
+    "q62_mixture_weights" ->
+      """WITH s AS (
+        |  SELECT lang, source, count(*) AS n_docs,
+        |    CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS tokens
+        |  FROM documents GROUP BY lang, source
+        |)
+        |SELECT lang, source, n_docs, tokens,
+        | round(tokens * 1.0 / (sum(tokens) OVER ()), 6) AS token_share,
+        | round((sum(tokens) OVER ()) * 1.0 / ((count(*) OVER ()) * tokens), 6) AS uniform_weight
+        |FROM s ORDER BY lang, source""".stripMargin,
     "q20_text_stats" ->
       s"""SELECT doc_id, lang,
          | CAST(length(text) AS BIGINT) AS n_chars,

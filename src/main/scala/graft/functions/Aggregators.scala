@@ -129,8 +129,12 @@ object Aggregators {
       if (b.isEmpty) KMVEstimate("", 0.0)
       else {
         val arr = b.split(',')
-        if (arr.length < k) KMVEstimate(arr.last, arr.length.toDouble)
-        else KMVEstimate(arr.last, (k - 1) / hexFraction(arr.last, 13))
+        val frac = hexFraction(arr.last, 13)
+        // frac == 0.0 (kth hash's first 13 hex digits all zero, p ~ 16^-13)
+        // would divide to Infinity; the buffer size is an exact lower bound
+        // and the honest answer in that degenerate case
+        if (arr.length < k || frac == 0.0) KMVEstimate(arr.last, arr.length.toDouble)
+        else KMVEstimate(arr.last, (k - 1) / frac)
       }
 
     override def bufferEncoder: Encoder[String] = Encoders.STRING

@@ -159,12 +159,19 @@ object ShingleHashes {
   }
 }
 
-/** Intersection size of two SORTED long arrays (merge scan — no per-row
-  * hash set, no materialized intersection array). Pairs with
+/** Intersection size of two SORTED-DISTINCT long arrays (merge scan — no
+  * per-row hash set, no materialized intersection array). Pairs with
   * `ShingleHashes` for exact-Jaccard verification:
   * jaccard = i / (|a| + |b| - i). A null array element yields NULL (the
   * count is undefined on a partially-known set), mirroring the null
   * semantics of the vector expressions.
+  *
+  * The merge scan is only meaningful on strictly-ascending input (what
+  * `ShingleHashes` produces). Since the function is also exposed to SQL
+  * users who may pass arbitrary arrays, a violation of that precondition
+  * (out-of-order or duplicate element) returns NULL rather than a silently
+  * wrong count — the check rides the null prescan, so sorted input pays
+  * one extra compare per element.
   */
 case class SortedIntersectCount(left: Expression, right: Expression)
     extends BinaryExpression with Serializable {
@@ -206,10 +213,23 @@ object SortedIntersectCount {
   /** Boxed so the null result survives the codegen boundary. */
   def compute(a: ArrayData, b: ArrayData): java.lang.Long = {
     val na = a.numElements(); val nb = b.numElements()
+    // null prescan doubles as the sorted-distinct precondition check:
+    // any non-ascending step means the merge scan would undercount
     var i = 0
-    while (i < na) { if (a.isNullAt(i)) return null; i += 1 }
+    var prev = 0L
+    while (i < na) {
+      if (a.isNullAt(i)) return null
+      val v = a.getLong(i)
+      if (i > 0 && v <= prev) return null
+      prev = v; i += 1
+    }
     var j0 = 0
-    while (j0 < nb) { if (b.isNullAt(j0)) return null; j0 += 1 }
+    while (j0 < nb) {
+      if (b.isNullAt(j0)) return null
+      val v = b.getLong(j0)
+      if (j0 > 0 && v <= prev) return null
+      prev = v; j0 += 1
+    }
     i = 0; var j = 0; var c = 0L
     while (i < na && j < nb) {
       val x = a.getLong(i); val y = b.getLong(j)

@@ -190,16 +190,33 @@ object VectorFunctions {
     case _ => throw new IllegalArgumentException(s"$what must be a literal")
   }
 
+  // The SQL builders apply the same toDoubleArray coercion as the Column
+  // API, so `cosine_sim(embedding, ...)` works on array<float> parquet
+  // columns whether the call is written in Scala or SQL.
   private[functions] val SqlFunctions: Seq[(String, Seq[Expression] => Expression)] = Seq(
-    "cosine_sim" -> (exprs => CosineSimilarity(exprs.head, exprs(1))),
-    "dot_product" -> (exprs => DotProduct(exprs.head, exprs(1))),
-    "hyperplane_buckets" -> (exprs => HyperplaneBuckets(exprs.head,
+    "cosine_sim" -> (exprs => CosineSimilarity(
+      toDoubleArray(exprs.head), toDoubleArray(exprs(1)))),
+    "dot_product" -> (exprs => DotProduct(
+      toDoubleArray(exprs.head), toDoubleArray(exprs(1)))),
+    "hyperplane_buckets" -> (exprs => HyperplaneBuckets(toDoubleArray(exprs.head),
       intArg(exprs(1), "tables"), intArg(exprs(2), "bits"))),
     "minhash_signature" -> (exprs => MinHashSignature(exprs.head,
       intArg(exprs(1), "n"), intArg(exprs(2), "numHashes"))),
     "simhash_signature" -> (exprs => SimHashSignature(exprs.head, intArg(exprs(1), "n"))),
     "shingle_hashes" -> (exprs => ShingleHashes(exprs.head, intArg(exprs(1), "n"))),
     "sorted_intersect_count" -> (exprs => SortedIntersectCount(exprs.head, exprs(1))))
+
+  /** SQL-surface usage docs (`DESCRIBE FUNCTION`) — in particular the
+    * sorted-distinct precondition of sorted_intersect_count.
+    */
+  private[functions] val SqlUsage: Map[String, String] = Map(
+    "cosine_sim" -> "_FUNC_(a, b) - Cosine similarity of two numeric arrays (coerced to array<double>); NULL on length mismatch or null element.",
+    "dot_product" -> "_FUNC_(a, b) - Dot product of two numeric arrays (coerced to array<double>); NULL on length mismatch or null element.",
+    "hyperplane_buckets" -> "_FUNC_(v, tables, bits) - Per-table sign buckets of vector v under deterministic pseudo-random hyperplanes; tables/bits must be int literals.",
+    "minhash_signature" -> "_FUNC_(text, n, numHashes) - MinHash signature (array<bigint>) of the character-n-gram shingle set of text; n/numHashes must be int literals.",
+    "simhash_signature" -> "_FUNC_(text, n) - 32-bit SimHash of the character-n-gram multiset of text; n must be an int literal.",
+    "shingle_hashes" -> "_FUNC_(text, n) - Sorted-distinct xxhash64 hashes of the character-n-gram shingles of text (the expected input of sorted_intersect_count).",
+    "sorted_intersect_count" -> "_FUNC_(a, b) - Intersection size of two array<bigint> inputs that MUST be sorted ascending with distinct elements (as produced by shingle_hashes); returns NULL if either array violates that precondition or contains a null element.")
 
   /** Register as SQL functions on an existing session (tests / notebooks). */
   def register(spark: org.apache.spark.sql.SparkSession): Unit =
@@ -220,7 +237,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     VectorFunctions.SqlFunctions.foreach { case (name, builder) =>
       e.injectFunction((
         new FunctionIdentifier(name),
-        new ExpressionInfo(classOf[GraftExtensions].getName, name),
+        new ExpressionInfo(classOf[GraftExtensions].getName, null, name,
+          VectorFunctions.SqlUsage.getOrElse(name, ""), ""),
         builder))
     }
   }

@@ -108,7 +108,15 @@ object Dedup {
     * is candidate-proportional (near-linear), never corpus-proportional.
     * This is the shape that holds at 100 TB.
     */
-  def minhashLshPairs(documents: DataFrame, n: Int = 5, threshold: Double = 0.6): DataFrame = {
+  def minhashLshPairs(documents: DataFrame, n: Int = 5, threshold: Double = 0.6): DataFrame =
+    minhashLshPairsUnordered(documents, n, threshold).orderBy($"id1", $"id2")
+
+  /** The pair pipeline without the final canonical sort — for consumers
+    * (connected components) that immediately re-shuffle the pairs and would
+    * pay the global sort for nothing.
+    */
+  private def minhashLshPairsUnordered(
+      documents: DataFrame, n: Int, threshold: Double): DataFrame = {
     // Signatures come from the fused native expression — ONE codegen'd pass
     // per document, no shingle explode, no corpus×shingles intermediate, no
     // 126-way partial-min aggregate, and (crucially) no shuffle at all in
@@ -181,7 +189,6 @@ object Dedup {
       .select($"id1", $"id2",
         round($"i" / ($"sz1" + $"sz2" - $"i"), 6).as("jaccard"))
       .filter($"jaccard" >= threshold)
-      .orderBy($"id1", $"id2")
   }
 
   /** Dedup endgame: collapse near-dup pairs into connected components and
@@ -195,7 +202,9 @@ object Dedup {
     * cluster representative and whether the doc survives the dedup.
     */
   def nearDupSurvivors(documents: DataFrame, n: Int = 5, threshold: Double = 0.6): DataFrame = {
-    val pairs = minhashLshPairs(documents, n, threshold).select($"id1", $"id2")
+    // unordered pair pipeline: the canonical orderBy the q27 surface adds
+    // would be a global sort immediately destroyed by the edge shuffle
+    val pairs = minhashLshPairsUnordered(documents, n, threshold).select($"id1", $"id2")
     // undirected edges both ways; materialize once — every propagation
     // round joins against edges, and without the checkpoint each round
     // would re-execute the whole LSH pipeline through the lineage
@@ -207,15 +216,19 @@ object Dedup {
       .withColumn("label", $"node")
     var changed = 1L
     while (changed > 0) {
-      // each node adopts the min label among itself and its neighbors
+      // each node adopts the min label among itself and its neighbors.
+      // Checkpoint FIRST, then count changes on the materialized blocks —
+      // counting the un-checkpointed frame would execute the round's join
+      // pipeline twice (once for the count, once for the checkpoint)
       val next = edges
         .join(labels.withColumnRenamed("node", "dst2"), $"dst" === $"dst2")
         .groupBy($"src".as("node"))
         .agg(min($"label").as("nbr_label"))
         .join(labels, Seq("node"))
         .select($"node", least($"label", $"nbr_label").as("next_label"), $"label")
+        .localCheckpoint()
       changed = next.filter($"next_label" =!= $"label").count()
-      labels = next.select($"node", $"next_label".as("label")).localCheckpoint()
+      labels = next.select($"node", $"next_label".as("label"))
     }
     labels
       .select($"node".as("doc_id"), $"label".as("cluster_rep"),

@@ -42,10 +42,17 @@ object Tables {
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val src = new java.io.File(s"$dir/events.parquet")
-    val key = java.lang.Long.toHexString(
-      new java.util.StringJoiner("|")
-        .add(src.getCanonicalPath).add(src.length.toString).add(src.lastModified.toString)
-        .toString.hashCode.toLong & 0xffffffffL)
+    // md5 of the full identity string — a 32-bit String.hashCode could
+    // collide across fixture dirs and silently serve the wrong cache; the
+    // sanitized parent-dir segment keeps entries human-attributable
+    val identity = new java.util.StringJoiner("|")
+      .add(src.getCanonicalPath).add(src.length.toString).add(src.lastModified.toString)
+      .toString
+    val digest = java.security.MessageDigest.getInstance("MD5")
+      .digest(identity.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val tag = Option(src.getParentFile).map(_.getName).getOrElse("root")
+      .replaceAll("[^A-Za-z0-9._-]", "_")
+    val key = s"$tag-$digest"
     val root = sys.env.getOrElse("SPARK_GRAFT_EVENTS_CACHE", "target/graft-events-cache")
     val dest = new java.io.File(root, key)
     def ready = new java.io.File(dest, "_SUCCESS").isFile

@@ -105,6 +105,8 @@ object MinHashFunctions {
   def sorted_intersect_count(a: Column, b: Column): Column =
     ColumnBridge.column(SortedIntersectCount(
       ColumnBridge.expression(a), ColumnBridge.expression(b)))
+  def pair_combinations(ids: Column): Column =
+    ColumnBridge.column(PairCombinations(ColumnBridge.expression(ids)))
 }
 
 /** Sorted distinct shingle-hash set of a document: all character-n-gram
@@ -238,6 +240,81 @@ object SortedIntersectCount {
       else j += 1
     }
     c
+  }
+}
+
+/** All unordered pairs of distinct values from a bucket-member id array,
+  * as value-ordered structs — the native replacement for the interpreted
+  * `filter(flatten(transform(ids, a -> transform(ids, b -> ...))), p ->
+  * p.id1 < p.id2)` in-bucket expansion. The lambda form materializes K^2
+  * structs through the HOF interpreter (lambdas never enter
+  * WholeStageCodegen); this is one tight loop emitting K*(K-1)/2 rows.
+  * Set-identical output (each unordered pair of distinct values appears
+  * exactly once, smaller id first; equal values yield nothing), so the
+  * downstream explode + distinct pipeline is unchanged.
+  */
+case class PairCombinations(child: Expression)
+    extends UnaryExpression with Serializable {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<bigint>, got ${other.sql}")
+  }
+
+  override def dataType: DataType = ArrayType(
+    org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id1", LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("id2", LongType, nullable = false))),
+    containsNull = false)
+
+  override def nullable: Boolean = true
+
+  override def prettyName: String = "pair_combinations"
+
+  override def nullSafeEval(input: Any): Any =
+    PairCombinations.compute(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val res = ctx.freshName("res")
+      s"""
+         |org.apache.spark.sql.catalyst.util.ArrayData $res =
+         |  graft.functions.PairCombinations.compute($c);
+         |if ($res == null) { ${ev.isNull} = true; } else { ${ev.value} = $res; }
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object PairCombinations {
+  /** Null on a null element (mirrors the lambda form, where the null would
+    * poison the comparison and the filter drops to an undefined set).
+    */
+  def compute(ids: ArrayData): ArrayData = {
+    val n = ids.numElements()
+    var i = 0
+    while (i < n) { if (ids.isNullAt(i)) return null; i += 1 }
+    val out = new java.util.ArrayList[Any](n * (n - 1) / 2)
+    i = 0
+    while (i < n) {
+      val x = ids.getLong(i)
+      var j = i + 1
+      while (j < n) {
+        val y = ids.getLong(j)
+        if (x != y) {
+          val row = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(2)
+          if (x < y) { row.setLong(0, x); row.setLong(1, y) }
+          else { row.setLong(0, y); row.setLong(1, x) }
+          out.add(row)
+        }
+        j += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(out.toArray)
   }
 }
 

@@ -204,7 +204,8 @@ object VectorFunctions {
       intArg(exprs(1), "n"), intArg(exprs(2), "numHashes"))),
     "simhash_signature" -> (exprs => SimHashSignature(exprs.head, intArg(exprs(1), "n"))),
     "shingle_hashes" -> (exprs => ShingleHashes(exprs.head, intArg(exprs(1), "n"))),
-    "sorted_intersect_count" -> (exprs => SortedIntersectCount(exprs.head, exprs(1))))
+    "sorted_intersect_count" -> (exprs => SortedIntersectCount(exprs.head, exprs(1))),
+    "pair_combinations" -> (exprs => PairCombinations(exprs.head)))
 
   /** SQL-surface usage docs (`DESCRIBE FUNCTION`) — in particular the
     * sorted-distinct precondition of sorted_intersect_count.
@@ -216,7 +217,8 @@ object VectorFunctions {
     "minhash_signature" -> "_FUNC_(text, n, numHashes) - MinHash signature (array<bigint>) of the character-n-gram shingle set of text; n/numHashes must be int literals.",
     "simhash_signature" -> "_FUNC_(text, n) - 32-bit SimHash of the character-n-gram multiset of text; n must be an int literal.",
     "shingle_hashes" -> "_FUNC_(text, n) - Sorted-distinct xxhash64 hashes of the character-n-gram shingles of text (the expected input of sorted_intersect_count).",
-    "sorted_intersect_count" -> "_FUNC_(a, b) - Intersection size of two array<bigint> inputs that MUST be sorted ascending with distinct elements (as produced by shingle_hashes); returns NULL if either array violates that precondition or contains a null element.")
+    "sorted_intersect_count" -> "_FUNC_(a, b) - Intersection size of two array<bigint> inputs that MUST be sorted ascending with distinct elements (as produced by shingle_hashes); returns NULL if either array violates that precondition or contains a null element.",
+    "pair_combinations" -> "_FUNC_(ids) - All unordered pairs of distinct values from an array<bigint>, as (id1, id2) structs with id1 < id2 (LSH bucket-member pair expansion).")
 
   /** Register as SQL functions on an existing session (tests / notebooks). */
   def register(spark: org.apache.spark.sql.SparkSession): Unit =

@@ -155,10 +155,9 @@ object Dedup {
       .groupBy($"band", $"bh")
       .agg(collect_list($"doc_id").as("ids"))
       .filter(size($"ids") > 1)
-      .select(explode(expr(
-        """filter(
-          |  flatten(transform(ids, a -> transform(ids, b -> struct(a AS id1, b AS id2)))),
-          |  p -> p.id1 < p.id2)""".stripMargin)).as("p"))
+      // native one-pass pair expansion (interpreted HOF lambdas would
+      // materialize K^2 structs through the interpreter per bucket)
+      .select(explode(graft.functions.MinHashFunctions.pair_combinations($"ids")).as("p"))
       .select($"p.id1".as("id1"), $"p.id2".as("id2"))
       .distinct()
       .localCheckpoint()

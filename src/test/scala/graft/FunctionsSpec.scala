@@ -272,4 +272,28 @@ class FunctionsSpec extends GraftSuite {
     val expected = Tables.orders(spark, sf).agg(sum(col("o_totalprice"))).collect()(0).getDouble(0)
     assert(math.abs(s - expected) < 1e-4)
   }
+
+  test("pair_combinations equals the interpreted HOF expansion as a multiset") {
+    import graft.functions.MinHashFunctions
+    import spark.implicits._
+    val cases = Seq(
+      Seq.empty[Long], Seq(7L), Seq(1L, 2L), Seq(2L, 1L),
+      Seq(5L, 5L), Seq(3L, 1L, 2L), Seq(4L, 4L, 1L), Seq(9L, 8L, 7L, 6L, 5L))
+    val df = cases.toDF("ids")
+    val both = df.select(
+      MinHashFunctions.pair_combinations(col("ids")).as("native"),
+      expr("""filter(
+             |  flatten(transform(ids, a -> transform(ids, b -> struct(a AS id1, b AS id2)))),
+             |  p -> p.id1 < p.id2)""".stripMargin).as("hof")).collect()
+    both.foreach { r =>
+      def pairs(i: Int) = r.getSeq[org.apache.spark.sql.Row](i)
+        .map(p => (p.getLong(0), p.getLong(1))).sorted
+      assert(pairs(0) === pairs(1))
+    }
+    // null element -> NULL (the HOF comparison would be undefined)
+    val nullRow = spark.range(1)
+      .select(array(col("id") + 1, lit(null).cast("long")).as("ids"))
+      .select(MinHashFunctions.pair_combinations(col("ids")).as("p")).collect()(0)
+    assert(nullRow.isNullAt(0))
+  }
 }

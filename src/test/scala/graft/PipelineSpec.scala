@@ -117,6 +117,14 @@ class PipelineSpec extends GraftSuite {
     val withDup = embs.unionByName(dup)
     val found = Similarity.embeddingNearDup(withDup).collect()
     assert(found.exists(r => r.getLong(1) === 9999L && math.abs(r.getDouble(2) - 1.0) < 1e-6))
+    // the production operating point (24 tables x 12 bits: same 0.9-recall,
+    // ~20x fewer background candidates) still finds the planted duplicate —
+    // identical vectors share every table's bucket at any parameterization —
+    // and stays a subset of the exact ground truth
+    val tight = Similarity.embeddingNearDup(withDup, tables = 24, bits = 12).collect()
+    assert(tight.exists(r => r.getLong(1) === 9999L && math.abs(r.getDouble(2) - 1.0) < 1e-6))
+    val tightLoose = asSet(Similarity.embeddingNearDup(embs, threshold = 0.45, tables = 24, bits = 12))
+    assert(tightLoose.subsetOf(exact))
   }
 
   test("registered embedding near-dup and IVF plans stay equi-join — no cartesian, no nested loop") {

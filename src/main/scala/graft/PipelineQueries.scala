@@ -79,6 +79,10 @@ object PipelineQueries {
     "q60_decontaminate" -> ((s, d) => Curation.decontaminate(Tables.documents(s, d))),
     "q61_repetition"    -> ((s, d) => Curation.repetitionSignals(Tables.documents(s, d))),
     "q62_mixture_weights" -> ((s, d) => Curation.mixtureWeights(Tables.documents(s, d))),
+    // recall@k of the multi-probe LSH ANN vs the exact top-k — the index
+    // evaluation harness, itself oracle-checked (both sides deterministic)
+    "q63_ann_recall"    -> ((s, d) => Similarity.annRecall(Tables.embeddings(s, d))),
+    "q64_value_zscore"  -> ((s, d) => Events.valueZscore(Tables.events(s, d))),
     // rows-only (no oracle): approximate sketches differ by implementation
     "q38_sketches" -> ((s, d) => {
       import org.apache.spark.sql.functions._
@@ -282,6 +286,46 @@ object PipelineQueries {
          |)
          |SELECT doc_id, top_2gram_frac, dup_2gram_frac, dup_3gram_frac
          |FROM m2 JOIN m3 USING (doc_id) ORDER BY doc_id""".stripMargin,
+    "q63_ann_recall" ->
+      // truth = exact top-3; approx = the q30 multi-probe LSH bucketing
+      // replica; recall = hits per query over a left join from truth
+      s"""WITH e AS (
+         |  SELECT vec_id, v, $BucketSql AS bucket FROM (
+         |    SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+         |  )
+         |),
+         |q AS (SELECT vec_id AS query_id, v AS qv, bucket AS qbucket FROM e WHERE vec_id < 5),
+         |truth AS (
+         |  SELECT query_id, neighbor_id FROM (
+         |    SELECT query_id, e.vec_id AS neighbor_id,
+         |      row_number() OVER (PARTITION BY query_id
+         |        ORDER BY round(${cosSql("qv", "v")}, 6) DESC, e.vec_id) AS rnk
+         |    FROM e, q WHERE e.vec_id <> q.query_id
+         |  ) WHERE rnk <= 3
+         |),
+         |approx AS (
+         |  SELECT query_id, neighbor_id FROM (
+         |    SELECT query_id, e.vec_id AS neighbor_id,
+         |      row_number() OVER (PARTITION BY query_id
+         |        ORDER BY round(${cosSql("qv", "v")}, 6) DESC, e.vec_id) AS rnk
+         |    FROM e JOIN q ON bit_count(xor(e.bucket, q.qbucket)) <= 1 AND e.vec_id <> q.query_id
+         |  ) WHERE rnk <= 3
+         |)
+         |SELECT t.query_id, count(a.neighbor_id) AS n_hit,
+         | round(count(a.neighbor_id) / 3.0, 6) AS recall
+         |FROM truth t
+         |LEFT JOIN approx a
+         |  ON t.query_id = a.query_id AND t.neighbor_id = a.neighbor_id
+         |GROUP BY t.query_id ORDER BY t.query_id""".stripMargin,
+    "q64_value_zscore" ->
+      """WITH stats AS (
+        |  SELECT event_type, round(avg(value), 6) AS mu,
+        |    round(stddev_samp(value), 6) AS sd
+        |  FROM events GROUP BY event_type
+        |)
+        |SELECT event_id, event_type, round((value - mu) / sd, 4) AS z
+        |FROM events JOIN stats USING (event_type)
+        |ORDER BY event_id""".stripMargin,
     "q62_mixture_weights" ->
       """WITH s AS (
         |  SELECT lang, source, count(*) AS n_docs,

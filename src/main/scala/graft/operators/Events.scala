@@ -95,4 +95,29 @@ object Events {
         round(expr("percentile(value, 0.95)"), 4).as("p95"),
         round(stddev_samp($"value"), 4).as("sd"))
       .orderBy($"event_type")
+
+  /** Per-type z-score normalization of `value` — the feature-scaling step
+    * of a training pipeline, expressed at scale: the per-type moments are a
+    * tiny aggregate (one row per type) that is explicitly `broadcast` back
+    * onto the fact table, so normalization costs one corpus scan + one
+    * map-side join — NOT a window over the full table, which would sort
+    * every partition of a 100 TB fact by a 5-value key.
+    *
+    * Cross-engine determinism: the moments are rounded to 6 decimals
+    * BEFORE the per-row z — the ~1e-12 parallel-summation wobble then has
+    * to flip a 6-decimal rounding of one of the few per-type aggregates to
+    * matter (≈1e-7), instead of riding into every one of the corpus's
+    * per-row roundings; past that, z is one IEEE-exact subtract/divide on
+    * identical inputs in both engines.
+    */
+  def valueZscore(events: DataFrame): DataFrame = {
+    val stats = events
+      .groupBy($"event_type")
+      .agg(round(avg($"value"), 6).as("mu"), round(stddev_samp($"value"), 6).as("sd"))
+    events
+      .join(broadcast(stats), Seq("event_type"))
+      .select($"event_id", $"event_type",
+        round(($"value" - $"mu") / $"sd", 4).as("z"))
+      .orderBy($"event_id")
+  }
 }

@@ -216,6 +216,37 @@ class PipelineSpec extends GraftSuite {
     assert(f1 === f2 && f1.nonEmpty)
   }
 
+  test("annRecall agrees with a manual truth-vs-approx set comparison") {
+    val truth = Similarity.cosineTopK(embs, nQueries = 5, k = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = Similarity.lshCosineTopK(embs, nQueries = 5, k = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val expected = truth.groupBy(_._1).map { case (q, ts) =>
+      q -> ts.count(approx.contains).toLong
+    }
+    val got = Similarity.annRecall(embs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(got.map(_._1).toSeq === (0L until 5L))
+    got.foreach { case (q, hit, recall) =>
+      assert(hit === expected(q), s"query $q")
+      assert(hit >= 0L && hit <= 3L)
+      assert(math.abs(recall - hit / 3.0) < 1e-6 + 1e-9)
+    }
+  }
+
+  test("valueZscore: per-type z has mean ~0, sd ~1, and row count is preserved") {
+    val ev = Tables.events(spark, sf)
+    val z = Events.valueZscore(ev)
+    assert(z.count() === ev.count())
+    val stats = z.groupBy($"event_type")
+      .agg(avg($"z").as("m"), stddev_samp($"z").as("s")).collect()
+    assert(stats.nonEmpty)
+    stats.foreach { r =>
+      assert(math.abs(r.getDouble(1)) < 1e-3, s"${r.getString(0)} mean ${r.getDouble(1)}")
+      assert(math.abs(r.getDouble(2) - 1.0) < 1e-3, s"${r.getString(0)} sd ${r.getDouble(2)}")
+    }
+  }
+
   private implicit class Interp(private val sc: StringContext) {
     def $(args: Any*): org.apache.spark.sql.Column = col(sc.s(args: _*))
   }

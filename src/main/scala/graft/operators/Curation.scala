@@ -19,6 +19,13 @@ object Curation {
     * with multiplicity. Empty array when the document has fewer than `n`
     * words — the explicit branch matters because Spark's `sequence(1, 0)`
     * DESCENDS and ANSI-mode `element_at` past the end throws.
+    *
+    * This is the compositional REFERENCE form, kept as the spec oracle for
+    * the native `word_grams` expression the operators actually run: the
+    * HOF lambdas here never enter WholeStageCodegen, and each
+    * `element_at(split(...))` re-evaluates the split per gram — an
+    * interpreter/GC tax that made the curation queries the slowest
+    * non-LSH queries in the bench (q60 ~20 s vs ~2 s native at sf0.1).
     */
   def wordGrams(text: Column, n: Int): Column = {
     val ws = split(text, " ")
@@ -43,11 +50,12 @@ object Curation {
     */
   def decontaminate(documents: DataFrame, nBenchmark: Long = 50, n: Int = 3,
       threshold: Double = 0.5): DataFrame = {
+    import graft.functions.TextFunctions.word_grams
     val bench = documents.filter($"doc_id" < nBenchmark)
-      .select(explode(array_distinct(wordGrams($"text", n))).as("g"))
+      .select(explode(word_grams($"text", n, distinct = true)).as("g"))
       .distinct()
     documents.filter($"doc_id" >= nBenchmark)
-      .select($"doc_id", array_distinct(wordGrams($"text", n)).as("gs"))
+      .select($"doc_id", word_grams($"text", n, distinct = true).as("gs"))
       .select($"doc_id", size($"gs").cast("long").as("n_grams"), explode($"gs").as("g"))
       .join(broadcast(bench), Seq("g"))
       .groupBy($"doc_id", $"n_grams")
@@ -64,25 +72,31 @@ object Curation {
     * fraction of word 3-grams. High values mark boilerplate / TEMPLATE spam
     * that survives exact dedup because of small edits.
     *
-    * Shape: explode grams → per-(doc, gram) count (map-side partial
-    * aggregation absorbs the fan-out) → per-doc ratios. One shuffle per
-    * gram width, both keyed on doc_id-compatible keys; no joins against
-    * the corpus, no driver-side state.
+    * Shape: ZERO shuffles. The statistics are per-document-local, so each
+    * is computed inside the scan projection by the native one-pass
+    * `word_ngram_stats` expression (n_grams / n_distinct / max_count per
+    * width). The previous explode → groupBy(doc, gram) → re-aggregate form
+    * shuffled a corpus×grams row set to compute a quantity every row can
+    * answer for itself — the native form is embarrassingly parallel, which
+    * is the right shape for a 100 TB quality-filter pass.
+    *
+    * Documents with fewer than 3 words (no 3-grams) are dropped, matching
+    * the oracle's inner join of the per-width stats.
     */
   def repetitionSignals(documents: DataFrame): DataFrame = {
-    def dupStats(n: Int, top: Boolean): DataFrame = {
-      val counts = documents
-        .select($"doc_id", explode(wordGrams($"text", n)).as("g"))
-        .groupBy($"doc_id", $"g")
-        .agg(count(lit(1)).as("c"))
-      val aggs = Seq(
-        round((sum($"c") - count(lit(1))) / sum($"c"), 6).as(s"dup_${n}gram_frac")) ++
-        (if (top) Seq(round(max($"c") / sum($"c"), 6).as(s"top_${n}gram_frac")) else Nil)
-      counts.groupBy($"doc_id").agg(aggs.head, aggs.tail: _*)
-    }
-    dupStats(2, top = true)
-      .join(dupStats(3, top = false), Seq("doc_id"))
-      .select($"doc_id", $"top_2gram_frac", $"dup_2gram_frac", $"dup_3gram_frac")
+    import graft.functions.TextFunctions.word_ngram_stats
+    documents
+      // >= 3 tokens <=> at least one 3-gram (hence also a 2-gram): the
+      // cheap token-count predicate keeps filter pushdown from duplicating
+      // the stats expressions into the Filter node
+      .filter(size(split($"text", " ")) >= 3)
+      .select($"doc_id",
+        word_ngram_stats($"text", 2).as("s2"),
+        word_ngram_stats($"text", 3).as("s3"))
+      .select($"doc_id",
+        round($"s2.max_count" / $"s2.n_grams", 6).as("top_2gram_frac"),
+        round(($"s2.n_grams" - $"s2.n_distinct") / $"s2.n_grams", 6).as("dup_2gram_frac"),
+        round(($"s3.n_grams" - $"s3.n_distinct") / $"s3.n_grams", 6).as("dup_3gram_frac"))
       .orderBy($"doc_id")
   }
 

@@ -177,6 +177,11 @@ object Dedup {
       .distinct()
     val candTexts = documents
       .join(candIds, Seq("doc_id"), "left_semi")
+      // same AQE-blindness guard as the signature stage: the semi-join is a
+      // broadcast probe, so without this the filtered docs keep the scan's
+      // partitioning (ONE partition on a small fixture) and the whole
+      // shingle-hash pass runs serially in a single task
+      .repartition(parts, $"doc_id")
       .select($"doc_id", graft.functions.MinHashFunctions.shingle_hashes($"text", n).as("hs"))
       .localCheckpoint()
     candidates

@@ -296,4 +296,70 @@ class FunctionsSpec extends GraftSuite {
       .select(MinHashFunctions.pair_combinations(col("ids")).as("p")).collect()(0)
     assert(nullRow.isNullAt(0))
   }
+
+  test("word_grams equals the compositional wordGrams on edge-case texts") {
+    import graft.functions.TextFunctions
+    import graft.operators.Curation
+    import spark.implicits._
+    // empties kept (split-on-every-space), leading/trailing/double spaces,
+    // fewer-than-n words, empty text, multi-byte UTF-8
+    val texts = Seq(
+      "a b c d e", "a b", "", "xyz", " a  b ", "a  b c", "über zwei drei vier",
+      "t t t t t", "one")
+    val df = texts.toDF("text")
+    for (n <- Seq(2, 3)) {
+      val rows = df.select(
+        TextFunctions.word_grams($"text", n).as("native"),
+        Curation.wordGrams($"text", n).as("hof"),
+        TextFunctions.word_grams($"text", n, distinct = true).as("native_d"),
+        array_distinct(Curation.wordGrams($"text", n)).as("hof_d")).collect()
+      rows.foreach { r =>
+        assert(r.getSeq[String](0) === r.getSeq[String](1), s"n=$n multiplicity form")
+        assert(r.getSeq[String](2) === r.getSeq[String](3), s"n=$n distinct form")
+      }
+    }
+    // null text -> null array (both forms)
+    val nr = Seq[Option[String]](None).toDF("text")
+      .select(TextFunctions.word_grams($"text", 2).as("g")).collect()(0)
+    assert(nr.isNullAt(0))
+  }
+
+  test("word_ngram_stats equals explode+groupBy counting and stays in codegen") {
+    import graft.functions.TextFunctions
+    import graft.operators.Curation
+    import spark.implicits._
+    val texts = Seq(
+      "a b a b a", "a b c d e", "a a a a", "one two", "", "x",
+      "the cat sat on the cat sat on a mat").zipWithIndex.map(_.swap)
+    val df = texts.toDF("id", "text")
+    val native = df.select($"id", TextFunctions.word_ngram_stats($"text", 2).as("s"))
+      .select($"id", $"s.n_grams", $"s.n_distinct", $"s.max_count")
+      .collect().map(r => (r.getInt(0), (r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    val expected = texts.map { case (id, t) =>
+      val ws = t.split(" ", -1).toSeq
+      val gs = if (ws.length < 2) Nil else ws.sliding(2).map(_.mkString(" ")).toSeq
+      val counts = gs.groupBy(identity).map(_._2.size)
+      id -> ((gs.size.toLong, counts.size.toLong,
+        (if (counts.isEmpty) 0 else counts.max).toLong))
+    }.toMap
+    assert(native === expected)
+    // the stats projection must sit inside a WholeStageCodegen stage
+    // (parquet-backed input so ConvertToLocalRelation can't fold it away;
+    // no orderBy so the plan isn't hidden behind an un-finalized AQE root)
+    import org.apache.spark.sql.execution.{ProjectExec, WholeStageCodegenExec}
+    val proj = Tables.documents(spark, sf)
+      .select(TextFunctions.word_ngram_stats($"text", 2).as("s"))
+    val codegenProjects = proj.queryExecution.executedPlan.collect {
+      case w: WholeStageCodegenExec =>
+        w.collect { case p: ProjectExec => p.projectList.map(_.sql).mkString(",") }
+    }.flatten
+    assert(codegenProjects.exists(_.contains("word_ngram_stats")),
+      s"word_ngram_stats not in codegen stage:\n${proj.queryExecution.executedPlan}")
+    // and the full per-doc repetition query must not shuffle on doc_id (the
+    // only exchange is the canonical output sort)
+    val plan = Curation.repetitionSignals(Tables.documents(spark, sf))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("hashpartitioning"),
+      s"per-doc repetition stats must not shuffle:\n$plan")
+  }
 }

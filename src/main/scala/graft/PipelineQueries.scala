@@ -83,6 +83,16 @@ object PipelineQueries {
     // evaluation harness, itself oracle-checked (both sides deterministic)
     "q63_ann_recall"    -> ((s, d) => Similarity.annRecall(Tables.embeddings(s, d))),
     "q64_value_zscore"  -> ((s, d) => Events.valueZscore(Tables.events(s, d))),
+    // corpus vocabulary head: explode + map-side combine + TakeOrdered
+    "q65_token_topk"    -> ((s, d) => TextAnalysis.tokenTopK(Tables.documents(s, d))),
+    // context-window chunking (64-token windows, stride 32)
+    "q66_doc_chunks"    -> ((s, d) => Sampling.docChunks(Tables.documents(s, d))),
+    // salient terms per doc: tf-idf with salted per-doc top-k
+    "q67_tfidf_topterms" -> ((s, d) => TextAnalysis.tfidfTopTerms(Tables.documents(s, d))),
+    // integer-exact document-length histogram
+    "q68_length_histogram" -> ((s, d) => TextAnalysis.lengthHistogram(Tables.documents(s, d))),
+    // alpha=0.5 temperature-smoothed language sampling weights
+    "q69_temperature_mixture" -> ((s, d) => Curation.temperatureMixture(Tables.documents(s, d))),
     // rows-only (no oracle): approximate sketches differ by implementation
     "q38_sketches" -> ((s, d) => {
       import org.apache.spark.sql.functions._
@@ -317,6 +327,65 @@ object PipelineQueries {
          |LEFT JOIN approx a
          |  ON t.query_id = a.query_id AND t.neighbor_id = a.neighbor_id
          |GROUP BY t.query_id ORDER BY t.query_id""".stripMargin,
+    "q65_token_topk" ->
+      """SELECT token, count(*) AS n
+        |FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+        |GROUP BY token ORDER BY n DESC, token LIMIT 30""".stripMargin,
+    "q66_doc_chunks" ->
+      // chunk starts 0, 32, 64, ...; last chunk may be short; DuckDB list
+      // slicing ws[a:b] is 1-based inclusive and clamps like Spark's slice
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |c AS (
+        |  SELECT doc_id, ws,
+        |    unnest(generate_series(0, CASE WHEN len(ws) <= 64 THEN 0
+        |      ELSE CAST(ceil((len(ws) - 64) / 32.0) AS BIGINT) END)) AS chunk_no
+        |  FROM w
+        |)
+        |SELECT doc_id, chunk_no,
+        |  CAST(len(ws[chunk_no*32+1 : chunk_no*32+64]) AS BIGINT) AS n_tokens,
+        |  md5(array_to_string(ws[chunk_no*32+1 : chunk_no*32+64], ' ')) AS chunk_checksum
+        |FROM c ORDER BY doc_id, chunk_no""".stripMargin,
+    "q67_tfidf_topterms" ->
+      // rank by the ROUNDED tf-idf then term — the same total order the
+      // Spark side uses, immune to cross-engine ln() last-ulp drift
+      """WITH tfc AS (
+        |  SELECT doc_id, term, count(*) AS tf FROM (
+        |    SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+        |  ) GROUP BY 1, 2
+        |),
+        |dfc AS (SELECT term, count(*) AS df FROM tfc GROUP BY 1),
+        |n AS (SELECT count(*) AS n_docs FROM documents),
+        |scored AS (
+        |  SELECT doc_id, term, round(tf * ln(n_docs * 1.0 / df), 6) AS tfidf
+        |  FROM tfc JOIN dfc USING (term) CROSS JOIN n
+        |),
+        |ranked AS (
+        |  SELECT doc_id, term, tfidf,
+        |    CAST(row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term) AS INT) AS rnk
+        |  FROM scored
+        |)
+        |SELECT doc_id, term, tfidf, rnk FROM ranked WHERE rnk <= 3
+        |ORDER BY doc_id, rnk""".stripMargin,
+    "q68_length_histogram" ->
+      """SELECT CAST(floor(n_chars / 50.0) * 50 AS BIGINT) AS bin,
+        | count(*) AS n_docs,
+        | CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_words
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q69_temperature_mixture" ->
+      // alpha = 1/2 smoothing via sqrt (correctly rounded in IEEE 754, so
+      // both engines compute identical pa values; round 6 absorbs the
+      // window-sum association order)
+      """WITH s AS (
+        |  SELECT lang, CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS tokens
+        |  FROM documents GROUP BY lang
+        |),
+        |sh AS (
+        |  SELECT lang, tokens, tokens * 1.0 / (sum(tokens) OVER ()) AS share FROM s
+        |),
+        |p AS (SELECT lang, tokens, share, sqrt(share) AS pa FROM sh)
+        |SELECT lang, tokens, round(share, 6) AS token_share,
+        | round(pa / (sum(pa) OVER ()), 6) AS sample_weight
+        |FROM p ORDER BY lang""".stripMargin,
     "q64_value_zscore" ->
       """WITH stats AS (
         |  SELECT event_type, round(avg(value), 6) AS mu,

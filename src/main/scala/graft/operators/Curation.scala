@@ -125,4 +125,29 @@ object Curation {
         round($"total_tokens" / ($"n_strata" * $"tokens"), 6).as("uniform_weight"))
       .orderBy($"lang", $"source")
   }
+
+  /** Temperature-smoothed language mixture (the multilingual-pretraining
+    * sampling rule, alpha = 0.5): per language, sampling weight
+    * proportional to token_share^alpha, renormalized. Flattens the
+    * head-language dominance without going fully uniform.
+    *
+    * Same one-scan shape as `mixtureWeights`: per-lang token mass with
+    * map-side combine, then windows over the AGGREGATED frame (rows =
+    * language count). alpha is fixed at 1/2 so the smoothing is `sqrt` —
+    * correctly rounded in IEEE 754, hence bit-reproducible across engines
+    * (a general `pow` is not).
+    */
+  def temperatureMixture(documents: DataFrame): DataFrame = {
+    val w = Window.partitionBy() // bounded by language count
+    documents
+      .groupBy($"lang")
+      .agg(sum(size(split($"text", " ")).cast("long")).as("tokens"))
+      // exact integer share denominator; smoothing on the raw double share
+      .select($"lang", $"tokens", ($"tokens" / sum($"tokens").over(w)).as("share"))
+      .select($"lang", $"tokens", $"share", sqrt($"share").as("pa"))
+      .select($"lang", $"tokens",
+        round($"share", 6).as("token_share"),
+        round($"pa" / sum($"pa").over(w), 6).as("sample_weight"))
+      .orderBy($"lang")
+  }
 }

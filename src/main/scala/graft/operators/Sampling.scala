@@ -86,4 +86,32 @@ object Sampling {
       .agg(count(lit(1)).as("n_docs"), sum($"tok").as("total_tokens"))
       .orderBy($"bin")
   }
+
+  /** Sliding-window document chunking: cut each document into
+    * `chunkSize`-token windows advancing by `stride` tokens (the
+    * context-window preparation step before tokenizer packing). Chunk
+    * starts are 0, stride, 2*stride, ... with as many chunks as needed to
+    * cover every token ((n - chunkSize) / stride rounded up, plus one);
+    * the final window is shorter when the tail runs out. Per chunk: token
+    * count and an md5 checksum of the chunk text.
+    *
+    * Shape: the token array is materialized ONCE per row as a real column,
+    * so the per-chunk `slice`/`array_join` lambdas index an in-memory
+    * array (never re-splitting the text per chunk); the fan-out is
+    * `posexplode`, shuffle-free until the canonical output sort.
+    */
+  def docChunks(documents: DataFrame, chunkSize: Int = 64, stride: Int = 32): DataFrame = {
+    val nws = size($"ws")
+    val nChunks = when(nws <= chunkSize, lit(1L))
+      .otherwise(ceil((nws - chunkSize).cast("double") / stride).cast("bigint") + 1L)
+    documents
+      .select($"doc_id", split($"text", " ").as("ws"))
+      .select($"doc_id",
+        posexplode(transform(sequence(lit(0L), nChunks - 1L),
+          k => slice($"ws", (k * stride + 1L).cast("int"), lit(chunkSize)))))
+      .select($"doc_id", $"pos".cast("bigint").as("chunk_no"),
+        size($"col").cast("bigint").as("n_tokens"),
+        md5(array_join($"col", " ")).as("chunk_checksum"))
+      .orderBy($"doc_id", $"chunk_no")
+  }
 }

@@ -123,4 +123,62 @@ object TextAnalysis {
       regexp_count(lower($"text"), lit("[a-z]+|[0-9]+|[^a-z0-9 ]"))
         .cast("bigint").as("bpe_tokens"))
       .orderBy($"doc_id")
+
+  /** Corpus-wide vocabulary head: the `k` most frequent whitespace tokens.
+    * One explode + map-side-combined count, then `orderBy(...).limit(k)` —
+    * Catalyst plans the tail as TakeOrderedAndProject (per-partition
+    * partial top-k merged on the driver), so no global sort of the
+    * vocabulary ever happens. Ties broken by token for determinism.
+    */
+  def tokenTopK(documents: DataFrame, k: Int = 30): DataFrame =
+    documents
+      .select(explode(split($"text", " ")).as("token"))
+      .groupBy($"token")
+      .agg(count(lit(1)).as("n"))
+      .orderBy($"n".desc, $"token")
+      .limit(k)
+
+  /** Per-document top-`k` terms by tf-idf (tf = raw in-doc count, idf =
+    * ln(N/df)) — the classic salient-term extraction over a corpus.
+    *
+    * Scale shape: per-(doc, term) counts and per-term document frequencies
+    * are two map-side-combined aggregations; N arrives via a broadcast
+    * 1-row frame (never a driver round-trip); the per-doc top-k runs
+    * through the salted two-stage rank (`Scale.topKPerGroup`), so neither
+    * the vocabulary join nor the ranking funnels a hot key through one
+    * reducer. Ranking compares the ROUNDED score (then term) so the order
+    * is reproducible across engines to the last ulp.
+    */
+  def tfidfTopTerms(documents: DataFrame, k: Int = 3): DataFrame = {
+    val tf = documents
+      .select($"doc_id", explode(split($"text", " ")).as("term"))
+      .groupBy($"doc_id", $"term")
+      .agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy($"term").agg(count(lit(1)).as("df"))
+    val nDocs = documents.agg(count(lit(1)).as("n_docs"))
+    val scored = tf
+      .join(df, Seq("term"))
+      .crossJoin(broadcast(nDocs))
+      .select($"doc_id", $"term",
+        round($"tf" * log($"n_docs" / $"df"), 6).as("tfidf"))
+    Scale.topKPerGroup(scored, group = $"doc_id", rankKey = -$"tfidf",
+        tie = $"term", saltSource = $"term", k = k)
+      .withColumn("rnk",
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .partitionBy($"doc_id").orderBy($"tfidf".desc, $"term")).cast("int"))
+      .select($"doc_id", $"term", $"tfidf", $"rnk")
+      .orderBy($"doc_id", $"rnk")
+  }
+
+  /** Document-length histogram: fixed-width bins over `n_chars` with doc
+    * and token mass per bin — integer arithmetic only, one
+    * map-side-combined aggregation over a scan projection.
+    */
+  def lengthHistogram(documents: DataFrame, width: Int = 50): DataFrame =
+    documents
+      .select((floor($"n_chars" / width) * width).cast("bigint").as("bin"),
+        size(split($"text", " ")).cast("bigint").as("nw"))
+      .groupBy($"bin")
+      .agg(count(lit(1)).as("n_docs"), sum($"nw").as("total_words"))
+      .orderBy($"bin")
 }

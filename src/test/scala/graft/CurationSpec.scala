@@ -94,6 +94,87 @@ class CurationSpec extends GraftSuite {
     assert(got === Seq(None, None, None, Some(2L)))
   }
 
+  test("temperatureMixture: weights sum to 1, preserve order, flatten the head") {
+    val rows = Curation.temperatureMixture(docs).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    assert(rows.length > 1)
+    assert(math.abs(rows.map(_._3).sum - 1.0) < 1e-5, "shares sum to 1")
+    assert(math.abs(rows.map(_._4).sum - 1.0) < 1e-5, "weights sum to 1")
+    // sqrt smoothing preserves the share order but compresses the range
+    val byShare = rows.sortBy(_._3)
+    assert(byShare.map(_._4).sameElements(byShare.map(_._4).sorted), "order preserved")
+    val maxShare = rows.map(_._3).max
+    val maxWeight = rows.map(_._4).max
+    if (maxShare > 1.0 / rows.length + 1e-6)
+      assert(maxWeight < maxShare, "head language flattened toward uniform")
+  }
+
+  test("tokenTopK matches brute-force counts and plans as TakeOrdered") {
+    val texts = docs.select(col("text")).collect().map(_.getString(0))
+    val counts = texts.flatMap(_.split(" ", -1))
+      .groupBy(identity).map { case (t, g) => (t, g.size.toLong) }
+    val expected = counts.toSeq.sortBy { case (t, n) => (-n, t) }.take(10)
+    val q = graft.operators.TextAnalysis.tokenTopK(docs, 10)
+    val got = q.collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(got === expected)
+    assert(q.queryExecution.executedPlan.toString.contains("TakeOrderedAndProject"),
+      "top-k must not globally sort the vocabulary")
+  }
+
+  test("tfidfTopTerms matches a brute-force tf-idf ranking") {
+    def round6(x: Double): Double =
+      java.math.BigDecimal.valueOf(x).setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+    val fixture = docs.select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val nDocs = fixture.length
+    val tf = fixture.flatMap { case (id, t) =>
+      t.split(" ", -1).groupBy(identity).map { case (term, g) => (id, term, g.size) }
+    }
+    val df = tf.groupBy(_._2).map { case (term, g) => (term, g.size) }
+    val expected = tf.map { case (id, term, f) =>
+      (id, term, round6(f * math.log(nDocs.toDouble / df(term))))
+    }.groupBy(_._1).toSeq.flatMap { case (id, g) =>
+      g.sortBy { case (_, term, s) => (-s, term) }.take(3).zipWithIndex
+        .map { case ((_, term, s), i) => (id, term, s, i + 1) }
+    }.sortBy(r => (r._1, r._4))
+    val got = graft.operators.TextAnalysis.tfidfTopTerms(docs).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2), r.getInt(3))).toSeq
+    assert(got === expected)
+  }
+
+  test("docChunks covers every token; chunk boundaries and checksums are exact") {
+    val fixture = docs.select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    val expected = fixture.flatMap { case (id, t) =>
+      val ws = t.split(" ", -1)
+      val n = ws.length
+      val nChunks = if (n <= 64) 1 else math.ceil((n - 64) / 32.0).toInt + 1
+      (0 until nChunks).map { k =>
+        val chunk = ws.slice(k * 32, math.min(k * 32 + 64, n))
+        (id, k.toLong, chunk.length.toLong, md5hex(chunk.mkString(" ")))
+      }
+    }.sortBy(r => (r._1, r._2))
+    val got = graft.operators.Sampling.docChunks(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3))).toSeq
+    assert(got === expected)
+    // full coverage: chunk token counts minus overlaps == corpus token count
+    val totalTokens = fixture.map(_._2.split(" ", -1).length.toLong).sum
+    val lastCovered = expected.groupBy(_._1).values.map { chunks =>
+      chunks.map(c => c._2 * 32 + c._3).max // max end offset per doc
+    }.sum
+    assert(lastCovered === totalTokens, "chunks must cover every token exactly")
+  }
+
+  test("lengthHistogram bins partition the corpus") {
+    val rows = graft.operators.TextAnalysis.lengthHistogram(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.map(_._2).sum === docs.count())
+    assert(rows.forall(_._1 % 50 == 0))
+  }
+
   test("SQL-registered cosine_sim accepts array<float> embeddings") {
     graft.functions.VectorFunctions.register(spark)
     Tables.embeddings(spark, sf).limit(5).createOrReplaceTempView("emb_sql_coerce")

@@ -93,6 +93,11 @@ object PipelineQueries {
     "q68_length_histogram" -> ((s, d) => TextAnalysis.lengthHistogram(Tables.documents(s, d))),
     // alpha=0.5 temperature-smoothed language sampling weights
     "q69_temperature_mixture" -> ((s, d) => Curation.temperatureMixture(Tables.documents(s, d))),
+    // deterministic 2-round Lloyd k-means (md5-coreset init, rounded
+    // centroid feedback) — cluster sizes + cohesion
+    "q70_kmeans_clusters" -> ((s, d) => Similarity.kmeansClusters(Tables.embeddings(s, d))),
+    // per-language p10 quality pruning report (exact-percentile twin)
+    "q71_quality_filter" -> ((s, d) => TextAnalysis.qualityFilter(Tables.documents(s, d))),
     // rows-only (no oracle): approximate sketches differ by implementation
     "q38_sketches" -> ((s, d) => {
       import org.apache.spark.sql.functions._
@@ -122,6 +127,47 @@ object PipelineQueries {
   private val SEs = score(Seq("el", "y", "los"))
 
   private val Stopwords = score(Seq("the", "a", "of"))
+
+  /** The q21 quality formula (shared by the q71 filter oracle). */
+  private lazy val QualityExprSql =
+    s"""round(0.5 * least(len(string_split(text, ' ')) / 60.0, 1.0)
+       |     + 0.5 * least($Stopwords * 10.0 / len(string_split(text, ' ')), 1.0)
+       |     - length(regexp_replace(text, '[a-z ]', '', 'g')) * 1.0 / length(text), 4)""".stripMargin
+
+  /** Deterministic 2-round Lloyd k-means oracle: md5-coreset init, argmin
+    * assignment on (rounded -cos, cid), per-dimension rounded-mean centroid
+    * updates (zipped unnest of positions and values), empty clusters keep
+    * the previous centroid — replicating Similarity.kmeansClusters exactly.
+    */
+  private lazy val KmeansSql: String = {
+    def assign(cents: String) =
+      s"""SELECT vec_id, v, cid, cos FROM (
+         |  SELECT e.vec_id, e.v, c.cid, round(${cosSql("e.v", "c.cv")}, 6) AS cos,
+         |    row_number() OVER (PARTITION BY e.vec_id
+         |      ORDER BY round(-(${cosSql("e.v", "c.cv")}), 6), c.cid) AS rn
+         |  FROM e CROSS JOIN $cents c
+         |) WHERE rn = 1""".stripMargin
+    def update(a: String, prevCents: String) =
+      s"""SELECT c0.cid, coalesce(u.cv, c0.cv) AS cv FROM $prevCents c0 LEFT JOIN (
+         |  SELECT cid, list(m ORDER BY i) AS cv FROM (
+         |    SELECT cid, i, round(avg(x), 6) AS m FROM (
+         |      SELECT cid, unnest(generate_series(1, len(v))) AS i, unnest(v) AS x FROM $a
+         |    ) GROUP BY cid, i
+         |  ) GROUP BY cid
+         |) u USING (cid)""".stripMargin
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |cent0 AS (
+       |  SELECT vec_id AS cid, v AS cv FROM e
+       |  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16
+       |),
+       |a1 AS (${assign("cent0")}),
+       |cent1 AS (${update("a1", "cent0")}),
+       |a2 AS (${assign("cent1")}),
+       |cent2 AS (${update("a2", "cent1")}),
+       |af AS (${assign("cent2")})
+       |SELECT cid, count(*) AS n_members, round(avg(cos), 6) AS cohesion
+       |FROM af GROUP BY cid ORDER BY cid""".stripMargin
+  }
 
   /** Distinct char-5-gram rows per doc (DuckDB list comprehension). */
   private val GramsCte =
@@ -414,11 +460,16 @@ object PipelineQueries {
          | round($Stopwords * 1.0 / len(string_split(text, ' ')), 4) AS stopword_ratio
          |FROM documents ORDER BY doc_id""".stripMargin,
     "q21_quality_score" ->
-      s"""SELECT doc_id,
-         | round(0.5 * least(len(string_split(text, ' ')) / 60.0, 1.0)
-         |     + 0.5 * least($Stopwords * 10.0 / len(string_split(text, ' ')), 1.0)
-         |     - length(regexp_replace(text, '[a-z ]', '', 'g')) * 1.0 / length(text), 4) AS quality
+      s"""SELECT doc_id, $QualityExprSql AS quality
          |FROM documents ORDER BY doc_id""".stripMargin,
+    "q70_kmeans_clusters" -> KmeansSql,
+    "q71_quality_filter" ->
+      s"""WITH s AS (SELECT doc_id, lang, $QualityExprSql AS quality FROM documents),
+         |t AS (SELECT lang, quantile_cont(quality, 0.1) AS cut FROM s GROUP BY lang)
+         |SELECT lang, round(cut, 4) AS p10_cut, count(*) AS n_total,
+         | CAST(sum(CASE WHEN quality >= cut THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+         |FROM s JOIN t USING (lang)
+         |GROUP BY lang, cut ORDER BY lang""".stripMargin,
     "q22_lang_id" ->
       s"""SELECT doc_id, lang,
          | CASE WHEN greatest($SEn, $SDe, $SFr, $SEs) = 0 THEN 'und'

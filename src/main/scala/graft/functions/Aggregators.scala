@@ -62,6 +62,47 @@ object Aggregators {
 
   class TwoLevelSum extends TwoLevelSumOf[Double](identity)
 
+  /** Element-wise vector sum over `array<double>` columns — the aggregation
+    * that keeps k-means centroid updates shuffle-light: per-partition
+    * partial sums reduce corpus×dim values down to one dim-length buffer
+    * per (cluster, partition), so the exchange carries k×dim doubles, not
+    * corpus×dim rows (the `posexplode`-then-groupBy alternative). The
+    * buffer stays a deserialized mutable array within a partition
+    * (TypedImperativeAggregate), so `reduce` is an in-place add.
+    * Mismatched vector lengths fail fast rather than mis-summing.
+    */
+  class VectorSum extends Aggregator[Seq[Double], Array[Double], Seq[Double]] {
+    override def zero: Array[Double] = Array.emptyDoubleArray
+    override def reduce(b: Array[Double], v: Seq[Double]): Array[Double] =
+      if (b.isEmpty) {
+        val r = new Array[Double](v.length)
+        var i = 0
+        while (i < r.length) { r(i) = v(i); i += 1 }
+        r
+      } else {
+        require(b.length == v.length,
+          s"VectorSum: mismatched vector lengths ${b.length} vs ${v.length}")
+        var i = 0
+        while (i < b.length) { b(i) += v(i); i += 1 }
+        b
+      }
+    override def merge(a: Array[Double], b: Array[Double]): Array[Double] =
+      if (a.isEmpty) b
+      else if (b.isEmpty) a
+      else {
+        require(a.length == b.length,
+          s"VectorSum: mismatched vector lengths ${a.length} vs ${b.length}")
+        var i = 0
+        while (i < a.length) { a(i) += b(i); i += 1 }
+        a
+      }
+    override def finish(r: Array[Double]): Seq[Double] = r.toSeq
+    override def bufferEncoder: Encoder[Array[Double]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Double]]()
+    override def outputEncoder: Encoder[Seq[Double]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Double]]()
+  }
+
   /** Numeric value of the first `digits` hex characters of `h` as a binary
     * fraction in [0, 1). Every term d*16^-i is exact in double (16^-i is a
     * power of two) and every partial sum carries <= 4*digits significand

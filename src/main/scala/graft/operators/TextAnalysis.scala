@@ -47,20 +47,47 @@ object TextAnalysis {
     * punctuation penalty. The exact formula is arbitrary; what matters is
     * that it is deterministic, cheap, and pushes fully into codegen.
     */
-  def qualityScore(documents: DataFrame): DataFrame = {
-    val words = size(split($"text", " "))
+  /** The q21 quality formula as a reusable column (rounded to 4). */
+  def qualityCol(text: Column): Column = {
+    val words = size(split(text, " "))
     // lowercase before marker counting (consistent with langId and the
     // oracle's padded-lower form)
-    val padded = concat(lit(" "), lower($"text"), lit(" "))
+    val padded = concat(lit(" "), lower(text), lit(" "))
     val stopwords =
       occurrences(padded, " the ") + occurrences(padded, " a ") + occurrences(padded, " of ")
     val lengthScore = least(words.cast("double") / lit(60.0), lit(1.0))
     val stopScore   = least(stopwords.cast("double") * lit(10.0) / words, lit(1.0))
-    val punctPenalty = length(regexp_replace($"text", "[a-z ]", "")).cast("double") / length($"text")
-    documents.select(
-      $"doc_id",
-      round(lit(0.5) * lengthScore + lit(0.5) * stopScore - punctPenalty, 4).as("quality"))
+    val punctPenalty = length(regexp_replace(text, "[a-z ]", "")).cast("double") / length(text)
+    round(lit(0.5) * lengthScore + lit(0.5) * stopScore - punctPenalty, 4)
+  }
+
+  def qualityScore(documents: DataFrame): DataFrame =
+    documents.select($"doc_id", qualityCol($"text").as("quality"))
       .orderBy($"doc_id")
+
+  /** Quantile-based quality pruning report: per language, the exact q-th
+    * quality quantile and how many documents survive a `quality >= cut`
+    * filter — the "drop the worst decile per language" curation rule.
+    *
+    * Two aggregations: per-lang exact percentile (the oracle-checkable
+    * exact twin; at 100 TB swap in `approx_percentile`, whose sketch
+    * mergeability is the scale path — q38 exercises it), then a broadcast
+    * join of the per-lang cuts back onto the scored scan for the keep
+    * counts. The >= comparison is robust cross-engine: an interpolated cut
+    * either equals a data value exactly or lies strictly between two
+    * distinct rounded-to-4 values.
+    */
+  def qualityFilter(documents: DataFrame, q: Double = 0.1): DataFrame = {
+    val scored = documents.select($"doc_id", $"lang", qualityCol($"text").as("quality"))
+    val cuts = scored.groupBy($"lang")
+      .agg(expr(s"percentile(quality, $q)").as("cut"))
+    scored
+      .join(broadcast(cuts), Seq("lang"))
+      .groupBy($"lang", $"cut")
+      .agg(count(lit(1)).as("n_total"),
+        sum(when($"quality" >= $"cut", 1L).otherwise(0L)).as("n_kept"))
+      .select($"lang", round($"cut", 4).as("p10_cut"), $"n_total", $"n_kept")
+      .orderBy($"lang")
   }
 
   /** N-gram-heuristic language ID: marker-word mass per language, argmax

@@ -234,6 +234,58 @@ class PipelineSpec extends GraftSuite {
     }
   }
 
+  test("VectorSum UDAF: equals per-dimension sums and is partition-invariant") {
+    import org.apache.spark.sql.functions._
+    val vecSum = udaf(new graft.functions.Aggregators.VectorSum)
+    val base = embs.select(col("label"), transform(col("embedding"), _.cast("double")).as("v"))
+    def sums(parts: Int): Map[Int, Seq[Double]] = base.repartition(parts)
+      .groupBy(col("label")).agg(vecSum(col("v")).as("s"))
+      .collect().map(r => r.getInt(0) -> r.getSeq[Double](1).map(x => math.round(x * 1e6) / 1e6))
+      .toMap
+    val expected = base
+      .select(col("label"), posexplode(col("v")))
+      .groupBy(col("label"), col("pos")).agg(sum(col("col")).as("s"))
+      .collect().groupBy(_.getInt(0))
+      .map { case (l, rows) =>
+        l -> rows.sortBy(_.getInt(1)).map(r => math.round(r.getDouble(2) * 1e6) / 1e6).toSeq
+      }
+    assert(sums(1) === expected)
+    assert(sums(13) === expected)
+  }
+
+  test("kmeans: deterministic, partitions the corpus, at most k clusters") {
+    val r1 = graft.operators.Similarity.kmeansClusters(embs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val r2 = graft.operators.Similarity.kmeansClusters(embs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(r1 === r2, "two runs must agree exactly")
+    assert(r1.map(_._2).sum === embs.count(), "every vector assigned once")
+    assert(r1.length <= 16 && r1.nonEmpty)
+    assert(r1.forall { case (_, _, c) => c >= -1.0001 && c <= 1.0001 })
+  }
+
+  test("qualityFilter matches a brute-force percentile computation") {
+    import org.apache.spark.sql.functions._
+    val quality = docs
+      .select(col("lang"), graft.operators.TextAnalysis.qualityCol(col("text")).as("q"))
+      .collect().map(r => (r.getString(0), r.getDouble(1))).groupBy(_._1)
+    def round4(x: Double): Double =
+      java.math.BigDecimal.valueOf(x).setScale(4, java.math.RoundingMode.HALF_UP).doubleValue()
+    val expected = quality.map { case (lang, rows) =>
+      val vs = rows.map(_._2).sorted
+      val pos = 0.1 * (vs.length - 1)
+      val l = pos.toInt
+      val cut = if (l + 1 < vs.length) vs(l) + (pos - l) * (vs(l + 1) - vs(l)) else vs(l)
+      (lang, (round4(cut), vs.length.toLong, vs.count(_ >= cut).toLong))
+    }
+    val got = graft.operators.TextAnalysis.qualityFilter(docs).collect()
+      .map(r => (r.getString(0), (r.getDouble(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got === expected)
+    got.values.foreach { case (_, total, kept) =>
+      assert(kept >= (total * 0.85).toLong, "p10 cut should keep ~90%")
+    }
+  }
+
   test("valueZscore: per-type z has mean ~0, sd ~1, and row count is preserved") {
     val ev = Tables.events(spark, sf)
     val z = Events.valueZscore(ev)

@@ -98,6 +98,15 @@ object PipelineQueries {
     "q70_kmeans_clusters" -> ((s, d) => Similarity.kmeansClusters(Tables.embeddings(s, d))),
     // per-language p10 quality pruning report (exact-percentile twin)
     "q71_quality_filter" -> ((s, d) => TextAnalysis.qualityFilter(Tables.documents(s, d))),
+    // md5-Bloom runtime-filter accounting: orders probed against a Bloom of
+    // BUILDING-segment customers
+    "q72_bloom_prefilter" -> ((s, d) => {
+      import org.apache.spark.sql.functions.col
+      Scale.bloomPrefilterStats(Tables.orders(s, d), "o_custkey",
+        Tables.customer(s, d).filter(col("c_mktsegment") === "BUILDING"), "c_custkey")
+    }),
+    // count-min sketch estimates vs exact counts for the top tokens
+    "q73_countmin_tokens" -> ((s, d) => TextAnalysis.countMinTopTokens(Tables.documents(s, d))),
     // rows-only (no oracle): approximate sketches differ by implementation
     "q38_sketches" -> ((s, d) => {
       import org.apache.spark.sql.functions._
@@ -133,6 +142,22 @@ object PipelineQueries {
     s"""round(0.5 * least(len(string_split(text, ' ')) / 60.0, 1.0)
        |     + 0.5 * least($Stopwords * 10.0 / len(string_split(text, ' ')), 1.0)
        |     - length(regexp_replace(text, '[a-z ]', '', 'g')) * 1.0 / length(text), 4)""".stripMargin
+
+  /** DuckDB replica of `Scale.md5SlicePos`: position j of a key in an
+    * m-cell table from hex digits 4j+1..4j+4 of `hExpr` (an md5 hex
+    * string), via strpos arithmetic.
+    */
+  private def posSql(hExpr: String, j: Int, m: Int): String = {
+    def hv(idx: Int) = s"(strpos('0123456789abcdef', substr($hExpr, $idx, 1)) - 1)"
+    s"((((${hv(4 * j + 1)} * 16 + ${hv(4 * j + 2)}) * 16 + ${hv(4 * j + 3)}) * 16 + ${hv(4 * j + 4)}) % $m)"
+  }
+
+  /** CASE dispatch of `posSql` over a j column (for cross-joined hash-row
+    * indexes).
+    */
+  private def posCaseSql(hExpr: String, jCol: String, d: Int, m: Int): String =
+    (0 until d - 1).map(j => s"WHEN $j THEN ${posSql(hExpr, j, m)}")
+      .mkString(s"CASE $jCol ", " ", s" ELSE ${posSql(hExpr, d - 1, m)} END")
 
   /** Deterministic 2-round Lloyd k-means oracle: md5-coreset init, argmin
     * assignment on (rounded -cos, cid), per-dimension rounded-mean centroid
@@ -463,6 +488,65 @@ object PipelineQueries {
       s"""SELECT doc_id, $QualityExprSql AS quality
          |FROM documents ORDER BY doc_id""".stripMargin,
     "q70_kmeans_clusters" -> KmeansSql,
+    "q72_bloom_prefilter" -> {
+      val ps = (0 until 3).map(j => posSql("h", j, 16384))
+      s"""WITH dimk AS (
+         |  SELECT DISTINCT c_custkey AS key FROM customer WHERE c_mktsegment = 'BUILDING'
+         |),
+         |dh AS (SELECT key, md5(CAST(key AS VARCHAR)) AS h FROM dimk),
+         |dimpos AS (
+         |  SELECT DISTINCT p FROM (SELECT unnest([${ps.mkString(", ")}]) AS p FROM dh)
+         |),
+         |probe AS (SELECT DISTINCT o_custkey AS key FROM orders),
+         |ph AS (SELECT key, md5(CAST(key AS VARCHAR)) AS h FROM probe),
+         |pk AS (
+         |  SELECT key, len(ps) AS np, unnest(ps) AS p FROM (
+         |    SELECT key, list_distinct([${ps.mkString(", ")}]) AS ps FROM ph)
+         |),
+         |hits AS (
+         |  SELECT pk.key, np, count(d.p) AS nh
+         |  FROM pk LEFT JOIN dimpos d USING (p) GROUP BY 1, 2
+         |),
+         |flag AS (
+         |  SELECT (nh = np) AS pass, (dk.key IS NOT NULL) AS member
+         |  FROM hits h LEFT JOIN dimk dk ON h.key = dk.key
+         |)
+         |SELECT count(*) AS n_probe,
+         | CAST(sum(CASE WHEN pass THEN 1 ELSE 0 END) AS BIGINT) AS n_pass,
+         | CAST(sum(CASE WHEN member THEN 1 ELSE 0 END) AS BIGINT) AS n_member,
+         | CAST(sum(CASE WHEN pass AND NOT member THEN 1 ELSE 0 END) AS BIGINT) AS n_false_pos,
+         | CASE WHEN count(*) > sum(CASE WHEN member THEN 1 ELSE 0 END)
+         |   THEN round(sum(CASE WHEN pass AND NOT member THEN 1 ELSE 0 END) * 1.0 /
+         |     (count(*) - sum(CASE WHEN member THEN 1 ELSE 0 END)), 6)
+         |   ELSE 0.0 END AS fp_rate
+         |FROM flag""".stripMargin
+    },
+    "q73_countmin_tokens" -> {
+      val cellCase = posCaseSql("h", "j", 3, 1024)
+      s"""WITH toks AS (SELECT unnest(string_split(text, ' ')) AS token FROM documents),
+         |th AS (SELECT md5(token) AS h FROM toks),
+         |cells AS (
+         |  SELECT j, $cellCase AS cell, count(*) AS c
+         |  FROM th CROSS JOIN (VALUES (0), (1), (2)) t(j)
+         |  GROUP BY 1, 2
+         |),
+         |top AS (
+         |  SELECT token, count(*) AS n FROM toks GROUP BY token
+         |  ORDER BY n DESC, token LIMIT 10
+         |),
+         |probe AS (
+         |  SELECT token, n, j, $cellCase AS cell
+         |  FROM (SELECT token, n, md5(token) AS h FROM top)
+         |  CROSS JOIN (VALUES (0), (1), (2)) t(j)
+         |),
+         |est AS (
+         |  SELECT token, n, min(coalesce(c.c, 0)) AS est_n
+         |  FROM probe p LEFT JOIN cells c USING (j, cell) GROUP BY 1, 2
+         |)
+         |SELECT token, n AS true_n, CAST(est_n AS BIGINT) AS est_n,
+         | CAST(est_n - n AS BIGINT) AS overestimate
+         |FROM est ORDER BY true_n DESC, token""".stripMargin
+    },
     "q71_quality_filter" ->
       s"""WITH s AS (SELECT doc_id, lang, $QualityExprSql AS quality FROM documents),
          |t AS (SELECT lang, quantile_cont(quality, 0.1) AS cut FROM s GROUP BY lang)

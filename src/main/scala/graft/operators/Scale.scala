@@ -52,6 +52,58 @@ object Scale {
       .drop("_rkey", "_salt", "_prn", "_rn")
   }
 
+  /** Position `j` of a key in an `m`-cell hash table, derived from 4 hex
+    * digits of md5 — the engine-independent hash family shared by the
+    * Bloom prefilter and the count-min sketch (DuckDB reproduces it with
+    * strpos arithmetic; Spark with `conv`). j <= 7 (32 hex digits / 4).
+    */
+  private[operators] def md5SlicePos(key: Column, j: Int, m: Int): Column =
+    conv(substring(md5(key.cast("string")), 4 * j + 1, 4), 16, 10).cast("bigint") % m
+
+  /** Bloom-prefilter accounting: build a deterministic md5 Bloom filter
+    * (m cells, k hash functions) over the dim-side keys, probe every
+    * DISTINCT fact-side key, and report pass/membership/false-positive
+    * counts — the runtime-filter pattern (Spark's AQE bloom runtime
+    * filters, semi-join pushdown) made explicit and measurable.
+    *
+    * Scale shape: the filter is materialized as the DISTINCT POSITION SET
+    * of the dim keys — at most m rows no matter how many build keys — and
+    * broadcast; the probe explodes k positions per distinct key and
+    * counts hits, passing iff every position is present. No shuffle of the
+    * fact side beyond its key-distinct; the dim side is scanned once. The
+    * Bloom guarantee (members always pass) is asserted in ScaleSpec; the
+    * false-positive rate is what the report measures.
+    */
+  def bloomPrefilterStats(fact: DataFrame, factKey: String, dim: DataFrame,
+      dimKey: String, m: Int = 16384, k: Int = 3): DataFrame = {
+    val dimPos = dim
+      .select(explode(array((0 until k).map(j => md5SlicePos(col(dimKey), j, m)): _*)).as("p"))
+      .distinct()
+    val truthKeys = dim.select(col(dimKey).as("key")).distinct()
+    val probe = fact.select(col(factKey).as("key")).distinct()
+      .select($"key",
+        array_distinct(array((0 until k).map(j => md5SlicePos($"key", j, m)): _*)).as("ps"))
+    val perKey = probe
+      .select($"key", size($"ps").as("np"), explode($"ps").as("p"))
+      .join(broadcast(dimPos.withColumn("hit", lit(1L))), Seq("p"), "left")
+      .groupBy($"key", $"np")
+      .agg(sum(coalesce($"hit", lit(0L))).as("nh"))
+      .select($"key", ($"nh" === $"np").as("pass"))
+    perKey
+      .join(broadcast(truthKeys.withColumn("member", lit(true))), Seq("key"), "left")
+      .select($"pass", coalesce($"member", lit(false)).as("member"))
+      .groupBy()
+      .agg(
+        count(lit(1)).as("n_probe"),
+        sum(when($"pass", 1L).otherwise(0L)).as("n_pass"),
+        sum(when($"member", 1L).otherwise(0L)).as("n_member"),
+        sum(when($"pass" && !$"member", 1L).otherwise(0L)).as("n_false_pos"))
+      .select($"n_probe", $"n_pass", $"n_member", $"n_false_pos",
+        when($"n_probe" > $"n_member",
+          round($"n_false_pos" / ($"n_probe" - $"n_member"), 6)).otherwise(0.0)
+          .as("fp_rate"))
+  }
+
   /** Salted equi-join for a skewed fact side: the dim side is replicated
     * `salts` times (explode over the salt range — dim must be small enough
     * to replicate, which is exactly the skewed-join regime), the fact side

@@ -197,6 +197,37 @@ object TextAnalysis {
       .orderBy($"doc_id", $"rnk")
   }
 
+  /** Count-min sketch accuracy report: estimate the counts of the exact
+    * top-`topk` tokens from a `d`×`w` count-min sketch (md5-slice hash
+    * family, `Scale.md5SlicePos`) and report the overestimation — the
+    * mergeable fixed-memory frequency sketch every 100 TB heavy-hitter
+    * pipeline runs, WITH an exact oracle (deterministic hash family means
+    * DuckDB reproduces every counter).
+    *
+    * Scale shape: the sketch is a d×w-cell aggregation — tokens explode
+    * into d (row, cell) pairs and map-side combine bounds the shuffle at
+    * d×w counters per partition regardless of vocabulary size (no
+    * per-token state anywhere). Probing joins the tiny broadcast counter
+    * table. CM guarantee (estimate >= true count) asserted in spec.
+    */
+  def countMinTopTokens(documents: DataFrame, d: Int = 3, w: Int = 1024,
+      topk: Int = 10): DataFrame = {
+    val cells = documents
+      .select(explode(split($"text", " ")).as("token"))
+      .select(posexplode(array((0 until d).map(j => Scale.md5SlicePos($"token", j, w)): _*)))
+      .groupBy($"pos".as("j"), $"col".as("cell"))
+      .agg(count(lit(1)).as("c"))
+    tokenTopK(documents, topk)
+      .select($"token", $"n",
+        posexplode(array((0 until d).map(j => Scale.md5SlicePos($"token", j, w)): _*)))
+      .select($"token", $"n", $"pos".as("j"), $"col".as("cell"))
+      .join(broadcast(cells), Seq("j", "cell"), "left")
+      .groupBy($"token", $"n")
+      .agg(min(coalesce($"c", lit(0L))).as("est_n"))
+      .select($"token", $"n".as("true_n"), $"est_n", ($"est_n" - $"n").as("overestimate"))
+      .orderBy($"true_n".desc, $"token")
+  }
+
   /** Document-length histogram: fixed-width bins over `n_chars` with doc
     * and token mass per bin — integer arithmetic only, one
     * map-side-combined aggregation over a scan projection.

@@ -40,6 +40,63 @@ class ScaleSpec extends GraftSuite {
     assert(salted === plain)
   }
 
+  test("bloom prefilter: matches a brute-force md5 bloom; members always pass") {
+    import graft.sources.Tables
+    import org.apache.spark.sql.functions.col
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    def positions(key: String, m: Int): Seq[Long] = {
+      val h = md5hex(key)
+      (0 until 3).map(j => java.lang.Long.parseLong(h.substring(4 * j, 4 * j + 4), 16) % m)
+    }
+    val m = 16384
+    val dim = Tables.customer(spark, sf).filter(col("c_mktsegment") === "BUILDING")
+    val dimKeys = dim.select(col("c_custkey")).collect().map(_.getLong(0)).toSet
+    val bloomPos = dimKeys.flatMap(k => positions(k.toString, m))
+    val probeKeys = Tables.orders(spark, sf).select(col("o_custkey"))
+      .distinct().collect().map(_.getLong(0))
+    val expected = probeKeys.map { k =>
+      val pass = positions(k.toString, m).forall(bloomPos.contains)
+      (pass, dimKeys.contains(k))
+    }
+    val expPass = expected.count(_._1).toLong
+    val expMember = expected.count(_._2).toLong
+    val expFp = expected.count(e => e._1 && !e._2).toLong
+    val row = graft.operators.Scale.bloomPrefilterStats(
+      Tables.orders(spark, sf), "o_custkey", dim, "c_custkey").collect()(0)
+    assert((row.getLong(0), row.getLong(1), row.getLong(2), row.getLong(3)) ===
+      ((probeKeys.length.toLong, expPass, expMember, expFp)))
+    // the Bloom guarantee: every true member passes
+    assert(row.getLong(1) - row.getLong(3) === row.getLong(2))
+  }
+
+  test("count-min: estimates >= true counts and equal a brute-force sketch") {
+    import graft.sources.Tables
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    def pos(tok: String, j: Int, w: Int): Long =
+      java.lang.Long.parseLong(md5hex(tok).substring(4 * j, 4 * j + 4), 16) % w
+    val docs = Tables.documents(spark, sf)
+    val tokens = docs.select(org.apache.spark.sql.functions.col("text")).collect()
+      .flatMap(_.getString(0).split(" ", -1))
+    val cells = new scala.collection.mutable.HashMap[(Int, Long), Long]().withDefaultValue(0L)
+    tokens.foreach(t => (0 until 3).foreach { j =>
+      cells((j, pos(t, j, 1024))) += 1L
+    })
+    val trueCounts = tokens.groupBy(identity).map { case (t, g) => (t, g.size.toLong) }
+    val expected = trueCounts.toSeq.sortBy { case (t, n) => (-n, t) }.take(10)
+      .map { case (t, n) =>
+        val est = (0 until 3).map(j => cells((j, pos(t, j, 1024)))).min
+        (t, n, est, est - n)
+      }
+    val got = graft.operators.TextAnalysis.countMinTopTokens(docs).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got === expected)
+    got.foreach { case (_, n, est, _) => assert(est >= n, "CM never underestimates") }
+  }
+
   test("bucketed tables join without a shuffle exchange") {
     // warehouse dir is a static conf, set in SparkTestBase
     Tables.orders(spark, sf).write

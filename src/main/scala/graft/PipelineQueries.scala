@@ -107,6 +107,10 @@ object PipelineQueries {
     }),
     // count-min sketch estimates vs exact counts for the top tokens
     "q73_countmin_tokens" -> ((s, d) => TextAnalysis.countMinTopTokens(Tables.documents(s, d))),
+    // incremental ingest dedup: new batch (doc_id < 100) vs indexed corpus
+    "q74_incremental_neardup" -> ((s, d) => Dedup.incrementalNearDupPairs(Tables.documents(s, d))),
+    // cohort retention triangle over the events stream
+    "q75_retention" -> ((s, d) => Events.retentionCohorts(Tables.events(s, d))),
     // rows-only (no oracle): approximate sketches differ by implementation
     "q38_sketches" -> ((s, d) => {
       import org.apache.spark.sql.functions._
@@ -581,6 +585,29 @@ object PipelineQueries {
         |FROM groups""".stripMargin,
     "q26_ngram_jaccard"     -> JaccardSql,
     "q27_dedup_minhash_lsh" -> JaccardSql,
+    "q74_incremental_neardup" ->
+      s"""WITH $GramsCte,
+         |sizes AS (SELECT doc_id, count(*) AS sz FROM grams GROUP BY doc_id),
+         |inter AS (
+         |  SELECT a.doc_id AS new_id, b.doc_id AS old_id, count(*) AS i
+         |  FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < 100 AND b.doc_id >= 100
+         |  GROUP BY 1, 2
+         |)
+         |SELECT new_id, old_id, round(i * 1.0 / (s1.sz + s2.sz - i), 6) AS jaccard
+         |FROM inter
+         |JOIN sizes s1 ON new_id = s1.doc_id
+         |JOIN sizes s2 ON old_id = s2.doc_id
+         |WHERE round(i * 1.0 / (s1.sz + s2.sz - i), 6) >= 0.6
+         |ORDER BY new_id, old_id""".stripMargin,
+    "q75_retention" ->
+      """WITH activity AS (
+        |  SELECT DISTINCT user_id, epoch_ns(ts) // 86400000000000 AS day FROM events
+        |),
+        |cohorts AS (SELECT user_id, min(day) AS cohort_day FROM activity GROUP BY user_id)
+        |SELECT cohort_day * 86400 AS cohort_epoch, day - cohort_day AS day_offset,
+        | count(*) AS n_users
+        |FROM activity JOIN cohorts USING (user_id)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q28_dedup_simhash"     -> SimhashSql,
     "q37_cosine_topk_native" -> CosineTopkSql, // native expression, same oracle
     "q39_salted_agg" ->

@@ -240,6 +240,66 @@ object Dedup {
       .orderBy($"doc_id")
   }
 
+  /** Incremental near-dup detection: find pairs between a NEW batch of
+    * documents (doc_id < newIdCut) and the already-indexed corpus
+    * (doc_id >= newIdCut) — the daily-ingest shape of LSH dedup, where the
+    * corpus side's signatures/band buckets live in a persisted index and
+    * only the new batch is signatured from scratch. Here both sides derive
+    * from the same table (the fixture has no external index), but the
+    * JOIN SHAPE is the incremental one: new-batch buckets equi-join the
+    * corpus bucket table on (band, bandKey) — work is proportional to the
+    * BATCH, never to corpus x corpus, and the corpus is re-read only for
+    * the candidate verification semi-join.
+    *
+    * Same banding parameters and exact-Jaccard verification as
+    * `minhashLshPairs`, so the full-recall-at-the-fixture-gap argument
+    * (q27's oracle) carries over; the oracle is the new-vs-old restricted
+    * all-pairs Jaccard.
+    */
+  def incrementalNearDupPairs(documents: DataFrame, newIdCut: Long = 100L,
+      n: Int = 5, threshold: Double = 0.6): DataFrame = {
+    val parts = documents.sparkSession.sparkContext.defaultParallelism * 2
+    def bucketsOf(docs: DataFrame): DataFrame = {
+      val sigs = docs
+        .repartition(parts, $"doc_id")
+        .select($"doc_id",
+          graft.functions.MinHashFunctions.minhash_signature($"text", n, NumHashes).as("sig"))
+      val bandCols = (0 until NumBands).map { b =>
+        val rows = (0 until BandRows).map(r => element_at($"sig", b * BandRows + r + 1))
+        struct(lit(b).as("band"), xxhash64(rows: _*).as("bh"))
+      }
+      sigs.select($"doc_id", explode(array(bandCols: _*)).as("bb"))
+        .select($"doc_id", $"bb.band".as("band"), $"bb.bh".as("bh"))
+    }
+    val newBuckets = bucketsOf(documents.filter($"doc_id" < newIdCut))
+      .withColumnRenamed("doc_id", "new_id")
+    val oldBuckets = bucketsOf(documents.filter($"doc_id" >= newIdCut))
+      .withColumnRenamed("doc_id", "old_id")
+    val candidates = newBuckets
+      .join(oldBuckets, Seq("band", "bh"))
+      .select($"new_id", $"old_id")
+      .distinct()
+      .localCheckpoint() // candidate-proportional; consumed by 3 joins below
+    val candIds = candidates
+      .select(explode(array($"new_id", $"old_id")).as("doc_id"))
+      .distinct()
+    val candTexts = documents
+      .join(candIds, Seq("doc_id"), "left_semi")
+      .repartition(parts, $"doc_id")
+      .select($"doc_id", graft.functions.MinHashFunctions.shingle_hashes($"text", n).as("hs"))
+      .localCheckpoint()
+    candidates
+      .join(candTexts.select($"doc_id".as("new_id"), $"hs".as("hs1")), Seq("new_id"))
+      .join(candTexts.select($"doc_id".as("old_id"), $"hs".as("hs2")), Seq("old_id"))
+      .select($"new_id", $"old_id",
+        graft.functions.MinHashFunctions.sorted_intersect_count($"hs1", $"hs2").as("i"),
+        size($"hs1").as("sz1"), size($"hs2").as("sz2"))
+      .select($"new_id", $"old_id",
+        round($"i" / ($"sz1" + $"sz2" - $"i"), 6).as("jaccard"))
+      .filter($"jaccard" >= threshold)
+      .orderBy($"new_id", $"old_id")
+  }
+
   /** 32-bit SimHash: bit i = sign of the +-1 sum over shingles (with
     * multiplicity) of parity(md5(g)[i]) — engine-independent integer
     * arithmetic, computed by the fused native SimHashSignature expression

@@ -120,4 +120,31 @@ object Events {
         round(($"value" - $"mu") / $"sd", 4).as("z"))
       .orderBy($"event_id")
   }
+
+  private val NsPerDay = 86400L * 1000000000L
+
+  /** Cohort retention matrix: users grouped by first-seen day (cohort),
+    * counted as active on each later day they appear — the classic
+    * retention triangle. Exact integer day arithmetic on the nanosecond
+    * epoch.
+    *
+    * Shape: distinct (user, day) activity (one shuffle, map-side
+    * combined), a per-user min-day aggregate joined back (the cohort
+    * dimension is user-sized, but the join is on user_id — the same
+    * hash-shuffle the activity distinct just produced, so co-partitioning
+    * reuses the exchange), then one count per (cohort_day, offset) cell.
+    * No window over the corpus.
+    */
+  def retentionCohorts(events: DataFrame): DataFrame = {
+    val activity = events
+      .select($"user_id", expr(s"ts div $NsPerDay").as("day"))
+      .distinct()
+    val cohorts = activity.groupBy($"user_id").agg(min($"day").as("cohort_day"))
+    activity
+      .join(cohorts, Seq("user_id"))
+      .groupBy(($"cohort_day" * 86400).as("cohort_epoch"),
+        ($"day" - $"cohort_day").as("day_offset"))
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy($"cohort_epoch", $"day_offset")
+  }
 }

@@ -234,6 +234,33 @@ class PipelineSpec extends GraftSuite {
     }
   }
 
+  test("incremental near-dup equals the full LSH pairs restricted to the boundary") {
+    import org.apache.spark.sql.functions.col
+    val full = graft.operators.Dedup.minhashLshPairs(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val expected = full.filter { case (id1, id2, _) => id1 < 100 && id2 >= 100 }
+      .sortBy(r => (r._1, r._2))
+    val got = graft.operators.Dedup.incrementalNearDupPairs(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(got === expected.toSeq)
+    assert(got.nonEmpty, "fixture must contain cross-boundary near-dups")
+    assert(got.forall { case (n, o, _) => n < 100 && o >= 100 })
+  }
+
+  test("retention cohorts: offset-0 cells partition the user base; cells never grow") {
+    import org.apache.spark.sql.functions.{col, countDistinct}
+    val events = Tables.events(spark, sf)
+    val rows = graft.operators.Events.retentionCohorts(events).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val nUsers = events.select(countDistinct(col("user_id"))).collect()(0).getLong(0)
+    assert(rows.filter(_._2 == 0L).map(_._3).sum === nUsers,
+      "every user appears in exactly one cohort at offset 0")
+    val day0 = rows.filter(_._2 == 0L).map(r => r._1 -> r._3).toMap
+    rows.foreach { case (c, _, n) =>
+      assert(n <= day0(c), "no retention cell can exceed its cohort size")
+    }
+  }
+
   test("VectorSum UDAF: equals per-dimension sums and is partition-invariant") {
     import org.apache.spark.sql.functions._
     val vecSum = udaf(new graft.functions.Aggregators.VectorSum)

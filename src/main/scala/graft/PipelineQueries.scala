@@ -111,6 +111,12 @@ object PipelineQueries {
     "q74_incremental_neardup" -> ((s, d) => Dedup.incrementalNearDupPairs(Tables.documents(s, d))),
     // cohort retention triangle over the events stream
     "q75_retention" -> ((s, d) => Events.retentionCohorts(Tables.events(s, d))),
+    // signup -> purchase conversion within 24h of first signup
+    "q76_signup_funnel" -> ((s, d) => Events.signupFunnel(Tables.events(s, d))),
+    // KMV sketch join-cardinality estimate (orders keys vs customer keys)
+    "q77_kmv_intersect" -> ((s, d) =>
+      Scale.kmvIntersectEstimate(Tables.orders(s, d), "o_custkey",
+        Tables.customer(s, d), "c_custkey")),
     // rows-only (no oracle): approximate sketches differ by implementation
     "q38_sketches" -> ((s, d) => {
       import org.apache.spark.sql.functions._
@@ -599,6 +605,67 @@ object PipelineQueries {
          |JOIN sizes s2 ON old_id = s2.doc_id
          |WHERE round(i * 1.0 / (s1.sz + s2.sz - i), 6) >= 0.6
          |ORDER BY new_id, old_id""".stripMargin,
+    "q76_signup_funnel" ->
+      """WITH fs AS (
+        |  SELECT user_id, min(epoch_ns(ts)) AS signup_ns FROM events
+        |  WHERE event_type = 'signup' GROUP BY user_id
+        |),
+        |conv AS (
+        |  SELECT fs.user_id, fs.signup_ns,
+        |    min(CASE WHEN epoch_ns(e.ts) >= fs.signup_ns THEN epoch_ns(e.ts) END) AS first_p
+        |  FROM fs LEFT JOIN events e
+        |    ON e.user_id = fs.user_id AND e.event_type = 'purchase'
+        |  GROUP BY 1, 2
+        |),
+        |flag AS (
+        |  SELECT (first_p IS NOT NULL AND first_p - signup_ns <= 86400000000000) AS converted,
+        |    (first_p - signup_ns) / 3600000000000.0 AS hours_to
+        |  FROM conv
+        |)
+        |SELECT count(*) AS n_signup_users,
+        | CAST(sum(CASE WHEN converted THEN 1 ELSE 0 END) AS BIGINT) AS n_converted,
+        | round(sum(CASE WHEN converted THEN 1 ELSE 0 END) * 1.0 / count(*), 6) AS conversion_rate,
+        | round(avg(CASE WHEN converted THEN hours_to END), 4) AS avg_hours_to_convert
+        |FROM flag""".stripMargin,
+    "q77_kmv_intersect" ->
+      // KMV merge math replicated exactly: k-min sketches per side, sorted
+      // distinct union cut at k, jaccard = in-both fraction, union estimate
+      // = 63/hexFraction(kth) (the q54 exact-binary-fraction trick)
+      """WITH ha AS (SELECT DISTINCT md5(CAST(o_custkey AS VARCHAR)) AS h FROM orders),
+        |hb AS (SELECT DISTINCT md5(CAST(c_custkey AS VARCHAR)) AS h FROM customer),
+        |ka AS (SELECT h FROM ha ORDER BY h LIMIT 64),
+        |kb AS (SELECT h FROM hb ORDER BY h LIMIT 64),
+        |ku AS (
+        |  SELECT DISTINCT h FROM (SELECT h FROM ka UNION ALL SELECT h FROM kb)
+        |  ORDER BY h LIMIT 64
+        |),
+        |flags AS (
+        |  SELECT u.h, (a.h IS NOT NULL AND b.h IS NOT NULL) AS inboth,
+        |    row_number() OVER (ORDER BY u.h) AS rn, count(*) OVER () AS nu
+        |  FROM ku u LEFT JOIN ka a ON u.h = a.h LEFT JOIN kb b ON u.h = b.h
+        |),
+        |stats AS (
+        |  SELECT max(nu) AS nu,
+        |    CAST(sum(CASE WHEN inboth THEN 1 ELSE 0 END) AS BIGINT) AS nb,
+        |    max(CASE WHEN rn = nu THEN h END) AS kth
+        |  FROM flags
+        |),
+        |est AS (
+        |  SELECT nu, nb * 1.0 / nu AS j,
+        |    CASE WHEN nu < 64 THEN CAST(nu AS DOUBLE)
+        |      ELSE 63 / list_sum(list_transform(generate_series(1, 13),
+        |        i -> (strpos('0123456789abcdef', substr(kth, i, 1)) - 1) * power(16.0, -i)))
+        |    END AS uest
+        |  FROM stats
+        |),
+        |ex AS (
+        |  SELECT count(*) AS n_exact FROM (
+        |    SELECT DISTINCT o_custkey FROM orders
+        |    WHERE o_custkey IN (SELECT c_custkey FROM customer))
+        |)
+        |SELECT CAST(nu AS BIGINT) AS n_kmin, round(j, 6) AS jaccard_est,
+        | round(uest, 4) AS union_est, round(j * uest, 4) AS intersect_est, n_exact
+        |FROM est CROSS JOIN ex""".stripMargin,
     "q75_retention" ->
       """WITH activity AS (
         |  SELECT DISTINCT user_id, epoch_ns(ts) // 86400000000000 AS day FROM events

@@ -117,30 +117,19 @@ object Dedup {
     */
   private def minhashLshPairsUnordered(
       documents: DataFrame, n: Int, threshold: Double): DataFrame = {
-    // Signatures come from the fused native expression — ONE codegen'd pass
-    // per document, no shingle explode, no corpus×shingles intermediate, no
-    // 126-way partial-min aggregate, and (crucially) no shuffle at all in
-    // the signature stage: the only remaining exchange in candidate
-    // generation is the bucket groupBy. Bit-identical to the compositional
-    // explode+min formulation (see MinHashSignature's scaladoc), so the
-    // banding math is unchanged. The explicit repartition spreads the
-    // compact doc rows across all cores BEFORE the heavy per-row loop (the
-    // parquet fixture may arrive in one partition, and AQE sizes by bytes,
-    // blind to per-row compute cost).
+    // Signatures come from the fused native expression inside bandBuckets —
+    // ONE codegen'd pass per document, no shingle explode, no
+    // corpus×shingles intermediate, no 126-way partial-min aggregate, and
+    // (crucially) no shuffle at all in the signature stage: the only
+    // remaining exchange in candidate generation is the bucket groupBy.
+    // Bit-identical to the compositional explode+min formulation (see
+    // MinHashSignature's scaladoc), so the banding math is unchanged. The
+    // explicit repartition (in bandBuckets) spreads the compact doc rows
+    // across all cores BEFORE the heavy per-row loop (the parquet fixture
+    // may arrive in one partition, and AQE sizes by bytes, blind to
+    // per-row compute cost).
     val parts = documents.sparkSession.sparkContext.defaultParallelism * 2
-    val sigs = documents
-      .repartition(parts, $"doc_id")
-      .select($"doc_id",
-        graft.functions.MinHashFunctions.minhash_signature($"text", n, NumHashes).as("sig"))
-    // band key = hash of the band's 6 minhash values (same xxhash64 fold as
-    // the previous column-wise formulation, fed from the signature array)
-    val bandCols = (0 until NumBands).map { b =>
-      val rows = (0 until BandRows).map(r => element_at($"sig", b * BandRows + r + 1))
-      struct(lit(b).as("band"), xxhash64(rows: _*).as("bh"))
-    }
-    val buckets = sigs
-      .select($"doc_id", explode(array(bandCols: _*)).as("bb"))
-      .select($"doc_id", $"bb.band".as("band"), $"bb.bh".as("bh"))
+    val buckets = bandBuckets(documents, n)
     // In-bucket pair expansion via groupBy + collect_list instead of a
     // bucket self-join: a self-join would compute the whole signature
     // subtree twice (exchange reuse does not fire across the deduplicated
@@ -256,24 +245,40 @@ object Dedup {
     * (q27's oracle) carries over; the oracle is the new-vs-old restricted
     * all-pairs Jaccard.
     */
+  /** (doc_id, band, bh) LSH band-bucket rows — the persistable index side
+    * of incremental dedup (also consumed by the streaming twin,
+    * `streaming.EventStreams.incrementalNearDupStream`).
+    */
+  def bandBuckets(docs: DataFrame, n: Int = 5): DataFrame = {
+    val parts = docs.sparkSession.sparkContext.defaultParallelism * 2
+    val sigs = docs
+      .repartition(parts, $"doc_id")
+      .select($"doc_id",
+        graft.functions.MinHashFunctions.minhash_signature($"text", n, NumHashes).as("sig"))
+    val bandCols = (0 until NumBands).map { b =>
+      val rows = (0 until BandRows).map(r => element_at($"sig", b * BandRows + r + 1))
+      struct(lit(b).as("band"), xxhash64(rows: _*).as("bh"))
+    }
+    sigs.select($"doc_id", explode(array(bandCols: _*)).as("bb"))
+      .select($"doc_id", $"bb.band".as("band"), $"bb.bh".as("bh"))
+  }
+
+  /** (doc_id, hs) sorted-distinct shingle-hash rows — the verification
+    * side of the persisted dedup index.
+    */
+  def shingleIndex(docs: DataFrame, n: Int = 5): DataFrame = {
+    val parts = docs.sparkSession.sparkContext.defaultParallelism * 2
+    docs
+      .repartition(parts, $"doc_id")
+      .select($"doc_id", graft.functions.MinHashFunctions.shingle_hashes($"text", n).as("hs"))
+  }
+
   def incrementalNearDupPairs(documents: DataFrame, newIdCut: Long = 100L,
       n: Int = 5, threshold: Double = 0.6): DataFrame = {
     val parts = documents.sparkSession.sparkContext.defaultParallelism * 2
-    def bucketsOf(docs: DataFrame): DataFrame = {
-      val sigs = docs
-        .repartition(parts, $"doc_id")
-        .select($"doc_id",
-          graft.functions.MinHashFunctions.minhash_signature($"text", n, NumHashes).as("sig"))
-      val bandCols = (0 until NumBands).map { b =>
-        val rows = (0 until BandRows).map(r => element_at($"sig", b * BandRows + r + 1))
-        struct(lit(b).as("band"), xxhash64(rows: _*).as("bh"))
-      }
-      sigs.select($"doc_id", explode(array(bandCols: _*)).as("bb"))
-        .select($"doc_id", $"bb.band".as("band"), $"bb.bh".as("bh"))
-    }
-    val newBuckets = bucketsOf(documents.filter($"doc_id" < newIdCut))
+    val newBuckets = bandBuckets(documents.filter($"doc_id" < newIdCut), n)
       .withColumnRenamed("doc_id", "new_id")
-    val oldBuckets = bucketsOf(documents.filter($"doc_id" >= newIdCut))
+    val oldBuckets = bandBuckets(documents.filter($"doc_id" >= newIdCut), n)
       .withColumnRenamed("doc_id", "old_id")
     val candidates = newBuckets
       .join(oldBuckets, Seq("band", "bh"))

@@ -121,6 +121,34 @@ object Events {
       .orderBy($"event_id")
   }
 
+  /** Signup→purchase funnel: of the users whose stream contains a signup,
+    * how many made a purchase within `horizonHours` of their FIRST signup,
+    * and how long conversion took on average. Two filtered aggregates
+    * joined on user_id (both sides shuffle on the same key, so the join
+    * reuses the exchange); no window over the corpus, no self-join of the
+    * full event stream. Exact integer-nanosecond comparisons; only the
+    * final averages are floating point (rounded).
+    */
+  def signupFunnel(events: DataFrame, horizonHours: Long = 24L): DataFrame = {
+    val horizonNs = horizonHours * NsPerHour
+    val firstSignup = events.filter($"event_type" === "signup")
+      .groupBy($"user_id").agg(min($"ts").as("signup_ts"))
+    val purchases = events.filter($"event_type" === "purchase")
+      .select($"user_id", $"ts".as("p_ts"))
+    firstSignup
+      .join(purchases, Seq("user_id"), "left")
+      .groupBy($"user_id", $"signup_ts")
+      .agg(min(when($"p_ts" >= $"signup_ts", $"p_ts")).as("first_p"))
+      .select(($"first_p".isNotNull && $"first_p" - $"signup_ts" <= horizonNs).as("converted"),
+        (($"first_p" - $"signup_ts") / (3600.0 * NsPerSecond)).as("hours_to"))
+      .groupBy()
+      .agg(
+        count(lit(1)).as("n_signup_users"),
+        sum(when($"converted", 1L).otherwise(0L)).as("n_converted"),
+        round(sum(when($"converted", 1L).otherwise(0L)) / count(lit(1)), 6).as("conversion_rate"),
+        round(avg(when($"converted", $"hours_to")), 4).as("avg_hours_to_convert"))
+  }
+
   private val NsPerDay = 86400L * 1000000000L
 
   /** Cohort retention matrix: users grouped by first-seen day (cohort),

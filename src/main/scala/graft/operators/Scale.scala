@@ -104,6 +104,43 @@ object Scale {
           .as("fp_rate"))
   }
 
+  /** KMV join-cardinality estimation: estimate |distinct(aKey) ∩
+    * distinct(bKey)| from two k-minimum-values sketches — the statistic a
+    * planner wants before choosing a join strategy, computed without ever
+    * joining the tables. Each side reduces to its k smallest md5 hashes
+    * (TakeOrderedAndProject — no global sort, driver-sized by design, like
+    * a broadcast centroid table); the merged sketch gives the union
+    * estimate via the exact 13-hex-digit fraction (`Aggregators
+    * .hexFraction`, every value exactly representable) and the Jaccard
+    * estimate via k-min membership, so DuckDB reproduces the estimate
+    * bit-for-bit. The exact intersection (one semi-join) rides along for
+    * accuracy inspection.
+    */
+  def kmvIntersectEstimate(a: DataFrame, aKey: String, b: DataFrame, bKey: String,
+      k: Int = 64): DataFrame = {
+    def round(x: Double, s: Int): Double =
+      java.math.BigDecimal.valueOf(x).setScale(s, java.math.RoundingMode.HALF_UP).doubleValue()
+    def kmin(df: DataFrame, key: String): Array[String] = df
+      .select(md5(col(key).cast("string")).as("h")).distinct()
+      .orderBy($"h").limit(k)
+      .collect().map(_.getString(0))
+    val ka = kmin(a, aKey)
+    val kb = kmin(b, bKey)
+    val kU = (ka ++ kb).distinct.sorted.take(k)
+    val nb = kU.count(h => ka.contains(h) && kb.contains(h))
+    val j = nb.toDouble / kU.length
+    val unionEst =
+      if (kU.length < k) kU.length.toDouble
+      else (k - 1) / graft.functions.Aggregators.hexFraction(kU.last, 13)
+    val nExact = a.select(col(aKey).as("key")).distinct()
+      .join(b.select(col(bKey).as("key")).distinct(), Seq("key"), "left_semi")
+      .count()
+    val spark = a.sparkSession
+    import spark.implicits.{localSeqToDatasetHolder, newProductEncoder}
+    Seq((kU.length.toLong, round(j, 6), round(unionEst, 4), round(j * unionEst, 4), nExact))
+      .toDF("n_kmin", "jaccard_est", "union_est", "intersect_est", "n_exact")
+  }
+
   /** Salted equi-join for a skewed fact side: the dim side is replicated
     * `salts` times (explode over the salt range — dim must be small enough
     * to replicate, which is exactly the skewed-join regime), the fact side

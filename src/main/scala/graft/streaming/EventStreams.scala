@@ -130,6 +130,47 @@ object EventStreams {
       .withWatermark("ts", delay)
       .dropDuplicatesWithinWatermark("fingerprint")
 
+  /** Stream-STATIC incremental near-dup: a stream of newly-ingested
+    * documents LSH-probed against the static corpus bucket index — the
+    * streaming twin of `Dedup.incrementalNearDupPairs` and the missing
+    * join variant in the streaming surface (stream-stream and
+    * stream-batch aggregation exist elsewhere; this is the stateless
+    * stream-static equi-join).
+    *
+    * Per micro-batch: signature + band buckets for the batch docs (same
+    * fused native expression as batch), equi-join the PRECOMPUTED corpus
+    * bucket table (in production: the persisted index; broadcast when it
+    * fits), then exact-Jaccard verify against the corpus shingle-hash
+    * table. All joins are stateless, so append mode needs no watermark
+    * and state never grows. A pair colliding in several bands is emitted
+    * once per band-collision — at-least-once per batch; exact-once
+    * delivery is the downstream `dropDuplicatesWithinWatermark`'s job
+    * (see `dedupStream`), the standard split at scale.
+    */
+  def incrementalNearDupStream(newDocs: DataFrame, corpusBuckets: DataFrame,
+      corpusShingles: DataFrame, n: Int = 5, threshold: Double = 0.6): DataFrame = {
+    import graft.functions.MinHashFunctions.{minhash_signature, shingle_hashes, sorted_intersect_count}
+    import graft.operators.Dedup.{BandRows, NumBands, NumHashes}
+    val sigs = newDocs.select(col("doc_id").as("new_id"),
+      minhash_signature(col("text"), n, NumHashes).as("sig"),
+      shingle_hashes(col("text"), n).as("hs1"))
+    val bandCols = (0 until NumBands).map { b =>
+      val rows = (0 until BandRows).map(r => element_at(col("sig"), b * BandRows + r + 1))
+      struct(lit(b).as("band"), xxhash64(rows: _*).as("bh"))
+    }
+    sigs
+      .select(col("new_id"), col("hs1"), explode(array(bandCols: _*)).as("bb"))
+      .select(col("new_id"), col("hs1"), col("bb.band").as("band"), col("bb.bh").as("bh"))
+      .join(corpusBuckets, Seq("band", "bh"))
+      .join(corpusShingles, Seq("old_id"))
+      .select(col("new_id"), col("old_id"),
+        sorted_intersect_count(col("hs1"), col("hs2")).as("i"),
+        size(col("hs1")).as("sz1"), size(col("hs2")).as("sz2"))
+      .select(col("new_id"), col("old_id"),
+        round(col("i") / (col("sz1") + col("sz2") - col("i")), 6).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
   /** Batch-parquet replay of the streaming hourly agg: read the events
     * fixture as a bounded stream (one file per microbatch is the real
     * pattern; here availableNow) and run the identical streaming query into

@@ -183,4 +183,41 @@ class StreamingSpec extends GraftSuite {
     // user 2's session is still open (watermark has not passed 10100+1800)
     assert(!out.exists(_.user_id == 2L))
   }
+
+  test("stream-static incremental near-dup matches the batch operator across batches") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    implicit val sqlCtx = spark.sqlContext
+    val docs = graft.sources.Tables.documents(spark, sf)
+    val corpus = docs.filter(col("doc_id") >= 100)
+    val corpusBuckets = graft.operators.Dedup.bandBuckets(corpus)
+      .withColumnRenamed("doc_id", "old_id")
+      .localCheckpoint() // the persisted-index stand-in: computed once
+    val corpusShingles = graft.operators.Dedup.shingleIndex(corpus)
+      .select(col("doc_id").as("old_id"), col("hs").as("hs2"))
+      .localCheckpoint()
+    val expected = graft.operators.Dedup.incrementalNearDupPairs(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(expected.nonEmpty, "fixture must contain cross-boundary near-dups")
+
+    val newDocs = docs.filter(col("doc_id") < 100)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val input = MemoryStream[(Long, String)]
+    val stream = EventStreams.incrementalNearDupStream(
+      input.toDF().toDF("doc_id", "text"), corpusBuckets, corpusShingles)
+    val q = stream.writeStream.outputMode("append")
+      .format("memory").queryName("incdedup_out").start()
+    // two micro-batches: the index answers both without recomputation
+    val (b1, b2) = newDocs.splitAt(newDocs.length / 2)
+    input.addData(b1.toSeq)
+    q.processAllAvailable()
+    input.addData(b2.toSeq)
+    q.processAllAvailable()
+    // at-least-once per batch: collapse band-collision duplicates to a set
+    val got = spark.table("incdedup_out").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    q.stop()
+    assert(got === expected)
+  }
 }

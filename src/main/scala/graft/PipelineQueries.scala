@@ -117,6 +117,8 @@ object PipelineQueries {
     "q77_kmv_intersect" -> ((s, d) =>
       Scale.kmvIntersectEstimate(Tables.orders(s, d), "o_custkey",
         Tables.customer(s, d), "c_custkey")),
+    // Z-order (Morton) layout report: per-z-bucket spread of both columns
+    "q78_zorder_stats" -> ((s, d) => Scale.zOrderBucketStats(Tables.orders(s, d))),
     // rows-only (no oracle): approximate sketches differ by implementation
     "q38_sketches" -> ((s, d) => {
       import org.apache.spark.sql.functions._
@@ -605,6 +607,28 @@ object PipelineQueries {
          |JOIN sizes s2 ON old_id = s2.doc_id
          |WHERE round(i * 1.0 / (s1.sz + s2.sz - i), 6) >= 0.6
          |ORDER BY new_id, old_id""".stripMargin,
+    "q78_zorder_stats" -> {
+      // interleave term b: bit b of x lands at position 2b, of y at 2b+1
+      val terms = (0 until 16).map(b =>
+        s"((x // ${1L << b}) % 2) * ${1L << (2 * b)} + ((y // ${1L << b}) % 2) * ${1L << (2 * b + 1)}")
+        .mkString("(", " + ", ")")
+      s"""WITH raw AS (
+         |  SELECT o_custkey % 65536 AS x,
+         |    CAST(floor(o_totalprice) AS BIGINT) % 65536 AS y
+         |  FROM orders
+         |),
+         |bounds AS (SELECT min(x) AS x0, max(x) AS x1, min(y) AS y0, max(y) AS y1 FROM raw),
+         |s AS (
+         |  SELECT
+         |    CASE WHEN x1 = x0 THEN 0 ELSE ((x - x0) * 65535) // (x1 - x0) END AS x,
+         |    CASE WHEN y1 = y0 THEN 0 ELSE ((y - y0) * 65535) // (y1 - y0) END AS y
+         |  FROM raw CROSS JOIN bounds
+         |),
+         |z AS (SELECT x, y, $terms AS z FROM s)
+         |SELECT z // 16777216 AS z_bucket, count(*) AS n,
+         | min(x) AS min_x, max(x) AS max_x, min(y) AS min_y, max(y) AS max_y
+         |FROM z GROUP BY 1 ORDER BY 1""".stripMargin
+    },
     "q76_signup_funnel" ->
       """WITH fs AS (
         |  SELECT user_id, min(epoch_ns(ts)) AS signup_ns FROM events

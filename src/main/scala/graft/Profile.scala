@@ -1,41 +1,29 @@
 package graft
 
-import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted}
 import org.apache.spark.sql.DataFrame
 
-/** Scratch profiling harness (not part of the driver contract). */
+/** Scratch profiling/plan-audit harness (not part of the driver contract). */
 object Profile {
   def main(args: Array[String]): Unit = {
-    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
     val spark = GraftSession
-      .builder(appName = "graft-profile", master = "local[32]", shufflePartitions = 32)
+      .builder(appName = "graft-profile", master = "local[8]", shufflePartitions = 8)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    spark.sparkContext.addSparkListener(new SparkListener {
-      override def onStageCompleted(sc: SparkListenerStageCompleted): Unit = {
-        val si = sc.stageInfo
-        val dur = for {
-          s <- si.submissionTime; c <- si.completionTime
-        } yield (c - s) / 1000.0
-        if (dur.exists(_ > 0.3))
-          println(f"[stage] id=${si.stageId} tasks=${si.numTasks} ${dur.getOrElse(-1.0)}%.2f s  ${si.name.take(80)}")
-      }
-    })
-
-    def noop(df: DataFrame): Unit = df.write.format("noop").mode("overwrite").save()
-    def time[T](label: String)(f: => T): Unit = {
-      val t0 = System.nanoTime()
-      f
-      println(f"[profile] $label: ${(System.nanoTime() - t0) / 1e9}%.2f s")
-    }
-
-    spark.range(1000000L).selectExpr("sum(id)").collect()
-
-    val targets = Seq("q27_dedup_minhash_lsh", "q53_dedup_survivors")
-    for (name <- targets; i <- 1 to 3) {
-      System.gc()
-      time(s"$name run$i")(noop(SparkEntry.queries(name)(spark, sfDir)))
+    val targets = Seq("q65_token_topk", "q66_doc_chunks", "q67_tfidf_topterms",
+      "q68_length_histogram", "q69_temperature_mixture", "q70_kmeans_clusters",
+      "q71_quality_filter", "q72_bloom_prefilter", "q73_countmin_tokens",
+      "q74_incremental_neardup", "q75_retention", "q76_signup_funnel",
+      "q77_kmv_intersect")
+    for (name <- targets) {
+      val df: DataFrame = SparkEntry.queries(name)(spark, sfDir)
+      val plan = df.queryExecution.executedPlan.toString
+      val bad = Seq("CartesianProduct", "BroadcastNestedLoopJoin").filter(plan.contains)
+      val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+      val bcasts = "BroadcastExchange".r.findAllIn(plan).length
+      println(s"[plan] $name bad=${bad.mkString(",")} hashExchanges=$exchanges broadcasts=$bcasts")
+      if (bad.nonEmpty) println(plan.take(4000))
     }
     spark.stop()
   }

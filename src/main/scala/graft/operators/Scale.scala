@@ -104,6 +104,60 @@ object Scale {
           .as("fp_rate"))
   }
 
+  /** Morton/Z-order value: interleave the low `bits` bits of two
+    * non-negative integer columns (x in even positions, y in odd) — the
+    * space-filling-curve key behind multi-column data-layout clustering
+    * (Delta/Iceberg OPTIMIZE ZORDER). Range-partitioning a table by z
+    * gives every output file a NARROW range of BOTH columns at once, so
+    * min/max (row-group) pruning works for predicates on either —
+    * something sorting by one column can't do for the other. Pure integer
+    * bit arithmetic, fully codegen'd, engine-exact.
+    */
+  def zOrderValue(x: Column, y: Column, bits: Int = 16): Column =
+    (0 until bits).map { b =>
+      (shiftright(x, b).bitwiseAND(lit(1L)) * lit(1L << (2 * b))) +
+        (shiftright(y, b).bitwiseAND(lit(1L)) * lit(1L << (2 * b + 1)))
+    }.reduce(_ + _)
+
+  /** Min-max scale two integer columns into the z-curve's bit range and
+    * interleave. The scaling step is NOT cosmetic: interleaving raw values
+    * of unequal effective bit-width degenerates to single-column ordering
+    * (the wide column owns every significant bit — caught by the ScaleSpec
+    * locality test). Scaling is pure integer arithmetic
+    * ((v - min) * (2^bits - 1) div (max - min)) on driver-collected
+    * bounds (a 1-row aggregate — the same tiny-literal pattern as
+    * broadcast centroids), so both engines compute identical z values; a
+    * float scale would risk a last-ulp floor flip. Output columns:
+    * scaled x, scaled y, z.
+    */
+  def zOrderEncode(df: DataFrame, xCol: Column, yCol: Column, bits: Int = 16): DataFrame = {
+    val top = (1L << bits) - 1
+    val raw = df.select(xCol.cast("long").as("x"), yCol.cast("long").as("y"))
+    val b = raw.agg(min($"x"), max($"x"), min($"y"), max($"y")).collect()(0)
+    val (x0, x1, y0, y1) = (b.getLong(0), b.getLong(1), b.getLong(2), b.getLong(3))
+    def scaleExpr(name: String, lo: Long, hi: Long): String =
+      if (hi == lo) "CAST(0 AS BIGINT)"
+      else s"(($name - $lo) * $top) div ${hi - lo}" // integral div: engine-exact
+    raw.selectExpr(s"${scaleExpr("x", x0, x1)} AS x", s"${scaleExpr("y", y0, y1)} AS y")
+      .withColumn("z", zOrderValue($"x", $"y", bits))
+  }
+
+  /** Z-order layout report over orders: z = interleave of min-max-scaled
+    * (custkey mod 2^16, floor(totalprice) mod 2^16), bucketed by the top
+    * z bits; per-bucket row counts and the min/max spread of BOTH scaled
+    * columns (the quantity a z-ordered writer minimizes per file). One
+    * scan for the bounds + one map-side-combined aggregation.
+    */
+  def zOrderBucketStats(orders: DataFrame, bucketShift: Int = 24): DataFrame =
+    zOrderEncode(orders,
+        pmod(col("o_custkey"), lit(65536L)),
+        pmod(floor(col("o_totalprice")).cast("long"), lit(65536L)))
+      .groupBy(shiftright(col("z"), bucketShift).as("z_bucket"))
+      .agg(count(lit(1)).as("n"),
+        min($"x").as("min_x"), max($"x").as("max_x"),
+        min($"y").as("min_y"), max($"y").as("max_y"))
+      .orderBy($"z_bucket")
+
   /** KMV join-cardinality estimation: estimate |distinct(aKey) ∩
     * distinct(bKey)| from two k-minimum-values sketches — the statistic a
     * planner wants before choosing a join strategy, computed without ever

@@ -175,6 +175,12 @@ object TextAnalysis {
     * the vocabulary join nor the ranking funnels a hot key through one
     * reducer. Ranking compares the ROUNDED score (then term) so the order
     * is reproducible across engines to the last ulp.
+    *
+    * Plan note: the `crossJoin(broadcast(nDocs))` surfaces as a
+    * BroadcastNestedLoopJoin whose build side is a ONE-ROW aggregate —
+    * that is the scalar-broadcast pattern (constant memory, no shuffle),
+    * not an O(n²) nested loop; the alternative (a corpus-wide window)
+    * would single-partition the frame.
     */
   def tfidfTopTerms(documents: DataFrame, k: Int = 3): DataFrame = {
     val tf = documents

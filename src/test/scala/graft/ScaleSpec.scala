@@ -97,6 +97,36 @@ class ScaleSpec extends GraftSuite {
     got.foreach { case (_, n, est, _) => assert(est >= n, "CM never underestimates") }
   }
 
+  test("z-order range partitioning narrows per-file ranges of BOTH columns") {
+    import graft.sources.Tables
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.DataFrame
+    // zOrderEncode min-max scales both columns into 16 bits — without the
+    // scaling, the wider column owns every significant bit and the curve
+    // degenerates to single-column ordering
+    val withZ = graft.operators.Scale.zOrderEncode(Tables.orders(spark, sf),
+      pmod(col("o_custkey"), lit(65536L)),
+      pmod(floor(col("o_totalprice")).cast("long"), lit(65536L)))
+    // avg per-partition (min,max) spread of x and y under a given layout —
+    // the quantity row-group pruning depends on
+    def spreads(df: DataFrame): (Double, Double) = {
+      val r = df
+        .select(spark_partition_id().as("p"), col("x"), col("y"))
+        .groupBy("p")
+        .agg((max(col("x")) - min(col("x"))).as("rx"), (max(col("y")) - min(col("y"))).as("ry"))
+        .agg(avg(col("rx")), avg(col("ry"))).collect()(0)
+      (r.getDouble(0), r.getDouble(1))
+    }
+    val (zx, zy) = spreads(withZ.repartitionByRange(16, col("z")))
+    val (rx, ry) = spreads(withZ.repartition(16))
+    assert(zx < rx / 2, s"z-order should narrow x: $zx vs random $rx")
+    assert(zy < ry / 2, s"z-order should narrow y: $zy vs random $ry")
+    // single-column layout narrows only its own column
+    val (sx, sy) = spreads(withZ.repartitionByRange(16, col("x")))
+    assert(sx <= zx, "sorting by x alone is at least as tight on x")
+    assert(zy < sy, s"but z-order is tighter on y: $zy vs x-sorted $sy")
+  }
+
   test("bucketed tables join without a shuffle exchange") {
     // warehouse dir is a static conf, set in SparkTestBase
     Tables.orders(spark, sf).write

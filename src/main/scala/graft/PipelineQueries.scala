@@ -119,6 +119,8 @@ object PipelineQueries {
         Tables.customer(s, d), "c_custkey")),
     // Z-order (Morton) layout report: per-z-bucket spread of both columns
     "q78_zorder_stats" -> ((s, d) => Scale.zOrderBucketStats(Tables.orders(s, d))),
+    // BM25 lexical retrieval: top-20 docs for a fixed query-term set
+    "q79_bm25" -> ((s, d) => TextAnalysis.bm25TopDocs(Tables.documents(s, d))),
     // rows-only (no oracle): approximate sketches differ by implementation
     "q38_sketches" -> ((s, d) => {
       import org.apache.spark.sql.functions._
@@ -607,6 +609,30 @@ object PipelineQueries {
          |JOIN sizes s2 ON old_id = s2.doc_id
          |WHERE round(i * 1.0 / (s1.sz + s2.sz - i), 6) >= 0.6
          |ORDER BY new_id, old_id""".stripMargin,
+    "q79_bm25" ->
+      // constant arithmetic mirrors the Scala shapes exactly: 0.5/0.75 are
+      // power-of-two fractions (exact), (1.2 + 1) converts to the same
+      // double 2.2 either way, and b*dl is exact before the only inexact
+      // division — so per-term scores are bit-identical and round(sum, 6)
+      // absorbs the <=3-term summation order
+      """WITH dl AS (
+        |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS dl FROM documents
+        |),
+        |stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl),
+        |tf AS (
+        |  SELECT doc_id, term, count(*) AS tf FROM (
+        |    SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+        |  ) WHERE term IN ('table', 'data', 'row') GROUP BY 1, 2
+        |),
+        |df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        |scored AS (
+        |  SELECT doc_id,
+        |    round(sum(ln((n - df + 0.5) / (df + 0.5) + 1) * tf * (1.2 + 1) /
+        |      (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))), 6) AS bm25
+        |  FROM tf JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
+        |  GROUP BY doc_id
+        |)
+        |SELECT doc_id, bm25 FROM scored ORDER BY bm25 DESC, doc_id LIMIT 20""".stripMargin,
     "q78_zorder_stats" -> {
       // interleave term b: bit b of x lands at position 2b, of y at 2b+1
       val terms = (0 until 16).map(b =>

@@ -234,6 +234,43 @@ object TextAnalysis {
       .orderBy($"true_n".desc, $"token")
   }
 
+  /** BM25 retrieval scoring: rank documents against a fixed query-term
+    * set (Lucene-form idf, k1/b defaults) and return the global top-k —
+    * the lexical-retrieval half of a RAG pipeline, beside the ANN ops.
+    *
+    * Shape: term frequencies only for the |Q| query terms (the explode is
+    * filtered before aggregation, so state is query-proportional); df is
+    * a |Q|-row broadcast; corpus stats (N, avgdl) are a 1-row broadcast
+    * (scalar-broadcast pattern, see tfidfTopTerms); the final top-k is
+    * TakeOrderedAndProject. Scores are ranked ROUNDED (then doc_id) so
+    * cross-engine ordering is stable; every input to the formula is an
+    * exact integer or an exactly-representable constant, so per-term
+    * scores are bit-identical across engines and only the <=|Q|-term sum
+    * order rides on the rounding.
+    */
+  def bm25TopDocs(documents: DataFrame, query: Seq[String] = Seq("table", "data", "row"),
+      k1: Double = 1.2, b: Double = 0.75, topk: Int = 20): DataFrame = {
+    val dl = documents.select($"doc_id", size(split($"text", " ")).cast("long").as("dl"))
+    val stats = dl.agg(count(lit(1)).as("n"), avg($"dl").as("avgdl"))
+    val tf = documents
+      .select($"doc_id", explode(split($"text", " ")).as("term"))
+      .filter($"term".isin(query: _*))
+      .groupBy($"doc_id", $"term")
+      .agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy($"term").agg(count(lit(1)).as("df"))
+    tf
+      .join(broadcast(df), Seq("term"))
+      .join(dl, Seq("doc_id"))
+      .crossJoin(broadcast(stats))
+      .select($"doc_id",
+        (log(($"n" - $"df" + 0.5) / ($"df" + 0.5) + 1) * $"tf" * lit(k1 + 1) /
+          ($"tf" + lit(k1) * (lit(1 - b) + lit(b) * $"dl" / $"avgdl"))).as("s"))
+      .groupBy($"doc_id")
+      .agg(round(sum($"s"), 6).as("bm25"))
+      .orderBy($"bm25".desc, $"doc_id")
+      .limit(topk)
+  }
+
   /** Document-length histogram: fixed-width bins over `n_chars` with doc
     * and token mass per bin — integer arithmetic only, one
     * map-side-combined aggregation over a scan projection.

@@ -168,6 +168,33 @@ class CurationSpec extends GraftSuite {
     assert(lastCovered === totalTokens, "chunks must cover every token exactly")
   }
 
+  test("bm25TopDocs matches a brute-force BM25 ranking") {
+    def round6(x: Double): Double =
+      java.math.BigDecimal.valueOf(x).setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+    val query = Seq("table", "data", "row")
+    val fixture = docs.select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1).split(" ", -1).toSeq))
+    val n = fixture.length
+    val avgdl = fixture.map(_._2.length.toLong).sum.toDouble / n
+    val dfm = query.map(t => t -> fixture.count(_._2.contains(t))).toMap
+    val expected = fixture.flatMap { case (id, ws) =>
+      val terms = query.filter(ws.contains)
+      if (terms.isEmpty) None
+      else {
+        val s = terms.map { t =>
+          val tf = ws.count(_ == t).toDouble
+          val df = dfm(t).toDouble
+          math.log((n - df + 0.5) / (df + 0.5) + 1) * tf * (1.2 + 1) /
+            (tf + 1.2 * (1 - 0.75 + 0.75 * ws.length / avgdl))
+        }.sum
+        Some((id, round6(s)))
+      }
+    }.sortBy { case (id, s) => (-s, id) }.take(20).toSeq
+    val got = graft.operators.TextAnalysis.bm25TopDocs(docs).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(got === expected)
+  }
+
   test("lengthHistogram bins partition the corpus") {
     val rows = graft.operators.TextAnalysis.lengthHistogram(docs).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))

@@ -120,6 +120,33 @@ class PropertySpec extends GraftSuite {
     }
   }
 
+  test("property: word_grams equals a reference sliding window on arbitrary texts") {
+    import spark.implicits._
+    import graft.functions.TextFunctions
+    // adversarial whitespace: empty tokens, leading/trailing/multiple
+    // spaces, multi-byte UTF-8, single chars
+    val tokenGen = Gen.oneOf("a", "bb", "über", "", "x1", "日本", "z")
+    val textGen = for {
+      n    <- Gen.choose(0, 12)
+      toks <- Gen.listOfN(n, tokenGen)
+    } yield toks.mkString(" ")
+    samples(Gen.listOfN(20, textGen), 5).foreach { texts =>
+      val df = texts.toDF("text")
+      for (ng <- Seq(2, 3)) {
+        val got = df.select(TextFunctions.word_grams($"text", ng).as("g"))
+          .collect().map(_.getSeq[String](0).toSeq).toSeq
+        val expected = texts.map { t =>
+          val ws = t.split(" ", -1).toSeq
+          if (ws.length < ng) Nil else ws.sliding(ng).map(_.mkString(" ")).toSeq
+        }
+        assert(got === expected)
+        val gotD = df.select(TextFunctions.word_grams($"text", ng, distinct = true).as("g"))
+          .collect().map(_.getSeq[String](0).toSeq).toSeq
+        assert(gotD === expected.map(_.distinct))
+      }
+    }
+  }
+
   test("property: jaccard is symmetric-keyed, bounded, and 1 for identical texts") {
     import spark.implicits._
     val textGen = Gen.listOfN(30, Gen.oneOf("data", "spark", "row", "key", "agg"))

@@ -121,6 +121,8 @@ object PipelineQueries {
     "q78_zorder_stats" -> ((s, d) => Scale.zOrderBucketStats(Tables.orders(s, d))),
     // BM25 lexical retrieval: top-20 docs for a fixed query-term set
     "q79_bm25" -> ((s, d) => TextAnalysis.bm25TopDocs(Tables.documents(s, d))),
+    // RANGE-frame trailing-window outliers, exact-integer decision rule
+    "q80_value_anomalies" -> ((s, d) => Events.valueAnomalies(Tables.events(s, d))),
     // rows-only (no oracle): approximate sketches differ by implementation
     "q38_sketches" -> ((s, d) => {
       import org.apache.spark.sql.functions._
@@ -609,6 +611,27 @@ object PipelineQueries {
          |JOIN sizes s2 ON old_id = s2.doc_id
          |WHERE round(i * 1.0 / (s1.sz + s2.sz - i), 6) >= 0.6
          |ORDER BY new_id, old_id""".stripMargin,
+    "q80_value_anomalies" ->
+      // the exact-integer anomaly rule: (x*n - S)^2 * (n-1) > 4*n*(n*Q - S^2)
+      // in HUGEINT — bit-identical to Spark's decimal(38,0) evaluation
+      """WITH c AS (
+        |  SELECT event_id, user_id, epoch_ns(ts) AS tns, value,
+        |    CAST(round(value * 100, 0) AS BIGINT) AS x
+        |  FROM events
+        |),
+        |w AS (
+        |  SELECT event_id, user_id, value, x,
+        |    count(x) OVER win AS n, sum(x) OVER win AS s, sum(x*x) OVER win AS q
+        |  FROM c
+        |  WINDOW win AS (PARTITION BY user_id ORDER BY tns
+        |    RANGE BETWEEN 86400000000000 PRECEDING AND 1 PRECEDING)
+        |)
+        |SELECT event_id, user_id, round(value, 2) AS value, n AS n_prev
+        |FROM w
+        |WHERE n >= 5
+        |  AND CAST(x*n - s AS HUGEINT) * (x*n - s) * (n - 1)
+        |    > 4 * CAST(n AS HUGEINT) * (n*q - CAST(s AS HUGEINT)*s)
+        |ORDER BY event_id""".stripMargin,
     "q79_bm25" ->
       // constant arithmetic mirrors the Scala shapes exactly: 0.5/0.75 are
       // power-of-two fractions (exact), (1.2 + 1) converts to the same

@@ -149,6 +149,43 @@ object Events {
         round(avg(when($"converted", $"hours_to")), 4).as("avg_hours_to_convert"))
   }
 
+  /** Trailing-window anomaly detection: flag events whose value deviates
+    * from the user's trailing-`windowHours` mean by more than 2 sample
+    * standard deviations, given at least `minPrev` prior events — the
+    * monitoring-style outlier rule, expressed over a RANGE window frame
+    * (event-time VALUE bounds on the nanosecond order key, excluding the
+    * current row; a ROWS frame would silently change meaning on irregular
+    * streams).
+    *
+    * The decision is EXACT integer arithmetic end to end: values become
+    * cents (both engines round the identical double identically), the
+    * frame's count/sum/sum-of-squares over integers are order-insensitive,
+    * and |x−μ| > 2σ cross-multiplies to
+    * (x·n − S)²·(n−1) > 4·n·(n·Q − S²) evaluated in decimal(38,0) — no
+    * float ever enters a comparison, so borderline rows cannot flip
+    * between engines (a windowed float σ would differ by summation
+    * association).
+    */
+  def valueAnomalies(events: DataFrame, windowHours: Long = 24L, minPrev: Int = 5): DataFrame = {
+    val w = Window.partitionBy($"user_id").orderBy($"ts")
+      .rangeBetween(-windowHours * NsPerHour, -1)
+    val dec = "decimal(38,0)"
+    events
+      .select($"event_id", $"user_id", $"ts", $"value",
+        expr("CAST(round(value * 100, 0) AS BIGINT)").as("x"))
+      .withColumn("n", count($"x").over(w))
+      .withColumn("s", sum($"x").over(w))
+      .withColumn("q", sum($"x" * $"x").over(w))
+      .filter($"n" >= minPrev)
+      .withColumn("d", ($"x" * $"n" - $"s").cast(dec))
+      .filter($"d" * $"d" * ($"n" - 1).cast(dec) >
+        lit(4).cast(dec) * $"n".cast(dec) *
+          ($"n".cast(dec) * $"q".cast(dec) - $"s".cast(dec) * $"s".cast(dec)))
+      .select($"event_id", $"user_id", round($"value", 2).as("value"),
+        $"n".as("n_prev"))
+      .orderBy($"event_id")
+  }
+
   private val NsPerDay = 86400L * 1000000000L
 
   /** Cohort retention matrix: users grouped by first-seen day (cohort),

@@ -313,6 +313,32 @@ class PipelineSpec extends GraftSuite {
     }
   }
 
+  test("valueAnomalies matches a brute-force exact-integer trailing-window check") {
+    import org.apache.spark.sql.functions.col
+    val events = Tables.events(spark, sf)
+    val rows = events.select(col("event_id"), col("user_id"), col("ts"), col("value"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    def cents(v: Double): Long =
+      java.math.BigDecimal.valueOf(v * 100).setScale(0, java.math.RoundingMode.HALF_UP).longValue()
+    val horizon = 24L * 3600L * 1000000000L
+    val expected = rows.groupBy(_._2).values.flatMap { g =>
+      g.map { case (id, _, t, v) =>
+        val prior = g.filter(e => e._3 >= t - horizon && e._3 <= t - 1).map(e => cents(e._4))
+        (id, prior)
+      }.collect { case (id, prior) if prior.length >= 5 =>
+        val x = BigInt(cents(rows.find(_._1 == id).get._4))
+        val n = BigInt(prior.length)
+        val s = BigInt(prior.map(BigInt(_)).sum.toString)
+        val q = prior.map(c => BigInt(c) * BigInt(c)).sum
+        val d = x * n - s
+        (id, d * d * (n - 1) > 4 * n * (n * q - s * s))
+      }.collect { case (id, true) => id }
+    }.toSet
+    val got = graft.operators.Events.valueAnomalies(events).collect()
+      .map(_.getLong(0)).toSet
+    assert(got === expected)
+  }
+
   test("valueZscore: per-type z has mean ~0, sd ~1, and row count is preserved") {
     val ev = Tables.events(spark, sf)
     val z = Events.valueZscore(ev)

@@ -94,10 +94,73 @@ object MinHashSignature {
   }
 }
 
+/** Fused LSH band keys: the `numHashes / bandRows` banded xxhash64 keys of
+  * a document's MinHash signature in ONE pass — the signature never
+  * materializes as a column. Replaces the
+  * `xxhash64(element_at(sig, ...) x bandRows) x numBands` expression tree
+  * (126 element_at calls + 21 xxhash64 call sites of generated code per
+  * row in the default 21x6 config), which dominated the dedup pipelines'
+  * per-plan Janino compile time.
+  *
+  * Bit-identical to that compositional form: band b's key is Spark's
+  * `xxhash64(sig[b*r+1], ..., sig[b*r+r])` — XXH64's left fold of the band's
+  * signature longs from seed 42 — with the signature longs from
+  * `MinHashSignature.compute` (itself explode+min-compatible).
+  */
+case class MinHashBandKeys(child: Expression, n: Int, numHashes: Int, bandRows: Int)
+    extends UnaryExpression with Serializable {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType != StringType)
+      TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires a string input, got ${child.dataType.sql}")
+    else if (numHashes % bandRows != 0)
+      TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires bandRows to divide numHashes, got $numHashes/$bandRows")
+    else TypeCheckResult.TypeCheckSuccess
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def prettyName: String = "minhash_band_keys"
+
+  override def nullSafeEval(input: Any): Any =
+    MinHashBandKeys.compute(input.asInstanceOf[UTF8String], n, numHashes, bandRows)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.MinHashBandKeys.compute($c, $n, $numHashes, $bandRows);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object MinHashBandKeys {
+  def compute(text: UTF8String, n: Int, numHashes: Int, bandRows: Int): ArrayData = {
+    val sig = MinHashSignature.compute(text, n, numHashes)
+    val bands = numHashes / bandRows
+    val out = new Array[Long](bands)
+    var b = 0
+    while (b < bands) {
+      // Spark's xxhash64(c1..cr): fold each long into the running seed
+      var h = 42L
+      var r = 0
+      while (r < bandRows) {
+        h = XXH64.hashLong(sig.getLong(b * bandRows + r), h)
+        r += 1
+      }
+      out(b) = h
+      b += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
 /** Column-API exposure. */
 object MinHashFunctions {
   def minhash_signature(text: Column, n: Int, numHashes: Int): Column =
     ColumnBridge.column(MinHashSignature(ColumnBridge.expression(text), n, numHashes))
+  def minhash_band_keys(text: Column, n: Int, numHashes: Int, bandRows: Int): Column =
+    ColumnBridge.column(MinHashBandKeys(ColumnBridge.expression(text), n, numHashes, bandRows))
   def simhash_signature(text: Column, n: Int): Column =
     ColumnBridge.column(SimHashSignature(ColumnBridge.expression(text), n))
   def shingle_hashes(text: Column, n: Int): Column =

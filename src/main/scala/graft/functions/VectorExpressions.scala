@@ -202,6 +202,8 @@ object VectorFunctions {
       intArg(exprs(1), "tables"), intArg(exprs(2), "bits"))),
     "minhash_signature" -> (exprs => MinHashSignature(exprs.head,
       intArg(exprs(1), "n"), intArg(exprs(2), "numHashes"))),
+    "minhash_band_keys" -> (exprs => MinHashBandKeys(exprs.head,
+      intArg(exprs(1), "n"), intArg(exprs(2), "numHashes"), intArg(exprs(3), "bandRows"))),
     "simhash_signature" -> (exprs => SimHashSignature(exprs.head, intArg(exprs(1), "n"))),
     "shingle_hashes" -> (exprs => ShingleHashes(exprs.head, intArg(exprs(1), "n"))),
     "sorted_intersect_count" -> (exprs => SortedIntersectCount(exprs.head, exprs(1))),
@@ -218,6 +220,7 @@ object VectorFunctions {
     "dot_product" -> "_FUNC_(a, b) - Dot product of two numeric arrays (coerced to array<double>); NULL on length mismatch or null element.",
     "hyperplane_buckets" -> "_FUNC_(v, tables, bits) - Per-table sign buckets of vector v under deterministic pseudo-random hyperplanes; tables/bits must be int literals.",
     "minhash_signature" -> "_FUNC_(text, n, numHashes) - MinHash signature (array<bigint>) of the character-n-gram shingle set of text; n/numHashes must be int literals.",
+    "minhash_band_keys" -> "_FUNC_(text, n, numHashes, bandRows) - Banded xxhash64 LSH keys (array<bigint>, one per band) of the MinHash signature of text; int literals, bandRows must divide numHashes.",
     "simhash_signature" -> "_FUNC_(text, n) - 32-bit SimHash of the character-n-gram multiset of text; n must be an int literal.",
     "shingle_hashes" -> "_FUNC_(text, n) - Sorted-distinct xxhash64 hashes of the character-n-gram shingles of text (the expected input of sorted_intersect_count).",
     "sorted_intersect_count" -> "_FUNC_(a, b) - Intersection size of two array<bigint> inputs that MUST be sorted ascending with distinct elements (as produced by shingle_hashes); returns NULL if either array violates that precondition or contains a null element.",

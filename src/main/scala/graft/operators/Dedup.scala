@@ -251,16 +251,15 @@ object Dedup {
     */
   def bandBuckets(docs: DataFrame, n: Int = 5): DataFrame = {
     val parts = docs.sparkSession.sparkContext.defaultParallelism * 2
-    val sigs = docs
+    docs
       .repartition(parts, $"doc_id")
+      // fused native band keys: signature + per-band xxhash64 fold in one
+      // pass, no signature column, no 126-element_at expression tree
+      // (bit-identical to the compositional form; FunctionsSpec)
       .select($"doc_id",
-        graft.functions.MinHashFunctions.minhash_signature($"text", n, NumHashes).as("sig"))
-    val bandCols = (0 until NumBands).map { b =>
-      val rows = (0 until BandRows).map(r => element_at($"sig", b * BandRows + r + 1))
-      struct(lit(b).as("band"), xxhash64(rows: _*).as("bh"))
-    }
-    sigs.select($"doc_id", explode(array(bandCols: _*)).as("bb"))
-      .select($"doc_id", $"bb.band".as("band"), $"bb.bh".as("bh"))
+        posexplode(graft.functions.MinHashFunctions
+          .minhash_band_keys($"text", n, NumHashes, BandRows)))
+      .select($"doc_id", $"pos".cast("int").as("band"), $"col".as("bh"))
   }
 
   /** (doc_id, hs) sorted-distinct shingle-hash rows — the verification

@@ -149,18 +149,14 @@ object EventStreams {
     */
   def incrementalNearDupStream(newDocs: DataFrame, corpusBuckets: DataFrame,
       corpusShingles: DataFrame, n: Int = 5, threshold: Double = 0.6): DataFrame = {
-    import graft.functions.MinHashFunctions.{minhash_signature, shingle_hashes, sorted_intersect_count}
-    import graft.operators.Dedup.{BandRows, NumBands, NumHashes}
-    val sigs = newDocs.select(col("doc_id").as("new_id"),
-      minhash_signature(col("text"), n, NumHashes).as("sig"),
-      shingle_hashes(col("text"), n).as("hs1"))
-    val bandCols = (0 until NumBands).map { b =>
-      val rows = (0 until BandRows).map(r => element_at(col("sig"), b * BandRows + r + 1))
-      struct(lit(b).as("band"), xxhash64(rows: _*).as("bh"))
-    }
-    sigs
-      .select(col("new_id"), col("hs1"), explode(array(bandCols: _*)).as("bb"))
-      .select(col("new_id"), col("hs1"), col("bb.band").as("band"), col("bb.bh").as("bh"))
+    import graft.functions.MinHashFunctions.{minhash_band_keys, shingle_hashes, sorted_intersect_count}
+    import graft.operators.Dedup.{BandRows, NumHashes}
+    newDocs
+      .select(col("doc_id").as("new_id"),
+        minhash_band_keys(col("text"), n, NumHashes, BandRows).as("bks"),
+        shingle_hashes(col("text"), n).as("hs1"))
+      .select(col("new_id"), col("hs1"), posexplode(col("bks")))
+      .select(col("new_id"), col("hs1"), col("pos").cast("int").as("band"), col("col").as("bh"))
       .join(corpusBuckets, Seq("band", "bh"))
       .join(corpusShingles, Seq("old_id"))
       .select(col("new_id"), col("old_id"),

@@ -297,6 +297,20 @@ class FunctionsSpec extends GraftSuite {
     assert(nullRow.isNullAt(0))
   }
 
+  test("minhash_band_keys equals xxhash64 over signature band slices bit-for-bit") {
+    import graft.functions.MinHashFunctions
+    val docs = Tables.documents(spark, sf).limit(50)
+    val sigs = docs.select(col("doc_id"),
+      MinHashFunctions.minhash_signature(col("text"), 5, 126).as("sig"),
+      MinHashFunctions.minhash_band_keys(col("text"), 5, 126, 6).as("bks"))
+    val bandCols = (0 until 21).map { b =>
+      xxhash64((0 until 6).map(r => element_at(col("sig"), b * 6 + r + 1)): _*)
+    }
+    val rows = sigs.select(col("bks"), array(bandCols: _*).as("comp")).collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(r.getSeq[Long](0) === r.getSeq[Long](1)))
+  }
+
   test("word_grams equals the compositional wordGrams on edge-case texts") {
     import graft.functions.TextFunctions
     import graft.operators.Curation

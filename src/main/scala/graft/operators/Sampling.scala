@@ -57,7 +57,12 @@ object Sampling {
     * no global single-partition window ever exists. Deterministic and
     * identical to the naive global running sum (the oracle's form).
     */
-  def packByTokenOffset(documents: DataFrame, budget: Long = 2048L,
+  /** Per-document packing assignment: (doc_id, tok, bin) under the
+    * concatenate-in-doc_id-order, cut-every-`budget`-tokens rule — the
+    * distributed prefix sum shared by the q58 report and the shard
+    * writer.
+    */
+  def tokenBins(documents: DataFrame, budget: Long = 2048L,
       bucketWidth: Long = 1024L): DataFrame = {
     val spark = documents.sparkSession
     // checkpointed: the subtotal pass below and the final join both consume
@@ -82,8 +87,32 @@ object Sampling {
       .join(broadcast(baseDf), Seq("bkt"))
       .withColumn("off", $"base" + sum($"tok").over(inRange) - $"tok")
       .select($"doc_id", $"tok", expr(s"off div $budget").as("bin"))
+  }
+
+  def packByTokenOffset(documents: DataFrame, budget: Long = 2048L,
+      bucketWidth: Long = 1024L): DataFrame =
+    tokenBins(documents, budget, bucketWidth)
       .groupBy($"bin")
       .agg(count(lit(1)).as("n_docs"), sum($"tok").as("total_tokens"))
+      .orderBy($"bin")
+
+  /** Materialize the corpus as training shards: every document lands in
+    * its token-budget bin (same rule as q58), written as bin-partitioned
+    * parquet — downstream trainers read one shard directory per step and
+    * partition pruning serves shard-range reads without touching the
+    * rest. Returns the written manifest (bin, n_docs, total_tokens) read
+    * back from the files, so the caller verifies the sink, not the plan.
+    */
+  def writeTrainingShards(documents: DataFrame, outDir: String,
+      budget: Long = 2048L): DataFrame = {
+    documents
+      .join(tokenBins(documents, budget).select($"doc_id", $"bin"), Seq("doc_id"))
+      .write.mode("overwrite").partitionBy("bin").parquet(outDir)
+    documents.sparkSession.read.parquet(outDir)
+      // partition-directory columns come back as int; restore the contract
+      .groupBy($"bin".cast("long").as("bin"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(split($"text", " "))).cast("bigint").as("total_tokens"))
       .orderBy($"bin")
   }
 

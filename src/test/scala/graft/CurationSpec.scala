@@ -195,6 +195,25 @@ class CurationSpec extends GraftSuite {
     assert(got === expected)
   }
 
+  test("writeTrainingShards: round-trips the corpus, manifest equals the q58 report") {
+    val out = java.nio.file.Files.createTempDirectory("graft-shards").toString
+    try {
+      val manifest = graft.operators.Sampling.writeTrainingShards(docs, out).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+      val report = graft.operators.Sampling.packByTokenOffset(docs).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+      assert(manifest === report, "written shards must match the packing report")
+      val back = spark.read.parquet(out)
+      assert(back.count() === docs.count(), "every document lands in exactly one shard")
+      // shard-range reads prune partitions at the source
+      val pruned = back.filter(col("bin") === 0).queryExecution.executedPlan.toString
+      assert(pruned.contains("PartitionFilters: [isnotnull(bin"), s"expected pruning in:\n$pruned")
+    } finally {
+      import scala.reflect.io.Directory
+      new Directory(new java.io.File(out)).deleteRecursively()
+    }
+  }
+
   test("lengthHistogram bins partition the corpus") {
     val rows = graft.operators.TextAnalysis.lengthHistogram(docs).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))

@@ -443,7 +443,7 @@ object PipelineQueries {
         |dfc AS (SELECT term, count(*) AS df FROM tfc GROUP BY 1),
         |n AS (SELECT count(*) AS n_docs FROM documents),
         |scored AS (
-        |  SELECT doc_id, term, round(tf * ln(n_docs * 1.0 / df), 6) AS tfidf
+        |  SELECT doc_id, term, round(tf * ln(n_docs * 1.0 / df), 4) AS tfidf
         |  FROM tfc JOIN dfc USING (term) CROSS JOIN n
         |),
         |ranked AS (
@@ -621,7 +621,8 @@ object PipelineQueries {
         |),
         |w AS (
         |  SELECT event_id, user_id, value, x,
-        |    count(x) OVER win AS n, sum(x) OVER win AS s, sum(x*x) OVER win AS q
+        |    count(x) OVER win AS n, sum(x) OVER win AS s,
+        |    sum(CAST(x AS HUGEINT) * x) OVER win AS q
         |  FROM c
         |  WINDOW win AS (PARTITION BY user_id ORDER BY tns
         |    RANGE BETWEEN 86400000000000 PRECEDING AND 1 PRECEDING)
@@ -629,15 +630,16 @@ object PipelineQueries {
         |SELECT event_id, user_id, round(value, 2) AS value, n AS n_prev
         |FROM w
         |WHERE n >= 5
-        |  AND CAST(x*n - s AS HUGEINT) * (x*n - s) * (n - 1)
+        |  AND (CAST(x AS HUGEINT)*n - s) * (CAST(x AS HUGEINT)*n - s) * (n - 1)
         |    > 4 * CAST(n AS HUGEINT) * (n*q - CAST(s AS HUGEINT)*s)
         |ORDER BY event_id""".stripMargin,
     "q79_bm25" ->
       // constant arithmetic mirrors the Scala shapes exactly: 0.5/0.75 are
       // power-of-two fractions (exact), (1.2 + 1) converts to the same
       // double 2.2 either way, and b*dl is exact before the only inexact
-      // division — so per-term scores are bit-identical and round(sum, 6)
-      // absorbs the <=3-term summation order
+      // division. ln() is the one transcendental (libms may differ by
+      // ~1 ulp), so scores round to 4 decimals — a boundary sits ~1e11 ulps
+      // away from that noise, vs ~1e3x closer at 6 decimals
       """WITH dl AS (
         |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS dl FROM documents
         |),
@@ -651,7 +653,7 @@ object PipelineQueries {
         |scored AS (
         |  SELECT doc_id,
         |    round(sum(ln((n - df + 0.5) / (df + 0.5) + 1) * tf * (1.2 + 1) /
-        |      (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))), 6) AS bm25
+        |      (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))), 4) AS bm25
         |  FROM tf JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
         |  GROUP BY doc_id
         |)

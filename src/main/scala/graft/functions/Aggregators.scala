@@ -3,6 +3,16 @@ package graft.functions
 import org.apache.spark.sql.{Encoder, Encoders}
 import org.apache.spark.sql.expressions.Aggregator
 
+/** Shared half-up decimal rounding — THE load-bearing rounding mode of
+  * every cross-engine oracle (matches Spark's `round()` and DuckDB's
+  * `round()` on finite doubles). One definition so a future change cannot
+  * silently desynchronize a subset of oracles.
+  */
+object Rounding {
+  def halfUp(x: Double, scale: Int): Double =
+    java.math.BigDecimal.valueOf(x).setScale(scale, java.math.RoundingMode.HALF_UP).doubleValue()
+}
+
 /** Typed UDAF surface (SURVEY.md §2.2: the reference has no user extension
   * points — its hard-coded partial+final sum, `/root/reference/
   * D/Program.cs:312-315` + `:162`, generalizes to Spark's Aggregator
@@ -74,7 +84,8 @@ object Aggregators {
   class VectorSum extends Aggregator[Seq[Double], Array[Double], Seq[Double]] {
     override def zero: Array[Double] = Array.emptyDoubleArray
     override def reduce(b: Array[Double], v: Seq[Double]): Array[Double] =
-      if (b.isEmpty) {
+      if (v == null) b // a null vector must not poison the buffer (KMV convention)
+      else if (b.isEmpty) {
         val r = new Array[Double](v.length)
         var i = 0
         while (i < r.length) { r(i) = v(i); i += 1 }

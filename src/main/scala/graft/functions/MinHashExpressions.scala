@@ -114,9 +114,9 @@ case class MinHashBandKeys(child: Expression, n: Int, numHashes: Int, bandRows: 
     if (child.dataType != StringType)
       TypeCheckResult.TypeCheckFailure(
         s"$prettyName requires a string input, got ${child.dataType.sql}")
-    else if (numHashes % bandRows != 0)
+    else if (bandRows <= 0 || numHashes % bandRows != 0) // order matters: % by 0 would throw
       TypeCheckResult.TypeCheckFailure(
-        s"$prettyName requires bandRows to divide numHashes, got $numHashes/$bandRows")
+        s"$prettyName requires a positive bandRows dividing numHashes, got $numHashes/$bandRows")
     else TypeCheckResult.TypeCheckSuccess
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)

@@ -175,12 +175,16 @@ object Events {
         expr("CAST(round(value * 100, 0) AS BIGINT)").as("x"))
       .withColumn("n", count($"x").over(w))
       .withColumn("s", sum($"x").over(w))
-      .withColumn("q", sum($"x" * $"x").over(w))
+      // x*x (and everything downstream) in decimal, not long: a long x*x
+      // would wrap silently in non-ANSI mode for |value| >= ~$30M, and the
+      // oracle side mirrors with HUGEINT so neither engine can overflow
+      // where the other doesn't
+      .withColumn("q", sum($"x".cast(dec) * $"x".cast(dec)).over(w))
       .filter($"n" >= minPrev)
-      .withColumn("d", ($"x" * $"n" - $"s").cast(dec))
+      .withColumn("d", $"x".cast(dec) * $"n".cast(dec) - $"s".cast(dec))
       .filter($"d" * $"d" * ($"n" - 1).cast(dec) >
         lit(4).cast(dec) * $"n".cast(dec) *
-          ($"n".cast(dec) * $"q".cast(dec) - $"s".cast(dec) * $"s".cast(dec)))
+          ($"n".cast(dec) * $"q" - $"s".cast(dec) * $"s".cast(dec)))
       .select($"event_id", $"user_id", round($"value", 2).as("value"),
         $"n".as("n_prev"))
       .orderBy($"event_id")

@@ -76,11 +76,16 @@ object Scale {
     */
   def bloomPrefilterStats(fact: DataFrame, factKey: String, dim: DataFrame,
       dimKey: String, m: Int = 16384, k: Int = 3): DataFrame = {
+    // NULL keys drop on both sides (SQL membership of NULL is undefined
+    // anyway, and the oracle's list_distinct/unnest would silently skip
+    // them — make the rule explicit rather than engine-dependent)
     val dimPos = dim
+      .filter(col(dimKey).isNotNull)
       .select(explode(array((0 until k).map(j => md5SlicePos(col(dimKey), j, m)): _*)).as("p"))
       .distinct()
-    val truthKeys = dim.select(col(dimKey).as("key")).distinct()
-    val probe = fact.select(col(factKey).as("key")).distinct()
+    val truthKeys = dim.filter(col(dimKey).isNotNull).select(col(dimKey).as("key")).distinct()
+    val probe = fact.filter(col(factKey).isNotNull)
+      .select(col(factKey).as("key")).distinct()
       .select($"key",
         array_distinct(array((0 until k).map(j => md5SlicePos($"key", j, m)): _*)).as("ps"))
     val perKey = probe
@@ -172,9 +177,11 @@ object Scale {
     */
   def kmvIntersectEstimate(a: DataFrame, aKey: String, b: DataFrame, bKey: String,
       k: Int = 64): DataFrame = {
-    def round(x: Double, s: Int): Double =
-      java.math.BigDecimal.valueOf(x).setScale(s, java.math.RoundingMode.HALF_UP).doubleValue()
+    val round = graft.functions.Rounding.halfUp _
+    // NULL keys are excluded (the KMVSketchOf convention): a null md5
+    // would sort NULLS FIRST into a k-min slot and poison the merge
     def kmin(df: DataFrame, key: String): Array[String] = df
+      .filter(col(key).isNotNull)
       .select(md5(col(key).cast("string")).as("h")).distinct()
       .orderBy($"h").limit(k)
       .collect().map(_.getString(0))

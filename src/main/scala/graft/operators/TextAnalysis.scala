@@ -193,7 +193,7 @@ object TextAnalysis {
       .join(df, Seq("term"))
       .crossJoin(broadcast(nDocs))
       .select($"doc_id", $"term",
-        round($"tf" * log($"n_docs" / $"df"), 6).as("tfidf"))
+        round($"tf" * log($"n_docs" / $"df"), 4).as("tfidf"))
     Scale.topKPerGroup(scored, group = $"doc_id", rankKey = -$"tfidf",
         tie = $"term", saltSource = $"term", k = k)
       .withColumn("rnk",
@@ -266,7 +266,7 @@ object TextAnalysis {
         (log(($"n" - $"df" + 0.5) / ($"df" + 0.5) + 1) * $"tf" * lit(k1 + 1) /
           ($"tf" + lit(k1) * (lit(1 - b) + lit(b) * $"dl" / $"avgdl"))).as("s"))
       .groupBy($"doc_id")
-      .agg(round(sum($"s"), 6).as("bm25"))
+      .agg(round(sum($"s"), 4).as("bm25"))
       .orderBy($"bm25".desc, $"doc_id")
       .limit(topk)
   }

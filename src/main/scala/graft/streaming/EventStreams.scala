@@ -146,6 +146,14 @@ object EventStreams {
     * once per band-collision — at-least-once per batch; exact-once
     * delivery is the downstream `dropDuplicatesWithinWatermark`'s job
     * (see `dedupStream`), the standard split at scale.
+    *
+    * Statelessness trade: the batch twin dedups candidates and shingles
+    * only candidate docs; doing either here would need a streaming
+    * aggregation (watermark + state) or a stream-stream self-join, so the
+    * batch's shingle hashes ride through the band explode instead —
+    * per-batch work is higher by the band factor, state is zero. A
+    * `foreachBatch` wrapper running the batch operator per micro-batch is
+    * the right call when batches are large enough for that to matter.
     */
   def incrementalNearDupStream(newDocs: DataFrame, corpusBuckets: DataFrame,
       corpusShingles: DataFrame, n: Int = 5, threshold: Double = 0.6): DataFrame = {

@@ -122,8 +122,8 @@ class CurationSpec extends GraftSuite {
   }
 
   test("tfidfTopTerms matches a brute-force tf-idf ranking") {
-    def round6(x: Double): Double =
-      java.math.BigDecimal.valueOf(x).setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+    def round4(x: Double): Double =
+      java.math.BigDecimal.valueOf(x).setScale(4, java.math.RoundingMode.HALF_UP).doubleValue()
     val fixture = docs.select(col("doc_id"), col("text")).collect()
       .map(r => (r.getLong(0), r.getString(1)))
     val nDocs = fixture.length
@@ -132,7 +132,7 @@ class CurationSpec extends GraftSuite {
     }
     val df = tf.groupBy(_._2).map { case (term, g) => (term, g.size) }
     val expected = tf.map { case (id, term, f) =>
-      (id, term, round6(f * math.log(nDocs.toDouble / df(term))))
+      (id, term, round4(f * math.log(nDocs.toDouble / df(term))))
     }.groupBy(_._1).toSeq.flatMap { case (id, g) =>
       g.sortBy { case (_, term, s) => (-s, term) }.take(3).zipWithIndex
         .map { case ((_, term, s), i) => (id, term, s, i + 1) }
@@ -169,8 +169,8 @@ class CurationSpec extends GraftSuite {
   }
 
   test("bm25TopDocs matches a brute-force BM25 ranking") {
-    def round6(x: Double): Double =
-      java.math.BigDecimal.valueOf(x).setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+    def round4(x: Double): Double =
+      java.math.BigDecimal.valueOf(x).setScale(4, java.math.RoundingMode.HALF_UP).doubleValue()
     val query = Seq("table", "data", "row")
     val fixture = docs.select(col("doc_id"), col("text")).collect()
       .map(r => (r.getLong(0), r.getString(1).split(" ", -1).toSeq))
@@ -187,7 +187,7 @@ class CurationSpec extends GraftSuite {
           math.log((n - df + 0.5) / (df + 0.5) + 1) * tf * (1.2 + 1) /
             (tf + 1.2 * (1 - 0.75 + 0.75 * ws.length / avgdl))
         }.sum
-        Some((id, round6(s)))
+        Some((id, round4(s)))
       }
     }.sortBy { case (id, s) => (-s, id) }.take(20).toSeq
     val got = graft.operators.TextAnalysis.bm25TopDocs(docs).collect()

@@ -123,6 +123,10 @@ object PipelineQueries {
     "q79_bm25" -> ((s, d) => TextAnalysis.bm25TopDocs(Tables.documents(s, d))),
     // RANGE-frame trailing-window outliers, exact-integer decision rule
     "q80_value_anomalies" -> ((s, d) => Events.valueAnomalies(Tables.events(s, d))),
+    // CDC latest-wins compaction via max(struct) — no window sort
+    "q81_latest_event" -> ((s, d) => Events.latestByUser(Tables.events(s, d))),
+    // k-anonymity audit over (lang, source) quasi-identifier cells
+    "q82_k_anonymity" -> ((s, d) => Curation.kAnonymityReport(Tables.documents(s, d))),
     // rows-only (no oracle): approximate sketches differ by implementation
     "q38_sketches" -> ((s, d) => {
       import org.apache.spark.sql.functions._
@@ -611,6 +615,18 @@ object PipelineQueries {
          |JOIN sizes s2 ON old_id = s2.doc_id
          |WHERE round(i * 1.0 / (s1.sz + s2.sz - i), 6) >= 0.6
          |ORDER BY new_id, old_id""".stripMargin,
+    "q81_latest_event" ->
+      """SELECT user_id, event_id, epoch_ns(ts) // 1000000000 AS ts_epoch,
+        | event_type, round(value, 2) AS value
+        |FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY user_id
+        |    ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM events
+        |)
+        |WHERE rn = 1 ORDER BY user_id""".stripMargin,
+    "q82_k_anonymity" ->
+      """SELECT lang, source, count(*) AS n_docs, (count(*) >= 10) AS k_anonymous
+        |FROM documents GROUP BY lang, source ORDER BY lang, source""".stripMargin,
     "q80_value_anomalies" ->
       // the exact-integer anomaly rule: (x*n - S)^2 * (n-1) > 4*n*(n*Q - S^2)
       // in HUGEINT — bit-identical to Spark's decimal(38,0) evaluation

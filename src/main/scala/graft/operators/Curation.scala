@@ -126,6 +126,19 @@ object Curation {
       .orderBy($"lang", $"source")
   }
 
+  /** K-anonymity audit over quasi-identifier cells: per (lang, source)
+    * cell, its size and whether it meets the anonymity threshold — the
+    * pre-publication check that no demographic slice of a released corpus
+    * is small enough to identify contributors. One map-side-combined
+    * aggregation; cells, not rows, leave the reducers.
+    */
+  def kAnonymityReport(documents: DataFrame, k: Long = 10L): DataFrame =
+    documents
+      .groupBy($"lang", $"source")
+      .agg(count(lit(1)).as("n_docs"))
+      .select($"lang", $"source", $"n_docs", ($"n_docs" >= k).as("k_anonymous"))
+      .orderBy($"lang", $"source")
+
   /** Temperature-smoothed language mixture (the multilingual-pretraining
     * sampling rule, alpha = 0.5): per language, sampling weight
     * proportional to token_share^alpha, renormalized. Flattens the

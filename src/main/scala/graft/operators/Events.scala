@@ -121,6 +121,23 @@ object Events {
       .orderBy($"event_id")
   }
 
+  /** CDC-style latest-wins compaction: one row per user — their most
+    * recent event (ts, then event_id as the uniqueness tie-break). Shaped
+    * as `max(struct(ts, event_id, payload...))`, a single map-side-combined
+    * aggregation: every partition reduces to one candidate per key before
+    * the exchange, so compacting a 100 TB changelog shuffles one row per
+    * key — the `row_number() = 1` window formulation would instead sort
+    * every partition of the full log.
+    */
+  def latestByUser(events: DataFrame): DataFrame =
+    events
+      .groupBy($"user_id")
+      .agg(max(struct($"ts", $"event_id", $"event_type", $"value")).as("m"))
+      .select($"user_id", $"m.event_id".as("event_id"),
+        expr(s"m.ts div $NsPerSecond").as("ts_epoch"),
+        $"m.event_type".as("event_type"), round($"m.value", 2).as("value"))
+      .orderBy($"user_id")
+
   /** Signup→purchase funnel: of the users whose stream contains a signup,
     * how many made a purchase within `horizonHours` of their FIRST signup,
     * and how long conversion took on average. Two filtered aggregates

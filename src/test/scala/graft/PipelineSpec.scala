@@ -313,6 +313,25 @@ class PipelineSpec extends GraftSuite {
     }
   }
 
+  test("latestByUser: equals the window formulation without planning a window") {
+    import org.apache.spark.sql.functions.{col, desc, row_number}
+    import org.apache.spark.sql.expressions.Window
+    val events = Tables.events(spark, sf)
+    val got = graft.operators.Events.latestByUser(events).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val w = Window.partitionBy(col("user_id")).orderBy(desc("ts"), desc("event_id"))
+    val expected = events.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("user_id"), col("event_id"),
+        org.apache.spark.sql.functions.expr("ts div 1000000000").as("e"))
+      .orderBy(col("user_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got === expected)
+    // the compaction claim: a single partial+final aggregate, no window sort
+    val plan = graft.operators.Events.latestByUser(events).queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"latest-wins must not plan a window:\n$plan")
+    assert(plan.contains("partial_max"), s"expected map-side combine in:\n$plan")
+  }
+
   test("valueAnomalies matches a brute-force exact-integer trailing-window check") {
     import org.apache.spark.sql.functions.col
     val events = Tables.events(spark, sf)

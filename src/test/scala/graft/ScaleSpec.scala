@@ -154,6 +154,39 @@ class ScaleSpec extends GraftSuite {
     assert(got === expected)
   }
 
+  test("parquet aggregate pushdown: MIN/MAX/COUNT served from footer statistics") {
+    // the metadata-only aggregation path (SURVEY §4): with pushdown on,
+    // MAX/MIN/COUNT over a parquet scan read row-group stats, not data
+    val dir = java.nio.file.Files.createTempDirectory("graft_aggpd").toString + "/orders"
+    Tables.orders(spark, sf).write.mode("overwrite").parquet(dir)
+    val prev = spark.conf.getOption("spark.sql.parquet.aggregatePushdown")
+    val prevV1 = spark.conf.getOption("spark.sql.sources.useV1SourceList")
+    spark.conf.set("spark.sql.parquet.aggregatePushdown", "true")
+    // aggregate pushdown exists only on the DSv2 read path
+    spark.conf.set("spark.sql.sources.useV1SourceList", "")
+    try {
+      val agg = spark.read.parquet(dir)
+        .agg(min(col("o_totalprice")), max(col("o_totalprice")), count(lit(1)))
+      val plan = agg.queryExecution.executedPlan.toString
+      assert(plan.contains("PushedAggregation: [MIN(o_totalprice), MAX(o_totalprice), COUNT(*)]"),
+        s"expected pushed aggregation in:\n$plan")
+      val r = agg.collect()(0)
+      val e = Tables.orders(spark, sf)
+        .agg(min(col("o_totalprice")), max(col("o_totalprice")), count(lit(1))).collect()(0)
+      assert((r.getDouble(0), r.getDouble(1), r.getLong(2)) ===
+        ((e.getDouble(0), e.getDouble(1), e.getLong(2))))
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set("spark.sql.parquet.aggregatePushdown", v)
+        case None => spark.conf.unset("spark.sql.parquet.aggregatePushdown")
+      }
+      prevV1 match {
+        case Some(v) => spark.conf.set("spark.sql.sources.useV1SourceList", v)
+        case None => spark.conf.unset("spark.sql.sources.useV1SourceList")
+      }
+    }
+  }
+
   test("partitioned parquet sink prunes partitions on read") {
     val dir = java.nio.file.Files.createTempDirectory("graft_part").toString + "/orders_by_year"
     val withYear = Tables.orders(spark, sf)

@@ -127,6 +127,8 @@ object PipelineQueries {
     "q81_latest_event" -> ((s, d) => Events.latestByUser(Tables.events(s, d))),
     // k-anonymity audit over (lang, source) quasi-identifier cells
     "q82_k_anonymity" -> ((s, d) => Curation.kAnonymityReport(Tables.documents(s, d))),
+    // which sources duplicate each other: near-dup pairs per source pair
+    "q83_dup_sources" -> ((s, d) => Dedup.dupSourceMatrix(Tables.documents(s, d))),
     // rows-only (no oracle): approximate sketches differ by implementation
     "q38_sketches" -> ((s, d) => {
       import org.apache.spark.sql.functions._
@@ -615,6 +617,17 @@ object PipelineQueries {
          |JOIN sizes s2 ON old_id = s2.doc_id
          |WHERE round(i * 1.0 / (s1.sz + s2.sz - i), 6) >= 0.6
          |ORDER BY new_id, old_id""".stripMargin,
+    "q83_dup_sources" ->
+      s"""WITH pairs AS (
+         |$JaccardSql
+         |)
+         |SELECT least(m1.source, m2.source) AS source_a,
+         | greatest(m1.source, m2.source) AS source_b,
+         | count(*) AS n_pairs
+         |FROM pairs
+         |JOIN documents m1 ON pairs.id1 = m1.doc_id
+         |JOIN documents m2 ON pairs.id2 = m2.doc_id
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q81_latest_event" ->
       """SELECT user_id, event_id, epoch_ns(ts) // 1000000000 AS ts_epoch,
         | event_type, round(value, 2) AS value

@@ -184,6 +184,24 @@ object Dedup {
       .filter($"jaccard" >= threshold)
   }
 
+  /** Cross-source duplication matrix: near-dup pair counts per unordered
+    * source pair — the curation analytic that answers "which crawls copy
+    * from each other" before deciding what to drop. Pair generation is the
+    * scalable LSH path; the metadata joins are PAIR-proportional (two
+    * joins of the near-linear pair set against the doc_id→source
+    * projection), never corpus×corpus.
+    */
+  def dupSourceMatrix(documents: DataFrame, n: Int = 5, threshold: Double = 0.6): DataFrame = {
+    val meta = documents.select($"doc_id", $"source")
+    minhashLshPairsUnordered(documents, n, threshold)
+      .join(meta.select($"doc_id".as("id1"), $"source".as("s1")), Seq("id1"))
+      .join(meta.select($"doc_id".as("id2"), $"source".as("s2")), Seq("id2"))
+      .select(least($"s1", $"s2").as("source_a"), greatest($"s1", $"s2").as("source_b"))
+      .groupBy($"source_a", $"source_b")
+      .agg(count(lit(1)).as("n_pairs"))
+      .orderBy($"source_a", $"source_b")
+  }
+
   /** Dedup endgame: collapse near-dup pairs into connected components and
     * pick one survivor per cluster (min doc_id). Iterative min-label
     * propagation over the pair edges — converges in O(log cluster-diameter)

@@ -129,6 +129,8 @@ object PipelineQueries {
     "q82_k_anonymity" -> ((s, d) => Curation.kAnonymityReport(Tables.documents(s, d))),
     // which sources duplicate each other: near-dup pairs per source pair
     "q83_dup_sources" -> ((s, d) => Dedup.dupSourceMatrix(Tables.documents(s, d))),
+    // the composed capstone: quality cut -> near-dup survivors -> report
+    "q84_curation_pipeline" -> ((s, d) => Curation.curationPipeline(Tables.documents(s, d))),
     // rows-only (no oracle): approximate sketches differ by implementation
     "q38_sketches" -> ((s, d) => {
       import org.apache.spark.sql.functions._
@@ -617,6 +619,47 @@ object PipelineQueries {
          |JOIN sizes s2 ON old_id = s2.doc_id
          |WHERE round(i * 1.0 / (s1.sz + s2.sz - i), 6) >= 0.6
          |ORDER BY new_id, old_id""".stripMargin,
+    "q84_curation_pipeline" ->
+      // the composed stages in SQL: percentile cut, kept-restricted
+      // all-pairs Jaccard, recursive-CTE components, survivor-only report
+      s"""WITH RECURSIVE s AS (
+         |  SELECT doc_id, lang, text, $QualityExprSql AS quality FROM documents
+         |),
+         |t AS (SELECT lang, quantile_cont(quality, 0.1) AS cut FROM s GROUP BY lang),
+         |kept AS (
+         |  SELECT doc_id, lang, text FROM s JOIN t USING (lang) WHERE quality >= cut
+         |),
+         |grams AS (
+         |  SELECT doc_id,
+         |    unnest(list_distinct([substr(text, i, 5) for i in range(1, greatest(length(text)-4, 1)+1)])) AS g
+         |  FROM kept
+         |),
+         |sizes AS (SELECT doc_id, count(*) AS sz FROM grams GROUP BY doc_id),
+         |inter AS (
+         |  SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS i
+         |  FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id GROUP BY 1, 2
+         |),
+         |pairs AS (
+         |  SELECT id1, id2 FROM inter
+         |  JOIN sizes s1 ON id1 = s1.doc_id
+         |  JOIN sizes s2 ON id2 = s2.doc_id
+         |  WHERE round(i * 1.0 / (s1.sz + s2.sz - i), 6) >= 0.6
+         |),
+         |edges AS (
+         |  SELECT id1 AS src, id2 AS dst FROM pairs
+         |  UNION ALL SELECT id2, id1 FROM pairs
+         |),
+         |reach(node, label) AS (
+         |  SELECT src, src FROM edges
+         |  UNION
+         |  SELECT e.src, r.label FROM edges e JOIN reach r ON e.dst = r.node
+         |),
+         |comp AS (SELECT node AS doc_id, min(label) AS rep FROM reach GROUP BY node),
+         |dropped AS (SELECT doc_id FROM comp WHERE doc_id <> rep)
+         |SELECT lang, count(*) AS n_docs,
+         | CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS tokens
+         |FROM kept WHERE doc_id NOT IN (SELECT doc_id FROM dropped)
+         |GROUP BY lang ORDER BY lang""".stripMargin,
     "q83_dup_sources" ->
       s"""WITH pairs AS (
          |$JaccardSql

@@ -126,6 +126,36 @@ object Curation {
       .orderBy($"lang", $"source")
   }
 
+  /** The end-to-end curation capstone: per-language quality-decile cut
+    * (q71's rule) → near-dup survivor selection among the KEPT docs
+    * (q53's connected components over q27's LSH pairs) → per-language
+    * document and token mass of the final training set. One registered
+    * query exercising the composed pipeline exactly as a user would chain
+    * it — every stage is the already-verified scalable operator, and the
+    * oracle recomposes the same stages in SQL (percentile cut, all-pairs
+    * Jaccard restricted to kept docs, recursive-CTE components).
+    */
+  def curationPipeline(documents: DataFrame): DataFrame = {
+    val scored = documents
+      .select($"doc_id", $"lang", $"source", $"text",
+        TextAnalysis.qualityCol($"text").as("quality"))
+    val cuts = scored.groupBy($"lang")
+      .agg(expr("percentile(quality, 0.1)").as("cut"))
+    val kept = scored
+      .join(broadcast(cuts), Seq("lang"))
+      .filter($"quality" >= $"cut")
+      .select($"doc_id", $"lang", $"text")
+    val dropped = Dedup.nearDupSurvivors(kept)
+      .filter(!$"survives")
+      .select($"doc_id")
+    kept
+      .join(dropped, Seq("doc_id"), "left_anti")
+      .groupBy($"lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(split($"text", " ")).cast("long")).as("tokens"))
+      .orderBy($"lang")
+  }
+
   /** K-anonymity audit over quasi-identifier cells: per (lang, source)
     * cell, its size and whether it meets the anonymity threshold — the
     * pre-publication check that no demographic slice of a released corpus

@@ -21,10 +21,14 @@ object Profile {
     spark.range(1000000L).selectExpr("sum(id)").collect()
 
     // cold, in bench order — mirrors what BENCH_r{N} measures
-    for (name <- Seq("q27_dedup_minhash_lsh", "q48_embedding_neardup",
-        "q53_dedup_survivors", "q74_incremental_neardup")) {
+    for (name <- Seq("q79_bm25", "q80_value_anomalies", "q81_latest_event",
+        "q82_k_anonymity", "q83_dup_sources", "q84_curation_pipeline")) {
+      val df = SparkEntry.queries(name)(spark, sfDir)
+      val plan = df.queryExecution.executedPlan.toString
+      val bad = Seq("CartesianProduct", "BroadcastNestedLoopJoin").filter(plan.contains)
+      println(s"[plan] $name bad=${bad.mkString(",")}")
       System.gc()
-      time(name)(noop(SparkEntry.queries(name)(spark, sfDir)))
+      time(name)(noop(df))
     }
     spark.stop()
   }

@@ -131,6 +131,11 @@ object PipelineQueries {
     "q83_dup_sources" -> ((s, d) => Dedup.dupSourceMatrix(Tables.documents(s, d))),
     // the composed capstone: quality cut -> near-dup survivors -> report
     "q84_curation_pipeline" -> ((s, d) => Curation.curationPipeline(Tables.documents(s, d))),
+    // pre-indexing embedding health gate: degenerate vectors + norm stats
+    "q85_embedding_health" -> ((s, d) => Similarity.embeddingHealth(Tables.embeddings(s, d))),
+    // exact decimal money totals beside the rounded-double path
+    "q86_decimal_totals" -> ((s, d) =>
+      graft.operators.Relational.decimalTotals(Tables.lineitem(s, d))),
     // rows-only (no oracle): approximate sketches differ by implementation
     "q38_sketches" -> ((s, d) => {
       import org.apache.spark.sql.functions._
@@ -619,6 +624,27 @@ object PipelineQueries {
          |JOIN sizes s2 ON old_id = s2.doc_id
          |WHERE round(i * 1.0 / (s1.sz + s2.sz - i), 6) >= 0.6
          |ORDER BY new_id, old_id""".stripMargin,
+    "q85_embedding_health" ->
+      """WITH e AS (
+        |  SELECT CAST(len(embedding) AS BIGINT) AS dim,
+        |    sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x))) AS nrm,
+        |    len(list_filter(CAST(embedding AS DOUBLE[]), x -> isnan(x))) > 0 AS has_nan,
+        |    len(list_filter(embedding, x -> x IS NULL)) > 0 AS has_null
+        |  FROM embeddings
+        |)
+        |SELECT dim, count(*) AS n_vectors,
+        | CAST(sum(CASE WHEN nrm = 0.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero_norm,
+        | CAST(sum(CASE WHEN has_nan THEN 1 ELSE 0 END) AS BIGINT) AS n_with_nan,
+        | CAST(sum(CASE WHEN has_null THEN 1 ELSE 0 END) AS BIGINT) AS n_with_null,
+        | round(min(nrm), 4) AS min_norm,
+        | round(avg(nrm), 4) AS avg_norm,
+        | round(max(nrm), 4) AS max_norm
+        |FROM e GROUP BY dim ORDER BY dim""".stripMargin,
+    "q86_decimal_totals" ->
+      """SELECT l_returnflag,
+        | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS exact_total,
+        | round(sum(l_extendedprice), 2) AS double_total
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "q84_curation_pipeline" ->
       // the composed stages in SQL: percentile cut, kept-restricted
       // all-pairs Jaccard, recursive-CTE components, survivor-only report

@@ -310,4 +310,20 @@ object Relational {
     both.union(onlyOrd).select($"op", $"n").orderBy($"op")
   }
 
+  /** Exact decimal money totals beside the rounded-double path: casting
+    * each price to decimal(18,2) makes the per-group sum EXACT and
+    * summation-order-invariant (the reference's F2 doubles wobble by
+    * association order across thread schedules — SURVEY §1.2; decimal is
+    * the engine-grade fix, not a rounding patch). The exact total is
+    * emitted as a double at the boundary (cents << 2^53, lossless).
+    */
+  def decimalTotals(lineitem: DataFrame): DataFrame =
+    lineitem
+      .groupBy($"l_returnflag")
+      .agg(
+        sum($"l_extendedprice".cast("decimal(18,2)")).as("dec_total"),
+        round(sum($"l_extendedprice"), 2).as("double_total"))
+      .select($"l_returnflag", $"dec_total".cast("double").as("exact_total"), $"double_total")
+      .orderBy($"l_returnflag")
+
 }

@@ -313,6 +313,22 @@ class PipelineSpec extends GraftSuite {
     }
   }
 
+  test("decimalTotals: exact total invariant under partitioning; health covers corpus") {
+    import org.apache.spark.sql.functions.col
+    val li = Tables.lineitem(spark, sf)
+    def totals(parts: Int): Seq[(String, Double)] =
+      graft.operators.Relational.decimalTotals(li.repartition(parts)).collect()
+        .map(r => (r.getString(0), r.getDouble(1))).toSeq
+    // decimal summation is order-invariant EXACT — identical under any layout
+    assert(totals(1) === totals(17))
+    val health = graft.operators.Similarity.embeddingHealth(Tables.embeddings(spark, sf))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(health.map(_._2).sum === Tables.embeddings(spark, sf).count())
+    health.foreach { case (dim, _, zero, nan) =>
+      assert(dim > 0 && zero === 0L && nan === 0L, "fixture vectors must be healthy")
+    }
+  }
+
   test("latestByUser: equals the window formulation without planning a window") {
     import org.apache.spark.sql.functions.{col, desc, row_number}
     import org.apache.spark.sql.expressions.Window

@@ -43,9 +43,15 @@ object Bench {
         name -> (System.nanoTime() - t0) / 1e9
       }
 
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
+    // Short per-query keys (the qNN prefix): round 3's full-name JSON line
+    // (~3.5 kB) overflowed the driver's output tail buffer and the line was
+    // recorded truncated ("parsed": null in BENCH_r03.json). The prefix is
+    // unique per query and keeps the whole line ~1.2 kB.
+    val qs = results
+      .map { case (k, v) => "\"" + k.takeWhile(_ != '_') + "\":" + f"$v%.3f" }
+      .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    val skippedJson = skipped.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val skippedJson = skipped.map(s => "\"" + s.takeWhile(_ != '_') + "\"").mkString("[", ",", "]")
     println(
       f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"skipped":$skippedJson,"sf":"$sfDir"}""")
     spark.stop()

@@ -4,9 +4,18 @@ import org.apache.spark.sql.{Encoder, Encoders}
 import org.apache.spark.sql.expressions.Aggregator
 
 /** Shared half-up decimal rounding — THE load-bearing rounding mode of
-  * every cross-engine oracle (matches Spark's `round()` and DuckDB's
-  * `round()` on finite doubles). One definition so a future change cannot
-  * silently desynchronize a subset of oracles.
+  * every cross-engine oracle (matches Spark's `round()`; agrees with
+  * DuckDB's `round()` away from half-ulp decimal boundaries). One
+  * definition so a future change cannot silently desynchronize a subset
+  * of oracles.
+  *
+  * Tie-breaking caveat: `BigDecimal.valueOf` rounds the SHORTEST decimal
+  * rendering of the double (0.285 -> 0.29 at scale 2), while DuckDB rounds
+  * the binary value (0.285 is stored as 0.28499…, so -> 0.28). The engines
+  * can disagree on inputs that sit exactly on such a boundary; every
+  * oracle-checked pipeline here rounds values whose decimal expansion is
+  * already exact at the target scale or strictly away from the .5 tie, so
+  * the fixture hashes agree — but the match is conditional, not universal.
   */
 object Rounding {
   def halfUp(x: Double, scale: Int): Double =

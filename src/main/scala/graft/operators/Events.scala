@@ -13,6 +13,13 @@ import org.apache.spark.sql.functions._
   * in exact integer-nanosecond arithmetic — which also makes results
   * engine-exact (no timezone or float-epoch wobble). Outputs carry epoch
   * seconds (bigint).
+  *
+  * Non-negative-ts assumption: epoch bucketing uses Spark's `div`, which
+  * truncates toward zero, while the DuckDB oracles use `//` (floor) — the
+  * two agree on ts >= 0 and diverge on pre-1970 nanosecond timestamps.
+  * The events fixture (and any realistic telemetry stream) is entirely
+  * post-1970; if negative timestamps ever enter scope, switch both sides
+  * to floor division (`floor(ts / N)` / pmod-based day math).
   */
 object Events {
   private val NsPerHour = 3600L * 1000000000L

@@ -329,6 +329,29 @@ class PipelineSpec extends GraftSuite {
     }
   }
 
+  test("embeddingHealth: null slots are skipped in the norm, not poisoning it") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("vec_id", LongType, nullable = false),
+      StructField("embedding", ArrayType(FloatType, containsNull = true))))
+    val rows = java.util.Arrays.asList(
+      Row(0L, Seq[java.lang.Float](3.0f, 4.0f)),
+      Row(1L, Seq[java.lang.Float](null, 3.0f, 4.0f)),
+      Row(2L, Seq[java.lang.Float](null, null, null)))
+    val df = spark.createDataFrame(rows, schema)
+    val got = graft.operators.Similarity.embeddingHealth(df).collect()
+      .map(r => (r.getLong(0),
+        (r.getLong(1), r.getLong(2), r.getLong(4), r.getDouble(5), r.getDouble(7))))
+      .toMap
+    // dim 2: the clean vector, norm 5. dim 3: one vector whose null slot is
+    // SKIPPED (norm over the non-null elements = 5 — DuckDB's list_sum
+    // semantics) and one all-null vector with no defined norm (excluded
+    // from the min/avg/max like the oracle's NULL, but still counted).
+    assert(got(2L) === ((1L, 0L, 0L, 5.0, 5.0)))
+    assert(got(3L) === ((2L, 0L, 2L, 5.0, 5.0)))
+  }
+
   test("latestByUser: equals the window formulation without planning a window") {
     import org.apache.spark.sql.functions.{col, desc, row_number}
     import org.apache.spark.sql.expressions.Window

@@ -145,7 +145,17 @@ object Curation {
       .join(broadcast(cuts), Seq("lang"))
       .filter($"quality" >= $"cut")
       .select($"doc_id", $"lang", $"text")
-    val dropped = Dedup.nearDupSurvivors(kept)
+      // consumed three times below (pair restriction, survivor anti-join,
+      // final report) — materialize the quality pass once
+      .localCheckpoint()
+    // Near-dup pairs of the kept subset = the corpus pair INDEX restricted
+    // to kept endpoints — an exact identity (every pair-pipeline stage is
+    // per-pair-local; see Dedup.restrictPairs), so the capstone reuses the
+    // session's materialized index instead of re-running banding +
+    // verification over the kept corpus, exactly as a production curation
+    // run reuses its persisted dedup index across pipeline revisions.
+    val keptPairs = Dedup.restrictPairs(Dedup.pairIndex(documents), kept)
+    val dropped = Dedup.survivorsOverPairs(keptPairs)
       .filter(!$"survives")
       .select($"doc_id")
     kept

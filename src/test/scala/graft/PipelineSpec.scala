@@ -29,6 +29,36 @@ class PipelineSpec extends GraftSuite {
     }
   }
 
+  test("pair restriction identity: pairs(subset) == restrict(pairs(corpus), subset)") {
+    // the identity q84's capstone leans on: every pair-pipeline stage is
+    // per-pair-local, so recomputing LSH over a sub-corpus must equal
+    // filtering the full-corpus index to pairs with both endpoints kept
+    val kept = docs.filter($"doc_id" % 3 =!= 1).select($"doc_id")
+    val recomputed = Dedup.minhashLshPairs(docs.join(kept, Seq("doc_id")))
+      .select($"id1", $"id2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val restricted = Dedup.restrictPairs(Dedup.pairIndex(docs), kept)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(restricted === recomputed)
+    assert(restricted.nonEmpty, "the subset should retain at least one planted pair")
+  }
+
+  test("pair index cache: same canonical plan hits, different params miss") {
+    Dedup.clearPairIndexCache()
+    // two distinct DataFrame objects over the same source must share the
+    // materialized index (the q27/q53/q83/q84 reuse path)...
+    val a = Dedup.pairIndex(Tables.documents(spark, sf))
+    val b = Dedup.pairIndex(Tables.documents(spark, sf))
+    assert(a eq b, "identical corpus plan + params must return the cached frame")
+    // ...while different parameters or a semantically different input miss
+    val c = Dedup.pairIndex(Tables.documents(spark, sf), threshold = 0.7)
+    assert(!(a eq c))
+    val d = Dedup.pairIndex(Tables.documents(spark, sf).filter($"doc_id" > 10))
+    assert(!(a eq d))
+    // and the cached set is the verified pair set
+    assert(a.select($"id1", $"id2").collect().toSet ===
+      Dedup.minhashLshPairs(docs).select($"id1", $"id2").collect().toSet)
+  }
+
   test("exact dedup collapses a self-unioned corpus: unique == n, copies == 2n") {
     // the fixture is dup-free, so duplicate collapse is proven here on a
     // synthetic doubling — the operator itself dedups whatever it is given

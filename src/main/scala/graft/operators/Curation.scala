@@ -139,8 +139,10 @@ object Curation {
     val scored = documents
       .select($"doc_id", $"lang", $"source", $"text",
         TextAnalysis.qualityCol($"text").as("quality"))
-    val cuts = scored.groupBy($"lang")
-      .agg(expr("percentile(quality, 0.1)").as("cut"))
+    // bounded-state histogram quantile (see TextAnalysis.qualityFilter) —
+    // bit-identical to the sort-based percentile it replaces
+    val cuts = Scale.exactQuantileByGroup(
+      scored.select($"lang", $"quality"), "lang", "quality", 0.1)
     val kept = scored
       .join(broadcast(cuts), Seq("lang"))
       .filter($"quality" >= $"cut")

@@ -52,6 +52,54 @@ object Scale {
       .drop("_rkey", "_salt", "_prn", "_rn")
   }
 
+  /** Exact interpolated per-group quantile with BOUNDED aggregation state:
+    * a (group, value)-histogram aggregation (map-side combined; reducer
+    * state is one counter per DISTINCT value, not one slot per row) followed
+    * by a window cumsum over the distinct-value frame and the standard
+    * linear interpolation. Replaces `percentile(...)`, whose sort-based
+    * buffer holds every row of the group — corpus-proportional state when
+    * the group column is low-cardinality (the per-language quality cut is
+    * exactly that shape at 100 TB). Here the value domain is bounded (the
+    * quality score is rounded to 4 decimals), so histogram state is bounded
+    * by domain size regardless of corpus rows.
+    *
+    * Interpolation replicates Spark's `percentile` bit-for-bit: 0-based
+    * position `q*(n-1)`; result `(hi-pos)*v_lo + (pos-lo)*v_hi` with the
+    * same equal-endpoint short-circuits — the same doubles the sort-based
+    * aggregate would produce, so existing DuckDB `quantile_cont` oracles
+    * are unaffected.
+    *
+    * Output: one row per group — (`group`, `cut`).
+    */
+  def exactQuantileByGroup(df: DataFrame, group: String, value: String,
+      q: Double): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val hist = df.groupBy(col(group), col(value)).agg(count(lit(1)).as("_c"))
+    val cumW = Window.partitionBy(col(group)).orderBy(col(value))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val nW = Window.partitionBy(col(group)) // rows = distinct values, bounded
+    // a histogram row covers 0-based sorted positions [cum - c, cum - 1]
+    val pos = lit(q) * (col("_n") - 1)
+    val lo = floor(pos)
+    val hi = ceil(pos)
+    def covers(p: Column): Column = col("_cum") - col("_c") <= p && p < col("_cum")
+    hist
+      .withColumn("_cum", sum(col("_c")).over(cumW))
+      .withColumn("_n", sum(col("_c")).over(nW))
+      .withColumn("_pos", pos).withColumn("_lo", lo).withColumn("_hi", hi)
+      .filter(covers(col("_lo")) || covers(col("_hi")))
+      .groupBy(col(group))
+      .agg(
+        min(when(covers(col("_lo")), col(value))).as("_vlo"),
+        min(when(covers(col("_hi")), col(value))).as("_vhi"),
+        min(col("_pos")).as("_p"), min(col("_lo")).as("_l"), min(col("_hi")).as("_h"))
+      .select(col(group),
+        when(col("_h") === col("_l") || col("_vhi") === col("_vlo"), col("_vlo"))
+          .otherwise((col("_h") - col("_p")) * col("_vlo") +
+            (col("_p") - col("_l")) * col("_vhi"))
+          .as("cut"))
+  }
+
   /** Position `j` of a key in an `m`-cell hash table, derived from 4 hex
     * digits of md5 — the engine-independent hash family shared by the
     * Bloom prefilter and the count-min sketch (DuckDB reproduces it with

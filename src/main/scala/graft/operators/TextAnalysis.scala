@@ -69,18 +69,20 @@ object TextAnalysis {
     * quality quantile and how many documents survive a `quality >= cut`
     * filter — the "drop the worst decile per language" curation rule.
     *
-    * Two aggregations: per-lang exact percentile (the oracle-checkable
-    * exact twin; at 100 TB swap in `approx_percentile`, whose sketch
-    * mergeability is the scale path — q38 exercises it), then a broadcast
-    * join of the per-lang cuts back onto the scored scan for the keep
-    * counts. The >= comparison is robust cross-engine: an interpolated cut
-    * either equals a data value exactly or lies strictly between two
-    * distinct rounded-to-4 values.
+    * Two aggregations: the per-lang exact cut via the BOUNDED-STATE
+    * histogram quantile (`Scale.exactQuantileByGroup` — sort-based
+    * `percentile` would buffer every row of a language on one reducer,
+    * corpus-proportional state at 100 TB; the histogram form's state is
+    * bounded by the rounded-to-4 value domain and produces bit-identical
+    * doubles), then a broadcast join of the per-lang cuts back onto the
+    * scored scan for the keep counts. The >= comparison is robust
+    * cross-engine: an interpolated cut either equals a data value exactly
+    * or lies strictly between two distinct rounded-to-4 values.
     */
   def qualityFilter(documents: DataFrame, q: Double = 0.1): DataFrame = {
     val scored = documents.select($"doc_id", $"lang", qualityCol($"text").as("quality"))
-    val cuts = scored.groupBy($"lang")
-      .agg(expr(s"percentile(quality, $q)").as("cut"))
+    val cuts = Scale.exactQuantileByGroup(
+      scored.select($"lang", $"quality"), "lang", "quality", q)
     scored
       .join(broadcast(cuts), Seq("lang"))
       .groupBy($"lang", $"cut")

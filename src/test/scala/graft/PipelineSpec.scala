@@ -80,6 +80,10 @@ class PipelineSpec extends GraftSuite {
     assert(sig1 === sig2)
     val pairs = Dedup.simhashPairs(docs).collect()
     assert(pairs.forall(_.getInt(2) <= 1))
+    // expansion must be the native keyed expression, not interpreted HOFs
+    val plan = Dedup.simhashPairs(docs).queryExecution.executedPlan.toString
+    assert(plan.contains("pair_combinations_keyed"), s"native expansion missing in:\n$plan")
+    assert(!plan.contains("transform("), s"interpreted HOF expansion in:\n$plan")
   }
 
   test("LSH ANN cos values agree with brute force on shared (query, neighbor) pairs") {
@@ -340,6 +344,51 @@ class PipelineSpec extends GraftSuite {
     assert(got === expected)
     got.values.foreach { case (_, total, kept) =>
       assert(kept >= (total * 0.85).toLong, "p10 cut should keep ~90%")
+    }
+  }
+
+  test("tokenBins two-level prefix sum == naive global running sum at any bucket width") {
+    import org.apache.spark.sql.expressions.Window
+    import graft.operators.Sampling
+    val naive = docs
+      .select($"doc_id", size(split($"text", " ")).cast("bigint").as("tok"))
+      .withColumn("off", sum($"tok").over(Window.orderBy($"doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)) - $"tok")
+      .select($"doc_id", $"tok", expr("off div 2048").as("bin"))
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2)))).toMap
+    // small widths force many ranges AND many super-ranges (the fixture
+    // fits inside one default-width bucket, which would leave the
+    // second level untested)
+    for (bw <- Seq(4L, 57L, 1024L)) {
+      val got = Sampling.tokenBins(docs, 2048L, bw)
+        .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2)))).toMap
+      assert(got === naive, s"bucketWidth=$bw")
+    }
+  }
+
+  test("exactQuantileByGroup == sort-based percentile bit-for-bit; no percentile planned") {
+    import graft.operators.Scale
+    val scored = docs.select($"lang", TextAnalysis.qualityCol($"text").as("quality"))
+    val viaSort = scored.groupBy($"lang")
+      .agg(expr("percentile(quality, 0.1)").as("cut"))
+      .collect().map(r => (r.getString(0), r.getDouble(1))).toMap
+    val viaHist = Scale.exactQuantileByGroup(scored, "lang", "quality", 0.1)
+      .collect().map(r => (r.getString(0), r.getDouble(1))).toMap
+    assert(viaHist === viaSort) // identical doubles, not merely close
+    // interpolation corners: duplicates, exact-hit positions, q at 0 and 1
+    val vals = Seq(5.0, 1.0, 3.0, 3.0, 3.0, 2.0, 8.0, 1.0, 13.0)
+    import spark.implicits.{localSeqToDatasetHolder, newProductEncoder}
+    val syn = vals.map(("g", _)).toDF("g", "v")
+    for (q <- Seq(0.0, 0.1, 0.25, 0.5, 0.75, 0.9, 1.0)) {
+      val expected = syn.groupBy($"g").agg(expr(s"percentile(v, $q)"))
+        .collect()(0).getDouble(1)
+      val got = Scale.exactQuantileByGroup(syn, "g", "v", q).collect()(0).getDouble(1)
+      assert(got === expected, s"q=$q")
+    }
+    // the registered quality-cut paths must not plan the sort-based aggregate
+    for (df <- Seq(TextAnalysis.qualityFilter(docs))) {
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.toLowerCase.contains("percentile"), s"sort-based percentile in:\n$plan")
     }
   }
 

@@ -51,11 +51,17 @@ object Sampling {
     * document straddling a boundary belongs to the bin its first token
     * lands in). Per-bin document and token counts.
     *
-    * The prefix sum is distributed: per-range subtotals (doc_id div
-    * `bucketWidth`) collect to the driver — one tiny row per range — and
-    * come back as broadcast base offsets for an in-range window cumsum, so
-    * no global single-partition window ever exists. Deterministic and
-    * identical to the naive global running sum (the oracle's form).
+    * The prefix sum is FULLY distributed, two levels of the same trick:
+    * per-range subtotals (doc_id div `bucketWidth`) get their running base
+    * from a window cumsum partitioned by SUPER-range (`bucketWidth` ranges
+    * per super-range), and the super-range bases come from one ordered
+    * window over the super-range totals. No driver-side fold anywhere
+    * (round 3 collected one subtotal per range to the driver —
+    * O(corpus/1024) tuples at 100 TB); the only single-partition frame is
+    * the super-total window, corpus/bucketWidth² rows (~10⁵ at 10¹¹ docs —
+    * a third level would shrink it further, but at that row count the
+    * window is cheaper than another shuffle). Exact integer sums,
+    * bit-identical to the naive global running sum (the oracle's form).
     */
   /** Per-document packing assignment: (doc_id, tok, bin) under the
     * concatenate-in-doc_id-order, cut-every-`budget`-tokens rule — the
@@ -64,7 +70,6 @@ object Sampling {
     */
   def tokenBins(documents: DataFrame, budget: Long = 2048L,
       bucketWidth: Long = 1024L): DataFrame = {
-    val spark = documents.sparkSession
     // checkpointed: the subtotal pass below and the final join both consume
     // this relation, and without the checkpoint each would re-scan and
     // re-tokenize the corpus through the lineage
@@ -72,19 +77,28 @@ object Sampling {
       size(split($"text", " ")).cast("bigint").as("tok"))
       .withColumn("bkt", expr(s"doc_id div $bucketWidth"))
       .localCheckpoint()
-    // tiny: one row per doc_id range; fold the running base offset on the
-    // driver and ship it back as a broadcast dimension
-    val subtotals = toks.groupBy($"bkt").agg(sum($"tok").as("t"))
-      .orderBy($"bkt").collect().map(r => (r.getLong(0), r.getLong(1)))
-    val baseRows = subtotals
-      .scanLeft((0L, 0L, 0L)) { case ((_, acc, prevT), (b, t)) => (b, acc + prevT, t) }
-      .drop(1).map { case (b, base, _) => (b, base) }.toSeq
-    import spark.implicits.{localSeqToDatasetHolder, newProductEncoder}
-    val baseDf = baseRows.toDF("bkt", "base")
+    // level 1: per-range totals; level 2: per-super-range running bases.
+    // exclusive prefix = inclusive cumsum minus own total, at both levels.
+    val superTotals = toks
+      .withColumn("sup", expr(s"bkt div $bucketWidth"))
+      .groupBy($"sup", $"bkt").agg(sum($"tok").as("t"))
+      .withColumn("sup_t", sum($"t").over(Window.partitionBy($"sup")))
+    val supW = Window.orderBy($"sup") // corpus/bucketWidth^2 rows
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val supBase = superTotals
+      .select($"sup", $"sup_t").distinct()
+      .withColumn("sup_base", sum($"sup_t").over(supW) - $"sup_t")
+      .select($"sup", $"sup_base")
+    val inSupW = Window.partitionBy($"sup").orderBy($"bkt")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val baseDf = superTotals
+      .withColumn("in_sup", sum($"t").over(inSupW) - $"t")
+      .join(supBase, Seq("sup"))
+      .select($"bkt", ($"sup_base" + $"in_sup").as("base"))
     val inRange = Window.partitionBy($"bkt").orderBy($"doc_id")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     toks
-      .join(broadcast(baseDf), Seq("bkt"))
+      .join(baseDf, Seq("bkt"))
       .withColumn("off", $"base" + sum($"tok").over(inRange) - $"tok")
       .select($"doc_id", $"tok", expr(s"off div $budget").as("bin"))
   }

@@ -170,6 +170,9 @@ object MinHashFunctions {
       ColumnBridge.expression(a), ColumnBridge.expression(b)))
   def pair_combinations(ids: Column): Column =
     ColumnBridge.column(PairCombinations(ColumnBridge.expression(ids)))
+  def pair_combinations_keyed(ids: Column, payloads: Column): Column =
+    ColumnBridge.column(PairCombinationsKeyed(
+      ColumnBridge.expression(ids), ColumnBridge.expression(payloads)))
 }
 
 /** Sorted distinct shingle-hash set of a document: all character-n-gram
@@ -371,6 +374,96 @@ object PairCombinations {
           val row = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(2)
           if (x < y) { row.setLong(0, x); row.setLong(1, y) }
           else { row.setLong(0, y); row.setLong(1, x) }
+          out.add(row)
+        }
+        j += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(out.toArray)
+  }
+}
+
+/** `pair_combinations` with a payload rider: all unordered pairs of
+  * distinct ids from PARALLEL (ids, payloads) arrays — the id arrays come
+  * from `collect_list($"doc_id")` and the payloads from a second
+  * `collect_list` over the same rows (Spark updates both aggregation
+  * buffers in the same row order, so index i of each array belongs to the
+  * same bucket member). Emits (id1, p1, id2, p2) structs with id1 < id2,
+  * one tight loop — the native replacement for the last interpreted
+  * `filter(flatten(transform(...)))` pair expansion (SimHash's, which must
+  * carry each member's signature through the expansion and so couldn't use
+  * the id-only `pair_combinations`).
+  *
+  * Null on any null element or on length-mismatched inputs (neither occurs
+  * from the collect_list construction; the guard covers SQL callers).
+  */
+case class PairCombinationsKeyed(left: Expression, right: Expression)
+    extends BinaryExpression with Serializable {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(LongType, _), ArrayType(LongType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires (array<bigint>, array<bigint>), got ${l.sql}, ${r.sql}")
+    }
+
+  override def dataType: DataType = ArrayType(
+    org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id1", LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("p1", LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("id2", LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("p2", LongType, nullable = false))),
+    containsNull = false)
+
+  override def nullable: Boolean = true
+
+  override def prettyName: String = "pair_combinations_keyed"
+
+  override def nullSafeEval(ids: Any, payloads: Any): Any =
+    PairCombinationsKeyed.compute(
+      ids.asInstanceOf[ArrayData], payloads.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val res = ctx.freshName("res")
+      s"""
+         |org.apache.spark.sql.catalyst.util.ArrayData $res =
+         |  graft.functions.PairCombinationsKeyed.compute($a, $b);
+         |if ($res == null) { ${ev.isNull} = true; } else { ${ev.value} = $res; }
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+object PairCombinationsKeyed {
+  def compute(ids: ArrayData, payloads: ArrayData): ArrayData = {
+    val n = ids.numElements()
+    if (payloads.numElements() != n) return null
+    var i = 0
+    while (i < n) {
+      if (ids.isNullAt(i) || payloads.isNullAt(i)) return null
+      i += 1
+    }
+    val out = new java.util.ArrayList[Any](n * (n - 1) / 2)
+    i = 0
+    while (i < n) {
+      val x = ids.getLong(i)
+      var j = i + 1
+      while (j < n) {
+        val y = ids.getLong(j)
+        if (x != y) {
+          val row = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(4)
+          if (x < y) {
+            row.setLong(0, x); row.setLong(1, payloads.getLong(i))
+            row.setLong(2, y); row.setLong(3, payloads.getLong(j))
+          } else {
+            row.setLong(0, y); row.setLong(1, payloads.getLong(j))
+            row.setLong(2, x); row.setLong(3, payloads.getLong(i))
+          }
           out.add(row)
         }
         j += 1

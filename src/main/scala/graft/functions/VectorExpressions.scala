@@ -208,6 +208,7 @@ object VectorFunctions {
     "shingle_hashes" -> (exprs => ShingleHashes(exprs.head, intArg(exprs(1), "n"))),
     "sorted_intersect_count" -> (exprs => SortedIntersectCount(exprs.head, exprs(1))),
     "pair_combinations" -> (exprs => PairCombinations(exprs.head)),
+    "pair_combinations_keyed" -> (exprs => PairCombinationsKeyed(exprs.head, exprs(1))),
     "word_grams" -> (exprs => WordGrams(exprs.head, intArg(exprs(1), "n"),
       exprs.lift(2).exists(e => intArg(e, "distinct") != 0))),
     "word_ngram_stats" -> (exprs => WordNgramStats(exprs.head, intArg(exprs(1), "n"))))
@@ -225,6 +226,7 @@ object VectorFunctions {
     "shingle_hashes" -> "_FUNC_(text, n) - Sorted-distinct xxhash64 hashes of the character-n-gram shingles of text (the expected input of sorted_intersect_count).",
     "sorted_intersect_count" -> "_FUNC_(a, b) - Intersection size of two array<bigint> inputs that MUST be sorted ascending with distinct elements (as produced by shingle_hashes); returns NULL if either array violates that precondition or contains a null element.",
     "pair_combinations" -> "_FUNC_(ids) - All unordered pairs of distinct values from an array<bigint>, as (id1, id2) structs with id1 < id2 (LSH bucket-member pair expansion).",
+    "pair_combinations_keyed" -> "_FUNC_(ids, payloads) - All unordered pairs of distinct ids from PARALLEL array<bigint> inputs (index i of each belongs together), as (id1, p1, id2, p2) structs with id1 < id2; NULL on length mismatch or null element.",
     "word_grams" -> "_FUNC_(text, n[, distinct]) - Word n-grams of text (tokens split on single spaces, empties kept, joined with single spaces); distinct <> 0 keeps first occurrences only. n/distinct must be int literals.",
     "word_ngram_stats" -> "_FUNC_(text, n) - One-pass word-n-gram repetition stats of text: struct(n_grams, n_distinct, max_count). n must be an int literal.")
 

@@ -422,18 +422,21 @@ object Dedup {
       }: _*)).as("bb"))
       .select($"doc_id", $"sig", $"bb.slice".as("slice"), $"bb.sv".as("sv"))
     // groupBy + in-bucket expansion (not a self-join): computes the
-    // signature subtree once and shuffles once on (slice, value)
+    // signature subtree once and shuffles once on (slice, value). The
+    // expansion is the native keyed pair expression — one tight loop
+    // carrying each member's signature, same unified shape as the MinHash
+    // and embedding paths (interpreted HOF lambdas would materialize K^2
+    // structs through the interpreter per bucket); parallel collect_lists
+    // keep ids and signatures index-aligned (same-row-order buffer
+    // updates).
     sliced
       .groupBy($"slice", $"sv")
-      .agg(collect_list(struct($"doc_id", $"sig")).as("members"))
-      .filter(size($"members") > 1)
-      .select(explode(expr(
-        """filter(
-          |  flatten(transform(members, a -> transform(members, b ->
-          |    struct(a.doc_id AS id1, a.sig AS sig1, b.doc_id AS id2, b.sig AS sig2)))),
-          |  p -> p.id1 < p.id2)""".stripMargin)).as("p"))
+      .agg(collect_list($"doc_id").as("ids"), collect_list($"sig").as("sigs"))
+      .filter(size($"ids") > 1)
+      .select(explode(
+        graft.functions.MinHashFunctions.pair_combinations_keyed($"ids", $"sigs")).as("p"))
       .select($"p.id1".as("id1"), $"p.id2".as("id2"),
-        expr("bit_count(p.sig1 ^ p.sig2)").cast("int").as("hamming"))
+        expr("bit_count(p.p1 ^ p.p2)").cast("int").as("hamming"))
       .distinct() // a pair can match in several slices
       .filter($"hamming" <= maxHamming)
       .orderBy($"id1", $"id2")

@@ -297,6 +297,39 @@ class FunctionsSpec extends GraftSuite {
     assert(nullRow.isNullAt(0))
   }
 
+  test("pair_combinations_keyed equals the interpreted keyed HOF expansion as a multiset") {
+    import graft.functions.MinHashFunctions
+    import spark.implicits._
+    val cases = Seq(
+      (Seq.empty[Long], Seq.empty[Long]),
+      (Seq(7L), Seq(70L)),
+      (Seq(1L, 2L), Seq(10L, 20L)),
+      (Seq(2L, 1L), Seq(20L, 10L)),
+      (Seq(5L, 5L), Seq(50L, 51L)),
+      (Seq(3L, 1L, 2L), Seq(30L, 10L, 20L)),
+      (Seq(9L, 8L, 7L, 6L), Seq(90L, 80L, 70L, 60L)))
+    val df = cases.toDF("ids", "ps")
+    val both = df.select(
+      MinHashFunctions.pair_combinations_keyed(col("ids"), col("ps")).as("native"),
+      expr("""filter(
+             |  flatten(transform(arrays_zip(ids, ps), a ->
+             |    transform(arrays_zip(ids, ps), b ->
+             |      struct(a.ids AS id1, a.ps AS p1, b.ids AS id2, b.ps AS p2)))),
+             |  p -> p.id1 < p.id2)""".stripMargin).as("hof")).collect()
+    both.foreach { r =>
+      def pairs(i: Int) = r.getSeq[org.apache.spark.sql.Row](i)
+        .map(p => (p.getLong(0), p.getLong(1), p.getLong(2), p.getLong(3))).sorted
+      assert(pairs(0) === pairs(1))
+    }
+    // null element or length mismatch -> NULL
+    val bad = spark.range(1).select(
+      MinHashFunctions.pair_combinations_keyed(
+        array(col("id") + 1, lit(null).cast("long")), array(lit(1L), lit(2L))).as("a"),
+      MinHashFunctions.pair_combinations_keyed(
+        array(lit(1L), lit(2L)), array(lit(1L))).as("b")).collect()(0)
+    assert(bad.isNullAt(0) && bad.isNullAt(1))
+  }
+
   test("minhash_band_keys equals xxhash64 over signature band slices bit-for-bit") {
     import graft.functions.MinHashFunctions
     val docs = Tables.documents(spark, sf).limit(50)

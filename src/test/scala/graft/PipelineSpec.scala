@@ -325,6 +325,26 @@ class PipelineSpec extends GraftSuite {
     assert(r1.forall { case (_, _, c) => c >= -1.0001 && c <= 1.0001 })
   }
 
+  test("kmeans parallel init: same clustering laws as coreset, cohesion not worse") {
+    import graft.operators.Similarity
+    val p1 = Similarity.kmeansClusters(embs, init = "parallel").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val p2 = Similarity.kmeansClusters(embs, init = "parallel").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(p1 === p2, "k-means|| seeding must be deterministic end to end")
+    assert(p1.map(_._2).sum === embs.count(), "every vector assigned once")
+    assert(p1.length <= 16 && p1.nonEmpty)
+    assert(p1.forall { case (_, _, c) => c >= -1.0001 && c <= 1.0001 })
+    // the cost-weighted draw should seed at least as well as the uniform
+    // coreset on the size-weighted mean member cosine
+    def meanCohesion(rows: Array[(Long, Long, Double)]): Double =
+      rows.map { case (_, n, c) => n * c }.sum / rows.map(_._2).sum
+    val coreset = Similarity.kmeansClusters(embs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(meanCohesion(p1) >= meanCohesion(coreset) - 0.02,
+      s"parallel-init cohesion ${meanCohesion(p1)} far below coreset ${meanCohesion(coreset)}")
+  }
+
   test("qualityFilter matches a brute-force percentile computation") {
     import org.apache.spark.sql.functions._
     val quality = docs

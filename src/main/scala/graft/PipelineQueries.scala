@@ -136,6 +136,10 @@ object PipelineQueries {
     // exact decimal money totals beside the rounded-double path
     "q86_decimal_totals" -> ((s, d) =>
       graft.operators.Relational.decimalTotals(Tables.lineitem(s, d))),
+    // mergeable bottom-k quantile sketch — deterministic, hence
+    // oracle-EXACT (the quantile counterpart of q54's KMV; contrast q38's
+    // approx_percentile, rows-only by design)
+    "q87_quantile_sketch" -> ((s, d) => Events.quantileSketch(Tables.events(s, d))),
     // rows-only (no oracle): approximate sketches differ by implementation
     "q38_sketches" -> ((s, d) => {
       import org.apache.spark.sql.functions._
@@ -941,6 +945,49 @@ object PipelineQueries {
         |SELECT CAST(off // 2048 AS BIGINT) AS bin, count(*) AS n_docs,
         | CAST(sum(tok) AS BIGINT) AS total_tokens
         |FROM c GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q87_quantile_sketch" ->
+      // bottom-256-by-md5 sample per type, then the exact interpolated
+      // sample quantile with Spark's percentile formula written out:
+      // pos = q*(n-1), (hi-pos)*v_lo + (pos-lo)*v_hi with equal-endpoint
+      // short-circuits — every input is the same double on both engines,
+      // so the estimate matches bit-for-bit
+      """WITH v AS (
+        |  SELECT event_type, event_id, round(value, 2) AS v FROM events
+        |),
+        |samp AS (
+        |  SELECT event_type, v FROM (
+        |    SELECT event_type, v,
+        |      row_number() OVER (PARTITION BY event_type
+        |        ORDER BY md5(CAST(event_id AS VARCHAR)), event_id) AS rn
+        |    FROM v)
+        |  WHERE rn <= 256
+        |),
+        |ranked AS (
+        |  SELECT event_type, v,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY v) - 1 AS idx,
+        |    count(*) OVER (PARTITION BY event_type) AS n
+        |  FROM samp
+        |),
+        |est AS (
+        |  SELECT event_type,
+        |    max(CASE WHEN idx = CAST(floor(0.5*(n-1)) AS BIGINT) THEN v END) AS vlo50,
+        |    max(CASE WHEN idx = CAST(ceil(0.5*(n-1)) AS BIGINT) THEN v END) AS vhi50,
+        |    max(CASE WHEN idx = CAST(floor(0.9*(n-1)) AS BIGINT) THEN v END) AS vlo90,
+        |    max(CASE WHEN idx = CAST(ceil(0.9*(n-1)) AS BIGINT) THEN v END) AS vhi90,
+        |    max(0.5*(n-1)) AS pos50, max(floor(0.5*(n-1))) AS lo50,
+        |    max(ceil(0.5*(n-1))) AS hi50,
+        |    max(0.9*(n-1)) AS pos90, max(floor(0.9*(n-1))) AS lo90,
+        |    max(ceil(0.9*(n-1))) AS hi90
+        |  FROM ranked GROUP BY event_type
+        |),
+        |tot AS (SELECT event_type, count(*) AS n_total FROM events GROUP BY 1)
+        |SELECT event_type, n_total,
+        | round(CASE WHEN hi50 = lo50 OR vhi50 = vlo50 THEN vlo50
+        |   ELSE (hi50 - pos50) * vlo50 + (pos50 - lo50) * vhi50 END, 4) AS p50_est,
+        | round(CASE WHEN hi90 = lo90 OR vhi90 = vlo90 THEN vlo90
+        |   ELSE (hi90 - pos90) * vlo90 + (pos90 - lo90) * vhi90 END, 4) AS p90_est
+        |FROM tot JOIN est USING (event_type)
+        |ORDER BY event_type""".stripMargin,
     "q54_kmv_sketch" ->
       // kth smallest distinct md5 per group; estimate = (k-1)/frac with the
       // exact 13-hex-digit binary fraction (every term and partial sum is

@@ -240,4 +240,37 @@ object Events {
       .agg(count(lit(1)).as("n_users"))
       .orderBy($"cohort_epoch", $"day_offset")
   }
+
+  /** Deterministic mergeable quantile sketch — the KMV trick applied to
+    * quantiles (the sketch twin of q54's distinct-count KMV): per
+    * event_type keep the `k` rows with the smallest md5(event_id) — a
+    * bottom-k uniform sample that MERGES associatively (bottom-k of a
+    * union is the bottom-k of the concatenated per-part bottom-k's, so
+    * partial sketches combine across partitions/shards/days like any
+    * distributive aggregate; spec-asserted) — then report exact
+    * interpolated quantiles OF THE SAMPLE over cent-rounded values.
+    * Fixed memory (k rows per group), one corpus scan.
+    *
+    * Unlike `approx_percentile` (q38's rows-only half, whose KLL-style
+    * sketch internals are implementation-defined), every step here is
+    * engine-reproducible — md5 ranking, sample membership, and the
+    * interpolation arithmetic (`Scale.exactQuantileByGroup`'s formula) —
+    * so the ESTIMATE itself is oracle-checkable bit-for-bit.
+    */
+  def quantileSketch(events: DataFrame, k: Int = 256): DataFrame = {
+    val vals = events.select($"event_type", $"event_id",
+      round($"value", 2).as("v"))
+    val sample = Scale.topKPerGroup(vals, group = $"event_type",
+        rankKey = md5($"event_id".cast("string")), tie = $"event_id",
+        saltSource = $"event_id", k = k)
+      .select($"event_type", $"v")
+      .localCheckpoint() // consumed by both quantile passes
+    def est(q: Double, name: String): DataFrame =
+      Scale.exactQuantileByGroup(sample, "event_type", "v", q)
+        .select($"event_type", round($"cut", 4).as(name))
+    events.groupBy($"event_type").agg(count(lit(1)).as("n_total"))
+      .join(est(0.5, "p50_est"), Seq("event_type"))
+      .join(est(0.9, "p90_est"), Seq("event_type"))
+      .orderBy($"event_type")
+  }
 }

@@ -451,6 +451,36 @@ class PipelineSpec extends GraftSuite {
     assert(got(3L) === ((2L, 0L, 2L, 5.0, 5.0)))
   }
 
+  test("quantile sketch: bottom-k sample merges associatively; estimates are ordered") {
+    val events = Tables.events(spark, sf)
+    // merge law, driver-replicated: per type, bottom-k by md5 of the whole
+    // stream == bottom-k of (bottom-k of evens ++ bottom-k of odds) — the
+    // property that lets partial sketches combine across shards/days
+    val hashed = events
+      .select($"event_type", $"event_id", md5($"event_id".cast("string")).as("h"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2)))
+    val k = 256
+    def bottomK(rows: Seq[(Long, String)]): Seq[(Long, String)] =
+      rows.sortBy { case (id, h) => (h, id) }.take(k)
+    hashed.groupBy(_._1).foreach { case (_, rows) =>
+      val all = rows.map(r => (r._2, r._3)).toSeq
+      val (evens, odds) = all.partition(_._1 % 2 == 0)
+      assert(bottomK(all) === bottomK(bottomK(evens) ++ bottomK(odds)))
+    }
+    // and the reported estimates are sane: sample quantiles are ordered
+    // and bracketed by the type's exact value range
+    val bounds = events.groupBy($"event_type")
+      .agg(min(round($"value", 2)).as("lo"), max(round($"value", 2)).as("hi"))
+      .collect().map(r => r.getString(0) -> ((r.getDouble(1), r.getDouble(2)))).toMap
+    val sk = Events.quantileSketch(events).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    assert(sk.nonEmpty)
+    sk.foreach { case (t, n, p50, p90) =>
+      val (lo, hi) = bounds(t)
+      assert(n > 0 && p50 <= p90 && p50 >= lo - 1e-9 && p90 <= hi + 1e-9, s"type $t")
+    }
+  }
+
   test("latestByUser: equals the window formulation without planning a window") {
     import org.apache.spark.sql.functions.{col, desc, row_number}
     import org.apache.spark.sql.expressions.Window

@@ -1,0 +1,104 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.operators.Dedup
+import graft.sources.Tables
+
+/** Dev-only LSH-family scaling experiment (Test/runMain graft.ProfileScaling).
+  *
+  * Builds synthetic corpora at 1x / 3x / 10x the sf0.1 document count
+  * (10x ~ sf1) and measures the q27 core (pair pipeline: banding +
+  * candidate generation + exact-Jaccard verification) and the q53 core
+  * (connected-component survivors) at each scale, with candidate and
+  * pair counts — the empirical check that everything past banding is
+  * candidate-proportional, i.e. wall-time and candidate volume grow
+  * ~linearly with the corpus.
+  *
+  * Replica construction: replica 0 is the sf0.1 corpus verbatim; replica
+  * r >= 1 maps every word w to the length-preserving pseudo-word
+  * substr(md5(w || ':' || r), 1, len(w)). The map is a function of
+  * (word, replica) only, so two near-dup documents inside a replica
+  * transform identically — each replica carries the same near-dup pair
+  * structure — while distinct replicas share (essentially) no
+  * vocabulary (no cross-replica near-dups, no artificial quadratic
+  * duplicate blowup from naive copying); preserving word lengths keeps
+  * the shingle statistics, and hence the background candidate-collision
+  * rate, comparable to the original corpus. Corpora are written to
+  * target/scaling/ as parquet so every measured run scans from disk
+  * like the registered queries.
+  */
+object ProfileScaling {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val outRoot = "target/scaling"
+    val spark = GraftSession
+      .builder(appName = "graft-scaling", master = "local[32]", shufflePartitions = 32)
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+
+    def time[A](f: => A): (A, Double) = {
+      val t0 = System.nanoTime()
+      val r = f
+      (r, (System.nanoTime() - t0) / 1e9)
+    }
+
+    val base = Tables.documents(spark, sfDir).select($"doc_id", $"text")
+
+    def replica(r: Int): DataFrame =
+      if (r == 0) base
+      else base.select(
+        ($"doc_id" + lit(r * 10000000L)).as("doc_id"),
+        array_join(
+          transform(split($"text", " "),
+            w => md5(concat(w, lit(s":$r"))).substr(lit(1), greatest(length(w), lit(1)))),
+          " ").as("text"))
+
+    val scales = Seq(1, 3, 10)
+    scales.foreach { s =>
+      val dir = s"$outRoot/x$s"
+      if (!new java.io.File(s"$dir/_SUCCESS").exists()) {
+        (0 until s).map(replica).reduce(_ union _)
+          .repartition(32).write.mode("overwrite").parquet(dir)
+      }
+    }
+
+    // warm the JIT/codegen on the smallest corpus before measuring —
+    // both halves, so the x1 measurement isn't charged one-time compile
+    Dedup.clearPairIndexCache()
+    Dedup.survivorsOverPairs(Dedup.pairIndex(spark.read.parquet(s"$outRoot/x1"))).count()
+
+    println("[scaling] scale docs candidates pairs t_pairs_s t_components_s")
+    val rows = scales.map { s =>
+      val docs = spark.read.parquet(s"$outRoot/x$s")
+      val nDocs = docs.count()
+      Dedup.clearPairIndexCache()
+      System.gc()
+      // candidate count via the same bucket pipeline (measured separately
+      // so the pair timing below stays a single clean pipeline run)
+      val (pairs, tPairs) = time {
+        val p = Dedup.pairIndex(docs)
+        p.count() -> p
+      }
+      val (nSurv, tComp) = time {
+        Dedup.survivorsOverPairs(pairs._2).count()
+      }
+      val buckets = Dedup.bandBuckets(docs)
+        .groupBy($"band", $"bh").agg(count(lit(1)).as("k")).filter($"k" > 1)
+        .agg(coalesce(sum(expr("k * (k - 1) div 2")), lit(0L)).cast("long"))
+        .collect()(0).getLong(0)
+      println(f"[scaling] x$s%-2d $nDocs%6d $buckets%9d ${pairs._1}%5d $tPairs%8.2f $tComp%8.2f surv=$nSurv")
+      (s, nDocs, buckets, pairs._1, tPairs, tComp)
+    }
+    // least-squares scaling exponent of t_pairs vs docs (log-log)
+    val xs = rows.map(r => math.log(r._2.toDouble))
+    val ys = rows.map(r => math.log(r._5))
+    val mx = xs.sum / xs.size; val my = ys.sum / ys.size
+    val slope = xs.zip(ys).map { case (x, y) => (x - mx) * (y - my) }.sum /
+      xs.map(x => (x - mx) * (x - mx)).sum
+    println(f"[scaling] pair-pipeline scaling exponent (log-log slope): $slope%.2f")
+    spark.stop()
+  }
+}

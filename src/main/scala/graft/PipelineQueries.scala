@@ -140,6 +140,12 @@ object PipelineQueries {
     // oracle-EXACT (the quantile counterpart of q54's KMV; contrast q38's
     // approx_percentile, rows-only by design)
     "q87_quantile_sketch" -> ((s, d) => Events.quantileSketch(Tables.events(s, d))),
+    // pre-release PII/denylist scrub report (the fixture's structural-PII
+    // zeros are oracle-verified; redaction mechanics proven in spec)
+    "q88_redaction_report" -> ((s, d) => Curation.redactionReport(Tables.documents(s, d))),
+    // cross-document duplicate n-gram mass (corpus-level duplication,
+    // distinct from q61's within-document repetition)
+    "q89_dup_gram_mass" -> ((s, d) => Curation.dupGramMass(Tables.documents(s, d))),
     // rows-only (no oracle): approximate sketches differ by implementation
     "q38_sketches" -> ((s, d) => {
       import org.apache.spark.sql.functions._
@@ -945,6 +951,37 @@ object PipelineQueries {
         |SELECT CAST(off // 2048 AS BIGINT) AS bin, count(*) AS n_docs,
         | CAST(sum(tok) AS BIGINT) AS total_tokens
         |FROM c GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q88_redaction_report" ->
+      // same Java/RE2-compatible structural-PII regexes, denylist counts
+      // via the exact padded-marker arithmetic the quality oracles share
+      s"""WITH p AS (
+         |  SELECT source,
+         |    len(regexp_extract_all(lower(text), '[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}'))
+         |    + len(regexp_extract_all(lower(text), '\\b[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}\\b'))
+         |    + len(regexp_extract_all(lower(text), '\\b[0-9]{3}-[0-9]{2}-[0-9]{4}\\b')) AS pii,
+         |    ${occ("customer")} + ${occ("vector")} AS deny
+         |  FROM documents)
+         |SELECT source, count(*) AS n_docs,
+         | CAST(sum(CASE WHEN pii > 0 THEN 1 ELSE 0 END) AS BIGINT) AS docs_with_pii,
+         | CAST(sum(pii) AS BIGINT) AS pii_hits,
+         | CAST(sum(deny) AS BIGINT) AS deny_hits
+         |FROM p GROUP BY source ORDER BY source""".stripMargin,
+    "q89_dup_gram_mass" ->
+      s"""WITH w AS (
+         |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+         |  WHERE len(string_split(text, ' ')) >= 3
+         |),
+         |g AS (SELECT doc_id, unnest(${wordGramsSql(3)}) AS g FROM w),
+         |pg AS (
+         |  SELECT g, count(*) AS occ, count(DISTINCT doc_id) AS n_docs
+         |  FROM g GROUP BY g
+         |)
+         |SELECT CAST(sum(occ) AS BIGINT) AS n_gram_occurrences,
+         | count(*) AS n_distinct_grams,
+         | CAST(sum(CASE WHEN n_docs > 1 THEN occ ELSE 0 END) AS BIGINT) AS dup_occurrences,
+         | round(sum(CASE WHEN n_docs > 1 THEN occ ELSE 0 END) * 1.0 / sum(occ), 6)
+         |   AS dup_fraction
+         |FROM pg""".stripMargin,
     "q87_quantile_sketch" ->
       // bottom-256-by-md5 sample per type, then the exact interpolated
       // sample quantile with Spark's percentile formula written out:

@@ -168,6 +168,76 @@ object Curation {
       .orderBy($"lang")
   }
 
+  /** PII / denylist redaction report — the pre-release scrub every
+    * published training corpus runs. Three structural PII patterns
+    * (emails, phone numbers, SSN-shaped ids; regexes valid in both Java
+    * and RE2 dialects) plus a configurable term denylist counted with
+    * exact padded-marker integer arithmetic. One codegen'd projection +
+    * one map-side-combined aggregation per corpus scan — embarrassingly
+    * parallel, the right shape for a 100 TB scrub pass.
+    *
+    * The fixtures contain no structural PII (the oracle verifies the
+    * zeros); the redaction mechanics are proven in CurationSpec on
+    * planted emails/phones/SSNs via `redactText`, which rewrites matches
+    * to `<pii>` / `<redacted>` tokens.
+    */
+  val EmailRe = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+  val PhoneRe = "\\b[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}\\b"
+  val SsnRe   = "\\b[0-9]{3}-[0-9]{2}-[0-9]{4}\\b"
+
+  def piiCountCol(text: Column): Column =
+    regexp_count(lower(text), lit(EmailRe)) +
+      regexp_count(lower(text), lit(PhoneRe)) +
+      regexp_count(lower(text), lit(SsnRe))
+
+  def redactText(text: Column, denyTerms: Seq[String]): Column = {
+    val piiClean = Seq(EmailRe, PhoneRe, SsnRe)
+      .foldLeft(lower(text))((t, re) => regexp_replace(t, re, "<pii>"))
+    denyTerms.foldLeft(piiClean)((t, term) =>
+      regexp_replace(t, s"\\b${java.util.regex.Pattern.quote(term)}\\b", "<redacted>"))
+  }
+
+  def redactionReport(documents: DataFrame,
+      denyTerms: Seq[String] = Seq("customer", "vector")): DataFrame = {
+    val padded = concat(lit(" "), lower($"text"), lit(" "))
+    val denyHits = denyTerms.map(t => TextAnalysis.occurrences(padded, s" $t "))
+      .reduce(_ + _)
+    documents
+      .select($"source", piiCountCol($"text").as("pii"), denyHits.as("deny"))
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when($"pii" > 0, 1L).otherwise(0L)).as("docs_with_pii"),
+        sum($"pii").cast("long").as("pii_hits"),
+        sum($"deny").cast("long").as("deny_hits"))
+      .orderBy($"source")
+  }
+
+  /** Cross-document duplicate n-gram mass (the RefinedWeb/Gopher-style
+    * corpus-duplication metric, distinct from q61's WITHIN-document
+    * repetition): the fraction of all word n-gram occurrences whose gram
+    * appears in more than one document — high values mean boilerplate
+    * shared across pages that per-document signals cannot see.
+    *
+    * Shape: native `word_grams` explode → per-gram (occurrences, distinct
+    * docs) aggregation — the same vocabulary-keyed map-side-combined
+    * shuffle as tf-idf's document frequency, linear in gram occurrences —
+    * then a 1-row fold. No pairwise comparisons anywhere.
+    */
+  def dupGramMass(documents: DataFrame, n: Int = 3): DataFrame = {
+    import graft.functions.TextFunctions.word_grams
+    documents
+      .filter(size(split($"text", " ")) >= n)
+      .select($"doc_id", explode(word_grams($"text", n)).as("g"))
+      .groupBy($"g")
+      .agg(count(lit(1)).as("occ"), countDistinct($"doc_id").as("n_docs"))
+      .groupBy()
+      .agg(sum($"occ").as("n_gram_occurrences"),
+        count(lit(1)).as("n_distinct_grams"),
+        sum(when($"n_docs" > 1, $"occ").otherwise(0L)).as("dup_occurrences"))
+      .select($"n_gram_occurrences", $"n_distinct_grams", $"dup_occurrences",
+        round($"dup_occurrences" / $"n_gram_occurrences", 6).as("dup_fraction"))
+  }
+
   /** K-anonymity audit over quasi-identifier cells: per (lang, source)
     * cell, its size and whether it meets the anonymity threshold — the
     * pre-publication check that no demographic slice of a released corpus

@@ -221,6 +221,45 @@ class CurationSpec extends GraftSuite {
     assert(rows.forall(_._1 % 50 == 0))
   }
 
+  test("redaction: planted PII is counted and scrubbed; fixture is PII-free") {
+    import spark.implicits.{localSeqToDatasetHolder, newProductEncoder}
+    val planted = Seq(
+      (0L, "s1", "contact me at jane.doe+x@mail.example.org for details"),
+      (1L, "s1", "call 555-867-5309 or 555.867.5309 today"),
+      (2L, "s2", "ssn 123-45-6789 leaked beside customer data"),
+      (3L, "s2", "clean text with no sensitive content at all"))
+      .toDF("doc_id", "source", "text")
+    val report = Curation.redactionReport(planted).collect()
+      .map(r => (r.getString(0), (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))))
+      .toMap
+    assert(report("s1") === ((2L, 2L, 3L, 0L))) // 1 email + 2 phones, both docs hit
+    assert(report("s2") === ((2L, 1L, 1L, 1L))) // 1 ssn; 'customer' denylisted
+    // redacted text contains no residual matches and keeps clean text intact
+    val redacted = planted
+      .select(col("doc_id"), Curation.redactText(col("text"), Seq("customer", "vector")).as("t"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toMap
+    assert(redacted.values.forall(t =>
+      !t.contains("@") && !t.matches(".*[0-9]{3}[-. ][0-9]{2}.*")))
+    assert(redacted(0L).contains("<pii>") && redacted(2L).contains("<redacted>"))
+    assert(redacted(3L) === "clean text with no sensitive content at all")
+    // the real corpus carries no structural PII (what q88's oracle checks)
+    assert(Curation.redactionReport(docs).collect().map(_.getLong(2)).sum === 0L)
+  }
+
+  test("dupGramMass equals a brute-force cross-document gram count") {
+    val texts = docs.select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val occ = texts.flatMap { case (id, t) => grams(t, 3).map(g => (g, id)) }
+    val byGram = occ.groupBy(_._1)
+    val total = occ.length.toLong
+    val dup = byGram.values.filter(_.map(_._2).distinct.length > 1).map(_.length).sum.toLong
+    val row = Curation.dupGramMass(docs).collect()(0)
+    assert(row.getLong(0) === total)
+    assert(row.getLong(1) === byGram.size.toLong)
+    assert(row.getLong(2) === dup)
+    assert(row.getDouble(3) === round6(dup.toDouble / total))
+  }
+
   test("SQL-registered cosine_sim accepts array<float> embeddings") {
     graft.functions.VectorFunctions.register(spark)
     Tables.embeddings(spark, sf).limit(5).createOrReplaceTempView("emb_sql_coerce")

@@ -165,4 +165,25 @@ class PropertySpec extends GraftSuite {
       assert(j === 1.0)
     }
   }
+
+  test("property: histogram quantile equals sort-based percentile on generated groups") {
+    import spark.implicits._
+    // heavy duplication, negatives, and arbitrary q — the interpolation
+    // short-circuits and the cumulative-coverage selection must agree with
+    // percentile() on every draw, bit-for-bit
+    val gen = for {
+      n    <- Gen.choose(1, 60)
+      vals <- Gen.listOfN(n, Gen.oneOf(
+        Gen.choose(-5, 5).map(_.toDouble), Gen.choose(-10000, 10000).map(_ / 100.0)))
+      q    <- Gen.oneOf(0.0, 0.1, 1.0 / 3.0, 0.5, 0.735, 0.9, 1.0)
+    } yield (vals, q)
+    samples(gen, 12).foreach { case (vals, q) =>
+      val df = vals.map(("g", _)).toDF("g", "v")
+      val expected = df.groupBy($"g").agg(expr(s"percentile(v, $q)"))
+        .collect()(0).getDouble(1)
+      val got = graft.operators.Scale.exactQuantileByGroup(df, "g", "v", q)
+        .collect()(0).getDouble(1)
+      assert(got === expected, s"q=$q vals=$vals")
+    }
+  }
 }

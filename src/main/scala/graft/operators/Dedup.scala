@@ -124,18 +124,42 @@ object Dedup {
     * localCheckpointed near-linear pair sets, so cache memory is
     * pair-proportional, never corpus-proportional.
     */
-  private val pairIndexCache =
-    new java.util.concurrent.ConcurrentHashMap[(String, String, Int, Double), DataFrame]()
+  private val PairIndexCacheMax = 8
 
-  def clearPairIndexCache(): Unit = pairIndexCache.clear()
+  /** Insertion-ordered and bounded: a long-lived session analyzing many
+    * corpora must not accumulate checkpointed pair sets forever — past
+    * `PairIndexCacheMax` entries the eldest is dropped and its blocks
+    * unpersisted.
+    */
+  private val pairIndexCache =
+    new java.util.LinkedHashMap[(String, String, Int, Double), DataFrame](16, 0.75f, false) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[(String, String, Int, Double), DataFrame]): Boolean = {
+        val evict = size() > PairIndexCacheMax
+        if (evict) {
+          try e.getValue.queryExecution.toRdd.unpersist(blocking = false)
+          catch { case _: Throwable => () } // best-effort; session may be gone
+        }
+        evict
+      }
+    }
+
+  def clearPairIndexCache(): Unit = pairIndexCache.synchronized(pairIndexCache.clear())
 
   def pairIndex(documents: DataFrame, n: Int = 5, threshold: Double = 0.6): DataFrame = {
     // session identity via identityHashCode: checkpointed RDDs die with
     // their session, so a cache entry must never cross sessions
     val key = (System.identityHashCode(documents.sparkSession).toString,
       documents.queryExecution.analyzed.canonicalized.toString, n, threshold)
-    pairIndexCache.computeIfAbsent(key,
-      _ => minhashLshPairsUnordered(documents, n, threshold).localCheckpoint())
+    pairIndexCache.synchronized {
+      val hit = pairIndexCache.get(key)
+      if (hit != null) hit
+      else {
+        val built = minhashLshPairsUnordered(documents, n, threshold).localCheckpoint()
+        pairIndexCache.put(key, built)
+        built
+      }
+    }
   }
 
   /** Restrict a corpus pair index to a sub-corpus: near-dup pairs of a

@@ -146,6 +146,8 @@ object PipelineQueries {
     // cross-document duplicate n-gram mass (corpus-level duplication,
     // distinct from q61's within-document repetition)
     "q89_dup_gram_mass" -> ((s, d) => Curation.dupGramMass(Tables.documents(s, d))),
+    // lexical-diversity quality signal: per-doc token entropy
+    "q90_token_entropy" -> ((s, d) => TextAnalysis.tokenEntropy(Tables.documents(s, d))),
     // rows-only (no oracle): approximate sketches differ by implementation
     "q38_sketches" -> ((s, d) => {
       import org.apache.spark.sql.functions._
@@ -982,6 +984,19 @@ object PipelineQueries {
          | round(sum(CASE WHEN n_docs > 1 THEN occ ELSE 0 END) * 1.0 / sum(occ), 6)
          |   AS dup_fraction
          |FROM pg""".stripMargin,
+    "q90_token_entropy" ->
+      """WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+        |c AS (SELECT doc_id, w, count(*) AS c FROM t GROUP BY 1, 2),
+        |e AS (
+        |  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens, count(*) AS n_types,
+        |    log2(sum(c)) - sum(c * log2(c)) / sum(c) AS h
+        |  FROM c GROUP BY doc_id
+        |)
+        |SELECT doc_id, n_tokens, n_types,
+        | round(h, 4) AS entropy,
+        | round(CASE WHEN n_tokens > 1 THEN h / log2(n_tokens) ELSE 0.0 END, 4)
+        |   AS norm_entropy
+        |FROM e ORDER BY doc_id""".stripMargin,
     "q87_quantile_sketch" ->
       // bottom-256-by-md5 sample per type, then the exact interpolated
       // sample quantile with Spark's percentile formula written out:

@@ -158,6 +158,60 @@ object Aggregators {
     * string order == numeric order); the common no-op path (hash beyond the
     * current kth) is decided from the buffer tail without parsing.
     */
+  case class SampleItem(h: String, v: Double)
+  case class BottomKBuf(items: Seq[SampleItem])
+  case class QuantileEst(n_sample: Long, p50_est: Double, p90_est: Double)
+
+  /** Bottom-k quantile sketch as a typed Aggregator — the streaming-capable
+    * form of `Events.quantileSketch`'s bottom-k-by-md5 sample: keep the k
+    * input rows with the smallest hash (a deterministic uniform sample),
+    * merge associatively (bottom-k of concatenated bottom-k's), and finish
+    * with the exact interpolated sample quantiles using the same
+    * (hi-pos)*v_lo + (pos-lo)*v_hi formula as `Scale.exactQuantileByGroup`
+    * and the same HALF_UP rounding — so a streaming groupBy over this
+    * aggregator reproduces the batch query's estimates EXACTLY (asserted in
+    * StreamingSpec). State is k (hash, value) pairs per group, bounded on
+    * an unbounded stream without a watermark.
+    */
+  class BottomKQuantileOf[T](hashOf: T => String, valueOf: T => Double, k: Int = 256)
+      extends Aggregator[T, BottomKBuf, QuantileEst] {
+
+    override def zero: BottomKBuf = BottomKBuf(Vector.empty)
+
+    private def insert(b: BottomKBuf, it: SampleItem): BottomKBuf =
+      if (b.items.sizeIs >= k && it.h >= b.items.last.h) b
+      else BottomKBuf(((b.items :+ it).sortBy(_.h)).take(k))
+
+    override def reduce(b: BottomKBuf, x: T): BottomKBuf =
+      insert(b, SampleItem(hashOf(x), valueOf(x)))
+
+    override def merge(a: BottomKBuf, b: BottomKBuf): BottomKBuf =
+      BottomKBuf((a.items ++ b.items).sortBy(_.h).take(k))
+
+    /** Exact interpolated quantile of the sample values — the same doubles
+      * `Scale.exactQuantileByGroup` (and Spark's `percentile`) produce.
+      */
+    private def quantile(sorted: IndexedSeq[Double], q: Double): Double = {
+      val pos = q * (sorted.length - 1)
+      val lo = math.floor(pos).toLong
+      val hi = math.ceil(pos).toLong
+      val vlo = sorted(lo.toInt)
+      val vhi = sorted(hi.toInt)
+      val cut = if (hi == lo || vhi == vlo) vlo else (hi - pos) * vlo + (pos - lo) * vhi
+      Rounding.halfUp(cut, 4)
+    }
+
+    override def finish(b: BottomKBuf): QuantileEst =
+      if (b.items.isEmpty) QuantileEst(0L, Double.NaN, Double.NaN)
+      else {
+        val vs = b.items.map(_.v).sorted.toIndexedSeq
+        QuantileEst(b.items.size.toLong, quantile(vs, 0.5), quantile(vs, 0.9))
+      }
+
+    override def bufferEncoder: Encoder[BottomKBuf] = Encoders.product[BottomKBuf]
+    override def outputEncoder: Encoder[QuantileEst] = Encoders.product[QuantileEst]
+  }
+
   class KMVSketchOf[T](f: T => String, k: Int)
       extends Aggregator[T, String, KMVEstimate] {
     private val W = 32 // md5 hex width

@@ -153,6 +153,35 @@ object TextAnalysis {
         .cast("bigint").as("bpe_tokens"))
       .orderBy($"doc_id")
 
+  /** Per-document token-entropy quality signal (the lexical-diversity rule
+    * in Gopher-style quality stacks): Shannon entropy of the whitespace
+    * unigram distribution, H = log2(n) - (Σ c·log2 c)/n, with the
+    * normalized form H / log2(n) in [0, 1] (0 = one token repeated,
+    * 1 = all tokens distinct). Low entropy flags keyword-stuffing and
+    * template spam that length/stopword ratios miss.
+    *
+    * Shape: explode → (doc, token) counts → per-doc fold — two map-side-
+    * combined aggregations, the same vocabulary-keyed shuffle as tf-idf's
+    * term frequency; nothing corpus-global anywhere. Entropy is rounded to
+    * 4 (the one place doubles meet libm logs; same convention as the
+    * tf-idf/BM25 oracles).
+    */
+  def tokenEntropy(documents: DataFrame): DataFrame = {
+    val counts = documents
+      .select($"doc_id", explode(split($"text", " ")).as("w"))
+      .groupBy($"doc_id", $"w")
+      .agg(count(lit(1)).as("c"))
+    counts
+      .groupBy($"doc_id")
+      .agg(sum($"c").as("n_tokens"), count(lit(1)).as("n_types"),
+        (log2(sum($"c")) - sum($"c" * log2($"c")) / sum($"c")).as("h"))
+      .select($"doc_id", $"n_tokens", $"n_types",
+        round($"h", 4).as("entropy"),
+        round(when($"n_tokens" > 1, $"h" / log2($"n_tokens")).otherwise(0.0), 4)
+          .as("norm_entropy"))
+      .orderBy($"doc_id")
+  }
+
   /** Corpus-wide vocabulary head: the `k` most frequent whitespace tokens.
     * One explode + map-side-combined count, then `orderBy(...).limit(k)` —
     * Catalyst plans the tail as TakeOrderedAndProject (per-partition

@@ -175,6 +175,38 @@ object EventStreams {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** Streaming twin of `Events.quantileSketch`: per event_type, the
+    * bottom-k-by-md5 uniform sample maintained as typed Aggregator state —
+    * k (hash, value) pairs per group, bounded on an unbounded stream with
+    * NO watermark (the sample only ever shrinks toward smaller hashes;
+    * there is no late-data horizon to manage). The aggregator's merge is
+    * the same associative bottom-k fold the batch query's partition-merge
+    * uses, and finish applies the identical interpolation + rounding, so a
+    * complete-mode streaming run reproduces the batch estimates EXACTLY
+    * (StreamingSpec asserts bit-equality per type).
+    */
+  def quantileSketchStream(events: Dataset[Event], k: Int = 256): DataFrame = {
+    import events.sparkSession.implicits._
+    val agg = new graft.functions.Aggregators.BottomKQuantileOf[Event](
+      e => md5Hex(e.event_id.toString),
+      e => graft.functions.Rounding.halfUp(e.value, 2), k)
+    events
+      .groupByKey(_.event_type)
+      .agg(agg.toColumn.name("sketch"))
+      .toDF("event_type", "sketch")
+      .select(col("event_type"), col("sketch.n_sample").as("n_sample"),
+        col("sketch.p50_est").as("p50_est"), col("sketch.p90_est").as("p90_est"))
+  }
+
+  /** Hex md5 of a string's UTF-8 bytes — identical to Spark's `md5(...)`
+    * SQL function (lowercase hex), used so the typed aggregator samples
+    * exactly the rows the batch query samples.
+    */
+  private def md5Hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .map(b => f"$b%02x").mkString
+
   /** Batch-parquet replay of the streaming hourly agg: read the events
     * fixture as a bounded stream (one file per microbatch is the real
     * pattern; here availableNow) and run the identical streaming query into

@@ -244,6 +244,12 @@ class CurationSpec extends GraftSuite {
     assert(redacted(3L) === "clean text with no sensitive content at all")
     // the real corpus carries no structural PII (what q88's oracle checks)
     assert(Curation.redactionReport(docs).collect().map(_.getLong(2)).sum === 0L)
+    // scale shape: map-side combined aggregation over a pruned scan (only
+    // text + source leave the parquet reader)
+    val plan = Curation.redactionReport(docs).queryExecution.executedPlan.toString
+    assert(plan.contains("partial_count"), s"no map-side combine in:\n$plan")
+    assert(!plan.contains("n_chars") && !plan.contains("doc_id"),
+      s"scan not pruned to text+source:\n$plan")
   }
 
   test("dupGramMass equals a brute-force cross-document gram count") {
@@ -258,6 +264,41 @@ class CurationSpec extends GraftSuite {
     assert(row.getLong(1) === byGram.size.toLong)
     assert(row.getLong(2) === dup)
     assert(row.getDouble(3) === round6(dup.toDouble / total))
+    val plan = Curation.dupGramMass(docs).queryExecution.executedPlan.toString
+    assert(plan.contains("partial_count"), s"no map-side combine in:\n$plan")
+  }
+
+  test("tokenEntropy equals brute-force Shannon entropy; extremes hit 0 and 1") {
+    import spark.implicits.{localSeqToDatasetHolder, newProductEncoder}
+    def log2(x: Double): Double = math.log(x) / math.log(2.0)
+    def round4(x: Double): Double =
+      java.math.BigDecimal.valueOf(x).setScale(4, java.math.RoundingMode.HALF_UP).doubleValue()
+    val texts = docs.select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val expected = texts.map { case (id, t) =>
+      val ws = t.split(" ", -1)
+      val n = ws.length.toDouble
+      val h = log2(n) - ws.groupBy(identity).values.map { g =>
+        g.length * log2(g.length.toDouble)
+      }.sum / n
+      id -> ((ws.length.toLong, ws.distinct.length.toLong, round4(h)))
+    }.toMap
+    val got = graft.operators.TextAnalysis.tokenEntropy(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3))))
+      .toMap
+    assert(got.keySet === expected.keySet)
+    got.foreach { case (id, (n, ty, h)) =>
+      val (en, ety, eh) = expected(id)
+      assert(n === en && ty === ety, s"doc $id")
+      assert(math.abs(h - eh) <= 1e-4, s"doc $id: $h vs $eh") // summation-order ulp
+    }
+    // extremes: repetition -> 0; all-distinct -> norm 1
+    val extremes = Seq((0L, "spam spam spam spam"), (1L, "a b c d e f g h"))
+      .toDF("doc_id", "text")
+    val ex = graft.operators.TextAnalysis.tokenEntropy(extremes).collect()
+      .map(r => r.getLong(0) -> ((r.getDouble(3), r.getDouble(4)))).toMap
+    assert(ex(0L) === ((0.0, 0.0)))
+    assert(ex(1L)._2 === 1.0)
   }
 
   test("SQL-registered cosine_sim accepts array<float> embeddings") {

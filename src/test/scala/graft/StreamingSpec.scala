@@ -117,6 +117,37 @@ class StreamingSpec extends GraftSuite {
     assert(closed(0).total_value === 3.0)
   }
 
+  test("streaming quantile sketch == batch quantile sketch bit-for-bit (incl. across batches)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // replay the fixture through a MemoryStream in TWO batches: the merge
+    // path (partial bottom-k folds combined across micro-batches) must
+    // land on exactly the batch query's estimates
+    val rows = Tables.events(spark, sf)
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
+      .collect()
+      .map(r => Event(r.getLong(0), new Timestamp(r.getLong(1) / 1000000L),
+        r.getLong(2), r.getString(3), r.getDouble(4)))
+    val input = MemoryStream[Event]
+    val q = EventStreams.quantileSketchStream(input.toDS())
+      .writeStream.outputMode("complete").format("memory").queryName("qsketch_out")
+      .start()
+    val (a, b) = rows.splitAt(rows.length / 3)
+    input.addData(a.toIndexedSeq)
+    q.processAllAvailable()
+    input.addData(b.toIndexedSeq)
+    q.processAllAvailable()
+    val streamed = spark.table("qsketch_out")
+      .select("event_type", "p50_est", "p90_est")
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getDouble(2))).toSet
+    q.stop()
+    val batch = Events.quantileSketch(Tables.events(spark, sf))
+      .select("event_type", "p50_est", "p90_est")
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getDouble(2))).toSet
+    assert(streamed === batch)
+    assert(streamed.nonEmpty)
+  }
+
   test("streaming dedup: suppresses within the watermark horizon, evicts state beyond it") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

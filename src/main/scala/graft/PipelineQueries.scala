@@ -148,6 +148,9 @@ object PipelineQueries {
     "q89_dup_gram_mass" -> ((s, d) => Curation.dupGramMass(Tables.documents(s, d))),
     // lexical-diversity quality signal: per-doc token entropy
     "q90_token_entropy" -> ((s, d) => TextAnalysis.tokenEntropy(Tables.documents(s, d))),
+    // int8-quantized ANN recall vs float truth (per-vector scales cancel
+    // in cosine; trunc-toward-zero quantization is engine-exact)
+    "q91_quantized_ann" -> ((s, d) => Similarity.quantizedAnnRecall(Tables.embeddings(s, d))),
     // rows-only (no oracle): approximate sketches differ by implementation
     "q38_sketches" -> ((s, d) => {
       import org.apache.spark.sql.functions._
@@ -984,6 +987,40 @@ object PipelineQueries {
          | round(sum(CASE WHEN n_docs > 1 THEN occ ELSE 0 END) * 1.0 / sum(occ), 6)
          |   AS dup_fraction
          |FROM pg""".stripMargin,
+    "q91_quantized_ann" ->
+      // same trunc(x*127/max|x|) grid; quantized cosine is exact integer
+      // arithmetic under the double formula, so scores match bit-for-bit
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |qe AS (
+         |  SELECT vec_id,
+         |    CASE WHEN m > 0 THEN list_transform(v, x -> trunc(x * 127.0 / m))
+         |         ELSE list_transform(v, x -> 0.0) END AS qv
+         |  FROM (SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) AS m FROM e)
+         |),
+         |q AS (SELECT vec_id AS query_id, v AS tqv FROM e WHERE vec_id < 5),
+         |aq AS (SELECT vec_id AS query_id, qv AS qqv FROM qe WHERE vec_id < 5),
+         |truth AS (
+         |  SELECT query_id, neighbor_id FROM (
+         |    SELECT query_id, e.vec_id AS neighbor_id,
+         |      row_number() OVER (PARTITION BY query_id
+         |        ORDER BY round(${cosSql("tqv", "v")}, 6) DESC, e.vec_id) AS rnk
+         |    FROM e, q WHERE e.vec_id <> q.query_id
+         |  ) WHERE rnk <= 3
+         |),
+         |approx AS (
+         |  SELECT query_id, neighbor_id FROM (
+         |    SELECT query_id, qe.vec_id AS neighbor_id,
+         |      row_number() OVER (PARTITION BY query_id
+         |        ORDER BY round(${cosSql("qqv", "qv")}, 6) DESC, qe.vec_id) AS rnk
+         |    FROM qe, aq WHERE qe.vec_id <> aq.query_id
+         |  ) WHERE rnk <= 3
+         |)
+         |SELECT t.query_id, count(a.neighbor_id) AS n_hit,
+         | round(count(a.neighbor_id) / 3.0, 6) AS recall
+         |FROM truth t
+         |LEFT JOIN approx a
+         |  ON t.query_id = a.query_id AND t.neighbor_id = a.neighbor_id
+         |GROUP BY t.query_id ORDER BY t.query_id""".stripMargin,
     "q90_token_entropy" ->
       """WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
         |c AS (SELECT doc_id, w, count(*) AS c FROM t GROUP BY 1, 2),

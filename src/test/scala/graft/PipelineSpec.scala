@@ -250,6 +250,25 @@ class PipelineSpec extends GraftSuite {
     assert(f1 === f2 && f1.nonEmpty)
   }
 
+  test("quantized ANN: int8 grid is well-formed and recall survives quantization") {
+    import graft.operators.Similarity
+    val rows = Similarity.quantizedAnnRecall(embs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(rows.length === 5)
+    // int8 quantization at these dims barely perturbs cosine order — the
+    // report should show at most one lost neighbor per query
+    rows.foreach { case (q, _, recall) => assert(recall >= 2.0 / 3.0 - 1e-9, s"query $q") }
+    // the quantized vectors really live on the int8 grid: whole numbers
+    // in [-127, 127] with the max-magnitude slot hitting ±127
+    val grid = embs.select($"vec_id",
+      transform($"embedding", _.cast("double")).as("v"))
+      .withColumn("m", aggregate($"v", lit(0.0), (a, x) => greatest(a, abs(x))))
+      .withColumn("qv", transform($"v", x => (x * 127.0 / $"m").cast("long")))
+      .select(array_max(transform($"qv", q => abs(q))).as("peak"))
+      .collect().map(_.getLong(0))
+    assert(grid.forall(_ === 127L))
+  }
+
   test("annRecall agrees with a manual truth-vs-approx set comparison") {
     val truth = Similarity.cosineTopK(embs, nQueries = 5, k = 3).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet

@@ -151,6 +151,9 @@ object PipelineQueries {
     // int8-quantized ANN recall vs float truth (per-vector scales cancel
     // in cosine; trunc-toward-zero quantization is engine-exact)
     "q91_quantized_ann" -> ((s, d) => Similarity.quantizedAnnRecall(Tables.embeddings(s, d))),
+    // materialized temperature mixture: q69's weights as an actual
+    // deterministic md5-threshold sample
+    "q92_mixture_sample" -> ((s, d) => Curation.materializeMixture(Tables.documents(s, d))),
     // rows-only (no oracle): approximate sketches differ by implementation
     "q38_sketches" -> ((s, d) => {
       import org.apache.spark.sql.functions._
@@ -987,6 +990,39 @@ object PipelineQueries {
          | round(sum(CASE WHEN n_docs > 1 THEN occ ELSE 0 END) * 1.0 / sum(occ), 6)
          |   AS dup_fraction
          |FROM pg""".stripMargin,
+    "q92_mixture_sample" ->
+      // same weight pipeline as q69, then the exact 13-hex md5 fraction
+      // (q54's trick) against the per-language keep probability
+      """WITH t AS (
+        |  SELECT lang, CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS tokens
+        |  FROM documents GROUP BY lang
+        |),
+        |s AS (
+        |  SELECT lang, tokens,
+        |    (SELECT CAST(sum(tokens) AS BIGINT) FROM t) AS total_tokens,
+        |    tokens / (SELECT CAST(sum(tokens) AS BIGINT) FROM t) AS share
+        |  FROM t
+        |),
+        |p AS (SELECT lang, tokens, total_tokens, sqrt(share) AS pa FROM s),
+        |wts AS (
+        |  SELECT lang,
+        |    least(1.0, 0.5 * total_tokens * (pa / (SELECT sum(pa) FROM p)) / tokens)
+        |      AS p_keep
+        |  FROM p
+        |),
+        |d AS (
+        |  SELECT lang, doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS tok,
+        |    list_sum(list_transform(generate_series(1, 13),
+        |      i -> (strpos('0123456789abcdef',
+        |              substr(md5(CAST(doc_id AS VARCHAR)), i, 1)) - 1)
+        |           * power(16.0, -i))) AS u
+        |  FROM documents
+        |)
+        |SELECT d.lang, count(*) AS n_docs_kept, CAST(sum(tok) AS BIGINT) AS tokens_kept,
+        | round(min(p_keep), 6) AS p_keep
+        |FROM d JOIN wts ON d.lang = wts.lang
+        |WHERE u < p_keep
+        |GROUP BY d.lang ORDER BY d.lang""".stripMargin,
     "q91_quantized_ann" ->
       // same trunc(x*127/max|x|) grid; quantized cosine is exact integer
       // arithmetic under the double formula, so scores match bit-for-bit

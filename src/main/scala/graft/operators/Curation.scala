@@ -238,6 +238,50 @@ object Curation {
         round($"dup_occurrences" / $"n_gram_occurrences", 6).as("dup_fraction"))
   }
 
+  /** Materialize the temperature mixture: turn `temperatureMixture`'s
+    * alpha=0.5 language weights into an ACTUAL deterministic sample at
+    * `targetFraction` of the corpus' token mass — the step that produces
+    * the training mix rather than just reporting it. Per language,
+    * keep-probability p = min(1, target·total_tokens·w_lang / tokens_lang)
+    * (head languages are downsampled, tail languages approach keep-all);
+    * a document survives iff its md5-derived uniform (the exact
+    * 13-hex-digit fraction, the q54 trick — replayable by any engine, no
+    * rand()) falls below its language's p. Output: per-language kept
+    * docs/tokens and the applied p.
+    *
+    * Shape: one aggregated language table (broadcast, language-count
+    * rows) joined onto one corpus scan — embarrassingly parallel,
+    * deterministic, and stable under re-runs: the same doc set is drawn
+    * every time, which is what makes a training mix reproducible.
+    */
+  def materializeMixture(documents: DataFrame, targetFraction: Double = 0.5): DataFrame = {
+    val w = Window.partitionBy() // language-count rows only
+    val langStats = documents
+      .groupBy($"lang")
+      .agg(sum(size(split($"text", " ")).cast("long")).as("tokens"))
+      .select($"lang", $"tokens", sum($"tokens").over(w).as("total_tokens"),
+        ($"tokens" / sum($"tokens").over(w)).as("share"))
+      .select($"lang", $"tokens", $"total_tokens", sqrt($"share").as("pa"))
+      .select($"lang", $"tokens", $"total_tokens", ($"pa" / sum($"pa").over(w)).as("wgt"))
+      .select($"lang",
+        least(lit(1.0),
+          lit(targetFraction) * $"total_tokens" * $"wgt" / $"tokens").as("p_keep"))
+    // exact 13-hex-digit md5 fraction in [0, 1): every term is a power of
+    // two, so the double is identical on any engine (see Aggregators
+    // .hexFraction)
+    val u = conv(substring(md5($"doc_id".cast("string")), 1, 13), 16, 10)
+      .cast("double") / math.pow(16.0, 13)
+    documents
+      .select($"doc_id", $"lang",
+        size(split($"text", " ")).cast("long").as("tok"), u.as("u"))
+      .join(broadcast(langStats), Seq("lang"))
+      .filter($"u" < $"p_keep")
+      .groupBy($"lang")
+      .agg(count(lit(1)).as("n_docs_kept"), sum($"tok").as("tokens_kept"),
+        round(min($"p_keep"), 6).as("p_keep"))
+      .orderBy($"lang")
+  }
+
   /** K-anonymity audit over quasi-identifier cells: per (lang, source)
     * cell, its size and whether it meets the anonymity threshold — the
     * pre-publication check that no demographic slice of a released corpus

@@ -268,6 +268,27 @@ class CurationSpec extends GraftSuite {
     assert(plan.contains("partial_count"), s"no map-side combine in:\n$plan")
   }
 
+  test("materializeMixture: deterministic draw, head flattened, within-language bounds") {
+    def run() = Curation.materializeMixture(docs).collect()
+      .map(r => (r.getString(0), (r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    val r1 = run()
+    assert(r1 === run(), "the same doc set must be drawn every run")
+    val langTokens = docs
+      .groupBy(col("lang"))
+      .agg(org.apache.spark.sql.functions.sum(
+        org.apache.spark.sql.functions.size(split(col("text"), " "))).as("t"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    r1.foreach { case (lang, (nKept, tokKept, p)) =>
+      assert(p > 0.0 && p <= 1.0, s"$lang p=$p")
+      assert(tokKept <= langTokens(lang) && nKept > 0, s"$lang")
+    }
+    // temperature flattening: keep-probability is monotone NON-INCREASING
+    // in language token mass (p ~ 1/sqrt(mass) before the clamp at 1)
+    val byMass = r1.toSeq.sortBy { case (lang, _) => -langTokens(lang) }.map(_._2._3)
+    assert(byMass.zip(byMass.tail).forall { case (a, b) => a <= b + 1e-12 },
+      s"p_keep not flattening: $byMass")
+  }
+
   test("tokenEntropy equals brute-force Shannon entropy; extremes hit 0 and 1") {
     import spark.implicits.{localSeqToDatasetHolder, newProductEncoder}
     def log2(x: Double): Double = math.log(x) / math.log(2.0)

@@ -154,6 +154,9 @@ object PipelineQueries {
     // materialized temperature mixture: q69's weights as an actual
     // deterministic md5-threshold sample
     "q92_mixture_sample" -> ((s, d) => Curation.materializeMixture(Tables.documents(s, d))),
+    // near-dup-aware split: the md5-range rule applied to the cluster rep,
+    // so no near-dup pair straddles train/test
+    "q93_cluster_split" -> ((s, d) => Sampling.clusterAwareSplit(Tables.documents(s, d))),
     // rows-only (no oracle): approximate sketches differ by implementation
     "q38_sketches" -> ((s, d) => {
       import org.apache.spark.sql.functions._
@@ -990,6 +993,31 @@ object PipelineQueries {
          | round(sum(CASE WHEN n_docs > 1 THEN occ ELSE 0 END) * 1.0 / sum(occ), 6)
          |   AS dup_fraction
          |FROM pg""".stripMargin,
+    "q93_cluster_split" ->
+      // all-pairs Jaccard pairs -> recursive-CTE components -> q57's
+      // md5-range rule on the component representative
+      s"""WITH RECURSIVE pairs AS (
+         |$JaccardSql
+         |),
+         |edges AS (
+         |  SELECT id1 AS src, id2 AS dst FROM pairs
+         |  UNION ALL SELECT id2, id1 FROM pairs
+         |),
+         |reach(node, label) AS (
+         |  SELECT src, src FROM edges
+         |  UNION
+         |  SELECT e.src, r.label FROM edges e JOIN reach r ON e.dst = r.node
+         |),
+         |comp AS (SELECT node, min(label) AS rep FROM reach GROUP BY node),
+         |d AS (
+         |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS tok,
+         |    coalesce(c.rep, doc_id) AS rep
+         |  FROM documents LEFT JOIN comp c ON doc_id = c.node
+         |)
+         |SELECT CASE WHEN substr(md5(CAST(rep AS VARCHAR)), 1, 2) < '0d'
+         |         THEN 'test' ELSE 'train' END AS split,
+         | count(*) AS n_docs, CAST(sum(tok) AS BIGINT) AS total_tokens
+         |FROM d GROUP BY 1 ORDER BY 1""".stripMargin,
     "q92_mixture_sample" ->
       // same weight pipeline as q69, then the exact 13-hex md5 fraction
       // (q54's trick) against the per-language keep probability

@@ -45,6 +45,32 @@ object Sampling {
       .agg(count(lit(1)).as("n_docs"), sum($"tok").as("total_tokens"))
       .orderBy($"split")
 
+  /** Near-dup-aware train/test split — the leakage guard q57's per-doc
+    * rule cannot give: a near-duplicate pair straddling train and test
+    * leaks eval content into training verbatim-ish, so the split key must
+    * be the near-dup CLUSTER, not the document. Every document is keyed by
+    * its connected-component representative under the LSH pair index
+    * (singletons key by themselves — a left join against the
+    * pair-proportional component table, never corpus×corpus), and q57's
+    * md5-range rule is applied to the REP: whole clusters land in one
+    * split, and the assignment stays replayable and stable as unrelated
+    * docs arrive. Per-split doc/token totals, same shape as q57.
+    */
+  def clusterAwareSplit(documents: DataFrame, testCutHex: String = "0d"): DataFrame = {
+    val comps = Dedup.survivorsOverPairs(Dedup.pairIndex(documents))
+      .select($"doc_id", $"cluster_rep")
+    documents
+      .select($"doc_id", size(split($"text", " ")).cast("bigint").as("tok"))
+      .join(comps, Seq("doc_id"), "left")
+      .select($"doc_id", $"tok", coalesce($"cluster_rep", $"doc_id").as("rep"))
+      .select($"tok",
+        when(substring(md5($"rep".cast("string")), 1, 2) < testCutHex, "test")
+          .otherwise("train").as("split"))
+      .groupBy($"split")
+      .agg(count(lit(1)).as("n_docs"), sum($"tok").as("total_tokens"))
+      .orderBy($"split")
+  }
+
   /** Token-offset packing: concatenate the corpus in doc_id order and
     * shard it into fixed `budget`-token bins by STARTING offset (the
     * pretraining-style "concatenate then cut every N tokens" sharding; a

@@ -470,6 +470,29 @@ class PipelineSpec extends GraftSuite {
     assert(got(3L) === ((2L, 0L, 2L, 5.0, 5.0)))
   }
 
+  test("cluster-aware split: no near-dup pair straddles train/test; totals partition") {
+    import graft.operators.Sampling
+    // the law q57's per-doc rule cannot satisfy: both ends of every
+    // near-dup pair must land in the same split
+    def splitOf(rep: Long): String = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(rep.toString.getBytes("UTF-8")).map(b => f"$b%02x").mkString
+      if (md.substring(0, 2) < "0d") "test" else "train"
+    }
+    val comps = Dedup.nearDupSurvivors(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    val pairs = Dedup.minhashLshPairs(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.nonEmpty)
+    pairs.foreach { case (a, b) =>
+      assert(splitOf(comps(a)) === splitOf(comps(b)), s"pair ($a,$b) straddles splits")
+    }
+    // and the report partitions the corpus
+    val rows = Sampling.clusterAwareSplit(docs).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(rows.values.sum === docs.count())
+  }
+
   test("quantile sketch: bottom-k sample merges associatively; estimates are ordered") {
     val events = Tables.events(spark, sf)
     // merge law, driver-replicated: per type, bottom-k by md5 of the whole

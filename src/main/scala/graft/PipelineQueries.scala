@@ -157,6 +157,9 @@ object PipelineQueries {
     // near-dup-aware split: the md5-range rule applied to the cluster rep,
     // so no near-dup pair straddles train/test
     "q93_cluster_split" -> ((s, d) => Sampling.clusterAwareSplit(Tables.documents(s, d))),
+    // frame-level dedup across the multimodal asset table (exactDedup's
+    // shape applied to payload windows)
+    "q94_frame_dedup" -> ((s, d) => Multimodal.frameDedup(Tables.documents(s, d))),
     // rows-only (no oracle): approximate sketches differ by implementation
     "q38_sketches" -> ((s, d) => {
       import org.apache.spark.sql.functions._
@@ -993,6 +996,23 @@ object PipelineQueries {
          | round(sum(CASE WHEN n_docs > 1 THEN occ ELSE 0 END) * 1.0 / sum(occ), 6)
          |   AS dup_fraction
          |FROM pg""".stripMargin,
+    "q94_frame_dedup" ->
+      // same 64-byte frame windows (ASCII payloads: char slices == byte
+      // slices); keeper = lexicographic-min (asset, frame) via the
+      // min-asset window
+      """WITH f AS (
+        |  SELECT doc_id AS asset_id, i AS frame_no,
+        |    md5(substr(text, CAST(i * 64 + 1 AS INT), 64)) AS fc
+        |  FROM documents,
+        |    LATERAL (SELECT unnest(range(0, greatest(length(text) // 64, 1))) AS i)
+        |),
+        |m AS (SELECT *, min(asset_id) OVER (PARTITION BY fc) AS ma FROM f)
+        |SELECT fc AS frame_checksum, count(*) AS n_copies,
+        | count(DISTINCT asset_id) AS n_assets,
+        | min(asset_id) AS keeper_asset,
+        | CAST(min(CASE WHEN asset_id = ma THEN frame_no END) AS BIGINT) AS keeper_frame
+        |FROM m GROUP BY fc HAVING count(*) > 1
+        |ORDER BY fc""".stripMargin,
     "q93_cluster_split" ->
       // all-pairs Jaccard pairs -> recursive-CTE components -> q57's
       // md5-range rule on the component representative

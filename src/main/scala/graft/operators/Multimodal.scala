@@ -117,6 +117,32 @@ object Multimodal {
     * characters while this slices payload bytes — identical only when
     * chars == bytes, which the fixtures guarantee.
     */
+  /** Frame-level dedup across the whole asset table — the multimodal
+    * member of the dedup family: checksum every `frameBytes` window of
+    * every payload and report the duplicated frames (shared intro/outro
+    * cards, repeated stock footage) with a deterministic keeper. One
+    * hash-shuffle on the frame checksum, no frame-content comparisons —
+    * `exactDedup`'s shape applied to frames instead of documents, so it
+    * scales identically (state per distinct checksum, duplicates-only
+    * output).
+    */
+  def frameDedup(documents: DataFrame, frameBytes: Int = 64): DataFrame =
+    assetsFromDocuments(documents)
+      .select($"asset_id", $"payload",
+        explode(sequence(lit(0),
+          greatest(floor($"meta.n_bytes" / frameBytes).cast("int") - 1, lit(0))))
+          .as("frame_no"))
+      .select($"asset_id", $"frame_no".cast("bigint").as("frame_no"),
+        md5($"payload".substr(($"frame_no" * frameBytes + 1).cast("int"), lit(frameBytes)))
+          .as("fc"))
+      .groupBy($"fc")
+      .agg(count(lit(1)).as("n_copies"), countDistinct($"asset_id").as("n_assets"),
+        min(struct($"asset_id", $"frame_no")).as("k"))
+      .filter($"n_copies" > 1)
+      .select($"fc".as("frame_checksum"), $"n_copies", $"n_assets",
+        $"k.asset_id".as("keeper_asset"), $"k.frame_no".as("keeper_frame"))
+      .orderBy($"frame_checksum")
+
   def frameSample(documents: DataFrame, frameBytes: Int = 64, every: Int = 4): DataFrame = {
     val assets = assetsFromDocuments(documents).filter($"media_type" === "video")
     assets

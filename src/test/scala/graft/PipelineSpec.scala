@@ -242,6 +242,27 @@ class PipelineSpec extends GraftSuite {
     assert(packed.collect().map(_.toSeq).toSeq === naive.collect().map(_.toSeq).toSeq)
   }
 
+  test("frameDedup equals a brute-force frame-checksum count with min keeper") {
+    def md5hex(s: String): String = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map(b => f"$b%02x").mkString
+    val texts = docs.select($"doc_id", $"text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val frames = texts.flatMap { case (id, t) =>
+      val n = math.max(t.length / 64, 1)
+      (0 until n).map(i =>
+        (id, i.toLong, md5hex(t.substring(i * 64, math.min(i * 64 + 64, t.length)))))
+    }
+    val expected = frames.groupBy(_._3).filter(_._2.length > 1).map { case (fc, g) =>
+      val keeper = g.map(f => (f._1, f._2)).min
+      fc -> ((g.length.toLong, g.map(_._1).distinct.length.toLong, keeper._1, keeper._2))
+    }
+    val got = Multimodal.frameDedup(docs).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(got === expected)
+    assert(got.nonEmpty, "the repetitive fixture text should duplicate some frames")
+  }
+
   test("multimodal: every doc becomes an asset; frame sampling is deterministic") {
     val profile = Multimodal.mediaProfile(docs)
     assert(profile.agg(sum($"n_assets")).collect()(0).getLong(0) === docs.count())

@@ -200,8 +200,9 @@ object Curation {
   def redactionReport(documents: DataFrame,
       denyTerms: Seq[String] = Seq("customer", "vector")): DataFrame = {
     val padded = concat(lit(" "), lower($"text"), lit(" "))
-    val denyHits = denyTerms.map(t => TextAnalysis.occurrences(padded, s" $t "))
-      .reduce(_ + _)
+    val denyHits =
+      if (denyTerms.isEmpty) lit(0)
+      else denyTerms.map(t => TextAnalysis.occurrences(padded, s" $t ")).reduce(_ + _)
     documents
       .select($"source", piiCountCol($"text").as("pii"), denyHits.as("deny"))
       .groupBy($"source")

@@ -69,12 +69,19 @@ object Scale {
     * aggregate would produce, so existing DuckDB `quantile_cont` oracles
     * are unaffected.
     *
+    * Null values are excluded like `percentile`'s (a null would otherwise
+    * occupy the lowest sort positions and shift every interpolation
+    * index); a group whose values are ALL null disappears from the output
+    * (percentile would keep it with a null cut — no caller joins on such
+    * a group).
+    *
     * Output: one row per group — (`group`, `cut`).
     */
   def exactQuantileByGroup(df: DataFrame, group: String, value: String,
       q: Double): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val hist = df.groupBy(col(group), col(value)).agg(count(lit(1)).as("_c"))
+    val hist = df.filter(col(value).isNotNull)
+      .groupBy(col(group), col(value)).agg(count(lit(1)).as("_c"))
     val cumW = Window.partitionBy(col(group)).orderBy(col(value))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val nW = Window.partitionBy(col(group)) // rows = distinct values, bounded

@@ -445,6 +445,15 @@ class PipelineSpec extends GraftSuite {
       val got = Scale.exactQuantileByGroup(syn, "g", "v", q).collect()(0).getDouble(1)
       assert(got === expected, s"q=$q")
     }
+    // null values are skipped exactly like percentile's
+    val withNulls = Seq[(String, java.lang.Double)](
+      ("g", 5.0), ("g", null), ("g", 1.0), ("g", null), ("g", 3.0), ("g", 2.0))
+      .toDF("g", "v")
+    val nullExpected = withNulls.groupBy($"g").agg(expr("percentile(v, 0.25)"))
+      .collect()(0).getDouble(1)
+    val nullGot = graft.operators.Scale.exactQuantileByGroup(withNulls, "g", "v", 0.25)
+      .collect()(0).getDouble(1)
+    assert(nullGot === nullExpected)
     // the registered quality-cut paths must not plan the sort-based aggregate
     for (df <- Seq(TextAnalysis.qualityFilter(docs))) {
       val plan = df.queryExecution.executedPlan.toString

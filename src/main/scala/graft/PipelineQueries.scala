@@ -160,6 +160,13 @@ object PipelineQueries {
     // frame-level dedup across the multimodal asset table (exactDedup's
     // shape applied to payload windows)
     "q94_frame_dedup" -> ((s, d) => Multimodal.frameDedup(Tables.documents(s, d))),
+    // incremental embedding near-dup: new batch probed against the corpus
+    // hyperplane index (the vector analog of q74)
+    "q95_incremental_embedding" -> ((s, d) =>
+      Similarity.incrementalEmbeddingNearDup(Tables.embeddings(s, d))),
+    // full-outer join variant: observed event types vs the expected catalog
+    "q96_type_reconciliation" -> ((s, d) =>
+      Extended.eventTypeReconciliation(Tables.events(s, d))),
     // rows-only (no oracle): approximate sketches differ by implementation
     "q38_sketches" -> ((s, d) => {
       import org.apache.spark.sql.functions._
@@ -996,6 +1003,35 @@ object PipelineQueries {
          | round(sum(CASE WHEN n_docs > 1 THEN occ ELSE 0 END) * 1.0 / sum(occ), 6)
          |   AS dup_fraction
          |FROM pg""".stripMargin,
+    "q95_incremental_embedding" -> {
+      // new-vs-old restricted multi-table bucket join, exact cosine at
+      // 0.45 — q48's oracle with the ingest boundary at vec_id 200
+      val buckets = (0 until Similarity.NeardupTables)
+        .map(t => s"${neardupBucketSql(t)} AS bk$t").mkString(",\n   ")
+      val anyTable = (0 until Similarity.NeardupTables)
+        .map(t => s"a.bk$t = b.bk$t").mkString(" OR ")
+      s"""WITH e AS (
+         |  SELECT vec_id, v,
+         |   $buckets
+         |  FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+         |)
+         |SELECT a.vec_id AS new_id, b.vec_id AS old_id,
+         | round(${cosSql("a.v", "b.v")}, 6) AS cos
+         |FROM e a JOIN e b ON a.vec_id < 200 AND b.vec_id >= 200 AND ($anyTable)
+         |WHERE round(${cosSql("a.v", "b.v")}, 6) >= 0.45
+         |ORDER BY new_id, old_id""".stripMargin
+    },
+    "q96_type_reconciliation" ->
+      """WITH obs AS (SELECT event_type, count(*) AS n_events FROM events GROUP BY 1),
+        |cat(expected_type) AS (
+        |  VALUES ('click'), ('purchase'), ('refund'), ('signup'), ('view'))
+        |SELECT coalesce(event_type, expected_type) AS etype,
+        | CASE WHEN event_type IS NOT NULL AND expected_type IS NOT NULL THEN 'matched'
+        |      WHEN event_type IS NULL THEN 'catalog_only'
+        |      ELSE 'stream_only' END AS status,
+        | CAST(coalesce(n_events, 0) AS BIGINT) AS n_events
+        |FROM obs FULL OUTER JOIN cat ON event_type = expected_type
+        |ORDER BY etype""".stripMargin,
     "q94_frame_dedup" ->
       // same 64-byte frame windows (ASCII payloads: char slices == byte
       // slices); keeper = lexicographic-min (asset, frame) via the

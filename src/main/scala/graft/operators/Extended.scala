@@ -126,4 +126,34 @@ object Extended {
         round(coalesce($"last_click_value", lit(0.0)), 2).as("asof_click_value"))
       .orderBy($"user_id", $"event_id")
   }
+
+  /** The expected event-type catalog for the reconciliation audit:
+    * `refund` is expected but absent from the stream, and the stream's
+    * `error` type is not in the catalog — so the FULL OUTER join exercises
+    * all three null branches non-vacuously.
+    */
+  val ExpectedEventTypes: Seq[String] = Seq("click", "purchase", "refund", "signup", "view")
+
+  /** Event-type reconciliation — the full-outer join variant (the one
+    * member of the join family not yet surfaced as a query): observed
+    * stream types vs the expected catalog, classifying each type as
+    * matched / catalog_only (expected, never seen) / stream_only
+    * (arriving untyped traffic). Aggregate-then-join: the full outer
+    * runs over type-cardinality relations, never rows.
+    */
+  def eventTypeReconciliation(events: DataFrame): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits.{localSeqToDatasetHolder, newIntEncoder, newStringEncoder}
+    val catalog = ExpectedEventTypes.toDF("expected_type")
+    events
+      .groupBy($"event_type").agg(count(lit(1)).as("n_events"))
+      .join(catalog, $"event_type" === $"expected_type", "full_outer")
+      .select(
+        coalesce($"event_type", $"expected_type").as("etype"),
+        when($"event_type".isNotNull && $"expected_type".isNotNull, "matched")
+          .when($"event_type".isNull, "catalog_only")
+          .otherwise("stream_only").as("status"),
+        coalesce($"n_events", lit(0L)).as("n_events"))
+      .orderBy($"etype")
+  }
 }

@@ -271,6 +271,34 @@ class PipelineSpec extends GraftSuite {
     assert(f1 === f2 && f1.nonEmpty)
   }
 
+  test("incremental embedding near-dup == full near-dup restricted to the ingest boundary") {
+    import graft.operators.Similarity
+    val cut = 200L
+    val full = Similarity.embeddingNearDup(embs, threshold = 0.45).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    val restricted = full.filter { case ((a, b), _) => (a < cut) != (b < cut) }
+      .map { case ((a, b), c) => ((math.min(a, b), math.max(a, b)), c) }
+    val inc = Similarity.incrementalEmbeddingNearDup(embs, newIdCut = cut, threshold = 0.45)
+      .collect()
+      .map(r => ((math.min(r.getLong(0), r.getLong(1)),
+        math.max(r.getLong(0), r.getLong(1))), r.getDouble(2))).toMap
+    assert(inc === restricted)
+  }
+
+  test("event-type reconciliation exercises all three full-outer branches") {
+    val rows = graft.operators.Extended.eventTypeReconciliation(Tables.events(spark, sf))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    val byStatus = rows.groupBy(_._2)
+    assert(byStatus("catalog_only").map(_._1).toSet === Set("refund"))
+    assert(byStatus("catalog_only").forall(_._3 === 0L))
+    assert(byStatus("stream_only").map(_._1).toSet === Set("error"))
+    assert(byStatus("stream_only").forall(_._3 > 0L))
+    assert(byStatus("matched").map(_._1).toSet ===
+      Set("click", "purchase", "signup", "view"))
+    // every stream event is accounted for exactly once
+    assert(rows.map(_._3).sum === Tables.events(spark, sf).count())
+  }
+
   test("quantized ANN: int8 grid is well-formed and recall survives quantization") {
     import graft.operators.Similarity
     val rows = Similarity.quantizedAnnRecall(embs).collect()

@@ -175,6 +175,35 @@ object EventStreams {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** Stream-STATIC incremental embedding near-dup — the vector twin of
+    * `incrementalNearDupStream` (and the streaming form of
+    * `Similarity.incrementalEmbeddingNearDup`): newly-ingested vectors
+    * bucket-probe the PRECOMPUTED corpus hyperplane index on
+    * (table, bucket), then verify with the exact native cosine against
+    * the corpus vector table. All joins stateless (append mode, no
+    * watermark, zero state growth); a pair colliding in several tables
+    * is emitted once per collision — at-least-once per batch, with
+    * downstream dedup as the exactly-once split (see
+    * `incrementalNearDupStream`'s scaladoc for the trade).
+    */
+  def incrementalEmbeddingStream(newVecs: DataFrame, corpusBuckets: DataFrame,
+      corpusVectors: DataFrame, threshold: Double = 0.45,
+      tables: Int = graft.operators.Similarity.NeardupTables,
+      bits: Int = graft.operators.Similarity.NeardupBits): DataFrame = {
+    import graft.functions.VectorFunctions.{cosine_sim, hyperplane_buckets}
+    newVecs
+      .select(col("vec_id").as("new_id"),
+        transform(col("embedding"), _.cast("double")).as("v1"))
+      .select(col("new_id"), col("v1"),
+        posexplode(hyperplane_buckets(col("v1"), tables, bits)))
+      .select(col("new_id"), col("v1"), col("pos").as("t"), col("col").as("bk"))
+      .join(corpusBuckets, Seq("t", "bk"))
+      .join(corpusVectors, Seq("old_id"))
+      .select(col("new_id"), col("old_id"),
+        round(cosine_sim(col("v1"), col("v2")), 6).as("cos"))
+      .filter(col("cos") >= threshold)
+  }
+
   /** Streaming twin of `Events.quantileSketch`: per event_type, the
     * bottom-k-by-md5 uniform sample maintained as typed Aggregator state —
     * k (hash, value) pairs per group, bounded on an unbounded stream with

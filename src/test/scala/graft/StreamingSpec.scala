@@ -117,6 +117,41 @@ class StreamingSpec extends GraftSuite {
     assert(closed(0).total_value === 3.0)
   }
 
+  test("streaming incremental embedding near-dup == batch pairs at the ingest boundary") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.functions.VectorFunctions.hyperplane_buckets
+    val cut = 200L
+    val corpus = Tables.embeddings(spark, sf).filter(col("vec_id") >= cut)
+      .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("v"))
+    val corpusBuckets = corpus
+      .select(col("vec_id").as("old_id"), posexplode(hyperplane_buckets(col("v"), 8, 6)))
+      .select(col("old_id"), col("pos").as("t"), col("col").as("bk"))
+    val corpusVectors = corpus.select(col("vec_id").as("old_id"), col("v").as("v2"))
+    val newRows = Tables.embeddings(spark, sf).filter(col("vec_id") < cut)
+      .select(col("vec_id"), col("embedding"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1)))
+    val input = MemoryStream[(Long, Seq[Float])]
+    val q = EventStreams.incrementalEmbeddingStream(
+        input.toDS().toDF("vec_id", "embedding"), corpusBuckets, corpusVectors)
+      .writeStream.outputMode("append").format("memory").queryName("inc_emb_out")
+      .start()
+    val (a, b) = newRows.splitAt(newRows.length / 2)
+    input.addData(a.toIndexedSeq)
+    q.processAllAvailable()
+    input.addData(b.toIndexedSeq)
+    q.processAllAvailable()
+    // at-least-once per band collision: dedup before comparing
+    val streamed = spark.table("inc_emb_out")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    q.stop()
+    val batch = graft.operators.Similarity
+      .incrementalEmbeddingNearDup(Tables.embeddings(spark, sf), newIdCut = cut)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(streamed === batch)
+    assert(streamed.nonEmpty, "the fixture should have pairs straddling the boundary")
+  }
+
   test("streaming quantile sketch == batch quantile sketch bit-for-bit (incl. across batches)") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

@@ -167,6 +167,12 @@ object PipelineQueries {
     // full-outer join variant: observed event types vs the expected catalog
     "q96_type_reconciliation" -> ((s, d) =>
       Extended.eventTypeReconciliation(Tables.events(s, d))),
+    // exact duplicated-span localization: maximal token spans covered by
+    // corpus-repeated word 8-grams (the k-gram form of exact-substring dedup)
+    "q97_dup_spans" -> ((s, d) => Curation.duplicatedSpans(Tables.documents(s, d))),
+    // DSIR importance scoring: per-doc target-vs-corpus log-likelihood
+    // ratio on hashed unigram features; top-50 most target-like docs
+    "q98_dsir_select" -> ((s, d) => Curation.dsirImportance(Tables.documents(s, d))),
     // rows-only (no oracle): approximate sketches differ by implementation
     "q38_sketches" -> ((s, d) => {
       import org.apache.spark.sql.functions._
@@ -1032,6 +1038,63 @@ object PipelineQueries {
         | CAST(coalesce(n_events, 0) AS BIGINT) AS n_events
         |FROM obs FULL OUTER JOIN cat ON event_type = expected_type
         |ORDER BY etype""".stripMargin,
+    "q97_dup_spans" ->
+      // gaps-and-islands over duplicated 8-gram start positions; intervals
+      // [pos, pos+7] merge when overlapping or adjacent (pos <= prev_end+1);
+      // all span arithmetic exact-integer, only dup_fraction is rounded
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+        |           WHERE len(string_split(text, ' ')) >= 8),
+        |p AS (SELECT doc_id, ws, unnest(generate_series(1, len(ws) - 7)) AS i FROM w),
+        |g AS (SELECT doc_id, i - 1 AS pos,
+        |        md5(ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3] || ' ' ||
+        |            ws[i+4] || ' ' || ws[i+5] || ' ' || ws[i+6] || ' ' || ws[i+7]) AS h
+        |      FROM p),
+        |dup AS (SELECT h FROM g GROUP BY h HAVING count(*) >= 2),
+        |d AS (SELECT doc_id, pos FROM g JOIN dup USING (h)),
+        |isl AS (SELECT doc_id, pos,
+        |          max(pos + 7) OVER (PARTITION BY doc_id ORDER BY pos
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
+        |        FROM d),
+        |num AS (SELECT doc_id, pos,
+        |          sum(CASE WHEN prev_end IS NULL OR pos > prev_end + 1 THEN 1 ELSE 0 END)
+        |            OVER (PARTITION BY doc_id ORDER BY pos) AS island
+        |        FROM isl),
+        |sp AS (SELECT doc_id, island, min(pos) AS s, max(pos) + 7 AS e
+        |       FROM num GROUP BY 1, 2),
+        |tok AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        |        FROM documents)
+        |SELECT doc_id, count(*) AS n_spans, CAST(sum(e - s + 1) AS BIGINT) AS dup_tokens,
+        | n_tokens, round(sum(e - s + 1) * 1.0 / n_tokens, 6) AS dup_fraction
+        |FROM sp JOIN tok USING (doc_id)
+        |GROUP BY doc_id, n_tokens ORDER BY doc_id""".stripMargin,
+    "q98_dsir_select" -> {
+      // the md5-slice bucket (q72's hash family); smoothing operands are
+      // exact integers, ln() is the one transcendental (ratios round 6,
+      // doc sums 4 — the BM25 discipline)
+      val b = posSql("h", 0, 1024)
+      s"""WITH tb AS (
+         |  SELECT doc_id, lang, $b AS b FROM (
+         |    SELECT doc_id, lang, md5(tok) AS h FROM (
+         |      SELECT doc_id, lang, unnest(string_split(text, ' ')) AS tok FROM documents
+         |    )
+         |  )
+         |),
+         |bs AS (
+         |  SELECT b, CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS ct,
+         |    count(*) AS cs
+         |  FROM tb GROUP BY b
+         |),
+         |tot AS (SELECT CAST(sum(ct) AS BIGINT) AS nt, CAST(sum(cs) AS BIGINT) AS ns FROM bs),
+         |r AS (
+         |  SELECT b, round(ln(((ct + 1) / (nt + 1024)) / ((cs + 1) / (ns + 1024))), 6) AS r
+         |  FROM bs CROSS JOIN tot
+         |),
+         |dc AS (SELECT doc_id, lang, b, count(*) AS c FROM tb GROUP BY 1, 2, 3)
+         |SELECT doc_id, lang, round(sum(c * r), 4) AS logratio
+         |FROM dc JOIN r USING (b)
+         |GROUP BY 1, 2
+         |ORDER BY logratio DESC, doc_id LIMIT 50""".stripMargin
+    },
     "q94_frame_dedup" ->
       // same 64-byte frame windows (ASCII payloads: char slices == byte
       // slices); keeper = lexicographic-min (asset, frame) via the

@@ -296,6 +296,100 @@ object Curation {
       .select($"lang", $"source", $"n_docs", ($"n_docs" >= k).as("k_anonymous"))
       .orderBy($"lang", $"source")
 
+  /** Exact duplicated-SPAN detection: per document, the maximal token
+    * spans covered by a word `k`-gram that occurs at least twice in the
+    * corpus (within- or cross-document) — the k-gram approximation of
+    * exact-substring training-data dedup (Lee et al. 2022's ≥50-token
+    * rule; a full suffix array is the exact form, this fingerprint form
+    * is the standard distributed approximation). Where `dupGramMass`
+    * (q89) reports one corpus-level ratio, this localizes WHERE the
+    * duplicated text sits, so a downstream pass can cut spans instead of
+    * whole documents. Output: per affected doc, span count, duplicated
+    * token mass, and the duplicated fraction.
+    *
+    * Shape, all corpus-linear: native `word_grams` positional explode →
+    * per-gram occurrence counts (map-side-combined, the q89 shuffle) →
+    * occurrence-proportional join back to positions → per-DOC
+    * gaps-and-islands windows (state bounded by document length: the
+    * running `max(pos + k - 1)` merges overlapping/adjacent gram
+    * intervals into maximal spans). No pairwise document comparison
+    * anywhere; at 100 TB the gram-count table is the only large shuffle
+    * and a Bloom prefilter (q72's primitive) slots in front of the
+    * position join unchanged.
+    */
+  def duplicatedSpans(documents: DataFrame, k: Int = 8): DataFrame = {
+    import graft.functions.TextFunctions.word_grams
+    val grams = documents
+      .filter(size(split($"text", " ")) >= k)
+      .select($"doc_id", posexplode(word_grams($"text", k)))
+      .select($"doc_id", $"pos", md5($"col").as("h"))
+    val dup = grams.groupBy($"h").agg(count(lit(1)).as("occ")).filter($"occ" >= 2)
+    val w = Window.partitionBy($"doc_id").orderBy($"pos")
+    val spans = grams
+      .join(dup.select($"h"), Seq("h"))
+      .select($"doc_id", $"pos")
+      .withColumn("prev_end",
+        max($"pos" + (k - 1)).over(w.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("island",
+        sum(when($"prev_end".isNull || $"pos" > $"prev_end" + 1, 1L).otherwise(0L)).over(w))
+      .groupBy($"doc_id", $"island")
+      .agg(min($"pos").cast("long").as("s"), (max($"pos") + (k - 1)).cast("long").as("e"))
+    spans
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_spans"), sum($"e" - $"s" + 1L).as("dup_tokens"))
+      .join(documents.select($"doc_id",
+        size(split($"text", " ")).cast("long").as("n_tokens")), Seq("doc_id"))
+      .select($"doc_id", $"n_spans", $"dup_tokens", $"n_tokens",
+        round($"dup_tokens" / $"n_tokens", 6).as("dup_fraction"))
+      .orderBy($"doc_id")
+  }
+
+  /** DSIR-style importance scoring (Xie et al. 2023, "Data Selection for
+    * Language Models via Importance Resampling"): score every document by
+    * the log-likelihood ratio of a TARGET unigram distribution (here: the
+    * `targetLang` slice, a stand-in for a curated target domain) over the
+    * raw-corpus distribution, on HASHED features — `buckets` md5-slice
+    * bins (the q72 Bloom hash family), add-one smoothed. High scores =
+    * most target-like documents; the top-`topk` is the selected batch.
+    * Complements the mixture ops: q62/q69/q92 weight LANGUAGES, this
+    * scores each DOCUMENT by content.
+    *
+    * Shape: one token explode feeds (a) per-bucket target/corpus counts —
+    * a `buckets`-row aggregate (map-side-combined; the bucket table and
+    * the 1-row totals are broadcast back, the scalar-broadcast pattern) —
+    * and (b) per-(doc, bucket) counts; the score is a
+    * bucket-table-joined weighted sum, top-k via TakeOrderedAndProject.
+    * Determinism: the smoothed ratio is composed of exact integer
+    * operands through correctly-rounded IEEE divisions; `ln` is the one
+    * transcendental, so per-bucket ratios round to 6 decimals and the
+    * per-doc sum to 4 (the BM25/tf-idf discipline), and ranking is on
+    * the ROUNDED score then doc_id.
+    */
+  def dsirImportance(documents: DataFrame, targetLang: String = "en",
+      buckets: Int = 1024, topk: Int = 50): DataFrame = {
+    val toks = documents
+      .select($"doc_id", $"lang", explode(split($"text", " ")).as("tok"))
+      .select($"doc_id", $"lang", Scale.md5SlicePos($"tok", 0, buckets).as("b"))
+    val bucketStats = toks
+      .groupBy($"b")
+      .agg(sum(when($"lang" === targetLang, 1L).otherwise(0L)).as("ct"),
+        count(lit(1)).as("cs"))
+    val totals = bucketStats.agg(sum($"ct").as("nt"), sum($"cs").as("ns"))
+    val ratios = bucketStats
+      .crossJoin(broadcast(totals))
+      .select($"b", round(
+        log((($"ct" + 1L) / ($"nt" + buckets)) / (($"cs" + 1L) / ($"ns" + buckets))),
+        6).as("r"))
+    toks
+      .groupBy($"doc_id", $"lang", $"b")
+      .agg(count(lit(1)).as("c"))
+      .join(broadcast(ratios), Seq("b"))
+      .groupBy($"doc_id", $"lang")
+      .agg(round(sum($"c" * $"r"), 4).as("logratio"))
+      .orderBy($"logratio".desc, $"doc_id")
+      .limit(topk)
+  }
+
   /** Temperature-smoothed language mixture (the multilingual-pretraining
     * sampling rule, alpha = 0.5): per language, sampling weight
     * proportional to token_share^alpha, renormalized. Flattens the

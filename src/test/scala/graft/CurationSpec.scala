@@ -268,6 +268,91 @@ class CurationSpec extends GraftSuite {
     assert(plan.contains("partial_count"), s"no map-side combine in:\n$plan")
   }
 
+  test("duplicatedSpans: multi-span fixture and brute-force interval union on the corpus") {
+    import spark.implicits._
+    def bruteSpans(texts: Seq[(Long, String)], k: Int): Map[Long, (Long, Long, Long, Double)] = {
+      val occ = texts.flatMap { case (id, t) =>
+        val ws = t.split(" ", -1).toSeq
+        if (ws.length < k) Nil
+        else ws.sliding(k).zipWithIndex.map { case (g, i) => (g.mkString(" "), id, i) }.toSeq
+      }
+      val counts = occ.groupBy(_._1).view.mapValues(_.size).toMap
+      val nTokens = texts.map { case (id, t) => id -> t.split(" ", -1).length.toLong }.toMap
+      occ.filter(o => counts(o._1) >= 2).groupBy(_._2).map { case (id, os) =>
+        var spans = List.empty[(Int, Int)]
+        os.map(_._3).sorted.foreach { p =>
+          spans match {
+            case (s, e) :: rest if p <= e + 1 => spans = (s, math.max(e, p + k - 1)) :: rest
+            case _                            => spans = (p, p + k - 1) :: spans
+          }
+        }
+        val dupTokens = spans.map { case (s, e) => e - s + 1 }.sum.toLong
+        id -> ((spans.size.toLong, dupTokens, nTokens(id),
+          round6(dupTokens.toDouble / nTokens(id))))
+      }
+    }
+    def collect(df: org.apache.spark.sql.DataFrame) =
+      Curation.duplicatedSpans(df).collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))))
+        .toMap
+    // constructed: docs 1/2 share two SEPARATED 8+-token runs -> exactly two
+    // merged spans each; doc 3 is clean and must be absent
+    def words(p: String, n: Int) = (0 until n).map(i => s"$p$i")
+    val s1 = words("s", 9); val s2 = words("t", 8)
+    val d1 = (s1 ++ words("a", 5) ++ s2 ++ words("b", 3)).mkString(" ")
+    val d2 = (words("c", 4) ++ s1 ++ words("d", 6) ++ s2).mkString(" ")
+    val d3 = words("e", 20).mkString(" ")
+    val constructed = Seq((1L, d1), (2L, d2), (3L, d3))
+    val gotC = collect(constructed.toDF("doc_id", "text"))
+    assert(gotC === bruteSpans(constructed, 8))
+    assert(gotC(1L) === ((2L, 17L, 25L, round6(17.0 / 25))), "two spans of 9+8 tokens")
+    assert(!gotC.contains(3L))
+    // the real fixture: full-table equality against the brute force
+    val texts = docs.select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(collect(docs) === bruteSpans(texts, 8))
+    val plan = Curation.duplicatedSpans(docs).queryExecution.executedPlan.toString
+    assert(plan.contains("partial_count"), s"no map-side combine on gram counts in:\n$plan")
+    assert(!plan.contains("Cartesian"), "span detection must stay join-bucketed")
+  }
+
+  test("dsirImportance equals the brute-force hashed log-likelihood ratio; target lang wins") {
+    def round4(x: Double): Double =
+      java.math.BigDecimal.valueOf(x).setScale(4, java.math.RoundingMode.HALF_UP).doubleValue()
+    def bucket(tok: String): Long = {
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(tok.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(h.substring(0, 4), 16) % 1024
+    }
+    val rows = docs.select(col("doc_id"), col("lang"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    val toks = rows.flatMap { case (id, lang, t) =>
+      t.split(" ", -1).map(w => (id, lang, bucket(w))) }
+    val ct = toks.filter(_._2 == "en").groupBy(_._3).view.mapValues(_.size.toLong).toMap
+    val cs = toks.groupBy(_._3).view.mapValues(_.size.toLong).toMap
+    val nt = ct.values.sum; val ns = cs.values.sum
+    val r = cs.keys.map { b =>
+      b -> round6(math.log(((ct.getOrElse(b, 0L) + 1).toDouble / (nt + 1024)) /
+        ((cs(b) + 1).toDouble / (ns + 1024))))
+    }.toMap
+    val expected = toks.groupBy(t => (t._1, t._2)).view.mapValues { ts =>
+      round4(ts.groupBy(_._3).map { case (b, os) => os.size * r(b) }.sum)
+    }.toSeq.map { case ((id, lang), s) => (id, lang, s) }
+      .sortBy { case (id, _, s) => (-s, id) }.take(50)
+    val got = Curation.dsirImportance(docs).collect()
+      .map(x => (x.getLong(0), x.getString(1), x.getDouble(2))).toSeq
+    assert(got === expected)
+    // the fixture's languages share most vocabulary, so demand enrichment
+    // over the base rate rather than outright dominance
+    val baseRate = rows.count(_._2 == "en").toDouble / rows.length
+    assert(got.count(_._2 == "en").toDouble / got.length > baseRate,
+      s"selection must be enriched in the target language (base $baseRate)")
+    val plan = Curation.dsirImportance(docs).queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), s"top-k must not global-sort:\n$plan")
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastNestedLoopJoin"),
+      s"bucket ratio table and totals must broadcast:\n$plan")
+  }
+
   test("materializeMixture: deterministic draw, head flattened, within-language bounds") {
     def run() = Curation.materializeMixture(docs).collect()
       .map(r => (r.getString(0), (r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap

@@ -173,6 +173,8 @@ object PipelineQueries {
     // DSIR importance scoring: per-doc target-vs-corpus log-likelihood
     // ratio on hashed unigram features; top-50 most target-like docs
     "q98_dsir_select" -> ((s, d) => Curation.dsirImportance(Tables.documents(s, d))),
+    // apply the q97 span map: corpus with duplicated spans cut, checksummed
+    "q99_span_cut" -> ((s, d) => Curation.cutDuplicatedSpans(Tables.documents(s, d))),
     // rows-only (no oracle): approximate sketches differ by implementation
     "q38_sketches" -> ((s, d) => {
       import org.apache.spark.sql.functions._
@@ -1067,6 +1069,43 @@ object PipelineQueries {
         | n_tokens, round(sum(e - s + 1) * 1.0 / n_tokens, 6) AS dup_fraction
         |FROM sp JOIN tok USING (doc_id)
         |GROUP BY doc_id, n_tokens ORDER BY doc_id""".stripMargin,
+    "q99_span_cut" ->
+      // q97's island CTEs, then: covered token positions from the islands,
+      // anti-joined off the positional token frame; retained text
+      // reassembles position-ordered and checksums
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+        |           WHERE len(string_split(text, ' ')) >= 8),
+        |p AS (SELECT doc_id, ws, unnest(generate_series(1, len(ws) - 7)) AS i FROM w),
+        |g AS (SELECT doc_id, i - 1 AS pos,
+        |        md5(ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3] || ' ' ||
+        |            ws[i+4] || ' ' || ws[i+5] || ' ' || ws[i+6] || ' ' || ws[i+7]) AS h
+        |      FROM p),
+        |dup AS (SELECT h FROM g GROUP BY h HAVING count(*) >= 2),
+        |d AS (SELECT doc_id, pos FROM g JOIN dup USING (h)),
+        |isl AS (SELECT doc_id, pos,
+        |          max(pos + 7) OVER (PARTITION BY doc_id ORDER BY pos
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
+        |        FROM d),
+        |num AS (SELECT doc_id, pos,
+        |          sum(CASE WHEN prev_end IS NULL OR pos > prev_end + 1 THEN 1 ELSE 0 END)
+        |            OVER (PARTITION BY doc_id ORDER BY pos) AS island
+        |        FROM isl),
+        |sp AS (SELECT doc_id, island, min(pos) AS s, max(pos) + 7 AS e
+        |       FROM num GROUP BY 1, 2),
+        |cov AS (SELECT doc_id, unnest(generate_series(s, e)) AS tpos FROM sp),
+        |tok AS (SELECT doc_id, i - 1 AS tpos, ws[i] AS tokn FROM (
+        |          SELECT doc_id, ws, unnest(generate_series(1, len(ws))) AS i FROM (
+        |            SELECT doc_id, string_split(text, ' ') AS ws FROM documents))),
+        |kept AS (
+        |  SELECT t.doc_id, count(*) AS kept_tokens,
+        |    md5(string_agg(tokn, ' ' ORDER BY t.tpos)) AS kept_checksum
+        |  FROM tok t LEFT JOIN cov c ON t.doc_id = c.doc_id AND t.tpos = c.tpos
+        |  WHERE c.doc_id IS NULL GROUP BY 1
+        |)
+        |SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+        | CAST(coalesce(kept_tokens, 0) AS BIGINT) AS kept_tokens,
+        | coalesce(kept_checksum, md5('')) AS kept_checksum
+        |FROM documents LEFT JOIN kept USING (doc_id) ORDER BY doc_id""".stripMargin,
     "q98_dsir_select" -> {
       // the md5-slice bucket (q72's hash family); smoothing operands are
       // exact integers, ln() is the one transcendental (ratios round 6,

@@ -317,7 +317,21 @@ object Curation {
     * and a Bloom prefilter (q72's primitive) slots in front of the
     * position join unchanged.
     */
-  def duplicatedSpans(documents: DataFrame, k: Int = 8): DataFrame = {
+  def duplicatedSpans(documents: DataFrame, k: Int = 8): DataFrame =
+    dupSpanIslands(documents, k)
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_spans"), sum($"e" - $"s" + 1L).as("dup_tokens"))
+      .join(documents.select($"doc_id",
+        size(split($"text", " ")).cast("long").as("n_tokens")), Seq("doc_id"))
+      .select($"doc_id", $"n_spans", $"dup_tokens", $"n_tokens",
+        round($"dup_tokens" / $"n_tokens", 6).as("dup_fraction"))
+      .orderBy($"doc_id")
+
+  /** The maximal duplicated-span intervals behind `duplicatedSpans` /
+    * `cutDuplicatedSpans`: `(doc_id, island, s, e)` with token interval
+    * `[s, e]` inclusive. See `duplicatedSpans` for the scale shape.
+    */
+  private def dupSpanIslands(documents: DataFrame, k: Int): DataFrame = {
     import graft.functions.TextFunctions.word_grams
     val grams = documents
       .filter(size(split($"text", " ")) >= k)
@@ -325,7 +339,7 @@ object Curation {
       .select($"doc_id", $"pos", md5($"col").as("h"))
     val dup = grams.groupBy($"h").agg(count(lit(1)).as("occ")).filter($"occ" >= 2)
     val w = Window.partitionBy($"doc_id").orderBy($"pos")
-    val spans = grams
+    grams
       .join(dup.select($"h"), Seq("h"))
       .select($"doc_id", $"pos")
       .withColumn("prev_end",
@@ -334,13 +348,42 @@ object Curation {
         sum(when($"prev_end".isNull || $"pos" > $"prev_end" + 1, 1L).otherwise(0L)).over(w))
       .groupBy($"doc_id", $"island")
       .agg(min($"pos").cast("long").as("s"), (max($"pos") + (k - 1)).cast("long").as("e"))
-    spans
+  }
+
+  /** Apply the q97 span map: rebuild every document with its duplicated
+    * spans REMOVED — the aggressive (cut-all-copies) form of
+    * exact-substring dedup, the right tool for boilerplate whose every
+    * occurrence should go. (A keep-one-copy policy needs a global keeper
+    * choice; at document granularity that selection exists as
+    * `Dedup.nearDupSurvivors`/q53.) Output: per doc, original and kept
+    * token counts plus an md5 checksum of the retained text — the
+    * verifiable contract of the cleaned corpus.
+    *
+    * Shape: islands explode to covered positions (`sequence(s, e)` — at
+    * most one row per token, islands are disjoint), tokens drop covered
+    * positions by LEFT ANTI equi-join on `(doc_id, pos)` (no range join,
+    * no per-doc state), and the retained text reassembles with an
+    * order-insensitive `array_sort(collect_list(struct(pos, tok)))` —
+    * deterministic under any partitioning.
+    */
+  def cutDuplicatedSpans(documents: DataFrame, k: Int = 8): DataFrame = {
+    val covered = dupSpanIslands(documents, k)
+      .select($"doc_id", explode(sequence($"s", $"e")).as("pos"))
+    val kept = documents
+      .select($"doc_id", posexplode(split($"text", " ")))
+      .select($"doc_id", $"pos".cast("long").as("pos"), $"col".as("tok"))
+      .join(covered, Seq("doc_id", "pos"), "left_anti")
       .groupBy($"doc_id")
-      .agg(count(lit(1)).as("n_spans"), sum($"e" - $"s" + 1L).as("dup_tokens"))
-      .join(documents.select($"doc_id",
-        size(split($"text", " ")).cast("long").as("n_tokens")), Seq("doc_id"))
-      .select($"doc_id", $"n_spans", $"dup_tokens", $"n_tokens",
-        round($"dup_tokens" / $"n_tokens", 6).as("dup_fraction"))
+      .agg(count(lit(1)).as("kept_tokens"),
+        md5(concat_ws(" ",
+          transform(array_sort(collect_list(struct($"pos", $"tok"))),
+            x => x.getField("tok")))).as("kept_checksum"))
+    documents
+      .select($"doc_id", size(split($"text", " ")).cast("long").as("n_tokens"))
+      .join(kept, Seq("doc_id"), "left")
+      .select($"doc_id", $"n_tokens",
+        coalesce($"kept_tokens", lit(0L)).as("kept_tokens"),
+        coalesce($"kept_checksum", md5(lit(""))).as("kept_checksum"))
       .orderBy($"doc_id")
   }
 

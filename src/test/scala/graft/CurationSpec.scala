@@ -316,6 +316,48 @@ class CurationSpec extends GraftSuite {
     assert(!plan.contains("Cartesian"), "span detection must stay join-bucketed")
   }
 
+  test("cutDuplicatedSpans: retained text equals the brute-force span cut, checksummed") {
+    import spark.implicits._
+    def md5hex(s: String): String = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    def brute(texts: Seq[(Long, String)], k: Int): Map[Long, (Long, Long, String)] = {
+      val occ = texts.flatMap { case (id, t) =>
+        val ws = t.split(" ", -1).toSeq
+        if (ws.length < k) Nil
+        else ws.sliding(k).zipWithIndex.map { case (g, i) => (g.mkString(" "), id, i) }.toSeq
+      }
+      val counts = occ.groupBy(_._1).view.mapValues(_.size).toMap
+      val coveredBy = occ.filter(o => counts(o._1) >= 2)
+        .groupBy(_._2).view.mapValues(_.flatMap(o => o._3 until o._3 + k).toSet).toMap
+      texts.map { case (id, t) =>
+        val ws = t.split(" ", -1).toSeq
+        val cov = coveredBy.getOrElse(id, Set.empty)
+        val kept = ws.zipWithIndex.collect { case (w, i) if !cov(i) => w }
+        id -> ((ws.length.toLong, kept.length.toLong, md5hex(kept.mkString(" "))))
+      }.toMap
+    }
+    def collect(df: org.apache.spark.sql.DataFrame) =
+      Curation.cutDuplicatedSpans(df).collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    // constructed corpus from the q97 fixture: shared runs cut from BOTH
+    // docs (aggressive variant), clean doc untouched
+    def words(p: String, n: Int) = (0 until n).map(i => s"$p$i")
+    val s1 = words("s", 9); val s2 = words("t", 8)
+    val d1 = (s1 ++ words("a", 5) ++ s2 ++ words("b", 3)).mkString(" ")
+    val d2 = (words("c", 4) ++ s1 ++ words("d", 6) ++ s2).mkString(" ")
+    val d3 = words("e", 20).mkString(" ")
+    val constructed = Seq((1L, d1), (2L, d2), (3L, d3))
+    val gotC = collect(constructed.toDF("doc_id", "text"))
+    assert(gotC === brute(constructed, 8))
+    assert(gotC(1L)._2 === 8L, "25 tokens minus the 17 duplicated")
+    assert(gotC(1L)._3 === md5hex((words("a", 5) ++ words("b", 3)).mkString(" ")))
+    assert(gotC(3L) === ((20L, 20L, md5hex(d3))), "clean doc passes through intact")
+    // the real fixture
+    val texts = docs.select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(collect(docs) === brute(texts, 8))
+  }
+
   test("dsirImportance equals the brute-force hashed log-likelihood ratio; target lang wins") {
     def round4(x: Double): Double =
       java.math.BigDecimal.valueOf(x).setScale(4, java.math.RoundingMode.HALF_UP).doubleValue()

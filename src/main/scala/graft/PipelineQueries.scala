@@ -175,6 +175,9 @@ object PipelineQueries {
     "q98_dsir_select" -> ((s, d) => Curation.dsirImportance(Tables.documents(s, d))),
     // apply the q97 span map: corpus with duplicated spans cut, checksummed
     "q99_span_cut" -> ((s, d) => Curation.cutDuplicatedSpans(Tables.documents(s, d))),
+    // SemDeDup: semantic dedup with k-means cells as the blocking
+    // structure (the third family beside LSH bands and hyperplane tables)
+    "q100_semantic_dedup" -> ((s, d) => Similarity.semanticDedup(Tables.embeddings(s, d))),
     // rows-only (no oracle): approximate sketches differ by implementation
     "q38_sketches" -> ((s, d) => {
       import org.apache.spark.sql.functions._
@@ -232,7 +235,10 @@ object PipelineQueries {
     * updates (zipped unnest of positions and values), empty clusters keep
     * the previous centroid — replicating Similarity.kmeansClusters exactly.
     */
-  private lazy val KmeansSql: String = {
+  /** WITH-chain ending in `af(vec_id, v, cid, cos)` — the trained 2-round
+    * Lloyd assignment, shared by the q70 and q100 oracles.
+    */
+  private lazy val KmeansAssignCtes: String = {
     def assign(cents: String) =
       s"""SELECT vec_id, v, cid, cos FROM (
          |  SELECT e.vec_id, e.v, c.cid, round(${cosSql("e.v", "c.cv")}, 6) AS cos,
@@ -257,10 +263,31 @@ object PipelineQueries {
        |cent1 AS (${update("a1", "cent0")}),
        |a2 AS (${assign("cent1")}),
        |cent2 AS (${update("a2", "cent1")}),
-       |af AS (${assign("cent2")})
+       |af AS (${assign("cent2")})""".stripMargin
+  }
+
+  private lazy val KmeansSql: String =
+    s"""$KmeansAssignCtes
        |SELECT cid, count(*) AS n_members, round(avg(cos), 6) AS cohesion
        |FROM af GROUP BY cid ORDER BY cid""".stripMargin
-  }
+
+  /** SemDeDup oracle: q70's trained assignment, then within-cluster
+    * higher-priority near-duplicate existence at tau = 0.45.
+    */
+  private lazy val SemDedupSql: String =
+    s"""$KmeansAssignCtes,
+       |dropped AS (
+       |  SELECT DISTINCT y.cid, y.vec_id FROM af x JOIN af y
+       |    ON x.cid = y.cid AND x.vec_id < y.vec_id
+       |  WHERE round(${cosSql("x.v", "y.v")}, 6) >= 0.45
+       |),
+       |rep AS (SELECT cid, count(*) AS n_dropped FROM dropped GROUP BY cid)
+       |SELECT af.cid, count(*) AS n_members,
+       | CAST(coalesce(any_value(rep.n_dropped), 0) AS BIGINT) AS n_dropped,
+       | round(CAST(coalesce(any_value(rep.n_dropped), 0) AS BIGINT) * 1.0 / count(*), 6)
+       |   AS drop_fraction
+       |FROM af LEFT JOIN rep ON af.cid = rep.cid
+       |GROUP BY af.cid ORDER BY af.cid""".stripMargin
 
   /** Distinct char-5-gram rows per doc (DuckDB list comprehension). */
   private val GramsCte =
@@ -556,6 +583,7 @@ object PipelineQueries {
       s"""SELECT doc_id, $QualityExprSql AS quality
          |FROM documents ORDER BY doc_id""".stripMargin,
     "q70_kmeans_clusters" -> KmeansSql,
+    "q100_semantic_dedup" -> SemDedupSql,
     "q72_bloom_prefilter" -> {
       val ps = (0 until 3).map(j => posSql("h", j, 16384))
       s"""WITH dimk AS (

@@ -393,6 +393,39 @@ class PipelineSpec extends GraftSuite {
     assert(r1.forall { case (_, _, c) => c >= -1.0001 && c <= 1.0001 })
   }
 
+  test("semanticDedup: droppee rule on constructed cells; report laws + truth bound on fixture") {
+    import spark.implicits._
+    import graft.operators.Similarity
+    // constructed cells: cluster 0 holds an identical pair (1,2) and an
+    // orthogonal vector 3; cluster 1 holds vectors identical to cluster
+    // 0's — cross-CLUSTER dups must NOT drop (the SemDeDup trade)
+    val a = Seq(
+      (1L, Array(1.0, 0.0), 0L), (2L, Array(1.0, 0.0), 0L), (3L, Array(0.0, 1.0), 0L),
+      (4L, Array(1.0, 0.0), 1L), (5L, Array(0.0, 1.0), 1L)
+    ).toDF("vec_id", "v", "cid")
+    val dropped = Similarity.semanticDroppees(a, 0.45).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(dropped === Set((0L, 2L)),
+      "only the higher-id member of the same-cell duplicate pair drops")
+    // fixture report: members partition the corpus, droppees are bounded by
+    // the exact all-pairs truth at the same tau (cluster blocking can only
+    // MISS pairs, never invent them)
+    val rep = Similarity.semanticDedup(embs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(rep.map(_._2).sum === embs.count())
+    val truthDroppees = Similarity.embeddingNearDupExact(embs, 0.45).collect()
+      .map(_.getLong(1)).toSet
+    assert(rep.map(_._3).sum <= truthDroppees.size)
+    assert(rep.map(_._3).sum > 0, "the fixture's planted near-dups must surface")
+    rep.foreach { case (_, m, d, f) =>
+      assert(d <= m)
+      assert(f === BigDecimal(d.toDouble / m).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }
+    // never a cartesian: the self-join is an equi-join on the cluster key
+    val plan = Similarity.semanticDedup(embs).queryExecution.executedPlan.toString
+    assert(!plan.contains("Cartesian"), s"cluster self-join must stay keyed:\n$plan")
+  }
+
   test("kmeans parallel init: same clustering laws as coreset, cohesion not worse") {
     import graft.operators.Similarity
     val p1 = Similarity.kmeansClusters(embs, init = "parallel").collect()

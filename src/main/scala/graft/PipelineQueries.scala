@@ -178,6 +178,20 @@ object PipelineQueries {
     // SemDeDup: semantic dedup with k-means cells as the blocking
     // structure (the third family beside LSH bands and hyperplane tables)
     "q100_semantic_dedup" -> ((s, d) => Similarity.semanticDedup(Tables.embeddings(s, d))),
+    // snapshot diff: added/removed/changed/unchanged doc + token mass
+    // between two deterministic corpus versions (docs %10==1 arrive,
+    // %10==0 leave, %7==0 gain a revision marker)
+    "q101_corpus_diff" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      val docs = Tables.documents(s, d)
+      Curation.corpusDiff(
+        docs.filter(col("doc_id") % 10 =!= 1),
+        docs.filter(col("doc_id") % 10 =!= 0)
+          .withColumn("text", when(col("doc_id") % 7 === 0,
+            concat(col("text"), lit(" rev1"))).otherwise(col("text"))))
+    }),
+    // per-source quality drift (PSI over quality deciles vs the corpus)
+    "q102_source_drift" -> ((s, d) => TextAnalysis.sourceDriftPsi(Tables.documents(s, d))),
     // rows-only (no oracle): approximate sketches differ by implementation
     "q38_sketches" -> ((s, d) => {
       import org.apache.spark.sql.functions._
@@ -1134,10 +1148,52 @@ object PipelineQueries {
         | CAST(coalesce(kept_tokens, 0) AS BIGINT) AS kept_tokens,
         | coalesce(kept_checksum, md5('')) AS kept_checksum
         |FROM documents LEFT JOIN kept USING (doc_id) ORDER BY doc_id""".stripMargin,
+    "q101_corpus_diff" ->
+      """WITH o AS (SELECT doc_id, md5(text) AS osum,
+        |             CAST(len(string_split(text, ' ')) AS BIGINT) AS otoks
+        |           FROM documents WHERE doc_id % 10 != 1),
+        |n AS (SELECT doc_id,
+        |        md5(CASE WHEN doc_id % 7 = 0 THEN text || ' rev1' ELSE text END) AS nsum,
+        |        CAST(len(string_split(
+        |          CASE WHEN doc_id % 7 = 0 THEN text || ' rev1' ELSE text END, ' '))
+        |          AS BIGINT) AS ntoks
+        |      FROM documents WHERE doc_id % 10 != 0),
+        |j AS (SELECT CASE WHEN osum IS NULL THEN 'added'
+        |             WHEN nsum IS NULL THEN 'removed'
+        |             WHEN osum != nsum THEN 'changed'
+        |             ELSE 'unchanged' END AS status,
+        |        coalesce(ntoks, otoks) AS n_tokens
+        |      FROM o FULL OUTER JOIN n USING (doc_id))
+        |SELECT status, count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS n_tokens
+        |FROM j GROUP BY status ORDER BY status""".stripMargin,
+    "q102_source_drift" ->
+      // smoothing operands exact integers; per-bin terms quantize to
+      // integer micro-units so the per-source sum is exact and
+      // order-independent; expression trees mirror the Scala shapes
+      // term for term
+      s"""WITH b AS (SELECT source, CAST(floor($QualityExprSql * 10) AS BIGINT) AS bin
+         |           FROM documents),
+         |sb AS (SELECT source, bin, count(*) AS c_sb FROM b GROUP BY 1, 2),
+         |cb AS (SELECT bin, CAST(sum(c_sb) AS BIGINT) AS c_b FROM sb GROUP BY 1),
+         |tot AS (SELECT CAST(sum(c_b) AS BIGINT) AS n, count(*) AS nb FROM cb),
+         |st AS (SELECT source, CAST(sum(c_sb) AS BIGINT) AS n_s FROM sb GROUP BY 1),
+         |dense AS (
+         |  SELECT st.source, st.n_s, cb.bin, cb.c_b,
+         |    CAST(coalesce(sb.c_sb, 0) AS BIGINT) AS c_sb, tot.n, tot.nb
+         |  FROM st CROSS JOIN cb CROSS JOIN tot
+         |  LEFT JOIN sb ON sb.source = st.source AND sb.bin = cb.bin
+         |)
+         |SELECT source, max(n_s) AS n_docs,
+         | round(CAST(sum(CAST(round((((c_sb + 1) / (n_s + nb) - (c_b + 1) / (n + nb)) *
+         |   ln(((c_sb + 1) / (n_s + nb)) / ((c_b + 1) / (n + nb)))) * 1e6) AS BIGINT))
+         |   AS BIGINT) / 1e6, 4) AS psi
+         |FROM dense GROUP BY source ORDER BY source""".stripMargin,
     "q98_dsir_select" -> {
       // the md5-slice bucket (q72's hash family); smoothing operands are
-      // exact integers, ln() is the one transcendental (ratios round 6,
-      // doc sums 4 — the BM25 discipline)
+      // exact integers; ln() quantizes to integer MICRO-UNITS so the
+      // per-doc weighted sum is exact integer arithmetic (a float sum
+      // over ~1024 terms is reduction-order-dependent at the rounding
+      // boundary); one final /1e6 + round(4)
       val b = posSql("h", 0, 1024)
       s"""WITH tb AS (
          |  SELECT doc_id, lang, $b AS b FROM (
@@ -1153,11 +1209,12 @@ object PipelineQueries {
          |),
          |tot AS (SELECT CAST(sum(ct) AS BIGINT) AS nt, CAST(sum(cs) AS BIGINT) AS ns FROM bs),
          |r AS (
-         |  SELECT b, round(ln(((ct + 1) / (nt + 1024)) / ((cs + 1) / (ns + 1024))), 6) AS r
+         |  SELECT b, CAST(round(ln(((ct + 1) / (nt + 1024)) / ((cs + 1) / (ns + 1024))) * 1e6)
+         |    AS BIGINT) AS r6
          |  FROM bs CROSS JOIN tot
          |),
          |dc AS (SELECT doc_id, lang, b, count(*) AS c FROM tb GROUP BY 1, 2, 3)
-         |SELECT doc_id, lang, round(sum(c * r), 4) AS logratio
+         |SELECT doc_id, lang, round(CAST(sum(c * r6) AS BIGINT) / 1e6, 4) AS logratio
          |FROM dc JOIN r USING (b)
          |GROUP BY 1, 2
          |ORDER BY logratio DESC, doc_id LIMIT 50""".stripMargin
@@ -1274,10 +1331,15 @@ object PipelineQueries {
     "q90_token_entropy" ->
       """WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
         |c AS (SELECT doc_id, w, count(*) AS c FROM t GROUP BY 1, 2),
-        |e AS (
+        |s AS (
         |  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens, count(*) AS n_types,
-        |    log2(sum(c)) - sum(c * log2(c)) / sum(c) AS h
+        |    CAST(sum(c * CAST(round(log2(c) * 1e6) AS BIGINT)) AS BIGINT) AS s6
         |  FROM c GROUP BY doc_id
+        |),
+        |e AS (
+        |  SELECT doc_id, n_tokens, n_types,
+        |    log2(n_tokens) - s6 / 1e6 / n_tokens AS h
+        |  FROM s
         |)
         |SELECT doc_id, n_tokens, n_types,
         | round(h, 4) AS entropy,

@@ -404,9 +404,13 @@ object Curation {
     * bucket-table-joined weighted sum, top-k via TakeOrderedAndProject.
     * Determinism: the smoothed ratio is composed of exact integer
     * operands through correctly-rounded IEEE divisions; `ln` is the one
-    * transcendental, so per-bucket ratios round to 6 decimals and the
-    * per-doc sum to 4 (the BM25/tf-idf discipline), and ranking is on
-    * the ROUNDED score then doc_id.
+    * transcendental and is QUANTIZED to integer micro-units
+    * (round(ln·10⁶)), so the per-doc weighted sum is exact integer
+    * arithmetic — order-independent under any partitioning, where a
+    * float sum over up to `buckets` terms can land either side of a
+    * rounding boundary depending on reduction order. One final division
+    * back to units + round(4); ranking is on the rounded score then
+    * doc_id.
     */
   def dsirImportance(documents: DataFrame, targetLang: String = "en",
       buckets: Int = 1024, topk: Int = 50): DataFrame = {
@@ -421,16 +425,46 @@ object Curation {
     val ratios = bucketStats
       .crossJoin(broadcast(totals))
       .select($"b", round(
-        log((($"ct" + 1L) / ($"nt" + buckets)) / (($"cs" + 1L) / ($"ns" + buckets))),
-        6).as("r"))
+        log((($"ct" + 1L) / ($"nt" + buckets)) / (($"cs" + 1L) / ($"ns" + buckets))) * 1e6,
+        0).cast("long").as("r6"))
     toks
       .groupBy($"doc_id", $"lang", $"b")
       .agg(count(lit(1)).as("c"))
       .join(broadcast(ratios), Seq("b"))
       .groupBy($"doc_id", $"lang")
-      .agg(round(sum($"c" * $"r"), 4).as("logratio"))
+      .agg(round(sum($"c" * $"r6") / 1e6, 4).as("logratio"))
       .orderBy($"logratio".desc, $"doc_id")
       .limit(topk)
+  }
+
+  /** Corpus snapshot diff: classify every document across two dataset
+    * versions as added / removed / changed / unchanged and report doc and
+    * token mass per class — the dataset-versioning primitive behind
+    * "what moved between crawl N and crawl N+1" (the table-format
+    * change-feed computed directly, no transaction log required).
+    *
+    * Shape: each side projects down to `(doc_id, md5(text), n_tokens)`
+    * BEFORE the join, so the full outer shuffles two signature tables —
+    * never document bodies — then one aggregation over the 4-class
+    * frame. Token mass is the NEW side's where it exists (added/changed/
+    * unchanged) and the OLD side's for removals.
+    */
+  def corpusDiff(oldSnap: DataFrame, newSnap: DataFrame): DataFrame = {
+    def sig(df: DataFrame, pfx: String) = df.select(
+      $"doc_id",
+      md5($"text").as(s"${pfx}_sum"),
+      size(split($"text", " ")).cast("long").as(s"${pfx}_toks"))
+    sig(oldSnap, "old")
+      .join(sig(newSnap, "new"), Seq("doc_id"), "full_outer")
+      .select(
+        when($"old_sum".isNull, "added")
+          .when($"new_sum".isNull, "removed")
+          .when($"old_sum" =!= $"new_sum", "changed")
+          .otherwise("unchanged").as("status"),
+        coalesce($"new_toks", $"old_toks").as("n_tokens"))
+      .groupBy($"status")
+      .agg(count(lit(1)).as("n_docs"), sum($"n_tokens").as("n_tokens"))
+      .orderBy($"status")
   }
 
   /** Temperature-smoothed language mixture (the multilingual-pretraining

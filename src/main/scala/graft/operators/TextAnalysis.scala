@@ -174,7 +174,14 @@ object TextAnalysis {
     counts
       .groupBy($"doc_id")
       .agg(sum($"c").as("n_tokens"), count(lit(1)).as("n_types"),
-        (log2(sum($"c")) - sum($"c" * log2($"c")) / sum($"c")).as("h"))
+        // log2(c) quantized to integer micro-units: the per-doc weighted
+        // sum is then exact integer arithmetic, order-independent under
+        // any partitioning (a float sum over n_types terms can land
+        // either side of the round-4 boundary depending on reduction
+        // order — the q98 lesson)
+        sum($"c" * round(log2($"c") * 1e6, 0).cast("long")).as("s6"))
+      .select($"doc_id", $"n_tokens", $"n_types",
+        (log2($"n_tokens") - $"s6" / 1e6 / $"n_tokens").as("h"))
       .select($"doc_id", $"n_tokens", $"n_types",
         round($"h", 4).as("entropy"),
         round(when($"n_tokens" > 1, $"h" / log2($"n_tokens")).otherwise(0.0), 4)
@@ -313,4 +320,44 @@ object TextAnalysis {
       .groupBy($"bin")
       .agg(count(lit(1)).as("n_docs"), sum($"nw").as("total_words"))
       .orderBy($"bin")
+
+  /** Per-source quality-distribution drift vs the corpus baseline —
+    * population stability index (PSI, the standard model-monitoring
+    * drift statistic) over quality-score decile bins, add-one smoothed
+    * on the corpus-wide bin set so empty cells stay finite. PSI ≈ 0
+    * means a source's quality profile matches the corpus; the
+    * conventional alert thresholds are 0.1 (drifting) / 0.25 (shifted).
+    * This is the MONITORING op of the curation suite: run per
+    * crawl/snapshot and alert before a drifted source pollutes the mix.
+    *
+    * Shape: one scored scan into (source × bin) counts (map-side
+    * combined); every downstream relation — per-bin corpus counts,
+    * per-source totals, the 1-row grand total, the densified
+    * source×bin frame — is aggregate-sized (sources × deciles), so the
+    * PSI arithmetic is broadcast-scale regardless of corpus size.
+    * Determinism: counts are exact integers, divisions correctly
+    * rounded IEEE; each bin's PSI term quantizes to integer micro-units
+    * so the per-source sum is exact (order-independent), then one /1e6
+    * + round(4).
+    */
+  def sourceDriftPsi(documents: DataFrame): DataFrame = {
+    val binned = documents.select($"source",
+      floor(qualityCol($"text") * 10).cast("long").as("bin"))
+    val sb = binned.groupBy($"source", $"bin").agg(count(lit(1)).as("c_sb"))
+    val cb = sb.groupBy($"bin").agg(sum($"c_sb").as("c_b"))
+    val tot = cb.agg(sum($"c_b").as("n"), count(lit(1)).as("nb"))
+    val st = sb.groupBy($"source").agg(sum($"c_sb").as("n_s"))
+    val ps = ($"c_sb" + 1L) / ($"n_s" + $"nb")
+    val pc = ($"c_b" + 1L) / ($"n" + $"nb")
+    st.crossJoin(broadcast(cb))
+      .crossJoin(broadcast(tot))
+      .join(sb, Seq("source", "bin"), "left")
+      .select($"source", $"n_s", coalesce($"c_sb", lit(0L)).as("c_sb"),
+        $"c_b", $"n", $"nb")
+      .select($"source", $"n_s",
+        round((ps - pc) * log(ps / pc) * 1e6, 0).cast("long").as("t6"))
+      .groupBy($"source")
+      .agg(max($"n_s").as("n_docs"), round(sum($"t6") / 1e6, 4).as("psi"))
+      .orderBy($"source")
+  }
 }

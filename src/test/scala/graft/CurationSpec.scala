@@ -373,12 +373,15 @@ class CurationSpec extends GraftSuite {
     val ct = toks.filter(_._2 == "en").groupBy(_._3).view.mapValues(_.size.toLong).toMap
     val cs = toks.groupBy(_._3).view.mapValues(_.size.toLong).toMap
     val nt = ct.values.sum; val ns = cs.values.sum
-    val r = cs.keys.map { b =>
-      b -> round6(math.log(((ct.getOrElse(b, 0L) + 1).toDouble / (nt + 1024)) /
-        ((cs(b) + 1).toDouble / (ns + 1024))))
+    // integer micro-units: the weighted sum must be exact (order-free)
+    val r6 = cs.keys.map { b =>
+      b -> java.math.BigDecimal.valueOf(
+        math.log(((ct.getOrElse(b, 0L) + 1).toDouble / (nt + 1024)) /
+          ((cs(b) + 1).toDouble / (ns + 1024))) * 1e6)
+        .setScale(0, java.math.RoundingMode.HALF_UP).longValue()
     }.toMap
     val expected = toks.groupBy(t => (t._1, t._2)).view.mapValues { ts =>
-      round4(ts.groupBy(_._3).map { case (b, os) => os.size * r(b) }.sum)
+      round4(ts.groupBy(_._3).map { case (b, os) => os.size * r6(b) }.sum / 1e6)
     }.toSeq.map { case ((id, lang), s) => (id, lang, s) }
       .sortBy { case (id, _, s) => (-s, id) }.take(50)
     val got = Curation.dsirImportance(docs).collect()
@@ -393,6 +396,77 @@ class CurationSpec extends GraftSuite {
     assert(plan.contains("TakeOrderedAndProject"), s"top-k must not global-sort:\n$plan")
     assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastNestedLoopJoin"),
       s"bucket ratio table and totals must broadcast:\n$plan")
+  }
+
+  test("corpusDiff classifies all four statuses; fixture masses partition both snapshots") {
+    import spark.implicits._
+    val oldSnap = Seq((1L, "a b"), (2L, "c d e"), (3L, "f")).toDF("doc_id", "text")
+    val newSnap = Seq((2L, "c d e"), (3L, "f CHANGED"), (4L, "g h")).toDF("doc_id", "text")
+    val got = Curation.corpusDiff(oldSnap, newSnap).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got === Map(
+      "added" -> ((1L, 2L)),     // doc 4: 2 tokens
+      "removed" -> ((1L, 2L)),   // doc 1: OLD-side 2 tokens
+      "changed" -> ((1L, 2L)),   // doc 3: NEW-side 2 tokens
+      "unchanged" -> ((1L, 3L))))
+    // fixture: every doc of old ∪ new is classified exactly once, token
+    // mass adds up against direct recomputation
+    val docs0 = docs
+    val oldF = docs0.filter(col("doc_id") % 10 =!= 1)
+    val newF = docs0.filter(col("doc_id") % 10 =!= 0)
+      .withColumn("text", when(col("doc_id") % 7 === 0,
+        concat(col("text"), lit(" rev1"))).otherwise(col("text")))
+    val rep = Curation.corpusDiff(oldF, newF).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(rep.keySet === Set("added", "removed", "changed", "unchanged"),
+      "the fixture derivation must make every branch non-vacuous")
+    val union = oldF.select("doc_id").union(newF.select("doc_id")).distinct().count()
+    assert(rep.values.map(_._1).sum === union)
+    val removedToks = oldF.filter(col("doc_id") % 10 === 0)
+      .agg(sum(size(split(col("text"), " ")).cast("long"))).collect()(0).getLong(0)
+    val newToks = newF
+      .agg(sum(size(split(col("text"), " ")).cast("long"))).collect()(0).getLong(0)
+    assert(rep.values.map(_._2).sum === removedToks + newToks)
+  }
+
+  test("sourceDriftPsi equals the brute-force PSI; terms are nonnegative and planted drift ranks top") {
+    import spark.implicits._
+    import graft.operators.TextAnalysis
+    def round4(x: Double): Double =
+      java.math.BigDecimal.valueOf(x).setScale(4, java.math.RoundingMode.HALF_UP).doubleValue()
+    def brutePsi(rows: Seq[(String, Long)]): Map[String, (Long, Double)] = {
+      val cb = rows.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+      val n = rows.size.toLong; val nb = cb.size.toLong
+      rows.groupBy(_._1).map { case (src, rs) =>
+        val sb = rs.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+        val ns = rs.size.toLong
+        val t6 = cb.toSeq.sortBy(_._1).map { case (bin, cBin) =>
+          val p = (sb.getOrElse(bin, 0L) + 1).toDouble / (ns + nb)
+          val q = (cBin + 1).toDouble / (n + nb)
+          java.math.BigDecimal.valueOf((p - q) * math.log(p / q) * 1e6)
+            .setScale(0, java.math.RoundingMode.HALF_UP).longValue()
+        }.sum
+        src -> ((ns, round4(t6 / 1e6)))
+      }
+    }
+    def binsOf(df: org.apache.spark.sql.DataFrame): Seq[(String, Long)] =
+      df.select(col("source"),
+          floor(TextAnalysis.qualityCol(col("text")) * 10).cast("long").as("bin"))
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    val got = TextAnalysis.sourceDriftPsi(docs).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(got === brutePsi(binsOf(docs)))
+    assert(got.values.map(_._1).sum === docs.count(), "sources partition the corpus")
+    assert(got.values.forall(_._2 >= 0.0), "PSI terms are individually nonnegative")
+    // planted drift: a source holding only the corpus' shortest docs must
+    // out-drift every organic source
+    val drifted = docs.orderBy(col("n_chars"), col("doc_id")).limit(20)
+      .withColumn("source", lit("drifted"))
+    val withDrift = TextAnalysis.sourceDriftPsi(docs.unionByName(drifted)).collect()
+      .map(r => (r.getString(0), r.getDouble(2)))
+    val dPsi = withDrift.find(_._1 == "drifted").get._2
+    assert(withDrift.filter(_._1 != "drifted").forall(_._2 < dPsi),
+      s"planted drift must rank top: $dPsi vs ${withDrift.filter(_._1 != "drifted").map(_._2).max}")
   }
 
   test("materializeMixture: deterministic draw, head flattened, within-language bounds") {
@@ -426,9 +500,13 @@ class CurationSpec extends GraftSuite {
     val expected = texts.map { case (id, t) =>
       val ws = t.split(" ", -1)
       val n = ws.length.toDouble
-      val h = log2(n) - ws.groupBy(identity).values.map { g =>
-        g.length * log2(g.length.toDouble)
-      }.sum / n
+      // micro-unit quantized weighted sum — exact, order-free (mirrors
+      // the operator and oracle exactly)
+      val s6 = ws.groupBy(identity).values.map { g =>
+        g.length * java.math.BigDecimal.valueOf(log2(g.length.toDouble) * 1e6)
+          .setScale(0, java.math.RoundingMode.HALF_UP).longValue()
+      }.sum
+      val h = log2(n) - s6 / 1e6 / n
       id -> ((ws.length.toLong, ws.distinct.length.toLong, round4(h)))
     }.toMap
     val got = graft.operators.TextAnalysis.tokenEntropy(docs).collect()
@@ -438,7 +516,7 @@ class CurationSpec extends GraftSuite {
     got.foreach { case (id, (n, ty, h)) =>
       val (en, ety, eh) = expected(id)
       assert(n === en && ty === ety, s"doc $id")
-      assert(math.abs(h - eh) <= 1e-4, s"doc $id: $h vs $eh") // summation-order ulp
+      assert(h === eh, s"doc $id: $h vs $eh") // exact: the sum is integer arithmetic
     }
     // extremes: repetition -> 0; all-distinct -> norm 1
     val extremes = Seq((0L, "spam spam spam spam"), (1L, "a b c d e f g h"))

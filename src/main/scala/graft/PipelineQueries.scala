@@ -192,6 +192,9 @@ object PipelineQueries {
     }),
     // per-source quality drift (PSI over quality deciles vs the corpus)
     "q102_source_drift" -> ((s, d) => TextAnalysis.sourceDriftPsi(Tables.documents(s, d))),
+    // hard-negative mining: per anchor, top-k in the [0.2, 0.45) cosine
+    // band — informative negatives strictly below the near-dup tau
+    "q103_hard_negatives" -> ((s, d) => Similarity.hardNegatives(Tables.embeddings(s, d))),
     // rows-only (no oracle): approximate sketches differ by implementation
     "q38_sketches" -> ((s, d) => {
       import org.apache.spark.sql.functions._
@@ -1148,6 +1151,22 @@ object PipelineQueries {
         | CAST(coalesce(kept_tokens, 0) AS BIGINT) AS kept_tokens,
         | coalesce(kept_checksum, md5('')) AS kept_checksum
         |FROM documents LEFT JOIN kept USING (doc_id) ORDER BY doc_id""".stripMargin,
+    "q103_hard_negatives" ->
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |a AS (SELECT vec_id AS anchor_id, v AS av FROM e WHERE vec_id < 5),
+         |s AS (
+         |  SELECT anchor_id, e.vec_id AS neighbor_id,
+         |    round(${cosSql("av", "e.v")}, 6) AS cos
+         |  FROM e CROSS JOIN a WHERE e.vec_id <> a.anchor_id
+         |),
+         |r AS (
+         |  SELECT anchor_id, neighbor_id, cos,
+         |    CAST(row_number() OVER (PARTITION BY anchor_id
+         |      ORDER BY cos DESC, neighbor_id) AS INT) AS rnk
+         |  FROM s WHERE cos >= 0.2 AND cos < 0.45
+         |)
+         |SELECT anchor_id, neighbor_id, cos, rnk FROM r WHERE rnk <= 5
+         |ORDER BY anchor_id, rnk""".stripMargin,
     "q101_corpus_diff" ->
       """WITH o AS (SELECT doc_id, md5(text) AS osum,
         |             CAST(len(string_split(text, ' ')) AS BIGINT) AS otoks

@@ -68,6 +68,38 @@ object Similarity {
       .orderBy($"query_id", $"rnk")
   }
 
+  /** Hard-negative mining for contrastive training: per anchor vector,
+    * the top-`k` most-similar corpus vectors whose cosine falls in
+    * `[lo, hi)` — similar enough to be informative negatives, strictly
+    * below the near-dup threshold (`hi` should equal the dedup tau, here
+    * q48's 0.45, so mined negatives are never latent positives). The
+    * embedding-model training counterpart of the ANN serving ops.
+    *
+    * Shape: anchors broadcast onto one corpus scan (linear for a bounded
+    * anchor set, like q29/q37); the band filter runs BEFORE the per-anchor
+    * rank window, so window partitions hold band populations, not the
+    * corpus. Mining negatives for EVERY corpus vector at 100 TB swaps the
+    * broadcast for the IVF cell route (q55) and the plain window for the
+    * salted `Scale.topKPerGroup` — same band-then-rank pipeline.
+    */
+  def hardNegatives(embeddings: DataFrame, nAnchors: Int = 5, k: Int = 5,
+      lo: Double = 0.2, hi: Double = 0.45): DataFrame = {
+    import graft.functions.VectorFunctions.cosine_sim
+    val corpus = embeddings.select($"vec_id", asDouble($"embedding").as("v"))
+    val anchors = corpus.filter($"vec_id" < nAnchors)
+      .select($"vec_id".as("anchor_id"), $"v".as("av"))
+    val w = Window.partitionBy($"anchor_id").orderBy($"cos".desc, $"neighbor_id")
+    corpus
+      .join(broadcast(anchors), $"vec_id" =!= $"anchor_id")
+      .select($"anchor_id", $"vec_id".as("neighbor_id"),
+        round(cosine_sim($"av", $"v"), 6).as("cos"))
+      .filter($"cos" >= lo && $"cos" < hi)
+      .withColumn("rnk", row_number().over(w))
+      .filter($"rnk" <= k)
+      .select($"anchor_id", $"neighbor_id", $"cos", $"rnk".cast("int").as("rnk"))
+      .orderBy($"anchor_id", $"rnk")
+  }
+
   val NumPlanes = 8
 
   /** Deterministic pseudo-random hyperplane coefficient for (plane j, dim i):

@@ -393,6 +393,31 @@ class PipelineSpec extends GraftSuite {
     assert(r1.forall { case (_, _, c) => c >= -1.0001 && c <= 1.0001 })
   }
 
+  test("hardNegatives: brute-force band ranking; no near-dup ever mined as a negative") {
+    import graft.operators.Similarity
+    def round6d(x: Double): Double =
+      java.math.BigDecimal.valueOf(x).setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+    val vecs = embs.collect().map(r =>
+      (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toArray))
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      for (i <- a.indices) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i) }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val expected = vecs.filter(_._1 < 5).flatMap { case (aid, av) =>
+      vecs.filter(_._1 != aid)
+        .map { case (nid, v) => (nid, round6d(cos(av, v))) }
+        .filter { case (_, c) => c >= 0.2 && c < 0.45 }
+        .sortBy { case (nid, c) => (-c, nid) }.take(5).zipWithIndex
+        .map { case ((nid, c), i) => (aid, nid, c, i + 1) }
+    }.toSeq.sortBy(t => (t._1, t._4))
+    val got = Similarity.hardNegatives(embs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSeq
+    assert(got === expected)
+    assert(got.nonEmpty, "the band must be populated on the fixture")
+    assert(got.forall(_._3 < 0.45), "a mined negative at/above tau would be a latent positive")
+  }
+
   test("semanticDedup: droppee rule on constructed cells; report laws + truth bound on fixture") {
     import spark.implicits._
     import graft.operators.Similarity

@@ -99,6 +99,32 @@ object ProfileScaling {
     val slope = xs.zip(ys).map { case (x, y) => (x - mx) * (y - my) }.sum /
       xs.map(x => (x - mx) * (x - mx)).sum
     println(f"[scaling] pair-pipeline scaling exponent (log-log slope): $slope%.2f")
+
+    // q97 core (duplicated-span detection): gram counts + islands should
+    // scale with gram occurrences, i.e. ~linearly in the corpus. The
+    // pseudo-word map preserves each replica's duplicated spans (short
+    // words can md5-collide, so replicas run slightly dup-richer than
+    // the original — counts are reported, not assumed).
+    println("[scaling] spans: scale docs affected dup_tokens t_s")
+    val spanRows = scales.map { s =>
+      val docs = spark.read.parquet(s"$outRoot/x$s")
+      System.gc()
+      val (res, t) = time {
+        val r = graft.operators.Curation.duplicatedSpans(docs)
+          .agg(coalesce(count(lit(1)), lit(0L)).as("affected"),
+            coalesce(sum($"dup_tokens"), lit(0L)).as("dup_tokens"))
+          .collect()(0)
+        (r.getLong(0), r.getLong(1))
+      }
+      println(f"[scaling] spans x$s%-2d ${docs.count()}%6d ${res._1}%6d ${res._2}%9d $t%8.2f")
+      (s, t)
+    }
+    val sx = spanRows.map(r => math.log(r._1.toDouble))
+    val sy = spanRows.map(r => math.log(r._2))
+    val smx = sx.sum / sx.size; val smy = sy.sum / sy.size
+    val sslope = sx.zip(sy).map { case (x, y) => (x - smx) * (y - smy) }.sum /
+      sx.map(x => (x - smx) * (x - smx)).sum
+    println(f"[scaling] span-pipeline scaling exponent (log-log slope): $sslope%.2f")
     spark.stop()
   }
 }

@@ -195,6 +195,8 @@ object PipelineQueries {
     // hard-negative mining: per anchor, top-k in the [0.2, 0.45) cosine
     // band — informative negatives strictly below the near-dup tau
     "q103_hard_negatives" -> ((s, d) => Similarity.hardNegatives(Tables.embeddings(s, d))),
+    // tokenizer training: the first 5 BPE merges learned from the corpus
+    "q104_bpe_merges" -> ((s, d) => TextAnalysis.bpeMerges(Tables.documents(s, d))),
     // rows-only (no oracle): approximate sketches differ by implementation
     "q38_sketches" -> ((s, d) => {
       import org.apache.spark.sql.functions._
@@ -305,6 +307,41 @@ object PipelineQueries {
        |   AS drop_fraction
        |FROM af LEFT JOIN rep ON af.cid = rep.cid
        |GROUP BY af.cid ORDER BY af.cid""".stripMargin
+
+  /** BPE merge-training oracle: `TextAnalysis.bpeMerges` with the rounds
+    * UNROLLED (the KmeansSql technique) — each round counts adjacent
+    * symbol pairs weighted by word frequency on the vocab table, argmaxes
+    * (count desc, pair), and rewrites via the same padded left-to-right
+    * `replace`.
+    */
+  private lazy val BpeSql: String = {
+    val n = 5
+    def pairsOf(s: String) =
+      s"""SELECT p, CAST(sum(freq) AS BIGINT) AS c FROM (
+         |  SELECT freq, unnest([ss[i] || ' ' || ss[i+1] for i in range(1, len(ss))]) AS p
+         |  FROM (SELECT freq, string_split(seq, ' ') AS ss FROM $s)
+         |) GROUP BY p""".stripMargin
+    def rewrite(s: String, t: String) =
+      s"""SELECT freq, trim(replace(' ' || seq || ' ',
+         |  ' ' || (SELECT p FROM $t) || ' ',
+         |  ' ' || replace((SELECT p FROM $t), ' ', '') || ' ')) AS seq FROM $s""".stripMargin
+    val rounds = (1 to n).map { r =>
+      s"""p$r AS (${pairsOf(s"s${r - 1}")}),
+         |t$r AS (SELECT p, c FROM p$r ORDER BY c DESC, p LIMIT 1),
+         |s$r AS (${rewrite(s"s${r - 1}", s"t$r")})""".stripMargin
+    }.mkString(",\n")
+    val out = (1 to n).map(r =>
+      s"SELECT CAST($r AS INT) AS rank, p AS pair, replace(p, ' ', '') AS merged, c AS freq FROM t$r")
+      .mkString("\nUNION ALL\n")
+    s"""WITH w AS (
+       |  SELECT w, count(*) AS freq FROM (
+       |    SELECT unnest(string_split(text, ' ')) AS w FROM documents
+       |  ) WHERE length(w) > 0 GROUP BY w
+       |),
+       |s0 AS (SELECT freq, regexp_replace(w, '(.)', '\\1 ', 'g') || '</w>' AS seq FROM w),
+       |$rounds
+       |SELECT * FROM ($out) ORDER BY rank""".stripMargin
+  }
 
   /** Distinct char-5-gram rows per doc (DuckDB list comprehension). */
   private val GramsCte =
@@ -1151,6 +1188,7 @@ object PipelineQueries {
         | CAST(coalesce(kept_tokens, 0) AS BIGINT) AS kept_tokens,
         | coalesce(kept_checksum, md5('')) AS kept_checksum
         |FROM documents LEFT JOIN kept USING (doc_id) ORDER BY doc_id""".stripMargin,
+    "q104_bpe_merges" -> BpeSql,
     "q103_hard_negatives" ->
       s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
          |a AS (SELECT vec_id AS anchor_id, v AS av FROM e WHERE vec_id < 5),

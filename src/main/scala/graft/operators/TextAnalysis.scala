@@ -321,6 +321,64 @@ object TextAnalysis {
       .agg(count(lit(1)).as("n_docs"), sum($"nw").as("total_words"))
       .orderBy($"bin")
 
+  /** Distributed BPE merge training (Sennrich et al. 2016): learn the
+    * first `nMerges` byte-pair merges from the corpus — the TOKENIZER-
+    * TRAINING half of the token ops (q24 counts with a fixed scheme;
+    * this derives the scheme). Standard algorithm on the word-FREQUENCY
+    * table: symbols start as characters + `</w>`, each round counts
+    * adjacent symbol pairs weighted by word frequency, merges the
+    * globally most frequent pair (ties by pair text), and rewrites the
+    * vocabulary. Output: one row per learned merge (rank, pair, merged,
+    * pair frequency at selection time).
+    *
+    * Shape: the corpus collapses to the vocabulary ONCE (the only
+    * corpus-sized aggregation); every round then runs on the vocab
+    * table — pair explode + map-side-combined weighted counts, a 1-row
+    * argmax collect (driver holds one pair per round, the kmeans
+    * pattern), and a codegen'd `replace` rewrite, localCheckpointed so
+    * round plans stay flat. Left-to-right non-overlapping `replace` IS
+    * BPE's greedy application order, identically on both engines.
+    */
+  def bpeMerges(documents: DataFrame, nMerges: Int = 5): DataFrame = {
+    val spark = documents.sparkSession
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{IntegerType, LongType, StringType, StructField, StructType}
+    var seqs = documents
+      .select(explode(split($"text", " ")).as("w"))
+      .filter(length($"w") > 0)
+      .groupBy($"w").agg(count(lit(1)).as("freq"))
+      .select($"freq", concat(regexp_replace($"w", "(.)", "$1 "), lit("</w>")).as("seq"))
+      .localCheckpoint()
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+    var r = 1
+    while (r <= nMerges) {
+      val top = seqs
+        .select($"freq", split($"seq", " ").as("ss"))
+        .select($"freq", explode(expr(
+          "transform(sequence(1, size(ss) - 1), i -> concat(element_at(ss, i), ' ', element_at(ss, i + 1)))")).as("p"))
+        .groupBy($"p").agg(sum($"freq").as("c"))
+        .orderBy($"c".desc, $"p").limit(1).collect()
+      if (top.isEmpty) { r = nMerges + 1 }
+      else {
+        val pair = top(0).getString(0); val cnt = top(0).getLong(1)
+        val merged = pair.replace(" ", "")
+        merges += ((r, pair, merged, cnt))
+        seqs = seqs.select($"freq",
+          expr(s"trim(replace(concat(' ', seq, ' '), ' $pair ', ' $merged '))").as("seq"))
+          .localCheckpoint()
+        r += 1
+      }
+    }
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(merges.toSeq.map {
+        case (rk, p, m, c) => Row(rk, p, m, c) }, 1),
+      StructType(Seq(StructField("rank", IntegerType, nullable = false),
+        StructField("pair", StringType, nullable = false),
+        StructField("merged", StringType, nullable = false),
+        StructField("freq", LongType, nullable = false))))
+      .orderBy($"rank")
+  }
+
   /** Per-source quality-distribution drift vs the corpus baseline —
     * population stability index (PSI, the standard model-monitoring
     * drift statistic) over quality-score decile bins, add-one smoothed

@@ -429,6 +429,56 @@ class CurationSpec extends GraftSuite {
     assert(rep.values.map(_._2).sum === removedToks + newToks)
   }
 
+  test("bpeMerges equals a reference BPE trainer; greedy tie-break and rewrite pinned") {
+    import spark.implicits._
+    import graft.operators.TextAnalysis
+    def bruteBpe(texts: Seq[String], n: Int): Seq[(Int, String, String, Long)] = {
+      val freq = texts.flatMap(_.split(" ", -1)).filter(_.nonEmpty)
+        .groupBy(identity).view.mapValues(_.size.toLong).toMap
+      var vocab: Map[List[String], Long] =
+        freq.map { case (w, f) => (w.map(_.toString).toList :+ "</w>") -> f }
+      def mergeSyms(syms: List[String], a: String, b: String): List[String] = {
+        val out = scala.collection.mutable.ListBuffer.empty[String]
+        var i = 0
+        while (i < syms.length) {
+          if (i + 1 < syms.length && syms(i) == a && syms(i + 1) == b) {
+            out += (a + b); i += 2
+          } else { out += syms(i); i += 1 }
+        }
+        out.toList
+      }
+      val res = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+      for (r <- 1 to n) {
+        val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+          .withDefaultValue(0L)
+        vocab.foreach { case (syms, f) =>
+          syms.sliding(2).foreach {
+            case Seq(a, b) => counts((a, b)) += f
+            case _ =>
+          }
+        }
+        if (counts.nonEmpty) {
+          val ((a, b), c) = counts.minBy { case ((a, b), cc) => (-cc, s"$a $b") }
+          res += ((r, s"$a $b", a + b, c))
+          vocab = vocab.toSeq.map { case (syms, f) => (mergeSyms(syms, a, b), f) }
+            .groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+        }
+      }
+      res.toSeq
+    }
+    def run(df: org.apache.spark.sql.DataFrame, n: Int) =
+      TextAnalysis.bpeMerges(df, n).collect()
+        .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3))).toSeq
+    // constructed: "l o" and "o w" tie at 3 — the pair-text tiebreak must pick "l o"
+    val tiny = Seq("low low lower").toDF("text")
+    val gotTiny = run(tiny, 3)
+    assert(gotTiny.head === ((1, "l o", "lo", 3L)), "tie-break by pair text")
+    assert(gotTiny === bruteBpe(Seq("low low lower"), 3))
+    // fixture corpus vs the reference trainer
+    val texts = docs.select(col("text")).collect().map(_.getString(0)).toSeq
+    assert(run(docs, 5) === bruteBpe(texts, 5))
+  }
+
   test("sourceDriftPsi equals the brute-force PSI; terms are nonnegative and planted drift ranks top") {
     import spark.implicits._
     import graft.operators.TextAnalysis

@@ -255,4 +255,53 @@ object Aggregators {
     override def bufferEncoder: Encoder[String] = Encoders.STRING
     override def outputEncoder: Encoder[KMVEstimate] = Encoders.product[KMVEstimate]
   }
+
+  case class PsiCell(source: String, bin: Long, c: Long)
+  case class PsiBuf(cells: Seq[PsiCell])
+  case class PsiRow(source: String, n_docs: Long, psi: Double)
+
+  /** Streaming twin of `TextAnalysis.sourceDriftPsi`'s math: per-(source,
+    * quality-bin) counts as typed Aggregator state — bounded by sources ×
+    * bins on an unbounded stream, NO watermark (counts only grow; the
+    * report is recomputed from the live cell table each trigger). `finish`
+    * replicates the batch PSI exactly: add-one smoothing on the observed
+    * bin set, per-bin terms quantized to integer micro-units (exact
+    * order-free sums), one /1e6 + round(4) — so a complete-mode stream
+    * reproduces q102's rows bit-for-bit at every trigger.
+    */
+  class PsiReportOf extends Aggregator[(String, Long), PsiBuf, Seq[PsiRow]] {
+    override def zero: PsiBuf = PsiBuf(Vector.empty)
+
+    private def bump(cells: Seq[PsiCell], source: String, bin: Long, by: Long): Seq[PsiCell] = {
+      val i = cells.indexWhere(c => c.source == source && c.bin == bin)
+      if (i < 0) cells :+ PsiCell(source, bin, by)
+      else cells.updated(i, cells(i).copy(c = cells(i).c + by))
+    }
+
+    override def reduce(b: PsiBuf, x: (String, Long)): PsiBuf =
+      PsiBuf(bump(b.cells, x._1, x._2, 1L))
+
+    override def merge(a: PsiBuf, b: PsiBuf): PsiBuf =
+      PsiBuf(b.cells.foldLeft(a.cells) { (acc, c) => bump(acc, c.source, c.bin, c.c) })
+
+    override def finish(b: PsiBuf): Seq[PsiRow] = {
+      val cb = b.cells.groupBy(_.bin).view.mapValues(_.map(_.c).sum).toMap
+      val n = cb.values.sum; val nb = cb.size.toLong
+      b.cells.groupBy(_.source).toSeq.sortBy(_._1).map { case (src, cs) =>
+        val sb = cs.groupBy(_.bin).view.mapValues(_.map(_.c).sum).toMap
+        val ns = cs.map(_.c).sum
+        val t6 = cb.toSeq.sortBy(_._1).map { case (bin, cBin) =>
+          val p = (sb.getOrElse(bin, 0L) + 1).toDouble / (ns + nb)
+          val q = (cBin + 1).toDouble / (n + nb)
+          java.math.BigDecimal.valueOf((p - q) * math.log(p / q) * 1e6)
+            .setScale(0, java.math.RoundingMode.HALF_UP).longValue()
+        }.sum
+        PsiRow(src, ns, Rounding.halfUp(t6 / 1e6, 4))
+      }
+    }
+
+    override def bufferEncoder: Encoder[PsiBuf] = Encoders.product[PsiBuf]
+    override def outputEncoder: Encoder[Seq[PsiRow]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[PsiRow]]()
+  }
 }

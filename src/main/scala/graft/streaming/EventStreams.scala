@@ -204,6 +204,34 @@ object EventStreams {
       .filter(col("cos") >= threshold)
   }
 
+  /** Streaming twin of `TextAnalysis.sourceDriftPsi` (q102): per-source
+    * quality-drift PSI maintained live over a document stream. The
+    * quality binning runs as the SAME Column expressions the batch op
+    * uses (bit-identical bins), then a single typed Aggregator carries
+    * the (source, bin) cell table — state bounded by sources × deciles
+    * on an unbounded stream, no watermark (counts only grow) — and each
+    * trigger re-emits the full per-source report in complete mode,
+    * bit-for-bit equal to the batch q102 rows over the same prefix
+    * (the micro-unit PSI terms make the sums exact, so arrival order
+    * cannot move a rounded score). This is the monitoring loop run
+    * live: a drifted source alerts mid-crawl, not after the snapshot.
+    */
+  def psiDriftStream(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    val binned = docs
+      .select(col("source"),
+        floor(graft.operators.TextAnalysis.qualityCol(col("text")) * 10)
+          .cast("long").as("bin"))
+      .as[(String, Long)]
+    val agg = new graft.functions.Aggregators.PsiReportOf
+    binned
+      .groupByKey(_ => 0)
+      .agg(agg.toColumn.name("report"))
+      .select(explode(col("report")).as("r"))
+      .select(col("r.source").as("source"), col("r.n_docs").as("n_docs"),
+        col("r.psi").as("psi"))
+  }
+
   /** Streaming twin of `Events.quantileSketch`: per event_type, the
     * bottom-k-by-md5 uniform sample maintained as typed Aggregator state —
     * k (hash, value) pairs per group, bounded on an unbounded stream with

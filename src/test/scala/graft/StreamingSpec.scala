@@ -152,6 +152,30 @@ class StreamingSpec extends GraftSuite {
     assert(streamed.nonEmpty, "the fixture should have pairs straddling the boundary")
   }
 
+  test("streaming PSI drift == batch sourceDriftPsi bit-for-bit across micro-batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val rows = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("source"), col("text"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    val input = MemoryStream[(Long, String, String)]
+    val q = EventStreams.psiDriftStream(input.toDS().toDF("doc_id", "source", "text"))
+      .writeStream.outputMode("complete").format("memory").queryName("psi_out")
+      .start()
+    val (a, b) = rows.splitAt(rows.length / 3)
+    input.addData(a.toIndexedSeq)
+    q.processAllAvailable()
+    input.addData(b.toIndexedSeq)
+    q.processAllAvailable()
+    val streamed = spark.table("psi_out")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    q.stop()
+    val batch = graft.operators.TextAnalysis.sourceDriftPsi(Tables.documents(spark, sf))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(streamed === batch)
+    assert(streamed.nonEmpty)
+  }
+
   test("streaming quantile sketch == batch quantile sketch bit-for-bit (incl. across batches)") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

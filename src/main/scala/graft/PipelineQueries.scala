@@ -197,6 +197,20 @@ object PipelineQueries {
     "q103_hard_negatives" -> ((s, d) => Similarity.hardNegatives(Tables.embeddings(s, d))),
     // tokenizer training: the first 5 BPE merges learned from the corpus
     "q104_bpe_merges" -> ((s, d) => TextAnalysis.bpeMerges(Tables.documents(s, d))),
+    // tokenizer application: encode the corpus with the learned merges and
+    // report per-language fertility (tokens/word) and chars/token
+    "q105_bpe_fertility" -> ((s, d) => TextAnalysis.bpeFertility(Tables.documents(s, d))),
+    // bigram-LM surprisal: CCNet-style perplexity quality signal, the 30
+    // most statistically-surprising documents
+    "q106_bigram_surprisal" -> ((s, d) => TextAnalysis.bigramSurprisal(Tables.documents(s, d))),
+    // curriculum staging: quality quartiles via the bounded-state exact
+    // quantile, easy-data-first training order
+    "q107_curriculum" -> ((s, d) => Curation.curriculumStages(Tables.documents(s, d))),
+    // quality-aware dedup canonicalization: keep the best cluster member,
+    // not the min-id one (rides the shared pair index)
+    "q108_quality_canonical" -> ((s, d) => Dedup.qualityCanonical(Tables.documents(s, d))),
+    // language-ID evaluation: confusion matrix of q22 vs ground truth
+    "q109_langid_eval" -> ((s, d) => TextAnalysis.langIdConfusion(Tables.documents(s, d))),
     // rows-only (no oracle): approximate sketches differ by implementation
     "q38_sketches" -> ((s, d) => {
       import org.apache.spark.sql.functions._
@@ -314,8 +328,13 @@ object PipelineQueries {
     * (count desc, pair), and rewrites via the same padded left-to-right
     * `replace`.
     */
-  private lazy val BpeSql: String = {
-    val n = 5
+  private val BpeRounds = 5
+
+  /** The BPE merge-training CTE chain (w → s0 → p_r/t_r/s_r per round) —
+    * shared by the q104 training oracle and the q105 encoding oracle so
+    * both derive the merge table identically.
+    */
+  private lazy val BpeCtes: String = {
     def pairsOf(s: String) =
       s"""SELECT p, CAST(sum(freq) AS BIGINT) AS c FROM (
          |  SELECT freq, unnest([ss[i] || ' ' || ss[i+1] for i in range(1, len(ss))]) AS p
@@ -325,22 +344,53 @@ object PipelineQueries {
       s"""SELECT freq, trim(replace(' ' || seq || ' ',
          |  ' ' || (SELECT p FROM $t) || ' ',
          |  ' ' || replace((SELECT p FROM $t), ' ', '') || ' ')) AS seq FROM $s""".stripMargin
-    val rounds = (1 to n).map { r =>
+    val rounds = (1 to BpeRounds).map { r =>
       s"""p$r AS (${pairsOf(s"s${r - 1}")}),
          |t$r AS (SELECT p, c FROM p$r ORDER BY c DESC, p LIMIT 1),
          |s$r AS (${rewrite(s"s${r - 1}", s"t$r")})""".stripMargin
     }.mkString(",\n")
-    val out = (1 to n).map(r =>
-      s"SELECT CAST($r AS INT) AS rank, p AS pair, replace(p, ' ', '') AS merged, c AS freq FROM t$r")
-      .mkString("\nUNION ALL\n")
-    s"""WITH w AS (
+    s"""w AS (
        |  SELECT w, count(*) AS freq FROM (
        |    SELECT unnest(string_split(text, ' ')) AS w FROM documents
        |  ) WHERE length(w) > 0 GROUP BY w
        |),
        |s0 AS (SELECT freq, regexp_replace(w, '(.)', '\\1 ', 'g') || '</w>' AS seq FROM w),
-       |$rounds
+       |$rounds""".stripMargin
+  }
+
+  private lazy val BpeSql: String = {
+    val out = (1 to BpeRounds).map(r =>
+      s"SELECT CAST($r AS INT) AS rank, p AS pair, replace(p, ' ', '') AS merged, c AS freq FROM t$r")
+      .mkString("\nUNION ALL\n")
+    s"""WITH $BpeCtes
        |SELECT * FROM ($out) ORDER BY rank""".stripMargin
+  }
+
+  /** q105: per-(lang, word) vocab encoded by the t1..t5 merges in rank
+    * order — the same single-pass padded-replace rewrite the training
+    * CTEs apply, so encoding == what training would produce.
+    */
+  private lazy val BpeFertilitySql: String = {
+    val enc = (1 to BpeRounds).map { r =>
+      s"""e$r AS (SELECT lang, freq, chars, trim(replace(' ' || seq || ' ',
+         |  ' ' || (SELECT p FROM t$r) || ' ',
+         |  ' ' || replace((SELECT p FROM t$r), ' ', '') || ' ')) AS seq FROM e${r - 1})""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $BpeCtes,
+       |v AS (
+       |  SELECT lang, w, count(*) AS freq FROM (
+       |    SELECT lang, unnest(string_split(text, ' ')) AS w FROM documents
+       |  ) WHERE length(w) > 0 GROUP BY lang, w
+       |),
+       |e0 AS (SELECT lang, freq, length(w) AS chars,
+       |  regexp_replace(w, '(.)', '\\1 ', 'g') || '</w>' AS seq FROM v),
+       |$enc,
+       |f AS (SELECT lang, freq, chars, len(string_split(seq, ' ')) AS toks FROM e$BpeRounds)
+       |SELECT lang, CAST(sum(freq) AS BIGINT) AS n_words,
+       | CAST(sum(freq * toks) AS BIGINT) AS n_tokens,
+       | round(sum(freq * toks) * 1.0 / sum(freq), 4) AS tokens_per_word,
+       | round(sum(freq * chars) * 1.0 / sum(freq * toks), 4) AS chars_per_token
+       |FROM f GROUP BY lang ORDER BY lang""".stripMargin
   }
 
   /** Distinct char-5-gram rows per doc (DuckDB list comprehension). */
@@ -1189,6 +1239,87 @@ object PipelineQueries {
         | coalesce(kept_checksum, md5('')) AS kept_checksum
         |FROM documents LEFT JOIN kept USING (doc_id) ORDER BY doc_id""".stripMargin,
     "q104_bpe_merges" -> BpeSql,
+    "q105_bpe_fertility" -> BpeFertilitySql,
+    "q106_bigram_surprisal" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+        |b AS (
+        |  SELECT doc_id,
+        |    unnest([struct_pack(w1 := ts[i], w2 := ts[i+1]) for i in range(1, len(ts))]) AS bg
+        |  FROM t
+        |),
+        |bd AS (SELECT doc_id, bg.w1 AS w1, bg.w2 AS w2, count(*) AS k FROM b GROUP BY 1, 2, 3),
+        |cb AS (SELECT w1, w2, CAST(sum(k) AS BIGINT) AS cb FROM bd GROUP BY w1, w2),
+        |cu AS (SELECT w1, CAST(sum(cb) AS BIGINT) AS cu FROM cb GROUP BY w1),
+        |vv AS (SELECT count(DISTINCT w) AS v FROM (SELECT unnest(ts) AS w FROM t)),
+        |sc AS (
+        |  SELECT doc_id, k,
+        |    CAST(round(-log2((cb + 1.0) / (cu + v)) * 1e6, 0) AS BIGINT) AS u6
+        |  FROM bd JOIN cb USING (w1, w2) JOIN cu USING (w1) CROSS JOIN vv
+        |)
+        |SELECT doc_id, CAST(sum(k) AS BIGINT) AS n_bigrams,
+        | round(sum(k * u6) * 1.0 / sum(k) / 1e6, 4) AS bits_per_token
+        |FROM sc GROUP BY doc_id
+        |ORDER BY bits_per_token DESC, doc_id LIMIT 30""".stripMargin,
+    "q107_curriculum" ->
+      s"""WITH s AS (
+         |  SELECT doc_id, len(string_split(text, ' ')) AS nw, $QualityExprSql AS quality
+         |  FROM documents
+         |),
+         |c AS (
+         |  SELECT quantile_cont(quality, 0.75) AS c3, quantile_cont(quality, 0.5) AS c2,
+         |    quantile_cont(quality, 0.25) AS c1
+         |  FROM s
+         |)
+         |SELECT CASE WHEN quality >= c3 THEN 1 WHEN quality >= c2 THEN 2
+         |            WHEN quality >= c1 THEN 3 ELSE 4 END AS stage,
+         | count(*) AS n_docs, CAST(sum(nw) AS BIGINT) AS n_tokens,
+         | round(sum(CAST(round(quality * 10000, 0) AS BIGINT)) * 1.0 / count(*) / 1e4, 4)
+         |   AS avg_quality,
+         | round(min(quality), 4) AS min_quality, round(max(quality), 4) AS max_quality
+         |FROM s CROSS JOIN c GROUP BY 1 ORDER BY stage""".stripMargin,
+    "q108_quality_canonical" ->
+      s"""WITH RECURSIVE pairs AS (
+         |  SELECT id1, id2 FROM (
+         |$JaccardSql
+         |  ) jt
+         |),
+         |edges AS (
+         |  SELECT id1 AS src, id2 AS dst FROM pairs
+         |  UNION ALL SELECT id2, id1 FROM pairs
+         |),
+         |reach(node, label) AS (
+         |  SELECT src, src FROM edges
+         |  UNION
+         |  SELECT e.src, r.label FROM edges e JOIN reach r ON e.dst = r.node
+         |),
+         |m AS (SELECT node AS doc_id, min(label) AS cluster_rep FROM reach GROUP BY node),
+         |q AS (SELECT doc_id, $QualityExprSql AS quality FROM documents),
+         |best AS (
+         |  SELECT cluster_rep, doc_id AS canonical_id, round(quality, 4) AS canonical_quality
+         |  FROM (
+         |    SELECT m.cluster_rep, m.doc_id, q.quality,
+         |      row_number() OVER (PARTITION BY m.cluster_rep
+         |                         ORDER BY q.quality DESC, m.doc_id) AS rn
+         |    FROM m JOIN q USING (doc_id)
+         |  ) WHERE rn = 1
+         |)
+         |SELECT m.doc_id, m.cluster_rep, b.canonical_id,
+         | (m.doc_id = b.canonical_id) AS keeps, b.canonical_quality
+         |FROM m JOIN best b USING (cluster_rep) ORDER BY m.doc_id""".stripMargin,
+    "q109_langid_eval" ->
+      s"""WITH g AS (
+         |  SELECT lang,
+         |    CASE WHEN greatest($SEn, $SDe, $SFr, $SEs) = 0 THEN 'und'
+         |         WHEN $SEn = greatest($SEn, $SDe, $SFr, $SEs) THEN 'en'
+         |         WHEN $SDe = greatest($SEn, $SDe, $SFr, $SEs) THEN 'de'
+         |         WHEN $SFr = greatest($SEn, $SDe, $SFr, $SEs) THEN 'fr'
+         |         ELSE 'es' END AS lang_guess
+         |  FROM documents
+         |),
+         |c AS (SELECT lang, lang_guess, count(*) AS n_docs FROM g GROUP BY 1, 2)
+         |SELECT lang, lang_guess, n_docs,
+         | round(n_docs * 1.0 / sum(n_docs) OVER (PARTITION BY lang), 4) AS share
+         |FROM c ORDER BY lang, lang_guess""".stripMargin,
     "q103_hard_negatives" ->
       s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
          |a AS (SELECT vec_id AS anchor_id, v AS av FROM e WHERE vec_id < 5),

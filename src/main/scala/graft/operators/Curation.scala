@@ -491,4 +491,47 @@ object Curation {
         round($"pa" / sum($"pa").over(w), 6).as("sample_weight"))
       .orderBy($"lang")
   }
+
+  /** Curriculum staging: partition the corpus into quality quartiles so a
+    * training run can feed highest-quality data first (stage 1 = top
+    * quartile) — the data-ORDERING op that follows filtering and mixing in
+    * a curation stack. Stage boundaries are the exact 0.75/0.5/0.25
+    * quality quantiles; ties land in the better stage on both engines
+    * because membership is a plain `>=` against the cut.
+    *
+    * Shape: one scored scan; each cut comes from the bounded-state
+    * histogram quantile (`Scale.exactQuantileByGroup` — never a global
+    * sort, never a single-partition window, state bounded by the
+    * rounded-to-4 value domain); the three 1-row cut frames broadcast
+    * onto the scan and the stage report is a 4-row map-side-combined
+    * aggregate. avg_quality sums exact integer 1e-4 units (quality is
+    * rounded to 4 decimals, so ×10⁴ is exact), one division at the end —
+    * order-free, unlike a float avg().
+    */
+  def curriculumStages(documents: DataFrame): DataFrame = {
+    val scored = documents.select($"doc_id",
+      size(split($"text", " ")).cast("long").as("nw"),
+      TextAnalysis.qualityCol($"text").as("quality"))
+    def cut(q: Double, name: String) = broadcast(
+      Scale.exactQuantileByGroup(
+          scored.select(lit(1).as("g"), $"quality"), "g", "quality", q)
+        .select(col("cut").as(name)))
+    scored
+      .crossJoin(cut(0.75, "c3")).crossJoin(cut(0.5, "c2")).crossJoin(cut(0.25, "c1"))
+      .select($"nw",
+        when($"quality" >= $"c3", 1)
+          .when($"quality" >= $"c2", 2)
+          .when($"quality" >= $"c1", 3)
+          .otherwise(4).as("stage"),
+        round($"quality" * 10000, 0).cast("long").as("q4"),
+        $"quality")
+      .groupBy($"stage")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum($"nw").as("n_tokens"),
+        round(sum($"q4") / count(lit(1)) / 1e4, 4).as("avg_quality"),
+        round(min($"quality"), 4).as("min_quality"),
+        round(max($"quality"), 4).as("max_quality"))
+      .orderBy($"stage")
+  }
 }

@@ -335,6 +335,38 @@ object Dedup {
       .orderBy($"doc_id")
   }
 
+  /** Quality-aware canonicalization: within each near-dup cluster keep the
+    * HIGHEST-QUALITY member (tie → smallest doc_id) instead of q53's
+    * min-id convention — the survivor policy real curation runs use, where
+    * "which copy survives dedup" decides what the model trains on.
+    *
+    * Shape: rides the same cached pair index and components labels as
+    * q53/q83/q84; the quality join touches only cluster MEMBERS (pair-
+    * proportional, a semi-join-sized probe of the corpus), and the
+    * per-cluster argmax is one `max(struct)` aggregation — no window, no
+    * per-cluster sort. doc_id is negated inside the struct so the max
+    * breaks quality ties toward the smaller id.
+    */
+  def qualityCanonical(documents: DataFrame, n: Int = 5, threshold: Double = 0.6): DataFrame = {
+    val members = survivorsOverPairs(pairIndex(documents, n, threshold))
+      .select($"doc_id", $"cluster_rep")
+    val scored = members.join(
+      documents.select($"doc_id", TextAnalysis.qualityCol($"text").as("quality")),
+      Seq("doc_id"))
+    val best = scored
+      .groupBy($"cluster_rep")
+      .agg(max(struct($"quality", (-$"doc_id").as("neg_id"))).as("b"))
+      .select($"cluster_rep", (-$"b.neg_id").as("canonical_id"),
+        round($"b.quality", 4).as("canonical_quality"))
+    scored
+      // cluster-count-sized right side: let AQE choose broadcast when it
+      // fits — at 100 TB the cluster table is duplicate-mass-proportional
+      .join(best, Seq("cluster_rep"))
+      .select($"doc_id", $"cluster_rep", $"canonical_id",
+        ($"doc_id" === $"canonical_id").as("keeps"), $"canonical_quality")
+      .orderBy($"doc_id")
+  }
+
   /** Incremental near-dup detection: find pairs between a NEW batch of
     * documents (doc_id < newIdCut) and the already-indexed corpus
     * (doc_id >= newIdCut) — the daily-ingest shape of LSH dedup, where the

@@ -418,4 +418,116 @@ object TextAnalysis {
       .agg(max($"n_s").as("n_docs"), round(sum($"t6") / 1e6, 4).as("psi"))
       .orderBy($"source")
   }
+
+  /** Tokenizer APPLICATION + fertility report: encode the corpus with the
+    * BPE merges learned by [[bpeMerges]] and report per-language token
+    * mass and the two standard tokenizer-evaluation ratios — tokens/word
+    * (fertility; lower = the vocabulary fits the language better) and
+    * chars/token. This is the missing half of q104: training derives the
+    * merge table, this applies it — together they are the full tokenizer
+    * lifecycle an LLM data pipeline runs before token-budget accounting.
+    *
+    * Encoding applies each merge once, in rank order, with the exact
+    * left-to-right non-overlapping `replace` rewrite the TRAINING loop
+    * uses on the vocabulary — so a word encodes to precisely the symbol
+    * sequence training would have produced for it, and the oracle (which
+    * re-derives the merges with the same CTEs) agrees bit-for-bit.
+    *
+    * Shape: the merge table is driver-held (nMerges rows — the kmeans
+    * centroid pattern); the corpus collapses ONCE to the (lang × word)
+    * frequency table, encoding runs per VOCAB row as a codegen'd chain of
+    * `replace` literals (never per token instance), and the final
+    * aggregate is map-side combined over lang. All ratios are one IEEE
+    * division of exact integer sums, rounded once.
+    */
+  def bpeFertility(documents: DataFrame, nMerges: Int = 5): DataFrame = {
+    val merges = bpeMerges(documents, nMerges).orderBy($"rank")
+      .select($"pair", $"merged").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val vocab = documents
+      .select($"lang", explode(split($"text", " ")).as("w"))
+      .filter(length($"w") > 0)
+      .groupBy($"lang", $"w").agg(count(lit(1)).as("freq"))
+    // chars + </w>, space-separated, then one single-pass rewrite per merge
+    // (literal `replace` Columns — no SQL-string interpolation of corpus-
+    // derived text)
+    val encoded = merges.foldLeft(
+        concat(regexp_replace($"w", "(.)", "$1 "), lit("</w>"))) {
+      case (seq, (pair, merged)) =>
+        trim(replace(concat(lit(" "), seq, lit(" ")), lit(s" $pair "), lit(s" $merged ")))
+    }
+    vocab
+      .select($"lang", $"freq", length($"w").cast("long").as("chars"),
+        size(split(encoded, " ")).cast("long").as("toks"))
+      .groupBy($"lang")
+      .agg(
+        sum($"freq").as("n_words"),
+        sum($"freq" * $"toks").as("n_tokens"),
+        round(sum($"freq" * $"toks") / sum($"freq"), 4).as("tokens_per_word"),
+        round(sum($"freq" * $"chars") / sum($"freq" * $"toks"), 4).as("chars_per_token"))
+      .orderBy($"lang")
+  }
+
+  /** Bigram-LM surprisal scoring (the CCNet-style perplexity quality
+    * signal): train an add-one-smoothed bigram language model on the
+    * corpus itself, score every document by its mean surprisal
+    * -log2 P(w_i | w_{i-1}) in bits/token, and return the `topk` most
+    * surprising documents — the statistical-outlier half of a quality
+    * stack (q21's heuristics catch structural junk; this catches text
+    * whose WORD SEQUENCES don't look like the corpus).
+    *
+    * P(w2|w1) = (c(w1,w2) + 1) / (c(w1·) + V), V = corpus vocabulary size.
+    *
+    * Determinism: each bigram's surprisal quantizes to integer micro-bits
+    * (round(·×1e6) — the PSI trick), so per-doc sums are exact integer
+    * arithmetic, order-free; one final division + round(4). Cross-engine
+    * log2 agrees to well under half a micro-bit.
+    *
+    * Shape: one explode into per-doc bigram multiplicities; corpus bigram
+    * and context tables aggregate from that same frame (map-side
+    * combined); V is a 1-row broadcast. The scoring join shuffles on the
+    * bigram key — token-proportional, the inherent cost of LM scoring
+    * (the hashed-feature alternative is q98's DSIR).
+    */
+  def bigramSurprisal(documents: DataFrame, topk: Int = 30): DataFrame = {
+    val toks = documents.select($"doc_id", split($"text", " ").as("ts"))
+    val bd = toks
+      .filter(size($"ts") >= 2)
+      .select($"doc_id", explode(expr(
+        "transform(sequence(1, size(ts) - 1), i -> struct(element_at(ts, i) AS w1, element_at(ts, i + 1) AS w2))")).as("b"))
+      .select($"doc_id", $"b.w1".as("w1"), $"b.w2".as("w2"))
+      .groupBy($"doc_id", $"w1", $"w2").agg(count(lit(1)).as("k"))
+    val cb = bd.groupBy($"w1", $"w2").agg(sum($"k").as("cb"))
+    val cu = cb.groupBy($"w1").agg(sum($"cb").as("cu"))
+    val vocab = toks.select(explode($"ts").as("w")).agg(countDistinct($"w").as("v"))
+    bd
+      .join(cb, Seq("w1", "w2"))
+      .join(cu, Seq("w1"))
+      .crossJoin(broadcast(vocab))
+      .select($"doc_id", $"k",
+        round(-log2(($"cb" + lit(1.0)) / ($"cu" + $"v")) * 1e6, 0).cast("long").as("u6"))
+      .groupBy($"doc_id")
+      .agg(sum($"k").as("n_bigrams"), sum($"k" * $"u6").as("units"))
+      .select($"doc_id", $"n_bigrams",
+        round($"units" / $"n_bigrams" / 1e6, 4).as("bits_per_token"))
+      .orderBy($"bits_per_token".desc, $"doc_id")
+      .limit(topk)
+  }
+
+  /** Language-ID evaluation harness: confusion matrix of the q22
+    * classifier against the `lang` ground-truth column, with each cell's
+    * share of its truth-language row — the EVALUATION op that belongs
+    * beside every heuristic classifier in a curation stack (q63 plays
+    * the same role for ANN recall). Aggregate-sized after one scored
+    * scan: the matrix is |langs|² rows, so the share window is
+    * broadcast-scale regardless of corpus size.
+    */
+  def langIdConfusion(documents: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    langId(documents)
+      .groupBy($"lang", $"lang_guess").agg(count(lit(1)).as("n_docs"))
+      .withColumn("share",
+        round($"n_docs" / sum($"n_docs").over(Window.partitionBy($"lang")), 4))
+      .orderBy($"lang", $"lang_guess")
+  }
 }

@@ -585,4 +585,88 @@ class CurationSpec extends GraftSuite {
     assert(rows.nonEmpty)
     rows.foreach(r => assert(math.abs(r.getDouble(0) - 1.0) < 1e-9))
   }
+
+  test("bpeFertility equals encoding every word with the learned merges") {
+    import graft.operators.TextAnalysis
+    def round4(x: Double): Double =
+      java.math.BigDecimal.valueOf(x).setScale(4, java.math.RoundingMode.HALF_UP).doubleValue()
+    // learned merges (bit-verified against the reference trainer above)
+    val merges = TextAnalysis.bpeMerges(docs, 5).collect()
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+    // single-pass left-to-right non-overlapping rewrite == training's replace
+    def applyMerge(syms: List[String], pair: (String, String)): List[String] = {
+      val Array(a, b) = pair._1.split(" ", 2)
+      val out = scala.collection.mutable.ListBuffer.empty[String]
+      var i = 0
+      while (i < syms.length) {
+        if (i + 1 < syms.length && syms(i) == a && syms(i + 1) == b) {
+          out += pair._2; i += 2
+        } else { out += syms(i); i += 1 }
+      }
+      out.toList
+    }
+    def encode(w: String): List[String] =
+      merges.foldLeft(w.map(_.toString).toList :+ "</w>")(applyMerge)
+    val fixture = docs.select(col("lang"), col("text")).collect()
+      .map(r => (r.getString(0), r.getString(1))).toSeq
+    val expected = fixture
+      .flatMap { case (lang, text) => text.split(" ", -1).filter(_.nonEmpty).map(lang -> _) }
+      .groupBy(_._1).view.mapValues { ws =>
+        val toks = ws.map(w => encode(w._2).length.toLong).sum
+        val chars = ws.map(_._2.length.toLong).sum
+        (ws.size.toLong, toks, round4(toks.toDouble / ws.size), round4(chars.toDouble / toks))
+      }.toMap
+    val got = TextAnalysis.bpeFertility(docs).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4)))).toMap
+    assert(got === expected)
+    // sanity: </w> guarantees fertility > 1; merges guarantee fewer tokens
+    // than the unmerged chars+1 form
+    val unmergedToks = fixture
+      .flatMap { case (_, text) => text.split(" ", -1).filter(_.nonEmpty) }
+      .map(_.length.toLong + 1).sum
+    assert(got.values.map(_._2).sum < unmergedToks, "merges must compress the corpus")
+    got.values.foreach { case (_, _, tpw, _) => assert(tpw > 1.0) }
+  }
+
+  test("curriculumStages: exact quartile cuts, stage laws, no global sort window") {
+    import graft.operators.{Curation, TextAnalysis}
+    def round4(x: Double): Double =
+      java.math.BigDecimal.valueOf(x).setScale(4, java.math.RoundingMode.HALF_UP).doubleValue()
+    val quality = TextAnalysis.qualityScore(docs).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val nw = docs.select(col("doc_id"), size(split(col("text"), " ")).cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    // quantile_cont interpolation on the sorted quality values
+    val sorted = quality.values.toSeq.sorted
+    def qc(q: Double): Double = {
+      val pos = q * (sorted.length - 1)
+      val lo = math.floor(pos).toInt; val hi = math.ceil(pos).toInt
+      if (lo == hi) sorted(lo)
+      else (hi - pos) * sorted(lo) + (pos - lo) * sorted(hi)
+    }
+    val (c1, c2, c3) = (qc(0.25), qc(0.5), qc(0.75))
+    val expected = quality.toSeq.map { case (id, ql) =>
+      val stage = if (ql >= c3) 1 else if (ql >= c2) 2 else if (ql >= c1) 3 else 4
+      (stage, id, ql)
+    }.groupBy(_._1).view.mapValues { rs =>
+      val q4 = rs.map(r => math.round(r._3 * 10000)).sum
+      (rs.size.toLong, rs.map(r => nw(r._2)).sum,
+        round4(q4.toDouble / rs.size / 1e4),
+        round4(rs.map(_._3).min), round4(rs.map(_._3).max))
+    }.toMap
+    val got = Curation.curriculumStages(docs).collect()
+      .map(r => r.getInt(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4), r.getDouble(5)))).toMap
+    assert(got === expected)
+    assert(got.keySet === Set(1, 2, 3, 4))
+    assert(got.values.map(_._1).sum === quality.size)
+    // stage quality ranges must be ordered: stage 1 min >= stage 2 max ... (>= by cut semantics)
+    assert(got(1)._4 >= got(2)._5 && got(2)._4 >= got(3)._5 && got(3)._4 >= got(4)._5)
+    // scale guard: no sort-based percentile in the plan (the only windows
+    // are exactQuantileByGroup's, over the bounded histogram frame — one
+    // row per distinct rounded-4 value, never per corpus row)
+    val plan = Curation.curriculumStages(docs).queryExecution.executedPlan.toString
+    assert(!plan.contains("percentile("), s"sort-based percentile planned:\n$plan")
+  }
 }

@@ -211,6 +211,12 @@ object PipelineQueries {
     "q108_quality_canonical" -> ((s, d) => Dedup.qualityCanonical(Tables.documents(s, d))),
     // language-ID evaluation: confusion matrix of q22 vs ground truth
     "q109_langid_eval" -> ((s, d) => TextAnalysis.langIdConfusion(Tables.documents(s, d))),
+    // contrastive training-set construction: near-dup pairs as positives,
+    // banded hard negatives per anchor
+    "q110_contrastive_pairs" -> ((s, d) => Similarity.contrastivePairs(Tables.embeddings(s, d))),
+    // dataset-card summary: per (lang x source) doc/token mass, mean
+    // quality, corpus token share
+    "q111_datasheet" -> ((s, d) => Curation.corpusDatasheet(Tables.documents(s, d))),
     // rows-only (no oracle): approximate sketches differ by implementation
     "q38_sketches" -> ((s, d) => {
       import org.apache.spark.sql.functions._
@@ -1306,6 +1312,65 @@ object PipelineQueries {
          |SELECT m.doc_id, m.cluster_rep, b.canonical_id,
          | (m.doc_id = b.canonical_id) AS keeps, b.canonical_quality
          |FROM m JOIN best b USING (cluster_rep) ORDER BY m.doc_id""".stripMargin,
+    "q110_contrastive_pairs" -> {
+      // positives replicate q48's bucketed candidate generation (the pair
+      // set IS the algorithm's output); negatives replicate q103's banded
+      // per-anchor ranking over the positive-anchor set
+      val buckets = (0 until Similarity.NeardupTables)
+        .map(t => s"${neardupBucketSql(t)} AS bk$t").mkString(",\n   ")
+      val anyTable = (0 until Similarity.NeardupTables)
+        .map(t => s"a.bk$t = b.bk$t").mkString(" OR ")
+      s"""WITH e AS (
+         |  SELECT vec_id, v,
+         |   $buckets
+         |  FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+         |),
+         |p0 AS (
+         |  SELECT a.vec_id AS id1, b.vec_id AS id2,
+         |   round(${cosSql("a.v", "b.v")}, 6) AS cos
+         |  FROM e a JOIN e b ON a.vec_id < b.vec_id AND ($anyTable)
+         |  WHERE round(${cosSql("a.v", "b.v")}, 6) >= 0.45
+         |),
+         |pos AS (
+         |  SELECT id1 AS anchor_id, id2 AS other_id, 1 AS label, cos FROM p0
+         |  UNION ALL
+         |  SELECT id2, id1, 1, cos FROM p0
+         |),
+         |av AS (
+         |  SELECT anchor_id, v AS av FROM (SELECT DISTINCT anchor_id FROM pos)
+         |  JOIN e ON anchor_id = vec_id
+         |),
+         |n0 AS (
+         |  SELECT anchor_id, e.vec_id AS other_id,
+         |    round(${cosSql("av", "e.v")}, 6) AS cos
+         |  FROM e CROSS JOIN av WHERE e.vec_id <> anchor_id
+         |),
+         |nr AS (
+         |  SELECT anchor_id, other_id, cos,
+         |    row_number() OVER (PARTITION BY anchor_id
+         |      ORDER BY cos DESC, other_id) AS rnk
+         |  FROM n0 WHERE cos >= 0.2 AND cos < 0.45
+         |),
+         |neg AS (SELECT anchor_id, other_id, 0 AS label, cos FROM nr WHERE rnk <= 5)
+         |SELECT anchor_id, other_id, label, cos
+         |FROM (SELECT * FROM pos UNION ALL SELECT * FROM neg)
+         |ORDER BY anchor_id, label DESC, cos DESC, other_id""".stripMargin
+    },
+    "q111_datasheet" ->
+      s"""WITH s AS (
+         |  SELECT lang, source, len(string_split(text, ' ')) AS nw,
+         |    CAST(round($QualityExprSql * 10000, 0) AS BIGINT) AS q4
+         |  FROM documents
+         |),
+         |c AS (
+         |  SELECT lang, source, count(*) AS n_docs,
+         |    CAST(sum(nw) AS BIGINT) AS n_tokens, sum(q4) AS q4s
+         |  FROM s GROUP BY lang, source
+         |)
+         |SELECT lang, source, n_docs, n_tokens,
+         | round(q4s * 1.0 / n_docs / 1e4, 4) AS avg_quality,
+         | round(n_tokens * 1.0 / sum(n_tokens) OVER (), 6) AS token_share
+         |FROM c ORDER BY lang, source""".stripMargin,
     "q109_langid_eval" ->
       s"""WITH g AS (
          |  SELECT lang,

@@ -492,6 +492,27 @@ object Curation {
       .orderBy($"lang")
   }
 
+  /** Corpus datasheet: the per-(lang × source) summary table a dataset
+    * card publishes — document/token mass, exact-integer-unit mean
+    * quality, and each cell's share of corpus tokens. One scored scan
+    * into a map-side-combined aggregate; the share window runs over the
+    * aggregate-sized (langs × sources) frame, so everything after the
+    * scan is broadcast-scale at any corpus size.
+    */
+  def corpusDatasheet(documents: DataFrame): DataFrame = {
+    val w = Window.partitionBy() // langs x sources rows
+    documents
+      .select($"lang", $"source",
+        size(split($"text", " ")).cast("long").as("nw"),
+        round(TextAnalysis.qualityCol($"text") * 10000, 0).cast("long").as("q4"))
+      .groupBy($"lang", $"source")
+      .agg(count(lit(1)).as("n_docs"), sum($"nw").as("n_tokens"), sum($"q4").as("q4s"))
+      .select($"lang", $"source", $"n_docs", $"n_tokens",
+        round($"q4s" / $"n_docs" / 1e4, 4).as("avg_quality"),
+        round($"n_tokens" / sum($"n_tokens").over(w), 6).as("token_share"))
+      .orderBy($"lang", $"source")
+  }
+
   /** Curriculum staging: partition the corpus into quality quartiles so a
     * training run can feed highest-quality data first (stage 1 = top
     * quartile) — the data-ORDERING op that follows filtering and mixing in

@@ -100,6 +100,47 @@ object Similarity {
       .orderBy($"anchor_id", $"rnk")
   }
 
+  /** Contrastive training-set construction: one table of (anchor, other,
+    * label, cos) rows where the positives are the verified embedding
+    * near-dup pairs (cos >= `hi`, both directions — each clustered vector
+    * anchors its partners) and the negatives are the top-`k` band
+    * [`lo`, `hi`) vectors per anchor, mined the q103 way. The natural
+    * composition of the dedup graph (positives nobody should train apart)
+    * with hard-negative mining — what an embedding-model fine-tune
+    * actually consumes.
+    *
+    * Shape: positives ride `embeddingNearDup`'s bucketed LSH (candidate-
+    * proportional); the anchor table is duplicate-mass-proportional and
+    * broadcasts at fixture scale — a 100 TB run with a large anchor set
+    * routes negative mining through IVF cells + salted top-k exactly as
+    * `hardNegatives`' scaladoc prescribes. Band filter precedes the rank
+    * window, so window partitions hold band populations only.
+    */
+  def contrastivePairs(embeddings: DataFrame, k: Int = 5,
+      lo: Double = 0.2, hi: Double = 0.45): DataFrame = {
+    import graft.functions.VectorFunctions.cosine_sim
+    val corpus = embeddings.select($"vec_id", asDouble($"embedding").as("v"))
+    val pairs = embeddingNearDup(embeddings, threshold = hi)
+      .select($"id1", $"id2", $"cos")
+    val positives = pairs.select($"id1".as("anchor_id"), $"id2".as("other_id"), $"cos")
+      .union(pairs.select($"id2", $"id1", $"cos"))
+      .select($"anchor_id", $"other_id", lit(1).as("label"), $"cos")
+    val anchors = positives.select($"anchor_id").distinct()
+      .join(corpus, $"anchor_id" === $"vec_id")
+      .select($"anchor_id", $"v".as("av"))
+    val w = Window.partitionBy($"anchor_id").orderBy($"cos".desc, $"other_id")
+    val negatives = corpus
+      .join(broadcast(anchors), $"vec_id" =!= $"anchor_id")
+      .select($"anchor_id", $"vec_id".as("other_id"),
+        round(cosine_sim($"av", $"v"), 6).as("cos"))
+      .filter($"cos" >= lo && $"cos" < hi)
+      .withColumn("rnk", row_number().over(w))
+      .filter($"rnk" <= k)
+      .select($"anchor_id", $"other_id", lit(0).as("label"), $"cos")
+    positives.union(negatives)
+      .orderBy($"anchor_id", $"label".desc, $"cos".desc, $"other_id")
+  }
+
   val NumPlanes = 8
 
   /** Deterministic pseudo-random hyperplane coefficient for (plane j, dim i):

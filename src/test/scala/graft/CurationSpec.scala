@@ -629,6 +629,29 @@ class CurationSpec extends GraftSuite {
     got.values.foreach { case (_, _, tpw, _) => assert(tpw > 1.0) }
   }
 
+  test("corpusDatasheet equals the brute-force (lang x source) rollup; shares sum to 1") {
+    import graft.operators.{Curation, TextAnalysis}
+    def round(x: Double, s: Int): Double =
+      java.math.BigDecimal.valueOf(x).setScale(s, java.math.RoundingMode.HALF_UP).doubleValue()
+    val quality = TextAnalysis.qualityScore(docs).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val fixture = docs.select(col("doc_id"), col("lang"), col("source"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getString(3).split(" ", -1).length.toLong)).toSeq
+    val totalToks = fixture.map(_._4).sum
+    val expected = fixture.groupBy(t => (t._2, t._3)).map { case (k, rs) =>
+      val toks = rs.map(_._4).sum
+      val q4 = rs.map(r => math.round(quality(r._1) * 10000)).sum
+      k -> ((rs.size.toLong, toks, round(q4.toDouble / rs.size / 1e4, 4),
+        round(toks.toDouble / totalToks, 6)))
+    }
+    val got = Curation.corpusDatasheet(docs).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getDouble(4), r.getDouble(5)))).toMap
+    assert(got === expected)
+    assert(math.abs(got.values.map(_._4).sum - 1.0) < 1e-3, "token shares must sum to ~1")
+  }
+
   test("curriculumStages: exact quartile cuts, stage laws, no global sort window") {
     import graft.operators.{Curation, TextAnalysis}
     def round4(x: Double): Double =

@@ -746,6 +746,48 @@ class PipelineSpec extends GraftSuite {
       "fixture should contain a cluster whose best member is not the min id")
   }
 
+  test("contrastivePairs: positives are the near-dup pairs, negatives banded top-k per anchor") {
+    val rows = graft.operators.Similarity.contrastivePairs(embs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3)))
+    val pos = rows.filter(_._3 == 1)
+    val neg = rows.filter(_._3 == 0)
+    assert(pos.nonEmpty, "fixture must contain near-dup positives")
+    assert(neg.nonEmpty)
+    // positives == the registered near-dup pair set, both directions
+    val lshPairs = graft.operators.Similarity.embeddingNearDup(embs, threshold = 0.45)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    val expectedPos = lshPairs.flatMap { case (a, b, c) => Seq((a, b, 1, c), (b, a, 1, c)) }
+    assert(pos.toSet === expectedPos.toSet)
+    // no false positives vs the exact all-pairs truth
+    val exact = graft.operators.Similarity.embeddingNearDupExact(embs, 0.45)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    pos.foreach { case (a, b, _, _) =>
+      assert(exact.contains((math.min(a, b), math.max(a, b))), s"($a,$b) not a true near-dup")
+    }
+    // negatives: band, k-cap, anchors drawn from the positive set
+    val posAnchors = pos.map(_._1).toSet
+    neg.groupBy(_._1).foreach { case (anchor, ns) =>
+      assert(posAnchors.contains(anchor))
+      assert(ns.length <= 5)
+      ns.foreach { case (_, _, _, c) => assert(c >= 0.2 && c < 0.45) }
+    }
+    // brute-force check of one anchor's negative ranking
+    val vecs = embs.select($"vec_id", $"embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x * y }.sum
+      val r = dot / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+      java.math.BigDecimal.valueOf(r).setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+    }
+    val anchor = posAnchors.min
+    val expectedNeg = vecs.keys.filter(_ != anchor).toSeq
+      .map(id => (id, cos(vecs(anchor), vecs(id))))
+      .filter { case (_, c) => c >= 0.2 && c < 0.45 }
+      .sortBy { case (id, c) => (-c, id) }.take(5)
+      .map { case (id, c) => (anchor, id, 0, c) }
+    assert(neg.filter(_._1 == anchor).sortBy(r => (-r._4, r._2)).toSeq === expectedNeg)
+  }
+
   test("langIdConfusion: cells partition the corpus; shares sum to 1 per truth lang") {
     val preds = TextAnalysis.langId(docs).collect()
       .map(r => (r.getString(1), r.getString(2))).toSeq

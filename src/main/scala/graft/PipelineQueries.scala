@@ -217,6 +217,9 @@ object PipelineQueries {
     // dataset-card summary: per (lang x source) doc/token mass, mean
     // quality, corpus token share
     "q111_datasheet" -> ((s, d) => Curation.corpusDatasheet(Tables.documents(s, d))),
+    // sampling-schedule planning: q69's mixture as per-language token
+    // budgets and epoch (repeat) factors
+    "q112_epoch_plan" -> ((s, d) => Curation.epochPlan(Tables.documents(s, d))),
     // rows-only (no oracle): approximate sketches differ by implementation
     "q38_sketches" -> ((s, d) => {
       import org.apache.spark.sql.functions._
@@ -1356,6 +1359,26 @@ object PipelineQueries {
          |FROM (SELECT * FROM pos UNION ALL SELECT * FROM neg)
          |ORDER BY anchor_id, label DESC, cos DESC, other_id""".stripMargin
     },
+    "q112_epoch_plan" ->
+      """WITH s AS (
+        |  SELECT lang, CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS tokens
+        |  FROM documents GROUP BY lang
+        |),
+        |sh AS (
+        |  SELECT lang, tokens, tokens * 1.0 / (sum(tokens) OVER ()) AS share FROM s
+        |),
+        |p AS (SELECT lang, tokens, sqrt(share) AS pa FROM sh),
+        |w AS (
+        |  SELECT lang, tokens, round(pa / (sum(pa) OVER ()), 6) AS sample_weight FROM p
+        |),
+        |t AS (
+        |  SELECT lang, tokens, sample_weight,
+        |    CAST(round(sample_weight * 1000000, 0) AS BIGINT) AS target_tokens
+        |  FROM w
+        |)
+        |SELECT lang, tokens, sample_weight, target_tokens,
+        | round(target_tokens * 1.0 / tokens, 4) AS epochs
+        |FROM t ORDER BY lang""".stripMargin,
     "q111_datasheet" ->
       s"""WITH s AS (
          |  SELECT lang, source, len(string_split(text, ' ')) AS nw,

@@ -492,6 +492,26 @@ object Curation {
       .orderBy($"lang")
   }
 
+  /** Sampling-schedule planning: turn the q69 temperature mixture into the
+    * concrete per-language numbers a training run is configured with — the
+    * token budget each language receives and the EPOCH factor (budget ÷
+    * available tokens; > 1 means the language's data repeats, the
+    * low-resource upsampling the temperature mixture exists to produce).
+    * Pure arithmetic over the aggregate (per-language) frame, so cost is
+    * one corpus scan regardless of budget.
+    *
+    * Determinism: target_tokens = round(budget × the ROUNDED-6 weight)
+    * (exact — an integer-valued double at budget ≤ 1e9); epochs is one
+    * division of exact integers, rounded once.
+    */
+  def epochPlan(documents: DataFrame, budgetTokens: Long = 1000000L): DataFrame =
+    temperatureMixture(documents)
+      .select($"lang", $"tokens", $"sample_weight",
+        round($"sample_weight" * budgetTokens, 0).cast("long").as("target_tokens"))
+      .select($"lang", $"tokens", $"sample_weight", $"target_tokens",
+        round($"target_tokens" / $"tokens", 4).as("epochs"))
+      .orderBy($"lang")
+
   /** Corpus datasheet: the per-(lang × source) summary table a dataset
     * card publishes — document/token mass, exact-integer-unit mean
     * quality, and each cell's share of corpus tokens. One scored scan

@@ -629,6 +629,53 @@ class CurationSpec extends GraftSuite {
     got.values.foreach { case (_, _, tpw, _) => assert(tpw > 1.0) }
   }
 
+  test("epochPlan: budgets follow the mixture weights; epochs = budget / available") {
+    import graft.operators.Curation
+    def round4(x: Double): Double =
+      java.math.BigDecimal.valueOf(x).setScale(4, java.math.RoundingMode.HALF_UP).doubleValue()
+    val mix = Curation.temperatureMixture(docs).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(3)))).toMap
+    val got = Curation.epochPlan(docs).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getLong(3), r.getDouble(4)))
+    assert(got.map(_._1).toSet === mix.keySet)
+    got.foreach { case (lang, tokens, w, target, epochs) =>
+      val (mTokens, mW) = mix(lang)
+      assert(tokens === mTokens && w === mW)
+      assert(target === math.round(w * 1000000L))
+      assert(epochs === round4(target.toDouble / tokens))
+    }
+    // weights are renormalized to 1, so targets sum to the budget up to
+    // the round-6 weight quantization
+    assert(math.abs(got.map(_._4).sum - 1000000L) <= got.length * 1L,
+      s"targets ${got.map(_._4).sum} must sum to ~budget")
+    // temperature flattening: epochs ∝ 1/sqrt(share), so the smallest
+    // language must get the highest repeat factor
+    assert(got.minBy(_._2)._5 === got.map(_._5).max,
+      "lowest-resource language must be upsampled the most")
+  }
+
+  test("bpeFertility encoding is invertible: stripping separators restores every word") {
+    import graft.operators.TextAnalysis
+    import spark.implicits._
+    // decode(encode(w)) == w: merges only ever concatenate adjacent
+    // symbols, so removing spaces and the </w> marker must restore the
+    // original word — checked through the same replace chain the operator
+    // uses, on a vocabulary slice
+    val merges = TextAnalysis.bpeMerges(docs, 5).collect()
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+    val words = docs.limit(50).collect().flatMap(_.getAs[String]("text").split(" "))
+      .filter(_.nonEmpty).distinct.toSeq
+    val enc = merges.foldLeft(
+        concat(regexp_replace($"w", "(.)", "$1 "), lit("</w>"))) {
+      case (seq, (pair, merged)) =>
+        trim(replace(concat(lit(" "), seq, lit(" ")), lit(s" $pair "), lit(s" $merged ")))
+    }
+    val decoded = words.toDF("w")
+      .select($"w", regexp_replace(regexp_replace(enc, " ", ""), "</w>$", "").as("d"))
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    decoded.foreach { case (w, d) => assert(d === w, s"round-trip broke: $w -> $d") }
+  }
+
   test("corpusDatasheet equals the brute-force (lang x source) rollup; shares sum to 1") {
     import graft.operators.{Curation, TextAnalysis}
     def round(x: Double, s: Int): Double =

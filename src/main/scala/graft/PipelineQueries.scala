@@ -220,6 +220,9 @@ object PipelineQueries {
     // sampling-schedule planning: q69's mixture as per-language token
     // budgets and epoch (repeat) factors
     "q112_epoch_plan" -> ((s, d) => Curation.epochPlan(Tables.documents(s, d))),
+    // data-loader order: deterministic stride-scheduled weighted
+    // interleave of the mixture, first 50 schedule rows
+    "q113_interleave" -> ((s, d) => Curation.interleaveSchedule(Tables.documents(s, d))),
     // rows-only (no oracle): approximate sketches differ by implementation
     "q38_sketches" -> ((s, d) => {
       import org.apache.spark.sql.functions._
@@ -1379,6 +1382,23 @@ object PipelineQueries {
         |SELECT lang, tokens, sample_weight, target_tokens,
         | round(target_tokens * 1.0 / tokens, 4) AS epochs
         |FROM t ORDER BY lang""".stripMargin,
+    "q113_interleave" ->
+      """WITH s AS (
+        |  SELECT lang, CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS tokens
+        |  FROM documents GROUP BY lang
+        |),
+        |sh AS (SELECT lang, tokens * 1.0 / (sum(tokens) OVER ()) AS share FROM s),
+        |p AS (SELECT lang, sqrt(share) AS pa FROM sh),
+        |wt AS (SELECT lang, round(pa / (sum(pa) OVER ()), 6) AS sample_weight FROM p),
+        |r AS (
+        |  SELECT doc_id, lang,
+        |    CAST(row_number() OVER (PARTITION BY lang
+        |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS INT) AS rn
+        |  FROM documents
+        |)
+        |SELECT doc_id, lang, rn, round(rn * 1.0 / sample_weight, 4) AS pos
+        |FROM r JOIN wt USING (lang)
+        |ORDER BY pos, doc_id LIMIT 50""".stripMargin,
     "q111_datasheet" ->
       s"""WITH s AS (
          |  SELECT lang, source, len(string_split(text, ' ')) AS nw,

@@ -512,6 +512,36 @@ object Curation {
         round($"target_tokens" / $"tokens", 4).as("epochs"))
       .orderBy($"lang")
 
+  /** Deterministic weighted interleave — the DATA-LOADER ORDER for the
+    * q69/q112 mixture: stride scheduling, where the rn-th document of a
+    * language (in deterministic md5 order) is emitted at position
+    * rn / weight, so languages interleave proportionally to their sample
+    * weights from the very first batch (no long single-language runs).
+    * Returns the first `topk` schedule rows.
+    *
+    * Shape: pos = rn/weight >= rn (weights <= 1), so only each language's
+    * first `topk` documents can reach the global prefix — the corpus
+    * prunes through the salted two-stage `Scale.topKPerGroup` (no
+    * per-language reducer funnel) BEFORE the exact rank window, which
+    * then runs over a langs×topk-bounded frame; the final order is a
+    * TakeOrderedAndProject, never a global sort.
+    */
+  def interleaveSchedule(documents: DataFrame, topk: Int = 50): DataFrame = {
+    val weights = temperatureMixture(documents).select($"lang", $"sample_weight")
+    val pruned = Scale.topKPerGroup(
+      documents.select($"doc_id", $"lang"),
+      group = $"lang", rankKey = md5($"doc_id".cast("string")), tie = $"doc_id",
+      saltSource = $"doc_id", k = topk)
+    val w = Window.partitionBy($"lang").orderBy(md5($"doc_id".cast("string")), $"doc_id")
+    pruned
+      .withColumn("rn", row_number().over(w).cast("int"))
+      .join(broadcast(weights), Seq("lang"))
+      .select($"doc_id", $"lang", $"rn",
+        round($"rn" / $"sample_weight", 4).as("pos"))
+      .orderBy($"pos", $"doc_id")
+      .limit(topk)
+  }
+
   /** Corpus datasheet: the per-(lang × source) summary table a dataset
     * card publishes — document/token mass, exact-integer-unit mean
     * quality, and each cell's share of corpus tokens. One scored scan

@@ -676,6 +676,34 @@ class CurationSpec extends GraftSuite {
     decoded.foreach { case (w, d) => assert(d === w, s"round-trip broke: $w -> $d") }
   }
 
+  test("interleaveSchedule equals brute-force stride scheduling; prefix interleaves langs") {
+    import graft.operators.Curation
+    def round4(x: Double): Double =
+      java.math.BigDecimal.valueOf(x).setScale(4, java.math.RoundingMode.HALF_UP).doubleValue()
+    def md5hex(s: String): String = {
+      val d = java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+      d.map("%02x".format(_)).mkString
+    }
+    val weights = Curation.temperatureMixture(docs).collect()
+      .map(r => r.getString(0) -> r.getDouble(3)).toMap
+    val fixture = docs.select(col("doc_id"), col("lang")).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    val expected = fixture.groupBy(_._2).toSeq.flatMap { case (lang, ds) =>
+      ds.sortBy(d => (md5hex(d._1.toString), d._1)).zipWithIndex.map {
+        case ((id, _), i) => (id, lang, i + 1, round4((i + 1) / weights(lang)))
+      }
+    }.sortBy(r => (r._4, r._1)).take(50)
+    val got = Curation.interleaveSchedule(docs).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getInt(2), r.getDouble(3))).toSeq
+    assert(got === expected)
+    // interleaving law: the 50-row prefix must contain every language
+    assert(got.map(_._2).toSet === weights.keySet,
+      "stride scheduling must interleave all languages from the start")
+    // plan law: final order is a TakeOrderedAndProject, not a global sort
+    val plan = Curation.interleaveSchedule(docs).queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), s"expected top-k plan:\n$plan")
+  }
+
   test("corpusDatasheet equals the brute-force (lang x source) rollup; shares sum to 1") {
     import graft.operators.{Curation, TextAnalysis}
     def round(x: Double, s: Int): Double =

@@ -223,6 +223,12 @@ object PipelineQueries {
     // data-loader order: deterministic stride-scheduled weighted
     // interleave of the mixture, first 50 schedule rows
     "q113_interleave" -> ((s, d) => Curation.interleaveSchedule(Tables.documents(s, d))),
+    // embedding-quality eval: kNN majority-label accuracy per label over
+    // a balanced deterministic anchor sample
+    "q114_knn_label_eval" -> ((s, d) => Similarity.knnLabelEval(Tables.embeddings(s, d))),
+    // dedup tuning: pair/doc counts at each tau >= the banding design
+    // point, from one pair-index build
+    "q115_threshold_sweep" -> ((s, d) => Dedup.thresholdSweep(Tables.documents(s, d))),
     // rows-only (no oracle): approximate sketches differ by implementation
     "q38_sketches" -> ((s, d) => {
       import org.apache.spark.sql.functions._
@@ -1382,6 +1388,66 @@ object PipelineQueries {
         |SELECT lang, tokens, sample_weight, target_tokens,
         | round(target_tokens * 1.0 / tokens, 4) AS epochs
         |FROM t ORDER BY lang""".stripMargin,
+    "q114_knn_label_eval" ->
+      s"""WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |a AS (
+         |  SELECT vec_id AS anchor_id, label AS true_label, v AS av FROM (
+         |    SELECT vec_id, label, v,
+         |      row_number() OVER (PARTITION BY label
+         |        ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rn
+         |    FROM e
+         |  ) WHERE rn <= 8
+         |),
+         |s AS (
+         |  SELECT anchor_id, true_label, e.vec_id AS neighbor_id, e.label AS nb_label,
+         |    round(${cosSql("av", "e.v")}, 6) AS cos
+         |  FROM e CROSS JOIN a WHERE e.vec_id <> a.anchor_id
+         |),
+         |nn AS (
+         |  SELECT anchor_id, true_label, nb_label FROM (
+         |    SELECT anchor_id, true_label, nb_label,
+         |      row_number() OVER (PARTITION BY anchor_id
+         |        ORDER BY cos DESC, neighbor_id) AS rnk
+         |    FROM s
+         |  ) WHERE rnk <= 5
+         |),
+         |votes AS (
+         |  SELECT anchor_id, true_label, nb_label, count(*) AS c
+         |  FROM nn GROUP BY 1, 2, 3
+         |),
+         |pred AS (
+         |  SELECT anchor_id, true_label, nb_label FROM (
+         |    SELECT anchor_id, true_label, nb_label,
+         |      row_number() OVER (PARTITION BY anchor_id
+         |        ORDER BY c DESC, nb_label) AS vr
+         |    FROM votes
+         |  ) WHERE vr = 1
+         |)
+         |SELECT true_label AS label, count(*) AS n_anchors,
+         | CAST(sum(CASE WHEN nb_label = true_label THEN 1 ELSE 0 END) AS BIGINT) AS n_correct,
+         | round(sum(CASE WHEN nb_label = true_label THEN 1 ELSE 0 END) * 1.0 / count(*), 4)
+         |   AS accuracy
+         |FROM pred GROUP BY true_label ORDER BY label""".stripMargin,
+    "q115_threshold_sweep" ->
+      s"""WITH jp AS (
+         |  SELECT id1, id2, jaccard FROM (
+         |$JaccardSql
+         |  ) jt
+         |),
+         |th(threshold) AS (VALUES (0.6), (0.7), (0.8), (0.9)),
+         |f AS (
+         |  SELECT threshold, id1, id2 FROM jp CROSS JOIN th WHERE jaccard >= threshold
+         |),
+         |np AS (SELECT threshold, count(*) AS p FROM f GROUP BY threshold),
+         |nd AS (
+         |  SELECT threshold, count(DISTINCT d) AS dd FROM (
+         |    SELECT threshold, id1 AS d FROM f
+         |    UNION ALL SELECT threshold, id2 FROM f
+         |  ) GROUP BY threshold
+         |)
+         |SELECT threshold, coalesce(p, 0) AS n_pairs, coalesce(dd, 0) AS n_docs
+         |FROM th LEFT JOIN np USING (threshold) LEFT JOIN nd USING (threshold)
+         |ORDER BY threshold""".stripMargin,
     "q113_interleave" ->
       """WITH s AS (
         |  SELECT lang, CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS tokens

@@ -367,6 +367,37 @@ object Dedup {
       .orderBy($"doc_id")
   }
 
+  /** Dedup threshold-sensitivity sweep: from ONE pair-index build, the
+    * pair and affected-document counts at every candidate threshold ≥ the
+    * index's banding design point — the tuning table a curation run
+    * consults before committing to a tau. Sweeping above the build
+    * threshold is sound (banding recall only improves with similarity);
+    * sweeping below it would undercount and is deliberately not offered.
+    *
+    * Shape: rides the cached pair index; the sweep is a 4-row broadcast
+    * cross join over the near-linear pair set — pair-proportional work
+    * per threshold, with a left join keeping empty thresholds as zeros.
+    */
+  def thresholdSweep(documents: DataFrame, n: Int = 5,
+      thresholds: Seq[Double] = Seq(0.6, 0.7, 0.8, 0.9)): DataFrame = {
+    val spark = documents.sparkSession
+    // selective import: the full implicits._ would make a second `$`
+    // interpolator ambiguous with the package-level one
+    import spark.implicits.{localSeqToDatasetHolder, newDoubleEncoder}
+    val pairs = pairIndex(documents, n, thresholds.min)
+    val th = thresholds.toDF("threshold")
+    val f = pairs.crossJoin(broadcast(th)).filter($"jaccard" >= $"threshold")
+    val np = f.groupBy($"threshold").agg(count(lit(1)).as("p"))
+    val nd = f.select($"threshold", $"id1".as("d"))
+      .union(f.select($"threshold", $"id2"))
+      .groupBy($"threshold").agg(countDistinct($"d").as("dd"))
+    th.join(np, Seq("threshold"), "left")
+      .join(nd, Seq("threshold"), "left")
+      .select($"threshold", coalesce($"p", lit(0L)).as("n_pairs"),
+        coalesce($"dd", lit(0L)).as("n_docs"))
+      .orderBy($"threshold")
+  }
+
   /** Incremental near-dup detection: find pairs between a NEW batch of
     * documents (doc_id < newIdCut) and the already-indexed corpus
     * (doc_id >= newIdCut) — the daily-ingest shape of LSH dedup, where the

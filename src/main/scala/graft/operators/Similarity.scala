@@ -141,6 +141,48 @@ object Similarity {
       .orderBy($"anchor_id", $"label".desc, $"cos".desc, $"other_id")
   }
 
+  /** kNN label-agreement evaluation: classify a deterministic balanced
+    * anchor sample by the majority label of its `k` nearest corpus
+    * vectors and report per-label accuracy — the intrinsic
+    * embedding-quality eval that belongs beside q63's ANN recall (does
+    * the metric space respect the labels at all?).
+    *
+    * Shape: `perLabel` anchors per label via the salted two-stage
+    * `Scale.topKPerGroup` (fixed-size diagnostic — costs the same at
+    * 100 TB as at 1 GB, the labelCohesion argument); exact neighbors
+    * come from one corpus scan against the broadcast anchor table with
+    * the NN selection itself running through `topKPerGroup` (no
+    * corpus-sized window partitions); votes and the report are
+    * anchor-bounded frames.
+    */
+  def knnLabelEval(embeddings: DataFrame, perLabel: Int = 8, k: Int = 5): DataFrame = {
+    import graft.functions.VectorFunctions.cosine_sim
+    val corpus = embeddings.select($"vec_id", $"label", asDouble($"embedding").as("v"))
+    val anchors = Scale.topKPerGroup(corpus,
+        group = $"label", rankKey = md5($"vec_id".cast("string")), tie = $"vec_id",
+        saltSource = $"vec_id", k = perLabel)
+      .select($"vec_id".as("anchor_id"), $"label".as("true_label"), $"v".as("av"))
+    val scored = corpus
+      .join(broadcast(anchors), $"vec_id" =!= $"anchor_id")
+      .select($"anchor_id", $"true_label", $"vec_id".as("neighbor_id"),
+        $"label".as("nb_label"), round(cosine_sim($"av", $"v"), 6).as("cos"))
+    val nn = Scale.topKPerGroup(scored,
+      group = $"anchor_id", rankKey = -$"cos", tie = $"neighbor_id",
+      saltSource = $"neighbor_id", k = k)
+    val wv = Window.partitionBy($"anchor_id").orderBy($"c".desc, $"nb_label")
+    val pred = nn
+      .groupBy($"anchor_id", $"true_label", $"nb_label")
+      .agg(count(lit(1)).as("c"))
+      .withColumn("vr", row_number().over(wv)).filter($"vr" === 1)
+    pred
+      .groupBy($"true_label")
+      .agg(count(lit(1)).as("n_anchors"),
+        sum(when($"nb_label" === $"true_label", 1L).otherwise(0L)).as("n_correct"))
+      .select($"true_label".as("label"), $"n_anchors", $"n_correct",
+        round($"n_correct" / $"n_anchors", 4).as("accuracy"))
+      .orderBy($"label")
+  }
+
   val NumPlanes = 8
 
   /** Deterministic pseudo-random hyperplane coefficient for (plane j, dim i):

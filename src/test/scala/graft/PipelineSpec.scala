@@ -788,6 +788,59 @@ class PipelineSpec extends GraftSuite {
     assert(neg.filter(_._1 == anchor).sortBy(r => (-r._4, r._2)).toSeq === expectedNeg)
   }
 
+  test("knnLabelEval equals a brute-force kNN majority vote over the anchor sample") {
+    def round(x: Double, s: Int): Double =
+      java.math.BigDecimal.valueOf(x).setScale(s, java.math.RoundingMode.HALF_UP).doubleValue()
+    def md5hex(s: String): String = {
+      val d = java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+      d.map("%02x".format(_)).mkString
+    }
+    val vecs = embs.select($"vec_id", $"label", $"embedding").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getSeq[Float](2).map(_.toDouble).toArray)).toSeq
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x * y }.sum
+      round(dot / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum)), 6)
+    }
+    val anchors = vecs.groupBy(_._2).toSeq.flatMap { case (_, vs) =>
+      vs.sortBy(v => (md5hex(v._1.toString), v._1)).take(8)
+    }
+    val expected = anchors.map { case (aid, albl, av) =>
+      val nn = vecs.filter(_._1 != aid)
+        .map { case (id, lbl, v) => (id, lbl, cos(av, v)) }
+        .sortBy { case (id, _, c) => (-c, id) }.take(5)
+      val pred = nn.groupBy(_._2).toSeq
+        .map { case (lbl, g) => (lbl, g.size) }
+        .minBy { case (lbl, c) => (-c, lbl) }._1
+      (albl, pred == albl)
+    }.groupBy(_._1).map { case (lbl, rs) =>
+      lbl.toLong -> ((rs.size.toLong, rs.count(_._2).toLong,
+        round(rs.count(_._2).toDouble / rs.size, 4)))
+    }
+    val got = graft.operators.Similarity.knnLabelEval(embs).collect()
+      .map(r => r.getInt(0).toLong -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(got === expected)
+    assert(got.values.map(_._1).sum === anchors.size.toLong)
+  }
+
+  test("thresholdSweep: counts are monotone and equal per-threshold filters of the pair set") {
+    val pairs = Dedup.minhashLshPairs(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    val got = graft.operators.Dedup.thresholdSweep(docs).collect()
+      .map(r => (r.getDouble(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got.map(_._1) === Seq(0.6, 0.7, 0.8, 0.9))
+    got.foreach { case (t, np, ndocs) =>
+      val f = pairs.filter(_._3 >= t)
+      assert(np === f.size.toLong, s"pairs at $t")
+      assert(ndocs === f.flatMap(p => Seq(p._1, p._2)).distinct.size.toLong, s"docs at $t")
+    }
+    // monotone nonincreasing in the threshold
+    got.sliding(2).foreach {
+      case Seq(a, b) => assert(a._2 >= b._2 && a._3 >= b._3)
+      case _ =>
+    }
+    assert(got.head._2 > 0, "sweep must be non-vacuous at the design point")
+  }
+
   test("langIdConfusion: cells partition the corpus; shares sum to 1 per truth lang") {
     val preds = TextAnalysis.langId(docs).collect()
       .map(r => (r.getString(1), r.getString(2))).toSeq

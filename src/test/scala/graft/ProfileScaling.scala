@@ -125,6 +125,33 @@ object ProfileScaling {
     val sslope = sx.zip(sy).map { case (x, y) => (x - smx) * (y - smy) }.sum /
       sx.map(x => (x - smx) * (x - smx)).sum
     println(f"[scaling] span-pipeline scaling exponent (log-log slope): $sslope%.2f")
+
+    // q106 core (bigram-LM surprisal): the scoring join is the only new
+    // token-proportional stage of round 4 — bigram-table rows and
+    // wall-time should grow ~linearly (replicas share no vocabulary, so
+    // the model table is replica-additive)
+    println("[scaling] bigram-lm: scale docs bigram_rows t_s")
+    val lmRows = scales.map { s =>
+      val docs = spark.read.parquet(s"$outRoot/x$s")
+      System.gc()
+      val (nBigrams, t) = time {
+        val r = graft.operators.TextAnalysis.bigramSurprisal(docs)
+        r.write.format("noop").mode("overwrite").save()
+        // distinct corpus bigram count = the model-table size
+        docs.select(split($"text", " ").as("ts")).filter(size($"ts") >= 2)
+          .select(explode(expr(
+            "transform(sequence(1, size(ts) - 1), i -> concat(element_at(ts, i), ' ', element_at(ts, i + 1)))")).as("b"))
+          .agg(count_distinct($"b")).collect()(0).getLong(0)
+      }
+      println(f"[scaling] bigram-lm x$s%-2d ${docs.count()}%6d $nBigrams%9d $t%8.2f")
+      (s, t)
+    }
+    val lx = lmRows.map(r => math.log(r._1.toDouble))
+    val ly = lmRows.map(r => math.log(r._2))
+    val lmx = lx.sum / lx.size; val lmy = ly.sum / ly.size
+    val lslope = lx.zip(ly).map { case (x, y) => (x - lmx) * (y - lmy) }.sum /
+      lx.map(x => (x - lmx) * (x - lmx)).sum
+    println(f"[scaling] bigram-lm scaling exponent (log-log slope): $lslope%.2f")
     spark.stop()
   }
 }

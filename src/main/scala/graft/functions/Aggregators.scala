@@ -304,4 +304,50 @@ object Aggregators {
     override def outputEncoder: Encoder[Seq[PsiRow]] =
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[PsiRow]]()
   }
+
+  case class MixCell(lang: String, toks: Long)
+  case class MixBuf(cells: Seq[MixCell])
+  case class MixRow(lang: String, tokens: Long, sample_weight: Double,
+    target_tokens: Long, epochs: Double)
+
+  /** Streaming mixture/epoch-plan state: per-language token counts (state
+    * bounded by language count on an unbounded stream), with `finish`
+    * replicating q112's arithmetic — sqrt-temperature weights renormalized
+    * (round 6), budget targets, epoch factors (round 4). The pa-sum runs
+    * over lang-sorted cells; like the q69/q112 oracles, round-6 absorbs
+    * the float-sum association order, so a complete-mode stream reproduces
+    * the batch rows at every trigger.
+    */
+  class MixturePlanOf(budgetTokens: Long = 1000000L)
+      extends Aggregator[(String, Long), MixBuf, Seq[MixRow]] {
+    override def zero: MixBuf = MixBuf(Vector.empty)
+
+    private def bump(cells: Seq[MixCell], lang: String, by: Long): Seq[MixCell] = {
+      val i = cells.indexWhere(_.lang == lang)
+      if (i < 0) cells :+ MixCell(lang, by)
+      else cells.updated(i, cells(i).copy(toks = cells(i).toks + by))
+    }
+
+    override def reduce(b: MixBuf, x: (String, Long)): MixBuf =
+      MixBuf(bump(b.cells, x._1, x._2))
+
+    override def merge(a: MixBuf, b: MixBuf): MixBuf =
+      MixBuf(b.cells.foldLeft(a.cells) { (acc, c) => bump(acc, c.lang, c.toks) })
+
+    override def finish(b: MixBuf): Seq[MixRow] = {
+      val total = b.cells.map(_.toks).sum
+      val pas = b.cells.sortBy(_.lang)
+        .map(c => (c.lang, c.toks, math.sqrt(c.toks.toDouble / total)))
+      val paSum = pas.map(_._3).sum
+      pas.map { case (lang, toks, pa) =>
+        val w = Rounding.halfUp(pa / paSum, 6)
+        val target = Rounding.halfUp(w * budgetTokens, 0).toLong
+        MixRow(lang, toks, w, target, Rounding.halfUp(target.toDouble / toks, 4))
+      }
+    }
+
+    override def bufferEncoder: Encoder[MixBuf] = Encoders.product[MixBuf]
+    override def outputEncoder: Encoder[Seq[MixRow]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[MixRow]]()
+  }
 }

@@ -232,6 +232,30 @@ object EventStreams {
         col("r.psi").as("psi"))
   }
 
+  /** Streaming twin of `Curation.epochPlan` (q112): the temperature
+    * mixture and its sampling schedule maintained live over a document
+    * stream — per-language token counts as typed Aggregator state
+    * (bounded by language count, no watermark: counts only grow), with
+    * every trigger re-emitting the full plan in complete mode. This is
+    * the mixture dashboard a crawl feeds: weights and epoch factors
+    * re-balance as low-resource languages accumulate, instead of waiting
+    * for the snapshot to close.
+    */
+  def mixturePlanStream(docs: DataFrame, budgetTokens: Long = 1000000L): DataFrame = {
+    import docs.sparkSession.implicits._
+    val toks = docs
+      .select(col("lang"), size(split(col("text"), " ")).cast("long").as("nw"))
+      .as[(String, Long)]
+    val agg = new graft.functions.Aggregators.MixturePlanOf(budgetTokens)
+    toks
+      .groupByKey(_ => 0)
+      .agg(agg.toColumn.name("plan"))
+      .select(explode(col("plan")).as("r"))
+      .select(col("r.lang").as("lang"), col("r.tokens").as("tokens"),
+        col("r.sample_weight").as("sample_weight"),
+        col("r.target_tokens").as("target_tokens"), col("r.epochs").as("epochs"))
+  }
+
   /** Streaming twin of `Events.quantileSketch`: per event_type, the
     * bottom-k-by-md5 uniform sample maintained as typed Aggregator state —
     * k (hash, value) pairs per group, bounded on an unbounded stream with

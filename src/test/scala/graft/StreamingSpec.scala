@@ -176,6 +176,34 @@ class StreamingSpec extends GraftSuite {
     assert(streamed.nonEmpty)
   }
 
+  test("streaming mixture plan == batch epochPlan bit-for-bit across micro-batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val rows = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("lang"), col("text"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    val input = MemoryStream[(Long, String, String)]
+    val q = EventStreams.mixturePlanStream(input.toDS().toDF("doc_id", "lang", "text"))
+      .writeStream.outputMode("complete").format("memory").queryName("mix_out")
+      .start()
+    val (a, b) = rows.splitAt(rows.length / 3)
+    input.addData(a.toIndexedSeq)
+    q.processAllAvailable()
+    input.addData(b.toIndexedSeq)
+    q.processAllAvailable()
+    val streamed = spark.table("mix_out")
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getLong(3), r.getDouble(4)))
+      .toSet
+    q.stop()
+    val batch = graft.operators.Curation.epochPlan(Tables.documents(spark, sf))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getLong(3), r.getDouble(4)))
+      .toSet
+    assert(streamed === batch)
+    assert(streamed.nonEmpty)
+  }
+
   test("streaming quantile sketch == batch quantile sketch bit-for-bit (incl. across batches)") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

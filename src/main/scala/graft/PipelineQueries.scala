@@ -229,6 +229,10 @@ object PipelineQueries {
     // dedup tuning: pair/doc counts at each tau >= the banding design
     // point, from one pair-index build
     "q115_threshold_sweep" -> ((s, d) => Dedup.thresholdSweep(Tables.documents(s, d))),
+    // Johnson-Lindenstrauss health check: cosine distortion of the
+    // deterministic 16-dim random projection over a fixed vector sample
+    "q116_projection_distortion" -> ((s, d) =>
+      Similarity.projectionDistortion(Tables.embeddings(s, d))),
     // rows-only (no oracle): approximate sketches differ by implementation
     "q38_sketches" -> ((s, d) => {
       import org.apache.spark.sql.functions._
@@ -1388,6 +1392,35 @@ object PipelineQueries {
         |SELECT lang, tokens, sample_weight, target_tokens,
         | round(target_tokens * 1.0 / tokens, 4) AS epochs
         |FROM t ORDER BY lang""".stripMargin,
+    "q116_projection_distortion" -> {
+      // multiplicative-mix projection coefficients, matching
+      // Similarity.projCoef exactly
+      val projExprs = (0 until Similarity.ProjDims).map { j =>
+        s"""list_sum(list_transform(generate_series(1, len(v)),
+           |   i -> v[i] * ((((i + 17) * ${(j + 1).toLong * 104729L} + ${j * 7919L}) % 2001 - 1000) / 1000.0)))""".stripMargin
+      }.mkString(",\n    ")
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |s AS (
+         |  SELECT vec_id, v,
+         |    row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rn
+         |  FROM e
+         |),
+         |sp AS (
+         |  SELECT vec_id, v,
+         |    [$projExprs] AS p
+         |  FROM s WHERE rn <= 32
+         |),
+         |pairs AS (
+         |  SELECT round(${cosSql("a.v", "b.v")}, 6) AS cos,
+         |    round(${cosSql("a.p", "b.p")}, 6) AS pcos
+         |  FROM sp a JOIN sp b ON a.vec_id < b.vec_id
+         |),
+         |d AS (SELECT CAST(round(abs(cos - pcos) * 1e6, 0) AS BIGINT) AS d6 FROM pairs)
+         |SELECT count(*) AS n_pairs,
+         | round(sum(d6) * 1.0 / count(*) / 1e6, 4) AS avg_abs_err,
+         | round(max(d6) / 1e6, 4) AS max_abs_err
+         |FROM d""".stripMargin
+    },
     "q114_knn_label_eval" ->
       s"""WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
          |a AS (

@@ -183,6 +183,64 @@ object Similarity {
       .orderBy($"label")
   }
 
+  /** Number of output dimensions of the deterministic random projection
+    * (Johnson-Lindenstrauss sketch). 32 dims halve the 64-dim fixture and
+    * land the mean cosine distortion at the ~1/sqrt(k) JL rate (~0.13 on
+    * the fixture sample).
+    */
+  val ProjDims = 32
+
+  /** Projection coefficient for (plane j, dim i): like `coef` but with
+    * MULTIPLICATIVE index mixing — the additive family's planes are
+    * linearly correlated across j (fine for sign buckets, which only need
+    * bit diversity; measured ~2.5x worse mean cosine distortion when used
+    * as a projection), while (j+1)(i+17) decorrelates planes to the JL
+    * rate. Engine-independent integer arithmetic, like everything else in
+    * the hash family.
+    */
+  private def projCoef(j: Int, i: Column): Column =
+    ((((i + 17) * lit((j + 1).toLong * 104729L) + lit(j * 7919L)) % 2001L - 1000L)
+      .cast("double") / 1000.0)
+
+  /** Random-projection distortion report: project embeddings to
+    * `ProjDims` dimensions with the deterministic LCG hyperplane family
+    * and measure, over a fixed-size md5-selected vector sample, how well
+    * projected cosine preserves true cosine — the Johnson-Lindenstrauss
+    * health check run before committing an index (or a shuffle-heavy
+    * pipeline) to reduced vectors. Distortions quantize to integer
+    * micro-units, so the summary is exact order-free arithmetic.
+    *
+    * Shape: the sample is `nSample` vectors via the salted
+    * `Scale.topKPerGroup` (fixed-size diagnostic — the labelCohesion
+    * argument: pair count is (nSample choose 2) regardless of corpus
+    * size); projection is a codegen'd per-row expression; the pair frame
+    * is sample²-bounded.
+    */
+  def projectionDistortion(embeddings: DataFrame, nSample: Int = 32): DataFrame = {
+    import graft.functions.VectorFunctions.cosine_sim
+    def proj(v: Column): Column = array(
+      (0 until ProjDims).map { j =>
+        aggregate(
+          zip_with(v, sequence(lit(1), size(v)), (x, i) => x * projCoef(j, i)),
+          lit(0.0), (acc, x) => acc + x)
+      }: _*)
+    val sampled = Scale.topKPerGroup(
+        embeddings.select($"vec_id", asDouble($"embedding").as("v")).withColumn("g", lit(1)),
+        group = $"g", rankKey = md5($"vec_id".cast("string")), tie = $"vec_id",
+        saltSource = $"vec_id", k = nSample)
+      .select($"vec_id", $"v", proj($"v").as("p"))
+      .localCheckpoint() // tiny fixed-size sample; self-joined below
+    sampled.as("a").join(sampled.as("b"), col("a.vec_id") < col("b.vec_id"))
+      .select(
+        round(cosine_sim(col("a.v"), col("b.v")), 6).as("cos"),
+        round(cosine_sim(col("a.p"), col("b.p")), 6).as("pcos"))
+      .select(round(abs($"cos" - $"pcos") * 1e6, 0).cast("long").as("d6"))
+      .agg(
+        count(lit(1)).as("n_pairs"),
+        round(sum($"d6") / count(lit(1)) / 1e6, 4).as("avg_abs_err"),
+        round(max($"d6") / 1e6, 4).as("max_abs_err"))
+  }
+
   val NumPlanes = 8
 
   /** Deterministic pseudo-random hyperplane coefficient for (plane j, dim i):

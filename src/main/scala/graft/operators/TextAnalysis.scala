@@ -363,8 +363,12 @@ object TextAnalysis {
         val pair = top(0).getString(0); val cnt = top(0).getLong(1)
         val merged = pair.replace(" ", "")
         merges += ((r, pair, merged, cnt))
+        // literal replace Columns, not expr-string interpolation: a corpus
+        // word containing a quote must not be able to break (or inject
+        // into) the rewrite expression
         seqs = seqs.select($"freq",
-          expr(s"trim(replace(concat(' ', seq, ' '), ' $pair ', ' $merged '))").as("seq"))
+          trim(replace(concat(lit(" "), $"seq", lit(" ")),
+            lit(s" $pair "), lit(s" $merged "))).as("seq"))
           .localCheckpoint()
         r += 1
       }

@@ -822,6 +822,38 @@ class PipelineSpec extends GraftSuite {
     assert(got.values.map(_._1).sum === anchors.size.toLong)
   }
 
+  test("projectionDistortion equals a brute-force JL check; distortion is sane") {
+    def round(x: Double, s: Int): Double =
+      java.math.BigDecimal.valueOf(x).setScale(s, java.math.RoundingMode.HALF_UP).doubleValue()
+    def md5hex(s: String): String = {
+      val d = java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+      d.map("%02x".format(_)).mkString
+    }
+    def coef(j: Int, i: Int): Double =
+      (((j + 1).toLong * (i + 17) * 104729L + j * 7919L) % 2001L - 1000L) / 1000.0
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x * y }.sum
+      round(dot / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum)), 6)
+    }
+    val vecs = embs.select($"vec_id", $"embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toArray)).toSeq
+    val sample = vecs.sortBy(v => (md5hex(v._1.toString), v._1)).take(32)
+    def proj(v: Array[Double]): Array[Double] =
+      (0 until 32).map(j => v.zipWithIndex.map { case (x, i) => x * coef(j, i + 1) }.sum)
+        .toArray
+    val d6s = for {
+      (ida, va) <- sample; (idb, vb) <- sample if ida < idb
+    } yield math.round(math.abs(cos(va, vb) - cos(proj(va), proj(vb))) * 1e6)
+    val expected = (d6s.size.toLong,
+      round(d6s.sum.toDouble / d6s.size / 1e6, 4), round(d6s.max.toDouble / 1e6, 4))
+    val got = graft.operators.Similarity.projectionDistortion(embs).collect()(0)
+    assert((got.getLong(0), got.getDouble(1), got.getDouble(2)) === expected)
+    assert(got.getLong(0) === 32L * 31 / 2)
+    // JL sanity: a 64->32 projection with decorrelated planes sits at the
+    // ~1/sqrt(k) rate (~0.13 measured; 0.2 is the generous ceiling)
+    assert(got.getDouble(1) < 0.2, s"avg distortion ${got.getDouble(1)} implausibly high")
+  }
+
   test("thresholdSweep: counts are monotone and equal per-threshold filters of the pair set") {
     val pairs = Dedup.minhashLshPairs(docs).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq

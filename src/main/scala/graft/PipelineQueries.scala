@@ -230,9 +230,13 @@ object PipelineQueries {
     // point, from one pair-index build
     "q115_threshold_sweep" -> ((s, d) => Dedup.thresholdSweep(Tables.documents(s, d))),
     // Johnson-Lindenstrauss health check: cosine distortion of the
-    // deterministic 16-dim random projection over a fixed vector sample
+    // deterministic 32-dim random projection over a fixed vector sample
     "q116_projection_distortion" -> ((s, d) =>
       Similarity.projectionDistortion(Tables.embeddings(s, d))),
+    // projected ANN: candidates scored in the 32-dim projection
+    // (over-fetched 3x), exact re-rank, recall vs the exact top-k
+    "q117_projected_ann" -> ((s, d) =>
+      Similarity.projectedAnnRecall(Tables.embeddings(s, d))),
     // rows-only (no oracle): approximate sketches differ by implementation
     "q38_sketches" -> ((s, d) => {
       import org.apache.spark.sql.functions._
@@ -1420,6 +1424,49 @@ object PipelineQueries {
          | round(sum(d6) * 1.0 / count(*) / 1e6, 4) AS avg_abs_err,
          | round(max(d6) / 1e6, 4) AS max_abs_err
          |FROM d""".stripMargin
+    },
+    "q117_projected_ann" -> {
+      val projExprs = (0 until Similarity.ProjDims).map { j =>
+        s"""list_sum(list_transform(generate_series(1, len(v)),
+           |   i -> v[i] * ((((i + 17) * ${(j + 1).toLong * 104729L} + ${j * 7919L}) % 2001 - 1000) / 1000.0)))""".stripMargin
+      }.mkString(",\n    ")
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |pe AS (
+         |  SELECT vec_id, v,
+         |    [$projExprs] AS pv
+         |  FROM e
+         |),
+         |q AS (SELECT vec_id AS query_id, v AS qv, pv AS qpv FROM pe WHERE vec_id < 5),
+         |truth AS (
+         |  SELECT query_id, neighbor_id FROM (
+         |    SELECT query_id, e.vec_id AS neighbor_id,
+         |      row_number() OVER (PARTITION BY query_id
+         |        ORDER BY round(${cosSql("qv", "v")}, 6) DESC, e.vec_id) AS rnk
+         |    FROM e, q WHERE e.vec_id <> q.query_id
+         |  ) WHERE rnk <= 3
+         |),
+         |cand AS (
+         |  SELECT query_id, neighbor_id, qv, v FROM (
+         |    SELECT query_id, pe.vec_id AS neighbor_id, qv, v,
+         |      row_number() OVER (PARTITION BY query_id
+         |        ORDER BY round(${cosSql("qpv", "pv")}, 6) DESC, pe.vec_id) AS crnk
+         |    FROM pe, q WHERE pe.vec_id <> q.query_id
+         |  ) WHERE crnk <= 9
+         |),
+         |approx AS (
+         |  SELECT query_id, neighbor_id FROM (
+         |    SELECT query_id, neighbor_id,
+         |      row_number() OVER (PARTITION BY query_id
+         |        ORDER BY round(${cosSql("qv", "v")}, 6) DESC, neighbor_id) AS rnk
+         |    FROM cand
+         |  ) WHERE rnk <= 3
+         |)
+         |SELECT t.query_id, count(a.neighbor_id) AS n_hit,
+         | round(count(a.neighbor_id) / 3.0, 6) AS recall
+         |FROM truth t
+         |LEFT JOIN approx a
+         |  ON t.query_id = a.query_id AND t.neighbor_id = a.neighbor_id
+         |GROUP BY t.query_id ORDER BY t.query_id""".stripMargin
     },
     "q114_knn_label_eval" ->
       s"""WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),

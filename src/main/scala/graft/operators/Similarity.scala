@@ -216,14 +216,17 @@ object Similarity {
     * size); projection is a codegen'd per-row expression; the pair frame
     * is sample²-bounded.
     */
+  /** The `ProjDims`-dim random projection of a vector column. */
+  private def projectArray(v: Column): Column = array(
+    (0 until ProjDims).map { j =>
+      aggregate(
+        zip_with(v, sequence(lit(1), size(v)), (x, i) => x * projCoef(j, i)),
+        lit(0.0), (acc, x) => acc + x)
+    }: _*)
+
   def projectionDistortion(embeddings: DataFrame, nSample: Int = 32): DataFrame = {
     import graft.functions.VectorFunctions.cosine_sim
-    def proj(v: Column): Column = array(
-      (0 until ProjDims).map { j =>
-        aggregate(
-          zip_with(v, sequence(lit(1), size(v)), (x, i) => x * projCoef(j, i)),
-          lit(0.0), (acc, x) => acc + x)
-      }: _*)
+    def proj(v: Column): Column = projectArray(v)
     val sampled = Scale.topKPerGroup(
         embeddings.select($"vec_id", asDouble($"embedding").as("v")).withColumn("g", lit(1)),
         group = $"g", rankKey = md5($"vec_id".cast("string")), tie = $"vec_id",
@@ -239,6 +242,48 @@ object Similarity {
         count(lit(1)).as("n_pairs"),
         round(sum($"d6") / count(lit(1)) / 1e6, 4).as("avg_abs_err"),
         round(max($"d6") / 1e6, 4).as("max_abs_err"))
+  }
+
+  /** Projected ANN with exact re-rank + recall report — what q116's
+    * distortion number buys: candidate generation scores the `ProjDims`-dim
+    * projections (half the bytes and flops of the full fixture vectors;
+    * 32/d of a d-dim production corpus), over-fetching `overfetch`×k
+    * candidates per query, then ONLY the candidate set is re-ranked with
+    * exact full-dimension cosine. Recall vs the exact top-k is the
+    * reported contract, the q63/q91 pattern — the JL route trades a
+    * recall dial (overfetch) for a bandwidth-proportional speedup on the
+    * scan that dominates ANN serving cost.
+    *
+    * Caveat the report exists to surface: ISOTROPIC random vectors (the
+    * fixture) are the adversarial case for JL — neighbor margins are
+    * ~0.01 cosine, under the projection's ~0.13 distortion, so recall at
+    * small overfetch is low (measured 4/15 at 3×, 13/15 at 25× on the
+    * fixture). Real embedding corpora are low-rank, where the same
+    * projection preserves ranking far better; run THIS report before
+    * committing to the projected route, exactly like q116.
+    */
+  def projectedAnnRecall(embeddings: DataFrame, nQueries: Int = 5, k: Int = 3,
+      overfetch: Int = 3): DataFrame = {
+    import graft.functions.VectorFunctions.cosine_sim
+    val corpus = embeddings
+      .select($"vec_id", asDouble($"embedding").as("v"))
+      .select($"vec_id", $"v", projectArray($"v").as("pv"))
+    val queries = corpus.filter($"vec_id" < nQueries)
+      .select($"vec_id".as("query_id"), $"v".as("qv"), $"pv".as("qpv"))
+    val wc = Window.partitionBy($"query_id").orderBy($"pcos".desc, $"neighbor_id")
+    val wr = Window.partitionBy($"query_id").orderBy($"cos".desc, $"neighbor_id")
+    val approx = corpus
+      .join(broadcast(queries), $"vec_id" =!= $"query_id")
+      .select($"query_id", $"vec_id".as("neighbor_id"), $"qv", $"v",
+        round(cosine_sim($"qpv", $"pv"), 6).as("pcos"))
+      .withColumn("crnk", row_number().over(wc))
+      .filter($"crnk" <= k * overfetch)
+      .select($"query_id", $"neighbor_id",
+        round(cosine_sim($"qv", $"v"), 6).as("cos"))
+      .withColumn("rnk", row_number().over(wr))
+      .filter($"rnk" <= k)
+      .select($"query_id", $"neighbor_id")
+    recallAgainstTruth(cosineTopK(embeddings, nQueries, k), approx, k)
   }
 
   val NumPlanes = 8

@@ -854,6 +854,46 @@ class PipelineSpec extends GraftSuite {
     assert(got.getDouble(1) < 0.2, s"avg distortion ${got.getDouble(1)} implausibly high")
   }
 
+  test("projectedAnnRecall equals brute-force project-overfetch-rerank; recall is useful") {
+    def round6(x: Double): Double =
+      java.math.BigDecimal.valueOf(x).setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+    def coef(j: Int, i: Int): Double =
+      (((j + 1).toLong * (i + 17) * 104729L + j * 7919L) % 2001L - 1000L) / 1000.0
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x * y }.sum
+      round6(dot / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum)))
+    }
+    val vecs = embs.select($"vec_id", $"embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toArray)).toSeq
+    def proj(v: Array[Double]): Array[Double] =
+      (0 until 32).map(j => v.zipWithIndex.map { case (x, i) => x * coef(j, i + 1) }.sum)
+        .toArray
+    val projected = vecs.map { case (id, v) => (id, v, proj(v)) }
+    val expected = (0L until 5L).map { q =>
+      val (_, qv, qpv) = projected.find(_._1 == q).get
+      val others = projected.filter(_._1 != q)
+      val truth = others.map { case (id, v, _) => (id, cos(qv, v)) }
+        .sortBy { case (id, c) => (-c, id) }.take(3).map(_._1).toSet
+      val cands = others.map { case (id, v, pv) => (id, v, cos(qpv, pv)) }
+        .sortBy { case (id, _, pc) => (-pc, id) }.take(9)
+      val approx = cands.map { case (id, v, _) => (id, cos(qv, v)) }
+        .sortBy { case (id, c) => (-c, id) }.take(3).map(_._1).toSet
+      val hit = truth.intersect(approx).size.toLong
+      (q, hit, round6(hit / 3.0))
+    }
+    val got = graft.operators.Similarity.projectedAnnRecall(embs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(got === expected)
+    // the over-fetch dial must buy recall (isotropic fixture vectors are
+    // JL's adversarial case — margins ~0.01 cosine — so absolute recall
+    // at 3x is low by design; the CONTRACT is that widening the dial
+    // monotonically recovers the exact top-k)
+    val wide = graft.operators.Similarity.projectedAnnRecall(embs, overfetch = 25)
+      .collect().map(_.getLong(1)).sum
+    assert(wide > got.map(_._2).sum, s"overfetch 25x ($wide) must beat 3x")
+    assert(wide >= 10L, s"recall at 25x too low: $wide/15")
+  }
+
   test("thresholdSweep: counts are monotone and equal per-threshold filters of the pair set") {
     val pairs = Dedup.minhashLshPairs(docs).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq

@@ -237,6 +237,12 @@ object PipelineQueries {
     // (over-fetched 3x), exact re-rank, recall vs the exact top-k
     "q117_projected_ann" -> ((s, d) =>
       Similarity.projectedAnnRecall(Tables.embeddings(s, d))),
+    // dedup QA: near-dup cluster-size histogram off the shared pair index
+    "q118_cluster_sizes" -> ((s, d) =>
+      Dedup.clusterSizeDistribution(Tables.documents(s, d))),
+    // datasheet length half: per-source token-length quartiles + p95 via
+    // the bounded-state histogram quantile
+    "q119_length_profile" -> ((s, d) => TextAnalysis.lengthProfile(Tables.documents(s, d))),
     // rows-only (no oracle): approximate sketches differ by implementation
     "q38_sketches" -> ((s, d) => {
       import org.apache.spark.sql.functions._
@@ -1468,6 +1474,35 @@ object PipelineQueries {
          |  ON t.query_id = a.query_id AND t.neighbor_id = a.neighbor_id
          |GROUP BY t.query_id ORDER BY t.query_id""".stripMargin
     },
+    "q118_cluster_sizes" ->
+      s"""WITH RECURSIVE pairs AS (
+         |  SELECT id1, id2 FROM (
+         |$JaccardSql
+         |  ) jt
+         |),
+         |edges AS (
+         |  SELECT id1 AS src, id2 AS dst FROM pairs
+         |  UNION ALL SELECT id2, id1 FROM pairs
+         |),
+         |reach(node, label) AS (
+         |  SELECT src, src FROM edges
+         |  UNION
+         |  SELECT e.src, r.label FROM edges e JOIN reach r ON e.dst = r.node
+         |),
+         |m AS (SELECT node, min(label) AS cluster_rep FROM reach GROUP BY node),
+         |cs AS (SELECT cluster_rep, count(*) AS sz FROM m GROUP BY cluster_rep)
+         |SELECT sz AS cluster_size, count(*) AS n_clusters, CAST(sum(sz) AS BIGINT) AS n_docs
+         |FROM cs GROUP BY sz ORDER BY cluster_size""".stripMargin,
+    "q119_length_profile" ->
+      """WITH s AS (
+        |  SELECT source, CAST(len(string_split(text, ' ')) AS DOUBLE) AS nw FROM documents
+        |)
+        |SELECT source, count(*) AS n_docs,
+        | round(quantile_cont(nw, 0.25), 2) AS p25,
+        | round(quantile_cont(nw, 0.5), 2) AS p50,
+        | round(quantile_cont(nw, 0.75), 2) AS p75,
+        | round(quantile_cont(nw, 0.95), 2) AS p95
+        |FROM s GROUP BY source ORDER BY source""".stripMargin,
     "q114_knn_label_eval" ->
       s"""WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
          |a AS (

@@ -367,6 +367,24 @@ object Dedup {
       .orderBy($"doc_id")
   }
 
+  /** Near-dup cluster-size distribution — the dedup QA report: how many
+    * clusters of each size exist and how many documents they absorb. A
+    * heavy tail here (one giant cluster) is the classic symptom of a
+    * too-loose tau or boilerplate-dominated shingles, caught BEFORE the
+    * survivor pass rewrites the corpus. Rides the cached pair index +
+    * components labels; everything after the membership aggregation is
+    * size-histogram-sized.
+    */
+  def clusterSizeDistribution(documents: DataFrame, n: Int = 5,
+      threshold: Double = 0.6): DataFrame =
+    survivorsOverPairs(pairIndex(documents, n, threshold))
+      .groupBy($"cluster_rep")
+      .agg(count(lit(1)).as("sz"))
+      .groupBy($"sz".as("cluster_size"))
+      .agg(count(lit(1)).as("n_clusters"),
+        sum($"sz").as("n_docs"))
+      .orderBy($"cluster_size")
+
   /** Dedup threshold-sensitivity sweep: from ONE pair-index build, the
     * pair and affected-document counts at every candidate threshold ≥ the
     * index's banding design point — the tuning table a curation run

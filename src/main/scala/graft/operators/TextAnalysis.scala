@@ -423,6 +423,28 @@ object TextAnalysis {
       .orderBy($"source")
   }
 
+  /** Per-source document-length profile: exact p25/p50/p75/p95 of the
+    * whitespace token count per source — the datasheet's length half,
+    * each quantile from the BOUNDED-STATE histogram quantile (state =
+    * one counter per distinct length per source, never per row; a
+    * low-cardinality source column at 100 TB is exactly the shape that
+    * melts a sort-based percentile). Four aggregations over one cached
+    * projection, all map-side combined.
+    */
+  def lengthProfile(documents: DataFrame): DataFrame = {
+    val lens = documents
+      .select($"source", size(split($"text", " ")).cast("double").as("nw"))
+    def q(p: Double, name: String) =
+      graft.operators.Scale.exactQuantileByGroup(lens, "source", "nw", p)
+        .select($"source", round(col("cut"), 2).as(name))
+    lens.groupBy($"source").agg(count(lit(1)).as("n_docs"))
+      .join(q(0.25, "p25"), Seq("source"))
+      .join(q(0.5, "p50"), Seq("source"))
+      .join(q(0.75, "p75"), Seq("source"))
+      .join(q(0.95, "p95"), Seq("source"))
+      .orderBy($"source")
+  }
+
   /** Tokenizer APPLICATION + fertility report: encode the corpus with the
     * BPE merges learned by [[bpeMerges]] and report per-language token
     * mass and the two standard tokenizer-evaluation ratios — tokens/word

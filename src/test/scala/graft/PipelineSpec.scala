@@ -913,6 +913,43 @@ class PipelineSpec extends GraftSuite {
     assert(got.head._2 > 0, "sweep must be non-vacuous at the design point")
   }
 
+  test("clusterSizeDistribution equals the survivors rollup and conserves members") {
+    val members = Dedup.nearDupSurvivors(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val expected = members.groupBy(_._2).values.map(_.size).toSeq
+      .groupBy(identity).map { case (sz, cs) =>
+        sz.toLong -> ((cs.size.toLong, (sz * cs.size).toLong)) }
+    val got = Dedup.clusterSizeDistribution(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got === expected)
+    assert(got.values.map(_._2).sum === members.size.toLong, "docs must be conserved")
+    assert(got.keys.min >= 2L, "a near-dup cluster has at least 2 members")
+  }
+
+  test("lengthProfile equals brute-force interpolated quantiles per source") {
+    def round2(x: Double): Double =
+      java.math.BigDecimal.valueOf(x).setScale(2, java.math.RoundingMode.HALF_UP).doubleValue()
+    val lens = docs.select($"source", $"text").collect()
+      .map(r => (r.getString(0), r.getString(1).split(" ", -1).length.toDouble)).toSeq
+    def qc(sorted: Seq[Double], q: Double): Double = {
+      val pos = q * (sorted.length - 1)
+      val lo = math.floor(pos).toInt; val hi = math.ceil(pos).toInt
+      if (lo == hi) sorted(lo) else (hi - pos) * sorted(lo) + (pos - lo) * sorted(hi)
+    }
+    val expected = lens.groupBy(_._1).map { case (src, rs) =>
+      val s = rs.map(_._2).sorted
+      src -> ((rs.size.toLong, round2(qc(s, 0.25)), round2(qc(s, 0.5)),
+        round2(qc(s, 0.75)), round2(qc(s, 0.95))))
+    }
+    val got = TextAnalysis.lengthProfile(docs).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2), r.getDouble(3),
+        r.getDouble(4), r.getDouble(5)))).toMap
+    assert(got === expected)
+    got.values.foreach { case (_, p25, p50, p75, p95) =>
+      assert(p25 <= p50 && p50 <= p75 && p75 <= p95)
+    }
+  }
+
   test("langIdConfusion: cells partition the corpus; shares sum to 1 per truth lang") {
     val preds = TextAnalysis.langId(docs).collect()
       .map(r => (r.getString(1), r.getString(2))).toSeq

@@ -243,6 +243,9 @@ object PipelineQueries {
     // datasheet length half: per-source token-length quartiles + p95 via
     // the bounded-state histogram quantile
     "q119_length_profile" -> ((s, d) => TextAnalysis.lengthProfile(Tables.documents(s, d))),
+    // containment refinement: per near-dup pair, containment of the
+    // smaller shingle set + size ratio (quote/inclusion vs mutual dup)
+    "q120_containment" -> ((s, d) => Dedup.containmentRefine(Tables.documents(s, d))),
     // rows-only (no oracle): approximate sketches differ by implementation
     "q38_sketches" -> ((s, d) => {
       import org.apache.spark.sql.functions._
@@ -1474,6 +1477,23 @@ object PipelineQueries {
          |  ON t.query_id = a.query_id AND t.neighbor_id = a.neighbor_id
          |GROUP BY t.query_id ORDER BY t.query_id""".stripMargin
     },
+    "q120_containment" ->
+      s"""WITH $GramsCte,
+         |sizes AS (SELECT doc_id, count(*) AS sz FROM grams GROUP BY doc_id),
+         |inter AS (
+         |  SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS i
+         |  FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2
+         |)
+         |SELECT id1, id2,
+         | round(i * 1.0 / (s1.sz + s2.sz - i), 6) AS jaccard,
+         | round(i * 1.0 / least(s1.sz, s2.sz), 6) AS containment,
+         | round(least(s1.sz, s2.sz) * 1.0 / greatest(s1.sz, s2.sz), 6) AS size_ratio
+         |FROM inter
+         |JOIN sizes s1 ON id1 = s1.doc_id
+         |JOIN sizes s2 ON id2 = s2.doc_id
+         |WHERE round(i * 1.0 / (s1.sz + s2.sz - i), 6) >= 0.6
+         |ORDER BY id1, id2""".stripMargin,
     "q118_cluster_sizes" ->
       s"""WITH RECURSIVE pairs AS (
          |  SELECT id1, id2 FROM (

@@ -252,6 +252,40 @@ object Dedup {
       .filter($"jaccard" >= threshold)
   }
 
+  /** Containment refinement of the near-dup pair set: for every verified
+    * pair, Jaccard PLUS the containment of the smaller shingle set in the
+    * larger (|A∩B| / min(|A|,|B|)) and the size ratio — the asymmetric
+    * structure Jaccard hides. A pair with containment ≈ 1 at a low size
+    * ratio is a QUOTE/INCLUSION (one document embedded in another), which
+    * a curation run treats differently from a mutual near-duplicate
+    * (cut the span, don't drop the document; q97/q99 are that path).
+    *
+    * Shape: rides the cached pair index; the shingle-set join touches
+    * candidate ids only (the verification pattern) — pair-proportional
+    * end to end. Discovery of containment pairs OUTSIDE the Jaccard
+    * candidate set needs asymmetric (bottom-k one-sided) sketching — by
+    * design not offered here; this op refines what the index found.
+    */
+  def containmentRefine(documents: DataFrame, n: Int = 5, threshold: Double = 0.6): DataFrame = {
+    val parts = documents.sparkSession.sparkContext.defaultParallelism * 2
+    val pairs = pairIndex(documents, n, threshold)
+    val ids = pairs.select(explode(array($"id1", $"id2")).as("doc_id")).distinct()
+    val sets = documents.join(ids, Seq("doc_id"), "left_semi")
+      .repartition(parts, $"doc_id")
+      .select($"doc_id", graft.functions.MinHashFunctions.shingle_hashes($"text", n).as("hs"))
+      .localCheckpoint() // candidate-proportional; referenced twice below
+    pairs
+      .join(sets.select($"doc_id".as("id1"), $"hs".as("hs1")), Seq("id1"))
+      .join(sets.select($"doc_id".as("id2"), $"hs".as("hs2")), Seq("id2"))
+      .select($"id1", $"id2", $"jaccard",
+        graft.functions.MinHashFunctions.sorted_intersect_count($"hs1", $"hs2").as("i"),
+        size($"hs1").as("sz1"), size($"hs2").as("sz2"))
+      .select($"id1", $"id2", $"jaccard",
+        round($"i" / least($"sz1", $"sz2"), 6).as("containment"),
+        round(least($"sz1", $"sz2") / greatest($"sz1", $"sz2"), 6).as("size_ratio"))
+      .orderBy($"id1", $"id2")
+  }
+
   /** Cross-source duplication matrix: near-dup pair counts per unordered
     * source pair — the curation analytic that answers "which crawls copy
     * from each other" before deciding what to drop. Pair generation is the

@@ -926,6 +926,30 @@ class PipelineSpec extends GraftSuite {
     assert(got.keys.min >= 2L, "a near-dup cluster has at least 2 members")
   }
 
+  test("containmentRefine: exact set arithmetic per pair; containment bounds jaccard") {
+    def round6(x: Double): Double =
+      java.math.BigDecimal.valueOf(x).setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+    def shingles(text: String): Set[String] =
+      (if (text.length < 5) Seq(text) else text.sliding(5).toSeq).toSet
+    val texts = docs.select($"doc_id", $"text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val pairs = Dedup.minhashLshPairs(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    val got = Dedup.containmentRefine(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)))
+    assert(got.map(g => (g._1, g._2, g._3)).toSeq === pairs,
+      "refinement covers exactly the verified pair set")
+    got.foreach { case (id1, id2, j, c, sr) =>
+      val (a, b) = (shingles(texts(id1)), shingles(texts(id2)))
+      val i = a.intersect(b).size
+      assert(c === round6(i.toDouble / math.min(a.size, b.size)), s"containment ($id1,$id2)")
+      assert(sr === round6(math.min(a.size, b.size).toDouble / math.max(a.size, b.size)))
+      assert(c >= j, "containment always dominates jaccard")
+      assert(c <= 1.0 && sr <= 1.0)
+    }
+    assert(got.nonEmpty)
+  }
+
   test("lengthProfile equals brute-force interpolated quantiles per source") {
     def round2(x: Double): Double =
       java.math.BigDecimal.valueOf(x).setScale(2, java.math.RoundingMode.HALF_UP).doubleValue()

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.operators.{Curation, Dedup, Events, Extended, Multimodal, Sampling, Scale, Similarity, TextAnalysis}
+import graft.operators.{Curation, Dedup, Events, Extended, Matching, Multimodal, Sampling, Scale, Similarity, TextAnalysis}
 import graft.sources.Tables
 
 /** LLM-training-data-pipeline queries (SURVEY.md §2.2 ➕) and their DuckDB
@@ -246,6 +246,34 @@ object PipelineQueries {
     // containment refinement: per near-dup pair, containment of the
     // smaller shingle set + size ratio (quote/inclusion vs mutual dup)
     "q120_containment" -> ((s, d) => Dedup.containmentRefine(Tables.documents(s, d))),
+    // fuzzy entity resolution over the part-name catalog: token-blocked
+    // Levenshtein pairs with the row mass behind each name
+    "q121_fuzzy_match" -> ((s, d) => Matching.fuzzyNameMatch(Tables.part(s, d))),
+    // sparse lexical similarity: rare-term-blocked cosine over top-8
+    // tf-idf vectors (the text-side complement of q48's embedding LSH)
+    "q122_tfidf_pairs" -> ((s, d) => Matching.tfidfCosinePairs(Tables.documents(s, d))),
+    // first-order Markov transition matrix over in-session event pairs
+    "q123_transitions" -> ((s, d) => Events.sessionTransitions(Tables.events(s, d))),
+    // Efraimidis-Spirakis weighted sample without replacement (w = n_chars)
+    "q124_weighted_sample" -> ((s, d) => Sampling.weightedSample(Tables.documents(s, d))),
+    // DP noisy per-language counts with replayable md5-seeded Laplace noise
+    "q125_dp_histogram" -> ((s, d) => Curation.dpLangHistogram(Tables.documents(s, d))),
+    // reciprocal-rank fusion of the BM25 and dense-cosine rankings
+    "q126_hybrid_rrf" -> ((s, d) =>
+      Matching.hybridRrf(Tables.documents(s, d), Tables.embeddings(s, d))),
+    // column-profile drift between the q101 snapshot versions
+    "q127_profile_drift" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      val docs = Tables.documents(s, d)
+      Curation.profileDrift(
+        docs.filter(col("doc_id") % 10 =!= 1),
+        docs.filter(col("doc_id") % 10 =!= 0)
+          .withColumn("text", when(col("doc_id") % 7 === 0,
+            concat(col("text"), lit(" rev1"))).otherwise(col("text")))
+          // revisions keep n_chars consistent with the text mutation
+          .withColumn("n_chars", when(col("doc_id") % 7 === 0,
+            col("n_chars") + 5).otherwise(col("n_chars"))))
+    }),
     // rows-only (no oracle): approximate sketches differ by implementation
     "q38_sketches" -> ((s, d) => {
       import org.apache.spark.sql.functions._
@@ -2086,5 +2114,208 @@ object PipelineQueries {
         |SELECT asset_id, frame_no, md5(substr(text, frame_no * 64 + 1, 64)) AS frame_checksum
         |FROM frames WHERE frame_no % 4 = 0
         |ORDER BY asset_id, frame_no""".stripMargin,
+    "q121_fuzzy_match" ->
+      // token blocking is lossless for the stated semantics (pairs must
+      // share a token), so the oracle replicates block -> verify exactly
+      """WITH names AS (SELECT p_name, count(*) AS n_parts FROM part GROUP BY 1),
+        |toks AS (SELECT p_name, unnest(string_split(p_name, ' ')) AS tok FROM names),
+        |cand AS (
+        |  SELECT DISTINCT a.p_name AS name_a, b.p_name AS name_b
+        |  FROM toks a JOIN toks b ON a.tok = b.tok AND a.p_name < b.p_name
+        |),
+        |v AS (
+        |  SELECT name_a, name_b, CAST(levenshtein(name_a, name_b) AS INT) AS edit_dist
+        |  FROM cand
+        |)
+        |SELECT name_a, name_b, edit_dist, na.n_parts AS parts_a, nb.n_parts AS parts_b
+        |FROM v
+        |JOIN names na ON na.p_name = name_a
+        |JOIN names nb ON nb.p_name = name_b
+        |WHERE edit_dist <= 3
+        |ORDER BY name_a, name_b""".stripMargin,
+    "q122_tfidf_pairs" ->
+      // integer micro-unit sums (the PSI trick) make dot/norm order-free;
+      // association mirrors the Scala side exactly (w*w'*1e6)
+      """WITH tf AS (
+        |  SELECT doc_id, term, count(*) AS tf FROM (
+        |    SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+        |  ) GROUP BY 1, 2
+        |),
+        |df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        |n AS (SELECT count(*) AS n_docs FROM documents),
+        |w AS (
+        |  SELECT doc_id, term, df, round(tf * ln(n_docs / df), 4) AS w
+        |  FROM tf JOIN df USING (term) CROSS JOIN n
+        |),
+        |topw AS (
+        |  SELECT doc_id, term, df, w FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY w DESC, term) AS r
+        |    FROM w
+        |  ) WHERE r <= 8
+        |),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM topw a JOIN topw b ON a.term = b.term AND a.doc_id < b.doc_id
+        |  WHERE a.df <= 32
+        |),
+        |nrm AS (
+        |  SELECT doc_id, sum(CAST(round(w * w * 1e6) AS BIGINT)) AS nsq
+        |  FROM topw GROUP BY 1
+        |),
+        |dots AS (
+        |  SELECT id_a, id_b, sum(CAST(round(a.w * b.w * 1e6) AS BIGINT)) AS dot
+        |  FROM cand
+        |  JOIN topw a ON a.doc_id = id_a
+        |  JOIN topw b ON b.doc_id = id_b AND b.term = a.term
+        |  GROUP BY 1, 2
+        |)
+        |SELECT id_a, id_b,
+        | round((dot / 1e6) / (sqrt(na.nsq / 1e6) * sqrt(nb.nsq / 1e6)), 4) AS cos
+        |FROM dots
+        |JOIN nrm na ON na.doc_id = id_a
+        |JOIN nrm nb ON nb.doc_id = id_b
+        |WHERE round((dot / 1e6) / (sqrt(na.nsq / 1e6) * sqrt(nb.nsq / 1e6)), 4) >= 0.7
+        |ORDER BY id_a, id_b""".stripMargin,
+    "q123_transitions" ->
+      """WITH seq AS (
+        |  SELECT event_type,
+        |    lead(event_type) OVER w AS next_type,
+        |    epoch_ns(ts) AS tns,
+        |    lead(epoch_ns(ts)) OVER w AS next_tns
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ns(ts), event_id)
+        |),
+        |m AS (
+        |  SELECT event_type, next_type, count(*) AS n FROM seq
+        |  WHERE next_type IS NOT NULL AND next_tns - tns <= 1800000000000
+        |  GROUP BY 1, 2
+        |)
+        |SELECT event_type, next_type, n,
+        | round(n / sum(n) OVER (PARTITION BY event_type), 4) AS p
+        |FROM m ORDER BY event_type, next_type""".stripMargin,
+    "q124_weighted_sample" ->
+      // A-ES keys: exact 13-hex md5 fraction (dyadic, so list_sum is
+      // exact), -ln(u)/w; bottom-50 selection ranks the unrounded key
+      """WITH d AS (
+        |  SELECT doc_id, lang, n_chars,
+        |    list_sum(list_transform(generate_series(1, 13),
+        |      i -> (strpos('0123456789abcdef',
+        |              substr(md5(CAST(doc_id AS VARCHAR)), i, 1)) - 1)
+        |           * power(16.0, -i))) AS u
+        |  FROM documents
+        |),
+        |keyed AS (SELECT doc_id, lang, n_chars, -ln(u) / n_chars AS key FROM d),
+        |top AS (SELECT * FROM keyed ORDER BY key, doc_id LIMIT 50)
+        |SELECT doc_id, lang, n_chars, round(key * 1e6, 4) AS key_micro
+        |FROM top ORDER BY key_micro, doc_id""".stripMargin,
+    "q125_dp_histogram" ->
+      // same md5-seeded uniform -> inverse-CDF Laplace; round(4) sits far
+      // above any libm ln() jitter
+      """WITH c AS (SELECT lang, count(*) AS n_docs FROM documents GROUP BY 1),
+        |u AS (
+        |  SELECT lang, n_docs,
+        |    list_sum(list_transform(generate_series(1, 13),
+        |      i -> (strpos('0123456789abcdef',
+        |              substr(md5('dp:r1:' || lang), i, 1)) - 1)
+        |           * power(16.0, -i))) AS u
+        |  FROM c
+        |)
+        |SELECT lang, n_docs,
+        | round(n_docs + (-1.0) * sign(u - 0.5) * ln(1.0 - 2.0 * abs(u - 0.5)), 4)
+        |   AS noisy_n
+        |FROM u ORDER BY lang""".stripMargin,
+    "q126_hybrid_rrf" ->
+      // q79's BM25 CTE + the q29-style dense ranking; RRF terms are
+      // integer micro-units so the fused score is order-free
+      s"""WITH dl AS (
+         |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS dl FROM documents
+         |),
+         |stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl),
+         |tf AS (
+         |  SELECT doc_id, term, count(*) AS tf FROM (
+         |    SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+         |  ) WHERE term IN ('table', 'data', 'row') GROUP BY 1, 2
+         |),
+         |df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+         |scored AS (
+         |  SELECT doc_id,
+         |    round(sum(ln((n - df + 0.5) / (df + 0.5) + 1) * tf * (1.2 + 1) /
+         |      (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))), 4) AS bm25
+         |  FROM tf JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
+         |  GROUP BY doc_id
+         |),
+         |lex AS (
+         |  SELECT doc_id AS id,
+         |    CAST(row_number() OVER (ORDER BY bm25 DESC, doc_id) AS INT) AS r_lex
+         |  FROM scored ORDER BY bm25 DESC, doc_id LIMIT 20
+         |),
+         |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+         |cos AS (
+         |  SELECT vec_id, round(${cosSql("qv", "v")}, 6) AS cos
+         |  FROM e CROSS JOIN q WHERE vec_id <> 0
+         |),
+         |vec AS (
+         |  SELECT vec_id AS id,
+         |    CAST(row_number() OVER (ORDER BY cos DESC, vec_id) AS INT) AS r_vec
+         |  FROM cos ORDER BY cos DESC, vec_id LIMIT 20
+         |),
+         |fused AS (
+         |  SELECT coalesce(lex.id, vec.id) AS id, r_lex, r_vec,
+         |    coalesce(CAST(round(1e6 / (r_lex + 60)) AS BIGINT), 0) +
+         |    coalesce(CAST(round(1e6 / (r_vec + 60)) AS BIGINT), 0) AS rrf_micro
+         |  FROM lex FULL OUTER JOIN vec ON lex.id = vec.id
+         |)
+         |SELECT id, r_lex, r_vec, rrf_micro FROM fused
+         |ORDER BY rrf_micro DESC, id LIMIT 10""".stripMargin,
+    "q127_profile_drift" ->
+      """WITH v1 AS (SELECT * FROM documents WHERE doc_id % 10 <> 1),
+        |v2 AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 7 = 0 THEN text || ' rev1' ELSE text END AS text,
+        |    lang, source,
+        |    CASE WHEN doc_id % 7 = 0 THEN n_chars + 5 ELSE n_chars END AS n_chars
+        |  FROM documents WHERE doc_id % 10 <> 0
+        |),
+        |p1 AS (
+        |  SELECT 'lang' AS column_name, count(*) AS n_rows,
+        |    CAST(sum(CASE WHEN lang IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+        |    count(DISTINCT lang) AS n_distinct, min(lang) AS min_v, max(lang) AS max_v
+        |  FROM v1
+        |  UNION ALL
+        |  SELECT 'source', count(*),
+        |    CAST(sum(CASE WHEN source IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        |    count(DISTINCT source), min(source), max(source) FROM v1
+        |  UNION ALL
+        |  SELECT 'n_chars', count(*),
+        |    CAST(sum(CASE WHEN n_chars IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        |    count(DISTINCT n_chars),
+        |    min(lpad(CAST(n_chars AS VARCHAR), 12, '0')),
+        |    max(lpad(CAST(n_chars AS VARCHAR), 12, '0')) FROM v1
+        |),
+        |p2 AS (
+        |  SELECT 'lang' AS column_name, count(*) AS n_rows,
+        |    CAST(sum(CASE WHEN lang IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+        |    count(DISTINCT lang) AS n_distinct, min(lang) AS min_v, max(lang) AS max_v
+        |  FROM v2
+        |  UNION ALL
+        |  SELECT 'source', count(*),
+        |    CAST(sum(CASE WHEN source IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        |    count(DISTINCT source), min(source), max(source) FROM v2
+        |  UNION ALL
+        |  SELECT 'n_chars', count(*),
+        |    CAST(sum(CASE WHEN n_chars IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        |    count(DISTINCT n_chars),
+        |    min(lpad(CAST(n_chars AS VARCHAR), 12, '0')),
+        |    max(lpad(CAST(n_chars AS VARCHAR), 12, '0')) FROM v2
+        |)
+        |SELECT p1.column_name AS column_name,
+        | p1.n_rows AS rows_v1, p2.n_rows AS rows_v2,
+        | p1.n_null AS nulls_v1, p2.n_null AS nulls_v2,
+        | p1.n_distinct AS distinct_v1, p2.n_distinct AS distinct_v2,
+        | p1.min_v AS min_v1, p2.min_v AS min_v2,
+        | p1.max_v AS max_v1, p2.max_v AS max_v2
+        |FROM p1 JOIN p2 ON p1.column_name = p2.column_name
+        |ORDER BY column_name""".stripMargin,
   )
 }

@@ -605,4 +605,80 @@ object Curation {
         round(max($"quality"), 4).as("max_quality"))
       .orderBy($"stage")
   }
+
+  /** Differentially-private histogram release: per-language document
+    * counts with Laplace(1/eps) noise — the privacy-preserving datasheet
+    * twin of q111 (a public data card quotes noisy counts; the k-anonymity
+    * audit q82 decides WHAT may be quoted, this decides HOW). Noise is the
+    * inverse-CDF transform of a deterministic md5-derived uniform keyed by
+    * (release tag, language), so the release is REPLAYABLE: re-running the
+    * pipeline republishes the identical noisy value rather than spending
+    * fresh privacy budget on every run — exactly how production DP
+    * releases pin their randomness to a release id. True counts ride
+    * along for calibration here; a real release drops the `n_docs`
+    * column.
+    *
+    * Shape: one map-side-combined count per language, then a per-row
+    * noise projection over the language-cardinality frame. Exact md5
+    * uniform (the q92 13-hex-digit trick) -> Laplace via
+    * -b·sign(u-½)·ln(1-2|u-½|); rounded to 4 decimals, far above libm's
+    * 1-ulp ln() jitter.
+    */
+  def dpLangHistogram(documents: DataFrame, eps: Double = 1.0,
+      releaseTag: String = "r1"): DataFrame = {
+    val u = conv(substring(md5(concat(lit(s"dp:$releaseTag:"), $"lang")), 1, 13), 16, 10)
+      .cast("double") / math.pow(16.0, 13)
+    documents
+      .groupBy($"lang")
+      .agg(count(lit(1)).as("n_docs"))
+      .withColumn("u", u)
+      .withColumn("noise",
+        lit(-1.0 / eps) * signum($"u" - 0.5) * log(lit(1.0) - lit(2.0) * abs($"u" - 0.5)))
+      .select($"lang", $"n_docs",
+        round($"n_docs" + $"noise", 4).as("noisy_n"))
+      .orderBy($"lang")
+  }
+
+  /** Column-profile drift between two corpus snapshots: per tracked
+    * column (lang, source, n_chars), the row count, null count, distinct
+    * cardinality, and lexicographic min/max, side by side for v1 and v2 —
+    * the schema-level companion of q101's row-level diff (q101 says WHICH
+    * docs changed; this says whether the DISTRIBUTION a consumer relies
+    * on moved: a new source value, a widened length range, nulls
+    * appearing in a column that had none).
+    *
+    * Shape: each version collapses to one map-side-combined aggregate row
+    * per column (stacked via a values-style union of three tiny
+    * projections), then a 6-row broadcast join pairs versions — nothing
+    * corpus-proportional ever shuffles. min/max compare the STRING form
+    * (numeric columns zero-pad to width 12 so lexicographic = numeric
+    * order), which keeps one schema for heterogeneous columns.
+    */
+  def profileDrift(v1: DataFrame, v2: DataFrame): DataFrame = {
+    def pad(c: Column): Column = lpad(c.cast("string"), 12, "0")
+    def profile(df: DataFrame, version: String): DataFrame = {
+      def one(name: String, value: Column, padded: Boolean): DataFrame =
+        df.select(value.as("v"))
+          .agg(
+            count(lit(1)).as("n_rows"),
+            sum(when(col("v").isNull, 1L).otherwise(0L)).as("n_null"),
+            countDistinct(col("v")).as("n_distinct"),
+            min(if (padded) pad(col("v")) else col("v")).as("min_v"),
+            max(if (padded) pad(col("v")) else col("v")).as("max_v"))
+          .select(lit(name).as("column_name"), lit(version).as("version"),
+            $"n_rows", $"n_null", $"n_distinct", $"min_v", $"max_v")
+      one("lang", col("lang"), padded = false)
+        .unionAll(one("source", col("source"), padded = false))
+        .unionAll(one("n_chars", col("n_chars"), padded = true))
+    }
+    profile(v1, "v1").as("a")
+      .join(profile(v2, "v2").as("b"), $"a.column_name" === $"b.column_name")
+      .select($"a.column_name".as("column_name"),
+        $"a.n_rows".as("rows_v1"), $"b.n_rows".as("rows_v2"),
+        $"a.n_null".as("nulls_v1"), $"b.n_null".as("nulls_v2"),
+        $"a.n_distinct".as("distinct_v1"), $"b.n_distinct".as("distinct_v2"),
+        $"a.min_v".as("min_v1"), $"b.min_v".as("min_v2"),
+        $"a.max_v".as("max_v1"), $"b.max_v".as("max_v2"))
+      .orderBy($"column_name")
+  }
 }

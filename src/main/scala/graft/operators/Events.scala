@@ -273,4 +273,36 @@ object Events {
       .join(est(0.9, "p90_est"), Seq("event_type"))
       .orderBy($"event_type")
   }
+
+  /** First-order Markov transition matrix over the event stream: for each
+    * ordered in-session event pair (same user, consecutive by (ts,
+    * event_id), gap ≤ `gapSeconds` — q33's session adjacency), count
+    * (type → next_type) and the conditional probability
+    * P(next_type | type). The behavioral-model summary that feeds funnel
+    * design and anomaly baselines (a transition whose live probability
+    * drifts from this matrix is q80's sequence-level cousin).
+    *
+    * Shape: one shuffle on user_id for the lead() window (bounded per-key
+    * state), then a map-side-combined count into a (types × types)-sized
+    * frame; the per-source totals come from a window over that TINY
+    * matrix, not from a second corpus pass. p is exact rational n/total
+    * rounded to 4 — identical doubles on any engine.
+    */
+  def sessionTransitions(events: DataFrame, gapSeconds: Long = 1800L): DataFrame = {
+    val byUser = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    val pairs = events
+      .select($"user_id", $"event_id", $"ts", $"event_type")
+      .withColumn("next_type", lead($"event_type", 1).over(byUser))
+      .withColumn("next_ts", lead($"ts", 1).over(byUser))
+      .filter($"next_type".isNotNull &&
+        ($"next_ts" - $"ts") <= gapSeconds * NsPerSecond)
+    val matrix = pairs
+      .groupBy($"event_type", $"next_type")
+      .agg(count(lit(1)).as("n"))
+    val total = Window.partitionBy($"event_type")
+    matrix
+      .withColumn("p", round($"n" / sum($"n").over(total), 4))
+      .select($"event_type", $"next_type", $"n", $"p")
+      .orderBy($"event_type", $"next_type")
+  }
 }

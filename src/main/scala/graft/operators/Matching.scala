@@ -1,0 +1,178 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Approximate-matching family (SURVEY.md §2.2 ➕): fuzzy string joins for
+  * entity resolution and sparse lexical similarity via an inverted index —
+  * the record-linkage operators a curation pipeline runs beside the
+  * hash-based dedup families (Dedup.scala) and the dense-vector families
+  * (Similarity.scala).
+  *
+  * Both operators follow the same scalable shape the LSH paths use:
+  * CHEAP BLOCKING bounds the candidate set, then an exact verifier runs
+  * candidate-proportionally. Neither ever forms an all-pairs relation.
+  */
+object Matching {
+
+  /** Fuzzy entity resolution over a name catalog: distinct-name pairs that
+    * share at least one whitespace token AND sit within `maxDist`
+    * Levenshtein edits, with the row mass behind each name — "are
+    * `red widget` and `red widgets` the same product?", the catalog-
+    * cleaning question every ingest with free-text keys eventually asks.
+    *
+    * Scale design, in pipeline order:
+    *   1. collapse the corpus to DISTINCT names first (one map-side-
+    *      combined aggregation). Catalogs are vastly smaller than fact
+    *      tables — here 64 names behind 2,000 rows — so every later stage
+    *      is catalog-proportional, never corpus-proportional.
+    *   2. token blocking: explode each name into its tokens and self-join
+    *      the inverted index on the token (equi-join, hash-partitioned).
+    *      Candidates are bounded by Σ_tok df(tok)² over the CATALOG; a
+    *      production run on a hot-token-skewed catalog caps df the way
+    *      `tfidfCosinePairs` does.
+    *   3. verify candidates with codegen'd `levenshtein` — an O(|a|·|b|)
+    *      exact check, run only on pairs that survived blocking. The
+    *      blocking is lossless for the stated semantics: any pair within
+    *      `maxDist` of each other that shares no token is OUT of scope by
+    *      definition (standard ER practice — cross-block pairs are
+    *      unreachable by any scalable method, so the contract names them).
+    *
+    * Output: one row per matched (name_a < name_b) pair with the edit
+    * distance and the number of catalog rows carrying each name.
+    */
+  def fuzzyNameMatch(part: DataFrame, maxDist: Int = 3): DataFrame = {
+    val names = part.groupBy($"p_name").agg(count(lit(1)).as("n_parts"))
+    val toks = names.select($"p_name", explode(split($"p_name", " ")).as("tok"))
+    val cand = toks.as("a")
+      .join(toks.as("b"), $"a.tok" === $"b.tok" && $"a.p_name" < $"b.p_name")
+      .select($"a.p_name".as("name_a"), $"b.p_name".as("name_b"))
+      .distinct()
+    cand
+      .withColumn("edit_dist", levenshtein($"name_a", $"name_b"))
+      .filter($"edit_dist" <= maxDist)
+      .join(names.select($"p_name".as("name_a"), $"n_parts".as("parts_a")), Seq("name_a"))
+      .join(names.select($"p_name".as("name_b"), $"n_parts".as("parts_b")), Seq("name_b"))
+      .select($"name_a", $"name_b", $"edit_dist".cast("int").as("edit_dist"),
+        $"parts_a", $"parts_b")
+      .orderBy($"name_a", $"name_b")
+  }
+
+  /** Sparse lexical similarity: document pairs whose TOP-`k` TF-IDF term
+    * vectors have cosine ≥ `tau`, candidates blocked on shared RARE terms
+    * (document frequency ≤ `dfCap`). The sparse-vector complement of the
+    * dense-embedding near-dup (q48): finds topically-near documents from
+    * the text alone, no embedding model in the loop.
+    *
+    * Semantics (engine-exact, mirrored by the oracle):
+    *   - per-doc term weights: w = round(tf · ln(N/df), 4) — q67's exact
+    *     salient-term scores; each doc keeps its top-`k` terms by
+    *     (w desc, term).
+    *   - candidates: pairs sharing ≥1 top-`k` term with df ≤ `dfCap`.
+    *     The df cap is the scale lever: a term in df docs contributes
+    *     ≤ df² pairs, so candidate volume is Σ_rare df² ≤ dfCap·Σdf —
+    *     linear in the index size — while a stop-word term would alone
+    *     contribute N²/4. Rare shared terms are also exactly the ones
+    *     carrying the cosine mass (idf weighting), so the blocking drops
+    *     only low-similarity pairs by construction.
+    *   - scoring: dot products and norms accumulate integer micro-units
+    *     (round(1e6·w·w') per term — the PSI trick), so the sums are
+    *     order-free exact integers; one final double division + round(4).
+    *
+    * Shape: tf/df/N are the q67 aggregations; the inverted index carries
+    * only (doc, term, w) for top-`k` terms — k·N rows regardless of
+    * document length; candidate generation and both scoring joins are
+    * hash equi-joins on term/doc_id. Nothing is ever all-pairs.
+    */
+  def tfidfCosinePairs(documents: DataFrame, k: Int = 8, dfCap: Int = 32,
+      tau: Double = 0.7): DataFrame = {
+    val tf = documents
+      .select($"doc_id", explode(split($"text", " ")).as("term"))
+      .groupBy($"doc_id", $"term")
+      .agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy($"term").agg(count(lit(1)).as("df"))
+    val nDocs = documents.agg(count(lit(1)).as("n_docs"))
+    val scored = tf
+      .join(df, Seq("term"))
+      .crossJoin(broadcast(nDocs))
+      .select($"doc_id", $"term", $"df",
+        round($"tf" * log($"n_docs" / $"df"), 4).as("w"))
+    val topw = Scale.topKPerGroup(scored, group = $"doc_id", rankKey = -$"w",
+        tie = $"term", saltSource = $"term", k = k)
+      .select($"doc_id", $"term", $"df", $"w")
+    val rare = topw.filter($"df" <= dfCap)
+    val cand = rare.as("a")
+      .join(rare.as("b"), $"a.term" === $"b.term" && $"a.doc_id" < $"b.doc_id")
+      .select($"a.doc_id".as("id_a"), $"b.doc_id".as("id_b"))
+      .distinct()
+    val norms = topw
+      .groupBy($"doc_id")
+      .agg(sum(round($"w" * $"w" * 1e6).cast("long")).as("nsq"))
+    val dots = cand
+      .join(topw.select($"doc_id".as("id_a"), $"term", $"w".as("wa")), Seq("id_a"))
+      .join(topw.select($"doc_id".as("id_b"), $"term", $"w".as("wb")), Seq("id_b", "term"))
+      .groupBy($"id_a", $"id_b")
+      .agg(sum(round($"wa" * $"wb" * 1e6).cast("long")).as("dot"))
+    dots
+      .join(norms.select($"doc_id".as("id_a"), $"nsq".as("nsq_a")), Seq("id_a"))
+      .join(norms.select($"doc_id".as("id_b"), $"nsq".as("nsq_b")), Seq("id_b"))
+      .select($"id_a", $"id_b",
+        round(($"dot" / 1e6) / (sqrt($"nsq_a" / 1e6) * sqrt($"nsq_b" / 1e6)), 4).as("cos"))
+      .filter($"cos" >= tau)
+      .orderBy($"id_a", $"id_b")
+  }
+
+  /** Hybrid retrieval with reciprocal-rank fusion: merge the lexical BM25
+    * ranking (q79) and the dense cosine ranking against a query vector
+    * into one list via RRF — score(d) = Σ_lists 1/(rrfK + rank_list(d)) —
+    * the standard fusion step of a two-tower RAG retriever (lexical
+    * recalls exact-term hits the embedding misses; dense recalls
+    * paraphrases lexical misses; RRF needs no score calibration between
+    * the two, which is why production stacks use it).
+    *
+    * The corpus keys align (doc_id = vec_id on the fixtures); the query
+    * is query-term set + the embedding of vector `queryVecId`.
+    *
+    * Determinism: each list contributes round(1e6/(rrfK + rank)) integer
+    * micro-units (ranks are ints, so the terms are engine-exact), summed
+    * as longs — order-free. Both per-list rankings order by (rounded
+    * score desc, id), the established cross-engine contract.
+    *
+    * Shape: the BM25 side is q79's query-proportional plan; the dense
+    * side is one broadcast-query scan + TakeOrderedAndProject; the fusion
+    * joins two k-row lists — everything after the scans is
+    * k-proportional. The full-outer join keeps single-list hits, exactly
+    * RRF's point.
+    */
+  def hybridRrf(documents: DataFrame, embeddings: DataFrame, k: Int = 20,
+      queryVecId: Long = 0L, rrfK: Int = 60, topk: Int = 10): DataFrame = {
+    // k-row frames: the unpartitioned windows rank already-reduced lists
+    val wLex = Window.orderBy($"bm25".desc, $"doc_id")
+    val lex = TextAnalysis.bm25TopDocs(documents, topk = k)
+      .withColumn("r_lex", row_number().over(wLex))
+      .select($"doc_id".as("id"), $"r_lex")
+    val corpus = embeddings
+      .select($"vec_id", transform($"embedding", _.cast("double")).as("v"))
+    val qv = corpus.filter($"vec_id" === queryVecId).select($"v".as("qv"))
+    val wVec = Window.orderBy($"cos".desc, $"vec_id")
+    val vec = corpus
+      .filter($"vec_id" =!= queryVecId)
+      .crossJoin(broadcast(qv))
+      .select($"vec_id", round(graft.functions.VectorFunctions.cosine_sim($"qv", $"v"), 6).as("cos"))
+      .orderBy($"cos".desc, $"vec_id")
+      .limit(k)
+      .withColumn("r_vec", row_number().over(wVec))
+      .select($"vec_id".as("id"), $"r_vec")
+    lex
+      .join(vec, Seq("id"), "full_outer")
+      .withColumn("rrf_micro",
+        coalesce(round(lit(1e6) / ($"r_lex" + rrfK)).cast("long"), lit(0L)) +
+        coalesce(round(lit(1e6) / ($"r_vec" + rrfK)).cast("long"), lit(0L)))
+      .orderBy($"rrf_micro".desc, $"id")
+      .limit(topk)
+      .select($"id", $"r_lex".cast("int").as("r_lex"),
+        $"r_vec".cast("int").as("r_vec"), $"rrf_micro")
+      .orderBy($"rrf_micro".desc, $"id")
+  }
+}

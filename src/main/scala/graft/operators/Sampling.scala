@@ -183,4 +183,33 @@ object Sampling {
         md5(array_join($"col", " ")).as("chunk_checksum"))
       .orderBy($"doc_id", $"chunk_no")
   }
+
+  /** Deterministic weighted sample WITHOUT replacement (Efraimidis-
+    * Spirakis A-ES): each document draws key = -ln(u) / w with weight
+    * w = n_chars and u its md5-derived uniform; the `k` SMALLEST keys are
+    * exactly a weighted sample without replacement. The length-biased
+    * draw a curation pipeline uses for "sample 50 docs proportional to
+    * token mass" — reproducible across runs and engines because u is the
+    * exact 13-hex-digit md5 fraction (the q92 trick), never rand().
+    *
+    * Scale shape: key assignment is one codegen'd scan projection;
+    * selection is the salted two-stage top-k (`Scale.topKPerGroup` with a
+    * constant group), so no single reducer sees the corpus. Bottom-k by a
+    * per-row key is associative — per-partition bottom-k's merge into the
+    * global bottom-k — which also makes the sample MERGEABLE across
+    * shards/days like the q87 sketch. Selection ranks the unrounded key;
+    * output rounds to 6 for cross-engine display stability (nearest tied
+    * keys sit ~1e9 ulps apart, so ranking is engine-stable).
+    */
+  def weightedSample(documents: DataFrame, k: Int = 50): DataFrame = {
+    val u = conv(substring(md5($"doc_id".cast("string")), 1, 13), 16, 10)
+      .cast("double") / math.pow(16.0, 13)
+    val keyed = documents
+      .select($"doc_id", $"lang", $"n_chars",
+        (-log(u) / $"n_chars").as("key"))
+    Scale.topKPerGroup(keyed, group = lit(1), rankKey = $"key",
+        tie = $"doc_id", saltSource = $"doc_id", k = k)
+      .select($"doc_id", $"lang", $"n_chars", round($"key" * 1e6, 4).as("key_micro"))
+      .orderBy($"key_micro", $"doc_id")
+  }
 }

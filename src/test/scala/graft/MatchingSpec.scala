@@ -1,0 +1,219 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Curation, Events, Matching, Sampling}
+import graft.sources.Tables
+
+/** Round-4 matching/release additions: fuzzy ER join, sparse lexical
+  * similarity, RRF fusion, weighted sampling, DP release, profile drift,
+  * and the session transition matrix — each checked against a brute-force
+  * in-JVM recomputation of the stated semantics (same JVM => same libm /
+  * BigDecimal rounding, so equality is exact).
+  */
+class MatchingSpec extends GraftSuite {
+
+  private lazy val docs = Tables.documents(spark, sf)
+  private lazy val parts = Tables.part(spark, sf)
+
+  private def roundN(x: Double, n: Int): Double =
+    java.math.BigDecimal.valueOf(x).setScale(n, java.math.RoundingMode.HALF_UP).doubleValue()
+
+  private def md5Hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  /** Exact 13-hex-digit md5 fraction — the engine-shared uniform. */
+  private def md5Uniform(s: String): Double =
+    java.lang.Long.parseLong(md5Hex(s).substring(0, 13), 16).toDouble / math.pow(16.0, 13)
+
+  private def lev(a: String, b: String): Int = {
+    val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+      if (i == 0) j else if (j == 0) i else 0
+    }
+    for (i <- 1 to a.length; j <- 1 to b.length)
+      d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+        d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+    d(a.length)(b.length)
+  }
+
+  test("fuzzyNameMatch equals brute-force token-blocked Levenshtein over the catalog") {
+    val catalog = parts.groupBy(col("p_name")).agg(count(lit(1)).as("n")).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toMap
+    val names = catalog.keys.toSeq.sorted
+    val expected = (for {
+      a <- names; b <- names if a < b
+      if a.split(" ").toSet.intersect(b.split(" ").toSet).nonEmpty
+      d = lev(a, b) if d <= 3
+    } yield (a, b, d, catalog(a), catalog(b))).sortBy(t => (t._1, t._2))
+    val got = Matching.fuzzyNameMatch(parts).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getInt(2), r.getLong(3), r.getLong(4))).toSeq
+    assert(got === expected)
+    assert(got.nonEmpty, "fixture catalog should contain near-identical names")
+    // the blocking is part of the contract: a within-distance pair sharing
+    // no token must be absent even though its edit distance qualifies
+    val unblocked = (for {
+      a <- names; b <- names if a < b
+      if a.split(" ").toSet.intersect(b.split(" ").toSet).isEmpty && lev(a, b) <= 3
+    } yield (a, b)).toSet
+    assert(unblocked.forall(p => !got.exists(g => (g._1, g._2) == p)))
+  }
+
+  test("tfidfCosinePairs equals brute-force rare-term-blocked micro-quantized cosine") {
+    val fixture = docs.select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    val tf = fixture.flatMap { case (id, text) =>
+      text.split(" ", -1).toSeq.groupBy(identity).map { case (t, g) => ((id, t), g.size.toLong) }
+    }.toMap
+    val df = tf.keys.groupBy(_._2).map { case (t, ks) => (t, ks.size.toLong) }
+    val nDocs = fixture.size.toLong
+    val topw: Map[Long, Seq[(String, Double, Long)]] = tf.keys.groupBy(_._1).map {
+      case (id, ks) =>
+        val ws = ks.toSeq.map { case (_, t) =>
+          (t, roundN(tf((id, t)) * math.log(nDocs.toDouble / df(t)), 4), df(t))
+        }
+        (id, ws.sortBy { case (t, w, _) => (-w, t) }.take(8))
+    }
+    val cand = (for {
+      (ida, wsa) <- topw.toSeq; (idb, wsb) <- topw.toSeq if ida < idb
+      if wsa.exists { case (t, _, d) => d <= 32 && wsb.exists(_._1 == t) }
+    } yield (ida, idb)).distinct
+    def nsq(ws: Seq[(String, Double, Long)]): Long =
+      ws.map { case (_, w, _) => roundN(w * w * 1e6, 0).toLong }.sum
+    val expected = cand.flatMap { case (ida, idb) =>
+      val wb = topw(idb).map(w => (w._1, w._2)).toMap
+      val dot = topw(ida).flatMap { case (t, wa, _) =>
+        wb.get(t).map(w2 => roundN(wa * w2 * 1e6, 0).toLong)
+      }.sum
+      val cos = roundN((dot / 1e6) /
+        (math.sqrt(nsq(topw(ida)) / 1e6) * math.sqrt(nsq(topw(idb)) / 1e6)), 4)
+      if (cos >= 0.7) Some((ida, idb, cos)) else None
+    }.sortBy(t => (t._1, t._2))
+    val got = Matching.tfidfCosinePairs(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(got === expected)
+    assert(got.nonEmpty, "fixture should contain lexically-near pairs (planted near-dups)")
+  }
+
+  test("hybridRrf fuses the two top-20 lists by exact reciprocal-rank micro-units") {
+    val lex = graft.operators.TextAnalysis.bm25TopDocs(docs, topk = 20).collect()
+      .map(r => r.getLong(0)).toSeq.zipWithIndex.map { case (id, i) => (id, i + 1) }
+    val emb = Tables.embeddings(spark, sf)
+    val vecs = emb.select(col("vec_id"), col("embedding")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toArray)).toMap
+    val qv = vecs(0L)
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val vec = vecs.toSeq.filter(_._1 != 0L)
+      .map { case (id, v) => (id, roundN(cos(qv, v), 6)) }
+      .sortBy { case (id, c) => (-c, id) }.take(20)
+      .zipWithIndex.map { case ((id, _), i) => (id, i + 1) }
+    val fused = (lex.map(_._1) ++ vec.map(_._1)).distinct.map { id =>
+      val rl = lex.find(_._1 == id).map(_._2)
+      val rv = vec.find(_._1 == id).map(_._2)
+      val score = rl.map(r => roundN(1e6 / (r + 60), 0).toLong).getOrElse(0L) +
+        rv.map(r => roundN(1e6 / (r + 60), 0).toLong).getOrElse(0L)
+      (id, rl, rv, score)
+    }.sortBy { case (id, _, _, s) => (-s, id) }.take(10)
+    val got = Matching.hybridRrf(docs, emb).collect().map { r =>
+      (r.getLong(0),
+        if (r.isNullAt(1)) None else Some(r.getInt(1)),
+        if (r.isNullAt(2)) None else Some(r.getInt(2)),
+        r.getLong(3))
+    }.toSeq
+    assert(got === fused)
+    assert(got.size == 10)
+    // both retrieval modes contribute to the fused head
+    assert(got.exists(_._2.isDefined) && got.exists(_._3.isDefined))
+  }
+
+  test("weightedSample is the exact bottom-k of A-ES keys and merges associatively") {
+    val rows = docs.select(col("doc_id"), col("lang"), col("n_chars")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    val keyed = rows.map { case (id, lang, nc) =>
+      (id, lang, nc, -math.log(md5Uniform(id.toString)) / nc)
+    }
+    val expected = keyed.sortBy { case (id, _, _, k) => (k, id) }.take(50)
+      .map { case (id, lang, nc, k) => (id, lang, nc, roundN(k * 1e6, 4)) }
+      .sortBy { case (id, _, _, km) => (km, id) }
+    val got = Sampling.weightedSample(docs).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSeq
+    assert(got === expected)
+    // mergeability: bottom-50 of the union of two halves' bottom-50s
+    val (h1, h2) = keyed.partition(_._1 % 2 == 0)
+    def bot(s: Seq[(Long, String, Long, Double)]) =
+      s.sortBy { case (id, _, _, k) => (k, id) }.take(50)
+    assert(bot(bot(h1) ++ bot(h2)) === keyed.sortBy { case (id, _, _, k) => (k, id) }.take(50))
+  }
+
+  test("dpLangHistogram: replayable noise, correct magnitude, exact formula") {
+    val langs = docs.select(col("lang")).distinct().collect().map(_.getString(0)).toSeq.sorted
+    val counts = docs.groupBy(col("lang")).agg(count(lit(1)).as("n")).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toMap
+    val expected = langs.map { lang =>
+      val u = md5Uniform(s"dp:r1:$lang")
+      val noise = -1.0 * math.signum(u - 0.5) * math.log(1.0 - 2.0 * math.abs(u - 0.5))
+      (lang, counts(lang), roundN(counts(lang) + noise, 4))
+    }
+    val got = Curation.dpLangHistogram(docs).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(got === expected)
+    // replayable: same tag reproduces; a different release tag re-draws
+    val again = Curation.dpLangHistogram(docs).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(again === got)
+    val other = Curation.dpLangHistogram(docs, releaseTag = "r2").collect()
+      .map(r => (r.getString(0), r.getDouble(2))).toMap
+    assert(langs.exists(l => other(l) != got.find(_._1 == l).get._3))
+    // Laplace(1) noise stays within ~log(16^13) of zero (u is a 13-hex grid)
+    got.foreach { case (lang, n, noisy) =>
+      assert(math.abs(noisy - n) < 40.0, s"$lang noise implausible: $noisy vs $n")
+    }
+  }
+
+  test("profileDrift surfaces planted null/new-value/range drift") {
+    import spark.implicits._
+    val v1 = Seq((1L, "t", "en", "web", 10L), (2L, "t", "de", "web", 20L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val v2 = Seq((1L, "t", "en", "web", 10L), (2L, "t", null, "books", 25L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val got = Curation.profileDrift(v1, v2).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+        r.getLong(5), r.getLong(6), r.getString(7), r.getString(8), r.getString(9), r.getString(10)))
+      .toSeq
+    assert(got.map(_._1) === Seq("lang", "n_chars", "source"))
+    val lang = got(0); val nchars = got(1); val source = got(2)
+    assert(lang._4 == 0L && lang._5 == 1L, "null appeared in lang")
+    assert(lang._6 == 2L && lang._7 == 1L, "lang cardinality shrank")
+    assert(source._9 == "books" && source._8 == "web", "new source value surfaced in min")
+    assert(nchars._10 == "000000000020" && nchars._11 == "000000000025", "range widened")
+  }
+
+  test("sessionTransitions equals brute-force in-session lead pairs; P rows sum to 1") {
+    val ev = Tables.events(spark, sf)
+      .select(col("user_id"), col("event_id"), col("ts"), col("event_type")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3))).toSeq
+    val pairs = ev.groupBy(_._1).toSeq.flatMap { case (_, es) =>
+      val sorted = es.sortBy(e => (e._3, e._2))
+      sorted.zip(sorted.drop(1)).collect {
+        case (a, b) if b._3 - a._3 <= 1800L * 1000000000L => (a._4, b._4)
+      }
+    }
+    val counts = pairs.groupBy(identity).map { case (p, g) => (p, g.size.toLong) }
+    val totals = pairs.groupBy(_._1).map { case (t, g) => (t, g.size.toLong) }
+    val expected = counts.toSeq.map { case ((a, b), n) =>
+      (a, b, n, roundN(n.toDouble / totals(a), 4))
+    }.sortBy(t => (t._1, t._2))
+    val got = Events.sessionTransitions(Tables.events(spark, sf)).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSeq
+    assert(got === expected)
+    assert(got.nonEmpty)
+    got.groupBy(_._1).foreach { case (t, rows) =>
+      val s = rows.map(_._4).sum
+      assert(math.abs(s - 1.0) < 0.01, s"P($t -> *) sums to $s")
+    }
+  }
+}

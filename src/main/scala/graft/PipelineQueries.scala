@@ -261,6 +261,10 @@ object PipelineQueries {
     // reciprocal-rank fusion of the BM25 and dense-cosine rankings
     "q126_hybrid_rrf" -> ((s, d) =>
       Matching.hybridRrf(Tables.documents(s, d), Tables.embeddings(s, d))),
+    // trailing 7-day active users from mergeable daily KMV sketches
+    "q128_sliding_dau" -> ((s, d) => Events.slidingDistinctUsers(Tables.events(s, d))),
+    // SCD2 dimension history: per-user event_type change intervals
+    "q129_scd2_history" -> ((s, d) => Events.scd2History(Tables.events(s, d))),
     // column-profile drift between the q101 snapshot versions
     "q127_profile_drift" -> ((s, d) => {
       import org.apache.spark.sql.functions._
@@ -2268,6 +2272,76 @@ object PipelineQueries {
          |)
          |SELECT id, r_lex, r_vec, rrf_micro FROM fused
          |ORDER BY rrf_micro DESC, id LIMIT 10""".stripMargin,
+    "q128_sliding_dau" ->
+      // merged bottom-64: the sketch max is the kth smallest; estimate
+      // (k-1)/frac(kth) via the exact 13-hex fraction, exact below fill
+      """WITH du AS (
+        |  SELECT DISTINCT epoch_ns(ts) // 86400000000000 AS day, user_id FROM events
+        |),
+        |days AS (SELECT DISTINCT day FROM du),
+        |dh AS (SELECT day, md5(CAST(user_id AS VARCHAR)) AS h FROM du),
+        |dsk AS (
+        |  SELECT day, h FROM (
+        |    SELECT day, h, row_number() OVER (PARTITION BY day ORDER BY h) AS r FROM dh
+        |  ) WHERE r <= 64
+        |),
+        |win AS (
+        |  SELECT DISTINCT w.wend AS window_end_day, s.h
+        |  FROM (SELECT day, unnest(generate_series(day, day + 6)) AS wend FROM days) w
+        |  JOIN days d ON d.day = w.wend
+        |  JOIN dsk s ON s.day = w.day
+        |),
+        |merged AS (
+        |  SELECT window_end_day, h,
+        |    row_number() OVER (PARTITION BY window_end_day ORDER BY h) AS r
+        |  FROM win
+        |),
+        |stats AS (
+        |  SELECT window_end_day, count(*) AS n_sk, max(h) AS kth
+        |  FROM merged WHERE r <= 64 GROUP BY 1
+        |),
+        |est AS (
+        |  SELECT window_end_day,
+        |    round(CASE WHEN n_sk < 64 THEN CAST(n_sk AS DOUBLE)
+        |      ELSE 63.0 / list_sum(list_transform(generate_series(1, 13),
+        |        i -> (strpos('0123456789abcdef', substr(kth, i, 1)) - 1)
+        |             * power(16.0, -i))) END, 4) AS est_users
+        |  FROM stats
+        |),
+        |nd AS (
+        |  SELECT w.wend AS window_end_day, count(*) AS n_days
+        |  FROM (SELECT day, unnest(generate_series(day, day + 6)) AS wend FROM days) w
+        |  JOIN days d ON d.day = w.wend GROUP BY 1
+        |),
+        |ex AS (
+        |  SELECT w.wend AS window_end_day, count(DISTINCT w.user_id) AS n_exact
+        |  FROM (SELECT day, user_id, unnest(generate_series(day, day + 6)) AS wend FROM du) w
+        |  JOIN days d ON d.day = w.wend
+        |  GROUP BY 1
+        |)
+        |SELECT window_end_day, n_days, est_users, n_exact
+        |FROM est JOIN nd USING (window_end_day) JOIN ex USING (window_end_day)
+        |ORDER BY window_end_day""".stripMargin,
+    "q129_scd2_history" ->
+      // micro-epoch bounds: epoch_us(ts) == Spark's `ts div 1000` (the
+      // DuckDB reader already truncated the nanos to micros)
+      """WITH seq AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS tsu, event_type,
+        |    lag(event_type) OVER w AS prev_type
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+        |),
+        |changes AS (
+        |  SELECT user_id, event_id, tsu, event_type FROM seq
+        |  WHERE prev_type IS NULL OR prev_type <> event_type
+        |),
+        |stitched AS (
+        |  SELECT user_id, event_type, tsu AS valid_from,
+        |    lead(tsu) OVER (PARTITION BY user_id ORDER BY tsu, event_id) - 1 AS valid_to
+        |  FROM changes
+        |)
+        |SELECT user_id, event_type, valid_from, valid_to, valid_to IS NULL AS is_current
+        |FROM stitched ORDER BY user_id, valid_from""".stripMargin,
     "q127_profile_drift" ->
       """WITH v1 AS (SELECT * FROM documents WHERE doc_id % 10 <> 1),
         |v2 AS (

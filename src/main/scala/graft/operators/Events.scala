@@ -274,6 +274,91 @@ object Events {
       .orderBy($"event_type")
   }
 
+  /** Sliding-window distinct users (7-day active users) via MERGEABLE
+    * daily KMV sketches: each day keeps the `k` smallest distinct
+    * md5(user_id) hashes; a window's sketch is the bottom-k of the union
+    * of its days' sketches (KMV merges associatively, q54/q87's algebra),
+    * and the estimate is (k-1)/frac(kth) — or exact when the merged
+    * sketch holds fewer than k hashes. THE streaming-warehouse rollup
+    * pattern at 100 TB: daily sketches are k rows each, so a year of
+    * trailing-window DAU/WAU/MAU reads 365·k rows instead of re-scanning
+    * the corpus per window; the same daily rows serve any window length.
+    *
+    * Shape: one (day, user) distinct pass over the corpus (the only
+    * corpus-sized stage — it also feeds the truth column); per-day
+    * bottom-k via the salted two-stage rank; the day→window fan-out is an
+    * explode of `windowDays` ints equi-semi-joined to observed days (no
+    * range join, co-partitioned on the window key); everything after is
+    * (days × k)-proportional. The exact column rides for accuracy
+    * inspection (the q73/q54 report convention) — a production run drops
+    * it and with it the corpus-sized window join.
+    */
+  def slidingDistinctUsers(events: DataFrame, k: Int = 64,
+      windowDays: Int = 7): DataFrame = {
+    val du = events
+      .select(expr(s"ts div $NsPerDay").as("day"), $"user_id")
+      .distinct()
+      .localCheckpoint() // feeds sketch, day-list, and truth branches
+    val days = du.select($"day").distinct()
+    val dailySketch = Scale.topKPerGroup(
+      du.select($"day", md5($"user_id".cast("string")).as("h")),
+      group = $"day", rankKey = $"h", tie = $"h", saltSource = $"h", k = k)
+    def toWindows(df: DataFrame): DataFrame = df
+      .withColumn("window_end_day", explode(sequence($"day", $"day" + (windowDays - 1))))
+      .join(days.select($"day".as("window_end_day")), Seq("window_end_day"), "left_semi")
+    val merged = Scale.topKPerGroup(
+      toWindows(dailySketch).select($"window_end_day", $"h").distinct(),
+      group = $"window_end_day", rankKey = $"h", tie = $"h", saltSource = $"h", k = k)
+    val frac = conv(substring($"kth", 1, 13), 16, 10).cast("double") / math.pow(16.0, 13)
+    val est = merged
+      .groupBy($"window_end_day")
+      // the sketch is the k smallest hashes, so its max IS the kth smallest
+      .agg(count(lit(1)).as("n_sk"), max($"h").as("kth"))
+      .select($"window_end_day",
+        when($"n_sk" < k, $"n_sk".cast("double"))
+          .otherwise(lit((k - 1).toDouble) / frac).as("raw_est"))
+      .select($"window_end_day", round($"raw_est", 4).as("est_users"))
+    val nDays = toWindows(days)
+      .groupBy($"window_end_day").agg(count(lit(1)).as("n_days"))
+    val exact = toWindows(du)
+      .groupBy($"window_end_day").agg(countDistinct($"user_id").as("n_exact"))
+    est
+      .join(nDays, Seq("window_end_day"))
+      .join(exact, Seq("window_end_day"))
+      .select($"window_end_day", $"n_days", $"est_users", $"n_exact")
+      .orderBy($"window_end_day")
+  }
+
+  /** Slowly-changing-dimension type-2 history build from the event
+    * stream: compress each user's event sequence to its CHANGE POINTS of
+    * `event_type` and emit validity intervals — (user, state, valid_from,
+    * valid_to, is_current), the warehouse-standard "as-of any time"
+    * dimension shape. q81 keeps only the latest state (SCD1); this keeps
+    * the full history, which is what a training-data snapshot needs to
+    * reproduce "the dimension as it stood on day X".
+    *
+    * Change detection and interval stitching are two window passes over
+    * the same (user_id → ts, event_id) sort — Catalyst reuses ONE
+    * shuffle+sort for both (no exchange between them; spec-asserted), so
+    * the whole build is one corpus shuffle. Validity bounds are exact
+    * integer MICROSECOND epochs (`ts div 1000` — the cross-engine
+    * timestamp resolution; DuckDB's parquet reader truncates nanos to
+    * micros, so nano-precision bounds could never be oracle-checked);
+    * the open interval's valid_to is NULL.
+    */
+  def scd2History(events: DataFrame): DataFrame = {
+    val byUser = Window.partitionBy($"user_id").orderBy($"tsu", $"event_id")
+    val changes = events
+      .select($"user_id", $"event_id", expr("ts div 1000").as("tsu"), $"event_type")
+      .withColumn("prev_type", lag($"event_type", 1).over(byUser))
+      .filter($"prev_type".isNull || $"prev_type" =!= $"event_type")
+    changes
+      .withColumn("valid_to", lead($"tsu", 1).over(byUser) - 1)
+      .select($"user_id", $"event_type", $"tsu".as("valid_from"), $"valid_to",
+        $"valid_to".isNull.as("is_current"))
+      .orderBy($"user_id", $"valid_from")
+  }
+
   /** First-order Markov transition matrix over the event stream: for each
     * ordered in-session event pair (same user, consecutive by (ts,
     * event_id), gap ≤ `gapSeconds` — q33's session adjacency), count

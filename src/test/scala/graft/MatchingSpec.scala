@@ -192,6 +192,81 @@ class MatchingSpec extends GraftSuite {
     assert(nchars._10 == "000000000020" && nchars._11 == "000000000025", "range widened")
   }
 
+  test("slidingDistinctUsers: exact below sketch fill, KMV estimate above, merge law") {
+    val du = Tables.events(spark, sf)
+      .select(expr("ts div 86400000000000").as("day"), col("user_id")).distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val days = du.map(_._1).distinct.sorted
+    def brute(k: Int): Seq[(Long, Long, Double, Long)] = days.map { wend =>
+      val inWin = du.filter { case (d, _) => d >= wend - 6 && d <= wend }
+      val nDays = days.count(d => d >= wend - 6 && d <= wend).toLong
+      val exact = inWin.map(_._2).distinct.size.toLong
+      // merged bottom-k of the per-day bottom-k sketches
+      val daily = inWin.groupBy(_._1).values.flatMap(
+        _.map(u => md5Hex(u._2.toString)).distinct.sorted.take(k))
+      val sk = daily.toSeq.distinct.sorted.take(k)
+      val est =
+        if (sk.size < k) sk.size.toDouble
+        else {
+          val frac = (1 to 13).map(i =>
+            Character.digit(sk.last.charAt(i - 1), 16) * math.pow(16.0, -i)).sum
+          (k - 1).toDouble / frac
+        }
+      (wend, nDays, roundN(est, 4), exact)
+    }
+    // k=64 at sf0.001: every window is below fill -> exact branch everywhere
+    val got64 = Events.slidingDistinctUsers(Tables.events(spark, sf)).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSeq
+    assert(got64 === brute(64))
+    assert(got64.forall { case (_, _, est, exact) => est == exact.toDouble })
+    // k=8 forces the estimator branch; estimate within 3x of truth (loose,
+    // k=8 is a deliberately tiny sketch) and both branches brute-match
+    val got8 = Events.slidingDistinctUsers(Tables.events(spark, sf), k = 8).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSeq
+    assert(got8 === brute(8))
+    assert(got8.exists { case (_, _, est, exact) => est != exact.toDouble })
+    got8.foreach { case (_, _, est, exact) =>
+      assert(est > exact / 3.0 && est < exact * 3.0) }
+  }
+
+  test("scd2History equals brute-force change-point intervals; one shuffle only") {
+    val ev = Tables.events(spark, sf)
+      .select(col("user_id"), col("event_id"), expr("ts div 1000"), col("event_type")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3))).toSeq
+    val expected = ev.groupBy(_._1).toSeq.flatMap { case (uid, es) =>
+      val sorted = es.sortBy(e => (e._3, e._2))
+      val changes = sorted.zipWithIndex.filter { case (e, i) =>
+        i == 0 || sorted(i - 1)._4 != e._4
+      }.map(_._1)
+      changes.zipWithIndex.map { case (e, i) =>
+        val to = if (i + 1 < changes.size) Some(changes(i + 1)._3 - 1) else None
+        (uid, e._4, e._3, to, to.isEmpty)
+      }
+    }.sortBy(t => (t._1, t._3))
+    val result = Events.scd2History(Tables.events(spark, sf))
+    val got = result.collect().map { r =>
+      (r.getLong(0), r.getString(1), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getLong(3)), r.getBoolean(4))
+    }.toSeq
+    assert(got === expected)
+    // intervals per user are disjoint, ordered, and end open
+    got.groupBy(_._1).foreach { case (_, ivs) =>
+      ivs.sliding(2).foreach {
+        case Seq(a, b) => assert(a._4.exists(_ < b._3))
+        case _ =>
+      }
+      assert(ivs.last._5 && ivs.init.forall(!_._5))
+    }
+    // the two window passes share one (user_id) exchange; the final
+    // canonical orderBy adds the range exchange, nothing else
+    // (AdaptiveSparkPlan.toString prints the initial plan too — count
+    // within the final plan section only)
+    val plan = result.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size == 1,
+      s"expected one hash exchange in:\n$plan")
+  }
+
   test("sessionTransitions equals brute-force in-session lead pairs; P rows sum to 1") {
     val ev = Tables.events(spark, sf)
       .select(col("user_id"), col("event_id"), col("ts"), col("event_type")).collect()

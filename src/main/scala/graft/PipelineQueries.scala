@@ -265,6 +265,9 @@ object PipelineQueries {
     "q128_sliding_dau" -> ((s, d) => Events.slidingDistinctUsers(Tables.events(s, d))),
     // SCD2 dimension history: per-user event_type change intervals
     "q129_scd2_history" -> ((s, d) => Events.scd2History(Tables.events(s, d))),
+    // nDCG@3 of the multi-probe LSH ANN vs the exact ranking (q63's
+    // order-sensitive complement)
+    "q130_ann_ndcg" -> ((s, d) => Similarity.annNdcg(Tables.embeddings(s, d))),
     // column-profile drift between the q101 snapshot versions
     "q127_profile_drift" -> ((s, d) => {
       import org.apache.spark.sql.functions._
@@ -2322,6 +2325,49 @@ object PipelineQueries {
         |SELECT window_end_day, n_days, est_users, n_exact
         |FROM est JOIN nd USING (window_end_day) JOIN ex USING (window_end_day)
         |ORDER BY window_end_day""".stripMargin,
+    "q130_ann_ndcg" ->
+      // the idcg denominator is the SAME integer literal the Spark plan
+      // embeds (Similarity.ndcgIdcgMicro), so the score is a ratio of
+      // engine-exact integers
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |eb AS (SELECT vec_id, v, $BucketSql AS bucket FROM e),
+         |q AS (SELECT vec_id AS query_id, v AS qv, bucket AS qbucket FROM eb WHERE vec_id < 5),
+         |ascored AS (
+         |  SELECT query_id, eb.vec_id AS neighbor_id, round(${cosSql("qv", "eb.v")}, 6) AS cos
+         |  FROM eb JOIN q ON bit_count(xor(eb.bucket, q.qbucket)) <= 1 AND eb.vec_id <> q.query_id
+         |),
+         |approx AS (
+         |  SELECT query_id, neighbor_id, rnk FROM (
+         |    SELECT query_id, neighbor_id,
+         |      CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS INT) AS rnk
+         |    FROM ascored
+         |  ) WHERE rnk <= 3
+         |),
+         |q2 AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 5),
+         |tscored AS (
+         |  SELECT query_id, e.vec_id AS neighbor_id, round(${cosSql("qv", "e.v")}, 6) AS cos
+         |  FROM e, q2 WHERE e.vec_id <> q2.query_id
+         |),
+         |truth AS (
+         |  SELECT query_id, neighbor_id, rnk FROM (
+         |    SELECT query_id, neighbor_id,
+         |      CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS INT) AS rnk
+         |    FROM tscored
+         |  ) WHERE rnk <= 5
+         |),
+         |graded AS (
+         |  SELECT a.query_id, a.rnk, coalesce(6 - t.rnk, 0) AS rel
+         |  FROM approx a LEFT JOIN truth t
+         |    ON t.query_id = a.query_id AND t.neighbor_id = a.neighbor_id
+         |),
+         |dcg AS (
+         |  SELECT query_id,
+         |    CAST(sum(CAST(round(rel / log2(rnk + 1) * 1e6) AS BIGINT)) AS BIGINT) AS dcg_micro
+         |  FROM graded GROUP BY 1
+         |)
+         |SELECT query_id, dcg_micro,
+         | round(dcg_micro / ${graft.operators.Similarity.ndcgIdcgMicro(3, 5)}.0, 4) AS ndcg
+         |FROM dcg ORDER BY query_id""".stripMargin,
     "q129_scd2_history" ->
       // micro-epoch bounds: epoch_us(ts) == Spark's `ts div 1000` (the
       // DuckDB reader already truncated the nanos to micros)

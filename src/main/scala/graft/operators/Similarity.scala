@@ -366,6 +366,45 @@ object Similarity {
       cosineTopK(embeddings, nQueries, k),
       lshCosineTopK(embeddings, nQueries, k, maxHamming), k)
 
+  /** Ideal-DCG@k in integer micro-units under graded relevance
+    * (truthK+1-rank_truth): the constant both engines divide by, computed
+    * once here so the Spark plan and the oracle SQL embed the SAME
+    * literal (no cross-engine transcendental risk on the denominator).
+    */
+  def ndcgIdcgMicro(k: Int, truthK: Int): Long =
+    (1 to k).map { i =>
+      java.math.BigDecimal.valueOf(
+        (truthK + 1 - i).toDouble / (math.log(i + 1.0) / math.log(2.0)) * 1e6)
+        .setScale(0, java.math.RoundingMode.HALF_UP).longValue()
+    }.sum
+
+  /** nDCG@k of the multi-probe LSH ANN against the exact ranking — the
+    * ORDER-quality half of the index evaluation (q63's recall counts set
+    * membership; nDCG also penalizes ranking the 5th-best first). Graded
+    * relevance truthK+1-rank_exact (0 outside the exact top-truthK);
+    * DCG terms quantize to integer micro-units (round(1e6·rel/log2(i+1)),
+    * the PSI trick — libm's 1-ulp log2 jitter sits ~1e2 micro-units from
+    * any rounding boundary), so per-query sums are order-free and the
+    * final score is a ratio of integers. Same k·nQueries-row cost shape
+    * as annRecall.
+    */
+  def annNdcg(embeddings: DataFrame, nQueries: Int = 5, k: Int = 3,
+      truthK: Int = 5): DataFrame = {
+    val approx = lshCosineTopK(embeddings, nQueries, k)
+    val truth = cosineTopK(embeddings, nQueries, truthK)
+    val idcg = ndcgIdcgMicro(k, truthK)
+    approx.as("a")
+      .join(truth.select($"query_id", $"neighbor_id", $"rnk".as("trnk")),
+        Seq("query_id", "neighbor_id"), "left")
+      .select($"query_id", $"rnk",
+        coalesce(lit(truthK + 1) - $"trnk", lit(0)).as("rel"))
+      .groupBy($"query_id")
+      .agg(sum(round($"rel" / log2($"rnk" + 1) * 1e6).cast("long")).as("dcg_micro"))
+      .select($"query_id", $"dcg_micro",
+        round($"dcg_micro" / lit(idcg.toDouble), 4).as("ndcg"))
+      .orderBy($"query_id")
+  }
+
   /** Recall@k of an approximate result against the exact top-k: a left
     * join over (query, neighbor) — k*nQueries rows, negligible at any
     * corpus size.

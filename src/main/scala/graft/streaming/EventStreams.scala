@@ -92,6 +92,57 @@ object EventStreams {
       }
   }
 
+  case class LastEvent(lastTs: Long, lastType: String)
+  case class TransitionOut(event_type: String, next_type: String)
+
+  /** Streaming twin of `Events.sessionTransitions` (q123): emit each
+    * in-session (type → next_type) pair as it happens, from per-user
+    * (last timestamp, last type) state — the live feed a transition-
+    * drift monitor aggregates, instead of recomputing the matrix from
+    * the snapshot.
+    *
+    * State is ONE (long, string) per user, and the event-time timeout
+    * makes eviction SEMANTICALLY LOSSLESS: state older than the gap can
+    * never produce another transition (the next event would start a new
+    * session anyway), so dropping it at watermark > lastTs + gap changes
+    * nothing — the bounded-state property an unbounded stream needs,
+    * with zero approximation. Gap arithmetic runs on exact microsecond
+    * epochs (the engine timestamp resolution, same as q129).
+    */
+  def transitionStream(events: Dataset[Event], gapSeconds: Long = 1800L,
+      watermarkDelay: String = "30 minutes"): Dataset[TransitionOut] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[LastEvent, TransitionOut](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (_: Long, rows: Iterator[Event], state: GroupState[LastEvent]) =>
+          if (state.hasTimedOut) {
+            // beyond the gap horizon nothing can chain to this state
+            state.remove()
+            Iterator.empty
+          } else {
+            def micros(t: java.sql.Timestamp): Long =
+              (t.getTime / 1000) * 1000000L + t.getNanos / 1000
+            val sorted = rows.toSeq.sortBy(e => (micros(e.ts), e.event_id))
+            var st = state.getOption.orNull
+            val out = scala.collection.mutable.ArrayBuffer.empty[TransitionOut]
+            sorted.foreach { e =>
+              val t = micros(e.ts)
+              if (st != null && t - st.lastTs <= gapSeconds * 1000000L)
+                out += TransitionOut(st.lastType, e.event_type)
+              st = LastEvent(t, e.event_type)
+            }
+            if (st != null) {
+              state.update(st)
+              state.setTimeoutTimestamp(st.lastTs / 1000 + gapSeconds * 1000)
+            }
+            out.iterator
+          }
+      }
+  }
+
   /** Stream-stream interval join: each purchase joins clicks by the same
     * user within the preceding `windowSeconds`. Watermarks on BOTH sides +
     * the time-range predicate bound the join state (Spark drops buffered

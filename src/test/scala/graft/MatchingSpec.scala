@@ -229,6 +229,32 @@ class MatchingSpec extends GraftSuite {
       assert(est > exact / 3.0 && est < exact * 3.0) }
   }
 
+  test("annNdcg grades the LSH ranking exactly; perfect list scores 1.0") {
+    import graft.operators.Similarity
+    val emb = Tables.embeddings(spark, sf)
+    val truth = Similarity.cosineTopK(emb).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getInt(3))).toMap
+    val approx = Similarity.lshCosineTopK(emb).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(3)))
+    val idcg = Similarity.ndcgIdcgMicro(3, 5)
+    val expected = approx.groupBy(_._1).toSeq.map { case (qid, rows) =>
+      val dcg = rows.map { case (_, nid, rnk) =>
+        val rel = truth.get((qid, nid)).map(6 - _).getOrElse(0)
+        roundN(rel / (math.log(rnk + 1.0) / math.log(2.0)) * 1e6, 0).toLong
+      }.sum
+      (qid, dcg, roundN(dcg / idcg.toDouble, 4))
+    }.sortBy(_._1)
+    val got = Similarity.annNdcg(emb).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(got === expected)
+    assert(got.nonEmpty && got.forall { case (_, _, n) => n >= 0.0 && n <= 1.0 })
+    // a perfect approximate list (the exact top-3) scores exactly 1.0:
+    // grades 5,4,3 at ranks 1,2,3 reproduce the idcg numerator
+    val perfect = (1 to 3).map(i =>
+      roundN((6 - i) / (math.log(i + 1.0) / math.log(2.0)) * 1e6, 0).toLong).sum
+    assert(perfect == idcg)
+  }
+
   test("scd2History equals brute-force change-point intervals; one shuffle only") {
     val ev = Tables.events(spark, sf)
       .select(col("user_id"), col("event_id"), expr("ts div 1000"), col("event_type")).collect()

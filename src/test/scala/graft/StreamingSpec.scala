@@ -40,6 +40,49 @@ class StreamingSpec extends GraftSuite {
     assert(streamed.nonEmpty)
   }
 
+  test("streaming transitions == batch in-session pairs; state evicts losslessly") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val raw = Tables.events(spark, sf)
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(1), r.getString(3), r.getDouble(4)))
+      .sortBy(e => (e._3, e._1)) // global event-time order, like a real feed
+    def toEvent(e: (Long, Long, Long, String, Double)): Event = {
+      val micros = e._3 / 1000
+      val ts = new Timestamp(micros / 1000)
+      ts.setNanos(((micros % 1000000) * 1000).toInt)
+      Event(e._1, ts, e._2, e._4, e._5)
+    }
+    val input = MemoryStream[Event]
+    val q = EventStreams.transitionStream(input.toDS())
+      .writeStream.outputMode("append").format("memory").queryName("trans_out")
+      .start()
+    val (a, b) = raw.splitAt(raw.length / 2)
+    input.addData(a.map(toEvent).toIndexedSeq)
+    q.processAllAvailable()
+    input.addData(b.map(toEvent).toIndexedSeq)
+    q.processAllAvailable()
+    val streamed = spark.table("trans_out").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSeq
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    q.stop()
+    // brute-force expected pairs on micro-truncated time (the stream's
+    // resolution), per user in (ts, event_id) order
+    val expected = raw.map(e => (e._2, e._1, e._3 / 1000, e._4)).groupBy(_._1).toSeq
+      .flatMap { case (_, es) =>
+        val sorted = es.sortBy(e => (e._3, e._2))
+        sorted.zip(sorted.drop(1)).collect {
+          case (x, y) if y._3 - x._3 <= 1800L * 1000000L => (x._4, y._4)
+        }
+      }.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    assert(streamed === expected)
+    assert(streamed.nonEmpty)
+    // and the live multiset matches the batch matrix (nano arithmetic)
+    val batch = Events.sessionTransitions(Tables.events(spark, sf)).collect()
+      .map(r => ((r.getString(0), r.getString(1)), r.getLong(2))).toMap
+    assert(streamed === batch)
+  }
+
   test("stream-stream interval join pairs purchases with in-window clicks only") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

@@ -268,6 +268,13 @@ object PipelineQueries {
     // nDCG@3 of the multi-probe LSH ANN vs the exact ranking (q63's
     // order-sensitive complement)
     "q130_ann_ndcg" -> ((s, d) => Similarity.annNdcg(Tables.embeddings(s, d))),
+    // correlated EXISTS + scalar subqueries, decorrelated by Catalyst;
+    // ONE SQL text shared verbatim with the oracle
+    "q131_above_avg_spenders" -> ((s, d) =>
+      Extended.aboveAvgSpenders(s, Tables.customer(s, d), Tables.orders(s, d))),
+    // top 3-step in-session event-type paths (the walk-level complement
+    // of q123's edge-level matrix)
+    "q132_top_paths" -> ((s, d) => Events.topSessionPaths(Tables.events(s, d))),
     // column-profile drift between the q101 snapshot versions
     "q127_profile_drift" -> ((s, d) => {
       import org.apache.spark.sql.functions._
@@ -2325,6 +2332,26 @@ object PipelineQueries {
         |SELECT window_end_day, n_days, est_users, n_exact
         |FROM est JOIN nd USING (window_end_day) JOIN ex USING (window_end_day)
         |ORDER BY window_end_day""".stripMargin,
+    "q131_above_avg_spenders" ->
+      // the SAME text Spark executes (Extended.AboveAvgSpendersSql) —
+      // decimal cross-multiplication keeps the predicate engine-exact
+      graft.operators.Extended.AboveAvgSpendersSql,
+    "q132_top_paths" ->
+      """WITH seq AS (
+        |  SELECT event_type AS step1,
+        |    lead(event_type, 1) OVER w AS step2,
+        |    lead(event_type, 2) OVER w AS step3,
+        |    epoch_ns(ts) AS tns,
+        |    lead(epoch_ns(ts), 1) OVER w AS tns2,
+        |    lead(epoch_ns(ts), 2) OVER w AS tns3
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ns(ts), event_id)
+        |)
+        |SELECT step1, step2, step3, count(*) AS n FROM seq
+        |WHERE step3 IS NOT NULL
+        |  AND tns2 - tns <= 1800000000000 AND tns3 - tns2 <= 1800000000000
+        |GROUP BY 1, 2, 3
+        |ORDER BY n DESC, step1, step2, step3 LIMIT 10""".stripMargin,
     "q130_ann_ndcg" ->
       // the idcg denominator is the SAME integer literal the Spark plan
       // embeds (Similarity.ndcgIdcgMicro), so the score is a ratio of

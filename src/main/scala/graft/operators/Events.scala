@@ -274,6 +274,35 @@ object Events {
       .orderBy($"event_type")
   }
 
+  /** Session path analysis: the most common 3-step event-type paths —
+    * consecutive in-session triples (both gaps ≤ `gapSeconds` under
+    * q123's adjacency rule), counted corpus-wide, top-`topk`. The
+    * product-analytics complement of the transition matrix: q123 gives
+    * the Markov edge weights, this surfaces the actual high-traffic
+    * WALKS (a funnel hypothesis generator).
+    *
+    * Shape: two `lead`s over the one per-user (ts, event_id) sort — same
+    * single-shuffle discipline as scd2History — then a map-side-combined
+    * count into a types³-bounded frame and a TakeOrderedAndProject.
+    */
+  def topSessionPaths(events: DataFrame, gapSeconds: Long = 1800L,
+      topk: Int = 10): DataFrame = {
+    val byUser = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    val gapNs = gapSeconds * NsPerSecond
+    events
+      .select($"user_id", $"event_id", $"ts", $"event_type")
+      .withColumn("t2", lead($"event_type", 1).over(byUser))
+      .withColumn("ts2", lead($"ts", 1).over(byUser))
+      .withColumn("t3", lead($"event_type", 2).over(byUser))
+      .withColumn("ts3", lead($"ts", 2).over(byUser))
+      .filter($"t3".isNotNull &&
+        ($"ts2" - $"ts") <= gapNs && ($"ts3" - $"ts2") <= gapNs)
+      .groupBy($"event_type".as("step1"), $"t2".as("step2"), $"t3".as("step3"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy($"n".desc, $"step1", $"step2", $"step3")
+      .limit(topk)
+  }
+
   /** Sliding-window distinct users (7-day active users) via MERGEABLE
     * daily KMV sketches: each day keeps the `k` smallest distinct
     * md5(user_id) hashes; a window's sketch is the bottom-k of the union

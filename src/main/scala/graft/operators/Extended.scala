@@ -156,4 +156,35 @@ object Extended {
         coalesce($"n_events", lit(0L)).as("n_events"))
       .orderBy($"etype")
   }
+
+  /** ONE SQL text for the correlated-subquery query, shared verbatim by
+    * the Spark surface and the DuckDB oracle — the query itself is the
+    * contract, the engines differ only in how they plan it. The
+    * comparison cross-multiplies in DECIMAL (the q80 discipline) so no
+    * float average enters a predicate: `price · n > Σprice` is exact
+    * integer-scaled arithmetic on both engines.
+    */
+  val AboveAvgSpendersSql: String =
+    """SELECT c_custkey, c_name FROM customer c
+      |WHERE EXISTS (
+      |  SELECT 1 FROM orders o
+      |  WHERE o.o_custkey = c.c_custkey
+      |    AND CAST(o.o_totalprice AS DECIMAL(18,2)) * (SELECT count(*) FROM orders)
+      |        > (SELECT sum(CAST(o_totalprice AS DECIMAL(18,2))) FROM orders))
+      |ORDER BY c_custkey""".stripMargin
+
+  /** Correlated-subquery SQL surface: customers with at least one
+    * above-average order — a correlated EXISTS plus two scalar
+    * subqueries. The point is the PLANNING: Catalyst decorrelates the
+    * EXISTS into a left-semi hash join and evaluates each scalar
+    * subquery once (reused broadcast scalar), so the executed plan has
+    * no per-row subquery loop — spec-asserted. A user migrating SQL
+    * gets set-based plans, not nested iteration.
+    */
+  def aboveAvgSpenders(spark: SparkSession, customer: DataFrame,
+      orders: DataFrame): DataFrame = {
+    customer.createOrReplaceTempView("customer")
+    orders.createOrReplaceTempView("orders")
+    spark.sql(AboveAvgSpendersSql)
+  }
 }

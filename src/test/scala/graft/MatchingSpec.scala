@@ -229,6 +229,51 @@ class MatchingSpec extends GraftSuite {
       assert(est > exact / 3.0 && est < exact * 3.0) }
   }
 
+  test("aboveAvgSpenders equals brute force; EXISTS decorrelates to a semi join") {
+    import graft.operators.Extended
+    val orders = Tables.orders(spark, sf)
+      .select(col("o_custkey"), col("o_totalprice")).collect()
+      .map(r => (r.getLong(0), BigDecimal(r.getDouble(1)).setScale(2, BigDecimal.RoundingMode.HALF_EVEN)))
+    val n = orders.length
+    val total = orders.map(_._2).sum
+    val spenders = orders.filter { case (_, p) => p * n > total }.map(_._1).toSet
+    val cust = Tables.customer(spark, sf)
+      .select(col("c_custkey"), col("c_name")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val expected = cust.filter(c => spenders.contains(c._1)).sortBy(_._1).toSeq
+    val result = Extended.aboveAvgSpenders(spark,
+      Tables.customer(spark, sf), Tables.orders(spark, sf))
+    val got = result.collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(got === expected)
+    assert(got.nonEmpty && got.size < cust.length)
+    // Catalyst decorrelates: a semi join appears, no per-row subquery
+    val plan = result.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    assert(plan.contains("LeftSemi") || plan.contains("left_semi"),
+      s"expected decorrelated semi join in:\n$plan")
+  }
+
+  test("topSessionPaths equals brute-force in-session trigram counts") {
+    val ev = Tables.events(spark, sf)
+      .select(col("user_id"), col("event_id"), col("ts"), col("event_type")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3))).toSeq
+    val gap = 1800L * 1000000000L
+    val tris = ev.groupBy(_._1).toSeq.flatMap { case (_, es) =>
+      val s = es.sortBy(e => (e._3, e._2))
+      s.lazyZip(s.drop(1)).lazyZip(s.drop(2)).toSeq.collect {
+        case (a, b, c) if b._3 - a._3 <= gap && c._3 - b._3 <= gap =>
+          (a._4, b._4, c._4)
+      }
+    }
+    val expected = tris.groupBy(identity).toSeq
+      .map { case (t, g) => (t._1, t._2, t._3, g.size.toLong) }
+      .sortBy { case (a, b, c, cnt) => (-cnt, a, b, c) }.take(10)
+    val got = graft.operators.Events.topSessionPaths(Tables.events(spark, sf)).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2), r.getLong(3))).toSeq
+    assert(got === expected)
+    assert(got.nonEmpty)
+  }
+
   test("annNdcg grades the LSH ranking exactly; perfect list scores 1.0") {
     import graft.operators.Similarity
     val emb = Tables.embeddings(spark, sf)

@@ -275,6 +275,8 @@ object PipelineQueries {
     // top 3-step in-session event-type paths (the walk-level complement
     // of q123's edge-level matrix)
     "q132_top_paths" -> ((s, d) => Events.topSessionPaths(Tables.events(s, d))),
+    // dedup QA: MinHash-vs-SimHash pair-set agreement classes
+    "q133_method_agreement" -> ((s, d) => Dedup.methodAgreement(Tables.documents(s, d))),
     // column-profile drift between the q101 snapshot versions
     "q127_profile_drift" -> ((s, d) => {
       import org.apache.spark.sql.functions._
@@ -2336,6 +2338,20 @@ object PipelineQueries {
       // the SAME text Spark executes (Extended.AboveAvgSpendersSql) —
       // decimal cross-multiplication keeps the predicate engine-exact
       graft.operators.Extended.AboveAvgSpendersSql,
+    "q133_method_agreement" ->
+      // both pair sets are the established q27/q28 oracle bodies, nested
+      // as CTE subqueries and full-outer classified
+      s"""WITH mh AS (SELECT id1, id2 FROM ($JaccardSql)),
+         |sh AS (SELECT id1, id2 FROM ($SimhashSql)),
+         |j AS (
+         |  SELECT CASE
+         |    WHEN mh.id1 IS NOT NULL AND sh.id1 IS NOT NULL THEN 'both'
+         |    WHEN mh.id1 IS NOT NULL THEN 'minhash_only'
+         |    ELSE 'simhash_only' END AS agreement
+         |  FROM mh FULL OUTER JOIN sh ON mh.id1 = sh.id1 AND mh.id2 = sh.id2
+         |)
+         |SELECT agreement, count(*) AS n_pairs FROM j
+         |GROUP BY agreement ORDER BY agreement""".stripMargin,
     "q132_top_paths" ->
       """WITH seq AS (
         |  SELECT event_type AS step1,

@@ -95,6 +95,48 @@ object EventStreams {
   case class LastEvent(lastTs: Long, lastType: String)
   case class TransitionOut(event_type: String, next_type: String)
 
+  case class Scd2State(validFrom: Long, curType: String, lastTs: Long)
+  case class Scd2Out(user_id: Long, event_type: String, valid_from: Long,
+      valid_to: Long)
+
+  /** Streaming twin of `Events.scd2History` (q129): the SCD2 dimension
+    * maintained LIVE — each event_type change CLOSES the previous
+    * interval (emitted downstream, append mode) and opens the next one
+    * in state. The open interval IS the per-user state (one row each,
+    * the dimension itself — the irreducible state of any live SCD build;
+    * no timeout, because the current interval never expires). Batch
+    * equivalence is exact by construction: streamed rows == q129's
+    * closed intervals, final states == its open ones — asserted in
+    * StreamingSpec. Micro-epoch arithmetic, same as the batch side.
+    */
+  def scd2Stream(events: Dataset[Event]): Dataset[Scd2Out] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[Scd2State, Scd2Out](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (userId: Long, rows: Iterator[Event], state: GroupState[Scd2State]) =>
+          def micros(t: java.sql.Timestamp): Long =
+            (t.getTime / 1000) * 1000000L + t.getNanos / 1000
+          val sorted = rows.toSeq.sortBy(e => (micros(e.ts), e.event_id))
+          var st = state.getOption.orNull
+          val out = scala.collection.mutable.ArrayBuffer.empty[Scd2Out]
+          sorted.foreach { e =>
+            val t = micros(e.ts)
+            if (st == null) {
+              st = Scd2State(t, e.event_type, t)
+            } else if (e.event_type != st.curType) {
+              out += Scd2Out(userId, st.curType, st.validFrom, t - 1)
+              st = Scd2State(t, e.event_type, t)
+            } else {
+              st = st.copy(lastTs = t)
+            }
+          }
+          if (st != null) state.update(st)
+          out.iterator
+      }
+  }
+
   /** Streaming twin of `Events.sessionTransitions` (q123): emit each
     * in-session (type → next_type) pair as it happens, from per-user
     * (last timestamp, last type) state — the live feed a transition-

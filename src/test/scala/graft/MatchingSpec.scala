@@ -274,6 +274,25 @@ class MatchingSpec extends GraftSuite {
     assert(got.nonEmpty)
   }
 
+  test("methodAgreement partitions the union of the q27/q28 pair sets") {
+    import graft.operators.Dedup
+    val mh = Dedup.minhashLshPairs(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val sh = Dedup.simhashPairs(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val expected = Seq(
+      "both" -> (mh & sh).size.toLong,
+      "minhash_only" -> (mh -- sh).size.toLong,
+      "simhash_only" -> (sh -- mh).size.toLong,
+    ).filter(_._2 > 0).sortBy(_._1)
+    val got = Dedup.methodAgreement(docs).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(got === expected)
+    assert(got.map(_._2).sum == (mh | sh).size.toLong)
+    // non-vacuous on the fixture: the methods agree on a core AND disagree
+    assert((mh & sh).nonEmpty && (mh != sh))
+  }
+
   test("annNdcg grades the LSH ranking exactly; perfect list scores 1.0") {
     import graft.operators.Similarity
     val emb = Tables.embeddings(spark, sf)

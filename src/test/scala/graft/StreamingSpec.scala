@@ -83,6 +83,43 @@ class StreamingSpec extends GraftSuite {
     assert(streamed === batch)
   }
 
+  test("streaming SCD2: closed intervals == batch history; open intervals live in state") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val raw = Tables.events(spark, sf)
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(1), r.getString(3), r.getDouble(4)))
+      .sortBy(e => (e._3, e._1))
+    def toEvent(e: (Long, Long, Long, String, Double)): Event = {
+      val micros = e._3 / 1000
+      val ts = new Timestamp(micros / 1000)
+      ts.setNanos(((micros % 1000000) * 1000).toInt)
+      Event(e._1, ts, e._2, e._4, e._5)
+    }
+    val input = MemoryStream[Event]
+    val q = EventStreams.scd2Stream(input.toDS())
+      .writeStream.outputMode("append").format("memory").queryName("scd2_out")
+      .start()
+    val thirds = raw.length / 3
+    input.addData(raw.take(thirds).map(toEvent).toIndexedSeq)
+    q.processAllAvailable()
+    input.addData(raw.drop(thirds).map(toEvent).toIndexedSeq)
+    q.processAllAvailable()
+    val streamed = spark.table("scd2_out").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3))).toSet
+    q.stop()
+    val batch = Events.scd2History(Tables.events(spark, sf)).collect()
+    val closed = batch.filter(!_.getBoolean(4))
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3))).toSet
+    assert(streamed === closed)
+    assert(streamed.nonEmpty)
+    // every user's open interval stayed in state: exactly one batch row
+    // per user is open, and none of them was emitted
+    val open = batch.filter(_.getBoolean(4)).map(_.getLong(0)).toSeq
+    assert(open.distinct.size == open.size)
+    assert(open.toSet === batch.map(_.getLong(0)).toSet)
+  }
+
   test("stream-stream interval join pairs purchases with in-window clicks only") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

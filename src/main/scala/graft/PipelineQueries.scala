@@ -2160,11 +2160,12 @@ object PipelineQueries {
         |df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
         |n AS (SELECT count(*) AS n_docs FROM documents),
         |w AS (
-        |  SELECT doc_id, term, df, round(tf * ln(n_docs / df), 4) AS w
+        |  SELECT doc_id, term, df, round(tf * ln(n_docs / df), 4) AS w,
+        |    n_docs * 64 // 1000 AS df_cap
         |  FROM tf JOIN df USING (term) CROSS JOIN n
         |),
         |topw AS (
-        |  SELECT doc_id, term, df, w FROM (
+        |  SELECT doc_id, term, df, w, df_cap FROM (
         |    SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY w DESC, term) AS r
         |    FROM w
         |  ) WHERE r <= 8
@@ -2172,7 +2173,7 @@ object PipelineQueries {
         |cand AS (
         |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
         |  FROM topw a JOIN topw b ON a.term = b.term AND a.doc_id < b.doc_id
-        |  WHERE a.df <= 32
+        |  WHERE a.df <= a.df_cap
         |),
         |nrm AS (
         |  SELECT doc_id, sum(CAST(round(w * w * 1e6) AS BIGINT)) AS nsq

@@ -69,13 +69,18 @@ object Matching {
     *   - per-doc term weights: w = round(tf · ln(N/df), 4) — q67's exact
     *     salient-term scores; each doc keeps its top-`k` terms by
     *     (w desc, term).
-    *   - candidates: pairs sharing ≥1 top-`k` term with df ≤ `dfCap`.
-    *     The df cap is the scale lever: a term in df docs contributes
-    *     ≤ df² pairs, so candidate volume is Σ_rare df² ≤ dfCap·Σdf —
-    *     linear in the index size — while a stop-word term would alone
-    *     contribute N²/4. Rare shared terms are also exactly the ones
-    *     carrying the cosine mass (idf weighting), so the blocking drops
-    *     only low-similarity pairs by construction.
+    *   - candidates: pairs sharing ≥1 top-`k` term that is RARE, where
+    *     rare means df ≤ N·`dfCapPerMille`/1000 (integer arithmetic —
+    *     exact and engine-shared). The cap must be RELATIVE to corpus
+    *     size: an absolute cap silently empties the candidate set as the
+    *     corpus grows (measured: df≤32 found 168 pairs at 500 docs and
+    *     ZERO at 5,000 — every df scales with N). The relative cap is
+    *     the scale lever: a rare term contributes ≤ df² pairs, so
+    *     candidate volume is Σ_rare df² ≤ cap·Σdf, and a stop-word term
+    *     (df ~ N/2, which would alone contribute N²/4 pairs) can never
+    *     qualify at any corpus size. Rare shared terms are also exactly
+    *     the ones carrying the cosine mass (idf weighting), so the
+    *     blocking drops only low-similarity pairs by construction.
     *   - scoring: dot products and norms accumulate integer micro-units
     *     (round(1e6·w·w') per term — the PSI trick), so the sums are
     *     order-free exact integers; one final double division + round(4).
@@ -85,7 +90,7 @@ object Matching {
     * document length; candidate generation and both scoring joins are
     * hash equi-joins on term/doc_id. Nothing is ever all-pairs.
     */
-  def tfidfCosinePairs(documents: DataFrame, k: Int = 8, dfCap: Int = 32,
+  def tfidfCosinePairs(documents: DataFrame, k: Int = 8, dfCapPerMille: Int = 64,
       tau: Double = 0.7): DataFrame = {
     val tf = documents
       .select($"doc_id", explode(split($"text", " ")).as("term"))
@@ -97,11 +102,12 @@ object Matching {
       .join(df, Seq("term"))
       .crossJoin(broadcast(nDocs))
       .select($"doc_id", $"term", $"df",
-        round($"tf" * log($"n_docs" / $"df"), 4).as("w"))
+        round($"tf" * log($"n_docs" / $"df"), 4).as("w"),
+        expr(s"n_docs * $dfCapPerMille div 1000").as("df_cap"))
     val topw = Scale.topKPerGroup(scored, group = $"doc_id", rankKey = -$"w",
         tie = $"term", saltSource = $"term", k = k)
-      .select($"doc_id", $"term", $"df", $"w")
-    val rare = topw.filter($"df" <= dfCap)
+      .select($"doc_id", $"term", $"df", $"w", $"df_cap")
+    val rare = topw.filter($"df" <= $"df_cap")
     val cand = rare.as("a")
       .join(rare.as("b"), $"a.term" === $"b.term" && $"a.doc_id" < $"b.doc_id")
       .select($"a.doc_id".as("id_a"), $"b.doc_id".as("id_b"))

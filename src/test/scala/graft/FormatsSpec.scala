@@ -69,4 +69,29 @@ class FormatsSpec extends GraftSuite {
     val profiled = graft.operators.Multimodal.fakeDecode(ingested).collect()
     assert(profiled.length === 2 && profiled.forall(_.getLong(2) > 0L))
   }
+
+  test("text source ingests raw line corpora; wholetext keeps one doc per file") {
+    import org.apache.spark.sql.functions._
+    // the canonical LLM-corpus ingest boundary: plain text on disk
+    val dir = Files.createTempDirectory("graft_text")
+    Files.write(dir.resolve("a.txt"), "alpha beta\ngamma".getBytes("UTF-8"))
+    Files.write(dir.resolve("b.txt"), "delta".getBytes("UTF-8"))
+    // line mode: one row per line, ids derived from (file, line) — the
+    // deterministic id rule a file-offset-free ingest needs
+    val lines = spark.read.text(dir.toString)
+      .select(element_at(split(input_file_name(), "/"), -1).as("file"), col("value"))
+    val got = lines.collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(got === Set(("a.txt", "alpha beta"), ("a.txt", "gamma"), ("b.txt", "delta")))
+    // wholetext mode: one row per FILE — document-granular corpora
+    // (newlines preserved inside the doc)
+    val docs = spark.read.option("wholetext", "true").text(dir.toString)
+      .select(element_at(split(input_file_name(), "/"), -1).as("file"), col("value"))
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(docs === Set(("a.txt", "alpha beta\ngamma"), ("b.txt", "delta")))
+    // and the ingested lines feed the text pipeline unchanged
+    val stats = graft.operators.TextAnalysis.textStats(
+      lines.select(xxhash64(col("file"), col("value")).as("doc_id"),
+        col("value").as("text"), lit("en").as("lang")))
+    assert(stats.count() === 3L)
+  }
 }

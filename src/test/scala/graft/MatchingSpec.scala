@@ -74,9 +74,10 @@ class MatchingSpec extends GraftSuite {
         }
         (id, ws.sortBy { case (t, w, _) => (-w, t) }.take(8))
     }
+    val dfCap = nDocs * 64 / 1000 // relative rare-term cap, integer floor
     val cand = (for {
       (ida, wsa) <- topw.toSeq; (idb, wsb) <- topw.toSeq if ida < idb
-      if wsa.exists { case (t, _, d) => d <= 32 && wsb.exists(_._1 == t) }
+      if wsa.exists { case (t, _, d) => d <= dfCap && wsb.exists(_._1 == t) }
     } yield (ida, idb)).distinct
     def nsq(ws: Seq[(String, Double, Long)]): Long =
       ws.map { case (_, w, _) => roundN(w * w * 1e6, 0).toLong }.sum
@@ -93,6 +94,21 @@ class MatchingSpec extends GraftSuite {
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
     assert(got === expected)
     assert(got.nonEmpty, "fixture should contain lexically-near pairs (planted near-dups)")
+  }
+
+  test("matching plans: candidates come from equi-joins, never a cartesian") {
+    // fuzzy match: token-blocked self-join + levenshtein verify
+    val fm = Matching.fuzzyNameMatch(parts).queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    assert(!fm.contains("CartesianProduct"), s"cartesian in fuzzy match:\n$fm")
+    assert(!fm.contains("BroadcastNestedLoopJoin"), s"BNLJ in fuzzy match:\n$fm")
+    // tfidf pairs: the only nested-loop is the 1-row scalar broadcast of
+    // n_docs (the documented scalar-broadcast pattern); candidate
+    // generation itself is an equi-join on the term
+    val tp = Matching.tfidfCosinePairs(docs).queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    assert(!tp.contains("CartesianProduct"), s"cartesian in tfidf pairs:\n$tp")
+    assert(tp.contains("Join") , s"expected equi-joins in:\n$tp")
   }
 
   test("hybridRrf fuses the two top-20 lists by exact reciprocal-rank micro-units") {

@@ -152,6 +152,45 @@ object ProfileScaling {
     val lslope = lx.zip(ly).map { case (x, y) => (x - lmx) * (y - lmy) }.sum /
       lx.map(x => (x - lmx) * (x - lmx)).sum
     println(f"[scaling] bigram-lm scaling exponent (log-log slope): $lslope%.2f")
+
+    // q122 core (rare-term-blocked tf-idf cosine pairs): replicas share
+    // no vocabulary, so df stays per-replica and blocked candidates are
+    // replica-additive — candidates/pairs should grow ~linearly. (Pair
+    // counts can drift a little across scales: N grows, so idf = ln(N/df)
+    // reweights the top-8 vectors — reported, not assumed.)
+    println("[scaling] tfidf-pairs: scale docs pairs t_s")
+    val tpRows = scales.map { s =>
+      val docs = spark.read.parquet(s"$outRoot/x$s")
+      System.gc()
+      val (nPairs, t) = time {
+        graft.operators.Matching.tfidfCosinePairs(docs).count()
+      }
+      println(f"[scaling] tfidf-pairs x$s%-2d ${docs.count()}%6d $nPairs%6d $t%8.2f")
+      (s, t)
+    }
+    val tx = tpRows.map(r => math.log(r._1.toDouble))
+    val ty = tpRows.map(r => math.log(r._2))
+    val tmx = tx.sum / tx.size; val tmy = ty.sum / ty.size
+    val tslope = tx.zip(ty).map { case (x, y) => (x - tmx) * (y - tmy) }.sum /
+      tx.map(x => (x - tmx) * (x - tmx)).sum
+    println(f"[scaling] tfidf-pairs scaling exponent (log-log slope): $tslope%.2f")
+
+    // q121 core (fuzzy catalog match): the fact table grows 10x but the
+    // NAME CATALOG is constant (64 names), so after the distinct-name
+    // reduction the matcher's work should be ~flat — the
+    // catalog-proportional claim made empirical
+    println("[scaling] fuzzy-match: scale rows pairs t_s")
+    val partBase = Tables.part(spark, sfDir).select($"p_partkey", $"p_name")
+    scales.foreach { s =>
+      val rep = (0 until s).map(r =>
+        partBase.select(($"p_partkey" + lit(r * 10000000L)).as("p_partkey"), $"p_name"))
+        .reduce(_ union _)
+      System.gc()
+      val (nPairs, t) = time {
+        graft.operators.Matching.fuzzyNameMatch(rep).count()
+      }
+      println(f"[scaling] fuzzy-match x$s%-2d ${rep.count()}%8d $nPairs%5d $t%8.2f")
+    }
     spark.stop()
   }
 }

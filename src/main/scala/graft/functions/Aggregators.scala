@@ -212,13 +212,16 @@ object Aggregators {
     override def outputEncoder: Encoder[QuantileEst] = Encoders.product[QuantileEst]
   }
 
-  class KMVSketchOf[T](f: T => String, k: Int)
-      extends Aggregator[T, String, KMVEstimate] {
+  /** Shared bottom-k md5-hash buffer ops (KMVSketchOf and
+    * BottomKHashesOf): the buffer is the sorted hashes joined with ','
+    * (md5 hex is fixed-width, so string order == numeric order); the
+    * common no-op path (hash beyond the current kth at fill) is decided
+    * from the buffer tail without parsing.
+    */
+  private[functions] object KmvBuffer {
     private val W = 32 // md5 hex width
 
-    override def zero: String = ""
-
-    private def insert(b: String, h: String): String =
+    def insert(k: Int)(b: String, h: String): String =
       if (b.isEmpty) h
       else {
         val size = (b.length + 1) / (W + 1)
@@ -229,6 +232,14 @@ object Aggregators {
           else (arr :+ h).sorted.take(k).mkString(",")
         }
       }
+  }
+
+  class KMVSketchOf[T](f: T => String, k: Int)
+      extends Aggregator[T, String, KMVEstimate] {
+
+    override def zero: String = ""
+
+    private def insert(b: String, h: String): String = KmvBuffer.insert(k)(b, h)
 
     override def reduce(b: String, x: T): String = {
       // null keys carry no hash and are excluded from the distinct count —
@@ -254,6 +265,28 @@ object Aggregators {
 
     override def bufferEncoder: Encoder[String] = Encoders.STRING
     override def outputEncoder: Encoder[KMVEstimate] = Encoders.product[KMVEstimate]
+  }
+
+  /** The KMV sketch CONTENTS (sorted bottom-k hash set) instead of the
+    * collapsed estimate — the exportable state a sketch STORE persists so
+    * later queries can MERGE windows (q128's rollup) without touching raw
+    * data. Same buffer algebra as KMVSketchOf, so streamed daily sketches
+    * are bit-identical to batch ones (StreamingSpec).
+    */
+  class BottomKHashesOf[T](f: T => String, k: Int)
+      extends Aggregator[T, String, Seq[String]] {
+    override def zero: String = ""
+    override def reduce(b: String, x: T): String = {
+      val h = f(x)
+      if (h == null) b else KmvBuffer.insert(k)(b, h)
+    }
+    override def merge(a: String, b: String): String =
+      if (b.isEmpty) a else b.split(',').foldLeft(a)(KmvBuffer.insert(k))
+    override def finish(b: String): Seq[String] =
+      if (b.isEmpty) Nil else b.split(',').toSeq
+    override def bufferEncoder: Encoder[String] = Encoders.STRING
+    override def outputEncoder: Encoder[Seq[String]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[String]]()
   }
 
   case class PsiCell(source: String, bin: Long, c: Long)

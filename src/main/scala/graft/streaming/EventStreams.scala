@@ -349,6 +349,30 @@ object EventStreams {
         col("r.target_tokens").as("target_tokens"), col("r.epochs").as("epochs"))
   }
 
+  /** Streaming half of `Events.slidingDistinctUsers` (q128): the DAILY
+    * bottom-k user-hash sketches maintained live — per-day KMV state
+    * (one ≤k-hash buffer per day, bounded without a watermark: the
+    * buffer only shrinks toward smaller hashes), re-emitted complete
+    * each trigger. This is the production DAU/WAU architecture: the
+    * STREAM owns the per-day sketch store; any trailing-window rollup
+    * (7-day, 30-day — q128's merge + estimator) runs over 365·k sketch
+    * rows, never the raw stream. StreamingSpec proves the streamed
+    * sketches are bit-identical to the batch daily sketches AND that
+    * q128's full output is reproducible from the streamed state alone.
+    */
+  def dailyUserSketchStream(events: Dataset[Event], k: Int = 64): DataFrame = {
+    import events.sparkSession.implicits._
+    val agg = new graft.functions.Aggregators.BottomKHashesOf[(Long, String)](_._2, k)
+    events
+      .map { e =>
+        val micros = (e.ts.getTime / 1000) * 1000000L + e.ts.getNanos / 1000
+        (micros / 86400000000L, md5Hex(e.user_id.toString))
+      }
+      .groupByKey(_._1)
+      .agg(agg.toColumn.name("sketch"))
+      .toDF("day", "sketch")
+  }
+
   /** Streaming twin of `Events.quantileSketch`: per event_type, the
     * bottom-k-by-md5 uniform sample maintained as typed Aggregator state —
     * k (hash, value) pairs per group, bounded on an unbounded stream with

@@ -83,6 +83,58 @@ class StreamingSpec extends GraftSuite {
     assert(streamed === batch)
   }
 
+  test("streaming daily KMV sketches == batch; q128's rollup reproduces from streamed state") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val raw = Tables.events(spark, sf)
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(1), r.getString(3), r.getDouble(4)))
+    def toEvent(e: (Long, Long, Long, String, Double)): Event = {
+      val micros = e._3 / 1000
+      val ts = new Timestamp(micros / 1000)
+      ts.setNanos(((micros % 1000000) * 1000).toInt)
+      Event(e._1, ts, e._2, e._4, e._5)
+    }
+    val input = MemoryStream[Event]
+    val q = EventStreams.dailyUserSketchStream(input.toDS())
+      .writeStream.outputMode("complete").format("memory").queryName("dau_sketch")
+      .start()
+    val (a, b) = raw.splitAt(raw.length / 2)
+    input.addData(a.map(toEvent).toIndexedSeq)
+    q.processAllAvailable()
+    input.addData(b.map(toEvent).toIndexedSeq)
+    q.processAllAvailable()
+    val streamed = spark.table("dau_sketch").collect()
+      .map(r => (r.getLong(0), r.getSeq[String](1).toList)).toMap
+    q.stop()
+    // batch daily sketches: bottom-64 distinct md5(user) per day
+    def md5Hex(s: String): String = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val du = raw.map(e => (e._3 / 86400000000000L, e._2)).distinct
+    val batchDaily = du.groupBy(_._1).map { case (d, us) =>
+      (d, us.map(u => md5Hex(u._2.toString)).distinct.sorted.take(64).toList)
+    }
+    assert(streamed === batchDaily)
+    // q128's est_users / n_days reproduce from the streamed state alone
+    val days = streamed.keys.toSeq.sorted
+    val fromState = days.map { wend =>
+      val win = days.filter(d => d >= wend - 6 && d <= wend)
+      val sk = win.flatMap(streamed).distinct.sorted.take(64)
+      val est =
+        if (sk.size < 64) sk.size.toDouble
+        else {
+          val frac = (1 to 13).map(i =>
+            Character.digit(sk.last.charAt(i - 1), 16) * math.pow(16.0, -i)).sum
+          63.0 / frac
+        }
+      (wend, win.size.toLong,
+        java.math.BigDecimal.valueOf(est).setScale(4, java.math.RoundingMode.HALF_UP).doubleValue())
+    }
+    val batchQ128 = Events.slidingDistinctUsers(Tables.events(spark, sf)).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(fromState === batchQ128)
+  }
+
   test("streaming SCD2: closed intervals == batch history; open intervals live in state") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

@@ -186,4 +186,49 @@ class PropertySpec extends GraftSuite {
       assert(got === expected, s"q=$q vals=$vals")
     }
   }
+
+  test("property: A-ES weighted sample is invariant under uniform weight scaling") {
+    // key = -ln(u)/w: scaling every weight by c scales every key by 1/c,
+    // so the selected SET and its order never move — the property that
+    // makes the sample comparable across corpus re-weightings
+    val docs = graft.sources.Tables.documents(spark, sf)
+    val base = graft.operators.Sampling.weightedSample(docs).collect()
+      .map(_.getLong(0)).toSeq
+    for (c <- Seq(7L, 1000L)) {
+      val scaled = graft.operators.Sampling.weightedSample(
+        docs.withColumn("n_chars", col("n_chars") * c)).collect()
+        .map(_.getLong(0)).toSeq
+      assert(scaled === base, s"sample moved under weight scaling x$c")
+    }
+  }
+
+  test("property: fuzzy match pair set is invariant under catalog-row duplication") {
+    // the distinct-name reduction makes row multiplicity affect ONLY the
+    // n_parts mass columns, never which pairs match
+    val parts = graft.sources.Tables.part(spark, sf)
+    val base = graft.operators.Matching.fuzzyNameMatch(parts).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getInt(2), r.getLong(3), r.getLong(4)))
+    val doubled = graft.operators.Matching.fuzzyNameMatch(
+      parts.unionAll(parts.withColumn("p_partkey", col("p_partkey") + 1000000L)))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getInt(2), r.getLong(3), r.getLong(4)))
+    assert(doubled.map(t => (t._1, t._2, t._3)).toSeq ===
+      base.map(t => (t._1, t._2, t._3)).toSeq)
+    assert(doubled.map(t => (t._4, t._5)).toSeq ===
+      base.map(t => (t._4 * 2, t._5 * 2)).toSeq)
+  }
+
+  test("property: Laplace release noise scales exactly as 1/epsilon") {
+    // same md5 uniform per (tag, lang) => noise(eps) = noise(1)/eps
+    // bit-for-bit before the output rounding
+    val docs = graft.sources.Tables.documents(spark, sf)
+    val e1 = graft.operators.Curation.dpLangHistogram(docs, eps = 1.0).collect()
+      .map(r => (r.getString(0), r.getDouble(2) - r.getLong(1))).toMap
+    val e4 = graft.operators.Curation.dpLangHistogram(docs, eps = 4.0).collect()
+      .map(r => (r.getString(0), r.getDouble(2) - r.getLong(1))).toMap
+    e1.foreach { case (lang, n1) =>
+      assert(math.abs(e4(lang) - n1 / 4.0) < 2e-4, // two round(4) boundaries
+        s"$lang: eps=4 noise ${e4(lang)} != ${n1 / 4.0}")
+    }
+  }
 }

@@ -277,6 +277,8 @@ object PipelineQueries {
     "q132_top_paths" -> ((s, d) => Events.topSessionPaths(Tables.events(s, d))),
     // dedup QA: MinHash-vs-SimHash pair-set agreement classes
     "q133_method_agreement" -> ((s, d) => Dedup.methodAgreement(Tables.documents(s, d))),
+    // reproducible epoch shuffle: per-shard training-order checksums
+    "q134_epoch_shuffle" -> ((s, d) => Sampling.epochShuffle(Tables.documents(s, d))),
     // column-profile drift between the q101 snapshot versions
     "q127_profile_drift" -> ((s, d) => {
       import org.apache.spark.sql.functions._
@@ -2339,6 +2341,23 @@ object PipelineQueries {
       // the SAME text Spark executes (Extended.AboveAvgSpendersSql) —
       // decimal cross-multiplication keeps the predicate engine-exact
       graft.operators.Extended.AboveAvgSpendersSql,
+    "q134_epoch_shuffle" ->
+      // same permutation: md5(seed:doc_id) sort key, first-byte shard,
+      // string_agg in (key, doc_id) order; checksums match iff the
+      // engines produced byte-identical training order
+      """WITH k AS (
+        |  SELECT doc_id, md5('epoch0:' || CAST(doc_id AS VARCHAR)) AS k
+        |  FROM documents
+        |),
+        |s AS (
+        |  SELECT doc_id, k,
+        |    ((strpos('0123456789abcdef', substr(k, 1, 1)) - 1) * 16
+        |     + (strpos('0123456789abcdef', substr(k, 2, 1)) - 1)) % 8 AS shard
+        |  FROM k
+        |)
+        |SELECT shard, count(*) AS n_docs,
+        | md5(string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY k, doc_id)) AS order_checksum
+        |FROM s GROUP BY shard ORDER BY shard""".stripMargin,
     "q133_method_agreement" ->
       // both pair sets are the established q27/q28 oracle bodies, nested
       // as CTE subqueries and full-outer classified

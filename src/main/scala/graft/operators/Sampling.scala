@@ -184,6 +184,43 @@ object Sampling {
       .orderBy($"doc_id", $"chunk_no")
   }
 
+  /** Reproducible epoch shuffle: the training-order permutation as a
+    * VERIFIABLE artifact. Each document draws the sort key
+    * md5(seed:doc_id); the first key byte mod `nShards` picks its shard;
+    * within a shard the order is (key, doc_id). Output: one row per
+    * shard with the doc count and an md5 ORDER CHECKSUM of the doc-id
+    * sequence — any two runs (or engines) that produce the same
+    * checksums produced byte-identical training order, which is the
+    * reproducibility contract an ablation needs before it can attribute
+    * a metric delta to the data change rather than the shuffle.
+    *
+    * A new seed is a fresh epoch permutation; a given (seed, doc) is
+    * stable under corpus growth (hash-keyed, like q57's split rule).
+    *
+    * Shape: key assignment is one codegen'd projection; the per-shard
+    * ordered fold here is collect_list + array_sort (shard-sized state —
+    * fine for a checksum audit at fixture scale). The 100 TB production
+    * form of the SAME permutation is repartition(shard) +
+    * sortWithinPartitions(key) straight into the shard sink, with this
+    * checksum computed incrementally per file — the permutation
+    * semantics, and hence the checksums, are identical.
+    */
+  def epochShuffle(documents: DataFrame, seed: String = "epoch0",
+      nShards: Int = 8): DataFrame = {
+    val keyed = documents.select($"doc_id",
+      md5(concat(lit(s"$seed:"), $"doc_id".cast("string"))).as("k"))
+    keyed
+      .withColumn("shard",
+        (conv(substring($"k", 1, 2), 16, 10).cast("long") % nShards).cast("bigint"))
+      .groupBy($"shard")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        md5(concat_ws(",",
+          transform(array_sort(collect_list(struct($"k", $"doc_id"))),
+            x => x.getField("doc_id").cast("string")))).as("order_checksum"))
+      .orderBy($"shard")
+  }
+
   /** Deterministic weighted sample WITHOUT replacement (Efraimidis-
     * Spirakis A-ES): each document draws key = -ln(u) / w with weight
     * w = n_chars and u its md5-derived uniform; the `k` SMALLEST keys are

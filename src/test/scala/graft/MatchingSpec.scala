@@ -373,6 +373,57 @@ class MatchingSpec extends GraftSuite {
       s"expected one hash exchange in:\n$plan")
   }
 
+  test("epochShuffle checksums equal brute force; new seed => new permutation") {
+    val ids = docs.select(col("doc_id")).collect().map(_.getLong(0)).toSeq
+    def brute(seed: String): Seq[(Long, Long, String)] =
+      ids.map { id => (id, md5Hex(s"$seed:$id")) }
+        .groupBy { case (_, k) =>
+          (Character.digit(k.charAt(0), 16) * 16 + Character.digit(k.charAt(1), 16)) % 8
+        }
+        .map { case (shard, rows) =>
+          val ordered = rows.sortBy { case (id, k) => (k, id) }.map(_._1)
+          (shard.toLong, rows.size.toLong, md5Hex(ordered.mkString(",")))
+        }.toSeq.sortBy(_._1)
+    val got = Sampling.epochShuffle(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSeq
+    assert(got === brute("epoch0"))
+    assert(got.map(_._2).sum == ids.size.toLong, "shards partition the corpus")
+    // replayable: identical run-to-run; a new seed is a fresh permutation
+    val again = Sampling.epochShuffle(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSeq
+    assert(again === got)
+    val e1 = Sampling.epochShuffle(docs, seed = "epoch1").collect()
+      .map(r => (r.getLong(0), r.getString(2))).toMap
+    assert(got.exists { case (s, _, c) => e1.get(s).exists(_ != c) },
+      "a different seed must permute differently")
+  }
+
+  test("persisted daily sketches merge with a new day == full recompute (incremental DAU)") {
+    import org.apache.spark.sql.functions.{col, expr}
+    // the q128 store pattern: persist per-day sketches, ingest a new day
+    // by MERGING (never re-reading history), get the same rollup a full
+    // recompute would — KMV's associative merge end-to-end through a sink
+    val ev = Tables.events(spark, sf)
+    val du = ev.select(expr("ts div 86400000000000").as("day"), col("user_id")).distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val days = du.map(_._1).distinct.sorted
+    val (histDays, newDays) = days.splitAt(days.size - 3)
+    def dailySketch(rows: Seq[(Long, Long)]): Map[Long, List[String]] =
+      rows.groupBy(_._1).map { case (d, us) =>
+        (d, us.map(u => md5Hex(u._2.toString)).distinct.sorted.take(64).toList)
+      }
+    // persist history sketches through a parquet sink and read them back
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_sketch_store").toString + "/store"
+    dailySketch(du.filter(d => histDays.contains(d._1))).toSeq
+      .toDF("day", "sketch").write.mode("overwrite").parquet(dir)
+    val persisted = spark.read.parquet(dir).collect()
+      .map(r => (r.getLong(0), r.getSeq[String](1).toList)).toMap
+    // incremental ingest: only the new days' raw data is touched
+    val merged = persisted ++ dailySketch(du.filter(d => newDays.contains(d._1)))
+    assert(merged === dailySketch(du), "store + new-day merge must equal full recompute")
+  }
+
   test("sessionTransitions equals brute-force in-session lead pairs; P rows sum to 1") {
     val ev = Tables.events(spark, sf)
       .select(col("user_id"), col("event_id"), col("ts"), col("event_type")).collect()

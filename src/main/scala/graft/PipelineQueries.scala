@@ -279,6 +279,8 @@ object PipelineQueries {
     "q133_method_agreement" -> ((s, d) => Dedup.methodAgreement(Tables.documents(s, d))),
     // reproducible epoch shuffle: per-shard training-order checksums
     "q134_epoch_shuffle" -> ((s, d) => Sampling.epochShuffle(Tables.documents(s, d))),
+    // robust outliers: median/MAD rule (q80's heavy-tail-safe complement)
+    "q135_mad_outliers" -> ((s, d) => Events.madOutliers(Tables.events(s, d))),
     // column-profile drift between the q101 snapshot versions
     "q127_profile_drift" -> ((s, d) => {
       import org.apache.spark.sql.functions._
@@ -2341,6 +2343,28 @@ object PipelineQueries {
       // the SAME text Spark executes (Extended.AboveAvgSpendersSql) —
       // decimal cross-multiplication keeps the predicate engine-exact
       graft.operators.Extended.AboveAvgSpendersSql,
+    "q135_mad_outliers" ->
+      // quantile_cont == the bounded-state exact quantile bit-for-bit
+      // (q87/q119 precedent); cents + round(4) cuts keep every
+      // comparison on identical doubles
+      """WITH vals AS (SELECT event_type, round(value, 2) AS v FROM events),
+        |med AS (
+        |  SELECT event_type, round(quantile_cont(v, 0.5), 4) AS med
+        |  FROM vals GROUP BY 1
+        |),
+        |dev AS (
+        |  SELECT vals.event_type, v, med, round(abs(v - med), 4) AS d
+        |  FROM vals JOIN med USING (event_type)
+        |),
+        |mad AS (
+        |  SELECT event_type, round(quantile_cont(d, 0.5), 4) AS mad
+        |  FROM dev GROUP BY 1
+        |)
+        |SELECT dev.event_type, count(*) AS n_total,
+        | CAST(sum(CASE WHEN d > 3.0 * mad THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+        | min(med) AS median, min(mad) AS mad
+        |FROM dev JOIN mad USING (event_type)
+        |GROUP BY dev.event_type ORDER BY dev.event_type""".stripMargin,
     "q134_epoch_shuffle" ->
       // same permutation: md5(seed:doc_id) sort key, first-byte shard,
       // string_agg in (key, doc_id) order; checksums match iff the

@@ -274,6 +274,42 @@ object Events {
       .orderBy($"event_type")
   }
 
+  /** Robust outlier detection: per event type, the median/MAD rule
+    * |v − median| > k·MAD — the heavy-tail-safe complement of q80's
+    * mean/σ z-score (one fat-fingered 10⁶ value inflates σ enough to
+    * hide every other anomaly; the median absolute deviation barely
+    * moves). Both quantiles run through the bounded-state histogram
+    * quantile (`Scale.exactQuantileByGroup` — state per distinct rounded
+    * value, never per row), and the cuts broadcast onto the scan, so the
+    * whole rule is two bounded aggregations + one codegen'd filter pass.
+    *
+    * Determinism: values round to cents, quantile interpolation is the
+    * engine-shared bit-exact formula, cuts round to 4 — the comparison
+    * sees identical doubles on both engines.
+    */
+  def madOutliers(events: DataFrame, k: Double = 3.0): DataFrame = {
+    val vals = events.select($"event_type", round($"value", 2).as("v"))
+      .localCheckpoint() // feeds the median pass and the deviation pass
+    val med = Scale.exactQuantileByGroup(vals, "event_type", "v", 0.5)
+      .select($"event_type", round($"cut", 4).as("med"))
+    val dev = vals
+      .join(broadcast(med), Seq("event_type"))
+      .select($"event_type", $"v", $"med", round(abs($"v" - $"med"), 4).as("d"))
+      .localCheckpoint() // feeds the MAD pass and the outlier filter
+    val mad = Scale.exactQuantileByGroup(
+        dev.select($"event_type", $"d".as("v")), "event_type", "v", 0.5)
+      .select($"event_type", round($"cut", 4).as("mad"))
+    dev
+      .join(broadcast(mad), Seq("event_type"))
+      .groupBy($"event_type")
+      .agg(
+        count(lit(1)).as("n_total"),
+        sum(when($"d" > lit(k) * $"mad", 1L).otherwise(0L)).as("n_outliers"),
+        min($"med").as("median"),
+        min($"mad").as("mad"))
+      .orderBy($"event_type")
+  }
+
   /** Session path analysis: the most common 3-step event-type paths —
     * consecutive in-session triples (both gaps ≤ `gapSeconds` under
     * q123's adjacency rule), counted corpus-wide, top-`topk`. The

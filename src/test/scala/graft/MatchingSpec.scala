@@ -373,6 +373,39 @@ class MatchingSpec extends GraftSuite {
       s"expected one hash exchange in:\n$plan")
   }
 
+  test("madOutliers equals brute force; robust to an injected extreme value") {
+    def median(xs: Seq[Double]): Double = {
+      val s = xs.sorted
+      val pos = 0.5 * (s.size - 1)
+      val lo = s(pos.toInt); val hi = s(math.ceil(pos).toInt)
+      if (lo == hi) lo else (math.ceil(pos) - pos) * lo + (pos - pos.toInt) * hi
+    }
+    def brute(rows: Seq[(String, Double)]): Seq[(String, Long, Long, Double, Double)] =
+      rows.groupBy(_._1).toSeq.map { case (t, g) =>
+        val vs = g.map(v => roundN(v._2, 2))
+        val med = roundN(median(vs), 4)
+        val ds = vs.map(v => roundN(math.abs(v - med), 4))
+        val mad = roundN(median(ds), 4)
+        (t, vs.size.toLong, ds.count(_ > 3.0 * mad).toLong, med, mad)
+      }.sortBy(_._1)
+    val ev = Tables.events(spark, sf)
+    val rows = ev.select(col("event_type"), col("value")).collect()
+      .map(r => (r.getString(0), r.getDouble(1))).toSeq
+    val got = Events.madOutliers(ev).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4))).toSeq
+    assert(got === brute(rows))
+    // robustness: one extreme value barely moves the MAD cut, so the
+    // other outliers stay flagged (the property a mean/sigma rule lacks)
+    import spark.implicits._
+    val spiked = ev.select(col("event_type"), col("value"))
+      .unionAll(Seq(("purchase", 1e9)).toDF("event_type", "value"))
+    val spikedGot = Events.madOutliers(spiked).collect()
+      .map(r => (r.getString(0), r.getLong(2))).toMap
+    val baseGot = got.map(r => (r._1, r._3)).toMap
+    assert(spikedGot("purchase") >= baseGot("purchase"),
+      "an injected extreme must not UNflag existing outliers under MAD")
+  }
+
   test("epochShuffle checksums equal brute force; new seed => new permutation") {
     val ids = docs.select(col("doc_id")).collect().map(_.getLong(0)).toSeq
     def brute(seed: String): Seq[(Long, Long, String)] =

@@ -281,6 +281,8 @@ object PipelineQueries {
     "q134_epoch_shuffle" -> ((s, d) => Sampling.epochShuffle(Tables.documents(s, d))),
     // robust outliers: median/MAD rule (q80's heavy-tail-safe complement)
     "q135_mad_outliers" -> ((s, d) => Events.madOutliers(Tables.events(s, d))),
+    // collocation mining: top adjacent-pair PMI with a min-count floor
+    "q136_collocations" -> ((s, d) => TextAnalysis.collocations(Tables.documents(s, d))),
     // column-profile drift between the q101 snapshot versions
     "q127_profile_drift" -> ((s, d) => {
       import org.apache.spark.sql.functions._
@@ -2343,6 +2345,29 @@ object PipelineQueries {
       // the SAME text Spark executes (Extended.AboveAvgSpendersSql) —
       // decimal cross-multiplication keeps the predicate engine-exact
       graft.operators.Extended.AboveAvgSpendersSql,
+    "q136_collocations" ->
+      // double casts BEFORE the products (mirrors the Scala side); PMI
+      // micro-quantized so the ranking key is engine-exact
+      """WITH toks AS (SELECT string_split(text, ' ') AS ts FROM documents),
+        |bg AS (
+        |  SELECT b[1] AS w1, b[2] AS w2, count(*) AS cab FROM (
+        |    SELECT unnest(list_transform(generate_series(1, len(ts) - 1),
+        |      i -> [ts[i], ts[i + 1]])) AS b
+        |    FROM toks WHERE len(ts) >= 2
+        |  ) GROUP BY 1, 2
+        |),
+        |uni AS (
+        |  SELECT w, count(*) AS cw FROM (SELECT unnest(ts) AS w FROM toks) GROUP BY 1
+        |),
+        |np AS (SELECT CAST(sum(cab) AS BIGINT) AS n_pos FROM bg)
+        |SELECT w1, w2, cab,
+        | round(ln(CAST(n_pos AS DOUBLE) * cab / (CAST(u1.cw AS DOUBLE) * u2.cw)) * 1e6) / 1e6 AS pmi
+        |FROM bg
+        |JOIN uni u1 ON u1.w = w1
+        |JOIN uni u2 ON u2.w = w2
+        |CROSS JOIN np
+        |WHERE cab >= 20
+        |ORDER BY pmi DESC, w1, w2 LIMIT 20""".stripMargin,
     "q135_mad_outliers" ->
       // quantile_cont == the bounded-state exact quantile bit-for-bit
       // (q87/q119 precedent); cents + round(4) cuts keep every

@@ -272,6 +272,49 @@ object TextAnalysis {
       .orderBy($"true_n".desc, $"token")
   }
 
+  /** Collocation mining: the corpus's most-associated adjacent word
+    * pairs by pointwise mutual information — PMI = ln(N·c(a,b) /
+    * (c(a)·c(b))) over bigram positions — with a minimum pair count
+    * (PMI's classic low-frequency pathology: a pair seen once between
+    * two hapaxes scores the maximum, so phrase miners always co-filter
+    * on count). The word2phrase-style primitive that decides which
+    * bigrams become single tokens before tokenizer training (q104's
+    * input, one level up).
+    *
+    * Shape: q106's bigram frame (one explode, map-side-combined counts);
+    * unigram counts aggregate from the same token frame; N (total bigram
+    * positions) is a 1-row scalar broadcast; the final top-k is
+    * TakeOrderedAndProject on the ROUNDED score (micro-unit ln — the one
+    * transcendental, quantized far above libm jitter).
+    */
+  def collocations(documents: DataFrame, minCount: Long = 20,
+      topk: Int = 20): DataFrame = {
+    val toks = documents.select(split($"text", " ").as("ts"))
+    val bigrams = toks
+      .filter(size($"ts") >= 2)
+      .select(explode(expr(
+        "transform(sequence(1, size(ts) - 1), i -> struct(element_at(ts, i) AS w1, element_at(ts, i + 1) AS w2))")).as("b"))
+      .select($"b.w1".as("w1"), $"b.w2".as("w2"))
+      .groupBy($"w1", $"w2").agg(count(lit(1)).as("cab"))
+    val uni = toks
+      .select(explode($"ts").as("w"))
+      .groupBy($"w").agg(count(lit(1)).as("cw"))
+    val nPos = bigrams.agg(sum($"cab").as("n_pos"))
+    bigrams
+      .filter($"cab" >= minCount)
+      .join(uni.select($"w".as("w1"), $"cw".as("c1")), Seq("w1"))
+      .join(uni.select($"w".as("w2"), $"cw".as("c2")), Seq("w2"))
+      .crossJoin(broadcast(nPos))
+      .select($"w1", $"w2", $"cab",
+        // operands to double BEFORE multiplying: integer products overflow
+        // long at corpus scale (1e13 positions × 1e10 pair count); double
+        // products are exact below 2^53 and both engines compute the same
+        (round(log($"n_pos".cast("double") * $"cab" /
+          ($"c1".cast("double") * $"c2")) * 1e6) / 1e6).as("pmi"))
+      .orderBy($"pmi".desc, $"w1", $"w2")
+      .limit(topk)
+  }
+
   /** BM25 retrieval scoring: rank documents against a fixed query-term
     * set (Lucene-form idf, k1/b defaults) and return the global top-k —
     * the lexical-retrieval half of a RAG pipeline, beside the ANN ops.

@@ -373,6 +373,29 @@ class MatchingSpec extends GraftSuite {
       s"expected one hash exchange in:\n$plan")
   }
 
+  test("collocations equals brute-force PMI ranking; min-count floor filters hapaxes") {
+    import graft.operators.TextAnalysis
+    val texts = docs.select(col("text")).collect().map(_.getString(0)).toSeq
+    val tokss = texts.map(_.split(" ", -1).toSeq)
+    val bg = tokss.filter(_.size >= 2)
+      .flatMap(ts => ts.zip(ts.drop(1)))
+      .groupBy(identity).map { case (p, g) => (p, g.size.toLong) }
+    val uni = tokss.flatten.groupBy(identity).map { case (w, g) => (w, g.size.toLong) }
+    val nPos = bg.values.sum
+    // sf0.001 is 10x smaller than the sf0.01 calibration - scale the floor
+    val minCount = 2L
+    val expected = bg.toSeq.filter(_._2 >= minCount).map { case ((a, b), cab) =>
+      val pmi = roundN(math.log(nPos.toDouble * cab / (uni(a).toDouble * uni(b))) * 1e6, 0) / 1e6
+      (a, b, cab, pmi)
+    }.sortBy { case (a, b, _, p) => (-p, a, b) }.take(20)
+    val got = TextAnalysis.collocations(docs, minCount = minCount).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSeq
+    assert(got === expected)
+    assert(got.nonEmpty)
+    // every hapax-pair is excluded regardless of its (maximal) PMI
+    assert(got.forall(_._3 >= minCount))
+  }
+
   test("madOutliers equals brute force; robust to an injected extreme value") {
     def median(xs: Seq[Double]): Double = {
       val s = xs.sorted

@@ -283,6 +283,8 @@ object PipelineQueries {
     "q135_mad_outliers" -> ((s, d) => Events.madOutliers(Tables.events(s, d))),
     // collocation mining: top adjacent-pair PMI with a min-count floor
     "q136_collocations" -> ((s, d) => TextAnalysis.collocations(Tables.documents(s, d))),
+    // near-dup graph shape: triangles vs wedges (cliques vs chains)
+    "q137_dup_graph_shape" -> ((s, d) => Dedup.dupGraphShape(Tables.documents(s, d))),
     // column-profile drift between the q101 snapshot versions
     "q127_profile_drift" -> ((s, d) => {
       import org.apache.spark.sql.functions._
@@ -2345,6 +2347,31 @@ object PipelineQueries {
       // the SAME text Spark executes (Extended.AboveAvgSpendersSql) —
       // decimal cross-multiplication keeps the predicate engine-exact
       graft.operators.Extended.AboveAvgSpendersSql,
+    "q137_dup_graph_shape" ->
+      // edges = the exact-Jaccard pair set (q27's oracle body); wedges
+      // from degrees, triangles via the a<b<c oriented joins
+      s"""WITH edges AS (SELECT id1, id2 FROM ($JaccardSql)),
+         |deg AS (
+         |  SELECT node, count(*) AS deg FROM (
+         |    SELECT id1 AS node FROM edges UNION ALL SELECT id2 FROM edges
+         |  ) GROUP BY 1
+         |),
+         |w AS (
+         |  SELECT count(*) AS n_nodes,
+         |    coalesce(CAST(sum(deg * (deg - 1) // 2) AS BIGINT), 0) AS n_wedges
+         |  FROM deg
+         |),
+         |t AS (
+         |  SELECT count(*) AS n_triangles
+         |  FROM edges e1
+         |  JOIN edges e2 ON e2.id1 = e1.id2
+         |  JOIN edges e3 ON e3.id1 = e1.id1 AND e3.id2 = e2.id2
+         |),
+         |ne AS (SELECT count(*) AS n_edges FROM edges)
+         |SELECT n_nodes, n_edges, n_wedges, n_triangles,
+         | CASE WHEN n_wedges = 0 THEN 0.0
+         |      ELSE round(3.0 * n_triangles / n_wedges, 6) END AS clustering
+         |FROM ne CROSS JOIN w CROSS JOIN t""".stripMargin,
     "q136_collocations" ->
       // double casts BEFORE the products (mirrors the Scala side); PMI
       // micro-quantized so the ranking key is engine-exact

@@ -593,6 +593,50 @@ object Dedup {
     * MinHash side rides the session pair index); the agreement join and
     * rollup run over the two pair sets — pair-proportional end to end.
     */
+  /** Near-dup graph shape audit: triangles vs open wedges over the
+    * verified pair graph. A high global clustering coefficient
+    * (3·triangles/wedges) means duplicate groups are CLIQUES — mutual
+    * duplicates, safe to collapse to one canonical doc; a low one means
+    * CHAINS (A~B~C without A~C), the signature of a threshold sitting on
+    * the similarity boundary, where transitive survivor-dropping (q53)
+    * merges documents that never matched each other. The graph-level
+    * counterpart of q118's size histogram and q120's per-pair
+    * containment.
+    *
+    * Shape: rides the cached pair index; degrees/wedges are one
+    * aggregation over the edge list; triangles are two hash equi-joins
+    * with the a<b<c orientation (each triangle counted once). Near-dup
+    * graphs have dedup-bounded component sizes, so the join fan-out is
+    * small by construction; on a general hub-heavy graph the same plan
+    * runs with degree orientation (orient edges toward the
+    * higher-degree endpoint) to bound it — same joins, different
+    * ordering key.
+    */
+  def dupGraphShape(documents: DataFrame): DataFrame = {
+    val edges = pairIndex(documents).select($"id1", $"id2")
+    val deg = edges.select($"id1".as("node"))
+      .unionAll(edges.select($"id2".as("node")))
+      .groupBy($"node").agg(count(lit(1)).as("deg"))
+    val wedges = deg.agg(
+      count(lit(1)).as("n_nodes"),
+      // integer div: deg·(deg−1) is even, and long arithmetic stays exact
+      // where a double sum would not at extreme degree counts
+      coalesce(sum(expr("deg * (deg - 1) div 2")), lit(0L)).cast("long").as("n_wedges"))
+    val tri = edges.as("e1")
+      .join(edges.as("e2"), $"e1.id2" === $"e2.id1")
+      .join(edges.as("e3"),
+        $"e3.id1" === $"e1.id1" && $"e3.id2" === $"e2.id2")
+      .agg(count(lit(1)).as("n_triangles"))
+    val nEdges = edges.agg(count(lit(1)).as("n_edges"))
+    nEdges
+      .crossJoin(wedges)
+      .crossJoin(tri)
+      .select($"n_nodes", $"n_edges", $"n_wedges", $"n_triangles",
+        when($"n_wedges" === 0, lit(0.0))
+          .otherwise(round(lit(3.0) * $"n_triangles" / $"n_wedges", 6))
+          .as("clustering"))
+  }
+
   def methodAgreement(documents: DataFrame): DataFrame = {
     val mh = minhashLshPairs(documents)
       .select($"id1", $"id2", lit(true).as("in_mh"))

@@ -373,6 +373,36 @@ class MatchingSpec extends GraftSuite {
       s"expected one hash exchange in:\n$plan")
   }
 
+  test("dupGraphShape equals brute-force graph arithmetic; planted clique scores 1.0") {
+    import graft.operators.Dedup
+    def brute(edges: Set[(Long, Long)]): (Long, Long, Long, Long, Double) = {
+      val deg = edges.toSeq.flatMap(e => Seq(e._1, e._2))
+        .groupBy(identity).map { case (n, g) => (n, g.size.toLong) }
+      val wedges = deg.values.map(d => d * (d - 1) / 2).sum
+      val tris = (for {
+        (a, b) <- edges; (b2, c) <- edges if b2 == b && edges.contains((a, c))
+      } yield (a, b, c)).size.toLong
+      val cc = if (wedges == 0) 0.0
+        else roundN(3.0 * tris / wedges, 6)
+      (deg.size.toLong, edges.size.toLong, wedges, tris, cc)
+    }
+    val edges = Dedup.minhashLshPairs(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = Dedup.dupGraphShape(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))).head
+    assert(got === brute(edges))
+    // planted 3-clique: three identical docs -> 3 edges, 3 wedges,
+    // 1 triangle, clustering exactly 1.0
+    import spark.implicits._
+    Dedup.clearPairIndexCache()
+    val clique = Seq((1L, "aaaaa bbbbb ccccc ddddd"), (2L, "aaaaa bbbbb ccccc ddddd"),
+      (3L, "aaaaa bbbbb ccccc ddddd")).toDF("doc_id", "text")
+    val cq = Dedup.dupGraphShape(clique).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))).head
+    Dedup.clearPairIndexCache()
+    assert(cq === ((3L, 3L, 3L, 1L, 1.0)))
+  }
+
   test("collocations equals brute-force PMI ranking; min-count floor filters hapaxes") {
     import graft.operators.TextAnalysis
     val texts = docs.select(col("text")).collect().map(_.getString(0)).toSeq

@@ -285,6 +285,9 @@ object PipelineQueries {
     "q136_collocations" -> ((s, d) => TextAnalysis.collocations(Tables.documents(s, d))),
     // near-dup graph shape: triangles vs wedges (cliques vs chains)
     "q137_dup_graph_shape" -> ((s, d) => Dedup.dupGraphShape(Tables.documents(s, d))),
+    // pseudo-relevance feedback: BM25 re-ranked under the expanded query
+    "q138_prf_retrieval" -> ((s, d) =>
+      TextAnalysis.prfExpandedRetrieval(Tables.documents(s, d))),
     // column-profile drift between the q101 snapshot versions
     "q127_profile_drift" -> ((s, d) => {
       import org.apache.spark.sql.functions._
@@ -2347,6 +2350,56 @@ object PipelineQueries {
       // the SAME text Spark executes (Extended.AboveAvgSpendersSql) —
       // decimal cross-multiplication keeps the predicate engine-exact
       graft.operators.Extended.AboveAvgSpendersSql,
+    "q138_prf_retrieval" ->
+      // seed pass = q79's CTEs; feedback terms = q67's rounded tf-idf
+      // rank restricted to the seed top-3; re-score under the expanded
+      // DISTINCT term set with the same BM25 arithmetic
+      """WITH dl AS (
+        |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS dl FROM documents
+        |),
+        |stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl),
+        |toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+        |tf0 AS (
+        |  SELECT doc_id, term, count(*) AS tf FROM toks
+        |  WHERE term IN ('table', 'data', 'row') GROUP BY 1, 2
+        |),
+        |df0 AS (SELECT term, count(*) AS df FROM tf0 GROUP BY 1),
+        |seed AS (
+        |  SELECT doc_id,
+        |    round(sum(ln((n - df + 0.5) / (df + 0.5) + 1) * tf * (1.2 + 1) /
+        |      (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))), 4) AS bm25
+        |  FROM tf0 JOIN df0 USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
+        |  GROUP BY doc_id
+        |),
+        |seedtop AS (SELECT doc_id FROM seed ORDER BY bm25 DESC, doc_id LIMIT 3),
+        |tfa AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+        |dfa AS (SELECT term, count(*) AS df FROM tfa GROUP BY 1),
+        |n2 AS (SELECT count(*) AS n_docs FROM documents),
+        |fbt AS (
+        |  SELECT term FROM (
+        |    SELECT t.doc_id, t.term,
+        |      row_number() OVER (PARTITION BY t.doc_id
+        |        ORDER BY round(t.tf * ln(n_docs / df), 4) DESC, t.term) AS r
+        |    FROM tfa t JOIN dfa USING (term) CROSS JOIN n2
+        |    WHERE t.doc_id IN (SELECT doc_id FROM seedtop)
+        |  ) WHERE r <= 2
+        |),
+        |expanded AS (
+        |  SELECT DISTINCT term FROM (
+        |    SELECT unnest(['table', 'data', 'row']) AS term
+        |    UNION ALL SELECT term FROM fbt
+        |  )
+        |),
+        |tfx AS (
+        |  SELECT doc_id, term, tf FROM tfa WHERE term IN (SELECT term FROM expanded)
+        |),
+        |dfx AS (SELECT term, count(*) AS df FROM tfx GROUP BY 1)
+        |SELECT doc_id,
+        | round(sum(ln((n - df + 0.5) / (df + 0.5) + 1) * tf * (1.2 + 1) /
+        |   (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))), 4) AS bm25x
+        |FROM tfx JOIN dfx USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
+        |GROUP BY doc_id
+        |ORDER BY bm25x DESC, doc_id LIMIT 10""".stripMargin,
     "q137_dup_graph_shape" ->
       // edges = the exact-Jaccard pair set (q27's oracle body); wedges
       // from degrees, triangles via the a<b<c oriented joins

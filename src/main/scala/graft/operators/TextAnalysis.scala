@@ -352,6 +352,53 @@ object TextAnalysis {
       .limit(topk)
   }
 
+  /** Pseudo-relevance feedback (Rocchio-style query expansion): run the
+    * seed query, take the top-`fbDocs` documents' top-`fbTerms` salient
+    * terms (q67's exact tf-idf scores), add them to the query, and
+    * re-rank the corpus under the EXPANDED term set — the classic
+    * recall-widening second pass of a lexical retrieval stack (finds
+    * docs that discuss the topic in the feedback docs' vocabulary
+    * without containing the literal seed terms).
+    *
+    * Shape: the seed pass is q79's query-proportional plan; feedback
+    * terms come from the (fbDocs·fbTerms)-row restriction of the q67
+    * frame; the expanded term set (a ≤|Q|+fbDocs·fbTerms-row frame)
+    * broadcast-semi-joins the token explode, so the re-score pass stays
+    * expanded-query-proportional. Same rounding discipline as q79.
+    */
+  def prfExpandedRetrieval(documents: DataFrame,
+      query: Seq[String] = Seq("table", "data", "row"), fbDocs: Int = 3,
+      fbTerms: Int = 2, k1: Double = 1.2, b: Double = 0.75,
+      topk: Int = 10): DataFrame = {
+    val spark = documents.sparkSession
+    import spark.implicits.{localSeqToDatasetHolder, newStringEncoder}
+    val seedTop = bm25TopDocs(documents, query, k1, b, fbDocs)
+      .select($"doc_id")
+    val fb = tfidfTopTerms(documents, k = fbTerms)
+      .join(broadcast(seedTop), Seq("doc_id"), "left_semi")
+      .select($"term")
+    val expanded = query.toDF("term").unionAll(fb).distinct()
+    val dl = documents.select($"doc_id", size(split($"text", " ")).cast("long").as("dl"))
+    val stats = dl.agg(count(lit(1)).as("n"), avg($"dl").as("avgdl"))
+    val tf = documents
+      .select($"doc_id", explode(split($"text", " ")).as("term"))
+      .join(broadcast(expanded), Seq("term"), "left_semi")
+      .groupBy($"doc_id", $"term")
+      .agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy($"term").agg(count(lit(1)).as("df"))
+    tf
+      .join(broadcast(df), Seq("term"))
+      .join(dl, Seq("doc_id"))
+      .crossJoin(broadcast(stats))
+      .select($"doc_id",
+        (log(($"n" - $"df" + 0.5) / ($"df" + 0.5) + 1) * $"tf" * lit(k1 + 1) /
+          ($"tf" + lit(k1) * (lit(1 - b) + lit(b) * $"dl" / $"avgdl"))).as("s"))
+      .groupBy($"doc_id")
+      .agg(round(sum($"s"), 4).as("bm25x"))
+      .orderBy($"bm25x".desc, $"doc_id")
+      .limit(topk)
+  }
+
   /** Document-length histogram: fixed-width bins over `n_chars` with doc
     * and token mass per bin — integer arithmetic only, one
     * map-side-combined aggregation over a scan projection.

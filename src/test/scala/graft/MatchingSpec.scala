@@ -373,6 +373,23 @@ class MatchingSpec extends GraftSuite {
       s"expected one hash exchange in:\n$plan")
   }
 
+  test("prfExpandedRetrieval equals composing the library's own stages; expansion widens terms") {
+    import graft.operators.TextAnalysis
+    val seed = Seq("table", "data", "row")
+    val fbIds = TextAnalysis.bm25TopDocs(docs, topk = 3).collect().map(_.getLong(0)).toSet
+    val fbTerms = TextAnalysis.tfidfTopTerms(docs, k = 2).collect()
+      .filter(r => fbIds.contains(r.getLong(0))).map(_.getString(1)).toSet
+    val expanded = (seed.toSet ++ fbTerms).toSeq
+    // the expanded run must equal bm25TopDocs under the expanded term set
+    val expected = TextAnalysis.bm25TopDocs(docs, query = expanded, topk = 10).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val got = TextAnalysis.prfExpandedRetrieval(docs).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(got === expected)
+    assert(expanded.size > seed.size, "feedback must contribute new terms")
+    assert(got.nonEmpty)
+  }
+
   test("dupGraphShape equals brute-force graph arithmetic; planted clique scores 1.0") {
     import graft.operators.Dedup
     def brute(edges: Set[(Long, Long)]): (Long, Long, Long, Long, Double) = {

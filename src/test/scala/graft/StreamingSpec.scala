@@ -83,6 +83,48 @@ class StreamingSpec extends GraftSuite {
     assert(streamed === batch)
   }
 
+  test("checkpoint recovery: a restarted stateful query resumes from state, not from scratch") {
+    import org.apache.spark.sql.functions.{col, expr}
+    import java.nio.file.Files
+    // the production replay pattern: file source + AvailableNow + a
+    // checkpoint dir; the query is STOPPED between two data drops and
+    // restarted with the same checkpoint — the second run must read ONLY
+    // the new files and carry the typed-aggregator state across the
+    // restart (complete-mode totals over BOTH drops)
+    val srcDir = Files.createTempDirectory("graft_ckpt_src").toString
+    val ckpt = Files.createTempDirectory("graft_ckpt_state").toString
+    val all = Tables.events(spark, sf)
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
+    val (a, b) = (all.filter(col("event_id") % 2 === 0), all.filter(col("event_id") % 2 =!= 0))
+    a.write.parquet(s"$srcDir/drop=1")
+    val schema = spark.read.parquet(s"$srcDir/drop=1").schema
+    def runOnce(): Unit = {
+      val stream = spark.readStream.schema(schema)
+        .option("recursiveFileLookup", "true").parquet(srcDir)
+        .withColumn("day", expr("ts div 86400000000000"))
+        .groupBy(col("day"))
+        .agg(org.apache.spark.sql.functions.count(org.apache.spark.sql.functions.lit(1)).as("n"))
+      val q = stream.writeStream.outputMode("complete").format("memory")
+        .queryName("ckpt_out").option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    runOnce() // first incarnation: drop 1 only
+    val afterFirst = spark.table("ckpt_out").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    b.write.parquet(s"$srcDir/drop=2")
+    runOnce() // restarted incarnation: same checkpoint, reads only drop 2
+    val afterSecond = spark.table("ckpt_out").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    val expected = all.select(expr("ts div 86400000000000").as("day"))
+      .groupBy(col("day")).count().collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(afterSecond === expected, "restart must resume and see both drops")
+    assert(afterFirst != expected, "first incarnation saw only drop 1")
+    // the checkpoint recorded both incarnations' progress
+    assert(new java.io.File(s"$ckpt/offsets").list().length >= 2)
+  }
+
   test("streaming daily KMV sketches == batch; q128's rollup reproduces from streamed state") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

@@ -288,6 +288,10 @@ object PipelineQueries {
     // pseudo-relevance feedback: BM25 re-ranked under the expanded query
     "q138_prf_retrieval" -> ((s, d) =>
       TextAnalysis.prfExpandedRetrieval(Tables.documents(s, d))),
+    // one-document containment search: who contains >=50% of doc 0's
+    // shingles (the on-demand provenance lookup)
+    "q139_containment_search" -> ((s, d) =>
+      Dedup.containmentSearch(Tables.documents(s, d))),
     // column-profile drift between the q101 snapshot versions
     "q127_profile_drift" -> ((s, d) => {
       import org.apache.spark.sql.functions._
@@ -2350,6 +2354,21 @@ object PipelineQueries {
       // the SAME text Spark executes (Extended.AboveAvgSpendersSql) —
       // decimal cross-multiplication keeps the predicate engine-exact
       graft.operators.Extended.AboveAvgSpendersSql,
+    "q139_containment_search" ->
+      // grams are per-doc DISTINCT (GramsCte's list_distinct), so the
+      // shared count is exact set intersection
+      s"""WITH $GramsCte,
+         |q AS (SELECT g FROM grams WHERE doc_id = 0),
+         |qs AS (SELECT count(*) AS q_size FROM q),
+         |shared AS (
+         |  SELECT doc_id, count(*) AS n_shared
+         |  FROM grams JOIN q USING (g)
+         |  WHERE doc_id <> 0 GROUP BY doc_id
+         |)
+         |SELECT doc_id, n_shared, q_size, round(n_shared / q_size, 6) AS containment
+         |FROM shared CROSS JOIN qs
+         |WHERE round(n_shared / q_size, 6) >= 0.5
+         |ORDER BY doc_id""".stripMargin,
     "q138_prf_retrieval" ->
       // seed pass = q79's CTEs; feedback terms = q67's rounded tf-idf
       // rank restricted to the seed top-3; re-score under the expanded

@@ -593,6 +593,44 @@ object Dedup {
     * MinHash side rides the session pair index); the agreement join and
     * rollup run over the two pair sets — pair-proportional end to end.
     */
+  /** One-document containment SEARCH: given a query document (by id),
+    * find every corpus document containing at least `tau` of the
+    * query's distinct shingles — the on-demand plagiarism/provenance
+    * lookup ("where did this paragraph come from?"). Distinct from the
+    * pair-set operators: q120 REFINES already-discovered near-dup pairs
+    * with containment, while this searches the whole corpus for
+    * one-sided containment of a single query — which is tractable
+    * per-query precisely because the query side is ONE document (its
+    * shingle set broadcasts), whereas all-pairs one-sided containment
+    * discovery would need asymmetric sketching and is deliberately not
+    * offered (q120's scaladoc states why).
+    *
+    * Shape: the query's distinct shingles broadcast; the corpus scan
+    * semi-joins its shingles against them (codegen'd explode + hash
+    * probe, no shuffle before the per-doc count), then one map-side-
+    * combined aggregation. Corpus-linear, query-proportional state.
+    */
+  def containmentSearch(documents: DataFrame, queryDocId: Long = 0L,
+      n: Int = 5, tau: Double = 0.5): DataFrame = {
+    val qShingles = documents
+      .filter($"doc_id" === queryDocId)
+      .select(explode(shingleArray($"text", n)).as("g"))
+      .distinct()
+    val qSize = qShingles.agg(count(lit(1)).as("q_size"))
+    documents
+      .filter($"doc_id" =!= queryDocId)
+      .select($"doc_id", explode(shingleArray($"text", n)).as("g"))
+      .distinct()
+      .join(broadcast(qShingles), Seq("g"), "left_semi")
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_shared"))
+      .crossJoin(broadcast(qSize))
+      .select($"doc_id", $"n_shared", $"q_size",
+        round($"n_shared" / $"q_size", 6).as("containment"))
+      .filter($"containment" >= tau)
+      .orderBy($"doc_id")
+  }
+
   /** Near-dup graph shape audit: triangles vs open wedges over the
     * verified pair graph. A high global clustering coefficient
     * (3·triangles/wedges) means duplicate groups are CLIQUES — mutual

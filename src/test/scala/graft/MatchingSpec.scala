@@ -373,6 +373,25 @@ class MatchingSpec extends GraftSuite {
       s"expected one hash exchange in:\n$plan")
   }
 
+  test("containmentSearch equals brute-force one-sided shingle containment") {
+    import graft.operators.Dedup
+    def shingles(t: String): Set[String] =
+      (if (t.length < 5) Seq(t.take(5)) // matches shingleArray's clamp-at-1
+       else (0 to t.length - 5).map(i => t.substring(i, i + 5))).toSet
+    val fixture = docs.select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toMap
+    val q = shingles(fixture(0L))
+    val expected = fixture.toSeq.filter(_._1 != 0L).flatMap { case (id, t) =>
+      val shared = (shingles(t) & q).size.toLong
+      val c = roundN(shared.toDouble / q.size, 6)
+      if (c >= 0.5) Some((id, shared, q.size.toLong, c)) else None
+    }.sortBy(_._1)
+    val got = Dedup.containmentSearch(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+    assert(got === expected)
+    assert(got.nonEmpty, "doc 0 should have containment partners on the fixture")
+  }
+
   test("prfExpandedRetrieval equals composing the library's own stages; expansion widens terms") {
     import graft.operators.TextAnalysis
     val seed = Seq("table", "data", "row")

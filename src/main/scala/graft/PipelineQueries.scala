@@ -292,6 +292,9 @@ object PipelineQueries {
     // shingles (the on-demand provenance lookup)
     "q139_containment_search" -> ((s, d) =>
       Dedup.containmentSearch(Tables.documents(s, d))),
+    // effective (dedup-adjusted) token mass per source
+    "q140_effective_tokens" -> ((s, d) =>
+      Curation.effectiveTokenMass(Tables.documents(s, d))),
     // column-profile drift between the q101 snapshot versions
     "q127_profile_drift" -> ((s, d) => {
       import org.apache.spark.sql.functions._
@@ -2354,6 +2357,40 @@ object PipelineQueries {
       // the SAME text Spark executes (Extended.AboveAvgSpendersSql) —
       // decimal cross-multiplication keeps the predicate engine-exact
       graft.operators.Extended.AboveAvgSpendersSql,
+    "q140_effective_tokens" ->
+      // q97's island CTEs rolled up by source; docs without spans
+      // contribute zero via the left join
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+        |           WHERE len(string_split(text, ' ')) >= 8),
+        |p AS (SELECT doc_id, ws, unnest(generate_series(1, len(ws) - 7)) AS i FROM w),
+        |g AS (SELECT doc_id, i - 1 AS pos,
+        |        md5(ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3] || ' ' ||
+        |            ws[i+4] || ' ' || ws[i+5] || ' ' || ws[i+6] || ' ' || ws[i+7]) AS h
+        |      FROM p),
+        |dup AS (SELECT h FROM g GROUP BY h HAVING count(*) >= 2),
+        |d AS (SELECT doc_id, pos FROM g JOIN dup USING (h)),
+        |isl AS (SELECT doc_id, pos,
+        |          max(pos + 7) OVER (PARTITION BY doc_id ORDER BY pos
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
+        |        FROM d),
+        |num AS (SELECT doc_id, pos,
+        |          sum(CASE WHEN prev_end IS NULL OR pos > prev_end + 1 THEN 1 ELSE 0 END)
+        |            OVER (PARTITION BY doc_id ORDER BY pos) AS island
+        |        FROM isl),
+        |sp AS (SELECT doc_id, island, min(pos) AS s, max(pos) + 7 AS e
+        |       FROM num GROUP BY 1, 2),
+        |perdoc AS (SELECT doc_id, CAST(sum(e - s + 1) AS BIGINT) AS dup_tokens
+        |           FROM sp GROUP BY doc_id),
+        |base AS (SELECT doc_id, source,
+        |           CAST(len(string_split(text, ' ')) AS BIGINT) AS nt
+        |         FROM documents)
+        |SELECT source, count(*) AS n_docs,
+        | CAST(sum(nt) AS BIGINT) AS total_tokens,
+        | CAST(sum(coalesce(dup_tokens, 0)) AS BIGINT) AS dup_tokens,
+        | CAST(sum(nt) - sum(coalesce(dup_tokens, 0)) AS BIGINT) AS effective_tokens,
+        | round(sum(coalesce(dup_tokens, 0)) / sum(nt), 6) AS dup_ratio
+        |FROM base LEFT JOIN perdoc USING (doc_id)
+        |GROUP BY source ORDER BY source""".stripMargin,
     "q139_containment_search" ->
       // grams are per-doc DISTINCT (GramsCte's list_distinct), so the
       // shared count is exact set intersection

@@ -606,6 +606,30 @@ object Curation {
       .orderBy($"stage")
   }
 
+  /** Effective (dedup-adjusted) token mass per source: total tokens
+    * minus q97's duplicated-span tokens — the "how much UNIQUE data does
+    * each source actually contribute" datasheet column. A source can
+    * look large by raw token count while most of its mass is corpus-
+    * repeated boilerplate; training-budget planning (q112) wants the
+    * effective number. Composes the span map with the source dimension:
+    * one left join of per-doc span mass onto the (doc, source, tokens)
+    * projection, then a source-sized rollup.
+    */
+  def effectiveTokenMass(documents: DataFrame): DataFrame =
+    documents
+      .select($"doc_id", $"source", size(split($"text", " ")).cast("long").as("nt"))
+      .join(duplicatedSpans(documents).select($"doc_id", $"dup_tokens"),
+        Seq("doc_id"), "left")
+      .groupBy($"source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum($"nt").as("total_tokens"),
+        sum(coalesce($"dup_tokens", lit(0L))).as("dup_tokens"))
+      .select($"source", $"n_docs", $"total_tokens", $"dup_tokens",
+        ($"total_tokens" - $"dup_tokens").as("effective_tokens"),
+        round($"dup_tokens" / $"total_tokens", 6).as("dup_ratio"))
+      .orderBy($"source")
+
   /** Differentially-private histogram release: per-language document
     * counts with Laplace(1/eps) noise — the privacy-preserving datasheet
     * twin of q111 (a public data card quotes noisy counts; the k-anonymity

@@ -373,6 +373,27 @@ class MatchingSpec extends GraftSuite {
       s"expected one hash exchange in:\n$plan")
   }
 
+  test("effectiveTokenMass reconciles with q97's span map and the raw token totals") {
+    import graft.operators.Curation
+    val spans = Curation.duplicatedSpans(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toMap // doc_id -> dup_tokens
+    val base = docs.select(col("doc_id"), col("source"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2).split(" ", -1).length.toLong))
+    val expected = base.groupBy(_._2).toSeq.map { case (src, rows) =>
+      val total = rows.map(_._3).sum
+      val dup = rows.map(r => spans.getOrElse(r._1, 0L)).sum
+      (src, rows.size.toLong, total, dup, total - dup,
+        roundN(dup.toDouble / total, 6))
+    }.sortBy(_._1)
+    val got = Curation.effectiveTokenMass(docs).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5))).toSeq
+    assert(got === expected)
+    // conservation: effective + dup == total, per source and overall
+    got.foreach { case (_, _, t, d, e, _) => assert(e + d == t) }
+    assert(got.map(_._4).sum > 0L, "fixture has duplicated spans")
+  }
+
   test("containmentSearch equals brute-force one-sided shingle containment") {
     import graft.operators.Dedup
     def shingles(t: String): Set[String] =

@@ -295,6 +295,9 @@ object PipelineQueries {
     // effective (dedup-adjusted) token mass per source
     "q140_effective_tokens" -> ((s, d) =>
       Curation.effectiveTokenMass(Tables.documents(s, d))),
+    // per-language A-ES weighted sample (the balanced-inspection form)
+    "q141_stratified_weighted" -> ((s, d) =>
+      Sampling.weightedSampleByStratum(Tables.documents(s, d))),
     // column-profile drift between the q101 snapshot versions
     "q127_profile_drift" -> ((s, d) => {
       import org.apache.spark.sql.functions._
@@ -2357,6 +2360,25 @@ object PipelineQueries {
       // the SAME text Spark executes (Extended.AboveAvgSpendersSql) —
       // decimal cross-multiplication keeps the predicate engine-exact
       graft.operators.Extended.AboveAvgSpendersSql,
+    "q141_stratified_weighted" ->
+      // q124's exact keys ranked within language
+      """WITH d AS (
+        |  SELECT doc_id, lang, n_chars,
+        |    list_sum(list_transform(generate_series(1, 13),
+        |      i -> (strpos('0123456789abcdef',
+        |              substr(md5(CAST(doc_id AS VARCHAR)), i, 1)) - 1)
+        |           * power(16.0, -i))) AS u
+        |  FROM documents
+        |),
+        |keyed AS (SELECT doc_id, lang, n_chars, -ln(u) / n_chars AS key FROM d),
+        |top AS (
+        |  SELECT lang, doc_id, n_chars, key FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY lang ORDER BY key, doc_id) AS r
+        |    FROM keyed
+        |  ) WHERE r <= 10
+        |)
+        |SELECT lang, doc_id, n_chars, round(key * 1e6, 4) AS key_micro
+        |FROM top ORDER BY lang, key_micro, doc_id""".stripMargin,
     "q140_effective_tokens" ->
       // q97's island CTEs rolled up by source; docs without spans
       // contribute zero via the left join

@@ -249,4 +249,24 @@ object Sampling {
       .select($"doc_id", $"lang", $"n_chars", round($"key" * 1e6, 4).as("key_micro"))
       .orderBy($"key_micro", $"doc_id")
   }
+
+  /** q124's A-ES weighted sample drawn PER STRATUM: the `k` smallest
+    * keys within each language — fixed-size length-biased samples per
+    * language from one pass, the balanced-inspection form (a global
+    * draw over-represents head languages exactly as much as the corpus
+    * does). Same keys as q124, so a document's key never depends on the
+    * stratum column — re-stratifying (by source, by quality band) reuses
+    * identical draws.
+    */
+  def weightedSampleByStratum(documents: DataFrame, k: Int = 10): DataFrame = {
+    val u = conv(substring(md5($"doc_id".cast("string")), 1, 13), 16, 10)
+      .cast("double") / math.pow(16.0, 13)
+    val keyed = documents
+      .select($"doc_id", $"lang", $"n_chars",
+        (-log(u) / $"n_chars").as("key"))
+    Scale.topKPerGroup(keyed, group = $"lang", rankKey = $"key",
+        tie = $"doc_id", saltSource = $"doc_id", k = k)
+      .select($"lang", $"doc_id", $"n_chars", round($"key" * 1e6, 4).as("key_micro"))
+      .orderBy($"lang", $"key_micro", $"doc_id")
+  }
 }

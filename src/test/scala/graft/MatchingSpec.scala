@@ -373,6 +373,27 @@ class MatchingSpec extends GraftSuite {
       s"expected one hash exchange in:\n$plan")
   }
 
+  test("weightedSampleByStratum is the exact per-language bottom-k of the q124 keys") {
+    val rows = docs.select(col("doc_id"), col("lang"), col("n_chars")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    val keyed = rows.map { case (id, lang, nc) =>
+      (lang, id, nc, -math.log(md5Uniform(id.toString)) / nc)
+    }
+    val expected = keyed.groupBy(_._1).toSeq.flatMap { case (_, g) =>
+      g.sortBy { case (_, id, _, k) => (k, id) }.take(10)
+    }.map { case (lang, id, nc, k) => (lang, id, nc, roundN(k * 1e6, 4)) }
+      .sortBy { case (lang, id, _, km) => (lang, km, id) }
+    val got = Sampling.weightedSampleByStratum(docs).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+    assert(got === expected)
+    // keys are stratum-independent: the global q124 draw agrees on keys
+    val globalKeys = Sampling.weightedSample(docs).collect()
+      .map(r => (r.getLong(0), r.getDouble(3))).toMap
+    got.filter(g => globalKeys.contains(g._2)).foreach { g =>
+      assert(globalKeys(g._2) == g._4)
+    }
+  }
+
   test("effectiveTokenMass reconciles with q97's span map and the raw token totals") {
     import graft.operators.Curation
     val spans = Curation.duplicatedSpans(docs).collect()

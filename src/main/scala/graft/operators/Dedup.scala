@@ -614,13 +614,15 @@ object Dedup {
       n: Int = 5, tau: Double = 0.5): DataFrame = {
     val qShingles = documents
       .filter($"doc_id" === queryDocId)
-      .select(explode(shingleArray($"text", n)).as("g"))
+      .select(explode(array_distinct(shingleArray($"text", n))).as("g"))
       .distinct()
     val qSize = qShingles.agg(count(lit(1)).as("q_size"))
     documents
       .filter($"doc_id" =!= queryDocId)
-      .select($"doc_id", explode(shingleArray($"text", n)).as("g"))
-      .distinct()
+      // per-doc distinct happens INSIDE the row (array_distinct) — a
+      // corpus-wide distinct() here would shuffle corpus×shingles rows
+      // for a set operation that is per-document by definition
+      .select($"doc_id", explode(array_distinct(shingleArray($"text", n))).as("g"))
       .join(broadcast(qShingles), Seq("g"), "left_semi")
       .groupBy($"doc_id")
       .agg(count(lit(1)).as("n_shared"))

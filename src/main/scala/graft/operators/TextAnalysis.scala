@@ -374,17 +374,32 @@ object TextAnalysis {
     import spark.implicits.{localSeqToDatasetHolder, newStringEncoder}
     val seedTop = bm25TopDocs(documents, query, k1, b, fbDocs)
       .select($"doc_id")
-    val fb = tfidfTopTerms(documents, k = fbTerms)
+    // q67's exact per-doc scores, but RANKED only inside the fbDocs
+    // feedback partitions — df/N stay corpus-wide (tf-idf's inherent
+    // cost), while the corpus-wide salted rank q67 runs is skipped for
+    // the (fbDocs)-partition restriction (ranks within a doc are
+    // unaffected by dropping other docs' partitions)
+    val tfAll = documents
+      .select($"doc_id", explode(split($"text", " ")).as("term"))
+      .groupBy($"doc_id", $"term")
+      .agg(count(lit(1)).as("tf"))
+    val dfAll = tfAll.groupBy($"term").agg(count(lit(1)).as("df"))
+    val nDocs = documents.agg(count(lit(1)).as("n_docs"))
+    val fbW = org.apache.spark.sql.expressions.Window
+      .partitionBy($"doc_id").orderBy($"tfidf".desc, $"term")
+    val fb = tfAll
       .join(broadcast(seedTop), Seq("doc_id"), "left_semi")
+      .join(dfAll, Seq("term"))
+      .crossJoin(broadcast(nDocs))
+      .select($"doc_id", $"term",
+        round($"tf" * log($"n_docs" / $"df"), 4).as("tfidf"))
+      .withColumn("r", row_number().over(fbW))
+      .filter($"r" <= fbTerms)
       .select($"term")
     val expanded = query.toDF("term").unionAll(fb).distinct()
     val dl = documents.select($"doc_id", size(split($"text", " ")).cast("long").as("dl"))
     val stats = dl.agg(count(lit(1)).as("n"), avg($"dl").as("avgdl"))
-    val tf = documents
-      .select($"doc_id", explode(split($"text", " ")).as("term"))
-      .join(broadcast(expanded), Seq("term"), "left_semi")
-      .groupBy($"doc_id", $"term")
-      .agg(count(lit(1)).as("tf"))
+    val tf = tfAll.join(broadcast(expanded), Seq("term"), "left_semi")
     val df = tf.groupBy($"term").agg(count(lit(1)).as("df"))
     tf
       .join(broadcast(df), Seq("term"))

@@ -630,17 +630,26 @@ object Curation {
         round($"dup_tokens" / $"total_tokens", 6).as("dup_ratio"))
       .orderBy($"source")
 
-  /** Differentially-private histogram release: per-language document
-    * counts with Laplace(1/eps) noise — the privacy-preserving datasheet
-    * twin of q111 (a public data card quotes noisy counts; the k-anonymity
-    * audit q82 decides WHAT may be quoted, this decides HOW). Noise is the
-    * inverse-CDF transform of a deterministic md5-derived uniform keyed by
-    * (release tag, language), so the release is REPLAYABLE: re-running the
-    * pipeline republishes the identical noisy value rather than spending
-    * fresh privacy budget on every run — exactly how production DP
-    * releases pin their randomness to a release id. True counts ride
-    * along for calibration here; a real release drops the `n_docs`
-    * column.
+  /** Laplace-noised histogram release — the MECHANICS of a differential-
+    * privacy release (sensitivity-1 count query, Laplace(1/eps) noise via
+    * inverse-CDF, replayable noise so re-runs republish identical values
+    * instead of spending fresh budget), demonstrated with DETERMINISTIC
+    * PUBLIC noise. That last property means the DEFAULT output carries NO
+    * actual privacy guarantee: the uniform is derived from
+    * md5("dp:" + tag + ":" + lang), a publicly computable value, so anyone
+    * can recompute u, invert the noise exactly, and recover the true
+    * counts — epsilon is meaningless for the default release. It is kept
+    * public here because the DuckDB oracle must replay the noise to check
+    * the pipeline.
+    *
+    * A real release passes `secretKey`: the uniform is then keyed by a
+    * value held OUTSIDE the published artifact (the md5(secret || tag ||
+    * lang) construction is the poor engine's keyed hash; production would
+    * use HMAC), which keeps replayability — same key + tag → same noise —
+    * while making the noise unpredictable to anyone without the key.
+    * Publishing the artifact without the key is what makes epsilon mean
+    * something. True counts ride along for calibration here; a real
+    * release drops the `n_docs` column (and, obviously, the key).
     *
     * Shape: one map-side-combined count per language, then a per-row
     * noise projection over the language-cardinality frame. Exact md5
@@ -649,8 +658,11 @@ object Curation {
     * 1-ulp ln() jitter.
     */
   def dpLangHistogram(documents: DataFrame, eps: Double = 1.0,
-      releaseTag: String = "r1"): DataFrame = {
-    val u = conv(substring(md5(concat(lit(s"dp:$releaseTag:"), $"lang")), 1, 13), 16, 10)
+      releaseTag: String = "r1", secretKey: String = ""): DataFrame = {
+    // empty key = the public oracle-checkable demo form; non-empty key =
+    // the form whose noise is not publicly recomputable
+    val seed = if (secretKey.isEmpty) s"dp:$releaseTag:" else s"dp:$secretKey:$releaseTag:"
+    val u = conv(substring(md5(concat(lit(seed), $"lang")), 1, 13), 16, 10)
       .cast("double") / math.pow(16.0, 13)
     documents
       .groupBy($"lang")

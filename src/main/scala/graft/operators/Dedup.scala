@@ -581,18 +581,6 @@ object Dedup {
       .orderBy($"id1", $"id2")
   }
 
-  /** Dedup method-agreement report: the MinHash+Jaccard pair set (q27)
-    * vs the SimHash pair set (q28), classified both / minhash_only /
-    * simhash_only — the QA view that tells an operator whether the two
-    * families see the same duplicate structure before one of them is
-    * trusted with a corpus rewrite (SimHash's bit-parity signature reads
-    * GLOBAL 5-gram overlap, so low-Jaccard pairs can still collide:
-    * each exclusive class is a real disagreement mode, not noise).
-    *
-    * Shape: both pair pipelines are candidate-proportional (and the
-    * MinHash side rides the session pair index); the agreement join and
-    * rollup run over the two pair sets — pair-proportional end to end.
-    */
   /** One-document containment SEARCH: given a query document (by id),
     * find every corpus document containing at least `tau` of the
     * query's distinct shingles — the on-demand plagiarism/provenance
@@ -677,6 +665,18 @@ object Dedup {
           .as("clustering"))
   }
 
+  /** Dedup method-agreement report: the MinHash+Jaccard pair set (q27)
+    * vs the SimHash pair set (q28), classified both / minhash_only /
+    * simhash_only — the QA view that tells an operator whether the two
+    * families see the same duplicate structure before one of them is
+    * trusted with a corpus rewrite (SimHash's bit-parity signature reads
+    * GLOBAL 5-gram overlap, so low-Jaccard pairs can still collide:
+    * each exclusive class is a real disagreement mode, not noise).
+    *
+    * Shape: both pair pipelines are candidate-proportional (and the
+    * MinHash side rides the session pair index); the agreement join and
+    * rollup run over the two pair sets — pair-proportional end to end.
+    */
   def methodAgreement(documents: DataFrame): DataFrame = {
     val mh = minhashLshPairs(documents)
       .select($"id1", $"id2", lit(true).as("in_mh"))

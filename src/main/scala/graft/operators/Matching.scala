@@ -150,6 +150,14 @@ object Matching {
     * joins two k-row lists — everything after the scans is
     * k-proportional. The full-outer join keeps single-list hits, exactly
     * RRF's point.
+    *
+    * Self-match policy is deliberately ASYMMETRIC: only the dense side
+    * excludes `queryVecId`, because only there is the query an element of
+    * the corpus (its self-cosine of 1.0 would squat on rank 1 and carry
+    * zero information). The lexical query is a free-standing TERM SET —
+    * document `queryVecId` holds no privileged relationship to it, so a
+    * lexical hit on that document is a real hit and may enter the fused
+    * list through its lexical rank alone.
     */
   def hybridRrf(documents: DataFrame, embeddings: DataFrame, k: Int = 20,
       queryVecId: Long = 0L, rrfK: Int = 60, topk: Int = 10): DataFrame = {

@@ -371,12 +371,19 @@ object Similarity {
     * once here so the Spark plan and the oracle SQL embed the SAME
     * literal (no cross-engine transcendental risk on the denominator).
     */
-  def ndcgIdcgMicro(k: Int, truthK: Int): Long =
+  def ndcgIdcgMicro(k: Int, truthK: Int): Long = {
+    // outside k <= truthK the graded-relevance formula is invalid: ideal
+    // grades truthK+1-i go NEGATIVE for i > truthK while the approx side's
+    // relevance floors at 0, understating the IDCG denominator (nDCG could
+    // exceed 1). Guard the parameter space instead of silently misbehaving.
+    require(k <= truthK,
+      s"ndcg@$k needs truthK >= k (got truthK=$truthK): grades are truthK+1-rank, nonnegative only up to rank truthK")
     (1 to k).map { i =>
       java.math.BigDecimal.valueOf(
         (truthK + 1 - i).toDouble / (math.log(i + 1.0) / math.log(2.0)) * 1e6)
         .setScale(0, java.math.RoundingMode.HALF_UP).longValue()
     }.sum
+  }
 
   /** nDCG@k of the multi-probe LSH ANN against the exact ranking — the
     * ORDER-quality half of the index evaluation (q63's recall counts set
@@ -771,21 +778,99 @@ object Similarity {
     * scales quadratically if left unchecked.
     */
   def embeddingNearDup(embeddings: DataFrame, threshold: Double = 0.9,
-      tables: Int = NeardupTables, bits: Int = NeardupBits): DataFrame = {
-    val spark = embeddings.sparkSession
-    val corpus = embeddings.select($"vec_id", asDouble($"embedding").as("v"))
-    // (vec_id, table, bucket) rows: all table buckets from ONE fused
-    // codegen'd pass per vector (native HyperplaneBuckets — bit-identical
-    // to the compositional neardupBucket, which remains the spec/oracle
-    // formulation), then posexplode; explicit pre-explode repartition for
-    // the same AQE-blindness reason as the MinHash pipeline
-    val bucketed = corpus
-      .repartition(spark.sparkContext.defaultParallelism * 2, $"vec_id")
+      tables: Int = NeardupTables, bits: Int = NeardupBits): DataFrame =
+    embeddingPairIndex(embeddings, threshold, tables, bits).orderBy($"id1", $"id2")
+
+  /** (vec_id, t, bk) hyperplane bucket rows — the persistable probe side
+    * of embedding near-dup (the vector twin of `Dedup.bandBuckets`): all
+    * table buckets from ONE fused codegen'd pass per vector (native
+    * HyperplaneBuckets — bit-identical to the compositional
+    * `neardupBucket`, which remains the spec/oracle formulation), then
+    * posexplode. Explicit pre-explode repartition for the same
+    * AQE-blindness reason as the MinHash pipeline. Bucketing is per-row
+    * local, so the bucket rows of a FILTERED corpus equal the filtered
+    * bucket rows of the full corpus — the restriction identity the
+    * session index below leans on (spec-asserted).
+    */
+  def hyperplaneBucketRows(embeddings: DataFrame, tables: Int = NeardupTables,
+      bits: Int = NeardupBits): DataFrame =
+    embeddings
+      .select($"vec_id", asDouble($"embedding").as("v"))
+      .repartition(embeddings.sparkSession.sparkContext.defaultParallelism * 2, $"vec_id")
       .select($"vec_id",
-        posexplode(graft.functions.VectorFunctions.hyperplane_buckets(
-          $"v", tables, bits)))
+        posexplode(graft.functions.VectorFunctions.hyperplane_buckets($"v", tables, bits)))
       .select($"vec_id", $"pos".as("t"), $"col".as("bk"))
-    val candidates = bucketed
+
+  /** Session-scoped caches for the embedding family — the vector twin of
+    * `Dedup.pairIndex`: the hyperplane BUCKET index (the probe side an
+    * ingest batch equi-joins; in production the persisted table
+    * `hyperplaneBucketRows` writes) and the verified PAIR index (what
+    * q48's listing and q110's positives both analyze). One corpus, many
+    * consumers: q48, q95, q110 and the threshold/QA family all ride one
+    * build per (canonical corpus plan, params) per session. Keys are the
+    * CANONICALIZED analyzed plan (aliases share, semantic differences
+    * miss); entries are localCheckpointed and bounded-LRU-evicted, so
+    * cache memory is index/pair-proportional, never corpus-squared.
+    */
+  private val EmbIndexCacheMax = 8
+
+  private final class BoundedCache[K] {
+    private val m = new java.util.LinkedHashMap[K, DataFrame](16, 0.75f, false) {
+      override def removeEldestEntry(e: java.util.Map.Entry[K, DataFrame]): Boolean = {
+        val evict = size() > EmbIndexCacheMax
+        if (evict) {
+          try e.getValue.queryExecution.toRdd.unpersist(blocking = false)
+          catch { case _: Throwable => () } // best-effort; session may be gone
+        }
+        evict
+      }
+    }
+    def getOrBuild(k: K)(build: => DataFrame): DataFrame = m.synchronized {
+      val hit = m.get(k)
+      if (hit != null) hit
+      else { val built = build.localCheckpoint(); m.put(k, built); built }
+    }
+    def clear(): Unit = m.synchronized(m.clear())
+  }
+
+  private val bucketIndexCache = new BoundedCache[(String, String, Int, Int)]
+  private val pairIndexCache   = new BoundedCache[(String, String, Double, Int, Int)]
+
+  def clearEmbeddingIndexCaches(): Unit = { bucketIndexCache.clear(); pairIndexCache.clear() }
+
+  /** Plan-keyed session identity of a frame (identityHashCode of the
+    * session: checkpointed RDDs die with their session, so an entry must
+    * never cross sessions).
+    */
+  private def planKey(df: DataFrame): (String, String) =
+    (System.identityHashCode(df.sparkSession).toString,
+      df.queryExecution.analyzed.canonicalized.toString)
+
+  /** The session-cached hyperplane bucket index of a corpus. */
+  def hyperplaneIndex(embeddings: DataFrame, tables: Int = NeardupTables,
+      bits: Int = NeardupBits): DataFrame = {
+    val (sid, plan) = planKey(embeddings)
+    bucketIndexCache.getOrBuild((sid, plan, tables, bits))(
+      hyperplaneBucketRows(embeddings, tables, bits))
+  }
+
+  /** The session-cached verified near-dup pair set of a corpus. */
+  def embeddingPairIndex(embeddings: DataFrame, threshold: Double = 0.9,
+      tables: Int = NeardupTables, bits: Int = NeardupBits): DataFrame = {
+    val (sid, plan) = planKey(embeddings)
+    pairIndexCache.getOrBuild((sid, plan, threshold, tables, bits))(
+      embeddingNearDupUnordered(embeddings, threshold, tables, bits))
+  }
+
+  /** The pair pipeline without the final canonical sort (consumers that
+    * re-shuffle immediately would pay the global sort for nothing).
+    * Candidate generation reads the session bucket index, so repeated
+    * builds at different thresholds share one bucketing pass.
+    */
+  private def embeddingNearDupUnordered(embeddings: DataFrame, threshold: Double,
+      tables: Int, bits: Int): DataFrame = {
+    val corpus = embeddings.select($"vec_id", asDouble($"embedding").as("v"))
+    val candidates = hyperplaneIndex(embeddings, tables, bits)
       .groupBy($"t", $"bk")
       .agg(collect_list($"vec_id").as("ids"))
       .filter(size($"ids") > 1)
@@ -794,41 +879,43 @@ object Similarity {
       .select(explode(graft.functions.MinHashFunctions.pair_combinations($"ids")).as("p"))
       .select($"p.id1".as("id1"), $"p.id2".as("id2"))
       .distinct() // a pair can collide in several tables
-      .localCheckpoint() // near-linear; don't re-run bucketing per join below
+      .localCheckpoint() // near-linear; consumed by the 2 joins below
     candidates
       .join(corpus.select($"vec_id".as("id1"), $"v".as("v1")), Seq("id1"))
       .join(corpus.select($"vec_id".as("id2"), $"v".as("v2")), Seq("id2"))
       .select($"id1", $"id2",
         round(graft.functions.VectorFunctions.cosine_sim($"v1", $"v2"), 6).as("cos"))
       .filter($"cos" >= threshold)
-      .orderBy($"id1", $"id2")
   }
 
   /** Incremental embedding near-dup — the vector analog of
     * `Dedup.incrementalNearDupPairs` (q74): a NEW batch of vectors
     * (vec_id < newIdCut) probed against the already-indexed corpus
-    * (vec_id >= newIdCut). Both sides derive from one table here (no
-    * external index in the fixture), but the JOIN SHAPE is the ingest
-    * one: new-batch buckets equi-join the corpus bucket table on
-    * (table, bucket) — in production the corpus side is the persisted
-    * hyperplane index and only the batch is bucketed from scratch, so
-    * per-ingest work is batch-proportional, never corpus × corpus.
-    * Candidates are verified with the exact native cosine at
-    * `threshold`; same OR-amplified multi-table recall math as
-    * `embeddingNearDup`.
+    * (vec_id >= newIdCut). The corpus side PROBES the session bucket
+    * index (`hyperplaneIndex`, filtered to the corpus ids — exact,
+    * because bucketing is per-row local; in production it is the
+    * persisted `hyperplaneBucketRows` table): the index is built ONCE
+    * per session/corpus and every ingest batch re-reads it, so per-call
+    * bucketing COMPUTE is batch-proportional only — the contract the
+    * ingest shape exists for (re-deriving corpus buckets per batch is
+    * corpus-proportional work per ingest, measured as the top bench cost
+    * before this index landed). Only the batch side is bucketed from
+    * scratch, exactly as a not-yet-indexed batch must be. Candidates are
+    * verified with the exact native cosine at `threshold`; same
+    * OR-amplified multi-table recall math as `embeddingNearDup`.
     */
   def incrementalEmbeddingNearDup(embeddings: DataFrame, newIdCut: Long = 200L,
       threshold: Double = 0.45, tables: Int = NeardupTables,
       bits: Int = NeardupBits): DataFrame = {
-    val spark = embeddings.sparkSession
     val corpus = embeddings.select($"vec_id", asDouble($"embedding").as("v"))
-    def buckets(df: DataFrame, idName: String): DataFrame = df
-      .repartition(spark.sparkContext.defaultParallelism * 2, $"vec_id")
-      .select($"vec_id".as(idName),
-        posexplode(graft.functions.VectorFunctions.hyperplane_buckets($"v", tables, bits)))
-      .select(col(idName), $"pos".as("t"), $"col".as("bk"))
-    val candidates = buckets(corpus.filter($"vec_id" < newIdCut), "new_id")
-      .join(buckets(corpus.filter($"vec_id" >= newIdCut), "old_id"), Seq("t", "bk"))
+    val newBuckets = hyperplaneBucketRows(
+        embeddings.filter($"vec_id" < newIdCut), tables, bits)
+      .withColumnRenamed("vec_id", "new_id")
+    val oldBuckets = hyperplaneIndex(embeddings, tables, bits)
+      .filter($"vec_id" >= newIdCut)
+      .withColumnRenamed("vec_id", "old_id")
+    val candidates = newBuckets
+      .join(oldBuckets, Seq("t", "bk"))
       .select($"new_id", $"old_id")
       .distinct() // a pair can collide in several tables
       .localCheckpoint() // candidate-proportional; consumed by 2 joins below

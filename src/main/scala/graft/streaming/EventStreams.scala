@@ -105,9 +105,14 @@ object EventStreams {
     * in state. The open interval IS the per-user state (one row each,
     * the dimension itself — the irreducible state of any live SCD build;
     * no timeout, because the current interval never expires). Batch
-    * equivalence is exact by construction: streamed rows == q129's
-    * closed intervals, final states == its open ones — asserted in
-    * StreamingSpec. Micro-epoch arithmetic, same as the batch side.
+    * equivalence — streamed rows == q129's closed intervals, final
+    * states == its open ones, asserted in StreamingSpec — holds for
+    * feeds that are in-order PER USER across micro-batches (within one
+    * batch the sort restores order). Events arriving behind the user's
+    * frontier are dropped (see the guard below): there is no watermark
+    * to buffer against, and emitting them would produce overlapping or
+    * negative-length intervals. Micro-epoch arithmetic, same as the
+    * batch side.
     */
   def scd2Stream(events: Dataset[Event]): Dataset[Scd2Out] = {
     import events.sparkSession.implicits._
@@ -125,6 +130,16 @@ object EventStreams {
             val t = micros(e.ts)
             if (st == null) {
               st = Scd2State(t, e.event_type, t)
+            } else if (t < st.lastTs) {
+              // out-of-order across micro-batches (within a batch the sort
+              // handles order): an event older than the state's frontier is
+              // DROPPED — processing it would emit an interval that closes
+              // before it opens (negative length / overlap). This is the
+              // documented last-writer-wins contract: the dimension tracks
+              // the newest observed event time per user; no watermark exists
+              // on this query, so "late" means behind the user's own
+              // frontier, not behind a global clock. Asserted in
+              // StreamingSpec's out-of-order test.
             } else if (e.event_type != st.curType) {
               out += Scd2Out(userId, st.curType, st.validFrom, t - 1)
               st = Scd2State(t, e.event_type, t)
@@ -150,6 +165,14 @@ object EventStreams {
     * nothing — the bounded-state property an unbounded stream needs,
     * with zero approximation. Gap arithmetic runs on exact microsecond
     * epochs (the engine timestamp resolution, same as q129).
+    *
+    * Ordering contract: equality with the batch matrix holds for feeds
+    * in-order PER USER across micro-batches (within a batch the sort
+    * restores order). A late event arriving behind its user's state
+    * frontier — possible within the watermark — is DROPPED rather than
+    * chained, because chaining it would emit a reversed (new→old)
+    * transition the batch side does not contain. Asserted in
+    * StreamingSpec's out-of-order test.
     */
   def transitionStream(events: Dataset[Event], gapSeconds: Long = 1800L,
       watermarkDelay: String = "30 minutes"): Dataset[TransitionOut] = {
@@ -172,9 +195,19 @@ object EventStreams {
             val out = scala.collection.mutable.ArrayBuffer.empty[TransitionOut]
             sorted.foreach { e =>
               val t = micros(e.ts)
-              if (st != null && t - st.lastTs <= gapSeconds * 1000000L)
-                out += TransitionOut(st.lastType, e.event_type)
-              st = LastEvent(t, e.event_type)
+              // late-but-within-watermark events from an EARLIER micro-batch
+              // can arrive behind the user's state frontier (within a batch
+              // the sort handles order); chaining one would emit a REVERSED
+              // transition (new→old) and rewind the state. Such events are
+              // dropped: the stream observes the per-user frontier order, so
+              // the emitted multiset equals the batch matrix only for feeds
+              // that are in-order PER USER across batches — the documented
+              // contract, asserted (with the drop) in StreamingSpec.
+              if (st == null || t >= st.lastTs) {
+                if (st != null && t - st.lastTs <= gapSeconds * 1000000L)
+                  out += TransitionOut(st.lastType, e.event_type)
+                st = LastEvent(t, e.event_type)
+              }
             }
             if (st != null) {
               state.update(st)

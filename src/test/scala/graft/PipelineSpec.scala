@@ -285,6 +285,35 @@ class PipelineSpec extends GraftSuite {
     assert(inc === restricted)
   }
 
+  test("embedding index caches: same canonical plan hits, params miss; probe == from-scratch") {
+    import graft.operators.Similarity
+    Similarity.clearEmbeddingIndexCaches()
+    // two distinct DataFrame objects over the same source share the
+    // materialized bucket index and pair index (the q48/q95/q110 reuse path)
+    val a = Similarity.hyperplaneIndex(Tables.embeddings(spark, sf))
+    val b = Similarity.hyperplaneIndex(Tables.embeddings(spark, sf))
+    assert(a eq b, "identical corpus plan + params must return the cached frame")
+    val c = Similarity.hyperplaneIndex(Tables.embeddings(spark, sf), tables = 24, bits = 12)
+    assert(!(a eq c))
+    val p1 = Similarity.embeddingPairIndex(Tables.embeddings(spark, sf), 0.45)
+    val p2 = Similarity.embeddingPairIndex(Tables.embeddings(spark, sf), 0.45)
+    assert(p1 eq p2)
+    assert(!(p1 eq Similarity.embeddingPairIndex(Tables.embeddings(spark, sf), 0.5)))
+    // restriction identity behind q95's index probe: bucketing is per-row
+    // local, so bucket rows of a filtered corpus == filtered index rows
+    val cut = 200L
+    def asSet(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(
+      asSet(Similarity.hyperplaneBucketRows(embs.filter($"vec_id" >= cut))
+        .select($"vec_id", $"t".cast("int"), $"bk")) ===
+      asSet(a.filter($"vec_id" >= cut).select($"vec_id", $"t".cast("int"), $"bk")))
+    // and the cached pair set IS the verified pair set the listing reports
+    assert(p1.select($"id1", $"id2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet ===
+      Similarity.embeddingNearDup(embs, threshold = 0.45)
+        .select($"id1", $"id2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet)
+  }
+
   test("event-type reconciliation exercises all three full-outer branches") {
     val rows = graft.operators.Extended.eventTypeReconciliation(Tables.events(spark, sf))
       .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))

@@ -214,6 +214,49 @@ class StreamingSpec extends GraftSuite {
     assert(open.toSet === batch.map(_.getLong(0)).toSet)
   }
 
+  test("out-of-order events behind a user's frontier are dropped, not chained") {
+    // an event from an EARLIER point in a user's timeline arriving in a
+    // LATER micro-batch (possible within the watermark) must not emit a
+    // reversed transition or a negative-length SCD2 interval — the
+    // documented per-user in-order contract, with late stragglers dropped
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def ev(id: Long, tsSec: Long, typ: String) =
+      Event(id, new Timestamp(tsSec * 1000), 7L, typ, 1.0)
+
+    val tIn = MemoryStream[Event]
+    val tq = EventStreams.transitionStream(tIn.toDS())
+      .writeStream.outputMode("append").format("memory").queryName("ooo_trans")
+      .start()
+    tIn.addData(ev(1, 1000, "a"), ev(2, 2000, "b"))
+    tq.processAllAvailable()
+    // t=1500 is behind the user's frontier (2000): dropped, NOT chained as
+    // b->c / c->a; t=3000 chains off the intact frontier as b->a
+    tIn.addData(ev(3, 1500, "c"), ev(4, 3000, "a"))
+    tq.processAllAvailable()
+    val trans = spark.table("ooo_trans").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSeq.sorted
+    tq.stop()
+    assert(trans === Seq(("a", "b"), ("b", "a")))
+
+    val sIn = MemoryStream[Event]
+    val sq = EventStreams.scd2Stream(sIn.toDS())
+      .writeStream.outputMode("append").format("memory").queryName("ooo_scd2")
+      .start()
+    sIn.addData(ev(1, 1000, "a"), ev(2, 2000, "b"))
+    sq.processAllAvailable()
+    sIn.addData(ev(3, 1500, "c"), ev(4, 3000, "a"))
+    sq.processAllAvailable()
+    val intervals = spark.table("ooo_scd2").collect()
+      .map(r => (r.getString(1), r.getLong(2), r.getLong(3))).toSeq.sortBy(_._2)
+    sq.stop()
+    // the late t=1500 "c" is dropped: intervals stay disjoint, positive
+    // length, and exactly the in-order history
+    assert(intervals === Seq(
+      ("a", 1000000000L, 2000000000L - 1), ("b", 2000000000L, 3000000000L - 1)))
+    assert(intervals.forall { case (_, from, to) => to > from })
+  }
+
   test("stream-stream interval join pairs purchases with in-window clicks only") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
@@ -294,13 +337,16 @@ class StreamingSpec extends GraftSuite {
   test("streaming incremental embedding near-dup == batch pairs at the ingest boundary") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
-    import graft.functions.VectorFunctions.hyperplane_buckets
     val cut = 200L
     val corpus = Tables.embeddings(spark, sf).filter(col("vec_id") >= cut)
       .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("v"))
-    val corpusBuckets = corpus
-      .select(col("vec_id").as("old_id"), posexplode(hyperplane_buckets(col("v"), 8, 6)))
-      .select(col("old_id"), col("pos").as("t"), col("col").as("bk"))
+    // the corpus probe side is the SAME session hyperplane index q48/q95/
+    // q110 ride (filtered to the corpus ids — exact, bucketing is per-row
+    // local; in production: the persisted hyperplaneBucketRows table)
+    val corpusBuckets = graft.operators.Similarity
+      .hyperplaneIndex(Tables.embeddings(spark, sf))
+      .filter(col("vec_id") >= cut)
+      .select(col("vec_id").as("old_id"), col("t"), col("bk"))
     val corpusVectors = corpus.select(col("vec_id").as("old_id"), col("v").as("v2"))
     val newRows = Tables.embeddings(spark, sf).filter(col("vec_id") < cut)
       .select(col("vec_id"), col("embedding"))

@@ -21,12 +21,25 @@ object Bench {
 
     val skipped = Seq("q26_ngram_jaccard")
 
+    // Index-carrier annotation: the session-scoped materialized indexes
+    // (Dedup.pairIndex; Similarity.hyperplaneIndex/embeddingPairIndex) are
+    // charged to their FIRST consumer in bench order — q27 carries the
+    // document pair-index build that q53/q83/q84/q93/q108/q115/q118/q120/
+    // q133/q137 then ride, q48 carries the embedding bucket+pair index for
+    // q95/q110. A bench diff showing those two queries above the fixed-cost
+    // floor is the shared build, not a per-query regression.
+    val carriers = Seq("q27_dedup_minhash_lsh", "q48_embedding_neardup")
+
     // warm the JVM + file-index + codegen paths outside the measured region
     spark.range(1000000L).selectExpr("sum(id)").collect()
     SparkEntry.queries("q02_total_by_nation")(spark, sfDir)
       .write.format("noop").mode("overwrite").save()
 
-    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+    // registration (numeric qNN) order, not alphabetical: diffs line up
+    // with the query numbering, and each shared index lands on its
+    // lowest-numbered consumer (the `carriers` above)
+    val results = SparkEntry.queries.toSeq
+      .sortBy { case (name, _) => name.drop(1).takeWhile(_.isDigit).toInt }
       .filterNot { case (name, _) => skipped.contains(name) }
       .map { case (name, fn) =>
         // Isolate each query from its predecessors' GC debt. Round 1 showed
@@ -52,8 +65,9 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     val skippedJson = skipped.map(s => "\"" + s.takeWhile(_ != '_') + "\"").mkString("[", ",", "]")
+    val carriersJson = carriers.map(s => "\"" + s.takeWhile(_ != '_') + "\"").mkString("[", ",", "]")
     println(
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"skipped":$skippedJson,"sf":"$sfDir"}""")
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"skipped":$skippedJson,"index_carriers":$carriersJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -68,8 +68,8 @@ object PipelineQueries {
     "q57_train_test_split"  -> ((s, d) => Sampling.trainTestSplit(Tables.documents(s, d))),
     "q58_pack_offsets"      -> ((s, d) => Sampling.packByTokenOffset(Tables.documents(s, d))),
     // deterministic KMV sketch: approximate distinct count WITH an exact
-    // oracle (contrast q38, whose HLL/percentile sketches are rows-only by
-    // necessity — implementation-defined internals)
+    // oracle (contrast q38, whose HLL/percentile estimates are
+    // implementation-defined and hence only envelope-checked)
     "q54_kmv_sketch" -> ((s, d) =>
       graft.operators.Typed.kmvDistinct(s, Tables.lineitem(s, d))),
     // benchmark decontamination: docs whose distinct word-3-gram sets
@@ -138,7 +138,7 @@ object PipelineQueries {
       graft.operators.Relational.decimalTotals(Tables.lineitem(s, d))),
     // mergeable bottom-k quantile sketch — deterministic, hence
     // oracle-EXACT (the quantile counterpart of q54's KMV; contrast q38's
-    // approx_percentile, rows-only by design)
+    // approx_percentile, envelope-checked by design)
     "q87_quantile_sketch" -> ((s, d) => Events.quantileSketch(Tables.events(s, d))),
     // pre-release PII/denylist scrub report (the fixture's structural-PII
     // zeros are oracle-verified; redaction mechanics proven in spec)
@@ -311,14 +311,37 @@ object PipelineQueries {
           .withColumn("n_chars", when(col("doc_id") % 7 === 0,
             col("n_chars") + 5).otherwise(col("n_chars"))))
     }),
-    // rows-only (no oracle): approximate sketches differ by implementation
-    "q38_sketches" -> ((s, d) => {
+    // the HLL / approx-percentile surface made ORACLE-CHECKABLE: the
+    // estimates themselves are implementation-defined (Spark's HLL++ and
+    // KLL-style summaries have no DuckDB twin), so the query reports the
+    // EXACT stats (hash-checked) plus booleans asserting each estimate
+    // sits inside its deterministic error envelope — HLL within 2×rsd
+    // (rsd default 0.05) of the exact distinct count, approx_percentile's
+    // median between the exact p45/p55 cuts (accuracy 10000 => 1e-4 rank
+    // error; the envelope is ~500× wider). The oracle states the booleans
+    // literally, so a sketch regression fails the gate — strictly stronger
+    // than the rows-only check this query shipped with through round 4
+    // (the deterministic twins q54/q87 remain the hash-exact sketches).
+    "q38_sketch_envelope" -> ((s, d) => {
       import org.apache.spark.sql.functions._
-      Tables.lineitem(s, d)
-        .groupBy(col("l_returnflag"))
+      val li = Tables.lineitem(s, d)
+      def cut(q: Double, name: String) =
+        Scale.exactQuantileByGroup(
+          li.select(col("l_returnflag"), col("l_extendedprice")),
+          "l_returnflag", "l_extendedprice", q)
+          .withColumnRenamed("cut", name)
+      li.groupBy(col("l_returnflag"))
         .agg(
-          approx_count_distinct(col("l_partkey")).as("approx_parts"),
-          expr("approx_percentile(l_extendedprice, 0.5)").as("approx_p50"))
+          count(lit(1)).as("n_rows"),
+          countDistinct(col("l_partkey")).as("exact_parts"),
+          approx_count_distinct(col("l_partkey")).as("hll_parts"),
+          expr("approx_percentile(l_extendedprice, 0.5)").as("ap50"))
+        .join(cut(0.45, "p45"), Seq("l_returnflag"))
+        .join(cut(0.55, "p55"), Seq("l_returnflag"))
+        .select(col("l_returnflag"), col("n_rows"), col("exact_parts"),
+          (abs(col("hll_parts") - col("exact_parts"))
+            <= col("exact_parts") * 0.10).as("hll_within_10pct"),
+          (col("ap50") >= col("p45") && col("ap50") <= col("p55")).as("p50_in_envelope"))
         .orderBy(col("l_returnflag"))
     }),
   )
@@ -629,6 +652,15 @@ object PipelineQueries {
   // ---- oracles ---------------------------------------------------------
 
   def oracleSql: Map[String, String] = Map(
+    // the envelope booleans are stated literally: the oracle asserts the
+    // exact stats by value and the estimates by CONTRACT (inside their
+    // documented error envelopes) — a Spark sketch regression flips a
+    // boolean and fails the hash compare
+    "q38_sketch_envelope" ->
+      """SELECT l_returnflag, count(*) AS n_rows,
+        |  count(DISTINCT l_partkey) AS exact_parts,
+        |  true AS hll_within_10pct, true AS p50_in_envelope
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
     "q60_decontaminate" ->
       s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
          |bgrams AS (

@@ -149,7 +149,8 @@ object Aggregators {
     * sketch at 100 TB.
     *
     * Unlike `approx_count_distinct` (HLL, implementation-defined, no
-    * cross-engine oracle — q38 is rows-only for that reason), the KMV
+    * cross-engine value oracle — q38 checks it against an error ENVELOPE
+    * the oracle states literally, not by value), the KMV
     * sketch is DETERMINISTIC given the hash function: any engine computing
     * "kth smallest md5" reproduces the identical sketch and estimate, so
     * this is a sketch WITH an exact DuckDB oracle (q54).

@@ -251,8 +251,9 @@ object Events {
     * interpolated quantiles OF THE SAMPLE over cent-rounded values.
     * Fixed memory (k rows per group), one corpus scan.
     *
-    * Unlike `approx_percentile` (q38's rows-only half, whose KLL-style
-    * sketch internals are implementation-defined), every step here is
+    * Unlike `approx_percentile` (q38's envelope-checked half, whose
+    * KLL-style sketch internals are implementation-defined), every step
+    * here is
     * engine-reproducible — md5 ranking, sample membership, and the
     * interpolation arithmetic (`Scale.exactQuantileByGroup`'s formula) —
     * so the ESTIMATE itself is oracle-checkable bit-for-bit.

@@ -15,8 +15,9 @@ class RelationalSpec extends GraftSuite {
 
   test("every declared query has an oracle or is explicitly rows-only") {
     // driver records a weaker rows-only check for queries without oracles;
-    // only explicitly rows-only queries (approximate sketches) may omit one.
-    val rowsOnly = Set("q38_sketches")
+    // since round 5 every registered query carries an oracle (q38's
+    // approx sketches ride envelope booleans the oracle states literally)
+    val rowsOnly = Set.empty[String]
     val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet -- rowsOnly
     assert(missing.isEmpty, s"queries without oracle: $missing")
     val orphaned = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet

@@ -325,10 +325,19 @@ object PipelineQueries {
     "q38_sketch_envelope" -> ((s, d) => {
       import org.apache.spark.sql.functions._
       val li = Tables.lineitem(s, d)
+      // envelope cuts come from a $100-BUCKETED price histogram, not the
+      // raw near-unique column: exactQuantileByGroup's state is one
+      // counter per distinct value, which for a continuous column would
+      // degenerate to row-proportional state (measured 16 s at sf0.1 —
+      // exactly the failure mode its scaladoc warns about). Bucketing
+      // bounds the state at price-range/100 cells; floor is monotone, so
+      // bucketed quantiles bracket the true ones within one bucket width
+      // and the envelope below widens by that margin.
       def cut(q: Double, name: String) =
         Scale.exactQuantileByGroup(
-          li.select(col("l_returnflag"), col("l_extendedprice")),
-          "l_returnflag", "l_extendedprice", q)
+          li.select(col("l_returnflag"),
+            (floor(col("l_extendedprice") / 100) * 100).as("pb")),
+          "l_returnflag", "pb", q)
           .withColumnRenamed("cut", name)
       li.groupBy(col("l_returnflag"))
         .agg(
@@ -341,7 +350,8 @@ object PipelineQueries {
         .select(col("l_returnflag"), col("n_rows"), col("exact_parts"),
           (abs(col("hll_parts") - col("exact_parts"))
             <= col("exact_parts") * 0.10).as("hll_within_10pct"),
-          (col("ap50") >= col("p45") && col("ap50") <= col("p55")).as("p50_in_envelope"))
+          (col("ap50") >= col("p45") - 100 && col("ap50") <= col("p55") + 200)
+            .as("p50_in_envelope"))
         .orderBy(col("l_returnflag"))
     }),
   )
@@ -453,9 +463,18 @@ object PipelineQueries {
     */
   private val BpeRounds = 5
 
-  /** The BPE merge-training CTE chain (w → s0 → p_r/t_r/s_r per round) —
-    * shared by the q104 training oracle and the q105 encoding oracle so
-    * both derive the merge table identically.
+  /** The BATCHED BPE merge-training CTE chain — shared by the q104
+    * training oracle and the q105 encoding oracle so both derive the
+    * merge table identically. Per round r: pair counts (p_r), the
+    * independent set (a_r: pairs dominated by NO higher-(c, p)-ranked
+    * pair sharing a symbol), the accepted batch capped at the merges
+    * still needed (t_r), the running merge table (done_r), and the
+    * vocabulary rewrite (s_r — one guarded single-pass padded replace
+    * per in-round rank, chained through sub-CTEs so expression size
+    * stays linear). Unrolled PESSIMISTICALLY at `BpeRounds` = nMerges
+    * rounds (the worst case of one merge per round); exhausted rounds
+    * produce empty t_r and identity rewrites, exactly like the Spark
+    * loop's termination.
     */
   private lazy val BpeCtes: String = {
     def pairsOf(s: String) =
@@ -463,41 +482,67 @@ object PipelineQueries {
          |  SELECT freq, unnest([ss[i] || ' ' || ss[i+1] for i in range(1, len(ss))]) AS p
          |  FROM (SELECT freq, string_split(seq, ' ') AS ss FROM $s)
          |) GROUP BY p""".stripMargin
-    def rewrite(s: String, t: String) =
-      s"""SELECT freq, trim(replace(' ' || seq || ' ',
-         |  ' ' || (SELECT p FROM $t) || ' ',
-         |  ' ' || replace((SELECT p FROM $t), ' ', '') || ' ')) AS seq FROM $s""".stripMargin
     val rounds = (1 to BpeRounds).map { r =>
-      s"""p$r AS (${pairsOf(s"s${r - 1}")}),
-         |t$r AS (SELECT p, c FROM p$r ORDER BY c DESC, p LIMIT 1),
-         |s$r AS (${rewrite(s"s${r - 1}", s"t$r")})""".stripMargin
+      val steps = (1 to BpeRounds).map { j =>
+        val m = s"(SELECT p FROM t$r WHERE rr = $j)"
+        s"""s${r}_$j AS (SELECT freq, CASE WHEN $m IS NULL THEN seq
+           |  ELSE trim(replace(' ' || seq || ' ',
+           |    ' ' || $m || ' ', ' ' || replace($m, ' ', '') || ' ')) END AS seq
+           |  FROM s${r}_${j - 1})""".stripMargin
+      }.mkString(",\n")
+      s"""p$r AS MATERIALIZED (${pairsOf(s"s${r - 1}")}),
+         |sy$r AS (SELECT p, c, unnest(list_distinct(string_split(p, ' '))) AS s FROM p$r),
+         |rej$r AS (
+         |  SELECT DISTINCT x.p AS p FROM sy$r x JOIN sy$r y ON x.s = y.s
+         |    AND (y.c > x.c OR (y.c = x.c AND y.p < x.p))
+         |),
+         |a$r AS (
+         |  SELECT p, c, row_number() OVER (ORDER BY c DESC, p) AS rr
+         |  FROM p$r WHERE p NOT IN (SELECT p FROM rej$r)
+         |),
+         |t$r AS MATERIALIZED (SELECT p, c, rr FROM a$r
+         |  WHERE rr <= $BpeRounds - (SELECT count(*) FROM done${r - 1})),
+         |done$r AS MATERIALIZED (SELECT * FROM done${r - 1} UNION ALL
+         |  SELECT p, c, (SELECT count(*) FROM done${r - 1}) + rr AS rank FROM t$r),
+         |s${r}_0 AS (SELECT freq, seq FROM s${r - 1}),
+         |$steps,
+         |s$r AS MATERIALIZED (SELECT freq, seq FROM s${r}_$BpeRounds)""".stripMargin
     }.mkString(",\n")
     s"""w AS (
        |  SELECT w, count(*) AS freq FROM (
        |    SELECT unnest(string_split(text, ' ')) AS w FROM documents
        |  ) WHERE length(w) > 0 GROUP BY w
        |),
-       |s0 AS (SELECT freq, regexp_replace(w, '(.)', '\\1 ', 'g') || '</w>' AS seq FROM w),
+       |s0 AS MATERIALIZED (SELECT freq, regexp_replace(w, '(.)', '\\1 ', 'g') || '</w>' AS seq FROM w),
+       |done0 AS (SELECT CAST(NULL AS VARCHAR) AS p, CAST(NULL AS BIGINT) AS c,
+       |  CAST(NULL AS BIGINT) AS rank WHERE false),
        |$rounds""".stripMargin
   }
 
-  private lazy val BpeSql: String = {
-    val out = (1 to BpeRounds).map(r =>
-      s"SELECT CAST($r AS INT) AS rank, p AS pair, replace(p, ' ', '') AS merged, c AS freq FROM t$r")
-      .mkString("\nUNION ALL\n")
+  private lazy val BpeSql: String =
     s"""WITH $BpeCtes
-       |SELECT * FROM ($out) ORDER BY rank""".stripMargin
-  }
+       |SELECT CAST(rank AS INT) AS rank, p AS pair, replace(p, ' ', '') AS merged,
+       |  c AS freq
+       |FROM done$BpeRounds ORDER BY rank""".stripMargin
 
-  /** q105: per-(lang, word) vocab encoded by the t1..t5 merges in rank
-    * order — the same single-pass padded-replace rewrite the training
-    * CTEs apply, so encoding == what training would produce.
+  /** q105: per-(lang, word) vocab encoded by the accepted merges in
+    * global rank order — the same guarded single-pass padded-replace
+    * chain the training CTEs apply (within a round the accepted pairs
+    * are symbol-disjoint, so rank-order application == the round's batch
+    * rewrite), so encoding == what training would produce.
     */
   private lazy val BpeFertilitySql: String = {
     val enc = (1 to BpeRounds).map { r =>
-      s"""e$r AS (SELECT lang, freq, chars, trim(replace(' ' || seq || ' ',
-         |  ' ' || (SELECT p FROM t$r) || ' ',
-         |  ' ' || replace((SELECT p FROM t$r), ' ', '') || ' ')) AS seq FROM e${r - 1})""".stripMargin
+      val steps = (1 to BpeRounds).map { j =>
+        val m = s"(SELECT p FROM t$r WHERE rr = $j)"
+        s"""e${r}_$j AS (SELECT lang, freq, chars, CASE WHEN $m IS NULL THEN seq
+           |  ELSE trim(replace(' ' || seq || ' ',
+           |    ' ' || $m || ' ', ' ' || replace($m, ' ', '') || ' ')) END AS seq
+           |  FROM e${r}_${j - 1})""".stripMargin
+      }.mkString(",\n")
+      s"""e${r}_0 AS (SELECT lang, freq, chars, seq FROM e${r - 1}),
+         |$steps,
+         |e$r AS MATERIALIZED (SELECT lang, freq, chars, seq FROM e${r}_$BpeRounds)""".stripMargin
     }.mkString(",\n")
     s"""WITH $BpeCtes,
        |v AS (
@@ -505,7 +550,7 @@ object PipelineQueries {
        |    SELECT lang, unnest(string_split(text, ' ')) AS w FROM documents
        |  ) WHERE length(w) > 0 GROUP BY lang, w
        |),
-       |e0 AS (SELECT lang, freq, length(w) AS chars,
+       |e0 AS MATERIALIZED (SELECT lang, freq, length(w) AS chars,
        |  regexp_replace(w, '(.)', '\\1 ', 'g') || '</w>' AS seq FROM v),
        |$enc,
        |f AS (SELECT lang, freq, chars, len(string_split(seq, ' ')) AS toks FROM e$BpeRounds)

@@ -426,25 +426,53 @@ object TextAnalysis {
       .agg(count(lit(1)).as("n_docs"), sum($"nw").as("total_words"))
       .orderBy($"bin")
 
-  /** Distributed BPE merge training (Sennrich et al. 2016): learn the
-    * first `nMerges` byte-pair merges from the corpus — the TOKENIZER-
-    * TRAINING half of the token ops (q24 counts with a fixed scheme;
-    * this derives the scheme). Standard algorithm on the word-FREQUENCY
-    * table: symbols start as characters + `</w>`, each round counts
-    * adjacent symbol pairs weighted by word frequency, merges the
-    * globally most frequent pair (ties by pair text), and rewrites the
-    * vocabulary. Output: one row per learned merge (rank, pair, merged,
-    * pair frequency at selection time).
+  /** Distributed BPE merge training (Sennrich et al. 2016), BATCHED: learn
+    * the first `nMerges` byte-pair merges from the corpus — the TOKENIZER-
+    * TRAINING half of the token ops (q24 counts with a fixed scheme; this
+    * derives the scheme). Symbols start as characters + `</w>`; each ROUND
+    * counts adjacent symbol pairs weighted by word frequency, then accepts
+    * a whole INDEPENDENT SET of merges at once: rank pairs by (count desc,
+    * pair text); a pair is accepted iff NO higher-ranked pair shares a
+    * symbol with it (then capped at the merges still needed, in rank
+    * order). Accepted pairs are therefore pairwise symbol-DISJOINT, so
+    * their rewrites touch disjoint symbol occurrences and one vocabulary
+    * rewrite per round applies them all; the chain runs in rank order,
+    * which is also the PINNED contract for the one corner where order
+    * could matter (a round's merged output spelling an existing symbol
+    * that a lower-ranked accepted pair consumes) — engine, oracle, and
+    * the spec's reference trainer all apply rank order. Output: one row
+    * per learned merge (rank, pair, merged, pair frequency at selection
+    * time), ranks in (round, in-round rank) order.
+    *
+    * Batched-vs-sequential semantics: strictly-sequential BPE re-ranks
+    * after EVERY merge, so a pair involving a just-created symbol can
+    * preempt lower-ranked original pairs; the batch rule commits to the
+    * round's snapshot ranking instead (and its independence test is
+    * deliberately conservative — dominance by any higher-RANKED pair, not
+    * just higher-ranked ACCEPTED pair — because that form is closed-form
+    * computable on both engines with no sequential scan). The trade is the
+    * scale one: O(rounds) driver synchronizations instead of O(vocab) —
+    * a 30k-merge production vocabulary trains in a handful of Spark jobs
+    * rather than 30k scheduling round-trips. The oracle replicates the
+    * batch rule round-for-round (unrolled pessimistically at one merge
+    * per round, the worst case).
     *
     * Shape: the corpus collapses to the vocabulary ONCE (the only
     * corpus-sized aggregation); every round then runs on the vocab
-    * table — pair explode + map-side-combined weighted counts, a 1-row
-    * argmax collect (driver holds one pair per round, the kmeans
-    * pattern), and a codegen'd `replace` rewrite, localCheckpointed so
-    * round plans stay flat. Left-to-right non-overlapping `replace` IS
-    * BPE's greedy application order, identically on both engines.
+    * table — pair explode + map-side-combined weighted counts, the
+    * independence anti-join on the symbol key (pair-table-proportional),
+    * a ≤ nMerges-row collect (driver holds one BATCH per round, the
+    * kmeans pattern), and a codegen'd chain of `replace` rewrites,
+    * localCheckpointed so round plans stay flat.
     */
-  def bpeMerges(documents: DataFrame, nMerges: Int = 5): DataFrame = {
+  def bpeMerges(documents: DataFrame, nMerges: Int = 5): DataFrame =
+    bpeMergesWithRounds(documents, nMerges)._1
+
+  /** [[bpeMerges]] plus the number of rounds the batched training took —
+    * the sub-linearity evidence ProfileScaling reports (nMerges merges in
+    * far fewer than nMerges rounds).
+    */
+  def bpeMergesWithRounds(documents: DataFrame, nMerges: Int): (DataFrame, Int) = {
     val spark = documents.sparkSession
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types.{IntegerType, LongType, StringType, StructField, StructType}
@@ -455,30 +483,50 @@ object TextAnalysis {
       .select($"freq", concat(regexp_replace($"w", "(.)", "$1 "), lit("</w>")).as("seq"))
       .localCheckpoint()
     val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
-    var r = 1
-    while (r <= nMerges) {
-      val top = seqs
+    var rounds = 0
+    var exhausted = false
+    while (merges.size < nMerges && !exhausted) {
+      rounds += 1
+      val remaining = nMerges - merges.size
+      val counts = seqs
         .select($"freq", split($"seq", " ").as("ss"))
         .select($"freq", explode(expr(
           "transform(sequence(1, size(ss) - 1), i -> concat(element_at(ss, i), ' ', element_at(ss, i + 1)))")).as("p"))
         .groupBy($"p").agg(sum($"freq").as("c"))
-        .orderBy($"c".desc, $"p").limit(1).collect()
-      if (top.isEmpty) { r = nMerges + 1 }
+        .localCheckpoint() // pair-table-sized; referenced 3x below
+      // a pair's (distinct) symbols; the independence test keys on them
+      val sym = counts.select($"p", $"c",
+        explode(array_distinct(split($"p", " "))).as("s"))
+      // dominated = shares a symbol with ANY strictly higher-ranked pair
+      val dominated = sym.as("x")
+        .join(sym.as("y"), col("x.s") === col("y.s") &&
+          (col("y.c") > col("x.c") ||
+            (col("y.c") === col("x.c") && col("y.p") < col("x.p"))))
+        .select(col("x.p").as("p")).distinct()
+      val accepted = counts.join(dominated, Seq("p"), "left_anti")
+        .orderBy($"c".desc, $"p")
+        .limit(remaining) // bounded collect: <= remaining <= nMerges rows
+        .collect()
+        .map(row => (row.getString(0), row.getLong(1)))
+      if (accepted.isEmpty) exhausted = true
       else {
-        val pair = top(0).getString(0); val cnt = top(0).getLong(1)
-        val merged = pair.replace(" ", "")
-        merges += ((r, pair, merged, cnt))
+        accepted.foreach { case (pair, cnt) =>
+          merges += ((merges.size + 1, pair, pair.replace(" ", ""), cnt))
+        }
         // literal replace Columns, not expr-string interpolation: a corpus
         // word containing a quote must not be able to break (or inject
-        // into) the rewrite expression
+        // into) the rewrite expression. Accepted pairs are symbol-disjoint,
+        // so the chained single-pass rewrites commute — applied in rank
+        // order for determinism anyway.
         seqs = seqs.select($"freq",
-          trim(replace(concat(lit(" "), $"seq", lit(" ")),
-            lit(s" $pair "), lit(s" $merged "))).as("seq"))
+          accepted.foldLeft($"seq": Column) { case (sq, (pair, _)) =>
+            trim(replace(concat(lit(" "), sq, lit(" ")),
+              lit(s" $pair "), lit(s" ${pair.replace(" ", "")} ")))
+          }.as("seq"))
           .localCheckpoint()
-        r += 1
       }
     }
-    spark.createDataFrame(
+    val out = spark.createDataFrame(
       spark.sparkContext.parallelize(merges.toSeq.map {
         case (rk, p, m, c) => Row(rk, p, m, c) }, 1),
       StructType(Seq(StructField("rank", IntegerType, nullable = false),
@@ -486,6 +534,7 @@ object TextAnalysis {
         StructField("merged", StringType, nullable = false),
         StructField("freq", LongType, nullable = false))))
       .orderBy($"rank")
+    (out, rounds)
   }
 
   /** Per-source quality-distribution drift vs the corpus baseline —

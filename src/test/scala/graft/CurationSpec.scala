@@ -432,6 +432,10 @@ class CurationSpec extends GraftSuite {
   test("bpeMerges equals a reference BPE trainer; greedy tie-break and rewrite pinned") {
     import spark.implicits._
     import graft.operators.TextAnalysis
+    // reference implementation of the BATCHED rule: per round, rank pairs
+    // by (count desc, text), accept the independent set (no higher-ranked
+    // pair shares a symbol) capped at the merges still needed, apply the
+    // batch in rank order, repeat
     def bruteBpe(texts: Seq[String], n: Int): Seq[(Int, String, String, Long)] = {
       val freq = texts.flatMap(_.split(" ", -1)).filter(_.nonEmpty)
         .groupBy(identity).view.mapValues(_.size.toLong).toMap
@@ -448,7 +452,8 @@ class CurationSpec extends GraftSuite {
         out.toList
       }
       val res = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
-      for (r <- 1 to n) {
+      var exhausted = false
+      while (res.size < n && !exhausted) {
         val counts = scala.collection.mutable.Map.empty[(String, String), Long]
           .withDefaultValue(0L)
         vocab.foreach { case (syms, f) =>
@@ -457,11 +462,18 @@ class CurationSpec extends GraftSuite {
             case _ =>
           }
         }
-        if (counts.nonEmpty) {
-          val ((a, b), c) = counts.minBy { case ((a, b), cc) => (-cc, s"$a $b") }
-          res += ((r, s"$a $b", a + b, c))
-          vocab = vocab.toSeq.map { case (syms, f) => (mergeSyms(syms, a, b), f) }
-            .groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+        if (counts.isEmpty) exhausted = true
+        else {
+          val ranked = counts.toSeq.sortBy { case ((a, b), cc) => (-cc, s"$a $b") }
+          val accepted = ranked.zipWithIndex.filter { case (((a, b), _), i) =>
+            !ranked.take(i).exists { case ((x, y), _) =>
+              Set(x, y).intersect(Set(a, b)).nonEmpty }
+          }.map(_._1).take(n - res.size)
+          accepted.foreach { case ((a, b), c) =>
+            res += ((res.size + 1, s"$a $b", a + b, c))
+            vocab = vocab.toSeq.map { case (syms, f) => (mergeSyms(syms, a, b), f) }
+              .groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+          }
         }
       }
       res.toSeq

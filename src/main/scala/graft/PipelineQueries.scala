@@ -623,13 +623,18 @@ object PipelineQueries {
     s"""(list_sum(list_transform(list_zip($a, $b), p -> p[1] * p[2])) /
        | (sqrt(list_sum(list_transform($a, x -> x * x))) * sqrt(list_sum(list_transform($b, x -> x * x)))))""".stripMargin
 
+  /** Hyperplane projection for plane p — the shared multiplicative-mix
+    * coef stream (matches Similarity.coef: decorrelated planes; see its
+    * scaladoc for the measured additive-family failure).
+    */
+  private def planeProjSql(plane: Int): String =
+    s"""list_sum(list_transform(generate_series(1, len(v)),
+       |   i -> v[i] * ((((i + 17) * ${(plane + 1).toLong * 104729L} + ${plane.toLong * 7919L}) % 2001 - 1000) / 1000.0)))""".stripMargin
+
   /** LSH hyperplane bucket — matches Similarity.lshBucket's coef formula. */
   private val BucketSql: String =
     (0 until Similarity.NumPlanes).map { j =>
-      val proj =
-        s"""list_sum(list_transform(generate_series(1, len(v)),
-           |   i -> v[i] * ((($j * 7919 + i * 104729) % 2001 - 1000) / 1000.0)))""".stripMargin
-      s"CASE WHEN round($proj, 6) > 0 THEN ${1L << j} ELSE 0 END"
+      s"CASE WHEN round(${planeProjSql(j)}, 6) > 0 THEN ${1L << j} ELSE 0 END"
     }.mkString("(", " + ", ")")
 
   /** Near-dup table-`t` bucket — matches Similarity.neardupBucket: bit b of
@@ -638,10 +643,7 @@ object PipelineQueries {
   private def neardupBucketSql(t: Int): String =
     (0 until Similarity.NeardupBits).map { b =>
       val plane = t * Similarity.NeardupBits + b
-      val proj =
-        s"""list_sum(list_transform(generate_series(1, len(v)),
-           |   i -> v[i] * ((($plane * 7919 + i * 104729) % 2001 - 1000) / 1000.0)))""".stripMargin
-      s"CASE WHEN round($proj, 6) > 0 THEN ${1L << b} ELSE 0 END"
+      s"CASE WHEN round(${planeProjSql(plane)}, 6) > 0 THEN ${1L << b} ELSE 0 END"
     }.mkString("(", " + ", ")")
 
   private val CosineTopkSql: String =

@@ -554,12 +554,15 @@ object SimHashSignature {
   * arithmetic).
   *
   * Bit-compatible with `Similarity.neardupBucket`/`lshBucket`: plane
-  * j = t*bits+b of the shared coef stream, coef(j, i) =
-  * ((j*7919 + i*104729) % 2001 - 1000)/1000 with 1-based dimension i,
-  * sequential left-to-right accumulation, and the same HALF_UP 6-decimal
-  * rounding before the sign test (the cross-engine wobble guard), so
-  * DuckDB oracles built on the compositional formula replicate these
-  * buckets exactly.
+  * p = t*bits+b of the shared multiplicative-mix coef stream, coef(p, i) =
+  * (((i+17)·(p+1)·104729 + p·7919) % 2001 - 1000)/1000 with 1-based
+  * dimension i (the (p+1)(i+17) mixing DECORRELATES planes — the earlier
+  * additive family made every plane a shifted copy of one sequence, which
+  * skewed bucket occupancy and collapsed OR-amplified recall; measured in
+  * Similarity.coef's scaladoc), sequential left-to-right accumulation, and
+  * the same HALF_UP 6-decimal rounding before the sign test (the
+  * cross-engine wobble guard), so DuckDB oracles built on the
+  * compositional formula replicate these buckets exactly.
   */
 case class HyperplaneBuckets(child: Expression, tables: Int, bits: Int)
     extends UnaryExpression with Serializable {
@@ -612,7 +615,7 @@ object HyperplaneBuckets {
         var proj = 0.0
         var j = 1
         while (j <= dim) {
-          val c = ((plane * 7919L + j * 104729L) % 2001L - 1000L) / 1000.0
+          val c = (((j + 17L) * ((plane + 1L) * 104729L) + plane * 7919L) % 2001L - 1000L) / 1000.0
           proj += v.getDouble(j - 1) * c
           j += 1
         }

@@ -190,17 +190,12 @@ object Similarity {
     */
   val ProjDims = 32
 
-  /** Projection coefficient for (plane j, dim i): like `coef` but with
-    * MULTIPLICATIVE index mixing — the additive family's planes are
-    * linearly correlated across j (fine for sign buckets, which only need
-    * bit diversity; measured ~2.5x worse mean cosine distortion when used
-    * as a projection), while (j+1)(i+17) decorrelates planes to the JL
-    * rate. Engine-independent integer arithmetic, like everything else in
-    * the hash family.
+  /** Projection coefficient for (plane j, dim i) — the shared
+    * multiplicative-mix hyperplane family (see `coef`, identical formula):
+    * (j+1)(i+17) index mixing decorrelates planes. Engine-independent
+    * integer arithmetic, like everything else in the hash family.
     */
-  private def projCoef(j: Int, i: Column): Column =
-    ((((i + 17) * lit((j + 1).toLong * 104729L) + lit(j * 7919L)) % 2001L - 1000L)
-      .cast("double") / 1000.0)
+  private def projCoef(j: Int, i: Column): Column = coef(j, i)
 
   /** Random-projection distortion report: project embeddings to
     * `ProjDims` dimensions with the deterministic LCG hyperplane family
@@ -288,11 +283,25 @@ object Similarity {
 
   val NumPlanes = 8
 
-  /** Deterministic pseudo-random hyperplane coefficient for (plane j, dim i):
-    * integer LCG-style formula mapped to [-1, 1]. Engine-independent.
+  /** Deterministic pseudo-random hyperplane coefficient for (plane j,
+    * dim i): integer formula mapped to [-1, 1] with MULTIPLICATIVE
+    * (j+1)(i+17) index mixing. Engine-independent.
+    *
+    * The mixing matters: the earlier additive family (j·7919 + i·104729)
+    * made every plane a SHIFTED COPY of one base sequence, so planes were
+    * linearly correlated across j — sign-bucket occupancy skewed far off
+    * uniform and OR-amplification ran over effectively-correlated tables.
+    * Measured on the ProfileScaling x1 embedding corpus (+100 planted
+    * pairs at cos≈0.92): additive 8x6 = 1.05M candidates / 94% planted
+    * recall, additive 24x12 = 309k / 69%; multiplicative 8x6 = 312k /
+    * 100%, multiplicative 24x12 = 18k / 100% — i.e. the decorrelated
+    * family restores both the ~tables·2^-bits candidate-rate math (17x
+    * reduction at the production dial, vs 3.4x with correlated planes)
+    * AND the OR-amplified recall the banding design predicts.
     */
   private def coef(j: Int, i: Column): Column =
-    (((lit(j) * 7919 + i * 104729) % 2001) - 1000).cast("double") / 1000.0
+    ((((i + 17) * lit((j + 1).toLong * 104729L) + lit(j.toLong * 7919L)) % 2001L - 1000L)
+      .cast("double") / 1000.0)
 
   /** b-bit sign bucket of a vector under the fixed hyperplanes.
     * bucket = sum over j of 2^j * (proj_j > 0).
@@ -771,10 +780,17 @@ object Similarity {
     *     32x16 = 0.05%.
     *   - recall at cos 0.9 (p = 0.856): 8x6 = 98%, 24x12 = 98%,
     *     32x16 = 94%.
+    * MEASURED (ProfileScaling lsh-dial, x1 corpus + 100 planted pairs at
+    * cos ~0.92, the decorrelated coef family): 8x6 = 312k candidates /
+    * 100 of 100 planted recovered; 24x12 = 18k / 100 of 100 — a 17x
+    * candidate cut at equal recall, confirming the independent-plane
+    * math. (The same experiment run against the earlier ADDITIVE coef
+    * family measured only a 3.4x cut and 69% recall at 24x12 — which is
+    * what forced the family change; see `coef`.)
     * The 8x6 default matches the loose fixture threshold (0.45) the
     * registered query needs for a non-vacuous oracle; a 100 TB run at the
     * 0.9 production threshold should use 24x12 or tighter — same recall,
-    * ~20x fewer candidate pairs, and candidate volume is the term that
+    * ~17-20x fewer candidate pairs, and candidate volume is the term that
     * scales quadratically if left unchecked.
     */
   def embeddingNearDup(embeddings: DataFrame, threshold: Double = 0.9,

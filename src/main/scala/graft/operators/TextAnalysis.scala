@@ -490,6 +490,12 @@ object TextAnalysis {
       val remaining = nMerges - merges.size
       val counts = seqs
         .select($"freq", split($"seq", " ").as("ss"))
+        // fully-merged single-symbol words contribute no pairs — and MUST
+        // be filtered before the transform: Spark's sequence(1, 0) is the
+        // DESCENDING [1, 0], so element_at(ss, 2) on a 1-symbol word is an
+        // ANSI index error (latent until a 64-merge training run collapsed
+        // a word; caught by the ProfileScaling bpe64 point)
+        .filter(size($"ss") >= 2)
         .select($"freq", explode(expr(
           "transform(sequence(1, size(ss) - 1), i -> concat(element_at(ss, i), ' ', element_at(ss, i + 1)))")).as("p"))
         .groupBy($"p").agg(sum($"freq").as("c"))

@@ -191,6 +191,138 @@ object ProfileScaling {
       }
       println(f"[scaling] fuzzy-match x$s%-2d ${rep.count()}%8d $nPairs%5d $t%8.2f")
     }
+    // ---- round 5: embedding family (q48 pair pipeline, q95 ingest probe,
+    // q100 SemDeDup) on x1/x3/x10 VECTOR replicas. Replica r applies a
+    // signed cyclic permutation (an orthogonal transform keyed by r) to
+    // every vector: within-replica cosines are preserved exactly, so each
+    // replica carries the original's near-dup structure, while
+    // cross-replica similarities stay at the random background — the
+    // vector analog of the pseudo-word map above.
+    val embBase = Tables.embeddings(spark, sfDir).select($"vec_id", $"embedding")
+    val dim = embBase.select(size($"embedding")).first().getInt(0)
+    def vecReplica(r: Int): DataFrame =
+      if (r == 0) embBase
+      else {
+        val shift = (r * 7) % dim
+        embBase.select(
+          ($"vec_id" + lit(r * 10000000L)).as("vec_id"),
+          array((0 until dim).map { i =>
+            val sign = if (((i + 1) * 104729 + r * 7919) % 2 == 0) 1.0f else -1.0f
+            element_at($"embedding", ((i + shift) % dim) + 1) * lit(sign)
+          }: _*).as("embedding"))
+      }
+    scales.foreach { s =>
+      val dir = s"$outRoot/emb_x$s"
+      if (!new java.io.File(s"$dir/_SUCCESS").exists()) {
+        (0 until s).map(vecReplica).reduce(_ union _)
+          .repartition(32).write.mode("overwrite").parquet(dir)
+      }
+    }
+    import graft.operators.Similarity
+
+    // candidate volume (Σ k·(k−1)/2 over buckets, all tables) at a dial —
+    // the quantity the (tables, bits) dial exists to control
+    def candCount(embs: DataFrame, tables: Int, bits: Int): Long =
+      Similarity.hyperplaneBucketRows(embs, tables, bits)
+        .groupBy($"t", $"bk").agg(count(lit(1)).as("k")).filter($"k" > 1)
+        .agg(coalesce(sum(expr("k * (k - 1) div 2")), lit(0L)).cast("long"))
+        .collect()(0).getLong(0)
+
+    println("[scaling] embeddings: scale nvecs cand8x6 cand24x12 pairs t_pairs_s t_ingest_s")
+    scales.foreach { s =>
+      val embs = spark.read.parquet(s"$outRoot/emb_x$s")
+      val n = embs.count()
+      Similarity.clearEmbeddingIndexCaches()
+      System.gc()
+      val c86 = candCount(embs, 8, 6)
+      val c2412 = candCount(embs, 24, 12)
+      // the pair pipeline runs at the dial that HOLDS at the scale: the
+      // 8x6 fixture dial's candidate volume grows ~quadratically at a
+      // fixed bucket count (measured in the cand8x6 column — the reason
+      // the production dial exists), so x3/x10 verify at 24x12
+      val (tables, bits) = if (s == 1) (8, 6) else (24, 12)
+      val (nPairs, tPairs) = time {
+        Similarity.embeddingNearDup(embs, 0.45, tables, bits).count()
+      }
+      // ingest probe with the index already built (the q95 shape): only
+      // the 200-vector batch is bucketed from scratch — per-ingest work
+      // should stay ~flat as the corpus grows
+      val (nInc, tInc) = time {
+        Similarity.incrementalEmbeddingNearDup(embs, 200L, 0.45, tables, bits).count()
+      }
+      println(f"[scaling] embeddings x$s%-2d $n%6d $c86%9d $c2412%7d $nPairs%5d ($tables%2dx$bits%-2d) $tPairs%8.2f $tInc%8.2f inc=$nInc")
+    }
+
+    // q100 SemDeDup: k grows with the corpus (k = 16·s) so cells hold
+    // n/k ~constant and the within-cell pair work stays ~linear — the
+    // operator's own scaladoc contract, measured
+    println("[scaling] semdedup: scale nvecs k dropped t_s")
+    scales.foreach { s =>
+      val embs = spark.read.parquet(s"$outRoot/emb_x$s")
+      System.gc()
+      val (nDropped, t) = time {
+        Similarity.semanticDedup(embs, k = 16 * s, tau = 0.45)
+          .agg(coalesce(sum($"n_dropped"), lit(0L))).collect()(0).getLong(0)
+      }
+      println(f"[scaling] semdedup x$s%-2d ${embs.count()}%6d ${16 * s}%3d $nDropped%6d $t%8.2f")
+    }
+
+    // ---- round 5: the PRODUCTION LSH dial measured (24x12 @ tau=0.9 vs
+    // the 8x6 fixture dial). 100 planted near-dup pairs at cos ~0.92
+    // (v' = 0.92·v + 0.39·(signed half-rotation of v), so |u| = |v| and
+    // the planted cosine is ~0.92 regardless of the fixture's vector
+    // norms); the scaladoc claims ~equal recall at ~20x fewer candidates
+    // — both numbers measured here. 8x6 recall runs at x1 only: its x10
+    // candidate volume is the quadratic blowup the dial exists to avoid.
+    def planted(embs: DataFrame): DataFrame = {
+      val half = dim / 2
+      embs.filter($"vec_id" < 100).select(
+        ($"vec_id" + 90000000L).as("vec_id"),
+        array((0 until dim).map { j =>
+          val sign = if ((j * 7919 + 3) % 2 == 0) 1.0f else -1.0f
+          (element_at($"embedding", j + 1) * 0.92f +
+            element_at($"embedding", ((j + half) % dim) + 1) * (0.39f * sign))
+        }: _*).as("embedding"))
+    }
+    println("[scaling] lsh-dial: corpus dial candidates found/truth t_s")
+    Seq((1, 8, 6), (1, 24, 12), (10, 24, 12)).foreach { case (s, tables, bits) =>
+      val embs = spark.read.parquet(s"$outRoot/emb_x$s")
+      val withPlanted = embs.unionByName(planted(embs)).localCheckpoint()
+      Similarity.clearEmbeddingIndexCaches()
+      System.gc()
+      // exact truth over the 100 planted (i, i+9e7) pairs only
+      val truth = withPlanted.filter($"vec_id" < 100).as("a")
+        .join(withPlanted.filter($"vec_id" >= 90000000L).as("b"),
+          col("b.vec_id") === col("a.vec_id") + 90000000L)
+        .select(col("a.vec_id").as("id1"), col("b.vec_id").as("id2"),
+          round(graft.functions.VectorFunctions.cosine_sim(
+            transform(col("a.embedding"), _.cast("double")),
+            transform(col("b.embedding"), _.cast("double"))), 6).as("cos"))
+        .filter($"cos" >= 0.9)
+        .select($"id1", $"id2")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val cands = candCount(withPlanted, tables, bits)
+      val (found, t) = time {
+        Similarity.embeddingNearDup(withPlanted, 0.9, tables, bits)
+          .select($"id1", $"id2")
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      }
+      val hit = (found.intersect(truth)).size
+      println(f"[scaling] lsh-dial x$s%-2d ${tables}x$bits%-2d $cands%9d $hit%3d/${truth.size}%-3d $t%8.2f")
+    }
+
+    // ---- round 5: batched BPE round count at a production-ish merge
+    // budget — nMerges=64 should train in FAR fewer than 64 rounds
+    // (the O(rounds)-not-O(vocab) driver-synchronization claim)
+    Seq(1, 3).foreach { s =>
+      val docs = spark.read.parquet(s"$outRoot/x$s")
+      System.gc()
+      val ((merges, rounds), t) = time {
+        val (df, r) = graft.operators.TextAnalysis.bpeMergesWithRounds(docs, 64)
+        (df.count(), r)
+      }
+      println(f"[scaling] bpe64 x$s%-2d merges=$merges%3d rounds=$rounds%2d $t%8.2f s")
+    }
     spark.stop()
   }
 }

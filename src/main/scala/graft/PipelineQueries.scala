@@ -339,12 +339,20 @@ object PipelineQueries {
             (floor(col("l_extendedprice") / 100) * 100).as("pb")),
           "l_returnflag", "pb", q)
           .withColumnRenamed("cut", name)
-      li.groupBy(col("l_returnflag"))
+      // exact-distinct and sketch halves aggregate SEPARATELY and join on
+      // the 3-row group frame: mixing count(DISTINCT) with the
+      // TypedImperative sketch aggregates in one agg forces an Expand +
+      // object-agg fallback measured at 11.4 s vs 1.5+1.3 s split
+      val exact = li.groupBy(col("l_returnflag"))
         .agg(
           count(lit(1)).as("n_rows"),
-          countDistinct(col("l_partkey")).as("exact_parts"),
+          countDistinct(col("l_partkey")).as("exact_parts"))
+      val sketch = li.groupBy(col("l_returnflag"))
+        .agg(
           approx_count_distinct(col("l_partkey")).as("hll_parts"),
           expr("approx_percentile(l_extendedprice, 0.5)").as("ap50"))
+      exact
+        .join(sketch, Seq("l_returnflag"))
         .join(cut(0.45, "p45"), Seq("l_returnflag"))
         .join(cut(0.55, "p55"), Seq("l_returnflag"))
         .select(col("l_returnflag"), col("n_rows"), col("exact_parts"),

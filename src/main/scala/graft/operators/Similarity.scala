@@ -573,6 +573,14 @@ object Similarity {
     * (the posexplode-by-dimension alternative). The driver holds only the
     * k×dim centroid table between rounds — exactly what it must broadcast
     * anyway. Output: per-cluster size and mean member cosine (cohesion).
+    *
+    * Known codegen ceiling (measured, ProfileScaling semdedup x3/x10):
+    * the broadcast-literal argmin stops whole-stage-codegenning around
+    * k·dim ≈ 10^4 (Janino's 64 KB method limit — k=160 at dim=64 falls
+    * back to interpreted evaluation: correct, logged, slower). A run
+    * needing k beyond that should assign via a broadcast centroid-TABLE
+    * join + `min(struct(negcos, cid))` aggregate instead — same
+    * semantics, k×n intermediate rows but map-side-combined.
     */
   /** k-means|| seeding (Bahmani et al., VLDB 2012) — the init that holds
     * at 100 TB, where the md5 coreset's uniform draw can miss small far

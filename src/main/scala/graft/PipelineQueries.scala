@@ -362,6 +362,23 @@ object PipelineQueries {
             .as("p50_in_envelope"))
         .orderBy(col("l_returnflag"))
     }),
+    // corpus-frequency boilerplate on fixed-width pseudo-lines: per-source
+    // template-segment counts + token mass surviving removal (the CCNet
+    // line-dedup first pass; no pairing step)
+    "q142_boilerplate" -> ((s, d) =>
+      Curation.boilerplateSegments(Tables.documents(s, d))),
+    // discriminative quality classifier: hashed bag-of-words logistic
+    // regression, 4 full-batch micro-unit GD rounds (the q98 complement)
+    "q143_classifier_weights" -> ((s, d) =>
+      Curation.qualityClassifierWeights(Tables.documents(s, d))),
+    // q143's weights applied at the z>=0 decision rule: confusion matrix
+    // with per-label fractions (recall / specificity), integer-exact
+    "q144_classifier_eval" -> ((s, d) =>
+      Curation.qualityClassifierEval(Tables.documents(s, d))),
+    // GPT-3-style acceptance sampling: keep each doc with probability =
+    // its classifier score (md5-uniform coin, exact integer comparison)
+    "q145_classifier_sample" -> ((s, d) =>
+      Curation.classifierSample(Tables.documents(s, d))),
   )
 
   // ---- shared SQL fragments -------------------------------------------
@@ -403,6 +420,55 @@ object PipelineQueries {
   private def posCaseSql(hExpr: String, jCol: String, d: Int, m: Int): String =
     (0 until d - 1).map(j => s"WHEN $j THEN ${posSql(hExpr, j, m)}")
       .mkString(s"CASE $jCol ", " ", s" ELSE ${posSql(hExpr, d - 1, m)} END")
+
+  /** Unrolled trainer for the q143/q144 logistic-regression oracle —
+    * `Curation.trainQualityWeights` replayed round-for-round: integer
+    * micro-unit weights, exact integer margin and gradient sums, sigmoid
+    * quantized to micro-units (the one transcendental), floor() weight
+    * steps (never a .5-boundary round), lr = 0.5 (a power of two, so the
+    * scaling multiply is IEEE-exact). WITH-chain ends in `w4(b, wm)`; the
+    * per-round CTEs are MATERIALIZED — DuckDB's default CTE inlining
+    * re-expands an iterative chain exponentially.
+    */
+  private lazy val ClassifierTrainCtes: String = {
+    val b = posSql("h", 0, 64)
+    def rnd(i: Int) =
+      s"""z$i AS (
+         |  SELECT doc_id, CAST(sum(c * wm) AS BIGINT) AS zm
+         |  FROM fx JOIN w${i - 1} USING (b) GROUP BY doc_id
+         |),
+         |p$i AS (
+         |  SELECT doc_id,
+         |    CAST(round(1e6 / (1.0 + exp(-(zm / 1e6)))) AS BIGINT) AS pm
+         |  FROM z$i
+         |),
+         |g$i AS (
+         |  SELECT b, CAST(sum((pm - y * 1000000) * c) AS BIGINT) AS gm
+         |  FROM fx JOIN p$i USING (doc_id) JOIN yd USING (doc_id) GROUP BY b
+         |),
+         |w$i AS MATERIALIZED (
+         |  SELECT b, wm - CAST(floor(0.5 * gm / nd) AS BIGINT) AS wm
+         |  FROM w${i - 1} JOIN g$i USING (b) CROSS JOIN n
+         |)""".stripMargin
+    s"""WITH yd AS (
+       |  SELECT doc_id, CASE WHEN lang = 'en' THEN CAST(1 AS BIGINT)
+       |    ELSE CAST(0 AS BIGINT) END AS y FROM documents
+       |),
+       |n AS (SELECT count(*) AS nd FROM documents),
+       |fx AS MATERIALIZED (
+       |  SELECT doc_id, b, count(*) AS c FROM (
+       |    SELECT doc_id, $b AS b FROM (
+       |      SELECT doc_id, md5(tok) AS h FROM (
+       |        SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+       |      )
+       |    )
+       |  ) GROUP BY doc_id, b
+       |  UNION ALL
+       |  SELECT doc_id, CAST(-1 AS BIGINT), CAST(1 AS BIGINT) FROM documents
+       |),
+       |w0 AS (SELECT DISTINCT b, CAST(0 AS BIGINT) AS wm FROM fx),
+       |${(1 to 4).map(rnd).mkString(",\n")}""".stripMargin
+  }
 
   /** Deterministic 2-round Lloyd k-means oracle: md5-coreset init, argmin
     * assignment on (rounded -cos, cid), per-dimension rounded-mean centroid
@@ -2794,5 +2860,75 @@ object PipelineQueries {
         | p1.max_v AS max_v1, p2.max_v AS max_v2
         |FROM p1 JOIN p2 ON p1.column_name = p2.column_name
         |ORDER BY column_name""".stripMargin,
+    "q142_boilerplate" ->
+      // fixed-width (8-word) non-overlapping pseudo-line segments; a
+      // segment md5 in >= 3 distinct docs is template boilerplate; report
+      // per source the segment counts and the token mass kept
+      """WITH s AS (
+        |  SELECT doc_id, source,
+        |    md5(array_to_string(ws[(i*8+1):(i*8+8)], ' ')) AS h,
+        |    CAST(len(ws[(i*8+1):(i*8+8)]) AS BIGINT) AS ntok
+        |  FROM (SELECT doc_id, source, string_split(text, ' ') AS ws FROM documents),
+        |    LATERAL (SELECT unnest(range(0, (len(ws)-1)//8 + 1)) AS i)
+        |),
+        |d AS (SELECT h, count(DISTINCT doc_id) AS docfreq FROM s GROUP BY h),
+        |j AS (
+        |  SELECT s.source, s.doc_id, s.ntok,
+        |    CASE WHEN d.docfreq >= 3 THEN 1 ELSE 0 END AS bp
+        |  FROM s JOIN d USING (h)
+        |)
+        |SELECT source, count(DISTINCT doc_id) AS n_docs, count(*) AS n_segments,
+        | CAST(sum(bp) AS BIGINT) AS n_bp_segments,
+        | round(sum(bp) * 1.0 / count(*), 6) AS bp_seg_frac,
+        | CAST(sum(ntok) AS BIGINT) AS toks_total,
+        | CAST(sum(CASE WHEN bp = 0 THEN ntok ELSE 0 END) AS BIGINT) AS toks_kept
+        |FROM j GROUP BY source ORDER BY source""".stripMargin,
+    "q143_classifier_weights" ->
+      s"""$ClassifierTrainCtes
+         |SELECT b, wm AS w_micro, round(wm / 1e6, 6) AS weight
+         |FROM w4 ORDER BY b""".stripMargin,
+    "q144_classifier_eval" ->
+      s"""$ClassifierTrainCtes,
+         |sc AS (
+         |  SELECT doc_id, CAST(sum(c * wm) AS BIGINT) AS zm
+         |  FROM fx JOIN w4 USING (b) GROUP BY doc_id
+         |),
+         |cm AS (
+         |  SELECT y, CASE WHEN zm >= 0 THEN CAST(1 AS BIGINT)
+         |      ELSE CAST(0 AS BIGINT) END AS pred,
+         |    count(*) AS n_docs
+         |  FROM sc JOIN yd USING (doc_id) GROUP BY 1, 2
+         |)
+         |SELECT y, pred, n_docs,
+         | round(n_docs * 1.0 / sum(n_docs) OVER (PARTITION BY y), 6) AS frac_of_label
+         |FROM cm ORDER BY y, pred""".stripMargin,
+    "q145_classifier_sample" -> {
+      // u = first 5 md5 hex digits of doc_id as an integer, mod 1e6 (the
+      // strpos arithmetic of posSql, widened to 5 digits); accept iff
+      // u < pm — integer-exact in both engines
+      def hv(idx: Int) =
+        s"(strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), $idx, 1)) - 1)"
+      val u5 = s"(((((${hv(1)} * 16 + ${hv(2)}) * 16 + ${hv(3)}) * 16 + ${hv(4)}) * 16 + ${hv(5)}) % 1000000)"
+      s"""$ClassifierTrainCtes,
+         |sc AS (
+         |  SELECT doc_id, CAST(sum(c * wm) AS BIGINT) AS zm
+         |  FROM fx JOIN w4 USING (b) GROUP BY doc_id
+         |),
+         |pmv AS (
+         |  SELECT doc_id,
+         |    CAST(round(1e6 / (1.0 + exp(-(zm / 1e6)))) AS BIGINT) AS pm
+         |  FROM sc
+         |),
+         |acc AS (
+         |  SELECT d.source, p.pm,
+         |    CASE WHEN $u5 < p.pm THEN 1 ELSE 0 END AS a
+         |  FROM pmv p JOIN documents d USING (doc_id)
+         |)
+         |SELECT source, count(*) AS n_docs,
+         | CAST(sum(a) AS BIGINT) AS n_accepted,
+         | round(sum(a) * 1.0 / count(*), 6) AS accept_rate,
+         | CAST(sum(CASE WHEN a = 1 THEN pm ELSE 0 END) AS BIGINT) AS pm_mass
+         |FROM acc GROUP BY source ORDER BY source""".stripMargin
+    },
   )
 }

@@ -717,4 +717,202 @@ object Curation {
         $"a.max_v".as("max_v1"), $"b.max_v".as("max_v2"))
       .orderBy($"column_name")
   }
+
+  /** CCNet/C4-style boilerplate-line removal accounting, on fixed-width
+    * pseudo-lines: every document is partitioned into NON-OVERLAPPING
+    * `width`-word segments (the corpus has no newlines, so fixed-width
+    * windows stand in for lines — same role as CCNet's per-line hash);
+    * a segment whose md5 appears in >= `minDocs` DISTINCT documents is
+    * template boilerplate (navigation chrome, license headers, scraped
+    * footers), and the report prices, per source, how much of its token
+    * mass survives removal. Complements the pair-based span family:
+    * q97/q99 find spans duplicated WITHIN near-dup pairs; this flags
+    * segments frequent ACROSS the corpus with no pairing step at all —
+    * the cheap first pass a crawl pipeline runs before any LSH.
+    *
+    * Scale shape: one explode to (doc, segment-hash, token-count) —
+    * token-proportional, the hash computed inside the projection — then a
+    * distinct-doc-frequency aggregate on the hash and an equi-join of the
+    * segment stream back to the frequent-hash table (hash-partitioned
+    * both sides; NOT broadcast — at crawl scale the template set is
+    * large). Nothing is ever pairwise; the whole job is two shuffles of
+    * segment-proportional data.
+    */
+  def boilerplateSegments(documents: DataFrame, width: Int = 8,
+      minDocs: Int = 3): DataFrame = {
+    val segs = documents
+      .select($"doc_id", $"source", split($"text", " ").as("ws"))
+      .select($"doc_id", $"source",
+        explode(transform(
+          sequence(lit(0), floor((size($"ws") - 1) / width).cast("int")),
+          i => struct(
+            md5(concat_ws(" ", slice($"ws", i * width + 1, lit(width)))).as("h"),
+            size(slice($"ws", i * width + 1, lit(width))).cast("long").as("ntok"))))
+          .as("s"))
+      .select($"doc_id", $"source", $"s.h".as("h"), $"s.ntok".as("ntok"))
+    val df = segs.groupBy($"h")
+      .agg(countDistinct($"doc_id").as("docfreq"))
+      .filter($"docfreq" >= minDocs)
+      .select($"h", lit(1L).as("bp"))
+    segs.join(df, Seq("h"), "left")
+      .groupBy($"source")
+      .agg(
+        countDistinct($"doc_id").as("n_docs"),
+        count(lit(1)).as("n_segments"),
+        sum(when($"bp" === 1L, 1L).otherwise(0L)).as("n_bp_segments"),
+        sum($"ntok").as("toks_total"),
+        sum(when($"bp".isNull, $"ntok").otherwise(0L)).as("toks_kept"))
+      .select($"source", $"n_docs", $"n_segments", $"n_bp_segments",
+        round($"n_bp_segments" / $"n_segments", 6).as("bp_seg_frac"),
+        $"toks_total", $"toks_kept")
+      .orderBy($"source")
+  }
+
+  /** Shared trainer for the discriminative quality classifier (q143/q144):
+    * full-batch logistic regression on HASHED bag-of-words features — the
+    * GPT-3/LLaMA-style "does this look like the reference corpus?" filter,
+    * the discriminative complement of q98's generative DSIR ratio. Label:
+    * `lang == targetLang`. Features: token counts hashed into `buckets`
+    * md5-slice bins (q72's engine-independent hash family) plus a bias
+    * feature at bucket -1. `rounds` gradient-descent steps at `lr` (a
+    * POWER OF TWO, so the scaling multiply is exact in IEEE doubles).
+    *
+    * Determinism (the oracle replays training round-for-round): weights
+    * live in integer MICRO-UNITS, so the per-doc margin z and the
+    * per-bucket gradient are exact integer sums (order-free under any
+    * partitioning); sigmoid is the one transcendental and is quantized to
+    * micro-units immediately (round >= 0, so HALF_UP == DuckDB's
+    * half-away-from-zero); the weight step uses floor() (identical in
+    * both engines), never a .5-boundary round.
+    *
+    * Scale shape: each round is two map-side-combined aggregations over
+    * the cached feature frame — doc-dimension (margin) then
+    * feature-dimension (gradient) — and the driver holds only the
+    * (buckets+1)-row weight vector between rounds: exactly what it must
+    * broadcast anyway (the Lloyd/k-means pattern). Rounds are O(rounds)
+    * driver synchronizations, independent of corpus size.
+    */
+  private[graft] def trainQualityWeights(documents: DataFrame,
+      targetLang: String, buckets: Int, rounds: Int,
+      lr: Double): (DataFrame, Seq[(Long, Long)]) = {
+    val spark = documents.sparkSession
+    val fx = documents
+      .select($"doc_id", explode(split($"text", " ")).as("tok"))
+      .select($"doc_id", Scale.md5SlicePos($"tok", 0, buckets).as("b"))
+      .groupBy($"doc_id", $"b").agg(count(lit(1)).as("c"))
+      .unionAll(documents.select($"doc_id", lit(-1L).as("b"), lit(1L).as("c")))
+      .persist()
+    val labels = documents.select($"doc_id",
+      when($"lang" === targetLang, 1L).otherwise(0L).as("y"))
+    val nDocs = documents.count()
+    // init: zero weight for every OBSERVED bucket (the oracle's
+    // `SELECT DISTINCT b, 0 FROM fx` — at most buckets+1 rows)
+    var w: Map[Long, Long] =
+      fx.select($"b").distinct().collect().map(_.getLong(0) -> 0L).toMap
+    for (_ <- 1 to rounds) {
+      val wDf = spark.createDataFrame(w.toSeq).toDF("b", "wm")
+      val p = fx.join(broadcast(wDf), Seq("b"))
+        .groupBy($"doc_id").agg(sum($"c" * $"wm").as("zm"))
+        .select($"doc_id",
+          round(lit(1e6) / (lit(1.0) + exp(-($"zm" / lit(1e6)))), 0)
+            .cast("long").as("pm"))
+      val g = fx.join(p, Seq("doc_id")).join(labels, Seq("doc_id"))
+        .groupBy($"b")
+        .agg(sum(($"pm" - $"y" * lit(1000000L)) * $"c").as("gm"))
+        .collect()
+      w = w ++ g.map { r =>
+        val (b, gm) = (r.getLong(0), r.getLong(1))
+        b -> (w(b) - math.floor(lr * gm / nDocs).toLong)
+      }
+    }
+    (fx, w.toSeq.sortBy(_._1))
+  }
+
+  /** Trained classifier weights (q143): the (buckets+1)-row weight table
+    * after `rounds` full-batch steps — see [[trainQualityWeights]] for the
+    * training contract and scale shape. Output: hash bucket (-1 = bias),
+    * the integer micro-unit weight, and its double rendering.
+    */
+  def qualityClassifierWeights(documents: DataFrame,
+      targetLang: String = "en", buckets: Int = 64, rounds: Int = 4,
+      lr: Double = 0.5): DataFrame = {
+    val spark = documents.sparkSession
+    val (fx, w) = trainQualityWeights(documents, targetLang, buckets, rounds, lr)
+    fx.unpersist()
+    spark.createDataFrame(w).toDF("b", "w_micro")
+      .select($"b", $"w_micro", round($"w_micro" / 1e6, 6).as("weight"))
+      .orderBy($"b")
+  }
+
+  /** Classifier evaluation (q144): score every document with the q143
+    * weights and cross-tabulate prediction vs label. The decision rule is
+    * `z >= 0` (sigmoid(z) >= 0.5 iff z >= 0), so scoring needs NO
+    * transcendental at all — the confusion matrix is exact integer
+    * arithmetic end-to-end. `frac_of_label` rows give recall (y=1,pred=1)
+    * and specificity (y=0,pred=0) directly.
+    *
+    * Scale shape: one broadcast of the weight vector onto the cached
+    * feature frame, one doc-dimension aggregate, one 4-row cross-tab —
+    * scoring is a single corpus-linear pass, the same plan a 100 TB
+    * inference sweep would run.
+    */
+  def qualityClassifierEval(documents: DataFrame, targetLang: String = "en",
+      buckets: Int = 64, rounds: Int = 4, lr: Double = 0.5): DataFrame = {
+    val spark = documents.sparkSession
+    val (fx, w) = trainQualityWeights(documents, targetLang, buckets, rounds, lr)
+    val labels = documents.select($"doc_id",
+      when($"lang" === targetLang, 1L).otherwise(0L).as("y"))
+    val scored = fx.join(broadcast(spark.createDataFrame(w).toDF("b", "wm")), Seq("b"))
+      .groupBy($"doc_id").agg(sum($"c" * $"wm").as("zm"))
+      .join(labels, Seq("doc_id"))
+      .select($"y", when($"zm" >= 0L, 1L).otherwise(0L).as("pred"))
+      .groupBy($"y", $"pred").agg(count(lit(1)).as("n_docs"))
+    fx.unpersist()
+    val byLabel = Window.partitionBy($"y")
+    scored
+      .select($"y", $"pred", $"n_docs",
+        round($"n_docs" / sum($"n_docs").over(byLabel), 6).as("frac_of_label"))
+      .orderBy($"y", $"pred")
+  }
+
+  /** Classifier-guided acceptance sampling (q145) — the GPT-3 curation
+    * recipe: keep each document with probability equal to its classifier
+    * score, so the kept set is biased toward reference-like documents
+    * while retaining a calibrated tail of everything else (pure
+    * thresholding would discard the tail entirely). The coin flip is the
+    * repo's deterministic-uniform trick (q124's A-ES keys): u =
+    * md5(doc_id) sliced to an integer in [0, 1e6), accepted iff
+    * u < p_micro — the sigmoid score already quantized to micro-units by
+    * the trainer, so the accept decision is an exact INTEGER comparison
+    * both engines state identically.
+    *
+    * Scale shape: q144's single corpus-linear scoring pass plus one
+    * per-source rollup; the weight vector is the only broadcast. Reported
+    * pm_mass (sum of accepted micro-scores) is the exact integer the
+    * expected-token-budget planner needs.
+    */
+  def classifierSample(documents: DataFrame, targetLang: String = "en",
+      buckets: Int = 64, rounds: Int = 4, lr: Double = 0.5): DataFrame = {
+    val spark = documents.sparkSession
+    val (fx, w) = trainQualityWeights(documents, targetLang, buckets, rounds, lr)
+    val scored = fx.join(broadcast(spark.createDataFrame(w).toDF("b", "wm")), Seq("b"))
+      .groupBy($"doc_id").agg(sum($"c" * $"wm").as("zm"))
+      .select($"doc_id",
+        round(lit(1e6) / (lit(1.0) + exp(-($"zm" / lit(1e6)))), 0)
+          .cast("long").as("pm"))
+    fx.unpersist()
+    scored
+      .join(documents.select($"doc_id", $"source"), Seq("doc_id"))
+      .select($"source", $"pm",
+        (conv(substring(md5($"doc_id".cast("string")), 1, 5), 16, 10)
+          .cast("bigint") % 1000000L).as("u"))
+      .groupBy($"source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when($"u" < $"pm", 1L).otherwise(0L)).as("n_accepted"),
+        sum(when($"u" < $"pm", $"pm").otherwise(0L)).as("pm_mass"))
+      .select($"source", $"n_docs", $"n_accepted",
+        round($"n_accepted" / $"n_docs", 6).as("accept_rate"), $"pm_mass")
+      .orderBy($"source")
+  }
 }

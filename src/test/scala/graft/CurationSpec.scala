@@ -779,4 +779,139 @@ class CurationSpec extends GraftSuite {
     val plan = Curation.curriculumStages(docs).queryExecution.executedPlan.toString
     assert(!plan.contains("percentile("), s"sort-based percentile planned:\n$plan")
   }
+
+  private def md5Hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  test("boilerplateSegments equals the brute-force pseudo-line accounting; planted template flagged") {
+    // brute force over the corpus fixture: non-overlapping 8-word
+    // segments, df >= 3 distinct docs => boilerplate
+    val fixture = docs.select(col("doc_id"), col("source"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSeq
+    val segs = fixture.flatMap { case (id, src, text) =>
+      text.split(" ", -1).grouped(8).map(g => (id, src, md5Hex(g.mkString(" ")), g.length.toLong))
+    }
+    val df3 = segs.groupBy(_._3).view.mapValues(_.map(_._1).distinct.size).toMap
+    val expected = segs.groupBy(_._2).view.mapValues { ss =>
+      val bp = ss.count(s => df3(s._3) >= 3).toLong
+      (ss.map(_._1).distinct.size.toLong, ss.size.toLong, bp,
+        round6(bp.toDouble / ss.size), ss.map(_._4).sum,
+        ss.filter(s => df3(s._3) < 3).map(_._4).sum)
+    }.toMap
+    val got = Curation.boilerplateSegments(docs).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getLong(5), r.getLong(6)))).toMap
+    assert(got === expected)
+    // the corpus plants real cross-doc duplication: the report must be
+    // non-vacuous, and removal can only shrink token mass
+    assert(got.values.map(_._3).sum > 0, "no boilerplate flagged — vacuous fixture")
+    assert(got.values.forall(v => v._6 <= v._5))
+
+    // planted template: an identical 8-word header in 4 docs across 2
+    // sources is flagged in full; unique bodies survive
+    import scala.jdk.CollectionConverters._
+    val header = "terms of service apply to this mirror"  // 7 words + 1 below
+    val rows = (0 until 4).map { i =>
+      org.apache.spark.sql.Row(100L + i, s"s${i % 2}", s"$header page unique$i body$i tail$i")
+    } :+ org.apache.spark.sql.Row(200L, "s9", "wholly original document with no template at all")
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("source", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("text", org.apache.spark.sql.types.StringType)))
+    val planted = spark.createDataFrame(rows.asJava, schema)
+    val rep = Curation.boilerplateSegments(planted, width = 8, minDocs = 3).collect()
+      .map(r => r.getString(0) -> ((r.getLong(3), r.getLong(5), r.getLong(6)))).toMap
+    // each planted doc = 11 words = 2 segments: the 8-word header+page
+    // (df=4, flagged) and the 3-word remainder (unique); s0/s1 each hold
+    // 2 planted docs => 2 flagged segments, 22 tokens total, 6 kept
+    assert(rep("s0") === ((2L, 22L, 6L)) && rep("s1") === ((2L, 22L, 6L)))
+    assert(rep("s9") === ((0L, 8L, 8L)))
+  }
+
+  private def clsBucket(tok: String): Long =
+    java.lang.Long.parseLong(md5Hex(tok).substring(0, 4), 16) % 64
+
+  test("qualityClassifier equals a reference micro-unit GD trainer; eval confusion is consistent") {
+    // reference trainer: same hashed features, integer micro-unit weights,
+    // quantized sigmoid, floor() steps — plain Scala over the collected corpus
+    val fixture = docs.select(col("doc_id"), col("lang"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSeq
+    val feats: Map[Long, Map[Long, Long]] = fixture.map { case (id, _, text) =>
+      val counts = text.split(" ", -1).toSeq.groupBy(clsBucket).view.mapValues(_.size.toLong).toMap
+      id -> (counts + (-1L -> (counts.getOrElse(-1L, 0L) + 1L)))
+    }.toMap
+    val y: Map[Long, Long] = fixture.map(d => d._1 -> (if (d._2 == "en") 1L else 0L)).toMap
+    val n = fixture.size
+    var w: Map[Long, Long] = feats.values.flatMap(_.keys).toSet.map((b: Long) => b -> 0L).toMap
+    for (_ <- 1 to 4) {
+      val p: Map[Long, Long] = feats.map { case (id, fs) =>
+        val zm = fs.map { case (b, c) => w(b) * c }.sum
+        id -> math.round(1e6 / (1.0 + math.exp(-(zm / 1e6))))
+      }
+      val g: Map[Long, Long] = feats.toSeq
+        .flatMap { case (id, fs) => fs.map { case (b, c) => b -> (p(id) - y(id) * 1000000L) * c } }
+        .groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+      w = w.map { case (b, wm) => b -> (wm - math.floor(0.5 * g(b) / n).toLong) }
+    }
+    val got = Curation.qualityClassifierWeights(docs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === w)
+    // training moved off the origin and uses the full bucket range + bias
+    assert(w.values.exists(_ != 0L) && w.contains(-1L))
+
+    // eval: confusion matrix rows partition the corpus; fractions are
+    // per-label; the z>=0 rule scored with the SAME weights
+    val zs = feats.map { case (id, fs) => id -> fs.map { case (b, c) => w(b) * c }.sum }
+    val expectedCm = fixture.groupBy { d =>
+      (y(d._1), if (zs(d._1) >= 0L) 1L else 0L)
+    }.view.mapValues(_.size.toLong).toMap
+    val gotCm = Curation.qualityClassifierEval(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> ((r.getLong(2), r.getDouble(3)))).toMap
+    assert(gotCm.view.mapValues(_._1).toMap === expectedCm)
+    assert(gotCm.map(_._2._1).sum === n.toLong)
+    gotCm.foreach { case ((yy, _), (nd, frac)) =>
+      val labelTotal = gotCm.collect { case ((`yy`, _), (c, _)) => c }.sum
+      assert(frac === round6(nd.toDouble / labelTotal))
+    }
+
+    // q145 acceptance sampling with the same weights: brute-force the
+    // md5-uniform coin (first 5 hex digits mod 1e6) against the
+    // micro-quantized sigmoid score
+    val srcs = docs.select(col("doc_id"), col("source")).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toMap
+    val pm = zs.view.mapValues(z => math.round(1e6 / (1.0 + math.exp(-(z / 1e6))))).toMap
+    val uu = fixture.map(d =>
+      d._1 -> java.lang.Long.parseLong(md5Hex(d._1.toString).substring(0, 5), 16) % 1000000L).toMap
+    val expSample = fixture.groupBy(d => srcs(d._1)).view.mapValues { ds =>
+      val acc = ds.filter(d => uu(d._1) < pm(d._1))
+      (ds.size.toLong, acc.size.toLong, round6(acc.size.toDouble / ds.size),
+        acc.map(d => pm(d._1)).sum)
+    }.toMap
+    val gotSample = Curation.classifierSample(docs).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getLong(4)))).toMap
+    assert(gotSample === expSample)
+    // a calibrated coin accepts some docs and rejects some in a mixed corpus
+    assert(gotSample.values.map(_._2).sum > 0 && gotSample.values.exists(v => v._2 < v._1))
+  }
+
+  test("qualityClassifier separates a vocab-disjoint fixture perfectly") {
+    import scala.jdk.CollectionConverters._
+    val rows = (0 until 8).map { i =>
+      val (lang, txt) =
+        if (i % 2 == 0) ("en", "alpha beta gamma alpha beta gamma delta epsilon")
+        else ("xx", "uno dos tres cuatro cinco seis siete ocho")
+      org.apache.spark.sql.Row(i.toLong, lang, txt)
+    }
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("lang", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("text", org.apache.spark.sql.types.StringType)))
+    val planted = spark.createDataFrame(rows.asJava, schema)
+    val cm = Curation.qualityClassifierEval(planted).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(3)).toMap
+    // perfectly separable vocab => the 4-round classifier gets recall and
+    // specificity 1.0 (only the two diagonal rows exist)
+    assert(cm === Map((0L, 0L) -> 1.0, (1L, 1L) -> 1.0))
+  }
 }

@@ -792,40 +792,75 @@ object Curation {
     * broadcast anyway (the Lloyd/k-means pattern). Rounds are O(rounds)
     * driver synchronizations, independent of corpus size.
     */
-  private[graft] def trainQualityWeights(documents: DataFrame,
-      targetLang: String, buckets: Int, rounds: Int,
-      lr: Double): (DataFrame, Seq[(Long, Long)]) = {
-    val spark = documents.sparkSession
-    val fx = documents
+  /** Session-scoped trained-weights cache: the classifier family
+    * (q143 weights / q144 eval / q145 sampling) analyzes the SAME model,
+    * and training — `rounds` driver-synchronized gradient passes — is by
+    * far its dominant cost, so it runs once per (corpus plan, targetLang,
+    * buckets, rounds, lr) per session (the driver-value analog of
+    * `Dedup.pairIndex`; the cached value is just the (buckets+1)-row
+    * weight vector, so cache memory is trivially bounded — the LRU cap
+    * guards entry COUNT, not size).
+    */
+  private val WeightsCacheMax = 8
+  private val weightsCache =
+    new java.util.LinkedHashMap[(String, String, String, Int, Int, Double),
+        Seq[(Long, Long)]](16, 0.75f, false) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[(String, String, String, Int, Int, Double),
+            Seq[(Long, Long)]]): Boolean = size() > WeightsCacheMax
+    }
+
+  def clearWeightsCache(): Unit = weightsCache.synchronized(weightsCache.clear())
+
+  /** Hashed feature frame: (doc_id, bucket, count) token counts in
+    * `buckets` md5-slice bins plus the bias feature at bucket -1.
+    */
+  private def featureFrame(documents: DataFrame, buckets: Int): DataFrame =
+    documents
       .select($"doc_id", explode(split($"text", " ")).as("tok"))
       .select($"doc_id", Scale.md5SlicePos($"tok", 0, buckets).as("b"))
       .groupBy($"doc_id", $"b").agg(count(lit(1)).as("c"))
       .unionAll(documents.select($"doc_id", lit(-1L).as("b"), lit(1L).as("c")))
-      .persist()
-    val labels = documents.select($"doc_id",
-      when($"lang" === targetLang, 1L).otherwise(0L).as("y"))
-    val nDocs = documents.count()
-    // init: zero weight for every OBSERVED bucket (the oracle's
-    // `SELECT DISTINCT b, 0 FROM fx` — at most buckets+1 rows)
-    var w: Map[Long, Long] =
-      fx.select($"b").distinct().collect().map(_.getLong(0) -> 0L).toMap
-    for (_ <- 1 to rounds) {
-      val wDf = spark.createDataFrame(w.toSeq).toDF("b", "wm")
-      val p = fx.join(broadcast(wDf), Seq("b"))
-        .groupBy($"doc_id").agg(sum($"c" * $"wm").as("zm"))
-        .select($"doc_id",
-          round(lit(1e6) / (lit(1.0) + exp(-($"zm" / lit(1e6)))), 0)
-            .cast("long").as("pm"))
-      val g = fx.join(p, Seq("doc_id")).join(labels, Seq("doc_id"))
-        .groupBy($"b")
-        .agg(sum(($"pm" - $"y" * lit(1000000L)) * $"c").as("gm"))
-        .collect()
-      w = w ++ g.map { r =>
-        val (b, gm) = (r.getLong(0), r.getLong(1))
-        b -> (w(b) - math.floor(lr * gm / nDocs).toLong)
-      }
+
+  private[graft] def trainQualityWeights(documents: DataFrame,
+      targetLang: String, buckets: Int, rounds: Int,
+      lr: Double): (DataFrame, Seq[(Long, Long)]) = {
+    val spark = documents.sparkSession
+    val key = (System.identityHashCode(spark).toString,
+      documents.queryExecution.analyzed.canonicalized.toString,
+      targetLang, buckets, rounds, lr)
+    val cached = weightsCache.synchronized(Option(weightsCache.get(key)))
+    cached match {
+      case Some(w) => (featureFrame(documents, buckets), w)
+      case None =>
+        val fx = featureFrame(documents, buckets).persist()
+        val labels = documents.select($"doc_id",
+          when($"lang" === targetLang, 1L).otherwise(0L).as("y"))
+        val nDocs = documents.count()
+        // init: zero weight for every OBSERVED bucket (the oracle's
+        // `SELECT DISTINCT b, 0 FROM fx` — at most buckets+1 rows)
+        var w: Map[Long, Long] =
+          fx.select($"b").distinct().collect().map(_.getLong(0) -> 0L).toMap
+        for (_ <- 1 to rounds) {
+          val wDf = spark.createDataFrame(w.toSeq).toDF("b", "wm")
+          val p = fx.join(broadcast(wDf), Seq("b"))
+            .groupBy($"doc_id").agg(sum($"c" * $"wm").as("zm"))
+            .select($"doc_id",
+              round(lit(1e6) / (lit(1.0) + exp(-($"zm" / lit(1e6)))), 0)
+                .cast("long").as("pm"))
+          val g = fx.join(p, Seq("doc_id")).join(labels, Seq("doc_id"))
+            .groupBy($"b")
+            .agg(sum(($"pm" - $"y" * lit(1000000L)) * $"c").as("gm"))
+            .collect()
+          w = w ++ g.map { r =>
+            val (b, gm) = (r.getLong(0), r.getLong(1))
+            b -> (w(b) - math.floor(lr * gm / nDocs).toLong)
+          }
+        }
+        val ws = w.toSeq.sortBy(_._1)
+        weightsCache.synchronized(weightsCache.put(key, ws))
+        (fx, ws)
     }
-    (fx, w.toSeq.sortBy(_._1))
   }
 
   /** Trained classifier weights (q143): the (buckets+1)-row weight table

@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
-import graft.operators.Dedup
+import graft.operators.{Curation, Dedup}
 import graft.sources.Tables
 
 /** Dev-only LSH-family scaling experiment (Test/runMain graft.ProfileScaling).
@@ -322,6 +322,54 @@ object ProfileScaling {
         (df.count(), r)
       }
       println(f"[scaling] bpe64 x$s%-2d merges=$merges%3d rounds=$rounds%2d $t%8.2f s")
+    }
+
+    // ---- round 5: the boilerplate + classifier family (q142/q143/q145).
+    // These replicas carry lang/source (the ops group on them); the
+    // pseudo-word map preserves within-replica segment duplication and
+    // lang-vocab disjointness, so template counts and separability
+    // replicate per copy. Expectations: boilerplate is segment-
+    // proportional (two shuffles, ~linear); classifier training is
+    // rounds x two corpus-linear aggregates with a fixed 65-row driver
+    // state, so wall time should be ~linear in docs and FLAT in rounds'
+    // driver cost.
+    val base4 = Tables.documents(spark, sfDir)
+      .select($"doc_id", $"text", $"lang", $"source")
+    def replica4(r: Int): DataFrame =
+      if (r == 0) base4
+      else base4.select(
+        ($"doc_id" + lit(r * 10000000L)).as("doc_id"),
+        array_join(
+          transform(split($"text", " "),
+            w => md5(concat(w, lit(s":$r"))).substr(lit(1), greatest(length(w), lit(1)))),
+          " ").as("text"),
+        $"lang", $"source")
+    println("[scaling] curation: scale docs bp_segs toks_kept t_bp_s cls_acc t_train_s n_accepted t_sample_s")
+    scales.foreach { s =>
+      val docs = (0 until s).map(replica4).reduce(_ union _)
+        .repartition(32).persist()
+      val nDocs = docs.count()
+      System.gc()
+      val ((bp, kept), tBp) = time {
+        val r = Curation.boilerplateSegments(docs)
+          .agg(sum($"n_bp_segments"), sum($"toks_kept")).collect()(0)
+        (r.getLong(0), r.getLong(1))
+      }
+      System.gc()
+      val (acc, tTrain) = time {
+        // eval = training + one scoring pass; report overall accuracy
+        val cm = Curation.qualityClassifierEval(docs)
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        val correct = cm.filter(c => c._1 == c._2).map(_._3).sum
+        correct.toDouble / cm.map(_._3).sum
+      }
+      System.gc()
+      val (nAcc, tSample) = time {
+        Curation.classifierSample(docs)
+          .agg(sum($"n_accepted")).collect()(0).getLong(0)
+      }
+      docs.unpersist()
+      println(f"[scaling] curation x$s%-2d $nDocs%6d $bp%7d $kept%9d $tBp%8.2f acc=$acc%.3f $tTrain%8.2f acc_n=$nAcc%6d $tSample%8.2f")
     }
     spark.stop()
   }

@@ -425,8 +425,11 @@ object PipelineQueries {
     * `Curation.trainQualityWeights` replayed round-for-round: integer
     * micro-unit weights, exact integer margin and gradient sums, sigmoid
     * quantized to micro-units (the one transcendental), floor() weight
-    * steps (never a .5-boundary round), lr = 0.5 (a power of two, so the
-    * scaling multiply is IEEE-exact). WITH-chain ends in `w4(b, wm)`; the
+    * steps (never a .5-boundary round), lr = 2^-10 (a power of two, so
+    * the scaling multiply is IEEE-exact; small enough that raw-count
+    * features don't drive the logit into saturation — at lr = 0.5 the
+    * 4-round model diverged to an all-positive classifier on the
+    * registered corpus). WITH-chain ends in `w4(b, wm)`; the
     * per-round CTEs are MATERIALIZED — DuckDB's default CTE inlining
     * re-expands an iterative chain exponentially.
     */
@@ -447,7 +450,7 @@ object PipelineQueries {
          |  FROM fx JOIN p$i USING (doc_id) JOIN yd USING (doc_id) GROUP BY b
          |),
          |w$i AS MATERIALIZED (
-         |  SELECT b, wm - CAST(floor(0.5 * gm / nd) AS BIGINT) AS wm
+         |  SELECT b, wm - CAST(floor(0.0009765625 * gm / nd) AS BIGINT) AS wm
          |  FROM w${i - 1} JOIN g$i USING (b) CROSS JOIN n
          |)""".stripMargin
     s"""WITH yd AS (

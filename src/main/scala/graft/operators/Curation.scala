@@ -775,7 +775,18 @@ object Curation {
     * `lang == targetLang`. Features: token counts hashed into `buckets`
     * md5-slice bins (q72's engine-independent hash family) plus a bias
     * feature at bucket -1. `rounds` gradient-descent steps at `lr` (a
-    * POWER OF TWO, so the scaling multiply is exact in IEEE doubles).
+    * POWER OF TWO, so the scaling multiply is exact in IEEE doubles;
+    * default 2^-10 — small enough that raw-count features cannot drive
+    * the logit into saturation in a few rounds: at lr = 0.5 the model
+    * diverged to a degenerate all-positive classifier on the registered
+    * corpus).
+    *
+    * On the synthetic corpus the lang label carries NO lexical signal
+    * (31 shared tokens, near-identical per-lang frequencies and
+    * lengths), so the trained model converges toward the calibrated
+    * base-rate solution — the Bayes answer for uninformative features;
+    * LEARNABILITY is asserted on the vocab-disjoint spec fixture, which
+    * the same dial separates perfectly.
     *
     * Determinism (the oracle replays training round-for-round): weights
     * live in integer MICRO-UNITS, so the per-doc margin z and the
@@ -870,7 +881,7 @@ object Curation {
     */
   def qualityClassifierWeights(documents: DataFrame,
       targetLang: String = "en", buckets: Int = 64, rounds: Int = 4,
-      lr: Double = 0.5): DataFrame = {
+      lr: Double = 0.0009765625): DataFrame = {
     val spark = documents.sparkSession
     val (fx, w) = trainQualityWeights(documents, targetLang, buckets, rounds, lr)
     fx.unpersist()
@@ -892,7 +903,7 @@ object Curation {
     * inference sweep would run.
     */
   def qualityClassifierEval(documents: DataFrame, targetLang: String = "en",
-      buckets: Int = 64, rounds: Int = 4, lr: Double = 0.5): DataFrame = {
+      buckets: Int = 64, rounds: Int = 4, lr: Double = 0.0009765625): DataFrame = {
     val spark = documents.sparkSession
     val (fx, w) = trainQualityWeights(documents, targetLang, buckets, rounds, lr)
     val labels = documents.select($"doc_id",
@@ -927,7 +938,7 @@ object Curation {
     * expected-token-budget planner needs.
     */
   def classifierSample(documents: DataFrame, targetLang: String = "en",
-      buckets: Int = 64, rounds: Int = 4, lr: Double = 0.5): DataFrame = {
+      buckets: Int = 64, rounds: Int = 4, lr: Double = 0.0009765625): DataFrame = {
     val spark = documents.sparkSession
     val (fx, w) = trainQualityWeights(documents, targetLang, buckets, rounds, lr)
     val scored = fx.join(broadcast(spark.createDataFrame(w).toDF("b", "wm")), Seq("b"))

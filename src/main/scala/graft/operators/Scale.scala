@@ -112,7 +112,7 @@ object Scale {
     * Bloom prefilter and the count-min sketch (DuckDB reproduces it with
     * strpos arithmetic; Spark with `conv`). j <= 7 (32 hex digits / 4).
     */
-  private[operators] def md5SlicePos(key: Column, j: Int, m: Int): Column =
+  private[graft] def md5SlicePos(key: Column, j: Int, m: Int): Column =
     conv(substring(md5(key.cast("string")), 4 * j + 1, 4), 16, 10).cast("bigint") % m
 
   /** Bloom-prefilter accounting: build a deterministic md5 Bloom filter

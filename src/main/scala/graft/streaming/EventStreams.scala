@@ -382,6 +382,40 @@ object EventStreams {
         col("r.target_tokens").as("target_tokens"), col("r.epochs").as("epochs"))
   }
 
+  /** Stream-STATIC classifier scoring — the streaming twin of
+    * `Curation.classifierSample` (q145): newly-ingested documents scored
+    * against an offline-trained weight vector (the persisted model; here
+    * a literal map, the broadcast a real deployment would use) and
+    * accept/reject-stamped with the same md5-uniform coin. The per-doc
+    * margin folds the token stream through the weight map in ONE
+    * projection — z = w_bias + sum over tokens of w(bucket(tok)), an
+    * integer fold equal to the batch op's (doc, bucket)-count aggregate
+    * because integer addition is associative — so scoring is STATELESS
+    * (append mode, no watermark, no groupBy): the per-event inference
+    * shape, vs the batch op's per-corpus-snapshot shape. Tokens hashing
+    * to buckets unseen in training score 0, exactly the batch semantics
+    * (absent feature = zero weight).
+    */
+  def classifierScoreStream(docs: DataFrame, weights: Seq[(Long, Long)],
+      buckets: Int = 64): DataFrame = {
+    import graft.operators.Scale.md5SlicePos
+    val wmap = map(weights.flatMap { case (b, wm) => Seq(lit(b), lit(wm)) }: _*)
+    val bias = lit(weights.toMap.getOrElse(-1L, 0L))
+    docs
+      .select(col("doc_id"), col("source"),
+        (bias + aggregate(split(col("text"), " "), lit(0L),
+          (acc, w) => acc + coalesce(
+            // try_element_at, not element_at: ANSI-mode map element_at
+            // THROWS on a missing key; unseen buckets must score 0
+            try_element_at(wmap, md5SlicePos(w, 0, buckets)), lit(0L)))).as("zm"))
+      .select(col("doc_id"), col("source"),
+        round(lit(1e6) / (lit(1.0) + exp(-(col("zm") / lit(1e6)))), 0)
+          .cast("long").as("pm"))
+      .select(col("doc_id"), col("source"), col("pm"),
+        ((conv(substring(md5(col("doc_id").cast("string")), 1, 5), 16, 10)
+          .cast("bigint") % 1000000L) < col("pm")).as("accepted"))
+  }
+
   /** Streaming half of `Events.slidingDistinctUsers` (q128): the DAILY
     * bottom-k user-hash sketches maintained live — per-day KMV state
     * (one ≤k-hash buffer per day, bounded without a watermark: the

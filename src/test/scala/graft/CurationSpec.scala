@@ -852,7 +852,7 @@ class CurationSpec extends GraftSuite {
       val g: Map[Long, Long] = feats.toSeq
         .flatMap { case (id, fs) => fs.map { case (b, c) => b -> (p(id) - y(id) * 1000000L) * c } }
         .groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
-      w = w.map { case (b, wm) => b -> (wm - math.floor(0.5 * g(b) / n).toLong) }
+      w = w.map { case (b, wm) => b -> (wm - math.floor(0.0009765625 * g(b) / n).toLong) }
     }
     val got = Curation.qualityClassifierWeights(docs).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap

@@ -558,4 +558,49 @@ class StreamingSpec extends GraftSuite {
     q.stop()
     assert(got === expected)
   }
+
+  test("stream-static classifier scoring == batch micro-unit formula per doc") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def md5Hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val docs = Tables.documents(spark, sf)
+    // offline-trained model: the q143 weight table, collected once (the
+    // broadcast a deployment ships to the scoring stream)
+    val w = graft.operators.Curation.qualityClassifierWeights(docs)
+      .select(col("b"), col("w_micro")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toSeq
+    val wm = w.toMap
+    val fixture = docs.select(col("doc_id"), col("source"), col("text"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    // reference scorer: plain Scala replay of the micro-unit formula
+    val expected = fixture.map { case (id, src, text) =>
+      val zm = wm.getOrElse(-1L, 0L) + text.split(" ", -1).map { t =>
+        wm.getOrElse(
+          java.lang.Long.parseLong(md5Hex(t).substring(0, 4), 16) % 64, 0L)
+      }.sum
+      val pm = math.round(1e6 / (1.0 + math.exp(-(zm / 1e6))))
+      val u = java.lang.Long.parseLong(md5Hex(id.toString).substring(0, 5), 16) % 1000000L
+      (id, src, pm, u < pm)
+    }.toSet
+
+    val input = MemoryStream[(Long, String, String)]
+    val stream = EventStreams.classifierScoreStream(
+      input.toDF().toDF("doc_id", "source", "text"), w)
+    val q = stream.writeStream.outputMode("append")
+      .format("memory").queryName("clsscore_out").start()
+    // stateless scoring: any micro-batch split yields the same rows
+    val (b1, b2) = fixture.toSeq.splitAt(fixture.length / 2)
+    input.addData(b1)
+    q.processAllAvailable()
+    input.addData(b2)
+    q.processAllAvailable()
+    val got = spark.table("clsscore_out").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getBoolean(3))).toSet
+    q.stop()
+    assert(got === expected)
+    // the calibrated coin accepts some and rejects some on a mixed corpus
+    assert(expected.exists(_._4) && expected.exists(!_._4))
+  }
 }

@@ -379,6 +379,10 @@ object PipelineQueries {
     // its classifier score (md5-uniform coin, exact integer comparison)
     "q145_classifier_sample" -> ((s, d) =>
       Curation.classifierSample(Tables.documents(s, d))),
+    // label-centroid separation: intra-label cosine vs nearest other
+    // centroid, the is-the-labeling-coherent embedding diagnostic
+    "q146_label_separation" -> ((s, d) =>
+      Similarity.labelSeparation(Tables.embeddings(s, d))),
   )
 
   // ---- shared SQL fragments -------------------------------------------
@@ -2933,5 +2937,35 @@ object PipelineQueries {
          | CAST(sum(CASE WHEN a = 1 THEN pm ELSE 0 END) AS BIGINT) AS pm_mass
          |FROM acc GROUP BY source ORDER BY source""".stripMargin
     },
+    "q146_label_separation" ->
+      // per-label centroid = per-dimension rounded mean (the q70 Lloyd
+      // update form); intra = mean member cosine to own centroid, inter =
+      // max cosine to any OTHER centroid, margin = intra - inter
+      s"""WITH e AS (
+         |  SELECT vec_id, CAST(label AS BIGINT) AS label,
+         |    CAST(embedding AS DOUBLE[]) AS v
+         |  FROM embeddings
+         |),
+         |c AS (
+         |  SELECT label, list(m ORDER BY i) AS cv, any_value(cnt) AS n FROM (
+         |    SELECT label, i, round(avg(x), 6) AS m, CAST(count(*) AS BIGINT) AS cnt
+         |    FROM (
+         |      SELECT label, unnest(generate_series(1, len(v))) AS i, unnest(v) AS x
+         |      FROM e
+         |    ) GROUP BY label, i
+         |  ) GROUP BY label
+         |),
+         |intra AS (
+         |  SELECT e.label, round(avg(round(${cosSql("e.v", "c.cv")}, 6)), 6) AS intra_mean
+         |  FROM e JOIN c USING (label) GROUP BY e.label
+         |),
+         |inter AS (
+         |  SELECT a.label, max(round(${cosSql("a.cv", "b.cv")}, 6)) AS inter_max
+         |  FROM c a JOIN c b ON a.label <> b.label GROUP BY a.label
+         |)
+         |SELECT c.label, c.n AS n_vecs, intra.intra_mean, inter.inter_max,
+         | round(intra.intra_mean - inter.inter_max, 6) AS margin
+         |FROM c JOIN intra USING (label) JOIN inter USING (label)
+         |ORDER BY label""".stripMargin,
   )
 }

@@ -1008,6 +1008,52 @@ object Similarity {
     * corpus size — the diagnostic costs the same at 100 TB as at 1 GB,
     * unlike a fixed-rate sample whose pair count grows quadratically.
     */
+  /** Per-label centroid separation report (q146) — the embedding-space
+    * quality diagnostic for a labeled corpus (is the labeling coherent?
+    * are two classes colliding?): per label, the mean cosine of members
+    * to their OWN label centroid (intra) vs the max cosine between this
+    * centroid and any OTHER label's centroid (inter), and the margin
+    * between them. A Fisher-style separation statement in one bounded
+    * report — labels with small or negative margin are candidates for
+    * relabeling or merging before the labels are used for stratified
+    * splits (q93) or hard-negative mining (q103).
+    *
+    * Scale shape: centroids via the `VectorSum` partial-aggregate (the
+    * shuffle carries labels×dim partials, never corpus×dim rows — the
+    * q70 Lloyd-update pattern); members then score against their own
+    * centroid through a BROADCAST join (labels are bounded), one
+    * corpus-linear codegen'd cosine pass; the inter-centroid matrix is
+    * labels² rows of driver-free column math. Determinism: float→double
+    * widening is exact and label partial sums stay well under 53
+    * significand bits, so the per-dimension means are order-free;
+    * centroid dims and every cosine round to 6 decimals (the engine-
+    * exactness convention the q70 oracle shares).
+    */
+  def labelSeparation(embeddings: DataFrame): DataFrame = {
+    val vecSum = udaf(new graft.functions.Aggregators.VectorSum)
+    val e = embeddings.select($"vec_id",
+      $"label".cast("bigint").as("label"), asDouble($"embedding").as("v"))
+    val cents = e.groupBy($"label")
+      .agg(vecSum($"v").as("s"), count(lit(1)).as("n"))
+      .select($"label", $"n",
+        transform($"s", x => round(x / $"n", 6)).as("cv"))
+      .localCheckpoint() // one row per label; reused by three consumers
+    val intra = e.join(broadcast(cents.select($"label", $"cv")), Seq("label"))
+      .select($"label", round(cosine($"v", $"cv"), 6).as("c"))
+      .groupBy($"label").agg(round(avg($"c"), 6).as("intra_mean"))
+    val inter = cents.as("a")
+      .join(broadcast(cents.select($"label", $"cv").as("b")),
+        col("a.label") =!= col("b.label"))
+      .select(col("a.label").as("label"),
+        round(cosine(col("a.cv"), col("b.cv")), 6).as("c"))
+      .groupBy($"label").agg(max($"c").as("inter_max"))
+    cents.select($"label", $"n".as("n_vecs"))
+      .join(intra, Seq("label")).join(inter, Seq("label"))
+      .select($"label", $"n_vecs", $"intra_mean", $"inter_max",
+        round($"intra_mean" - $"inter_max", 6).as("margin"))
+      .orderBy($"label")
+  }
+
   def labelCohesion(embeddings: DataFrame, perLabel: Int = 16): DataFrame = {
     val sampled = Scale.topKPerGroup(
         embeddings.select($"vec_id", $"label", asDouble($"embedding").as("v")),

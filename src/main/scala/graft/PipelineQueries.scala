@@ -256,8 +256,13 @@ object PipelineQueries {
     "q123_transitions" -> ((s, d) => Events.sessionTransitions(Tables.events(s, d))),
     // Efraimidis-Spirakis weighted sample without replacement (w = n_chars)
     "q124_weighted_sample" -> ((s, d) => Sampling.weightedSample(Tables.documents(s, d))),
-    // DP noisy per-language counts with replayable md5-seeded Laplace noise
-    "q125_dp_histogram" -> ((s, d) => Curation.dpLangHistogram(Tables.documents(s, d))),
+    // DP noisy per-language counts — the KEYED release path (the form
+    // whose noise is not publicly recomputable without the key). The key
+    // here is fixture-pinned so the DuckDB oracle can replay the noise;
+    // a production release sources it from a secret store and never
+    // commits it beside the artifact (see dpLangHistogram scaladoc).
+    "q125_dp_histogram" -> ((s, d) =>
+      Curation.dpLangHistogram(Tables.documents(s, d), secretKey = "graft-fixture-key")),
     // reciprocal-rank fusion of the BM25 and dense-cosine rankings
     "q126_hybrid_rrf" -> ((s, d) =>
       Matching.hybridRrf(Tables.documents(s, d), Tables.embeddings(s, d))),
@@ -2407,14 +2412,16 @@ object PipelineQueries {
         |SELECT doc_id, lang, n_chars, round(key * 1e6, 4) AS key_micro
         |FROM top ORDER BY key_micro, doc_id""".stripMargin,
     "q125_dp_histogram" ->
-      // same md5-seeded uniform -> inverse-CDF Laplace; round(4) sits far
-      // above any libm ln() jitter
+      // same KEYED md5-seeded uniform -> inverse-CDF Laplace; the oracle
+      // replays the fixture-pinned key (a real release's key never sits
+      // beside the artifact like this); round(4) sits far above any
+      // libm ln() jitter
       """WITH c AS (SELECT lang, count(*) AS n_docs FROM documents GROUP BY 1),
         |u AS (
         |  SELECT lang, n_docs,
         |    list_sum(list_transform(generate_series(1, 13),
         |      i -> (strpos('0123456789abcdef',
-        |              substr(md5('dp:r1:' || lang), i, 1)) - 1)
+        |              substr(md5('dp:graft-fixture-key:r1:' || lang), i, 1)) - 1)
         |           * power(16.0, -i))) AS u
         |  FROM c
         |)

@@ -794,7 +794,18 @@ object Curation {
     * partitioning); sigmoid is the one transcendental and is quantized to
     * micro-units immediately (round >= 0, so HALF_UP == DuckDB's
     * half-away-from-zero); the weight step uses floor() (identical in
-    * both engines), never a .5-boundary round.
+    * both engines), never a .5-boundary round. RESIDUAL RISK (the
+    * classifier cousin of the DP release's 1-ulp ln() caveat): the
+    * sigmoid quantization itself is a .5-boundary round, so a doc whose
+    * unrounded 1e6·sigmoid(z) landed within ~1 ulp of a .5 micro-unit
+    * boundary could round differently if Spark's and DuckDB's exp()
+    * differ there, and one flipped pm compounds through later rounds.
+    * This is a per-dataset property, not a structural invariant like the
+    * integer paths — CurationSpec asserts every fixture doc's unrounded
+    * score sits > 1e-6 micro-units from the nearest boundary in every
+    * round (4+ orders above the ~1e-10 1-ulp exp() jitter at the 1e6
+    * scale), and the sf0.01/sf0.1 oracle gates are the empirical check
+    * on the registered corpora.
     *
     * Scale shape: each round is two map-side-combined aggregations over
     * the cached feature frame — doc-dimension (margin) then
@@ -821,7 +832,55 @@ object Curation {
             Seq[(Long, Long)]]): Boolean = size() > WeightsCacheMax
     }
 
-  def clearWeightsCache(): Unit = weightsCache.synchronized(weightsCache.clear())
+  /** Session-scoped PERSISTED feature-frame cache, keyed by (session,
+    * corpus plan, buckets) — coarser than the weights key because the
+    * frame is model-independent. Caching the frame beside the weights
+    * means a weights-cache hit (q144/q145 after q143) scores against the
+    * already-tokenized, already-persisted frame instead of re-scanning
+    * the corpus: the whole family pays ONE tokenize+hash pass per
+    * (corpus, buckets) per session. Entries are persist()-backed (lineage
+    * intact, unlike the checkpoint-backed index caches), so the eldest
+    * entry IS eagerly unpersisted on eviction: a consumer still holding
+    * an evicted frame silently recomputes from lineage — a cache miss,
+    * never a failure.
+    */
+  private val FeatureFrameCacheMax = 8
+  private val featureFrameCache =
+    new java.util.LinkedHashMap[(String, String, Int), DataFrame](16, 0.75f, false) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[(String, String, Int), DataFrame]): Boolean = {
+        val evict = size() > FeatureFrameCacheMax
+        if (evict) {
+          try e.getValue.unpersist(blocking = false)
+          catch { case _: Throwable => () } // best-effort; session may be gone
+        }
+        evict
+      }
+    }
+
+  private def cachedFeatureFrame(documents: DataFrame, buckets: Int): DataFrame = {
+    val key = (System.identityHashCode(documents.sparkSession).toString,
+      documents.queryExecution.analyzed.canonicalized.toString, buckets)
+    featureFrameCache.synchronized {
+      val hit = featureFrameCache.get(key)
+      if (hit != null) hit
+      else {
+        val built = featureFrame(documents, buckets).persist()
+        featureFrameCache.put(key, built)
+        built
+      }
+    }
+  }
+
+  def clearWeightsCache(): Unit = {
+    weightsCache.synchronized(weightsCache.clear())
+    featureFrameCache.synchronized {
+      featureFrameCache.values.forEach { df =>
+        try df.unpersist(blocking = false) catch { case _: Throwable => () }
+      }
+      featureFrameCache.clear()
+    }
+  }
 
   /** Hashed feature frame: (doc_id, bucket, count) token counts in
     * `buckets` md5-slice bins plus the bias feature at bucket -1.
@@ -842,9 +901,9 @@ object Curation {
       targetLang, buckets, rounds, lr)
     val cached = weightsCache.synchronized(Option(weightsCache.get(key)))
     cached match {
-      case Some(w) => (featureFrame(documents, buckets), w)
+      case Some(w) => (cachedFeatureFrame(documents, buckets), w)
       case None =>
-        val fx = featureFrame(documents, buckets).persist()
+        val fx = cachedFeatureFrame(documents, buckets)
         val labels = documents.select($"doc_id",
           when($"lang" === targetLang, 1L).otherwise(0L).as("y"))
         val nDocs = documents.count()
@@ -883,8 +942,7 @@ object Curation {
       targetLang: String = "en", buckets: Int = 64, rounds: Int = 4,
       lr: Double = 0.0009765625): DataFrame = {
     val spark = documents.sparkSession
-    val (fx, w) = trainQualityWeights(documents, targetLang, buckets, rounds, lr)
-    fx.unpersist()
+    val (_, w) = trainQualityWeights(documents, targetLang, buckets, rounds, lr)
     spark.createDataFrame(w).toDF("b", "w_micro")
       .select($"b", $"w_micro", round($"w_micro" / 1e6, 6).as("weight"))
       .orderBy($"b")
@@ -913,7 +971,8 @@ object Curation {
       .join(labels, Seq("doc_id"))
       .select($"y", when($"zm" >= 0L, 1L).otherwise(0L).as("pred"))
       .groupBy($"y", $"pred").agg(count(lit(1)).as("n_docs"))
-    fx.unpersist()
+    // fx stays session-cached (featureFrameCache owns its lifecycle) —
+    // the scoring pass below reads the persisted frame, not a rebuild
     val byLabel = Window.partitionBy($"y")
     scored
       .select($"y", $"pred", $"n_docs",
@@ -946,7 +1005,7 @@ object Curation {
       .select($"doc_id",
         round(lit(1e6) / (lit(1.0) + exp(-($"zm" / lit(1e6)))), 0)
           .cast("long").as("pm"))
-    fx.unpersist()
+    // fx stays session-cached (featureFrameCache owns its lifecycle)
     scored
       .join(documents.select($"doc_id", $"source"), Seq("doc_id"))
       .select($"source", $"pm",

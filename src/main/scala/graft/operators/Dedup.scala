@@ -128,20 +128,19 @@ object Dedup {
 
   /** Insertion-ordered and bounded: a long-lived session analyzing many
     * corpora must not accumulate checkpointed pair sets forever — past
-    * `PairIndexCacheMax` entries the eldest is dropped and its blocks
-    * unpersisted.
+    * `PairIndexCacheMax` entries the eldest REFERENCE is dropped. The
+    * blocks are NOT eagerly unpersisted: a consumer still holding an
+    * evicted frame must stay usable, and a localCheckpointed frame has no
+    * lineage to recompute from — an eager unpersist would turn its next
+    * action into a hard "checkpoint block not found" failure. Spark's
+    * ContextCleaner reclaims the blocks once the frame is
+    * garbage-collected, so the cap still bounds LIVE cache memory.
     */
   private val pairIndexCache =
     new java.util.LinkedHashMap[(String, String, Int, Double), DataFrame](16, 0.75f, false) {
       override def removeEldestEntry(
-          e: java.util.Map.Entry[(String, String, Int, Double), DataFrame]): Boolean = {
-        val evict = size() > PairIndexCacheMax
-        if (evict) {
-          try e.getValue.queryExecution.toRdd.unpersist(blocking = false)
-          catch { case _: Throwable => () } // best-effort; session may be gone
-        }
-        evict
-      }
+          e: java.util.Map.Entry[(String, String, Int, Double), DataFrame]): Boolean =
+        size() > PairIndexCacheMax
     }
 
   def clearPairIndexCache(): Unit = pairIndexCache.synchronized(pairIndexCache.clear())

@@ -840,14 +840,16 @@ object Similarity {
 
   private final class BoundedCache[K] {
     private val m = new java.util.LinkedHashMap[K, DataFrame](16, 0.75f, false) {
-      override def removeEldestEntry(e: java.util.Map.Entry[K, DataFrame]): Boolean = {
-        val evict = size() > EmbIndexCacheMax
-        if (evict) {
-          try e.getValue.queryExecution.toRdd.unpersist(blocking = false)
-          catch { case _: Throwable => () } // best-effort; session may be gone
-        }
-        evict
-      }
+      // Eviction drops only the cache's REFERENCE. The blocks are NOT
+      // eagerly unpersisted: a consumer still holding an evicted frame
+      // must stay usable, and a localCheckpointed frame has no lineage to
+      // recompute from — an eager unpersist would turn its next action
+      // into a hard "checkpoint block not found" failure. Spark's
+      // ContextCleaner reclaims the blocks once the frame is
+      // garbage-collected (the same lifecycle as any unreferenced
+      // checkpoint), so the cap still bounds LIVE cache memory.
+      override def removeEldestEntry(e: java.util.Map.Entry[K, DataFrame]): Boolean =
+        size() > EmbIndexCacheMax
     }
     def getOrBuild(k: K)(build: => DataFrame): DataFrame = m.synchronized {
       val hit = m.get(k)
@@ -930,12 +932,30 @@ object Similarity {
     */
   def incrementalEmbeddingNearDup(embeddings: DataFrame, newIdCut: Long = 200L,
       threshold: Double = 0.45, tables: Int = NeardupTables,
+      bits: Int = NeardupBits): DataFrame =
+    incrementalEmbeddingNearDupFromIndex(embeddings,
+      hyperplaneIndex(embeddings, tables, bits), newIdCut, threshold, tables, bits)
+
+  /** q95's ingest shape probing an EXTERNAL bucket index — the production
+    * form where the corpus index is the PERSISTED `hyperplaneBucketRows`
+    * parquet table (written once at index-build time, re-read by every
+    * ingest job) rather than the session cache. `corpusIndex` must carry
+    * `hyperplaneBucketRows`' (vec_id, t, bk) schema built with the SAME
+    * (tables, bits) dial — bucketing is deterministic per row, so the
+    * persisted table and a fresh in-session build are bit-identical and
+    * this path equals the session-index path exactly (spec-asserted via
+    * a parquet write → read-back round-trip, the vector twin of q128's
+    * sketch-store round-trip).
+    */
+  def incrementalEmbeddingNearDupFromIndex(embeddings: DataFrame,
+      corpusIndex: DataFrame, newIdCut: Long = 200L,
+      threshold: Double = 0.45, tables: Int = NeardupTables,
       bits: Int = NeardupBits): DataFrame = {
     val corpus = embeddings.select($"vec_id", asDouble($"embedding").as("v"))
     val newBuckets = hyperplaneBucketRows(
         embeddings.filter($"vec_id" < newIdCut), tables, bits)
       .withColumnRenamed("vec_id", "new_id")
-    val oldBuckets = hyperplaneIndex(embeddings, tables, bits)
+    val oldBuckets = corpusIndex
       .filter($"vec_id" >= newIdCut)
       .withColumnRenamed("vec_id", "old_id")
     val candidates = newBuckets

@@ -95,7 +95,8 @@ object EventStreams {
   case class LastEvent(lastTs: Long, lastType: String)
   case class TransitionOut(event_type: String, next_type: String)
 
-  case class Scd2State(validFrom: Long, curType: String, lastTs: Long)
+  case class Scd2State(validFrom: Long, curType: String, lastTs: Long,
+      lastEventId: Long)
   case class Scd2Out(user_id: Long, event_type: String, valid_from: Long,
       valid_to: Long)
 
@@ -129,22 +130,33 @@ object EventStreams {
           sorted.foreach { e =>
             val t = micros(e.ts)
             if (st == null) {
-              st = Scd2State(t, e.event_type, t)
-            } else if (t < st.lastTs) {
+              st = Scd2State(t, e.event_type, t, e.event_id)
+            } else if (t < st.lastTs ||
+                (t == st.lastTs && e.event_id <= st.lastEventId)) {
               // out-of-order across micro-batches (within a batch the sort
-              // handles order): an event older than the state's frontier is
-              // DROPPED — processing it would emit an interval that closes
-              // before it opens (negative length / overlap). This is the
-              // documented last-writer-wins contract: the dimension tracks
-              // the newest observed event time per user; no watermark exists
-              // on this query, so "late" means behind the user's own
-              // frontier, not behind a global clock. Asserted in
-              // StreamingSpec's out-of-order test.
+              // handles order): an event at or behind the state's
+              // (lastTs, lastEventId) frontier — the SAME lexicographic key
+              // batch q129 sorts by — is DROPPED. Processing it would emit
+              // an interval that closes before it opens (negative length /
+              // overlap); equal-(ts, event_id) arrivals are duplicate
+              // deliveries. This is the documented last-writer-wins
+              // contract: the dimension tracks the newest observed
+              // (ts, event_id) per user; no watermark exists on this query,
+              // so "late" means behind the user's own frontier, not behind
+              // a global clock. Asserted in StreamingSpec's out-of-order
+              // and equal-timestamp tests.
             } else if (e.event_type != st.curType) {
+              // t == st.lastTs with a HIGHER event_id is legal and follows
+              // batch q129's (tsu, event_id) tie-break: if the open
+              // interval also started at t, the closed row is the EMPTY
+              // interval (valid_to = valid_from - 1) — the exact artifact
+              // the batch window build emits for same-micro change points
+              // (lead(tsu) - 1 == tsu - 1 < valid_from == tsu), which no
+              // as-of probe [valid_from, valid_to] can ever match.
               out += Scd2Out(userId, st.curType, st.validFrom, t - 1)
-              st = Scd2State(t, e.event_type, t)
+              st = Scd2State(t, e.event_type, t, e.event_id)
             } else {
-              st = st.copy(lastTs = t)
+              st = st.copy(lastTs = t, lastEventId = e.event_id)
             }
           }
           if (st != null) state.update(st)

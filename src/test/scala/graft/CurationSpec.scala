@@ -847,7 +847,15 @@ class CurationSpec extends GraftSuite {
     for (_ <- 1 to 4) {
       val p: Map[Long, Long] = feats.map { case (id, fs) =>
         val zm = fs.map { case (b, c) => w(b) * c }.sum
-        id -> math.round(1e6 / (1.0 + math.exp(-(zm / 1e6))))
+        val raw = 1e6 / (1.0 + math.exp(-(zm / 1e6)))
+        // determinism guard (see trainQualityWeights scaladoc): no doc's
+        // unrounded sigmoid sits within 1e-6 of a .5 micro-unit boundary
+        // in any round (1-ulp exp() jitter at the 1e6 scale is ~1e-10,
+        // four orders below), so a cross-engine exp() difference cannot
+        // flip the quantized pm and diverge the weight trajectory
+        assert(math.abs(raw - math.floor(raw) - 0.5) > 1e-6,
+          s"doc $id round-score $raw too close to a .5 boundary")
+        id -> math.round(raw)
       }
       val g: Map[Long, Long] = feats.toSeq
         .flatMap { case (id, fs) => fs.map { case (b, c) => b -> (p(id) - y(id) * 1000000L) * c } }

@@ -188,6 +188,19 @@ class MatchingSpec extends GraftSuite {
     got.foreach { case (lang, n, noisy) =>
       assert(math.abs(noisy - n) < 40.0, s"$lang noise implausible: $noisy vs $n")
     }
+    // KEYED release (the registered q125 form): noise keyed by
+    // md5('dp:' || key || ':' || tag || ':' || lang) — replayable with
+    // the key, and a different draw from the public secretless default
+    val keyed = Curation.dpLangHistogram(docs, secretKey = "graft-fixture-key").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSeq
+    val expectedKeyed = langs.map { lang =>
+      val u = md5Uniform(s"dp:graft-fixture-key:r1:$lang")
+      val noise = -1.0 * math.signum(u - 0.5) * math.log(1.0 - 2.0 * math.abs(u - 0.5))
+      (lang, counts(lang), roundN(counts(lang) + noise, 4))
+    }
+    assert(keyed === expectedKeyed)
+    assert(langs.exists(l =>
+      keyed.find(_._1 == l).get._3 != got.find(_._1 == l).get._3))
   }
 
   test("profileDrift surfaces planted null/new-value/range drift") {

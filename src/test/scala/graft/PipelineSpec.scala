@@ -314,6 +314,27 @@ class PipelineSpec extends GraftSuite {
         .select($"id1", $"id2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet)
   }
 
+  test("persisted hyperplane index: probing the parquet read-back == session-index path") {
+    import graft.operators.Similarity
+    val cut = 200L
+    // q95's registered shape against the session cache
+    val viaSession = Similarity
+      .incrementalEmbeddingNearDup(embs, newIdCut = cut, threshold = 0.45)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    // production incremental ingest for vectors: the index is WRITTEN
+    // once as a parquet table and every ingest job probes the read-back
+    // — the vector twin of the q128 sketch-store round-trip. Bucketing
+    // is deterministic per row, so the round-trip must be bit-for-bit.
+    val dir = java.nio.file.Files.createTempDirectory("graft_emb_index").toString + "/index"
+    Similarity.hyperplaneBucketRows(embs).write.mode("overwrite").parquet(dir)
+    val viaStore = Similarity
+      .incrementalEmbeddingNearDupFromIndex(embs, spark.read.parquet(dir),
+        newIdCut = cut, threshold = 0.45)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(viaStore === viaSession)
+    assert(viaStore.nonEmpty, "the fixture should have pairs straddling the boundary")
+  }
+
   test("event-type reconciliation exercises all three full-outer branches") {
     val rows = graft.operators.Extended.eventTypeReconciliation(Tables.events(spark, sf))
       .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))

@@ -257,6 +257,39 @@ class StreamingSpec extends GraftSuite {
     assert(intervals.forall { case (_, from, to) => to > from })
   }
 
+  test("SCD2 equal-timestamp ties follow batch q129's (ts, event_id) order; duplicates dropped") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def ev(id: Long, tsSec: Long, typ: String) =
+      Event(id, new Timestamp(tsSec * 1000), 9L, typ, 1.0)
+    val in = MemoryStream[Event]
+    val q = EventStreams.scd2Stream(in.toDS())
+      .writeStream.outputMode("append").format("memory").queryName("tie_scd2")
+      .start()
+    in.addData(ev(1, 1000, "a"))
+    q.processAllAvailable()
+    // same timestamp, HIGHER event_id, later micro-batch: legal under the
+    // batch (tsu, event_id) tie-break — closes "a" as the EMPTY interval
+    // (valid_to = valid_from - 1), exactly the artifact Events.scd2History
+    // emits for same-micro change points (lead(tsu) - 1 < tsu); an as-of
+    // probe [from, to] can never match it
+    in.addData(ev(2, 1000, "b"))
+    q.processAllAvailable()
+    // a duplicate delivery of the frontier event and an equal-ts LOWER id
+    // are both at-or-behind the (ts, event_id) frontier: dropped
+    in.addData(ev(2, 1000, "b"), ev(1, 1000, "c"))
+    q.processAllAvailable()
+    in.addData(ev(3, 2000, "a"))
+    q.processAllAvailable()
+    val streamed = spark.table("tie_scd2").collect()
+      .map(r => (r.getString(1), r.getLong(2), r.getLong(3))).toSeq
+      .sortBy(t => (t._2, t._3))
+    q.stop()
+    assert(streamed === Seq(
+      ("a", 1000000000L, 1000000000L - 1), // empty interval, == batch
+      ("b", 1000000000L, 2000000000L - 1)))
+  }
+
   test("stream-stream interval join pairs purchases with in-window clicks only") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
@@ -340,11 +373,17 @@ class StreamingSpec extends GraftSuite {
     val cut = 200L
     val corpus = Tables.embeddings(spark, sf).filter(col("vec_id") >= cut)
       .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("v"))
-    // the corpus probe side is the SAME session hyperplane index q48/q95/
-    // q110 ride (filtered to the corpus ids — exact, bucketing is per-row
-    // local; in production: the persisted hyperplaneBucketRows table)
-    val corpusBuckets = graft.operators.Similarity
-      .hyperplaneIndex(Tables.embeddings(spark, sf))
+    // the corpus probe side is the PERSISTED hyperplaneBucketRows table —
+    // written once, read back, probed by every ingest micro-batch (the
+    // production story; bucketing is per-row local, so the filtered
+    // read-back equals the filtered session index bit-for-bit, and the
+    // equality below proves the persisted path against the session-path
+    // batch result)
+    val idxDir = java.nio.file.Files
+      .createTempDirectory("graft_emb_index_stream").toString + "/index"
+    graft.operators.Similarity.hyperplaneBucketRows(Tables.embeddings(spark, sf))
+      .write.mode("overwrite").parquet(idxDir)
+    val corpusBuckets = spark.read.parquet(idxDir)
       .filter(col("vec_id") >= cut)
       .select(col("vec_id").as("old_id"), col("t"), col("bk"))
     val corpusVectors = corpus.select(col("vec_id").as("old_id"), col("v").as("v2"))

@@ -388,6 +388,12 @@ object PipelineQueries {
     // centroid, the is-the-labeling-coherent embedding diagnostic
     "q146_label_separation" -> ((s, d) =>
       Similarity.labelSeparation(Tables.embeddings(s, d))),
+    // capstone v2: boilerplate removal -> span cut -> classifier
+    // acceptance sampling -> dedup survivors, chained as one pipeline
+    // (the round-5 families as STAGES; weights + pair index ride the
+    // session caches)
+    "q147_capstone_v2" -> ((s, d) =>
+      Curation.capstoneV2(Tables.documents(s, d))),
   )
 
   // ---- shared SQL fragments -------------------------------------------
@@ -442,7 +448,10 @@ object PipelineQueries {
     * per-round CTEs are MATERIALIZED — DuckDB's default CTE inlining
     * re-expands an iterative chain exponentially.
     */
-  private lazy val ClassifierTrainCtes: String = {
+  /** The q143 training chain as a bare CTE list (no WITH keyword), so
+    * composite oracles (q147) can splice it into a larger WITH block.
+    */
+  private lazy val ClassifierTrainCteBody: String = {
     val b = posSql("h", 0, 64)
     def rnd(i: Int) =
       s"""z$i AS (
@@ -462,7 +471,7 @@ object PipelineQueries {
          |  SELECT b, wm - CAST(floor(0.0009765625 * gm / nd) AS BIGINT) AS wm
          |  FROM w${i - 1} JOIN g$i USING (b) CROSS JOIN n
          |)""".stripMargin
-    s"""WITH yd AS (
+    s"""yd AS (
        |  SELECT doc_id, CASE WHEN lang = 'en' THEN CAST(1 AS BIGINT)
        |    ELSE CAST(0 AS BIGINT) END AS y FROM documents
        |),
@@ -481,6 +490,8 @@ object PipelineQueries {
        |w0 AS (SELECT DISTINCT b, CAST(0 AS BIGINT) AS wm FROM fx),
        |${(1 to 4).map(rnd).mkString(",\n")}""".stripMargin
   }
+
+  private lazy val ClassifierTrainCtes: String = "WITH " + ClassifierTrainCteBody
 
   /** Deterministic 2-round Lloyd k-means oracle: md5-coreset init, argmin
     * assignment on (rounded -cos, cid), per-dimension rounded-mean centroid
@@ -2974,5 +2985,125 @@ object PipelineQueries {
          | round(intra.intra_mean - inter.inter_max, 6) AS margin
          |FROM c JOIN intra USING (label) JOIN inter USING (label)
          |ORDER BY label""".stripMargin,
+    "q147_capstone_v2" -> {
+      // the composed stages in SQL: q142 segment rule -> rebuilt cleaned
+      // text -> q99 islands on the cleaned text -> q143's trained weights
+      // (on the ORIGINAL corpus) scoring the cleaned token stream ->
+      // q145's md5-uniform coin -> q84's all-pairs-Jaccard components
+      // restricted to accepted docs -> per-source funnel
+      def hv(idx: Int) =
+        s"(strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), $idx, 1)) - 1)"
+      val u5 = s"(((((${hv(1)} * 16 + ${hv(2)}) * 16 + ${hv(3)}) * 16 + ${hv(4)}) * 16 + ${hv(5)}) % 1000000)"
+      val gram8 = (0 to 7).map(j => s"ws[i+$j]").mkString(" || ' ' || ")
+      s"""WITH RECURSIVE $ClassifierTrainCteBody,
+         |s147 AS (
+         |  SELECT doc_id, i AS si, array_to_string(ws[(i*8+1):(i*8+8)], ' ') AS seg
+         |  FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+         |    LATERAL (SELECT unnest(range(0, (len(ws)-1)//8 + 1)) AS i)
+         |),
+         |bp147 AS (
+         |  SELECT md5(seg) AS h FROM s147 GROUP BY md5(seg)
+         |  HAVING count(DISTINCT doc_id) >= 3
+         |),
+         |cl147 AS MATERIALIZED (
+         |  SELECT doc_id, string_agg(seg, ' ' ORDER BY si) AS text
+         |  FROM s147 WHERE md5(seg) NOT IN (SELECT h FROM bp147)
+         |  GROUP BY doc_id
+         |),
+         |wq147 AS (SELECT doc_id, string_split(text, ' ') AS ws FROM cl147
+         |          WHERE len(string_split(text, ' ')) >= 8),
+         |pq147 AS (SELECT doc_id, ws, unnest(generate_series(1, len(ws) - 7)) AS i FROM wq147),
+         |gq147 AS (SELECT doc_id, i - 1 AS pos, md5($gram8) AS h FROM pq147),
+         |dupq147 AS (SELECT h FROM gq147 GROUP BY h HAVING count(*) >= 2),
+         |dq147 AS (SELECT doc_id, pos FROM gq147 JOIN dupq147 USING (h)),
+         |islq147 AS (SELECT doc_id, pos,
+         |    max(pos + 7) OVER (PARTITION BY doc_id ORDER BY pos
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
+         |  FROM dq147),
+         |numq147 AS (SELECT doc_id, pos,
+         |    sum(CASE WHEN prev_end IS NULL OR pos > prev_end + 1 THEN 1 ELSE 0 END)
+         |      OVER (PARTITION BY doc_id ORDER BY pos) AS island
+         |  FROM islq147),
+         |spq147 AS (SELECT doc_id, island, min(pos) AS s, max(pos) + 7 AS e
+         |  FROM numq147 GROUP BY 1, 2),
+         |covq147 AS (SELECT doc_id, unnest(generate_series(s, e)) AS tpos FROM spq147),
+         |tokq147 AS (SELECT doc_id, i - 1 AS tpos, ws[i] AS tokn FROM (
+         |  SELECT doc_id, ws, unnest(generate_series(1, len(ws))) AS i FROM (
+         |    SELECT doc_id, string_split(text, ' ') AS ws FROM cl147))),
+         |keptq147 AS MATERIALIZED (
+         |  SELECT t.doc_id, t.tpos, t.tokn
+         |  FROM tokq147 t LEFT JOIN covq147 c ON t.doc_id = c.doc_id AND t.tpos = c.tpos
+         |  WHERE c.doc_id IS NULL
+         |),
+         |fx147 AS (
+         |  SELECT doc_id, b, count(*) AS c FROM (
+         |    SELECT doc_id, ${posSql("h", 0, 64)} AS b FROM (
+         |      SELECT doc_id, md5(tokn) AS h FROM keptq147
+         |    )
+         |  ) GROUP BY doc_id, b
+         |  UNION ALL
+         |  SELECT doc_id, CAST(-1 AS BIGINT), CAST(1 AS BIGINT) FROM documents
+         |),
+         |sc147 AS (
+         |  SELECT doc_id, CAST(sum(c * wm) AS BIGINT) AS zm
+         |  FROM fx147 JOIN w4 USING (b) GROUP BY doc_id
+         |),
+         |acc147 AS MATERIALIZED (
+         |  SELECT doc_id FROM (
+         |    SELECT doc_id,
+         |      CAST(round(1e6 / (1.0 + exp(-(zm / 1e6)))) AS BIGINT) AS pm
+         |    FROM sc147
+         |  ) WHERE $u5 < pm
+         |),
+         |grams147 AS (
+         |  SELECT doc_id,
+         |    unnest(list_distinct([substr(text, i, 5) for i in range(1, greatest(length(text)-4, 1)+1)])) AS g
+         |  FROM documents WHERE doc_id IN (SELECT doc_id FROM acc147)
+         |),
+         |sizes147 AS (SELECT doc_id, count(*) AS sz FROM grams147 GROUP BY doc_id),
+         |inter147 AS (
+         |  SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS i
+         |  FROM grams147 a JOIN grams147 b ON a.g = b.g AND a.doc_id < b.doc_id GROUP BY 1, 2
+         |),
+         |pairs147 AS (
+         |  SELECT id1, id2 FROM inter147
+         |  JOIN sizes147 s1 ON id1 = s1.doc_id
+         |  JOIN sizes147 s2 ON id2 = s2.doc_id
+         |  WHERE round(i * 1.0 / (s1.sz + s2.sz - i), 6) >= 0.6
+         |),
+         |edges147 AS (
+         |  SELECT id1 AS src, id2 AS dst FROM pairs147
+         |  UNION ALL SELECT id2, id1 FROM pairs147
+         |),
+         |reach147(node, label) AS (
+         |  SELECT src, src FROM edges147
+         |  UNION
+         |  SELECT e.src, r.label FROM edges147 e JOIN reach147 r ON e.dst = r.node
+         |),
+         |comp147 AS (SELECT node AS doc_id, min(label) AS rep FROM reach147 GROUP BY node),
+         |dropped147 AS (SELECT doc_id FROM comp147 WHERE doc_id <> rep),
+         |kc147 AS (SELECT doc_id, count(*) AS kt FROM keptq147 GROUP BY doc_id),
+         |accsrc147 AS (
+         |  SELECT d.source, count(*) AS n_accepted
+         |  FROM documents d JOIN acc147 USING (doc_id) GROUP BY d.source
+         |),
+         |fin147 AS (
+         |  SELECT d.source, count(*) AS n_final,
+         |    CAST(sum(coalesce(kc.kt, 0)) AS BIGINT) AS toks_final
+         |  FROM documents d
+         |  JOIN acc147 USING (doc_id)
+         |  LEFT JOIN kc147 kc USING (doc_id)
+         |  WHERE d.doc_id NOT IN (SELECT doc_id FROM dropped147)
+         |  GROUP BY d.source
+         |)
+         |SELECT t.source, t.n_docs,
+         | CAST(coalesce(a.n_accepted, 0) AS BIGINT) AS n_accepted,
+         | CAST(coalesce(f.n_final, 0) AS BIGINT) AS n_final,
+         | CAST(coalesce(f.toks_final, 0) AS BIGINT) AS toks_final
+         |FROM (SELECT source, count(*) AS n_docs FROM documents GROUP BY source) t
+         |LEFT JOIN accsrc147 a USING (source)
+         |LEFT JOIN fin147 f USING (source)
+         |ORDER BY source""".stripMargin
+    },
   )
 }

@@ -1020,4 +1020,116 @@ object Curation {
         round($"n_accepted" / $"n_docs", 6).as("accept_rate"), $"pm_mass")
       .orderBy($"source")
   }
+
+  /** Capstone v2 (q147) — the end-to-end CRAWL-TO-TRAINING-SET recipe,
+    * chaining the round-5 families as STAGES rather than endpoints:
+    *
+    *   1. boilerplate-segment removal (q142's rule): drop every
+    *      fixed-width segment whose md5 appears in >= `minDocs` distinct
+    *      documents, and rebuild each document from its kept segments;
+    *   2. duplicated-span cut (q99's rule, `k`-gram islands) on the
+    *      BOILERPLATE-CLEANED text — the two text-hygiene passes a crawl
+    *      pipeline runs back to back;
+    *   3. classifier acceptance sampling (q145's rule): score the
+    *      twice-cleaned token stream with the q143 model — trained
+    *      UPSTREAM on the original corpus, exactly how a reference-vs-
+    *      crawl filter is deployed (train once, filter every batch); the
+    *      weights ride the session cache, so the capstone never retrains;
+    *   4. near-dup survivor selection among the accepted documents via
+    *      the session pair index restricted to the accepted set (q84's
+    *      restriction identity — no re-banding).
+    *
+    * Report: per source, the document funnel (total → accepted → final
+    * survivors) and the final cleaned token mass — the numbers a
+    * datasheet quotes for the produced training set.
+    *
+    * Scale shape: every stage is the already-verified scalable operator
+    * shape — segment/token-proportional shuffles (1, 2), one broadcast of
+    * the cached weight vector (3), pair-proportional semi-joins +
+    * pointer-jumping components (4); final rollups are source-sized.
+    * Nothing pairwise outside the restricted pair set, nothing
+    * corpus-proportional on the driver.
+    */
+  def capstoneV2(documents: DataFrame, width: Int = 8, minDocs: Int = 3,
+      k: Int = 8, targetLang: String = "en", buckets: Int = 64,
+      rounds: Int = 4, lr: Double = 0.0009765625): DataFrame = {
+    val spark = documents.sparkSession
+    // stage 1: boilerplate-cleaned text (q142's segmentation + frequency
+    // rule; docs whose every segment is boilerplate drop out here and
+    // re-enter the accounting as zero-token docs via the left joins below)
+    val segs = documents
+      .select($"doc_id", split($"text", " ").as("ws"))
+      .select($"doc_id",
+        posexplode(transform(
+          sequence(lit(0), floor((size($"ws") - 1) / width).cast("int")),
+          i => concat_ws(" ", slice($"ws", i * width + 1, lit(width))))))
+      .select($"doc_id", $"pos".as("si"), $"col".as("seg"), md5($"col").as("h"))
+    val bpHashes = segs.groupBy($"h")
+      .agg(countDistinct($"doc_id").as("df"))
+      .filter($"df" >= minDocs)
+      .select($"h")
+    val cleaned = segs.join(bpHashes, Seq("h"), "left_anti")
+      .groupBy($"doc_id")
+      .agg(concat_ws(" ",
+        transform(array_sort(collect_list(struct($"si", $"seg"))),
+          x => x.getField("seg"))).as("text"))
+      // consumed twice (island detection + positional token frame)
+      .localCheckpoint()
+    // stage 2: q99's maximal duplicated-k-gram islands on the cleaned
+    // text; kept tokens = cleaned positions minus covered positions
+    val covered = dupSpanIslands(cleaned, k)
+      .select($"doc_id", explode(sequence($"s", $"e")).as("pos"))
+    val keptToks = cleaned
+      .select($"doc_id", posexplode(split($"text", " ")))
+      .select($"doc_id", $"pos".cast("long").as("pos"), $"col".as("tok"))
+      .join(covered, Seq("doc_id", "pos"), "left_anti")
+      // consumed twice (feature counts + final token mass)
+      .localCheckpoint()
+    // stage 3: q145's acceptance coin against the q143 model scored on
+    // the cleaned token stream (bias feature for EVERY document, so
+    // fully-boilerplate docs still get a bias-only score, as the oracle
+    // states); unknown-bucket tokens cannot occur — cleaned tokens are a
+    // subset of the training corpus — and the inner join states that
+    val fx2 = keptToks
+      .select($"doc_id", Scale.md5SlicePos($"tok", 0, buckets).as("b"))
+      .groupBy($"doc_id", $"b").agg(count(lit(1)).as("c"))
+      .unionAll(documents.select($"doc_id", lit(-1L).as("b"), lit(1L).as("c")))
+    val (_, w) = trainQualityWeights(documents, targetLang, buckets, rounds, lr)
+    val accepted = fx2
+      .join(broadcast(spark.createDataFrame(w).toDF("b", "wm")), Seq("b"))
+      .groupBy($"doc_id").agg(sum($"c" * $"wm").as("zm"))
+      .select($"doc_id",
+        round(lit(1e6) / (lit(1.0) + exp(-($"zm" / lit(1e6)))), 0)
+          .cast("long").as("pm"))
+      .filter((conv(substring(md5($"doc_id".cast("string")), 1, 5), 16, 10)
+        .cast("bigint") % 1000000L) < $"pm")
+      .select($"doc_id")
+      // consumed three times (pair restriction + rollup + final anti-join)
+      .localCheckpoint()
+    // stage 4: q84's restriction identity — the corpus pair index
+    // restricted to accepted docs; non-survivors drop
+    val dropped = Dedup.survivorsOverPairs(
+        Dedup.restrictPairs(Dedup.pairIndex(documents), accepted))
+      .filter(!$"survives")
+      .select($"doc_id")
+    val srcOf = documents.select($"doc_id", $"source")
+    val keptCounts = keptToks.groupBy($"doc_id").agg(count(lit(1)).as("kt"))
+    val accBySrc = srcOf.join(accepted, Seq("doc_id"), "left_semi")
+      .groupBy($"source").agg(count(lit(1)).as("n_accepted"))
+    val finBySrc = srcOf
+      .join(accepted, Seq("doc_id"), "left_semi")
+      .join(dropped, Seq("doc_id"), "left_anti")
+      .join(keptCounts, Seq("doc_id"), "left")
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_final"),
+        sum(coalesce($"kt", lit(0L))).as("toks_final"))
+    documents.groupBy($"source").agg(count(lit(1)).as("n_docs"))
+      .join(accBySrc, Seq("source"), "left")
+      .join(finBySrc, Seq("source"), "left")
+      .select($"source", $"n_docs",
+        coalesce($"n_accepted", lit(0L)).as("n_accepted"),
+        coalesce($"n_final", lit(0L)).as("n_final"),
+        coalesce($"toks_final", lit(0L)).as("toks_final"))
+      .orderBy($"source")
+  }
 }

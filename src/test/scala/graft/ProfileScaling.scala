@@ -371,6 +371,40 @@ object ProfileScaling {
       docs.unpersist()
       println(f"[scaling] curation x$s%-2d $nDocs%6d $bp%7d $kept%9d $tBp%8.2f acc=$acc%.3f $tTrain%8.2f acc_n=$nAcc%6d $tSample%8.2f")
     }
+
+    // ---- round 6: the classifier PRODUCTION dial — buckets = 2^15 (a
+    // fastText-scale hashed vocabulary) and rounds up to 16, vs the
+    // registered demo dial (64 x 4). What must stay bounded for the
+    // Lloyd-pattern claim to hold at this dial: the per-round gradient
+    // collect and weight broadcast (both <= observed-buckets + 1 rows,
+    // corpus-independent) and the wall-time PER ROUND (two map-side-
+    // combined aggregates over the persisted feature frame, ~linear in
+    // corpus). rounds=8 and rounds=16 are separate weights-cache keys
+    // but share the session feature frame, so (t16 - t8) / 8 isolates
+    // the marginal per-round cost with the frame build already paid
+    // (t_frame+1r below charges the build plus one round).
+    val prodBuckets = 32768
+    println("[scaling] clsdial: scale docs wv_rows t_frame+1r_s t_8r_s t_16r_s t_per_round_s")
+    scales.foreach { s =>
+      val docs = (0 until s).map(replica4).reduce(_ union _)
+        .repartition(32).persist()
+      val nDocs = docs.count()
+      Curation.clearWeightsCache()
+      System.gc()
+      val (wvRows, tWarm) = time {
+        Curation.qualityClassifierWeights(docs, buckets = prodBuckets, rounds = 1).count()
+      }
+      val (_, t8) = time {
+        Curation.qualityClassifierWeights(docs, buckets = prodBuckets, rounds = 8).count()
+      }
+      val (_, t16) = time {
+        Curation.qualityClassifierWeights(docs, buckets = prodBuckets, rounds = 16).count()
+      }
+      docs.unpersist()
+      Curation.clearWeightsCache()
+      val perRound = (t16 - t8) / 8.0
+      println(f"[scaling] clsdial x$s%-2d $nDocs%6d $wvRows%6d $tWarm%8.2f $t8%8.2f $t16%8.2f $perRound%8.2f")
+    }
     spark.stop()
   }
 }

@@ -1,0 +1,89 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Curation, Dedup, Similarity}
+import graft.sources.Tables
+
+/** Dev-only sf1-equivalent COLD bench for the headline index-carrier
+  * families (Test/runMain graft.ProfileSf1).
+  *
+  * The ×1/×3/×10 replica protocol (ProfileScaling) approximates corpus
+  * growth well; this main grounds the fixed-cost-floor claim at the
+  * next scale decade with one REAL cold run: a fresh JVM reads the ×10
+  * replica corpora from parquet (50k docs / 10k vectors ≈ sf1 row
+  * counts) and runs each carrier plus a representative rider, exactly
+  * as the bench charges them — carrier pays the shared build, rider
+  * rides the session cache.
+  *
+  * Corpora: `target/scaling/x10`-style documents lack lang/source (the
+  * LSH sections don't need them), so this main materializes
+  * `full_x10` once with the curation-replica map (lang/source carried,
+  * length-preserving pseudo-words per replica); embeddings reuse
+  * ProfileScaling's `emb_x10` (signed cyclic permutation per replica —
+  * orthogonal, cosine-preserving).
+  */
+object ProfileSf1 {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val outRoot = "target/scaling"
+    val spark = GraftSession
+      .builder(appName = "graft-sf1", master = "local[32]", shufflePartitions = 32)
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+
+    def time[A](f: => A): (A, Double) = {
+      val t0 = System.nanoTime()
+      val r = f
+      (r, (System.nanoTime() - t0) / 1e9)
+    }
+
+    // ---- materialize the full-column x10 documents corpus once
+    val fullDir = s"$outRoot/full_x10"
+    if (!new java.io.File(s"$fullDir/_SUCCESS").exists()) {
+      val base = Tables.documents(spark, sfDir)
+        .select($"doc_id", $"text", $"lang", $"source")
+      def replica(r: Int): DataFrame =
+        if (r == 0) base
+        else base.select(
+          ($"doc_id" + lit(r * 10000000L)).as("doc_id"),
+          array_join(
+            transform(split($"text", " "),
+              w => md5(concat(w, lit(s":$r"))).substr(lit(1), greatest(length(w), lit(1)))),
+            " ").as("text"),
+          $"lang", $"source")
+      (0 until 10).map(replica).reduce(_ union _)
+        .repartition(32).write.mode("overwrite").parquet(fullDir)
+    }
+    val embDir = s"$outRoot/emb_x10"
+    require(new java.io.File(s"$embDir/_SUCCESS").exists(),
+      "run ProfileScaling first to materialize emb_x10")
+
+    val docs = spark.read.parquet(fullDir)
+    val embs = spark.read.parquet(embDir)
+    println(s"[sf1] docs=${docs.count()} vecs=${embs.count()} (cold JVM, parquet scans)")
+
+    // q27 carrier: the document pair index (banding + verify), cold
+    val (nPairs, tPairs) = time(Dedup.pairIndex(docs).count())
+    // rider: q108 quality-canonical keeper selection over the cached index
+    val (nCanon, tCanon) = time(Dedup.qualityCanonical(docs).count())
+    println(f"[sf1] q27_carrier pairs=$nPairs%6d $tPairs%8.2f s | q108_rider rows=$nCanon%6d $tCanon%8.2f s")
+
+    // q48 carrier: the embedding pair index (hyperplane LSH + verify), cold
+    val (nEmb, tEmb) = time(Similarity.embeddingNearDup(embs, 0.45).count())
+    // rider: q95 ingest probing the session bucket index
+    val (nInc, tInc) = time(Similarity.incrementalEmbeddingNearDup(embs, 200L, 0.45).count())
+    println(f"[sf1] q48_carrier pairs=$nEmb%6d $tEmb%8.2f s | q95_rider pairs=$nInc%6d $tInc%8.2f s")
+
+    // q143 carrier: classifier training (registered 64x4 dial), cold
+    val (nW, tTrain) = time(Curation.qualityClassifierWeights(docs).count())
+    // riders: q144 eval + q145 sampling on the weights + feature caches
+    val (_, tEval) = time(Curation.qualityClassifierEval(docs).count())
+    val (_, tSample) = time(Curation.classifierSample(docs).count())
+    println(f"[sf1] q143_carrier wv=$nW%4d $tTrain%8.2f s | q144_rider $tEval%8.2f s | q145_rider $tSample%8.2f s")
+
+    spark.stop()
+  }
+}

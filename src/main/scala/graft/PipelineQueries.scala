@@ -394,6 +394,11 @@ object PipelineQueries {
     // session caches)
     "q147_capstone_v2" -> ((s, d) =>
       Curation.capstoneV2(Tables.documents(s, d))),
+    // product quantization + ADC serving: per-subspace L2 codebooks, m
+    // one-byte codes per vector, query-time precomputed dot tables rank a
+    // shortlist that exact float re-rank then cuts to top-k — recall@3 of
+    // that two-stage ranking vs the exact float truth
+    "q148_pq_ann" -> ((s, d) => Similarity.pqAnnRecall(Tables.embeddings(s, d))),
   )
 
   // ---- shared SQL fragments -------------------------------------------
@@ -551,6 +556,99 @@ object PipelineQueries {
        |   AS drop_fraction
        |FROM af LEFT JOIN rep ON af.cid = rep.cid
        |GROUP BY af.cid ORDER BY af.cid""".stripMargin
+
+  /** PQ + ADC oracle: `Similarity.pqAnnRecall` with the per-subspace L2
+    * Lloyd trainings UNROLLED (the KmeansSql technique, ×8 subspaces) —
+    * md5-coreset seeds sliced per subspace, two assign/update rounds on
+    * `round(l2², 6)` with cid tie-break, then the ADC score recomposed
+    * by joining each vector's final code to its codeword and summing the
+    * per-subspace query dots (rounded at 6 per term and on the sum,
+    * matching the Spark side's precomputed-table join), the top-`shortlist`
+    * ADC candidates re-ranked on exact rounded cosine, cut to top-k.
+    */
+  private lazy val PqSql: String = {
+    val (m, codes, subDim, nQ, k, shortlist) = (8, 16, 8, 5, 3, 50)
+    def sl(col: String, s: Int) = s"$col[${s * subDim + 1}:${(s + 1) * subDim}]"
+    def l2Sql(a: String, b: String) =
+      s"list_sum(list_transform(list_zip($a, $b), p -> (p[1] - p[2]) * (p[1] - p[2])))"
+    def dotSql(a: String, b: String) =
+      s"list_sum(list_transform(list_zip($a, $b), p -> p[1] * p[2]))"
+    def assign(s: Int, cents: String) =
+      s"""SELECT vec_id, sv, cid FROM (
+         |  SELECT x.vec_id, x.sv, c.cid,
+         |    row_number() OVER (PARTITION BY x.vec_id
+         |      ORDER BY round(${l2Sql("x.sv", "c.cv")}, 6), c.cid) AS rn
+         |  FROM es$s x CROSS JOIN $cents c
+         |) WHERE rn = 1""".stripMargin
+    def update(a: String, prev: String) =
+      s"""SELECT c0.cid, coalesce(u.cv, c0.cv) AS cv FROM $prev c0 LEFT JOIN (
+         |  SELECT cid, list(mn ORDER BY i) AS cv FROM (
+         |    SELECT cid, i, round(avg(x), 6) AS mn FROM (
+         |      SELECT cid, unnest(generate_series(1, len(sv))) AS i, unnest(sv) AS x FROM $a
+         |    ) GROUP BY cid, i
+         |  ) GROUP BY cid
+         |) u USING (cid)""".stripMargin
+    val spaces = (0 until m).map { s =>
+      s"""es$s AS MATERIALIZED (SELECT vec_id, ${sl("v", s)} AS sv FROM e),
+         |pb0_$s AS (SELECT vec_id AS cid, ${sl("v", s)} AS cv FROM pqseed),
+         |pa1_$s AS (${assign(s, s"pb0_$s")}),
+         |pb1_$s AS MATERIALIZED (${update(s"pa1_$s", s"pb0_$s")}),
+         |pa2_$s AS (${assign(s, s"pb1_$s")}),
+         |pb2_$s AS MATERIALIZED (${update(s"pa2_$s", s"pb1_$s")}),
+         |paf_$s AS MATERIALIZED (SELECT vec_id, cid FROM (${assign(s, s"pb2_$s")}))""".stripMargin
+    }.mkString(",\n")
+    val codeJoins = (0 until m).map(s =>
+      s"""JOIN paf_$s a$s ON a$s.vec_id = x.vec_id
+         |  JOIN pb2_$s w$s ON w$s.cid = a$s.cid""".stripMargin).mkString("\n  ")
+    val adcTerms = (0 until m)
+      .map(s => s"round(${dotSql(sl("pq.v", s), s"w$s.cv")}, 6)").mkString(" + ")
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |pqseed AS (
+       |  SELECT vec_id, v FROM e
+       |  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT $codes
+       |),
+       |$spaces,
+       |pq AS (SELECT vec_id AS query_id, v FROM e WHERE vec_id < $nQ),
+       |pqscored AS (
+       |  SELECT pq.query_id, x.vec_id AS neighbor_id,
+       |    round($adcTerms, 6) AS adc
+       |  FROM e x
+       |  $codeJoins
+       |  CROSS JOIN pq WHERE x.vec_id <> pq.query_id
+       |),
+       |pqshort AS (
+       |  SELECT query_id, neighbor_id FROM (
+       |    SELECT query_id, neighbor_id,
+       |      row_number() OVER (PARTITION BY query_id
+       |        ORDER BY adc DESC, neighbor_id) AS rnk
+       |    FROM pqscored
+       |  ) WHERE rnk <= $shortlist
+       |),
+       |pqapprox AS (
+       |  SELECT query_id, neighbor_id FROM (
+       |    SELECT sh.query_id, sh.neighbor_id,
+       |      row_number() OVER (PARTITION BY sh.query_id
+       |        ORDER BY round(${cosSql("pq.v", "x.v")}, 6) DESC, sh.neighbor_id) AS rnk
+       |    FROM pqshort sh
+       |    JOIN e x ON x.vec_id = sh.neighbor_id
+       |    JOIN pq ON pq.query_id = sh.query_id
+       |  ) WHERE rnk <= $k
+       |),
+       |pqtruth AS (
+       |  SELECT query_id, neighbor_id FROM (
+       |    SELECT pq.query_id, e.vec_id AS neighbor_id,
+       |      row_number() OVER (PARTITION BY pq.query_id
+       |        ORDER BY round(${cosSql("pq.v", "e.v")}, 6) DESC, e.vec_id) AS rnk
+       |    FROM e, pq WHERE e.vec_id <> pq.query_id
+       |  ) WHERE rnk <= $k
+       |)
+       |SELECT t.query_id, count(a.neighbor_id) AS n_hit,
+       | round(count(a.neighbor_id) / $k.0, 6) AS recall
+       |FROM pqtruth t
+       |LEFT JOIN pqapprox a
+       |  ON t.query_id = a.query_id AND t.neighbor_id = a.neighbor_id
+       |GROUP BY t.query_id ORDER BY t.query_id""".stripMargin
+  }
 
   /** BPE merge-training oracle: `TextAnalysis.bpeMerges` with the rounds
     * UNROLLED (the KmeansSql technique) — each round counts adjacent
@@ -3105,5 +3203,6 @@ object PipelineQueries {
          |LEFT JOIN fin147 f USING (source)
          |ORDER BY source""".stripMargin
     },
+    "q148_pq_ann" -> PqSql,
   )
 }

@@ -483,6 +483,142 @@ object Similarity {
     recallAgainstTruth(cosineTopK(embeddings, nQueries, k), approx, k)
   }
 
+  /** Product quantization + asymmetric distance (Jégou et al. 2011, the
+    * IVF-PQ serving stack's compression half): split each vector into `m`
+    * subspaces, train a tiny per-subspace codebook (L2 Lloyd over
+    * subvectors — K-means under L2 IS the reconstruction-error-minimizing
+    * codebook), store each vector as `m` one-byte codes, and score
+    * queries against the CODES via precomputed ADC tables: `dot(q, x) ≈
+    * Σ_s table_s[code_s(x)]` where `table_s[c] = dot(q_s, codeword_{s,c})`
+    * is computed ONCE per query (m×codes doubles), so the per-candidate
+    * scan does no per-pair float vector math at all. The ADC ranking then
+    * feeds the standard serving tail: the top-`shortlist` candidates per
+    * query are re-ranked EXACTLY on their float vectors, so only
+    * shortlist×nQueries full vectors are ever touched. This is the
+    * memory-layout endgame of ANN at 100 TB: 64-dim float64 (512 B) → 8
+    * code bytes (64× compression) for the scan, floats only for the
+    * shortlist.
+    *
+    * Scale shape: each Lloyd round is ONE corpus pass (the m per-subspace
+    * assignments ride a single `explode`) + one (m×codes)-group shuffle;
+    * the driver holds only the m×codes×subDim codebook. Encoding is one
+    * corpus pass emitting m code columns (the stored table). The ADC
+    * tables are a driver-built m×codes×nQueries frame that enters the
+    * scan as a BROADCAST equi-join on (subspace, code) — no giant literal
+    * CASE, no shuffle of the code table. The exact re-rank touches only
+    * the shortlist semi-join.
+    *
+    * Determinism: the `kmeansClusters` recipe — md5-coreset seeds,
+    * argmin on `round(l2², 6)` with codeword-id tie-break, per-dimension
+    * means rounded half-up at 6. ADC table entries are rounded at 6, so
+    * every per-candidate sum is a sum of 1e-6-grid multiples — its float
+    * lies within ulps of a grid point, never near a rounding boundary,
+    * and the final `round(·, 6)` is therefore exact across engines and
+    * aggregation orders. The DuckDB oracle unrolls the per-subspace
+    * Lloyd trainings and recomposes the same sums.
+    *
+    * Output: recall@k of the PQ-shortlisted-then-exactly-re-ranked top-k
+    * against the exact float truth per query — the compression/accuracy
+    * trade made measurable (same report shape as `annRecall`/
+    * `quantizedAnnRecall`).
+    */
+  def pqAnnRecall(embeddings: DataFrame, m: Int = 8, codes: Int = 16,
+      iters: Int = 2, shortlist: Int = 50, nQueries: Int = 5, k: Int = 3): DataFrame = {
+    def round6(x: Double): Double = graft.functions.Rounding.halfUp(x, 6)
+    val spark = embeddings.sparkSession
+    val corpus = embeddings.select($"vec_id", asDouble($"embedding").as("v"))
+      .localCheckpoint() // scanned once per Lloyd round + encode + re-rank
+    val dim = corpus.select(size($"v")).limit(1).collect()(0).getInt(0)
+    require(dim % m == 0, s"dim $dim not divisible by m=$m subspaces")
+    val subDim = dim / m
+    def sub(v: Column, s: Int): Column = slice(v, s * subDim + 1, subDim)
+    def subArr(v: Array[Double], s: Int): Array[Double] =
+      v.slice(s * subDim, (s + 1) * subDim)
+    // squared L2 between a subvector and a literal codeword — sequential
+    // left-to-right fold; round 6 before the argmin comparison keeps
+    // assignment decisions reproducible across engines
+    def l2sq(a: Column, cw: Array[Double]): Column =
+      aggregate(zip_with(a, array(cw.map(lit(_)): _*), (x, y) => (x - y) * (x - y)),
+        lit(0.0), (acc, x) => acc + x)
+    def codeStructs(book: Array[(Long, Array[Double])], sv: Column): Seq[Column] =
+      book.toSeq.map { case (cid, cw) =>
+        struct(round(l2sq(sv, cw), 6).as("d"), lit(cid).as("cid"))
+      }
+    // one md5-coreset seed draw shared by all subspaces (sliced per s)
+    val seeds = md5Coreset(corpus, codes)
+    val vecSum = udaf(new graft.functions.Aggregators.VectorSum)
+    val books: Array[Array[(Long, Array[Double])]] =
+      Array.tabulate(m)(s => seeds.map { case (cid, v) => (cid, subArr(v, s)) })
+    for (_ <- 1 to iters) {
+      // ONE corpus pass assigns all m subspaces (explode), one shuffle
+      // of (subspace, code) groups; driver receives m×codes rows
+      val perS = (0 until m).map { s =>
+        struct(lit(s).as("s"),
+          least(codeStructs(books(s), sub($"v", s)): _*).getField("cid").as("cid"),
+          sub($"v", s).as("sv"))
+      }
+      val stats: Map[(Int, Long), (Seq[Double], Long)] =
+        corpus.select(explode(array(perS: _*)).as("e"))
+          .groupBy($"e.s".as("s"), $"e.cid".as("cid"))
+          .agg(vecSum($"e.sv").as("sv"), count(lit(1)).as("n"))
+          .collect()
+          .map(r => ((r.getInt(0), r.getLong(1)), (r.getSeq[Double](2), r.getLong(3))))
+          .toMap
+      for (s <- 0 until m) books(s) = books(s).map { case (cid, old) =>
+        stats.get((s, cid)) match {
+          case Some((sv, n)) => (cid, sv.map(x => round6(x / n)).toArray)
+          case None => (cid, old) // empty cell: codeword unchanged
+        }
+      }
+    }
+    // encode: ONE corpus pass, m code columns (this is the stored table),
+    // unpivoted to (vec_id, s, cid) for the ADC join
+    val codesLong = corpus.select($"vec_id", explode(array((0 until m).map(s =>
+        struct(lit(s).as("s"),
+          least(codeStructs(books(s), sub($"v", s)): _*).getField("cid").as("cid"))): _*)).as("e"))
+      .select($"vec_id", $"e.s".as("s"), $"e.cid".as("cid"))
+    // driver-side ADC tables from the bounded query set → broadcast frame
+    def ddot(a: Array[Double], b: Array[Double]): Double = {
+      var acc = 0.0; var i = 0
+      while (i < a.length) { acc += a(i) * b(i); i += 1 }
+      acc
+    }
+    val qVecs = corpus.filter($"vec_id" < nQueries).select($"vec_id", $"v")
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray)).sortBy(_._1)
+    val adcTables = spark.createDataFrame(for {
+      (qid, qv) <- qVecs.toSeq
+      s <- 0 until m
+      (cid, cw) <- books(s)
+    } yield (qid, s, cid, round6(ddot(subArr(qv, s), cw))))
+      .toDF("query_id", "s", "cid", "t")
+    val adcScores = codesLong
+      .join(broadcast(adcTables), Seq("s", "cid"))
+      .filter($"vec_id" =!= $"query_id")
+      .groupBy($"query_id", $"vec_id".as("neighbor_id"))
+      // sum of m grid-multiple terms: exact under round 6 (scaladoc)
+      .agg(round(sum($"t"), 6).as("adc"))
+    val wAdc = Window.partitionBy($"query_id").orderBy($"adc".desc, $"neighbor_id")
+    val short = adcScores
+      .withColumn("rnk", row_number().over(wAdc))
+      .filter($"rnk" <= shortlist)
+      .select($"query_id", $"neighbor_id")
+    // exact re-rank of the shortlist only: floats touched for
+    // shortlist×nQueries vectors, never the whole corpus
+    val queries = corpus.filter($"vec_id" < nQueries)
+      .select($"vec_id".as("query_id"), $"v".as("qv"))
+    val rer = short
+      .join(corpus.withColumnRenamed("vec_id", "neighbor_id"), "neighbor_id")
+      .join(broadcast(queries), "query_id")
+      .select($"query_id", $"neighbor_id",
+        round(graft.functions.VectorFunctions.cosine_sim($"qv", $"v"), 6).as("cos"))
+    val wCos = Window.partitionBy($"query_id").orderBy($"cos".desc, $"neighbor_id")
+    val approx = rer
+      .withColumn("rnk", row_number().over(wCos))
+      .filter($"rnk" <= k)
+      .select($"query_id", $"neighbor_id")
+    recallAgainstTruth(cosineTopK(embeddings, nQueries, k), approx, k)
+  }
+
   /** IVF (inverted-file) ANN — the second scale path beside LSH: partition
     * the corpus into `nCentroids` cells by nearest centroid, then scan only
     * the `nProbe` cells nearest each query. Candidate volume is

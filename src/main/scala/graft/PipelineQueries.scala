@@ -399,6 +399,10 @@ object PipelineQueries {
     // shortlist that exact float re-rank then cuts to top-k — recall@3 of
     // that two-stage ranking vs the exact float truth
     "q148_pq_ann" -> ((s, d) => Similarity.pqAnnRecall(Tables.embeddings(s, d))),
+    // IVF-PQ: the coarse quantizer prunes the scan to nProbe cells, PQ
+    // codes + broadcast ADC tables rank inside them, exact re-rank cuts
+    // the shortlist to top-k — the composed serving stack
+    "q149_ivf_pq_ann" -> ((s, d) => Similarity.ivfPqAnnRecall(Tables.embeddings(s, d))),
   )
 
   // ---- shared SQL fragments -------------------------------------------
@@ -566,7 +570,15 @@ object PipelineQueries {
     * matching the Spark side's precomputed-table join), the top-`shortlist`
     * ADC candidates re-ranked on exact rounded cosine, cut to top-k.
     */
-  private lazy val PqSql: String = {
+  private lazy val PqSql: String = pqRecallSql(ivf = None)
+
+  /** IVF-PQ oracle: the q55 coarse CTEs (md5-coreset centroids, rounded
+    * argmin cells, nProbe probe list) restrict the ADC scan to probed
+    * cells; everything else is `PqSql` verbatim (shared generator).
+    */
+  private lazy val IvfPqSql: String = pqRecallSql(ivf = Some((16, 4)))
+
+  private def pqRecallSql(ivf: Option[(Int, Int)]): String = {
     val (m, codes, subDim, nQ, k, shortlist) = (8, 16, 8, 5, 3, 50)
     def sl(col: String, s: Int) = s"$col[${s * subDim + 1}:${(s + 1) * subDim}]"
     def l2Sql(a: String, b: String) =
@@ -602,19 +614,54 @@ object PipelineQueries {
          |  JOIN pb2_$s w$s ON w$s.cid = a$s.cid""".stripMargin).mkString("\n  ")
     val adcTerms = (0 until m)
       .map(s => s"round(${dotSql(sl("pq.v", s), s"w$s.cv")}, 6)").mkString(" + ")
+    // IVF coarse stage (q55's CTEs): probed-cell (query, candidate) pairs
+    val ivfCtes = ivf.map { case (nCentroids, nProbe) =>
+      s"""cent AS (
+         |  SELECT vec_id AS cid, v AS cv FROM e
+         |  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT $nCentroids
+         |),
+         |ivfa AS (
+         |  SELECT vec_id, cid FROM (
+         |    SELECT e.vec_id, c.cid,
+         |      row_number() OVER (PARTITION BY e.vec_id
+         |        ORDER BY round(-(${cosSql("e.v", "c.cv")}), 6), c.cid) AS rn
+         |    FROM e CROSS JOIN cent c
+         |  ) WHERE rn = 1
+         |),
+         |ivfp AS (
+         |  SELECT query_id, cid FROM (
+         |    SELECT q.vec_id AS query_id, c.cid,
+         |      row_number() OVER (PARTITION BY q.vec_id
+         |        ORDER BY round(-(${cosSql("q.v", "c.cv")}), 6), c.cid) AS rn
+         |    FROM e q CROSS JOIN cent c WHERE q.vec_id < $nQ
+         |  ) WHERE rn <= $nProbe
+         |),
+         |cand AS (
+         |  SELECT p.query_id, a.vec_id FROM ivfp p
+         |  JOIN ivfa a ON a.cid = p.cid AND a.vec_id <> p.query_id
+         |),
+         |""".stripMargin
+    }.getOrElse("")
+    val scanFrom = if (ivf.isDefined)
+      s"""FROM e x
+         |  $codeJoins
+         |  JOIN cand c ON c.vec_id = x.vec_id
+         |  JOIN pq ON pq.query_id = c.query_id""".stripMargin
+    else
+      s"""FROM e x
+         |  $codeJoins
+         |  CROSS JOIN pq WHERE x.vec_id <> pq.query_id""".stripMargin
     s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
        |pqseed AS (
        |  SELECT vec_id, v FROM e
        |  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT $codes
        |),
-       |$spaces,
+       |$ivfCtes$spaces,
        |pq AS (SELECT vec_id AS query_id, v FROM e WHERE vec_id < $nQ),
        |pqscored AS (
        |  SELECT pq.query_id, x.vec_id AS neighbor_id,
        |    round($adcTerms, 6) AS adc
-       |  FROM e x
-       |  $codeJoins
-       |  CROSS JOIN pq WHERE x.vec_id <> pq.query_id
+       |  $scanFrom
        |),
        |pqshort AS (
        |  SELECT query_id, neighbor_id FROM (
@@ -3204,5 +3251,6 @@ object PipelineQueries {
          |ORDER BY source""".stripMargin
     },
     "q148_pq_ann" -> PqSql,
+    "q149_ivf_pq_ann" -> IvfPqSql,
   )
 }

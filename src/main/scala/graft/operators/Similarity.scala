@@ -524,10 +524,33 @@ object Similarity {
     */
   def pqAnnRecall(embeddings: DataFrame, m: Int = 8, codes: Int = 16,
       iters: Int = 2, shortlist: Int = 50, nQueries: Int = 5, k: Int = 3): DataFrame = {
-    def round6(x: Double): Double = graft.functions.Rounding.halfUp(x, 6)
-    val spark = embeddings.sparkSession
     val corpus = embeddings.select($"vec_id", asDouble($"embedding").as("v"))
       .localCheckpoint() // scanned once per Lloyd round + encode + re-rank
+    val (codesLong, adcTables) = pqModel(corpus, m, codes, iters, nQueries)
+    val adcScores = codesLong
+      .join(broadcast(adcTables), Seq("s", "cid"))
+      .filter($"vec_id" =!= $"query_id")
+      .groupBy($"query_id", $"vec_id".as("neighbor_id"))
+      // sum of m grid-multiple terms: exact under round 6 (scaladoc)
+      .agg(round(sum($"t"), 6).as("adc"))
+    val approx = pqShortlistRerank(corpus, adcScores, shortlist, nQueries, k)
+    recallAgainstTruth(cosineTopK(embeddings, nQueries, k), approx, k)
+  }
+
+  /** One trained PQ model over `corpus` (which the caller should have
+    * localCheckpointed — it is scanned once per Lloyd round, once to
+    * encode, and once for the query vectors). Returns:
+    *  - `codesLong(vec_id, s, cid)` — the encoded corpus, m one-byte
+    *    codes per vector unpivoted for the ADC join (the stored table);
+    *  - `adcTables(query_id, s, cid, t)` — the driver-built per-query
+    *    dot tables, `t = round₆(dot(q_s, codeword_{s,cid}))`, an
+    *    (nQueries × m × codes)-row broadcast side.
+    * Training and determinism are documented on `pqAnnRecall`.
+    */
+  private def pqModel(corpus: DataFrame, m: Int, codes: Int, iters: Int,
+      nQueries: Int): (DataFrame, DataFrame) = {
+    def round6(x: Double): Double = graft.functions.Rounding.halfUp(x, 6)
+    val spark = corpus.sparkSession
     val dim = corpus.select(size($"v")).limit(1).collect()(0).getInt(0)
     require(dim % m == 0, s"dim $dim not divisible by m=$m subspaces")
     val subDim = dim / m
@@ -591,19 +614,22 @@ object Similarity {
       (cid, cw) <- books(s)
     } yield (qid, s, cid, round6(ddot(subArr(qv, s), cw))))
       .toDF("query_id", "s", "cid", "t")
-    val adcScores = codesLong
-      .join(broadcast(adcTables), Seq("s", "cid"))
-      .filter($"vec_id" =!= $"query_id")
-      .groupBy($"query_id", $"vec_id".as("neighbor_id"))
-      // sum of m grid-multiple terms: exact under round 6 (scaladoc)
-      .agg(round(sum($"t"), 6).as("adc"))
+    (codesLong, adcTables)
+  }
+
+  /** The PQ serving tail shared by the full-scan and IVF-pruned paths:
+    * top-`shortlist` per query by (adc desc, id), then exact rounded
+    * cosine re-rank of the shortlist only — floats touched for
+    * shortlist×nQueries vectors, never the whole corpus. Returns the
+    * approx (query_id, neighbor_id) top-k set.
+    */
+  private def pqShortlistRerank(corpus: DataFrame, adcScores: DataFrame,
+      shortlist: Int, nQueries: Int, k: Int): DataFrame = {
     val wAdc = Window.partitionBy($"query_id").orderBy($"adc".desc, $"neighbor_id")
     val short = adcScores
       .withColumn("rnk", row_number().over(wAdc))
       .filter($"rnk" <= shortlist)
       .select($"query_id", $"neighbor_id")
-    // exact re-rank of the shortlist only: floats touched for
-    // shortlist×nQueries vectors, never the whole corpus
     val queries = corpus.filter($"vec_id" < nQueries)
       .select($"vec_id".as("query_id"), $"v".as("qv"))
     val rer = short
@@ -612,10 +638,62 @@ object Similarity {
       .select($"query_id", $"neighbor_id",
         round(graft.functions.VectorFunctions.cosine_sim($"qv", $"v"), 6).as("cos"))
     val wCos = Window.partitionBy($"query_id").orderBy($"cos".desc, $"neighbor_id")
-    val approx = rer
+    rer
       .withColumn("rnk", row_number().over(wCos))
       .filter($"rnk" <= k)
       .select($"query_id", $"neighbor_id")
+  }
+
+  /** IVF-PQ — the two serving halves composed into the standard ANN
+    * architecture (Jégou et al. 2011's IVFADC, modulo one documented
+    * simplification): the IVF coarse quantizer prunes the scan to the
+    * `nProbe` cells nearest each query (candidate volume ~ corpus ×
+    * nProbe / nCentroids), and within the probed cells candidates are
+    * ranked by PQ codes via the same broadcast ADC-table join as
+    * `pqAnnRecall` — so the scan is both CELL-PRUNED and CODE-ONLY, the
+    * genuine 100 TB serving shape: inverted lists keyed by coarse cell,
+    * 8 bytes of codes per vector scanned, floats only for the final
+    * `shortlist` re-rank.
+    *
+    * Simplification vs the paper: codebooks are trained on RAW vectors,
+    * not per-cell residuals (q - centroid). Residual PQ couples every
+    * code to its cell and would weld the oracle's eight unrolled
+    * trainings to the coarse assignment; raw-vector PQ keeps the code
+    * table cell-independent (one stored table serves any probe dial) at
+    * a modest accuracy cost on small dials — the trade FAISS ships as
+    * `IVFFlat`-style scanning with `PQ` storage. Determinism and the
+    * recall report are exactly `pqAnnRecall`'s; the coarse stage is
+    * exactly `ivfCosineTopK`'s (md5-coreset centroids, rounded-cosine
+    * argmin, sorted-struct probe list).
+    *
+    * Law (spec'd): with nProbe = nCentroids the cell pruning vanishes
+    * and this equals `pqAnnRecall` bit-for-bit.
+    */
+  def ivfPqAnnRecall(embeddings: DataFrame, nCentroids: Int = 16, nProbe: Int = 4,
+      m: Int = 8, codes: Int = 16, iters: Int = 2, shortlist: Int = 50,
+      nQueries: Int = 5, k: Int = 3): DataFrame = {
+    val corpus = embeddings.select($"vec_id", asDouble($"embedding").as("v"))
+      .localCheckpoint()
+    val cents = md5Coreset(corpus, nCentroids)
+    val assigned = corpus
+      .withColumn("a", least(cellStructs(cents, $"v"): _*))
+      .select($"vec_id", $"a.cid".as("centroid_id"))
+    val probes = corpus.filter($"vec_id" < nQueries)
+      .select($"vec_id".as("query_id"),
+        explode(slice(array_sort(array(cellStructs(cents, $"v"): _*)), 1, nProbe)).as("p"))
+      .select($"query_id", $"p.cid".as("centroid_id"))
+    // the inverted-list probe: (query, candidate) pairs from probed cells
+    val candPairs = assigned
+      .join(broadcast(probes), Seq("centroid_id"))
+      .filter($"vec_id" =!= $"query_id")
+      .select($"query_id", $"vec_id")
+    val (codesLong, adcTables) = pqModel(corpus, m, codes, iters, nQueries)
+    val adcScores = codesLong
+      .join(candPairs, Seq("vec_id"))
+      .join(broadcast(adcTables), Seq("query_id", "s", "cid"))
+      .groupBy($"query_id", $"vec_id".as("neighbor_id"))
+      .agg(round(sum($"t"), 6).as("adc"))
+    val approx = pqShortlistRerank(corpus, adcScores, shortlist, nQueries, k)
     recallAgainstTruth(cosineTopK(embeddings, nQueries, k), approx, k)
   }
 

@@ -388,6 +388,35 @@ class PipelineSpec extends GraftSuite {
       s"PQ shortlist ranking lost nearly all signal: ${r1.mkString(", ")}")
   }
 
+  test("IVF-PQ: probing all cells equals the full PQ scan bit-for-bit") {
+    import graft.operators.Similarity
+    val all = Similarity.ivfPqAnnRecall(embs, nCentroids = 16, nProbe = 16).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val full = Similarity.pqAnnRecall(embs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(all === full,
+      "with every cell probed, IVF pruning must vanish and leave the PQ ranking")
+  }
+
+  test("IVF-PQ: pruned probe is deterministic and keeps most of the PQ recall") {
+    import graft.operators.Similarity
+    val r1 = Similarity.ivfPqAnnRecall(embs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val r2 = Similarity.ivfPqAnnRecall(embs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(r1 === r2)
+    assert(r1.map(_._1).toSeq === (0L until 5L))
+    r1.foreach { case (q, hit, recall) =>
+      assert(hit >= 0L && hit <= 3L, s"query $q")
+      assert(math.abs(recall - hit / 3.0) < 1e-6 + 1e-9)
+    }
+    // 4/16 cells scanned: recall can only lose truth neighbors whose
+    // cell went unprobed; on the fixture the probed quarter of the
+    // corpus must retain clear signal vs an uninformed draw (~0/15)
+    assert(r1.map(_._2).sum >= 4L,
+      s"cell pruning destroyed the ranking: ${r1.mkString(", ")}")
+  }
+
   test("annRecall agrees with a manual truth-vs-approx set comparison") {
     val truth = Similarity.cosineTopK(embs, nQueries = 5, k = 3).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet

@@ -403,6 +403,12 @@ object PipelineQueries {
     // codes + broadcast ADC tables rank inside them, exact re-rank cuts
     // the shortlist to top-k — the composed serving stack
     "q149_ivf_pq_ann" -> ((s, d) => Similarity.ivfPqAnnRecall(Tables.embeddings(s, d))),
+    // overlapping fixed-size token chunking (RAG/embedding prep) with
+    // per-chunk provenance, fingerprint, and corpus-level duplicate count
+    "q150_chunking" -> ((s, d) => Curation.chunkDocuments(Tables.documents(s, d))),
+    // PageRank centrality over the verified near-dup graph (rides the
+    // q27 pair index): integer micro-unit power iteration, d = 17/20
+    "q151_neardup_pagerank" -> ((s, d) => Dedup.neardupPagerank(Tables.documents(s, d))),
   )
 
   // ---- shared SQL fragments -------------------------------------------
@@ -3252,5 +3258,58 @@ object PipelineQueries {
     },
     "q148_pq_ann" -> PqSql,
     "q149_ivf_pq_ann" -> IvfPqSql,
+    "q150_chunking" ->
+      // chunk=64 overlap=16 stride=48; 1 + ceil((n-64)/48) chunks via
+      // integer floor-div; md5 over the space-rejoined token slice
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+        |b AS (
+        |  SELECT doc_id, ts, len(ts) AS n_tok,
+        |    CASE WHEN len(ts) <= 64 THEN 1
+        |         ELSE 1 + (len(ts) - 64 + 47) // 48 END AS n_chunks
+        |  FROM t WHERE len(ts) >= 1
+        |),
+        |c AS (
+        |  SELECT doc_id, ts, n_tok,
+        |    unnest(generate_series(0, n_chunks - 1)) AS chunk_idx
+        |  FROM b
+        |),
+        |ch AS (
+        |  SELECT doc_id, CAST(chunk_idx AS INT) AS chunk_idx,
+        |    CAST(chunk_idx * 48 AS INT) AS start_tok,
+        |    CAST(least(64, n_tok - chunk_idx * 48) AS INT) AS len_tok,
+        |    md5(array_to_string(
+        |      ts[chunk_idx * 48 + 1 : chunk_idx * 48 + least(64, n_tok - chunk_idx * 48)],
+        |      ' ')) AS chunk_hash
+        |  FROM c
+        |),
+        |d AS (SELECT chunk_hash, count(*) AS n_dup FROM ch GROUP BY 1)
+        |SELECT ch.doc_id, ch.chunk_idx, ch.start_tok, ch.len_tok,
+        |  ch.chunk_hash, d.n_dup
+        |FROM ch JOIN d USING (chunk_hash)
+        |ORDER BY doc_id, chunk_idx""".stripMargin,
+    "q151_neardup_pagerank" -> {
+      // edges = q27's exact pair set symmetrized; 4 power iterations
+      // UNROLLED (MATERIALIZED per round), pure integer micro-units:
+      // seed 1e6//N, base 0.15e6//N, contrib rank//deg, d = 17/20
+      def iter(i: Int) =
+        s"""pr$i AS MATERIALIZED (
+           |  SELECT d.node, d.deg, (150000 // nn.n) + (17 * s.s) // 20 AS rank_m
+           |  FROM pdeg d
+           |  JOIN (
+           |    SELECT e.dst AS node, sum(r.rank_m // r.deg) AS s
+           |    FROM pedges e JOIN pr${i - 1} r ON r.node = e.src GROUP BY 1
+           |  ) s ON s.node = d.node
+           |  CROSS JOIN nn
+           |)""".stripMargin
+      s"""WITH e0 AS MATERIALIZED (SELECT id1, id2 FROM ($JaccardSql)),
+         |pedges AS (SELECT id1 AS src, id2 AS dst FROM e0
+         |  UNION ALL SELECT id2, id1 FROM e0),
+         |pdeg AS MATERIALIZED (SELECT src AS node, count(*) AS deg FROM pedges GROUP BY 1),
+         |nn AS (SELECT count(*) AS n FROM pdeg),
+         |pr0 AS (SELECT node, deg, 1000000 // nn.n AS rank_m FROM pdeg CROSS JOIN nn),
+         |${(1 to 4).map(iter).mkString(",\n")}
+         |SELECT node AS doc_id, deg, rank_m AS rank_micro FROM pr4
+         |ORDER BY doc_id""".stripMargin
+    },
   )
 }

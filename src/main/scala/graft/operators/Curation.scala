@@ -1132,4 +1132,57 @@ object Curation {
         coalesce($"toks_final", lit(0L)).as("toks_final"))
       .orderBy($"source")
   }
+
+  /** Overlapping fixed-size token chunking — the retrieval/embedding
+    * prep step every RAG and long-context training pipeline runs before
+    * vectorizing: window each document into `chunkTokens`-token chunks
+    * advancing by `chunkTokens - overlapTokens` (trailing partial chunk
+    * kept), emit per chunk its provenance (doc, ordinal, token offset,
+    * length) and an md5 fingerprint of the re-joined text, plus the
+    * CORPUS-level duplicate count of that fingerprint — chunk-level
+    * exact dedup being the first thing run on chunked corpora (template
+    * segments that q142 sees per-line reappear here per-window).
+    *
+    * Scale shape: chunk generation is pure per-row projection — one
+    * corpus-linear pass, `transform(sequence(0, nChunks-1))` + explode,
+    * NO shuffle until the single fingerprint-count exchange (one
+    * hash-partitioned count over chunk-proportional rows, the q25
+    * exact-dedup shape). Chunk TEXT never leaves the row: only offsets
+    * and the 32-char fingerprint are emitted, so the output is
+    * provenance-sized, not corpus-sized.
+    *
+    * Determinism: pure integer window arithmetic (`div` for the chunk
+    * count — `sequence(1,0)` descends in Spark, so `nChunks` is clamped
+    * to >= 1 by construction for any non-empty token list) and md5 over
+    * the space-joined tokens; no floats anywhere.
+    */
+  def chunkDocuments(documents: DataFrame, chunkTokens: Int = 64,
+      overlapTokens: Int = 16): DataFrame = {
+    require(overlapTokens >= 0 && overlapTokens < chunkTokens,
+      s"overlap $overlapTokens must be in [0, chunkTokens=$chunkTokens)")
+    val stride = chunkTokens - overlapTokens
+    val chunks = documents
+      .select($"doc_id", split($"text", " ").as("ts"))
+      .withColumn("n_tok", size($"ts"))
+      .filter($"n_tok" >= 1)
+      // 1 + ceil((n_tok - chunk) / stride) via integer div, >= 1 always
+      .withColumn("n_chunks",
+        when($"n_tok" <= chunkTokens, lit(1))
+          .otherwise(expr(s"1 + (n_tok - $chunkTokens + ${stride - 1}) div $stride")))
+      .select($"doc_id", $"ts", $"n_tok",
+        explode(sequence(lit(0), $"n_chunks" - 1)).as("chunk_idx"))
+      .withColumn("start_tok", $"chunk_idx" * stride)
+      .withColumn("len_tok",
+        least(lit(chunkTokens), $"n_tok" - $"start_tok").cast("int"))
+      .select($"doc_id", $"chunk_idx".cast("int").as("chunk_idx"),
+        $"start_tok".cast("int").as("start_tok"), $"len_tok",
+        md5(array_join(slice($"ts", $"start_tok" + 1, $"len_tok"), " "))
+          .as("chunk_hash"))
+    val dupCounts = chunks.groupBy($"chunk_hash").agg(count(lit(1)).as("n_dup"))
+    chunks
+      .join(dupCounts, Seq("chunk_hash"))
+      .select($"doc_id", $"chunk_idx", $"start_tok", $"len_tok",
+        $"chunk_hash", $"n_dup")
+      .orderBy($"doc_id", $"chunk_idx")
+  }
 }

@@ -664,6 +664,56 @@ object Dedup {
           .as("clustering"))
   }
 
+  /** PageRank centrality over the verified near-dup graph — the
+    * canonical-document picker's importance signal: within a duplicate
+    * cluster, the doc most linked-to by other near-dups is the best
+    * canonical (q53's priority rule picks by id; rank picks by graph
+    * position — hubs of template families surface first). Restricted to
+    * the subgraph of docs with >= 1 near-dup edge, so every node has
+    * out-degree >= 1 both ways (undirected edges symmetrized) and there
+    * is NO dangling mass to redistribute — the classic complication
+    * priced away by construction.
+    *
+    * Fully INTEGER arithmetic in micro-units, engine-exact with no
+    * transcendental and no float sum anywhere: d = 17/20, per-node seed
+    * `1e6 div N`, teleport base `0.15e6 div N`, per-edge contribution
+    * `rank div deg` (floor), update `base + (17·Σcontrib) div 20`.
+    * Floor division loses ≤1 micro-unit per term — rank MASS is not
+    * conserved to the unit, but the values (and hence any ranking) are
+    * bit-identical across engines and aggregation orders, which is what
+    * the oracle gate needs; the oracle unrolls the iterations as
+    * MATERIALIZED CTEs with the same `//` arithmetic.
+    *
+    * Scale shape: rides the cached pair index; per iteration ONE
+    * edge⋈rank hash join + ONE groupBy(dst) sum — Pregel's
+    * scatter/gather as two exchanges over edge-proportional rows, rank
+    * state stays fully distributed (no driver collect at all; the only
+    * scalar is the one-row node count). Iterations are a fixed small
+    * constant (4), so the plan is 4 chained join+agg stages — AQE
+    * handles skewed hub degrees the same way it does every other join.
+    */
+  def neardupPagerank(documents: DataFrame, iters: Int = 4): DataFrame = {
+    val pairs = pairIndex(documents).select($"id1", $"id2")
+    val edges = pairs.select($"id1".as("src"), $"id2".as("dst"))
+      .unionAll(pairs.select($"id2".as("src"), $"id1".as("dst")))
+    val deg = edges.groupBy($"src".as("node")).agg(count(lit(1)).as("deg"))
+    val nNodes = deg.count() // 1-row scalar over the cached index
+    val r0 = if (nNodes == 0) 0L else 1000000L / nNodes
+    val base = if (nNodes == 0) 0L else 150000L / nNodes
+    var ranks = deg.select($"node", $"deg", lit(r0).as("rank_m"))
+    for (_ <- 1 to iters) {
+      val contrib = ranks.select($"node".as("src"), expr("rank_m div deg").as("c"))
+      val inSum = edges.join(contrib, Seq("src"))
+        .groupBy($"dst".as("node"))
+        .agg(sum($"c").as("s"))
+      ranks = deg.join(inSum, Seq("node"))
+        .select($"node", $"deg",
+          (lit(base) + expr("(17 * s) div 20")).as("rank_m"))
+    }
+    ranks.select($"node".as("doc_id"), $"deg", $"rank_m".as("rank_micro"))
+      .orderBy($"doc_id")
+  }
+
   /** Dedup method-agreement report: the MinHash+Jaccard pair set (q27)
     * vs the SimHash pair set (q28), classified both / minhash_only /
     * simhash_only — the QA view that tells an operator whether the two

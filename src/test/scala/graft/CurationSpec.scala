@@ -922,4 +922,45 @@ class CurationSpec extends GraftSuite {
     // specificity 1.0 (only the two diagonal rows exist)
     assert(cm === Map((0L, 0L) -> 1.0, (1L, 1L) -> 1.0))
   }
+
+  test("chunkDocuments equals the brute-force sliding-window reference") {
+    def md5hex(s: String): String = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val (chunk, overlap) = (64, 16)
+    val stride = chunk - overlap
+    val fixture = docs.select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    val expected = fixture.flatMap { case (id, text) =>
+      val ts = text.split(" ", -1)
+      val nChunks = if (ts.length <= chunk) 1
+        else 1 + (ts.length - chunk + stride - 1) / stride
+      (0 until nChunks).map { i =>
+        val start = i * stride
+        val len = math.min(chunk, ts.length - start)
+        (id, i, start, len, md5hex(ts.slice(start, start + len).mkString(" ")))
+      }
+    }
+    val dupOf = expected.groupBy(_._5).view.mapValues(_.size.toLong).toMap
+    val expRows = expected
+      .map(e => (e._1, e._2, e._3, e._4, e._5, dupOf(e._5)))
+      .sortBy(e => (e._1, e._2))
+    val got = Curation.chunkDocuments(docs, chunk, overlap).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3),
+        r.getString(4), r.getLong(5))).toSeq
+    assert(got === expRows)
+    // window laws on the result itself: full coverage (chunk spans tile
+    // the doc), exact stride, tail ends exactly at n_tok
+    got.groupBy(_._1).foreach { case (id, rows) =>
+      val sorted = rows.sortBy(_._2)
+      assert(sorted.head._3 === 0, s"doc $id first chunk offset")
+      sorted.sliding(2).foreach {
+        case Seq(a, b) =>
+          assert(b._3 === a._3 + stride, s"doc $id stride")
+          assert(a._3 + a._4 >= b._3, s"doc $id coverage gap")
+        case _ =>
+      }
+      val n = fixture.find(_._1 == id).get._2.split(" ", -1).length
+      assert(sorted.last._3 + sorted.last._4 === n, s"doc $id tail end")
+    }
+  }
 }

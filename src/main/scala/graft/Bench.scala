@@ -22,16 +22,18 @@ object Bench {
     val skipped = Seq("q26_ngram_jaccard")
 
     // Index-carrier annotation: the session-scoped materialized indexes
-    // (Dedup.pairIndex; Similarity.hyperplaneIndex/embeddingPairIndex;
-    // Curation's trained classifier weights) are charged to their FIRST
-    // consumer in bench order — q27 carries the document pair-index build
-    // that q53/q83/q84/q93/q108/q115/q118/q120/q133/q137 then ride, q48
-    // carries the embedding bucket+pair index for q95/q110, and q143
-    // carries the 4-round classifier training that q144/q145 score with.
+    // (Dedup.pairIndex; Similarity.hyperplaneIndex/embeddingPairIndex/
+    // pqModel; Curation's trained classifier weights + feature frame)
+    // are charged to their FIRST consumer in bench order — q27 carries
+    // the document pair-index build that q53/q83/q84/q93/q108/q115/
+    // q118/q120/q133/q137/q151 then ride, q48 carries the embedding
+    // bucket+pair index for q95/q110, q143 carries the 4-round
+    // classifier training that q144/q145/q147 score with, and q148
+    // carries the PQ codebook training + encoding that q149 rides.
     // A bench diff showing these queries above the fixed-cost floor is
     // the shared build, not a per-query regression.
     val carriers = Seq("q27_dedup_minhash_lsh", "q48_embedding_neardup",
-      "q143_classifier_weights")
+      "q143_classifier_weights", "q148_pq_ann")
 
     // warm the JVM + file-index + codegen paths outside the measured region
     spark.range(1000000L).selectExpr("sum(id)").collect()

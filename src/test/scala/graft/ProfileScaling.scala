@@ -45,6 +45,13 @@ object ProfileScaling {
       (r, (System.nanoTime() - t0) / 1e9)
     }
 
+    // optional section filter: `Test/runMain graft.ProfileScaling pq
+    // chunk-pagerank` re-runs only those sections ("core" = everything
+    // through clsdial); replica corpora are (re)materialized regardless
+    // (idempotent _SUCCESS-guarded no-ops once written)
+    val only = args.toSet
+    def want(s: String): Boolean = only.isEmpty || only.contains(s)
+
     val base = Tables.documents(spark, sfDir).select($"doc_id", $"text")
 
     def replica(r: Int): DataFrame =
@@ -65,6 +72,7 @@ object ProfileScaling {
       }
     }
 
+    if (want("core")) {
     // warm the JIT/codegen on the smallest corpus before measuring —
     // both halves, so the x1 measurement isn't charged one-time compile
     Dedup.clearPairIndexCache()
@@ -191,6 +199,7 @@ object ProfileScaling {
       }
       println(f"[scaling] fuzzy-match x$s%-2d ${rep.count()}%8d $nPairs%5d $t%8.2f")
     }
+    } // end want("core") part 1
     // ---- round 5: embedding family (q48 pair pipeline, q95 ingest probe,
     // q100 SemDeDup) on x1/x3/x10 VECTOR replicas. Replica r applies a
     // signed cyclic permutation (an orthogonal transform keyed by r) to
@@ -228,6 +237,7 @@ object ProfileScaling {
         .agg(coalesce(sum(expr("k * (k - 1) div 2")), lit(0L)).cast("long"))
         .collect()(0).getLong(0)
 
+    if (want("core")) {
     println("[scaling] embeddings: scale nvecs cand8x6 cand24x12 pairs t_pairs_s t_ingest_s")
     scales.foreach { s =>
       val embs = spark.read.parquet(s"$outRoot/emb_x$s")
@@ -405,30 +415,41 @@ object ProfileScaling {
       val perRound = (t16 - t8) / 8.0
       println(f"[scaling] clsdial x$s%-2d $nDocs%6d $wvRows%6d $tWarm%8.2f $t8%8.2f $t16%8.2f $perRound%8.2f")
     }
+    } // end want("core") part 2
 
-    // ---- round 6: PQ / IVF-PQ (train + encode + ADC scan, no session
-    // cache — each run pays the full pipeline; claim under test:
-    // corpus-LINEAR, codebook and shortlist costs constant), chunking
-    // (one projection pass + one fingerprint-count exchange), and
-    // near-dup PageRank as a pair-index rider (4 join+agg iterations
-    // over edge-proportional rows; carrier build charged separately)
-    println("[scaling] pq: scale nvecs t_pq_s t_ivfpq_s")
-    scales.foreach { s =>
-      val embs = spark.read.parquet(s"$outRoot/emb_x$s")
-      System.gc()
-      val (_, tPq) = time(Similarity.pqAnnRecall(embs).count())
-      val (_, tIvf) = time(Similarity.ivfPqAnnRecall(embs).count())
-      println(f"[scaling] pq x$s%-2d ${embs.count()}%6d $tPq%8.2f $tIvf%8.2f")
+    // ---- round 6: PQ / IVF-PQ (session model cache: the pq carrier
+    // pays training + encode cold, ivfpq rides the cached model —
+    // exactly how the bench charges q148/q149; claim under test:
+    // carrier corpus-LINEAR, rider probe-proportional), chunking (one
+    // projection pass + one fingerprint-count exchange), and near-dup
+    // PageRank as a pair-index rider (4 join+agg iterations over
+    // edge-proportional rows; carrier build charged separately)
+    if (want("pq")) {
+      // warm JIT/codegen on x1 first — otherwise the x1 row is charged
+      // the one-time compile of the whole train/encode/ADC plan family
+      Similarity.clearPqModelCache()
+      Similarity.ivfPqAnnRecall(spark.read.parquet(s"$outRoot/emb_x1")).count()
+      println("[scaling] pq: scale nvecs t_pq_carrier_s t_ivfpq_rider_s")
+      scales.foreach { s =>
+        val embs = spark.read.parquet(s"$outRoot/emb_x$s")
+        Similarity.clearPqModelCache()
+        System.gc()
+        val (_, tPq) = time(Similarity.pqAnnRecall(embs).count())
+        val (_, tIvf) = time(Similarity.ivfPqAnnRecall(embs).count())
+        println(f"[scaling] pq x$s%-2d ${embs.count()}%6d $tPq%8.2f $tIvf%8.2f")
+      }
     }
-    println("[scaling] chunk-pagerank: scale docs chunks t_chunk_s t_pairs_s nodes t_pr_s")
-    scales.foreach { s =>
-      val docs = spark.read.parquet(s"$outRoot/x$s")
-      Dedup.clearPairIndexCache()
-      System.gc()
-      val (nCh, tCh) = time(Curation.chunkDocuments(docs).count())
-      val (_, tPairs) = time(Dedup.pairIndex(docs).count())
-      val (nPr, tPr) = time(Dedup.neardupPagerank(docs).count())
-      println(f"[scaling] chunk-pagerank x$s%-2d ${docs.count()}%6d $nCh%7d $tCh%8.2f $tPairs%8.2f $nPr%6d $tPr%8.2f")
+    if (want("chunk-pagerank")) {
+      println("[scaling] chunk-pagerank: scale docs chunks t_chunk_s t_pairs_s nodes t_pr_s")
+      scales.foreach { s =>
+        val docs = spark.read.parquet(s"$outRoot/x$s")
+        Dedup.clearPairIndexCache()
+        System.gc()
+        val (nCh, tCh) = time(Curation.chunkDocuments(docs).count())
+        val (_, tPairs) = time(Dedup.pairIndex(docs).count())
+        val (nPr, tPr) = time(Dedup.neardupPagerank(docs).count())
+        println(f"[scaling] chunk-pagerank x$s%-2d ${docs.count()}%6d $nCh%7d $tCh%8.2f $tPairs%8.2f $nPr%6d $tPr%8.2f")
+      }
     }
     spark.stop()
   }

@@ -28,12 +28,13 @@ object Bench {
     // the document pair-index build that q53/q83/q84/q93/q108/q115/
     // q118/q120/q133/q137/q151 then ride, q48 carries the embedding
     // bucket+pair index for q95/q110, q143 carries the 4-round
-    // classifier training that q144/q145/q147 score with, and q148
-    // carries the PQ codebook training + encoding that q149 rides.
+    // classifier training that q144/q145/q147 score with, q148
+    // carries the PQ codebook training + encoding that q149 rides, and
+    // q152 carries the ABTT mean/PC1 fit that q153 rides.
     // A bench diff showing these queries above the fixed-cost floor is
     // the shared build, not a per-query regression.
     val carriers = Seq("q27_dedup_minhash_lsh", "q48_embedding_neardup",
-      "q143_classifier_weights", "q148_pq_ann")
+      "q143_classifier_weights", "q148_pq_ann", "q152_pc1_power")
 
     // warm the JVM + file-index + codegen paths outside the measured region
     spark.range(1000000L).selectExpr("sum(id)").collect()

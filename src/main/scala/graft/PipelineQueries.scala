@@ -409,6 +409,13 @@ object PipelineQueries {
     // PageRank centrality over the verified near-dup graph (rides the
     // q27 pair index): integer micro-unit power iteration, d = 17/20
     "q151_neardup_pagerank" -> ((s, d) => Dedup.neardupPagerank(Tables.documents(s, d))),
+    // top principal component of the embedding corpus via exact-integer
+    // power iteration over one-pass d^2 scatter moments, with the
+    // explained-variance ratio (the all-but-the-top diagnostic)
+    "q152_pc1_power" -> ((s, d) => Similarity.pc1Power(Tables.embeddings(s, d))),
+    // all-but-the-top outliers: top 10 docs by |PC1 projection| with
+    // residual energy fractions; rides the q152 session model cache
+    "q153_abtt_outliers" -> ((s, d) => Similarity.abttOutliers(Tables.embeddings(s, d))),
   )
 
   // ---- shared SQL fragments -------------------------------------------
@@ -583,6 +590,57 @@ object PipelineQueries {
     * cells; everything else is `PqSql` verbatim (shared generator).
     */
   private lazy val IvfPqSql: String = pqRecallSql(ivf = Some((16, 4)))
+
+  /** Shared CTE body for the q152/q153 spectral family — the exact
+    * integer replica of `Similarity.fitAbttModel` + `abttProjections`:
+    * micro-quantized embeddings, centered scatter matrix at the rounded
+    * mean, `AbttIters` unrolled power-iteration rounds (micro-scaled
+    * matrix, infinity-norm renormalization — every intermediate an exact
+    * BIGINT), the sign fix on the largest-|loading| dimension, and the
+    * per-document projections tm = round(<c,v>/1e6) with exact centered
+    * energy cd2.
+    */
+  private val AbttIters = 8
+  private lazy val AbttCteBody: String = {
+    val iterCtes = (1 to AbttIters).map { t =>
+      s"""pw$t AS (SELECT gn.i AS i, CAST(sum(gn.gnv * v.vm) AS BIGINT) AS wv
+         |  FROM gn JOIN pv${t - 1} v ON gn.j = v.i GROUP BY gn.i),
+         |pm$t AS (SELECT greatest(max(abs(wv)), 1) AS mv FROM pw$t),
+         |pv$t AS MATERIALIZED (SELECT i, CAST(round(CAST(wv AS DOUBLE) * 1000000.0 / mv, 0) AS BIGINT) AS vm
+         |  FROM pw$t, pm$t)""".stripMargin
+    }.mkString(",\n")
+    s"""exm AS MATERIALIZED (
+       |  SELECT vec_id, i,
+       |    CAST(round(CAST(embedding[i + 1] AS DOUBLE) * 1000000.0, 0) AS BIGINT) AS x
+       |  FROM embeddings, LATERAL (SELECT unnest(range(0, 64)) AS i)
+       |),
+       |enn AS (SELECT count(*) AS n FROM embeddings),
+       |esv AS (SELECT i, CAST(sum(x) AS BIGINT) AS s FROM exm GROUP BY i),
+       |emu AS (SELECT i, CAST(round(CAST(s AS DOUBLE) / n, 0) AS BIGINT) AS m
+       |  FROM esv, enn),
+       |ecx AS MATERIALIZED (SELECT x.vec_id, x.i, x.x - emu.m AS c
+       |  FROM exm x JOIN emu USING (i)),
+       |eg AS MATERIALIZED (
+       |  SELECT a.i AS i, b.i AS j, CAST(sum(a.c * b.c) AS BIGINT) AS gv
+       |  FROM ecx a JOIN ecx b ON a.vec_id = b.vec_id GROUP BY a.i, b.i),
+       |egm AS (SELECT greatest(max(abs(gv)), 1) AS gm FROM eg),
+       |gn AS MATERIALIZED (
+       |  SELECT i, j, CAST(round(CAST(gv AS DOUBLE) * 1000000.0 / gm, 0) AS BIGINT) AS gnv
+       |  FROM eg, egm),
+       |pv0 AS (SELECT unnest(range(0, 64)) AS i,
+       |  CAST(round(1000000.0 / sqrt(CAST(64 AS DOUBLE)), 0) AS BIGINT) AS vm),
+       |$iterCtes,
+       |esgn AS (SELECT CASE WHEN vm < 0 THEN -1 ELSE 1 END AS sgn
+       |  FROM pv$AbttIters ORDER BY abs(vm) DESC, i LIMIT 1),
+       |evs AS MATERIALIZED (SELECT i, sgn * vm AS vm FROM pv$AbttIters, esgn),
+       |evn2 AS (SELECT CAST(sum(vm * vm) AS BIGINT) AS nv FROM evs),
+       |etr AS (SELECT CAST(sum(gv) AS BIGINT) AS trace FROM eg WHERE i = j),
+       |etm AS MATERIALIZED (
+       |  SELECT ecx.vec_id,
+       |    CAST(round(CAST(CAST(sum(ecx.c * v.vm) AS BIGINT) AS DOUBLE) / 1000000.0, 0) AS BIGINT) AS tm,
+       |    CAST(sum(ecx.c * ecx.c) AS BIGINT) AS cd2
+       |  FROM ecx JOIN evs v USING (i) GROUP BY ecx.vec_id)""".stripMargin
+  }
 
   private def pqRecallSql(ivf: Option[(Int, Int)]): String = {
     val (m, codes, subDim, nQ, k, shortlist) = (8, 16, 8, 5, 3, 50)
@@ -3311,5 +3369,21 @@ object PipelineQueries {
          |SELECT node AS doc_id, deg, rank_m AS rank_micro FROM pr4
          |ORDER BY doc_id""".stripMargin
     },
+    "q152_pc1_power" ->
+      s"""WITH $AbttCteBody,
+         |es2 AS (SELECT CAST(sum(tm * tm) AS BIGINT) AS s2 FROM etm)
+         |SELECT CAST(v.i AS BIGINT) AS dim,
+         |  round(CAST(v.vm AS DOUBLE) / 1000000.0, 6) AS loading,
+         |  round(CAST(es2.s2 AS DOUBLE) * 1e12 / evn2.nv / etr.trace, 6) AS explained_ratio
+         |FROM evs v, es2, evn2, etr
+         |ORDER BY dim""".stripMargin,
+    "q153_abtt_outliers" ->
+      s"""WITH $AbttCteBody
+         |SELECT t.vec_id, e.label,
+         |  round(CAST(t.tm AS DOUBLE) / sqrt(CAST(evn2.nv AS DOUBLE)), 6) AS proj,
+         |  round(greatest(0.0, 1.0 - CAST(t.tm * t.tm AS DOUBLE) * 1e12 / evn2.nv / t.cd2), 6) AS resid_frac,
+         |  CAST(row_number() OVER (ORDER BY abs(t.tm) DESC, t.vec_id) AS INT) AS rnk
+         |FROM etm t JOIN embeddings e USING (vec_id), evn2
+         |ORDER BY rnk LIMIT 10""".stripMargin,
   )
 }

@@ -1356,4 +1356,193 @@ object Similarity {
       .agg(round(avg($"c"), 6).as("avg_cos"), count(lit(1)).as("n_pairs"))
       .orderBy($"same_label")
   }
+
+  // ----------------------------------------------------------------------
+  // Spectral embedding diagnostics: corpus mean + top principal component
+  // via exact-integer moments and power iteration (q152/q153).
+  // ----------------------------------------------------------------------
+
+  /** The fitted mean/PC1 model: micro-unit rounded mean, the sign-fixed
+    * infinity-norm-normalized PC1 iterate (micro units), its exact L2
+    * norm-squared, the exact centered total variance (trace of the
+    * centered scatter matrix, micro^2 units), and the dimension.
+    */
+  private case class AbttModel(mu: Array[Long], vs: Array[Long],
+      vn2: Long, trace: Long, dim: Int)
+
+  private val abttModelCache =
+    new java.util.LinkedHashMap[(String, String, Int), AbttModel](16, 0.75f, false) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[(String, String, Int), AbttModel]): Boolean =
+        size() > EmbIndexCacheMax
+    }
+
+  def clearAbttModelCache(): Unit = abttModelCache.synchronized(abttModelCache.clear())
+
+  /** Micro-unit quantized embedding: `round(1e6 * x)` per dimension as
+    * LONG — every downstream moment/projection is exact integer
+    * arithmetic (order-free, engine-free) on these.
+    */
+  private def microVec(v: Column): Column =
+    transform(asDouble(v), x => round(x * lit(1000000.0), 0).cast("long"))
+
+  /** Fit the mean + top-principal-component model with ONE corpus pass
+    * and bounded driver state (the Lloyd/PQ pattern, but with zero
+    * per-round corpus passes: the scatter matrix is d x d and the power
+    * iteration runs entirely on the driver over it).
+    *
+    * Pass 1 aggregates the EXACT raw integer moments — n, S_i = sum x_i,
+    * M_ij = sum x_i*x_j — as one map-side-combined (i, j) -> sum
+    * aggregate (d^2 + d + 1 groups; the shuffle carries that many rows
+    * PER PARTITION, never corpus rows). The driver then centers at the
+    * micro-rounded mean mu via the exact integer identity
+    * G = M - mu S^T - S mu^T + n mu mu^T (valid for ANY constant mu, so
+    * rounding mu costs no exactness), and power-iterates: G is scaled to
+    * micro units by its max |entry|, v_0 = round(1e6/sqrt(d)) on every
+    * dimension, and each step is w = Gn v (exact long), v = round(1e6 *
+    * w / max|w|) — infinity-norm normalization keeps every intermediate
+    * an exact long (an L2 norm would need a float sqrt inside the loop).
+    * The sign is fixed by making the largest-|loading| component (ties:
+    * lowest dim) positive. The oracle unrolls the identical iterations
+    * as integer CTEs, so the model is bit-for-bit cross-engine.
+    *
+    * Overflow headroom (|x| <= ~0.53 => |x_micro| <= ~5.3e5, d = 64):
+    * M_ij sums stay exact longs to n ~ 3e7 rows and the scatter entries
+    * to n ~ 4e5 micro-mean offsets; past that the same pass runs with
+    * decimal(38,0) sums — a type widening, not a plan change.
+    */
+  private def abttModelFor(embeddings: DataFrame, iters: Int): AbttModel = {
+    val (sid, plan) = planKey(embeddings)
+    val key = (sid, plan, iters)
+    abttModelCache.synchronized {
+      val hit = abttModelCache.get(key)
+      if (hit != null) hit
+      else { val built = fitAbttModel(embeddings, iters); abttModelCache.put(key, built); built }
+    }
+  }
+
+  private def fitAbttModel(embeddings: DataFrame, iters: Int): AbttModel = {
+    def halfUp(x: Double, s: Int): Double = graft.functions.Rounding.halfUp(x, s)
+    val dim = embeddings.select(size($"embedding")).limit(1).collect()(0).getInt(0)
+    // one corpus pass: (i, j, x_i*x_j) products, (i, -1, x_i) sums, and a
+    // (-2, -1, 1) count row per vector; groupBy reduces map-side to
+    // d^2 + d + 1 rows per partition
+    val xm = embeddings.select(microVec($"embedding").as("xm"))
+    val moments = xm.select(explode(concat(
+        flatten(transform($"xm", (xi, i) => transform($"xm", (xj, j) =>
+          struct(i.cast("int").as("i"), j.cast("int").as("j"), (xi * xj).as("p"))))),
+        transform($"xm", (xi, i) =>
+          struct(i.cast("int").as("i"), lit(-1).as("j"), xi.as("p"))),
+        array(struct(lit(-2).as("i"), lit(-1).as("j"), lit(1L).as("p"))))).as("t"))
+      .groupBy($"t.i".as("i"), $"t.j".as("j"))
+      .agg(sum($"t.p").as("v"))
+      .collect()
+    var n = 0L
+    val s = Array.ofDim[Long](dim)
+    val m = Array.ofDim[Long](dim * dim)
+    moments.foreach { r =>
+      val i = r.getInt(0); val j = r.getInt(1); val v = r.getLong(2)
+      if (i == -2) n = v else if (j == -1) s(i) = v else m(i * dim + j) = v
+    }
+    require(n > 0, "empty embedding corpus")
+    val mu = s.map(si => halfUp(si.toDouble / n, 0).toLong)
+    def g(i: Int, j: Int): Long =
+      m(i * dim + j) - mu(j) * s(i) - mu(i) * s(j) + n * mu(i) * mu(j)
+    val trace = (0 until dim).map(i => g(i, i)).sum
+    var gmax = 1L
+    for (i <- 0 until dim; j <- 0 until dim) gmax = math.max(gmax, math.abs(g(i, j)))
+    val gm = gmax.toDouble
+    val gn = Array.tabulate(dim, dim)((i, j) =>
+      halfUp(g(i, j).toDouble * 1000000.0 / gm, 0).toLong)
+    var v = Array.fill(dim)(halfUp(1000000.0 / math.sqrt(dim.toDouble), 0).toLong)
+    for (_ <- 1 to iters) {
+      val w = Array.tabulate(dim)(i => (0 until dim).map(j => gn(i)(j) * v(j)).sum)
+      val mx = math.max(w.map(math.abs).max, 1L).toDouble
+      v = w.map(x => halfUp(x.toDouble * 1000000.0 / mx, 0).toLong)
+    }
+    val lead = (0 until dim).minBy(i => (-math.abs(v(i)), i))
+    val sgn = if (v(lead) < 0) -1L else 1L
+    val vs = v.map(_ * sgn)
+    val vn2 = vs.map(x => x * x).sum
+    AbttModel(mu, vs, vn2, trace, dim)
+  }
+
+  /** Per-document centered micro vectors (exploded) joined to the fitted
+    * model: returns (vec_id, tm, cd2) where `tm = round(<c, v>/1e6)` is
+    * the PC1 projection in micro units (exact long inner product, ONE
+    * rounding) and `cd2 = <c, c>` the document's exact centered
+    * energy.
+    */
+  private def abttProjections(embeddings: DataFrame, model: AbttModel): DataFrame = {
+    val spark = embeddings.sparkSession
+    val muDf = broadcast(spark.createDataFrame(
+      model.mu.toSeq.zipWithIndex.map { case (mv, i) => (i, mv) }).toDF("i", "m"))
+    val vsDf = broadcast(spark.createDataFrame(
+      model.vs.toSeq.zipWithIndex.map { case (vv, i) => (i, vv) }).toDF("i", "vm"))
+    embeddings
+      .select($"vec_id", posexplode(microVec($"embedding")))
+      .toDF("vec_id", "i", "x")
+      .join(muDf, Seq("i"))
+      .select($"vec_id", $"i", ($"x" - $"m").as("c"))
+      .join(vsDf, Seq("i"))
+      .groupBy($"vec_id")
+      .agg(
+        round(sum($"c" * $"vm").cast("double") / lit(1000000.0), 0).cast("long").as("tm"),
+        sum($"c" * $"c").as("cd2"))
+  }
+
+  /** Top principal component of the embedding corpus by exact-integer
+    * power iteration (q152): per dimension, the PC1 loading (micro-unit
+    * iterate / 1e6, infinity-norm normalized, sign-fixed), plus the
+    * explained-variance ratio sum(proj^2)/(|v|^2 * trace) — the "how
+    * dominant is the top direction" diagnostic that motivates
+    * all-but-the-top post-processing (Mu & Viswanath 2018: frequency
+    * energy concentrates in a few top components; removing them improves
+    * downstream similarity tasks).
+    *
+    * Scale shape: ONE corpus pass for the d^2-bounded exact moments
+    * (map-side combined), driver-side d^2 power iteration (corpus-
+    * independent), ONE more corpus pass for the projection energy (model
+    * broadcast, groupBy(vec_id) is map-side combinable per doc). Driver
+    * state is d^2 longs. Both passes are corpus-linear with no
+    * corpus-proportional shuffle — the scan dominates at 100 TB.
+    */
+  def pc1Power(embeddings: DataFrame, iters: Int = 8): DataFrame = {
+    def halfUp(x: Double, s: Int): Double = graft.functions.Rounding.halfUp(x, s)
+    val spark = embeddings.sparkSession
+    val model = abttModelFor(embeddings, iters)
+    val s2 = abttProjections(embeddings, model)
+      .agg(sum($"tm" * $"tm").as("s2")).collect()(0).getLong(0)
+    val ratio = halfUp(s2.toDouble * 1e12 / model.vn2 / model.trace, 6)
+    spark.createDataFrame(model.vs.toSeq.zipWithIndex.map { case (vv, i) =>
+        (i.toLong, halfUp(vv.toDouble / 1000000.0, 6), ratio) })
+      .toDF("dim", "loading", "explained_ratio")
+      .orderBy($"dim")
+  }
+
+  /** All-but-the-top outlier report (q153): the `topN` documents with
+    * the largest |PC1 projection| — the rows a dominant-direction
+    * removal changes most — with the unit-normalized projection and the
+    * residual energy fraction left after removing the PC1 component.
+    * Rides the session model cache (q152 is the fitting carrier); the
+    * report itself is one corpus pass (model broadcast) ending in a
+    * TakeOrderedAndProject on the exact integer key (|tm|, vec_id).
+    */
+  def abttOutliers(embeddings: DataFrame, iters: Int = 8, topN: Int = 10): DataFrame = {
+    val model = abttModelFor(embeddings, iters)
+    val proj = abttProjections(embeddings, model)
+      .select($"vec_id", $"tm", $"cd2",
+        round($"tm".cast("double") / lit(math.sqrt(model.vn2.toDouble)), 6).as("proj"),
+        round(greatest(lit(0.0),
+          lit(1.0) - ($"tm" * $"tm").cast("double") * lit(1e12)
+            / lit(model.vn2.toDouble) / $"cd2".cast("double")), 6).as("resid_frac"))
+      .orderBy(abs($"tm").desc, $"vec_id")
+      .limit(topN)
+    val w = Window.orderBy(abs($"tm").desc, $"vec_id") // topN rows only
+    embeddings.select($"vec_id", $"label")
+      .join(broadcast(proj), Seq("vec_id"))
+      .select($"vec_id", $"label", $"proj", $"resid_frac",
+        row_number().over(w).cast("int").as("rnk"))
+      .orderBy($"rnk")
+  }
 }

@@ -1095,6 +1095,78 @@ class PipelineSpec extends GraftSuite {
     }
   }
 
+  // ---- q152/q153 spectral family: independent in-memory reference ------
+
+  /** Exact-integer reference of the ABTT model + projections, computed
+    * from collected rows with plain Scala loops — guards the Spark
+    * moment pass, the driver iteration, and the projection pass.
+    */
+  private lazy val abttRef: (Array[Long], Long, Long, Array[(Long, Int, Long, Long)]) = {
+    def hu(x: Double, s: Int) = graft.functions.Rounding.halfUp(x, s)
+    val rows = embs.select($"vec_id", $"embedding", $"label").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray, r.getInt(2)))
+    val dim = rows.head._2.length
+    val xm = rows.map { case (_, v, _) => v.map(x => hu(x.toDouble * 1000000.0, 0).toLong) }
+    val n = xm.length.toLong
+    val s = Array.tabulate(dim)(i => xm.map(_(i)).sum)
+    val mu = s.map(si => hu(si.toDouble / n, 0).toLong)
+    val cx = xm.map(v => Array.tabulate(dim)(i => v(i) - mu(i)))
+    val g = Array.tabulate(dim, dim)((i, j) => cx.map(v => v(i) * v(j)).sum)
+    val gm = math.max(
+      (for { i <- 0 until dim; j <- 0 until dim } yield math.abs(g(i)(j))).max, 1L).toDouble
+    val gn = Array.tabulate(dim, dim)((i, j) => hu(g(i)(j).toDouble * 1000000.0 / gm, 0).toLong)
+    var v = Array.fill(dim)(hu(1000000.0 / math.sqrt(dim.toDouble), 0).toLong)
+    for (_ <- 1 to 8) {
+      val w = Array.tabulate(dim)(i => (0 until dim).map(j => gn(i)(j) * v(j)).sum)
+      val mx = math.max(w.map(math.abs).max, 1L).toDouble
+      v = w.map(x => hu(x.toDouble * 1000000.0 / mx, 0).toLong)
+    }
+    val lead = (0 until dim).minBy(i => (-math.abs(v(i)), i))
+    val vs = v.map(_ * (if (v(lead) < 0) -1L else 1L))
+    val vn2 = vs.map(x => x * x).sum
+    val trace = (0 until dim).map(i => g(i)(i)).sum
+    val projs = rows.zip(cx).map { case ((id, _, label), c) =>
+      val t = (0 until dim).map(i => c(i) * vs(i)).sum
+      val tm = hu(t.toDouble / 1000000.0, 0).toLong
+      val cd2 = c.map(x => x * x).sum
+      (id, label, tm, cd2)
+    }
+    (vs, vn2, trace, projs)
+  }
+
+  test("pc1 power: loadings and explained ratio equal the in-memory exact-integer reference") {
+    def hu(x: Double, s: Int) = graft.functions.Rounding.halfUp(x, s)
+    val (vs, vn2, trace, projs) = abttRef
+    val s2 = projs.map { case (_, _, tm, _) => tm * tm }.sum
+    val expRatio = hu(s2.toDouble * 1e12 / vn2 / trace, 6)
+    val got = Similarity.pc1Power(embs).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2)))
+    assert(got.length === vs.length)
+    got.foreach { case (dim, loading, ratio) =>
+      assert(loading === hu(vs(dim.toInt).toDouble / 1000000.0, 6), s"loading dim $dim")
+      assert(ratio === expRatio)
+    }
+    // inf-norm normalization + sign law: some loading is exactly +1.0
+    assert(got.map(_._2).max === 1.0)
+    assert(expRatio > 0.0 && expRatio <= 1.0)
+  }
+
+  test("abtt outliers: top-N by exact |projection|, brute-force values, cache-riding repeat") {
+    def hu(x: Double, s: Int) = graft.functions.Rounding.halfUp(x, s)
+    val (_, vn2, _, projs) = abttRef
+    val top = projs.sortBy { case (id, _, tm, _) => (-math.abs(tm), id) }.take(10)
+    val expected = top.zipWithIndex.map { case ((id, label, tm, cd2), i) =>
+      val proj = hu(tm.toDouble / math.sqrt(vn2.toDouble), 6)
+      val resid = hu(math.max(0.0, 1.0 - (tm * tm).toDouble * 1e12 / vn2 / cd2), 6)
+      (id, label, proj, resid, i + 1)
+    }.toSeq
+    val got = Similarity.abttOutliers(embs).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getDouble(2), r.getDouble(3), r.getInt(4))).toSeq
+    assert(got === expected)
+    assert(Similarity.abttOutliers(embs).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getDouble(2), r.getDouble(3), r.getInt(4))).toSeq === expected)
+  }
+
   private implicit class Interp(private val sc: StringContext) {
     def $(args: Any*): org.apache.spark.sql.Column = col(sc.s(args: _*))
   }

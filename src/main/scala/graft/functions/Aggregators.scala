@@ -384,4 +384,47 @@ object Aggregators {
     override def outputEncoder: Encoder[Seq[MixRow]] =
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[MixRow]]()
   }
+
+  /** A Misra-Gries frequent-items summary: at most `k` (token, weight)
+    * counters plus the exact processed-item count.
+    */
+  case class MgSummary(n: Long, toks: Seq[String], cnts: Seq[Long])
+
+  /** Misra-Gries heavy-hitter sketch (mergeable-summaries form, Agarwal
+    * et al. 2013): the buffer holds at most `k` counters; combining two
+    * summaries (or adding one item) sums counters and, when k is
+    * exceeded, subtracts the (k+1)-th largest count from every counter
+    * and drops the non-positives. The total undercount after ANY merge
+    * tree is <= n/(k+1), so every token with true count > n/(k+1) is
+    * guaranteed present in the final summary — the superset guarantee
+    * the exact second pass of `TextAnalysis.heavyHitters` relies on.
+    * Counter VALUES (and which sub-threshold tokens survive) depend on
+    * the merge order, which is why consumers treat the summary as a
+    * candidate set, never as output.
+    */
+  class MisraGries(k: Int) extends Aggregator[String, MgSummary, MgSummary] {
+    require(k >= 1, "MisraGries needs k >= 1 counters")
+    private def shrink(m: Map[String, Long]): Map[String, Long] =
+      if (m.size <= k) m
+      else {
+        val cut = m.values.toArray.sortBy(-_).apply(k) // (k+1)-th largest
+        m.collect { case (t, c) if c > cut => t -> (c - cut) }
+      }
+    override def zero: MgSummary = MgSummary(0L, Nil, Nil)
+    override def reduce(b: MgSummary, tok: String): MgSummary = {
+      val m = b.toks.iterator.zip(b.cnts.iterator).toMap
+      val upd = shrink(m.updated(tok, m.getOrElse(tok, 0L) + 1L))
+      MgSummary(b.n + 1L, upd.keys.toSeq, upd.values.toSeq)
+    }
+    override def merge(a: MgSummary, b: MgSummary): MgSummary = {
+      val ma = a.toks.iterator.zip(a.cnts.iterator).toMap
+      val mb = b.toks.iterator.zip(b.cnts.iterator).toMap
+      val upd = shrink(mb.foldLeft(ma) { case (m, (t, c)) =>
+        m.updated(t, m.getOrElse(t, 0L) + c) })
+      MgSummary(a.n + b.n, upd.keys.toSeq, upd.values.toSeq)
+    }
+    override def finish(r: MgSummary): MgSummary = r
+    override def bufferEncoder: Encoder[MgSummary] = Encoders.product[MgSummary]
+    override def outputEncoder: Encoder[MgSummary] = Encoders.product[MgSummary]
+  }
 }

@@ -416,6 +416,16 @@ object PipelineQueries {
     // all-but-the-top outliers: top 10 docs by |PC1 projection| with
     // residual energy fractions; rides the q152 session model cache
     "q153_abtt_outliers" -> ((s, d) => Similarity.abttOutliers(Tables.embeddings(s, d))),
+    // EXACT heavy hitters (count > n/50) via the two-pass Misra-Gries
+    // candidate scheme: k=49 mergeable counters per partition, exact
+    // candidate-only recount — fixed memory at any vocabulary size
+    "q154_heavy_hitters" -> ((s, d) => TextAnalysis.heavyHitters(Tables.documents(s, d))),
+    // canonicalization-aware exact dedup: raw vs normalized fingerprints
+    // per source, with planted case/punct variants (see scaladoc)
+    "q155_norm_dedup" -> ((s, d) => Dedup.normalizedDedup(Tables.documents(s, d))),
+    // Heaps-law vocabulary growth: new token types per doc_id decile
+    // and the cumulative vocabulary curve
+    "q156_vocab_growth" -> ((s, d) => TextAnalysis.vocabGrowth(Tables.documents(s, d))),
   )
 
   // ---- shared SQL fragments -------------------------------------------
@@ -3385,5 +3395,52 @@ object PipelineQueries {
          |  CAST(row_number() OVER (ORDER BY abs(t.tm) DESC, t.vec_id) AS INT) AS rnk
          |FROM etm t JOIN embeddings e USING (vec_id), evn2
          |ORDER BY rnk LIMIT 10""".stripMargin,
+    "q154_heavy_hitters" ->
+      // exact heavy-hitter semantics: every token with count > n/(k+1),
+      // k = 49 — the MG sketch on the Spark side is a candidate
+      // generator only, so the oracle is the plain exact form
+      """WITH t AS (SELECT unnest(string_split(text, ' ')) AS token FROM documents),
+        |n AS (SELECT count(*) AS n FROM t),
+        |c AS (SELECT token, count(*) AS n_tok FROM t GROUP BY 1)
+        |SELECT c.token, c.n_tok, n.n AS n_total
+        |FROM c, n WHERE c.n_tok * 50 > n.n
+        |ORDER BY n_tok DESC, token""".stripMargin,
+    "q155_norm_dedup" ->
+      // every 10th doc re-enters uppercased + punct-padded; raw md5 keeps
+      // variants distinct, the normalized form must merge them
+      """WITH v AS (
+        |  SELECT doc_id + 10000000 AS doc_id,
+        |    ('  ' || upper(text) || ' !!') AS text, source
+        |  FROM documents WHERE doc_id % 10 = 0
+        |),
+        |a AS (SELECT doc_id, text, source FROM documents
+        |      UNION ALL SELECT doc_id, text, source FROM v),
+        |f AS (SELECT source, md5(text) AS raw_fp,
+        |  md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
+        |    ' +', ' ', 'g'))) AS norm_fp
+        |  FROM a)
+        |SELECT source, count(*) AS n_docs,
+        |  count(DISTINCT raw_fp) AS n_unique_raw,
+        |  count(DISTINCT norm_fp) AS n_unique_norm,
+        |  count(DISTINCT raw_fp) - count(DISTINCT norm_fp) AS n_merged_by_norm
+        |FROM f GROUP BY source ORDER BY source""".stripMargin,
+    "q156_vocab_growth" ->
+      // deciles by integer arithmetic over max(doc_id)+1; first-seen =
+      // min(doc_id) per token; cumulative vocab over the 10-row frame
+      """WITH m AS (SELECT max(doc_id) + 1 AS n FROM documents),
+        |t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+        |ft AS (SELECT token, min(doc_id) AS fd FROM t GROUP BY 1),
+        |nt AS (SELECT least(9, fd * 10 // n) AS decile, count(*) AS n_new_types
+        |       FROM ft, m GROUP BY 1),
+        |dm AS (SELECT least(9, doc_id * 10 // n) AS decile, count(*) AS n_docs
+        |       FROM documents, m GROUP BY 1),
+        |tm AS (SELECT least(9, doc_id * 10 // n) AS decile, count(*) AS n_tokens
+        |       FROM t, m GROUP BY 1)
+        |SELECT dm.decile, dm.n_docs,
+        |  coalesce(tm.n_tokens, 0) AS n_tokens,
+        |  coalesce(nt.n_new_types, 0) AS n_new_types,
+        |  CAST(sum(coalesce(nt.n_new_types, 0)) OVER (ORDER BY dm.decile) AS BIGINT) AS vocab_cum
+        |FROM dm LEFT JOIN tm USING (decile) LEFT JOIN nt USING (decile)
+        |ORDER BY dm.decile""".stripMargin,
   )
 }

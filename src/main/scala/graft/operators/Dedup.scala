@@ -740,4 +740,44 @@ object Dedup {
       .agg(count(lit(1)).as("n_pairs"))
       .orderBy($"agreement")
   }
+
+  /** Normalization-aware exact dedup (the C4/CCNet canonicalization step
+    * that runs BEFORE fingerprinting): casefold, strip non-alphanumerics,
+    * collapse whitespace, then md5 — vs the raw md5 the naive pass uses.
+    * Web crawls re-serve the same article with different capitalization,
+    * smart quotes, and trailing boilerplate punctuation; raw hashing
+    * counts those as distinct documents and the near-dup pass then pays
+    * LSH prices for what a canonical form would have merged for free.
+    *
+    * The synthetic corpus has no natural case/punct variants (verified:
+    * raw-unique == norm-unique on the fixture), so — like q25's
+    * self-union law — the query PLANTS its own: every 10th doc re-enters
+    * uppercased with punctuation padding and a shifted id. Raw
+    * fingerprints keep all variants distinct; the normalized pass must
+    * merge exactly the planted pairs (plus any real variants the corpus
+    * grows at larger scales — the report stays exact either way).
+    *
+    * Scale shape: one projection computes both fingerprints in the same
+    * codegen'd pass, then a per-source exact count-distinct — two
+    * shuffles of (source, fp) pairs, no pairing, no index; the variant
+    * union is a second scan of the filtered tenth, not a cached copy.
+    */
+  def normalizedDedup(documents: DataFrame): DataFrame = {
+    val base = documents.select($"doc_id", $"text", $"source")
+    val variants = base
+      .filter($"doc_id" % 10 === 0)
+      .select(($"doc_id" + 10000000L).as("doc_id"),
+        concat(lit("  "), upper($"text"), lit(" !!")).as("text"), $"source")
+    val norm = trim(regexp_replace(
+      regexp_replace(lower($"text"), "[^a-z0-9 ]", ""), " +", " "))
+    base.unionByName(variants)
+      .select($"source", md5($"text").as("raw_fp"), md5(norm).as("norm_fp"))
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct($"raw_fp").as("n_unique_raw"),
+        countDistinct($"norm_fp").as("n_unique_norm"))
+      .select($"source", $"n_docs", $"n_unique_raw", $"n_unique_norm",
+        ($"n_unique_raw" - $"n_unique_norm").as("n_merged_by_norm"))
+      .orderBy($"source")
+  }
 }

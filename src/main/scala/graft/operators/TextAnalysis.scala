@@ -716,4 +716,74 @@ object TextAnalysis {
         round($"n_docs" / sum($"n_docs").over(Window.partitionBy($"lang")), 4))
       .orderBy($"lang", $"lang_guess")
   }
+
+  /** EXACT φ-heavy hitters (all tokens with count > n/(k+1)) via the
+    * two-pass Misra-Gries candidate scheme — the fixed-memory answer to
+    * "which tokens dominate the corpus" when the vocabulary itself is too
+    * large to rank (q65's TakeOrdered top-k still shuffles every distinct
+    * token; this never ships more than k counters anywhere).
+    *
+    * Pass 1: `Aggregators.MisraGries` (mergeable-summaries form) runs as
+    * a map-side-combined object agg — at most k counters per partition,
+    * one k-sized summary to the driver. The MG guarantee (undercount
+    * <= n/(k+1) under ANY merge tree) makes the summary a SUPERSET of
+    * every true heavy hitter, so pass 2 — an exact count of candidate
+    * tokens only, `isInCollection` over <= k strings (a codegen'd hash
+    * set, no join, no extra shuffle beyond <= k keys) — returns exactly
+    * the heavy set with exact counts. Driver state is k counters (the
+    * Lloyd/BPE bounded-collect pattern); both passes are corpus-linear.
+    */
+  def heavyHitters(documents: DataFrame, k: Int = 49): DataFrame = {
+    val toks = documents.select(explode(split($"text", " ")).as("token"))
+    val mgAgg = udaf(new graft.functions.Aggregators.MisraGries(k))
+    val row = toks.agg(mgAgg($"token").as("mg"))
+      .select($"mg.n", $"mg.toks").head()
+    val nTotal = row.getLong(0)
+    val cand = row.getSeq[String](1)
+    toks.filter(if (cand.isEmpty) lit(false) else $"token".isInCollection(cand))
+      .groupBy($"token").agg(count(lit(1)).as("n_tok"))
+      .filter($"n_tok" * (k + 1) > nTotal)
+      .select($"token", $"n_tok", lit(nTotal).as("n_total"))
+      .orderBy($"n_tok".desc, $"token")
+  }
+
+  /** Vocabulary-growth (Heaps' law) profile: the corpus in doc_id order
+    * cut into `buckets` deciles, with each decile's doc/token mass, the
+    * number of token TYPES first seen there, and the cumulative
+    * vocabulary — the curve that says whether a corpus is still
+    * contributing new vocabulary or re-treading itself (flat tail =
+    * diminishing returns for tokenizer training and dedup alike).
+    *
+    * "First seen" is min(doc_id) per token — one map-side-combined agg
+    * over the exploded tokens, no ordering anywhere; deciles come from
+    * integer arithmetic against the broadcast 1-row max-id frame (dense
+    * fixture ids make these exact tenths; sparse ids would still be a
+    * deterministic monotone bucketing). The only window runs over the
+    * `buckets`-row aggregate frame — driver-scale by construction.
+    */
+  def vocabGrowth(documents: DataFrame, buckets: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val n = documents.agg((max($"doc_id") + 1).as("n"))
+    val toks = documents.select($"doc_id", explode(split($"text", " ")).as("token"))
+    def decile(id: String): Column =
+      least(lit(buckets - 1L), expr(s"$id * $buckets div n"))
+    val newTypes = toks.groupBy($"token").agg(min($"doc_id").as("fd"))
+      .crossJoin(broadcast(n))
+      .groupBy(decile("fd").as("decile"))
+      .agg(count(lit(1)).as("n_new_types"))
+    val docMass = documents.crossJoin(broadcast(n))
+      .groupBy(decile("doc_id").as("decile"))
+      .agg(count(lit(1)).as("n_docs"))
+    val tokMass = toks.crossJoin(broadcast(n))
+      .groupBy(decile("doc_id").as("decile"))
+      .agg(count(lit(1)).as("n_tokens"))
+    docMass
+      .join(tokMass, Seq("decile"), "left")
+      .join(newTypes, Seq("decile"), "left")
+      .select($"decile", $"n_docs",
+        coalesce($"n_tokens", lit(0L)).as("n_tokens"),
+        coalesce($"n_new_types", lit(0L)).as("n_new_types"))
+      .withColumn("vocab_cum", sum($"n_new_types").over(Window.orderBy($"decile")))
+      .orderBy($"decile")
+  }
 }

@@ -25,10 +25,12 @@ object Tables {
   def part(spark: SparkSession, dir: String): DataFrame       = load(spark, dir, "part")
   def orders(spark: SparkSession, dir: String): DataFrame     = load(spark, dir, "orders")
   def lineitem(spark: SparkSession, dir: String): DataFrame   = load(spark, dir, "lineitem")
-  /** The events fixture stores TIMESTAMP(NANOS), which Spark's parquet
-    * reader rejects; `nanosAsLong` reads it as raw nanosecond-epoch longs
-    * (exact integer time arithmetic downstream — see operators.Events) but
-    * forces the NON-vectorized legacy reader, taxing every events query.
+  /** The events fixture has stored TIMESTAMP(NANOS) (older drivers) or
+    * TIMESTAMP(MICROS) (current). Downstream operators want raw
+    * nanosecond-epoch longs (exact integer time arithmetic — see
+    * operators.Events): NANOS needs `nanosAsLong`, which forces the
+    * NON-vectorized legacy reader, taxing every events query; MICROS
+    * arrives as TIMESTAMP_NTZ and needs an exact unit conversion.
     *
     * Fix: a one-time re-encode of the table to plain INT64 nanos parquet in
     * a local cache keyed by the source file's identity (path, size, mtime).
@@ -44,9 +46,13 @@ object Tables {
     val src = new java.io.File(s"$dir/events.parquet")
     // md5 of the full identity string — a 32-bit String.hashCode could
     // collide across fixture dirs and silently serve the wrong cache; the
-    // sanitized parent-dir segment keeps entries human-attributable
+    // sanitized parent-dir segment keeps entries human-attributable.
+    // "int64ns-v2" versions the cache FORMAT: v1 entries were written
+    // before the loader normalized TIMESTAMP(MICROS) fixtures and could
+    // hold a raw timestamp column — a stale v1 dir must never be served
     val identity = new java.util.StringJoiner("|")
       .add(src.getCanonicalPath).add(src.length.toString).add(src.lastModified.toString)
+      .add("int64ns-v2")
       .toString
     val digest = java.security.MessageDigest.getInstance("MD5")
       .digest(identity.getBytes("UTF-8")).map("%02x".format(_)).mkString
@@ -62,7 +68,20 @@ object Tables {
         // place — concurrent JVMs either win the rename or discard their
         // copy, never observe a half-written cache
         val tmp = new java.io.File(root, s"$key.tmp${ProcessHandle.current().pid()}")
-        load(spark, dir, "events").write.mode("overwrite").parquet(tmp.toString)
+        // normalize ts to INT64 nanosecond-epoch whatever the fixture's
+        // physical type: TIMESTAMP(NANOS) arrives as long already (via
+        // nanosAsLong); TIMESTAMP(MICROS) — the driver's current fixture
+        // encoding — arrives as TIMESTAMP_NTZ and is converted exactly
+        // (UTC session timezone, so NTZ wall-clock == the instant)
+        val raw = load(spark, dir, "events")
+        val tsNanos = raw.schema("ts").dataType match {
+          case org.apache.spark.sql.types.LongType => raw
+          case _ =>
+            import org.apache.spark.sql.functions.{col, unix_micros}
+            raw.withColumn("ts",
+              unix_micros(col("ts").cast("timestamp")) * 1000L)
+        }
+        tsNanos.write.mode("overwrite").parquet(tmp.toString)
         if (!(tmp.renameTo(dest) || ready)) {
           throw new IllegalStateException(s"events cache rename failed: $tmp -> $dest")
         }

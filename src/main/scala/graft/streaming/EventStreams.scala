@@ -484,18 +484,32 @@ object EventStreams {
       .digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
       .map(b => f"$b%02x").mkString
 
+  /** Bounded file-stream over the events fixture with `ts` normalized to
+    * TimestampType whatever the fixture's physical encoding: INT64
+    * TIMESTAMP(NANOS) arrives as long via `nanosAsLong` and converts by
+    * integer division; TIMESTAMP(MICROS) — the current driver encoding —
+    * arrives as TIMESTAMP_NTZ and casts exactly (UTC session timezone).
+    */
+  def eventFixtureStream(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = spark.read.parquet(s"$dir/events.parquet").schema
+    // file-stream sources take a directory; glob down to the events table
+    val raw = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet").parquet(dir)
+    schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case _ => raw.withColumn("ts", col("ts").cast("timestamp"))
+    }
+  }
+
   /** Batch-parquet replay of the streaming hourly agg: read the events
     * fixture as a bounded stream (one file per microbatch is the real
     * pattern; here availableNow) and run the identical streaming query into
     * a memory sink. Used by tests to prove stream/batch agreement.
     */
   def replayHourlyAgg(spark: SparkSession, dir: String, queryName: String): Unit = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val schema = spark.read.parquet(s"$dir/events.parquet").schema
-    // file-stream sources take a directory; glob down to the events table
-    val stream = spark.readStream.schema(schema)
-      .option("pathGlobFilter", "events.parquet").parquet(dir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val stream = eventFixtureStream(spark, dir)
     val q = hourlyAgg(stream)
       .writeStream.outputMode("append").format("memory").queryName(queryName)
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())

@@ -1167,6 +1167,83 @@ class PipelineSpec extends GraftSuite {
       .map(r => (r.getLong(0), r.getInt(1), r.getDouble(2), r.getDouble(3), r.getInt(4))).toSeq === expected)
   }
 
+  test("heavy hitters: MG two-pass == exact brute force; superset guarantee; partition-invariant") {
+    val k = 49
+    val toks = docs.select(explode(split($"text", " ")).as("token"))
+    val n = toks.count()
+    val exact = toks.groupBy($"token").agg(count(lit(1)).as("n_tok"))
+      .filter($"n_tok" * (k + 1) > n)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+
+    val got = TextAnalysis.heavyHitters(docs, k).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(got.map(t => (t._1, t._2)).toMap === exact)
+    assert(got.forall(_._3 === n))
+    // ranked by count desc then token
+    assert(got.sortBy(t => (-t._2, t._1)).toSeq === got.toSeq)
+    assert(got.nonEmpty, "fixture corpus should have >2% tokens")
+
+    // superset guarantee: every true heavy hitter survives the MG summary
+    // under a different merge tree (7-way repartition vs the scan layout)
+    val mgAgg = udaf(new graft.functions.Aggregators.MisraGries(k))
+    val cand = toks.repartition(7).agg(mgAgg($"token").as("mg"))
+      .select(explode($"mg.toks").as("t")).collect().map(_.getString(0)).toSet
+    assert(cand.size <= k)
+    exact.keys.foreach(t => assert(cand.contains(t), s"heavy token '$t' missing from MG summary"))
+
+    // final output is merge-order independent even though counter values aren't
+    val got1 = TextAnalysis.heavyHitters(
+      docs.repartition(1), k).collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(got1 === got.map(t => (t._1, t._2)).toSeq)
+  }
+
+  test("normalizedDedup: merges exactly the planted variants on the fixture; brute-force equal") {
+    val base = docs.select($"doc_id", $"text", $"source").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    def norm(s: String) =
+      s.toLowerCase.replaceAll("[^a-z0-9 ]", "").replaceAll(" +", " ").trim
+    val all = base ++ base.filter(_._1 % 10 == 0)
+      .map { case (id, t, s) => (id + 10000000L, "  " + t.toUpperCase + " !!", s) }
+    val expected = all.groupBy(_._3).toSeq.sortBy(_._1).map { case (src, rows) =>
+      (src, rows.length.toLong,
+        rows.map(_._2).distinct.length.toLong,
+        rows.map(r => norm(r._2)).distinct.length.toLong)
+    }
+    val got = Dedup.normalizedDedup(docs).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSeq
+    assert(got.map(t => (t._1, t._2, t._3, t._4)) === expected)
+    got.foreach(t => assert(t._5 === t._3 - t._4))
+    // the planted variants actually exercised the normalizer: every source
+    // with a planted doc must report at least one merge
+    val plantedBySource = base.filter(_._1 % 10 == 0).groupBy(_._3).view.mapValues(_.length)
+    plantedBySource.foreach { case (src, _) =>
+      assert(got.find(_._1 === src).get._5 > 0L, s"source $src should merge planted variants")
+    }
+  }
+
+  test("vocabGrowth: deciles partition docs and tokens; brute-force equal; Heaps tail declines") {
+    val rows = docs.select($"doc_id", $"text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val n = rows.map(_._1).max + 1
+    def dec(id: Long) = math.min(9L, id * 10 / n)
+    val toks = rows.flatMap { case (id, t) => t.split(" ", -1).map(w => (id, w)) }
+    val firstSeen = toks.groupBy(_._2).map { case (_, occ) => occ.map(_._1).min }
+    val expected = (0L to 9L).map { d =>
+      (d, rows.count(r => dec(r._1) == d).toLong,
+        toks.count(t => dec(t._1) == d).toLong,
+        firstSeen.count(dec(_) == d).toLong)
+    }.filter(_._2 > 0)
+    val withCum = expected.scanLeft((0L, 0L, 0L, 0L, 0L)) { case (acc, (d, nd, nt, nn)) =>
+      (d, nd, nt, nn, acc._5 + nn)
+    }.drop(1)
+    val got = TextAnalysis.vocabGrowth(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSeq
+    assert(got === withCum)
+    assert(got.map(_._2).sum === rows.length.toLong)
+    assert(got.map(_._3).sum === toks.length.toLong)
+    assert(got.last._5 === firstSeen.size.toLong, "cumulative vocab must equal total types")
+  }
+
   private implicit class Interp(private val sc: StringContext) {
     def $(args: Any*): org.apache.spark.sql.Column = col(sc.s(args: _*))
   }

@@ -16,11 +16,7 @@ class StreamingSpec extends GraftSuite {
   test("streaming hourly agg over replayed fixture == batch hourly agg") {
     // stream the parquet fixture via AvailableNow into a complete-mode
     // memory sink, then compare with the batch operator
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val schema = spark.read.parquet(s"$sf/events.parquet").schema
-    val stream = spark.readStream.schema(schema)
-      .option("pathGlobFilter", "events.parquet").parquet(sf)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val stream = EventStreams.eventFixtureStream(spark, sf)
     val q = stream
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
       .agg(count(lit(1)).as("n"))

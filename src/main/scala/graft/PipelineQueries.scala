@@ -426,6 +426,12 @@ object PipelineQueries {
     // Heaps-law vocabulary growth: new token types per doc_id decile
     // and the cumulative vocabulary curve
     "q156_vocab_growth" -> ((s, d) => TextAnalysis.vocabGrowth(Tables.documents(s, d))),
+    // shuffle-key skew audit: power-of-two histogram of per-key row
+    // counts for a prospective join/agg key (exact bin() bucketing)
+    "q157_key_skew" -> ((s, d) => Scale.keySkewAudit(Tables.events(s, d), "user_id")),
+    // Zipf-slope least-squares fit over the token-frequency head —
+    // integer micro-unit moments, one rounded division at the end
+    "q158_zipf_fit" -> ((s, d) => TextAnalysis.zipfFit(Tables.documents(s, d))),
   )
 
   // ---- shared SQL fragments -------------------------------------------
@@ -3442,5 +3448,32 @@ object PipelineQueries {
         |  CAST(sum(coalesce(nt.n_new_types, 0)) OVER (ORDER BY dm.decile) AS BIGINT) AS vocab_cum
         |FROM dm LEFT JOIN tm USING (decile) LEFT JOIN nt USING (decile)
         |ORDER BY dm.decile""".stripMargin,
+    "q157_key_skew" ->
+      // bucket = length(bin(c)) - 1 == floor(log2(c)) computed on the
+      // integer binary form — exact in both engines
+      """WITH c AS (SELECT user_id, count(*) AS c FROM events GROUP BY 1),
+        |t AS (SELECT CAST(sum(c) AS BIGINT) AS n_rows_total FROM c)
+        |SELECT length(bin(c)) - 1 AS log2_bucket, count(*) AS n_keys,
+        |  CAST(sum(c) AS BIGINT) AS n_rows, max(c) AS max_rows_per_key,
+        |  round(CAST(sum(c) AS DOUBLE) / t.n_rows_total, 4) AS row_share
+        |FROM c, t GROUP BY 1, t.n_rows_total
+        |ORDER BY log2_bucket""".stripMargin,
+    "q158_zipf_fit" ->
+      // per-term 1e-6-quantized ln() moments, exact BIGINT sums, one
+      // rounded double division — mirrors the Spark arithmetic exactly
+      """WITH tok AS (SELECT unnest(string_split(text, ' ')) AS token FROM documents),
+        |top AS (SELECT token, count(*) AS c FROM tok GROUP BY 1
+        |        ORDER BY c DESC, token LIMIT 100),
+        |r AS (SELECT c, row_number() OVER (ORDER BY c DESC, token) AS rank FROM top),
+        |m AS (SELECT c,
+        |  CAST(round(ln(rank) * 1e6, 0) AS BIGINT) AS x6,
+        |  CAST(round(ln(c) * 1e6, 0) AS BIGINT) AS y6 FROM r),
+        |s AS (SELECT count(*) AS n_terms,
+        |  CAST(sum(x6) AS BIGINT) AS sx, CAST(sum(y6) AS BIGINT) AS sy,
+        |  CAST(sum(x6 * y6) AS BIGINT) AS sxy, CAST(sum(x6 * x6) AS BIGINT) AS sxx,
+        |  max(c) AS top1_n, CAST(sum(c) AS BIGINT) AS head_mass FROM m)
+        |SELECT n_terms,
+        |  round(CAST(n_terms * sxy - sx * sy AS DOUBLE) / (n_terms * sxx - sx * sx), 4) AS slope,
+        |  top1_n, head_mass FROM s""".stripMargin,
   )
 }

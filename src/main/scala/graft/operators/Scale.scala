@@ -263,6 +263,31 @@ object Scale {
     * gets a deterministic salt, and the join key becomes (key, salt). The
     * hot fact key now lands on `salts` reducers instead of one.
     */
+  /** Shuffle-key skew audit: the histogram of per-key row counts for a
+    * prospective shuffle/join key, binned by power of two — the
+    * introspection that decides between a plain shuffle, `saltedSumByKey`,
+    * and an AQE skew-join dial BEFORE paying for a bad exchange. A flat
+    * histogram shuffles clean; heavy top buckets mean the hot keys own a
+    * reducer each and the job runs at the speed of the worst one.
+    *
+    * The bucket is `length(bin(c)) - 1` = floor(log2(c)) computed on the
+    * INTEGER binary representation — exact in every engine, immune to the
+    * floor(log2()) 1-ulp straddle at exact powers of two. Two map-side-
+    * combined aggregations (per-key counts, then per-bucket rollup); the
+    * histogram is at most 64 rows whatever the key cardinality.
+    */
+  def keySkewAudit(df: DataFrame, key: String): DataFrame = {
+    val counts = df.groupBy(col(key)).agg(count(lit(1)).as("c"))
+    val total = counts.agg(sum($"c").as("n_rows_total"))
+    counts
+      .groupBy((length(bin($"c")) - 1).cast("long").as("log2_bucket"))
+      .agg(count(lit(1)).as("n_keys"), sum($"c").as("n_rows"), max($"c").as("max_rows_per_key"))
+      .crossJoin(broadcast(total))
+      .select($"log2_bucket", $"n_keys", $"n_rows", $"max_rows_per_key",
+        round($"n_rows" / $"n_rows_total", 4).as("row_share"))
+      .orderBy($"log2_bucket")
+  }
+
   def saltedJoin(
       fact: DataFrame, dim: DataFrame, key: String, factSaltSource: String,
       salts: Int = 16): DataFrame = {

@@ -747,6 +747,38 @@ object TextAnalysis {
       .orderBy($"n_tok".desc, $"token")
   }
 
+  /** Zipf-slope fit over the frequency head: rank the top `n` tokens by
+    * count, regress ln(count) on ln(rank) by least squares, and report
+    * the slope — natural language sits near −1; a flatter head flags
+    * templated/synthetic text and a steeper one a stopword-drowned
+    * crawl. The corpus-health single number next to q156's growth curve.
+    *
+    * Determinism: ln() is quantized to 1e-6 micro-units PER TERM before
+    * any sum (the q67/q90 convention — float sums over reduction orders
+    * are not associative; integer sums are), all four regression moments
+    * are exact long arithmetic (head of 100: |x6·y6| ≲ 8e13, moment sums
+    * far inside long range), and the single division happens once at the
+    * end, rounded to 4. The rank window runs over the n-row TakeOrdered
+    * head, never the vocabulary.
+    */
+  def zipfFit(documents: DataFrame, n: Int = 100): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ranked = tokenTopK(documents, n)
+      .withColumn("rank", row_number().over(Window.orderBy($"n".desc, $"token")).cast("long"))
+    val m = ranked.select($"n", $"rank",
+      round(log($"rank") * 1e6, 0).cast("long").as("x6"),
+      round(log($"n") * 1e6, 0).cast("long").as("y6"))
+    m.agg(
+        count(lit(1)).as("n_terms"),
+        sum($"x6").as("sx"), sum($"y6").as("sy"),
+        sum($"x6" * $"y6").as("sxy"), sum($"x6" * $"x6").as("sxx"),
+        max($"n").as("top1_n"), sum($"n").as("head_mass"))
+      .select($"n_terms",
+        round(($"n_terms" * $"sxy" - $"sx" * $"sy").cast("double") /
+          ($"n_terms" * $"sxx" - $"sx" * $"sx"), 4).as("slope"),
+        $"top1_n", $"head_mass")
+  }
+
   /** Vocabulary-growth (Heaps' law) profile: the corpus in doc_id order
     * cut into `buckets` deciles, with each decile's doc/token mass, the
     * number of token TYPES first seen there, and the cumulative

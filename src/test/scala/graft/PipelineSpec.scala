@@ -1244,6 +1244,28 @@ class PipelineSpec extends GraftSuite {
     assert(got.last._5 === firstSeen.size.toLong, "cumulative vocab must equal total types")
   }
 
+  test("zipfFit: brute-force integer-moment regression equality; head slope is negative") {
+    def half(x: Double, s: Int) =
+      BigDecimal(x).setScale(s, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val counts = docs.select(explode(split($"text", " ")).as("t"))
+      .groupBy($"t").agg(count(lit(1)).as("c"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val top = counts.sortBy(t => (-t._2, t._1)).take(100)
+    val n = top.length.toLong
+    def q6(x: Double) = BigDecimal(x * 1e6).setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    val terms = top.zipWithIndex.map { case ((_, c), i) =>
+      (q6(math.log(i + 1.0)), q6(math.log(c.toDouble)), c)
+    }
+    val (sx, sy) = (terms.map(_._1).sum, terms.map(_._2).sum)
+    val sxy = terms.map(t => t._1 * t._2).sum
+    val sxx = terms.map(t => t._1 * t._1).sum
+    val slope = half((n * sxy - sx * sy).toDouble / (n * sxx - sx * sx), 4)
+    val got = TextAnalysis.zipfFit(docs).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got === Seq((n, slope, top.map(_._2).max, top.map(_._2).sum)))
+    assert(slope < 0.0, "frequency must decay over the ranked head")
+  }
+
   private implicit class Interp(private val sc: StringContext) {
     def $(args: Any*): org.apache.spark.sql.Column = col(sc.s(args: _*))
   }

@@ -213,4 +213,21 @@ class ScaleSpec extends GraftSuite {
       .groupBy(col("c_nationkey"))
       .agg(round(sum(col("o_totalprice")), 2).as("total"))
       .collect().map(r => (r.getInt(0), r.getDouble(1))).toSet
+
+  test("keySkewAudit: brute-force histogram equality; buckets partition keys and rows") {
+    val events = Tables.events(spark, sf)
+    val perKey = events.groupBy(col("user_id")).agg(count(lit(1)).as("c"))
+      .collect().map(_.getLong(1))
+    val total = perKey.sum
+    def bucket(c: Long) = 63 - java.lang.Long.numberOfLeadingZeros(c) // floor(log2)
+    val expected = perKey.groupBy(bucket).toSeq.sortBy(_._1).map { case (b, cs) =>
+      (b.toLong, cs.length.toLong, cs.sum, cs.max,
+        BigDecimal(cs.sum.toDouble / total).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }
+    val got = Scale.keySkewAudit(events, "user_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))).toSeq
+    assert(got === expected)
+    assert(got.map(_._2).sum === perKey.length.toLong, "buckets must partition the key set")
+    assert(got.map(_._3).sum === total, "buckets must partition the row mass")
+  }
 }

@@ -432,6 +432,9 @@ object PipelineQueries {
     // Zipf-slope least-squares fit over the token-frequency head —
     // integer micro-unit moments, one rounded division at the end
     "q158_zipf_fit" -> ((s, d) => TextAnalysis.zipfFit(Tables.documents(s, d))),
+    // embedding-distribution drift: per-dim mean shift between corpus
+    // halves + cosine of the mean vectors (the vector twin of q127)
+    "q159_embedding_drift" -> ((s, d) => Similarity.embeddingDrift(Tables.embeddings(s, d))),
   )
 
   // ---- shared SQL fragments -------------------------------------------
@@ -3475,5 +3478,29 @@ object PipelineQueries {
         |SELECT n_terms,
         |  round(CAST(n_terms * sxy - sx * sy AS DOUBLE) / (n_terms * sxx - sx * sx), 4) AS slope,
         |  top1_n, head_mass FROM s""".stripMargin,
+    "q159_embedding_drift" ->
+      // per-element 1e-6 quantization, exact BIGINT sums per (half, dim),
+      // micro-unit means rounded once, one double division in the cosine
+      """WITH m AS (SELECT (max(vec_id) + 1) // 2 AS half FROM embeddings),
+        |c AS (
+        |  SELECT CASE WHEN e.vec_id < m.half THEN 0 ELSE 1 END AS grp, i AS dim,
+        |    CAST(round(CAST(e.embedding[i + 1] AS DOUBLE) * 1000000.0, 0) AS BIGINT) AS x6
+        |  FROM embeddings e, m, LATERAL (SELECT unnest(range(0, 64)) AS i) li
+        |),
+        |g AS (SELECT grp, dim, CAST(sum(x6) AS BIGINT) AS s6, count(*) AS n
+        |      FROM c GROUP BY 1, 2),
+        |mm AS (SELECT dim,
+        |  max(CASE WHEN grp = 0 THEN CAST(round(CAST(s6 AS DOUBLE) / n, 0) AS BIGINT) END) AS mean_a6,
+        |  max(CASE WHEN grp = 1 THEN CAST(round(CAST(s6 AS DOUBLE) / n, 0) AS BIGINT) END) AS mean_b6
+        |  FROM g GROUP BY 1),
+        |d AS (SELECT CAST(sum(mean_a6 * mean_b6) AS BIGINT) AS ab,
+        |  CAST(sum(mean_a6 * mean_a6) AS BIGINT) AS aa,
+        |  CAST(sum(mean_b6 * mean_b6) AS BIGINT) AS bb FROM mm)
+        |SELECT mm.dim, mm.mean_a6, mm.mean_b6,
+        |  mm.mean_a6 - mm.mean_b6 AS shift6,
+        |  round(ab / (sqrt(CAST(aa AS DOUBLE)) * sqrt(CAST(bb AS DOUBLE))), 6) AS mean_cos
+        |FROM mm, d
+        |ORDER BY abs(mm.mean_a6 - mm.mean_b6) DESC, mm.dim
+        |LIMIT 8""".stripMargin,
   )
 }

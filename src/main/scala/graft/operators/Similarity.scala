@@ -1545,4 +1545,44 @@ object Similarity {
         row_number().over(w).cast("int").as("rnk"))
       .orderBy($"rnk")
   }
+
+  /** Embedding-distribution drift monitor — the vector twin of q127's
+    * text-profile drift: per-dimension mean shift between the first and
+    * second half of the corpus by vec_id (at ingest time the split is
+    * yesterday/today), reporting the `topDims` most-shifted dimensions
+    * and the cosine between the two mean vectors (1.0 = no directional
+    * drift; embedding-model regressions and upstream-corpus changes both
+    * show up here before any downstream eval moves).
+    *
+    * Exact arithmetic end to end: per-element 1e-6 quantization (the
+    * family convention), per-(half, dim) integer sums via ONE map-side-
+    * combined corpus pass (shuffle carries 2×dim rows), micro-unit means
+    * rounded once, shifts and mean-vector moments exact longs, and the
+    * single double division inside the final rounded cosine. Everything
+    * after the first agg is a dim-bounded frame.
+    */
+  def embeddingDrift(embeddings: DataFrame, topDims: Int = 8): DataFrame = {
+    val halfF = embeddings.agg(expr("(max(vec_id) + 1) div 2").as("half"))
+    val cells = embeddings.crossJoin(broadcast(halfF))
+      .select(when($"vec_id" < $"half", 0L).otherwise(1L).as("grp"),
+        posexplode($"embedding"))
+      .select($"grp", $"pos".as("dim"),
+        round($"col".cast("double") * 1e6, 0).cast("long").as("x6"))
+      .groupBy($"grp", $"dim")
+      .agg(sum($"x6").as("s6"), count(lit(1)).as("n"))
+    val means = cells.groupBy($"dim").agg(
+      max(when($"grp" === 0, round($"s6" / $"n", 0).cast("long"))).as("mean_a6"),
+      max(when($"grp" === 1, round($"s6" / $"n", 0).cast("long"))).as("mean_b6"))
+    val moments = means.agg(
+      sum($"mean_a6" * $"mean_b6").as("ab"),
+      sum($"mean_a6" * $"mean_a6").as("aa"),
+      sum($"mean_b6" * $"mean_b6").as("bb"))
+    means.crossJoin(broadcast(moments))
+      .select($"dim".cast("long").as("dim"), $"mean_a6", $"mean_b6",
+        ($"mean_a6" - $"mean_b6").as("shift6"),
+        round($"ab" / (sqrt($"aa".cast("double")) * sqrt($"bb".cast("double"))), 6)
+          .as("mean_cos"))
+      .orderBy(abs($"shift6").desc, $"dim")
+      .limit(topDims)
+  }
 }

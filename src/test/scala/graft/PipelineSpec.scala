@@ -1266,6 +1266,32 @@ class PipelineSpec extends GraftSuite {
     assert(slope < 0.0, "frequency must decay over the ranked head")
   }
 
+  test("embeddingDrift: brute-force micro-unit means, shifts, and mean-vector cosine") {
+    def r0(x: Double) = BigDecimal(x).setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    val rows = embs.select($"vec_id", $"embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    val half = (rows.map(_._1).max + 1) / 2
+    val byGrp = rows.groupBy(r => if (r._1 < half) 0 else 1)
+    val means = Array(0, 1).map { g =>
+      val vs = byGrp(g)
+      (0 until 64).map { d =>
+        val s6 = vs.map(v => r0(v._2(d).toDouble * 1e6)).sum
+        r0(s6.toDouble / vs.length)
+      }.toArray
+    }
+    val ab = (0 until 64).map(d => means(0)(d) * means(1)(d)).sum
+    val aa = (0 until 64).map(d => means(0)(d) * means(0)(d)).sum
+    val bb = (0 until 64).map(d => means(1)(d) * means(1)(d)).sum
+    val cos = BigDecimal(ab / (math.sqrt(aa.toDouble) * math.sqrt(bb.toDouble)))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val expected = (0 until 64)
+      .map(d => (d.toLong, means(0)(d), means(1)(d), means(0)(d) - means(1)(d), cos))
+      .sortBy(t => (-math.abs(t._4), t._1)).take(8)
+    val got = Similarity.embeddingDrift(embs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))).toSeq
+    assert(got === expected)
+  }
+
   private implicit class Interp(private val sc: StringContext) {
     def $(args: Any*): org.apache.spark.sql.Column = col(sc.s(args: _*))
   }

@@ -20,9 +20,13 @@ object Profile {
 
     spark.range(1000000L).selectExpr("sum(id)").collect()
 
-    // cold, in bench order — mirrors what BENCH_r{N} measures
-    for (name <- Seq("q27_dedup_minhash_lsh", "q48_embedding_neardup",
-        "q53_dedup_survivors", "q83_dup_sources", "q84_curation_pipeline")) {
+    // cold, in bench order — mirrors what BENCH_r{N} measures; override
+    // the list via SPARK_GRAFT_PROFILE_QUERIES=qA,qB to isolate a family
+    val names = sys.env.get("SPARK_GRAFT_PROFILE_QUERIES")
+      .map(_.split(",").toSeq.map(_.trim).filter(_.nonEmpty))
+      .getOrElse(Seq("q27_dedup_minhash_lsh", "q48_embedding_neardup",
+        "q53_dedup_survivors", "q83_dup_sources", "q84_curation_pipeline"))
+    for (name <- names) {
       System.gc()
       // construction is INSIDE the timed region: the dedup pipelines run
       // eager localCheckpoints (and the components loop runs driver-side

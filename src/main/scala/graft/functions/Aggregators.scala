@@ -385,6 +385,59 @@ object Aggregators {
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[MixRow]]()
   }
 
+  /** One-pass EXACT scatter-moment accumulator for the spectral family:
+    * per input micro-vector v (dim d), accumulates the upper-triangle
+    * second moments Σ v_i·v_j (i <= j, row-major), the first moments
+    * Σ v_i, and the count, into one flat long buffer of d(d+1)/2 + d + 1
+    * cells. All arithmetic is exact long (a double accumulator would
+    * silently lose exactness past 2^53 — corpus-scale moment sums reach
+    * ~1e16), and the hot path is a primitive multiply-add loop with NO
+    * per-row allocation beyond one d-long staging array — the
+    * expression-built alternatives (d²-cell explode + hash agg, or a
+    * per-row HOF-built product array) both measured slower at sf0.1 by
+    * the interpreted-HOF allocation alone (4–14 s vs sub-second).
+    */
+  class ScatterMoments extends Aggregator[Seq[Long], Array[Long], Seq[Long]] {
+    private def sized(d: Int): Int = d * (d + 1) / 2 + d + 1
+    override def zero: Array[Long] = Array.emptyLongArray
+    override def reduce(b0: Array[Long], v: Seq[Long]): Array[Long] =
+      if (v == null) b0
+      else {
+        val a = v.toArray
+        val d = a.length
+        val b = if (b0.isEmpty) new Array[Long](sized(d)) else b0
+        require(b.length == sized(d),
+          s"ScatterMoments: mixed dims (buffer ${b.length}, vector $d)")
+        val tri = d * (d + 1) / 2
+        var p = 0
+        var i = 0
+        while (i < d) {
+          val vi = a(i)
+          var j = i
+          while (j < d) { b(p) += vi * a(j); p += 1; j += 1 }
+          b(tri + i) += vi
+          i += 1
+        }
+        b(tri + d) += 1L
+        b
+      }
+    override def merge(a: Array[Long], b: Array[Long]): Array[Long] =
+      if (a.isEmpty) b
+      else if (b.isEmpty) a
+      else {
+        require(a.length == b.length,
+          s"ScatterMoments: mismatched buffer lengths ${a.length} vs ${b.length}")
+        var i = 0
+        while (i < a.length) { a(i) += b(i); i += 1 }
+        a
+      }
+    override def finish(r: Array[Long]): Seq[Long] = r.toSeq
+    override def bufferEncoder: Encoder[Array[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
+    override def outputEncoder: Encoder[Seq[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Long]]()
+  }
+
   /** A Misra-Gries frequent-items summary: at most `k` (token, weight)
     * counters plus the exact processed-item count.
     */
@@ -402,7 +455,14 @@ object Aggregators {
     * the merge order, which is why consumers treat the summary as a
     * candidate set, never as output.
     */
-  class MisraGries(k: Int) extends Aggregator[String, MgSummary, MgSummary] {
+  /** Misra-Gries running buffer: the counter map is kept as a persistent
+    * Map so the per-row hot path is one O(1) `updated` (the original
+    * Seq-pair buffer re-built the whole map per token — an O(k) alloc per
+    * row that dominated the q154 scan).
+    */
+  case class MgBuf(n: Long, m: Map[String, Long])
+
+  class MisraGries(k: Int) extends Aggregator[String, MgBuf, MgSummary] {
     require(k >= 1, "MisraGries needs k >= 1 counters")
     private def shrink(m: Map[String, Long]): Map[String, Long] =
       if (m.size <= k) m
@@ -410,21 +470,19 @@ object Aggregators {
         val cut = m.values.toArray.sortBy(-_).apply(k) // (k+1)-th largest
         m.collect { case (t, c) if c > cut => t -> (c - cut) }
       }
-    override def zero: MgSummary = MgSummary(0L, Nil, Nil)
-    override def reduce(b: MgSummary, tok: String): MgSummary = {
-      val m = b.toks.iterator.zip(b.cnts.iterator).toMap
-      val upd = shrink(m.updated(tok, m.getOrElse(tok, 0L) + 1L))
-      MgSummary(b.n + 1L, upd.keys.toSeq, upd.values.toSeq)
+    override def zero: MgBuf = MgBuf(0L, Map.empty)
+    override def reduce(b: MgBuf, tok: String): MgBuf =
+      MgBuf(b.n + 1L, shrink(b.m.updated(tok, b.m.getOrElse(tok, 0L) + 1L)))
+    override def merge(a: MgBuf, b: MgBuf): MgBuf =
+      MgBuf(a.n + b.n, shrink(b.m.foldLeft(a.m) { case (m, (t, c)) =>
+        m.updated(t, m.getOrElse(t, 0L) + c) }))
+    // sorted (-count, token) so the emitted summary is deterministic for a
+    // given final counter CONTENT whatever map implementation iterates it
+    override def finish(r: MgBuf): MgSummary = {
+      val s = r.m.toSeq.sortBy { case (t, c) => (-c, t) }
+      MgSummary(r.n, s.map(_._1), s.map(_._2))
     }
-    override def merge(a: MgSummary, b: MgSummary): MgSummary = {
-      val ma = a.toks.iterator.zip(a.cnts.iterator).toMap
-      val mb = b.toks.iterator.zip(b.cnts.iterator).toMap
-      val upd = shrink(mb.foldLeft(ma) { case (m, (t, c)) =>
-        m.updated(t, m.getOrElse(t, 0L) + c) })
-      MgSummary(a.n + b.n, upd.keys.toSeq, upd.values.toSeq)
-    }
-    override def finish(r: MgSummary): MgSummary = r
-    override def bufferEncoder: Encoder[MgSummary] = Encoders.product[MgSummary]
+    override def bufferEncoder: Encoder[MgBuf] = Encoders.product[MgBuf]
     override def outputEncoder: Encoder[MgSummary] = Encoders.product[MgSummary]
   }
 }

@@ -1424,25 +1424,23 @@ object Similarity {
   private def fitAbttModel(embeddings: DataFrame, iters: Int): AbttModel = {
     def halfUp(x: Double, s: Int): Double = graft.functions.Rounding.halfUp(x, s)
     val dim = embeddings.select(size($"embedding")).limit(1).collect()(0).getInt(0)
-    // one corpus pass: (i, j, x_i*x_j) products, (i, -1, x_i) sums, and a
-    // (-2, -1, 1) count row per vector; groupBy reduces map-side to
-    // d^2 + d + 1 rows per partition
+    // one corpus pass: ScatterMoments accumulates the upper-triangle
+    // second moments + sums + count per partition in a primitive
+    // multiply-add loop (exact longs, no explode, no d²-cell hash agg, no
+    // per-row array building — both expression-shaped alternatives
+    // measured 4–14 s at sf0.1 on allocation overhead alone); partials
+    // merge element-wise. Symmetry m(i,j) = m(j,i) is reconstructed on
+    // the driver, bit-identical to the full-matrix form.
     val xm = embeddings.select(microVec($"embedding").as("xm"))
-    val moments = xm.select(explode(concat(
-        flatten(transform($"xm", (xi, i) => transform($"xm", (xj, j) =>
-          struct(i.cast("int").as("i"), j.cast("int").as("j"), (xi * xj).as("p"))))),
-        transform($"xm", (xi, i) =>
-          struct(i.cast("int").as("i"), lit(-1).as("j"), xi.as("p"))),
-        array(struct(lit(-2).as("i"), lit(-1).as("j"), lit(1L).as("p"))))).as("t"))
-      .groupBy($"t.i".as("i"), $"t.j".as("j"))
-      .agg(sum($"t.p").as("v"))
-      .collect()
-    var n = 0L
-    val s = Array.ofDim[Long](dim)
+    val scatter = udaf(new graft.functions.Aggregators.ScatterMoments)
+    val row = xm.agg(scatter($"xm").as("mo")).collect()(0).getSeq[Long](0)
+    val tri = dim * (dim + 1) / 2
+    val n = row(tri + dim)
+    val s = Array.tabulate(dim)(i => row(tri + i))
     val m = Array.ofDim[Long](dim * dim)
-    moments.foreach { r =>
-      val i = r.getInt(0); val j = r.getInt(1); val v = r.getLong(2)
-      if (i == -2) n = v else if (j == -1) s(i) = v else m(i * dim + j) = v
+    var p = 0
+    for (i <- 0 until dim; j <- i until dim) {
+      m(i * dim + j) = row(p); m(j * dim + i) = row(p); p += 1
     }
     require(n > 0, "empty embedding corpus")
     val mu = s.map(si => halfUp(si.toDouble / n, 0).toLong)

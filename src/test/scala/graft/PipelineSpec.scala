@@ -1149,6 +1149,12 @@ class PipelineSpec extends GraftSuite {
     // inf-norm normalization + sign law: some loading is exactly +1.0
     assert(got.map(_._2).max === 1.0)
     assert(expRatio > 0.0 && expRatio <= 1.0)
+    // ScatterMoments partition invariance: a different layout (different
+    // canonical plan → fresh fit, no cache hit) must produce the exact
+    // same integer moments and hence bit-identical loadings
+    val got7 = Similarity.pc1Power(embs.repartition(7)).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2)))
+    assert(got7.toSeq === got.toSeq)
   }
 
   test("abtt outliers: top-N by exact |projection|, brute-force values, cache-riding repeat") {

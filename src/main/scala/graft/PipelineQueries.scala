@@ -435,6 +435,10 @@ object PipelineQueries {
     // embedding-distribution drift: per-dim mean shift between corpus
     // halves + cosine of the mean vectors (the vector twin of q127)
     "q159_embedding_drift" -> ((s, d) => Similarity.embeddingDrift(Tables.embeddings(s, d))),
+    // classifier reliability: positive-label rate per signed log2-margin
+    // bucket (exact bin() bucketing); rides the q143 weights cache
+    "q160_classifier_calibration" -> ((s, d) =>
+      Curation.classifierCalibration(Tables.documents(s, d))),
   )
 
   // ---- shared SQL fragments -------------------------------------------
@@ -3502,5 +3506,21 @@ object PipelineQueries {
         |FROM mm, d
         |ORDER BY abs(mm.mean_a6 - mm.mean_b6) DESC, mm.dim
         |LIMIT 8""".stripMargin,
+    "q160_classifier_calibration" ->
+      // signed floor(log2(|margin|+1)) via bin() on the integer micro
+      // margin; positive rate per bucket — reuses the unrolled training
+      s"""$ClassifierTrainCtes,
+         |sc AS (
+         |  SELECT doc_id, CAST(sum(c * wm) AS BIGINT) AS zm
+         |  FROM fx JOIN w4 USING (b) GROUP BY doc_id
+         |),
+         |mb AS (
+         |  SELECT (CASE WHEN zm >= 0 THEN 1 ELSE -1 END) *
+         |    (length(bin(abs(zm) + 1)) - 1) AS mbucket, y
+         |  FROM sc JOIN yd USING (doc_id)
+         |)
+         |SELECT mbucket, count(*) AS n_docs, CAST(sum(y) AS BIGINT) AS n_pos,
+         |  round(sum(y) * 1.0 / count(*), 6) AS pos_rate
+         |FROM mb GROUP BY mbucket ORDER BY mbucket""".stripMargin,
   )
 }

@@ -1021,6 +1021,43 @@ object Curation {
       .orderBy($"source")
   }
 
+  /** Classifier calibration / reliability table (q160): the
+    * positive-label rate per SIGNED log2-margin bucket — the "is a
+    * bigger margin actually more reliable" check that belongs beside
+    * q144's confusion matrix before anyone thresholds or
+    * acceptance-samples on the score. A well-behaved model shows the
+    * rate rising monotonically with the bucket; a flat or folded curve
+    * says the margin is not calibrated and q145's sampling coin is
+    * mispriced.
+    *
+    * The bucket is `sign(zm) * (length(bin(abs(zm)+1)) - 1)` — the
+    * signed floor(log2(|margin|+1)) on the INTEGER micro-unit margin,
+    * exact in both engines (q157's bin() trick; no float log, no
+    * rank-based deciles — a rank decile would need a global sort or a
+    * two-level prefix sum for something a fixed exact bucketing answers
+    * as well). One corpus-linear scoring pass riding the session
+    * weights + feature-frame caches (q143 is the family carrier), then
+    * a bucket-sized rollup.
+    */
+  def classifierCalibration(documents: DataFrame, targetLang: String = "en",
+      buckets: Int = 64, rounds: Int = 4, lr: Double = 0.0009765625): DataFrame = {
+    val spark = documents.sparkSession
+    val (fx, w) = trainQualityWeights(documents, targetLang, buckets, rounds, lr)
+    val labels = documents.select($"doc_id",
+      when($"lang" === targetLang, 1L).otherwise(0L).as("y"))
+    fx.join(broadcast(spark.createDataFrame(w).toDF("b", "wm")), Seq("b"))
+      .groupBy($"doc_id").agg(sum($"c" * $"wm").as("zm"))
+      .join(labels, Seq("doc_id"))
+      .select($"y",
+        (when($"zm" >= 0L, 1L).otherwise(-1L) *
+          (length(bin(abs($"zm") + 1)) - 1)).as("mbucket"))
+      .groupBy($"mbucket")
+      .agg(count(lit(1)).as("n_docs"), sum($"y").as("n_pos"))
+      .select($"mbucket", $"n_docs", $"n_pos",
+        round($"n_pos" / $"n_docs", 6).as("pos_rate"))
+      .orderBy($"mbucket")
+  }
+
   /** Capstone v2 (q147) — the end-to-end CRAWL-TO-TRAINING-SET recipe,
     * chaining the round-5 families as STAGES rather than endpoints:
     *

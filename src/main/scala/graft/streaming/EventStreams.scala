@@ -370,6 +370,25 @@ object EventStreams {
         col("r.psi").as("psi"))
   }
 
+  /** Streaming twin of batch q154's Misra-Gries pass: the SAME mergeable
+    * summary (`Aggregators.MisraGries`) maintained live over the token
+    * stream in complete mode — state is one k-counter buffer however
+    * long the stream runs. The MG undercount bound (<= n/(k+1)) holds
+    * under ANY merge tree, so the emitted candidate set is a valid
+    * superset of the true heavy hitters at every trigger whatever the
+    * micro-batch boundaries — the exact recount (q154's pass 2) can run
+    * as a periodic batch job against the live candidates. Counter VALUES
+    * remain merge-order-dependent (the batch caveat, unchanged); only
+    * the candidate-set guarantee is the contract.
+    */
+  def heavyHitterStream(docs: DataFrame, k: Int = 49): DataFrame = {
+    val mg = udaf(new graft.functions.Aggregators.MisraGries(k))
+    docs
+      .select(explode(split(col("text"), " ")).as("token"))
+      .agg(mg(col("token")).as("mg"))
+      .select(col("mg.n").as("n_total"), explode(col("mg.toks")).as("token"))
+  }
+
   /** Streaming twin of `Curation.epochPlan` (q112): the temperature
     * mixture and its sampling schedule maintained live over a document
     * stream — per-language token counts as typed Aggregator state

@@ -963,4 +963,25 @@ class CurationSpec extends GraftSuite {
       assert(sorted.last._3 + sorted.last._4 === n, s"doc $id tail end")
     }
   }
+
+  test("classifierCalibration: buckets partition the corpus; totals match the confusion matrix") {
+    val cal = Curation.classifierCalibration(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    val nDocs = docs.count()
+    val nPos = docs.filter(col("lang") === "en").count()
+    assert(cal.map(_._2).sum === nDocs, "buckets must partition the corpus")
+    assert(cal.map(_._3).sum === nPos, "positive mass must be conserved")
+    cal.foreach { case (b, n, p, rate) =>
+      assert(p >= 0L && p <= n)
+      assert(rate === BigDecimal(p.toDouble / n)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble, s"bucket $b rate")
+    }
+    assert(cal.map(_._1).distinct.length === cal.length, "one row per bucket")
+    // cross-check with q144: mbucket >= 0 <=> zm >= 0 <=> pred = 1, so the
+    // non-negative buckets hold exactly the predicted-positive documents
+    val cm = Curation.qualityClassifierEval(docs).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    val predPos = cm.collect { case ((_, 1L), n) => n }.sum
+    assert(cal.filter(_._1 >= 0L).map(_._2).sum === predPos)
+  }
 }

@@ -431,6 +431,36 @@ class StreamingSpec extends GraftSuite {
     assert(streamed.nonEmpty)
   }
 
+  test("streaming Misra-Gries candidates: superset of exact heavy hitters at every cut") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val rows = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text"))
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val input = MemoryStream[(Long, String)]
+    val q = EventStreams.heavyHitterStream(input.toDS().toDF("doc_id", "text"))
+      .writeStream.outputMode("complete").format("memory").queryName("mg_out")
+      .start()
+    val (a, b) = rows.splitAt(rows.length / 3)
+    input.addData(a.toIndexedSeq)
+    q.processAllAvailable()
+    input.addData(b.toIndexedSeq)
+    q.processAllAvailable()
+    val streamed = spark.table("mg_out")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    q.stop()
+    val k = 49
+    val nTotal = rows.map(_._2.split(" ", -1).length.toLong).sum
+    assert(streamed.forall(_._1 === nTotal), "summary must count every streamed token")
+    assert(streamed.length <= k)
+    // the exact heavy set (batch pass) must survive the streaming merge tree
+    val exact = graft.operators.TextAnalysis.heavyHitters(Tables.documents(spark, sf), k)
+      .collect().map(_.getString(0)).toSet
+    val cand = streamed.map(_._2).toSet
+    assert(exact.nonEmpty && exact.subsetOf(cand),
+      s"missing heavy hitters: ${exact.diff(cand)}")
+  }
+
   test("streaming mixture plan == batch epochPlan bit-for-bit across micro-batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

@@ -332,12 +332,22 @@ object TextAnalysis {
   def bm25TopDocs(documents: DataFrame, query: Seq[String] = Seq("table", "data", "row"),
       k1: Double = 1.2, b: Double = 0.75, topk: Int = 20): DataFrame = {
     val dl = documents.select($"doc_id", size(split($"text", " ")).cast("long").as("dl"))
-    val stats = dl.agg(count(lit(1)).as("n"), avg($"dl").as("avgdl"))
     val tf = documents
       .select($"doc_id", explode(split($"text", " ")).as("term"))
       .filter($"term".isin(query: _*))
       .groupBy($"doc_id", $"term")
       .agg(count(lit(1)).as("tf"))
+    bm25Rank(tf, dl, k1, b, topk)
+  }
+
+  /** Shared BM25 ranking core: identical expressions whether `tf`/`dl`
+    * come from a live corpus scan (q79) or from the persisted serving
+    * index — the single code path is what makes the round-trip law a
+    * statement about the INDEX, not about two reimplementations agreeing.
+    */
+  private def bm25Rank(tf: DataFrame, dl: DataFrame,
+      k1: Double, b: Double, topk: Int): DataFrame = {
+    val stats = dl.agg(count(lit(1)).as("n"), avg($"dl").as("avgdl"))
     val df = tf.groupBy($"term").agg(count(lit(1)).as("df"))
     tf
       .join(broadcast(df), Seq("term"))
@@ -350,6 +360,38 @@ object TextAnalysis {
       .agg(round(sum($"s"), 4).as("bm25"))
       .orderBy($"bm25".desc, $"doc_id")
       .limit(topk)
+  }
+
+  /** Persist the BM25 serving index: the FULL postings list
+    * (term, doc_id, tf) plus per-doc lengths — build once at ingest,
+    * serve every query from the index without touching raw text again
+    * (the lexical twin of the persisted hyperplane embedding index).
+    * Postings rows are doc-disjoint across disjoint ingest batches, so
+    * daily shards need NO compaction: reading several shard dirs
+    * together IS the merged index (spec'd as the sharded-union law).
+    */
+  def writeBm25Index(documents: DataFrame, dir: String): Unit = {
+    documents
+      .select($"doc_id", explode(split($"text", " ")).as("term"))
+      .groupBy($"term", $"doc_id").agg(count(lit(1)).as("tf"))
+      .write.mode("overwrite").parquet(s"$dir/postings")
+    documents
+      .select($"doc_id", size(split($"text", " ")).cast("long").as("dl"))
+      .write.mode("overwrite").parquet(s"$dir/doclen")
+  }
+
+  /** Serve BM25 from persisted index shards (one or many): query terms
+    * prune the postings scan (predicate pushdown on `term`), then the
+    * exact q79 ranking core runs on index rows only — query-proportional
+    * compute over a corpus that is never re-tokenized.
+    */
+  def bm25FromIndex(spark: org.apache.spark.sql.SparkSession, dirs: Seq[String],
+      query: Seq[String] = Seq("table", "data", "row"),
+      k1: Double = 1.2, b: Double = 0.75, topk: Int = 20): DataFrame = {
+    val tf = spark.read.parquet(dirs.map(d => s"$d/postings"): _*)
+      .filter($"term".isin(query: _*))
+    val dl = spark.read.parquet(dirs.map(d => s"$d/doclen"): _*)
+    bm25Rank(tf, dl, k1, b, topk)
   }
 
   /** Pseudo-relevance feedback (Rocchio-style query expansion): run the

@@ -1298,6 +1298,24 @@ class PipelineSpec extends GraftSuite {
     assert(got === expected)
   }
 
+  test("persisted BM25 index: parquet serving == corpus recompute; sharded union == monolith") {
+    val tmp = java.nio.file.Files.createTempDirectory("bm25_idx").toString
+    TextAnalysis.writeBm25Index(docs, s"$tmp/full")
+    val fromCorpus = TextAnalysis.bm25TopDocs(docs).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val fromIndex = TextAnalysis.bm25FromIndex(spark, Seq(s"$tmp/full")).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(fromIndex === fromCorpus)
+    assert(fromIndex.nonEmpty)
+    // sharded-union law: two doc-disjoint ingest batches, two shard dirs,
+    // no compaction — serving from both dirs equals the monolithic index
+    TextAnalysis.writeBm25Index(docs.filter($"doc_id" % 2 === 0), s"$tmp/a")
+    TextAnalysis.writeBm25Index(docs.filter($"doc_id" % 2 =!= 0), s"$tmp/b")
+    val sharded = TextAnalysis.bm25FromIndex(spark, Seq(s"$tmp/a", s"$tmp/b")).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(sharded === fromIndex)
+  }
+
   private implicit class Interp(private val sc: StringContext) {
     def $(args: Any*): org.apache.spark.sql.Column = col(sc.s(args: _*))
   }

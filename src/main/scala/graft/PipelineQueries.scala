@@ -439,6 +439,10 @@ object PipelineQueries {
     // bucket (exact bin() bucketing); rides the q143 weights cache
     "q160_classifier_calibration" -> ((s, d) =>
       Curation.classifierCalibration(Tables.documents(s, d))),
+    // per-source exact heavy hitters: q154's MG two-pass run per group
+    // (one grouped sketch agg, groups x k candidate recount)
+    "q161_heavy_hitters_by_source" -> ((s, d) =>
+      TextAnalysis.heavyHittersBySource(Tables.documents(s, d))),
   )
 
   // ---- shared SQL fragments -------------------------------------------
@@ -3522,5 +3526,14 @@ object PipelineQueries {
          |SELECT mbucket, count(*) AS n_docs, CAST(sum(y) AS BIGINT) AS n_pos,
          |  round(sum(y) * 1.0 / count(*), 6) AS pos_rate
          |FROM mb GROUP BY mbucket ORDER BY mbucket""".stripMargin,
+    "q161_heavy_hitters_by_source" ->
+      // exact per-source heavy-hitter semantics (count > n_source/50);
+      // the per-group MG sketch is the candidate generator only
+      """WITH t AS (SELECT source, unnest(string_split(text, ' ')) AS token FROM documents),
+        |n AS (SELECT source, count(*) AS n_total FROM t GROUP BY 1),
+        |c AS (SELECT source, token, count(*) AS n_tok FROM t GROUP BY 1, 2)
+        |SELECT c.source, c.token, c.n_tok, n.n_total
+        |FROM c JOIN n USING (source) WHERE c.n_tok * 50 > n.n_total
+        |ORDER BY source, n_tok DESC, token""".stripMargin,
   )
 }

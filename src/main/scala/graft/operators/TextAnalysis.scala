@@ -789,6 +789,35 @@ object TextAnalysis {
       .orderBy($"n_tok".desc, $"token")
   }
 
+  /** Per-GROUP exact heavy hitters — q154's two-pass Misra-Gries scheme
+    * run per source (the production shape: heavy hitters per domain /
+    * language / crawl snapshot, all groups in one job). Pass 1 is ONE
+    * grouped aggregation (k counters per source, groups×k rows to the
+    * driver — still the bounded-collect pattern); pass 2 recounts only
+    * the collected (source, token) candidates via a broadcast semi-join
+    * and applies each source's own n/(k+1) threshold. Same superset
+    * guarantee per group, fixed memory per group at any vocabulary size.
+    */
+  def heavyHittersBySource(documents: DataFrame, k: Int = 49): DataFrame = {
+    val spark = documents.sparkSession
+    val toks = documents.select($"source", explode(split($"text", " ")).as("token"))
+    val mgAgg = udaf(new graft.functions.Aggregators.MisraGries(k))
+    val sums = toks.groupBy($"source").agg(mgAgg($"token").as("mg"))
+      .select($"source", $"mg.n".as("n_total"), $"mg.toks".as("cand"))
+      .collect()
+    val nTotals = spark.createDataFrame(
+      sums.toSeq.map(r => (r.getString(0), r.getLong(1)))).toDF("source", "n_total")
+    val cands = spark.createDataFrame(
+      sums.toSeq.flatMap(r => r.getSeq[String](2).map(t => (r.getString(0), t))))
+      .toDF("source", "token")
+    toks.join(broadcast(cands), Seq("source", "token"), "left_semi")
+      .groupBy($"source", $"token").agg(count(lit(1)).as("n_tok"))
+      .join(broadcast(nTotals), Seq("source"))
+      .filter($"n_tok" * (k + 1) > $"n_total")
+      .select($"source", $"token", $"n_tok", $"n_total")
+      .orderBy($"source", $"n_tok".desc, $"token")
+  }
+
   /** Zipf-slope fit over the frequency head: rank the top `n` tokens by
     * count, regress ln(count) on ln(rank) by least squares, and report
     * the slope — natural language sits near −1; a flatter head flags

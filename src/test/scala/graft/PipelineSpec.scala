@@ -1316,6 +1316,25 @@ class PipelineSpec extends GraftSuite {
     assert(sharded === fromIndex)
   }
 
+  test("heavyHittersBySource: brute-force per-group equality; per-source superset holds") {
+    val k = 49
+    val rows = docs.select($"source", $"text").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val toks = rows.flatMap { case (s, t) => t.split(" ", -1).map(w => (s, w)) }
+    val expected = toks.groupBy(_._1).toSeq.flatMap { case (src, st) =>
+      val n = st.length.toLong
+      st.groupBy(_._2).collect {
+        case (tok, occ) if occ.length.toLong * (k + 1) > n =>
+          (src, tok, occ.length.toLong, n)
+      }
+    }.sortBy(t => (t._1, -t._3, t._2))
+    val got = TextAnalysis.heavyHittersBySource(docs, k).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got === expected)
+    assert(got.nonEmpty, "each source should have >2% tokens at fixture scale")
+    assert(got.map(_._1).distinct.length > 1, "multiple sources must report")
+  }
+
   private implicit class Interp(private val sc: StringContext) {
     def $(args: Any*): org.apache.spark.sql.Column = col(sc.s(args: _*))
   }

@@ -2046,7 +2046,7 @@ object PipelineQueries {
          |$JaccardSql
          |  ) jt
          |),
-         |th(threshold) AS (VALUES (0.6), (0.7), (0.8), (0.9)),
+         |th(threshold) AS (VALUES (CAST(0.6 AS DOUBLE)), (0.7), (0.8), (0.9)),
          |f AS (
          |  SELECT threshold, id1, id2 FROM jp CROSS JOIN th WHERE jaccard >= threshold
          |),
@@ -3378,10 +3378,11 @@ object PipelineQueries {
       // seed 1e6//N, base 0.15e6//N, contrib rank//deg, d = 17/20
       def iter(i: Int) =
         s"""pr$i AS MATERIALIZED (
-           |  SELECT d.node, d.deg, (150000 // nn.n) + (17 * s.s) // 20 AS rank_m
+           |  SELECT d.node, d.deg,
+           |    CAST((150000 // nn.n) + (17 * s.s) // 20 AS BIGINT) AS rank_m
            |  FROM pdeg d
            |  JOIN (
-           |    SELECT e.dst AS node, sum(r.rank_m // r.deg) AS s
+           |    SELECT e.dst AS node, CAST(sum(r.rank_m // r.deg) AS BIGINT) AS s
            |    FROM pedges e JOIN pr${i - 1} r ON r.node = e.src GROUP BY 1
            |  ) s ON s.node = d.node
            |  CROSS JOIN nn
@@ -3393,7 +3394,7 @@ object PipelineQueries {
          |nn AS (SELECT count(*) AS n FROM pdeg),
          |pr0 AS (SELECT node, deg, 1000000 // nn.n AS rank_m FROM pdeg CROSS JOIN nn),
          |${(1 to 4).map(iter).mkString(",\n")}
-         |SELECT node AS doc_id, deg, rank_m AS rank_micro FROM pr4
+         |SELECT node AS doc_id, deg, CAST(rank_m AS BIGINT) AS rank_micro FROM pr4
          |ORDER BY doc_id""".stripMargin
     },
     "q152_pc1_power" ->

@@ -26,6 +26,39 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
     return df.reset_index(drop=True)
 
 
+#: DuckDB result types that pandas renders as float64/object and the
+#: driver's dtype-sensitive hash then mismatches against Spark's int64.
+#: Any oracle output column with one of these types is a latent red cell
+#: even when every value is equal (observed: q151 in round 6 — sum(BIGINT)
+#: widens to HUGEINT). Oracles must CAST sum-derived columns to BIGINT.
+WIDENED = ("HUGEINT", "UHUGEINT", "DECIMAL", "INT128")
+
+
+def audit_dtypes(sf_dir: str, out_dir: str) -> int:
+    """`--dtypes` mode: DESCRIBE every oracle (no execution) and fail on
+    any result column whose DuckDB type is in WIDENED."""
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    oracles = json.load(open(f"{out_dir}/oracle_sql.json"))
+    n_bad = 0
+    for name, sql in sorted(oracles.items()):
+        try:
+            desc = con.execute(f"DESCRIBE ({sql})").fetchall()
+        except Exception as e:
+            print(f"FAIL {name}: DESCRIBE error {e}")
+            n_bad += 1
+            continue
+        bad = [(c, t) for c, t, *_ in desc if any(w in t.upper() for w in WIDENED)]
+        if bad:
+            print(f"FAIL {name}: widened oracle dtypes {bad}")
+            n_bad += 1
+        else:
+            print(f"PASS {name}: {[t for _, t, *_ in desc]}")
+    print(f"{len(oracles) - n_bad}/{len(oracles)} dtype-clean")
+    return 1 if n_bad else 0
+
+
 def main(sf_dir: str, out_dir: str) -> int:
     con = duckdb.connect()
     for t in TABLES:
@@ -77,4 +110,7 @@ def main(sf_dir: str, out_dir: str) -> int:
 
 
 if __name__ == "__main__":
+    if "--dtypes" in sys.argv:
+        args = [a for a in sys.argv[1:] if a != "--dtypes"]
+        sys.exit(audit_dtypes(args[0], args[1]))
     sys.exit(main(sys.argv[1], sys.argv[2]))

@@ -409,13 +409,21 @@ object Aggregators {
         require(b.length == sized(d),
           s"ScatterMoments: mixed dims (buffer ${b.length}, vector $d)")
         val tri = d * (d + 1) / 2
+        // exact arithmetic: second moments reach ~1e16 at current scale
+        // and headroom to Long.MaxValue is only ~900×, so a larger corpus
+        // or hotter micro-vectors must fail loudly (ArithmeticException),
+        // never wrap silently into a corrupted spectral fit. addExact /
+        // multiplyExact are JIT intrinsics — no measurable cost vs +/*.
         var p = 0
         var i = 0
         while (i < d) {
           val vi = a(i)
           var j = i
-          while (j < d) { b(p) += vi * a(j); p += 1; j += 1 }
-          b(tri + i) += vi
+          while (j < d) {
+            b(p) = Math.addExact(b(p), Math.multiplyExact(vi, a(j)))
+            p += 1; j += 1
+          }
+          b(tri + i) = Math.addExact(b(tri + i), vi)
           i += 1
         }
         b(tri + d) += 1L
@@ -428,7 +436,7 @@ object Aggregators {
         require(a.length == b.length,
           s"ScatterMoments: mismatched buffer lengths ${a.length} vs ${b.length}")
         var i = 0
-        while (i < a.length) { a(i) += b(i); i += 1 }
+        while (i < a.length) { a(i) = Math.addExact(a(i), b(i)); i += 1 }
         a
       }
     override def finish(r: Array[Long]): Seq[Long] = r.toSeq

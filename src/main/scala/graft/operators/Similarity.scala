@@ -1423,7 +1423,9 @@ object Similarity {
 
   private def fitAbttModel(embeddings: DataFrame, iters: Int): AbttModel = {
     def halfUp(x: Double, s: Int): Double = graft.functions.Rounding.halfUp(x, s)
-    val dim = embeddings.select(size($"embedding")).limit(1).collect()(0).getInt(0)
+    val dimRow = embeddings.select(size($"embedding")).limit(1).collect()
+    require(dimRow.nonEmpty, "empty embedding corpus")
+    val dim = dimRow(0).getInt(0)
     // one corpus pass: ScatterMoments accumulates the upper-triangle
     // second moments + sums + count per partition in a primitive
     // multiply-add loop (exact longs, no explode, no d²-cell hash agg, no
@@ -1435,14 +1437,17 @@ object Similarity {
     val scatter = udaf(new graft.functions.Aggregators.ScatterMoments)
     val row = xm.agg(scatter($"xm").as("mo")).collect()(0).getSeq[Long](0)
     val tri = dim * (dim + 1) / 2
+    // an all-null (or concurrently-emptied) corpus leaves the aggregator's
+    // zero buffer: fail with the diagnostic, not an index error
+    require(row.length == tri + dim + 1, "empty embedding corpus")
     val n = row(tri + dim)
+    require(n > 0, "empty embedding corpus")
     val s = Array.tabulate(dim)(i => row(tri + i))
     val m = Array.ofDim[Long](dim * dim)
     var p = 0
     for (i <- 0 until dim; j <- i until dim) {
       m(i * dim + j) = row(p); m(j * dim + i) = row(p); p += 1
     }
-    require(n > 0, "empty embedding corpus")
     val mu = s.map(si => halfUp(si.toDouble / n, 0).toLong)
     def g(i: Int, j: Int): Long =
       m(i * dim + j) - mu(j) * s(i) - mu(i) * s(j) + n * mu(i) * mu(j)

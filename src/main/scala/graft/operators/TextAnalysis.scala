@@ -384,13 +384,27 @@ object TextAnalysis {
     * prune the postings scan (predicate pushdown on `term`), then the
     * exact q79 ranking core runs on index rows only — query-proportional
     * compute over a corpus that is never re-tokenized.
+    *
+    * PRECONDITION: shard dirs must be doc-disjoint (each doc_id ingested
+    * into exactly one shard — the writeBm25Index-per-batch contract).
+    * Overlapping shards would double-count df, n, and doclen rows and
+    * silently skew every score. `assertDisjoint = true` verifies it with
+    * one doclen-sized duplicate probe (doclen is doc-count rows, tiny
+    * next to postings) — use it when shard provenance is not trusted.
     */
   def bm25FromIndex(spark: org.apache.spark.sql.SparkSession, dirs: Seq[String],
       query: Seq[String] = Seq("table", "data", "row"),
-      k1: Double = 1.2, b: Double = 0.75, topk: Int = 20): DataFrame = {
+      k1: Double = 1.2, b: Double = 0.75, topk: Int = 20,
+      assertDisjoint: Boolean = false): DataFrame = {
+    require(dirs.nonEmpty, "bm25FromIndex: no index shard dirs")
     val tf = spark.read.parquet(dirs.map(d => s"$d/postings"): _*)
       .filter($"term".isin(query: _*))
     val dl = spark.read.parquet(dirs.map(d => s"$d/doclen"): _*)
+    if (assertDisjoint && dirs.length > 1) {
+      val dup = dl.groupBy($"doc_id").count().filter($"count" > 1).limit(1).count()
+      require(dup == 0, "bm25FromIndex: shard dirs overlap — a doc_id " +
+        "appears in more than one doclen shard; df/n/doclen would double-count")
+    }
     bm25Rank(tf, dl, k1, b, topk)
   }
 
@@ -800,6 +814,10 @@ object TextAnalysis {
     */
   def heavyHittersBySource(documents: DataFrame, k: Int = 49): DataFrame = {
     val spark = documents.sparkSession
+    // null-safe joins (<=>) so a null-source group survives pass 2: the
+    // grouped pass 1 collects NULL as its own group (SQL GROUP BY
+    // semantics), and a plain equi-join would then silently drop every
+    // one of its heavy hitters. <=> keys still plan as hash equi-joins.
     val toks = documents.select($"source", explode(split($"text", " ")).as("token"))
     val mgAgg = udaf(new graft.functions.Aggregators.MisraGries(k))
     val sums = toks.groupBy($"source").agg(mgAgg($"token").as("mg"))
@@ -810,12 +828,14 @@ object TextAnalysis {
     val cands = spark.createDataFrame(
       sums.toSeq.flatMap(r => r.getSeq[String](2).map(t => (r.getString(0), t))))
       .toDF("source", "token")
-    toks.join(broadcast(cands), Seq("source", "token"), "left_semi")
+    val counted = toks.join(broadcast(cands),
+        toks("source") <=> cands("source") && toks("token") === cands("token"),
+        "left_semi")
       .groupBy($"source", $"token").agg(count(lit(1)).as("n_tok"))
-      .join(broadcast(nTotals), Seq("source"))
+    counted.join(broadcast(nTotals), counted("source") <=> nTotals("source"))
       .filter($"n_tok" * (k + 1) > $"n_total")
-      .select($"source", $"token", $"n_tok", $"n_total")
-      .orderBy($"source", $"n_tok".desc, $"token")
+      .select(counted("source"), $"token", $"n_tok", $"n_total")
+      .orderBy(counted("source"), $"n_tok".desc, $"token")
   }
 
   /** Zipf-slope fit over the frequency head: rank the top `n` tokens by

@@ -1335,6 +1335,42 @@ class PipelineSpec extends GraftSuite {
     assert(got.map(_._1).distinct.length > 1, "multiple sources must report")
   }
 
+  test("heavyHittersBySource: a null-source group survives the exact second pass") {
+    import spark.implicits._
+    val rows = Seq(
+      (null.asInstanceOf[String], "a a a a b"),
+      ("web", "x x x x y")
+    ).toDF("source", "text")
+    val got = TextAnalysis.heavyHittersBySource(rows, k = 2).collect()
+      .map(r => (Option(r.getString(0)), r.getString(1), r.getLong(2), r.getLong(3)))
+    // each group: 5 tokens, threshold n/(k+1) = 5/3 -> only the 4-count token
+    assert(got.toSet === Set((None, "a", 4L, 5L), (Some("web"), "x", 4L, 5L)))
+  }
+
+  test("bm25FromIndex assertDisjoint: overlapping shards rejected, disjoint pass") {
+    val tmp = java.nio.file.Files.createTempDirectory("bm25_overlap").toString
+    TextAnalysis.writeBm25Index(docs.filter($"doc_id" % 2 === 0), s"$tmp/a")
+    TextAnalysis.writeBm25Index(docs.filter($"doc_id" % 2 =!= 0), s"$tmp/b")
+    TextAnalysis.writeBm25Index(docs, s"$tmp/full") // overlaps both shards
+    val ok = TextAnalysis.bm25FromIndex(spark, Seq(s"$tmp/a", s"$tmp/b"),
+      assertDisjoint = true).collect()
+    assert(ok.nonEmpty)
+    val e = intercept[IllegalArgumentException] {
+      TextAnalysis.bm25FromIndex(spark, Seq(s"$tmp/a", s"$tmp/full"),
+        assertDisjoint = true).collect()
+    }
+    assert(e.getMessage.contains("shard dirs overlap"))
+  }
+
+  test("spectral fit: empty corpus fails with the diagnostic, not an index error") {
+    import spark.implicits._
+    val empty = Seq.empty[(Long, Array[Float])].toDF("vec_id", "embedding")
+    val e = intercept[IllegalArgumentException] {
+      Similarity.pc1Power(empty).collect()
+    }
+    assert(e.getMessage.contains("empty embedding corpus"))
+  }
+
   private implicit class Interp(private val sc: StringContext) {
     def $(args: Any*): org.apache.spark.sql.Column = col(sc.s(args: _*))
   }

@@ -526,16 +526,22 @@ object Similarity {
     */
   def pqAnnRecall(embeddings: DataFrame, m: Int = 8, codes: Int = 16,
       iters: Int = 2, shortlist: Int = 50, nQueries: Int = 5, k: Int = 3): DataFrame = {
-    val (corpus, codesLong, adcTables) = pqModelFor(embeddings, m, codes, iters, nQueries)
-    val adcScores = codesLong
+    val mdl = pqModelFor(embeddings, m, codes, iters, nQueries)
+    val approx = pqShortlistRerank(mdl.corpus,
+      pqAdcScores(mdl.codesLong, mdl.adcTables), shortlist, nQueries, k)
+    recallAgainstTruth(cosineTopK(embeddings, nQueries, k), approx, k)
+  }
+
+  /** The full-scan ADC ranking: every stored code row meets its query's
+    * broadcast dot-table; sum of m grid-multiple terms is exact under
+    * round 6 (scaladoc on `pqAnnRecall`).
+    */
+  private def pqAdcScores(codesLong: DataFrame, adcTables: DataFrame): DataFrame =
+    codesLong
       .join(broadcast(adcTables), Seq("s", "cid"))
       .filter($"vec_id" =!= $"query_id")
       .groupBy($"query_id", $"vec_id".as("neighbor_id"))
-      // sum of m grid-multiple terms: exact under round 6 (scaladoc)
       .agg(round(sum($"t"), 6).as("adc"))
-    val approx = pqShortlistRerank(corpus, adcScores, shortlist, nQueries, k)
-    recallAgainstTruth(cosineTopK(embeddings, nQueries, k), approx, k)
-  }
 
   /** Session-cached trained PQ model — (checkpointed corpus, encoded
     * code table, ADC tables) keyed by (session, corpus plan, dial):
@@ -546,19 +552,26 @@ object Similarity {
     * Eviction follows the embedding-index cache rule below: drop the
     * reference only, ContextCleaner reclaims blocks on GC.
     */
+  /** A trained PQ model: checkpointed corpus, encoded code table, the
+    * per-query ADC tables, and the raw per-subspace codebooks (the
+    * persistable half of the serving bundle).
+    */
+  private case class PqModel(corpus: DataFrame, codesLong: DataFrame,
+      adcTables: DataFrame, books: Array[Array[(Long, Array[Double])]])
+
   private val pqModelCache =
-    new java.util.LinkedHashMap[(String, String, Int, Int, Int, Int),
-        (DataFrame, DataFrame, DataFrame)](16, 0.75f, false) {
+    new java.util.LinkedHashMap[(String, String, Int, Int, Int, Int), PqModel](
+        16, 0.75f, false) {
       override def removeEldestEntry(
-          e: java.util.Map.Entry[(String, String, Int, Int, Int, Int),
-            (DataFrame, DataFrame, DataFrame)]): Boolean =
+          e: java.util.Map.Entry[(String, String, Int, Int, Int, Int), PqModel])
+          : Boolean =
         size() > EmbIndexCacheMax
     }
 
   def clearPqModelCache(): Unit = pqModelCache.synchronized(pqModelCache.clear())
 
   private def pqModelFor(embeddings: DataFrame, m: Int, codes: Int,
-      iters: Int, nQueries: Int): (DataFrame, DataFrame, DataFrame) = {
+      iters: Int, nQueries: Int): PqModel = {
     val (sid, plan) = planKey(embeddings)
     val key = (sid, plan, m, codes, iters, nQueries)
     pqModelCache.synchronized {
@@ -567,8 +580,8 @@ object Similarity {
       else {
         val corpus = embeddings.select($"vec_id", asDouble($"embedding").as("v"))
           .localCheckpoint() // scanned per Lloyd round + encode + re-rank
-        val (codesLong, adcTables) = pqModel(corpus, m, codes, iters, nQueries)
-        val built = (corpus, codesLong.localCheckpoint(), adcTables)
+        val (codesLong, adcTables, books) = pqModel(corpus, m, codes, iters, nQueries)
+        val built = PqModel(corpus, codesLong.localCheckpoint(), adcTables, books)
         pqModelCache.put(key, built)
         built
       }
@@ -586,7 +599,7 @@ object Similarity {
     * Training and determinism are documented on `pqAnnRecall`.
     */
   private def pqModel(corpus: DataFrame, m: Int, codes: Int, iters: Int,
-      nQueries: Int): (DataFrame, DataFrame) = {
+      nQueries: Int): (DataFrame, DataFrame, Array[Array[(Long, Array[Double])]]) = {
     def round6(x: Double): Double = graft.functions.Rounding.halfUp(x, 6)
     val spark = corpus.sparkSession
     val dim = corpus.select(size($"v")).limit(1).collect()(0).getInt(0)
@@ -655,7 +668,19 @@ object Similarity {
     // encode: ONE corpus pass, (vec_id, s, cid) — the stored code table
     val codesLong = assigned(books, carrySv = false)
       .select($"vec_id", $"s", $"cid")
-    // driver-side ADC tables from the bounded query set → broadcast frame
+    (codesLong, buildAdcTables(corpus, books, nQueries), books)
+  }
+
+  /** Driver-side ADC tables from the bounded query set → broadcast frame:
+    * t = round₆(dot(q_s, codeword_{s,cid})) per (query, subspace, code).
+    * Shared by the session path (`pqModel`) and the persisted-index path
+    * (`pqAnnRecallFromIndex`) so both serve bit-identical rankings.
+    */
+  private def buildAdcTables(corpus: DataFrame,
+      books: Array[Array[(Long, Array[Double])]], nQueries: Int): DataFrame = {
+    def round6(x: Double): Double = graft.functions.Rounding.halfUp(x, 6)
+    val m = books.length
+    val subDim = books(0)(0)._2.length
     def ddot(a: Array[Double], b: Array[Double]): Double = {
       var acc = 0.0; var i = 0
       while (i < a.length) { acc += a(i) * b(i); i += 1 }
@@ -663,13 +688,12 @@ object Similarity {
     }
     val qVecs = corpus.filter($"vec_id" < nQueries).select($"vec_id", $"v")
       .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray)).sortBy(_._1)
-    val adcTables = spark.createDataFrame(for {
+    corpus.sparkSession.createDataFrame(for {
       (qid, qv) <- qVecs.toSeq
       s <- 0 until m
       (cid, cw) <- books(s)
-    } yield (qid, s, cid, round6(ddot(subArr(qv, s), cw))))
+    } yield (qid, s, cid, round6(ddot(qv.slice(s * subDim, (s + 1) * subDim), cw))))
       .toDF("query_id", "s", "cid", "t")
-    (codesLong, adcTables)
   }
 
   /** The PQ serving tail shared by the full-scan and IVF-pruned paths:
@@ -727,11 +751,24 @@ object Similarity {
   def ivfPqAnnRecall(embeddings: DataFrame, nCentroids: Int = 16, nProbe: Int = 4,
       m: Int = 8, codes: Int = 16, iters: Int = 2, shortlist: Int = 50,
       nQueries: Int = 5, k: Int = 3): DataFrame = {
-    val (corpus, codesLong, adcTables) = pqModelFor(embeddings, m, codes, iters, nQueries)
-    val cents = md5Coreset(corpus, nCentroids)
-    val assigned = corpus
+    val mdl = pqModelFor(embeddings, m, codes, iters, nQueries)
+    val cents = md5Coreset(mdl.corpus, nCentroids)
+    val assigned = mdl.corpus
       .withColumn("a", least(cellStructs(cents, $"v"): _*))
       .select($"vec_id", $"a.cid".as("centroid_id"))
+    val approx = pqShortlistRerank(mdl.corpus,
+      ivfAdcScores(mdl.corpus, mdl.codesLong, mdl.adcTables, assigned, cents, nProbe, nQueries),
+      shortlist, nQueries, k)
+    recallAgainstTruth(cosineTopK(embeddings, nQueries, k), approx, k)
+  }
+
+  /** The cell-pruned ADC ranking: probe the nProbe nearest cells per
+    * query over the inverted lists (`assigned`), then code-rank only the
+    * probed candidates. Shared by the session and persisted-index paths.
+    */
+  private def ivfAdcScores(corpus: DataFrame, codesLong: DataFrame,
+      adcTables: DataFrame, assigned: DataFrame,
+      cents: Array[(Long, Array[Double])], nProbe: Int, nQueries: Int): DataFrame = {
     val probes = corpus.filter($"vec_id" < nQueries)
       .select($"vec_id".as("query_id"),
         explode(slice(array_sort(array(cellStructs(cents, $"v"): _*)), 1, nProbe)).as("p"))
@@ -741,12 +778,93 @@ object Similarity {
       .join(broadcast(probes), Seq("centroid_id"))
       .filter($"vec_id" =!= $"query_id")
       .select($"query_id", $"vec_id")
-    val adcScores = codesLong
+    codesLong
       .join(candPairs, Seq("vec_id"))
       .join(broadcast(adcTables), Seq("query_id", "s", "cid"))
       .groupBy($"query_id", $"vec_id".as("neighbor_id"))
       .agg(round(sum($"t"), 6).as("adc"))
-    val approx = pqShortlistRerank(corpus, adcScores, shortlist, nQueries, k)
+  }
+
+  /** Persist the trained PQ/IVF-PQ serving bundle — the artifacts a
+    * serving fleet actually loads, written once at build time:
+    *  - `codebooks(s, cid, cw)`    — m×codes codeword vectors;
+    *  - `codes(vec_id, s, cid)`    — the encoded corpus (8 bytes/vector
+    *    of payload at the default dial; THE stored table);
+    *  - `centroids(cid, cv)`       — the IVF coarse quantizer;
+    *  - `ivflists(vec_id, centroid_id)` — the inverted-list assignment.
+    * Training rides the session model cache (q148 the carrier), so
+    * persisting after a served query costs only the writes. The
+    * round-trip law (spec'd, the vector twin of the BM25 sharded-
+    * postings law): `pqAnnRecallFromIndex` / `ivfPqAnnRecallFromIndex`
+    * over this directory equal the session-cache paths bit-for-bit —
+    * codeword doubles and code ids survive parquet exactly.
+    */
+  def writePqIndex(embeddings: DataFrame, dir: String, m: Int = 8,
+      codes: Int = 16, iters: Int = 2, nQueries: Int = 5,
+      nCentroids: Int = 16): Unit = {
+    val mdl = pqModelFor(embeddings, m, codes, iters, nQueries)
+    val spark = embeddings.sparkSession
+    spark.createDataFrame(for {
+      s <- 0 until m; (cid, cw) <- mdl.books(s)
+    } yield (s, cid, cw.toSeq)).toDF("s", "cid", "cw")
+      .write.mode("overwrite").parquet(s"$dir/codebooks")
+    mdl.codesLong.write.mode("overwrite").parquet(s"$dir/codes")
+    val cents = md5Coreset(mdl.corpus, nCentroids)
+    spark.createDataFrame(cents.toSeq.map { case (cid, cv) => (cid, cv.toSeq) })
+      .toDF("cid", "cv")
+      .write.mode("overwrite").parquet(s"$dir/centroids")
+    mdl.corpus.withColumn("a", least(cellStructs(cents, $"v"): _*))
+      .select($"vec_id", $"a.cid".as("centroid_id"))
+      .write.mode("overwrite").parquet(s"$dir/ivflists")
+  }
+
+  /** The persisted codebooks, re-shaped for `buildAdcTables` — a bounded
+    * m×codes collect (the model, not data).
+    */
+  private def readPqBooks(spark: org.apache.spark.sql.SparkSession,
+      dir: String): Array[Array[(Long, Array[Double])]] = {
+    val rows = spark.read.parquet(s"$dir/codebooks").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getSeq[Double](2).toArray))
+    val m = rows.map(_._1).max + 1
+    Array.tabulate(m)(s =>
+      rows.filter(_._1 == s).map(t => (t._2, t._3)).sortBy(_._1))
+  }
+
+  /** q148's ADC ranking served from a persisted index: codebooks and the
+    * code table come off parquet; raw floats are touched only for the
+    * nQueries query vectors and the shortlist re-rank. Bit-identical to
+    * `pqAnnRecall` on the same corpus/dial (spec'd law).
+    */
+  def pqAnnRecallFromIndex(embeddings: DataFrame, dir: String,
+      shortlist: Int = 50, nQueries: Int = 5, k: Int = 3): DataFrame = {
+    val spark = embeddings.sparkSession
+    val corpus = embeddings.select($"vec_id", asDouble($"embedding").as("v"))
+    val books = readPqBooks(spark, dir)
+    val codesLong = spark.read.parquet(s"$dir/codes")
+    val adcTables = buildAdcTables(corpus, books, nQueries)
+    val approx = pqShortlistRerank(corpus,
+      pqAdcScores(codesLong, adcTables), shortlist, nQueries, k)
+    recallAgainstTruth(cosineTopK(embeddings, nQueries, k), approx, k)
+  }
+
+  /** q149's cell-pruned scan served from a persisted index: centroids,
+    * inverted lists, codebooks, and codes all come off parquet.
+    * Bit-identical to `ivfPqAnnRecall` on the same corpus/dial (spec'd).
+    */
+  def ivfPqAnnRecallFromIndex(embeddings: DataFrame, dir: String,
+      nProbe: Int = 4, shortlist: Int = 50, nQueries: Int = 5,
+      k: Int = 3): DataFrame = {
+    val spark = embeddings.sparkSession
+    val corpus = embeddings.select($"vec_id", asDouble($"embedding").as("v"))
+    val books = readPqBooks(spark, dir)
+    val codesLong = spark.read.parquet(s"$dir/codes")
+    val cents = spark.read.parquet(s"$dir/centroids").collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray)).sortBy(_._1)
+    val assigned = spark.read.parquet(s"$dir/ivflists")
+    val adcTables = buildAdcTables(corpus, books, nQueries)
+    val approx = pqShortlistRerank(corpus,
+      ivfAdcScores(corpus, codesLong, adcTables, assigned, cents, nProbe, nQueries),
+      shortlist, nQueries, k)
     recallAgainstTruth(cosineTopK(embeddings, nQueries, k), approx, k)
   }
 

@@ -421,6 +421,29 @@ class PipelineSpec extends GraftSuite {
       s"cell pruning destroyed the ranking: ${r1.mkString(", ")}")
   }
 
+  test("persisted PQ/IVF-PQ index: parquet serving == session cache, bit-for-bit") {
+    import graft.operators.Similarity
+    val tmp = java.nio.file.Files.createTempDirectory("pq_idx").toString
+    Similarity.writePqIndex(embs, tmp)
+    val pqSession = Similarity.pqAnnRecall(embs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val pqServed = Similarity.pqAnnRecallFromIndex(embs, tmp).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(pqServed === pqSession,
+      "ADC ranking from parquet codebooks+codes must equal the session path")
+    val ivfSession = Similarity.ivfPqAnnRecall(embs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val ivfServed = Similarity.ivfPqAnnRecallFromIndex(embs, tmp).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(ivfServed === ivfSession,
+      "cell-pruned serving from parquet centroids+lists must equal the session path")
+    // the bundle really is the compressed form: the stored code table is
+    // m single-byte codes per vector, not d floats
+    val nVec = embs.count()
+    val nCodes = spark.read.parquet(s"$tmp/codes").count()
+    assert(nCodes === nVec * 8)
+  }
+
   test("annRecall agrees with a manual truth-vs-approx set comparison") {
     val truth = Similarity.cosineTopK(embs, nQueries = 5, k = 3).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet

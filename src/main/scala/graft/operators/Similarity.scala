@@ -738,21 +738,28 @@ object Similarity {
     * not per-cell residuals (q - centroid). Residual PQ couples every
     * code to its cell and would weld the oracle's eight unrolled
     * trainings to the coarse assignment; raw-vector PQ keeps the code
-    * table cell-independent (one stored table serves any probe dial) at
-    * a modest accuracy cost on small dials — the trade FAISS ships as
-    * `IVFFlat`-style scanning with `PQ` storage. Determinism and the
-    * recall report are exactly `pqAnnRecall`'s; the coarse stage is
-    * exactly `ivfCosineTopK`'s (md5-coreset centroids, rounded-cosine
-    * argmin, sorted-struct probe list).
+    * table cell-independent (one stored table serves any probe dial) —
+    * the trade FAISS ships as `IVFFlat`-style scanning with `PQ`
+    * storage. MEASURED, not fiat (`ProfileResidualPq`, SURVEY §6.7):
+    * against this library's deterministic md5-coreset coarse quantizer
+    * the residual form (`ivfPqResidualRecall`) LOSES 0.06–0.23 recall@5
+    * at every dial — coreset "centroids" are corpus vectors, so
+    * residuals are larger than the raw vectors and quantize worse; with
+    * a 2-round Lloyd-trained coarse quantizer (`coarseIters = 2`) the
+    * two forms are within ±0.04 recall of each other. Raw-vector PQ is
+    * therefore the honest default here, not a concession. Determinism
+    * and the recall report are exactly `pqAnnRecall`'s; the coarse
+    * stage is exactly `ivfCosineTopK`'s (md5-coreset centroids,
+    * rounded-cosine argmin, sorted-struct probe list).
     *
     * Law (spec'd): with nProbe = nCentroids the cell pruning vanishes
     * and this equals `pqAnnRecall` bit-for-bit.
     */
   def ivfPqAnnRecall(embeddings: DataFrame, nCentroids: Int = 16, nProbe: Int = 4,
       m: Int = 8, codes: Int = 16, iters: Int = 2, shortlist: Int = 50,
-      nQueries: Int = 5, k: Int = 3): DataFrame = {
+      nQueries: Int = 5, k: Int = 3, coarseIters: Int = 0): DataFrame = {
     val mdl = pqModelFor(embeddings, m, codes, iters, nQueries)
-    val cents = md5Coreset(mdl.corpus, nCentroids)
+    val cents = lloydRefine(mdl.corpus, md5Coreset(mdl.corpus, nCentroids), coarseIters)
     val assigned = mdl.corpus
       .withColumn("a", least(cellStructs(cents, $"v"): _*))
       .select($"vec_id", $"a.cid".as("centroid_id"))
@@ -868,6 +875,68 @@ object Similarity {
     recallAgainstTruth(cosineTopK(embeddings, nQueries, k), approx, k)
   }
 
+  /** IVF-PQ with FAISS-style per-cell RESIDUAL encoding — the measured
+    * alternative to `ivfPqAnnRecall`'s raw-vector simplification.
+    * Codebooks are trained on r = v − centroid(cell(v)) and the stored
+    * codes quantize residuals; at query time the candidate score
+    * recomposes dot(q, ĉ + r̂) = dot(q, centroid) + Σ_s ADC(q_s, code_s),
+    * where the per-(query, cell) centroid offsets are a driver-built
+    * nQueries×nCentroids broadcast and the ADC half is the same
+    * broadcast table join as the raw form. The price of the accuracy
+    * gain: every code is meaningful only relative to its cell, so the
+    * code table is welded to the coarse quantizer (re-cluster ⇒
+    * re-encode), and training sees the residual corpus (one extra
+    * corpus-linear join against the broadcast centroid table).
+    * `ProfileResidualPq` measures the recall@k delta of the two forms
+    * at shared dials; the decision and numbers live in SURVEY §6.7.
+    */
+  def ivfPqResidualRecall(embeddings: DataFrame, nCentroids: Int = 16, nProbe: Int = 4,
+      m: Int = 8, codes: Int = 16, iters: Int = 2, shortlist: Int = 50,
+      nQueries: Int = 5, k: Int = 3, coarseIters: Int = 0): DataFrame = {
+    def round6(x: Double): Double = graft.functions.Rounding.halfUp(x, 6)
+    def ddot(a: Array[Double], b: Array[Double]): Double = {
+      var acc = 0.0; var i = 0
+      while (i < a.length) { acc += a(i) * b(i); i += 1 }
+      acc
+    }
+    val spark = embeddings.sparkSession
+    val corpus = embeddings.select($"vec_id", asDouble($"embedding").as("v"))
+      .localCheckpoint()
+    val cents = lloydRefine(corpus, md5Coreset(corpus, nCentroids), coarseIters)
+    val centDf = spark.createDataFrame(cents.toSeq.map { case (cid, cv) => (cid, cv.toSeq) })
+      .toDF("centroid_id", "cv")
+    val assigned = corpus
+      .withColumn("a", least(cellStructs(cents, $"v"): _*))
+      .select($"vec_id", $"v", $"a.cid".as("centroid_id"))
+    val residCorpus = assigned.join(broadcast(centDf), Seq("centroid_id"))
+      .select($"vec_id", zip_with($"v", $"cv", (x, c) => x - c).as("v"))
+      .localCheckpoint()
+    val (codesLong, _, books) = pqModel(residCorpus, m, codes, iters, nQueries = 0)
+    val adcTables = buildAdcTables(corpus, books, nQueries) // RAW query vectors
+    val qVecs = corpus.filter($"vec_id" < nQueries).select($"vec_id", $"v")
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    val qcDf = spark.createDataFrame(for {
+      (qid, qv) <- qVecs.toSeq; (cid, cv) <- cents.toSeq
+    } yield (qid, cid, round6(ddot(qv, cv)))).toDF("query_id", "centroid_id", "qc")
+    val probes = corpus.filter($"vec_id" < nQueries)
+      .select($"vec_id".as("query_id"),
+        explode(slice(array_sort(array(cellStructs(cents, $"v"): _*)), 1, nProbe)).as("p"))
+      .select($"query_id", $"p.cid".as("centroid_id"))
+    val candPairs = assigned
+      .join(broadcast(probes), Seq("centroid_id"))
+      .filter($"vec_id" =!= $"query_id")
+      .select($"query_id", $"vec_id", $"centroid_id")
+    val adcScores = codesLong
+      .join(candPairs, Seq("vec_id"))
+      .join(broadcast(adcTables), Seq("query_id", "s", "cid"))
+      .groupBy($"query_id", $"vec_id".as("neighbor_id"), $"centroid_id")
+      .agg(round(sum($"t"), 6).as("r"))
+      .join(broadcast(qcDf), Seq("query_id", "centroid_id"))
+      .select($"query_id", $"neighbor_id", round($"r" + $"qc", 6).as("adc"))
+    val approx = pqShortlistRerank(corpus, adcScores, shortlist, nQueries, k)
+    recallAgainstTruth(cosineTopK(embeddings, nQueries, k), approx, k)
+  }
+
   /** IVF (inverted-file) ANN — the second scale path beside LSH: partition
     * the corpus into `nCentroids` cells by nearest centroid, then scan only
     * the `nProbe` cells nearest each query. Candidate volume is
@@ -898,6 +967,37 @@ object Similarity {
       .orderBy($"r", $"vec_id").limit(k)
       .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
       .sortBy(_._1)
+
+  /** Lloyd refinement of a coarse-centroid set (the `kmeansClusters`
+    * update rule: rounded-cosine argmin assignment, per-dimension means
+    * rounded half-up at 6; empty cells keep their centroid). `iters = 0`
+    * returns the input unchanged — the md5-coreset default every
+    * registered query uses. Non-zero iters is the measurement dial for
+    * the residual-PQ trade (SURVEY §6.7): residual encoding is only
+    * meaningful against a TRAINED coarse quantizer, where residuals are
+    * actually small.
+    */
+  private def lloydRefine(corpus: DataFrame,
+      cents0: Array[(Long, Array[Double])], iters: Int): Array[(Long, Array[Double])] = {
+    def round6(x: Double): Double = graft.functions.Rounding.halfUp(x, 6)
+    var cents = cents0
+    val vecSum = udaf(new graft.functions.Aggregators.VectorSum)
+    for (_ <- 1 to iters) {
+      val stats = corpus
+        .withColumn("a", least(cellStructs(cents, $"v"): _*))
+        .groupBy($"a.cid".as("cid"))
+        .agg(vecSum($"v").as("sv"), count(lit(1)).as("n"))
+        .collect()
+        .map(r => (r.getLong(0), (r.getSeq[Double](1), r.getLong(2)))).toMap
+      cents = cents.map { case (cid, old) =>
+        stats.get(cid) match {
+          case Some((sv, n)) => (cid, sv.map(x => round6(x / n)).toArray)
+          case None => (cid, old)
+        }
+      }
+    }
+    cents
+  }
 
   /** Per-centroid (rounded-negated-cosine, centroid-id) structs for argmin
     * assignment via `least()` — one codegen'd expression per row, no

@@ -443,6 +443,9 @@ object PipelineQueries {
     // (one grouped sketch agg, groups x k candidate recount)
     "q161_heavy_hitters_by_source" -> ((s, d) =>
       TextAnalysis.heavyHittersBySource(Tables.documents(s, d))),
+    // q151's rank consumed as the survivor policy: per-cluster keeper =
+    // max rank, tie -> min id (rides the pair index + rank frame)
+    "q162_rank_canonical" -> ((s, d) => Dedup.rankCanonical(Tables.documents(s, d))),
   )
 
   // ---- shared SQL fragments -------------------------------------------
@@ -3536,5 +3539,48 @@ object PipelineQueries {
         |SELECT c.source, c.token, c.n_tok, n.n_total
         |FROM c JOIN n USING (source) WHERE c.n_tok * 50 > n.n_total
         |ORDER BY source, n_tok DESC, token""".stripMargin,
+    "q162_rank_canonical" -> {
+      // q108's reach-CTE components + q151's unrolled integer rank chain;
+      // keeper per cluster = (rank_m DESC, doc_id) row 1. Every sum-derived
+      // column CAST to BIGINT (the --dtypes discipline).
+      def iter(i: Int) =
+        s"""pr$i AS MATERIALIZED (
+           |  SELECT d.node, d.deg,
+           |    CAST((150000 // nn.n) + (17 * s.s) // 20 AS BIGINT) AS rank_m
+           |  FROM pdeg d
+           |  JOIN (
+           |    SELECT e.dst AS node, CAST(sum(r.rank_m // r.deg) AS BIGINT) AS s
+           |    FROM pedges e JOIN pr${i - 1} r ON r.node = e.src GROUP BY 1
+           |  ) s ON s.node = d.node
+           |  CROSS JOIN nn
+           |)""".stripMargin
+      s"""WITH RECURSIVE e0 AS MATERIALIZED (SELECT id1, id2 FROM ($JaccardSql)),
+         |pedges AS (SELECT id1 AS src, id2 AS dst FROM e0
+         |  UNION ALL SELECT id2, id1 FROM e0),
+         |pdeg AS MATERIALIZED (SELECT src AS node, count(*) AS deg FROM pedges GROUP BY 1),
+         |nn AS (SELECT count(*) AS n FROM pdeg),
+         |pr0 AS (SELECT node, deg, 1000000 // nn.n AS rank_m FROM pdeg CROSS JOIN nn),
+         |${(1 to 4).map(iter).mkString(",\n")},
+         |reach(node, label) AS (
+         |  SELECT src, src FROM pedges
+         |  UNION
+         |  SELECT e.src, r.label FROM pedges e JOIN reach r ON e.dst = r.node
+         |),
+         |m AS (SELECT node AS doc_id, min(label) AS cluster_rep FROM reach GROUP BY node),
+         |rk AS (SELECT node AS doc_id, CAST(rank_m AS BIGINT) AS rank_micro FROM pr4),
+         |best AS (
+         |  SELECT cluster_rep, doc_id AS canonical_id, rank_micro AS canonical_rank
+         |  FROM (
+         |    SELECT m.cluster_rep, m.doc_id, rk.rank_micro,
+         |      row_number() OVER (PARTITION BY m.cluster_rep
+         |                         ORDER BY rk.rank_micro DESC, m.doc_id) AS rn
+         |    FROM m JOIN rk USING (doc_id)
+         |  ) WHERE rn = 1
+         |)
+         |SELECT m.doc_id, m.cluster_rep, b.canonical_id,
+         |  (m.doc_id = b.canonical_id) AS keeps, rk.rank_micro, b.canonical_rank
+         |FROM m JOIN rk USING (doc_id) JOIN best b USING (cluster_rep)
+         |ORDER BY m.doc_id""".stripMargin
+    },
   )
 }

@@ -714,6 +714,42 @@ object Dedup {
       .orderBy($"doc_id")
   }
 
+  /** Rank-aware canonicalization — q151's centrality consumed as a
+    * survivor POLICY rather than a report: within each near-dup cluster
+    * keep the member with the highest PageRank (tie → smallest doc_id).
+    * Where q53 picks by id convention and q108 by content quality, rank
+    * picks by graph position — the hub a template family radiates from
+    * is usually the original, and it wins here even when a mutated copy
+    * happens to score better on surface quality.
+    *
+    * Shape: rides the SAME session pair index as the whole q27 family —
+    * `survivorsOverPairs` gives the membership, `neardupPagerank` the
+    * rank frame (both edge-derived, so the join on doc_id is total by
+    * construction: every cluster member has ≥ 1 edge and vice versa).
+    * The per-cluster argmax is one `max(struct)` aggregation (id negated
+    * for the tie; no window, no per-cluster sort), and the final join's
+    * right side is cluster-count-sized — duplicate-mass-proportional at
+    * any corpus scale, like q108.
+    */
+  def rankCanonical(documents: DataFrame, iters: Int = 4): DataFrame = {
+    val members = survivorsOverPairs(pairIndex(documents))
+      .select($"doc_id", $"cluster_rep")
+    val ranks = neardupPagerank(documents, iters)
+      .select($"doc_id", $"rank_micro")
+    val scored = members.join(ranks, Seq("doc_id"))
+    val best = scored
+      .groupBy($"cluster_rep")
+      .agg(max(struct($"rank_micro", (-$"doc_id").as("neg_id"))).as("b"))
+      .select($"cluster_rep", (-$"b.neg_id").as("canonical_id"),
+        $"b.rank_micro".as("canonical_rank"))
+    scored
+      .join(best, Seq("cluster_rep"))
+      .select($"doc_id", $"cluster_rep", $"canonical_id",
+        ($"doc_id" === $"canonical_id").as("keeps"),
+        $"rank_micro", $"canonical_rank")
+      .orderBy($"doc_id")
+  }
+
   /** Dedup method-agreement report: the MinHash+Jaccard pair set (q27)
     * vs the SimHash pair set (q28), classified both / minhash_only /
     * simhash_only — the QA view that tells an operator whether the two

@@ -524,6 +524,37 @@ class MatchingSpec extends GraftSuite {
     assert(byComp === deg.keySet)
   }
 
+  test("rankCanonical keeper = per-cluster (rank desc, id) argmax over its own frames") {
+    import graft.operators.Dedup
+    val members = Dedup.nearDupSurvivors(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap // doc -> cluster_rep
+    val rank = Dedup.neardupPagerank(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toMap // doc -> rank_micro
+    assert(members.keySet === rank.keySet,
+      "membership and rank frames must share the >=1-edge domain")
+    val expectedKeeper = members.groupBy(_._2).view.mapValues { ms =>
+      ms.keys.toSeq.sortBy(id => (-rank(id), id)).head
+    }.toMap
+    val got = Dedup.rankCanonical(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3),
+        r.getLong(4), r.getLong(5)))
+    assert(got.map(_._1).toSet === members.keySet, "one row per cluster member")
+    got.foreach { case (doc, rep, canon, keeps, rm, crm) =>
+      assert(rep === members(doc))
+      assert(canon === expectedKeeper(rep), s"cluster $rep")
+      assert(keeps === (doc == canon))
+      assert(rm === rank(doc))
+      assert(crm === rank(canon))
+    }
+    // the policies genuinely differ in what they consult: rank keepers
+    // have the max rank in their cluster, not necessarily the min id
+    val keepers = got.filter(_._4)
+    assert(keepers.nonEmpty)
+    keepers.foreach { case (doc, rep, _, _, rm, _) =>
+      assert(members.collect { case (d, r) if r == rep => rank(d) }.max === rm)
+    }
+  }
+
   test("collocations equals brute-force PMI ranking; min-count floor filters hapaxes") {
     import graft.operators.TextAnalysis
     val texts = docs.select(col("text")).collect().map(_.getString(0)).toSeq

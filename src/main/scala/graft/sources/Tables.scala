@@ -15,8 +15,79 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  def load(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+  /** Expected Spark logical type(s) per fixture column — the drift guard's
+    * reference. The driver regenerates /root/testdata between rounds and
+    * has silently migrated physical types before (TIMESTAMP(NANOS) →
+    * TIMESTAMP(MICROS) broke every events query for a day); this turns
+    * the next migration into a named one-line diagnosis at first load.
+    * Timestamp columns accept {timestamp, timestamp_ntz, bigint}: all
+    * three encodings the loaders know how to normalize; anything ELSE
+    * (or a renamed/added column) is what the warning exists for.
+    */
+  private val TsTypes = Set("timestamp", "timestamp_ntz", "bigint")
+  private val ExpectedColumns: Map[String, Seq[(String, Set[String])]] = Map(
+    "region" -> Seq("r_regionkey" -> Set("int"), "r_name" -> Set("string")),
+    "nation" -> Seq("n_nationkey" -> Set("int"), "n_name" -> Set("string"),
+      "n_regionkey" -> Set("int")),
+    "customer" -> Seq("c_custkey" -> Set("bigint"), "c_name" -> Set("string"),
+      "c_nationkey" -> Set("int"), "c_acctbal" -> Set("double"),
+      "c_mktsegment" -> Set("string")),
+    "supplier" -> Seq("s_suppkey" -> Set("bigint"), "s_name" -> Set("string"),
+      "s_nationkey" -> Set("int"), "s_acctbal" -> Set("double")),
+    "part" -> Seq("p_partkey" -> Set("bigint"), "p_name" -> Set("string"),
+      "p_brand" -> Set("string"), "p_type" -> Set("string"),
+      "p_size" -> Set("int"), "p_retailprice" -> Set("double")),
+    "orders" -> Seq("o_orderkey" -> Set("bigint"), "o_custkey" -> Set("bigint"),
+      "o_orderstatus" -> Set("string"), "o_totalprice" -> Set("double"),
+      "o_orderdate" -> TsTypes, "o_orderpriority" -> Set("string")),
+    "lineitem" -> Seq("l_orderkey" -> Set("bigint"), "l_partkey" -> Set("bigint"),
+      "l_suppkey" -> Set("bigint"), "l_linenumber" -> Set("int"),
+      "l_quantity" -> Set("double"), "l_extendedprice" -> Set("double"),
+      "l_discount" -> Set("double"), "l_tax" -> Set("double"),
+      "l_returnflag" -> Set("string"), "l_linestatus" -> Set("string"),
+      "l_shipdate" -> TsTypes),
+    "events" -> Seq("event_id" -> Set("bigint"), "ts" -> TsTypes,
+      "user_id" -> Set("bigint"), "event_type" -> Set("string"),
+      "value" -> Set("double"), "props" -> Set("string")),
+    "documents" -> Seq("doc_id" -> Set("bigint"), "text" -> Set("string"),
+      "lang" -> Set("string"), "source" -> Set("string"),
+      "n_chars" -> Set("bigint")),
+    "embeddings" -> Seq("vec_id" -> Set("bigint"),
+      "embedding" -> Set("array<float>", "array<double>"),
+      "label" -> Set("int")))
+
+  /** Diagnose a loaded fixture schema against the expectation: missing,
+    * renamed/added, and type-migrated columns, each as one named line.
+    * Pure on the schema so specs can fake a drifted fixture.
+    */
+  def fixtureDrift(name: String,
+      schema: org.apache.spark.sql.types.StructType): Seq[String] =
+    ExpectedColumns.get(name).toSeq.flatMap { exp =>
+      val have = schema.fields.map(f => f.name -> f.dataType.simpleString).toMap
+      val expNames = exp.map(_._1).toSet
+      val missing = exp.collect { case (c, _) if !have.contains(c) =>
+        s"$name.$c is MISSING (fixture dropped or renamed the column)" }
+      val extra = schema.fieldNames.filterNot(expNames).toSeq.map(c =>
+        s"$name.$c (${have(c)}) is NEW (fixture grew a column)")
+      val changed = exp.collect {
+        case (c, ok) if have.contains(c) && !ok(have(c)) =>
+          s"$name.$c reads as ${have(c)}, expected ${ok.mkString(" or ")} " +
+            "(physical-type migration — check the loader's normalization)" }
+      missing ++ extra ++ changed
+    }
+
+  // warn once per (dir, table) per JVM — metadata-only, no data scan
+  private val driftChecked =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  def load(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val df = spark.read.parquet(s"$dir/$name.parquet")
+    if (driftChecked.add(s"$dir|$name")) {
+      fixtureDrift(name, df.schema).foreach(d =>
+        System.err.println(s"[graft.Tables] FIXTURE DRIFT: $d"))
+    }
+    df
+  }
 
   def region(spark: SparkSession, dir: String): DataFrame     = load(spark, dir, "region")
   def nation(spark: SparkSession, dir: String): DataFrame     = load(spark, dir, "nation")

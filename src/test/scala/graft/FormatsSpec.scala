@@ -94,4 +94,35 @@ class FormatsSpec extends GraftSuite {
         col("value").as("text"), lit("en").as("lang")))
     assert(stats.count() === 3L)
   }
+
+  test("fixture drift guard: clean fixtures silent; migrations named precisely") {
+    import graft.sources.Tables
+    // every real fixture table is drift-free today — the guard must stay
+    // silent on the driver's current encoding (incl. the MICROS events ts)
+    for (name <- Tables.names) {
+      val schema = Tables.load(spark, sf, name).schema
+      assert(Tables.fixtureDrift(name, schema).isEmpty,
+        s"unexpected drift on current fixture $name")
+    }
+    // fake the historical NANOS→MICROS class of break: a type migration
+    // the loaders can't normalize (ts becomes a string)
+    import org.apache.spark.sql.types._
+    val migrated = StructType(Seq(
+      StructField("event_id", LongType), StructField("ts", StringType),
+      StructField("user_id", LongType), StructField("event_type", StringType),
+      StructField("value", DoubleType), StructField("props", StringType)))
+    val d1 = Tables.fixtureDrift("events", migrated)
+    assert(d1.length === 1 && d1.head.contains("events.ts") &&
+      d1.head.contains("reads as string"), d1.mkString("; "))
+    // dropped + renamed column: both named
+    val renamed = StructType(Seq(
+      StructField("doc_id", LongType), StructField("body", StringType),
+      StructField("lang", StringType), StructField("source", StringType),
+      StructField("n_chars", LongType)))
+    val d2 = Tables.fixtureDrift("documents", renamed)
+    assert(d2.exists(_.contains("documents.text is MISSING")), d2.mkString("; "))
+    assert(d2.exists(_.contains("documents.body")), d2.mkString("; "))
+    // unknown table: no expectation, no noise
+    assert(Tables.fixtureDrift("not_a_table", migrated).isEmpty)
+  }
 }

@@ -962,8 +962,19 @@ object Curation {
     */
   def qualityClassifierEval(documents: DataFrame, targetLang: String = "en",
       buckets: Int = 64, rounds: Int = 4, lr: Double = 0.0009765625): DataFrame = {
-    val spark = documents.sparkSession
     val (fx, w) = trainQualityWeights(documents, targetLang, buckets, rounds, lr)
+    evalCore(documents, fx, w, targetLang)
+  }
+
+  /** The q144 confusion pass given an already-built feature frame and
+    * weight vector — the ONE scoring code path behind both the session
+    * route (`qualityClassifierEval`) and the persisted-model route
+    * (`qualityClassifierEvalFromModel`), so the round-trip law tests the
+    * model artifact, not two scorers.
+    */
+  private def evalCore(documents: DataFrame, fx: DataFrame,
+      w: Seq[(Long, Long)], targetLang: String): DataFrame = {
+    val spark = documents.sparkSession
     val labels = documents.select($"doc_id",
       when($"lang" === targetLang, 1L).otherwise(0L).as("y"))
     val scored = fx.join(broadcast(spark.createDataFrame(w).toDF("b", "wm")), Seq("b"))
@@ -978,6 +989,44 @@ object Curation {
       .select($"y", $"pred", $"n_docs",
         round($"n_docs" / sum($"n_docs").over(byLabel), 6).as("frac_of_label"))
       .orderBy($"y", $"pred")
+  }
+
+  /** Persist the trained quality-classifier model — the (buckets+1)-row
+    * micro-unit weight table plus its training dial, self-describing so
+    * the serving side reads the hash-bucket count and target language
+    * from the artifact instead of trusting a caller to repeat them (a
+    * mismatched bucket dial would score garbage silently). Training
+    * rides the session weights cache (q143 the carrier), so persisting
+    * after a training run costs only the ~65-row write. The model twin
+    * of the BM25/hyperplane/PQ index laws: serving from the artifact
+    * equals the session path bit-for-bit (spec'd).
+    */
+  def writeClassifierModel(documents: DataFrame, dir: String,
+      targetLang: String = "en", buckets: Int = 64, rounds: Int = 4,
+      lr: Double = 0.0009765625): Unit = {
+    val spark = documents.sparkSession
+    val (_, w) = trainQualityWeights(documents, targetLang, buckets, rounds, lr)
+    spark.createDataFrame(w.map { case (b, wm) => (b, wm, targetLang, buckets) })
+      .toDF("b", "w_micro", "target_lang", "buckets")
+      .write.mode("overwrite").parquet(s"$dir/weights")
+  }
+
+  private def readClassifierModel(spark: org.apache.spark.sql.SparkSession,
+      dir: String): (Seq[(Long, Long)], String, Int) = {
+    val rows = spark.read.parquet(s"$dir/weights").collect()
+    require(rows.nonEmpty, s"empty classifier model at $dir/weights")
+    val w = rows.map(r => (r.getLong(0), r.getLong(1))).toSeq.sortBy(_._1)
+    (w, rows.head.getAs[String]("target_lang"), rows.head.getAs[Int]("buckets"))
+  }
+
+  /** q144's confusion matrix served from a persisted model: weights,
+    * target language, and the bucket dial all come off the artifact; the
+    * batch pays one tokenize+hash pass (the session feature-frame cache
+    * still applies) and one corpus-linear scoring pass.
+    */
+  def qualityClassifierEvalFromModel(documents: DataFrame, dir: String): DataFrame = {
+    val (w, lang, buckets) = readClassifierModel(documents.sparkSession, dir)
+    evalCore(documents, cachedFeatureFrame(documents, buckets), w, lang)
   }
 
   /** Classifier-guided acceptance sampling (q145) — the GPT-3 curation
@@ -998,8 +1047,26 @@ object Curation {
     */
   def classifierSample(documents: DataFrame, targetLang: String = "en",
       buckets: Int = 64, rounds: Int = 4, lr: Double = 0.0009765625): DataFrame = {
-    val spark = documents.sparkSession
     val (fx, w) = trainQualityWeights(documents, targetLang, buckets, rounds, lr)
+    sampleCore(documents, fx, w)
+  }
+
+  /** q145's acceptance sampling served from a persisted model — the
+    * production filter shape: train once, persist, filter every
+    * subsequent ingest batch from the artifact.
+    */
+  def classifierSampleFromModel(documents: DataFrame, dir: String): DataFrame = {
+    val (w, _, buckets) = readClassifierModel(documents.sparkSession, dir)
+    sampleCore(documents, cachedFeatureFrame(documents, buckets), w)
+  }
+
+  /** The q145 scoring + acceptance pass given a feature frame and weight
+    * vector — shared by the session and persisted-model routes (see
+    * `evalCore`).
+    */
+  private def sampleCore(documents: DataFrame, fx: DataFrame,
+      w: Seq[(Long, Long)]): DataFrame = {
+    val spark = documents.sparkSession
     val scored = fx.join(broadcast(spark.createDataFrame(w).toDF("b", "wm")), Seq("b"))
       .groupBy($"doc_id").agg(sum($"c" * $"wm").as("zm"))
       .select($"doc_id",

@@ -1749,8 +1749,11 @@ object Similarity {
     * report itself is one corpus pass (model broadcast) ending in a
     * TakeOrderedAndProject on the exact integer key (|tm|, vec_id).
     */
-  def abttOutliers(embeddings: DataFrame, iters: Int = 8, topN: Int = 10): DataFrame = {
-    val model = abttModelFor(embeddings, iters)
+  def abttOutliers(embeddings: DataFrame, iters: Int = 8, topN: Int = 10): DataFrame =
+    abttOutliersWith(embeddings, abttModelFor(embeddings, iters), topN)
+
+  private def abttOutliersWith(embeddings: DataFrame, model: AbttModel,
+      topN: Int): DataFrame = {
     val proj = abttProjections(embeddings, model)
       .select($"vec_id", $"tm", $"cd2",
         round($"tm".cast("double") / lit(math.sqrt(model.vn2.toDouble)), 6).as("proj"),
@@ -1766,6 +1769,47 @@ object Similarity {
         row_number().over(w).cast("int").as("rnk"))
       .orderBy($"rnk")
   }
+
+  /** Persist the fitted spectral model (q152's mean + PC1 + exact
+    * scalars) as a (kind, i, v) parquet — 2d+3 rows, written once after
+    * a fit that rides the session model cache. Serving a new batch's
+    * outlier report then needs NO moment pass and NO power iteration:
+    * one broadcast-model corpus scan (the `abttOutliersFromModel` law —
+    * the spectral twin of the BM25/PQ/classifier artifact laws).
+    */
+  def writeSpectralModel(embeddings: DataFrame, dir: String, iters: Int = 8): Unit = {
+    val spark = embeddings.sparkSession
+    val m = abttModelFor(embeddings, iters)
+    val rows =
+      m.mu.toSeq.zipWithIndex.map { case (v, i) => ("mu", i.toLong, v) } ++
+      m.vs.toSeq.zipWithIndex.map { case (v, i) => ("vs", i.toLong, v) } ++
+      Seq(("vn2", 0L, m.vn2), ("trace", 0L, m.trace), ("dim", 0L, m.dim.toLong))
+    spark.createDataFrame(rows).toDF("kind", "i", "v")
+      .write.mode("overwrite").parquet(s"$dir/model")
+  }
+
+  private def readSpectralModel(spark: org.apache.spark.sql.SparkSession,
+      dir: String): AbttModel = {
+    val rows = spark.read.parquet(s"$dir/model").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    def vec(kind: String): Array[Long] =
+      rows.filter(_._1 == kind).sortBy(_._2).map(_._3)
+    def scalar(kind: String): Long = rows.find(_._1 == kind).get._3
+    val dim = scalar("dim").toInt
+    val (mu, vs) = (vec("mu"), vec("vs"))
+    require(mu.length == dim && vs.length == dim,
+      s"corrupt spectral model at $dir: dim=$dim, mu=${mu.length}, vs=${vs.length}")
+    AbttModel(mu, vs, scalar("vn2"), scalar("trace"), dim)
+  }
+
+  /** q153's outlier report served from a persisted model: the mean/PC1
+    * artifact comes off parquet, the corpus is touched only by the one
+    * scoring scan. Bit-identical to the session path (spec'd law) —
+    * `abttProjections` is the shared projection core.
+    */
+  def abttOutliersFromModel(embeddings: DataFrame, dir: String,
+      topN: Int = 10): DataFrame =
+    abttOutliersWith(embeddings, readSpectralModel(embeddings.sparkSession, dir), topN)
 
   /** Embedding-distribution drift monitor — the vector twin of q127's
     * text-profile drift: per-dimension mean shift between the first and

@@ -984,4 +984,26 @@ class CurationSpec extends GraftSuite {
     val predPos = cm.collect { case ((_, 1L), n) => n }.sum
     assert(cal.filter(_._1 >= 0L).map(_._2).sum === predPos)
   }
+
+  test("persisted classifier model: eval and sampling from parquet == session, bit-for-bit") {
+    val tmp = java.nio.file.Files.createTempDirectory("clf_model").toString
+    Curation.writeClassifierModel(docs, tmp)
+    val evalSession = Curation.qualityClassifierEval(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    val evalServed = Curation.qualityClassifierEvalFromModel(docs, tmp).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(evalServed === evalSession,
+      "confusion matrix from the parquet model must equal the session path")
+    val sampleSession = Curation.classifierSample(docs).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3), r.getLong(4)))
+    val sampleServed = Curation.classifierSampleFromModel(docs, tmp).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3), r.getLong(4)))
+    assert(sampleServed === sampleSession,
+      "acceptance sampling from the parquet model must equal the session path")
+    // the artifact is self-describing: dial columns ride every row
+    val meta = spark.read.parquet(s"$tmp/weights")
+      .select("target_lang", "buckets").distinct().collect()
+    assert(meta.length === 1 &&
+      meta(0).getString(0) === "en" && meta(0).getInt(1) === 64)
+  }
 }

@@ -1385,6 +1385,22 @@ class PipelineSpec extends GraftSuite {
     assert(e.getMessage.contains("shard dirs overlap"))
   }
 
+  test("persisted spectral model: outlier report from parquet == session, bit-for-bit") {
+    val tmp = java.nio.file.Files.createTempDirectory("abtt_model").toString
+    Similarity.writeSpectralModel(embs, tmp)
+    val session = Similarity.abttOutliers(embs).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getDouble(2), r.getDouble(3), r.getInt(4)))
+    val served = Similarity.abttOutliersFromModel(embs, tmp).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getDouble(2), r.getDouble(3), r.getInt(4)))
+    assert(served === session,
+      "outliers from the parquet mean/PC1 artifact must equal the session path")
+    // artifact shape: mu + vs vectors and the three scalars, nothing else
+    val kinds = spark.read.parquet(s"$tmp/model").groupBy("kind").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(kinds === Map("mu" -> 64L, "vs" -> 64L,
+      "vn2" -> 1L, "trace" -> 1L, "dim" -> 1L))
+  }
+
   test("spectral fit: empty corpus fails with the diagnostic, not an index error") {
     import spark.implicits._
     val empty = Seq.empty[(Long, Array[Float])].toDF("vec_id", "embedding")

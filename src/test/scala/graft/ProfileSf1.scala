@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Curation, Dedup, Similarity}
+import graft.operators.{Curation, Dedup, Similarity, TextAnalysis}
 import graft.sources.Tables
 
 /** Dev-only sf1-equivalent COLD bench for the headline index-carrier
@@ -57,9 +57,29 @@ object ProfileSf1 {
       (0 until 10).map(replica).reduce(_ union _)
         .repartition(32).write.mode("overwrite").parquet(fullDir)
     }
+    // ---- materialize emb_x10 if ProfileScaling hasn't (same signed-
+    // cyclic-permutation replica map — orthogonal, cosine-preserving —
+    // plus the label column carried for the outlier-report serving path)
     val embDir = s"$outRoot/emb_x10"
-    require(new java.io.File(s"$embDir/_SUCCESS").exists(),
-      "run ProfileScaling first to materialize emb_x10")
+    if (!new java.io.File(s"$embDir/_SUCCESS").exists()) {
+      val embBase = Tables.embeddings(spark, sfDir)
+        .select($"vec_id", $"embedding", $"label")
+      val dim = embBase.select(size($"embedding")).first().getInt(0)
+      def vecReplica(r: Int): DataFrame =
+        if (r == 0) embBase
+        else {
+          val shift = (r * 7) % dim
+          embBase.select(
+            ($"vec_id" + lit(r * 10000000L)).as("vec_id"),
+            array((0 until dim).map { i =>
+              val sign = if (((i + 1) * 104729 + r * 7919) % 2 == 0) 1.0f else -1.0f
+              element_at($"embedding", ((i + shift) % dim) + 1) * lit(sign)
+            }: _*).as("embedding"),
+            $"label")
+        }
+      (0 until 10).map(vecReplica).reduce(_ union _)
+        .repartition(32).write.mode("overwrite").parquet(embDir)
+    }
 
     val docs = spark.read.parquet(fullDir)
     val embs = spark.read.parquet(embDir)
@@ -94,6 +114,27 @@ object ProfileSf1 {
     val (nCh, tCh) = time(Curation.chunkDocuments(docs).count())
     val (nPr, tPr) = time(Dedup.neardupPagerank(docs).count())
     println(f"[sf1] q150_chunking chunks=$nCh%7d $tCh%8.2f s | q151_pagerank_rider nodes=$nPr%6d $tPr%8.2f s")
+    // round-7: q162 rank-canonical rider (pair index + rank frame)
+    val (nRc, tRc) = time(Dedup.rankCanonical(docs).count())
+    println(f"[sf1] q162_rank_canonical_rider rows=$nRc%6d $tRc%8.2f s")
+
+    // ---- round-7: persisted-artifact serving at the x10 dial — write
+    // each trained artifact (riding the session caches built above, so
+    // the write prices ONLY the write) and serve from parquet
+    val srv = s"$outRoot/serving"
+    val (_, tWPq) = time(Similarity.writePqIndex(embs, s"$srv/pq"))
+    val (_, tSPq) = time(Similarity.pqAnnRecallFromIndex(embs, s"$srv/pq").count())
+    val (_, tSIvf) = time(Similarity.ivfPqAnnRecallFromIndex(embs, s"$srv/pq").count())
+    println(f"[sf1] pq_index write $tWPq%8.2f s | adc_serve $tSPq%8.2f s | ivf_pq_serve $tSIvf%8.2f s")
+    val (_, tWClf) = time(Curation.writeClassifierModel(docs, s"$srv/clf"))
+    val (_, tSClf) = time(Curation.classifierSampleFromModel(docs, s"$srv/clf").count())
+    println(f"[sf1] clf_model write $tWClf%8.2f s | sample_serve $tSClf%8.2f s")
+    val (_, tWBm) = time(TextAnalysis.writeBm25Index(docs, s"$srv/bm25"))
+    val (_, tSBm) = time(TextAnalysis.bm25FromIndex(spark, Seq(s"$srv/bm25")).count())
+    println(f"[sf1] bm25_index write $tWBm%8.2f s | bm25_serve $tSBm%8.2f s")
+    val (_, tWSp) = time(Similarity.writeSpectralModel(embs, s"$srv/abtt")) // cold fit + write
+    val (_, tSSp) = time(Similarity.abttOutliersFromModel(embs, s"$srv/abtt").count())
+    println(f"[sf1] spectral_model fit+write $tWSp%8.2f s | outliers_serve $tSSp%8.2f s")
 
     spark.stop()
   }

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.operators.{Curation, Dedup, Events, Extended, Matching, Multimodal, Sampling, Scale, Similarity, TextAnalysis}
+import graft.operators.{Curation, Dedup, Events, Extended, Governance, Matching, Multimodal, Sampling, Scale, Similarity, TextAnalysis}
 import graft.sources.Tables
 
 /** LLM-training-data-pipeline queries (SURVEY.md §2.2 ➕) and their DuckDB
@@ -446,6 +446,19 @@ object PipelineQueries {
     // q151's rank consumed as the survivor policy: per-cluster keeper =
     // max rank, tie -> min id (rides the pair index + rank frame)
     "q162_rank_canonical" -> ((s, d) => Dedup.rankCanonical(Tables.documents(s, d))),
+    // right-to-erasure tombstones at the index-row grain: delete list
+    // anti-joins the postings-shaped frames, df/N/avgdl recompute from
+    // survivors — bit-identical to re-ingesting the filtered corpus
+    "q163_erasure_bm25" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      Governance.erasureBm25(docs, Governance.erasureRequests(docs))
+    }),
+    // the compliance report a deletion batch ships with: per-source doc
+    // and token-mass impact, retained fraction in exact ppm
+    "q164_erasure_audit" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      Governance.erasureAudit(docs, Governance.erasureRequests(docs))
+    }),
   )
 
   // ---- shared SQL fragments -------------------------------------------
@@ -3582,5 +3595,41 @@ object PipelineQueries {
          |FROM m JOIN rk USING (doc_id) JOIN best b USING (cluster_rep)
          |ORDER BY m.doc_id""".stripMargin
     },
+    "q163_erasure_bm25" ->
+      // q79's exact CTEs over the corpus minus the erasure congruence
+      // class — the oracle states the tombstone law itself: serve-time
+      // anti-join == re-ingest of the filtered corpus (stats and all)
+      """WITH live AS (SELECT * FROM documents WHERE doc_id % 41 <> 3),
+        |dl AS (
+        |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS dl FROM live
+        |),
+        |stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl),
+        |tf AS (
+        |  SELECT doc_id, term, count(*) AS tf FROM (
+        |    SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM live
+        |  ) WHERE term IN ('table', 'data', 'row') GROUP BY 1, 2
+        |),
+        |df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        |scored AS (
+        |  SELECT doc_id,
+        |    round(sum(ln((n - df + 0.5) / (df + 0.5) + 1) * tf * (1.2 + 1) /
+        |      (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))), 4) AS bm25
+        |  FROM tf JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
+        |  GROUP BY doc_id
+        |)
+        |SELECT doc_id, bm25 FROM scored ORDER BY bm25 DESC, doc_id LIMIT 20""".stripMargin,
+    "q164_erasure_audit" ->
+      // integer token masses; the only division is the final ppm ratio
+      """WITH d AS (
+        |  SELECT source, CAST(len(string_split(text, ' ')) AS BIGINT) AS toks,
+        |    CASE WHEN doc_id % 41 = 3 THEN 1 ELSE 0 END AS del
+        |  FROM documents)
+        |SELECT source, count(*) AS n_docs,
+        |  CAST(sum(del) AS BIGINT) AS n_erased,
+        |  CAST(sum(toks) AS BIGINT) AS tokens_total,
+        |  CAST(sum(CASE WHEN del = 1 THEN toks ELSE 0 END) AS BIGINT) AS tokens_erased,
+        |  CAST(round(1e6 * (sum(toks) - sum(CASE WHEN del = 1 THEN toks ELSE 0 END))
+        |    / sum(toks), 0) AS BIGINT) AS retained_ppm
+        |FROM d GROUP BY source ORDER BY source""".stripMargin,
   )
 }

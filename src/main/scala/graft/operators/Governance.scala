@@ -1,0 +1,128 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Data-governance operators: right-to-erasure (GDPR art. 17 / CCPA
+  * §1798.105 deletion) propagated through the SERVING artifacts without
+  * full rebuilds. At 100 TB you cannot re-ingest the corpus every time a
+  * deletion request arrives; the production contract is
+  *
+  *   1. serve-time TOMBSTONES — the delete list (tiny, broadcastable)
+  *      anti-joins the index rows at query time, and every
+  *      corpus-dependent statistic (df, N, avgdl for BM25) recomputes
+  *      from SURVIVING rows, so tombstone serving is bit-for-bit the
+  *      ranking a re-ingest of the filtered corpus would produce (the
+  *      law q163's oracle checks, and GovernanceSpec checks against the
+  *      persisted index); and
+  *   2. periodic COMPACTION — physically drop tombstoned rows and merge
+  *      shards, after which serving the compacted index with an empty
+  *      delete list equals tombstone serving of the originals (spec'd).
+  *
+  * The reference engine (D/Program.cs) has no deletion story at all —
+  * this family is part of the pipeline-scale extension surface, like the
+  * persisted BM25/PQ indexes it rides on.
+  *
+  * Scale shape: the delete list is requests-proportional (thousands of
+  * rows against billions), so every anti-join here broadcasts it; no new
+  * shuffle is introduced anywhere — tombstoning adds one broadcast hash
+  * join per index scan, and compaction is a copy-through write.
+  */
+object Governance {
+
+  /** Deterministic stand-in for the exogenous erasure-request list. Real
+    * deletion requests arrive from a compliance system keyed by document
+    * id; the fixture has no such feed, so the registered queries model it
+    * as a fixed congruence class (`doc_id % modulus == residue`, ~2.4% of
+    * the corpus at the defaults) — exogenous in shape (an id list with no
+    * derivable content signal), trivial for the oracle to reproduce.
+    */
+  def erasureRequests(documents: DataFrame, modulus: Long = 41L,
+      residue: Long = 3L): DataFrame =
+    documents.select($"doc_id").filter($"doc_id" % modulus === residue)
+
+  /** q163: BM25 ranking under erasure tombstones applied at the INDEX-ROW
+    * grain — the delete list anti-joins the postings-shaped (doc_id, term,
+    * tf) frame and the doclen frame, NOT the raw text, exactly as a
+    * serving tier would treat a persisted index it cannot rebuild. The
+    * ranking core is `TextAnalysis.bm25Rank` — the same code path as q79
+    * and the persisted-index route — so df/N/avgdl recompute from
+    * surviving rows and the result is bit-identical to re-ingesting the
+    * filtered corpus (which is what the DuckDB oracle computes).
+    */
+  def erasureBm25(documents: DataFrame, deletes: DataFrame,
+      query: Seq[String] = Seq("table", "data", "row"),
+      k1: Double = 1.2, b: Double = 0.75, topk: Int = 20): DataFrame = {
+    val del = broadcast(deletes.select($"doc_id"))
+    val dl = documents
+      .select($"doc_id", size(split($"text", " ")).cast("long").as("dl"))
+      .join(del, Seq("doc_id"), "left_anti")
+    val tf = documents
+      .select($"doc_id", explode(split($"text", " ")).as("term"))
+      .filter($"term".isin(query: _*))
+      .join(del, Seq("doc_id"), "left_anti")
+      .groupBy($"doc_id", $"term")
+      .agg(count(lit(1)).as("tf"))
+    TextAnalysis.bm25Rank(tf, dl, k1, b, topk)
+  }
+
+  /** Tombstone serving against the PERSISTED index (`writeBm25Index`
+    * shards): postings are term-pruned by pushdown first, then both index
+    * frames anti-join the broadcast delete list before the shared q79
+    * ranking core. Query-proportional compute plus one broadcast join —
+    * the corpus is never re-tokenized and the index files are untouched.
+    */
+  def bm25ServeWithTombstones(spark: SparkSession, dirs: Seq[String],
+      deletes: DataFrame, query: Seq[String] = Seq("table", "data", "row"),
+      k1: Double = 1.2, b: Double = 0.75, topk: Int = 20): DataFrame = {
+    require(dirs.nonEmpty, "bm25ServeWithTombstones: no index shard dirs")
+    val del = broadcast(deletes.select($"doc_id"))
+    val tf = spark.read.parquet(dirs.map(d => s"$d/postings"): _*)
+      .filter($"term".isin(query: _*))
+      .join(del, Seq("doc_id"), "left_anti")
+    val dl = spark.read.parquet(dirs.map(d => s"$d/doclen"): _*)
+      .join(del, Seq("doc_id"), "left_anti")
+    TextAnalysis.bm25Rank(tf, dl, k1, b, topk)
+  }
+
+  /** Physical compaction: apply the tombstones and merge shards into one
+    * index dir. After this, `bm25FromIndex(Seq(outDir))` with no delete
+    * list equals `bm25ServeWithTombstones(dirs, deletes)` (spec'd law) —
+    * i.e. compaction is an optimization, never a semantics change. A
+    * copy-through columnar write: no shuffle, no re-tokenization.
+    */
+  def compactBm25Index(spark: SparkSession, dirs: Seq[String],
+      deletes: DataFrame, outDir: String): Unit = {
+    val del = broadcast(deletes.select($"doc_id"))
+    spark.read.parquet(dirs.map(d => s"$d/postings"): _*)
+      .join(del, Seq("doc_id"), "left_anti")
+      .write.mode("overwrite").parquet(s"$outDir/postings")
+    spark.read.parquet(dirs.map(d => s"$d/doclen"): _*)
+      .join(del, Seq("doc_id"), "left_anti")
+      .write.mode("overwrite").parquet(s"$outDir/doclen")
+  }
+
+  /** q164: per-source erasure-impact audit — the compliance report a
+    * deletion batch ships with: how many documents and how much token
+    * mass each source loses, and the retained fraction in exact ppm.
+    * One broadcast outer join to flag deletions, one map-side-combined
+    * aggregation; integer arithmetic throughout except the final ppm
+    * ratio (rounded to a long).
+    */
+  def erasureAudit(documents: DataFrame, deletes: DataFrame): DataFrame = {
+    val del = broadcast(deletes.select($"doc_id").withColumn("del1", lit(1L)))
+    documents
+      .select($"source", $"doc_id", size(split($"text", " ")).cast("long").as("toks"))
+      .join(del, Seq("doc_id"), "left_outer")
+      .select($"source", $"toks", coalesce($"del1", lit(0L)).as("del"))
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum($"del").cast("long").as("n_erased"),
+        sum($"toks").cast("long").as("tokens_total"),
+        sum($"toks" * $"del").cast("long").as("tokens_erased"))
+      .withColumn("retained_ppm",
+        round(lit(1e6) * ($"tokens_total" - $"tokens_erased") / $"tokens_total", 0)
+          .cast("long"))
+      .orderBy($"source")
+  }
+}

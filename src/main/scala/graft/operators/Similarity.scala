@@ -854,6 +854,58 @@ object Similarity {
     recallAgainstTruth(cosineTopK(embeddings, nQueries, k), approx, k)
   }
 
+  /** The persisted ADC serving path under right-to-erasure tombstones
+    * (the vector twin of `Governance.bm25ServeWithTombstones`): the
+    * delete list anti-joins the persisted CODE table — the 8-byte rows a
+    * serving fleet actually scans — and the shortlist-rerank corpus,
+    * while codebooks and ADC tables are untouched (no retraining on
+    * delete: codes are model-relative, and the model is not the user's
+    * data). Returns the approx top-k (query_id, neighbor_id) frame so
+    * the spec can state the laws directly: equals the same serve over a
+    * physically filtered code table, and no deleted id ever surfaces.
+    * Query vectors come from the RETAINED corpus head (a deleted user
+    * cannot be a query either).
+    */
+  /** Physical compaction of a persisted PQ index under erasure
+    * tombstones: codes and inverted-list rows for deleted ids are
+    * dropped; codebooks and coarse centroids are MODEL, not user data —
+    * copied through unchanged (the no-retraining-on-delete contract).
+    * Law (spec'd): serving the compacted index with an empty delete list
+    * equals tombstone serving of the original — compaction is an
+    * optimization, never a semantics change.
+    */
+  def compactPqIndex(spark: org.apache.spark.sql.SparkSession, dir: String,
+      deletes: DataFrame, outDir: String): Unit = {
+    val del = broadcast(deletes.select($"vec_id"))
+    spark.read.parquet(s"$dir/codes").join(del, Seq("vec_id"), "left_anti")
+      .write.mode("overwrite").parquet(s"$outDir/codes")
+    spark.read.parquet(s"$dir/codebooks")
+      .write.mode("overwrite").parquet(s"$outDir/codebooks")
+    spark.read.parquet(s"$dir/centroids")
+      .write.mode("overwrite").parquet(s"$outDir/centroids")
+    spark.read.parquet(s"$dir/ivflists").join(del, Seq("vec_id"), "left_anti")
+      .write.mode("overwrite").parquet(s"$outDir/ivflists")
+  }
+
+  def pqServeTopKFromIndex(embeddings: DataFrame, dir: String,
+      deletes: Option[DataFrame] = None, shortlist: Int = 50,
+      nQueries: Int = 5, k: Int = 3): DataFrame = {
+    val spark = embeddings.sparkSession
+    val corpus0 = embeddings.select($"vec_id", asDouble($"embedding").as("v"))
+    val codes0 = spark.read.parquet(s"$dir/codes")
+    val (corpus, codesLong) = deletes match {
+      case Some(delFrame) =>
+        val del = broadcast(delFrame.select($"vec_id"))
+        (corpus0.join(del, Seq("vec_id"), "left_anti"),
+          codes0.join(del, Seq("vec_id"), "left_anti"))
+      case None => (corpus0, codes0)
+    }
+    val books = readPqBooks(spark, dir)
+    val adcTables = buildAdcTables(corpus, books, nQueries)
+    pqShortlistRerank(corpus, pqAdcScores(codesLong, adcTables),
+      shortlist, nQueries, k)
+  }
+
   /** q149's cell-pruned scan served from a persisted index: centroids,
     * inverted lists, codebooks, and codes all come off parquet.
     * Bit-identical to `ivfPqAnnRecall` on the same corpus/dial (spec'd).

@@ -345,7 +345,7 @@ object TextAnalysis {
     * index — the single code path is what makes the round-trip law a
     * statement about the INDEX, not about two reimplementations agreeing.
     */
-  private def bm25Rank(tf: DataFrame, dl: DataFrame,
+  private[operators] def bm25Rank(tf: DataFrame, dl: DataFrame,
       k1: Double, b: Double, topk: Int): DataFrame = {
     val stats = dl.agg(count(lit(1)).as("n"), avg($"dl").as("avgdl"))
     val df = tf.groupBy($"term").agg(count(lit(1)).as("df"))

@@ -1,0 +1,103 @@
+package graft
+
+import graft.operators.{Governance, Similarity, TextAnalysis}
+import graft.sources.Tables
+
+/** Right-to-erasure laws: tombstone serving == filtered re-ingest,
+  * compaction == tombstones, and deleted ids never surface — for both
+  * the lexical (BM25) and vector (PQ) persisted serving stacks.
+  */
+class GovernanceSpec extends GraftSuite {
+  import org.apache.spark.sql.functions._
+  import spark.implicits._
+
+  private lazy val docs = Tables.documents(spark, sf)
+  private lazy val embs = Tables.embeddings(spark, sf)
+
+  test("erasureBm25: tombstones at the index-row grain == filtered re-ingest") {
+    val del = Governance.erasureRequests(docs)
+    val deletedIds = del.collect().map(_.getLong(0)).toSet
+    assert(deletedIds.nonEmpty, "fixture must contain the congruence class")
+    val tombstoned = Governance.erasureBm25(docs, del).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val reingested = TextAnalysis.bm25TopDocs(
+      docs.join(broadcast(del), Seq("doc_id"), "left_anti")).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(tombstoned === reingested)
+    assert(tombstoned.nonEmpty)
+    assert(tombstoned.forall(t => !deletedIds.contains(t._1)))
+    // non-vacuity: dropping docs changes N/avgdl/df, so scores move even
+    // for retained docs — the law is about a genuinely different ranking
+    val baseline = TextAnalysis.bm25TopDocs(docs).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(tombstoned !== baseline)
+  }
+
+  test("persisted BM25 tombstone serving: monolith == shards == compacted == in-session") {
+    val tmp = java.nio.file.Files.createTempDirectory("bm25_erasure").toString
+    val del = Governance.erasureRequests(docs)
+    TextAnalysis.writeBm25Index(docs, s"$tmp/full")
+    TextAnalysis.writeBm25Index(docs.filter($"doc_id" % 2 === 0), s"$tmp/a")
+    TextAnalysis.writeBm25Index(docs.filter($"doc_id" % 2 =!= 0), s"$tmp/b")
+    val inSession = Governance.erasureBm25(docs, del).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val monolith = Governance.bm25ServeWithTombstones(spark, Seq(s"$tmp/full"), del)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(monolith === inSession)
+    val sharded = Governance.bm25ServeWithTombstones(spark, Seq(s"$tmp/a", s"$tmp/b"), del)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(sharded === inSession)
+    // compaction law: physically applying the tombstones and merging the
+    // shards, then serving with NO delete list, changes nothing
+    Governance.compactBm25Index(spark, Seq(s"$tmp/a", s"$tmp/b"), del, s"$tmp/compacted")
+    val compacted = TextAnalysis.bm25FromIndex(spark, Seq(s"$tmp/compacted"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(compacted === inSession)
+  }
+
+  test("erasureAudit: brute-force per-source equality and mass invariants") {
+    val del = Governance.erasureRequests(docs)
+    val deletedIds = del.collect().map(_.getLong(0)).toSet
+    val rows = docs.select($"source", $"doc_id", $"text").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2).split(" ", -1).length.toLong))
+    val expected = rows.groupBy(_._1).toSeq.map { case (src, rs) =>
+      val total = rs.map(_._3).sum
+      val erased = rs.filter(r => deletedIds.contains(r._2)).map(_._3).sum
+      val nErased = rs.count(r => deletedIds.contains(r._2)).toLong
+      val ppm = BigDecimal(1e6 * (total - erased) / total)
+        .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+      (src, rs.length.toLong, nErased, total, erased, ppm)
+    }.sortBy(_._1)
+    val got = Governance.erasureAudit(docs, del).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSeq
+    assert(got === expected)
+    assert(got.map(_._3).sum === deletedIds.size.toLong)
+    assert(got.forall(t => t._5 <= t._4 && t._6 <= 1000000L))
+  }
+
+  test("persisted PQ tombstone serving: no deleted id surfaces; == compacted index") {
+    val tmp = java.nio.file.Files.createTempDirectory("pq_erasure").toString
+    Similarity.writePqIndex(embs, s"$tmp/idx")
+    // pick a delete set guaranteed to bite: a neighbor the baseline serve
+    // actually returns (never a query id — a deleted user cannot query)
+    val nQueries = 5
+    val baseline = Similarity.pqServeTopKFromIndex(embs, s"$tmp/idx").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val victim = baseline.map(_._2).filter(_ >= nQueries).head
+    val del = Seq(victim).toDF("vec_id")
+    val tombstoned = Similarity.pqServeTopKFromIndex(embs, s"$tmp/idx", Some(del))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(tombstoned.forall(_._2 != victim), "deleted id must never surface")
+    assert(tombstoned !== baseline, "the victim was in the baseline top-k")
+    assert(tombstoned.map(_._1).distinct.sorted ===
+      baseline.map(_._1).distinct.sorted, "every query still answered")
+    // compaction law: physically dropping the victim's code rows (model
+    // untouched) and serving with no delete list changes nothing
+    Similarity.compactPqIndex(spark, s"$tmp/idx", del, s"$tmp/compacted")
+    val retained = embs.filter($"vec_id" =!= victim)
+    val compacted = Similarity.pqServeTopKFromIndex(retained, s"$tmp/compacted")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(compacted === tombstoned)
+  }
+}

@@ -854,18 +854,6 @@ object Similarity {
     recallAgainstTruth(cosineTopK(embeddings, nQueries, k), approx, k)
   }
 
-  /** The persisted ADC serving path under right-to-erasure tombstones
-    * (the vector twin of `Governance.bm25ServeWithTombstones`): the
-    * delete list anti-joins the persisted CODE table — the 8-byte rows a
-    * serving fleet actually scans — and the shortlist-rerank corpus,
-    * while codebooks and ADC tables are untouched (no retraining on
-    * delete: codes are model-relative, and the model is not the user's
-    * data). Returns the approx top-k (query_id, neighbor_id) frame so
-    * the spec can state the laws directly: equals the same serve over a
-    * physically filtered code table, and no deleted id ever surfaces.
-    * Query vectors come from the RETAINED corpus head (a deleted user
-    * cannot be a query either).
-    */
   /** Physical compaction of a persisted PQ index under erasure
     * tombstones: codes and inverted-list rows for deleted ids are
     * dropped; codebooks and coarse centroids are MODEL, not user data —
@@ -887,6 +875,18 @@ object Similarity {
       .write.mode("overwrite").parquet(s"$outDir/ivflists")
   }
 
+  /** The persisted ADC serving path under right-to-erasure tombstones
+    * (the vector twin of `Governance.bm25ServeWithTombstones`): the
+    * delete list anti-joins the persisted CODE table — the 8-byte rows a
+    * serving fleet actually scans — and the shortlist-rerank corpus,
+    * while codebooks and ADC tables are untouched (no retraining on
+    * delete: codes are model-relative, and the model is not the user's
+    * data). Returns the approx top-k (query_id, neighbor_id) frame so
+    * the spec can state the laws directly: equals the same serve over a
+    * physically filtered code table, and no deleted id ever surfaces.
+    * Query vectors come from the RETAINED corpus head (a deleted user
+    * cannot be a query either).
+    */
   def pqServeTopKFromIndex(embeddings: DataFrame, dir: String,
       deletes: Option[DataFrame] = None, shortlist: Int = 50,
       nQueries: Int = 5, k: Int = 3): DataFrame = {

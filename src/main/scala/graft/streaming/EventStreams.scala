@@ -389,6 +389,28 @@ object EventStreams {
       .select(col("mg.n").as("n_total"), explode(col("mg.toks")).as("token"))
   }
 
+  /** Streaming twin of batch q164's erasure audit
+    * (`Governance.erasureAudit`): deletion requests arrive as a stream
+    * of doc_ids — the shape a compliance queue actually has — and the
+    * per-source erased masses accumulate live. Each micro-batch
+    * stream-static inner-joins the corpus frame (no watermark: the
+    * static side is a table, the join is per-request), after a
+    * `dropDuplicates` guard that makes re-delivered requests idempotent
+    * (dedup state is requests-proportional — the same boundedness as
+    * the delete list itself). Law (spec'd): once the request stream
+    * drains, the complete-mode table equals the batch audit's erased
+    * columns for every source with at least one deletion, duplicates
+    * and all.
+    */
+  def erasureAuditStream(deletes: DataFrame, docs: DataFrame): DataFrame =
+    deletes
+      .select(col("doc_id"))
+      .dropDuplicates("doc_id")
+      .join(docs.select(col("doc_id"), col("source"),
+        size(split(col("text"), " ")).cast("long").as("toks")), Seq("doc_id"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_erased"), sum(col("toks")).cast("long").as("tokens_erased"))
+
   /** Streaming twin of `Curation.epochPlan` (q112): the temperature
     * mixture and its sampling schedule maintained live over a document
     * stream — per-language token counts as typed Aggregator state

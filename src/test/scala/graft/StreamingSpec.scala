@@ -668,4 +668,34 @@ class StreamingSpec extends GraftSuite {
     // the calibrated coin accepts some and rejects some on a mixed corpus
     assert(expected.exists(_._4) && expected.exists(!_._4))
   }
+
+  test("streaming erasure audit == batch erased columns; duplicate requests idempotent") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val docs = Tables.documents(spark, sf)
+    val delIds = graft.operators.Governance.erasureRequests(docs)
+      .collect().map(_.getLong(0)).toSeq
+    assert(delIds.nonEmpty)
+    val input = MemoryStream[Long]
+    val stream = EventStreams.erasureAuditStream(
+      input.toDF().toDF("doc_id"), docs)
+    val q = stream.writeStream.outputMode("complete")
+      .format("memory").queryName("erasure_out").start()
+    // the queue redelivers: first batch, then the full list again plus a
+    // repeat of the first id — dropDuplicates must absorb all of it
+    val (b1, b2) = delIds.splitAt(delIds.length / 2)
+    input.addData(b1)
+    q.processAllAvailable()
+    input.addData(b2 ++ delIds.take(1))
+    q.processAllAvailable()
+    val streamed = spark.table("erasure_out").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    q.stop()
+    val batch = graft.operators.Governance
+      .erasureAudit(docs, graft.operators.Governance.erasureRequests(docs))
+      .collect().map(r => (r.getString(0), r.getLong(2), r.getLong(4)))
+      .filter(_._2 > 0L).toSet
+    assert(streamed === batch)
+    assert(streamed.nonEmpty)
+  }
 }

@@ -459,6 +459,13 @@ object PipelineQueries {
       val docs = Tables.documents(s, d)
       Governance.erasureAudit(docs, Governance.erasureRequests(docs))
     }),
+    // erasure over the dedup graph: drop pairs touching deleted ids from
+    // the session pair index (no re-banding), re-run components — a
+    // deleted bridge doc splits its cluster exactly as a full re-run would
+    "q165_erasure_survivors" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      Governance.erasureSurvivors(docs, Governance.erasureRequests(docs))
+    }),
   )
 
   // ---- shared SQL fragments -------------------------------------------
@@ -3631,5 +3638,27 @@ object PipelineQueries {
         |  CAST(round(1e6 * (sum(toks) - sum(CASE WHEN del = 1 THEN toks ELSE 0 END))
         |    / sum(toks), 0) AS BIGINT) AS retained_ppm
         |FROM d GROUP BY source ORDER BY source""".stripMargin,
+    "q165_erasure_survivors" ->
+      // q53's recursive components over the pair set with BOTH endpoints
+      // retained — the tombstone-at-pair-grain law in SQL (equals the
+      // filtered-corpus re-run by the restrictPairs per-pair-local
+      // identity)
+      s"""WITH RECURSIVE pairs AS (
+         |  SELECT id1, id2 FROM (
+         |$JaccardSql
+         |  ) jt WHERE id1 % 41 <> 3 AND id2 % 41 <> 3
+         |),
+         |edges AS (
+         |  SELECT id1 AS src, id2 AS dst FROM pairs
+         |  UNION ALL SELECT id2, id1 FROM pairs
+         |),
+         |reach(node, label) AS (
+         |  SELECT src, src FROM edges
+         |  UNION
+         |  SELECT e.src, r.label FROM edges e JOIN reach r ON e.dst = r.node
+         |)
+         |SELECT node AS doc_id, min(label) AS cluster_rep,
+         | (node = min(label)) AS survives
+         |FROM reach GROUP BY node ORDER BY doc_id""".stripMargin,
   )
 }

@@ -102,6 +102,28 @@ object Governance {
       .write.mode("overwrite").parquet(s"$outDir/doclen")
   }
 
+  /** q165: near-dup survivor selection under erasure — tombstones applied
+    * at the PAIR-INDEX grain, completing the family across the third
+    * serving stack (lexical q163, vector PQ, and here the dedup graph).
+    * The session pair index is built once per corpus and NOT re-banded on
+    * delete; erasure drops every pair touching a deleted id
+    * (`Dedup.restrictPairs` — two pair-proportional semi-joins) and
+    * re-runs connected components on the surviving edges. The semantic
+    * content: a deleted document may be the BRIDGE holding a cluster
+    * together, so components must split exactly as a full re-run on the
+    * filtered corpus would — which is an exact identity here, because
+    * every stage of the pair pipeline is per-pair-local (the
+    * `restrictPairs` law). The oracle states it as q53's recursive
+    * components over the all-pairs set with both endpoints retained.
+    */
+  def erasureSurvivors(documents: DataFrame, deletes: DataFrame,
+      n: Int = 5, threshold: Double = 0.6): DataFrame = {
+    val retained = documents.select($"doc_id")
+      .join(broadcast(deletes.select($"doc_id")), Seq("doc_id"), "left_anti")
+    Dedup.survivorsOverPairs(
+      Dedup.restrictPairs(Dedup.pairIndex(documents, n, threshold), retained))
+  }
+
   /** q164: per-source erasure-impact audit — the compliance report a
     * deletion batch ships with: how many documents and how much token
     * mass each source loses, and the retained fraction in exact ppm.

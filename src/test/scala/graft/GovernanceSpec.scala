@@ -76,6 +76,40 @@ class GovernanceSpec extends GraftSuite {
     assert(got.forall(t => t._5 <= t._4 && t._6 <= 1000000L))
   }
 
+  test("erasureSurvivors: pair-grain tombstones == full re-run on the filtered corpus") {
+    val del = Governance.erasureRequests(docs)
+    val tombstoned = Governance.erasureSurvivors(docs, del).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSeq
+    val rerun = graft.operators.Dedup.nearDupSurvivors(
+      docs.join(broadcast(del), Seq("doc_id"), "left_anti")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSeq
+    assert(tombstoned === rerun)
+    assert(tombstoned.nonEmpty, "the filtered fixture should still have near-dup pairs")
+    val deletedIds = del.collect().map(_.getLong(0)).toSet
+    assert(tombstoned.forall(t => !deletedIds.contains(t._1)))
+  }
+
+  test("erasure splits a cluster bridged by the deleted doc") {
+    // hand-built pair set: 1—2—3 is one component only through 2
+    val pairs = Seq((1L, 2L), (2L, 3L)).toDF("id1", "id2")
+    val whole = graft.operators.Dedup.survivorsOverPairs(pairs).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(whole === Seq((1L, 1L), (2L, 1L), (3L, 1L)), "one cluster via the bridge")
+    val keep = Seq(1L, 3L).toDF("doc_id")
+    val restricted = graft.operators.Dedup.restrictPairs(pairs, keep)
+    // no surviving edge: 1 and 3 were never near-dups of each other, so
+    // after erasing the bridge they are independent non-duplicates
+    // (survivorsOverPairs reports edge-bearing nodes only)
+    assert(restricted.count() === 0L)
+    assert(graft.operators.Dedup.survivorsOverPairs(restricted).count() === 0L)
+    // erasing a leaf instead keeps the other edge intact
+    val keep2 = Seq(1L, 2L).toDF("doc_id")
+    val leaf = graft.operators.Dedup.survivorsOverPairs(
+      graft.operators.Dedup.restrictPairs(pairs, keep2)).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(leaf === Seq((1L, 1L), (2L, 1L)))
+  }
+
   test("persisted PQ tombstone serving: no deleted id surfaces; == compacted index") {
     val tmp = java.nio.file.Files.createTempDirectory("pq_erasure").toString
     Similarity.writePqIndex(embs, s"$tmp/idx")

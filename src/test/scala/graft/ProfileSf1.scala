@@ -136,6 +136,24 @@ object ProfileSf1 {
     val (_, tSSp) = time(Similarity.abttOutliersFromModel(embs, s"$srv/abtt").count())
     println(f"[sf1] spectral_model fit+write $tWSp%8.2f s | outliers_serve $tSSp%8.2f s")
 
+    // ---- erasure: tombstone serving + compaction against the indexes
+    // written above (delete list = the q163/q164 congruence class at the
+    // x10 id space — requests-proportional, broadcastable)
+    val delDocs = graft.operators.Governance.erasureRequests(docs)
+    val (nDel, tDel) = time(delDocs.count())
+    val (_, tTsBm) = time(graft.operators.Governance
+      .bm25ServeWithTombstones(spark, Seq(s"$srv/bm25"), delDocs).count())
+    val (_, tCpBm) = time(graft.operators.Governance
+      .compactBm25Index(spark, Seq(s"$srv/bm25"), delDocs, s"$srv/bm25_c"))
+    val (_, tAud) = time(graft.operators.Governance.erasureAudit(docs, delDocs).count())
+    println(f"[sf1] erasure deletes=$nDel%6d ($tDel%5.2f s) | bm25_tombstone_serve $tTsBm%8.2f s | bm25_compact $tCpBm%8.2f s | audit $tAud%8.2f s")
+    val delVecs = embs.select($"vec_id").filter($"vec_id" % 41 === 7)
+    val (_, tTsPq) = time(Similarity
+      .pqServeTopKFromIndex(embs, s"$srv/pq", Some(delVecs)).count())
+    val (_, tCpPq) = time(Similarity
+      .compactPqIndex(spark, s"$srv/pq", delVecs, s"$srv/pq_c"))
+    println(f"[sf1] pq_tombstone_serve $tTsPq%8.2f s | pq_compact $tCpPq%8.2f s")
+
     spark.stop()
   }
 }

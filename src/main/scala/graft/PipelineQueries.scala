@@ -466,6 +466,10 @@ object PipelineQueries {
       val docs = Tables.documents(s, d)
       Governance.erasureSurvivors(docs, Governance.erasureRequests(docs))
     }),
+    // MMR diversified re-rank: greedy λ=7/10 selection from each query's
+    // top-16 cosine pool — all float math stays in the codegen'd cosine
+    // (q29 contract); the greedy is integer-only inside flatMapGroups
+    "q166_mmr_rerank" -> ((s, d) => Matching.mmrRerank(Tables.embeddings(s, d))),
   )
 
   // ---- shared SQL fragments -------------------------------------------
@@ -3660,5 +3664,56 @@ object PipelineQueries {
          |SELECT node AS doc_id, min(label) AS cluster_rep,
          | (node = min(label)) AS survives
          |FROM reach GROUP BY node ORDER BY doc_id""".stripMargin,
+    "q166_mmr_rerank" -> {
+      // greedy MMR UNROLLED: 8 selection steps as CTE pairs (candidate
+      // maxsim vs the selected-so-far set, then the argmax pick) — the
+      // same unrolled-iteration oracle pattern as Lloyd (q70) and
+      // PageRank (q151); all scores in integer micro-units, objective
+      // compared as 7·rel − 3·maxsim (λ = 7/10 multiplied through)
+      def step(i: Int) =
+        s"""cand$i AS (
+           |  SELECT p.query_id, p.vec_id, p.rel_m, max(s.sim_m) AS maxsim_m
+           |  FROM pool p
+           |  JOIN msim s ON s.query_id = p.query_id AND s.id1 = p.vec_id
+           |  JOIN sel${i - 1} t ON t.query_id = s.query_id AND t.vec_id = s.id2
+           |  WHERE NOT EXISTS (SELECT 1 FROM sel${i - 1} x
+           |    WHERE x.query_id = p.query_id AND x.vec_id = p.vec_id)
+           |  GROUP BY 1, 2, 3
+           |),
+           |pick$i AS (
+           |  SELECT query_id, vec_id, rel_m, maxsim_m, $i AS pick FROM (
+           |    SELECT *, row_number() OVER (PARTITION BY query_id
+           |      ORDER BY 7 * rel_m - 3 * maxsim_m DESC, vec_id) AS rn
+           |    FROM cand$i) WHERE rn = 1
+           |),
+           |sel$i AS (SELECT * FROM sel${i - 1} UNION ALL SELECT * FROM pick$i)""".stripMargin
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 3),
+         |rel AS (
+         |  SELECT query_id, e.vec_id, e.v,
+         |    CAST(round(round(${cosSql("qv", "e.v")}, 6) * 1e6) AS BIGINT) AS rel_m
+         |  FROM e, q WHERE e.vec_id <> q.query_id
+         |),
+         |pool AS MATERIALIZED (
+         |  SELECT query_id, vec_id, v, rel_m FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY query_id
+         |      ORDER BY rel_m DESC, vec_id) AS rn FROM rel) WHERE rn <= 16
+         |),
+         |msim AS MATERIALIZED (
+         |  SELECT a.query_id, a.vec_id AS id1, b.vec_id AS id2,
+         |    CAST(round(round(${cosSql("a.v", "b.v")}, 6) * 1e6) AS BIGINT) AS sim_m
+         |  FROM pool a JOIN pool b ON a.query_id = b.query_id AND a.vec_id <> b.vec_id
+         |),
+         |sel1 AS (
+         |  SELECT query_id, vec_id, rel_m, CAST(0 AS BIGINT) AS maxsim_m, 1 AS pick
+         |  FROM (
+         |    SELECT query_id, vec_id, rel_m, row_number() OVER (PARTITION BY query_id
+         |      ORDER BY rel_m DESC, vec_id) AS rn FROM pool) WHERE rn = 1
+         |),
+         |${(2 to 8).map(step).mkString(",\n")}
+         |SELECT query_id, CAST(pick AS INT) AS rnk, vec_id,
+         |  rel_m AS rel_micro, maxsim_m AS maxsim_micro
+         |FROM sel8 ORDER BY query_id, rnk""".stripMargin
+    },
   )
 }

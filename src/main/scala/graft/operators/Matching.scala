@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -188,5 +188,88 @@ object Matching {
       .select($"id", $"r_lex".cast("int").as("r_lex"),
         $"r_vec".cast("int").as("r_vec"), $"rrf_micro")
       .orderBy($"rrf_micro".desc, $"id")
+  }
+
+  /** Maximal-marginal-relevance re-ranking (Carbonell & Goldstein '98):
+    * from each query's top-`pool` cosine candidates, greedily pick
+    * `select` documents maximizing λ·rel(d) − (1−λ)·max_{s∈S} sim(d, s)
+    * — the diversification step a retrieval stack (and a coverage-aware
+    * curation sampler) runs after ANN: near-duplicate candidates squat on
+    * adjacent ranks, and MMR spends the k result slots on CONTENT rather
+    * than on one template family. The reference engine has no retrieval
+    * surface at all (D/Program.cs computes one aggregate); this is part
+    * of the pipeline-extension family beside hybridRrf above.
+    *
+    * Engine-exact integer semantics (λ = 7/10 exactly):
+    *   - rel_m / sim_m = CAST(round(round(cos, 6) · 1e6) AS BIGINT) —
+    *     the double-rounding via the established round(·,6) contract
+    *     keeps the second rounding ~1e-9 away from any half boundary,
+    *     so micro-units are bit-identical across engines;
+    *   - greedy objective compared as score10 = 7·rel_m − 3·maxsim_m
+    *     (the λ denominator multiplied through — no division anywhere);
+    *   - ties → smaller vec_id; first pick: maxsim_m ≡ 0.
+    *
+    * Scale shape: relevance is ONE corpus scan against the broadcast
+    * query set (the q29 plan); the pool cut is the salted exact top-k
+    * (`Scale.topKPerGroup` — no global window); pairwise similarities are
+    * a pool×pool self-join per query (`pool`² rows, native codegen'd
+    * cosine — the only float math, shared with the oracle via the q29
+    * contract); the greedy itself runs per-query inside `flatMapGroups`
+    * over those ≤ pool² integer rows — O(select·pool) pure-long
+    * comparisons, distributed across queries, nothing at the driver. The
+    * sequential dependence of greedy selection is intrinsic to MMR; the
+    * design bounds it to a per-query constant (pool) so it parallelizes
+    * across the query batch exactly like any other per-key operator.
+    */
+  def mmrRerank(embeddings: DataFrame, nQueries: Int = 3, pool: Int = 16,
+      select: Int = 8): DataFrame = {
+    import graft.functions.VectorFunctions.cosine_sim
+    import org.apache.spark.sql.{Encoder, Encoders}
+    val corpus = embeddings.select($"vec_id",
+      transform($"embedding", _.cast("double")).as("v"))
+    val queries = broadcast(corpus.filter($"vec_id" < nQueries)
+      .select($"vec_id".as("query_id"), $"v".as("qv")))
+    def micro(cos: Column): Column = round(round(cos, 6) * 1e6, 0).cast("long")
+    val scored = corpus.crossJoin(queries)
+      .filter($"vec_id" =!= $"query_id")
+      .select($"query_id", $"vec_id", $"v", micro(cosine_sim($"qv", $"v")).as("rel_m"))
+    val pooled = Scale.topKPerGroup(scored, group = $"query_id",
+      rankKey = -$"rel_m", tie = $"vec_id", saltSource = $"vec_id", k = pool)
+    // diagonal kept (join on query only): it carries rel for a
+    // singleton pool; the greedy never reads sim(id, id)
+    val edges = pooled.as("a")
+      .join(pooled.as("b"), $"a.query_id" === $"b.query_id")
+      .select($"a.query_id".as("query_id"), $"a.vec_id".as("id1"),
+        $"a.rel_m".as("rel1"), $"b.vec_id".as("id2"),
+        micro(cosine_sim($"a.v", $"b.v")).as("sim_m"))
+    implicit val eIn: Encoder[(Long, Long, Long, Long, Long)] =
+      Encoders.product[(Long, Long, Long, Long, Long)]
+    implicit val eOut: Encoder[(Long, Int, Long, Long, Long)] =
+      Encoders.product[(Long, Int, Long, Long, Long)]
+    implicit val eKey: Encoder[Long] = Encoders.scalaLong
+    val picked = edges
+      .select($"query_id", $"id1", $"rel1", $"id2", $"sim_m")
+      .as[(Long, Long, Long, Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroups { (qid: Long, it: Iterator[(Long, Long, Long, Long, Long)]) =>
+        val rows = it.toVector
+        val rel = rows.map(r => r._2 -> r._3).toMap
+        val sim = rows.map(r => (r._2, r._4) -> r._5).toMap
+        val out = Vector.newBuilder[(Long, Int, Long, Long, Long)]
+        var chosen = Vector.empty[Long]
+        var step = 0
+        while (step < math.min(select, rel.size)) {
+          step += 1
+          val best = rel.keysIterator.filterNot(chosen.contains).map { id =>
+            val maxsim = if (chosen.isEmpty) 0L else chosen.map(s => sim((id, s))).max
+            (id, rel(id), maxsim)
+          }.toVector.sortBy { case (id, r, ms) => (-(7L * r - 3L * ms), id) }.head
+          chosen :+= best._1
+          out += ((qid, step, best._1, best._2, best._3))
+        }
+        out.result().iterator
+      }
+    picked.toDF("query_id", "rnk", "vec_id", "rel_micro", "maxsim_micro")
+      .orderBy($"query_id", $"rnk")
   }
 }

@@ -686,4 +686,76 @@ class MatchingSpec extends GraftSuite {
       assert(math.abs(s - 1.0) < 0.01, s"P($t -> *) sums to $s")
     }
   }
+
+  private def cosSeq(a: Array[Double], b: Array[Double]): Double = {
+    // same sequential accumulation as the native CosineSimilarity loop
+    var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+    while (i < a.length) {
+      dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1
+    }
+    dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  private def cosMicro(a: Array[Double], b: Array[Double]): Long =
+    math.round(roundN(cosSeq(a, b), 6) * 1e6)
+
+  /** Independent greedy MMR over raw vectors (λ = 7/10, micro units). */
+  private def bruteMmr(vecs: Map[Long, Array[Double]], qid: Long, pool: Int,
+      select: Int): Seq[(Long, Int, Long, Long, Long)] = {
+    val rel = vecs.toSeq.collect { case (id, v) if id != qid =>
+      (id, cosMicro(vecs(qid), v))
+    }
+    val pooled = rel.sortBy { case (id, r) => (-r, id) }.take(pool)
+    var chosen = Vector.empty[Long]
+    (1 to math.min(select, pooled.size)).map { step =>
+      val (id, r, ms) = pooled.filterNot(p => chosen.contains(p._1)).map {
+        case (id, r) =>
+          val ms = if (chosen.isEmpty) 0L
+            else chosen.map(s => cosMicro(vecs(id), vecs(s))).max
+          (id, r, ms)
+      }.sortBy { case (id, r, ms) => (-(7L * r - 3L * ms), id) }.head
+      chosen :+= id
+      (qid, step, id, r, ms)
+    }
+  }
+
+  test("mmrRerank equals an in-JVM brute-force greedy on the fixture") {
+    val embs = Tables.embeddings(spark, sf)
+    val vecs = embs.select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    val expected = (0L until 3L).flatMap(q => bruteMmr(vecs, q, 16, 8))
+    val got = Matching.mmrRerank(embs).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSeq
+    assert(got === expected)
+    assert(got.size === 24, "3 queries x 8 picks")
+  }
+
+  test("mmrRerank diversifies a planted template cluster that pure relevance would flood") {
+    import spark.implicits._
+    // 8-dim geometry: query 0 on axis 0; ten near-identical "template"
+    // docs at rel~0.9 (mutual sim~1.0, sharing axis 1); eight diverse
+    // docs at rel~0.85 whose off-axis mass sits on DISTINCT axes 2..7
+    // (mutual sim ~0.72, all below their 0.765 sim to the templates)
+    def vec(entries: (Int, Float)*): Seq[Float] = {
+      val v = Array.fill(8)(0.0f)
+      entries.foreach { case (i, x) => v(i) = x }
+      v.toSeq
+    }
+    val templates = (10L to 19L).map(i =>
+      (i, vec(0 -> 0.9f, 1 -> 0.436f, 2 -> 0.001f * (i - 10))))
+    val diverse = (20L to 27L).map { i =>
+      val j = (i - 20).toInt
+      if (j < 6) (i, vec(0 -> 0.85f, (2 + j) -> 0.527f))
+      else (i, vec(0 -> 0.85f, (2 + j - 6) -> -0.527f))
+    }
+    val df = ((0L, vec(0 -> 1.0f)) +: (templates ++ diverse))
+      .toDF("vec_id", "embedding")
+    val picks = Matching.mmrRerank(df, nQueries = 1, pool = 16, select = 8)
+      .collect().map(_.getLong(2)).toSet
+    val pickedTemplates = picks.count(id => id >= 10L && id <= 19L)
+    // pure relevance would fill all 8 slots from the template family
+    assert(pickedTemplates >= 1, "the most relevant template must be picked")
+    assert(pickedTemplates <= 2, s"MMR must not flood: $pickedTemplates templates picked")
+    assert(picks.count(_ >= 20L) >= 6, "diverse docs take the remaining slots")
+  }
 }

@@ -470,6 +470,14 @@ object PipelineQueries {
     // top-16 cosine pool — all float math stays in the codegen'd cosine
     // (q29 contract); the greedy is integer-only inside flatMapGroups
     "q166_mmr_rerank" -> ((s, d) => Matching.mmrRerank(Tables.embeddings(s, d))),
+    // token-budget cut at the quality frontier: keep the (quality desc,
+    // doc_id) prefix whose running token mass fits the budget — the
+    // distributed two-phase prefix sum (q58 pattern) on a computed order
+    "q167_budget_select" -> ((s, d) => Curation.budgetSelect(Tables.documents(s, d))),
+    // filtered ANN: label predicate pruned WITHIN the probed IVF cells of
+    // the full-corpus index (no per-predicate rebuild); may return < k
+    // matches at fixed nProbe — the stated filtered-search contract
+    "q168_filtered_ann" -> ((s, d) => Similarity.ivfFilteredTopK(Tables.embeddings(s, d))),
   )
 
   // ---- shared SQL fragments -------------------------------------------
@@ -3715,5 +3723,62 @@ object PipelineQueries {
          |  rel_m AS rel_micro, maxsim_m AS maxsim_micro
          |FROM sel8 ORDER BY query_id, rnk""".stripMargin
     },
+    "q167_budget_select" ->
+      // prefix cut on the (quality desc, doc_id) total order; the window
+      // sum is CAST back to BIGINT (sum(BIGINT) widens to HUGEINT — the
+      // q151 dtype class the --dtypes audit guards)
+      s"""WITH s AS (
+         |  SELECT doc_id, $QualityExprSql AS quality,
+         |    CAST(len(string_split(text, ' ')) AS BIGINT) AS toks
+         |  FROM documents
+         |),
+         |c AS (
+         |  SELECT doc_id, quality, toks,
+         |    CAST(sum(toks) OVER (ORDER BY quality DESC, doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_toks
+         |  FROM s
+         |)
+         |SELECT doc_id, quality, toks, cum_toks FROM c
+         |WHERE cum_toks <= 10000 ORDER BY cum_toks""".stripMargin,
+    "q168_filtered_ann" ->
+      // q55's IVF replica with the label predicate applied inside the
+      // probed cells (centroids/assignment from the FULL corpus — the
+      // index is shared across predicates)
+      s"""WITH e AS (
+         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, label FROM embeddings
+         |),
+         |cent AS (
+         |  SELECT vec_id AS cid, v AS cv FROM e
+         |  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16
+         |),
+         |assigned AS (
+         |  SELECT vec_id, v, label, cid FROM (
+         |    SELECT e.vec_id, e.v, e.label, c.cid,
+         |      row_number() OVER (PARTITION BY e.vec_id
+         |        ORDER BY round(-(${cosSql("e.v", "c.cv")}), 6), c.cid) AS rn
+         |    FROM e CROSS JOIN cent c
+         |  ) WHERE rn = 1
+         |),
+         |probes AS (
+         |  SELECT query_id, qv, cid FROM (
+         |    SELECT q.vec_id AS query_id, q.v AS qv, c.cid,
+         |      row_number() OVER (PARTITION BY q.vec_id
+         |        ORDER BY round(-(${cosSql("q.v", "c.cv")}), 6), c.cid) AS rn
+         |    FROM e q CROSS JOIN cent c WHERE q.vec_id < 5
+         |  ) WHERE rn <= 2
+         |),
+         |scored AS (
+         |  SELECT p.query_id, a.vec_id AS neighbor_id,
+         |    round(${cosSql("p.qv", "a.v")}, 6) AS cos
+         |  FROM probes p JOIN assigned a ON a.cid = p.cid AND a.vec_id <> p.query_id
+         |  WHERE a.label = 3
+         |),
+         |ranked AS (
+         |  SELECT query_id, neighbor_id, cos,
+         |    CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS INT) AS rnk
+         |  FROM scored
+         |)
+         |SELECT query_id, neighbor_id, cos, rnk FROM ranked WHERE rnk <= 3
+         |ORDER BY query_id, rnk""".stripMargin,
   )
 }

@@ -512,6 +512,51 @@ object Curation {
         round($"target_tokens" / $"tokens", 4).as("epochs"))
       .orderBy($"lang")
 
+  /** Token-budget curation cut at the QUALITY frontier: walk documents in
+    * (quality desc, doc_id) order and keep the prefix whose running token
+    * mass stays within `budgetTokens` — "spend the training budget on the
+    * best documents first", the document-grain selection rule that q112's
+    * per-language epoch plan allocates in aggregate. Prefix-cut
+    * semantics: the first document that would overflow the budget (and
+    * everything after it) is out.
+    *
+    * The running sum is the DISTRIBUTED two-phase prefix sum (the q58
+    * pattern applied to a computed order): `repartitionByRange` on the
+    * selection order, per-partition window cumsum + per-partition token
+    * subtotals, and each partition's base offset from one tiny window
+    * over the ≤`parts` subtotal rows (broadcast back). No global window,
+    * no driver fold — the quality order exists only as range-partition
+    * boundaries, exactly how a 1000-executor sort would place it. The
+    * checkpoint pins partition identity so the subtotal pass and the
+    * final join see the same `spark_partition_id`.
+    *
+    * Output is partition-count invariant (spec'd): the cumsum is a
+    * function of the total order, not of where the range boundaries
+    * fall; quality is the shared rounded-to-4 q21 score, so the order
+    * and the cut are engine-exact.
+    */
+  def budgetSelect(documents: DataFrame, budgetTokens: Long = 10000L,
+      parts: Int = 32): DataFrame = {
+    val scored = documents
+      .select($"doc_id", TextAnalysis.qualityCol($"text").as("quality"),
+        size(split($"text", " ")).cast("long").as("toks"))
+      .repartitionByRange(parts, $"quality".desc, $"doc_id")
+      .localCheckpoint()
+      .withColumn("pid", spark_partition_id().cast("int"))
+    val wBase = Window.orderBy($"pid")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val bases = scored.groupBy($"pid").agg(sum($"toks").as("t"))
+      .withColumn("base", sum($"t").over(wBase) - $"t") // <= `parts` rows
+      .select($"pid", $"base")
+    val wIn = Window.partitionBy($"pid").orderBy($"quality".desc, $"doc_id")
+    scored
+      .join(broadcast(bases), Seq("pid"))
+      .withColumn("cum_toks", $"base" + sum($"toks").over(wIn))
+      .filter($"cum_toks" <= budgetTokens)
+      .select($"doc_id", $"quality", $"toks", $"cum_toks")
+      .orderBy($"cum_toks")
+  }
+
   /** Deterministic weighted interleave — the DATA-LOADER ORDER for the
     * q69/q112 mixture: stride scheduling, where the rn-th document of a
     * language (in deterministic md5 order) is emitted at position

@@ -1090,6 +1090,51 @@ object Similarity {
       .orderBy($"query_id", $"rnk")
   }
 
+  /** Metadata-FILTERED IVF search: top-`k` by cosine among documents
+    * satisfying a label predicate, served from the SAME index layout as
+    * `ivfCosineTopK` — centroids and cell assignment come from the full
+    * corpus (an index is built once; a per-predicate rebuild is exactly
+    * what filtered search exists to avoid), and the predicate prunes
+    * WITHIN the probed cells before any query arithmetic runs
+    * (pre-filtering: the label column rides the inverted list, so the
+    * filter lands in the scan — `PushedFilters` on a parquet-persisted
+    * list — and non-matching vectors never reach the cosine).
+    *
+    * Contract stated rather than hidden: with fixed `nProbe`, a filter
+    * can leave fewer than `k` matches inside the probed cells — the
+    * standard filtered-ANN recall trade; raising `nProbe` (or an exact
+    * fallback for rare labels, q29's plan with the filter) is the knob.
+    * The oracle replicates cells + predicate, so the gate checks the
+    * real served answer, not a best-case one.
+    */
+  def ivfFilteredTopK(embeddings: DataFrame, labelEq: Int = 3,
+      nCentroids: Int = 16, nProbe: Int = 2, nQueries: Int = 5,
+      k: Int = 3): DataFrame = {
+    import graft.functions.VectorFunctions.cosine_sim
+    val corpus = embeddings.select($"vec_id", asDouble($"embedding").as("v"), $"label")
+    val cents = md5Coreset(corpus, nCentroids)
+    val assigned = corpus
+      .withColumn("a", least(cellStructs(cents, $"v"): _*))
+      .select($"vec_id", $"v", $"label", $"a.cid".as("centroid_id"))
+      .filter($"label" === labelEq)
+    val queries = corpus.filter($"vec_id" < nQueries)
+      .select($"vec_id".as("query_id"), $"v".as("qv"))
+      .select($"query_id", $"qv",
+        explode(slice(array_sort(array(cellStructs(cents, $"qv"): _*)), 1, nProbe)).as("p"))
+      .select($"query_id", $"qv", $"p.cid".as("centroid_id"))
+    val scored = assigned
+      .join(broadcast(queries), Seq("centroid_id"))
+      .filter($"vec_id" =!= $"query_id")
+      .select($"query_id", $"vec_id".as("neighbor_id"),
+        round(cosine_sim($"qv", $"v"), 6).as("cos"))
+    val w = Window.partitionBy($"query_id").orderBy($"cos".desc, $"neighbor_id")
+    scored
+      .withColumn("rnk", row_number().over(w))
+      .filter($"rnk" <= k)
+      .select($"query_id", $"neighbor_id", $"cos", $"rnk".cast("int").as("rnk"))
+      .orderBy($"query_id", $"rnk")
+  }
+
   /** Lloyd-iteration k-means over the embedding corpus (cosine metric) —
     * the semantic-clustering building block behind cluster-then-dedup and
     * domain-discovery pipelines. Deterministic end to end: md5-coreset

@@ -1006,4 +1006,39 @@ class CurationSpec extends GraftSuite {
     assert(meta.length === 1 &&
       meta(0).getString(0) === "en" && meta(0).getInt(1) === 64)
   }
+
+  test("budgetSelect equals the in-JVM prefix cut and is partition-count invariant") {
+    import graft.operators.TextAnalysis
+    // the selection logic is the target here; the quality formula itself
+    // is q21-gated, so its column is a fair shared input
+    val scored = docs.select(col("doc_id"),
+        TextAnalysis.qualityCol(col("text")).as("q"),
+        size(split(col("text"), " ")).cast("long").as("toks"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2)))
+    val budget = 10000L
+    var cum = 0L
+    val expected = scored.sortBy { case (id, q, _) => (-q, id) }.flatMap {
+      case (id, q, t) =>
+        cum += t
+        if (cum <= budget) Some((id, q, t, cum)) else None
+    }.toSeq.takeWhile { case (_, _, _, c) => c <= budget }
+    // prefix semantics: stop at the first overflow, don't skip past it
+    val firstOver = {
+      var c = 0L
+      scored.sortBy { case (id, q, _) => (-q, id) }.indexWhere { case (_, _, t) =>
+        c += t; c > budget
+      }
+    }
+    assert(expected.size === (if (firstOver < 0) scored.length else firstOver))
+    val got = Curation.budgetSelect(docs, budget).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got === expected)
+    assert(got.nonEmpty && got.size < scored.length, "the cut must bind on the fixture")
+    val got2 = Curation.budgetSelect(docs, budget, parts = 3).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getLong(2), r.getLong(3))).toSeq
+    val got7 = Curation.budgetSelect(docs, budget, parts = 7).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got2 === got && got7 === got,
+      "the distributed prefix sum must not depend on range-partition count")
+  }
 }

@@ -114,6 +114,39 @@ class PipelineSpec extends GraftSuite {
       "all-cells IVF must equal brute force")
   }
 
+  test("filtered IVF: all-cells == brute-force filtered top-k; predicate always holds") {
+    val labels = embs.select($"vec_id", $"label").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(labels.values.exists(_ == 3), "fixture must contain label 3")
+    // probing every cell removes the approximation: must equal the exact
+    // label-constrained cosine top-3 — derived from the COMPLETE brute
+    // ranking (k = corpus size), filtered to the label, re-cut at 3 per
+    // query (post-filtering a short brute list would run out of matches)
+    val exact = Similarity.cosineTopK(embs, nQueries = 5, k = 500)
+      .join(embs.select($"vec_id".as("neighbor_id"), $"label"), Seq("neighbor_id"))
+      .filter($"label" === 3)
+      .collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"),
+        r.getAs[Double]("cos"), r.getAs[Int]("rnk")))
+      .groupBy(_._1).toSeq.flatMap { case (_, rows) =>
+        rows.sortBy(_._4).take(3).map(t => (t._1, t._2, t._3)).toSeq
+      }.toSet
+    val allCells = Similarity.ivfFilteredTopK(embs, nProbe = 16)
+      .select($"query_id", $"neighbor_id", $"cos").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(allCells === exact, "all-cells filtered IVF must equal filtered brute force")
+    // at the served nProbe: every hit satisfies the predicate, per-query
+    // result counts never exceed k, and scores are exact cosines
+    val served = Similarity.ivfFilteredTopK(embs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(served.nonEmpty)
+    assert(served.forall { case (_, n, _) => labels(n) == 3 })
+    served.groupBy(_._1).foreach { case (_, rows) => assert(rows.length <= 3) }
+    assert(served.toSet.subsetOf(
+      Similarity.ivfFilteredTopK(embs, nProbe = 16, k = 500).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet),
+      "served hits are a subset of the exhaustive filtered ranking")
+  }
+
   test("multi-probe LSH ANN: recall never below single-probe; planted neighbor at rank 1") {
     def found(df: org.apache.spark.sql.DataFrame) =
       df.select($"query_id", $"neighbor_id").collect()

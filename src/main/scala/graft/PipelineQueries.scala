@@ -478,6 +478,9 @@ object PipelineQueries {
     // the full-corpus index (no per-predicate rebuild); may return < k
     // matches at fixed nProbe — the stated filtered-search contract
     "q168_filtered_ann" -> ((s, d) => Similarity.ivfFilteredTopK(Tables.embeddings(s, d))),
+    // exact integer water-filling: equal budget shares across sources,
+    // capped at capacity, freed mass redistributed — Σ allocations = B
+    "q169_water_fill" -> ((s, d) => Curation.budgetWaterFill(Tables.documents(s, d))),
   )
 
   // ---- shared SQL fragments -------------------------------------------
@@ -3780,5 +3783,39 @@ object PipelineQueries {
          |)
          |SELECT query_id, neighbor_id, cos, rnk FROM ranked WHERE rnk <= 3
          |ORDER BY query_id, rnk""".stripMargin,
+    "q169_water_fill" ->
+      // same integer water-filling formula over the source-sized frame;
+      // every window sum CAST back to BIGINT (dtype audit class)
+      """WITH caps AS (
+        |  SELECT source, CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS capacity
+        |  FROM documents GROUP BY source
+        |),
+        |ranked AS (
+        |  SELECT source, capacity,
+        |    CAST(row_number() OVER (ORDER BY capacity, source) AS BIGINT) AS j,
+        |    CAST(count(*) OVER () AS BIGINT) AS m,
+        |    CAST(sum(capacity) OVER (ORDER BY capacity, source
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS p
+        |  FROM caps
+        |),
+        |flagged AS (
+        |  SELECT *, capacity <= ((24000 - (p - capacity)) // (m - j + 1)) AS capped
+        |  FROM ranked
+        |),
+        |scalars AS (
+        |  SELECT CAST(sum(CASE WHEN capped THEN capacity ELSE 0 END) AS BIGINT) AS c_capped,
+        |    CAST(sum(CASE WHEN capped THEN 1 ELSE 0 END) AS BIGINT) AS n_capped,
+        |    CAST(count(*) AS BIGINT) AS m2
+        |  FROM flagged
+        |)
+        |SELECT source, capacity,
+        |  CAST(CASE WHEN capped THEN capacity
+        |    WHEN (j - n_capped) <= (CASE WHEN m2 - n_capped > 0
+        |      THEN (24000 - c_capped) % (m2 - n_capped) ELSE 0 END)
+        |    THEN (24000 - c_capped) // (m2 - n_capped) + 1
+        |    ELSE (24000 - c_capped) // (m2 - n_capped) END AS BIGINT) AS allocation,
+        |  capped
+        |FROM flagged CROSS JOIN scalars
+        |ORDER BY source""".stripMargin,
   )
 }

@@ -535,6 +535,62 @@ object Curation {
     * fall; quality is the shared rounded-to-4 q21 score, so the order
     * and the cut are engine-exact.
     */
+  /** Water-filling token-budget allocation across sources: give every
+    * source an equal share of the global budget, except that no source
+    * can absorb more than its capacity (its token mass) — capacity freed
+    * by small sources flows to the rest. The standard fair-allocation
+    * rule for mixture construction when q62/q69 proportional weights
+    * would starve small sources.
+    *
+    * Exact INTEGER water-filling (provably, with ties → source asc):
+    * order sources by capacity ascending; at position j (of m, inclusive
+    * prefix p_j), the provisional share is s_j = (B − p_{j−1}) div
+    * (m−j+1), and j is CAPPED iff c_j ≤ s_j. Once a source is uncapped
+    * every later one is too (s never increases past an uncapped row and
+    * capacities ascend), so the capped set is a prefix; the water level
+    * is L = (B − ΣcappedCap) div u with rem extras of one token going to
+    * the first rem uncapped sources — which satisfies L + 1 ≤ c_j for
+    * every uncapped j, and Σ allocations = B exactly (= Σ capacities
+    * when the budget covers everything and u = 0). Pure integer div/mod
+    * — bit-identical across engines by construction.
+    *
+    * Shape: capacities are ONE map-side-combined corpus aggregation; all
+    * windows run over the source-count-sized frame (the q69 convention —
+    * never over corpus rows), and the three scalars ride a broadcast
+    * 1-row cross join.
+    */
+  def budgetWaterFill(documents: DataFrame, budgetTokens: Long = 24000L): DataFrame = {
+    val caps = documents.groupBy($"source")
+      .agg(sum(size(split($"text", " ")).cast("long")).as("capacity"))
+    val w = Window.orderBy($"capacity", $"source")
+    val wAll = Window.partitionBy()
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val ranked = caps
+      .withColumn("j", row_number().over(w).cast("long"))
+      .withColumn("m", count(lit(1)).over(wAll))
+      .withColumn("p", sum($"capacity").over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("share",
+        expr(s"($budgetTokens - (p - capacity)) div (m - j + 1)"))
+      .withColumn("capped", $"capacity" <= $"share")
+    val scalars = ranked.agg(
+      sum(when($"capped", $"capacity").otherwise(0L)).as("c_capped"),
+      sum(when($"capped", 1L).otherwise(0L)).as("n_capped"),
+      count(lit(1)).as("m2"))
+    ranked
+      .crossJoin(broadcast(scalars))
+      .withColumn("u", $"m2" - $"n_capped")
+      .withColumn("lvl", expr(s"CASE WHEN u > 0 THEN ($budgetTokens - c_capped) div u ELSE 0 END"))
+      .withColumn("rem", expr(s"CASE WHEN u > 0 THEN ($budgetTokens - c_capped) % u ELSE 0 END"))
+      .withColumn("ru", $"j" - $"n_capped") // uncapped rank: capped set is a prefix
+      .withColumn("allocation",
+        when($"capped", $"capacity")
+          .when($"ru" <= $"rem", $"lvl" + 1L)
+          .otherwise($"lvl"))
+      .select($"source", $"capacity", $"allocation", $"capped")
+      .orderBy($"source")
+  }
+
   def budgetSelect(documents: DataFrame, budgetTokens: Long = 10000L,
       parts: Int = 32): DataFrame = {
     val scored = documents

@@ -1007,6 +1007,46 @@ class CurationSpec extends GraftSuite {
       meta(0).getString(0) === "en" && meta(0).getInt(1) === 64)
   }
 
+  test("budgetWaterFill equals the unit-level simulation and conserves the budget exactly") {
+    // independent reference: literal water-filling — pour the budget one
+    // token at a time into the least-filled open source (ties: smaller
+    // capacity, then name). Slow but unarguably the stated semantics.
+    def reference(caps: Seq[(String, Long)], budget: Long): Map[String, Long] = {
+      val total = caps.map(_._2).sum
+      if (total <= budget) return caps.toMap
+      val order = caps.sortBy { case (s, c) => (c, s) }
+      val alloc = collection.mutable.Map(caps.map { case (s, _) => s -> 0L }: _*)
+      var left = budget
+      while (left > 0) {
+        val open = order.filter { case (s, c) => alloc(s) < c }
+        val target = open.minBy { case (s, c) => (alloc(s), c, s) }
+        alloc(target._1) += 1
+        left -= 1
+      }
+      alloc.toMap
+    }
+    val capSeq = docs
+      .select(col("source"), size(split(col("text"), " ")).cast("long").as("t"))
+      .groupBy(col("source")).agg(sum(col("t")).as("c"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    val total = capSeq.map(_._2).sum
+    for (budget <- Seq(24000L, 5000L, 1000000L, 19L)) {
+      val expected = reference(capSeq, budget)
+      val got = Curation.budgetWaterFill(docs, budget).collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+      assert(got.map(_._3).sum === math.min(budget, total), s"budget=$budget")
+      got.foreach { case (s, cap, a, capped) =>
+        assert(a <= cap, s"$s over capacity at budget=$budget")
+        if (capped) assert(a === cap, s"$s capped but not at capacity")
+      }
+      // equal treatment: uncapped allocations differ by at most one unit
+      val uncapped = got.filterNot(_._4).map(_._3)
+      if (uncapped.nonEmpty)
+        assert(uncapped.max - uncapped.min <= 1L, s"budget=$budget")
+      assert(got.map(g => g._1 -> g._3).toMap === expected, s"budget=$budget")
+    }
+  }
+
   test("budgetSelect equals the in-JVM prefix cut and is partition-count invariant") {
     import graft.operators.TextAnalysis
     // the selection logic is the target here; the quality formula itself

@@ -68,6 +68,10 @@ object SparkEntry {
     "q47_returned_items" -> ((s, d) =>
       Relational.returnedItems(Tables.customer(s, d), Tables.orders(s, d), Tables.lineitem(s, d),
         Tables.nation(s, d))),
+    "q170_large_orders" -> ((s, d) =>
+      Relational.largeOrders(Tables.customer(s, d), Tables.orders(s, d), Tables.lineitem(s, d))),
+    "q171_part_supplier_counts" -> ((s, d) =>
+      Relational.partSupplierCounts(Tables.part(s, d), Tables.supplier(s, d), Tables.lineitem(s, d))),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -215,5 +219,26 @@ object SparkEntry {
         |  UNION ALL
         |  SELECT 'except' AS op, count(*) AS n FROM (SELECT key FROM ok EXCEPT SELECT key FROM lk)
         |) ORDER BY op""".stripMargin,
+    "q170_large_orders" ->
+      """WITH big AS (
+        |  SELECT l_orderkey, round(sum(l_quantity), 2) AS total_qty
+        |  FROM lineitem GROUP BY l_orderkey HAVING sum(l_quantity) > 300.0
+        |)
+        |SELECT c_name, c_custkey, o_orderkey,
+        | CAST(epoch(o_orderdate) AS BIGINT) AS order_epoch,
+        | round(o_totalprice, 2) AS total_price, total_qty
+        |FROM big
+        |JOIN orders ON o_orderkey = l_orderkey
+        |JOIN customer ON c_custkey = o_custkey
+        |ORDER BY total_price DESC, o_orderkey LIMIT 100""".stripMargin,
+    "q171_part_supplier_counts" ->
+      """WITH ps AS (
+        |  SELECT DISTINCT l_partkey, l_suppkey FROM lineitem
+        |  WHERE l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0.0)
+        |)
+        |SELECT p_brand, p_type, p_size, count(DISTINCT l_suppkey) AS supplier_cnt
+        |FROM ps JOIN part ON l_partkey = p_partkey
+        |GROUP BY p_brand, p_type, p_size
+        |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin,
   )
 }

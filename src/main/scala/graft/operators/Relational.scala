@@ -301,6 +301,50 @@ object Relational {
         count(lit(1)).as("n_lines"))
       .orderBy($"p_brand", $"n_name")
 
+  /** TPC-H Q18 shape (large-volume orders): customers holding orders whose
+    * total lineitem quantity exceeds `minQty`. The classic formulation
+    * re-joins lineitem and re-aggregates after the HAVING subquery; since
+    * the per-order quantity aggregate already HAS the sum, this plan
+    * joins the filtered aggregate directly — one map-side-combined
+    * aggregation over lineitem (order-count rows), then the
+    * rare-by-construction big-order frame joins orders/customer (AQE
+    * sizes the join; the `> minQty` filter is what makes it small at any
+    * scale — Q18's threshold semantics). TakeOrderedAndProject cut.
+    */
+  def largeOrders(customer: DataFrame, orders: DataFrame, lineitem: DataFrame,
+      minQty: Double = 300.0): DataFrame =
+    lineitem.groupBy($"l_orderkey")
+      .agg(sum($"l_quantity").as("raw_qty"))
+      .filter($"raw_qty" > minQty)
+      .join(orders, $"l_orderkey" === $"o_orderkey")
+      .join(customer, $"o_custkey" === $"c_custkey")
+      .select($"c_name", $"c_custkey", $"o_orderkey",
+        unix_timestamp($"o_orderdate").as("order_epoch"),
+        round($"o_totalprice", 2).as("total_price"),
+        round($"raw_qty", 2).as("total_qty"))
+      .orderBy($"total_price".desc, $"o_orderkey")
+      .limit(100)
+
+  /** TPC-H Q16 shape (supplier diversity per part class): distinct
+    * supplier counts per (brand, type, size) over the OBSERVED
+    * part-supplier pairs (the fixtures carry no partsupp table; lineitem
+    * is the witness relation), excluding denied suppliers (here:
+    * negative account balance) via an anti-join — Q16's NOT IN. Shape:
+    * the pair-distinct and the count-distinct share one (partkey,
+    * suppkey) exchange; the exclusion list is dimension-sized and
+    * broadcast.
+    */
+  def partSupplierCounts(part: DataFrame, supplier: DataFrame,
+      lineitem: DataFrame): DataFrame = {
+    val denied = supplier.filter($"s_acctbal" < 0.0).select($"s_suppkey")
+    lineitem.select($"l_partkey", $"l_suppkey").distinct()
+      .join(broadcast(denied), $"l_suppkey" === $"s_suppkey", "left_anti")
+      .join(part, $"l_partkey" === $"p_partkey")
+      .groupBy($"p_brand", $"p_type", $"p_size")
+      .agg(countDistinct($"l_suppkey").as("supplier_cnt"))
+      .orderBy($"supplier_cnt".desc, $"p_brand", $"p_type", $"p_size")
+  }
+
   /** Set ops: intersect/except on projected key sets. */
   def setOps(orders: DataFrame, lineitem: DataFrame): DataFrame = {
     val orderKeys = orders.filter($"o_orderstatus" === "F").select($"o_orderkey".as("key"))

@@ -107,4 +107,46 @@ class RelationalSpec extends GraftSuite {
     val total = df.agg(sum("n")).collect()(0).getLong(0)
     assert(total === Tables.orders(spark, sf).count())
   }
+
+  test("large orders (Q18 shape): equals brute force; cut is TakeOrderedAndProject") {
+    val li = Tables.lineitem(spark, sf).select(col("l_orderkey"), col("l_quantity"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    val orders = Tables.orders(spark, sf)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val qty = li.groupBy(_._1).map { case (k, g) => k -> g.map(_._2).sum }
+    val bigKeys = qty.filter(_._2 > 300.0).keySet
+    val expected = orders.filter(o => bigKeys(o._1))
+      .sortBy(o => (-o._3, o._1)).take(100).map(_._1).toSeq
+    val df = Relational.largeOrders(Tables.customer(spark, sf),
+      Tables.orders(spark, sf), Tables.lineitem(spark, sf))
+    val got = df.collect().map(_.getLong(2)).toSeq
+    assert(got === expected)
+    assert(got.nonEmpty)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), s"expected top-k cut, got:\n$plan")
+  }
+
+  test("part-supplier counts (Q16 shape): equals brute force; denylist join broadcasts") {
+    val denied = Tables.supplier(spark, sf).filter(col("s_acctbal") < 0.0)
+      .select(col("s_suppkey")).collect().map(_.getLong(0)).toSet
+    val pairs = Tables.lineitem(spark, sf).select(col("l_partkey"), col("l_suppkey"))
+      .distinct().collect().map(r => (r.getLong(0), r.getLong(1)))
+      .filterNot(p => denied(p._2))
+    val brands = Tables.part(spark, sf)
+      .select(col("p_partkey"), col("p_brand"), col("p_type"), col("p_size"))
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getString(2), r.getInt(3))).toMap
+    val expected = pairs.groupBy(p => brands(p._1))
+      .map { case (k, g) => (k._1, k._2, k._3, g.map(_._2).distinct.length.toLong) }
+      .toSeq.sortBy { case (b, t, s, c) => (-c, b, t, s) }
+    val df = Relational.partSupplierCounts(Tables.part(spark, sf),
+      Tables.supplier(spark, sf), Tables.lineitem(spark, sf))
+    val got = df.collect()
+      .map(r => (r.getString(0), r.getString(1), r.getInt(2), r.getLong(3))).toSeq
+    assert(got === expected)
+    assert(got.nonEmpty)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftAnti"),
+      s"denylist must broadcast anti-join, got:\n$plan")
+  }
 }

@@ -481,6 +481,10 @@ object PipelineQueries {
     // exact integer water-filling: equal budget shares across sources,
     // capped at capacity, freed mass redistributed — Σ allocations = B
     "q169_water_fill" -> ((s, d) => Curation.budgetWaterFill(Tables.documents(s, d))),
+    // 2-objective skyline via the running-min identity over the bounded
+    // distinct-quality frame; the oracle states the independent pairwise
+    // NOT EXISTS dominance form, proving the identity at the gate
+    "q172_pareto_frontier" -> ((s, d) => Curation.paretoFrontier(Tables.documents(s, d))),
   )
 
   // ---- shared SQL fragments -------------------------------------------
@@ -3817,5 +3821,20 @@ object PipelineQueries {
         |  capped
         |FROM flagged CROSS JOIN scalars
         |ORDER BY source""".stripMargin,
+    "q172_pareto_frontier" ->
+      // INDEPENDENT dominance formulation (strict on at least one axis):
+      // the engine's running-min identity must reproduce it exactly
+      s"""WITH s AS (
+         |  SELECT doc_id, $QualityExprSql AS quality,
+         |    CAST(len(string_split(text, ' ')) AS BIGINT) AS toks
+         |  FROM documents
+         |)
+         |SELECT doc_id, quality, toks FROM s a
+         |WHERE NOT EXISTS (
+         |  SELECT 1 FROM s b
+         |  WHERE b.quality >= a.quality AND b.toks <= a.toks
+         |    AND (b.quality > a.quality OR b.toks < a.toks)
+         |)
+         |ORDER BY quality DESC, doc_id""".stripMargin,
   )
 }

@@ -535,6 +535,45 @@ object Curation {
     * fall; quality is the shared rounded-to-4 q21 score, so the order
     * and the cut are engine-exact.
     */
+  /** Pareto frontier (skyline) over (quality ↑, token cost ↓): documents
+    * no other document beats on both axes — the best-value-per-token
+    * candidates a budget-constrained curation pass examines first, and
+    * the classic multi-objective selection operator (skyline).
+    *
+    * Dominance is the standard strict-on-one-axis rule: j dominates i
+    * iff q_j ≥ q_i ∧ t_j ≤ t_i ∧ (q_j > q_i ∨ t_j < t_i); exact
+    * duplicates on both axes don't dominate each other and all stay on
+    * the frontier.
+    *
+    * NOT the pairwise formulation: for two objectives the skyline is a
+    * running-min identity — a (quality, minToks) group survives iff its
+    * minToks is strictly below the min over all STRICTLY higher quality
+    * groups — so the plan is one map-side-combined (quality → min toks)
+    * aggregation, a window over the DISTINCT-QUALITY frame (bounded by
+    * the rounded-to-4 quality domain — ≤ 2·10⁴ rows at any corpus size,
+    * the `exactQuantileByGroup` bounded-state argument), and one
+    * broadcast join of the surviving (quality, tmin) pairs back onto the
+    * scan. No self-join, no corpus-row window, nothing pairwise — the
+    * oracle deliberately states the INDEPENDENT NOT EXISTS dominance
+    * form, so the gate proves the identity, not the implementation.
+    */
+  def paretoFrontier(documents: DataFrame): DataFrame = {
+    val s = documents.select($"doc_id",
+      TextAnalysis.qualityCol($"text").as("quality"),
+      size(split($"text", " ")).cast("long").as("toks"))
+    val groups = s.groupBy($"quality").agg(min($"toks").as("tmin"))
+    val wPrev = Window.orderBy($"quality".desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val frontierQ = groups
+      .withColumn("prevmin", min($"tmin").over(wPrev))
+      .filter($"prevmin".isNull || $"tmin" < $"prevmin")
+      .select($"quality", $"tmin")
+    s.join(broadcast(frontierQ), Seq("quality"))
+      .filter($"toks" === $"tmin")
+      .select($"doc_id", $"quality", $"toks")
+      .orderBy($"quality".desc, $"doc_id")
+  }
+
   /** Water-filling token-budget allocation across sources: give every
     * source an equal share of the global budget, except that no source
     * can absorb more than its capacity (its token mass) — capacity freed

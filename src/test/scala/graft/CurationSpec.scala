@@ -1007,6 +1007,26 @@ class CurationSpec extends GraftSuite {
       meta(0).getString(0) === "en" && meta(0).getInt(1) === 64)
   }
 
+  test("paretoFrontier equals brute-force dominance; dropped docs are dominated by frontier docs") {
+    import graft.operators.TextAnalysis
+    val s = docs.select(col("doc_id"), TextAnalysis.qualityCol(col("text")).as("q"),
+        size(split(col("text"), " ")).cast("long").as("t")).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getLong(2)))
+    def dom(b: (Long, Double, Long), a: (Long, Double, Long)): Boolean =
+      b._2 >= a._2 && b._3 <= a._3 && (b._2 > a._2 || b._3 < a._3)
+    val expected = s.filterNot(a => s.exists(b => dom(b, a))).sortBy(x => (-x._2, x._1)).toSeq
+    val got = Curation.paretoFrontier(docs).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getLong(2))).toSeq
+    assert(got === expected)
+    assert(got.nonEmpty && got.size < s.length, "the frontier must be a strict subset")
+    // completeness: every dropped doc is dominated by some FRONTIER doc
+    // (dominance is transitive, so maximal points witness every drop)
+    val gotSet = got.toSet
+    s.filterNot(gotSet).foreach { a =>
+      assert(got.exists(b => dom(b, a)), s"dropped $a lacks a frontier witness")
+    }
+  }
+
   test("budgetWaterFill equals the unit-level simulation and conserves the budget exactly") {
     // independent reference: literal water-filling — pour the budget one
     // token at a time into the least-filled open source (ties: smaller

@@ -435,6 +435,32 @@ object EventStreams {
         col("r.target_tokens").as("target_tokens"), col("r.epochs").as("epochs"))
   }
 
+  /** Streaming token-budget burn-down — the live dashboard for a q169
+    * water-fill plan: as documents stream in, running ingested token
+    * mass per source against the (static, broadcast) allocation frame,
+    * with the remaining head-room and an over-budget flag. The operator
+    * a collection fleet watches to STOP pulling from a source the moment
+    * its allocation is spent, instead of discovering the overshoot at
+    * snapshot close.
+    *
+    * Shape: stream-static broadcast join BEFORE the aggregation (the
+    * supported direction — joining after a streaming agg is not), then a
+    * complete-mode per-source count/sum whose state is source-count
+    * bounded; no watermark needed, the masses only grow. Sources absent
+    * from the allocation frame are dropped by the inner join — ingest
+    * from an unbudgeted source is a provisioning error this monitor
+    * surfaces by omission (and the spec pins).
+    */
+  def budgetBurndownStream(docs: DataFrame, allocations: DataFrame): DataFrame =
+    docs
+      .select(col("source"), size(split(col("text"), " ")).cast("long").as("toks"))
+      .join(broadcast(allocations.select(col("source"), col("allocation"))), Seq("source"))
+      .groupBy(col("source"), col("allocation"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("toks")).cast("long").as("ingested_tokens"))
+      .select(col("source"), col("allocation"), col("n_docs"), col("ingested_tokens"),
+        greatest(col("allocation") - col("ingested_tokens"), lit(0L)).as("remaining"),
+        (col("ingested_tokens") > col("allocation")).as("over_budget"))
+
   /** Stream-STATIC classifier scoring — the streaming twin of
     * `Curation.classifierSample` (q145): newly-ingested documents scored
     * against an offline-trained weight vector (the persisted model; here

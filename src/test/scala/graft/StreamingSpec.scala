@@ -489,6 +489,45 @@ class StreamingSpec extends GraftSuite {
     assert(streamed.nonEmpty)
   }
 
+  test("streaming budget burn-down == in-JVM recompute; unbudgeted sources omitted") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val docs = Tables.documents(spark, sf)
+    val alloc = graft.operators.Curation.budgetWaterFill(docs, 9000L)
+      .select(col("source"), col("allocation"))
+    // drop one source from the plan: its ingest must vanish from the monitor
+    val dropped = alloc.orderBy(col("source")).limit(1)
+      .collect().map(_.getString(0)).head
+    val planned = alloc.filter(col("source") =!= dropped)
+    val rows = docs.select(col("doc_id"), col("source"), col("text"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    val input = MemoryStream[(Long, String, String)]
+    val q = EventStreams.budgetBurndownStream(
+        input.toDS().toDF("doc_id", "source", "text"), planned)
+      .writeStream.outputMode("complete").format("memory").queryName("burn_out")
+      .start()
+    val (a, b) = rows.splitAt(rows.length / 2)
+    input.addData(a.toIndexedSeq)
+    q.processAllAvailable()
+    input.addData(b.toIndexedSeq)
+    q.processAllAvailable()
+    val streamed = spark.table("burn_out").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getBoolean(5))).toSet
+    q.stop()
+    val allocMap = planned.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val expected = rows.groupBy(_._2).collect {
+      case (src, g) if allocMap.contains(src) =>
+        val toks = g.map(_._3.split(" ", -1).length.toLong).sum
+        val al = allocMap(src)
+        (src, al, g.length.toLong, toks, math.max(0L, al - toks), toks > al)
+    }.toSet
+    assert(streamed === expected)
+    assert(streamed.nonEmpty)
+    assert(!streamed.exists(_._1 == dropped), "unbudgeted source must be omitted")
+    assert(streamed.exists(_._6), "the tight 9000-token plan should overshoot somewhere")
+  }
+
   test("streaming quantile sketch == batch quantile sketch bit-for-bit (incl. across batches)") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

@@ -485,6 +485,10 @@ object PipelineQueries {
     // distinct-quality frame; the oracle states the independent pairwise
     // NOT EXISTS dominance form, proving the identity at the gate
     "q172_pareto_frontier" -> ((s, d) => Curation.paretoFrontier(Tables.documents(s, d))),
+    // Poisson-bootstrap CI for per-lang mean quality: per-replica
+    // Poisson(1) weights from the exact md5 fraction through literal
+    // inverse-CDF thresholds — the distributed bootstrap, one scan
+    "q173_bootstrap_ci" -> ((s, d) => Curation.bootstrapCi(Tables.documents(s, d))),
   )
 
   // ---- shared SQL fragments -------------------------------------------
@@ -3836,5 +3840,49 @@ object PipelineQueries {
          |    AND (b.quality > a.quality OR b.toks < a.toks)
          |)
          |ORDER BY quality DESC, doc_id""".stripMargin,
+    "q173_bootstrap_ci" ->
+      // identical literal thresholds and left-associated divisions; the
+      // md5 fraction is the q92 list_sum power-of-two form
+      s"""WITH d AS (
+         |  SELECT doc_id, lang,
+         |    CAST(round(($QualityExprSql) * 1e4) AS BIGINT) AS qm
+         |  FROM documents
+         |),
+         |reps AS (
+         |  SELECT lang, b,
+         |    CAST(sum(w) AS BIGINT) AS sw, CAST(sum(w * qm) AS BIGINT) AS swq
+         |  FROM (
+         |    SELECT lang, qm, b,
+         |      CASE WHEN u < 0.36787944117144233 THEN 0
+         |           WHEN u < 0.7357588823428847 THEN 1
+         |           WHEN u < 0.9196986029286058 THEN 2
+         |           WHEN u < 0.9810118431238462 THEN 3
+         |           WHEN u < 0.9963401531726563 THEN 4
+         |           WHEN u < 0.9994058151824183 THEN 5
+         |           ELSE 6 END AS w
+         |    FROM (
+         |      SELECT lang, qm, b,
+         |        list_sum(list_transform(generate_series(1, 13),
+         |          i -> (strpos('0123456789abcdef',
+         |                  substr(md5(CAST(doc_id AS VARCHAR) || ':' || CAST(b AS VARCHAR)), i, 1)) - 1)
+         |               * power(16.0, -i))) AS u
+         |      FROM d CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS b)
+         |    )
+         |  ) GROUP BY lang, b HAVING sum(w) > 0
+         |),
+         |boot AS (
+         |  SELECT lang, min(rep_mean) AS boot_lo, max(rep_mean) AS boot_hi,
+         |    count(*) AS n_replicas
+         |  FROM (SELECT lang, round(swq / sw / 10000.0, 6) AS rep_mean FROM reps)
+         |  GROUP BY lang
+         |),
+         |stats AS (
+         |  SELECT lang, count(*) AS n_docs,
+         |    round(CAST(sum(qm) AS BIGINT) / count(*) / 10000.0, 6) AS mean_q
+         |  FROM d GROUP BY lang
+         |)
+         |SELECT lang, n_docs, mean_q, boot_lo, boot_hi, n_replicas
+         |FROM stats JOIN boot USING (lang)
+         |ORDER BY lang""".stripMargin,
   )
 }

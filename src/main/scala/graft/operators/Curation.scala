@@ -535,6 +535,63 @@ object Curation {
     * fall; quality is the shared rounded-to-4 q21 score, so the order
     * and the cut are engine-exact.
     */
+  /** Poisson-bootstrap confidence intervals for per-language mean quality
+    * — uncertainty quantification for corpus metrics, the way it is
+    * actually done distributed: classic bootstrap resampling (n draws
+    * with replacement) needs global coordination per replica, so each
+    * row instead gets an independent Poisson(1) weight per replica
+    * (Poisson bootstrap; E[weight] = 1 reproduces the multinomial
+    * resample in distribution) and every replica is just a weighted
+    * aggregation — embarrassingly parallel, one exploded scan.
+    *
+    * Determinism: the replica-b weight for a doc comes from the exact
+    * 13-hex md5 fraction of `doc_id:b` (the q54/q92 trick) pushed
+    * through the Poisson(1) inverse CDF as LITERAL cumulative thresholds
+    * (identical decimal text in both engines → identical doubles; the
+    * md5 fraction is a sum of powers of two, exact everywhere). Means
+    * divide exact long sums in the same left-associated expression both
+    * sides. Replicas that draw zero total weight (possible for tiny
+    * groups) are dropped before the min/max, and n_replicas reports how
+    * many survived.
+    *
+    * Shape: ONE projected scan exploded ×`replicas` (weights are
+    * computed inline — nothing is materialized per replica), a
+    * (lang × replicas)-state map-side-combined aggregation, a
+    * lang-sized min/max rollup, and a broadcast join with the per-lang
+    * corpus stats. Report: corpus mean, bootstrap envelope [lo, hi].
+    */
+  def bootstrapCi(documents: DataFrame, replicas: Int = 16): DataFrame = {
+    val perDoc = documents.select($"doc_id", $"lang",
+      round(TextAnalysis.qualityCol($"text") * 1e4, 0).cast("long").as("qm"))
+    val u = conv(substring(
+        md5(concat($"doc_id".cast("string"), lit(":"), $"b".cast("string"))),
+        1, 13), 16, 10).cast("double") / math.pow(16.0, 13)
+    val w = when($"u" < 0.36787944117144233, 0L)
+      .when($"u" < 0.7357588823428847, 1L)
+      .when($"u" < 0.9196986029286058, 2L)
+      .when($"u" < 0.9810118431238462, 3L)
+      .when($"u" < 0.9963401531726563, 4L)
+      .when($"u" < 0.9994058151824183, 5L)
+      .otherwise(6L)
+    val reps = perDoc
+      .withColumn("b", explode(sequence(lit(0), lit(replicas - 1))))
+      .withColumn("u", u)
+      .withColumn("w", w)
+      .groupBy($"lang", $"b")
+      .agg(sum($"w").as("sw"), sum($"w" * $"qm").as("swq"))
+      .filter($"sw" > 0L)
+      .select($"lang", round($"swq" / $"sw" / 10000.0, 6).as("rep_mean"))
+    val boot = reps.groupBy($"lang")
+      .agg(min($"rep_mean").as("boot_lo"), max($"rep_mean").as("boot_hi"),
+        count(lit(1)).as("n_replicas"))
+    val stats = perDoc.groupBy($"lang")
+      .agg(count(lit(1)).as("n_docs"),
+        round(sum($"qm") / count(lit(1)) / 10000.0, 6).as("mean_q"))
+    stats.join(boot, Seq("lang"))
+      .select($"lang", $"n_docs", $"mean_q", $"boot_lo", $"boot_hi", $"n_replicas")
+      .orderBy($"lang")
+  }
+
   /** Pareto frontier (skyline) over (quality ↑, token cost ↓): documents
     * no other document beats on both axes — the best-value-per-token
     * candidates a budget-constrained curation pass examines first, and

@@ -1101,4 +1101,55 @@ class CurationSpec extends GraftSuite {
     assert(got2 === got && got7 === got,
       "the distributed prefix sum must not depend on range-partition count")
   }
+
+  test("bootstrapCi equals the in-JVM replica recompute and is deterministic") {
+    import java.security.MessageDigest
+    import graft.operators.TextAnalysis
+    // the quality formula is q21-gated; its integer micro-score is a fair
+    // shared input — the bootstrap machinery (md5 uniforms, Poisson(1)
+    // inverse CDF, weighted replica means, envelope) is recomputed here
+    // from scratch
+    val perDoc = docs.select(col("doc_id"), col("lang"),
+        round(TextAnalysis.qualityCol(col("text")) * 1e4, 0).cast("long").as("qm"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    val thresholds = Seq(0.36787944117144233, 0.7357588823428847,
+      0.9196986029286058, 0.9810118431238462, 0.9963401531726563,
+      0.9994058151824183)
+    def weight(docId: Long, b: Int): Long = {
+      val hex = MessageDigest.getInstance("MD5")
+        .digest(s"$docId:$b".getBytes("UTF-8")).map("%02x".format(_)).mkString
+      val u = java.lang.Long.parseLong(hex.take(13), 16).toDouble /
+        math.pow(16.0, 13)
+      thresholds.indexWhere(u < _) match { case -1 => 6L; case i => i.toLong }
+    }
+    val replicas = 16
+    val reps = (for { (id, lang, qm) <- perDoc; b <- 0 until replicas }
+      yield { val w = weight(id, b); ((lang, b), (w, w * qm)) })
+      .groupBy(_._1).toSeq
+      .map { case ((lang, _), rows) =>
+        (lang, rows.map(_._2._1).sum, rows.map(_._2._2).sum) }
+      .filter(_._2 > 0L)
+      .map { case (lang, sw, swq) => (lang, round6(swq.toDouble / sw / 10000.0)) }
+    val boot = reps.groupBy(_._1).map { case (lang, rs) =>
+      lang -> ((rs.map(_._2).min, rs.map(_._2).max, rs.size.toLong)) }
+    val stats = perDoc.groupBy(_._2).map { case (lang, rows) =>
+      lang -> ((rows.size.toLong,
+        round6(rows.map(_._3).sum.toDouble / rows.size / 10000.0))) }
+    val expected = stats.keySet.intersect(boot.keySet).toSeq.sorted.map { lang =>
+      val (n, m) = stats(lang); val (lo, hi, nr) = boot(lang)
+      (lang, n, m, lo, hi, nr)
+    }
+    def run() = Curation.bootstrapCi(docs).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getDouble(3),
+        r.getDouble(4), r.getLong(5))).toSeq
+    val got = run()
+    assert(got === expected)
+    got.foreach { case (lang, nDocs, m, lo, hi, nr) =>
+      assert(lo <= hi && nr >= 1L && nr <= replicas.toLong, lang)
+      assert(lo <= m && m <= hi,
+        s"$lang: corpus mean outside the bootstrap envelope")
+      assert(nDocs > 0L, lang)
+    }
+    assert(run() === got, "bootstrap weights must be deterministic")
+  }
 }

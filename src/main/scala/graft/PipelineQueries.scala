@@ -489,6 +489,12 @@ object PipelineQueries {
     // Poisson(1) weights from the exact md5 fraction through literal
     // inverse-CDF thresholds — the distributed bootstrap, one scan
     "q173_bootstrap_ci" -> ((s, d) => Curation.bootstrapCi(Tables.documents(s, d))),
+    // greedy facility-location selection over the trained k-means
+    // coreset: corpus-proportional work is the Lloyd training + one
+    // weighting scan; candidates/weights/sims and the greedy are
+    // driver-bounded (k² state). Integer micro-unit gains, min-id ties
+    "q174_facility_location" -> ((s, d) =>
+      Similarity.facilityLocationSelect(Tables.embeddings(s, d))),
   )
 
   // ---- shared SQL fragments -------------------------------------------
@@ -3884,5 +3890,51 @@ object PipelineQueries {
          |SELECT lang, n_docs, mean_q, boot_lo, boot_hi, n_replicas
          |FROM stats JOIN boot USING (lang)
          |ORDER BY lang""".stripMargin,
+    "q174_facility_location" -> {
+      // q70's trained assignment (shared CTEs), then the 5-round greedy
+      // facility-location UNROLLED (the KmeansSql technique): each round
+      // computes every remaining candidate's exact integer marginal gain
+      // Σ_cells n_c · max(sm − best_c, 0), takes the (gm DESC, cand)
+      // head, and folds the winner into the per-cell covered level.
+      // Every sum-derived column BIGINT-cast (the dtype audit class)
+      def rnd(i: Int): String =
+        s"""g$i AS (
+           |  SELECT s.cb AS cand,
+           |    CAST(sum(cc.n * greatest(s.sm - b.bm, 0)) AS BIGINT) AS gm
+           |  FROM sm s JOIN b${i - 1} b ON s.ca = b.cid JOIN cc ON cc.cid = s.ca
+           |  WHERE s.cb NOT IN (SELECT cid FROM sel${i - 1})
+           |  GROUP BY s.cb
+           |),
+           |s$i AS MATERIALIZED (
+           |  SELECT cand AS cid, gm FROM g$i ORDER BY gm DESC, cand LIMIT 1
+           |),
+           |sel$i AS (SELECT cid FROM sel${i - 1} UNION ALL SELECT cid FROM s$i),
+           |b$i AS MATERIALIZED (
+           |  SELECT b.cid, greatest(b.bm, sm.sm) AS bm
+           |  FROM b${i - 1} b JOIN sm ON sm.ca = b.cid JOIN s$i ON sm.cb = s$i.cid
+           |)""".stripMargin
+      s"""$KmeansAssignCtes,
+         |cw AS (SELECT cid, count(*) AS n FROM af GROUP BY cid),
+         |cc AS (
+         |  SELECT c.cid, coalesce(cw.n, CAST(0 AS BIGINT)) AS n
+         |  FROM cent2 c LEFT JOIN cw USING (cid)
+         |),
+         |sm AS MATERIALIZED (
+         |  SELECT a.cid AS ca, b.cid AS cb,
+         |    CAST(round((${cosSql("a.cv", "b.cv")}) * 1000000, 0) AS BIGINT)
+         |      + 1000000 AS sm
+         |  FROM cent2 a CROSS JOIN cent2 b
+         |),
+         |b0 AS (SELECT cid, CAST(0 AS BIGINT) AS bm FROM cent2),
+         |sel0 AS (SELECT CAST(NULL AS BIGINT) AS cid WHERE 1 = 0),
+         |${(1 to 5).map(rnd).mkString(",\n")}
+         |SELECT round, cid, gain_micro,
+         |  CAST(sum(gain_micro) OVER (ORDER BY round) AS BIGINT) AS coverage_micro
+         |FROM (
+         |${(1 to 5).map(i => s"  SELECT $i AS round, cid, gm AS gain_micro FROM s$i")
+            .mkString("\n  UNION ALL\n")}
+         |)
+         |ORDER BY round""".stripMargin
+    },
   )
 }

@@ -1254,9 +1254,23 @@ object Similarity {
     */
   private def kmeansAssignments(embeddings: DataFrame, k: Int, iters: Int,
       init: String): DataFrame = {
-    def round6(x: Double): Double = graft.functions.Rounding.halfUp(x, 6)
     val corpus = embeddings.select($"vec_id", asDouble($"embedding").as("v"))
       .localCheckpoint() // scanned once per Lloyd round + final report
+    val cents = trainCentroids(embeddings, corpus, k, iters, init)
+    corpus
+      .withColumn("a", least(cellStructs(cents, $"v"): _*))
+      .select($"vec_id", $"v", $"a.cid".as("cid"), (-$"a.negcos").as("cos"))
+  }
+
+  /** The Lloyd training loop behind `kmeansAssignments` /
+    * `facilityLocationSelect`: `iters` rounds of argmin assignment +
+    * rounded per-dimension mean updates over `corpus` (pre-projected
+    * `(vec_id, v)`, ideally checkpointed by the caller — it is scanned
+    * once per round). Driver holds k×dim doubles, nothing else.
+    */
+  private def trainCentroids(embeddings: DataFrame, corpus: DataFrame, k: Int,
+      iters: Int, init: String): Array[(Long, Array[Double])] = {
+    def round6(x: Double): Double = graft.functions.Rounding.halfUp(x, 6)
     val vecSum = udaf(new graft.functions.Aggregators.VectorSum)
     var cents = init match {
       case "parallel" => kmeansParallelInit(embeddings, k)
@@ -1276,9 +1290,78 @@ object Similarity {
         }
       }
     }
-    corpus
+    cents
+  }
+
+  /** Submodular (facility-location) coreset selection — the data-selection
+    * operator behind "pick the `nSel` most REPRESENTATIVE exemplars":
+    * greedily maximize F(S) = Σ_cells w_c · max_{s∈S} sim(centroid_c, s),
+    * the classic monotone-submodular coverage objective whose greedy
+    * enjoys the (1 − 1/e) guarantee (Nemhauser et al. 1978).
+    *
+    * Scale shape (the GreeDi/coreset pattern, Mirzasoleiman et al. 2013):
+    * exact greedy over the raw corpus is n² per round, so the ground set
+    * is the TRAINED k-means coreset — the corpus-proportional work is the
+    * Lloyd training + one weighting scan (`trainCentroids`, k×dim shuffle
+    * partials), after which candidates, weights, and the k×k similarity
+    * matrix are driver-bounded and the nSel greedy rounds are k²·nSel
+    * driver flops. At 100 TB k grows with the corpus; the driver state
+    * stays k×dim + k².
+    *
+    * Determinism: similarities are computed by the SAME fused native
+    * cosine the oracle replicates (a k-row literal frame, rounded to
+    * micro-units, shifted by +1e6 so 1+cos ≥ 0 keeps the objective
+    * monotone); gains/coverage are exact integer sums; ties break to the
+    * smaller candidate id on both sides.
+    *
+    * Output: one row per greedy round — (round, cid, gain_micro,
+    * coverage_micro), cid being the seed vec_id naming the selected
+    * coreset cell.
+    */
+  def facilityLocationSelect(embeddings: DataFrame, k: Int = 16,
+      iters: Int = 2, nSel: Int = 5): DataFrame = {
+    import graft.functions.VectorFunctions.cosine_sim
+    val spark0 = embeddings.sparkSession
+    val corpus = embeddings.select($"vec_id", asDouble($"embedding").as("v"))
+      .localCheckpoint() // scanned by training rounds + the weighting pass
+    val cents = trainCentroids(embeddings, corpus, k, iters, "coreset")
+    val cellW: Map[Long, Long] = corpus
       .withColumn("a", least(cellStructs(cents, $"v"): _*))
-      .select($"vec_id", $"v", $"a.cid".as("cid"), (-$"a.negcos").as("cos"))
+      .groupBy($"a.cid".as("cid")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // k×k rounded sims via the proven fused expression (not a JVM loop),
+    // so every comparison the greedy makes is engine-exact vs the oracle
+    val centDf = spark0
+      .createDataFrame(cents.toSeq.map { case (cid, v) => (cid, v.toSeq) })
+      .toDF("cid", "cv")
+    val sims: Map[(Long, Long), Long] = centDf.as("a").crossJoin(centDf.as("b"))
+      .select(col("a.cid").as("ca"), col("b.cid").as("cb"),
+        (round(cosine_sim(col("a.cv"), col("b.cv")) * 1e6, 0).cast("long")
+          + 1000000L).as("sm"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val cids = cents.map(_._1)
+    var best: Map[Long, Long] = cids.map(_ -> 0L).toMap
+    var coverage = 0L
+    val remaining = scala.collection.mutable.TreeSet(cids: _*)
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Int, Long, Long, Long)]
+    for (r <- 1 to math.min(nSel, cids.length)) {
+      var bestCand = -1L; var bestGain = -1L
+      remaining.foreach { s => // ascending cid: ties keep the smaller id
+        var g = 0L
+        cids.foreach { c =>
+          val d = sims((c, s)) - best(c)
+          if (d > 0L) g += cellW.getOrElse(c, 0L) * d
+        }
+        if (g > bestGain) { bestCand = s; bestGain = g }
+      }
+      coverage += bestGain
+      best = cids.map(c => c -> math.max(best(c), sims((c, bestCand)))).toMap
+      remaining -= bestCand
+      out += ((r, bestCand, bestGain, coverage))
+    }
+    spark0.createDataFrame(out.toSeq)
+      .toDF("round", "cid", "gain_micro", "coverage_micro")
+      .orderBy($"round")
   }
 
   /** SemDeDup (Abbas et al. 2023): semantic dedup with K-MEANS CELLS as

@@ -630,6 +630,72 @@ class PipelineSpec extends GraftSuite {
       s"parallel-init cohesion ${meanCohesion(p1)} far below coreset ${meanCohesion(coreset)}")
   }
 
+  test("facilityLocationSelect equals the full in-JVM greedy replication; gains diminish") {
+    import graft.operators.Similarity
+    def round6d(x: Double): Double =
+      java.math.BigDecimal.valueOf(x).setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+    def md5hex(s: String): String = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      for (i <- a.indices) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i) }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val vecs = embs.collect().map(r =>
+      (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toArray)).sortBy(_._1)
+    // md5 coreset init, then 2 Lloyd rounds of (round6(-cos), cid)-argmin
+    // assignment + rounded per-dimension mean updates — the engine's
+    // training replicated from scratch
+    var cents = vecs.sortBy { case (id, _) => (md5hex(id.toString), id) }
+      .take(16).sortBy(_._1).map { case (id, v) => (id, v.clone()) }
+    def assignAll(): Map[Long, Seq[Array[Double]]] =
+      vecs.toSeq.groupBy { case (_, v) =>
+        cents.minBy { case (cid, cv) => (round6d(-cos(v, cv)), cid) }._1
+      }.map { case (cid, rows) => cid -> rows.map(_._2) }
+    for (_ <- 1 to 2) {
+      val byCell = assignAll()
+      cents = cents.map { case (cid, old) =>
+        byCell.get(cid) match {
+          case Some(members) =>
+            (cid, old.indices.map(i =>
+              round6d(members.map(_(i)).sum / members.size)).toArray)
+          case None => (cid, old)
+        }
+      }
+    }
+    val w: Map[Long, Long] = assignAll().map { case (c, m) => c -> m.size.toLong }
+    def simM(a: Array[Double], b: Array[Double]): Long =
+      java.math.BigDecimal.valueOf(cos(a, b) * 1e6)
+        .setScale(0, java.math.RoundingMode.HALF_UP).longValue() + 1000000L
+    val sm = (for { (ca, va) <- cents; (cb, vb) <- cents }
+      yield (ca, cb) -> simM(va, vb)).toMap
+    val cids = cents.map(_._1)
+    var bestLvl = cids.map(_ -> 0L).toMap
+    var coverage = 0L
+    var remaining = cids.toVector
+    val expected = (1 to 5).map { r =>
+      val (cand, gain) = remaining.map { s =>
+        (s, cids.map(c => w.getOrElse(c, 0L) * math.max(sm((c, s)) - bestLvl(c), 0L)).sum)
+      }.maxBy { case (s, g) => (g, -s) }
+      coverage += gain
+      bestLvl = cids.map(c => c -> math.max(bestLvl(c), sm((c, cand)))).toMap
+      remaining = remaining.filterNot(_ == cand)
+      (r, cand, gain, coverage)
+    }
+    val got = Similarity.facilityLocationSelect(embs).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got === expected)
+    // structural laws: submodularity (gains never increase down the
+    // rounds), coverage is the exact gain prefix sum, selections distinct
+    assert(got.map(_._3).sliding(2).forall(p => p.head >= p.last),
+      "greedy facility-location gains must be non-increasing")
+    assert(got.map(_._2).distinct.size === got.size)
+    got.foldLeft(0L) { case (acc, (_, _, g, cov)) =>
+      assert(cov === acc + g); cov
+    }
+    assert(got.head._3 > 0L, "the first selection must cover something")
+  }
+
   test("qualityFilter matches a brute-force percentile computation") {
     import org.apache.spark.sql.functions._
     val quality = docs

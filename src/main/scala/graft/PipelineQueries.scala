@@ -495,6 +495,10 @@ object PipelineQueries {
     // driver-bounded (k² state). Integer micro-unit gains, min-id ties
     "q174_facility_location" -> ((s, d) =>
       Similarity.facilityLocationSelect(Tables.embeddings(s, d))),
+    // core numbers of the near-dup graph via 8 iterated-h-index rounds
+    // (Lü et al. 2016 — converges to coreness; both engines compute the
+    // same fixed truncation); rides the session pair index
+    "q175_kcore" -> ((s, d) => Dedup.kcoreDecomposition(Tables.documents(s, d))),
   )
 
   // ---- shared SQL fragments -------------------------------------------
@@ -3935,6 +3939,31 @@ object PipelineQueries {
             .mkString("\n  UNION ALL\n")}
          |)
          |ORDER BY round""".stripMargin
+    },
+    "q175_kcore" -> {
+      // q151's symmetrized pair edges; 8 h-index rounds UNROLLED —
+      // each round: neighbor values ranked descending per node, new
+      // value = max(least(value, rank)). row_number/least/max stay
+      // BIGINT (no sum anywhere — dtype-audit clean by construction)
+      def rnd(i: Int) =
+        s"""h$i AS MATERIALIZED (
+           |  SELECT dst AS node, max(least(c, rn)) AS c FROM (
+           |    SELECT e.dst, h.c,
+           |      row_number() OVER (PARTITION BY e.dst ORDER BY h.c DESC) AS rn
+           |    FROM pedges e JOIN h${i - 1} h ON e.src = h.node
+           |  ) GROUP BY dst
+           |)""".stripMargin
+      s"""WITH e0 AS MATERIALIZED (SELECT id1, id2 FROM ($JaccardSql)),
+         |pedges AS (SELECT id1 AS src, id2 AS dst FROM e0
+         |  UNION ALL SELECT id2, id1 FROM e0),
+         |pdeg AS MATERIALIZED (
+         |  SELECT src AS node, count(*) AS deg FROM pedges GROUP BY 1
+         |),
+         |h0 AS (SELECT node, deg AS c FROM pdeg),
+         |${(1 to 8).map(rnd).mkString(",\n")}
+         |SELECT d.node AS doc_id, d.deg, h8.c AS core
+         |FROM pdeg d JOIN h8 ON h8.node = d.node
+         |ORDER BY doc_id""".stripMargin
     },
   )
 }

@@ -750,6 +750,52 @@ object Dedup {
       .orderBy($"doc_id")
   }
 
+  /** Core-number (k-core) decomposition of the near-dup graph — the
+    * density diagnostic behind "which duplicate neighborhoods are
+    * templated swamps vs loose chains": core(v) = the largest k such
+    * that v survives in a subgraph of minimum degree ≥ k. High-core
+    * regions are mutually-similar template families (every member near
+    * every other); low-core chains are drift sequences — the two need
+    * different curation policies, and degree alone cannot tell them
+    * apart (a hub in a star has high degree and core 1).
+    *
+    * Algorithm: the iterated neighborhood h-index (Lü et al. 2016,
+    * "The H-index of a network, and its relation to degree and
+    * coreness"): c₀ = degree; c_{t+1}(v) = H({c_t(u) : u ~ v}); the
+    * sequence is pointwise non-increasing and converges to core(v).
+    * Peeling needs a data-dependent number of sequential deletions;
+    * the h-operator is one bulk-synchronous step — exactly Spark's
+    * model — and `rounds` fixed at 8 makes both engines compute the
+    * SAME truncation (the spec asserts the fixture reaches the true
+    * peeling fixed point well inside that budget).
+    *
+    * Shape: rides the session pair index; each round is one
+    * edge⋈values join, a per-node rank window, and a max aggregation —
+    * pair-proportional, rank state fully distributed, no driver
+    * scalars at all. The h-index itself is the max over
+    * descending-sorted neighbor values of min(value, rank) — windowed,
+    * never collected.
+    */
+  def kcoreDecomposition(documents: DataFrame, rounds: Int = 8): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val pairs = pairIndex(documents).select($"id1", $"id2")
+    val edges = pairs.select($"id1".as("src"), $"id2".as("dst"))
+      .unionAll(pairs.select($"id2".as("src"), $"id1".as("dst")))
+    val deg = edges.groupBy($"src".as("node")).agg(count(lit(1)).as("deg"))
+    var c = deg.select($"node", $"deg".as("c"))
+    for (_ <- 1 to rounds) {
+      val w = Window.partitionBy($"dst").orderBy($"c".desc)
+      c = edges.join(c.withColumnRenamed("node", "src"), Seq("src"))
+        .select($"dst", $"c")
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .groupBy($"dst".as("node"))
+        .agg(max(least($"c", $"rn")).as("c"))
+    }
+    deg.join(c, Seq("node"))
+      .select($"node".as("doc_id"), $"deg", $"c".as("core"))
+      .orderBy($"doc_id")
+  }
+
   /** Dedup method-agreement report: the MinHash+Jaccard pair set (q27)
     * vs the SimHash pair set (q28), classified both / minhash_only /
     * simhash_only — the QA view that tells an operator whether the two

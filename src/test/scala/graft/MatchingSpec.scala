@@ -524,6 +524,45 @@ class MatchingSpec extends GraftSuite {
     assert(byComp === deg.keySet)
   }
 
+  test("kcoreDecomposition equals exact peeling; h-index iterate is converged at 8 rounds") {
+    import graft.operators.Dedup
+    val pairs = Dedup.minhashLshPairs(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val adj: Map[Long, Seq[Long]] = (pairs ++ pairs.map(p => (p._2, p._1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    // independent truth: textbook min-degree peeling (Batagelj–Zaveršnik
+    // order) — nothing shared with the h-index formulation under test
+    val core = scala.collection.mutable.Map(
+      adj.view.mapValues(_.size.toLong).toSeq: _*)
+    val alive = scala.collection.mutable.Set(adj.keys.toSeq: _*)
+    val curDeg = scala.collection.mutable.Map(
+      adj.view.mapValues(_.size.toLong).toSeq: _*)
+    var level = 0L
+    while (alive.nonEmpty) {
+      val v = alive.minBy(x => (curDeg(x), x))
+      level = math.max(level, curDeg(v))
+      core(v) = level
+      alive -= v
+      adj(v).foreach { u => if (alive(u)) curDeg(u) = curDeg(u) - 1L }
+    }
+    val expected = adj.keys.toSeq.sorted
+      .map(id => (id, adj(id).size.toLong, core(id)))
+    val got = Dedup.kcoreDecomposition(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got === expected)
+    // the truncation budget is honest: 8 rounds have already reached the
+    // peeling fixed point (and the iterate is monotone, so more rounds
+    // cannot move it)
+    val more = Dedup.kcoreDecomposition(docs, rounds = 12).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(more === got, "8 h-index rounds must already be converged")
+    got.foreach { case (id, deg, c) =>
+      assert(c >= 1L && c <= deg, s"node $id: core $c outside [1, deg=$deg]")
+    }
+    assert(got.exists(_._3 >= 2L),
+      "the fixture's template families must produce a 2-core")
+  }
+
   test("rankCanonical keeper = per-cluster (rank desc, id) argmax over its own frames") {
     import graft.operators.Dedup
     val members = Dedup.nearDupSurvivors(docs).collect()

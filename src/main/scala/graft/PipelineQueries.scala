@@ -499,6 +499,10 @@ object PipelineQueries {
     // (Lü et al. 2016 — converges to coreness; both engines compute the
     // same fixed truncation); rides the session pair index
     "q175_kcore" -> ((s, d) => Dedup.kcoreDecomposition(Tables.documents(s, d))),
+    // ANALYZE-style per-column profile (exact NDV, nulls, min/max) over
+    // orders: one unpivoted pass, ncols-state agg; timestamps profile in
+    // epoch-micros space (string formats are engine-dependent)
+    "q176_table_profile" -> ((s, d) => Governance.tableProfile(Tables.orders(s, d))),
   )
 
   // ---- shared SQL fragments -------------------------------------------
@@ -3964,6 +3968,35 @@ object PipelineQueries {
          |SELECT d.node AS doc_id, d.deg, h8.c AS core
          |FROM pdeg d JOIN h8 ON h8.node = d.node
          |ORDER BY doc_id""".stripMargin
+    },
+    "q176_table_profile" -> {
+      // one UNION ALL branch per orders column, same type dispatch as
+      // the operator: numerics (and epoch_us-mapped timestamps) profile
+      // as DOUBLE, strings lexicographically; n_nulls = count(*) −
+      // count(col) (both BIGINT — no sum, dtype-clean)
+      def num(c: String, e: String) =
+        s"""SELECT '$c' AS "column", count(*) AS n_rows,
+           |  CAST(count(*) - count($e) AS BIGINT) AS n_nulls,
+           |  count(DISTINCT CAST($e AS DOUBLE)) AS n_distinct,
+           |  min(CAST($e AS DOUBLE)) AS min_num,
+           |  max(CAST($e AS DOUBLE)) AS max_num,
+           |  CAST(NULL AS VARCHAR) AS min_str, CAST(NULL AS VARCHAR) AS max_str
+           |FROM orders""".stripMargin
+      def str(c: String) =
+        s"""SELECT '$c' AS "column", count(*) AS n_rows,
+           |  CAST(count(*) - count($c) AS BIGINT) AS n_nulls,
+           |  count(DISTINCT $c) AS n_distinct,
+           |  CAST(NULL AS DOUBLE) AS min_num, CAST(NULL AS DOUBLE) AS max_num,
+           |  min($c) AS min_str, max($c) AS max_str
+           |FROM orders""".stripMargin
+      Seq(
+        num("o_orderkey", "o_orderkey"),
+        num("o_custkey", "o_custkey"),
+        str("o_orderstatus"),
+        num("o_totalprice", "o_totalprice"),
+        num("o_orderdate", "epoch_us(o_orderdate)"),
+        str("o_orderpriority"),
+      ).mkString("", "\nUNION ALL\n", "\nORDER BY \"column\"")
     },
   )
 }

@@ -147,4 +147,56 @@ object Governance {
           .cast("long"))
       .orderBy($"source")
   }
+
+  /** ANALYZE-style table profile — the per-column statistics a catalog
+    * (and a cost-based optimizer, and a data-quality monitor) wants:
+    * row count, null count, EXACT distinct count, and min/max per
+    * column, one output row per column.
+    *
+    * Type dispatch: numerics profile in their own value space (cast to
+    * double — exact for the fixture ranges), timestamps in epoch-MICROS
+    * space (`unix_micros`; string-formatting a timestamp is engine-
+    * dependent, the integer is not), strings/dates/booleans
+    * lexicographically via `min_str`/`max_str`; non-atomic types (array,
+    * struct, binary) get counts only — their casts are not portable.
+    *
+    * Shape: the per-column frames union into an unpivoted
+    * (column, num, str, is_null) stream. Each union branch plans its
+    * OWN scan, but every branch prunes to a single column
+    * (`ReadSchema` per branch — spec-asserted), so on a columnar
+    * format the union's total I/O equals one full-width read of the
+    * table; the ncols-state aggregation map-side-combines, and the
+    * exact-NDV shuffle carries (column, value) pairs. That exactness
+    * is the point of the ANALYZE pass; at 100 TB the
+    * continuous-monitoring path uses the mergeable sketches instead
+    * (q54 KMV, q128 HLL envelope) and this exact pass runs
+    * per-partition/per-sample.
+    */
+  def tableProfile(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types._
+    val parts = df.schema.fields.toSeq.map { f =>
+      val c = col(f.name)
+      val num: org.apache.spark.sql.Column = f.dataType match {
+        case _: NumericType => c.cast("double")
+        case TimestampType | TimestampNTZType =>
+          unix_micros(c.cast("timestamp")).cast("double")
+        case _ => lit(null).cast("double")
+      }
+      val str: org.apache.spark.sql.Column = f.dataType match {
+        case StringType => c
+        case DateType | BooleanType => c.cast("string")
+        case _ => lit(null).cast("string")
+      }
+      df.select(lit(f.name).as("column"), num.as("num"), str.as("str"),
+        c.isNull.as("is_null"))
+    }
+    parts.reduce(_.unionAll(_))
+      .groupBy($"column")
+      .agg(count(lit(1)).as("n_rows"),
+        sum(when($"is_null", 1L).otherwise(0L)).as("n_nulls"),
+        (countDistinct($"num") + countDistinct($"str")).as("n_distinct"),
+        min($"num").as("min_num"), max($"num").as("max_num"),
+        min($"str").as("min_str"), max($"str").as("max_str"))
+      .orderBy($"column")
+  }
 }

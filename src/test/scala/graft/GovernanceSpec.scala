@@ -134,4 +134,58 @@ class GovernanceSpec extends GraftSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
     assert(compacted === tombstoned)
   }
+
+  test("tableProfile equals the in-JVM per-column recompute; branch scans stay pruned") {
+    import graft.operators.Governance
+    val orders = Tables.orders(spark, sf)
+    val rows = orders.collect()
+    val fields = orders.schema.fields
+    val expected = fields.map { f =>
+      val i = orders.schema.fieldIndex(f.name)
+      val vals = rows.map(r => if (r.isNullAt(i)) null else r.get(i))
+      val nonNull = vals.filter(_ != null)
+      val (numArr, strArr) = f.dataType match {
+        case org.apache.spark.sql.types.StringType =>
+          (Array.empty[Double], nonNull.map(_.asInstanceOf[String]))
+        case org.apache.spark.sql.types.TimestampNTZType =>
+          (nonNull.map { v =>
+            java.time.Duration.between(java.time.LocalDateTime.of(1970, 1, 1, 0, 0),
+              v.asInstanceOf[java.time.LocalDateTime]).toNanos / 1000.0
+          }, Array.empty[String])
+        case org.apache.spark.sql.types.TimestampType =>
+          (nonNull.map { v =>
+            val ts = v.asInstanceOf[java.sql.Timestamp]
+            ts.getTime * 1000.0 + (ts.getNanos / 1000) % 1000
+          }, Array.empty[String])
+        case _ =>
+          (nonNull.map(v => v.toString.toDouble), Array.empty[String])
+      }
+      (f.name, rows.length.toLong, (vals.length - nonNull.length).toLong,
+        (numArr.distinct.length + strArr.distinct.length).toLong,
+        if (numArr.isEmpty) null else Double.box(numArr.min),
+        if (numArr.isEmpty) null else Double.box(numArr.max),
+        if (strArr.isEmpty) null else strArr.min,
+        if (strArr.isEmpty) null else strArr.max)
+    }.sortBy(_._1).toSeq
+    val profiled = Governance.tableProfile(orders)
+    val got = profiled.collect().map(r => (r.getString(0), r.getLong(1),
+      r.getLong(2), r.getLong(3),
+      if (r.isNullAt(4)) null else Double.box(r.getDouble(4)),
+      if (r.isNullAt(5)) null else Double.box(r.getDouble(5)),
+      if (r.isNullAt(6)) null else r.getString(6),
+      if (r.isNullAt(7)) null else r.getString(7))).toSeq
+    assert(got === expected)
+    got.foreach { case (c, n, nulls, ndv, _, _, _, _) =>
+      assert(ndv <= n - nulls, s"$c: ndv must be bounded by non-null rows")
+    }
+    // every union branch prunes its scan to the one profiled column
+    val scans = profiled.queryExecution.executedPlan.toString
+      .linesIterator.filter(_.contains("ReadSchema")).toSeq
+    assert(scans.nonEmpty)
+    scans.foreach { line =>
+      val schema = line.substring(line.indexOf("ReadSchema"))
+      assert(schema.count(_ == ',') == 0,
+        s"a profile branch reads more than one column: $line")
+    }
+  }
 }

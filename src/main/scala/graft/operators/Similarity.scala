@@ -837,6 +837,33 @@ object Similarity {
       rows.filter(_._1 == s).map(t => (t._2, t._3)).sortBy(_._1))
   }
 
+  /** Static half of the STREAMING PQ serving path (see
+    * `EventStreams.pqServeStream`): the persisted q148/q149 artifacts
+    * re-shaped for a stream-static join — cell-tagged code rows
+    * (codes ⋈ inverted lists, code-table-proportional, never
+    * collected), the codebook table as-is, and the collected coarse
+    * centroids (model-sized) for the probe expression.
+    */
+  def pqServingStatic(spark: org.apache.spark.sql.SparkSession,
+      dir: String): (DataFrame, DataFrame, Array[(Long, Array[Double])]) = {
+    val candidates = spark.read.parquet(s"$dir/codes")
+      .join(spark.read.parquet(s"$dir/ivflists"), Seq("vec_id"))
+    val books = spark.read.parquet(s"$dir/codebooks")
+    val cents = spark.read.parquet(s"$dir/centroids").collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray)).sortBy(_._1)
+    (candidates, books, cents)
+  }
+
+  /** The `nProbe` nearest coarse cells of a query-vector column, by the
+    * SAME rounded-argmin structs every batch IVF path probes with —
+    * returns array<long> of centroid ids (for the streaming serving
+    * path, where the probe must be a pure Column expression).
+    */
+  def probeCellsExpr(cents: Array[(Long, Array[Double])], v: Column,
+      nProbe: Int): Column =
+    transform(slice(array_sort(array(cellStructs(cents, v): _*)), 1, nProbe),
+      p => p.getField("cid"))
+
   /** q148's ADC ranking served from a persisted index: codebooks and the
     * code table come off parquet; raw floats are touched only for the
     * nQueries query vectors and the shortlist re-rank. Bit-identical to

@@ -461,6 +461,78 @@ object EventStreams {
         greatest(col("allocation") - col("ingested_tokens"), lit(0L)).as("remaining"),
         (col("ingested_tokens") > col("allocation")).as("over_budget"))
 
+  /** Streaming PQ-ANN serving — the q149 cell-pruned ADC ranking with
+    * the QUERY side as a live stream: incoming query vectors probe the
+    * persisted index (`Similarity.writePqIndex` artifacts, reshaped by
+    * `Similarity.pqServingStatic`) and each micro-batch answers with the
+    * top-`k` neighbors by asymmetric-distance score. This is the shape
+    * ANN serving actually has in production — the index is a static
+    * artifact, the unbounded side is the query feed.
+    *
+    * Plan: probe cells via the SAME rounded-argmin expression as the
+    * batch path (`probeCellsExpr` — pure Column, so it runs inside the
+    * stream's projection), stream-static join on `centroid_id` against
+    * the cell-tagged code rows (per-query candidate work bounded by the
+    * probed cells — the IVF contract), broadcast codebook join computing
+    * the per-subspace ADC term t = round₆(dot(q_s, codeword)) inline
+    * (`zip_with`/`aggregate` — no driver-built per-query tables, which
+    * is what lets the query side be unbounded), then ONE stateful
+    * operator (`flatMapGroupsWithState`) per query summing the m terms
+    * per candidate in subspace order and emitting the (adc desc, id)
+    * top-k. State is emitted-and-dropped per query (queries are
+    * append-once; nothing accumulates), so an unbounded feed runs at
+    * zero standing state.
+    *
+    * Trade stated: this is the ADC ranking head — the batch path's
+    * exact-cosine shortlist re-rank needs raw corpus vectors, which the
+    * 8-byte-code index deliberately does not carry; a serving fleet
+    * re-ranks against the vector store downstream. The spec law pins
+    * the streamed ranking to an independent in-JVM ADC recompute from
+    * the same persisted artifacts.
+    */
+  def pqServeStream(queries: DataFrame, candidates: DataFrame,
+      codebook: DataFrame, cents: Array[(Long, Array[Double])],
+      nProbe: Int = 4, k: Int = 3): DataFrame = {
+    import graft.operators.Similarity.probeCellsExpr
+    import queries.sparkSession.implicits._
+    // subspace width = codeword length (a 1-row model lookup at plan
+    // build — NOT the centroid dimension, which is the full d)
+    val subDim = codebook.select(size(col("cw"))).limit(1)
+      .collect()(0).getInt(0)
+    // per-subspace query slice ⋈ codeword dot, rounded like the batch
+    // ADC tables (Rounding.halfUp(_, 6) == round(_, 6))
+    val qSub = slice(col("qv"), col("s") * subDim + 1, lit(subDim))
+    val term = round(aggregate(zip_with(qSub, col("cw"), _ * _),
+      lit(0.0), _ + _), 6)
+    val scoredTerms = queries
+      .select(col("query_id"), col("qv"),
+        explode(probeCellsExpr(cents, col("qv"), nProbe)).as("centroid_id"))
+      .join(candidates, Seq("centroid_id"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .join(broadcast(codebook), Seq("s", "cid"))
+      .select(col("query_id"), col("vec_id"), col("s"), term.as("t"))
+      .as[(Long, Long, Int, Double)]
+    scoredTerms
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[Int, (Long, Long, Double, Int)](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (qid: Long, rows: Iterator[(Long, Long, Int, Double)],
+            state: GroupState[Int]) =>
+          // a query's candidate terms all land in its arrival batch
+          // (static side complete): answer and keep nothing
+          state.remove()
+          val byVec = rows.toSeq.groupBy(_._2).map { case (vid, ts) =>
+            val adc = graft.functions.Rounding.halfUp(
+              ts.sortBy(_._3).map(_._4).sum, 6)
+            (vid, adc)
+          }.toSeq
+          byVec.sortBy { case (vid, adc) => (-adc, vid) }.take(k)
+            .zipWithIndex.iterator
+            .map { case ((vid, adc), i) => (qid, vid, adc, i + 1) }
+      }
+      .toDF("query_id", "neighbor_id", "adc", "rnk")
+  }
+
   /** Stream-STATIC classifier scoring — the streaming twin of
     * `Curation.classifierSample` (q145): newly-ingested documents scored
     * against an offline-trained weight vector (the persisted model; here

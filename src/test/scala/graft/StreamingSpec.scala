@@ -737,4 +737,66 @@ class StreamingSpec extends GraftSuite {
     assert(streamed === batch)
     assert(streamed.nonEmpty)
   }
+
+  test("streaming PQ serving == in-JVM ADC recompute from the persisted artifacts") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.Similarity
+    val embs = Tables.embeddings(spark, sf)
+    val tmp = java.nio.file.Files.createTempDirectory("pq_stream").toString
+    Similarity.writePqIndex(embs, s"$tmp/idx")
+    val (candidates, codebook, cents) = Similarity.pqServingStatic(spark, s"$tmp/idx")
+    val nProbe = 4; val k = 3
+    // independent truth from the SAME parquet artifacts, all in JVM
+    def round6(x: Double): Double =
+      java.math.BigDecimal.valueOf(x).setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      for (i <- a.indices) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i) }
+      d / math.sqrt(na * nb)
+    }
+    val codeRows = spark.read.parquet(s"$tmp/idx/codes").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))) // (vec, s, cid)
+    val lists = spark.read.parquet(s"$tmp/idx/ivflists").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap // vec -> cell
+    val books = spark.read.parquet(s"$tmp/idx/codebooks").collect()
+      .map(r => ((r.getInt(0), r.getLong(1)), r.getSeq[Double](2).toArray)).toMap
+    val subDim = books.head._2.length
+    val queries = embs.filter(col("vec_id") < 5)
+      .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("qv"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray)).sortBy(_._1)
+    val expected = queries.flatMap { case (qid, qv) =>
+      val probed = cents.sortBy { case (cid, cv) => (round6(-cos(qv, cv)), cid) }
+        .take(nProbe).map(_._1).toSet
+      val codesByVec = codeRows.filter(t => t._1 != qid && probed(lists(t._1)))
+        .groupBy(_._1)
+      codesByVec.map { case (vid, rows) =>
+        val adc = round6(rows.sortBy(_._2).map { case (_, s, cid) =>
+          round6(qv.slice(s * subDim, (s + 1) * subDim)
+            .zip(books((s, cid))).map { case (a, b) => a * b }.sum)
+        }.sum)
+        (vid, adc)
+      }.toSeq.sortBy { case (vid, adc) => (-adc, vid) }.take(k).zipWithIndex
+        .map { case ((vid, adc), i) => (qid, vid, adc, i + 1) }
+    }.toSet
+    val input = MemoryStream[(Long, Seq[Double])]
+    val q = EventStreams.pqServeStream(
+        input.toDS().toDF("query_id", "qv"), candidates, codebook, cents,
+        nProbe, k)
+      .writeStream.outputMode("update").format("memory").queryName("pq_serve_out")
+      .start()
+    val feed = queries.map { case (qid, qv) => (qid, qv.toSeq) }
+    input.addData(feed.take(2).toIndexedSeq)
+    q.processAllAvailable()
+    input.addData(feed.drop(2).toIndexedSeq)
+    q.processAllAvailable()
+    val streamed = spark.table("pq_serve_out").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    q.stop()
+    assert(streamed === expected)
+    assert(streamed.nonEmpty)
+    assert(queries.map(_._1).toSet === streamed.map(_._1),
+      "every streamed query must be answered")
+    Similarity.clearPqModelCache()
+  }
 }

@@ -503,6 +503,9 @@ object PipelineQueries {
     // orders: one unpivoted pass, ncols-state agg; timestamps profile in
     // epoch-micros space (string formats are engine-dependent)
     "q176_table_profile" -> ((s, d) => Governance.tableProfile(Tables.orders(s, d))),
+    // greedy vocabulary set cover: nSel rounds of anti-join + per-doc
+    // count + 1-row argmax; covered set distributed throughout
+    "q177_set_cover" -> ((s, d) => Curation.setCoverSelect(Tables.documents(s, d))),
   )
 
   // ---- shared SQL fragments -------------------------------------------
@@ -3997,6 +4000,40 @@ object PipelineQueries {
         num("o_orderdate", "epoch_us(o_orderdate)"),
         str("o_orderpriority"),
       ).mkString("", "\nUNION ALL\n", "\nORDER BY \"column\"")
+    },
+    "q177_set_cover" -> {
+      // 5 greedy set-cover rounds UNROLLED: per round, uncovered-type
+      // counts per doc (anti-join via NOT IN), (n DESC, doc_id) argmax,
+      // winner's types folded into the covered set. covered_total =
+      // running sum of new_tokens (exact by disjointness), BIGINT-cast
+      def rnd(i: Int) =
+        s"""g$i AS (
+           |  SELECT doc_id, count(*) AS n FROM toks
+           |  WHERE tok NOT IN (SELECT tok FROM c${i - 1})
+           |  GROUP BY doc_id
+           |),
+           |s$i AS MATERIALIZED (
+           |  SELECT doc_id, n FROM g$i ORDER BY n DESC, doc_id LIMIT 1
+           |),
+           |c$i AS MATERIALIZED (
+           |  SELECT DISTINCT tok FROM (
+           |    SELECT tok FROM c${i - 1}
+           |    UNION ALL SELECT t.tok FROM toks t JOIN s$i USING (doc_id)
+           |  )
+           |)""".stripMargin
+      s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+         |toks AS MATERIALIZED (
+         |  SELECT doc_id, unnest(list_distinct(${wordGramsSql(2)})) AS tok FROM w
+         |),
+         |c0 AS (SELECT CAST(NULL AS VARCHAR) AS tok WHERE 1 = 0),
+         |${(1 to 5).map(rnd).mkString(",\n")}
+         |SELECT round, doc_id, new_tokens,
+         |  CAST(sum(new_tokens) OVER (ORDER BY round) AS BIGINT) AS covered_total
+         |FROM (
+         |${(1 to 5).map(i => s"  SELECT $i AS round, doc_id, n AS new_tokens FROM s$i")
+            .mkString("\n  UNION ALL\n")}
+         |)
+         |ORDER BY round""".stripMargin
     },
   )
 }

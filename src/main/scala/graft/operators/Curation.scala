@@ -614,6 +614,59 @@ object Curation {
     * oracle deliberately states the INDEPENDENT NOT EXISTS dominance
     * form, so the gate proves the identity, not the implementation.
     */
+  /** Greedy vocabulary SET COVER — the coverage-selection twin of the
+    * facility-location operator (q174): pick `nSel` documents that
+    * together cover the most DISTINCT vocabulary, one greedy argmax at
+    * a time (the classic Nemhauser (1−1/e) greedy on a coverage
+    * function, universe = token types instead of coreset cells). A
+    * seed-set builder for vocabulary-complete subcorpora: tokenizer
+    * training sets, language-coverage probes, evaluation seeds.
+    *
+    * Shape per round (×nSel): one shuffle anti-join of the (doc, tok)
+    * type table against the covered set (both DISTRIBUTED — the covered
+    * set is vocabulary-proportional and never collected; a driver set
+    * would die exactly when coverage selection matters), a map-side-
+    * combined per-doc count, and a 1-row argmax collect; the winner's
+    * types union into the covered frame (localCheckpointed per round —
+    * iterative lineage, the Lloyd rule). The (doc, tok) table is built
+    * once and checkpointed.
+    *
+    * Determinism: counts are integers; ties break to the smaller
+    * doc_id on both engines. covered_total is exact by disjointness —
+    * each round adds exactly `new_tokens` previously-uncovered types.
+    */
+  def setCoverSelect(documents: DataFrame, nSel: Int = 5,
+      gram: Int = 2): DataFrame = {
+    val spark0 = documents.sparkSession
+    // universe = distinct word `gram`-grams (the fixture's unigram
+    // vocabulary is 31 types — one doc covers it; bigrams give the
+    // coverage function room to discriminate)
+    val toks = documents
+      .select($"doc_id",
+        explode(array_distinct(wordGrams($"text", gram))).as("tok"))
+      .localCheckpoint() // scanned once per greedy round
+    var covered = toks.select($"tok").limit(0).localCheckpoint()
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Int, Long, Long, Long)]
+    var total = 0L
+    for (r <- 1 to nSel) {
+      val pick = toks.join(covered, Seq("tok"), "left_anti")
+        .groupBy($"doc_id").agg(count(lit(1)).as("n"))
+        .orderBy($"n".desc, $"doc_id").limit(1)
+        .collect() // 1-row argmax — the only driver touch per round
+      if (pick.nonEmpty) {
+        val (docId, n) = (pick(0).getLong(0), pick(0).getLong(1))
+        total += n
+        out += ((r, docId, n, total))
+        covered = covered
+          .unionAll(toks.filter($"doc_id" === docId).select($"tok"))
+          .distinct().localCheckpoint()
+      }
+    }
+    spark0.createDataFrame(out.toSeq)
+      .toDF("round", "doc_id", "new_tokens", "covered_total")
+      .orderBy($"round")
+  }
+
   def paretoFrontier(documents: DataFrame): DataFrame = {
     val s = documents.select($"doc_id",
       TextAnalysis.qualityCol($"text").as("quality"),

@@ -1102,6 +1102,34 @@ class CurationSpec extends GraftSuite {
       "the distributed prefix sum must not depend on range-partition count")
   }
 
+  test("setCoverSelect equals the in-JVM greedy; gains diminish; coverage is exact") {
+    val universe = docs.select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), grams(r.getString(1), 2).distinct.toSet)).toMap
+    var covered = Set.empty[String]
+    val expected = (1 to 5).flatMap { r =>
+      val alive = universe.filter(_._2.exists(g => !covered(g)))
+      if (alive.isEmpty) None
+      else {
+        val (docId, gain) = alive.view
+          .map { case (id, gs) => (id, (gs -- covered).size.toLong) }
+          .minBy { case (id, g) => (-g, id) }
+        covered = covered ++ universe(docId)
+        Some((r, docId, gain))
+      }
+    }
+    val withTotal = expected.scanLeft(0L)(_ + _._3).tail.zip(expected)
+      .map { case (tot, (r, id, g)) => (r, id, g, tot) }
+    val got = Curation.setCoverSelect(docs).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got === withTotal)
+    // submodularity: greedy coverage gains never increase down the rounds
+    assert(got.map(_._3).sliding(2).forall(p => p.head >= p.last))
+    assert(got.map(_._2).distinct.size === got.size, "selections must be distinct")
+    // the final covered_total is exactly the union size of the picks
+    assert(got.last._4 ===
+      got.map(_._2).flatMap(universe).distinct.size.toLong)
+  }
+
   test("bootstrapCi equals the in-JVM replica recompute and is deterministic") {
     import java.security.MessageDigest
     import graft.operators.TextAnalysis

@@ -439,6 +439,62 @@ object ProfileScaling {
         println(f"[scaling] pq x$s%-2d ${embs.count()}%6d $tPq%8.2f $tIvf%8.2f")
       }
     }
+    // ---- round 7: the new selection/diagnostic family. Claims under
+    // test: q173 bootstrap is ONE exploded scan (linear in docs x
+    // replicas); q175 k-core is a pair-index RIDER (8 bulk-synchronous
+    // rounds over edge-proportional rows — carrier charged separately);
+    // q174 facility location is Lloyd-training-proportional with a
+    // driver greedy that is k²-bounded (measured at k=16 fixed and at
+    // the k=16·s growing dial the scaladoc prescribes); q176 profile is
+    // one unpivoted pass (linear in rows x cols, NDV-shuffle bound)
+    if (want("r7new")) {
+      import graft.operators.{Governance, Similarity => Sim}
+      val b4 = Tables.documents(spark, sfDir)
+        .select($"doc_id", $"text", $"lang", $"source")
+      def rep4(r: Int): DataFrame =
+        if (r == 0) b4
+        else b4.select(
+          ($"doc_id" + lit(r * 10000000L)).as("doc_id"),
+          array_join(
+            transform(split($"text", " "),
+              w => md5(concat(w, lit(s":$r"))).substr(lit(1), greatest(length(w), lit(1)))),
+            " ").as("text"),
+          $"lang", $"source")
+      // bootstrap needs lang (in-memory replica frame); the pair-index
+      // carrier + riders and the profile scan the CANONICAL parquet
+      // corpora — a production corpus is a table on disk, and the
+      // in-memory union-of-replicas plan was measured to distort the
+      // carrier by >10x at x10 (lineage re-evaluation, not operator cost)
+      // JIT/codegen warmup on x1 (the core section's convention): the
+      // first pair-pipeline + window-plan compile otherwise lands on
+      // whichever scale row runs first
+      Dedup.clearPairIndexCache()
+      Dedup.kcoreDecomposition(spark.read.parquet(s"$outRoot/x1")).count()
+      Curation.bootstrapCi(b4).count()
+      println("[scaling] r7new: scale docs t_bootstrap_s t_pairs_s t_kcore_s t_profile_s nvecs t_fl16_s t_fl16s_s")
+      scales.foreach { s =>
+        val docsL = (0 until s).map(rep4).reduce(_ union _)
+          .repartition(32).persist()
+        val nDocs = docsL.count()
+        System.gc()
+        val (_, tBoot) = time(Curation.bootstrapCi(docsL).count())
+        docsL.unpersist()
+        val docs = spark.read.parquet(s"$outRoot/x$s")
+        Dedup.clearPairIndexCache()
+        System.gc()
+        val (_, tPairs) = time(Dedup.pairIndex(docs).count())
+        val (_, tKcore) = time(Dedup.kcoreDecomposition(docs).count())
+        System.gc()
+        val (_, tProf) = time(Governance.tableProfile(docs).count())
+        val embs = spark.read.parquet(s"$outRoot/emb_x$s")
+        val nVecs = embs.count()
+        System.gc()
+        val (_, tFl) = time(Sim.facilityLocationSelect(embs).count())
+        val (_, tFlGrow) = time(
+          Sim.facilityLocationSelect(embs, k = 16 * s, nSel = 5 * s).count())
+        println(f"[scaling] r7new x$s%-2d $nDocs%6d $tBoot%8.2f $tPairs%8.2f $tKcore%8.2f $tProf%8.2f $nVecs%6d $tFl%8.2f $tFlGrow%8.2f")
+      }
+    }
     if (want("chunk-pagerank")) {
       println("[scaling] chunk-pagerank: scale docs chunks t_chunk_s t_pairs_s nodes t_pr_s")
       scales.foreach { s =>

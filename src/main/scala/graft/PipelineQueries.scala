@@ -506,6 +506,10 @@ object PipelineQueries {
     // greedy vocabulary set cover: nSel rounds of anti-join + per-doc
     // count + 1-row argmax; covered set distributed throughout
     "q177_set_cover" -> ((s, d) => Curation.setCoverSelect(Tables.documents(s, d))),
+    // asymmetric containment discovery (bottom-m one-sided sketch):
+    // the quote/inclusion pairs symmetric MinHash banding cannot see;
+    // oracle states the exact all-pairs form → the gate proves recall
+    "q178_containment" -> ((s, d) => Dedup.containmentDiscover(Tables.documents(s, d))),
   )
 
   // ---- shared SQL fragments -------------------------------------------
@@ -4035,5 +4039,24 @@ object PipelineQueries {
          |)
          |ORDER BY round""".stripMargin
     },
+    "q178_containment" ->
+      // EXACT all-ordered-pairs containment on distinct char-5-grams —
+      // deliberately ignorant of the engine's bottom-m blocking, so the
+      // gate proves the sketch's recall (the q26/q27 convention)
+      s"""WITH $GramsCte,
+         |sizes AS (SELECT doc_id, count(*) AS sz FROM grams GROUP BY doc_id),
+         |inter AS (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+         |  FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id <> b.doc_id
+         |  GROUP BY 1, 2
+         |)
+         |SELECT id_a AS contained_id, id_b AS container_id,
+         |  round(i * 1.0 / sa.sz, 6) AS containment,
+         |  round(i * 1.0 / (sa.sz + sb.sz - i), 6) AS jaccard
+         |FROM inter
+         |JOIN sizes sa ON id_a = sa.doc_id
+         |JOIN sizes sb ON id_b = sb.doc_id
+         |WHERE round(i * 1.0 / sa.sz, 6) >= 0.9
+         |ORDER BY contained_id, container_id""".stripMargin,
   )
 }

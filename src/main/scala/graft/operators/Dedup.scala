@@ -750,6 +750,64 @@ object Dedup {
       .orderBy($"doc_id")
   }
 
+  /** Containment DISCOVERY — the asymmetric search `containmentRefine`
+    * declines: find (contained, container) pairs with shingle
+    * containment |A∩B|/|A| ≥ `tau` even when Jaccard is far below the
+    * near-dup band (a short document quoted inside a long one has
+    * containment ≈ 1 and Jaccard ≈ |A|/|B| — invisible to symmetric
+    * MinHash banding by construction).
+    *
+    * Blocking: bottom-`m` one-sided sketch. Shingle-hash arrays are
+    * sorted, so each doc's `m` smallest hashes are a slice; a candidate
+    * is any doc whose FULL shingle set contains one of the probe's
+    * bottom hashes (an inverted-index join). Recall argument: if
+    * C(A→B) ≥ τ, each of A's bottom hashes lands in B with probability
+    * ≥ τ under hash uniformity → a candidate is missed with probability
+    * ≤ (1−τ)^m (~1e-3 at τ=0.9, m=3); the oracle states the EXACT
+    * all-pairs form, so the driver gate proves exact recall on the
+    * fixture (the q26/q27 convention), and the spec re-proves it
+    * against a JVM brute force.
+    *
+    * Scale: the posting side is shingle-mass-proportional — the honest
+    * price of asymmetric discovery (symmetric banding cannot find
+    * these pairs at any price). Probes are m rows/doc; the join is
+    * selective on rare hashes, and the production knob for
+    * common-shingle posting skew is a df cap (the `tfidfCosinePairs`
+    * dial), which trades the provable recall floor for bounded lists.
+    * Verification touches candidate pairs only (the q27 semi-join
+    * pattern): exact merge-scan intersection, both containment and
+    * Jaccard reported.
+    */
+  def containmentDiscover(documents: DataFrame, n: Int = 5,
+      tau: Double = 0.9, m: Int = 3): DataFrame = {
+    import graft.functions.MinHashFunctions.{shingle_hashes, sorted_intersect_count}
+    val parts = documents.sparkSession.sparkContext.defaultParallelism * 2
+    val sh = documents
+      .repartition(parts, $"doc_id") // AQE-blindness guard (see above)
+      .select($"doc_id", shingle_hashes($"text", n).as("hs"))
+      .localCheckpoint() // probes + postings + two verify joins
+    val probes = sh.select($"doc_id".as("contained_id"),
+      explode(slice($"hs", 1, m)).as("h"))
+    val postings = sh.select($"doc_id".as("container_id"), explode($"hs").as("h"))
+    val cands = probes.join(postings, Seq("h"))
+      .filter($"contained_id" =!= $"container_id")
+      .select($"contained_id", $"container_id").distinct()
+      .localCheckpoint()
+    cands
+      .join(sh.select($"doc_id".as("contained_id"), $"hs".as("ha")),
+        Seq("contained_id"))
+      .join(sh.select($"doc_id".as("container_id"), $"hs".as("hb")),
+        Seq("container_id"))
+      .select($"contained_id", $"container_id",
+        sorted_intersect_count($"ha", $"hb").as("i"),
+        size($"ha").as("sza"), size($"hb").as("szb"))
+      .select($"contained_id", $"container_id",
+        round($"i" / $"sza", 6).as("containment"),
+        round($"i" / ($"sza" + $"szb" - $"i"), 6).as("jaccard"))
+      .filter($"containment" >= tau)
+      .orderBy($"contained_id", $"container_id")
+  }
+
   /** Core-number (k-core) decomposition of the near-dup graph — the
     * density diagnostic behind "which duplicate neighborhoods are
     * templated swamps vs loose chains": core(v) = the largest k such

@@ -524,6 +524,54 @@ class MatchingSpec extends GraftSuite {
     assert(byComp === deg.keySet)
   }
 
+  test("containmentDiscover finds beyond-band inclusions; equals JVM brute force on fixture") {
+    import spark.implicits._
+    import graft.operators.Dedup
+    // constructed inclusion: a short document quoted verbatim inside a
+    // much longer one — containment ~1, Jaccard well under the 0.6 band
+    val quote = "the quick brown fox jumps over the lazy dog again and again"
+    val filler = (1 to 40).map(i => s"filler_token_$i unrelated_word_$i").mkString(" ")
+    val built = Seq(
+      (1L, quote),
+      (2L, s"$filler $quote $filler"),
+      (3L, "completely different content with nothing shared at all here")
+    ).toDF("doc_id", "text")
+    val found = Dedup.containmentDiscover(built).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    val hit = found.filter(p => p._1 == 1L && p._2 == 2L)
+    assert(hit.length === 1, s"the planted inclusion must be discovered: ${found.toSeq}")
+    assert(hit.head._3 >= 0.95, "containment of the quote must be ~1")
+    assert(hit.head._4 < 0.6, "the planted pair must sit BELOW the near-dup band")
+    // ...and symmetric banding indeed cannot see it (the claim the op exists for)
+    val banded = Dedup.minhashLshPairs(built).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(!banded.contains((1L, 2L)),
+      "if the band finds it, the discovery op is redundant on this fixture")
+    Dedup.clearPairIndexCache()
+    // fixture law: equals the JVM exact all-ordered-pairs brute force on
+    // distinct char-5-gram STRINGS (independent of the engine's hashing
+    // and blocking; collisions in the 64-bit shingle hash would surface)
+    def grams5(t: String): Set[String] =
+      (0 to math.max(t.length - 5, 0)).map(i => t.substring(i, math.min(i + 5, t.length)))
+        .filter(_.nonEmpty).toSet
+    def round6(x: Double): Double =
+      java.math.BigDecimal.valueOf(x).setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+    val fixture = docs.select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), grams5(r.getString(1))))
+    val expected = (for {
+      (ida, ga) <- fixture; (idb, gb) <- fixture
+      if ida != idb
+      i = (ga intersect gb).size
+      c = round6(i.toDouble / ga.size)
+      if c >= 0.9
+    } yield (ida, idb, c, round6(i.toDouble / (ga.size + gb.size - i))))
+      .sortBy(p => (p._1, p._2)).toSeq
+    val got = Dedup.containmentDiscover(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3))).toSeq
+    assert(got === expected)
+    assert(got.nonEmpty, "the fixture's near-dup families must surface here too")
+  }
+
   test("kcoreDecomposition equals exact peeling; h-index iterate is converged at 8 rounds") {
     import graft.operators.Dedup
     val pairs = Dedup.minhashLshPairs(docs).collect()

@@ -510,6 +510,10 @@ object PipelineQueries {
     // the quote/inclusion pairs symmetric MinHash banding cannot see;
     // oracle states the exact all-pairs form → the gate proves recall
     "q178_containment" -> ((s, d) => Dedup.containmentDiscover(Tables.documents(s, d))),
+    // Neyman variance-optimal stratified allocation + md5 draw: exact
+    // integer moments, integer micro-weights (order-free denominator),
+    // largest-remainder rounding, per-stratum bottom-k draw
+    "q179_neyman_sample" -> ((s, d) => Sampling.neymanAllocation(Tables.documents(s, d))),
   )
 
   // ---- shared SQL fragments -------------------------------------------
@@ -4058,5 +4062,64 @@ object PipelineQueries {
          |JOIN sizes sb ON id_b = sb.doc_id
          |WHERE round(i * 1.0 / sa.sz, 6) >= 0.9
          |ORDER BY contained_id, container_id""".stripMargin,
+    "q179_neyman_sample" ->
+      // same arithmetic discipline as the engine: exact BIGINT moments,
+      // one sqrt, integer micro-weights, (200·wm)/w_tot in one division,
+      // largest-remainder by (frac DESC, stratum), md5 bottom-k draw
+      s"""WITH d AS (
+         |  SELECT lang AS stratum, doc_id,
+         |    CAST(round(($QualityExprSql) * 1e4) AS BIGINT) AS qm
+         |  FROM documents
+         |),
+         |m AS (
+         |  SELECT stratum, count(*) AS n_docs,
+         |    CAST(sum(qm) AS BIGINT) AS s1, CAST(sum(qm * qm) AS BIGINT) AS s2
+         |  FROM d GROUP BY stratum
+         |),
+         |w2 AS (
+         |  SELECT stratum, n_docs, sd,
+         |    CAST(round(n_docs * sd, 0) AS BIGINT) AS wm
+         |  FROM (
+         |    SELECT stratum, n_docs,
+         |      CASE WHEN n_docs > 1
+         |        THEN sqrt((n_docs * s2 - s1 * s1) / (n_docs * (n_docs - 1)))
+         |        ELSE 0.0 END AS sd
+         |    FROM m
+         |  )
+         |),
+         |tot AS (SELECT CAST(sum(wm) AS BIGINT) AS w_tot FROM w2),
+         |a1 AS (
+         |  SELECT stratum, n_docs, sd, q, base,
+         |    row_number() OVER (ORDER BY (q - base) DESC, stratum) AS extra_rank,
+         |    200 - CAST(sum(base) OVER () AS BIGINT) AS rem
+         |  FROM (
+         |    SELECT stratum, n_docs, sd, (200 * wm) / w_tot AS q,
+         |      CAST(floor((200 * wm) / w_tot) AS BIGINT) AS base
+         |    FROM w2 CROSS JOIN tot
+         |  )
+         |),
+         |alloc AS (
+         |  SELECT stratum, n_docs, sd,
+         |    least(n_docs,
+         |      base + CASE WHEN extra_rank <= rem THEN 1 ELSE 0 END) AS alloc
+         |  FROM a1
+         |),
+         |r AS (
+         |  SELECT stratum, qm, row_number() OVER (PARTITION BY stratum
+         |    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+         |  FROM d
+         |),
+         |drawn AS (
+         |  SELECT r.stratum, count(*) AS n_drawn,
+         |    round(CAST(sum(r.qm) AS BIGINT) * 1.0 / count(*) / 10000.0, 6)
+         |      AS sample_mean_q
+         |  FROM r JOIN alloc ON alloc.stratum = r.stratum AND r.rn <= alloc.alloc
+         |  GROUP BY r.stratum
+         |)
+         |SELECT alloc.stratum AS stratum, n_docs, round(sd, 6) AS sd_q,
+         |  CAST(alloc AS BIGINT) AS alloc,
+         |  CAST(coalesce(n_drawn, 0) AS BIGINT) AS n_drawn, sample_mean_q
+         |FROM alloc LEFT JOIN drawn ON alloc.stratum = drawn.stratum
+         |ORDER BY alloc.stratum""".stripMargin,
   )
 }

@@ -28,6 +28,78 @@ object Sampling {
       .select($"stratum", $"doc_id")
       .orderBy($"stratum", $"doc_id")
 
+  /** Neyman-allocation stratified sampling — the variance-OPTIMAL
+    * allocation of a fixed sample budget across strata (Neyman 1934):
+    * n_h ∝ N_h·S_h, so high-variance strata get proportionally more
+    * draws than q56's equal allocation and the resulting estimator of
+    * the corpus mean has minimal variance at the budget. The survey-
+    * design complement to q173's bootstrap (which QUANTIFIES the
+    * uncertainty this op minimizes).
+    *
+    * Determinism engineering: per-stratum variance comes from exact
+    * integer moments (n, Σqm, Σqm²; qm = the rounded micro-quality) —
+    * one double sqrt at the end (IEEE-identical across engines); the
+    * weight N_h·S_h is immediately re-quantized to an integer
+    * micro-weight so the allocation denominator is an EXACT long sum
+    * (a floating sum over strata would be partition-order-dependent),
+    * and the largest-remainder rounding ranks exact integer-derived
+    * fractions (ties → stratum asc). Allocations cap at N_h (a tiny
+    * stratum can be over-asked; the cap is reported, not silently
+    * redistributed — q169's water-fill is the redistribution
+    * machinery if a caller wants it). The draw is the md5 bottom-n_h
+    * per stratum.
+    *
+    * Scale: moments are one map-side-combined agg (raw-moment form —
+    * at extreme corpus sizes Σqm² wants the centered scatter-moments
+    * path, `Aggregators.ScatterMoments`'s argument); everything after
+    * is strata-sized except the draw's per-stratum rank window (q15
+    * pattern; the salted `topKPerGroup` is the heavy-skew alternative
+    * when per-stratum k is uniform).
+    */
+  def neymanAllocation(documents: DataFrame, stratum: String = "lang",
+      nTotal: Int = 200): DataFrame = {
+    import graft.operators.TextAnalysis
+    val perDoc = documents.select(col(stratum).as("stratum"), $"doc_id",
+      round(TextAnalysis.qualityCol($"text") * 1e4, 0).cast("long").as("qm"))
+    val moments = perDoc.groupBy($"stratum")
+      .agg(count(lit(1)).as("n_docs"), sum($"qm").as("s1"),
+        sum($"qm" * $"qm").as("s2"))
+    val sd = when($"n_docs" > 1,
+      sqrt(($"n_docs" * $"s2" - $"s1" * $"s1") /
+        ($"n_docs" * ($"n_docs" - 1)))).otherwise(lit(0.0))
+    val weighted = moments
+      .select($"stratum", $"n_docs", sd.as("sd"),
+        round($"n_docs" * sd, 0).cast("long").as("wm"))
+    val tot = weighted.agg(sum($"wm").as("w_tot"))
+    val q = lit(nTotal) * $"wm" / $"w_tot" // exact longs into one division
+    val wRem = Window.orderBy(($"q" - $"base").desc, $"stratum")
+    val alloc = weighted.crossJoin(broadcast(tot))
+      .select($"stratum", $"n_docs", $"sd", q.as("q"),
+        floor(q).cast("long").as("base"))
+      .withColumn("extra_rank", row_number().over(wRem))
+      .withColumn("rem",
+        lit(nTotal.toLong) - sum($"base").over(
+          Window.orderBy($"stratum")
+            .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+      .select($"stratum", $"n_docs", $"sd",
+        least($"n_docs",
+          $"base" + when($"extra_rank" <= $"rem", 1L).otherwise(0L)).as("alloc"))
+    val wDraw = Window.partitionBy($"stratum")
+      .orderBy(md5($"doc_id".cast("string")), $"doc_id")
+    val drawn = perDoc
+      .withColumn("rn", row_number().over(wDraw).cast("long"))
+      .join(broadcast(alloc.select($"stratum", $"alloc")), Seq("stratum"))
+      .filter($"rn" <= $"alloc")
+      .groupBy($"stratum")
+      .agg(count(lit(1)).as("n_drawn"),
+        round(sum($"qm") / count(lit(1)) / 10000.0, 6).as("sample_mean_q"))
+    alloc
+      .join(drawn, Seq("stratum"), "left_outer")
+      .select($"stratum", $"n_docs", round($"sd", 6).as("sd_q"), $"alloc",
+        coalesce($"n_drawn", lit(0L)).as("n_drawn"), $"sample_mean_q")
+      .orderBy($"stratum")
+  }
+
   /** Deterministic train/test split by hash range: a document lands in
     * `test` iff the first two hex digits of md5(doc_id) fall below the
     * cut (13/256 ~ 5.1% with the default). Stable under corpus growth —

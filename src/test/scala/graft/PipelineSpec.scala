@@ -242,6 +242,52 @@ class PipelineSpec extends GraftSuite {
     assert(batched === exprForm)
   }
 
+  test("neymanAllocation equals the in-JVM survey computation; budget is exactly spent") {
+    import graft.operators.{Sampling, TextAnalysis}
+    def round6(x: Double): Double =
+      java.math.BigDecimal.valueOf(x).setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+    def round0(x: Double): Long =
+      java.math.BigDecimal.valueOf(x).setScale(0, java.math.RoundingMode.HALF_UP).longValue()
+    def md5hex(s: String): String = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val nTotal = 200
+    val perDoc = docs.select(col("lang"), col("doc_id"),
+        round(TextAnalysis.qualityCol(col("text")) * 1e4, 0).cast("long").as("qm"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val byStr = perDoc.groupBy(_._1)
+    val stats = byStr.map { case (s, rows) =>
+      val n = rows.length.toLong
+      val s1 = rows.map(_._3).sum; val s2 = rows.map(x => x._3 * x._3).sum
+      val sd = if (n > 1) math.sqrt((n * s2 - s1 * s1).toDouble / (n * (n - 1))) else 0.0
+      (s, n, sd, round0(n * sd))
+    }.toSeq.sortBy(_._1)
+    val wTot = stats.map(_._4).sum
+    val qs = stats.map { case (s, n, sd, wm) =>
+      val q = (nTotal.toLong * wm).toDouble / wTot
+      (s, n, sd, q, math.floor(q).toLong)
+    }
+    val rem = nTotal - qs.map(_._5).sum
+    val extras = qs.sortBy { case (s, _, _, q, b) => (-(q - b), s) }
+      .take(rem.toInt).map(_._1).toSet
+    val expected = qs.map { case (s, n, sd, _, b) =>
+      val alloc = math.min(n, b + (if (extras(s)) 1L else 0L))
+      val drawnQm = byStr(s).map(t => (t._2, t._3))
+        .sortBy { case (id, _) => (md5hex(id.toString), id) }.take(alloc.toInt)
+      (s, n, round6(sd), alloc, alloc,
+        round6(drawnQm.map(_._2).sum.toDouble / drawnQm.length / 10000.0))
+    }
+    val got = Sampling.neymanAllocation(docs).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5))).toSeq
+    assert(got === expected)
+    assert(got.map(_._4).sum === nTotal.toLong,
+      "with no stratum capped the budget must be spent exactly")
+    got.foreach { case (s, n, sd, alloc, drawn, _) =>
+      assert(alloc <= n && drawn === alloc, s)
+      assert(sd > 0.0, s"$s: the fixture strata all carry quality variance")
+    }
+  }
+
   test("sampling: fixed-size strata, growth-stable split, packing conserves tokens") {
     import graft.operators.Sampling
     // stratified: at most 20 per stratum, deterministic across runs

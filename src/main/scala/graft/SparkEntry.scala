@@ -72,6 +72,12 @@ object SparkEntry {
       Relational.largeOrders(Tables.customer(s, d), Tables.orders(s, d), Tables.lineitem(s, d))),
     "q171_part_supplier_counts" -> ((s, d) =>
       Relational.partSupplierCounts(Tables.part(s, d), Tables.supplier(s, d), Tables.lineitem(s, d))),
+    "q180_late_order_priority" -> ((s, d) =>
+      Relational.lateOrderPriority(Tables.orders(s, d), Tables.lineitem(s, d))),
+    "q181_shipclass_priority" -> ((s, d) =>
+      Relational.shipclassPriority(Tables.orders(s, d), Tables.lineitem(s, d))),
+    "q182_promo_share" -> ((s, d) =>
+      Relational.promoRevenueShare(Tables.part(s, d), Tables.lineitem(s, d))),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -240,5 +246,38 @@ object SparkEntry {
         |FROM ps JOIN part ON l_partkey = p_partkey
         |GROUP BY p_brand, p_type, p_size
         |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin,
+    "q180_late_order_priority" ->
+      """SELECT o_orderpriority, count(*) AS n_orders
+        |FROM orders o
+        |WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate < TIMESTAMP '1996-07-01'
+        |  AND EXISTS (
+        |    SELECT 1 FROM lineitem l
+        |    WHERE l.l_orderkey = o.o_orderkey
+        |      AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "q181_shipclass_priority" ->
+      """SELECT l_returnflag,
+        | CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |   THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+        | CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |   THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |  AND l_shipdate < TIMESTAMP '1997-01-01'
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q182_promo_share" ->
+      """WITH r AS (
+        |  SELECT
+        |   round(sum(CASE WHEN p_type = 'PROMO'
+        |     THEN l_extendedprice * (1.0 - l_discount) ELSE 0.0 END), 2) AS promo_revenue,
+        |   round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS total_revenue
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |    AND l_shipdate < TIMESTAMP '1996-04-01'
+        |)
+        |SELECT round(100.0 * promo_revenue / total_revenue, 4) AS promo_share_pct,
+        | promo_revenue, total_revenue
+        |FROM r""".stripMargin,
   )
 }

@@ -370,4 +370,89 @@ object Relational {
       .select($"l_returnflag", $"dec_total".cast("double").as("exact_total"), $"double_total")
       .orderBy($"l_returnflag")
 
+  /** A timestamp literal typed to MATCH the named column's physical type
+    * (TIMESTAMP vs TIMESTAMP_NTZ — fixtures ship NTZ; the session is
+    * UTC, so the instants coincide). Dispatching the LITERAL keeps the
+    * column bare in the predicate, which is what lets the comparison
+    * reach the parquet scan as a pushed filter — a cast wrapped around
+    * the column would silently disable pushdown. Same schema-dispatch
+    * idea as Tables' events normalization.
+    */
+  private def tsLit(df: DataFrame, colName: String, value: String): Column =
+    df.schema(colName).dataType match {
+      case org.apache.spark.sql.types.TimestampNTZType => lit(value).cast("timestamp_ntz")
+      case _ => lit(value).cast("timestamp")
+    }
+
+  /** TPC-H Q4 shape (order-priority checking): per-priority counts of
+    * orders placed in a half-year window having at least one LATE line —
+    * shipped more than `lagDays` after the order date (the fixtures carry
+    * no commitdate/receiptdate, so the ship-lag witness stands in for
+    * Q4's `l_commitdate < l_receiptdate`). The EXISTS is a left-semi join
+    * whose correlated non-equi conjunct (`l_shipdate > o_orderdate +
+    * lag`) stays IN the join condition: one probe pass over lineitem,
+    * multiple late lines per order deduplicated by semi-join semantics
+    * (no DISTINCT exchange), and the final aggregate runs over
+    * order-count rows. The date filter lands on the orders scan as a
+    * pushed predicate before the join.
+    */
+  def lateOrderPriority(orders: DataFrame, lineitem: DataFrame,
+      fromDate: String = "1996-01-01", toDate: String = "1996-07-01",
+      lagDays: Int = 60): DataFrame =
+    orders
+      .filter($"o_orderdate" >= tsLit(orders, "o_orderdate", fromDate) &&
+        $"o_orderdate" < tsLit(orders, "o_orderdate", toDate))
+      .join(lineitem,
+        $"o_orderkey" === $"l_orderkey" &&
+          $"l_shipdate" > $"o_orderdate" + expr(s"INTERVAL $lagDays DAYS"),
+        "left_semi")
+      .groupBy($"o_orderpriority")
+      .agg(count(lit(1)).as("n_orders"))
+      .orderBy($"o_orderpriority")
+
+  /** TPC-H Q12 shape (shipment-class priority audit): per return-flag
+    * class (the fixture's stand-in for Q12's ship mode), lines shipped in
+    * the window split into urgent/high vs lower-priority order counts.
+    * Q12's signature shape survives the substitution: both branches are
+    * conditional sums folded into ONE join+aggregate pass — no
+    * per-branch scan, no second exchange; the ship-date filter prunes the
+    * lineitem scan and the orders side carries only (orderkey, priority).
+    */
+  def shipclassPriority(orders: DataFrame, lineitem: DataFrame,
+      fromDate: String = "1996-01-01", toDate: String = "1997-01-01"): DataFrame = {
+    val isHigh = $"o_orderpriority".isin("1-URGENT", "2-HIGH")
+    lineitem
+      .filter($"l_shipdate" >= tsLit(lineitem, "l_shipdate", fromDate) &&
+        $"l_shipdate" < tsLit(lineitem, "l_shipdate", toDate))
+      .join(orders.select($"o_orderkey", $"o_orderpriority"),
+        $"l_orderkey" === $"o_orderkey")
+      .groupBy($"l_returnflag")
+      .agg(
+        sum(when(isHigh, 1L).otherwise(0L)).as("high_line_count"),
+        sum(when(isHigh, 0L).otherwise(1L)).as("low_line_count"))
+      .orderBy($"l_returnflag")
+  }
+
+  /** TPC-H Q14 shape (promotion effect): revenue share of PROMO-type
+    * parts among lines shipped in the window. One lineitem⋈part join
+    * (part is the dimension side; AQE broadcasts it when it fits), promo
+    * and total revenue as conditional aggregates of the SAME pass, and
+    * the percentage computed from the two ROUNDED totals so the one
+    * division consumes association-order-stable inputs on any engine —
+    * the same F2-boundary discipline as every money aggregate here.
+    */
+  def promoRevenueShare(part: DataFrame, lineitem: DataFrame,
+      fromDate: String = "1996-01-01", toDate: String = "1996-04-01"): DataFrame =
+    lineitem
+      .filter($"l_shipdate" >= tsLit(lineitem, "l_shipdate", fromDate) &&
+        $"l_shipdate" < tsLit(lineitem, "l_shipdate", toDate))
+      .join(part.select($"p_partkey", $"p_type"), $"l_partkey" === $"p_partkey")
+      .agg(
+        f2(sum(when($"p_type" === "PROMO",
+          $"l_extendedprice" * (lit(1.0) - $"l_discount")).otherwise(lit(0.0)))).as("promo_revenue"),
+        f2(sum($"l_extendedprice" * (lit(1.0) - $"l_discount"))).as("total_revenue"))
+      .select(
+        round(lit(100.0) * $"promo_revenue" / $"total_revenue", 4).as("promo_share_pct"),
+        $"promo_revenue", $"total_revenue")
+
 }

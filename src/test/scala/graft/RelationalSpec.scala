@@ -149,4 +149,78 @@ class RelationalSpec extends GraftSuite {
     assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftAnti"),
       s"denylist must broadcast anti-join, got:\n$plan")
   }
+
+  private def utcMillis(day: String): Long =
+    java.time.LocalDate.parse(day).atStartOfDay.toInstant(java.time.ZoneOffset.UTC).toEpochMilli
+
+  // fixture date columns are TIMESTAMP_NTZ -> LocalDateTime in rows
+  private def tsMillis(r: org.apache.spark.sql.Row, i: Int): Long = r.get(i) match {
+    case t: java.sql.Timestamp => t.getTime
+    case d: java.time.LocalDateTime => d.toInstant(java.time.ZoneOffset.UTC).toEpochMilli
+  }
+
+  test("late-order priority (Q4 shape): equals brute-force EXISTS; semi-join plan") {
+    val lagMs = 60L * 24 * 3600 * 1000
+    val lateKeys = Tables.lineitem(spark, sf)
+      .select(col("l_orderkey"), col("l_shipdate"))
+      .collect().map(r => (r.getLong(0), tsMillis(r, 1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).max).toMap
+    val orders = Tables.orders(spark, sf)
+      .select(col("o_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+      .collect().map(r => (r.getLong(0), tsMillis(r, 1), r.getString(2)))
+    val from = utcMillis("1996-01-01")
+    val to = utcMillis("1996-07-01")
+    val expected = orders
+      .filter(o => o._2 >= from && o._2 < to)
+      .filter(o => lateKeys.get(o._1).exists(_ > o._2 + lagMs))
+      .groupBy(_._3).view.mapValues(_.length.toLong)
+      .toSeq.sortBy(_._1)
+    val df = Relational.lateOrderPriority(Tables.orders(spark, sf), Tables.lineitem(spark, sf))
+    val got = df.collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(got === expected)
+    assert(got.nonEmpty)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("LeftSemi"), s"EXISTS must plan as a semi join, got:\n$plan")
+  }
+
+  test("shipclass priority (Q12 shape): equals brute-force conditional counts") {
+    val prio = Tables.orders(spark, sf)
+      .select(col("o_orderkey"), col("o_orderpriority"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val from = utcMillis("1996-01-01")
+    val to = utcMillis("1997-01-01")
+    val lines = Tables.lineitem(spark, sf)
+      .select(col("l_orderkey"), col("l_returnflag"), col("l_shipdate"))
+      .collect().map(r => (r.getLong(0), r.getString(1), tsMillis(r, 2)))
+      .filter(l => l._3 >= from && l._3 < to)
+    val high = Set("1-URGENT", "2-HIGH")
+    val expected = lines.groupBy(_._2).view.mapValues { g =>
+      val h = g.count(l => high(prio(l._1))).toLong
+      (h, g.length - h)
+    }.toSeq.map { case (f, (h, l)) => (f, h, l) }.sortBy(_._1)
+    val df = Relational.shipclassPriority(Tables.orders(spark, sf), Tables.lineitem(spark, sf))
+    val got = df.collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got === expected)
+    assert(got.nonEmpty && got.exists(_._2 > 0) && got.exists(_._3 > 0))
+  }
+
+  test("promo revenue share (Q14 shape): equals brute force; one row, bounded pct") {
+    val promoParts = Tables.part(spark, sf).filter(col("p_type") === "PROMO")
+      .select(col("p_partkey")).collect().map(_.getLong(0)).toSet
+    val from = utcMillis("1996-01-01")
+    val to = utcMillis("1996-04-01")
+    val lines = Tables.lineitem(spark, sf)
+      .select(col("l_partkey"), col("l_extendedprice"), col("l_discount"), col("l_shipdate"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1) * (1.0 - r.getDouble(2)),
+        tsMillis(r, 3)))
+      .filter(l => l._3 >= from && l._3 < to)
+    def r2(x: Double) = BigDecimal(x).setScale(2, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val promo = r2(lines.filter(l => promoParts(l._1)).map(_._2).sum)
+    val total = r2(lines.map(_._2).sum)
+    val row = Relational.promoRevenueShare(Tables.part(spark, sf), Tables.lineitem(spark, sf))
+      .collect() match { case Array(r) => r }
+    assert(row.getDouble(1) === promo)
+    assert(row.getDouble(2) === total)
+    assert(row.getDouble(0) > 0.0 && row.getDouble(0) < 100.0)
+  }
 }

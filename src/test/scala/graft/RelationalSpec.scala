@@ -181,6 +181,9 @@ class RelationalSpec extends GraftSuite {
     assert(got.nonEmpty)
     val plan = df.queryExecution.executedPlan.toString
     assert(plan.contains("LeftSemi"), s"EXISTS must plan as a semi join, got:\n$plan")
+    // the tsLit dispatch exists to keep this predicate scan-pushable
+    assert(plan.contains("GreaterThanOrEqual(o_orderdate") && plan.contains("LessThan(o_orderdate"),
+      s"date window must reach the orders scan as pushed filters, got:\n$plan")
   }
 
   test("shipclass priority (Q12 shape): equals brute-force conditional counts") {

@@ -381,7 +381,16 @@ object Relational {
   private def tsLit(df: DataFrame, colName: String, value: String): Column =
     df.schema(colName).dataType match {
       case org.apache.spark.sql.types.TimestampNTZType => lit(value).cast("timestamp_ntz")
-      case _ => lit(value).cast("timestamp")
+      case org.apache.spark.sql.types.TimestampType => lit(value).cast("timestamp")
+      case other =>
+        // fail loudly rather than emit a timestamp literal against (say)
+        // an INT64 epoch column — the drift guard accepts bigint dates as
+        // a valid fixture encoding, but only the events loader normalizes
+        // them; a silent long-vs-timestamp comparison here would be the
+        // q151-class of bug (wrong on dtype while looking plausible)
+        throw new IllegalArgumentException(
+          s"tsLit: $colName is $other, not a timestamp type — normalize the " +
+            "column (cast epoch micros) before using date-window operators")
     }
 
   /** TPC-H Q4 shape (order-priority checking): per-priority counts of
@@ -402,7 +411,13 @@ object Relational {
     orders
       .filter($"o_orderdate" >= tsLit(orders, "o_orderdate", fromDate) &&
         $"o_orderdate" < tsLit(orders, "o_orderdate", toDate))
-      .join(lineitem,
+      .join(lineitem
+          // derived bound: qualifying orders have o_orderdate >= fromDate,
+          // so every witness line has l_shipdate > fromDate + lag — a
+          // semantics-preserving filter the scan can push, instead of
+          // probing the whole fact table for a half-year window
+          .filter($"l_shipdate" >
+            tsLit(lineitem, "l_shipdate", fromDate) + expr(s"INTERVAL $lagDays DAYS")),
         $"o_orderkey" === $"l_orderkey" &&
           $"l_shipdate" > $"o_orderdate" + expr(s"INTERVAL $lagDays DAYS"),
         "left_semi")

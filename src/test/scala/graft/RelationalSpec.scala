@@ -197,8 +197,12 @@ class RelationalSpec extends GraftSuite {
       .collect().map(r => (r.getLong(0), r.getString(1), tsMillis(r, 2)))
       .filter(l => l._3 >= from && l._3 < to)
     val high = Set("1-URGENT", "2-HIGH")
-    val expected = lines.groupBy(_._2).view.mapValues { g =>
-      val h = g.count(l => high(prio(l._1))).toLong
+    // prio.get mirrors the inner join: an orders-orphan line is dropped,
+    // not crashed on (FK-clean today, but the test should share the
+    // query's semantics, not assume them)
+    val joined = lines.flatMap(l => prio.get(l._1).map(p => (l._2, p)))
+    val expected = joined.groupBy(_._1).view.mapValues { g =>
+      val h = g.count(x => high(x._2)).toLong
       (h, g.length - h)
     }.toSeq.map { case (f, (h, l)) => (f, h, l) }.sortBy(_._1)
     val df = Relational.shipclassPriority(Tables.orders(spark, sf), Tables.lineitem(spark, sf))
@@ -208,22 +212,29 @@ class RelationalSpec extends GraftSuite {
   }
 
   test("promo revenue share (Q14 shape): equals brute force; one row, bounded pct") {
-    val promoParts = Tables.part(spark, sf).filter(col("p_type") === "PROMO")
-      .select(col("p_partkey")).collect().map(_.getLong(0)).toSet
+    val partTypes = Tables.part(spark, sf).select(col("p_partkey"), col("p_type"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
     val from = utcMillis("1996-01-01")
     val to = utcMillis("1996-04-01")
+    // flatMap over partTypes.get mirrors the inner join: a part-orphan
+    // line contributes to NEITHER total, matching the query's semantics
     val lines = Tables.lineitem(spark, sf)
       .select(col("l_partkey"), col("l_extendedprice"), col("l_discount"), col("l_shipdate"))
       .collect().map(r => (r.getLong(0), r.getDouble(1) * (1.0 - r.getDouble(2)),
         tsMillis(r, 3)))
       .filter(l => l._3 >= from && l._3 < to)
+      .flatMap(l => partTypes.get(l._1).map(t => (t, l._2)))
     def r2(x: Double) = BigDecimal(x).setScale(2, BigDecimal.RoundingMode.HALF_UP).toDouble
-    val promo = r2(lines.filter(l => promoParts(l._1)).map(_._2).sum)
+    val promo = r2(lines.filter(_._1 == "PROMO").map(_._2).sum)
     val total = r2(lines.map(_._2).sum)
     val row = Relational.promoRevenueShare(Tables.part(spark, sf), Tables.lineitem(spark, sf))
       .collect() match { case Array(r) => r }
-    assert(row.getDouble(1) === promo)
-    assert(row.getDouble(2) === total)
+    // half-cent tolerance: the in-JVM sum and Spark's distributed agg
+    // accumulate in different orders; a true sum within FP noise of an
+    // x.xx5 boundary may round to different cents (the oracle gate is
+    // the bit-level check; decimalTotals is the order-invariant form)
+    assert(math.abs(row.getDouble(1) - promo) <= 0.011, s"promo ${row.getDouble(1)} vs $promo")
+    assert(math.abs(row.getDouble(2) - total) <= 0.011, s"total ${row.getDouble(2)} vs $total")
     assert(row.getDouble(0) > 0.0 && row.getDouble(0) < 100.0)
   }
 }

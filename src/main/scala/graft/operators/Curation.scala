@@ -512,29 +512,6 @@ object Curation {
         round($"target_tokens" / $"tokens", 4).as("epochs"))
       .orderBy($"lang")
 
-  /** Token-budget curation cut at the QUALITY frontier: walk documents in
-    * (quality desc, doc_id) order and keep the prefix whose running token
-    * mass stays within `budgetTokens` — "spend the training budget on the
-    * best documents first", the document-grain selection rule that q112's
-    * per-language epoch plan allocates in aggregate. Prefix-cut
-    * semantics: the first document that would overflow the budget (and
-    * everything after it) is out.
-    *
-    * The running sum is the DISTRIBUTED two-phase prefix sum (the q58
-    * pattern applied to a computed order): `repartitionByRange` on the
-    * selection order, per-partition window cumsum + per-partition token
-    * subtotals, and each partition's base offset from one tiny window
-    * over the ≤`parts` subtotal rows (broadcast back). No global window,
-    * no driver fold — the quality order exists only as range-partition
-    * boundaries, exactly how a 1000-executor sort would place it. The
-    * checkpoint pins partition identity so the subtotal pass and the
-    * final join see the same `spark_partition_id`.
-    *
-    * Output is partition-count invariant (spec'd): the cumsum is a
-    * function of the total order, not of where the range boundaries
-    * fall; quality is the shared rounded-to-4 q21 score, so the order
-    * and the cut are engine-exact.
-    */
   /** Poisson-bootstrap confidence intervals for per-language mean quality
     * — uncertainty quantification for corpus metrics, the way it is
     * actually done distributed: classic bootstrap resampling (n draws
@@ -592,28 +569,6 @@ object Curation {
       .orderBy($"lang")
   }
 
-  /** Pareto frontier (skyline) over (quality ↑, token cost ↓): documents
-    * no other document beats on both axes — the best-value-per-token
-    * candidates a budget-constrained curation pass examines first, and
-    * the classic multi-objective selection operator (skyline).
-    *
-    * Dominance is the standard strict-on-one-axis rule: j dominates i
-    * iff q_j ≥ q_i ∧ t_j ≤ t_i ∧ (q_j > q_i ∨ t_j < t_i); exact
-    * duplicates on both axes don't dominate each other and all stay on
-    * the frontier.
-    *
-    * NOT the pairwise formulation: for two objectives the skyline is a
-    * running-min identity — a (quality, minToks) group survives iff its
-    * minToks is strictly below the min over all STRICTLY higher quality
-    * groups — so the plan is one map-side-combined (quality → min toks)
-    * aggregation, a window over the DISTINCT-QUALITY frame (bounded by
-    * the rounded-to-4 quality domain — ≤ 2·10⁴ rows at any corpus size,
-    * the `exactQuantileByGroup` bounded-state argument), and one
-    * broadcast join of the surviving (quality, tmin) pairs back onto the
-    * scan. No self-join, no corpus-row window, nothing pairwise — the
-    * oracle deliberately states the INDEPENDENT NOT EXISTS dominance
-    * form, so the gate proves the identity, not the implementation.
-    */
   /** Greedy vocabulary SET COVER — the coverage-selection twin of the
     * facility-location operator (q174): pick `nSel` documents that
     * together cover the most DISTINCT vocabulary, one greedy argmax at
@@ -667,6 +622,28 @@ object Curation {
       .orderBy($"round")
   }
 
+  /** Pareto frontier (skyline) over (quality ↑, token cost ↓): documents
+    * no other document beats on both axes — the best-value-per-token
+    * candidates a budget-constrained curation pass examines first, and
+    * the classic multi-objective selection operator (skyline).
+    *
+    * Dominance is the standard strict-on-one-axis rule: j dominates i
+    * iff q_j ≥ q_i ∧ t_j ≤ t_i ∧ (q_j > q_i ∨ t_j < t_i); exact
+    * duplicates on both axes don't dominate each other and all stay on
+    * the frontier.
+    *
+    * NOT the pairwise formulation: for two objectives the skyline is a
+    * running-min identity — a (quality, minToks) group survives iff its
+    * minToks is strictly below the min over all STRICTLY higher quality
+    * groups — so the plan is one map-side-combined (quality → min toks)
+    * aggregation, a window over the DISTINCT-QUALITY frame (bounded by
+    * the rounded-to-4 quality domain — ≤ 2·10⁴ rows at any corpus size,
+    * the `exactQuantileByGroup` bounded-state argument), and one
+    * broadcast join of the surviving (quality, tmin) pairs back onto the
+    * scan. No self-join, no corpus-row window, nothing pairwise — the
+    * oracle deliberately states the INDEPENDENT NOT EXISTS dominance
+    * form, so the gate proves the identity, not the implementation.
+    */
   def paretoFrontier(documents: DataFrame): DataFrame = {
     val s = documents.select($"doc_id",
       TextAnalysis.qualityCol($"text").as("quality"),
@@ -740,6 +717,29 @@ object Curation {
       .orderBy($"source")
   }
 
+  /** Token-budget curation cut at the QUALITY frontier: walk documents in
+    * (quality desc, doc_id) order and keep the prefix whose running token
+    * mass stays within `budgetTokens` — "spend the training budget on the
+    * best documents first", the document-grain selection rule that q112's
+    * per-language epoch plan allocates in aggregate. Prefix-cut
+    * semantics: the first document that would overflow the budget (and
+    * everything after it) is out.
+    *
+    * The running sum is the DISTRIBUTED two-phase prefix sum (the q58
+    * pattern applied to a computed order): `repartitionByRange` on the
+    * selection order, per-partition window cumsum + per-partition token
+    * subtotals, and each partition's base offset from one tiny window
+    * over the ≤`parts` subtotal rows (broadcast back). No global window,
+    * no driver fold — the quality order exists only as range-partition
+    * boundaries, exactly how a 1000-executor sort would place it. The
+    * checkpoint pins partition identity so the subtotal pass and the
+    * final join see the same `spark_partition_id`.
+    *
+    * Output is partition-count invariant (spec'd): the cumsum is a
+    * function of the total order, not of where the range boundaries
+    * fall; quality is the shared rounded-to-4 q21 score, so the order
+    * and the cut are engine-exact.
+    */
   def budgetSelect(documents: DataFrame, budgetTokens: Long = 10000L,
       parts: Int = 32): DataFrame = {
     val scored = documents

@@ -778,8 +778,7 @@ object Similarity {
       cents: Array[(Long, Array[Double])], nProbe: Int, nQueries: Int): DataFrame = {
     val probes = corpus.filter($"vec_id" < nQueries)
       .select($"vec_id".as("query_id"),
-        explode(slice(array_sort(array(cellStructs(cents, $"v"): _*)), 1, nProbe)).as("p"))
-      .select($"query_id", $"p.cid".as("centroid_id"))
+        explode(probeCellsExpr(cents, $"v", nProbe)).as("centroid_id"))
     // the inverted-list probe: (query, candidate) pairs from probed cells
     val candPairs = assigned
       .join(broadcast(probes), Seq("centroid_id"))
@@ -999,8 +998,7 @@ object Similarity {
     } yield (qid, cid, round6(ddot(qv, cv)))).toDF("query_id", "centroid_id", "qc")
     val probes = corpus.filter($"vec_id" < nQueries)
       .select($"vec_id".as("query_id"),
-        explode(slice(array_sort(array(cellStructs(cents, $"v"): _*)), 1, nProbe)).as("p"))
-      .select($"query_id", $"p.cid".as("centroid_id"))
+        explode(probeCellsExpr(cents, $"v", nProbe)).as("centroid_id"))
     val candPairs = assigned
       .join(broadcast(probes), Seq("centroid_id"))
       .filter($"vec_id" =!= $"query_id")
@@ -1102,8 +1100,7 @@ object Similarity {
     val queries = corpus.filter($"vec_id" < nQueries)
       .select($"vec_id".as("query_id"), $"v".as("qv"))
       .select($"query_id", $"qv",
-        explode(slice(array_sort(array(cellStructs(cents, $"qv"): _*)), 1, nProbe)).as("p"))
-      .select($"query_id", $"qv", $"p.cid".as("centroid_id"))
+        explode(probeCellsExpr(cents, $"qv", nProbe)).as("centroid_id"))
     val scored = assigned
       .join(broadcast(queries), Seq("centroid_id"))
       .filter($"vec_id" =!= $"query_id")
@@ -1147,8 +1144,7 @@ object Similarity {
     val queries = corpus.filter($"vec_id" < nQueries)
       .select($"vec_id".as("query_id"), $"v".as("qv"))
       .select($"query_id", $"qv",
-        explode(slice(array_sort(array(cellStructs(cents, $"qv"): _*)), 1, nProbe)).as("p"))
-      .select($"query_id", $"qv", $"p.cid".as("centroid_id"))
+        explode(probeCellsExpr(cents, $"qv", nProbe)).as("centroid_id"))
     val scored = assigned
       .join(broadcast(queries), Seq("centroid_id"))
       .filter($"vec_id" =!= $"query_id")

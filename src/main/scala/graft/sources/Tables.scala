@@ -89,13 +89,34 @@ object Tables {
     df
   }
 
+  /** Normalize a date column that a NANOS-era fixture delivers as raw
+    * nanosecond-epoch longs (the `nanosAsLong` flag that `events` sets is
+    * session-wide, so orders/lineitem read under it too) back to
+    * TIMESTAMP_NTZ — exact integer `div 1000` to micros, and the UTC
+    * session makes NTZ wall-clock == the instant. This is what makes the
+    * drift guard's "bigint is an encoding the loaders know how to
+    * normalize" claim TRUE for the date-window consumers (q44/q45/q170/
+    * q176/q180–q182): without it a NANOS fixture regeneration would feed
+    * raw longs to timestamp comparisons. No-op on current (MICROS)
+    * fixtures.
+    */
+  private[graft] def normalizeTsCol(df: DataFrame, colName: String): DataFrame =
+    df.schema.fields.find(_.name == colName) match {
+      case Some(f) if f.dataType == org.apache.spark.sql.types.LongType =>
+        df.withColumn(colName, org.apache.spark.sql.functions
+          .expr(s"timestamp_micros($colName div 1000)").cast("timestamp_ntz"))
+      case _ => df
+    }
+
   def region(spark: SparkSession, dir: String): DataFrame     = load(spark, dir, "region")
   def nation(spark: SparkSession, dir: String): DataFrame     = load(spark, dir, "nation")
   def customer(spark: SparkSession, dir: String): DataFrame   = load(spark, dir, "customer")
   def supplier(spark: SparkSession, dir: String): DataFrame   = load(spark, dir, "supplier")
   def part(spark: SparkSession, dir: String): DataFrame       = load(spark, dir, "part")
-  def orders(spark: SparkSession, dir: String): DataFrame     = load(spark, dir, "orders")
-  def lineitem(spark: SparkSession, dir: String): DataFrame   = load(spark, dir, "lineitem")
+  def orders(spark: SparkSession, dir: String): DataFrame =
+    normalizeTsCol(load(spark, dir, "orders"), "o_orderdate")
+  def lineitem(spark: SparkSession, dir: String): DataFrame =
+    normalizeTsCol(load(spark, dir, "lineitem"), "l_shipdate")
   /** The events fixture has stored TIMESTAMP(NANOS) (older drivers) or
     * TIMESTAMP(MICROS) (current). Downstream operators want raw
     * nanosecond-epoch longs (exact integer time arithmetic — see

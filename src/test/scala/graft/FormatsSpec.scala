@@ -125,4 +125,23 @@ class FormatsSpec extends GraftSuite {
     // unknown table: no expectation, no noise
     assert(Tables.fixtureDrift("not_a_table", migrated).isEmpty)
   }
+
+  test("normalizeTsCol: NANOS-era bigint date reads back as the exact NTZ instant") {
+    import graft.sources.Tables
+    import spark.implicits.{localSeqToDatasetHolder, newLongEncoder}
+    // 1996-01-01T00:00:00 UTC and one microsecond later, as epoch NANOS —
+    // what a NANOS fixture delivers for o_orderdate under nanosAsLong
+    val base = 820454400000000000L
+    val df = Seq(base, base + 1000L).toDF("o_orderdate")
+    val out = Tables.normalizeTsCol(df, "o_orderdate")
+    assert(out.schema("o_orderdate").dataType ===
+      org.apache.spark.sql.types.TimestampNTZType)
+    val got = out.collect().map(_.getAs[java.time.LocalDateTime](0)).toSeq
+    assert(got === Seq(
+      java.time.LocalDateTime.parse("1996-01-01T00:00:00"),
+      java.time.LocalDateTime.parse("1996-01-01T00:00:00.000001")))
+    // a timestamp column passes through untouched (current MICROS fixture)
+    val already = Tables.orders(spark, sf)
+    assert(Tables.normalizeTsCol(already, "o_orderdate") eq already)
+  }
 }

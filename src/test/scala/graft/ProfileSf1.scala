@@ -57,13 +57,15 @@ object ProfileSf1 {
       (0 until 10).map(replica).reduce(_ union _)
         .repartition(32).write.mode("overwrite").parquet(fullDir)
     }
-    // ---- materialize emb_x10 if ProfileScaling hasn't (same signed-
-    // cyclic-permutation replica map — orthogonal, cosine-preserving —
-    // plus the label column carried for the outlier-report serving path)
+    // ---- materialize emb_x10 if ProfileScaling hasn't. SAME schema and
+    // replica map as ProfileScaling's writer (signed cyclic permutation —
+    // orthogonal, cosine-preserving): the two harnesses share this cache
+    // path first-writer-wins, so a schema divergence here would make
+    // cross-run timings silently measure different artifacts.
     val embDir = s"$outRoot/emb_x10"
     if (!new java.io.File(s"$embDir/_SUCCESS").exists()) {
       val embBase = Tables.embeddings(spark, sfDir)
-        .select($"vec_id", $"embedding", $"label")
+        .select($"vec_id", $"embedding")
       val dim = embBase.select(size($"embedding")).first().getInt(0)
       def vecReplica(r: Int): DataFrame =
         if (r == 0) embBase
@@ -74,8 +76,7 @@ object ProfileSf1 {
             array((0 until dim).map { i =>
               val sign = if (((i + 1) * 104729 + r * 7919) % 2 == 0) 1.0f else -1.0f
               element_at($"embedding", ((i + shift) % dim) + 1) * lit(sign)
-            }: _*).as("embedding"),
-            $"label")
+            }: _*).as("embedding"))
         }
       (0 until 10).map(vecReplica).reduce(_ union _)
         .repartition(32).write.mode("overwrite").parquet(embDir)

@@ -126,6 +126,23 @@ class FormatsSpec extends GraftSuite {
     assert(Tables.fixtureDrift("not_a_table", migrated).isEmpty)
   }
 
+  test("stableSingleFile: one partition, query order re-asserted (direction + nulls)") {
+    import spark.implicits.{localSeqToDatasetHolder, newProductEncoder}
+    import org.apache.spark.sql.functions.col
+    val df = Seq((3L, Some("b")), (1L, None), (2L, Some("a")), (4L, Some("a")))
+      .toDF("k", "s")
+      .orderBy(col("s").desc_nulls_last, col("k"))
+    val expected = df.collect().map(_.getLong(0)).toSeq
+    val out = Verify.stableSingleFile(df)
+    assert(out.rdd.getNumPartitions === 1)
+    assert(out.collect().map(_.getLong(0)).toSeq === expected)
+    // a non-attribute top sort key (expression) falls back to plain coalesce
+    val exprSorted = Seq((2L, 3.0), (1L, 9.0)).toDF("k", "v").orderBy((col("v") * 2).desc)
+    val fb = Verify.stableSingleFile(exprSorted)
+    assert(fb.rdd.getNumPartitions === 1)
+    assert(fb.collect().map(_.getLong(0)).toSeq === Seq(1L, 2L))
+  }
+
   test("normalizeTsCol: NANOS-era bigint date reads back as the exact NTZ instant") {
     import graft.sources.Tables
     import spark.implicits.{localSeqToDatasetHolder, newLongEncoder}

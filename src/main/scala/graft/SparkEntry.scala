@@ -78,6 +78,22 @@ object SparkEntry {
       Relational.shipclassPriority(Tables.orders(s, d), Tables.lineitem(s, d))),
     "q182_promo_share" -> ((s, d) =>
       Relational.promoRevenueShare(Tables.part(s, d), Tables.lineitem(s, d))),
+    "q183_customer_distribution" -> ((s, d) =>
+      Relational.customerOrderDistribution(Tables.customer(s, d), Tables.orders(s, d))),
+    "q184_small_qty_revenue" -> ((s, d) =>
+      Relational.smallQuantityRevenue(Tables.part(s, d), Tables.lineitem(s, d))),
+    "q185_idle_balance" -> ((s, d) =>
+      Relational.idleCustomerBalance(Tables.customer(s, d), Tables.orders(s, d),
+        Tables.nation(s, d))),
+    "q186_nation_volume" -> ((s, d) =>
+      Relational.nationVolumeShipping(Tables.lineitem(s, d), Tables.orders(s, d),
+        Tables.customer(s, d), Tables.supplier(s, d), Tables.nation(s, d))),
+    "q187_market_share" -> ((s, d) =>
+      Relational.nationMarketShare(Tables.lineitem(s, d), Tables.orders(s, d),
+        Tables.customer(s, d), Tables.supplier(s, d), Tables.nation(s, d),
+        Tables.region(s, d), Tables.part(s, d))),
+    "q188_brand_bands" -> ((s, d) =>
+      Relational.brandBandRevenue(Tables.part(s, d), Tables.lineitem(s, d))),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -279,5 +295,79 @@ object SparkEntry {
         |SELECT round(100.0 * promo_revenue / total_revenue, 4) AS promo_share_pct,
         | promo_revenue, total_revenue
         |FROM r""".stripMargin,
+    "q183_customer_distribution" ->
+      """SELECT c_count, count(*) AS custdist FROM (
+        |  SELECT c_custkey, count(o_orderkey) AS c_count
+        |  FROM customer LEFT JOIN orders
+        |    ON c_custkey = o_custkey AND o_orderstatus <> 'F'
+        |  GROUP BY c_custkey
+        |) GROUP BY c_count ORDER BY custdist DESC, c_count DESC""".stripMargin,
+    "q184_small_qty_revenue" ->
+      """SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE p_brand = 'Brand#5'
+        |  AND l_quantity < 0.2 * (
+        |    SELECT avg(l2.l_quantity) FROM lineitem l2
+        |    WHERE l2.l_partkey = p_partkey)""".stripMargin,
+    "q185_idle_balance" ->
+      """SELECT n_name, count(*) AS numcust, round(sum(c_acctbal), 2) AS totacctbal
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0.0)
+        |  AND NOT EXISTS (SELECT 1 FROM orders
+        |    WHERE o_custkey = c_custkey AND o_orderstatus = 'O')
+        |GROUP BY n_name ORDER BY n_name""".stripMargin,
+    "q186_nation_volume" ->
+      """SELECT supp_nation, cust_nation, l_year, round(sum(volume), 2) AS revenue
+        |FROM (
+        |  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+        |   CAST(year(l_shipdate) AS INTEGER) AS l_year,
+        |   l_extendedprice * (1.0 - l_discount) AS volume
+        |  FROM lineitem
+        |  JOIN supplier ON s_suppkey = l_suppkey
+        |  JOIN orders ON o_orderkey = l_orderkey
+        |  JOIN customer ON c_custkey = o_custkey
+        |  JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        |  JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        |  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |    AND l_shipdate < TIMESTAMP '1998-01-01'
+        |    AND ((n1.n_name = 'NATION_12' AND n2.n_name = 'NATION_13')
+        |      OR (n1.n_name = 'NATION_13' AND n2.n_name = 'NATION_12'))
+        |) GROUP BY supp_nation, cust_nation, l_year
+        |ORDER BY supp_nation, cust_nation, l_year""".stripMargin,
+    "q187_market_share" ->
+      """WITH base AS (
+        |  SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year,
+        |   l_extendedprice * (1.0 - l_discount) AS volume,
+        |   n1.n_name AS supp_nation
+        |  FROM lineitem
+        |  JOIN part ON p_partkey = l_partkey
+        |  JOIN orders ON o_orderkey = l_orderkey
+        |  JOIN supplier ON s_suppkey = l_suppkey
+        |  JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        |  JOIN customer ON c_custkey = o_custkey
+        |  JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        |  JOIN region ON r_regionkey = n2.n_regionkey
+        |  WHERE p_type = 'STANDARD' AND r_name = 'ASIA'
+        |    AND o_orderdate >= TIMESTAMP '1996-01-01'
+        |    AND o_orderdate < TIMESTAMP '1998-01-01'
+        |), agg AS (
+        |  SELECT o_year,
+        |   round(sum(CASE WHEN supp_nation = 'NATION_3' THEN volume ELSE 0.0 END), 2)
+        |     AS nation_revenue,
+        |   round(sum(volume), 2) AS total_revenue
+        |  FROM base GROUP BY o_year
+        |)
+        |SELECT o_year, round(nation_revenue / total_revenue, 6) AS mkt_share,
+        | nation_revenue, total_revenue
+        |FROM agg ORDER BY o_year""".stripMargin,
+    "q188_brand_bands" ->
+      """SELECT round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue
+        |FROM lineitem JOIN part ON p_partkey = l_partkey
+        |WHERE (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 10
+        |        AND l_quantity BETWEEN 5.0 AND 15.0)
+        |   OR (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 20
+        |        AND l_quantity BETWEEN 15.0 AND 25.0)
+        |   OR (p_brand = 'Brand#21' AND p_size BETWEEN 1 AND 30
+        |        AND l_quantity BETWEEN 25.0 AND 35.0)""".stripMargin,
   )
 }

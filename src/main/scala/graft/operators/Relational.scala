@@ -470,4 +470,190 @@ object Relational {
         round(lit(100.0) * $"promo_revenue" / $"total_revenue", 4).as("promo_share_pct"),
         $"promo_revenue", $"total_revenue")
 
+  /** TPC-H Q13 shape (customer order distribution): histogram of
+    * customers by how many qualifying orders each placed — INCLUDING the
+    * zero bucket, which is what forces the left-outer join (an inner
+    * join would silently drop order-less customers; Q13's defining
+    * hazard). The right side is pre-filtered (Q13's `o_comment NOT LIKE`
+    * has no fixture analog; status <> 'F' stands in), so "zero" means
+    * "no qualifying orders", not "no orders". Two exchanges total:
+    * per-customer count shuffles on custkey (partial-aggregable), the
+    * histogram re-shuffles |distinct counts| rows — a tiny second stage.
+    */
+  def customerOrderDistribution(customer: DataFrame, orders: DataFrame,
+      excludeStatus: String = "F"): DataFrame =
+    customer.select($"c_custkey")
+      .join(
+        orders.filter($"o_orderstatus" =!= excludeStatus)
+          .select($"o_custkey", $"o_orderkey"),
+        $"c_custkey" === $"o_custkey", "left_outer")
+      .groupBy($"c_custkey")
+      .agg(count($"o_orderkey").as("c_count"))
+      .groupBy($"c_count")
+      .agg(count(lit(1)).as("custdist"))
+      .orderBy($"custdist".desc, $"c_count".desc)
+
+  /** TPC-H Q17 shape (small-quantity order revenue): average yearly
+    * revenue lost if small-quantity orders (below 20% of the part's own
+    * mean quantity) stopped shipping, for one brand's parts. Q17's
+    * correlated scalar subquery `0.2 * avg(l_quantity) WHERE l_partkey =
+    * p_partkey` becomes a per-part aggregate joined back to the same
+    * filtered lines: the brand's key set is dimension-sized and
+    * broadcast to prune BOTH passes, the per-part average frame is
+    * |brand parts| rows and broadcast for the probe join — no shuffle of
+    * the fact table at all. Quantities are integer-valued doubles, so
+    * the per-part mean is exact regardless of summation order and the
+    * `< 0.2 * avg` cut is engine-portable.
+    */
+  def smallQuantityRevenue(part: DataFrame, lineitem: DataFrame,
+      brand: String = "Brand#5"): DataFrame = {
+    val brandParts = part.filter($"p_brand" === brand).select($"p_partkey")
+    val brandLines = lineitem
+      .join(broadcast(brandParts), $"l_partkey" === $"p_partkey")
+      .select($"l_partkey", $"l_quantity", $"l_extendedprice")
+    val perPartAvg = brandLines.groupBy($"l_partkey")
+      .agg(avg($"l_quantity").as("avg_qty"))
+      .withColumnRenamed("l_partkey", "ap_partkey")
+    brandLines
+      .join(broadcast(perPartAvg), $"l_partkey" === $"ap_partkey")
+      .filter($"l_quantity" < lit(0.2) * $"avg_qty")
+      .agg(f2(sum($"l_extendedprice") / lit(7.0)).as("avg_yearly"))
+  }
+
+  /** TPC-H Q22 shape (global sales opportunity): per nation, the count
+    * and balance mass of "idle" customers — above-average positive
+    * account balance but no OPEN orders on file (the pure no-orders set
+    * is empty at fixture SFs — every customer has ordered — so the
+    * status-filtered anti-join keeps Q22's shape non-degenerate). Q22's
+    * three signature moves survive the fixture transposition (phone
+    * country code → nation): the scalar subquery (global
+    * positive-balance mean) rides a 1-row broadcast crossJoin instead
+    * of a driver collect, the NOT EXISTS is a left-anti join against
+    * the filtered orders key projection, and the final aggregate groups
+    * dimension-sized output. The anti-join is the only fact-sized
+    * exchange.
+    */
+  def idleCustomerBalance(customer: DataFrame, orders: DataFrame,
+      nation: DataFrame, openStatus: String = "O"): DataFrame = {
+    val avgBal = customer.filter($"c_acctbal" > 0.0)
+      .agg(avg($"c_acctbal").as("avg_bal"))
+    customer
+      .join(orders.filter($"o_orderstatus" === openStatus).select($"o_custkey"),
+        $"c_custkey" === $"o_custkey", "left_anti")
+      .crossJoin(broadcast(avgBal))
+      .filter($"c_acctbal" > $"avg_bal")
+      .join(broadcast(nation.select($"n_nationkey", $"n_name")),
+        $"c_nationkey" === $"n_nationkey")
+      .groupBy($"n_name")
+      .agg(count(lit(1)).as("numcust"), f2(sum($"c_acctbal")).as("totacctbal"))
+      .orderBy($"n_name")
+
+  }
+
+  /** TPC-H Q7 shape (volume shipping): bilateral revenue between two
+    * named nations per ship year, attributing each line to its
+    * supplier's nation (exporter) and its order's customer nation
+    * (importer). The two nation lookups are independent dimension
+    * chains: supplier⋈nation and customer⋈nation are broadcast, orders
+    * carries only (orderkey, custkey), and the symmetric pair predicate
+    * `(s=A ∧ c=B) ∨ (s=B ∧ c=A)` is applied AFTER both attributions on
+    * the single fact pass. The ship-date window prunes the lineitem
+    * scan; one groupBy on (supp_nation, cust_nation, year) finishes it.
+    */
+  def nationVolumeShipping(lineitem: DataFrame, orders: DataFrame,
+      customer: DataFrame, supplier: DataFrame, nation: DataFrame,
+      nationA: String = "NATION_12", nationB: String = "NATION_13",
+      fromDate: String = "1996-01-01", toDate: String = "1998-01-01"): DataFrame = {
+    val nat = nation.select($"n_nationkey", $"n_name")
+    val suppNation = supplier.join(broadcast(nat), $"s_nationkey" === $"n_nationkey")
+      .select($"s_suppkey", $"n_name".as("supp_nation"))
+    val custNation = customer.join(broadcast(nat), $"c_nationkey" === $"n_nationkey")
+      .select($"c_custkey", $"n_name".as("cust_nation"))
+    lineitem
+      .filter($"l_shipdate" >= tsLit(lineitem, "l_shipdate", fromDate) &&
+        $"l_shipdate" < tsLit(lineitem, "l_shipdate", toDate))
+      .join(broadcast(suppNation), $"l_suppkey" === $"s_suppkey")
+      .join(orders.select($"o_orderkey", $"o_custkey"), $"l_orderkey" === $"o_orderkey")
+      .join(broadcast(custNation), $"o_custkey" === $"c_custkey")
+      .filter(($"supp_nation" === nationA && $"cust_nation" === nationB) ||
+        ($"supp_nation" === nationB && $"cust_nation" === nationA))
+      .groupBy($"supp_nation", $"cust_nation",
+        year($"l_shipdate").cast("int").as("l_year"))
+      .agg(f2(sum($"l_extendedprice" * (lit(1.0) - $"l_discount"))).as("revenue"))
+      .orderBy($"supp_nation", $"cust_nation", $"l_year")
+  }
+
+  /** TPC-H Q8 shape (national market share): for one part type sold
+    * into one region over two order years, each year's share of revenue
+    * supplied from one named nation. The share divides two ROUNDED
+    * conditional sums of the same pass (the q182/F2 discipline, so the
+    * one FP division consumes association-order-stable inputs). Part
+    * (type-filtered), supplier→nation, and customer→nation→region are
+    * all broadcast dimension chains; orders' date window prunes before
+    * the join; the fact table is touched once.
+    */
+  def nationMarketShare(lineitem: DataFrame, orders: DataFrame,
+      customer: DataFrame, supplier: DataFrame, nation: DataFrame,
+      region: DataFrame, part: DataFrame,
+      targetNation: String = "NATION_3", regionName: String = "ASIA",
+      partType: String = "STANDARD",
+      fromDate: String = "1996-01-01", toDate: String = "1998-01-01"): DataFrame = {
+    val nat = nation.select($"n_nationkey", $"n_name", $"n_regionkey")
+    val suppNation = supplier.join(broadcast(nat), $"s_nationkey" === $"n_nationkey")
+      .select($"s_suppkey", $"n_name".as("supp_nation"))
+    val regionCust = customer
+      .join(broadcast(nat), $"c_nationkey" === $"n_nationkey")
+      .join(broadcast(region.select($"r_regionkey", $"r_name")),
+        $"n_regionkey" === $"r_regionkey")
+      .filter($"r_name" === regionName)
+      .select($"c_custkey")
+    val typedParts = part.filter($"p_type" === partType).select($"p_partkey")
+    lineitem
+      .join(broadcast(typedParts), $"l_partkey" === $"p_partkey")
+      .join(orders.select($"o_orderkey", $"o_custkey", $"o_orderdate")
+          .filter($"o_orderdate" >= tsLit(orders, "o_orderdate", fromDate) &&
+            $"o_orderdate" < tsLit(orders, "o_orderdate", toDate)),
+        $"l_orderkey" === $"o_orderkey")
+      .join(broadcast(regionCust), $"o_custkey" === $"c_custkey", "left_semi")
+      .join(broadcast(suppNation), $"l_suppkey" === $"s_suppkey")
+      .groupBy(year($"o_orderdate").cast("int").as("o_year"))
+      .agg(
+        f2(sum(when($"supp_nation" === targetNation,
+          $"l_extendedprice" * (lit(1.0) - $"l_discount")).otherwise(lit(0.0))))
+          .as("nation_revenue"),
+        f2(sum($"l_extendedprice" * (lit(1.0) - $"l_discount"))).as("total_revenue"))
+      .select($"o_year",
+        round($"nation_revenue" / $"total_revenue", 6).as("mkt_share"),
+        $"nation_revenue", $"total_revenue")
+      .orderBy($"o_year")
+  }
+
+  /** TPC-H Q19 shape (discounted revenue, disjunctive predicate): total
+    * revenue from three OR'd brand/size/quantity band conjuncts. The
+    * disjunction itself cannot push past the join, but its derivable
+    * envelope CAN: the explicit quantity hull lands on the lineitem
+    * scan and the size hull on the part scan as pushed filters, so each
+    * side prunes before the (broadcast) join and the OR only arbitrates
+    * the survivors — the optimization Q19 exists to test.
+    */
+  def brandBandRevenue(part: DataFrame, lineitem: DataFrame): DataFrame = {
+    val bands = Seq(
+      ("Brand#3", 1, 10, 5.0, 15.0),
+      ("Brand#12", 1, 20, 15.0, 25.0),
+      ("Brand#21", 1, 30, 25.0, 35.0))
+    val qtyLo = bands.map(_._4).min; val qtyHi = bands.map(_._5).max
+    val szLo = bands.map(_._2).min; val szHi = bands.map(_._3).max
+    val disjunct = bands.map { case (b, s1, s2, q1, q2) =>
+      $"p_brand" === b && $"p_size".between(s1, s2) && $"l_quantity".between(q1, q2)
+    }.reduce(_ || _)
+    lineitem
+      .filter($"l_quantity".between(qtyLo, qtyHi))
+      .join(broadcast(
+          part.filter($"p_size".between(szLo, szHi))
+            .select($"p_partkey", $"p_brand", $"p_size")),
+        $"l_partkey" === $"p_partkey")
+      .filter(disjunct)
+      .agg(f2(sum($"l_extendedprice" * (lit(1.0) - $"l_discount"))).as("revenue"))
+  }
+
 }

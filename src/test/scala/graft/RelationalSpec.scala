@@ -237,4 +237,174 @@ class RelationalSpec extends GraftSuite {
     assert(math.abs(row.getDouble(2) - total) <= 0.011, s"total ${row.getDouble(2)} vs $total")
     assert(row.getDouble(0) > 0.0 && row.getDouble(0) < 100.0)
   }
+
+  test("customer distribution (Q13 shape): equals brute force; zero bucket kept") {
+    val byCust = Tables.orders(spark, sf)
+      .filter(col("o_orderstatus") =!= "F")
+      .select(col("o_custkey")).collect().map(_.getLong(0))
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val custs = Tables.customer(spark, sf).select(col("c_custkey")).collect().map(_.getLong(0))
+    val expected = custs.map(c => byCust.getOrElse(c, 0L))
+      .groupBy(identity).view.mapValues(_.length.toLong)
+      .toSeq.map { case (c, n) => (c, n) }
+      .sortBy { case (c, n) => (-n, -c) }
+    val got = Relational.customerOrderDistribution(
+        Tables.customer(spark, sf), Tables.orders(spark, sf))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got === expected)
+    // every customer lands in exactly one bucket — the left join's promise
+    assert(got.map(_._2).sum === custs.length.toLong)
+  }
+
+  test("small-qty revenue (Q17 shape): equals brute-force correlated avg; no fact shuffle join") {
+    val brandParts = Tables.part(spark, sf).filter(col("p_brand") === "Brand#5")
+      .select(col("p_partkey")).collect().map(_.getLong(0)).toSet
+    val lines = Tables.lineitem(spark, sf)
+      .select(col("l_partkey"), col("l_quantity"), col("l_extendedprice"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2)))
+      .filter(l => brandParts(l._1))
+    val avgQ = lines.groupBy(_._1).view.mapValues(g => g.map(_._2).sum / g.length).toMap
+    val expected = lines.filter(l => l._2 < 0.2 * avgQ(l._1)).map(_._3).sum / 7.0
+    val df = Relational.smallQuantityRevenue(Tables.part(spark, sf), Tables.lineitem(spark, sf))
+    val got = df.collect() match { case Array(r) => r.getDouble(0) }
+    assert(math.abs(got - expected) <= 0.011, s"$got vs $expected")
+    // both the brand key set and the per-part average frame must broadcast:
+    // the fact table is never the build side and never shuffles for a join
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("SortMergeJoin"), s"Q17 must not sort-merge the fact table:\n$plan")
+  }
+
+  test("idle balance (Q22 shape): equals brute force; scalar subquery broadcasts") {
+    val openCusts = Tables.orders(spark, sf).filter(col("o_orderstatus") === "O")
+      .select(col("o_custkey")).collect().map(_.getLong(0)).toSet
+    val custs = Tables.customer(spark, sf)
+      .select(col("c_custkey"), col("c_acctbal"), col("c_nationkey"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getInt(2)))
+    val nations = Tables.nation(spark, sf).select(col("n_nationkey"), col("n_name"))
+      .collect().map(r => r.getInt(0) -> r.getString(1)).toMap
+    val pos = custs.map(_._2).filter(_ > 0.0)
+    val avgBal = pos.sum / pos.length
+    def r2(x: Double) = BigDecimal(x).setScale(2, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val expected = custs
+      .filter(c => !openCusts(c._1) && c._2 > avgBal)
+      .groupBy(c => nations(c._3)).view
+      .mapValues(g => (g.length.toLong, r2(g.map(_._2).sum)))
+      .toSeq.map { case (n, (cnt, bal)) => (n, cnt, bal) }.sortBy(_._1)
+    val df = Relational.idleCustomerBalance(
+      Tables.customer(spark, sf), Tables.orders(spark, sf), Tables.nation(spark, sf))
+    val got = df.collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(got.map(x => (x._1, x._2)) === expected.map(x => (x._1, x._2)))
+    got.zip(expected).foreach { case (g, e) =>
+      assert(math.abs(g._3 - e._3) <= 0.011, s"${g._1}: ${g._3} vs ${e._3}") }
+    assert(got.nonEmpty)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("LeftAnti"), s"NOT EXISTS must plan as anti join:\n$plan")
+  }
+
+  test("nation volume (Q7 shape): equals brute force; dimension chains broadcast") {
+    val suppNat = dimNation(Tables.supplier(spark, sf), "s_suppkey", "s_nationkey")
+    val custNat = dimNation(Tables.customer(spark, sf), "c_custkey", "c_nationkey")
+    val orderCust = Tables.orders(spark, sf).select(col("o_orderkey"), col("o_custkey"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val from = utcMillis("1996-01-01"); val to = utcMillis("1998-01-01")
+    def r2(x: Double) = BigDecimal(x).setScale(2, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val expected = Tables.lineitem(spark, sf)
+      .select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"),
+        col("l_extendedprice"), col("l_discount"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), tsMillis(r, 2),
+        r.getDouble(3) * (1.0 - r.getDouble(4))))
+      .filter(l => l._3 >= from && l._3 < to)
+      .map { l =>
+        val sn = suppNat(l._2); val cn = custNat(orderCust(l._1))
+        val yr = java.time.Instant.ofEpochMilli(l._3).atZone(java.time.ZoneOffset.UTC).getYear
+        ((sn, cn, yr), l._4)
+      }
+      .filter { case ((sn, cn, _), _) =>
+        (sn == "NATION_12" && cn == "NATION_13") || (sn == "NATION_13" && cn == "NATION_12") }
+      .groupBy(_._1).view.mapValues(g => r2(g.map(_._2).sum))
+      .toSeq.map { case ((sn, cn, yr), rev) => (sn, cn, yr, rev) }.sortBy(x => (x._1, x._2, x._3))
+    val df = Relational.nationVolumeShipping(Tables.lineitem(spark, sf),
+      Tables.orders(spark, sf), Tables.customer(spark, sf),
+      Tables.supplier(spark, sf), Tables.nation(spark, sf))
+    val got = df.collect().map(r => (r.getString(0), r.getString(1), r.getInt(2), r.getDouble(3))).toSeq
+    assert(got.map(x => (x._1, x._2, x._3)) === expected.map(x => (x._1, x._2, x._3)))
+    got.zip(expected).foreach { case (g, e) =>
+      assert(math.abs(g._4 - e._4) <= 0.011, s"${g._1}->${g._2}/${g._3}: ${g._4} vs ${e._4}") }
+    assert(got.nonEmpty)
+  }
+
+  test("market share (Q8 shape): equals brute force; share in (0,1)") {
+    val suppNat = dimNation(Tables.supplier(spark, sf), "s_suppkey", "s_nationkey")
+    val natRegion = Tables.nation(spark, sf).select(col("n_nationkey"), col("n_regionkey"))
+      .collect().map(r => r.getInt(0) -> r.getInt(1)).toMap
+    val regions = Tables.region(spark, sf).select(col("r_regionkey"), col("r_name"))
+      .collect().map(r => r.getInt(0) -> r.getString(1)).toMap
+    val custRegion = Tables.customer(spark, sf).select(col("c_custkey"), col("c_nationkey"))
+      .collect().map(r => r.getLong(0) -> regions(natRegion(r.getInt(1)))).toMap
+    val typedParts = Tables.part(spark, sf).filter(col("p_type") === "STANDARD")
+      .select(col("p_partkey")).collect().map(_.getLong(0)).toSet
+    val from = utcMillis("1996-01-01"); val to = utcMillis("1998-01-01")
+    val ordersIn = Tables.orders(spark, sf)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), tsMillis(r, 2)))
+      .filter(o => o._3 >= from && o._3 < to && custRegion(o._2) == "ASIA")
+      .map(o => o._1 -> java.time.Instant.ofEpochMilli(o._3)
+        .atZone(java.time.ZoneOffset.UTC).getYear).toMap
+    def r2(x: Double) = BigDecimal(x).setScale(2, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val expected = Tables.lineitem(spark, sf)
+      .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
+        col("l_extendedprice"), col("l_discount"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3) * (1.0 - r.getDouble(4))))
+      .filter(l => typedParts(l._2) && ordersIn.contains(l._1))
+      .map(l => (ordersIn(l._1), suppNat(l._3) == "NATION_3", l._4))
+      .groupBy(_._1).view.mapValues { g =>
+        (r2(g.filter(_._2).map(_._3).sum), r2(g.map(_._3).sum))
+      }.toSeq.map { case (yr, (nat, tot)) => (yr, nat, tot) }.sortBy(_._1)
+    val df = Relational.nationMarketShare(Tables.lineitem(spark, sf),
+      Tables.orders(spark, sf), Tables.customer(spark, sf), Tables.supplier(spark, sf),
+      Tables.nation(spark, sf), Tables.region(spark, sf), Tables.part(spark, sf))
+    val got = df.collect().map(r => (r.getInt(0), r.getDouble(1), r.getDouble(2), r.getDouble(3))).toSeq
+    assert(got.map(_._1) === expected.map(_._1))
+    got.zip(expected).foreach { case (g, e) =>
+      assert(math.abs(g._3 - e._2) <= 0.011 && math.abs(g._4 - e._3) <= 0.011,
+        s"year ${g._1}: (${g._3},${g._4}) vs (${e._2},${e._3})")
+      assert(g._2 >= 0.0 && g._2 <= 1.0)
+    }
+    assert(got.nonEmpty)
+  }
+
+  test("brand bands (Q19 shape): equals brute force; envelope filters push to both scans") {
+    val partInfo = Tables.part(spark, sf)
+      .select(col("p_partkey"), col("p_brand"), col("p_size"))
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getInt(2)))).toMap
+    val bands = Seq(("Brand#3", 1, 10, 5.0, 15.0), ("Brand#12", 1, 20, 15.0, 25.0),
+      ("Brand#21", 1, 30, 25.0, 35.0))
+    def qualifies(brand: String, size: Int, qty: Double): Boolean =
+      bands.exists { case (b, s1, s2, q1, q2) =>
+        brand == b && size >= s1 && size <= s2 && qty >= q1 && qty <= q2 }
+    val expected = Tables.lineitem(spark, sf)
+      .select(col("l_partkey"), col("l_quantity"), col("l_extendedprice"), col("l_discount"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2) * (1.0 - r.getDouble(3))))
+      .flatMap(l => partInfo.get(l._1).map { case (b, s) => (b, s, l._2, l._3) })
+      .filter(x => qualifies(x._1, x._2, x._3)).map(_._4).sum
+    val df = Relational.brandBandRevenue(Tables.part(spark, sf), Tables.lineitem(spark, sf))
+    val got = df.collect() match { case Array(r) => r.getDouble(0) }
+    assert(math.abs(got - expected) <= 0.011, s"$got vs $expected")
+    // the OR's derivable hulls must reach both parquet scans as pushed filters
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("GreaterThanOrEqual(l_quantity") && plan.contains("LessThanOrEqual(l_quantity"),
+      s"quantity hull must push to the lineitem scan:\n$plan")
+    assert(plan.contains("GreaterThanOrEqual(p_size") && plan.contains("LessThanOrEqual(p_size"),
+      s"size hull must push to the part scan:\n$plan")
+  }
+
+  // shared dim-chain helper: key -> nation name through the nation table
+  private def dimNation(dim: org.apache.spark.sql.DataFrame,
+      keyCol: String, natCol: String): Map[Long, String] = {
+    val nations = Tables.nation(spark, sf).select(col("n_nationkey"), col("n_name"))
+      .collect().map(r => r.getInt(0) -> r.getString(1)).toMap
+    dim.select(col(keyCol), col(natCol))
+      .collect().map(r => r.getLong(0) -> nations(r.getInt(1))).toMap
+  }
 }

@@ -514,6 +514,20 @@ object PipelineQueries {
     // integer moments, integer micro-weights (order-free denominator),
     // largest-remainder rounding, per-stratum bottom-k draw
     "q179_neyman_sample" -> ((s, d) => Sampling.neymanAllocation(Tables.documents(s, d))),
+    // exact Mann-Whitney AUC of the q143 classifier's integer scores:
+    // threshold-free ranking grade beside q144's decision and q160's
+    // calibration; distinct-score frame + two-phase prefix sum
+    "q189_classifier_auc" -> ((s, d) => Curation.classifierAuc(Tables.documents(s, d))),
+    // TextRank keywords: weighted PageRank on the token co-occurrence
+    // graph, q151's integer micro-unit discipline with per-edge
+    // (rank*w) div wdeg contributions
+    "q190_textrank_keywords" -> ((s, d) => TextAnalysis.textrankKeywords(Tables.documents(s, d))),
+    // hourly-count ACF at lags 1..24 (complete series, zeros for absent
+    // hours): integer centered products, corpus touched once
+    "q191_hourly_acf" -> ((s, d) => Events.hourlyAutocorrelation(Tables.events(s, d))),
+    // Welch z on purchase value over a deterministic md5 A/A user
+    // split: exact integer micro-unit moments into one boundary formula
+    "q192_ab_test" -> ((s, d) => Events.abValueTest(Tables.events(s, d))),
   )
 
   // ---- shared SQL fragments -------------------------------------------
@@ -4121,5 +4135,132 @@ object PipelineQueries {
          |  CAST(coalesce(n_drawn, 0) AS BIGINT) AS n_drawn, sample_mean_q
          |FROM alloc LEFT JOIN drawn ON alloc.stratum = drawn.stratum
          |ORDER BY alloc.stratum""".stripMargin,
+    "q189_classifier_auc" ->
+      // Mann-Whitney over the exact integer scores: distinct-score
+      // frame, cum_nn = negatives strictly below the tie group, doubled
+      // numerator keeps the half-tie term integral
+      s"""$ClassifierTrainCtes,
+         |sc AS (
+         |  SELECT doc_id, CAST(sum(c * wm) AS BIGINT) AS zm
+         |  FROM fx JOIN w4 USING (b) GROUP BY doc_id
+         |),
+         |sy AS (
+         |  SELECT zm, CAST(sum(y) AS BIGINT) AS np,
+         |    CAST(sum(1 - y) AS BIGINT) AS nn
+         |  FROM sc JOIN yd USING (doc_id) GROUP BY zm
+         |),
+         |o AS (
+         |  SELECT np, nn,
+         |    CAST(coalesce(sum(nn) OVER (ORDER BY zm
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_nn
+         |  FROM sy
+         |),
+         |t AS (
+         |  SELECT CAST(sum(np) AS BIGINT) AS n_pos, CAST(sum(nn) AS BIGINT) AS n_neg,
+         |    CAST(sum(2 * np * cum_nn + np * nn) AS BIGINT) AS num2
+         |  FROM o
+         |)
+         |SELECT round(CAST(num2 AS DOUBLE) / (2.0 * n_pos * n_neg), 6) AS auc,
+         | n_pos, n_neg
+         |FROM t""".stripMargin,
+    "q190_textrank_keywords" -> {
+      // q151's unrolled integer power iteration, WEIGHTED: per-edge
+      // contribution (rank*w) // wdeg, d = 17/20, seed 1e6//N
+      def iter(i: Int) =
+        s"""tr$i AS MATERIALIZED (
+           |  SELECT d.node, d.wdeg,
+           |    CAST((150000 // nn.n) + (17 * s.s) // 20 AS BIGINT) AS rank_m
+           |  FROM wd d
+           |  JOIN (
+           |    SELECT e.dst AS node,
+           |      CAST(sum((r.rank_m * e.w) // r.wdeg) AS BIGINT) AS s
+           |    FROM tedges e JOIN tr${i - 1} r ON r.node = e.src GROUP BY 1
+           |  ) s ON s.node = d.node
+           |  CROSS JOIN nn
+           |)""".stripMargin
+      s"""WITH tk AS (SELECT string_split(text, ' ') AS ts FROM documents),
+         |bg AS (
+         |  SELECT ts[i] AS w1, ts[i + 1] AS w2
+         |  FROM tk, LATERAL (SELECT unnest(range(1, len(ts))) AS i)
+         |  WHERE len(ts) >= 2 AND ts[i] <> ts[i + 1]
+         |),
+         |cooc AS (
+         |  SELECT least(w1, w2) AS a, greatest(w1, w2) AS b, count(*) AS w
+         |  FROM bg GROUP BY 1, 2
+         |),
+         |keep AS (
+         |  SELECT unnest(string_split(text, ' ')) AS tok FROM documents
+         |),
+         |kv AS (SELECT tok FROM keep GROUP BY tok HAVING count(*) >= 5),
+         |ke AS MATERIALIZED (
+         |  SELECT a, b, w FROM cooc
+         |  JOIN kv k1 ON k1.tok = a JOIN kv k2 ON k2.tok = b
+         |),
+         |tedges AS MATERIALIZED (
+         |  SELECT a AS src, b AS dst, w FROM ke
+         |  UNION ALL SELECT b, a, w FROM ke
+         |),
+         |wd AS MATERIALIZED (
+         |  SELECT src AS node, CAST(sum(w) AS BIGINT) AS wdeg
+         |  FROM tedges GROUP BY 1
+         |),
+         |nn AS (SELECT count(*) AS n FROM wd),
+         |tr0 AS (SELECT node, wdeg, 1000000 // nn.n AS rank_m
+         |        FROM wd CROSS JOIN nn),
+         |${(1 to 4).map(iter).mkString(",\n")}
+         |SELECT node AS token, wdeg, CAST(rank_m AS BIGINT) AS rank_micro
+         |FROM tr4 ORDER BY rank_micro DESC, token LIMIT 20""".stripMargin
+    },
+    "q191_hourly_acf" ->
+      // complete hourly series (zeros for absent hours); y = n*x - S
+      // integer centering; num/den exact BIGINT, one rounded division
+      """WITH hx AS (
+        |  SELECT epoch_ns(ts) // 3600000000000 AS h, count(*) AS x
+        |  FROM events GROUP BY 1
+        |),
+        |b AS (SELECT min(h) AS h0, max(h) AS h1 FROM hx),
+        |series AS (
+        |  SELECT gs.h, coalesce(hx.x, 0) AS x
+        |  FROM (SELECT unnest(generate_series(b.h0, b.h1)) AS h FROM b) gs
+        |  LEFT JOIN hx USING (h)
+        |),
+        |st AS (SELECT count(*) AS n, CAST(sum(x) AS BIGINT) AS s FROM series),
+        |y AS (SELECT h, CAST(st.n * x - st.s AS BIGINT) AS y FROM series, st),
+        |den AS (SELECT CAST(sum(y * y) AS BIGINT) AS den FROM y),
+        |lags AS (SELECT unnest(range(1, 25)) AS lag),
+        |pairs AS (
+        |  SELECT l.lag, a.y AS yp, c.y AS yc
+        |  FROM lags l JOIN y a ON true JOIN y c ON c.h = a.h + l.lag
+        |)
+        |SELECT CAST(p.lag AS INTEGER) AS lag, count(*) AS n_pairs,
+        | round(CAST(CAST(sum(p.yp * p.yc) AS BIGINT) AS DOUBLE) / den.den, 6) AS acf
+        |FROM pairs p, den GROUP BY p.lag, den.den ORDER BY lag""".stripMargin,
+    "q192_ab_test" ->
+      // md5 parity arm draw (posSql j=0 m=2) on each row's user_id,
+      // integer micro-unit value moments, Welch z with the SAME double
+      // association order as the engine
+      s"""WITH f AS (
+         |  SELECT ${posSql("md5(CAST(user_id AS VARCHAR))", 0, 2)} AS arm,
+         |    CAST(round(value * 10000, 0) AS BIGINT) AS vm
+         |  FROM events WHERE event_type = 'purchase'
+         |),
+         |t AS (
+         |  SELECT
+         |    CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+         |    CAST(sum(CASE WHEN arm = 0 THEN vm ELSE 0 END) AS BIGINT) AS s1_a,
+         |    CAST(sum(CASE WHEN arm = 0 THEN vm * vm ELSE 0 END) AS BIGINT) AS s2_a,
+         |    CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+         |    CAST(sum(CASE WHEN arm = 1 THEN vm ELSE 0 END) AS BIGINT) AS s1_b,
+         |    CAST(sum(CASE WHEN arm = 1 THEN vm * vm ELSE 0 END) AS BIGINT) AS s2_b
+         |  FROM f
+         |)
+         |SELECT n_a, n_b,
+         | round(CAST(s1_a AS DOUBLE) / n_a / 10000.0, 4) AS mean_a,
+         | round(CAST(s1_b AS DOUBLE) / n_b / 10000.0, 4) AS mean_b,
+         | round((CAST(s1_a AS DOUBLE) / n_a - CAST(s1_b AS DOUBLE) / n_b) /
+         |   sqrt(((CAST(s2_a AS DOUBLE) - CAST(s1_a AS DOUBLE) * s1_a / n_a) / (n_a - 1)) / n_a
+         |      + ((CAST(s2_b AS DOUBLE) - CAST(s1_b AS DOUBLE) * s1_b / n_b) / (n_b - 1)) / n_b),
+         |   4) AS z_score
+         |FROM t""".stripMargin,
   )
 }

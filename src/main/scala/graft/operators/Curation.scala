@@ -1375,6 +1375,63 @@ object Curation {
       .orderBy($"mbucket")
   }
 
+  /** Classifier ranking quality (q189): exact AUC of the q143 model's
+    * integer score against the language label, via the Mann–Whitney
+    * identity AUC = P(z⁺ > z⁻) + ½·P(z⁺ = z⁻). Completes the eval suite:
+    * q144 grades the z≥0 DECISION, q160 grades probability CALIBRATION,
+    * this grades the RANKING — threshold-free, the number a filtering
+    * pipeline quotes when the acceptance cut is tuned downstream.
+    *
+    * Arithmetic: scores are the exact integer micro-unit zm (no
+    * sigmoid), so the distinct-score frame and all pair counts are
+    * integer-exact on any engine; the doubled numerator
+    * Σ(2·np·cum_nn + np·nn) keeps the ½-tie term integral, and the one
+    * FP division happens at the output boundary. (Long bound: the
+    * numerator is ≤ 2·nP·nN — exact below ~2×10⁹ docs per class,
+    * corpus-scale for any single AUC job; beyond that, bucket scores
+    * first.)
+    *
+    * Scale shape: scoring is the shared one-broadcast pass over the
+    * cached feature frame; the frame then collapses to DISTINCT scores
+    * (≤ nDocs, typically ≪), and the cumulative-negatives rank term
+    * rides the q167 two-phase distributed prefix sum — range partition
+    * by score, per-partition window, ≤`parts` base offsets broadcast
+    * back. No global window, no driver fold; the final aggregate is one
+    * row.
+    */
+  def classifierAuc(documents: DataFrame, targetLang: String = "en",
+      buckets: Int = 64, rounds: Int = 4, lr: Double = 0.0009765625,
+      parts: Int = 32): DataFrame = {
+    val spark = documents.sparkSession
+    val (fx, w) = trainQualityWeights(documents, targetLang, buckets, rounds, lr)
+    val labels = documents.select($"doc_id",
+      when($"lang" === targetLang, 1L).otherwise(0L).as("y"))
+    val byScore = fx.join(broadcast(spark.createDataFrame(w).toDF("b", "wm")), Seq("b"))
+      .groupBy($"doc_id").agg(sum($"c" * $"wm").as("zm"))
+      .join(labels, Seq("doc_id"))
+      .groupBy($"zm")
+      .agg(sum($"y").as("np"), sum(lit(1L) - $"y").as("nn"))
+      .repartitionByRange(parts, $"zm")
+      .localCheckpoint()
+      .withColumn("pid", spark_partition_id().cast("int"))
+    val wBase = Window.orderBy($"pid")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val bases = byScore.groupBy($"pid").agg(sum($"nn").as("t"))
+      .withColumn("base", sum($"t").over(wBase) - $"t") // <= `parts` rows
+      .select($"pid", $"base")
+    val wIn = Window.partitionBy($"pid").orderBy($"zm")
+    byScore
+      .join(broadcast(bases), Seq("pid"))
+      // negatives with a strictly LOWER score than this tie group
+      .withColumn("cum_nn", $"base" + sum($"nn").over(wIn) - $"nn")
+      .agg(
+        sum($"np").as("n_pos"), sum($"nn").as("n_neg"),
+        sum(lit(2L) * $"np" * $"cum_nn" + $"np" * $"nn").as("num2"))
+      .select(
+        round($"num2".cast("double") / (lit(2.0) * $"n_pos" * $"n_neg"), 6).as("auc"),
+        $"n_pos", $"n_neg")
+  }
+
   /** Capstone v2 (q147) — the end-to-end CRAWL-TO-TRAINING-SET recipe,
     * chaining the round-5 families as STAGES rather than endpoints:
     *

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -455,5 +455,99 @@ object Events {
       .withColumn("p", round($"n" / sum($"n").over(total), 4))
       .select($"event_type", $"next_type", $"n", $"p")
       .orderBy($"event_type", $"next_type")
+  }
+
+  /** Autocorrelation of the hourly event-count series at lags 1..`maxLag`
+    * (q191) — the seasonality diagnostic behind every drift monitor: a
+    * daily-cycled workload shows a peak at lag 24, a flat ACF says the
+    * q80/q127 baselines can ignore time-of-day. Missing hours count as 0
+    * (the series is COMPLETE over [min hour, max hour] — an absent hour
+    * is a real zero of the load curve, not a gap to skip).
+    *
+    * Determinism: with y_t = n·x_t − Σx (integer), ACF(k) =
+    * Σ y_t·y_{t+k} / Σ y_t² — the n²-scaled centered products, exact
+    * integer sums on both engines, one rounded division at the boundary.
+    * (Long bound: |y| ≤ n·max(x), so the den terms stay exact while
+    * hours·(n·max_rate)² < 2⁶³ — ~3 years at 10⁸ events/hour; beyond
+    * that, pre-aggregate to coarser buckets.)
+    *
+    * Scale shape: the per-hour count is the ONLY corpus-proportional
+    * pass (map-side combined); everything downstream operates on the
+    * hours-count-sized series (26k rows for 3 years), so the lag
+    * expansion (×maxLag), the self-join on shifted hour, and the final
+    * 1-row-per-lag aggregate are all aggregate-scale at any event
+    * volume.
+    */
+  def hourlyAutocorrelation(events: DataFrame, maxLag: Int = 24): DataFrame = {
+    val spark = events.sparkSession
+    val hourly = events
+      .groupBy(expr(s"ts div $NsPerHour").as("h"))
+      .agg(count(lit(1)).as("x"))
+    val series = hourly.agg(min($"h").as("h0"), max($"h").as("h1"))
+      .select(explode(expr("sequence(h0, h1)")).as("h"))
+      .join(hourly, Seq("h"), "left_outer")
+      .select($"h", coalesce($"x", lit(0L)).as("x"))
+    val stats = series.agg(count(lit(1)).as("n"), sum($"x").as("s"))
+    val y = series.crossJoin(broadcast(stats))
+      .select($"h", ($"n" * $"x" - $"s").as("y"))
+    val den = y.agg(sum($"y" * $"y").as("den"))
+    val lags = spark.range(1, maxLag + 1).toDF("lag")
+    y.crossJoin(broadcast(lags))
+      .select(($"h" + $"lag").as("h"), $"lag", $"y".as("yp"))
+      .join(y, Seq("h"))
+      .groupBy($"lag")
+      .agg(sum($"yp" * $"y").as("num"), count(lit(1)).as("n_pairs"))
+      .crossJoin(broadcast(den))
+      .select($"lag".cast("int").as("lag"), $"n_pairs",
+        round($"num".cast("double") / $"den", 6).as("acf"))
+      .orderBy($"lag")
+  }
+
+  /** Two-sample A/B significance test on a value metric (q192): split
+    * USERS 50/50 by the deterministic md5 arm draw (`Scale.md5SlicePos`
+    * parity — the same coin every sampling operator here flips) and
+    * Welch-z-test the arms' `metricType` event values ("average order
+    * value" for purchases). On the fixture the split is a true A/A (no
+    * treatment exists), so |z| should sit inside the 1.96 line — which
+    * is itself the test's calibration check; the operator is the
+    * experiment-analysis endpoint a feature-rollout pipeline runs daily.
+    * (A binary-conversion variant would be the natural twin, but the
+    * fixture converts EVERY user — the value metric is the one with
+    * variance to test.)
+    *
+    * Determinism: values quantize to exact integer micro-units
+    * (round(value·10⁴) — the q179 moment discipline), so n/Σv/Σv² are
+    * engine-exact longs and the mean/variance/z doubles evaluate the
+    * SAME expression tree on both engines. (Long bound: Σv² stays exact
+    * below ~10⁶ events per arm at the fixture's value scale ×10⁴; at
+    * larger n, bucket first or widen the moments to decimal.)
+    *
+    * Scale shape: one filtered scan into a 1-row conditional moment
+    * aggregate (map-side combined); the arm column is a scalar md5 of
+    * the row's own user_id — no user table, no join, nothing
+    * corpus-proportional after the scan.
+    */
+  def abValueTest(events: DataFrame, metricType: String = "purchase"): DataFrame = {
+    val counts = events.filter($"event_type" === metricType)
+      .select(Scale.md5SlicePos($"user_id", 0, 2).as("arm"),
+        round($"value" * 10000, 0).cast("long").as("vm"))
+      .agg(
+        sum(when($"arm" === 0L, 1L).otherwise(0L)).as("n_a"),
+        sum(when($"arm" === 0L, $"vm").otherwise(0L)).as("s1_a"),
+        sum(when($"arm" === 0L, $"vm" * $"vm").otherwise(0L)).as("s2_a"),
+        sum(when($"arm" === 1L, 1L).otherwise(0L)).as("n_b"),
+        sum(when($"arm" === 1L, $"vm").otherwise(0L)).as("s1_b"),
+        sum(when($"arm" === 1L, $"vm" * $"vm").otherwise(0L)).as("s2_b"))
+    def mean(s1: Column, n: Column): Column = s1.cast("double") / n
+    // sample variance from exact moments, evaluated in double space with
+    // the same association order as the oracle text
+    def svar(s1: Column, s2: Column, n: Column): Column =
+      (s2.cast("double") - s1.cast("double") * s1 / n) / (n - lit(1L))
+    val mA = mean($"s1_a", $"n_a"); val mB = mean($"s1_b", $"n_b")
+    val vA = svar($"s1_a", $"s2_a", $"n_a"); val vB = svar($"s1_b", $"s2_b", $"n_b")
+    counts.select(
+      $"n_a", $"n_b",
+      round(mA / 1e4, 4).as("mean_a"), round(mB / 1e4, 4).as("mean_b"),
+      round((mA - mB) / sqrt(vA / $"n_a" + vB / $"n_b"), 4).as("z_score"))
   }
 }

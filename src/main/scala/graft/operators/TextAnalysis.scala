@@ -756,6 +756,68 @@ object TextAnalysis {
       .limit(topk)
   }
 
+  /** TextRank keyword extraction (q190): PageRank over the token
+    * CO-OCCURRENCE graph — nodes are corpus tokens above a frequency
+    * floor, undirected edges weighted by adjacent-bigram count, rank
+    * flows proportionally to edge weight (Mihalcea & Tarau 2004). Where
+    * q65/q67 rank tokens by frequency and tf-idf mass, TextRank ranks by
+    * graph CENTRALITY: a token that co-occurs with many well-connected
+    * tokens outranks a merely frequent one — the corpus-level keyword
+    * list a dataset card quotes.
+    *
+    * Same integer micro-unit discipline as q151's PageRank (seed
+    * `1e6 div N`, teleport `0.15e6 div N`, d = 17/20), with the WEIGHTED
+    * contribution `(rank·w) div wdeg` per edge — floor division per
+    * term, so values are bit-identical across engines and aggregation
+    * orders; the oracle unrolls the same arithmetic. (Long bound:
+    * rank_m ≤ 10⁶, so terms stay exact while a single edge's bigram
+    * count < 2⁴³ ≈ 8×10¹² — beyond any real co-occurrence count.)
+    *
+    * Scale shape: one bigram explode (token-proportional, map-side
+    * combined into the distinct-pair frame), frequency-floor semi-joins,
+    * then `iters` × (one edge⋈rank join + one groupBy) over
+    * edge-proportional rows — rank state fully distributed, the only
+    * scalar is the node count; `minCount` is the vocabulary dial that
+    * bounds the graph at web scale. Final top-k is TakeOrderedAndProject.
+    */
+  def textrankKeywords(documents: DataFrame, minCount: Long = 5L,
+      iters: Int = 4, topk: Int = 20): DataFrame = {
+    val toks = documents.select(split($"text", " ").as("ts"))
+    val cooc = toks.filter(size($"ts") >= 2)
+      .select(explode(expr(
+        "transform(sequence(1, size(ts) - 1), i -> struct(element_at(ts, i) AS w1, element_at(ts, i + 1) AS w2))")).as("bg"))
+      .select($"bg.w1".as("w1"), $"bg.w2".as("w2"))
+      .filter($"w1" =!= $"w2")
+      .select(least($"w1", $"w2").as("a"), greatest($"w1", $"w2").as("b"))
+      .groupBy($"a", $"b").agg(count(lit(1)).as("w"))
+    val keep = documents.select(explode(split($"text", " ")).as("tok"))
+      .groupBy($"tok").agg(count(lit(1)).as("c"))
+      .filter($"c" >= minCount).select($"tok")
+    val kept = cooc
+      .join(keep.select($"tok".as("a")), Seq("a"), "left_semi")
+      .join(keep.select($"tok".as("b")), Seq("b"), "left_semi")
+    val edges = kept.select($"a".as("src"), $"b".as("dst"), $"w")
+      .unionAll(kept.select($"b".as("src"), $"a".as("dst"), $"w"))
+    val wdeg = edges.groupBy($"src".as("node")).agg(sum($"w").as("wdeg"))
+    val nNodes = wdeg.count() // 1-row scalar, as in neardupPagerank
+    val r0 = if (nNodes == 0) 0L else 1000000L / nNodes
+    val base = if (nNodes == 0) 0L else 150000L / nNodes
+    var ranks = wdeg.select($"node", $"wdeg", lit(r0).as("rank_m"))
+    for (_ <- 1 to iters) {
+      val contrib = ranks.select($"node".as("src"), $"rank_m", $"wdeg".as("swdeg"))
+      val inSum = edges.join(contrib, Seq("src"))
+        .groupBy($"dst".as("node"))
+        .agg(sum(expr("(rank_m * w) div swdeg")).as("s"))
+      ranks = wdeg.join(inSum, Seq("node"))
+        .select($"node", $"wdeg",
+          (lit(base) + expr("(17 * s) div 20")).as("rank_m"))
+    }
+    ranks
+      .select($"node".as("token"), $"wdeg", $"rank_m".as("rank_micro"))
+      .orderBy($"rank_micro".desc, $"token")
+      .limit(topk)
+  }
+
   /** Language-ID evaluation harness: confusion matrix of the q22
     * classifier against the `lang` ground-truth column, with each cell's
     * share of its truth-language row — the EVALUATION op that belongs

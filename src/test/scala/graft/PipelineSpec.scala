@@ -1555,6 +1555,113 @@ class PipelineSpec extends GraftSuite {
     assert(e.getMessage.contains("empty embedding corpus"))
   }
 
+  test("classifierAuc equals brute-force pairwise Mann-Whitney; partition invariant") {
+    import graft.operators.Curation
+    val (fx, w) = Curation.trainQualityWeights(docs, "en", 64, 4, 0.0009765625)
+    val wm = w.toMap
+    val zm = fx.collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("b"), r.getAs[Long]("c")))
+      .groupBy(_._1).view.mapValues(_.map(x => x._3 * wm(x._2)).sum).toMap
+    val lab = docs.select($"doc_id", $"lang").collect()
+      .map(r => r.getLong(0) -> (r.getString(1) == "en")).toMap
+    val pos = zm.collect { case (d, z) if lab(d) => z }.toSeq
+    val neg = zm.collect { case (d, z) if !lab(d) => z }.toSeq
+    // O(nP*nN) literal definition: wins count 2, ties count 1, in halves
+    val num2 = pos.iterator.map(zp =>
+      2L * neg.count(_ < zp) + neg.count(_ == zp)).sum
+    val expected = num2.toDouble / (2.0 * pos.size * neg.size)
+    val row = Curation.classifierAuc(docs).collect() match { case Array(r) => r }
+    assert(row.getLong(1) === pos.size.toLong && row.getLong(2) === neg.size.toLong)
+    assert(math.abs(row.getDouble(0) - expected) <= 1e-6,
+      s"auc ${row.getDouble(0)} vs brute $expected")
+    assert(row.getDouble(0) > 0.5, "en-vs-rest model should rank better than chance")
+    // the two-phase prefix sum is a function of the score order, not of
+    // where the range boundaries land
+    val p2 = Curation.classifierAuc(docs, parts = 2).collect()
+    val p17 = Curation.classifierAuc(docs, parts = 17).collect()
+    assert(p2.toSeq === p17.toSeq)
+  }
+
+  test("textrankKeywords equals an in-JVM weighted power iteration, bit-for-bit") {
+    val texts = docs.select($"text").collect().map(_.getString(0))
+    val cooc = texts.iterator.flatMap { t =>
+      val ws = t.split(" ", -1)
+      if (ws.length >= 2)
+        ws.iterator.sliding(2).withPartial(false)
+          .filter(p => p.head != p(1))
+          .map(p => if (p.head < p(1)) (p.head, p(1)) else (p(1), p.head))
+      else Iterator.empty
+    }.toSeq.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val tokCount = texts.iterator.flatMap(_.split(" ", -1)).toSeq
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val kept = cooc.filter { case ((a, b), _) =>
+      tokCount(a) >= 5L && tokCount(b) >= 5L }
+    val edges = kept.toSeq.flatMap { case ((a, b), w) => Seq((a, b, w), (b, a, w)) }
+    val wdeg = edges.groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap
+    val nodes = wdeg.keySet.toSeq
+    val n = nodes.size.toLong
+    var rank = nodes.map(_ -> 1000000L / n).toMap
+    for (_ <- 1 to 4) {
+      val s = edges.groupBy(_._2).view
+        .mapValues(_.map { case (src, _, w) => (rank(src) * w) / wdeg(src) }.sum)
+      rank = nodes.map(nd => nd -> (150000L / n + (17L * s(nd)) / 20L)).toMap
+    }
+    val expected = rank.toSeq.map { case (t, r) => (t, wdeg(t), r) }
+      .sortBy { case (t, _, r) => (-r, t) }.take(20)
+    val got = TextAnalysis.textrankKeywords(docs).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got === expected)
+    assert(got.nonEmpty && got.forall(_._3 > 0L))
+  }
+
+  test("hourlyAutocorrelation equals brute force on the zero-filled series") {
+    val nsPerHour = 3600L * 1000000000L
+    val hours = Tables.events(spark, sf).select($"ts").collect()
+      .map(_.getLong(0) / nsPerHour)
+    val counts = hours.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val xs = (hours.min to hours.max).map(h => counts.getOrElse(h, 0L))
+    val n = xs.length.toLong
+    val s = xs.sum
+    val ys = xs.map(x => n * x - s)
+    val den = ys.map(y => y * y).sum.toDouble
+    val got = Events.hourlyAutocorrelation(Tables.events(spark, sf)).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(got.map(_._1) === (1 to 24))
+    got.foreach { case (lag, nPairs, acf) =>
+      assert(nPairs === n - lag, s"lag $lag pair count")
+      val num = (0 until (n - lag).toInt).map(i => ys(i) * ys(i + lag)).sum
+      assert(math.abs(acf - num.toDouble / den) <= 1e-6, s"lag $lag: $acf")
+      assert(acf >= -1.0 - 1e-9 && acf <= 1.0 + 1e-9)
+    }
+  }
+
+  test("abValueTest equals brute-force md5 arms and moments; A/A split is calibrated") {
+    def md5hex(v: String): String = java.security.MessageDigest.getInstance("MD5")
+      .digest(v.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val ev = Tables.events(spark, sf)
+    val vals = ev.filter($"event_type" === "purchase")
+      .select($"user_id", $"value").collect()
+      .map(r => (Integer.parseInt(md5hex(r.getLong(0).toString).substring(0, 4), 16) % 2,
+        math.round(r.getDouble(1) * 10000)))
+    val a = vals.filter(_._1 == 0).map(_._2)
+    val b = vals.filter(_._1 == 1).map(_._2)
+    def mean(xs: Array[Long]) = xs.sum.toDouble / xs.length
+    def svar(xs: Array[Long]) = {
+      val n = xs.length; val s1 = xs.sum; val s2 = xs.map(x => x * x).sum
+      (s2.toDouble - s1.toDouble * s1 / n) / (n - 1)
+    }
+    val z = (mean(a) - mean(b)) /
+      math.sqrt(svar(a) / a.length + svar(b) / b.length)
+    val row = Events.abValueTest(ev).collect() match { case Array(r) => r }
+    assert((row.getLong(0), row.getLong(1)) === ((a.length.toLong, b.length.toLong)))
+    assert(math.abs(row.getDouble(2) - mean(a) / 1e4) <= 1e-3)
+    assert(math.abs(row.getDouble(3) - mean(b) / 1e4) <= 1e-3)
+    assert(math.abs(row.getDouble(4) - z) <= 1e-3, s"z ${row.getDouble(4)} vs $z")
+    // the arms see the same process: an A/A split should not "detect" an
+    // effect (|z| inside the 1.96 line on any healthy fixture)
+    assert(math.abs(row.getDouble(4)) < 1.96, s"A/A z unexpectedly large: ${row.getDouble(4)}")
+  }
+
   private implicit class Interp(private val sc: StringContext) {
     def $(args: Any*): org.apache.spark.sql.Column = col(sc.s(args: _*))
   }

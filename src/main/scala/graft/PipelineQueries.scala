@@ -528,6 +528,10 @@ object PipelineQueries {
     // Welch z on purchase value over a deterministic md5 A/A user
     // split: exact integer micro-unit moments into one boundary formula
     "q192_ab_test" -> ((s, d) => Events.abValueTest(Tables.events(s, d))),
+    // Page's CUSUM on the daily mean value via the prefix-sum minus
+    // running-min closed form: sequential monitor, one-pass windows
+    // over the aggregate-sized day frame, exact integer micro-units
+    "q193_cusum_drift" -> ((s, d) => Events.cusumDriftDays(Tables.events(s, d))),
   )
 
   // ---- shared SQL fragments -------------------------------------------
@@ -4262,5 +4266,34 @@ object PipelineQueries {
          |      + ((CAST(s2_b AS DOUBLE) - CAST(s1_b AS DOUBLE) * s1_b / n_b) / (n_b - 1)) / n_b),
          |   4) AS z_score
          |FROM t""".stripMargin,
+    "q193_cusum_drift" ->
+      // S_t = P_t - min(0, min_{i<=t} P_i): prefix sum and prefix min
+      // of integer deviations from the floor-division reference level
+      """WITH m AS (
+        |  SELECT (epoch_ns(ts) // 86400000000000) * 86400 AS day_epoch,
+        |    count(*) AS n_events,
+        |    CAST(sum(CAST(round(value * 10000, 0) AS BIGINT)) AS BIGINT) AS s1
+        |  FROM events GROUP BY 1
+        |),
+        |k AS (SELECT (10000 * CAST(sum(s1) AS BIGINT))
+        |        // CAST(sum(n_events) AS BIGINT) AS k FROM m),
+        |d AS (
+        |  SELECT day_epoch, n_events, (10000 * s1) // n_events AS xm,
+        |    (10000 * s1) // n_events - k.k AS dev
+        |  FROM m, k
+        |),
+        |c AS (
+        |  SELECT day_epoch, n_events, xm,
+        |    CAST(sum(dev) OVER (ORDER BY day_epoch) AS BIGINT) AS p,
+        |    CAST(sum(-dev) OVER (ORDER BY day_epoch) AS BIGINT) AS pn
+        |  FROM d
+        |)
+        |SELECT day_epoch, n_events, xm,
+        | p - least(CAST(0 AS BIGINT), min(p) OVER (ORDER BY day_epoch)) AS cusum_up,
+        | pn - least(CAST(0 AS BIGINT), min(pn) OVER (ORDER BY day_epoch)) AS cusum_down,
+        | (p - least(CAST(0 AS BIGINT), min(p) OVER (ORDER BY day_epoch)) > 50000
+        |  OR pn - least(CAST(0 AS BIGINT), min(pn) OVER (ORDER BY day_epoch)) > 50000)
+        |   AS alarm
+        |FROM c ORDER BY day_epoch""".stripMargin,
   )
 }

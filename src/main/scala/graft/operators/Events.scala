@@ -545,9 +545,63 @@ object Events {
       (s2.cast("double") - s1.cast("double") * s1 / n) / (n - lit(1L))
     val mA = mean($"s1_a", $"n_a"); val mB = mean($"s1_b", $"n_b")
     val vA = svar($"s1_a", $"s2_a", $"n_a"); val vB = svar($"s1_b", $"s2_b", $"n_b")
+    // degenerate-input guards (n<2 in an arm, or zero pooled variance):
+    // null instead of an ANSI divide-by-zero throw — this is what lets
+    // the SAME code path serve as the cold-starting streaming monitor
+    // (EventStreams.abTestStream), whose first micro-batches may hold a
+    // single arm; never triggered on a healthy batch corpus
     counts.select(
       $"n_a", $"n_b",
-      round(mA / 1e4, 4).as("mean_a"), round(mB / 1e4, 4).as("mean_b"),
-      round((mA - mB) / sqrt(vA / $"n_a" + vB / $"n_b"), 4).as("z_score"))
+      when($"n_a" > 0L, round(mA / 1e4, 4)).as("mean_a"),
+      when($"n_b" > 0L, round(mB / 1e4, 4)).as("mean_b"),
+      when($"n_a" >= 2L && $"n_b" >= 2L && (vA + vB) > 0.0,
+        round((mA - mB) / sqrt(vA / $"n_a" + vB / $"n_b"), 4)).as("z_score"))
+  }
+
+  /** One-sided CUSUM change detection on the daily mean event value
+    * (q193) — the SEQUENTIAL drift monitor beside the snapshot diffs
+    * (q102/q127 compare two corpus versions; CUSUM watches ONE metric
+    * through time and accumulates small persistent shifts until they
+    * cross an alarm line, the Page 1954 scheme every metrics pipeline
+    * ships). Upward and downward schemes run together.
+    *
+    * The textbook recursion S_t = max(0, S_{t-1} + (x_t − k)) is
+    * sequential, but its closed form is NOT: S_t = P_t − min(0,
+    * min_{i≤t} P_i) with P the plain prefix sum of deviations — so the
+    * monitor is a prefix sum + prefix min, both one-pass window
+    * identities (and two-phase distributable if the day frame ever
+    * outgrew a partition — it is AGGREGATE-sized: 30 rows per month at
+    * any event volume, so the un-partitioned window here is a window
+    * over a dimension frame, not a scale hazard).
+    *
+    * Integer discipline: daily level xm = (10⁴·Σv) div n and reference
+    * k = (10⁴·Σv) div n over the whole window — floor division on exact
+    * long sums, so deviations, prefix sums, mins, and both CUSUM tracks
+    * are engine-exact integers; `h` is the alarm threshold in the same
+    * micro-units.
+    */
+  def cusumDriftDays(events: DataFrame, h: Long = 50000L): DataFrame = {
+    val NsPerDay = 24L * NsPerHour
+    val moments = events
+      .groupBy((expr(s"ts div $NsPerDay") * 86400).as("day_epoch"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(round($"value" * 10000, 0).cast("long")).as("s1"))
+    // reference level k from the RAW exact moments (not from xm, whose
+    // per-day floor already lost sub-unit mass)
+    val kRef = moments.agg(expr("(10000 * sum(s1)) div sum(n_events)").as("k"))
+    val w = Window.orderBy($"day_epoch")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    moments
+      .select($"day_epoch", $"n_events", expr("(10000 * s1) div n_events").as("xm"))
+      .crossJoin(broadcast(kRef))
+      .withColumn("dev", $"xm" - $"k")
+      .withColumn("p", sum($"dev").over(w))
+      .withColumn("cusum_up", $"p" - least(lit(0L), min($"p").over(w)))
+      .withColumn("pn", sum(-$"dev").over(w))
+      .withColumn("cusum_down", $"pn" - least(lit(0L), min($"pn").over(w)))
+      .select($"day_epoch", $"n_events", $"xm",
+        $"cusum_up", $"cusum_down",
+        ($"cusum_up" > h || $"cusum_down" > h).as("alarm"))
+      .orderBy($"day_epoch")
   }
 }

@@ -389,6 +389,24 @@ object EventStreams {
       .select(col("mg.n").as("n_total"), explode(col("mg.toks")).as("token"))
   }
 
+  /** Streaming twin of batch q192's Welch A/B test — the live
+    * experiment dashboard: the metric feed aggregates in complete mode
+    * and every trigger re-emits the arms' exact integer moments and the
+    * z computed from them ("peeking" is statistically fraught, but the
+    * dashboard every experimentation stack nevertheless ships; the
+    * sequential-decision correction is a policy on top, not a different
+    * aggregate). DELEGATES to `operators.Events.abValueTest` — one code
+    * path for batch and stream, the evalCore discipline, which is the
+    * whole law: the conditional-moment aggregate is trivially mergeable,
+    * so the complete-mode table equals the batch answer at every cut
+    * where the same rows have arrived. State is the six-moment single
+    * row however long the feed runs; the degenerate-input guards there
+    * (null z under n<2 or zero variance) are what survive the monitor's
+    * cold start, where the first micro-batch may hold one arm only.
+    */
+  def abTestStream(events: DataFrame, metricType: String = "purchase"): DataFrame =
+    graft.operators.Events.abValueTest(events, metricType)
+
   /** Streaming twin of batch q164's erasure audit
     * (`Governance.erasureAudit`): deletion requests arrive as a stream
     * of doc_ids — the shape a compliance queue actually has — and the

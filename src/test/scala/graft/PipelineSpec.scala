@@ -1662,6 +1662,29 @@ class PipelineSpec extends GraftSuite {
     assert(math.abs(row.getDouble(4)) < 1.96, s"A/A z unexpectedly large: ${row.getDouble(4)}")
   }
 
+  test("cusumDriftDays: closed form equals the textbook max(0, S+dev) recursion") {
+    val nsPerDay = 86400L * 1000000000L
+    val rows = Tables.events(spark, sf).select($"ts", $"value").collect()
+      .map(r => ((r.getLong(0) / nsPerDay) * 86400, math.round(r.getDouble(1) * 10000)))
+    val byDay = rows.groupBy(_._1).view
+      .mapValues(g => (g.length.toLong, g.map(_._2).sum)).toSeq.sortBy(_._1)
+    val totN = byDay.map(_._2._1).sum
+    val totS = byDay.map(_._2._2).sum
+    val k = (10000L * totS) / totN
+    var sUp = 0L; var sDn = 0L
+    val expected = byDay.map { case (day, (n, s1)) =>
+      val xm = (10000L * s1) / n
+      sUp = math.max(0L, sUp + (xm - k))
+      sDn = math.max(0L, sDn + (k - xm))
+      (day, n, xm, sUp, sDn, sUp > 50000L || sDn > 50000L)
+    }
+    val got = Events.cusumDriftDays(Tables.events(spark, sf)).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getBoolean(5))).toSeq
+    assert(got === expected)
+    assert(got.nonEmpty)
+  }
+
   private implicit class Interp(private val sc: StringContext) {
     def $(args: Any*): org.apache.spark.sql.Column = col(sc.s(args: _*))
   }

@@ -799,4 +799,33 @@ class StreamingSpec extends GraftSuite {
       "every streamed query must be answered")
     Similarity.clearPqModelCache()
   }
+
+  test("streaming A/B monitor == batch abValueTest once drained; cold start emits, not crashes") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val rows = Tables.events(spark, sf)
+      .select(col("user_id"), col("event_type"), col("value"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+    val input = MemoryStream[(Long, String, Double)]
+    val q = EventStreams.abTestStream(input.toDS().toDF("user_id", "event_type", "value"))
+      .writeStream.outputMode("complete").format("memory").queryName("ab_out")
+      .start()
+    // cold start: one row (at most one arm, n <= 1) must emit the
+    // null-guarded row rather than hit ANSI divide-by-zero
+    input.addData(rows.head)
+    q.processAllAvailable()
+    assert(spark.table("ab_out").collect().length === 1)
+    val (a, b) = rows.tail.splitAt(rows.length / 2)
+    input.addData(a.toIndexedSeq)
+    q.processAllAvailable()
+    input.addData(b.toIndexedSeq)
+    q.processAllAvailable()
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))
+    val streamed = spark.table("ab_out").collect().map(key).toSeq
+    q.stop()
+    val batch = Events.abValueTest(Tables.events(spark, sf)).collect().map(key).toSeq
+    assert(streamed === batch)
+    assert(streamed.head._5 === batch.head._5)
+  }
 }

@@ -532,6 +532,11 @@ object PipelineQueries {
     // running-min closed form: sequential monitor, one-pass windows
     // over the aggregate-sized day frame, exact integer micro-units
     "q193_cusum_drift" -> ((s, d) => Events.cusumDriftDays(Tables.events(s, d))),
+    // Zhu-Ghahramani hard-clamp label propagation over the
+    // cell-restricted kNN graph: transductive recovery of md5-hidden
+    // labels, 2 synchronous plurality rounds, edge-proportional state
+    "q194_label_propagation" -> ((s, d) =>
+      Similarity.labelPropagation(Tables.embeddings(s, d))),
   )
 
   // ---- shared SQL fragments -------------------------------------------
@@ -4295,5 +4300,54 @@ object PipelineQueries {
         |  OR pn - least(CAST(0 AS BIGINT), min(pn) OVER (ORDER BY day_epoch)) > 50000)
         |   AS alarm
         |FROM c ORDER BY day_epoch""".stripMargin,
+    "q194_label_propagation" -> {
+      // synchronous plurality round over the frozen kNN frame: hidden
+      // nodes re-derive from the PREVIOUS round's labels, visible nodes
+      // hard-clamp; plurality ties break (count DESC, label ASC)
+      def prop(prev: String, idx: Int) =
+        s"""lp$idx AS MATERIALIZED (
+           |  SELECT l.vec_id, l.y, l.hidden,
+           |    CASE WHEN NOT l.hidden THEN l.y ELSE maj.m END AS cur
+           |  FROM lbl l LEFT JOIN (
+           |    SELECT id AS vec_id, m FROM (
+           |      SELECT k.id, n.cur AS m, count(*) AS c,
+           |        row_number() OVER (PARTITION BY k.id
+           |          ORDER BY count(*) DESC, n.cur) AS rn
+           |      FROM knn k JOIN $prev n ON n.vec_id = k.nb
+           |      WHERE n.cur IS NOT NULL GROUP BY k.id, n.cur
+           |    ) WHERE rn = 1
+           |  ) maj ON maj.vec_id = l.vec_id
+           |)""".stripMargin
+      s"""$KmeansAssignCtes,
+         |lbl AS (
+         |  SELECT vec_id, CAST(label AS BIGINT) AS y,
+         |    ${posSql("md5(CAST(vec_id AS VARCHAR))", 0, 2)} = 1 AS hidden
+         |  FROM embeddings
+         |),
+         |pairs AS (
+         |  SELECT x.vec_id AS id, y2.vec_id AS nb,
+         |    round(${cosSql("x.v", "y2.v")}, 6) AS cos
+         |  FROM af x JOIN af y2 ON x.cid = y2.cid AND x.vec_id <> y2.vec_id
+         |),
+         |knn AS MATERIALIZED (
+         |  SELECT id, nb FROM (
+         |    SELECT id, nb, row_number() OVER (PARTITION BY id
+         |      ORDER BY -cos, nb) AS rn
+         |    FROM pairs
+         |  ) WHERE rn <= 5
+         |),
+         |lp0 AS (
+         |  SELECT vec_id, y, hidden,
+         |    CASE WHEN hidden THEN NULL ELSE y END AS cur
+         |  FROM lbl
+         |),
+         |${prop("lp0", 1)},
+         |${prop("lp1", 2)}
+         |SELECT y AS label, count(*) AS n_hidden,
+         | CAST(sum(CASE WHEN cur IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_recovered,
+         | CAST(sum(CASE WHEN cur = y THEN 1 ELSE 0 END) AS BIGINT) AS n_correct,
+         | round(sum(CASE WHEN cur = y THEN 1 ELSE 0 END) * 1.0 / count(*), 4) AS accuracy
+         |FROM lp2 WHERE hidden GROUP BY y ORDER BY y""".stripMargin
+    },
   )
 }

@@ -183,6 +183,69 @@ object Similarity {
       .orderBy($"label")
   }
 
+  /** Semi-supervised label propagation over the cell-restricted kNN
+    * graph (q194): hide half the labels (deterministic md5 coin), build
+    * each vector's k nearest neighbors WITHIN its trained k-means cell,
+    * and run `rounds` synchronous propagation steps — every hidden node
+    * takes the plurality label among its neighbors' CURRENT labels
+    * (count desc, min label tie; no labeled neighbor → still unknown),
+    * visible nodes keep theirs (Zhu & Ghahramani 2002, hard-clamp
+    * variant). Report per true label how many hidden nodes were
+    * recovered and how many correctly — the transductive counterpart of
+    * q114's one-shot kNN vote, and the measurement behind "can we
+    * auto-label the unlabeled crawl from a labeled seed set?".
+    *
+    * Scale shape: the kNN graph never goes all-pairs — candidates are
+    * CELL-restricted (the q70 Lloyd training this rides is the shared
+    * session pattern; per-node candidate work is cell-bounded, the IVF
+    * contract), cut to k by the salted two-stage `Scale.topKPerGroup`
+    * and checkpointed once; each round is then one edge⋈label join +
+    * one plurality aggregate over edge-proportional rows — label state
+    * stays fully distributed, nothing corpus-sized on the driver.
+    * Determinism: cos rounds to 6 with id tie-breaks, plurality breaks
+    * ties (count desc, label asc) — bit-equal on any engine; the oracle
+    * unrolls both propagation rounds over the shared Lloyd CTEs.
+    */
+  def labelPropagation(embeddings: DataFrame, k: Int = 5, rounds: Int = 2,
+      kCells: Int = 16): DataFrame = {
+    import graft.functions.VectorFunctions.cosine_sim
+    val af = kmeansAssignments(embeddings, kCells, 2, "coreset")
+    val labels = embeddings
+      .select($"vec_id", $"label".cast("long").as("y"))
+      .withColumn("hidden", Scale.md5SlicePos($"vec_id", 0, 2) === 1L)
+      .localCheckpoint() // joined every round + in the final report
+    val pairs = af.select($"vec_id".as("id"), $"cid", $"v")
+      .join(af.select($"vec_id".as("nb"), $"cid", $"v".as("nv")), Seq("cid"))
+      .filter($"id" =!= $"nb")
+      .select($"id", $"nb", round(cosine_sim($"v", $"nv"), 6).as("cos"))
+    val knn = Scale.topKPerGroup(pairs, group = $"id", rankKey = -$"cos",
+        tie = $"nb", saltSource = $"nb", k = k)
+      .select($"id", $"nb")
+      .localCheckpoint() // the graph is shared by all rounds
+    var cur = labels.select($"vec_id",
+      when($"hidden", lit(null).cast("long")).otherwise($"y").as("cur"))
+    for (_ <- 1 to rounds) {
+      val wv = Window.partitionBy($"id").orderBy($"c".desc, $"m")
+      val maj = knn
+        .join(cur.select($"vec_id".as("nb"), $"cur".as("m")), Seq("nb"))
+        .filter($"m".isNotNull)
+        .groupBy($"id", $"m").agg(count(lit(1)).as("c"))
+        .withColumn("rn", row_number().over(wv)).filter($"rn" === 1)
+        .select($"id".as("vec_id"), $"m")
+      cur = labels.join(maj, Seq("vec_id"), "left_outer")
+        .select($"vec_id", when(!$"hidden", $"y").otherwise($"m").as("cur"))
+    }
+    labels.join(cur, Seq("vec_id"))
+      .filter($"hidden")
+      .groupBy($"y".as("label"))
+      .agg(count(lit(1)).as("n_hidden"),
+        sum(when($"cur".isNotNull, 1L).otherwise(0L)).as("n_recovered"),
+        sum(when($"cur" === $"y", 1L).otherwise(0L)).as("n_correct"))
+      .select($"label", $"n_hidden", $"n_recovered", $"n_correct",
+        round($"n_correct" / $"n_hidden", 4).as("accuracy"))
+      .orderBy($"label")
+  }
+
   /** Number of output dimensions of the deterministic random projection
     * (Johnson-Lindenstrauss sketch). 32 dims halve the 64-dim fixture and
     * land the mean cosine distortion at the ~1/sqrt(k) JL rate (~0.13 on

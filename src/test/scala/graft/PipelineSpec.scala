@@ -1685,6 +1685,27 @@ class PipelineSpec extends GraftSuite {
     assert(got.nonEmpty)
   }
 
+  test("labelPropagation: md5 mask accounting, recovery bounds, zero-round identity, round monotonicity") {
+    def md5hex(v: String): String = java.security.MessageDigest.getInstance("MD5")
+      .digest(v.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    def rows(rounds: Int) = Similarity.labelPropagation(embs, rounds = rounds)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val got = rows(2)
+    assert(got.nonEmpty)
+    got.foreach { case (l, h, rec, cor) =>
+      assert(cor <= rec && rec <= h, s"label $l bounds: $cor <= $rec <= $h") }
+    // the hidden population is exactly the md5-parity coin's tails
+    val hidden = embs.select($"vec_id").collect().map(_.getLong(0))
+      .count(u => Integer.parseInt(md5hex(u.toString).substring(0, 4), 16) % 2 == 1)
+    assert(got.map(_._2).sum === hidden.toLong)
+    // zero rounds = the clamp alone: nothing recovered
+    assert(rows(0).forall(_._3 == 0L))
+    // labels only spread: one round recovers a subset of two rounds
+    assert(rows(1).map(_._3).sum <= got.map(_._3).sum)
+    // deterministic end to end (fresh Lloyd training included)
+    assert(rows(2).toSeq === got.toSeq)
+  }
+
   private implicit class Interp(private val sc: StringContext) {
     def $(args: Any*): org.apache.spark.sql.Column = col(sc.s(args: _*))
   }

@@ -537,6 +537,16 @@ object PipelineQueries {
     // labels, 2 synchronous plurality rounds, edge-proportional state
     "q194_label_propagation" -> ((s, d) =>
       Similarity.labelPropagation(Tables.embeddings(s, d))),
+    // first-touch session attribution: purchases credited to the event
+    // type that opened the session; micro-unit value, two-level agg
+    "q195_attribution" -> ((s, d) => Events.sessionAttribution(Tables.events(s, d))),
+    // exact positional phrase search over the postings frame: anchor +
+    // one semi-join per word, term-selectivity-proportional
+    "q196_phrase_search" -> ((s, d) => TextAnalysis.phraseSearch(Tables.documents(s, d))),
+    // order-free 60-bit XOR dataset fingerprint per source: the corpus
+    // version identity, any merge order, no overflow
+    "q197_dataset_fingerprint" -> ((s, d) =>
+      Governance.datasetFingerprint(Tables.documents(s, d))),
   )
 
   // ---- shared SQL fragments -------------------------------------------
@@ -4348,6 +4358,75 @@ object PipelineQueries {
          | CAST(sum(CASE WHEN cur = y THEN 1 ELSE 0 END) AS BIGINT) AS n_correct,
          | round(sum(CASE WHEN cur = y THEN 1 ELSE 0 END) * 1.0 / count(*), 4) AS accuracy
          |FROM lp2 WHERE hidden GROUP BY y ORDER BY y""".stripMargin
+    },
+    "q195_attribution" ->
+      // q33's session numbering carrying event_type + micro-unit value;
+      // entry tag via first_value over the session sort; two-level agg
+      """WITH g AS (
+        |  SELECT user_id, event_id, ts, event_type,
+        |    CAST(round(value * 10000, 0) AS BIGINT) AS vm,
+        |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+        |  FROM events
+        |),
+        |flagged AS (
+        |  SELECT user_id, event_id, ts, event_type, vm,
+        |    CASE WHEN prev_ts IS NULL OR epoch_ns(ts) - epoch_ns(prev_ts) > 1800000000000
+        |      THEN 1 ELSE 0 END AS new_session
+        |  FROM g
+        |),
+        |numbered AS (
+        |  SELECT user_id, event_id, ts, event_type, vm,
+        |    sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+        |  FROM flagged
+        |),
+        |tagged AS (
+        |  SELECT user_id, session_seq, event_type, vm,
+        |    first_value(event_type) OVER (PARTITION BY user_id, session_seq
+        |      ORDER BY ts, event_id) AS entry_type
+        |  FROM numbered
+        |),
+        |per_session AS (
+        |  SELECT user_id, session_seq, entry_type,
+        |    CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purch,
+        |    CAST(sum(CASE WHEN event_type = 'purchase' THEN vm ELSE 0 END) AS BIGINT) AS pvm
+        |  FROM tagged GROUP BY 1, 2, 3
+        |)
+        |SELECT entry_type, count(*) AS n_sessions,
+        | CAST(sum(n_purch) AS BIGINT) AS n_purchases,
+        | round(CAST(sum(pvm) AS BIGINT) / 10000.0, 2) AS attributed_value
+        |FROM per_session GROUP BY entry_type ORDER BY entry_type""".stripMargin,
+    "q196_phrase_search" ->
+      // positional postings (1-based; Spark's are 0-based - counts are
+      // base-invariant), anchor + per-word position joins
+      """WITH p AS (
+        |  SELECT doc_id, i AS pos, ws[i] AS tok
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |    LATERAL (SELECT unnest(range(1, len(ws) + 1)) AS i)
+        |),
+        |m0 AS (SELECT doc_id, pos FROM p WHERE tok = 'big'),
+        |m1 AS (SELECT m0.doc_id, m0.pos FROM m0
+        |  JOIN p ON p.doc_id = m0.doc_id AND p.pos = m0.pos + 1 AND p.tok = 'order'),
+        |m2 AS (SELECT m1.doc_id, m1.pos FROM m1
+        |  JOIN p ON p.doc_id = m1.doc_id AND p.pos = m1.pos + 2 AND p.tok = 'scan')
+        |SELECT doc_id, 'big order scan' AS phrase, count(*) AS n_occurrences
+        |FROM m2 GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q197_dataset_fingerprint" -> {
+      // 60-bit content hash via strpos arithmetic (DuckDB has no conv);
+      // XOR fold is merge-order-free on both engines
+      def hv(idx: Int) = s"(strpos('0123456789abcdef', substr(h, $idx, 1)) - 1)"
+      val h60 = (2 to 15).foldLeft(hv(1))((acc, i) => s"($acc * 16 + ${hv(i)})")
+      s"""WITH f AS (
+         |  SELECT source,
+         |    md5(CAST(doc_id AS VARCHAR) || ':' || text) AS h,
+         |    CAST(len(string_split(text, ' ')) AS BIGINT) AS toks
+         |  FROM documents
+         |),
+         |g AS (SELECT source, CAST($h60 AS BIGINT) AS hv, toks FROM f)
+         |SELECT source, count(*) AS n_docs,
+         | CAST(sum(toks) AS BIGINT) AS n_tokens,
+         | bit_xor(hv) AS fingerprint
+         |FROM g GROUP BY source ORDER BY source""".stripMargin
     },
   )
 }

@@ -558,6 +558,49 @@ object Events {
         round((mA - mB) / sqrt(vA / $"n_a" + vB / $"n_b"), 4)).as("z_score"))
   }
 
+  /** Session-entry attribution (q195): credit every purchase to the
+    * event type that OPENED its session — first-touch attribution at
+    * session grain, the marketing-analytics consumer of q33's
+    * sessionization (q123/q132 describe transition structure; this
+    * answers "which entry point leads to revenue"). Per entry type:
+    * sessions opened, purchases landed, and the attributed purchase
+    * value.
+    *
+    * Purchase values ride the exact integer micro-unit discipline
+    * (round(value·10⁴) longs, q192's moments), so both aggregation
+    * levels are engine-exact and the one boundary division renders the
+    * rounded total.
+    *
+    * Shape: one shuffle on user_id for the session windows (bounded
+    * per-key state), the entry tag is a first_value over the same sort,
+    * then two map-side-combined aggregates — per-session (key grain:
+    * user × session) and per-entry-type (types-sized output frame).
+    */
+  def sessionAttribution(events: DataFrame, gapSeconds: Long = 1800L): DataFrame = {
+    val byUser = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    val sess = events
+      .select($"user_id", $"event_id", $"ts", $"event_type",
+        round($"value" * 10000, 0).cast("long").as("vm"))
+      .withColumn("prev_ts", lag($"ts", 1).over(byUser))
+      .withColumn("new_session",
+        when($"prev_ts".isNull || ($"ts" - $"prev_ts") > gapSeconds * NsPerSecond, 1)
+          .otherwise(0))
+      .withColumn("session_seq",
+        sum($"new_session").over(byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val wSess = Window.partitionBy($"user_id", $"session_seq").orderBy($"ts", $"event_id")
+    sess
+      .withColumn("entry_type", first($"event_type").over(wSess))
+      .groupBy($"user_id", $"session_seq", $"entry_type")
+      .agg(
+        sum(when($"event_type" === "purchase", 1L).otherwise(0L)).as("n_purch"),
+        sum(when($"event_type" === "purchase", $"vm").otherwise(0L)).as("pvm"))
+      .groupBy($"entry_type")
+      .agg(count(lit(1)).as("n_sessions"),
+        sum($"n_purch").as("n_purchases"),
+        round(sum($"pvm") / 10000.0, 2).as("attributed_value"))
+      .orderBy($"entry_type")
+  }
+
   /** One-sided CUSUM change detection on the daily mean event value
     * (q193) — the SEQUENTIAL drift monitor beside the snapshot diffs
     * (q102/q127 compare two corpus versions; CUSUM watches ONE metric

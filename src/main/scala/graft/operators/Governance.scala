@@ -199,4 +199,31 @@ object Governance {
         min($"str").as("min_str"), max($"str").as("max_str"))
       .orderBy($"column")
   }
+
+  /** Order-free dataset fingerprint (q197): per source, an XOR fold of
+    * a 60-bit content hash of every (doc_id, text) pair — the dataset
+    * VERSION IDENTITY a reproducibility audit quotes ("is the corpus
+    * this training run saw bit-identical to the one the datasheet
+    * describes?"). XOR is the right fold: commutative/associative (any
+    * partitioning and merge order gives the same fingerprint — no
+    * ordered Merkle chain to serialize), no overflow at any corpus
+    * size, and any single changed/added/dropped document flips the
+    * fingerprint (doc_ids are unique, so terms cannot pairwise cancel;
+    * undetected corruption needs an even multiset of colliding 2⁻⁶⁰
+    * hashes). Token mass rides along as the coarse sanity check.
+    *
+    * One codegen'd scan into a map-side-combined source-sized
+    * aggregate; nothing downstream of the scan is corpus-proportional.
+    */
+  def datasetFingerprint(documents: DataFrame): DataFrame =
+    documents
+      .select($"source",
+        conv(substring(md5(concat($"doc_id".cast("string"), lit(":"), $"text")), 1, 15),
+          16, 10).cast("long").as("h"),
+        size(split($"text", " ")).cast("long").as("toks"))
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum($"toks").as("n_tokens"),
+        expr("bit_xor(h)").as("fingerprint"))
+      .orderBy($"source")
 }

@@ -818,6 +818,39 @@ object TextAnalysis {
       .limit(topk)
   }
 
+  /** Exact positional phrase search (q196): which documents contain the
+    * literal word sequence `phrase`, and how often — the POSITIONAL
+    * postings consumer that completes the IR stack (q79/BM25 ranks by
+    * bag-of-words; a phrase query is the operation bag-of-words cannot
+    * answer). The postings frame (doc, position, token) is the
+    * positional twin of the persisted BM25 index's term postings; the
+    * phrase match is the classic intersect-on-adjacent-positions plan:
+    * anchor on the first word, then one semi-join per remaining word at
+    * position anchor+i.
+    *
+    * Scale shape: each join's inputs are pruned to ONE term's postings
+    * before shuffling (term-selectivity-proportional, the inverted-index
+    * contract — never corpus-proportional after the postings build), and
+    * the semi-join chain keeps only anchor positions, so intermediate
+    * width never grows with phrase length. Counts are exact integers.
+    */
+  def phraseSearch(documents: DataFrame, phrase: String = "big order scan"): DataFrame = {
+    val words = phrase.split(" ")
+    require(words.length >= 2, s"phraseSearch wants a multi-word phrase, got '$phrase'")
+    val post = documents
+      .select($"doc_id", posexplode(split($"text", " ")).as(Seq("pos", "tok")))
+    var anchors = post.filter($"tok" === words(0)).select($"doc_id", $"pos")
+    for (i <- 1 until words.length)
+      anchors = anchors.join(
+        post.filter($"tok" === words(i)).select($"doc_id", ($"pos" - i).as("pos")),
+        Seq("doc_id", "pos"), "left_semi")
+    anchors
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_occurrences"))
+      .select($"doc_id", lit(phrase).as("phrase"), $"n_occurrences")
+      .orderBy($"doc_id")
+  }
+
   /** Language-ID evaluation harness: confusion matrix of the q22
     * classifier against the `lang` ground-truth column, with each cell's
     * share of its truth-language row — the EVALUATION op that belongs

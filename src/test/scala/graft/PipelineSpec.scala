@@ -1706,6 +1706,77 @@ class PipelineSpec extends GraftSuite {
     assert(rows(2).toSeq === got.toSeq)
   }
 
+  test("sessionAttribution equals brute-force first-touch credit; purchases conserved") {
+    val evs = Tables.events(spark, sf)
+      .select($"user_id", $"event_id", $"ts", $"event_type", $"value").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3),
+        math.round(r.getDouble(4) * 10000)))
+    val gapNs = 1800L * 1000000000L
+    val sessions = evs.groupBy(_._1).values.flatMap { g =>
+      val sorted = g.sortBy(e => (e._3, e._2))
+      val out = scala.collection.mutable.ArrayBuffer(
+        scala.collection.mutable.ArrayBuffer(sorted.head))
+      sorted.sliding(2).foreach {
+        case Array(prev, cur) =>
+          if (cur._3 - prev._3 > gapNs) out += scala.collection.mutable.ArrayBuffer(cur)
+          else out.last += cur
+        case _ =>
+      }
+      out
+    }.toSeq
+    def r2(x: Double) = BigDecimal(x).setScale(2, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val expected = sessions
+      .map { s =>
+        val purch = s.filter(_._4 == "purchase")
+        (s.head._4, purch.length.toLong, purch.map(_._5).sum)
+      }
+      .groupBy(_._1).view
+      .mapValues(g => (g.length.toLong, g.map(_._2).sum, r2(g.map(_._3).sum / 10000.0)))
+      .toSeq.map { case (t, (ns, np, v)) => (t, ns, np, v) }.sortBy(_._1)
+    val got = Events.sessionAttribution(Tables.events(spark, sf)).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+    assert(got === expected)
+    assert(got.map(_._3).sum === evs.count(_._4 == "purchase").toLong,
+      "every purchase must be attributed exactly once")
+  }
+
+  test("phraseSearch equals a brute-force sliding-window scan; multi-word required") {
+    val texts = docs.select($"doc_id", $"text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val phrase = "big order scan".split(" ").toSeq
+    val expected = texts.flatMap { case (id, t) =>
+      val ws = t.split(" ", -1).toSeq
+      val n = ws.sliding(phrase.length).count(_ == phrase)
+      if (n > 0) Some((id, "big order scan", n.toLong)) else None
+    }.sortBy(_._1).toSeq
+    val got = TextAnalysis.phraseSearch(docs).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    assert(got === expected)
+    assert(got.nonEmpty, "the default phrase is planted at every SF")
+    intercept[IllegalArgumentException] { TextAnalysis.phraseSearch(docs, "single") }
+  }
+
+  test("datasetFingerprint: partition-invariant, sensitive to any single-doc change") {
+    import graft.operators.Governance
+    def fp(df: org.apache.spark.sql.DataFrame) =
+      Governance.datasetFingerprint(df).collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    val base = fp(docs)
+    assert(base.nonEmpty)
+    // XOR fold is merge-order-free: any partitioning gives the identity
+    assert(fp(docs.repartition(7)) === base)
+    // flipping one document's text changes ONLY its source's fingerprint
+    val tweaked = docs.withColumn("text",
+      when($"doc_id" === 0L, concat($"text", lit(" x"))).otherwise($"text"))
+    val changed = fp(tweaked)
+    val src0 = docs.filter($"doc_id" === 0L).select($"source").collect()(0).getString(0)
+    base.zip(changed).foreach { case (b, c) =>
+      assert(b._1 === c._1 && b._2 === c._2)
+      if (b._1 == src0) assert(b._4 !== c._4, "touched source must re-fingerprint")
+      else assert(b._4 === c._4, s"untouched source ${b._1} must keep its fingerprint")
+    }
+  }
+
   private implicit class Interp(private val sc: StringContext) {
     def $(args: Any*): org.apache.spark.sql.Column = col(sc.s(args: _*))
   }

@@ -547,6 +547,10 @@ object PipelineQueries {
     // version identity, any merge order, no overflow
     "q197_dataset_fingerprint" -> ((s, d) =>
       Governance.datasetFingerprint(Tables.documents(s, d))),
+    // held-out add-one bigram LM eval: train on the md5-even half,
+    // score the odd half; per-lang bits/token + unseen-bigram rate
+    "q198_heldout_perplexity" -> ((s, d) =>
+      TextAnalysis.heldOutPerplexity(Tables.documents(s, d))),
   )
 
   // ---- shared SQL fragments -------------------------------------------
@@ -4428,5 +4432,36 @@ object PipelineQueries {
          | bit_xor(hv) AS fingerprint
          |FROM g GROUP BY source ORDER BY source""".stripMargin
     },
+    "q198_heldout_perplexity" ->
+      // q106's micro-bit arithmetic behind an md5 train/test split;
+      // LEFT joins price unseen pairs/contexts at the add-one floor
+      s"""WITH t AS (
+         |  SELECT doc_id, lang,
+         |    ${posSql("md5(CAST(doc_id AS VARCHAR))", 0, 2)} = 0 AS is_train,
+         |    string_split(text, ' ') AS ts
+         |  FROM documents
+         |),
+         |b AS (
+         |  SELECT lang, is_train,
+         |    unnest([struct_pack(w1 := ts[i], w2 := ts[i+1]) for i in range(1, len(ts))]) AS bg
+         |  FROM t
+         |),
+         |cb AS (SELECT bg.w1 AS w1, bg.w2 AS w2, count(*) AS cb
+         |       FROM b WHERE is_train GROUP BY 1, 2),
+         |cu AS (SELECT w1, CAST(sum(cb) AS BIGINT) AS cu FROM cb GROUP BY w1),
+         |vv AS (SELECT count(DISTINCT w) AS v
+         |       FROM (SELECT unnest(ts) AS w FROM t WHERE is_train)),
+         |te AS (SELECT lang, bg.w1 AS w1, bg.w2 AS w2, count(*) AS k
+         |       FROM b WHERE NOT is_train GROUP BY 1, 2, 3),
+         |sc AS (
+         |  SELECT lang, k, coalesce(cb, 0) = 0 AS unseen,
+         |    CAST(round(-log2((coalesce(cb, 0) + 1.0) / (coalesce(cu, 0) + v)) * 1e6, 0)
+         |      AS BIGINT) AS u6
+         |  FROM te LEFT JOIN cb USING (w1, w2) LEFT JOIN cu USING (w1) CROSS JOIN vv
+         |)
+         |SELECT lang, CAST(sum(k) AS BIGINT) AS n_bigrams,
+         | round(sum(k * u6) * 1.0 / sum(k) / 1e6, 4) AS bits_per_token,
+         | round(sum(CASE WHEN unseen THEN k ELSE 0 END) * 1.0 / sum(k), 6) AS unseen_rate
+         |FROM sc GROUP BY lang ORDER BY lang""".stripMargin,
   )
 }

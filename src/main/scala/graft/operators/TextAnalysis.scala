@@ -851,6 +851,59 @@ object TextAnalysis {
       .orderBy($"doc_id")
   }
 
+  /** Held-out bigram LM evaluation (q198): train the add-one-smoothed
+    * bigram model on the md5-even half of the corpus, score the md5-odd
+    * half, and report per language the held-out bits/token and the
+    * unseen-bigram rate. Where q106 scores the corpus on ITSELF (an
+    * outlier detector), this is the LM EVAL harness — the train/test
+    * protocol that says whether the model generalizes, and the number a
+    * tokenizer/LM iteration loop actually tracks. P(w2|w1) =
+    * (c(w1,w2)+1)/(c(w1·)+V) with zero counts for unseen pairs AND
+    * unseen contexts (the add-one floor 1/(0+V) prices a cold context).
+    *
+    * Same determinism discipline as q106: each bigram's surprisal
+    * quantizes to integer micro-bits, per-language sums are exact
+    * integer arithmetic, two boundary divisions round at 4/6.
+    *
+    * Shape: both halves come from ONE bigram explode of the corpus
+    * (filtered by the md5 coin either way); train tables aggregate
+    * map-side; the scoring joins shuffle on the bigram/context keys —
+    * token-proportional, q106's inherent LM-scoring cost; V is a 1-row
+    * broadcast.
+    */
+  def heldOutPerplexity(documents: DataFrame): DataFrame = {
+    val coin = Scale.md5SlicePos($"doc_id", 0, 2)
+    val toks = documents
+      .select($"doc_id", $"lang", (coin === 0L).as("is_train"), split($"text", " ").as("ts"))
+    val bd = toks
+      .filter(size($"ts") >= 2)
+      .select($"doc_id", $"lang", $"is_train", explode(expr(
+        "transform(sequence(1, size(ts) - 1), i -> struct(element_at(ts, i) AS w1, element_at(ts, i + 1) AS w2))")).as("b"))
+      .select($"doc_id", $"lang", $"is_train", $"b.w1".as("w1"), $"b.w2".as("w2"))
+    val cb = bd.filter($"is_train").groupBy($"w1", $"w2").agg(count(lit(1)).as("cb"))
+    val cu = cb.groupBy($"w1").agg(sum($"cb").as("cu"))
+    val vocab = toks.filter($"is_train")
+      .select(explode($"ts").as("w")).agg(countDistinct($"w").as("v"))
+    bd.filter(!$"is_train")
+      .groupBy($"lang", $"w1", $"w2").agg(count(lit(1)).as("k"))
+      .join(cb, Seq("w1", "w2"), "left_outer")
+      .join(cu, Seq("w1"), "left_outer")
+      .crossJoin(broadcast(vocab))
+      .select($"lang", $"k",
+        (coalesce($"cb", lit(0L)) === 0L).as("unseen"),
+        round(-log2((coalesce($"cb", lit(0L)) + lit(1.0)) /
+          (coalesce($"cu", lit(0L)) + $"v")) * 1e6, 0).cast("long").as("u6"))
+      .groupBy($"lang")
+      .agg(
+        sum($"k").as("n_bigrams"),
+        sum($"k" * $"u6").as("units"),
+        sum(when($"unseen", $"k").otherwise(0L)).as("n_unseen"))
+      .select($"lang", $"n_bigrams",
+        round($"units" / $"n_bigrams" / 1e6, 4).as("bits_per_token"),
+        round($"n_unseen" / $"n_bigrams", 6).as("unseen_rate"))
+      .orderBy($"lang")
+  }
+
   /** Language-ID evaluation harness: confusion matrix of the q22
     * classifier against the `lang` ground-truth column, with each cell's
     * share of its truth-language row — the EVALUATION op that belongs

@@ -407,6 +407,19 @@ object EventStreams {
   def abTestStream(events: DataFrame, metricType: String = "purchase"): DataFrame =
     graft.operators.Events.abValueTest(events, metricType)
 
+  /** Streaming dataset fingerprint — q197's corpus version identity
+    * maintained LIVE over the ingest feed, another batch-code delegate:
+    * XOR is commutative/associative/self-inverse-free across distinct
+    * terms, i.e. exactly a mergeable complete-mode aggregate, so at
+    * every drained cut the live table IS the batch fingerprint of the
+    * rows ingested so far (spec law). The consumer shape: an ingest
+    * fleet reads the current fingerprint the moment a source finishes
+    * landing, instead of scheduling a full batch scan afterwards.
+    * State = one (count, tokens, 60-bit xor) row per source, forever.
+    */
+  def fingerprintStream(docs: DataFrame): DataFrame =
+    graft.operators.Governance.datasetFingerprint(docs)
+
   /** Streaming twin of batch q164's erasure audit
     * (`Governance.erasureAudit`): deletion requests arrive as a stream
     * of doc_ids — the shape a compliance queue actually has — and the

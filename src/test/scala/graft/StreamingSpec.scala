@@ -828,4 +828,37 @@ class StreamingSpec extends GraftSuite {
     assert(streamed === batch)
     assert(streamed.head._5 === batch.head._5)
   }
+
+  test("streaming dataset fingerprint == batch at every drained cut") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val rows = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("source"), col("text"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    val input = MemoryStream[(Long, String, String)]
+    val q = EventStreams.fingerprintStream(
+        input.toDS().toDF("doc_id", "source", "text"))
+      .writeStream.outputMode("complete").format("memory").queryName("fp_out")
+      .start()
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))
+    val (a, b) = rows.splitAt(rows.length / 3)
+    input.addData(a.toIndexedSeq)
+    q.processAllAvailable()
+    // mid-stream cut: the live table IS the batch fingerprint of the
+    // prefix — XOR needs no finalization, so the law holds at EVERY cut
+    val mid = spark.table("fp_out").collect().map(key).toSet
+    val midBatch = graft.operators.Governance.datasetFingerprint(
+        Tables.documents(spark, sf).filter(col("doc_id").isin(a.map(_._1): _*)))
+      .collect().map(key).toSet
+    assert(mid === midBatch)
+    input.addData(b.toIndexedSeq)
+    q.processAllAvailable()
+    val streamed = spark.table("fp_out").collect().map(key).toSet
+    q.stop()
+    val batch = graft.operators.Governance.datasetFingerprint(
+      Tables.documents(spark, sf)).collect().map(key).toSet
+    assert(streamed === batch)
+    assert(streamed.nonEmpty)
+  }
 }

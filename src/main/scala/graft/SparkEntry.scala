@@ -94,6 +94,10 @@ object SparkEntry {
         Tables.region(s, d), Tables.part(s, d))),
     "q188_brand_bands" -> ((s, d) =>
       Relational.brandBandRevenue(Tables.part(s, d), Tables.lineitem(s, d))),
+    "q199_top_supplier" -> ((s, d) =>
+      Relational.topSupplierRevenue(Tables.supplier(s, d), Tables.lineitem(s, d))),
+    "q200_forecast_revenue" -> ((s, d) =>
+      Relational.forecastRevenueDelta(Tables.lineitem(s, d))),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -369,5 +373,26 @@ object SparkEntry {
         |        AND l_quantity BETWEEN 15.0 AND 25.0)
         |   OR (p_brand = 'Brand#21' AND p_size BETWEEN 1 AND 30
         |        AND l_quantity BETWEEN 25.0 AND 35.0)""".stripMargin,
+    "q199_top_supplier" ->
+      """WITH rev AS (
+        |  SELECT l_suppkey, round(sum(l_extendedprice * (1.0 - l_discount)), 2)
+        |    AS total_revenue
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |    AND l_shipdate < TIMESTAMP '1996-04-01'
+        |  GROUP BY l_suppkey
+        |)
+        |SELECT s_suppkey, s_name, total_revenue
+        |FROM rev JOIN supplier ON s_suppkey = l_suppkey
+        |WHERE total_revenue = (SELECT max(total_revenue) FROM rev)
+        |ORDER BY s_suppkey""".stripMargin,
+    "q200_forecast_revenue" ->
+      """SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue_delta,
+        | count(*) AS n_lines
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |  AND l_shipdate < TIMESTAMP '1997-01-01'
+        |  AND l_discount BETWEEN 0.05 AND 0.07
+        |  AND l_quantity < 24.0""".stripMargin,
   )
 }

@@ -656,4 +656,48 @@ object Relational {
       .agg(f2(sum($"l_extendedprice" * (lit(1.0) - $"l_discount"))).as("revenue"))
   }
 
+  /** TPC-H Q15 shape (top supplier): the supplier(s) whose windowed
+    * revenue equals the maximum — Q15's `revenue0` view becomes a
+    * per-supplier aggregate, and the `= (SELECT max(...))` correlation
+    * a 1-row broadcast crossJoin (no driver collect). The equality runs
+    * on the ROUNDED revenue (the F2 boundary), so the max and the match
+    * are the same doubles on any engine; genuine ties all surface, in
+    * supplier-key order, exactly as Q15 specifies. Supplier is the
+    * broadcast dimension; the window prunes the fact scan.
+    */
+  def topSupplierRevenue(supplier: DataFrame, lineitem: DataFrame,
+      fromDate: String = "1996-01-01", toDate: String = "1996-04-01"): DataFrame = {
+    val rev = lineitem
+      .filter($"l_shipdate" >= tsLit(lineitem, "l_shipdate", fromDate) &&
+        $"l_shipdate" < tsLit(lineitem, "l_shipdate", toDate))
+      .groupBy($"l_suppkey")
+      .agg(f2(sum($"l_extendedprice" * (lit(1.0) - $"l_discount"))).as("total_revenue"))
+    val mx = rev.agg(max($"total_revenue").as("max_revenue"))
+    rev
+      .crossJoin(broadcast(mx))
+      .filter($"total_revenue" === $"max_revenue")
+      .join(broadcast(supplier.select($"s_suppkey", $"s_name")),
+        $"l_suppkey" === $"s_suppkey")
+      .select($"s_suppkey", $"s_name", $"total_revenue")
+      .orderBy($"s_suppkey")
+  }
+
+  /** TPC-H Q6 shape (forecast revenue change): the discount mass that a
+    * policy change would reclaim — one conjunctive filter (ship-date
+    * window × discount band × small quantity), one global sum, no join
+    * at all. The whole query is a single pushdown-eligible scan; its
+    * point at 100 TB is that every conjunct lands in PushedFilters and
+    * the aggregate is map-side partial — spec-asserted.
+    */
+  def forecastRevenueDelta(lineitem: DataFrame,
+      fromDate: String = "1996-01-01", toDate: String = "1997-01-01",
+      discLo: Double = 0.05, discHi: Double = 0.07,
+      qtyMax: Double = 24.0): DataFrame =
+    lineitem
+      .filter($"l_shipdate" >= tsLit(lineitem, "l_shipdate", fromDate) &&
+        $"l_shipdate" < tsLit(lineitem, "l_shipdate", toDate) &&
+        $"l_discount".between(discLo, discHi) && $"l_quantity" < qtyMax)
+      .agg(f2(sum($"l_extendedprice" * $"l_discount")).as("revenue_delta"),
+        count(lit(1)).as("n_lines"))
+
 }

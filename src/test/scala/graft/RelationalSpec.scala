@@ -28,7 +28,14 @@ class RelationalSpec extends GraftSuite {
     // FK-clean data => q07 may be empty; random embeddings => q48 empty at 0.9
     val emptyOk = Set("q07_join_anti", "q48_embedding_neardup")
     SparkEntry.queries.foreach { case (name, fn) =>
-      val n = fn(spark, sf).count()
+      val df = fn(spark, sf)
+      // scale guard: no registered plan may fall back to an unbroadcast
+      // cartesian product (the 1-row scalar crossJoins plan as
+      // BroadcastNestedLoopJoin with a broadcast side, which is fine)
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct"),
+        s"$name plans a CartesianProduct:\n$plan")
+      val n = df.count()
       assert(n >= 0, s"$name failed")
       if (!emptyOk(name)) assert(n > 0, s"$name returned no rows")
     }
@@ -397,6 +404,54 @@ class RelationalSpec extends GraftSuite {
       s"quantity hull must push to the lineitem scan:\n$plan")
     assert(plan.contains("GreaterThanOrEqual(p_size") && plan.contains("LessThanOrEqual(p_size"),
       s"size hull must push to the part scan:\n$plan")
+  }
+
+  test("top supplier (Q15 shape): equals brute force; genuine ties all surface") {
+    val from = utcMillis("1996-01-01"); val to = utcMillis("1996-04-01")
+    def r2(x: Double) = BigDecimal(x).setScale(2, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val rev = Tables.lineitem(spark, sf)
+      .select(col("l_suppkey"), col("l_shipdate"), col("l_extendedprice"), col("l_discount"))
+      .collect().map(r => (r.getLong(0), tsMillis(r, 1), r.getDouble(2) * (1.0 - r.getDouble(3))))
+      .filter(l => l._2 >= from && l._2 < to)
+      .groupBy(_._1).view.mapValues(g => r2(g.map(_._3).sum)).toMap
+    val names = Tables.supplier(spark, sf).select(col("s_suppkey"), col("s_name"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val mx = rev.values.max
+    val expected = rev.filter(_._2 == mx).toSeq
+      .map { case (k, v) => (k, names(k), v) }.sortBy(_._1)
+    val got = Relational.topSupplierRevenue(Tables.supplier(spark, sf), Tables.lineitem(spark, sf))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSeq
+    // sums are rounded on both sides; match keys exactly, values to a half-cent
+    assert(got.map(_._1) === expected.map(_._1))
+    got.zip(expected).foreach { case (g, e) =>
+      assert(g._2 === e._2 && math.abs(g._3 - e._3) <= 0.011) }
+    assert(got.nonEmpty)
+  }
+
+  test("forecast revenue (Q6 shape): equals brute force; every conjunct pushes to the scan") {
+    val from = utcMillis("1996-01-01"); val to = utcMillis("1997-01-01")
+    val lines = Tables.lineitem(spark, sf)
+      .select(col("l_shipdate"), col("l_discount"), col("l_quantity"), col("l_extendedprice"))
+      .collect().map(r => (tsMillis(r, 0), r.getDouble(1), r.getDouble(2), r.getDouble(3)))
+      .filter(l => l._1 >= from && l._1 < to &&
+        l._2 >= 0.05 && l._2 <= 0.07 && l._3 < 24.0)
+    val df = Relational.forecastRevenueDelta(Tables.lineitem(spark, sf))
+    val row = df.collect() match { case Array(r) => r }
+    assert(row.getLong(1) === lines.length.toLong)
+    assert(math.abs(row.getDouble(0) - lines.map(l => l._4 * l._2).sum) <= 0.011)
+    // the default 100-char metadata clip truncates the PushedFilters
+    // list mid-entry; widen it for the assertion window only
+    val key = "spark.sql.maxMetadataStringLength"
+    val prev = spark.conf.get(key)
+    try {
+      spark.conf.set(key, "4096")
+      val plan = Relational.forecastRevenueDelta(Tables.lineitem(spark, sf))
+        .queryExecution.executedPlan.toString
+      Seq("GreaterThanOrEqual(l_shipdate", "LessThan(l_shipdate",
+        "GreaterThanOrEqual(l_discount", "LessThanOrEqual(l_discount",
+        "LessThan(l_quantity").foreach(p =>
+        assert(plan.contains(p), s"conjunct $p must reach the scan:\n$plan"))
+    } finally spark.conf.set(key, prev)
   }
 
   // shared dim-chain helper: key -> nation name through the nation table

@@ -551,6 +551,12 @@ object PipelineQueries {
     // score the odd half; per-lang bits/token + unseen-bigram rate
     "q198_heldout_perplexity" -> ((s, d) =>
       TextAnalysis.heldOutPerplexity(Tables.documents(s, d))),
+    // Mann-Kendall tie-adjusted trend z + Theil-Sen median slope over
+    // the daily means: the robust complement to q193's CUSUM
+    "q201_trend_test" -> ((s, d) => Events.trendTest(Tables.events(s, d))),
+    // Benford first-digit audit of the value column: integer-string
+    // digit extraction, shared literal constants, per-digit chi2 terms
+    "q202_benford" -> ((s, d) => Governance.benfordAudit(Tables.events(s, d))),
   )
 
   // ---- shared SQL fragments -------------------------------------------
@@ -4463,5 +4469,61 @@ object PipelineQueries {
          | round(sum(k * u6) * 1.0 / sum(k) / 1e6, 4) AS bits_per_token,
          | round(sum(CASE WHEN unseen THEN k ELSE 0 END) * 1.0 / sum(k), 6) AS unseen_rate
          |FROM sc GROUP BY lang ORDER BY lang""".stripMargin,
+    "q201_trend_test" ->
+      // pairwise sign sum + tie-adjusted variance, all integer until
+      // the boundary sqrt; slope quantized by DOUBLE floor (integer //
+      // floors but Spark div truncates - they disagree on negatives)
+      """WITH m AS (
+        |  SELECT (epoch_ns(ts) // 86400000000000) AS d, count(*) AS n_events,
+        |    CAST(sum(CAST(round(value * 10000, 0) AS BIGINT)) AS BIGINT) AS s1
+        |  FROM events GROUP BY 1
+        |),
+        |dy AS (SELECT d, (10000 * s1) // n_events AS xm FROM m),
+        |p AS (SELECT a.d AS di, a.xm AS xi, b.d AS dj, b.xm AS xj
+        |      FROM dy a JOIN dy b ON a.d < b.d),
+        |sg AS (SELECT CAST(sum(CASE WHEN xj > xi THEN 1
+        |         WHEN xj < xi THEN -1 ELSE 0 END) AS BIGINT) AS s_stat FROM p),
+        |sl AS (SELECT CAST(floor((xj - xi) * 1000.0 / (dj - di)) AS BIGINT)
+        |         AS slope_milli FROM p),
+        |med AS (SELECT quantile_cont(slope_milli, 0.5) AS cut FROM sl),
+        |nn AS (SELECT count(*) AS n FROM dy),
+        |tt AS (SELECT CAST(coalesce(sum(t * (t - 1) * (2 * t + 5)), 0) AS BIGINT)
+        |         AS tie_adj
+        |       FROM (SELECT xm, count(*) AS t FROM dy GROUP BY 1)),
+        |vs AS (SELECT (n * (n - 1) * (2 * n + 5) - tie_adj) / 18.0 AS var_s
+        |       FROM nn, tt)
+        |SELECT nn.n AS n_days, sg.s_stat AS s_stat,
+        | round(vs.var_s, 4) AS var_s,
+        | round(CASE WHEN vs.var_s <= 0.0 THEN 0.0
+        |   WHEN sg.s_stat > 0 THEN (sg.s_stat - 1) / sqrt(vs.var_s)
+        |   WHEN sg.s_stat < 0 THEN (sg.s_stat + 1) / sqrt(vs.var_s)
+        |   ELSE 0.0 END, 4) AS z_score,
+        | round(med.cut / 1e7, 6) AS slope_per_day
+        |FROM nn, sg, vs, med""".stripMargin,
+    "q202_benford" -> {
+      val values = Governance.BenfordShares
+        .map { case (d, p) => s"($d, ${String.format("%.17e", Double.box(p))})" }
+        .mkString(", ")
+      s"""WITH b(digit, benford_share) AS (VALUES $values),
+         |dg AS (
+         |  SELECT CAST(substr(CAST(vm AS VARCHAR), 1, 1) AS INTEGER) AS digit,
+         |    count(*) AS n_obs
+         |  FROM (SELECT CAST(round(value * 10000, 0) AS BIGINT) AS vm FROM events)
+         |  WHERE vm > 0 GROUP BY 1
+         |),
+         |j AS (SELECT b.digit, CAST(coalesce(dg.n_obs, 0) AS BIGINT) AS n_obs,
+         |        b.benford_share
+         |      FROM b LEFT JOIN dg USING (digit)),
+         |t AS (SELECT CAST(sum(n_obs) AS BIGINT) AS n_total FROM j),
+         |c AS (SELECT round(CAST(sum(
+         |        (n_obs - n_total * benford_share) * (n_obs - n_total * benford_share)
+         |          / (n_total * benford_share)) AS DOUBLE), 4) AS chi2
+         |      FROM j, t)
+         |SELECT digit, n_obs,
+         | round(n_obs * 1.0 / t.n_total, 6) AS obs_share,
+         | round(benford_share, 6) AS benford_share,
+         | c.chi2 AS chi2
+         |FROM j, t, c ORDER BY digit""".stripMargin
+    },
   )
 }

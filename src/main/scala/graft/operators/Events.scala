@@ -601,6 +601,69 @@ object Events {
       .orderBy($"entry_type")
   }
 
+  /** Nonparametric trend test on the daily mean value (q201):
+    * Mann-Kendall S with the tie-adjusted normal approximation, plus
+    * the Theil-Sen median slope — the ROBUST complement to q193's
+    * CUSUM (CUSUM accumulates level shifts against a reference;
+    * Mann-Kendall asks "is there a monotone trend at all" without
+    * distributional assumptions, and Theil-Sen prices it per day
+    * immune to outlier days). The monitoring trio q191/q193/q201 is
+    * what a metrics pipeline runs nightly.
+    *
+    * Determinism: daily levels are the q193 integer micro-units; S and
+    * the tie adjustment are pure integer arithmetic over ordered day
+    * pairs; each pairwise slope quantizes by an exact double floor
+    * (values ≪ 2⁵³) and the median rides `Scale.exactQuantileByGroup`
+    * (bit-equal to quantile_cont); z's one sqrt+division happens at
+    * the boundary with the same expression shape as the oracle.
+    *
+    * Shape: ONE corpus-proportional pass (the per-day moment agg);
+    * the pair frame is days²/2 — aggregate-scale at any event volume
+    * (3 years ≈ 600k pairs) — and the median runs on the bounded
+    * distinct-slope histogram, not a global sort.
+    */
+  def trendTest(events: DataFrame): DataFrame = {
+    val NsPerDay = 24L * NsPerHour
+    val daily = events
+      .groupBy(expr(s"ts div $NsPerDay").as("d"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(round($"value" * 10000, 0).cast("long")).as("s1"))
+      .select($"d", expr("(10000 * s1) div n_events").as("xm"))
+      .localCheckpoint() // reused by pairs, ties, and the count
+    val pairs = daily.select($"d".as("di"), $"xm".as("xi"))
+      .join(daily.select($"d".as("dj"), $"xm".as("xj")), $"di" < $"dj")
+      .select(
+        when($"xj" > $"xi", 1L).when($"xj" < $"xi", -1L).otherwise(0L).as("sg"),
+        // exact double floor division (not integer div: Spark `div`
+        // truncates toward zero while DuckDB // floors — they disagree
+        // on negative slopes; the double form is floor on both).
+        // greatest(·,1) never changes a matched row (the join demands
+        // di < dj ⇒ dj−di ≥ 1) but keeps the expression total: the
+        // optimizer pushes the median's isNotNull(slope) INTO the join
+        // condition, where ANSI would otherwise evaluate the division
+        // on dj = di candidate pairs and throw DIVIDE_BY_ZERO
+        floor(($"xj" - $"xi") * lit(1000.0) / greatest($"dj" - $"di", lit(1L)))
+          .cast("long").as("slope_milli"),
+        lit(1).as("g"))
+    val sStat = pairs.agg(sum($"sg").as("s_stat"))
+    val med = Scale.exactQuantileByGroup(pairs, "g", "slope_milli", 0.5)
+      .select($"cut")
+    val nn = daily.agg(count(lit(1)).as("n"))
+    val ties = daily.groupBy($"xm").agg(count(lit(1)).as("t"))
+      .agg(coalesce(sum(expr("t * (t - 1) * (2 * t + 5)")), lit(0L)).as("tie_adj"))
+    sStat.crossJoin(broadcast(nn)).crossJoin(broadcast(ties)).crossJoin(broadcast(med))
+      .withColumn("var_s",
+        (($"n" * ($"n" - 1) * ($"n" * 2 + 5) - $"tie_adj") / lit(18.0)))
+      .select(
+        $"n".as("n_days"), $"s_stat", round($"var_s", 4).as("var_s"),
+        round(
+          when($"var_s" <= 0.0, lit(0.0))
+            .when($"s_stat" > 0L, ($"s_stat" - 1) / sqrt($"var_s"))
+            .when($"s_stat" < 0L, ($"s_stat" + 1) / sqrt($"var_s"))
+            .otherwise(lit(0.0)), 4).as("z_score"),
+        round($"cut" / lit(1e7), 6).as("slope_per_day"))
+  }
+
   /** One-sided CUSUM change detection on the daily mean event value
     * (q193) — the SEQUENTIAL drift monitor beside the snapshot diffs
     * (q102/q127 compare two corpus versions; CUSUM watches ONE metric

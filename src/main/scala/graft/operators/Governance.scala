@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Data-governance operators: right-to-erasure (GDPR art. 17 / CCPA
@@ -215,6 +216,56 @@ object Governance {
     * One codegen'd scan into a map-side-combined source-sized
     * aggregate; nothing downstream of the scan is corpus-proportional.
     */
+  /** Benford first-digit audit (q202): the leading-digit distribution
+    * of the event value against Benford's law — the classic
+    * fabricated-or-truncated-data screen a financial-grade data audit
+    * runs (organic multiplicative quantities follow log10(1+1/d);
+    * capped, minimum-priced, or synthesized values do not). Per digit:
+    * observed count/share vs the Benford share and the per-digit χ²
+    * term; one χ² column totals the 9-row frame.
+    *
+    * Determinism: the digit is extracted from the INTEGER micro-unit
+    * rendering (round(value·10⁴) → decimal string → first char) —
+    * integer-to-string is exact on any engine, where a float log10
+    * digit extraction can disagree by an ulp at power-of-ten
+    * boundaries. The nine Benford constants are computed ONCE here and
+    * inlined as literals into the oracle text, so both engines consume
+    * bit-identical doubles; counts are exact, and the χ² arithmetic
+    * follows the same expression shape on both sides.
+    *
+    * Shape: one filtered scan into a 9-row count aggregate; everything
+    * after is digit-frame-sized (the window runs over ≤ 9 rows).
+    */
+  def benfordAudit(events: DataFrame): DataFrame = {
+    val spark = events.sparkSession
+    val bdf = spark.createDataFrame(BenfordShares).toDF("digit", "benford_share")
+    val digits = events
+      .select(round($"value" * 10000, 0).cast("long").as("vm"))
+      .filter($"vm" > 0L)
+      .select(substring($"vm".cast("string"), 1, 1).cast("int").as("digit"))
+      .groupBy($"digit").agg(count(lit(1)).as("n_obs"))
+    val tot = digits.agg(sum($"n_obs").as("n_total"))
+    val term = ($"n_obs" - $"n_total" * $"benford_share") *
+      ($"n_obs" - $"n_total" * $"benford_share") / ($"n_total" * $"benford_share")
+    val wAll = Window.partitionBy()
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    broadcast(bdf)
+      .join(digits, Seq("digit"), "left_outer")
+      .select($"digit", coalesce($"n_obs", lit(0L)).as("n_obs"), $"benford_share")
+      .crossJoin(broadcast(tot))
+      .select($"digit", $"n_obs",
+        round($"n_obs" / $"n_total", 6).as("obs_share"),
+        round($"benford_share", 6).as("benford_share"),
+        round(sum(term).over(wAll), 4).as("chi2"))
+      .orderBy($"digit")
+  }
+
+  /** log10(1 + 1/d) for d = 1..9 — shared with the q202 oracle text so
+    * both engines consume bit-identical literals.
+    */
+  private[graft] val BenfordShares: Seq[(Int, Double)] =
+    (1 to 9).map(d => (d, math.log10(1.0 + 1.0 / d)))
+
   def datasetFingerprint(documents: DataFrame): DataFrame =
     documents
       .select($"source",

@@ -1814,6 +1814,62 @@ class PipelineSpec extends GraftSuite {
     assert(got.nonEmpty)
   }
 
+  test("trendTest equals brute-force Mann-Kendall + Theil-Sen on the day frame") {
+    val nsPerDay = 86400L * 1000000000L
+    val byDay = Tables.events(spark, sf).select($"ts", $"value").collect()
+      .map(r => (r.getLong(0) / nsPerDay, math.round(r.getDouble(1) * 10000)))
+      .groupBy(_._1).view.mapValues(g => (g.length.toLong, g.map(_._2).sum))
+      .toSeq.sortBy(_._1)
+    val xs = byDay.map { case (d, (n, s1)) => (d, (10000L * s1) / n) }
+    val n = xs.length
+    val pairs = for (i <- 0 until n; j <- i + 1 until n) yield (xs(i), xs(j))
+    val s = pairs.map { case ((_, xi), (_, xj)) =>
+      if (xj > xi) 1L else if (xj < xi) -1L else 0L }.sum
+    val tieAdj = xs.groupBy(_._2).values.map(_.length.toLong)
+      .map(t => t * (t - 1) * (2 * t + 5)).sum
+    val nl = n.toLong
+    val varS = (nl * (nl - 1) * (2 * nl + 5) - tieAdj) / 18.0
+    val z = if (s > 0) (s - 1) / math.sqrt(varS)
+      else if (s < 0) (s + 1) / math.sqrt(varS) else 0.0
+    val slopes = pairs.map { case ((di, xi), (dj, xj)) =>
+      math.floor((xj - xi) * 1000.0 / (dj - di)).toLong }.sorted
+    // Spark-percentile interpolation at q=0.5 (exactQuantileByGroup contract)
+    val pos = 0.5 * (slopes.length - 1)
+    val (lo, hi) = (math.floor(pos).toInt, math.ceil(pos).toInt)
+    val med = if (lo == hi || slopes(lo) == slopes(hi)) slopes(lo).toDouble
+      else (hi - pos) * slopes(lo) + (pos - lo) * slopes(hi)
+    val row = Events.trendTest(Tables.events(spark, sf)).collect() match {
+      case Array(r) => r }
+    assert(row.getLong(0) === nl && row.getLong(1) === s)
+    assert(math.abs(row.getDouble(2) - varS) <= 1e-3)
+    assert(math.abs(row.getDouble(3) - z) <= 1e-3, s"z ${row.getDouble(3)} vs $z")
+    assert(math.abs(row.getDouble(4) - med / 1e7) <= 1e-5,
+      s"slope ${row.getDouble(4)} vs ${med / 1e7}")
+  }
+
+  test("benfordAudit equals brute-force digit counts; chi2 and shares consistent") {
+    import graft.operators.Governance
+    val vms = Tables.events(spark, sf).select($"value").collect()
+      .map(r => math.round(r.getDouble(0) * 10000)).filter(_ > 0L)
+    val counts = vms.map(_.toString.head.asDigit)
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val total = counts.values.sum
+    val expChi2 = Governance.BenfordShares.map { case (d, p) =>
+      val o = counts.getOrElse(d, 0L)
+      (o - total * p) * (o - total * p) / (total * p)
+    }.sum
+    val got = Governance.benfordAudit(Tables.events(spark, sf)).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)))
+    assert(got.map(_._1).toSeq === (1 to 9))
+    got.foreach { case (d, o, share, bs, chi2) =>
+      assert(o === counts.getOrElse(d, 0L), s"digit $d count")
+      assert(math.abs(share - o.toDouble / total) <= 5e-7)
+      assert(math.abs(bs - math.log10(1.0 + 1.0 / d)) <= 5e-7)
+      assert(math.abs(chi2 - expChi2) <= 1e-3, s"chi2 $chi2 vs $expChi2")
+    }
+    assert(got.map(_._2).sum === total)
+  }
+
   private implicit class Interp(private val sc: StringContext) {
     def $(args: Any*): org.apache.spark.sql.Column = col(sc.s(args: _*))
   }

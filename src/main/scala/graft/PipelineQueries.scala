@@ -557,6 +557,11 @@ object PipelineQueries {
     // Benford first-digit audit of the value column: integer-string
     // digit extraction, shared literal constants, per-digit chi2 terms
     "q202_benford" -> ((s, d) => Governance.benfordAudit(Tables.events(s, d))),
+    // perceptual-hash media near-dup: per-bit frame majority signature,
+    // 4x15-bit LSH bands (hamming<=3 => a band exact, pigeonhole), the
+    // oracle's all-pairs form proves the blocking's recall
+    "q203_frame_phash" -> ((s, d) =>
+      Multimodal.framePhashNearDup(Tables.documents(s, d))),
   )
 
   // ---- shared SQL fragments -------------------------------------------
@@ -4524,6 +4529,34 @@ object PipelineQueries {
          | round(benford_share, 6) AS benford_share,
          | c.chi2 AS chi2
          |FROM j, t, c ORDER BY digit""".stripMargin
+    },
+    "q203_frame_phash" -> {
+      // exact all-pairs hamming (no banding) - the gate doubles as the
+      // blocking's recall proof, the q178/q26 convention
+      def hv(idx: Int) = s"(strpos('0123456789abcdef', substr(fc, $idx, 1)) - 1)"
+      val h60 = (2 to 15).foldLeft(hv(1))((acc, i) => s"($acc * 16 + ${hv(i)})")
+      s"""WITH f AS (
+         |  SELECT doc_id AS asset_id,
+         |    md5(substr(text, CAST(i * 64 + 1 AS INT), 64)) AS fc
+         |  FROM documents,
+         |    LATERAL (SELECT unnest(range(0, greatest(length(text) // 64, 1))) AS i)
+         |),
+         |fh AS (SELECT asset_id, CAST($h60 AS BIGINT) AS h FROM f),
+         |bits AS (
+         |  SELECT asset_id, j,
+         |    CASE WHEN 2 * sum((h >> CAST(j AS INT)) & 1) > count(*)
+         |      THEN CAST(1 AS BIGINT) << CAST(j AS INT)
+         |      ELSE CAST(0 AS BIGINT) END AS bitv
+         |  FROM fh, LATERAL (SELECT unnest(range(0, 60)) AS j)
+         |  GROUP BY asset_id, j
+         |),
+         |ph AS (SELECT asset_id, CAST(sum(bitv) AS BIGINT) AS phash
+         |       FROM bits GROUP BY 1)
+         |SELECT a.asset_id AS id1, b.asset_id AS id2,
+         | CAST(bit_count(xor(a.phash, b.phash)) AS INTEGER) AS hamming
+         |FROM ph a JOIN ph b ON a.asset_id < b.asset_id
+         |WHERE bit_count(xor(a.phash, b.phash)) <= 3
+         |ORDER BY id1, id2""".stripMargin
     },
   )
 }

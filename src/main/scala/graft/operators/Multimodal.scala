@@ -143,6 +143,62 @@ object Multimodal {
         $"k.asset_id".as("keeper_asset"), $"k.frame_no".as("keeper_frame"))
       .orderBy($"frame_checksum")
 
+  /** Perceptual-hash near-dup over media assets (q203): a 60-bit
+    * signature per asset from the PER-BIT MAJORITY of its frame hashes
+    * (the SimHash construction applied at the asset grain), banded into
+    * 4 disjoint 15-bit LSH keys, with hamming-distance verification on
+    * band-sharing candidates. Completes the media dedup ladder: q94
+    * finds byte-identical FRAMES, this finds assets whose frame SETS
+    * mostly agree — re-encoded or lightly-edited copies whose bytes
+    * differ (majority bits survive a minority of changed frames).
+    *
+    * The real pHash DCTs decoded pixels; the container has no codecs,
+    * so the per-frame feature is the deterministic frame checksum (the
+    * module's documented fake-decode seam — swap `fc` for a codec's
+    * frame feature and nothing downstream changes). What IS real: the
+    * banding recall theorem (hamming ≤ 3 over 4 disjoint bands ⇒ ≥ 1
+    * band exact, by pigeonhole — so the oracle's exact all-pairs form
+    * doubles as the blocking's recall proof, the q178 convention), the
+    * bucket-join candidate generation (never all-pairs on the engine
+    * side), and the integer bit arithmetic (majority counts, shifts,
+    * bit_count — engine-exact everywhere).
+    */
+  def framePhashNearDup(documents: DataFrame, frameBytes: Int = 64,
+      maxHamming: Int = 3): DataFrame = {
+    val frames = assetsFromDocuments(documents)
+      .select($"asset_id", $"payload",
+        explode(sequence(lit(0),
+          greatest(floor($"meta.n_bytes" / frameBytes).cast("int") - 1, lit(0))))
+          .as("frame_no"))
+      .select($"asset_id",
+        md5($"payload".substr(($"frame_no" * frameBytes + 1).cast("int"), lit(frameBytes)))
+          .as("fc"))
+    val phash = frames
+      .select($"asset_id",
+        conv(substring($"fc", 1, 15), 16, 10).cast("long").as("h"))
+      .select($"asset_id", $"h", explode(sequence(lit(0), lit(59))).as("j"))
+      .select($"asset_id", $"j", expr("shiftright(h, CAST(j AS INT)) & 1").as("bit"))
+      .groupBy($"asset_id", $"j")
+      .agg(sum($"bit").as("c"), count(lit(1)).as("nf"))
+      .groupBy($"asset_id")
+      .agg(sum(when($"c" * 2 > $"nf",
+          expr("shiftleft(CAST(1 AS BIGINT), CAST(j AS INT))")).otherwise(0L))
+        .as("phash"))
+      .localCheckpoint() // probed by 4 band projections + the verify join
+    val bands = phash.select($"asset_id", $"phash",
+        explode(sequence(lit(0), lit(3))).as("b"))
+      .select($"asset_id", $"phash", $"b",
+        expr("shiftright(phash, CAST(b * 15 AS INT)) & 32767").as("bkey"))
+    bands.select($"asset_id".as("id1"), $"phash".as("p1"), $"b", $"bkey")
+      .join(bands.select($"asset_id".as("id2"), $"phash".as("p2"), $"b", $"bkey"),
+        Seq("b", "bkey"))
+      .filter($"id1" < $"id2")
+      .select($"id1", $"id2", expr("bit_count(p1 ^ p2)").cast("int").as("hamming"))
+      .distinct() // a close pair can share several bands
+      .filter($"hamming" <= maxHamming)
+      .orderBy($"id1", $"id2")
+  }
+
   def frameSample(documents: DataFrame, frameBytes: Int = 64, every: Int = 4): DataFrame = {
     val assets = assetsFromDocuments(documents).filter($"media_type" === "video")
     assets

@@ -1870,6 +1870,36 @@ class PipelineSpec extends GraftSuite {
     assert(got.map(_._2).sum === total)
   }
 
+  test("framePhashNearDup equals brute-force all-pairs hamming at the pigeonhole dial") {
+    def md5hex(b: Array[Byte]): String = java.security.MessageDigest.getInstance("MD5")
+      .digest(b).map("%02x".format(_)).mkString
+    val ph = docs.select($"doc_id", $"text").collect().map { r =>
+      val bytes = r.getString(1).getBytes("UTF-8")
+      val nf = math.max(bytes.length / 64 - 1, 0) + 1
+      val cnt = new Array[Long](60)
+      for (f <- 0 until nf) {
+        val slice = bytes.slice(f * 64, math.min(f * 64 + 64, bytes.length))
+        val h = java.lang.Long.parseLong(md5hex(slice).substring(0, 15), 16)
+        for (j <- 0 until 60) cnt(j) += (h >> j) & 1L
+      }
+      var p = 0L
+      for (j <- 0 until 60) if (2 * cnt(j) > nf) p |= 1L << j
+      (r.getLong(0), p)
+    }.sortBy(_._1)
+    val expected = for {
+      i <- ph.indices; j <- (i + 1) until ph.length
+      hm = java.lang.Long.bitCount(ph(i)._2 ^ ph(j)._2)
+      if hm <= 3
+    } yield (ph(i)._1, ph(j)._1, hm)
+    val got = Multimodal.framePhashNearDup(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq
+    // the banded engine path vs the exhaustive JVM path: equality IS the
+    // pigeonhole recall theorem (hamming <= 3 over 4 bands => 1 exact)
+    assert(got === expected)
+    assert(got.nonEmpty, "the fixture's planted near-dups must surface")
+    assert(got.exists(_._3 == 0), "byte-identical re-entries hash to hamming 0")
+  }
+
   private implicit class Interp(private val sc: StringContext) {
     def $(args: Any*): org.apache.spark.sql.Column = col(sc.s(args: _*))
   }

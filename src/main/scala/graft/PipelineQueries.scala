@@ -562,6 +562,9 @@ object PipelineQueries {
     // oracle's all-pairs form proves the blocking's recall
     "q203_frame_phash" -> ((s, d) =>
       Multimodal.framePhashNearDup(Tables.documents(s, d))),
+    // level-2 association rules over session baskets: exact pair
+    // supports and lift from the distinct (session, type) frame
+    "q204_basket_lift" -> ((s, d) => Events.basketLift(Tables.events(s, d))),
   )
 
   // ---- shared SQL fragments -------------------------------------------
@@ -4558,5 +4561,43 @@ object PipelineQueries {
          |WHERE bit_count(xor(a.phash, b.phash)) <= 3
          |ORDER BY id1, id2""".stripMargin
     },
+    "q204_basket_lift" ->
+      // q33's session numbering carrying event_type; baskets = distinct
+      // (session, type); lift = n_ab*N / (n_a*n_b) in one double shape
+      """WITH g AS (
+        |  SELECT user_id, event_id, ts, event_type,
+        |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+        |  FROM events
+        |),
+        |flagged AS (
+        |  SELECT user_id, event_id, ts, event_type,
+        |    CASE WHEN prev_ts IS NULL OR epoch_ns(ts) - epoch_ns(prev_ts) > 1800000000000
+        |      THEN 1 ELSE 0 END AS new_session
+        |  FROM g
+        |),
+        |numbered AS (
+        |  SELECT user_id, event_type,
+        |    sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+        |  FROM flagged
+        |),
+        |basket AS (SELECT DISTINCT user_id, session_seq, event_type FROM numbered),
+        |nn AS (SELECT count(*) AS n FROM
+        |  (SELECT DISTINCT user_id, session_seq FROM basket)),
+        |pt AS (SELECT event_type, count(*) AS n_t FROM basket GROUP BY 1),
+        |pr AS (
+        |  SELECT a.event_type AS type_a, b.event_type AS type_b, count(*) AS n_ab
+        |  FROM basket a JOIN basket b
+        |    ON a.user_id = b.user_id AND a.session_seq = b.session_seq
+        |    AND a.event_type < b.event_type
+        |  GROUP BY 1, 2
+        |)
+        |SELECT type_a, type_b, pa.n_t AS n_a, pb.n_t AS n_b, n_ab,
+        | round(n_ab * 1.0 / nn.n, 6) AS support,
+        | round((n_ab * nn.n) * 1.0 / (pa.n_t * pb.n_t), 6) AS lift
+        |FROM pr
+        |JOIN pt pa ON pa.event_type = type_a
+        |JOIN pt pb ON pb.event_type = type_b, nn
+        |ORDER BY type_a, type_b""".stripMargin,
   )
 }

@@ -601,6 +601,54 @@ object Events {
       .orderBy($"entry_type")
   }
 
+  /** Session market-basket association (q204): support and lift for
+    * every event-type PAIR co-occurring in a session — the level-2
+    * association-rule mine (Agrawal-Srikant) over session baskets.
+    * q123/q132 describe SEQUENCE structure (adjacent transitions,
+    * ordered paths); this asks the order-free question "which behaviors
+    * go together at all", whose lift>1 pairs are the feature
+    * interactions a recommender or anomaly baseline starts from.
+    *
+    * All counts are exact integers over the distinct (session, type)
+    * frame; support and lift are single boundary divisions of integer
+    * products (lift = n_ab·N / (n_a·n_b), computed as one double
+    * expression shaped identically in the oracle).
+    *
+    * Shape: one user_id shuffle for session numbering, a distinct on
+    * (user, session, type) — basket-proportional — then a self-join ON
+    * THE SESSION KEY (≤ types²/2 rows per session, types is small and
+    * bounded) and a types²-sized aggregate; nothing downstream of the
+    * distinct is corpus-proportional.
+    */
+  def basketLift(events: DataFrame, gapSeconds: Long = 1800L): DataFrame = {
+    val byUser = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    val basket = events
+      .select($"user_id", $"event_id", $"ts", $"event_type")
+      .withColumn("prev_ts", lag($"ts", 1).over(byUser))
+      .withColumn("new_session",
+        when($"prev_ts".isNull || ($"ts" - $"prev_ts") > gapSeconds * NsPerSecond, 1)
+          .otherwise(0))
+      .withColumn("session_seq",
+        sum($"new_session").over(byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select($"user_id", $"session_seq", $"event_type")
+      .distinct()
+      .localCheckpoint() // reused: totals, per-type counts, pair join
+    val nSessions = basket.select($"user_id", $"session_seq").distinct().count()
+    val perType = basket.groupBy($"event_type").agg(count(lit(1)).as("n_t"))
+    val pairs = basket.select($"user_id", $"session_seq", $"event_type".as("type_a"))
+      .join(basket.select($"user_id", $"session_seq", $"event_type".as("type_b")),
+        Seq("user_id", "session_seq"))
+      .filter($"type_a" < $"type_b")
+      .groupBy($"type_a", $"type_b").agg(count(lit(1)).as("n_ab"))
+    pairs
+      .join(broadcast(perType.select($"event_type".as("type_a"), $"n_t".as("n_a"))), Seq("type_a"))
+      .join(broadcast(perType.select($"event_type".as("type_b"), $"n_t".as("n_b"))), Seq("type_b"))
+      .select($"type_a", $"type_b", $"n_a", $"n_b", $"n_ab",
+        round($"n_ab" / lit(nSessions.toDouble), 6).as("support"),
+        round(($"n_ab" * nSessions) / ($"n_a" * $"n_b"), 6).as("lift"))
+      .orderBy($"type_a", $"type_b")
+  }
+
   /** Nonparametric trend test on the daily mean value (q201):
     * Mann-Kendall S with the tie-adjusted normal approximation, plus
     * the Theil-Sen median slope — the ROBUST complement to q193's

@@ -1900,6 +1900,39 @@ class PipelineSpec extends GraftSuite {
     assert(got.exists(_._3 == 0), "byte-identical re-entries hash to hamming 0")
   }
 
+  test("basketLift equals brute-force session baskets; lift identity holds") {
+    val evs = Tables.events(spark, sf)
+      .select($"user_id", $"event_id", $"ts", $"event_type").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    val gapNs = 1800L * 1000000000L
+    val baskets = evs.groupBy(_._1).toSeq.flatMap { case (uid, g) =>
+      val sorted = g.sortBy(e => (e._3, e._2))
+      var seq = 0L; var prev = Long.MinValue
+      sorted.map { e =>
+        if (prev == Long.MinValue || e._3 - prev > gapNs) seq += 1
+        prev = e._3
+        ((uid, seq), e._4)
+      }
+    }.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toSeq
+    val n = baskets.length
+    val perType = baskets.flatMap(_._2).groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val expected = baskets.flatMap { case (_, ts) =>
+      ts.toSeq.sorted.combinations(2).map { case Seq(a, b) => (a, b) }
+    }.groupBy(identity).view.mapValues(_.length.toLong).toSeq
+      .map { case ((a, b), nab) => (a, b, perType(a), perType(b), nab) }
+      .sortBy(x => (x._1, x._2))
+    val got = Events.basketLift(Tables.events(spark, sf)).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5), r.getDouble(6)))
+    assert(got.map(x => (x._1, x._2, x._3, x._4, x._5)).toSeq === expected)
+    got.foreach { case (a, b, na, nb, nab, sup, lift) =>
+      assert(math.abs(sup - nab.toDouble / n) <= 5e-7, s"$a/$b support")
+      assert(math.abs(lift - nab.toDouble * n / (na * nb)) <= 5e-7, s"$a/$b lift")
+      assert(nab <= math.min(na, nb))
+    }
+    assert(got.nonEmpty)
+  }
+
   private implicit class Interp(private val sc: StringContext) {
     def $(args: Any*): org.apache.spark.sql.Column = col(sc.s(args: _*))
   }

@@ -565,6 +565,9 @@ object PipelineQueries {
     // level-2 association rules over session baskets: exact pair
     // supports and lift from the distinct (session, type) frame
     "q204_basket_lift" -> ((s, d) => Events.basketLift(Tables.events(s, d))),
+    // KS test of user inter-arrival gaps vs the exponential model:
+    // pooled MLE rate, two-phase ranks, per-row 1e-6-quantized terms
+    "q205_interarrival_ks" -> ((s, d) => Events.interArrivalFit(Tables.events(s, d))),
   )
 
   // ---- shared SQL fragments -------------------------------------------
@@ -4599,5 +4602,32 @@ object PipelineQueries {
         |JOIN pt pa ON pa.event_type = type_a
         |JOIN pt pb ON pb.event_type = type_b, nn
         |ORDER BY type_a, type_b""".stripMargin,
+    "q205_interarrival_ks" ->
+      // per-user lag gaps in exact ns; ranks over the distinct-gap
+      // histogram; per-row round(.,6) BEFORE the max (exp agrees to
+      // ulps across engines - the q106 micro-bit argument)
+      """WITH o AS (
+        |  SELECT user_id, ts, event_id,
+        |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+        |  FROM events
+        |),
+        |gp AS (SELECT epoch_ns(ts) - epoch_ns(prev) AS g
+        |       FROM o WHERE prev IS NOT NULL),
+        |h AS (SELECT g, count(*) AS c FROM gp GROUP BY 1),
+        |r AS (SELECT g, c, CAST(sum(c) OVER (ORDER BY g) AS BIGINT) AS cum FROM h),
+        |st AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(g) AS BIGINT) AS sg
+        |       FROM gp),
+        |t AS (
+        |  SELECT
+        |    round(cum * 1.0 / st.n - (1.0 - exp(-((st.n * 1.0 / st.sg) * g))), 6) AS dp,
+        |    round((1.0 - exp(-((st.n * 1.0 / st.sg) * g))) - (cum - c) * 1.0 / st.n, 6) AS dm,
+        |    st.n AS n, st.sg AS sg
+        |  FROM r, st
+        |)
+        |SELECT n AS n_gaps,
+        | round((n * 3600000000000.0) / sg, 6) AS lambda_per_hour,
+        | max(greatest(dp, dm)) AS ks_d,
+        | (max(greatest(dp, dm)) > 1.36 / sqrt(n)) AS reject_exponential
+        |FROM t GROUP BY n, sg""".stripMargin,
   )
 }

@@ -601,6 +601,63 @@ object Events {
       .orderBy($"entry_type")
   }
 
+  /** Kolmogorov-Smirnov fit of user inter-arrival gaps against the
+    * exponential model (q205) — "is per-user traffic Poisson?", the
+    * assumption every rate-based alert threshold (q80/q193) quietly
+    * makes; a large KS distance says bursts/sessions break it and the
+    * thresholds need the empirical distribution instead. Rate is the
+    * pooled MLE λ = n/Σg; D = sup|F̂ − F| via the one-sided
+    * max(i/n − F(x᪲), F(x᪲) − (i−1)/n) over the sorted sample;
+    * reject at the 5% asymptotic line 1.36/√n.
+    *
+    * Determinism: gaps are exact ns integers; ranks come from the
+    * distinct-gap histogram + the q167 two-phase prefix sum; each KS
+    * term quantizes to 1e-6 BEFORE the max (cross-engine exp agrees to
+    * ulps — the q106 micro-bit argument), so the max is over identical
+    * rounded values.
+    *
+    * Shape: one per-user lag window (bounded per-key state), a
+    * map-side-combined histogram, ≤`parts` base offsets broadcast back,
+    * and a 1-row aggregate; nothing is globally sorted and nothing
+    * corpus-sized reaches the driver.
+    */
+  def interArrivalFit(events: DataFrame, parts: Int = 32): DataFrame = {
+    val byUser = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    val gaps = events
+      .select($"user_id", $"event_id", $"ts")
+      .withColumn("prev", lag($"ts", 1).over(byUser))
+      .filter($"prev".isNotNull)
+      .select(($"ts" - $"prev").as("g"))
+    val hist = gaps.groupBy($"g").agg(count(lit(1)).as("c"))
+      .repartitionByRange(parts, $"g")
+      .localCheckpoint()
+      .withColumn("pid", spark_partition_id().cast("int"))
+    val wBase = Window.orderBy($"pid")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val bases = hist.groupBy($"pid").agg(sum($"c").as("t"))
+      .withColumn("base", sum($"t").over(wBase) - $"t")
+      .select($"pid", $"base")
+    val wIn = Window.partitionBy($"pid").orderBy($"g")
+    val stats = gaps.agg(count(lit(1)).as("n"), sum($"g").as("sg"))
+    val fExp = lit(1.0) - exp(-(($"n" / $"sg") * $"g"))
+    val terms = hist
+      .join(broadcast(bases), Seq("pid"))
+      .withColumn("cum", $"base" + sum($"c").over(wIn))
+      .crossJoin(broadcast(stats))
+      .select(
+        round($"cum" / $"n" - fExp, 6).as("dp"),
+        round(fExp - ($"cum" - $"c") / $"n", 6).as("dm"),
+        $"n", $"sg")
+    terms
+      .groupBy($"n", $"sg")
+      .agg(max(greatest($"dp", $"dm")).as("ks_d"))
+      .select(
+        $"n".as("n_gaps"),
+        round(($"n" * lit(3600000000000.0)) / $"sg", 6).as("lambda_per_hour"),
+        $"ks_d",
+        ($"ks_d" > lit(1.36) / sqrt($"n")).as("reject_exponential"))
+  }
+
   /** Session market-basket association (q204): support and lift for
     * every event-type PAIR co-occurring in a session — the level-2
     * association-rule mine (Agrawal-Srikant) over session baskets.

@@ -1933,6 +1933,30 @@ class PipelineSpec extends GraftSuite {
     assert(got.nonEmpty)
   }
 
+  test("interArrivalFit equals brute-force per-observation KS; distinct-gap form is exact") {
+    val evs = Tables.events(spark, sf)
+      .select($"user_id", $"event_id", $"ts").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val gaps = evs.groupBy(_._1).values.flatMap { g =>
+      val sorted = g.sortBy(e => (e._3, e._2)).map(_._3)
+      sorted.sliding(2).collect { case Array(a, b) => b - a }
+    }.toSeq.sorted
+    val n = gaps.length
+    val lam = n.toDouble / gaps.map(BigInt(_)).sum.toDouble
+    def fexp(x: Long) = 1.0 - math.exp(-(lam * x))
+    val d = gaps.zipWithIndex.map { case (x, i) =>
+      math.max((i + 1).toDouble / n - fexp(x), fexp(x) - i.toDouble / n)
+    }.max
+    val row = Events.interArrivalFit(Tables.events(spark, sf)).collect() match {
+      case Array(r) => r }
+    assert(row.getLong(0) === n.toLong)
+    assert(math.abs(row.getDouble(1) - lam * 3.6e12) <= 1e-4)
+    assert(math.abs(row.getDouble(2) - d) <= 2e-6, s"D ${row.getDouble(2)} vs $d")
+    assert(row.getBoolean(3) === (row.getDouble(2) > 1.36 / math.sqrt(n.toDouble)))
+    // a KS distance is a probability-scale quantity
+    assert(row.getDouble(2) >= 0.0 && row.getDouble(2) <= 1.0)
+  }
+
   private implicit class Interp(private val sc: StringContext) {
     def $(args: Any*): org.apache.spark.sql.Column = col(sc.s(args: _*))
   }

@@ -568,6 +568,9 @@ object PipelineQueries {
     // KS test of user inter-arrival gaps vs the exponential model:
     // pooled MLE rate, two-phase ranks, per-row 1e-6-quantized terms
     "q205_interarrival_ks" -> ((s, d) => Events.interArrivalFit(Tables.events(s, d))),
+    // Horvitz-Thompson totals from the q124 bottom-k draw: tau = the
+    // (k+1)-th key, p = 1-exp(-w*tau), micro-quantized HT terms
+    "q206_ht_estimate" -> ((s, d) => Sampling.htEstimate(Tables.documents(s, d))),
   )
 
   // ---- shared SQL fragments -------------------------------------------
@@ -4629,5 +4632,31 @@ object PipelineQueries {
         | max(greatest(dp, dm)) AS ks_d,
         | (max(greatest(dp, dm)) > 1.36 / sqrt(n)) AS reject_exponential
         |FROM t GROUP BY n, sg""".stripMargin,
+    "q206_ht_estimate" ->
+      // q124's exact md5-fraction keys; tau = 51st order statistic;
+      // HT terms micro-quantized before the (exact integer) sum
+      """WITH d AS (
+        |  SELECT doc_id, n_chars,
+        |    list_sum(list_transform(generate_series(1, 13),
+        |      i -> (strpos('0123456789abcdef',
+        |              substr(md5(CAST(doc_id AS VARCHAR)), i, 1)) - 1)
+        |           * power(16.0, -i))) AS u
+        |  FROM documents
+        |),
+        |keyed AS (SELECT doc_id, n_chars, -ln(u) / n_chars AS key FROM d),
+        |rk AS (SELECT *, row_number() OVER (ORDER BY key, doc_id) AS rn FROM keyed),
+        |tau AS (SELECT key AS tau FROM rk WHERE rn = 51),
+        |sm AS (SELECT n_chars, 1.0 - exp(-(n_chars * tau.tau)) AS p
+        |       FROM rk, tau WHERE rn <= 50),
+        |est AS (SELECT count(*) AS n_sampled,
+        |  CAST(sum(CAST(round(1e4 / p) AS BIGINT)) AS BIGINT) AS sd,
+        |  CAST(sum(CAST(round(n_chars * 1e4 / p) AS BIGINT)) AS BIGINT) AS sc
+        |  FROM sm),
+        |tr AS (SELECT count(*) AS true_docs, CAST(sum(n_chars) AS BIGINT) AS true_chars
+        |       FROM documents)
+        |SELECT n_sampled, true_docs, round(sd / 1e4, 2) AS est_docs,
+        | true_chars, round(sc / 1e4, 2) AS est_chars,
+        | round(abs(sc / 1e4 - true_chars) / true_chars, 4) AS rel_err_chars
+        |FROM est, tr""".stripMargin,
   )
 }

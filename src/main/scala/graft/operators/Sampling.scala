@@ -330,6 +330,54 @@ object Sampling {
     * stratum column — re-stratifying (by source, by quality band) reuses
     * identical draws.
     */
+  /** Horvitz-Thompson estimation from the q124 bottom-k draw (q206):
+    * the Cohen-Kaplan bottom-k subset-sum estimator — take the SAME
+    * A-ES exponential-key sample a pipeline already materialized, set
+    * τ = the (k+1)-th smallest key, weight each sampled item by its
+    * conditional inclusion probability p_i = 1 − exp(−w_i·τ), and
+    * Σ f/p estimates any corpus total from the k rows alone. The
+    * operator reports estimated vs TRUE doc and char totals with the
+    * relative error — the self-audit a sampling pipeline publishes so
+    * downstream consumers know what the sample can bear.
+    *
+    * Determinism: keys are the q124 exact md5 fractions; τ is an order
+    * statistic; each HT term quantizes to the 1e-4 grid BEFORE the sum
+    * (exact integer addition, any order — the q106/q205 discipline for
+    * the one exp per term).
+    *
+    * Shape: the (k+1)-sample comes from the salted two-stage
+    * `topKPerGroup` (no global sort); the rank window and everything
+    * after run on k+1 rows; truth is one map-side-combined corpus agg.
+    * Requires corpus size > k (τ must exist) — trivially true wherever
+    * estimation is the point.
+    */
+  def htEstimate(documents: DataFrame, k: Int = 50): DataFrame = {
+    val u = conv(substring(md5($"doc_id".cast("string")), 1, 13), 16, 10)
+      .cast("double") / math.pow(16.0, 13)
+    val keyed = documents
+      .select($"doc_id", $"n_chars", (-log(u) / $"n_chars").as("key"))
+    val topK1 = Scale.topKPerGroup(keyed, group = lit(1), rankKey = $"key",
+      tie = $"doc_id", saltSource = $"doc_id", k = k + 1)
+    val w = org.apache.spark.sql.expressions.Window.orderBy($"key", $"doc_id")
+    val ranked = topK1.withColumn("rn", row_number().over(w)) // k+1 rows
+    val tau = ranked.filter($"rn" === k + 1).select($"key".as("tau"))
+    val truth = documents.agg(count(lit(1)).as("true_docs"),
+      sum($"n_chars").as("true_chars"))
+    ranked.filter($"rn" <= k)
+      .crossJoin(broadcast(tau))
+      .select($"n_chars", (lit(1.0) - exp(-($"n_chars" * $"tau"))).as("p"))
+      .select(
+        expr("CAST(round(1e4 / p) AS BIGINT)").as("cm_docs"),
+        expr("CAST(round(n_chars * 1e4 / p) AS BIGINT)").as("cm_chars"))
+      .agg(count(lit(1)).as("n_sampled"),
+        sum($"cm_docs").as("sd"), sum($"cm_chars").as("sc"))
+      .crossJoin(broadcast(truth))
+      .select($"n_sampled",
+        $"true_docs", round($"sd" / 1e4, 2).as("est_docs"),
+        $"true_chars", round($"sc" / 1e4, 2).as("est_chars"),
+        round(abs($"sc" / 1e4 - $"true_chars") / $"true_chars", 4).as("rel_err_chars"))
+  }
+
   def weightedSampleByStratum(documents: DataFrame, k: Int = 10): DataFrame = {
     val u = conv(substring(md5($"doc_id".cast("string")), 1, 13), 16, 10)
       .cast("double") / math.pow(16.0, 13)

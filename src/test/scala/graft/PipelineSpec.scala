@@ -1957,6 +1957,35 @@ class PipelineSpec extends GraftSuite {
     assert(row.getDouble(2) >= 0.0 && row.getDouble(2) <= 1.0)
   }
 
+  test("htEstimate equals brute-force bottom-k Horvitz-Thompson; estimate is in range") {
+    def md5hex(v: String): String = java.security.MessageDigest.getInstance("MD5")
+      .digest(v.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val dd = docs.select($"doc_id", $"n_chars").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val keyed = dd.map { case (id, w) =>
+      val u = md5hex(id.toString).take(13).zipWithIndex
+        .map { case (c, i) => Integer.parseInt(c.toString, 16) * math.pow(16.0, -(i + 1)) }
+        .sum
+      (id, w, -math.log(u) / w)
+    }.sortBy(x => (x._3, x._1))
+    val tau = keyed(50)._3
+    val sample = keyed.take(50)
+    val sd = sample.map { case (_, w, _) =>
+      math.round(1e4 / (1.0 - math.exp(-(w * tau)))) }.sum
+    val sc2 = sample.map { case (_, w, _) =>
+      math.round(w * 1e4 / (1.0 - math.exp(-(w * tau)))) }.sum
+    val row = graft.operators.Sampling.htEstimate(docs).collect() match {
+      case Array(r) => r }
+    assert(row.getLong(0) === 50L)
+    assert(row.getLong(1) === dd.length.toLong)
+    assert(row.getLong(3) === dd.map(_._2).sum)
+    assert(math.abs(row.getDouble(2) - sd / 1e4) <= 1e-2, s"docs ${row.getDouble(2)}")
+    assert(math.abs(row.getDouble(4) - sc2 / 1e4) <= 1e-2, s"chars ${row.getDouble(4)}")
+    // one concrete 50-row draw should land in the estimator's ballpark
+    // (HT is unbiased over draws; this pins THIS deterministic draw)
+    assert(row.getDouble(2) > dd.length * 0.4 && row.getDouble(2) < dd.length * 2.5)
+  }
+
   private implicit class Interp(private val sc: StringContext) {
     def $(args: Any*): org.apache.spark.sql.Column = col(sc.s(args: _*))
   }

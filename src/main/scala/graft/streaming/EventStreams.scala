@@ -94,6 +94,8 @@ object EventStreams {
 
   case class LastEvent(lastTs: Long, lastType: String)
   case class TransitionOut(event_type: String, next_type: String)
+  case class AttribState(lastTs: Long, entryType: String)
+  case class AttribOut(entry_type: String, kind: String, vm: Long)
 
   case class Scd2State(validFrom: Long, curType: String, lastTs: Long,
       lastEventId: Long)
@@ -219,6 +221,61 @@ object EventStreams {
                 if (st != null && t - st.lastTs <= gapSeconds * 1000000L)
                   out += TransitionOut(st.lastType, e.event_type)
                 st = LastEvent(t, e.event_type)
+              }
+            }
+            if (st != null) {
+              state.update(st)
+              state.setTimeoutTimestamp(st.lastTs / 1000 + gapSeconds * 1000)
+            }
+            out.iterator
+          }
+      }
+  }
+
+  /** Streaming twin of q195's first-touch session attribution: emit a
+    * `session` row the moment a session OPENS (carrying its entry type)
+    * and a `purchase` row the moment revenue lands (carrying the OPEN
+    * session's entry type + the micro-unit value) — the live feed a
+    * marketing dashboard aggregates into q195's table, credit assigned
+    * at event time instead of by a nightly recompute.
+    *
+    * State is ONE (lastTs, entryType) per user with the
+    * `transitionStream` event-time-timeout eviction (lossless: state
+    * older than the gap can only be succeeded by a NEW session, whose
+    * entry type does not depend on it). Emissions happen inline, so
+    * eviction never withholds output and a drained feed needs no final
+    * flush. Same ordering contract as every stateful op here: per-user
+    * in-order feeds across micro-batches reproduce the batch table
+    * exactly (within a batch the sort restores order); an event behind
+    * its user's frontier is dropped.
+    */
+  def attributionStream(events: Dataset[Event], gapSeconds: Long = 1800L,
+      watermarkDelay: String = "30 minutes"): Dataset[AttribOut] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[AttribState, AttribOut](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (_: Long, rows: Iterator[Event], state: GroupState[AttribState]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            def micros(t: java.sql.Timestamp): Long =
+              (t.getTime / 1000) * 1000000L + t.getNanos / 1000
+            val sorted = rows.toSeq.sortBy(e => (micros(e.ts), e.event_id))
+            var st = state.getOption.orNull
+            val out = scala.collection.mutable.ArrayBuffer.empty[AttribOut]
+            sorted.foreach { e =>
+              val t = micros(e.ts)
+              if (st == null || t >= st.lastTs) {
+                if (st == null || t - st.lastTs > gapSeconds * 1000000L) {
+                  st = AttribState(t, e.event_type)
+                  out += AttribOut(e.event_type, "session", 0L)
+                } else st = st.copy(lastTs = t)
+                if (e.event_type == "purchase")
+                  out += AttribOut(st.entryType, "purchase", math.round(e.value * 10000))
               }
             }
             if (st != null) {

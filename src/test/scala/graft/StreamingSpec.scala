@@ -829,6 +829,59 @@ class StreamingSpec extends GraftSuite {
     assert(streamed.head._5 === batch.head._5)
   }
 
+  test("streaming attribution == brute-force first-touch credit at stream resolution") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val raw = Tables.events(spark, sf)
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(1), r.getString(3), r.getDouble(4)))
+      .sortBy(e => (e._3, e._1)) // global event-time order, like a real feed
+    def toEvent(e: (Long, Long, Long, String, Double)): Event = {
+      val micros = e._3 / 1000
+      val ts = new Timestamp(micros / 1000)
+      ts.setNanos(((micros % 1000000) * 1000).toInt)
+      Event(e._1, ts, e._2, e._4, e._5)
+    }
+    val input = MemoryStream[Event]
+    val q = EventStreams.attributionStream(input.toDS())
+      .writeStream.outputMode("append").format("memory").queryName("attrib_out")
+      .start()
+    val (a, b) = raw.splitAt(raw.length / 2)
+    input.addData(a.map(toEvent).toIndexedSeq)
+    q.processAllAvailable()
+    input.addData(b.map(toEvent).toIndexedSeq)
+    q.processAllAvailable()
+    val streamed = spark.table("attrib_out").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      .groupBy(_._1).view.mapValues { g =>
+        (g.count(_._2 == "session").toLong, g.count(_._2 == "purchase").toLong,
+          g.filter(_._2 == "purchase").map(_._3).sum)
+      }.toMap
+    q.stop()
+    // brute force on micro-truncated time (the stream's resolution)
+    val gapUs = 1800L * 1000000L
+    val expected = raw.map(e => (e._2, e._1, e._3 / 1000, e._4, math.round(e._5 * 10000)))
+      .groupBy(_._1).values.flatMap { es =>
+        val sorted = es.toSeq.sortBy(e => (e._3, e._2))
+        val sessions = scala.collection.mutable.ArrayBuffer(
+          scala.collection.mutable.ArrayBuffer(sorted.head))
+        sorted.sliding(2).foreach {
+          case Seq(p, c) =>
+            if (c._3 - p._3 > gapUs) sessions += scala.collection.mutable.ArrayBuffer(c)
+            else sessions.last += c
+          case _ =>
+        }
+        sessions.map { s =>
+          val purch = s.filter(_._4 == "purchase")
+          (s.head._4, purch.length.toLong, purch.map(_._5).sum)
+        }
+      }.toSeq.groupBy(_._1).view
+      .mapValues(g => (g.length.toLong, g.map(_._2).sum, g.map(_._3).sum)).toMap
+    assert(streamed === expected)
+    assert(streamed.values.map(_._2).sum === raw.count(_._4 == "purchase").toLong,
+      "every purchase credited exactly once")
+  }
+
   test("streaming dataset fingerprint == batch at every drained cut") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

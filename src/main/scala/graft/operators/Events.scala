@@ -499,7 +499,10 @@ object Events {
       .agg(sum($"yp" * $"y").as("num"), count(lit(1)).as("n_pairs"))
       .crossJoin(broadcast(den))
       .select($"lag".cast("int").as("lag"), $"n_pairs",
-        round($"num".cast("double") / $"den", 6).as("acf"))
+        // a perfectly constant series has zero centered energy: ACF is
+        // undefined there — null, not an ANSI divide-by-zero crash in
+        // the nightly monitor (the abValueTest cold-start discipline)
+        when($"den" > 0L, round($"num".cast("double") / $"den", 6)).as("acf"))
       .orderBy($"lag")
   }
 

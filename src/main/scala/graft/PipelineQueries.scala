@@ -571,6 +571,10 @@ object PipelineQueries {
     // Horvitz-Thompson totals from the q124 bottom-k draw: tau = the
     // (k+1)-th key, p = 1-exp(-w*tau), micro-quantized HT terms
     "q206_ht_estimate" -> ((s, d) => Sampling.htEstimate(Tables.documents(s, d))),
+    // reciprocal (mutual) kNN pairs over the q194 cell-restricted
+    // graph: the high-precision agreement filter, edge-proportional
+    "q207_mutual_knn" -> ((s, d) =>
+      Similarity.mutualNeighborPairs(Tables.embeddings(s, d))),
   )
 
   // ---- shared SQL fragments -------------------------------------------
@@ -4658,5 +4662,26 @@ object PipelineQueries {
         | true_chars, round(sc / 1e4, 2) AS est_chars,
         | round(abs(sc / 1e4 - true_chars) / true_chars, 4) AS rel_err_chars
         |FROM est, tr""".stripMargin,
+    "q207_mutual_knn" ->
+      // q194's knn chain with cos kept; mutuality = the (a,b) identity
+      // present in BOTH directions of the edge frame
+      s"""$KmeansAssignCtes,
+         |pairs AS (
+         |  SELECT x.vec_id AS id, y2.vec_id AS nb,
+         |    round(${cosSql("x.v", "y2.v")}, 6) AS cos
+         |  FROM af x JOIN af y2 ON x.cid = y2.cid AND x.vec_id <> y2.vec_id
+         |),
+         |knn AS MATERIALIZED (
+         |  SELECT id, nb, cos FROM (
+         |    SELECT id, nb, cos, row_number() OVER (PARTITION BY id
+         |      ORDER BY -cos, nb) AS rn
+         |    FROM pairs
+         |  ) WHERE rn <= 5
+         |),
+         |lo AS (SELECT id AS a, nb AS b, cos FROM knn WHERE id < nb),
+         |hi AS (SELECT nb AS a, id AS b FROM knn WHERE id > nb)
+         |SELECT lo.a AS id1, lo.b AS id2, lo.cos AS cos
+         |FROM lo JOIN hi USING (a, b)
+         |ORDER BY id1, id2""".stripMargin,
   )
 }

@@ -206,22 +206,33 @@ object Similarity {
     * ties (count desc, label asc) — bit-equal on any engine; the oracle
     * unrolls both propagation rounds over the shared Lloyd CTEs.
     */
-  def labelPropagation(embeddings: DataFrame, k: Int = 5, rounds: Int = 2,
-      kCells: Int = 16): DataFrame = {
+  /** The cell-restricted kNN graph shared by q194/q207: each vector's
+    * `k` nearest neighbors WITHIN its trained k-means cell, `(id, nb,
+    * cos)`, cut by the salted two-stage `topKPerGroup` and checkpointed
+    * once. Candidates stay cell-bounded (the IVF contract) — the graph
+    * never goes all-pairs at any corpus size.
+    */
+  private[graft] def cellKnnGraph(embeddings: DataFrame, k: Int,
+      kCells: Int): DataFrame = {
     import graft.functions.VectorFunctions.cosine_sim
     val af = kmeansAssignments(embeddings, kCells, 2, "coreset")
-    val labels = embeddings
-      .select($"vec_id", $"label".cast("long").as("y"))
-      .withColumn("hidden", Scale.md5SlicePos($"vec_id", 0, 2) === 1L)
-      .localCheckpoint() // joined every round + in the final report
     val pairs = af.select($"vec_id".as("id"), $"cid", $"v")
       .join(af.select($"vec_id".as("nb"), $"cid", $"v".as("nv")), Seq("cid"))
       .filter($"id" =!= $"nb")
       .select($"id", $"nb", round(cosine_sim($"v", $"nv"), 6).as("cos"))
-    val knn = Scale.topKPerGroup(pairs, group = $"id", rankKey = -$"cos",
+    Scale.topKPerGroup(pairs, group = $"id", rankKey = -$"cos",
         tie = $"nb", saltSource = $"nb", k = k)
-      .select($"id", $"nb")
-      .localCheckpoint() // the graph is shared by all rounds
+      .select($"id", $"nb", $"cos")
+      .localCheckpoint() // shared across rounds / both direction probes
+  }
+
+  def labelPropagation(embeddings: DataFrame, k: Int = 5, rounds: Int = 2,
+      kCells: Int = 16): DataFrame = {
+    val labels = embeddings
+      .select($"vec_id", $"label".cast("long").as("y"))
+      .withColumn("hidden", Scale.md5SlicePos($"vec_id", 0, 2) === 1L)
+      .localCheckpoint() // joined every round + in the final report
+    val knn = cellKnnGraph(embeddings, k, kCells).select($"id", $"nb")
     var cur = labels.select($"vec_id",
       when($"hidden", lit(null).cast("long")).otherwise($"y").as("cur"))
     for (_ <- 1 to rounds) {
@@ -244,6 +255,29 @@ object Similarity {
       .select($"label", $"n_hidden", $"n_recovered", $"n_correct",
         round($"n_correct" / $"n_hidden", 4).as("accuracy"))
       .orderBy($"label")
+  }
+
+  /** Reciprocal nearest neighbors (q207): pairs where EACH vector is in
+    * the OTHER's k-nearest list — the classic high-precision matcher
+    * (mutual-kNN is the agreement filter behind RNN clustering and
+    * two-tower retrieval QA): one-sided kNN membership is cheap to
+    * satisfy near hubs, mutuality is not. Rides the SAME cell-restricted
+    * kNN graph as q194 (one construction, two consumers — the pair-index
+    * discipline), so the extra cost over q194 is one self-semi-join of
+    * the k·n edge frame on (pair identity), edge-proportional at any
+    * corpus size. Cosine is symmetric bit-for-bit (same fused loop, same
+    * dimension order), so the emitted score is direction-free.
+    */
+  def mutualNeighborPairs(embeddings: DataFrame, k: Int = 5,
+      kCells: Int = 16): DataFrame = {
+    val knn = cellKnnGraph(embeddings, k, kCells)
+    val lo = knn.filter($"id" < $"nb")
+      .select($"id".as("a"), $"nb".as("b"), $"cos")
+    val hi = knn.filter($"id" > $"nb")
+      .select($"nb".as("a"), $"id".as("b"))
+    lo.join(hi, Seq("a", "b"), "left_semi")
+      .select($"a".as("id1"), $"b".as("id2"), $"cos")
+      .orderBy($"id1", $"id2")
   }
 
   /** Number of output dimensions of the deterministic random projection

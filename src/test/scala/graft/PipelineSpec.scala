@@ -1986,6 +1986,22 @@ class PipelineSpec extends GraftSuite {
     assert(row.getDouble(2) > dd.length * 0.4 && row.getDouble(2) < dd.length * 2.5)
   }
 
+  test("mutualNeighborPairs: exactly the bidirectional edges of the shared kNN graph") {
+    val edges = Similarity.cellKnnGraph(embs, 5, 16).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val dir = edges.map(e => (e._1, e._2)).toSet
+    val expected = edges
+      .filter(e => e._1 < e._2 && dir((e._2, e._1)))
+      .map(e => (e._1, e._2, e._3)).sortBy(x => (x._1, x._2)).toSeq
+    val got = Similarity.mutualNeighborPairs(embs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(got === expected)
+    assert(got.nonEmpty)
+    // mutuality is strictly harder than one-sided membership
+    assert(got.length < edges.count(e => e._1 < e._2))
+    got.foreach { case (_, _, c) => assert(c >= -1.0 - 1e-9 && c <= 1.0 + 1e-9) }
+  }
+
   private implicit class Interp(private val sc: StringContext) {
     def $(args: Any*): org.apache.spark.sql.Column = col(sc.s(args: _*))
   }

@@ -575,6 +575,10 @@ object PipelineQueries {
     // graph: the high-precision agreement filter, edge-proportional
     "q207_mutual_knn" -> ((s, d) =>
       Similarity.mutualNeighborPairs(Tables.embeddings(s, d))),
+    // DBSCAN core/border/noise profile at eps=0.2 cosine within the
+    // trained cells: the density go/no-go beside q70's centroids
+    "q208_dbscan_profile" -> ((s, d) =>
+      Similarity.dbscanProfile(Tables.embeddings(s, d))),
   )
 
   // ---- shared SQL fragments -------------------------------------------
@@ -4683,5 +4687,31 @@ object PipelineQueries {
          |SELECT lo.a AS id1, lo.b AS id2, lo.cos AS cos
          |FROM lo JOIN hi USING (a, b)
          |ORDER BY id1, id2""".stripMargin,
+    "q208_dbscan_profile" ->
+      // cell-restricted eps-neighborhoods (the stated grid-DBSCAN
+      // approximation), exact counts on the rounded-cosine grid
+      s"""$KmeansAssignCtes,
+         |ne AS (
+         |  SELECT x.vec_id AS id, y2.vec_id AS nb
+         |  FROM af x JOIN af y2 ON x.cid = y2.cid AND x.vec_id <> y2.vec_id
+         |  WHERE round(${cosSql("x.v", "y2.v")}, 6) >= 0.2
+         |),
+         |cnt AS (SELECT id, count(*) AS n_eps FROM ne GROUP BY 1),
+         |cl AS (
+         |  SELECT e.vec_id, CAST(e.label AS BIGINT) AS label,
+         |    coalesce(cnt.n_eps, 0) >= 4 AS is_core
+         |  FROM embeddings e LEFT JOIN cnt ON cnt.id = e.vec_id
+         |),
+         |bor AS (
+         |  SELECT DISTINCT ne.id AS vec_id
+         |  FROM ne JOIN cl c2 ON c2.vec_id = ne.nb AND c2.is_core
+         |)
+         |SELECT label,
+         | CASE WHEN is_core THEN 'core'
+         |   WHEN bor.vec_id IS NOT NULL THEN 'border'
+         |   ELSE 'noise' END AS role,
+         | count(*) AS n_vecs
+         |FROM cl LEFT JOIN bor USING (vec_id)
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
   )
 }

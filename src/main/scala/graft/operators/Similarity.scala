@@ -280,6 +280,56 @@ object Similarity {
       .orderBy($"id1", $"id2")
   }
 
+  /** DBSCAN density profile (q208): classify every vector as CORE
+    * (≥ `minPts` neighbors at cosine ≥ `eps`), BORDER (not core but
+    * ε-adjacent to a core), or NOISE, and report counts per label — the
+    * density-based complement to q70's centroid clustering (k-means
+    * sees spherical mass; a density profile says whether the space has
+    * dense cores at all, and how much of it is unclusterable noise —
+    * the go/no-go a semantic-dedup dial reads before trusting
+    * centroids). ε-neighborhoods are CELL-restricted like q194/q207's
+    * kNN graph (the IVF contract: candidates bounded by the trained
+    * cell, never all-pairs), which is the standard grid-partitioned
+    * DBSCAN approximation — stated, and replicated exactly by the
+    * oracle so the gate checks the served semantics.
+    *
+    * Shape: one cell self-join (cell-bounded), a neighbor-count
+    * aggregate, one semi-join of non-cores against core ε-adjacency,
+    * and a label-sized rollup; counts are exact integers on the
+    * rounded-cosine grid.
+    */
+  def dbscanProfile(embeddings: DataFrame, eps: Double = 0.2,
+      minPts: Int = 4, kCells: Int = 16): DataFrame = {
+    import graft.functions.VectorFunctions.cosine_sim
+    val af = kmeansAssignments(embeddings, kCells, 2, "coreset")
+    val neigh = af.select($"vec_id".as("id"), $"cid", $"v")
+      .join(af.select($"vec_id".as("nb"), $"cid", $"v".as("nv")), Seq("cid"))
+      .filter($"id" =!= $"nb")
+      .select($"id", $"nb", round(cosine_sim($"v", $"nv"), 6).as("cos"))
+      .filter($"cos" >= eps)
+      .localCheckpoint() // consumed by the count pass AND the border probe
+    val counts = neigh.groupBy($"id").agg(count(lit(1)).as("n_eps"))
+    val ids = embeddings.select($"vec_id", $"label".cast("long").as("label"))
+    val classed = ids
+      .join(counts.select($"id".as("vec_id"), $"n_eps"), Seq("vec_id"), "left_outer")
+      .withColumn("n_eps", coalesce($"n_eps", lit(0L)))
+      .withColumn("is_core", $"n_eps" >= minPts.toLong)
+    // NOT broadcast: the core set is corpus-proportional in a dense
+    // space — let the planner pick (semi-join shuffles are edge-bounded)
+    val cores = classed.filter($"is_core").select($"vec_id".as("nb"))
+    val borderIds = neigh
+      .join(cores, Seq("nb"), "left_semi")
+      .select($"id".as("vec_id")).distinct()
+    classed
+      .join(borderIds.withColumn("adj_core", lit(true)), Seq("vec_id"), "left_outer")
+      .select($"label",
+        when($"is_core", "core")
+          .when(coalesce($"adj_core", lit(false)), "border")
+          .otherwise("noise").as("role"))
+      .groupBy($"label", $"role").agg(count(lit(1)).as("n_vecs"))
+      .orderBy($"label", $"role")
+  }
+
   /** Number of output dimensions of the deterministic random projection
     * (Johnson-Lindenstrauss sketch). 32 dims halve the 64-dim fixture and
     * land the mean cosine distortion at the ~1/sqrt(k) JL rate (~0.13 on

@@ -2002,6 +2002,26 @@ class PipelineSpec extends GraftSuite {
     got.foreach { case (_, _, c) => assert(c >= -1.0 - 1e-9 && c <= 1.0 + 1e-9) }
   }
 
+  test("dbscanProfile: roles partition the corpus; core mass shrinks with minPts and eps") {
+    def roles(eps: Double, minPts: Int) =
+      Similarity.dbscanProfile(embs, eps = eps, minPts = minPts).collect()
+        .map(r => ((r.getLong(0), r.getString(1)), r.getLong(2))).toMap
+    val base = roles(0.2, 4)
+    val nVecs = embs.count()
+    assert(base.values.sum === nVecs, "every vector gets exactly one role")
+    val labelCounts = embs.groupBy($"label").count().collect()
+      .map(r => r.getInt(0).toLong -> r.getLong(1)).toMap
+    labelCounts.foreach { case (l, n) =>
+      assert(base.collect { case ((`l`, _), c) => c }.sum === n, s"label $l mass") }
+    def coreMass(m: Map[(Long, String), Long]) =
+      m.collect { case ((_, "core"), c) => c }.sum
+    // raising minPts or eps can only demote cores
+    assert(coreMass(roles(0.2, 8)) <= coreMass(base))
+    assert(coreMass(roles(0.3, 4)) <= coreMass(base))
+    // deterministic end to end (fresh Lloyd training included)
+    assert(roles(0.2, 4) === base)
+  }
+
   private implicit class Interp(private val sc: StringContext) {
     def $(args: Any*): org.apache.spark.sql.Column = col(sc.s(args: _*))
   }

@@ -579,6 +579,10 @@ object PipelineQueries {
     // trained cells: the density go/no-go beside q70's centroids
     "q208_dbscan_profile" -> ((s, d) =>
       Similarity.dbscanProfile(Tables.embeddings(s, d))),
+    // simplified (centroid) silhouette per cluster: micro-quantized
+    // guarded s, best-other from a k-row broadcast argmax
+    "q209_silhouette" -> ((s, d) =>
+      Similarity.silhouetteProfile(Tables.embeddings(s, d))),
   )
 
   // ---- shared SQL fragments -------------------------------------------
@@ -4713,5 +4717,26 @@ object PipelineQueries {
          | count(*) AS n_vecs
          |FROM cl LEFT JOIN bor USING (vec_id)
          |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q209_silhouette" ->
+      // af/cent2 from the shared Lloyd chain; best-other = max rounded
+      // cos to a DIFFERENT centroid; guarded micro-quantized s
+      s"""$KmeansAssignCtes,
+         |oc AS (
+         |  SELECT a.vec_id, max(round(${cosSql("a.v", "c.cv")}, 6)) AS best_other
+         |  FROM af a JOIN cent2 c ON c.cid <> a.cid
+         |  GROUP BY 1
+         |),
+         |sv AS (
+         |  SELECT af.cid,
+         |    CASE WHEN greatest(1.0 - af.cos, 1.0 - oc.best_other) > 0
+         |      THEN CAST(round(((af.cos - oc.best_other) /
+         |        greatest(1.0 - af.cos, 1.0 - oc.best_other)) * 1e6, 0) AS BIGINT)
+         |      ELSE CAST(0 AS BIGINT) END AS sm
+         |  FROM af JOIN oc USING (vec_id)
+         |)
+         |SELECT cid, count(*) AS n_members,
+         | round(CAST(sum(sm) AS BIGINT) * 1.0 / count(*) / 1e6, 6) AS mean_silhouette,
+         | CAST(sum(CASE WHEN sm > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_positive
+         |FROM sv GROUP BY cid ORDER BY cid""".stripMargin,
   )
 }

@@ -330,6 +330,52 @@ object Similarity {
       .orderBy($"label", $"role")
   }
 
+  /** Simplified-silhouette profile of the trained clustering (q209):
+    * per cluster, the mean of s = (cos_own − cos_bestOther) /
+    * max(1−cos_own, 1−cos_bestOther) — the centroid-based silhouette
+    * (Hruschka et al.), the standard cluster-quality score at the dial
+    * where the FULL silhouette's all-pairs b-term is the thing a
+    * distributed engine must refuse. Reads: s → 1 = members hug their
+    * own centroid, s ≤ 0 = another centroid fits better — the
+    * per-cluster verdict q70's cohesion (own-cos only) cannot give.
+    *
+    * Per-vector s quantizes to integer micro-units (rounded-cosine
+    * inputs, one guarded division — identical-to-centroid corner cases
+    * emit 0, not an ANSI crash), so cluster means are exact integer
+    * sums with one boundary division.
+    *
+    * Shape: rides the shared Lloyd training; the best-other term is a
+    * k-row broadcast crossJoin per vector (k = cells, the IVF argmin
+    * cost), one groupBy(vec) max, one cluster-sized rollup.
+    */
+  def silhouetteProfile(embeddings: DataFrame, kCells: Int = 16): DataFrame = {
+    import graft.functions.VectorFunctions.cosine_sim
+    val spark = embeddings.sparkSession
+    val corpus = embeddings.select($"vec_id", asDouble($"embedding").as("v"))
+      .localCheckpoint()
+    val cents = trainCentroids(embeddings, corpus, kCells, 2, "coreset")
+    val af = corpus.withColumn("a", least(cellStructs(cents, $"v"): _*))
+      .select($"vec_id", $"v", $"a.cid".as("cid"), (-$"a.negcos").as("cos"))
+    val centDf = spark.createDataFrame(cents.toSeq).toDF("ccid", "cv")
+    val bestOther = af.crossJoin(broadcast(centDf))
+      .filter($"cid" =!= $"ccid")
+      .select($"vec_id", round(cosine_sim($"v", $"cv"), 6).as("ocos"))
+      .groupBy($"vec_id").agg(max($"ocos").as("best_other"))
+    val denom = greatest(lit(1.0) - $"cos", lit(1.0) - $"best_other")
+    af.join(bestOther, Seq("vec_id"))
+      .select($"cid",
+        when(denom > 0.0,
+          round((($"cos" - $"best_other") / denom) * 1e6, 0).cast("long"))
+          .otherwise(0L).as("sm"))
+      .groupBy($"cid")
+      .agg(count(lit(1)).as("n_members"), sum($"sm").as("ssum"),
+        sum(when($"sm" > 0L, 1L).otherwise(0L)).as("n_positive"))
+      .select($"cid", $"n_members",
+        round($"ssum" / $"n_members" / 1e6, 6).as("mean_silhouette"),
+        $"n_positive")
+      .orderBy($"cid")
+  }
+
   /** Number of output dimensions of the deterministic random projection
     * (Johnson-Lindenstrauss sketch). 32 dims halve the 64-dim fixture and
     * land the mean cosine distortion at the ~1/sqrt(k) JL rate (~0.13 on

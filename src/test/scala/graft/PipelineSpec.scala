@@ -2022,6 +2022,27 @@ class PipelineSpec extends GraftSuite {
     assert(roles(0.2, 4) === base)
   }
 
+  test("silhouetteProfile: bounded scores, members conserved, argmin consistency") {
+    val rows = Similarity.silhouetteProfile(embs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+    assert(rows.nonEmpty)
+    assert(rows.map(_._2).sum === embs.count(), "every vector scored once")
+    rows.foreach { case (cid, n, s, npos) =>
+      // silhouette lives in [-1, 1]
+      assert(s >= -1.0 - 1e-9 && s <= 1.0 + 1e-9, s"cluster $cid mean $s")
+      assert(npos >= 0L && npos <= n)
+    }
+    // Lloyd assigns each vector to its argmax-cos centroid, so cos_own >=
+    // cos_bestOther pointwise: every per-vector s >= 0, hence every
+    // cluster mean >= 0 and n_positive can only miss exact-tie zeros
+    rows.foreach { case (cid, _, s, _) =>
+      assert(s >= 0.0, s"cluster $cid mean must be nonnegative under argmax assignment") }
+    // deterministic end to end
+    assert(Similarity.silhouetteProfile(embs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSeq
+      === rows.toSeq)
+  }
+
   private implicit class Interp(private val sc: StringContext) {
     def $(args: Any*): org.apache.spark.sql.Column = col(sc.s(args: _*))
   }

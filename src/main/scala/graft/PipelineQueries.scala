@@ -583,6 +583,10 @@ object PipelineQueries {
     // guarded s, best-other from a k-row broadcast argmax
     "q209_silhouette" -> ((s, d) =>
       Similarity.silhouetteProfile(Tables.embeddings(s, d))),
+    // ARI between two deterministic Lloyd seedings: exact pair-count
+    // combinatorics over the k x k contingency table
+    "q210_cluster_stability" -> ((s, d) =>
+      Similarity.clusterStability(Tables.embeddings(s, d))),
   )
 
   // ---- shared SQL fragments -------------------------------------------
@@ -4738,5 +4742,50 @@ object PipelineQueries {
          | round(CAST(sum(sm) AS BIGINT) * 1.0 / count(*) / 1e6, 6) AS mean_silhouette,
          | CAST(sum(CASE WHEN sm > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_positive
          |FROM sv GROUP BY cid ORDER BY cid""".stripMargin,
+    "q210_cluster_stability" -> {
+      // second Lloyd chain over the SAME e corpus, seeded by the salted
+      // md5 order; ARI from exact pair-count sums
+      def assignB(cents: String) =
+        s"""SELECT vec_id, v, cid, cos FROM (
+           |  SELECT e.vec_id, e.v, c.cid, round(${cosSql("e.v", "c.cv")}, 6) AS cos,
+           |    row_number() OVER (PARTITION BY e.vec_id
+           |      ORDER BY round(-(${cosSql("e.v", "c.cv")}), 6), c.cid) AS rn
+           |  FROM e CROSS JOIN $cents c
+           |) WHERE rn = 1""".stripMargin
+      def updateB(a: String, prevCents: String) =
+        s"""SELECT c0.cid, coalesce(u.cv, c0.cv) AS cv FROM $prevCents c0 LEFT JOIN (
+           |  SELECT cid, list(m ORDER BY i) AS cv FROM (
+           |    SELECT cid, i, round(avg(x), 6) AS m FROM (
+           |      SELECT cid, unnest(generate_series(1, len(v))) AS i, unnest(v) AS x FROM $a
+           |    ) GROUP BY cid, i
+           |  ) GROUP BY cid
+           |) u USING (cid)""".stripMargin
+      s"""$KmeansAssignCtes,
+         |bcent0 AS (
+         |  SELECT vec_id AS cid, v AS cv FROM e
+         |  ORDER BY md5(CAST(vec_id AS VARCHAR) || ':b'), vec_id LIMIT 16
+         |),
+         |ba1 AS (${assignB("bcent0")}),
+         |bcent1 AS (${updateB("ba1", "bcent0")}),
+         |ba2 AS (${assignB("bcent1")}),
+         |bcent2 AS (${updateB("ba2", "bcent1")}),
+         |baf AS (${assignB("bcent2")}),
+         |ct AS (
+         |  SELECT a.cid AS ca, b.cid AS cb, count(*) AS nij
+         |  FROM af a JOIN baf b USING (vec_id) GROUP BY 1, 2
+         |),
+         |p1 AS (SELECT CAST(sum(nij * (nij - 1) // 2) AS BIGINT) AS sij,
+         |         CAST(sum(nij) AS BIGINT) AS n FROM ct),
+         |p2 AS (SELECT CAST(sum(na * (na - 1) // 2) AS BIGINT) AS sa
+         |       FROM (SELECT CAST(sum(nij) AS BIGINT) AS na FROM ct GROUP BY ca)),
+         |p3 AS (SELECT CAST(sum(nb * (nb - 1) // 2) AS BIGINT) AS sb
+         |       FROM (SELECT CAST(sum(nij) AS BIGINT) AS nb FROM ct GROUP BY cb))
+         |SELECT n, sij, sa, sb,
+         | CASE WHEN ((sa + sb) / 2.0 - CAST(sa AS DOUBLE) * sb / (n * (n - 1) // 2)) <> 0
+         |   THEN round((sij - CAST(sa AS DOUBLE) * sb / (n * (n - 1) // 2)) /
+         |     ((sa + sb) / 2.0 - CAST(sa AS DOUBLE) * sb / (n * (n - 1) // 2)), 6)
+         |   ELSE NULL END AS ari
+         |FROM p1, p2, p3""".stripMargin
+    },
   )
 }

@@ -376,6 +376,56 @@ object Similarity {
       .orderBy($"cid")
   }
 
+  /** Clustering stability via the Adjusted Rand Index (q210): run the
+    * SAME Lloyd recipe from two independent deterministic seedings (the
+    * standard md5 coreset and a salted variant) and measure partition
+    * agreement — the "are these clusters real or seed artifacts?"
+    * diagnostic that gates every downstream consumer of q70's cells
+    * (SemDeDup, IVF, coreset selection). ARI ≈ 1: structure is stable;
+    * ARI ≈ 0: the cells are noise and cell-dependent dials should not
+    * be trusted.
+    *
+    * ARI = (Σᵢⱼ C(nᵢⱼ,2) − ΣC(aᵢ,2)·ΣC(bⱼ,2)/C(n,2)) /
+    *       (½[ΣC(aᵢ,2)+ΣC(bⱼ,2)] − ΣC(aᵢ,2)·ΣC(bⱼ,2)/C(n,2)) — every
+    * pair-count sum is exact integer arithmetic over the k×k
+    * contingency table; the two divisions happen at the boundary with
+    * oracle-matched shape (degenerate denominator → null).
+    *
+    * Shape: two Lloyd trainings (driver holds 2·k×dim doubles), ONE
+    * corpus pass computing both argmin assignments side by side, a
+    * k²-row contingency aggregate, and 1-row rollups.
+    */
+  def clusterStability(embeddings: DataFrame, kCells: Int = 16): DataFrame = {
+    val corpus = embeddings.select($"vec_id", asDouble($"embedding").as("v"))
+      .localCheckpoint() // seeds + 2 trainings + the final joint pass
+    val centsA = trainCentroids(embeddings, corpus, kCells, 2, "coreset")
+    val seedsB = corpus
+      .select($"vec_id", $"v",
+        md5(concat($"vec_id".cast("string"), lit(":b"))).as("r"))
+      .orderBy($"r", $"vec_id").limit(kCells)
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+      .sortBy(_._1)
+    val centsB = lloydRefine(corpus, seedsB, 2)
+    val cont = corpus
+      .withColumn("a", least(cellStructs(centsA, $"v"): _*))
+      .withColumn("b", least(cellStructs(centsB, $"v"): _*))
+      .select($"a.cid".as("ca"), $"b.cid".as("cb"))
+      .groupBy($"ca", $"cb").agg(count(lit(1)).as("nij")) // <= k² rows
+      .localCheckpoint()
+    val p1 = cont.agg(
+      sum(expr("nij * (nij - 1) div 2")).as("sij"), sum($"nij").as("n"))
+    val p2 = cont.groupBy($"ca").agg(sum($"nij").as("na"))
+      .agg(sum(expr("na * (na - 1) div 2")).as("sa"))
+    val p3 = cont.groupBy($"cb").agg(sum($"nij").as("nb"))
+      .agg(sum(expr("nb * (nb - 1) div 2")).as("sb"))
+    val t = expr("n * (n - 1) div 2")
+    val expTerm = $"sa".cast("double") * $"sb" / t
+    val den = ($"sa" + $"sb") / lit(2.0) - expTerm
+    p1.crossJoin(broadcast(p2)).crossJoin(broadcast(p3))
+      .select($"n", $"sij", $"sa", $"sb",
+        when(den =!= 0.0, round(($"sij" - expTerm) / den, 6)).as("ari"))
+  }
+
   /** Number of output dimensions of the deterministic random projection
     * (Johnson-Lindenstrauss sketch). 32 dims halve the 64-dim fixture and
     * land the mean cosine distortion at the ~1/sqrt(k) JL rate (~0.13 on

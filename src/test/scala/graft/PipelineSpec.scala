@@ -2043,6 +2043,24 @@ class PipelineSpec extends GraftSuite {
       === rows.toSeq)
   }
 
+  test("clusterStability: ARI wiring, combinatorial bounds, determinism") {
+    val row = Similarity.clusterStability(embs).collect() match { case Array(r) => r }
+    val (n, sij, sa, sb) = (row.getLong(0), row.getLong(1), row.getLong(2), row.getLong(3))
+    assert(n === embs.count())
+    // pair-count combinatorics: joint concentration can't exceed either margin
+    assert(sij <= math.min(sa, sb))
+    assert(sa <= n * (n - 1) / 2 && sb <= n * (n - 1) / 2)
+    // the emitted ari must BE the ARI of the emitted integer parts
+    val t = (n * (n - 1) / 2).toDouble
+    val exp = sa.toDouble * sb / t
+    val ari = (sij - exp) / ((sa + sb) / 2.0 - exp)
+    assert(math.abs(row.getDouble(4) - ari) <= 5e-7)
+    assert(row.getDouble(4) <= 1.0 + 1e-9)
+    // deterministic across full retrainings
+    val again = Similarity.clusterStability(embs).collect() match { case Array(r) => r }
+    assert(again.toSeq === row.toSeq)
+  }
+
   private implicit class Interp(private val sc: StringContext) {
     def $(args: Any*): org.apache.spark.sql.Column = col(sc.s(args: _*))
   }

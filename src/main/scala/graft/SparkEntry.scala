@@ -289,9 +289,11 @@ object SparkEntry {
     "q182_promo_share" ->
       """WITH r AS (
         |  SELECT
-        |   round(sum(CASE WHEN p_type = 'PROMO'
-        |     THEN l_extendedprice * (1.0 - l_discount) ELSE 0.0 END), 2) AS promo_revenue,
-        |   round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS total_revenue
+        |   FLOOR((sum(CAST(round(CASE WHEN p_type = 'PROMO'
+        |       THEN l_extendedprice * (1.0 - l_discount) ELSE 0.0 END * 10000, 0)
+        |     AS BIGINT)) + 50) / 100.0) / 100.0 AS promo_revenue,
+        |   FLOOR((sum(CAST(round(l_extendedprice * (1.0 - l_discount) * 10000, 0)
+        |     AS BIGINT)) + 50) / 100.0) / 100.0 AS total_revenue
         |  FROM lineitem JOIN part ON l_partkey = p_partkey
         |  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
         |    AND l_shipdate < TIMESTAMP '1996-04-01'
@@ -307,7 +309,8 @@ object SparkEntry {
         |  GROUP BY c_custkey
         |) GROUP BY c_count ORDER BY custdist DESC, c_count DESC""".stripMargin,
     "q184_small_qty_revenue" ->
-      """SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly
+      """SELECT FLOOR((sum(CAST(round(l_extendedprice * 10000, 0) AS BIGINT))
+        |    + 350) / 700.0) / 100.0 AS avg_yearly
         |FROM lineitem JOIN part ON l_partkey = p_partkey
         |WHERE p_brand = 'Brand#5'
         |  AND l_quantity < 0.2 * (
@@ -321,7 +324,9 @@ object SparkEntry {
         |    WHERE o_custkey = c_custkey AND o_orderstatus = 'O')
         |GROUP BY n_name ORDER BY n_name""".stripMargin,
     "q186_nation_volume" ->
-      """SELECT supp_nation, cust_nation, l_year, round(sum(volume), 2) AS revenue
+      """SELECT supp_nation, cust_nation, l_year,
+        | FLOOR((sum(CAST(round(volume * 10000, 0) AS BIGINT)) + 50) / 100.0)
+        |   / 100.0 AS revenue
         |FROM (
         |  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
         |   CAST(year(l_shipdate) AS INTEGER) AS l_year,
@@ -356,16 +361,19 @@ object SparkEntry {
         |    AND o_orderdate < TIMESTAMP '1998-01-01'
         |), agg AS (
         |  SELECT o_year,
-        |   round(sum(CASE WHEN supp_nation = 'NATION_3' THEN volume ELSE 0.0 END), 2)
-        |     AS nation_revenue,
-        |   round(sum(volume), 2) AS total_revenue
+        |   FLOOR((sum(CAST(round(CASE WHEN supp_nation = 'NATION_3'
+        |       THEN volume ELSE 0.0 END * 10000, 0) AS BIGINT)) + 50) / 100.0)
+        |     / 100.0 AS nation_revenue,
+        |   FLOOR((sum(CAST(round(volume * 10000, 0) AS BIGINT)) + 50) / 100.0)
+        |     / 100.0 AS total_revenue
         |  FROM base GROUP BY o_year
         |)
         |SELECT o_year, round(nation_revenue / total_revenue, 6) AS mkt_share,
         | nation_revenue, total_revenue
         |FROM agg ORDER BY o_year""".stripMargin,
     "q188_brand_bands" ->
-      """SELECT round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue
+      """SELECT FLOOR((sum(CAST(round(l_extendedprice * (1.0 - l_discount) * 10000,
+        |    0) AS BIGINT)) + 50) / 100.0) / 100.0 AS revenue
         |FROM lineitem JOIN part ON p_partkey = l_partkey
         |WHERE (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 10
         |        AND l_quantity BETWEEN 5.0 AND 15.0)
@@ -375,8 +383,9 @@ object SparkEntry {
         |        AND l_quantity BETWEEN 25.0 AND 35.0)""".stripMargin,
     "q199_top_supplier" ->
       """WITH rev AS (
-        |  SELECT l_suppkey, round(sum(l_extendedprice * (1.0 - l_discount)), 2)
-        |    AS total_revenue
+        |  SELECT l_suppkey,
+        |   FLOOR((sum(CAST(round(l_extendedprice * (1.0 - l_discount) * 10000, 0)
+        |     AS BIGINT)) + 50) / 100.0) / 100.0 AS total_revenue
         |  FROM lineitem
         |  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
         |    AND l_shipdate < TIMESTAMP '1996-04-01'
@@ -387,7 +396,8 @@ object SparkEntry {
         |WHERE total_revenue = (SELECT max(total_revenue) FROM rev)
         |ORDER BY s_suppkey""".stripMargin,
     "q200_forecast_revenue" ->
-      """SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue_delta,
+      """SELECT FLOOR((sum(CAST(round(l_extendedprice * l_discount * 10000, 0)
+        |    AS BIGINT)) + 50) / 100.0) / 100.0 AS revenue_delta,
         | count(*) AS n_lines
         |FROM lineitem
         |WHERE l_shipdate >= TIMESTAMP '1996-01-01'

@@ -523,7 +523,12 @@ object Events {
     * engine-exact longs and the mean/variance/z doubles evaluate the
     * SAME expression tree on both engines. (Long bound: Σv² stays exact
     * below ~10⁶ events per arm at the fixture's value scale ×10⁴; at
-    * larger n, bucket first or widen the moments to decimal.)
+    * larger n, bucket first or widen the moments to decimal. The bound
+    * is ENFORCED, not just documented: the session runs ANSI mode
+    * (Spark 4 default), where both the per-row vm² multiply and the
+    * long Sum throw ARITHMETIC_OVERFLOW instead of wrapping — an
+    * oversized feed fails loudly rather than yielding a wrong z;
+    * spec-asserted with an overflowing synthetic feed.)
     *
     * Scale shape: one filtered scan into a 1-row conditional moment
     * aggregate (map-side combined); the arm column is a scalar md5 of

@@ -162,6 +162,12 @@ object Multimodal {
     * bucket-join candidate generation (never all-pairs on the engine
     * side), and the integer bit arithmetic (majority counts, shifts,
     * bit_count — engine-exact everywhere).
+    *
+    * ASCII fixture assumption (like frameSample): frames slice the
+    * payload by BYTE offsets; the oracle slices text by CHARACTER
+    * offsets (DuckDB has no md5-over-BLOB). They agree iff bytes ==
+    * chars — `Tables.nonAsciiDocs` is the drift probe that names this
+    * cause if a regenerated fixture ever ships multi-byte text.
     */
   def framePhashNearDup(documents: DataFrame, frameBytes: Int = 64,
       maxHamming: Int = 3): DataFrame = {

@@ -370,6 +370,33 @@ object Relational {
       .select($"l_returnflag", $"dec_total".cast("double").as("exact_total"), $"double_total")
       .orderBy($"l_returnflag")
 
+  /** Exact money aggregation for the TPC-H money queries
+    * (q182/q184/q186–q188/q199): quantize each line's money term to
+    * long 1e-4 units — prices carry 2 decimals and discounts 2, so the
+    * true product has at most 4 decimal digits and the ROUND is
+    * lossless; ROUND of the identical double input is also the one
+    * quantization both engines compute bit-equal — then sum exactly in
+    * integers (association-order-free) and convert to dollars only at
+    * the boundary: half-up to cents in INTEGER space, one exact /100.
+    * Replaces round(sum(double), 2), whose double sum is
+    * association-order-dependent: a true total within FP noise of an
+    * x.xx5 half-cent boundary could round differently per
+    * engine/partitioning while the oracle gate is bit-exact. Long 1e-4
+    * units hold to ~9e14 dollars of total; a corpus beyond that swaps
+    * the accumulator to decimal(38,4) at the same boundary.
+    */
+  private[graft] def money4(e: Column): Column =
+    round(e * lit(10000.0), 0).cast("long")
+
+  /** Long 1e-4 units → dollars at cent precision: half-up to cents in
+    * integer space (floor of an exact +50 shift — the double division
+    * by 100.0 is computed on the same operands by both engines), then
+    * one exact /100. Output stays DOUBLE (schema-stable vs the old
+    * rounded-sum path).
+    */
+  private[graft] def dollarsFrom4(r4: Column): Column =
+    floor((r4 + lit(50L)) / lit(100.0)) / lit(100.0)
+
   /** A timestamp literal typed to MATCH the named column's physical type
     * (TIMESTAMP vs TIMESTAMP_NTZ — fixtures ship NTZ; the session is
     * UTC, so the instants coincide). Dispatching the LITERAL keeps the
@@ -452,9 +479,9 @@ object Relational {
     * parts among lines shipped in the window. One lineitem⋈part join
     * (part is the dimension side; AQE broadcasts it when it fits), promo
     * and total revenue as conditional aggregates of the SAME pass, and
-    * the percentage computed from the two ROUNDED totals so the one
-    * division consumes association-order-stable inputs on any engine —
-    * the same F2-boundary discipline as every money aggregate here.
+    * the percentage computed from the two EXACT totals (money4 long
+    * accumulation — association-order-free), so the one FP division
+    * consumes identical inputs on any engine and partitioning.
     */
   def promoRevenueShare(part: DataFrame, lineitem: DataFrame,
       fromDate: String = "1996-01-01", toDate: String = "1996-04-01"): DataFrame =
@@ -463,9 +490,9 @@ object Relational {
         $"l_shipdate" < tsLit(lineitem, "l_shipdate", toDate))
       .join(part.select($"p_partkey", $"p_type"), $"l_partkey" === $"p_partkey")
       .agg(
-        f2(sum(when($"p_type" === "PROMO",
-          $"l_extendedprice" * (lit(1.0) - $"l_discount")).otherwise(lit(0.0)))).as("promo_revenue"),
-        f2(sum($"l_extendedprice" * (lit(1.0) - $"l_discount"))).as("total_revenue"))
+        dollarsFrom4(sum(money4(when($"p_type" === "PROMO",
+          $"l_extendedprice" * (lit(1.0) - $"l_discount")).otherwise(lit(0.0))))).as("promo_revenue"),
+        dollarsFrom4(sum(money4($"l_extendedprice" * (lit(1.0) - $"l_discount")))).as("total_revenue"))
       .select(
         round(lit(100.0) * $"promo_revenue" / $"total_revenue", 4).as("promo_share_pct"),
         $"promo_revenue", $"total_revenue")
@@ -517,7 +544,9 @@ object Relational {
     brandLines
       .join(broadcast(perPartAvg), $"l_partkey" === $"ap_partkey")
       .filter($"l_quantity" < lit(0.2) * $"avg_qty")
-      .agg(f2(sum($"l_extendedprice") / lit(7.0)).as("avg_yearly"))
+      // /7 folded into the integer boundary step: cents = half-up(r4/700)
+      .agg((floor((sum(money4($"l_extendedprice")) + lit(350L)) / lit(700.0)) /
+        lit(100.0)).as("avg_yearly"))
   }
 
   /** TPC-H Q22 shape (global sales opportunity): per nation, the count
@@ -579,15 +608,16 @@ object Relational {
         ($"supp_nation" === nationB && $"cust_nation" === nationA))
       .groupBy($"supp_nation", $"cust_nation",
         year($"l_shipdate").cast("int").as("l_year"))
-      .agg(f2(sum($"l_extendedprice" * (lit(1.0) - $"l_discount"))).as("revenue"))
+      .agg(dollarsFrom4(
+        sum(money4($"l_extendedprice" * (lit(1.0) - $"l_discount")))).as("revenue"))
       .orderBy($"supp_nation", $"cust_nation", $"l_year")
   }
 
   /** TPC-H Q8 shape (national market share): for one part type sold
     * into one region over two order years, each year's share of revenue
-    * supplied from one named nation. The share divides two ROUNDED
-    * conditional sums of the same pass (the q182/F2 discipline, so the
-    * one FP division consumes association-order-stable inputs). Part
+    * supplied from one named nation. The share divides two EXACT
+    * conditional sums of the same pass (the q182/money4 discipline, so
+    * the one FP division consumes association-order-free inputs). Part
     * (type-filtered), supplier→nation, and customer→nation→region are
     * all broadcast dimension chains; orders' date window prunes before
     * the join; the fact table is touched once.
@@ -618,10 +648,11 @@ object Relational {
       .join(broadcast(suppNation), $"l_suppkey" === $"s_suppkey")
       .groupBy(year($"o_orderdate").cast("int").as("o_year"))
       .agg(
-        f2(sum(when($"supp_nation" === targetNation,
-          $"l_extendedprice" * (lit(1.0) - $"l_discount")).otherwise(lit(0.0))))
+        dollarsFrom4(sum(money4(when($"supp_nation" === targetNation,
+          $"l_extendedprice" * (lit(1.0) - $"l_discount")).otherwise(lit(0.0)))))
           .as("nation_revenue"),
-        f2(sum($"l_extendedprice" * (lit(1.0) - $"l_discount"))).as("total_revenue"))
+        dollarsFrom4(sum(money4($"l_extendedprice" * (lit(1.0) - $"l_discount"))))
+          .as("total_revenue"))
       .select($"o_year",
         round($"nation_revenue" / $"total_revenue", 6).as("mkt_share"),
         $"nation_revenue", $"total_revenue")
@@ -653,15 +684,17 @@ object Relational {
             .select($"p_partkey", $"p_brand", $"p_size")),
         $"l_partkey" === $"p_partkey")
       .filter(disjunct)
-      .agg(f2(sum($"l_extendedprice" * (lit(1.0) - $"l_discount"))).as("revenue"))
+      .agg(dollarsFrom4(
+        sum(money4($"l_extendedprice" * (lit(1.0) - $"l_discount")))).as("revenue"))
   }
 
   /** TPC-H Q15 shape (top supplier): the supplier(s) whose windowed
     * revenue equals the maximum — Q15's `revenue0` view becomes a
     * per-supplier aggregate, and the `= (SELECT max(...))` correlation
     * a 1-row broadcast crossJoin (no driver collect). The equality runs
-    * on the ROUNDED revenue (the F2 boundary), so the max and the match
-    * are the same doubles on any engine; genuine ties all surface, in
+    * on the EXACT cent-boundary revenue (money4 long accumulation), so
+    * the max and the match are the same doubles on any engine; genuine
+    * ties all surface, in
     * supplier-key order, exactly as Q15 specifies. Supplier is the
     * broadcast dimension; the window prunes the fact scan.
     */
@@ -671,7 +704,8 @@ object Relational {
       .filter($"l_shipdate" >= tsLit(lineitem, "l_shipdate", fromDate) &&
         $"l_shipdate" < tsLit(lineitem, "l_shipdate", toDate))
       .groupBy($"l_suppkey")
-      .agg(f2(sum($"l_extendedprice" * (lit(1.0) - $"l_discount"))).as("total_revenue"))
+      .agg(dollarsFrom4(
+        sum(money4($"l_extendedprice" * (lit(1.0) - $"l_discount")))).as("total_revenue"))
     val mx = rev.agg(max($"total_revenue").as("max_revenue"))
     rev
       .crossJoin(broadcast(mx))
@@ -697,7 +731,126 @@ object Relational {
       .filter($"l_shipdate" >= tsLit(lineitem, "l_shipdate", fromDate) &&
         $"l_shipdate" < tsLit(lineitem, "l_shipdate", toDate) &&
         $"l_discount".between(discLo, discHi) && $"l_quantity" < qtyMax)
-      .agg(f2(sum($"l_extendedprice" * $"l_discount")).as("revenue_delta"),
+      .agg(dollarsFrom4(sum(money4($"l_extendedprice" * $"l_discount")))
+          .as("revenue_delta"),
         count(lit(1)).as("n_lines"))
+
+  /** TPC-H Q2 shape (minimum-cost supplier, q211): for parts of one
+    * size and type, the region suppliers whose supply cost EQUALS the
+    * part's regional minimum — Q2's correlated `= (SELECT min(...))`
+    * becomes a per-part min aggregate joined back to the same filtered
+    * partsupp slice. Runs on the DERIVED partsupp
+    * (`Tables.partsuppDerived` — the oracle re-derives it in a CTE, so
+    * the gate checks derivation + query together).
+    *
+    * Scale shape: the target-part key set and the region supplier
+    * frame are dimension-sized and broadcast to SEMI-prune partsupp
+    * before anything shuffles; the min frame is target-part-bounded.
+    * Cost equality is exact (integer cents). The ORDER BY key set
+    * (acctbal desc, nation, supplier, part) is a total order over the
+    * output grain, so the LIMIT is deterministic on any engine.
+    */
+  def minCostSupplier(part: DataFrame, supplier: DataFrame, nation: DataFrame,
+      region: DataFrame, partsupp: DataFrame, size: Int = 15,
+      partType: String = "STANDARD", regionName: String = "EUROPE",
+      topk: Int = 100): DataFrame = {
+    val regSupp = supplier
+      .join(broadcast(nation.select($"n_nationkey", $"n_name", $"n_regionkey")),
+        $"s_nationkey" === $"n_nationkey")
+      .join(broadcast(region.filter($"r_name" === regionName).select($"r_regionkey")),
+        $"n_regionkey" === $"r_regionkey")
+      .select($"s_suppkey", $"s_name", $"s_acctbal", $"n_name")
+    val targetParts = part.filter($"p_size" === size && $"p_type" === partType)
+      .select($"p_partkey", $"p_name")
+    val regPs = partsupp
+      .join(broadcast(targetParts.select($"p_partkey")),
+        $"ps_partkey" === $"p_partkey", "left_semi")
+      .join(broadcast(regSupp.select($"s_suppkey")),
+        $"ps_suppkey" === $"s_suppkey", "left_semi")
+      .select($"ps_partkey", $"ps_suppkey", $"ps_supplycost_c")
+    val minCost = regPs.groupBy($"ps_partkey").agg(min($"ps_supplycost_c").as("min_c"))
+    regPs.join(broadcast(minCost), Seq("ps_partkey"))
+      .filter($"ps_supplycost_c" === $"min_c")
+      .join(broadcast(targetParts), $"ps_partkey" === $"p_partkey")
+      .join(broadcast(regSupp), $"ps_suppkey" === $"s_suppkey")
+      .select($"s_acctbal", $"s_name", $"n_name", $"p_partkey", $"p_name",
+        ($"ps_supplycost_c" / 100.0).as("supplycost"))
+      .orderBy($"s_acctbal".desc, $"n_name", $"s_name", $"p_partkey")
+      .limit(topk)
+  }
+
+  /** TPC-H Q9 shape (product-type profit, q212): per supplier nation
+    * and order year, the profit on one part family — revenue minus
+    * supply cost, line by line. The classic 6-table star-with-two-facts
+    * join: lineitem⋈partsupp is the one genuine fact-fact shuffle (both
+    * sides SEMI-pruned to the part family by a broadcast key set before
+    * shuffling, and AQE re-plans if the pruned sides fit broadcast);
+    * orders joins on orderkey for the year; part/supplier/nation are
+    * broadcast dimension chains.
+    *
+    * Money discipline: revenue quantizes per line to 1e-4 units
+    * (money4), cost is exact integer cents × quantity × 100 — the
+    * whole profit sum is long arithmetic, order-free, with one
+    * dollarsFrom4 boundary per group (sign-symmetric across engines:
+    * both evaluate the same floor((x+50)/100)).
+    */
+  def productTypeProfit(part: DataFrame, supplier: DataFrame, nation: DataFrame,
+      orders: DataFrame, lineitem: DataFrame, partsupp: DataFrame,
+      nameSub: String = "bolt"): DataFrame = {
+    val famParts = part.filter($"p_name".contains(nameSub)).select($"p_partkey")
+    val suppNat = supplier
+      .join(broadcast(nation.select($"n_nationkey", $"n_name")),
+        $"s_nationkey" === $"n_nationkey")
+      .select($"s_suppkey", $"n_name")
+    lineitem
+      .join(broadcast(famParts), $"l_partkey" === $"p_partkey", "left_semi")
+      .join(partsupp.join(broadcast(famParts), $"ps_partkey" === $"p_partkey", "left_semi"),
+        $"l_partkey" === $"ps_partkey" && $"l_suppkey" === $"ps_suppkey")
+      .join(orders.select($"o_orderkey", $"o_orderdate"), $"l_orderkey" === $"o_orderkey")
+      .join(broadcast(suppNat), $"l_suppkey" === $"s_suppkey")
+      .select($"n_name".as("nation"),
+        year($"o_orderdate").cast("int").as("o_year"),
+        (money4($"l_extendedprice" * (lit(1.0) - $"l_discount")) -
+          $"ps_supplycost_c" * lit(100L) * $"l_quantity".cast("long")).as("amount4"))
+      .groupBy($"nation", $"o_year")
+      .agg(dollarsFrom4(sum($"amount4")).as("profit"))
+      .orderBy($"nation", $"o_year".desc)
+  }
+
+  /** TPC-H Q11 shape (important stock, q213): parts whose stock value
+    * held by one REGION's suppliers exceeds 1.5× the mean part value —
+    * Q11's `> (SELECT sum(...) * fraction)` scalar correlation as a
+    * 1-row broadcast crossJoin. The classic fixed `fraction` is
+    * scale-DEPENDENT (TPC-H itself scales it as 0.0001/SF — a constant
+    * cut selects everything at small SF and nothing at large); the
+    * mean-relative form keeps the query meaningful at every corpus
+    * size. The threshold compare is exact integer arithmetic
+    * (value·n·2 > 3·total); long range holds to ~10^5 parts × ~10^13
+    * cents-value — beyond that the compare moves to decimal, and ANSI
+    * overflows loudly rather than corrupting the cut.
+    *
+    * Scale shape: region suppliers broadcast-SEMI-prune partsupp, one
+    * per-part aggregate (map-side combined), a 1-row total, and the
+    * filter — nothing driver-side, nothing all-pairs.
+    */
+  def importantStock(supplier: DataFrame, nation: DataFrame, region: DataFrame,
+      partsupp: DataFrame, regionName: String = "EUROPE"): DataFrame = {
+    val regSupp = supplier
+      .join(broadcast(nation.select($"n_nationkey", $"n_regionkey")),
+        $"s_nationkey" === $"n_nationkey")
+      .join(broadcast(region.filter($"r_name" === regionName).select($"r_regionkey")),
+        $"n_regionkey" === $"r_regionkey")
+      .select($"s_suppkey")
+    val perPart = partsupp
+      .join(broadcast(regSupp), $"ps_suppkey" === $"s_suppkey", "left_semi")
+      .select($"ps_partkey", ($"ps_supplycost_c" * $"ps_availqty").as("v_c"))
+      .groupBy($"ps_partkey")
+      .agg(sum($"v_c").as("value_c"))
+    val tot = perPart.agg(sum($"value_c").as("total_c"), count(lit(1)).as("n_parts"))
+    perPart.crossJoin(broadcast(tot))
+      .filter($"value_c" * $"n_parts" * lit(2L) > lit(3L) * $"total_c")
+      .select($"ps_partkey", ($"value_c" / 100.0).as("stock_value"))
+      .orderBy($"stock_value".desc, $"ps_partkey")
+  }
 
 }

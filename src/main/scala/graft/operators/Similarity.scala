@@ -183,6 +183,26 @@ object Similarity {
       .orderBy($"label")
   }
 
+  /** The cell-restricted kNN graph shared by q194/q207: each vector's
+    * `k` nearest neighbors WITHIN its trained k-means cell, `(id, nb,
+    * cos)`, cut by the salted two-stage `topKPerGroup` and checkpointed
+    * once. Candidates stay cell-bounded (the IVF contract) — the graph
+    * never goes all-pairs at any corpus size.
+    */
+  private[graft] def cellKnnGraph(embeddings: DataFrame, k: Int,
+      kCells: Int): DataFrame = {
+    import graft.functions.VectorFunctions.cosine_sim
+    val af = kmeansAssignments(embeddings, kCells, 2, "coreset")
+    val pairs = af.select($"vec_id".as("id"), $"cid", $"v")
+      .join(af.select($"vec_id".as("nb"), $"cid", $"v".as("nv")), Seq("cid"))
+      .filter($"id" =!= $"nb")
+      .select($"id", $"nb", round(cosine_sim($"v", $"nv"), 6).as("cos"))
+    Scale.topKPerGroup(pairs, group = $"id", rankKey = -$"cos",
+        tie = $"nb", saltSource = $"nb", k = k)
+      .select($"id", $"nb", $"cos")
+      .localCheckpoint() // shared across rounds / both direction probes
+  }
+
   /** Semi-supervised label propagation over the cell-restricted kNN
     * graph (q194): hide half the labels (deterministic md5 coin), build
     * each vector's k nearest neighbors WITHIN its trained k-means cell,
@@ -206,26 +226,6 @@ object Similarity {
     * ties (count desc, label asc) — bit-equal on any engine; the oracle
     * unrolls both propagation rounds over the shared Lloyd CTEs.
     */
-  /** The cell-restricted kNN graph shared by q194/q207: each vector's
-    * `k` nearest neighbors WITHIN its trained k-means cell, `(id, nb,
-    * cos)`, cut by the salted two-stage `topKPerGroup` and checkpointed
-    * once. Candidates stay cell-bounded (the IVF contract) — the graph
-    * never goes all-pairs at any corpus size.
-    */
-  private[graft] def cellKnnGraph(embeddings: DataFrame, k: Int,
-      kCells: Int): DataFrame = {
-    import graft.functions.VectorFunctions.cosine_sim
-    val af = kmeansAssignments(embeddings, kCells, 2, "coreset")
-    val pairs = af.select($"vec_id".as("id"), $"cid", $"v")
-      .join(af.select($"vec_id".as("nb"), $"cid", $"v".as("nv")), Seq("cid"))
-      .filter($"id" =!= $"nb")
-      .select($"id", $"nb", round(cosine_sim($"v", $"nv"), 6).as("cos"))
-    Scale.topKPerGroup(pairs, group = $"id", rankKey = -$"cos",
-        tie = $"nb", saltSource = $"nb", k = k)
-      .select($"id", $"nb", $"cos")
-      .localCheckpoint() // shared across rounds / both direction probes
-  }
-
   def labelPropagation(embeddings: DataFrame, k: Int = 5, rounds: Int = 2,
       kCells: Int = 16): DataFrame = {
     val labels = embeddings

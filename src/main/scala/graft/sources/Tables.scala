@@ -76,6 +76,26 @@ object Tables {
       missing ++ extra ++ changed
     }
 
+  /** DATA-level drift probe for the byte==char assumption the multimodal
+    * frame ops lean on: `framePhashNearDup`/`frameDedup`/`frameSample`
+    * slice the binary payload by BYTE offsets while their DuckDB oracles
+    * slice `documents.text` with substr (CHARACTER offsets) — DuckDB 1.0
+    * has no md5-over-BLOB, so the oracle cannot slice bytes. The two
+    * agree exactly when every document is pure ASCII (1 byte per char),
+    * which the driver fixtures guarantee; a regenerated fixture with
+    * multi-byte UTF-8 text would silently change frame checksums and
+    * fail the q203/q94 gates with no hint why. This probe names that
+    * cause: it counts documents whose UTF-8 byte length differs from
+    * their character length (one scan, one scalar). Specs assert 0 on
+    * the fixtures; run it first when a frame-family gate breaks.
+    */
+  def nonAsciiDocs(documents: DataFrame): Long =
+    documents.filter(org.apache.spark.sql.functions.octet_length(
+        org.apache.spark.sql.functions.col("text")) =!=
+      org.apache.spark.sql.functions.length(
+        org.apache.spark.sql.functions.col("text")))
+      .count()
+
   // warn once per (dir, table) per JVM — metadata-only, no data scan
   private val driftChecked =
     java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
@@ -107,6 +127,39 @@ object Tables {
           .expr(s"timestamp_micros($colName div 1000)").cast("timestamp_ntz"))
       case _ => df
     }
+
+  /** Derived `partsupp` — the TPC-H table the driver fixtures do not
+    * ship, reconstructed DETERMINISTICALLY from lineitem so the three
+    * blocked relational shapes (Q2/Q9/Q11 → q211–q213) become
+    * expressible and ORACLE-CHECKABLE: the DuckDB oracles state the
+    * identical derivation as a CTE, so the gate proves both engines
+    * agree on the derivation itself, not just the downstream query.
+    *
+    * Semantics: one row per (part, supplier) pair that actually shipped
+    * — `ps_availqty` = total shipped quantity (integer-valued doubles,
+    * exact long), `ps_supplycost_c` = average unit price in integer
+    * CENTS (per-line cents are exact via the money4-style ROUND; the
+    * one division is integer TRUNCATION of positive operands, where
+    * DuckDB's floor-`//` and Spark's trunc-`div` agree). Keeping cost
+    * in cents keeps every consumer's arithmetic exact until its own
+    * dollar boundary.
+    *
+    * Scale shape: one map-side-combined groupBy over lineitem — the
+    * same cost class as any fact aggregate; a production lake would
+    * materialize it once (the events-cache pattern) rather than
+    * re-derive per query, but at fixture SFs the derivation is cheap
+    * and keeping it lazy keeps the loaders stateless.
+    */
+  def partsuppDerived(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    lineitem(spark, dir)
+      .groupBy(col("l_partkey"), col("l_suppkey"))
+      .agg(
+        sum(col("l_quantity")).cast("long").as("ps_availqty"),
+        sum(round(col("l_extendedprice") * 100, 0).cast("long")).as("cents"))
+      .select(col("l_partkey").as("ps_partkey"), col("l_suppkey").as("ps_suppkey"),
+        col("ps_availqty"), expr("cents div ps_availqty").as("ps_supplycost_c"))
+  }
 
   def region(spark: SparkSession, dir: String): DataFrame     = load(spark, dir, "region")
   def nation(spark: SparkSession, dir: String): DataFrame     = load(spark, dir, "nation")

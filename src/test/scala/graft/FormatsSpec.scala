@@ -126,6 +126,22 @@ class FormatsSpec extends GraftSuite {
     assert(Tables.fixtureDrift("not_a_table", migrated).isEmpty)
   }
 
+  test("ASCII drift probe: fixture docs are byte==char; a multi-byte doc is counted") {
+    import graft.sources.Tables
+    // the frame-family ops (q94/q203/frameSample) slice payload BYTES
+    // while their oracles slice text CHARACTERS — valid iff the corpus
+    // is pure ASCII, which this probe certifies on the live fixture
+    assert(Tables.nonAsciiDocs(Tables.documents(spark, sf)) === 0L,
+      "documents fixture grew multi-byte text: frame-family oracles " +
+        "(q94/q203) slice chars while the ops slice bytes — see " +
+        "Tables.nonAsciiDocs scaladoc")
+    // and it NAMES the break when a regenerated fixture ships UTF-8
+    import spark.implicits.{localSeqToDatasetHolder, newProductEncoder}
+    val drifted = Seq((1L, "plain ascii text"), (2L, "café au lait"),
+      (3L, "ascii again")).toDF("doc_id", "text")
+    assert(Tables.nonAsciiDocs(drifted) === 1L)
+  }
+
   test("stableSingleFile: one partition, query order re-asserted (direction + nulls)") {
     import spark.implicits.{localSeqToDatasetHolder, newProductEncoder}
     import org.apache.spark.sql.functions.col

@@ -1662,6 +1662,25 @@ class PipelineSpec extends GraftSuite {
     assert(math.abs(row.getDouble(4)) < 1.96, s"A/A z unexpectedly large: ${row.getDouble(4)}")
   }
 
+  test("abValueTest Σv² overflow fails LOUDLY (ANSI), never a silent wrong z") {
+    // the documented long envelope (~1e6 events/arm at value scale ×1e4)
+    // is enforced by ANSI arithmetic: vm ≈ 2e9 per row squares to 4e18,
+    // so an arm with ≥ 3 such rows overflows the long Sum — the session
+    // must THROW, not wrap into a corrupted z-score
+    import spark.implicits.{localSeqToDatasetHolder, newProductEncoder}
+    val huge = (1L to 8L).map(u =>
+      (u, "purchase", 200000.0)).toDF("user_id", "event_type", "value")
+    val e = intercept[Exception] {
+      Events.abValueTest(huge).collect()
+    }
+    def causes(t: Throwable): Seq[Throwable] =
+      if (t == null) Nil else t +: causes(t.getCause)
+    assert(causes(e).exists(c => c.isInstanceOf[ArithmeticException] ||
+        Option(c.getMessage).exists(m =>
+          m.contains("ARITHMETIC_OVERFLOW") || m.contains("overflow"))),
+      s"expected a loud overflow, got: $e")
+  }
+
   test("cusumDriftDays: closed form equals the textbook max(0, S+dev) recursion") {
     val nsPerDay = 86400L * 1000000000L
     val rows = Tables.events(spark, sf).select($"ts", $"value").collect()

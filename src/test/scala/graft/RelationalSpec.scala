@@ -245,6 +245,40 @@ class RelationalSpec extends GraftSuite {
     assert(row.getDouble(0) > 0.0 && row.getDouble(0) < 100.0)
   }
 
+  test("money4 discipline: EXACT cent totals, association-order-free (q182)") {
+    // mirrors the operator's integer boundary in the JVM: per-row
+    // half-up quantize to 1e-4 units (BigDecimal.valueOf is Spark
+    // ROUND's own double path — same shortest-repr HALF_UP), exact
+    // long sum (order-free by construction), half-up to cents
+    def q4(x: Double): Long = java.math.BigDecimal.valueOf(x * 10000)
+      .setScale(0, java.math.RoundingMode.HALF_UP).longValueExact()
+    def dollars(r4: Long): Double = math.floor((r4 + 50) / 100.0) / 100.0
+    val partTypes = Tables.part(spark, sf).select(col("p_partkey"), col("p_type"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val from = utcMillis("1996-01-01"); val to = utcMillis("1996-04-01")
+    val lines = Tables.lineitem(spark, sf)
+      .select(col("l_partkey"), col("l_extendedprice"), col("l_discount"), col("l_shipdate"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1) * (1.0 - r.getDouble(2)),
+        tsMillis(r, 3)))
+      .filter(l => l._3 >= from && l._3 < to)
+      .flatMap(l => partTypes.get(l._1).map(t => (t, l._2)))
+    val promo = dollars(lines.filter(_._1 == "PROMO").map(l => q4(l._2)).sum)
+    val total = dollars(lines.map(l => q4(l._2)).sum)
+    val row = Relational.promoRevenueShare(Tables.part(spark, sf), Tables.lineitem(spark, sf))
+      .collect() match { case Array(r) => r }
+    // NO tolerance: the long accumulation is association-order-free, so
+    // distributed and in-JVM totals are the same bits — the property the
+    // old round(sum(double), 2) path could not promise near x.xx5
+    assert(row.getDouble(1) === promo, s"promo ${row.getDouble(1)} vs $promo")
+    assert(row.getDouble(2) === total, s"total ${row.getDouble(2)} vs $total")
+    // partition invariance: a different physical layout, identical bits
+    val row2 = Relational.promoRevenueShare(Tables.part(spark, sf),
+      Tables.lineitem(spark, sf).repartition(7)).collect() match { case Array(r) => r }
+    assert(row2.getDouble(1) === row.getDouble(1) &&
+      row2.getDouble(2) === row.getDouble(2) &&
+      row2.getDouble(0) === row.getDouble(0))
+  }
+
   test("customer distribution (Q13 shape): equals brute force; zero bucket kept") {
     val byCust = Tables.orders(spark, sf)
       .filter(col("o_orderstatus") =!= "F")

@@ -72,8 +72,21 @@ object Bench {
     val total = results.map(_._2).sum
     val skippedJson = skipped.map(s => "\"" + s.takeWhile(_ != '_') + "\"").mkString("[", ",", "]")
     val carriersJson = carriers.map(s => "\"" + s.takeWhile(_ != '_') + "\"").mkString("[", ",", "]")
-    println(
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"skipped":$skippedJson,"index_carriers":$carriersJson,"sf":"$sfDir"}""")
+    val line =
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"skipped":$skippedJson,"index_carriers":$carriersJson,"sf":"$sfDir"}"""
+    println(line)
+    // The artifact of record clips long stdout lines (BENCH_r07.json
+    // recorded "parsed": null and lost q01–q67 from the tail window), so
+    // the SAME JSON also lands in a file: the full per-query vector stays
+    // inspectable regardless of any tail clipping.
+    try {
+      val dir = java.nio.file.Paths.get("target")
+      java.nio.file.Files.createDirectories(dir)
+      java.nio.file.Files.write(dir.resolve("bench_last.json"),
+        (line + "\n").getBytes("UTF-8"))
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] could not write target/bench_last.json: ${e.getMessage}")
+    }
     spark.stop()
   }
 }

@@ -98,7 +98,32 @@ object SparkEntry {
       Relational.topSupplierRevenue(Tables.supplier(s, d), Tables.lineitem(s, d))),
     "q200_forecast_revenue" -> ((s, d) =>
       Relational.forecastRevenueDelta(Tables.lineitem(s, d))),
+    "q211_min_cost_supplier" -> ((s, d) =>
+      Relational.minCostSupplier(Tables.part(s, d), Tables.supplier(s, d),
+        Tables.nation(s, d), Tables.region(s, d), Tables.partsuppDerived(s, d))),
+    "q212_product_profit" -> ((s, d) =>
+      Relational.productTypeProfit(Tables.part(s, d), Tables.supplier(s, d),
+        Tables.nation(s, d), Tables.orders(s, d), Tables.lineitem(s, d),
+        Tables.partsuppDerived(s, d))),
+    "q213_important_stock" -> ((s, d) =>
+      Relational.importantStock(Tables.supplier(s, d), Tables.nation(s, d),
+        Tables.region(s, d), Tables.partsuppDerived(s, d))),
   )
+
+  /** The derived-partsupp CTE shared by the q211–q213 oracles — the
+    * DuckDB restatement of `Tables.partsuppDerived` (one text, three
+    * consumers, so derivation drift breaks all three gates at once).
+    * `//` floors and Spark `div` truncates; operands here are strictly
+    * positive, where the two agree.
+    */
+  private val partsuppCte: String =
+    """partsupp AS (
+      |  SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+      |    CAST(sum(l_quantity) AS BIGINT) AS ps_availqty,
+      |    CAST(CAST(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)) AS BIGINT)
+      |      // CAST(sum(l_quantity) AS BIGINT) AS BIGINT) AS ps_supplycost_c
+      |  FROM lineitem GROUP BY 1, 2
+      |)""".stripMargin
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -404,5 +429,63 @@ object SparkEntry {
         |  AND l_shipdate < TIMESTAMP '1997-01-01'
         |  AND l_discount BETWEEN 0.05 AND 0.07
         |  AND l_quantity < 24.0""".stripMargin,
+    "q211_min_cost_supplier" ->
+      s"""WITH $partsuppCte,
+        |target AS (
+        |  SELECT p_partkey, p_name FROM part
+        |  WHERE p_size = 15 AND p_type = 'STANDARD'),
+        |regsupp AS (
+        |  SELECT s_suppkey, s_name, s_acctbal, n_name FROM supplier
+        |  JOIN nation ON s_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey
+        |  WHERE r_name = 'EUROPE'),
+        |rps AS (
+        |  SELECT ps_partkey, ps_suppkey, ps_supplycost_c FROM partsupp
+        |  WHERE ps_partkey IN (SELECT p_partkey FROM target)
+        |    AND ps_suppkey IN (SELECT s_suppkey FROM regsupp)),
+        |mc AS (
+        |  SELECT ps_partkey, min(ps_supplycost_c) AS min_c FROM rps GROUP BY 1)
+        |SELECT s_acctbal, s_name, n_name, p_partkey, p_name,
+        | ps_supplycost_c / 100.0 AS supplycost
+        |FROM rps
+        |JOIN mc USING (ps_partkey)
+        |JOIN target ON ps_partkey = p_partkey
+        |JOIN regsupp ON ps_suppkey = s_suppkey
+        |WHERE ps_supplycost_c = min_c
+        |ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+        |LIMIT 100""".stripMargin,
+    "q212_product_profit" ->
+      s"""WITH $partsuppCte
+        |SELECT n_name AS nation, CAST(year(o_orderdate) AS INTEGER) AS o_year,
+        | FLOOR((sum(CAST(round(l_extendedprice * (1.0 - l_discount) * 10000, 0)
+        |     AS BIGINT)
+        |   - ps_supplycost_c * 100 * CAST(l_quantity AS BIGINT)) + 50) / 100.0)
+        |   / 100.0 AS profit
+        |FROM lineitem
+        |JOIN partsupp ON l_partkey = ps_partkey AND l_suppkey = ps_suppkey
+        |JOIN part ON p_partkey = l_partkey
+        |JOIN orders ON o_orderkey = l_orderkey
+        |JOIN supplier ON s_suppkey = l_suppkey
+        |JOIN nation ON n_nationkey = s_nationkey
+        |WHERE p_name LIKE '%bolt%'
+        |GROUP BY 1, 2 ORDER BY nation, o_year DESC""".stripMargin,
+    "q213_important_stock" ->
+      s"""WITH $partsuppCte,
+        |natps AS (
+        |  SELECT ps_partkey, ps_supplycost_c * ps_availqty AS v_c
+        |  FROM partsupp JOIN supplier ON ps_suppkey = s_suppkey
+        |  JOIN nation ON s_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey
+        |  WHERE r_name = 'EUROPE'),
+        |pp AS (
+        |  SELECT ps_partkey, CAST(sum(v_c) AS BIGINT) AS value_c
+        |  FROM natps GROUP BY 1),
+        |tot AS (
+        |  SELECT CAST(sum(value_c) AS BIGINT) AS total_c, count(*) AS n_parts
+        |  FROM pp)
+        |SELECT ps_partkey, value_c / 100.0 AS stock_value
+        |FROM pp, tot
+        |WHERE value_c * n_parts * 2 > 3 * total_c
+        |ORDER BY stock_value DESC, ps_partkey""".stripMargin,
   )
 }

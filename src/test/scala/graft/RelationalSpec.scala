@@ -279,6 +279,127 @@ class RelationalSpec extends GraftSuite {
       row2.getDouble(0) === row.getDouble(0))
   }
 
+  // ---- derived partsupp + the three previously fixture-blocked TPC-H shapes
+
+  /** In-JVM re-derivation of Tables.partsuppDerived: (availqty, cost_c). */
+  private def brutePartsupp(): Map[(Long, Long), (Long, Long)] =
+    Tables.lineitem(spark, sf)
+      .select(col("l_partkey"), col("l_suppkey"), col("l_quantity"), col("l_extendedprice"))
+      .collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), (r.getDouble(2), r.getDouble(3))))
+      .groupBy(_._1).view.mapValues { g =>
+        val qty = g.map(_._2._1).sum.toLong
+        val cents = g.map(x => java.math.BigDecimal.valueOf(x._2._2 * 100)
+          .setScale(0, java.math.RoundingMode.HALF_UP).longValueExact()).sum
+        (qty, cents / qty)
+      }.toMap
+
+  test("partsuppDerived == in-JVM derivation; positive costs; pair-grain keys") {
+    val got = Tables.partsuppDerived(spark, sf).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), (r.getLong(2), r.getLong(3)))).toMap
+    val expected = brutePartsupp()
+    assert(got === expected)
+    assert(got.nonEmpty && got.values.forall { case (q, c) => q > 0 && c > 0 })
+  }
+
+  test("min-cost supplier (Q2 shape): every row hits its part's regional minimum") {
+    val ps = brutePartsupp()
+    val euSupp = Tables.supplier(spark, sf)
+      .join(Tables.nation(spark, sf), col("s_nationkey") === col("n_nationkey"))
+      .join(Tables.region(spark, sf), col("n_regionkey") === col("r_regionkey"))
+      .filter(col("r_name") === "EUROPE").select(col("s_suppkey"))
+      .collect().map(_.getLong(0)).toSet
+    val targets = Tables.part(spark, sf)
+      .filter(col("p_size") === 15 && col("p_type") === "STANDARD")
+      .select(col("p_partkey")).collect().map(_.getLong(0)).toSet
+    val minC = ps.toSeq
+      .filter { case ((p, s), _) => targets(p) && euSupp(s) }
+      .groupBy(_._1._1).view.mapValues(_.map(_._2._2).min).toMap
+    val got = Relational.minCostSupplier(Tables.part(spark, sf),
+      Tables.supplier(spark, sf), Tables.nation(spark, sf), Tables.region(spark, sf),
+      Tables.partsuppDerived(spark, sf)).collect()
+    assert(got.nonEmpty)
+    // completeness: one row per (part, min-cost supplier) pair under the cap
+    val expectedRows = ps.toSeq.collect {
+      case ((p, s), (_, c)) if targets(p) && euSupp(s) && c == minC(p) => (p, s) }.toSet
+    assert(got.length === expectedRows.size)
+    got.foreach { r =>
+      val p = r.getLong(3)
+      assert(math.round(r.getDouble(5) * 100) === minC(p),
+        s"part $p: ${r.getDouble(5)} is not the regional min ${minC(p)}")
+    }
+  }
+
+  test("product profit (Q9 shape): equals brute force per (nation, year)") {
+    val ps = brutePartsupp()
+    val boltParts = Tables.part(spark, sf).filter(col("p_name").contains("bolt"))
+      .select(col("p_partkey")).collect().map(_.getLong(0)).toSet
+    val suppNat = Tables.supplier(spark, sf)
+      .join(Tables.nation(spark, sf), col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("n_name"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val orderYear = Tables.orders(spark, sf).select(col("o_orderkey"), col("o_orderdate"))
+      .collect().map { r =>
+        val y = r.get(1) match {
+          case t: java.time.LocalDateTime => t.getYear
+          case t: java.sql.Timestamp => t.toLocalDateTime.getYear
+        }
+        r.getLong(0) -> y
+      }.toMap
+    def q4(x: Double): Long = java.math.BigDecimal.valueOf(x * 10000)
+      .setScale(0, java.math.RoundingMode.HALF_UP).longValueExact()
+    val expected = Tables.lineitem(spark, sf)
+      .select(col("l_partkey"), col("l_suppkey"), col("l_orderkey"),
+        col("l_quantity"), col("l_extendedprice"), col("l_discount"))
+      .collect()
+      .filter(r => boltParts(r.getLong(0)))
+      .map { r =>
+        val cost = ps((r.getLong(0), r.getLong(1)))._2
+        ((suppNat(r.getLong(1)), orderYear(r.getLong(2))),
+          q4(r.getDouble(4) * (1.0 - r.getDouble(5))) -
+            cost * 100L * r.getDouble(3).toLong)
+      }
+      .groupBy(_._1).view
+      .mapValues(g => math.floor((g.map(_._2).sum + 50) / 100.0) / 100.0)
+      .toMap
+    val got = Relational.productTypeProfit(Tables.part(spark, sf),
+      Tables.supplier(spark, sf), Tables.nation(spark, sf), Tables.orders(spark, sf),
+      Tables.lineitem(spark, sf), Tables.partsuppDerived(spark, sf)).collect()
+      .map(r => ((r.getString(0), r.getInt(1)), r.getDouble(2))).toMap
+    assert(got.nonEmpty && got === expected)
+  }
+
+  test("important stock (Q11 shape): exactly the parts above 1.5x the mean value") {
+    val ps = brutePartsupp()
+    val euSupp = Tables.supplier(spark, sf)
+      .join(Tables.nation(spark, sf), col("s_nationkey") === col("n_nationkey"))
+      .join(Tables.region(spark, sf), col("n_regionkey") === col("r_regionkey"))
+      .filter(col("r_name") === "EUROPE").select(col("s_suppkey"))
+      .collect().map(_.getLong(0)).toSet
+    val perPart = ps.toSeq
+      .filter { case ((_, s), _) => euSupp(s) }
+      .groupBy(_._1._1).view
+      .mapValues(_.map { case (_, (q, c)) => c * q }.sum).toMap
+    val total = perPart.values.sum
+    val n = perPart.size.toLong
+    val expected = perPart.collect {
+      case (p, v) if v * n * 2 > 3 * total => p -> v / 100.0 }.toMap
+    val got = Relational.importantStock(Tables.supplier(spark, sf),
+      Tables.nation(spark, sf), Tables.region(spark, sf),
+      Tables.partsuppDerived(spark, sf)).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got.nonEmpty && got === expected)
+    // descending-value order with partkey tiebreak is a total order
+    val rows = Relational.importantStock(Tables.supplier(spark, sf),
+      Tables.nation(spark, sf), Tables.region(spark, sf),
+      Tables.partsuppDerived(spark, sf)).collect()
+      .map(r => (r.getDouble(1), r.getLong(0)))
+    assert(rows.sliding(2).forall {
+      case Array((v1, p1), (v2, p2)) => v1 > v2 || (v1 == v2 && p1 < p2)
+      case _ => true
+    })
+  }
+
   test("customer distribution (Q13 shape): equals brute force; zero bucket kept") {
     val byCust = Tables.orders(spark, sf)
       .filter(col("o_orderstatus") =!= "F")

@@ -790,8 +790,9 @@ object Dedup {
     * on degenerate data the cost is the exactness, not the plan.
     */
   def containmentDiscover(documents: DataFrame, n: Int = 5,
-      tau: Double = 0.9): DataFrame = {
+      tau: Double = 0.9, verifyWaves: Int = 1): DataFrame = {
     import graft.functions.MinHashFunctions.{shingle_hashes, sorted_intersect_count}
+    require(verifyWaves >= 1, s"verifyWaves must be >= 1, got $verifyWaves")
     val parts = documents.sparkSession.sparkContext.defaultParallelism * 2
     val sh = documents
       .repartition(parts, $"doc_id") // AQE-blindness guard (see above)
@@ -825,22 +826,41 @@ object Dedup {
         greatest($"contained_id", $"container_id").as("id2"))
       .distinct()
       .localCheckpoint()
-    val scored = cands
-      .join(sh.select($"doc_id".as("id1"), $"hs".as("h1")), Seq("id1"))
-      .join(sh.select($"doc_id".as("id2"), $"hs".as("h2")), Seq("id2"))
-      .select($"id1", $"id2", sorted_intersect_count($"h1", $"h2").as("i"),
-        size($"h1").as("sz1"), size($"h2").as("sz2"))
     def dir(a: Column, b: Column, sza: Column, szb: Column) =
       struct(a.as("contained_id"), b.as("container_id"),
         round($"i" / sza, 6).as("containment"),
         round($"i" / (sza + szb - $"i"), 6).as("jaccard"))
-    scored // both directions from ONE intersection pass (explode, no re-scan)
+    // verify one candidate slice: both shingle arrays ship per pair,
+    // one merge-scan intersection feeds both directions (explode)
+    def verify(slice: DataFrame): DataFrame = slice
+      .join(sh.select($"doc_id".as("id1"), $"hs".as("h1")), Seq("id1"))
+      .join(sh.select($"doc_id".as("id2"), $"hs".as("h2")), Seq("id2"))
+      .select($"id1", $"id2", sorted_intersect_count($"h1", $"h2").as("i"),
+        size($"h1").as("sz1"), size($"h2").as("sz2"))
       .select(explode(array(
         dir($"id1", $"id2", $"sz1", $"sz2"),
         dir($"id2", $"id1", $"sz2", $"sz1"))).as("r"))
       .select($"r.contained_id", $"r.container_id", $"r.containment", $"r.jaccard")
       .filter($"containment" >= tau)
-      .orderBy($"contained_id", $"container_id")
+    // Verify-wave dial: on a degenerate corpus (the fixture's 2k-type
+    // vocabulary ⇒ near-all-pairs candidates) the single verify join
+    // holds the whole candidate set's shingle arrays live at once —
+    // the most GC-exposed stage in a shared JVM. `verifyWaves > 1`
+    // splits candidates into deterministic hash waves, materializing
+    // one wave's (tiny, post-filter) result before the next starts:
+    // peak live array volume drops ~1/waves for one extra cands scan
+    // per wave (cands is checkpointed; output rows are unaffected —
+    // wave id is a pure partition of the pair set). Wave choice is a
+    // hash, not a size sort: it bounds volume per wave uniformly
+    // without the extra global sort a size ntile would add.
+    val verified =
+      if (verifyWaves == 1) verify(cands)
+      else (0 until verifyWaves).map { w =>
+        verify(cands.filter(
+            pmod(xxhash64($"id1", $"id2"), lit(verifyWaves.toLong)) === w.toLong))
+          .localCheckpoint() // sequential: one wave in flight at a time
+      }.reduce(_ unionAll _)
+    verified.orderBy($"contained_id", $"container_id")
   }
 
   /** Core-number (k-core) decomposition of the near-dup graph — the

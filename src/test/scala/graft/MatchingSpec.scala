@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Curation, Events, Matching, Sampling}
+import graft.operators.{Curation, Dedup, Events, Matching, Sampling}
 import graft.sources.Tables
 
 /** Round-4 matching/release additions: fuzzy ER join, sparse lexical
@@ -522,6 +522,15 @@ class MatchingSpec extends GraftSuite {
     // leaves: max-degree node is a per-component rank maximum
     val byComp = got.map(_._1).toSet
     assert(byComp === deg.keySet)
+  }
+
+  test("containmentDiscover verify waves are a pure partition: waves=3 == waves=1") {
+    val docs = Tables.documents(spark, sf)
+    val base = Dedup.containmentDiscover(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    val waved = Dedup.containmentDiscover(docs, verifyWaves = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    assert(base.nonEmpty && waved.toSeq === base.toSeq)
   }
 
   test("containmentDiscover finds beyond-band inclusions; equals JVM brute force on fixture") {

@@ -58,7 +58,8 @@ object Bench {
         System.gc()
         val t0 = System.nanoTime()
         try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-        catch { case e: Throwable => System.err.println(s"[bench] $name failed: ${e.getMessage}") }
+        catch { case scala.util.control.NonFatal(e) =>
+          System.err.println(s"[bench] $name failed: ${e.getMessage}") }
         name -> (System.nanoTime() - t0) / 1e9
       }
 
@@ -77,15 +78,19 @@ object Bench {
     println(line)
     // The artifact of record clips long stdout lines (BENCH_r07.json
     // recorded "parsed": null and lost q01–q67 from the tail window), so
-    // the SAME JSON also lands in a file: the full per-query vector stays
-    // inspectable regardless of any tail clipping.
+    // the SAME JSON also lands in files: target/ for dev, and bench/
+    // (TRACKED — target/ is gitignored, which is why the r8 full vector
+    // never reached the committed record) so every round's end-of-round
+    // snapshot commit carries the full per-query vector.
     try {
-      val dir = java.nio.file.Paths.get("target")
-      java.nio.file.Files.createDirectories(dir)
-      java.nio.file.Files.write(dir.resolve("bench_last.json"),
-        (line + "\n").getBytes("UTF-8"))
-    } catch { case e: Throwable =>
-      System.err.println(s"[bench] could not write target/bench_last.json: ${e.getMessage}")
+      for (d <- Seq("target", "bench")) {
+        val dir = java.nio.file.Paths.get(d)
+        java.nio.file.Files.createDirectories(dir)
+        val f = if (d == "bench") "bench_last_full.json" else "bench_last.json"
+        java.nio.file.Files.write(dir.resolve(f), (line + "\n").getBytes("UTF-8"))
+      }
+    } catch { case scala.util.control.NonFatal(e) =>
+      System.err.println(s"[bench] could not write bench_last json: ${e.getMessage}")
     }
     spark.stop()
   }

@@ -96,6 +96,27 @@ object Tables {
         org.apache.spark.sql.functions.col("text")))
       .count()
 
+  /** Data-level drift probe for `partsuppDerived`'s two fixture
+    * invariants (same pattern as [[nonAsciiDocs]]): counts lineitem
+    * rows whose `l_quantity` is fractional or non-positive.
+    *
+    * Why both engines need it: the derivation (and Relational's Q9
+    * consumer) takes `sum(l_quantity).cast("long")`, where Spark's
+    * double→long cast TRUNCATES but the DuckDB oracle's
+    * `CAST(... AS BIGINT)` rounds to NEAREST — they agree only while
+    * every quantity is integer-valued, so a regenerated fixture with
+    * fractional quantities would silently diverge all three q211–q213
+    * gates with no hint why. And `cents div ps_availqty` throws ANSI
+    * DIVIDE_BY_ZERO if any (part,supplier) group sums to zero quantity
+    * — loud but far from the cause. Specs assert 0 on the fixtures;
+    * run this first when a partsupp-family gate breaks.
+    */
+  def quantityDriftRows(lineitem: DataFrame): Long = {
+    import org.apache.spark.sql.functions._
+    lineitem.filter(col("l_quantity") =!= floor(col("l_quantity")) ||
+        col("l_quantity") <= 0).count()
+  }
+
   // warn once per (dir, table) per JVM — metadata-only, no data scan
   private val driftChecked =
     java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
@@ -149,6 +170,12 @@ object Tables {
     * materialize it once (the events-cache pattern) rather than
     * re-derive per query, but at fixture SFs the derivation is cheap
     * and keeping it lazy keeps the loaders stateless.
+    *
+    * Fixture invariants (probed by [[quantityDriftRows]], spec-asserted
+    * 0): `l_quantity` is integer-valued (the long cast truncates in
+    * Spark but rounds in the DuckDB oracle — they agree only on exact
+    * integers) and strictly positive (a zero-quantity group would make
+    * `cents div ps_availqty` throw ANSI DIVIDE_BY_ZERO here).
     */
   def partsuppDerived(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.functions._

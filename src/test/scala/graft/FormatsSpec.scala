@@ -142,6 +142,23 @@ class FormatsSpec extends GraftSuite {
     assert(Tables.nonAsciiDocs(drifted) === 1L)
   }
 
+  test("quantity drift probe: fixture l_quantity integer-valued and positive") {
+    import graft.sources.Tables
+    // partsuppDerived (q211–q213) casts sum(l_quantity) to long — Spark
+    // truncates, the DuckDB oracle rounds; and divides by it — ANSI
+    // DIVIDE_BY_ZERO on a zero-sum group. Valid iff quantities are
+    // integer-valued and positive, which this probe certifies.
+    assert(Tables.quantityDriftRows(Tables.lineitem(spark, sf)) === 0L,
+      "lineitem fixture grew fractional or non-positive l_quantity: " +
+        "the q211–q213 long casts diverge between Spark (trunc) and " +
+        "DuckDB (round) — see Tables.quantityDriftRows scaladoc")
+    // and it NAMES the break on a drifted fixture
+    import spark.implicits.{localSeqToDatasetHolder, newProductEncoder}
+    val drifted = Seq((1L, 5.0), (2L, 2.5), (3L, 0.0), (4L, -1.0))
+      .toDF("l_orderkey", "l_quantity")
+    assert(Tables.quantityDriftRows(drifted) === 3L)
+  }
+
   test("stableSingleFile: one partition, query order re-asserted (direction + nulls)") {
     import spark.implicits.{localSeqToDatasetHolder, newProductEncoder}
     import org.apache.spark.sql.functions.col

@@ -790,9 +790,8 @@ object Dedup {
     * on degenerate data the cost is the exactness, not the plan.
     */
   def containmentDiscover(documents: DataFrame, n: Int = 5,
-      tau: Double = 0.9, verifyWaves: Int = 1): DataFrame = {
+      tau: Double = 0.9): DataFrame = {
     import graft.functions.MinHashFunctions.{shingle_hashes, sorted_intersect_count}
-    require(verifyWaves >= 1, s"verifyWaves must be >= 1, got $verifyWaves")
     val parts = documents.sparkSession.sparkContext.defaultParallelism * 2
     val sh = documents
       .repartition(parts, $"doc_id") // AQE-blindness guard (see above)
@@ -842,25 +841,17 @@ object Dedup {
         dir($"id2", $"id1", $"sz2", $"sz1"))).as("r"))
       .select($"r.contained_id", $"r.container_id", $"r.containment", $"r.jaccard")
       .filter($"containment" >= tau)
-    // Verify-wave dial: on a degenerate corpus (the fixture's 2k-type
-    // vocabulary ⇒ near-all-pairs candidates) the single verify join
-    // holds the whole candidate set's shingle arrays live at once —
-    // the most GC-exposed stage in a shared JVM. `verifyWaves > 1`
-    // splits candidates into deterministic hash waves, materializing
-    // one wave's (tiny, post-filter) result before the next starts:
-    // peak live array volume drops ~1/waves for one extra cands scan
-    // per wave (cands is checkpointed; output rows are unaffected —
-    // wave id is a pure partition of the pair set). Wave choice is a
-    // hash, not a size sort: it bounds volume per wave uniformly
-    // without the extra global sort a size ntile would add.
-    val verified =
-      if (verifyWaves == 1) verify(cands)
-      else (0 until verifyWaves).map { w =>
-        verify(cands.filter(
-            pmod(xxhash64($"id1", $"id2"), lit(verifyWaves.toLong)) === w.toLong))
-          .localCheckpoint() // sequential: one wave in flight at a time
-      }.reduce(_ unionAll _)
-    verified.orderBy($"contained_id", $"container_id")
+    // A sequential "verify wave" dial (hash-partition the candidates,
+    // materialize one slice's post-filter result before the next) was
+    // built and MEASURED here in rounds 8–9 as the suspect fix for
+    // q178's bench variance — and removed on the evidence: at sf0.1 the
+    // waves=4 gain (~20–30% after a heavy-allocation history) sits
+    // inside the box's ±40% run-to-run band, and at ×10 data waves=4
+    // measured 1.6× SLOWER than the single join (133 s vs 85 s — the
+    // extra scans of the checkpointed candidate set cost more than the
+    // reduced peak live array volume saves at a 32g heap). Protocol and
+    // tables: ProfileQ178/ProfileScale + SURVEY §6.11.
+    verify(cands).orderBy($"contained_id", $"container_id")
   }
 
   /** Core-number (k-core) decomposition of the near-dup graph — the

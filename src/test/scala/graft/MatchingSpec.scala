@@ -524,15 +524,6 @@ class MatchingSpec extends GraftSuite {
     assert(byComp === deg.keySet)
   }
 
-  test("containmentDiscover verify waves are a pure partition: waves=3 == waves=1") {
-    val docs = Tables.documents(spark, sf)
-    val base = Dedup.containmentDiscover(docs).collect()
-      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
-    val waved = Dedup.containmentDiscover(docs, verifyWaves = 3).collect()
-      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
-    assert(base.nonEmpty && waved.toSeq === base.toSeq)
-  }
-
   test("containmentDiscover finds beyond-band inclusions; equals JVM brute force on fixture") {
     import spark.implicits._
     import graft.operators.Dedup

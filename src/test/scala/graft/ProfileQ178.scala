@@ -5,19 +5,19 @@ import graft.sources.Tables
 
 /** Dev-only q178 number-of-record experiment (Test/runMain).
   *
-  * Two questions from the r7 review (VERDICT "what's wrong" #1):
-  * (1) Is the 1.5–3.2× swing between the driver's 66.6 s and the
-  *     committed 21–44 s cold band explained by SHARED-JVM HEAP
-  *     HISTORY (178 queries' garbage before q178 in bench order)?
-  *     Protocol: run q178 cold-first, then replay the bench's heavy
-  *     allocators (the index carriers + the q148 PQ build), then run
-  *     q178 again — the delta is heap history, same plan, same data.
-  * (2) Does the verify-wave dial (hash-partitioned sequential verify,
-  *     `containmentDiscover(verifyWaves = w)`) flatten that exposure?
-  *     Interleaved A/B under the same heap history.
+  * The r7 review's question: is the 1.5–3.2× swing between the
+  * driver's 66.6 s and the committed 21–44 s cold band explained by
+  * SHARED-JVM HEAP HISTORY (177 queries' garbage before q178 in bench
+  * order)? Protocol: run q178 cold-first, then replay the bench's
+  * heavy allocators (the index carriers + the q148 PQ build), then run
+  * q178 again — the delta is heap history, same plan, same data.
   *
-  * Every variant is the SAME logical result (spec'd); only peak live
-  * array volume differs.
+  * Round-9 findings (SURVEY §6.11): heap history adds ~20–40%, inside
+  * the box's own ±40% run-to-run band; the 66 s outlier is host-load
+  * class, not plan class. A verify-wave dial (hash-partitioned
+  * sequential verify) was A/B'd here and at ×10 scale in ProfileScale,
+  * measured not to pay (×10: waves=4 was 1.6× SLOWER), and removed
+  * from `containmentDiscover`.
   */
 object ProfileQ178 {
   def main(args: Array[String]): Unit = {
@@ -40,8 +40,8 @@ object ProfileQ178 {
       val rt = Runtime.getRuntime
       (rt.totalMemory() - rt.freeMemory()) / (1024.0 * 1024 * 1024)
     }
-    def q178(waves: Int): Unit =
-      Dedup.containmentDiscover(Tables.documents(spark, sfDir), verifyWaves = waves)
+    def q178(): Unit =
+      Dedup.containmentDiscover(Tables.documents(spark, sfDir))
         .write.format("noop").mode("overwrite").save()
     def heavyHistory(): Unit =
       Seq("q27_dedup_minhash_lsh", "q48_embedding_neardup",
@@ -58,20 +58,18 @@ object ProfileQ178 {
     // run it while the BOX is loaded externally to test the host-load
     // hypothesis for the driver's 66 s number of record.
     if (sys.env.get("SPARK_GRAFT_Q178_ONLY").contains("1")) {
-      time("contended waves=1 (a)") { q178(1) }
-      time("contended waves=1 (b)") { q178(1) }
+      time("contended (a)") { q178() }
+      time("contended (b)") { q178() }
       spark.stop()
       return
     }
 
     for (rep <- 1 to reps) {
       println(s"[q178] ---- rep $rep ----")
-      time(s"rep$rep cold-first waves=1") { q178(1) }
+      time(s"rep$rep cold-first") { q178() }
       time(s"rep$rep heavy-history (5 carriers)") { heavyHistory() }
-      time(s"rep$rep after-history waves=1") { q178(1) }
-      time(s"rep$rep after-history waves=4") { q178(4) }
-      time(s"rep$rep after-history waves=1 again") { q178(1) }
-      time(s"rep$rep after-history waves=8") { q178(8) }
+      time(s"rep$rep after-history (a)") { q178() }
+      time(s"rep$rep after-history (b)") { q178() }
     }
     spark.stop()
   }

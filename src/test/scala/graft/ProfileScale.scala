@@ -3,28 +3,36 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.Dedup
+import graft.operators.Similarity
 import graft.sources.Tables
 
 /** Dev-only one-decade scale experiment (Test/runMain) — the r7/r8
   * verdicts' oldest open ask: every committed number is sf0.1; this
   * runs the five headline index carriers (q27 LSH near-dup, q48
   * bucketed embedding near-dup, q143 classifier training, q148 PQ ANN,
-  * q178 containment discovery) COLD on a deterministic ×REPL
-  * (default 10) inflation of the sf0.1 fixtures, so the committed
-  * record gains one measured decade instead of replica extrapolation.
+  * q152 spectral fit) plus q178 containment discovery COLD on a
+  * deterministic ×REPL (default 10) inflation of the sf0.1 fixtures,
+  * so the committed record gains one measured decade instead of
+  * replica extrapolation.
   *
-  * Inflation is designed so per-replica work is an EXACT copy of the
-  * original and cross-replica work is nil — i.e. the honest linear
-  * yardstick (ideal = ×REPL wall): a sublinear measurement means fixed
-  * costs amortize; superlinear means a stage scales with a cross-record
-  * structure it shouldn't.
+  * Inflation is designed so per-replica work is an EXACT isomorphic
+  * copy of the original and cross-replica work is nil — the honest
+  * linear yardstick (ideal = ×REPL wall): sublinear means fixed costs
+  * amortize; superlinear means a stage scales with a cross-record
+  * structure, which is either a plan flaw or a documented dial.
   *
-  * - documents ×REPL: replica r>0 shifts doc_id by r·10M and suffixes
-  *   every whitespace token with `~r`. Replica vocabularies are
-  *   DISJOINT, so shingle/minhash/containment candidates stay within a
-  *   replica and candidate volume scales exactly ×REPL; doc count,
-  *   per-doc token counts, and df RANKS are preserved per replica.
+  * - documents ×REPL: replica r>0 shifts doc_id by r·10M and applies a
+  *   per-replica CAESAR ROTATION of the a–z alphabet (the fixture text
+  *   is exactly [a–z ]). A character bijection is the text analog of an
+  *   isometry: word lengths, token boundaries, df STRUCTURE, and every
+  *   character-n-gram equality within a replica are preserved exactly,
+  *   while every letter-bearing shingle differs across replicas — so
+  *   shingle/minhash/containment candidate volume scales exactly
+  *   ×REPL. (A first version suffixed each WORD with `~r`; that leaves
+  *   character-5-gram shingles inside words identical across replicas,
+  *   and the measured q27/q178 "superlinearity" was those cross-replica
+  *   candidates — an artifact of the yardstick, kept in §6.11 as a
+  *   negative result.)
   * - embeddings ×REPL: replica r>0 shifts vec_id by r·10M and applies a
   *   per-replica deterministic ±1 diagonal (sign = parity of
   *   hash(dim_index, r)). A shared diagonal is an isometry — dot(S·x,
@@ -34,10 +42,12 @@ import graft.sources.Tables
   *
   * The inflated tables land as plain parquet under a scratch dir laid
   * out like a fixture dir, so each carrier runs through the REGISTERED
-  * SparkEntry.queries path unchanged. q178 is additionally run at
-  * verifyWaves ∈ {1,4}: peak live shingle-array volume in the verify
-  * join is the one stage the wave dial exists for, and ×10 is where it
-  * should start to matter.
+  * SparkEntry.queries path unchanged. q48 is additionally measured at
+  * the production dial (threshold 0.9, 24 tables × 12 bits): the
+  * registered 8×6 default admits ~12.5% of UNRELATED pairs as
+  * candidates (documented in embeddingNearDup's scaladoc), a
+  * quadratically-scaling term this run exists to expose; 24×12 is the
+  * documented scale path, and ×10 is where the difference shows.
   */
 object ProfileScale {
   def main(args: Array[String]): Unit = {
@@ -59,14 +69,15 @@ object ProfileScale {
     }
 
     // ---- build the inflated fixture dir (not part of the measurement) --
+    val alpha = "abcdefghijklmnopqrstuvwxyz"
+    def rotated(r: Int): String = alpha.drop(r % 26) + alpha.take(r % 26)
     val docs = Tables.documents(spark, sfDir)
     val embs = Tables.embeddings(spark, sfDir)
     val docsN: DataFrame = (0 until repl).map { r =>
       if (r == 0) docs
       else docs
         .withColumn("doc_id", col("doc_id") + lit(r * 10000000L))
-        .withColumn("text", regexp_replace(col("text"), "(\\S+)", "$1~" + r))
-        .withColumn("n_chars", length(col("text")))
+        .withColumn("text", translate(col("text"), alpha, rotated(r)))
     }.reduce(_ unionAll _)
     val embsN: DataFrame = (0 until repl).map { r =>
       if (r == 0) embs
@@ -94,11 +105,11 @@ object ProfileScale {
           .write.format("noop").mode("overwrite").save()
       }
     }
-    // the wave dial's raison d'être is bounded peak live array volume in
-    // the verify join — measure it where it should matter
-    for (w <- Seq(1, 4)) time(s"x$repl q178 containmentDiscover waves=$w") {
-      Dedup.containmentDiscover(
-          Tables.documents(spark, outDir), verifyWaves = w)
+    // the production near-dup dial at the decade: same recall class at
+    // 0.9, ~21x lower unrelated-candidate rate, 6x the signature planes
+    time(s"x$repl q48 dial 24x12 @0.9") {
+      Similarity.embeddingNearDup(
+          Tables.embeddings(spark, outDir), threshold = 0.9, tables = 24, bits = 12)
         .write.format("noop").mode("overwrite").save()
     }
     spark.stop()

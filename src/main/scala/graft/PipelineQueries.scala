@@ -2,11 +2,20 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.operators.{Curation, Dedup, Events, Extended, Governance, Matching, Multimodal, Sampling, Scale, Similarity, TextAnalysis}
-import graft.sources.Tables
+/** One family's slice of the pipeline query surface: the driver-contract
+  * entries plus their DuckDB oracles (keys must match 1:1).
+  */
+private[graft] trait QueryFamily {
+  def queries: Map[String, (SparkSession, String) => DataFrame]
+  def oracleSql: Map[String, String]
+}
 
 /** LLM-training-data-pipeline queries (SURVEY.md §2.2 ➕) and their DuckDB
   * oracles. Split from SparkEntry for readability; SparkEntry concatenates.
+  * Round 9 split this file again, by operator family (it had grown to
+  * ~4,800 lines): each family object under graft/queries/ carries its
+  * entries and oracles verbatim; this object is the stable registration
+  * point and asserts the families stay disjoint and query/oracle-aligned.
   *
   * Oracle strategy: every hash primitive is md5-based and every formula is
   * exact integer / deterministic double arithmetic, so DuckDB reproduces
@@ -16,4776 +25,24 @@ import graft.sources.Tables
   */
 object PipelineQueries {
 
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q20_text_stats"       -> ((s, d) => TextAnalysis.textStats(Tables.documents(s, d))),
-    "q21_quality_score"    -> ((s, d) => TextAnalysis.qualityScore(Tables.documents(s, d))),
-    "q22_lang_id"          -> ((s, d) => TextAnalysis.langId(Tables.documents(s, d))),
-    "q23_fingerprints"     -> ((s, d) => TextAnalysis.fingerprints(Tables.documents(s, d))),
-    "q24_token_counts"     -> ((s, d) => TextAnalysis.tokenCounts(Tables.documents(s, d))),
-    "q25_dedup_exact"      -> ((s, d) => Dedup.exactDedup(Tables.documents(s, d))),
-    "q26_ngram_jaccard"    -> ((s, d) => Dedup.ngramJaccardPairs(Tables.documents(s, d))),
-    "q27_dedup_minhash_lsh" -> ((s, d) => Dedup.minhashLshPairs(Tables.documents(s, d))),
-    "q28_dedup_simhash"    -> ((s, d) => Dedup.simhashPairs(Tables.documents(s, d))),
-    "q29_cosine_topk"      -> ((s, d) => Similarity.cosineTopK(Tables.embeddings(s, d))),
-    "q30_lsh_ann"          -> ((s, d) => Similarity.lshCosineTopK(Tables.embeddings(s, d))),
-    "q55_ivf_ann"          -> ((s, d) => Similarity.ivfCosineTopK(Tables.embeddings(s, d))),
-    "q31_label_cohesion"   -> ((s, d) => Similarity.labelCohesion(Tables.embeddings(s, d))),
-    "q32_events_hourly"    -> ((s, d) => Events.hourlyAgg(Tables.events(s, d))),
-    "q33_sessionize"       -> ((s, d) => Events.sessionize(Tables.events(s, d))),
-    "q34_type_profile"     -> ((s, d) => Events.typeProfile(Tables.events(s, d))),
-    "q35_media_profile"    -> ((s, d) => Multimodal.mediaProfile(Tables.documents(s, d))),
-    "q36_frame_sample"     -> ((s, d) => Multimodal.frameSample(Tables.documents(s, d))),
-    "q37_cosine_topk_native" -> ((s, d) => Similarity.cosineTopKNative(Tables.embeddings(s, d))),
-    // salted two-phase agg must equal the plain group-sum (the oracle IS the
-    // plain SQL) — proving skew mitigation does not change results
-    "q39_salted_agg" -> ((s, d) => {
-      import org.apache.spark.sql.functions._
-      Scale.saltedSumByKey(Tables.orders(s, d), "o_orderstatus", "o_totalprice", "o_orderkey")
-        .select(col("o_orderstatus"), round(col("sum_o_totalprice"), 2).as("total"))
-        .orderBy(col("o_orderstatus"))
-    }),
-    "q40_grouping_sets" -> ((s, d) => Extended.groupingSets(s, Tables.orders(s, d))),
-    "q41_calendar"      -> ((s, d) => Extended.ordersByCalendar(Tables.orders(s, d))),
-    "q42_json_stats"    -> ((s, d) => Extended.jsonStats(Tables.events(s, d))),
-    "q43_event_pivot"   -> ((s, d) => Extended.eventPivot(Tables.events(s, d))),
-    "q44_asof_join"     -> ((s, d) => Extended.asofPurchaseClick(Tables.events(s, d))),
-    "q48_embedding_neardup" -> ((s, d) =>
-      // 0.45 instead of the 0.9 production default: fixture embeddings are
-      // random (max cos ~0.55), so 0.9 would make the oracle check vacuous.
-      // The registered path is the LSH-bucketed one (the production shape);
-      // the oracle replicates the deterministic bucketing, so the check is
-      // exact on the candidate set the algorithm actually produces.
-      Similarity.embeddingNearDup(Tables.embeddings(s, d), threshold = 0.45)),
-    "q50_rolling_fingerprint" -> ((s, d) => TextAnalysis.rollingFingerprints(Tables.documents(s, d))),
-    "q51_typed_agg" -> ((s, d) => graft.operators.Typed.statusTotals(s, Tables.orders(s, d))),
-    "q52_session_window" -> ((s, d) => Events.sessionWindowAgg(Tables.events(s, d))),
-    "q53_dedup_survivors" -> ((s, d) => Dedup.nearDupSurvivors(Tables.documents(s, d))),
-    "q49_brand_revenue" -> ((s, d) =>
-      graft.operators.Relational.brandRevenue(Tables.part(s, d), Tables.supplier(s, d),
-        Tables.nation(s, d), Tables.lineitem(s, d))),
-    "q56_stratified_sample" -> ((s, d) => Sampling.stratifiedSample(Tables.documents(s, d))),
-    "q59_range_join"        -> ((s, d) => Extended.priceBandJoin(Tables.orders(s, d))),
-    "q57_train_test_split"  -> ((s, d) => Sampling.trainTestSplit(Tables.documents(s, d))),
-    "q58_pack_offsets"      -> ((s, d) => Sampling.packByTokenOffset(Tables.documents(s, d))),
-    // deterministic KMV sketch: approximate distinct count WITH an exact
-    // oracle (contrast q38, whose HLL/percentile estimates are
-    // implementation-defined and hence only envelope-checked)
-    "q54_kmv_sketch" -> ((s, d) =>
-      graft.operators.Typed.kmvDistinct(s, Tables.lineitem(s, d))),
-    // benchmark decontamination: docs whose distinct word-3-gram sets
-    // overlap the benchmark slice (doc_id < 50) above 50% — on the fixtures
-    // that isolates exactly the planted near-dups whose partner fell in the
-    // benchmark slice, against a <=40% background
-    "q60_decontaminate" -> ((s, d) => Curation.decontaminate(Tables.documents(s, d))),
-    "q61_repetition"    -> ((s, d) => Curation.repetitionSignals(Tables.documents(s, d))),
-    "q62_mixture_weights" -> ((s, d) => Curation.mixtureWeights(Tables.documents(s, d))),
-    // recall@k of the multi-probe LSH ANN vs the exact top-k — the index
-    // evaluation harness, itself oracle-checked (both sides deterministic)
-    "q63_ann_recall"    -> ((s, d) => Similarity.annRecall(Tables.embeddings(s, d))),
-    "q64_value_zscore"  -> ((s, d) => Events.valueZscore(Tables.events(s, d))),
-    // corpus vocabulary head: explode + map-side combine + TakeOrdered
-    "q65_token_topk"    -> ((s, d) => TextAnalysis.tokenTopK(Tables.documents(s, d))),
-    // context-window chunking (64-token windows, stride 32)
-    "q66_doc_chunks"    -> ((s, d) => Sampling.docChunks(Tables.documents(s, d))),
-    // salient terms per doc: tf-idf with salted per-doc top-k
-    "q67_tfidf_topterms" -> ((s, d) => TextAnalysis.tfidfTopTerms(Tables.documents(s, d))),
-    // integer-exact document-length histogram
-    "q68_length_histogram" -> ((s, d) => TextAnalysis.lengthHistogram(Tables.documents(s, d))),
-    // alpha=0.5 temperature-smoothed language sampling weights
-    "q69_temperature_mixture" -> ((s, d) => Curation.temperatureMixture(Tables.documents(s, d))),
-    // deterministic 2-round Lloyd k-means (md5-coreset init, rounded
-    // centroid feedback) — cluster sizes + cohesion
-    "q70_kmeans_clusters" -> ((s, d) => Similarity.kmeansClusters(Tables.embeddings(s, d))),
-    // per-language p10 quality pruning report (exact-percentile twin)
-    "q71_quality_filter" -> ((s, d) => TextAnalysis.qualityFilter(Tables.documents(s, d))),
-    // md5-Bloom runtime-filter accounting: orders probed against a Bloom of
-    // BUILDING-segment customers
-    "q72_bloom_prefilter" -> ((s, d) => {
-      import org.apache.spark.sql.functions.col
-      Scale.bloomPrefilterStats(Tables.orders(s, d), "o_custkey",
-        Tables.customer(s, d).filter(col("c_mktsegment") === "BUILDING"), "c_custkey")
-    }),
-    // count-min sketch estimates vs exact counts for the top tokens
-    "q73_countmin_tokens" -> ((s, d) => TextAnalysis.countMinTopTokens(Tables.documents(s, d))),
-    // incremental ingest dedup: new batch (doc_id < 100) vs indexed corpus
-    "q74_incremental_neardup" -> ((s, d) => Dedup.incrementalNearDupPairs(Tables.documents(s, d))),
-    // cohort retention triangle over the events stream
-    "q75_retention" -> ((s, d) => Events.retentionCohorts(Tables.events(s, d))),
-    // signup -> purchase conversion within 24h of first signup
-    "q76_signup_funnel" -> ((s, d) => Events.signupFunnel(Tables.events(s, d))),
-    // KMV sketch join-cardinality estimate (orders keys vs customer keys)
-    "q77_kmv_intersect" -> ((s, d) =>
-      Scale.kmvIntersectEstimate(Tables.orders(s, d), "o_custkey",
-        Tables.customer(s, d), "c_custkey")),
-    // Z-order (Morton) layout report: per-z-bucket spread of both columns
-    "q78_zorder_stats" -> ((s, d) => Scale.zOrderBucketStats(Tables.orders(s, d))),
-    // BM25 lexical retrieval: top-20 docs for a fixed query-term set
-    "q79_bm25" -> ((s, d) => TextAnalysis.bm25TopDocs(Tables.documents(s, d))),
-    // RANGE-frame trailing-window outliers, exact-integer decision rule
-    "q80_value_anomalies" -> ((s, d) => Events.valueAnomalies(Tables.events(s, d))),
-    // CDC latest-wins compaction via max(struct) — no window sort
-    "q81_latest_event" -> ((s, d) => Events.latestByUser(Tables.events(s, d))),
-    // k-anonymity audit over (lang, source) quasi-identifier cells
-    "q82_k_anonymity" -> ((s, d) => Curation.kAnonymityReport(Tables.documents(s, d))),
-    // which sources duplicate each other: near-dup pairs per source pair
-    "q83_dup_sources" -> ((s, d) => Dedup.dupSourceMatrix(Tables.documents(s, d))),
-    // the composed capstone: quality cut -> near-dup survivors -> report
-    "q84_curation_pipeline" -> ((s, d) => Curation.curationPipeline(Tables.documents(s, d))),
-    // pre-indexing embedding health gate: degenerate vectors + norm stats
-    "q85_embedding_health" -> ((s, d) => Similarity.embeddingHealth(Tables.embeddings(s, d))),
-    // exact decimal money totals beside the rounded-double path
-    "q86_decimal_totals" -> ((s, d) =>
-      graft.operators.Relational.decimalTotals(Tables.lineitem(s, d))),
-    // mergeable bottom-k quantile sketch — deterministic, hence
-    // oracle-EXACT (the quantile counterpart of q54's KMV; contrast q38's
-    // approx_percentile, envelope-checked by design)
-    "q87_quantile_sketch" -> ((s, d) => Events.quantileSketch(Tables.events(s, d))),
-    // pre-release PII/denylist scrub report (the fixture's structural-PII
-    // zeros are oracle-verified; redaction mechanics proven in spec)
-    "q88_redaction_report" -> ((s, d) => Curation.redactionReport(Tables.documents(s, d))),
-    // cross-document duplicate n-gram mass (corpus-level duplication,
-    // distinct from q61's within-document repetition)
-    "q89_dup_gram_mass" -> ((s, d) => Curation.dupGramMass(Tables.documents(s, d))),
-    // lexical-diversity quality signal: per-doc token entropy
-    "q90_token_entropy" -> ((s, d) => TextAnalysis.tokenEntropy(Tables.documents(s, d))),
-    // int8-quantized ANN recall vs float truth (per-vector scales cancel
-    // in cosine; trunc-toward-zero quantization is engine-exact)
-    "q91_quantized_ann" -> ((s, d) => Similarity.quantizedAnnRecall(Tables.embeddings(s, d))),
-    // materialized temperature mixture: q69's weights as an actual
-    // deterministic md5-threshold sample
-    "q92_mixture_sample" -> ((s, d) => Curation.materializeMixture(Tables.documents(s, d))),
-    // near-dup-aware split: the md5-range rule applied to the cluster rep,
-    // so no near-dup pair straddles train/test
-    "q93_cluster_split" -> ((s, d) => Sampling.clusterAwareSplit(Tables.documents(s, d))),
-    // frame-level dedup across the multimodal asset table (exactDedup's
-    // shape applied to payload windows)
-    "q94_frame_dedup" -> ((s, d) => Multimodal.frameDedup(Tables.documents(s, d))),
-    // incremental embedding near-dup: new batch probed against the corpus
-    // hyperplane index (the vector analog of q74)
-    "q95_incremental_embedding" -> ((s, d) =>
-      Similarity.incrementalEmbeddingNearDup(Tables.embeddings(s, d))),
-    // full-outer join variant: observed event types vs the expected catalog
-    "q96_type_reconciliation" -> ((s, d) =>
-      Extended.eventTypeReconciliation(Tables.events(s, d))),
-    // exact duplicated-span localization: maximal token spans covered by
-    // corpus-repeated word 8-grams (the k-gram form of exact-substring dedup)
-    "q97_dup_spans" -> ((s, d) => Curation.duplicatedSpans(Tables.documents(s, d))),
-    // DSIR importance scoring: per-doc target-vs-corpus log-likelihood
-    // ratio on hashed unigram features; top-50 most target-like docs
-    "q98_dsir_select" -> ((s, d) => Curation.dsirImportance(Tables.documents(s, d))),
-    // apply the q97 span map: corpus with duplicated spans cut, checksummed
-    "q99_span_cut" -> ((s, d) => Curation.cutDuplicatedSpans(Tables.documents(s, d))),
-    // SemDeDup: semantic dedup with k-means cells as the blocking
-    // structure (the third family beside LSH bands and hyperplane tables)
-    "q100_semantic_dedup" -> ((s, d) => Similarity.semanticDedup(Tables.embeddings(s, d))),
-    // snapshot diff: added/removed/changed/unchanged doc + token mass
-    // between two deterministic corpus versions (docs %10==1 arrive,
-    // %10==0 leave, %7==0 gain a revision marker)
-    "q101_corpus_diff" -> ((s, d) => {
-      import org.apache.spark.sql.functions._
-      val docs = Tables.documents(s, d)
-      Curation.corpusDiff(
-        docs.filter(col("doc_id") % 10 =!= 1),
-        docs.filter(col("doc_id") % 10 =!= 0)
-          .withColumn("text", when(col("doc_id") % 7 === 0,
-            concat(col("text"), lit(" rev1"))).otherwise(col("text"))))
-    }),
-    // per-source quality drift (PSI over quality deciles vs the corpus)
-    "q102_source_drift" -> ((s, d) => TextAnalysis.sourceDriftPsi(Tables.documents(s, d))),
-    // hard-negative mining: per anchor, top-k in the [0.2, 0.45) cosine
-    // band — informative negatives strictly below the near-dup tau
-    "q103_hard_negatives" -> ((s, d) => Similarity.hardNegatives(Tables.embeddings(s, d))),
-    // tokenizer training: the first 5 BPE merges learned from the corpus
-    "q104_bpe_merges" -> ((s, d) => TextAnalysis.bpeMerges(Tables.documents(s, d))),
-    // tokenizer application: encode the corpus with the learned merges and
-    // report per-language fertility (tokens/word) and chars/token
-    "q105_bpe_fertility" -> ((s, d) => TextAnalysis.bpeFertility(Tables.documents(s, d))),
-    // bigram-LM surprisal: CCNet-style perplexity quality signal, the 30
-    // most statistically-surprising documents
-    "q106_bigram_surprisal" -> ((s, d) => TextAnalysis.bigramSurprisal(Tables.documents(s, d))),
-    // curriculum staging: quality quartiles via the bounded-state exact
-    // quantile, easy-data-first training order
-    "q107_curriculum" -> ((s, d) => Curation.curriculumStages(Tables.documents(s, d))),
-    // quality-aware dedup canonicalization: keep the best cluster member,
-    // not the min-id one (rides the shared pair index)
-    "q108_quality_canonical" -> ((s, d) => Dedup.qualityCanonical(Tables.documents(s, d))),
-    // language-ID evaluation: confusion matrix of q22 vs ground truth
-    "q109_langid_eval" -> ((s, d) => TextAnalysis.langIdConfusion(Tables.documents(s, d))),
-    // contrastive training-set construction: near-dup pairs as positives,
-    // banded hard negatives per anchor
-    "q110_contrastive_pairs" -> ((s, d) => Similarity.contrastivePairs(Tables.embeddings(s, d))),
-    // dataset-card summary: per (lang x source) doc/token mass, mean
-    // quality, corpus token share
-    "q111_datasheet" -> ((s, d) => Curation.corpusDatasheet(Tables.documents(s, d))),
-    // sampling-schedule planning: q69's mixture as per-language token
-    // budgets and epoch (repeat) factors
-    "q112_epoch_plan" -> ((s, d) => Curation.epochPlan(Tables.documents(s, d))),
-    // data-loader order: deterministic stride-scheduled weighted
-    // interleave of the mixture, first 50 schedule rows
-    "q113_interleave" -> ((s, d) => Curation.interleaveSchedule(Tables.documents(s, d))),
-    // embedding-quality eval: kNN majority-label accuracy per label over
-    // a balanced deterministic anchor sample
-    "q114_knn_label_eval" -> ((s, d) => Similarity.knnLabelEval(Tables.embeddings(s, d))),
-    // dedup tuning: pair/doc counts at each tau >= the banding design
-    // point, from one pair-index build
-    "q115_threshold_sweep" -> ((s, d) => Dedup.thresholdSweep(Tables.documents(s, d))),
-    // Johnson-Lindenstrauss health check: cosine distortion of the
-    // deterministic 32-dim random projection over a fixed vector sample
-    "q116_projection_distortion" -> ((s, d) =>
-      Similarity.projectionDistortion(Tables.embeddings(s, d))),
-    // projected ANN: candidates scored in the 32-dim projection
-    // (over-fetched 3x), exact re-rank, recall vs the exact top-k
-    "q117_projected_ann" -> ((s, d) =>
-      Similarity.projectedAnnRecall(Tables.embeddings(s, d))),
-    // dedup QA: near-dup cluster-size histogram off the shared pair index
-    "q118_cluster_sizes" -> ((s, d) =>
-      Dedup.clusterSizeDistribution(Tables.documents(s, d))),
-    // datasheet length half: per-source token-length quartiles + p95 via
-    // the bounded-state histogram quantile
-    "q119_length_profile" -> ((s, d) => TextAnalysis.lengthProfile(Tables.documents(s, d))),
-    // containment refinement: per near-dup pair, containment of the
-    // smaller shingle set + size ratio (quote/inclusion vs mutual dup)
-    "q120_containment" -> ((s, d) => Dedup.containmentRefine(Tables.documents(s, d))),
-    // fuzzy entity resolution over the part-name catalog: token-blocked
-    // Levenshtein pairs with the row mass behind each name
-    "q121_fuzzy_match" -> ((s, d) => Matching.fuzzyNameMatch(Tables.part(s, d))),
-    // sparse lexical similarity: rare-term-blocked cosine over top-8
-    // tf-idf vectors (the text-side complement of q48's embedding LSH)
-    "q122_tfidf_pairs" -> ((s, d) => Matching.tfidfCosinePairs(Tables.documents(s, d))),
-    // first-order Markov transition matrix over in-session event pairs
-    "q123_transitions" -> ((s, d) => Events.sessionTransitions(Tables.events(s, d))),
-    // Efraimidis-Spirakis weighted sample without replacement (w = n_chars)
-    "q124_weighted_sample" -> ((s, d) => Sampling.weightedSample(Tables.documents(s, d))),
-    // DP noisy per-language counts — the KEYED release path (the form
-    // whose noise is not publicly recomputable without the key). The key
-    // here is fixture-pinned so the DuckDB oracle can replay the noise;
-    // a production release sources it from a secret store and never
-    // commits it beside the artifact (see dpLangHistogram scaladoc).
-    "q125_dp_histogram" -> ((s, d) =>
-      Curation.dpLangHistogram(Tables.documents(s, d), secretKey = "graft-fixture-key")),
-    // reciprocal-rank fusion of the BM25 and dense-cosine rankings
-    "q126_hybrid_rrf" -> ((s, d) =>
-      Matching.hybridRrf(Tables.documents(s, d), Tables.embeddings(s, d))),
-    // trailing 7-day active users from mergeable daily KMV sketches
-    "q128_sliding_dau" -> ((s, d) => Events.slidingDistinctUsers(Tables.events(s, d))),
-    // SCD2 dimension history: per-user event_type change intervals
-    "q129_scd2_history" -> ((s, d) => Events.scd2History(Tables.events(s, d))),
-    // nDCG@3 of the multi-probe LSH ANN vs the exact ranking (q63's
-    // order-sensitive complement)
-    "q130_ann_ndcg" -> ((s, d) => Similarity.annNdcg(Tables.embeddings(s, d))),
-    // correlated EXISTS + scalar subqueries, decorrelated by Catalyst;
-    // ONE SQL text shared verbatim with the oracle
-    "q131_above_avg_spenders" -> ((s, d) =>
-      Extended.aboveAvgSpenders(s, Tables.customer(s, d), Tables.orders(s, d))),
-    // top 3-step in-session event-type paths (the walk-level complement
-    // of q123's edge-level matrix)
-    "q132_top_paths" -> ((s, d) => Events.topSessionPaths(Tables.events(s, d))),
-    // dedup QA: MinHash-vs-SimHash pair-set agreement classes
-    "q133_method_agreement" -> ((s, d) => Dedup.methodAgreement(Tables.documents(s, d))),
-    // reproducible epoch shuffle: per-shard training-order checksums
-    "q134_epoch_shuffle" -> ((s, d) => Sampling.epochShuffle(Tables.documents(s, d))),
-    // robust outliers: median/MAD rule (q80's heavy-tail-safe complement)
-    "q135_mad_outliers" -> ((s, d) => Events.madOutliers(Tables.events(s, d))),
-    // collocation mining: top adjacent-pair PMI with a min-count floor
-    "q136_collocations" -> ((s, d) => TextAnalysis.collocations(Tables.documents(s, d))),
-    // near-dup graph shape: triangles vs wedges (cliques vs chains)
-    "q137_dup_graph_shape" -> ((s, d) => Dedup.dupGraphShape(Tables.documents(s, d))),
-    // pseudo-relevance feedback: BM25 re-ranked under the expanded query
-    "q138_prf_retrieval" -> ((s, d) =>
-      TextAnalysis.prfExpandedRetrieval(Tables.documents(s, d))),
-    // one-document containment search: who contains >=50% of doc 0's
-    // shingles (the on-demand provenance lookup)
-    "q139_containment_search" -> ((s, d) =>
-      Dedup.containmentSearch(Tables.documents(s, d))),
-    // effective (dedup-adjusted) token mass per source
-    "q140_effective_tokens" -> ((s, d) =>
-      Curation.effectiveTokenMass(Tables.documents(s, d))),
-    // per-language A-ES weighted sample (the balanced-inspection form)
-    "q141_stratified_weighted" -> ((s, d) =>
-      Sampling.weightedSampleByStratum(Tables.documents(s, d))),
-    // column-profile drift between the q101 snapshot versions
-    "q127_profile_drift" -> ((s, d) => {
-      import org.apache.spark.sql.functions._
-      val docs = Tables.documents(s, d)
-      Curation.profileDrift(
-        docs.filter(col("doc_id") % 10 =!= 1),
-        docs.filter(col("doc_id") % 10 =!= 0)
-          .withColumn("text", when(col("doc_id") % 7 === 0,
-            concat(col("text"), lit(" rev1"))).otherwise(col("text")))
-          // revisions keep n_chars consistent with the text mutation
-          .withColumn("n_chars", when(col("doc_id") % 7 === 0,
-            col("n_chars") + 5).otherwise(col("n_chars"))))
-    }),
-    // the HLL / approx-percentile surface made ORACLE-CHECKABLE: the
-    // estimates themselves are implementation-defined (Spark's HLL++ and
-    // KLL-style summaries have no DuckDB twin), so the query reports the
-    // EXACT stats (hash-checked) plus booleans asserting each estimate
-    // sits inside its deterministic error envelope — HLL within 2×rsd
-    // (rsd default 0.05) of the exact distinct count, approx_percentile's
-    // median between the exact p45/p55 cuts (accuracy 10000 => 1e-4 rank
-    // error; the envelope is ~500× wider). The oracle states the booleans
-    // literally, so a sketch regression fails the gate — strictly stronger
-    // than the rows-only check this query shipped with through round 4
-    // (the deterministic twins q54/q87 remain the hash-exact sketches).
-    "q38_sketch_envelope" -> ((s, d) => {
-      import org.apache.spark.sql.functions._
-      val li = Tables.lineitem(s, d)
-      // envelope cuts come from a $100-BUCKETED price histogram, not the
-      // raw near-unique column: exactQuantileByGroup's state is one
-      // counter per distinct value, which for a continuous column would
-      // degenerate to row-proportional state (measured 16 s at sf0.1 —
-      // exactly the failure mode its scaladoc warns about). Bucketing
-      // bounds the state at price-range/100 cells; floor is monotone, so
-      // bucketed quantiles bracket the true ones within one bucket width
-      // and the envelope below widens by that margin.
-      def cut(q: Double, name: String) =
-        Scale.exactQuantileByGroup(
-          li.select(col("l_returnflag"),
-            (floor(col("l_extendedprice") / 100) * 100).as("pb")),
-          "l_returnflag", "pb", q)
-          .withColumnRenamed("cut", name)
-      // exact-distinct and sketch halves aggregate SEPARATELY and join on
-      // the 3-row group frame: mixing count(DISTINCT) with the
-      // TypedImperative sketch aggregates in one agg forces an Expand +
-      // object-agg fallback measured at 11.4 s vs 1.5+1.3 s split
-      val exact = li.groupBy(col("l_returnflag"))
-        .agg(
-          count(lit(1)).as("n_rows"),
-          countDistinct(col("l_partkey")).as("exact_parts"))
-      val sketch = li.groupBy(col("l_returnflag"))
-        .agg(
-          approx_count_distinct(col("l_partkey")).as("hll_parts"),
-          expr("approx_percentile(l_extendedprice, 0.5)").as("ap50"))
-      exact
-        .join(sketch, Seq("l_returnflag"))
-        .join(cut(0.45, "p45"), Seq("l_returnflag"))
-        .join(cut(0.55, "p55"), Seq("l_returnflag"))
-        .select(col("l_returnflag"), col("n_rows"), col("exact_parts"),
-          (abs(col("hll_parts") - col("exact_parts"))
-            <= col("exact_parts") * 0.10).as("hll_within_10pct"),
-          (col("ap50") >= col("p45") - 100 && col("ap50") <= col("p55") + 200)
-            .as("p50_in_envelope"))
-        .orderBy(col("l_returnflag"))
-    }),
-    // corpus-frequency boilerplate on fixed-width pseudo-lines: per-source
-    // template-segment counts + token mass surviving removal (the CCNet
-    // line-dedup first pass; no pairing step)
-    "q142_boilerplate" -> ((s, d) =>
-      Curation.boilerplateSegments(Tables.documents(s, d))),
-    // discriminative quality classifier: hashed bag-of-words logistic
-    // regression, 4 full-batch micro-unit GD rounds (the q98 complement)
-    "q143_classifier_weights" -> ((s, d) =>
-      Curation.qualityClassifierWeights(Tables.documents(s, d))),
-    // q143's weights applied at the z>=0 decision rule: confusion matrix
-    // with per-label fractions (recall / specificity), integer-exact
-    "q144_classifier_eval" -> ((s, d) =>
-      Curation.qualityClassifierEval(Tables.documents(s, d))),
-    // GPT-3-style acceptance sampling: keep each doc with probability =
-    // its classifier score (md5-uniform coin, exact integer comparison)
-    "q145_classifier_sample" -> ((s, d) =>
-      Curation.classifierSample(Tables.documents(s, d))),
-    // label-centroid separation: intra-label cosine vs nearest other
-    // centroid, the is-the-labeling-coherent embedding diagnostic
-    "q146_label_separation" -> ((s, d) =>
-      Similarity.labelSeparation(Tables.embeddings(s, d))),
-    // capstone v2: boilerplate removal -> span cut -> classifier
-    // acceptance sampling -> dedup survivors, chained as one pipeline
-    // (the round-5 families as STAGES; weights + pair index ride the
-    // session caches)
-    "q147_capstone_v2" -> ((s, d) =>
-      Curation.capstoneV2(Tables.documents(s, d))),
-    // product quantization + ADC serving: per-subspace L2 codebooks, m
-    // one-byte codes per vector, query-time precomputed dot tables rank a
-    // shortlist that exact float re-rank then cuts to top-k — recall@3 of
-    // that two-stage ranking vs the exact float truth
-    "q148_pq_ann" -> ((s, d) => Similarity.pqAnnRecall(Tables.embeddings(s, d))),
-    // IVF-PQ: the coarse quantizer prunes the scan to nProbe cells, PQ
-    // codes + broadcast ADC tables rank inside them, exact re-rank cuts
-    // the shortlist to top-k — the composed serving stack
-    "q149_ivf_pq_ann" -> ((s, d) => Similarity.ivfPqAnnRecall(Tables.embeddings(s, d))),
-    // overlapping fixed-size token chunking (RAG/embedding prep) with
-    // per-chunk provenance, fingerprint, and corpus-level duplicate count
-    "q150_chunking" -> ((s, d) => Curation.chunkDocuments(Tables.documents(s, d))),
-    // PageRank centrality over the verified near-dup graph (rides the
-    // q27 pair index): integer micro-unit power iteration, d = 17/20
-    "q151_neardup_pagerank" -> ((s, d) => Dedup.neardupPagerank(Tables.documents(s, d))),
-    // top principal component of the embedding corpus via exact-integer
-    // power iteration over one-pass d^2 scatter moments, with the
-    // explained-variance ratio (the all-but-the-top diagnostic)
-    "q152_pc1_power" -> ((s, d) => Similarity.pc1Power(Tables.embeddings(s, d))),
-    // all-but-the-top outliers: top 10 docs by |PC1 projection| with
-    // residual energy fractions; rides the q152 session model cache
-    "q153_abtt_outliers" -> ((s, d) => Similarity.abttOutliers(Tables.embeddings(s, d))),
-    // EXACT heavy hitters (count > n/50) via the two-pass Misra-Gries
-    // candidate scheme: k=49 mergeable counters per partition, exact
-    // candidate-only recount — fixed memory at any vocabulary size
-    "q154_heavy_hitters" -> ((s, d) => TextAnalysis.heavyHitters(Tables.documents(s, d))),
-    // canonicalization-aware exact dedup: raw vs normalized fingerprints
-    // per source, with planted case/punct variants (see scaladoc)
-    "q155_norm_dedup" -> ((s, d) => Dedup.normalizedDedup(Tables.documents(s, d))),
-    // Heaps-law vocabulary growth: new token types per doc_id decile
-    // and the cumulative vocabulary curve
-    "q156_vocab_growth" -> ((s, d) => TextAnalysis.vocabGrowth(Tables.documents(s, d))),
-    // shuffle-key skew audit: power-of-two histogram of per-key row
-    // counts for a prospective join/agg key (exact bin() bucketing)
-    "q157_key_skew" -> ((s, d) => Scale.keySkewAudit(Tables.events(s, d), "user_id")),
-    // Zipf-slope least-squares fit over the token-frequency head —
-    // integer micro-unit moments, one rounded division at the end
-    "q158_zipf_fit" -> ((s, d) => TextAnalysis.zipfFit(Tables.documents(s, d))),
-    // embedding-distribution drift: per-dim mean shift between corpus
-    // halves + cosine of the mean vectors (the vector twin of q127)
-    "q159_embedding_drift" -> ((s, d) => Similarity.embeddingDrift(Tables.embeddings(s, d))),
-    // classifier reliability: positive-label rate per signed log2-margin
-    // bucket (exact bin() bucketing); rides the q143 weights cache
-    "q160_classifier_calibration" -> ((s, d) =>
-      Curation.classifierCalibration(Tables.documents(s, d))),
-    // per-source exact heavy hitters: q154's MG two-pass run per group
-    // (one grouped sketch agg, groups x k candidate recount)
-    "q161_heavy_hitters_by_source" -> ((s, d) =>
-      TextAnalysis.heavyHittersBySource(Tables.documents(s, d))),
-    // q151's rank consumed as the survivor policy: per-cluster keeper =
-    // max rank, tie -> min id (rides the pair index + rank frame)
-    "q162_rank_canonical" -> ((s, d) => Dedup.rankCanonical(Tables.documents(s, d))),
-    // right-to-erasure tombstones at the index-row grain: delete list
-    // anti-joins the postings-shaped frames, df/N/avgdl recompute from
-    // survivors — bit-identical to re-ingesting the filtered corpus
-    "q163_erasure_bm25" -> ((s, d) => {
-      val docs = Tables.documents(s, d)
-      Governance.erasureBm25(docs, Governance.erasureRequests(docs))
-    }),
-    // the compliance report a deletion batch ships with: per-source doc
-    // and token-mass impact, retained fraction in exact ppm
-    "q164_erasure_audit" -> ((s, d) => {
-      val docs = Tables.documents(s, d)
-      Governance.erasureAudit(docs, Governance.erasureRequests(docs))
-    }),
-    // erasure over the dedup graph: drop pairs touching deleted ids from
-    // the session pair index (no re-banding), re-run components — a
-    // deleted bridge doc splits its cluster exactly as a full re-run would
-    "q165_erasure_survivors" -> ((s, d) => {
-      val docs = Tables.documents(s, d)
-      Governance.erasureSurvivors(docs, Governance.erasureRequests(docs))
-    }),
-    // MMR diversified re-rank: greedy λ=7/10 selection from each query's
-    // top-16 cosine pool — all float math stays in the codegen'd cosine
-    // (q29 contract); the greedy is integer-only inside flatMapGroups
-    "q166_mmr_rerank" -> ((s, d) => Matching.mmrRerank(Tables.embeddings(s, d))),
-    // token-budget cut at the quality frontier: keep the (quality desc,
-    // doc_id) prefix whose running token mass fits the budget — the
-    // distributed two-phase prefix sum (q58 pattern) on a computed order
-    "q167_budget_select" -> ((s, d) => Curation.budgetSelect(Tables.documents(s, d))),
-    // filtered ANN: label predicate pruned WITHIN the probed IVF cells of
-    // the full-corpus index (no per-predicate rebuild); may return < k
-    // matches at fixed nProbe — the stated filtered-search contract
-    "q168_filtered_ann" -> ((s, d) => Similarity.ivfFilteredTopK(Tables.embeddings(s, d))),
-    // exact integer water-filling: equal budget shares across sources,
-    // capped at capacity, freed mass redistributed — Σ allocations = B
-    "q169_water_fill" -> ((s, d) => Curation.budgetWaterFill(Tables.documents(s, d))),
-    // 2-objective skyline via the running-min identity over the bounded
-    // distinct-quality frame; the oracle states the independent pairwise
-    // NOT EXISTS dominance form, proving the identity at the gate
-    "q172_pareto_frontier" -> ((s, d) => Curation.paretoFrontier(Tables.documents(s, d))),
-    // Poisson-bootstrap CI for per-lang mean quality: per-replica
-    // Poisson(1) weights from the exact md5 fraction through literal
-    // inverse-CDF thresholds — the distributed bootstrap, one scan
-    "q173_bootstrap_ci" -> ((s, d) => Curation.bootstrapCi(Tables.documents(s, d))),
-    // greedy facility-location selection over the trained k-means
-    // coreset: corpus-proportional work is the Lloyd training + one
-    // weighting scan; candidates/weights/sims and the greedy are
-    // driver-bounded (k² state). Integer micro-unit gains, min-id ties
-    "q174_facility_location" -> ((s, d) =>
-      Similarity.facilityLocationSelect(Tables.embeddings(s, d))),
-    // core numbers of the near-dup graph via 8 iterated-h-index rounds
-    // (Lü et al. 2016 — converges to coreness; both engines compute the
-    // same fixed truncation); rides the session pair index
-    "q175_kcore" -> ((s, d) => Dedup.kcoreDecomposition(Tables.documents(s, d))),
-    // ANALYZE-style per-column profile (exact NDV, nulls, min/max) over
-    // orders: one unpivoted pass, ncols-state agg; timestamps profile in
-    // epoch-micros space (string formats are engine-dependent)
-    "q176_table_profile" -> ((s, d) => Governance.tableProfile(Tables.orders(s, d))),
-    // greedy vocabulary set cover: nSel rounds of anti-join + per-doc
-    // count + 1-row argmax; covered set distributed throughout
-    "q177_set_cover" -> ((s, d) => Curation.setCoverSelect(Tables.documents(s, d))),
-    // asymmetric containment discovery (bottom-m one-sided sketch):
-    // the quote/inclusion pairs symmetric MinHash banding cannot see;
-    // oracle states the exact all-pairs form → the gate proves recall
-    "q178_containment" -> ((s, d) => Dedup.containmentDiscover(Tables.documents(s, d))),
-    // Neyman variance-optimal stratified allocation + md5 draw: exact
-    // integer moments, integer micro-weights (order-free denominator),
-    // largest-remainder rounding, per-stratum bottom-k draw
-    "q179_neyman_sample" -> ((s, d) => Sampling.neymanAllocation(Tables.documents(s, d))),
-    // exact Mann-Whitney AUC of the q143 classifier's integer scores:
-    // threshold-free ranking grade beside q144's decision and q160's
-    // calibration; distinct-score frame + two-phase prefix sum
-    "q189_classifier_auc" -> ((s, d) => Curation.classifierAuc(Tables.documents(s, d))),
-    // TextRank keywords: weighted PageRank on the token co-occurrence
-    // graph, q151's integer micro-unit discipline with per-edge
-    // (rank*w) div wdeg contributions
-    "q190_textrank_keywords" -> ((s, d) => TextAnalysis.textrankKeywords(Tables.documents(s, d))),
-    // hourly-count ACF at lags 1..24 (complete series, zeros for absent
-    // hours): integer centered products, corpus touched once
-    "q191_hourly_acf" -> ((s, d) => Events.hourlyAutocorrelation(Tables.events(s, d))),
-    // Welch z on purchase value over a deterministic md5 A/A user
-    // split: exact integer micro-unit moments into one boundary formula
-    "q192_ab_test" -> ((s, d) => Events.abValueTest(Tables.events(s, d))),
-    // Page's CUSUM on the daily mean value via the prefix-sum minus
-    // running-min closed form: sequential monitor, one-pass windows
-    // over the aggregate-sized day frame, exact integer micro-units
-    "q193_cusum_drift" -> ((s, d) => Events.cusumDriftDays(Tables.events(s, d))),
-    // Zhu-Ghahramani hard-clamp label propagation over the
-    // cell-restricted kNN graph: transductive recovery of md5-hidden
-    // labels, 2 synchronous plurality rounds, edge-proportional state
-    "q194_label_propagation" -> ((s, d) =>
-      Similarity.labelPropagation(Tables.embeddings(s, d))),
-    // first-touch session attribution: purchases credited to the event
-    // type that opened the session; micro-unit value, two-level agg
-    "q195_attribution" -> ((s, d) => Events.sessionAttribution(Tables.events(s, d))),
-    // exact positional phrase search over the postings frame: anchor +
-    // one semi-join per word, term-selectivity-proportional
-    "q196_phrase_search" -> ((s, d) => TextAnalysis.phraseSearch(Tables.documents(s, d))),
-    // order-free 60-bit XOR dataset fingerprint per source: the corpus
-    // version identity, any merge order, no overflow
-    "q197_dataset_fingerprint" -> ((s, d) =>
-      Governance.datasetFingerprint(Tables.documents(s, d))),
-    // held-out add-one bigram LM eval: train on the md5-even half,
-    // score the odd half; per-lang bits/token + unseen-bigram rate
-    "q198_heldout_perplexity" -> ((s, d) =>
-      TextAnalysis.heldOutPerplexity(Tables.documents(s, d))),
-    // Mann-Kendall tie-adjusted trend z + Theil-Sen median slope over
-    // the daily means: the robust complement to q193's CUSUM
-    "q201_trend_test" -> ((s, d) => Events.trendTest(Tables.events(s, d))),
-    // Benford first-digit audit of the value column: integer-string
-    // digit extraction, shared literal constants, per-digit chi2 terms
-    "q202_benford" -> ((s, d) => Governance.benfordAudit(Tables.events(s, d))),
-    // perceptual-hash media near-dup: per-bit frame majority signature,
-    // 4x15-bit LSH bands (hamming<=3 => a band exact, pigeonhole), the
-    // oracle's all-pairs form proves the blocking's recall
-    "q203_frame_phash" -> ((s, d) =>
-      Multimodal.framePhashNearDup(Tables.documents(s, d))),
-    // level-2 association rules over session baskets: exact pair
-    // supports and lift from the distinct (session, type) frame
-    "q204_basket_lift" -> ((s, d) => Events.basketLift(Tables.events(s, d))),
-    // KS test of user inter-arrival gaps vs the exponential model:
-    // pooled MLE rate, two-phase ranks, per-row 1e-6-quantized terms
-    "q205_interarrival_ks" -> ((s, d) => Events.interArrivalFit(Tables.events(s, d))),
-    // Horvitz-Thompson totals from the q124 bottom-k draw: tau = the
-    // (k+1)-th key, p = 1-exp(-w*tau), micro-quantized HT terms
-    "q206_ht_estimate" -> ((s, d) => Sampling.htEstimate(Tables.documents(s, d))),
-    // reciprocal (mutual) kNN pairs over the q194 cell-restricted
-    // graph: the high-precision agreement filter, edge-proportional
-    "q207_mutual_knn" -> ((s, d) =>
-      Similarity.mutualNeighborPairs(Tables.embeddings(s, d))),
-    // DBSCAN core/border/noise profile at eps=0.2 cosine within the
-    // trained cells: the density go/no-go beside q70's centroids
-    "q208_dbscan_profile" -> ((s, d) =>
-      Similarity.dbscanProfile(Tables.embeddings(s, d))),
-    // simplified (centroid) silhouette per cluster: micro-quantized
-    // guarded s, best-other from a k-row broadcast argmax
-    "q209_silhouette" -> ((s, d) =>
-      Similarity.silhouetteProfile(Tables.embeddings(s, d))),
-    // ARI between two deterministic Lloyd seedings: exact pair-count
-    // combinatorics over the k x k contingency table
-    "q210_cluster_stability" -> ((s, d) =>
-      Similarity.clusterStability(Tables.embeddings(s, d))),
-  )
+  private val families: Seq[QueryFamily] = Seq(
+    DedupQueries, SimilarityQueries, TextQueries, CurationQueries,
+    EventsQueries, SamplingQueries, ScaleQueries, GovernanceQueries,
+    MultimodalQueries, ExtendedQueries)
 
-  // ---- shared SQL fragments -------------------------------------------
-
-  /** Padded lowercase text for marker-word counting. */
-  private val Padded = "(' ' || lower(text) || ' ')"
-
-  /** occurrences of literal m inside padded text — exact integer count. */
-  private def occ(m: String): String =
-    s"CAST((length($Padded) - length(replace($Padded, ' $m ', ''))) / ${m.length + 2} AS INT)"
-
-  private def score(ms: Seq[String]): String = ms.map(occ).mkString("(", " + ", ")")
-
-  private val SEn = score(Seq("the", "of", "and"))
-  private val SDe = score(Seq("der", "und", "die"))
-  private val SFr = score(Seq("le", "et", "la"))
-  private val SEs = score(Seq("el", "y", "los"))
-
-  private val Stopwords = score(Seq("the", "a", "of"))
-
-  /** The q21 quality formula (shared by the q71 filter oracle). */
-  private lazy val QualityExprSql =
-    s"""round(0.5 * least(len(string_split(text, ' ')) / 60.0, 1.0)
-       |     + 0.5 * least($Stopwords * 10.0 / len(string_split(text, ' ')), 1.0)
-       |     - length(regexp_replace(text, '[a-z ]', '', 'g')) * 1.0 / length(text), 4)""".stripMargin
-
-  /** DuckDB replica of `Scale.md5SlicePos`: position j of a key in an
-    * m-cell table from hex digits 4j+1..4j+4 of `hExpr` (an md5 hex
-    * string), via strpos arithmetic.
-    */
-  private def posSql(hExpr: String, j: Int, m: Int): String = {
-    def hv(idx: Int) = s"(strpos('0123456789abcdef', substr($hExpr, $idx, 1)) - 1)"
-    s"((((${hv(4 * j + 1)} * 16 + ${hv(4 * j + 2)}) * 16 + ${hv(4 * j + 3)}) * 16 + ${hv(4 * j + 4)}) % $m)"
+  lazy val queries: Map[String, (SparkSession, String) => DataFrame] = {
+    val m = families.map(_.queries).reduce(_ ++ _)
+    require(m.size == families.map(_.queries.size).sum,
+      "duplicate query keys across family files")
+    m
   }
 
-  /** CASE dispatch of `posSql` over a j column (for cross-joined hash-row
-    * indexes).
-    */
-  private def posCaseSql(hExpr: String, jCol: String, d: Int, m: Int): String =
-    (0 until d - 1).map(j => s"WHEN $j THEN ${posSql(hExpr, j, m)}")
-      .mkString(s"CASE $jCol ", " ", s" ELSE ${posSql(hExpr, d - 1, m)} END")
-
-  /** Unrolled trainer for the q143/q144 logistic-regression oracle —
-    * `Curation.trainQualityWeights` replayed round-for-round: integer
-    * micro-unit weights, exact integer margin and gradient sums, sigmoid
-    * quantized to micro-units (the one transcendental), floor() weight
-    * steps (never a .5-boundary round), lr = 2^-10 (a power of two, so
-    * the scaling multiply is IEEE-exact; small enough that raw-count
-    * features don't drive the logit into saturation — at lr = 0.5 the
-    * 4-round model diverged to an all-positive classifier on the
-    * registered corpus). WITH-chain ends in `w4(b, wm)`; the
-    * per-round CTEs are MATERIALIZED — DuckDB's default CTE inlining
-    * re-expands an iterative chain exponentially.
-    */
-  /** The q143 training chain as a bare CTE list (no WITH keyword), so
-    * composite oracles (q147) can splice it into a larger WITH block.
-    */
-  private lazy val ClassifierTrainCteBody: String = {
-    val b = posSql("h", 0, 64)
-    def rnd(i: Int) =
-      s"""z$i AS (
-         |  SELECT doc_id, CAST(sum(c * wm) AS BIGINT) AS zm
-         |  FROM fx JOIN w${i - 1} USING (b) GROUP BY doc_id
-         |),
-         |p$i AS (
-         |  SELECT doc_id,
-         |    CAST(round(1e6 / (1.0 + exp(-(zm / 1e6)))) AS BIGINT) AS pm
-         |  FROM z$i
-         |),
-         |g$i AS (
-         |  SELECT b, CAST(sum((pm - y * 1000000) * c) AS BIGINT) AS gm
-         |  FROM fx JOIN p$i USING (doc_id) JOIN yd USING (doc_id) GROUP BY b
-         |),
-         |w$i AS MATERIALIZED (
-         |  SELECT b, wm - CAST(floor(0.0009765625 * gm / nd) AS BIGINT) AS wm
-         |  FROM w${i - 1} JOIN g$i USING (b) CROSS JOIN n
-         |)""".stripMargin
-    s"""yd AS (
-       |  SELECT doc_id, CASE WHEN lang = 'en' THEN CAST(1 AS BIGINT)
-       |    ELSE CAST(0 AS BIGINT) END AS y FROM documents
-       |),
-       |n AS (SELECT count(*) AS nd FROM documents),
-       |fx AS MATERIALIZED (
-       |  SELECT doc_id, b, count(*) AS c FROM (
-       |    SELECT doc_id, $b AS b FROM (
-       |      SELECT doc_id, md5(tok) AS h FROM (
-       |        SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
-       |      )
-       |    )
-       |  ) GROUP BY doc_id, b
-       |  UNION ALL
-       |  SELECT doc_id, CAST(-1 AS BIGINT), CAST(1 AS BIGINT) FROM documents
-       |),
-       |w0 AS (SELECT DISTINCT b, CAST(0 AS BIGINT) AS wm FROM fx),
-       |${(1 to 4).map(rnd).mkString(",\n")}""".stripMargin
+  lazy val oracleSql: Map[String, String] = {
+    val m = families.map(_.oracleSql).reduce(_ ++ _)
+    require(m.size == families.map(_.oracleSql.size).sum,
+      "duplicate oracle keys across family files")
+    require(m.keySet == queries.keySet,
+      "queries/oracleSql key sets diverge across family files")
+    m
   }
-
-  private lazy val ClassifierTrainCtes: String = "WITH " + ClassifierTrainCteBody
-
-  /** Deterministic 2-round Lloyd k-means oracle: md5-coreset init, argmin
-    * assignment on (rounded -cos, cid), per-dimension rounded-mean centroid
-    * updates (zipped unnest of positions and values), empty clusters keep
-    * the previous centroid — replicating Similarity.kmeansClusters exactly.
-    */
-  /** WITH-chain ending in `af(vec_id, v, cid, cos)` — the trained 2-round
-    * Lloyd assignment, shared by the q70 and q100 oracles.
-    */
-  private lazy val KmeansAssignCtes: String = {
-    def assign(cents: String) =
-      s"""SELECT vec_id, v, cid, cos FROM (
-         |  SELECT e.vec_id, e.v, c.cid, round(${cosSql("e.v", "c.cv")}, 6) AS cos,
-         |    row_number() OVER (PARTITION BY e.vec_id
-         |      ORDER BY round(-(${cosSql("e.v", "c.cv")}), 6), c.cid) AS rn
-         |  FROM e CROSS JOIN $cents c
-         |) WHERE rn = 1""".stripMargin
-    def update(a: String, prevCents: String) =
-      s"""SELECT c0.cid, coalesce(u.cv, c0.cv) AS cv FROM $prevCents c0 LEFT JOIN (
-         |  SELECT cid, list(m ORDER BY i) AS cv FROM (
-         |    SELECT cid, i, round(avg(x), 6) AS m FROM (
-         |      SELECT cid, unnest(generate_series(1, len(v))) AS i, unnest(v) AS x FROM $a
-         |    ) GROUP BY cid, i
-         |  ) GROUP BY cid
-         |) u USING (cid)""".stripMargin
-    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-       |cent0 AS (
-       |  SELECT vec_id AS cid, v AS cv FROM e
-       |  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16
-       |),
-       |a1 AS (${assign("cent0")}),
-       |cent1 AS (${update("a1", "cent0")}),
-       |a2 AS (${assign("cent1")}),
-       |cent2 AS (${update("a2", "cent1")}),
-       |af AS (${assign("cent2")})""".stripMargin
-  }
-
-  private lazy val KmeansSql: String =
-    s"""$KmeansAssignCtes
-       |SELECT cid, count(*) AS n_members, round(avg(cos), 6) AS cohesion
-       |FROM af GROUP BY cid ORDER BY cid""".stripMargin
-
-  /** SemDeDup oracle: q70's trained assignment, then within-cluster
-    * higher-priority near-duplicate existence at tau = 0.45.
-    */
-  private lazy val SemDedupSql: String =
-    s"""$KmeansAssignCtes,
-       |dropped AS (
-       |  SELECT DISTINCT y.cid, y.vec_id FROM af x JOIN af y
-       |    ON x.cid = y.cid AND x.vec_id < y.vec_id
-       |  WHERE round(${cosSql("x.v", "y.v")}, 6) >= 0.45
-       |),
-       |rep AS (SELECT cid, count(*) AS n_dropped FROM dropped GROUP BY cid)
-       |SELECT af.cid, count(*) AS n_members,
-       | CAST(coalesce(any_value(rep.n_dropped), 0) AS BIGINT) AS n_dropped,
-       | round(CAST(coalesce(any_value(rep.n_dropped), 0) AS BIGINT) * 1.0 / count(*), 6)
-       |   AS drop_fraction
-       |FROM af LEFT JOIN rep ON af.cid = rep.cid
-       |GROUP BY af.cid ORDER BY af.cid""".stripMargin
-
-  /** PQ + ADC oracle: `Similarity.pqAnnRecall` with the per-subspace L2
-    * Lloyd trainings UNROLLED (the KmeansSql technique, ×8 subspaces) —
-    * md5-coreset seeds sliced per subspace, two assign/update rounds on
-    * `round(l2², 6)` with cid tie-break, then the ADC score recomposed
-    * by joining each vector's final code to its codeword and summing the
-    * per-subspace query dots (rounded at 6 per term and on the sum,
-    * matching the Spark side's precomputed-table join), the top-`shortlist`
-    * ADC candidates re-ranked on exact rounded cosine, cut to top-k.
-    */
-  private lazy val PqSql: String = pqRecallSql(ivf = None)
-
-  /** IVF-PQ oracle: the q55 coarse CTEs (md5-coreset centroids, rounded
-    * argmin cells, nProbe probe list) restrict the ADC scan to probed
-    * cells; everything else is `PqSql` verbatim (shared generator).
-    */
-  private lazy val IvfPqSql: String = pqRecallSql(ivf = Some((16, 4)))
-
-  /** Shared CTE body for the q152/q153 spectral family — the exact
-    * integer replica of `Similarity.fitAbttModel` + `abttProjections`:
-    * micro-quantized embeddings, centered scatter matrix at the rounded
-    * mean, `AbttIters` unrolled power-iteration rounds (micro-scaled
-    * matrix, infinity-norm renormalization — every intermediate an exact
-    * BIGINT), the sign fix on the largest-|loading| dimension, and the
-    * per-document projections tm = round(<c,v>/1e6) with exact centered
-    * energy cd2.
-    */
-  private val AbttIters = 8
-  private lazy val AbttCteBody: String = {
-    val iterCtes = (1 to AbttIters).map { t =>
-      s"""pw$t AS (SELECT gn.i AS i, CAST(sum(gn.gnv * v.vm) AS BIGINT) AS wv
-         |  FROM gn JOIN pv${t - 1} v ON gn.j = v.i GROUP BY gn.i),
-         |pm$t AS (SELECT greatest(max(abs(wv)), 1) AS mv FROM pw$t),
-         |pv$t AS MATERIALIZED (SELECT i, CAST(round(CAST(wv AS DOUBLE) * 1000000.0 / mv, 0) AS BIGINT) AS vm
-         |  FROM pw$t, pm$t)""".stripMargin
-    }.mkString(",\n")
-    s"""exm AS MATERIALIZED (
-       |  SELECT vec_id, i,
-       |    CAST(round(CAST(embedding[i + 1] AS DOUBLE) * 1000000.0, 0) AS BIGINT) AS x
-       |  FROM embeddings, LATERAL (SELECT unnest(range(0, 64)) AS i)
-       |),
-       |enn AS (SELECT count(*) AS n FROM embeddings),
-       |esv AS (SELECT i, CAST(sum(x) AS BIGINT) AS s FROM exm GROUP BY i),
-       |emu AS (SELECT i, CAST(round(CAST(s AS DOUBLE) / n, 0) AS BIGINT) AS m
-       |  FROM esv, enn),
-       |ecx AS MATERIALIZED (SELECT x.vec_id, x.i, x.x - emu.m AS c
-       |  FROM exm x JOIN emu USING (i)),
-       |eg AS MATERIALIZED (
-       |  SELECT a.i AS i, b.i AS j, CAST(sum(a.c * b.c) AS BIGINT) AS gv
-       |  FROM ecx a JOIN ecx b ON a.vec_id = b.vec_id GROUP BY a.i, b.i),
-       |egm AS (SELECT greatest(max(abs(gv)), 1) AS gm FROM eg),
-       |gn AS MATERIALIZED (
-       |  SELECT i, j, CAST(round(CAST(gv AS DOUBLE) * 1000000.0 / gm, 0) AS BIGINT) AS gnv
-       |  FROM eg, egm),
-       |pv0 AS (SELECT unnest(range(0, 64)) AS i,
-       |  CAST(round(1000000.0 / sqrt(CAST(64 AS DOUBLE)), 0) AS BIGINT) AS vm),
-       |$iterCtes,
-       |esgn AS (SELECT CASE WHEN vm < 0 THEN -1 ELSE 1 END AS sgn
-       |  FROM pv$AbttIters ORDER BY abs(vm) DESC, i LIMIT 1),
-       |evs AS MATERIALIZED (SELECT i, sgn * vm AS vm FROM pv$AbttIters, esgn),
-       |evn2 AS (SELECT CAST(sum(vm * vm) AS BIGINT) AS nv FROM evs),
-       |etr AS (SELECT CAST(sum(gv) AS BIGINT) AS trace FROM eg WHERE i = j),
-       |etm AS MATERIALIZED (
-       |  SELECT ecx.vec_id,
-       |    CAST(round(CAST(CAST(sum(ecx.c * v.vm) AS BIGINT) AS DOUBLE) / 1000000.0, 0) AS BIGINT) AS tm,
-       |    CAST(sum(ecx.c * ecx.c) AS BIGINT) AS cd2
-       |  FROM ecx JOIN evs v USING (i) GROUP BY ecx.vec_id)""".stripMargin
-  }
-
-  private def pqRecallSql(ivf: Option[(Int, Int)]): String = {
-    val (m, codes, subDim, nQ, k, shortlist) = (8, 16, 8, 5, 3, 50)
-    def sl(col: String, s: Int) = s"$col[${s * subDim + 1}:${(s + 1) * subDim}]"
-    def l2Sql(a: String, b: String) =
-      s"list_sum(list_transform(list_zip($a, $b), p -> (p[1] - p[2]) * (p[1] - p[2])))"
-    def dotSql(a: String, b: String) =
-      s"list_sum(list_transform(list_zip($a, $b), p -> p[1] * p[2]))"
-    def assign(s: Int, cents: String) =
-      s"""SELECT vec_id, sv, cid FROM (
-         |  SELECT x.vec_id, x.sv, c.cid,
-         |    row_number() OVER (PARTITION BY x.vec_id
-         |      ORDER BY round(${l2Sql("x.sv", "c.cv")}, 6), c.cid) AS rn
-         |  FROM es$s x CROSS JOIN $cents c
-         |) WHERE rn = 1""".stripMargin
-    def update(a: String, prev: String) =
-      s"""SELECT c0.cid, coalesce(u.cv, c0.cv) AS cv FROM $prev c0 LEFT JOIN (
-         |  SELECT cid, list(mn ORDER BY i) AS cv FROM (
-         |    SELECT cid, i, round(avg(x), 6) AS mn FROM (
-         |      SELECT cid, unnest(generate_series(1, len(sv))) AS i, unnest(sv) AS x FROM $a
-         |    ) GROUP BY cid, i
-         |  ) GROUP BY cid
-         |) u USING (cid)""".stripMargin
-    val spaces = (0 until m).map { s =>
-      s"""es$s AS MATERIALIZED (SELECT vec_id, ${sl("v", s)} AS sv FROM e),
-         |pb0_$s AS (SELECT vec_id AS cid, ${sl("v", s)} AS cv FROM pqseed),
-         |pa1_$s AS (${assign(s, s"pb0_$s")}),
-         |pb1_$s AS MATERIALIZED (${update(s"pa1_$s", s"pb0_$s")}),
-         |pa2_$s AS (${assign(s, s"pb1_$s")}),
-         |pb2_$s AS MATERIALIZED (${update(s"pa2_$s", s"pb1_$s")}),
-         |paf_$s AS MATERIALIZED (SELECT vec_id, cid FROM (${assign(s, s"pb2_$s")}))""".stripMargin
-    }.mkString(",\n")
-    val codeJoins = (0 until m).map(s =>
-      s"""JOIN paf_$s a$s ON a$s.vec_id = x.vec_id
-         |  JOIN pb2_$s w$s ON w$s.cid = a$s.cid""".stripMargin).mkString("\n  ")
-    val adcTerms = (0 until m)
-      .map(s => s"round(${dotSql(sl("pq.v", s), s"w$s.cv")}, 6)").mkString(" + ")
-    // IVF coarse stage (q55's CTEs): probed-cell (query, candidate) pairs
-    val ivfCtes = ivf.map { case (nCentroids, nProbe) =>
-      s"""cent AS (
-         |  SELECT vec_id AS cid, v AS cv FROM e
-         |  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT $nCentroids
-         |),
-         |ivfa AS (
-         |  SELECT vec_id, cid FROM (
-         |    SELECT e.vec_id, c.cid,
-         |      row_number() OVER (PARTITION BY e.vec_id
-         |        ORDER BY round(-(${cosSql("e.v", "c.cv")}), 6), c.cid) AS rn
-         |    FROM e CROSS JOIN cent c
-         |  ) WHERE rn = 1
-         |),
-         |ivfp AS (
-         |  SELECT query_id, cid FROM (
-         |    SELECT q.vec_id AS query_id, c.cid,
-         |      row_number() OVER (PARTITION BY q.vec_id
-         |        ORDER BY round(-(${cosSql("q.v", "c.cv")}), 6), c.cid) AS rn
-         |    FROM e q CROSS JOIN cent c WHERE q.vec_id < $nQ
-         |  ) WHERE rn <= $nProbe
-         |),
-         |cand AS (
-         |  SELECT p.query_id, a.vec_id FROM ivfp p
-         |  JOIN ivfa a ON a.cid = p.cid AND a.vec_id <> p.query_id
-         |),
-         |""".stripMargin
-    }.getOrElse("")
-    val scanFrom = if (ivf.isDefined)
-      s"""FROM e x
-         |  $codeJoins
-         |  JOIN cand c ON c.vec_id = x.vec_id
-         |  JOIN pq ON pq.query_id = c.query_id""".stripMargin
-    else
-      s"""FROM e x
-         |  $codeJoins
-         |  CROSS JOIN pq WHERE x.vec_id <> pq.query_id""".stripMargin
-    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-       |pqseed AS (
-       |  SELECT vec_id, v FROM e
-       |  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT $codes
-       |),
-       |$ivfCtes$spaces,
-       |pq AS (SELECT vec_id AS query_id, v FROM e WHERE vec_id < $nQ),
-       |pqscored AS (
-       |  SELECT pq.query_id, x.vec_id AS neighbor_id,
-       |    round($adcTerms, 6) AS adc
-       |  $scanFrom
-       |),
-       |pqshort AS (
-       |  SELECT query_id, neighbor_id FROM (
-       |    SELECT query_id, neighbor_id,
-       |      row_number() OVER (PARTITION BY query_id
-       |        ORDER BY adc DESC, neighbor_id) AS rnk
-       |    FROM pqscored
-       |  ) WHERE rnk <= $shortlist
-       |),
-       |pqapprox AS (
-       |  SELECT query_id, neighbor_id FROM (
-       |    SELECT sh.query_id, sh.neighbor_id,
-       |      row_number() OVER (PARTITION BY sh.query_id
-       |        ORDER BY round(${cosSql("pq.v", "x.v")}, 6) DESC, sh.neighbor_id) AS rnk
-       |    FROM pqshort sh
-       |    JOIN e x ON x.vec_id = sh.neighbor_id
-       |    JOIN pq ON pq.query_id = sh.query_id
-       |  ) WHERE rnk <= $k
-       |),
-       |pqtruth AS (
-       |  SELECT query_id, neighbor_id FROM (
-       |    SELECT pq.query_id, e.vec_id AS neighbor_id,
-       |      row_number() OVER (PARTITION BY pq.query_id
-       |        ORDER BY round(${cosSql("pq.v", "e.v")}, 6) DESC, e.vec_id) AS rnk
-       |    FROM e, pq WHERE e.vec_id <> pq.query_id
-       |  ) WHERE rnk <= $k
-       |)
-       |SELECT t.query_id, count(a.neighbor_id) AS n_hit,
-       | round(count(a.neighbor_id) / $k.0, 6) AS recall
-       |FROM pqtruth t
-       |LEFT JOIN pqapprox a
-       |  ON t.query_id = a.query_id AND t.neighbor_id = a.neighbor_id
-       |GROUP BY t.query_id ORDER BY t.query_id""".stripMargin
-  }
-
-  /** BPE merge-training oracle: `TextAnalysis.bpeMerges` with the rounds
-    * UNROLLED (the KmeansSql technique) — each round counts adjacent
-    * symbol pairs weighted by word frequency on the vocab table, argmaxes
-    * (count desc, pair), and rewrites via the same padded left-to-right
-    * `replace`.
-    */
-  private val BpeRounds = 5
-
-  /** The BATCHED BPE merge-training CTE chain — shared by the q104
-    * training oracle and the q105 encoding oracle so both derive the
-    * merge table identically. Per round r: pair counts (p_r), the
-    * independent set (a_r: pairs dominated by NO higher-(c, p)-ranked
-    * pair sharing a symbol), the accepted batch capped at the merges
-    * still needed (t_r), the running merge table (done_r), and the
-    * vocabulary rewrite (s_r — one guarded single-pass padded replace
-    * per in-round rank, chained through sub-CTEs so expression size
-    * stays linear). Unrolled PESSIMISTICALLY at `BpeRounds` = nMerges
-    * rounds (the worst case of one merge per round); exhausted rounds
-    * produce empty t_r and identity rewrites, exactly like the Spark
-    * loop's termination.
-    */
-  private lazy val BpeCtes: String = {
-    def pairsOf(s: String) =
-      s"""SELECT p, CAST(sum(freq) AS BIGINT) AS c FROM (
-         |  SELECT freq, unnest([ss[i] || ' ' || ss[i+1] for i in range(1, len(ss))]) AS p
-         |  FROM (SELECT freq, string_split(seq, ' ') AS ss FROM $s)
-         |) GROUP BY p""".stripMargin
-    val rounds = (1 to BpeRounds).map { r =>
-      val steps = (1 to BpeRounds).map { j =>
-        val m = s"(SELECT p FROM t$r WHERE rr = $j)"
-        s"""s${r}_$j AS (SELECT freq, CASE WHEN $m IS NULL THEN seq
-           |  ELSE trim(replace(' ' || seq || ' ',
-           |    ' ' || $m || ' ', ' ' || replace($m, ' ', '') || ' ')) END AS seq
-           |  FROM s${r}_${j - 1})""".stripMargin
-      }.mkString(",\n")
-      s"""p$r AS MATERIALIZED (${pairsOf(s"s${r - 1}")}),
-         |sy$r AS (SELECT p, c, unnest(list_distinct(string_split(p, ' '))) AS s FROM p$r),
-         |rej$r AS (
-         |  SELECT DISTINCT x.p AS p FROM sy$r x JOIN sy$r y ON x.s = y.s
-         |    AND (y.c > x.c OR (y.c = x.c AND y.p < x.p))
-         |),
-         |a$r AS (
-         |  SELECT p, c, row_number() OVER (ORDER BY c DESC, p) AS rr
-         |  FROM p$r WHERE p NOT IN (SELECT p FROM rej$r)
-         |),
-         |t$r AS MATERIALIZED (SELECT p, c, rr FROM a$r
-         |  WHERE rr <= $BpeRounds - (SELECT count(*) FROM done${r - 1})),
-         |done$r AS MATERIALIZED (SELECT * FROM done${r - 1} UNION ALL
-         |  SELECT p, c, (SELECT count(*) FROM done${r - 1}) + rr AS rank FROM t$r),
-         |s${r}_0 AS (SELECT freq, seq FROM s${r - 1}),
-         |$steps,
-         |s$r AS MATERIALIZED (SELECT freq, seq FROM s${r}_$BpeRounds)""".stripMargin
-    }.mkString(",\n")
-    s"""w AS (
-       |  SELECT w, count(*) AS freq FROM (
-       |    SELECT unnest(string_split(text, ' ')) AS w FROM documents
-       |  ) WHERE length(w) > 0 GROUP BY w
-       |),
-       |s0 AS MATERIALIZED (SELECT freq, regexp_replace(w, '(.)', '\\1 ', 'g') || '</w>' AS seq FROM w),
-       |done0 AS (SELECT CAST(NULL AS VARCHAR) AS p, CAST(NULL AS BIGINT) AS c,
-       |  CAST(NULL AS BIGINT) AS rank WHERE false),
-       |$rounds""".stripMargin
-  }
-
-  private lazy val BpeSql: String =
-    s"""WITH $BpeCtes
-       |SELECT CAST(rank AS INT) AS rank, p AS pair, replace(p, ' ', '') AS merged,
-       |  c AS freq
-       |FROM done$BpeRounds ORDER BY rank""".stripMargin
-
-  /** q105: per-(lang, word) vocab encoded by the accepted merges in
-    * global rank order — the same guarded single-pass padded-replace
-    * chain the training CTEs apply (within a round the accepted pairs
-    * are symbol-disjoint, so rank-order application == the round's batch
-    * rewrite), so encoding == what training would produce.
-    */
-  private lazy val BpeFertilitySql: String = {
-    val enc = (1 to BpeRounds).map { r =>
-      val steps = (1 to BpeRounds).map { j =>
-        val m = s"(SELECT p FROM t$r WHERE rr = $j)"
-        s"""e${r}_$j AS (SELECT lang, freq, chars, CASE WHEN $m IS NULL THEN seq
-           |  ELSE trim(replace(' ' || seq || ' ',
-           |    ' ' || $m || ' ', ' ' || replace($m, ' ', '') || ' ')) END AS seq
-           |  FROM e${r}_${j - 1})""".stripMargin
-      }.mkString(",\n")
-      s"""e${r}_0 AS (SELECT lang, freq, chars, seq FROM e${r - 1}),
-         |$steps,
-         |e$r AS MATERIALIZED (SELECT lang, freq, chars, seq FROM e${r}_$BpeRounds)""".stripMargin
-    }.mkString(",\n")
-    s"""WITH $BpeCtes,
-       |v AS (
-       |  SELECT lang, w, count(*) AS freq FROM (
-       |    SELECT lang, unnest(string_split(text, ' ')) AS w FROM documents
-       |  ) WHERE length(w) > 0 GROUP BY lang, w
-       |),
-       |e0 AS MATERIALIZED (SELECT lang, freq, length(w) AS chars,
-       |  regexp_replace(w, '(.)', '\\1 ', 'g') || '</w>' AS seq FROM v),
-       |$enc,
-       |f AS (SELECT lang, freq, chars, len(string_split(seq, ' ')) AS toks FROM e$BpeRounds)
-       |SELECT lang, CAST(sum(freq) AS BIGINT) AS n_words,
-       | CAST(sum(freq * toks) AS BIGINT) AS n_tokens,
-       | round(sum(freq * toks) * 1.0 / sum(freq), 4) AS tokens_per_word,
-       | round(sum(freq * chars) * 1.0 / sum(freq * toks), 4) AS chars_per_token
-       |FROM f GROUP BY lang ORDER BY lang""".stripMargin
-  }
-
-  /** Distinct char-5-gram rows per doc (DuckDB list comprehension). */
-  private val GramsCte =
-    """grams AS (
-      |  SELECT doc_id,
-      |    unnest(list_distinct([substr(text, i, 5) for i in range(1, greatest(length(text)-4, 1)+1)])) AS g
-      |  FROM documents
-      |)""".stripMargin
-
-  /** Exact all-pairs 5-gram Jaccard >= 0.6 — oracle for BOTH the exact query
-    * (q26) and the LSH query (q27): at the fixtures' similarity gap the LSH
-    * candidate set provably contains every qualifying pair.
-    */
-  private val JaccardSql =
-    s"""WITH $GramsCte,
-       |sizes AS (SELECT doc_id, count(*) AS sz FROM grams GROUP BY doc_id),
-       |inter AS (
-       |  SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS i
-       |  FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id
-       |  GROUP BY 1, 2
-       |)
-       |SELECT id1, id2, round(i * 1.0 / (s1.sz + s2.sz - i), 6) AS jaccard
-       |FROM inter
-       |JOIN sizes s1 ON id1 = s1.doc_id
-       |JOIN sizes s2 ON id2 = s2.doc_id
-       |WHERE round(i * 1.0 / (s1.sz + s2.sz - i), 6) >= 0.6
-       |ORDER BY id1, id2""".stripMargin
-
-  /** SimHash signature SQL: 32 bit-sums over 5-gram shingles (with
-    * multiplicity), bit i = parity of md5 hex char i+1 — generated, matching
-    * Dedup.simhashSignatures exactly.
-    */
-  private val SimhashSql: String = {
-    val bitSums = (0 until 32).map { i =>
-      s"CASE WHEN sum(ascii(substr(md5(g), ${i + 1}, 1)) % 2 * 2 - 1) > 0 THEN ${1L << i} ELSE 0 END AS b$i"
-    }.mkString(",\n    ")
-    val bitAdd = (0 until 32).map(i => s"b$i").mkString(" + ")
-    s"""WITH gramsm AS (
-       |  SELECT doc_id,
-       |    unnest([substr(text, i, 5) for i in range(1, greatest(length(text)-4, 1)+1)]) AS g
-       |  FROM documents
-       |),
-       |sh AS (
-       |  SELECT doc_id,
-       |    $bitSums
-       |  FROM gramsm GROUP BY doc_id
-       |),
-       |sig AS (SELECT doc_id, CAST($bitAdd AS BIGINT) AS sig FROM sh)
-       |SELECT a.doc_id AS id1, b.doc_id AS id2,
-       |  CAST(bit_count(xor(a.sig, b.sig)) AS INT) AS hamming
-       |FROM sig a JOIN sig b ON a.doc_id < b.doc_id
-       |WHERE bit_count(xor(a.sig, b.sig)) <= 1
-       |ORDER BY id1, id2""".stripMargin
-  }
-
-  /** Cosine between DOUBLE[] lists — sequential formula matching
-    * Similarity.cosine's zip_with/aggregate fold to within 1 ulp
-    * (absorbed by round 6).
-    */
-  private def cosSql(a: String, b: String): String =
-    s"""(list_sum(list_transform(list_zip($a, $b), p -> p[1] * p[2])) /
-       | (sqrt(list_sum(list_transform($a, x -> x * x))) * sqrt(list_sum(list_transform($b, x -> x * x)))))""".stripMargin
-
-  /** Hyperplane projection for plane p — the shared multiplicative-mix
-    * coef stream (matches Similarity.coef: decorrelated planes; see its
-    * scaladoc for the measured additive-family failure).
-    */
-  private def planeProjSql(plane: Int): String =
-    s"""list_sum(list_transform(generate_series(1, len(v)),
-       |   i -> v[i] * ((((i + 17) * ${(plane + 1).toLong * 104729L} + ${plane.toLong * 7919L}) % 2001 - 1000) / 1000.0)))""".stripMargin
-
-  /** LSH hyperplane bucket — matches Similarity.lshBucket's coef formula. */
-  private val BucketSql: String =
-    (0 until Similarity.NumPlanes).map { j =>
-      s"CASE WHEN round(${planeProjSql(j)}, 6) > 0 THEN ${1L << j} ELSE 0 END"
-    }.mkString("(", " + ", ")")
-
-  /** Near-dup table-`t` bucket — matches Similarity.neardupBucket: bit b of
-    * table t comes from shared-stream plane t*NeardupBits+b.
-    */
-  private def neardupBucketSql(t: Int): String =
-    (0 until Similarity.NeardupBits).map { b =>
-      val plane = t * Similarity.NeardupBits + b
-      s"CASE WHEN round(${planeProjSql(plane)}, 6) > 0 THEN ${1L << b} ELSE 0 END"
-    }.mkString("(", " + ", ")")
-
-  private val CosineTopkSql: String =
-    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-       |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 5),
-       |scored AS (
-       |  SELECT query_id, e.vec_id AS neighbor_id, round(${cosSql("qv", "v")}, 6) AS cos
-       |  FROM e, q WHERE e.vec_id <> q.query_id
-       |),
-       |ranked AS (
-       |  SELECT query_id, neighbor_id, cos,
-       |    CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS INT) AS rnk
-       |  FROM scored
-       |)
-       |SELECT query_id, neighbor_id, cos, rnk FROM ranked WHERE rnk <= 5
-       |ORDER BY query_id, rnk""".stripMargin
-
-  /** Shared sessionization CTEs (lag -> gap flag -> running session_seq),
-    * used by both the per-user rollup oracle (q33) and the per-session
-    * oracle (q52). Gap = 30 min in exact nanoseconds. (q52's
-    * `//` second-floor assumes non-negative epochs — DuckDB `//`
-    * truncates toward zero while unix_timestamp floors, divergent only
-    * pre-1970; fixture contract is modern timestamps.)
-    */
-  private val SessionCtes =
-    """g AS (
-      |  SELECT user_id, event_id, ts, value,
-      |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
-      |  FROM events
-      |),
-      |flagged AS (
-      |  SELECT user_id, event_id, ts, value,
-      |    CASE WHEN prev_ts IS NULL OR epoch_ns(ts) - epoch_ns(prev_ts) > 1800000000000
-      |      THEN 1 ELSE 0 END AS new_session
-      |  FROM g
-      |),
-      |numbered AS (
-      |  SELECT user_id, ts, value,
-      |    sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
-      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
-      |  FROM flagged
-      |)""".stripMargin
-
-  /** Word n-gram list from the whitespace-token list `ws` (DuckDB list
-    * comprehension) — matches Curation.wordGrams: empty when the doc has
-    * fewer than n words (range(1, 1) is empty).
-    */
-  private def wordGramsSql(n: Int): String = {
-    val joined = (0 until n).map(k => s"ws[i + $k]").mkString(" || ' ' || ")
-    s"[$joined for i in range(1, greatest(len(ws) - ${n - 1}, 0) + 1)]"
-  }
-
-  // ---- oracles ---------------------------------------------------------
-
-  def oracleSql: Map[String, String] = Map(
-    // the envelope booleans are stated literally: the oracle asserts the
-    // exact stats by value and the estimates by CONTRACT (inside their
-    // documented error envelopes) — a Spark sketch regression flips a
-    // boolean and fails the hash compare
-    "q38_sketch_envelope" ->
-      """SELECT l_returnflag, count(*) AS n_rows,
-        |  count(DISTINCT l_partkey) AS exact_parts,
-        |  true AS hll_within_10pct, true AS p50_in_envelope
-        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
-    "q60_decontaminate" ->
-      s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
-         |bgrams AS (
-         |  SELECT DISTINCT unnest(${wordGramsSql(3)}) AS g
-         |  FROM w WHERE doc_id < 50
-         |),
-         |cg AS (
-         |  SELECT doc_id, list_distinct(${wordGramsSql(3)}) AS gs
-         |  FROM w WHERE doc_id >= 50
-         |),
-         |cgrams AS (SELECT doc_id, CAST(len(gs) AS BIGINT) AS n_grams, unnest(gs) AS g FROM cg),
-         |m AS (
-         |  SELECT doc_id, n_grams, count(*) AS n_contaminated
-         |  FROM cgrams JOIN bgrams USING (g) GROUP BY doc_id, n_grams
-         |)
-         |SELECT doc_id, n_grams, n_contaminated,
-         | round(n_contaminated * 1.0 / n_grams, 6) AS contamination
-         |FROM m WHERE round(n_contaminated * 1.0 / n_grams, 6) >= 0.5
-         |ORDER BY doc_id""".stripMargin,
-    "q61_repetition" ->
-      s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
-         |g2 AS (SELECT doc_id, unnest(${wordGramsSql(2)}) AS g FROM w),
-         |c2 AS (SELECT doc_id, g, count(*) AS c FROM g2 GROUP BY 1, 2),
-         |m2 AS (
-         |  SELECT doc_id,
-         |    round(max(c) * 1.0 / sum(c), 6) AS top_2gram_frac,
-         |    round((sum(c) - count(*)) * 1.0 / sum(c), 6) AS dup_2gram_frac
-         |  FROM c2 GROUP BY doc_id
-         |),
-         |g3 AS (SELECT doc_id, unnest(${wordGramsSql(3)}) AS g FROM w),
-         |c3 AS (SELECT doc_id, g, count(*) AS c FROM g3 GROUP BY 1, 2),
-         |m3 AS (
-         |  SELECT doc_id, round((sum(c) - count(*)) * 1.0 / sum(c), 6) AS dup_3gram_frac
-         |  FROM c3 GROUP BY doc_id
-         |)
-         |SELECT doc_id, top_2gram_frac, dup_2gram_frac, dup_3gram_frac
-         |FROM m2 JOIN m3 USING (doc_id) ORDER BY doc_id""".stripMargin,
-    "q63_ann_recall" ->
-      // truth = exact top-3; approx = the q30 multi-probe LSH bucketing
-      // replica; recall = hits per query over a left join from truth
-      s"""WITH e AS (
-         |  SELECT vec_id, v, $BucketSql AS bucket FROM (
-         |    SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
-         |  )
-         |),
-         |q AS (SELECT vec_id AS query_id, v AS qv, bucket AS qbucket FROM e WHERE vec_id < 5),
-         |truth AS (
-         |  SELECT query_id, neighbor_id FROM (
-         |    SELECT query_id, e.vec_id AS neighbor_id,
-         |      row_number() OVER (PARTITION BY query_id
-         |        ORDER BY round(${cosSql("qv", "v")}, 6) DESC, e.vec_id) AS rnk
-         |    FROM e, q WHERE e.vec_id <> q.query_id
-         |  ) WHERE rnk <= 3
-         |),
-         |approx AS (
-         |  SELECT query_id, neighbor_id FROM (
-         |    SELECT query_id, e.vec_id AS neighbor_id,
-         |      row_number() OVER (PARTITION BY query_id
-         |        ORDER BY round(${cosSql("qv", "v")}, 6) DESC, e.vec_id) AS rnk
-         |    FROM e JOIN q ON bit_count(xor(e.bucket, q.qbucket)) <= 1 AND e.vec_id <> q.query_id
-         |  ) WHERE rnk <= 3
-         |)
-         |SELECT t.query_id, count(a.neighbor_id) AS n_hit,
-         | round(count(a.neighbor_id) / 3.0, 6) AS recall
-         |FROM truth t
-         |LEFT JOIN approx a
-         |  ON t.query_id = a.query_id AND t.neighbor_id = a.neighbor_id
-         |GROUP BY t.query_id ORDER BY t.query_id""".stripMargin,
-    "q65_token_topk" ->
-      """SELECT token, count(*) AS n
-        |FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
-        |GROUP BY token ORDER BY n DESC, token LIMIT 30""".stripMargin,
-    "q66_doc_chunks" ->
-      // chunk starts 0, 32, 64, ...; last chunk may be short; DuckDB list
-      // slicing ws[a:b] is 1-based inclusive and clamps like Spark's slice
-      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
-        |c AS (
-        |  SELECT doc_id, ws,
-        |    unnest(generate_series(0, CASE WHEN len(ws) <= 64 THEN 0
-        |      ELSE CAST(ceil((len(ws) - 64) / 32.0) AS BIGINT) END)) AS chunk_no
-        |  FROM w
-        |)
-        |SELECT doc_id, chunk_no,
-        |  CAST(len(ws[chunk_no*32+1 : chunk_no*32+64]) AS BIGINT) AS n_tokens,
-        |  md5(array_to_string(ws[chunk_no*32+1 : chunk_no*32+64], ' ')) AS chunk_checksum
-        |FROM c ORDER BY doc_id, chunk_no""".stripMargin,
-    "q67_tfidf_topterms" ->
-      // rank by the ROUNDED tf-idf then term — the same total order the
-      // Spark side uses, immune to cross-engine ln() last-ulp drift
-      """WITH tfc AS (
-        |  SELECT doc_id, term, count(*) AS tf FROM (
-        |    SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
-        |  ) GROUP BY 1, 2
-        |),
-        |dfc AS (SELECT term, count(*) AS df FROM tfc GROUP BY 1),
-        |n AS (SELECT count(*) AS n_docs FROM documents),
-        |scored AS (
-        |  SELECT doc_id, term, round(tf * ln(n_docs * 1.0 / df), 4) AS tfidf
-        |  FROM tfc JOIN dfc USING (term) CROSS JOIN n
-        |),
-        |ranked AS (
-        |  SELECT doc_id, term, tfidf,
-        |    CAST(row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term) AS INT) AS rnk
-        |  FROM scored
-        |)
-        |SELECT doc_id, term, tfidf, rnk FROM ranked WHERE rnk <= 3
-        |ORDER BY doc_id, rnk""".stripMargin,
-    "q68_length_histogram" ->
-      """SELECT CAST(floor(n_chars / 50.0) * 50 AS BIGINT) AS bin,
-        | count(*) AS n_docs,
-        | CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_words
-        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
-    "q69_temperature_mixture" ->
-      // alpha = 1/2 smoothing via sqrt (correctly rounded in IEEE 754, so
-      // both engines compute identical pa values; round 6 absorbs the
-      // window-sum association order)
-      """WITH s AS (
-        |  SELECT lang, CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS tokens
-        |  FROM documents GROUP BY lang
-        |),
-        |sh AS (
-        |  SELECT lang, tokens, tokens * 1.0 / (sum(tokens) OVER ()) AS share FROM s
-        |),
-        |p AS (SELECT lang, tokens, share, sqrt(share) AS pa FROM sh)
-        |SELECT lang, tokens, round(share, 6) AS token_share,
-        | round(pa / (sum(pa) OVER ()), 6) AS sample_weight
-        |FROM p ORDER BY lang""".stripMargin,
-    "q64_value_zscore" ->
-      """WITH stats AS (
-        |  SELECT event_type, round(avg(value), 6) AS mu,
-        |    round(stddev_samp(value), 6) AS sd
-        |  FROM events GROUP BY event_type
-        |)
-        |SELECT event_id, event_type, round((value - mu) / sd, 4) AS z
-        |FROM events JOIN stats USING (event_type)
-        |ORDER BY event_id""".stripMargin,
-    "q62_mixture_weights" ->
-      """WITH s AS (
-        |  SELECT lang, source, count(*) AS n_docs,
-        |    CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS tokens
-        |  FROM documents GROUP BY lang, source
-        |)
-        |SELECT lang, source, n_docs, tokens,
-        | round(tokens * 1.0 / (sum(tokens) OVER ()), 6) AS token_share,
-        | round((sum(tokens) OVER ()) * 1.0 / ((count(*) OVER ()) * tokens), 6) AS uniform_weight
-        |FROM s ORDER BY lang, source""".stripMargin,
-    "q20_text_stats" ->
-      s"""SELECT doc_id, lang,
-         | CAST(length(text) AS BIGINT) AS n_chars,
-         | CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
-         | round(length(regexp_replace(text, '[^a-z]', '', 'g')) * 1.0 / len(string_split(text, ' ')), 4) AS avg_word_len,
-         | round(length(regexp_replace(text, '[a-z ]', '', 'g')) * 1.0 / length(text), 4) AS punct_ratio,
-         | round($Stopwords * 1.0 / len(string_split(text, ' ')), 4) AS stopword_ratio
-         |FROM documents ORDER BY doc_id""".stripMargin,
-    "q21_quality_score" ->
-      s"""SELECT doc_id, $QualityExprSql AS quality
-         |FROM documents ORDER BY doc_id""".stripMargin,
-    "q70_kmeans_clusters" -> KmeansSql,
-    "q100_semantic_dedup" -> SemDedupSql,
-    "q72_bloom_prefilter" -> {
-      val ps = (0 until 3).map(j => posSql("h", j, 16384))
-      s"""WITH dimk AS (
-         |  SELECT DISTINCT c_custkey AS key FROM customer WHERE c_mktsegment = 'BUILDING'
-         |),
-         |dh AS (SELECT key, md5(CAST(key AS VARCHAR)) AS h FROM dimk),
-         |dimpos AS (
-         |  SELECT DISTINCT p FROM (SELECT unnest([${ps.mkString(", ")}]) AS p FROM dh)
-         |),
-         |probe AS (SELECT DISTINCT o_custkey AS key FROM orders),
-         |ph AS (SELECT key, md5(CAST(key AS VARCHAR)) AS h FROM probe),
-         |pk AS (
-         |  SELECT key, len(ps) AS np, unnest(ps) AS p FROM (
-         |    SELECT key, list_distinct([${ps.mkString(", ")}]) AS ps FROM ph)
-         |),
-         |hits AS (
-         |  SELECT pk.key, np, count(d.p) AS nh
-         |  FROM pk LEFT JOIN dimpos d USING (p) GROUP BY 1, 2
-         |),
-         |flag AS (
-         |  SELECT (nh = np) AS pass, (dk.key IS NOT NULL) AS member
-         |  FROM hits h LEFT JOIN dimk dk ON h.key = dk.key
-         |)
-         |SELECT count(*) AS n_probe,
-         | CAST(sum(CASE WHEN pass THEN 1 ELSE 0 END) AS BIGINT) AS n_pass,
-         | CAST(sum(CASE WHEN member THEN 1 ELSE 0 END) AS BIGINT) AS n_member,
-         | CAST(sum(CASE WHEN pass AND NOT member THEN 1 ELSE 0 END) AS BIGINT) AS n_false_pos,
-         | CASE WHEN count(*) > sum(CASE WHEN member THEN 1 ELSE 0 END)
-         |   THEN round(sum(CASE WHEN pass AND NOT member THEN 1 ELSE 0 END) * 1.0 /
-         |     (count(*) - sum(CASE WHEN member THEN 1 ELSE 0 END)), 6)
-         |   ELSE 0.0 END AS fp_rate
-         |FROM flag""".stripMargin
-    },
-    "q73_countmin_tokens" -> {
-      val cellCase = posCaseSql("h", "j", 3, 1024)
-      s"""WITH toks AS (SELECT unnest(string_split(text, ' ')) AS token FROM documents),
-         |th AS (SELECT md5(token) AS h FROM toks),
-         |cells AS (
-         |  SELECT j, $cellCase AS cell, count(*) AS c
-         |  FROM th CROSS JOIN (VALUES (0), (1), (2)) t(j)
-         |  GROUP BY 1, 2
-         |),
-         |top AS (
-         |  SELECT token, count(*) AS n FROM toks GROUP BY token
-         |  ORDER BY n DESC, token LIMIT 10
-         |),
-         |probe AS (
-         |  SELECT token, n, j, $cellCase AS cell
-         |  FROM (SELECT token, n, md5(token) AS h FROM top)
-         |  CROSS JOIN (VALUES (0), (1), (2)) t(j)
-         |),
-         |est AS (
-         |  SELECT token, n, min(coalesce(c.c, 0)) AS est_n
-         |  FROM probe p LEFT JOIN cells c USING (j, cell) GROUP BY 1, 2
-         |)
-         |SELECT token, n AS true_n, CAST(est_n AS BIGINT) AS est_n,
-         | CAST(est_n - n AS BIGINT) AS overestimate
-         |FROM est ORDER BY true_n DESC, token""".stripMargin
-    },
-    "q71_quality_filter" ->
-      s"""WITH s AS (SELECT doc_id, lang, $QualityExprSql AS quality FROM documents),
-         |t AS (SELECT lang, quantile_cont(quality, 0.1) AS cut FROM s GROUP BY lang)
-         |SELECT lang, round(cut, 4) AS p10_cut, count(*) AS n_total,
-         | CAST(sum(CASE WHEN quality >= cut THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
-         |FROM s JOIN t USING (lang)
-         |GROUP BY lang, cut ORDER BY lang""".stripMargin,
-    "q22_lang_id" ->
-      s"""SELECT doc_id, lang,
-         | CASE WHEN greatest($SEn, $SDe, $SFr, $SEs) = 0 THEN 'und'
-         |      WHEN $SEn = greatest($SEn, $SDe, $SFr, $SEs) THEN 'en'
-         |      WHEN $SDe = greatest($SEn, $SDe, $SFr, $SEs) THEN 'de'
-         |      WHEN $SFr = greatest($SEn, $SDe, $SFr, $SEs) THEN 'fr'
-         |      ELSE 'es' END AS lang_guess
-         |FROM documents ORDER BY doc_id""".stripMargin,
-    "q23_fingerprints" ->
-      """SELECT doc_id, md5(regexp_replace(trim(lower(text)), ' +', ' ', 'g')) AS fingerprint
-        |FROM documents ORDER BY doc_id""".stripMargin,
-    "q24_token_counts" ->
-      """SELECT doc_id,
-        | CAST(len(string_split(text, ' ')) AS BIGINT) AS ws_tokens,
-        | CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT) AS bpe_tokens
-        |FROM documents ORDER BY doc_id""".stripMargin,
-    "q25_dedup_exact" ->
-      """WITH groups AS (
-        |  SELECT md5(regexp_replace(trim(lower(text)), ' +', ' ', 'g')) AS fp,
-        |    min(doc_id) AS keeper_id, count(*) AS n_copies
-        |  FROM documents GROUP BY 1
-        |)
-        |SELECT count(*) AS n_unique, CAST(sum(n_copies) AS BIGINT) AS n_total,
-        | CAST(sum(CASE WHEN n_copies > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_groups
-        |FROM groups""".stripMargin,
-    "q26_ngram_jaccard"     -> JaccardSql,
-    "q27_dedup_minhash_lsh" -> JaccardSql,
-    "q74_incremental_neardup" ->
-      s"""WITH $GramsCte,
-         |sizes AS (SELECT doc_id, count(*) AS sz FROM grams GROUP BY doc_id),
-         |inter AS (
-         |  SELECT a.doc_id AS new_id, b.doc_id AS old_id, count(*) AS i
-         |  FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < 100 AND b.doc_id >= 100
-         |  GROUP BY 1, 2
-         |)
-         |SELECT new_id, old_id, round(i * 1.0 / (s1.sz + s2.sz - i), 6) AS jaccard
-         |FROM inter
-         |JOIN sizes s1 ON new_id = s1.doc_id
-         |JOIN sizes s2 ON old_id = s2.doc_id
-         |WHERE round(i * 1.0 / (s1.sz + s2.sz - i), 6) >= 0.6
-         |ORDER BY new_id, old_id""".stripMargin,
-    "q85_embedding_health" ->
-      """WITH e AS (
-        |  SELECT CAST(len(embedding) AS BIGINT) AS dim,
-        |    sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x))) AS nrm,
-        |    len(list_filter(CAST(embedding AS DOUBLE[]), x -> isnan(x))) > 0 AS has_nan,
-        |    len(list_filter(embedding, x -> x IS NULL)) > 0 AS has_null
-        |  FROM embeddings
-        |)
-        |SELECT dim, count(*) AS n_vectors,
-        | CAST(sum(CASE WHEN nrm = 0.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero_norm,
-        | CAST(sum(CASE WHEN has_nan THEN 1 ELSE 0 END) AS BIGINT) AS n_with_nan,
-        | CAST(sum(CASE WHEN has_null THEN 1 ELSE 0 END) AS BIGINT) AS n_with_null,
-        | round(min(nrm), 4) AS min_norm,
-        | round(avg(nrm), 4) AS avg_norm,
-        | round(max(nrm), 4) AS max_norm
-        |FROM e GROUP BY dim ORDER BY dim""".stripMargin,
-    "q86_decimal_totals" ->
-      """SELECT l_returnflag,
-        | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS exact_total,
-        | round(sum(l_extendedprice), 2) AS double_total
-        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
-    "q84_curation_pipeline" ->
-      // the composed stages in SQL: percentile cut, kept-restricted
-      // all-pairs Jaccard, recursive-CTE components, survivor-only report
-      s"""WITH RECURSIVE s AS (
-         |  SELECT doc_id, lang, text, $QualityExprSql AS quality FROM documents
-         |),
-         |t AS (SELECT lang, quantile_cont(quality, 0.1) AS cut FROM s GROUP BY lang),
-         |kept AS (
-         |  SELECT doc_id, lang, text FROM s JOIN t USING (lang) WHERE quality >= cut
-         |),
-         |grams AS (
-         |  SELECT doc_id,
-         |    unnest(list_distinct([substr(text, i, 5) for i in range(1, greatest(length(text)-4, 1)+1)])) AS g
-         |  FROM kept
-         |),
-         |sizes AS (SELECT doc_id, count(*) AS sz FROM grams GROUP BY doc_id),
-         |inter AS (
-         |  SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS i
-         |  FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id GROUP BY 1, 2
-         |),
-         |pairs AS (
-         |  SELECT id1, id2 FROM inter
-         |  JOIN sizes s1 ON id1 = s1.doc_id
-         |  JOIN sizes s2 ON id2 = s2.doc_id
-         |  WHERE round(i * 1.0 / (s1.sz + s2.sz - i), 6) >= 0.6
-         |),
-         |edges AS (
-         |  SELECT id1 AS src, id2 AS dst FROM pairs
-         |  UNION ALL SELECT id2, id1 FROM pairs
-         |),
-         |reach(node, label) AS (
-         |  SELECT src, src FROM edges
-         |  UNION
-         |  SELECT e.src, r.label FROM edges e JOIN reach r ON e.dst = r.node
-         |),
-         |comp AS (SELECT node AS doc_id, min(label) AS rep FROM reach GROUP BY node),
-         |dropped AS (SELECT doc_id FROM comp WHERE doc_id <> rep)
-         |SELECT lang, count(*) AS n_docs,
-         | CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS tokens
-         |FROM kept WHERE doc_id NOT IN (SELECT doc_id FROM dropped)
-         |GROUP BY lang ORDER BY lang""".stripMargin,
-    "q83_dup_sources" ->
-      s"""WITH pairs AS (
-         |$JaccardSql
-         |)
-         |SELECT least(m1.source, m2.source) AS source_a,
-         | greatest(m1.source, m2.source) AS source_b,
-         | count(*) AS n_pairs
-         |FROM pairs
-         |JOIN documents m1 ON pairs.id1 = m1.doc_id
-         |JOIN documents m2 ON pairs.id2 = m2.doc_id
-         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
-    "q81_latest_event" ->
-      """SELECT user_id, event_id, epoch_ns(ts) // 1000000000 AS ts_epoch,
-        | event_type, round(value, 2) AS value
-        |FROM (
-        |  SELECT *, row_number() OVER (PARTITION BY user_id
-        |    ORDER BY ts DESC, event_id DESC) AS rn
-        |  FROM events
-        |)
-        |WHERE rn = 1 ORDER BY user_id""".stripMargin,
-    "q82_k_anonymity" ->
-      """SELECT lang, source, count(*) AS n_docs, (count(*) >= 10) AS k_anonymous
-        |FROM documents GROUP BY lang, source ORDER BY lang, source""".stripMargin,
-    "q80_value_anomalies" ->
-      // the exact-integer anomaly rule: (x*n - S)^2 * (n-1) > 4*n*(n*Q - S^2)
-      // in HUGEINT — bit-identical to Spark's decimal(38,0) evaluation
-      """WITH c AS (
-        |  SELECT event_id, user_id, epoch_ns(ts) AS tns, value,
-        |    CAST(round(value * 100, 0) AS BIGINT) AS x
-        |  FROM events
-        |),
-        |w AS (
-        |  SELECT event_id, user_id, value, x,
-        |    count(x) OVER win AS n, sum(x) OVER win AS s,
-        |    sum(CAST(x AS HUGEINT) * x) OVER win AS q
-        |  FROM c
-        |  WINDOW win AS (PARTITION BY user_id ORDER BY tns
-        |    RANGE BETWEEN 86400000000000 PRECEDING AND 1 PRECEDING)
-        |)
-        |SELECT event_id, user_id, round(value, 2) AS value, n AS n_prev
-        |FROM w
-        |WHERE n >= 5
-        |  AND (CAST(x AS HUGEINT)*n - s) * (CAST(x AS HUGEINT)*n - s) * (n - 1)
-        |    > 4 * CAST(n AS HUGEINT) * (n*q - CAST(s AS HUGEINT)*s)
-        |ORDER BY event_id""".stripMargin,
-    "q79_bm25" ->
-      // constant arithmetic mirrors the Scala shapes exactly: 0.5/0.75 are
-      // power-of-two fractions (exact), (1.2 + 1) converts to the same
-      // double 2.2 either way, and b*dl is exact before the only inexact
-      // division. ln() is the one transcendental (libms may differ by
-      // ~1 ulp), so scores round to 4 decimals — a boundary sits ~1e11 ulps
-      // away from that noise, vs ~1e3x closer at 6 decimals
-      """WITH dl AS (
-        |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS dl FROM documents
-        |),
-        |stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl),
-        |tf AS (
-        |  SELECT doc_id, term, count(*) AS tf FROM (
-        |    SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
-        |  ) WHERE term IN ('table', 'data', 'row') GROUP BY 1, 2
-        |),
-        |df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
-        |scored AS (
-        |  SELECT doc_id,
-        |    round(sum(ln((n - df + 0.5) / (df + 0.5) + 1) * tf * (1.2 + 1) /
-        |      (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))), 4) AS bm25
-        |  FROM tf JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
-        |  GROUP BY doc_id
-        |)
-        |SELECT doc_id, bm25 FROM scored ORDER BY bm25 DESC, doc_id LIMIT 20""".stripMargin,
-    "q78_zorder_stats" -> {
-      // interleave term b: bit b of x lands at position 2b, of y at 2b+1
-      val terms = (0 until 16).map(b =>
-        s"((x // ${1L << b}) % 2) * ${1L << (2 * b)} + ((y // ${1L << b}) % 2) * ${1L << (2 * b + 1)}")
-        .mkString("(", " + ", ")")
-      s"""WITH raw AS (
-         |  SELECT o_custkey % 65536 AS x,
-         |    CAST(floor(o_totalprice) AS BIGINT) % 65536 AS y
-         |  FROM orders
-         |),
-         |bounds AS (SELECT min(x) AS x0, max(x) AS x1, min(y) AS y0, max(y) AS y1 FROM raw),
-         |s AS (
-         |  SELECT
-         |    CASE WHEN x1 = x0 THEN 0 ELSE ((x - x0) * 65535) // (x1 - x0) END AS x,
-         |    CASE WHEN y1 = y0 THEN 0 ELSE ((y - y0) * 65535) // (y1 - y0) END AS y
-         |  FROM raw CROSS JOIN bounds
-         |),
-         |z AS (SELECT x, y, $terms AS z FROM s)
-         |SELECT z // 16777216 AS z_bucket, count(*) AS n,
-         | min(x) AS min_x, max(x) AS max_x, min(y) AS min_y, max(y) AS max_y
-         |FROM z GROUP BY 1 ORDER BY 1""".stripMargin
-    },
-    "q76_signup_funnel" ->
-      """WITH fs AS (
-        |  SELECT user_id, min(epoch_ns(ts)) AS signup_ns FROM events
-        |  WHERE event_type = 'signup' GROUP BY user_id
-        |),
-        |conv AS (
-        |  SELECT fs.user_id, fs.signup_ns,
-        |    min(CASE WHEN epoch_ns(e.ts) >= fs.signup_ns THEN epoch_ns(e.ts) END) AS first_p
-        |  FROM fs LEFT JOIN events e
-        |    ON e.user_id = fs.user_id AND e.event_type = 'purchase'
-        |  GROUP BY 1, 2
-        |),
-        |flag AS (
-        |  SELECT (first_p IS NOT NULL AND first_p - signup_ns <= 86400000000000) AS converted,
-        |    (first_p - signup_ns) / 3600000000000.0 AS hours_to
-        |  FROM conv
-        |)
-        |SELECT count(*) AS n_signup_users,
-        | CAST(sum(CASE WHEN converted THEN 1 ELSE 0 END) AS BIGINT) AS n_converted,
-        | round(sum(CASE WHEN converted THEN 1 ELSE 0 END) * 1.0 / count(*), 6) AS conversion_rate,
-        | round(avg(CASE WHEN converted THEN hours_to END), 4) AS avg_hours_to_convert
-        |FROM flag""".stripMargin,
-    "q77_kmv_intersect" ->
-      // KMV merge math replicated exactly: k-min sketches per side, sorted
-      // distinct union cut at k, jaccard = in-both fraction, union estimate
-      // = 63/hexFraction(kth) (the q54 exact-binary-fraction trick)
-      """WITH ha AS (SELECT DISTINCT md5(CAST(o_custkey AS VARCHAR)) AS h FROM orders),
-        |hb AS (SELECT DISTINCT md5(CAST(c_custkey AS VARCHAR)) AS h FROM customer),
-        |ka AS (SELECT h FROM ha ORDER BY h LIMIT 64),
-        |kb AS (SELECT h FROM hb ORDER BY h LIMIT 64),
-        |ku AS (
-        |  SELECT DISTINCT h FROM (SELECT h FROM ka UNION ALL SELECT h FROM kb)
-        |  ORDER BY h LIMIT 64
-        |),
-        |flags AS (
-        |  SELECT u.h, (a.h IS NOT NULL AND b.h IS NOT NULL) AS inboth,
-        |    row_number() OVER (ORDER BY u.h) AS rn, count(*) OVER () AS nu
-        |  FROM ku u LEFT JOIN ka a ON u.h = a.h LEFT JOIN kb b ON u.h = b.h
-        |),
-        |stats AS (
-        |  SELECT max(nu) AS nu,
-        |    CAST(sum(CASE WHEN inboth THEN 1 ELSE 0 END) AS BIGINT) AS nb,
-        |    max(CASE WHEN rn = nu THEN h END) AS kth
-        |  FROM flags
-        |),
-        |est AS (
-        |  SELECT nu, nb * 1.0 / nu AS j,
-        |    CASE WHEN nu < 64 THEN CAST(nu AS DOUBLE)
-        |      ELSE 63 / list_sum(list_transform(generate_series(1, 13),
-        |        i -> (strpos('0123456789abcdef', substr(kth, i, 1)) - 1) * power(16.0, -i)))
-        |    END AS uest
-        |  FROM stats
-        |),
-        |ex AS (
-        |  SELECT count(*) AS n_exact FROM (
-        |    SELECT DISTINCT o_custkey FROM orders
-        |    WHERE o_custkey IN (SELECT c_custkey FROM customer))
-        |)
-        |SELECT CAST(nu AS BIGINT) AS n_kmin, round(j, 6) AS jaccard_est,
-        | round(uest, 4) AS union_est, round(j * uest, 4) AS intersect_est, n_exact
-        |FROM est CROSS JOIN ex""".stripMargin,
-    "q75_retention" ->
-      """WITH activity AS (
-        |  SELECT DISTINCT user_id, epoch_ns(ts) // 86400000000000 AS day FROM events
-        |),
-        |cohorts AS (SELECT user_id, min(day) AS cohort_day FROM activity GROUP BY user_id)
-        |SELECT cohort_day * 86400 AS cohort_epoch, day - cohort_day AS day_offset,
-        | count(*) AS n_users
-        |FROM activity JOIN cohorts USING (user_id)
-        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
-    "q28_dedup_simhash"     -> SimhashSql,
-    "q37_cosine_topk_native" -> CosineTopkSql, // native expression, same oracle
-    "q39_salted_agg" ->
-      """SELECT o_orderstatus, round(sum(o_totalprice), 2) AS total
-        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
-    "q40_grouping_sets" ->
-      """SELECT o_orderstatus, o_orderpriority, count(*) AS n,
-        | round(sum(o_totalprice), 2) AS total
-        |FROM orders
-        |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
-        |ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin,
-    "q41_calendar" ->
-      """SELECT CAST(extract(year FROM o_orderdate) AS BIGINT) AS order_year,
-        | CAST(extract(quarter FROM o_orderdate) AS BIGINT) AS order_quarter,
-        | count(*) AS n, round(sum(o_totalprice), 2) AS total
-        |FROM orders GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
-    "q42_json_stats" ->
-      """SELECT event_type, count(*) AS n,
-        | CAST(sum(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
-        | round(avg(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)), 4) AS avg_k
-        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
-    "q43_event_pivot" -> {
-      val cols = Extended.EventTypes.map(t =>
-        s"CAST(count(CASE WHEN event_type = '$t' THEN 1 END) AS BIGINT) AS $t").mkString(",\n ")
-      s"""SELECT user_id,
-         | $cols
-         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
-    },
-    "q48_embedding_neardup" -> {
-      // replicate the multi-table bucketing: a pair is a candidate iff it
-      // shares a bucket in ANY table; then the exact cosine filter — the
-      // all-pairs OR-join is fine at oracle scale, while Spark runs the
-      // bucket equi-join
-      val buckets = (0 until Similarity.NeardupTables)
-        .map(t => s"${neardupBucketSql(t)} AS bk$t").mkString(",\n   ")
-      val anyTable = (0 until Similarity.NeardupTables)
-        .map(t => s"a.bk$t = b.bk$t").mkString(" OR ")
-      s"""WITH e AS (
-         |  SELECT vec_id, v,
-         |   $buckets
-         |  FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
-         |)
-         |SELECT a.vec_id AS id1, b.vec_id AS id2,
-         | round(${cosSql("a.v", "b.v")}, 6) AS cos
-         |FROM e a JOIN e b ON a.vec_id < b.vec_id AND ($anyTable)
-         |WHERE round(${cosSql("a.v", "b.v")}, 6) >= 0.45
-         |ORDER BY id1, id2""".stripMargin
-    },
-    "q50_rolling_fingerprint" ->
-      """SELECT doc_id,
-        | list_reduce(list_prepend(CAST(0 AS BIGINT), [CAST(ascii(c) AS BIGINT) for c in string_split_regex(text, '')]),
-        |   (a, b) -> (a * 31 + b) % 1000000007) AS rhash
-        |FROM documents ORDER BY doc_id""".stripMargin,
-    "q51_typed_agg" ->
-      """SELECT o_orderstatus, round(sum(o_totalprice), 2) AS total
-        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
-    "q59_range_join" -> {
-      val bandRows = Extended.PriceBands
-        .map { case (b, lo, hi) => s"('$b', $lo, $hi)" }.mkString(", ")
-      s"""WITH bands(band, lo, hi) AS (VALUES $bandRows)
-         |SELECT band, count(*) AS n, round(sum(o_totalprice), 2) AS total
-         |FROM orders JOIN bands ON o_totalprice >= lo AND o_totalprice < hi
-         |GROUP BY band ORDER BY band""".stripMargin
-    },
-    "q56_stratified_sample" ->
-      """WITH ranked AS (
-        |  SELECT lang AS stratum, doc_id,
-        |    row_number() OVER (PARTITION BY lang
-        |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
-        |  FROM documents
-        |)
-        |SELECT stratum, doc_id FROM ranked WHERE rn <= 20
-        |ORDER BY stratum, doc_id""".stripMargin,
-    "q57_train_test_split" ->
-      """SELECT CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '0d'
-        |         THEN 'test' ELSE 'train' END AS split,
-        | count(*) AS n_docs,
-        | CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_tokens
-        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
-    "q58_pack_offsets" ->
-      """WITH t AS (
-        |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS tok
-        |  FROM documents
-        |),
-        |c AS (
-        |  SELECT doc_id, tok,
-        |    sum(tok) OVER (ORDER BY doc_id
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - tok AS off
-        |  FROM t
-        |)
-        |SELECT CAST(off // 2048 AS BIGINT) AS bin, count(*) AS n_docs,
-        | CAST(sum(tok) AS BIGINT) AS total_tokens
-        |FROM c GROUP BY 1 ORDER BY 1""".stripMargin,
-    "q88_redaction_report" ->
-      // same Java/RE2-compatible structural-PII regexes, denylist counts
-      // via the exact padded-marker arithmetic the quality oracles share
-      s"""WITH p AS (
-         |  SELECT source,
-         |    len(regexp_extract_all(lower(text), '[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}'))
-         |    + len(regexp_extract_all(lower(text), '\\b[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}\\b'))
-         |    + len(regexp_extract_all(lower(text), '\\b[0-9]{3}-[0-9]{2}-[0-9]{4}\\b')) AS pii,
-         |    ${occ("customer")} + ${occ("vector")} AS deny
-         |  FROM documents)
-         |SELECT source, count(*) AS n_docs,
-         | CAST(sum(CASE WHEN pii > 0 THEN 1 ELSE 0 END) AS BIGINT) AS docs_with_pii,
-         | CAST(sum(pii) AS BIGINT) AS pii_hits,
-         | CAST(sum(deny) AS BIGINT) AS deny_hits
-         |FROM p GROUP BY source ORDER BY source""".stripMargin,
-    "q89_dup_gram_mass" ->
-      s"""WITH w AS (
-         |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
-         |  WHERE len(string_split(text, ' ')) >= 3
-         |),
-         |g AS (SELECT doc_id, unnest(${wordGramsSql(3)}) AS g FROM w),
-         |pg AS (
-         |  SELECT g, count(*) AS occ, count(DISTINCT doc_id) AS n_docs
-         |  FROM g GROUP BY g
-         |)
-         |SELECT CAST(sum(occ) AS BIGINT) AS n_gram_occurrences,
-         | count(*) AS n_distinct_grams,
-         | CAST(sum(CASE WHEN n_docs > 1 THEN occ ELSE 0 END) AS BIGINT) AS dup_occurrences,
-         | round(sum(CASE WHEN n_docs > 1 THEN occ ELSE 0 END) * 1.0 / sum(occ), 6)
-         |   AS dup_fraction
-         |FROM pg""".stripMargin,
-    "q95_incremental_embedding" -> {
-      // new-vs-old restricted multi-table bucket join, exact cosine at
-      // 0.45 — q48's oracle with the ingest boundary at vec_id 200
-      val buckets = (0 until Similarity.NeardupTables)
-        .map(t => s"${neardupBucketSql(t)} AS bk$t").mkString(",\n   ")
-      val anyTable = (0 until Similarity.NeardupTables)
-        .map(t => s"a.bk$t = b.bk$t").mkString(" OR ")
-      s"""WITH e AS (
-         |  SELECT vec_id, v,
-         |   $buckets
-         |  FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
-         |)
-         |SELECT a.vec_id AS new_id, b.vec_id AS old_id,
-         | round(${cosSql("a.v", "b.v")}, 6) AS cos
-         |FROM e a JOIN e b ON a.vec_id < 200 AND b.vec_id >= 200 AND ($anyTable)
-         |WHERE round(${cosSql("a.v", "b.v")}, 6) >= 0.45
-         |ORDER BY new_id, old_id""".stripMargin
-    },
-    "q96_type_reconciliation" ->
-      """WITH obs AS (SELECT event_type, count(*) AS n_events FROM events GROUP BY 1),
-        |cat(expected_type) AS (
-        |  VALUES ('click'), ('purchase'), ('refund'), ('signup'), ('view'))
-        |SELECT coalesce(event_type, expected_type) AS etype,
-        | CASE WHEN event_type IS NOT NULL AND expected_type IS NOT NULL THEN 'matched'
-        |      WHEN event_type IS NULL THEN 'catalog_only'
-        |      ELSE 'stream_only' END AS status,
-        | CAST(coalesce(n_events, 0) AS BIGINT) AS n_events
-        |FROM obs FULL OUTER JOIN cat ON event_type = expected_type
-        |ORDER BY etype""".stripMargin,
-    "q97_dup_spans" ->
-      // gaps-and-islands over duplicated 8-gram start positions; intervals
-      // [pos, pos+7] merge when overlapping or adjacent (pos <= prev_end+1);
-      // all span arithmetic exact-integer, only dup_fraction is rounded
-      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents
-        |           WHERE len(string_split(text, ' ')) >= 8),
-        |p AS (SELECT doc_id, ws, unnest(generate_series(1, len(ws) - 7)) AS i FROM w),
-        |g AS (SELECT doc_id, i - 1 AS pos,
-        |        md5(ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3] || ' ' ||
-        |            ws[i+4] || ' ' || ws[i+5] || ' ' || ws[i+6] || ' ' || ws[i+7]) AS h
-        |      FROM p),
-        |dup AS (SELECT h FROM g GROUP BY h HAVING count(*) >= 2),
-        |d AS (SELECT doc_id, pos FROM g JOIN dup USING (h)),
-        |isl AS (SELECT doc_id, pos,
-        |          max(pos + 7) OVER (PARTITION BY doc_id ORDER BY pos
-        |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
-        |        FROM d),
-        |num AS (SELECT doc_id, pos,
-        |          sum(CASE WHEN prev_end IS NULL OR pos > prev_end + 1 THEN 1 ELSE 0 END)
-        |            OVER (PARTITION BY doc_id ORDER BY pos) AS island
-        |        FROM isl),
-        |sp AS (SELECT doc_id, island, min(pos) AS s, max(pos) + 7 AS e
-        |       FROM num GROUP BY 1, 2),
-        |tok AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
-        |        FROM documents)
-        |SELECT doc_id, count(*) AS n_spans, CAST(sum(e - s + 1) AS BIGINT) AS dup_tokens,
-        | n_tokens, round(sum(e - s + 1) * 1.0 / n_tokens, 6) AS dup_fraction
-        |FROM sp JOIN tok USING (doc_id)
-        |GROUP BY doc_id, n_tokens ORDER BY doc_id""".stripMargin,
-    "q99_span_cut" ->
-      // q97's island CTEs, then: covered token positions from the islands,
-      // anti-joined off the positional token frame; retained text
-      // reassembles position-ordered and checksums
-      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents
-        |           WHERE len(string_split(text, ' ')) >= 8),
-        |p AS (SELECT doc_id, ws, unnest(generate_series(1, len(ws) - 7)) AS i FROM w),
-        |g AS (SELECT doc_id, i - 1 AS pos,
-        |        md5(ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3] || ' ' ||
-        |            ws[i+4] || ' ' || ws[i+5] || ' ' || ws[i+6] || ' ' || ws[i+7]) AS h
-        |      FROM p),
-        |dup AS (SELECT h FROM g GROUP BY h HAVING count(*) >= 2),
-        |d AS (SELECT doc_id, pos FROM g JOIN dup USING (h)),
-        |isl AS (SELECT doc_id, pos,
-        |          max(pos + 7) OVER (PARTITION BY doc_id ORDER BY pos
-        |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
-        |        FROM d),
-        |num AS (SELECT doc_id, pos,
-        |          sum(CASE WHEN prev_end IS NULL OR pos > prev_end + 1 THEN 1 ELSE 0 END)
-        |            OVER (PARTITION BY doc_id ORDER BY pos) AS island
-        |        FROM isl),
-        |sp AS (SELECT doc_id, island, min(pos) AS s, max(pos) + 7 AS e
-        |       FROM num GROUP BY 1, 2),
-        |cov AS (SELECT doc_id, unnest(generate_series(s, e)) AS tpos FROM sp),
-        |tok AS (SELECT doc_id, i - 1 AS tpos, ws[i] AS tokn FROM (
-        |          SELECT doc_id, ws, unnest(generate_series(1, len(ws))) AS i FROM (
-        |            SELECT doc_id, string_split(text, ' ') AS ws FROM documents))),
-        |kept AS (
-        |  SELECT t.doc_id, count(*) AS kept_tokens,
-        |    md5(string_agg(tokn, ' ' ORDER BY t.tpos)) AS kept_checksum
-        |  FROM tok t LEFT JOIN cov c ON t.doc_id = c.doc_id AND t.tpos = c.tpos
-        |  WHERE c.doc_id IS NULL GROUP BY 1
-        |)
-        |SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
-        | CAST(coalesce(kept_tokens, 0) AS BIGINT) AS kept_tokens,
-        | coalesce(kept_checksum, md5('')) AS kept_checksum
-        |FROM documents LEFT JOIN kept USING (doc_id) ORDER BY doc_id""".stripMargin,
-    "q104_bpe_merges" -> BpeSql,
-    "q105_bpe_fertility" -> BpeFertilitySql,
-    "q106_bigram_surprisal" ->
-      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
-        |b AS (
-        |  SELECT doc_id,
-        |    unnest([struct_pack(w1 := ts[i], w2 := ts[i+1]) for i in range(1, len(ts))]) AS bg
-        |  FROM t
-        |),
-        |bd AS (SELECT doc_id, bg.w1 AS w1, bg.w2 AS w2, count(*) AS k FROM b GROUP BY 1, 2, 3),
-        |cb AS (SELECT w1, w2, CAST(sum(k) AS BIGINT) AS cb FROM bd GROUP BY w1, w2),
-        |cu AS (SELECT w1, CAST(sum(cb) AS BIGINT) AS cu FROM cb GROUP BY w1),
-        |vv AS (SELECT count(DISTINCT w) AS v FROM (SELECT unnest(ts) AS w FROM t)),
-        |sc AS (
-        |  SELECT doc_id, k,
-        |    CAST(round(-log2((cb + 1.0) / (cu + v)) * 1e6, 0) AS BIGINT) AS u6
-        |  FROM bd JOIN cb USING (w1, w2) JOIN cu USING (w1) CROSS JOIN vv
-        |)
-        |SELECT doc_id, CAST(sum(k) AS BIGINT) AS n_bigrams,
-        | round(sum(k * u6) * 1.0 / sum(k) / 1e6, 4) AS bits_per_token
-        |FROM sc GROUP BY doc_id
-        |ORDER BY bits_per_token DESC, doc_id LIMIT 30""".stripMargin,
-    "q107_curriculum" ->
-      s"""WITH s AS (
-         |  SELECT doc_id, len(string_split(text, ' ')) AS nw, $QualityExprSql AS quality
-         |  FROM documents
-         |),
-         |c AS (
-         |  SELECT quantile_cont(quality, 0.75) AS c3, quantile_cont(quality, 0.5) AS c2,
-         |    quantile_cont(quality, 0.25) AS c1
-         |  FROM s
-         |)
-         |SELECT CASE WHEN quality >= c3 THEN 1 WHEN quality >= c2 THEN 2
-         |            WHEN quality >= c1 THEN 3 ELSE 4 END AS stage,
-         | count(*) AS n_docs, CAST(sum(nw) AS BIGINT) AS n_tokens,
-         | round(sum(CAST(round(quality * 10000, 0) AS BIGINT)) * 1.0 / count(*) / 1e4, 4)
-         |   AS avg_quality,
-         | round(min(quality), 4) AS min_quality, round(max(quality), 4) AS max_quality
-         |FROM s CROSS JOIN c GROUP BY 1 ORDER BY stage""".stripMargin,
-    "q108_quality_canonical" ->
-      s"""WITH RECURSIVE pairs AS (
-         |  SELECT id1, id2 FROM (
-         |$JaccardSql
-         |  ) jt
-         |),
-         |edges AS (
-         |  SELECT id1 AS src, id2 AS dst FROM pairs
-         |  UNION ALL SELECT id2, id1 FROM pairs
-         |),
-         |reach(node, label) AS (
-         |  SELECT src, src FROM edges
-         |  UNION
-         |  SELECT e.src, r.label FROM edges e JOIN reach r ON e.dst = r.node
-         |),
-         |m AS (SELECT node AS doc_id, min(label) AS cluster_rep FROM reach GROUP BY node),
-         |q AS (SELECT doc_id, $QualityExprSql AS quality FROM documents),
-         |best AS (
-         |  SELECT cluster_rep, doc_id AS canonical_id, round(quality, 4) AS canonical_quality
-         |  FROM (
-         |    SELECT m.cluster_rep, m.doc_id, q.quality,
-         |      row_number() OVER (PARTITION BY m.cluster_rep
-         |                         ORDER BY q.quality DESC, m.doc_id) AS rn
-         |    FROM m JOIN q USING (doc_id)
-         |  ) WHERE rn = 1
-         |)
-         |SELECT m.doc_id, m.cluster_rep, b.canonical_id,
-         | (m.doc_id = b.canonical_id) AS keeps, b.canonical_quality
-         |FROM m JOIN best b USING (cluster_rep) ORDER BY m.doc_id""".stripMargin,
-    "q110_contrastive_pairs" -> {
-      // positives replicate q48's bucketed candidate generation (the pair
-      // set IS the algorithm's output); negatives replicate q103's banded
-      // per-anchor ranking over the positive-anchor set
-      val buckets = (0 until Similarity.NeardupTables)
-        .map(t => s"${neardupBucketSql(t)} AS bk$t").mkString(",\n   ")
-      val anyTable = (0 until Similarity.NeardupTables)
-        .map(t => s"a.bk$t = b.bk$t").mkString(" OR ")
-      s"""WITH e AS (
-         |  SELECT vec_id, v,
-         |   $buckets
-         |  FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
-         |),
-         |p0 AS (
-         |  SELECT a.vec_id AS id1, b.vec_id AS id2,
-         |   round(${cosSql("a.v", "b.v")}, 6) AS cos
-         |  FROM e a JOIN e b ON a.vec_id < b.vec_id AND ($anyTable)
-         |  WHERE round(${cosSql("a.v", "b.v")}, 6) >= 0.45
-         |),
-         |pos AS (
-         |  SELECT id1 AS anchor_id, id2 AS other_id, 1 AS label, cos FROM p0
-         |  UNION ALL
-         |  SELECT id2, id1, 1, cos FROM p0
-         |),
-         |av AS (
-         |  SELECT anchor_id, v AS av FROM (SELECT DISTINCT anchor_id FROM pos)
-         |  JOIN e ON anchor_id = vec_id
-         |),
-         |n0 AS (
-         |  SELECT anchor_id, e.vec_id AS other_id,
-         |    round(${cosSql("av", "e.v")}, 6) AS cos
-         |  FROM e CROSS JOIN av WHERE e.vec_id <> anchor_id
-         |),
-         |nr AS (
-         |  SELECT anchor_id, other_id, cos,
-         |    row_number() OVER (PARTITION BY anchor_id
-         |      ORDER BY cos DESC, other_id) AS rnk
-         |  FROM n0 WHERE cos >= 0.2 AND cos < 0.45
-         |),
-         |neg AS (SELECT anchor_id, other_id, 0 AS label, cos FROM nr WHERE rnk <= 5)
-         |SELECT anchor_id, other_id, label, cos
-         |FROM (SELECT * FROM pos UNION ALL SELECT * FROM neg)
-         |ORDER BY anchor_id, label DESC, cos DESC, other_id""".stripMargin
-    },
-    "q112_epoch_plan" ->
-      """WITH s AS (
-        |  SELECT lang, CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS tokens
-        |  FROM documents GROUP BY lang
-        |),
-        |sh AS (
-        |  SELECT lang, tokens, tokens * 1.0 / (sum(tokens) OVER ()) AS share FROM s
-        |),
-        |p AS (SELECT lang, tokens, sqrt(share) AS pa FROM sh),
-        |w AS (
-        |  SELECT lang, tokens, round(pa / (sum(pa) OVER ()), 6) AS sample_weight FROM p
-        |),
-        |t AS (
-        |  SELECT lang, tokens, sample_weight,
-        |    CAST(round(sample_weight * 1000000, 0) AS BIGINT) AS target_tokens
-        |  FROM w
-        |)
-        |SELECT lang, tokens, sample_weight, target_tokens,
-        | round(target_tokens * 1.0 / tokens, 4) AS epochs
-        |FROM t ORDER BY lang""".stripMargin,
-    "q116_projection_distortion" -> {
-      // multiplicative-mix projection coefficients, matching
-      // Similarity.projCoef exactly
-      val projExprs = (0 until Similarity.ProjDims).map { j =>
-        s"""list_sum(list_transform(generate_series(1, len(v)),
-           |   i -> v[i] * ((((i + 17) * ${(j + 1).toLong * 104729L} + ${j * 7919L}) % 2001 - 1000) / 1000.0)))""".stripMargin
-      }.mkString(",\n    ")
-      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-         |s AS (
-         |  SELECT vec_id, v,
-         |    row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rn
-         |  FROM e
-         |),
-         |sp AS (
-         |  SELECT vec_id, v,
-         |    [$projExprs] AS p
-         |  FROM s WHERE rn <= 32
-         |),
-         |pairs AS (
-         |  SELECT round(${cosSql("a.v", "b.v")}, 6) AS cos,
-         |    round(${cosSql("a.p", "b.p")}, 6) AS pcos
-         |  FROM sp a JOIN sp b ON a.vec_id < b.vec_id
-         |),
-         |d AS (SELECT CAST(round(abs(cos - pcos) * 1e6, 0) AS BIGINT) AS d6 FROM pairs)
-         |SELECT count(*) AS n_pairs,
-         | round(sum(d6) * 1.0 / count(*) / 1e6, 4) AS avg_abs_err,
-         | round(max(d6) / 1e6, 4) AS max_abs_err
-         |FROM d""".stripMargin
-    },
-    "q117_projected_ann" -> {
-      val projExprs = (0 until Similarity.ProjDims).map { j =>
-        s"""list_sum(list_transform(generate_series(1, len(v)),
-           |   i -> v[i] * ((((i + 17) * ${(j + 1).toLong * 104729L} + ${j * 7919L}) % 2001 - 1000) / 1000.0)))""".stripMargin
-      }.mkString(",\n    ")
-      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-         |pe AS (
-         |  SELECT vec_id, v,
-         |    [$projExprs] AS pv
-         |  FROM e
-         |),
-         |q AS (SELECT vec_id AS query_id, v AS qv, pv AS qpv FROM pe WHERE vec_id < 5),
-         |truth AS (
-         |  SELECT query_id, neighbor_id FROM (
-         |    SELECT query_id, e.vec_id AS neighbor_id,
-         |      row_number() OVER (PARTITION BY query_id
-         |        ORDER BY round(${cosSql("qv", "v")}, 6) DESC, e.vec_id) AS rnk
-         |    FROM e, q WHERE e.vec_id <> q.query_id
-         |  ) WHERE rnk <= 3
-         |),
-         |cand AS (
-         |  SELECT query_id, neighbor_id, qv, v FROM (
-         |    SELECT query_id, pe.vec_id AS neighbor_id, qv, v,
-         |      row_number() OVER (PARTITION BY query_id
-         |        ORDER BY round(${cosSql("qpv", "pv")}, 6) DESC, pe.vec_id) AS crnk
-         |    FROM pe, q WHERE pe.vec_id <> q.query_id
-         |  ) WHERE crnk <= 9
-         |),
-         |approx AS (
-         |  SELECT query_id, neighbor_id FROM (
-         |    SELECT query_id, neighbor_id,
-         |      row_number() OVER (PARTITION BY query_id
-         |        ORDER BY round(${cosSql("qv", "v")}, 6) DESC, neighbor_id) AS rnk
-         |    FROM cand
-         |  ) WHERE rnk <= 3
-         |)
-         |SELECT t.query_id, count(a.neighbor_id) AS n_hit,
-         | round(count(a.neighbor_id) / 3.0, 6) AS recall
-         |FROM truth t
-         |LEFT JOIN approx a
-         |  ON t.query_id = a.query_id AND t.neighbor_id = a.neighbor_id
-         |GROUP BY t.query_id ORDER BY t.query_id""".stripMargin
-    },
-    "q120_containment" ->
-      s"""WITH $GramsCte,
-         |sizes AS (SELECT doc_id, count(*) AS sz FROM grams GROUP BY doc_id),
-         |inter AS (
-         |  SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS i
-         |  FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id
-         |  GROUP BY 1, 2
-         |)
-         |SELECT id1, id2,
-         | round(i * 1.0 / (s1.sz + s2.sz - i), 6) AS jaccard,
-         | round(i * 1.0 / least(s1.sz, s2.sz), 6) AS containment,
-         | round(least(s1.sz, s2.sz) * 1.0 / greatest(s1.sz, s2.sz), 6) AS size_ratio
-         |FROM inter
-         |JOIN sizes s1 ON id1 = s1.doc_id
-         |JOIN sizes s2 ON id2 = s2.doc_id
-         |WHERE round(i * 1.0 / (s1.sz + s2.sz - i), 6) >= 0.6
-         |ORDER BY id1, id2""".stripMargin,
-    "q118_cluster_sizes" ->
-      s"""WITH RECURSIVE pairs AS (
-         |  SELECT id1, id2 FROM (
-         |$JaccardSql
-         |  ) jt
-         |),
-         |edges AS (
-         |  SELECT id1 AS src, id2 AS dst FROM pairs
-         |  UNION ALL SELECT id2, id1 FROM pairs
-         |),
-         |reach(node, label) AS (
-         |  SELECT src, src FROM edges
-         |  UNION
-         |  SELECT e.src, r.label FROM edges e JOIN reach r ON e.dst = r.node
-         |),
-         |m AS (SELECT node, min(label) AS cluster_rep FROM reach GROUP BY node),
-         |cs AS (SELECT cluster_rep, count(*) AS sz FROM m GROUP BY cluster_rep)
-         |SELECT sz AS cluster_size, count(*) AS n_clusters, CAST(sum(sz) AS BIGINT) AS n_docs
-         |FROM cs GROUP BY sz ORDER BY cluster_size""".stripMargin,
-    "q119_length_profile" ->
-      """WITH s AS (
-        |  SELECT source, CAST(len(string_split(text, ' ')) AS DOUBLE) AS nw FROM documents
-        |)
-        |SELECT source, count(*) AS n_docs,
-        | round(quantile_cont(nw, 0.25), 2) AS p25,
-        | round(quantile_cont(nw, 0.5), 2) AS p50,
-        | round(quantile_cont(nw, 0.75), 2) AS p75,
-        | round(quantile_cont(nw, 0.95), 2) AS p95
-        |FROM s GROUP BY source ORDER BY source""".stripMargin,
-    "q114_knn_label_eval" ->
-      s"""WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-         |a AS (
-         |  SELECT vec_id AS anchor_id, label AS true_label, v AS av FROM (
-         |    SELECT vec_id, label, v,
-         |      row_number() OVER (PARTITION BY label
-         |        ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rn
-         |    FROM e
-         |  ) WHERE rn <= 8
-         |),
-         |s AS (
-         |  SELECT anchor_id, true_label, e.vec_id AS neighbor_id, e.label AS nb_label,
-         |    round(${cosSql("av", "e.v")}, 6) AS cos
-         |  FROM e CROSS JOIN a WHERE e.vec_id <> a.anchor_id
-         |),
-         |nn AS (
-         |  SELECT anchor_id, true_label, nb_label FROM (
-         |    SELECT anchor_id, true_label, nb_label,
-         |      row_number() OVER (PARTITION BY anchor_id
-         |        ORDER BY cos DESC, neighbor_id) AS rnk
-         |    FROM s
-         |  ) WHERE rnk <= 5
-         |),
-         |votes AS (
-         |  SELECT anchor_id, true_label, nb_label, count(*) AS c
-         |  FROM nn GROUP BY 1, 2, 3
-         |),
-         |pred AS (
-         |  SELECT anchor_id, true_label, nb_label FROM (
-         |    SELECT anchor_id, true_label, nb_label,
-         |      row_number() OVER (PARTITION BY anchor_id
-         |        ORDER BY c DESC, nb_label) AS vr
-         |    FROM votes
-         |  ) WHERE vr = 1
-         |)
-         |SELECT true_label AS label, count(*) AS n_anchors,
-         | CAST(sum(CASE WHEN nb_label = true_label THEN 1 ELSE 0 END) AS BIGINT) AS n_correct,
-         | round(sum(CASE WHEN nb_label = true_label THEN 1 ELSE 0 END) * 1.0 / count(*), 4)
-         |   AS accuracy
-         |FROM pred GROUP BY true_label ORDER BY label""".stripMargin,
-    "q115_threshold_sweep" ->
-      s"""WITH jp AS (
-         |  SELECT id1, id2, jaccard FROM (
-         |$JaccardSql
-         |  ) jt
-         |),
-         |th(threshold) AS (VALUES (CAST(0.6 AS DOUBLE)), (0.7), (0.8), (0.9)),
-         |f AS (
-         |  SELECT threshold, id1, id2 FROM jp CROSS JOIN th WHERE jaccard >= threshold
-         |),
-         |np AS (SELECT threshold, count(*) AS p FROM f GROUP BY threshold),
-         |nd AS (
-         |  SELECT threshold, count(DISTINCT d) AS dd FROM (
-         |    SELECT threshold, id1 AS d FROM f
-         |    UNION ALL SELECT threshold, id2 FROM f
-         |  ) GROUP BY threshold
-         |)
-         |SELECT threshold, coalesce(p, 0) AS n_pairs, coalesce(dd, 0) AS n_docs
-         |FROM th LEFT JOIN np USING (threshold) LEFT JOIN nd USING (threshold)
-         |ORDER BY threshold""".stripMargin,
-    "q113_interleave" ->
-      """WITH s AS (
-        |  SELECT lang, CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS tokens
-        |  FROM documents GROUP BY lang
-        |),
-        |sh AS (SELECT lang, tokens * 1.0 / (sum(tokens) OVER ()) AS share FROM s),
-        |p AS (SELECT lang, sqrt(share) AS pa FROM sh),
-        |wt AS (SELECT lang, round(pa / (sum(pa) OVER ()), 6) AS sample_weight FROM p),
-        |r AS (
-        |  SELECT doc_id, lang,
-        |    CAST(row_number() OVER (PARTITION BY lang
-        |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS INT) AS rn
-        |  FROM documents
-        |)
-        |SELECT doc_id, lang, rn, round(rn * 1.0 / sample_weight, 4) AS pos
-        |FROM r JOIN wt USING (lang)
-        |ORDER BY pos, doc_id LIMIT 50""".stripMargin,
-    "q111_datasheet" ->
-      s"""WITH s AS (
-         |  SELECT lang, source, len(string_split(text, ' ')) AS nw,
-         |    CAST(round($QualityExprSql * 10000, 0) AS BIGINT) AS q4
-         |  FROM documents
-         |),
-         |c AS (
-         |  SELECT lang, source, count(*) AS n_docs,
-         |    CAST(sum(nw) AS BIGINT) AS n_tokens, sum(q4) AS q4s
-         |  FROM s GROUP BY lang, source
-         |)
-         |SELECT lang, source, n_docs, n_tokens,
-         | round(q4s * 1.0 / n_docs / 1e4, 4) AS avg_quality,
-         | round(n_tokens * 1.0 / sum(n_tokens) OVER (), 6) AS token_share
-         |FROM c ORDER BY lang, source""".stripMargin,
-    "q109_langid_eval" ->
-      s"""WITH g AS (
-         |  SELECT lang,
-         |    CASE WHEN greatest($SEn, $SDe, $SFr, $SEs) = 0 THEN 'und'
-         |         WHEN $SEn = greatest($SEn, $SDe, $SFr, $SEs) THEN 'en'
-         |         WHEN $SDe = greatest($SEn, $SDe, $SFr, $SEs) THEN 'de'
-         |         WHEN $SFr = greatest($SEn, $SDe, $SFr, $SEs) THEN 'fr'
-         |         ELSE 'es' END AS lang_guess
-         |  FROM documents
-         |),
-         |c AS (SELECT lang, lang_guess, count(*) AS n_docs FROM g GROUP BY 1, 2)
-         |SELECT lang, lang_guess, n_docs,
-         | round(n_docs * 1.0 / sum(n_docs) OVER (PARTITION BY lang), 4) AS share
-         |FROM c ORDER BY lang, lang_guess""".stripMargin,
-    "q103_hard_negatives" ->
-      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-         |a AS (SELECT vec_id AS anchor_id, v AS av FROM e WHERE vec_id < 5),
-         |s AS (
-         |  SELECT anchor_id, e.vec_id AS neighbor_id,
-         |    round(${cosSql("av", "e.v")}, 6) AS cos
-         |  FROM e CROSS JOIN a WHERE e.vec_id <> a.anchor_id
-         |),
-         |r AS (
-         |  SELECT anchor_id, neighbor_id, cos,
-         |    CAST(row_number() OVER (PARTITION BY anchor_id
-         |      ORDER BY cos DESC, neighbor_id) AS INT) AS rnk
-         |  FROM s WHERE cos >= 0.2 AND cos < 0.45
-         |)
-         |SELECT anchor_id, neighbor_id, cos, rnk FROM r WHERE rnk <= 5
-         |ORDER BY anchor_id, rnk""".stripMargin,
-    "q101_corpus_diff" ->
-      """WITH o AS (SELECT doc_id, md5(text) AS osum,
-        |             CAST(len(string_split(text, ' ')) AS BIGINT) AS otoks
-        |           FROM documents WHERE doc_id % 10 != 1),
-        |n AS (SELECT doc_id,
-        |        md5(CASE WHEN doc_id % 7 = 0 THEN text || ' rev1' ELSE text END) AS nsum,
-        |        CAST(len(string_split(
-        |          CASE WHEN doc_id % 7 = 0 THEN text || ' rev1' ELSE text END, ' '))
-        |          AS BIGINT) AS ntoks
-        |      FROM documents WHERE doc_id % 10 != 0),
-        |j AS (SELECT CASE WHEN osum IS NULL THEN 'added'
-        |             WHEN nsum IS NULL THEN 'removed'
-        |             WHEN osum != nsum THEN 'changed'
-        |             ELSE 'unchanged' END AS status,
-        |        coalesce(ntoks, otoks) AS n_tokens
-        |      FROM o FULL OUTER JOIN n USING (doc_id))
-        |SELECT status, count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS n_tokens
-        |FROM j GROUP BY status ORDER BY status""".stripMargin,
-    "q102_source_drift" ->
-      // smoothing operands exact integers; per-bin terms quantize to
-      // integer micro-units so the per-source sum is exact and
-      // order-independent; expression trees mirror the Scala shapes
-      // term for term
-      s"""WITH b AS (SELECT source, CAST(floor($QualityExprSql * 10) AS BIGINT) AS bin
-         |           FROM documents),
-         |sb AS (SELECT source, bin, count(*) AS c_sb FROM b GROUP BY 1, 2),
-         |cb AS (SELECT bin, CAST(sum(c_sb) AS BIGINT) AS c_b FROM sb GROUP BY 1),
-         |tot AS (SELECT CAST(sum(c_b) AS BIGINT) AS n, count(*) AS nb FROM cb),
-         |st AS (SELECT source, CAST(sum(c_sb) AS BIGINT) AS n_s FROM sb GROUP BY 1),
-         |dense AS (
-         |  SELECT st.source, st.n_s, cb.bin, cb.c_b,
-         |    CAST(coalesce(sb.c_sb, 0) AS BIGINT) AS c_sb, tot.n, tot.nb
-         |  FROM st CROSS JOIN cb CROSS JOIN tot
-         |  LEFT JOIN sb ON sb.source = st.source AND sb.bin = cb.bin
-         |)
-         |SELECT source, max(n_s) AS n_docs,
-         | round(CAST(sum(CAST(round((((c_sb + 1) / (n_s + nb) - (c_b + 1) / (n + nb)) *
-         |   ln(((c_sb + 1) / (n_s + nb)) / ((c_b + 1) / (n + nb)))) * 1e6) AS BIGINT))
-         |   AS BIGINT) / 1e6, 4) AS psi
-         |FROM dense GROUP BY source ORDER BY source""".stripMargin,
-    "q98_dsir_select" -> {
-      // the md5-slice bucket (q72's hash family); smoothing operands are
-      // exact integers; ln() quantizes to integer MICRO-UNITS so the
-      // per-doc weighted sum is exact integer arithmetic (a float sum
-      // over ~1024 terms is reduction-order-dependent at the rounding
-      // boundary); one final /1e6 + round(4)
-      val b = posSql("h", 0, 1024)
-      s"""WITH tb AS (
-         |  SELECT doc_id, lang, $b AS b FROM (
-         |    SELECT doc_id, lang, md5(tok) AS h FROM (
-         |      SELECT doc_id, lang, unnest(string_split(text, ' ')) AS tok FROM documents
-         |    )
-         |  )
-         |),
-         |bs AS (
-         |  SELECT b, CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS ct,
-         |    count(*) AS cs
-         |  FROM tb GROUP BY b
-         |),
-         |tot AS (SELECT CAST(sum(ct) AS BIGINT) AS nt, CAST(sum(cs) AS BIGINT) AS ns FROM bs),
-         |r AS (
-         |  SELECT b, CAST(round(ln(((ct + 1) / (nt + 1024)) / ((cs + 1) / (ns + 1024))) * 1e6)
-         |    AS BIGINT) AS r6
-         |  FROM bs CROSS JOIN tot
-         |),
-         |dc AS (SELECT doc_id, lang, b, count(*) AS c FROM tb GROUP BY 1, 2, 3)
-         |SELECT doc_id, lang, round(CAST(sum(c * r6) AS BIGINT) / 1e6, 4) AS logratio
-         |FROM dc JOIN r USING (b)
-         |GROUP BY 1, 2
-         |ORDER BY logratio DESC, doc_id LIMIT 50""".stripMargin
-    },
-    "q94_frame_dedup" ->
-      // same 64-byte frame windows (ASCII payloads: char slices == byte
-      // slices); keeper = lexicographic-min (asset, frame) via the
-      // min-asset window
-      """WITH f AS (
-        |  SELECT doc_id AS asset_id, i AS frame_no,
-        |    md5(substr(text, CAST(i * 64 + 1 AS INT), 64)) AS fc
-        |  FROM documents,
-        |    LATERAL (SELECT unnest(range(0, greatest(length(text) // 64, 1))) AS i)
-        |),
-        |m AS (SELECT *, min(asset_id) OVER (PARTITION BY fc) AS ma FROM f)
-        |SELECT fc AS frame_checksum, count(*) AS n_copies,
-        | count(DISTINCT asset_id) AS n_assets,
-        | min(asset_id) AS keeper_asset,
-        | CAST(min(CASE WHEN asset_id = ma THEN frame_no END) AS BIGINT) AS keeper_frame
-        |FROM m GROUP BY fc HAVING count(*) > 1
-        |ORDER BY fc""".stripMargin,
-    "q93_cluster_split" ->
-      // all-pairs Jaccard pairs -> recursive-CTE components -> q57's
-      // md5-range rule on the component representative
-      s"""WITH RECURSIVE pairs AS (
-         |$JaccardSql
-         |),
-         |edges AS (
-         |  SELECT id1 AS src, id2 AS dst FROM pairs
-         |  UNION ALL SELECT id2, id1 FROM pairs
-         |),
-         |reach(node, label) AS (
-         |  SELECT src, src FROM edges
-         |  UNION
-         |  SELECT e.src, r.label FROM edges e JOIN reach r ON e.dst = r.node
-         |),
-         |comp AS (SELECT node, min(label) AS rep FROM reach GROUP BY node),
-         |d AS (
-         |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS tok,
-         |    coalesce(c.rep, doc_id) AS rep
-         |  FROM documents LEFT JOIN comp c ON doc_id = c.node
-         |)
-         |SELECT CASE WHEN substr(md5(CAST(rep AS VARCHAR)), 1, 2) < '0d'
-         |         THEN 'test' ELSE 'train' END AS split,
-         | count(*) AS n_docs, CAST(sum(tok) AS BIGINT) AS total_tokens
-         |FROM d GROUP BY 1 ORDER BY 1""".stripMargin,
-    "q92_mixture_sample" ->
-      // same weight pipeline as q69, then the exact 13-hex md5 fraction
-      // (q54's trick) against the per-language keep probability
-      """WITH t AS (
-        |  SELECT lang, CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS tokens
-        |  FROM documents GROUP BY lang
-        |),
-        |s AS (
-        |  SELECT lang, tokens,
-        |    (SELECT CAST(sum(tokens) AS BIGINT) FROM t) AS total_tokens,
-        |    tokens / (SELECT CAST(sum(tokens) AS BIGINT) FROM t) AS share
-        |  FROM t
-        |),
-        |p AS (SELECT lang, tokens, total_tokens, sqrt(share) AS pa FROM s),
-        |wts AS (
-        |  SELECT lang,
-        |    least(1.0, 0.5 * total_tokens * (pa / (SELECT sum(pa) FROM p)) / tokens)
-        |      AS p_keep
-        |  FROM p
-        |),
-        |d AS (
-        |  SELECT lang, doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS tok,
-        |    list_sum(list_transform(generate_series(1, 13),
-        |      i -> (strpos('0123456789abcdef',
-        |              substr(md5(CAST(doc_id AS VARCHAR)), i, 1)) - 1)
-        |           * power(16.0, -i))) AS u
-        |  FROM documents
-        |)
-        |SELECT d.lang, count(*) AS n_docs_kept, CAST(sum(tok) AS BIGINT) AS tokens_kept,
-        | round(min(p_keep), 6) AS p_keep
-        |FROM d JOIN wts ON d.lang = wts.lang
-        |WHERE u < p_keep
-        |GROUP BY d.lang ORDER BY d.lang""".stripMargin,
-    "q91_quantized_ann" ->
-      // same trunc(x*127/max|x|) grid; quantized cosine is exact integer
-      // arithmetic under the double formula, so scores match bit-for-bit
-      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-         |qe AS (
-         |  SELECT vec_id,
-         |    CASE WHEN m > 0 THEN list_transform(v, x -> trunc(x * 127.0 / m))
-         |         ELSE list_transform(v, x -> 0.0) END AS qv
-         |  FROM (SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) AS m FROM e)
-         |),
-         |q AS (SELECT vec_id AS query_id, v AS tqv FROM e WHERE vec_id < 5),
-         |aq AS (SELECT vec_id AS query_id, qv AS qqv FROM qe WHERE vec_id < 5),
-         |truth AS (
-         |  SELECT query_id, neighbor_id FROM (
-         |    SELECT query_id, e.vec_id AS neighbor_id,
-         |      row_number() OVER (PARTITION BY query_id
-         |        ORDER BY round(${cosSql("tqv", "v")}, 6) DESC, e.vec_id) AS rnk
-         |    FROM e, q WHERE e.vec_id <> q.query_id
-         |  ) WHERE rnk <= 3
-         |),
-         |approx AS (
-         |  SELECT query_id, neighbor_id FROM (
-         |    SELECT query_id, qe.vec_id AS neighbor_id,
-         |      row_number() OVER (PARTITION BY query_id
-         |        ORDER BY round(${cosSql("qqv", "qv")}, 6) DESC, qe.vec_id) AS rnk
-         |    FROM qe, aq WHERE qe.vec_id <> aq.query_id
-         |  ) WHERE rnk <= 3
-         |)
-         |SELECT t.query_id, count(a.neighbor_id) AS n_hit,
-         | round(count(a.neighbor_id) / 3.0, 6) AS recall
-         |FROM truth t
-         |LEFT JOIN approx a
-         |  ON t.query_id = a.query_id AND t.neighbor_id = a.neighbor_id
-         |GROUP BY t.query_id ORDER BY t.query_id""".stripMargin,
-    "q90_token_entropy" ->
-      """WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
-        |c AS (SELECT doc_id, w, count(*) AS c FROM t GROUP BY 1, 2),
-        |s AS (
-        |  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens, count(*) AS n_types,
-        |    CAST(sum(c * CAST(round(log2(c) * 1e6) AS BIGINT)) AS BIGINT) AS s6
-        |  FROM c GROUP BY doc_id
-        |),
-        |e AS (
-        |  SELECT doc_id, n_tokens, n_types,
-        |    log2(n_tokens) - s6 / 1e6 / n_tokens AS h
-        |  FROM s
-        |)
-        |SELECT doc_id, n_tokens, n_types,
-        | round(h, 4) AS entropy,
-        | round(CASE WHEN n_tokens > 1 THEN h / log2(n_tokens) ELSE 0.0 END, 4)
-        |   AS norm_entropy
-        |FROM e ORDER BY doc_id""".stripMargin,
-    "q87_quantile_sketch" ->
-      // bottom-256-by-md5 sample per type, then the exact interpolated
-      // sample quantile with Spark's percentile formula written out:
-      // pos = q*(n-1), (hi-pos)*v_lo + (pos-lo)*v_hi with equal-endpoint
-      // short-circuits — every input is the same double on both engines,
-      // so the estimate matches bit-for-bit
-      """WITH v AS (
-        |  SELECT event_type, event_id, round(value, 2) AS v FROM events
-        |),
-        |samp AS (
-        |  SELECT event_type, v FROM (
-        |    SELECT event_type, v,
-        |      row_number() OVER (PARTITION BY event_type
-        |        ORDER BY md5(CAST(event_id AS VARCHAR)), event_id) AS rn
-        |    FROM v)
-        |  WHERE rn <= 256
-        |),
-        |ranked AS (
-        |  SELECT event_type, v,
-        |    row_number() OVER (PARTITION BY event_type ORDER BY v) - 1 AS idx,
-        |    count(*) OVER (PARTITION BY event_type) AS n
-        |  FROM samp
-        |),
-        |est AS (
-        |  SELECT event_type,
-        |    max(CASE WHEN idx = CAST(floor(0.5*(n-1)) AS BIGINT) THEN v END) AS vlo50,
-        |    max(CASE WHEN idx = CAST(ceil(0.5*(n-1)) AS BIGINT) THEN v END) AS vhi50,
-        |    max(CASE WHEN idx = CAST(floor(0.9*(n-1)) AS BIGINT) THEN v END) AS vlo90,
-        |    max(CASE WHEN idx = CAST(ceil(0.9*(n-1)) AS BIGINT) THEN v END) AS vhi90,
-        |    max(0.5*(n-1)) AS pos50, max(floor(0.5*(n-1))) AS lo50,
-        |    max(ceil(0.5*(n-1))) AS hi50,
-        |    max(0.9*(n-1)) AS pos90, max(floor(0.9*(n-1))) AS lo90,
-        |    max(ceil(0.9*(n-1))) AS hi90
-        |  FROM ranked GROUP BY event_type
-        |),
-        |tot AS (SELECT event_type, count(*) AS n_total FROM events GROUP BY 1)
-        |SELECT event_type, n_total,
-        | round(CASE WHEN hi50 = lo50 OR vhi50 = vlo50 THEN vlo50
-        |   ELSE (hi50 - pos50) * vlo50 + (pos50 - lo50) * vhi50 END, 4) AS p50_est,
-        | round(CASE WHEN hi90 = lo90 OR vhi90 = vlo90 THEN vlo90
-        |   ELSE (hi90 - pos90) * vlo90 + (pos90 - lo90) * vhi90 END, 4) AS p90_est
-        |FROM tot JOIN est USING (event_type)
-        |ORDER BY event_type""".stripMargin,
-    "q54_kmv_sketch" ->
-      // kth smallest distinct md5 per group; estimate = (k-1)/frac with the
-      // exact 13-hex-digit binary fraction (every term and partial sum is
-      // exactly representable, so the double matches Spark's bit-for-bit)
-      """WITH d AS (SELECT DISTINCT l_returnflag, l_partkey FROM lineitem),
-        |h AS (SELECT l_returnflag, md5(CAST(l_partkey AS VARCHAR)) AS h FROM d),
-        |r AS (
-        |  SELECT l_returnflag, h,
-        |    row_number() OVER (PARTITION BY l_returnflag ORDER BY h) AS rn,
-        |    count(*) OVER (PARTITION BY l_returnflag) AS nd
-        |  FROM h
-        |)
-        |SELECT l_returnflag, h AS kth_hash,
-        | round(CASE WHEN nd >= 64 THEN
-        |   63 / list_sum(list_transform(generate_series(1, 13),
-        |     i -> (strpos('0123456789abcdef', substr(h, i, 1)) - 1) * power(16.0, -i)))
-        |  ELSE CAST(nd AS DOUBLE) END, 4) AS distinct_estimate,
-        | nd AS n_exact
-        |FROM r WHERE rn = least(64, nd)
-        |ORDER BY l_returnflag""".stripMargin,
-    "q52_session_window" ->
-      s"""WITH $SessionCtes
-         |SELECT user_id,
-         | (min(epoch_ns(ts)) // 1000000000) AS session_start,
-         | count(*) AS n_events,
-         | round(sum(value), 2) AS session_value
-         |FROM numbered GROUP BY user_id, session_seq
-         |ORDER BY user_id, session_start""".stripMargin,
-    "q53_dedup_survivors" ->
-      s"""WITH RECURSIVE pairs AS (
-         |  SELECT id1, id2 FROM (
-         |$JaccardSql
-         |  ) jt
-         |),
-         |edges AS (
-         |  SELECT id1 AS src, id2 AS dst FROM pairs
-         |  UNION ALL SELECT id2, id1 FROM pairs
-         |),
-         |reach(node, label) AS (
-         |  SELECT src, src FROM edges
-         |  UNION
-         |  SELECT e.src, r.label FROM edges e JOIN reach r ON e.dst = r.node
-         |)
-         |SELECT node AS doc_id, min(label) AS cluster_rep,
-         | (node = min(label)) AS survives
-         |FROM reach GROUP BY node ORDER BY doc_id""".stripMargin,
-    "q49_brand_revenue" ->
-      """SELECT p_brand, n_name,
-        | round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue,
-        | count(*) AS n_lines
-        |FROM lineitem
-        |JOIN part ON l_partkey = p_partkey
-        |JOIN supplier ON l_suppkey = s_suppkey
-        |JOIN nation ON s_nationkey = n_nationkey
-        |GROUP BY p_brand, n_name ORDER BY p_brand, n_name""".stripMargin,
-    "q44_asof_join" ->
-      """WITH tagged AS (
-        |  SELECT user_id, event_id, ts, event_type, value,
-        |    CASE WHEN event_type = 'click' THEN value END AS click_value
-        |  FROM events WHERE event_type IN ('purchase', 'click')
-        |),
-        |filled AS (
-        |  SELECT user_id, event_id, event_type, value,
-        |    last_value(click_value IGNORE NULLS) OVER (
-        |      PARTITION BY user_id ORDER BY ts, event_id
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_click_value
-        |  FROM tagged
-        |)
-        |SELECT user_id, event_id, round(value, 2) AS purchase_value,
-        | round(coalesce(last_click_value, 0.0), 2) AS asof_click_value
-        |FROM filled WHERE event_type = 'purchase'
-        |ORDER BY user_id, event_id""".stripMargin,
-    "q29_cosine_topk" ->
-      CosineTopkSql,
-    "q30_lsh_ann" ->
-      // multi-probe: candidates within Hamming distance 1 of the query's
-      // bucket (the bit_count form is the set-equivalent of Spark's probe
-      // explosion + equi-join)
-      s"""WITH e AS (
-         |  SELECT vec_id, v, $BucketSql AS bucket FROM (
-         |    SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
-         |  )
-         |),
-         |q AS (SELECT vec_id AS query_id, v AS qv, bucket AS qbucket FROM e WHERE vec_id < 5),
-         |scored AS (
-         |  SELECT query_id, e.vec_id AS neighbor_id, round(${cosSql("qv", "v")}, 6) AS cos
-         |  FROM e JOIN q ON bit_count(xor(e.bucket, q.qbucket)) <= 1 AND e.vec_id <> q.query_id
-         |),
-         |ranked AS (
-         |  SELECT query_id, neighbor_id, cos,
-         |    CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS INT) AS rnk
-         |  FROM scored
-         |)
-         |SELECT query_id, neighbor_id, cos, rnk FROM ranked WHERE rnk <= 3
-         |ORDER BY query_id, rnk""".stripMargin,
-    "q55_ivf_ann" ->
-      // replicate the deterministic IVF exactly: md5-coreset centroids,
-      // argmin assignment with (rounded -cos, cid) tie-break, 2-probe
-      // query cells, exact top-3 within the probed cells
-      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-         |cent AS (
-         |  SELECT vec_id AS cid, v AS cv FROM e
-         |  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16
-         |),
-         |assigned AS (
-         |  SELECT vec_id, v, cid FROM (
-         |    SELECT e.vec_id, e.v, c.cid,
-         |      row_number() OVER (PARTITION BY e.vec_id
-         |        ORDER BY round(-(${cosSql("e.v", "c.cv")}), 6), c.cid) AS rn
-         |    FROM e CROSS JOIN cent c
-         |  ) WHERE rn = 1
-         |),
-         |probes AS (
-         |  SELECT query_id, qv, cid FROM (
-         |    SELECT q.vec_id AS query_id, q.v AS qv, c.cid,
-         |      row_number() OVER (PARTITION BY q.vec_id
-         |        ORDER BY round(-(${cosSql("q.v", "c.cv")}), 6), c.cid) AS rn
-         |    FROM e q CROSS JOIN cent c WHERE q.vec_id < 5
-         |  ) WHERE rn <= 2
-         |),
-         |scored AS (
-         |  SELECT p.query_id, a.vec_id AS neighbor_id,
-         |    round(${cosSql("p.qv", "a.v")}, 6) AS cos
-         |  FROM probes p JOIN assigned a ON a.cid = p.cid AND a.vec_id <> p.query_id
-         |),
-         |ranked AS (
-         |  SELECT query_id, neighbor_id, cos,
-         |    CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS INT) AS rnk
-         |  FROM scored
-         |)
-         |SELECT query_id, neighbor_id, cos, rnk FROM ranked WHERE rnk <= 3
-         |ORDER BY query_id, rnk""".stripMargin,
-    "q31_label_cohesion" ->
-      // fixed-size sample: the 16 rows per label with the smallest
-      // md5(vec_id) — same deterministic rule as Similarity.labelCohesion
-      // (the Spark side's salted two-stage rank selects the identical set)
-      s"""WITH ranked AS (
-         |  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v,
-         |    row_number() OVER (PARTITION BY label
-         |      ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rn
-         |  FROM embeddings
-         |),
-         |s AS (SELECT vec_id, label, v FROM ranked WHERE rn <= 16)
-         |SELECT a.label = b.label AS same_label,
-         | round(avg(${cosSql("a.v", "b.v")}), 6) AS avg_cos,
-         | count(*) AS n_pairs
-         |FROM s a JOIN s b ON a.vec_id < b.vec_id
-         |GROUP BY 1 ORDER BY 1""".stripMargin,
-    "q32_events_hourly" ->
-      """SELECT (epoch_ns(ts) // 3600000000000) * 3600 AS hour_epoch, event_type,
-        | count(*) AS n, round(sum(value), 2) AS total_value,
-        | count(DISTINCT user_id) AS n_users
-        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
-    "q33_sessionize" ->
-      s"""WITH $SessionCtes,
-         |sessions AS (
-         |  SELECT user_id, session_seq, count(*) AS n_events,
-         |    round(sum(value), 2) AS session_value
-         |  FROM numbered GROUP BY 1, 2
-         |)
-         |SELECT user_id, CAST(max(session_seq) AS BIGINT) AS n_sessions,
-         | max(n_events) AS max_session_events,
-         | round(sum(session_value), 2) AS total_value
-         |FROM sessions GROUP BY user_id ORDER BY user_id""".stripMargin,
-    "q34_type_profile" ->
-      """SELECT event_type, count(*) AS n,
-        | round(avg(value), 4) AS avg_value,
-        | round(quantile_cont(value, 0.5), 4) AS p50,
-        | round(quantile_cont(value, 0.95), 4) AS p95,
-        | round(stddev_samp(value), 4) AS sd
-        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
-    "q35_media_profile" ->
-      """WITH a AS (
-        |  SELECT doc_id AS asset_id,
-        |    CASE WHEN doc_id % 3 = 0 THEN 'image' WHEN doc_id % 3 = 1 THEN 'audio'
-        |         ELSE 'video' END AS media_type,
-        |    CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
-        |    md5(text) AS checksum
-        |  FROM documents
-        |)
-        |SELECT media_type, count(*) AS n_assets,
-        | CAST(sum(n_bytes) AS BIGINT) AS total_bytes,
-        | round(avg(ascii(substr(checksum, 1, 1)) % 16 * 64 + 64), 4) AS avg_width,
-        | round(avg(ascii(substr(checksum, 2, 1)) % 16 * 64 + 64), 4) AS avg_height,
-        | round(sum(round(n_bytes / 1000.0, 3)), 3) AS total_duration
-        |FROM a GROUP BY media_type ORDER BY media_type""".stripMargin,
-    "q36_frame_sample" ->
-      """WITH v AS (
-        |  SELECT doc_id AS asset_id, text,
-        |    CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
-        |  FROM documents WHERE doc_id % 3 = 2
-        |),
-        |frames AS (
-        |  SELECT asset_id, text,
-        |    unnest(generate_series(0, greatest(CAST(floor(n_bytes / 64.0) AS INT) - 1, 0))) AS frame_no
-        |  FROM v
-        |)
-        |SELECT asset_id, frame_no, md5(substr(text, frame_no * 64 + 1, 64)) AS frame_checksum
-        |FROM frames WHERE frame_no % 4 = 0
-        |ORDER BY asset_id, frame_no""".stripMargin,
-    "q121_fuzzy_match" ->
-      // token blocking is lossless for the stated semantics (pairs must
-      // share a token), so the oracle replicates block -> verify exactly
-      """WITH names AS (SELECT p_name, count(*) AS n_parts FROM part GROUP BY 1),
-        |toks AS (SELECT p_name, unnest(string_split(p_name, ' ')) AS tok FROM names),
-        |cand AS (
-        |  SELECT DISTINCT a.p_name AS name_a, b.p_name AS name_b
-        |  FROM toks a JOIN toks b ON a.tok = b.tok AND a.p_name < b.p_name
-        |),
-        |v AS (
-        |  SELECT name_a, name_b, CAST(levenshtein(name_a, name_b) AS INT) AS edit_dist
-        |  FROM cand
-        |)
-        |SELECT name_a, name_b, edit_dist, na.n_parts AS parts_a, nb.n_parts AS parts_b
-        |FROM v
-        |JOIN names na ON na.p_name = name_a
-        |JOIN names nb ON nb.p_name = name_b
-        |WHERE edit_dist <= 3
-        |ORDER BY name_a, name_b""".stripMargin,
-    "q122_tfidf_pairs" ->
-      // integer micro-unit sums (the PSI trick) make dot/norm order-free;
-      // association mirrors the Scala side exactly (w*w'*1e6)
-      """WITH tf AS (
-        |  SELECT doc_id, term, count(*) AS tf FROM (
-        |    SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
-        |  ) GROUP BY 1, 2
-        |),
-        |df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
-        |n AS (SELECT count(*) AS n_docs FROM documents),
-        |w AS (
-        |  SELECT doc_id, term, df, round(tf * ln(n_docs / df), 4) AS w,
-        |    n_docs * 64 // 1000 AS df_cap
-        |  FROM tf JOIN df USING (term) CROSS JOIN n
-        |),
-        |topw AS (
-        |  SELECT doc_id, term, df, w, df_cap FROM (
-        |    SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY w DESC, term) AS r
-        |    FROM w
-        |  ) WHERE r <= 8
-        |),
-        |cand AS (
-        |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-        |  FROM topw a JOIN topw b ON a.term = b.term AND a.doc_id < b.doc_id
-        |  WHERE a.df <= a.df_cap
-        |),
-        |nrm AS (
-        |  SELECT doc_id, sum(CAST(round(w * w * 1e6) AS BIGINT)) AS nsq
-        |  FROM topw GROUP BY 1
-        |),
-        |dots AS (
-        |  SELECT id_a, id_b, sum(CAST(round(a.w * b.w * 1e6) AS BIGINT)) AS dot
-        |  FROM cand
-        |  JOIN topw a ON a.doc_id = id_a
-        |  JOIN topw b ON b.doc_id = id_b AND b.term = a.term
-        |  GROUP BY 1, 2
-        |)
-        |SELECT id_a, id_b,
-        | round((dot / 1e6) / (sqrt(na.nsq / 1e6) * sqrt(nb.nsq / 1e6)), 4) AS cos
-        |FROM dots
-        |JOIN nrm na ON na.doc_id = id_a
-        |JOIN nrm nb ON nb.doc_id = id_b
-        |WHERE round((dot / 1e6) / (sqrt(na.nsq / 1e6) * sqrt(nb.nsq / 1e6)), 4) >= 0.7
-        |ORDER BY id_a, id_b""".stripMargin,
-    "q123_transitions" ->
-      """WITH seq AS (
-        |  SELECT event_type,
-        |    lead(event_type) OVER w AS next_type,
-        |    epoch_ns(ts) AS tns,
-        |    lead(epoch_ns(ts)) OVER w AS next_tns
-        |  FROM events
-        |  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ns(ts), event_id)
-        |),
-        |m AS (
-        |  SELECT event_type, next_type, count(*) AS n FROM seq
-        |  WHERE next_type IS NOT NULL AND next_tns - tns <= 1800000000000
-        |  GROUP BY 1, 2
-        |)
-        |SELECT event_type, next_type, n,
-        | round(n / sum(n) OVER (PARTITION BY event_type), 4) AS p
-        |FROM m ORDER BY event_type, next_type""".stripMargin,
-    "q124_weighted_sample" ->
-      // A-ES keys: exact 13-hex md5 fraction (dyadic, so list_sum is
-      // exact), -ln(u)/w; bottom-50 selection ranks the unrounded key
-      """WITH d AS (
-        |  SELECT doc_id, lang, n_chars,
-        |    list_sum(list_transform(generate_series(1, 13),
-        |      i -> (strpos('0123456789abcdef',
-        |              substr(md5(CAST(doc_id AS VARCHAR)), i, 1)) - 1)
-        |           * power(16.0, -i))) AS u
-        |  FROM documents
-        |),
-        |keyed AS (SELECT doc_id, lang, n_chars, -ln(u) / n_chars AS key FROM d),
-        |top AS (SELECT * FROM keyed ORDER BY key, doc_id LIMIT 50)
-        |SELECT doc_id, lang, n_chars, round(key * 1e6, 4) AS key_micro
-        |FROM top ORDER BY key_micro, doc_id""".stripMargin,
-    "q125_dp_histogram" ->
-      // same KEYED md5-seeded uniform -> inverse-CDF Laplace; the oracle
-      // replays the fixture-pinned key (a real release's key never sits
-      // beside the artifact like this); round(4) sits far above any
-      // libm ln() jitter
-      """WITH c AS (SELECT lang, count(*) AS n_docs FROM documents GROUP BY 1),
-        |u AS (
-        |  SELECT lang, n_docs,
-        |    list_sum(list_transform(generate_series(1, 13),
-        |      i -> (strpos('0123456789abcdef',
-        |              substr(md5('dp:graft-fixture-key:r1:' || lang), i, 1)) - 1)
-        |           * power(16.0, -i))) AS u
-        |  FROM c
-        |)
-        |SELECT lang, n_docs,
-        | round(n_docs + (-1.0) * sign(u - 0.5) * ln(1.0 - 2.0 * abs(u - 0.5)), 4)
-        |   AS noisy_n
-        |FROM u ORDER BY lang""".stripMargin,
-    "q126_hybrid_rrf" ->
-      // q79's BM25 CTE + the q29-style dense ranking; RRF terms are
-      // integer micro-units so the fused score is order-free
-      s"""WITH dl AS (
-         |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS dl FROM documents
-         |),
-         |stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl),
-         |tf AS (
-         |  SELECT doc_id, term, count(*) AS tf FROM (
-         |    SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
-         |  ) WHERE term IN ('table', 'data', 'row') GROUP BY 1, 2
-         |),
-         |df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
-         |scored AS (
-         |  SELECT doc_id,
-         |    round(sum(ln((n - df + 0.5) / (df + 0.5) + 1) * tf * (1.2 + 1) /
-         |      (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))), 4) AS bm25
-         |  FROM tf JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
-         |  GROUP BY doc_id
-         |),
-         |lex AS (
-         |  SELECT doc_id AS id,
-         |    CAST(row_number() OVER (ORDER BY bm25 DESC, doc_id) AS INT) AS r_lex
-         |  FROM scored ORDER BY bm25 DESC, doc_id LIMIT 20
-         |),
-         |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-         |q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
-         |cos AS (
-         |  SELECT vec_id, round(${cosSql("qv", "v")}, 6) AS cos
-         |  FROM e CROSS JOIN q WHERE vec_id <> 0
-         |),
-         |vec AS (
-         |  SELECT vec_id AS id,
-         |    CAST(row_number() OVER (ORDER BY cos DESC, vec_id) AS INT) AS r_vec
-         |  FROM cos ORDER BY cos DESC, vec_id LIMIT 20
-         |),
-         |fused AS (
-         |  SELECT coalesce(lex.id, vec.id) AS id, r_lex, r_vec,
-         |    coalesce(CAST(round(1e6 / (r_lex + 60)) AS BIGINT), 0) +
-         |    coalesce(CAST(round(1e6 / (r_vec + 60)) AS BIGINT), 0) AS rrf_micro
-         |  FROM lex FULL OUTER JOIN vec ON lex.id = vec.id
-         |)
-         |SELECT id, r_lex, r_vec, rrf_micro FROM fused
-         |ORDER BY rrf_micro DESC, id LIMIT 10""".stripMargin,
-    "q128_sliding_dau" ->
-      // merged bottom-64: the sketch max is the kth smallest; estimate
-      // (k-1)/frac(kth) via the exact 13-hex fraction, exact below fill
-      """WITH du AS (
-        |  SELECT DISTINCT epoch_ns(ts) // 86400000000000 AS day, user_id FROM events
-        |),
-        |days AS (SELECT DISTINCT day FROM du),
-        |dh AS (SELECT day, md5(CAST(user_id AS VARCHAR)) AS h FROM du),
-        |dsk AS (
-        |  SELECT day, h FROM (
-        |    SELECT day, h, row_number() OVER (PARTITION BY day ORDER BY h) AS r FROM dh
-        |  ) WHERE r <= 64
-        |),
-        |win AS (
-        |  SELECT DISTINCT w.wend AS window_end_day, s.h
-        |  FROM (SELECT day, unnest(generate_series(day, day + 6)) AS wend FROM days) w
-        |  JOIN days d ON d.day = w.wend
-        |  JOIN dsk s ON s.day = w.day
-        |),
-        |merged AS (
-        |  SELECT window_end_day, h,
-        |    row_number() OVER (PARTITION BY window_end_day ORDER BY h) AS r
-        |  FROM win
-        |),
-        |stats AS (
-        |  SELECT window_end_day, count(*) AS n_sk, max(h) AS kth
-        |  FROM merged WHERE r <= 64 GROUP BY 1
-        |),
-        |est AS (
-        |  SELECT window_end_day,
-        |    round(CASE WHEN n_sk < 64 THEN CAST(n_sk AS DOUBLE)
-        |      ELSE 63.0 / list_sum(list_transform(generate_series(1, 13),
-        |        i -> (strpos('0123456789abcdef', substr(kth, i, 1)) - 1)
-        |             * power(16.0, -i))) END, 4) AS est_users
-        |  FROM stats
-        |),
-        |nd AS (
-        |  SELECT w.wend AS window_end_day, count(*) AS n_days
-        |  FROM (SELECT day, unnest(generate_series(day, day + 6)) AS wend FROM days) w
-        |  JOIN days d ON d.day = w.wend GROUP BY 1
-        |),
-        |ex AS (
-        |  SELECT w.wend AS window_end_day, count(DISTINCT w.user_id) AS n_exact
-        |  FROM (SELECT day, user_id, unnest(generate_series(day, day + 6)) AS wend FROM du) w
-        |  JOIN days d ON d.day = w.wend
-        |  GROUP BY 1
-        |)
-        |SELECT window_end_day, n_days, est_users, n_exact
-        |FROM est JOIN nd USING (window_end_day) JOIN ex USING (window_end_day)
-        |ORDER BY window_end_day""".stripMargin,
-    "q131_above_avg_spenders" ->
-      // the SAME text Spark executes (Extended.AboveAvgSpendersSql) —
-      // decimal cross-multiplication keeps the predicate engine-exact
-      graft.operators.Extended.AboveAvgSpendersSql,
-    "q141_stratified_weighted" ->
-      // q124's exact keys ranked within language
-      """WITH d AS (
-        |  SELECT doc_id, lang, n_chars,
-        |    list_sum(list_transform(generate_series(1, 13),
-        |      i -> (strpos('0123456789abcdef',
-        |              substr(md5(CAST(doc_id AS VARCHAR)), i, 1)) - 1)
-        |           * power(16.0, -i))) AS u
-        |  FROM documents
-        |),
-        |keyed AS (SELECT doc_id, lang, n_chars, -ln(u) / n_chars AS key FROM d),
-        |top AS (
-        |  SELECT lang, doc_id, n_chars, key FROM (
-        |    SELECT *, row_number() OVER (PARTITION BY lang ORDER BY key, doc_id) AS r
-        |    FROM keyed
-        |  ) WHERE r <= 10
-        |)
-        |SELECT lang, doc_id, n_chars, round(key * 1e6, 4) AS key_micro
-        |FROM top ORDER BY lang, key_micro, doc_id""".stripMargin,
-    "q140_effective_tokens" ->
-      // q97's island CTEs rolled up by source; docs without spans
-      // contribute zero via the left join
-      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents
-        |           WHERE len(string_split(text, ' ')) >= 8),
-        |p AS (SELECT doc_id, ws, unnest(generate_series(1, len(ws) - 7)) AS i FROM w),
-        |g AS (SELECT doc_id, i - 1 AS pos,
-        |        md5(ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3] || ' ' ||
-        |            ws[i+4] || ' ' || ws[i+5] || ' ' || ws[i+6] || ' ' || ws[i+7]) AS h
-        |      FROM p),
-        |dup AS (SELECT h FROM g GROUP BY h HAVING count(*) >= 2),
-        |d AS (SELECT doc_id, pos FROM g JOIN dup USING (h)),
-        |isl AS (SELECT doc_id, pos,
-        |          max(pos + 7) OVER (PARTITION BY doc_id ORDER BY pos
-        |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
-        |        FROM d),
-        |num AS (SELECT doc_id, pos,
-        |          sum(CASE WHEN prev_end IS NULL OR pos > prev_end + 1 THEN 1 ELSE 0 END)
-        |            OVER (PARTITION BY doc_id ORDER BY pos) AS island
-        |        FROM isl),
-        |sp AS (SELECT doc_id, island, min(pos) AS s, max(pos) + 7 AS e
-        |       FROM num GROUP BY 1, 2),
-        |perdoc AS (SELECT doc_id, CAST(sum(e - s + 1) AS BIGINT) AS dup_tokens
-        |           FROM sp GROUP BY doc_id),
-        |base AS (SELECT doc_id, source,
-        |           CAST(len(string_split(text, ' ')) AS BIGINT) AS nt
-        |         FROM documents)
-        |SELECT source, count(*) AS n_docs,
-        | CAST(sum(nt) AS BIGINT) AS total_tokens,
-        | CAST(sum(coalesce(dup_tokens, 0)) AS BIGINT) AS dup_tokens,
-        | CAST(sum(nt) - sum(coalesce(dup_tokens, 0)) AS BIGINT) AS effective_tokens,
-        | round(sum(coalesce(dup_tokens, 0)) / sum(nt), 6) AS dup_ratio
-        |FROM base LEFT JOIN perdoc USING (doc_id)
-        |GROUP BY source ORDER BY source""".stripMargin,
-    "q139_containment_search" ->
-      // grams are per-doc DISTINCT (GramsCte's list_distinct), so the
-      // shared count is exact set intersection
-      s"""WITH $GramsCte,
-         |q AS (SELECT g FROM grams WHERE doc_id = 0),
-         |qs AS (SELECT count(*) AS q_size FROM q),
-         |shared AS (
-         |  SELECT doc_id, count(*) AS n_shared
-         |  FROM grams JOIN q USING (g)
-         |  WHERE doc_id <> 0 GROUP BY doc_id
-         |)
-         |SELECT doc_id, n_shared, q_size, round(n_shared / q_size, 6) AS containment
-         |FROM shared CROSS JOIN qs
-         |WHERE round(n_shared / q_size, 6) >= 0.5
-         |ORDER BY doc_id""".stripMargin,
-    "q138_prf_retrieval" ->
-      // seed pass = q79's CTEs; feedback terms = q67's rounded tf-idf
-      // rank restricted to the seed top-3; re-score under the expanded
-      // DISTINCT term set with the same BM25 arithmetic
-      """WITH dl AS (
-        |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS dl FROM documents
-        |),
-        |stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl),
-        |toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
-        |tf0 AS (
-        |  SELECT doc_id, term, count(*) AS tf FROM toks
-        |  WHERE term IN ('table', 'data', 'row') GROUP BY 1, 2
-        |),
-        |df0 AS (SELECT term, count(*) AS df FROM tf0 GROUP BY 1),
-        |seed AS (
-        |  SELECT doc_id,
-        |    round(sum(ln((n - df + 0.5) / (df + 0.5) + 1) * tf * (1.2 + 1) /
-        |      (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))), 4) AS bm25
-        |  FROM tf0 JOIN df0 USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
-        |  GROUP BY doc_id
-        |),
-        |seedtop AS (SELECT doc_id FROM seed ORDER BY bm25 DESC, doc_id LIMIT 3),
-        |tfa AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
-        |dfa AS (SELECT term, count(*) AS df FROM tfa GROUP BY 1),
-        |n2 AS (SELECT count(*) AS n_docs FROM documents),
-        |fbt AS (
-        |  SELECT term FROM (
-        |    SELECT t.doc_id, t.term,
-        |      row_number() OVER (PARTITION BY t.doc_id
-        |        ORDER BY round(t.tf * ln(n_docs / df), 4) DESC, t.term) AS r
-        |    FROM tfa t JOIN dfa USING (term) CROSS JOIN n2
-        |    WHERE t.doc_id IN (SELECT doc_id FROM seedtop)
-        |  ) WHERE r <= 2
-        |),
-        |expanded AS (
-        |  SELECT DISTINCT term FROM (
-        |    SELECT unnest(['table', 'data', 'row']) AS term
-        |    UNION ALL SELECT term FROM fbt
-        |  )
-        |),
-        |tfx AS (
-        |  SELECT doc_id, term, tf FROM tfa WHERE term IN (SELECT term FROM expanded)
-        |),
-        |dfx AS (SELECT term, count(*) AS df FROM tfx GROUP BY 1)
-        |SELECT doc_id,
-        | round(sum(ln((n - df + 0.5) / (df + 0.5) + 1) * tf * (1.2 + 1) /
-        |   (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))), 4) AS bm25x
-        |FROM tfx JOIN dfx USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
-        |GROUP BY doc_id
-        |ORDER BY bm25x DESC, doc_id LIMIT 10""".stripMargin,
-    "q137_dup_graph_shape" ->
-      // edges = the exact-Jaccard pair set (q27's oracle body); wedges
-      // from degrees, triangles via the a<b<c oriented joins
-      s"""WITH edges AS (SELECT id1, id2 FROM ($JaccardSql)),
-         |deg AS (
-         |  SELECT node, count(*) AS deg FROM (
-         |    SELECT id1 AS node FROM edges UNION ALL SELECT id2 FROM edges
-         |  ) GROUP BY 1
-         |),
-         |w AS (
-         |  SELECT count(*) AS n_nodes,
-         |    coalesce(CAST(sum(deg * (deg - 1) // 2) AS BIGINT), 0) AS n_wedges
-         |  FROM deg
-         |),
-         |t AS (
-         |  SELECT count(*) AS n_triangles
-         |  FROM edges e1
-         |  JOIN edges e2 ON e2.id1 = e1.id2
-         |  JOIN edges e3 ON e3.id1 = e1.id1 AND e3.id2 = e2.id2
-         |),
-         |ne AS (SELECT count(*) AS n_edges FROM edges)
-         |SELECT n_nodes, n_edges, n_wedges, n_triangles,
-         | CASE WHEN n_wedges = 0 THEN 0.0
-         |      ELSE round(3.0 * n_triangles / n_wedges, 6) END AS clustering
-         |FROM ne CROSS JOIN w CROSS JOIN t""".stripMargin,
-    "q136_collocations" ->
-      // double casts BEFORE the products (mirrors the Scala side); PMI
-      // micro-quantized so the ranking key is engine-exact
-      """WITH toks AS (SELECT string_split(text, ' ') AS ts FROM documents),
-        |bg AS (
-        |  SELECT b[1] AS w1, b[2] AS w2, count(*) AS cab FROM (
-        |    SELECT unnest(list_transform(generate_series(1, len(ts) - 1),
-        |      i -> [ts[i], ts[i + 1]])) AS b
-        |    FROM toks WHERE len(ts) >= 2
-        |  ) GROUP BY 1, 2
-        |),
-        |uni AS (
-        |  SELECT w, count(*) AS cw FROM (SELECT unnest(ts) AS w FROM toks) GROUP BY 1
-        |),
-        |np AS (SELECT CAST(sum(cab) AS BIGINT) AS n_pos FROM bg)
-        |SELECT w1, w2, cab,
-        | round(ln(CAST(n_pos AS DOUBLE) * cab / (CAST(u1.cw AS DOUBLE) * u2.cw)) * 1e6) / 1e6 AS pmi
-        |FROM bg
-        |JOIN uni u1 ON u1.w = w1
-        |JOIN uni u2 ON u2.w = w2
-        |CROSS JOIN np
-        |WHERE cab >= 20
-        |ORDER BY pmi DESC, w1, w2 LIMIT 20""".stripMargin,
-    "q135_mad_outliers" ->
-      // quantile_cont == the bounded-state exact quantile bit-for-bit
-      // (q87/q119 precedent); cents + round(4) cuts keep every
-      // comparison on identical doubles
-      """WITH vals AS (SELECT event_type, round(value, 2) AS v FROM events),
-        |med AS (
-        |  SELECT event_type, round(quantile_cont(v, 0.5), 4) AS med
-        |  FROM vals GROUP BY 1
-        |),
-        |dev AS (
-        |  SELECT vals.event_type, v, med, round(abs(v - med), 4) AS d
-        |  FROM vals JOIN med USING (event_type)
-        |),
-        |mad AS (
-        |  SELECT event_type, round(quantile_cont(d, 0.5), 4) AS mad
-        |  FROM dev GROUP BY 1
-        |)
-        |SELECT dev.event_type, count(*) AS n_total,
-        | CAST(sum(CASE WHEN d > 3.0 * mad THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
-        | min(med) AS median, min(mad) AS mad
-        |FROM dev JOIN mad USING (event_type)
-        |GROUP BY dev.event_type ORDER BY dev.event_type""".stripMargin,
-    "q134_epoch_shuffle" ->
-      // same permutation: md5(seed:doc_id) sort key, first-byte shard,
-      // string_agg in (key, doc_id) order; checksums match iff the
-      // engines produced byte-identical training order
-      """WITH k AS (
-        |  SELECT doc_id, md5('epoch0:' || CAST(doc_id AS VARCHAR)) AS k
-        |  FROM documents
-        |),
-        |s AS (
-        |  SELECT doc_id, k,
-        |    ((strpos('0123456789abcdef', substr(k, 1, 1)) - 1) * 16
-        |     + (strpos('0123456789abcdef', substr(k, 2, 1)) - 1)) % 8 AS shard
-        |  FROM k
-        |)
-        |SELECT shard, count(*) AS n_docs,
-        | md5(string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY k, doc_id)) AS order_checksum
-        |FROM s GROUP BY shard ORDER BY shard""".stripMargin,
-    "q133_method_agreement" ->
-      // both pair sets are the established q27/q28 oracle bodies, nested
-      // as CTE subqueries and full-outer classified
-      s"""WITH mh AS (SELECT id1, id2 FROM ($JaccardSql)),
-         |sh AS (SELECT id1, id2 FROM ($SimhashSql)),
-         |j AS (
-         |  SELECT CASE
-         |    WHEN mh.id1 IS NOT NULL AND sh.id1 IS NOT NULL THEN 'both'
-         |    WHEN mh.id1 IS NOT NULL THEN 'minhash_only'
-         |    ELSE 'simhash_only' END AS agreement
-         |  FROM mh FULL OUTER JOIN sh ON mh.id1 = sh.id1 AND mh.id2 = sh.id2
-         |)
-         |SELECT agreement, count(*) AS n_pairs FROM j
-         |GROUP BY agreement ORDER BY agreement""".stripMargin,
-    "q132_top_paths" ->
-      """WITH seq AS (
-        |  SELECT event_type AS step1,
-        |    lead(event_type, 1) OVER w AS step2,
-        |    lead(event_type, 2) OVER w AS step3,
-        |    epoch_ns(ts) AS tns,
-        |    lead(epoch_ns(ts), 1) OVER w AS tns2,
-        |    lead(epoch_ns(ts), 2) OVER w AS tns3
-        |  FROM events
-        |  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ns(ts), event_id)
-        |)
-        |SELECT step1, step2, step3, count(*) AS n FROM seq
-        |WHERE step3 IS NOT NULL
-        |  AND tns2 - tns <= 1800000000000 AND tns3 - tns2 <= 1800000000000
-        |GROUP BY 1, 2, 3
-        |ORDER BY n DESC, step1, step2, step3 LIMIT 10""".stripMargin,
-    "q130_ann_ndcg" ->
-      // the idcg denominator is the SAME integer literal the Spark plan
-      // embeds (Similarity.ndcgIdcgMicro), so the score is a ratio of
-      // engine-exact integers
-      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-         |eb AS (SELECT vec_id, v, $BucketSql AS bucket FROM e),
-         |q AS (SELECT vec_id AS query_id, v AS qv, bucket AS qbucket FROM eb WHERE vec_id < 5),
-         |ascored AS (
-         |  SELECT query_id, eb.vec_id AS neighbor_id, round(${cosSql("qv", "eb.v")}, 6) AS cos
-         |  FROM eb JOIN q ON bit_count(xor(eb.bucket, q.qbucket)) <= 1 AND eb.vec_id <> q.query_id
-         |),
-         |approx AS (
-         |  SELECT query_id, neighbor_id, rnk FROM (
-         |    SELECT query_id, neighbor_id,
-         |      CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS INT) AS rnk
-         |    FROM ascored
-         |  ) WHERE rnk <= 3
-         |),
-         |q2 AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 5),
-         |tscored AS (
-         |  SELECT query_id, e.vec_id AS neighbor_id, round(${cosSql("qv", "e.v")}, 6) AS cos
-         |  FROM e, q2 WHERE e.vec_id <> q2.query_id
-         |),
-         |truth AS (
-         |  SELECT query_id, neighbor_id, rnk FROM (
-         |    SELECT query_id, neighbor_id,
-         |      CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS INT) AS rnk
-         |    FROM tscored
-         |  ) WHERE rnk <= 5
-         |),
-         |graded AS (
-         |  SELECT a.query_id, a.rnk, coalesce(6 - t.rnk, 0) AS rel
-         |  FROM approx a LEFT JOIN truth t
-         |    ON t.query_id = a.query_id AND t.neighbor_id = a.neighbor_id
-         |),
-         |dcg AS (
-         |  SELECT query_id,
-         |    CAST(sum(CAST(round(rel / log2(rnk + 1) * 1e6) AS BIGINT)) AS BIGINT) AS dcg_micro
-         |  FROM graded GROUP BY 1
-         |)
-         |SELECT query_id, dcg_micro,
-         | round(dcg_micro / ${graft.operators.Similarity.ndcgIdcgMicro(3, 5)}.0, 4) AS ndcg
-         |FROM dcg ORDER BY query_id""".stripMargin,
-    "q129_scd2_history" ->
-      // micro-epoch bounds: epoch_us(ts) == Spark's `ts div 1000` (the
-      // DuckDB reader already truncated the nanos to micros)
-      """WITH seq AS (
-        |  SELECT user_id, event_id, epoch_us(ts) AS tsu, event_type,
-        |    lag(event_type) OVER w AS prev_type
-        |  FROM events
-        |  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
-        |),
-        |changes AS (
-        |  SELECT user_id, event_id, tsu, event_type FROM seq
-        |  WHERE prev_type IS NULL OR prev_type <> event_type
-        |),
-        |stitched AS (
-        |  SELECT user_id, event_type, tsu AS valid_from,
-        |    lead(tsu) OVER (PARTITION BY user_id ORDER BY tsu, event_id) - 1 AS valid_to
-        |  FROM changes
-        |)
-        |SELECT user_id, event_type, valid_from, valid_to, valid_to IS NULL AS is_current
-        |FROM stitched ORDER BY user_id, valid_from""".stripMargin,
-    "q127_profile_drift" ->
-      """WITH v1 AS (SELECT * FROM documents WHERE doc_id % 10 <> 1),
-        |v2 AS (
-        |  SELECT doc_id,
-        |    CASE WHEN doc_id % 7 = 0 THEN text || ' rev1' ELSE text END AS text,
-        |    lang, source,
-        |    CASE WHEN doc_id % 7 = 0 THEN n_chars + 5 ELSE n_chars END AS n_chars
-        |  FROM documents WHERE doc_id % 10 <> 0
-        |),
-        |p1 AS (
-        |  SELECT 'lang' AS column_name, count(*) AS n_rows,
-        |    CAST(sum(CASE WHEN lang IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
-        |    count(DISTINCT lang) AS n_distinct, min(lang) AS min_v, max(lang) AS max_v
-        |  FROM v1
-        |  UNION ALL
-        |  SELECT 'source', count(*),
-        |    CAST(sum(CASE WHEN source IS NULL THEN 1 ELSE 0 END) AS BIGINT),
-        |    count(DISTINCT source), min(source), max(source) FROM v1
-        |  UNION ALL
-        |  SELECT 'n_chars', count(*),
-        |    CAST(sum(CASE WHEN n_chars IS NULL THEN 1 ELSE 0 END) AS BIGINT),
-        |    count(DISTINCT n_chars),
-        |    min(lpad(CAST(n_chars AS VARCHAR), 12, '0')),
-        |    max(lpad(CAST(n_chars AS VARCHAR), 12, '0')) FROM v1
-        |),
-        |p2 AS (
-        |  SELECT 'lang' AS column_name, count(*) AS n_rows,
-        |    CAST(sum(CASE WHEN lang IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
-        |    count(DISTINCT lang) AS n_distinct, min(lang) AS min_v, max(lang) AS max_v
-        |  FROM v2
-        |  UNION ALL
-        |  SELECT 'source', count(*),
-        |    CAST(sum(CASE WHEN source IS NULL THEN 1 ELSE 0 END) AS BIGINT),
-        |    count(DISTINCT source), min(source), max(source) FROM v2
-        |  UNION ALL
-        |  SELECT 'n_chars', count(*),
-        |    CAST(sum(CASE WHEN n_chars IS NULL THEN 1 ELSE 0 END) AS BIGINT),
-        |    count(DISTINCT n_chars),
-        |    min(lpad(CAST(n_chars AS VARCHAR), 12, '0')),
-        |    max(lpad(CAST(n_chars AS VARCHAR), 12, '0')) FROM v2
-        |)
-        |SELECT p1.column_name AS column_name,
-        | p1.n_rows AS rows_v1, p2.n_rows AS rows_v2,
-        | p1.n_null AS nulls_v1, p2.n_null AS nulls_v2,
-        | p1.n_distinct AS distinct_v1, p2.n_distinct AS distinct_v2,
-        | p1.min_v AS min_v1, p2.min_v AS min_v2,
-        | p1.max_v AS max_v1, p2.max_v AS max_v2
-        |FROM p1 JOIN p2 ON p1.column_name = p2.column_name
-        |ORDER BY column_name""".stripMargin,
-    "q142_boilerplate" ->
-      // fixed-width (8-word) non-overlapping pseudo-line segments; a
-      // segment md5 in >= 3 distinct docs is template boilerplate; report
-      // per source the segment counts and the token mass kept
-      """WITH s AS (
-        |  SELECT doc_id, source,
-        |    md5(array_to_string(ws[(i*8+1):(i*8+8)], ' ')) AS h,
-        |    CAST(len(ws[(i*8+1):(i*8+8)]) AS BIGINT) AS ntok
-        |  FROM (SELECT doc_id, source, string_split(text, ' ') AS ws FROM documents),
-        |    LATERAL (SELECT unnest(range(0, (len(ws)-1)//8 + 1)) AS i)
-        |),
-        |d AS (SELECT h, count(DISTINCT doc_id) AS docfreq FROM s GROUP BY h),
-        |j AS (
-        |  SELECT s.source, s.doc_id, s.ntok,
-        |    CASE WHEN d.docfreq >= 3 THEN 1 ELSE 0 END AS bp
-        |  FROM s JOIN d USING (h)
-        |)
-        |SELECT source, count(DISTINCT doc_id) AS n_docs, count(*) AS n_segments,
-        | CAST(sum(bp) AS BIGINT) AS n_bp_segments,
-        | round(sum(bp) * 1.0 / count(*), 6) AS bp_seg_frac,
-        | CAST(sum(ntok) AS BIGINT) AS toks_total,
-        | CAST(sum(CASE WHEN bp = 0 THEN ntok ELSE 0 END) AS BIGINT) AS toks_kept
-        |FROM j GROUP BY source ORDER BY source""".stripMargin,
-    "q143_classifier_weights" ->
-      s"""$ClassifierTrainCtes
-         |SELECT b, wm AS w_micro, round(wm / 1e6, 6) AS weight
-         |FROM w4 ORDER BY b""".stripMargin,
-    "q144_classifier_eval" ->
-      s"""$ClassifierTrainCtes,
-         |sc AS (
-         |  SELECT doc_id, CAST(sum(c * wm) AS BIGINT) AS zm
-         |  FROM fx JOIN w4 USING (b) GROUP BY doc_id
-         |),
-         |cm AS (
-         |  SELECT y, CASE WHEN zm >= 0 THEN CAST(1 AS BIGINT)
-         |      ELSE CAST(0 AS BIGINT) END AS pred,
-         |    count(*) AS n_docs
-         |  FROM sc JOIN yd USING (doc_id) GROUP BY 1, 2
-         |)
-         |SELECT y, pred, n_docs,
-         | round(n_docs * 1.0 / sum(n_docs) OVER (PARTITION BY y), 6) AS frac_of_label
-         |FROM cm ORDER BY y, pred""".stripMargin,
-    "q145_classifier_sample" -> {
-      // u = first 5 md5 hex digits of doc_id as an integer, mod 1e6 (the
-      // strpos arithmetic of posSql, widened to 5 digits); accept iff
-      // u < pm — integer-exact in both engines
-      def hv(idx: Int) =
-        s"(strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), $idx, 1)) - 1)"
-      val u5 = s"(((((${hv(1)} * 16 + ${hv(2)}) * 16 + ${hv(3)}) * 16 + ${hv(4)}) * 16 + ${hv(5)}) % 1000000)"
-      s"""$ClassifierTrainCtes,
-         |sc AS (
-         |  SELECT doc_id, CAST(sum(c * wm) AS BIGINT) AS zm
-         |  FROM fx JOIN w4 USING (b) GROUP BY doc_id
-         |),
-         |pmv AS (
-         |  SELECT doc_id,
-         |    CAST(round(1e6 / (1.0 + exp(-(zm / 1e6)))) AS BIGINT) AS pm
-         |  FROM sc
-         |),
-         |acc AS (
-         |  SELECT d.source, p.pm,
-         |    CASE WHEN $u5 < p.pm THEN 1 ELSE 0 END AS a
-         |  FROM pmv p JOIN documents d USING (doc_id)
-         |)
-         |SELECT source, count(*) AS n_docs,
-         | CAST(sum(a) AS BIGINT) AS n_accepted,
-         | round(sum(a) * 1.0 / count(*), 6) AS accept_rate,
-         | CAST(sum(CASE WHEN a = 1 THEN pm ELSE 0 END) AS BIGINT) AS pm_mass
-         |FROM acc GROUP BY source ORDER BY source""".stripMargin
-    },
-    "q146_label_separation" ->
-      // per-label centroid = per-dimension rounded mean (the q70 Lloyd
-      // update form); intra = mean member cosine to own centroid, inter =
-      // max cosine to any OTHER centroid, margin = intra - inter
-      s"""WITH e AS (
-         |  SELECT vec_id, CAST(label AS BIGINT) AS label,
-         |    CAST(embedding AS DOUBLE[]) AS v
-         |  FROM embeddings
-         |),
-         |c AS (
-         |  SELECT label, list(m ORDER BY i) AS cv, any_value(cnt) AS n FROM (
-         |    SELECT label, i, round(avg(x), 6) AS m, CAST(count(*) AS BIGINT) AS cnt
-         |    FROM (
-         |      SELECT label, unnest(generate_series(1, len(v))) AS i, unnest(v) AS x
-         |      FROM e
-         |    ) GROUP BY label, i
-         |  ) GROUP BY label
-         |),
-         |intra AS (
-         |  SELECT e.label, round(avg(round(${cosSql("e.v", "c.cv")}, 6)), 6) AS intra_mean
-         |  FROM e JOIN c USING (label) GROUP BY e.label
-         |),
-         |inter AS (
-         |  SELECT a.label, max(round(${cosSql("a.cv", "b.cv")}, 6)) AS inter_max
-         |  FROM c a JOIN c b ON a.label <> b.label GROUP BY a.label
-         |)
-         |SELECT c.label, c.n AS n_vecs, intra.intra_mean, inter.inter_max,
-         | round(intra.intra_mean - inter.inter_max, 6) AS margin
-         |FROM c JOIN intra USING (label) JOIN inter USING (label)
-         |ORDER BY label""".stripMargin,
-    "q147_capstone_v2" -> {
-      // the composed stages in SQL: q142 segment rule -> rebuilt cleaned
-      // text -> q99 islands on the cleaned text -> q143's trained weights
-      // (on the ORIGINAL corpus) scoring the cleaned token stream ->
-      // q145's md5-uniform coin -> q84's all-pairs-Jaccard components
-      // restricted to accepted docs -> per-source funnel
-      def hv(idx: Int) =
-        s"(strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), $idx, 1)) - 1)"
-      val u5 = s"(((((${hv(1)} * 16 + ${hv(2)}) * 16 + ${hv(3)}) * 16 + ${hv(4)}) * 16 + ${hv(5)}) % 1000000)"
-      val gram8 = (0 to 7).map(j => s"ws[i+$j]").mkString(" || ' ' || ")
-      s"""WITH RECURSIVE $ClassifierTrainCteBody,
-         |s147 AS (
-         |  SELECT doc_id, i AS si, array_to_string(ws[(i*8+1):(i*8+8)], ' ') AS seg
-         |  FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
-         |    LATERAL (SELECT unnest(range(0, (len(ws)-1)//8 + 1)) AS i)
-         |),
-         |bp147 AS (
-         |  SELECT md5(seg) AS h FROM s147 GROUP BY md5(seg)
-         |  HAVING count(DISTINCT doc_id) >= 3
-         |),
-         |cl147 AS MATERIALIZED (
-         |  SELECT doc_id, string_agg(seg, ' ' ORDER BY si) AS text
-         |  FROM s147 WHERE md5(seg) NOT IN (SELECT h FROM bp147)
-         |  GROUP BY doc_id
-         |),
-         |wq147 AS (SELECT doc_id, string_split(text, ' ') AS ws FROM cl147
-         |          WHERE len(string_split(text, ' ')) >= 8),
-         |pq147 AS (SELECT doc_id, ws, unnest(generate_series(1, len(ws) - 7)) AS i FROM wq147),
-         |gq147 AS (SELECT doc_id, i - 1 AS pos, md5($gram8) AS h FROM pq147),
-         |dupq147 AS (SELECT h FROM gq147 GROUP BY h HAVING count(*) >= 2),
-         |dq147 AS (SELECT doc_id, pos FROM gq147 JOIN dupq147 USING (h)),
-         |islq147 AS (SELECT doc_id, pos,
-         |    max(pos + 7) OVER (PARTITION BY doc_id ORDER BY pos
-         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
-         |  FROM dq147),
-         |numq147 AS (SELECT doc_id, pos,
-         |    sum(CASE WHEN prev_end IS NULL OR pos > prev_end + 1 THEN 1 ELSE 0 END)
-         |      OVER (PARTITION BY doc_id ORDER BY pos) AS island
-         |  FROM islq147),
-         |spq147 AS (SELECT doc_id, island, min(pos) AS s, max(pos) + 7 AS e
-         |  FROM numq147 GROUP BY 1, 2),
-         |covq147 AS (SELECT doc_id, unnest(generate_series(s, e)) AS tpos FROM spq147),
-         |tokq147 AS (SELECT doc_id, i - 1 AS tpos, ws[i] AS tokn FROM (
-         |  SELECT doc_id, ws, unnest(generate_series(1, len(ws))) AS i FROM (
-         |    SELECT doc_id, string_split(text, ' ') AS ws FROM cl147))),
-         |keptq147 AS MATERIALIZED (
-         |  SELECT t.doc_id, t.tpos, t.tokn
-         |  FROM tokq147 t LEFT JOIN covq147 c ON t.doc_id = c.doc_id AND t.tpos = c.tpos
-         |  WHERE c.doc_id IS NULL
-         |),
-         |fx147 AS (
-         |  SELECT doc_id, b, count(*) AS c FROM (
-         |    SELECT doc_id, ${posSql("h", 0, 64)} AS b FROM (
-         |      SELECT doc_id, md5(tokn) AS h FROM keptq147
-         |    )
-         |  ) GROUP BY doc_id, b
-         |  UNION ALL
-         |  SELECT doc_id, CAST(-1 AS BIGINT), CAST(1 AS BIGINT) FROM documents
-         |),
-         |sc147 AS (
-         |  SELECT doc_id, CAST(sum(c * wm) AS BIGINT) AS zm
-         |  FROM fx147 JOIN w4 USING (b) GROUP BY doc_id
-         |),
-         |acc147 AS MATERIALIZED (
-         |  SELECT doc_id FROM (
-         |    SELECT doc_id,
-         |      CAST(round(1e6 / (1.0 + exp(-(zm / 1e6)))) AS BIGINT) AS pm
-         |    FROM sc147
-         |  ) WHERE $u5 < pm
-         |),
-         |grams147 AS (
-         |  SELECT doc_id,
-         |    unnest(list_distinct([substr(text, i, 5) for i in range(1, greatest(length(text)-4, 1)+1)])) AS g
-         |  FROM documents WHERE doc_id IN (SELECT doc_id FROM acc147)
-         |),
-         |sizes147 AS (SELECT doc_id, count(*) AS sz FROM grams147 GROUP BY doc_id),
-         |inter147 AS (
-         |  SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS i
-         |  FROM grams147 a JOIN grams147 b ON a.g = b.g AND a.doc_id < b.doc_id GROUP BY 1, 2
-         |),
-         |pairs147 AS (
-         |  SELECT id1, id2 FROM inter147
-         |  JOIN sizes147 s1 ON id1 = s1.doc_id
-         |  JOIN sizes147 s2 ON id2 = s2.doc_id
-         |  WHERE round(i * 1.0 / (s1.sz + s2.sz - i), 6) >= 0.6
-         |),
-         |edges147 AS (
-         |  SELECT id1 AS src, id2 AS dst FROM pairs147
-         |  UNION ALL SELECT id2, id1 FROM pairs147
-         |),
-         |reach147(node, label) AS (
-         |  SELECT src, src FROM edges147
-         |  UNION
-         |  SELECT e.src, r.label FROM edges147 e JOIN reach147 r ON e.dst = r.node
-         |),
-         |comp147 AS (SELECT node AS doc_id, min(label) AS rep FROM reach147 GROUP BY node),
-         |dropped147 AS (SELECT doc_id FROM comp147 WHERE doc_id <> rep),
-         |kc147 AS (SELECT doc_id, count(*) AS kt FROM keptq147 GROUP BY doc_id),
-         |accsrc147 AS (
-         |  SELECT d.source, count(*) AS n_accepted
-         |  FROM documents d JOIN acc147 USING (doc_id) GROUP BY d.source
-         |),
-         |fin147 AS (
-         |  SELECT d.source, count(*) AS n_final,
-         |    CAST(sum(coalesce(kc.kt, 0)) AS BIGINT) AS toks_final
-         |  FROM documents d
-         |  JOIN acc147 USING (doc_id)
-         |  LEFT JOIN kc147 kc USING (doc_id)
-         |  WHERE d.doc_id NOT IN (SELECT doc_id FROM dropped147)
-         |  GROUP BY d.source
-         |)
-         |SELECT t.source, t.n_docs,
-         | CAST(coalesce(a.n_accepted, 0) AS BIGINT) AS n_accepted,
-         | CAST(coalesce(f.n_final, 0) AS BIGINT) AS n_final,
-         | CAST(coalesce(f.toks_final, 0) AS BIGINT) AS toks_final
-         |FROM (SELECT source, count(*) AS n_docs FROM documents GROUP BY source) t
-         |LEFT JOIN accsrc147 a USING (source)
-         |LEFT JOIN fin147 f USING (source)
-         |ORDER BY source""".stripMargin
-    },
-    "q148_pq_ann" -> PqSql,
-    "q149_ivf_pq_ann" -> IvfPqSql,
-    "q150_chunking" ->
-      // chunk=64 overlap=16 stride=48; 1 + ceil((n-64)/48) chunks via
-      // integer floor-div; md5 over the space-rejoined token slice
-      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
-        |b AS (
-        |  SELECT doc_id, ts, len(ts) AS n_tok,
-        |    CASE WHEN len(ts) <= 64 THEN 1
-        |         ELSE 1 + (len(ts) - 64 + 47) // 48 END AS n_chunks
-        |  FROM t WHERE len(ts) >= 1
-        |),
-        |c AS (
-        |  SELECT doc_id, ts, n_tok,
-        |    unnest(generate_series(0, n_chunks - 1)) AS chunk_idx
-        |  FROM b
-        |),
-        |ch AS (
-        |  SELECT doc_id, CAST(chunk_idx AS INT) AS chunk_idx,
-        |    CAST(chunk_idx * 48 AS INT) AS start_tok,
-        |    CAST(least(64, n_tok - chunk_idx * 48) AS INT) AS len_tok,
-        |    md5(array_to_string(
-        |      ts[chunk_idx * 48 + 1 : chunk_idx * 48 + least(64, n_tok - chunk_idx * 48)],
-        |      ' ')) AS chunk_hash
-        |  FROM c
-        |),
-        |d AS (SELECT chunk_hash, count(*) AS n_dup FROM ch GROUP BY 1)
-        |SELECT ch.doc_id, ch.chunk_idx, ch.start_tok, ch.len_tok,
-        |  ch.chunk_hash, d.n_dup
-        |FROM ch JOIN d USING (chunk_hash)
-        |ORDER BY doc_id, chunk_idx""".stripMargin,
-    "q151_neardup_pagerank" -> {
-      // edges = q27's exact pair set symmetrized; 4 power iterations
-      // UNROLLED (MATERIALIZED per round), pure integer micro-units:
-      // seed 1e6//N, base 0.15e6//N, contrib rank//deg, d = 17/20
-      def iter(i: Int) =
-        s"""pr$i AS MATERIALIZED (
-           |  SELECT d.node, d.deg,
-           |    CAST((150000 // nn.n) + (17 * s.s) // 20 AS BIGINT) AS rank_m
-           |  FROM pdeg d
-           |  JOIN (
-           |    SELECT e.dst AS node, CAST(sum(r.rank_m // r.deg) AS BIGINT) AS s
-           |    FROM pedges e JOIN pr${i - 1} r ON r.node = e.src GROUP BY 1
-           |  ) s ON s.node = d.node
-           |  CROSS JOIN nn
-           |)""".stripMargin
-      s"""WITH e0 AS MATERIALIZED (SELECT id1, id2 FROM ($JaccardSql)),
-         |pedges AS (SELECT id1 AS src, id2 AS dst FROM e0
-         |  UNION ALL SELECT id2, id1 FROM e0),
-         |pdeg AS MATERIALIZED (SELECT src AS node, count(*) AS deg FROM pedges GROUP BY 1),
-         |nn AS (SELECT count(*) AS n FROM pdeg),
-         |pr0 AS (SELECT node, deg, 1000000 // nn.n AS rank_m FROM pdeg CROSS JOIN nn),
-         |${(1 to 4).map(iter).mkString(",\n")}
-         |SELECT node AS doc_id, deg, CAST(rank_m AS BIGINT) AS rank_micro FROM pr4
-         |ORDER BY doc_id""".stripMargin
-    },
-    "q152_pc1_power" ->
-      s"""WITH $AbttCteBody,
-         |es2 AS (SELECT CAST(sum(tm * tm) AS BIGINT) AS s2 FROM etm)
-         |SELECT CAST(v.i AS BIGINT) AS dim,
-         |  round(CAST(v.vm AS DOUBLE) / 1000000.0, 6) AS loading,
-         |  round(CAST(es2.s2 AS DOUBLE) * 1e12 / evn2.nv / etr.trace, 6) AS explained_ratio
-         |FROM evs v, es2, evn2, etr
-         |ORDER BY dim""".stripMargin,
-    "q153_abtt_outliers" ->
-      s"""WITH $AbttCteBody
-         |SELECT t.vec_id, e.label,
-         |  round(CAST(t.tm AS DOUBLE) / sqrt(CAST(evn2.nv AS DOUBLE)), 6) AS proj,
-         |  round(greatest(0.0, 1.0 - CAST(t.tm * t.tm AS DOUBLE) * 1e12 / evn2.nv / t.cd2), 6) AS resid_frac,
-         |  CAST(row_number() OVER (ORDER BY abs(t.tm) DESC, t.vec_id) AS INT) AS rnk
-         |FROM etm t JOIN embeddings e USING (vec_id), evn2
-         |ORDER BY rnk LIMIT 10""".stripMargin,
-    "q154_heavy_hitters" ->
-      // exact heavy-hitter semantics: every token with count > n/(k+1),
-      // k = 49 — the MG sketch on the Spark side is a candidate
-      // generator only, so the oracle is the plain exact form
-      """WITH t AS (SELECT unnest(string_split(text, ' ')) AS token FROM documents),
-        |n AS (SELECT count(*) AS n FROM t),
-        |c AS (SELECT token, count(*) AS n_tok FROM t GROUP BY 1)
-        |SELECT c.token, c.n_tok, n.n AS n_total
-        |FROM c, n WHERE c.n_tok * 50 > n.n
-        |ORDER BY n_tok DESC, token""".stripMargin,
-    "q155_norm_dedup" ->
-      // every 10th doc re-enters uppercased + punct-padded; raw md5 keeps
-      // variants distinct, the normalized form must merge them
-      """WITH v AS (
-        |  SELECT doc_id + 10000000 AS doc_id,
-        |    ('  ' || upper(text) || ' !!') AS text, source
-        |  FROM documents WHERE doc_id % 10 = 0
-        |),
-        |a AS (SELECT doc_id, text, source FROM documents
-        |      UNION ALL SELECT doc_id, text, source FROM v),
-        |f AS (SELECT source, md5(text) AS raw_fp,
-        |  md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
-        |    ' +', ' ', 'g'))) AS norm_fp
-        |  FROM a)
-        |SELECT source, count(*) AS n_docs,
-        |  count(DISTINCT raw_fp) AS n_unique_raw,
-        |  count(DISTINCT norm_fp) AS n_unique_norm,
-        |  count(DISTINCT raw_fp) - count(DISTINCT norm_fp) AS n_merged_by_norm
-        |FROM f GROUP BY source ORDER BY source""".stripMargin,
-    "q156_vocab_growth" ->
-      // deciles by integer arithmetic over max(doc_id)+1; first-seen =
-      // min(doc_id) per token; cumulative vocab over the 10-row frame
-      """WITH m AS (SELECT max(doc_id) + 1 AS n FROM documents),
-        |t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
-        |ft AS (SELECT token, min(doc_id) AS fd FROM t GROUP BY 1),
-        |nt AS (SELECT least(9, fd * 10 // n) AS decile, count(*) AS n_new_types
-        |       FROM ft, m GROUP BY 1),
-        |dm AS (SELECT least(9, doc_id * 10 // n) AS decile, count(*) AS n_docs
-        |       FROM documents, m GROUP BY 1),
-        |tm AS (SELECT least(9, doc_id * 10 // n) AS decile, count(*) AS n_tokens
-        |       FROM t, m GROUP BY 1)
-        |SELECT dm.decile, dm.n_docs,
-        |  coalesce(tm.n_tokens, 0) AS n_tokens,
-        |  coalesce(nt.n_new_types, 0) AS n_new_types,
-        |  CAST(sum(coalesce(nt.n_new_types, 0)) OVER (ORDER BY dm.decile) AS BIGINT) AS vocab_cum
-        |FROM dm LEFT JOIN tm USING (decile) LEFT JOIN nt USING (decile)
-        |ORDER BY dm.decile""".stripMargin,
-    "q157_key_skew" ->
-      // bucket = length(bin(c)) - 1 == floor(log2(c)) computed on the
-      // integer binary form — exact in both engines
-      """WITH c AS (SELECT user_id, count(*) AS c FROM events GROUP BY 1),
-        |t AS (SELECT CAST(sum(c) AS BIGINT) AS n_rows_total FROM c)
-        |SELECT length(bin(c)) - 1 AS log2_bucket, count(*) AS n_keys,
-        |  CAST(sum(c) AS BIGINT) AS n_rows, max(c) AS max_rows_per_key,
-        |  round(CAST(sum(c) AS DOUBLE) / t.n_rows_total, 4) AS row_share
-        |FROM c, t GROUP BY 1, t.n_rows_total
-        |ORDER BY log2_bucket""".stripMargin,
-    "q158_zipf_fit" ->
-      // per-term 1e-6-quantized ln() moments, exact BIGINT sums, one
-      // rounded double division — mirrors the Spark arithmetic exactly
-      """WITH tok AS (SELECT unnest(string_split(text, ' ')) AS token FROM documents),
-        |top AS (SELECT token, count(*) AS c FROM tok GROUP BY 1
-        |        ORDER BY c DESC, token LIMIT 100),
-        |r AS (SELECT c, row_number() OVER (ORDER BY c DESC, token) AS rank FROM top),
-        |m AS (SELECT c,
-        |  CAST(round(ln(rank) * 1e6, 0) AS BIGINT) AS x6,
-        |  CAST(round(ln(c) * 1e6, 0) AS BIGINT) AS y6 FROM r),
-        |s AS (SELECT count(*) AS n_terms,
-        |  CAST(sum(x6) AS BIGINT) AS sx, CAST(sum(y6) AS BIGINT) AS sy,
-        |  CAST(sum(x6 * y6) AS BIGINT) AS sxy, CAST(sum(x6 * x6) AS BIGINT) AS sxx,
-        |  max(c) AS top1_n, CAST(sum(c) AS BIGINT) AS head_mass FROM m)
-        |SELECT n_terms,
-        |  round(CAST(n_terms * sxy - sx * sy AS DOUBLE) / (n_terms * sxx - sx * sx), 4) AS slope,
-        |  top1_n, head_mass FROM s""".stripMargin,
-    "q159_embedding_drift" ->
-      // per-element 1e-6 quantization, exact BIGINT sums per (half, dim),
-      // micro-unit means rounded once, one double division in the cosine
-      """WITH m AS (SELECT (max(vec_id) + 1) // 2 AS half FROM embeddings),
-        |c AS (
-        |  SELECT CASE WHEN e.vec_id < m.half THEN 0 ELSE 1 END AS grp, i AS dim,
-        |    CAST(round(CAST(e.embedding[i + 1] AS DOUBLE) * 1000000.0, 0) AS BIGINT) AS x6
-        |  FROM embeddings e, m, LATERAL (SELECT unnest(range(0, 64)) AS i) li
-        |),
-        |g AS (SELECT grp, dim, CAST(sum(x6) AS BIGINT) AS s6, count(*) AS n
-        |      FROM c GROUP BY 1, 2),
-        |mm AS (SELECT dim,
-        |  max(CASE WHEN grp = 0 THEN CAST(round(CAST(s6 AS DOUBLE) / n, 0) AS BIGINT) END) AS mean_a6,
-        |  max(CASE WHEN grp = 1 THEN CAST(round(CAST(s6 AS DOUBLE) / n, 0) AS BIGINT) END) AS mean_b6
-        |  FROM g GROUP BY 1),
-        |d AS (SELECT CAST(sum(mean_a6 * mean_b6) AS BIGINT) AS ab,
-        |  CAST(sum(mean_a6 * mean_a6) AS BIGINT) AS aa,
-        |  CAST(sum(mean_b6 * mean_b6) AS BIGINT) AS bb FROM mm)
-        |SELECT mm.dim, mm.mean_a6, mm.mean_b6,
-        |  mm.mean_a6 - mm.mean_b6 AS shift6,
-        |  round(ab / (sqrt(CAST(aa AS DOUBLE)) * sqrt(CAST(bb AS DOUBLE))), 6) AS mean_cos
-        |FROM mm, d
-        |ORDER BY abs(mm.mean_a6 - mm.mean_b6) DESC, mm.dim
-        |LIMIT 8""".stripMargin,
-    "q160_classifier_calibration" ->
-      // signed floor(log2(|margin|+1)) via bin() on the integer micro
-      // margin; positive rate per bucket — reuses the unrolled training
-      s"""$ClassifierTrainCtes,
-         |sc AS (
-         |  SELECT doc_id, CAST(sum(c * wm) AS BIGINT) AS zm
-         |  FROM fx JOIN w4 USING (b) GROUP BY doc_id
-         |),
-         |mb AS (
-         |  SELECT (CASE WHEN zm >= 0 THEN 1 ELSE -1 END) *
-         |    (length(bin(abs(zm) + 1)) - 1) AS mbucket, y
-         |  FROM sc JOIN yd USING (doc_id)
-         |)
-         |SELECT mbucket, count(*) AS n_docs, CAST(sum(y) AS BIGINT) AS n_pos,
-         |  round(sum(y) * 1.0 / count(*), 6) AS pos_rate
-         |FROM mb GROUP BY mbucket ORDER BY mbucket""".stripMargin,
-    "q161_heavy_hitters_by_source" ->
-      // exact per-source heavy-hitter semantics (count > n_source/50);
-      // the per-group MG sketch is the candidate generator only
-      """WITH t AS (SELECT source, unnest(string_split(text, ' ')) AS token FROM documents),
-        |n AS (SELECT source, count(*) AS n_total FROM t GROUP BY 1),
-        |c AS (SELECT source, token, count(*) AS n_tok FROM t GROUP BY 1, 2)
-        |SELECT c.source, c.token, c.n_tok, n.n_total
-        |FROM c JOIN n USING (source) WHERE c.n_tok * 50 > n.n_total
-        |ORDER BY source, n_tok DESC, token""".stripMargin,
-    "q162_rank_canonical" -> {
-      // q108's reach-CTE components + q151's unrolled integer rank chain;
-      // keeper per cluster = (rank_m DESC, doc_id) row 1. Every sum-derived
-      // column CAST to BIGINT (the --dtypes discipline).
-      def iter(i: Int) =
-        s"""pr$i AS MATERIALIZED (
-           |  SELECT d.node, d.deg,
-           |    CAST((150000 // nn.n) + (17 * s.s) // 20 AS BIGINT) AS rank_m
-           |  FROM pdeg d
-           |  JOIN (
-           |    SELECT e.dst AS node, CAST(sum(r.rank_m // r.deg) AS BIGINT) AS s
-           |    FROM pedges e JOIN pr${i - 1} r ON r.node = e.src GROUP BY 1
-           |  ) s ON s.node = d.node
-           |  CROSS JOIN nn
-           |)""".stripMargin
-      s"""WITH RECURSIVE e0 AS MATERIALIZED (SELECT id1, id2 FROM ($JaccardSql)),
-         |pedges AS (SELECT id1 AS src, id2 AS dst FROM e0
-         |  UNION ALL SELECT id2, id1 FROM e0),
-         |pdeg AS MATERIALIZED (SELECT src AS node, count(*) AS deg FROM pedges GROUP BY 1),
-         |nn AS (SELECT count(*) AS n FROM pdeg),
-         |pr0 AS (SELECT node, deg, 1000000 // nn.n AS rank_m FROM pdeg CROSS JOIN nn),
-         |${(1 to 4).map(iter).mkString(",\n")},
-         |reach(node, label) AS (
-         |  SELECT src, src FROM pedges
-         |  UNION
-         |  SELECT e.src, r.label FROM pedges e JOIN reach r ON e.dst = r.node
-         |),
-         |m AS (SELECT node AS doc_id, min(label) AS cluster_rep FROM reach GROUP BY node),
-         |rk AS (SELECT node AS doc_id, CAST(rank_m AS BIGINT) AS rank_micro FROM pr4),
-         |best AS (
-         |  SELECT cluster_rep, doc_id AS canonical_id, rank_micro AS canonical_rank
-         |  FROM (
-         |    SELECT m.cluster_rep, m.doc_id, rk.rank_micro,
-         |      row_number() OVER (PARTITION BY m.cluster_rep
-         |                         ORDER BY rk.rank_micro DESC, m.doc_id) AS rn
-         |    FROM m JOIN rk USING (doc_id)
-         |  ) WHERE rn = 1
-         |)
-         |SELECT m.doc_id, m.cluster_rep, b.canonical_id,
-         |  (m.doc_id = b.canonical_id) AS keeps, rk.rank_micro, b.canonical_rank
-         |FROM m JOIN rk USING (doc_id) JOIN best b USING (cluster_rep)
-         |ORDER BY m.doc_id""".stripMargin
-    },
-    "q163_erasure_bm25" ->
-      // q79's exact CTEs over the corpus minus the erasure congruence
-      // class — the oracle states the tombstone law itself: serve-time
-      // anti-join == re-ingest of the filtered corpus (stats and all)
-      """WITH live AS (SELECT * FROM documents WHERE doc_id % 41 <> 3),
-        |dl AS (
-        |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS dl FROM live
-        |),
-        |stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl),
-        |tf AS (
-        |  SELECT doc_id, term, count(*) AS tf FROM (
-        |    SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM live
-        |  ) WHERE term IN ('table', 'data', 'row') GROUP BY 1, 2
-        |),
-        |df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
-        |scored AS (
-        |  SELECT doc_id,
-        |    round(sum(ln((n - df + 0.5) / (df + 0.5) + 1) * tf * (1.2 + 1) /
-        |      (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))), 4) AS bm25
-        |  FROM tf JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
-        |  GROUP BY doc_id
-        |)
-        |SELECT doc_id, bm25 FROM scored ORDER BY bm25 DESC, doc_id LIMIT 20""".stripMargin,
-    "q164_erasure_audit" ->
-      // integer token masses; the only division is the final ppm ratio
-      """WITH d AS (
-        |  SELECT source, CAST(len(string_split(text, ' ')) AS BIGINT) AS toks,
-        |    CASE WHEN doc_id % 41 = 3 THEN 1 ELSE 0 END AS del
-        |  FROM documents)
-        |SELECT source, count(*) AS n_docs,
-        |  CAST(sum(del) AS BIGINT) AS n_erased,
-        |  CAST(sum(toks) AS BIGINT) AS tokens_total,
-        |  CAST(sum(CASE WHEN del = 1 THEN toks ELSE 0 END) AS BIGINT) AS tokens_erased,
-        |  CAST(round(1e6 * (sum(toks) - sum(CASE WHEN del = 1 THEN toks ELSE 0 END))
-        |    / sum(toks), 0) AS BIGINT) AS retained_ppm
-        |FROM d GROUP BY source ORDER BY source""".stripMargin,
-    "q165_erasure_survivors" ->
-      // q53's recursive components over the pair set with BOTH endpoints
-      // retained — the tombstone-at-pair-grain law in SQL (equals the
-      // filtered-corpus re-run by the restrictPairs per-pair-local
-      // identity)
-      s"""WITH RECURSIVE pairs AS (
-         |  SELECT id1, id2 FROM (
-         |$JaccardSql
-         |  ) jt WHERE id1 % 41 <> 3 AND id2 % 41 <> 3
-         |),
-         |edges AS (
-         |  SELECT id1 AS src, id2 AS dst FROM pairs
-         |  UNION ALL SELECT id2, id1 FROM pairs
-         |),
-         |reach(node, label) AS (
-         |  SELECT src, src FROM edges
-         |  UNION
-         |  SELECT e.src, r.label FROM edges e JOIN reach r ON e.dst = r.node
-         |)
-         |SELECT node AS doc_id, min(label) AS cluster_rep,
-         | (node = min(label)) AS survives
-         |FROM reach GROUP BY node ORDER BY doc_id""".stripMargin,
-    "q166_mmr_rerank" -> {
-      // greedy MMR UNROLLED: 8 selection steps as CTE pairs (candidate
-      // maxsim vs the selected-so-far set, then the argmax pick) — the
-      // same unrolled-iteration oracle pattern as Lloyd (q70) and
-      // PageRank (q151); all scores in integer micro-units, objective
-      // compared as 7·rel − 3·maxsim (λ = 7/10 multiplied through)
-      def step(i: Int) =
-        s"""cand$i AS (
-           |  SELECT p.query_id, p.vec_id, p.rel_m, max(s.sim_m) AS maxsim_m
-           |  FROM pool p
-           |  JOIN msim s ON s.query_id = p.query_id AND s.id1 = p.vec_id
-           |  JOIN sel${i - 1} t ON t.query_id = s.query_id AND t.vec_id = s.id2
-           |  WHERE NOT EXISTS (SELECT 1 FROM sel${i - 1} x
-           |    WHERE x.query_id = p.query_id AND x.vec_id = p.vec_id)
-           |  GROUP BY 1, 2, 3
-           |),
-           |pick$i AS (
-           |  SELECT query_id, vec_id, rel_m, maxsim_m, $i AS pick FROM (
-           |    SELECT *, row_number() OVER (PARTITION BY query_id
-           |      ORDER BY 7 * rel_m - 3 * maxsim_m DESC, vec_id) AS rn
-           |    FROM cand$i) WHERE rn = 1
-           |),
-           |sel$i AS (SELECT * FROM sel${i - 1} UNION ALL SELECT * FROM pick$i)""".stripMargin
-      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-         |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 3),
-         |rel AS (
-         |  SELECT query_id, e.vec_id, e.v,
-         |    CAST(round(round(${cosSql("qv", "e.v")}, 6) * 1e6) AS BIGINT) AS rel_m
-         |  FROM e, q WHERE e.vec_id <> q.query_id
-         |),
-         |pool AS MATERIALIZED (
-         |  SELECT query_id, vec_id, v, rel_m FROM (
-         |    SELECT *, row_number() OVER (PARTITION BY query_id
-         |      ORDER BY rel_m DESC, vec_id) AS rn FROM rel) WHERE rn <= 16
-         |),
-         |msim AS MATERIALIZED (
-         |  SELECT a.query_id, a.vec_id AS id1, b.vec_id AS id2,
-         |    CAST(round(round(${cosSql("a.v", "b.v")}, 6) * 1e6) AS BIGINT) AS sim_m
-         |  FROM pool a JOIN pool b ON a.query_id = b.query_id AND a.vec_id <> b.vec_id
-         |),
-         |sel1 AS (
-         |  SELECT query_id, vec_id, rel_m, CAST(0 AS BIGINT) AS maxsim_m, 1 AS pick
-         |  FROM (
-         |    SELECT query_id, vec_id, rel_m, row_number() OVER (PARTITION BY query_id
-         |      ORDER BY rel_m DESC, vec_id) AS rn FROM pool) WHERE rn = 1
-         |),
-         |${(2 to 8).map(step).mkString(",\n")}
-         |SELECT query_id, CAST(pick AS INT) AS rnk, vec_id,
-         |  rel_m AS rel_micro, maxsim_m AS maxsim_micro
-         |FROM sel8 ORDER BY query_id, rnk""".stripMargin
-    },
-    "q167_budget_select" ->
-      // prefix cut on the (quality desc, doc_id) total order; the window
-      // sum is CAST back to BIGINT (sum(BIGINT) widens to HUGEINT — the
-      // q151 dtype class the --dtypes audit guards)
-      s"""WITH s AS (
-         |  SELECT doc_id, $QualityExprSql AS quality,
-         |    CAST(len(string_split(text, ' ')) AS BIGINT) AS toks
-         |  FROM documents
-         |),
-         |c AS (
-         |  SELECT doc_id, quality, toks,
-         |    CAST(sum(toks) OVER (ORDER BY quality DESC, doc_id
-         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_toks
-         |  FROM s
-         |)
-         |SELECT doc_id, quality, toks, cum_toks FROM c
-         |WHERE cum_toks <= 10000 ORDER BY cum_toks""".stripMargin,
-    "q168_filtered_ann" ->
-      // q55's IVF replica with the label predicate applied inside the
-      // probed cells (centroids/assignment from the FULL corpus — the
-      // index is shared across predicates)
-      s"""WITH e AS (
-         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, label FROM embeddings
-         |),
-         |cent AS (
-         |  SELECT vec_id AS cid, v AS cv FROM e
-         |  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16
-         |),
-         |assigned AS (
-         |  SELECT vec_id, v, label, cid FROM (
-         |    SELECT e.vec_id, e.v, e.label, c.cid,
-         |      row_number() OVER (PARTITION BY e.vec_id
-         |        ORDER BY round(-(${cosSql("e.v", "c.cv")}), 6), c.cid) AS rn
-         |    FROM e CROSS JOIN cent c
-         |  ) WHERE rn = 1
-         |),
-         |probes AS (
-         |  SELECT query_id, qv, cid FROM (
-         |    SELECT q.vec_id AS query_id, q.v AS qv, c.cid,
-         |      row_number() OVER (PARTITION BY q.vec_id
-         |        ORDER BY round(-(${cosSql("q.v", "c.cv")}), 6), c.cid) AS rn
-         |    FROM e q CROSS JOIN cent c WHERE q.vec_id < 5
-         |  ) WHERE rn <= 2
-         |),
-         |scored AS (
-         |  SELECT p.query_id, a.vec_id AS neighbor_id,
-         |    round(${cosSql("p.qv", "a.v")}, 6) AS cos
-         |  FROM probes p JOIN assigned a ON a.cid = p.cid AND a.vec_id <> p.query_id
-         |  WHERE a.label = 3
-         |),
-         |ranked AS (
-         |  SELECT query_id, neighbor_id, cos,
-         |    CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS INT) AS rnk
-         |  FROM scored
-         |)
-         |SELECT query_id, neighbor_id, cos, rnk FROM ranked WHERE rnk <= 3
-         |ORDER BY query_id, rnk""".stripMargin,
-    "q169_water_fill" ->
-      // same integer water-filling formula over the source-sized frame;
-      // every window sum CAST back to BIGINT (dtype audit class)
-      """WITH caps AS (
-        |  SELECT source, CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS capacity
-        |  FROM documents GROUP BY source
-        |),
-        |ranked AS (
-        |  SELECT source, capacity,
-        |    CAST(row_number() OVER (ORDER BY capacity, source) AS BIGINT) AS j,
-        |    CAST(count(*) OVER () AS BIGINT) AS m,
-        |    CAST(sum(capacity) OVER (ORDER BY capacity, source
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS p
-        |  FROM caps
-        |),
-        |flagged AS (
-        |  SELECT *, capacity <= ((24000 - (p - capacity)) // (m - j + 1)) AS capped
-        |  FROM ranked
-        |),
-        |scalars AS (
-        |  SELECT CAST(sum(CASE WHEN capped THEN capacity ELSE 0 END) AS BIGINT) AS c_capped,
-        |    CAST(sum(CASE WHEN capped THEN 1 ELSE 0 END) AS BIGINT) AS n_capped,
-        |    CAST(count(*) AS BIGINT) AS m2
-        |  FROM flagged
-        |)
-        |SELECT source, capacity,
-        |  CAST(CASE WHEN capped THEN capacity
-        |    WHEN (j - n_capped) <= (CASE WHEN m2 - n_capped > 0
-        |      THEN (24000 - c_capped) % (m2 - n_capped) ELSE 0 END)
-        |    THEN (24000 - c_capped) // (m2 - n_capped) + 1
-        |    ELSE (24000 - c_capped) // (m2 - n_capped) END AS BIGINT) AS allocation,
-        |  capped
-        |FROM flagged CROSS JOIN scalars
-        |ORDER BY source""".stripMargin,
-    "q172_pareto_frontier" ->
-      // INDEPENDENT dominance formulation (strict on at least one axis):
-      // the engine's running-min identity must reproduce it exactly
-      s"""WITH s AS (
-         |  SELECT doc_id, $QualityExprSql AS quality,
-         |    CAST(len(string_split(text, ' ')) AS BIGINT) AS toks
-         |  FROM documents
-         |)
-         |SELECT doc_id, quality, toks FROM s a
-         |WHERE NOT EXISTS (
-         |  SELECT 1 FROM s b
-         |  WHERE b.quality >= a.quality AND b.toks <= a.toks
-         |    AND (b.quality > a.quality OR b.toks < a.toks)
-         |)
-         |ORDER BY quality DESC, doc_id""".stripMargin,
-    "q173_bootstrap_ci" ->
-      // identical literal thresholds and left-associated divisions; the
-      // md5 fraction is the q92 list_sum power-of-two form
-      s"""WITH d AS (
-         |  SELECT doc_id, lang,
-         |    CAST(round(($QualityExprSql) * 1e4) AS BIGINT) AS qm
-         |  FROM documents
-         |),
-         |reps AS (
-         |  SELECT lang, b,
-         |    CAST(sum(w) AS BIGINT) AS sw, CAST(sum(w * qm) AS BIGINT) AS swq
-         |  FROM (
-         |    SELECT lang, qm, b,
-         |      CASE WHEN u < 0.36787944117144233 THEN 0
-         |           WHEN u < 0.7357588823428847 THEN 1
-         |           WHEN u < 0.9196986029286058 THEN 2
-         |           WHEN u < 0.9810118431238462 THEN 3
-         |           WHEN u < 0.9963401531726563 THEN 4
-         |           WHEN u < 0.9994058151824183 THEN 5
-         |           ELSE 6 END AS w
-         |    FROM (
-         |      SELECT lang, qm, b,
-         |        list_sum(list_transform(generate_series(1, 13),
-         |          i -> (strpos('0123456789abcdef',
-         |                  substr(md5(CAST(doc_id AS VARCHAR) || ':' || CAST(b AS VARCHAR)), i, 1)) - 1)
-         |               * power(16.0, -i))) AS u
-         |      FROM d CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS b)
-         |    )
-         |  ) GROUP BY lang, b HAVING sum(w) > 0
-         |),
-         |boot AS (
-         |  SELECT lang, min(rep_mean) AS boot_lo, max(rep_mean) AS boot_hi,
-         |    count(*) AS n_replicas
-         |  FROM (SELECT lang, round(swq / sw / 10000.0, 6) AS rep_mean FROM reps)
-         |  GROUP BY lang
-         |),
-         |stats AS (
-         |  SELECT lang, count(*) AS n_docs,
-         |    round(CAST(sum(qm) AS BIGINT) / count(*) / 10000.0, 6) AS mean_q
-         |  FROM d GROUP BY lang
-         |)
-         |SELECT lang, n_docs, mean_q, boot_lo, boot_hi, n_replicas
-         |FROM stats JOIN boot USING (lang)
-         |ORDER BY lang""".stripMargin,
-    "q174_facility_location" -> {
-      // q70's trained assignment (shared CTEs), then the 5-round greedy
-      // facility-location UNROLLED (the KmeansSql technique): each round
-      // computes every remaining candidate's exact integer marginal gain
-      // Σ_cells n_c · max(sm − best_c, 0), takes the (gm DESC, cand)
-      // head, and folds the winner into the per-cell covered level.
-      // Every sum-derived column BIGINT-cast (the dtype audit class)
-      def rnd(i: Int): String =
-        s"""g$i AS (
-           |  SELECT s.cb AS cand,
-           |    CAST(sum(cc.n * greatest(s.sm - b.bm, 0)) AS BIGINT) AS gm
-           |  FROM sm s JOIN b${i - 1} b ON s.ca = b.cid JOIN cc ON cc.cid = s.ca
-           |  WHERE s.cb NOT IN (SELECT cid FROM sel${i - 1})
-           |  GROUP BY s.cb
-           |),
-           |s$i AS MATERIALIZED (
-           |  SELECT cand AS cid, gm FROM g$i ORDER BY gm DESC, cand LIMIT 1
-           |),
-           |sel$i AS (SELECT cid FROM sel${i - 1} UNION ALL SELECT cid FROM s$i),
-           |b$i AS MATERIALIZED (
-           |  SELECT b.cid, greatest(b.bm, sm.sm) AS bm
-           |  FROM b${i - 1} b JOIN sm ON sm.ca = b.cid JOIN s$i ON sm.cb = s$i.cid
-           |)""".stripMargin
-      s"""$KmeansAssignCtes,
-         |cw AS (SELECT cid, count(*) AS n FROM af GROUP BY cid),
-         |cc AS (
-         |  SELECT c.cid, coalesce(cw.n, CAST(0 AS BIGINT)) AS n
-         |  FROM cent2 c LEFT JOIN cw USING (cid)
-         |),
-         |sm AS MATERIALIZED (
-         |  SELECT a.cid AS ca, b.cid AS cb,
-         |    CAST(round((${cosSql("a.cv", "b.cv")}) * 1000000, 0) AS BIGINT)
-         |      + 1000000 AS sm
-         |  FROM cent2 a CROSS JOIN cent2 b
-         |),
-         |b0 AS (SELECT cid, CAST(0 AS BIGINT) AS bm FROM cent2),
-         |sel0 AS (SELECT CAST(NULL AS BIGINT) AS cid WHERE 1 = 0),
-         |${(1 to 5).map(rnd).mkString(",\n")}
-         |SELECT round, cid, gain_micro,
-         |  CAST(sum(gain_micro) OVER (ORDER BY round) AS BIGINT) AS coverage_micro
-         |FROM (
-         |${(1 to 5).map(i => s"  SELECT $i AS round, cid, gm AS gain_micro FROM s$i")
-            .mkString("\n  UNION ALL\n")}
-         |)
-         |ORDER BY round""".stripMargin
-    },
-    "q175_kcore" -> {
-      // q151's symmetrized pair edges; 8 h-index rounds UNROLLED —
-      // each round: neighbor values ranked descending per node, new
-      // value = max(least(value, rank)). row_number/least/max stay
-      // BIGINT (no sum anywhere — dtype-audit clean by construction)
-      def rnd(i: Int) =
-        s"""h$i AS MATERIALIZED (
-           |  SELECT dst AS node, max(least(c, rn)) AS c FROM (
-           |    SELECT e.dst, h.c,
-           |      row_number() OVER (PARTITION BY e.dst ORDER BY h.c DESC) AS rn
-           |    FROM pedges e JOIN h${i - 1} h ON e.src = h.node
-           |  ) GROUP BY dst
-           |)""".stripMargin
-      s"""WITH e0 AS MATERIALIZED (SELECT id1, id2 FROM ($JaccardSql)),
-         |pedges AS (SELECT id1 AS src, id2 AS dst FROM e0
-         |  UNION ALL SELECT id2, id1 FROM e0),
-         |pdeg AS MATERIALIZED (
-         |  SELECT src AS node, count(*) AS deg FROM pedges GROUP BY 1
-         |),
-         |h0 AS (SELECT node, deg AS c FROM pdeg),
-         |${(1 to 8).map(rnd).mkString(",\n")}
-         |SELECT d.node AS doc_id, d.deg, h8.c AS core
-         |FROM pdeg d JOIN h8 ON h8.node = d.node
-         |ORDER BY doc_id""".stripMargin
-    },
-    "q176_table_profile" -> {
-      // one UNION ALL branch per orders column, same type dispatch as
-      // the operator: numerics (and epoch_us-mapped timestamps) profile
-      // as DOUBLE, strings lexicographically; n_nulls = count(*) −
-      // count(col) (both BIGINT — no sum, dtype-clean)
-      def num(c: String, e: String) =
-        s"""SELECT '$c' AS "column", count(*) AS n_rows,
-           |  CAST(count(*) - count($e) AS BIGINT) AS n_nulls,
-           |  count(DISTINCT CAST($e AS DOUBLE)) AS n_distinct,
-           |  min(CAST($e AS DOUBLE)) AS min_num,
-           |  max(CAST($e AS DOUBLE)) AS max_num,
-           |  CAST(NULL AS VARCHAR) AS min_str, CAST(NULL AS VARCHAR) AS max_str
-           |FROM orders""".stripMargin
-      def str(c: String) =
-        s"""SELECT '$c' AS "column", count(*) AS n_rows,
-           |  CAST(count(*) - count($c) AS BIGINT) AS n_nulls,
-           |  count(DISTINCT $c) AS n_distinct,
-           |  CAST(NULL AS DOUBLE) AS min_num, CAST(NULL AS DOUBLE) AS max_num,
-           |  min($c) AS min_str, max($c) AS max_str
-           |FROM orders""".stripMargin
-      Seq(
-        num("o_orderkey", "o_orderkey"),
-        num("o_custkey", "o_custkey"),
-        str("o_orderstatus"),
-        num("o_totalprice", "o_totalprice"),
-        num("o_orderdate", "epoch_us(o_orderdate)"),
-        str("o_orderpriority"),
-      ).mkString("", "\nUNION ALL\n", "\nORDER BY \"column\"")
-    },
-    "q177_set_cover" -> {
-      // 5 greedy set-cover rounds UNROLLED: per round, uncovered-type
-      // counts per doc (anti-join via NOT IN), (n DESC, doc_id) argmax,
-      // winner's types folded into the covered set. covered_total =
-      // running sum of new_tokens (exact by disjointness), BIGINT-cast
-      def rnd(i: Int) =
-        s"""g$i AS (
-           |  SELECT doc_id, count(*) AS n FROM toks
-           |  WHERE tok NOT IN (SELECT tok FROM c${i - 1})
-           |  GROUP BY doc_id
-           |),
-           |s$i AS MATERIALIZED (
-           |  SELECT doc_id, n FROM g$i ORDER BY n DESC, doc_id LIMIT 1
-           |),
-           |c$i AS MATERIALIZED (
-           |  SELECT DISTINCT tok FROM (
-           |    SELECT tok FROM c${i - 1}
-           |    UNION ALL SELECT t.tok FROM toks t JOIN s$i USING (doc_id)
-           |  )
-           |)""".stripMargin
-      s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
-         |toks AS MATERIALIZED (
-         |  SELECT doc_id, unnest(list_distinct(${wordGramsSql(2)})) AS tok FROM w
-         |),
-         |c0 AS (SELECT CAST(NULL AS VARCHAR) AS tok WHERE 1 = 0),
-         |${(1 to 5).map(rnd).mkString(",\n")}
-         |SELECT round, doc_id, new_tokens,
-         |  CAST(sum(new_tokens) OVER (ORDER BY round) AS BIGINT) AS covered_total
-         |FROM (
-         |${(1 to 5).map(i => s"  SELECT $i AS round, doc_id, n AS new_tokens FROM s$i")
-            .mkString("\n  UNION ALL\n")}
-         |)
-         |ORDER BY round""".stripMargin
-    },
-    "q178_containment" ->
-      // EXACT all-ordered-pairs containment on distinct char-5-grams —
-      // deliberately ignorant of the engine's bottom-m blocking, so the
-      // gate proves the sketch's recall (the q26/q27 convention)
-      s"""WITH $GramsCte,
-         |sizes AS (SELECT doc_id, count(*) AS sz FROM grams GROUP BY doc_id),
-         |inter AS (
-         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
-         |  FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id <> b.doc_id
-         |  GROUP BY 1, 2
-         |)
-         |SELECT id_a AS contained_id, id_b AS container_id,
-         |  round(i * 1.0 / sa.sz, 6) AS containment,
-         |  round(i * 1.0 / (sa.sz + sb.sz - i), 6) AS jaccard
-         |FROM inter
-         |JOIN sizes sa ON id_a = sa.doc_id
-         |JOIN sizes sb ON id_b = sb.doc_id
-         |WHERE round(i * 1.0 / sa.sz, 6) >= 0.9
-         |ORDER BY contained_id, container_id""".stripMargin,
-    "q179_neyman_sample" ->
-      // same arithmetic discipline as the engine: exact BIGINT moments,
-      // one sqrt, integer micro-weights, (200·wm)/w_tot in one division,
-      // largest-remainder by (frac DESC, stratum), md5 bottom-k draw
-      s"""WITH d AS (
-         |  SELECT lang AS stratum, doc_id,
-         |    CAST(round(($QualityExprSql) * 1e4) AS BIGINT) AS qm
-         |  FROM documents
-         |),
-         |m AS (
-         |  SELECT stratum, count(*) AS n_docs,
-         |    CAST(sum(qm) AS BIGINT) AS s1, CAST(sum(qm * qm) AS BIGINT) AS s2
-         |  FROM d GROUP BY stratum
-         |),
-         |w2 AS (
-         |  SELECT stratum, n_docs, sd,
-         |    CAST(round(n_docs * sd, 0) AS BIGINT) AS wm
-         |  FROM (
-         |    SELECT stratum, n_docs,
-         |      CASE WHEN n_docs > 1
-         |        THEN sqrt((n_docs * s2 - s1 * s1) / (n_docs * (n_docs - 1)))
-         |        ELSE 0.0 END AS sd
-         |    FROM m
-         |  )
-         |),
-         |tot AS (SELECT CAST(sum(wm) AS BIGINT) AS w_tot FROM w2),
-         |a1 AS (
-         |  SELECT stratum, n_docs, sd, q, base,
-         |    row_number() OVER (ORDER BY (q - base) DESC, stratum) AS extra_rank,
-         |    200 - CAST(sum(base) OVER () AS BIGINT) AS rem
-         |  FROM (
-         |    SELECT stratum, n_docs, sd, (200 * wm) / w_tot AS q,
-         |      CAST(floor((200 * wm) / w_tot) AS BIGINT) AS base
-         |    FROM w2 CROSS JOIN tot
-         |  )
-         |),
-         |alloc AS (
-         |  SELECT stratum, n_docs, sd,
-         |    least(n_docs,
-         |      base + CASE WHEN extra_rank <= rem THEN 1 ELSE 0 END) AS alloc
-         |  FROM a1
-         |),
-         |r AS (
-         |  SELECT stratum, qm, row_number() OVER (PARTITION BY stratum
-         |    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
-         |  FROM d
-         |),
-         |drawn AS (
-         |  SELECT r.stratum, count(*) AS n_drawn,
-         |    round(CAST(sum(r.qm) AS BIGINT) * 1.0 / count(*) / 10000.0, 6)
-         |      AS sample_mean_q
-         |  FROM r JOIN alloc ON alloc.stratum = r.stratum AND r.rn <= alloc.alloc
-         |  GROUP BY r.stratum
-         |)
-         |SELECT alloc.stratum AS stratum, n_docs, round(sd, 6) AS sd_q,
-         |  CAST(alloc AS BIGINT) AS alloc,
-         |  CAST(coalesce(n_drawn, 0) AS BIGINT) AS n_drawn, sample_mean_q
-         |FROM alloc LEFT JOIN drawn ON alloc.stratum = drawn.stratum
-         |ORDER BY alloc.stratum""".stripMargin,
-    "q189_classifier_auc" ->
-      // Mann-Whitney over the exact integer scores: distinct-score
-      // frame, cum_nn = negatives strictly below the tie group, doubled
-      // numerator keeps the half-tie term integral
-      s"""$ClassifierTrainCtes,
-         |sc AS (
-         |  SELECT doc_id, CAST(sum(c * wm) AS BIGINT) AS zm
-         |  FROM fx JOIN w4 USING (b) GROUP BY doc_id
-         |),
-         |sy AS (
-         |  SELECT zm, CAST(sum(y) AS BIGINT) AS np,
-         |    CAST(sum(1 - y) AS BIGINT) AS nn
-         |  FROM sc JOIN yd USING (doc_id) GROUP BY zm
-         |),
-         |o AS (
-         |  SELECT np, nn,
-         |    CAST(coalesce(sum(nn) OVER (ORDER BY zm
-         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_nn
-         |  FROM sy
-         |),
-         |t AS (
-         |  SELECT CAST(sum(np) AS BIGINT) AS n_pos, CAST(sum(nn) AS BIGINT) AS n_neg,
-         |    CAST(sum(2 * np * cum_nn + np * nn) AS BIGINT) AS num2
-         |  FROM o
-         |)
-         |SELECT round(CAST(num2 AS DOUBLE) / (2.0 * n_pos * n_neg), 6) AS auc,
-         | n_pos, n_neg
-         |FROM t""".stripMargin,
-    "q190_textrank_keywords" -> {
-      // q151's unrolled integer power iteration, WEIGHTED: per-edge
-      // contribution (rank*w) // wdeg, d = 17/20, seed 1e6//N
-      def iter(i: Int) =
-        s"""tr$i AS MATERIALIZED (
-           |  SELECT d.node, d.wdeg,
-           |    CAST((150000 // nn.n) + (17 * s.s) // 20 AS BIGINT) AS rank_m
-           |  FROM wd d
-           |  JOIN (
-           |    SELECT e.dst AS node,
-           |      CAST(sum((r.rank_m * e.w) // r.wdeg) AS BIGINT) AS s
-           |    FROM tedges e JOIN tr${i - 1} r ON r.node = e.src GROUP BY 1
-           |  ) s ON s.node = d.node
-           |  CROSS JOIN nn
-           |)""".stripMargin
-      s"""WITH tk AS (SELECT string_split(text, ' ') AS ts FROM documents),
-         |bg AS (
-         |  SELECT ts[i] AS w1, ts[i + 1] AS w2
-         |  FROM tk, LATERAL (SELECT unnest(range(1, len(ts))) AS i)
-         |  WHERE len(ts) >= 2 AND ts[i] <> ts[i + 1]
-         |),
-         |cooc AS (
-         |  SELECT least(w1, w2) AS a, greatest(w1, w2) AS b, count(*) AS w
-         |  FROM bg GROUP BY 1, 2
-         |),
-         |keep AS (
-         |  SELECT unnest(string_split(text, ' ')) AS tok FROM documents
-         |),
-         |kv AS (SELECT tok FROM keep GROUP BY tok HAVING count(*) >= 5),
-         |ke AS MATERIALIZED (
-         |  SELECT a, b, w FROM cooc
-         |  JOIN kv k1 ON k1.tok = a JOIN kv k2 ON k2.tok = b
-         |),
-         |tedges AS MATERIALIZED (
-         |  SELECT a AS src, b AS dst, w FROM ke
-         |  UNION ALL SELECT b, a, w FROM ke
-         |),
-         |wd AS MATERIALIZED (
-         |  SELECT src AS node, CAST(sum(w) AS BIGINT) AS wdeg
-         |  FROM tedges GROUP BY 1
-         |),
-         |nn AS (SELECT count(*) AS n FROM wd),
-         |tr0 AS (SELECT node, wdeg, 1000000 // nn.n AS rank_m
-         |        FROM wd CROSS JOIN nn),
-         |${(1 to 4).map(iter).mkString(",\n")}
-         |SELECT node AS token, wdeg, CAST(rank_m AS BIGINT) AS rank_micro
-         |FROM tr4 ORDER BY rank_micro DESC, token LIMIT 20""".stripMargin
-    },
-    "q191_hourly_acf" ->
-      // complete hourly series (zeros for absent hours); y = n*x - S
-      // integer centering; num/den exact BIGINT, one rounded division
-      """WITH hx AS (
-        |  SELECT epoch_ns(ts) // 3600000000000 AS h, count(*) AS x
-        |  FROM events GROUP BY 1
-        |),
-        |b AS (SELECT min(h) AS h0, max(h) AS h1 FROM hx),
-        |series AS (
-        |  SELECT gs.h, coalesce(hx.x, 0) AS x
-        |  FROM (SELECT unnest(generate_series(b.h0, b.h1)) AS h FROM b) gs
-        |  LEFT JOIN hx USING (h)
-        |),
-        |st AS (SELECT count(*) AS n, CAST(sum(x) AS BIGINT) AS s FROM series),
-        |y AS (SELECT h, CAST(st.n * x - st.s AS BIGINT) AS y FROM series, st),
-        |den AS (SELECT CAST(sum(y * y) AS BIGINT) AS den FROM y),
-        |lags AS (SELECT unnest(range(1, 25)) AS lag),
-        |pairs AS (
-        |  SELECT l.lag, a.y AS yp, c.y AS yc
-        |  FROM lags l JOIN y a ON true JOIN y c ON c.h = a.h + l.lag
-        |)
-        |SELECT CAST(p.lag AS INTEGER) AS lag, count(*) AS n_pairs,
-        | round(CAST(CAST(sum(p.yp * p.yc) AS BIGINT) AS DOUBLE) / den.den, 6) AS acf
-        |FROM pairs p, den GROUP BY p.lag, den.den ORDER BY lag""".stripMargin,
-    "q192_ab_test" ->
-      // md5 parity arm draw (posSql j=0 m=2) on each row's user_id,
-      // integer micro-unit value moments, Welch z with the SAME double
-      // association order as the engine
-      s"""WITH f AS (
-         |  SELECT ${posSql("md5(CAST(user_id AS VARCHAR))", 0, 2)} AS arm,
-         |    CAST(round(value * 10000, 0) AS BIGINT) AS vm
-         |  FROM events WHERE event_type = 'purchase'
-         |),
-         |t AS (
-         |  SELECT
-         |    CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
-         |    CAST(sum(CASE WHEN arm = 0 THEN vm ELSE 0 END) AS BIGINT) AS s1_a,
-         |    CAST(sum(CASE WHEN arm = 0 THEN vm * vm ELSE 0 END) AS BIGINT) AS s2_a,
-         |    CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
-         |    CAST(sum(CASE WHEN arm = 1 THEN vm ELSE 0 END) AS BIGINT) AS s1_b,
-         |    CAST(sum(CASE WHEN arm = 1 THEN vm * vm ELSE 0 END) AS BIGINT) AS s2_b
-         |  FROM f
-         |)
-         |SELECT n_a, n_b,
-         | round(CAST(s1_a AS DOUBLE) / n_a / 10000.0, 4) AS mean_a,
-         | round(CAST(s1_b AS DOUBLE) / n_b / 10000.0, 4) AS mean_b,
-         | round((CAST(s1_a AS DOUBLE) / n_a - CAST(s1_b AS DOUBLE) / n_b) /
-         |   sqrt(((CAST(s2_a AS DOUBLE) - CAST(s1_a AS DOUBLE) * s1_a / n_a) / (n_a - 1)) / n_a
-         |      + ((CAST(s2_b AS DOUBLE) - CAST(s1_b AS DOUBLE) * s1_b / n_b) / (n_b - 1)) / n_b),
-         |   4) AS z_score
-         |FROM t""".stripMargin,
-    "q193_cusum_drift" ->
-      // S_t = P_t - min(0, min_{i<=t} P_i): prefix sum and prefix min
-      // of integer deviations from the floor-division reference level
-      """WITH m AS (
-        |  SELECT (epoch_ns(ts) // 86400000000000) * 86400 AS day_epoch,
-        |    count(*) AS n_events,
-        |    CAST(sum(CAST(round(value * 10000, 0) AS BIGINT)) AS BIGINT) AS s1
-        |  FROM events GROUP BY 1
-        |),
-        |k AS (SELECT (10000 * CAST(sum(s1) AS BIGINT))
-        |        // CAST(sum(n_events) AS BIGINT) AS k FROM m),
-        |d AS (
-        |  SELECT day_epoch, n_events, (10000 * s1) // n_events AS xm,
-        |    (10000 * s1) // n_events - k.k AS dev
-        |  FROM m, k
-        |),
-        |c AS (
-        |  SELECT day_epoch, n_events, xm,
-        |    CAST(sum(dev) OVER (ORDER BY day_epoch) AS BIGINT) AS p,
-        |    CAST(sum(-dev) OVER (ORDER BY day_epoch) AS BIGINT) AS pn
-        |  FROM d
-        |)
-        |SELECT day_epoch, n_events, xm,
-        | p - least(CAST(0 AS BIGINT), min(p) OVER (ORDER BY day_epoch)) AS cusum_up,
-        | pn - least(CAST(0 AS BIGINT), min(pn) OVER (ORDER BY day_epoch)) AS cusum_down,
-        | (p - least(CAST(0 AS BIGINT), min(p) OVER (ORDER BY day_epoch)) > 50000
-        |  OR pn - least(CAST(0 AS BIGINT), min(pn) OVER (ORDER BY day_epoch)) > 50000)
-        |   AS alarm
-        |FROM c ORDER BY day_epoch""".stripMargin,
-    "q194_label_propagation" -> {
-      // synchronous plurality round over the frozen kNN frame: hidden
-      // nodes re-derive from the PREVIOUS round's labels, visible nodes
-      // hard-clamp; plurality ties break (count DESC, label ASC)
-      def prop(prev: String, idx: Int) =
-        s"""lp$idx AS MATERIALIZED (
-           |  SELECT l.vec_id, l.y, l.hidden,
-           |    CASE WHEN NOT l.hidden THEN l.y ELSE maj.m END AS cur
-           |  FROM lbl l LEFT JOIN (
-           |    SELECT id AS vec_id, m FROM (
-           |      SELECT k.id, n.cur AS m, count(*) AS c,
-           |        row_number() OVER (PARTITION BY k.id
-           |          ORDER BY count(*) DESC, n.cur) AS rn
-           |      FROM knn k JOIN $prev n ON n.vec_id = k.nb
-           |      WHERE n.cur IS NOT NULL GROUP BY k.id, n.cur
-           |    ) WHERE rn = 1
-           |  ) maj ON maj.vec_id = l.vec_id
-           |)""".stripMargin
-      s"""$KmeansAssignCtes,
-         |lbl AS (
-         |  SELECT vec_id, CAST(label AS BIGINT) AS y,
-         |    ${posSql("md5(CAST(vec_id AS VARCHAR))", 0, 2)} = 1 AS hidden
-         |  FROM embeddings
-         |),
-         |pairs AS (
-         |  SELECT x.vec_id AS id, y2.vec_id AS nb,
-         |    round(${cosSql("x.v", "y2.v")}, 6) AS cos
-         |  FROM af x JOIN af y2 ON x.cid = y2.cid AND x.vec_id <> y2.vec_id
-         |),
-         |knn AS MATERIALIZED (
-         |  SELECT id, nb FROM (
-         |    SELECT id, nb, row_number() OVER (PARTITION BY id
-         |      ORDER BY -cos, nb) AS rn
-         |    FROM pairs
-         |  ) WHERE rn <= 5
-         |),
-         |lp0 AS (
-         |  SELECT vec_id, y, hidden,
-         |    CASE WHEN hidden THEN NULL ELSE y END AS cur
-         |  FROM lbl
-         |),
-         |${prop("lp0", 1)},
-         |${prop("lp1", 2)}
-         |SELECT y AS label, count(*) AS n_hidden,
-         | CAST(sum(CASE WHEN cur IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_recovered,
-         | CAST(sum(CASE WHEN cur = y THEN 1 ELSE 0 END) AS BIGINT) AS n_correct,
-         | round(sum(CASE WHEN cur = y THEN 1 ELSE 0 END) * 1.0 / count(*), 4) AS accuracy
-         |FROM lp2 WHERE hidden GROUP BY y ORDER BY y""".stripMargin
-    },
-    "q195_attribution" ->
-      // q33's session numbering carrying event_type + micro-unit value;
-      // entry tag via first_value over the session sort; two-level agg
-      """WITH g AS (
-        |  SELECT user_id, event_id, ts, event_type,
-        |    CAST(round(value * 10000, 0) AS BIGINT) AS vm,
-        |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
-        |  FROM events
-        |),
-        |flagged AS (
-        |  SELECT user_id, event_id, ts, event_type, vm,
-        |    CASE WHEN prev_ts IS NULL OR epoch_ns(ts) - epoch_ns(prev_ts) > 1800000000000
-        |      THEN 1 ELSE 0 END AS new_session
-        |  FROM g
-        |),
-        |numbered AS (
-        |  SELECT user_id, event_id, ts, event_type, vm,
-        |    sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
-        |  FROM flagged
-        |),
-        |tagged AS (
-        |  SELECT user_id, session_seq, event_type, vm,
-        |    first_value(event_type) OVER (PARTITION BY user_id, session_seq
-        |      ORDER BY ts, event_id) AS entry_type
-        |  FROM numbered
-        |),
-        |per_session AS (
-        |  SELECT user_id, session_seq, entry_type,
-        |    CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purch,
-        |    CAST(sum(CASE WHEN event_type = 'purchase' THEN vm ELSE 0 END) AS BIGINT) AS pvm
-        |  FROM tagged GROUP BY 1, 2, 3
-        |)
-        |SELECT entry_type, count(*) AS n_sessions,
-        | CAST(sum(n_purch) AS BIGINT) AS n_purchases,
-        | round(CAST(sum(pvm) AS BIGINT) / 10000.0, 2) AS attributed_value
-        |FROM per_session GROUP BY entry_type ORDER BY entry_type""".stripMargin,
-    "q196_phrase_search" ->
-      // positional postings (1-based; Spark's are 0-based - counts are
-      // base-invariant), anchor + per-word position joins
-      """WITH p AS (
-        |  SELECT doc_id, i AS pos, ws[i] AS tok
-        |  FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
-        |    LATERAL (SELECT unnest(range(1, len(ws) + 1)) AS i)
-        |),
-        |m0 AS (SELECT doc_id, pos FROM p WHERE tok = 'big'),
-        |m1 AS (SELECT m0.doc_id, m0.pos FROM m0
-        |  JOIN p ON p.doc_id = m0.doc_id AND p.pos = m0.pos + 1 AND p.tok = 'order'),
-        |m2 AS (SELECT m1.doc_id, m1.pos FROM m1
-        |  JOIN p ON p.doc_id = m1.doc_id AND p.pos = m1.pos + 2 AND p.tok = 'scan')
-        |SELECT doc_id, 'big order scan' AS phrase, count(*) AS n_occurrences
-        |FROM m2 GROUP BY doc_id ORDER BY doc_id""".stripMargin,
-    "q197_dataset_fingerprint" -> {
-      // 60-bit content hash via strpos arithmetic (DuckDB has no conv);
-      // XOR fold is merge-order-free on both engines
-      def hv(idx: Int) = s"(strpos('0123456789abcdef', substr(h, $idx, 1)) - 1)"
-      val h60 = (2 to 15).foldLeft(hv(1))((acc, i) => s"($acc * 16 + ${hv(i)})")
-      s"""WITH f AS (
-         |  SELECT source,
-         |    md5(CAST(doc_id AS VARCHAR) || ':' || text) AS h,
-         |    CAST(len(string_split(text, ' ')) AS BIGINT) AS toks
-         |  FROM documents
-         |),
-         |g AS (SELECT source, CAST($h60 AS BIGINT) AS hv, toks FROM f)
-         |SELECT source, count(*) AS n_docs,
-         | CAST(sum(toks) AS BIGINT) AS n_tokens,
-         | bit_xor(hv) AS fingerprint
-         |FROM g GROUP BY source ORDER BY source""".stripMargin
-    },
-    "q198_heldout_perplexity" ->
-      // q106's micro-bit arithmetic behind an md5 train/test split;
-      // LEFT joins price unseen pairs/contexts at the add-one floor
-      s"""WITH t AS (
-         |  SELECT doc_id, lang,
-         |    ${posSql("md5(CAST(doc_id AS VARCHAR))", 0, 2)} = 0 AS is_train,
-         |    string_split(text, ' ') AS ts
-         |  FROM documents
-         |),
-         |b AS (
-         |  SELECT lang, is_train,
-         |    unnest([struct_pack(w1 := ts[i], w2 := ts[i+1]) for i in range(1, len(ts))]) AS bg
-         |  FROM t
-         |),
-         |cb AS (SELECT bg.w1 AS w1, bg.w2 AS w2, count(*) AS cb
-         |       FROM b WHERE is_train GROUP BY 1, 2),
-         |cu AS (SELECT w1, CAST(sum(cb) AS BIGINT) AS cu FROM cb GROUP BY w1),
-         |vv AS (SELECT count(DISTINCT w) AS v
-         |       FROM (SELECT unnest(ts) AS w FROM t WHERE is_train)),
-         |te AS (SELECT lang, bg.w1 AS w1, bg.w2 AS w2, count(*) AS k
-         |       FROM b WHERE NOT is_train GROUP BY 1, 2, 3),
-         |sc AS (
-         |  SELECT lang, k, coalesce(cb, 0) = 0 AS unseen,
-         |    CAST(round(-log2((coalesce(cb, 0) + 1.0) / (coalesce(cu, 0) + v)) * 1e6, 0)
-         |      AS BIGINT) AS u6
-         |  FROM te LEFT JOIN cb USING (w1, w2) LEFT JOIN cu USING (w1) CROSS JOIN vv
-         |)
-         |SELECT lang, CAST(sum(k) AS BIGINT) AS n_bigrams,
-         | round(sum(k * u6) * 1.0 / sum(k) / 1e6, 4) AS bits_per_token,
-         | round(sum(CASE WHEN unseen THEN k ELSE 0 END) * 1.0 / sum(k), 6) AS unseen_rate
-         |FROM sc GROUP BY lang ORDER BY lang""".stripMargin,
-    "q201_trend_test" ->
-      // pairwise sign sum + tie-adjusted variance, all integer until
-      // the boundary sqrt; slope quantized by DOUBLE floor (integer //
-      // floors but Spark div truncates - they disagree on negatives)
-      """WITH m AS (
-        |  SELECT (epoch_ns(ts) // 86400000000000) AS d, count(*) AS n_events,
-        |    CAST(sum(CAST(round(value * 10000, 0) AS BIGINT)) AS BIGINT) AS s1
-        |  FROM events GROUP BY 1
-        |),
-        |dy AS (SELECT d, (10000 * s1) // n_events AS xm FROM m),
-        |p AS (SELECT a.d AS di, a.xm AS xi, b.d AS dj, b.xm AS xj
-        |      FROM dy a JOIN dy b ON a.d < b.d),
-        |sg AS (SELECT CAST(sum(CASE WHEN xj > xi THEN 1
-        |         WHEN xj < xi THEN -1 ELSE 0 END) AS BIGINT) AS s_stat FROM p),
-        |sl AS (SELECT CAST(floor((xj - xi) * 1000.0 / (dj - di)) AS BIGINT)
-        |         AS slope_milli FROM p),
-        |med AS (SELECT quantile_cont(slope_milli, 0.5) AS cut FROM sl),
-        |nn AS (SELECT count(*) AS n FROM dy),
-        |tt AS (SELECT CAST(coalesce(sum(t * (t - 1) * (2 * t + 5)), 0) AS BIGINT)
-        |         AS tie_adj
-        |       FROM (SELECT xm, count(*) AS t FROM dy GROUP BY 1)),
-        |vs AS (SELECT (n * (n - 1) * (2 * n + 5) - tie_adj) / 18.0 AS var_s
-        |       FROM nn, tt)
-        |SELECT nn.n AS n_days, sg.s_stat AS s_stat,
-        | round(vs.var_s, 4) AS var_s,
-        | round(CASE WHEN vs.var_s <= 0.0 THEN 0.0
-        |   WHEN sg.s_stat > 0 THEN (sg.s_stat - 1) / sqrt(vs.var_s)
-        |   WHEN sg.s_stat < 0 THEN (sg.s_stat + 1) / sqrt(vs.var_s)
-        |   ELSE 0.0 END, 4) AS z_score,
-        | round(med.cut / 1e7, 6) AS slope_per_day
-        |FROM nn, sg, vs, med""".stripMargin,
-    "q202_benford" -> {
-      val values = Governance.BenfordShares
-        .map { case (d, p) => s"($d, ${String.format("%.17e", Double.box(p))})" }
-        .mkString(", ")
-      s"""WITH b(digit, benford_share) AS (VALUES $values),
-         |dg AS (
-         |  SELECT CAST(substr(CAST(vm AS VARCHAR), 1, 1) AS INTEGER) AS digit,
-         |    count(*) AS n_obs
-         |  FROM (SELECT CAST(round(value * 10000, 0) AS BIGINT) AS vm FROM events)
-         |  WHERE vm > 0 GROUP BY 1
-         |),
-         |j AS (SELECT b.digit, CAST(coalesce(dg.n_obs, 0) AS BIGINT) AS n_obs,
-         |        b.benford_share
-         |      FROM b LEFT JOIN dg USING (digit)),
-         |t AS (SELECT CAST(sum(n_obs) AS BIGINT) AS n_total FROM j),
-         |c AS (SELECT round(CAST(sum(
-         |        (n_obs - n_total * benford_share) * (n_obs - n_total * benford_share)
-         |          / (n_total * benford_share)) AS DOUBLE), 4) AS chi2
-         |      FROM j, t)
-         |SELECT digit, n_obs,
-         | round(n_obs * 1.0 / t.n_total, 6) AS obs_share,
-         | round(benford_share, 6) AS benford_share,
-         | c.chi2 AS chi2
-         |FROM j, t, c ORDER BY digit""".stripMargin
-    },
-    "q203_frame_phash" -> {
-      // exact all-pairs hamming (no banding) - the gate doubles as the
-      // blocking's recall proof, the q178/q26 convention
-      def hv(idx: Int) = s"(strpos('0123456789abcdef', substr(fc, $idx, 1)) - 1)"
-      val h60 = (2 to 15).foldLeft(hv(1))((acc, i) => s"($acc * 16 + ${hv(i)})")
-      s"""WITH f AS (
-         |  SELECT doc_id AS asset_id,
-         |    md5(substr(text, CAST(i * 64 + 1 AS INT), 64)) AS fc
-         |  FROM documents,
-         |    LATERAL (SELECT unnest(range(0, greatest(length(text) // 64, 1))) AS i)
-         |),
-         |fh AS (SELECT asset_id, CAST($h60 AS BIGINT) AS h FROM f),
-         |bits AS (
-         |  SELECT asset_id, j,
-         |    CASE WHEN 2 * sum((h >> CAST(j AS INT)) & 1) > count(*)
-         |      THEN CAST(1 AS BIGINT) << CAST(j AS INT)
-         |      ELSE CAST(0 AS BIGINT) END AS bitv
-         |  FROM fh, LATERAL (SELECT unnest(range(0, 60)) AS j)
-         |  GROUP BY asset_id, j
-         |),
-         |ph AS (SELECT asset_id, CAST(sum(bitv) AS BIGINT) AS phash
-         |       FROM bits GROUP BY 1)
-         |SELECT a.asset_id AS id1, b.asset_id AS id2,
-         | CAST(bit_count(xor(a.phash, b.phash)) AS INTEGER) AS hamming
-         |FROM ph a JOIN ph b ON a.asset_id < b.asset_id
-         |WHERE bit_count(xor(a.phash, b.phash)) <= 3
-         |ORDER BY id1, id2""".stripMargin
-    },
-    "q204_basket_lift" ->
-      // q33's session numbering carrying event_type; baskets = distinct
-      // (session, type); lift = n_ab*N / (n_a*n_b) in one double shape
-      """WITH g AS (
-        |  SELECT user_id, event_id, ts, event_type,
-        |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
-        |  FROM events
-        |),
-        |flagged AS (
-        |  SELECT user_id, event_id, ts, event_type,
-        |    CASE WHEN prev_ts IS NULL OR epoch_ns(ts) - epoch_ns(prev_ts) > 1800000000000
-        |      THEN 1 ELSE 0 END AS new_session
-        |  FROM g
-        |),
-        |numbered AS (
-        |  SELECT user_id, event_type,
-        |    sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
-        |  FROM flagged
-        |),
-        |basket AS (SELECT DISTINCT user_id, session_seq, event_type FROM numbered),
-        |nn AS (SELECT count(*) AS n FROM
-        |  (SELECT DISTINCT user_id, session_seq FROM basket)),
-        |pt AS (SELECT event_type, count(*) AS n_t FROM basket GROUP BY 1),
-        |pr AS (
-        |  SELECT a.event_type AS type_a, b.event_type AS type_b, count(*) AS n_ab
-        |  FROM basket a JOIN basket b
-        |    ON a.user_id = b.user_id AND a.session_seq = b.session_seq
-        |    AND a.event_type < b.event_type
-        |  GROUP BY 1, 2
-        |)
-        |SELECT type_a, type_b, pa.n_t AS n_a, pb.n_t AS n_b, n_ab,
-        | round(n_ab * 1.0 / nn.n, 6) AS support,
-        | round((n_ab * nn.n) * 1.0 / (pa.n_t * pb.n_t), 6) AS lift
-        |FROM pr
-        |JOIN pt pa ON pa.event_type = type_a
-        |JOIN pt pb ON pb.event_type = type_b, nn
-        |ORDER BY type_a, type_b""".stripMargin,
-    "q205_interarrival_ks" ->
-      // per-user lag gaps in exact ns; ranks over the distinct-gap
-      // histogram; per-row round(.,6) BEFORE the max (exp agrees to
-      // ulps across engines - the q106 micro-bit argument)
-      """WITH o AS (
-        |  SELECT user_id, ts, event_id,
-        |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
-        |  FROM events
-        |),
-        |gp AS (SELECT epoch_ns(ts) - epoch_ns(prev) AS g
-        |       FROM o WHERE prev IS NOT NULL),
-        |h AS (SELECT g, count(*) AS c FROM gp GROUP BY 1),
-        |r AS (SELECT g, c, CAST(sum(c) OVER (ORDER BY g) AS BIGINT) AS cum FROM h),
-        |st AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(g) AS BIGINT) AS sg
-        |       FROM gp),
-        |t AS (
-        |  SELECT
-        |    round(cum * 1.0 / st.n - (1.0 - exp(-((st.n * 1.0 / st.sg) * g))), 6) AS dp,
-        |    round((1.0 - exp(-((st.n * 1.0 / st.sg) * g))) - (cum - c) * 1.0 / st.n, 6) AS dm,
-        |    st.n AS n, st.sg AS sg
-        |  FROM r, st
-        |)
-        |SELECT n AS n_gaps,
-        | round((n * 3600000000000.0) / sg, 6) AS lambda_per_hour,
-        | max(greatest(dp, dm)) AS ks_d,
-        | (max(greatest(dp, dm)) > 1.36 / sqrt(n)) AS reject_exponential
-        |FROM t GROUP BY n, sg""".stripMargin,
-    "q206_ht_estimate" ->
-      // q124's exact md5-fraction keys; tau = 51st order statistic;
-      // HT terms micro-quantized before the (exact integer) sum
-      """WITH d AS (
-        |  SELECT doc_id, n_chars,
-        |    list_sum(list_transform(generate_series(1, 13),
-        |      i -> (strpos('0123456789abcdef',
-        |              substr(md5(CAST(doc_id AS VARCHAR)), i, 1)) - 1)
-        |           * power(16.0, -i))) AS u
-        |  FROM documents
-        |),
-        |keyed AS (SELECT doc_id, n_chars, -ln(u) / n_chars AS key FROM d),
-        |rk AS (SELECT *, row_number() OVER (ORDER BY key, doc_id) AS rn FROM keyed),
-        |tau AS (SELECT key AS tau FROM rk WHERE rn = 51),
-        |sm AS (SELECT n_chars, 1.0 - exp(-(n_chars * tau.tau)) AS p
-        |       FROM rk, tau WHERE rn <= 50),
-        |est AS (SELECT count(*) AS n_sampled,
-        |  CAST(sum(CAST(round(1e4 / p) AS BIGINT)) AS BIGINT) AS sd,
-        |  CAST(sum(CAST(round(n_chars * 1e4 / p) AS BIGINT)) AS BIGINT) AS sc
-        |  FROM sm),
-        |tr AS (SELECT count(*) AS true_docs, CAST(sum(n_chars) AS BIGINT) AS true_chars
-        |       FROM documents)
-        |SELECT n_sampled, true_docs, round(sd / 1e4, 2) AS est_docs,
-        | true_chars, round(sc / 1e4, 2) AS est_chars,
-        | round(abs(sc / 1e4 - true_chars) / true_chars, 4) AS rel_err_chars
-        |FROM est, tr""".stripMargin,
-    "q207_mutual_knn" ->
-      // q194's knn chain with cos kept; mutuality = the (a,b) identity
-      // present in BOTH directions of the edge frame
-      s"""$KmeansAssignCtes,
-         |pairs AS (
-         |  SELECT x.vec_id AS id, y2.vec_id AS nb,
-         |    round(${cosSql("x.v", "y2.v")}, 6) AS cos
-         |  FROM af x JOIN af y2 ON x.cid = y2.cid AND x.vec_id <> y2.vec_id
-         |),
-         |knn AS MATERIALIZED (
-         |  SELECT id, nb, cos FROM (
-         |    SELECT id, nb, cos, row_number() OVER (PARTITION BY id
-         |      ORDER BY -cos, nb) AS rn
-         |    FROM pairs
-         |  ) WHERE rn <= 5
-         |),
-         |lo AS (SELECT id AS a, nb AS b, cos FROM knn WHERE id < nb),
-         |hi AS (SELECT nb AS a, id AS b FROM knn WHERE id > nb)
-         |SELECT lo.a AS id1, lo.b AS id2, lo.cos AS cos
-         |FROM lo JOIN hi USING (a, b)
-         |ORDER BY id1, id2""".stripMargin,
-    "q208_dbscan_profile" ->
-      // cell-restricted eps-neighborhoods (the stated grid-DBSCAN
-      // approximation), exact counts on the rounded-cosine grid
-      s"""$KmeansAssignCtes,
-         |ne AS (
-         |  SELECT x.vec_id AS id, y2.vec_id AS nb
-         |  FROM af x JOIN af y2 ON x.cid = y2.cid AND x.vec_id <> y2.vec_id
-         |  WHERE round(${cosSql("x.v", "y2.v")}, 6) >= 0.2
-         |),
-         |cnt AS (SELECT id, count(*) AS n_eps FROM ne GROUP BY 1),
-         |cl AS (
-         |  SELECT e.vec_id, CAST(e.label AS BIGINT) AS label,
-         |    coalesce(cnt.n_eps, 0) >= 4 AS is_core
-         |  FROM embeddings e LEFT JOIN cnt ON cnt.id = e.vec_id
-         |),
-         |bor AS (
-         |  SELECT DISTINCT ne.id AS vec_id
-         |  FROM ne JOIN cl c2 ON c2.vec_id = ne.nb AND c2.is_core
-         |)
-         |SELECT label,
-         | CASE WHEN is_core THEN 'core'
-         |   WHEN bor.vec_id IS NOT NULL THEN 'border'
-         |   ELSE 'noise' END AS role,
-         | count(*) AS n_vecs
-         |FROM cl LEFT JOIN bor USING (vec_id)
-         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
-    "q209_silhouette" ->
-      // af/cent2 from the shared Lloyd chain; best-other = max rounded
-      // cos to a DIFFERENT centroid; guarded micro-quantized s
-      s"""$KmeansAssignCtes,
-         |oc AS (
-         |  SELECT a.vec_id, max(round(${cosSql("a.v", "c.cv")}, 6)) AS best_other
-         |  FROM af a JOIN cent2 c ON c.cid <> a.cid
-         |  GROUP BY 1
-         |),
-         |sv AS (
-         |  SELECT af.cid,
-         |    CASE WHEN greatest(1.0 - af.cos, 1.0 - oc.best_other) > 0
-         |      THEN CAST(round(((af.cos - oc.best_other) /
-         |        greatest(1.0 - af.cos, 1.0 - oc.best_other)) * 1e6, 0) AS BIGINT)
-         |      ELSE CAST(0 AS BIGINT) END AS sm
-         |  FROM af JOIN oc USING (vec_id)
-         |)
-         |SELECT cid, count(*) AS n_members,
-         | round(CAST(sum(sm) AS BIGINT) * 1.0 / count(*) / 1e6, 6) AS mean_silhouette,
-         | CAST(sum(CASE WHEN sm > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_positive
-         |FROM sv GROUP BY cid ORDER BY cid""".stripMargin,
-    "q210_cluster_stability" -> {
-      // second Lloyd chain over the SAME e corpus, seeded by the salted
-      // md5 order; ARI from exact pair-count sums
-      def assignB(cents: String) =
-        s"""SELECT vec_id, v, cid, cos FROM (
-           |  SELECT e.vec_id, e.v, c.cid, round(${cosSql("e.v", "c.cv")}, 6) AS cos,
-           |    row_number() OVER (PARTITION BY e.vec_id
-           |      ORDER BY round(-(${cosSql("e.v", "c.cv")}), 6), c.cid) AS rn
-           |  FROM e CROSS JOIN $cents c
-           |) WHERE rn = 1""".stripMargin
-      def updateB(a: String, prevCents: String) =
-        s"""SELECT c0.cid, coalesce(u.cv, c0.cv) AS cv FROM $prevCents c0 LEFT JOIN (
-           |  SELECT cid, list(m ORDER BY i) AS cv FROM (
-           |    SELECT cid, i, round(avg(x), 6) AS m FROM (
-           |      SELECT cid, unnest(generate_series(1, len(v))) AS i, unnest(v) AS x FROM $a
-           |    ) GROUP BY cid, i
-           |  ) GROUP BY cid
-           |) u USING (cid)""".stripMargin
-      s"""$KmeansAssignCtes,
-         |bcent0 AS (
-         |  SELECT vec_id AS cid, v AS cv FROM e
-         |  ORDER BY md5(CAST(vec_id AS VARCHAR) || ':b'), vec_id LIMIT 16
-         |),
-         |ba1 AS (${assignB("bcent0")}),
-         |bcent1 AS (${updateB("ba1", "bcent0")}),
-         |ba2 AS (${assignB("bcent1")}),
-         |bcent2 AS (${updateB("ba2", "bcent1")}),
-         |baf AS (${assignB("bcent2")}),
-         |ct AS (
-         |  SELECT a.cid AS ca, b.cid AS cb, count(*) AS nij
-         |  FROM af a JOIN baf b USING (vec_id) GROUP BY 1, 2
-         |),
-         |p1 AS (SELECT CAST(sum(nij * (nij - 1) // 2) AS BIGINT) AS sij,
-         |         CAST(sum(nij) AS BIGINT) AS n FROM ct),
-         |p2 AS (SELECT CAST(sum(na * (na - 1) // 2) AS BIGINT) AS sa
-         |       FROM (SELECT CAST(sum(nij) AS BIGINT) AS na FROM ct GROUP BY ca)),
-         |p3 AS (SELECT CAST(sum(nb * (nb - 1) // 2) AS BIGINT) AS sb
-         |       FROM (SELECT CAST(sum(nij) AS BIGINT) AS nb FROM ct GROUP BY cb))
-         |SELECT n, sij, sa, sb,
-         | CASE WHEN ((sa + sb) / 2.0 - CAST(sa AS DOUBLE) * sb / (n * (n - 1) // 2)) <> 0
-         |   THEN round((sij - CAST(sa AS DOUBLE) * sb / (n * (n - 1) // 2)) /
-         |     ((sa + sb) / 2.0 - CAST(sa AS DOUBLE) * sb / (n * (n - 1) // 2)), 6)
-         |   ELSE NULL END AS ari
-         |FROM p1, p2, p3""".stripMargin
-    },
-  )
 }

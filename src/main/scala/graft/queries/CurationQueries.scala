@@ -1,0 +1,1012 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.operators.Curation
+import graft.sources.Tables
+import graft.OracleHelpers._
+
+/** Curation family queries: corpus curation: quality classifier, spans, decontamination, mixtures, capstones.
+  * Split from PipelineQueries (round 9) -- entries and oracles are moved
+  * verbatim; PipelineQueries concatenates the families and asserts the
+  * key sets stay disjoint and aligned.
+  */
+private[graft] object CurationQueries extends QueryFamily {
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // benchmark decontamination: docs whose distinct word-3-gram sets
+    // overlap the benchmark slice (doc_id < 50) above 50% — on the fixtures
+    // that isolates exactly the planted near-dups whose partner fell in the
+    // benchmark slice, against a <=40% background
+    "q60_decontaminate" -> ((s, d) => Curation.decontaminate(Tables.documents(s, d))),
+    "q61_repetition"    -> ((s, d) => Curation.repetitionSignals(Tables.documents(s, d))),
+    "q62_mixture_weights" -> ((s, d) => Curation.mixtureWeights(Tables.documents(s, d))),
+    // alpha=0.5 temperature-smoothed language sampling weights
+    "q69_temperature_mixture" -> ((s, d) => Curation.temperatureMixture(Tables.documents(s, d))),
+    // k-anonymity audit over (lang, source) quasi-identifier cells
+    "q82_k_anonymity" -> ((s, d) => Curation.kAnonymityReport(Tables.documents(s, d))),
+    // the composed capstone: quality cut -> near-dup survivors -> report
+    "q84_curation_pipeline" -> ((s, d) => Curation.curationPipeline(Tables.documents(s, d))),
+    // pre-release PII/denylist scrub report (the fixture's structural-PII
+    // zeros are oracle-verified; redaction mechanics proven in spec)
+    "q88_redaction_report" -> ((s, d) => Curation.redactionReport(Tables.documents(s, d))),
+    // cross-document duplicate n-gram mass (corpus-level duplication,
+    // distinct from q61's within-document repetition)
+    "q89_dup_gram_mass" -> ((s, d) => Curation.dupGramMass(Tables.documents(s, d))),
+    // materialized temperature mixture: q69's weights as an actual
+    // deterministic md5-threshold sample
+    "q92_mixture_sample" -> ((s, d) => Curation.materializeMixture(Tables.documents(s, d))),
+    // exact duplicated-span localization: maximal token spans covered by
+    // corpus-repeated word 8-grams (the k-gram form of exact-substring dedup)
+    "q97_dup_spans" -> ((s, d) => Curation.duplicatedSpans(Tables.documents(s, d))),
+    // DSIR importance scoring: per-doc target-vs-corpus log-likelihood
+    // ratio on hashed unigram features; top-50 most target-like docs
+    "q98_dsir_select" -> ((s, d) => Curation.dsirImportance(Tables.documents(s, d))),
+    // apply the q97 span map: corpus with duplicated spans cut, checksummed
+    "q99_span_cut" -> ((s, d) => Curation.cutDuplicatedSpans(Tables.documents(s, d))),
+    // snapshot diff: added/removed/changed/unchanged doc + token mass
+    // between two deterministic corpus versions (docs %10==1 arrive,
+    // %10==0 leave, %7==0 gain a revision marker)
+    "q101_corpus_diff" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      val docs = Tables.documents(s, d)
+      Curation.corpusDiff(
+        docs.filter(col("doc_id") % 10 =!= 1),
+        docs.filter(col("doc_id") % 10 =!= 0)
+          .withColumn("text", when(col("doc_id") % 7 === 0,
+            concat(col("text"), lit(" rev1"))).otherwise(col("text"))))
+    }),
+    // curriculum staging: quality quartiles via the bounded-state exact
+    // quantile, easy-data-first training order
+    "q107_curriculum" -> ((s, d) => Curation.curriculumStages(Tables.documents(s, d))),
+    // dataset-card summary: per (lang x source) doc/token mass, mean
+    // quality, corpus token share
+    "q111_datasheet" -> ((s, d) => Curation.corpusDatasheet(Tables.documents(s, d))),
+    // sampling-schedule planning: q69's mixture as per-language token
+    // budgets and epoch (repeat) factors
+    "q112_epoch_plan" -> ((s, d) => Curation.epochPlan(Tables.documents(s, d))),
+    // data-loader order: deterministic stride-scheduled weighted
+    // interleave of the mixture, first 50 schedule rows
+    "q113_interleave" -> ((s, d) => Curation.interleaveSchedule(Tables.documents(s, d))),
+    // DP noisy per-language counts — the KEYED release path (the form
+    // whose noise is not publicly recomputable without the key). The key
+    // here is fixture-pinned so the DuckDB oracle can replay the noise;
+    // a production release sources it from a secret store and never
+    // commits it beside the artifact (see dpLangHistogram scaladoc).
+    "q125_dp_histogram" -> ((s, d) =>
+      Curation.dpLangHistogram(Tables.documents(s, d), secretKey = "graft-fixture-key")),
+    // effective (dedup-adjusted) token mass per source
+    "q140_effective_tokens" -> ((s, d) =>
+      Curation.effectiveTokenMass(Tables.documents(s, d))),
+    // column-profile drift between the q101 snapshot versions
+    "q127_profile_drift" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      val docs = Tables.documents(s, d)
+      Curation.profileDrift(
+        docs.filter(col("doc_id") % 10 =!= 1),
+        docs.filter(col("doc_id") % 10 =!= 0)
+          .withColumn("text", when(col("doc_id") % 7 === 0,
+            concat(col("text"), lit(" rev1"))).otherwise(col("text")))
+          // revisions keep n_chars consistent with the text mutation
+          .withColumn("n_chars", when(col("doc_id") % 7 === 0,
+            col("n_chars") + 5).otherwise(col("n_chars"))))
+    }),
+    // corpus-frequency boilerplate on fixed-width pseudo-lines: per-source
+    // template-segment counts + token mass surviving removal (the CCNet
+    // line-dedup first pass; no pairing step)
+    "q142_boilerplate" -> ((s, d) =>
+      Curation.boilerplateSegments(Tables.documents(s, d))),
+    // discriminative quality classifier: hashed bag-of-words logistic
+    // regression, 4 full-batch micro-unit GD rounds (the q98 complement)
+    "q143_classifier_weights" -> ((s, d) =>
+      Curation.qualityClassifierWeights(Tables.documents(s, d))),
+    // q143's weights applied at the z>=0 decision rule: confusion matrix
+    // with per-label fractions (recall / specificity), integer-exact
+    "q144_classifier_eval" -> ((s, d) =>
+      Curation.qualityClassifierEval(Tables.documents(s, d))),
+    // GPT-3-style acceptance sampling: keep each doc with probability =
+    // its classifier score (md5-uniform coin, exact integer comparison)
+    "q145_classifier_sample" -> ((s, d) =>
+      Curation.classifierSample(Tables.documents(s, d))),
+    // capstone v2: boilerplate removal -> span cut -> classifier
+    // acceptance sampling -> dedup survivors, chained as one pipeline
+    // (the round-5 families as STAGES; weights + pair index ride the
+    // session caches)
+    "q147_capstone_v2" -> ((s, d) =>
+      Curation.capstoneV2(Tables.documents(s, d))),
+    // overlapping fixed-size token chunking (RAG/embedding prep) with
+    // per-chunk provenance, fingerprint, and corpus-level duplicate count
+    "q150_chunking" -> ((s, d) => Curation.chunkDocuments(Tables.documents(s, d))),
+    // classifier reliability: positive-label rate per signed log2-margin
+    // bucket (exact bin() bucketing); rides the q143 weights cache
+    "q160_classifier_calibration" -> ((s, d) =>
+      Curation.classifierCalibration(Tables.documents(s, d))),
+    // token-budget cut at the quality frontier: keep the (quality desc,
+    // doc_id) prefix whose running token mass fits the budget — the
+    // distributed two-phase prefix sum (q58 pattern) on a computed order
+    "q167_budget_select" -> ((s, d) => Curation.budgetSelect(Tables.documents(s, d))),
+    // exact integer water-filling: equal budget shares across sources,
+    // capped at capacity, freed mass redistributed — Σ allocations = B
+    "q169_water_fill" -> ((s, d) => Curation.budgetWaterFill(Tables.documents(s, d))),
+    // 2-objective skyline via the running-min identity over the bounded
+    // distinct-quality frame; the oracle states the independent pairwise
+    // NOT EXISTS dominance form, proving the identity at the gate
+    "q172_pareto_frontier" -> ((s, d) => Curation.paretoFrontier(Tables.documents(s, d))),
+    // Poisson-bootstrap CI for per-lang mean quality: per-replica
+    // Poisson(1) weights from the exact md5 fraction through literal
+    // inverse-CDF thresholds — the distributed bootstrap, one scan
+    "q173_bootstrap_ci" -> ((s, d) => Curation.bootstrapCi(Tables.documents(s, d))),
+    // greedy vocabulary set cover: nSel rounds of anti-join + per-doc
+    // count + 1-row argmax; covered set distributed throughout
+    "q177_set_cover" -> ((s, d) => Curation.setCoverSelect(Tables.documents(s, d))),
+    // exact Mann-Whitney AUC of the q143 classifier's integer scores:
+    // threshold-free ranking grade beside q144's decision and q160's
+    // calibration; distinct-score frame + two-phase prefix sum
+    "q189_classifier_auc" -> ((s, d) => Curation.classifierAuc(Tables.documents(s, d))),
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "q60_decontaminate" ->
+      s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+         |bgrams AS (
+         |  SELECT DISTINCT unnest(${wordGramsSql(3)}) AS g
+         |  FROM w WHERE doc_id < 50
+         |),
+         |cg AS (
+         |  SELECT doc_id, list_distinct(${wordGramsSql(3)}) AS gs
+         |  FROM w WHERE doc_id >= 50
+         |),
+         |cgrams AS (SELECT doc_id, CAST(len(gs) AS BIGINT) AS n_grams, unnest(gs) AS g FROM cg),
+         |m AS (
+         |  SELECT doc_id, n_grams, count(*) AS n_contaminated
+         |  FROM cgrams JOIN bgrams USING (g) GROUP BY doc_id, n_grams
+         |)
+         |SELECT doc_id, n_grams, n_contaminated,
+         | round(n_contaminated * 1.0 / n_grams, 6) AS contamination
+         |FROM m WHERE round(n_contaminated * 1.0 / n_grams, 6) >= 0.5
+         |ORDER BY doc_id""".stripMargin,
+    "q61_repetition" ->
+      s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+         |g2 AS (SELECT doc_id, unnest(${wordGramsSql(2)}) AS g FROM w),
+         |c2 AS (SELECT doc_id, g, count(*) AS c FROM g2 GROUP BY 1, 2),
+         |m2 AS (
+         |  SELECT doc_id,
+         |    round(max(c) * 1.0 / sum(c), 6) AS top_2gram_frac,
+         |    round((sum(c) - count(*)) * 1.0 / sum(c), 6) AS dup_2gram_frac
+         |  FROM c2 GROUP BY doc_id
+         |),
+         |g3 AS (SELECT doc_id, unnest(${wordGramsSql(3)}) AS g FROM w),
+         |c3 AS (SELECT doc_id, g, count(*) AS c FROM g3 GROUP BY 1, 2),
+         |m3 AS (
+         |  SELECT doc_id, round((sum(c) - count(*)) * 1.0 / sum(c), 6) AS dup_3gram_frac
+         |  FROM c3 GROUP BY doc_id
+         |)
+         |SELECT doc_id, top_2gram_frac, dup_2gram_frac, dup_3gram_frac
+         |FROM m2 JOIN m3 USING (doc_id) ORDER BY doc_id""".stripMargin,
+    "q62_mixture_weights" ->
+      """WITH s AS (
+        |  SELECT lang, source, count(*) AS n_docs,
+        |    CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS tokens
+        |  FROM documents GROUP BY lang, source
+        |)
+        |SELECT lang, source, n_docs, tokens,
+        | round(tokens * 1.0 / (sum(tokens) OVER ()), 6) AS token_share,
+        | round((sum(tokens) OVER ()) * 1.0 / ((count(*) OVER ()) * tokens), 6) AS uniform_weight
+        |FROM s ORDER BY lang, source""".stripMargin,
+    "q69_temperature_mixture" ->
+      // alpha = 1/2 smoothing via sqrt (correctly rounded in IEEE 754, so
+      // both engines compute identical pa values; round 6 absorbs the
+      // window-sum association order)
+      """WITH s AS (
+        |  SELECT lang, CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS tokens
+        |  FROM documents GROUP BY lang
+        |),
+        |sh AS (
+        |  SELECT lang, tokens, tokens * 1.0 / (sum(tokens) OVER ()) AS share FROM s
+        |),
+        |p AS (SELECT lang, tokens, share, sqrt(share) AS pa FROM sh)
+        |SELECT lang, tokens, round(share, 6) AS token_share,
+        | round(pa / (sum(pa) OVER ()), 6) AS sample_weight
+        |FROM p ORDER BY lang""".stripMargin,
+    "q82_k_anonymity" ->
+      """SELECT lang, source, count(*) AS n_docs, (count(*) >= 10) AS k_anonymous
+        |FROM documents GROUP BY lang, source ORDER BY lang, source""".stripMargin,
+    "q84_curation_pipeline" ->
+      // the composed stages in SQL: percentile cut, kept-restricted
+      // all-pairs Jaccard, recursive-CTE components, survivor-only report
+      s"""WITH RECURSIVE s AS (
+         |  SELECT doc_id, lang, text, $QualityExprSql AS quality FROM documents
+         |),
+         |t AS (SELECT lang, quantile_cont(quality, 0.1) AS cut FROM s GROUP BY lang),
+         |kept AS (
+         |  SELECT doc_id, lang, text FROM s JOIN t USING (lang) WHERE quality >= cut
+         |),
+         |grams AS (
+         |  SELECT doc_id,
+         |    unnest(list_distinct([substr(text, i, 5) for i in range(1, greatest(length(text)-4, 1)+1)])) AS g
+         |  FROM kept
+         |),
+         |sizes AS (SELECT doc_id, count(*) AS sz FROM grams GROUP BY doc_id),
+         |inter AS (
+         |  SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS i
+         |  FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id GROUP BY 1, 2
+         |),
+         |pairs AS (
+         |  SELECT id1, id2 FROM inter
+         |  JOIN sizes s1 ON id1 = s1.doc_id
+         |  JOIN sizes s2 ON id2 = s2.doc_id
+         |  WHERE round(i * 1.0 / (s1.sz + s2.sz - i), 6) >= 0.6
+         |),
+         |edges AS (
+         |  SELECT id1 AS src, id2 AS dst FROM pairs
+         |  UNION ALL SELECT id2, id1 FROM pairs
+         |),
+         |reach(node, label) AS (
+         |  SELECT src, src FROM edges
+         |  UNION
+         |  SELECT e.src, r.label FROM edges e JOIN reach r ON e.dst = r.node
+         |),
+         |comp AS (SELECT node AS doc_id, min(label) AS rep FROM reach GROUP BY node),
+         |dropped AS (SELECT doc_id FROM comp WHERE doc_id <> rep)
+         |SELECT lang, count(*) AS n_docs,
+         | CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS tokens
+         |FROM kept WHERE doc_id NOT IN (SELECT doc_id FROM dropped)
+         |GROUP BY lang ORDER BY lang""".stripMargin,
+    "q88_redaction_report" ->
+      // same Java/RE2-compatible structural-PII regexes, denylist counts
+      // via the exact padded-marker arithmetic the quality oracles share
+      s"""WITH p AS (
+         |  SELECT source,
+         |    len(regexp_extract_all(lower(text), '[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}'))
+         |    + len(regexp_extract_all(lower(text), '\\b[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}\\b'))
+         |    + len(regexp_extract_all(lower(text), '\\b[0-9]{3}-[0-9]{2}-[0-9]{4}\\b')) AS pii,
+         |    ${occ("customer")} + ${occ("vector")} AS deny
+         |  FROM documents)
+         |SELECT source, count(*) AS n_docs,
+         | CAST(sum(CASE WHEN pii > 0 THEN 1 ELSE 0 END) AS BIGINT) AS docs_with_pii,
+         | CAST(sum(pii) AS BIGINT) AS pii_hits,
+         | CAST(sum(deny) AS BIGINT) AS deny_hits
+         |FROM p GROUP BY source ORDER BY source""".stripMargin,
+    "q89_dup_gram_mass" ->
+      s"""WITH w AS (
+         |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+         |  WHERE len(string_split(text, ' ')) >= 3
+         |),
+         |g AS (SELECT doc_id, unnest(${wordGramsSql(3)}) AS g FROM w),
+         |pg AS (
+         |  SELECT g, count(*) AS occ, count(DISTINCT doc_id) AS n_docs
+         |  FROM g GROUP BY g
+         |)
+         |SELECT CAST(sum(occ) AS BIGINT) AS n_gram_occurrences,
+         | count(*) AS n_distinct_grams,
+         | CAST(sum(CASE WHEN n_docs > 1 THEN occ ELSE 0 END) AS BIGINT) AS dup_occurrences,
+         | round(sum(CASE WHEN n_docs > 1 THEN occ ELSE 0 END) * 1.0 / sum(occ), 6)
+         |   AS dup_fraction
+         |FROM pg""".stripMargin,
+    "q92_mixture_sample" ->
+      // same weight pipeline as q69, then the exact 13-hex md5 fraction
+      // (q54's trick) against the per-language keep probability
+      """WITH t AS (
+        |  SELECT lang, CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS tokens
+        |  FROM documents GROUP BY lang
+        |),
+        |s AS (
+        |  SELECT lang, tokens,
+        |    (SELECT CAST(sum(tokens) AS BIGINT) FROM t) AS total_tokens,
+        |    tokens / (SELECT CAST(sum(tokens) AS BIGINT) FROM t) AS share
+        |  FROM t
+        |),
+        |p AS (SELECT lang, tokens, total_tokens, sqrt(share) AS pa FROM s),
+        |wts AS (
+        |  SELECT lang,
+        |    least(1.0, 0.5 * total_tokens * (pa / (SELECT sum(pa) FROM p)) / tokens)
+        |      AS p_keep
+        |  FROM p
+        |),
+        |d AS (
+        |  SELECT lang, doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS tok,
+        |    list_sum(list_transform(generate_series(1, 13),
+        |      i -> (strpos('0123456789abcdef',
+        |              substr(md5(CAST(doc_id AS VARCHAR)), i, 1)) - 1)
+        |           * power(16.0, -i))) AS u
+        |  FROM documents
+        |)
+        |SELECT d.lang, count(*) AS n_docs_kept, CAST(sum(tok) AS BIGINT) AS tokens_kept,
+        | round(min(p_keep), 6) AS p_keep
+        |FROM d JOIN wts ON d.lang = wts.lang
+        |WHERE u < p_keep
+        |GROUP BY d.lang ORDER BY d.lang""".stripMargin,
+    "q97_dup_spans" ->
+      // gaps-and-islands over duplicated 8-gram start positions; intervals
+      // [pos, pos+7] merge when overlapping or adjacent (pos <= prev_end+1);
+      // all span arithmetic exact-integer, only dup_fraction is rounded
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+        |           WHERE len(string_split(text, ' ')) >= 8),
+        |p AS (SELECT doc_id, ws, unnest(generate_series(1, len(ws) - 7)) AS i FROM w),
+        |g AS (SELECT doc_id, i - 1 AS pos,
+        |        md5(ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3] || ' ' ||
+        |            ws[i+4] || ' ' || ws[i+5] || ' ' || ws[i+6] || ' ' || ws[i+7]) AS h
+        |      FROM p),
+        |dup AS (SELECT h FROM g GROUP BY h HAVING count(*) >= 2),
+        |d AS (SELECT doc_id, pos FROM g JOIN dup USING (h)),
+        |isl AS (SELECT doc_id, pos,
+        |          max(pos + 7) OVER (PARTITION BY doc_id ORDER BY pos
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
+        |        FROM d),
+        |num AS (SELECT doc_id, pos,
+        |          sum(CASE WHEN prev_end IS NULL OR pos > prev_end + 1 THEN 1 ELSE 0 END)
+        |            OVER (PARTITION BY doc_id ORDER BY pos) AS island
+        |        FROM isl),
+        |sp AS (SELECT doc_id, island, min(pos) AS s, max(pos) + 7 AS e
+        |       FROM num GROUP BY 1, 2),
+        |tok AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        |        FROM documents)
+        |SELECT doc_id, count(*) AS n_spans, CAST(sum(e - s + 1) AS BIGINT) AS dup_tokens,
+        | n_tokens, round(sum(e - s + 1) * 1.0 / n_tokens, 6) AS dup_fraction
+        |FROM sp JOIN tok USING (doc_id)
+        |GROUP BY doc_id, n_tokens ORDER BY doc_id""".stripMargin,
+    "q98_dsir_select" -> {
+      // the md5-slice bucket (q72's hash family); smoothing operands are
+      // exact integers; ln() quantizes to integer MICRO-UNITS so the
+      // per-doc weighted sum is exact integer arithmetic (a float sum
+      // over ~1024 terms is reduction-order-dependent at the rounding
+      // boundary); one final /1e6 + round(4)
+      val b = posSql("h", 0, 1024)
+      s"""WITH tb AS (
+         |  SELECT doc_id, lang, $b AS b FROM (
+         |    SELECT doc_id, lang, md5(tok) AS h FROM (
+         |      SELECT doc_id, lang, unnest(string_split(text, ' ')) AS tok FROM documents
+         |    )
+         |  )
+         |),
+         |bs AS (
+         |  SELECT b, CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS ct,
+         |    count(*) AS cs
+         |  FROM tb GROUP BY b
+         |),
+         |tot AS (SELECT CAST(sum(ct) AS BIGINT) AS nt, CAST(sum(cs) AS BIGINT) AS ns FROM bs),
+         |r AS (
+         |  SELECT b, CAST(round(ln(((ct + 1) / (nt + 1024)) / ((cs + 1) / (ns + 1024))) * 1e6)
+         |    AS BIGINT) AS r6
+         |  FROM bs CROSS JOIN tot
+         |),
+         |dc AS (SELECT doc_id, lang, b, count(*) AS c FROM tb GROUP BY 1, 2, 3)
+         |SELECT doc_id, lang, round(CAST(sum(c * r6) AS BIGINT) / 1e6, 4) AS logratio
+         |FROM dc JOIN r USING (b)
+         |GROUP BY 1, 2
+         |ORDER BY logratio DESC, doc_id LIMIT 50""".stripMargin
+    },
+    "q99_span_cut" ->
+      // q97's island CTEs, then: covered token positions from the islands,
+      // anti-joined off the positional token frame; retained text
+      // reassembles position-ordered and checksums
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+        |           WHERE len(string_split(text, ' ')) >= 8),
+        |p AS (SELECT doc_id, ws, unnest(generate_series(1, len(ws) - 7)) AS i FROM w),
+        |g AS (SELECT doc_id, i - 1 AS pos,
+        |        md5(ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3] || ' ' ||
+        |            ws[i+4] || ' ' || ws[i+5] || ' ' || ws[i+6] || ' ' || ws[i+7]) AS h
+        |      FROM p),
+        |dup AS (SELECT h FROM g GROUP BY h HAVING count(*) >= 2),
+        |d AS (SELECT doc_id, pos FROM g JOIN dup USING (h)),
+        |isl AS (SELECT doc_id, pos,
+        |          max(pos + 7) OVER (PARTITION BY doc_id ORDER BY pos
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
+        |        FROM d),
+        |num AS (SELECT doc_id, pos,
+        |          sum(CASE WHEN prev_end IS NULL OR pos > prev_end + 1 THEN 1 ELSE 0 END)
+        |            OVER (PARTITION BY doc_id ORDER BY pos) AS island
+        |        FROM isl),
+        |sp AS (SELECT doc_id, island, min(pos) AS s, max(pos) + 7 AS e
+        |       FROM num GROUP BY 1, 2),
+        |cov AS (SELECT doc_id, unnest(generate_series(s, e)) AS tpos FROM sp),
+        |tok AS (SELECT doc_id, i - 1 AS tpos, ws[i] AS tokn FROM (
+        |          SELECT doc_id, ws, unnest(generate_series(1, len(ws))) AS i FROM (
+        |            SELECT doc_id, string_split(text, ' ') AS ws FROM documents))),
+        |kept AS (
+        |  SELECT t.doc_id, count(*) AS kept_tokens,
+        |    md5(string_agg(tokn, ' ' ORDER BY t.tpos)) AS kept_checksum
+        |  FROM tok t LEFT JOIN cov c ON t.doc_id = c.doc_id AND t.tpos = c.tpos
+        |  WHERE c.doc_id IS NULL GROUP BY 1
+        |)
+        |SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+        | CAST(coalesce(kept_tokens, 0) AS BIGINT) AS kept_tokens,
+        | coalesce(kept_checksum, md5('')) AS kept_checksum
+        |FROM documents LEFT JOIN kept USING (doc_id) ORDER BY doc_id""".stripMargin,
+    "q101_corpus_diff" ->
+      """WITH o AS (SELECT doc_id, md5(text) AS osum,
+        |             CAST(len(string_split(text, ' ')) AS BIGINT) AS otoks
+        |           FROM documents WHERE doc_id % 10 != 1),
+        |n AS (SELECT doc_id,
+        |        md5(CASE WHEN doc_id % 7 = 0 THEN text || ' rev1' ELSE text END) AS nsum,
+        |        CAST(len(string_split(
+        |          CASE WHEN doc_id % 7 = 0 THEN text || ' rev1' ELSE text END, ' '))
+        |          AS BIGINT) AS ntoks
+        |      FROM documents WHERE doc_id % 10 != 0),
+        |j AS (SELECT CASE WHEN osum IS NULL THEN 'added'
+        |             WHEN nsum IS NULL THEN 'removed'
+        |             WHEN osum != nsum THEN 'changed'
+        |             ELSE 'unchanged' END AS status,
+        |        coalesce(ntoks, otoks) AS n_tokens
+        |      FROM o FULL OUTER JOIN n USING (doc_id))
+        |SELECT status, count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS n_tokens
+        |FROM j GROUP BY status ORDER BY status""".stripMargin,
+    "q107_curriculum" ->
+      s"""WITH s AS (
+         |  SELECT doc_id, len(string_split(text, ' ')) AS nw, $QualityExprSql AS quality
+         |  FROM documents
+         |),
+         |c AS (
+         |  SELECT quantile_cont(quality, 0.75) AS c3, quantile_cont(quality, 0.5) AS c2,
+         |    quantile_cont(quality, 0.25) AS c1
+         |  FROM s
+         |)
+         |SELECT CASE WHEN quality >= c3 THEN 1 WHEN quality >= c2 THEN 2
+         |            WHEN quality >= c1 THEN 3 ELSE 4 END AS stage,
+         | count(*) AS n_docs, CAST(sum(nw) AS BIGINT) AS n_tokens,
+         | round(sum(CAST(round(quality * 10000, 0) AS BIGINT)) * 1.0 / count(*) / 1e4, 4)
+         |   AS avg_quality,
+         | round(min(quality), 4) AS min_quality, round(max(quality), 4) AS max_quality
+         |FROM s CROSS JOIN c GROUP BY 1 ORDER BY stage""".stripMargin,
+    "q111_datasheet" ->
+      s"""WITH s AS (
+         |  SELECT lang, source, len(string_split(text, ' ')) AS nw,
+         |    CAST(round($QualityExprSql * 10000, 0) AS BIGINT) AS q4
+         |  FROM documents
+         |),
+         |c AS (
+         |  SELECT lang, source, count(*) AS n_docs,
+         |    CAST(sum(nw) AS BIGINT) AS n_tokens, sum(q4) AS q4s
+         |  FROM s GROUP BY lang, source
+         |)
+         |SELECT lang, source, n_docs, n_tokens,
+         | round(q4s * 1.0 / n_docs / 1e4, 4) AS avg_quality,
+         | round(n_tokens * 1.0 / sum(n_tokens) OVER (), 6) AS token_share
+         |FROM c ORDER BY lang, source""".stripMargin,
+    "q112_epoch_plan" ->
+      """WITH s AS (
+        |  SELECT lang, CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS tokens
+        |  FROM documents GROUP BY lang
+        |),
+        |sh AS (
+        |  SELECT lang, tokens, tokens * 1.0 / (sum(tokens) OVER ()) AS share FROM s
+        |),
+        |p AS (SELECT lang, tokens, sqrt(share) AS pa FROM sh),
+        |w AS (
+        |  SELECT lang, tokens, round(pa / (sum(pa) OVER ()), 6) AS sample_weight FROM p
+        |),
+        |t AS (
+        |  SELECT lang, tokens, sample_weight,
+        |    CAST(round(sample_weight * 1000000, 0) AS BIGINT) AS target_tokens
+        |  FROM w
+        |)
+        |SELECT lang, tokens, sample_weight, target_tokens,
+        | round(target_tokens * 1.0 / tokens, 4) AS epochs
+        |FROM t ORDER BY lang""".stripMargin,
+    "q113_interleave" ->
+      """WITH s AS (
+        |  SELECT lang, CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS tokens
+        |  FROM documents GROUP BY lang
+        |),
+        |sh AS (SELECT lang, tokens * 1.0 / (sum(tokens) OVER ()) AS share FROM s),
+        |p AS (SELECT lang, sqrt(share) AS pa FROM sh),
+        |wt AS (SELECT lang, round(pa / (sum(pa) OVER ()), 6) AS sample_weight FROM p),
+        |r AS (
+        |  SELECT doc_id, lang,
+        |    CAST(row_number() OVER (PARTITION BY lang
+        |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS INT) AS rn
+        |  FROM documents
+        |)
+        |SELECT doc_id, lang, rn, round(rn * 1.0 / sample_weight, 4) AS pos
+        |FROM r JOIN wt USING (lang)
+        |ORDER BY pos, doc_id LIMIT 50""".stripMargin,
+    "q125_dp_histogram" ->
+      // same KEYED md5-seeded uniform -> inverse-CDF Laplace; the oracle
+      // replays the fixture-pinned key (a real release's key never sits
+      // beside the artifact like this); round(4) sits far above any
+      // libm ln() jitter
+      """WITH c AS (SELECT lang, count(*) AS n_docs FROM documents GROUP BY 1),
+        |u AS (
+        |  SELECT lang, n_docs,
+        |    list_sum(list_transform(generate_series(1, 13),
+        |      i -> (strpos('0123456789abcdef',
+        |              substr(md5('dp:graft-fixture-key:r1:' || lang), i, 1)) - 1)
+        |           * power(16.0, -i))) AS u
+        |  FROM c
+        |)
+        |SELECT lang, n_docs,
+        | round(n_docs + (-1.0) * sign(u - 0.5) * ln(1.0 - 2.0 * abs(u - 0.5)), 4)
+        |   AS noisy_n
+        |FROM u ORDER BY lang""".stripMargin,
+    "q140_effective_tokens" ->
+      // q97's island CTEs rolled up by source; docs without spans
+      // contribute zero via the left join
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+        |           WHERE len(string_split(text, ' ')) >= 8),
+        |p AS (SELECT doc_id, ws, unnest(generate_series(1, len(ws) - 7)) AS i FROM w),
+        |g AS (SELECT doc_id, i - 1 AS pos,
+        |        md5(ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3] || ' ' ||
+        |            ws[i+4] || ' ' || ws[i+5] || ' ' || ws[i+6] || ' ' || ws[i+7]) AS h
+        |      FROM p),
+        |dup AS (SELECT h FROM g GROUP BY h HAVING count(*) >= 2),
+        |d AS (SELECT doc_id, pos FROM g JOIN dup USING (h)),
+        |isl AS (SELECT doc_id, pos,
+        |          max(pos + 7) OVER (PARTITION BY doc_id ORDER BY pos
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
+        |        FROM d),
+        |num AS (SELECT doc_id, pos,
+        |          sum(CASE WHEN prev_end IS NULL OR pos > prev_end + 1 THEN 1 ELSE 0 END)
+        |            OVER (PARTITION BY doc_id ORDER BY pos) AS island
+        |        FROM isl),
+        |sp AS (SELECT doc_id, island, min(pos) AS s, max(pos) + 7 AS e
+        |       FROM num GROUP BY 1, 2),
+        |perdoc AS (SELECT doc_id, CAST(sum(e - s + 1) AS BIGINT) AS dup_tokens
+        |           FROM sp GROUP BY doc_id),
+        |base AS (SELECT doc_id, source,
+        |           CAST(len(string_split(text, ' ')) AS BIGINT) AS nt
+        |         FROM documents)
+        |SELECT source, count(*) AS n_docs,
+        | CAST(sum(nt) AS BIGINT) AS total_tokens,
+        | CAST(sum(coalesce(dup_tokens, 0)) AS BIGINT) AS dup_tokens,
+        | CAST(sum(nt) - sum(coalesce(dup_tokens, 0)) AS BIGINT) AS effective_tokens,
+        | round(sum(coalesce(dup_tokens, 0)) / sum(nt), 6) AS dup_ratio
+        |FROM base LEFT JOIN perdoc USING (doc_id)
+        |GROUP BY source ORDER BY source""".stripMargin,
+    "q127_profile_drift" ->
+      """WITH v1 AS (SELECT * FROM documents WHERE doc_id % 10 <> 1),
+        |v2 AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 7 = 0 THEN text || ' rev1' ELSE text END AS text,
+        |    lang, source,
+        |    CASE WHEN doc_id % 7 = 0 THEN n_chars + 5 ELSE n_chars END AS n_chars
+        |  FROM documents WHERE doc_id % 10 <> 0
+        |),
+        |p1 AS (
+        |  SELECT 'lang' AS column_name, count(*) AS n_rows,
+        |    CAST(sum(CASE WHEN lang IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+        |    count(DISTINCT lang) AS n_distinct, min(lang) AS min_v, max(lang) AS max_v
+        |  FROM v1
+        |  UNION ALL
+        |  SELECT 'source', count(*),
+        |    CAST(sum(CASE WHEN source IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        |    count(DISTINCT source), min(source), max(source) FROM v1
+        |  UNION ALL
+        |  SELECT 'n_chars', count(*),
+        |    CAST(sum(CASE WHEN n_chars IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        |    count(DISTINCT n_chars),
+        |    min(lpad(CAST(n_chars AS VARCHAR), 12, '0')),
+        |    max(lpad(CAST(n_chars AS VARCHAR), 12, '0')) FROM v1
+        |),
+        |p2 AS (
+        |  SELECT 'lang' AS column_name, count(*) AS n_rows,
+        |    CAST(sum(CASE WHEN lang IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+        |    count(DISTINCT lang) AS n_distinct, min(lang) AS min_v, max(lang) AS max_v
+        |  FROM v2
+        |  UNION ALL
+        |  SELECT 'source', count(*),
+        |    CAST(sum(CASE WHEN source IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        |    count(DISTINCT source), min(source), max(source) FROM v2
+        |  UNION ALL
+        |  SELECT 'n_chars', count(*),
+        |    CAST(sum(CASE WHEN n_chars IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        |    count(DISTINCT n_chars),
+        |    min(lpad(CAST(n_chars AS VARCHAR), 12, '0')),
+        |    max(lpad(CAST(n_chars AS VARCHAR), 12, '0')) FROM v2
+        |)
+        |SELECT p1.column_name AS column_name,
+        | p1.n_rows AS rows_v1, p2.n_rows AS rows_v2,
+        | p1.n_null AS nulls_v1, p2.n_null AS nulls_v2,
+        | p1.n_distinct AS distinct_v1, p2.n_distinct AS distinct_v2,
+        | p1.min_v AS min_v1, p2.min_v AS min_v2,
+        | p1.max_v AS max_v1, p2.max_v AS max_v2
+        |FROM p1 JOIN p2 ON p1.column_name = p2.column_name
+        |ORDER BY column_name""".stripMargin,
+    "q142_boilerplate" ->
+      // fixed-width (8-word) non-overlapping pseudo-line segments; a
+      // segment md5 in >= 3 distinct docs is template boilerplate; report
+      // per source the segment counts and the token mass kept
+      """WITH s AS (
+        |  SELECT doc_id, source,
+        |    md5(array_to_string(ws[(i*8+1):(i*8+8)], ' ')) AS h,
+        |    CAST(len(ws[(i*8+1):(i*8+8)]) AS BIGINT) AS ntok
+        |  FROM (SELECT doc_id, source, string_split(text, ' ') AS ws FROM documents),
+        |    LATERAL (SELECT unnest(range(0, (len(ws)-1)//8 + 1)) AS i)
+        |),
+        |d AS (SELECT h, count(DISTINCT doc_id) AS docfreq FROM s GROUP BY h),
+        |j AS (
+        |  SELECT s.source, s.doc_id, s.ntok,
+        |    CASE WHEN d.docfreq >= 3 THEN 1 ELSE 0 END AS bp
+        |  FROM s JOIN d USING (h)
+        |)
+        |SELECT source, count(DISTINCT doc_id) AS n_docs, count(*) AS n_segments,
+        | CAST(sum(bp) AS BIGINT) AS n_bp_segments,
+        | round(sum(bp) * 1.0 / count(*), 6) AS bp_seg_frac,
+        | CAST(sum(ntok) AS BIGINT) AS toks_total,
+        | CAST(sum(CASE WHEN bp = 0 THEN ntok ELSE 0 END) AS BIGINT) AS toks_kept
+        |FROM j GROUP BY source ORDER BY source""".stripMargin,
+    "q143_classifier_weights" ->
+      s"""$ClassifierTrainCtes
+         |SELECT b, wm AS w_micro, round(wm / 1e6, 6) AS weight
+         |FROM w4 ORDER BY b""".stripMargin,
+    "q144_classifier_eval" ->
+      s"""$ClassifierTrainCtes,
+         |sc AS (
+         |  SELECT doc_id, CAST(sum(c * wm) AS BIGINT) AS zm
+         |  FROM fx JOIN w4 USING (b) GROUP BY doc_id
+         |),
+         |cm AS (
+         |  SELECT y, CASE WHEN zm >= 0 THEN CAST(1 AS BIGINT)
+         |      ELSE CAST(0 AS BIGINT) END AS pred,
+         |    count(*) AS n_docs
+         |  FROM sc JOIN yd USING (doc_id) GROUP BY 1, 2
+         |)
+         |SELECT y, pred, n_docs,
+         | round(n_docs * 1.0 / sum(n_docs) OVER (PARTITION BY y), 6) AS frac_of_label
+         |FROM cm ORDER BY y, pred""".stripMargin,
+    "q145_classifier_sample" -> {
+      // u = first 5 md5 hex digits of doc_id as an integer, mod 1e6 (the
+      // strpos arithmetic of posSql, widened to 5 digits); accept iff
+      // u < pm — integer-exact in both engines
+      def hv(idx: Int) =
+        s"(strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), $idx, 1)) - 1)"
+      val u5 = s"(((((${hv(1)} * 16 + ${hv(2)}) * 16 + ${hv(3)}) * 16 + ${hv(4)}) * 16 + ${hv(5)}) % 1000000)"
+      s"""$ClassifierTrainCtes,
+         |sc AS (
+         |  SELECT doc_id, CAST(sum(c * wm) AS BIGINT) AS zm
+         |  FROM fx JOIN w4 USING (b) GROUP BY doc_id
+         |),
+         |pmv AS (
+         |  SELECT doc_id,
+         |    CAST(round(1e6 / (1.0 + exp(-(zm / 1e6)))) AS BIGINT) AS pm
+         |  FROM sc
+         |),
+         |acc AS (
+         |  SELECT d.source, p.pm,
+         |    CASE WHEN $u5 < p.pm THEN 1 ELSE 0 END AS a
+         |  FROM pmv p JOIN documents d USING (doc_id)
+         |)
+         |SELECT source, count(*) AS n_docs,
+         | CAST(sum(a) AS BIGINT) AS n_accepted,
+         | round(sum(a) * 1.0 / count(*), 6) AS accept_rate,
+         | CAST(sum(CASE WHEN a = 1 THEN pm ELSE 0 END) AS BIGINT) AS pm_mass
+         |FROM acc GROUP BY source ORDER BY source""".stripMargin
+    },
+    "q147_capstone_v2" -> {
+      // the composed stages in SQL: q142 segment rule -> rebuilt cleaned
+      // text -> q99 islands on the cleaned text -> q143's trained weights
+      // (on the ORIGINAL corpus) scoring the cleaned token stream ->
+      // q145's md5-uniform coin -> q84's all-pairs-Jaccard components
+      // restricted to accepted docs -> per-source funnel
+      def hv(idx: Int) =
+        s"(strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), $idx, 1)) - 1)"
+      val u5 = s"(((((${hv(1)} * 16 + ${hv(2)}) * 16 + ${hv(3)}) * 16 + ${hv(4)}) * 16 + ${hv(5)}) % 1000000)"
+      val gram8 = (0 to 7).map(j => s"ws[i+$j]").mkString(" || ' ' || ")
+      s"""WITH RECURSIVE $ClassifierTrainCteBody,
+         |s147 AS (
+         |  SELECT doc_id, i AS si, array_to_string(ws[(i*8+1):(i*8+8)], ' ') AS seg
+         |  FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+         |    LATERAL (SELECT unnest(range(0, (len(ws)-1)//8 + 1)) AS i)
+         |),
+         |bp147 AS (
+         |  SELECT md5(seg) AS h FROM s147 GROUP BY md5(seg)
+         |  HAVING count(DISTINCT doc_id) >= 3
+         |),
+         |cl147 AS MATERIALIZED (
+         |  SELECT doc_id, string_agg(seg, ' ' ORDER BY si) AS text
+         |  FROM s147 WHERE md5(seg) NOT IN (SELECT h FROM bp147)
+         |  GROUP BY doc_id
+         |),
+         |wq147 AS (SELECT doc_id, string_split(text, ' ') AS ws FROM cl147
+         |          WHERE len(string_split(text, ' ')) >= 8),
+         |pq147 AS (SELECT doc_id, ws, unnest(generate_series(1, len(ws) - 7)) AS i FROM wq147),
+         |gq147 AS (SELECT doc_id, i - 1 AS pos, md5($gram8) AS h FROM pq147),
+         |dupq147 AS (SELECT h FROM gq147 GROUP BY h HAVING count(*) >= 2),
+         |dq147 AS (SELECT doc_id, pos FROM gq147 JOIN dupq147 USING (h)),
+         |islq147 AS (SELECT doc_id, pos,
+         |    max(pos + 7) OVER (PARTITION BY doc_id ORDER BY pos
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
+         |  FROM dq147),
+         |numq147 AS (SELECT doc_id, pos,
+         |    sum(CASE WHEN prev_end IS NULL OR pos > prev_end + 1 THEN 1 ELSE 0 END)
+         |      OVER (PARTITION BY doc_id ORDER BY pos) AS island
+         |  FROM islq147),
+         |spq147 AS (SELECT doc_id, island, min(pos) AS s, max(pos) + 7 AS e
+         |  FROM numq147 GROUP BY 1, 2),
+         |covq147 AS (SELECT doc_id, unnest(generate_series(s, e)) AS tpos FROM spq147),
+         |tokq147 AS (SELECT doc_id, i - 1 AS tpos, ws[i] AS tokn FROM (
+         |  SELECT doc_id, ws, unnest(generate_series(1, len(ws))) AS i FROM (
+         |    SELECT doc_id, string_split(text, ' ') AS ws FROM cl147))),
+         |keptq147 AS MATERIALIZED (
+         |  SELECT t.doc_id, t.tpos, t.tokn
+         |  FROM tokq147 t LEFT JOIN covq147 c ON t.doc_id = c.doc_id AND t.tpos = c.tpos
+         |  WHERE c.doc_id IS NULL
+         |),
+         |fx147 AS (
+         |  SELECT doc_id, b, count(*) AS c FROM (
+         |    SELECT doc_id, ${posSql("h", 0, 64)} AS b FROM (
+         |      SELECT doc_id, md5(tokn) AS h FROM keptq147
+         |    )
+         |  ) GROUP BY doc_id, b
+         |  UNION ALL
+         |  SELECT doc_id, CAST(-1 AS BIGINT), CAST(1 AS BIGINT) FROM documents
+         |),
+         |sc147 AS (
+         |  SELECT doc_id, CAST(sum(c * wm) AS BIGINT) AS zm
+         |  FROM fx147 JOIN w4 USING (b) GROUP BY doc_id
+         |),
+         |acc147 AS MATERIALIZED (
+         |  SELECT doc_id FROM (
+         |    SELECT doc_id,
+         |      CAST(round(1e6 / (1.0 + exp(-(zm / 1e6)))) AS BIGINT) AS pm
+         |    FROM sc147
+         |  ) WHERE $u5 < pm
+         |),
+         |grams147 AS (
+         |  SELECT doc_id,
+         |    unnest(list_distinct([substr(text, i, 5) for i in range(1, greatest(length(text)-4, 1)+1)])) AS g
+         |  FROM documents WHERE doc_id IN (SELECT doc_id FROM acc147)
+         |),
+         |sizes147 AS (SELECT doc_id, count(*) AS sz FROM grams147 GROUP BY doc_id),
+         |inter147 AS (
+         |  SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS i
+         |  FROM grams147 a JOIN grams147 b ON a.g = b.g AND a.doc_id < b.doc_id GROUP BY 1, 2
+         |),
+         |pairs147 AS (
+         |  SELECT id1, id2 FROM inter147
+         |  JOIN sizes147 s1 ON id1 = s1.doc_id
+         |  JOIN sizes147 s2 ON id2 = s2.doc_id
+         |  WHERE round(i * 1.0 / (s1.sz + s2.sz - i), 6) >= 0.6
+         |),
+         |edges147 AS (
+         |  SELECT id1 AS src, id2 AS dst FROM pairs147
+         |  UNION ALL SELECT id2, id1 FROM pairs147
+         |),
+         |reach147(node, label) AS (
+         |  SELECT src, src FROM edges147
+         |  UNION
+         |  SELECT e.src, r.label FROM edges147 e JOIN reach147 r ON e.dst = r.node
+         |),
+         |comp147 AS (SELECT node AS doc_id, min(label) AS rep FROM reach147 GROUP BY node),
+         |dropped147 AS (SELECT doc_id FROM comp147 WHERE doc_id <> rep),
+         |kc147 AS (SELECT doc_id, count(*) AS kt FROM keptq147 GROUP BY doc_id),
+         |accsrc147 AS (
+         |  SELECT d.source, count(*) AS n_accepted
+         |  FROM documents d JOIN acc147 USING (doc_id) GROUP BY d.source
+         |),
+         |fin147 AS (
+         |  SELECT d.source, count(*) AS n_final,
+         |    CAST(sum(coalesce(kc.kt, 0)) AS BIGINT) AS toks_final
+         |  FROM documents d
+         |  JOIN acc147 USING (doc_id)
+         |  LEFT JOIN kc147 kc USING (doc_id)
+         |  WHERE d.doc_id NOT IN (SELECT doc_id FROM dropped147)
+         |  GROUP BY d.source
+         |)
+         |SELECT t.source, t.n_docs,
+         | CAST(coalesce(a.n_accepted, 0) AS BIGINT) AS n_accepted,
+         | CAST(coalesce(f.n_final, 0) AS BIGINT) AS n_final,
+         | CAST(coalesce(f.toks_final, 0) AS BIGINT) AS toks_final
+         |FROM (SELECT source, count(*) AS n_docs FROM documents GROUP BY source) t
+         |LEFT JOIN accsrc147 a USING (source)
+         |LEFT JOIN fin147 f USING (source)
+         |ORDER BY source""".stripMargin
+    },
+    "q150_chunking" ->
+      // chunk=64 overlap=16 stride=48; 1 + ceil((n-64)/48) chunks via
+      // integer floor-div; md5 over the space-rejoined token slice
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+        |b AS (
+        |  SELECT doc_id, ts, len(ts) AS n_tok,
+        |    CASE WHEN len(ts) <= 64 THEN 1
+        |         ELSE 1 + (len(ts) - 64 + 47) // 48 END AS n_chunks
+        |  FROM t WHERE len(ts) >= 1
+        |),
+        |c AS (
+        |  SELECT doc_id, ts, n_tok,
+        |    unnest(generate_series(0, n_chunks - 1)) AS chunk_idx
+        |  FROM b
+        |),
+        |ch AS (
+        |  SELECT doc_id, CAST(chunk_idx AS INT) AS chunk_idx,
+        |    CAST(chunk_idx * 48 AS INT) AS start_tok,
+        |    CAST(least(64, n_tok - chunk_idx * 48) AS INT) AS len_tok,
+        |    md5(array_to_string(
+        |      ts[chunk_idx * 48 + 1 : chunk_idx * 48 + least(64, n_tok - chunk_idx * 48)],
+        |      ' ')) AS chunk_hash
+        |  FROM c
+        |),
+        |d AS (SELECT chunk_hash, count(*) AS n_dup FROM ch GROUP BY 1)
+        |SELECT ch.doc_id, ch.chunk_idx, ch.start_tok, ch.len_tok,
+        |  ch.chunk_hash, d.n_dup
+        |FROM ch JOIN d USING (chunk_hash)
+        |ORDER BY doc_id, chunk_idx""".stripMargin,
+    "q160_classifier_calibration" ->
+      // signed floor(log2(|margin|+1)) via bin() on the integer micro
+      // margin; positive rate per bucket — reuses the unrolled training
+      s"""$ClassifierTrainCtes,
+         |sc AS (
+         |  SELECT doc_id, CAST(sum(c * wm) AS BIGINT) AS zm
+         |  FROM fx JOIN w4 USING (b) GROUP BY doc_id
+         |),
+         |mb AS (
+         |  SELECT (CASE WHEN zm >= 0 THEN 1 ELSE -1 END) *
+         |    (length(bin(abs(zm) + 1)) - 1) AS mbucket, y
+         |  FROM sc JOIN yd USING (doc_id)
+         |)
+         |SELECT mbucket, count(*) AS n_docs, CAST(sum(y) AS BIGINT) AS n_pos,
+         |  round(sum(y) * 1.0 / count(*), 6) AS pos_rate
+         |FROM mb GROUP BY mbucket ORDER BY mbucket""".stripMargin,
+    "q167_budget_select" ->
+      // prefix cut on the (quality desc, doc_id) total order; the window
+      // sum is CAST back to BIGINT (sum(BIGINT) widens to HUGEINT — the
+      // q151 dtype class the --dtypes audit guards)
+      s"""WITH s AS (
+         |  SELECT doc_id, $QualityExprSql AS quality,
+         |    CAST(len(string_split(text, ' ')) AS BIGINT) AS toks
+         |  FROM documents
+         |),
+         |c AS (
+         |  SELECT doc_id, quality, toks,
+         |    CAST(sum(toks) OVER (ORDER BY quality DESC, doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_toks
+         |  FROM s
+         |)
+         |SELECT doc_id, quality, toks, cum_toks FROM c
+         |WHERE cum_toks <= 10000 ORDER BY cum_toks""".stripMargin,
+    "q169_water_fill" ->
+      // same integer water-filling formula over the source-sized frame;
+      // every window sum CAST back to BIGINT (dtype audit class)
+      """WITH caps AS (
+        |  SELECT source, CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS capacity
+        |  FROM documents GROUP BY source
+        |),
+        |ranked AS (
+        |  SELECT source, capacity,
+        |    CAST(row_number() OVER (ORDER BY capacity, source) AS BIGINT) AS j,
+        |    CAST(count(*) OVER () AS BIGINT) AS m,
+        |    CAST(sum(capacity) OVER (ORDER BY capacity, source
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS p
+        |  FROM caps
+        |),
+        |flagged AS (
+        |  SELECT *, capacity <= ((24000 - (p - capacity)) // (m - j + 1)) AS capped
+        |  FROM ranked
+        |),
+        |scalars AS (
+        |  SELECT CAST(sum(CASE WHEN capped THEN capacity ELSE 0 END) AS BIGINT) AS c_capped,
+        |    CAST(sum(CASE WHEN capped THEN 1 ELSE 0 END) AS BIGINT) AS n_capped,
+        |    CAST(count(*) AS BIGINT) AS m2
+        |  FROM flagged
+        |)
+        |SELECT source, capacity,
+        |  CAST(CASE WHEN capped THEN capacity
+        |    WHEN (j - n_capped) <= (CASE WHEN m2 - n_capped > 0
+        |      THEN (24000 - c_capped) % (m2 - n_capped) ELSE 0 END)
+        |    THEN (24000 - c_capped) // (m2 - n_capped) + 1
+        |    ELSE (24000 - c_capped) // (m2 - n_capped) END AS BIGINT) AS allocation,
+        |  capped
+        |FROM flagged CROSS JOIN scalars
+        |ORDER BY source""".stripMargin,
+    "q172_pareto_frontier" ->
+      // INDEPENDENT dominance formulation (strict on at least one axis):
+      // the engine's running-min identity must reproduce it exactly
+      s"""WITH s AS (
+         |  SELECT doc_id, $QualityExprSql AS quality,
+         |    CAST(len(string_split(text, ' ')) AS BIGINT) AS toks
+         |  FROM documents
+         |)
+         |SELECT doc_id, quality, toks FROM s a
+         |WHERE NOT EXISTS (
+         |  SELECT 1 FROM s b
+         |  WHERE b.quality >= a.quality AND b.toks <= a.toks
+         |    AND (b.quality > a.quality OR b.toks < a.toks)
+         |)
+         |ORDER BY quality DESC, doc_id""".stripMargin,
+    "q173_bootstrap_ci" ->
+      // identical literal thresholds and left-associated divisions; the
+      // md5 fraction is the q92 list_sum power-of-two form
+      s"""WITH d AS (
+         |  SELECT doc_id, lang,
+         |    CAST(round(($QualityExprSql) * 1e4) AS BIGINT) AS qm
+         |  FROM documents
+         |),
+         |reps AS (
+         |  SELECT lang, b,
+         |    CAST(sum(w) AS BIGINT) AS sw, CAST(sum(w * qm) AS BIGINT) AS swq
+         |  FROM (
+         |    SELECT lang, qm, b,
+         |      CASE WHEN u < 0.36787944117144233 THEN 0
+         |           WHEN u < 0.7357588823428847 THEN 1
+         |           WHEN u < 0.9196986029286058 THEN 2
+         |           WHEN u < 0.9810118431238462 THEN 3
+         |           WHEN u < 0.9963401531726563 THEN 4
+         |           WHEN u < 0.9994058151824183 THEN 5
+         |           ELSE 6 END AS w
+         |    FROM (
+         |      SELECT lang, qm, b,
+         |        list_sum(list_transform(generate_series(1, 13),
+         |          i -> (strpos('0123456789abcdef',
+         |                  substr(md5(CAST(doc_id AS VARCHAR) || ':' || CAST(b AS VARCHAR)), i, 1)) - 1)
+         |               * power(16.0, -i))) AS u
+         |      FROM d CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS b)
+         |    )
+         |  ) GROUP BY lang, b HAVING sum(w) > 0
+         |),
+         |boot AS (
+         |  SELECT lang, min(rep_mean) AS boot_lo, max(rep_mean) AS boot_hi,
+         |    count(*) AS n_replicas
+         |  FROM (SELECT lang, round(swq / sw / 10000.0, 6) AS rep_mean FROM reps)
+         |  GROUP BY lang
+         |),
+         |stats AS (
+         |  SELECT lang, count(*) AS n_docs,
+         |    round(CAST(sum(qm) AS BIGINT) / count(*) / 10000.0, 6) AS mean_q
+         |  FROM d GROUP BY lang
+         |)
+         |SELECT lang, n_docs, mean_q, boot_lo, boot_hi, n_replicas
+         |FROM stats JOIN boot USING (lang)
+         |ORDER BY lang""".stripMargin,
+    "q177_set_cover" -> {
+      // 5 greedy set-cover rounds UNROLLED: per round, uncovered-type
+      // counts per doc (anti-join via NOT IN), (n DESC, doc_id) argmax,
+      // winner's types folded into the covered set. covered_total =
+      // running sum of new_tokens (exact by disjointness), BIGINT-cast
+      def rnd(i: Int) =
+        s"""g$i AS (
+           |  SELECT doc_id, count(*) AS n FROM toks
+           |  WHERE tok NOT IN (SELECT tok FROM c${i - 1})
+           |  GROUP BY doc_id
+           |),
+           |s$i AS MATERIALIZED (
+           |  SELECT doc_id, n FROM g$i ORDER BY n DESC, doc_id LIMIT 1
+           |),
+           |c$i AS MATERIALIZED (
+           |  SELECT DISTINCT tok FROM (
+           |    SELECT tok FROM c${i - 1}
+           |    UNION ALL SELECT t.tok FROM toks t JOIN s$i USING (doc_id)
+           |  )
+           |)""".stripMargin
+      s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+         |toks AS MATERIALIZED (
+         |  SELECT doc_id, unnest(list_distinct(${wordGramsSql(2)})) AS tok FROM w
+         |),
+         |c0 AS (SELECT CAST(NULL AS VARCHAR) AS tok WHERE 1 = 0),
+         |${(1 to 5).map(rnd).mkString(",\n")}
+         |SELECT round, doc_id, new_tokens,
+         |  CAST(sum(new_tokens) OVER (ORDER BY round) AS BIGINT) AS covered_total
+         |FROM (
+         |${(1 to 5).map(i => s"  SELECT $i AS round, doc_id, n AS new_tokens FROM s$i")
+            .mkString("\n  UNION ALL\n")}
+         |)
+         |ORDER BY round""".stripMargin
+    },
+    "q189_classifier_auc" ->
+      // Mann-Whitney over the exact integer scores: distinct-score
+      // frame, cum_nn = negatives strictly below the tie group, doubled
+      // numerator keeps the half-tie term integral
+      s"""$ClassifierTrainCtes,
+         |sc AS (
+         |  SELECT doc_id, CAST(sum(c * wm) AS BIGINT) AS zm
+         |  FROM fx JOIN w4 USING (b) GROUP BY doc_id
+         |),
+         |sy AS (
+         |  SELECT zm, CAST(sum(y) AS BIGINT) AS np,
+         |    CAST(sum(1 - y) AS BIGINT) AS nn
+         |  FROM sc JOIN yd USING (doc_id) GROUP BY zm
+         |),
+         |o AS (
+         |  SELECT np, nn,
+         |    CAST(coalesce(sum(nn) OVER (ORDER BY zm
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_nn
+         |  FROM sy
+         |),
+         |t AS (
+         |  SELECT CAST(sum(np) AS BIGINT) AS n_pos, CAST(sum(nn) AS BIGINT) AS n_neg,
+         |    CAST(sum(2 * np * cum_nn + np * nn) AS BIGINT) AS num2
+         |  FROM o
+         |)
+         |SELECT round(CAST(num2 AS DOUBLE) / (2.0 * n_pos * n_neg), 6) AS auc,
+         | n_pos, n_neg
+         |FROM t""".stripMargin,
+  )
+}

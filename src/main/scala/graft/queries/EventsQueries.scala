@@ -1,0 +1,554 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.operators.Events
+import graft.sources.Tables
+import graft.OracleHelpers._
+
+/** Events family queries: event/statistics: sessions, funnels, SCD2, ACF/CUSUM/Welch/KS, A/B.
+  * Split from PipelineQueries (round 9) -- entries and oracles are moved
+  * verbatim; PipelineQueries concatenates the families and asserts the
+  * key sets stay disjoint and aligned.
+  */
+private[graft] object EventsQueries extends QueryFamily {
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q32_events_hourly"    -> ((s, d) => Events.hourlyAgg(Tables.events(s, d))),
+    "q33_sessionize"       -> ((s, d) => Events.sessionize(Tables.events(s, d))),
+    "q34_type_profile"     -> ((s, d) => Events.typeProfile(Tables.events(s, d))),
+    "q52_session_window" -> ((s, d) => Events.sessionWindowAgg(Tables.events(s, d))),
+    "q64_value_zscore"  -> ((s, d) => Events.valueZscore(Tables.events(s, d))),
+    // cohort retention triangle over the events stream
+    "q75_retention" -> ((s, d) => Events.retentionCohorts(Tables.events(s, d))),
+    // signup -> purchase conversion within 24h of first signup
+    "q76_signup_funnel" -> ((s, d) => Events.signupFunnel(Tables.events(s, d))),
+    // RANGE-frame trailing-window outliers, exact-integer decision rule
+    "q80_value_anomalies" -> ((s, d) => Events.valueAnomalies(Tables.events(s, d))),
+    // CDC latest-wins compaction via max(struct) — no window sort
+    "q81_latest_event" -> ((s, d) => Events.latestByUser(Tables.events(s, d))),
+    // mergeable bottom-k quantile sketch — deterministic, hence
+    // oracle-EXACT (the quantile counterpart of q54's KMV; contrast q38's
+    // approx_percentile, envelope-checked by design)
+    "q87_quantile_sketch" -> ((s, d) => Events.quantileSketch(Tables.events(s, d))),
+    // first-order Markov transition matrix over in-session event pairs
+    "q123_transitions" -> ((s, d) => Events.sessionTransitions(Tables.events(s, d))),
+    // trailing 7-day active users from mergeable daily KMV sketches
+    "q128_sliding_dau" -> ((s, d) => Events.slidingDistinctUsers(Tables.events(s, d))),
+    // SCD2 dimension history: per-user event_type change intervals
+    "q129_scd2_history" -> ((s, d) => Events.scd2History(Tables.events(s, d))),
+    // top 3-step in-session event-type paths (the walk-level complement
+    // of q123's edge-level matrix)
+    "q132_top_paths" -> ((s, d) => Events.topSessionPaths(Tables.events(s, d))),
+    // robust outliers: median/MAD rule (q80's heavy-tail-safe complement)
+    "q135_mad_outliers" -> ((s, d) => Events.madOutliers(Tables.events(s, d))),
+    // hourly-count ACF at lags 1..24 (complete series, zeros for absent
+    // hours): integer centered products, corpus touched once
+    "q191_hourly_acf" -> ((s, d) => Events.hourlyAutocorrelation(Tables.events(s, d))),
+    // Welch z on purchase value over a deterministic md5 A/A user
+    // split: exact integer micro-unit moments into one boundary formula
+    "q192_ab_test" -> ((s, d) => Events.abValueTest(Tables.events(s, d))),
+    // Page's CUSUM on the daily mean value via the prefix-sum minus
+    // running-min closed form: sequential monitor, one-pass windows
+    // over the aggregate-sized day frame, exact integer micro-units
+    "q193_cusum_drift" -> ((s, d) => Events.cusumDriftDays(Tables.events(s, d))),
+    // first-touch session attribution: purchases credited to the event
+    // type that opened the session; micro-unit value, two-level agg
+    "q195_attribution" -> ((s, d) => Events.sessionAttribution(Tables.events(s, d))),
+    // Mann-Kendall tie-adjusted trend z + Theil-Sen median slope over
+    // the daily means: the robust complement to q193's CUSUM
+    "q201_trend_test" -> ((s, d) => Events.trendTest(Tables.events(s, d))),
+    // level-2 association rules over session baskets: exact pair
+    // supports and lift from the distinct (session, type) frame
+    "q204_basket_lift" -> ((s, d) => Events.basketLift(Tables.events(s, d))),
+    // KS test of user inter-arrival gaps vs the exponential model:
+    // pooled MLE rate, two-phase ranks, per-row 1e-6-quantized terms
+    "q205_interarrival_ks" -> ((s, d) => Events.interArrivalFit(Tables.events(s, d))),
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "q32_events_hourly" ->
+      """SELECT (epoch_ns(ts) // 3600000000000) * 3600 AS hour_epoch, event_type,
+        | count(*) AS n, round(sum(value), 2) AS total_value,
+        | count(DISTINCT user_id) AS n_users
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q33_sessionize" ->
+      s"""WITH $SessionCtes,
+         |sessions AS (
+         |  SELECT user_id, session_seq, count(*) AS n_events,
+         |    round(sum(value), 2) AS session_value
+         |  FROM numbered GROUP BY 1, 2
+         |)
+         |SELECT user_id, CAST(max(session_seq) AS BIGINT) AS n_sessions,
+         | max(n_events) AS max_session_events,
+         | round(sum(session_value), 2) AS total_value
+         |FROM sessions GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "q34_type_profile" ->
+      """SELECT event_type, count(*) AS n,
+        | round(avg(value), 4) AS avg_value,
+        | round(quantile_cont(value, 0.5), 4) AS p50,
+        | round(quantile_cont(value, 0.95), 4) AS p95,
+        | round(stddev_samp(value), 4) AS sd
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q52_session_window" ->
+      s"""WITH $SessionCtes
+         |SELECT user_id,
+         | (min(epoch_ns(ts)) // 1000000000) AS session_start,
+         | count(*) AS n_events,
+         | round(sum(value), 2) AS session_value
+         |FROM numbered GROUP BY user_id, session_seq
+         |ORDER BY user_id, session_start""".stripMargin,
+    "q64_value_zscore" ->
+      """WITH stats AS (
+        |  SELECT event_type, round(avg(value), 6) AS mu,
+        |    round(stddev_samp(value), 6) AS sd
+        |  FROM events GROUP BY event_type
+        |)
+        |SELECT event_id, event_type, round((value - mu) / sd, 4) AS z
+        |FROM events JOIN stats USING (event_type)
+        |ORDER BY event_id""".stripMargin,
+    "q75_retention" ->
+      """WITH activity AS (
+        |  SELECT DISTINCT user_id, epoch_ns(ts) // 86400000000000 AS day FROM events
+        |),
+        |cohorts AS (SELECT user_id, min(day) AS cohort_day FROM activity GROUP BY user_id)
+        |SELECT cohort_day * 86400 AS cohort_epoch, day - cohort_day AS day_offset,
+        | count(*) AS n_users
+        |FROM activity JOIN cohorts USING (user_id)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q76_signup_funnel" ->
+      """WITH fs AS (
+        |  SELECT user_id, min(epoch_ns(ts)) AS signup_ns FROM events
+        |  WHERE event_type = 'signup' GROUP BY user_id
+        |),
+        |conv AS (
+        |  SELECT fs.user_id, fs.signup_ns,
+        |    min(CASE WHEN epoch_ns(e.ts) >= fs.signup_ns THEN epoch_ns(e.ts) END) AS first_p
+        |  FROM fs LEFT JOIN events e
+        |    ON e.user_id = fs.user_id AND e.event_type = 'purchase'
+        |  GROUP BY 1, 2
+        |),
+        |flag AS (
+        |  SELECT (first_p IS NOT NULL AND first_p - signup_ns <= 86400000000000) AS converted,
+        |    (first_p - signup_ns) / 3600000000000.0 AS hours_to
+        |  FROM conv
+        |)
+        |SELECT count(*) AS n_signup_users,
+        | CAST(sum(CASE WHEN converted THEN 1 ELSE 0 END) AS BIGINT) AS n_converted,
+        | round(sum(CASE WHEN converted THEN 1 ELSE 0 END) * 1.0 / count(*), 6) AS conversion_rate,
+        | round(avg(CASE WHEN converted THEN hours_to END), 4) AS avg_hours_to_convert
+        |FROM flag""".stripMargin,
+    "q80_value_anomalies" ->
+      // the exact-integer anomaly rule: (x*n - S)^2 * (n-1) > 4*n*(n*Q - S^2)
+      // in HUGEINT — bit-identical to Spark's decimal(38,0) evaluation
+      """WITH c AS (
+        |  SELECT event_id, user_id, epoch_ns(ts) AS tns, value,
+        |    CAST(round(value * 100, 0) AS BIGINT) AS x
+        |  FROM events
+        |),
+        |w AS (
+        |  SELECT event_id, user_id, value, x,
+        |    count(x) OVER win AS n, sum(x) OVER win AS s,
+        |    sum(CAST(x AS HUGEINT) * x) OVER win AS q
+        |  FROM c
+        |  WINDOW win AS (PARTITION BY user_id ORDER BY tns
+        |    RANGE BETWEEN 86400000000000 PRECEDING AND 1 PRECEDING)
+        |)
+        |SELECT event_id, user_id, round(value, 2) AS value, n AS n_prev
+        |FROM w
+        |WHERE n >= 5
+        |  AND (CAST(x AS HUGEINT)*n - s) * (CAST(x AS HUGEINT)*n - s) * (n - 1)
+        |    > 4 * CAST(n AS HUGEINT) * (n*q - CAST(s AS HUGEINT)*s)
+        |ORDER BY event_id""".stripMargin,
+    "q81_latest_event" ->
+      """SELECT user_id, event_id, epoch_ns(ts) // 1000000000 AS ts_epoch,
+        | event_type, round(value, 2) AS value
+        |FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY user_id
+        |    ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM events
+        |)
+        |WHERE rn = 1 ORDER BY user_id""".stripMargin,
+    "q87_quantile_sketch" ->
+      // bottom-256-by-md5 sample per type, then the exact interpolated
+      // sample quantile with Spark's percentile formula written out:
+      // pos = q*(n-1), (hi-pos)*v_lo + (pos-lo)*v_hi with equal-endpoint
+      // short-circuits — every input is the same double on both engines,
+      // so the estimate matches bit-for-bit
+      """WITH v AS (
+        |  SELECT event_type, event_id, round(value, 2) AS v FROM events
+        |),
+        |samp AS (
+        |  SELECT event_type, v FROM (
+        |    SELECT event_type, v,
+        |      row_number() OVER (PARTITION BY event_type
+        |        ORDER BY md5(CAST(event_id AS VARCHAR)), event_id) AS rn
+        |    FROM v)
+        |  WHERE rn <= 256
+        |),
+        |ranked AS (
+        |  SELECT event_type, v,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY v) - 1 AS idx,
+        |    count(*) OVER (PARTITION BY event_type) AS n
+        |  FROM samp
+        |),
+        |est AS (
+        |  SELECT event_type,
+        |    max(CASE WHEN idx = CAST(floor(0.5*(n-1)) AS BIGINT) THEN v END) AS vlo50,
+        |    max(CASE WHEN idx = CAST(ceil(0.5*(n-1)) AS BIGINT) THEN v END) AS vhi50,
+        |    max(CASE WHEN idx = CAST(floor(0.9*(n-1)) AS BIGINT) THEN v END) AS vlo90,
+        |    max(CASE WHEN idx = CAST(ceil(0.9*(n-1)) AS BIGINT) THEN v END) AS vhi90,
+        |    max(0.5*(n-1)) AS pos50, max(floor(0.5*(n-1))) AS lo50,
+        |    max(ceil(0.5*(n-1))) AS hi50,
+        |    max(0.9*(n-1)) AS pos90, max(floor(0.9*(n-1))) AS lo90,
+        |    max(ceil(0.9*(n-1))) AS hi90
+        |  FROM ranked GROUP BY event_type
+        |),
+        |tot AS (SELECT event_type, count(*) AS n_total FROM events GROUP BY 1)
+        |SELECT event_type, n_total,
+        | round(CASE WHEN hi50 = lo50 OR vhi50 = vlo50 THEN vlo50
+        |   ELSE (hi50 - pos50) * vlo50 + (pos50 - lo50) * vhi50 END, 4) AS p50_est,
+        | round(CASE WHEN hi90 = lo90 OR vhi90 = vlo90 THEN vlo90
+        |   ELSE (hi90 - pos90) * vlo90 + (pos90 - lo90) * vhi90 END, 4) AS p90_est
+        |FROM tot JOIN est USING (event_type)
+        |ORDER BY event_type""".stripMargin,
+    "q123_transitions" ->
+      """WITH seq AS (
+        |  SELECT event_type,
+        |    lead(event_type) OVER w AS next_type,
+        |    epoch_ns(ts) AS tns,
+        |    lead(epoch_ns(ts)) OVER w AS next_tns
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ns(ts), event_id)
+        |),
+        |m AS (
+        |  SELECT event_type, next_type, count(*) AS n FROM seq
+        |  WHERE next_type IS NOT NULL AND next_tns - tns <= 1800000000000
+        |  GROUP BY 1, 2
+        |)
+        |SELECT event_type, next_type, n,
+        | round(n / sum(n) OVER (PARTITION BY event_type), 4) AS p
+        |FROM m ORDER BY event_type, next_type""".stripMargin,
+    "q128_sliding_dau" ->
+      // merged bottom-64: the sketch max is the kth smallest; estimate
+      // (k-1)/frac(kth) via the exact 13-hex fraction, exact below fill
+      """WITH du AS (
+        |  SELECT DISTINCT epoch_ns(ts) // 86400000000000 AS day, user_id FROM events
+        |),
+        |days AS (SELECT DISTINCT day FROM du),
+        |dh AS (SELECT day, md5(CAST(user_id AS VARCHAR)) AS h FROM du),
+        |dsk AS (
+        |  SELECT day, h FROM (
+        |    SELECT day, h, row_number() OVER (PARTITION BY day ORDER BY h) AS r FROM dh
+        |  ) WHERE r <= 64
+        |),
+        |win AS (
+        |  SELECT DISTINCT w.wend AS window_end_day, s.h
+        |  FROM (SELECT day, unnest(generate_series(day, day + 6)) AS wend FROM days) w
+        |  JOIN days d ON d.day = w.wend
+        |  JOIN dsk s ON s.day = w.day
+        |),
+        |merged AS (
+        |  SELECT window_end_day, h,
+        |    row_number() OVER (PARTITION BY window_end_day ORDER BY h) AS r
+        |  FROM win
+        |),
+        |stats AS (
+        |  SELECT window_end_day, count(*) AS n_sk, max(h) AS kth
+        |  FROM merged WHERE r <= 64 GROUP BY 1
+        |),
+        |est AS (
+        |  SELECT window_end_day,
+        |    round(CASE WHEN n_sk < 64 THEN CAST(n_sk AS DOUBLE)
+        |      ELSE 63.0 / list_sum(list_transform(generate_series(1, 13),
+        |        i -> (strpos('0123456789abcdef', substr(kth, i, 1)) - 1)
+        |             * power(16.0, -i))) END, 4) AS est_users
+        |  FROM stats
+        |),
+        |nd AS (
+        |  SELECT w.wend AS window_end_day, count(*) AS n_days
+        |  FROM (SELECT day, unnest(generate_series(day, day + 6)) AS wend FROM days) w
+        |  JOIN days d ON d.day = w.wend GROUP BY 1
+        |),
+        |ex AS (
+        |  SELECT w.wend AS window_end_day, count(DISTINCT w.user_id) AS n_exact
+        |  FROM (SELECT day, user_id, unnest(generate_series(day, day + 6)) AS wend FROM du) w
+        |  JOIN days d ON d.day = w.wend
+        |  GROUP BY 1
+        |)
+        |SELECT window_end_day, n_days, est_users, n_exact
+        |FROM est JOIN nd USING (window_end_day) JOIN ex USING (window_end_day)
+        |ORDER BY window_end_day""".stripMargin,
+    "q129_scd2_history" ->
+      // micro-epoch bounds: epoch_us(ts) == Spark's `ts div 1000` (the
+      // DuckDB reader already truncated the nanos to micros)
+      """WITH seq AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS tsu, event_type,
+        |    lag(event_type) OVER w AS prev_type
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+        |),
+        |changes AS (
+        |  SELECT user_id, event_id, tsu, event_type FROM seq
+        |  WHERE prev_type IS NULL OR prev_type <> event_type
+        |),
+        |stitched AS (
+        |  SELECT user_id, event_type, tsu AS valid_from,
+        |    lead(tsu) OVER (PARTITION BY user_id ORDER BY tsu, event_id) - 1 AS valid_to
+        |  FROM changes
+        |)
+        |SELECT user_id, event_type, valid_from, valid_to, valid_to IS NULL AS is_current
+        |FROM stitched ORDER BY user_id, valid_from""".stripMargin,
+    "q132_top_paths" ->
+      """WITH seq AS (
+        |  SELECT event_type AS step1,
+        |    lead(event_type, 1) OVER w AS step2,
+        |    lead(event_type, 2) OVER w AS step3,
+        |    epoch_ns(ts) AS tns,
+        |    lead(epoch_ns(ts), 1) OVER w AS tns2,
+        |    lead(epoch_ns(ts), 2) OVER w AS tns3
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ns(ts), event_id)
+        |)
+        |SELECT step1, step2, step3, count(*) AS n FROM seq
+        |WHERE step3 IS NOT NULL
+        |  AND tns2 - tns <= 1800000000000 AND tns3 - tns2 <= 1800000000000
+        |GROUP BY 1, 2, 3
+        |ORDER BY n DESC, step1, step2, step3 LIMIT 10""".stripMargin,
+    "q135_mad_outliers" ->
+      // quantile_cont == the bounded-state exact quantile bit-for-bit
+      // (q87/q119 precedent); cents + round(4) cuts keep every
+      // comparison on identical doubles
+      """WITH vals AS (SELECT event_type, round(value, 2) AS v FROM events),
+        |med AS (
+        |  SELECT event_type, round(quantile_cont(v, 0.5), 4) AS med
+        |  FROM vals GROUP BY 1
+        |),
+        |dev AS (
+        |  SELECT vals.event_type, v, med, round(abs(v - med), 4) AS d
+        |  FROM vals JOIN med USING (event_type)
+        |),
+        |mad AS (
+        |  SELECT event_type, round(quantile_cont(d, 0.5), 4) AS mad
+        |  FROM dev GROUP BY 1
+        |)
+        |SELECT dev.event_type, count(*) AS n_total,
+        | CAST(sum(CASE WHEN d > 3.0 * mad THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+        | min(med) AS median, min(mad) AS mad
+        |FROM dev JOIN mad USING (event_type)
+        |GROUP BY dev.event_type ORDER BY dev.event_type""".stripMargin,
+    "q191_hourly_acf" ->
+      // complete hourly series (zeros for absent hours); y = n*x - S
+      // integer centering; num/den exact BIGINT, one rounded division
+      """WITH hx AS (
+        |  SELECT epoch_ns(ts) // 3600000000000 AS h, count(*) AS x
+        |  FROM events GROUP BY 1
+        |),
+        |b AS (SELECT min(h) AS h0, max(h) AS h1 FROM hx),
+        |series AS (
+        |  SELECT gs.h, coalesce(hx.x, 0) AS x
+        |  FROM (SELECT unnest(generate_series(b.h0, b.h1)) AS h FROM b) gs
+        |  LEFT JOIN hx USING (h)
+        |),
+        |st AS (SELECT count(*) AS n, CAST(sum(x) AS BIGINT) AS s FROM series),
+        |y AS (SELECT h, CAST(st.n * x - st.s AS BIGINT) AS y FROM series, st),
+        |den AS (SELECT CAST(sum(y * y) AS BIGINT) AS den FROM y),
+        |lags AS (SELECT unnest(range(1, 25)) AS lag),
+        |pairs AS (
+        |  SELECT l.lag, a.y AS yp, c.y AS yc
+        |  FROM lags l JOIN y a ON true JOIN y c ON c.h = a.h + l.lag
+        |)
+        |SELECT CAST(p.lag AS INTEGER) AS lag, count(*) AS n_pairs,
+        | round(CAST(CAST(sum(p.yp * p.yc) AS BIGINT) AS DOUBLE) / den.den, 6) AS acf
+        |FROM pairs p, den GROUP BY p.lag, den.den ORDER BY lag""".stripMargin,
+    "q192_ab_test" ->
+      // md5 parity arm draw (posSql j=0 m=2) on each row's user_id,
+      // integer micro-unit value moments, Welch z with the SAME double
+      // association order as the engine
+      s"""WITH f AS (
+         |  SELECT ${posSql("md5(CAST(user_id AS VARCHAR))", 0, 2)} AS arm,
+         |    CAST(round(value * 10000, 0) AS BIGINT) AS vm
+         |  FROM events WHERE event_type = 'purchase'
+         |),
+         |t AS (
+         |  SELECT
+         |    CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+         |    CAST(sum(CASE WHEN arm = 0 THEN vm ELSE 0 END) AS BIGINT) AS s1_a,
+         |    CAST(sum(CASE WHEN arm = 0 THEN vm * vm ELSE 0 END) AS BIGINT) AS s2_a,
+         |    CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+         |    CAST(sum(CASE WHEN arm = 1 THEN vm ELSE 0 END) AS BIGINT) AS s1_b,
+         |    CAST(sum(CASE WHEN arm = 1 THEN vm * vm ELSE 0 END) AS BIGINT) AS s2_b
+         |  FROM f
+         |)
+         |SELECT n_a, n_b,
+         | round(CAST(s1_a AS DOUBLE) / n_a / 10000.0, 4) AS mean_a,
+         | round(CAST(s1_b AS DOUBLE) / n_b / 10000.0, 4) AS mean_b,
+         | round((CAST(s1_a AS DOUBLE) / n_a - CAST(s1_b AS DOUBLE) / n_b) /
+         |   sqrt(((CAST(s2_a AS DOUBLE) - CAST(s1_a AS DOUBLE) * s1_a / n_a) / (n_a - 1)) / n_a
+         |      + ((CAST(s2_b AS DOUBLE) - CAST(s1_b AS DOUBLE) * s1_b / n_b) / (n_b - 1)) / n_b),
+         |   4) AS z_score
+         |FROM t""".stripMargin,
+    "q193_cusum_drift" ->
+      // S_t = P_t - min(0, min_{i<=t} P_i): prefix sum and prefix min
+      // of integer deviations from the floor-division reference level
+      """WITH m AS (
+        |  SELECT (epoch_ns(ts) // 86400000000000) * 86400 AS day_epoch,
+        |    count(*) AS n_events,
+        |    CAST(sum(CAST(round(value * 10000, 0) AS BIGINT)) AS BIGINT) AS s1
+        |  FROM events GROUP BY 1
+        |),
+        |k AS (SELECT (10000 * CAST(sum(s1) AS BIGINT))
+        |        // CAST(sum(n_events) AS BIGINT) AS k FROM m),
+        |d AS (
+        |  SELECT day_epoch, n_events, (10000 * s1) // n_events AS xm,
+        |    (10000 * s1) // n_events - k.k AS dev
+        |  FROM m, k
+        |),
+        |c AS (
+        |  SELECT day_epoch, n_events, xm,
+        |    CAST(sum(dev) OVER (ORDER BY day_epoch) AS BIGINT) AS p,
+        |    CAST(sum(-dev) OVER (ORDER BY day_epoch) AS BIGINT) AS pn
+        |  FROM d
+        |)
+        |SELECT day_epoch, n_events, xm,
+        | p - least(CAST(0 AS BIGINT), min(p) OVER (ORDER BY day_epoch)) AS cusum_up,
+        | pn - least(CAST(0 AS BIGINT), min(pn) OVER (ORDER BY day_epoch)) AS cusum_down,
+        | (p - least(CAST(0 AS BIGINT), min(p) OVER (ORDER BY day_epoch)) > 50000
+        |  OR pn - least(CAST(0 AS BIGINT), min(pn) OVER (ORDER BY day_epoch)) > 50000)
+        |   AS alarm
+        |FROM c ORDER BY day_epoch""".stripMargin,
+    "q195_attribution" ->
+      // q33's session numbering carrying event_type + micro-unit value;
+      // entry tag via first_value over the session sort; two-level agg
+      """WITH g AS (
+        |  SELECT user_id, event_id, ts, event_type,
+        |    CAST(round(value * 10000, 0) AS BIGINT) AS vm,
+        |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+        |  FROM events
+        |),
+        |flagged AS (
+        |  SELECT user_id, event_id, ts, event_type, vm,
+        |    CASE WHEN prev_ts IS NULL OR epoch_ns(ts) - epoch_ns(prev_ts) > 1800000000000
+        |      THEN 1 ELSE 0 END AS new_session
+        |  FROM g
+        |),
+        |numbered AS (
+        |  SELECT user_id, event_id, ts, event_type, vm,
+        |    sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+        |  FROM flagged
+        |),
+        |tagged AS (
+        |  SELECT user_id, session_seq, event_type, vm,
+        |    first_value(event_type) OVER (PARTITION BY user_id, session_seq
+        |      ORDER BY ts, event_id) AS entry_type
+        |  FROM numbered
+        |),
+        |per_session AS (
+        |  SELECT user_id, session_seq, entry_type,
+        |    CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purch,
+        |    CAST(sum(CASE WHEN event_type = 'purchase' THEN vm ELSE 0 END) AS BIGINT) AS pvm
+        |  FROM tagged GROUP BY 1, 2, 3
+        |)
+        |SELECT entry_type, count(*) AS n_sessions,
+        | CAST(sum(n_purch) AS BIGINT) AS n_purchases,
+        | round(CAST(sum(pvm) AS BIGINT) / 10000.0, 2) AS attributed_value
+        |FROM per_session GROUP BY entry_type ORDER BY entry_type""".stripMargin,
+    "q201_trend_test" ->
+      // pairwise sign sum + tie-adjusted variance, all integer until
+      // the boundary sqrt; slope quantized by DOUBLE floor (integer //
+      // floors but Spark div truncates - they disagree on negatives)
+      """WITH m AS (
+        |  SELECT (epoch_ns(ts) // 86400000000000) AS d, count(*) AS n_events,
+        |    CAST(sum(CAST(round(value * 10000, 0) AS BIGINT)) AS BIGINT) AS s1
+        |  FROM events GROUP BY 1
+        |),
+        |dy AS (SELECT d, (10000 * s1) // n_events AS xm FROM m),
+        |p AS (SELECT a.d AS di, a.xm AS xi, b.d AS dj, b.xm AS xj
+        |      FROM dy a JOIN dy b ON a.d < b.d),
+        |sg AS (SELECT CAST(sum(CASE WHEN xj > xi THEN 1
+        |         WHEN xj < xi THEN -1 ELSE 0 END) AS BIGINT) AS s_stat FROM p),
+        |sl AS (SELECT CAST(floor((xj - xi) * 1000.0 / (dj - di)) AS BIGINT)
+        |         AS slope_milli FROM p),
+        |med AS (SELECT quantile_cont(slope_milli, 0.5) AS cut FROM sl),
+        |nn AS (SELECT count(*) AS n FROM dy),
+        |tt AS (SELECT CAST(coalesce(sum(t * (t - 1) * (2 * t + 5)), 0) AS BIGINT)
+        |         AS tie_adj
+        |       FROM (SELECT xm, count(*) AS t FROM dy GROUP BY 1)),
+        |vs AS (SELECT (n * (n - 1) * (2 * n + 5) - tie_adj) / 18.0 AS var_s
+        |       FROM nn, tt)
+        |SELECT nn.n AS n_days, sg.s_stat AS s_stat,
+        | round(vs.var_s, 4) AS var_s,
+        | round(CASE WHEN vs.var_s <= 0.0 THEN 0.0
+        |   WHEN sg.s_stat > 0 THEN (sg.s_stat - 1) / sqrt(vs.var_s)
+        |   WHEN sg.s_stat < 0 THEN (sg.s_stat + 1) / sqrt(vs.var_s)
+        |   ELSE 0.0 END, 4) AS z_score,
+        | round(med.cut / 1e7, 6) AS slope_per_day
+        |FROM nn, sg, vs, med""".stripMargin,
+    "q204_basket_lift" ->
+      // q33's session numbering carrying event_type; baskets = distinct
+      // (session, type); lift = n_ab*N / (n_a*n_b) in one double shape
+      """WITH g AS (
+        |  SELECT user_id, event_id, ts, event_type,
+        |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+        |  FROM events
+        |),
+        |flagged AS (
+        |  SELECT user_id, event_id, ts, event_type,
+        |    CASE WHEN prev_ts IS NULL OR epoch_ns(ts) - epoch_ns(prev_ts) > 1800000000000
+        |      THEN 1 ELSE 0 END AS new_session
+        |  FROM g
+        |),
+        |numbered AS (
+        |  SELECT user_id, event_type,
+        |    sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+        |  FROM flagged
+        |),
+        |basket AS (SELECT DISTINCT user_id, session_seq, event_type FROM numbered),
+        |nn AS (SELECT count(*) AS n FROM
+        |  (SELECT DISTINCT user_id, session_seq FROM basket)),
+        |pt AS (SELECT event_type, count(*) AS n_t FROM basket GROUP BY 1),
+        |pr AS (
+        |  SELECT a.event_type AS type_a, b.event_type AS type_b, count(*) AS n_ab
+        |  FROM basket a JOIN basket b
+        |    ON a.user_id = b.user_id AND a.session_seq = b.session_seq
+        |    AND a.event_type < b.event_type
+        |  GROUP BY 1, 2
+        |)
+        |SELECT type_a, type_b, pa.n_t AS n_a, pb.n_t AS n_b, n_ab,
+        | round(n_ab * 1.0 / nn.n, 6) AS support,
+        | round((n_ab * nn.n) * 1.0 / (pa.n_t * pb.n_t), 6) AS lift
+        |FROM pr
+        |JOIN pt pa ON pa.event_type = type_a
+        |JOIN pt pb ON pb.event_type = type_b, nn
+        |ORDER BY type_a, type_b""".stripMargin,
+    "q205_interarrival_ks" ->
+      // per-user lag gaps in exact ns; ranks over the distinct-gap
+      // histogram; per-row round(.,6) BEFORE the max (exp agrees to
+      // ulps across engines - the q106 micro-bit argument)
+      """WITH o AS (
+        |  SELECT user_id, ts, event_id,
+        |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+        |  FROM events
+        |),
+        |gp AS (SELECT epoch_ns(ts) - epoch_ns(prev) AS g
+        |       FROM o WHERE prev IS NOT NULL),
+        |h AS (SELECT g, count(*) AS c FROM gp GROUP BY 1),
+        |r AS (SELECT g, c, CAST(sum(c) OVER (ORDER BY g) AS BIGINT) AS cum FROM h),
+        |st AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(g) AS BIGINT) AS sg
+        |       FROM gp),
+        |t AS (
+        |  SELECT
+        |    round(cum * 1.0 / st.n - (1.0 - exp(-((st.n * 1.0 / st.sg) * g))), 6) AS dp,
+        |    round((1.0 - exp(-((st.n * 1.0 / st.sg) * g))) - (cum - c) * 1.0 / st.n, 6) AS dm,
+        |    st.n AS n, st.sg AS sg
+        |  FROM r, st
+        |)
+        |SELECT n AS n_gaps,
+        | round((n * 3600000000000.0) / sg, 6) AS lambda_per_hour,
+        | max(greatest(dp, dm)) AS ks_d,
+        | (max(greatest(dp, dm)) > 1.36 / sqrt(n)) AS reject_exponential
+        |FROM t GROUP BY n, sg""".stripMargin,
+  )
+}

@@ -1,0 +1,181 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.operators.Governance
+import graft.sources.Tables
+import graft.OracleHelpers._
+
+/** Governance family queries: governance: erasure audit, profiling, Benford, fingerprints.
+  * Split from PipelineQueries (round 9) -- entries and oracles are moved
+  * verbatim; PipelineQueries concatenates the families and asserts the
+  * key sets stay disjoint and aligned.
+  */
+private[graft] object GovernanceQueries extends QueryFamily {
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // right-to-erasure tombstones at the index-row grain: delete list
+    // anti-joins the postings-shaped frames, df/N/avgdl recompute from
+    // survivors — bit-identical to re-ingesting the filtered corpus
+    "q163_erasure_bm25" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      Governance.erasureBm25(docs, Governance.erasureRequests(docs))
+    }),
+    // the compliance report a deletion batch ships with: per-source doc
+    // and token-mass impact, retained fraction in exact ppm
+    "q164_erasure_audit" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      Governance.erasureAudit(docs, Governance.erasureRequests(docs))
+    }),
+    // erasure over the dedup graph: drop pairs touching deleted ids from
+    // the session pair index (no re-banding), re-run components — a
+    // deleted bridge doc splits its cluster exactly as a full re-run would
+    "q165_erasure_survivors" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      Governance.erasureSurvivors(docs, Governance.erasureRequests(docs))
+    }),
+    // ANALYZE-style per-column profile (exact NDV, nulls, min/max) over
+    // orders: one unpivoted pass, ncols-state agg; timestamps profile in
+    // epoch-micros space (string formats are engine-dependent)
+    "q176_table_profile" -> ((s, d) => Governance.tableProfile(Tables.orders(s, d))),
+    // order-free 60-bit XOR dataset fingerprint per source: the corpus
+    // version identity, any merge order, no overflow
+    "q197_dataset_fingerprint" -> ((s, d) =>
+      Governance.datasetFingerprint(Tables.documents(s, d))),
+    // Benford first-digit audit of the value column: integer-string
+    // digit extraction, shared literal constants, per-digit chi2 terms
+    "q202_benford" -> ((s, d) => Governance.benfordAudit(Tables.events(s, d))),
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "q163_erasure_bm25" ->
+      // q79's exact CTEs over the corpus minus the erasure congruence
+      // class — the oracle states the tombstone law itself: serve-time
+      // anti-join == re-ingest of the filtered corpus (stats and all)
+      """WITH live AS (SELECT * FROM documents WHERE doc_id % 41 <> 3),
+        |dl AS (
+        |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS dl FROM live
+        |),
+        |stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl),
+        |tf AS (
+        |  SELECT doc_id, term, count(*) AS tf FROM (
+        |    SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM live
+        |  ) WHERE term IN ('table', 'data', 'row') GROUP BY 1, 2
+        |),
+        |df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        |scored AS (
+        |  SELECT doc_id,
+        |    round(sum(ln((n - df + 0.5) / (df + 0.5) + 1) * tf * (1.2 + 1) /
+        |      (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))), 4) AS bm25
+        |  FROM tf JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
+        |  GROUP BY doc_id
+        |)
+        |SELECT doc_id, bm25 FROM scored ORDER BY bm25 DESC, doc_id LIMIT 20""".stripMargin,
+    "q164_erasure_audit" ->
+      // integer token masses; the only division is the final ppm ratio
+      """WITH d AS (
+        |  SELECT source, CAST(len(string_split(text, ' ')) AS BIGINT) AS toks,
+        |    CASE WHEN doc_id % 41 = 3 THEN 1 ELSE 0 END AS del
+        |  FROM documents)
+        |SELECT source, count(*) AS n_docs,
+        |  CAST(sum(del) AS BIGINT) AS n_erased,
+        |  CAST(sum(toks) AS BIGINT) AS tokens_total,
+        |  CAST(sum(CASE WHEN del = 1 THEN toks ELSE 0 END) AS BIGINT) AS tokens_erased,
+        |  CAST(round(1e6 * (sum(toks) - sum(CASE WHEN del = 1 THEN toks ELSE 0 END))
+        |    / sum(toks), 0) AS BIGINT) AS retained_ppm
+        |FROM d GROUP BY source ORDER BY source""".stripMargin,
+    "q165_erasure_survivors" ->
+      // q53's recursive components over the pair set with BOTH endpoints
+      // retained — the tombstone-at-pair-grain law in SQL (equals the
+      // filtered-corpus re-run by the restrictPairs per-pair-local
+      // identity)
+      s"""WITH RECURSIVE pairs AS (
+         |  SELECT id1, id2 FROM (
+         |$JaccardSql
+         |  ) jt WHERE id1 % 41 <> 3 AND id2 % 41 <> 3
+         |),
+         |edges AS (
+         |  SELECT id1 AS src, id2 AS dst FROM pairs
+         |  UNION ALL SELECT id2, id1 FROM pairs
+         |),
+         |reach(node, label) AS (
+         |  SELECT src, src FROM edges
+         |  UNION
+         |  SELECT e.src, r.label FROM edges e JOIN reach r ON e.dst = r.node
+         |)
+         |SELECT node AS doc_id, min(label) AS cluster_rep,
+         | (node = min(label)) AS survives
+         |FROM reach GROUP BY node ORDER BY doc_id""".stripMargin,
+    "q176_table_profile" -> {
+      // one UNION ALL branch per orders column, same type dispatch as
+      // the operator: numerics (and epoch_us-mapped timestamps) profile
+      // as DOUBLE, strings lexicographically; n_nulls = count(*) −
+      // count(col) (both BIGINT — no sum, dtype-clean)
+      def num(c: String, e: String) =
+        s"""SELECT '$c' AS "column", count(*) AS n_rows,
+           |  CAST(count(*) - count($e) AS BIGINT) AS n_nulls,
+           |  count(DISTINCT CAST($e AS DOUBLE)) AS n_distinct,
+           |  min(CAST($e AS DOUBLE)) AS min_num,
+           |  max(CAST($e AS DOUBLE)) AS max_num,
+           |  CAST(NULL AS VARCHAR) AS min_str, CAST(NULL AS VARCHAR) AS max_str
+           |FROM orders""".stripMargin
+      def str(c: String) =
+        s"""SELECT '$c' AS "column", count(*) AS n_rows,
+           |  CAST(count(*) - count($c) AS BIGINT) AS n_nulls,
+           |  count(DISTINCT $c) AS n_distinct,
+           |  CAST(NULL AS DOUBLE) AS min_num, CAST(NULL AS DOUBLE) AS max_num,
+           |  min($c) AS min_str, max($c) AS max_str
+           |FROM orders""".stripMargin
+      Seq(
+        num("o_orderkey", "o_orderkey"),
+        num("o_custkey", "o_custkey"),
+        str("o_orderstatus"),
+        num("o_totalprice", "o_totalprice"),
+        num("o_orderdate", "epoch_us(o_orderdate)"),
+        str("o_orderpriority"),
+      ).mkString("", "\nUNION ALL\n", "\nORDER BY \"column\"")
+    },
+    "q197_dataset_fingerprint" -> {
+      // 60-bit content hash via strpos arithmetic (DuckDB has no conv);
+      // XOR fold is merge-order-free on both engines
+      def hv(idx: Int) = s"(strpos('0123456789abcdef', substr(h, $idx, 1)) - 1)"
+      val h60 = (2 to 15).foldLeft(hv(1))((acc, i) => s"($acc * 16 + ${hv(i)})")
+      s"""WITH f AS (
+         |  SELECT source,
+         |    md5(CAST(doc_id AS VARCHAR) || ':' || text) AS h,
+         |    CAST(len(string_split(text, ' ')) AS BIGINT) AS toks
+         |  FROM documents
+         |),
+         |g AS (SELECT source, CAST($h60 AS BIGINT) AS hv, toks FROM f)
+         |SELECT source, count(*) AS n_docs,
+         | CAST(sum(toks) AS BIGINT) AS n_tokens,
+         | bit_xor(hv) AS fingerprint
+         |FROM g GROUP BY source ORDER BY source""".stripMargin
+    },
+    "q202_benford" -> {
+      val values = Governance.BenfordShares
+        .map { case (d, p) => s"($d, ${String.format("%.17e", Double.box(p))})" }
+        .mkString(", ")
+      s"""WITH b(digit, benford_share) AS (VALUES $values),
+         |dg AS (
+         |  SELECT CAST(substr(CAST(vm AS VARCHAR), 1, 1) AS INTEGER) AS digit,
+         |    count(*) AS n_obs
+         |  FROM (SELECT CAST(round(value * 10000, 0) AS BIGINT) AS vm FROM events)
+         |  WHERE vm > 0 GROUP BY 1
+         |),
+         |j AS (SELECT b.digit, CAST(coalesce(dg.n_obs, 0) AS BIGINT) AS n_obs,
+         |        b.benford_share
+         |      FROM b LEFT JOIN dg USING (digit)),
+         |t AS (SELECT CAST(sum(n_obs) AS BIGINT) AS n_total FROM j),
+         |c AS (SELECT round(CAST(sum(
+         |        (n_obs - n_total * benford_share) * (n_obs - n_total * benford_share)
+         |          / (n_total * benford_share)) AS DOUBLE), 4) AS chi2
+         |      FROM j, t)
+         |SELECT digit, n_obs,
+         | round(n_obs * 1.0 / t.n_total, 6) AS obs_share,
+         | round(benford_share, 6) AS benford_share,
+         | c.chi2 AS chi2
+         |FROM j, t, c ORDER BY digit""".stripMargin
+    },
+  )
+}

@@ -1,0 +1,105 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.operators.Multimodal
+import graft.sources.Tables
+import graft.OracleHelpers._
+
+/** Multimodal family queries: multimodal binary columns: codec seam, frame dedup, pHash near-dup.
+  * Split from PipelineQueries (round 9) -- entries and oracles are moved
+  * verbatim; PipelineQueries concatenates the families and asserts the
+  * key sets stay disjoint and aligned.
+  */
+private[graft] object MultimodalQueries extends QueryFamily {
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q35_media_profile"    -> ((s, d) => Multimodal.mediaProfile(Tables.documents(s, d))),
+    "q36_frame_sample"     -> ((s, d) => Multimodal.frameSample(Tables.documents(s, d))),
+    // frame-level dedup across the multimodal asset table (exactDedup's
+    // shape applied to payload windows)
+    "q94_frame_dedup" -> ((s, d) => Multimodal.frameDedup(Tables.documents(s, d))),
+    // perceptual-hash media near-dup: per-bit frame majority signature,
+    // 4x15-bit LSH bands (hamming<=3 => a band exact, pigeonhole), the
+    // oracle's all-pairs form proves the blocking's recall
+    "q203_frame_phash" -> ((s, d) =>
+      Multimodal.framePhashNearDup(Tables.documents(s, d))),
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "q35_media_profile" ->
+      """WITH a AS (
+        |  SELECT doc_id AS asset_id,
+        |    CASE WHEN doc_id % 3 = 0 THEN 'image' WHEN doc_id % 3 = 1 THEN 'audio'
+        |         ELSE 'video' END AS media_type,
+        |    CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        |    md5(text) AS checksum
+        |  FROM documents
+        |)
+        |SELECT media_type, count(*) AS n_assets,
+        | CAST(sum(n_bytes) AS BIGINT) AS total_bytes,
+        | round(avg(ascii(substr(checksum, 1, 1)) % 16 * 64 + 64), 4) AS avg_width,
+        | round(avg(ascii(substr(checksum, 2, 1)) % 16 * 64 + 64), 4) AS avg_height,
+        | round(sum(round(n_bytes / 1000.0, 3)), 3) AS total_duration
+        |FROM a GROUP BY media_type ORDER BY media_type""".stripMargin,
+    "q36_frame_sample" ->
+      """WITH v AS (
+        |  SELECT doc_id AS asset_id, text,
+        |    CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+        |  FROM documents WHERE doc_id % 3 = 2
+        |),
+        |frames AS (
+        |  SELECT asset_id, text,
+        |    unnest(generate_series(0, greatest(CAST(floor(n_bytes / 64.0) AS INT) - 1, 0))) AS frame_no
+        |  FROM v
+        |)
+        |SELECT asset_id, frame_no, md5(substr(text, frame_no * 64 + 1, 64)) AS frame_checksum
+        |FROM frames WHERE frame_no % 4 = 0
+        |ORDER BY asset_id, frame_no""".stripMargin,
+    "q94_frame_dedup" ->
+      // same 64-byte frame windows (ASCII payloads: char slices == byte
+      // slices); keeper = lexicographic-min (asset, frame) via the
+      // min-asset window
+      """WITH f AS (
+        |  SELECT doc_id AS asset_id, i AS frame_no,
+        |    md5(substr(text, CAST(i * 64 + 1 AS INT), 64)) AS fc
+        |  FROM documents,
+        |    LATERAL (SELECT unnest(range(0, greatest(length(text) // 64, 1))) AS i)
+        |),
+        |m AS (SELECT *, min(asset_id) OVER (PARTITION BY fc) AS ma FROM f)
+        |SELECT fc AS frame_checksum, count(*) AS n_copies,
+        | count(DISTINCT asset_id) AS n_assets,
+        | min(asset_id) AS keeper_asset,
+        | CAST(min(CASE WHEN asset_id = ma THEN frame_no END) AS BIGINT) AS keeper_frame
+        |FROM m GROUP BY fc HAVING count(*) > 1
+        |ORDER BY fc""".stripMargin,
+    "q203_frame_phash" -> {
+      // exact all-pairs hamming (no banding) - the gate doubles as the
+      // blocking's recall proof, the q178/q26 convention
+      def hv(idx: Int) = s"(strpos('0123456789abcdef', substr(fc, $idx, 1)) - 1)"
+      val h60 = (2 to 15).foldLeft(hv(1))((acc, i) => s"($acc * 16 + ${hv(i)})")
+      s"""WITH f AS (
+         |  SELECT doc_id AS asset_id,
+         |    md5(substr(text, CAST(i * 64 + 1 AS INT), 64)) AS fc
+         |  FROM documents,
+         |    LATERAL (SELECT unnest(range(0, greatest(length(text) // 64, 1))) AS i)
+         |),
+         |fh AS (SELECT asset_id, CAST($h60 AS BIGINT) AS h FROM f),
+         |bits AS (
+         |  SELECT asset_id, j,
+         |    CASE WHEN 2 * sum((h >> CAST(j AS INT)) & 1) > count(*)
+         |      THEN CAST(1 AS BIGINT) << CAST(j AS INT)
+         |      ELSE CAST(0 AS BIGINT) END AS bitv
+         |  FROM fh, LATERAL (SELECT unnest(range(0, 60)) AS j)
+         |  GROUP BY asset_id, j
+         |),
+         |ph AS (SELECT asset_id, CAST(sum(bitv) AS BIGINT) AS phash
+         |       FROM bits GROUP BY 1)
+         |SELECT a.asset_id AS id1, b.asset_id AS id2,
+         | CAST(bit_count(xor(a.phash, b.phash)) AS INTEGER) AS hamming
+         |FROM ph a JOIN ph b ON a.asset_id < b.asset_id
+         |WHERE bit_count(xor(a.phash, b.phash)) <= 3
+         |ORDER BY id1, id2""".stripMargin
+    },
+  )
+}

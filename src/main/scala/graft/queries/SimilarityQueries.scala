@@ -1,0 +1,858 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.operators.Similarity
+import graft.sources.Tables
+import graft.OracleHelpers._
+
+/** Similarity family queries: embedding similarity: ANN (LSH/IVF/PQ), clustering, spectral, SemDeDup.
+  * Split from PipelineQueries (round 9) -- entries and oracles are moved
+  * verbatim; PipelineQueries concatenates the families and asserts the
+  * key sets stay disjoint and aligned.
+  */
+private[graft] object SimilarityQueries extends QueryFamily {
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q29_cosine_topk"      -> ((s, d) => Similarity.cosineTopK(Tables.embeddings(s, d))),
+    "q30_lsh_ann"          -> ((s, d) => Similarity.lshCosineTopK(Tables.embeddings(s, d))),
+    "q55_ivf_ann"          -> ((s, d) => Similarity.ivfCosineTopK(Tables.embeddings(s, d))),
+    "q31_label_cohesion"   -> ((s, d) => Similarity.labelCohesion(Tables.embeddings(s, d))),
+    "q37_cosine_topk_native" -> ((s, d) => Similarity.cosineTopKNative(Tables.embeddings(s, d))),
+    "q48_embedding_neardup" -> ((s, d) =>
+      // 0.45 instead of the 0.9 production default: fixture embeddings are
+      // random (max cos ~0.55), so 0.9 would make the oracle check vacuous.
+      // The registered path is the LSH-bucketed one (the production shape);
+      // the oracle replicates the deterministic bucketing, so the check is
+      // exact on the candidate set the algorithm actually produces.
+      Similarity.embeddingNearDup(Tables.embeddings(s, d), threshold = 0.45)),
+    // recall@k of the multi-probe LSH ANN vs the exact top-k — the index
+    // evaluation harness, itself oracle-checked (both sides deterministic)
+    "q63_ann_recall"    -> ((s, d) => Similarity.annRecall(Tables.embeddings(s, d))),
+    // deterministic 2-round Lloyd k-means (md5-coreset init, rounded
+    // centroid feedback) — cluster sizes + cohesion
+    "q70_kmeans_clusters" -> ((s, d) => Similarity.kmeansClusters(Tables.embeddings(s, d))),
+    // pre-indexing embedding health gate: degenerate vectors + norm stats
+    "q85_embedding_health" -> ((s, d) => Similarity.embeddingHealth(Tables.embeddings(s, d))),
+    // int8-quantized ANN recall vs float truth (per-vector scales cancel
+    // in cosine; trunc-toward-zero quantization is engine-exact)
+    "q91_quantized_ann" -> ((s, d) => Similarity.quantizedAnnRecall(Tables.embeddings(s, d))),
+    // incremental embedding near-dup: new batch probed against the corpus
+    // hyperplane index (the vector analog of q74)
+    "q95_incremental_embedding" -> ((s, d) =>
+      Similarity.incrementalEmbeddingNearDup(Tables.embeddings(s, d))),
+    // SemDeDup: semantic dedup with k-means cells as the blocking
+    // structure (the third family beside LSH bands and hyperplane tables)
+    "q100_semantic_dedup" -> ((s, d) => Similarity.semanticDedup(Tables.embeddings(s, d))),
+    // hard-negative mining: per anchor, top-k in the [0.2, 0.45) cosine
+    // band — informative negatives strictly below the near-dup tau
+    "q103_hard_negatives" -> ((s, d) => Similarity.hardNegatives(Tables.embeddings(s, d))),
+    // contrastive training-set construction: near-dup pairs as positives,
+    // banded hard negatives per anchor
+    "q110_contrastive_pairs" -> ((s, d) => Similarity.contrastivePairs(Tables.embeddings(s, d))),
+    // embedding-quality eval: kNN majority-label accuracy per label over
+    // a balanced deterministic anchor sample
+    "q114_knn_label_eval" -> ((s, d) => Similarity.knnLabelEval(Tables.embeddings(s, d))),
+    // Johnson-Lindenstrauss health check: cosine distortion of the
+    // deterministic 32-dim random projection over a fixed vector sample
+    "q116_projection_distortion" -> ((s, d) =>
+      Similarity.projectionDistortion(Tables.embeddings(s, d))),
+    // projected ANN: candidates scored in the 32-dim projection
+    // (over-fetched 3x), exact re-rank, recall vs the exact top-k
+    "q117_projected_ann" -> ((s, d) =>
+      Similarity.projectedAnnRecall(Tables.embeddings(s, d))),
+    // nDCG@3 of the multi-probe LSH ANN vs the exact ranking (q63's
+    // order-sensitive complement)
+    "q130_ann_ndcg" -> ((s, d) => Similarity.annNdcg(Tables.embeddings(s, d))),
+    // label-centroid separation: intra-label cosine vs nearest other
+    // centroid, the is-the-labeling-coherent embedding diagnostic
+    "q146_label_separation" -> ((s, d) =>
+      Similarity.labelSeparation(Tables.embeddings(s, d))),
+    // product quantization + ADC serving: per-subspace L2 codebooks, m
+    // one-byte codes per vector, query-time precomputed dot tables rank a
+    // shortlist that exact float re-rank then cuts to top-k — recall@3 of
+    // that two-stage ranking vs the exact float truth
+    "q148_pq_ann" -> ((s, d) => Similarity.pqAnnRecall(Tables.embeddings(s, d))),
+    // IVF-PQ: the coarse quantizer prunes the scan to nProbe cells, PQ
+    // codes + broadcast ADC tables rank inside them, exact re-rank cuts
+    // the shortlist to top-k — the composed serving stack
+    "q149_ivf_pq_ann" -> ((s, d) => Similarity.ivfPqAnnRecall(Tables.embeddings(s, d))),
+    // top principal component of the embedding corpus via exact-integer
+    // power iteration over one-pass d^2 scatter moments, with the
+    // explained-variance ratio (the all-but-the-top diagnostic)
+    "q152_pc1_power" -> ((s, d) => Similarity.pc1Power(Tables.embeddings(s, d))),
+    // all-but-the-top outliers: top 10 docs by |PC1 projection| with
+    // residual energy fractions; rides the q152 session model cache
+    "q153_abtt_outliers" -> ((s, d) => Similarity.abttOutliers(Tables.embeddings(s, d))),
+    // embedding-distribution drift: per-dim mean shift between corpus
+    // halves + cosine of the mean vectors (the vector twin of q127)
+    "q159_embedding_drift" -> ((s, d) => Similarity.embeddingDrift(Tables.embeddings(s, d))),
+    // filtered ANN: label predicate pruned WITHIN the probed IVF cells of
+    // the full-corpus index (no per-predicate rebuild); may return < k
+    // matches at fixed nProbe — the stated filtered-search contract
+    "q168_filtered_ann" -> ((s, d) => Similarity.ivfFilteredTopK(Tables.embeddings(s, d))),
+    // greedy facility-location selection over the trained k-means
+    // coreset: corpus-proportional work is the Lloyd training + one
+    // weighting scan; candidates/weights/sims and the greedy are
+    // driver-bounded (k² state). Integer micro-unit gains, min-id ties
+    "q174_facility_location" -> ((s, d) =>
+      Similarity.facilityLocationSelect(Tables.embeddings(s, d))),
+    // Zhu-Ghahramani hard-clamp label propagation over the
+    // cell-restricted kNN graph: transductive recovery of md5-hidden
+    // labels, 2 synchronous plurality rounds, edge-proportional state
+    "q194_label_propagation" -> ((s, d) =>
+      Similarity.labelPropagation(Tables.embeddings(s, d))),
+    // reciprocal (mutual) kNN pairs over the q194 cell-restricted
+    // graph: the high-precision agreement filter, edge-proportional
+    "q207_mutual_knn" -> ((s, d) =>
+      Similarity.mutualNeighborPairs(Tables.embeddings(s, d))),
+    // DBSCAN core/border/noise profile at eps=0.2 cosine within the
+    // trained cells: the density go/no-go beside q70's centroids
+    "q208_dbscan_profile" -> ((s, d) =>
+      Similarity.dbscanProfile(Tables.embeddings(s, d))),
+    // simplified (centroid) silhouette per cluster: micro-quantized
+    // guarded s, best-other from a k-row broadcast argmax
+    "q209_silhouette" -> ((s, d) =>
+      Similarity.silhouetteProfile(Tables.embeddings(s, d))),
+    // ARI between two deterministic Lloyd seedings: exact pair-count
+    // combinatorics over the k x k contingency table
+    "q210_cluster_stability" -> ((s, d) =>
+      Similarity.clusterStability(Tables.embeddings(s, d))),
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "q29_cosine_topk" ->
+      CosineTopkSql,
+    "q30_lsh_ann" ->
+      // multi-probe: candidates within Hamming distance 1 of the query's
+      // bucket (the bit_count form is the set-equivalent of Spark's probe
+      // explosion + equi-join)
+      s"""WITH e AS (
+         |  SELECT vec_id, v, $BucketSql AS bucket FROM (
+         |    SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+         |  )
+         |),
+         |q AS (SELECT vec_id AS query_id, v AS qv, bucket AS qbucket FROM e WHERE vec_id < 5),
+         |scored AS (
+         |  SELECT query_id, e.vec_id AS neighbor_id, round(${cosSql("qv", "v")}, 6) AS cos
+         |  FROM e JOIN q ON bit_count(xor(e.bucket, q.qbucket)) <= 1 AND e.vec_id <> q.query_id
+         |),
+         |ranked AS (
+         |  SELECT query_id, neighbor_id, cos,
+         |    CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS INT) AS rnk
+         |  FROM scored
+         |)
+         |SELECT query_id, neighbor_id, cos, rnk FROM ranked WHERE rnk <= 3
+         |ORDER BY query_id, rnk""".stripMargin,
+    "q55_ivf_ann" ->
+      // replicate the deterministic IVF exactly: md5-coreset centroids,
+      // argmin assignment with (rounded -cos, cid) tie-break, 2-probe
+      // query cells, exact top-3 within the probed cells
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |cent AS (
+         |  SELECT vec_id AS cid, v AS cv FROM e
+         |  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16
+         |),
+         |assigned AS (
+         |  SELECT vec_id, v, cid FROM (
+         |    SELECT e.vec_id, e.v, c.cid,
+         |      row_number() OVER (PARTITION BY e.vec_id
+         |        ORDER BY round(-(${cosSql("e.v", "c.cv")}), 6), c.cid) AS rn
+         |    FROM e CROSS JOIN cent c
+         |  ) WHERE rn = 1
+         |),
+         |probes AS (
+         |  SELECT query_id, qv, cid FROM (
+         |    SELECT q.vec_id AS query_id, q.v AS qv, c.cid,
+         |      row_number() OVER (PARTITION BY q.vec_id
+         |        ORDER BY round(-(${cosSql("q.v", "c.cv")}), 6), c.cid) AS rn
+         |    FROM e q CROSS JOIN cent c WHERE q.vec_id < 5
+         |  ) WHERE rn <= 2
+         |),
+         |scored AS (
+         |  SELECT p.query_id, a.vec_id AS neighbor_id,
+         |    round(${cosSql("p.qv", "a.v")}, 6) AS cos
+         |  FROM probes p JOIN assigned a ON a.cid = p.cid AND a.vec_id <> p.query_id
+         |),
+         |ranked AS (
+         |  SELECT query_id, neighbor_id, cos,
+         |    CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS INT) AS rnk
+         |  FROM scored
+         |)
+         |SELECT query_id, neighbor_id, cos, rnk FROM ranked WHERE rnk <= 3
+         |ORDER BY query_id, rnk""".stripMargin,
+    "q31_label_cohesion" ->
+      // fixed-size sample: the 16 rows per label with the smallest
+      // md5(vec_id) — same deterministic rule as Similarity.labelCohesion
+      // (the Spark side's salted two-stage rank selects the identical set)
+      s"""WITH ranked AS (
+         |  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v,
+         |    row_number() OVER (PARTITION BY label
+         |      ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rn
+         |  FROM embeddings
+         |),
+         |s AS (SELECT vec_id, label, v FROM ranked WHERE rn <= 16)
+         |SELECT a.label = b.label AS same_label,
+         | round(avg(${cosSql("a.v", "b.v")}), 6) AS avg_cos,
+         | count(*) AS n_pairs
+         |FROM s a JOIN s b ON a.vec_id < b.vec_id
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q37_cosine_topk_native" -> CosineTopkSql, // native expression, same oracle,
+    "q48_embedding_neardup" -> {
+      // replicate the multi-table bucketing: a pair is a candidate iff it
+      // shares a bucket in ANY table; then the exact cosine filter — the
+      // all-pairs OR-join is fine at oracle scale, while Spark runs the
+      // bucket equi-join
+      val buckets = (0 until Similarity.NeardupTables)
+        .map(t => s"${neardupBucketSql(t)} AS bk$t").mkString(",\n   ")
+      val anyTable = (0 until Similarity.NeardupTables)
+        .map(t => s"a.bk$t = b.bk$t").mkString(" OR ")
+      s"""WITH e AS (
+         |  SELECT vec_id, v,
+         |   $buckets
+         |  FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+         |)
+         |SELECT a.vec_id AS id1, b.vec_id AS id2,
+         | round(${cosSql("a.v", "b.v")}, 6) AS cos
+         |FROM e a JOIN e b ON a.vec_id < b.vec_id AND ($anyTable)
+         |WHERE round(${cosSql("a.v", "b.v")}, 6) >= 0.45
+         |ORDER BY id1, id2""".stripMargin
+    },
+    "q63_ann_recall" ->
+      // truth = exact top-3; approx = the q30 multi-probe LSH bucketing
+      // replica; recall = hits per query over a left join from truth
+      s"""WITH e AS (
+         |  SELECT vec_id, v, $BucketSql AS bucket FROM (
+         |    SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+         |  )
+         |),
+         |q AS (SELECT vec_id AS query_id, v AS qv, bucket AS qbucket FROM e WHERE vec_id < 5),
+         |truth AS (
+         |  SELECT query_id, neighbor_id FROM (
+         |    SELECT query_id, e.vec_id AS neighbor_id,
+         |      row_number() OVER (PARTITION BY query_id
+         |        ORDER BY round(${cosSql("qv", "v")}, 6) DESC, e.vec_id) AS rnk
+         |    FROM e, q WHERE e.vec_id <> q.query_id
+         |  ) WHERE rnk <= 3
+         |),
+         |approx AS (
+         |  SELECT query_id, neighbor_id FROM (
+         |    SELECT query_id, e.vec_id AS neighbor_id,
+         |      row_number() OVER (PARTITION BY query_id
+         |        ORDER BY round(${cosSql("qv", "v")}, 6) DESC, e.vec_id) AS rnk
+         |    FROM e JOIN q ON bit_count(xor(e.bucket, q.qbucket)) <= 1 AND e.vec_id <> q.query_id
+         |  ) WHERE rnk <= 3
+         |)
+         |SELECT t.query_id, count(a.neighbor_id) AS n_hit,
+         | round(count(a.neighbor_id) / 3.0, 6) AS recall
+         |FROM truth t
+         |LEFT JOIN approx a
+         |  ON t.query_id = a.query_id AND t.neighbor_id = a.neighbor_id
+         |GROUP BY t.query_id ORDER BY t.query_id""".stripMargin,
+    "q70_kmeans_clusters" -> KmeansSql,
+    "q85_embedding_health" ->
+      """WITH e AS (
+        |  SELECT CAST(len(embedding) AS BIGINT) AS dim,
+        |    sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x))) AS nrm,
+        |    len(list_filter(CAST(embedding AS DOUBLE[]), x -> isnan(x))) > 0 AS has_nan,
+        |    len(list_filter(embedding, x -> x IS NULL)) > 0 AS has_null
+        |  FROM embeddings
+        |)
+        |SELECT dim, count(*) AS n_vectors,
+        | CAST(sum(CASE WHEN nrm = 0.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero_norm,
+        | CAST(sum(CASE WHEN has_nan THEN 1 ELSE 0 END) AS BIGINT) AS n_with_nan,
+        | CAST(sum(CASE WHEN has_null THEN 1 ELSE 0 END) AS BIGINT) AS n_with_null,
+        | round(min(nrm), 4) AS min_norm,
+        | round(avg(nrm), 4) AS avg_norm,
+        | round(max(nrm), 4) AS max_norm
+        |FROM e GROUP BY dim ORDER BY dim""".stripMargin,
+    "q91_quantized_ann" ->
+      // same trunc(x*127/max|x|) grid; quantized cosine is exact integer
+      // arithmetic under the double formula, so scores match bit-for-bit
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |qe AS (
+         |  SELECT vec_id,
+         |    CASE WHEN m > 0 THEN list_transform(v, x -> trunc(x * 127.0 / m))
+         |         ELSE list_transform(v, x -> 0.0) END AS qv
+         |  FROM (SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) AS m FROM e)
+         |),
+         |q AS (SELECT vec_id AS query_id, v AS tqv FROM e WHERE vec_id < 5),
+         |aq AS (SELECT vec_id AS query_id, qv AS qqv FROM qe WHERE vec_id < 5),
+         |truth AS (
+         |  SELECT query_id, neighbor_id FROM (
+         |    SELECT query_id, e.vec_id AS neighbor_id,
+         |      row_number() OVER (PARTITION BY query_id
+         |        ORDER BY round(${cosSql("tqv", "v")}, 6) DESC, e.vec_id) AS rnk
+         |    FROM e, q WHERE e.vec_id <> q.query_id
+         |  ) WHERE rnk <= 3
+         |),
+         |approx AS (
+         |  SELECT query_id, neighbor_id FROM (
+         |    SELECT query_id, qe.vec_id AS neighbor_id,
+         |      row_number() OVER (PARTITION BY query_id
+         |        ORDER BY round(${cosSql("qqv", "qv")}, 6) DESC, qe.vec_id) AS rnk
+         |    FROM qe, aq WHERE qe.vec_id <> aq.query_id
+         |  ) WHERE rnk <= 3
+         |)
+         |SELECT t.query_id, count(a.neighbor_id) AS n_hit,
+         | round(count(a.neighbor_id) / 3.0, 6) AS recall
+         |FROM truth t
+         |LEFT JOIN approx a
+         |  ON t.query_id = a.query_id AND t.neighbor_id = a.neighbor_id
+         |GROUP BY t.query_id ORDER BY t.query_id""".stripMargin,
+    "q95_incremental_embedding" -> {
+      // new-vs-old restricted multi-table bucket join, exact cosine at
+      // 0.45 — q48's oracle with the ingest boundary at vec_id 200
+      val buckets = (0 until Similarity.NeardupTables)
+        .map(t => s"${neardupBucketSql(t)} AS bk$t").mkString(",\n   ")
+      val anyTable = (0 until Similarity.NeardupTables)
+        .map(t => s"a.bk$t = b.bk$t").mkString(" OR ")
+      s"""WITH e AS (
+         |  SELECT vec_id, v,
+         |   $buckets
+         |  FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+         |)
+         |SELECT a.vec_id AS new_id, b.vec_id AS old_id,
+         | round(${cosSql("a.v", "b.v")}, 6) AS cos
+         |FROM e a JOIN e b ON a.vec_id < 200 AND b.vec_id >= 200 AND ($anyTable)
+         |WHERE round(${cosSql("a.v", "b.v")}, 6) >= 0.45
+         |ORDER BY new_id, old_id""".stripMargin
+    },
+    "q100_semantic_dedup" -> SemDedupSql,
+    "q103_hard_negatives" ->
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |a AS (SELECT vec_id AS anchor_id, v AS av FROM e WHERE vec_id < 5),
+         |s AS (
+         |  SELECT anchor_id, e.vec_id AS neighbor_id,
+         |    round(${cosSql("av", "e.v")}, 6) AS cos
+         |  FROM e CROSS JOIN a WHERE e.vec_id <> a.anchor_id
+         |),
+         |r AS (
+         |  SELECT anchor_id, neighbor_id, cos,
+         |    CAST(row_number() OVER (PARTITION BY anchor_id
+         |      ORDER BY cos DESC, neighbor_id) AS INT) AS rnk
+         |  FROM s WHERE cos >= 0.2 AND cos < 0.45
+         |)
+         |SELECT anchor_id, neighbor_id, cos, rnk FROM r WHERE rnk <= 5
+         |ORDER BY anchor_id, rnk""".stripMargin,
+    "q110_contrastive_pairs" -> {
+      // positives replicate q48's bucketed candidate generation (the pair
+      // set IS the algorithm's output); negatives replicate q103's banded
+      // per-anchor ranking over the positive-anchor set
+      val buckets = (0 until Similarity.NeardupTables)
+        .map(t => s"${neardupBucketSql(t)} AS bk$t").mkString(",\n   ")
+      val anyTable = (0 until Similarity.NeardupTables)
+        .map(t => s"a.bk$t = b.bk$t").mkString(" OR ")
+      s"""WITH e AS (
+         |  SELECT vec_id, v,
+         |   $buckets
+         |  FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+         |),
+         |p0 AS (
+         |  SELECT a.vec_id AS id1, b.vec_id AS id2,
+         |   round(${cosSql("a.v", "b.v")}, 6) AS cos
+         |  FROM e a JOIN e b ON a.vec_id < b.vec_id AND ($anyTable)
+         |  WHERE round(${cosSql("a.v", "b.v")}, 6) >= 0.45
+         |),
+         |pos AS (
+         |  SELECT id1 AS anchor_id, id2 AS other_id, 1 AS label, cos FROM p0
+         |  UNION ALL
+         |  SELECT id2, id1, 1, cos FROM p0
+         |),
+         |av AS (
+         |  SELECT anchor_id, v AS av FROM (SELECT DISTINCT anchor_id FROM pos)
+         |  JOIN e ON anchor_id = vec_id
+         |),
+         |n0 AS (
+         |  SELECT anchor_id, e.vec_id AS other_id,
+         |    round(${cosSql("av", "e.v")}, 6) AS cos
+         |  FROM e CROSS JOIN av WHERE e.vec_id <> anchor_id
+         |),
+         |nr AS (
+         |  SELECT anchor_id, other_id, cos,
+         |    row_number() OVER (PARTITION BY anchor_id
+         |      ORDER BY cos DESC, other_id) AS rnk
+         |  FROM n0 WHERE cos >= 0.2 AND cos < 0.45
+         |),
+         |neg AS (SELECT anchor_id, other_id, 0 AS label, cos FROM nr WHERE rnk <= 5)
+         |SELECT anchor_id, other_id, label, cos
+         |FROM (SELECT * FROM pos UNION ALL SELECT * FROM neg)
+         |ORDER BY anchor_id, label DESC, cos DESC, other_id""".stripMargin
+    },
+    "q114_knn_label_eval" ->
+      s"""WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |a AS (
+         |  SELECT vec_id AS anchor_id, label AS true_label, v AS av FROM (
+         |    SELECT vec_id, label, v,
+         |      row_number() OVER (PARTITION BY label
+         |        ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rn
+         |    FROM e
+         |  ) WHERE rn <= 8
+         |),
+         |s AS (
+         |  SELECT anchor_id, true_label, e.vec_id AS neighbor_id, e.label AS nb_label,
+         |    round(${cosSql("av", "e.v")}, 6) AS cos
+         |  FROM e CROSS JOIN a WHERE e.vec_id <> a.anchor_id
+         |),
+         |nn AS (
+         |  SELECT anchor_id, true_label, nb_label FROM (
+         |    SELECT anchor_id, true_label, nb_label,
+         |      row_number() OVER (PARTITION BY anchor_id
+         |        ORDER BY cos DESC, neighbor_id) AS rnk
+         |    FROM s
+         |  ) WHERE rnk <= 5
+         |),
+         |votes AS (
+         |  SELECT anchor_id, true_label, nb_label, count(*) AS c
+         |  FROM nn GROUP BY 1, 2, 3
+         |),
+         |pred AS (
+         |  SELECT anchor_id, true_label, nb_label FROM (
+         |    SELECT anchor_id, true_label, nb_label,
+         |      row_number() OVER (PARTITION BY anchor_id
+         |        ORDER BY c DESC, nb_label) AS vr
+         |    FROM votes
+         |  ) WHERE vr = 1
+         |)
+         |SELECT true_label AS label, count(*) AS n_anchors,
+         | CAST(sum(CASE WHEN nb_label = true_label THEN 1 ELSE 0 END) AS BIGINT) AS n_correct,
+         | round(sum(CASE WHEN nb_label = true_label THEN 1 ELSE 0 END) * 1.0 / count(*), 4)
+         |   AS accuracy
+         |FROM pred GROUP BY true_label ORDER BY label""".stripMargin,
+    "q116_projection_distortion" -> {
+      // multiplicative-mix projection coefficients, matching
+      // Similarity.projCoef exactly
+      val projExprs = (0 until Similarity.ProjDims).map { j =>
+        s"""list_sum(list_transform(generate_series(1, len(v)),
+           |   i -> v[i] * ((((i + 17) * ${(j + 1).toLong * 104729L} + ${j * 7919L}) % 2001 - 1000) / 1000.0)))""".stripMargin
+      }.mkString(",\n    ")
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |s AS (
+         |  SELECT vec_id, v,
+         |    row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rn
+         |  FROM e
+         |),
+         |sp AS (
+         |  SELECT vec_id, v,
+         |    [$projExprs] AS p
+         |  FROM s WHERE rn <= 32
+         |),
+         |pairs AS (
+         |  SELECT round(${cosSql("a.v", "b.v")}, 6) AS cos,
+         |    round(${cosSql("a.p", "b.p")}, 6) AS pcos
+         |  FROM sp a JOIN sp b ON a.vec_id < b.vec_id
+         |),
+         |d AS (SELECT CAST(round(abs(cos - pcos) * 1e6, 0) AS BIGINT) AS d6 FROM pairs)
+         |SELECT count(*) AS n_pairs,
+         | round(sum(d6) * 1.0 / count(*) / 1e6, 4) AS avg_abs_err,
+         | round(max(d6) / 1e6, 4) AS max_abs_err
+         |FROM d""".stripMargin
+    },
+    "q117_projected_ann" -> {
+      val projExprs = (0 until Similarity.ProjDims).map { j =>
+        s"""list_sum(list_transform(generate_series(1, len(v)),
+           |   i -> v[i] * ((((i + 17) * ${(j + 1).toLong * 104729L} + ${j * 7919L}) % 2001 - 1000) / 1000.0)))""".stripMargin
+      }.mkString(",\n    ")
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |pe AS (
+         |  SELECT vec_id, v,
+         |    [$projExprs] AS pv
+         |  FROM e
+         |),
+         |q AS (SELECT vec_id AS query_id, v AS qv, pv AS qpv FROM pe WHERE vec_id < 5),
+         |truth AS (
+         |  SELECT query_id, neighbor_id FROM (
+         |    SELECT query_id, e.vec_id AS neighbor_id,
+         |      row_number() OVER (PARTITION BY query_id
+         |        ORDER BY round(${cosSql("qv", "v")}, 6) DESC, e.vec_id) AS rnk
+         |    FROM e, q WHERE e.vec_id <> q.query_id
+         |  ) WHERE rnk <= 3
+         |),
+         |cand AS (
+         |  SELECT query_id, neighbor_id, qv, v FROM (
+         |    SELECT query_id, pe.vec_id AS neighbor_id, qv, v,
+         |      row_number() OVER (PARTITION BY query_id
+         |        ORDER BY round(${cosSql("qpv", "pv")}, 6) DESC, pe.vec_id) AS crnk
+         |    FROM pe, q WHERE pe.vec_id <> q.query_id
+         |  ) WHERE crnk <= 9
+         |),
+         |approx AS (
+         |  SELECT query_id, neighbor_id FROM (
+         |    SELECT query_id, neighbor_id,
+         |      row_number() OVER (PARTITION BY query_id
+         |        ORDER BY round(${cosSql("qv", "v")}, 6) DESC, neighbor_id) AS rnk
+         |    FROM cand
+         |  ) WHERE rnk <= 3
+         |)
+         |SELECT t.query_id, count(a.neighbor_id) AS n_hit,
+         | round(count(a.neighbor_id) / 3.0, 6) AS recall
+         |FROM truth t
+         |LEFT JOIN approx a
+         |  ON t.query_id = a.query_id AND t.neighbor_id = a.neighbor_id
+         |GROUP BY t.query_id ORDER BY t.query_id""".stripMargin
+    },
+    "q130_ann_ndcg" ->
+      // the idcg denominator is the SAME integer literal the Spark plan
+      // embeds (Similarity.ndcgIdcgMicro), so the score is a ratio of
+      // engine-exact integers
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |eb AS (SELECT vec_id, v, $BucketSql AS bucket FROM e),
+         |q AS (SELECT vec_id AS query_id, v AS qv, bucket AS qbucket FROM eb WHERE vec_id < 5),
+         |ascored AS (
+         |  SELECT query_id, eb.vec_id AS neighbor_id, round(${cosSql("qv", "eb.v")}, 6) AS cos
+         |  FROM eb JOIN q ON bit_count(xor(eb.bucket, q.qbucket)) <= 1 AND eb.vec_id <> q.query_id
+         |),
+         |approx AS (
+         |  SELECT query_id, neighbor_id, rnk FROM (
+         |    SELECT query_id, neighbor_id,
+         |      CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS INT) AS rnk
+         |    FROM ascored
+         |  ) WHERE rnk <= 3
+         |),
+         |q2 AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 5),
+         |tscored AS (
+         |  SELECT query_id, e.vec_id AS neighbor_id, round(${cosSql("qv", "e.v")}, 6) AS cos
+         |  FROM e, q2 WHERE e.vec_id <> q2.query_id
+         |),
+         |truth AS (
+         |  SELECT query_id, neighbor_id, rnk FROM (
+         |    SELECT query_id, neighbor_id,
+         |      CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS INT) AS rnk
+         |    FROM tscored
+         |  ) WHERE rnk <= 5
+         |),
+         |graded AS (
+         |  SELECT a.query_id, a.rnk, coalesce(6 - t.rnk, 0) AS rel
+         |  FROM approx a LEFT JOIN truth t
+         |    ON t.query_id = a.query_id AND t.neighbor_id = a.neighbor_id
+         |),
+         |dcg AS (
+         |  SELECT query_id,
+         |    CAST(sum(CAST(round(rel / log2(rnk + 1) * 1e6) AS BIGINT)) AS BIGINT) AS dcg_micro
+         |  FROM graded GROUP BY 1
+         |)
+         |SELECT query_id, dcg_micro,
+         | round(dcg_micro / ${graft.operators.Similarity.ndcgIdcgMicro(3, 5)}.0, 4) AS ndcg
+         |FROM dcg ORDER BY query_id""".stripMargin,
+    "q146_label_separation" ->
+      // per-label centroid = per-dimension rounded mean (the q70 Lloyd
+      // update form); intra = mean member cosine to own centroid, inter =
+      // max cosine to any OTHER centroid, margin = intra - inter
+      s"""WITH e AS (
+         |  SELECT vec_id, CAST(label AS BIGINT) AS label,
+         |    CAST(embedding AS DOUBLE[]) AS v
+         |  FROM embeddings
+         |),
+         |c AS (
+         |  SELECT label, list(m ORDER BY i) AS cv, any_value(cnt) AS n FROM (
+         |    SELECT label, i, round(avg(x), 6) AS m, CAST(count(*) AS BIGINT) AS cnt
+         |    FROM (
+         |      SELECT label, unnest(generate_series(1, len(v))) AS i, unnest(v) AS x
+         |      FROM e
+         |    ) GROUP BY label, i
+         |  ) GROUP BY label
+         |),
+         |intra AS (
+         |  SELECT e.label, round(avg(round(${cosSql("e.v", "c.cv")}, 6)), 6) AS intra_mean
+         |  FROM e JOIN c USING (label) GROUP BY e.label
+         |),
+         |inter AS (
+         |  SELECT a.label, max(round(${cosSql("a.cv", "b.cv")}, 6)) AS inter_max
+         |  FROM c a JOIN c b ON a.label <> b.label GROUP BY a.label
+         |)
+         |SELECT c.label, c.n AS n_vecs, intra.intra_mean, inter.inter_max,
+         | round(intra.intra_mean - inter.inter_max, 6) AS margin
+         |FROM c JOIN intra USING (label) JOIN inter USING (label)
+         |ORDER BY label""".stripMargin,
+    "q148_pq_ann" -> PqSql,
+    "q149_ivf_pq_ann" -> IvfPqSql,
+    "q152_pc1_power" ->
+      s"""WITH $AbttCteBody,
+         |es2 AS (SELECT CAST(sum(tm * tm) AS BIGINT) AS s2 FROM etm)
+         |SELECT CAST(v.i AS BIGINT) AS dim,
+         |  round(CAST(v.vm AS DOUBLE) / 1000000.0, 6) AS loading,
+         |  round(CAST(es2.s2 AS DOUBLE) * 1e12 / evn2.nv / etr.trace, 6) AS explained_ratio
+         |FROM evs v, es2, evn2, etr
+         |ORDER BY dim""".stripMargin,
+    "q153_abtt_outliers" ->
+      s"""WITH $AbttCteBody
+         |SELECT t.vec_id, e.label,
+         |  round(CAST(t.tm AS DOUBLE) / sqrt(CAST(evn2.nv AS DOUBLE)), 6) AS proj,
+         |  round(greatest(0.0, 1.0 - CAST(t.tm * t.tm AS DOUBLE) * 1e12 / evn2.nv / t.cd2), 6) AS resid_frac,
+         |  CAST(row_number() OVER (ORDER BY abs(t.tm) DESC, t.vec_id) AS INT) AS rnk
+         |FROM etm t JOIN embeddings e USING (vec_id), evn2
+         |ORDER BY rnk LIMIT 10""".stripMargin,
+    "q159_embedding_drift" ->
+      // per-element 1e-6 quantization, exact BIGINT sums per (half, dim),
+      // micro-unit means rounded once, one double division in the cosine
+      """WITH m AS (SELECT (max(vec_id) + 1) // 2 AS half FROM embeddings),
+        |c AS (
+        |  SELECT CASE WHEN e.vec_id < m.half THEN 0 ELSE 1 END AS grp, i AS dim,
+        |    CAST(round(CAST(e.embedding[i + 1] AS DOUBLE) * 1000000.0, 0) AS BIGINT) AS x6
+        |  FROM embeddings e, m, LATERAL (SELECT unnest(range(0, 64)) AS i) li
+        |),
+        |g AS (SELECT grp, dim, CAST(sum(x6) AS BIGINT) AS s6, count(*) AS n
+        |      FROM c GROUP BY 1, 2),
+        |mm AS (SELECT dim,
+        |  max(CASE WHEN grp = 0 THEN CAST(round(CAST(s6 AS DOUBLE) / n, 0) AS BIGINT) END) AS mean_a6,
+        |  max(CASE WHEN grp = 1 THEN CAST(round(CAST(s6 AS DOUBLE) / n, 0) AS BIGINT) END) AS mean_b6
+        |  FROM g GROUP BY 1),
+        |d AS (SELECT CAST(sum(mean_a6 * mean_b6) AS BIGINT) AS ab,
+        |  CAST(sum(mean_a6 * mean_a6) AS BIGINT) AS aa,
+        |  CAST(sum(mean_b6 * mean_b6) AS BIGINT) AS bb FROM mm)
+        |SELECT mm.dim, mm.mean_a6, mm.mean_b6,
+        |  mm.mean_a6 - mm.mean_b6 AS shift6,
+        |  round(ab / (sqrt(CAST(aa AS DOUBLE)) * sqrt(CAST(bb AS DOUBLE))), 6) AS mean_cos
+        |FROM mm, d
+        |ORDER BY abs(mm.mean_a6 - mm.mean_b6) DESC, mm.dim
+        |LIMIT 8""".stripMargin,
+    "q168_filtered_ann" ->
+      // q55's IVF replica with the label predicate applied inside the
+      // probed cells (centroids/assignment from the FULL corpus — the
+      // index is shared across predicates)
+      s"""WITH e AS (
+         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, label FROM embeddings
+         |),
+         |cent AS (
+         |  SELECT vec_id AS cid, v AS cv FROM e
+         |  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16
+         |),
+         |assigned AS (
+         |  SELECT vec_id, v, label, cid FROM (
+         |    SELECT e.vec_id, e.v, e.label, c.cid,
+         |      row_number() OVER (PARTITION BY e.vec_id
+         |        ORDER BY round(-(${cosSql("e.v", "c.cv")}), 6), c.cid) AS rn
+         |    FROM e CROSS JOIN cent c
+         |  ) WHERE rn = 1
+         |),
+         |probes AS (
+         |  SELECT query_id, qv, cid FROM (
+         |    SELECT q.vec_id AS query_id, q.v AS qv, c.cid,
+         |      row_number() OVER (PARTITION BY q.vec_id
+         |        ORDER BY round(-(${cosSql("q.v", "c.cv")}), 6), c.cid) AS rn
+         |    FROM e q CROSS JOIN cent c WHERE q.vec_id < 5
+         |  ) WHERE rn <= 2
+         |),
+         |scored AS (
+         |  SELECT p.query_id, a.vec_id AS neighbor_id,
+         |    round(${cosSql("p.qv", "a.v")}, 6) AS cos
+         |  FROM probes p JOIN assigned a ON a.cid = p.cid AND a.vec_id <> p.query_id
+         |  WHERE a.label = 3
+         |),
+         |ranked AS (
+         |  SELECT query_id, neighbor_id, cos,
+         |    CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS INT) AS rnk
+         |  FROM scored
+         |)
+         |SELECT query_id, neighbor_id, cos, rnk FROM ranked WHERE rnk <= 3
+         |ORDER BY query_id, rnk""".stripMargin,
+    "q174_facility_location" -> {
+      // q70's trained assignment (shared CTEs), then the 5-round greedy
+      // facility-location UNROLLED (the KmeansSql technique): each round
+      // computes every remaining candidate's exact integer marginal gain
+      // Σ_cells n_c · max(sm − best_c, 0), takes the (gm DESC, cand)
+      // head, and folds the winner into the per-cell covered level.
+      // Every sum-derived column BIGINT-cast (the dtype audit class)
+      def rnd(i: Int): String =
+        s"""g$i AS (
+           |  SELECT s.cb AS cand,
+           |    CAST(sum(cc.n * greatest(s.sm - b.bm, 0)) AS BIGINT) AS gm
+           |  FROM sm s JOIN b${i - 1} b ON s.ca = b.cid JOIN cc ON cc.cid = s.ca
+           |  WHERE s.cb NOT IN (SELECT cid FROM sel${i - 1})
+           |  GROUP BY s.cb
+           |),
+           |s$i AS MATERIALIZED (
+           |  SELECT cand AS cid, gm FROM g$i ORDER BY gm DESC, cand LIMIT 1
+           |),
+           |sel$i AS (SELECT cid FROM sel${i - 1} UNION ALL SELECT cid FROM s$i),
+           |b$i AS MATERIALIZED (
+           |  SELECT b.cid, greatest(b.bm, sm.sm) AS bm
+           |  FROM b${i - 1} b JOIN sm ON sm.ca = b.cid JOIN s$i ON sm.cb = s$i.cid
+           |)""".stripMargin
+      s"""$KmeansAssignCtes,
+         |cw AS (SELECT cid, count(*) AS n FROM af GROUP BY cid),
+         |cc AS (
+         |  SELECT c.cid, coalesce(cw.n, CAST(0 AS BIGINT)) AS n
+         |  FROM cent2 c LEFT JOIN cw USING (cid)
+         |),
+         |sm AS MATERIALIZED (
+         |  SELECT a.cid AS ca, b.cid AS cb,
+         |    CAST(round((${cosSql("a.cv", "b.cv")}) * 1000000, 0) AS BIGINT)
+         |      + 1000000 AS sm
+         |  FROM cent2 a CROSS JOIN cent2 b
+         |),
+         |b0 AS (SELECT cid, CAST(0 AS BIGINT) AS bm FROM cent2),
+         |sel0 AS (SELECT CAST(NULL AS BIGINT) AS cid WHERE 1 = 0),
+         |${(1 to 5).map(rnd).mkString(",\n")}
+         |SELECT round, cid, gain_micro,
+         |  CAST(sum(gain_micro) OVER (ORDER BY round) AS BIGINT) AS coverage_micro
+         |FROM (
+         |${(1 to 5).map(i => s"  SELECT $i AS round, cid, gm AS gain_micro FROM s$i")
+            .mkString("\n  UNION ALL\n")}
+         |)
+         |ORDER BY round""".stripMargin
+    },
+    "q194_label_propagation" -> {
+      // synchronous plurality round over the frozen kNN frame: hidden
+      // nodes re-derive from the PREVIOUS round's labels, visible nodes
+      // hard-clamp; plurality ties break (count DESC, label ASC)
+      def prop(prev: String, idx: Int) =
+        s"""lp$idx AS MATERIALIZED (
+           |  SELECT l.vec_id, l.y, l.hidden,
+           |    CASE WHEN NOT l.hidden THEN l.y ELSE maj.m END AS cur
+           |  FROM lbl l LEFT JOIN (
+           |    SELECT id AS vec_id, m FROM (
+           |      SELECT k.id, n.cur AS m, count(*) AS c,
+           |        row_number() OVER (PARTITION BY k.id
+           |          ORDER BY count(*) DESC, n.cur) AS rn
+           |      FROM knn k JOIN $prev n ON n.vec_id = k.nb
+           |      WHERE n.cur IS NOT NULL GROUP BY k.id, n.cur
+           |    ) WHERE rn = 1
+           |  ) maj ON maj.vec_id = l.vec_id
+           |)""".stripMargin
+      s"""$KmeansAssignCtes,
+         |lbl AS (
+         |  SELECT vec_id, CAST(label AS BIGINT) AS y,
+         |    ${posSql("md5(CAST(vec_id AS VARCHAR))", 0, 2)} = 1 AS hidden
+         |  FROM embeddings
+         |),
+         |pairs AS (
+         |  SELECT x.vec_id AS id, y2.vec_id AS nb,
+         |    round(${cosSql("x.v", "y2.v")}, 6) AS cos
+         |  FROM af x JOIN af y2 ON x.cid = y2.cid AND x.vec_id <> y2.vec_id
+         |),
+         |knn AS MATERIALIZED (
+         |  SELECT id, nb FROM (
+         |    SELECT id, nb, row_number() OVER (PARTITION BY id
+         |      ORDER BY -cos, nb) AS rn
+         |    FROM pairs
+         |  ) WHERE rn <= 5
+         |),
+         |lp0 AS (
+         |  SELECT vec_id, y, hidden,
+         |    CASE WHEN hidden THEN NULL ELSE y END AS cur
+         |  FROM lbl
+         |),
+         |${prop("lp0", 1)},
+         |${prop("lp1", 2)}
+         |SELECT y AS label, count(*) AS n_hidden,
+         | CAST(sum(CASE WHEN cur IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_recovered,
+         | CAST(sum(CASE WHEN cur = y THEN 1 ELSE 0 END) AS BIGINT) AS n_correct,
+         | round(sum(CASE WHEN cur = y THEN 1 ELSE 0 END) * 1.0 / count(*), 4) AS accuracy
+         |FROM lp2 WHERE hidden GROUP BY y ORDER BY y""".stripMargin
+    },
+    "q207_mutual_knn" ->
+      // q194's knn chain with cos kept; mutuality = the (a,b) identity
+      // present in BOTH directions of the edge frame
+      s"""$KmeansAssignCtes,
+         |pairs AS (
+         |  SELECT x.vec_id AS id, y2.vec_id AS nb,
+         |    round(${cosSql("x.v", "y2.v")}, 6) AS cos
+         |  FROM af x JOIN af y2 ON x.cid = y2.cid AND x.vec_id <> y2.vec_id
+         |),
+         |knn AS MATERIALIZED (
+         |  SELECT id, nb, cos FROM (
+         |    SELECT id, nb, cos, row_number() OVER (PARTITION BY id
+         |      ORDER BY -cos, nb) AS rn
+         |    FROM pairs
+         |  ) WHERE rn <= 5
+         |),
+         |lo AS (SELECT id AS a, nb AS b, cos FROM knn WHERE id < nb),
+         |hi AS (SELECT nb AS a, id AS b FROM knn WHERE id > nb)
+         |SELECT lo.a AS id1, lo.b AS id2, lo.cos AS cos
+         |FROM lo JOIN hi USING (a, b)
+         |ORDER BY id1, id2""".stripMargin,
+    "q208_dbscan_profile" ->
+      // cell-restricted eps-neighborhoods (the stated grid-DBSCAN
+      // approximation), exact counts on the rounded-cosine grid
+      s"""$KmeansAssignCtes,
+         |ne AS (
+         |  SELECT x.vec_id AS id, y2.vec_id AS nb
+         |  FROM af x JOIN af y2 ON x.cid = y2.cid AND x.vec_id <> y2.vec_id
+         |  WHERE round(${cosSql("x.v", "y2.v")}, 6) >= 0.2
+         |),
+         |cnt AS (SELECT id, count(*) AS n_eps FROM ne GROUP BY 1),
+         |cl AS (
+         |  SELECT e.vec_id, CAST(e.label AS BIGINT) AS label,
+         |    coalesce(cnt.n_eps, 0) >= 4 AS is_core
+         |  FROM embeddings e LEFT JOIN cnt ON cnt.id = e.vec_id
+         |),
+         |bor AS (
+         |  SELECT DISTINCT ne.id AS vec_id
+         |  FROM ne JOIN cl c2 ON c2.vec_id = ne.nb AND c2.is_core
+         |)
+         |SELECT label,
+         | CASE WHEN is_core THEN 'core'
+         |   WHEN bor.vec_id IS NOT NULL THEN 'border'
+         |   ELSE 'noise' END AS role,
+         | count(*) AS n_vecs
+         |FROM cl LEFT JOIN bor USING (vec_id)
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q209_silhouette" ->
+      // af/cent2 from the shared Lloyd chain; best-other = max rounded
+      // cos to a DIFFERENT centroid; guarded micro-quantized s
+      s"""$KmeansAssignCtes,
+         |oc AS (
+         |  SELECT a.vec_id, max(round(${cosSql("a.v", "c.cv")}, 6)) AS best_other
+         |  FROM af a JOIN cent2 c ON c.cid <> a.cid
+         |  GROUP BY 1
+         |),
+         |sv AS (
+         |  SELECT af.cid,
+         |    CASE WHEN greatest(1.0 - af.cos, 1.0 - oc.best_other) > 0
+         |      THEN CAST(round(((af.cos - oc.best_other) /
+         |        greatest(1.0 - af.cos, 1.0 - oc.best_other)) * 1e6, 0) AS BIGINT)
+         |      ELSE CAST(0 AS BIGINT) END AS sm
+         |  FROM af JOIN oc USING (vec_id)
+         |)
+         |SELECT cid, count(*) AS n_members,
+         | round(CAST(sum(sm) AS BIGINT) * 1.0 / count(*) / 1e6, 6) AS mean_silhouette,
+         | CAST(sum(CASE WHEN sm > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_positive
+         |FROM sv GROUP BY cid ORDER BY cid""".stripMargin,
+    "q210_cluster_stability" -> {
+      // second Lloyd chain over the SAME e corpus, seeded by the salted
+      // md5 order; ARI from exact pair-count sums
+      def assignB(cents: String) =
+        s"""SELECT vec_id, v, cid, cos FROM (
+           |  SELECT e.vec_id, e.v, c.cid, round(${cosSql("e.v", "c.cv")}, 6) AS cos,
+           |    row_number() OVER (PARTITION BY e.vec_id
+           |      ORDER BY round(-(${cosSql("e.v", "c.cv")}), 6), c.cid) AS rn
+           |  FROM e CROSS JOIN $cents c
+           |) WHERE rn = 1""".stripMargin
+      def updateB(a: String, prevCents: String) =
+        s"""SELECT c0.cid, coalesce(u.cv, c0.cv) AS cv FROM $prevCents c0 LEFT JOIN (
+           |  SELECT cid, list(m ORDER BY i) AS cv FROM (
+           |    SELECT cid, i, round(avg(x), 6) AS m FROM (
+           |      SELECT cid, unnest(generate_series(1, len(v))) AS i, unnest(v) AS x FROM $a
+           |    ) GROUP BY cid, i
+           |  ) GROUP BY cid
+           |) u USING (cid)""".stripMargin
+      s"""$KmeansAssignCtes,
+         |bcent0 AS (
+         |  SELECT vec_id AS cid, v AS cv FROM e
+         |  ORDER BY md5(CAST(vec_id AS VARCHAR) || ':b'), vec_id LIMIT 16
+         |),
+         |ba1 AS (${assignB("bcent0")}),
+         |bcent1 AS (${updateB("ba1", "bcent0")}),
+         |ba2 AS (${assignB("bcent1")}),
+         |bcent2 AS (${updateB("ba2", "bcent1")}),
+         |baf AS (${assignB("bcent2")}),
+         |ct AS (
+         |  SELECT a.cid AS ca, b.cid AS cb, count(*) AS nij
+         |  FROM af a JOIN baf b USING (vec_id) GROUP BY 1, 2
+         |),
+         |p1 AS (SELECT CAST(sum(nij * (nij - 1) // 2) AS BIGINT) AS sij,
+         |         CAST(sum(nij) AS BIGINT) AS n FROM ct),
+         |p2 AS (SELECT CAST(sum(na * (na - 1) // 2) AS BIGINT) AS sa
+         |       FROM (SELECT CAST(sum(nij) AS BIGINT) AS na FROM ct GROUP BY ca)),
+         |p3 AS (SELECT CAST(sum(nb * (nb - 1) // 2) AS BIGINT) AS sb
+         |       FROM (SELECT CAST(sum(nij) AS BIGINT) AS nb FROM ct GROUP BY cb))
+         |SELECT n, sij, sa, sb,
+         | CASE WHEN ((sa + sb) / 2.0 - CAST(sa AS DOUBLE) * sb / (n * (n - 1) // 2)) <> 0
+         |   THEN round((sij - CAST(sa AS DOUBLE) * sb / (n * (n - 1) // 2)) /
+         |     ((sa + sb) / 2.0 - CAST(sa AS DOUBLE) * sb / (n * (n - 1) // 2)), 6)
+         |   ELSE NULL END AS ari
+         |FROM p1, p2, p3""".stripMargin
+    },
+  )
+}

@@ -240,9 +240,13 @@ object Dedup {
       .repartition(parts, $"doc_id")
       .select($"doc_id", graft.functions.MinHashFunctions.shingle_hashes($"text", n).as("hs"))
       .localCheckpoint()
+    // shuffle_hash on the shingle side: the candidate frame's size
+    // estimate is explode-blind (see Similarity.embeddingNearDupUnordered
+    // — the ×30 broadcast-of-candidates failure), so the join strategy is
+    // pinned to per-partition builds over the doc-proportional side
     candidates
-      .join(candTexts.select($"doc_id".as("id1"), $"hs".as("hs1")), Seq("id1"))
-      .join(candTexts.select($"doc_id".as("id2"), $"hs".as("hs2")), Seq("id2"))
+      .join(candTexts.select($"doc_id".as("id1"), $"hs".as("hs1")).hint("shuffle_hash"), Seq("id1"))
+      .join(candTexts.select($"doc_id".as("id2"), $"hs".as("hs2")).hint("shuffle_hash"), Seq("id2"))
       .select($"id1", $"id2",
         graft.functions.MinHashFunctions.sorted_intersect_count($"hs1", $"hs2").as("i"),
         size($"hs1").as("sz1"), size($"hs2").as("sz2"))
@@ -273,9 +277,13 @@ object Dedup {
       .repartition(parts, $"doc_id")
       .select($"doc_id", graft.functions.MinHashFunctions.shingle_hashes($"text", n).as("hs"))
       .localCheckpoint() // candidate-proportional; referenced twice below
+    // shuffle_hash: same defect class as the ×30 broadcast-of-candidates
+    // failure (see minhashLshPairsUnordered) — neither the pair set's nor
+    // the checkpointed array frame's size estimate can be trusted to pick
+    // a broadcast build, so pin per-partition builds on the shingle side
     pairs
-      .join(sets.select($"doc_id".as("id1"), $"hs".as("hs1")), Seq("id1"))
-      .join(sets.select($"doc_id".as("id2"), $"hs".as("hs2")), Seq("id2"))
+      .join(sets.select($"doc_id".as("id1"), $"hs".as("hs1")).hint("shuffle_hash"), Seq("id1"))
+      .join(sets.select($"doc_id".as("id2"), $"hs".as("hs2")).hint("shuffle_hash"), Seq("id2"))
       .select($"id1", $"id2", $"jaccard",
         graft.functions.MinHashFunctions.sorted_intersect_count($"hs1", $"hs2").as("i"),
         size($"hs1").as("sz1"), size($"hs2").as("sz2"))
@@ -512,9 +520,12 @@ object Dedup {
       .repartition(parts, $"doc_id")
       .select($"doc_id", graft.functions.MinHashFunctions.shingle_hashes($"text", n).as("hs"))
       .localCheckpoint()
+    // shuffle_hash: the candidates frame is post-bucket-join — its size
+    // estimate is explode/join-blind (the measured ×30 broadcast failure
+    // class, SURVEY §6.11) — so pin per-partition builds on the shingle side
     candidates
-      .join(candTexts.select($"doc_id".as("new_id"), $"hs".as("hs1")), Seq("new_id"))
-      .join(candTexts.select($"doc_id".as("old_id"), $"hs".as("hs2")), Seq("old_id"))
+      .join(candTexts.select($"doc_id".as("new_id"), $"hs".as("hs1")).hint("shuffle_hash"), Seq("new_id"))
+      .join(candTexts.select($"doc_id".as("old_id"), $"hs".as("hs2")).hint("shuffle_hash"), Seq("old_id"))
       .select($"new_id", $"old_id",
         graft.functions.MinHashFunctions.sorted_intersect_count($"hs1", $"hs2").as("i"),
         size($"hs1").as("sz1"), size($"hs2").as("sz2"))
@@ -831,9 +842,12 @@ object Dedup {
         round($"i" / (sza + szb - $"i"), 6).as("jaccard"))
     // verify one candidate slice: both shingle arrays ship per pair,
     // one merge-scan intersection feeds both directions (explode)
+    // shuffle_hash pins per-partition builds over the doc-proportional
+    // shingle side (the candidate estimate is join-explosion-blind here
+    // too — same class as the ×30 broadcast failure in Similarity)
     def verify(slice: DataFrame): DataFrame = slice
-      .join(sh.select($"doc_id".as("id1"), $"hs".as("h1")), Seq("id1"))
-      .join(sh.select($"doc_id".as("id2"), $"hs".as("h2")), Seq("id2"))
+      .join(sh.select($"doc_id".as("id1"), $"hs".as("h1")).hint("shuffle_hash"), Seq("id1"))
+      .join(sh.select($"doc_id".as("id2"), $"hs".as("h2")).hint("shuffle_hash"), Seq("id2"))
       .select($"id1", $"id2", sorted_intersect_count($"h1", $"h2").as("i"),
         size($"h1").as("sz1"), size($"h2").as("sz2"))
       .select(explode(array(

@@ -1824,7 +1824,7 @@ object Similarity {
     * Candidate generation reads the session bucket index, so repeated
     * builds at different thresholds share one bucketing pass.
     */
-  private def embeddingNearDupUnordered(embeddings: DataFrame, threshold: Double,
+  private[graft] def embeddingNearDupUnordered(embeddings: DataFrame, threshold: Double,
       tables: Int, bits: Int): DataFrame = {
     val corpus = embeddings.select($"vec_id", asDouble($"embedding").as("v"))
     val candidates = hyperplaneIndex(embeddings, tables, bits)
@@ -1837,9 +1837,20 @@ object Similarity {
       .select($"p.id1".as("id1"), $"p.id2".as("id2"))
       .distinct() // a pair can collide in several tables
       .localCheckpoint() // near-linear; consumed by the 2 joins below
+    // The corpus sides carry a SHUFFLE_HASH hint — a scale-safety fix
+    // measured in round 9 (SURVEY §6.11): the candidates frame's size
+    // ESTIMATE descends from explode(pair_combinations(...)), whose
+    // row-count estimate is bucket-count-proportional and blind to the
+    // K² in-bucket expansion, so at a loose dial the planner picked
+    // BroadcastHashJoin with the QUADRATIC candidate set as build side —
+    // fine by luck at fixture scale, a hard driver-side failure at ×30
+    // (maxResultSize, then broadcast-build OOM; reproduced by
+    // ProfileNeardupPlan). The hint pins a shuffled hash join built on
+    // the corpus side: per-partition builds, nothing ever collected to
+    // the driver, no sort of the (possibly huge) candidate side.
     candidates
-      .join(corpus.select($"vec_id".as("id1"), $"v".as("v1")), Seq("id1"))
-      .join(corpus.select($"vec_id".as("id2"), $"v".as("v2")), Seq("id2"))
+      .join(corpus.select($"vec_id".as("id1"), $"v".as("v1")).hint("shuffle_hash"), Seq("id1"))
+      .join(corpus.select($"vec_id".as("id2"), $"v".as("v2")).hint("shuffle_hash"), Seq("id2"))
       .select($"id1", $"id2",
         round(graft.functions.VectorFunctions.cosine_sim($"v1", $"v2"), 6).as("cos"))
       .filter($"cos" >= threshold)
@@ -1894,9 +1905,13 @@ object Similarity {
       .select($"new_id", $"old_id")
       .distinct() // a pair can collide in several tables
       .localCheckpoint() // candidate-proportional; consumed by 2 joins below
+    // shuffle_hash: same defect class as embeddingNearDupUnordered's
+    // measured ×30 broadcast-of-candidates failure (SURVEY §6.11) — the
+    // post-bucket-join candidate estimate is blind to in-bucket expansion,
+    // so pin per-partition builds on the vector side
     candidates
-      .join(corpus.select($"vec_id".as("new_id"), $"v".as("v1")), Seq("new_id"))
-      .join(corpus.select($"vec_id".as("old_id"), $"v".as("v2")), Seq("old_id"))
+      .join(corpus.select($"vec_id".as("new_id"), $"v".as("v1")).hint("shuffle_hash"), Seq("new_id"))
+      .join(corpus.select($"vec_id".as("old_id"), $"v".as("v2")).hint("shuffle_hash"), Seq("old_id"))
       .select($"new_id", $"old_id",
         round(graft.functions.VectorFunctions.cosine_sim($"v1", $"v2"), 6).as("cos"))
       .filter($"cos" >= threshold)

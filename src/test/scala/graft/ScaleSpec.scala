@@ -230,4 +230,32 @@ class ScaleSpec extends GraftSuite {
     assert(got.map(_._2).sum === perKey.length.toLong, "buckets must partition the key set")
     assert(got.map(_._3).sum === total, "buckets must partition the row mass")
   }
+
+  test("near-dup verify joins never pick a broadcast build (explode-blind estimates)") {
+    // Regression lock for the measured ×30 failure (SURVEY §6.11): the
+    // candidate frame descends from explode(pair_combinations(...)),
+    // whose size estimate is blind to the K² in-bucket expansion, so the
+    // planner used to pick the QUADRATIC candidate set as a broadcast
+    // build — a guaranteed driver-side OOM at real scale. The fix pins
+    // SHUFFLE_HASH on the corpus-derived side of every post-candidates
+    // verify join; this asserts the executed plan actually honors it.
+    def finalPlan(df: org.apache.spark.sql.DataFrame): String = {
+      df.write.format("noop").mode("overwrite").save() // finalize AQE
+      df.queryExecution.executedPlan.toString
+    }
+    // the raw (un-checkpointed) builder — the public entry points cache
+    // and localCheckpoint the pair set, which hides the verify join
+    // behind a Scan ExistingRDD in the inspected plan
+    val embPlan = finalPlan(
+      graft.operators.Similarity.embeddingNearDupUnordered(
+        Tables.embeddings(spark, sf), 0.9, 8, 6))
+    assert(embPlan.contains("ShuffledHashJoin"), embPlan)
+    assert(!embPlan.contains("BroadcastHashJoin"),
+      "embedding verify join must not broadcast a post-explode frame:\n" + embPlan)
+    val docPlan = finalPlan(
+      graft.operators.Dedup.containmentRefine(Tables.documents(spark, sf)))
+    assert(docPlan.contains("ShuffledHashJoin"), docPlan)
+    assert(!docPlan.contains("BroadcastHashJoin"),
+      "containment verify join must not broadcast a post-explode frame:\n" + docPlan)
+  }
 }

@@ -44,9 +44,17 @@ object Bench {
     // registration (numeric qNN) order, not alphabetical: diffs line up
     // with the query numbering, and each shared index lands on its
     // lowest-numbered consumer (the `carriers` above)
+    // Dev-only subset (the driver never sets it) — same contract as
+    // Verify's SPARK_GRAFT_VERIFY_QUERIES: comma-separated FULL query
+    // names, for delta-benching a touched family without the ~4-minute
+    // full sweep. Subset runs skip the bench_last json files below so a
+    // partial vector can never masquerade as the round's record.
+    val only: Option[Set[String]] =
+      sys.env.get("SPARK_GRAFT_BENCH_QUERIES").map(_.split(",").map(_.trim).toSet)
     val results = SparkEntry.queries.toSeq
       .sortBy { case (name, _) => name.drop(1).takeWhile(_.isDigit).toInt }
       .filterNot { case (name, _) => skipped.contains(name) }
+      .filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (name, fn) =>
         // Isolate each query from its predecessors' GC debt. Round 1 showed
         // trivial ~150k-row aggregations (q39/q40) absorbing ~19 s that
@@ -83,7 +91,7 @@ object Bench {
     // never reached the committed record) so every round's end-of-round
     // snapshot commit carries the full per-query vector.
     try {
-      for (d <- Seq("target", "bench")) {
+      for (d <- Seq("target", "bench") if only.isEmpty) {
         val dir = java.nio.file.Paths.get(d)
         java.nio.file.Files.createDirectories(dir)
         val f = if (d == "bench") "bench_last_full.json" else "bench_last.json"

@@ -813,6 +813,88 @@ object Curation {
       .orderBy($"lang", $"source")
   }
 
+  /** Filter-rule attrition histogram: run the standard quality-rule panel
+    * (too-short, low quality score, repetitive 2-grams, out-of-scope
+    * language) over every document and report the corpus partitioned by
+    * KILL PATTERN — the exact combination of rules each document fails
+    * (`pass` for survivors). A per-rule kill count alone hides overlap
+    * (two rules that each "remove 30%" may remove the same 30%); the
+    * pattern histogram is the full inclusion–exclusion picture, which is
+    * what you need before re-tuning any single threshold: a rule whose
+    * every kill is shared with another rule is dead weight, a rule with a
+    * large unique-kill mass is load-bearing.
+    *
+    * Shape: every rule input is per-document-local (token count, the q21
+    * quality formula, the native one-pass `word_ngram_stats`, the lang
+    * column), so the scoring pass is embarrassingly parallel inside the
+    * scan projection; the only shuffle is the map-side-combined groupBy
+    * onto at most 2^4 pattern rows, and the corpus share comes from a
+    * window over that bounded frame.
+    */
+  def filterAttrition(documents: DataFrame, minWords: Int = 25,
+      minQuality: Double = 0.5, maxDup2: Double = 0.06,
+      keepLang: String = "en"): DataFrame = {
+    import graft.functions.TextFunctions.word_ngram_stats
+    val flagged = documents
+      .select(
+        size(split($"text", " ")).cast("long").as("nw"),
+        TextAnalysis.qualityCol($"text").as("quality"),
+        word_ngram_stats($"text", 2).as("s2"),
+        $"lang")
+      .select($"nw",
+        ($"nw" < minWords).as("f_short"),
+        ($"quality" < minQuality).as("f_lowq"),
+        // a doc with < 2 words has no 2-grams: 0/0 = NaN compares false,
+        // so it is never flagged repetitive (it is already f_short)
+        (($"s2.n_grams" - $"s2.n_distinct") / $"s2.n_grams" > maxDup2).as("f_rep"),
+        ($"lang" =!= keepLang).as("f_lang"))
+    val pattern = concat_ws(",",
+      when($"f_short", "short"), when($"f_lowq", "lowq"),
+      when($"f_rep", "rep"), when($"f_lang", "lang"))
+    flagged
+      .select($"nw",
+        when(length(pattern) === 0, "pass").otherwise(pattern).as("pattern"))
+      .groupBy($"pattern")
+      .agg(count(lit(1)).as("n_docs"), sum($"nw").as("n_tokens"))
+      .withColumn("doc_share",
+        round($"n_docs" / sum($"n_docs").over(Window.partitionBy()), 6))
+      .orderBy($"pattern")
+  }
+
+  /** Cross-source quantile calibration: per source, the exact quality-score
+    * deciles next to the CORPUS-WIDE deciles at the same rank — the
+    * calibration table behind quantile-normalizing per-source scores
+    * before a global threshold is applied. Quality classifiers drift per
+    * source (a crawl source full of short pages scores systematically low
+    * on a length-aware model); cutting the corpus at one global score then
+    * silently changes each source's survival rate. This table says "source
+    * A's 90th percentile sits at the global 60th" (`gap` < 0) so the
+    * mixture owner can either re-map scores by rank or accept the skew
+    * knowingly.
+    *
+    * Shape: both decile panels ride ONE bounded histogram pass each
+    * (`Scale.exactQuantilesByGroup` — all 9 cuts from one (group, value)
+    * histogram; state is the 4-decimal quality domain, not corpus rows);
+    * the scored scan is checkpointed so the corpus is read once, and the
+    * 9-row global panel broadcasts onto the source panel.
+    */
+  def sourceQuantileCalibration(documents: DataFrame): DataFrame = {
+    val qs = (1 to 9).map(_ / 10.0)
+    val scored = documents
+      .select($"source", TextAnalysis.qualityCol($"text").as("quality"))
+      .localCheckpoint() // feeds the per-source and the global histogram pass
+    def decile: Column = round($"q" * 10, 0).cast("int").as("decile")
+    val bySrc = Scale.exactQuantilesByGroup(scored, "source", "quality", qs)
+      .select($"source", decile, round($"cut", 4).as("source_q"))
+    val global = Scale.exactQuantilesByGroup(
+        scored.select(lit("all").as("g"), $"quality"), "g", "quality", qs)
+      .select(decile, round($"cut", 4).as("global_q"))
+    bySrc.join(broadcast(global), Seq("decile"))
+      .select($"source", $"decile", $"source_q", $"global_q",
+        round($"source_q" - $"global_q", 4).as("gap"))
+      .orderBy($"source", $"decile")
+  }
+
   /** Curriculum staging: partition the corpus into quality quartiles so a
     * training run can feed highest-quality data first (stage 1 = top
     * quartile) — the data-ORDERING op that follows filtering and mixing in

@@ -823,4 +823,93 @@ object Events {
         ($"cusum_up" > h || $"cusum_down" > h).as("alarm"))
       .orderBy($"day_epoch")
   }
+
+  /** Robust (winsorized / trimmed) per-type value statistics: the raw mean
+    * next to the mean with tails CLAMPED to the exact [p05, p95] cents
+    * cuts (winsorized) and the mean with tails DROPPED (trimmed) — the
+    * estimators a metrics pipeline publishes when a handful of fat-finger
+    * values would otherwise move the raw mean (q135's MAD rule flags those
+    * rows; this is the complementary "publish a mean that survives them").
+    *
+    * The cut positions come from ONE bounded histogram pass
+    * (`Scale.exactQuantilesByGroup` on the cents domain — state per
+    * distinct cent value, both quantiles from the same histogram) and are
+    * integerized OUTWARD (floor(p05), ceil(p95)) so clamping and trimming
+    * stay in exact integer-cents arithmetic: every reported mean is one
+    * exact long sum and one double division, never an order-dependent
+    * double accumulation.
+    *
+    * Shape: cents scan (checkpointed — feeds the histogram and the clamp
+    * pass) + a broadcast |types|-row cut frame + one map-side-combined
+    * rollup. All state is domain- or type-bounded.
+    */
+  def winsorizedValueStats(events: DataFrame, pLo: Double = 0.05,
+      pHi: Double = 0.95): DataFrame = {
+    val vals = events
+      .select($"event_type", round($"value" * 100, 0).cast("long").as("c"))
+      .localCheckpoint() // feeds the cut pass and the clamp pass
+    val cuts = Scale.exactQuantilesByGroup(
+        vals.select($"event_type", $"c".cast("double").as("v")),
+        "event_type", "v", Seq(pLo, pHi))
+      .groupBy($"event_type")
+      .agg(min(when($"q" === pLo, floor($"cut"))).cast("long").as("lo"),
+        min(when($"q" === pHi, ceil($"cut"))).cast("long").as("hi"))
+    val clamped = greatest(least($"c", $"hi"), $"lo")
+    vals.join(broadcast(cuts), Seq("event_type"))
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n"),
+        sum(when($"c" < $"lo", 1L).otherwise(0L)).as("n_lo"),
+        sum(when($"c" > $"hi", 1L).otherwise(0L)).as("n_hi"),
+        sum($"c").as("_s"),
+        sum(clamped).as("_sw"),
+        sum(when($"c".between($"lo", $"hi"), $"c")).as("_st"),
+        sum(when($"c".between($"lo", $"hi"), 1L).otherwise(0L)).as("_nt"),
+        min($"lo").as("lo_cents"), min($"hi").as("hi_cents"))
+      .select($"event_type", $"n", $"n_lo", $"n_hi",
+        round($"_s" / $"n" / 100.0, 4).as("mean_raw"),
+        round($"_sw" / $"n" / 100.0, 4).as("mean_winsor"),
+        round($"_st" / $"_nt" / 100.0, 4).as("mean_trim"),
+        $"lo_cents", $"hi_cents")
+      .orderBy($"event_type")
+  }
+
+  /** Event-rate outlier detection: users whose MEDIAN inter-event gap sits
+    * in the fastest `pCut` tail of the per-user median distribution — the
+    * population-relative form of a bot / scripted-client detector (an
+    * absolute gap threshold goes stale as traffic patterns drift; "faster
+    * than 90% of users" does not). The median (not the mean) gap is the
+    * signal, so one long idle period cannot hide a burst-heavy client.
+    *
+    * Shape: one per-user (ts, event_id) sort for the lag, a per-user
+    * rollup whose `percentile` state is bounded by that user's own event
+    * count (never a global or hot-key sort), then the population cut via
+    * the bounded histogram quantile over the USERS-sized median frame
+    * (median domain = half-integer seconds, bounded by the gap range),
+    * broadcast back as one row. Flagging is a codegen'd filter pass.
+    */
+  def rateOutliers(events: DataFrame, pCut: Double = 0.1,
+      minEvents: Long = 8L): DataFrame = {
+    val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    val gaps = events
+      .select($"user_id", $"ts", $"event_id",
+        expr(s"ts div $NsPerSecond").as("sec"))
+      .withColumn("gap", $"sec" - lag($"sec", 1).over(w))
+    val users = gaps.groupBy($"user_id")
+      .agg(count(lit(1)).as("n_events"),
+        expr("percentile(gap, 0.5D)").as("med"),
+        (max($"sec") - min($"sec")).as("span_s"))
+      .filter($"n_events" >= minEvents)
+      .localCheckpoint() // feeds the population-cut pass and the flag pass
+    val cut = Scale.exactQuantileByGroup(
+        users.select(lit("all").as("g"), $"med".as("v")), "g", "v", pCut)
+      .select($"cut".as("_cut"))
+    users.crossJoin(broadcast(cut))
+      .filter($"med" <= $"_cut")
+      .select($"user_id", $"n_events",
+        round($"med", 1).as("med_gap_s"),
+        round($"n_events" * lit(86400.0) / greatest($"span_s", lit(1L)), 4)
+          .as("events_per_day"),
+        round($"_cut", 4).as("pop_cut_s"))
+      .orderBy($"user_id")
+  }
 }

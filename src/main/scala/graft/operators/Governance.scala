@@ -277,4 +277,45 @@ object Governance {
         sum($"toks").as("n_tokens"),
         expr("bit_xor(h)").as("fingerprint"))
       .orderBy($"source")
+
+  /** Source-concentration audit: per language, how concentrated the token
+    * mass is across sources — Herfindahl–Hirschman index (Σ share²), the
+    * Gini coefficient, and the largest single-source share. The governance
+    * complement of the q111 datasheet: a language whose corpus is one
+    * source in disguise (HHI → 1) is a provenance and deletion-blast-radius
+    * risk (one erasure request from that source guts the language), and a
+    * diversity claim in a dataset card should cite exactly these numbers.
+    *
+    * Exactness: every aggregate is integer (token masses, Σx², the
+    * rank-weighted Σi·x behind Gini's `G = (2Σi·xᵢ − (n+1)Σx) / (nΣx)`
+    * with x ascending) so each reported ratio is ONE double division —
+    * no order-dependent double accumulation, and ties in token mass do
+    * not affect G (equal x swap rank weights for identical contributions).
+    * Under ANSI the Σx² multiply is overflow-loud; it saturates long at a
+    * ~3·10⁹-token single stratum, far beyond any per-(lang, source) cell
+    * the fixtures or a 100 TB shard would feed one agg row.
+    *
+    * Shape: one corpus scan into a strata-sized frame (|langs|·|sources|
+    * rows); the rank window and both rollups run on that bounded frame.
+    */
+  def sourceConcentration(documents: DataFrame): DataFrame = {
+    val strata = documents
+      .groupBy($"lang", $"source")
+      .agg(sum(size(split($"text", " ")).cast("long")).as("tokens"))
+    val w = Window.partitionBy($"lang").orderBy($"tokens", $"source")
+    strata
+      .withColumn("i", row_number().over(w).cast("long"))
+      .groupBy($"lang")
+      .agg(count(lit(1)).as("n_sources"),
+        sum($"tokens").as("total_tokens"),
+        max($"tokens").as("_top"),
+        sum($"tokens" * $"tokens").as("_sq"),
+        sum($"i" * $"tokens").as("_rm"))
+      .select($"lang", $"n_sources", $"total_tokens",
+        round($"_top" / $"total_tokens", 6).as("top_share"),
+        round($"_sq" / ($"total_tokens" * $"total_tokens"), 6).as("hhi"),
+        round((lit(2L) * $"_rm" - ($"n_sources" + 1L) * $"total_tokens") /
+          ($"n_sources" * $"total_tokens"), 6).as("gini"))
+      .orderBy($"lang")
+  }
 }

@@ -78,29 +78,51 @@ object Scale {
     * Output: one row per group — (`group`, `cut`).
     */
   def exactQuantileByGroup(df: DataFrame, group: String, value: String,
-      q: Double): DataFrame = {
+      q: Double): DataFrame =
+    exactQuantilesByGroup(df, group, value, Seq(q)).drop("q")
+
+  /** Multi-quantile form of [[exactQuantileByGroup]]: evaluate ALL of `qs`
+    * from ONE (group, value)-histogram pass — the histogram aggregation and
+    * the window cumsum (the two shuffles) are paid once, and the bounded
+    * distinct-value frame cross-joins a broadcast `qs`-row quantile frame
+    * (|hist| × |qs| rows, still domain-bounded). Callers that need a whole
+    * cut panel (winsorization's p05/p95, per-source decile calibration)
+    * would otherwise rescan the corpus once per quantile.
+    *
+    * Output: one row per (group, q) — (`group`, `q`, `cut`) — with the same
+    * interpolation, null handling, and all-null-group semantics as the
+    * single-q form (which is now a thin wrapper over this).
+    */
+  def exactQuantilesByGroup(df: DataFrame, group: String, value: String,
+      qs: Seq[Double]): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    require(qs.nonEmpty && qs.forall(q => q >= 0.0 && q <= 1.0),
+      s"quantiles must be within [0, 1]: $qs")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val qf = qs.toDF("q")
     val hist = df.filter(col(value).isNotNull)
       .groupBy(col(group), col(value)).agg(count(lit(1)).as("_c"))
     val cumW = Window.partitionBy(col(group)).orderBy(col(value))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val nW = Window.partitionBy(col(group)) // rows = distinct values, bounded
     // a histogram row covers 0-based sorted positions [cum - c, cum - 1]
-    val pos = lit(q) * (col("_n") - 1)
+    val pos = col("q") * (col("_n") - 1)
     val lo = floor(pos)
     val hi = ceil(pos)
     def covers(p: Column): Column = col("_cum") - col("_c") <= p && p < col("_cum")
     hist
       .withColumn("_cum", sum(col("_c")).over(cumW))
       .withColumn("_n", sum(col("_c")).over(nW))
+      .crossJoin(broadcast(qf))
       .withColumn("_pos", pos).withColumn("_lo", lo).withColumn("_hi", hi)
       .filter(covers(col("_lo")) || covers(col("_hi")))
-      .groupBy(col(group))
+      .groupBy(col(group), col("q"))
       .agg(
         min(when(covers(col("_lo")), col(value))).as("_vlo"),
         min(when(covers(col("_hi")), col(value))).as("_vhi"),
         min(col("_pos")).as("_p"), min(col("_lo")).as("_l"), min(col("_hi")).as("_h"))
-      .select(col(group),
+      .select(col(group), col("q"),
         when(col("_h") === col("_l") || col("_vhi") === col("_vlo"), col("_vlo"))
           .otherwise((col("_h") - col("_p")) * col("_vlo") +
             (col("_p") - col("_l")) * col("_vhi"))

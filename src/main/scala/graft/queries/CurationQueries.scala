@@ -143,6 +143,15 @@ private[graft] object CurationQueries extends QueryFamily {
     // threshold-free ranking grade beside q144's decision and q160's
     // calibration; distinct-score frame + two-phase prefix sum
     "q189_classifier_auc" -> ((s, d) => Curation.classifierAuc(Tables.documents(s, d))),
+    // filter-rule attrition histogram: the corpus partitioned by the exact
+    // combination of quality rules each doc fails — the inclusion-exclusion
+    // view a per-rule kill count hides
+    "q214_filter_attrition" -> ((s, d) => Curation.filterAttrition(Tables.documents(s, d))),
+    // per-source quality deciles vs the corpus-wide deciles: the
+    // calibration table behind rank-normalizing per-source scores before
+    // a single global threshold is applied
+    "q215_source_calibration" -> ((s, d) =>
+      Curation.sourceQuantileCalibration(Tables.documents(s, d))),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1008,5 +1017,61 @@ private[graft] object CurationQueries extends QueryFamily {
          |SELECT round(CAST(num2 AS DOUBLE) / (2.0 * n_pos * n_neg), 6) AS auc,
          | n_pos, n_neg
          |FROM t""".stripMargin,
+    "q214_filter_attrition" ->
+      // q61's dup-2gram CTE (LEFT JOIN: a doc with < 2 words has no
+      // 2-grams and is never 'rep'), the shared quality formula, and
+      // concat_ws pattern assembly (NULL branches skipped on both engines)
+      s"""WITH w AS (
+         |  SELECT doc_id, lang, text, string_split(text, ' ') AS ws FROM documents
+         |),
+         |g2 AS (SELECT doc_id, unnest(${wordGramsSql(2)}) AS g FROM w),
+         |c2 AS (SELECT doc_id, g, count(*) AS c FROM g2 GROUP BY 1, 2),
+         |m2 AS (
+         |  SELECT doc_id, (sum(c) - count(*)) * 1.0 / sum(c) AS dup2
+         |  FROM c2 GROUP BY doc_id
+         |),
+         |s AS (
+         |  SELECT len(ws) AS nw, $QualityExprSql AS quality,
+         |    coalesce(dup2, 0.0) AS dup2, lang
+         |  FROM w LEFT JOIN m2 USING (doc_id)
+         |),
+         |p AS (
+         |  SELECT nw, coalesce(nullif(concat_ws(',',
+         |      CASE WHEN nw < 25 THEN 'short' END,
+         |      CASE WHEN quality < 0.5 THEN 'lowq' END,
+         |      CASE WHEN dup2 > 0.06 THEN 'rep' END,
+         |      CASE WHEN lang <> 'en' THEN 'lang' END), ''), 'pass') AS pattern
+         |  FROM s
+         |)
+         |SELECT pattern, count(*) AS n_docs, CAST(sum(nw) AS BIGINT) AS n_tokens,
+         | round(count(*) * 1.0 / (sum(count(*)) OVER ()), 6) AS doc_share
+         |FROM p GROUP BY pattern ORDER BY pattern""".stripMargin,
+    "q215_source_calibration" ->
+      // quantile_cont decile panels (bit-exact vs the bounded histogram
+      // quantile); list form + parallel unnest = one pass per panel
+      s"""WITH s AS (SELECT source, $QualityExprSql AS quality FROM documents),
+         |qsrc AS (
+         |  SELECT source,
+         |    quantile_cont(quality, [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS qq
+         |  FROM s GROUP BY source
+         |),
+         |srcd AS (
+         |  SELECT source, CAST(unnest(generate_series(1, 9)) AS INT) AS decile,
+         |    round(unnest(qq), 4) AS source_q
+         |  FROM qsrc
+         |),
+         |qg AS (
+         |  SELECT quantile_cont(quality, [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS qq
+         |  FROM s
+         |),
+         |gd AS (
+         |  SELECT CAST(unnest(generate_series(1, 9)) AS INT) AS decile,
+         |    round(unnest(qq), 4) AS global_q
+         |  FROM qg
+         |)
+         |SELECT source, decile, source_q, global_q,
+         | round(source_q - global_q, 4) AS gap
+         |FROM srcd JOIN gd USING (decile)
+         |ORDER BY source, decile""".stripMargin,
   )
 }

@@ -64,6 +64,13 @@ private[graft] object EventsQueries extends QueryFamily {
     // KS test of user inter-arrival gaps vs the exponential model:
     // pooled MLE rate, two-phase ranks, per-row 1e-6-quantized terms
     "q205_interarrival_ks" -> ((s, d) => Events.interArrivalFit(Tables.events(s, d))),
+    // robust per-type means: raw vs winsorized (tails clamped to the exact
+    // integerized [p05, p95] cents cuts) vs trimmed (tails dropped) — both
+    // cuts from ONE bounded histogram pass, all means exact integer sums
+    "q217_winsorized_stats" -> ((s, d) => Events.winsorizedValueStats(Tables.events(s, d))),
+    // population-relative rate outliers: users whose median inter-event
+    // gap falls in the fastest decile of the per-user median distribution
+    "q218_rate_outliers" -> ((s, d) => Events.rateOutliers(Tables.events(s, d))),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -550,5 +557,52 @@ private[graft] object EventsQueries extends QueryFamily {
         | max(greatest(dp, dm)) AS ks_d,
         | (max(greatest(dp, dm)) > 1.36 / sqrt(n)) AS reject_exponential
         |FROM t GROUP BY n, sg""".stripMargin,
+    "q217_winsorized_stats" ->
+      // cents quantiles via quantile_cont (bit-exact vs the bounded
+      // histogram quantile), cuts integerized OUTWARD (floor/ceil), every
+      // mean an exact BIGINT sum over clamped/trimmed cents
+      """WITH v AS (
+        |  SELECT event_type, CAST(round(value * 100, 0) AS BIGINT) AS c FROM events
+        |),
+        |cu AS (
+        |  SELECT event_type,
+        |    CAST(floor(quantile_cont(CAST(c AS DOUBLE), 0.05)) AS BIGINT) AS lo,
+        |    CAST(ceil(quantile_cont(CAST(c AS DOUBLE), 0.95)) AS BIGINT) AS hi
+        |  FROM v GROUP BY event_type
+        |)
+        |SELECT v.event_type, count(*) AS n,
+        | CAST(sum(CASE WHEN c < lo THEN 1 ELSE 0 END) AS BIGINT) AS n_lo,
+        | CAST(sum(CASE WHEN c > hi THEN 1 ELSE 0 END) AS BIGINT) AS n_hi,
+        | round(CAST(sum(c) AS BIGINT) * 1.0 / count(*) / 100.0, 4) AS mean_raw,
+        | round(CAST(sum(greatest(least(c, hi), lo)) AS BIGINT) * 1.0
+        |   / count(*) / 100.0, 4) AS mean_winsor,
+        | round(CAST(sum(CASE WHEN c BETWEEN lo AND hi THEN c END) AS BIGINT) * 1.0
+        |   / CAST(sum(CASE WHEN c BETWEEN lo AND hi THEN 1 ELSE 0 END) AS BIGINT)
+        |   / 100.0, 4) AS mean_trim,
+        | CAST(min(lo) AS BIGINT) AS lo_cents, CAST(min(hi) AS BIGINT) AS hi_cents
+        |FROM v JOIN cu USING (event_type)
+        |GROUP BY v.event_type ORDER BY v.event_type""".stripMargin,
+    "q218_rate_outliers" ->
+      // integer-second gaps over the per-user (ts, event_id) order; the
+      // per-user median and the population p10 cut are both quantile_cont
+      // (bit-exact vs Spark percentile / the histogram quantile)
+      """WITH g AS (
+        |  SELECT user_id, event_id, ts, epoch_ns(ts) // 1000000000 AS sec FROM events
+        |),
+        |l AS (
+        |  SELECT user_id, sec,
+        |    sec - lag(sec) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap
+        |  FROM g
+        |),
+        |u AS (
+        |  SELECT user_id, count(*) AS n_events, quantile_cont(gap, 0.5) AS med,
+        |    max(sec) - min(sec) AS span_s
+        |  FROM l GROUP BY user_id HAVING count(*) >= 8
+        |),
+        |c AS (SELECT quantile_cont(med, 0.1) AS cutv FROM u)
+        |SELECT user_id, n_events, round(med, 1) AS med_gap_s,
+        | round(n_events * 86400.0 / greatest(span_s, 1), 4) AS events_per_day,
+        | round(cutv, 4) AS pop_cut_s
+        |FROM u CROSS JOIN c WHERE med <= cutv ORDER BY user_id""".stripMargin,
   )
 }

@@ -45,6 +45,10 @@ private[graft] object GovernanceQueries extends QueryFamily {
     // Benford first-digit audit of the value column: integer-string
     // digit extraction, shared literal constants, per-digit chi2 terms
     "q202_benford" -> ((s, d) => Governance.benfordAudit(Tables.events(s, d))),
+    // per-language source concentration of token mass: HHI, Gini, top
+    // share — integer aggregates, one double division per reported ratio
+    "q216_source_concentration" -> ((s, d) =>
+      Governance.sourceConcentration(Tables.documents(s, d))),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -177,5 +181,33 @@ private[graft] object GovernanceQueries extends QueryFamily {
          | c.chi2 AS chi2
          |FROM j, t, c ORDER BY digit""".stripMargin
     },
+    "q216_source_concentration" ->
+      // Gini via the ascending-rank identity G = (2Σi·x − (n+1)Σx)/(nΣx):
+      // all aggregates BIGINT-exact, each ratio one double division
+      """WITH s AS (
+        |  SELECT lang, source,
+        |    CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS tokens
+        |  FROM documents GROUP BY lang, source
+        |),
+        |r AS (
+        |  SELECT lang, tokens,
+        |    CAST(row_number() OVER (PARTITION BY lang ORDER BY tokens, source)
+        |      AS BIGINT) AS i
+        |  FROM s
+        |),
+        |a AS (
+        |  SELECT lang, count(*) AS n_sources,
+        |    CAST(sum(tokens) AS BIGINT) AS total_tokens,
+        |    CAST(max(tokens) AS BIGINT) AS top,
+        |    CAST(sum(tokens * tokens) AS BIGINT) AS sq,
+        |    CAST(sum(i * tokens) AS BIGINT) AS rm
+        |  FROM r GROUP BY lang
+        |)
+        |SELECT lang, n_sources, total_tokens,
+        | round(top * 1.0 / total_tokens, 6) AS top_share,
+        | round(sq * 1.0 / (total_tokens * total_tokens), 6) AS hhi,
+        | round((2 * rm - (n_sources + 1) * total_tokens) * 1.0
+        |   / (n_sources * total_tokens), 6) AS gini
+        |FROM a ORDER BY lang""".stripMargin,
   )
 }

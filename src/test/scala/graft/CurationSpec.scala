@@ -1180,4 +1180,69 @@ class CurationSpec extends GraftSuite {
     }
     assert(run() === got, "bootstrap weights must be deterministic")
   }
+
+  test("filterAttrition: patterns partition the corpus; pass row == docs failing no rule") {
+    import graft.operators.TextAnalysis
+    import spark.implicits._
+    val rows = Curation.filterAttrition(docs).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(rows.map(_._1).distinct.length === rows.length)
+    assert(rows.map(_._2).sum === docs.count(), "patterns must partition the corpus")
+    assert(math.abs(rows.map(_._4).sum - 1.0) < 1e-4, "doc shares must sum to ~1")
+    // every pattern is a canonical-order subset of the rule names
+    val order = Seq("short", "lowq", "rep", "lang")
+    rows.map(_._1).filterNot(_ == "pass").foreach { p =>
+      val parts = p.split(",").toSeq
+      assert(parts.nonEmpty && parts == order.filter(parts.contains),
+        s"non-canonical pattern: $p")
+    }
+    // cross-check each rule against the COMPOSITIONAL reference path
+    // (wordGrams + array ops) instead of the native word_ngram_stats
+    val gs = Curation.wordGrams($"text", 2)
+    val ref = docs.select(
+        (size(split($"text", " ")) < 25).as("short"),
+        (TextAnalysis.qualityCol($"text") < 0.5).as("lowq"),
+        ((size(gs) - size(array_distinct(gs))).cast("double") / size(gs) > 0.06).as("rep"),
+        ($"lang" =!= "en").as("lang"))
+      .collect()
+      .map(r => Seq("short" -> r.getBoolean(0), "lowq" -> r.getBoolean(1),
+        "rep" -> r.getBoolean(2), "lang" -> r.getBoolean(3)))
+    val expected = ref
+      .map(flags => flags.collect { case (n, true) => n } match {
+        case Nil => "pass"
+        case fs  => fs.mkString(",")
+      })
+      .groupBy(identity).map { case (p, g) => (p, g.size.toLong) }
+    assert(rows.map(r => (r._1, r._2)).toMap === expected)
+  }
+
+  test("sourceQuantileCalibration: global deciles == percentile; per-source panel is monotone") {
+    import graft.operators.TextAnalysis
+    import spark.implicits._
+    val rows = Curation.sourceQuantileCalibration(docs).collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)))
+    val nSources = docs.select($"source").distinct().count()
+    assert(rows.length === nSources * 9, "9 deciles per source")
+    // the global panel equals the sort-based percentile, rounded at 4
+    val scored = docs.select(TextAnalysis.qualityCol($"text").as("quality"))
+    val globals = rows.map(r => (r._2, r._4)).distinct.toMap
+    (1 to 9).foreach { d =>
+      val exp = scored.agg(expr(s"percentile(quality, ${d / 10.0})"))
+        .collect()(0).getDouble(0)
+      val exp4 = java.math.BigDecimal.valueOf(exp)
+        .setScale(4, java.math.RoundingMode.HALF_UP).doubleValue()
+      assert(globals(d) === exp4, s"global decile $d")
+    }
+    // per source: deciles never decrease, and gap is the rounded difference
+    rows.groupBy(_._1).foreach { case (src, panel) =>
+      val byD = panel.sortBy(_._2)
+      assert(byD.map(_._3).sliding(2).forall(p => p.head <= p.last),
+        s"$src: source deciles must be monotone")
+      byD.foreach { case (_, _, sq, gq, gap) =>
+        val exp = java.math.BigDecimal.valueOf(sq - gq)
+          .setScale(4, java.math.RoundingMode.HALF_UP).doubleValue()
+        assert(gap === exp, s"$src gap")
+      }
+    }
+  }
 }

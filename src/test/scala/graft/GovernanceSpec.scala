@@ -188,4 +188,42 @@ class GovernanceSpec extends GraftSuite {
         s"a profile branch reads more than one column: $line")
     }
   }
+
+  test("sourceConcentration: matches brute force; uniform and one-source corners") {
+    def round6(x: Double): Double =
+      java.math.BigDecimal.valueOf(x).setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+    // brute-force Gini/HHI from the collected strata
+    def brute(strata: Seq[(String, String, Long)]) =
+      strata.groupBy(_._1).toSeq.sortBy(_._1).map { case (lang, g) =>
+        val xs = g.sortBy(s => (s._3, s._2)).map(_._3)
+        val n = xs.size.toLong
+        val tot = xs.sum
+        val rm = xs.zipWithIndex.map { case (x, i) => (i + 1) * x }.sum
+        (lang, n, tot,
+          round6(xs.max.toDouble / tot),
+          round6(xs.map(x => x * x).sum.toDouble / (tot.toDouble * tot)),
+          round6((2.0 * rm - (n + 1) * tot) / (n.toDouble * tot)))
+      }
+    val strata = docs
+      .groupBy($"lang", $"source")
+      .agg(sum(size(split($"text", " ")).cast("long")).as("t"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSeq
+    val got = Governance.sourceConcentration(docs).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getDouble(4), r.getDouble(5))).toSeq
+    assert(got === brute(strata))
+    // corners: a uniform corpus has gini 0 and hhi 1/n; a corpus where one
+    // source holds (almost) everything approaches top_share/hhi/gini 1
+    val uniform = (0 until 4).flatMap(s =>
+      Seq(("en", s"s$s", "alpha beta gamma delta")))
+      .toDF("lang", "source", "text")
+    val u = Governance.sourceConcentration(uniform).collect()(0)
+    assert(u.getDouble(3) === 0.25 && u.getDouble(4) === 0.25 && u.getDouble(5) === 0.0)
+    val skewed = (("en", "big", Seq.fill(997)("w").mkString(" ")) +:
+      (0 until 3).map(s => ("en", s"s$s", "w"))).toDF("lang", "source", "text")
+    val k = Governance.sourceConcentration(skewed).collect()(0)
+    assert(k.getDouble(3) === 0.997)
+    assert(k.getDouble(4) > 0.99 && k.getDouble(5) > 0.74,
+      "concentration indexes must approach their one-source limits")
+  }
 }

@@ -845,4 +845,65 @@ class MatchingSpec extends GraftSuite {
     assert(pickedTemplates <= 2, s"MMR must not flood: $pickedTemplates templates picked")
     assert(picks.count(_ >= 20L) >= 6, "diverse docs take the remaining slots")
   }
+
+  private def interp(xs: Seq[Double], q: Double): Double = {
+    val s = xs.sorted
+    val pos = q * (s.size - 1)
+    val lo = s(pos.toInt); val hi = s(math.ceil(pos).toInt)
+    if (lo == hi) lo else (math.ceil(pos) - pos) * lo + (pos - pos.toInt) * hi
+  }
+
+  test("winsorizedValueStats equals brute force; clamped mean is tail-insensitive") {
+    val ev = Tables.events(spark, sf)
+    val cents = ev.select(col("event_type"), round(col("value") * 100, 0).cast("long"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    val expected = cents.groupBy(_._1).toSeq.sortBy(_._1).map { case (t, g) =>
+      val cs = g.map(_._2)
+      val lo = math.floor(interp(cs.map(_.toDouble), 0.05)).toLong
+      val hi = math.ceil(interp(cs.map(_.toDouble), 0.95)).toLong
+      val trimmed = cs.filter(c => c >= lo && c <= hi)
+      (t, cs.size.toLong, cs.count(_ < lo).toLong, cs.count(_ > hi).toLong,
+        roundN(cs.sum.toDouble / cs.size / 100.0, 4),
+        roundN(cs.map(c => math.max(math.min(c, hi), lo)).sum.toDouble / cs.size / 100.0, 4),
+        roundN(trimmed.sum.toDouble / trimmed.size / 100.0, 4),
+        lo, hi)
+    }
+    val got = Events.winsorizedValueStats(ev).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getDouble(5), r.getDouble(6), r.getLong(7), r.getLong(8))).toSeq
+    assert(got === expected)
+    // the published estimators must actually resist a tail: inflate the
+    // corpus max 100x and the winsorized/trimmed means barely move
+    import spark.implicits._
+    val spiked = ev.select(col("event_type"), col("value"))
+      .unionAll(Seq(("purchase", 1e7)).toDF("event_type", "value"))
+    val s = Events.winsorizedValueStats(spiked).collect()
+      .map(r => (r.getString(0), r.getDouble(4), r.getDouble(5), r.getDouble(6)))
+      .find(_._1 == "purchase").get
+    val base = got.find(_._1 == "purchase").get
+    assert(s._2 > base._5 + 10.0, "the raw mean must move under the spike")
+    assert(math.abs(s._3 - base._6) < 1.0 && math.abs(s._4 - base._7) < 1.0,
+      "winsorized/trimmed means must not")
+  }
+
+  test("rateOutliers equals brute force over per-user median gaps") {
+    val ev = Tables.events(spark, sf)
+    val rows = ev.select(col("user_id"), col("ts"), col("event_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val perUser = rows.groupBy(_._1).map { case (u, g) =>
+      val secs = g.sortBy(e => (e._2, e._3)).map(_._2 / 1000000000L)
+      val gaps = secs.zip(secs.drop(1)).map { case (a, b) => (b - a).toDouble }
+      (u, g.size.toLong, interp(gaps, 0.5), secs.max - secs.min)
+    }.filter(_._2 >= 8L).toSeq
+    assert(perUser.nonEmpty, "fixture must have users above the event floor")
+    val cut = interp(perUser.map(_._3), 0.1)
+    val expected = perUser.filter(_._3 <= cut).sortBy(_._1).map { case (u, n, med, span) =>
+      (u, n, roundN(med, 1), roundN(n * 86400.0 / math.max(span, 1L), 4), roundN(cut, 4))
+    }
+    val got = Events.rateOutliers(ev).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)))
+      .toSeq
+    assert(got === expected)
+    assert(got.size < perUser.size, "the cut must not flag everyone")
+  }
 }

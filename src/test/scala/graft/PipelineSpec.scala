@@ -818,6 +818,26 @@ class PipelineSpec extends GraftSuite {
     }
   }
 
+  test("exactQuantilesByGroup: a whole quantile panel from one histogram == per-q percentile") {
+    import graft.operators.Scale
+    val qs = Seq(0.05, 0.1, 0.25, 0.5, 0.75, 0.9, 0.95)
+    val scored = docs.select($"lang", TextAnalysis.qualityCol($"text").as("quality"))
+    val got = Scale.exactQuantilesByGroup(scored, "lang", "quality", qs)
+      .collect().map(r => ((r.getString(0), r.getDouble(1)), r.getDouble(2))).toMap
+    val expected = qs.flatMap { q =>
+      scored.groupBy($"lang").agg(expr(s"percentile(quality, $q)"))
+        .collect().map(r => ((r.getString(0), q), r.getDouble(1)))
+    }.toMap
+    assert(got === expected) // identical doubles across the whole panel
+    // one (group, value) histogram aggregate feeds every quantile: the
+    // optimized plan must scan the corpus exactly once, however many
+    // quantiles the panel asks for
+    val plan = Scale.exactQuantilesByGroup(scored, "lang", "quality", qs)
+      .queryExecution.optimizedPlan.toString
+    val scans = "(?i)parquet".r.findAllIn(plan).size
+    assert(scans <= 1, s"quantile panel must not rescan the corpus per quantile:\n$plan")
+  }
+
   test("decimalTotals: exact total invariant under partitioning; health covers corpus") {
     import org.apache.spark.sql.functions.col
     val li = Tables.lineitem(spark, sf)

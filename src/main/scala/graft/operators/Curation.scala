@@ -915,12 +915,14 @@ object Curation {
     val scored = documents.select($"doc_id",
       size(split($"text", " ")).cast("long").as("nw"),
       TextAnalysis.qualityCol($"text").as("quality"))
-    def cut(q: Double, name: String) = broadcast(
-      Scale.exactQuantileByGroup(
-          scored.select(lit(1).as("g"), $"quality"), "g", "quality", q)
-        .select(col("cut").as(name)))
+    // all three stage boundaries from ONE histogram pass (the per-cut
+    // form rescanned and rescored the corpus three times)
+    val cuts = broadcast(
+      Scale.quantilePanel(scored.select(lit(1).as("g"), $"quality"),
+          "g", "quality", Seq(0.75 -> "c3", 0.5 -> "c2", 0.25 -> "c1"))
+        .drop("g"))
     scored
-      .crossJoin(cut(0.75, "c3")).crossJoin(cut(0.5, "c2")).crossJoin(cut(0.25, "c1"))
+      .crossJoin(cuts)
       .select($"nw",
         when($"quality" >= $"c3", 1)
           .when($"quality" >= $"c2", 2)

@@ -265,13 +265,13 @@ object Events {
         rankKey = md5($"event_id".cast("string")), tie = $"event_id",
         saltSource = $"event_id", k = k)
       .select($"event_type", $"v")
-      .localCheckpoint() // consumed by both quantile passes
-    def est(q: Double, name: String): DataFrame =
-      Scale.exactQuantileByGroup(sample, "event_type", "v", q)
-        .select($"event_type", round($"cut", 4).as(name))
+      .localCheckpoint() // re-read by the estimate pass below
+    val est = Scale.quantilePanel(sample, "event_type", "v",
+        Seq(0.5 -> "p50", 0.9 -> "p90"))
+      .select($"event_type", round($"p50", 4).as("p50_est"),
+        round($"p90", 4).as("p90_est"))
     events.groupBy($"event_type").agg(count(lit(1)).as("n_total"))
-      .join(est(0.5, "p50_est"), Seq("event_type"))
-      .join(est(0.9, "p90_est"), Seq("event_type"))
+      .join(est, Seq("event_type"))
       .orderBy($"event_type")
   }
 
@@ -848,12 +848,11 @@ object Events {
     val vals = events
       .select($"event_type", round($"value" * 100, 0).cast("long").as("c"))
       .localCheckpoint() // feeds the cut pass and the clamp pass
-    val cuts = Scale.exactQuantilesByGroup(
+    val cuts = Scale.quantilePanel(
         vals.select($"event_type", $"c".cast("double").as("v")),
-        "event_type", "v", Seq(pLo, pHi))
-      .groupBy($"event_type")
-      .agg(min(when($"q" === pLo, floor($"cut"))).cast("long").as("lo"),
-        min(when($"q" === pHi, ceil($"cut"))).cast("long").as("hi"))
+        "event_type", "v", Seq(pLo -> "plo", pHi -> "phi"))
+      .select($"event_type", floor($"plo").cast("long").as("lo"),
+        ceil($"phi").cast("long").as("hi"))
     val clamped = greatest(least($"c", $"hi"), $"lo")
     vals.join(broadcast(cuts), Seq("event_type"))
       .groupBy($"event_type")

@@ -129,6 +129,25 @@ object Scale {
           .as("cut"))
   }
 
+  /** Wide (pivoted) form of [[exactQuantilesByGroup]]: one row per group,
+    * one column per requested quantile, named by the caller — the shape a
+    * profile/winsorize consumer joins back onto its scan. Cuts are raw
+    * (callers apply their own display rounding). Equality on the `q`
+    * column is exact double equality against the SAME literals the panel
+    * was built from, so the pivot can never drop a cut.
+    */
+  def quantilePanel(df: DataFrame, group: String, value: String,
+      panel: Seq[(Double, String)]): DataFrame = {
+    require(panel.map(_._2).distinct.size == panel.size,
+      s"panel column names must be unique: ${panel.map(_._2)}")
+    val aggs = panel.map { case (q, name) =>
+      min(when(col("q") === q, col("cut"))).as(name)
+    }
+    exactQuantilesByGroup(df, group, value, panel.map(_._1))
+      .groupBy(col(group))
+      .agg(aggs.head, aggs.tail: _*)
+  }
+
   /** Position `j` of a key in an `m`-cell hash table, derived from 4 hex
     * digits of md5 — the engine-independent hash family shared by the
     * Bloom prefilter and the count-min sketch (DuckDB reproduces it with

@@ -650,14 +650,14 @@ object TextAnalysis {
   def lengthProfile(documents: DataFrame): DataFrame = {
     val lens = documents
       .select($"source", size(split($"text", " ")).cast("double").as("nw"))
-    def q(p: Double, name: String) =
-      graft.operators.Scale.exactQuantileByGroup(lens, "source", "nw", p)
-        .select($"source", round(col("cut"), 2).as(name))
+    // one histogram pass for the whole percentile panel (the per-p form
+    // rescanned the corpus four times)
+    val cuts = Scale.quantilePanel(lens, "source", "nw",
+        Seq(0.25 -> "p25", 0.5 -> "p50", 0.75 -> "p75", 0.95 -> "p95"))
+      .select($"source", round($"p25", 2).as("p25"), round($"p50", 2).as("p50"),
+        round($"p75", 2).as("p75"), round($"p95", 2).as("p95"))
     lens.groupBy($"source").agg(count(lit(1)).as("n_docs"))
-      .join(q(0.25, "p25"), Seq("source"))
-      .join(q(0.5, "p50"), Seq("source"))
-      .join(q(0.75, "p75"), Seq("source"))
-      .join(q(0.95, "p95"), Seq("source"))
+      .join(cuts, Seq("source"))
       .orderBy($"source")
   }
 

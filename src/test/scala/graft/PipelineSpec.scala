@@ -829,6 +829,13 @@ class PipelineSpec extends GraftSuite {
         .collect().map(r => ((r.getString(0), q), r.getDouble(1)))
     }.toMap
     assert(got === expected) // identical doubles across the whole panel
+    // the pivoted panel carries the same cuts under the caller's names
+    val wide = Scale.quantilePanel(scored, "lang", "quality",
+        qs.map(q => q -> s"p$q"))
+      .collect().flatMap { r =>
+        qs.zipWithIndex.map { case (q, i) => ((r.getString(0), q), r.getDouble(i + 1)) }
+      }.toMap
+    assert(wide === expected)
     // one (group, value) histogram aggregate feeds every quantile: the
     // optimized plan must scan the corpus exactly once, however many
     // quantiles the panel asks for

@@ -824,6 +824,64 @@ object Events {
       .orderBy($"day_epoch")
   }
 
+  /** Event-time lateness audit: per event type, how many events arrive
+    * BEHIND the watermark a streaming consumer would hold — the number
+    * that decides a pipeline's `withWatermark` delay (too tight and these
+    * rows are silently dropped; too loose and state grows). An event is
+    * late iff its event time sits more than `watermarkDelayNs` behind the
+    * maximum event time among all STRICTLY earlier arrivals — exactly
+    * Structured Streaming's global-watermark drop rule.
+    *
+    * The fixture carries no arrival timestamps (it is event-time only and
+    * perfectly ordered), so the audit derives a deterministic arrival
+    * schedule the way q101 derives its snapshot pair: one congruence
+    * class of users (`user_id % 17 == 3`, ~6%) is a delayed client whose
+    * events arrive `injectedDelayNs` after their event time; everyone
+    * else arrives instantly. Both engines derive the identical schedule.
+    *
+    * Shape: the arrival-order prefix max is TWO-PHASE, never one global
+    * sort partition — a per-day in-bucket running max (window state
+    * bounded by the day's volume) plus a day-frame cumulative max
+    * (bucket-count rows) joined back by bucket; the bucket width is the
+    * dial that keeps in-bucket windows partition-sized at any corpus
+    * rate. The rollup is |types| rows.
+    */
+  def lateArrivalAudit(events: DataFrame,
+      watermarkDelayNs: Long = 3600L * NsPerSecond,
+      injectedDelayNs: Long = 7200L * NsPerSecond,
+      delayedModulus: Long = 17L, delayedResidue: Long = 3L): DataFrame = {
+    val NsPerDay = 86400L * NsPerSecond
+    val arr = events.select($"event_type", $"ts", $"event_id",
+        ($"ts" + when($"user_id" % delayedModulus === delayedResidue,
+          injectedDelayNs).otherwise(0L)).as("arrival"))
+      .withColumn("bucket", expr(s"arrival div $NsPerDay"))
+    val wIn = Window.partitionBy($"bucket").orderBy($"arrival", $"event_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wCum = Window.orderBy($"bucket") // day-count frame, bounded
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val prevBuckets = arr.groupBy($"bucket").agg(max($"ts").as("bmax"))
+      .withColumn("prev_max", max($"bmax").over(wCum))
+      .select($"bucket", $"prev_max")
+    // explicit null-safe max: engines disagree on greatest()'s null rule
+    val wmBase = when($"in_max".isNull, $"prev_max")
+      .when($"prev_max".isNull, $"in_max")
+      .when($"in_max" >= $"prev_max", $"in_max")
+      .otherwise($"prev_max")
+    arr
+      .withColumn("in_max", max($"ts").over(wIn))
+      .join(prevBuckets, Seq("bucket"))
+      .withColumn("wm", wmBase - watermarkDelayNs)
+      .withColumn("late", coalesce($"ts" < $"wm", lit(false)))
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n_events"),
+        sum(when($"late", 1L).otherwise(0L)).as("n_late"),
+        coalesce(max(when($"late",
+          expr(s"(wm - ts) div $NsPerSecond"))), lit(0L)).as("max_lateness_s"))
+      .select($"event_type", $"n_events", $"n_late",
+        round($"n_late" / $"n_events", 6).as("late_share"), $"max_lateness_s")
+      .orderBy($"event_type")
+  }
+
   /** Robust (winsorized / trimmed) per-type value statistics: the raw mean
     * next to the mean with tails CLAMPED to the exact [p05, p95] cents
     * cuts (winsorized) and the mean with tails DROPPED (trimmed) — the

@@ -482,6 +482,74 @@ object Similarity {
         round(max($"d6") / 1e6, 4).as("max_abs_err"))
   }
 
+  /** Prefix-dimension (Matryoshka-style) retrieval quality: for each
+    * truncation width `d`, the recall@k of cosine top-k computed on only
+    * the FIRST `d` dimensions against the full-width truth, PLUS the
+    * cosine distortion (avg/max |cos_full − cos_prefix| over the scored
+    * query×corpus pairs, q116's micro-unit form) — the decision table for
+    * serving truncated embeddings. The two grades are complementary: on
+    * an embedding trained with prefix-nested objectives recall survives
+    * truncation; on arbitrary embeddings (this fixture's random vectors —
+    * recall is chance-level by construction) the distortion column still
+    * orders the widths, so the table is informative either way. q116's
+    * complement: that op measures a RANDOM linear map, this the zero-cost
+    * prefix truncation.
+    *
+    * Shape: ONE scored pass — the dims panel cross-joins as a broadcast
+    * |dims|-row frame and each row slices the already-loaded vector (no
+    * re-scan per width); rank windows are per (dims, query) partitions.
+    * Like q29/q63 an EVAL op over a bounded query sample: cost is
+    * nQueries·|dims|·corpus, never corpus².
+    */
+  def prefixDimRecall(embeddings: DataFrame, dims: Seq[Int] = Seq(8, 16, 32),
+      nQueries: Int = 5, k: Int = 3): DataFrame = {
+    import graft.functions.VectorFunctions.cosine_sim
+    val spark = embeddings.sparkSession
+    import spark.implicits.{localSeqToDatasetHolder, newIntEncoder}
+    val e = embeddings.select($"vec_id", asDouble($"embedding").as("v"))
+      .localCheckpoint() // feeds the truth pass and the per-dim pass
+    val q = e.filter($"vec_id" < nQueries)
+      .select($"vec_id".as("query_id"), $"v".as("qv"))
+    val dimsDf = dims.toDF("dims")
+    val pairs = e.crossJoin(broadcast(q)).where($"vec_id" =!= $"query_id")
+    val wTruth = Window.partitionBy($"query_id")
+      .orderBy(round(cosine_sim($"qv", $"v"), 6).desc, $"vec_id")
+    val truth = pairs
+      .withColumn("rnk", row_number().over(wTruth)).filter($"rnk" <= k)
+      .select($"query_id", $"vec_id")
+    val scored = pairs.crossJoin(broadcast(dimsDf))
+      .select($"dims", $"query_id", $"vec_id",
+        round(cosine_sim($"qv", $"v"), 6).as("cf"),
+        round(cosine_sim(slice($"qv", lit(1), $"dims"),
+          slice($"v", lit(1), $"dims")), 6).as("cd"))
+      .localCheckpoint() // feeds the rank pass and the distortion rollup
+    val wApprox = Window.partitionBy($"dims", $"query_id")
+      .orderBy($"cd".desc, $"vec_id")
+    val approx = scored
+      .withColumn("rnk", row_number().over(wApprox)).filter($"rnk" <= k)
+      .select($"dims", $"query_id", $"vec_id")
+    // distortion over ALL scored pairs, exact micro-units (q116's form)
+    val distortion = scored
+      .select($"dims", round(abs($"cf" - $"cd") * 1e6, 0).cast("long").as("d6"))
+      .groupBy($"dims")
+      .agg(round(sum($"d6") / count(lit(1)) / 1e6, 4).as("avg_abs_err"),
+        round(max($"d6") / 1e6, 4).as("max_abs_err"))
+    truth.crossJoin(broadcast(dimsDf))
+      .join(approx, Seq("dims", "query_id", "vec_id"), "left_semi")
+      .groupBy($"dims", $"query_id")
+      .agg(count(lit(1)).as("n_hit"))
+      // a (dims, query) whose approx set misses ALL truth rows vanishes
+      // from the semi-join; restore it with a zero count
+      .join(truth.select($"query_id").distinct().crossJoin(broadcast(dimsDf)),
+        Seq("dims", "query_id"), "right_outer")
+      .join(broadcast(distortion), Seq("dims"))
+      .select($"dims", $"query_id",
+        coalesce($"n_hit", lit(0L)).as("n_hit"),
+        round(coalesce($"n_hit", lit(0L)) / lit(k).cast("double"), 6).as("recall"),
+        $"avg_abs_err", $"max_abs_err")
+      .orderBy($"dims", $"query_id")
+  }
+
   /** Projected ANN with exact re-rank + recall report — what q116's
     * distortion number buys: candidate generation scores the `ProjDims`-dim
     * projections (half the bytes and flops of the full fixture vectors;

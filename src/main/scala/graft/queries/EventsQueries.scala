@@ -71,6 +71,9 @@ private[graft] object EventsQueries extends QueryFamily {
     // population-relative rate outliers: users whose median inter-event
     // gap falls in the fastest decile of the per-user median distribution
     "q218_rate_outliers" -> ((s, d) => Events.rateOutliers(Tables.events(s, d))),
+    // watermark lateness audit under the derived delayed-client arrival
+    // schedule: two-phase prefix max, Structured Streaming's drop rule
+    "q220_late_arrivals" -> ((s, d) => Events.lateArrivalAudit(Tables.events(s, d))),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -604,5 +607,41 @@ private[graft] object EventsQueries extends QueryFamily {
         | round(n_events * 86400.0 / greatest(span_s, 1), 4) AS events_per_day,
         | round(cutv, 4) AS pop_cut_s
         |FROM u CROSS JOIN c WHERE med <= cutv ORDER BY user_id""".stripMargin,
+    "q220_late_arrivals" ->
+      // the same derived arrival schedule (user_id%17==3 delayed 2h), the
+      // same two-phase prefix max in exact ns, watermark delay 1h
+      """WITH a AS (
+        |  SELECT event_type, event_id, epoch_ns(ts) AS tsn,
+        |    epoch_ns(ts) + CASE WHEN user_id % 17 = 3
+        |      THEN 7200000000000 ELSE 0 END AS arrival
+        |  FROM events
+        |),
+        |b AS (SELECT *, arrival // 86400000000000 AS bucket FROM a),
+        |im AS (
+        |  SELECT event_type, tsn, bucket,
+        |    max(tsn) OVER (PARTITION BY bucket ORDER BY arrival, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS in_max
+        |  FROM b
+        |),
+        |bm AS (
+        |  SELECT bucket, max(bmax) OVER (ORDER BY bucket
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_max
+        |  FROM (SELECT bucket, max(tsn) AS bmax FROM b GROUP BY bucket)
+        |),
+        |w AS (
+        |  SELECT event_type, tsn,
+        |    (CASE WHEN in_max IS NULL THEN prev_max
+        |          WHEN prev_max IS NULL THEN in_max
+        |          WHEN in_max >= prev_max THEN in_max ELSE prev_max END)
+        |      - 3600000000000 AS wm
+        |  FROM im JOIN bm USING (bucket)
+        |),
+        |f AS (SELECT event_type, tsn, wm, coalesce(tsn < wm, false) AS late FROM w)
+        |SELECT event_type, count(*) AS n_events,
+        | CAST(sum(CASE WHEN late THEN 1 ELSE 0 END) AS BIGINT) AS n_late,
+        | round(sum(CASE WHEN late THEN 1 ELSE 0 END) * 1.0 / count(*), 6) AS late_share,
+        | CAST(coalesce(max(CASE WHEN late THEN (wm - tsn) // 1000000000 END), 0)
+        |   AS BIGINT) AS max_lateness_s
+        |FROM f GROUP BY event_type ORDER BY event_type""".stripMargin,
   )
 }

@@ -118,6 +118,11 @@ private[graft] object SimilarityQueries extends QueryFamily {
     // combinatorics over the k x k contingency table
     "q210_cluster_stability" -> ((s, d) =>
       Similarity.clusterStability(Tables.embeddings(s, d))),
+    // Matryoshka-style truncation quality: recall@3 of first-d-dims
+    // cosine top-k vs full-width truth, one fused scored pass for the
+    // whole dims panel (q116's complement: truncation, not projection)
+    "q219_prefix_dim_recall" -> ((s, d) =>
+      Similarity.prefixDimRecall(Tables.embeddings(s, d))),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -854,5 +859,52 @@ private[graft] object SimilarityQueries extends QueryFamily {
          |   ELSE NULL END AS ari
          |FROM p1, p2, p3""".stripMargin
     },
+    "q219_prefix_dim_recall" ->
+      // list-slice cosine on the first d dims vs full-width truth; the
+      // same round-6 + vec_id rank tiebreak as every retrieval oracle,
+      // distortion in exact micro-units (the q116 form)
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 5),
+         |d(dims) AS (VALUES (8), (16), (32)),
+         |scored AS (
+         |  SELECT d.dims, q.query_id, e.vec_id,
+         |    round(${cosSql("q.qv", "e.v")}, 6) AS cf,
+         |    round(${cosSql("(q.qv[1:d.dims])", "(e.v[1:d.dims])")}, 6) AS cd
+         |  FROM e, q, d WHERE e.vec_id <> q.query_id
+         |),
+         |truth AS (
+         |  SELECT query_id, vec_id FROM (
+         |    SELECT q.query_id, e.vec_id,
+         |      row_number() OVER (PARTITION BY q.query_id
+         |        ORDER BY round(${cosSql("q.qv", "e.v")}, 6) DESC, e.vec_id) AS rnk
+         |    FROM e, q WHERE e.vec_id <> q.query_id
+         |  ) WHERE rnk <= 3
+         |),
+         |approx AS (
+         |  SELECT dims, query_id, vec_id FROM (
+         |    SELECT dims, query_id, vec_id,
+         |      row_number() OVER (PARTITION BY dims, query_id
+         |        ORDER BY cd DESC, vec_id) AS rnk
+         |    FROM scored
+         |  ) WHERE rnk <= 3
+         |),
+         |err AS (
+         |  SELECT dims,
+         |    round(CAST(sum(CAST(round(abs(cf - cd) * 1e6, 0) AS BIGINT)) AS BIGINT)
+         |      * 1.0 / count(*) / 1e6, 4) AS avg_abs_err,
+         |    round(CAST(max(CAST(round(abs(cf - cd) * 1e6, 0) AS BIGINT)) AS BIGINT)
+         |      / 1e6, 4) AS max_abs_err
+         |  FROM scored GROUP BY dims
+         |)
+         |SELECT d.dims, t.query_id,
+         | CAST(count(a.vec_id) AS BIGINT) AS n_hit,
+         | round(count(a.vec_id) / 3.0, 6) AS recall,
+         | any_value(err.avg_abs_err) AS avg_abs_err,
+         | any_value(err.max_abs_err) AS max_abs_err
+         |FROM truth t CROSS JOIN d
+         |JOIN err ON err.dims = d.dims
+         |LEFT JOIN approx a
+         |  ON a.dims = d.dims AND a.query_id = t.query_id AND a.vec_id = t.vec_id
+         |GROUP BY d.dims, t.query_id ORDER BY d.dims, t.query_id""".stripMargin,
   )
 }

@@ -886,6 +886,38 @@ class MatchingSpec extends GraftSuite {
       "winsorized/trimmed means must not")
   }
 
+  test("lateArrivalAudit equals brute force; an in-order stream has zero late rows") {
+    val ev = Tables.events(spark, sf)
+    val rows = ev.select(col("event_type"), col("ts"), col("event_id"), col("user_id"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    val wmDelay = 3600L * 1000000000L
+    val arr = rows.map { case (t, ts, id, u) =>
+      (t, ts, id, ts + (if (u % 17 == 3) 7200L * 1000000000L else 0L))
+    }.sortBy(e => (e._4, e._3))
+    var pm = Long.MinValue
+    val flagged = arr.map { case (t, ts, _, _) =>
+      val late = pm != Long.MinValue && ts < pm - wmDelay
+      val lateness = if (late) (pm - wmDelay - ts) / 1000000000L else 0L
+      pm = math.max(pm, ts)
+      (t, late, lateness)
+    }
+    val expected = flagged.groupBy(_._1).toSeq.sortBy(_._1).map { case (t, g) =>
+      val nl = g.count(_._2).toLong
+      (t, g.size.toLong, nl, roundN(nl.toDouble / g.size, 6),
+        if (nl > 0) g.filter(_._2).map(_._3).max else 0L)
+    }
+    val got = Events.lateArrivalAudit(ev).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3), r.getLong(4)))
+      .toSeq
+    assert(got === expected)
+    assert(got.map(_._3).sum > 0, "the delayed-client class must produce late rows")
+    // with no injected delay the fixture stream is in arrival order: a
+    // correct watermark rule flags nothing
+    val inOrder = Events.lateArrivalAudit(ev, injectedDelayNs = 0L).collect()
+      .map(_.getLong(2)).sum
+    assert(inOrder === 0L)
+  }
+
   test("rateOutliers equals brute force over per-user median gaps") {
     val ev = Tables.events(spark, sf)
     val rows = ev.select(col("user_id"), col("ts"), col("event_id"))

@@ -845,6 +845,28 @@ class PipelineSpec extends GraftSuite {
     assert(scans <= 1, s"quantile panel must not rescan the corpus per quantile:\n$plan")
   }
 
+  test("prefixDimRecall: full-width truncation is the identity; distortion shrinks with width") {
+    import graft.operators.Similarity
+    val rows = Similarity.prefixDimRecall(embs).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getDouble(4), r.getDouble(5)))
+    assert(rows.length === 15, "3 widths x 5 queries")
+    // distortion orders the widths even when recall is chance-level
+    val errByDim = rows.map(r => (r._1, r._5)).distinct.sortBy(_._1)
+    assert(errByDim.map(_._2).sliding(2).forall(p => p.head >= p.last),
+      s"avg distortion must shrink as the prefix widens: $errByDim")
+    rows.foreach { case (_, _, nHit, recall, avgE, maxE) =>
+      assert(nHit >= 0L && nHit <= 3L && recall >= 0.0 && recall <= 1.0)
+      assert(avgE <= maxE)
+    }
+    // truncating at the full width reproduces the truth ranking exactly
+    val full = Similarity.prefixDimRecall(embs, dims = Seq(64)).collect()
+      .map(r => (r.getLong(2), r.getDouble(4), r.getDouble(5)))
+    assert(full.forall { case (nHit, avgE, maxE) =>
+      nHit === 3L && avgE === 0.0 && maxE === 0.0
+    }, s"dims=64 must be the identity: ${full.toSeq}")
+  }
+
   test("decimalTotals: exact total invariant under partitioning; health covers corpus") {
     import org.apache.spark.sql.functions.col
     val li = Tables.lineitem(spark, sf)

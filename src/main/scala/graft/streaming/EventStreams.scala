@@ -92,6 +92,60 @@ object EventStreams {
       }
   }
 
+  case class LateAuditState(maxTs: Long)
+  case class LateOut(event_type: String, late: Boolean, lateness_s: Long)
+
+  /** Streaming twin of `Events.lateArrivalAudit` (q220): flag each row
+    * that arrives behind the event-time frontier minus the watermark
+    * delay — LIVE, as the rows a `withWatermark` consumer would silently
+    * drop. The same derived delayed-client schedule (`user_id %
+    * delayedModulus == delayedResidue` arrives `injectedDelayMicros`
+    * late) orders rows WITHIN a micro-batch; across batches the frontier
+    * rides the state. Equals-batch law (StreamingSpec): per-type
+    * (n, n_late, max_lateness_s) == the batch audit on micro-truncated
+    * timestamps, for any micro-batch split of the arrival-ordered feed.
+    *
+    * State is ONE long (the global event-time frontier) under a constant
+    * grouping key, which serializes the audit through one task — fine
+    * for an audit (8 bytes of state, trivial per-row work), and the
+    * honest cost of a GLOBAL frontier rule: the production alternatives
+    * are the engine's own `withWatermark` drop metrics (no per-row
+    * output) or the batch twin's two-phase bucket form over arrival
+    * logs. Micro-epoch arithmetic throughout (Timestamp carries micros;
+    * the batch twin's ns flags can differ only for rows within 1 µs of
+    * the cut, which the law's micro-truncated comparison removes).
+    */
+  def lateAuditStream(events: Dataset[Event],
+      watermarkDelayMicros: Long = 3600L * 1000000L,
+      injectedDelayMicros: Long = 7200L * 1000000L,
+      delayedModulus: Long = 17L, delayedResidue: Long = 3L): Dataset[LateOut] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_ => 0)
+      .flatMapGroupsWithState[LateAuditState, LateOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_: Int, rows: Iterator[Event], state: GroupState[LateAuditState]) =>
+          def micros(t: java.sql.Timestamp): Long =
+            (t.getTime / 1000) * 1000000L + t.getNanos / 1000
+          val sorted = rows.toSeq.map { e =>
+            val ts = micros(e.ts)
+            val arrival = ts + (if (e.user_id % delayedModulus == delayedResidue)
+              injectedDelayMicros else 0L)
+            (arrival, e.event_id, ts, e.event_type)
+          }.sortBy(t => (t._1, t._2))
+          var maxTs = state.getOption.map(_.maxTs).getOrElse(Long.MinValue)
+          val out = sorted.map { case (_, _, ts, tpe) =>
+            val late = maxTs != Long.MinValue && ts < maxTs - watermarkDelayMicros
+            val lateness =
+              if (late) (maxTs - watermarkDelayMicros - ts) / 1000000L else 0L
+            if (ts > maxTs) maxTs = ts
+            LateOut(tpe, late, lateness)
+          }
+          if (maxTs != Long.MinValue) state.update(LateAuditState(maxTs))
+          out.iterator
+      }
+  }
+
   case class LastEvent(lastTs: Long, lastType: String)
   case class TransitionOut(event_type: String, next_type: String)
   case class AttribState(lastTs: Long, entryType: String)

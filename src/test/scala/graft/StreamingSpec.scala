@@ -914,4 +914,42 @@ class StreamingSpec extends GraftSuite {
     assert(streamed === batch)
     assert(streamed.nonEmpty)
   }
+
+  test("streaming late audit == batch audit on micro-truncated time, any batch split") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val raw = Tables.events(spark, sf)
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(1), r.getString(3), r.getDouble(4)))
+      // the derived ARRIVAL order (micro grain, the stream's resolution)
+      .sortBy(e => (e._3 / 1000 +
+        (if (e._2 % 17 == 3) 7200L * 1000000L else 0L), e._1))
+    def toEvent(e: (Long, Long, Long, String, Double)): Event = {
+      val micros = e._3 / 1000
+      val ts = new Timestamp(micros / 1000)
+      ts.setNanos(((micros % 1000000) * 1000).toInt)
+      Event(e._1, ts, e._2, e._4, e._5)
+    }
+    val input = MemoryStream[Event]
+    val q = EventStreams.lateAuditStream(input.toDS())
+      .writeStream.outputMode("append").format("memory").queryName("late_out")
+      .start()
+    // three uneven splits: the frontier must survive every boundary
+    val splits = Seq(raw.take(raw.length / 3), raw.slice(raw.length / 3, raw.length / 2),
+      raw.drop(raw.length / 2))
+    splits.foreach { s => input.addData(s.map(toEvent).toIndexedSeq); q.processAllAvailable() }
+    val streamed = spark.table("late_out").collect()
+      .map(r => (r.getString(0), r.getBoolean(1), r.getLong(2))).toSeq
+      .groupBy(_._1).view.mapValues { g =>
+        (g.size.toLong, g.count(_._2).toLong, g.map(_._3).max)
+      }.toMap
+    q.stop()
+    // batch audit on the SAME micro grain: truncate ns to micros first
+    val microEvents = Tables.events(spark, sf)
+      .withColumn("ts", expr("ts div 1000") * 1000L)
+    val batch = Events.lateArrivalAudit(microEvents).collect()
+      .map(r => (r.getString(0), (r.getLong(1), r.getLong(2), r.getLong(4)))).toMap
+    assert(streamed === batch)
+    assert(streamed.values.map(_._2).sum > 0, "delayed clients must produce late rows")
+  }
 }

@@ -824,6 +824,74 @@ object Events {
       .orderBy($"day_epoch")
   }
 
+  /** Sample-ratio-mismatch (SRM) audit of the q192 A/B assignment: per
+    * arm, the DISTINCT-user exposure next to the 50/50 expectation, with
+    * the 1-df chi² and its 5% flag — the guardrail every experiment
+    * readout runs BEFORE looking at the metric, because a lopsided
+    * assignment (logging loss, bot filtering applied to one arm, a buggy
+    * hash) silently invalidates q192's t-test no matter how significant
+    * it looks. Uses the identical deterministic md5 arm hash as q192, so
+    * the audit grades the split actually consumed.
+    *
+    * Exactness: with two arms, chi² collapses to (n_a − n_b)² / n_total
+    * — all-integer numerator, ONE double division; the flag compares the
+    * unrounded value on both engines.
+    *
+    * Shape: one distinct-user aggregation (map-side combined on
+    * (arm, user)) into a 2-row frame; everything else is windows over
+    * those 2 rows.
+    */
+  def srmCheck(events: DataFrame, threshold: Double = 3.841): DataFrame = {
+    val arms = events
+      .select(Scale.md5SlicePos($"user_id", 0, 2).as("arm"), $"user_id")
+      .groupBy($"arm")
+      .agg(countDistinct($"user_id").as("n_users"), count(lit(1)).as("n_events"))
+    val w = Window.partitionBy() // 2 arm rows
+    arms
+      .withColumn("n_total", sum($"n_users").over(w))
+      .withColumn("d",
+        sum(when($"arm" === 0L, $"n_users").otherwise(-$"n_users")).over(w))
+      .select($"arm", $"n_users", $"n_events",
+        round($"n_users" / $"n_total", 6).as("user_share"),
+        round($"d" * $"d" / $"n_total", 6).as("chi2"),
+        ($"d" * $"d" / $"n_total" > threshold).as("srm"))
+      .orderBy($"arm")
+  }
+
+  /** Signup→purchase conversion latency: of the users who ever sign up,
+    * how many go on to purchase and how long the FIRST post-signup
+    * purchase takes — the latency percentiles (via the bounded histogram
+    * quantile panel) that turn q76's conversion RATE into an activation
+    * SLA ("half convert within pXX hours"). One row.
+    *
+    * Shape: two filtered per-user aggregations joined on user (purchase
+    * rows join the broadcast-or-shuffle signup frame, both user-keyed),
+    * then the whole percentile panel from ONE histogram pass over the
+    * users-sized latency frame (integer-second domain — state bounded by
+    * the time range, not by users).
+    */
+  def conversionLatency(events: DataFrame): DataFrame = {
+    val firstSignup = events.filter($"event_type" === "signup")
+      .groupBy($"user_id").agg(min($"ts").as("s_ts"))
+    val conv = events.filter($"event_type" === "purchase")
+      .select($"user_id", $"ts")
+      .join(firstSignup, Seq("user_id"))
+      .filter($"ts" >= $"s_ts")
+      .groupBy($"user_id").agg(min($"ts" - $"s_ts").as("lat_ns"))
+      .select(expr(s"lat_ns div $NsPerSecond").cast("double").as("lat_s"))
+      .localCheckpoint() // feeds the count and the histogram pass
+    val panel = Scale.quantilePanel(conv.select(lit("all").as("g"), $"lat_s".as("v")),
+        "g", "v", Seq(0.25 -> "p25", 0.5 -> "p50", 0.75 -> "p75", 0.9 -> "p90"))
+      .drop("g")
+    firstSignup.agg(count(lit(1)).as("n_signup_users"))
+      .crossJoin(broadcast(conv.agg(count(lit(1)).as("n_converted"))))
+      .crossJoin(broadcast(panel))
+      .select($"n_signup_users", $"n_converted",
+        round($"n_converted" / $"n_signup_users", 6).as("conversion_rate"),
+        round($"p25", 4).as("p25_s"), round($"p50", 4).as("p50_s"),
+        round($"p75", 4).as("p75_s"), round($"p90", 4).as("p90_s"))
+  }
+
   /** Event-time lateness audit: per event type, how many events arrive
     * BEHIND the watermark a streaming consumer would hold — the number
     * that decides a pipeline's `withWatermark` delay (too tight and these

@@ -74,6 +74,12 @@ private[graft] object EventsQueries extends QueryFamily {
     // watermark lateness audit under the derived delayed-client arrival
     // schedule: two-phase prefix max, Structured Streaming's drop rule
     "q220_late_arrivals" -> ((s, d) => Events.lateArrivalAudit(Tables.events(s, d))),
+    // sample-ratio-mismatch guardrail on the q192 md5 arm hash: distinct
+    // users per arm, 1-df chi2 against 50/50, 5% flag
+    "q221_srm_check" -> ((s, d) => Events.srmCheck(Tables.events(s, d))),
+    // signup -> first-purchase activation: conversion rate + latency
+    // percentile panel from one bounded histogram pass
+    "q222_conversion_latency" -> ((s, d) => Events.conversionLatency(Tables.events(s, d))),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -643,5 +649,49 @@ private[graft] object EventsQueries extends QueryFamily {
         | CAST(coalesce(max(CASE WHEN late THEN (wm - tsn) // 1000000000 END), 0)
         |   AS BIGINT) AS max_lateness_s
         |FROM f GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q221_srm_check" ->
+      // the q192 md5 parity arm on DISTINCT users; two-arm chi2 collapses
+      // to (n_a - n_b)^2 / n_total, one double division
+      s"""WITH a AS (
+         |  SELECT ${posSql("md5(CAST(user_id AS VARCHAR))", 0, 2)} AS arm, user_id
+         |  FROM events
+         |),
+         |g AS (
+         |  SELECT arm, count(DISTINCT user_id) AS n_users, count(*) AS n_events
+         |  FROM a GROUP BY arm
+         |),
+         |t AS (
+         |  SELECT CAST(sum(n_users) AS BIGINT) AS n_total,
+         |    CAST(sum(CASE WHEN arm = 0 THEN n_users ELSE -n_users END) AS BIGINT) AS d
+         |  FROM g
+         |)
+         |SELECT arm, n_users, n_events,
+         | round(n_users * 1.0 / n_total, 6) AS user_share,
+         | round(d * d * 1.0 / n_total, 6) AS chi2,
+         | (d * d * 1.0 / n_total > 3.841) AS srm
+         |FROM g CROSS JOIN t ORDER BY arm""".stripMargin,
+    "q222_conversion_latency" ->
+      // first post-signup purchase per user in exact ns, floored to
+      // seconds AFTER the min; quantile_cont panel (bit-exact vs the
+      // bounded histogram panel)
+      """WITH s AS (
+        |  SELECT user_id, min(ts) AS s_ts FROM events
+        |  WHERE event_type = 'signup' GROUP BY user_id
+        |),
+        |c AS (
+        |  SELECT p.user_id,
+        |    CAST(min(epoch_ns(p.ts) - epoch_ns(s.s_ts)) // 1000000000 AS DOUBLE) AS lat_s
+        |  FROM events p JOIN s USING (user_id)
+        |  WHERE p.event_type = 'purchase' AND p.ts >= s.s_ts
+        |  GROUP BY p.user_id
+        |),
+        |n1 AS (SELECT count(*) AS n_signup_users FROM s),
+        |n2 AS (SELECT count(*) AS n_converted FROM c),
+        |q AS (SELECT quantile_cont(lat_s, [0.25, 0.5, 0.75, 0.9]) AS qq FROM c)
+        |SELECT n_signup_users, n_converted,
+        | round(n_converted * 1.0 / n_signup_users, 6) AS conversion_rate,
+        | round(qq[1], 4) AS p25_s, round(qq[2], 4) AS p50_s,
+        | round(qq[3], 4) AS p75_s, round(qq[4], 4) AS p90_s
+        |FROM n1, n2, q""".stripMargin,
   )
 }

@@ -918,6 +918,58 @@ class MatchingSpec extends GraftSuite {
     assert(inOrder === 0L)
   }
 
+  test("srmCheck equals brute force; arms partition the user set") {
+    val ev = Tables.events(spark, sf)
+    val rows = ev.select(col("user_id")).collect().map(_.getLong(0)).toSeq
+    def arm(u: Long): Long = java.lang.Long.parseLong(md5Hex(u.toString).take(4), 16) % 2
+    val users = rows.distinct
+    val byArm = users.groupBy(arm).view.mapValues(_.size.toLong).toMap
+    val evByArm = rows.groupBy(arm).view.mapValues(_.size.toLong).toMap
+    val nTotal = users.size.toLong
+    val d = byArm.getOrElse(0L, 0L) - byArm.getOrElse(1L, 0L)
+    val chi2 = roundN(d.toDouble * d / nTotal, 6)
+    val expected = Seq(0L, 1L).filter(byArm.contains).map { a =>
+      (a, byArm(a), evByArm(a), roundN(byArm(a).toDouble / nTotal, 6), chi2,
+        d.toDouble * d / nTotal > 3.841)
+    }
+    val got = Events.srmCheck(ev).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getDouble(4), r.getBoolean(5))).toSeq
+    assert(got === expected)
+    assert(got.map(_._2).sum === nTotal, "arms must partition the user set")
+    // on a wider synthetic user pool the md5 split is near-uniform: the
+    // arms still partition the users and the flag agrees with chi2
+    import spark.implicits._
+    val balanced = (0L until 2048L).map(u => (u, u)).toDF("user_id", "event_id")
+    val b = Events.srmCheck(balanced).collect()
+      .map(r => (r.getLong(1), r.getDouble(4), r.getBoolean(5)))
+    assert(b.map(_._1).sum === 2048L)
+    b.foreach { case (_, chi2, flag) =>
+      if (math.abs(chi2 - 3.841) > 1e-5) assert(flag === chi2 > 3.841)
+    }
+  }
+
+  test("conversionLatency equals brute force") {
+    val ev = Tables.events(spark, sf)
+    val rows = ev.select(col("user_id"), col("ts"), col("event_type"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSeq
+    val firstSignup = rows.filter(_._3 == "signup").groupBy(_._1)
+      .view.mapValues(_.map(_._2).min).toMap
+    val lats = rows.filter(_._3 == "purchase").flatMap { case (u, ts, _) =>
+      firstSignup.get(u).filter(ts >= _).map(s => (u, ts - s))
+    }.groupBy(_._1).values.map(g => (g.map(_._2).min / 1000000000L).toDouble).toSeq
+    val expected = (
+      firstSignup.size.toLong, lats.size.toLong,
+      roundN(lats.size.toDouble / firstSignup.size, 6),
+      roundN(interp(lats, 0.25), 4), roundN(interp(lats, 0.5), 4),
+      roundN(interp(lats, 0.75), 4), roundN(interp(lats, 0.9), 4))
+    val got = Events.conversionLatency(ev).collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3),
+        r.getDouble(4), r.getDouble(5), r.getDouble(6))).head
+    assert(got === expected)
+    assert(got._1 > 0L && got._2 <= got._1)
+  }
+
   test("rateOutliers equals brute force over per-user median gaps") {
     val ev = Tables.events(spark, sf)
     val rows = ev.select(col("user_id"), col("ts"), col("event_id"))

@@ -86,11 +86,30 @@ object ProfileScale {
         .withColumn("embedding", expr(
           s"transform(embedding, (x, i) -> CASE WHEN pmod(hash(i, $r), 2) = 0 THEN x ELSE -x END)"))
     }.reduce(_ unionAll _)
+    // events ×REPL: replica r>0 shifts event_id by r·10M and user_id by
+    // r·17M — a MULTIPLE OF 17, so q220's derived delayed-client class
+    // (user_id % 17 == 3) keeps exactly the same members per replica (a
+    // 10M shift rotates the congruence class and the late set drifts ~2%
+    // per decade — measured before this fix). ts stays UNCHANGED:
+    // per-user structure (windows, gaps, medians) is an exact copy, and
+    // since every replica carries the SAME event-time multiset, the
+    // global lateness frontier each row sees equals the original's, so
+    // q220's per-row flags replicate exactly (checked: ×10 late rows ==
+    // 10 × the ×1 late rows)
+    val evs = Tables.events(spark, sfDir)
+    val evsN: DataFrame = (0 until repl).map { r =>
+      if (r == 0) evs
+      else evs
+        .withColumn("event_id", col("event_id") + lit(r * 10000000L))
+        .withColumn("user_id", col("user_id") + lit(r * 17000000L))
+    }.reduce(_ unionAll _)
     docsN.write.mode("overwrite").parquet(s"$outDir/documents.parquet")
     embsN.write.mode("overwrite").parquet(s"$outDir/embeddings.parquet")
+    evsN.write.mode("overwrite").parquet(s"$outDir/events.parquet")
     val nd = spark.read.parquet(s"$outDir/documents.parquet").count()
     val ne = spark.read.parquet(s"$outDir/embeddings.parquet").count()
-    println(s"[scale] inflated fixtures at $outDir: documents=$nd embeddings=$ne (x$repl of $sfDir)")
+    val nv = spark.read.parquet(s"$outDir/events.parquet").count()
+    println(s"[scale] inflated fixtures at $outDir: documents=$nd embeddings=$ne events=$nv (x$repl of $sfDir)")
 
     // JVM/codegen warm-up outside the measured region (the bench's move)
     spark.range(1000000L).selectExpr("sum(id)").collect()
@@ -104,7 +123,11 @@ object ProfileScale {
       .split(",").map(_.trim).filter(_.nonEmpty).toSet
     val carriers = Seq("q27_dedup_minhash_lsh", "q48_embedding_neardup",
       "q143_classifier_weights", "q148_pq_ann", "q152_pc1_power",
-      "q178_containment").filterNot(skip)
+      "q178_containment",
+      // round-9-continuation shapes: pattern scan, double histogram
+      // panel, per-user medians + population cut, two-phase prefix max
+      "q214_filter_attrition", "q215_source_calibration",
+      "q218_rate_outliers", "q220_late_arrivals").filterNot(skip)
     carriers.foreach { name =>
       time(s"x$repl ${name}") {
         SparkEntry.queries(name)(spark, outDir)

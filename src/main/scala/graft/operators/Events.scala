@@ -824,6 +824,49 @@ object Events {
       .orderBy($"day_epoch")
   }
 
+  /** Ordered multi-step funnel: users who performed the step sequence IN
+    * EVENT-TIME ORDER, each step strictly after their frontier from the
+    * previous one (min qualifying timestamp) and within `stepHorizonHours`
+    * of it — the standard product funnel, where q76 is the 2-step special
+    * case and q132's paths require ADJACENCY (this op allows any events
+    * in between, but bounds each step's latency so the funnel measures a
+    * JOURNEY, not eventual coincidence — unbounded, a long-lived fixture
+    * user reaches every step). Per step: reached-user count and the share
+    * of step-1 entrants.
+    *
+    * Shape: per step, one filtered per-user min-aggregation joined to the
+    * previous step's (user, frontier) frame — a user-keyed chain of
+    * map-side-combined aggs; each intermediate is checkpointed so step k
+    * never re-derives steps 1..k-1. Shares come from a window over the
+    * |steps|-row result.
+    */
+  def orderedFunnel(events: DataFrame,
+      steps: Seq[String] = Seq("signup", "click", "purchase"),
+      stepHorizonHours: Long = 24L): DataFrame = {
+    require(steps.nonEmpty)
+    val horizonNs = stepHorizonHours * NsPerHour
+    val frames = steps.zipWithIndex.scanLeft(Option.empty[DataFrame]) {
+      case (prev, (t, _)) =>
+        val ev = events.filter($"event_type" === t).select($"user_id", $"ts")
+        val reached = prev match {
+          case None => ev.groupBy($"user_id").agg(min($"ts").as("f"))
+          case Some(p) => ev.join(p, Seq("user_id"))
+            .filter($"ts" > $"f" && $"ts" - $"f" <= horizonNs)
+            .groupBy($"user_id").agg(min($"ts").as("f"))
+        }
+        Some(reached.localCheckpoint()) // feeds the count and the next step
+    }.flatten
+    val counts = frames.zip(steps).zipWithIndex.map { case ((df, t), i) =>
+      df.agg(count(lit(1)).as("n_users"))
+        .select(lit(i + 1).as("step"), lit(t).as("event_type"), $"n_users")
+    }.reduce(_ unionAll _)
+    val w = Window.partitionBy() // |steps| rows
+    counts
+      .withColumn("share_of_entry",
+        round($"n_users" / max(when($"step" === 1, $"n_users")).over(w), 6))
+      .orderBy($"step")
+  }
+
   /** Sample-ratio-mismatch (SRM) audit of the q192 A/B assignment: per
     * arm, the DISTINCT-user exposure next to the 50/50 expectation, with
     * the 1-df chi² and its 5% flag — the guardrail every experiment

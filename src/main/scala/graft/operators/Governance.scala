@@ -298,6 +298,52 @@ object Governance {
     * Shape: one corpus scan into a strata-sized frame (|langs|·|sources|
     * rows); the rank window and both rollups run on that bounded frame.
     */
+  /** Referential-integrity profile of the whole star schema: one row per
+    * FK edge with child-row count, null-FK count, orphan count (non-null
+    * FK with no parent), distinct FK keys, and the MAX FAN-OUT (children
+    * under the hottest parent key — the number that predicts join skew
+    * before the join runs). The warehouse-wide generalization of q08's
+    * single-edge orphan check: a load that silently dropped a parent
+    * partition shows up here as orphans on every edge into it, and a
+    * fan-out explosion shows up before it melts a shuffle.
+    *
+    * Shape: per edge, one child-side aggregation (groupBy FK — map-side
+    * combined, orphan/fan-out state per DISTINCT key) left-joined to the
+    * parent KEY SET (projection-pruned scan), rolled to a 1-row frame;
+    * the 7 edge frames union into the report. Nothing row-proportional
+    * crosses an executor boundary except the per-key histograms.
+    */
+  def fkProfile(lineitem: DataFrame, orders: DataFrame, part: DataFrame,
+      supplier: DataFrame, customer: DataFrame, nation: DataFrame,
+      region: DataFrame): DataFrame = {
+    def edge(name: String, child: DataFrame, fk: String,
+        parent: DataFrame, pk: String): DataFrame = {
+      val keys = child.groupBy(col(fk).as("k")).agg(count(lit(1)).as("c"))
+      keys
+        .agg(
+          sum($"c").as("n_rows"),
+          sum(when($"k".isNull, $"c").otherwise(0L)).as("n_nulls"),
+          sum(when($"k".isNotNull, 1L).otherwise(0L)).as("n_distinct_keys"),
+          coalesce(max(when($"k".isNotNull, $"c")), lit(0L)).as("max_fanout"))
+        .crossJoin(
+          keys.join(parent.select(col(pk).as("k")), Seq("k"), "left_anti")
+            .filter($"k".isNotNull)
+            .agg(coalesce(sum($"c"), lit(0L)).as("n_orphans")))
+        .select(lit(name).as("fk_edge"), $"n_rows", $"n_nulls", $"n_orphans",
+          $"n_distinct_keys", $"max_fanout")
+    }
+    Seq(
+      edge("customer.c_nationkey->nation", customer, "c_nationkey", nation, "n_nationkey"),
+      edge("lineitem.l_orderkey->orders", lineitem, "l_orderkey", orders, "o_orderkey"),
+      edge("lineitem.l_partkey->part", lineitem, "l_partkey", part, "p_partkey"),
+      edge("lineitem.l_suppkey->supplier", lineitem, "l_suppkey", supplier, "s_suppkey"),
+      edge("nation.n_regionkey->region", nation, "n_regionkey", region, "r_regionkey"),
+      edge("orders.o_custkey->customer", orders, "o_custkey", customer, "c_custkey"),
+      edge("supplier.s_nationkey->nation", supplier, "s_nationkey", nation, "n_nationkey"))
+      .reduce(_ unionAll _)
+      .orderBy($"fk_edge")
+  }
+
   def sourceConcentration(documents: DataFrame): DataFrame = {
     val strata = documents
       .groupBy($"lang", $"source")

@@ -80,6 +80,9 @@ private[graft] object EventsQueries extends QueryFamily {
     // signup -> first-purchase activation: conversion rate + latency
     // percentile panel from one bounded histogram pass
     "q222_conversion_latency" -> ((s, d) => Events.conversionLatency(Tables.events(s, d))),
+    // ordered 3-step funnel (any events in between, frontier-chained
+    // per-user minima): reached users + share of entrants per step
+    "q224_ordered_funnel" -> ((s, d) => Events.orderedFunnel(Tables.events(s, d))),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -693,5 +696,33 @@ private[graft] object EventsQueries extends QueryFamily {
         | round(qq[1], 4) AS p25_s, round(qq[2], 4) AS p50_s,
         | round(qq[3], 4) AS p75_s, round(qq[4], 4) AS p90_s
         |FROM n1, n2, q""".stripMargin,
+    "q224_ordered_funnel" ->
+      // frontier-chained per-user minima: step k's frontier is the min
+      // qualifying ts strictly after step k-1's, within the 24h horizon
+      """WITH s1 AS (
+        |  SELECT user_id, min(ts) AS f FROM events
+        |  WHERE event_type = 'signup' GROUP BY user_id
+        |),
+        |s2 AS (
+        |  SELECT e.user_id, min(e.ts) AS f FROM events e JOIN s1 USING (user_id)
+        |  WHERE e.event_type = 'click' AND e.ts > s1.f
+        |    AND epoch_ns(e.ts) - epoch_ns(s1.f) <= 86400000000000
+        |  GROUP BY e.user_id
+        |),
+        |s3 AS (
+        |  SELECT e.user_id, min(e.ts) AS f FROM events e JOIN s2 USING (user_id)
+        |  WHERE e.event_type = 'purchase' AND e.ts > s2.f
+        |    AND epoch_ns(e.ts) - epoch_ns(s2.f) <= 86400000000000
+        |  GROUP BY e.user_id
+        |),
+        |c AS (
+        |  SELECT 1 AS step, 'signup' AS event_type, count(*) AS n_users FROM s1
+        |  UNION ALL SELECT 2, 'click', count(*) FROM s2
+        |  UNION ALL SELECT 3, 'purchase', count(*) FROM s3
+        |)
+        |SELECT step, event_type, n_users,
+        | round(n_users * 1.0 /
+        |   max(CASE WHEN step = 1 THEN n_users END) OVER (), 6) AS share_of_entry
+        |FROM c ORDER BY step""".stripMargin,
   )
 }

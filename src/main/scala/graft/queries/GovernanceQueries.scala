@@ -49,7 +49,23 @@ private[graft] object GovernanceQueries extends QueryFamily {
     // share — integer aggregates, one double division per reported ratio
     "q216_source_concentration" -> ((s, d) =>
       Governance.sourceConcentration(Tables.documents(s, d))),
+    // star-wide referential-integrity profile: per FK edge, nulls,
+    // orphans, distinct keys, max fan-out (q08 generalized to the schema)
+    "q223_fk_profile" -> ((s, d) => Governance.fkProfile(
+      Tables.lineitem(s, d), Tables.orders(s, d), Tables.part(s, d),
+      Tables.supplier(s, d), Tables.customer(s, d), Tables.nation(s, d),
+      Tables.region(s, d))),
   )
+
+  /** The q223 FK-edge list shared by the oracle generator below. */
+  private val FkEdges = Seq(
+    ("customer.c_nationkey->nation", "customer", "c_nationkey", "nation", "n_nationkey"),
+    ("lineitem.l_orderkey->orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("lineitem.l_partkey->part", "lineitem", "l_partkey", "part", "p_partkey"),
+    ("lineitem.l_suppkey->supplier", "lineitem", "l_suppkey", "supplier", "s_suppkey"),
+    ("nation.n_regionkey->region", "nation", "n_regionkey", "region", "r_regionkey"),
+    ("orders.o_custkey->customer", "orders", "o_custkey", "customer", "c_custkey"),
+    ("supplier.s_nationkey->nation", "supplier", "s_nationkey", "nation", "n_nationkey"))
 
   def oracleSql: Map[String, String] = Map(
     "q163_erasure_bm25" ->
@@ -209,5 +225,23 @@ private[graft] object GovernanceQueries extends QueryFamily {
         | round((2 * rm - (n_sources + 1) * total_tokens) * 1.0
         |   / (n_sources * total_tokens), 6) AS gini
         |FROM a ORDER BY lang""".stripMargin,
+    "q223_fk_profile" -> {
+      // one generated block per FK edge: child-key histogram LEFT JOIN
+      // parent key set; all counters BIGINT
+      val blocks = FkEdges.map { case (name, child, fk, parent, pk) =>
+        s"""SELECT '$name' AS fk_edge,
+           | CAST(sum(g.c) AS BIGINT) AS n_rows,
+           | CAST(sum(CASE WHEN g.k IS NULL THEN g.c ELSE 0 END) AS BIGINT) AS n_nulls,
+           | CAST(sum(CASE WHEN g.k IS NOT NULL AND pk.k IS NULL THEN g.c ELSE 0 END)
+           |   AS BIGINT) AS n_orphans,
+           | CAST(sum(CASE WHEN g.k IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+           |   AS n_distinct_keys,
+           | CAST(coalesce(max(CASE WHEN g.k IS NOT NULL THEN g.c END), 0) AS BIGINT)
+           |   AS max_fanout
+           |FROM (SELECT $fk AS k, count(*) AS c FROM $child GROUP BY 1) g
+           |LEFT JOIN (SELECT DISTINCT $pk AS k FROM $parent) pk ON g.k = pk.k""".stripMargin
+      }
+      blocks.mkString("", "\nUNION ALL\n", "\nORDER BY fk_edge")
+    },
   )
 }

@@ -189,6 +189,43 @@ class GovernanceSpec extends GraftSuite {
     }
   }
 
+  test("fkProfile: clean fixture is orphan/null-free; injected defects are counted exactly") {
+    def run(orders: org.apache.spark.sql.DataFrame) =
+      Governance.fkProfile(Tables.lineitem(spark, sf), orders,
+          Tables.part(spark, sf), Tables.supplier(spark, sf),
+          Tables.customer(spark, sf), Tables.nation(spark, sf),
+          Tables.region(spark, sf))
+        .collect()
+        .map(r => (r.getString(0), (r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getLong(4), r.getLong(5)))).toMap
+    val orders = Tables.orders(spark, sf)
+    val clean = run(orders)
+    assert(clean.size === 7)
+    clean.foreach { case (e, (nRows, nNulls, nOrphans, ndv, fanout)) =>
+      assert(nNulls === 0L && nOrphans === 0L, s"$e: fixture must be referentially clean")
+      assert(nRows > 0L && ndv > 0L && fanout >= 1L, e)
+    }
+    // brute-force one edge end to end
+    val custKeys = orders.select($"o_custkey").collect().map(_.getLong(0)).toSeq
+    val hist = custKeys.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    assert(clean("orders.o_custkey->customer") ===
+      ((custKeys.size.toLong, 0L, 0L, hist.size.toLong, hist.values.max)))
+    // inject defects: every 100th order points nowhere, every 101st is null
+    val dirty = orders.withColumn("o_custkey",
+      when($"o_orderkey" % 100 === 0, lit(999999999L))
+        .when($"o_orderkey" % 101 === 0, lit(null: java.lang.Long))
+        .otherwise($"o_custkey"))
+    val nBad = orders.filter($"o_orderkey" % 100 === 0).count()
+    val nNull = orders.filter($"o_orderkey" % 101 === 0 && $"o_orderkey" % 100 =!= 0).count()
+    val got = run(dirty)("orders.o_custkey->customer")
+    assert(got._2 === nNull, "null FKs must be counted")
+    assert(got._3 === nBad, "orphaned FKs must be counted")
+    // every other edge is untouched by the orders mutation except the
+    // lineitem->orders PARENT side, which fkProfile reads only for keys
+    assert(run(dirty)("customer.c_nationkey->nation") ===
+      clean("customer.c_nationkey->nation"))
+  }
+
   test("sourceConcentration: matches brute force; uniform and one-source corners") {
     def round6(x: Double): Double =
       java.math.BigDecimal.valueOf(x).setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()

@@ -949,6 +949,30 @@ class MatchingSpec extends GraftSuite {
     }
   }
 
+  test("orderedFunnel equals brute force; steps are monotone") {
+    val ev = Tables.events(spark, sf)
+    val rows = ev.select(col("user_id"), col("ts"), col("event_type"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSeq
+    val horizon = 24L * 3600L * 1000000000L
+    def next(prev: Map[Long, Long], t: String): Map[Long, Long] =
+      rows.filter(_._3 == t).flatMap { case (u, ts, _) =>
+        prev.get(u).filter(f => ts > f && ts - f <= horizon).map(_ => (u, ts))
+      }.groupBy(_._1).view.mapValues(_.map(_._2).min).toMap
+    val s1 = rows.filter(_._3 == "signup").groupBy(_._1)
+      .view.mapValues(_.map(_._2).min).toMap
+    val s2 = next(s1, "click")
+    val s3 = next(s2, "purchase")
+    val sizes = Seq(s1.size.toLong, s2.size.toLong, s3.size.toLong)
+    val expected = Seq(("signup", 1), ("click", 2), ("purchase", 3)).map { case (t, i) =>
+      (i, t, sizes(i - 1), roundN(sizes(i - 1).toDouble / sizes.head, 6))
+    }
+    val got = Events.orderedFunnel(ev).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSeq
+    assert(got === expected)
+    assert(sizes.sliding(2).forall(p => p.head >= p.last), "funnel must be monotone")
+    assert(sizes.last < sizes.head, "the horizon must actually cut the fixture funnel")
+  }
+
   test("conversionLatency equals brute force") {
     val ev = Tables.events(spark, sf)
     val rows = ev.select(col("user_id"), col("ts"), col("event_type"))

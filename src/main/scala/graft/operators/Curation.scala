@@ -884,14 +884,20 @@ object Curation {
       .select($"source", TextAnalysis.qualityCol($"text").as("quality"))
       .localCheckpoint() // feeds the per-source and the global histogram pass
     def decile: Column = round($"q" * 10, 0).cast("int").as("decile")
+    // display rounding is 6, NOT 4: deciles interpolate a 4-decimal value
+    // domain at fraction 1/2, so a cut can land EXACTLY on a .00005 tie
+    // (e.g. 0.73535), where Spark's string-based HALF_UP and DuckDB's
+    // value-based round disagree (0.7354 vs 0.7353 — bit us at sf0.1);
+    // at 6 the true value has fewer decimals than the scale, so both
+    // engines round the identical double identically
     val bySrc = Scale.exactQuantilesByGroup(scored, "source", "quality", qs)
-      .select($"source", decile, round($"cut", 4).as("source_q"))
+      .select($"source", decile, round($"cut", 6).as("source_q"))
     val global = Scale.exactQuantilesByGroup(
         scored.select(lit("all").as("g"), $"quality"), "g", "quality", qs)
-      .select(decile, round($"cut", 4).as("global_q"))
+      .select(decile, round($"cut", 6).as("global_q"))
     bySrc.join(broadcast(global), Seq("decile"))
       .select($"source", $"decile", $"source_q", $"global_q",
-        round($"source_q" - $"global_q", 4).as("gap"))
+        round($"source_q" - $"global_q", 6).as("gap"))
       .orderBy($"source", $"decile")
   }
 

@@ -325,10 +325,10 @@ object Governance {
           sum(when($"k".isNull, $"c").otherwise(0L)).as("n_nulls"),
           sum(when($"k".isNotNull, 1L).otherwise(0L)).as("n_distinct_keys"),
           coalesce(max(when($"k".isNotNull, $"c")), lit(0L)).as("max_fanout"))
-        .crossJoin(
+        .crossJoin(broadcast(
           keys.join(parent.select(col(pk).as("k")), Seq("k"), "left_anti")
             .filter($"k".isNotNull)
-            .agg(coalesce(sum($"c"), lit(0L)).as("n_orphans")))
+            .agg(coalesce(sum($"c"), lit(0L)).as("n_orphans"))))
         .select(lit(name).as("fk_edge"), $"n_rows", $"n_nulls", $"n_orphans",
           $"n_distinct_keys", $"max_fanout")
     }

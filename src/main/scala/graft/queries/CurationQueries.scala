@@ -1048,7 +1048,10 @@ private[graft] object CurationQueries extends QueryFamily {
          |FROM p GROUP BY pattern ORDER BY pattern""".stripMargin,
     "q215_source_calibration" ->
       // quantile_cont decile panels (bit-exact vs the bounded histogram
-      // quantile); list form + parallel unnest = one pass per panel
+      // quantile); list form + parallel unnest = one pass per panel.
+      // Round 6, not 4: a decile interpolating the 4-decimal quality
+      // domain at fraction 1/2 lands exactly on a .00005 rounding tie,
+      // where the engines' round() rules disagree at scale 4
       s"""WITH s AS (SELECT source, $QualityExprSql AS quality FROM documents),
          |qsrc AS (
          |  SELECT source,
@@ -1057,7 +1060,7 @@ private[graft] object CurationQueries extends QueryFamily {
          |),
          |srcd AS (
          |  SELECT source, CAST(unnest(generate_series(1, 9)) AS INT) AS decile,
-         |    round(unnest(qq), 4) AS source_q
+         |    round(unnest(qq), 6) AS source_q
          |  FROM qsrc
          |),
          |qg AS (
@@ -1066,11 +1069,11 @@ private[graft] object CurationQueries extends QueryFamily {
          |),
          |gd AS (
          |  SELECT CAST(unnest(generate_series(1, 9)) AS INT) AS decile,
-         |    round(unnest(qq), 4) AS global_q
+         |    round(unnest(qq), 6) AS global_q
          |  FROM qg
          |)
          |SELECT source, decile, source_q, global_q,
-         | round(source_q - global_q, 4) AS gap
+         | round(source_q - global_q, 6) AS gap
          |FROM srcd JOIN gd USING (decile)
          |ORDER BY source, decile""".stripMargin,
   )

@@ -1229,9 +1229,9 @@ class CurationSpec extends GraftSuite {
     (1 to 9).foreach { d =>
       val exp = scored.agg(expr(s"percentile(quality, ${d / 10.0})"))
         .collect()(0).getDouble(0)
-      val exp4 = java.math.BigDecimal.valueOf(exp)
-        .setScale(4, java.math.RoundingMode.HALF_UP).doubleValue()
-      assert(globals(d) === exp4, s"global decile $d")
+      val exp6 = java.math.BigDecimal.valueOf(exp)
+        .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+      assert(globals(d) === exp6, s"global decile $d")
     }
     // per source: deciles never decrease, and gap is the rounded difference
     rows.groupBy(_._1).foreach { case (src, panel) =>
@@ -1240,7 +1240,7 @@ class CurationSpec extends GraftSuite {
         s"$src: source deciles must be monotone")
       byD.foreach { case (_, _, sq, gq, gap) =>
         val exp = java.math.BigDecimal.valueOf(sq - gq)
-          .setScale(4, java.math.RoundingMode.HALF_UP).doubleValue()
+          .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
         assert(gap === exp, s"$src gap")
       }
     }

@@ -1214,6 +1214,18 @@ class CurationSpec extends GraftSuite {
       })
       .groupBy(identity).map { case (p, g) => (p, g.size.toLong) }
     assert(rows.map(r => (r._1, r._2)).toMap === expected)
+    // plan shape: the rule scan prunes to exactly the two consumed
+    // columns (text, lang) — no rule drags doc_id/source/n_chars along
+    val scans = Curation.filterAttrition(docs)
+      .queryExecution.executedPlan.toString
+      .linesIterator.filter(_.contains("ReadSchema")).toSeq
+    assert(scans.nonEmpty)
+    scans.foreach { line =>
+      val schema = line.substring(line.indexOf("ReadSchema"))
+      assert(schema.contains("text") && schema.contains("lang") &&
+        schema.count(_ == ',') == 1,
+        s"filterAttrition must scan exactly (lang, text): $line")
+    }
   }
 
   test("sourceQuantileCalibration: global deciles == percentile; per-source panel is monotone") {

@@ -224,6 +224,20 @@ class GovernanceSpec extends GraftSuite {
     // lineitem->orders PARENT side, which fkProfile reads only for keys
     assert(run(dirty)("customer.c_nationkey->nation") ===
       clean("customer.c_nationkey->nation"))
+    // plan shape: every branch scans exactly ONE column (the FK or the
+    // PK) — a profile that drags full rows through 14 scans is wrong
+    val scans = Governance.fkProfile(Tables.lineitem(spark, sf), orders,
+        Tables.part(spark, sf), Tables.supplier(spark, sf),
+        Tables.customer(spark, sf), Tables.nation(spark, sf),
+        Tables.region(spark, sf))
+      .queryExecution.executedPlan.toString
+      .linesIterator.filter(_.contains("ReadSchema")).toSeq
+    assert(scans.nonEmpty)
+    scans.foreach { line =>
+      val schema = line.substring(line.indexOf("ReadSchema"))
+      assert(schema.count(_ == ',') == 0,
+        s"an fkProfile branch reads more than one column: $line")
+    }
   }
 
   test("sourceConcentration: matches brute force; uniform and one-source corners") {

@@ -187,6 +187,31 @@ class PropertySpec extends GraftSuite {
     }
   }
 
+  test("property: the multi-quantile panel == per-q percentile over random multi-group draws") {
+    import spark.implicits._
+    // the fused one-histogram pass must agree with percentile() for EVERY
+    // quantile of a panel simultaneously, across unevenly-sized groups
+    // with heavy duplication
+    val gen = for {
+      n1   <- Gen.choose(1, 50)
+      n2   <- Gen.choose(1, 8)
+      v1   <- Gen.listOfN(n1, Gen.choose(-300, 300).map(_ / 10.0))
+      v2   <- Gen.listOfN(n2, Gen.oneOf(Gen.const(1.0), Gen.choose(-5, 5).map(_.toDouble)))
+      qs   <- Gen.someOf(Seq(0.0, 0.05, 0.25, 1.0 / 3.0, 0.5, 0.735, 0.9, 1.0))
+        .suchThat(_.nonEmpty)
+    } yield (v1, v2, qs.toSeq)
+    samples(gen, 10).foreach { case (v1, v2, qs) =>
+      val df = (v1.map(("a", _)) ++ v2.map(("b", _))).toDF("g", "v")
+      val expected = qs.flatMap { q =>
+        df.groupBy($"g").agg(expr(s"percentile(v, $q)"))
+          .collect().map(r => ((r.getString(0), q), r.getDouble(1)))
+      }.toMap
+      val got = graft.operators.Scale.exactQuantilesByGroup(df, "g", "v", qs)
+        .collect().map(r => ((r.getString(0), r.getDouble(1)), r.getDouble(2))).toMap
+      assert(got === expected, s"qs=$qs v1=$v1 v2=$v2")
+    }
+  }
+
   test("property: A-ES weighted sample is invariant under uniform weight scaling") {
     // key = -ln(u)/w: scaling every weight by c scales every key by 1/c,
     // so the selected SET and its order never move — the property that

@@ -317,21 +317,22 @@ object Governance {
       supplier: DataFrame, customer: DataFrame, nation: DataFrame,
       region: DataFrame): DataFrame = {
     def edge(name: String, child: DataFrame, fk: String,
-        parent: DataFrame, pk: String): DataFrame = {
-      val keys = child.groupBy(col(fk).as("k")).agg(count(lit(1)).as("c"))
-      keys
+        parent: DataFrame, pk: String): DataFrame =
+      child.groupBy(col(fk).as("k")).agg(count(lit(1)).as("c"))
+        // ONE left join against the parent key set answers orphans in the
+        // same pass as the stats (an earlier form ran a separate anti-join
+        // branch — that scanned every child table twice)
+        .join(parent.select(col(pk).as("pk_k")).distinct(),
+          $"k" === $"pk_k", "left")
         .agg(
           sum($"c").as("n_rows"),
           sum(when($"k".isNull, $"c").otherwise(0L)).as("n_nulls"),
+          sum(when($"k".isNotNull && $"pk_k".isNull, $"c").otherwise(0L))
+            .as("n_orphans"),
           sum(when($"k".isNotNull, 1L).otherwise(0L)).as("n_distinct_keys"),
           coalesce(max(when($"k".isNotNull, $"c")), lit(0L)).as("max_fanout"))
-        .crossJoin(broadcast(
-          keys.join(parent.select(col(pk).as("k")), Seq("k"), "left_anti")
-            .filter($"k".isNotNull)
-            .agg(coalesce(sum($"c"), lit(0L)).as("n_orphans"))))
         .select(lit(name).as("fk_edge"), $"n_rows", $"n_nulls", $"n_orphans",
           $"n_distinct_keys", $"max_fanout")
-    }
     Seq(
       edge("customer.c_nationkey->nation", customer, "c_nationkey", nation, "n_nationkey"),
       edge("lineitem.l_orderkey->orders", lineitem, "l_orderkey", orders, "o_orderkey"),

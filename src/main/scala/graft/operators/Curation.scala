@@ -844,9 +844,14 @@ object Curation {
       .select($"nw",
         ($"nw" < minWords).as("f_short"),
         ($"quality" < minQuality).as("f_lowq"),
-        // a doc with < 2 words has no 2-grams: 0/0 = NaN compares false,
-        // so it is never flagged repetitive (it is already f_short)
-        (($"s2.n_grams" - $"s2.n_distinct") / $"s2.n_grams" > maxDup2).as("f_rep"),
+        // a doc with < 2 words has no 2-grams; the division must sit
+        // under a CaseWhen (which conditionally evaluates) because ANSI
+        // throws DIVIDE_BY_ZERO even for double 0/0 and `&&` does not
+        // short-circuit — such a doc is never 'rep' (it is already
+        // 'short'), matching the oracle's LEFT JOIN + coalesce(0.0)
+        when($"s2.n_grams" > 0,
+          ($"s2.n_grams" - $"s2.n_distinct") / $"s2.n_grams" > maxDup2)
+          .otherwise(lit(false)).as("f_rep"),
         ($"lang" =!= keepLang).as("f_lang"))
     val pattern = concat_ws(",",
       when($"f_short", "short"), when($"f_lowq", "lowq"),

@@ -265,7 +265,8 @@ object Events {
         rankKey = md5($"event_id".cast("string")), tie = $"event_id",
         saltSource = $"event_id", k = k)
       .select($"event_type", $"v")
-      .localCheckpoint() // re-read by the estimate pass below
+    // (no checkpoint: since the panel collapse the sample has exactly one
+    // consumer — an eager materialization would be pure overhead)
     val est = Scale.quantilePanel(sample, "event_type", "v",
         Seq(0.5 -> "p50", 0.9 -> "p90"))
       .select($"event_type", round($"p50", 4).as("p50_est"),
@@ -862,8 +863,12 @@ object Events {
     }.reduce(_ unionAll _)
     val w = Window.partitionBy() // |steps| rows
     counts
+      .withColumn("_entrants", max(when($"step" === 1, $"n_users")).over(w))
+      // null share when the first step has no entrants: ANSI throws on
+      // the 0/0 division a zero-entrant corpus would otherwise hit
       .withColumn("share_of_entry",
-        round($"n_users" / max(when($"step" === 1, $"n_users")).over(w), 6))
+        when($"_entrants" > 0L, round($"n_users" / $"_entrants", 6)))
+      .drop("_entrants")
       .orderBy($"step")
   }
 
@@ -928,9 +933,14 @@ object Events {
       .drop("g")
     firstSignup.agg(count(lit(1)).as("n_signup_users"))
       .crossJoin(broadcast(conv.agg(count(lit(1)).as("n_converted"))))
-      .crossJoin(broadcast(panel))
+      // LEFT join, not crossJoin: with zero conversions the panel frame is
+      // EMPTY (groupBy of an empty input) and a crossJoin would annihilate
+      // the report row; null percentiles are the honest value there
+      .join(broadcast(panel), lit(true), "left")
       .select($"n_signup_users", $"n_converted",
-        round($"n_converted" / $"n_signup_users", 6).as("conversion_rate"),
+        // null rate when nobody ever signs up (ANSI throws on the 0/0)
+        when($"n_signup_users" > 0L,
+          round($"n_converted" / $"n_signup_users", 6)).as("conversion_rate"),
         round($"p25", 4).as("p25_s"), round($"p50", 4).as("p50_s"),
         round($"p75", 4).as("p75_s"), round($"p90", 4).as("p90_s"))
   }

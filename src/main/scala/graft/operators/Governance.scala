@@ -278,26 +278,6 @@ object Governance {
         expr("bit_xor(h)").as("fingerprint"))
       .orderBy($"source")
 
-  /** Source-concentration audit: per language, how concentrated the token
-    * mass is across sources — Herfindahl–Hirschman index (Σ share²), the
-    * Gini coefficient, and the largest single-source share. The governance
-    * complement of the q111 datasheet: a language whose corpus is one
-    * source in disguise (HHI → 1) is a provenance and deletion-blast-radius
-    * risk (one erasure request from that source guts the language), and a
-    * diversity claim in a dataset card should cite exactly these numbers.
-    *
-    * Exactness: every aggregate is integer (token masses, Σx², the
-    * rank-weighted Σi·x behind Gini's `G = (2Σi·xᵢ − (n+1)Σx) / (nΣx)`
-    * with x ascending) so each reported ratio is ONE double division —
-    * no order-dependent double accumulation, and ties in token mass do
-    * not affect G (equal x swap rank weights for identical contributions).
-    * Under ANSI the Σx² multiply is overflow-loud; it saturates long at a
-    * ~3·10⁹-token single stratum, far beyond any per-(lang, source) cell
-    * the fixtures or a 100 TB shard would feed one agg row.
-    *
-    * Shape: one corpus scan into a strata-sized frame (|langs|·|sources|
-    * rows); the rank window and both rollups run on that bounded frame.
-    */
   /** Referential-integrity profile of the whole star schema: one row per
     * FK edge with child-row count, null-FK count, orphan count (non-null
     * FK with no parent), distinct FK keys, and the MAX FAN-OUT (children
@@ -345,6 +325,26 @@ object Governance {
       .orderBy($"fk_edge")
   }
 
+  /** Source-concentration audit: per language, how concentrated the token
+    * mass is across sources — Herfindahl–Hirschman index (Σ share²), the
+    * Gini coefficient, and the largest single-source share. The governance
+    * complement of the q111 datasheet: a language whose corpus is one
+    * source in disguise (HHI → 1) is a provenance and deletion-blast-radius
+    * risk (one erasure request from that source guts the language), and a
+    * diversity claim in a dataset card should cite exactly these numbers.
+    *
+    * Exactness: every aggregate is integer (token masses, Σx², the
+    * rank-weighted Σi·x behind Gini's `G = (2Σi·xᵢ − (n+1)Σx) / (nΣx)`
+    * with x ascending) so each reported ratio is ONE double division —
+    * no order-dependent double accumulation, and ties in token mass do
+    * not affect G (equal x swap rank weights for identical contributions).
+    * Under ANSI the Σx² multiply is overflow-loud; it saturates long at a
+    * ~3·10⁹-token single stratum, far beyond any per-(lang, source) cell
+    * the fixtures or a 100 TB shard would feed one agg row.
+    *
+    * Shape: one corpus scan into a strata-sized frame (|langs|·|sources|
+    * rows); the rank window and both rollups run on that bounded frame.
+    */
   def sourceConcentration(documents: DataFrame): DataFrame = {
     val strata = documents
       .groupBy($"lang", $"source")

@@ -98,16 +98,24 @@ object Scale {
     import org.apache.spark.sql.expressions.Window
     require(qs.nonEmpty && qs.forall(q => q >= 0.0 && q <= 1.0),
       s"quantiles must be within [0, 1]: $qs")
+    // internal/output name collisions fail LOUDLY here, not with a
+    // downstream AMBIGUOUS_REFERENCE (the quantile frame itself uses only
+    // underscore-prefixed internals plus the q/cut output names)
+    val reserved = Set("q", "cut", "_c", "_cum", "_n", "_q", "_pos", "_lo",
+      "_hi", "_vlo", "_vhi", "_p", "_l", "_h")
+    require(!reserved(group), s"group column '$group' collides with quantile outputs")
+    require(!(reserved - "q" - "cut")(value),
+      s"value column '$value' collides with quantile internals")
     val spark = df.sparkSession
     import spark.implicits._
-    val qf = qs.toDF("q")
+    val qf = qs.toDF("_q")
     val hist = df.filter(col(value).isNotNull)
       .groupBy(col(group), col(value)).agg(count(lit(1)).as("_c"))
     val cumW = Window.partitionBy(col(group)).orderBy(col(value))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val nW = Window.partitionBy(col(group)) // rows = distinct values, bounded
     // a histogram row covers 0-based sorted positions [cum - c, cum - 1]
-    val pos = col("q") * (col("_n") - 1)
+    val pos = col("_q") * (col("_n") - 1)
     val lo = floor(pos)
     val hi = ceil(pos)
     def covers(p: Column): Column = col("_cum") - col("_c") <= p && p < col("_cum")
@@ -117,12 +125,12 @@ object Scale {
       .crossJoin(broadcast(qf))
       .withColumn("_pos", pos).withColumn("_lo", lo).withColumn("_hi", hi)
       .filter(covers(col("_lo")) || covers(col("_hi")))
-      .groupBy(col(group), col("q"))
+      .groupBy(col(group), col("_q"))
       .agg(
         min(when(covers(col("_lo")), col(value))).as("_vlo"),
         min(when(covers(col("_hi")), col(value))).as("_vhi"),
         min(col("_pos")).as("_p"), min(col("_lo")).as("_l"), min(col("_hi")).as("_h"))
-      .select(col(group), col("q"),
+      .select(col(group), col("_q").as("q"),
         when(col("_h") === col("_l") || col("_vhi") === col("_vlo"), col("_vlo"))
           .otherwise((col("_h") - col("_p")) * col("_vlo") +
             (col("_p") - col("_l")) * col("_vhi"))
@@ -140,6 +148,8 @@ object Scale {
       panel: Seq[(Double, String)]): DataFrame = {
     require(panel.map(_._2).distinct.size == panel.size,
       s"panel column names must be unique: ${panel.map(_._2)}")
+    require(!panel.map(_._2).contains(group),
+      s"panel column names must not shadow the group column '$group'")
     val aggs = panel.map { case (q, name) =>
       min(when(col("q") === q, col("cut"))).as(name)
     }

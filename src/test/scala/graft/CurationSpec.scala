@@ -1214,6 +1214,16 @@ class CurationSpec extends GraftSuite {
       })
       .groupBy(identity).map { case (p, g) => (p, g.size.toLong) }
     assert(rows.map(r => (r._1, r._2)).toMap === expected)
+    // a 1-word document must land under 'short' without tripping the
+    // ANSI 0/0 on the rep rule (word_ngram_stats yields n_grams = 0)
+    val withTiny = docs.select($"text", $"lang")
+      .unionAll(Seq(("word", "en")).toDF("text", "lang"))
+    val tiny = Curation.filterAttrition(withTiny).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toMap
+    val base = rows.map(r => (r._1, r._2)).toMap
+    assert(tiny.getOrElse("short,lowq", 0L) + tiny.getOrElse("short", 0L) ===
+      base.getOrElse("short,lowq", 0L) + base.getOrElse("short", 0L) + 1L,
+      "the 1-word doc must join a short-only pattern")
     // plan shape: the rule scan prunes to exactly the two consumed
     // columns (text, lang) — no rule drags doc_id/source/n_chars along
     val scans = Curation.filterAttrition(docs)

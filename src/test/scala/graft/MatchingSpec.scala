@@ -971,6 +971,11 @@ class MatchingSpec extends GraftSuite {
     assert(got === expected)
     assert(sizes.sliding(2).forall(p => p.head >= p.last), "funnel must be monotone")
     assert(sizes.last < sizes.head, "the horizon must actually cut the fixture funnel")
+    // zero-entrant edge: a first step no event matches must yield a
+    // 0-count row with a NULL share, not an ANSI divide-by-zero
+    val empty = Events.orderedFunnel(ev, steps = Seq("no_such_type", "purchase"))
+      .collect().map(r => (r.getLong(2), r.isNullAt(3)))
+    assert(empty.forall { case (n, isNull) => n === 0L && isNull })
   }
 
   test("conversionLatency equals brute force") {
@@ -992,6 +997,12 @@ class MatchingSpec extends GraftSuite {
         r.getDouble(4), r.getDouble(5), r.getDouble(6))).head
     assert(got === expected)
     assert(got._1 > 0L && got._2 <= got._1)
+    // zero-conversion edge: an empty latency panel must not annihilate
+    // the report row — one row, zero conversions, null percentiles
+    val noPurchase = Events.conversionLatency(
+      ev.filter(col("event_type") =!= "purchase")).collect()
+    assert(noPurchase.length === 1)
+    assert(noPurchase(0).getLong(1) === 0L && noPurchase(0).isNullAt(3))
   }
 
   test("rateOutliers equals brute force over per-user median gaps") {

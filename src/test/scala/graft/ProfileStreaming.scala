@@ -57,14 +57,22 @@ object ProfileStreaming {
       raw.toIndexedSeq.flatMap(e => (0 until repl).map(r => toEvent(e, r)))
     println(s"[stream] feed rows=${feed.length} (fixture ${raw.length} x $repl)")
 
-    def drain(label: String, nBatches: Int)(
+    // the late-audit op consumes rows in ARRIVAL order (its derived
+    // delayed-client schedule), not event-time order
+    lazy val feedArrival: IndexedSeq[Event] = feed.sortBy { e =>
+      val m = e.ts.getTime / 1000 * 1000000L + e.ts.getNanos / 1000
+      (m + (if (e.user_id % 17 == 3) 7200L * 1000000L else 0L), e.event_id)
+    }
+
+    def drain(label: String, nBatches: Int,
+        rows: IndexedSeq[Event] = feed)(
         start: MemoryStream[Event] => org.apache.spark.sql.streaming.StreamingQuery): Unit = {
       val input = MemoryStream[Event]
       val q = start(input)
-      val batchSize = math.max(1, feed.length / nBatches)
+      val batchSize = math.max(1, rows.length / nBatches)
       System.gc()
       val t0 = System.nanoTime()
-      feed.grouped(batchSize).foreach { b =>
+      rows.grouped(batchSize).foreach { b =>
         input.addData(b)
         q.processAllAvailable()
       }
@@ -72,7 +80,7 @@ object ProfileStreaming {
       val so = Option(q.lastProgress).toSeq.flatMap(_.stateOperators.toSeq)
       val stateRows = so.map(_.numRowsTotal).sum
       val stateMb = so.map(_.memoryUsedBytes).sum / 1024.0 / 1024.0
-      println(f"[stream] $label%-28s batches=$nBatches%2d rows/s=${feed.length / secs}%,.0f " +
+      println(f"[stream] $label%-28s batches=$nBatches%2d rows/s=${rows.length / secs}%,.0f " +
         f"wall=$secs%.1f s stateRows=$stateRows%,d stateMem=$stateMb%.1f MiB")
       q.stop()
     }
@@ -105,6 +113,10 @@ object ProfileStreaming {
             concat_ws(" ", col("event_type"), col("value").cast("string"),
               col("user_id").cast("string")).as("text")), w)
           .writeStream.outputMode("append").format("memory").queryName(qn()).start()
+      }
+      drain("lateAuditStream", nBatches, feedArrival) { in =>
+        EventStreams.lateAuditStream(in.toDS()).writeStream
+          .outputMode("append").format("memory").queryName(qn()).start()
       }
     }
     spark.stop()

@@ -125,9 +125,14 @@ object ProfileScale {
       "q143_classifier_weights", "q148_pq_ann", "q152_pc1_power",
       "q178_containment",
       // round-9-continuation shapes: pattern scan, double histogram
-      // panel, per-user medians + population cut, two-phase prefix max
+      // panel, per-user medians + population cut, two-phase prefix max,
+      // winsorize panel, brute-force dims-panel eval, SRM rollup,
+      // frontier-chained funnel + latency panel
       "q214_filter_attrition", "q215_source_calibration",
-      "q218_rate_outliers", "q220_late_arrivals").filterNot(skip)
+      "q218_rate_outliers", "q220_late_arrivals",
+      "q217_winsorized_stats", "q219_prefix_dim_recall",
+      "q221_srm_check", "q222_conversion_latency",
+      "q224_ordered_funnel").filterNot(skip)
     carriers.foreach { name =>
       time(s"x$repl ${name}") {
         SparkEntry.queries(name)(spark, outDir)

@@ -813,6 +813,42 @@ object Curation {
       .orderBy($"lang", $"source")
   }
 
+  /** Incremental datasheet maintenance: merge the PERSISTED-SHAPE partial
+    * stats of a corpus version with a delta batch's partials and emit the
+    * same report `corpusDatasheet` would produce over the union — WITHOUT
+    * touching the old corpus. At 100 TB a dataset card is never
+    * recomputed from scratch; the maintainable contract is that every
+    * published statistic decomposes into mergeable partials (counts,
+    * token sums, integer quality-unit sums) plus finishers applied at
+    * read time (the mean division, the share window). The REGISTERED
+    * gate states exactly that law cross-engine: the Spark side merges
+    * stratum partials of the two slices, while the DuckDB oracle is
+    * q111's full recompute over the union — hash equality proves
+    * merge-then-finish == recompute-from-scratch.
+    *
+    * Shape: one scored scan per slice into (lang, source)-sized partial
+    * frames (in production the base partials are a persisted table and
+    * only the delta is scanned), a union + re-aggregation over strata
+    * rows, and the aggregate-frame share window.
+    */
+  def incrementalDatasheet(base: DataFrame, delta: DataFrame): DataFrame = {
+    def partials(documents: DataFrame): DataFrame = documents
+      .select($"lang", $"source",
+        size(split($"text", " ")).cast("long").as("nw"),
+        round(TextAnalysis.qualityCol($"text") * 10000, 0).cast("long").as("q4"))
+      .groupBy($"lang", $"source")
+      .agg(count(lit(1)).as("n_docs"), sum($"nw").as("n_tokens"), sum($"q4").as("q4s"))
+    val w = Window.partitionBy() // langs x sources rows
+    partials(base).unionAll(partials(delta))
+      .groupBy($"lang", $"source")
+      .agg(sum($"n_docs").as("n_docs"), sum($"n_tokens").as("n_tokens"),
+        sum($"q4s").as("q4s"))
+      .select($"lang", $"source", $"n_docs", $"n_tokens",
+        round($"q4s" / $"n_docs" / 1e4, 4).as("avg_quality"),
+        round($"n_tokens" / sum($"n_tokens").over(w), 6).as("token_share"))
+      .orderBy($"lang", $"source")
+  }
+
   /** Filter-rule attrition histogram: run the standard quality-rule panel
     * (too-short, low quality score, repetitive 2-grams, out-of-scope
     * language) over every document and report the corpus partitioned by

@@ -13,6 +13,25 @@ import graft.OracleHelpers._
   */
 private[graft] object CurationQueries extends QueryFamily {
 
+  /** The q111 datasheet oracle — also q225's, whose Spark side merges
+    * base+delta partials while this recomputes from the full corpus.
+    */
+  private lazy val DatasheetSql: String =
+    s"""WITH s AS (
+       |  SELECT lang, source, len(string_split(text, ' ')) AS nw,
+       |    CAST(round($QualityExprSql * 10000, 0) AS BIGINT) AS q4
+       |  FROM documents
+       |),
+       |c AS (
+       |  SELECT lang, source, count(*) AS n_docs,
+       |    CAST(sum(nw) AS BIGINT) AS n_tokens, sum(q4) AS q4s
+       |  FROM s GROUP BY lang, source
+       |)
+       |SELECT lang, source, n_docs, n_tokens,
+       | round(q4s * 1.0 / n_docs / 1e4, 4) AS avg_quality,
+       | round(n_tokens * 1.0 / sum(n_tokens) OVER (), 6) AS token_share
+       |FROM c ORDER BY lang, source""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // benchmark decontamination: docs whose distinct word-3-gram sets
     // overlap the benchmark slice (doc_id < 50) above 50% — on the fixtures
@@ -147,6 +166,16 @@ private[graft] object CurationQueries extends QueryFamily {
     // combination of quality rules each doc fails — the inclusion-exclusion
     // view a per-rule kill count hides
     "q214_filter_attrition" -> ((s, d) => Curation.filterAttrition(Tables.documents(s, d))),
+    // incremental datasheet maintenance: merge base partials with a delta
+    // batch (the q101 slice pair unions to the full corpus, so the oracle
+    // is q111's full recompute — the gate proves merge == recompute)
+    "q225_incremental_datasheet" -> ((s, d) => {
+      import org.apache.spark.sql.functions.col
+      val docs = Tables.documents(s, d)
+      Curation.incrementalDatasheet(
+        docs.filter(col("doc_id") % 10 =!= 1),
+        docs.filter(col("doc_id") % 10 === 1))
+    }),
     // per-source quality deciles vs the corpus-wide deciles: the
     // calibration table behind rank-normalizing per-source scores before
     // a single global threshold is applied
@@ -457,21 +486,11 @@ private[graft] object CurationQueries extends QueryFamily {
          |   AS avg_quality,
          | round(min(quality), 4) AS min_quality, round(max(quality), 4) AS max_quality
          |FROM s CROSS JOIN c GROUP BY 1 ORDER BY stage""".stripMargin,
-    "q111_datasheet" ->
-      s"""WITH s AS (
-         |  SELECT lang, source, len(string_split(text, ' ')) AS nw,
-         |    CAST(round($QualityExprSql * 10000, 0) AS BIGINT) AS q4
-         |  FROM documents
-         |),
-         |c AS (
-         |  SELECT lang, source, count(*) AS n_docs,
-         |    CAST(sum(nw) AS BIGINT) AS n_tokens, sum(q4) AS q4s
-         |  FROM s GROUP BY lang, source
-         |)
-         |SELECT lang, source, n_docs, n_tokens,
-         | round(q4s * 1.0 / n_docs / 1e4, 4) AS avg_quality,
-         | round(n_tokens * 1.0 / sum(n_tokens) OVER (), 6) AS token_share
-         |FROM c ORDER BY lang, source""".stripMargin,
+    "q111_datasheet" -> DatasheetSql,
+    // q225's oracle IS the full recompute over the unioned corpus (the
+    // q101 slice pair partitions documents), so the hash gate proves
+    // merge-then-finish == recompute-from-scratch across engines
+    "q225_incremental_datasheet" -> DatasheetSql,
     "q112_epoch_plan" ->
       """WITH s AS (
         |  SELECT lang, CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS tokens

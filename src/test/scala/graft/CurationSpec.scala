@@ -1181,6 +1181,21 @@ class CurationSpec extends GraftSuite {
     assert(run() === got, "bootstrap weights must be deterministic")
   }
 
+  test("incrementalDatasheet: merge == full recompute, for any slicing of the corpus") {
+    import spark.implicits._
+    val full = Curation.corpusDatasheet(docs).collect().map(_.toSeq).toSeq
+    for (m <- Seq(2L, 10L, 7L)) {
+      val got = Curation.incrementalDatasheet(
+        docs.filter($"doc_id" % m =!= 1), docs.filter($"doc_id" % m === 1))
+        .collect().map(_.toSeq).toSeq
+      assert(got === full, s"slicing mod $m must not change the datasheet")
+    }
+    // an EMPTY delta is the identity
+    val idGot = Curation.incrementalDatasheet(docs, docs.limit(0))
+      .collect().map(_.toSeq).toSeq
+    assert(idGot === full)
+  }
+
   test("filterAttrition: patterns partition the corpus; pass row == docs failing no rule") {
     import graft.operators.TextAnalysis
     import spark.implicits._

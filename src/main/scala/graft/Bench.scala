@@ -47,8 +47,10 @@ object Bench {
     // Dev-only subset (the driver never sets it) — same contract as
     // Verify's SPARK_GRAFT_VERIFY_QUERIES: comma-separated FULL query
     // names, for delta-benching a touched family without the ~4-minute
-    // full sweep. Subset runs skip the bench_last json files below so a
-    // partial vector can never masquerade as the round's record.
+    // full sweep. Subset runs skip the TRACKED bench/bench_last_full.json
+    // below so a partial vector can never masquerade as the round's
+    // record; the gitignored target/bench_last.json is written always —
+    // it exists precisely to persist delta-bench vectors.
     val only: Option[Set[String]] =
       sys.env.get("SPARK_GRAFT_BENCH_QUERIES").map(_.split(",").map(_.trim).toSet)
     val results = SparkEntry.queries.toSeq
@@ -91,7 +93,7 @@ object Bench {
     // never reached the committed record) so every round's end-of-round
     // snapshot commit carries the full per-query vector.
     try {
-      for (d <- Seq("target", "bench") if only.isEmpty) {
+      for (d <- Seq("target", "bench") if d == "target" || only.isEmpty) {
         val dir = java.nio.file.Paths.get(d)
         java.nio.file.Files.createDirectories(dir)
         val f = if (d == "bench") "bench_last_full.json" else "bench_last.json"

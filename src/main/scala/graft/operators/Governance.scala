@@ -333,14 +333,19 @@ object Governance {
     * risk (one erasure request from that source guts the language), and a
     * diversity claim in a dataset card should cite exactly these numbers.
     *
-    * Exactness: every aggregate is integer (token masses, Σx², the
+    * Exactness: every aggregate is integer-exact (token masses, Σx², the
     * rank-weighted Σi·x behind Gini's `G = (2Σi·xᵢ − (n+1)Σx) / (nΣx)`
     * with x ascending) so each reported ratio is ONE double division —
     * no order-dependent double accumulation, and ties in token mass do
     * not affect G (equal x swap rank weights for identical contributions).
-    * Under ANSI the Σx² multiply is overflow-loud; it saturates long at a
-    * ~3·10⁹-token single stratum, far beyond any per-(lang, source) cell
-    * the fixtures or a 100 TB shard would feed one agg row.
+    * The quadratic accumulators (Σx², Σi·x, and Gini's numerator) run in
+    * DECIMAL(38,0), not BIGINT: a long Σx² saturates at a ~3·10⁹-token
+    * stratum — a hot (lang, source) cell at 100 TB plausibly exceeds
+    * that — while decimal holds exact to 10³⁸ (a 10¹⁹-token stratum).
+    * The n·Σx and (Σx)² denominators go through double BEFORE the
+    * multiply for the same headroom; each ratio is still one division,
+    * and at fixture scale every intermediate is < 2⁵³ so the double math
+    * is bit-identical to the oracle's BIGINT-then-double path.
     *
     * Shape: one corpus scan into a strata-sized frame (|langs|·|sources|
     * rows); the rank window and both rollups run on that bounded frame.
@@ -356,13 +361,20 @@ object Governance {
       .agg(count(lit(1)).as("n_sources"),
         sum($"tokens").as("total_tokens"),
         max($"tokens").as("_top"),
-        sum($"tokens" * $"tokens").as("_sq"),
-        sum($"i" * $"tokens").as("_rm"))
+        sum($"tokens".cast("decimal(18,0)") * $"tokens".cast("decimal(18,0)"))
+          .as("_sq"),
+        sum($"i".cast("decimal(18,0)") * $"tokens".cast("decimal(18,0)"))
+          .as("_rm"))
       .select($"lang", $"n_sources", $"total_tokens",
         round($"_top" / $"total_tokens", 6).as("top_share"),
-        round($"_sq" / ($"total_tokens" * $"total_tokens"), 6).as("hhi"),
-        round((lit(2L) * $"_rm" - ($"n_sources" + 1L) * $"total_tokens") /
-          ($"n_sources" * $"total_tokens"), 6).as("gini"))
+        round($"_sq".cast("double") /
+          ($"total_tokens".cast("double") * $"total_tokens".cast("double")),
+          6).as("hhi"),
+        round((lit(2).cast("decimal(2,0)") * $"_rm" -
+          ($"n_sources" + 1L).cast("decimal(18,0)") *
+            $"total_tokens".cast("decimal(18,0)")).cast("double") /
+          ($"n_sources".cast("double") * $"total_tokens".cast("double")),
+          6).as("gini"))
       .orderBy($"lang")
   }
 }

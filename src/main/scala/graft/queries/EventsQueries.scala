@@ -692,7 +692,8 @@ private[graft] object EventsQueries extends QueryFamily {
         |n2 AS (SELECT count(*) AS n_converted FROM c),
         |q AS (SELECT quantile_cont(lat_s, [0.25, 0.5, 0.75, 0.9]) AS qq FROM c)
         |SELECT n_signup_users, n_converted,
-        | round(n_converted * 1.0 / n_signup_users, 6) AS conversion_rate,
+        | CASE WHEN n_signup_users > 0
+        |   THEN round(n_converted * 1.0 / n_signup_users, 6) END AS conversion_rate,
         | round(qq[1], 4) AS p25_s, round(qq[2], 4) AS p50_s,
         | round(qq[3], 4) AS p75_s, round(qq[4], 4) AS p90_s
         |FROM n1, n2, q""".stripMargin,
@@ -721,8 +722,10 @@ private[graft] object EventsQueries extends QueryFamily {
         |  UNION ALL SELECT 3, 'purchase', count(*) FROM s3
         |)
         |SELECT step, event_type, n_users,
-        | round(n_users * 1.0 /
-        |   max(CASE WHEN step = 1 THEN n_users END) OVER (), 6) AS share_of_entry
+        | CASE WHEN max(CASE WHEN step = 1 THEN n_users END) OVER () > 0
+        |   THEN round(n_users * 1.0 /
+        |     max(CASE WHEN step = 1 THEN n_users END) OVER (), 6)
+        |   END AS share_of_entry
         |FROM c ORDER BY step""".stripMargin,
   )
 }

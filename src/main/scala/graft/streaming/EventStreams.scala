@@ -111,7 +111,12 @@ object EventStreams {
     * honest cost of a GLOBAL frontier rule: the production alternatives
     * are the engine's own `withWatermark` drop metrics (no per-row
     * output) or the batch twin's two-phase bucket form over arrival
-    * logs. Micro-epoch arithmetic throughout (Timestamp carries micros;
+    * logs. Per-BATCH memory is a different budget from the 8-byte state:
+    * each micro-batch is buffered and sorted in full inside the one task
+    * (`rows.toSeq` below), so memory is O(micro-batch), bounded only by
+    * trigger sizing — cap `maxOffsetsPerTrigger` (or the file-source
+    * `maxFilesPerTrigger`) when replaying history, or a single replayed
+    * mega-batch lands entirely on that task's heap. Micro-epoch arithmetic throughout (Timestamp carries micros;
     * the batch twin's ns flags can differ only for rows within 1 µs of
     * the cut, which the law's micro-truncated comparison removes).
     */

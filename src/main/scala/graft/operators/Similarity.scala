@@ -1804,6 +1804,54 @@ object Similarity {
       tables: Int = NeardupTables, bits: Int = NeardupBits): DataFrame =
     embeddingPairIndex(embeddings, threshold, tables, bits).orderBy($"id1", $"id2")
 
+  /** Planted-slice near-dup at the PRODUCTION dial (q226): 24×12 planes
+    * at τ=0.9 — the configuration a 100 TB run uses (measured 6.9×
+    * faster than the registered 8×6 fixture dial at ×10 and 21.5 s vs
+    * 631 s at ×30, SURVEY §6.11) but, before this query, gate-proven
+    * nowhere: fixture embeddings are random (max cos ~0.55), so over
+    * the plain corpus τ=0.9 yields an EMPTY pair set and a green hash
+    * check would be vacuous. The slice plants a deterministic near-dup
+    * twin for each `vec_id < nPlanted`: u_j = 0.92·v_j + s_j·0.39·
+    * v_((j+dim/2) mod dim) with s_j the (j·7919+3) parity sign — the
+    * ProfileScaling round-5 construction, norm-preserving
+    * (0.92²+0.39² ≈ 1) so the planted cosine sits at ~0.92 regardless
+    * of fixture norms. A correct 24×12 banding MUST recover those pairs
+    * (per-pair recall 1-(1-p¹²)²⁴ ≈ 0.99 at p(0.92) = 0.87) and a
+    * banding regression at high table counts visibly drops them — the
+    * non-vacuity the loose q48 dial cannot provide at τ=0.9. Planting
+    * runs in DOUBLE arithmetic with one multiply-add per element, so
+    * the oracle's replica is bit-identical before the round-6 cosine.
+    *
+    * Scale: corpus + nPlanted rows through exactly the q48 bucketed
+    * pipeline — nothing here is fixture-only; with a real (non-random)
+    * corpus the planted union is unnecessary and this IS the production
+    * query, shuffle_hash verify pins and all.
+    */
+  def productionNearDup(embeddings: DataFrame, nPlanted: Long = 100L,
+      threshold: Double = 0.9, tables: Int = 24, bits: Int = 12): DataFrame = {
+    val base = embeddings.select($"vec_id", asDouble($"embedding").as("embedding"))
+    embeddingNearDup(base.unionByName(plantedNearDupTwins(embeddings, nPlanted)),
+      threshold, tables, bits)
+  }
+
+  /** The planted rows of `productionNearDup`, public so specs can derive
+    * the exact ground truth of the planted union independently of the
+    * banded path under test. vec_id' = vec_id + 9e7 (disjoint from any
+    * fixture id space); embedding' as documented above, in DOUBLE.
+    */
+  def plantedNearDupTwins(embeddings: DataFrame, nPlanted: Long = 100L): DataFrame = {
+    val base = embeddings.select($"vec_id", asDouble($"embedding").as("embedding"))
+    val dim = size($"embedding")
+    val half = (dim / lit(2)).cast("int")
+    base.filter($"vec_id" < nPlanted).select(
+      ($"vec_id" + 90000000L).as("vec_id"),
+      transform(sequence(lit(1), dim), jj =>
+        element_at($"embedding", jj) * lit(0.92) +
+          element_at($"embedding", ((jj - 1 + half) % dim) + 1) *
+            when(((jj - 1) * 7919 + 3) % 2 === 0, lit(0.39))
+              .otherwise(lit(-0.39))).as("embedding"))
+  }
+
   /** (vec_id, t, bk) hyperplane bucket rows — the persistable probe side
     * of embedding near-dup (the vector twin of `Dedup.bandBuckets`): all
     * table buckets from ONE fused codegen'd pass per vector (native

@@ -532,12 +532,17 @@ private[graft] object OracleHelpers {
       s"CASE WHEN round(${planeProjSql(j)}, 6) > 0 THEN ${1L << j} ELSE 0 END"
     }.mkString("(", " + ", ")")
 
-  /** Near-dup table-`t` bucket — matches Similarity.neardupBucket: bit b of
-    * table t comes from shared-stream plane t*NeardupBits+b.
+  /** Near-dup table-`t` bucket — matches Similarity.neardupBucket /
+    * HyperplaneBuckets.compute: bit b of table t comes from shared-stream
+    * plane t*bits+b. The `bits` overload serves the q226 production dial
+    * (24×12); the 1-arg form is the registered 8×6 fixture dial.
     */
   def neardupBucketSql(t: Int): String =
-    (0 until Similarity.NeardupBits).map { b =>
-      val plane = t * Similarity.NeardupBits + b
+    neardupBucketSql(t, Similarity.NeardupBits)
+
+  def neardupBucketSql(t: Int, bits: Int): String =
+    (0 until bits).map { b =>
+      val plane = t * bits + b
       s"CASE WHEN round(${planeProjSql(plane)}, 6) > 0 THEN ${1L << b} ELSE 0 END"
     }.mkString("(", " + ", ")")
 

@@ -26,6 +26,11 @@ private[graft] object SimilarityQueries extends QueryFamily {
       // the oracle replicates the deterministic bucketing, so the check is
       // exact on the candidate set the algorithm actually produces.
       Similarity.embeddingNearDup(Tables.embeddings(s, d), threshold = 0.45)),
+    // the PRODUCTION dial (24x12, tau=0.9) gate-proven: planted near-dup
+    // twins (cos ~0.92) make the tight threshold non-vacuous at fixture
+    // scale; the oracle replicates planting + 24x12 banding exactly
+    "q226_production_neardup" -> ((s, d) =>
+      Similarity.productionNearDup(Tables.embeddings(s, d))),
     // recall@k of the multi-probe LSH ANN vs the exact top-k — the index
     // evaluation harness, itself oracle-checked (both sides deterministic)
     "q63_ann_recall"    -> ((s, d) => Similarity.annRecall(Tables.embeddings(s, d))),
@@ -221,6 +226,41 @@ private[graft] object SimilarityQueries extends QueryFamily {
          | round(${cosSql("a.v", "b.v")}, 6) AS cos
          |FROM e a JOIN e b ON a.vec_id < b.vec_id AND ($anyTable)
          |WHERE round(${cosSql("a.v", "b.v")}, 6) >= 0.45
+         |ORDER BY id1, id2""".stripMargin
+    },
+    "q226_production_neardup" -> {
+      // q48's bucketing replica at the 24x12 production dial, over the
+      // corpus plus the planted DOUBLE-space near-dup twins (one
+      // multiply-add per element -> bit-identical across engines); the
+      // any-table OR-join is fine at oracle scale
+      val tables = 24
+      val bits = 12
+      val buckets = (0 until tables)
+        .map(t => s"${neardupBucketSql(t, bits)} AS bk$t").mkString(",\n   ")
+      val anyTable = (0 until tables)
+        .map(t => s"a.bk$t = b.bk$t").mkString(" OR ")
+      s"""WITH base AS (
+         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+         |),
+         |pl AS (
+         |  SELECT vec_id + 90000000 AS vec_id,
+         |    list_transform(generate_series(1, len(v)), jj ->
+         |      v[jj] * 0.92 +
+         |      v[((jj - 1 + len(v) // 2) % len(v)) + 1] *
+         |        (CASE WHEN ((jj - 1) * 7919 + 3) % 2 = 0
+         |          THEN 0.39 ELSE -0.39 END)) AS v
+         |  FROM base WHERE vec_id < 100
+         |),
+         |u AS (SELECT vec_id, v FROM base UNION ALL SELECT vec_id, v FROM pl),
+         |e AS (
+         |  SELECT vec_id, v,
+         |   $buckets
+         |  FROM u
+         |)
+         |SELECT a.vec_id AS id1, b.vec_id AS id2,
+         | round(${cosSql("a.v", "b.v")}, 6) AS cos
+         |FROM e a JOIN e b ON a.vec_id < b.vec_id AND ($anyTable)
+         |WHERE round(${cosSql("a.v", "b.v")}, 6) >= 0.9
          |ORDER BY id1, id2""".stripMargin
     },
     "q63_ann_recall" ->

@@ -194,6 +194,29 @@ class PipelineSpec extends GraftSuite {
     assert(tightLoose.subsetOf(exact))
   }
 
+  test("productionNearDup (q226): planted twins are the whole tight-threshold truth and 24x12 recovers them all") {
+    // exact all-pairs ground truth over the planted union: at tau=0.9 the
+    // ONLY qualifying pairs are the nPlanted (i, i+9e7) twins — the random
+    // fixture corpus contributes none (max cos ~0.55) — so the tight-dial
+    // gate is non-vacuous and each truth pair sits at cos ~0.92
+    val base = embs.select($"vec_id", transform($"embedding", _.cast("double")).as("embedding"))
+    val union = base.unionByName(Similarity.plantedNearDupTwins(embs))
+    val truth = Similarity.embeddingNearDupExact(union, threshold = 0.9).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(truth.size === 100, s"planted truth must be exactly the 100 twins, got ${truth.size}")
+    assert(truth.forall { case (a, b) => b === a + 90000000L },
+      "no non-planted pair may reach tau=0.9 on the random fixture")
+    // the production dial (24x12, tau=0.9) recovers the full truth — the
+    // analytic per-pair recall at cos 0.92 is 1-(1-p^12)^24 ~ 0.99 and the
+    // fixed-plane banding is deterministic, so this is a stable equality,
+    // not a flaky sample: a banding regression at high table counts (the
+    // correlated-plane failure mode coef's scaladoc measures) breaks it
+    val got = Similarity.productionNearDup(embs).collect()
+    assert(got.map(r => (r.getLong(0), r.getLong(1))).toSet === truth,
+      "24x12 must recover every planted pair and surface nothing else")
+    assert(got.forall(_.getDouble(2) >= 0.9))
+  }
+
   test("registered embedding near-dup and IVF plans stay equi-join — no cartesian, no nested loop") {
     // the exact ground-truth path is the only one allowed to cross the
     // corpus; every registered approximate path must stay equi-join only

@@ -182,7 +182,7 @@ object Dedup {
     * (connected components) that immediately re-shuffle the pairs and would
     * pay the global sort for nothing.
     */
-  private def minhashLshPairsUnordered(
+  private[graft] def minhashLshPairsUnordered(
       documents: DataFrame, n: Int, threshold: Double): DataFrame = {
     // Signatures come from the fused native expression inside bandBuckets —
     // ONE codegen'd pass per document, no shingle explode, no

@@ -243,19 +243,100 @@ class ScaleSpec extends GraftSuite {
       df.write.format("noop").mode("overwrite").save() // finalize AQE
       df.queryExecution.executedPlan.toString
     }
-    // the raw (un-checkpointed) builder — the public entry points cache
+    // the raw (un-checkpointed) builders — the public entry points cache
     // and localCheckpoint the pair set, which hides the verify join
-    // behind a Scan ExistingRDD in the inspected plan
-    val embPlan = finalPlan(
-      graft.operators.Similarity.embeddingNearDupUnordered(
-        Tables.embeddings(spark, sf), 0.9, 8, 6))
-    assert(embPlan.contains("ShuffledHashJoin"), embPlan)
-    assert(!embPlan.contains("BroadcastHashJoin"),
-      "embedding verify join must not broadcast a post-explode frame:\n" + embPlan)
-    val docPlan = finalPlan(
-      graft.operators.Dedup.containmentRefine(Tables.documents(spark, sf)))
-    assert(docPlan.contains("ShuffledHashJoin"), docPlan)
-    assert(!docPlan.contains("BroadcastHashJoin"),
-      "containment verify join must not broadcast a post-explode frame:\n" + docPlan)
+    // behind a Scan ExistingRDD in the inspected plan. ALL SIX pinned
+    // sites from the round-9 fix are asserted (the manual sibling sweep
+    // that found q74/q95/q120, made permanent): a new verify join added
+    // without its pin belongs in this list.
+    val embs = Tables.embeddings(spark, sf)
+    val docs = Tables.documents(spark, sf)
+    val builders: Seq[(String, () => org.apache.spark.sql.DataFrame)] = Seq(
+      "embeddingNearDupUnordered" -> (() =>
+        graft.operators.Similarity.embeddingNearDupUnordered(embs, 0.9, 8, 6)),
+      "incrementalEmbeddingNearDupFromIndex" -> (() =>
+        graft.operators.Similarity.incrementalEmbeddingNearDupFromIndex(
+          embs, graft.operators.Similarity.hyperplaneBucketRows(embs))),
+      "minhashLshPairsUnordered" -> (() =>
+        graft.operators.Dedup.minhashLshPairsUnordered(docs, 5, 0.6)),
+      "containmentRefine" -> (() =>
+        graft.operators.Dedup.containmentRefine(docs)),
+      "incrementalNearDupPairs" -> (() =>
+        graft.operators.Dedup.incrementalNearDupPairs(docs)),
+      "containmentDiscover" -> (() =>
+        graft.operators.Dedup.containmentDiscover(docs)))
+    for ((name, build) <- builders) {
+      val plan = finalPlan(build())
+      assert(plan.contains("ShuffledHashJoin"),
+        s"$name verify join lost its shuffle_hash pin:\n" + plan)
+      assert(!plan.contains("BroadcastHashJoin"),
+        s"$name must not broadcast any side of a pair-verify join:\n" + plan)
+    }
+  }
+
+  test("UNIVERSAL sweep: no registered query's static plan broadcasts a pair-expansion build") {
+    // The ×30 defect class as a permanent invariant instead of a
+    // remembered audit: a BroadcastHashJoin whose BUILD side descends
+    // from a PAIR EXPANSION (explode of pair_combinations — the K²
+    // in-bucket generator) trusts a row-count estimate that is blind to
+    // the quadratic fan-out AT EVERY SCALE: the estimate tracks bucket
+    // count while reality tracks ΣK², so the frame stays "small enough
+    // to broadcast" on paper while growing quadratically in fact —
+    // exactly the shape that chose the candidate set as a
+    // driver-collected broadcast build and died at ×30 (SURVEY §6.11).
+    // The round-9 fix pinned six sites by hand after a manual sibling
+    // sweep; this re-runs that sweep over EVERY registered query on
+    // every build. LINEAR explodes (tokens, shingles, probe masks) are
+    // deliberately out of scope: their estimates are child-size-
+    // proportional, so the static planner stops broadcasting them as
+    // the input grows — those broadcasts are fixture-scale artifacts,
+    // not scale hazards. Static plans only (AQE off): the defect lives
+    // in the estimate-driven static choice — AQE's runtime re-plan sees
+    // true sizes, and at fixture scale legitimately broadcasts frames
+    // that are huge at production scale, so finalized fixture plans are
+    // the wrong thing to audit. Coverage split with the companion test
+    // above: the pair pipelines localCheckpoint their candidate frames,
+    // which hides Generate ancestry behind Scan ExistingRDD in any plan
+    // downstream of the checkpoint — those regions are asserted by the
+    // raw-builder test over all six pinned sites; THIS sweep guards
+    // every visible region of every registered query, i.e. any future
+    // pair expansion consumed without an intervening checkpoint.
+    import org.apache.spark.sql.catalyst.optimizer.BuildLeft
+    import org.apache.spark.sql.execution.GenerateExec
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+    import graft.functions.{PairCombinations, PairCombinationsKeyed}
+    // Reviewed quadratic-by-design exceptions only (none today). Keep
+    // this list justified per-site or the invariant rots.
+    val allowed: Set[String] = Set()
+    def generateDescended(p: SparkPlan): Boolean =
+      p.find {
+        case g: GenerateExec =>
+          g.generator.find {
+            case _: PairCombinations | _: PairCombinationsKeyed => true
+            case _ => false
+          }.isDefined
+        case _ => false
+      }.isDefined
+    val prev = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    val offenders =
+      try {
+        SparkEntry.queries.toSeq
+          .sortBy { case (name, _) => name.drop(1).takeWhile(_.isDigit).toInt }
+          .filterNot { case (name, _) => allowed.contains(name) }
+          .flatMap { case (name, fn) =>
+            val plan = fn(spark, sf).queryExecution.executedPlan
+            plan.collect {
+              case b: BroadcastHashJoinExec
+                  if generateDescended(
+                    if (b.buildSide == BuildLeft) b.left else b.right) =>
+                s"$name: ${b.nodeName} builds a Generate-descended frame"
+            }
+          }
+      } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+    assert(offenders.isEmpty,
+      "explode-blind broadcast builds (pin shuffle_hash or justify in `allowed`):\n" +
+        offenders.mkString("\n"))
   }
 }

@@ -831,15 +831,29 @@ object Curation {
     * only the delta is scanned), a union + re-aggregation over strata
     * rows, and the aggregate-frame share window.
     */
-  def incrementalDatasheet(base: DataFrame, delta: DataFrame): DataFrame = {
-    def partials(documents: DataFrame): DataFrame = documents
-      .select($"lang", $"source",
-        size(split($"text", " ")).cast("long").as("nw"),
-        round(TextAnalysis.qualityCol($"text") * 10000, 0).cast("long").as("q4"))
-      .groupBy($"lang", $"source")
-      .agg(count(lit(1)).as("n_docs"), sum($"nw").as("n_tokens"), sum($"q4").as("q4s"))
+  def incrementalDatasheet(base: DataFrame, delta: DataFrame): DataFrame =
+    finishDatasheet(datasheetPartials(base).unionAll(datasheetPartials(delta)))
+
+  /** The persisted-SHAPE stratum partials behind the datasheet: exact
+    * integer accumulators only (doc count, token sum, quality in 1e-4
+    * units), so any grouping of slices merges by addition with no
+    * precision drift — the decomposition `incrementalDatasheet`'s
+    * scaladoc states as the maintainability contract.
+    */
+  def datasheetPartials(documents: DataFrame): DataFrame = documents
+    .select($"lang", $"source",
+      size(split($"text", " ")).cast("long").as("nw"),
+      round(TextAnalysis.qualityCol($"text") * 10000, 0).cast("long").as("q4"))
+    .groupBy($"lang", $"source")
+    .agg(count(lit(1)).as("n_docs"), sum($"nw").as("n_tokens"), sum($"q4").as("q4s"))
+
+  /** Read-time finishers over merged partials: re-aggregate strata (the
+    * merge is a sum at every grain), then the mean division and the
+    * share window — both over the (langs × sources)-sized frame.
+    */
+  private def finishDatasheet(partials: DataFrame): DataFrame = {
     val w = Window.partitionBy() // langs x sources rows
-    partials(base).unionAll(partials(delta))
+    partials
       .groupBy($"lang", $"source")
       .agg(sum($"n_docs").as("n_docs"), sum($"n_tokens").as("n_tokens"),
         sum($"q4s").as("q4s"))
@@ -847,6 +861,30 @@ object Curation {
         round($"q4s" / $"n_docs" / 1e4, 4).as("avg_quality"),
         round($"n_tokens" / sum($"n_tokens").over(w), 6).as("token_share"))
       .orderBy($"lang", $"source")
+  }
+
+  /** Persist one slice's datasheet partials — the production write each
+    * ingest batch performs (the BM25/PQ persisted-index pattern,
+    * `TextAnalysis.writeBm25Index`). Shard dirs must be doc-disjoint for
+    * the same reason BM25 shards must be: partials are additive masses,
+    * and an overlapping doc would be counted once per shard.
+    */
+  def writeDatasheetPartials(documents: DataFrame, dir: String): Unit =
+    datasheetPartials(documents).write.mode("overwrite").parquet(dir)
+
+  /** Serve the datasheet from persisted partial shards (q227): the disk
+    * round-trip twin of `incrementalDatasheet` — no document is
+    * re-scanned; the read is strata-rows × shards, and the merge is the
+    * same sum-then-finish law the in-session gate proves. This closes
+    * the gap between "merge == recompute, both computed in-session" and
+    * the claim a 100 TB card maintenance actually needs: base partials
+    * live in a TABLE, and a delta publish reads only that table plus the
+    * delta's own partials.
+    */
+  def datasheetFromPartials(spark: org.apache.spark.sql.SparkSession,
+      dirs: Seq[String]): DataFrame = {
+    require(dirs.nonEmpty, "datasheetFromPartials: no partial shard dirs")
+    finishDatasheet(spark.read.parquet(dirs: _*))
   }
 
   /** Filter-rule attrition histogram: run the standard quality-rule panel

@@ -181,6 +181,21 @@ private[graft] object CurationQueries extends QueryFamily {
     // a single global threshold is applied
     "q215_source_calibration" -> ((s, d) =>
       Curation.sourceQuantileCalibration(Tables.documents(s, d))),
+    // q225's disk round-trip twin: partials are WRITTEN to parquet shards
+    // (base + delta, doc-disjoint) and the datasheet is served from the
+    // FILES — no document rescanned at read time; oracle is still the
+    // full recompute, so the gate proves write+read+merge == recompute
+    "q227_persisted_datasheet" -> ((s, d) => {
+      import org.apache.spark.sql.functions.col
+      val docs = Tables.documents(s, d)
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft_ds_partials").toString
+      Curation.writeDatasheetPartials(
+        docs.filter(col("doc_id") % 10 =!= 1), s"$dir/base")
+      Curation.writeDatasheetPartials(
+        docs.filter(col("doc_id") % 10 === 1), s"$dir/delta")
+      Curation.datasheetFromPartials(s, Seq(s"$dir/base", s"$dir/delta"))
+    }),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -491,6 +506,9 @@ private[graft] object CurationQueries extends QueryFamily {
     // q101 slice pair partitions documents), so the hash gate proves
     // merge-then-finish == recompute-from-scratch across engines
     "q225_incremental_datasheet" -> DatasheetSql,
+    // q227: same full-recompute oracle — the persisted-partials serve
+    // must be indistinguishable from a from-scratch datasheet
+    "q227_persisted_datasheet" -> DatasheetSql,
     "q112_epoch_plan" ->
       """WITH s AS (
         |  SELECT lang, CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS tokens

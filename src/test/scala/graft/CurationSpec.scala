@@ -1196,6 +1196,28 @@ class CurationSpec extends GraftSuite {
     assert(idGot === full)
   }
 
+  test("datasheetFromPartials (q227): disk round-trip merge == in-session merge == recompute") {
+    import spark.implicits._
+    val full = Curation.corpusDatasheet(docs).collect().map(_.toSeq).toSeq
+    val tmp = java.nio.file.Files.createTempDirectory("graft_ds_spec").toString
+    // three doc-disjoint shards (uneven split): integer partials make the
+    // file merge exact regardless of how the corpus was sliced at write
+    Curation.writeDatasheetPartials(docs.filter($"doc_id" % 7 === 0), s"$tmp/a")
+    Curation.writeDatasheetPartials(docs.filter($"doc_id" % 7 === 1), s"$tmp/b")
+    Curation.writeDatasheetPartials(docs.filter($"doc_id" % 7 >= 2), s"$tmp/c")
+    val fromFiles = Curation
+      .datasheetFromPartials(spark, Seq(s"$tmp/a", s"$tmp/b", s"$tmp/c"))
+      .collect().map(_.toSeq).toSeq
+    assert(fromFiles === full,
+      "serving from persisted partial shards must equal the from-scratch datasheet")
+    // and equals the in-session merge over a DIFFERENT slicing — the
+    // partials are slicing-invariant additive masses
+    val inSession = Curation.incrementalDatasheet(
+      docs.filter($"doc_id" % 10 =!= 1), docs.filter($"doc_id" % 10 === 1))
+      .collect().map(_.toSeq).toSeq
+    assert(fromFiles === inSession)
+  }
+
   test("filterAttrition: patterns partition the corpus; pass row == docs failing no rule") {
     import graft.operators.TextAnalysis
     import spark.implicits._

@@ -69,8 +69,23 @@ object ProfileScale {
     }
 
     // ---- build the inflated fixture dir (not part of the measurement) --
+    // Per-replica character bijection = the text analog of an isometry
+    // (see the header scaladoc). AFFINE cipher, not plain rotation: a
+    // rotation has only 26 distinct bijections, so at ×30 replicas
+    // 26–29 DUPLICATED replicas 0–3's whole term space and every
+    // shared-term/shingle structure exploded across the colliding
+    // replica pairs (q122's pair join filled the disk at ×30; q27's r9
+    // ×30 point carried 4 duplicate replicas — conservative, the
+    // artifact only adds candidates). σ_r(i) = a_r·i + b_r mod 26 with
+    // a_r a unit mod 26 gives 12×26 = 312 distinct bijections; the
+    // (a, b) pair below is injective in r for r < 156.
     val alpha = "abcdefghijklmnopqrstuvwxyz"
-    def rotated(r: Int): String = alpha.drop(r % 26) + alpha.take(r % 26)
+    def rotated(r: Int): String = {
+      val units = Seq(1, 3, 5, 7, 9, 11, 15, 17, 19, 21, 23, 25)
+      val a = units(r % units.length)
+      val b = (r * 7) % 26
+      (0 until 26).map(i => alpha((a * i + b) % 26)).mkString
+    }
     val docs = Tables.documents(spark, sfDir)
     val embs = Tables.embeddings(spark, sfDir)
     val docsN: DataFrame = (0 until repl).map { r =>
@@ -132,10 +147,36 @@ object ProfileScale {
       "q218_rate_outliers", "q220_late_arrivals",
       "q217_winsorized_stats", "q219_prefix_dim_recall",
       "q221_srm_check", "q222_conversion_latency",
-      "q224_ordered_funnel").filterNot(skip)
+      "q224_ordered_funnel",
+      // round-10: the remaining top-10 bench heads that until now had
+      // only round-4-era replica extrapolation — vocabulary-bounded
+      // greedy rounds (set cover), the 4-stage verified capstone, the
+      // per-doc bounded word graphs (TextRank), df-pruned tf-idf pair
+      // scoring, and the bigram LM (vocab² driver state risk)
+      "q177_set_cover", "q147_capstone_v2", "q190_textrank_keywords",
+      "q106_bigram_surprisal").filterNot(skip)
     carriers.foreach { name =>
       time(s"x$repl ${name}") {
         SparkEntry.queries(name)(spark, outDir)
+          .write.format("noop").mode("overwrite").save()
+      }
+    }
+    // q122 at the yardstick-corrected ABSOLUTE df cap (64‰ of the BASE
+    // corpus): the registered per-mille cap is corpus-relative, and the
+    // replica-disjoint inflation freezes df while n_docs grows — at ×30
+    // the relative cap re-admitted whole-replica-common terms (df≈5000
+    // ≤ cap 9600) as "rare", and the shared-term candidate join went
+    // quadratic (C(5000,2)-class pairs per replica; filled 79 GB of
+    // spill). A REAL ×30 corpus grows df with n_docs, so the relative
+    // cap's semantics hold there; the absolute pin is how the yardstick
+    // keeps per-replica admission identical to ×1 — the same commute-
+    // with-relative-thresholds lesson as the events user_id×17 shift.
+    if (!skip.contains("q122_tfidf_pairs")) {
+      val nBase = Tables.documents(spark, sfDir).count()
+      time(s"x$repl q122 tfidf pairs (abs df cap)") {
+        graft.operators.Matching.tfidfCosinePairs(
+            Tables.documents(spark, outDir),
+            dfCapAbsolute = Some(nBase * 64L / 1000L))
           .write.format("noop").mode("overwrite").save()
       }
     }

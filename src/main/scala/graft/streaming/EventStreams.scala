@@ -802,4 +802,52 @@ object EventStreams {
       .start()
     q.awaitTermination()
   }
+
+  case class DsDoc(doc_id: Long, lang: String, source: String, text: String)
+  case class DsPartial(nDocs: Long, nTokens: Long, q4s: Long)
+  case class DsPartialOut(lang: String, source: String, n_docs: Long,
+      n_tokens: Long, q4s: Long)
+
+  /** Streaming datasheet-partial maintenance — the q225/q227 contract
+    * LIVE: per (lang, source) stratum, the exact integer partials
+    * (doc count, token sum, quality in 1e-4 units) maintained by
+    * addition as documents arrive; every micro-batch emits each touched
+    * stratum's UPDATED partial row, i.e. exactly the rows
+    * `Curation.writeDatasheetPartials` persists — a sink writing the
+    * latest row per stratum IS the q227 partials table, continuously
+    * maintained. The read-time finishers (mean division, share window)
+    * stay batch-side on purpose: the share denominator needs every
+    * stratum, and q227's serve path already applies them.
+    *
+    * Exactness: the per-doc units (nw, q4) are computed by the SAME
+    * Catalyst expressions as the batch partials BEFORE the stateful op,
+    * so the state transition is pure long addition — associative and
+    * commutative, hence bit-exact to the batch for ANY micro-batch
+    * split (the equals-batch law StreamingSpec drains three uneven
+    * splits against). State is one 3-long row per stratum
+    * (langs × sources) — constant in corpus size, the same bound as the
+    * batch aggregate frame.
+    */
+  def datasheetPartialStream(docs: Dataset[DsDoc]): Dataset[DsPartialOut] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs
+      .select($"lang", $"source",
+        size(split($"text", " ")).cast("long").as("nw"),
+        round(graft.operators.TextAnalysis.qualityCol($"text") * 10000, 0)
+          .cast("long").as("q4"))
+      .as[(String, String, Long, Long)]
+      .groupByKey(t => (t._1, t._2))
+      .flatMapGroupsWithState[DsPartial, DsPartialOut](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (key: (String, String), rows: Iterator[(String, String, Long, Long)],
+            state: GroupState[DsPartial]) =>
+          var st = state.getOption.getOrElse(DsPartial(0L, 0L, 0L))
+          rows.foreach { case (_, _, nw, q4) =>
+            st = DsPartial(st.nDocs + 1L, st.nTokens + nw, st.q4s + q4)
+          }
+          state.update(st)
+          Iterator(DsPartialOut(key._1, key._2, st.nDocs, st.nTokens, st.q4s))
+      }
+  }
 }

@@ -952,4 +952,45 @@ class StreamingSpec extends GraftSuite {
     assert(streamed === batch)
     assert(streamed.values.map(_._2).sum > 0, "delayed clients must produce late rows")
   }
+
+  test("datasheetPartialStream: final stratum partials equal batch, any micro-batch split") {
+    import graft.operators.Curation
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val docs = Tables.documents(spark, sf)
+    val raw = docs.select($"doc_id", $"lang", $"source", $"text")
+      .as[EventStreams.DsDoc].collect().toSeq
+    val input = MemoryStream[EventStreams.DsDoc]
+    val q = EventStreams.datasheetPartialStream(input.toDS())
+      .writeStream.outputMode("update").format("memory").queryName("ds_out")
+      .start()
+    // three uneven splits — additivity must hold across every boundary
+    val splits = Seq(raw.take(raw.length / 4), raw.slice(raw.length / 4, raw.length / 2),
+      raw.drop(raw.length / 2))
+    splits.foreach { s => input.addData(s.toIndexedSeq); q.processAllAvailable() }
+    // the memory sink accumulates one row per touched stratum per batch;
+    // the LAST row per stratum is the final state
+    val streamed = spark.table("ds_out").collect()
+      .map(r => ((r.getString(0), r.getString(1)),
+        (r.getLong(2), r.getLong(3), r.getLong(4))))
+      .zipWithIndex
+      .groupBy(_._1._1).view.mapValues(g => g.maxBy(_._2)._1._2).toMap
+    q.stop()
+    val batch = Curation.datasheetPartials(docs).collect()
+      .map(r => ((r.getString(0), r.getString(1)),
+        (r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(streamed === batch,
+      "streamed final partials must equal the batch partials bit-for-bit")
+    // and therefore the q227 serve path finishes them to the datasheet:
+    // persist the final streamed state and serve from the file
+    val tmp = java.nio.file.Files.createTempDirectory("graft_ds_stream").toString
+    streamed.toSeq.map { case ((l, s), (n, t, qs)) => (l, s, n, t, qs) }
+      .toDF("lang", "source", "n_docs", "n_tokens", "q4s")
+      .write.mode("overwrite").parquet(s"$tmp/state")
+    val served = Curation.datasheetFromPartials(spark, Seq(s"$tmp/state"))
+      .collect().map(_.toSeq).toSeq
+    val full = Curation.corpusDatasheet(docs).collect().map(_.toSeq).toSeq
+    assert(served === full,
+      "finishing the streamed state must equal the from-scratch datasheet")
+  }
 }

@@ -396,6 +396,58 @@ object Events {
       .orderBy($"window_end_day")
   }
 
+  /** Persisted sketch rollup — q128's mergeable daily KMV sketches taken
+    * through the DISK contract (the q227 datasheet-partials pattern
+    * applied to sketches). `writeDailySketches` persists each
+    * (event_type, day) stratum's bottom-k distinct-md5(user_id) sketch to
+    * parquet — at most k rows per stratum, and the shard slicing is free
+    * as long as shards are day-DISJOINT, because bottom-k of a union is
+    * the bottom-k of the unioned bottom-ks (the q54/q128 KMV algebra).
+    * `distinctUsersFromSketchFiles` reads the shard dirs and answers
+    * "distinct users per event_type over the whole span" from sketch rows
+    * alone — no event is rescanned at read time. THE nightly warehouse
+    * rollup at 100 TB: a day's events are read exactly once, when that
+    * day's shard lands; every later rollup — any span, any grouping of
+    * days — reads days×k rows. q228's oracle recomputes the estimate from
+    * the raw events in DuckDB, so the gate proves
+    * write + read + merge == recompute, cross-engine.
+    */
+  def writeDailySketches(events: DataFrame, path: String, k: Int = 64): Unit =
+    Scale.topKPerGroup(
+      events
+        .select($"event_type", expr(s"ts div $NsPerDay").as("day"),
+          md5($"user_id".cast("string")).as("h"))
+        .distinct(),
+      group = struct($"event_type", $"day"),
+      rankKey = $"h", tie = $"h", saltSource = $"h", k = k)
+      .write.mode("overwrite").parquet(path)
+
+  def distinctUsersFromSketchFiles(spark: org.apache.spark.sql.SparkSession,
+      dirs: Seq[String], k: Int = 64): DataFrame = {
+    val parts = dirs.map(spark.read.parquet(_)).reduce(_.unionByName(_))
+    // distinct() guards the contract boundary: day-disjoint shards can't
+    // duplicate an (event_type, h) pair, but overlapping re-writes must
+    // merge idempotently rather than skew the kth-smallest rank
+    val merged = Scale.topKPerGroup(
+      parts.select($"event_type", $"h").distinct(),
+      group = $"event_type", rankKey = $"h", tie = $"h", saltSource = $"h",
+      k = k)
+    val frac =
+      conv(substring($"kth", 1, 13), 16, 10).cast("double") / math.pow(16.0, 13)
+    val nDays = parts.groupBy($"event_type")
+      .agg(countDistinct($"day").as("n_days"))
+    merged
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n_sk"), max($"h").as("kth"))
+      .select($"event_type",
+        when($"n_sk" < k, $"n_sk".cast("double"))
+          .otherwise(lit((k - 1).toDouble) / frac).as("raw_est"))
+      .select($"event_type", round($"raw_est", 4).as("est_users"))
+      .join(nDays, Seq("event_type"))
+      .select($"event_type", $"n_days", $"est_users")
+      .orderBy($"event_type")
+  }
+
   /** Slowly-changing-dimension type-2 history build from the event
     * stream: compress each user's event sequence to its CHANGE POINTS of
     * `event_type` and emit validity intervals — (user, state, valid_from,

@@ -83,6 +83,22 @@ private[graft] object EventsQueries extends QueryFamily {
     // ordered 3-step funnel (any events in between, frontier-chained
     // per-user minima): reached users + share of entrants per step
     "q224_ordered_funnel" -> ((s, d) => Events.orderedFunnel(Tables.events(s, d))),
+    // q128's sketch algebra through the DISK contract (q227's pattern for
+    // sketches): per-(event_type, day) bottom-k KMV shards are WRITTEN to
+    // parquet in two day-disjoint slices, and span-wide distinct users are
+    // served from the files — no event rescanned; oracle recomputes from
+    // raw events, so the gate proves write+read+merge == recompute
+    "q228_sketch_rollup" -> ((s, d) => {
+      import org.apache.spark.sql.functions.expr
+      val ev = Tables.events(s, d)
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft_sketch_shards").toString
+      Events.writeDailySketches(
+        ev.filter(expr("(ts div 86400000000000) % 2 = 0")), s"$dir/even")
+      Events.writeDailySketches(
+        ev.filter(expr("(ts div 86400000000000) % 2 = 1")), s"$dir/odd")
+      Events.distinctUsersFromSketchFiles(s, Seq(s"$dir/even", s"$dir/odd"))
+    }),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -727,5 +743,37 @@ private[graft] object EventsQueries extends QueryFamily {
         |     max(CASE WHEN step = 1 THEN n_users END) OVER (), 6)
         |   END AS share_of_entry
         |FROM c ORDER BY step""".stripMargin,
+    "q228_sketch_rollup" ->
+      // full recompute from raw events: per-day bottom-64, unioned,
+      // re-bottom-64 per event_type, (k-1)/frac(kth) — must equal the
+      // Spark side's merge of persisted day-disjoint parquet shards
+      """WITH du AS (
+        |  SELECT DISTINCT event_type, epoch_ns(ts) // 86400000000000 AS day,
+        |    md5(CAST(user_id AS VARCHAR)) AS h FROM events
+        |),
+        |dsk AS (
+        |  SELECT event_type, day, h FROM (
+        |    SELECT event_type, day, h,
+        |      row_number() OVER (PARTITION BY event_type, day ORDER BY h) AS r
+        |    FROM du
+        |  ) WHERE r <= 64
+        |),
+        |u AS (SELECT DISTINCT event_type, h FROM dsk),
+        |merged AS (
+        |  SELECT event_type, h,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY h) AS r FROM u
+        |),
+        |stats AS (
+        |  SELECT event_type, count(*) AS n_sk, max(h) AS kth
+        |  FROM merged WHERE r <= 64 GROUP BY 1
+        |),
+        |nd AS (SELECT event_type, count(DISTINCT day) AS n_days FROM du GROUP BY 1)
+        |SELECT event_type, n_days,
+        |  round(CASE WHEN n_sk < 64 THEN CAST(n_sk AS DOUBLE)
+        |    ELSE 63.0 / list_sum(list_transform(generate_series(1, 13),
+        |      i -> (strpos('0123456789abcdef', substr(kth, i, 1)) - 1)
+        |           * power(16.0, -i))) END, 4) AS est_users
+        |FROM stats JOIN nd USING (event_type)
+        |ORDER BY event_type""".stripMargin,
   )
 }

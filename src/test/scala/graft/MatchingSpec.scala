@@ -258,6 +258,33 @@ class MatchingSpec extends GraftSuite {
       assert(est > exact / 3.0 && est < exact * 3.0) }
   }
 
+  test("distinctUsersFromSketchFiles: shard slicing is free; exact below fill (q228)") {
+    import org.apache.spark.sql.functions.expr
+    val ev = Tables.events(spark, sf)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_q228_spec").toString
+    def serve(slices: Seq[(String, String)], k: Int = 64) = {
+      slices.foreach { case (pred, name) =>
+        Events.writeDailySketches(ev.filter(expr(pred)), s"$tmp/$name", k) }
+      Events.distinctUsersFromSketchFiles(spark, slices.map(s => s"$tmp/${s._2}"), k)
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSeq
+    }
+    val day = "(ts div 86400000000000)"
+    val one = serve(Seq(("true", "all")))
+    val two = serve(Seq((s"$day % 2 = 0", "e2"), (s"$day % 2 = 1", "o2")))
+    val three = serve(Seq((s"$day % 3 = 0", "a3"), (s"$day % 3 = 1", "b3"),
+      (s"$day % 3 = 2", "c3")))
+    assert(two === one && three === one,
+      "any day-disjoint shard slicing must serve the identical rollup")
+    // a sketch big enough to never fill degrades to the exact count
+    val exact = ev.select(col("event_type"), col("user_id")).distinct()
+      .groupBy(col("event_type")).count().collect()
+      .map(r => (r.getString(0), r.getLong(1))).toMap
+    val big = serve(Seq((s"$day % 2 = 0", "be"), (s"$day % 2 = 1", "bo")),
+      k = 1000000)
+    assert(big.map { case (t, _, est) => (t, est.toLong) }.toMap === exact,
+      "below fill the merged sketch must BE the exact distinct count")
+  }
+
   test("aboveAvgSpenders equals brute force; EXISTS decorrelates to a semi join") {
     import graft.operators.Extended
     val orders = Tables.orders(spark, sf)

@@ -293,6 +293,57 @@ object Dedup {
       .orderBy($"id1", $"id2")
   }
 
+  /** Weighted-Jaccard refinement of the near-dup pair set: for every
+    * verified pair, the TOKEN-MULTISET similarity
+    * J_w = Σ_t min(tf_a, tf_b) / Σ_t max(tf_a, tf_b) — the
+    * term-frequency-aware score set-Jaccard hides. A pair that repeats the
+    * same boilerplate paragraph ten times scores near 1 on distinct
+    * shingles but much lower on J_w when the other document has it once;
+    * curation uses the gap (w_jaccard vs jaccard) to separate "same text"
+    * from "same vocabulary, different emphasis". Only Σmin needs the
+    * cross-document join: Σ_t max = tot_a + tot_b − Σ_t min, so the whole
+    * score costs one shared-token sum plus per-document token totals.
+    *
+    * Shape: rides the cached pair index (discovery stays set-Jaccard LSH —
+    * like `containmentRefine`, this op refines what the index found; at a
+    * tight weighted threshold use ICWS-class sketches for discovery,
+    * deliberately out of scope). Token maps are built once per candidate
+    * document (semi-join first, the verification pattern), the per-pair
+    * Σmin is a map-lookup HOF over the smaller-side entries, and both map
+    * joins pin shuffle_hash — the pair frame's size estimate is
+    * explode-blind (the ×30 broadcast-of-candidates class), so a broadcast
+    * build must never be left to the estimator. Pair-proportional end to
+    * end; per-pair cost is one map traversal, the same volume class as the
+    * shingle-array verify join.
+    */
+  def weightedJaccardRefine(documents: DataFrame, n: Int = 5,
+      threshold: Double = 0.6): DataFrame = {
+    val parts = documents.sparkSession.sparkContext.defaultParallelism * 2
+    val pairs = pairIndex(documents, n, threshold)
+    val ids = pairs.select(explode(array($"id1", $"id2")).as("doc_id")).distinct()
+    val docTf = documents.join(ids, Seq("doc_id"), "left_semi")
+      .repartition(parts, $"doc_id")
+      .select($"doc_id", explode(split($"text", " ")).as("tok"))
+      .groupBy($"doc_id", $"tok").agg(count(lit(1)).as("tf"))
+      .groupBy($"doc_id")
+      .agg(map_from_entries(collect_list(struct($"tok", $"tf"))).as("m"),
+        sum($"tf").as("tot"))
+      .localCheckpoint() // candidate-proportional; referenced twice below
+    pairs
+      .join(docTf.select($"doc_id".as("id1"), $"m".as("m1"), $"tot".as("tot1"))
+        .hint("shuffle_hash"), Seq("id1"))
+      .join(docTf.select($"doc_id".as("id2"), $"m".as("m2"), $"tot".as("tot2"))
+        .hint("shuffle_hash"), Seq("id2"))
+      .select($"id1", $"id2", $"jaccard", $"tot1", $"tot2",
+        expr("""aggregate(map_entries(m1), CAST(0 AS BIGINT),
+                (acc, e) -> acc + least(e.value,
+                  coalesce(element_at(m2, e.key), CAST(0 AS BIGINT))))""")
+          .as("smin"))
+      .select($"id1", $"id2", $"jaccard",
+        round($"smin" / ($"tot1" + $"tot2" - $"smin"), 6).as("w_jaccard"))
+      .orderBy($"id1", $"id2")
+  }
+
   /** Cross-source duplication matrix: near-dup pair counts per unordered
     * source pair — the curation analytic that answers "which crawls copy
     * from each other" before deciding what to drop. Pair generation is the

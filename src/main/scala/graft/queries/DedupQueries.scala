@@ -73,6 +73,11 @@ private[graft] object DedupQueries extends QueryFamily {
     // the quote/inclusion pairs symmetric MinHash banding cannot see;
     // oracle states the exact all-pairs form → the gate proves recall
     "q178_containment" -> ((s, d) => Dedup.containmentDiscover(Tables.documents(s, d))),
+    // term-frequency-aware refinement of the verified near-dup pairs:
+    // token-multiset weighted Jaccard (sum-min / sum-max) beside the
+    // set-Jaccard score; rides the session pair index
+    "q229_weighted_jaccard" -> ((s, d) =>
+      Dedup.weightedJaccardRefine(Tables.documents(s, d))),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -559,5 +564,44 @@ private[graft] object DedupQueries extends QueryFamily {
          |JOIN sizes sb ON id_b = sb.doc_id
          |WHERE round(i * 1.0 / sa.sz, 6) >= 0.9
          |ORDER BY contained_id, container_id""".stripMargin,
+    "q229_weighted_jaccard" ->
+      // pairs = the exact >= 0.6 shingle-Jaccard set (the q26/q27 oracle);
+      // weighted score from token multisets: sum-min over shared tokens,
+      // sum-max = tot_a + tot_b - sum-min
+      s"""WITH $GramsCte,
+         |sizes AS (SELECT doc_id, count(*) AS sz FROM grams GROUP BY doc_id),
+         |inter AS (
+         |  SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS i
+         |  FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2
+         |),
+         |pairs AS (
+         |  SELECT id1, id2, round(i * 1.0 / (s1.sz + s2.sz - i), 6) AS jaccard
+         |  FROM inter
+         |  JOIN sizes s1 ON id1 = s1.doc_id
+         |  JOIN sizes s2 ON id2 = s2.doc_id
+         |  WHERE round(i * 1.0 / (s1.sz + s2.sz - i), 6) >= 0.6
+         |),
+         |tf AS (
+         |  SELECT doc_id, t AS tok, count(*) AS tf FROM (
+         |    SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents
+         |  ) GROUP BY 1, 2
+         |),
+         |tot AS (SELECT doc_id, sum(tf) AS tot FROM tf GROUP BY 1),
+         |smin AS (
+         |  SELECT p.id1, p.id2, sum(least(a.tf, b.tf)) AS smin
+         |  FROM pairs p
+         |  JOIN tf a ON a.doc_id = p.id1
+         |  JOIN tf b ON b.doc_id = p.id2 AND b.tok = a.tok
+         |  GROUP BY 1, 2
+         |)
+         |SELECT p.id1, p.id2, p.jaccard,
+         |  round(coalesce(s.smin, 0) * 1.0
+         |    / (t1.tot + t2.tot - coalesce(s.smin, 0)), 6) AS w_jaccard
+         |FROM pairs p
+         |LEFT JOIN smin s ON p.id1 = s.id1 AND p.id2 = s.id2
+         |JOIN tot t1 ON p.id1 = t1.doc_id
+         |JOIN tot t2 ON p.id2 = t2.doc_id
+         |ORDER BY p.id1, p.id2""".stripMargin,
   )
 }

@@ -1293,6 +1293,32 @@ class PipelineSpec extends GraftSuite {
     assert(got.nonEmpty)
   }
 
+  test("weightedJaccardRefine: exact multiset arithmetic per pair; bounded by 1") {
+    def round6(x: Double): Double =
+      java.math.BigDecimal.valueOf(x).setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+    val texts = docs.select($"doc_id", $"text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    def tf(id: Long): Map[String, Long] =
+      texts(id).split(" ", -1).groupBy(identity).map { case (t, g) => (t, g.length.toLong) }
+    val pairs = Dedup.minhashLshPairs(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    val got = Dedup.weightedJaccardRefine(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3))).toSeq
+    assert(got.map(g => (g._1, g._2, g._3)) === pairs,
+      "refinement covers exactly the verified pair set")
+    got.foreach { case (id1, id2, _, wj) =>
+      val (a, b) = (tf(id1), tf(id2))
+      val smin = a.keysIterator.map(t => math.min(a(t), b.getOrElse(t, 0L))).sum
+      val smax = a.values.sum + b.values.sum - smin
+      assert(wj === round6(smin.toDouble / smax), s"w_jaccard ($id1,$id2)")
+      assert(wj >= 0.0 && wj <= 1.0)
+    }
+    assert(got.nonEmpty)
+    // the multiset score must differ from the set score somewhere — the
+    // refinement carries information, not a copy of the jaccard column
+    assert(got.exists { case (_, _, j, wj) => wj != j })
+  }
+
   test("lengthProfile equals brute-force interpolated quantiles per source") {
     def round2(x: Double): Double =
       java.math.BigDecimal.valueOf(x).setScale(2, java.math.RoundingMode.HALF_UP).doubleValue()

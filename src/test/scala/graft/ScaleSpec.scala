@@ -261,6 +261,8 @@ class ScaleSpec extends GraftSuite {
         graft.operators.Dedup.minhashLshPairsUnordered(docs, 5, 0.6)),
       "containmentRefine" -> (() =>
         graft.operators.Dedup.containmentRefine(docs)),
+      "weightedJaccardRefine" -> (() =>
+        graft.operators.Dedup.weightedJaccardRefine(docs)),
       "incrementalNearDupPairs" -> (() =>
         graft.operators.Dedup.incrementalNearDupPairs(docs)),
       "containmentDiscover" -> (() =>

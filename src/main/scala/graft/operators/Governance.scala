@@ -377,4 +377,34 @@ object Governance {
           6).as("gini"))
       .orderBy($"lang")
   }
+
+  /** l-diversity audit over quasi-identifier cells (Machanavajjhala et
+    * al. 2007): k-anonymity (q82) only bounds CELL SIZE — a cell of 500
+    * customers who ALL share one sensitive value still leaks that value
+    * for every member. Per (nation, market-segment) quasi-identifier
+    * cell over the released customer slice, with the account-balance
+    * band (floor(acctbal/1000) — "in debt" vs wealth tier) as the
+    * sensitive attribute: distinct-l (how many sensitive values appear),
+    * Shannon entropy of the value distribution in bits, and the l≥3
+    * release flag. Entropy uses the q90 quantization trick — per-value
+    * log2 terms are rounded to integer micro-units so the cell sum is
+    * exact integer arithmetic, order-independent under any partitioning;
+    * the only floats are the two final divisions. One map-side-combined
+    * (cell, band) count then a cells-proportional re-agg — bands, not
+    * rows, leave the first reducers, so the audit is one corpus pass at
+    * any scale.
+    */
+  def lDiversityReport(customer: DataFrame, l: Long = 3L): DataFrame =
+    customer
+      .select($"c_nationkey", $"c_mktsegment",
+        floor($"c_acctbal" / 1000).cast("long").as("band"))
+      .groupBy($"c_nationkey", $"c_mktsegment", $"band")
+      .agg(count(lit(1)).as("c"))
+      .groupBy($"c_nationkey", $"c_mktsegment")
+      .agg(sum($"c").as("n_rows"), count(lit(1)).as("distinct_l"),
+        sum($"c" * round(log2($"c") * 1e6, 0).cast("long")).as("s6"))
+      .select($"c_nationkey", $"c_mktsegment", $"n_rows", $"distinct_l",
+        round(log2($"n_rows") - $"s6" / 1e6 / $"n_rows", 4).as("entropy_bits"),
+        ($"distinct_l" >= l).as("l_diverse"))
+      .orderBy($"c_nationkey", $"c_mktsegment")
 }

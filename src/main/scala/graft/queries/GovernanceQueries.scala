@@ -55,6 +55,11 @@ private[graft] object GovernanceQueries extends QueryFamily {
       Tables.lineitem(s, d), Tables.orders(s, d), Tables.part(s, d),
       Tables.supplier(s, d), Tables.customer(s, d), Tables.nation(s, d),
       Tables.region(s, d))),
+    // l-diversity audit: within each (nation, segment) quasi-identifier
+    // cell, how diverse is the sensitive balance band -- the leak
+    // k-anonymity's size-only bound cannot see
+    "q230_l_diversity" -> ((s, d) =>
+      Governance.lDiversityReport(Tables.customer(s, d))),
   )
 
   /** The q223 FK-edge list shared by the oracle generator below. */
@@ -243,5 +248,26 @@ private[graft] object GovernanceQueries extends QueryFamily {
       }
       blocks.mkString("", "\nUNION ALL\n", "\nORDER BY fk_edge")
     },
+    "q230_l_diversity" ->
+      // q90's micro-unit quantization: integer log2 terms, exact cell
+      // sums, floats only in the two final divisions
+      """WITH b AS (
+        |  SELECT c_nationkey, c_mktsegment,
+        |    CAST(floor(c_acctbal / 1000) AS BIGINT) AS band
+        |  FROM customer
+        |),
+        |cells AS (
+        |  SELECT c_nationkey, c_mktsegment, band, count(*) AS c
+        |  FROM b GROUP BY 1, 2, 3
+        |)
+        |SELECT c_nationkey, c_mktsegment,
+        |  CAST(sum(c) AS BIGINT) AS n_rows,
+        |  count(*) AS distinct_l,
+        |  round(log2(CAST(sum(c) AS BIGINT))
+        |    - CAST(sum(c * CAST(round(log2(c) * 1e6) AS BIGINT)) AS BIGINT)
+        |      / 1e6 / CAST(sum(c) AS BIGINT), 4) AS entropy_bits,
+        |  (count(*) >= 3) AS l_diverse
+        |FROM cells GROUP BY 1, 2
+        |ORDER BY 1, 2""".stripMargin,
   )
 }

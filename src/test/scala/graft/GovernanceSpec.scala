@@ -240,6 +240,42 @@ class GovernanceSpec extends GraftSuite {
     }
   }
 
+  test("lDiversityReport: brute-force entropy/distinct-l; single-band cell flags (q230)") {
+    def round4(x: Double): Double =
+      java.math.BigDecimal.valueOf(x).setScale(4, java.math.RoundingMode.HALF_UP).doubleValue()
+    def log2(x: Double): Double = math.log(x) / math.log(2.0)
+    val rows = Tables.customer(spark, sf)
+      .select($"c_nationkey".cast("long").as("c_nationkey"), $"c_mktsegment",
+        floor($"c_acctbal" / 1000).cast("long").as("band"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    val expected = rows.groupBy(r => (r._1, r._2)).toSeq
+      .sortBy { case ((nk, seg), _) => (nk, seg) }
+      .map { case ((nk, seg), g) =>
+        val cs = g.groupBy(_._3).values.map(_.size.toLong).toSeq
+        val n = cs.sum
+        val s6 = cs.map(c => c * math.round(log2(c.toDouble) * 1e6)).sum
+        (nk, seg, n, cs.size.toLong, round4(log2(n.toDouble) - s6 / 1e6 / n),
+          cs.size >= 3)
+      }
+    val got = Governance.lDiversityReport(Tables.customer(spark, sf)).collect()
+      .map(r => (r.getAs[Number](0).longValue(), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4), r.getBoolean(5))).toSeq
+    assert(got === expected)
+    assert(got.nonEmpty)
+    // constructed corners: a 100-row single-band cell is k-anonymous but
+    // NOT l-diverse (the leak q82 cannot see); a two-band 50/50 cell has
+    // exactly 1 bit of entropy
+    import spark.implicits.localSeqToDatasetHolder
+    val crafted = (
+      (1 to 100).map(i => (1L, "LEAK", 500.0)) ++
+      (1 to 50).map(i => (2L, "EVEN", 500.0)) ++
+      (1 to 50).map(i => (2L, "EVEN", 1500.0))
+    ).toDF("c_nationkey", "c_mktsegment", "c_acctbal")
+    val c = Governance.lDiversityReport(crafted).collect()
+      .map(r => (r.getLong(0), r.getLong(3), r.getDouble(4), r.getBoolean(5)))
+    assert(c === Array((1L, 1L, 0.0, false), (2L, 2L, 1.0, false)))
+  }
+
   test("sourceConcentration: matches brute force; uniform and one-source corners") {
     def round6(x: Double): Double =
       java.math.BigDecimal.valueOf(x).setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()

@@ -280,6 +280,47 @@ object Similarity {
       .orderBy($"id1", $"id2")
   }
 
+  /** Margin-scored alignment pairs (q231): every mutual-kNN pair scored
+    * with the RATIO MARGIN — cos(x,y) divided by the mean of the two
+    * endpoints' average k-NN cosines (Artetxe & Schwenk 2019's
+    * margin-based bitext-mining criterion, distance form). Raw cosine
+    * cannot separate "these two are each other's match" from "this is a
+    * HUB that is close to everything": hubs have high average
+    * neighborhood cosine, so dividing by it deflates their pairs while
+    * genuine isolated matches keep margins above 1. The standard mining
+    * step for alignment pairs (translation twins, near-caption matches)
+    * on an embedding corpus.
+    *
+    * Rides the SAME cell-restricted kNN graph as q194/q207/q208 (one
+    * construction, four consumers). The per-id average is quantized to
+    * exact integer micro-units before summing (cos is already on the
+    * round-6 grid, so round-6×1e6 is exact) — order-independent under
+    * any partitioning; the only floats are the final divisions, mirrored
+    * operation-for-operation by the oracle. The denominator guard
+    * (positive mean neighborhood cosine) is shared with the oracle: a
+    * pathological all-negative neighborhood yields NULL margin, not an
+    * ANSI divide-by-zero. Degree join is edge-proportional; nothing
+    * corpus-sized moves.
+    */
+  def marginScoredPairs(embeddings: DataFrame, k: Int = 5,
+      kCells: Int = 16): DataFrame = {
+    val knn = cellKnnGraph(embeddings, k, kCells)
+    val deg = knn.groupBy($"id").agg(
+      sum(round($"cos" * 1e6, 0).cast("long")).as("s6"),
+      count(lit(1)).as("kk"))
+    val lo = knn.filter($"id" < $"nb")
+      .select($"id".as("a"), $"nb".as("b"), $"cos")
+    val hi = knn.filter($"id" > $"nb")
+      .select($"nb".as("a"), $"id".as("b"))
+    lo.join(hi, Seq("a", "b"), "left_semi")
+      .join(deg.select($"id".as("a"), $"s6".as("sa"), $"kk".as("ka")), Seq("a"))
+      .join(deg.select($"id".as("b"), $"s6".as("sb"), $"kk".as("kb")), Seq("b"))
+      .withColumn("denom", ($"sa" / $"ka" + $"sb" / $"kb") / lit(2e6))
+      .select($"a".as("id1"), $"b".as("id2"), $"cos",
+        when($"denom" > 0, round($"cos" / $"denom", 6)).as("margin"))
+      .orderBy($"id1", $"id2")
+  }
+
   /** DBSCAN density profile (q208): classify every vector as CORE
     * (≥ `minPts` neighbors at cosine ≥ `eps`), BORDER (not core but
     * ε-adjacent to a core), or NOISE, and report counts per label — the

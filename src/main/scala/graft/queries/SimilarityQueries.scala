@@ -115,6 +115,11 @@ private[graft] object SimilarityQueries extends QueryFamily {
     // trained cells: the density go/no-go beside q70's centroids
     "q208_dbscan_profile" -> ((s, d) =>
       Similarity.dbscanProfile(Tables.embeddings(s, d))),
+    // ratio-margin scoring of the mutual pairs (Artetxe-Schwenk bitext
+    // criterion): cos deflated by the endpoints' mean k-NN cosine, the
+    // hub-robust alignment miner; rides the shared kNN graph
+    "q231_margin_pairs" -> ((s, d) =>
+      Similarity.marginScoredPairs(Tables.embeddings(s, d))),
     // simplified (centroid) silhouette per cluster: micro-quantized
     // guarded s, best-other from a k-row broadcast argmax
     "q209_silhouette" -> ((s, d) =>
@@ -806,6 +811,41 @@ private[graft] object SimilarityQueries extends QueryFamily {
          |hi AS (SELECT nb AS a, id AS b FROM knn WHERE id > nb)
          |SELECT lo.a AS id1, lo.b AS id2, lo.cos AS cos
          |FROM lo JOIN hi USING (a, b)
+         |ORDER BY id1, id2""".stripMargin,
+    "q231_margin_pairs" ->
+      // q207's mutual chain + per-id mean k-NN cosine in exact
+      // micro-units; margin = cos / mean(avg_a, avg_b), NULL-guarded
+      s"""$KmeansAssignCtes,
+         |pairs AS (
+         |  SELECT x.vec_id AS id, y2.vec_id AS nb,
+         |    round(${cosSql("x.v", "y2.v")}, 6) AS cos
+         |  FROM af x JOIN af y2 ON x.cid = y2.cid AND x.vec_id <> y2.vec_id
+         |),
+         |knn AS MATERIALIZED (
+         |  SELECT id, nb, cos FROM (
+         |    SELECT id, nb, cos, row_number() OVER (PARTITION BY id
+         |      ORDER BY -cos, nb) AS rn
+         |    FROM pairs
+         |  ) WHERE rn <= 5
+         |),
+         |deg AS (
+         |  SELECT id,
+         |    CAST(sum(CAST(round(cos * 1e6) AS BIGINT)) AS BIGINT) AS s6,
+         |    count(*) AS kk
+         |  FROM knn GROUP BY 1
+         |),
+         |lo AS (SELECT id AS a, nb AS b, cos FROM knn WHERE id < nb),
+         |hi AS (SELECT nb AS a, id AS b FROM knn WHERE id > nb),
+         |mp AS (
+         |  SELECT lo.a, lo.b, lo.cos FROM lo JOIN hi USING (a, b)
+         |)
+         |SELECT mp.a AS id1, mp.b AS id2, mp.cos AS cos,
+         |  CASE WHEN (da.s6 / da.kk + db.s6 / db.kk) / 2e6 > 0
+         |    THEN round(mp.cos / ((da.s6 / da.kk + db.s6 / db.kk) / 2e6), 6)
+         |  END AS margin
+         |FROM mp
+         |JOIN deg da ON da.id = mp.a
+         |JOIN deg db ON db.id = mp.b
          |ORDER BY id1, id2""".stripMargin,
     "q208_dbscan_profile" ->
       // cell-restricted eps-neighborhoods (the stated grid-DBSCAN

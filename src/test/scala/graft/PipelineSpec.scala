@@ -2119,6 +2119,39 @@ class PipelineSpec extends GraftSuite {
     got.foreach { case (_, _, c) => assert(c >= -1.0 - 1e-9 && c <= 1.0 + 1e-9) }
   }
 
+  test("marginScoredPairs: brute-force ratio margin over the mutual pairs; hub deflation") {
+    def round6(x: Double): Double =
+      java.math.BigDecimal.valueOf(x).setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+    val edges = Similarity.cellKnnGraph(embs, 5, 16).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // (s6, k) kept separate so the brute force mirrors the engine's exact
+    // operation order: (sa/ka + sb/kb) / 2e6
+    val deg = edges.groupBy(_._1).map { case (id, es) =>
+      id -> (es.map(e => math.round(e._3 * 1e6)).sum.toDouble, es.length.toDouble)
+    }
+    val mutual = Similarity.mutualNeighborPairs(embs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    val expected = mutual.map { case (a, b, c) =>
+      val ((sa, ka), (sb, kb)) = (deg(a), deg(b))
+      val d = (sa / ka + sb / kb) / 2e6
+      (a, b, c, if (d > 0) round6(c / d) else Double.NaN)
+    }
+    val got = Similarity.marginScoredPairs(embs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        if (r.isNullAt(3)) Double.NaN else r.getDouble(3))).toSeq
+    assert(got.map(g => (g._1, g._2, g._3)) === mutual,
+      "margin scoring covers exactly the mutual pair set")
+    got.zip(expected).foreach { case (g, e) =>
+      assert(g._4 == e._4 || (g._4.isNaN && e._4.isNaN), s"margin ${g._1},${g._2}") }
+    assert(got.nonEmpty)
+    // the criterion must actually deflate somewhere: equal-cos pairs in
+    // denser neighborhoods get lower margins, so margin ordering differs
+    // from cosine ordering
+    val byCos = got.sortBy(g => (-g._3, g._1, g._2)).map(g => (g._1, g._2))
+    val byMargin = got.sortBy(g => (-g._4, g._1, g._2)).map(g => (g._1, g._2))
+    assert(byCos !== byMargin, "margin must re-rank, not rescale")
+  }
+
   test("dbscanProfile: roles partition the corpus; core mass shrinks with minPts and eps") {
     def roles(eps: Double, minPts: Int) =
       Similarity.dbscanProfile(embs, eps = eps, minPts = minPts).collect()

@@ -854,10 +854,26 @@ object Events {
     */
   def cusumDriftDays(events: DataFrame, h: Long = 50000L): DataFrame = {
     val NsPerDay = 24L * NsPerHour
-    val moments = events
-      .groupBy((expr(s"ts div $NsPerDay") * 86400).as("day_epoch"))
-      .agg(count(lit(1)).as("n_events"),
-        sum(round($"value" * 10000, 0).cast("long")).as("s1"))
+    cusumFromMoments(
+      events
+        .groupBy((expr(s"ts div $NsPerDay") * 86400).as("day_epoch"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(round($"value" * 10000, 0).cast("long")).as("s1")),
+      h)
+  }
+
+  /** The q193 CUSUM chain from exact per-day moments (day_epoch,
+    * n_events, s1) — split out so the STREAMED moment state
+    * (`EventStreams.cusumMomentStream`, pure-addition per-day
+    * accumulators) finishes through the IDENTICAL code path as the
+    * batch: the reference level k, both CUSUM tracks, and the alarm
+    * derive from the moments alone, so maintaining the moments
+    * incrementally maintains the whole detector (the q225/q227/q228
+    * partials discipline applied to sequential detection). Input is
+    * days-proportional; the windows run over the bounded day frame,
+    * never the corpus.
+    */
+  def cusumFromMoments(moments: DataFrame, h: Long = 50000L): DataFrame = {
     // reference level k from the RAW exact moments (not from xm, whose
     // per-day floor already lost sub-unit mass)
     val kRef = moments.agg(expr("(10000 * sum(s1)) div sum(n_events)").as("k"))

@@ -803,6 +803,46 @@ object EventStreams {
     q.awaitTermination()
   }
 
+  case class CusumEvent(ts: Long, value: Double)
+  case class CusumMoments(nEvents: Long, s1: Long)
+  case class CusumMomentOut(day_epoch: Long, n_events: Long, s1: Long)
+
+  /** Streaming maintenance of the q193 drift detector's per-day moments:
+    * per day, the exact integer accumulators (event count, Σ round(value
+    * ×10⁴)) maintained by addition as events arrive — each micro-batch
+    * emits every touched day's UPDATED row, so a latest-row-per-day sink
+    * holds exactly the moment frame `Events.cusumFromMoments` finishes
+    * into the full CUSUM chain (reference level, both tracks, alarm).
+    * The detector is thereby incrementally maintained end-to-end: the
+    * corpus-sized work (event aggregation) streams with one 2-long row
+    * of state per day; the days-proportional chain re-finishes at read
+    * time. Per-event units are computed by the same expressions as the
+    * batch groupBy BEFORE the stateful op, so the state transition is
+    * pure long addition — bit-exact to the batch for ANY micro-batch
+    * split (the equals-batch law StreamingSpec drains).
+    */
+  def cusumMomentStream(events: Dataset[CusumEvent]): Dataset[CusumMomentOut] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val NsPerDay = 86400L * 1000000000L
+    events
+      .select(expr(s"(ts div $NsPerDay) * 86400").as("day_epoch"),
+        round($"value" * 10000, 0).cast("long").as("v4"))
+      .as[(Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[CusumMoments, CusumMomentOut](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (day: Long, rows: Iterator[(Long, Long)],
+            state: GroupState[CusumMoments]) =>
+          var st = state.getOption.getOrElse(CusumMoments(0L, 0L))
+          rows.foreach { case (_, v4) =>
+            st = CusumMoments(st.nEvents + 1L, st.s1 + v4)
+          }
+          state.update(st)
+          Iterator(CusumMomentOut(day, st.nEvents, st.s1))
+      }
+  }
+
   case class DsDoc(doc_id: Long, lang: String, source: String, text: String)
   case class DsPartial(nDocs: Long, nTokens: Long, q4s: Long)
   case class DsPartialOut(lang: String, source: String, n_docs: Long,

@@ -953,6 +953,43 @@ class StreamingSpec extends GraftSuite {
     assert(streamed.values.map(_._2).sum > 0, "delayed clients must produce late rows")
   }
 
+  test("cusumMomentStream: streamed day moments finish to the exact batch detector") {
+    import graft.operators.Events
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val ev = Tables.events(spark, sf)
+    val raw = ev.select($"ts".cast("long"), $"value")
+      .as[EventStreams.CusumEvent].collect().toSeq
+    val input = MemoryStream[EventStreams.CusumEvent]
+    val q = EventStreams.cusumMomentStream(input.toDS())
+      .writeStream.outputMode("update").format("memory").queryName("cusum_out")
+      .start()
+    val splits = Seq(raw.take(raw.length / 5), raw.slice(raw.length / 5, raw.length / 2),
+      raw.drop(raw.length / 2))
+    splits.foreach { s => input.addData(s.toIndexedSeq); q.processAllAvailable() }
+    // latest row per day is the final moment state
+    val streamed = spark.table("cusum_out").collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2)))).zipWithIndex
+      .groupBy(_._1._1).view.mapValues(g => g.maxBy(_._2)._1._2).toMap
+    q.stop()
+    // the streamed state IS the batch moment frame...
+    val batchMoments = ev
+      .groupBy((expr("ts div 86400000000000") * 86400).as("day_epoch"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(round($"value" * 10000, 0).cast("long")).as("s1"))
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2)))).toMap
+    assert(streamed === batchMoments,
+      "streamed per-day moments must equal the batch moments bit-for-bit")
+    // ...and finishing it reproduces the WHOLE q193 detector: k, both
+    // CUSUM tracks, and the alarm column
+    val served = Events.cusumFromMoments(
+      streamed.toSeq.map { case (d, (n, s1)) => (d, n, s1) }
+        .toDF("day_epoch", "n_events", "s1")).collect().map(_.toSeq).toSeq
+    val full = Events.cusumDriftDays(ev).collect().map(_.toSeq).toSeq
+    assert(served === full,
+      "finishing the streamed moments must equal the from-scratch detector")
+  }
+
   test("datasheetPartialStream: final stratum partials equal batch, any micro-batch split") {
     import graft.operators.Curation
     import spark.implicits._

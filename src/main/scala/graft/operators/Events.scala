@@ -619,6 +619,92 @@ object Events {
         round((mA - mB) / sqrt(vA / $"n_a" + vB / $"n_b"), 4)).as("z_score"))
   }
 
+  /** CUPED variance-reduced A/B readout (q232; Deng, Xu, Kohavi &
+    * Walker 2013 — the experimentation-platform standard): per-user
+    * PRE-experiment purchase value (the covariate X, days before the
+    * corpus midpoint) explains away user-level variance in the
+    * experiment metric Y (post-midpoint purchase value), via
+    * Y' = Y − θ(X − X̄), θ = cov(X,Y)/var(X) pooled over both arms.
+    * Same deterministic md5 arm coin as q192; the fixture is a true
+    * A/A, so the CUPED z stays inside the 1.96 line while the variance
+    * reduction shows the method's power (pre/post value correlates per
+    * user). Reports both raw and adjusted means/z plus θ and the
+    * achieved variance reduction — the panel a rollout dashboard shows.
+    *
+    * Determinism: per-user X/Y are exact micro-unit longs; all second
+    * moments are per-row LONG products (bounded by ~3·10⁹ micro-units
+    * per user per period — ANSI throws loudly beyond, the q192
+    * posture) summed in DECIMAL(38,0), so every input to the final
+    *1-row finisher is engine-exact; the double expressions mirror the
+    * oracle operation-for-operation. Shape: one corpus scan into a
+    * per-user agg (map-side combined), one distinct-user frame, then a
+    * 1-row moment aggregate — nothing corpus-proportional afterwards.
+    */
+  def cupedAbTest(events: DataFrame, metricType: String = "purchase"): DataFrame = {
+    val NsPerDay = 24L * NsPerHour
+    val ev = events.select($"user_id", expr(s"ts div $NsPerDay").as("day"),
+      $"event_type", round($"value" * 10000, 0).cast("long").as("vm"))
+    val mid = ev.agg(expr("(min(day) + max(day) + 1) div 2").as("mid"))
+    val perUser = ev.filter($"event_type" === metricType)
+      .crossJoin(broadcast(mid))
+      .groupBy($"user_id")
+      .agg(sum(when($"day" < $"mid", $"vm").otherwise(0L)).as("x"),
+        sum(when($"day" >= $"mid", $"vm").otherwise(0L)).as("y"))
+    // the assignment universe is every user the experiment saw, not just
+    // converters — a user with no purchases contributes (0, 0)
+    val um = ev.select($"user_id").distinct()
+      .join(perUser, Seq("user_id"), "left_outer")
+      .select(Scale.md5SlicePos($"user_id", 0, 2).as("arm"),
+        coalesce($"x", lit(0L)).as("x"), coalesce($"y", lit(0L)).as("y"))
+    def dec(c: Column): Column = c.cast("decimal(38,0)")
+    def armSum(a: Long, c: Column): Column = sum(when($"arm" === a, c).otherwise(0L))
+    def armDec(a: Long, c: Column): Column =
+      sum(dec(when($"arm" === a, c).otherwise(0L)))
+    val m = um.agg(
+      count(lit(1)).as("n"), sum($"x").as("sx"), sum($"y").as("sy"),
+      sum(dec($"x" * $"y")).as("sxy"), sum(dec($"x" * $"x")).as("sxx"),
+      armSum(0L, lit(1L)).as("n_a"), armSum(0L, $"x").as("sx_a"),
+      armSum(0L, $"y").as("sy_a"), armDec(0L, $"x" * $"x").as("sxx_a"),
+      armDec(0L, $"y" * $"y").as("syy_a"), armDec(0L, $"x" * $"y").as("sxy_a"),
+      armSum(1L, lit(1L)).as("n_b"), armSum(1L, $"x").as("sx_b"),
+      armSum(1L, $"y").as("sy_b"), armDec(1L, $"x" * $"x").as("sxx_b"),
+      armDec(1L, $"y" * $"y").as("syy_b"), armDec(1L, $"x" * $"y").as("sxy_b"))
+    val theta = when(
+      (dec($"n") * $"sxx" - dec($"sx") * dec($"sx")).cast("double") > 0.0,
+      (dec($"n") * $"sxy" - dec($"sx") * dec($"sy")).cast("double") /
+        (dec($"n") * $"sxx" - dec($"sx") * dec($"sx")).cast("double"))
+    val xbar = $"sx".cast("double") / $"n"
+    def mn(s: Column, n: Column): Column = s.cast("double") / n
+    def svar(s1: Column, s2: Column, n: Column): Column =
+      (s2.cast("double") - s1.cast("double") * s1 / n) / (n - lit(1L))
+    def scov(sx: Column, sy: Column, sxy: Column, n: Column): Column =
+      (sxy.cast("double") - sx.cast("double") * sy / n) / (n - lit(1L))
+    val (mA, mB) = (mn($"sy_a", $"n_a"), mn($"sy_b", $"n_b"))
+    val (vA, vB) = (svar($"sy_a", $"syy_a", $"n_a"), svar($"sy_b", $"syy_b", $"n_b"))
+    val (vxA, vxB) = (svar($"sx_a", $"sxx_a", $"n_a"), svar($"sx_b", $"sxx_b", $"n_b"))
+    val cA = scov($"sx_a", $"sy_a", $"sxy_a", $"n_a")
+    val cB = scov($"sx_b", $"sy_b", $"sxy_b", $"n_b")
+    val thc = col("th")
+    val mAdjA = mA - thc * (mn($"sx_a", $"n_a") - xbar)
+    val mAdjB = mB - thc * (mn($"sx_b", $"n_b") - xbar)
+    val vAdjA = vA - lit(2.0) * thc * cA + thc * thc * vxA
+    val vAdjB = vB - lit(2.0) * thc * cB + thc * thc * vxB
+    m.withColumn("th", theta).select(
+      $"n_a", $"n_b", round(thc, 6).as("theta"),
+      when($"n_a" > 0L, round(mA / 1e4, 4)).as("mean_a"),
+      when($"n_b" > 0L, round(mB / 1e4, 4)).as("mean_b"),
+      when($"n_a" > 0L && thc.isNotNull, round(mAdjA / 1e4, 4)).as("mean_a_adj"),
+      when($"n_b" > 0L && thc.isNotNull, round(mAdjB / 1e4, 4)).as("mean_b_adj"),
+      when($"n_a" >= 2L && $"n_b" >= 2L && (vA + vB) > 0.0,
+        round((mA - mB) / sqrt(vA / $"n_a" + vB / $"n_b"), 4)).as("z_raw"),
+      when($"n_a" >= 2L && $"n_b" >= 2L && thc.isNotNull &&
+          (vAdjA + vAdjB) > 0.0,
+        round((mAdjA - mAdjB) / sqrt(vAdjA / $"n_a" + vAdjB / $"n_b"), 4))
+        .as("z_cuped"),
+      when($"n_a" >= 2L && $"n_b" >= 2L && thc.isNotNull && (vA + vB) > 0.0,
+        round(lit(1.0) - (vAdjA + vAdjB) / (vA + vB), 4)).as("var_reduction"))
+  }
+
   /** Session-entry attribution (q195): credit every purchase to the
     * event type that OPENED its session — first-touch attribution at
     * session grain, the marketing-analytics consumer of q33's

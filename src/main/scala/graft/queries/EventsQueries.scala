@@ -99,6 +99,10 @@ private[graft] object EventsQueries extends QueryFamily {
         ev.filter(expr("(ts div 86400000000000) % 2 = 1")), s"$dir/odd")
       Events.distinctUsersFromSketchFiles(s, Seq(s"$dir/even", s"$dir/odd"))
     }),
+    // CUPED variance-reduced A/B readout: pre-period purchase value as
+    // the covariate, raw and adjusted means/z plus theta and the
+    // achieved variance reduction
+    "q232_cuped" -> ((s, d) => Events.cupedAbTest(Tables.events(s, d))),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -423,6 +427,91 @@ private[graft] object EventsQueries extends QueryFamily {
          |      + ((CAST(s2_b AS DOUBLE) - CAST(s1_b AS DOUBLE) * s1_b / n_b) / (n_b - 1)) / n_b),
          |   4) AS z_score
          |FROM t""".stripMargin,
+    "q232_cuped" ->
+      // per-user pre/post micro-unit sums over the md5 arm draw; exact
+      // HUGEINT second moments; theta and every adjusted expression in
+      // the SAME double association order as the engine
+      s"""WITH mid AS (
+         |  SELECT (min(d) + max(d) + 1) // 2 AS m
+         |  FROM (SELECT epoch_ns(ts) // 86400000000000 AS d FROM events)
+         |),
+         |pu AS (
+         |  SELECT user_id,
+         |    CAST(sum(CASE WHEN epoch_ns(ts) // 86400000000000 < (SELECT m FROM mid)
+         |      THEN CAST(round(value * 10000, 0) AS BIGINT) ELSE 0 END) AS BIGINT) AS x,
+         |    CAST(sum(CASE WHEN epoch_ns(ts) // 86400000000000 >= (SELECT m FROM mid)
+         |      THEN CAST(round(value * 10000, 0) AS BIGINT) ELSE 0 END) AS BIGINT) AS y
+         |  FROM events WHERE event_type = 'purchase' GROUP BY 1
+         |),
+         |um AS (
+         |  SELECT ${posSql("md5(CAST(u.user_id AS VARCHAR))", 0, 2)} AS arm,
+         |    coalesce(p.x, 0) AS x, coalesce(p.y, 0) AS y
+         |  FROM (SELECT DISTINCT user_id FROM events) u
+         |  LEFT JOIN pu p USING (user_id)
+         |),
+         |t AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS n,
+         |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+         |    sum(CAST(x * y AS HUGEINT)) AS sxy, sum(CAST(x * x AS HUGEINT)) AS sxx,
+         |    CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+         |    CAST(sum(CASE WHEN arm = 0 THEN x ELSE 0 END) AS BIGINT) AS sx_a,
+         |    CAST(sum(CASE WHEN arm = 0 THEN y ELSE 0 END) AS BIGINT) AS sy_a,
+         |    sum(CAST(CASE WHEN arm = 0 THEN x * x ELSE 0 END AS HUGEINT)) AS sxx_a,
+         |    sum(CAST(CASE WHEN arm = 0 THEN y * y ELSE 0 END AS HUGEINT)) AS syy_a,
+         |    sum(CAST(CASE WHEN arm = 0 THEN x * y ELSE 0 END AS HUGEINT)) AS sxy_a,
+         |    CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+         |    CAST(sum(CASE WHEN arm = 1 THEN x ELSE 0 END) AS BIGINT) AS sx_b,
+         |    CAST(sum(CASE WHEN arm = 1 THEN y ELSE 0 END) AS BIGINT) AS sy_b,
+         |    sum(CAST(CASE WHEN arm = 1 THEN x * x ELSE 0 END AS HUGEINT)) AS sxx_b,
+         |    sum(CAST(CASE WHEN arm = 1 THEN y * y ELSE 0 END AS HUGEINT)) AS syy_b,
+         |    sum(CAST(CASE WHEN arm = 1 THEN x * y ELSE 0 END AS HUGEINT)) AS sxy_b
+         |  FROM um
+         |),
+         |th AS (
+         |  SELECT t.*,
+         |    CASE WHEN CAST(CAST(n AS HUGEINT) * sxx
+         |        - CAST(sx AS HUGEINT) * sx AS DOUBLE) > 0
+         |      THEN CAST(CAST(n AS HUGEINT) * sxy
+         |          - CAST(sx AS HUGEINT) * sy AS DOUBLE)
+         |        / CAST(CAST(n AS HUGEINT) * sxx
+         |          - CAST(sx AS HUGEINT) * sx AS DOUBLE)
+         |    END AS tt
+         |  FROM t
+         |),
+         |fin AS (
+         |  SELECT th.*,
+         |    CAST(sx AS DOUBLE) / n AS xbar,
+         |    CAST(sy_a AS DOUBLE) / n_a AS ma, CAST(sy_b AS DOUBLE) / n_b AS mb,
+         |    CAST(sx_a AS DOUBLE) / n_a AS mxa, CAST(sx_b AS DOUBLE) / n_b AS mxb,
+         |    (CAST(syy_a AS DOUBLE) - CAST(sy_a AS DOUBLE) * sy_a / n_a) / (n_a - 1) AS va,
+         |    (CAST(syy_b AS DOUBLE) - CAST(sy_b AS DOUBLE) * sy_b / n_b) / (n_b - 1) AS vb,
+         |    (CAST(sxx_a AS DOUBLE) - CAST(sx_a AS DOUBLE) * sx_a / n_a) / (n_a - 1) AS vxa,
+         |    (CAST(sxx_b AS DOUBLE) - CAST(sx_b AS DOUBLE) * sx_b / n_b) / (n_b - 1) AS vxb,
+         |    (CAST(sxy_a AS DOUBLE) - CAST(sx_a AS DOUBLE) * sy_a / n_a) / (n_a - 1) AS ca,
+         |    (CAST(sxy_b AS DOUBLE) - CAST(sx_b AS DOUBLE) * sy_b / n_b) / (n_b - 1) AS cb
+         |  FROM th
+         |),
+         |adj AS (
+         |  SELECT fin.*,
+         |    ma - tt * (mxa - xbar) AS maa, mb - tt * (mxb - xbar) AS mab,
+         |    va - 2.0 * tt * ca + tt * tt * vxa AS vaa,
+         |    vb - 2.0 * tt * cb + tt * tt * vxb AS vab
+         |  FROM fin
+         |)
+         |SELECT n_a, n_b, round(tt, 6) AS theta,
+         |  CASE WHEN n_a > 0 THEN round(ma / 10000.0, 4) END AS mean_a,
+         |  CASE WHEN n_b > 0 THEN round(mb / 10000.0, 4) END AS mean_b,
+         |  CASE WHEN n_a > 0 AND tt IS NOT NULL
+         |    THEN round(maa / 10000.0, 4) END AS mean_a_adj,
+         |  CASE WHEN n_b > 0 AND tt IS NOT NULL
+         |    THEN round(mab / 10000.0, 4) END AS mean_b_adj,
+         |  CASE WHEN n_a >= 2 AND n_b >= 2 AND (va + vb) > 0
+         |    THEN round((ma - mb) / sqrt(va / n_a + vb / n_b), 4) END AS z_raw,
+         |  CASE WHEN n_a >= 2 AND n_b >= 2 AND tt IS NOT NULL AND (vaa + vab) > 0
+         |    THEN round((maa - mab) / sqrt(vaa / n_a + vab / n_b), 4) END AS z_cuped,
+         |  CASE WHEN n_a >= 2 AND n_b >= 2 AND tt IS NOT NULL AND (va + vb) > 0
+         |    THEN round(1.0 - (vaa + vab) / (va + vb), 4) END AS var_reduction
+         |FROM adj""".stripMargin,
     "q193_cusum_drift" ->
       // S_t = P_t - min(0, min_{i<=t} P_i): prefix sum and prefix min
       // of integer deviations from the floor-division reference level

@@ -1760,6 +1760,59 @@ class PipelineSpec extends GraftSuite {
     assert(math.abs(row.getDouble(4)) < 1.96, s"A/A z unexpectedly large: ${row.getDouble(4)}")
   }
 
+  test("cupedAbTest: brute-force theta/adjustment; variance reduction is real (q232)") {
+    def md5hex(v: String): String = java.security.MessageDigest.getInstance("MD5")
+      .digest(v.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val ev = Tables.events(spark, sf)
+    val days = ev.select(expr("ts div 86400000000000").as("d")).agg(
+      expr("(min(d) + max(d) + 1) div 2")).collect()(0).getLong(0)
+    val purch = ev.filter($"event_type" === "purchase")
+      .select($"user_id", expr("ts div 86400000000000").as("d"), $"value").collect()
+      .map(r => (r.getLong(0), r.getLong(1), math.round(r.getDouble(2) * 10000)))
+    val allUsers = ev.select($"user_id").distinct().collect().map(_.getLong(0))
+    val xy = allUsers.map { u =>
+      val mine = purch.filter(_._1 == u)
+      val arm = Integer.parseInt(md5hex(u.toString).substring(0, 4), 16) % 2
+      (arm, mine.filter(_._2 < days).map(_._3).sum, mine.filter(_._2 >= days).map(_._3).sum)
+    }
+    val n = xy.length.toDouble
+    val (sx, sy) = (xy.map(_._2).sum.toDouble, xy.map(_._3).sum.toDouble)
+    val sxy = xy.map(t => BigInt(t._2) * BigInt(t._3)).sum
+    val sxx = xy.map(t => BigInt(t._2) * BigInt(t._2)).sum
+    val theta = (n * sxy.toDouble - sx * sy) / (n * sxx.toDouble - sx * sx)
+    val xbar = sx / n
+    def stats(arm: Int) = {
+      val g = xy.filter(_._1 == arm)
+      val (gx, gy) = (g.map(_._2), g.map(_._3))
+      val gn = g.length.toDouble
+      val my = gy.sum / gn; val mx = gx.sum / gn
+      def sv(zs: Array[Long]) = {
+        val s1 = zs.sum.toDouble
+        (zs.map(z => BigInt(z) * BigInt(z)).sum.toDouble - s1 * s1 / gn) / (gn - 1)
+      }
+      val cov = (g.map(t => BigInt(t._2) * BigInt(t._3)).sum.toDouble -
+        gx.sum.toDouble * gy.sum / gn) / (gn - 1)
+      (gn, my, mx, sv(gy), sv(gx), cov)
+    }
+    val (na, mya, mxa, vya, vxa, ca) = stats(0)
+    val (nb, myb, mxb, vyb, vxb, cb) = stats(1)
+    val row = Events.cupedAbTest(ev).collect() match { case Array(r) => r }
+    assert((row.getLong(0), row.getLong(1)) === ((na.toLong, nb.toLong)))
+    assert(math.abs(row.getDouble(2) - theta) <= 1e-4, s"theta ${row.getDouble(2)} vs $theta")
+    assert(math.abs(row.getDouble(5) - (mya - theta * (mxa - xbar)) / 1e4) <= 1e-2)
+    assert(math.abs(row.getDouble(6) - (myb - theta * (mxb - xbar)) / 1e4) <= 1e-2)
+    val vaa = vya - 2 * theta * ca + theta * theta * vxa
+    val vab = vyb - 2 * theta * cb + theta * theta * vxb
+    val zc = ((mya - theta * (mxa - xbar)) - (myb - theta * (mxb - xbar))) /
+      math.sqrt(vaa / na + vab / nb)
+    assert(math.abs(row.getDouble(8) - zc) <= 1e-3, s"z_cuped ${row.getDouble(8)} vs $zc")
+    // the whole point: adjusted variance is never larger (theta is the
+    // pooled least-squares minimizer, so pooled reduction >= 0), and the
+    // A/A split stays calibrated after adjustment
+    assert(row.getDouble(9) >= 0.0, "pooled variance reduction must be non-negative")
+    assert(math.abs(row.getDouble(8)) < 1.96, s"A/A z_cuped large: ${row.getDouble(8)}")
+  }
+
   test("abValueTest Σv² overflow fails LOUDLY (ANSI), never a silent wrong z") {
     // the documented long envelope (~1e6 events/arm at value scale ×1e4)
     // is enforced by ANSI arithmetic: vm ≈ 2e9 per row squares to 4e18,

@@ -59,6 +59,96 @@ object Matching {
       .orderBy($"name_a", $"name_b")
   }
 
+  /** Fellegi–Sunter record-linkage weights via EM (q233; Fellegi &
+    * Sunter 1969, the probabilistic-ER canon; EM fitting per Winkler
+    * 1988): over attribute-blocked candidate pairs, estimate each
+    * comparison field's m-probability (agrees | match) and
+    * u-probability (agrees | non-match) WITHOUT labels, and emit the
+    * field's log2 agreement/disagreement weights — the scoring table a
+    * production linkage run then applies to every candidate pair.
+    * Blocking is (p_brand, p_size) equality (the standard reduce-then-
+    * verify shape; cross-block pairs are out of scope by contract, as
+    * in `fuzzyNameMatch`); the four comparison fields are type
+    * equality, retail-price band equality, ≥2 shared name tokens, and
+    * name edit distance ≤ 10.
+    *
+    * Determinism (the q143 classifier discipline): EM state is 9 INTEGER
+    * micro-unit scalars (p, m₁..₄, u₁..₄) synced to the driver once per
+    * round — data never leaves the executors; per-pair match posteriors
+    * quantize to micro-units via one double expression mirrored
+    * operation-for-operation by the oracle's unrolled CTE rounds; the
+    * M-step is pure integer arithmetic ((10⁶·Σ + Σg/2) div Σg, clamped
+    * to [1, 999999] so a degenerate field can never produce log(0)).
+    * Candidate volume is block-bounded (Σ_block |block|²); the EM passes
+    * are candidate-proportional aggregates over ONE checkpointed frame.
+    */
+  def fsLinkageWeights(part: DataFrame, rounds: Int = 3): DataFrame = {
+    val spark = part.sparkSession
+    val recs = part.select($"p_partkey", $"p_name", $"p_brand", $"p_type",
+      $"p_size", floor($"p_retailprice" / 100).as("pb"),
+      array_distinct(split($"p_name", " ")).as("toks"))
+    val cand = recs.as("a")
+      .join(recs.as("b"),
+        col("a.p_brand") === col("b.p_brand") &&
+        col("a.p_size") === col("b.p_size") &&
+        col("a.p_partkey") < col("b.p_partkey"))
+      .select(
+        (col("a.p_type") === col("b.p_type")).cast("long").as("g1"),
+        (col("a.pb") === col("b.pb")).cast("long").as("g2"),
+        (size(array_intersect(col("a.toks"), col("b.toks"))) >= 2)
+          .cast("long").as("g3"),
+        (levenshtein(col("a.p_name"), col("b.p_name")) <= 10)
+          .cast("long").as("g4"))
+      .localCheckpoint() // re-aggregated once per EM round
+    var p6 = 100000L
+    val m6 = Array.fill(4)(900000L)
+    val u6 = Array.fill(4)(100000L)
+    def clamp(v: Long): Long = math.min(math.max(v, 1L), 999999L)
+    for (_ <- 1 to rounds) {
+      // E-step: P(match | γ) from the CURRENT micro-unit scalars; the
+      // division chains mirror the oracle's round CTEs exactly
+      val pp = p6 / 1e6
+      val ppc = 1 - p6 / 1e6
+      def prod(probs: Array[Long]): Column = (1 to 4).map { k =>
+        val pk = probs(k - 1) / 1e6
+        when(col(s"g$k") === 1L, lit(pk)).otherwise(lit(1 - pk))
+      }.reduce(_ * _)
+      val num = lit(pp) * prod(m6)
+      val den = num + lit(ppc) * prod(u6)
+      val gm = round(lit(1e6) * (num / den), 0).cast("long")
+      val aggCols: Seq[Column] =
+        sum($"gm").as("sg") +: count(lit(1)).as("n") +:
+          sum(lit(1000000L) - $"gm").as("sug") +:
+          (1 to 4).flatMap(k => Seq(
+            sum(when(col(s"g$k") === 1L, $"gm").otherwise(0L)).as(s"sm$k"),
+            sum(when(col(s"g$k") === 1L, lit(1000000L) - $"gm")
+              .otherwise(0L)).as(s"su$k")))
+      val sums = cand.select(col("g1"), col("g2"), col("g3"), col("g4"),
+          gm.as("gm"))
+        .agg(aggCols.head, aggCols.tail: _*)
+        .collect()(0)
+      val sg = sums.getLong(0); val n = sums.getLong(1)
+      val sug = sums.getLong(2)
+      for (k <- 1 to 4) {
+        m6(k - 1) = clamp((1000000L * sums.getLong(1 + 2 * k) + sg / 2) / sg)
+        u6(k - 1) = clamp((1000000L * sums.getLong(2 + 2 * k) + sug / 2) / sug)
+      }
+      p6 = clamp((sg + n / 2) / n)
+    }
+    // finish IN Spark (not on the driver) so the log2/round rendering is
+    // the same engine codepath every other oracle-checked query uses
+    import spark.implicits.{localSeqToDatasetHolder, newProductEncoder}
+    Seq(("type_eq", m6(0), u6(0)), ("price_band_eq", m6(1), u6(1)),
+      ("name_tok2", m6(2), u6(2)), ("name_lev10", m6(3), u6(3)))
+      .toDF("field", "m6", "u6")
+      .select($"field", round($"m6" / 1e6, 6).as("m"),
+        round($"u6" / 1e6, 6).as("u"),
+        round(log2($"m6".cast("double") / $"u6"), 4).as("w_agree"),
+        round(log2((lit(1000000L) - $"m6").cast("double") /
+          (lit(1000000L) - $"u6")), 4).as("w_disagree"))
+      .orderBy($"field")
+  }
+
   /** Sparse lexical similarity: document pairs whose TOP-`k` TF-IDF term
     * vectors have cosine ≥ `tau`, candidates blocked on shared RARE terms
     * (document frequency ≤ `dfCap`). The sparse-vector complement of the

@@ -78,7 +78,79 @@ private[graft] object DedupQueries extends QueryFamily {
     // set-Jaccard score; rides the session pair index
     "q229_weighted_jaccard" -> ((s, d) =>
       Dedup.weightedJaccardRefine(Tables.documents(s, d))),
+    // Fellegi-Sunter EM over blocked part pairs: unsupervised m/u
+    // probabilities and log2 match weights per comparison field
+    "q233_fs_linkage" -> ((s, d) =>
+      Matching.fsLinkageWeights(Tables.part(s, d))),
   )
+
+  /** The q233 EM chain, unrolled round-for-round (the q143 oracle
+    * pattern): micro-unit scalars carried through w0..w{rounds} CTEs,
+    * E-step posteriors quantized via the SAME double expression order
+    * as the engine, integer M-step with the [1, 999999] clamp.
+    */
+  private def fsEmSql(rounds: Int): String = {
+    def prod(pcol: String): String = (1 to 4).map(k =>
+      s"(CASE WHEN g$k = 1 THEN $pcol$k / 1e6 ELSE 1 - $pcol$k / 1e6 END)")
+      .mkString(" * ")
+    def rnd(i: Int): String =
+      s"""e$i AS MATERIALIZED (
+         |  SELECT g1, g2, g3, g4,
+         |    CAST(round(1e6 * (((p6 / 1e6) * ${prod("m")})
+         |      / ((p6 / 1e6) * ${prod("m")} + (1 - p6 / 1e6) * ${prod("u")})))
+         |      AS BIGINT) AS gm
+         |  FROM cand, w${i - 1}
+         |),
+         |s$i AS (
+         |  SELECT CAST(sum(gm) AS BIGINT) AS sg, CAST(count(*) AS BIGINT) AS n,
+         |    CAST(sum(1000000 - gm) AS BIGINT) AS sug,
+         |${(1 to 4).map(k =>
+            s"    CAST(sum(CASE WHEN g$k = 1 THEN gm ELSE 0 END) AS BIGINT) AS sm$k,\n" +
+            s"    CAST(sum(CASE WHEN g$k = 1 THEN 1000000 - gm ELSE 0 END) AS BIGINT) AS su$k")
+          .mkString(",\n")}
+         |  FROM e$i
+         |),
+         |w$i AS (
+         |  SELECT
+         |${(1 to 4).map(k =>
+            s"    least(greatest((1000000 * sm$k + sg // 2) // sg, 1), 999999) AS m$k,\n" +
+            s"    least(greatest((1000000 * su$k + sug // 2) // sug, 1), 999999) AS u$k")
+          .mkString(",\n")},
+         |    least(greatest((sg + n // 2) // n, 1), 999999) AS p6
+         |  FROM s$i
+         |)""".stripMargin
+    s"""WITH recs AS (
+       |  SELECT p_partkey, p_name, p_brand, p_type, p_size,
+       |    floor(p_retailprice / 100) AS pb,
+       |    list_distinct(string_split(p_name, ' ')) AS toks
+       |  FROM part
+       |),
+       |cand AS MATERIALIZED (
+       |  SELECT
+       |    CASE WHEN a.p_type = b.p_type THEN 1 ELSE 0 END AS g1,
+       |    CASE WHEN a.pb = b.pb THEN 1 ELSE 0 END AS g2,
+       |    CASE WHEN len(list_intersect(a.toks, b.toks)) >= 2 THEN 1 ELSE 0 END AS g3,
+       |    CASE WHEN levenshtein(a.p_name, b.p_name) <= 10 THEN 1 ELSE 0 END AS g4
+       |  FROM recs a JOIN recs b ON a.p_brand = b.p_brand
+       |    AND a.p_size = b.p_size AND a.p_partkey < b.p_partkey
+       |),
+       |w0 AS (SELECT CAST(100000 AS BIGINT) AS p6,
+       |${(1 to 4).map(k =>
+          s"  CAST(900000 AS BIGINT) AS m$k, CAST(100000 AS BIGINT) AS u$k")
+        .mkString(",\n")}),
+       |${(1 to rounds).map(rnd).mkString(",\n")}
+       |SELECT field, round(mm / 1e6, 6) AS m, round(uu / 1e6, 6) AS u,
+       |  round(log2(CAST(mm AS DOUBLE) / uu), 4) AS w_agree,
+       |  round(log2(CAST(1000000 - mm AS DOUBLE) / (1000000 - uu)), 4)
+       |    AS w_disagree
+       |FROM (
+       |  SELECT 'type_eq' AS field, m1 AS mm, u1 AS uu FROM w$rounds
+       |  UNION ALL SELECT 'price_band_eq', m2, u2 FROM w$rounds
+       |  UNION ALL SELECT 'name_tok2', m3, u3 FROM w$rounds
+       |  UNION ALL SELECT 'name_lev10', m4, u4 FROM w$rounds
+       |)
+       |ORDER BY field""".stripMargin
+  }
 
   def oracleSql: Map[String, String] = Map(
     "q25_dedup_exact" ->
@@ -603,5 +675,6 @@ private[graft] object DedupQueries extends QueryFamily {
          |JOIN tot t1 ON p.id1 = t1.doc_id
          |JOIN tot t2 ON p.id2 = t2.doc_id
          |ORDER BY p.id1, p.id2""".stripMargin,
+    "q233_fs_linkage" -> fsEmSql(3),
   )
 }

@@ -258,6 +258,71 @@ class MatchingSpec extends GraftSuite {
       assert(est > exact / 3.0 && est < exact * 3.0) }
   }
 
+  test("fsLinkageWeights: in-JVM EM replica; discriminative fields earn positive weight") {
+    val parts = Tables.part(spark, sf)
+      .select(col("p_partkey"), col("p_name"), col("p_brand"), col("p_type"),
+        col("p_size"), col("p_retailprice")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getString(3),
+        r.getAs[Number](4).longValue(), r.getDouble(5)))
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1)((i, j) => if (j == 0) i else if (i == 0) j else 0)
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    val byBlock = parts.toVector.groupBy(p => (p._3, p._5))
+    val gammas: Vector[Vector[Long]] = byBlock.values.toVector.flatMap { g =>
+      for {
+        a <- g; b <- g if a._1 < b._1
+      } yield Vector(
+        if (a._4 == b._4) 1L else 0L,
+        if (math.floor(a._6 / 100) == math.floor(b._6 / 100)) 1L else 0L,
+        if (a._2.split(" ").distinct.toSet
+          .intersect(b._2.split(" ").distinct.toSet).size >= 2) 1L else 0L,
+        if (lev(a._2, b._2) <= 10) 1L else 0L)
+    }
+    var p6 = 100000L
+    val m6 = Array.fill(4)(900000L); val u6 = Array.fill(4)(100000L)
+    def clamp(v: Long) = math.min(math.max(v, 1L), 999999L)
+    for (_ <- 1 to 3) {
+      val pp = p6 / 1e6; val ppc = 1 - p6 / 1e6
+      val gms: Vector[Long] = gammas.map { gamma =>
+        def prod(ps: Array[Long]): Double = (0 until 4).map { k =>
+          if (gamma(k) == 1L) ps(k) / 1e6 else 1 - ps(k) / 1e6
+        }.reduce(_ * _)
+        val num = pp * prod(m6)
+        math.round(1e6 * (num / (num + ppc * prod(u6))))
+      }
+      val sg = gms.sum; val n = gms.length.toLong
+      val sug = gms.map(1000000L - _).sum
+      for (k <- 0 until 4) {
+        val smk = gammas.zip(gms).collect { case (g, gm) if g(k) == 1L => gm }.sum
+        val suk = gammas.zip(gms).collect { case (g, gm) if g(k) == 1L => 1000000L - gm }.sum
+        m6(k) = clamp((1000000L * smk + sg / 2) / sg)
+        u6(k) = clamp((1000000L * suk + sug / 2) / sug)
+      }
+      p6 = clamp((sg + n / 2) / n)
+    }
+    val got = graft.operators.Matching.fsLinkageWeights(Tables.part(spark, sf))
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4))).toSeq
+    def round6(x: Double) = java.math.BigDecimal.valueOf(x)
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+    val expOrder = Seq(("name_lev10", 3), ("name_tok2", 2), ("price_band_eq", 1), ("type_eq", 0))
+    got.zip(expOrder).foreach { case ((f, m, u, _, _), (ef, k)) =>
+      assert(f === ef)
+      assert(m === round6(m6(k) / 1e6), s"m for $f")
+      assert(u === round6(u6(k) / 1e6), s"u for $f")
+    }
+    // EM without labels must still discover discriminative structure:
+    // type equality separates matches from chance far better than the
+    // near-universal lev10 field
+    val wa = got.map(g => g._1 -> g._4).toMap
+    assert(wa("type_eq") > 1.0, "type agreement must carry real evidence")
+    assert(wa("type_eq") > wa("name_lev10"))
+  }
+
   test("distinctUsersFromSketchFiles: shard slicing is free; exact below fill (q228)") {
     import org.apache.spark.sql.functions.expr
     val ev = Tables.events(spark, sf)

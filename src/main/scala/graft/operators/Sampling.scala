@@ -378,6 +378,59 @@ object Sampling {
         round(abs($"sc" / 1e4 - $"true_chars") / $"true_chars", 4).as("rel_err_chars"))
   }
 
+  /** Word2vec-style negative sampling (q234; Mikolov et al. 2013's
+    * unigram^0.75 table): draw `slots` negative tokens per document from
+    * the corpus unigram distribution raised to 3/4 — the smoothing that
+    * up-weights the tail so negatives aren't all stop-words. Every draw
+    * is a deterministic md5 coin (doc_id:slot), so the sample is
+    * REPLAYABLE — a contrastive-training run can be reproduced bit-for-bit
+    * from the corpus alone (the family's md5 discipline).
+    *
+    * Scale shape — the CDF never broadcasts a range join: smoothed
+    * weights are micro-quantized (round(10⁶·n^0.75) — exact integers
+    * after the one pow), the vocabulary CDF is a window cumsum over the
+    * vocab-sized frame, and draw→token resolution is an EQUI-join on a
+    * bucketized CDF: token spans map to the `buckets` ids they overlap
+    * (explode costs vocab + buckets rows), a draw computes its bucket by
+    * integer arithmetic, and the residual range check runs inside
+    * bucket-sized groups. Draws are docs×slots rows; nothing is ever
+    * vocab×draws. Production note: the raw table draw can hit a token
+    * present in the document (the classic false negative) — downstream
+    * re-draws on collision; this op emits the raw replayable draw.
+    */
+  def negativeSamples(documents: DataFrame, slots: Int = 4,
+      buckets: Int = 1024): DataFrame = {
+    val vocab = documents
+      .select(explode(split($"text", " ")).as("tok"))
+      .groupBy($"tok").agg(count(lit(1)).as("n"))
+      .select($"tok", $"n",
+        round(pow($"n", 0.75) * 1e6, 0).cast("long").as("w6"))
+    val wv = Window.orderBy($"tok")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cdf = vocab
+      .withColumn("hi", sum($"w6").over(wv))
+      .withColumn("lo", $"hi" - $"w6")
+      .localCheckpoint() // vocab-sized; feeds total, spans, and resolve
+    val total = cdf.agg(max($"hi").as("tw"))
+    val spans = cdf.crossJoin(broadcast(total))
+      .select($"tok", $"lo", $"hi",
+        explode(sequence(expr(s"(lo * $buckets) div tw"),
+          expr(s"((hi - 1) * $buckets) div tw"))).as("bucket"))
+    val u = conv(substring(md5(concat($"doc_id".cast("string"), lit(":"),
+      $"slot".cast("string"))), 1, 13), 16, 10).cast("double") / math.pow(16.0, 13)
+    val draws = documents.select($"doc_id")
+      .withColumn("slot", explode(sequence(lit(1L), lit(slots.toLong))))
+      .crossJoin(broadcast(total))
+      .select($"doc_id", $"slot", floor(u * $"tw").cast("long").as("r"), $"tw")
+      .select($"doc_id", $"slot", $"r",
+        expr(s"(r * $buckets) div tw").as("bucket"))
+    draws
+      .join(spans, Seq("bucket"))
+      .filter($"r" >= $"lo" && $"r" < $"hi")
+      .select($"doc_id", $"slot", $"tok".as("neg_token"))
+      .orderBy($"doc_id", $"slot")
+  }
+
   def weightedSampleByStratum(documents: DataFrame, k: Int = 10): DataFrame = {
     val u = conv(substring(md5($"doc_id".cast("string")), 1, 13), 16, 10)
       .cast("double") / math.pow(16.0, 13)

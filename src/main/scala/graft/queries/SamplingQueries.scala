@@ -36,6 +36,10 @@ private[graft] object SamplingQueries extends QueryFamily {
     // Horvitz-Thompson totals from the q124 bottom-k draw: tau = the
     // (k+1)-th key, p = 1-exp(-w*tau), micro-quantized HT terms
     "q206_ht_estimate" -> ((s, d) => Sampling.htEstimate(Tables.documents(s, d))),
+    // word2vec negative-sampling table: unigram^0.75 micro-weights,
+    // bucketized-CDF equi-join resolution, md5(doc:slot) coins
+    "q234_negative_sampling" -> ((s, d) =>
+      Sampling.negativeSamples(Tables.documents(s, d))),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -243,5 +247,35 @@ private[graft] object SamplingQueries extends QueryFamily {
         | true_chars, round(sc / 1e4, 2) AS est_chars,
         | round(abs(sc / 1e4 - true_chars) / true_chars, 4) AS rel_err_chars
         |FROM est, tr""".stripMargin,
+    "q234_negative_sampling" ->
+      // same CDF in SQL: micro-quantized smoothed weights, cumsum over
+      // token order, exact 13-hex coin, range-resolved draw (the oracle
+      // can afford the direct range join; the engine buckets it)
+      """WITH vocab AS (
+        |  SELECT tok, count(*) AS n,
+        |    CAST(round(power(count(*), 0.75) * 1e6) AS BIGINT) AS w6
+        |  FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+        |  GROUP BY tok
+        |),
+        |cdf AS (
+        |  SELECT tok, w6,
+        |    CAST(sum(w6) OVER (ORDER BY tok
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS hi
+        |  FROM vocab
+        |),
+        |c2 AS (SELECT tok, hi - w6 AS lo, hi FROM cdf),
+        |tw AS (SELECT max(hi) AS tw FROM cdf),
+        |draws AS (
+        |  SELECT doc_id, slot,
+        |    CAST(floor(list_sum(list_transform(generate_series(1, 13),
+        |      i -> (strpos('0123456789abcdef',
+        |              substr(md5(CAST(doc_id AS VARCHAR) || ':' ||
+        |                CAST(slot AS VARCHAR)), i, 1)) - 1)
+        |           * power(16.0, -i))) * tw.tw) AS BIGINT) AS r
+        |  FROM documents, tw, (SELECT unnest(generate_series(1, 4)) AS slot)
+        |)
+        |SELECT d.doc_id, d.slot, c.tok AS neg_token
+        |FROM draws d JOIN c2 c ON d.r >= c.lo AND d.r < c.hi
+        |ORDER BY d.doc_id, d.slot""".stripMargin,
   )
 }

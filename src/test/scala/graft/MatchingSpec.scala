@@ -258,6 +258,46 @@ class MatchingSpec extends GraftSuite {
       assert(est > exact / 3.0 && est < exact * 3.0) }
   }
 
+  test("negativeSamples: brute-force CDF resolution; smoothing lifts the tail (q234)") {
+    val texts = docs.select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val counts = texts.flatMap(_._2.split(" ", -1)).groupBy(identity)
+      .map { case (t, g) => (t, g.length.toLong) }
+    val cdf = counts.toSeq.sortBy(_._1).foldLeft(Vector.empty[(String, Long, Long)]) {
+      case (acc, (t, n)) =>
+        val lo = acc.lastOption.map(_._3).getOrElse(0L)
+        acc :+ ((t, lo, lo + math.round(math.pow(n.toDouble, 0.75) * 1e6)))
+    }
+    val tw = cdf.last._3
+    def md5hex(v: String): String = java.security.MessageDigest.getInstance("MD5")
+      .digest(v.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val expected = texts.map(_._1).sorted.flatMap { id =>
+      (1L to 4L).map { slot =>
+        val u = java.lang.Long.parseLong(md5hex(s"$id:$slot").substring(0, 13), 16) /
+          math.pow(16.0, 13)
+        val r = math.floor(u * tw).toLong
+        // binary-search the span containing r
+        val tok = cdf.find(c => r >= c._2 && r < c._3).get._1
+        (id, slot, tok)
+      }
+    }.toSeq
+    val got = Sampling.negativeSamples(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSeq
+    assert(got === expected)
+    assert(got.nonEmpty)
+    // exactly one token resolves per draw (bucket spans tile the CDF)
+    assert(got.map(g => (g._1, g._2)).distinct.size === got.size)
+    // the 3/4 smoothing must actually lift the tail: rare tokens' share
+    // of draws exceeds their share of raw corpus mass
+    val total = counts.values.sum.toDouble
+    val median = counts.values.toSeq.sorted.apply(counts.size / 2)
+    val rare = counts.filter(_._2 < median).keySet
+    assert(rare.nonEmpty, "fixture vocab must have a below-median tail")
+    val rawShare = counts.filter(c => rare(c._1)).values.sum / total
+    val drawShare = got.count(g => rare(g._3)).toDouble / got.size
+    assert(drawShare > rawShare, s"smoothed draw share $drawShare <= raw $rawShare")
+  }
+
   test("fsLinkageWeights: in-JVM EM replica; discriminative fields earn positive weight") {
     val parts = Tables.part(spark, sf)
       .select(col("p_partkey"), col("p_name"), col("p_brand"), col("p_type"),

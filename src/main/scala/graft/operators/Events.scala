@@ -619,6 +619,66 @@ object Events {
         round((mA - mB) / sqrt(vA / $"n_a" + vB / $"n_b"), 4)).as("z_score"))
   }
 
+  /** Kaplan–Meier time-to-conversion curve (q235; Kaplan & Meier 1958 —
+    * the product-limit estimator): S(t) = P(still unconverted t days
+    * after signup), over each user's first signup → first subsequent
+    * purchase. The KM machinery exists precisely for the users q222's
+    * latency percentiles silently drop: a signup with NO purchase by the
+    * corpus frontier is CENSORED at (frontier − signup) — their
+    * conversion time is a lower bound, and ignoring them biases any
+    * latency summary optimistic. Per distinct day t: the at-risk count
+    * (suffix sum — censored users count as at-risk through their
+    * censoring time, the KM convention), conversion/censor counts, and
+    * S(t) = Π_{t_i≤t} (1 − d_i/n_i).
+    *
+    * Determinism: the running product goes through quantized logs — each
+    * factor's ln is rounded to integer micro-units, the cumulative sum
+    * over the ordered day frame is exact long arithmetic (order-free),
+    * and ONE exp renders each row (the q90 discipline applied to
+    * products). A day where everyone at risk converts drives S to
+    * exactly 0 from there on (the zero flag, not ln(0)). Shape: two
+    * per-user min-aggregates (map-side combined), then all windows run
+    * over the bounded distinct-day frame — days, not users, wide.
+    */
+  def survivalCurve(events: DataFrame): DataFrame = {
+    val signup = events.filter($"event_type" === "signup")
+      .groupBy($"user_id").agg(min($"ts").as("s_ts"))
+    val firstPurch = events.filter($"event_type" === "purchase")
+      .select($"user_id", $"ts")
+      .join(signup, Seq("user_id"))
+      .filter($"ts" > $"s_ts")
+      .groupBy($"user_id").agg(min($"ts").as("p_ts"))
+    val mx = events.agg(max($"ts").as("mx"))
+    val perUser = signup
+      .join(firstPurch, Seq("user_id"), "left_outer")
+      .crossJoin(broadcast(mx))
+      .select($"user_id",
+        when($"p_ts".isNotNull, expr(s"(p_ts - s_ts) div $NsPerDay"))
+          .otherwise(expr(s"(mx - s_ts) div $NsPerDay")).as("t"),
+        $"p_ts".isNotNull.cast("long").as("churned"))
+    val byT = perUser.groupBy($"t")
+      .agg(count(lit(1)).as("n_t"), sum($"churned").as("d"))
+    val wOrd = Window.orderBy($"t")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wPrev = Window.orderBy($"t")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val total = byT.agg(sum($"n_t").as("tot"))
+    byT.crossJoin(broadcast(total))
+      .withColumn("at_risk",
+        $"tot" - coalesce(sum($"n_t").over(wPrev), lit(0L)))
+      .withColumn("l6", when($"d" < $"at_risk",
+        round(log(($"at_risk" - $"d").cast("double") / $"at_risk") * 1e6, 0)
+          .cast("long")))
+      .withColumn("zeros",
+        sum(when($"d" >= $"at_risk", 1L).otherwise(0L)).over(wOrd))
+      .withColumn("ls", sum(coalesce($"l6", lit(0L))).over(wOrd))
+      .select($"t".as("t_days"), $"at_risk", $"d".as("n_converted"),
+        ($"n_t" - $"d").as("n_censored"),
+        when($"zeros" > 0L, lit(0.0))
+          .otherwise(round(exp($"ls" / 1e6), 4)).as("survival"))
+      .orderBy($"t_days")
+  }
+
   /** CUPED variance-reduced A/B readout (q232; Deng, Xu, Kohavi &
     * Walker 2013 — the experimentation-platform standard): per-user
     * PRE-experiment purchase value (the covariate X, days before the

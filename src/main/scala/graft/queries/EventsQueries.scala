@@ -103,6 +103,9 @@ private[graft] object EventsQueries extends QueryFamily {
     // the covariate, raw and adjusted means/z plus theta and the
     // achieved variance reduction
     "q232_cuped" -> ((s, d) => Events.cupedAbTest(Tables.events(s, d))),
+    // Kaplan-Meier product-limit time-to-conversion: never-converted
+    // signups censored at the frontier; quantized-log running product
+    "q235_survival_km" -> ((s, d) => Events.survivalCurve(Tables.events(s, d))),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -427,6 +430,56 @@ private[graft] object EventsQueries extends QueryFamily {
          |      + ((CAST(s2_b AS DOUBLE) - CAST(s1_b AS DOUBLE) * s1_b / n_b) / (n_b - 1)) / n_b),
          |   4) AS z_score
          |FROM t""".stripMargin,
+    "q235_survival_km" ->
+      // first-signup -> first-later-purchase; never-converted censored
+      // at the frontier; suffix-sum at-risk; product-limit factors via
+      // micro-quantized ln terms (exact window sums) and one exp
+      """WITH su AS (
+        |  SELECT user_id, min(epoch_ns(ts)) AS s_ts FROM events
+        |  WHERE event_type = 'signup' GROUP BY 1
+        |),
+        |fp AS (
+        |  SELECT e.user_id, min(epoch_ns(e.ts)) AS p_ts
+        |  FROM events e JOIN su USING (user_id)
+        |  WHERE e.event_type = 'purchase' AND epoch_ns(e.ts) > su.s_ts
+        |  GROUP BY 1
+        |),
+        |mx AS (SELECT max(epoch_ns(ts)) AS mx FROM events),
+        |pu AS (
+        |  SELECT su.user_id,
+        |    CASE WHEN fp.p_ts IS NOT NULL
+        |      THEN (fp.p_ts - su.s_ts) // 86400000000000
+        |      ELSE (mx.mx - su.s_ts) // 86400000000000 END AS t,
+        |    CASE WHEN fp.p_ts IS NOT NULL THEN 1 ELSE 0 END AS churned
+        |  FROM su LEFT JOIN fp USING (user_id), mx
+        |),
+        |bt AS (
+        |  SELECT t, CAST(count(*) AS BIGINT) AS n_t,
+        |    CAST(sum(churned) AS BIGINT) AS d
+        |  FROM pu GROUP BY 1
+        |),
+        |tot AS (SELECT CAST(sum(n_t) AS BIGINT) AS tot FROM bt),
+        |ar AS (
+        |  SELECT t, n_t, d,
+        |    tot.tot - coalesce(CAST(sum(n_t) OVER (ORDER BY t
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0)
+        |      AS at_risk
+        |  FROM bt, tot
+        |),
+        |l6t AS (
+        |  SELECT *, CASE WHEN d < at_risk
+        |      THEN CAST(round(ln(CAST(at_risk - d AS DOUBLE) / at_risk) * 1e6)
+        |        AS BIGINT) END AS l6,
+        |    CASE WHEN d >= at_risk THEN 1 ELSE 0 END AS z
+        |  FROM ar
+        |)
+        |SELECT t AS t_days, at_risk, d AS n_converted, n_t - d AS n_censored,
+        |  CASE WHEN CAST(sum(z) OVER w AS BIGINT) > 0 THEN 0.0
+        |    ELSE round(exp(CAST(sum(coalesce(l6, 0)) OVER w AS BIGINT) / 1e6), 4)
+        |  END AS survival
+        |FROM l6t
+        |WINDOW w AS (ORDER BY t ROWS UNBOUNDED PRECEDING)
+        |ORDER BY t_days""".stripMargin,
     "q232_cuped" ->
       // per-user pre/post micro-unit sums over the md5 arm draw; exact
       // HUGEINT second moments; theta and every adjusted expression in

@@ -1760,6 +1760,56 @@ class PipelineSpec extends GraftSuite {
     assert(math.abs(row.getDouble(4)) < 1.96, s"A/A z unexpectedly large: ${row.getDouble(4)}")
   }
 
+  test("survivalCurve: brute-force KM product; censoring holds the curve up (q235)") {
+    def round4(x: Double): Double =
+      java.math.BigDecimal.valueOf(x).setScale(4, java.math.RoundingMode.HALF_UP).doubleValue()
+    val NsDay = 86400L * 1000000000L
+    val ev = Tables.events(spark, sf)
+    val rows = ev.select($"user_id", $"event_type", $"ts".cast("long")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val mx = rows.map(_._3).max
+    val su = rows.filter(_._2 == "signup").groupBy(_._1).map { case (u, g) => (u, g.map(_._3).min) }
+    val pu = su.toSeq.map { case (u, s) =>
+      val p = rows.filter(r => r._1 == u && r._2 == "purchase" && r._3 > s).map(_._3)
+      if (p.nonEmpty) ((p.min - s) / NsDay, 1L) else ((mx - s) / NsDay, 0L)
+    }
+    val byT = pu.groupBy(_._1).toSeq.sortBy(_._1)
+      .map { case (t, g) => (t, g.size.toLong, g.map(_._2).sum) }
+    var atRisk = pu.size.toLong
+    var ls = 0L; var zero = false
+    val expected = byT.map { case (t, nT, d) =>
+      if (d >= atRisk) zero = true
+      else ls += math.round(math.log((atRisk - d).toDouble / atRisk) * 1e6)
+      val s = if (zero) 0.0 else round4(math.exp(ls / 1e6))
+      val row = (t, atRisk, d, nT - d, s)
+      atRisk -= nT
+      row
+    }
+    val got = Events.survivalCurve(ev).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))).toSeq
+    assert(got === expected)
+    assert(got.nonEmpty)
+    assert(got.map(_._5) === got.map(_._5).sorted.reverse, "S(t) is non-increasing")
+    // crafted censoring: 2 of 4 signups never purchase — they must exit
+    // as at-risk lower bounds (S holds at 0.5), not be counted as
+    // conversions (which would drive S to 0)
+    import spark.implicits.{localSeqToDatasetHolder, newProductEncoder}
+    val crafted = Seq(
+      (1L, "signup", 0L), (1L, "purchase", 1L * NsDay),
+      (2L, "signup", 0L), (2L, "purchase", 2L * NsDay),
+      (3L, "signup", 0L), // never converts — censored at t=10
+      (4L, "signup", 0L), // never converts — censored at t=10
+      (9L, "click", 10L * NsDay) // frontier marker
+    ).map { case (u, t, ts) => (u, 0L, t, ts, 0.0) }
+      .toDF("user_id", "event_id", "event_type", "ts", "value")
+    val c = Events.survivalCurve(crafted).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))).toSeq
+    // t=1: 4 at risk, 1 converts -> S=0.75; t=2: 3 at risk, 1 converts
+    // -> S=0.5; t=10: the 2 censored exit with S still 0.5 (not 0)
+    assert(c === Seq((1L, 4L, 1L, 0L, 0.75), (2L, 3L, 1L, 0L, 0.5),
+      (10L, 2L, 0L, 2L, 0.5)))
+  }
+
   test("cupedAbTest: brute-force theta/adjustment; variance reduction is real (q232)") {
     def md5hex(v: String): String = java.security.MessageDigest.getInstance("MD5")
       .digest(v.getBytes("UTF-8")).map("%02x".format(_)).mkString

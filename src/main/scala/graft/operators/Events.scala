@@ -1039,6 +1039,46 @@ object Events {
       .orderBy($"day_epoch")
   }
 
+  /** Ordered motif census (q236): for EVERY ordered event-type triple
+    * (a, b, c) — repeats allowed — how many users exhibit it as a
+    * subsequence (some ts_a < ts_b < ts_c in their stream). q224 walks
+    * ONE configured funnel; this is the exploratory census that tells an
+    * analyst which funnels exist before one is configured, and the
+    * behavioral-motif profile (browse-then-buy vs buy-then-browse
+    * asymmetries) a recommender's feature pipeline consumes. Matching is
+    * the standard greedy-earliest subsequence rule: t₁ = first a,
+    * t₂ = first b after t₁, t₃ = first c after t₂ — greedy-earliest is
+    * complete for subsequence existence, so no per-user search happens.
+    *
+    * Shape: step k's frontier frame joins the EVENT stream once and
+    * re-aggregates — each event row matches at most |T|^(k-1) open
+    * frontiers, so the largest relation is events × |T|² with |T| the
+    * event-type vocabulary (5 here; bounded, never corpus²). Output is
+    * |T|³ rows max. The same chain extends to length-k motifs at
+    * events × |T|^(k-1) — the reason production motif mining caps k at
+    * 3-4 and this op does too.
+    */
+  def motifCensus(events: DataFrame): DataFrame = {
+    val ev = events.select($"user_id", $"event_type", $"ts")
+    val total = ev.agg(countDistinct($"user_id").as("n_total"))
+    val u1 = ev.groupBy($"user_id", $"event_type".as("s1"))
+      .agg(min($"ts").as("t1"))
+    val u2 = ev.join(u1, Seq("user_id"))
+      .filter($"ts" > $"t1")
+      .groupBy($"user_id", $"s1", $"event_type".as("s2"))
+      .agg(min($"ts").as("t2"))
+    val u3 = ev.join(u2, Seq("user_id"))
+      .filter($"ts" > $"t2")
+      .groupBy($"user_id", $"s1", $"s2", $"event_type".as("s3"))
+      .agg(min($"ts").as("t3"))
+    u3.groupBy($"s1", $"s2", $"s3")
+      .agg(count(lit(1)).as("n_users"))
+      .crossJoin(broadcast(total))
+      .select($"s1", $"s2", $"s3", $"n_users",
+        round($"n_users" / $"n_total", 6).as("user_share"))
+      .orderBy($"n_users".desc, $"s1", $"s2", $"s3")
+  }
+
   /** Ordered multi-step funnel: users who performed the step sequence IN
     * EVENT-TIME ORDER, each step strictly after their frontier from the
     * previous one (min qualifying timestamp) and within `stepHorizonHours`

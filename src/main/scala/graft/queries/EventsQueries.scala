@@ -106,6 +106,9 @@ private[graft] object EventsQueries extends QueryFamily {
     // Kaplan-Meier product-limit time-to-conversion: never-converted
     // signups censored at the frontier; quantized-log running product
     "q235_survival_km" -> ((s, d) => Events.survivalCurve(Tables.events(s, d))),
+    // ordered motif census over ALL type triples (greedy-earliest
+    // subsequence rule): the exploratory complement of q224's one funnel
+    "q236_motif_census" -> ((s, d) => Events.motifCensus(Tables.events(s, d))),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -430,6 +433,29 @@ private[graft] object EventsQueries extends QueryFamily {
          |      + ((CAST(s2_b AS DOUBLE) - CAST(s1_b AS DOUBLE) * s1_b / n_b) / (n_b - 1)) / n_b),
          |   4) AS z_score
          |FROM t""".stripMargin,
+    "q236_motif_census" ->
+      // greedy-earliest frontier chain: first a, first b after it,
+      // first c after that; census over all ordered triples
+      """WITH ev AS (SELECT user_id, event_type, ts FROM events),
+        |tot AS (SELECT count(DISTINCT user_id) AS n_total FROM ev),
+        |u1 AS (
+        |  SELECT user_id, event_type AS s1, min(ts) AS t1
+        |  FROM ev GROUP BY 1, 2
+        |),
+        |u2 AS (
+        |  SELECT e.user_id, u1.s1, e.event_type AS s2, min(e.ts) AS t2
+        |  FROM ev e JOIN u1 ON e.user_id = u1.user_id AND e.ts > u1.t1
+        |  GROUP BY 1, 2, 3
+        |),
+        |u3 AS (
+        |  SELECT e.user_id, u2.s1, u2.s2, e.event_type AS s3, min(e.ts) AS t3
+        |  FROM ev e JOIN u2 ON e.user_id = u2.user_id AND e.ts > u2.t2
+        |  GROUP BY 1, 2, 3, 4
+        |)
+        |SELECT s1, s2, s3, count(*) AS n_users,
+        |  round(count(*) * 1.0 / (SELECT n_total FROM tot), 6) AS user_share
+        |FROM u3 GROUP BY 1, 2, 3
+        |ORDER BY n_users DESC, s1, s2, s3""".stripMargin,
     "q235_survival_km" ->
       // first-signup -> first-later-purchase; never-converted censored
       // at the frontier; suffix-sum at-risk; product-limit factors via

@@ -1760,6 +1760,45 @@ class PipelineSpec extends GraftSuite {
     assert(math.abs(row.getDouble(4)) < 1.96, s"A/A z unexpectedly large: ${row.getDouble(4)}")
   }
 
+  test("motifCensus: brute-force subsequence existence over every ordered triple (q236)") {
+    val rows = Tables.events(spark, sf)
+      .select($"user_id", $"event_type", $"ts".cast("long")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val types = rows.map(_._2).distinct.sorted
+    val byUser = rows.groupBy(_._1).view
+      .mapValues(_.sortBy(_._3).map(e => (e._2, e._3)).toVector).toMap
+    // direct subsequence check (independent of the greedy frontier chain)
+    def hasMotif(seq: Vector[(String, Long)], a: String, b: String, c: String): Boolean = {
+      val ia = seq.indexWhere(_._1 == a)
+      if (ia < 0) return false
+      val ib = seq.indexWhere(e => e._1 == b && e._2 > seq(ia)._2, ia + 1)
+      if (ib < 0) return false
+      seq.exists(e => e._1 == c && e._2 > seq(ib)._2)
+    }
+    val expected = (for {
+      a <- types; b <- types; c <- types
+      n = byUser.values.count(s => hasMotif(s, a, b, c)).toLong
+      if n > 0
+    } yield ((a, b, c), (n, java.math.BigDecimal.valueOf(n.toDouble / byUser.size)
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()))).toMap
+    val got = Events.motifCensus(Tables.events(spark, sf)).collect()
+      .map(r => ((r.getString(0), r.getString(1), r.getString(2)),
+        (r.getLong(3), r.getDouble(4)))).toMap
+    assert(got === expected)
+    assert(got.nonEmpty)
+    // order carries information: a crafted one-way stream yields the
+    // forward motif and not its reverse (the dense fixture satisfies
+    // every triple, so asymmetry needs construction)
+    import spark.implicits.{localSeqToDatasetHolder, newProductEncoder}
+    val oneWay = Seq((1L, 0L, "signup", 1L, 0.0), (1L, 1L, "click", 2L, 0.0),
+      (1L, 2L, "purchase", 3L, 0.0))
+      .toDF("user_id", "event_id", "event_type", "ts", "value")
+    val c236 = Events.motifCensus(oneWay).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
+    assert(c236.contains(("signup", "click", "purchase")))
+    assert(!c236.contains(("purchase", "click", "signup")))
+  }
+
   test("survivalCurve: brute-force KM product; censoring holds the curve up (q235)") {
     def round4(x: Double): Double =
       java.math.BigDecimal.valueOf(x).setScale(4, java.math.RoundingMode.HALF_UP).doubleValue()

@@ -154,7 +154,16 @@ object ProfileScale {
       // per-doc bounded word graphs (TextRank), df-pruned tf-idf pair
       // scoring, and the bigram LM (vocab² driver state risk)
       "q177_set_cover", "q147_capstone_v2", "q190_textrank_keywords",
-      "q106_bigram_surprisal").filterNot(skip)
+      "q106_bigram_surprisal",
+      // round-10-continuation shapes: persisted KMV shards (write+read),
+      // the pair-index token-map refinement, the CUPED 1-row moment
+      // panel, the bucketized-CDF sampler, and the KM day-frame windows.
+      // NOT here: q230/q233 read customer/part (tables this harness does
+      // not inflate; both are single-agg / block-bounded shapes), q231
+      // rides the fixed-kCells kNN graph (the q194/q207 IVF caveat — a
+      // production run grows kCells with the corpus)
+      "q228_sketch_rollup", "q229_weighted_jaccard", "q232_cuped",
+      "q234_negative_sampling", "q235_survival_km").filterNot(skip)
     carriers.foreach { name =>
       time(s"x$repl ${name}") {
         SparkEntry.queries(name)(spark, outDir)

@@ -765,6 +765,54 @@ object Events {
         round(lit(1.0) - (vAdjA + vAdjB) / (vA + vB), 4)).as("var_reduction"))
   }
 
+  /** Always-valid A/B monitor via the mixture SPRT (q237; Johari,
+    * Koomen, Pekelis & Walsh 2017 — the "peeking problem" fix every
+    * experimentation platform ships): q192's fixed-horizon z is only
+    * valid if you look ONCE; a dashboard that checks daily inflates
+    * false positives severalfold. The mSPRT likelihood ratio
+    * Λ = √(se²/(se²+τ²)) · exp(θ̂²τ²/(2se²(se²+τ²))) with a normal
+    * mixture prior of width τ gives p = min(1, 1/Λ) that is valid at
+    * EVERY look simultaneously — monitor continuously, stop whenever
+    * p < α. Same deterministic md5 arms and exact integer micro-unit
+    * moments as q192 (one conditional-moment aggregate, nothing
+    * corpus-proportional after the scan); θ̂/se²/Λ evaluate one mirrored
+    * double expression tree, and the Λ formula is scale-invariant so the
+    * micro-unit τ is exact. On the A/A fixture the always-valid p sits
+    * at/near 1 — the monitor correctly refuses to stop.
+    */
+  def msprtMonitor(events: DataFrame, metricType: String = "purchase",
+      tauMicro: Double = 50000.0): DataFrame = {
+    val counts = events.filter($"event_type" === metricType)
+      .select(Scale.md5SlicePos($"user_id", 0, 2).as("arm"),
+        round($"value" * 10000, 0).cast("long").as("vm"))
+      .agg(
+        sum(when($"arm" === 0L, 1L).otherwise(0L)).as("n_a"),
+        sum(when($"arm" === 0L, $"vm").otherwise(0L)).as("s1_a"),
+        sum(when($"arm" === 0L, $"vm" * $"vm").otherwise(0L)).as("s2_a"),
+        sum(when($"arm" === 1L, 1L).otherwise(0L)).as("n_b"),
+        sum(when($"arm" === 1L, $"vm").otherwise(0L)).as("s1_b"),
+        sum(when($"arm" === 1L, $"vm" * $"vm").otherwise(0L)).as("s2_b"))
+    def mean(s1: Column, n: Column): Column = s1.cast("double") / n
+    def svar(s1: Column, s2: Column, n: Column): Column =
+      (s2.cast("double") - s1.cast("double") * s1 / n) / (n - lit(1L))
+    val mA = mean($"s1_a", $"n_a"); val mB = mean($"s1_b", $"n_b")
+    val vA = svar($"s1_a", $"s2_a", $"n_a"); val vB = svar($"s1_b", $"s2_b", $"n_b")
+    val th = mB - mA
+    val se2 = vA / $"n_a" + vB / $"n_b"
+    val t2 = lit(tauMicro * tauMicro)
+    val lam = sqrt(se2 / (se2 + t2)) *
+      exp(th * th * t2 / (lit(2.0) * se2 * (se2 + t2)))
+    counts.select(
+      $"n_a", $"n_b",
+      round(th / 1e4, 4).as("theta_hat"),
+      when($"n_a" >= 2L && $"n_b" >= 2L && se2 > 0.0,
+        round(sqrt(se2) / 1e4, 4)).as("se"),
+      when($"n_a" >= 2L && $"n_b" >= 2L && se2 > 0.0,
+        round(lam, 4)).as("lambda"),
+      when($"n_a" >= 2L && $"n_b" >= 2L && se2 > 0.0,
+        round(least(lit(1.0), lit(1.0) / lam), 4)).as("p_always_valid"))
+  }
+
   /** Session-entry attribution (q195): credit every purchase to the
     * event type that OPENED its session — first-touch attribution at
     * session grain, the marketing-analytics consumer of q33's

@@ -109,6 +109,9 @@ private[graft] object EventsQueries extends QueryFamily {
     // ordered motif census over ALL type triples (greedy-earliest
     // subsequence rule): the exploratory complement of q224's one funnel
     "q236_motif_census" -> ((s, d) => Events.motifCensus(Tables.events(s, d))),
+    // always-valid (anytime) A/B p-value via the mixture SPRT: the
+    // peeking-proof sequential complement of q192's fixed-horizon z
+    "q237_msprt" -> ((s, d) => Events.msprtMonitor(Tables.events(s, d))),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -433,6 +436,47 @@ private[graft] object EventsQueries extends QueryFamily {
          |      + ((CAST(s2_b AS DOUBLE) - CAST(s1_b AS DOUBLE) * s1_b / n_b) / (n_b - 1)) / n_b),
          |   4) AS z_score
          |FROM t""".stripMargin,
+    "q237_msprt" ->
+      // q192's exact micro-unit moments into the mixture-SPRT closed
+      // form; tau^2 = 50000^2 micro^2, scale-invariant Lambda
+      s"""WITH f AS (
+         |  SELECT ${posSql("md5(CAST(user_id AS VARCHAR))", 0, 2)} AS arm,
+         |    CAST(round(value * 10000, 0) AS BIGINT) AS vm
+         |  FROM events WHERE event_type = 'purchase'
+         |),
+         |t AS (
+         |  SELECT
+         |    CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+         |    CAST(sum(CASE WHEN arm = 0 THEN vm ELSE 0 END) AS BIGINT) AS s1_a,
+         |    CAST(sum(CASE WHEN arm = 0 THEN vm * vm ELSE 0 END) AS BIGINT) AS s2_a,
+         |    CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+         |    CAST(sum(CASE WHEN arm = 1 THEN vm ELSE 0 END) AS BIGINT) AS s1_b,
+         |    CAST(sum(CASE WHEN arm = 1 THEN vm * vm ELSE 0 END) AS BIGINT) AS s2_b
+         |  FROM f
+         |),
+         |m AS (
+         |  SELECT t.*,
+         |    CAST(s1_b AS DOUBLE) / n_b - CAST(s1_a AS DOUBLE) / n_a AS th,
+         |    (CAST(s2_a AS DOUBLE) - CAST(s1_a AS DOUBLE) * s1_a / n_a) / (n_a - 1) / n_a
+         |      + (CAST(s2_b AS DOUBLE) - CAST(s1_b AS DOUBLE) * s1_b / n_b) / (n_b - 1) / n_b
+         |      AS se2
+         |  FROM t
+         |),
+         |l AS (
+         |  SELECT m.*,
+         |    sqrt(se2 / (se2 + 50000.0 * 50000.0)) *
+         |      exp(th * th * (50000.0 * 50000.0)
+         |        / (2.0 * se2 * (se2 + 50000.0 * 50000.0))) AS lam
+         |  FROM m
+         |)
+         |SELECT n_a, n_b, round(th / 1e4, 4) AS theta_hat,
+         |  CASE WHEN n_a >= 2 AND n_b >= 2 AND se2 > 0
+         |    THEN round(sqrt(se2) / 1e4, 4) END AS se,
+         |  CASE WHEN n_a >= 2 AND n_b >= 2 AND se2 > 0
+         |    THEN round(lam, 4) END AS lambda,
+         |  CASE WHEN n_a >= 2 AND n_b >= 2 AND se2 > 0
+         |    THEN round(least(1.0, 1.0 / lam), 4) END AS p_always_valid
+         |FROM l""".stripMargin,
     "q236_motif_census" ->
       // greedy-earliest frontier chain: first a, first b after it,
       // first c after that; census over all ordered triples

@@ -1902,6 +1902,40 @@ class PipelineSpec extends GraftSuite {
     assert(math.abs(row.getDouble(8)) < 1.96, s"A/A z_cuped large: ${row.getDouble(8)}")
   }
 
+  test("msprtMonitor: brute-force Lambda; A/A refuses to stop, a real effect stops (q237)") {
+    def md5hex(v: String): String = java.security.MessageDigest.getInstance("MD5")
+      .digest(v.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val ev = Tables.events(spark, sf)
+    val vals = ev.filter($"event_type" === "purchase")
+      .select($"user_id", $"value").collect()
+      .map(r => (Integer.parseInt(md5hex(r.getLong(0).toString).substring(0, 4), 16) % 2,
+        math.round(r.getDouble(1) * 10000)))
+    val a = vals.filter(_._1 == 0).map(_._2)
+    val b = vals.filter(_._1 == 1).map(_._2)
+    def mean(xs: Array[Long]) = xs.sum.toDouble / xs.length
+    def svar(xs: Array[Long]) = {
+      val n = xs.length; val s1 = xs.sum; val s2 = xs.map(x => x * x).sum
+      (s2.toDouble - s1.toDouble * s1 / n) / (n - 1)
+    }
+    val th = mean(b) - mean(a)
+    val se2 = svar(a) / a.length + svar(b) / b.length
+    val t2 = 50000.0 * 50000.0
+    val lam = math.sqrt(se2 / (se2 + t2)) *
+      math.exp(th * th * t2 / (2.0 * se2 * (se2 + t2)))
+    val row = Events.msprtMonitor(ev).collect() match { case Array(r) => r }
+    assert((row.getLong(0), row.getLong(1)) === ((a.length.toLong, b.length.toLong)))
+    assert(math.abs(row.getDouble(4) - lam) <= 1e-3, s"lambda ${row.getDouble(4)} vs $lam")
+    // the peeking guarantee on an A/A: the always-valid p must not be
+    // anywhere near a stop (fixed-horizon q192 z is already inside 1.96)
+    assert(row.getDouble(5) > 0.5, s"A/A always-valid p too low: ${row.getDouble(5)}")
+    // inject a real +40.00 treatment effect on arm 1 — the monitor must stop
+    val treated = ev.withColumn("value",
+      when(graft.operators.Scale.md5SlicePos($"user_id", 0, 2) === 1L,
+        $"value" + 40.0).otherwise($"value"))
+    val tr = Events.msprtMonitor(treated).collect() match { case Array(r) => r }
+    assert(tr.getDouble(5) < 0.05, s"treated p should stop: ${tr.getDouble(5)}")
+  }
+
   test("abValueTest Σv² overflow fails LOUDLY (ANSI), never a silent wrong z") {
     // the documented long envelope (~1e6 events/arm at value scale ×1e4)
     // is enforced by ANSI arithmetic: vm ≈ 2e9 per row squares to 4e18,

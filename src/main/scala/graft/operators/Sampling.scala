@@ -431,6 +431,55 @@ object Sampling {
       .orderBy($"doc_id", $"slot")
   }
 
+  /** Raking / iterative proportional fitting (q238; Deming & Stephan
+    * 1940 — survey statistics' post-stratification standard): given a
+    * deterministic md5 subsample, fit per-cell weights so the weighted
+    * sample reproduces the FULL corpus's lang margins AND source
+    * margins simultaneously — the correction applied before any
+    * sample-based corpus statistic is read as a corpus number
+    * (cheap-sample estimation with the sampling skew raked out). Each
+    * round scales cells to match the lang margins, then the source
+    * margins; a handful of rounds converges for strictly-positive
+    * cells.
+    *
+    * Shape: the corpus is touched twice (margin aggregate + sample cell
+    * aggregate, both map-side-combined); IPF itself runs on the
+    * STRATA-BOUNDED cell frame on the driver (the k-row centroid-frame
+    * convention — cells are langs×sources regardless of corpus size).
+    * Determinism: cell weights are integer micro-units; each half-round
+    * multiplies by one double factor (target×10⁶ / current micro-sum)
+    * and re-rounds — the exact operation sequence the oracle's unrolled
+    * round CTEs replay. A corpus cell absent from the sample keeps
+    * weight 0 (the standard raking caveat: margins converge on
+    * represented cells; the fixture's subsample covers every cell).
+    */
+  def rakingWeights(documents: DataFrame, rounds: Int = 3): DataFrame = {
+    val spark = documents.sparkSession
+    val cells = documents
+      .filter(Scale.md5SlicePos($"doc_id", 0, 4) === 0L)
+      .groupBy($"lang", $"source").agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    val tgtL = documents.groupBy($"lang").agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    val tgtS = documents.groupBy($"source").agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    var w6 = cells.map { case (l, s, n) => ((l, s), n * 1000000L) }.toMap
+    for (_ <- 1 to rounds) {
+      val curL = w6.toSeq.groupBy(_._1._1).view.mapValues(_.map(_._2).sum).toMap
+      w6 = w6.map { case ((l, s), w) =>
+        ((l, s), math.round(w * (tgtL(l).toDouble * 1e6 / curL(l)))) }
+      val curS = w6.toSeq.groupBy(_._1._2).view.mapValues(_.map(_._2).sum).toMap
+      w6 = w6.map { case ((l, s), w) =>
+        ((l, s), math.round(w * (tgtS(s).toDouble * 1e6 / curS(s)))) }
+    }
+    import spark.implicits.{localSeqToDatasetHolder, newProductEncoder}
+    cells.toSeq.map { case (l, s, n) =>
+      (l, s, n, BigDecimal(w6((l, s)) / 1e6)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }.toDF("lang", "source", "n_sample", "raked_docs")
+      .orderBy($"lang", $"source")
+  }
+
   def weightedSampleByStratum(documents: DataFrame, k: Int = 10): DataFrame = {
     val u = conv(substring(md5($"doc_id".cast("string")), 1, 13), 16, 10)
       .cast("double") / math.pow(16.0, 13)

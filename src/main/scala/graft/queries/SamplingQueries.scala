@@ -40,7 +40,40 @@ private[graft] object SamplingQueries extends QueryFamily {
     // bucketized-CDF equi-join resolution, md5(doc:slot) coins
     "q234_negative_sampling" -> ((s, d) =>
       Sampling.negativeSamples(Tables.documents(s, d))),
+    // raking (IPF): per-cell weights fitting the md5 subsample to the
+    // full corpus's lang AND source margins; unrolled-round oracle
+    "q238_raking" -> ((s, d) => Sampling.rakingWeights(Tables.documents(s, d))),
   )
+
+  /** q238's IPF rounds unrolled (the q143/q233 oracle pattern): integer
+    * micro-unit cell weights, one double factor per half-round.
+    */
+  private def rakingSql(rounds: Int): String = {
+    def rnd(i: Int): String =
+      s"""la$i AS (SELECT lang, CAST(sum(w) AS BIGINT) AS cur FROM w${i - 1} GROUP BY 1),
+         |wa$i AS (
+         |  SELECT w.lang, w.source, w.n,
+         |    CAST(round(w.w * (CAST(t.t * 1000000 AS DOUBLE) / la.cur)) AS BIGINT) AS w
+         |  FROM w${i - 1} w JOIN la$i la USING (lang) JOIN tgl t USING (lang)
+         |),
+         |sb$i AS (SELECT source, CAST(sum(w) AS BIGINT) AS cur FROM wa$i GROUP BY 1),
+         |w$i AS (
+         |  SELECT w.lang, w.source, w.n,
+         |    CAST(round(w.w * (CAST(t.t * 1000000 AS DOUBLE) / sb.cur)) AS BIGINT) AS w
+         |  FROM wa$i w JOIN sb$i sb USING (source) JOIN tgs t USING (source)
+         |)""".stripMargin
+    s"""WITH samp AS (
+       |  SELECT lang, source, count(*) AS n FROM documents
+       |  WHERE ${posSql("md5(CAST(doc_id AS VARCHAR))", 0, 4)} = 0
+       |  GROUP BY 1, 2
+       |),
+       |tgl AS (SELECT lang, count(*) AS t FROM documents GROUP BY 1),
+       |tgs AS (SELECT source, count(*) AS t FROM documents GROUP BY 1),
+       |w0 AS (SELECT lang, source, n, CAST(n * 1000000 AS BIGINT) AS w FROM samp),
+       |${(1 to rounds).map(rnd).mkString(",\n")}
+       |SELECT lang, source, n AS n_sample, round(w / 1e6, 6) AS raked_docs
+       |FROM w$rounds ORDER BY lang, source""".stripMargin
+  }
 
   def oracleSql: Map[String, String] = Map(
     "q56_stratified_sample" ->
@@ -277,5 +310,6 @@ private[graft] object SamplingQueries extends QueryFamily {
         |SELECT d.doc_id, d.slot, c.tok AS neg_token
         |FROM draws d JOIN c2 c ON d.r >= c.lo AND d.r < c.hi
         |ORDER BY d.doc_id, d.slot""".stripMargin,
+    "q238_raking" -> rakingSql(3),
   )
 }

@@ -258,6 +258,31 @@ class MatchingSpec extends GraftSuite {
       assert(est > exact / 3.0 && est < exact * 3.0) }
   }
 
+  test("rakingWeights: raked margins converge to the corpus; sample skew is removed (q238)") {
+    val got = Sampling.rakingWeights(docs).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    assert(got.nonEmpty)
+    val tgtL = docs.groupBy(col("lang")).count().collect()
+      .map(r => (r.getString(0), r.getLong(1))).toMap
+    val tgtS = docs.groupBy(col("source")).count().collect()
+      .map(r => (r.getString(0), r.getLong(1))).toMap
+    // the final half-round scales sources, so source margins match to
+    // rounding; lang margins carry the last perturbation but must be
+    // within 1% after 3 rounds (IPF convergence)
+    val gotS = got.groupBy(_._2).view.mapValues(_.map(_._4).sum).toMap
+    gotS.foreach { case (s, w) =>
+      assert(math.abs(w - tgtS(s)) <= 0.01, s"source margin $s: $w vs ${tgtS(s)}") }
+    val gotL = got.groupBy(_._1).view.mapValues(_.map(_._4).sum).toMap
+    gotL.foreach { case (l, w) =>
+      assert(math.abs(w - tgtL(l)) / tgtL(l) <= 0.01, s"lang margin $l: $w vs ${tgtL(l)}") }
+    // raking must actually DO something: the naive inverse-rate blowup
+    // (4x each cell) does not reproduce the margins this closely
+    val naive = got.groupBy(_._1).view.mapValues(_.map(_._3 * 4.0).sum).toMap
+    assert(naive.exists { case (l, w) =>
+      math.abs(w - tgtL(l)) / tgtL(l) > math.abs(gotL(l) - tgtL(l)) / tgtL(l) },
+      "raked margins should beat the naive constant-rate expansion somewhere")
+  }
+
   test("negativeSamples: brute-force CDF resolution; smoothing lifts the tail (q234)") {
     val texts = docs.select(col("doc_id"), col("text")).collect()
       .map(r => (r.getLong(0), r.getString(1)))

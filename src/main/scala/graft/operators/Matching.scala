@@ -59,47 +59,34 @@ object Matching {
       .orderBy($"name_a", $"name_b")
   }
 
-  /** Fellegi–Sunter record-linkage weights via EM (q233; Fellegi &
-    * Sunter 1969, the probabilistic-ER canon; EM fitting per Winkler
-    * 1988): over attribute-blocked candidate pairs, estimate each
-    * comparison field's m-probability (agrees | match) and
-    * u-probability (agrees | non-match) WITHOUT labels, and emit the
-    * field's log2 agreement/disagreement weights — the scoring table a
-    * production linkage run then applies to every candidate pair.
-    * Blocking is (p_brand, p_size) equality (the standard reduce-then-
-    * verify shape; cross-block pairs are out of scope by contract, as
-    * in `fuzzyNameMatch`); the four comparison fields are type
-    * equality, retail-price band equality, ≥2 shared name tokens, and
-    * name edit distance ≤ 10.
-    *
-    * Determinism (the q143 classifier discipline): EM state is 9 INTEGER
-    * micro-unit scalars (p, m₁..₄, u₁..₄) synced to the driver once per
-    * round — data never leaves the executors; per-pair match posteriors
-    * quantize to micro-units via one double expression mirrored
-    * operation-for-operation by the oracle's unrolled CTE rounds; the
-    * M-step is pure integer arithmetic ((10⁶·Σ + Σg/2) div Σg, clamped
-    * to [1, 999999] so a degenerate field can never produce log(0)).
-    * Candidate volume is block-bounded (Σ_block |block|²); the EM passes
-    * are candidate-proportional aggregates over ONE checkpointed frame.
+  /** q233/q239's shared blocked comparison-vector frame: one row per
+    * (p_brand, p_size)-blocked key pair with the four binary fields
+    * (and the keys, which q239's scorer emits).
     */
-  def fsLinkageWeights(part: DataFrame, rounds: Int = 3): DataFrame = {
-    val spark = part.sparkSession
+  private def fsCandidates(part: DataFrame): DataFrame = {
     val recs = part.select($"p_partkey", $"p_name", $"p_brand", $"p_type",
       $"p_size", floor($"p_retailprice" / 100).as("pb"),
       array_distinct(split($"p_name", " ")).as("toks"))
-    val cand = recs.as("a")
+    recs.as("a")
       .join(recs.as("b"),
         col("a.p_brand") === col("b.p_brand") &&
         col("a.p_size") === col("b.p_size") &&
         col("a.p_partkey") < col("b.p_partkey"))
       .select(
+        col("a.p_partkey").as("key_a"), col("b.p_partkey").as("key_b"),
         (col("a.p_type") === col("b.p_type")).cast("long").as("g1"),
         (col("a.pb") === col("b.pb")).cast("long").as("g2"),
         (size(array_intersect(col("a.toks"), col("b.toks"))) >= 2)
           .cast("long").as("g3"),
         (levenshtein(col("a.p_name"), col("b.p_name")) <= 10)
           .cast("long").as("g4"))
-      .localCheckpoint() // re-aggregated once per EM round
+      .localCheckpoint() // re-aggregated once per EM round / scored once
+  }
+
+  /** The q233 EM loop over a candidate frame; returns (m6, u6) micro-unit
+    * arrays after `rounds`. State is 9 scalars synced per round.
+    */
+  private def fsEmFit(cand: DataFrame, rounds: Int): (Array[Long], Array[Long]) = {
     var p6 = 100000L
     val m6 = Array.fill(4)(900000L)
     val u6 = Array.fill(4)(100000L)
@@ -135,6 +122,35 @@ object Matching {
       }
       p6 = clamp((sg + n / 2) / n)
     }
+    (m6, u6)
+  }
+
+  /** Fellegi–Sunter record-linkage weights via EM (q233; Fellegi &
+    * Sunter 1969, the probabilistic-ER canon; EM fitting per Winkler
+    * 1988): over attribute-blocked candidate pairs, estimate each
+    * comparison field's m-probability (agrees | match) and
+    * u-probability (agrees | non-match) WITHOUT labels, and emit the
+    * field's log2 agreement/disagreement weights — the scoring table a
+    * production linkage run then applies to every candidate pair.
+    * Blocking is (p_brand, p_size) equality (the standard reduce-then-
+    * verify shape; cross-block pairs are out of scope by contract, as
+    * in `fuzzyNameMatch`); the four comparison fields are type
+    * equality, retail-price band equality, ≥2 shared name tokens, and
+    * name edit distance ≤ 10.
+    *
+    * Determinism (the q143 classifier discipline): EM state is 9 INTEGER
+    * micro-unit scalars (p, m₁..₄, u₁..₄) synced to the driver once per
+    * round — data never leaves the executors; per-pair match posteriors
+    * quantize to micro-units via one double expression mirrored
+    * operation-for-operation by the oracle's unrolled CTE rounds; the
+    * M-step is pure integer arithmetic ((10⁶·Σ + Σg/2) div Σg, clamped
+    * to [1, 999999] so a degenerate field can never produce log(0)).
+    * Candidate volume is block-bounded (Σ_block |block|²); the EM passes
+    * are candidate-proportional aggregates over ONE checkpointed frame.
+    */
+  def fsLinkageWeights(part: DataFrame, rounds: Int = 3): DataFrame = {
+    val spark = part.sparkSession
+    val (m6, u6) = fsEmFit(fsCandidates(part), rounds)
     // finish IN Spark (not on the driver) so the log2/round rendering is
     // the same engine codepath every other oracle-checked query uses
     import spark.implicits.{localSeqToDatasetHolder, newProductEncoder}
@@ -147,6 +163,40 @@ object Matching {
         round(log2((lit(1000000L) - $"m6").cast("double") /
           (lit(1000000L) - $"u6")), 4).as("w_disagree"))
       .orderBy($"field")
+  }
+
+  /** Apply the learned Fellegi–Sunter weights (q239) — the consumer
+    * that closes q233's loop: every blocked candidate pair is scored
+    * with the fitted field weights, w(pair) = Σ_k [γ_k·log2(m_k/u_k) +
+    * (1−γ_k)·log2((1−m_k)/(1−u_k))], and pairs above `minBits` of
+    * evidence are emitted as matches. The learn → score → classify
+    * chain is exactly what a production linkage deployment runs; the
+    * output is the match list a survivorship/golden-record step
+    * consumes (q53's component machinery applies unchanged if the
+    * matches need clustering).
+    *
+    * The EM fit reuses q233's loop verbatim (shared `fsEmFit` — same
+    * 9-scalar sync, same integer M-step), so the fitted micro-unit
+    * scalars are gate-proven identical cross-engine; scoring is ONE
+    * candidate-proportional pass where the four log2 terms sum in fixed
+    * field order (both engines evaluate the identical expression tree —
+    * the oracle re-derives the scalars through its own unrolled EM and
+    * scores with the same fixed-order sum).
+    */
+  def fsLinkageMatches(part: DataFrame, rounds: Int = 3,
+      minBits: Double = 4.0): DataFrame = {
+    val cand = fsCandidates(part)
+    val (m6, u6) = fsEmFit(cand, rounds)
+    val score = (1 to 4).map { k =>
+      when(col(s"g$k") === 1L,
+        log2(lit(m6(k - 1)).cast("double") / lit(u6(k - 1))))
+        .otherwise(log2(lit(1000000L - m6(k - 1)).cast("double") /
+          lit(1000000L - u6(k - 1))))
+    }.reduce(_ + _)
+    cand
+      .select($"key_a", $"key_b", round(score, 4).as("score_bits"))
+      .filter($"score_bits" >= minBits)
+      .orderBy($"key_a", $"key_b")
   }
 
   /** Sparse lexical similarity: document pairs whose TOP-`k` TF-IDF term

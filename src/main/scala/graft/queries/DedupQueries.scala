@@ -82,6 +82,10 @@ private[graft] object DedupQueries extends QueryFamily {
     // probabilities and log2 match weights per comparison field
     "q233_fs_linkage" -> ((s, d) =>
       Matching.fsLinkageWeights(Tables.part(s, d))),
+    // apply the learned FS weights: score every blocked pair, emit
+    // matches above 4 bits of evidence (learn -> score -> classify)
+    "q239_fs_matches" -> ((s, d) =>
+      Matching.fsLinkageMatches(Tables.part(s, d))),
   )
 
   /** The q233 EM chain, unrolled round-for-round (the q143 oracle
@@ -89,7 +93,43 @@ private[graft] object DedupQueries extends QueryFamily {
     * E-step posteriors quantized via the SAME double expression order
     * as the engine, integer M-step with the [1, 999999] clamp.
     */
-  private def fsEmSql(rounds: Int): String = {
+  private def fsEmSql(rounds: Int): String =
+    fsEmPrefix(rounds) + "\n" + fsWeightsFinal(rounds)
+
+  private def fsApplySql(rounds: Int, minBits: Double): String =
+    fsEmPrefix(rounds) + "\n" + fsMatchesFinal(rounds, minBits)
+
+  private def fsWeightsFinal(rounds: Int): String =
+    s"""SELECT field, round(mm / 1e6, 6) AS m, round(uu / 1e6, 6) AS u,
+       |  round(log2(CAST(mm AS DOUBLE) / uu), 4) AS w_agree,
+       |  round(log2(CAST(1000000 - mm AS DOUBLE) / (1000000 - uu)), 4)
+       |    AS w_disagree
+       |FROM (
+       |  SELECT 'type_eq' AS field, m1 AS mm, u1 AS uu FROM w$rounds
+       |  UNION ALL SELECT 'price_band_eq', m2, u2 FROM w$rounds
+       |  UNION ALL SELECT 'name_tok2', m3, u3 FROM w$rounds
+       |  UNION ALL SELECT 'name_lev10', m4, u4 FROM w$rounds
+       |)
+       |ORDER BY field""".stripMargin
+
+  /** q239's final: score every candidate with the fitted weights, fixed
+    * field order, filter on the rounded bits.
+    */
+  private def fsMatchesFinal(rounds: Int, minBits: Double): String = {
+    def term(k: Int): String =
+      s"""(CASE WHEN c.g$k = 1 THEN log2(CAST(m$k AS DOUBLE) / u$k)
+         |  ELSE log2(CAST(1000000 - m$k AS DOUBLE) / (1000000 - u$k)) END)"""
+        .stripMargin
+    s"""SELECT key_a, key_b, score_bits FROM (
+       |  SELECT c.key_a, c.key_b,
+       |    round(${(1 to 4).map(term).mkString("\n      + ")}, 4) AS score_bits
+       |  FROM cand c, w$rounds
+       |)
+       |WHERE score_bits >= $minBits
+       |ORDER BY key_a, key_b""".stripMargin
+  }
+
+  private def fsEmPrefix(rounds: Int): String = {
     def prod(pcol: String): String = (1 to 4).map(k =>
       s"(CASE WHEN g$k = 1 THEN $pcol$k / 1e6 ELSE 1 - $pcol$k / 1e6 END)")
       .mkString(" * ")
@@ -127,6 +167,7 @@ private[graft] object DedupQueries extends QueryFamily {
        |),
        |cand AS MATERIALIZED (
        |  SELECT
+       |    a.p_partkey AS key_a, b.p_partkey AS key_b,
        |    CASE WHEN a.p_type = b.p_type THEN 1 ELSE 0 END AS g1,
        |    CASE WHEN a.pb = b.pb THEN 1 ELSE 0 END AS g2,
        |    CASE WHEN len(list_intersect(a.toks, b.toks)) >= 2 THEN 1 ELSE 0 END AS g3,
@@ -138,18 +179,7 @@ private[graft] object DedupQueries extends QueryFamily {
        |${(1 to 4).map(k =>
           s"  CAST(900000 AS BIGINT) AS m$k, CAST(100000 AS BIGINT) AS u$k")
         .mkString(",\n")}),
-       |${(1 to rounds).map(rnd).mkString(",\n")}
-       |SELECT field, round(mm / 1e6, 6) AS m, round(uu / 1e6, 6) AS u,
-       |  round(log2(CAST(mm AS DOUBLE) / uu), 4) AS w_agree,
-       |  round(log2(CAST(1000000 - mm AS DOUBLE) / (1000000 - uu)), 4)
-       |    AS w_disagree
-       |FROM (
-       |  SELECT 'type_eq' AS field, m1 AS mm, u1 AS uu FROM w$rounds
-       |  UNION ALL SELECT 'price_band_eq', m2, u2 FROM w$rounds
-       |  UNION ALL SELECT 'name_tok2', m3, u3 FROM w$rounds
-       |  UNION ALL SELECT 'name_lev10', m4, u4 FROM w$rounds
-       |)
-       |ORDER BY field""".stripMargin
+       |${(1 to rounds).map(rnd).mkString(",\n")}""".stripMargin
   }
 
   def oracleSql: Map[String, String] = Map(
@@ -676,5 +706,6 @@ private[graft] object DedupQueries extends QueryFamily {
          |JOIN tot t2 ON p.id2 = t2.doc_id
          |ORDER BY p.id1, p.id2""".stripMargin,
     "q233_fs_linkage" -> fsEmSql(3),
+    "q239_fs_matches" -> fsApplySql(3, 4.0),
   )
 }

@@ -323,7 +323,10 @@ class MatchingSpec extends GraftSuite {
     assert(drawShare > rawShare, s"smoothed draw share $drawShare <= raw $rawShare")
   }
 
-  test("fsLinkageWeights: in-JVM EM replica; discriminative fields earn positive weight") {
+  /** In-JVM replica of the q233/q239 pipeline: blocked keyed comparison
+    * vectors and the 3-round micro-unit EM fit.
+    */
+  private def fsInJvm(): (Vector[(Long, Long, Vector[Long])], Array[Long], Array[Long]) = {
     val parts = Tables.part(spark, sf)
       .select(col("p_partkey"), col("p_name"), col("p_brand"), col("p_type"),
         col("p_size"), col("p_retailprice")).collect()
@@ -337,16 +340,17 @@ class MatchingSpec extends GraftSuite {
       d(a.length)(b.length)
     }
     val byBlock = parts.toVector.groupBy(p => (p._3, p._5))
-    val gammas: Vector[Vector[Long]] = byBlock.values.toVector.flatMap { g =>
+    val keyed: Vector[(Long, Long, Vector[Long])] = byBlock.values.toVector.flatMap { g =>
       for {
         a <- g; b <- g if a._1 < b._1
-      } yield Vector(
+      } yield (a._1, b._1, Vector(
         if (a._4 == b._4) 1L else 0L,
         if (math.floor(a._6 / 100) == math.floor(b._6 / 100)) 1L else 0L,
         if (a._2.split(" ").distinct.toSet
           .intersect(b._2.split(" ").distinct.toSet).size >= 2) 1L else 0L,
-        if (lev(a._2, b._2) <= 10) 1L else 0L)
+        if (lev(a._2, b._2) <= 10) 1L else 0L))
     }
+    val gammas = keyed.map(_._3)
     var p6 = 100000L
     val m6 = Array.fill(4)(900000L); val u6 = Array.fill(4)(100000L)
     def clamp(v: Long) = math.min(math.max(v, 1L), 999999L)
@@ -369,6 +373,11 @@ class MatchingSpec extends GraftSuite {
       }
       p6 = clamp((sg + n / 2) / n)
     }
+    (keyed, m6, u6)
+  }
+
+  test("fsLinkageWeights: in-JVM EM replica; discriminative fields earn positive weight") {
+    val (_, m6, u6) = fsInJvm()
     val got = graft.operators.Matching.fsLinkageWeights(Tables.part(spark, sf))
       .collect().map(r => (r.getString(0), r.getDouble(1), r.getDouble(2),
         r.getDouble(3), r.getDouble(4))).toSeq
@@ -386,6 +395,30 @@ class MatchingSpec extends GraftSuite {
     val wa = got.map(g => g._1 -> g._4).toMap
     assert(wa("type_eq") > 1.0, "type agreement must carry real evidence")
     assert(wa("type_eq") > wa("name_lev10"))
+  }
+
+  test("fsLinkageMatches: brute-force scoring of every blocked pair (q239)") {
+    def round4(x: Double): Double =
+      java.math.BigDecimal.valueOf(x).setScale(4, java.math.RoundingMode.HALF_UP).doubleValue()
+    def log2(x: Double): Double = math.log(x) / math.log(2.0)
+    val (keyed, m6, u6) = fsInJvm()
+    val expected = keyed.map { case (ka, kb, g) =>
+      val score = (0 until 4).map { k =>
+        if (g(k) == 1L) log2(m6(k).toDouble / u6(k))
+        else log2((1000000L - m6(k)).toDouble / (1000000L - u6(k)))
+      }.reduce(_ + _)
+      (ka, kb, round4(score))
+    }.filter(_._3 >= 4.0).sortBy(t => (t._1, t._2))
+    val got = graft.operators.Matching.fsLinkageMatches(Tables.part(spark, sf))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(got === expected)
+    assert(got.nonEmpty)
+    assert(got.size < keyed.size, "the threshold must actually reject pairs")
+    // monotone in the evidence threshold: a higher bar only removes pairs
+    val strict = graft.operators.Matching.fsLinkageMatches(
+      Tables.part(spark, sf), minBits = 6.0).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(strict.subsetOf(got.map(t => (t._1, t._2)).toSet))
   }
 
   test("distinctUsersFromSketchFiles: shard slicing is free; exact below fill (q228)") {

@@ -1544,6 +1544,67 @@ object Curation {
       .orderBy($"mbucket")
   }
 
+  /** Split-conformal prediction sets for the quality classifier (q240;
+    * Vovk's conformal framework, split form per Papadopoulos 2002 /
+    * Angelopoulos & Bates 2023): the distribution-free finite-sample
+    * coverage guarantee the raw classifier lacks — q160 shows the
+    * probabilities are miscalibrated, and conformal is the fix that
+    * needs NO recalibration model: on a held-out calibration half
+    * (deterministic md5 coin, slice 1 so it is independent of every
+    * slice-0 draw), the nonconformity of a labeled doc is its margin
+    * toward the wrong side (y=1 → −zm, y=0 → +zm, exact integer longs);
+    * q̂_α is the ⌈(n+1)(1−α)⌉-th smallest calibration score, and a test
+    * doc's prediction set contains every label whose score is ≤ q̂_α —
+    * guaranteeing P(true label ∈ set) ≥ 1−α for ANY score function.
+    * Reports, per α: q̂, empirical test coverage, and the mean set size
+    * (the efficiency price; 2.0 means the classifier carries no usable
+    * evidence at that confidence).
+    *
+    * Shape: one shared scoring pass (the q143 cached feature frame +
+    * broadcast weights); q̂ is an order statistic, computed as
+    * max-of-bottom-k via the salted two-stage `topKPerGroup` — never a
+    * global sort; per-α test metrics are map-side-combined aggregates
+    * over the checkpointed scored frame. Only ONE scalar per α crosses
+    * the driver. All comparisons are exact integer; the two output
+    * ratios are the only floats.
+    */
+  def conformalQuality(documents: DataFrame, targetLang: String = "en",
+      buckets: Int = 64, rounds: Int = 4, lr: Double = 0.0009765625,
+      alphas: Seq[Double] = Seq(0.05, 0.1, 0.2)): DataFrame = {
+    val spark = documents.sparkSession
+    val (fx, w) = trainQualityWeights(documents, targetLang, buckets, rounds, lr)
+    val labels = documents.select($"doc_id",
+      when($"lang" === targetLang, 1L).otherwise(0L).as("y"))
+    val scored = fx
+      .join(broadcast(spark.createDataFrame(w).toDF("b", "wm")), Seq("b"))
+      .groupBy($"doc_id").agg(sum($"c" * $"wm").as("zm"))
+      .join(labels, Seq("doc_id"))
+      .withColumn("is_calib", Scale.md5SlicePos($"doc_id", 1, 2) === 0L)
+      .withColumn("s_true", when($"y" === 1L, -$"zm").otherwise($"zm"))
+      .localCheckpoint() // scored once; read by q-hat and per-alpha passes
+    val nCal = scored.filter($"is_calib").count()
+    val test = scored.filter(!$"is_calib")
+    alphas.map { alpha =>
+      val k = math.ceil((nCal + 1) * (1 - alpha)).toLong
+      require(k <= nCal,
+        s"alpha=$alpha needs ${k} calibration points, have $nCal")
+      val qhat = Scale.topKPerGroup(
+          scored.filter($"is_calib")
+            .select(lit(alpha).as("alpha"), $"s_true".as("s")),
+          group = $"alpha", rankKey = $"s", tie = $"s", saltSource = $"s",
+          k = k.toInt)
+        .agg(max($"s")).collect()(0).getLong(0)
+      test.agg(count(lit(1)).as("n_test"),
+          sum(when($"s_true" <= qhat, 1L).otherwise(0L)).as("cov"),
+          sum(when(-$"zm" <= qhat, 1L).otherwise(0L) +
+            when($"zm" <= qhat, 1L).otherwise(0L)).as("sz"))
+        .select(lit(alpha).as("alpha"), lit(nCal).as("n_calib"),
+          lit(qhat).as("qhat"),
+          round($"cov" / $"n_test", 6).as("coverage"),
+          round($"sz" / $"n_test", 6).as("avg_set_size"))
+    }.reduce(_ unionByName _).orderBy($"alpha")
+  }
+
   /** Classifier ranking quality (q189): exact AUC of the q143 model's
     * integer score against the language label, via the Mann–Whitney
     * identity AUC = P(z⁺ > z⁻) + ½·P(z⁺ = z⁻). Completes the eval suite:

@@ -158,6 +158,9 @@ private[graft] object CurationQueries extends QueryFamily {
     // greedy vocabulary set cover: nSel rounds of anti-join + per-doc
     // count + 1-row argmax; covered set distributed throughout
     "q177_set_cover" -> ((s, d) => Curation.setCoverSelect(Tables.documents(s, d))),
+    // split-conformal prediction sets on the q143 margins: per-alpha
+    // q-hat (order statistic via bottom-k), test coverage, set size
+    "q240_conformal" -> ((s, d) => Curation.conformalQuality(Tables.documents(s, d))),
     // exact Mann-Whitney AUC of the q143 classifier's integer scores:
     // threshold-free ranking grade beside q144's decision and q160's
     // calibration; distinct-score frame + two-phase prefix sum
@@ -866,6 +869,74 @@ private[graft] object CurationQueries extends QueryFamily {
         |  ch.chunk_hash, d.n_dup
         |FROM ch JOIN d USING (chunk_hash)
         |ORDER BY doc_id, chunk_idx""".stripMargin,
+    "q240_conformal" ->
+      // same split coin (md5 slice 1), same order-statistic rank, the
+      // k formula ceil((n+1)(1-alpha)) mirrored literally
+      s"""$ClassifierTrainCtes,
+         |sc AS (
+         |  SELECT doc_id, CAST(sum(c * wm) AS BIGINT) AS zm
+         |  FROM fx JOIN w4 USING (b) GROUP BY doc_id
+         |),
+         |lab AS (
+         |  SELECT sc.doc_id, zm, y,
+         |    ${posSql("md5(CAST(sc.doc_id AS VARCHAR))", 1, 2)} = 0 AS is_calib,
+         |    CASE WHEN y = 1 THEN -zm ELSE zm END AS s_true
+         |  FROM sc JOIN yd USING (doc_id)
+         |),
+         |ncal AS (SELECT count(*) AS n FROM lab WHERE is_calib),
+         |ranked AS (
+         |  SELECT s_true, row_number() OVER (ORDER BY s_true) AS r
+         |  FROM lab WHERE is_calib
+         |),
+         |q AS (
+         |  SELECT a.alpha,
+         |    (SELECT s_true FROM ranked, ncal
+         |     WHERE r = CAST(ceil((ncal.n + 1) * (1 - a.alpha)) AS BIGINT)) AS qhat
+         |  FROM (SELECT unnest([0.05, 0.1, 0.2]) AS alpha) a
+         |)
+         |SELECT q.alpha, ncal.n AS n_calib, q.qhat,
+         |  round(sum(CASE WHEN t.s_true <= q.qhat THEN 1 ELSE 0 END) * 1.0
+         |    / count(*), 6) AS coverage,
+         |  round(sum((CASE WHEN -t.zm <= q.qhat THEN 1 ELSE 0 END)
+         |    + (CASE WHEN t.zm <= q.qhat THEN 1 ELSE 0 END)) * 1.0
+         |    / count(*), 6) AS avg_set_size
+         |FROM (SELECT * FROM lab WHERE NOT is_calib) t, q, ncal
+         |GROUP BY q.alpha, ncal.n, q.qhat
+         |ORDER BY alpha""".stripMargin,
+    "q240_conformal" ->
+      // same split coin (md5 slice 1), same order-statistic rank, the
+      // k formula ceil((n+1)(1-alpha)) mirrored literally
+      s"""$ClassifierTrainCtes,
+         |sc AS (
+         |  SELECT doc_id, CAST(sum(c * wm) AS BIGINT) AS zm
+         |  FROM fx JOIN w4 USING (b) GROUP BY doc_id
+         |),
+         |lab AS (
+         |  SELECT sc.doc_id, zm, y,
+         |    ${posSql("md5(CAST(sc.doc_id AS VARCHAR))", 1, 2)} = 0 AS is_calib,
+         |    CASE WHEN y = 1 THEN -zm ELSE zm END AS s_true
+         |  FROM sc JOIN yd USING (doc_id)
+         |),
+         |ncal AS (SELECT count(*) AS n FROM lab WHERE is_calib),
+         |ranked AS (
+         |  SELECT s_true, row_number() OVER (ORDER BY s_true) AS r
+         |  FROM lab WHERE is_calib
+         |),
+         |q AS (
+         |  SELECT a.alpha,
+         |    (SELECT s_true FROM ranked, ncal
+         |     WHERE r = CAST(ceil((ncal.n + 1) * (1 - a.alpha)) AS BIGINT)) AS qhat
+         |  FROM (SELECT unnest([0.05, 0.1, 0.2]) AS alpha) a
+         |)
+         |SELECT q.alpha, ncal.n AS n_calib, q.qhat,
+         |  round(sum(CASE WHEN t.s_true <= q.qhat THEN 1 ELSE 0 END) * 1.0
+         |    / count(*), 6) AS coverage,
+         |  round(sum((CASE WHEN -t.zm <= q.qhat THEN 1 ELSE 0 END)
+         |    + (CASE WHEN t.zm <= q.qhat THEN 1 ELSE 0 END)) * 1.0
+         |    / count(*), 6) AS avg_set_size
+         |FROM (SELECT * FROM lab WHERE NOT is_calib) t, q, ncal
+         |GROUP BY q.alpha, ncal.n, q.qhat
+         |ORDER BY alpha""".stripMargin,
     "q160_classifier_calibration" ->
       // signed floor(log2(|margin|+1)) via bin() on the integer micro
       // margin; positive rate per bucket — reuses the unrolled training

@@ -1304,4 +1304,30 @@ class CurationSpec extends GraftSuite {
       }
     }
   }
+
+  test("conformalQuality: the guarantee holds per alpha; thresholds and sets are monotone (q240)") {
+    val got = Curation.conformalQuality(docs).collect()
+      .map(r => (r.getDouble(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getDouble(4))).toSeq.sortBy(_._1)
+    assert(got.map(_._1) === Seq(0.05, 0.1, 0.2))
+    // the split-conformal guarantee is MARGINAL (in expectation over
+    // calibration draws); one fixed split fluctuates by O(1/sqrt(n)),
+    // so assert the guarantee up to a two-sigma finite-sample band
+    got.foreach { case (a, nc, _, cov, sz) =>
+      assert(nc > 0)
+      val slack = 2.0 / math.sqrt(nc.toDouble)
+      assert(cov >= 1 - a - slack,
+        s"alpha=$a coverage $cov below guarantee band (n_calib=$nc)")
+      assert(sz >= cov && sz <= 2.0, s"alpha=$a set size $sz out of range")
+    }
+    // tightening confidence (smaller alpha) can only RAISE the threshold,
+    // coverage, and set size — the conformal tradeoff in one assert each
+    val byA = got.sortBy(_._1)
+    assert(byA.map(_._3) === byA.map(_._3).sorted.reverse, "qhat monotone")
+    assert(byA.map(_._4) === byA.map(_._4).sorted.reverse, "coverage monotone")
+    assert(byA.map(_._5) === byA.map(_._5).sorted.reverse, "set size monotone")
+    // the sets must carry information at some confidence level: below
+    // size 2 means the classifier's evidence actually excludes labels
+    assert(got.exists(_._5 < 2.0), "all-labels sets everywhere = vacuous")
+  }
 }

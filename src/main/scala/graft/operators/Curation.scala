@@ -1605,6 +1605,61 @@ object Curation {
     }.reduce(_ unionByName _).orderBy($"alpha")
   }
 
+  /** Class-conditional (Mondrian) conformal sets (q241; Vovk's Mondrian
+    * taxonomy, label-conditional form): q240's guarantee is MARGINAL —
+    * averaged over both classes, so with class imbalance the majority
+    * class can over-cover while the minority class silently
+    * under-covers (exactly the failure a curation pipeline cares about:
+    * "non-English" is the minority label a filter must not lose).
+    * Calibrating q̂ PER TRUE CLASS — q̂_y from the label-y calibration
+    * docs only — restores the guarantee within each class:
+    * P(y ∈ set | true = y) ≥ 1−α for BOTH labels. Reports, per
+    * (α, label): the class calibration count, q̂_y, and the
+    * class-conditional test coverage — read beside q240 to see what the
+    * marginal number hides.
+    *
+    * Same scored frame and integer nonconformity as q240 (one shared
+    * scoring pass); each q̂_y is a max-of-bottom-k order statistic over
+    * the label-y calibration slice via the salted two-stage rank; one
+    * scalar per (α, label) crosses the driver.
+    */
+  def mondrianConformal(documents: DataFrame, targetLang: String = "en",
+      buckets: Int = 64, rounds: Int = 4, lr: Double = 0.0009765625,
+      alphas: Seq[Double] = Seq(0.1, 0.2)): DataFrame = {
+    val spark = documents.sparkSession
+    val (fx, w) = trainQualityWeights(documents, targetLang, buckets, rounds, lr)
+    val labels = documents.select($"doc_id",
+      when($"lang" === targetLang, 1L).otherwise(0L).as("y"))
+    val scored = fx
+      .join(broadcast(spark.createDataFrame(w).toDF("b", "wm")), Seq("b"))
+      .groupBy($"doc_id").agg(sum($"c" * $"wm").as("zm"))
+      .join(labels, Seq("doc_id"))
+      .withColumn("is_calib", Scale.md5SlicePos($"doc_id", 1, 2) === 0L)
+      .withColumn("s_true", when($"y" === 1L, -$"zm").otherwise($"zm"))
+      .localCheckpoint() // shared by the per-class q-hat and test passes
+    val nCalByY = scored.filter($"is_calib").groupBy($"y").count()
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val test = scored.filter(!$"is_calib")
+    (for (alpha <- alphas; y <- Seq(0L, 1L)) yield {
+      val nCal = nCalByY(y)
+      val k = math.ceil((nCal + 1) * (1 - alpha)).toLong
+      require(k <= nCal,
+        s"alpha=$alpha label=$y needs $k calibration points, have $nCal")
+      val qhat = Scale.topKPerGroup(
+          scored.filter($"is_calib" && $"y" === y)
+            .select(lit(y).as("g"), $"s_true".as("s")),
+          group = $"g", rankKey = $"s", tie = $"s", saltSource = $"s",
+          k = k.toInt)
+        .agg(max($"s")).collect()(0).getLong(0)
+      test.filter($"y" === y)
+        .agg(count(lit(1)).as("n_test"),
+          sum(when($"s_true" <= qhat, 1L).otherwise(0L)).as("cov"))
+        .select(lit(alpha).as("alpha"), lit(y).as("label"),
+          lit(nCal).as("n_calib"), lit(qhat).as("qhat"),
+          round($"cov" / $"n_test", 6).as("class_coverage"))
+    }).reduce(_ unionByName _).orderBy($"alpha", $"label")
+  }
+
   /** Classifier ranking quality (q189): exact AUC of the q143 model's
     * integer score against the language label, via the Mann–Whitney
     * identity AUC = P(z⁺ > z⁻) + ½·P(z⁺ = z⁻). Completes the eval suite:

@@ -161,6 +161,10 @@ private[graft] object CurationQueries extends QueryFamily {
     // split-conformal prediction sets on the q143 margins: per-alpha
     // q-hat (order statistic via bottom-k), test coverage, set size
     "q240_conformal" -> ((s, d) => Curation.conformalQuality(Tables.documents(s, d))),
+    // Mondrian (class-conditional) conformal: per-class q-hat restores
+    // the guarantee the marginal q240 averages away under imbalance
+    "q241_mondrian_conformal" -> ((s, d) =>
+      Curation.mondrianConformal(Tables.documents(s, d))),
     // exact Mann-Whitney AUC of the q143 classifier's integer scores:
     // threshold-free ranking grade beside q144's decision and q160's
     // calibration; distinct-score frame + two-phase prefix sum
@@ -869,6 +873,42 @@ private[graft] object CurationQueries extends QueryFamily {
         |  ch.chunk_hash, d.n_dup
         |FROM ch JOIN d USING (chunk_hash)
         |ORDER BY doc_id, chunk_idx""".stripMargin,
+    "q241_mondrian_conformal" ->
+      // per-class rank and k; coverage measured within each true class
+      s"""$ClassifierTrainCtes,
+         |sc AS (
+         |  SELECT doc_id, CAST(sum(c * wm) AS BIGINT) AS zm
+         |  FROM fx JOIN w4 USING (b) GROUP BY doc_id
+         |),
+         |lab AS (
+         |  SELECT sc.doc_id, zm, y,
+         |    ${posSql("md5(CAST(sc.doc_id AS VARCHAR))", 1, 2)} = 0 AS is_calib,
+         |    CASE WHEN y = 1 THEN -zm ELSE zm END AS s_true
+         |  FROM sc JOIN yd USING (doc_id)
+         |),
+         |ncal AS (
+         |  SELECT y, CAST(count(*) AS BIGINT) AS n FROM lab
+         |  WHERE is_calib GROUP BY y
+         |),
+         |ranked AS (
+         |  SELECT y, s_true,
+         |    row_number() OVER (PARTITION BY y ORDER BY s_true) AS r
+         |  FROM lab WHERE is_calib
+         |),
+         |q AS (
+         |  SELECT a.alpha, ncal.y, ncal.n,
+         |    (SELECT s_true FROM ranked
+         |     WHERE ranked.y = ncal.y
+         |       AND r = CAST(ceil((ncal.n + 1) * (1 - a.alpha)) AS BIGINT)) AS qhat
+         |  FROM (SELECT unnest([0.1, 0.2]) AS alpha) a, ncal
+         |)
+         |SELECT q.alpha, q.y AS label, q.n AS n_calib, q.qhat,
+         |  round(sum(CASE WHEN t.s_true <= q.qhat THEN 1 ELSE 0 END) * 1.0
+         |    / count(*), 6) AS class_coverage
+         |FROM (SELECT * FROM lab WHERE NOT is_calib) t
+         |JOIN q ON t.y = q.y
+         |GROUP BY q.alpha, q.y, q.n, q.qhat
+         |ORDER BY alpha, label""".stripMargin,
     "q240_conformal" ->
       // same split coin (md5 slice 1), same order-statistic rank, the
       // k formula ceil((n+1)(1-alpha)) mirrored literally
@@ -903,6 +943,42 @@ private[graft] object CurationQueries extends QueryFamily {
          |FROM (SELECT * FROM lab WHERE NOT is_calib) t, q, ncal
          |GROUP BY q.alpha, ncal.n, q.qhat
          |ORDER BY alpha""".stripMargin,
+    "q241_mondrian_conformal" ->
+      // per-class rank and k; coverage measured within each true class
+      s"""$ClassifierTrainCtes,
+         |sc AS (
+         |  SELECT doc_id, CAST(sum(c * wm) AS BIGINT) AS zm
+         |  FROM fx JOIN w4 USING (b) GROUP BY doc_id
+         |),
+         |lab AS (
+         |  SELECT sc.doc_id, zm, y,
+         |    ${posSql("md5(CAST(sc.doc_id AS VARCHAR))", 1, 2)} = 0 AS is_calib,
+         |    CASE WHEN y = 1 THEN -zm ELSE zm END AS s_true
+         |  FROM sc JOIN yd USING (doc_id)
+         |),
+         |ncal AS (
+         |  SELECT y, CAST(count(*) AS BIGINT) AS n FROM lab
+         |  WHERE is_calib GROUP BY y
+         |),
+         |ranked AS (
+         |  SELECT y, s_true,
+         |    row_number() OVER (PARTITION BY y ORDER BY s_true) AS r
+         |  FROM lab WHERE is_calib
+         |),
+         |q AS (
+         |  SELECT a.alpha, ncal.y, ncal.n,
+         |    (SELECT s_true FROM ranked
+         |     WHERE ranked.y = ncal.y
+         |       AND r = CAST(ceil((ncal.n + 1) * (1 - a.alpha)) AS BIGINT)) AS qhat
+         |  FROM (SELECT unnest([0.1, 0.2]) AS alpha) a, ncal
+         |)
+         |SELECT q.alpha, q.y AS label, q.n AS n_calib, q.qhat,
+         |  round(sum(CASE WHEN t.s_true <= q.qhat THEN 1 ELSE 0 END) * 1.0
+         |    / count(*), 6) AS class_coverage
+         |FROM (SELECT * FROM lab WHERE NOT is_calib) t
+         |JOIN q ON t.y = q.y
+         |GROUP BY q.alpha, q.y, q.n, q.qhat
+         |ORDER BY alpha, label""".stripMargin,
     "q240_conformal" ->
       // same split coin (md5 slice 1), same order-statistic rank, the
       // k formula ceil((n+1)(1-alpha)) mirrored literally

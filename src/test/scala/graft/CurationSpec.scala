@@ -1330,4 +1330,33 @@ class CurationSpec extends GraftSuite {
     // size 2 means the classifier's evidence actually excludes labels
     assert(got.exists(_._5 < 2.0), "all-labels sets everywhere = vacuous")
   }
+
+  test("mondrianConformal: the guarantee holds WITHIN each class (q241)") {
+    val got = Curation.mondrianConformal(docs).collect()
+      .map(r => (r.getDouble(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4))).toSeq
+    assert(got.map(g => (g._1, g._2)).sorted ===
+      Seq((0.1, 0L), (0.1, 1L), (0.2, 0L), (0.2, 1L)))
+    got.foreach { case (a, y, nc, _, cov) =>
+      assert(nc > 0)
+      val slack = 2.0 / math.sqrt(nc.toDouble)
+      assert(cov >= 1 - a - slack,
+        s"alpha=$a class=$y coverage $cov below guarantee band (n=$nc)")
+    }
+    // the reason Mondrian exists: under class imbalance the two classes
+    // need DIFFERENT thresholds — a shared marginal q-hat would have to
+    // split the difference
+    val byAlpha = got.groupBy(_._1)
+    byAlpha.values.foreach { rows =>
+      val qs = rows.map(_._4)
+      assert(qs.distinct.size === qs.size,
+        "per-class thresholds must differ on an imbalanced fixture")
+    }
+    // per-class q-hat tightens (drops) as alpha rises, like q240's
+    Seq(0L, 1L).foreach { y =>
+      val q01 = got.find(g => g._1 == 0.1 && g._2 == y).get._4
+      val q02 = got.find(g => g._1 == 0.2 && g._2 == y).get._4
+      assert(q02 <= q01, s"class $y threshold must tighten with alpha")
+    }
+  }
 }

@@ -1641,9 +1641,11 @@ object Curation {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
     val test = scored.filter(!$"is_calib")
     (for (alpha <- alphas; y <- Seq(0L, 1L)) yield {
-      val nCal = nCalByY(y)
+      // getOrElse: a class absent from the calibration slice must fail
+      // through the descriptive require below, not a bare Map.apply
+      val nCal = nCalByY.getOrElse(y, 0L)
       val k = math.ceil((nCal + 1) * (1 - alpha)).toLong
-      require(k <= nCal,
+      require(k <= nCal && nCal > 0L,
         s"alpha=$alpha label=$y needs $k calibration points, have $nCal")
       val qhat = Scale.topKPerGroup(
           scored.filter($"is_calib" && $"y" === y)

@@ -804,7 +804,11 @@ object Events {
       exp(th * th * t2 / (lit(2.0) * se2 * (se2 + t2)))
     counts.select(
       $"n_a", $"n_b",
-      round(th / 1e4, 4).as("theta_hat"),
+      // guarded like se/lambda/p: an empty arm must render NULL on BOTH
+      // engines (Spark nulls a zero-divisor double division, DuckDB
+      // does not), not lean on the fixture always populating both arms
+      when($"n_a" >= 1L && $"n_b" >= 1L,
+        round(th / 1e4, 4)).as("theta_hat"),
       when($"n_a" >= 2L && $"n_b" >= 2L && se2 > 0.0,
         round(sqrt(se2) / 1e4, 4)).as("se"),
       when($"n_a" >= 2L && $"n_b" >= 2L && se2 > 0.0,

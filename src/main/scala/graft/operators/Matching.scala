@@ -117,8 +117,12 @@ object Matching {
       val sg = sums.getLong(0); val n = sums.getLong(1)
       val sug = sums.getLong(2)
       for (k <- 1 to 4) {
-        m6(k - 1) = clamp((1000000L * sums.getLong(1 + 2 * k) + sg / 2) / sg)
-        u6(k - 1) = clamp((1000000L * sums.getLong(2 + 2 * k) + sug / 2) / sug)
+        // multiplyExact: the repo's loud-overflow posture — a blocked
+        // candidate set > ~9.2e12/1e6 pairs must fail, not wrap silently
+        m6(k - 1) = clamp(
+          (Math.multiplyExact(1000000L, sums.getLong(1 + 2 * k)) + sg / 2) / sg)
+        u6(k - 1) = clamp(
+          (Math.multiplyExact(1000000L, sums.getLong(2 + 2 * k)) + sug / 2) / sug)
       }
       p6 = clamp((sg + n / 2) / n)
     }

@@ -195,8 +195,7 @@ private[graft] object CurationQueries extends QueryFamily {
     "q227_persisted_datasheet" -> ((s, d) => {
       import org.apache.spark.sql.functions.col
       val docs = Tables.documents(s, d)
-      val dir = java.nio.file.Files
-        .createTempDirectory("graft_ds_partials").toString
+      val dir = graft.sources.Scratch.dir("graft_ds_partials")
       Curation.writeDatasheetPartials(
         docs.filter(col("doc_id") % 10 =!= 1), s"$dir/base")
       Curation.writeDatasheetPartials(
@@ -873,76 +872,6 @@ private[graft] object CurationQueries extends QueryFamily {
         |  ch.chunk_hash, d.n_dup
         |FROM ch JOIN d USING (chunk_hash)
         |ORDER BY doc_id, chunk_idx""".stripMargin,
-    "q241_mondrian_conformal" ->
-      // per-class rank and k; coverage measured within each true class
-      s"""$ClassifierTrainCtes,
-         |sc AS (
-         |  SELECT doc_id, CAST(sum(c * wm) AS BIGINT) AS zm
-         |  FROM fx JOIN w4 USING (b) GROUP BY doc_id
-         |),
-         |lab AS (
-         |  SELECT sc.doc_id, zm, y,
-         |    ${posSql("md5(CAST(sc.doc_id AS VARCHAR))", 1, 2)} = 0 AS is_calib,
-         |    CASE WHEN y = 1 THEN -zm ELSE zm END AS s_true
-         |  FROM sc JOIN yd USING (doc_id)
-         |),
-         |ncal AS (
-         |  SELECT y, CAST(count(*) AS BIGINT) AS n FROM lab
-         |  WHERE is_calib GROUP BY y
-         |),
-         |ranked AS (
-         |  SELECT y, s_true,
-         |    row_number() OVER (PARTITION BY y ORDER BY s_true) AS r
-         |  FROM lab WHERE is_calib
-         |),
-         |q AS (
-         |  SELECT a.alpha, ncal.y, ncal.n,
-         |    (SELECT s_true FROM ranked
-         |     WHERE ranked.y = ncal.y
-         |       AND r = CAST(ceil((ncal.n + 1) * (1 - a.alpha)) AS BIGINT)) AS qhat
-         |  FROM (SELECT unnest([0.1, 0.2]) AS alpha) a, ncal
-         |)
-         |SELECT q.alpha, q.y AS label, q.n AS n_calib, q.qhat,
-         |  round(sum(CASE WHEN t.s_true <= q.qhat THEN 1 ELSE 0 END) * 1.0
-         |    / count(*), 6) AS class_coverage
-         |FROM (SELECT * FROM lab WHERE NOT is_calib) t
-         |JOIN q ON t.y = q.y
-         |GROUP BY q.alpha, q.y, q.n, q.qhat
-         |ORDER BY alpha, label""".stripMargin,
-    "q240_conformal" ->
-      // same split coin (md5 slice 1), same order-statistic rank, the
-      // k formula ceil((n+1)(1-alpha)) mirrored literally
-      s"""$ClassifierTrainCtes,
-         |sc AS (
-         |  SELECT doc_id, CAST(sum(c * wm) AS BIGINT) AS zm
-         |  FROM fx JOIN w4 USING (b) GROUP BY doc_id
-         |),
-         |lab AS (
-         |  SELECT sc.doc_id, zm, y,
-         |    ${posSql("md5(CAST(sc.doc_id AS VARCHAR))", 1, 2)} = 0 AS is_calib,
-         |    CASE WHEN y = 1 THEN -zm ELSE zm END AS s_true
-         |  FROM sc JOIN yd USING (doc_id)
-         |),
-         |ncal AS (SELECT count(*) AS n FROM lab WHERE is_calib),
-         |ranked AS (
-         |  SELECT s_true, row_number() OVER (ORDER BY s_true) AS r
-         |  FROM lab WHERE is_calib
-         |),
-         |q AS (
-         |  SELECT a.alpha,
-         |    (SELECT s_true FROM ranked, ncal
-         |     WHERE r = CAST(ceil((ncal.n + 1) * (1 - a.alpha)) AS BIGINT)) AS qhat
-         |  FROM (SELECT unnest([0.05, 0.1, 0.2]) AS alpha) a
-         |)
-         |SELECT q.alpha, ncal.n AS n_calib, q.qhat,
-         |  round(sum(CASE WHEN t.s_true <= q.qhat THEN 1 ELSE 0 END) * 1.0
-         |    / count(*), 6) AS coverage,
-         |  round(sum((CASE WHEN -t.zm <= q.qhat THEN 1 ELSE 0 END)
-         |    + (CASE WHEN t.zm <= q.qhat THEN 1 ELSE 0 END)) * 1.0
-         |    / count(*), 6) AS avg_set_size
-         |FROM (SELECT * FROM lab WHERE NOT is_calib) t, q, ncal
-         |GROUP BY q.alpha, ncal.n, q.qhat
-         |ORDER BY alpha""".stripMargin,
     "q241_mondrian_conformal" ->
       // per-class rank and k; coverage measured within each true class
       s"""$ClassifierTrainCtes,

@@ -91,8 +91,7 @@ private[graft] object EventsQueries extends QueryFamily {
     "q228_sketch_rollup" -> ((s, d) => {
       import org.apache.spark.sql.functions.expr
       val ev = Tables.events(s, d)
-      val dir = java.nio.file.Files
-        .createTempDirectory("graft_sketch_shards").toString
+      val dir = graft.sources.Scratch.dir("graft_sketch_shards")
       Events.writeDailySketches(
         ev.filter(expr("(ts div 86400000000000) % 2 = 0")), s"$dir/even")
       Events.writeDailySketches(
@@ -469,7 +468,9 @@ private[graft] object EventsQueries extends QueryFamily {
          |        / (2.0 * se2 * (se2 + 50000.0 * 50000.0))) AS lam
          |  FROM m
          |)
-         |SELECT n_a, n_b, round(th / 1e4, 4) AS theta_hat,
+         |SELECT n_a, n_b,
+         |  CASE WHEN n_a >= 1 AND n_b >= 1
+         |    THEN round(th / 1e4, 4) END AS theta_hat,
          |  CASE WHEN n_a >= 2 AND n_b >= 2 AND se2 > 0
          |    THEN round(sqrt(se2) / 1e4, 4) END AS se,
          |  CASE WHEN n_a >= 2 AND n_b >= 2 AND se2 > 0

@@ -781,8 +781,22 @@ object Events {
     * at/near 1 — the monitor correctly refuses to stop.
     */
   def msprtMonitor(events: DataFrame, metricType: String = "purchase",
-      tauMicro: Double = 50000.0): DataFrame = {
-    val counts = events.filter($"event_type" === metricType)
+      tauMicro: Double = 50000.0): DataFrame =
+    msprtFromMoments(msprtArmMoments(events, metricType), tauMicro)
+
+  /** The monitor's exact 1-row arm-moment frame: per md5 arm, (n, Σvm,
+    * Σvm²) on the integer micro-unit grid. Split out (round 11) so the
+    * STREAMED per-arm state (`EventStreams.msprtMomentStream` — pure
+    * long addition) finishes through the IDENTICAL code path as the
+    * batch: θ̂, se, Λ and the always-valid p derive from these six
+    * scalars alone, so maintaining them incrementally maintains the
+    * whole monitor (the cusumFromMoments discipline applied to the one
+    * op whose production form is inherently streaming: a dashboard
+    * peeks CONTINUOUSLY, which is the entire reason mSPRT exists).
+    */
+  private[graft] def msprtArmMoments(events: DataFrame,
+      metricType: String): DataFrame =
+    events.filter($"event_type" === metricType)
       .select(Scale.md5SlicePos($"user_id", 0, 2).as("arm"),
         round($"value" * 10000, 0).cast("long").as("vm"))
       .agg(
@@ -792,6 +806,13 @@ object Events {
         sum(when($"arm" === 1L, 1L).otherwise(0L)).as("n_b"),
         sum(when($"arm" === 1L, $"vm").otherwise(0L)).as("s1_b"),
         sum(when($"arm" === 1L, $"vm" * $"vm").otherwise(0L)).as("s2_b"))
+
+  /** Finish the q237 monitor from a 1-row (n_a, s1_a, s2_a, n_b, s1_b,
+    * s2_b) moment frame — shared by the batch scan and the streamed
+    * per-arm state.
+    */
+  def msprtFromMoments(counts: DataFrame,
+      tauMicro: Double = 50000.0): DataFrame = {
     def mean(s1: Column, n: Column): Column = s1.cast("double") / n
     def svar(s1: Column, s2: Column, n: Column): Column =
       (s2.cast("double") - s1.cast("double") * s1 / n) / (n - lit(1L))

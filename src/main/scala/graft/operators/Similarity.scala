@@ -183,16 +183,46 @@ object Similarity {
       .orderBy($"label")
   }
 
-  /** The cell-restricted kNN graph shared by q194/q207: each vector's
-    * `k` nearest neighbors WITHIN its trained k-means cell, `(id, nb,
-    * cos)`, cut by the salted two-stage `topKPerGroup` and checkpointed
-    * once. Candidates stay cell-bounded (the IVF contract) — the graph
-    * never goes all-pairs at any corpus size.
+  /** Sentinel for `kCells` parameters: derive the cell count from the
+    * corpus size via [[kCellsFor]] (the production default since round
+    * 11 — a fixed cell count is scale-hazardous, see `cellKnnGraph`).
+    */
+  val AutoCells: Int = 0
+
+  /** The IVF cell-count dial: kCells = max(16, ⌈√N⌉) — the standard
+    * inverted-file sizing (FAISS's nlist ≈ √N guideline; Jégou et al.
+    * 2011). Per-cell population then stays ≈ √N, so within-cell
+    * candidate work for the kNN graph is N·(N/kCells) ≈ N^1.5 — the
+    * subquadratic IVF contract — instead of N²/16 at a fixed dial.
+    * Floor 16 keeps the small-fixture behavior (n ≤ 256 → 16, the
+    * round-7..10 registered dial) and guarantees enough cells for the
+    * plurality/degree consumers. Measured ×10/×30 in SURVEY §6.15.
+    */
+  def kCellsFor(n: Long): Int =
+    math.max(16, math.ceil(math.sqrt(n.toDouble)).toInt)
+
+  /** Resolve a `kCells` argument: positive = explicit dial (the
+    * registered fixture queries pin 16, like q48's 8×6); `AutoCells` =
+    * derive from one cheap corpus count.
+    */
+  private def resolveCells(embeddings: DataFrame, kCells: Int): Int =
+    if (kCells > 0) kCells else kCellsFor(embeddings.count())
+
+  /** The cell-restricted kNN graph shared by q194/q207/q231: each
+    * vector's `k` nearest neighbors WITHIN its trained k-means cell,
+    * `(id, nb, cos)`, cut by the salted two-stage `topKPerGroup` and
+    * checkpointed once. Candidates stay cell-bounded (the IVF
+    * contract) — the graph never goes all-pairs at any corpus size —
+    * and with the `AutoCells` default the cell count GROWS with the
+    * corpus (√N, [[kCellsFor]]), so per-cell candidate sets stay ≈ √N
+    * instead of growing linearly at a fixed dial (the round-10 verdict's
+    * scale hazard; q243 gates the auto dial cross-engine).
     */
   private[graft] def cellKnnGraph(embeddings: DataFrame, k: Int,
       kCells: Int): DataFrame = {
     import graft.functions.VectorFunctions.cosine_sim
-    val af = kmeansAssignments(embeddings, kCells, 2, "coreset")
+    val af = kmeansAssignments(embeddings, resolveCells(embeddings, kCells), 2,
+      "coreset")
     val pairs = af.select($"vec_id".as("id"), $"cid", $"v")
       .join(af.select($"vec_id".as("nb"), $"cid", $"v".as("nv")), Seq("cid"))
       .filter($"id" =!= $"nb")
@@ -227,7 +257,7 @@ object Similarity {
     * unrolls both propagation rounds over the shared Lloyd CTEs.
     */
   def labelPropagation(embeddings: DataFrame, k: Int = 5, rounds: Int = 2,
-      kCells: Int = 16): DataFrame = {
+      kCells: Int = AutoCells): DataFrame = {
     val labels = embeddings
       .select($"vec_id", $"label".cast("long").as("y"))
       .withColumn("hidden", Scale.md5SlicePos($"vec_id", 0, 2) === 1L)
@@ -269,7 +299,7 @@ object Similarity {
     * dimension order), so the emitted score is direction-free.
     */
   def mutualNeighborPairs(embeddings: DataFrame, k: Int = 5,
-      kCells: Int = 16): DataFrame = {
+      kCells: Int = AutoCells): DataFrame = {
     val knn = cellKnnGraph(embeddings, k, kCells)
     val lo = knn.filter($"id" < $"nb")
       .select($"id".as("a"), $"nb".as("b"), $"cos")
@@ -303,7 +333,7 @@ object Similarity {
     * corpus-sized moves.
     */
   def marginScoredPairs(embeddings: DataFrame, k: Int = 5,
-      kCells: Int = 16): DataFrame = {
+      kCells: Int = AutoCells): DataFrame = {
     val knn = cellKnnGraph(embeddings, k, kCells)
     val deg = knn.groupBy($"id").agg(
       sum(round($"cos" * 1e6, 0).cast("long")).as("s6"),
@@ -340,9 +370,10 @@ object Similarity {
     * rounded-cosine grid.
     */
   def dbscanProfile(embeddings: DataFrame, eps: Double = 0.2,
-      minPts: Int = 4, kCells: Int = 16): DataFrame = {
+      minPts: Int = 4, kCells: Int = AutoCells): DataFrame = {
     import graft.functions.VectorFunctions.cosine_sim
-    val af = kmeansAssignments(embeddings, kCells, 2, "coreset")
+    val af = kmeansAssignments(embeddings, resolveCells(embeddings, kCells), 2,
+      "coreset")
     val neigh = af.select($"vec_id".as("id"), $"cid", $"v")
       .join(af.select($"vec_id".as("nb"), $"cid", $"v".as("nv")), Seq("cid"))
       .filter($"id" =!= $"nb")

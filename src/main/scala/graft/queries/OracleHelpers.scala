@@ -112,7 +112,7 @@ private[graft] object OracleHelpers {
   /** WITH-chain ending in `af(vec_id, v, cid, cos)` — the trained 2-round
     * Lloyd assignment, shared by the q70 and q100 oracles.
     */
-  lazy val KmeansAssignCtes: String = {
+  def kmeansAssignCtes(kCellsLimitSql: String): String = {
     def assign(cents: String) =
       s"""SELECT vec_id, v, cid, cos FROM (
          |  SELECT e.vec_id, e.v, c.cid, round(${cosSql("e.v", "c.cv")}, 6) AS cos,
@@ -131,7 +131,7 @@ private[graft] object OracleHelpers {
     s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
        |cent0 AS (
        |  SELECT vec_id AS cid, v AS cv FROM e
-       |  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16
+       |  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT $kCellsLimitSql
        |),
        |a1 AS (${assign("cent0")}),
        |cent1 AS (${update("a1", "cent0")}),
@@ -139,6 +139,16 @@ private[graft] object OracleHelpers {
        |cent2 AS (${update("a2", "cent1")}),
        |af AS (${assign("cent2")})""".stripMargin
   }
+
+  lazy val KmeansAssignCtes: String = kmeansAssignCtes("16")
+
+  /** The q243 auto dial replicated in ORACLE SQL: the cell count is
+    * derived from the oracle's OWN corpus count (DuckDB allows a scalar
+    * subquery as LIMIT), mirroring `Similarity.kCellsFor` = max(16,
+    * ceil(sqrt(N))) — so the dial law itself is cross-engine-checked.
+    */
+  lazy val AutoCellsLimitSql: String =
+    "(SELECT greatest(16, CAST(ceil(sqrt(count(*))) AS BIGINT)) FROM embeddings)"
 
   lazy val KmeansSql: String =
     s"""$KmeansAssignCtes

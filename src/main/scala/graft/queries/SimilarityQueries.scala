@@ -105,21 +105,31 @@ private[graft] object SimilarityQueries extends QueryFamily {
     // Zhu-Ghahramani hard-clamp label propagation over the
     // cell-restricted kNN graph: transductive recovery of md5-hidden
     // labels, 2 synchronous plurality rounds, edge-proportional state
+    // kCells = 16 PINNED on the four fixture queries below (the q48
+    // 8x6 pattern: a small registered dial with the production default
+    // auto-derived); the auto sqrt(N) dial is gated by q243
     "q194_label_propagation" -> ((s, d) =>
-      Similarity.labelPropagation(Tables.embeddings(s, d))),
+      Similarity.labelPropagation(Tables.embeddings(s, d), kCells = 16)),
     // reciprocal (mutual) kNN pairs over the q194 cell-restricted
     // graph: the high-precision agreement filter, edge-proportional
     "q207_mutual_knn" -> ((s, d) =>
-      Similarity.mutualNeighborPairs(Tables.embeddings(s, d))),
+      Similarity.mutualNeighborPairs(Tables.embeddings(s, d), kCells = 16)),
     // DBSCAN core/border/noise profile at eps=0.2 cosine within the
     // trained cells: the density go/no-go beside q70's centroids
     "q208_dbscan_profile" -> ((s, d) =>
-      Similarity.dbscanProfile(Tables.embeddings(s, d))),
+      Similarity.dbscanProfile(Tables.embeddings(s, d), kCells = 16)),
     // ratio-margin scoring of the mutual pairs (Artetxe-Schwenk bitext
     // criterion): cos deflated by the endpoints' mean k-NN cosine, the
     // hub-robust alignment miner; rides the shared kNN graph
     "q231_margin_pairs" -> ((s, d) =>
-      Similarity.marginScoredPairs(Tables.embeddings(s, d))),
+      Similarity.marginScoredPairs(Tables.embeddings(s, d), kCells = 16)),
+    // the PRODUCTION kNN-graph dial gate: mutual pairs at the
+    // auto-derived kCells = max(16, ceil(sqrt(N))) (the IVF nlist
+    // contract) - the oracle derives the same cell count from its own
+    // corpus count, so the dial LAW is checked cross-engine, not just
+    // asserted (the q226 recipe applied to the kNN family)
+    "q243_knn_autodial" -> ((s, d) =>
+      Similarity.mutualNeighborPairs(Tables.embeddings(s, d))),
     // simplified (centroid) silhouette per cluster: micro-quantized
     // guarded s, best-other from a k-row broadcast argmax
     "q209_silhouette" -> ((s, d) =>
@@ -134,6 +144,29 @@ private[graft] object SimilarityQueries extends QueryFamily {
     "q219_prefix_dim_recall" -> ((s, d) =>
       Similarity.prefixDimRecall(Tables.embeddings(s, d))),
   )
+
+  /** The q207/q243 mutual-kNN chain over a given trained-assignment CTE
+    * block (fixed 16 cells vs the corpus-derived auto dial).
+    */
+  private def mutualKnnSql(assignCtes: String): String =
+    s"""$assignCtes,
+       |pairs AS (
+       |  SELECT x.vec_id AS id, y2.vec_id AS nb,
+       |    round(${cosSql("x.v", "y2.v")}, 6) AS cos
+       |  FROM af x JOIN af y2 ON x.cid = y2.cid AND x.vec_id <> y2.vec_id
+       |),
+       |knn AS MATERIALIZED (
+       |  SELECT id, nb, cos FROM (
+       |    SELECT id, nb, cos, row_number() OVER (PARTITION BY id
+       |      ORDER BY -cos, nb) AS rn
+       |    FROM pairs
+       |  ) WHERE rn <= 5
+       |),
+       |lo AS (SELECT id AS a, nb AS b, cos FROM knn WHERE id < nb),
+       |hi AS (SELECT nb AS a, id AS b FROM knn WHERE id > nb)
+       |SELECT lo.a AS id1, lo.b AS id2, lo.cos AS cos
+       |FROM lo JOIN hi USING (a, b)
+       |ORDER BY id1, id2""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     "q29_cosine_topk" ->
@@ -794,24 +827,12 @@ private[graft] object SimilarityQueries extends QueryFamily {
     "q207_mutual_knn" ->
       // q194's knn chain with cos kept; mutuality = the (a,b) identity
       // present in BOTH directions of the edge frame
-      s"""$KmeansAssignCtes,
-         |pairs AS (
-         |  SELECT x.vec_id AS id, y2.vec_id AS nb,
-         |    round(${cosSql("x.v", "y2.v")}, 6) AS cos
-         |  FROM af x JOIN af y2 ON x.cid = y2.cid AND x.vec_id <> y2.vec_id
-         |),
-         |knn AS MATERIALIZED (
-         |  SELECT id, nb, cos FROM (
-         |    SELECT id, nb, cos, row_number() OVER (PARTITION BY id
-         |      ORDER BY -cos, nb) AS rn
-         |    FROM pairs
-         |  ) WHERE rn <= 5
-         |),
-         |lo AS (SELECT id AS a, nb AS b, cos FROM knn WHERE id < nb),
-         |hi AS (SELECT nb AS a, id AS b FROM knn WHERE id > nb)
-         |SELECT lo.a AS id1, lo.b AS id2, lo.cos AS cos
-         |FROM lo JOIN hi USING (a, b)
-         |ORDER BY id1, id2""".stripMargin,
+      mutualKnnSql(KmeansAssignCtes),
+    "q243_knn_autodial" ->
+      // SAME mutual chain, but the cell count comes from the oracle's
+      // own corpus count (LIMIT greatest(16, ceil(sqrt(N)))) - the
+      // production dial law checked cross-engine
+      mutualKnnSql(kmeansAssignCtes(AutoCellsLimitSql)),
     "q231_margin_pairs" ->
       // q207's mutual chain + per-id mean k-NN cosine in exact
       // micro-units; margin = cos / mean(avg_a, avg_b), NULL-guarded

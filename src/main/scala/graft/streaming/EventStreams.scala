@@ -843,6 +843,54 @@ object EventStreams {
       }
   }
 
+  case class MsprtEvent(user_id: Long, event_type: String, value: Double)
+  case class MsprtMoments(n: Long, s1: Long, s2: Long)
+  case class MsprtMomentOut(arm: Long, n: Long, s1: Long, s2: Long)
+
+  /** Streaming maintenance of the q237 always-valid monitor's per-arm
+    * moments — the one op in the repo whose PRODUCTION form is
+    * inherently streaming: mSPRT exists precisely because a dashboard
+    * peeks at every micro-batch, and its p is valid at every look. Per
+    * md5 arm, the exact integer accumulators (n, Σ round(value·10⁴),
+    * Σ vm²) are maintained by pure long addition as qualifying events
+    * arrive; every micro-batch emits each touched arm's UPDATED row, so
+    * a latest-row-per-arm sink always holds the 6 scalars
+    * `Events.msprtFromMoments` finishes into θ̂/se/Λ/p — i.e., the
+    * monitor can be re-finished after ANY batch, which is exactly the
+    * continuous-monitoring contract.
+    *
+    * Exactness: arm and vm are computed by the SAME Catalyst
+    * expressions as the batch aggregate BEFORE the stateful op; the
+    * state transition is addition (associative + commutative), hence
+    * bit-exact to the batch for any micro-batch split (the equals-batch
+    * law StreamingSpec drains, plus the A/A-never-stops /
+    * injected-effect-stops pair replayed through the stream). State is
+    * TWO 3-long rows total — constant at any event volume.
+    */
+  def msprtMomentStream(events: Dataset[MsprtEvent],
+      metricType: String = "purchase"): Dataset[MsprtMomentOut] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .filter($"event_type" === metricType)
+      .select(graft.operators.Scale.md5SlicePos($"user_id", 0, 2).as("arm"),
+        round($"value" * 10000, 0).cast("long").as("vm"))
+      .as[(Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[MsprtMoments, MsprtMomentOut](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (arm: Long, rows: Iterator[(Long, Long)],
+            state: GroupState[MsprtMoments]) =>
+          var st = state.getOption.getOrElse(MsprtMoments(0L, 0L, 0L))
+          rows.foreach { case (_, vm) =>
+            st = MsprtMoments(st.n + 1L, st.s1 + vm,
+              st.s2 + Math.multiplyExact(vm, vm))
+          }
+          state.update(st)
+          Iterator(MsprtMomentOut(arm, st.n, st.s1, st.s2))
+      }
+  }
+
   case class DsDoc(doc_id: Long, lang: String, source: String, text: String)
   case class DsPartial(nDocs: Long, nTokens: Long, q4s: Long)
   case class DsPartialOut(lang: String, source: String, n_docs: Long,

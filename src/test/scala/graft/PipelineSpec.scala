@@ -2279,8 +2279,34 @@ class PipelineSpec extends GraftSuite {
     assert(row.getDouble(2) > dd.length * 0.4 && row.getDouble(2) < dd.length * 2.5)
   }
 
+  test("kCellsFor: the sqrt IVF dial law - floor, growth, bounded cells, auto==explicit") {
+    import graft.operators.Similarity.kCellsFor
+    // floor 16 up to 256 vectors, then ceil(sqrt(N))
+    assert(kCellsFor(1) === 16 && kCellsFor(256) === 16 && kCellsFor(257) === 17)
+    assert(kCellsFor(500) === 23)   // the sf0.001/sf0.01 fixture dial
+    assert(kCellsFor(2000) === 45)  // sf0.1
+    assert(kCellsFor(20000) === 142 && kCellsFor(60000) === 245) // x10/x30
+    // sqrt growth: 4x the corpus doubles the cell count (exact on squares)
+    assert(kCellsFor(40000) === 2 * kCellsFor(10000))
+    // monotone, and expected per-cell population stays ~sqrt(N) - the
+    // bound that keeps within-cell candidate work at N^1.5, not N^2/16
+    var prev = 0
+    for (n <- Seq(1L, 10L, 256L, 500L, 2000L, 20000L, 60000L, 1000000L, 100000000L)) {
+      val kc = kCellsFor(n)
+      assert(kc >= prev); prev = kc
+      assert(n.toDouble / kc <= math.sqrt(n.toDouble) + 1.0,
+        s"per-cell population at n=$n must stay ~sqrt(n)")
+    }
+    // AutoCells resolves to exactly the explicit kCellsFor(count) graph
+    val auto = Similarity.cellKnnGraph(embs, 5, Similarity.AutoCells).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sortBy(e => (e._1, e._2)).toSeq
+    val explicit = Similarity.cellKnnGraph(embs, 5, kCellsFor(embs.count())).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sortBy(e => (e._1, e._2)).toSeq
+    assert(auto === explicit && auto.nonEmpty)
+  }
+
   test("mutualNeighborPairs: exactly the bidirectional edges of the shared kNN graph") {
-    val edges = Similarity.cellKnnGraph(embs, 5, 16).collect()
+    val edges = Similarity.cellKnnGraph(embs, 5, Similarity.AutoCells).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
     val dir = edges.map(e => (e._1, e._2)).toSet
     val expected = edges
@@ -2298,7 +2324,7 @@ class PipelineSpec extends GraftSuite {
   test("marginScoredPairs: brute-force ratio margin over the mutual pairs; hub deflation") {
     def round6(x: Double): Double =
       java.math.BigDecimal.valueOf(x).setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
-    val edges = Similarity.cellKnnGraph(embs, 5, 16).collect()
+    val edges = Similarity.cellKnnGraph(embs, 5, Similarity.AutoCells).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
     // (s6, k) kept separate so the brute force mirrors the engine's exact
     // operation order: (sa/ka + sb/kb) / 2e6

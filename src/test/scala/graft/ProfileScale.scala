@@ -191,10 +191,38 @@ object ProfileScale {
     }
     // the production near-dup dial at the decade: same recall class at
     // 0.9, ~21x lower unrelated-candidate rate, 6x the signature planes
-    time(s"x$repl q48 dial 24x12 @0.9") {
-      Similarity.embeddingNearDup(
-          Tables.embeddings(spark, outDir), threshold = 0.9, tables = 24, bits = 12)
-        .write.format("noop").mode("overwrite").save()
+    if (!skip.contains("q48_dial")) {
+      time(s"x$repl q48 dial 24x12 @0.9") {
+        Similarity.embeddingNearDup(
+            Tables.embeddings(spark, outDir), threshold = 0.9, tables = 24, bits = 12)
+          .write.format("noop").mode("overwrite").save()
+      }
+    }
+    // the kNN-graph PRODUCTION dial (round-11): the q194/q207/q231
+    // family at the auto-derived kCells = max(16, ceil(sqrt(N))) — the
+    // IVF contract MEASURED instead of asserted. At a fixed kCells=16
+    // within-cell candidates grow (N/16)² — quadratic; at ~sqrt(N)
+    // cells the total candidate volume is N·(N/kCells) ≈ N^1.5, so the
+    // honest yardstick for these rows is ×REPL^1.5 (×10 → 31.6×,
+    // ×30 → 164×), NOT the linear ×REPL of the isomorphic carriers:
+    // kmeans cells MIX replicas (the ±1-diagonal decorrelates replicas
+    // but does not separate them), so per-cell populations genuinely
+    // grow with N — which is exactly the regime the dial exists for.
+    if (!skip.contains("knn_autodial")) {
+      val nEmb = spark.read.parquet(s"$outDir/embeddings.parquet").count()
+      val kc = Similarity.kCellsFor(nEmb)
+      time(s"x$repl q243 mutual kNN auto dial (kCells=$kc)") {
+        SparkEntry.queries("q243_knn_autodial")(spark, outDir)
+          .write.format("noop").mode("overwrite").save()
+      }
+      time(s"x$repl q194 label prop @auto kCells=$kc") {
+        Similarity.labelPropagation(Tables.embeddings(spark, outDir))
+          .write.format("noop").mode("overwrite").save()
+      }
+      time(s"x$repl q231 margin pairs @auto kCells=$kc") {
+        Similarity.marginScoredPairs(Tables.embeddings(spark, outDir))
+          .write.format("noop").mode("overwrite").save()
+      }
     }
     spark.stop()
   }

@@ -990,6 +990,55 @@ class StreamingSpec extends GraftSuite {
       "finishing the streamed moments must equal the from-scratch detector")
   }
 
+  test("msprtMomentStream: streamed arm moments finish to the exact batch monitor; A/A holds, effect stops") {
+    import graft.operators.Events
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val ev = Tables.events(spark, sf)
+
+    // replay a value frame through the stream in three uneven splits and
+    // finish the latest per-arm state through the shared finisher
+    def streamedMonitor(values: org.apache.spark.sql.DataFrame,
+        name: String): Seq[Seq[Any]] = {
+      val raw = values.select($"user_id", $"event_type", $"value")
+        .as[EventStreams.MsprtEvent].collect().toSeq
+      val input = MemoryStream[EventStreams.MsprtEvent]
+      val q = EventStreams.msprtMomentStream(input.toDS())
+        .writeStream.outputMode("update").format("memory").queryName(name)
+        .start()
+      val splits = Seq(raw.take(raw.length / 5),
+        raw.slice(raw.length / 5, raw.length / 2), raw.drop(raw.length / 2))
+      splits.foreach { s => input.addData(s.toIndexedSeq); q.processAllAvailable() }
+      val state = spark.table(name).collect()
+        .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getLong(3))))
+        .zipWithIndex
+        .groupBy(_._1._1).view.mapValues(g => g.maxBy(_._2)._1._2).toMap
+      q.stop()
+      val (a, b) = (state(0L), state(1L))
+      Events.msprtFromMoments(
+        Seq((a._1, a._2, a._3, b._1, b._2, b._3))
+          .toDF("n_a", "s1_a", "s2_a", "n_b", "s1_b", "s2_b"))
+        .collect().map(_.toSeq).toSeq
+    }
+
+    // equals-batch law on the fixture (A/A): bit-identical monitor row
+    val aa = streamedMonitor(ev, "msprt_aa")
+    assert(aa === Events.msprtMonitor(ev).collect().map(_.toSeq).toSeq,
+      "streamed moments must finish to the exact batch monitor row")
+    // the A/A peeking guarantee survives the stream: p stays high at the
+    // final look (and every intermediate state is a valid look)
+    assert(aa.head(5).asInstanceOf[Double] > 0.5, s"A/A p too low: ${aa.head(5)}")
+
+    // inject the q237 +40.00 arm-1 effect and replay: the monitor stops
+    val treated = ev.withColumn("value",
+      when(graft.operators.Scale.md5SlicePos($"user_id", 0, 2) === 1L,
+        $"value" + 40.0).otherwise($"value"))
+    val tr = streamedMonitor(treated, "msprt_tr")
+    assert(tr === Events.msprtMonitor(treated).collect().map(_.toSeq).toSeq)
+    assert(tr.head(5).asInstanceOf[Double] < 0.05,
+      s"streamed treated p should stop: ${tr.head(5)}")
+  }
+
   test("datasheetPartialStream: final stratum partials equal batch, any micro-batch split") {
     import graft.operators.Curation
     import spark.implicits._

@@ -869,8 +869,12 @@ object Curation {
     * the same reason BM25 shards must be: partials are additive masses,
     * and an overlapping doc would be counted once per shard.
     */
-  def writeDatasheetPartials(documents: DataFrame, dir: String): Unit =
+  def writeDatasheetPartials(documents: DataFrame, dir: String): Unit = {
     datasheetPartials(documents).write.mode("overwrite").parquet(dir)
+    // build-slice fingerprint (q242 staleness contract); the underscore
+    // dir is invisible to the serve read of `dir`
+    Governance.writeFingerprint(documents, Governance.docCanonical, dir)
+  }
 
   /** Serve the datasheet from persisted partial shards (q227): the disk
     * round-trip twin of `incrementalDatasheet` — no document is

@@ -412,7 +412,7 @@ object Events {
     * the raw events in DuckDB, so the gate proves
     * write + read + merge == recompute, cross-engine.
     */
-  def writeDailySketches(events: DataFrame, path: String, k: Int = 64): Unit =
+  def writeDailySketches(events: DataFrame, path: String, k: Int = 64): Unit = {
     Scale.topKPerGroup(
       events
         .select($"event_type", expr(s"ts div $NsPerDay").as("day"),
@@ -421,6 +421,9 @@ object Events {
       group = struct($"event_type", $"day"),
       rankKey = $"h", tie = $"h", saltSource = $"h", k = k)
       .write.mode("overwrite").parquet(path)
+    // build-slice fingerprint (q242 staleness contract)
+    Governance.writeFingerprint(events, Governance.eventCanonical, path)
+  }
 
   def distinctUsersFromSketchFiles(spark: org.apache.spark.sql.SparkSession,
       dirs: Seq[String], k: Int = 64): DataFrame = {

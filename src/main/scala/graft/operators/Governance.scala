@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -407,4 +407,99 @@ object Governance {
         round(log2($"n_rows") - $"s6" / 1e6 / $"n_rows", 4).as("entropy_bits"),
         ($"distinct_l" >= l).as("l_diverse"))
       .orderBy($"c_nationkey", $"c_mktsegment")
+
+  // ---- persisted-artifact staleness (q242) ------------------------------
+
+  /** Canonical per-document identity string for corpus fingerprinting —
+    * integer/string columns only, so both engines render it
+    * byte-identically.
+    */
+  def docCanonical: Column =
+    concat_ws("|", $"doc_id", $"lang", $"source", $"text")
+
+  /** Canonical per-event identity string: ts is the repo's INT64
+    * nanosecond epoch and value quantizes to the exact 1e-4 grid, so
+    * every piece renders as an integer or verbatim string on both
+    * engines.
+    */
+  def eventCanonical: Column =
+    concat_ws("|", $"event_id", $"user_id", $"ts", $"event_type",
+      round($"value" * 10000, 0).cast("long"))
+
+  /** One-row corpus fingerprint of a build slice: (row count, XOR-fold
+    * of a 60-bit md5 prefix per canonical row). XOR is the right fold
+    * for a distributed content hash — associative, commutative, and
+    * overflow-free, so it is order- and partitioning-independent and
+    * combines map-side; 60 bits keep the hex prefix inside a BIGINT on
+    * both engines. Count and hash together catch the two real failure
+    * modes: rows added/removed (count) and rows MUTATED in place
+    * (count unchanged, hash flips; an even number of identical
+    * insert/delete pairs is the only blind spot, and count covers the
+    * parity half of it).
+    */
+  def artifactFingerprint(slice: DataFrame, canonical: Column): DataFrame =
+    slice
+      .select(conv(substring(md5(canonical), 1, 15), 16, 10)
+        .cast("long").as("h"))
+      .agg(count(lit(1)).as("n_rows"),
+        coalesce(expr("bit_xor(h)"), lit(0L)).as("xhash"))
+
+  /** Persist the fingerprint of the slice an artifact was built from.
+    * Written UNDER the artifact dir as `_fingerprint` — the underscore
+    * prefix hides it from Spark's data-file discovery, so serving reads
+    * of the artifact dir (`spark.read.parquet(dir)`) are untouched.
+    */
+  def writeFingerprint(slice: DataFrame, canonical: Column,
+      dir: String): Unit =
+    artifactFingerprint(slice, canonical)
+      .write.mode("overwrite").parquet(s"$dir/_fingerprint")
+
+  /** Fresh/stale report over persisted artifacts (q242): for each
+    * (artifact label, artifact dir, current corpus slice, canonical),
+    * compare the fingerprint WRITTEN AT BUILD TIME against the current
+    * corpus — count and content hash separately, so the report
+    * distinguishes "rows arrived/left" from "rows mutated in place".
+    * This is the guard the disk-contract family (BM25 index, datasheet
+    * partials, KMV shards, PQ codebooks) needed: merge==recompute gates
+    * prove the artifact SERVES correctly, but nothing proved it was
+    * built from the corpus it is being served against — a stale index
+    * silently serves wrong answers, the exact failure class the q176
+    * erasure audit exists to catch.
+    *
+    * Shape: one fingerprint aggregate per CURRENT slice (a full-scan
+    * count + XOR, map-side combined, one row out) plus one 1-row read
+    * per artifact; everything after is a join of single-row frames.
+    */
+  def stalenessReport(spark: SparkSession,
+      artifacts: Seq[(String, String, DataFrame, Column)]): DataFrame = {
+    require(artifacts.nonEmpty, "stalenessReport: no artifacts")
+    artifacts.map { case (label, dir, current, canonical) =>
+      val built = spark.read.parquet(s"$dir/_fingerprint")
+        .select($"n_rows".as("n_built"), $"xhash".as("hash_built"))
+      val now = artifactFingerprint(current, canonical)
+        .select($"n_rows".as("n_current"), $"xhash".as("hash_current"))
+      built.crossJoin(now) // 1 row x 1 row
+        .select(lit(label).as("artifact"), $"n_built", $"hash_built",
+          $"n_current", $"hash_current",
+          ($"n_built" === $"n_current").as("count_match"),
+          ($"hash_built" === $"hash_current").as("hash_match"),
+          ($"n_built" === $"n_current" &&
+            $"hash_built" === $"hash_current").as("fresh"))
+    }.reduce(_ unionByName _).orderBy($"artifact")
+  }
+
+  /** Read-time enforcement: throw unless the artifact at `dir` was
+    * built from exactly the given current slice. The serve paths take
+    * this as an opt-in precondition (a production deployment runs it on
+    * artifact publish and on a schedule, not per query).
+    */
+  def requireFresh(spark: SparkSession, dir: String, current: DataFrame,
+      canonical: Column, label: String = "artifact"): Unit = {
+    val r = stalenessReport(spark, Seq((label, dir, current, canonical)))
+      .collect()(0)
+    require(r.getBoolean(7),
+      s"stale artifact '$label' at $dir: built (n=${r.getLong(1)}, " +
+        s"xhash=${r.getLong(2)}) vs current (n=${r.getLong(3)}, " +
+        s"xhash=${r.getLong(4)}) - rebuild before serving")
+  }
 }

@@ -1663,9 +1663,47 @@ object Similarity {
     val corpus = embeddings.select($"vec_id", asDouble($"embedding").as("v"))
       .localCheckpoint() // scanned once per Lloyd round + final report
     val cents = trainCentroids(embeddings, corpus, k, iters, init)
-    corpus
-      .withColumn("a", least(cellStructs(cents, $"v"): _*))
-      .select($"vec_id", $"v", $"a.cid".as("cid"), (-$"a.negcos").as("cos"))
+    assignCells(corpus, cents, wide = cents.length > WideDial)
+  }
+
+  /** Expression-width cliff guard for the argmin assignment. A
+    * `least()` over k (negcos, cid) structs compiles to ONE k-wide
+    * generated method; between ~100 and ~250 terms HotSpot refuses to
+    * JIT it (the 8000-bytecode HugeMethodLimit) while Spark still runs
+    * the un-JIT-ted generated code — measured on the SAME ×10 fixture:
+    * kCells=142 took 40.9 s where kCells=245 took 17.8 s, and at ×30
+    * kCells=142 took 111 s where 245 took 16 s (SURVEY §6.15). Beyond
+    * `WideDial` cells the assignment therefore switches to a
+    * broadcast-join + struct-min form: one narrow codegen'd cosine per
+    * (vector, centroid) row, a partial-aggregated min(struct) argmin,
+    * and a join back to the checkpointed corpus — row-proportional at
+    * ANY dial, the shape a 1000-executor run needs. Both forms compute
+    * the identical (round6(-cos), cid) minimum (PipelineSpec proves
+    * bit-equality), so registered narrow-dial queries keep their exact
+    * plans.
+    */
+  private val WideDial = 64
+
+  private[graft] def assignCells(corpus: DataFrame,
+      cents: Array[(Long, Array[Double])], wide: Boolean): DataFrame = {
+    import graft.functions.VectorFunctions.cosine_sim
+    if (!wide)
+      corpus
+        .withColumn("a", least(cellStructs(cents, $"v"): _*))
+        .select($"vec_id", $"v", $"a.cid".as("cid"), (-$"a.negcos").as("cos"))
+    else {
+      val spark = corpus.sparkSession
+      import spark.implicits.{localSeqToDatasetHolder, newProductEncoder}
+      val cf = cents.toSeq.map { case (cid, cv) => (cid, cv.toSeq) }
+        .toDF("ccid", "cv")
+      val argmin = corpus.join(broadcast(cf))
+        .select($"vec_id",
+          struct(round(-cosine_sim($"v", $"cv"), 6).as("negcos"),
+            $"ccid".as("cid")).as("a"))
+        .groupBy($"vec_id").agg(min($"a").as("a"))
+      corpus.join(argmin, Seq("vec_id"))
+        .select($"vec_id", $"v", $"a.cid".as("cid"), (-$"a.negcos").as("cos"))
+    }
   }
 
   /** The Lloyd training loop behind `kmeansAssignments` /
@@ -1683,9 +1721,8 @@ object Similarity {
       case _ => md5Coreset(corpus, k)
     }
     for (_ <- 1 to iters) {
-      val stats = corpus
-        .withColumn("a", least(cellStructs(cents, $"v"): _*))
-        .groupBy($"a.cid".as("cid"))
+      val stats = assignCells(corpus, cents, wide = cents.length > WideDial)
+        .groupBy($"cid")
         .agg(vecSum($"v").as("s"), count(lit(1)).as("n"))
         .collect()
         .map(r => r.getLong(0) -> ((r.getSeq[Double](1), r.getLong(2)))).toMap

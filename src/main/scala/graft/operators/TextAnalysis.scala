@@ -378,6 +378,8 @@ object TextAnalysis {
     documents
       .select($"doc_id", size(split($"text", " ")).cast("long").as("dl"))
       .write.mode("overwrite").parquet(s"$dir/doclen")
+    // build-slice fingerprint (q242 staleness contract)
+    Governance.writeFingerprint(documents, Governance.docCanonical, dir)
   }
 
   /** Serve BM25 from persisted index shards (one or many): query terms

@@ -60,6 +60,26 @@ private[graft] object GovernanceQueries extends QueryFamily {
     // k-anonymity's size-only bound cannot see
     "q230_l_diversity" -> ((s, d) =>
       Governance.lDiversityReport(Tables.customer(s, d))),
+    // persisted-artifact staleness guard: the datasheet partials are
+    // built from the q227 base slice WITH a build-slice fingerprint;
+    // the report compares it against (a) the same slice (fresh), (b)
+    // the grown corpus (count+hash flip), (c) one row mutated in place
+    // (count holds, hash flips) - the failure mode only the content
+    // hash can see
+    "q242_artifact_staleness" -> ((s, d) => {
+      import org.apache.spark.sql.functions.{col, concat, lit, when}
+      val docs = Tables.documents(s, d)
+      val base = docs.filter(col("doc_id") % 10 =!= 1)
+      val dir = graft.sources.Scratch.dir("graft_fp")
+      graft.operators.Curation.writeDatasheetPartials(base, s"$dir/partials")
+      val mutated = base.withColumn("text",
+        when(col("doc_id") === 5L, concat(col("text"), lit("~")))
+          .otherwise(col("text")))
+      Governance.stalenessReport(s, Seq(
+        ("ds_fresh", s"$dir/partials", base, Governance.docCanonical),
+        ("ds_grown", s"$dir/partials", docs, Governance.docCanonical),
+        ("ds_mutated", s"$dir/partials", mutated, Governance.docCanonical)))
+    }),
   )
 
   /** The q223 FK-edge list shared by the oracle generator below. */
@@ -72,7 +92,43 @@ private[graft] object GovernanceQueries extends QueryFamily {
     ("orders.o_custkey->customer", "orders", "o_custkey", "customer", "c_custkey"),
     ("supplier.s_nationkey->nation", "supplier", "s_nationkey", "nation", "n_nationkey"))
 
+  /** q242 oracle: the q197 strpos-arithmetic 60-bit md5 parse over the
+    * '|'-joined doc canonical, XOR-folded per slice; each scenario row
+    * compares the BUILT (base-slice) fingerprint to its current slice.
+    */
+  private def stalenessSql: String = {
+    def hv(idx: Int) = s"(strpos('0123456789abcdef', substr(h, $idx, 1)) - 1)"
+    val h60 = (2 to 15).foldLeft(hv(1))((acc, i) => s"($acc * 16 + ${hv(i)})")
+    def fp(src: String) =
+      s"""SELECT CAST(count(*) AS BIGINT) AS n,
+         |  CAST(coalesce(bit_xor(CAST($h60 AS BIGINT)), 0) AS BIGINT) AS x
+         |FROM (SELECT md5(CAST(doc_id AS VARCHAR) || '|' || lang || '|' ||
+         |  source || '|' || text) AS h FROM $src)""".stripMargin
+    def row(label: String, cur: String) =
+      s"""SELECT '$label' AS artifact, b.n AS n_built, b.x AS hash_built,
+         |  $cur.n AS n_current, $cur.x AS hash_current,
+         |  b.n = $cur.n AS count_match, b.x = $cur.x AS hash_match,
+         |  (b.n = $cur.n AND b.x = $cur.x) AS fresh
+         |FROM b, $cur""".stripMargin
+    s"""WITH base AS (SELECT * FROM documents WHERE doc_id % 10 <> 1),
+       |mut AS (
+       |  SELECT doc_id, CASE WHEN doc_id = 5 THEN text || '~' ELSE text END AS text,
+       |    lang, source FROM base
+       |),
+       |b AS (${fp("base")}),
+       |cf AS (SELECT n, x FROM b),
+       |cg AS (${fp("documents")}),
+       |cm AS (${fp("mut")})
+       |${row("ds_fresh", "cf")}
+       |UNION ALL
+       |${row("ds_grown", "cg")}
+       |UNION ALL
+       |${row("ds_mutated", "cm")}
+       |ORDER BY artifact""".stripMargin
+  }
+
   def oracleSql: Map[String, String] = Map(
+    "q242_artifact_staleness" -> stalenessSql,
     "q163_erasure_bm25" ->
       // q79's exact CTEs over the corpus minus the erasure congruence
       // class — the oracle states the tombstone law itself: serve-time

@@ -313,4 +313,51 @@ class GovernanceSpec extends GraftSuite {
     assert(k.getDouble(4) > 0.99 && k.getDouble(5) > 0.74,
       "concentration indexes must approach their one-source limits")
   }
+
+  test("artifact fingerprint: XOR merge law, order independence, staleness verdicts, requireFresh") {
+    import graft.operators.Curation
+    val base = docs.filter($"doc_id" % 10 =!= 1)
+    // XOR merge law: the fingerprint of a union of disjoint slices is the
+    // XOR of the slice hashes and the sum of the counts
+    def fpOf(df: org.apache.spark.sql.DataFrame) =
+      Governance.artifactFingerprint(df, Governance.docCanonical)
+        .collect()(0) match { case r => (r.getLong(0), r.getLong(1)) }
+    val (nA, xA) = fpOf(docs.filter($"doc_id" % 2 === 0))
+    val (nB, xB) = fpOf(docs.filter($"doc_id" % 2 =!= 0))
+    val (nU, xU) = fpOf(docs)
+    assert(nU === nA + nB && xU === (xA ^ xB))
+    // order/partitioning independence
+    assert(fpOf(docs.repartition(7)) === ((nU, xU)))
+    assert(fpOf(docs.orderBy($"text")) === ((nU, xU)))
+    // empty slice: count 0, hash 0 (the coalesce guard)
+    assert(fpOf(docs.filter($"doc_id" < 0)) === ((0L, 0L)))
+
+    // build an artifact and judge the three staleness scenarios
+    val tmp = java.nio.file.Files.createTempDirectory("graft_fp_spec").toString
+    Curation.writeDatasheetPartials(base, s"$tmp/p")
+    val mutated = base.withColumn("text",
+      when($"doc_id" === 5L, concat($"text", lit("~"))).otherwise($"text"))
+    val rep = Governance.stalenessReport(spark, Seq(
+        ("fresh", s"$tmp/p", base, Governance.docCanonical),
+        ("grown", s"$tmp/p", docs, Governance.docCanonical),
+        ("mutated", s"$tmp/p", mutated, Governance.docCanonical)))
+      .collect().map(r => r.getString(0) ->
+        ((r.getBoolean(5), r.getBoolean(6), r.getBoolean(7)))).toMap
+    assert(rep("fresh") === ((true, true, true)))
+    assert(rep("grown") === ((false, false, false)))
+    // the in-place mutation is visible ONLY to the content hash
+    assert(rep("mutated") === ((true, false, false)))
+
+    // read-time enforcement: same slice passes, mutated slice throws with
+    // the descriptive message
+    Governance.requireFresh(spark, s"$tmp/p", base, Governance.docCanonical)
+    val e = intercept[IllegalArgumentException] {
+      Governance.requireFresh(spark, s"$tmp/p", mutated,
+        Governance.docCanonical, label = "partials")
+    }
+    assert(e.getMessage.contains("stale artifact 'partials'"))
+    // and the serve path of the artifact itself is untouched by the
+    // hidden _fingerprint dir (underscore paths are invisible to reads)
+    assert(Curation.datasheetFromPartials(spark, Seq(s"$tmp/p")).count() > 0)
+  }
 }

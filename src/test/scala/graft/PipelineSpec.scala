@@ -2305,6 +2305,28 @@ class PipelineSpec extends GraftSuite {
     assert(auto === explicit && auto.nonEmpty)
   }
 
+  test("assignCells: expression form and wide join form are bit-identical argmins") {
+    // the wide (broadcast-join + struct-min) form exists because a
+    // k-wide least() hits the JIT HugeMethodLimit cliff between ~100
+    // and ~250 terms; this proves switching forms can never change a
+    // result - same round6(-cos) grid, same (negcos, cid) tie order
+    import graft.functions.VectorFunctions.cosine_sim
+    val corpus = embs.select($"vec_id",
+      transform($"embedding", x => x.cast("double")).as("v"))
+    // deterministic 23-centroid table from the corpus itself
+    val cents = corpus.orderBy(md5($"vec_id".cast("string")), $"vec_id")
+      .limit(23).collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    def rows(wide: Boolean) =
+      Similarity.assignCells(corpus, cents, wide).collect()
+        .map(r => (r.getLong(0), r.getLong(2), r.getDouble(3)))
+        .sortBy(_._1).toSeq
+    val narrow = rows(wide = false)
+    val wideF = rows(wide = true)
+    assert(narrow === wideF)
+    assert(narrow.length === embs.count())
+  }
+
   test("mutualNeighborPairs: exactly the bidirectional edges of the shared kNN graph") {
     val edges = Similarity.cellKnnGraph(embs, 5, Similarity.AutoCells).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))

@@ -9,12 +9,14 @@ import org.apache.spark.sql.types._
   * feature-extract / frame-sample stages a training pipeline runs over
   * them.
   *
-  * The container has no image/audio codecs, so the decode step is a
-  * clearly-marked DETERMINISTIC FAKE (`fakeDecode`): it derives pixel-like
-  * features arithmetically from the bytes. Everything around it — the
-  * binary column, metadata struct schema, per-partition batch processing,
-  * partition sizing — is real Spark plumbing that swaps in a real codec
-  * unchanged.
+  * The container has no image/audio codec LIBRARIES, so the decode path
+  * implements one from the published format spec instead (`BmpCodec` —
+  * 24-bit BMP: header parse, little-endian fields, bottom-up rows,
+  * 4-byte stride padding, BGR order) and every decode stage runs on
+  * REAL bytes; pixel content is a deterministic (x, y, id) pattern so
+  * the DuckDB oracles recompute decoded features in closed form. The
+  * frame-grain ops (q36/q94/q203) window text-derived payload bytes —
+  * real byte work by construction.
   */
 object Multimodal {
 
@@ -46,32 +48,101 @@ object Multimodal {
         length($"text".cast("binary")).cast("long").as("n_bytes"),
         md5($"text".cast("binary")).as("checksum")).as("meta"))
 
-  /** DETERMINISTIC FAKE decode: "width/height/duration" derived from the
-    * checksum bytes arithmetically. A real deployment replaces exactly this
-    * projection with a codec call (mapInArrow / rdd.mapPartitions batching);
-    * the schema and everything downstream is unchanged.
+  /** REAL image codec over REAL bytes (round 11 — the fake seam is
+    * gone): BMP is simple enough to implement from the published format
+    * spec with no library, so the decode path exercises everything a
+    * codec integration needs — magic/header validation, little-endian
+    * field parsing, the bottom-up row order, 4-byte row padding, and
+    * BGR byte order. Pixels are a DETERMINISTIC arithmetic pattern of
+    * (x, y, asset_id), so the DuckDB oracle can compute every decoded
+    * feature in closed form WITHOUT touching bytes — the gate then
+    * proves the encoder and parser round-trip real binary exactly
+    * (and a hand-written golden file in PipelineSpec pins the format
+    * against self-consistent encode/decode bugs).
     */
-  def fakeDecode(assets: DataFrame): DataFrame =
-    assets.select(
-      $"asset_id",
-      $"media_type",
-      $"meta.n_bytes".as("n_bytes"),
-      (ascii(substring($"meta.checksum", 1, 1)) % 16 * 64 + 64).as("width"),
-      (ascii(substring($"meta.checksum", 2, 1)) % 16 * 64 + 64).as("height"),
-      round($"meta.n_bytes" / 1000.0, 3).as("duration_s"))
+  object BmpCodec {
+    def width(d: Long): Int = 16 + (d * 7 % 48).toInt
+    def height(d: Long): Int = 16 + (d * 13 % 32).toInt
+    def r(d: Long, x: Int, y: Int): Int = ((3L * x + 5L * y + d) % 256).toInt
+    def g(d: Long, x: Int, y: Int): Int = ((7L * x + 11L * y + 2 * d) % 256).toInt
+    def b(d: Long, x: Int, y: Int): Int = ((13L * x + 17L * y + 3 * d) % 256).toInt
+    def rowBytes(w: Int): Int = (w * 3 + 3) / 4 * 4
+    def fileBytes(w: Int, h: Int): Int = 54 + rowBytes(w) * h
 
-  /** Batched per-partition decode: the integration shape for a REAL codec
-    * (image/audio libraries amortize setup per batch, not per row).
-    * `decoder` receives the whole partition's (asset_id, payload) stream
-    * and yields feature rows; the default is the same DETERMINISTIC FAKE
-    * as `fakeDecode` so tests can prove the two paths agree. Swapping in a
-    * JNI/library decoder changes only the function body — partitioning,
-    * schema, and downstream plan are untouched.
+    /** 24-bit uncompressed BMP of the deterministic pattern. */
+    def encode(d: Long): Array[Byte] = {
+      val (w, h) = (width(d), height(d))
+      val stride = rowBytes(w)
+      val buf = java.nio.ByteBuffer.allocate(fileBytes(w, h))
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      buf.put('B'.toByte).put('M'.toByte).putInt(fileBytes(w, h))
+        .putShort(0).putShort(0).putInt(54) // data offset
+      buf.putInt(40).putInt(w).putInt(h) // positive height = bottom-up
+        .putShort(1).putShort(24).putInt(0).putInt(stride * h)
+        .putInt(2835).putInt(2835).putInt(0).putInt(0)
+      for (y <- (h - 1) to 0 by -1) { // rows stored bottom-up
+        for (x <- 0 until w) // BGR byte order
+          buf.put(b(d, x, y).toByte).put(g(d, x, y).toByte).put(r(d, x, y).toByte)
+        for (_ <- w * 3 until stride) buf.put(0.toByte)
+      }
+      buf.array()
+    }
+
+    /** (width, height, Σr, Σg, Σb, Σ(x+1)(y+1)·r). The position-weighted
+      * sum makes row ORDER observable: plain channel sums round-trip
+      * even under a mirrored-row bug, the weighted sum does not.
+      */
+    def decode(bytes: Array[Byte]): (Int, Int, Long, Long, Long, Long) = {
+      val buf = java.nio.ByteBuffer.wrap(bytes)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      require(bytes.length >= 54 && bytes(0) == 'B' && bytes(1) == 'M',
+        "not a BMP payload")
+      val dataOffset = buf.getInt(10)
+      val w = buf.getInt(18); val h = buf.getInt(22)
+      require(buf.getShort(28) == 24 && buf.getInt(30) == 0,
+        "decoder supports 24bpp uncompressed only")
+      val stride = rowBytes(w)
+      var (rs, gs, bs, rw) = (0L, 0L, 0L, 0L)
+      for (i <- 0 until h) {
+        val y = h - 1 - i // file rows are bottom-up
+        val base = dataOffset + i * stride
+        for (x <- 0 until w) {
+          val bb = bytes(base + 3 * x) & 0xff
+          val gg = bytes(base + 3 * x + 1) & 0xff
+          val rr = bytes(base + 3 * x + 2) & 0xff
+          rs += rr; gs += gg; bs += bb
+          rw += (x + 1).toLong * (y + 1) * rr
+        }
+      }
+      (w, h, rs, gs, bs, rw)
+    }
+  }
+
+  /** Real binary assets: one deterministic BMP per document id, tagged
+    * with the q35 media-type rotation. Encoding runs per-partition (the
+    * batch shape a real media pipeline uses).
+    */
+  def bmpAssets(documents: DataFrame): DataFrame = {
+    import documents.sparkSession.implicits.{newLongEncoder, newProductEncoder}
+    documents.select($"doc_id").as[Long]
+      .mapPartitions(_.map(d => (d, BmpCodec.encode(d))))
+      .toDF("asset_id", "payload")
+      .select($"asset_id",
+        when($"asset_id" % 3 === 0, "image").when($"asset_id" % 3 === 1, "audio")
+          .otherwise("video").as("media_type"),
+        $"payload")
+  }
+
+  /** Batched per-partition decode — the integration shape for a codec
+    * (setup amortizes per batch, not per row). The DEFAULT decoder is
+    * the real `BmpCodec.decode`; a different codec swaps in through the
+    * same parameter with partitioning, schema, and downstream plan
+    * untouched.
     */
   def decodeBatched(
       assets: DataFrame,
       decoder: Iterator[(Long, Array[Byte], String)] => Iterator[(Long, String, Long, Int, Int)] =
-        defaultFakeDecoder): DataFrame = {
+        bmpBatchDecoder): DataFrame = {
     import assets.sparkSession.implicits.newProductEncoder
     val out = assets
       .select($"asset_id", $"payload", $"media_type")
@@ -81,26 +152,20 @@ object Multimodal {
     out.withColumn("duration_s", round(col("n_bytes") / 1000.0, 3))
   }
 
-  /** The fake codec: byte-derived dimensions identical to `fakeDecode`'s
-    * expression form (md5 of payload -> first two hex chars).
-    */
-  private def defaultFakeDecoder(
-      rows: Iterator[(Long, Array[Byte], String)]): Iterator[(Long, String, Long, Int, Int)] = {
-    val md = java.security.MessageDigest.getInstance("MD5") // per-partition setup, amortized
-    rows.map { case (id, payloadOrNull, mediaType) =>
-      // a codec is a total function: null payload decodes as empty media
-      // (unlike fakeDecode's null propagation — the seam's contract)
-      val payload = if (payloadOrNull == null) Array.empty[Byte] else payloadOrNull
-      // width/height need only the first digest byte (= first two hex chars)
-      val hex = f"${md.digest(payload)(0)}%02x"
-      (id, mediaType, payload.length.toLong,
-        hex(0).toInt % 16 * 64 + 64, hex(1).toInt % 16 * 64 + 64)
+  private def bmpBatchDecoder(
+      rows: Iterator[(Long, Array[Byte], String)]): Iterator[(Long, String, Long, Int, Int)] =
+    rows.map { case (id, payload, mediaType) =>
+      val (w, h, _, _, _, _) = BmpCodec.decode(payload)
+      (id, mediaType, payload.length.toLong, w, h)
     }
-  }
 
-  /** Feature-extract stage over decoded assets: per-media-type stats. */
+  /** Feature-extract stage over DECODED assets (q35): per-media-type
+    * stats where width/height come from parsing the real BMP headers —
+    * the oracle recomputes them from the generation closed form, so the
+    * gate spans encode → bytes → decode cross-engine.
+    */
   def mediaProfile(documents: DataFrame): DataFrame =
-    fakeDecode(assetsFromDocuments(documents))
+    decodeBatched(bmpAssets(documents))
       .groupBy($"media_type")
       .agg(
         count(lit(1)).as("n_assets"),
@@ -109,6 +174,25 @@ object Multimodal {
         round(avg($"height"), 4).as("avg_height"),
         round(sum($"duration_s"), 3).as("total_duration"))
       .orderBy($"media_type")
+
+  /** Per-asset decoded pixel features (q244): channel sums and the
+    * position-weighted red sum from the REAL pixel array — integer-
+    * exact, so a padding/BGR/row-order bug in either codec direction
+    * breaks the hash gate.
+    */
+  def bmpPixelFeatures(documents: DataFrame): DataFrame = {
+    import documents.sparkSession.implicits.newProductEncoder
+    bmpAssets(documents)
+      .select($"asset_id", $"payload")
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, payload) =>
+        val (w, h, rs, gs, bs, rw) = BmpCodec.decode(payload)
+        (id, w, h, payload.length.toLong, rs, gs, bs, rw)
+      })
+      .toDF("asset_id", "width", "height", "n_bytes", "r_sum", "g_sum",
+        "b_sum", "rw_sum")
+      .orderBy($"asset_id")
+  }
 
   /** Frame-sample stage: take every k-th "frame" (byte window) of each
     * video payload — the batch shape of video frame extraction: explode to

@@ -24,24 +24,58 @@ private[graft] object MultimodalQueries extends QueryFamily {
     // oracle's all-pairs form proves the blocking's recall
     "q203_frame_phash" -> ((s, d) =>
       Multimodal.framePhashNearDup(Tables.documents(s, d))),
+    // REAL codec gate: per-asset pixel features from decoding actual
+    // BMP bytes (header parse, bottom-up rows, stride padding, BGR);
+    // the oracle computes the generation closed forms without bytes,
+    // so equality proves the encoder+parser round-trip real binary
+    "q244_bmp_pixels" -> ((s, d) =>
+      Multimodal.bmpPixelFeatures(Tables.documents(s, d))),
   )
 
   def oracleSql: Map[String, String] = Map(
     "q35_media_profile" ->
+      // decoded dims/sizes restated as the BmpCodec closed forms:
+      // w = 16 + 7d mod 48, h = 16 + 13d mod 32, stride padded to 4
       """WITH a AS (
-        |  SELECT doc_id AS asset_id,
+        |  SELECT doc_id,
         |    CASE WHEN doc_id % 3 = 0 THEN 'image' WHEN doc_id % 3 = 1 THEN 'audio'
         |         ELSE 'video' END AS media_type,
-        |    CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
-        |    md5(text) AS checksum
+        |    16 + (doc_id * 7) % 48 AS w, 16 + (doc_id * 13) % 32 AS h
         |  FROM documents
+        |),
+        |b AS (
+        |  SELECT media_type, w, h,
+        |    CAST(54 + ((w * 3 + 3) // 4) * 4 * h AS BIGINT) AS n_bytes
+        |  FROM a
         |)
         |SELECT media_type, count(*) AS n_assets,
         | CAST(sum(n_bytes) AS BIGINT) AS total_bytes,
-        | round(avg(ascii(substr(checksum, 1, 1)) % 16 * 64 + 64), 4) AS avg_width,
-        | round(avg(ascii(substr(checksum, 2, 1)) % 16 * 64 + 64), 4) AS avg_height,
+        | round(avg(w), 4) AS avg_width,
+        | round(avg(h), 4) AS avg_height,
         | round(sum(round(n_bytes / 1000.0, 3)), 3) AS total_duration
-        |FROM a GROUP BY media_type ORDER BY media_type""".stripMargin,
+        |FROM b GROUP BY media_type ORDER BY media_type""".stripMargin,
+    "q244_bmp_pixels" ->
+      // the pixel-pattern closed forms summed over each asset's (x, y)
+      // grid - no byte ever touched on the oracle side
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    CAST(16 + (doc_id * 7) % 48 AS INT) AS w,
+        |    CAST(16 + (doc_id * 13) % 32 AS INT) AS h
+        |  FROM documents
+        |),
+        |px AS (
+        |  SELECT doc_id, w, h, x, y, (3 * x + 5 * y + doc_id) % 256 AS r
+        |  FROM d,
+        |    LATERAL (SELECT unnest(range(0, w)) AS x),
+        |    LATERAL (SELECT unnest(range(0, h)) AS y)
+        |)
+        |SELECT doc_id AS asset_id, w AS width, h AS height,
+        | CAST(54 + ((w * 3 + 3) // 4) * 4 * h AS BIGINT) AS n_bytes,
+        | CAST(sum(r) AS BIGINT) AS r_sum,
+        | CAST(sum((7 * x + 11 * y + 2 * doc_id) % 256) AS BIGINT) AS g_sum,
+        | CAST(sum((13 * x + 17 * y + 3 * doc_id) % 256) AS BIGINT) AS b_sum,
+        | CAST(sum((x + 1) * (y + 1) * r) AS BIGINT) AS rw_sum
+        |FROM px GROUP BY doc_id, w, h ORDER BY asset_id""".stripMargin,
     "q36_frame_sample" ->
       """WITH v AS (
         |  SELECT doc_id AS asset_id, text,

@@ -42,32 +42,39 @@ class FormatsSpec extends GraftSuite {
     import org.apache.spark.sql.functions._
     // raw on-disk media stand-ins: the real ingest boundary of the
     // multimodal lake (content arrives as FILES, not table rows)
+    import graft.operators.Multimodal
     val dir = Files.createTempDirectory("graft_binary")
-    val payloads = Map("a.mp4" -> "frame0frame1frame0", "b.mp4" -> "frame2frame2",
-      "skip.txt" -> "not media")
-    payloads.foreach { case (name, content) =>
-      Files.write(dir.resolve(name), content.getBytes("UTF-8")) }
+    // REAL media files: deterministic BMPs on disk, plus a decoy
+    Files.write(dir.resolve("a.bmp"), Multimodal.BmpCodec.encode(1L))
+    Files.write(dir.resolve("b.bmp"), Multimodal.BmpCodec.encode(2L))
+    Files.write(dir.resolve("skip.txt"), "not media".getBytes("UTF-8"))
     val assets = spark.read.format("binaryFile")
-      .option("pathGlobFilter", "*.mp4") // predicate applied at LISTING time
+      .option("pathGlobFilter", "*.bmp") // predicate applied at LISTING time
       .load(dir.toString)
     assert(assets.columns.toSeq ===
       Seq("path", "modificationTime", "length", "content"))
     val got = assets
-      .select(element_at(split(col("path"), "/"), -1).as("name"), col("length"), col("content"))
-      .collect().map(r => (r.getString(0), r.getLong(1),
-        new String(r.getAs[Array[Byte]]("content"), "UTF-8"))).toSet
-    assert(got === Set(("a.mp4", 18L, "frame0frame1frame0"), ("b.mp4", 12L, "frame2frame2")),
-      "the glob must exclude non-media and payloads must round-trip byte-exact")
-    // the ingested files feed the existing asset schema / decode seam unchanged
+      .select(element_at(split(col("path"), "/"), -1).as("name"), col("length"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(got === Set(
+      ("a.bmp", Multimodal.BmpCodec.fileBytes(
+        Multimodal.BmpCodec.width(1L), Multimodal.BmpCodec.height(1L)).toLong),
+      ("b.bmp", Multimodal.BmpCodec.fileBytes(
+        Multimodal.BmpCodec.width(2L), Multimodal.BmpCodec.height(2L)).toLong)),
+      "the glob must exclude non-media and file sizes must round-trip")
+    // the ingested files feed the decode stage unchanged: file -> bytes ->
+    // REAL header parse, end to end
     val ingested = assets.select(
-      element_at(split(col("path"), "/"), -1).as("asset_id"),
+      when(element_at(split(col("path"), "/"), -1) === "a.bmp", 1L)
+        .otherwise(2L).as("asset_id"),
       lit("video").as("media_type"),
-      col("content").as("payload"),
-      struct(lit("application/octet-stream").as("mime"),
-        col("length").as("n_bytes"),
-        md5(col("content")).as("checksum")).as("meta"))
-    val profiled = graft.operators.Multimodal.fakeDecode(ingested).collect()
-    assert(profiled.length === 2 && profiled.forall(_.getLong(2) > 0L))
+      col("content").as("payload"))
+    val profiled = Multimodal.decodeBatched(ingested).collect()
+      .map(r => (r.getLong(0), r.getInt(3), r.getInt(4))).toSet
+    assert(profiled === Set(
+      (1L, Multimodal.BmpCodec.width(1L), Multimodal.BmpCodec.height(1L)),
+      (2L, Multimodal.BmpCodec.width(2L), Multimodal.BmpCodec.height(2L))),
+      "decoded dimensions must come from the real headers")
   }
 
   test("text source ingests raw line corpora; wholetext keeps one doc per file") {

@@ -255,14 +255,52 @@ class PipelineSpec extends GraftSuite {
     assert(sess.filter($"n_sessions" < 1).count() === 0)
   }
 
-  test("multimodal: batched mapPartitions decode agrees with the expression-form decode") {
-    val assets = Multimodal.assetsFromDocuments(docs)
-    val cols = Seq("asset_id", "media_type", "n_bytes", "width", "height", "duration_s")
-    def rows(df: org.apache.spark.sql.DataFrame) =
-      df.select(cols.head, cols.tail: _*).orderBy("asset_id").collect().toSeq
-    val exprForm = rows(Multimodal.fakeDecode(assets))
-    val batched = rows(Multimodal.decodeBatched(assets))
-    assert(batched === exprForm)
+  test("BmpCodec: hand-written golden file decodes to known pixels; round-trip matches closed forms") {
+    import Multimodal.BmpCodec
+    // golden 2x1 24bpp BMP, byte-by-byte from the format spec (NOT from
+    // the encoder): pixels (x=0)=RGB(10,20,30), (x=1)=RGB(40,50,60);
+    // row stride pads 6 data bytes to 8. Pins the format against a
+    // self-consistent encode/decode bug that sums alone cannot see.
+    val golden: Array[Byte] = (Seq(
+      'B'.toInt, 'M'.toInt, 62, 0, 0, 0, 0, 0, 0, 0, 54, 0, 0, 0, // file header
+      40, 0, 0, 0, 2, 0, 0, 0, 1, 0, 0, 0, 1, 0, 24, 0, // info header (w=2, h=1)
+      0, 0, 0, 0, 8, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0,
+      30, 20, 10, 60, 50, 40, 0, 0) map (_.toByte)).toArray // BGR + 2 pad
+    assert(BmpCodec.decode(golden) === ((2, 1, 50L, 70L, 90L,
+      1L * 1 * 10 + 2L * 1 * 40)))
+    // encode -> decode round-trip equals the generation closed forms for
+    // a sweep of asset ids (exercises every width mod-class incl. odd
+    // strides, where the 4-byte row padding actually bites)
+    for (d <- 0L to 47L) {
+      val (w, h) = (BmpCodec.width(d), BmpCodec.height(d))
+      val bytes = BmpCodec.encode(d)
+      assert(bytes.length === BmpCodec.fileBytes(w, h))
+      val expected = {
+        var (rs, gs, bs, rw) = (0L, 0L, 0L, 0L)
+        for (y <- 0 until h; x <- 0 until w) {
+          rs += BmpCodec.r(d, x, y); gs += BmpCodec.g(d, x, y)
+          bs += BmpCodec.b(d, x, y)
+          rw += (x + 1).toLong * (y + 1) * BmpCodec.r(d, x, y)
+        }
+        (w, h, rs, gs, bs, rw)
+      }
+      assert(BmpCodec.decode(bytes) === expected, s"asset $d")
+    }
+    // a non-BMP payload must fail loudly, not decode garbage
+    intercept[IllegalArgumentException] {
+      BmpCodec.decode("not a bitmap at all".getBytes("UTF-8"))
+    }
+  }
+
+  test("multimodal: batched decode serves real header fields for every asset") {
+    import Multimodal.BmpCodec
+    val decoded = Multimodal.decodeBatched(Multimodal.bmpAssets(docs)).collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getInt(3), r.getInt(4)))
+    assert(decoded.length === docs.count())
+    decoded.foreach { case (id, nb, w, h) =>
+      assert((w, h) === ((BmpCodec.width(id), BmpCodec.height(id))), s"asset $id")
+      assert(nb === BmpCodec.fileBytes(w, h).toLong)
+    }
   }
 
   test("neymanAllocation equals the in-JVM survey computation; budget is exactly spent") {

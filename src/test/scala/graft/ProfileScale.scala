@@ -118,9 +118,33 @@ object ProfileScale {
         .withColumn("event_id", col("event_id") + lit(r * 10000000L))
         .withColumn("user_id", col("user_id") + lit(r * 17000000L))
     }.reduce(_ unionAll _)
+    // part/customer ×REPL (round-11, the linkage/l-diversity decade):
+    // replica r>0 shifts keys by r·10M and TAGS the blocking attribute
+    // (p_brand || "~r"), so (brand, size) blocks stay replica-disjoint
+    // and within-block candidate pairs scale exactly ×REPL — the
+    // isometric yardstick; per-replica γ profiles are identical, so the
+    // EM scalars converge to the ×1 values while candidate volume grows
+    // linearly. WITHOUT the tag every block grows ×REPL in population
+    // and pairs go ×REPL² — that untagged point is measured separately
+    // as the block-dial law (SURVEY §6.16); a REAL corpus sits between
+    // the two depending on how brand×size cardinality grows with it.
+    val prt = Tables.part(spark, sfDir)
+    val prtN: DataFrame = (0 until repl).map { r =>
+      if (r == 0) prt
+      else prt
+        .withColumn("p_partkey", col("p_partkey") + lit(r * 10000000L))
+        .withColumn("p_brand", concat(col("p_brand"), lit(s"~$r")))
+    }.reduce(_ unionAll _)
+    val cst = Tables.customer(spark, sfDir)
+    val cstN: DataFrame = (0 until repl).map { r =>
+      if (r == 0) cst
+      else cst.withColumn("c_custkey", col("c_custkey") + lit(r * 10000000L))
+    }.reduce(_ unionAll _)
     docsN.write.mode("overwrite").parquet(s"$outDir/documents.parquet")
     embsN.write.mode("overwrite").parquet(s"$outDir/embeddings.parquet")
     evsN.write.mode("overwrite").parquet(s"$outDir/events.parquet")
+    prtN.write.mode("overwrite").parquet(s"$outDir/part.parquet")
+    cstN.write.mode("overwrite").parquet(s"$outDir/customer.parquet")
     val nd = spark.read.parquet(s"$outDir/documents.parquet").count()
     val ne = spark.read.parquet(s"$outDir/embeddings.parquet").count()
     val nv = spark.read.parquet(s"$outDir/events.parquet").count()
@@ -196,6 +220,35 @@ object ProfileScale {
         Similarity.embeddingNearDup(
             Tables.embeddings(spark, outDir), threshold = 0.9, tables = 24, bits = 12)
           .write.format("noop").mode("overwrite").save()
+      }
+    }
+    // the linkage/l-diversity decade (round-11): blocked-pair EM fit +
+    // apply on the brand-tagged part inflation (pairs scale ×REPL), the
+    // customer QI rollup, and ONE untagged q233 point per run — same
+    // key shift, brands NOT tagged, so every (brand, size) block grows
+    // ×REPL in population and candidate pairs go ×REPL²: the measured
+    // half of the block-dial law (what happens when corpus growth lands
+    // in existing blocks instead of new ones)
+    if (!skip.contains("linkage_scale")) {
+      Seq("q233_fs_linkage", "q239_fs_matches", "q230_l_diversity").foreach { name =>
+        time(s"x$repl $name") {
+          SparkEntry.queries(name)(spark, outDir)
+            .write.format("noop").mode("overwrite").save()
+        }
+      }
+      // quadratic by design: ×10 already multiplies candidate pairs by
+      // 100 (≈ 32M here); the ×30 point (×900 pairs) is the q178-class
+      // single-JVM stall and is skipped — the ×10 measurement plus the
+      // closed-form ×REPL² law is the committed evidence
+      if (repl <= 10) {
+        val untagged: DataFrame = (0 until repl).map { r =>
+          if (r == 0) prt
+          else prt.withColumn("p_partkey", col("p_partkey") + lit(r * 10000000L))
+        }.reduce(_ unionAll _).localCheckpoint()
+        time(s"x$repl q233 UNTAGGED blocks (pairs x repl^2)") {
+          graft.operators.Matching.fsLinkageWeights(untagged)
+            .write.format("noop").mode("overwrite").save()
+        }
       }
     }
     // the kNN-graph PRODUCTION dial (round-11): the q194/q207/q231

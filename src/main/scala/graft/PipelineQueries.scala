@@ -28,7 +28,7 @@ object PipelineQueries {
   private val families: Seq[QueryFamily] = Seq(
     DedupQueries, SimilarityQueries, TextQueries, CurationQueries,
     EventsQueries, SamplingQueries, ScaleQueries, GovernanceQueries,
-    MultimodalQueries, ExtendedQueries)
+    MultimodalQueries, ExtendedQueries, InferenceQueries)
 
   lazy val queries: Map[String, (SparkSession, String) => DataFrame] = {
     val m = families.map(_.queries).reduce(_ ++ _)

@@ -1420,4 +1420,108 @@ object Events {
         round($"_cut", 4).as("pop_cut_s"))
       .orderBy($"user_id")
   }
+
+  /** Difference-in-differences estimate (q250; Card & Krueger 1994 made
+    * the design canonical) on per-user purchase value, pre vs post the
+    * corpus midpoint day, md5 arm as "treatment": DiD = (ȳ_B − x̄_B) −
+    * (ȳ_A − x̄_A) — the causal-inference workhorse when assignment isn't
+    * randomized and each unit's pre-period level absorbs its fixed
+    * effect. Beside q232 (CUPED uses the pre-period to REDUCE VARIANCE
+    * of a randomized test) this is the PANEL estimator: the per-user
+    * CHANGE d = y − x is the unit of analysis, so the z-test on d is
+    * correctly user-clustered by construction (event-level DiD with
+    * event-level SEs — the classic underestimate — is exactly what this
+    * shape avoids).
+    *
+    * Same frame discipline as q232: per-user exact micro-unit pre/post
+    * sums over the distinct-user universe (non-converters contribute
+    * (0, 0)), one 1-row moment aggregate with decimal(38,0) squares,
+    * mirrored double finisher. On the A/A fixture DiD ≈ 0 with |z|
+    * inside 1.96 — the design's null gate.
+    */
+  def didEstimate(events: DataFrame, metricType: String = "purchase"): DataFrame = {
+    val NsPerDay = 24L * NsPerHour
+    val ev = events.select($"user_id", expr(s"ts div $NsPerDay").as("day"),
+      $"event_type", round($"value" * 10000, 0).cast("long").as("vm"))
+    val mid = ev.agg(expr("(min(day) + max(day) + 1) div 2").as("mid"))
+    val perUser = ev.filter($"event_type" === metricType)
+      .crossJoin(broadcast(mid))
+      .groupBy($"user_id")
+      .agg(sum(when($"day" < $"mid", $"vm").otherwise(0L)).as("x"),
+        sum(when($"day" >= $"mid", $"vm").otherwise(0L)).as("y"))
+    val um = ev.select($"user_id").distinct()
+      .join(perUser, Seq("user_id"), "left_outer")
+      .select(Scale.md5SlicePos($"user_id", 0, 2).as("arm"),
+        (coalesce($"y", lit(0L)) - coalesce($"x", lit(0L))).as("d"))
+    def dec(c: Column): Column = c.cast("decimal(38,0)")
+    val m = um.agg(
+      sum(when($"arm" === 0L, 1L).otherwise(0L)).as("n_a"),
+      sum(when($"arm" === 0L, $"d").otherwise(0L)).as("s_a"),
+      sum(dec(when($"arm" === 0L, $"d" * $"d").otherwise(0L))).as("ss_a"),
+      sum(when($"arm" === 1L, 1L).otherwise(0L)).as("n_b"),
+      sum(when($"arm" === 1L, $"d").otherwise(0L)).as("s_b"),
+      sum(dec(when($"arm" === 1L, $"d" * $"d").otherwise(0L))).as("ss_b"))
+    def mn(s: Column, n: Column): Column = s.cast("double") / n
+    def svar(s1: Column, s2: Column, n: Column): Column =
+      (s2.cast("double") - s1.cast("double") * s1 / n) / (n - lit(1L))
+    val (mA, mB) = (mn($"s_a", $"n_a"), mn($"s_b", $"n_b"))
+    val (vA, vB) = (svar($"s_a", $"ss_a", $"n_a"), svar($"s_b", $"ss_b", $"n_b"))
+    val did = mB - mA
+    m.select($"n_a", $"n_b",
+      when($"n_a" > 0L, round(mA / 1e4, 4)).as("mean_change_a"),
+      when($"n_b" > 0L, round(mB / 1e4, 4)).as("mean_change_b"),
+      when($"n_a" > 0L && $"n_b" > 0L, round(did / 1e4, 4)).as("did"),
+      when($"n_a" >= 2L && $"n_b" >= 2L && (vA + vB) > 0.0,
+        round(sqrt(vA / $"n_a" + vB / $"n_b") / 1e4, 4)).as("se"),
+      when($"n_a" >= 2L && $"n_b" >= 2L && (vA + vB) > 0.0,
+        round(did / sqrt(vA / $"n_a" + vB / $"n_b"), 4)).as("z_score"))
+  }
+
+  /** Seasonal-naive forecast evaluation (q252; the MASE yardstick is
+    * Hyndman & Koehler 2006): forecast each day's event count with the
+    * count 7 days earlier, hold out the trailing week, and score MAE /
+    * MASE / sMAPE — the baseline every capacity-planning forecast must
+    * beat, and the denominator MASE is DEFINED against (scaling by the
+    * IN-SAMPLE seasonal-naive MAE makes the metric unit-free and
+    * comparable across series). MASE < 1 on the holdout means the
+    * series got easier in the last week, > 1 harder; the fixture's
+    * weekday seasonality makes lag-7 the right naive.
+    *
+    * Calendar lag, not row lag: the daily frame self-joins on
+    * d = d − 7 (an equi-join of two day frames — a missing calendar day
+    * yields no forecast row rather than silently borrowing lag-8, the
+    * row-window bug). Day counts are exact longs; every mean is one
+    * double division at the end. Everything after the one counting scan
+    * is day-frame-sized.
+    */
+  def seasonalNaiveEval(events: DataFrame): DataFrame = {
+    val NsPerDay = 24L * NsPerHour
+    val daily = events
+      .groupBy(expr(s"ts div $NsPerDay").as("d"))
+      .agg(count(lit(1)).as("c"))
+      .localCheckpoint() // both sides of the lag join + the frontier
+    val lagged = daily.select($"d", $"c")
+      .join(daily.select(($"d" + 7L).as("d"), $"c".as("f")), Seq("d"))
+    val mx = daily.agg(max($"d").as("mx"))
+    val scored = lagged.crossJoin(broadcast(mx))
+      .select($"d", $"c", $"f",
+        abs($"c" - $"f").as("ae"),
+        ($"d" > $"mx" - 7L).as("is_test"))
+    scored.agg(
+        sum(when(!$"is_test", 1L).otherwise(0L)).as("n_train"),
+        sum(when($"is_test", 1L).otherwise(0L)).as("n_test"),
+        sum(when(!$"is_test", $"ae").otherwise(0L)).as("sae_train"),
+        sum(when($"is_test", $"ae").otherwise(0L)).as("sae_test"),
+        sum(when($"is_test",
+          $"ae" * lit(2.0) / ($"c" + $"f")).otherwise(0.0)).as("ssmape"))
+      .select($"n_train", $"n_test",
+        when($"n_train" > 0L,
+          round($"sae_train".cast("double") / $"n_train", 4)).as("mae_train"),
+        when($"n_test" > 0L,
+          round($"sae_test".cast("double") / $"n_test", 4)).as("mae_test"),
+        when($"n_train" > 0L && $"n_test" > 0L && $"sae_train" > 0L,
+          round(($"sae_test".cast("double") / $"n_test")
+            / ($"sae_train".cast("double") / $"n_train"), 6)).as("mase"),
+        when($"n_test" > 0L, round($"ssmape" / $"n_test", 6)).as("smape"))
+  }
 }

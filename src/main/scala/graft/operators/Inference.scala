@@ -1,0 +1,322 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus inference statistics (SURVEY.md §2.2 ➕): the hypothesis-test /
+  * multiple-testing / rank-statistics panel a data-curation team runs
+  * before acting on a per-source difference — "is src7's quality dip
+  * real, after testing 20 sources?" is a multiple-comparisons question,
+  * and the repo until round 11 only had single-test answers (q192 z,
+  * q221 SRM χ², q237 mSPRT). The reference computes one aggregate and
+  * stops (`/root/reference/D/Program.cs:273-344`); everything here is
+  * the extension surface.
+  *
+  * Shared discipline:
+  *   - every sufficient statistic is an exact integer / decimal(38,0)
+  *     aggregate (map-side combined, one shuffle per grouping); doubles
+  *     appear only in final formula rendering, in the SAME association
+  *     order as the DuckDB oracle text, rounded before output.
+  *   - rank statistics (Mann–Whitney, Kruskal–Wallis, Spearman) never
+  *     sort rows globally: ranks come from the DISTINCT-VALUE frame
+  *     (group-by value, prefix-sum of counts), so the windowed stage is
+  *     value-domain-bounded (n_chars here: ≤ ~10³ distinct values at any
+  *     corpus size), not corpus-bounded. Tie handling is the exact
+  *     average-rank convention via DOUBLED ranks (2·rank is integer even
+  *     under ties — no rationals until the end).
+  *   - normal tail probabilities use the Abramowitz–Stegun 26.2.17
+  *     polynomial (|ε| < 7.5e-8) written with identical constants and
+  *     Horner order on both engines; exp() is the only libm call and
+  *     final p-values are rounded to 6 decimals, collapsing last-ulp
+  *     libm differences (the q235 exp discipline).
+  */
+object Inference {
+
+  // ---- normal tail: Abramowitz–Stegun 26.2.17 --------------------------
+
+  /** One-minus-Phi(x) for x >= 0: upper-tail normal probability.
+    * phi(x) * (((((b5*t + b4)*t + b3)*t + b2)*t + b1)*t), t = 1/(1+p*x).
+    * The 1/sqrt(2*pi) constant is a literal so no engine evaluates its
+    * own sqrt; the oracle text ([[InferenceQueries.upperTailSql]]) is
+    * this expression verbatim.
+    */
+  private[graft] def upperTail(x: Column): Column = {
+    val t = lit(1.0) / (lit(1.0) + lit(0.2316419) * x)
+    val poly = (((((lit(1.330274429) * t + lit(-1.821255978)) * t
+      + lit(1.781477937)) * t + lit(-0.356563782)) * t + lit(0.319381530)) * t)
+    exp(x * x / lit(-2.0)) * lit(0.3989422804014327) * poly
+  }
+
+  // ---- χ² test of independence (q245) -----------------------------------
+
+  /** Pearson χ² test of independence on the source × lang contingency
+    * table — "is language mix independent of source?", the first audit a
+    * multilingual corpus runs when one ingest pipeline is suspected of
+    * language-skewed sampling. Beside q221 (SRM, a GOODNESS-OF-FIT χ²
+    * against a configured 50/50 split) this is the general two-way
+    * independence form with data-estimated margins.
+    *
+    * Emits the FULL grid (distinct sources × distinct langs, zero-filled
+    * observed counts): a structurally-empty cell still carries expected
+    * mass e = r·c/N and contributes e to the statistic — dropping zero
+    * cells understates χ², the classic bug in group-by-based
+    * implementations. The grid is |sources|×|langs| — a dimension frame
+    * (bounded by catalog cardinalities, not the corpus), built by a
+    * broadcast cross join of two aggregate frames; the only
+    * corpus-proportional stage is the one counting pass.
+    */
+  def chi2Independence(documents: DataFrame): DataFrame = {
+    val cells = documents.groupBy($"source", $"lang").agg(count(lit(1)).as("o"))
+    val rows = documents.groupBy($"source").agg(count(lit(1)).as("rt"))
+    val cols = documents.groupBy($"lang").agg(count(lit(1)).as("ct"))
+    val n = documents.agg(count(lit(1)).as("n"),
+      countDistinct($"source").as("nr"), countDistinct($"lang").as("nc"))
+    val grid = rows.crossJoin(broadcast(cols))
+      .join(cells, Seq("source", "lang"), "left_outer")
+      .crossJoin(broadcast(n))
+      .select($"source", $"lang", coalesce($"o", lit(0L)).as("o"),
+        $"rt", $"ct", $"n", $"nr", $"nc")
+    val e = $"rt".cast("double") * $"ct" / $"n"
+    val contrib = ($"o" - e) * ($"o" - e) / e
+    // the statistic is a cross-cell SUM of doubles — quantize each term
+    // to integer micro-units first (the q90 discipline) so the sum is
+    // exact long arithmetic, order-free, hence engine-exact; the ≤0.5e-6
+    // per-cell quantization is far below any χ² decision resolution
+    grid
+      .withColumn("expected", round(e, 4))
+      .withColumn("contrib", round(contrib, 6))
+      .withColumn("cm", round(contrib * lit(1000000.0), 0).cast("long"))
+      .withColumn("chi2",
+        round(sum($"cm").over(Window.partitionBy()) / lit(1000000.0), 4))
+      .withColumn("dof", (($"nr" - 1) * ($"nc" - 1)).cast("long"))
+      .select($"source", $"lang", $"o".as("observed"), $"expected",
+        $"contrib", $"chi2", $"dof")
+      .orderBy($"source", $"lang")
+  }
+
+  // ---- Benjamini–Hochberg FDR panel (q246) -------------------------------
+
+  /** Per-source two-proportion z-tests with Benjamini–Hochberg step-up
+    * correction (Benjamini & Hochberg 1995) — the multiple-testing fix
+    * for the per-source audit: each source's pass rate (n_chars ≥
+    * `minChars`) vs the POOLED REST, m = |sources| simultaneous tests,
+    * and the BH procedure bounds the expected fraction of false
+    * discoveries at `alpha` instead of inflating per-test error m-fold.
+    *
+    * Step-up: sort p ascending, k* = max{i : p(i) ≤ i·α/m}, reject ranks
+    * ≤ k*. Ranking runs on p ROUNDED to 6 decimals with the source name
+    * as tiebreak, so the order is engine-stable (raw doubles could
+    * differ in the last ulp of exp()); the windowed stage is over the
+    * m-row per-source frame — dimension-bounded.
+    *
+    * z uses the pooled-variance two-proportion form; a source with an
+    * empty complement (m = 1) or zero pooled variance emits NULL z and
+    * p = 1 (never rejected), keeping the panel total.
+    */
+  def bhFdrPanel(documents: DataFrame, minChars: Long = 300L,
+      alpha: Double = 0.05): DataFrame = {
+    val per = documents.groupBy($"source").agg(
+      count(lit(1)).as("ns"),
+      sum(when($"n_chars" >= minChars, 1L).otherwise(0L)).as("ks"))
+    val tot = per.agg(sum($"ns").as("n"), sum($"ks").as("k"),
+      count(lit(1)).as("m"))
+    val base = per.crossJoin(broadcast(tot))
+      .select($"source", $"ns", $"ks",
+        ($"n" - $"ns").as("nr"), ($"k" - $"ks").as("kr"), $"n", $"k", $"m")
+    val pHat = $"k".cast("double") / $"n"
+    val se = sqrt(pHat * (lit(1.0) - pHat)
+      * (lit(1.0) / $"ns" + lit(1.0) / $"nr"))
+    val z = ($"ks".cast("double") / $"ns" - $"kr".cast("double") / $"nr") / se
+    val scored = base.withColumn("z_raw",
+        when($"nr" > 0L && pHat > 0.0 && pHat < 1.0, z))
+      .withColumn("p_value",
+        when($"z_raw".isNotNull,
+          round(least(lit(2.0) * upperTail(abs($"z_raw")), lit(1.0)), 6))
+          .otherwise(lit(1.0)))
+    val ranked = scored.withColumn("p_rank",
+      row_number().over(Window.partitionBy().orderBy($"p_value", $"source")))
+    // k* = max rank whose p sits under its own BH line; null when none do
+    val kStar = max(when(
+      $"p_value" <= $"p_rank" * lit(alpha) / $"m", $"p_rank"))
+      .over(Window.partitionBy())
+    ranked
+      .withColumn("significant", $"p_rank" <= coalesce(kStar, lit(0L)))
+      .select($"source", $"ns".as("n_docs"), $"ks".as("n_pass"),
+        round($"ks".cast("double") / $"ns", 4).as("pass_rate"),
+        round($"z_raw", 4).as("z_score"), $"p_value", $"p_rank",
+        $"significant")
+      .orderBy($"source")
+  }
+
+  // ---- doubled average ranks over the distinct-value frame ---------------
+
+  /** (value → doubled average rank, tie count) from a (value, t) count
+    * frame: r2 = 2·cnt_less + t + 1 — exactly 2× the tie-averaged rank,
+    * integer even under ties. The window runs over the DISTINCT-VALUE
+    * frame (one row per value), so its single partition is value-domain-
+    * bounded; a corpus whose metric had unbounded cardinality would
+    * two-phase this the way `Scale.exactQuantileByGroup` does.
+    */
+  private def doubledRanks(byVal: DataFrame): DataFrame = {
+    val w = Window.orderBy($"v").rowsBetween(Window.unboundedPreceding, -1)
+    byVal
+      .withColumn("cl", coalesce(sum($"t").over(w), lit(0L)))
+      .withColumn("r2", lit(2L) * $"cl" + $"t" + 1L)
+  }
+
+  /** Mann–Whitney U rank-sum test (q247; Mann & Whitney 1947) comparing
+    * `n_chars` between two sources — the nonparametric two-sample test
+    * beside q192's Welch z: no normality assumption, exact under ties
+    * via average ranks and the tie-corrected variance
+    * Var(U) = n1·n2/12 · [(n+1) − Σ(t³−t)/(n(n−1))].
+    *
+    * All sufficient statistics are integer/decimal aggregates of the
+    * distinct-value frame: R1·2 = Σ_v tA(v)·r2(v), U1·2 = R1·2 −
+    * n1(n1+1), ties = Σ t³−t. One double expression at the end renders
+    * z with continuity handled by the exact integer numerator
+    * (U1·2 − n1·n2 is integer; no 0.5 fudge — the tie-averaged U is
+    * already centered).
+    */
+  def mannWhitney(documents: DataFrame, srcA: String = "src0",
+      srcB: String = "src1"): DataFrame = {
+    val byVal = documents
+      .filter($"source" === srcA || $"source" === srcB)
+      .groupBy($"n_chars".as("v"))
+      .agg(count(lit(1)).as("t"),
+        sum(when($"source" === srcA, 1L).otherwise(0L)).as("ta"))
+    val ranked = doubledRanks(byVal)
+    // per-value products stay in LONG (r2 ≤ 2N+1, so ta·r2 and t³ throw
+    // loudly under ANSI beyond ~2·10⁹ rows per value — the q192 posture)
+    // and the cross-value sums are decimal(38,0)-exact
+    val agg = ranked.agg(
+      sum($"ta").as("n1"), sum($"t" - $"ta").as("n2"),
+      sum(($"ta" * $"r2").cast("decimal(38,0)")).as("r1x2"),
+      sum(($"t" * $"t" * $"t" - $"t").cast("decimal(38,0)")).as("ties"))
+      .withColumn("n", $"n1" + $"n2")
+    val u1x2 = $"r1x2".cast("double") - $"n1".cast("double") * ($"n1" + 1L)
+    val varU = $"n1".cast("double") * $"n2" / 12.0 *
+      (($"n" + 1L).cast("double")
+        - $"ties".cast("double") / ($"n".cast("double") * ($"n" - 1L)))
+    agg.select($"n1", $"n2",
+      round(u1x2 / 2.0, 1).as("u1"),
+      round($"ties".cast("double"), 1).as("tie_mass"),
+      when($"n1" > 0L && $"n2" > 0L && varU > 0.0,
+        round((u1x2 - $"n1".cast("double") * $"n2")
+          / (lit(2.0) * sqrt(varU)), 4)).as("z_score"))
+  }
+
+  /** Kruskal–Wallis rank ANOVA (q248; Kruskal & Wallis 1952) across ALL
+    * sources on `n_chars` — the omnibus "does any source differ?" test
+    * that gates the q246 per-source panel (run the omnibus first; if it
+    * fails to reject, the per-source discoveries are noise). H with the
+    * tie correction 1 − Σ(t³−t)/(N³−N), dof = m−1.
+    *
+    * Per-source rank sums come from joining the per-(source, value)
+    * count frame to the doubled-rank frame on value — an equi-join of
+    * two aggregate frames (the rank side is value-domain-bounded and
+    * broadcastable); nothing corpus-wide is ever windowed. Output: one
+    * row per source with its tie-averaged mean rank, every row carrying
+    * the global H — the q245 grid convention.
+    */
+  def kruskalWallis(documents: DataFrame): DataFrame = {
+    val byVal = documents.groupBy($"n_chars".as("v")).agg(count(lit(1)).as("t"))
+    val ranked = doubledRanks(byVal).select($"v", $"r2", $"t")
+    val bySrcVal = documents.groupBy($"source", $"n_chars".as("v"))
+      .agg(count(lit(1)).as("c"))
+    val perSrc = bySrcVal.join(broadcast(ranked), Seq("v"))
+      .groupBy($"source")
+      .agg(sum($"c").as("nj"),
+        sum(($"c" * $"r2").cast("decimal(38,0)")).as("rjx2"))
+    val glob = ranked.agg(
+      sum($"t").as("n"),
+      sum(($"t" * $"t" * $"t" - $"t").cast("decimal(38,0)")).as("ties"))
+    // H = Σ_j c_j − 3(N+1) with c_j = 3·R2_j²/(N(N+1)·n_j); each c_j is
+    // quantized to integer micro-units BEFORE the cross-source sum (the
+    // q90/chi2 discipline: a cross-row double sum is order-dependent,
+    // the quantized long sum is exact) — the ≤ m·0.5e-6 quantization is
+    // far below the statistic's resolution
+    val cj = (lit(3.0) * $"rjx2".cast("double") * $"rjx2".cast("double")) /
+      ($"n".cast("double") * ($"n" + 1L) * $"nj")
+    val sumTerm = sum(round(cj * lit(1000000.0), 0).cast("long"))
+      .over(Window.partitionBy()) / lit(1000000.0)
+    perSrc.crossJoin(broadcast(glob))
+      .withColumn("h_raw", sumTerm - lit(3.0) * ($"n" + 1L))
+      .withColumn("tie_corr",
+        lit(1.0) - $"ties".cast("double")
+          / ($"n".cast("double") * $"n" * $"n" - $"n"))
+      .select($"source", $"nj".as("n_docs"),
+        round($"rjx2".cast("double") / (lit(2.0) * $"nj"), 4).as("mean_rank"),
+        round($"h_raw", 4).as("h_stat"),
+        when($"tie_corr" > 0.0, round($"h_raw" / $"tie_corr", 4))
+          .as("h_corrected"),
+        (count(lit(1)).over(Window.partitionBy()) - 1L).as("dof"))
+      .orderBy($"source")
+  }
+
+  /** Spearman rank correlation (q249) between `n_chars` and the
+    * whitespace token count — "are longer documents longer because of
+    * more words or longer words?" asked rank-wise, robust to the heavy
+    * tails that make Pearson on raw values unstable. Tie-averaged ranks
+    * on both axes (the exact "Pearson on average ranks" definition —
+    * the rank-difference shortcut formula is WRONG under ties), via the
+    * doubled-rank frames joined back per-document; all second moments
+    * are decimal(38,0)-exact, one double expression renders ρ.
+    *
+    * Token counting is split-on-single-space INCLUDING empty segments,
+    * stated because the oracle must count identically
+    * (len(string_split) has the same convention in DuckDB).
+    */
+  def spearmanRho(documents: DataFrame): DataFrame = {
+    val d = documents.select($"n_chars".as("x"),
+      size(split($"text", " ")).cast("long").as("y"))
+    def rankMap(c: String): DataFrame =
+      doubledRanks(d.groupBy(col(c).as("v")).agg(count(lit(1)).as("t")))
+        .select($"v".as(c), $"r2".as(s"r$c"))
+    val rx = rankMap("x"); val ry = rankMap("y")
+    val joined = d.join(broadcast(rx), Seq("x")).join(broadcast(ry), Seq("y"))
+    val m = joined.agg(count(lit(1)).as("n"),
+      sum($"rx".cast("decimal(38,0)")).as("sx"),
+      sum($"ry".cast("decimal(38,0)")).as("sy"),
+      sum(($"rx" * $"rx").cast("decimal(38,0)")).as("sxx"),
+      sum(($"ry" * $"ry").cast("decimal(38,0)")).as("syy"),
+      sum(($"rx" * $"ry").cast("decimal(38,0)")).as("sxy"))
+    val cov = ($"n".cast("double") * $"sxy".cast("double")
+      - $"sx".cast("double") * $"sy".cast("double"))
+    val vx = ($"n".cast("double") * $"sxx".cast("double")
+      - $"sx".cast("double") * $"sx".cast("double"))
+    val vy = ($"n".cast("double") * $"syy".cast("double")
+      - $"sy".cast("double") * $"sy".cast("double"))
+    m.select($"n",
+      when(vx > 0.0 && vy > 0.0,
+        round(cov / (sqrt(vx) * sqrt(vy)), 6)).as("rho_spearman"))
+  }
+
+  // ---- jackknife source influence (q251) ---------------------------------
+
+  /** Leave-one-source-out influence on the corpus mean length and pass
+    * rate — "which source drags the corpus quality, and by how much?"
+    * answered with the jackknife identity: influence(s) = mean(all) −
+    * mean(all \ s), closed-form from per-source sums (never a second
+    * scan per source — the naive m-scan implementation is the
+    * anti-pattern this operator exists to replace). Positive influence
+    * on pass rate means the source LIFTS the corpus; the jackknife
+    * pseudo-value form (n·θ − (n−1)·θ₋ᵢ) is a rescaling of the same
+    * numbers and is left to the caller.
+    */
+  def jackknifeInfluence(documents: DataFrame, minChars: Long = 300L): DataFrame = {
+    val per = documents.groupBy($"source").agg(
+      count(lit(1)).as("ns"), sum($"n_chars").as("ss"),
+      sum(when($"n_chars" >= minChars, 1L).otherwise(0L)).as("ks"))
+    val tot = per.agg(sum($"ns").as("n"), sum($"ss").as("s"), sum($"ks").as("k"))
+    per.crossJoin(broadcast(tot))
+      .select($"source", $"ns".as("n_docs"),
+        round($"s".cast("double") / $"n"
+          - ($"s" - $"ss").cast("double") / ($"n" - $"ns"), 6)
+          .as("infl_mean_chars"),
+        round($"k".cast("double") / $"n"
+          - ($"k" - $"ks").cast("double") / ($"n" - $"ns"), 6)
+          .as("infl_pass_rate"))
+      .orderBy($"source")
+  }
+}

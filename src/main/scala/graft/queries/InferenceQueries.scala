@@ -1,0 +1,381 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.operators.{Events, Inference}
+import graft.sources.Tables
+
+/** Inference family queries (round 11): hypothesis tests, multiple-testing
+  * correction, rank statistics, causal panel, forecast baseline. Every
+  * oracle mirrors the engine's double expressions operation-for-operation;
+  * cross-row sums of doubles are quantized to integer micro-units on BOTH
+  * sides so the statistic totals are order-free (the q90 discipline).
+  */
+private[graft] object InferenceQueries extends QueryFamily {
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // two-way χ² independence over the full zero-filled source×lang grid
+    "q245_chi2_independence" -> ((s, d) =>
+      Inference.chi2Independence(Tables.documents(s, d))),
+    // per-source two-proportion z panel + Benjamini–Hochberg step-up
+    "q246_bh_fdr" -> ((s, d) => Inference.bhFdrPanel(Tables.documents(s, d))),
+    // Mann–Whitney rank-sum with tie-corrected variance, src0 vs src1
+    "q247_mann_whitney" -> ((s, d) =>
+      Inference.mannWhitney(Tables.documents(s, d))),
+    // Kruskal–Wallis rank ANOVA across all sources
+    "q248_kruskal_wallis" -> ((s, d) =>
+      Inference.kruskalWallis(Tables.documents(s, d))),
+    // Spearman ρ (tie-averaged ranks) between n_chars and token count
+    "q249_spearman" -> ((s, d) => Inference.spearmanRho(Tables.documents(s, d))),
+    // difference-in-differences on per-user pre/post purchase change
+    "q250_did" -> ((s, d) => Events.didEstimate(Tables.events(s, d))),
+    // leave-one-source-out influence on corpus mean length / pass rate
+    "q251_jackknife" -> ((s, d) =>
+      Inference.jackknifeInfluence(Tables.documents(s, d))),
+    // seasonal-naive lag-7 forecast scored on the trailing week
+    "q252_seasonal_naive" -> ((s, d) =>
+      Events.seasonalNaiveEval(Tables.events(s, d))))
+
+  /** DuckDB text of [[Inference.upperTail]]: 1−Φ(x) for the SQL
+    * expression `x` (must be non-negative), Abramowitz–Stegun 26.2.17
+    * with identical constants and Horner order.
+    */
+  private def upperTailSql(x: String): String =
+    s"""(exp(($x) * ($x) / (-2.0)) * 0.3989422804014327
+       | * ((((( 1.330274429 * (1.0 / (1.0 + 0.2316419 * ($x)))
+       |   + -1.821255978) * (1.0 / (1.0 + 0.2316419 * ($x)))
+       |   + 1.781477937) * (1.0 / (1.0 + 0.2316419 * ($x)))
+       |   + -0.356563782) * (1.0 / (1.0 + 0.2316419 * ($x)))
+       |   + 0.319381530) * (1.0 / (1.0 + 0.2316419 * ($x)))))""".stripMargin
+
+  def oracleSql: Map[String, String] = Map(
+    "q245_chi2_independence" ->
+      // full grid: margins cross-joined, observed zero-filled; the χ²
+      // total sums per-cell micro-unit longs (order-free)
+      """WITH cells AS (
+        |  SELECT source, lang, CAST(count(*) AS BIGINT) AS o
+        |  FROM documents GROUP BY 1, 2
+        |),
+        |rws AS (SELECT source, CAST(count(*) AS BIGINT) AS rt FROM documents GROUP BY 1),
+        |cls AS (SELECT lang, CAST(count(*) AS BIGINT) AS ct FROM documents GROUP BY 1),
+        |tot AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n,
+        |    CAST(count(DISTINCT source) AS BIGINT) AS nr,
+        |    CAST(count(DISTINCT lang) AS BIGINT) AS nc
+        |  FROM documents
+        |),
+        |grid AS (
+        |  SELECT r.source, c.lang, coalesce(x.o, 0) AS o, r.rt, c.ct,
+        |    t.n, t.nr, t.nc
+        |  FROM rws r CROSS JOIN cls c CROSS JOIN tot t
+        |  LEFT JOIN cells x ON x.source = r.source AND x.lang = c.lang
+        |),
+        |g2 AS (
+        |  SELECT source, lang, o, CAST(rt AS DOUBLE) * ct / n AS e, nr, nc
+        |  FROM grid
+        |),
+        |g3 AS (
+        |  SELECT source, lang, o, e, (o - e) * (o - e) / e AS contrib, nr, nc
+        |  FROM g2
+        |)
+        |SELECT source, lang, o AS observed, round(e, 4) AS expected,
+        |  round(contrib, 6) AS contrib,
+        |  round(sum(CAST(round(contrib * 1000000.0, 0) AS BIGINT)) OVER ()
+        |    / 1000000.0, 4) AS chi2,
+        |  CAST((nr - 1) * (nc - 1) AS BIGINT) AS dof
+        |FROM g3 ORDER BY source, lang""".stripMargin,
+    "q246_bh_fdr" ->
+      // two-proportion pooled z per source vs rest; p via A&S 26.2.17;
+      // BH step-up on (p rounded to 6, source) order
+      s"""WITH per AS (
+         |  SELECT source, CAST(count(*) AS BIGINT) AS ns,
+         |    CAST(sum(CASE WHEN n_chars >= 300 THEN 1 ELSE 0 END) AS BIGINT) AS ks
+         |  FROM documents GROUP BY 1
+         |),
+         |tot AS (
+         |  SELECT CAST(sum(ns) AS BIGINT) AS n, CAST(sum(ks) AS BIGINT) AS k,
+         |    CAST(count(*) AS BIGINT) AS m
+         |  FROM per
+         |),
+         |base AS (
+         |  SELECT source, ns, ks, n - ns AS nr, k - ks AS kr, n, k, m
+         |  FROM per CROSS JOIN tot
+         |),
+         |zed AS (
+         |  SELECT base.*,
+         |    CASE WHEN nr > 0 AND CAST(k AS DOUBLE) / n > 0.0
+         |        AND CAST(k AS DOUBLE) / n < 1.0
+         |      THEN (CAST(ks AS DOUBLE) / ns - CAST(kr AS DOUBLE) / nr)
+         |        / sqrt((CAST(k AS DOUBLE) / n) * (1.0 - CAST(k AS DOUBLE) / n)
+         |          * (1.0 / ns + 1.0 / nr))
+         |    END AS z_raw
+         |  FROM base
+         |),
+         |pv AS (
+         |  SELECT zed.*,
+         |    CASE WHEN z_raw IS NOT NULL
+         |      THEN round(least(2.0 * ${upperTailSql("abs(z_raw)")}, 1.0), 6)
+         |      ELSE 1.0 END AS p_value
+         |  FROM zed
+         |),
+         |rk AS (
+         |  SELECT pv.*,
+         |    CAST(row_number() OVER (ORDER BY p_value, source) AS INT) AS p_rank
+         |  FROM pv
+         |),
+         |kst AS (
+         |  SELECT rk.*,
+         |    max(CASE WHEN p_value <= p_rank * 0.05 / m THEN p_rank END)
+         |      OVER () AS kstar
+         |  FROM rk
+         |)
+         |SELECT source, ns AS n_docs, ks AS n_pass,
+         |  round(CAST(ks AS DOUBLE) / ns, 4) AS pass_rate,
+         |  round(z_raw, 4) AS z_score, p_value, p_rank,
+         |  p_rank <= coalesce(kstar, 0) AS significant
+         |FROM kst ORDER BY source""".stripMargin,
+    "q247_mann_whitney" ->
+      // doubled tie-averaged ranks over the distinct-value frame;
+      // U, tie-corrected variance, z — one final double expression
+      """WITH d AS (
+        |  SELECT n_chars AS v,
+        |    CASE WHEN source = 'src0' THEN 1 ELSE 0 END AS ia
+        |  FROM documents WHERE source IN ('src0', 'src1')
+        |),
+        |bv AS (
+        |  SELECT v, CAST(count(*) AS BIGINT) AS t, CAST(sum(ia) AS BIGINT) AS ta
+        |  FROM d GROUP BY 1
+        |),
+        |rk AS (
+        |  SELECT t, ta,
+        |    2 * coalesce(CAST(sum(t) OVER (ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0)
+        |      + t + 1 AS r2
+        |  FROM bv
+        |),
+        |agg AS (
+        |  SELECT CAST(sum(ta) AS BIGINT) AS n1, CAST(sum(t - ta) AS BIGINT) AS n2,
+        |    sum(CAST(ta * r2 AS HUGEINT)) AS r1x2,
+        |    sum(CAST(t * t * t - t AS HUGEINT)) AS ties
+        |  FROM rk
+        |),
+        |fin AS (
+        |  SELECT n1, n2, n1 + n2 AS n,
+        |    CAST(r1x2 AS DOUBLE) - CAST(n1 AS DOUBLE) * (n1 + 1) AS u1x2,
+        |    CAST(n1 AS DOUBLE) * n2 / 12.0 * (CAST(n1 + n2 + 1 AS DOUBLE)
+        |      - CAST(ties AS DOUBLE)
+        |        / (CAST(n1 + n2 AS DOUBLE) * (n1 + n2 - 1))) AS var_u,
+        |    CAST(ties AS DOUBLE) AS tie_d
+        |  FROM agg
+        |)
+        |SELECT n1, n2, round(u1x2 / 2.0, 1) AS u1,
+        |  round(tie_d, 1) AS tie_mass,
+        |  CASE WHEN n1 > 0 AND n2 > 0 AND var_u > 0.0
+        |    THEN round((u1x2 - CAST(n1 AS DOUBLE) * n2) / (2.0 * sqrt(var_u)), 4)
+        |  END AS z_score
+        |FROM fin""".stripMargin,
+    "q248_kruskal_wallis" ->
+      // per-source rank sums from the shared doubled-rank frame; each
+      // source's H term micro-quantized before the cross-source sum
+      """WITH bv AS (
+        |  SELECT n_chars AS v, CAST(count(*) AS BIGINT) AS t
+        |  FROM documents GROUP BY 1
+        |),
+        |rk AS (
+        |  SELECT v, t,
+        |    2 * coalesce(CAST(sum(t) OVER (ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0)
+        |      + t + 1 AS r2
+        |  FROM bv
+        |),
+        |bsv AS (
+        |  SELECT source, n_chars AS v, CAST(count(*) AS BIGINT) AS c
+        |  FROM documents GROUP BY 1, 2
+        |),
+        |per AS (
+        |  SELECT source, CAST(sum(c) AS BIGINT) AS nj,
+        |    sum(CAST(c * r2 AS HUGEINT)) AS rjx2
+        |  FROM bsv JOIN rk USING (v) GROUP BY 1
+        |),
+        |glb AS (
+        |  SELECT CAST(sum(t) AS BIGINT) AS n,
+        |    sum(CAST(t * t * t - t AS HUGEINT)) AS ties
+        |  FROM rk
+        |),
+        |terms AS (
+        |  SELECT source, nj, rjx2, n, ties,
+        |    3.0 * CAST(rjx2 AS DOUBLE) * CAST(rjx2 AS DOUBLE)
+        |      / (CAST(n AS DOUBLE) * (n + 1) * nj) AS cj
+        |  FROM per CROSS JOIN glb
+        |),
+        |hh AS (
+        |  SELECT terms.*,
+        |    sum(CAST(round(cj * 1000000.0, 0) AS BIGINT)) OVER () / 1000000.0
+        |      - 3.0 * (n + 1) AS h_raw,
+        |    1.0 - CAST(ties AS DOUBLE)
+        |      / (CAST(n AS DOUBLE) * n * n - n) AS tie_corr,
+        |    count(*) OVER () AS m
+        |  FROM terms
+        |)
+        |SELECT source, nj AS n_docs,
+        |  round(CAST(rjx2 AS DOUBLE) / (2.0 * nj), 4) AS mean_rank,
+        |  round(h_raw, 4) AS h_stat,
+        |  CASE WHEN tie_corr > 0.0 THEN round(h_raw / tie_corr, 4) END
+        |    AS h_corrected,
+        |  CAST(m - 1 AS BIGINT) AS dof
+        |FROM hh ORDER BY source""".stripMargin,
+    "q249_spearman" ->
+      // tie-averaged doubled ranks on both axes, Pearson on ranks with
+      // HUGEINT moments; token count = len of single-space split
+      """WITH d AS (
+        |  SELECT n_chars AS x,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS y
+        |  FROM documents
+        |),
+        |bx AS (SELECT x AS v, CAST(count(*) AS BIGINT) AS t FROM d GROUP BY 1),
+        |rx AS (
+        |  SELECT v AS x,
+        |    2 * coalesce(CAST(sum(t) OVER (ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0)
+        |      + t + 1 AS rx
+        |  FROM bx
+        |),
+        |by_ AS (SELECT y AS v, CAST(count(*) AS BIGINT) AS t FROM d GROUP BY 1),
+        |ry AS (
+        |  SELECT v AS y,
+        |    2 * coalesce(CAST(sum(t) OVER (ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0)
+        |      + t + 1 AS ry
+        |  FROM by_
+        |),
+        |j AS (
+        |  SELECT rx.rx, ry.ry
+        |  FROM d JOIN rx USING (x) JOIN ry USING (y)
+        |),
+        |m AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n,
+        |    sum(CAST(rx AS HUGEINT)) AS sx, sum(CAST(ry AS HUGEINT)) AS sy,
+        |    sum(CAST(rx * rx AS HUGEINT)) AS sxx,
+        |    sum(CAST(ry * ry AS HUGEINT)) AS syy,
+        |    sum(CAST(rx * ry AS HUGEINT)) AS sxy
+        |  FROM j
+        |),
+        |fin AS (
+        |  SELECT n,
+        |    CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+        |      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) AS cv,
+        |    CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) AS vx,
+        |    CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+        |      - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) AS vy
+        |  FROM m
+        |)
+        |SELECT n,
+        |  CASE WHEN vx > 0.0 AND vy > 0.0
+        |    THEN round(cv / (sqrt(vx) * sqrt(vy)), 6) END AS rho_spearman
+        |FROM fin""".stripMargin,
+    "q250_did" ->
+      // per-user pre/post micro-unit change over the distinct-user
+      // universe (q232's frame), Welch z on the change between md5 arms
+      s"""WITH mid AS (
+         |  SELECT (min(d) + max(d) + 1) // 2 AS m
+         |  FROM (SELECT epoch_ns(ts) // 86400000000000 AS d FROM events)
+         |),
+         |pu AS (
+         |  SELECT user_id,
+         |    CAST(sum(CASE WHEN epoch_ns(ts) // 86400000000000 < (SELECT m FROM mid)
+         |      THEN CAST(round(value * 10000, 0) AS BIGINT) ELSE 0 END) AS BIGINT) AS x,
+         |    CAST(sum(CASE WHEN epoch_ns(ts) // 86400000000000 >= (SELECT m FROM mid)
+         |      THEN CAST(round(value * 10000, 0) AS BIGINT) ELSE 0 END) AS BIGINT) AS y
+         |  FROM events WHERE event_type = 'purchase' GROUP BY 1
+         |),
+         |um AS (
+         |  SELECT ${OracleHelpers.posSql("md5(CAST(u.user_id AS VARCHAR))", 0, 2)} AS arm,
+         |    coalesce(p.y, 0) - coalesce(p.x, 0) AS dd
+         |  FROM (SELECT DISTINCT user_id FROM events) u
+         |  LEFT JOIN pu p USING (user_id)
+         |),
+         |t AS (
+         |  SELECT
+         |    CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+         |    CAST(sum(CASE WHEN arm = 0 THEN dd ELSE 0 END) AS BIGINT) AS s_a,
+         |    sum(CAST(CASE WHEN arm = 0 THEN dd * dd ELSE 0 END AS HUGEINT)) AS ss_a,
+         |    CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+         |    CAST(sum(CASE WHEN arm = 1 THEN dd ELSE 0 END) AS BIGINT) AS s_b,
+         |    sum(CAST(CASE WHEN arm = 1 THEN dd * dd ELSE 0 END AS HUGEINT)) AS ss_b
+         |  FROM um
+         |),
+         |fin AS (
+         |  SELECT t.*,
+         |    CAST(s_a AS DOUBLE) / n_a AS ma, CAST(s_b AS DOUBLE) / n_b AS mb,
+         |    (CAST(ss_a AS DOUBLE) - CAST(s_a AS DOUBLE) * s_a / n_a)
+         |      / (n_a - 1) AS va,
+         |    (CAST(ss_b AS DOUBLE) - CAST(s_b AS DOUBLE) * s_b / n_b)
+         |      / (n_b - 1) AS vb
+         |  FROM t
+         |)
+         |SELECT n_a, n_b,
+         |  CASE WHEN n_a > 0 THEN round(ma / 10000.0, 4) END AS mean_change_a,
+         |  CASE WHEN n_b > 0 THEN round(mb / 10000.0, 4) END AS mean_change_b,
+         |  CASE WHEN n_a > 0 AND n_b > 0
+         |    THEN round((mb - ma) / 10000.0, 4) END AS did,
+         |  CASE WHEN n_a >= 2 AND n_b >= 2 AND (va + vb) > 0
+         |    THEN round(sqrt(va / n_a + vb / n_b) / 10000.0, 4) END AS se,
+         |  CASE WHEN n_a >= 2 AND n_b >= 2 AND (va + vb) > 0
+         |    THEN round((mb - ma) / sqrt(va / n_a + vb / n_b), 4) END AS z_score
+         |FROM fin""".stripMargin,
+    "q251_jackknife" ->
+      // leave-one-out deltas closed-form from per-source sums
+      """WITH per AS (
+        |  SELECT source, CAST(count(*) AS BIGINT) AS ns,
+        |    CAST(sum(n_chars) AS BIGINT) AS ss,
+        |    CAST(sum(CASE WHEN n_chars >= 300 THEN 1 ELSE 0 END) AS BIGINT) AS ks
+        |  FROM documents GROUP BY 1
+        |),
+        |tot AS (
+        |  SELECT CAST(sum(ns) AS BIGINT) AS n, CAST(sum(ss) AS BIGINT) AS s,
+        |    CAST(sum(ks) AS BIGINT) AS k
+        |  FROM per
+        |)
+        |SELECT source, ns AS n_docs,
+        |  round(CAST(s AS DOUBLE) / n - CAST(s - ss AS DOUBLE) / (n - ns), 6)
+        |    AS infl_mean_chars,
+        |  round(CAST(k AS DOUBLE) / n - CAST(k - ks AS DOUBLE) / (n - ns), 6)
+        |    AS infl_pass_rate
+        |FROM per CROSS JOIN tot ORDER BY source""".stripMargin,
+    "q252_seasonal_naive" ->
+      // calendar lag-7 self-join of the day frame; trailing week held out
+      """WITH daily AS (
+        |  SELECT epoch_ns(ts) // 86400000000000 AS d, CAST(count(*) AS BIGINT) AS c
+        |  FROM events GROUP BY 1
+        |),
+        |lagged AS (
+        |  SELECT a.d, a.c, b.c AS f
+        |  FROM daily a JOIN daily b ON a.d = b.d + 7
+        |),
+        |mx AS (SELECT max(d) AS m FROM daily),
+        |scored AS (
+        |  SELECT d, c, f, abs(c - f) AS ae,
+        |    d > (SELECT m FROM mx) - 7 AS is_test
+        |  FROM lagged
+        |),
+        |agg AS (
+        |  SELECT
+        |    CAST(sum(CASE WHEN NOT is_test THEN 1 ELSE 0 END) AS BIGINT) AS n_train,
+        |    CAST(sum(CASE WHEN is_test THEN 1 ELSE 0 END) AS BIGINT) AS n_test,
+        |    CAST(sum(CASE WHEN NOT is_test THEN ae ELSE 0 END) AS BIGINT) AS sae_train,
+        |    CAST(sum(CASE WHEN is_test THEN ae ELSE 0 END) AS BIGINT) AS sae_test,
+        |    sum(CASE WHEN is_test THEN ae * 2.0 / (c + f) ELSE 0.0 END) AS ssmape
+        |  FROM scored
+        |)
+        |SELECT n_train, n_test,
+        |  CASE WHEN n_train > 0
+        |    THEN round(CAST(sae_train AS DOUBLE) / n_train, 4) END AS mae_train,
+        |  CASE WHEN n_test > 0
+        |    THEN round(CAST(sae_test AS DOUBLE) / n_test, 4) END AS mae_test,
+        |  CASE WHEN n_train > 0 AND n_test > 0 AND sae_train > 0
+        |    THEN round((CAST(sae_test AS DOUBLE) / n_test)
+        |      / (CAST(sae_train AS DOUBLE) / n_train), 6) END AS mase,
+        |  CASE WHEN n_test > 0 THEN round(ssmape / n_test, 6) END AS smape
+        |FROM agg""".stripMargin)
+}

@@ -1,0 +1,296 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Events, Inference}
+import graft.sources.Tables
+
+/** Brute-force replicas for the round-11 inference family (q245–q252):
+  * every statistic is recomputed in plain Scala on collected fixture rows
+  * with the SAME operation order, and compared exactly on the rounded
+  * outputs (JVM and codegen'd Spark doubles are both IEEE binary64 with
+  * identical association, so equality is exact, not approximate).
+  */
+class InferenceSpec extends GraftSuite {
+
+  private lazy val docs = Tables.documents(spark, sf)
+  private lazy val events = Tables.events(spark, sf)
+
+  private def roundN(x: Double, n: Int): Double =
+    java.math.BigDecimal.valueOf(x).setScale(n, java.math.RoundingMode.HALF_UP).doubleValue()
+
+  private def md5Hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  private def arm(userId: Long): Long =
+    java.lang.Long.parseLong(md5Hex(userId.toString).substring(0, 4), 16) % 2
+
+  /** A&S 26.2.17 upper tail, the spec-side replica. */
+  private def upperTail(x: Double): Double = {
+    val t = 1.0 / (1.0 + 0.2316419 * x)
+    val poly = (((((1.330274429 * t + -1.821255978) * t
+      + 1.781477937) * t + -0.356563782) * t + 0.319381530) * t)
+    math.exp(x * x / -2.0) * 0.3989422804014327 * poly
+  }
+
+  /** value → doubled tie-averaged rank over a value multiset. */
+  private def doubledRanks(vs: Seq[Long]): Map[Long, Long] = {
+    val byVal = vs.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val sorted = byVal.keys.toSeq.sorted
+    var cl = 0L
+    sorted.map { v =>
+      val t = byVal(v); val r2 = 2 * cl + t + 1; cl += t; v -> r2
+    }.toMap
+  }
+
+  test("upperTail matches commons-math3 normal CDF within the A&S 7.5e-8 bound") {
+    val nd = new org.apache.commons.math3.distribution.NormalDistribution()
+    for (x <- Seq(0.0, 0.1, 0.5, 1.0, 1.645, 1.96, 2.575, 3.5, 5.0)) {
+      val exact = 1.0 - nd.cumulativeProbability(x)
+      assert(math.abs(upperTail(x) - exact) < 7.5e-8, s"x=$x")
+    }
+  }
+
+  test("chi2Independence equals the brute-force zero-filled grid (q245)") {
+    val rows = docs.select("source", "lang").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val n = rows.length.toLong
+    val srcs = rows.map(_._1).distinct.sorted
+    val langs = rows.map(_._2).distinct.sorted
+    val obs = rows.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val rt = rows.groupBy(_._1).view.mapValues(_.length.toLong).toMap
+    val ct = rows.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    val cells = for { s <- srcs; l <- langs } yield {
+      val o = obs.getOrElse((s, l), 0L)
+      val e = rt(s).toDouble * ct(l) / n
+      val contrib = (o - e) * (o - e) / e
+      (s, l, o, roundN(e, 4), roundN(contrib, 6), math.round(contrib * 1000000.0))
+    }
+    val chi2 = roundN(cells.map(_._6).sum / 1000000.0, 4)
+    val dof = (srcs.size - 1L) * (langs.size - 1L)
+    val got = Inference.chi2Independence(docs).collect()
+    assert(got.length == cells.size)
+    got.zip(cells).foreach { case (g, (s, l, o, e, c, _)) =>
+      assert(g.getString(0) == s && g.getString(1) == l)
+      assert(g.getLong(2) == o)
+      assert(g.getDouble(3) == e && g.getDouble(4) == c)
+      assert(g.getDouble(5) == chi2 && g.getLong(6) == dof)
+    }
+    // the grid really is zero-filled: cells = |sources| × |langs| even if
+    // some combination never occurs
+    assert(got.length == srcs.size * langs.size)
+  }
+
+  test("bhFdrPanel equals the brute-force panel; step-up cut respects the BH line (q246)") {
+    val rows = docs.select("source", "n_chars").collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    val per = rows.groupBy(_._1).view.mapValues { g =>
+      (g.length.toLong, g.count(_._2 >= 300L).toLong)
+    }.toMap
+    val n = rows.length.toLong
+    val k = per.values.map(_._2).sum
+    val m = per.size.toLong
+    val scored = per.toSeq.map { case (s, (ns, ks)) =>
+      val nr = n - ns; val kr = k - ks
+      val ph = k.toDouble / n
+      val z =
+        if (nr > 0 && ph > 0.0 && ph < 1.0)
+          Some((ks.toDouble / ns - kr.toDouble / nr)
+            / math.sqrt(ph * (1.0 - ph) * (1.0 / ns + 1.0 / nr)))
+        else None
+      val p = z.map(zz => roundN(math.min(2.0 * upperTail(math.abs(zz)), 1.0), 6))
+        .getOrElse(1.0)
+      (s, ns, ks, z, p)
+    }
+    val ranked = scored.sortBy { case (s, _, _, _, p) => (p, s) }.zipWithIndex
+      .map { case (r, i) => (r, i + 1) }
+    val kStar = ranked.filter { case ((_, _, _, _, p), i) => p <= i * 0.05 / m }
+      .map(_._2).reduceOption(_ max _).getOrElse(0)
+    val expected = ranked.map { case ((s, ns, ks, z, p), i) =>
+      (s, ns, ks, roundN(ks.toDouble / ns, 4), z.map(roundN(_, 4)), p, i,
+        i <= kStar)
+    }.sortBy(_._1)
+    val got = Inference.bhFdrPanel(docs).collect()
+    assert(got.length == expected.size)
+    got.zip(expected).foreach { case (g, (s, ns, ks, rate, z, p, i, sig)) =>
+      assert(g.getString(0) == s && g.getLong(1) == ns && g.getLong(2) == ks)
+      assert(g.getDouble(3) == rate)
+      assert(z.forall(zz => g.getDouble(4) == zz) && (z.nonEmpty || g.isNullAt(4)))
+      assert(g.getDouble(5) == p && g.getInt(6) == i && g.getBoolean(7) == sig)
+    }
+    // BH law on the emitted panel: every significant p sits at/below its
+    // own line's cut rank, every non-significant one ranks above k*
+    val sigRanks = got.filter(_.getBoolean(7)).map(_.getInt(6))
+    if (sigRanks.nonEmpty) assert(sigRanks.max == kStar)
+  }
+
+  test("mannWhitney equals the brute-force tie-averaged rank sum (q247)") {
+    val rows = docs.filter(col("source").isin("src0", "src1"))
+      .select("source", "n_chars").collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    val r2 = doubledRanks(rows.map(_._2))
+    val a = rows.filter(_._1 == "src0"); val b = rows.filter(_._1 == "src1")
+    val n1 = a.length.toLong; val n2 = b.length.toLong; val n = n1 + n2
+    val r1x2 = a.map(r => r2(r._2)).sum
+    val ties = rows.map(_._2).groupBy(identity).values
+      .map(g => { val t = g.length.toLong; t * t * t - t }).sum
+    val u1x2 = r1x2.toDouble - n1.toDouble * (n1 + 1)
+    val varU = n1.toDouble * n2 / 12.0 *
+      ((n + 1).toDouble - ties.toDouble / (n.toDouble * (n - 1)))
+    val z = (u1x2 - n1.toDouble * n2) / (2.0 * math.sqrt(varU))
+    val g = Inference.mannWhitney(docs).collect()(0)
+    assert(g.getLong(0) == n1 && g.getLong(1) == n2)
+    assert(g.getDouble(2) == roundN(u1x2 / 2.0, 1))
+    assert(g.getDouble(3) == roundN(ties.toDouble, 1))
+    assert(g.getDouble(4) == roundN(z, 4))
+  }
+
+  test("mannWhitney on a constructed shift detects it with the right sign") {
+    import spark.implicits._
+    // src0 systematically longer than src1 → U1 large → positive z
+    val d = (1 to 40).map(i => (i.toLong, s"t$i", "en", "src0", 100L + i)) ++
+      (1 to 40).map(i => (100L + i, s"u$i", "en", "src1", 50L + i % 5))
+    val df = d.toDF("doc_id", "text", "lang", "source", "n_chars")
+    val g = Inference.mannWhitney(df).collect()(0)
+    assert(g.getDouble(4) > 3.0, s"z=${g.getDouble(4)}")
+  }
+
+  test("kruskalWallis equals the brute-force rank ANOVA (q248)") {
+    val rows = docs.select("source", "n_chars").collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    val r2 = doubledRanks(rows.map(_._2))
+    val n = rows.length.toLong
+    val ties = rows.map(_._2).groupBy(identity).values
+      .map(g => { val t = g.length.toLong; t * t * t - t }).sum
+    val per = rows.groupBy(_._1).view.mapValues { g =>
+      (g.length.toLong, g.map(r => r2(r._2)).sum)
+    }.toMap
+    val termsMicro = per.toSeq.sortBy(_._1).map { case (_, (nj, rjx2)) =>
+      math.round(3.0 * rjx2.toDouble * rjx2.toDouble
+        / (n.toDouble * (n + 1) * nj) * 1000000.0)
+    }
+    val hRaw = termsMicro.sum / 1000000.0 - 3.0 * (n + 1)
+    val tieCorr = 1.0 - ties.toDouble / (n.toDouble * n * n - n)
+    val got = Inference.kruskalWallis(docs).collect()
+    assert(got.length == per.size)
+    got.foreach { g =>
+      val (nj, rjx2) = per(g.getString(0))
+      assert(g.getLong(1) == nj)
+      assert(g.getDouble(2) == roundN(rjx2.toDouble / (2.0 * nj), 4))
+      assert(g.getDouble(3) == roundN(hRaw, 4))
+      assert(g.getDouble(4) == roundN(hRaw / tieCorr, 4))
+      assert(g.getLong(5) == per.size - 1L)
+    }
+  }
+
+  test("spearmanRho equals brute-force Pearson-on-average-ranks; 1.0 on a monotone pair (q249)") {
+    val rows = docs.select(col("n_chars"),
+        size(split(col("text"), " ")).cast("long")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val rx = doubledRanks(rows.map(_._1)); val ry = doubledRanks(rows.map(_._2))
+    val n = rows.length.toLong
+    val (sx, sy) = (rows.map(r => rx(r._1)).sum, rows.map(r => ry(r._2)).sum)
+    val sxx = rows.map(r => rx(r._1) * rx(r._1)).map(BigInt(_)).sum
+    val syy = rows.map(r => ry(r._2) * ry(r._2)).map(BigInt(_)).sum
+    val sxy = rows.map(r => rx(r._1) * ry(r._2)).map(BigInt(_)).sum
+    val cov = n.toDouble * sxy.toDouble - sx.toDouble * sy.toDouble
+    val vx = n.toDouble * sxx.toDouble - sx.toDouble * sx.toDouble
+    val vy = n.toDouble * syy.toDouble - sy.toDouble * sy.toDouble
+    val g = Inference.spearmanRho(docs).collect()(0)
+    assert(g.getLong(0) == n)
+    assert(g.getDouble(1) == roundN(cov / (math.sqrt(vx) * math.sqrt(vy)), 6))
+
+    import spark.implicits._
+    // y strictly increasing in x → ranks identical → ρ = 1 exactly
+    val mono = (1 to 30).map(i => (i.toLong, ("w " * i).trim, "en", "s", 10L + 2 * i))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    assert(Inference.spearmanRho(mono).collect()(0).getDouble(1) == 1.0)
+  }
+
+  test("didEstimate equals the brute-force per-user change test (q250)") {
+    val NsPerDay = 86400L * 1000000000L
+    val evs = events.select("user_id", "ts", "event_type", "value").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getDouble(3)))
+    val days = evs.map(_._2 / NsPerDay)
+    val mid = (days.min + days.max + 1) / 2
+    val perUser = evs.filter(_._3 == "purchase").groupBy(_._1).view.mapValues { g =>
+      val x = g.filter(_._2 / NsPerDay < mid)
+        .map(e => math.round(e._4 * 10000)).sum
+      val y = g.filter(_._2 / NsPerDay >= mid)
+        .map(e => math.round(e._4 * 10000)).sum
+      (x, y)
+    }.toMap
+    val ds = evs.map(_._1).distinct.map { u =>
+      val (x, y) = perUser.getOrElse(u, (0L, 0L))
+      (arm(u), y - x)
+    }
+    def stats(a: Long): (Long, Long, BigInt) = {
+      val g = ds.filter(_._1 == a).map(_._2)
+      (g.length.toLong, g.sum, g.map(d => BigInt(d) * d).sum)
+    }
+    val (na, sa, ssa) = stats(0L); val (nb, sb, ssb) = stats(1L)
+    val ma = sa.toDouble / na; val mb = sb.toDouble / nb
+    val va = (ssa.toDouble - sa.toDouble * sa / na) / (na - 1)
+    val vb = (ssb.toDouble - sb.toDouble * sb / nb) / (nb - 1)
+    val g = Events.didEstimate(events).collect()(0)
+    assert(g.getLong(0) == na && g.getLong(1) == nb)
+    assert(g.getDouble(2) == roundN(ma / 1e4, 4))
+    assert(g.getDouble(3) == roundN(mb / 1e4, 4))
+    assert(g.getDouble(4) == roundN((mb - ma) / 1e4, 4))
+    assert(g.getDouble(5) == roundN(math.sqrt(va / na + vb / nb) / 1e4, 4))
+    assert(g.getDouble(6) == roundN((mb - ma) / math.sqrt(va / na + vb / nb), 4))
+    // the fixture is an A/A: the change-score test must sit inside 1.96
+    assert(math.abs(g.getDouble(6)) < 1.96)
+  }
+
+  test("seasonalNaiveEval equals the brute-force lag-7 evaluation (q252)") {
+    val NsPerDay = 86400L * 1000000000L
+    val daily = events.select("ts").collect().map(_.getLong(0) / NsPerDay)
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val mx = daily.keys.max
+    val scored = daily.toSeq.flatMap { case (d, c) =>
+      daily.get(d - 7).map(f => (d, c, f, math.abs(c - f), d > mx - 7))
+    }
+    val train = scored.filter(!_._5); val tst = scored.filter(_._5)
+    val maeTr = train.map(_._4).sum.toDouble / train.size
+    val maeTe = tst.map(_._4).sum.toDouble / tst.size
+    val smape = tst.map(s => s._4 * 2.0 / (s._2 + s._3)).sum / tst.size
+    val g = Events.seasonalNaiveEval(events).collect()(0)
+    assert(g.getLong(0) == train.size && g.getLong(1) == tst.size)
+    assert(g.getDouble(2) == roundN(maeTr, 4))
+    assert(g.getDouble(3) == roundN(maeTe, 4))
+    assert(g.getDouble(4) == roundN(maeTe / maeTr, 6))
+    assert(math.abs(g.getDouble(5) - roundN(smape, 6)) <= 1e-6)
+  }
+
+  test("jackknifeInfluence equals brute-force leave-one-out deltas; signs identify lifters (q251)") {
+    val rows = docs.select("source", "n_chars").collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    val n = rows.length.toLong
+    val s = rows.map(_._2).sum
+    val k = rows.count(_._2 >= 300L).toLong
+    val got = Inference.jackknifeInfluence(docs).collect()
+    got.foreach { g =>
+      val grp = rows.filter(_._1 == g.getString(0))
+      val ns = grp.length.toLong; val ss = grp.map(_._2).sum
+      val ks = grp.count(_._2 >= 300L).toLong
+      assert(g.getLong(1) == ns)
+      assert(g.getDouble(2) ==
+        roundN(s.toDouble / n - (s - ss).toDouble / (n - ns), 6))
+      assert(g.getDouble(3) ==
+        roundN(k.toDouble / n - (k - ks).toDouble / (n - ns), 6))
+      // identity: a source with above-average pass rate lifts the corpus
+      val lifts = ks.toDouble / ns > k.toDouble / n
+      if (math.abs(g.getDouble(3)) > 1e-9) assert((g.getDouble(3) > 0) == lifts)
+    }
+    // influences telescope: Σ_s ns·infl_s ≈ 0 is NOT an identity (the
+    // jackknife deltas are not a partition), but the full-corpus mean is
+    // recoverable from any single row: mean_all = infl + mean_loo — spot
+    // check one source end to end
+    val g0 = got(0)
+    val grp = rows.filter(_._1 == g0.getString(0))
+    val loo = (s - grp.map(_._2).sum).toDouble / (n - grp.length)
+    assert(math.abs((loo + g0.getDouble(2)) - s.toDouble / n) < 1e-3)
+  }
+}

@@ -292,6 +292,54 @@ object Inference {
         round(cov / (sqrt(vx) * sqrt(vy)), 6)).as("rho_spearman"))
   }
 
+  /** Two-sample Kolmogorov–Smirnov test (q253) on `n_chars` between two
+    * sources — the SHAPE companion to q247's location test: MWU can
+    * miss two distributions with equal ranks but different spread; KS
+    * compares the full ECDFs. D is computed EXACTLY in integers:
+    * D = max_v |F₁(v)·n₂ − F₂(v)·n₁| / (n₁·n₂) — the numerator is a
+    * long per distinct value (loud beyond ~10⁹·10⁹ under ANSI), the max
+    * is exact, and ONE double division renders D, so the supremum never
+    * suffers float ECDF accumulation error. Prefix sums run over the
+    * distinct-value frame (the q247 machinery).
+    *
+    * p-value: the asymptotic Kolmogorov tail Q(λ) = 2Σ(−1)^{k−1}
+    * exp(−2k²λ²) truncated at k = 8 (|remainder| < e⁻¹²⁸ for λ ≥ 1 and
+    * far below the 6-decimal rounding everywhere the test matters),
+    * written as a LITERAL 8-term chain so both engines associate
+    * identically; λ = D·√(n₁n₂/(n₁+n₂)).
+    */
+  def ksTwoSample(documents: DataFrame, srcA: String = "src0",
+      srcB: String = "src1"): DataFrame = {
+    val byVal = documents
+      .filter($"source" === srcA || $"source" === srcB)
+      .groupBy($"n_chars".as("v"))
+      .agg(sum(when($"source" === srcA, 1L).otherwise(0L)).as("c1"),
+        sum(when($"source" === srcB, 1L).otherwise(0L)).as("c2"))
+    val tot = byVal.agg(sum($"c1").as("n1"), sum($"c2").as("n2"))
+    val w = Window.orderBy($"v").rowsBetween(Window.unboundedPreceding, 0)
+    val dmax = byVal
+      .withColumn("f1", sum($"c1").over(w))
+      .withColumn("f2", sum($"c2").over(w))
+      .crossJoin(broadcast(tot))
+      .agg(max(abs($"f1" * $"n2" - $"f2" * $"n1")).as("d_num"),
+        max($"n1").as("n1"), max($"n2").as("n2"))
+    val d = $"d_num".cast("double") / ($"n1".cast("double") * $"n2")
+    val lam = col("d_stat_raw") *
+      sqrt($"n1".cast("double") * $"n2" / ($"n1" + $"n2"))
+    val l2 = col("lam") * col("lam")
+    val q = lit(2.0) * (exp(lit(-2.0) * l2) - exp(lit(-8.0) * l2)
+      + exp(lit(-18.0) * l2) - exp(lit(-32.0) * l2)
+      + exp(lit(-50.0) * l2) - exp(lit(-72.0) * l2)
+      + exp(lit(-98.0) * l2) - exp(lit(-128.0) * l2))
+    dmax
+      .withColumn("d_stat_raw", d)
+      .withColumn("lam", lam)
+      .select($"n1", $"n2", $"d_num",
+        round($"d_stat_raw", 6).as("d_stat"),
+        when($"n1" > 0L && $"n2" > 0L,
+          round(greatest(least(q, lit(1.0)), lit(0.0)), 6)).as("p_value"))
+  }
+
   // ---- jackknife source influence (q251) ---------------------------------
 
   /** Leave-one-source-out influence on the corpus mean length and pass

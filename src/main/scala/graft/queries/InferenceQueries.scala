@@ -34,7 +34,10 @@ private[graft] object InferenceQueries extends QueryFamily {
       Inference.jackknifeInfluence(Tables.documents(s, d))),
     // seasonal-naive lag-7 forecast scored on the trailing week
     "q252_seasonal_naive" -> ((s, d) =>
-      Events.seasonalNaiveEval(Tables.events(s, d))))
+      Events.seasonalNaiveEval(Tables.events(s, d))),
+    // two-sample KS: exact integer ECDF supremum, 8-term Kolmogorov tail
+    "q253_ks_two_sample" -> ((s, d) =>
+      Inference.ksTwoSample(Tables.documents(s, d))))
 
   /** DuckDB text of [[Inference.upperTail]]: 1−Φ(x) for the SQL
     * expression `x` (must be non-negative), Abramowitz–Stegun 26.2.17
@@ -377,5 +380,56 @@ private[graft] object InferenceQueries extends QueryFamily {
         |    THEN round((CAST(sae_test AS DOUBLE) / n_test)
         |      / (CAST(sae_train AS DOUBLE) / n_train), 6) END AS mase,
         |  CASE WHEN n_test > 0 THEN round(ssmape / n_test, 6) END AS smape
-        |FROM agg""".stripMargin)
+        |FROM agg""".stripMargin,
+    "q253_ks_two_sample" ->
+      // exact integer supremum |F1·n2 − F2·n1|; one double division; the
+      // Kolmogorov tail as a literal 8-term chain
+      """WITH d AS (
+        |  SELECT n_chars AS v,
+        |    CASE WHEN source = 'src0' THEN 1 ELSE 0 END AS i1,
+        |    CASE WHEN source = 'src1' THEN 1 ELSE 0 END AS i2
+        |  FROM documents WHERE source IN ('src0', 'src1')
+        |),
+        |bv AS (
+        |  SELECT v, CAST(sum(i1) AS BIGINT) AS c1, CAST(sum(i2) AS BIGINT) AS c2
+        |  FROM d GROUP BY 1
+        |),
+        |tot AS (
+        |  SELECT CAST(sum(c1) AS BIGINT) AS n1, CAST(sum(c2) AS BIGINT) AS n2
+        |  FROM bv
+        |),
+        |cum AS (
+        |  SELECT
+        |    CAST(sum(c1) OVER (ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS f1,
+        |    CAST(sum(c2) OVER (ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS f2,
+        |    n1, n2
+        |  FROM bv CROSS JOIN tot
+        |),
+        |dm AS (
+        |  SELECT max(abs(f1 * n2 - f2 * n1)) AS d_num,
+        |    max(n1) AS n1, max(n2) AS n2
+        |  FROM cum
+        |),
+        |fin AS (
+        |  SELECT n1, n2, d_num,
+        |    CAST(d_num AS DOUBLE) / (CAST(n1 AS DOUBLE) * n2) AS d_raw
+        |  FROM dm
+        |),
+        |lm AS (
+        |  SELECT fin.*,
+        |    d_raw * sqrt(CAST(n1 AS DOUBLE) * n2 / (n1 + n2)) AS lam
+        |  FROM fin
+        |),
+        |l2t AS (SELECT lm.*, lam * lam AS l2 FROM lm)
+        |SELECT n1, n2, d_num, round(d_raw, 6) AS d_stat,
+        |  CASE WHEN n1 > 0 AND n2 > 0 THEN
+        |    round(greatest(least(
+        |      2.0 * (exp(-2.0 * l2) - exp(-8.0 * l2)
+        |        + exp(-18.0 * l2) - exp(-32.0 * l2)
+        |        + exp(-50.0 * l2) - exp(-72.0 * l2)
+        |        + exp(-98.0 * l2) - exp(-128.0 * l2)), 1.0), 0.0), 6)
+        |  END AS p_value
+        |FROM l2t""".stripMargin)
 }

@@ -264,6 +264,45 @@ class InferenceSpec extends GraftSuite {
     assert(math.abs(g.getDouble(5) - roundN(smape, 6)) <= 1e-6)
   }
 
+  test("ksTwoSample equals the brute-force integer ECDF supremum; 1.0 on disjoint supports (q253)") {
+    val rows = docs.filter(col("source").isin("src0", "src1"))
+      .select("source", "n_chars").collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    val a = rows.filter(_._1 == "src0").map(_._2)
+    val b = rows.filter(_._1 == "src1").map(_._2)
+    val n1 = a.length.toLong; val n2 = b.length.toLong
+    val dNum = (a ++ b).distinct.map { v =>
+      math.abs(a.count(_ <= v) * n2 - b.count(_ <= v) * n1)
+    }.max
+    val dRaw = dNum.toDouble / (n1.toDouble * n2)
+    val lam = dRaw * math.sqrt(n1.toDouble * n2 / (n1 + n2))
+    val l2 = lam * lam
+    val q = 2.0 * (math.exp(-2.0 * l2) - math.exp(-8.0 * l2)
+      + math.exp(-18.0 * l2) - math.exp(-32.0 * l2)
+      + math.exp(-50.0 * l2) - math.exp(-72.0 * l2)
+      + math.exp(-98.0 * l2) - math.exp(-128.0 * l2))
+    val g = Inference.ksTwoSample(docs).collect()(0)
+    assert(g.getLong(0) == n1 && g.getLong(1) == n2 && g.getLong(2) == dNum)
+    assert(g.getDouble(3) == roundN(dRaw, 6))
+    assert(g.getDouble(4) == roundN(math.max(math.min(q, 1.0), 0.0), 6))
+
+    import spark.implicits._
+    // disjoint supports → the ECDFs separate completely → D = 1, p ≈ 0
+    val dj = ((1 to 30).map(i => (i.toLong, "t", "en", "src0", 100L + i)) ++
+      (1 to 30).map(i => (100L + i, "t", "en", "src1", 500L + i)))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val gd = Inference.ksTwoSample(dj).collect()(0)
+    assert(gd.getDouble(3) == 1.0 && gd.getDouble(4) < 1e-6)
+    // identical samples → D = 0, p = 1 (the tail chain's λ=0 value is
+    // 2·(1−1+1−1+…) = 0 analytically BUT the 8-term truncation gives
+    // exactly 0 — clamped into [0,1]; assert the clamp holds)
+    val same = ((1 to 30).map(i => (i.toLong, "t", "en", "src0", 100L + i % 7)) ++
+      (1 to 30).map(i => (100L + i, "t", "en", "src1", 100L + i % 7)))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val gs = Inference.ksTwoSample(same).collect()(0)
+    assert(gs.getDouble(3) == 0.0 && gs.getDouble(4) == 0.0)
+  }
+
   test("jackknifeInfluence equals brute-force leave-one-out deltas; signs identify lifters (q251)") {
     val rows = docs.select("source", "n_chars").collect()
       .map(r => (r.getString(0), r.getLong(1)))

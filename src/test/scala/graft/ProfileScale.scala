@@ -187,7 +187,13 @@ object ProfileScale {
       // rides the fixed-kCells kNN graph (the q194/q207 IVF caveat — a
       // production run grows kCells with the corpus)
       "q228_sketch_rollup", "q229_weighted_jaccard", "q232_cuped",
-      "q234_negative_sampling", "q235_survival_km").filterNot(skip)
+      "q234_negative_sampling", "q235_survival_km",
+      // round-11 inference panel representatives: the rank machinery
+      // (distinct-value frame must stay BOUNDED as the corpus grows —
+      // n_chars is copied unchanged per replica, so the doubled-rank
+      // frame is constant-size while per-value counts grow ×REPL) and
+      // the per-user change-score moment frame (users grow ×REPL)
+      "q248_kruskal_wallis", "q250_did").filterNot(skip)
     carriers.foreach { name =>
       time(s"x$repl ${name}") {
         SparkEntry.queries(name)(spark, outDir)
@@ -236,19 +242,33 @@ object ProfileScale {
             .write.format("noop").mode("overwrite").save()
         }
       }
-      // quadratic by design: ×10 already multiplies candidate pairs by
-      // 100 (≈ 32M here); the ×30 point (×900 pairs) is the q178-class
-      // single-JVM stall and is skipped — the ×10 measurement plus the
-      // closed-form ×REPL² law is the committed evidence
-      if (repl <= 10) {
-        val untagged: DataFrame = (0 until repl).map { r =>
+      // quadratic by design: untagged ×R multiplies within-block pairs
+      // by R². Measured at ×3 and ×5 (pairs ×9 / ×25 — the growth law
+      // shows in the ratio of the two points); at ×10 the EM M-step's
+      // exact micro-unit sums exceed the multiplyExact ceiling
+      // (~16M pairs × 10⁶ micro-units × 10⁶ > 2⁶³) and the round-10
+      // loud-overflow guard fires — measured below as the DESIGNED
+      // failure: a blocking key whose blocks grow with the corpus must
+      // be re-cut (or the state widened), never silently wrapped
+      if (repl == 10) {
+        def untagged(r0: Int): DataFrame = (0 until r0).map { r =>
           if (r == 0) prt
           else prt.withColumn("p_partkey", col("p_partkey") + lit(r * 10000000L))
         }.reduce(_ unionAll _).localCheckpoint()
-        time(s"x$repl q233 UNTAGGED blocks (pairs x repl^2)") {
-          graft.operators.Matching.fsLinkageWeights(untagged)
-            .write.format("noop").mode("overwrite").save()
+        Seq(3, 5).foreach { r0 =>
+          time(s"x$r0 q233 UNTAGGED blocks (pairs x ${r0 * r0})") {
+            graft.operators.Matching.fsLinkageWeights(untagged(r0))
+              .write.format("noop").mode("overwrite").save()
+          }
         }
+        val loud = try {
+          graft.operators.Matching.fsLinkageWeights(untagged(10))
+            .write.format("noop").mode("overwrite").save()
+          "NO OVERFLOW (unexpected)"
+        } catch {
+          case e: ArithmeticException => s"loud ArithmeticException: ${e.getMessage} (by design)"
+        }
+        println(s"[scale] x10 q233 UNTAGGED blocks -> $loud")
       }
     }
     // the kNN-graph PRODUCTION dial (round-11): the q194/q207/q231

@@ -292,6 +292,25 @@ object Inference {
         round(cov / (sqrt(vx) * sqrt(vy)), 6)).as("rho_spearman"))
   }
 
+  /** The asymptotic Kolmogorov tail Q(λ) = 2Σ_{k≥1}(−1)^{k−1}
+    * exp(−2k²λ²), truncated at k = 8 and written as a LITERAL chain so
+    * both engines associate identically. The truncation converges from
+    * k = 8 only for λ ≳ 0.3 (next term e^{−162λ²} < 5·10⁻⁷ there); BELOW
+    * the cutoff the alternating partial sums misconverge badly (at λ = 0
+    * the chain is 0 while Q = 1 — a false rejection), so p is pinned to
+    * 1 for λ < 0.3, where the true tail exceeds 0.999 and no decision at
+    * any reasonable α changes. Clamped into [0, 1].
+    */
+  private[graft] def kolmogorovTail(lam: Column): Column = {
+    val l2 = lam * lam
+    val chain = lit(2.0) * (exp(lit(-2.0) * l2) - exp(lit(-8.0) * l2)
+      + exp(lit(-18.0) * l2) - exp(lit(-32.0) * l2)
+      + exp(lit(-50.0) * l2) - exp(lit(-72.0) * l2)
+      + exp(lit(-98.0) * l2) - exp(lit(-128.0) * l2))
+    when(lam < 0.3, lit(1.0))
+      .otherwise(greatest(least(chain, lit(1.0)), lit(0.0)))
+  }
+
   /** Two-sample Kolmogorov–Smirnov test (q253) on `n_chars` between two
     * sources — the SHAPE companion to q247's location test: MWU can
     * miss two distributions with equal ranks but different spread; KS
@@ -300,21 +319,24 @@ object Inference {
     * long per distinct value (loud beyond ~10⁹·10⁹ under ANSI), the max
     * is exact, and ONE double division renders D, so the supremum never
     * suffers float ECDF accumulation error. Prefix sums run over the
-    * distinct-value frame (the q247 machinery).
-    *
-    * p-value: the asymptotic Kolmogorov tail Q(λ) = 2Σ(−1)^{k−1}
-    * exp(−2k²λ²) truncated at k = 8 (|remainder| < e⁻¹²⁸ for λ ≥ 1 and
-    * far below the 6-decimal rounding everywhere the test matters),
-    * written as a LITERAL 8-term chain so both engines associate
-    * identically; λ = D·√(n₁n₂/(n₁+n₂)).
+    * distinct-value frame (the q247 machinery). p via
+    * [[kolmogorovTail]] at λ = D·√(n₁n₂/(n₁+n₂)).
     */
   def ksTwoSample(documents: DataFrame, srcA: String = "src0",
-      srcB: String = "src1"): DataFrame = {
-    val byVal = documents
+      srcB: String = "src1"): DataFrame =
+    ksFromCounts(documents
       .filter($"source" === srcA || $"source" === srcB)
       .groupBy($"n_chars".as("v"))
       .agg(sum(when($"source" === srcA, 1L).otherwise(0L)).as("c1"),
-        sum(when($"source" === srcB, 1L).otherwise(0L)).as("c2"))
+        sum(when($"source" === srcB, 1L).otherwise(0L)).as("c2")))
+
+  /** The KS finisher over a (v, c1, c2) per-value count frame — split
+    * from [[ksTwoSample]] so the streaming twin
+    * (`EventStreams.ksCountStream`, which maintains the counts by pure
+    * addition) finishes through the IDENTICAL code path (the
+    * cusum/mSPRT/datasheet refactor pattern).
+    */
+  private[graft] def ksFromCounts(byVal: DataFrame): DataFrame = {
     val tot = byVal.agg(sum($"c1").as("n1"), sum($"c2").as("n2"))
     val w = Window.orderBy($"v").rowsBetween(Window.unboundedPreceding, 0)
     val dmax = byVal
@@ -326,18 +348,70 @@ object Inference {
     val d = $"d_num".cast("double") / ($"n1".cast("double") * $"n2")
     val lam = col("d_stat_raw") *
       sqrt($"n1".cast("double") * $"n2" / ($"n1" + $"n2"))
-    val l2 = col("lam") * col("lam")
-    val q = lit(2.0) * (exp(lit(-2.0) * l2) - exp(lit(-8.0) * l2)
-      + exp(lit(-18.0) * l2) - exp(lit(-32.0) * l2)
-      + exp(lit(-50.0) * l2) - exp(lit(-72.0) * l2)
-      + exp(lit(-98.0) * l2) - exp(lit(-128.0) * l2))
     dmax
       .withColumn("d_stat_raw", d)
       .withColumn("lam", lam)
       .select($"n1", $"n2", $"d_num",
         round($"d_stat_raw", 6).as("d_stat"),
         when($"n1" > 0L && $"n2" > 0L,
-          round(greatest(least(q, lit(1.0)), lit(0.0)), 6)).as("p_value"))
+          round(kolmogorovTail(col("lam")), 6)).as("p_value"))
+  }
+
+  /** Per-source KS drift panel with BH correction (q254) — q253
+    * composed across the catalog: each source's `n_chars` ECDF vs the
+    * POOLED REST (the per-source drift question a multi-source corpus
+    * monitor actually asks), m = |sources| simultaneous tests, q246's
+    * Benjamini–Hochberg step-up bounding the false-discovery rate.
+    *
+    * The sup runs over the FULL source × distinct-value grid (a source
+    * missing a value still steps the REST's ECDF there, so restricting
+    * to own-support would understate D — the q245 zero-fill lesson
+    * applied to ECDFs): F_rest(v) = F_all(v) − F_s(v) needs no second
+    * pass, and |F_s·n_r − F_rest·n_s| stays exact-integer per cell.
+    * The grid is |sources| × |values| — dimension-bounded — and the
+    * prefix windows partition BY SOURCE (no single-partition stage).
+    */
+  def ksPanel(documents: DataFrame, alpha: Double = 0.05): DataFrame = {
+    val bySrcVal = documents.groupBy($"source", $"n_chars".as("v"))
+      .agg(count(lit(1)).as("c"))
+    val byVal = bySrcVal.groupBy($"v").agg(sum($"c").as("t"))
+    val perSrc = bySrcVal.groupBy($"source").agg(sum($"c").as("ns"))
+    val tot = byVal.agg(sum($"t").as("n"))
+    val grid = perSrc.crossJoin(broadcast(byVal))
+      .join(bySrcVal, Seq("source", "v"), "left_outer")
+      .select($"source", $"v", $"ns", $"t", coalesce($"c", lit(0L)).as("c"))
+    val w = Window.partitionBy($"source").orderBy($"v")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val cum = grid
+      .withColumn("fs", sum($"c").over(w))
+      .withColumn("fa", sum($"t").over(w))
+      .crossJoin(broadcast(tot))
+    val dmax = cum.groupBy($"source")
+      .agg(max(abs($"fs" * ($"n" - $"ns") - ($"fa" - $"fs") * $"ns"))
+        .as("d_num"),
+        max($"ns").as("ns"), max($"n").as("n"))
+    val dRaw = $"d_num".cast("double") / ($"ns".cast("double") * ($"n" - $"ns"))
+    val lam = col("d_raw") * sqrt($"ns".cast("double") * ($"n" - $"ns") / $"n")
+    // a source that IS the whole corpus has no complement to test
+    // against — p pinned to 1 (never rejected), keeping the panel total
+    val scored = dmax
+      .withColumn("d_raw",
+        when($"ns" > 0L && ($"n" - $"ns") > 0L, dRaw).otherwise(lit(0.0)))
+      .withColumn("p_value",
+        when($"ns" > 0L && ($"n" - $"ns") > 0L,
+          round(kolmogorovTail(lam), 6)).otherwise(lit(1.0)))
+      .withColumn("m", count(lit(1)).over(Window.partitionBy()))
+    val ranked = scored.withColumn("p_rank",
+      row_number().over(Window.partitionBy().orderBy($"p_value", $"source")))
+    val kStar = max(when(
+      $"p_value" <= $"p_rank" * lit(alpha) / $"m", $"p_rank"))
+      .over(Window.partitionBy())
+    ranked
+      .withColumn("significant", $"p_rank" <= coalesce(kStar, lit(0L)))
+      .select($"source", $"ns".as("n_docs"), $"d_num",
+        round($"d_raw", 6).as("d_stat"), $"p_value", $"p_rank",
+        $"significant")
+      .orderBy($"source")
   }
 
   // ---- jackknife source influence (q251) ---------------------------------

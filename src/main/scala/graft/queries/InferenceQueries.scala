@@ -37,7 +37,9 @@ private[graft] object InferenceQueries extends QueryFamily {
       Events.seasonalNaiveEval(Tables.events(s, d))),
     // two-sample KS: exact integer ECDF supremum, 8-term Kolmogorov tail
     "q253_ks_two_sample" -> ((s, d) =>
-      Inference.ksTwoSample(Tables.documents(s, d))))
+      Inference.ksTwoSample(Tables.documents(s, d))),
+    // per-source KS drift panel vs pooled rest + BH step-up
+    "q254_ks_panel" -> ((s, d) => Inference.ksPanel(Tables.documents(s, d))))
 
   /** DuckDB text of [[Inference.upperTail]]: 1−Φ(x) for the SQL
     * expression `x` (must be non-negative), Abramowitz–Stegun 26.2.17
@@ -50,6 +52,19 @@ private[graft] object InferenceQueries extends QueryFamily {
        |   + 1.781477937) * (1.0 / (1.0 + 0.2316419 * ($x)))
        |   + -0.356563782) * (1.0 / (1.0 + 0.2316419 * ($x)))
        |   + 0.319381530) * (1.0 / (1.0 + 0.2316419 * ($x)))))""".stripMargin
+
+  /** DuckDB text of [[Inference.kolmogorovTail]]: the 8-term chain with
+    * the λ < 0.3 pin (below it the truncation misconverges; the true
+    * tail there exceeds 0.999). `l2` must be an expression for λ².
+    */
+  private def kolmTailSql(lam: String, l2: String): String =
+    s"""(CASE WHEN ($lam) < 0.3 THEN 1.0
+       |  ELSE greatest(least(
+       |    2.0 * (exp(-2.0 * ($l2)) - exp(-8.0 * ($l2))
+       |      + exp(-18.0 * ($l2)) - exp(-32.0 * ($l2))
+       |      + exp(-50.0 * ($l2)) - exp(-72.0 * ($l2))
+       |      + exp(-98.0 * ($l2)) - exp(-128.0 * ($l2))), 1.0), 0.0)
+       |  END)""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     "q245_chi2_independence" ->
@@ -384,7 +399,7 @@ private[graft] object InferenceQueries extends QueryFamily {
     "q253_ks_two_sample" ->
       // exact integer supremum |F1·n2 − F2·n1|; one double division; the
       // Kolmogorov tail as a literal 8-term chain
-      """WITH d AS (
+      s"""WITH d AS (
         |  SELECT n_chars AS v,
         |    CASE WHEN source = 'src0' THEN 1 ELSE 0 END AS i1,
         |    CASE WHEN source = 'src1' THEN 1 ELSE 0 END AS i2
@@ -425,11 +440,70 @@ private[graft] object InferenceQueries extends QueryFamily {
         |l2t AS (SELECT lm.*, lam * lam AS l2 FROM lm)
         |SELECT n1, n2, d_num, round(d_raw, 6) AS d_stat,
         |  CASE WHEN n1 > 0 AND n2 > 0 THEN
-        |    round(greatest(least(
-        |      2.0 * (exp(-2.0 * l2) - exp(-8.0 * l2)
-        |        + exp(-18.0 * l2) - exp(-32.0 * l2)
-        |        + exp(-50.0 * l2) - exp(-72.0 * l2)
-        |        + exp(-98.0 * l2) - exp(-128.0 * l2)), 1.0), 0.0), 6)
+        |    round(${kolmTailSql("lam", "l2")}, 6)
         |  END AS p_value
-        |FROM l2t""".stripMargin)
+        |FROM l2t""".stripMargin,
+    "q254_ks_panel" ->
+      // q253 across all sources vs pooled rest over the FULL
+      // source x value grid; BH step-up as q246
+      s"""WITH bsv AS (
+         |  SELECT source, n_chars AS v, CAST(count(*) AS BIGINT) AS c
+         |  FROM documents GROUP BY 1, 2
+         |),
+         |bv AS (SELECT v, CAST(sum(c) AS BIGINT) AS t FROM bsv GROUP BY 1),
+         |per AS (SELECT source, CAST(sum(c) AS BIGINT) AS ns FROM bsv GROUP BY 1),
+         |tot AS (SELECT CAST(sum(t) AS BIGINT) AS n FROM bv),
+         |grid AS (
+         |  SELECT p.source, b.v, p.ns, b.t, coalesce(x.c, 0) AS c
+         |  FROM per p CROSS JOIN bv b
+         |  LEFT JOIN bsv x ON x.source = p.source AND x.v = b.v
+         |),
+         |cum AS (
+         |  SELECT source, ns, tt.n,
+         |    CAST(sum(c) OVER (PARTITION BY source ORDER BY v
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS fs,
+         |    CAST(sum(grid.t) OVER (PARTITION BY source ORDER BY v
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS fa
+         |  FROM grid CROSS JOIN tot tt
+         |),
+         |dm AS (
+         |  SELECT source, max(abs(fs * (n - ns) - (fa - fs) * ns)) AS d_num,
+         |    max(ns) AS ns, max(n) AS n
+         |  FROM cum GROUP BY 1
+         |),
+         |fin AS (
+         |  SELECT source, ns, n, d_num,
+         |    CASE WHEN ns > 0 AND n - ns > 0
+         |      THEN CAST(d_num AS DOUBLE) / (CAST(ns AS DOUBLE) * (n - ns))
+         |      ELSE 0.0 END AS d_raw
+         |  FROM dm
+         |),
+         |lm AS (
+         |  SELECT fin.*,
+         |    d_raw * sqrt(CAST(ns AS DOUBLE) * (n - ns) / n) AS lam
+         |  FROM fin
+         |),
+         |pv AS (
+         |  SELECT lm.*,
+         |    CASE WHEN ns > 0 AND n - ns > 0
+         |      THEN round(${kolmTailSql("lam", "lam * lam")}, 6)
+         |      ELSE 1.0 END AS p_value,
+         |    count(*) OVER () AS m
+         |  FROM lm
+         |),
+         |rk AS (
+         |  SELECT pv.*,
+         |    CAST(row_number() OVER (ORDER BY p_value, source) AS INT) AS p_rank
+         |  FROM pv
+         |),
+         |kst AS (
+         |  SELECT rk.*,
+         |    max(CASE WHEN p_value <= p_rank * 0.05 / m THEN p_rank END)
+         |      OVER () AS kstar
+         |  FROM rk
+         |)
+         |SELECT source, ns AS n_docs, d_num, round(d_raw, 6) AS d_stat,
+         |  p_value, p_rank,
+         |  p_rank <= coalesce(kstar, 0) AS significant
+         |FROM kst ORDER BY source""".stripMargin)
 }

@@ -938,4 +938,49 @@ object EventStreams {
           Iterator(DsPartialOut(key._1, key._2, st.nDocs, st.nTokens, st.q4s))
       }
   }
+
+  case class KsDoc(doc_id: Long, source: String, n_chars: Long)
+  case class KsCounts(c1: Long, c2: Long)
+  case class KsCountOut(v: Long, c1: Long, c2: Long)
+
+  /** Streaming maintenance of the q253 two-sample KS drift test's
+    * per-value counts — drift detection is the INHERENTLY streaming use
+    * of a two-sample test (the monitored source arrives continuously;
+    * re-scanning the corpus per look defeats the point, the mSPRT
+    * argument applied to shape). Keyed by metric value, the state is
+    * one (c1, c2) long pair maintained by pure addition; every
+    * micro-batch emits each touched value's UPDATED counts, so a
+    * latest-row-per-value sink always holds exactly the count frame
+    * `Inference.ksFromCounts` finishes into (D, λ, p) — the identical
+    * batch finisher, after ANY batch.
+    *
+    * State is value-domain-bounded (the q247/q253 distinct-value-frame
+    * argument: one row per distinct metric value, NOT per document) —
+    * the same bound that makes the batch rank/ECDF machinery scale.
+    * Addition is associative + commutative, hence bit-exact to the
+    * batch for any micro-batch split (the equals-batch law).
+    */
+  def ksCountStream(docs: Dataset[KsDoc], srcA: String = "src0",
+      srcB: String = "src1"): Dataset[KsCountOut] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs
+      .filter($"source" === srcA || $"source" === srcB)
+      .select($"n_chars".as("v"),
+        when($"source" === srcA, 1L).otherwise(0L).as("i1"),
+        when($"source" === srcB, 1L).otherwise(0L).as("i2"))
+      .as[(Long, Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[KsCounts, KsCountOut](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (v: Long, rows: Iterator[(Long, Long, Long)],
+            state: GroupState[KsCounts]) =>
+          var st = state.getOption.getOrElse(KsCounts(0L, 0L))
+          rows.foreach { case (_, i1, i2) =>
+            st = KsCounts(st.c1 + i1, st.c2 + i2)
+          }
+          state.update(st)
+          Iterator(KsCountOut(v, st.c1, st.c2))
+      }
+  }
 }

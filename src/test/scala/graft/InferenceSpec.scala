@@ -293,14 +293,75 @@ class InferenceSpec extends GraftSuite {
       .toDF("doc_id", "text", "lang", "source", "n_chars")
     val gd = Inference.ksTwoSample(dj).collect()(0)
     assert(gd.getDouble(3) == 1.0 && gd.getDouble(4) < 1e-6)
-    // identical samples → D = 0, p = 1 (the tail chain's λ=0 value is
-    // 2·(1−1+1−1+…) = 0 analytically BUT the 8-term truncation gives
-    // exactly 0 — clamped into [0,1]; assert the clamp holds)
+    // identical samples → D = 0, λ = 0: the truncated alternating chain
+    // MISCONVERGES there (it returns 0 where the true tail is 1 — a
+    // false rejection); the λ < 0.3 pin must serve p = 1 exactly
     val same = ((1 to 30).map(i => (i.toLong, "t", "en", "src0", 100L + i % 7)) ++
       (1 to 30).map(i => (100L + i, "t", "en", "src1", 100L + i % 7)))
       .toDF("doc_id", "text", "lang", "source", "n_chars")
     val gs = Inference.ksTwoSample(same).collect()(0)
-    assert(gs.getDouble(3) == 0.0 && gs.getDouble(4) == 0.0)
+    assert(gs.getDouble(3) == 0.0 && gs.getDouble(4) == 1.0)
+  }
+
+  /** Spec-side replica of the pinned Kolmogorov tail. */
+  private def kolmTail(lam: Double): Double = {
+    val l2 = lam * lam
+    val chain = 2.0 * (math.exp(-2.0 * l2) - math.exp(-8.0 * l2)
+      + math.exp(-18.0 * l2) - math.exp(-32.0 * l2)
+      + math.exp(-50.0 * l2) - math.exp(-72.0 * l2)
+      + math.exp(-98.0 * l2) - math.exp(-128.0 * l2))
+    if (lam < 0.3) 1.0 else math.max(math.min(chain, 1.0), 0.0)
+  }
+
+  test("ksPanel equals the brute-force per-source sup + BH step-up (q254)") {
+    val rows = docs.select("source", "n_chars").collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    val n = rows.length.toLong
+    val values = rows.map(_._2).distinct.sorted
+    val srcs = rows.map(_._1).distinct.sorted
+    val scored = srcs.map { s =>
+      val own = rows.filter(_._1 == s).map(_._2)
+      val ns = own.length.toLong
+      val dNum = values.map { v =>
+        val fs = own.count(_ <= v).toLong
+        val fa = rows.count(_._2 <= v).toLong
+        math.abs(fs * (n - ns) - (fa - fs) * ns)
+      }.max
+      val dRaw = dNum.toDouble / (ns.toDouble * (n - ns))
+      val lam = dRaw * math.sqrt(ns.toDouble * (n - ns) / n)
+      (s, ns, dNum, dRaw, roundN(kolmTail(lam), 6))
+    }
+    val m = srcs.size.toLong
+    val ranked = scored.sortBy { case (s, _, _, _, p) => (p, s) }.zipWithIndex
+      .map { case (r, i) => (r, i + 1) }
+    val kStar = ranked.filter { case ((_, _, _, _, p), i) => p <= i * 0.05 / m }
+      .map(_._2).reduceOption(_ max _).getOrElse(0)
+    val expected = ranked.map { case ((s, ns, dn, dr, p), i) =>
+      (s, ns, dn, roundN(dr, 6), p, i, i <= kStar)
+    }.sortBy(_._1)
+    val got = Inference.ksPanel(docs).collect()
+    assert(got.length == expected.size)
+    got.zip(expected).foreach { case (g, (s, ns, dn, dr, p, i, sig)) =>
+      assert(g.getString(0) == s && g.getLong(1) == ns && g.getLong(2) == dn)
+      assert(g.getDouble(3) == dr && g.getDouble(4) == p)
+      assert(g.getInt(5) == i && g.getBoolean(6) == sig)
+    }
+  }
+
+  test("ksPanel flags a planted shifted source and spares the rest") {
+    import spark.implicits._
+    // 9 sources drawn from the same 12-value comb; the 10th shifted far
+    // right → its ECDF separates → smallest p; BH must flag it
+    val base = (0 until 9).flatMap { s =>
+      (1 to 60).map(i => ((s * 1000 + i).toLong, "t", "en", s"s$s", 100L + i % 12))
+    }
+    val shifted = (1 to 60).map(i => ((9000 + i).toLong, "t", "en", "s9", 400L + i % 12))
+    val df = (base ++ shifted).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val got = Inference.ksPanel(df).collect()
+    val flagged = got.filter(_.getBoolean(6)).map(_.getString(0)).toSet
+    assert(flagged.contains("s9"), s"flagged=$flagged")
+    // the shifted source carries the panel's best rank
+    assert(got.filter(_.getString(0) == "s9").head.getInt(5) == 1)
   }
 
   test("jackknifeInfluence equals brute-force leave-one-out deltas; signs identify lifters (q251)") {

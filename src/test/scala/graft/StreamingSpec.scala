@@ -1079,4 +1079,48 @@ class StreamingSpec extends GraftSuite {
     assert(served === full,
       "finishing the streamed state must equal the from-scratch datasheet")
   }
+
+  test("ksCountStream: streamed per-value counts finish to the exact batch KS row, any split") {
+    import graft.operators.Inference
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val docs = Tables.documents(spark, sf)
+
+    def streamedKs(src: org.apache.spark.sql.DataFrame,
+        name: String): Seq[Seq[Any]] = {
+      val raw = src.select($"doc_id", $"source", $"n_chars")
+        .as[EventStreams.KsDoc].collect().toSeq
+      val input = MemoryStream[EventStreams.KsDoc]
+      val q = EventStreams.ksCountStream(input.toDS())
+        .writeStream.outputMode("update").format("memory").queryName(name)
+        .start()
+      // three uneven splits — the associativity law the twin rests on
+      val splits = Seq(raw.take(raw.length / 7),
+        raw.slice(raw.length / 7, raw.length / 3), raw.drop(raw.length / 3))
+      splits.foreach { s => input.addData(s.toIndexedSeq); q.processAllAvailable() }
+      // latest emitted row per value IS the count frame
+      val state = spark.table(name).collect()
+        .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2)))).zipWithIndex
+        .groupBy(_._1._1).view.mapValues(g => g.maxBy(_._2)._1._2).toMap
+      q.stop()
+      Inference.ksFromCounts(
+        state.toSeq.map { case (v, (c1, c2)) => (v, c1, c2) }
+          .toDF("v", "c1", "c2"))
+        .collect().map(_.toSeq).toSeq
+    }
+
+    val streamed = streamedKs(docs, "ks_stream")
+    val batch = Inference.ksTwoSample(docs).collect().map(_.toSeq).toSeq
+    assert(streamed === batch,
+      "streamed counts must finish to the exact batch KS row")
+
+    // inject a shape shift into the monitored source mid-stream's data:
+    // the drift must show as a near-zero p through the SAME finisher
+    val drifted = docs.withColumn("n_chars",
+      when($"source" === "src0", $"n_chars" + 10000L).otherwise($"n_chars"))
+    val ds = streamedKs(drifted, "ks_stream_drift")
+    assert(ds === Inference.ksTwoSample(drifted).collect().map(_.toSeq).toSeq)
+    assert(ds.head(3).asInstanceOf[Double] == 1.0, "shifted ECDFs separate: D = 1")
+    assert(ds.head(4).asInstanceOf[Double] < 1e-4, s"drift p should reject: ${ds.head(4)}")
+  }
 }

@@ -1887,4 +1887,48 @@ object Curation {
         $"chunk_hash", $"n_dup")
       .orderBy($"doc_id", $"chunk_idx")
   }
+
+  // ---- HBOS multivariate outlier score (q258) -------------------------------
+
+  /** Histogram-Based Outlier Score (Goldstein & Dengel 2012) over two
+    * document features — n_chars and the whitespace token count (the
+    * q249 feature pair): per feature, B equal-width bins over the global
+    * [min, max]; a document's score is Σ_f −ln(density of its bin), high
+    * where ANY feature lands in a thin bin. The MULTIVARIATE complement
+    * to q135's univariate median/MAD rule — HBOS assumes feature
+    * independence (that is its stated trade: linear cost, no covariance)
+    * and catches the "individually normal, jointly rare" documents the
+    * per-feature rules pass.
+    *
+    * Binning is EXACT integer arithmetic — bin = (v − vmin)·B div
+    * (vmax − vmin + 1), guaranteed in [0, B−1] with every boundary an
+    * integer decision (no float-edge ambiguity between engines). Two
+    * corpus scans (feature extraction + scoring join); the per-bin
+    * density frames are 2·B rows, broadcast. Top-k selection orders by
+    * the score ROUNDED to 6 with doc_id tiebreak (engine-stable).
+    */
+  def hbosOutliers(documents: DataFrame, bins: Int = 16,
+      k: Int = 20): DataFrame = {
+    val feats = documents.select($"doc_id", $"n_chars".as("x"),
+      size(split($"text", " ")).cast("long").as("y"))
+    val ext = feats.agg(min($"x").as("x0"), max($"x").as("x1"),
+      min($"y").as("y0"), max($"y").as("y1"), count(lit(1)).as("n"))
+    val binned = feats.crossJoin(broadcast(ext))
+      .selectExpr("doc_id", "x", "y", "n",
+        s"((x - x0) * $bins) div (x1 - x0 + 1) AS bx",
+        s"((y - y0) * $bins) div (y1 - y0 + 1) AS by")
+    val dx = binned.groupBy($"bx").agg(count(lit(1)).as("cx"))
+    val dy = binned.groupBy($"by").agg(count(lit(1)).as("cy"))
+    val scored = binned
+      .join(broadcast(dx), Seq("bx"))
+      .join(broadcast(dy), Seq("by"))
+      .withColumn("score",
+        -log($"cx".cast("double") / $"n") - log($"cy".cast("double") / $"n"))
+    scored
+      .select($"doc_id", $"x".as("n_chars"), $"y".as("n_tokens"),
+        $"bx".as("bin_x"), $"by".as("bin_y"),
+        round($"score", 6).as("hbos_score"))
+      .orderBy($"hbos_score".desc, $"doc_id")
+      .limit(k)
+  }
 }

@@ -1524,4 +1524,242 @@ object Events {
             / ($"sae_train".cast("double") / $"n_train"), 6)).as("mase"),
         when($"n_test" > 0L, round($"ssmape" / $"n_test", 6)).as("smape"))
   }
+
+  // ---- EWMA control chart (q255) -----------------------------------------
+
+  /** EWMA control chart over the daily event-count series (Roberts 1959;
+    * the Montgomery SPC form): z_t = λ·x_t + (1−λ)·z_{t−1} with z_0 = μ̂
+    * (the in-control center, the all-days mean), a day flagged when
+    * |z_t − μ̂| exceeds L·σ̂·√(λ/(2−λ)·(1−(1−λ)^{2t})) — the FINITE-t
+    * variance band, tighter during the ramp (the asymptotic-only band
+    * under-alarms the first ~1/λ days). The memory-ful drift monitor
+    * beside q193's CUSUM: CUSUM is optimal for a sustained step shift,
+    * EWMA dominates for slow drifts; a fleet runs both.
+    *
+    * Scale shape: the only corpus-proportional stage is the daily count
+    * aggregate (map-side combined). The recurrence is inherently
+    * sequential (z_t needs z_{t−1}), so no window expresses it; it runs
+    * as a per-day prefix fold over the collected day array via the
+    * `aggregate` higher-order function — O(T²) on a CALENDAR-bounded
+    * frame (T = distinct days: 30 in the fixture, a few thousand for a
+    * decade of telemetry), engine-side, never a driver loop. Both engines
+    * fold the identical (λ·x + (1−λ)·acc) expression left-to-right
+    * (DuckDB: list_reduce over a μ̂-prepended prefix slice), so the
+    * doubles associate identically and the gate is hash-exact. The flag
+    * compares ROUNDED values (the q246 discipline: last-ulp libm wobble
+    * in pow/sqrt must not flip a verdict).
+    */
+  def ewmaControl(events: DataFrame, lambda: Double = 0.2,
+      limit: Double = 3.0): DataFrame =
+    ewmaFromDailyCounts(
+      events.groupBy(expr(s"ts div $NsPerDay").as("d"))
+        .agg(count(lit(1)).as("c")),
+      lambda, limit)
+
+  /** The EWMA finisher over a (d, c) daily count frame — split from
+    * [[ewmaControl]] so the streaming twin (the per-day pure-addition
+    * counts `EventStreams.cusumMomentStream` already maintains) finishes
+    * through the IDENTICAL code path (the cusum/mSPRT/KS refactor
+    * pattern).
+    */
+  private[graft] def ewmaFromDailyCounts(daily: DataFrame, lambda: Double,
+      limit: Double): DataFrame = {
+    val lam = lit(lambda)
+    val oml = lit(1.0 - lambda)
+    val packed = daily
+      .agg(
+        array_sort(collect_list(struct($"d", $"c"))).as("a"),
+        count(lit(1)).as("t"), sum($"c").as("s"),
+        sum(($"c" * $"c").cast("decimal(38,0)")).as("ss"))
+      .select($"a",
+        ($"s".cast("double") / $"t").as("mu"),
+        sqrt(($"ss".cast("double") - $"s".cast("double") * $"s" / $"t")
+          / $"t").as("sigma"))
+      .withColumn("cs", transform($"a", e => e.getField("c").cast("double")))
+    val rows = packed.select($"mu", $"sigma", $"cs",
+      posexplode($"a").as(Seq("p", "e")))
+    val i = ($"p" + 1).cast("long")
+    val z = aggregate(slice($"cs", lit(1), ($"p" + 1).cast("int")), $"mu",
+      (acc, x) => lam * x + oml * acc)
+    val band = lit(limit) * $"sigma" *
+      sqrt(lam / (lit(2.0) - lam) *
+        (lit(1.0) - pow(oml, lit(2.0) * i.cast("double"))))
+    rows
+      .withColumn("z", z)
+      .withColumn("band_raw", band)
+      .select($"e".getField("d").as("day"), $"e".getField("c").as("n_events"),
+        i.as("i"), round($"z", 4).as("ewma"), round($"mu", 4).as("center"),
+        round($"band_raw", 4).as("band"),
+        (round(abs($"z" - $"mu"), 6) > round($"band_raw", 6)).as("flagged"))
+      .orderBy($"day")
+  }
+
+  // ---- single changepoint scan (q259) --------------------------------------
+
+  /** Single changepoint detection in the daily count series via the
+    * standardized CUSUM supremum (binary-segmentation statistic; the
+    * at-most-one-change model): for each split k,
+    * C_k = |S_k − k·S_T/T| / (σ̂·√(k(T−k)/T)), and under H₀ (no change)
+    * sup_k C_k converges to the supremum of a Brownian bridge — whose
+    * tail IS the Kolmogorov distribution, so the p-value reuses q253's
+    * [[Inference.kolmogorovTail]] chain. The RETROSPECTIVE complement to
+    * q193's sequential CUSUM monitor: q193 answers "has it drifted as of
+    * now", this answers "when did it change" over a closed window.
+    *
+    * The numerator is EXACT integer arithmetic per split:
+    * |T·S_k − k·S_T| on long prefix sums over the calendar-bounded day
+    * frame (the q253 integer-supremum discipline — no float ECDF/CUSUM
+    * accumulation); σ̂ (population, from exact integer moments) and ONE
+    * division render each C_k, and the argmax orders by C_k ROUNDED to 6
+    * with the split day as tiebreak, so the selection is engine-stable.
+    */
+  def changepointScan(events: DataFrame): DataFrame = {
+    val daily = events
+      .groupBy(expr(s"ts div $NsPerDay").as("d"))
+      .agg(count(lit(1)).as("c"))
+    val w = Window.orderBy($"d").rowsBetween(Window.unboundedPreceding, 0)
+    val wk = Window.orderBy($"d").rowsBetween(
+      Window.unboundedPreceding, Window.unboundedFollowing)
+    val pre = daily
+      .withColumn("k", count(lit(1)).over(w))
+      .withColumn("sk", sum($"c").over(w))
+      .withColumn("t", count(lit(1)).over(wk))
+      .withColumn("st", sum($"c").over(wk))
+      .withColumn("sst",
+        sum(($"c" * $"c").cast("decimal(38,0)")).over(wk))
+    val sigma = sqrt(($"sst".cast("double")
+      - $"st".cast("double") * $"st" / $"t") / $"t")
+    val num = abs($"t" * $"sk" - $"k" * $"st")
+    val ck = num.cast("double") /
+      (sqrt(($"k" * ($"t" - $"k") * $"t").cast("double")) * sigma)
+    val scored = pre
+      .filter($"k" < $"t")
+      .withColumn("stat_raw", ck)
+      .withColumn("stat", round(ck, 6))
+      .withColumn("rn",
+        row_number().over(Window.orderBy($"stat".desc, $"d")))
+      .filter($"rn" === 1)
+    // means on each side of the split — exact integer sums, one division
+    scored.select(
+      $"d".as("split_day"), $"k".as("n_before"), ($"t" - $"k").as("n_after"),
+      round($"stat_raw", 4).as("cusum_stat"),
+      round($"sk".cast("double") / $"k", 4).as("mean_before"),
+      round(($"st" - $"sk").cast("double") / ($"t" - $"k"), 4)
+        .as("mean_after"),
+      round(Inference.kolmogorovTail($"stat_raw"), 6).as("p_value"))
+  }
+
+  // ---- overdispersion panel (q260) ------------------------------------------
+
+  /** Variance-to-mean dispersion panel per event type — "is per-user
+    * traffic Poisson, or bursty?" asked with the dispersion index
+    * D = s²/x̄ on per-user event counts over the FULL distinct-user
+    * universe (a user with zero events of the type counts — dropping
+    * them biases D up, the classic bug; zero rows contribute nothing to
+    * either integer moment, so the zero-filled frame is implicit in the
+    * algebra). The index test: (n−1)·D ~ χ²_{n−1} under Poisson, rendered
+    * as the Wilson–Hilferty-free normal approximation
+    * z = √(2χ²) − √(2(n−1)−1) (Fisher), good to ~0.01 beyond n ≈ 30.
+    * The panel-level complement to q205's per-gap interarrival KS.
+    *
+    * One corpus scan into per-(type, user) counts, then per-type integer
+    * moments (Σc, Σc² exact — counts are integers); the distinct-user
+    * total broadcasts as one row. Flags compare rounded values.
+    */
+  def overdispersionPanel(events: DataFrame, zCrit: Double = 1.6449): DataFrame = {
+    val perUser = events.groupBy($"event_type", $"user_id")
+      .agg(count(lit(1)).as("c"))
+    val perType = perUser.groupBy($"event_type")
+      .agg(count(lit(1)).as("n_active"), sum($"c").as("s"),
+        sum(($"c" * $"c").cast("decimal(38,0)")).as("ss"))
+    val users = events.agg(countDistinct($"user_id").as("n"))
+    val base = perType.crossJoin(broadcast(users))
+    val mean = $"s".cast("double") / $"n"
+    val varS = ($"ss".cast("double") - $"s".cast("double") * $"s" / $"n") /
+      ($"n" - 1L)
+    val chi2 = ($"n" - 1L).cast("double") * varS / mean
+    val zed = sqrt(lit(2.0) * chi2) -
+      sqrt(lit(2.0) * ($"n" - 1L).cast("double") - lit(1.0))
+    base
+      .withColumn("z_raw",
+        when($"n" > 1L && $"s" > 0L, zed))
+      .select($"event_type", $"n".as("n_users"), $"n_active", $"s".as("n_events"),
+        round(mean, 6).as("mean_per_user"),
+        when($"n" > 1L && $"s" > 0L, round(varS / mean, 4)).as("vmr"),
+        round($"z_raw", 4).as("z_score"),
+        (coalesce(round($"z_raw", 4), lit(0.0)) > lit(zCrit)).as("overdispersed"))
+      .orderBy($"event_type")
+  }
+
+  // ---- Holt linear-trend forecast (q261) -------------------------------------
+
+  /** Holt double-exponential (level + trend) forecast of the daily count
+    * series, scored on the trailing week (Holt 1957; Hyndman & Koehler
+    * 2006 for the MASE yardstick) — the TREND-aware baseline beside
+    * q252's seasonal-naive: a drifting series defeats lag-7, Holt tracks
+    * it. Textbook init l₁ = x₁, b₁ = x₂ − x₁; the recurrence
+    * l_t = α·x_t + (1−α)(l_{t−1}+b_{t−1}), b_t = β(l_t − l_{t−1}) +
+    * (1−β)b_{t−1} folds ONCE over x₂..x_ntr (x₂ IS folded — the init
+    * state is at t = 1; starting the fold at x₃ silently skips one
+    * observation and an exactly-linear series no longer locks, the spec's
+    * canary). State is carried in a struct; the new level appears twice
+    * in the trend line and is recomputed inline identically on both
+    * engines. Forecasts ŷ_{T+h} = l + h·b score
+    * MAE/MASE on the 7 held-out days; MASE scales by the in-sample lag-1
+    * naive MAE (exact integer |Δ| sums).
+    *
+    * Scale shape: one corpus-proportional daily aggregate; the fold is
+    * O(T) over the calendar-bounded array, once (not per day — only the
+    * final state forecasts).
+    */
+  def holtForecastEval(events: DataFrame, alpha: Double = 0.3,
+      beta: Double = 0.1, horizon: Int = 7): DataFrame = {
+    val al = lit(alpha); val oma = lit(1.0 - alpha)
+    val be = lit(beta); val omb = lit(1.0 - beta)
+    val daily = events
+      .groupBy(expr(s"ts div $NsPerDay").as("d"))
+      .agg(count(lit(1)).as("c"))
+    val packed = daily.agg(
+      array_sort(collect_list(struct($"d", $"c"))).as("a"),
+      count(lit(1)).as("t"))
+      .withColumn("cs", transform($"a", e => e.getField("c").cast("double")))
+      .withColumn("ntr", ($"t" - horizon).cast("int"))
+    // struct-element fold (x unused in state, l/b unused in elements) so
+    // the SAME fold types in both engines; new-level recomputed inline
+    def newL(acc: Column, x: Column): Column =
+      al * x.getField("x") + oma * (acc.getField("l") + acc.getField("b"))
+    val init = struct(lit(0.0).as("x"), element_at($"cs", 1).as("l"),
+      (element_at($"cs", 2) - element_at($"cs", 1)).as("b"))
+    val elems = transform(slice($"cs", lit(2), greatest($"ntr" - 1, lit(0))),
+      x => struct(x.as("x"), lit(0.0).as("l"), lit(0.0).as("b")))
+    val folded = aggregate(elems, init, (acc, e) => struct(
+      e.getField("x").as("x"),
+      newL(acc, e).as("l"),
+      (be * (newL(acc, e) - acc.getField("l")) + omb * acc.getField("b"))
+        .as("b")))
+    // in-sample lag-1 naive MAE over the train prefix (exact integer sums)
+    val naive = aggregate(
+      transform(sequence(lit(2), $"ntr"),
+        j => abs(element_at($"cs", j) - element_at($"cs", j - 1))),
+      lit(0.0), (acc, x) => acc + x)
+    // trailing-week absolute errors of ŷ = l + h·b
+    val testAe = aggregate(
+      transform(sequence(lit(1), lit(horizon)),
+        h => abs(element_at($"cs", $"ntr" + h)
+          - ($"lvl" + h.cast("double") * $"trd"))),
+      lit(0.0), (acc, x) => acc + x)
+    packed
+      .filter($"ntr" >= 3)
+      .withColumn("st", folded)
+      .withColumn("lvl", $"st".getField("l"))
+      .withColumn("trd", $"st".getField("b"))
+      .withColumn("sae_naive", naive)
+      .withColumn("sae_test", testAe)
+      .select($"ntr".cast("long").as("n_train"), lit(horizon.toLong).as("n_test"),
+        round($"lvl", 4).as("level"), round($"trd", 4).as("trend"),
+        round($"sae_test" / lit(horizon.toDouble), 4).as("mae_test"),
+        when($"sae_naive" > 0.0,
+          round(($"sae_test" / lit(horizon.toDouble))
+            / ($"sae_naive" / ($"ntr" - 1L).cast("double")), 6)).as("mase"))
+  }
 }

@@ -502,4 +502,125 @@ object Governance {
         s"xhash=${r.getLong(2)}) vs current (n=${r.getLong(3)}, " +
         s"xhash=${r.getLong(4)}) - rebuild before serving")
   }
+
+  // ---- t-closeness (q256) ------------------------------------------------
+
+  /** t-closeness audit (Li, Li & Venkatasubramanian 2007) over the SAME
+    * quasi-identifier frame as q230's l-diversity — QI = (c_nationkey,
+    * c_mktsegment), sensitive attribute = the ordered account-balance
+    * band floor(acctbal/1000). l-diversity counts distinct sensitive
+    * values per class; t-closeness bounds how far the class's sensitive
+    * DISTRIBUTION strays from the corpus-wide one (a class can be
+    * 3-diverse yet 95% concentrated in one band — a skew attack
+    * l-diversity misses). For an ordered attribute the Earth Mover's
+    * Distance has the closed prefix form
+    * EMD = (1/(m−1)) · Σ_i |F_class(i) − F_all(i)| over the m-value
+    * ordered domain — the q254 ECDF-grid machinery repurposed: the sup
+    * becomes a sum, per-prefix terms stay EXACT integers
+    * |F_g(i)·n − F_all(i)·n_g|, and ONE division renders t.
+    *
+    * The grid is |QI classes| × |bands| (dimension-bounded, zero-filled
+    * via the q245 cross-join — a class missing a band still steps the
+    * global ECDF there); the only corpus-proportional stage is the
+    * counting pass. Completes the privacy triple: k-anonymity (q82,
+    * class size), l-diversity (q230, sensitive variety), t-closeness
+    * (distributional skew).
+    */
+  def tClosenessReport(customer: DataFrame, t: Double = 0.2): DataFrame = {
+    val base = customer.select($"c_nationkey", $"c_mktsegment",
+      floor($"c_acctbal" / 1000).cast("long").as("band"))
+    val cells = base.groupBy($"c_nationkey", $"c_mktsegment", $"band")
+      .agg(count(lit(1)).as("c"))
+    val byBand = cells.groupBy($"band").agg(sum($"c").as("tb"))
+    val perQi = cells.groupBy($"c_nationkey", $"c_mktsegment")
+      .agg(sum($"c").as("ng"))
+    val tot = byBand.agg(sum($"tb").as("n"), count(lit(1)).as("m"))
+    val grid = perQi.crossJoin(broadcast(byBand))
+      .join(cells, Seq("c_nationkey", "c_mktsegment", "band"), "left_outer")
+      .select($"c_nationkey", $"c_mktsegment", $"band", $"ng", $"tb",
+        coalesce($"c", lit(0L)).as("c"))
+    val w = Window.partitionBy($"c_nationkey", $"c_mktsegment")
+      .orderBy($"band").rowsBetween(Window.unboundedPreceding, 0)
+    val cum = grid
+      .withColumn("fg", sum($"c").over(w))
+      .withColumn("fa", sum($"tb").over(w))
+      .crossJoin(broadcast(tot))
+    // the m-th (last) prefix difference is identically 0, so summing ALL
+    // prefixes equals the i < m textbook sum; numerators are exact longs
+    val emd = cum.groupBy($"c_nationkey", $"c_mktsegment")
+      .agg(max($"ng").as("n_rows"),
+        sum(abs($"fg" * $"n" - $"fa" * $"ng").cast("decimal(38,0)"))
+          .as("s_num"),
+        max($"n").as("n"), max($"m").as("m"))
+    emd
+      .withColumn("t_emd",
+        round($"s_num".cast("double")
+          / ($"n_rows".cast("double") * $"n" * ($"m" - 1L)), 6))
+      .select($"c_nationkey", $"c_mktsegment", $"n_rows",
+        $"t_emd", ($"t_emd" <= lit(t)).as("t_close"))
+      .orderBy($"c_nationkey", $"c_mktsegment")
+  }
+
+  // ---- declarative constraint audit (q257) ---------------------------------
+
+  /** One-pass declarative data-quality suite (the Great-Expectations /
+    * Deequ shape re-expressed as conditional aggregation): every row
+    * constraint over a table compiles to ONE scan with per-constraint
+    * violation counters — never a scan per constraint, the naive
+    * validator's anti-pattern that turns a 12-rule suite into 12 reads
+    * of 100 TB. Cross-table rules keep their natural shapes: uniqueness
+    * is count−distinct on the key, referential integrity one
+    * broadcastable anti-join probe.
+    *
+    * Output: one row per constraint (name, n_checked, n_violations,
+    * pass) — the audit report a pipeline gates ingests on.
+    */
+  def constraintAudit(lineitem: DataFrame, orders: DataFrame,
+      customer: DataFrame): DataFrame = {
+    def viol(name: String, checked: Column, bad: Column): Column =
+      struct(lit(name).as("constraint"), checked.as("n_checked"),
+        bad.as("n_violations"))
+    // lineitem row rules: one scan, all counters conditional aggregates
+    val li = lineitem.agg(array(
+      viol("lineitem.quantity_in_1_50", count(lit(1)),
+        sum(when($"l_quantity" < 1.0 || $"l_quantity" > 50.0, 1L)
+          .otherwise(0L))),
+      viol("lineitem.extendedprice_positive", count(lit(1)),
+        sum(when(!($"l_extendedprice" > 0.0), 1L).otherwise(0L))),
+      viol("lineitem.returnflag_domain", count(lit(1)),
+        sum(when(!$"l_returnflag".isin("A", "N", "R"), 1L).otherwise(0L))),
+      viol("lineitem.discount_in_0_1", count(lit(1)),
+        sum(when($"l_discount" < 0.0 || $"l_discount" > 1.0, 1L)
+          .otherwise(0L))),
+      viol("lineitem.linekey_unique", count(lit(1)),
+        count(lit(1)) - countDistinct($"l_orderkey", $"l_linenumber"))
+    ).as("cs"))
+    val ord = orders.agg(array(
+      viol("orders.totalprice_positive", count(lit(1)),
+        sum(when(!($"o_totalprice" > 0.0), 1L).otherwise(0L))),
+      viol("orders.orderstatus_domain", count(lit(1)),
+        sum(when(!$"o_orderstatus".isin("F", "O", "P"), 1L).otherwise(0L))),
+      viol("orders.orderdate_not_null", count(lit(1)),
+        sum(when($"o_orderdate".isNull, 1L).otherwise(0L))),
+      viol("orders.orderkey_unique", count(lit(1)),
+        count(lit(1)) - countDistinct($"o_orderkey"))
+    ).as("cs"))
+    // referential integrity: orders.o_custkey → customer.c_custkey; the
+    // dimension side broadcasts (requests-vs-corpus asymmetry)
+    val orphans = orders.join(broadcast(customer.select($"c_custkey")),
+        $"o_custkey" === $"c_custkey", "left_anti")
+      .agg(array(viol("orders.custkey_fk_customer",
+        lit(null).cast("long"), count(lit(1)))).as("cs"))
+    val total = orders.agg(count(lit(1)).as("n_orders"))
+    val fk = orphans.crossJoin(total).select(
+      transform($"cs", c => struct(c.getField("constraint").as("constraint"),
+        $"n_orders".as("n_checked"),
+        c.getField("n_violations").as("n_violations"))).as("cs"))
+    li.union(ord).union(fk)
+      .select(explode($"cs").as("c"))
+      .select($"c.constraint".as("constraint"), $"c.n_checked".as("n_checked"),
+        $"c.n_violations".as("n_violations"),
+        ($"c.n_violations" === 0L).as("pass"))
+      .orderBy($"constraint")
+  }
 }

@@ -426,6 +426,52 @@ object Inference {
     * pseudo-value form (n·θ − (n−1)·θ₋ᵢ) is a rescaling of the same
     * numbers and is left to the caller.
     */
+  // ---- mutual information source ⟂ lang (q262) ----------------------------
+
+  /** Plug-in mutual information between source and lang, with marginal
+    * entropies and the normalized MI = I/√(H_s·H_l) — the EFFECT-SIZE
+    * companion to q245's χ²: χ² answers "is the dependence real", MI
+    * answers "how many bits does knowing the source tell you about the
+    * language" (NMI ∈ [0,1] comparable across corpora of different
+    * catalog sizes). Observed cells only (a zero cell contributes
+    * exactly 0 to Σ p·log₂(p/(p_r·p_c)) — unlike χ², where empty cells
+    * carry expected mass; the asymmetry is why q245 zero-fills and this
+    * does not).
+    *
+    * Every cross-cell sum of double terms is micro-quantized first (the
+    * q245/q248 discipline: order-free exact long addition); log2 is the
+    * only libm call and appears in the IDENTICAL expression text on both
+    * engines. One corpus scan; the term frames are dimension-bounded.
+    */
+  def mutualInformation(documents: DataFrame): DataFrame = {
+    val cells = documents.groupBy($"source", $"lang").agg(count(lit(1)).as("o"))
+    val rows = documents.groupBy($"source").agg(count(lit(1)).as("rt"))
+    val cols = documents.groupBy($"lang").agg(count(lit(1)).as("ct"))
+    val n = documents.agg(count(lit(1)).as("n"))
+    def microSum(term: Column): Column =
+      sum(round(term * lit(1000000.0), 0).cast("long"))
+    // I = Σ (o/n)·log2(o·n/(rt·ct)); H = −Σ (m/n)·log2(m/n)
+    val miQ = cells.join(broadcast(rows), Seq("source"))
+      .join(broadcast(cols), Seq("lang")).crossJoin(broadcast(n))
+      .agg(microSum($"o".cast("double") / $"n" *
+        log2($"o".cast("double") * $"n" / ($"rt".cast("double") * $"ct")))
+        .as("mi6"))
+    def entQ(marg: DataFrame, c: String): DataFrame =
+      marg.crossJoin(broadcast(n))
+        .agg(microSum(-(col(c).cast("double") / $"n" *
+          log2(col(c).cast("double") / $"n"))).as(s"h6_$c"))
+    val joined = miQ.crossJoin(broadcast(entQ(rows, "rt")))
+      .crossJoin(broadcast(entQ(cols, "ct"))).crossJoin(broadcast(n))
+    joined.select($"n",
+      round($"mi6" / lit(1000000.0), 6).as("mi_bits"),
+      round($"h6_rt" / lit(1000000.0), 6).as("h_source"),
+      round($"h6_ct" / lit(1000000.0), 6).as("h_lang"),
+      when($"h6_rt" > 0L && $"h6_ct" > 0L,
+        round($"mi6" / lit(1000000.0) /
+          sqrt(($"h6_rt" / lit(1000000.0)) * ($"h6_ct" / lit(1000000.0))), 6))
+        .as("nmi"))
+  }
+
   def jackknifeInfluence(documents: DataFrame, minChars: Long = 300L): DataFrame = {
     val per = documents.groupBy($"source").agg(
       count(lit(1)).as("ns"), sum($"n_chars").as("ss"),

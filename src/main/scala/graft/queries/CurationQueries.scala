@@ -202,6 +202,10 @@ private[graft] object CurationQueries extends QueryFamily {
         docs.filter(col("doc_id") % 10 === 1), s"$dir/delta")
       Curation.datasheetFromPartials(s, Seq(s"$dir/base", s"$dir/delta"))
     }),
+    // HBOS: per-feature equal-width histogram densities (exact integer
+    // binning), score = sum of -ln(density) — the multivariate
+    // independence-assuming complement to q135's median/MAD rule
+    "q258_hbos_outliers" -> ((s, d) => Curation.hbosOutliers(Tables.documents(s, d))),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1189,5 +1193,34 @@ private[graft] object CurationQueries extends QueryFamily {
          | round(source_q - global_q, 6) AS gap
          |FROM srcd JOIN gd USING (decile)
          |ORDER BY source, decile""".stripMargin,
+    "q258_hbos_outliers" ->
+      // exact integer equal-width bins ((v-min)*B // (max-min+1)), per-bin
+      // densities, score = -ln(px) - ln(py); top-k on the rounded score
+      """WITH feats AS (
+        |  SELECT doc_id, n_chars AS x,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS y
+        |  FROM documents
+        |),
+        |ext AS (
+        |  SELECT min(x) AS x0, max(x) AS x1, min(y) AS y0, max(y) AS y1,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM feats
+        |),
+        |binned AS (
+        |  SELECT doc_id, x, y, n,
+        |    ((x - x0) * 16) // (x1 - x0 + 1) AS bx,
+        |    ((y - y0) * 16) // (y1 - y0 + 1) AS bv
+        |  FROM feats CROSS JOIN ext
+        |),
+        |dx AS (SELECT bx, CAST(count(*) AS BIGINT) AS cx FROM binned GROUP BY 1),
+        |dy AS (SELECT bv, CAST(count(*) AS BIGINT) AS cy FROM binned GROUP BY 1),
+        |scored AS (
+        |  SELECT doc_id, x, y, bx, bv,
+        |    -ln(CAST(cx AS DOUBLE) / n) - ln(CAST(cy AS DOUBLE) / n) AS score
+        |  FROM binned JOIN dx USING (bx) JOIN dy USING (bv)
+        |)
+        |SELECT doc_id, x AS n_chars, y AS n_tokens, bx AS bin_x, bv AS bin_y,
+        |  round(score, 6) AS hbos_score
+        |FROM scored ORDER BY hbos_score DESC, doc_id LIMIT 20""".stripMargin,
   )
 }

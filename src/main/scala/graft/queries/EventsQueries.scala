@@ -111,6 +111,20 @@ private[graft] object EventsQueries extends QueryFamily {
     // always-valid (anytime) A/B p-value via the mixture SPRT: the
     // peeking-proof sequential complement of q192's fixed-horizon z
     "q237_msprt" -> ((s, d) => Events.msprtMonitor(Tables.events(s, d))),
+    // EWMA control chart on daily counts: finite-t variance band, the
+    // drift monitor beside q193's step-shift CUSUM; engine-side prefix
+    // fold over the calendar-bounded day array
+    "q255_ewma_control" -> ((s, d) => Events.ewmaControl(Tables.events(s, d))),
+    // retrospective single changepoint: standardized CUSUM supremum with
+    // exact integer numerators, Brownian-bridge (Kolmogorov) p-value
+    "q259_changepoint" -> ((s, d) => Events.changepointScan(Tables.events(s, d))),
+    // per-type variance-to-mean dispersion vs Poisson over the full
+    // distinct-user universe; Fisher sqrt(2*chi2) normal rendering
+    "q260_overdispersion" -> ((s, d) =>
+      Events.overdispersionPanel(Tables.events(s, d))),
+    // Holt level+trend forecast folded once over the train prefix,
+    // MAE/MASE on the trailing week (the trend-aware q252 baseline)
+    "q261_holt_forecast" -> ((s, d) => Events.holtForecastEval(Tables.events(s, d))),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -988,5 +1002,170 @@ private[graft] object EventsQueries extends QueryFamily {
         |           * power(16.0, -i))) END, 4) AS est_users
         |FROM stats JOIN nd USING (event_type)
         |ORDER BY event_type""".stripMargin,
+    "q255_ewma_control" ->
+      // per-day prefix fold of the identical (0.2·x + 0.8·acc) recurrence
+      // via list_reduce over a μ̂-prepended slice; finite-t band; flags
+      // compare rounded values (last-ulp pow/sqrt wobble can't flip)
+      """WITH daily AS (
+        |  SELECT epoch_ns(ts) // 86400000000000 AS d, CAST(count(*) AS BIGINT) AS c
+        |  FROM events GROUP BY 1
+        |),
+        |packed AS (
+        |  SELECT list(d ORDER BY d) AS ds, list(CAST(c AS DOUBLE) ORDER BY d) AS cs,
+        |    list(c ORDER BY d) AS craw,
+        |    CAST(count(*) AS BIGINT) AS t, CAST(sum(c) AS BIGINT) AS s,
+        |    sum(CAST(c * c AS HUGEINT)) AS ss
+        |  FROM daily
+        |),
+        |par AS (
+        |  SELECT ds, cs, craw, t,
+        |    CAST(s AS DOUBLE) / t AS mu,
+        |    sqrt((CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * s / t) / t) AS sigma
+        |  FROM packed
+        |),
+        |ex AS (
+        |  SELECT unnest(generate_series(1, t)) AS i, ds, cs, craw, mu, sigma
+        |  FROM par
+        |),
+        |ew AS (
+        |  SELECT i, ds[i] AS d, craw[i] AS c, mu, sigma,
+        |    list_reduce(list_prepend(mu, cs[1:i]),
+        |      (x, y) -> 0.2 * y + 0.8 * x) AS z,
+        |    3.0 * sigma * sqrt(CAST(0.2 AS DOUBLE) / (2.0 - CAST(0.2 AS DOUBLE))
+        |      * (1.0 - pow(CAST(0.8 AS DOUBLE), 2.0 * i))) AS band_raw
+        |  FROM ex
+        |)
+        |SELECT d AS day, c AS n_events, CAST(i AS BIGINT) AS i,
+        |  round(z, 4) AS ewma, round(mu, 4) AS center,
+        |  round(band_raw, 4) AS band,
+        |  round(abs(z - mu), 6) > round(band_raw, 6) AS flagged
+        |FROM ew ORDER BY d""".stripMargin,
+    "q259_changepoint" ->
+      // exact integer CUSUM numerators |T·S_k − k·S_T| over the day
+      // frame; argmax on stat rounded to 6 with day tiebreak; Kolmogorov
+      // tail p (sup of a Brownian bridge)
+      s"""WITH daily AS (
+         |  SELECT epoch_ns(ts) // 86400000000000 AS d, CAST(count(*) AS BIGINT) AS c
+         |  FROM events GROUP BY 1
+         |),
+         |pre AS (
+         |  SELECT d, c,
+         |    CAST(row_number() OVER (ORDER BY d) AS BIGINT) AS k,
+         |    CAST(sum(c) OVER (ORDER BY d
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sk,
+         |    CAST(count(*) OVER () AS BIGINT) AS t,
+         |    CAST(sum(c) OVER () AS BIGINT) AS st,
+         |    sum(CAST(c * c AS HUGEINT)) OVER () AS sst
+         |  FROM daily
+         |),
+         |sc AS (
+         |  SELECT pre.*,
+         |    sqrt((CAST(sst AS DOUBLE) - CAST(st AS DOUBLE) * st / t) / t) AS sigma,
+         |    abs(t * sk - k * st) AS num
+         |  FROM pre WHERE k < t
+         |),
+         |st2 AS (
+         |  SELECT sc.*,
+         |    CAST(num AS DOUBLE)
+         |      / (sqrt(CAST(k * (t - k) * t AS DOUBLE)) * sigma) AS stat_raw
+         |  FROM sc
+         |),
+         |rk AS (
+         |  SELECT st2.*,
+         |    row_number() OVER (ORDER BY round(stat_raw, 6) DESC, d) AS rn
+         |  FROM st2
+         |)
+         |SELECT d AS split_day, k AS n_before, t - k AS n_after,
+         |  round(stat_raw, 4) AS cusum_stat,
+         |  round(CAST(sk AS DOUBLE) / k, 4) AS mean_before,
+         |  round(CAST(st - sk AS DOUBLE) / (t - k), 4) AS mean_after,
+         |  round(${OracleHelpers.kolmTailSql("stat_raw", "stat_raw * stat_raw")}, 6)
+         |    AS p_value
+         |FROM rk WHERE rn = 1""".stripMargin,
+    "q260_overdispersion" ->
+      // per-(type, user) counts → exact integer moments; the zero-count
+      // users enter through the distinct-user denominator (they add 0 to
+      // both sums); Fisher sqrt(2·chi2) − sqrt(2(n−1)−1) rendering
+      """WITH pu AS (
+        |  SELECT event_type, user_id, CAST(count(*) AS BIGINT) AS c
+        |  FROM events GROUP BY 1, 2
+        |),
+        |pt AS (
+        |  SELECT event_type, CAST(count(*) AS BIGINT) AS n_active,
+        |    CAST(sum(c) AS BIGINT) AS s, sum(CAST(c * c AS HUGEINT)) AS ss
+        |  FROM pu GROUP BY 1
+        |),
+        |u AS (SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS n FROM events),
+        |fin AS (
+        |  SELECT event_type, n, n_active, s,
+        |    CAST(s AS DOUBLE) / n AS mean,
+        |    (CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * s / n) / (n - 1) AS vr
+        |  FROM pt CROSS JOIN u
+        |),
+        |zt AS (
+        |  SELECT fin.*,
+        |    CASE WHEN n > 1 AND s > 0 THEN
+        |      sqrt(2.0 * (CAST(n - 1 AS DOUBLE) * vr / mean))
+        |        - sqrt(2.0 * CAST(n - 1 AS DOUBLE) - 1.0) END AS z_raw
+        |  FROM fin
+        |)
+        |SELECT event_type, n AS n_users, n_active, s AS n_events,
+        |  round(mean, 6) AS mean_per_user,
+        |  CASE WHEN n > 1 AND s > 0 THEN round(vr / mean, 4) END AS vmr,
+        |  round(z_raw, 4) AS z_score,
+        |  coalesce(round(z_raw, 4), 0.0) > 1.6449 AS overdispersed
+        |FROM zt ORDER BY event_type""".stripMargin,
+    "q261_holt_forecast" ->
+      // the Holt fold as a RECURSIVE CTE (one projection per step, each
+      // field reading the PRIOR row) — NOT list_reduce with a struct
+      // accumulator: DuckDB's list_reduce mutates the accumulator struct
+      // field-by-field from the second step on, so a later field's
+      // struct_extract sees the already-updated level (observed: level
+      // drifts from step 2; the engine's `aggregate` evaluates the merge
+      // functionally). Scalar list_reduce folds (the sae sums) have no
+      // such cross-field hazard and stay. Lag-1 naive MAE scales MASE.
+      """WITH RECURSIVE daily AS (
+        |  SELECT epoch_ns(ts) // 86400000000000 AS d, CAST(count(*) AS BIGINT) AS c
+        |  FROM events GROUP BY 1
+        |),
+        |packed AS (
+        |  SELECT list(CAST(c AS DOUBLE) ORDER BY d) AS cs,
+        |    CAST(count(*) AS BIGINT) AS t
+        |  FROM daily
+        |),
+        |par AS (
+        |  SELECT cs, t, CAST(t - 7 AS INT) AS ntr FROM packed
+        |  WHERE t - 7 >= 3
+        |),
+        |h AS (
+        |  SELECT 1 AS i, cs[1] AS l, cs[2] - cs[1] AS b FROM par
+        |  UNION ALL
+        |  SELECT h.i + 1,
+        |    0.3 * cs[h.i + 1] + 0.7 * (h.l + h.b),
+        |    0.1 * ((0.3 * cs[h.i + 1] + 0.7 * (h.l + h.b)) - h.l) + 0.9 * h.b
+        |  FROM h, par WHERE h.i < ntr
+        |),
+        |fold AS (
+        |  SELECT cs, t, ntr, h.l AS lvl, h.b AS trd
+        |  FROM h, par WHERE h.i = ntr
+        |),
+        |sc AS (
+        |  SELECT t, ntr, lvl, trd,
+        |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |      list_transform(generate_series(2, ntr), j -> abs(cs[j] - cs[j-1]))),
+        |      (x, y) -> x + y) AS sae_naive,
+        |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |      list_transform(generate_series(1, 7),
+        |        h2 -> abs(cs[ntr + h2] - (lvl + h2 * trd)))),
+        |      (x, y) -> x + y) AS sae_test
+        |  FROM fold
+        |)
+        |SELECT CAST(ntr AS BIGINT) AS n_train, CAST(7 AS BIGINT) AS n_test,
+        |  round(lvl, 4) AS level, round(trd, 4) AS trend,
+        |  round(sae_test / 7.0, 4) AS mae_test,
+        |  CASE WHEN sae_naive > 0.0 THEN
+        |    round((sae_test / 7.0) / (sae_naive / CAST(ntr - 1 AS DOUBLE)), 6)
+        |  END AS mase
+        |FROM sc""".stripMargin,
   )
 }

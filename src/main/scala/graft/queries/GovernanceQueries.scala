@@ -80,6 +80,16 @@ private[graft] object GovernanceQueries extends QueryFamily {
         ("ds_grown", s"$dir/partials", docs, Governance.docCanonical),
         ("ds_mutated", s"$dir/partials", mutated, Governance.docCanonical)))
     }),
+    // t-closeness EMD audit on the q230 QI frame: exact-integer prefix
+    // differences over the ordered band domain (completes the
+    // k-anonymity / l-diversity / t-closeness privacy triple)
+    "q256_t_closeness" -> ((s, d) =>
+      Governance.tClosenessReport(Tables.customer(s, d))),
+    // declarative constraint suite: per-table one-scan conditional
+    // aggregation + uniqueness + broadcast FK probe
+    "q257_constraint_audit" -> ((s, d) =>
+      Governance.constraintAudit(Tables.lineitem(s, d), Tables.orders(s, d),
+        Tables.customer(s, d))),
   )
 
   /** The q223 FK-edge list shared by the oracle generator below. */
@@ -325,5 +335,107 @@ private[graft] object GovernanceQueries extends QueryFamily {
         |  (count(*) >= 3) AS l_diverse
         |FROM cells GROUP BY 1, 2
         |ORDER BY 1, 2""".stripMargin,
+    "q256_t_closeness" ->
+      // ordered-attribute EMD as exact-integer prefix differences over
+      // the zero-filled QI x band grid; one double division renders t
+      """WITH base AS (
+        |  SELECT c_nationkey, c_mktsegment,
+        |    CAST(floor(c_acctbal / 1000) AS BIGINT) AS band
+        |  FROM customer
+        |),
+        |cells AS (
+        |  SELECT c_nationkey, c_mktsegment, band, CAST(count(*) AS BIGINT) AS c
+        |  FROM base GROUP BY 1, 2, 3
+        |),
+        |bands AS (SELECT band, CAST(sum(c) AS BIGINT) AS tb FROM cells GROUP BY 1),
+        |qi AS (
+        |  SELECT c_nationkey, c_mktsegment, CAST(sum(c) AS BIGINT) AS ng
+        |  FROM cells GROUP BY 1, 2
+        |),
+        |tot AS (
+        |  SELECT CAST(sum(tb) AS BIGINT) AS n, CAST(count(*) AS BIGINT) AS m
+        |  FROM bands
+        |),
+        |grid AS (
+        |  SELECT q.c_nationkey, q.c_mktsegment, b.band, q.ng, b.tb,
+        |    coalesce(x.c, 0) AS c
+        |  FROM qi q CROSS JOIN bands b
+        |  LEFT JOIN cells x ON x.c_nationkey = q.c_nationkey
+        |    AND x.c_mktsegment = q.c_mktsegment AND x.band = b.band
+        |),
+        |cum AS (
+        |  SELECT c_nationkey, c_mktsegment, ng, t.n, t.m,
+        |    CAST(sum(c) OVER (PARTITION BY c_nationkey, c_mktsegment
+        |      ORDER BY band ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS BIGINT) AS fg,
+        |    CAST(sum(tb) OVER (PARTITION BY c_nationkey, c_mktsegment
+        |      ORDER BY band ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS BIGINT) AS fa
+        |  FROM grid CROSS JOIN tot t
+        |),
+        |emd AS (
+        |  SELECT c_nationkey, c_mktsegment, max(ng) AS n_rows,
+        |    sum(CAST(abs(fg * n - fa * ng) AS HUGEINT)) AS s_num,
+        |    max(n) AS n, max(m) AS m
+        |  FROM cum GROUP BY 1, 2
+        |),
+        |fin AS (
+        |  SELECT c_nationkey, c_mktsegment, n_rows,
+        |    round(CAST(s_num AS DOUBLE)
+        |      / (CAST(n_rows AS DOUBLE) * n * (m - 1)), 6) AS t_emd
+        |  FROM emd
+        |)
+        |SELECT c_nationkey, c_mktsegment, n_rows, t_emd,
+        |  t_emd <= 0.2 AS t_close
+        |FROM fin ORDER BY c_nationkey, c_mktsegment""".stripMargin,
+    "q257_constraint_audit" ->
+      // one aggregate scan per table + uniqueness + NOT EXISTS FK probe;
+      // "constraint" quoted (reserved word)
+      """WITH li AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(CASE WHEN l_quantity < 1.0 OR l_quantity > 50.0
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS v_qty,
+        |    CAST(sum(CASE WHEN NOT (l_extendedprice > 0.0)
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS v_price,
+        |    CAST(sum(CASE WHEN NOT (l_returnflag IN ('A', 'N', 'R'))
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS v_flag,
+        |    CAST(sum(CASE WHEN l_discount < 0.0 OR l_discount > 1.0
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS v_disc,
+        |    CAST(count(*) - count(DISTINCT (l_orderkey, l_linenumber))
+        |      AS BIGINT) AS v_uniq
+        |  FROM lineitem
+        |),
+        |ord AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(CASE WHEN NOT (o_totalprice > 0.0)
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS v_price,
+        |    CAST(sum(CASE WHEN NOT (o_orderstatus IN ('F', 'O', 'P'))
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS v_status,
+        |    CAST(sum(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS v_null,
+        |    CAST(count(*) - count(DISTINCT o_orderkey) AS BIGINT) AS v_uniq
+        |  FROM orders
+        |),
+        |fk AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS v FROM orders
+        |  WHERE NOT EXISTS (SELECT 1 FROM customer WHERE c_custkey = o_custkey)
+        |),
+        |rep AS (
+        |  SELECT 'lineitem.quantity_in_1_50' AS "constraint", n AS n_checked,
+        |    v_qty AS n_violations FROM li
+        |  UNION ALL SELECT 'lineitem.extendedprice_positive', n, v_price FROM li
+        |  UNION ALL SELECT 'lineitem.returnflag_domain', n, v_flag FROM li
+        |  UNION ALL SELECT 'lineitem.discount_in_0_1', n, v_disc FROM li
+        |  UNION ALL SELECT 'lineitem.linekey_unique', n, v_uniq FROM li
+        |  UNION ALL SELECT 'orders.totalprice_positive', n, v_price FROM ord
+        |  UNION ALL SELECT 'orders.orderstatus_domain', n, v_status FROM ord
+        |  UNION ALL SELECT 'orders.orderdate_not_null', n, v_null FROM ord
+        |  UNION ALL SELECT 'orders.orderkey_unique', n, v_uniq FROM ord
+        |  UNION ALL SELECT 'orders.custkey_fk_customer',
+        |    (SELECT n FROM ord), v FROM fk
+        |)
+        |SELECT "constraint", n_checked, n_violations,
+        |  n_violations = 0 AS pass
+        |FROM rep ORDER BY "constraint"""".stripMargin,
   )
 }

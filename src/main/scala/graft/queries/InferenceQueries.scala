@@ -39,7 +39,12 @@ private[graft] object InferenceQueries extends QueryFamily {
     "q253_ks_two_sample" -> ((s, d) =>
       Inference.ksTwoSample(Tables.documents(s, d))),
     // per-source KS drift panel vs pooled rest + BH step-up
-    "q254_ks_panel" -> ((s, d) => Inference.ksPanel(Tables.documents(s, d))))
+    "q254_ks_panel" -> ((s, d) => Inference.ksPanel(Tables.documents(s, d))),
+    // plug-in MI + marginal entropies + NMI: the effect-size companion
+    // to q245's chi2 (micro-quantized cross-cell sums; observed cells
+    // only — zero cells contribute exactly 0 to MI, unlike chi2)
+    "q262_mutual_info" -> ((s, d) =>
+      Inference.mutualInformation(Tables.documents(s, d))))
 
   /** DuckDB text of [[Inference.upperTail]]: 1−Φ(x) for the SQL
     * expression `x` (must be non-negative), Abramowitz–Stegun 26.2.17
@@ -53,18 +58,11 @@ private[graft] object InferenceQueries extends QueryFamily {
        |   + -0.356563782) * (1.0 / (1.0 + 0.2316419 * ($x)))
        |   + 0.319381530) * (1.0 / (1.0 + 0.2316419 * ($x)))))""".stripMargin
 
-  /** DuckDB text of [[Inference.kolmogorovTail]]: the 8-term chain with
-    * the λ < 0.3 pin (below it the truncation misconverges; the true
-    * tail there exceeds 0.999). `l2` must be an expression for λ².
+  /** DuckDB text of [[Inference.kolmogorovTail]] — shared with the
+    * q259 changepoint oracle, so it lives in [[OracleHelpers]].
     */
   private def kolmTailSql(lam: String, l2: String): String =
-    s"""(CASE WHEN ($lam) < 0.3 THEN 1.0
-       |  ELSE greatest(least(
-       |    2.0 * (exp(-2.0 * ($l2)) - exp(-8.0 * ($l2))
-       |      + exp(-18.0 * ($l2)) - exp(-32.0 * ($l2))
-       |      + exp(-50.0 * ($l2)) - exp(-72.0 * ($l2))
-       |      + exp(-98.0 * ($l2)) - exp(-128.0 * ($l2))), 1.0), 0.0)
-       |  END)""".stripMargin
+    OracleHelpers.kolmTailSql(lam, l2)
 
   def oracleSql: Map[String, String] = Map(
     "q245_chi2_independence" ->
@@ -505,5 +503,41 @@ private[graft] object InferenceQueries extends QueryFamily {
          |SELECT source, ns AS n_docs, d_num, round(d_raw, 6) AS d_stat,
          |  p_value, p_rank,
          |  p_rank <= coalesce(kstar, 0) AS significant
-         |FROM kst ORDER BY source""".stripMargin)
+         |FROM kst ORDER BY source""".stripMargin,
+    "q262_mutual_info" ->
+      // per-cell MI terms and per-margin entropy terms micro-quantized
+      // to longs before their cross-cell sums (order-free); log2 is the
+      // only libm call, identical expression text both engines
+      """WITH cells AS (
+        |  SELECT source, lang, CAST(count(*) AS BIGINT) AS o
+        |  FROM documents GROUP BY 1, 2
+        |),
+        |rws AS (SELECT source, CAST(count(*) AS BIGINT) AS rt FROM documents GROUP BY 1),
+        |cls AS (SELECT lang, CAST(count(*) AS BIGINT) AS ct FROM documents GROUP BY 1),
+        |tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+        |mi AS (
+        |  SELECT sum(CAST(round(CAST(o AS DOUBLE) / n
+        |      * log2(CAST(o AS DOUBLE) * n / (CAST(rt AS DOUBLE) * ct))
+        |      * 1000000.0, 0) AS BIGINT)) AS mi6
+        |  FROM cells JOIN rws USING (source) JOIN cls USING (lang)
+        |  CROSS JOIN tot
+        |),
+        |hs AS (
+        |  SELECT sum(CAST(round(-(CAST(rt AS DOUBLE) / n
+        |      * log2(CAST(rt AS DOUBLE) / n)) * 1000000.0, 0) AS BIGINT)) AS h6_rt
+        |  FROM rws CROSS JOIN tot
+        |),
+        |hl AS (
+        |  SELECT sum(CAST(round(-(CAST(ct AS DOUBLE) / n
+        |      * log2(CAST(ct AS DOUBLE) / n)) * 1000000.0, 0) AS BIGINT)) AS h6_ct
+        |  FROM cls CROSS JOIN tot
+        |)
+        |SELECT n, round(mi6 / 1000000.0, 6) AS mi_bits,
+        |  round(h6_rt / 1000000.0, 6) AS h_source,
+        |  round(h6_ct / 1000000.0, 6) AS h_lang,
+        |  CASE WHEN h6_rt > 0 AND h6_ct > 0 THEN
+        |    round(mi6 / 1000000.0
+        |      / sqrt((h6_rt / 1000000.0) * (h6_ct / 1000000.0)), 6)
+        |  END AS nmi
+        |FROM mi CROSS JOIN hs CROSS JOIN hl CROSS JOIN tot""".stripMargin)
 }

@@ -606,5 +606,21 @@ private[graft] object OracleHelpers {
     s"[$joined for i in range(1, greatest(len(ws) - ${n - 1}, 0) + 1)]"
   }
 
+  /** DuckDB text of `Inference.kolmogorovTail`: the 8-term alternating
+    * exp chain with the λ < 0.3 pin (below it the truncation
+    * misconverges; the true tail there exceeds 0.999). `l2` must be an
+    * expression for λ². Shared by the q253/q254 KS oracles and the q259
+    * changepoint oracle (sup of a Brownian bridge has the Kolmogorov
+    * tail).
+    */
+  def kolmTailSql(lam: String, l2: String): String =
+    s"""(CASE WHEN ($lam) < 0.3 THEN 1.0
+       |  ELSE greatest(least(
+       |    2.0 * (exp(-2.0 * ($l2)) - exp(-8.0 * ($l2))
+       |      + exp(-18.0 * ($l2)) - exp(-32.0 * ($l2))
+       |      + exp(-50.0 * ($l2)) - exp(-72.0 * ($l2))
+       |      + exp(-98.0 * ($l2)) - exp(-128.0 * ($l2))), 1.0), 0.0)
+       |  END)""".stripMargin
+
   // ---- oracles ---------------------------------------------------------
 }

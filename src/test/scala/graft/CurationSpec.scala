@@ -1359,4 +1359,41 @@ class CurationSpec extends GraftSuite {
       assert(q02 <= q01, s"class $y threshold must tighten with alpha")
     }
   }
+
+  test("hbosOutliers equals the brute-force histogram scoring; a planted extreme doc ranks first (q258)") {
+    val rows = docs.select("doc_id", "n_chars", "text").collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        r.getString(2).split(" ", -1).length.toLong))
+    val n = rows.length.toLong
+    val (x0, x1) = (rows.map(_._2).min, rows.map(_._2).max)
+    val (y0, y1) = (rows.map(_._3).min, rows.map(_._3).max)
+    def bin(v: Long, lo: Long, hi: Long): Long = (v - lo) * 16 / (hi - lo + 1)
+    val binned = rows.map { case (id, x, y) =>
+      (id, x, y, bin(x, x0, x1), bin(y, y0, y1))
+    }
+    val dx = binned.groupBy(_._4).view.mapValues(_.length.toLong).toMap
+    val dy = binned.groupBy(_._5).view.mapValues(_.length.toLong).toMap
+    def roundN(v: Double, k: Int): Double =
+      BigDecimal(v).setScale(k, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val exp = binned.map { case (id, x, y, bx, by) =>
+      (id, x, y, bx, by,
+        roundN(-math.log(dx(bx).toDouble / n) - math.log(dy(by).toDouble / n), 6))
+    }.sortBy(e => (-e._6, e._1)).take(20)
+    val got = Curation.hbosOutliers(docs).collect()
+      .map(g => (g.getLong(0), g.getLong(1), g.getLong(2), g.getLong(3),
+        g.getLong(4), g.getDouble(5)))
+    assert(got.toSeq == exp.toSeq)
+    // every bin index the operator emitted is in [0, 15] (the exact
+    // integer binning can't step outside the histogram)
+    assert(got.forall(g => g._4 >= 0 && g._4 <= 15 && g._5 >= 0 && g._5 <= 15))
+    // planted: one doc 100x longer than a tight cluster owns a thin bin
+    // on BOTH features and must take rank 1
+    import spark.implicits._
+    val synth = ((1 to 200).map { i =>
+      (i.toLong, Seq.fill(10 + i % 3)("w").mkString(" "), 100L + i % 10)
+    } :+ ((999L, Seq.fill(900)("w").mkString(" "), 10000L)))
+      .toDF("doc_id", "text", "n_chars")
+    val top = Curation.hbosOutliers(synth).collect()(0)
+    assert(top.getLong(0) == 999L)
+  }
 }

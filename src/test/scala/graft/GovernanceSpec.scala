@@ -360,4 +360,83 @@ class GovernanceSpec extends GraftSuite {
     // hidden _fingerprint dir (underscore paths are invisible to reads)
     assert(Curation.datasheetFromPartials(spark, Seq(s"$tmp/p")).count() > 0)
   }
+
+  test("tClosenessReport equals the brute-force prefix EMD; a concentrated class maximizes (q256)") {
+    val cust = Tables.customer(spark, sf)
+    val rows = cust.select("c_nationkey", "c_mktsegment", "c_acctbal")
+      .collect().map(r => ((r.getAs[Number](0).longValue, r.getString(1)),
+        math.floor(r.getDouble(2) / 1000).toLong))
+    val n = rows.length.toLong
+    val bands = rows.map(_._2).distinct.sorted
+    val m = bands.length.toLong
+    val tb = rows.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    val got = Governance.tClosenessReport(cust).collect()
+    val byQi = rows.groupBy(_._1)
+    assert(got.length == byQi.size)
+    got.foreach { g =>
+      val qi = (g.getAs[Number](0).longValue, g.getString(1))
+      val grp = byQi(qi)
+      val ng = grp.length.toLong
+      val gb = grp.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+      var fg = 0L; var fa = 0L
+      val sNum = bands.map { b =>
+        fg += gb.getOrElse(b, 0L); fa += tb(b)
+        math.abs(fg * n - fa * ng)
+      }.sum
+      val t = sNum.toDouble / (ng.toDouble * n * (m - 1))
+      assert(g.getLong(2) == ng)
+      assert(g.getDouble(3) == BigDecimal(t).setScale(6,
+        BigDecimal.RoundingMode.HALF_UP).toDouble)
+      assert(g.getBoolean(4) == (g.getDouble(3) <= 0.2))
+      assert(g.getDouble(3) >= 0.0 && g.getDouble(3) <= 1.0)
+    }
+    // constructed contrast: against a dominant uniform bulk, the class
+    // pinned to one extreme band is farther from the global mix than a
+    // class that mirrors the bulk (two classes alone would deviate
+    // symmetrically and tie)
+    import spark.implicits._
+    val synth = ((1 to 80).map(i => (0L, "BULK", (i % 4) * 1000.0 + 10.0))
+      ++ (1 to 40).map(i => (1L, "MIRROR", (i % 4) * 1000.0 + 10.0))
+      ++ (1 to 40).map(_ => (2L, "PINNED", 10.0)))
+      .toDF("c_nationkey", "c_mktsegment", "c_acctbal")
+    val tmap = Governance.tClosenessReport(synth).collect()
+      .map(r => (r.getString(1), r.getDouble(3))).toMap
+    assert(tmap("PINNED") > tmap("MIRROR"))
+    assert(tmap("PINNED") == 0.375 && tmap("MIRROR") == 0.125)
+  }
+
+  test("constraintAudit passes the clean fixture and counts injected violations exactly (q257)") {
+    import org.apache.spark.sql.functions.{lit => flit}
+    val li = Tables.lineitem(spark, sf)
+    val ord = Tables.orders(spark, sf)
+    val cust = Tables.customer(spark, sf)
+    val clean = Governance.constraintAudit(li, ord, cust).collect()
+    assert(clean.length == 10)
+    // the fixture genuinely violates exactly one rule: (l_orderkey,
+    // l_linenumber) is NOT a unique key in the generated lineitem — the
+    // audit must report it (with the exact dup mass) and pass the rest
+    val baseDup = li.count() -
+      li.select("l_orderkey", "l_linenumber").distinct().count()
+    assert(baseDup > 0L)
+    clean.foreach { r =>
+      if (r.getString(0) == "lineitem.linekey_unique")
+        assert((r.getLong(2), r.getBoolean(3)) == ((baseDup, false)))
+      else assert((r.getLong(2), r.getBoolean(3)) == ((0L, true)),
+        s"rule ${r.getString(0)} must pass the fixture")
+    }
+    // inject: 2 out-of-range quantities (their copied keys also collide),
+    // 1 verbatim duplicate row, 1 orphan order — each lands in exactly
+    // its own counter
+    val badLi = li.union(li.limit(2).withColumn("l_quantity", flit(999.0)))
+      .union(li.limit(1))
+    val badOrd = ord.union(ord.limit(1).withColumn("o_custkey", flit(-1L)))
+    val audited = Governance.constraintAudit(badLi, badOrd, cust).collect()
+      .map(r => r.getString(0) -> ((r.getLong(2), r.getBoolean(3)))).toMap
+    assert(audited("lineitem.quantity_in_1_50") == ((2L, false)))
+    assert(audited("lineitem.linekey_unique") == ((baseDup + 3L, false)))
+    assert(audited("orders.custkey_fk_customer") == ((1L, false)))
+    assert(audited("orders.orderkey_unique") == ((1L, false)))
+    assert(audited("lineitem.returnflag_domain")._2 &&
+      audited("orders.orderstatus_domain")._2)
+  }
 }

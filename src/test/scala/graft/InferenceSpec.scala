@@ -393,4 +393,170 @@ class InferenceSpec extends GraftSuite {
     val loo = (s - grp.map(_._2).sum).toDouble / (n - grp.length)
     assert(math.abs((loo + g0.getDouble(2)) - s.toDouble / n) < 1e-3)
   }
+
+  private val NsDay = 86400L * 1000000000L
+
+  /** (day, count) ascending from the fixture events. */
+  private def dailyCounts: Seq[(Long, Long)] =
+    events.select("ts").collect().map(_.getLong(0) / NsDay)
+      .groupBy(identity).view.mapValues(_.length.toLong)
+      .toSeq.sortBy(_._1)
+
+  test("ewmaControl equals the brute-force fold; planted drift flags late days only (q255)") {
+    val daily = dailyCounts
+    val cs = daily.map(_._2.toDouble)
+    val t = daily.length.toLong
+    val s = daily.map(_._2).sum
+    val ss = daily.map(c => c._2 * c._2).sum
+    val mu = s.toDouble / t
+    val sigma = math.sqrt((ss.toDouble - s.toDouble * s / t) / t)
+    var acc = mu
+    val exp = daily.zipWithIndex.map { case ((d, c), p) =>
+      val i = p + 1
+      acc = 0.2 * cs(p) + 0.8 * acc
+      val band = 3.0 * sigma * math.sqrt(0.2 / (2.0 - 0.2)
+        * (1.0 - math.pow(0.8, 2.0 * i)))
+      (d, c, i.toLong, roundN(acc, 4), roundN(mu, 4), roundN(band, 4),
+        roundN(math.abs(acc - mu), 6) > roundN(band, 6))
+    }
+    val got = Events.ewmaControl(events).collect()
+    assert(got.length == exp.length)
+    got.zip(exp).foreach { case (g, e) =>
+      assert((g.getLong(0), g.getLong(1), g.getLong(2), g.getDouble(3),
+        g.getDouble(4), g.getDouble(5), g.getBoolean(6)) == e)
+    }
+    // planted drift: 20 flat days then a +100 step — the chart must stay
+    // quiet through the flat prefix and alarm within the drifted tail
+    import spark.implicits._
+    val synth = (1 to 30).map(d => (d.toLong, if (d <= 20) 100L else 200L))
+      .toDF("d", "c")
+    val rows = graft.operators.Events.ewmaFromDailyCounts(synth, 0.2, 3.0)
+      .collect().map(r => (r.getLong(0), r.getBoolean(6)))
+    assert(rows.filter(_._1 <= 20L).forall(!_._2), "no flag before the step")
+    assert(rows.exists(r => r._1 > 20L && r._2), "the drifted tail must alarm")
+  }
+
+  test("changepointScan equals the brute-force argmax; planted step is localized (q259)") {
+    val daily = dailyCounts
+    val t = daily.length.toLong
+    val st = daily.map(_._2).sum
+    val sst = daily.map(c => c._2 * c._2).sum
+    val sigma = math.sqrt((sst.toDouble - st.toDouble * st / t) / t)
+    var sk = 0L
+    val cands = daily.zipWithIndex.dropRight(1).map { case ((d, c), p) =>
+      sk += c
+      val k = p + 1L
+      val num = math.abs(t * sk - k * st)
+      val ck = num.toDouble / (math.sqrt((k * (t - k) * t).toDouble) * sigma)
+      (d, k, ck, sk)
+    }
+    val best = cands.maxBy(c => (roundN(c._3, 6), -c._1))
+    val g = Events.changepointScan(events).collect()(0)
+    assert(g.getLong(0) == best._1 && g.getLong(1) == best._2)
+    assert(g.getDouble(3) == roundN(best._3, 4))
+    assert(g.getDouble(4) == roundN(best._4.toDouble / best._2, 4))
+    assert(g.getDouble(5) ==
+      roundN((st - best._4).toDouble / (t - best._2), 4))
+    // planted step: 20 days at 100/day then 10 at 200/day — the scan
+    // must split exactly at the boundary with a vanishing p
+    import spark.implicits._
+    val ts = (for (d <- 0 until 30; j <- 0 until (if (d < 20) 100 else 200))
+      yield d * NsDay + j).toDF("ts")
+    val r = Events.changepointScan(ts).collect()(0)
+    assert(r.getLong(0) == 19L, "split day = last pre-change day")
+    assert(r.getDouble(6) < 0.001, "planted step must reject")
+    assert(r.getDouble(4) == 100.0 && r.getDouble(5) == 200.0)
+  }
+
+  test("overdispersionPanel equals brute-force moments; bursty frame flags (q260)") {
+    val rows = events.select("event_type", "user_id").collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    val n = rows.map(_._2).distinct.length.toLong
+    val byType = rows.groupBy(_._1).view.mapValues(
+      _.groupBy(_._2).values.map(_.length.toLong).toSeq).toMap
+    val got = Events.overdispersionPanel(events).collect()
+    assert(got.length == byType.size)
+    got.foreach { g =>
+      val cs = byType(g.getString(0))
+      val s = cs.sum; val ss = cs.map(c => c * c).sum
+      val mean = s.toDouble / n
+      val vr = (ss.toDouble - s.toDouble * s / n) / (n - 1)
+      val z = math.sqrt(2.0 * ((n - 1).toDouble * vr / mean)) -
+        math.sqrt(2.0 * (n - 1).toDouble - 1.0)
+      assert(g.getLong(1) == n && g.getLong(2) == cs.length.toLong
+        && g.getLong(3) == s)
+      assert(g.getDouble(4) == roundN(mean, 6))
+      assert(g.getDouble(5) == roundN(vr / mean, 4))
+      assert(g.getDouble(6) == roundN(z, 4))
+      assert(g.getBoolean(7) == (roundN(z, 4) > 1.6449))
+    }
+    // constructed contrast on one user universe: a type where every user
+    // fires once (underdispersed) vs one where a single user holds the
+    // burst — only the burst flags
+    import spark.implicits._
+    val flat = (1 to 100).map(u => ("steady", u.toLong))
+    val burst = (1 to 99).map(u => ("bursty", u.toLong)) ++
+      Seq.fill(100)(("bursty", 100L))
+    val panel = Events.overdispersionPanel((flat ++ burst)
+      .toDF("event_type", "user_id")).collect()
+      .map(r => (r.getString(0), r.getBoolean(7))).toMap
+    assert(panel("bursty") && !panel("steady"))
+  }
+
+  test("holtForecastEval equals the brute-force fold; exact-linear series recovered (q261)") {
+    val daily = dailyCounts
+    val cs = daily.map(_._2.toDouble)
+    val ntr = cs.length - 7
+    var l = cs(0); var b = cs(1) - cs(0)
+    (1 until ntr).foreach { p =>
+      val nl = 0.3 * cs(p) + 0.7 * (l + b)
+      b = 0.1 * (nl - l) + 0.9 * b
+      l = nl
+    }
+    val saeNaive = (1 until ntr).map(p => math.abs(cs(p) - cs(p - 1))).sum
+    val saeTest = (1 to 7).map(h => math.abs(cs(ntr - 1 + h) - (l + h * b))).sum
+    val g = Events.holtForecastEval(events).collect()(0)
+    assert(g.getLong(0) == ntr.toLong && g.getLong(1) == 7L)
+    assert(g.getDouble(2) == roundN(l, 4) && g.getDouble(3) == roundN(b, 4))
+    assert(g.getDouble(4) == roundN(saeTest / 7.0, 4))
+    assert(g.getDouble(5) == roundN((saeTest / 7.0) / (saeNaive / (ntr - 1)), 6))
+    // exact linear series: Holt locks on (l_t = x_t, b = slope) and
+    // forecasts the held-out week perfectly
+    import spark.implicits._
+    val ts = (for (d <- 0 until 30; j <- 0 until (10 + 3 * d))
+      yield d * NsDay + j).toDF("ts")
+    val r = Events.holtForecastEval(ts).collect()(0)
+    assert(r.getDouble(3) == 3.0 && r.getDouble(4) == 0.0 && r.getDouble(5) == 0.0)
+  }
+
+  test("mutualInformation equals brute force; bijective map saturates NMI, proportional grid zeroes MI (q262)") {
+    val rows = docs.select("source", "lang").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val n = rows.length.toLong
+    val o = rows.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val rt = rows.groupBy(_._1).view.mapValues(_.length.toLong).toMap
+    val ct = rows.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    def log2(x: Double) = math.log(x) / math.log(2.0)
+    val mi6 = o.map { case ((s, l), c) =>
+      math.round(c.toDouble / n * log2(c.toDouble * n / (rt(s).toDouble * ct(l)))
+        * 1000000.0)
+    }.sum
+    def h6(m: Map[String, Long]) = m.values.map(c =>
+      math.round(-(c.toDouble / n * log2(c.toDouble / n)) * 1000000.0)).sum
+    val g = Inference.mutualInformation(docs).collect()(0)
+    assert(g.getLong(0) == n)
+    assert(g.getDouble(1) == roundN(mi6 / 1000000.0, 6))
+    assert(g.getDouble(2) == roundN(h6(rt) / 1000000.0, 6))
+    assert(g.getDouble(3) == roundN(h6(ct) / 1000000.0, 6))
+    import spark.implicits._
+    // lang a bijection of source → I = H(source) = H(lang) → NMI = 1
+    val bij = (1 to 4).flatMap(i => Seq.fill(10)((s"s$i", s"l$i")))
+      .toDF("source", "lang")
+    assert(Inference.mutualInformation(bij).collect()(0).getDouble(4) >= 0.9999)
+    // exactly proportional cells → every MI term is 0 bits
+    val prop = (Seq.fill(10)(("a", "en")) ++ Seq.fill(10)(("a", "de"))
+      ++ Seq.fill(20)(("b", "en")) ++ Seq.fill(20)(("b", "de")))
+      .toDF("source", "lang")
+    assert(Inference.mutualInformation(prop).collect()(0).getDouble(1) == 0.0)
+  }
 }

@@ -193,7 +193,16 @@ object ProfileScale {
       // n_chars is copied unchanged per replica, so the doubled-rank
       // frame is constant-size while per-value counts grow ×REPL) and
       // the per-user change-score moment frame (users grow ×REPL)
-      "q248_kruskal_wallis", "q250_did").filterNot(skip)
+      "q248_kruskal_wallis", "q250_did",
+      // round-11-continuation shapes: the calendar-bounded prefix-fold
+      // chart (daily agg grows ×REPL, the fold frame does NOT — day
+      // count is fixed), the per-(type,user) dispersion moments (users
+      // grow ×REPL), the QI×band EMD grid on the inflated customer, the
+      // two-histogram HBOS join, and the MI micro-quant grid. NOT here:
+      // q257 reads lineitem/orders (not inflated; its shape is the
+      // q221-class one-scan conditional aggregate + broadcast anti-join)
+      "q255_ewma_control", "q260_overdispersion", "q256_t_closeness",
+      "q258_hbos_outliers", "q262_mutual_info").filterNot(skip)
     carriers.foreach { name =>
       time(s"x$repl ${name}") {
         SparkEntry.queries(name)(spark, outDir)

@@ -1123,4 +1123,35 @@ class StreamingSpec extends GraftSuite {
     assert(ds.head(3).asInstanceOf[Double] == 1.0, "shifted ECDFs separate: D = 1")
     assert(ds.head(4).asInstanceOf[Double] < 1e-4, s"drift p should reject: ${ds.head(4)}")
   }
+
+  test("ewma control chart: streamed per-day counts finish to the exact batch chart (q255 twin)") {
+    import graft.operators.Events
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val ev = Tables.events(spark, sf)
+    // the EWMA state IS the per-day count frame cusumMomentStream already
+    // maintains by pure addition — no new stream operator, the
+    // datasheet/KMV reuse pattern: stream the counts, finish through the
+    // identical ewmaFromDailyCounts the batch chart uses
+    val raw = ev.select($"ts".cast("long"), $"value")
+      .as[EventStreams.CusumEvent].collect().toSeq
+    val input = MemoryStream[EventStreams.CusumEvent]
+    val q = EventStreams.cusumMomentStream(input.toDS())
+      .writeStream.outputMode("update").format("memory").queryName("ewma_days")
+      .start()
+    val splits = Seq(raw.take(raw.length / 6),
+      raw.slice(raw.length / 6, raw.length / 2), raw.drop(raw.length / 2))
+    splits.foreach { s => input.addData(s.toIndexedSeq); q.processAllAvailable() }
+    val state = spark.table("ewma_days").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).zipWithIndex
+      .groupBy(_._1._1).view.mapValues(g => g.maxBy(_._2)._1._2).toMap
+    q.stop()
+    val served = Events.ewmaFromDailyCounts(
+      state.toSeq.map { case (dayEpoch, c) => (dayEpoch / 86400L, c) }
+        .toDF("d", "c"), 0.2, 3.0)
+      .collect().map(_.toSeq).toSeq
+    val batch = Events.ewmaControl(ev).collect().map(_.toSeq).toSeq
+    assert(served === batch,
+      "finishing the streamed day counts must equal the batch EWMA chart")
+  }
 }

@@ -1530,7 +1530,18 @@ object Curation {
     * a bucket-sized rollup.
     */
   def classifierCalibration(documents: DataFrame, targetLang: String = "en",
-      buckets: Int = 64, rounds: Int = 4, lr: Double = 0.0009765625): DataFrame = {
+      buckets: Int = 64, rounds: Int = 4, lr: Double = 0.0009765625): DataFrame =
+    marginBuckets(documents, targetLang, buckets, rounds, lr)
+      .select($"mbucket", $"n_docs", $"n_pos",
+        round($"n_pos" / $"n_docs", 6).as("pos_rate"))
+      .orderBy($"mbucket")
+
+  /** The (mbucket, n_docs, n_pos) reliability frame behind q160 — split
+    * out so q263's isotonic fit rides the identical scoring pass (and
+    * the session weight/feature caches) instead of re-deriving it.
+    */
+  private[graft] def marginBuckets(documents: DataFrame, targetLang: String,
+      buckets: Int, rounds: Int, lr: Double): DataFrame = {
     val spark = documents.sparkSession
     val (fx, w) = trainQualityWeights(documents, targetLang, buckets, rounds, lr)
     val labels = documents.select($"doc_id",
@@ -1543,8 +1554,53 @@ object Curation {
           (length(bin(abs($"zm") + 1)) - 1)).as("mbucket"))
       .groupBy($"mbucket")
       .agg(count(lit(1)).as("n_docs"), sum($"y").as("n_pos"))
+  }
+
+  /** Isotonic (monotone) calibration of the q160 reliability curve via
+    * the MINIMAX characterization of the weighted PAV fit (q263;
+    * Ayer et al. 1955; Zadrozny & Elkan 2002 for the calibration use):
+    * fit(i) = max_{j≤i} min_{k≥i} mean(pos, weights over buckets j..k),
+    * which equals pool-adjacent-violators exactly — and because every
+    * candidate mean is ONE integer/integer division ((cp_k − cp_{j−1}) /
+    * (cn_k − cn_{j−1}) from exact prefix sums), the minimax and a PAV
+    * stack implementation divide the SAME two integers and agree
+    * bit-for-bit (the spec's law). q160 DIAGNOSES miscalibration; this
+    * is the repair that turns the margin into a usable probability
+    * while provably preserving the score's ranking (monotone map).
+    *
+    * Scale shape: the corpus-proportional work is q160's one scoring
+    * pass; the minimax grid is B² rows and the windows partition by j —
+    * all on the BUCKET frame (B ≤ 2·log₂(max |margin|) ≈ a few dozen at
+    * any corpus size, since the margin is an integer micro-unit sum).
+    * The j ≤ k pair join is a broadcast nested loop over that bounded
+    * frame — the quadratic lives entirely in dimension space, the
+    * classic O(n²)-sequential-PAV made distribution-safe.
+    */
+  def isotonicCalibration(documents: DataFrame, targetLang: String = "en",
+      buckets: Int = 64, rounds: Int = 4, lr: Double = 0.0009765625): DataFrame = {
+    val b = marginBuckets(documents, targetLang, buckets, rounds, lr)
+    val wOrd = Window.orderBy($"mbucket")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val cum = b
+      .withColumn("i", row_number().over(Window.orderBy($"mbucket")))
+      .withColumn("cn", sum($"n_docs").over(wOrd))
+      .withColumn("cp", sum($"n_pos").over(wOrd))
+      .localCheckpoint() // B rows; both sides of the bounded pair join
+    val pairs = cum
+      .select($"i".as("j"), ($"cn" - $"n_docs").as("cn0"),
+        ($"cp" - $"n_pos").as("cp0"))
+      .join(cum.select($"i".as("k"), $"cn".as("cnk"), $"cp".as("cpk")),
+        $"j" <= $"k")
+      .withColumn("m",
+        ($"cpk" - $"cp0").cast("double") / ($"cnk" - $"cn0"))
+    val sm = pairs.withColumn("sm",
+      min($"m").over(Window.partitionBy($"j").orderBy($"k".desc)
+        .rowsBetween(Window.unboundedPreceding, 0)))
+    val iso = sm.groupBy($"k").agg(max($"sm").as("iso_raw"))
+    cum.join(iso, $"i" === $"k")
       .select($"mbucket", $"n_docs", $"n_pos",
-        round($"n_pos" / $"n_docs", 6).as("pos_rate"))
+        round($"n_pos" / $"n_docs", 6).as("pos_rate"),
+        round($"iso_raw", 6).as("iso_rate"))
       .orderBy($"mbucket")
   }
 

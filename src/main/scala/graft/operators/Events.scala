@@ -1691,6 +1691,68 @@ object Events {
       .orderBy($"event_type")
   }
 
+  // ---- Cochran–Mantel–Haenszel stratified test (q264) ------------------------
+
+  /** Cochran–Mantel–Haenszel test of arm × conversion association
+    * STRATIFIED by user activity (Mantel & Haenszel 1959) — the
+    * confounder-robust companion to q192/q250: heavy users both convert
+    * more and dominate any naive pooled 2×2, so a pooled test can
+    * manufacture (or mask) an effect that vanishes within every
+    * activity stratum (Simpson's reversal); CMH combines the per-stratum
+    * evidence instead. Strata = floor(log₂(events per user)) — the q160
+    * exact `bin()` bucket, no float log; arm = the q192 md5 coin;
+    * conversion = the user fired ≥ 1 purchase.
+    *
+    * Per stratum k: a_k (arm-0 converters) has E[a_k] = n1_k·m1_k/N_k
+    * and Var = n1_k·n2_k·m1_k·(N_k−m1_k)/(N_k²·(N_k−1)) under the
+    * margins-fixed null; z = Σ(a_k−E_k)/√(ΣV_k). The E and V doubles
+    * are micro-quantized per stratum before the cross-stratum sums (the
+    * q245 discipline). Output: one row per stratum (its own 2×2 and
+    * conversion gap) with the pooled z/χ² on every row — the grid
+    * convention. One corpus scan into per-user rows, then a
+    * strata-bounded rollup; degenerate strata (N_k < 2 or empty margin)
+    * contribute zero to both sums, loudly visible as NULL per-stratum
+    * columns rather than silently skewing the pool.
+    */
+  def cmhStratified(events: DataFrame, metricType: String = "purchase"): DataFrame = {
+    val perUser = events.groupBy($"user_id").agg(
+      count(lit(1)).as("c"),
+      sum(when($"event_type" === metricType, 1L).otherwise(0L)).as("np"))
+    val rows = perUser.select(
+      (length(bin($"c")) - 1).cast("long").as("stratum"),
+      Scale.md5SlicePos($"user_id", 0, 2).as("arm"),
+      when($"np" > 0L, 1L).otherwise(0L).as("conv"))
+    val per = rows.groupBy($"stratum").agg(
+      sum(when($"arm" === 0L, 1L).otherwise(0L)).as("n1"),
+      sum(when($"arm" === 1L, 1L).otherwise(0L)).as("n2"),
+      sum(when($"arm" === 0L, $"conv").otherwise(0L)).as("a"),
+      sum($"conv").as("m1"))
+    val nk = $"n1" + $"n2"
+    val e = $"n1".cast("double") * $"m1" / nk
+    val v = $"n1".cast("double") * $"n2" * $"m1" * (nk - $"m1") /
+      (nk.cast("double") * nk * (nk - 1L))
+    val ok = nk > 1L && $"m1" > 0L && $"m1" < nk
+    val scored = per
+      .withColumn("e_k", when(ok, round(e, 4)))
+      .withColumn("d6", when(ok, round(($"a" - e) * lit(1000000.0), 0)
+        .cast("long")).otherwise(0L))
+      .withColumn("v6", when(ok, round(v * lit(1000000.0), 0).cast("long"))
+        .otherwise(0L))
+    val wAll = Window.partitionBy()
+    val sumD = sum($"d6").over(wAll).cast("double") / lit(1000000.0)
+    val sumV = sum($"v6").over(wAll).cast("double") / lit(1000000.0)
+    scored
+      .withColumn("z_pooled",
+        when(sum($"v6").over(wAll) > 0L, round(sumD / sqrt(sumV), 4)))
+      .select($"stratum", $"n1", $"n2", $"a".as("conv_arm0"),
+        ($"m1" - $"a").as("conv_arm1"), $"e_k".as("expected_arm0"),
+        when($"n1" > 0L && $"n2" > 0L,
+          round($"a".cast("double") / $"n1"
+            - ($"m1" - $"a").cast("double") / $"n2", 4)).as("rate_gap"),
+        $"z_pooled")
+      .orderBy($"stratum")
+  }
+
   // ---- Holt linear-trend forecast (q261) -------------------------------------
 
   /** Holt double-exponential (level + trend) forecast of the daily count

@@ -1059,4 +1059,39 @@ object TextAnalysis {
       .withColumn("vocab_cum", sum($"n_new_types").over(Window.orderBy($"decile")))
       .orderBy($"decile")
   }
+
+  // ---- unseen-mass estimation: Chao1 + Good–Turing (q265) ------------------
+
+  /** Per-source unseen-vocabulary estimation: Chao1 species richness
+    * (Chao 1984, the bias-corrected f₁(f₁−1)/(2(f₂+1)) form, defined
+    * even with no doubletons) and the Good–Turing unseen-probability
+    * mass f₁/N — "how much vocabulary has this source NOT shown yet",
+    * the question behind q156's Heaps curve asked as a point estimate:
+    * q156 extrapolates growth from observed deciles, Chao1 bounds the
+    * asymptote from the singleton/doubleton ratio alone. For a training
+    * pipeline this prices continued crawling of a source (a high
+    * GT mass means the next batch still carries new types) and flags
+    * template corpora (f₁ ≈ 0 → the vocabulary is exhausted).
+    *
+    * One corpus scan into (source, token) counts (the q24 single-space
+    * split convention), one rollup to the frequency-of-frequencies
+    * sketch per source — everything after the token count is
+    * frequency-domain-bounded. All statistics are exact integers; the
+    * two estimates are the only doubles, rendered once.
+    */
+  def unseenMass(documents: DataFrame): DataFrame = {
+    val tokCounts = documents
+      .select($"source", explode(split($"text", " ")).as("token"))
+      .groupBy($"source", $"token").agg(count(lit(1)).as("c"))
+    tokCounts.groupBy($"source").agg(
+        sum($"c").as("n_tokens"),
+        count(lit(1)).as("vocab"),
+        sum(when($"c" === 1L, 1L).otherwise(0L)).as("f1"),
+        sum(when($"c" === 2L, 1L).otherwise(0L)).as("f2"))
+      .select($"source", $"n_tokens", $"vocab", $"f1", $"f2",
+        round($"vocab" + $"f1".cast("double") * ($"f1" - 1L)
+          / (lit(2.0) * ($"f2" + 1L)), 2).as("chao1"),
+        round($"f1".cast("double") / $"n_tokens", 6).as("gt_unseen_mass"))
+      .orderBy($"source")
+  }
 }

@@ -206,6 +206,11 @@ private[graft] object CurationQueries extends QueryFamily {
     // binning), score = sum of -ln(density) — the multivariate
     // independence-assuming complement to q135's median/MAD rule
     "q258_hbos_outliers" -> ((s, d) => Curation.hbosOutliers(Tables.documents(s, d))),
+    // isotonic (PAV) repair of the q160 reliability curve via the
+    // minimax identity on the bounded bucket frame — monotone map, so
+    // the classifier's ranking is provably preserved
+    "q263_isotonic_calibration" -> ((s, d) =>
+      Curation.isotonicCalibration(Tables.documents(s, d))),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1222,5 +1227,53 @@ private[graft] object CurationQueries extends QueryFamily {
         |SELECT doc_id, x AS n_chars, y AS n_tokens, bx AS bin_x, bv AS bin_y,
         |  round(score, 6) AS hbos_score
         |FROM scored ORDER BY hbos_score DESC, doc_id LIMIT 20""".stripMargin,
+    "q263_isotonic_calibration" ->
+      // weighted-PAV fit as the minimax over the B^2 prefix-mean grid
+      // (every candidate mean is one integer/integer division, so the
+      // minimax equals the stack PAV bit-for-bit); rides the unrolled
+      // training CTEs like q160
+      s"""$ClassifierTrainCtes,
+         |sc AS (
+         |  SELECT doc_id, CAST(sum(c * wm) AS BIGINT) AS zm
+         |  FROM fx JOIN w4 USING (b) GROUP BY doc_id
+         |),
+         |mb AS (
+         |  SELECT (CASE WHEN zm >= 0 THEN 1 ELSE -1 END) *
+         |    (length(bin(abs(zm) + 1)) - 1) AS mbucket, y
+         |  FROM sc JOIN yd USING (doc_id)
+         |),
+         |bkt AS (
+         |  SELECT mbucket, CAST(count(*) AS BIGINT) AS n_docs,
+         |    CAST(sum(y) AS BIGINT) AS n_pos
+         |  FROM mb GROUP BY mbucket
+         |),
+         |cum AS (
+         |  SELECT mbucket, n_docs, n_pos,
+         |    CAST(row_number() OVER (ORDER BY mbucket) AS BIGINT) AS i,
+         |    CAST(sum(n_docs) OVER (ORDER BY mbucket
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cn,
+         |    CAST(sum(n_pos) OVER (ORDER BY mbucket
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cp
+         |  FROM bkt
+         |),
+         |pairs AS (
+         |  SELECT a.i AS j, a.cn - a.n_docs AS cn0, a.cp - a.n_pos AS cp0,
+         |    b.i AS k, b.cn AS cnk, b.cp AS cpk
+         |  FROM cum a JOIN cum b ON a.i <= b.i
+         |),
+         |mg AS (
+         |  SELECT j, k, CAST(cpk - cp0 AS DOUBLE) / (cnk - cn0) AS m
+         |  FROM pairs
+         |),
+         |smin AS (
+         |  SELECT j, k, min(m) OVER (PARTITION BY j ORDER BY k DESC
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sm
+         |  FROM mg
+         |),
+         |iso AS (SELECT k, max(sm) AS iso_raw FROM smin GROUP BY k)
+         |SELECT mbucket, n_docs, n_pos,
+         |  round(n_pos * 1.0 / n_docs, 6) AS pos_rate,
+         |  round(iso_raw, 6) AS iso_rate
+         |FROM cum JOIN iso ON i = k ORDER BY mbucket""".stripMargin,
   )
 }

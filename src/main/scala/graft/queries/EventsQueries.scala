@@ -125,6 +125,9 @@ private[graft] object EventsQueries extends QueryFamily {
     // Holt level+trend forecast folded once over the train prefix,
     // MAE/MASE on the trailing week (the trend-aware q252 baseline)
     "q261_holt_forecast" -> ((s, d) => Events.holtForecastEval(Tables.events(s, d))),
+    // Cochran-Mantel-Haenszel arm x conversion test stratified by the
+    // exact log2 activity bucket — the Simpson-proof pooled readout
+    "q264_cmh" -> ((s, d) => Events.cmhStratified(Tables.events(s, d))),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1167,5 +1170,61 @@ private[graft] object EventsQueries extends QueryFamily {
         |    round((sae_test / 7.0) / (sae_naive / CAST(ntr - 1 AS DOUBLE)), 6)
         |  END AS mase
         |FROM sc""".stripMargin,
+    "q264_cmh" ->
+      // per-stratum hypergeometric moments (margins-fixed null), E and V
+      // micro-quantized before the cross-stratum sums; degenerate strata
+      // contribute zero with NULL per-stratum columns
+      s"""WITH pu AS (
+         |  SELECT user_id, CAST(count(*) AS BIGINT) AS c,
+         |    CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS np
+         |  FROM events GROUP BY 1
+         |),
+         |ur AS (
+         |  SELECT CAST(length(bin(c)) - 1 AS BIGINT) AS stratum,
+         |    ${OracleHelpers.posSql("md5(CAST(user_id AS VARCHAR))", 0, 2)} AS arm,
+         |    CASE WHEN np > 0 THEN 1 ELSE 0 END AS conv
+         |  FROM pu
+         |),
+         |per AS (
+         |  SELECT stratum,
+         |    CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+         |    CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+         |    CAST(sum(CASE WHEN arm = 0 THEN conv ELSE 0 END) AS BIGINT) AS a,
+         |    CAST(sum(conv) AS BIGINT) AS m1
+         |  FROM ur GROUP BY 1
+         |),
+         |sc AS (
+         |  SELECT per.*,
+         |    CAST(n1 AS DOUBLE) * m1 / (n1 + n2) AS e,
+         |    CAST(n1 AS DOUBLE) * n2 * m1 * (n1 + n2 - m1)
+         |      / (CAST(n1 + n2 AS DOUBLE) * (n1 + n2) * (n1 + n2 - 1)) AS v,
+         |    (n1 + n2 > 1 AND m1 > 0 AND m1 < n1 + n2) AS ok
+         |  FROM per
+         |),
+         |q AS (
+         |  SELECT sc.*,
+         |    CASE WHEN ok THEN round(e, 4) END AS e_k,
+         |    CASE WHEN ok THEN CAST(round((a - e) * 1000000.0, 0) AS BIGINT)
+         |      ELSE 0 END AS d6,
+         |    CASE WHEN ok THEN CAST(round(v * 1000000.0, 0) AS BIGINT)
+         |      ELSE 0 END AS v6
+         |  FROM sc
+         |),
+         |z AS (
+         |  SELECT q.*,
+         |    CASE WHEN sum(v6) OVER () > 0 THEN
+         |      round((CAST(sum(d6) OVER () AS DOUBLE) / 1000000.0)
+         |        / sqrt(CAST(sum(v6) OVER () AS DOUBLE) / 1000000.0), 4)
+         |    END AS z_pooled
+         |  FROM q
+         |)
+         |SELECT stratum, n1, n2, a AS conv_arm0, m1 - a AS conv_arm1,
+         |  e_k AS expected_arm0,
+         |  CASE WHEN n1 > 0 AND n2 > 0 THEN
+         |    round(CAST(a AS DOUBLE) / n1 - CAST(m1 - a AS DOUBLE) / n2, 4)
+         |  END AS rate_gap,
+         |  z_pooled
+         |FROM z ORDER BY stratum""".stripMargin,
   )
 }

@@ -79,6 +79,11 @@ private[graft] object TextQueries extends QueryFamily {
     // score the odd half; per-lang bits/token + unseen-bigram rate
     "q198_heldout_perplexity" -> ((s, d) =>
       TextAnalysis.heldOutPerplexity(Tables.documents(s, d))),
+    // per-source Chao1 richness + Good-Turing unseen mass from the
+    // singleton/doubleton sketch — the point-estimate answer to q156's
+    // Heaps curve ("how much vocabulary is this source still hiding")
+    "q265_unseen_mass" -> ((s, d) =>
+      TextAnalysis.unseenMass(Tables.documents(s, d))),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -509,5 +514,26 @@ private[graft] object TextQueries extends QueryFamily {
          | round(sum(k * u6) * 1.0 / sum(k) / 1e6, 4) AS bits_per_token,
          | round(sum(CASE WHEN unseen THEN k ELSE 0 END) * 1.0 / sum(k), 6) AS unseen_rate
          |FROM sc GROUP BY lang ORDER BY lang""".stripMargin,
+    "q265_unseen_mass" ->
+      // frequency-of-frequencies per source; the bias-corrected Chao1
+      // form is defined even with zero doubletons
+      """WITH tc AS (
+        |  SELECT source, token, CAST(count(*) AS BIGINT) AS c
+        |  FROM (SELECT source, unnest(string_split(text, ' ')) AS token
+        |        FROM documents)
+        |  GROUP BY 1, 2
+        |),
+        |agg AS (
+        |  SELECT source, CAST(sum(c) AS BIGINT) AS n_tokens,
+        |    CAST(count(*) AS BIGINT) AS vocab,
+        |    CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS f1,
+        |    CAST(sum(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS BIGINT) AS f2
+        |  FROM tc GROUP BY 1
+        |)
+        |SELECT source, n_tokens, vocab, f1, f2,
+        |  round(vocab + CAST(f1 AS DOUBLE) * (f1 - 1) / (2.0 * (f2 + 1)), 2)
+        |    AS chao1,
+        |  round(CAST(f1 AS DOUBLE) / n_tokens, 6) AS gt_unseen_mass
+        |FROM agg ORDER BY source""".stripMargin,
   )
 }

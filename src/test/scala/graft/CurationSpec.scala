@@ -1396,4 +1396,43 @@ class CurationSpec extends GraftSuite {
     val top = Curation.hbosOutliers(synth).collect()(0)
     assert(top.getLong(0) == 999L)
   }
+
+  test("isotonicCalibration: equals the stack PAV bit-for-bit; monotone; pooled mass preserved (q263)") {
+    val cal = Curation.classifierCalibration(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // classic pool-adjacent-violators with a block stack; every pooled
+    // mean is ONE integer/integer division, the same two integers the
+    // operator's minimax divides — equality is exact, not approximate
+    case class Block(n: Long, p: Long) { def m: Double = p.toDouble / n }
+    val stack = scala.collection.mutable.ArrayBuffer.empty[(Block, Int)]
+    cal.foreach { case (_, n, p) =>
+      var b = Block(n, p); var w = 1
+      while (stack.nonEmpty && stack.last._1.m >= b.m) {
+        val (top, tw) = stack.remove(stack.length - 1)
+        b = Block(top.n + b.n, top.p + b.p); w += tw
+      }
+      stack.append((b, w))
+    }
+    val pav = stack.flatMap { case (b, w) => Seq.fill(w)(b.m) }.toSeq
+    val got = Curation.isotonicCalibration(docs).collect()
+    assert(got.length == cal.length)
+    got.zip(cal).zip(pav).foreach { case ((g, (mb, n, p)), fit) =>
+      assert(g.getLong(0) == mb && g.getLong(1) == n && g.getLong(2) == p)
+      assert(g.getDouble(3) == BigDecimal(p.toDouble / n)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      assert(g.getDouble(4) == BigDecimal(fit)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }
+    // the fitted curve is monotone non-decreasing in the margin bucket
+    val fits = got.map(_.getDouble(4)).toSeq
+    assert(fits.zip(fits.tail).forall { case (a, b) => a <= b })
+    // PAV preserves the weighted mass: sum n_i * fit_i == sum n_pos
+    val mass = got.map(g => g.getLong(1) * g.getDouble(4)).sum
+    assert(math.abs(mass - cal.map(_._3).sum) < 1e-3)
+    // and the fit genuinely repaired something: the raw curve on this
+    // fixture is NOT monotone (otherwise the test proves nothing)
+    val raws = got.map(_.getDouble(3)).toSeq
+    assert(raws.zip(raws.tail).exists { case (a, b) => a > b },
+      "fixture reliability curve should contain a violation")
+  }
 }

@@ -559,4 +559,68 @@ class InferenceSpec extends GraftSuite {
       .toDF("source", "lang")
     assert(Inference.mutualInformation(prop).collect()(0).getDouble(1) == 0.0)
   }
+
+  test("cmhStratified equals brute-force hypergeometric moments; Simpson-style confounding zeroes out (q264)") {
+    val byUser = events.select("user_id", "event_type").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val rows = byUser.toSeq.map { case (u, ts) =>
+      val stratum = 63 - java.lang.Long.numberOfLeadingZeros(ts.length.toLong)
+      (stratum.toLong, arm(u), if (ts.contains("purchase")) 1L else 0L)
+    }
+    val perStr = rows.groupBy(_._1).toSeq.sortBy(_._1)
+    var d6 = 0L; var v6 = 0L
+    val expRows = perStr.map { case (st, rs) =>
+      val n1 = rs.count(_._2 == 0L).toLong; val n2 = rs.count(_._2 == 1L).toLong
+      val a = rs.filter(_._2 == 0L).map(_._3).sum
+      val m1 = rs.map(_._3).sum; val nk = n1 + n2
+      val ok = nk > 1 && m1 > 0 && m1 < nk
+      val e = n1.toDouble * m1 / nk
+      val v = n1.toDouble * n2 * m1 * (nk - m1) /
+        (nk.toDouble * nk * (nk - 1))
+      if (ok) { d6 += math.round((a - e) * 1000000.0); v6 += math.round(v * 1000000.0) }
+      (st, n1, n2, a, m1 - a, if (ok) Some(roundN(e, 4)) else None)
+    }
+    val z = if (v6 > 0) Some(roundN((d6.toDouble / 1000000.0)
+      / math.sqrt(v6.toDouble / 1000000.0), 4)) else None
+    val got = Events.cmhStratified(events).collect()
+    assert(got.length == expRows.length)
+    got.zip(expRows).foreach { case (g, (st, n1, n2, a, b, e)) =>
+      assert((g.getLong(0), g.getLong(1), g.getLong(2), g.getLong(3),
+        g.getLong(4)) == ((st, n1, n2, a, b)))
+      assert((if (g.isNullAt(5)) None else Some(g.getDouble(5))) == e)
+      assert((if (g.isNullAt(7)) None else Some(g.getDouble(7))) == z)
+    }
+    // the fixture is an A/A (md5 coin): the pooled CMH z must sit inside
+    // the 1.96 band like q192's
+    assert(z.forall(math.abs(_) < 1.96))
+
+    // Simpson-style construction: within each activity stratum both arms
+    // convert at the SAME rate, but arm 0 is overrepresented in the
+    // high-converting stratum — a naive pooled 2x2 sees a large gap, CMH
+    // sees none. Users are picked by their REAL md5 arm.
+    import spark.implicits._
+    val ids0 = Iterator.from(1).map(_.toLong).filter(arm(_) == 0L)
+    val ids1 = Iterator.from(1).map(_.toLong).filter(arm(_) == 1L)
+    def mk(ids: Iterator[Long], k: Int, nEvents: Int, conv: Int): Seq[(Long, String)] =
+      ids.take(k).toSeq.zipWithIndex.flatMap { case (u, i) =>
+        val purchase = if (i < conv) Seq((u, "purchase")) else Seq.empty
+        purchase ++ Seq.fill(nEvents - purchase.length)((u, "view"))
+      }
+    // stratum floor(log2(2)) = 1: high conversion (50%); arm0-heavy
+    // stratum floor(log2(8)) = 3: low conversion (10%); arm1-heavy
+    val synth = (mk(ids0, 80, 2, 40) ++ mk(ids1, 20, 2, 10)
+      ++ mk(ids0, 20, 8, 2) ++ mk(ids1, 80, 8, 8))
+      .toDF("user_id", "event_type")
+    val panel = Events.cmhStratified(synth).collect()
+    assert(panel.length == 2)
+    // per-stratum rate gaps are exactly zero, hence pooled z is 0
+    panel.foreach { r =>
+      assert(r.getDouble(6) == 0.0)
+      assert(r.getDouble(7) == 0.0)
+    }
+    // while the NAIVE pooled gap is large (the trap CMH exists to avoid):
+    // arm0 converts (40+2)/100, arm1 (10+8)/100
+    assert(math.abs((40 + 2) / 100.0 - (10 + 8) / 100.0) > 0.2)
+  }
 }

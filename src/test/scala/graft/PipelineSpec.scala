@@ -2476,4 +2476,43 @@ class PipelineSpec extends GraftSuite {
   private implicit class Interp(private val sc: StringContext) {
     def $(args: Any*): org.apache.spark.sql.Column = col(sc.s(args: _*))
   }
+
+  test("unseenMass: Chao1 + Good-Turing equal brute force; template and all-unique corpora hit the closed forms (q265)") {
+    val rows = docs.select($"source", $"text").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    def roundN(v: Double, k: Int): Double =
+      BigDecimal(v).setScale(k, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val exp = rows.groupBy(_._1).view.mapValues { ds =>
+      val cnt = ds.flatMap(_._2.split(" ", -1))
+        .groupBy(identity).view.mapValues(_.length.toLong).toMap
+      val nTok = cnt.values.sum; val vocab = cnt.size.toLong
+      val f1 = cnt.values.count(_ == 1L).toLong
+      val f2 = cnt.values.count(_ == 2L).toLong
+      (nTok, vocab, f1, f2,
+        roundN(vocab + f1.toDouble * (f1 - 1) / (2.0 * (f2 + 1)), 2),
+        roundN(f1.toDouble / nTok, 6))
+    }.toMap
+    val got = graft.operators.TextAnalysis.unseenMass(docs).collect()
+    assert(got.length == exp.size)
+    got.foreach { g =>
+      val e = exp(g.getString(0))
+      assert((g.getLong(1), g.getLong(2), g.getLong(3), g.getLong(4),
+        g.getDouble(5), g.getDouble(6)) == e)
+    }
+    // closed forms: a template corpus has exhausted its vocabulary
+    // (f1 = 0 -> chao1 = observed vocab, unseen mass 0); an all-unique
+    // corpus is all singletons (gt mass 1, chao1 = V + V(V-1)/2)
+    import spark.implicits._
+    val template = (1 to 50).map(i => ("tpl", "alpha beta gamma"))
+      .toDF("source", "text")
+    val t = graft.operators.TextAnalysis.unseenMass(template).collect()(0)
+    assert(t.getLong(2) == 3L && t.getLong(3) == 0L)
+    assert(t.getDouble(5) == 3.0 && t.getDouble(6) == 0.0)
+    val unique = Seq(("uniq", (1 to 40).map(i => s"w$i").mkString(" ")))
+      .toDF("source", "text")
+    val u = graft.operators.TextAnalysis.unseenMass(unique).collect()(0)
+    assert(u.getLong(2) == 40L && u.getLong(3) == 40L)
+    assert(u.getDouble(5) == roundN(40 + 40.0 * 39 / 2.0, 2))
+    assert(u.getDouble(6) == 1.0)
+  }
 }

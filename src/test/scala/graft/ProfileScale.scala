@@ -202,7 +202,13 @@ object ProfileScale {
       // q257 reads lineitem/orders (not inflated; its shape is the
       // q221-class one-scan conditional aggregate + broadcast anti-join)
       "q255_ewma_control", "q260_overdispersion", "q256_t_closeness",
-      "q258_hbos_outliers", "q262_mutual_info").filterNot(skip)
+      "q258_hbos_outliers", "q262_mutual_info",
+      // the isotonic grid is bucket-bounded on top of q143's scoring
+      // pass; the CMH rollup is strata-bounded on per-user counts; the
+      // Chao sketch is a frequency-of-frequencies rollup of the token
+      // count frame (grows ×REPL, all map-side combined)
+      "q263_isotonic_calibration", "q264_cmh", "q265_unseen_mass")
+      .filterNot(skip)
     carriers.foreach { name =>
       time(s"x$repl ${name}") {
         SparkEntry.queries(name)(spark, outDir)

@@ -1779,6 +1779,143 @@ object Curation {
         $"n_pos", $"n_neg")
   }
 
+  /** Per-doc (doc_id, zm, y) margin frame — the shared q143 scoring
+    * pass, exposed for the eval-family brute-force specs.
+    */
+  private[graft] def docMargins(documents: DataFrame, targetLang: String = "en",
+      buckets: Int = 64, rounds: Int = 4, lr: Double = 0.0009765625): DataFrame = {
+    val spark = documents.sparkSession
+    val (fx, w) = trainQualityWeights(documents, targetLang, buckets, rounds, lr)
+    val labels = documents.select($"doc_id",
+      when($"lang" === targetLang, 1L).otherwise(0L).as("y"))
+    fx.join(broadcast(spark.createDataFrame(w).toDF("b", "wm")), Seq("b"))
+      .groupBy($"doc_id").agg(sum($"c" * $"wm").as("zm"))
+      .join(labels, Seq("doc_id"))
+  }
+
+  /** DeLong confidence interval for the q189 AUC (q266; DeLong, DeLong
+    * & Clarke-Pearson 1988): the AUC is the mean of per-positive
+    * PLACEMENT values V10 (each positive's tie-averaged fraction of
+    * negatives it outranks) and symmetrically V01, and its variance is
+    * S10/m + S01/n — per-observation variances a single AUC point
+    * silently hides (q189 quotes 0.93; this says whether that is
+    * 0.93 ± 0.005 or ± 0.1, the difference between shipping a filter
+    * and collecting more labels).
+    *
+    * Everything stays in the q189 integer-exact frame: doubled
+    * placement numerators d10 = 2·cum_nn + nn (and d01 from the
+    * positive suffix) are LONGS per distinct score; their first/second
+    * weighted moments accumulate in decimal(38,0) (d10² overflows long
+    * near 1.5·10⁹ per-class rows); one double expression renders AUC,
+    * SE, and the clamped Wald 95% band. The prefix sums ride the same
+    * two-phase range-partition machinery as q189 — no global window.
+    */
+  def aucDelong(documents: DataFrame, targetLang: String = "en",
+      buckets: Int = 64, rounds: Int = 4, lr: Double = 0.0009765625,
+      parts: Int = 32): DataFrame = {
+    val spark = documents.sparkSession
+    val (fx, w) = trainQualityWeights(documents, targetLang, buckets, rounds, lr)
+    val labels = documents.select($"doc_id",
+      when($"lang" === targetLang, 1L).otherwise(0L).as("y"))
+    val byScore = fx
+      .join(broadcast(spark.createDataFrame(w).toDF("b", "wm")), Seq("b"))
+      .groupBy($"doc_id").agg(sum($"c" * $"wm").as("zm"))
+      .join(labels, Seq("doc_id"))
+      .groupBy($"zm")
+      .agg(sum($"y").as("np"), sum(lit(1L) - $"y").as("nn"))
+      .repartitionByRange(parts, $"zm")
+      .localCheckpoint()
+      .withColumn("pid", spark_partition_id().cast("int"))
+    val wBase = Window.orderBy($"pid")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val bases = byScore.groupBy($"pid")
+      .agg(sum($"nn").as("tn"), sum($"np").as("tp"))
+      .withColumn("basen", sum($"tn").over(wBase) - $"tn")
+      .withColumn("basep", sum($"tp").over(wBase) - $"tp")
+      .select($"pid", $"basen", $"basep")
+    val tot = byScore.agg(sum($"np").as("npt"))
+    val wIn = Window.partitionBy($"pid").orderBy($"zm")
+    val cum = byScore
+      .join(broadcast(bases), Seq("pid"))
+      .withColumn("cum_nn", $"basen" + sum($"nn").over(wIn) - $"nn")
+      .withColumn("cum_np", $"basep" + sum($"np").over(wIn) - $"np")
+      .crossJoin(broadcast(tot))
+      .withColumn("d10", lit(2L) * $"cum_nn" + $"nn")
+      .withColumn("d01",
+        lit(2L) * ($"npt" - $"cum_np" - $"np") + $"np")
+    val agg = cum.agg(
+      sum($"np").as("m"), sum($"nn").as("n"),
+      sum(($"np".cast("decimal(38,0)") * $"d10").cast("decimal(38,0)"))
+        .as("s10"),
+      sum(($"np".cast("decimal(38,0)") * $"d10" * $"d10")
+        .cast("decimal(38,0)")).as("ss10"),
+      sum(($"nn".cast("decimal(38,0)") * $"d01").cast("decimal(38,0)"))
+        .as("s01"),
+      sum(($"nn".cast("decimal(38,0)") * $"d01" * $"d01")
+        .cast("decimal(38,0)")).as("ss01"))
+    // var of the doubled placements, then /4n² (resp. /4m²) to undo the
+    // doubling and normalize; Var(AUC) = S10/m + S01/n (DeLong)
+    val auc = $"s10".cast("double") /
+      (lit(2.0) * $"m".cast("double") * $"n")
+    val v10 = ($"ss10".cast("double")
+      - $"s10".cast("double") * $"s10".cast("double") / $"m") /
+      ($"m" - 1L) / (lit(4.0) * $"n".cast("double") * $"n")
+    val v01 = ($"ss01".cast("double")
+      - $"s01".cast("double") * $"s01".cast("double") / $"n") /
+      ($"n" - 1L) / (lit(4.0) * $"m".cast("double") * $"m")
+    val se = sqrt(v10 / $"m" + v01 / $"n")
+    agg
+      .withColumn("auc_raw", auc)
+      .withColumn("se_raw", when($"m" > 1L && $"n" > 1L, se))
+      .select($"m".as("n_pos"), $"n".as("n_neg"),
+        round($"auc_raw", 6).as("auc"), round($"se_raw", 6).as("se"),
+        round(greatest($"auc_raw" - lit(1.96) * $"se_raw", lit(0.0)), 6)
+          .as("lo95"),
+        round(least($"auc_raw" + lit(1.96) * $"se_raw", lit(1.0)), 6)
+          .as("hi95"))
+  }
+
+  /** Murphy decomposition of the Brier score for the isotonic forecast
+    * (q268; Murphy 1973): Brier = REL − RES + UNC, where reliability
+    * charges the forecast for bucket-level miscalibration, resolution
+    * credits it for separating the buckets, and uncertainty ȳ(1−ȳ) is
+    * the no-skill floor. The forecast under evaluation is q263's
+    * PUBLISHED isotonic rate (the rounded-to-6 output column — the
+    * number a downstream consumer would actually use), so this is the
+    * eval of the shipped calibrator, not of an internal float. BSS =
+    * 1 − Brier/UNC is the headline skill score.
+    *
+    * Shape: rides the q263 frame (itself bucket-bounded on q143's
+    * scoring pass); per-bucket REL/RES terms micro-quantize before the
+    * cross-bucket sums (the q245 discipline). Output is one row.
+    */
+  def brierDecomposition(documents: DataFrame, targetLang: String = "en",
+      buckets: Int = 64, rounds: Int = 4, lr: Double = 0.0009765625): DataFrame = {
+    val iso = isotonicCalibration(documents, targetLang, buckets, rounds, lr)
+      .localCheckpoint() // bucket-sized; read twice (totals + terms)
+    val tot = iso.agg(sum($"n_docs").as("nt"), sum($"n_pos").as("pt"))
+    val ybar = $"pt".cast("double") / $"nt"
+    val yi = $"n_pos".cast("double") / $"n_docs"
+    val relT = $"n_docs" * (($"iso_rate" - yi) * ($"iso_rate" - yi))
+    val resT = $"n_docs" * ((yi - ybar) * (yi - ybar))
+    val agg = iso.crossJoin(broadcast(tot)).agg(
+      max($"nt").as("nt"), max($"pt").as("pt"),
+      sum(round(relT * lit(1000000.0), 0).cast("long")).as("rel6"),
+      sum(round(resT * lit(1000000.0), 0).cast("long")).as("res6"))
+    val yb = $"pt".cast("double") / $"nt"
+    val unc = yb * (lit(1.0) - yb)
+    val rel = $"rel6".cast("double") / lit(1000000.0) / $"nt"
+    val res = $"res6".cast("double") / lit(1000000.0) / $"nt"
+    agg.select($"nt".as("n_docs"),
+      round(yb, 6).as("base_rate"),
+      round(unc, 6).as("uncertainty"),
+      round(rel, 6).as("reliability"),
+      round(res, 6).as("resolution"),
+      round(rel - res + unc, 6).as("brier"),
+      when(unc > 0.0,
+        round(lit(1.0) - (rel - res + unc) / unc, 6)).as("bss"))
+  }
+
   /** Capstone v2 (q147) — the end-to-end CRAWL-TO-TRAINING-SET recipe,
     * chaining the round-5 families as STAGES rather than endpoints:
     *

@@ -1691,6 +1691,70 @@ object Events {
       .orderBy($"event_type")
   }
 
+  // ---- seeded permutation test (q267) ----------------------------------------
+
+  /** Permutation test of the arm difference in per-user metric totals
+    * (q267; Fisher 1935 / Ernst 2004): the EXACT-logic complement to
+    * q192's Welch z — no normality, no variance formula, just the null
+    * "labels don't matter" made operational by re-randomizing them. B
+    * deterministic relabelings arm_b(u) = md5(u ‖ ':' ‖ b) mod 2 (a
+    * fresh fair coin per b, independent of the observed md5 coin and of
+    * each other by hash independence); p = (1 + #{|d_b| ≥ |d_obs|}) /
+    * (B+1), the add-one form that is exact-level for a randomization
+    * test. Comparisons run on values ROUNDED to 6 (the q246 discipline).
+    *
+    * Scale shape: ONE corpus scan to the per-user metric frame, then a
+    * users×B exploded relabeling that map-side-combines straight back
+    * down to B rows of integer moments — embarrassingly parallel, no
+    * per-permutation pass (the naive B-scan implementation is the
+    * anti-pattern). B is a dial: variance of the p estimate is
+    * p(1−p)/B, so B = 64 resolves p ≈ 0.05 to ±0.03 — raise it for
+    * tighter panels; cost is linear in B.
+    */
+  def permutationTest(events: DataFrame, metricType: String = "purchase",
+      b: Int = 64): DataFrame = {
+    val perUser = events.groupBy($"user_id").agg(
+      sum(when($"event_type" === metricType,
+        round($"value" * 10000, 0).cast("long")).otherwise(0L)).as("vm"))
+      .localCheckpoint() // users-sized; read by the observed + B passes
+    def armAgg(df: DataFrame, grp: Seq[Column]): DataFrame =
+      df.groupBy(grp: _*).agg(
+        sum(when($"arm" === 0L, 1L).otherwise(0L)).as("na"),
+        sum(when($"arm" === 0L, $"vm").otherwise(0L)).as("sa"),
+        sum(when($"arm" === 1L, 1L).otherwise(0L)).as("nb"),
+        sum(when($"arm" === 1L, $"vm").otherwise(0L)).as("sb"))
+    def dAbs: Column = when($"na" > 0L && $"nb" > 0L,
+      abs($"sa".cast("double") / $"na" - $"sb".cast("double") / $"nb"))
+    val obs = armAgg(perUser
+        .select(Scale.md5SlicePos($"user_id", 0, 2).as("arm"), $"vm"),
+        Seq.empty)
+      .withColumn("d_obs", dAbs)
+    val perms = armAgg(perUser
+        .select(explode(sequence(lit(1), lit(b))).as("bi"), $"user_id", $"vm")
+        .select($"bi",
+          Scale.md5SlicePos(
+            concat($"user_id".cast("string"), lit(":"), $"bi".cast("string")),
+            0, 2).as("arm"), $"vm"),
+        Seq($"bi"))
+      .withColumn("d_b", dAbs)
+    // the observed diff broadcasts as one row into the null aggregate
+    val joined = perms.crossJoin(broadcast(obs.select($"d_obs".as("od"),
+        ($"na" + $"nb").as("n_users"), $"na".as("n_a"), $"nb".as("n_b"),
+        $"sa".as("s_a"), $"sb".as("s_b"))))
+      .agg(count(lit(1)).as("n_perms"),
+        sum(when(round($"d_b", 6) >= round($"od", 6), 1L).otherwise(0L))
+          .as("ge"),
+        max($"od").as("od"), max($"n_users").as("n_users"),
+        max($"n_a").as("n_a"), max($"n_b").as("n_b"),
+        max($"s_a").as("s_a"), max($"s_b").as("s_b"))
+    joined.select($"n_users", $"n_a", $"n_b",
+      round($"s_a".cast("double") / $"n_a" / 10000.0, 4).as("mean_a"),
+      round($"s_b".cast("double") / $"n_b" / 10000.0, 4).as("mean_b"),
+      round($"od" / 10000.0, 4).as("d_obs"),
+      $"n_perms",
+      round(($"ge" + 1L).cast("double") / ($"n_perms" + 1L), 6).as("p_perm"))
+  }
+
   // ---- Cochran–Mantel–Haenszel stratified test (q264) ------------------------
 
   /** Cochran–Mantel–Haenszel test of arm × conversion association

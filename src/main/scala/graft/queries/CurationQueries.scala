@@ -211,6 +211,13 @@ private[graft] object CurationQueries extends QueryFamily {
     // the classifier's ranking is provably preserved
     "q263_isotonic_calibration" -> ((s, d) =>
       Curation.isotonicCalibration(Tables.documents(s, d))),
+    // DeLong CI on the q189 AUC from integer placement moments — the
+    // error bar the single AUC point hides
+    "q266_auc_delong" -> ((s, d) => Curation.aucDelong(Tables.documents(s, d))),
+    // Murphy decomposition of the Brier score for q263's published
+    // isotonic forecast: REL - RES + UNC, and the BSS headline
+    "q268_brier_decomposition" -> ((s, d) =>
+      Curation.brierDecomposition(Tables.documents(s, d))),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1232,48 +1239,156 @@ private[graft] object CurationQueries extends QueryFamily {
       // (every candidate mean is one integer/integer division, so the
       // minimax equals the stack PAV bit-for-bit); rides the unrolled
       // training CTEs like q160
+      s"""$IsotonicCtes
+         |SELECT mbucket, n_docs, n_pos, pos_rate, iso_rate
+         |FROM isofit ORDER BY mbucket""".stripMargin,
+    "q266_auc_delong" ->
+      // doubled placement numerators per distinct score (exact longs),
+      // HUGEINT first/second moments, one double expression for
+      // AUC/SE/band — mirrors Curation.aucDelong op-for-op
       s"""$ClassifierTrainCtes,
          |sc AS (
          |  SELECT doc_id, CAST(sum(c * wm) AS BIGINT) AS zm
          |  FROM fx JOIN w4 USING (b) GROUP BY doc_id
          |),
-         |mb AS (
-         |  SELECT (CASE WHEN zm >= 0 THEN 1 ELSE -1 END) *
-         |    (length(bin(abs(zm) + 1)) - 1) AS mbucket, y
-         |  FROM sc JOIN yd USING (doc_id)
+         |bys AS (
+         |  SELECT zm, CAST(sum(y) AS BIGINT) AS np,
+         |    CAST(sum(1 - y) AS BIGINT) AS nn
+         |  FROM sc JOIN yd USING (doc_id) GROUP BY zm
          |),
-         |bkt AS (
-         |  SELECT mbucket, CAST(count(*) AS BIGINT) AS n_docs,
-         |    CAST(sum(y) AS BIGINT) AS n_pos
-         |  FROM mb GROUP BY mbucket
+         |cm AS (
+         |  SELECT zm, np, nn,
+         |    CAST(coalesce(sum(nn) OVER (ORDER BY zm
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |      AS BIGINT) AS cum_nn,
+         |    CAST(coalesce(sum(np) OVER (ORDER BY zm
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |      AS BIGINT) AS cum_np,
+         |    CAST(sum(np) OVER () AS BIGINT) AS npt
+         |  FROM bys
          |),
-         |cum AS (
-         |  SELECT mbucket, n_docs, n_pos,
-         |    CAST(row_number() OVER (ORDER BY mbucket) AS BIGINT) AS i,
-         |    CAST(sum(n_docs) OVER (ORDER BY mbucket
-         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cn,
-         |    CAST(sum(n_pos) OVER (ORDER BY mbucket
-         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cp
-         |  FROM bkt
+         |dd AS (
+         |  SELECT np, nn,
+         |    2 * cum_nn + nn AS d10,
+         |    2 * (npt - cum_np - np) + np AS d01
+         |  FROM cm
          |),
-         |pairs AS (
-         |  SELECT a.i AS j, a.cn - a.n_docs AS cn0, a.cp - a.n_pos AS cp0,
-         |    b.i AS k, b.cn AS cnk, b.cp AS cpk
-         |  FROM cum a JOIN cum b ON a.i <= b.i
+         |ag AS (
+         |  SELECT CAST(sum(np) AS BIGINT) AS m, CAST(sum(nn) AS BIGINT) AS n,
+         |    sum(CAST(np AS HUGEINT) * d10) AS s10,
+         |    sum(CAST(np AS HUGEINT) * d10 * d10) AS ss10,
+         |    sum(CAST(nn AS HUGEINT) * d01) AS s01,
+         |    sum(CAST(nn AS HUGEINT) * d01 * d01) AS ss01
+         |  FROM dd
          |),
-         |mg AS (
-         |  SELECT j, k, CAST(cpk - cp0 AS DOUBLE) / (cnk - cn0) AS m
-         |  FROM pairs
+         |fin AS (
+         |  SELECT m, n,
+         |    CAST(s10 AS DOUBLE) / (2.0 * CAST(m AS DOUBLE) * n) AS auc_raw,
+         |    CASE WHEN m > 1 AND n > 1 THEN
+         |      sqrt(
+         |        ((CAST(ss10 AS DOUBLE)
+         |            - CAST(s10 AS DOUBLE) * CAST(s10 AS DOUBLE) / m)
+         |          / (m - 1) / (4.0 * CAST(n AS DOUBLE) * n)) / m
+         |        + ((CAST(ss01 AS DOUBLE)
+         |            - CAST(s01 AS DOUBLE) * CAST(s01 AS DOUBLE) / n)
+         |          / (n - 1) / (4.0 * CAST(m AS DOUBLE) * m)) / n)
+         |    END AS se_raw
+         |  FROM ag
+         |)
+         |SELECT m AS n_pos, n AS n_neg,
+         |  round(auc_raw, 6) AS auc, round(se_raw, 6) AS se,
+         |  round(greatest(auc_raw - 1.96 * se_raw, 0.0), 6) AS lo95,
+         |  round(least(auc_raw + 1.96 * se_raw, 1.0), 6) AS hi95
+         |FROM fin""".stripMargin,
+    "q268_brier_decomposition" ->
+      // Murphy decomposition over the isofit frame; per-bucket REL/RES
+      // terms micro-quantized before the cross-bucket sums
+      s"""$IsotonicCtes,
+         |tot AS (
+         |  SELECT CAST(sum(n_docs) AS BIGINT) AS nt,
+         |    CAST(sum(n_pos) AS BIGINT) AS pt
+         |  FROM isofit
          |),
-         |smin AS (
-         |  SELECT j, k, min(m) OVER (PARTITION BY j ORDER BY k DESC
-         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sm
-         |  FROM mg
+         |terms AS (
+         |  SELECT nt, pt,
+         |    CAST(round(n_docs * ((iso_rate - CAST(n_pos AS DOUBLE) / n_docs)
+         |      * (iso_rate - CAST(n_pos AS DOUBLE) / n_docs)) * 1000000.0, 0)
+         |      AS BIGINT) AS rel6,
+         |    CAST(round(n_docs * ((CAST(n_pos AS DOUBLE) / n_docs
+         |        - CAST(pt AS DOUBLE) / nt)
+         |      * (CAST(n_pos AS DOUBLE) / n_docs - CAST(pt AS DOUBLE) / nt))
+         |      * 1000000.0, 0) AS BIGINT) AS res6
+         |  FROM isofit CROSS JOIN tot
          |),
-         |iso AS (SELECT k, max(sm) AS iso_raw FROM smin GROUP BY k)
-         |SELECT mbucket, n_docs, n_pos,
-         |  round(n_pos * 1.0 / n_docs, 6) AS pos_rate,
-         |  round(iso_raw, 6) AS iso_rate
-         |FROM cum JOIN iso ON i = k ORDER BY mbucket""".stripMargin,
+         |ag AS (
+         |  SELECT max(nt) AS nt, max(pt) AS pt,
+         |    CAST(sum(rel6) AS BIGINT) AS rel6, CAST(sum(res6) AS BIGINT) AS res6
+         |  FROM terms
+         |),
+         |fin AS (
+         |  SELECT nt, pt,
+         |    CAST(pt AS DOUBLE) / nt AS yb,
+         |    (CAST(pt AS DOUBLE) / nt) * (1.0 - CAST(pt AS DOUBLE) / nt) AS unc,
+         |    CAST(rel6 AS DOUBLE) / 1000000.0 / nt AS rel,
+         |    CAST(res6 AS DOUBLE) / 1000000.0 / nt AS res
+         |  FROM ag
+         |)
+         |SELECT nt AS n_docs, round(yb, 6) AS base_rate,
+         |  round(unc, 6) AS uncertainty, round(rel, 6) AS reliability,
+         |  round(res, 6) AS resolution, round(rel - res + unc, 6) AS brier,
+         |  CASE WHEN unc > 0.0
+         |    THEN round(1.0 - (rel - res + unc) / unc, 6) END AS bss
+         |FROM fin""".stripMargin,
   )
+
+  /** The q263 isotonic-fit CTE chain (train → score → bucket → minimax
+    * grid), shared by the q263 and q268 oracles — ends in `isofit`
+    * (mbucket, n_docs, n_pos, pos_rate, iso_rate).
+    */
+  private lazy val IsotonicCtes: String =
+    s"""$ClassifierTrainCtes,
+       |sc AS (
+       |  SELECT doc_id, CAST(sum(c * wm) AS BIGINT) AS zm
+       |  FROM fx JOIN w4 USING (b) GROUP BY doc_id
+       |),
+       |mb AS (
+       |  SELECT (CASE WHEN zm >= 0 THEN 1 ELSE -1 END) *
+       |    (length(bin(abs(zm) + 1)) - 1) AS mbucket, y
+       |  FROM sc JOIN yd USING (doc_id)
+       |),
+       |bkt AS (
+       |  SELECT mbucket, CAST(count(*) AS BIGINT) AS n_docs,
+       |    CAST(sum(y) AS BIGINT) AS n_pos
+       |  FROM mb GROUP BY mbucket
+       |),
+       |cum AS (
+       |  SELECT mbucket, n_docs, n_pos,
+       |    CAST(row_number() OVER (ORDER BY mbucket) AS BIGINT) AS i,
+       |    CAST(sum(n_docs) OVER (ORDER BY mbucket
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cn,
+       |    CAST(sum(n_pos) OVER (ORDER BY mbucket
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cp
+       |  FROM bkt
+       |),
+       |pairs AS (
+       |  SELECT a.i AS j, a.cn - a.n_docs AS cn0, a.cp - a.n_pos AS cp0,
+       |    b.i AS k, b.cn AS cnk, b.cp AS cpk
+       |  FROM cum a JOIN cum b ON a.i <= b.i
+       |),
+       |mg AS (
+       |  SELECT j, k, CAST(cpk - cp0 AS DOUBLE) / (cnk - cn0) AS m
+       |  FROM pairs
+       |),
+       |smin AS (
+       |  SELECT j, k, min(m) OVER (PARTITION BY j ORDER BY k DESC
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sm
+       |  FROM mg
+       |),
+       |iso AS (SELECT k, max(sm) AS iso_raw FROM smin GROUP BY k),
+       |isofit AS (
+       |  SELECT mbucket, n_docs, n_pos,
+       |    round(n_pos * 1.0 / n_docs, 6) AS pos_rate,
+       |    round(iso_raw, 6) AS iso_rate
+       |  FROM cum JOIN iso ON i = k
+       |)""".stripMargin
 }

@@ -128,6 +128,10 @@ private[graft] object EventsQueries extends QueryFamily {
     // Cochran-Mantel-Haenszel arm x conversion test stratified by the
     // exact log2 activity bucket — the Simpson-proof pooled readout
     "q264_cmh" -> ((s, d) => Events.cmhStratified(Tables.events(s, d))),
+    // seeded permutation test: 64 deterministic md5 relabelings, exact
+    // add-one p — the assumption-free complement to q192's Welch z
+    "q267_permutation_test" -> ((s, d) =>
+      Events.permutationTest(Tables.events(s, d))),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1226,5 +1230,64 @@ private[graft] object EventsQueries extends QueryFamily {
          |  END AS rate_gap,
          |  z_pooled
          |FROM z ORDER BY stratum""".stripMargin,
+    "q267_permutation_test" ->
+      // per-user totals once; 64 relabelings via md5(user || ':' || b);
+      // add-one permutation p with comparisons on rounded diffs
+      s"""WITH pu AS (
+         |  SELECT user_id,
+         |    CAST(sum(CASE WHEN event_type = 'purchase'
+         |      THEN CAST(round(value * 10000, 0) AS BIGINT) ELSE 0 END)
+         |      AS BIGINT) AS vm
+         |  FROM events GROUP BY 1
+         |),
+         |obs AS (
+         |  SELECT
+         |    CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS na,
+         |    CAST(sum(CASE WHEN arm = 0 THEN vm ELSE 0 END) AS BIGINT) AS sa,
+         |    CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS nb,
+         |    CAST(sum(CASE WHEN arm = 1 THEN vm ELSE 0 END) AS BIGINT) AS sb
+         |  FROM (SELECT
+         |    ${OracleHelpers.posSql("md5(CAST(user_id AS VARCHAR))", 0, 2)}
+         |      AS arm, vm FROM pu)
+         |),
+         |ob2 AS (
+         |  SELECT na, sa, nb, sb,
+         |    CASE WHEN na > 0 AND nb > 0 THEN
+         |      abs(CAST(sa AS DOUBLE) / na - CAST(sb AS DOUBLE) / nb)
+         |    END AS od
+         |  FROM obs
+         |),
+         |ex AS (
+         |  SELECT bi,
+         |    ${OracleHelpers.posSql(
+              "md5(CAST(user_id AS VARCHAR) || ':' || CAST(bi AS VARCHAR))",
+              0, 2)} AS arm,
+         |    vm
+         |  FROM pu CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS bi)
+         |),
+         |pb AS (
+         |  SELECT bi,
+         |    CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS na,
+         |    CAST(sum(CASE WHEN arm = 0 THEN vm ELSE 0 END) AS BIGINT) AS sa,
+         |    CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS nb,
+         |    CAST(sum(CASE WHEN arm = 1 THEN vm ELSE 0 END) AS BIGINT) AS sb
+         |  FROM ex GROUP BY 1
+         |),
+         |pd AS (
+         |  SELECT bi,
+         |    CASE WHEN na > 0 AND nb > 0 THEN
+         |      abs(CAST(sa AS DOUBLE) / na - CAST(sb AS DOUBLE) / nb)
+         |    END AS db
+         |  FROM pb
+         |)
+         |SELECT max(o.na + o.nb) AS n_users, max(o.na) AS n_a, max(o.nb) AS n_b,
+         |  round(max(CAST(o.sa AS DOUBLE) / o.na) / 10000.0, 4) AS mean_a,
+         |  round(max(CAST(o.sb AS DOUBLE) / o.nb) / 10000.0, 4) AS mean_b,
+         |  round(max(o.od) / 10000.0, 4) AS d_obs,
+         |  count(*) AS n_perms,
+         |  round((CAST(sum(CASE WHEN round(db, 6) >= round(o.od, 6)
+         |      THEN 1 ELSE 0 END) AS BIGINT) + 1) * 1.0 / (count(*) + 1), 6)
+         |    AS p_perm
+         |FROM pd CROSS JOIN ob2 o""".stripMargin,
   )
 }

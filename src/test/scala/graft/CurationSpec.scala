@@ -1435,4 +1435,57 @@ class CurationSpec extends GraftSuite {
     assert(raws.zip(raws.tail).exists { case (a, b) => a > b },
       "fixture reliability curve should contain a violation")
   }
+
+  test("aucDelong: AUC equals q189 and the brute-force placement variance; band brackets (q266)") {
+    val scored = Curation.classifierAuc(docs).collect()(0)
+    val g = Curation.aucDelong(docs).collect()(0)
+    // same AUC as the registered q189 operator (shared integer frame)
+    assert(g.getDouble(2) == scored.getDouble(0))
+    assert(g.getLong(0) == scored.getLong(1) && g.getLong(1) == scored.getLong(2))
+    // brute force straight from the definition on the per-doc margins
+    val byScore = Curation.docMargins(docs).collect()
+      .map(r => (r.getLong(1), r.getLong(2)))
+    val pos = byScore.filter(_._2 == 1L).map(_._1.toDouble)
+    val neg = byScore.filter(_._2 == 0L).map(_._1.toDouble)
+    val m = pos.length; val n = neg.length
+    val v10 = pos.map(z => (neg.count(_ < z) + 0.5 * neg.count(_ == z)) / n)
+    val v01 = neg.map(z => (pos.count(_ > z) + 0.5 * pos.count(_ == z)) / m)
+    val auc = v10.sum / m
+    def svar(xs: Seq[Double]): Double = {
+      val mu = xs.sum / xs.length
+      xs.map(x => (x - mu) * (x - mu)).sum / (xs.length - 1)
+    }
+    val se = math.sqrt(svar(v10) / m + svar(v01) / n)
+    assert(math.abs(g.getDouble(2) - auc) < 1e-6)
+    assert(math.abs(g.getDouble(3) - se) < 1e-6)
+    assert(g.getDouble(4) <= g.getDouble(2) && g.getDouble(2) <= g.getDouble(5))
+  }
+
+  test("brierDecomposition: Murphy identity and brute force over the isofit frame (q268)") {
+    val iso = Curation.isotonicCalibration(docs).collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getDouble(4)))
+    val nt = iso.map(_._1).sum; val pt = iso.map(_._2).sum
+    val yb = pt.toDouble / nt
+    val rel6 = iso.map { case (nd, np, p) =>
+      val yi = np.toDouble / nd
+      math.round(nd * ((p - yi) * (p - yi)) * 1000000.0)
+    }.sum
+    val res6 = iso.map { case (nd, np, _) =>
+      val yi = np.toDouble / nd
+      math.round(nd * ((yi - yb) * (yi - yb)) * 1000000.0)
+    }.sum
+    def roundN(v: Double, k: Int): Double =
+      BigDecimal(v).setScale(k, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val rel = rel6.toDouble / 1000000.0 / nt
+    val res = res6.toDouble / 1000000.0 / nt
+    val unc = yb * (1.0 - yb)
+    val g = Curation.brierDecomposition(docs).collect()(0)
+    assert(g.getLong(0) == nt)
+    assert(g.getDouble(1) == roundN(yb, 6) && g.getDouble(2) == roundN(unc, 6))
+    assert(g.getDouble(3) == roundN(rel, 6) && g.getDouble(4) == roundN(res, 6))
+    assert(g.getDouble(5) == roundN(rel - res + unc, 6))
+    assert(g.getDouble(6) == roundN(1.0 - (rel - res + unc) / unc, 6))
+    // the published identity: brier = rel - res + unc (to rounding)
+    assert(math.abs(g.getDouble(5) - (g.getDouble(3) - g.getDouble(4) + g.getDouble(2))) < 3e-6)
+  }
 }

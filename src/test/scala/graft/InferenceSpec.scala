@@ -623,4 +623,41 @@ class InferenceSpec extends GraftSuite {
     // arm0 converts (40+2)/100, arm1 (10+8)/100
     assert(math.abs((40 + 2) / 100.0 - (10 + 8) / 100.0) > 0.2)
   }
+
+  test("permutationTest equals the brute-force relabelings; A/A accepts, planted effect hits the p floor (q267)") {
+    def armOf(s: String): Long =
+      java.lang.Long.parseLong(md5Hex(s).substring(0, 4), 16) % 2
+    val vm = events.select("user_id", "event_type", "value").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+      .groupBy(_._1).view.mapValues(_.filter(_._2 == "purchase")
+        .map(e => math.round(e._3 * 10000)).sum).toMap
+    def diff(armF: Long => Long): Option[Double] = {
+      val (a, b) = vm.partition { case (u, _) => armF(u) == 0L }
+      if (a.isEmpty || b.isEmpty) None
+      else Some(math.abs(a.values.sum.toDouble / a.size
+        - b.values.sum.toDouble / b.size))
+    }
+    val dObs = diff(u => armOf(u.toString)).get
+    val dBs = (1 to 64).flatMap(b => diff(u => armOf(s"$u:$b")))
+    val ge = dBs.count(db => roundN(db, 6) >= roundN(dObs, 6))
+    val g = Events.permutationTest(events).collect()(0)
+    assert(g.getLong(0) == vm.size.toLong)
+    assert(g.getDouble(5) == roundN(dObs / 10000.0, 4))
+    assert(g.getLong(6) == 64L)
+    assert(g.getDouble(7) == roundN((ge + 1).toDouble / 65, 6))
+    // the fixture is an A/A: the permutation p must not reject at 5%
+    assert(g.getDouble(7) > 0.05)
+    // planted effect on REAL md5 arms: arm-0 users purchase 10x — no
+    // relabeling reproduces the aligned split, so p hits the floor zone
+    import spark.implicits._
+    val ids0 = Iterator.from(1).map(_.toLong).filter(u => armOf(u.toString) == 0L)
+      .take(40).toSeq
+    val ids1 = Iterator.from(10000).map(_.toLong)
+      .filter(u => armOf(u.toString) == 1L).take(40).toSeq
+    val synth = (ids0.map(u => (u, "purchase", 10.0))
+      ++ ids1.map(u => (u, "purchase", 1.0)))
+      .toDF("user_id", "event_type", "value")
+    val p = Events.permutationTest(synth).collect()(0).getDouble(7)
+    assert(p <= 3.0 / 65, s"planted effect should be near the 1/65 floor: $p")
+  }
 }

@@ -207,7 +207,13 @@ object ProfileScale {
       // pass; the CMH rollup is strata-bounded on per-user counts; the
       // Chao sketch is a frequency-of-frequencies rollup of the token
       // count frame (grows ×REPL, all map-side combined)
-      "q263_isotonic_calibration", "q264_cmh", "q265_unseen_mass")
+      "q263_isotonic_calibration", "q264_cmh", "q265_unseen_mass",
+      // the DeLong moments ride q189's distinct-score prefix machinery;
+      // the permutation explode is users×64 map-side-combined (the one
+      // deliberately super-linear-constant carrier — cost = 64×linear);
+      // the Brier rollup rides the q263 bucket frame
+      "q266_auc_delong", "q267_permutation_test",
+      "q268_brier_decomposition")
       .filterNot(skip)
     carriers.foreach { name =>
       time(s"x$repl ${name}") {

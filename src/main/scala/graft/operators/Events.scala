@@ -1691,6 +1691,124 @@ object Events {
       .orderBy($"event_type")
   }
 
+  // ---- retention decay fit (q270) ---------------------------------------------
+
+  /** Exponential retention-decay fit over the pooled q75 cohort
+    * triangle (q270): pooled retention rate(offset) = Σ_cohorts
+    * active(offset) / Σ_cohorts size, then least squares of
+    * ln(rate) on the day offset — slope is the daily decay rate,
+    * −ln2/slope the retention half-life, r² the "is it actually
+    * exponential" check (a power-law/heavy-tail retention shows up as
+    * low r², the signal to NOT quote a half-life). q75 reports the
+    * raw triangle; this is the one-row summary a dashboard quotes.
+    *
+    * The regression runs over the OFFSET frame (calendar-bounded);
+    * ln(rate) is micro-quantized per offset BEFORE the Σy/Σxy/Σy²
+    * sums (exact long arithmetic, order-free — the q245 discipline
+    * applied to a regression), and one double expression renders
+    * slope/intercept/r². Offsets with zero active users are excluded
+    * (ln 0), loudly visible in n_points.
+    */
+  def retentionDecayFit(events: DataFrame): DataFrame = {
+    val activity = events
+      .select($"user_id", expr(s"ts div $NsPerDay").as("day"))
+      .distinct()
+    val cohorts = activity.groupBy($"user_id").agg(min($"day").as("cohort_day"))
+    val tri = activity
+      .join(cohorts, Seq("user_id"))
+      .groupBy($"cohort_day", ($"day" - $"cohort_day").as("off"))
+      .agg(count(lit(1)).as("n"))
+    val sizes = tri.filter($"off" === 0L)
+      .select($"cohort_day", $"n".as("size"))
+    // pooled rate per offset >= 1, only over cohorts OLD enough to have
+    // reached that offset (frontier-censored denominators — pooling
+    // young cohorts into old offsets biases the tail down)
+    val frontier = tri.agg(max($"cohort_day" + $"off").as("mx"))
+    val act = tri.filter($"off" >= 1L)
+      .groupBy($"off").agg(sum($"n").as("act"))
+    val offFrame = sizes.crossJoin(broadcast(frontier))
+      .select($"cohort_day", $"size", ($"mx" - $"cohort_day").as("max_off"))
+      .filter($"max_off" >= 1L)
+      .select(explode(sequence(lit(1L), $"max_off")).as("off"), $"size")
+      .groupBy($"off").agg(sum($"size").as("den"))
+      .join(act, Seq("off"), "left_outer")
+      .select($"off", $"den", coalesce($"act", lit(0L)).as("act"))
+      .filter($"act" > 0L)
+      .withColumn("y6", round(log($"act".cast("double") / $"den") * 1e6, 0)
+        .cast("long"))
+    val agg = offFrame.agg(
+      count(lit(1)).as("np"), sum($"off").as("sx"),
+      sum(($"off" * $"off").cast("decimal(38,0)")).as("sxx"),
+      sum($"y6").as("sy"),
+      sum(($"off" * $"y6").cast("decimal(38,0)")).as("sxy"),
+      sum(($"y6" * $"y6").cast("decimal(38,0)")).as("syy"))
+    val nD = $"np".cast("double")
+    val denomX = nD * $"sxx".cast("double") - $"sx".cast("double") * $"sx"
+    val slope6 = (nD * $"sxy".cast("double")
+      - $"sx".cast("double") * $"sy") / denomX
+    val icpt6 = ($"sy".cast("double") - slope6 * $"sx") / nD
+    val covN = nD * $"sxy".cast("double") - $"sx".cast("double") * $"sy"
+    val varY = nD * $"syy".cast("double") - $"sy".cast("double") * $"sy"
+    agg
+      .withColumn("slope_raw", slope6 / lit(1000000.0))
+      .select($"np".as("n_points"),
+        round($"slope_raw", 6).as("slope_per_day"),
+        round(icpt6 / lit(1000000.0), 6).as("intercept"),
+        when($"slope_raw" < 0.0,
+          round(-log(lit(2.0)) / $"slope_raw", 4)).as("half_life_days"),
+        when(denomX > 0.0 && varY > 0.0,
+          round(covN * covN / (denomX * varY), 6)).as("r2"))
+  }
+
+  // ---- distribution-free median CI (q271) --------------------------------------
+
+  /** Order-statistic confidence interval for the per-type median value
+    * (q271; the textbook distribution-free interval): the CI for the
+    * median is (X₍ₖₗ₎, X₍ₖᵤ₎) with kl = ⌊(n − 1.96√n)/2⌋ and
+    * ku = ⌈1 + (n + 1.96√n)/2⌉ — NO distributional assumption, exact
+    * order statistics. The companion error bar to q135/q217's robust
+    * location estimates: a median without an interval invites the same
+    * overreach as q189's AUC did before q266.
+    *
+    * Ranks are selected on the per-type DISTINCT-VALUE frame with
+    * prefix counts (the q87/q247 machinery — the k-th order statistic
+    * is the first value whose cumulative count reaches k), so nothing
+    * corpus-sized is ever sorted or collected; values are exact 1e-4
+    * micro-units. The median itself uses the same rank form (lower
+    * median at k = ⌈n/2⌉), so all three outputs come from one
+    * windowed pass over the value frame.
+    */
+  def medianCi(events: DataFrame): DataFrame = {
+    val byVal = events
+      .select($"event_type", round($"value" * 10000, 0).cast("long").as("vm"))
+      .groupBy($"event_type", $"vm").agg(count(lit(1)).as("c"))
+    val w = Window.partitionBy($"event_type").orderBy($"vm")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val cum = byVal
+      .withColumn("cc", sum($"c").over(w))
+      .withColumn("n", sum($"c").over(Window.partitionBy($"event_type")))
+    // integer-safe ranks: 1.96·√n rendered once in double, floored and
+    // ceiled into exact ranks, clamped into [1, n]
+    val half = lit(1.96) * sqrt($"n".cast("double"))
+    val kMed = ceil($"n".cast("double") / lit(2.0)).cast("long")
+    val kLo = greatest(floor(($"n".cast("double") - half) / lit(2.0))
+      .cast("long"), lit(1L))
+    val kHi = least(ceil(lit(1.0) + ($"n".cast("double") + half) / lit(2.0))
+      .cast("long"), $"n")
+    def pick(k: Column, name: String): Column =
+      min(when($"cc" >= k, $"vm")).over(Window.partitionBy($"event_type"))
+        .as(name)
+    cum
+      .select($"event_type", $"n",
+        pick(kMed, "med_m"), pick(kLo, "lo_m"), pick(kHi, "hi_m"))
+      .groupBy($"event_type")
+      .agg(max($"n").as("n"),
+        round(max($"med_m") / lit(10000.0), 4).as("median"),
+        round(max($"lo_m") / lit(10000.0), 4).as("lo95"),
+        round(max($"hi_m") / lit(10000.0), 4).as("hi95"))
+      .orderBy($"event_type")
+  }
+
   // ---- seeded permutation test (q267) ----------------------------------------
 
   /** Permutation test of the arm difference in per-user metric totals

@@ -1060,6 +1060,75 @@ object TextAnalysis {
       .orderBy($"decile")
   }
 
+  // ---- interpolated Kneser–Ney held-out eval (q269) -------------------------
+
+  /** Interpolated Kneser–Ney bigram evaluation on the q198 held-out
+    * split (q269; Kneser & Ney 1995; Chen & Goodman 1999's empirical
+    * case): P(w₂|w₁) = max(c(w₁w₂)−D, 0)/c(w₁) + D·N₁₊(w₁·)/c(w₁) ·
+    * P_cont(w₂), with the CONTINUATION unigram P_cont(w₂) =
+    * (N₁₊(·w₂)+1)/(N₁₊(··)+V) — "how many contexts does w₂ follow",
+    * not "how often does w₂ occur" (the insight that makes KN the
+    * strong n-gram baseline: 'Francisco' is frequent but follows one
+    * context). The +1/+V add-one on the continuation distribution
+    * keeps an unseen-in-train w₂ finite; an unseen w₁ backs off to
+    * P_cont alone. D = 0.75 (the Chen–Goodman stock discount).
+    * Beside q198's add-one eval this is the ablation a tokenizer/LM
+    * pipeline actually runs: same split, same test bigrams, better
+    * smoothing — bits/token drop is the evidence.
+    *
+    * Shape: identical to q198 — one bigram explode, THREE aggregate
+    * frames (bigram counts, left-context totals + distinct-right
+    * fanouts, continuation counts) equi-joined onto the held-out
+    * bigram groups; per-group −log₂p micro-quantized before the
+    * per-lang sum. Everything after the explode is vocabulary-bounded.
+    */
+  def kneserNeyEval(documents: DataFrame, discount: Double = 0.75): DataFrame = {
+    val coin = Scale.md5SlicePos($"doc_id", 0, 2)
+    val toks = documents
+      .select($"doc_id", $"lang", (coin === 0L).as("is_train"),
+        split($"text", " ").as("ts"))
+    val bd = toks
+      .filter(size($"ts") >= 2)
+      .select($"doc_id", $"lang", $"is_train", explode(expr(
+        "transform(sequence(1, size(ts) - 1), i -> struct(element_at(ts, i) AS w1, element_at(ts, i + 1) AS w2))")).as("b"))
+      .select($"doc_id", $"lang", $"is_train", $"b.w1".as("w1"), $"b.w2".as("w2"))
+    val train = bd.filter($"is_train")
+    val cb = train.groupBy($"w1", $"w2").agg(count(lit(1)).as("cb"))
+    // left-context totals + distinct-right fanout N1+(w1, ·) in one pass
+    val cu = cb.groupBy($"w1")
+      .agg(sum($"cb").as("cu"), count(lit(1)).as("n1w1"))
+    // continuation counts N1+(·, w2) and the global distinct-bigram mass
+    val cont = cb.groupBy($"w2").agg(count(lit(1)).as("n1w2"))
+    val glob = cb.agg(count(lit(1)).as("nb"))
+    val vocab = toks.filter($"is_train")
+      .select(explode($"ts").as("w")).agg(countDistinct($"w").as("v"))
+    val d = lit(discount)
+    val pc = (coalesce($"n1w2", lit(0L)) + lit(1.0)) / ($"nb" + $"v")
+    val pKn = when($"cu".isNotNull,
+      greatest($"cb_f" - d, lit(0.0)) / $"cu"
+        + d * $"n1w1" / $"cu" * pc)
+      .otherwise(pc)
+    bd.filter(!$"is_train")
+      .groupBy($"lang", $"w1", $"w2").agg(count(lit(1)).as("k"))
+      .join(cb, Seq("w1", "w2"), "left_outer")
+      .join(cu, Seq("w1"), "left_outer")
+      .join(cont, Seq("w2"), "left_outer") // vocab-sized: shuffle join
+      .crossJoin(broadcast(glob)).crossJoin(broadcast(vocab))
+      .withColumn("cb_f", coalesce($"cb", lit(0L)).cast("double"))
+      .select($"lang", $"k",
+        $"cu".isNull.as("backoff"),
+        round(-log2(pKn) * 1e6, 0).cast("long").as("u6"))
+      .groupBy($"lang")
+      .agg(
+        sum($"k").as("n_bigrams"),
+        sum($"k" * $"u6").as("units"),
+        sum(when($"backoff", $"k").otherwise(0L)).as("n_backoff"))
+      .select($"lang", $"n_bigrams",
+        round($"units" / $"n_bigrams" / 1e6, 4).as("bits_per_token"),
+        round($"n_backoff" / $"n_bigrams", 6).as("backoff_rate"))
+      .orderBy($"lang")
+  }
+
   // ---- unseen-mass estimation: Chao1 + Good–Turing (q265) ------------------
 
   /** Per-source unseen-vocabulary estimation: Chao1 species richness

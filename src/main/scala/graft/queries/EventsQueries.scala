@@ -132,6 +132,13 @@ private[graft] object EventsQueries extends QueryFamily {
     // add-one p — the assumption-free complement to q192's Welch z
     "q267_permutation_test" -> ((s, d) =>
       Events.permutationTest(Tables.events(s, d))),
+    // exponential decay fit of the pooled q75 retention triangle:
+    // frontier-censored denominators, micro-quantized log regression
+    "q270_retention_fit" -> ((s, d) =>
+      Events.retentionDecayFit(Tables.events(s, d))),
+    // distribution-free median CI from order statistics on the
+    // per-type distinct-value frame (no sort, no collect)
+    "q271_median_ci" -> ((s, d) => Events.medianCi(Tables.events(s, d))),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1289,5 +1296,104 @@ private[graft] object EventsQueries extends QueryFamily {
          |      THEN 1 ELSE 0 END) AS BIGINT) + 1) * 1.0 / (count(*) + 1), 6)
          |    AS p_perm
          |FROM pd CROSS JOIN ob2 o""".stripMargin,
+    "q270_retention_fit" ->
+      // frontier-censored pooled rates; ln(rate) micro-quantized per
+      // offset, exact HUGEINT regression moments, double render
+      """WITH act0 AS (
+        |  SELECT DISTINCT user_id, epoch_ns(ts) // 86400000000000 AS day
+        |  FROM events
+        |),
+        |coh AS (SELECT user_id, min(day) AS cd FROM act0 GROUP BY 1),
+        |tri AS (
+        |  SELECT cd, day - cd AS off, CAST(count(*) AS BIGINT) AS n
+        |  FROM act0 JOIN coh USING (user_id) GROUP BY 1, 2
+        |),
+        |sizes AS (SELECT cd, n AS sz FROM tri WHERE off = 0),
+        |fr AS (SELECT max(cd + off) AS mx FROM tri),
+        |den AS (
+        |  SELECT off, CAST(sum(sz) AS BIGINT) AS den FROM (
+        |    SELECT unnest(generate_series(1, mx - cd)) AS off, sz
+        |    FROM sizes CROSS JOIN fr WHERE mx - cd >= 1
+        |  ) GROUP BY 1
+        |),
+        |a AS (
+        |  SELECT off, CAST(sum(n) AS BIGINT) AS act FROM tri
+        |  WHERE off >= 1 GROUP BY 1
+        |),
+        |yf AS (
+        |  SELECT off, CAST(round(ln(CAST(act AS DOUBLE) / den) * 1e6, 0)
+        |    AS BIGINT) AS y6
+        |  FROM den LEFT JOIN a USING (off)
+        |  WHERE coalesce(act, 0) > 0
+        |),
+        |ag AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS np, CAST(sum(off) AS BIGINT) AS sx,
+        |    sum(CAST(off * off AS HUGEINT)) AS sxx,
+        |    CAST(sum(y6) AS BIGINT) AS sy,
+        |    sum(CAST(off * y6 AS HUGEINT)) AS sxy,
+        |    sum(CAST(y6 * y6 AS HUGEINT)) AS syy
+        |  FROM yf
+        |),
+        |fin AS (
+        |  SELECT np,
+        |    CAST(np AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |      - CAST(sx AS DOUBLE) * sx AS dx,
+        |    CAST(np AS DOUBLE) * CAST(sxy AS DOUBLE)
+        |      - CAST(sx AS DOUBLE) * sy AS cn,
+        |    CAST(np AS DOUBLE) * CAST(syy AS DOUBLE)
+        |      - CAST(sy AS DOUBLE) * sy AS vy,
+        |    sx, sy
+        |  FROM ag
+        |),
+        |f2 AS (
+        |  SELECT fin.*, cn / dx AS slope6,
+        |    (CAST(sy AS DOUBLE) - cn / dx * sx) / CAST(np AS DOUBLE) AS icpt6
+        |  FROM fin
+        |),
+        |f3 AS (SELECT f2.*, slope6 / 1000000.0 AS slope_raw FROM f2)
+        |SELECT np AS n_points,
+        |  round(slope_raw, 6) AS slope_per_day,
+        |  round(icpt6 / 1000000.0, 6) AS intercept,
+        |  CASE WHEN slope_raw < 0.0
+        |    THEN round(-ln(2.0) / slope_raw, 4) END AS half_life_days,
+        |  CASE WHEN dx > 0.0 AND vy > 0.0
+        |    THEN round(cn * cn / (dx * vy), 6) END AS r2
+        |FROM f3""".stripMargin,
+    "q271_median_ci" ->
+      // order-statistic ranks on the per-type distinct-value frame;
+      // the k-th statistic = first value whose prefix count reaches k
+      """WITH bv AS (
+        |  SELECT event_type, CAST(round(value * 10000, 0) AS BIGINT) AS vm,
+        |    CAST(count(*) AS BIGINT) AS c
+        |  FROM events GROUP BY 1, 2
+        |),
+        |cum AS (
+        |  SELECT event_type, vm, c,
+        |    CAST(sum(c) OVER (PARTITION BY event_type ORDER BY vm
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cc,
+        |    CAST(sum(c) OVER (PARTITION BY event_type) AS BIGINT) AS n
+        |  FROM bv
+        |),
+        |rk AS (
+        |  SELECT cum.*,
+        |    CAST(ceil(CAST(n AS DOUBLE) / 2.0) AS BIGINT) AS kmed,
+        |    greatest(CAST(floor((CAST(n AS DOUBLE)
+        |      - 1.96 * sqrt(CAST(n AS DOUBLE))) / 2.0) AS BIGINT), 1) AS klo,
+        |    least(CAST(ceil(1.0 + (CAST(n AS DOUBLE)
+        |      + 1.96 * sqrt(CAST(n AS DOUBLE))) / 2.0) AS BIGINT), n) AS khi
+        |  FROM cum
+        |),
+        |sel AS (
+        |  SELECT event_type, max(n) AS n,
+        |    min(CASE WHEN cc >= kmed THEN vm END) AS med_m,
+        |    min(CASE WHEN cc >= klo THEN vm END) AS lo_m,
+        |    min(CASE WHEN cc >= khi THEN vm END) AS hi_m
+        |  FROM rk GROUP BY 1
+        |)
+        |SELECT event_type, n,
+        |  round(CAST(med_m AS DOUBLE) / 10000.0, 4) AS median,
+        |  round(CAST(lo_m AS DOUBLE) / 10000.0, 4) AS lo95,
+        |  round(CAST(hi_m AS DOUBLE) / 10000.0, 4) AS hi95
+        |FROM sel ORDER BY event_type""".stripMargin,
   )
 }

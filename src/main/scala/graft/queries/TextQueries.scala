@@ -84,6 +84,10 @@ private[graft] object TextQueries extends QueryFamily {
     // Heaps curve ("how much vocabulary is this source still hiding")
     "q265_unseen_mass" -> ((s, d) =>
       TextAnalysis.unseenMass(Tables.documents(s, d))),
+    // interpolated Kneser-Ney bigram eval on the q198 split: continuation
+    // counts + absolute discount — the smoothing ablation vs add-one
+    "q269_kneser_ney" -> ((s, d) =>
+      TextAnalysis.kneserNeyEval(Tables.documents(s, d))),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -535,5 +539,48 @@ private[graft] object TextQueries extends QueryFamily {
         |    AS chao1,
         |  round(CAST(f1 AS DOUBLE) / n_tokens, 6) AS gt_unseen_mass
         |FROM agg ORDER BY source""".stripMargin,
+    "q269_kneser_ney" ->
+      // q198's frame + continuation counts; the discounted two-term
+      // interpolation mirrored operation-for-operation (0.75 and the
+      // +1/+V continuation floor are literals on both sides)
+      s"""WITH t AS (
+         |  SELECT doc_id, lang,
+         |    ${posSql("md5(CAST(doc_id AS VARCHAR))", 0, 2)} = 0 AS is_train,
+         |    string_split(text, ' ') AS ts
+         |  FROM documents
+         |),
+         |b AS (
+         |  SELECT lang, is_train,
+         |    unnest([struct_pack(w1 := ts[i], w2 := ts[i+1]) for i in range(1, len(ts))]) AS bg
+         |  FROM t
+         |),
+         |cb AS (SELECT bg.w1 AS w1, bg.w2 AS w2, count(*) AS cb
+         |       FROM b WHERE is_train GROUP BY 1, 2),
+         |cu AS (SELECT w1, CAST(sum(cb) AS BIGINT) AS cu,
+         |         CAST(count(*) AS BIGINT) AS n1w1
+         |       FROM cb GROUP BY w1),
+         |ct AS (SELECT w2, CAST(count(*) AS BIGINT) AS n1w2 FROM cb GROUP BY w2),
+         |gb AS (SELECT CAST(count(*) AS BIGINT) AS nb FROM cb),
+         |vv AS (SELECT count(DISTINCT w) AS v
+         |       FROM (SELECT unnest(ts) AS w FROM t WHERE is_train)),
+         |te AS (SELECT lang, bg.w1 AS w1, bg.w2 AS w2, count(*) AS k
+         |       FROM b WHERE NOT is_train GROUP BY 1, 2, 3),
+         |sc AS (
+         |  SELECT lang, k, cu IS NULL AS backoff,
+         |    CAST(round(-log2(
+         |      CASE WHEN cu IS NOT NULL THEN
+         |        greatest(CAST(coalesce(cb, 0) AS DOUBLE) - 0.75, 0.0) / cu
+         |          + CAST(0.75 * n1w1 AS DOUBLE) / cu
+         |            * ((coalesce(n1w2, 0) + 1.0) / (nb + v))
+         |      ELSE (coalesce(n1w2, 0) + 1.0) / (nb + v) END) * 1e6, 0)
+         |      AS BIGINT) AS u6
+         |  FROM te LEFT JOIN cb USING (w1, w2) LEFT JOIN cu USING (w1)
+         |    LEFT JOIN ct USING (w2) CROSS JOIN gb CROSS JOIN vv
+         |)
+         |SELECT lang, CAST(sum(k) AS BIGINT) AS n_bigrams,
+         | round(sum(k * u6) * 1.0 / sum(k) / 1e6, 4) AS bits_per_token,
+         | round(sum(CASE WHEN backoff THEN k ELSE 0 END) * 1.0 / sum(k), 6)
+         |   AS backoff_rate
+         |FROM sc GROUP BY lang ORDER BY lang""".stripMargin,
   )
 }

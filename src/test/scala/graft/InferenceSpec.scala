@@ -660,4 +660,72 @@ class InferenceSpec extends GraftSuite {
     val p = Events.permutationTest(synth).collect()(0).getDouble(7)
     assert(p <= 3.0 / 65, s"planted effect should be near the 1/65 floor: $p")
   }
+
+  test("retentionDecayFit equals brute force; an exactly-geometric cohort recovers slope -ln2 (q270)") {
+    val NsD = 86400L * 1000000000L
+    val act = events.select("user_id", "ts").collect()
+      .map(r => (r.getLong(0), r.getLong(1) / NsD)).distinct
+    val coh = act.groupBy(_._1).view.mapValues(_.map(_._2).min).toMap
+    val tri = act.map { case (u, d) => (coh(u), d - coh(u)) }
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val sizes = tri.collect { case ((cd, 0L), n) => (cd, n) }.toMap
+    val mx = tri.keys.map { case (cd, off) => cd + off }.max
+    val offs = (1L to (mx - coh.values.min)).flatMap { off =>
+      val den = sizes.collect { case (cd, sz) if mx - cd >= off => sz }.sum
+      val a = tri.collect { case ((_, o), n) if o == off => n }.sum
+      if (a > 0) Some((off, math.round(math.log(a.toDouble / den) * 1e6))) else None
+    }
+    val np = offs.length.toLong
+    val sx = offs.map(_._1).sum; val sy = offs.map(_._2).sum
+    val sxx = offs.map(o => o._1 * o._1).sum
+    val sxy = offs.map(o => o._1 * o._2).sum
+    val dx = np.toDouble * sxx - sx.toDouble * sx
+    val cn = np.toDouble * sxy - sx.toDouble * sy
+    val slope = cn / dx / 1000000.0
+    val g = Events.retentionDecayFit(events).collect()(0)
+    assert(g.getLong(0) == np)
+    assert(g.getDouble(1) == roundN(slope, 6))
+    // the headline identities on the operator's own outputs
+    if (!g.isNullAt(3)) assert(g.getDouble(3) > 0.0)
+    if (!g.isNullAt(4)) assert(g.getDouble(4) >= 0.0 && g.getDouble(4) <= 1.0)
+    // constructed geometric cohort: 1024 users on day 0, active share
+    // halves every day for 10 days → slope = −ln2, half-life 1 day, r² ≈ 1
+    import spark.implicits._
+    val ts = (1 to 1024).flatMap { i =>
+      val l = 63 - java.lang.Long.numberOfLeadingZeros(1024L / i)
+      (0L to l.toLong).map(d => (i.toLong, d * NsD + i))
+    }.toDF("user_id", "ts")
+    val r = Events.retentionDecayFit(ts).collect()(0)
+    assert(r.getLong(0) == 10L)
+    assert(math.abs(r.getDouble(1) + math.log(2.0)) < 1e-5)
+    assert(r.getDouble(3) == 1.0)
+    assert(r.getDouble(4) > 0.999999)
+  }
+
+  test("medianCi equals brute-force order statistics; interval brackets; uniform closed form (q271)") {
+    val vals = events.select("event_type", "value").collect()
+      .map(r => (r.getString(0), math.round(r.getDouble(1) * 10000)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted.toIndexedSeq).toMap
+    val got = Events.medianCi(events).collect()
+    assert(got.length == vals.size)
+    got.foreach { g =>
+      val xs = vals(g.getString(0)); val n = xs.length
+      def kth(k: Long): Double = xs((k - 1).toInt.max(0).min(n - 1)) / 10000.0
+      val half = 1.96 * math.sqrt(n.toDouble)
+      val kMed = math.ceil(n / 2.0).toLong
+      val kLo = math.max(math.floor((n - half) / 2.0).toLong, 1L)
+      val kHi = math.min(math.ceil(1.0 + (n + half) / 2.0).toLong, n.toLong)
+      assert(g.getLong(1) == n.toLong)
+      assert(g.getDouble(2) == roundN(kth(kMed), 4))
+      assert(g.getDouble(3) == roundN(kth(kLo), 4))
+      assert(g.getDouble(4) == roundN(kth(kHi), 4))
+      assert(g.getDouble(3) <= g.getDouble(2) && g.getDouble(2) <= g.getDouble(4))
+    }
+    // uniform 1..100 (values i/10000): n=100, half=19.6 → klo=40, khi=61
+    import spark.implicits._
+    val uni = (1 to 100).map(i => ("u", i / 10000.0)).toDF("event_type", "value")
+    val u = Events.medianCi(uni).collect()(0)
+    assert(u.getLong(1) == 100L)
+    assert(u.getDouble(2) == 0.005 && u.getDouble(3) == 0.004 && u.getDouble(4) == 0.0061)
+  }
 }

@@ -2515,4 +2515,78 @@ class PipelineSpec extends GraftSuite {
     assert(u.getDouble(5) == roundN(40 + 40.0 * 39 / 2.0, 2))
     assert(u.getDouble(6) == 1.0)
   }
+
+  test("kneserNeyEval equals a brute-force interpolated-KN scorer on the q198 split (q269)") {
+    def md5hex(v: String): String = java.security.MessageDigest.getInstance("MD5")
+      .digest(v.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    def isTrain(id: Long): Boolean =
+      Integer.parseInt(md5hex(id.toString).substring(0, 4), 16) % 2 == 0
+    val dd = docs.select($"doc_id", $"lang", $"text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2).split(" ", -1).toSeq))
+    val train = dd.filter(d => isTrain(d._1))
+    val cb = train.flatMap(d => d._3.sliding(2).filter(_.length == 2).map(p => (p(0), p(1))))
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val cu = cb.toSeq.groupBy(_._1._1).view.mapValues(_.map(_._2).sum).toMap
+    val n1w1 = cb.keys.toSeq.groupBy(_._1).view.mapValues(_.length.toLong).toMap
+    val n1w2 = cb.keys.toSeq.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    val nb = cb.size.toLong
+    val v = train.flatMap(_._3).distinct.length.toLong
+    def pKn(bg: (String, String)): Double = {
+      val pc = (n1w2.getOrElse(bg._2, 0L) + 1.0) / (nb + v)
+      cu.get(bg._1) match {
+        case Some(u) =>
+          math.max(cb.getOrElse(bg, 0L).toDouble - 0.75, 0.0) / u +
+            0.75 * n1w1(bg._1) / u * pc
+        case None => pc
+      }
+    }
+    val perLang = dd.filterNot(d => isTrain(d._1))
+      .flatMap(d => d._3.sliding(2).filter(_.length == 2).map(p => (d._2, (p(0), p(1)))))
+      .groupBy(_._1).view.mapValues { g =>
+        val units = g.map { case (_, bg) =>
+          math.round(-math.log(pKn(bg)) / math.log(2.0) * 1e6)
+        }.sum
+        val backoff = g.count { case (_, bg) => !cu.contains(bg._1) }.toLong
+        (g.length.toLong, units, backoff)
+      }.toSeq.sortBy(_._1)
+    val got = TextAnalysis.kneserNeyEval(docs).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getDouble(3))).toSeq
+    assert(got.map(_._1) === perLang.map(_._1))
+    got.zip(perLang).foreach { case ((lang, n, bpt, br), (_, (en, eu, ebk))) =>
+      assert(n === en, s"$lang bigram count")
+      assert(math.abs(bpt - eu.toDouble / en / 1e6) <= 1e-3, s"$lang bits/token")
+      assert(math.abs(br - ebk.toDouble / en) <= 5e-7, s"$lang backoff rate")
+    }
+    // corpus-level comparison vs add-one is INFORMATIONAL on this
+    // fixture: the synthetic near-uniform vocabulary lacks the natural-
+    // language continuation skew Chen & Goodman's empirical law rides
+    // (measured: KN within 0.2% of add-one here, slightly behind)
+    val knBits = got.map(g => g._2 * g._3).sum / got.map(_._2).sum
+    val a1 = TextAnalysis.heldOutPerplexity(docs).collect()
+      .map(r => (r.getLong(1), r.getDouble(2)))
+    val a1Bits = a1.map(g => g._1 * g._2).sum / a1.map(_._1).sum
+    assert(math.abs(knBits - a1Bits) / a1Bits < 0.05)
+
+    // the CONSTRUCTED continuation law — the insight that defines KN:
+    // two equally-unseen test bigrams "q the" and "q z" where 'the'
+    // follows 20 distinct train contexts and 'z' (equally FREQUENT)
+    // follows one. Add-one prices them identically; KN must price
+    // 'the' cheaper (fewer bits) because continuation counts, not raw
+    // frequency, drive the backoff.
+    import spark.implicits._
+    val trainIds = Iterator.from(1).map(_.toLong).filter(isTrain)
+    val testIds = Iterator.from(1).map(_.toLong).filterNot(isTrain)
+    val trainDocs = (1 to 20).map(i => (trainIds.next(), s"ctx$i the", "tr")) ++
+      (1 to 20).map(_ => (trainIds.next(), "y z", "tr"))
+    val testDocs = Seq((testIds.next(), "q the", "hi"), (testIds.next(), "q z", "lo"))
+    val corpus = (trainDocs ++ testDocs).toDF("doc_id", "text", "lang")
+    val kn = TextAnalysis.kneserNeyEval(corpus).collect()
+      .map(r => (r.getString(0), r.getDouble(2))).toMap
+    assert(kn("hi") < kn("lo"),
+      s"KN must price the versatile continuation cheaper: $kn")
+    val ao = TextAnalysis.heldOutPerplexity(corpus).collect()
+      .map(r => (r.getString(0), r.getDouble(2))).toMap
+    assert(ao("hi") == ao("lo"),
+      s"add-one cannot distinguish them: $ao")
+  }
 }

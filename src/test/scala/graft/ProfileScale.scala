@@ -213,7 +213,11 @@ object ProfileScale {
       // deliberately super-linear-constant carrier — cost = 64×linear);
       // the Brier rollup rides the q263 bucket frame
       "q266_auc_delong", "q267_permutation_test",
-      "q268_brier_decomposition")
+      "q268_brier_decomposition",
+      // KN rides q198's vocabulary-bounded bigram frames (+1 shuffle
+      // join for continuation counts); the retention fit and median CI
+      // are offset-frame / distinct-value-frame rollups
+      "q269_kneser_ney", "q270_retention_fit", "q271_median_ci")
       .filterNot(skip)
     carriers.foreach { name =>
       time(s"x$repl ${name}") {

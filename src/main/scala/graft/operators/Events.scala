@@ -451,6 +451,113 @@ object Events {
       .orderBy($"event_type")
   }
 
+  /** Persisted per-day QUANTILE sketch shards (q272) — the q228 disk
+    * contract applied to q87's deterministic bottom-k-by-md5 quantile
+    * sample: each (event_type, day)'s k smallest-md5(event_id) rows land
+    * as a parquet shard with the q242 build-slice fingerprint, and
+    * quantile serving later merges ANY span of shards by re-bottom-k —
+    * sound because a global bottom-k member is necessarily inside its
+    * own day's bottom-k (the same associativity the KMV rollup rides;
+    * spec-asserted against the single-pass q87 sample). The nightly
+    * pattern at 100 TB: each day's events are read once when the shard
+    * lands; every later percentile panel reads days×k rows.
+    */
+  def writeDailyQuantileSketches(events: DataFrame, path: String,
+      k: Int = 256): Unit = {
+    Scale.topKPerGroup(
+      events.select($"event_type", expr(s"ts div $NsPerDay").as("day"),
+        md5($"event_id".cast("string")).as("h"), $"event_id",
+        round($"value", 2).as("v")),
+      group = struct($"event_type", $"day"),
+      rankKey = $"h", tie = $"event_id", saltSource = $"event_id", k = k)
+      .select($"event_type", $"day", $"h", $"event_id", $"v")
+      .write.mode("overwrite").parquet(path)
+    Governance.writeFingerprint(events, Governance.eventCanonical, path)
+  }
+
+  /** Serve the q87 percentile panel from persisted day shards — no
+    * event rescanned; merge = distinct + re-bottom-k per type (the
+    * distinct guards idempotent shard rewrites, as in q228).
+    */
+  def quantilesFromSketchFiles(spark: org.apache.spark.sql.SparkSession,
+      dirs: Seq[String], k: Int = 256): DataFrame = {
+    val parts = dirs.map(spark.read.parquet(_)).reduce(_.unionByName(_))
+    val merged = Scale.topKPerGroup(
+      parts.select($"event_type", $"day", $"h", $"event_id", $"v").distinct(),
+      group = $"event_type", rankKey = $"h", tie = $"event_id",
+      saltSource = $"event_id", k = k)
+    val nDays = parts.groupBy($"event_type")
+      .agg(countDistinct($"day").as("n_days"))
+    Scale.quantilePanel(merged.select($"event_type", $"v"),
+        "event_type", "v", Seq(0.5 -> "p50", 0.9 -> "p90"))
+      .select($"event_type", round($"p50", 4).as("p50_est"),
+        round($"p90", 4).as("p90_est"))
+      .join(nDays, Seq("event_type"))
+      .select($"event_type", $"n_days", $"p50_est", $"p90_est")
+      .orderBy($"event_type")
+  }
+
+  // ---- quantile treatment effect panel (q274) ---------------------------------
+
+  /** Quantile treatment effect on event values (q274): per (event_type,
+    * md5 arm), the median with its distribution-free order-statistic
+    * 95% CI (the q271 machinery partitioned one level deeper), and the
+    * median difference as the QTE point estimate — the robust
+    * complement to q192's MEAN difference: a heavy-tailed metric (one
+    * whale purchase) moves the mean test arbitrarily while the median
+    * QTE barely notices; quoting both is the A/B readout discipline.
+    * Non-overlapping per-arm CIs are the conservative significance
+    * screen (stricter than a test on the difference — stated, not
+    * hidden).
+    *
+    * Same scale shape as q271: per-(type, arm) distinct-value frames
+    * with prefix counts; arms join back side-by-side on the type.
+    */
+  def quantileTreatmentEffect(events: DataFrame): DataFrame = {
+    val byVal = events
+      .select($"event_type", Scale.md5SlicePos($"user_id", 0, 2).as("arm"),
+        round($"value" * 10000, 0).cast("long").as("vm"))
+      .groupBy($"event_type", $"arm", $"vm").agg(count(lit(1)).as("c"))
+    val w = Window.partitionBy($"event_type", $"arm").orderBy($"vm")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val cum = byVal
+      .withColumn("cc", sum($"c").over(w))
+      .withColumn("n",
+        sum($"c").over(Window.partitionBy($"event_type", $"arm")))
+    val half = lit(1.96) * sqrt($"n".cast("double"))
+    val kMed = ceil($"n".cast("double") / lit(2.0)).cast("long")
+    val kLo = greatest(floor(($"n".cast("double") - half) / lit(2.0))
+      .cast("long"), lit(1L))
+    val kHi = least(ceil(lit(1.0) + ($"n".cast("double") + half) / lit(2.0))
+      .cast("long"), $"n")
+    def pick(k: Column): Column =
+      min(when($"cc" >= k, $"vm"))
+        .over(Window.partitionBy($"event_type", $"arm"))
+    val perArm = cum
+      .select($"event_type", $"arm", $"n",
+        pick(kMed).as("med_m"), pick(kLo).as("lo_m"), pick(kHi).as("hi_m"))
+      .groupBy($"event_type", $"arm")
+      .agg(max($"n").as("n"), max($"med_m").as("med_m"),
+        max($"lo_m").as("lo_m"), max($"hi_m").as("hi_m"))
+    val a0 = perArm.filter($"arm" === 0L)
+      .select($"event_type", $"n".as("n0"), $"med_m".as("med_m0"),
+        $"lo_m".as("lo_m0"), $"hi_m".as("hi_m0"))
+    val a1 = perArm.filter($"arm" === 1L)
+      .select($"event_type", $"n".as("n1"), $"med_m".as("med_m1"),
+        $"lo_m".as("lo_m1"), $"hi_m".as("hi_m1"))
+    a0.join(a1, Seq("event_type"))
+      .select($"event_type", $"n0".as("n_a"), $"n1".as("n_b"),
+        round($"med_m0" / lit(10000.0), 4).as("median_a"),
+        round($"med_m1" / lit(10000.0), 4).as("median_b"),
+        round(($"med_m1" - $"med_m0") / lit(10000.0), 4).as("qte"),
+        round($"lo_m0" / lit(10000.0), 4).as("lo95_a"),
+        round($"hi_m0" / lit(10000.0), 4).as("hi95_a"),
+        round($"lo_m1" / lit(10000.0), 4).as("lo95_b"),
+        round($"hi_m1" / lit(10000.0), 4).as("hi95_b"),
+        ($"lo_m1" > $"hi_m0" || $"lo_m0" > $"hi_m1").as("ci_separated"))
+      .orderBy($"event_type")
+  }
+
   /** Slowly-changing-dimension type-2 history build from the event
     * stream: compress each user's event sequence to its CHANGE POINTS of
     * `event_type` and emit validity intervals — (user, state, valid_from,

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -478,6 +478,46 @@ object Sampling {
         .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
     }.toDF("lang", "source", "n_sample", "raked_docs")
       .orderBy($"lang", $"source")
+  }
+
+  /** Effective sample size and Kish design effect of the q238 raking
+    * weights (q273; Kish 1965): per lang and overall,
+    * ESS = (Σw)²/Σw² over the weighted sample and deff = n/ESS — the
+    * price of the calibration: raking matches the margins exactly
+    * (q238's gate) but inflates variance by deff, and quoting raked
+    * estimates without it is the classic survey-weighting overclaim.
+    * Weights are cell-constant (w = raked_docs/n_sample), so both sums
+    * collapse to cell-level products on the bounded (lang × source)
+    * frame: ESS needs no second corpus pass at all.
+    *
+    * Per-cell Σ terms micro-quantize before the cross-cell sums (the
+    * q245 discipline); each per-lang row also carries the overall
+    * ESS/deff (the grid convention).
+    */
+  def rakingEss(documents: DataFrame, rounds: Int = 3): DataFrame = {
+    val raked = rakingWeights(documents, rounds)
+    val withW = raked
+      .withColumn("w", $"raked_docs" / $"n_sample")
+      .withColumn("sw6",
+        round($"n_sample" * $"w" * lit(1000000.0), 0).cast("long"))
+      .withColumn("sww6",
+        round($"n_sample" * ($"w" * $"w") * lit(1000000.0), 0).cast("long"))
+    val perLang = withW.groupBy($"lang").agg(
+      sum($"n_sample").as("n"),
+      sum($"sw6").as("sw6"), sum($"sww6").as("sww6"))
+    val tot = perLang.agg(sum($"n").as("nt"),
+      sum($"sw6").as("tsw6"), sum($"sww6").as("tsww6"))
+    def ess(sw: Column, sww: Column): Column =
+      (sw.cast("double") / lit(1000000.0)) * (sw.cast("double") / lit(1000000.0)) /
+        (sww.cast("double") / lit(1000000.0))
+    perLang.crossJoin(broadcast(tot))
+      .select($"lang", $"n".as("n_sample"),
+        round(ess($"sw6", $"sww6"), 4).as("ess"),
+        round($"n".cast("double") / ess($"sw6", $"sww6"), 6).as("deff"),
+        round(ess($"tsw6", $"tsww6"), 4).as("ess_overall"),
+        round($"nt".cast("double") / ess($"tsw6", $"tsww6"), 6)
+          .as("deff_overall"))
+      .orderBy($"lang")
   }
 
   def weightedSampleByStratum(documents: DataFrame, k: Int = 10): DataFrame = {

@@ -915,7 +915,7 @@ private[graft] object CurationQueries extends QueryFamily {
          |    (SELECT s_true FROM ranked
          |     WHERE ranked.y = ncal.y
          |       AND r = CAST(ceil((ncal.n + 1) * (1 - a.alpha)) AS BIGINT)) AS qhat
-         |  FROM (SELECT unnest([0.1, 0.2]) AS alpha) a, ncal
+         |  FROM (SELECT unnest([0.1, 0.2]::DOUBLE[]) AS alpha) a, ncal
          |)
          |SELECT q.alpha, q.y AS label, q.n AS n_calib, q.qhat,
          |  round(sum(CASE WHEN t.s_true <= q.qhat THEN 1 ELSE 0 END) * 1.0
@@ -947,7 +947,7 @@ private[graft] object CurationQueries extends QueryFamily {
          |  SELECT a.alpha,
          |    (SELECT s_true FROM ranked, ncal
          |     WHERE r = CAST(ceil((ncal.n + 1) * (1 - a.alpha)) AS BIGINT)) AS qhat
-         |  FROM (SELECT unnest([0.05, 0.1, 0.2]) AS alpha) a
+         |  FROM (SELECT unnest([0.05, 0.1, 0.2]::DOUBLE[]) AS alpha) a
          |)
          |SELECT q.alpha, ncal.n AS n_calib, q.qhat,
          |  round(sum(CASE WHEN t.s_true <= q.qhat THEN 1 ELSE 0 END) * 1.0

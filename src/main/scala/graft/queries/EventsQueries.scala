@@ -139,6 +139,23 @@ private[graft] object EventsQueries extends QueryFamily {
     // distribution-free median CI from order statistics on the
     // per-type distinct-value frame (no sort, no collect)
     "q271_median_ci" -> ((s, d) => Events.medianCi(Tables.events(s, d))),
+    // q87's quantile sketch through the DISK contract (the q228 pattern
+    // for quantiles): per-(type, day) bottom-256 shards written in two
+    // day-disjoint slices, percentiles served from the files alone —
+    // oracle recomputes from raw events (write+read+merge == recompute)
+    "q272_persisted_quantiles" -> ((s, d) => {
+      import org.apache.spark.sql.functions.expr
+      val ev = Tables.events(s, d)
+      val dir = graft.sources.Scratch.dir("graft_qsk_shards")
+      Events.writeDailyQuantileSketches(
+        ev.filter(expr("(ts div 86400000000000) % 2 = 0")), s"$dir/even")
+      Events.writeDailyQuantileSketches(
+        ev.filter(expr("(ts div 86400000000000) % 2 = 1")), s"$dir/odd")
+      Events.quantilesFromSketchFiles(s, Seq(s"$dir/even", s"$dir/odd"))
+    }),
+    // per-arm median QTE with order-statistic CIs: the heavy-tail-robust
+    // complement to q192's mean difference
+    "q274_qte" -> ((s, d) => Events.quantileTreatmentEffect(Tables.events(s, d))),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1395,5 +1412,93 @@ private[graft] object EventsQueries extends QueryFamily {
         |  round(CAST(lo_m AS DOUBLE) / 10000.0, 4) AS lo95,
         |  round(CAST(hi_m AS DOUBLE) / 10000.0, 4) AS hi95
         |FROM sel ORDER BY event_type""".stripMargin,
+    "q272_persisted_quantiles" ->
+      // full recompute from raw events: global per-type bottom-256 by
+      // (md5(event_id), event_id) + the shared interpolation formula —
+      // must equal the Spark side's merge of persisted day shards
+      """WITH v AS (
+        |  SELECT event_type, event_id, round(value, 2) AS v,
+        |    epoch_ns(ts) // 86400000000000 AS day
+        |  FROM events
+        |),
+        |samp AS (
+        |  SELECT event_type, v FROM (
+        |    SELECT event_type, v,
+        |      row_number() OVER (PARTITION BY event_type
+        |        ORDER BY md5(CAST(event_id AS VARCHAR)), event_id) AS rn
+        |    FROM v)
+        |  WHERE rn <= 256
+        |),
+        |ranked AS (
+        |  SELECT event_type, v,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY v) - 1 AS idx,
+        |    count(*) OVER (PARTITION BY event_type) AS n
+        |  FROM samp
+        |),
+        |est AS (
+        |  SELECT event_type,
+        |    max(CASE WHEN idx = CAST(floor(0.5*(n-1)) AS BIGINT) THEN v END) AS vlo50,
+        |    max(CASE WHEN idx = CAST(ceil(0.5*(n-1)) AS BIGINT) THEN v END) AS vhi50,
+        |    max(CASE WHEN idx = CAST(floor(0.9*(n-1)) AS BIGINT) THEN v END) AS vlo90,
+        |    max(CASE WHEN idx = CAST(ceil(0.9*(n-1)) AS BIGINT) THEN v END) AS vhi90,
+        |    max(0.5*(n-1)) AS pos50, max(floor(0.5*(n-1))) AS lo50,
+        |    max(ceil(0.5*(n-1))) AS hi50,
+        |    max(0.9*(n-1)) AS pos90, max(floor(0.9*(n-1))) AS lo90,
+        |    max(ceil(0.9*(n-1))) AS hi90
+        |  FROM ranked GROUP BY event_type
+        |),
+        |nd AS (SELECT event_type, count(DISTINCT day) AS n_days FROM v GROUP BY 1)
+        |SELECT event_type, n_days,
+        | round(CASE WHEN hi50 = lo50 OR vhi50 = vlo50 THEN vlo50
+        |   ELSE (hi50 - pos50) * vlo50 + (pos50 - lo50) * vhi50 END, 4) AS p50_est,
+        | round(CASE WHEN hi90 = lo90 OR vhi90 = vlo90 THEN vlo90
+        |   ELSE (hi90 - pos90) * vlo90 + (pos90 - lo90) * vhi90 END, 4) AS p90_est
+        |FROM nd JOIN est USING (event_type)
+        |ORDER BY event_type""".stripMargin,
+    "q274_qte" ->
+      // the q271 machinery one level deeper (PARTITION BY type, arm),
+      // arms joined side-by-side; CI separation on exact integer bounds
+      s"""WITH bv AS (
+         |  SELECT event_type,
+         |    ${OracleHelpers.posSql("md5(CAST(user_id AS VARCHAR))", 0, 2)} AS arm,
+         |    CAST(round(value * 10000, 0) AS BIGINT) AS vm,
+         |    CAST(count(*) AS BIGINT) AS c
+         |  FROM events GROUP BY 1, 2, 3
+         |),
+         |cum AS (
+         |  SELECT event_type, arm, vm, c,
+         |    CAST(sum(c) OVER (PARTITION BY event_type, arm ORDER BY vm
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cc,
+         |    CAST(sum(c) OVER (PARTITION BY event_type, arm) AS BIGINT) AS n
+         |  FROM bv
+         |),
+         |rk AS (
+         |  SELECT cum.*,
+         |    CAST(ceil(CAST(n AS DOUBLE) / 2.0) AS BIGINT) AS kmed,
+         |    greatest(CAST(floor((CAST(n AS DOUBLE)
+         |      - 1.96 * sqrt(CAST(n AS DOUBLE))) / 2.0) AS BIGINT), 1) AS klo,
+         |    least(CAST(ceil(1.0 + (CAST(n AS DOUBLE)
+         |      + 1.96 * sqrt(CAST(n AS DOUBLE))) / 2.0) AS BIGINT), n) AS khi
+         |  FROM cum
+         |),
+         |sel AS (
+         |  SELECT event_type, arm, max(n) AS n,
+         |    min(CASE WHEN cc >= kmed THEN vm END) AS med_m,
+         |    min(CASE WHEN cc >= klo THEN vm END) AS lo_m,
+         |    min(CASE WHEN cc >= khi THEN vm END) AS hi_m
+         |  FROM rk GROUP BY 1, 2
+         |)
+         |SELECT a.event_type, a.n AS n_a, b.n AS n_b,
+         |  round(CAST(a.med_m AS DOUBLE) / 10000.0, 4) AS median_a,
+         |  round(CAST(b.med_m AS DOUBLE) / 10000.0, 4) AS median_b,
+         |  round(CAST(b.med_m - a.med_m AS DOUBLE) / 10000.0, 4) AS qte,
+         |  round(CAST(a.lo_m AS DOUBLE) / 10000.0, 4) AS lo95_a,
+         |  round(CAST(a.hi_m AS DOUBLE) / 10000.0, 4) AS hi95_a,
+         |  round(CAST(b.lo_m AS DOUBLE) / 10000.0, 4) AS lo95_b,
+         |  round(CAST(b.hi_m AS DOUBLE) / 10000.0, 4) AS hi95_b,
+         |  (b.lo_m > a.hi_m OR a.lo_m > b.hi_m) AS ci_separated
+         |FROM sel a JOIN sel b
+         |  ON a.event_type = b.event_type AND a.arm = 0 AND b.arm = 1
+         |ORDER BY a.event_type""".stripMargin,
   )
 }

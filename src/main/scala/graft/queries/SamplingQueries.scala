@@ -43,25 +43,37 @@ private[graft] object SamplingQueries extends QueryFamily {
     // raking (IPF): per-cell weights fitting the md5 subsample to the
     // full corpus's lang AND source margins; unrolled-round oracle
     "q238_raking" -> ((s, d) => Sampling.rakingWeights(Tables.documents(s, d))),
+    // Kish ESS + design effect of the q238 weights: the variance price
+    // of the calibration, cell-level closed form (no second pass)
+    "q273_raking_ess" -> ((s, d) => Sampling.rakingEss(Tables.documents(s, d))),
   )
 
   /** q238's IPF rounds unrolled (the q143/q233 oracle pattern): integer
     * micro-unit cell weights, one double factor per half-round.
     */
-  private def rakingSql(rounds: Int): String = {
-    def rnd(i: Int): String =
-      s"""la$i AS (SELECT lang, CAST(sum(w) AS BIGINT) AS cur FROM w${i - 1} GROUP BY 1),
-         |wa$i AS (
-         |  SELECT w.lang, w.source, w.n,
-         |    CAST(round(w.w * (CAST(t.t * 1000000 AS DOUBLE) / la.cur)) AS BIGINT) AS w
-         |  FROM w${i - 1} w JOIN la$i la USING (lang) JOIN tgl t USING (lang)
-         |),
-         |sb$i AS (SELECT source, CAST(sum(w) AS BIGINT) AS cur FROM wa$i GROUP BY 1),
-         |w$i AS (
-         |  SELECT w.lang, w.source, w.n,
-         |    CAST(round(w.w * (CAST(t.t * 1000000 AS DOUBLE) / sb.cur)) AS BIGINT) AS w
-         |  FROM wa$i w JOIN sb$i sb USING (source) JOIN tgs t USING (source)
-         |)""".stripMargin
+  private def rakingSql(rounds: Int): String =
+    s"""${rakingCtes(rounds)}
+       |SELECT lang, source, n AS n_sample, round(w / 1e6, 6) AS raked_docs
+       |FROM w$rounds ORDER BY lang, source""".stripMargin
+
+  private def rakingRound(i: Int): String =
+    s"""la$i AS (SELECT lang, CAST(sum(w) AS BIGINT) AS cur FROM w${i - 1} GROUP BY 1),
+       |wa$i AS (
+       |  SELECT w.lang, w.source, w.n,
+       |    CAST(round(w.w * (CAST(t.t * 1000000 AS DOUBLE) / la.cur)) AS BIGINT) AS w
+       |  FROM w${i - 1} w JOIN la$i la USING (lang) JOIN tgl t USING (lang)
+       |),
+       |sb$i AS (SELECT source, CAST(sum(w) AS BIGINT) AS cur FROM wa$i GROUP BY 1),
+       |w$i AS (
+       |  SELECT w.lang, w.source, w.n,
+       |    CAST(round(w.w * (CAST(t.t * 1000000 AS DOUBLE) / sb.cur)) AS BIGINT) AS w
+       |  FROM wa$i w JOIN sb$i sb USING (source) JOIN tgs t USING (source)
+       |)""".stripMargin
+
+  /** The raking CTE chain up to `w<rounds>` — shared by the q238 oracle
+    * and q273's ESS rollup on top of the same weights.
+    */
+  private def rakingCtes(rounds: Int): String =
     s"""WITH samp AS (
        |  SELECT lang, source, count(*) AS n FROM documents
        |  WHERE ${posSql("md5(CAST(doc_id AS VARCHAR))", 0, 4)} = 0
@@ -70,10 +82,7 @@ private[graft] object SamplingQueries extends QueryFamily {
        |tgl AS (SELECT lang, count(*) AS t FROM documents GROUP BY 1),
        |tgs AS (SELECT source, count(*) AS t FROM documents GROUP BY 1),
        |w0 AS (SELECT lang, source, n, CAST(n * 1000000 AS BIGINT) AS w FROM samp),
-       |${(1 to rounds).map(rnd).mkString(",\n")}
-       |SELECT lang, source, n AS n_sample, round(w / 1e6, 6) AS raked_docs
-       |FROM w$rounds ORDER BY lang, source""".stripMargin
-  }
+       |${(1 to rounds).map(rakingRound).mkString(",\n")}""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     "q56_stratified_sample" ->
@@ -311,5 +320,43 @@ private[graft] object SamplingQueries extends QueryFamily {
         |FROM draws d JOIN c2 c ON d.r >= c.lo AND d.r < c.hi
         |ORDER BY d.doc_id, d.slot""".stripMargin,
     "q238_raking" -> rakingSql(3),
+    "q273_raking_ess" ->
+      // the shared raking chain + cell-level micro-quantized ESS sums
+      s"""${rakingCtes(3)},
+         |rk AS (
+         |  SELECT lang, n AS n_sample, round(w / 1e6, 6) AS raked_docs
+         |  FROM w3
+         |),
+         |ww AS (SELECT lang, n_sample, raked_docs / n_sample AS w FROM rk),
+         |q AS (
+         |  SELECT lang, n_sample,
+         |    CAST(round(n_sample * w * 1000000.0, 0) AS BIGINT) AS sw6,
+         |    CAST(round(n_sample * (w * w) * 1000000.0, 0) AS BIGINT) AS sww6
+         |  FROM ww
+         |),
+         |pl AS (
+         |  SELECT lang, CAST(sum(n_sample) AS BIGINT) AS n,
+         |    CAST(sum(sw6) AS BIGINT) AS sw6, CAST(sum(sww6) AS BIGINT) AS sww6
+         |  FROM q GROUP BY 1
+         |),
+         |tt AS (
+         |  SELECT CAST(sum(n) AS BIGINT) AS nt, CAST(sum(sw6) AS BIGINT) AS tsw6,
+         |    CAST(sum(sww6) AS BIGINT) AS tsww6
+         |  FROM pl
+         |),
+         |fin AS (
+         |  SELECT lang, n,
+         |    (CAST(sw6 AS DOUBLE) / 1000000.0) * (CAST(sw6 AS DOUBLE) / 1000000.0)
+         |      / (CAST(sww6 AS DOUBLE) / 1000000.0) AS e1,
+         |    (CAST(tsw6 AS DOUBLE) / 1000000.0) * (CAST(tsw6 AS DOUBLE) / 1000000.0)
+         |      / (CAST(tsww6 AS DOUBLE) / 1000000.0) AS e2,
+         |    nt
+         |  FROM pl CROSS JOIN tt
+         |)
+         |SELECT lang, n AS n_sample,
+         |  round(e1, 4) AS ess, round(CAST(n AS DOUBLE) / e1, 6) AS deff,
+         |  round(e2, 4) AS ess_overall,
+         |  round(CAST(nt AS DOUBLE) / e2, 6) AS deff_overall
+         |FROM fin ORDER BY lang""".stripMargin,
   )
 }

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Curation, Dedup, Events, Matching, Sampling}
+import graft.operators.{Curation, Dedup, Events, Governance, Matching, Sampling}
 import graft.sources.Tables
 
 /** Round-4 matching/release additions: fuzzy ER join, sparse lexical
@@ -1214,5 +1214,101 @@ class MatchingSpec extends GraftSuite {
       .toSeq
     assert(got === expected)
     assert(got.size < perUser.size, "the cut must not flag everyone")
+  }
+
+  test("quantilesFromSketchFiles: any shard slicing serves the single-pass q87 panel; fingerprint fresh (q272)") {
+    import org.apache.spark.sql.functions.expr
+    val ev = Tables.events(spark, sf)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_q272_spec").toString
+    def serve(slices: Seq[(String, String)]) = {
+      slices.foreach { case (pred, name) =>
+        Events.writeDailyQuantileSketches(ev.filter(expr(pred)), s"$tmp/$name") }
+      Events.quantilesFromSketchFiles(spark, slices.map(s => s"$tmp/${s._2}"))
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+          r.getDouble(3))).toSeq
+    }
+    val day = "(ts div 86400000000000)"
+    val one = serve(Seq(("true", "all")))
+    val two = serve(Seq((s"$day % 2 = 0", "e2"), (s"$day % 2 = 1", "o2")))
+    val three = serve(Seq((s"$day % 3 = 0", "a3"), (s"$day % 3 = 1", "b3"),
+      (s"$day % 3 = 2", "c3")))
+    assert(two === one && three === one,
+      "any day-disjoint shard slicing must serve identical percentiles")
+    // the merged-shard estimates ARE the q87 single-pass sample estimates
+    // (bottom-k of unioned per-day bottom-ks == global bottom-k)
+    val q87 = Events.quantileSketch(ev).collect()
+      .map(r => (r.getString(0), r.getDouble(2), r.getDouble(3))).toSeq
+    assert(one.map(t => (t._1, t._3, t._4)) === q87)
+    // overlapping (idempotent) re-writes merge without skew
+    val dup = serve(Seq(("true", "d1"), ("true", "d2")))
+    assert(dup === one, "duplicate shards must merge idempotently")
+    // the q242 staleness contract holds on the shard dirs
+    Governance.requireFresh(spark, s"$tmp/all", ev, Governance.eventCanonical)
+  }
+
+  test("rakingEss equals brute-force Kish formulas; ESS <= n and deff >= 1 (q273)") {
+    val raked = Sampling.rakingWeights(docs).collect()
+      .map(r => (r.getString(0), r.getLong(2), r.getDouble(3)))
+    def roundN(v: Double, k: Int): Double =
+      BigDecimal(v).setScale(k, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def essOf(cells: Seq[(Long, Double)]): (Long, Double) = {
+      val sw6 = cells.map { case (n, w) => math.round(n * w * 1000000.0) }.sum
+      val sww6 = cells.map { case (n, w) => math.round(n * (w * w) * 1000000.0) }.sum
+      val e = (sw6.toDouble / 1000000.0) * (sw6.toDouble / 1000000.0) /
+        (sww6.toDouble / 1000000.0)
+      (cells.map(_._1).sum, e)
+    }
+    val byLang = raked.groupBy(_._1).view
+      .mapValues(cs => essOf(cs.map(c => (c._2, c._3 / c._2)))).toMap
+    val (nt, essAll) = essOf(raked.map(c => (c._2, c._3 / c._2)))
+    val got = Sampling.rakingEss(docs).collect()
+    assert(got.length == byLang.size)
+    got.foreach { g =>
+      val (n, e) = byLang(g.getString(0))
+      assert(g.getLong(1) == n)
+      assert(g.getDouble(2) == roundN(e, 4))
+      assert(g.getDouble(3) == roundN(n.toDouble / e, 6))
+      assert(g.getDouble(4) == roundN(essAll, 4))
+      assert(g.getDouble(5) == roundN(nt.toDouble / essAll, 6))
+      // Kish bounds (Cauchy-Schwarz): ESS never exceeds n, deff >= 1
+      assert(g.getDouble(2) <= n + 1e-9 && g.getDouble(3) >= 1.0 - 1e-9)
+    }
+  }
+
+  test("quantileTreatmentEffect equals brute-force per-arm order statistics; A/A CIs overlap (q274)") {
+    def md5hex(v: String): String = java.security.MessageDigest.getInstance("MD5")
+      .digest(v.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    def armOf(u: Long): Long =
+      java.lang.Long.parseLong(md5hex(u.toString).substring(0, 4), 16) % 2
+    def roundN(v: Double, k: Int): Double =
+      BigDecimal(v).setScale(k, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val rows = Tables.events(spark, sf)
+      .select(col("event_type"), col("user_id"), col("value")).collect()
+      .map(r => (r.getString(0), armOf(r.getLong(1)), math.round(r.getDouble(2) * 10000)))
+    val got = Events.quantileTreatmentEffect(Tables.events(spark, sf)).collect()
+    got.foreach { g =>
+      val t = g.getString(0)
+      def stats(a: Long): (Long, Long, Long, Long) = {
+        val xs = rows.filter(r => r._1 == t && r._2 == a).map(_._3).sorted
+        val n = xs.length
+        def kth(k: Long): Long = xs((k - 1).toInt.max(0).min(n - 1))
+        val half = 1.96 * math.sqrt(n.toDouble)
+        (n.toLong, kth(math.ceil(n / 2.0).toLong),
+          kth(math.max(math.floor((n - half) / 2.0).toLong, 1L)),
+          kth(math.min(math.ceil(1.0 + (n + half) / 2.0).toLong, n.toLong)))
+      }
+      val (n0, m0, l0, h0) = stats(0L); val (n1, m1, l1, h1) = stats(1L)
+      assert(g.getLong(1) == n0 && g.getLong(2) == n1)
+      assert(g.getDouble(3) == roundN(m0 / 10000.0, 4))
+      assert(g.getDouble(4) == roundN(m1 / 10000.0, 4))
+      assert(g.getDouble(5) == roundN((m1 - m0) / 10000.0, 4))
+      assert(g.getDouble(6) == roundN(l0 / 10000.0, 4))
+      assert(g.getDouble(7) == roundN(h0 / 10000.0, 4))
+      assert(g.getBoolean(10) == (l1 > h0 || l0 > h1))
+      // the md5 coin is an A/A: per-arm medians must sit inside each
+      // other's CIs — no type's interval pair separates
+      assert(!g.getBoolean(10), s"A/A arms must not separate for $t")
+    }
+    assert(got.nonEmpty)
   }
 }

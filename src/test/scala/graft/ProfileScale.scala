@@ -217,7 +217,10 @@ object ProfileScale {
       // KN rides q198's vocabulary-bounded bigram frames (+1 shuffle
       // join for continuation counts); the retention fit and median CI
       // are offset-frame / distinct-value-frame rollups
-      "q269_kneser_ney", "q270_retention_fit", "q271_median_ci")
+      "q269_kneser_ney", "q270_retention_fit", "q271_median_ci",
+      // the persisted quantile shards (write twice + merge-serve), the
+      // cell-bounded ESS rollup, and the per-(type, arm) QTE frames
+      "q272_persisted_quantiles", "q273_raking_ess", "q274_qte")
       .filterNot(skip)
     carriers.foreach { name =>
       time(s"x$repl ${name}") {

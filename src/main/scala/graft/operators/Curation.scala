@@ -1586,11 +1586,14 @@ object Curation {
       .withColumn("cn", sum($"n_docs").over(wOrd))
       .withColumn("cp", sum($"n_pos").over(wOrd))
       .localCheckpoint() // B rows; both sides of the bounded pair join
+    // the k-side broadcasts: B is log-bounded, and an unbroadcast
+    // non-equi join would plan a CartesianProduct (the RelationalSpec
+    // scale guard fails exactly that)
     val pairs = cum
       .select($"i".as("j"), ($"cn" - $"n_docs").as("cn0"),
         ($"cp" - $"n_pos").as("cp0"))
-      .join(cum.select($"i".as("k"), $"cn".as("cnk"), $"cp".as("cpk")),
-        $"j" <= $"k")
+      .join(broadcast(cum.select($"i".as("k"), $"cn".as("cnk"),
+        $"cp".as("cpk"))), $"j" <= $"k")
       .withColumn("m",
         ($"cpk" - $"cp0").cast("double") / ($"cnk" - $"cn0"))
     val sm = pairs.withColumn("sm",

@@ -1739,10 +1739,13 @@ object Events {
     val num = abs($"t" * $"sk" - $"k" * $"st")
     val ck = num.cast("double") /
       (sqrt(($"k" * ($"t" - $"k") * $"t").cast("double")) * sigma)
+    // a constant series has sigma = 0 and num = 0 — the statistic is 0
+    // by convention (p pins to 1), never a 0/0 NaN
+    val statG = when(sigma > 0.0, ck).otherwise(lit(0.0))
     val scored = pre
       .filter($"k" < $"t")
-      .withColumn("stat_raw", ck)
-      .withColumn("stat", round(ck, 6))
+      .withColumn("stat_raw", statG)
+      .withColumn("stat", round(statG, 6))
       .withColumn("rn",
         row_number().over(Window.orderBy($"stat".desc, $"d")))
       .filter($"rn" === 1)
@@ -1755,6 +1758,87 @@ object Events {
         .as("mean_after"),
       round(Inference.kolmogorovTail($"stat_raw"), 6).as("p_value"))
   }
+
+  // ---- per-type changepoint panel with BH (q275) ------------------------------
+
+  /** q259's retrospective changepoint scan composed across the type
+    * catalog (q275): each event type's daily-count series gets its own
+    * standardized-CUSUM supremum, split day, and Kolmogorov p; the
+    * panel then runs q246's Benjamini–Hochberg step-up so "which
+    * series changed, and when" is answered at a controlled false-
+    * discovery rate — scanning m series and acting on the single best
+    * raw p is the multiple-comparisons trap q246 exists for, now in
+    * the time domain. All q259 disciplines carry over per type: exact
+    * integer numerators |T·S_k − k·S_T|, argmax on the rounded stat
+    * with the day tiebreak, windows PARTITIONED BY TYPE over the
+    * calendar-bounded (type × day) frame.
+    */
+  def changepointPanel(events: DataFrame, alpha: Double = 0.05): DataFrame = {
+    val daily = events
+      .groupBy($"event_type", expr(s"ts div $NsPerDay").as("d"))
+      .agg(count(lit(1)).as("c"))
+    val w = Window.partitionBy($"event_type").orderBy($"d")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val wAll = Window.partitionBy($"event_type").rowsBetween(
+      Window.unboundedPreceding, Window.unboundedFollowing)
+    val pre = daily
+      .withColumn("k", count(lit(1)).over(w))
+      .withColumn("sk", sum($"c").over(w))
+      .withColumn("t", count(lit(1)).over(wAll))
+      .withColumn("st", sum($"c").over(wAll))
+      .withColumn("sst", sum(($"c" * $"c").cast("decimal(38,0)")).over(wAll))
+    val sigma = sqrt(($"sst".cast("double")
+      - $"st".cast("double") * $"st" / $"t") / $"t")
+    val num = abs($"t" * $"sk" - $"k" * $"st")
+    val ck = num.cast("double") /
+      (sqrt(($"k" * ($"t" - $"k") * $"t").cast("double")) * sigma)
+    // the q259 zero-variance convention: a constant series scores 0
+    val statG = when(sigma > 0.0, ck).otherwise(lit(0.0))
+    val best = pre
+      .filter($"k" < $"t")
+      .withColumn("stat_raw", statG)
+      .withColumn("rn", row_number().over(
+        Window.partitionBy($"event_type").orderBy(round(statG, 6).desc, $"d")))
+      .filter($"rn" === 1)
+      .withColumn("p_value", round(Inference.kolmogorovTail($"stat_raw"), 6))
+      .withColumn("m", count(lit(1)).over(Window.partitionBy()))
+    val ranked = best.withColumn("p_rank",
+      row_number().over(Window.partitionBy().orderBy($"p_value", $"event_type")))
+    val kStar = max(when(
+      $"p_value" <= $"p_rank" * lit(alpha) / $"m", $"p_rank"))
+      .over(Window.partitionBy())
+    ranked
+      .withColumn("significant", $"p_rank" <= coalesce(kStar, lit(0L)))
+      .select($"event_type", $"d".as("split_day"), $"k".as("n_before"),
+        ($"t" - $"k").as("n_after"), round($"stat_raw", 4).as("cusum_stat"),
+        round($"sk".cast("double") / $"k", 4).as("mean_before"),
+        round(($"st" - $"sk").cast("double") / ($"t" - $"k"), 4)
+          .as("mean_after"),
+        $"p_value", $"p_rank", $"significant")
+      .orderBy($"event_type")
+  }
+
+  // ---- weekday-effect test (q276) ----------------------------------------------
+
+  /** Weekly-seasonality test (q276): Kruskal–Wallis across the seven
+    * day-of-week PHASES (day mod 7 — the fixture's epoch days carry no
+    * calendar alignment, so the honest name is phase) on the daily
+    * event counts — "does q252's lag-7 seasonal-naive have anything to
+    * model?" asked as a test instead of assumed. Reuses q248's exact
+    * machinery verbatim ([[Inference.kruskalWallisOn]]: doubled
+    * tie-averaged ranks on the distinct-count frame, micro-quantized H
+    * terms) with groups = phases and observations = the
+    * calendar-bounded day frame.
+    */
+  def weekdayEffect(events: DataFrame): DataFrame =
+    Inference.kruskalWallisOn(
+      events.groupBy(expr(s"ts div $NsPerDay").as("d"))
+        .agg(count(lit(1)).as("c"))
+        .select(concat(lit("phase"), ($"d" % 7L).cast("string")).as("source"),
+          $"c".as("v")))
+      .select($"source".as("phase"), $"n_docs".as("n_days"), $"mean_rank",
+        $"h_stat", $"h_corrected", $"dof")
+      .orderBy($"phase")
 
   // ---- overdispersion panel (q260) ------------------------------------------
 
@@ -1885,10 +1969,17 @@ object Events {
     * median at k = ⌈n/2⌉), so all three outputs come from one
     * windowed pass over the value frame.
     */
-  def medianCi(events: DataFrame): DataFrame = {
-    val byVal = events
+  def medianCi(events: DataFrame): DataFrame =
+    medianFromValueCounts(events
       .select($"event_type", round($"value" * 10000, 0).cast("long").as("vm"))
-      .groupBy($"event_type", $"vm").agg(count(lit(1)).as("c"))
+      .groupBy($"event_type", $"vm").agg(count(lit(1)).as("c")))
+
+  /** The median-CI finisher over a (event_type, vm, c) per-value count
+    * frame — split from [[medianCi]] so the streaming twin
+    * (`EventStreams.valueCountStream`, pure-addition per-value counts)
+    * finishes through the IDENTICAL code path (the KS/EWMA pattern).
+    */
+  private[graft] def medianFromValueCounts(byVal: DataFrame): DataFrame = {
     val w = Window.partitionBy($"event_type").orderBy($"vm")
       .rowsBetween(Window.unboundedPreceding, 0)
     val cum = byVal

@@ -219,10 +219,17 @@ object Inference {
     * row per source with its tie-averaged mean rank, every row carrying
     * the global H — the q245 grid convention.
     */
-  def kruskalWallis(documents: DataFrame): DataFrame = {
-    val byVal = documents.groupBy($"n_chars".as("v")).agg(count(lit(1)).as("t"))
+  def kruskalWallis(documents: DataFrame): DataFrame =
+    kruskalWallisOn(documents.select($"source", $"n_chars".as("v")))
+
+  /** The Kruskal–Wallis machinery over any (source, v) frame — the q248
+    * shape generalized so q276's weekday-effect test (groups = day
+    * phases, values = daily counts) reuses it verbatim.
+    */
+  private[graft] def kruskalWallisOn(obs: DataFrame): DataFrame = {
+    val byVal = obs.groupBy($"v").agg(count(lit(1)).as("t"))
     val ranked = doubledRanks(byVal).select($"v", $"r2", $"t")
-    val bySrcVal = documents.groupBy($"source", $"n_chars".as("v"))
+    val bySrcVal = obs.groupBy($"source", $"v")
       .agg(count(lit(1)).as("c"))
     val perSrc = bySrcVal.join(broadcast(ranked), Seq("v"))
       .groupBy($"source")

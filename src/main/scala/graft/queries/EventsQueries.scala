@@ -156,6 +156,13 @@ private[graft] object EventsQueries extends QueryFamily {
     // per-arm median QTE with order-statistic CIs: the heavy-tail-robust
     // complement to q192's mean difference
     "q274_qte" -> ((s, d) => Events.quantileTreatmentEffect(Tables.events(s, d))),
+    // q259 composed across the type catalog + q246's BH step-up: which
+    // series changed and when, at a controlled FDR
+    "q275_changepoint_panel" -> ((s, d) =>
+      Events.changepointPanel(Tables.events(s, d))),
+    // weekly-seasonality Kruskal-Wallis across day phases (d mod 7) on
+    // daily counts — the test behind q252's lag-7 assumption
+    "q276_weekday_effect" -> ((s, d) => Events.weekdayEffect(Tables.events(s, d))),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1097,8 +1104,9 @@ private[graft] object EventsQueries extends QueryFamily {
          |),
          |st2 AS (
          |  SELECT sc.*,
-         |    CAST(num AS DOUBLE)
-         |      / (sqrt(CAST(k * (t - k) * t AS DOUBLE)) * sigma) AS stat_raw
+         |    CASE WHEN sigma > 0.0 THEN CAST(num AS DOUBLE)
+         |      / (sqrt(CAST(k * (t - k) * t AS DOUBLE)) * sigma)
+         |    ELSE 0.0 END AS stat_raw
          |  FROM sc
          |),
          |rk AS (
@@ -1500,5 +1508,119 @@ private[graft] object EventsQueries extends QueryFamily {
          |FROM sel a JOIN sel b
          |  ON a.event_type = b.event_type AND a.arm = 0 AND b.arm = 1
          |ORDER BY a.event_type""".stripMargin,
+    "q275_changepoint_panel" ->
+      // q259 per type (windows PARTITION BY event_type) + the q254 BH
+      // step-up across the panel
+      s"""WITH daily AS (
+         |  SELECT event_type, epoch_ns(ts) // 86400000000000 AS d,
+         |    CAST(count(*) AS BIGINT) AS c
+         |  FROM events GROUP BY 1, 2
+         |),
+         |pre AS (
+         |  SELECT event_type, d, c,
+         |    CAST(row_number() OVER (PARTITION BY event_type ORDER BY d)
+         |      AS BIGINT) AS k,
+         |    CAST(sum(c) OVER (PARTITION BY event_type ORDER BY d
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sk,
+         |    CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) AS t,
+         |    CAST(sum(c) OVER (PARTITION BY event_type) AS BIGINT) AS st,
+         |    sum(CAST(c * c AS HUGEINT)) OVER (PARTITION BY event_type) AS sst
+         |  FROM daily
+         |),
+         |sc AS (
+         |  SELECT pre.*,
+         |    sqrt((CAST(sst AS DOUBLE) - CAST(st AS DOUBLE) * st / t) / t) AS sigma,
+         |    abs(t * sk - k * st) AS num
+         |  FROM pre WHERE k < t
+         |),
+         |st2 AS (
+         |  SELECT sc.*,
+         |    CASE WHEN sigma > 0.0 THEN CAST(num AS DOUBLE)
+         |      / (sqrt(CAST(k * (t - k) * t AS DOUBLE)) * sigma)
+         |    ELSE 0.0 END AS stat_raw
+         |  FROM sc
+         |),
+         |rk AS (
+         |  SELECT st2.*,
+         |    row_number() OVER (PARTITION BY event_type
+         |      ORDER BY round(stat_raw, 6) DESC, d) AS rn
+         |  FROM st2
+         |),
+         |best AS (
+         |  SELECT event_type, d, k, t, st, sk, stat_raw,
+         |    round(${OracleHelpers.kolmTailSql("stat_raw", "stat_raw * stat_raw")}, 6)
+         |      AS p_value,
+         |    count(*) OVER () AS m
+         |  FROM rk WHERE rn = 1
+         |),
+         |pr AS (
+         |  SELECT best.*,
+         |    CAST(row_number() OVER (ORDER BY p_value, event_type) AS INT)
+         |      AS p_rank
+         |  FROM best
+         |),
+         |kst AS (
+         |  SELECT pr.*,
+         |    max(CASE WHEN p_value <= p_rank * 0.05 / m THEN p_rank END)
+         |      OVER () AS kstar
+         |  FROM pr
+         |)
+         |SELECT event_type, d AS split_day, k AS n_before, t - k AS n_after,
+         |  round(stat_raw, 4) AS cusum_stat,
+         |  round(CAST(sk AS DOUBLE) / k, 4) AS mean_before,
+         |  round(CAST(st - sk AS DOUBLE) / (t - k), 4) AS mean_after,
+         |  p_value, p_rank,
+         |  p_rank <= coalesce(kstar, 0) AS significant
+         |FROM kst ORDER BY event_type""".stripMargin,
+    "q276_weekday_effect" ->
+      // q248's doubled-rank H over (phase = d mod 7, daily count)
+      """WITH daily AS (
+        |  SELECT epoch_ns(ts) // 86400000000000 AS d, CAST(count(*) AS BIGINT) AS c
+        |  FROM events GROUP BY 1
+        |),
+        |obs AS (
+        |  SELECT 'phase' || CAST(d % 7 AS VARCHAR) AS source, c AS v FROM daily
+        |),
+        |bv AS (SELECT v, CAST(count(*) AS BIGINT) AS t FROM obs GROUP BY 1),
+        |rk AS (
+        |  SELECT v, t,
+        |    2 * coalesce(CAST(sum(t) OVER (ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0)
+        |      + t + 1 AS r2
+        |  FROM bv
+        |),
+        |bsv AS (SELECT source, v, CAST(count(*) AS BIGINT) AS c FROM obs GROUP BY 1, 2),
+        |per AS (
+        |  SELECT source, CAST(sum(c) AS BIGINT) AS nj,
+        |    sum(CAST(c * r2 AS HUGEINT)) AS rjx2
+        |  FROM bsv JOIN rk USING (v) GROUP BY 1
+        |),
+        |glb AS (
+        |  SELECT CAST(sum(t) AS BIGINT) AS n,
+        |    sum(CAST(t * t * t - t AS HUGEINT)) AS ties
+        |  FROM rk
+        |),
+        |terms AS (
+        |  SELECT source, nj, rjx2, n, ties,
+        |    3.0 * CAST(rjx2 AS DOUBLE) * CAST(rjx2 AS DOUBLE)
+        |      / (CAST(n AS DOUBLE) * (n + 1) * nj) AS cj
+        |  FROM per CROSS JOIN glb
+        |),
+        |hh AS (
+        |  SELECT terms.*,
+        |    sum(CAST(round(cj * 1000000.0, 0) AS BIGINT)) OVER () / 1000000.0
+        |      - 3.0 * (n + 1) AS h_raw,
+        |    1.0 - CAST(ties AS DOUBLE)
+        |      / (CAST(n AS DOUBLE) * n * n - n) AS tie_corr,
+        |    count(*) OVER () AS m
+        |  FROM terms
+        |)
+        |SELECT source AS phase, nj AS n_days,
+        |  round(CAST(rjx2 AS DOUBLE) / (2.0 * nj), 4) AS mean_rank,
+        |  round(h_raw, 4) AS h_stat,
+        |  CASE WHEN tie_corr > 0.0 THEN round(h_raw / tie_corr, 4) END
+        |    AS h_corrected,
+        |  CAST(m - 1 AS BIGINT) AS dof
+        |FROM hh ORDER BY phase""".stripMargin,
   )
 }

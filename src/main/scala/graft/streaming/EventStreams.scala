@@ -943,6 +943,37 @@ object EventStreams {
   case class KsCounts(c1: Long, c2: Long)
   case class KsCountOut(v: Long, c1: Long, c2: Long)
 
+  case class ValueEvent(event_type: String, value: Double)
+  case class ValueCountOut(event_type: String, vm: Long, c: Long)
+
+  /** Streaming maintenance of the q271 median-CI's per-(type, value)
+    * counts — the robust-location monitor's streaming form: a serving
+    * layer keeps the count frame warm and answers "median with its
+    * distribution-free CI as of now" from state alone, no event
+    * rescanned. Keyed by (event_type, micro-unit value); state is one
+    * long count by pure addition (value-domain-bounded, the q253
+    * argument); the latest row per key IS the frame
+    * `Events.medianFromValueCounts` finishes — the identical batch
+    * path, after any micro-batch split (the tenth equals-batch twin).
+    */
+  def valueCountStream(events: Dataset[ValueEvent]): Dataset[ValueCountOut] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .select($"event_type",
+        round($"value" * 10000, 0).cast("long").as("vm"))
+      .as[(String, Long)]
+      .groupByKey(identity)
+      .flatMapGroupsWithState[Long, ValueCountOut](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (key: (String, Long), rows: Iterator[(String, Long)],
+            state: GroupState[Long]) =>
+          val st = state.getOption.getOrElse(0L) + rows.size
+          state.update(st)
+          Iterator(ValueCountOut(key._1, key._2, st))
+      }
+  }
+
   /** Streaming maintenance of the q253 two-sample KS drift test's
     * per-value counts — drift detection is the INHERENTLY streaming use
     * of a two-sample test (the monitored source arrives continuously;

@@ -702,6 +702,81 @@ class InferenceSpec extends GraftSuite {
     assert(r.getDouble(4) > 0.999999)
   }
 
+  test("changepointPanel: per-type scans equal q259 run per slice; planted shift flags only its type (q275)") {
+    // per-type equivalence: the panel's per-type row (before BH) must
+    // equal changepointScan run on that type's events alone
+    val types = events.select("event_type").distinct().collect()
+      .map(_.getString(0)).sorted
+    val panel = Events.changepointPanel(events).collect()
+      .map(r => r.getString(0) -> r).toMap
+    types.foreach { t =>
+      val solo = Events.changepointScan(
+        events.filter(col("event_type") === t)).collect()(0)
+      val p = panel(t)
+      assert((p.getLong(1), p.getLong(2), p.getLong(3), p.getDouble(4),
+        p.getDouble(5), p.getDouble(6), p.getDouble(7)) ==
+        ((solo.getLong(0), solo.getLong(1), solo.getLong(2), solo.getDouble(3),
+          solo.getDouble(4), solo.getDouble(5), solo.getDouble(6))))
+    }
+    // BH bookkeeping: ranks are a permutation of 1..m
+    assert(panel.values.map(_.getInt(8)).toSeq.sorted == (1 to types.length))
+    // planted shift: one type steps 100→200 after day 20, two types stay
+    // on a jittered flat comb — only the shifted type is significant
+    import spark.implicits._
+    val ts = (for {
+      (t, step) <- Seq(("shift", true), ("flat1", false), ("flat2", false))
+      d <- 0 until 30
+      j <- 0 until (if (step && d >= 20) 200 else 100 + (d % 2))
+    } yield (t, d * NsDay + j)).toDF("event_type", "ts")
+    val full = Events.changepointPanel(ts).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getBoolean(9)))).toMap
+    assert(full("shift") == ((19L, true)), s"planted step: ${full("shift")}")
+    assert(!full("flat1")._2 && !full("flat2")._2, s"combs spared: $full")
+  }
+
+  test("weekdayEffect equals kruskalWallisOn over phases; planted weekly rhythm detected (q276)") {
+    // the registered query's H must match a brute-force doubled-rank KW
+    // over (phase, daily count)
+    val daily = dailyCounts
+    val obs = daily.map { case (d, c) => (s"phase${d % 7}", c) }
+    val byVal = obs.map(_._2).groupBy(identity).view.mapValues(_.size.toLong)
+      .toSeq.sortBy(_._1)
+    var cl = 0L
+    val r2 = byVal.map { case (v, t) =>
+      val r = 2 * cl + t + 1; cl += t; v -> r
+    }.toMap
+    val n = obs.length.toLong
+    val perPhase = obs.groupBy(_._1).view.mapValues { g =>
+      (g.length.toLong, g.map(o => r2(o._2)).sum)
+    }.toMap
+    val cj6 = perPhase.values.map { case (nj, rj2) =>
+      math.round(3.0 * rj2.toDouble * rj2.toDouble / (n.toDouble * (n + 1) * nj)
+        * 1000000.0)
+    }.sum
+    val hRaw = cj6 / 1000000.0 - 3.0 * (n + 1)
+    val got = Events.weekdayEffect(events).collect()
+    assert(got.length == perPhase.size)
+    got.foreach { g =>
+      assert(g.getDouble(3) == roundN(hRaw, 4))
+      assert(g.getLong(5) == perPhase.size - 1L)
+    }
+    // planted rhythm over 8 weeks: phase-0 days carry 3x the count — H
+    // clears the chi2(6) 5% critical value 12.59; a flat comb scores 0
+    import spark.implicits._
+    val rhythmic = (for {
+      d <- 0 until 56
+      j <- 0 until (if (d % 7 == 0) 150 else 50)
+    } yield d * NsDay + j).toDF("ts")
+    val h = Events.weekdayEffect(rhythmic).collect()(0).getDouble(3)
+    assert(h > 12.59, s"weekly rhythm must reject: $h")
+    val flat = (for { d <- 0 until 56; j <- 0 until 50 }
+      yield d * NsDay + j).toDF("ts")
+    // constant counts: every day ties at rank mid — H = 0 under the
+    // tie-averaged convention (tie_corr null-guards the corrected form)
+    val hf = Events.weekdayEffect(flat).collect()(0)
+    assert(hf.getDouble(3) == 0.0)
+  }
+
   test("medianCi equals brute-force order statistics; interval brackets; uniform closed form (q271)") {
     val vals = events.select("event_type", "value").collect()
       .map(r => (r.getString(0), math.round(r.getDouble(1) * 10000)))

@@ -220,7 +220,9 @@ object ProfileScale {
       "q269_kneser_ney", "q270_retention_fit", "q271_median_ci",
       // the persisted quantile shards (write twice + merge-serve), the
       // cell-bounded ESS rollup, and the per-(type, arm) QTE frames
-      "q272_persisted_quantiles", "q273_raking_ess", "q274_qte")
+      "q272_persisted_quantiles", "q273_raking_ess", "q274_qte",
+      // the type-partitioned changepoint panel and the phase-frame KW
+      "q275_changepoint_panel", "q276_weekday_effect")
       .filterNot(skip)
     carriers.foreach { name =>
       time(s"x$repl ${name}") {

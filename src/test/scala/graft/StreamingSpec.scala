@@ -1154,4 +1154,32 @@ class StreamingSpec extends GraftSuite {
     assert(served === batch,
       "finishing the streamed day counts must equal the batch EWMA chart")
   }
+
+  test("valueCountStream: streamed per-value counts finish to the exact batch median CI, any split (q271 twin)") {
+    import graft.operators.Events
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val ev = Tables.events(spark, sf)
+    val raw = ev.select($"event_type", $"value")
+      .as[EventStreams.ValueEvent].collect().toSeq
+    val input = MemoryStream[EventStreams.ValueEvent]
+    val q = EventStreams.valueCountStream(input.toDS())
+      .writeStream.outputMode("update").format("memory").queryName("vc_out")
+      .start()
+    val splits = Seq(raw.take(raw.length / 4),
+      raw.slice(raw.length / 4, raw.length / 2), raw.drop(raw.length / 2))
+    splits.foreach { s => input.addData(s.toIndexedSeq); q.processAllAvailable() }
+    // latest row per (type, value) is the count-frame state
+    val state = spark.table("vc_out").collect()
+      .map(r => ((r.getString(0), r.getLong(1)), r.getLong(2))).zipWithIndex
+      .groupBy(_._1._1).view.mapValues(g => g.maxBy(_._2)._1._2).toMap
+    q.stop()
+    val served = Events.medianFromValueCounts(
+      state.toSeq.map { case ((t, vm), c) => (t, vm, c) }
+        .toDF("event_type", "vm", "c"))
+      .collect().map(_.toSeq).toSeq
+    val batch = Events.medianCi(ev).collect().map(_.toSeq).toSeq
+    assert(served === batch,
+      "finishing the streamed value counts must equal the batch median CI")
+  }
 }

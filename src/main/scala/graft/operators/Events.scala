@@ -669,6 +669,62 @@ object Events {
       .orderBy($"lag")
   }
 
+  /** Newey–West (HAC) standard error for the daily-count mean (q277;
+    * Newey & West 1987, Bartlett kernel, lag window L = 7): a
+    * positively autocorrelated series — exactly what q191 measures on
+    * this stream — makes the naive s/√T overstate the information in T
+    * days, and every "daily volume is up, z = 3" readout built on it
+    * overclaims. The HAC variance
+    * Var(x̄) = (γ̂₀ + 2Σ_{l≤L}(1−l/(L+1))·γ̂_l)/T is PSD by the Bartlett
+    * weights, and the se ratio is the honesty factor to apply.
+    *
+    * Exact arithmetic end-to-end: centering via y_t = T·x_t − S (the
+    * q191 trick — integer, no float mean), lag products Σy_t·y_{t+l}
+    * as exact longs, and the Bartlett weights cleared of fractions by
+    * multiplying through by (L+1):
+    * intNum = (L+1)·num₀ + 2·Σ(L+1−l)·num_l, so
+    * Var_NW(x̄) = intNum/((L+1)·T⁴) with ONE double division chain.
+    * The lag joins run on the calendar-bounded zero-filled day frame
+    * (the q191 shape, days instead of hours).
+    */
+  def neweyWestSe(events: DataFrame, maxLag: Int = 7): DataFrame = {
+    val spark = events.sparkSession
+    val daily = events
+      .groupBy(expr(s"ts div $NsPerDay").as("d"))
+      .agg(count(lit(1)).as("x"))
+    val series = daily.agg(min($"d").as("d0"), max($"d").as("d1"))
+      .select(explode(expr("sequence(d0, d1)")).as("d"))
+      .join(daily, Seq("d"), "left_outer")
+      .select($"d", coalesce($"x", lit(0L)).as("x"))
+      .localCheckpoint() // feeds the stats pass and both lag-join sides
+    val stats = series.agg(count(lit(1)).as("n"), sum($"x").as("s"))
+    val y = series.crossJoin(broadcast(stats))
+      .select($"d", $"n", $"s", ($"n" * $"x" - $"s").as("y"))
+    val num0 = y.agg(max($"n").as("n"), max($"s").as("s"),
+      sum(($"y" * $"y").cast("decimal(38,0)")).as("num0"))
+    val lags = spark.range(1, maxLag + 1).toDF("lag")
+    val numL = y.crossJoin(broadcast(lags))
+      .select(($"d" + $"lag").as("d"), $"lag", $"y".as("yp"))
+      .join(y.select($"d", $"y"), Seq("d"))
+      .groupBy($"lag")
+      .agg(sum(($"yp" * $"y").cast("decimal(38,0)")).as("numl"))
+      .agg(sum((lit(2L * (maxLag + 1)) * $"numl"
+        - lit(2L) * $"lag" * $"numl").cast("decimal(38,0)")).as("wsum"))
+    val joined = num0.crossJoin(broadcast(numL))
+    val td = $"n".cast("double")
+    val l1 = lit((maxLag + 1).toDouble)
+    val varNaive = $"num0".cast("double") / (td * td * ($"n" - 1L)) / td
+    val varNw = greatest(
+      (lit((maxLag + 1).toDouble) * $"num0".cast("double")
+        + $"wsum".cast("double")) / (l1 * td * td * td * td), lit(0.0))
+    joined.select($"n".as("n_days"),
+      round($"s".cast("double") / $"n", 4).as("mean_per_day"),
+      round(sqrt(varNaive), 6).as("se_naive"),
+      round(sqrt(varNw), 6).as("se_nw"),
+      when(sqrt(varNaive) > 0.0,
+        round(sqrt(varNw) / sqrt(varNaive), 4)).as("se_ratio"))
+  }
+
   /** Two-sample A/B significance test on a value metric (q192): split
     * USERS 50/50 by the deterministic md5 arm draw (`Scale.md5SlicePos`
     * parity — the same coin every sampling operator here flips) and

@@ -163,6 +163,9 @@ private[graft] object EventsQueries extends QueryFamily {
     // weekly-seasonality Kruskal-Wallis across day phases (d mod 7) on
     // daily counts — the test behind q252's lag-7 assumption
     "q276_weekday_effect" -> ((s, d) => Events.weekdayEffect(Tables.events(s, d))),
+    // Newey-West HAC standard error of the daily mean (Bartlett L=7):
+    // the honest error bar under the autocorrelation q191 measures
+    "q277_newey_west" -> ((s, d) => Events.neweyWestSe(Tables.events(s, d))),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1622,5 +1625,52 @@ private[graft] object EventsQueries extends QueryFamily {
         |    AS h_corrected,
         |  CAST(m - 1 AS BIGINT) AS dof
         |FROM hh ORDER BY phase""".stripMargin,
+    "q277_newey_west" ->
+      // integer centering y = T·x − S (the q191 trick), HUGEINT lag
+      // products, Bartlett weights cleared of fractions by (L+1)
+      """WITH daily AS (
+        |  SELECT epoch_ns(ts) // 86400000000000 AS d, CAST(count(*) AS BIGINT) AS x
+        |  FROM events GROUP BY 1
+        |),
+        |cal AS (
+        |  SELECT unnest(generate_series((SELECT min(d) FROM daily),
+        |    (SELECT max(d) FROM daily))) AS d
+        |),
+        |ser AS (
+        |  SELECT cal.d, coalesce(x, 0) AS x FROM cal LEFT JOIN daily USING (d)
+        |),
+        |st AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(x) AS BIGINT) AS s
+        |       FROM ser),
+        |yy AS (SELECT d, n, s, n * x - s AS y FROM ser CROSS JOIN st),
+        |n0 AS (
+        |  SELECT max(n) AS n, max(s) AS s, sum(CAST(y * y AS HUGEINT)) AS num0
+        |  FROM yy
+        |),
+        |lp AS (
+        |  SELECT l.lag, sum(CAST(a.y * b.y AS HUGEINT)) AS numl
+        |  FROM (SELECT unnest(generate_series(1, 7)) AS lag) l
+        |  JOIN yy a ON true
+        |  JOIN yy b ON b.d = a.d + l.lag
+        |  GROUP BY 1
+        |),
+        |nl AS (
+        |  SELECT sum(CAST(16 * numl - 2 * lag * numl AS HUGEINT)) AS wsum
+        |  FROM lp
+        |),
+        |fin AS (
+        |  SELECT n, s,
+        |    CAST(num0 AS DOUBLE)
+        |      / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * (n - 1))
+        |      / CAST(n AS DOUBLE) AS v_naive,
+        |    greatest((8.0 * CAST(num0 AS DOUBLE) + CAST(wsum AS DOUBLE))
+        |      / (8.0 * CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+        |         * CAST(n AS DOUBLE) * CAST(n AS DOUBLE)), 0.0) AS v_nw
+        |  FROM n0 CROSS JOIN nl
+        |)
+        |SELECT n AS n_days, round(CAST(s AS DOUBLE) / n, 4) AS mean_per_day,
+        |  round(sqrt(v_naive), 6) AS se_naive, round(sqrt(v_nw), 6) AS se_nw,
+        |  CASE WHEN sqrt(v_naive) > 0.0
+        |    THEN round(sqrt(v_nw) / sqrt(v_naive), 4) END AS se_ratio
+        |FROM fin""".stripMargin,
   )
 }

@@ -777,6 +777,47 @@ class InferenceSpec extends GraftSuite {
     assert(hf.getDouble(3) == 0.0)
   }
 
+  test("neweyWestSe equals the brute-force HAC formula; persistence inflates, alternation deflates (q277)") {
+    val daily = dailyCounts
+    val d0 = daily.map(_._1).min; val d1 = daily.map(_._1).max
+    val byDay = daily.toMap
+    val xs = (d0 to d1).map(d => byDay.getOrElse(d, 0L))
+    def nw(series: Seq[Long], maxLag: Int = 7): (Long, Double, Double, Double) = {
+      val t = series.length.toLong; val s = series.sum
+      val y = series.map(x => t * x - s)
+      val num0 = y.map(v => v * v).sum
+      val wsum = (1 to maxLag).map { l =>
+        val numl = (0 until (series.length - l)).map(i => y(i) * y(i + l)).sum
+        2L * (maxLag + 1) * numl - 2L * l * numl
+      }.sum
+      val td = t.toDouble
+      val vN = num0.toDouble / (td * td * (t - 1)) / td
+      val vW = math.max(((maxLag + 1).toDouble * num0 + wsum)
+        / ((maxLag + 1).toDouble * td * td * td * td), 0.0)
+      (t, s.toDouble / t, math.sqrt(vN), math.sqrt(vW))
+    }
+    val (t, mu, seN, seW) = nw(xs)
+    val g = Events.neweyWestSe(events).collect()(0)
+    assert(g.getLong(0) == t)
+    assert(g.getDouble(1) == roundN(mu, 4))
+    assert(g.getDouble(2) == roundN(seN, 6) && g.getDouble(3) == roundN(seW, 6))
+    assert(g.getDouble(4) == roundN(seW / seN, 4))
+    // constructed: a 16-day level shift keeps every lag ≤ 7 positively
+    // autocorrelated and must INFLATE the honest se (a short-period
+    // block comb self-cancels at the longer lags — measured, so the
+    // canary is the shift); strict alternation must DEFLATE it
+    import spark.implicits._
+    def mk(counts: Seq[Int]) = counts.zipWithIndex.flatMap { case (c, d) =>
+      (0 until c).map(j => d.toLong * NsDay + j)
+    }.toDF("ts")
+    val persistent = mk((0 until 32).map(d => if (d < 16) 150 else 50))
+    val rp = Events.neweyWestSe(persistent).collect()(0).getDouble(4)
+    assert(rp > 1.5, s"a level shift must inflate the se: $rp")
+    val alternating = mk((0 until 32).map(d => if (d % 2 == 0) 150 else 50))
+    val ra = Events.neweyWestSe(alternating).collect()(0).getDouble(4)
+    assert(ra < 0.8, s"alternation must deflate the se: $ra")
+  }
+
   test("medianCi equals brute-force order statistics; interval brackets; uniform closed form (q271)") {
     val vals = events.select("event_type", "value").collect()
       .map(r => (r.getString(0), math.round(r.getDouble(1) * 10000)))

@@ -221,8 +221,9 @@ object ProfileScale {
       // the persisted quantile shards (write twice + merge-serve), the
       // cell-bounded ESS rollup, and the per-(type, arm) QTE frames
       "q272_persisted_quantiles", "q273_raking_ess", "q274_qte",
-      // the type-partitioned changepoint panel and the phase-frame KW
-      "q275_changepoint_panel", "q276_weekday_effect")
+      // the type-partitioned changepoint panel, the phase-frame KW, and
+      // the HAC lag joins on the zero-filled day frame
+      "q275_changepoint_panel", "q276_weekday_effect", "q277_newey_west")
       .filterNot(skip)
     carriers.foreach { name =>
       time(s"x$repl ${name}") {

@@ -960,6 +960,34 @@ object Events {
     * op whose production form is inherently streaming: a dashboard
     * peeks CONTINUOUSLY, which is the entire reason mSPRT exists).
     */
+  /** Minimal detectable effect for the q192 A/B design (q279): given
+    * the CURRENT arm sizes and variances, the smallest true lift a
+    * two-sided α = 0.05 test detects with 80% power is
+    * MDE = (z_{α/2} + z_β)·√(s²_a/n_a + s²_b/n_b) = 2.8016·se — the
+    * experiment-PLANNING readout beside q192's verdict and q237's
+    * monitor: "keep running, or is this test too small to ever see the
+    * effect we care about?". Rides [[msprtArmMoments]] (the shared
+    * exact integer arm moments); z constants are literals (1.96 and
+    * 0.8416, the standard normal 97.5% and 80% points), one double
+    * expression renders the absolute and relative MDE.
+    */
+  def mdeReadout(events: DataFrame, metricType: String = "purchase"): DataFrame = {
+    val m = msprtArmMoments(events, metricType)
+    def svar(s1: Column, s2: Column, n: Column): Column =
+      (s2.cast("double") - s1.cast("double") * s1 / n) / (n - lit(1L))
+    val se = sqrt(svar($"s1_a", $"s2_a", $"n_a") / $"n_a"
+      + svar($"s1_b", $"s2_b", $"n_b") / $"n_b")
+    // 2.8016 = z_{0.025} + z_{0.20} as ONE literal (a double sum of the
+    // two constants can differ from the parsed literal by an ulp)
+    val mde = lit(2.8016) * se
+    val pooledMean = ($"s1_a" + $"s1_b").cast("double") / ($"n_a" + $"n_b")
+    m.select($"n_a", $"n_b",
+      when($"n_a" > 1L && $"n_b" > 1L, round(se / 10000.0, 4)).as("se"),
+      when($"n_a" > 1L && $"n_b" > 1L, round(mde / 10000.0, 4)).as("mde_abs"),
+      when($"n_a" > 1L && $"n_b" > 1L && pooledMean > 0.0,
+        round(mde / pooledMean, 6)).as("mde_rel"))
+  }
+
   private[graft] def msprtArmMoments(events: DataFrame,
       metricType: String): DataFrame =
     events.filter($"event_type" === metricType)

@@ -479,6 +479,55 @@ object Inference {
         .as("nmi"))
   }
 
+  // ---- empirical-Bayes rate shrinkage (q278) -------------------------------
+
+  /** Empirical-Bayes shrinkage of the per-source pass rates (q278; the
+    * beta-binomial moment-matched prior — Efron & Morris 1975's
+    * machinery on the q246 panel): small sources quote wild raw rates
+    * (3/5 = "60%"), and ranking or thresholding on them is noise; the
+    * ensemble ITSELF estimates a Beta(α, β) prior by method of moments
+    * — m and s² of the per-source rates give prior strength
+    * M = m(1−m)/s² − 1 — and each source reports the posterior mean
+    * (k + m·M)/(n + M): big sources keep their data, small sources
+    * shrink toward the ensemble. Degenerate ensembles (s² = 0, or
+    * observed spread at/above the binomial ceiling so M ≤ 0) pin to
+    * complete pooling / no shrinkage respectively — stated conventions,
+    * not NaNs.
+    *
+    * Per-source rates micro-quantize before the ensemble moments (the
+    * q245 discipline: exact long sums over the m-row panel); one double
+    * expression renders M and the posterior means. One corpus scan.
+    */
+  def ebShrunkRates(documents: DataFrame, minChars: Long = 300L): DataFrame = {
+    val per = documents.groupBy($"source").agg(
+      count(lit(1)).as("ns"),
+      sum(when($"n_chars" >= minChars, 1L).otherwise(0L)).as("ks"))
+      .withColumn("r6",
+        round($"ks".cast("double") / $"ns" * lit(1000000.0), 0).cast("long"))
+    val ens = per.agg(count(lit(1)).as("j"),
+      sum($"r6").as("sr"), sum(($"r6" * $"r6").cast("decimal(38,0)")).as("srr"))
+    val jD = $"j".cast("double")
+    val mEns = $"sr".cast("double") / jD / lit(1000000.0)
+    val varEns = ($"srr".cast("double")
+      - $"sr".cast("double") * $"sr" / jD) / ($"j" - 1L) / lit(1.0e12)
+    val mStr = mEns * (lit(1.0) - mEns) / varEns - lit(1.0)
+    val base = per.crossJoin(broadcast(ens))
+      .withColumn("m_ens", mEns)
+      .withColumn("var_ens", when($"j" > 1L, varEns))
+      .withColumn("m_str",
+        when($"var_ens".isNotNull && $"var_ens" > 0.0, mStr))
+    val shrunk =
+      when($"m_str".isNull, $"m_ens") // zero spread: complete pooling
+        .when($"m_str" <= 0.0, $"ks".cast("double") / $"ns") // no prior
+        .otherwise(($"ks" + $"m_ens" * $"m_str") / ($"ns" + $"m_str"))
+    base.select($"source", $"ns".as("n_docs"), $"ks".as("n_pass"),
+      round($"ks".cast("double") / $"ns", 6).as("raw_rate"),
+      round(shrunk, 6).as("shrunk_rate"),
+      round($"m_ens", 6).as("pooled_rate"),
+      round(coalesce($"m_str", lit(0.0)), 4).as("prior_strength"))
+      .orderBy($"source")
+  }
+
   def jackknifeInfluence(documents: DataFrame, minChars: Long = 300L): DataFrame = {
     val per = documents.groupBy($"source").agg(
       count(lit(1)).as("ns"), sum($"n_chars").as("ss"),

@@ -166,6 +166,9 @@ private[graft] object EventsQueries extends QueryFamily {
     // Newey-West HAC standard error of the daily mean (Bartlett L=7):
     // the honest error bar under the autocorrelation q191 measures
     "q277_newey_west" -> ((s, d) => Events.neweyWestSe(Tables.events(s, d))),
+    // minimal detectable effect at 5%/80% for the q192 design — the
+    // "is this test big enough" planning readout on the shared moments
+    "q279_mde" -> ((s, d) => Events.mdeReadout(Tables.events(s, d))),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1672,5 +1675,38 @@ private[graft] object EventsQueries extends QueryFamily {
         |  CASE WHEN sqrt(v_naive) > 0.0
         |    THEN round(sqrt(v_nw) / sqrt(v_naive), 4) END AS se_ratio
         |FROM fin""".stripMargin,
+    "q279_mde" ->
+      // the q237 arm-moment CTE into the (1.96 + 0.8416)·se planning form
+      s"""WITH f AS (
+         |  SELECT ${OracleHelpers.posSql("md5(CAST(user_id AS VARCHAR))", 0, 2)} AS arm,
+         |    CAST(round(value * 10000, 0) AS BIGINT) AS vm
+         |  FROM events WHERE event_type = 'purchase'
+         |),
+         |t AS (
+         |  SELECT
+         |    CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+         |    CAST(sum(CASE WHEN arm = 0 THEN vm ELSE 0 END) AS BIGINT) AS s1_a,
+         |    CAST(sum(CASE WHEN arm = 0 THEN vm * vm ELSE 0 END) AS BIGINT) AS s2_a,
+         |    CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+         |    CAST(sum(CASE WHEN arm = 1 THEN vm ELSE 0 END) AS BIGINT) AS s1_b,
+         |    CAST(sum(CASE WHEN arm = 1 THEN vm * vm ELSE 0 END) AS BIGINT) AS s2_b
+         |  FROM f
+         |),
+         |m AS (
+         |  SELECT t.*,
+         |    sqrt((CAST(s2_a AS DOUBLE) - CAST(s1_a AS DOUBLE) * s1_a / n_a)
+         |        / (n_a - 1) / n_a
+         |      + (CAST(s2_b AS DOUBLE) - CAST(s1_b AS DOUBLE) * s1_b / n_b)
+         |        / (n_b - 1) / n_b) AS se,
+         |    CAST(s1_a + s1_b AS DOUBLE) / (n_a + n_b) AS pooled
+         |  FROM t
+         |)
+         |SELECT n_a, n_b,
+         |  CASE WHEN n_a > 1 AND n_b > 1 THEN round(se / 10000.0, 4) END AS se,
+         |  CASE WHEN n_a > 1 AND n_b > 1
+         |    THEN round(2.8016 * se / 10000.0, 4) END AS mde_abs,
+         |  CASE WHEN n_a > 1 AND n_b > 1 AND pooled > 0.0
+         |    THEN round(2.8016 * se / pooled, 6) END AS mde_rel
+         |FROM m""".stripMargin,
   )
 }

@@ -44,7 +44,11 @@ private[graft] object InferenceQueries extends QueryFamily {
     // to q245's chi2 (micro-quantized cross-cell sums; observed cells
     // only — zero cells contribute exactly 0 to MI, unlike chi2)
     "q262_mutual_info" -> ((s, d) =>
-      Inference.mutualInformation(Tables.documents(s, d))))
+      Inference.mutualInformation(Tables.documents(s, d))),
+    // empirical-Bayes beta-binomial shrinkage of per-source pass rates:
+    // the ensemble prices its own prior, small sources shrink to it
+    "q278_eb_shrinkage" -> ((s, d) =>
+      Inference.ebShrunkRates(Tables.documents(s, d))))
 
   /** DuckDB text of [[Inference.upperTail]]: 1−Φ(x) for the SQL
     * expression `x` (must be non-negative), Abramowitz–Stegun 26.2.17
@@ -539,5 +543,46 @@ private[graft] object InferenceQueries extends QueryFamily {
         |    round(mi6 / 1000000.0
         |      / sqrt((h6_rt / 1000000.0) * (h6_ct / 1000000.0)), 6)
         |  END AS nmi
-        |FROM mi CROSS JOIN hs CROSS JOIN hl CROSS JOIN tot""".stripMargin)
+        |FROM mi CROSS JOIN hs CROSS JOIN hl CROSS JOIN tot""".stripMargin,
+    "q278_eb_shrinkage" ->
+      // micro-quantized ensemble moments, moment-matched Beta prior,
+      // posterior means; stated degenerate conventions mirrored
+      """WITH per AS (
+        |  SELECT source, CAST(count(*) AS BIGINT) AS ns,
+        |    CAST(sum(CASE WHEN n_chars >= 300 THEN 1 ELSE 0 END) AS BIGINT) AS ks
+        |  FROM documents GROUP BY 1
+        |),
+        |pr AS (
+        |  SELECT per.*,
+        |    CAST(round(CAST(ks AS DOUBLE) / ns * 1000000.0, 0) AS BIGINT) AS r6
+        |  FROM per
+        |),
+        |ens AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS j, CAST(sum(r6) AS BIGINT) AS sr,
+        |    sum(CAST(r6 * r6 AS HUGEINT)) AS srr
+        |  FROM pr
+        |),
+        |base AS (
+        |  SELECT pr.*, j,
+        |    CAST(sr AS DOUBLE) / CAST(j AS DOUBLE) / 1000000.0 AS m_ens,
+        |    CASE WHEN j > 1 THEN
+        |      (CAST(srr AS DOUBLE) - CAST(sr AS DOUBLE) * sr / CAST(j AS DOUBLE))
+        |        / (j - 1) / 1.0e12
+        |    END AS var_ens
+        |  FROM pr CROSS JOIN ens
+        |),
+        |b2 AS (
+        |  SELECT base.*,
+        |    CASE WHEN var_ens IS NOT NULL AND var_ens > 0.0
+        |      THEN m_ens * (1.0 - m_ens) / var_ens - 1.0 END AS m_str
+        |  FROM base
+        |)
+        |SELECT source, ns AS n_docs, ks AS n_pass,
+        |  round(CAST(ks AS DOUBLE) / ns, 6) AS raw_rate,
+        |  round(CASE WHEN m_str IS NULL THEN m_ens
+        |    WHEN m_str <= 0.0 THEN CAST(ks AS DOUBLE) / ns
+        |    ELSE (ks + m_ens * m_str) / (ns + m_str) END, 6) AS shrunk_rate,
+        |  round(m_ens, 6) AS pooled_rate,
+        |  round(coalesce(m_str, 0.0), 4) AS prior_strength
+        |FROM b2 ORDER BY source""".stripMargin)
 }

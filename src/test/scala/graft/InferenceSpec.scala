@@ -777,6 +777,65 @@ class InferenceSpec extends GraftSuite {
     assert(hf.getDouble(3) == 0.0)
   }
 
+  test("ebShrunkRates equals brute force; posterior means interpolate raw and pooled with the n/(n+M) law (q278)") {
+    val per = docs.select("source", "n_chars").collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+      .groupBy(_._1).view.mapValues { g =>
+        (g.length.toLong, g.count(_._2 >= 300L).toLong)
+      }.toMap
+    val r6 = per.view.mapValues { case (n, k) =>
+      math.round(k.toDouble / n * 1000000.0)
+    }.toMap
+    val j = per.size.toLong
+    val sr = r6.values.sum; val srr = r6.values.map(v => v * v).sum
+    val m = sr.toDouble / j.toDouble / 1000000.0
+    val v = (srr.toDouble - sr.toDouble * sr / j.toDouble) / (j - 1) / 1.0e12
+    val mStr = m * (1.0 - m) / v - 1.0
+    assert(v > 0.0 && mStr > 0.0, "fixture ensemble must be informative")
+    val got = Inference.ebShrunkRates(docs).collect()
+    assert(got.length == per.size)
+    got.foreach { g =>
+      val (n, k) = per(g.getString(0))
+      val raw = k.toDouble / n
+      val shr = (k + m * mStr) / (n + mStr)
+      assert(g.getLong(1) == n && g.getLong(2) == k)
+      assert(g.getDouble(3) == roundN(raw, 6))
+      assert(g.getDouble(4) == roundN(shr, 6))
+      assert(g.getDouble(5) == roundN(m, 6))
+      assert(g.getDouble(6) == roundN(mStr, 4))
+      // the posterior mean sits BETWEEN the raw rate and the pool, and
+      // the shrink fraction is exactly M/(n+M) — decreasing in n
+      assert((shr - raw) * (m - raw) >= 0.0)
+      if (raw != m)
+        assert(math.abs((raw - shr) / (raw - m) - mStr / (n + mStr)) < 1e-9)
+    }
+  }
+
+  test("mdeReadout equals brute force; MDE/se is exactly the 2.8016 planning constant (q279)") {
+    val vms = events.select("user_id", "event_type", "value").collect()
+      .filter(_.getString(1) == "purchase")
+      .map(r => (arm(r.getLong(0)), math.round(r.getDouble(2) * 10000)))
+    def mom(a: Long) = {
+      val xs = vms.filter(_._1 == a).map(_._2)
+      (xs.length.toLong, xs.sum, xs.map(x => x * x).sum)
+    }
+    val (na, s1a, s2a) = mom(0L); val (nb, s1b, s2b) = mom(1L)
+    def svar(s1: Long, s2: Long, n: Long) =
+      (s2.toDouble - s1.toDouble * s1 / n) / (n - 1)
+    val se = math.sqrt(svar(s1a, s2a, na) / na + svar(s1b, s2b, nb) / nb)
+    val pooled = (s1a + s1b).toDouble / (na + nb)
+    val g = Events.mdeReadout(events).collect()(0)
+    assert(g.getLong(0) == na && g.getLong(1) == nb)
+    assert(g.getDouble(2) == roundN(se / 10000.0, 4))
+    assert(g.getDouble(3) == roundN(2.8016 * se / 10000.0, 4))
+    assert(g.getDouble(4) == roundN(2.8016 * se / pooled, 6))
+    // the planning identity, and the A/A sanity: the observed q192 z is
+    // far inside the detectable band (the fixture has no treatment)
+    assert(math.abs(g.getDouble(3) / g.getDouble(2) - 2.8016) < 1e-3)
+    val dObs = math.abs(s1b.toDouble / nb - s1a.toDouble / na)
+    assert(dObs < 2.8016 * se, "A/A observed diff must sit under the MDE")
+  }
+
   test("neweyWestSe equals the brute-force HAC formula; persistence inflates, alternation deflates (q277)") {
     val daily = dailyCounts
     val d0 = daily.map(_._1).min; val d1 = daily.map(_._1).max

@@ -223,7 +223,10 @@ object ProfileScale {
       "q272_persisted_quantiles", "q273_raking_ess", "q274_qte",
       // the type-partitioned changepoint panel, the phase-frame KW, and
       // the HAC lag joins on the zero-filled day frame
-      "q275_changepoint_panel", "q276_weekday_effect", "q277_newey_west")
+      "q275_changepoint_panel", "q276_weekday_effect", "q277_newey_west",
+      // the EB panel rollup (m-row ensemble moments) and the MDE 1-row
+      // arm-moment readout
+      "q278_eb_shrinkage", "q279_mde")
       .filterNot(skip)
     carriers.foreach { name =>
       time(s"x$repl ${name}") {

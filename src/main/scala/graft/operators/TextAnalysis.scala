@@ -1060,6 +1060,58 @@ object TextAnalysis {
       .orderBy($"decile")
   }
 
+  // ---- lexical Jensen–Shannon drift panel (q280) -----------------------------
+
+  /** Per-source Jensen–Shannon divergence between the source's token
+    * distribution and the POOLED REST (q280; Lin 1991) — LEXICAL drift,
+    * the vocabulary-level complement to q102's quality-bin PSI and
+    * q254's length-ECDF KS: two sources can match on length and quality
+    * and still speak different words. JSD is symmetric and bounded in
+    * [0, 1] bits (comparable across sources, unlike KL).
+    *
+    * The scale trick: the source×vocabulary grid is NEVER zero-filled.
+    * For a token OUTSIDE the source's support, p = 0 and m = q/2, so
+    * its JSD contribution collapses to q/2 exactly — and Σ of those q's
+    * is 1 − Σ_{support} q, a CLOSED FORM from the support rows alone
+    * (exact integers: ((n−ns) − Σ(ct−c)) / (n−ns)). So the joined frame
+    * is support-bounded (rows the source actually has), the tail is one
+    * subtraction, and nothing grows with |vocabulary| × |sources|.
+    * In-support terms micro-quantize before the per-source sum; a
+    * source-exclusive token's q-term is 0 by the 0·log0 convention;
+    * a source that IS the whole corpus has no complement (jsd NULL,
+    * the q254 pin).
+    */
+  def lexicalJsDivergence(documents: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val st = documents
+      .select($"source", explode(split($"text", " ")).as("token"))
+      .groupBy($"source", $"token").agg(count(lit(1)).as("c"))
+    val tk = st.groupBy($"token").agg(sum($"c").as("ct"))
+    val tot = tk.agg(sum($"ct").as("n"))
+    val joined = st.join(tk, Seq("token")).crossJoin(broadcast(tot))
+      .withColumn("ns",
+        sum($"c").over(Window.partitionBy($"source")))
+    val p = $"c".cast("double") / $"ns"
+    val q = ($"ct" - $"c").cast("double") / ($"n" - $"ns")
+    val m = (p + q) / lit(2.0)
+    val tp = p * log2(p / m)
+    val tq = when($"ct" - $"c" > 0L, q * log2(q / m)).otherwise(lit(0.0))
+    val perSrc = joined
+      .withColumn("t6", when($"n" - $"ns" > 0L,
+        round((tp + tq) * lit(1000000.0), 0).cast("long")).otherwise(0L))
+      .groupBy($"source")
+      .agg(max($"ns").as("n_tokens"), max($"n").as("n"),
+        sum($"t6").as("sum6"), sum($"ct" - $"c").as("rest_sup"))
+    val qOut = (($"n" - $"n_tokens") - $"rest_sup").cast("double") /
+      ($"n" - $"n_tokens")
+    perSrc.select($"source", $"n_tokens",
+        when($"n" - $"n_tokens" > 0L,
+          round(lit(0.5) * ($"sum6".cast("double") / lit(1000000.0))
+            + lit(0.5) * qOut, 6)).as("jsd_bits"),
+        when($"n" - $"n_tokens" > 0L, round(qOut, 6)).as("unshared_rest_mass"))
+      .orderBy($"source")
+  }
+
   // ---- interpolated Kneser–Ney held-out eval (q269) -------------------------
 
   /** Interpolated Kneser–Ney bigram evaluation on the q198 held-out

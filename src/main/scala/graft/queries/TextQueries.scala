@@ -88,6 +88,10 @@ private[graft] object TextQueries extends QueryFamily {
     // counts + absolute discount — the smoothing ablation vs add-one
     "q269_kneser_ney" -> ((s, d) =>
       TextAnalysis.kneserNeyEval(Tables.documents(s, d))),
+    // per-source lexical JSD vs pooled rest: support-bounded grid, the
+    // out-of-support tail collapses to a closed form (never zero-filled)
+    "q280_lexical_jsd" -> ((s, d) =>
+      TextAnalysis.lexicalJsDivergence(Tables.documents(s, d))),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -582,5 +586,53 @@ private[graft] object TextQueries extends QueryFamily {
          | round(sum(CASE WHEN backoff THEN k ELSE 0 END) * 1.0 / sum(k), 6)
          |   AS backoff_rate
          |FROM sc GROUP BY lang ORDER BY lang""".stripMargin,
+    "q280_lexical_jsd" ->
+      // support-bounded per-token terms micro-quantized; the
+      // out-of-support tail is ((n-ns) - sum(ct-c)) / (n-ns) exactly
+      """WITH st AS (
+        |  SELECT source, token, CAST(count(*) AS BIGINT) AS c
+        |  FROM (SELECT source, unnest(string_split(text, ' ')) AS token
+        |        FROM documents)
+        |  GROUP BY 1, 2
+        |),
+        |tk AS (SELECT token, CAST(sum(c) AS BIGINT) AS ct FROM st GROUP BY 1),
+        |tot AS (SELECT CAST(sum(ct) AS BIGINT) AS n FROM tk),
+        |j AS (
+        |  SELECT st.source, st.c, tk.ct, t.n,
+        |    CAST(sum(st.c) OVER (PARTITION BY st.source) AS BIGINT) AS ns
+        |  FROM st JOIN tk USING (token) CROSS JOIN tot t
+        |),
+        |terms AS (
+        |  SELECT source, ns, n, ct - c AS rest,
+        |    CASE WHEN n - ns > 0 THEN
+        |      CAST(round((
+        |        (CAST(c AS DOUBLE) / ns) * log2((CAST(c AS DOUBLE) / ns)
+        |          / ((CAST(c AS DOUBLE) / ns
+        |              + CAST(ct - c AS DOUBLE) / (n - ns)) / 2.0))
+        |        + CASE WHEN ct - c > 0 THEN
+        |            (CAST(ct - c AS DOUBLE) / (n - ns))
+        |              * log2((CAST(ct - c AS DOUBLE) / (n - ns))
+        |              / ((CAST(c AS DOUBLE) / ns
+        |                  + CAST(ct - c AS DOUBLE) / (n - ns)) / 2.0))
+        |          ELSE 0.0 END) * 1000000.0, 0) AS BIGINT)
+        |    ELSE 0 END AS t6
+        |  FROM j
+        |),
+        |ps AS (
+        |  SELECT source, max(ns) AS n_tokens, max(n) AS n,
+        |    CAST(sum(t6) AS BIGINT) AS sum6,
+        |    CAST(sum(rest) AS BIGINT) AS rest_sup
+        |  FROM terms GROUP BY 1
+        |)
+        |SELECT source, n_tokens,
+        |  CASE WHEN n - n_tokens > 0 THEN
+        |    round(0.5 * (CAST(sum6 AS DOUBLE) / 1000000.0)
+        |      + 0.5 * (CAST((n - n_tokens) - rest_sup AS DOUBLE)
+        |          / (n - n_tokens)), 6)
+        |  END AS jsd_bits,
+        |  CASE WHEN n - n_tokens > 0 THEN
+        |    round(CAST((n - n_tokens) - rest_sup AS DOUBLE) / (n - n_tokens), 6)
+        |  END AS unshared_rest_mass
+        |FROM ps ORDER BY source""".stripMargin,
   )
 }

@@ -2589,4 +2589,63 @@ class PipelineSpec extends GraftSuite {
     assert(ao("hi") == ao("lo"),
       s"add-one cannot distinguish them: $ao")
   }
+
+  test("lexicalJsDivergence: the support-bounded form equals the naive full-grid JSD; 0 and 1 closed forms (q280)") {
+    def roundN(v: Double, k: Int): Double =
+      BigDecimal(v).setScale(k, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def log2(x: Double) = math.log(x) / math.log(2.0)
+    val rows = docs.select($"source", $"text").collect()
+      .flatMap(r => r.getString(1).split(" ", -1).map(t => (r.getString(0), t)))
+    val ct = rows.map(_._2).groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val n = rows.length.toLong
+    val bySrc = rows.groupBy(_._1)
+    val got = graft.operators.TextAnalysis.lexicalJsDivergence(docs).collect()
+    assert(got.length == bySrc.size)
+    got.foreach { g =>
+      val src = g.getString(0)
+      val cs = bySrc(src).map(_._2).groupBy(identity).view
+        .mapValues(_.length.toLong).toMap
+      val ns = bySrc(src).size.toLong
+      // the operator's support-bounded sum + closed-form tail, replayed
+      val sum6 = cs.map { case (tok, c) =>
+        val p = c.toDouble / ns
+        val q = (ct(tok) - c).toDouble / (n - ns)
+        val m = (p + q) / 2.0
+        val tq = if (ct(tok) - c > 0) q * log2(q / m) else 0.0
+        math.round((p * log2(p / m) + tq) * 1000000.0)
+      }.sum
+      val restSup = cs.map { case (tok, c) => ct(tok) - c }.sum
+      val qOut = ((n - ns) - restSup).toDouble / (n - ns)
+      val jsd = 0.5 * (sum6 / 1000000.0) + 0.5 * qOut
+      assert(g.getLong(1) == ns)
+      assert(g.getDouble(2) == roundN(jsd, 6))
+      assert(g.getDouble(3) == roundN(qOut, 6))
+      // ...and it equals the NAIVE zero-filled full-union-grid JSD — the
+      // identity the closed-form tail rests on (tolerance: the operator
+      // micro-quantizes per in-support term)
+      val naive = ct.keys.map { tok =>
+        val p = cs.getOrElse(tok, 0L).toDouble / ns
+        val q = (ct(tok) - cs.getOrElse(tok, 0L)).toDouble / (n - ns)
+        val m = (p + q) / 2.0
+        val tp = if (p > 0) p * log2(p / m) else 0.0
+        val tq = if (q > 0) q * log2(q / m) else 0.0
+        0.5 * (tp + tq)
+      }.sum
+      assert(math.abs(jsd - naive) < 1e-4, s"$src closed-form vs naive")
+      assert(g.getDouble(2) >= 0.0 && g.getDouble(2) <= 1.0)
+    }
+    // closed forms: a proportional clone scores exactly 0; disjoint
+    // vocabularies score exactly 1
+    import spark.implicits._
+    val clone = (Seq.fill(30)(("a", "x y z")) ++ Seq.fill(60)(("b", "x y z")))
+      .toDF("source", "text")
+    val jc = graft.operators.TextAnalysis.lexicalJsDivergence(clone).collect()
+      .map(r => (r.getString(0), r.getDouble(2))).toMap
+    assert(jc("a") == 0.0 && jc("b") == 0.0)
+    val disjoint = (Seq.fill(10)(("a", "aa bb")) ++ Seq.fill(10)(("b", "cc dd")))
+      .toDF("source", "text")
+    val jd = graft.operators.TextAnalysis.lexicalJsDivergence(disjoint).collect()
+      .map(r => (r.getString(0), r.getDouble(2))).toMap
+    assert(jd("a") == 1.0 && jd("b") == 1.0)
+  }
 }

@@ -224,9 +224,9 @@ object ProfileScale {
       // the type-partitioned changepoint panel, the phase-frame KW, and
       // the HAC lag joins on the zero-filled day frame
       "q275_changepoint_panel", "q276_weekday_effect", "q277_newey_west",
-      // the EB panel rollup (m-row ensemble moments) and the MDE 1-row
-      // arm-moment readout
-      "q278_eb_shrinkage", "q279_mde")
+      // the EB panel rollup (m-row ensemble moments), the MDE 1-row
+      // arm-moment readout, and the support-bounded lexical JSD
+      "q278_eb_shrinkage", "q279_mde", "q280_lexical_jsd")
       .filterNot(skip)
     carriers.foreach { name =>
       time(s"x$repl ${name}") {

@@ -845,6 +845,78 @@ object Events {
       .orderBy($"t_days")
   }
 
+  /** Two-arm log-rank test on time-to-conversion (q281; Mantel 1966 —
+    * the standard censoring-aware survival comparison): does the md5
+    * arm coin (q192/q232's split) change conversion latency? q235's
+    * Kaplan–Meier DESCRIBES each curve; the log-rank test is how two
+    * curves are COMPARED — the mean-latency z (q192) is biased by
+    * exactly the censored users KM exists to keep, so this is the
+    * correct A/B readout for a time-to-event metric.
+    *
+    * At each distinct leave-time t (conversion or censor): d_t total
+    * conversions, r_t/r_at at-risk counts (suffix sums over the
+    * bounded day frame, q235's at-risk convention — censored users
+    * count through their censoring day). Hypergeometric terms per
+    * conversion time: e_a = d·r_a/r and
+    * v = d·(r−d)·r_a·(r−r_a)/(r²·(r−1)) for r ≥ 2. z = (O−E)/√V,
+    * χ² = z², two-sided p via the A&S tail.
+    *
+    * Determinism: O, d, r counts are exact longs; e and v are
+    * micro-quantized PER TIME before the cross-time sum (the q245
+    * discipline — a raw double sum over the day frame would be
+    * partition-order-dependent); one boundary division and one sqrt
+    * render z. Shape: two per-user min-aggregates (map-side combined),
+    * a per-(t) counts frame with per-arm columns, windows over the
+    * bounded distinct-day frame, then a 1-row finisher — nothing
+    * corpus-proportional after the user aggregate.
+    */
+  def logrankTest(events: DataFrame): DataFrame = {
+    val signup = events.filter($"event_type" === "signup")
+      .groupBy($"user_id").agg(min($"ts").as("s_ts"))
+    val firstPurch = events.filter($"event_type" === "purchase")
+      .select($"user_id", $"ts")
+      .join(signup, Seq("user_id"))
+      .filter($"ts" > $"s_ts")
+      .groupBy($"user_id").agg(min($"ts").as("p_ts"))
+    val mx = events.agg(max($"ts").as("mx"))
+    val perUser = signup
+      .join(firstPurch, Seq("user_id"), "left_outer")
+      .crossJoin(broadcast(mx))
+      .select(Scale.md5SlicePos($"user_id", 0, 2).as("arm"),
+        when($"p_ts".isNotNull, expr(s"(p_ts - s_ts) div $NsPerDay"))
+          .otherwise(expr(s"(mx - s_ts) div $NsPerDay")).as("t"),
+        $"p_ts".isNotNull.cast("long").as("churned"))
+    val byT = perUser.groupBy($"t").agg(
+      count(lit(1)).as("n_t"), sum($"churned").as("d"),
+      sum(when($"arm" === 0L, 1L).otherwise(0L)).as("n_ta"),
+      sum(when($"arm" === 0L, $"churned").otherwise(0L)).as("d_a"))
+    val wPrev = Window.orderBy($"t")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val tot = byT.agg(sum($"n_t").as("tot"), sum($"n_ta").as("tot_a"))
+    val terms = byT.crossJoin(broadcast(tot))
+      .withColumn("r", $"tot" - coalesce(sum($"n_t").over(wPrev), lit(0L)))
+      .withColumn("r_a", $"tot_a" - coalesce(sum($"n_ta").over(wPrev), lit(0L)))
+      .withColumn("e6", when($"d" >= 1L,
+        round($"d".cast("double") * $"r_a" / $"r" * 1e6, 0).cast("long"))
+        .otherwise(0L))
+      .withColumn("v6", when($"d" >= 1L && $"r" >= 2L,
+        round($"d".cast("double") * ($"r" - $"d") * $"r_a" * ($"r" - $"r_a")
+          / ($"r".cast("double") * $"r" * ($"r" - 1L)) * 1e6, 0).cast("long"))
+        .otherwise(0L))
+    val m = terms.agg(
+      sum($"d_a").as("o_a"), sum($"e6").as("se6"), sum($"v6").as("sv6"),
+      max($"tot_a").as("n_a"), max($"tot" - $"tot_a").as("n_b"))
+    val z = ($"o_a" - $"se6" / 1e6) / sqrt($"sv6" / 1e6)
+    m.select($"n_a", $"n_b", $"o_a".as("observed_a"),
+      round($"se6" / 1e6, 4).as("expected_a"),
+      round($"sv6" / 1e6, 4).as("variance"),
+      when($"sv6" > 0L, round(z, 4)).as("z_logrank"),
+      when($"sv6" > 0L, round(z * z, 4)).as("chi2"),
+      when($"sv6" > 0L,
+        round(least(lit(2.0) * Inference.upperTail(abs(z)), lit(1.0)), 6))
+        .as("p_value"))
+  }
+
   /** CUPED variance-reduced A/B readout (q232; Deng, Xu, Kohavi &
     * Walker 2013 — the experimentation-platform standard): per-user
     * PRE-experiment purchase value (the covariate X, days before the

@@ -48,7 +48,10 @@ private[graft] object InferenceQueries extends QueryFamily {
     // empirical-Bayes beta-binomial shrinkage of per-source pass rates:
     // the ensemble prices its own prior, small sources shrink to it
     "q278_eb_shrinkage" -> ((s, d) =>
-      Inference.ebShrunkRates(Tables.documents(s, d))))
+      Inference.ebShrunkRates(Tables.documents(s, d))),
+    // two-arm log-rank test on time-to-conversion: the censoring-aware
+    // comparison of the q235 KM curves across the md5 arm coin
+    "q281_logrank" -> ((s, d) => Events.logrankTest(Tables.events(s, d))))
 
   /** DuckDB text of [[Inference.upperTail]]: 1−Φ(x) for the SQL
     * expression `x` (must be non-negative), Abramowitz–Stegun 26.2.17
@@ -584,5 +587,76 @@ private[graft] object InferenceQueries extends QueryFamily {
         |    ELSE (ks + m_ens * m_str) / (ns + m_str) END, 6) AS shrunk_rate,
         |  round(m_ens, 6) AS pooled_rate,
         |  round(coalesce(m_str, 0.0), 4) AS prior_strength
-        |FROM b2 ORDER BY source""".stripMargin)
+        |FROM b2 ORDER BY source""".stripMargin,
+    "q281_logrank" ->
+      // q235's per-user frame with the md5 arm; per-time hypergeometric
+      // e/v terms micro-quantized before the cross-time sum; one
+      // boundary division + sqrt renders z; A&S two-sided tail
+      s"""WITH su AS (
+         |  SELECT user_id, min(epoch_ns(ts)) AS s_ts FROM events
+         |  WHERE event_type = 'signup' GROUP BY 1
+         |),
+         |fp AS (
+         |  SELECT e.user_id, min(epoch_ns(e.ts)) AS p_ts
+         |  FROM events e JOIN su USING (user_id)
+         |  WHERE e.event_type = 'purchase' AND epoch_ns(e.ts) > su.s_ts
+         |  GROUP BY 1
+         |),
+         |mx AS (SELECT max(epoch_ns(ts)) AS mx FROM events),
+         |pu AS (
+         |  SELECT ${OracleHelpers.posSql("md5(CAST(su.user_id AS VARCHAR))", 0, 2)} AS arm,
+         |    CASE WHEN fp.p_ts IS NOT NULL
+         |      THEN (fp.p_ts - su.s_ts) // 86400000000000
+         |      ELSE (mx.mx - su.s_ts) // 86400000000000 END AS t,
+         |    CASE WHEN fp.p_ts IS NOT NULL THEN 1 ELSE 0 END AS churned
+         |  FROM su LEFT JOIN fp USING (user_id), mx
+         |),
+         |bt AS (
+         |  SELECT t, CAST(count(*) AS BIGINT) AS n_t,
+         |    CAST(sum(churned) AS BIGINT) AS d,
+         |    CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_ta,
+         |    CAST(sum(CASE WHEN arm = 0 THEN churned ELSE 0 END) AS BIGINT) AS d_a
+         |  FROM pu GROUP BY 1
+         |),
+         |tot AS (
+         |  SELECT CAST(sum(n_t) AS BIGINT) AS tot,
+         |    CAST(sum(n_ta) AS BIGINT) AS tot_a
+         |  FROM bt
+         |),
+         |tr AS (
+         |  SELECT bt.*, tot.tot, tot.tot_a,
+         |    tot.tot - coalesce(CAST(sum(n_t) OVER wp AS BIGINT), 0) AS r,
+         |    tot.tot_a - coalesce(CAST(sum(n_ta) OVER wp AS BIGINT), 0) AS r_a
+         |  FROM bt, tot
+         |  WINDOW wp AS (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+         |),
+         |t2 AS (
+         |  SELECT tr.*,
+         |    CASE WHEN d >= 1
+         |      THEN CAST(round(CAST(d AS DOUBLE) * r_a / r * 1e6) AS BIGINT)
+         |      ELSE 0 END AS e6,
+         |    CASE WHEN d >= 1 AND r >= 2
+         |      THEN CAST(round(CAST(d AS DOUBLE) * (r - d) * r_a * (r - r_a)
+         |        / (CAST(r AS DOUBLE) * r * (r - 1)) * 1e6) AS BIGINT)
+         |      ELSE 0 END AS v6
+         |  FROM tr
+         |),
+         |m AS (
+         |  SELECT CAST(sum(d_a) AS BIGINT) AS o_a, CAST(sum(e6) AS BIGINT) AS se6,
+         |    CAST(sum(v6) AS BIGINT) AS sv6, CAST(max(tot_a) AS BIGINT) AS n_a,
+         |    CAST(max(tot - tot_a) AS BIGINT) AS n_b
+         |  FROM t2
+         |)
+         |SELECT n_a, n_b, o_a AS observed_a,
+         |  round(se6 / 1e6, 4) AS expected_a,
+         |  round(sv6 / 1e6, 4) AS variance,
+         |  CASE WHEN sv6 > 0
+         |    THEN round((o_a - se6 / 1e6) / sqrt(sv6 / 1e6), 4) END AS z_logrank,
+         |  CASE WHEN sv6 > 0
+         |    THEN round(((o_a - se6 / 1e6) / sqrt(sv6 / 1e6))
+         |      * ((o_a - se6 / 1e6) / sqrt(sv6 / 1e6)), 4) END AS chi2,
+         |  CASE WHEN sv6 > 0
+         |    THEN round(least(2.0 * ${upperTailSql("abs((o_a - se6 / 1e6) / sqrt(sv6 / 1e6))")}, 1.0), 6)
+         |  END AS p_value
+         |FROM m""".stripMargin)
 }

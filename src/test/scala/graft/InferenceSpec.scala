@@ -903,4 +903,71 @@ class InferenceSpec extends GraftSuite {
     assert(u.getLong(1) == 100L)
     assert(u.getDouble(2) == 0.005 && u.getDouble(3) == 0.004 && u.getDouble(4) == 0.0061)
   }
+
+  test("logrankTest equals brute force; identical curves score exactly 0; a planted arm effect rejects (q281)") {
+    import spark.implicits.{localSeqToDatasetHolder, newProductEncoder}
+    val NsDay = 86400L * 1000000000L
+    // brute-force replica on the fixture: q235's per-user frame + arm
+    val rows = events.select(col("user_id"), col("event_type"), col("ts").cast("long")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val mxTs = rows.map(_._3).max
+    val su = rows.filter(_._2 == "signup").groupBy(_._1).view.mapValues(_.map(_._3).min).toMap
+    val purch = rows.filter(_._2 == "purchase").groupBy(_._1).view.mapValues(_.map(_._3)).toMap
+    val pu = su.toSeq.map { case (uid, s) =>
+      val p = purch.getOrElse(uid, Array.empty[Long]).filter(_ > s)
+      if (p.nonEmpty) (arm(uid), (p.min - s) / NsDay, 1L)
+      else (arm(uid), (mxTs - s) / NsDay, 0L)
+    }
+    def brute(per: Seq[(Long, Long, Long)]): (Long, Long, Long, Long, Long) = {
+      val byT = per.groupBy(_._2).toSeq.sortBy(_._1)
+      var r = per.size.toLong; var rA = per.count(_._1 == 0L).toLong
+      var oA = 0L; var se6 = 0L; var sv6 = 0L
+      byT.foreach { case (_, g) =>
+        val d = g.map(_._3).sum; val dA = g.filter(_._1 == 0L).map(_._3).sum
+        oA += dA
+        if (d >= 1L) se6 += math.round(d.toDouble * rA / r * 1e6)
+        if (d >= 1L && r >= 2L)
+          sv6 += math.round(d.toDouble * (r - d) * rA * (r - rA)
+            / (r.toDouble * r * (r - 1)) * 1e6)
+        r -= g.size; rA -= g.count(_._1 == 0L)
+      }
+      (per.count(_._1 == 0L).toLong, per.count(_._1 == 1L).toLong, oA, se6, sv6)
+    }
+    val (nA, nB, oA, se6, sv6) = brute(pu)
+    val g = Events.logrankTest(events).collect()(0)
+    assert(g.getLong(0) == nA && g.getLong(1) == nB && g.getLong(2) == oA)
+    assert(g.getDouble(3) == roundN(se6 / 1e6, 4))
+    assert(g.getDouble(4) == roundN(sv6 / 1e6, 4))
+    val z = (oA - se6 / 1e6) / math.sqrt(sv6 / 1e6)
+    assert(g.getDouble(5) == roundN(z, 4))
+    assert(g.getDouble(6) == roundN(z * z, 4))
+    assert(g.getDouble(7) == roundN(math.min(2.0 * upperTail(math.abs(z)), 1.0), 6))
+    // the fixture split is a true A/A: the log-rank z stays inside 4 sigma
+    assert(math.abs(z) < 4.0, s"A/A log-rank z out of band: $z")
+
+    // users picked by their ACTUAL md5 coin (the q264 device)
+    val armed = (1L to 400L).map(u => (arm(u), u))
+    val a0 = armed.filter(_._1 == 0L).map(_._2)
+    val a1 = armed.filter(_._1 == 1L).map(_._2)
+    def evFrame(users: Seq[(Long, Option[Long])], frontier: Long) = {
+      val evs = users.zipWithIndex.flatMap { case ((u, conv), i) =>
+        Seq((u, 2L * i, "signup", 0L, 0.0)) ++
+          conv.map(t => (u, 2L * i + 1L, "purchase", t * NsDay, 0.0))
+      } :+ (999999L, 888888L, "click", frontier * NsDay, 0.0)
+      evs.toDF("user_id", "event_id", "event_type", "ts", "value")
+    }
+    // identical (t, churned) multisets in both arms -> O == E exactly
+    val mirror = a0.take(4).zip(Seq(Some(1L), Some(3L), None, None)) ++
+      a1.take(4).zip(Seq(Some(1L), Some(3L), None, None))
+    val m0 = Events.logrankTest(evFrame(mirror, 10L)).collect()(0)
+    assert(m0.getLong(2).toDouble == m0.getDouble(3),
+      "identical curves: observed == expected exactly")
+    assert(m0.getDouble(5) == 0.0 && m0.getDouble(7) == 1.0)
+    // planted effect: arm 0 converts day 1, arm 1 never converts
+    val eff = a0.take(30).map(u => (u, Option(1L))) ++
+      a1.take(30).map(u => (u, Option.empty[Long]))
+    val m1 = Events.logrankTest(evFrame(eff, 20L)).collect()(0)
+    assert(m1.getDouble(5) > 0.0, "early-converting arm drives O_a above E_a")
+    assert(m1.getDouble(7) < 0.01, "a 30-vs-30 total separation must reject")
+  }
 }

@@ -917,6 +917,73 @@ object Events {
         .as("p_value"))
   }
 
+  /** Delta-method ratio-metric A/B readout (q282; Deng, Knoblich & Lu
+    * 2018 — the experimentation-platform standard for ratio metrics):
+    * revenue-per-click R = Σy_u/Σx_u is a ratio of SUMS whose
+    * denominator unit (click) differs from the randomization unit
+    * (user) — treating clicks as i.i.d. observations understates the
+    * variance whenever per-user click counts and revenues co-vary (the
+    * classic ratio-metric bug). The delta method linearizes R around
+    * (ȳ, x̄): Var(R) ≈ (s_yy − 2R·s_yx + R²·s_xx)/(n·x̄²), with all
+    * (co)variances over PER-USER totals — user-clustered by
+    * construction. Per arm, then z on the difference.
+    *
+    * Determinism: per-user (y, x) are exact longs (y micro-units);
+    * second moments are per-row LONG products summed in DECIMAL(38,0)
+    * (the q232 posture — ANSI throws loudly past ~3·10⁹ micro-units
+    * per user); the finisher's double expressions mirror the oracle
+    * operation-for-operation. Shape: ONE corpus scan into a per-user
+    * aggregate (map-side combined; the all-events groupBy means
+    * signup-only users enter as (0,0) — the full randomization
+    * universe, no second distinct pass), then a 1-row moment
+    * aggregate.
+    */
+  def ratioMetricDelta(events: DataFrame, numType: String = "purchase",
+      denType: String = "click"): DataFrame = {
+    val perUser = events.groupBy($"user_id").agg(
+      sum(when($"event_type" === numType,
+        round($"value" * 10000, 0).cast("long")).otherwise(0L)).as("y"),
+      sum(when($"event_type" === denType, 1L).otherwise(0L)).as("x"))
+    val um = perUser.select(Scale.md5SlicePos($"user_id", 0, 2).as("arm"), $"y", $"x")
+    def dec(c: Column): Column = c.cast("decimal(38,0)")
+    def aSum(a: Long, c: Column): Column = sum(when($"arm" === a, c).otherwise(0L))
+    def aDec(a: Long, c: Column): Column =
+      sum(dec(when($"arm" === a, c).otherwise(0L)))
+    val m = um.agg(
+      aSum(0L, lit(1L)).as("n_a"), aSum(0L, $"y").as("sy_a"), aSum(0L, $"x").as("sx_a"),
+      aDec(0L, $"y" * $"y").as("syy_a"), aDec(0L, $"x" * $"x").as("sxx_a"),
+      aDec(0L, $"x" * $"y").as("sxy_a"),
+      aSum(1L, lit(1L)).as("n_b"), aSum(1L, $"y").as("sy_b"), aSum(1L, $"x").as("sx_b"),
+      aDec(1L, $"y" * $"y").as("syy_b"), aDec(1L, $"x" * $"x").as("sxx_b"),
+      aDec(1L, $"x" * $"y").as("sxy_b"))
+    def nD(n: Column): Column = n.cast("double")
+    // sample (co)variance from exact sums: (s12 − s1·s2/n)/(n−1)
+    def sv(s12: Column, s1: Column, s2: Column, n: Column): Column =
+      (s12.cast("double") - s1.cast("double") * s2.cast("double") / nD(n)) / (n - 1L)
+    def varR(n: Column, sy: Column, sx: Column, syy: Column, sxx: Column,
+        sxy: Column): Column = {
+      val r = sy.cast("double") / sx.cast("double")
+      val xbar = sx.cast("double") / nD(n)
+      (sv(syy, sy, sy, n) - lit(2.0) * r * sv(sxy, sx, sy, n)
+        + r * r * sv(sxx, sx, sx, n)) / (nD(n) * xbar * xbar)
+    }
+    val rA = $"sy_a".cast("double") / $"sx_a".cast("double")
+    val rB = $"sy_b".cast("double") / $"sx_b".cast("double")
+    val vA = varR($"n_a", $"sy_a", $"sx_a", $"syy_a", $"sxx_a", $"sxy_a")
+    val vB = varR($"n_b", $"sy_b", $"sx_b", $"syy_b", $"sxx_b", $"sxy_b")
+    val ok = $"n_a" >= 2L && $"n_b" >= 2L && $"sx_a" > 0L && $"sx_b" > 0L
+    val z = (rB - rA) / sqrt(vA + vB)
+    m.select($"n_a", $"n_b",
+      when($"sx_a" > 0L, round(rA / 1e4, 6)).as("ratio_a"),
+      when($"sx_b" > 0L, round(rB / 1e4, 6)).as("ratio_b"),
+      when(ok, round((rB - rA) / 1e4, 6)).as("diff"),
+      when(ok && (vA + vB) > 0.0, round(sqrt(vA + vB) / 1e4, 6)).as("se"),
+      when(ok && (vA + vB) > 0.0, round(z, 4)).as("z_score"),
+      when(ok && (vA + vB) > 0.0,
+        round(least(lit(2.0) * Inference.upperTail(abs(z)), lit(1.0)), 6))
+        .as("p_value"))
+  }
+
   /** CUPED variance-reduced A/B readout (q232; Deng, Xu, Kohavi &
     * Walker 2013 — the experimentation-platform standard): per-user
     * PRE-experiment purchase value (the covariate X, days before the

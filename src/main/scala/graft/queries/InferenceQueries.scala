@@ -51,7 +51,11 @@ private[graft] object InferenceQueries extends QueryFamily {
       Inference.ebShrunkRates(Tables.documents(s, d))),
     // two-arm log-rank test on time-to-conversion: the censoring-aware
     // comparison of the q235 KM curves across the md5 arm coin
-    "q281_logrank" -> ((s, d) => Events.logrankTest(Tables.events(s, d))))
+    "q281_logrank" -> ((s, d) => Events.logrankTest(Tables.events(s, d))),
+    // revenue-per-click ratio metric with the delta-method
+    // user-clustered se: denominator unit != randomization unit
+    "q282_ratio_metric" -> ((s, d) =>
+      Events.ratioMetricDelta(Tables.events(s, d))))
 
   /** DuckDB text of [[Inference.upperTail]]: 1−Φ(x) for the SQL
     * expression `x` (must be non-negative), Abramowitz–Stegun 26.2.17
@@ -658,5 +662,65 @@ private[graft] object InferenceQueries extends QueryFamily {
          |  CASE WHEN sv6 > 0
          |    THEN round(least(2.0 * ${upperTailSql("abs((o_a - se6 / 1e6) / sqrt(sv6 / 1e6))")}, 1.0), 6)
          |  END AS p_value
-         |FROM m""".stripMargin)
+         |FROM m""".stripMargin,
+    "q282_ratio_metric" -> {
+      // per-arm delta-method variance of the ratio of per-user sums;
+      // exact HUGEINT second moments, finisher mirrored term-for-term
+      def svS(s12: String, s1: String, s2: String, n: String) =
+        s"(CAST($s12 AS DOUBLE) - CAST($s1 AS DOUBLE) * CAST($s2 AS DOUBLE) / CAST($n AS DOUBLE)) / ($n - 1)"
+      def varS(a: String) = {
+        val r = s"(CAST(sy_$a AS DOUBLE) / CAST(sx_$a AS DOUBLE))"
+        val xbar = s"(CAST(sx_$a AS DOUBLE) / CAST(n_$a AS DOUBLE))"
+        s"""((${svS(s"syy_$a", s"sy_$a", s"sy_$a", s"n_$a")}
+           |  - 2.0 * $r * ${svS(s"sxy_$a", s"sx_$a", s"sy_$a", s"n_$a")}
+           |  + $r * $r * ${svS(s"sxx_$a", s"sx_$a", s"sx_$a", s"n_$a")})
+           | / (CAST(n_$a AS DOUBLE) * $xbar * $xbar))""".stripMargin
+      }
+      val rA = "(CAST(sy_a AS DOUBLE) / CAST(sx_a AS DOUBLE))"
+      val rB = "(CAST(sy_b AS DOUBLE) / CAST(sx_b AS DOUBLE))"
+      val zS = s"(($rB - $rA) / sqrt(va + vb))"
+      s"""WITH pu AS (
+         |  SELECT user_id,
+         |    CAST(sum(CASE WHEN event_type = 'purchase'
+         |      THEN CAST(round(value * 10000, 0) AS BIGINT) ELSE 0 END) AS BIGINT) AS y,
+         |    CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS x
+         |  FROM events GROUP BY 1
+         |),
+         |um AS (
+         |  SELECT ${OracleHelpers.posSql("md5(CAST(user_id AS VARCHAR))", 0, 2)} AS arm, y, x
+         |  FROM pu
+         |),
+         |m AS (
+         |  SELECT
+         |    CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+         |    CAST(sum(CASE WHEN arm = 0 THEN y ELSE 0 END) AS BIGINT) AS sy_a,
+         |    CAST(sum(CASE WHEN arm = 0 THEN x ELSE 0 END) AS BIGINT) AS sx_a,
+         |    sum(CAST(CASE WHEN arm = 0 THEN y * y ELSE 0 END AS HUGEINT)) AS syy_a,
+         |    sum(CAST(CASE WHEN arm = 0 THEN x * x ELSE 0 END AS HUGEINT)) AS sxx_a,
+         |    sum(CAST(CASE WHEN arm = 0 THEN x * y ELSE 0 END AS HUGEINT)) AS sxy_a,
+         |    CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+         |    CAST(sum(CASE WHEN arm = 1 THEN y ELSE 0 END) AS BIGINT) AS sy_b,
+         |    CAST(sum(CASE WHEN arm = 1 THEN x ELSE 0 END) AS BIGINT) AS sx_b,
+         |    sum(CAST(CASE WHEN arm = 1 THEN y * y ELSE 0 END AS HUGEINT)) AS syy_b,
+         |    sum(CAST(CASE WHEN arm = 1 THEN x * x ELSE 0 END AS HUGEINT)) AS sxx_b,
+         |    sum(CAST(CASE WHEN arm = 1 THEN x * y ELSE 0 END AS HUGEINT)) AS sxy_b
+         |  FROM um
+         |),
+         |v AS (
+         |  SELECT m.*, ${varS("a")} AS va, ${varS("b")} AS vb,
+         |    (n_a >= 2 AND n_b >= 2 AND sx_a > 0 AND sx_b > 0) AS ok
+         |  FROM m
+         |)
+         |SELECT n_a, n_b,
+         |  CASE WHEN sx_a > 0 THEN round($rA / 1e4, 6) END AS ratio_a,
+         |  CASE WHEN sx_b > 0 THEN round($rB / 1e4, 6) END AS ratio_b,
+         |  CASE WHEN ok THEN round(($rB - $rA) / 1e4, 6) END AS diff,
+         |  CASE WHEN ok AND (va + vb) > 0.0
+         |    THEN round(sqrt(va + vb) / 1e4, 6) END AS se,
+         |  CASE WHEN ok AND (va + vb) > 0.0 THEN round($zS, 4) END AS z_score,
+         |  CASE WHEN ok AND (va + vb) > 0.0
+         |    THEN round(least(2.0 * ${upperTailSql(s"abs($zS)")}, 1.0), 6)
+         |  END AS p_value
+         |FROM v""".stripMargin
+    })
 }

@@ -970,4 +970,63 @@ class InferenceSpec extends GraftSuite {
     assert(m1.getDouble(5) > 0.0, "early-converting arm drives O_a above E_a")
     assert(m1.getDouble(7) < 0.01, "a 30-vs-30 total separation must reject")
   }
+
+  test("ratioMetricDelta equals brute force; constant denominator collapses to the plain mean se (q282)") {
+    import spark.implicits.{localSeqToDatasetHolder, newProductEncoder}
+    // brute-force replica: per-user (y, x) totals over ALL events
+    val rows = events.select(col("user_id"), col("event_type"), col("value")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+    val byUser = rows.groupBy(_._1).map { case (u, g) =>
+      (arm(u),
+        g.filter(_._2 == "purchase").map(e => math.round(e._3 * 10000)).sum,
+        g.count(_._2 == "click").toLong)
+    }.toSeq
+    def mom(a: Long) = {
+      val g = byUser.filter(_._1 == a)
+      (g.size.toLong, g.map(_._2).sum, g.map(_._3).sum,
+        g.map(e => e._2 * e._2).sum, g.map(e => e._3 * e._3).sum,
+        g.map(e => e._3 * e._2).sum)
+    }
+    def varR(n: Long, sy: Long, sx: Long, syy: Long, sxx: Long, sxy: Long) = {
+      def sv(s12: Long, s1: Long, s2: Long) =
+        (s12.toDouble - s1.toDouble * s2.toDouble / n.toDouble) / (n - 1)
+      val r = sy.toDouble / sx.toDouble
+      val xbar = sx.toDouble / n.toDouble
+      (sv(syy, sy, sy) - 2.0 * r * sv(sxy, sx, sy) + r * r * sv(sxx, sx, sx)) /
+        (n.toDouble * xbar * xbar)
+    }
+    val (na, sya, sxa, syya, sxxa, sxya) = mom(0L)
+    val (nb, syb, sxb, syyb, sxxb, sxyb) = mom(1L)
+    val rA = sya.toDouble / sxa.toDouble; val rB = syb.toDouble / sxb.toDouble
+    val vA = varR(na, sya, sxa, syya, sxxa, sxya)
+    val vB = varR(nb, syb, sxb, syyb, sxxb, sxyb)
+    val z = (rB - rA) / math.sqrt(vA + vB)
+    val g = Events.ratioMetricDelta(events).collect()(0)
+    assert(g.getLong(0) == na && g.getLong(1) == nb)
+    assert(g.getDouble(2) == roundN(rA / 1e4, 6))
+    assert(g.getDouble(3) == roundN(rB / 1e4, 6))
+    assert(g.getDouble(4) == roundN((rB - rA) / 1e4, 6))
+    assert(g.getDouble(5) == roundN(math.sqrt(vA + vB) / 1e4, 6))
+    assert(g.getDouble(6) == roundN(z, 4))
+    assert(g.getDouble(7) == roundN(math.min(2.0 * upperTail(math.abs(z)), 1.0), 6))
+    assert(math.abs(z) < 4.0, s"A/A ratio-metric z out of band: $z")
+    // constant denominator (x == 1 per user): the delta-method variance
+    // reduces EXACTLY to s_yy/n — the plain per-user mean se
+    val armed = (1L to 300L).map(u => (arm(u), u))
+    val evs = armed.zipWithIndex.flatMap { case ((_, u), i) =>
+      Seq((u, 2L * i, "click", i.toLong * 1000L, 0.0),
+        (u, 2L * i + 1L, "purchase", i.toLong * 1000L + 1L, (u % 7 + 1).toDouble))
+    }.toDF("user_id", "event_id", "event_type", "ts", "value")
+    val c = Events.ratioMetricDelta(evs).collect()(0)
+    val cU = armed.map { case (a, u) => (a, math.round((u % 7 + 1).toDouble * 10000)) }
+    def meanVar(a: Long) = {
+      val ys = cU.filter(_._1 == a).map(_._2)
+      val n = ys.size.toLong
+      val vy = (ys.map(y => y * y).sum.toDouble - ys.sum.toDouble * ys.sum / n) / (n - 1)
+      vy / n
+    }
+    val seMean = math.sqrt(meanVar(0L) + meanVar(1L)) / 1e4
+    assert(c.getDouble(5) == roundN(seMean, 6),
+      "x==1: delta-method se must equal the plain two-sample mean se")
+  }
 }

@@ -1127,6 +1127,54 @@ object Events {
         round(mde / pooledMean, 6)).as("mde_rel"))
   }
 
+  /** TOST equivalence test on the A/B arm means (q283; Schuirmann 1987
+    * — two one-sided tests, the regulatory-standard equivalence
+    * procedure): a non-significant q192 z is NOT evidence of no effect
+    * (absence of evidence); to CLAIM "the arms are the same to within
+    * ±δ" both one-sided nulls diff ≤ −δ and diff ≥ +δ must be
+    * rejected. The margin is relative — δ = 5% of the pooled mean (the
+    * conventional bioequivalence-style band) — so the readout is
+    * corpus-scale-free. p_tost = max(p_lower, p_upper); equivalence is
+    * declared at α = 0.05. The launch-decision companion to q279's MDE:
+    * MDE says what the design COULD see, TOST says what the data DID
+    * rule out.
+    *
+    * Rides [[msprtArmMoments]] (the shared exact integer arm moments);
+    * the signed normal tail dispatches on sign around the A&S x ≥ 0
+    * kernel, mirrored as the same CASE in the oracle. One corpus scan,
+    * 1-row finisher.
+    */
+  def tostEquivalence(events: DataFrame, metricType: String = "purchase",
+      relMargin: Double = 0.05): DataFrame = {
+    val m = msprtArmMoments(events, metricType)
+    def svar(s1: Column, s2: Column, n: Column): Column =
+      (s2.cast("double") - s1.cast("double") * s1 / n) / (n - lit(1L))
+    val mA = $"s1_a".cast("double") / $"n_a"
+    val mB = $"s1_b".cast("double") / $"n_b"
+    val diff = mB - mA
+    val se = sqrt(svar($"s1_a", $"s2_a", $"n_a") / $"n_a"
+      + svar($"s1_b", $"s2_b", $"n_b") / $"n_b")
+    val delta = lit(relMargin) *
+      (($"s1_a" + $"s1_b").cast("double") / ($"n_a" + $"n_b"))
+    def tail(x: Column): Column =
+      when(x >= 0.0, Inference.upperTail(x))
+        .otherwise(lit(1.0) - Inference.upperTail(-x))
+    val zL = (diff + delta) / se
+    val zU = (delta - diff) / se
+    val pTost = greatest(tail(zL), tail(zU))
+    val ok = $"n_a" >= 2L && $"n_b" >= 2L
+    m.select($"n_a", $"n_b",
+      when($"n_a" >= 1L, round(mA / 1e4, 4)).as("mean_a"),
+      when($"n_b" >= 1L, round(mB / 1e4, 4)).as("mean_b"),
+      when(ok, round(diff / 1e4, 4)).as("diff"),
+      when(ok, round(delta / 1e4, 4)).as("margin"),
+      when(ok && se > 0.0, round(se / 1e4, 4)).as("se"),
+      when(ok && se > 0.0, round(zL, 4)).as("z_lower"),
+      when(ok && se > 0.0, round(zU, 4)).as("z_upper"),
+      when(ok && se > 0.0, round(pTost, 6)).as("p_tost"),
+      when(ok && se > 0.0, pTost < 0.05).as("equivalent"))
+  }
+
   private[graft] def msprtArmMoments(events: DataFrame,
       metricType: String): DataFrame =
     events.filter($"event_type" === metricType)

@@ -55,7 +55,11 @@ private[graft] object InferenceQueries extends QueryFamily {
     // revenue-per-click ratio metric with the delta-method
     // user-clustered se: denominator unit != randomization unit
     "q282_ratio_metric" -> ((s, d) =>
-      Events.ratioMetricDelta(Tables.events(s, d))))
+      Events.ratioMetricDelta(Tables.events(s, d))),
+    // TOST equivalence: both one-sided nulls rejected before claiming
+    // "the arms are the same to within ±5% of the pooled mean"
+    "q283_tost_equivalence" -> ((s, d) =>
+      Events.tostEquivalence(Tables.events(s, d))))
 
   /** DuckDB text of [[Inference.upperTail]]: 1−Φ(x) for the SQL
     * expression `x` (must be non-negative), Abramowitz–Stegun 26.2.17
@@ -722,5 +726,55 @@ private[graft] object InferenceQueries extends QueryFamily {
          |    THEN round(least(2.0 * ${upperTailSql(s"abs($zS)")}, 1.0), 6)
          |  END AS p_value
          |FROM v""".stripMargin
+    },
+    "q283_tost_equivalence" -> {
+      // the q237 arm-moment CTE; signed tail dispatches on sign around
+      // the A&S x >= 0 kernel; p_tost = max of the two one-sided p's
+      def tailS(x: String): String =
+        s"(CASE WHEN ($x) >= 0.0 THEN ${upperTailSql(x)} ELSE 1.0 - ${upperTailSql(s"-($x)")} END)"
+      val diffS = "(CAST(s1_b AS DOUBLE) / n_b - CAST(s1_a AS DOUBLE) / n_a)"
+      val deltaS = "(0.05 * (CAST(s1_a + s1_b AS DOUBLE) / (n_a + n_b)))"
+      val zLS = s"(($diffS + $deltaS) / se)"
+      val zUS = s"(($deltaS - $diffS) / se)"
+      val pS = s"greatest(${tailS(zLS)}, ${tailS(zUS)})"
+      s"""WITH f AS (
+         |  SELECT ${OracleHelpers.posSql("md5(CAST(user_id AS VARCHAR))", 0, 2)} AS arm,
+         |    CAST(round(value * 10000, 0) AS BIGINT) AS vm
+         |  FROM events WHERE event_type = 'purchase'
+         |),
+         |t AS (
+         |  SELECT
+         |    CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+         |    CAST(sum(CASE WHEN arm = 0 THEN vm ELSE 0 END) AS BIGINT) AS s1_a,
+         |    CAST(sum(CASE WHEN arm = 0 THEN vm * vm ELSE 0 END) AS BIGINT) AS s2_a,
+         |    CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+         |    CAST(sum(CASE WHEN arm = 1 THEN vm ELSE 0 END) AS BIGINT) AS s1_b,
+         |    CAST(sum(CASE WHEN arm = 1 THEN vm * vm ELSE 0 END) AS BIGINT) AS s2_b
+         |  FROM f
+         |),
+         |m AS (
+         |  SELECT t.*,
+         |    sqrt((CAST(s2_a AS DOUBLE) - CAST(s1_a AS DOUBLE) * s1_a / n_a)
+         |        / (n_a - 1) / n_a
+         |      + (CAST(s2_b AS DOUBLE) - CAST(s1_b AS DOUBLE) * s1_b / n_b)
+         |        / (n_b - 1) / n_b) AS se
+         |  FROM t
+         |)
+         |SELECT n_a, n_b,
+         |  CASE WHEN n_a >= 1 THEN round(CAST(s1_a AS DOUBLE) / n_a / 1e4, 4) END AS mean_a,
+         |  CASE WHEN n_b >= 1 THEN round(CAST(s1_b AS DOUBLE) / n_b / 1e4, 4) END AS mean_b,
+         |  CASE WHEN n_a >= 2 AND n_b >= 2 THEN round($diffS / 1e4, 4) END AS diff,
+         |  CASE WHEN n_a >= 2 AND n_b >= 2 THEN round($deltaS / 1e4, 4) END AS margin,
+         |  CASE WHEN n_a >= 2 AND n_b >= 2 AND se > 0.0
+         |    THEN round(se / 1e4, 4) END AS se,
+         |  CASE WHEN n_a >= 2 AND n_b >= 2 AND se > 0.0
+         |    THEN round($zLS, 4) END AS z_lower,
+         |  CASE WHEN n_a >= 2 AND n_b >= 2 AND se > 0.0
+         |    THEN round($zUS, 4) END AS z_upper,
+         |  CASE WHEN n_a >= 2 AND n_b >= 2 AND se > 0.0
+         |    THEN round($pS, 6) END AS p_tost,
+         |  CASE WHEN n_a >= 2 AND n_b >= 2 AND se > 0.0
+         |    THEN $pS < 0.05 END AS equivalent
+         |FROM m""".stripMargin
     })
 }

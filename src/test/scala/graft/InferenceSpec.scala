@@ -1029,4 +1029,52 @@ class InferenceSpec extends GraftSuite {
     assert(c.getDouble(5) == roundN(seMean, 6),
       "x==1: delta-method se must equal the plain two-sample mean se")
   }
+
+  test("tostEquivalence equals brute force; identical arms declare, a shifted arm refuses (q283)") {
+    import spark.implicits.{localSeqToDatasetHolder, newProductEncoder}
+    // brute-force replica on the fixture's purchase micro-values
+    val vms = events.select(col("user_id"), col("event_type"), col("value")).collect()
+      .filter(_.getString(1) == "purchase")
+      .map(r => (arm(r.getLong(0)), math.round(r.getDouble(2) * 10000)))
+    def mom(a: Long) = {
+      val xs = vms.filter(_._1 == a).map(_._2)
+      (xs.length.toLong, xs.sum, xs.map(x => x * x).sum)
+    }
+    val (na, s1a, s2a) = mom(0L); val (nb, s1b, s2b) = mom(1L)
+    val se = math.sqrt(
+      (s2a.toDouble - s1a.toDouble * s1a / na) / (na - 1) / na
+        + (s2b.toDouble - s1b.toDouble * s1b / nb) / (nb - 1) / nb)
+    val diff = s1b.toDouble / nb - s1a.toDouble / na
+    val delta = 0.05 * ((s1a + s1b).toDouble / (na + nb))
+    def tail(x: Double): Double =
+      if (x >= 0.0) upperTail(x) else 1.0 - upperTail(-x)
+    val pT = math.max(tail((diff + delta) / se), tail((delta - diff) / se))
+    val g = Events.tostEquivalence(events).collect()(0)
+    assert(g.getLong(0) == na && g.getLong(1) == nb)
+    assert(g.getDouble(2) == roundN(s1a.toDouble / na / 1e4, 4))
+    assert(g.getDouble(3) == roundN(s1b.toDouble / nb / 1e4, 4))
+    assert(g.getDouble(4) == roundN(diff / 1e4, 4))
+    assert(g.getDouble(5) == roundN(delta / 1e4, 4))
+    assert(g.getDouble(6) == roundN(se / 1e4, 4))
+    assert(g.getDouble(7) == roundN((diff + delta) / se, 4))
+    assert(g.getDouble(8) == roundN((delta - diff) / se, 4))
+    assert(g.getDouble(9) == roundN(pT, 6))
+    assert(g.getBoolean(10) == (pT < 0.05))
+    // constructed: both arms draw the SAME value multiset -> diff = 0,
+    // and with enough users the ±5% band is resolvable -> equivalent
+    val armed = (1L to 600L).map(u => (arm(u), u))
+    // low-variance values (sd ~0.005 vs a ±5%-of-mean ~0.15 band): the
+    // within band must be resolvable for the declaration to be possible
+    def frame(shiftB: Double) = armed.zipWithIndex.map { case ((a, u), i) =>
+      val v = (3.0 + (u % 2) * 0.01) * (if (a == 1L) shiftB else 1.0)
+      (u, i.toLong, "purchase", i.toLong * 1000L, v)
+    }.toDF("user_id", "event_id", "event_type", "ts", "value")
+    val same = Events.tostEquivalence(frame(1.0)).collect()(0)
+    assert(same.getDouble(9) < 0.05 && same.getBoolean(10),
+      "identical value distributions must declare equivalence")
+    // a 30% shifted arm sits far outside the 5% band -> refuses
+    val far = Events.tostEquivalence(frame(1.3)).collect()(0)
+    assert(far.getDouble(9) > 0.05 && !far.getBoolean(10),
+      "a 30% lift must NOT be declared equivalent at a 5% margin")
+  }
 }

@@ -528,6 +528,55 @@ object Inference {
       .orderBy($"source")
   }
 
+  // ---- labeler agreement: Cohen's kappa + McNemar (q284) -------------------
+
+  /** Agreement panel between two deterministic quality screens (q284;
+    * Cohen 1960, McNemar 1947): labeler A passes docs with
+    * n_chars ≥ 300 (the q278 threshold), labeler B passes docs with
+    * ≥ 60 whitespace tokens (the q21 quality formula's length
+    * ingredient). Raw agreement is inflated by chance whenever both
+    * labelers mostly say the same class — κ = (p_o − p_e)/(1 − p_e)
+    * removes the chance-agreement floor; McNemar's test (continuity-
+    * corrected, on the DISAGREEMENT cells only) asks the orthogonal
+    * question "is the disagreement DIRECTIONAL — does one screen
+    * systematically pass more?". The pair is the standard audit before
+    * swapping one labeling function for a cheaper one.
+    *
+    * All four confusion cells are exact longs from ONE corpus scan
+    * (map-side combined); κ and the McNemar χ² are single double
+    * expressions of those longs, mirrored shape-for-shape in the
+    * oracle; χ²₁ tail = 2·(1−Φ(√χ²)) via the A&S kernel.
+    */
+  def labelerAgreement(documents: DataFrame, minChars: Long = 300L,
+      minTokens: Long = 60L): DataFrame = {
+    val labeled = documents.select(
+      ($"n_chars" >= minChars).cast("long").as("a"),
+      (size(split($"text", " ")) >= minTokens).cast("long").as("b"))
+    val m = labeled.agg(
+      count(lit(1)).as("n"),
+      sum($"a" * $"b").as("n11"),
+      sum($"a" * (lit(1L) - $"b")).as("n10"),
+      sum((lit(1L) - $"a") * $"b").as("n01"),
+      sum((lit(1L) - $"a") * (lit(1L) - $"b")).as("n00"))
+    val nD = $"n".cast("double")
+    val po = ($"n11" + $"n00").cast("double") / nD
+    val pA = ($"n11" + $"n10").cast("double") / nD
+    val pB = ($"n11" + $"n01").cast("double") / nD
+    val pe = pA * pB + (lit(1.0) - pA) * (lit(1.0) - pB)
+    val nDis = $"n10" + $"n01"
+    val chi2 = (abs(($"n10" - $"n01").cast("double")) - lit(1.0)) *
+      (abs(($"n10" - $"n01").cast("double")) - lit(1.0)) / nDis.cast("double")
+    m.select($"n", $"n11".as("n_both"), $"n10".as("n_a_only"),
+      $"n01".as("n_b_only"), $"n00".as("n_neither"),
+      round(pA, 6).as("p_a"), round(pB, 6).as("p_b"),
+      round(po, 6).as("p_observed"), round(pe, 6).as("p_chance"),
+      when(pe < 1.0, round((po - pe) / (lit(1.0) - pe), 6)).as("kappa"),
+      when(nDis > 0L, round(chi2, 4)).as("mcnemar_chi2"),
+      when(nDis > 0L,
+        round(least(lit(2.0) * upperTail(sqrt(chi2)), lit(1.0)), 6))
+        .as("p_value"))
+  }
+
   def jackknifeInfluence(documents: DataFrame, minChars: Long = 300L): DataFrame = {
     val per = documents.groupBy($"source").agg(
       count(lit(1)).as("ns"), sum($"n_chars").as("ss"),

@@ -59,7 +59,12 @@ private[graft] object InferenceQueries extends QueryFamily {
     // TOST equivalence: both one-sided nulls rejected before claiming
     // "the arms are the same to within ±5% of the pooled mean"
     "q283_tost_equivalence" -> ((s, d) =>
-      Events.tostEquivalence(Tables.events(s, d))))
+      Events.tostEquivalence(Tables.events(s, d))),
+    // Cohen's kappa + McNemar between the char-length and token-count
+    // quality screens: chance-corrected agreement + disagreement
+    // directionality, the audit before swapping labeling functions
+    "q284_labeler_agreement" -> ((s, d) =>
+      Inference.labelerAgreement(Tables.documents(s, d))))
 
   /** DuckDB text of [[Inference.upperTail]]: 1−Φ(x) for the SQL
     * expression `x` (must be non-negative), Abramowitz–Stegun 26.2.17
@@ -775,6 +780,41 @@ private[graft] object InferenceQueries extends QueryFamily {
          |    THEN round($pS, 6) END AS p_tost,
          |  CASE WHEN n_a >= 2 AND n_b >= 2 AND se > 0.0
          |    THEN $pS < 0.05 END AS equivalent
+         |FROM m""".stripMargin
+    },
+    "q284_labeler_agreement" -> {
+      // exact confusion cells from one scan; kappa and the continuity-
+      // corrected McNemar chi2 mirrored shape-for-shape
+      val poS = "(CAST(n11 + n00 AS DOUBLE) / CAST(n AS DOUBLE))"
+      val pAS = "(CAST(n11 + n10 AS DOUBLE) / CAST(n AS DOUBLE))"
+      val pBS = "(CAST(n11 + n01 AS DOUBLE) / CAST(n AS DOUBLE))"
+      val peS = s"($pAS * $pBS + (1.0 - $pAS) * (1.0 - $pBS))"
+      val chiS = s"""((abs(CAST(n10 - n01 AS DOUBLE)) - 1.0)
+                    | * (abs(CAST(n10 - n01 AS DOUBLE)) - 1.0)
+                    | / CAST(n10 + n01 AS DOUBLE))""".stripMargin
+      s"""WITH lab AS (
+         |  SELECT CASE WHEN n_chars >= 300 THEN 1 ELSE 0 END AS a,
+         |    CASE WHEN len(string_split(text, ' ')) >= 60 THEN 1 ELSE 0 END AS b
+         |  FROM documents
+         |),
+         |m AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS n,
+         |    CAST(sum(a * b) AS BIGINT) AS n11,
+         |    CAST(sum(a * (1 - b)) AS BIGINT) AS n10,
+         |    CAST(sum((1 - a) * b) AS BIGINT) AS n01,
+         |    CAST(sum((1 - a) * (1 - b)) AS BIGINT) AS n00
+         |  FROM lab
+         |)
+         |SELECT n, n11 AS n_both, n10 AS n_a_only, n01 AS n_b_only,
+         |  n00 AS n_neither,
+         |  round($pAS, 6) AS p_a, round($pBS, 6) AS p_b,
+         |  round($poS, 6) AS p_observed, round($peS, 6) AS p_chance,
+         |  CASE WHEN $peS < 1.0
+         |    THEN round(($poS - $peS) / (1.0 - $peS), 6) END AS kappa,
+         |  CASE WHEN n10 + n01 > 0 THEN round($chiS, 4) END AS mcnemar_chi2,
+         |  CASE WHEN n10 + n01 > 0
+         |    THEN round(least(2.0 * ${upperTailSql(s"sqrt($chiS)")}, 1.0), 6)
+         |  END AS p_value
          |FROM m""".stripMargin
     })
 }

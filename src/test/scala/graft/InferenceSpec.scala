@@ -1077,4 +1077,51 @@ class InferenceSpec extends GraftSuite {
     assert(far.getDouble(9) > 0.05 && !far.getBoolean(10),
       "a 30% lift must NOT be declared equivalent at a 5% margin")
   }
+
+  test("labelerAgreement equals brute force; self-agreement kappa=1; directional disagreement rejects (q284)") {
+    import spark.implicits.{localSeqToDatasetHolder, newProductEncoder}
+    val cells = docs.select(col("n_chars"), col("text")).collect().map { r =>
+      val a = if (r.getLong(0) >= 300L) 1L else 0L
+      val b = if (r.getString(1).split(" ", -1).length >= 60) 1L else 0L
+      (a, b)
+    }
+    val n = cells.length.toLong
+    val n11 = cells.count(c => c._1 == 1L && c._2 == 1L).toLong
+    val n10 = cells.count(c => c._1 == 1L && c._2 == 0L).toLong
+    val n01 = cells.count(c => c._1 == 0L && c._2 == 1L).toLong
+    val n00 = cells.count(c => c._1 == 0L && c._2 == 0L).toLong
+    val po = (n11 + n00).toDouble / n.toDouble
+    val pA = (n11 + n10).toDouble / n.toDouble
+    val pB = (n11 + n01).toDouble / n.toDouble
+    val pe = pA * pB + (1.0 - pA) * (1.0 - pB)
+    val g = Inference.labelerAgreement(docs).collect()(0)
+    assert(g.getLong(0) == n && g.getLong(1) == n11 && g.getLong(2) == n10)
+    assert(g.getLong(3) == n01 && g.getLong(4) == n00)
+    assert(g.getDouble(5) == roundN(pA, 6) && g.getDouble(6) == roundN(pB, 6))
+    assert(g.getDouble(7) == roundN(po, 6) && g.getDouble(8) == roundN(pe, 6))
+    assert(g.getDouble(9) == roundN((po - pe) / (1.0 - pe), 6))
+    if (n10 + n01 > 0) {
+      val chi2 = (math.abs((n10 - n01).toDouble) - 1.0) *
+        (math.abs((n10 - n01).toDouble) - 1.0) / (n10 + n01).toDouble
+      assert(g.getDouble(10) == roundN(chi2, 4))
+      assert(g.getDouble(11) ==
+        roundN(math.min(2.0 * upperTail(math.sqrt(chi2)), 1.0), 6))
+    }
+    // a labeler agrees with itself perfectly: thresholds that define the
+    // SAME split drive kappa to exactly 1 (n10 = n01 = 0)
+    val selfSame = (1 to 40).map(i =>
+      (i.toLong, ("w " * (if (i % 2 == 0) 100 else 10)).trim, "en", "s",
+        if (i % 2 == 0) 400L else 100L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val s1 = Inference.labelerAgreement(selfSame).collect()(0)
+    assert(s1.getDouble(9) == 1.0 && s1.getLong(2) == 0L && s1.getLong(3) == 0L)
+    // purely DIRECTIONAL disagreement (every mismatch is a-passes-b-fails):
+    // McNemar rejects even though raw agreement is high
+    val dir = ((1 to 80).map(i => (i.toLong, ("w " * 100).trim, "en", "s", 400L))
+      ++ (81 to 100).map(i => (i.toLong, ("w " * 10).trim, "en", "s", 400L)))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val d1 = Inference.labelerAgreement(dir).collect()(0)
+    assert(d1.getLong(2) == 20L && d1.getLong(3) == 0L)
+    assert(d1.getDouble(11) < 0.001, "20-vs-0 directional disagreement must reject")
+  }
 }

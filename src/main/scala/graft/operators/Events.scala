@@ -1175,6 +1175,53 @@ object Events {
       when(ok && se > 0.0, pTost < 0.05).as("equivalent"))
   }
 
+  /** Hill tail-index estimator on the purchase-value distribution
+    * (q285; Hill 1975 — the standard heavy-tail diagnostic):
+    * 1/α̂ = (1/k)·Σ_{i≤k} ln(x_(i)/x_(k+1)) over the top-k order
+    * statistics. α answers the question every mean-based readout in
+    * the repo (q192's z, q232's CUPED) silently assumes away: does the
+    * metric even HAVE a finite variance (α > 2)? An α ≤ 2 verdict is
+    * the signal to switch to q274's quantile treatment effect.
+    * k = ⌈√n⌉ — corpus-derived (the q243 auto-dial discipline, and the
+    * classic bias/variance compromise for Hill), never a fixed dial.
+    *
+    * Order statistics WITHOUT a corpus sort: the distinct-VALUE frame
+    * with counts (the q247/q271 device) — a descending cumulative
+    * count assigns each distinct value its order-stat range, the top-k
+    * weight is the exact integer overlap with [1, k], and x_(k+1) is
+    * the first value whose cumulative count passes k. Per-value ln is
+    * micro-quantized BEFORE the weighted sum (exact long arithmetic,
+    * order-free); one boundary division renders 1/α̂. Shape: one
+    * corpus scan into the value frame; every window runs over distinct
+    * values, not rows.
+    */
+  def hillTailIndex(events: DataFrame, metricType: String = "purchase"): DataFrame = {
+    val byV = events.filter($"event_type" === metricType)
+      .select(round($"value" * 10000, 0).cast("long").as("vm"))
+      .filter($"vm" >= 1L)
+      .groupBy($"vm").agg(count(lit(1)).as("c"))
+    val tot = byV.agg(sum($"c").as("n"))
+    val w = Window.orderBy($"vm".desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val t2 = byV.crossJoin(broadcast(tot))
+      .withColumn("k", ceil(sqrt($"n".cast("double"))).cast("long"))
+      .withColumn("cum", sum($"c").over(w))
+      .withColumn("l6", round(log($"vm".cast("double")) * 1e6, 0).cast("long"))
+      .withColumn("wk",
+        greatest(lit(0L), least($"cum", $"k") - ($"cum" - $"c")))
+    val m = t2.agg(
+      max($"n").as("n_pos"), max($"k").as("k"),
+      sum($"wk" * $"l6").as("s6"),
+      max(when($"cum" >= $"k" + 1L, $"vm")).as("vm_k1"),
+      max(when($"cum" >= $"k" + 1L, $"l6")).as("l6_k1"))
+    val invA = ($"s6" - $"k" * $"l6_k1") / 1e6 / $"k"
+    m.select($"n_pos", $"k",
+      when($"vm_k1".isNotNull, round($"vm_k1" / 1e4, 4)).as("threshold"),
+      when($"vm_k1".isNotNull, round(invA, 6)).as("inv_alpha"),
+      when($"vm_k1".isNotNull && ($"s6" - $"k" * $"l6_k1") > 0L,
+        round(lit(1.0) / invA, 4)).as("alpha"))
+  }
+
   private[graft] def msprtArmMoments(events: DataFrame,
       metricType: String): DataFrame =
     events.filter($"event_type" === metricType)

@@ -169,6 +169,10 @@ private[graft] object EventsQueries extends QueryFamily {
     // minimal detectable effect at 5%/80% for the q192 design — the
     // "is this test big enough" planning readout on the shared moments
     "q279_mde" -> ((s, d) => Events.mdeReadout(Tables.events(s, d))),
+    // Hill tail index over the top-sqrt(n) purchase order statistics:
+    // "does this metric have a finite variance" (alpha > 2), the
+    // precondition every mean-based A/B readout assumes
+    "q285_hill_tail" -> ((s, d) => Events.hillTailIndex(Tables.events(s, d))),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1708,5 +1712,44 @@ private[graft] object EventsQueries extends QueryFamily {
          |  CASE WHEN n_a > 1 AND n_b > 1 AND pooled > 0.0
          |    THEN round(2.8016 * se / pooled, 6) END AS mde_rel
          |FROM m""".stripMargin,
+    "q285_hill_tail" ->
+      // distinct-value order-stat frame: descending cumulative counts,
+      // exact integer top-k overlap weights, micro-quantized per-value
+      // ln terms; one boundary division renders 1/alpha
+      """WITH v AS (
+        |  SELECT CAST(round(value * 10000, 0) AS BIGINT) AS vm
+        |  FROM events WHERE event_type = 'purchase'
+        |),
+        |bv AS (
+        |  SELECT vm, CAST(count(*) AS BIGINT) AS c FROM v
+        |  WHERE vm >= 1 GROUP BY 1
+        |),
+        |tot AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM bv),
+        |t2 AS (
+        |  SELECT bv.vm, bv.c, tot.n,
+        |    CAST(ceil(sqrt(CAST(tot.n AS DOUBLE))) AS BIGINT) AS k,
+        |    CAST(sum(c) OVER (ORDER BY vm DESC ROWS UNBOUNDED PRECEDING)
+        |      AS BIGINT) AS cum,
+        |    CAST(round(ln(CAST(vm AS DOUBLE)) * 1e6) AS BIGINT) AS l6
+        |  FROM bv, tot
+        |),
+        |t3 AS (
+        |  SELECT t2.*, greatest(0, least(cum, k) - (cum - c)) AS wk
+        |  FROM t2
+        |),
+        |m AS (
+        |  SELECT CAST(max(n) AS BIGINT) AS n_pos, CAST(max(k) AS BIGINT) AS k,
+        |    CAST(sum(wk * l6) AS BIGINT) AS s6,
+        |    max(CASE WHEN cum >= k + 1 THEN vm END) AS vm_k1,
+        |    max(CASE WHEN cum >= k + 1 THEN l6 END) AS l6_k1
+        |  FROM t3
+        |)
+        |SELECT n_pos, k,
+        |  CASE WHEN vm_k1 IS NOT NULL THEN round(vm_k1 / 1e4, 4) END AS threshold,
+        |  CASE WHEN vm_k1 IS NOT NULL
+        |    THEN round((s6 - k * l6_k1) / 1e6 / k, 6) END AS inv_alpha,
+        |  CASE WHEN vm_k1 IS NOT NULL AND s6 - k * l6_k1 > 0
+        |    THEN round(1.0 / ((s6 - k * l6_k1) / 1e6 / k), 4) END AS alpha
+        |FROM m""".stripMargin,
   )
 }

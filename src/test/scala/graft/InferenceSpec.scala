@@ -1124,4 +1124,53 @@ class InferenceSpec extends GraftSuite {
     assert(d1.getLong(2) == 20L && d1.getLong(3) == 0L)
     assert(d1.getDouble(11) < 0.001, "20-vs-0 directional disagreement must reject")
   }
+
+  test("hillTailIndex equals brute force; recovers a constructed Pareto alpha; degenerate tail pins to null (q285)") {
+    import spark.implicits.{localSeqToDatasetHolder, newProductEncoder}
+    // brute-force replica: descending order stats with multiplicity
+    val vms = events.select(col("event_type"), col("value")).collect()
+      .filter(_.getString(0) == "purchase")
+      .map(r => math.round(r.getDouble(1) * 10000)).filter(_ >= 1L)
+    def brute(xs: Seq[Long]): (Long, Long, Option[(Long, Long, Long)]) = {
+      val n = xs.size.toLong
+      val k = math.ceil(math.sqrt(n.toDouble)).toLong
+      val byV = xs.groupBy(identity).view.mapValues(_.size.toLong)
+        .toSeq.sortBy(-_._1)
+      var cum = 0L; var s6 = 0L
+      var k1: Option[(Long, Long)] = None
+      byV.foreach { case (v, c) =>
+        val prev = cum; cum += c
+        val l6 = math.round(math.log(v.toDouble) * 1e6)
+        s6 += math.max(0L, math.min(cum, k) - prev) * l6
+        if (k1.isEmpty && cum >= k + 1) k1 = Some((v, l6))
+      }
+      (n, k, k1.map { case (v, l6) => (v, l6, s6) })
+    }
+    val (n, k, tail) = brute(vms)
+    val g = Events.hillTailIndex(events).collect()(0)
+    assert(g.getLong(0) == n && g.getLong(1) == k)
+    tail.foreach { case (vmK1, l6K1, s6) =>
+      val inv = (s6 - k * l6K1) / 1e6 / k
+      assert(g.getDouble(2) == roundN(vmK1 / 1e4, 4))
+      assert(g.getDouble(3) == roundN(inv, 6))
+      if (s6 - k * l6K1 > 0) assert(g.getDouble(4) == roundN(1.0 / inv, 4))
+    }
+    // constructed exact Pareto(alpha=2) quantile grid: x_i = (n/i)^(1/2);
+    // Hill at k = sqrt(n) must land near 2
+    val np = 10000
+    val par = (1 to np).map(i =>
+      (i.toLong, i.toLong, "purchase", i.toLong * 1000L,
+        math.pow(np.toDouble / i, 0.5)))
+      .toDF("user_id", "event_id", "event_type", "ts", "value")
+    val p = Events.hillTailIndex(par).collect()(0)
+    assert(math.abs(p.getDouble(4) - 2.0) < 0.3,
+      s"Hill on an exact Pareto(2) grid drifted: ${p.getDouble(4)}")
+    // all-equal values: every top-k ratio is 1, inv_alpha = 0, alpha null
+    val flat = (1 to 100).map(i =>
+      (i.toLong, i.toLong, "purchase", i.toLong * 1000L, 5.0))
+      .toDF("user_id", "event_id", "event_type", "ts", "value")
+    val f = Events.hillTailIndex(flat).collect()(0)
+    assert(f.getDouble(3) == 0.0 && f.isNullAt(4),
+      "a degenerate tail must pin inv_alpha to 0 and alpha to null")
+  }
 }

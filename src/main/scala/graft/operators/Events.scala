@@ -1222,6 +1222,68 @@ object Events {
         round(lit(1.0) / invA, 4)).as("alpha"))
   }
 
+  /** Stationary distribution of the session-transition chain (q286):
+    * where does a user's session RESIDE in the long run? q123's matrix
+    * gives one-step behavior; the stationary π (πP = π) is its
+    * long-run summary — the weight a steady-state dashboard or a
+    * random-surfer baseline assigns each event type. Computed by power
+    * iteration with EXACT integer arithmetic: the state is a
+    * 1e9-scaled integer vector, each step's term is the half-up
+    * rounded integer (2·s·c + r) div (2·r) summed per destination —
+    * no float enters until the final normalization, so the driver loop
+    * and the oracle's unrolled CTE chain (the q143 device) agree
+    * bit-for-bit with no association-order concern. 24 iterations:
+    * convergence is geometric in the spectral gap and the residual is
+    * spec-asserted, while the GATE is exact equality of the iterate
+    * itself (a non-converged chain would still match).
+    *
+    * The state space is the types observed as transition SOURCES; the
+    * chain must be closed over them (every destination also a source)
+    * — a dead-end type fails loudly rather than silently leaking mass.
+    * Scale shape: one user_id shuffle for the lead() window, a
+    * map-side-combined count into the (types × types) matrix, then a
+    * DRIVER loop over that bounded frame (the q233 EM-state pattern:
+    * |T|² scalars, never corpus rows).
+    */
+  def markovStationary(events: DataFrame, gapSeconds: Long = 1800L,
+      iters: Int = 24): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits.{localSeqToDatasetHolder, newProductEncoder}
+    val byUser = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    val matrix = events
+      .select($"user_id", $"event_id", $"ts", $"event_type")
+      .withColumn("next_type", lead($"event_type", 1).over(byUser))
+      .withColumn("next_ts", lead($"ts", 1).over(byUser))
+      .filter($"next_type".isNotNull &&
+        ($"next_ts" - $"ts") <= gapSeconds * NsPerSecond)
+      .groupBy($"event_type", $"next_type")
+      .agg(count(lit(1)).as("c"))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    val sources = matrix.map(_._1).distinct.sorted
+    val dead = matrix.map(_._2).distinct.filterNot(sources.contains)
+    require(dead.isEmpty,
+      s"markovStationary: chain not closed — dead-end destination(s) ${dead.mkString(", ")}")
+    val idx = sources.zipWithIndex.toMap
+    val m = sources.length
+    val c = Array.ofDim[Long](m, m)
+    matrix.foreach { case (s, d, n) => c(idx(s))(idx(d)) = n }
+    val r = (0 until m).map(i => (0 until m).map(j => c(i)(j)).sum).toArray
+    var s = Array.fill(m)(1000000000L / m)
+    for (_ <- 1 to iters) {
+      val s2 = Array.fill(m)(BigInt(0))
+      for (i <- 0 until m; j <- 0 until m if c(i)(j) > 0L)
+        s2(j) += (BigInt(2) * s(i) * c(i)(j) + r(i)) / (BigInt(2) * r(i))
+      s = s2.map(_.toLong)
+    }
+    val tot = s.sum
+    sources.zipWithIndex.toSeq.map { case (t, i) =>
+      (t, r(i),
+        java.math.BigDecimal.valueOf(s(i).toDouble / tot.toDouble)
+          .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue())
+    }.toDF("event_type", "n_out", "pi").orderBy($"event_type")
+  }
+
   private[graft] def msprtArmMoments(events: DataFrame,
       metricType: String): DataFrame =
     events.filter($"event_type" === metricType)

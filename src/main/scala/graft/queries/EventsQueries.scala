@@ -173,6 +173,10 @@ private[graft] object EventsQueries extends QueryFamily {
     // "does this metric have a finite variance" (alpha > 2), the
     // precondition every mean-based A/B readout assumes
     "q285_hill_tail" -> ((s, d) => Events.hillTailIndex(Tables.events(s, d))),
+    // stationary distribution of the q123 session-transition chain via
+    // exact-integer power iteration (no float until the final divide)
+    "q286_markov_stationary" -> ((s, d) =>
+      Events.markovStationary(Tables.events(s, d))),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1751,5 +1755,52 @@ private[graft] object EventsQueries extends QueryFamily {
         |  CASE WHEN vm_k1 IS NOT NULL AND s6 - k * l6_k1 > 0
         |    THEN round(1.0 / ((s6 - k * l6_k1) / 1e6 / k), 4) END AS alpha
         |FROM m""".stripMargin,
+    "q286_markov_stationary" -> {
+      // the engine's exact-integer power iteration unrolled (the q143
+      // MATERIALIZED-CTE device): each step sums the half-up integers
+      // (2sc + r) // (2r) per destination; float only at the final pi
+      val iters = 24
+      def step(i: Int) =
+        s"""s$i AS MATERIALIZED (
+           |  SELECT mat.dst AS t,
+           |    CAST(sum((2 * p.s * mat.c + rs.r) // (2 * rs.r)) AS HUGEINT) AS s
+           |  FROM s${i - 1} p
+           |  JOIN mat ON mat.src = p.t
+           |  JOIN rs ON rs.src = p.t
+           |  GROUP BY 1
+           |)""".stripMargin
+      s"""WITH seq AS (
+         |  SELECT event_type,
+         |    lead(event_type) OVER w AS next_type,
+         |    epoch_ns(ts) AS tns,
+         |    lead(epoch_ns(ts)) OVER w AS next_tns
+         |  FROM events
+         |  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ns(ts), event_id)
+         |),
+         |mat AS MATERIALIZED (
+         |  SELECT event_type AS src, next_type AS dst,
+         |    CAST(count(*) AS BIGINT) AS c
+         |  FROM seq
+         |  WHERE next_type IS NOT NULL AND next_tns - tns <= 1800000000000
+         |  GROUP BY 1, 2
+         |),
+         |srcs AS (SELECT DISTINCT src FROM mat),
+         |rs AS MATERIALIZED (
+         |  SELECT src, CAST(sum(c) AS BIGINT) AS r FROM mat GROUP BY 1
+         |),
+         |mm AS (SELECT CAST(count(*) AS BIGINT) AS m FROM srcs),
+         |s0 AS MATERIALIZED (
+         |  SELECT src AS t, CAST(1000000000 // mm.m AS HUGEINT) AS s
+         |  FROM srcs, mm
+         |),
+         |${(1 to iters).map(step).mkString(",\n")},
+         |tot AS (SELECT sum(s) AS tot FROM s$iters)
+         |SELECT srcs.src AS event_type, rs.r AS n_out,
+         |  round(CAST(coalesce(f.s, 0) AS DOUBLE) / CAST(tot.tot AS DOUBLE), 6) AS pi
+         |FROM srcs
+         |JOIN rs ON rs.src = srcs.src
+         |LEFT JOIN s$iters f ON f.t = srcs.src, tot
+         |ORDER BY event_type""".stripMargin
+    },
   )
 }

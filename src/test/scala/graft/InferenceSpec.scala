@@ -1173,4 +1173,44 @@ class InferenceSpec extends GraftSuite {
     assert(f.getDouble(3) == 0.0 && f.isNullAt(4),
       "a degenerate tail must pin inv_alpha to 0 and alpha to null")
   }
+
+  test("markovStationary satisfies piP = pi; closed-form 2-state chain exact; dead ends throw (q286)") {
+    import spark.implicits.{localSeqToDatasetHolder, newProductEncoder}
+    // the fixed point law on the fixture: pi P == pi within the rounding
+    // + convergence budget (the gate checks exact oracle equality; this
+    // checks the MATH the iterate converged to)
+    val got = Events.markovStationary(events).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    assert(math.abs(got.map(_._3).sum - 1.0) < 1e-5)
+    val matrix = Events.sessionTransitions(events).collect()
+      .map(r => ((r.getString(0), r.getString(1)), r.getLong(2)))
+    val rowSum = matrix.groupBy(_._1._1).view.mapValues(_.map(_._2).sum).toMap
+    val pi = got.map(g => (g._1, g._3)).toMap
+    got.foreach { case (t, _, p) =>
+      val inflow = matrix.collect { case ((s, d), c) if d == t =>
+        pi(s) * c.toDouble / rowSum(s)
+      }.sum
+      assert(math.abs(inflow - p) < 1e-4, s"pi P != pi at $t: $inflow vs $p")
+    }
+    // 2-state chain with a known closed form: a->b always, b->a 1 in 4
+    // => pi = (0.2, 0.8); the (-0.25)^24 residual is far below 1e-6
+    def path(u: Long, types: Seq[String]) = types.zipWithIndex.map {
+      case (t, i) => (u, u * 100 + i, t, u * 1000000L + i * 1000L, 0.0)
+    }
+    val chain = (path(1L, Seq("a", "b")) ++ path(2L, Seq("b", "a"))
+      ++ path(3L, Seq("b", "b")) ++ path(4L, Seq("b", "b"))
+      ++ path(5L, Seq("b", "b")))
+      .toDF("user_id", "event_id", "event_type", "ts", "value")
+    val c = Events.markovStationary(chain).collect()
+      .map(r => (r.getString(0), r.getDouble(2))).toMap
+    assert(c("a") == 0.2 && c("b") == 0.8)
+    // a destination that never transitions out must fail loudly, not
+    // silently leak stationary mass
+    val dead = (path(1L, Seq("a", "z")) ++ path(2L, Seq("a", "a")))
+      .toDF("user_id", "event_id", "event_type", "ts", "value")
+    val e = intercept[IllegalArgumentException] {
+      Events.markovStationary(dead).collect()
+    }
+    assert(e.getMessage.contains("dead-end"))
+  }
 }

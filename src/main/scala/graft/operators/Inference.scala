@@ -577,6 +577,48 @@ object Inference {
         .as("p_value"))
   }
 
+  // ---- weight-of-evidence / information value (q287) -----------------------
+
+  /** Weight-of-evidence and information value of a language-ID feature
+    * (q287; the credit-scoring feature screen, Siddiqi 2006): how much
+    * evidence does each " the "-count bucket carry for lang = 'en', and
+    * what is the feature's TOTAL separating power? WOE_b =
+    * ln(p_en(b)/p_other(b)) with the 0.5 Laplace adjustment (a bucket
+    * one class never hits must not produce ±∞);
+    * IV = Σ_b (p_en − p_other)·WOE_b. The standard screen before
+    * admitting a feature to q143's classifier — IV < 0.02 is noise,
+    * > 0.3 is a strong feature (the conventional bands, quoted in the
+    * scaladoc so the readout is actionable).
+    *
+    * Beside q262: MI weighs the feature in bits against ANY label
+    * structure; WOE/IV is the per-bucket DIRECTIONAL decomposition
+    * credit/risk pipelines act on. Per-bucket WOE and IV terms are
+    * micro-quantized before the cross-bucket sum (q245); the bucket
+    * frame is ≤ maxBucket+1 rows. One corpus scan.
+    */
+  def woeIvPanel(documents: DataFrame, maxBucket: Int = 7): DataFrame = {
+    val padded = concat(lit(" "), lower($"text"), lit(" "))
+    val cnt = TextAnalysis.occurrences(padded, " the ")
+    val byB = documents.select(
+      least(cnt.cast("long"), lit(maxBucket.toLong)).as("bucket"),
+      ($"lang" === "en").cast("long").as("y"))
+      .groupBy($"bucket")
+      .agg(sum($"y").as("g"), sum(lit(1L) - $"y").as("b"))
+    val tot = byB.agg(sum($"g").as("gt"), sum($"b").as("bt"),
+      count(lit(1)).as("kb"))
+    val pG = ($"g" + lit(0.5)) / ($"gt" + lit(0.5) * $"kb")
+    val pB = ($"b" + lit(0.5)) / ($"bt" + lit(0.5) * $"kb")
+    val woe = log(pG / pB)
+    val t2 = byB.crossJoin(broadcast(tot))
+      .withColumn("woe6", round(woe * 1e6, 0).cast("long"))
+      .withColumn("iv6", round((pG - pB) * woe * 1e6, 0).cast("long"))
+    val all = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    t2.select($"bucket", $"g".as("n_en"), $"b".as("n_other"),
+      round($"woe6" / 1e6, 6).as("woe"),
+      round(sum($"iv6").over(all) / 1e6, 6).as("iv"))
+      .orderBy($"bucket")
+  }
+
   def jackknifeInfluence(documents: DataFrame, minChars: Long = 300L): DataFrame = {
     val per = documents.groupBy($"source").agg(
       count(lit(1)).as("ns"), sum($"n_chars").as("ss"),

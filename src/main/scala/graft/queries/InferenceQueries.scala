@@ -64,7 +64,11 @@ private[graft] object InferenceQueries extends QueryFamily {
     // quality screens: chance-corrected agreement + disagreement
     // directionality, the audit before swapping labeling functions
     "q284_labeler_agreement" -> ((s, d) =>
-      Inference.labelerAgreement(Tables.documents(s, d))))
+      Inference.labelerAgreement(Tables.documents(s, d))),
+    // weight-of-evidence / information value of the " the "-count
+    // feature for lang = 'en': the per-bucket directional feature
+    // screen beside q262's MI
+    "q287_woe_iv" -> ((s, d) => Inference.woeIvPanel(Tables.documents(s, d))))
 
   /** DuckDB text of [[Inference.upperTail]]: 1−Φ(x) for the SQL
     * expression `x` (must be non-negative), Abramowitz–Stegun 26.2.17
@@ -816,5 +820,36 @@ private[graft] object InferenceQueries extends QueryFamily {
          |    THEN round(least(2.0 * ${upperTailSql(s"sqrt($chiS)")}, 1.0), 6)
          |  END AS p_value
          |FROM m""".stripMargin
+    },
+    "q287_woe_iv" -> {
+      // Laplace-adjusted class proportions per bucket; WOE and IV terms
+      // micro-quantized before the cross-bucket window sum
+      val pG = "((g + 0.5) / (gt + 0.5 * kb))"
+      val pB = "((b + 0.5) / (bt + 0.5 * kb))"
+      s"""WITH rows_ AS (
+         |  SELECT least(CAST(${OracleHelpers.occ("the")} AS BIGINT), 7) AS bucket,
+         |    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+         |  FROM documents
+         |),
+         |bb AS (
+         |  SELECT bucket, CAST(sum(y) AS BIGINT) AS g,
+         |    CAST(sum(1 - y) AS BIGINT) AS b
+         |  FROM rows_ GROUP BY 1
+         |),
+         |tot AS (
+         |  SELECT CAST(sum(g) AS BIGINT) AS gt, CAST(sum(b) AS BIGINT) AS bt,
+         |    CAST(count(*) AS BIGINT) AS kb
+         |  FROM bb
+         |),
+         |t2 AS (
+         |  SELECT bb.*,
+         |    CAST(round(ln($pG / $pB) * 1e6) AS BIGINT) AS woe6,
+         |    CAST(round(($pG - $pB) * ln($pG / $pB) * 1e6) AS BIGINT) AS iv6
+         |  FROM bb, tot
+         |)
+         |SELECT bucket, g AS n_en, b AS n_other,
+         |  round(woe6 / 1e6, 6) AS woe,
+         |  round(CAST(sum(iv6) OVER () AS BIGINT) / 1e6, 6) AS iv
+         |FROM t2 ORDER BY bucket""".stripMargin
     })
 }

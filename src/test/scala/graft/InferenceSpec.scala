@@ -1213,4 +1213,54 @@ class InferenceSpec extends GraftSuite {
     }
     assert(e.getMessage.contains("dead-end"))
   }
+
+  test("woeIvPanel equals brute force; a perfect separator scores high IV, class-balanced buckets score 0 (q287)") {
+    import spark.implicits.{localSeqToDatasetHolder, newProductEncoder}
+    val rows = docs.select(col("text"), col("lang")).collect().map { r =>
+      val padded = " " + r.getString(0).toLowerCase + " "
+      val cnt = (padded.length - padded.replace(" the ", "").length) / 5
+      (math.min(cnt.toLong, 7L), if (r.getString(1) == "en") 1L else 0L)
+    }
+    val byB = rows.groupBy(_._1).view
+      .mapValues(g => (g.count(_._2 == 1L).toLong, g.count(_._2 == 0L).toLong))
+      .toMap
+    val gt = byB.values.map(_._1).sum; val bt = byB.values.map(_._2).sum
+    val kb = byB.size.toLong
+    def pgpb(g: Long, b: Long) =
+      ((g + 0.5) / (gt + 0.5 * kb), (b + 0.5) / (bt + 0.5 * kb))
+    val iv6 = byB.values.map { case (g, b) =>
+      val (pg, pb) = pgpb(g, b)
+      math.round((pg - pb) * math.log(pg / pb) * 1e6)
+    }.sum
+    val got = Inference.woeIvPanel(docs).collect()
+    assert(got.length == byB.size)
+    got.foreach { r =>
+      val (g, b) = byB(r.getLong(0))
+      val (pg, pb) = pgpb(g, b)
+      assert(r.getLong(1) == g && r.getLong(2) == b)
+      assert(r.getDouble(3) ==
+        roundN(math.round(math.log(pg / pb) * 1e6) / 1e6, 6))
+      assert(r.getDouble(4) == roundN(iv6 / 1e6, 6))
+    }
+    // a perfect separator: bucket >= 1 iff en (every en doc says "the",
+    // no other doc does) -> IV far above the 0.3 "strong" band
+    def doc(i: Int, en: Boolean) =
+      (i.toLong, if (en) "the cat the dog the fox" else "chat chien renard",
+        if (en) "en" else "fr", "s", 100L)
+    val sep = ((1 to 50).map(doc(_, true)) ++ (51 to 100).map(doc(_, false)))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val s1 = Inference.woeIvPanel(sep).collect()
+    assert(s1.head.getDouble(4) > 3.0, "a perfect separator must score IV >> 0.3")
+    // class-balanced buckets (same en/other count in every bucket, G = B):
+    // pG = pB exactly in every bucket -> WOE = 0 and IV = 0 exactly
+    // ("the x " repetition keeps marker counts exact: no shared spaces)
+    val bal = (for {
+      b <- 0 to 3; l <- Seq("en", "fr"); j <- 1 to 5
+    } yield ((b * 100 + (if (l == "en") 50 else 0) + j).toLong,
+      ("the x " * b) + "pad", l, "s", 100L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val b1 = Inference.woeIvPanel(bal).collect()
+    assert(b1.forall(r => r.getDouble(3) == 0.0 && r.getDouble(4) == 0.0),
+      "balanced buckets must score exactly 0")
+  }
 }

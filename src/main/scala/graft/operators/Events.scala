@@ -1247,8 +1247,6 @@ object Events {
     */
   def markovStationary(events: DataFrame, gapSeconds: Long = 1800L,
       iters: Int = 24): DataFrame = {
-    val spark = events.sparkSession
-    import spark.implicits.{localSeqToDatasetHolder, newProductEncoder}
     val byUser = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
     val matrix = events
       .select($"user_id", $"event_id", $"ts", $"event_type")
@@ -1260,6 +1258,19 @@ object Events {
       .agg(count(lit(1)).as("c"))
       .collect()
       .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      .toSeq
+    markovStationaryFromCounts(events.sparkSession, matrix, iters)
+  }
+
+  /** Finish the q286 stationary distribution from a (src, dst, count)
+    * transition-count frame — shared by the batch scan and the drained
+    * `transitionStream` counts (the msprtFromMoments pattern: the
+    * eleventh streaming twin is pure reuse, transition counts are pure
+    * addition and this finisher is identical on both paths).
+    */
+  def markovStationaryFromCounts(spark: org.apache.spark.sql.SparkSession,
+      matrix: Seq[(String, String, Long)], iters: Int = 24): DataFrame = {
+    import spark.implicits.{localSeqToDatasetHolder, newProductEncoder}
     val sources = matrix.map(_._1).distinct.sorted
     val dead = matrix.map(_._2).distinct.filterNot(sources.contains)
     require(dead.isEmpty,

@@ -1182,4 +1182,46 @@ class StreamingSpec extends GraftSuite {
     assert(served === batch,
       "finishing the streamed value counts must equal the batch median CI")
   }
+
+  test("markov stationary streaming twin: drained transition counts finish to the batch pi (q286)") {
+    // the ELEVENTH twin, by pure reuse: transitionStream already emits
+    // the in-session pairs; their counts are pure addition, and
+    // markovStationaryFromCounts is the IDENTICAL finisher the batch op
+    // uses — so the streamed stationary distribution equals the batch
+    // one bit-for-bit over any per-user-in-order micro-batch split
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val raw = Tables.events(spark, sf)
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(1), r.getString(3), r.getDouble(4)))
+      .sortBy(e => (e._3, e._1))
+    def toEvent(e: (Long, Long, Long, String, Double)): Event = {
+      val micros = e._3 / 1000
+      val ts = new Timestamp(micros / 1000)
+      ts.setNanos(((micros % 1000000) * 1000).toInt)
+      Event(e._1, ts, e._2, e._4, e._5)
+    }
+    val input = MemoryStream[Event]
+    val q = EventStreams.transitionStream(input.toDS())
+      .writeStream.outputMode("append").format("memory").queryName("mkv_trans")
+      .start()
+    // three deliberately uneven splits
+    val (c1, c2) = (raw.length / 5, raw.length * 3 / 4)
+    Seq(raw.slice(0, c1), raw.slice(c1, c2), raw.slice(c2, raw.length))
+      .foreach { part =>
+        input.addData(part.map(toEvent).toIndexedSeq)
+        q.processAllAvailable()
+      }
+    val counts = spark.table("mkv_trans").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+      .groupBy(identity).view.mapValues(_.size.toLong)
+      .toSeq.map { case ((s, d), c) => (s, d, c) }
+    q.stop()
+    val streamed = Events.markovStationaryFromCounts(spark, counts)
+      .collect().map(_.toSeq).toSeq
+    val batch = Events.markovStationary(Tables.events(spark, sf))
+      .collect().map(_.toSeq).toSeq
+    assert(streamed === batch,
+      "finishing the streamed transition counts must equal the batch stationary pi")
+  }
 }

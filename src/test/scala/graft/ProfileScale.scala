@@ -160,6 +160,13 @@ object ProfileScale {
     // scaling story) while the amortizing carriers go one step further.
     val skip = sys.env.getOrElse("SPARK_GRAFT_SCALE_SKIP", "")
       .split(",").map(_.trim).filter(_.nonEmpty).toSet
+    // SPARK_GRAFT_SCALE_ONLY: dev-only allowlist (comma-separated carrier
+    // names / block labels) — lets a new-query decade be measured without
+    // re-running the full ~50-carrier sweep. Empty = everything.
+    val only: Set[String] = sys.env.getOrElse("SPARK_GRAFT_SCALE_ONLY", "")
+      .split(",").map(_.trim).filter(_.nonEmpty).toSet
+    def selected(name: String): Boolean =
+      (only.isEmpty || only.contains(name)) && !skip.contains(name)
     val carriers = Seq("q27_dedup_minhash_lsh", "q48_embedding_neardup",
       "q143_classifier_weights", "q148_pq_ann", "q152_pc1_power",
       "q178_containment",
@@ -226,8 +233,16 @@ object ProfileScale {
       "q275_changepoint_panel", "q276_weekday_effect", "q277_newey_west",
       // the EB panel rollup (m-row ensemble moments), the MDE 1-row
       // arm-moment readout, and the support-bounded lexical JSD
-      "q278_eb_shrinkage", "q279_mde", "q280_lexical_jsd")
-      .filterNot(skip)
+      "q278_eb_shrinkage", "q279_mde", "q280_lexical_jsd",
+      // the round-11 continuation block: survival day-frame (q281),
+      // per-user ratio moments (q282), arm-moment TOST (q283), the
+      // confusion-cell agreement scan (q284), the distinct-value Hill
+      // frame (q285), the driver-bounded stationary iteration (q286),
+      // and the bucket-frame WOE/IV screen (q287)
+      "q281_logrank", "q282_ratio_metric", "q283_tost_equivalence",
+      "q284_labeler_agreement", "q285_hill_tail", "q286_markov_stationary",
+      "q287_woe_iv")
+      .filter(selected)
     carriers.foreach { name =>
       time(s"x$repl ${name}") {
         SparkEntry.queries(name)(spark, outDir)
@@ -244,7 +259,7 @@ object ProfileScale {
     // cap's semantics hold there; the absolute pin is how the yardstick
     // keeps per-replica admission identical to ×1 — the same commute-
     // with-relative-thresholds lesson as the events user_id×17 shift.
-    if (!skip.contains("q122_tfidf_pairs")) {
+    if (selected("q122_tfidf_pairs")) {
       val nBase = Tables.documents(spark, sfDir).count()
       time(s"x$repl q122 tfidf pairs (abs df cap)") {
         graft.operators.Matching.tfidfCosinePairs(
@@ -255,7 +270,7 @@ object ProfileScale {
     }
     // the production near-dup dial at the decade: same recall class at
     // 0.9, ~21x lower unrelated-candidate rate, 6x the signature planes
-    if (!skip.contains("q48_dial")) {
+    if (selected("q48_dial")) {
       time(s"x$repl q48 dial 24x12 @0.9") {
         Similarity.embeddingNearDup(
             Tables.embeddings(spark, outDir), threshold = 0.9, tables = 24, bits = 12)
@@ -269,7 +284,7 @@ object ProfileScale {
     // ×REPL in population and candidate pairs go ×REPL²: the measured
     // half of the block-dial law (what happens when corpus growth lands
     // in existing blocks instead of new ones)
-    if (!skip.contains("linkage_scale")) {
+    if (selected("linkage_scale")) {
       Seq("q233_fs_linkage", "q239_fs_matches", "q230_l_diversity").foreach { name =>
         time(s"x$repl $name") {
           SparkEntry.queries(name)(spark, outDir)
@@ -315,7 +330,7 @@ object ProfileScale {
     // kmeans cells MIX replicas (the ±1-diagonal decorrelates replicas
     // but does not separate them), so per-cell populations genuinely
     // grow with N — which is exactly the regime the dial exists for.
-    if (!skip.contains("knn_autodial")) {
+    if (selected("knn_autodial")) {
       val nEmb = spark.read.parquet(s"$outDir/embeddings.parquet").count()
       val kc = Similarity.kCellsFor(nEmb)
       time(s"x$repl q243 mutual kNN auto dial (kCells=$kc)") {

@@ -1295,6 +1295,76 @@ object Events {
     }.toDF("event_type", "n_out", "pi").orderBy($"event_type")
   }
 
+  /** Propensity-stratified treatment effect for an OBSERVATIONAL
+    * exposure (q288; Rosenbaum & Rubin 1983's stratification on the
+    * propensity score, with the score estimated exactly per stratum):
+    * "does being error-PRONE change spend?" cannot be randomized —
+    * and the naive treated-vs-untreated spend gap is confounded by
+    * ACTIVITY (active users both hit more errors and buy more). Strata
+    * are the exact log₂ activity buckets (q264's device); within a
+    * bucket the exposure is as-good-as-random under the standard
+    * unconfoundedness-given-activity assumption, so the
+    * common-support-weighted within-bucket gap is the adjusted effect.
+    * With within-sample bucket propensities e_b = n1_b/n_b, the IPW
+    * estimator collapses ALGEBRAICALLY to this same stratified form
+    * (scaladoc states it so nobody "adds" IPW as a second estimator).
+    *
+    * Output: one row per common-support bucket (both arms present)
+    * with exact counts and micro-quantized means, plus window columns
+    * repeating the weighted ATE, the NAIVE unadjusted gap (the
+    * contrast the spec's constructed Simpson confound drives apart),
+    * and the off-support user count (dropped buckets are reported,
+    * never silent). Shape: one corpus scan into a per-user aggregate,
+    * then a bounded bucket frame; every window runs over buckets.
+    */
+  def stratifiedAte(events: DataFrame, treatType: String = "error",
+      metricType: String = "purchase"): DataFrame = {
+    // exposure = error-PRONE: the user's error share exceeds the uniform
+    // 1/5 of their events (exact integer test — "has any error" is
+    // degenerate on a dense event stream, every active user has one)
+    val perUser = events.groupBy($"user_id").agg(
+      count(lit(1)).as("n_ev"),
+      sum(when($"event_type" === treatType, 1L).otherwise(0L)).as("e"),
+      sum(when($"event_type" === metricType,
+        round($"value" * 10000, 0).cast("long")).otherwise(0L)).as("y"))
+      .withColumn("t", ($"e" * 5L > $"n_ev").cast("long"))
+    val byB = perUser
+      // exact integer log2 via binary-string length (the q264 device —
+      // a float log2 is engine-ambiguous exactly at the power-of-2
+      // bucket boundaries)
+      .withColumn("bucket", (length(bin($"n_ev")) - 1).cast("long"))
+      .groupBy($"bucket").agg(
+        sum($"t").as("n1"), sum(lit(1L) - $"t").as("n0"),
+        sum(when($"t" === 1L, $"y").otherwise(0L)).as("sy1"),
+        sum(when($"t" === 0L, $"y").otherwise(0L)).as("sy0"))
+    val support = $"n1" >= 1L && $"n0" >= 1L
+    val diff6 = when(support,
+      round(($"sy1".cast("double") / $"n1" - $"sy0".cast("double") / $"n0")
+        * lit(100.0), 0).cast("long")) // micro-units·1e2 = 1e-6 currency
+    val all = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val t2 = byB.withColumn("d6", diff6)
+      .withColumn("w", when(support, $"n1" + $"n0").otherwise(0L))
+      .withColumn("wsum", sum($"w").over(all))
+      .withColumn("ate6", sum($"d6" * $"w").over(all))
+      .withColumn("dropped", sum(when(support, 0L)
+        .otherwise($"n1" + $"n0")).over(all))
+      .withColumn("nt1", sum($"n1").over(all))
+      .withColumn("nt0", sum($"n0").over(all))
+      .withColumn("st1", sum($"sy1").over(all))
+      .withColumn("st0", sum($"sy0").over(all))
+    t2.select($"bucket", $"n1".as("n_treated"), $"n0".as("n_control"),
+      when($"n1" >= 1L, round($"sy1" / 1e4 / $"n1", 4)).as("mean_treated"),
+      when($"n0" >= 1L, round($"sy0" / 1e4 / $"n0", 4)).as("mean_control"),
+      when(support, round($"d6" / 1e6, 4)).as("bucket_diff"),
+      // both guarded: Spark nulls a zero divisor, DuckDB IEEE-infs it
+      when($"wsum" > 0L,
+        round($"ate6" / ($"wsum".cast("double") * 1e6), 4)).as("ate"),
+      when($"nt1" >= 1L && $"nt0" >= 1L,
+        round(($"st1" / 1e4 / $"nt1" - $"st0" / 1e4 / $"nt0"), 4)).as("naive_diff"),
+      $"dropped".as("n_off_support"))
+      .orderBy($"bucket")
+  }
+
   private[graft] def msprtArmMoments(events: DataFrame,
       metricType: String): DataFrame =
     events.filter($"event_type" === metricType)

@@ -2536,4 +2536,61 @@ object Similarity {
       .orderBy(abs($"shift6").desc, $"dim")
       .limit(topDims)
   }
+
+  // ---- LSH dial planner (q289) ---------------------------------------------
+
+  /** LSH dial planner (q289): the engine PRICES its own (tables, bits)
+    * hyperplane dial from the closed form instead of asserting it — the
+    * q243/q285 auto-dial discipline applied to the near-dup family's
+    * most consequential knobs. For each grid dial: per-pair recall at
+    * the target cosine τ, recall(τ; t, b) = 1 − (1 − p^b)^t with
+    * p = 1 − acos(τ)/π (the hyperplane collision law the q48/q226
+    * scaladocs quote), the UNRELATED-pair admit rate at s₀ = 0.5 (the
+    * quadratically-scaling cost term §6.11 measured), and the admit
+    * rate priced against THIS corpus: admit·n(n−1)/2 expected verify
+    * candidates. A dial `meets` at recall ≥ 0.95; `chosen` is the
+    * meeting dial minimizing (admit, t·b, t) lexicographically — the
+    * planner that DERIVES a production dial where round 10 had to
+    * gate-prove a hand-picked one (q226's 24×12).
+    *
+    * Determinism: recall/admit are micro-quantized per dial (the two
+    * libm towers acos/pow round to 6 before ANY comparison), and the
+    * argmin runs on an exact packed long key — no float ordering. The
+    * grid is 32×16 = 512 rows; both range sides broadcast (the q263
+    * lesson: never a CartesianProduct in a registered plan). One
+    * corpus aggregate (the count) is the only data-dependent input.
+    */
+  def lshDialPlanner(embeddings: DataFrame, tau: Double = 0.9,
+      s0: Double = 0.5, recallTarget: Double = 0.95,
+      maxTables: Int = 32, maxBits: Int = 16): DataFrame = {
+    val spark = embeddings.sparkSession
+    val n = embeddings.agg(count(lit(1)).as("n"))
+    val grid = spark.range(1, maxTables + 1).toDF("t")
+      .crossJoin(broadcast(spark.range(1, maxBits + 1).toDF("b")))
+      .crossJoin(broadcast(n))
+    val p = lit(1.0) - acos(lit(tau)) / lit(math.Pi)
+    val p0 = lit(1.0) - acos(lit(s0)) / lit(math.Pi)
+    def q6(c: Column): Column = round(c * 1e6, 0).cast("long")
+    val t2 = grid
+      .withColumn("r6", q6(lit(1.0) - pow(lit(1.0) - pow(p, $"b"), $"t")))
+      .withColumn("a6", q6(lit(1.0) - pow(lit(1.0) - pow(p0, $"b"), $"t")))
+      .withColumn("cost", $"t" * $"b")
+      .withColumn("meets", $"r6" >= math.round(recallTarget * 1e6))
+      .withColumn("key", ($"a6" * 1000L + $"cost") * 100L + $"t")
+    val all = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    // expected candidate COUNT as an exact integer: a6·n(n−1)/2 in
+    // DECIMAL, half-up to whole pairs by integer division — a 2-decimal
+    // double here sat exactly on a .xx5 boundary and the two engines
+    // rounded it apart (caught by the sf0.001 gate)
+    val cand = expr(
+      "CAST((CAST(a6 AS DECIMAL(38,0)) * (n * (n - 1) div 2) + 500000) div 1000000 AS BIGINT)")
+    t2.withColumn("best", min(when($"meets", $"key")).over(all))
+      .select($"t".as("n_tables"), $"b".as("n_bits"),
+        round($"r6" / 1e6, 6).as("recall"),
+        round($"a6" / 1e6, 6).as("admit"),
+        $"cost",
+        cand.as("expected_candidates"),
+        $"meets", ($"meets" && $"key" === $"best").as("chosen"))
+      .orderBy($"n_tables", $"n_bits")
+  }
 }

@@ -177,6 +177,10 @@ private[graft] object EventsQueries extends QueryFamily {
     // exact-integer power iteration (no float until the final divide)
     "q286_markov_stationary" -> ((s, d) =>
       Events.markovStationary(Tables.events(s, d))),
+    // propensity-stratified effect of an observational exposure
+    // (error -> spend), activity-bucket strata, naive gap beside it
+    "q288_stratified_ate" -> ((s, d) =>
+      Events.stratifiedAte(Tables.events(s, d))),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1802,5 +1806,53 @@ private[graft] object EventsQueries extends QueryFamily {
          |LEFT JOIN s$iters f ON f.t = srcs.src, tot
          |ORDER BY event_type""".stripMargin
     },
+    "q288_stratified_ate" ->
+      // per-user (treated, spend, activity) -> exact log2 bucket frame;
+      // bucket diffs micro-quantized before the weighted window sum;
+      // naive gap and off-support mass beside the adjusted ATE
+      """WITH pu AS (
+        |  SELECT user_id, CAST(count(*) AS BIGINT) AS n_ev,
+        |    CASE WHEN CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+        |      AS BIGINT) * 5 > count(*) THEN 1 ELSE 0 END AS t,
+        |    CAST(sum(CASE WHEN event_type = 'purchase'
+        |      THEN CAST(round(value * 10000, 0) AS BIGINT) ELSE 0 END) AS BIGINT) AS y
+        |  FROM events GROUP BY 1
+        |),
+        |bb AS (
+        |  SELECT CAST(length(bin(n_ev)) - 1 AS BIGINT) AS bucket,
+        |    CAST(sum(t) AS BIGINT) AS n1, CAST(sum(1 - t) AS BIGINT) AS n0,
+        |    CAST(sum(CASE WHEN t = 1 THEN y ELSE 0 END) AS BIGINT) AS sy1,
+        |    CAST(sum(CASE WHEN t = 0 THEN y ELSE 0 END) AS BIGINT) AS sy0
+        |  FROM pu GROUP BY 1
+        |),
+        |t2 AS (
+        |  SELECT bb.*,
+        |    CASE WHEN n1 >= 1 AND n0 >= 1
+        |      THEN CAST(round((CAST(sy1 AS DOUBLE) / n1
+        |        - CAST(sy0 AS DOUBLE) / n0) * 100.0) AS BIGINT) END AS d6,
+        |    CASE WHEN n1 >= 1 AND n0 >= 1 THEN n1 + n0 ELSE 0 END AS w
+        |  FROM bb
+        |),
+        |t3 AS (
+        |  SELECT t2.*,
+        |    CAST(sum(w) OVER () AS BIGINT) AS wsum,
+        |    CAST(sum(d6 * w) OVER () AS BIGINT) AS ate6,
+        |    CAST(sum(CASE WHEN w = 0 THEN n1 + n0 ELSE 0 END) OVER () AS BIGINT) AS dropped,
+        |    CAST(sum(n1) OVER () AS BIGINT) AS nt1,
+        |    CAST(sum(n0) OVER () AS BIGINT) AS nt0,
+        |    CAST(sum(sy1) OVER () AS BIGINT) AS st1,
+        |    CAST(sum(sy0) OVER () AS BIGINT) AS st0
+        |  FROM t2
+        |)
+        |SELECT bucket, n1 AS n_treated, n0 AS n_control,
+        |  CASE WHEN n1 >= 1 THEN round(sy1 / 1e4 / n1, 4) END AS mean_treated,
+        |  CASE WHEN n0 >= 1 THEN round(sy0 / 1e4 / n0, 4) END AS mean_control,
+        |  CASE WHEN n1 >= 1 AND n0 >= 1 THEN round(d6 / 1e6, 4) END AS bucket_diff,
+        |  CASE WHEN wsum > 0
+        |    THEN round(ate6 / (CAST(wsum AS DOUBLE) * 1e6), 4) END AS ate,
+        |  CASE WHEN nt1 >= 1 AND nt0 >= 1
+        |    THEN round((st1 / 1e4 / nt1 - st0 / 1e4 / nt0), 4) END AS naive_diff,
+        |  dropped AS n_off_support
+        |FROM t3 ORDER BY bucket""".stripMargin,
   )
 }

@@ -143,6 +143,11 @@ private[graft] object SimilarityQueries extends QueryFamily {
     // whole dims panel (q116's complement: truncation, not projection)
     "q219_prefix_dim_recall" -> ((s, d) =>
       Similarity.prefixDimRecall(Tables.embeddings(s, d))),
+    // the LSH dial planner: recall/admit closed forms over the
+    // (tables, bits) grid, candidates priced against THIS corpus,
+    // argmin dial on an exact packed key
+    "q289_lsh_planner" -> ((s, d) =>
+      Similarity.lshDialPlanner(Tables.embeddings(s, d))),
   )
 
   /** The q207/q243 mutual-kNN chain over a given trained-assignment CTE
@@ -1007,5 +1012,36 @@ private[graft] object SimilarityQueries extends QueryFamily {
          |LEFT JOIN approx a
          |  ON a.dims = d.dims AND a.query_id = t.query_id AND a.vec_id = t.vec_id
          |GROUP BY d.dims, t.query_id ORDER BY d.dims, t.query_id""".stripMargin,
+    "q289_lsh_planner" ->
+      // hyperplane collision closed forms micro-quantized per dial;
+      // exact packed-long argmin; candidates priced against the corpus
+      """WITH nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM embeddings),
+        |ts AS (SELECT CAST(range AS BIGINT) AS t FROM range(1, 33)),
+        |bs AS (SELECT CAST(range AS BIGINT) AS b FROM range(1, 17)),
+        |g AS (SELECT t, b, n FROM ts, bs, nn),
+        |t2 AS (
+        |  SELECT g.*,
+        |    CAST(round((1.0 - pow(1.0 - pow(1.0 - acos(0.9) / pi(), b), t))
+        |      * 1e6) AS BIGINT) AS r6,
+        |    CAST(round((1.0 - pow(1.0 - pow(1.0 - acos(0.5) / pi(), b), t))
+        |      * 1e6) AS BIGINT) AS a6,
+        |    t * b AS cost
+        |  FROM g
+        |),
+        |t3 AS (
+        |  SELECT t2.*, (r6 >= 950000) AS meets,
+        |    ((a6 * 1000 + cost) * 100 + t) AS key
+        |  FROM t2
+        |),
+        |t4 AS (
+        |  SELECT t3.*, min(CASE WHEN meets THEN key END) OVER () AS best
+        |  FROM t3
+        |)
+        |SELECT t AS n_tables, b AS n_bits,
+        |  round(r6 / 1e6, 6) AS recall, round(a6 / 1e6, 6) AS admit, cost,
+        |  CAST((CAST(a6 AS HUGEINT) * (n * (n - 1) // 2) + 500000)
+        |    // 1000000 AS BIGINT) AS expected_candidates,
+        |  meets, (meets AND key = best) AS chosen
+        |FROM t4 ORDER BY n_tables, n_bits""".stripMargin,
   )
 }

@@ -1263,4 +1263,68 @@ class InferenceSpec extends GraftSuite {
     assert(b1.forall(r => r.getDouble(3) == 0.0 && r.getDouble(4) == 0.0),
       "balanced buckets must score exactly 0")
   }
+
+  test("stratifiedAte equals brute force; a constructed Simpson confound zeroes the ATE while the naive gap stands (q288)") {
+    import spark.implicits.{localSeqToDatasetHolder, newProductEncoder}
+    // brute-force replica on the fixture
+    val pu = events.select(col("user_id"), col("event_type"), col("value")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+      .groupBy(_._1).map { case (_, g) =>
+        val nErr = g.count(_._2 == "error").toLong
+        (g.length.toLong,
+          if (nErr * 5 > g.length) 1L else 0L,
+          g.filter(_._2 == "purchase").map(e => math.round(e._3 * 10000)).sum)
+      }.toSeq
+    val byB = pu.groupBy(u => (63 - java.lang.Long.numberOfLeadingZeros(u._1)).toLong)
+    val rowsB = byB.view.mapValues { g =>
+      val n1 = g.count(_._2 == 1L).toLong; val n0 = g.count(_._2 == 0L).toLong
+      val s1 = g.filter(_._2 == 1L).map(_._3).sum
+      val s0 = g.filter(_._2 == 0L).map(_._3).sum
+      (n1, n0, s1, s0)
+    }.toMap
+    val d6 = rowsB.view.mapValues { case (n1, n0, s1, s0) =>
+      if (n1 >= 1 && n0 >= 1)
+        Some(math.round((s1.toDouble / n1 - s0.toDouble / n0) * 100.0))
+      else None
+    }.toMap
+    val wsum = rowsB.collect { case (b, (n1, n0, _, _)) if d6(b).isDefined => n1 + n0 }.sum
+    val ate6 = rowsB.collect { case (b, (n1, n0, _, _)) if d6(b).isDefined =>
+      d6(b).get * (n1 + n0)
+    }.sum
+    val nt1 = rowsB.values.map(_._1).sum; val nt0 = rowsB.values.map(_._2).sum
+    val st1 = rowsB.values.map(_._3).sum; val st0 = rowsB.values.map(_._4).sum
+    val got = Events.stratifiedAte(events).collect()
+    assert(got.length == rowsB.size)
+    got.foreach { r =>
+      val (n1, n0, s1, s0) = rowsB(r.getLong(0))
+      assert(r.getLong(1) == n1 && r.getLong(2) == n0)
+      if (n1 >= 1) assert(r.getDouble(3) == roundN(s1 / 1e4 / n1, 4))
+      if (n0 >= 1) assert(r.getDouble(4) == roundN(s0 / 1e4 / n0, 4))
+      d6(r.getLong(0)).foreach(v => assert(r.getDouble(5) == roundN(v / 1e6, 4)))
+      assert(r.getDouble(6) == roundN(ate6 / (wsum.toDouble * 1e6), 4))
+      assert(r.getDouble(7) == roundN(st1 / 1e4 / nt1 - st0 / 1e4 / nt0, 4))
+    }
+    // constructed Simpson confound: within every activity bucket the
+    // treated/control spends are IDENTICAL (diff exactly 0), but the
+    // treated mass sits in the high-spend bucket -> naive gap 2.4
+    def user(u: Long, treated: Boolean, heavy: Boolean): Seq[(Long, Long, String, Long, Double)] = {
+      // treated = error share > 1/5: light users need 1 error in 2
+      // events, heavy users need 2 errors in 8
+      val spend = if (heavy) 5.0 else 1.0
+      val nErr = if (!treated) 0 else if (heavy) 2 else 1
+      val nTot = if (heavy) 8 else 2
+      Seq((u, u * 100, "purchase", u * 1000L, spend)) ++
+        (1 to nErr).map(j => (u, u * 100 + 90 + j, "error", u * 1000L + 90 + j, 0.0)) ++
+        (1 to (nTot - 1 - nErr)).map(j => (u, u * 100 + j, "view", u * 1000L + j, 0.0))
+    }
+    val simpson = ((1L to 10L).flatMap(user(_, treated = true, heavy = false))
+      ++ (11L to 50L).flatMap(user(_, treated = false, heavy = false))
+      ++ (51L to 90L).flatMap(user(_, treated = true, heavy = true))
+      ++ (91L to 100L).flatMap(user(_, treated = false, heavy = true)))
+      .toDF("user_id", "event_id", "event_type", "ts", "value")
+    val s = Events.stratifiedAte(simpson).collect()
+    assert(s.forall(_.getDouble(6) == 0.0), "within-bucket-identical spends must zero the ATE")
+    assert(s.forall(_.getDouble(7) == 2.4), "the naive gap must stand at 2.4")
+    assert(s.forall(_.getLong(8) == 0L))
+  }
 }

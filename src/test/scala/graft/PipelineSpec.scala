@@ -2648,4 +2648,46 @@ class PipelineSpec extends GraftSuite {
       .map(r => (r.getString(0), r.getDouble(2))).toMap
     assert(jd("a") == 1.0 && jd("b") == 1.0)
   }
+
+  test("lshDialPlanner equals the closed form; monotone in t and b; the chosen dial is the lexicographic argmin (q289)") {
+    def q6(x: Double): Long = math.round(x * 1e6)
+    val n = Tables.embeddings(spark, sf).count()
+    val p = 1.0 - math.acos(0.9) / math.Pi
+    val p0 = 1.0 - math.acos(0.5) / math.Pi
+    def r6(t: Long, b: Long): Long = q6(1.0 - math.pow(1.0 - math.pow(p, b), t))
+    def a6(t: Long, b: Long): Long = q6(1.0 - math.pow(1.0 - math.pow(p0, b), t))
+    val got = Similarity.lshDialPlanner(Tables.embeddings(spark, sf)).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)),
+        (r.getDouble(2), r.getDouble(3), r.getLong(4), r.getLong(5),
+          r.getBoolean(6), r.getBoolean(7)))).toMap
+    assert(got.size == 32 * 16)
+    def roundK(v: Double, k: Int): Double =
+      java.math.BigDecimal.valueOf(v).setScale(k, java.math.RoundingMode.HALF_UP).doubleValue()
+    got.foreach { case ((t, b), (rec, adm, cost, cand, meets, _)) =>
+      assert(rec == roundK(r6(t, b) / 1e6, 6) && adm == roundK(a6(t, b) / 1e6, 6))
+      assert(cost == t * b)
+      assert(cand == (BigInt(a6(t, b)) * (n * (n - 1) / 2) + 500000) / 1000000)
+      assert(meets == (r6(t, b) >= 950000L))
+    }
+    // monotone laws on the quantized values: more tables never lose
+    // recall; more bits never gain admit
+    for (b <- 1L to 16L; t <- 1L until 32L)
+      assert(got((t, b))._1 <= got((t + 1, b))._1)
+    for (t <- 1L to 32L; b <- 1L until 16L)
+      assert(got((t, b))._2 >= got((t, b + 1))._2)
+    // the chosen dial: unique, meets the target, and every other
+    // meeting dial is lexicographically worse on (admit, cost, t)
+    val chosen = got.filter(_._2._6).toSeq
+    assert(chosen.size == 1)
+    val ((ct, cb), (_, _, ccost, _, _, _)) = chosen.head
+    val cKey = (a6(ct, cb) * 1000 + ccost) * 100 + ct
+    got.foreach { case ((t, b), (_, _, cost, _, meets, isChosen)) =>
+      if (meets && !isChosen)
+        assert((a6(t, b) * 1000 + cost) * 100 + t > cKey)
+    }
+    // the q226 production dial (24 tables x 12 bits) sits on this grid
+    // with the documented ~0.98 per-pair recall at tau = 0.9
+    val prod = got((24L, 12L))._1
+    assert(prod > 0.97 && prod < 0.99, s"24x12 recall drifted: $prod")
+  }
 }

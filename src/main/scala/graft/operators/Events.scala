@@ -1195,11 +1195,19 @@ object Events {
     * corpus scan into the value frame; every window runs over distinct
     * values, not rows.
     */
-  def hillTailIndex(events: DataFrame, metricType: String = "purchase"): DataFrame = {
-    val byV = events.filter($"event_type" === metricType)
+  def hillTailIndex(events: DataFrame, metricType: String = "purchase"): DataFrame =
+    hillFromValueCounts(events.filter($"event_type" === metricType)
       .select(round($"value" * 10000, 0).cast("long").as("vm"))
-      .filter($"vm" >= 1L)
-      .groupBy($"vm").agg(count(lit(1)).as("c"))
+      .groupBy($"vm").agg(count(lit(1)).as("c")))
+
+  /** Finish the q285 Hill estimator from a (vm, c) value-count frame —
+    * shared by the batch scan and the drained `valueCountStream` state
+    * (the medianFromValueCounts pattern: per-value counts are pure
+    * addition, so a tail-index DRIFT monitor streams for free through
+    * the identical finisher — the twelfth twin).
+    */
+  def hillFromValueCounts(valueCounts: DataFrame): DataFrame = {
+    val byV = valueCounts.filter($"vm" >= 1L)
     val tot = byV.agg(sum($"c").as("n"))
     val w = Window.orderBy($"vm".desc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)

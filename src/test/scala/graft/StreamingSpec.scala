@@ -1224,4 +1224,36 @@ class StreamingSpec extends GraftSuite {
     assert(streamed === batch,
       "finishing the streamed transition counts must equal the batch stationary pi")
   }
+
+  test("hill tail-index streaming twin: streamed value counts finish to the batch estimate, any split (q285 twin)") {
+    // the TWELFTH twin, by pure reuse at both ends: valueCountStream's
+    // per-(type, value) counts are pure addition, and
+    // hillFromValueCounts is the identical batch finisher — a tail-index
+    // drift monitor ("did the metric grow a heavier tail this week")
+    // streams for free
+    import graft.operators.Events
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val ev = Tables.events(spark, sf)
+    val raw = ev.select($"event_type", $"value")
+      .as[EventStreams.ValueEvent].collect().toSeq
+    val input = MemoryStream[EventStreams.ValueEvent]
+    val q = EventStreams.valueCountStream(input.toDS())
+      .writeStream.outputMode("update").format("memory").queryName("hill_vc")
+      .start()
+    val splits = Seq(raw.take(raw.length / 5),
+      raw.slice(raw.length / 5, raw.length * 4 / 5), raw.drop(raw.length * 4 / 5))
+    splits.foreach { s => input.addData(s.toIndexedSeq); q.processAllAvailable() }
+    val state = spark.table("hill_vc").collect()
+      .map(r => ((r.getString(0), r.getLong(1)), r.getLong(2))).zipWithIndex
+      .groupBy(_._1._1).view.mapValues(g => g.maxBy(_._2)._1._2).toMap
+    q.stop()
+    val served = Events.hillFromValueCounts(
+      state.toSeq.collect { case ((t, vm), c) if t == "purchase" => (vm, c) }
+        .toDF("vm", "c"))
+      .collect().map(_.toSeq).toSeq
+    val batch = Events.hillTailIndex(ev).collect().map(_.toSeq).toSeq
+    assert(served === batch,
+      "finishing the streamed value counts must equal the batch Hill estimate")
+  }
 }

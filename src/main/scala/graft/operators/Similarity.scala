@@ -2537,6 +2537,58 @@ object Similarity {
       .limit(topDims)
   }
 
+  // ---- local outlier factor (q290) -----------------------------------------
+
+  /** Local outlier factor over the shared cell-restricted kNN graph
+    * (q290; Breunig et al. 2000): HBOS (q258) scores each FEATURE
+    * histogram independently and the MAD/z panels score global
+    * position — LOF is the DENSITY-RELATIVE verdict ("sparser than
+    * your own neighborhood"), the detector that catches an outlier
+    * sitting between two clusters where every global score looks
+    * normal. Distances are cosine distances d = 1 − cos off the SAME
+    * checkpointed kNN graph q194/q207/q231 ride (one construction,
+    * fifth consumer). reach(p←o) = max(kdist(o), d(p,o)); lrd(p) =
+    * |kNN|/Σreach; LOF(p) = mean lrd(o)/lrd(p) — ≈1 inside uniform
+    * density, ≫1 for local outliers.
+    *
+    * Determinism: cos is already rounded to 6, so d6 = (1−cos)·1e6 is
+    * an exact long; kdist/reach are max/greatest of exact longs; lrd
+    * micro-quantizes by HALF-UP INTEGER DIVISION (2·cnt·10¹² + Σr)
+    * div (2·Σr) — the q286 device, no float until the final LOF ratio,
+    * whose inputs are exact longs on both engines. Top-N cut orders by
+    * (lof rounded to 4 desc, vec_id) — the OUTPUT key, so the limit
+    * boundary is the same total order both engines sort. Duplicate-collapse guard: a zero
+    * reachability sum (all-identical neighbors) yields NULL lrd and
+    * the node and its dependents drop out rather than divide by zero.
+    * Shape: everything after the graph is edge-proportional (k·n
+    * rows) — two joins back onto the edge frame and bounded
+    * aggregates; never all-pairs.
+    */
+  def lofOutliers(embeddings: DataFrame, k: Int = 5,
+      kCells: Int = AutoCells, topN: Int = 50): DataFrame = {
+    val ed = cellKnnGraph(embeddings, k, kCells)
+      .select($"id", $"nb",
+        round((lit(1.0) - $"cos") * 1e6, 0).cast("long").as("d6"))
+    val kd = ed.groupBy($"id").agg(max($"d6").as("kd6"), count(lit(1)).as("cnt"))
+    val re = ed.join(kd.select($"id".as("nb"), $"kd6".as("nb_kd6")), Seq("nb"))
+      .select($"id", greatest($"nb_kd6", $"d6").as("r6"))
+    val sr = re.groupBy($"id").agg(sum($"r6").as("sr6"))
+    val lr = kd.join(sr, Seq("id"))
+      .withColumn("lrd6", when($"sr6" > 0L,
+        expr("CAST((2 * cnt * 1000000000000 + sr6) div (2 * sr6) AS BIGINT)")))
+    val nl = ed.join(lr.select($"id".as("nb"), $"lrd6".as("nb_lrd6")), Seq("nb"))
+      .filter($"nb_lrd6".isNotNull)
+      .groupBy($"id").agg(sum($"nb_lrd6").as("slrd6"), count(lit(1)).as("cnt2"))
+    lr.join(nl, Seq("id"))
+      .withColumn("lofr", when($"lrd6" > 0L && $"cnt2" > 0L,
+        round(($"slrd6".cast("double") / $"cnt2") / $"lrd6", 4)))
+      .filter($"lofr".isNotNull)
+      .select($"id".as("vec_id"), $"cnt".as("n_neighbors"),
+        round($"kd6" / 1e6, 6).as("k_dist"), $"lofr".as("lof"))
+      .orderBy($"lof".desc, $"vec_id")
+      .limit(topN)
+  }
+
   // ---- LSH dial planner (q289) ---------------------------------------------
 
   /** LSH dial planner (q289): the engine PRICES its own (tables, bits)

@@ -148,6 +148,10 @@ private[graft] object SimilarityQueries extends QueryFamily {
     // argmin dial on an exact packed key
     "q289_lsh_planner" -> ((s, d) =>
       Similarity.lshDialPlanner(Tables.embeddings(s, d))),
+    // local outlier factor over the shared cell-restricted kNN graph:
+    // the density-RELATIVE detector beside HBOS/MAD's global scores
+    "q290_lof_outliers" -> ((s, d) =>
+      Similarity.lofOutliers(Tables.embeddings(s, d), kCells = 16)),
   )
 
   /** The q207/q243 mutual-kNN chain over a given trained-assignment CTE
@@ -1043,5 +1047,55 @@ private[graft] object SimilarityQueries extends QueryFamily {
         |    // 1000000 AS BIGINT) AS expected_candidates,
         |  meets, (meets AND key = best) AS chosen
         |FROM t4 ORDER BY n_tables, n_bits""".stripMargin,
+    "q290_lof_outliers" ->
+      // q231's knn chain into exact-integer LOF: d6 = (1-cos)*1e6 longs,
+      // greatest/max reachability, half-up integer-division lrd (the
+      // q286 device); float only at the final ratio
+      s"""$KmeansAssignCtes,
+         |pairs AS (
+         |  SELECT x.vec_id AS id, y2.vec_id AS nb,
+         |    round(${cosSql("x.v", "y2.v")}, 6) AS cos
+         |  FROM af x JOIN af y2 ON x.cid = y2.cid AND x.vec_id <> y2.vec_id
+         |),
+         |knn AS MATERIALIZED (
+         |  SELECT id, nb, cos FROM (
+         |    SELECT id, nb, cos, row_number() OVER (PARTITION BY id
+         |      ORDER BY -cos, nb) AS rn
+         |    FROM pairs
+         |  ) WHERE rn <= 5
+         |),
+         |ed AS (
+         |  SELECT id, nb, CAST(round((1.0 - cos) * 1e6) AS BIGINT) AS d6
+         |  FROM knn
+         |),
+         |kd AS (
+         |  SELECT id, CAST(max(d6) AS BIGINT) AS kd6,
+         |    CAST(count(*) AS BIGINT) AS cnt
+         |  FROM ed GROUP BY 1
+         |),
+         |re AS (
+         |  SELECT ed.id, greatest(kdo.kd6, ed.d6) AS r6
+         |  FROM ed JOIN kd kdo ON kdo.id = ed.nb
+         |),
+         |sr AS (SELECT id, CAST(sum(r6) AS BIGINT) AS sr6 FROM re GROUP BY 1),
+         |lr AS (
+         |  SELECT kd.id, kd.kd6, kd.cnt, sr.sr6,
+         |    CASE WHEN sr.sr6 > 0 THEN
+         |      CAST((2 * cnt * 1000000000000 + sr.sr6) // (2 * sr.sr6) AS BIGINT)
+         |    END AS lrd6
+         |  FROM kd JOIN sr USING (id)
+         |),
+         |nl AS (
+         |  SELECT ed.id, CAST(sum(lo.lrd6) AS BIGINT) AS slrd6,
+         |    CAST(count(*) AS BIGINT) AS cnt2
+         |  FROM ed JOIN lr lo ON lo.id = ed.nb
+         |  WHERE lo.lrd6 IS NOT NULL GROUP BY 1
+         |)
+         |SELECT lr.id AS vec_id, lr.cnt AS n_neighbors,
+         |  round(lr.kd6 / 1e6, 6) AS k_dist,
+         |  round((CAST(nl.slrd6 AS DOUBLE) / nl.cnt2) / lr.lrd6, 4) AS lof
+         |FROM lr JOIN nl USING (id)
+         |WHERE lr.lrd6 > 0 AND nl.cnt2 > 0
+         |ORDER BY lof DESC, vec_id LIMIT 50""".stripMargin,
   )
 }

@@ -2690,4 +2690,64 @@ class PipelineSpec extends GraftSuite {
     val prod = got((24L, 12L))._1
     assert(prod > 0.97 && prod < 0.99, s"24x12 recall drifted: $prod")
   }
+
+  test("lofOutliers equals the brute-force integer pipeline; uniform density scores exactly 1; a planted loose point tops the list (q290)") {
+    import spark.implicits.{localSeqToDatasetHolder, newProductEncoder}
+    // brute force off the SAME shared kNN graph, mirroring the exact
+    // integer ops (d6 longs, greatest reachability, half-up lrd)
+    val edges = Similarity.cellKnnGraph(embs, 5, 16).collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        math.round((1.0 - r.getDouble(2)) * 1e6)))
+    val kd = edges.groupBy(_._1).view
+      .mapValues(g => (g.map(_._3).max, g.length.toLong)).toMap
+    val sr = edges.groupBy(_._1).view
+      .mapValues(_.map(e => math.max(kd(e._2)._1, e._3)).sum).toMap
+    val lrd6 = kd.keys.map { id =>
+      val s = sr(id)
+      id -> (if (s > 0) Some((2 * kd(id)._2 * 1000000000000L + s) / (2 * s)) else None)
+    }.toMap
+    def round4(x: Double): Double =
+      java.math.BigDecimal.valueOf(x).setScale(4, java.math.RoundingMode.HALF_UP).doubleValue()
+    val expected = kd.keys.flatMap { id =>
+      val nbs = edges.filter(_._1 == id).flatMap(e => lrd6(e._2))
+      for {
+        l <- lrd6(id) if l > 0 && nbs.nonEmpty
+      } yield (id, round4((nbs.sum.toDouble / nbs.length) / l))
+    }.toSeq.sortBy(x => (-x._2, x._1)).take(50)
+    val got = Similarity.lofOutliers(embs, kCells = 16).collect()
+      .map(r => (r.getLong(0), r.getDouble(3))).toSeq
+    assert(got === expected)
+    assert(got.nonEmpty)
+    // uniform geometry: all pairwise cosines equal -> every reachability
+    // equal -> LOF exactly 1.0 for every emitted point
+    def unit(xs: Seq[Double]): Seq[Float] = {
+      val n = math.sqrt(xs.map(x => x * x).sum)
+      xs.map(x => (x / n).toFloat)
+    }
+    val dim = 26
+    val ortho = (0 until 24).map { i =>
+      val v = Array.fill(dim)(0.05); v(i) = 1.0
+      (i.toLong, unit(v.toSeq), 0)
+    }.toDF("vec_id", "embedding", "label")
+    val u = Similarity.lofOutliers(ortho, kCells = 16).collect()
+    assert(u.nonEmpty && u.forall(_.getDouble(3) == 1.0),
+      "equal pairwise geometry must score LOF exactly 1")
+    // a dense core + one LOOSE point (two cells at most, so every point
+    // keeps a core-sized neighborhood): core internal cos ~0.991 (d6 ~9e3), loose at
+    // cos ~0.64 (d6 ~3.6e5) -> its neighborhood density is ~40x lower
+    val core = (0 until 20).map { i =>
+      val v = Array.fill(dim)(1.0); v(i % dim) += 0.5
+      (i.toLong, unit(v.toSeq), 0)
+    }
+    val loose = {
+      val v = Array.fill(dim)(1.0); v(0) += 8.0
+      Seq((99L, unit(v.toSeq), 0))
+    }
+    val planted = (core ++ loose).toDF("vec_id", "embedding", "label")
+    val p = Similarity.lofOutliers(planted, kCells = 2).collect()
+    assert(p.head.getLong(0) == 99L, "the loose point must take LOF rank 1")
+    assert(p.head.getDouble(3) > 5.0, s"loose-point LOF too small: ${p.head.getDouble(3)}")
+    val coreLofs = p.tail.map(_.getDouble(3))
+    assert(coreLofs.forall(_ < 1.5), "core points must stay near LOF 1")
+  }
 }

@@ -241,7 +241,12 @@ object ProfileScale {
       // and the bucket-frame WOE/IV screen (q287)
       "q281_logrank", "q282_ratio_metric", "q283_tost_equivalence",
       "q284_labeler_agreement", "q285_hill_tail", "q286_markov_stationary",
-      "q287_woe_iv")
+      "q287_woe_iv",
+      // the stratified-ATE bucket frame and the 512-row dial grid
+      // (whose only corpus input is one count)
+      "q288_stratified_ate", "q289_lsh_planner",
+      // LOF rides the shared cell-restricted kNN graph (fifth consumer)
+      "q290_lof_outliers")
       .filter(selected)
     carriers.foreach { name =>
       time(s"x$repl ${name}") {

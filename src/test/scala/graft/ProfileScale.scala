@@ -350,6 +350,10 @@ object ProfileScale {
         Similarity.marginScoredPairs(Tables.embeddings(spark, outDir))
           .write.format("noop").mode("overwrite").save()
       }
+      time(s"x$repl q290 LOF @auto kCells=$kc") {
+        Similarity.lofOutliers(Tables.embeddings(spark, outDir))
+          .write.format("noop").mode("overwrite").save()
+      }
     }
     spark.stop()
   }

@@ -619,6 +619,83 @@ object Inference {
       .orderBy($"bucket")
   }
 
+  // ---- regression discontinuity at the length gate (q291) ------------------
+
+  /** Regression-discontinuity audit of the n_chars ≥ 300 quality gate
+    * (q291; Imbens & Lemieux 2008 — the standard sharp-RD design): is
+    * the corpus's canonical length cutoff a REAL quality cliff, or an
+    * arbitrary line through smooth data? Local linear fits of the
+    * stopword density (stopword tokens per word — a quality signal NOT
+    * mechanically tied to length) on each side of the cutoff within a
+    * ±`bandwidth` window; τ = the jump between the two intercepts AT
+    * the cutoff. For the synthetic fixture the honest answer is "no
+    * discontinuity" — the A/A-like gate; the spec plants a real jump
+    * and recovers it exactly.
+    *
+    * Determinism: y micro-quantizes per document (round(stop/words·1e6)
+    * — one double division then round, the q90 discipline); u = x − c
+    * is an exact integer; all OLS moments are per-row LONG products
+    * summed in DECIMAL(38,0) (|u| ≤ 150, y6 ≤ ~3·10⁵ — far inside the
+    * loud-overflow ceiling); the intercept/slope/variance finisher is
+    * one mirrored double expression per side. One corpus scan
+    * (bandwidth filter pushes to the parquet range), 1-row output.
+    */
+  def rdGateAudit(documents: DataFrame, cutoff: Long = 300L,
+      bandwidth: Long = 150L): DataFrame = {
+    val words = size(split($"text", " "))
+    val stops = TextAnalysis.occurrences(
+      concat(lit(" "), lower($"text"), lit(" ")), " the ") +
+      TextAnalysis.occurrences(
+        concat(lit(" "), lower($"text"), lit(" ")), " a ") +
+      TextAnalysis.occurrences(
+        concat(lit(" "), lower($"text"), lit(" ")), " of ")
+    val base = documents
+      .filter($"n_chars" >= cutoff - bandwidth &&
+        $"n_chars" < cutoff + bandwidth && words >= lit(1))
+      .select(($"n_chars" - cutoff).as("u"),
+        round(stops.cast("double") / words * 1e6, 0).cast("long").as("y6"),
+        ($"n_chars" >= cutoff).cast("long").as("side"))
+    def dec(c: Column): Column = c.cast("decimal(38,0)")
+    def sSum(s: Long, c: Column): Column = sum(when($"side" === s, c).otherwise(0L))
+    def sDec(s: Long, c: Column): Column =
+      sum(dec(when($"side" === s, c).otherwise(0L)))
+    val m = base.agg(
+      sSum(0L, lit(1L)).as("n_l"), sSum(0L, $"u").as("su_l"),
+      sDec(0L, $"u" * $"u").as("suu_l"), sSum(0L, $"y6").as("sy_l"),
+      sDec(0L, $"u" * $"y6").as("suy_l"), sDec(0L, $"y6" * $"y6").as("syy_l"),
+      sSum(1L, lit(1L)).as("n_r"), sSum(1L, $"u").as("su_r"),
+      sDec(1L, $"u" * $"u").as("suu_r"), sSum(1L, $"y6").as("sy_r"),
+      sDec(1L, $"u" * $"y6").as("suy_r"), sDec(1L, $"y6" * $"y6").as("syy_r"))
+    // per-side OLS: det = n·Suu − Su², a = (Sy·Suu − Su·Suy)/det,
+    // b = (n·Suy − Su·Sy)/det, RSS = Syy − a·Sy − b·Suy,
+    // var(a) = RSS/(n−2) · Suu/det
+    def side(sfx: String): (Column, Column, Column, Column) = {
+      def c(n: String) = col(s"${n}_$sfx").cast("double")
+      val det = c("n") * c("suu") - c("su") * c("su")
+      val a = (c("sy") * c("suu") - c("su") * c("suy")) / det
+      val b = (c("n") * c("suy") - c("su") * c("sy")) / det
+      val rss = c("syy") - a * c("sy") - b * c("suy")
+      val va = rss / (c("n") - lit(2.0)) * c("suu") / det
+      (a, b, va, det)
+    }
+    val (aL, bL, vL, detL) = side("l")
+    val (aR, bR, vR, detR) = side("r")
+    val ok = $"n_l" >= 3L && $"n_r" >= 3L && detL > 0.0 && detR > 0.0
+    val tau = aR - aL
+    val se = sqrt(vL + vR)
+    m.select($"n_l".as("n_left"), $"n_r".as("n_right"),
+      when(ok, round(aL / 1e6, 6)).as("y_at_cut_left"),
+      when(ok, round(aR / 1e6, 6)).as("y_at_cut_right"),
+      when(ok, round(bL / 1e6, 8)).as("slope_left"),
+      when(ok, round(bR / 1e6, 8)).as("slope_right"),
+      when(ok, round(tau / 1e6, 6)).as("tau"),
+      when(ok && se > 0.0, round(se / 1e6, 6)).as("se"),
+      when(ok && se > 0.0, round(tau / se, 4)).as("z_score"),
+      when(ok && se > 0.0,
+        round(least(lit(2.0) * upperTail(abs(tau / se)), lit(1.0)), 6))
+        .as("p_value"))
+  }
+
   def jackknifeInfluence(documents: DataFrame, minChars: Long = 300L): DataFrame = {
     val per = documents.groupBy($"source").agg(
       count(lit(1)).as("ns"), sum($"n_chars").as("ss"),

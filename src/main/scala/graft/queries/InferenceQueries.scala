@@ -68,7 +68,11 @@ private[graft] object InferenceQueries extends QueryFamily {
     // weight-of-evidence / information value of the " the "-count
     // feature for lang = 'en': the per-bucket directional feature
     // screen beside q262's MI
-    "q287_woe_iv" -> ((s, d) => Inference.woeIvPanel(Tables.documents(s, d))))
+    "q287_woe_iv" -> ((s, d) => Inference.woeIvPanel(Tables.documents(s, d))),
+    // sharp regression discontinuity at the n_chars >= 300 gate: local
+    // linear fits both sides, the jump at the cutoff with its se
+    "q291_rd_gate_audit" -> ((s, d) =>
+      Inference.rdGateAudit(Tables.documents(s, d))))
 
   /** DuckDB text of [[Inference.upperTail]]: 1−Φ(x) for the SQL
     * expression `x` (must be non-negative), Abramowitz–Stegun 26.2.17
@@ -818,6 +822,60 @@ private[graft] object InferenceQueries extends QueryFamily {
          |  CASE WHEN n10 + n01 > 0 THEN round($chiS, 4) END AS mcnemar_chi2,
          |  CASE WHEN n10 + n01 > 0
          |    THEN round(least(2.0 * ${upperTailSql(s"sqrt($chiS)")}, 1.0), 6)
+         |  END AS p_value
+         |FROM m""".stripMargin
+    },
+    "q291_rd_gate_audit" -> {
+      // per-side exact OLS moments; intercept/slope/variance finisher
+      // mirrored term-for-term; the jump and its se at the cutoff
+      def cD(n: String, s: String) = s"CAST(${n}_$s AS DOUBLE)"
+      def detS(s: String) =
+        s"(${cD("n", s)} * ${cD("suu", s)} - ${cD("su", s)} * ${cD("su", s)})"
+      def aS(s: String) =
+        s"((${cD("sy", s)} * ${cD("suu", s)} - ${cD("su", s)} * ${cD("suy", s)}) / ${detS(s)})"
+      def bS(s: String) =
+        s"((${cD("n", s)} * ${cD("suy", s)} - ${cD("su", s)} * ${cD("sy", s)}) / ${detS(s)})"
+      def vaS(s: String) =
+        s"""((${cD("syy", s)} - ${aS(s)} * ${cD("sy", s)} - ${bS(s)} * ${cD("suy", s)})
+           | / (${cD("n", s)} - 2.0) * ${cD("suu", s)} / ${detS(s)})""".stripMargin
+      val tauS = s"(${aS("r")} - ${aS("l")})"
+      val seS = s"sqrt(${vaS("l")} + ${vaS("r")})"
+      val okS = s"(n_l >= 3 AND n_r >= 3 AND ${detS("l")} > 0.0 AND ${detS("r")} > 0.0)"
+      s"""WITH base AS (
+         |  SELECT n_chars - 300 AS u,
+         |    CAST(round(CAST(${OracleHelpers.Stopwords} AS DOUBLE)
+         |      / len(string_split(text, ' ')) * 1e6) AS BIGINT) AS y6,
+         |    CASE WHEN n_chars >= 300 THEN 1 ELSE 0 END AS side
+         |  FROM documents
+         |  WHERE n_chars >= 150 AND n_chars < 450
+         |    AND len(string_split(text, ' ')) >= 1
+         |),
+         |m AS (
+         |  SELECT
+         |    CAST(sum(CASE WHEN side = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_l,
+         |    CAST(sum(CASE WHEN side = 0 THEN u ELSE 0 END) AS BIGINT) AS su_l,
+         |    sum(CAST(CASE WHEN side = 0 THEN u * u ELSE 0 END AS HUGEINT)) AS suu_l,
+         |    CAST(sum(CASE WHEN side = 0 THEN y6 ELSE 0 END) AS BIGINT) AS sy_l,
+         |    sum(CAST(CASE WHEN side = 0 THEN u * y6 ELSE 0 END AS HUGEINT)) AS suy_l,
+         |    sum(CAST(CASE WHEN side = 0 THEN y6 * y6 ELSE 0 END AS HUGEINT)) AS syy_l,
+         |    CAST(sum(CASE WHEN side = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_r,
+         |    CAST(sum(CASE WHEN side = 1 THEN u ELSE 0 END) AS BIGINT) AS su_r,
+         |    sum(CAST(CASE WHEN side = 1 THEN u * u ELSE 0 END AS HUGEINT)) AS suu_r,
+         |    CAST(sum(CASE WHEN side = 1 THEN y6 ELSE 0 END) AS BIGINT) AS sy_r,
+         |    sum(CAST(CASE WHEN side = 1 THEN u * y6 ELSE 0 END AS HUGEINT)) AS suy_r,
+         |    sum(CAST(CASE WHEN side = 1 THEN y6 * y6 ELSE 0 END AS HUGEINT)) AS syy_r
+         |  FROM base
+         |)
+         |SELECT n_l AS n_left, n_r AS n_right,
+         |  CASE WHEN $okS THEN round(${aS("l")} / 1e6, 6) END AS y_at_cut_left,
+         |  CASE WHEN $okS THEN round(${aS("r")} / 1e6, 6) END AS y_at_cut_right,
+         |  CASE WHEN $okS THEN round(${bS("l")} / 1e6, 8) END AS slope_left,
+         |  CASE WHEN $okS THEN round(${bS("r")} / 1e6, 8) END AS slope_right,
+         |  CASE WHEN $okS THEN round($tauS / 1e6, 6) END AS tau,
+         |  CASE WHEN $okS AND $seS > 0.0 THEN round($seS / 1e6, 6) END AS se,
+         |  CASE WHEN $okS AND $seS > 0.0 THEN round($tauS / $seS, 4) END AS z_score,
+         |  CASE WHEN $okS AND $seS > 0.0
+         |    THEN round(least(2.0 * ${upperTailSql(s"abs($tauS / $seS)")}, 1.0), 6)
          |  END AS p_value
          |FROM m""".stripMargin
     },

@@ -1327,4 +1327,63 @@ class InferenceSpec extends GraftSuite {
     assert(s.forall(_.getDouble(7) == 2.4), "the naive gap must stand at 2.4")
     assert(s.forall(_.getLong(8) == 0L))
   }
+
+  test("rdGateAudit equals brute force; a planted jump is recovered, a smooth relation scores tau = 0 (q291)") {
+    import spark.implicits.{localSeqToDatasetHolder, newProductEncoder}
+    // brute-force replica on the fixture window
+    val rows = docs.select(col("n_chars"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+      .filter(r => r._1 >= 150L && r._1 < 450L)
+    def stopDensity6(text: String): Long = {
+      val padded = " " + text.toLowerCase + " "
+      def occ(m: String): Int =
+        (padded.length - padded.replace(m, "").length) / m.length
+      val words = text.split(" ", -1).length
+      math.round((occ(" the ") + occ(" a ") + occ(" of ")).toDouble / words * 1e6)
+    }
+    case class M(n: Long, su: Long, suu: BigInt, sy: Long, suy: BigInt, syy: BigInt)
+    def mom(side: Seq[(Long, Long)]): M = M(side.size.toLong,
+      side.map(_._1).sum, side.map(e => BigInt(e._1) * e._1).sum,
+      side.map(_._2).sum, side.map(e => BigInt(e._1) * e._2).sum,
+      side.map(e => BigInt(e._2) * e._2).sum)
+    def fit(m: M): (Double, Double, Double) = {
+      val det = m.n.toDouble * m.suu.toDouble - m.su.toDouble * m.su.toDouble
+      val a = (m.sy.toDouble * m.suu.toDouble - m.su.toDouble * m.suy.toDouble) / det
+      val b = (m.n.toDouble * m.suy.toDouble - m.su.toDouble * m.sy.toDouble) / det
+      val va = (m.syy.toDouble - a * m.sy.toDouble - b * m.suy.toDouble) /
+        (m.n - 2.0) * m.suu.toDouble / det
+      (a, b, va)
+    }
+    val uy = rows.map(r => (r._1 - 300L, stopDensity6(r._2)))
+    val (aL, bL, vL) = fit(mom(uy.filter(_._1 < 0L).toSeq))
+    val (aR, bR, vR) = fit(mom(uy.filter(_._1 >= 0L).toSeq))
+    val g = Inference.rdGateAudit(docs).collect()(0)
+    assert(g.getLong(0) == uy.count(_._1 < 0L) && g.getLong(1) == uy.count(_._1 >= 0L))
+    assert(g.getDouble(2) == roundN(aL / 1e6, 6) && g.getDouble(3) == roundN(aR / 1e6, 6))
+    assert(g.getDouble(4) == roundN(bL / 1e6, 8) && g.getDouble(5) == roundN(bR / 1e6, 8))
+    assert(g.getDouble(6) == roundN((aR - aL) / 1e6, 6))
+    val se = math.sqrt(vL + vR)
+    assert(g.getDouble(7) == roundN(se / 1e6, 6))
+    assert(g.getDouble(8) == roundN((aR - aL) / se, 4))
+    assert(math.abs(g.getDouble(8)) < 4.0, "the synthetic fixture must show no real cliff")
+    // planted jump: zero stopwords below the cutoff, dense-with-noise
+    // above -> tau recovers the jump and z rejects hard
+    def doc(i: Int, chars: Long, dense: Boolean, alt: Boolean) = {
+      val text = if (!dense) "xx yy zz ww vv"
+      else if (alt) "the x the x pad" else "the x the x the x pad"
+      (i.toLong, text, "en", "s", chars)
+    }
+    val jump = ((0 until 60).map(i => doc(i, 150L + i * 2, dense = false, alt = false))
+      ++ (60 until 120).map(i => doc(i, 300L + (i - 60) * 2, dense = true, alt = i % 2 == 0)))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val j = Inference.rdGateAudit(jump).collect()(0)
+    assert(j.getDouble(6) > 0.3, s"planted jump not recovered: ${j.getDouble(6)}")
+    assert(j.getDouble(9) < 1e-6, "a planted cliff must reject hard")
+    // smooth: the same template everywhere -> tau exactly 0
+    val smooth = (0 until 120).map(i =>
+      (i.toLong, "the x the x pad", "en", "s", 150L + (i % 150) * 2))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val sm = Inference.rdGateAudit(smooth).collect()(0)
+    assert(sm.getDouble(6) == 0.0, "a constant relation must score tau exactly 0")
+  }
 }

@@ -246,7 +246,9 @@ object ProfileScale {
       // (whose only corpus input is one count)
       "q288_stratified_ate", "q289_lsh_planner",
       // LOF rides the shared cell-restricted kNN graph (fifth consumer)
-      "q290_lof_outliers")
+      "q290_lof_outliers",
+      // the RD gate audit: one range-filtered scan into 12 moments
+      "q291_rd_gate_audit")
       .filter(selected)
     carriers.foreach { name =>
       time(s"x$repl ${name}") {

@@ -425,4 +425,53 @@ object Matching {
     picked.toDF("query_id", "rnk", "vec_id", "rel_micro", "maxsim_micro")
       .orderBy($"query_id", $"rnk")
   }
+
+  // ---- blocking-quality metrics (q292) --------------------------------------
+
+  /** Blocking-quality report for the (brand, size) linkage blocking
+    * (q292; the standard ER evaluation pair — Christen 2012): PAIR
+    * COMPLETENESS (what fraction of true duplicate pairs does the
+    * blocking keep reachable?) and REDUCTION RATIO (what fraction of
+    * the n(n−1)/2 all-pairs space does it prune?). The q226
+    * planted-twin recipe applied to the linkage family: for each
+    * `p_partkey < nPlanted` a twin record is planted — EVEN base keys
+    * keep (brand, size) (in-block, a recoverable duplicate), ODD keys
+    * shift size by +1 (cross-block, unreachable BY DESIGN) — so the
+    * expected completeness is exactly the even fraction, and a
+    * blocking regression (or an accidental coarsening) moves a
+    * hash-gated number. Recovery is computed by the ACTUAL block-key
+    * comparison, not the parity closed form, so it measures the
+    * blocking, not the construction.
+    *
+    * Everything is exact integers (block sizes, Σ C(m,2), recovered
+    * counts); the two ratios are single boundary divisions. Shape: one
+    * scan to plant + one groupBy on the block key + one broadcast-scale
+    * join of the nPlanted twin keys; never materializes candidate
+    * PAIRS — the count comes from the block-size frame.
+    */
+  def blockingQuality(part: DataFrame, nPlanted: Long = 50L): DataFrame = {
+    val base = part.select($"p_partkey", $"p_brand", $"p_size")
+    val twins = base.filter($"p_partkey" < nPlanted).select(
+      ($"p_partkey" + 90000000L).as("p_partkey"), $"p_brand",
+      when($"p_partkey" % 2L === 0L, $"p_size").otherwise($"p_size" + 1)
+        .as("p_size"))
+    val all = base.unionAll(twins)
+    val blocks = all.groupBy($"p_brand", $"p_size").agg(count(lit(1)).as("m"))
+    val agg = blocks.agg(
+      sum($"m").as("n"),
+      sum(expr("m * (m - 1) div 2")).as("cand"))
+    val recovered = base.filter($"p_partkey" < nPlanted)
+      .join(twins.select(($"p_partkey" - 90000000L).as("p_partkey"),
+        $"p_brand".as("tb"), $"p_size".as("ts")), Seq("p_partkey"))
+      .filter($"p_brand" === $"tb" && $"p_size" === $"ts")
+      .agg(count(lit(1)).as("rec"))
+    agg.crossJoin(broadcast(recovered))
+      .select($"n".as("n_records"), lit(nPlanted).as("n_planted"),
+        $"rec".as("n_recovered"),
+        round($"rec".cast("double") / nPlanted, 4).as("pair_completeness"),
+        $"cand".as("n_candidate_pairs"),
+        expr("n * (n - 1) div 2").as("n_all_pairs"),
+        round(lit(1.0) - $"cand".cast("double") / expr("n * (n - 1) div 2"), 6)
+          .as("reduction_ratio"))
+  }
 }

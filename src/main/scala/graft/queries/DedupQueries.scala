@@ -86,6 +86,11 @@ private[graft] object DedupQueries extends QueryFamily {
     // matches above 4 bits of evidence (learn -> score -> classify)
     "q239_fs_matches" -> ((s, d) =>
       Matching.fsLinkageMatches(Tables.part(s, d))),
+    // blocking-quality report: pair completeness over planted twins +
+    // reduction ratio of the (brand, size) blocking (the q226 recipe
+    // applied to the linkage family's candidate generator)
+    "q292_blocking_quality" -> ((s, d) =>
+      Matching.blockingQuality(Tables.part(s, d))),
   )
 
   /** The q233 EM chain, unrolled round-for-round (the q143 oracle
@@ -707,5 +712,37 @@ private[graft] object DedupQueries extends QueryFamily {
          |ORDER BY p.id1, p.id2""".stripMargin,
     "q233_fs_linkage" -> fsEmSql(3),
     "q239_fs_matches" -> fsApplySql(3, 4.0),
+    "q292_blocking_quality" ->
+      // planted twins (even keys in-block, odd shifted out), block-size
+      // frame counts, recovery by the actual block-key comparison
+      """WITH base AS (SELECT p_partkey, p_brand, p_size FROM part),
+        |twins AS (
+        |  SELECT p_partkey + 90000000 AS p_partkey, p_brand,
+        |    CASE WHEN p_partkey % 2 = 0 THEN p_size ELSE p_size + 1 END AS p_size
+        |  FROM base WHERE p_partkey < 50
+        |),
+        |alln AS (SELECT * FROM base UNION ALL SELECT * FROM twins),
+        |blocks AS (
+        |  SELECT p_brand, p_size, CAST(count(*) AS BIGINT) AS m
+        |  FROM alln GROUP BY 1, 2
+        |),
+        |agg AS (
+        |  SELECT CAST(sum(m) AS BIGINT) AS n,
+        |    CAST(sum(m * (m - 1) // 2) AS BIGINT) AS cand
+        |  FROM blocks
+        |),
+        |rec AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS rec
+        |  FROM base b JOIN twins t ON b.p_partkey = t.p_partkey - 90000000
+        |  WHERE b.p_brand = t.p_brand AND b.p_size = t.p_size
+        |)
+        |SELECT n AS n_records, CAST(50 AS BIGINT) AS n_planted,
+        |  rec AS n_recovered,
+        |  round(CAST(rec AS DOUBLE) / 50, 4) AS pair_completeness,
+        |  cand AS n_candidate_pairs,
+        |  CAST(n * (n - 1) // 2 AS BIGINT) AS n_all_pairs,
+        |  round(1.0 - CAST(cand AS DOUBLE) / (n * (n - 1) // 2), 6)
+        |    AS reduction_ratio
+        |FROM agg, rec""".stripMargin,
   )
 }

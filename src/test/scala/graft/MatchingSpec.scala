@@ -1311,4 +1311,32 @@ class MatchingSpec extends GraftSuite {
     }
     assert(got.nonEmpty)
   }
+
+  test("blockingQuality equals brute force; completeness is exactly the even-planted fraction (q292)") {
+    def round4(x: Double): Double =
+      java.math.BigDecimal.valueOf(x).setScale(4, java.math.RoundingMode.HALF_UP).doubleValue()
+    def round6(x: Double): Double =
+      java.math.BigDecimal.valueOf(x).setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+    val base = parts.select(col("p_partkey"), col("p_brand"), col("p_size"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2)))
+    val twins = base.filter(_._1 < 50L).map { case (k, b, s) =>
+      (k + 90000000L, b, if (k % 2 == 0) s else s + 1)
+    }
+    val all = base ++ twins
+    val blocks = all.groupBy(r => (r._2, r._3)).view.mapValues(_.size.toLong)
+    val n = all.length.toLong
+    val cand = blocks.values.map(m => m * (m - 1) / 2).sum
+    val byKey = base.map(r => (r._1, (r._2, r._3))).toMap
+    val rec = twins.count(t => byKey.get(t._1 - 90000000L).contains((t._2, t._3))).toLong
+    val g = graft.operators.Matching.blockingQuality(parts).collect()(0)
+    assert(g.getLong(0) == n && g.getLong(1) == 50L && g.getLong(2) == rec)
+    assert(g.getDouble(3) == round4(rec.toDouble / 50))
+    assert(g.getLong(4) == cand && g.getLong(5) == n * (n - 1) / 2)
+    assert(g.getDouble(6) == round6(1.0 - cand.toDouble / (n * (n - 1) / 2)))
+    // the construction law: exactly the even planted keys co-block
+    assert(rec == (0L until 50L).count(_ % 2 == 0))
+    assert(g.getDouble(3) == 0.5)
+    // blocking must actually prune: RR above 99% on the fixture catalog
+    assert(g.getDouble(6) > 0.99)
+  }
 }

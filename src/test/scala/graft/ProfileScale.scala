@@ -248,7 +248,9 @@ object ProfileScale {
       // LOF rides the shared cell-restricted kNN graph (fifth consumer)
       "q290_lof_outliers",
       // the RD gate audit: one range-filtered scan into 12 moments
-      "q291_rd_gate_audit")
+      "q291_rd_gate_audit",
+      // blocking quality: block-size frame counts, no pair materialization
+      "q292_blocking_quality")
       .filter(selected)
     carriers.foreach { name =>
       time(s"x$repl ${name}") {

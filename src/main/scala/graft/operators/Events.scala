@@ -1276,9 +1276,12 @@ object Events {
     * eleventh streaming twin is pure reuse, transition counts are pure
     * addition and this finisher is identical on both paths).
     */
-  def markovStationaryFromCounts(spark: org.apache.spark.sql.SparkSession,
-      matrix: Seq[(String, String, Long)], iters: Int = 24): DataFrame = {
-    import spark.implicits.{localSeqToDatasetHolder, newProductEncoder}
+  /** The shared q286/q293 driver state: sorted source types, the exact
+    * count matrix and row sums, and the 1e9-scaled integer stationary
+    * iterate after `iters` half-up power steps.
+    */
+  private def markovState(matrix: Seq[(String, String, Long)], iters: Int)
+      : (Seq[String], Array[Array[Long]], Array[Long], Array[Long]) = {
     val sources = matrix.map(_._1).distinct.sorted
     val dead = matrix.map(_._2).distinct.filterNot(sources.contains)
     require(dead.isEmpty,
@@ -1295,12 +1298,77 @@ object Events {
         s2(j) += (BigInt(2) * s(i) * c(i)(j) + r(i)) / (BigInt(2) * r(i))
       s = s2.map(_.toLong)
     }
+    (sources, c, r, s)
+  }
+
+  def markovStationaryFromCounts(spark: org.apache.spark.sql.SparkSession,
+      matrix: Seq[(String, String, Long)], iters: Int = 24): DataFrame = {
+    import spark.implicits.{localSeqToDatasetHolder, newProductEncoder}
+    val (sources, _, r, s) = markovState(matrix, iters)
     val tot = s.sum
     sources.zipWithIndex.toSeq.map { case (t, i) =>
       (t, r(i),
         java.math.BigDecimal.valueOf(s(i).toDouble / tot.toDouble)
           .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue())
     }.toDF("event_type", "n_out", "pi").orderBy($"event_type")
+  }
+
+  /** Entropy rate of the session-transition chain (q293; Shannon's
+    * H = Σᵢ πᵢ Σⱼ pᵢⱼ log₂(1/pᵢⱼ), bits per step): HOW PREDICTABLE is
+    * the next user action given the current one — the single-number
+    * ceiling on any next-event recommender, beside q286's "where does
+    * the session live" and q123's raw matrix. Also emits each state's
+    * conditional entropy and the normalized predictability
+    * 1 − H/log₂(m) (0 = uniform chaos, 1 = deterministic paths).
+    *
+    * Determinism: rides q286's EXACT integer state (counts, row sums,
+    * the 1e9 stationary iterate). Per-cell entropy terms quantize to
+    * 1e-9 BEFORE any sum ((c/r)·ln(r/c)·log₂e — ln is the one libm
+    * call, the q235/q285 per-term-quantized posture); the rate couples
+    * π to the per-state sums by HALF-UP INTEGER DIVISION
+    * (2·sᵢ·h9ᵢ + tot) div (2·tot) in BigInt — no float ordering
+    * anywhere. Oracle = the q286 unrolled chain plus one per-cell
+    * projection and the same integer couplings.
+    */
+  def markovEntropyRate(events: DataFrame, gapSeconds: Long = 1800L,
+      iters: Int = 24): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits.{localSeqToDatasetHolder, newProductEncoder}
+    val byUser = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    val matrix = events
+      .select($"user_id", $"event_id", $"ts", $"event_type")
+      .withColumn("next_type", lead($"event_type", 1).over(byUser))
+      .withColumn("next_ts", lead($"ts", 1).over(byUser))
+      .filter($"next_type".isNotNull &&
+        ($"next_ts" - $"ts") <= gapSeconds * NsPerSecond)
+      .groupBy($"event_type", $"next_type")
+      .agg(count(lit(1)).as("c"))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      .toSeq
+    val (sources, c, r, s) = markovState(matrix, iters)
+    val m = sources.length
+    val tot = s.sum
+    val invLn2 = 1.4426950408889634
+    val h9 = (0 until m).map { i =>
+      (0 until m).map { j =>
+        if (c(i)(j) > 0L && c(i)(j) < r(i))
+          math.round(c(i)(j).toDouble / r(i) *
+            math.log(r(i).toDouble / c(i)(j)) * invLn2 * 1e9)
+        else 0L // a certain (p=1) or absent transition carries 0 bits
+      }.sum
+    }
+    val rate9 = (0 until m).map { i =>
+      ((BigInt(2) * s(i) * h9(i) + tot) / (BigInt(2) * tot)).toLong
+    }.sum
+    def r6(x: Double): Double = java.math.BigDecimal.valueOf(x)
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+    val hMax = math.log(m.toDouble) * invLn2
+    sources.zipWithIndex.toSeq.map { case (t, i) =>
+      (t, r6(s(i).toDouble / tot.toDouble), r6(h9(i) / 1e9),
+        r6(rate9 / 1e9), r6(1.0 - rate9 / 1e9 / hMax))
+    }.toDF("event_type", "pi", "h_state_bits", "entropy_rate_bits",
+      "predictability").orderBy($"event_type")
   }
 
   /** Propensity-stratified treatment effect for an OBSERVATIONAL

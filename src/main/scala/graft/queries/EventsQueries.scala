@@ -181,7 +181,54 @@ private[graft] object EventsQueries extends QueryFamily {
     // (error -> spend), activity-bucket strata, naive gap beside it
     "q288_stratified_ate" -> ((s, d) =>
       Events.stratifiedAte(Tables.events(s, d))),
+    // entropy rate of the transition chain: how predictable is the
+    // next action (bits/step + normalized predictability)
+    "q293_markov_entropy" -> ((s, d) =>
+      Events.markovEntropyRate(Tables.events(s, d))),
   )
+
+  /** The q286/q293 shared oracle chain: session transition counts, row
+    * sums, and the 24-step exact-integer power iteration unrolled as
+    * MATERIALIZED CTEs (ends with `s24` and `tot`; `srcs`, `rs`, `mm`
+    * in scope).
+    */
+  private lazy val markovChainCtes: String = {
+    def step(i: Int) =
+      s"""s$i AS MATERIALIZED (
+         |  SELECT mat.dst AS t,
+         |    CAST(sum((2 * p.s * mat.c + rs.r) // (2 * rs.r)) AS HUGEINT) AS s
+         |  FROM s${i - 1} p
+         |  JOIN mat ON mat.src = p.t
+         |  JOIN rs ON rs.src = p.t
+         |  GROUP BY 1
+         |)""".stripMargin
+    s"""WITH seq AS (
+       |  SELECT event_type,
+       |    lead(event_type) OVER w AS next_type,
+       |    epoch_ns(ts) AS tns,
+       |    lead(epoch_ns(ts)) OVER w AS next_tns
+       |  FROM events
+       |  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ns(ts), event_id)
+       |),
+       |mat AS MATERIALIZED (
+       |  SELECT event_type AS src, next_type AS dst,
+       |    CAST(count(*) AS BIGINT) AS c
+       |  FROM seq
+       |  WHERE next_type IS NOT NULL AND next_tns - tns <= 1800000000000
+       |  GROUP BY 1, 2
+       |),
+       |srcs AS (SELECT DISTINCT src FROM mat),
+       |rs AS MATERIALIZED (
+       |  SELECT src, CAST(sum(c) AS BIGINT) AS r FROM mat GROUP BY 1
+       |),
+       |mm AS (SELECT CAST(count(*) AS BIGINT) AS m FROM srcs),
+       |s0 AS MATERIALIZED (
+       |  SELECT src AS t, CAST(1000000000 // mm.m AS HUGEINT) AS s
+       |  FROM srcs, mm
+       |),
+       |${(1 to 24).map(step).mkString(",\n")},
+       |tot AS (SELECT sum(s) AS tot FROM s24)""".stripMargin
+  }
 
   def oracleSql: Map[String, String] = Map(
     "q32_events_hourly" ->
@@ -1759,53 +1806,46 @@ private[graft] object EventsQueries extends QueryFamily {
         |  CASE WHEN vm_k1 IS NOT NULL AND s6 - k * l6_k1 > 0
         |    THEN round(1.0 / ((s6 - k * l6_k1) / 1e6 / k), 4) END AS alpha
         |FROM m""".stripMargin,
-    "q286_markov_stationary" -> {
+    "q286_markov_stationary" ->
       // the engine's exact-integer power iteration unrolled (the q143
       // MATERIALIZED-CTE device): each step sums the half-up integers
       // (2sc + r) // (2r) per destination; float only at the final pi
-      val iters = 24
-      def step(i: Int) =
-        s"""s$i AS MATERIALIZED (
-           |  SELECT mat.dst AS t,
-           |    CAST(sum((2 * p.s * mat.c + rs.r) // (2 * rs.r)) AS HUGEINT) AS s
-           |  FROM s${i - 1} p
-           |  JOIN mat ON mat.src = p.t
-           |  JOIN rs ON rs.src = p.t
-           |  GROUP BY 1
-           |)""".stripMargin
-      s"""WITH seq AS (
-         |  SELECT event_type,
-         |    lead(event_type) OVER w AS next_type,
-         |    epoch_ns(ts) AS tns,
-         |    lead(epoch_ns(ts)) OVER w AS next_tns
-         |  FROM events
-         |  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ns(ts), event_id)
-         |),
-         |mat AS MATERIALIZED (
-         |  SELECT event_type AS src, next_type AS dst,
-         |    CAST(count(*) AS BIGINT) AS c
-         |  FROM seq
-         |  WHERE next_type IS NOT NULL AND next_tns - tns <= 1800000000000
-         |  GROUP BY 1, 2
-         |),
-         |srcs AS (SELECT DISTINCT src FROM mat),
-         |rs AS MATERIALIZED (
-         |  SELECT src, CAST(sum(c) AS BIGINT) AS r FROM mat GROUP BY 1
-         |),
-         |mm AS (SELECT CAST(count(*) AS BIGINT) AS m FROM srcs),
-         |s0 AS MATERIALIZED (
-         |  SELECT src AS t, CAST(1000000000 // mm.m AS HUGEINT) AS s
-         |  FROM srcs, mm
-         |),
-         |${(1 to iters).map(step).mkString(",\n")},
-         |tot AS (SELECT sum(s) AS tot FROM s$iters)
+      s"""$markovChainCtes
          |SELECT srcs.src AS event_type, rs.r AS n_out,
          |  round(CAST(coalesce(f.s, 0) AS DOUBLE) / CAST(tot.tot AS DOUBLE), 6) AS pi
          |FROM srcs
          |JOIN rs ON rs.src = srcs.src
-         |LEFT JOIN s$iters f ON f.t = srcs.src, tot
-         |ORDER BY event_type""".stripMargin
-    },
+         |LEFT JOIN s24 f ON f.t = srcs.src, tot
+         |ORDER BY event_type""".stripMargin,
+    "q293_markov_entropy" ->
+      // the q286 chain plus one per-cell entropy projection: terms
+      // quantized to 1e-9 before any sum (ln the one libm call), the
+      // pi/h coupling by half-up HUGEINT division — no float ordering
+      s"""$markovChainCtes,
+         |h9 AS (
+         |  SELECT mat.src,
+         |    CAST(sum(CASE WHEN mat.c > 0 AND mat.c < rs.r
+         |      THEN CAST(round(CAST(mat.c AS DOUBLE) / rs.r
+         |        * ln(CAST(rs.r AS DOUBLE) / mat.c)
+         |        * 1.4426950408889634 * 1e9) AS BIGINT)
+         |      ELSE 0 END) AS BIGINT) AS h9
+         |  FROM mat JOIN rs USING (src) GROUP BY 1
+         |),
+         |rate AS (
+         |  SELECT CAST(sum((2 * CAST(f.s AS HUGEINT) * h9.h9 + tot.tot)
+         |    // (2 * tot.tot)) AS HUGEINT) AS rate9
+         |  FROM s24 f JOIN h9 ON h9.src = f.t, tot
+         |)
+         |SELECT srcs.src AS event_type,
+         |  round(CAST(coalesce(f.s, 0) AS DOUBLE) / CAST(tot.tot AS DOUBLE), 6) AS pi,
+         |  round(h9.h9 / 1e9, 6) AS h_state_bits,
+         |  round(CAST(rate.rate9 AS DOUBLE) / 1e9, 6) AS entropy_rate_bits,
+         |  round(1.0 - CAST(rate.rate9 AS DOUBLE) / 1e9
+         |    / (ln(CAST(mm.m AS DOUBLE)) * 1.4426950408889634), 6) AS predictability
+         |FROM srcs
+         |JOIN h9 ON h9.src = srcs.src
+         |LEFT JOIN s24 f ON f.t = srcs.src, tot, rate, mm
+         |ORDER BY event_type""".stripMargin,
     "q288_stratified_ate" ->
       // per-user (treated, spend, activity) -> exact log2 bucket frame;
       // bucket diffs micro-quantized before the weighted window sum;

@@ -1386,4 +1386,38 @@ class InferenceSpec extends GraftSuite {
     val sm = Inference.rdGateAudit(smooth).collect()(0)
     assert(sm.getDouble(6) == 0.0, "a constant relation must score tau exactly 0")
   }
+
+  test("markovEntropyRate: deterministic chain scores 0 bits, uniform chain log2(m); pi matches q286 (q293)") {
+    import spark.implicits.{localSeqToDatasetHolder, newProductEncoder}
+    val got = Events.markovEntropyRate(events).collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4)))
+    // pi must be exactly q286's (same integer state)
+    val pi286 = Events.markovStationary(events).collect()
+      .map(r => (r.getString(0), r.getDouble(2))).toMap
+    got.foreach { g => assert(g._2 == pi286(g._1)) }
+    // bits live in [0, log2(m)]; the rate is one constant across rows
+    val m = got.length
+    val hMax = math.log(m.toDouble) / math.log(2.0)
+    assert(got.forall(g => g._3 >= 0.0 && g._3 <= hMax + 1e-9))
+    assert(got.map(_._4).distinct.length == 1)
+    assert(got.head._4 > 0.0 && got.head._4 <= hMax + 1e-9)
+    // a deterministic 2-cycle: every transition certain -> 0 bits,
+    // predictability exactly 1
+    def path(u: Long, types: Seq[String]) = types.zipWithIndex.map {
+      case (t, i) => (u, u * 100 + i, t, u * 1000000L + i * 1000L, 0.0)
+    }
+    val det = (path(1L, Seq("a", "b")) ++ path(2L, Seq("b", "a")))
+      .toDF("user_id", "event_id", "event_type", "ts", "value")
+    val d = Events.markovEntropyRate(det).collect()
+    assert(d.forall(_.getDouble(2) == 0.0) && d.forall(_.getDouble(3) == 0.0))
+    assert(d.forall(_.getDouble(4) == 1.0))
+    // a uniform 2-state chain: h = exactly 1 bit, predictability 0
+    val uni = (path(1L, Seq("a", "a")) ++ path(2L, Seq("a", "b"))
+      ++ path(3L, Seq("b", "a")) ++ path(4L, Seq("b", "b")))
+      .toDF("user_id", "event_id", "event_type", "ts", "value")
+    val u = Events.markovEntropyRate(uni).collect()
+    assert(u.forall(_.getDouble(2) == 1.0) && u.forall(_.getDouble(3) == 1.0))
+    assert(u.forall(_.getDouble(4) == 0.0))
+  }
 }

@@ -250,7 +250,9 @@ object ProfileScale {
       // the RD gate audit: one range-filtered scan into 12 moments
       "q291_rd_gate_audit",
       // blocking quality: block-size frame counts, no pair materialization
-      "q292_blocking_quality")
+      "q292_blocking_quality",
+      // entropy rate: the q286 driver state + a |T|^2 projection
+      "q293_markov_entropy")
       .filter(selected)
     carriers.foreach { name =>
       time(s"x$repl ${name}") {

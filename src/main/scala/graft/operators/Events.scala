@@ -1254,9 +1254,19 @@ object Events {
     * |T|² scalars, never corpus rows).
     */
   def markovStationary(events: DataFrame, gapSeconds: Long = 1800L,
-      iters: Int = 24): DataFrame = {
+      iters: Int = 24): DataFrame =
+    markovStationaryFromCounts(events.sparkSession,
+      collectTransitionCounts(events, gapSeconds), iters)
+
+  /** The q123/q286/q293 in-session transition counts, collected to the
+    * driver as (src, dst, count) — one extraction, every Markov
+    * consumer (a gap-semantics change here moves all their gates
+    * together instead of silently desynchronizing one copy).
+    */
+  private def collectTransitionCounts(events: DataFrame,
+      gapSeconds: Long): Seq[(String, String, Long)] = {
     val byUser = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
-    val matrix = events
+    events
       .select($"user_id", $"event_id", $"ts", $"event_type")
       .withColumn("next_type", lead($"event_type", 1).over(byUser))
       .withColumn("next_ts", lead($"ts", 1).over(byUser))
@@ -1267,15 +1277,8 @@ object Events {
       .collect()
       .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
       .toSeq
-    markovStationaryFromCounts(events.sparkSession, matrix, iters)
   }
 
-  /** Finish the q286 stationary distribution from a (src, dst, count)
-    * transition-count frame — shared by the batch scan and the drained
-    * `transitionStream` counts (the msprtFromMoments pattern: the
-    * eleventh streaming twin is pure reuse, transition counts are pure
-    * addition and this finisher is identical on both paths).
-    */
   /** The shared q286/q293 driver state: sorted source types, the exact
     * count matrix and row sums, and the 1e9-scaled integer stationary
     * iterate after `iters` half-up power steps.
@@ -1301,6 +1304,12 @@ object Events {
     (sources, c, r, s)
   }
 
+  /** Finish the q286 stationary distribution from a (src, dst, count)
+    * transition-count frame — shared by the batch scan and the drained
+    * `transitionStream` counts (the msprtFromMoments pattern: the
+    * eleventh streaming twin is pure reuse, transition counts are pure
+    * addition and this finisher is identical on both paths).
+    */
   def markovStationaryFromCounts(spark: org.apache.spark.sql.SparkSession,
       matrix: Seq[(String, String, Long)], iters: Int = 24): DataFrame = {
     import spark.implicits.{localSeqToDatasetHolder, newProductEncoder}
@@ -1334,19 +1343,8 @@ object Events {
       iters: Int = 24): DataFrame = {
     val spark = events.sparkSession
     import spark.implicits.{localSeqToDatasetHolder, newProductEncoder}
-    val byUser = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
-    val matrix = events
-      .select($"user_id", $"event_id", $"ts", $"event_type")
-      .withColumn("next_type", lead($"event_type", 1).over(byUser))
-      .withColumn("next_ts", lead($"ts", 1).over(byUser))
-      .filter($"next_type".isNotNull &&
-        ($"next_ts" - $"ts") <= gapSeconds * NsPerSecond)
-      .groupBy($"event_type", $"next_type")
-      .agg(count(lit(1)).as("c"))
-      .collect()
-      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
-      .toSeq
-    val (sources, c, r, s) = markovState(matrix, iters)
+    val (sources, c, r, s) =
+      markovState(collectTransitionCounts(events, gapSeconds), iters)
     val m = sources.length
     val tot = s.sum
     val invLn2 = 1.4426950408889634
@@ -1364,9 +1362,13 @@ object Events {
     def r6(x: Double): Double = java.math.BigDecimal.valueOf(x)
       .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
     val hMax = math.log(m.toDouble) * invLn2
+    // m = 1: a single-state chain is trivially 0 bits but 0/0-normalized
+    // — predictability is NULL, not a NaN crash (mirrored in the oracle)
+    val pred: Option[Double] =
+      if (m >= 2) Some(r6(1.0 - rate9 / 1e9 / hMax)) else None
     sources.zipWithIndex.toSeq.map { case (t, i) =>
       (t, r6(s(i).toDouble / tot.toDouble), r6(h9(i) / 1e9),
-        r6(rate9 / 1e9), r6(1.0 - rate9 / 1e9 / hMax))
+        r6(rate9 / 1e9), pred)
     }.toDF("event_type", "pi", "h_state_bits", "entropy_rate_bits",
       "predictability").orderBy($"event_type")
   }

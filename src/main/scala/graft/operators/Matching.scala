@@ -465,10 +465,13 @@ object Matching {
         $"p_brand".as("tb"), $"p_size".as("ts")), Seq("p_partkey"))
       .filter($"p_brand" === $"tb" && $"p_size" === $"ts")
       .agg(count(lit(1)).as("rec"))
-    agg.crossJoin(broadcast(recovered))
-      .select($"n".as("n_records"), lit(nPlanted).as("n_planted"),
+    // the ACTUAL twin count, not the parameter: a key space missing
+    // values below nPlanted would silently understate completeness
+    val planted = twins.agg(count(lit(1)).as("npl"))
+    agg.crossJoin(broadcast(recovered)).crossJoin(broadcast(planted))
+      .select($"n".as("n_records"), $"npl".as("n_planted"),
         $"rec".as("n_recovered"),
-        round($"rec".cast("double") / nPlanted, 4).as("pair_completeness"),
+        round($"rec".cast("double") / $"npl", 4).as("pair_completeness"),
         $"cand".as("n_candidate_pairs"),
         expr("n * (n - 1) div 2").as("n_all_pairs"),
         round(lit(1.0) - $"cand".cast("double") / expr("n * (n - 1) div 2"), 6)

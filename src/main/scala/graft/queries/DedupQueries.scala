@@ -735,14 +735,15 @@ private[graft] object DedupQueries extends QueryFamily {
         |  SELECT CAST(count(*) AS BIGINT) AS rec
         |  FROM base b JOIN twins t ON b.p_partkey = t.p_partkey - 90000000
         |  WHERE b.p_brand = t.p_brand AND b.p_size = t.p_size
-        |)
-        |SELECT n AS n_records, CAST(50 AS BIGINT) AS n_planted,
+        |),
+        |npl AS (SELECT CAST(count(*) AS BIGINT) AS npl FROM twins)
+        |SELECT n AS n_records, npl AS n_planted,
         |  rec AS n_recovered,
-        |  round(CAST(rec AS DOUBLE) / 50, 4) AS pair_completeness,
+        |  round(CAST(rec AS DOUBLE) / npl, 4) AS pair_completeness,
         |  cand AS n_candidate_pairs,
         |  CAST(n * (n - 1) // 2 AS BIGINT) AS n_all_pairs,
         |  round(1.0 - CAST(cand AS DOUBLE) / (n * (n - 1) // 2), 6)
         |    AS reduction_ratio
-        |FROM agg, rec""".stripMargin,
+        |FROM agg, rec, npl""".stripMargin,
   )
 }

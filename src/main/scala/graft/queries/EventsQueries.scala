@@ -1840,8 +1840,10 @@ private[graft] object EventsQueries extends QueryFamily {
          |  round(CAST(coalesce(f.s, 0) AS DOUBLE) / CAST(tot.tot AS DOUBLE), 6) AS pi,
          |  round(h9.h9 / 1e9, 6) AS h_state_bits,
          |  round(CAST(rate.rate9 AS DOUBLE) / 1e9, 6) AS entropy_rate_bits,
-         |  round(1.0 - CAST(rate.rate9 AS DOUBLE) / 1e9
-         |    / (ln(CAST(mm.m AS DOUBLE)) * 1.4426950408889634), 6) AS predictability
+         |  CASE WHEN mm.m >= 2
+         |    THEN round(1.0 - CAST(rate.rate9 AS DOUBLE) / 1e9
+         |      / (ln(CAST(mm.m AS DOUBLE)) * 1.4426950408889634), 6)
+         |  END AS predictability
          |FROM srcs
          |JOIN h9 ON h9.src = srcs.src
          |LEFT JOIN s24 f ON f.t = srcs.src, tot, rate, mm

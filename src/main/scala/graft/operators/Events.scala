@@ -2379,6 +2379,59 @@ object Events {
         $"h_stat", $"h_corrected", $"dof")
       .orderBy($"phase")
 
+  /** Periodogram of the daily event-count series (q294; Schuster 1898 —
+    * the classical hidden-periodicity scan): power at each candidate
+    * period p ∈ [2, 30] days, normalized to shares, with the peak
+    * flagged. The AMPLITUDE-AND-PERIOD companion to q276 (which TESTS
+    * the lag-7 phase effect but can't find an unknown period) and the
+    * rhythm detector behind q252's lag-7 choice — "is there a cycle,
+    * and at what period?" asked of the data instead of assumed.
+    *
+    * Determinism: the series is exactly centered in integers
+    * (y_t = T·x_t − Σx, the q277 device; missing days are real zeros);
+    * per-(t, p) trig factors quantize to 1e-9 BEFORE the multiply
+    * (trig is the one libm call — and the angle is 2π·(t mod p)/p, the
+    * exact integer mod keeping it inside [0, 2π) where libm argument
+    * reduction cannot diverge across engines); each term y_t·trig9 is
+    * an exact long×long product summed in DECIMAL(38,0). Power and
+    * shares render from exact sums. Shape: the day frame × 29 periods
+    * — a calendar-bounded grid, never corpus-proportional.
+    */
+  def periodogram(events: DataFrame, maxPeriod: Int = 30): DataFrame = {
+    val spark = events.sparkSession
+    val daily = events.groupBy(expr(s"ts div $NsPerDay").as("d"))
+      .agg(count(lit(1)).as("x"))
+    val cal = daily.agg(min($"d").as("d0"), max($"d").as("d1"))
+    val series = cal.select(explode(expr("sequence(d0, d1)")).as("d"))
+      .join(daily, Seq("d"), "left_outer")
+      .select($"d", coalesce($"x", lit(0L)).as("x"))
+    val tot = series.agg(count(lit(1)).as("tt"), sum($"x").as("sx"),
+      min($"d").as("dmin"))
+    val periods = spark.range(2, maxPeriod + 1).toDF("p")
+    val grid = series.crossJoin(broadcast(tot))
+      .select((($"d" - $"dmin")).as("t"), ($"tt" * $"x" - $"sx").as("y"))
+      .crossJoin(broadcast(periods))
+    val twoPi = 6.283185307179586
+    val ang = lit(twoPi) * pmod($"t", $"p").cast("double") / $"p"
+    def dec(c: Column): Column = c.cast("decimal(38,0)")
+    val sums = grid.groupBy($"p").agg(
+      sum(dec($"y" * round(cos(ang) * 1e9, 0).cast("long"))).as("c9"),
+      sum(dec($"y" * round(sin(ang) * 1e9, 0).cast("long"))).as("s9"))
+    def cD(c: Column): Column = c.cast("double") / 1e9
+    val pw = cD($"c9") * cD($"c9") + cD($"s9") * cD($"s9")
+    val all = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val t2 = sums
+      .withColumn("pw6", round(pw / 1e6, 0).cast("decimal(38,0)"))
+      .withColumn("tp", sum($"pw6").over(all))
+      .withColumn("share", when($"tp" > 0L,
+        round($"pw6".cast("double") / $"tp".cast("double"), 6)))
+    val t3 = t2.withColumn("bs", max($"share").over(all))
+    val t4 = t3.withColumn("bp", min(when($"share" === $"bs", $"p")).over(all))
+    t4.select($"p".as("period_days"), $"share".as("power_share"),
+      coalesce($"share" === $"bs" && $"p" === $"bp", lit(false)).as("is_peak"))
+      .orderBy($"period_days")
+  }
+
   // ---- overdispersion panel (q260) ------------------------------------------
 
   /** Variance-to-mean dispersion panel per event type — "is per-user

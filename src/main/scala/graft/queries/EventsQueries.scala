@@ -185,6 +185,9 @@ private[graft] object EventsQueries extends QueryFamily {
     // next action (bits/step + normalized predictability)
     "q293_markov_entropy" -> ((s, d) =>
       Events.markovEntropyRate(Tables.events(s, d))),
+    // periodogram of the daily series: the period DETECTOR behind
+    // q252's lag-7 assumption and q276's phase test
+    "q294_periodogram" -> ((s, d) => Events.periodogram(Tables.events(s, d))),
   )
 
   /** The q286/q293 shared oracle chain: session transition counts, row
@@ -1848,6 +1851,60 @@ private[graft] object EventsQueries extends QueryFamily {
          |JOIN h9 ON h9.src = srcs.src
          |LEFT JOIN s24 f ON f.t = srcs.src, tot, rate, mm
          |ORDER BY event_type""".stripMargin,
+    "q294_periodogram" -> {
+      // integer-centered series, per-(t, p) trig quantized to 1e-9 at a
+      // mod-reduced angle, exact HUGEINT term sums; shares + peak from
+      // quantized power
+      def trig9(fn: String) =
+        s"""CAST(round($fn(6.283185307179586 * CAST(t % p AS DOUBLE) / p)
+           | * 1e9) AS BIGINT)""".stripMargin
+      val pwS = """((CAST(c9 AS DOUBLE) / 1e9) * (CAST(c9 AS DOUBLE) / 1e9)
+                  | + (CAST(s9 AS DOUBLE) / 1e9) * (CAST(s9 AS DOUBLE) / 1e9))""".stripMargin
+      s"""WITH daily AS (
+         |  SELECT epoch_ns(ts) // 86400000000000 AS d,
+         |    CAST(count(*) AS BIGINT) AS x
+         |  FROM events GROUP BY 1
+         |),
+         |cal AS (SELECT min(d) AS d0, max(d) AS d1 FROM daily),
+         |series AS (
+         |  SELECT g.d, coalesce(daily.x, 0) AS x
+         |  FROM (SELECT unnest(generate_series(d0, d1)) AS d FROM cal) g
+         |  LEFT JOIN daily USING (d)
+         |),
+         |tot AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS tt, CAST(sum(x) AS BIGINT) AS sx,
+         |    CAST(min(d) AS BIGINT) AS dmin
+         |  FROM series
+         |),
+         |grid AS (
+         |  SELECT s.d - tot.dmin AS t, tot.tt * s.x - tot.sx AS y, pp.p
+         |  FROM series s, tot,
+         |    (SELECT CAST(range AS BIGINT) AS p FROM range(2, 31)) pp
+         |),
+         |sums AS (
+         |  SELECT p,
+         |    sum(CAST(y * ${trig9("cos")} AS HUGEINT)) AS c9,
+         |    sum(CAST(y * ${trig9("sin")} AS HUGEINT)) AS s9
+         |  FROM grid GROUP BY 1
+         |),
+         |t2 AS (
+         |  SELECT p, CAST(round($pwS / 1e6) AS HUGEINT) AS pw6 FROM sums
+         |),
+         |t3 AS (SELECT t2.*, sum(pw6) OVER () AS tp FROM t2),
+         |t4 AS (
+         |  SELECT t3.*, CASE WHEN tp > 0
+         |    THEN round(CAST(pw6 AS DOUBLE) / CAST(tp AS DOUBLE), 6) END AS share
+         |  FROM t3
+         |),
+         |t5 AS (SELECT t4.*, max(share) OVER () AS bs FROM t4),
+         |t6 AS (
+         |  SELECT t5.*, min(CASE WHEN share = bs THEN p END) OVER () AS bp
+         |  FROM t5
+         |)
+         |SELECT p AS period_days, share AS power_share,
+         |  coalesce(share = bs AND p = bp, false) AS is_peak
+         |FROM t6 ORDER BY period_days""".stripMargin
+    },
     "q288_stratified_ate" ->
       // per-user (treated, spend, activity) -> exact log2 bucket frame;
       // bucket diffs micro-quantized before the weighted window sum;

@@ -1420,4 +1420,57 @@ class InferenceSpec extends GraftSuite {
     assert(u.forall(_.getDouble(2) == 1.0) && u.forall(_.getDouble(3) == 1.0))
     assert(u.forall(_.getDouble(4) == 0.0))
   }
+
+  test("periodogram equals brute force; a planted weekly comb peaks at 7; a flat series has no peak (q294)") {
+    import spark.implicits.{localSeqToDatasetHolder, newProductEncoder}
+    val NsDay = 86400L * 1000000000L
+    // brute-force replica on the fixture daily series
+    val daily = events.select(expr("ts div 86400000000000").as("d")).collect()
+      .map(_.getLong(0)).groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val d0 = daily.keys.min; val d1 = daily.keys.max
+    val xs = (d0 to d1).map(d => daily.getOrElse(d, 0L))
+    val tt = xs.length.toLong; val sx = xs.sum
+    val ys = xs.map(x => tt * x - sx)
+    def pw6(p: Long): BigInt = {
+      val twoPi = 6.283185307179586
+      var c9 = BigInt(0); var s9 = BigInt(0)
+      ys.zipWithIndex.foreach { case (y, t) =>
+        val a = twoPi * (t % p).toDouble / p
+        c9 += BigInt(y) * math.round(math.cos(a) * 1e9)
+        s9 += BigInt(y) * math.round(math.sin(a) * 1e9)
+      }
+      val cd = c9.toDouble / 1e9; val sd = s9.toDouble / 1e9
+      BigInt(math.round((cd * cd + sd * sd) / 1e6))
+    }
+    val powers = (2L to 30L).map(p => p -> pw6(p)).toMap
+    val tp = powers.values.sum
+    val got = Events.periodogram(events).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getBoolean(2)))
+    assert(got.length == 29)
+    got.foreach { case (p, share, _) =>
+      assert(share == roundN((BigDecimal(powers(p)) / BigDecimal(tp)).toDouble, 6)
+        || share == roundN(powers(p).toDouble / tp.toDouble, 6))
+    }
+    assert(got.count(_._3) == 1)
+    // planted weekly comb: weekday load 100, weekend 700 over 10 weeks
+    val comb = (0 until 70).flatMap { day =>
+      val n = if (day % 7 >= 5) 21 else 3
+      (0 until n).map(j =>
+        ((day * 100 + j).toLong, (day * 1000 + j).toLong, "click",
+          day.toLong * NsDay + j * 1000L, 0.0))
+    }.toDF("user_id", "event_id", "event_type", "ts", "value")
+    val c = Events.periodogram(comb).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getBoolean(2)))
+    val peak = c.filter(_._3)
+    assert(peak.length == 1 && peak.head._1 == 7L,
+      s"weekly comb must peak at 7, got ${peak.toSeq}")
+    assert(peak.head._2 > 0.5, "the planted rhythm must dominate the spectrum")
+    // a constant series: zero centered power everywhere -> null shares,
+    // no peak row
+    val flat = (0 until 40).map(i =>
+      (i.toLong, i.toLong, "click", i.toLong * NsDay, 0.0))
+      .toDF("user_id", "event_id", "event_type", "ts", "value")
+    val f = Events.periodogram(flat).collect()
+    assert(f.forall(r => r.isNullAt(1) && !r.getBoolean(2)))
+  }
 }

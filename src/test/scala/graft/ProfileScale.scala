@@ -252,7 +252,9 @@ object ProfileScale {
       // blocking quality: block-size frame counts, no pair materialization
       "q292_blocking_quality",
       // entropy rate: the q286 driver state + a |T|^2 projection
-      "q293_markov_entropy")
+      "q293_markov_entropy",
+      // periodogram: day-frame x 29-period grid, trig quantized
+      "q294_periodogram")
       .filter(selected)
     carriers.foreach { name =>
       time(s"x$repl ${name}") {

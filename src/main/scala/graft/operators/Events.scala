@@ -2432,6 +2432,68 @@ object Events {
       .orderBy($"period_days")
   }
 
+  /** Lead–lag cross-correlation between two event types' daily series
+    * (q295): ccf(k) = corr(A_t, B_{t+k}) for k ∈ [−maxLag, +maxLag] —
+    * "does click activity LEAD purchases, and by how many days?", the
+    * two-series companion to q191's autocorrelation and the causal-
+    * direction screen run before q250's DiD picks its periods. A peak
+    * at positive k means A leads B by k days.
+    *
+    * Determinism: both series are integer-centered over the SHARED
+    * zero-filled calendar (y = T·x − Σx, the q191/q277 device); each
+    * lag's numerator is an exact DECIMAL sum of long products over the
+    * overlapping days (the lag join on day arithmetic — a missing day
+    * is a real zero, never a silently shifted neighbor); denominators
+    * are the full-series exact sums of squares; one double division +
+    * sqrt renders each lag. Peak = max |ccf| (rounded 6), ties to the
+    * smallest |k| then k asc — an exact packed ordering. Shape: one
+    * corpus scan into the per-(day, type) counts; everything after
+    * runs on the calendar-bounded day frame × (2·maxLag+1) lags.
+    */
+  def leadLagCcf(events: DataFrame, typeA: String = "click",
+      typeB: String = "purchase", maxLag: Int = 7): DataFrame = {
+    val spark = events.sparkSession
+    val daily = events
+      .filter($"event_type" === typeA || $"event_type" === typeB)
+      .groupBy(expr(s"ts div $NsPerDay").as("d"))
+      .agg(sum(when($"event_type" === typeA, 1L).otherwise(0L)).as("xa"),
+        sum(when($"event_type" === typeB, 1L).otherwise(0L)).as("xb"))
+    val cal = daily.agg(min($"d").as("d0"), max($"d").as("d1"))
+    val series = cal.select(explode(expr("sequence(d0, d1)")).as("d"))
+      .join(daily, Seq("d"), "left_outer")
+      .select($"d", coalesce($"xa", lit(0L)).as("xa"),
+        coalesce($"xb", lit(0L)).as("xb"))
+    def dec(c: Column): Column = c.cast("decimal(38,0)")
+    val tot = series.agg(count(lit(1)).as("tt"),
+      sum($"xa").as("sa"), sum($"xb").as("sb"))
+    val cent = series.crossJoin(broadcast(tot))
+      .select($"d", ($"tt" * $"xa" - $"sa").as("ya"),
+        ($"tt" * $"xb" - $"sb").as("yb"))
+      .localCheckpoint() // both sides of the lag join + the denominators
+    val den = cent.agg(sum(dec($"ya" * $"ya")).as("daa"),
+      sum(dec($"yb" * $"yb")).as("dbb"))
+    val lags = spark.range(-maxLag.toLong, maxLag + 1L).toDF("k")
+    // numerator: join B shifted by k onto A's day (overlap-only terms)
+    val numJoin = cent.select($"d", $"ya").crossJoin(broadcast(lags))
+      .join(cent.select($"d".as("db"), $"yb"),
+        $"db" === $"d" + $"k")
+      .groupBy($"k").agg(sum(dec($"ya" * $"yb")).as("nab"))
+    val t2 = lags.join(numJoin, Seq("k"), "left_outer")
+      .crossJoin(broadcast(den))
+      .withColumn("ccf", when($"daa" > 0L && $"dbb" > 0L,
+        round(coalesce($"nab", lit(BigDecimal(0))).cast("double") /
+          sqrt($"daa".cast("double") * $"dbb".cast("double")), 6)))
+    val all = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    // packed peak key: (-|ccf6|, |k|, k) lexicographic as one long
+    val ccf6 = round(abs($"ccf") * 1e6, 0).cast("long")
+    val key = (lit(2000000L) - ccf6) * 10000L + abs($"k") * 100L + ($"k" + 50L)
+    val t3 = t2.withColumn("key", when($"ccf".isNotNull, key))
+      .withColumn("best", min($"key").over(all))
+    t3.select($"k".as("lag_days"), $"ccf",
+      coalesce($"key" === $"best", lit(false)).as("is_peak"))
+      .orderBy($"lag_days")
+  }
+
   // ---- overdispersion panel (q260) ------------------------------------------
 
   /** Variance-to-mean dispersion panel per event type — "is per-user

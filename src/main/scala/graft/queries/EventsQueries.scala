@@ -188,6 +188,9 @@ private[graft] object EventsQueries extends QueryFamily {
     // periodogram of the daily series: the period DETECTOR behind
     // q252's lag-7 assumption and q276's phase test
     "q294_periodogram" -> ((s, d) => Events.periodogram(Tables.events(s, d))),
+    // lead-lag cross-correlation of two types' daily series: does
+    // click activity lead purchases, and by how many days
+    "q295_lead_lag" -> ((s, d) => Events.leadLagCcf(Tables.events(s, d))),
   )
 
   /** The q286/q293 shared oracle chain: session transition counts, row
@@ -1905,6 +1908,60 @@ private[graft] object EventsQueries extends QueryFamily {
          |  coalesce(share = bs AND p = bp, false) AS is_peak
          |FROM t6 ORDER BY period_days""".stripMargin
     },
+    "q295_lead_lag" ->
+      // shared zero-filled calendar, integer-centered series, exact
+      // HUGEINT lag numerators over overlapping days, packed peak key
+      """WITH daily AS (
+        |  SELECT epoch_ns(ts) // 86400000000000 AS d,
+        |    CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS xa,
+        |    CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS xb
+        |  FROM events WHERE event_type IN ('click', 'purchase') GROUP BY 1
+        |),
+        |cal AS (SELECT min(d) AS d0, max(d) AS d1 FROM daily),
+        |series AS (
+        |  SELECT g.d, coalesce(xa, 0) AS xa, coalesce(xb, 0) AS xb
+        |  FROM (SELECT unnest(generate_series(d0, d1)) AS d FROM cal) g
+        |  LEFT JOIN daily USING (d)
+        |),
+        |tot AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS tt, CAST(sum(xa) AS BIGINT) AS sa,
+        |    CAST(sum(xb) AS BIGINT) AS sb
+        |  FROM series
+        |),
+        |cent AS (
+        |  SELECT d, tot.tt * xa - tot.sa AS ya, tot.tt * xb - tot.sb AS yb
+        |  FROM series, tot
+        |),
+        |den AS (
+        |  SELECT sum(CAST(ya * ya AS HUGEINT)) AS daa,
+        |    sum(CAST(yb * yb AS HUGEINT)) AS dbb
+        |  FROM cent
+        |),
+        |lags AS (SELECT CAST(range AS BIGINT) AS k FROM range(-7, 8)),
+        |num AS (
+        |  SELECT l.k, sum(CAST(a.ya * b.yb AS HUGEINT)) AS nab
+        |  FROM lags l CROSS JOIN cent a JOIN cent b ON b.d = a.d + l.k
+        |  GROUP BY 1
+        |),
+        |t2 AS (
+        |  SELECT l.k,
+        |    CASE WHEN den.daa > 0 AND den.dbb > 0
+        |      THEN round(CAST(coalesce(num.nab, 0) AS DOUBLE)
+        |        / sqrt(CAST(den.daa AS DOUBLE) * CAST(den.dbb AS DOUBLE)), 6)
+        |    END AS ccf
+        |  FROM lags l LEFT JOIN num USING (k), den
+        |),
+        |t3 AS (
+        |  SELECT t2.*, CASE WHEN ccf IS NOT NULL THEN
+        |    (2000000 - CAST(round(abs(ccf) * 1e6) AS BIGINT)) * 10000
+        |      + abs(k) * 100 + (k + 50) END AS key
+        |  FROM t2
+        |),
+        |t4 AS (SELECT t3.*, min(key) OVER () AS best FROM t3)
+        |SELECT k AS lag_days, ccf, coalesce(key = best, false) AS is_peak
+        |FROM t4 ORDER BY lag_days""".stripMargin,
     "q288_stratified_ate" ->
       // per-user (treated, spend, activity) -> exact log2 bucket frame;
       // bucket diffs micro-quantized before the weighted window sum;

@@ -1473,4 +1473,50 @@ class InferenceSpec extends GraftSuite {
     val f = Events.periodogram(flat).collect()
     assert(f.forall(r => r.isNullAt(1) && !r.getBoolean(2)))
   }
+
+  test("leadLagCcf equals brute force; a planted 3-day shift peaks at +3 and flips sign when swapped (q295)") {
+    import spark.implicits.{localSeqToDatasetHolder, newProductEncoder}
+    val NsDay = 86400L * 1000000000L
+    // brute-force replica on the fixture
+    val daily = events.select(col("event_type"), expr("ts div 86400000000000").as("d"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+      .filter(e => e._1 == "click" || e._1 == "purchase")
+    val d0 = daily.map(_._2).min; val d1 = daily.map(_._2).max
+    val xa = (d0 to d1).map(d => daily.count(e => e._1 == "click" && e._2 == d).toLong)
+    val xb = (d0 to d1).map(d => daily.count(e => e._1 == "purchase" && e._2 == d).toLong)
+    val tt = xa.length.toLong
+    val ya = xa.map(x => tt * x - xa.sum); val yb = xb.map(x => tt * x - xb.sum)
+    val daa = ya.map(y => BigInt(y) * y).sum; val dbb = yb.map(y => BigInt(y) * y).sum
+    def ccf(k: Long): Double = {
+      val nab = (0 until ya.length).collect {
+        case t if t + k >= 0 && t + k < ya.length => BigInt(ya(t)) * yb((t + k).toInt)
+      }.sum
+      roundN(nab.toDouble / math.sqrt(daa.toDouble * dbb.toDouble), 6)
+    }
+    val got = Events.leadLagCcf(events).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getBoolean(2)))
+    assert(got.length == 15)
+    got.foreach { case (k, c, _) => assert(c == ccf(k), s"lag $k") }
+    assert(got.count(_._3) == 1)
+    // planted lead: purchases replay the click curve 3 days later
+    def burst(day: Int, n: Int, typ: String, base: Long) =
+      (0 until n).map(j => (base + day * 1000L + j, base + day * 1000L + j,
+        typ, day.toLong * NsDay + j * 1000L, 0.0))
+    val curve = (0 until 40).map(d => 3 + ((d * 37) % 11)) // varying daily load
+    val planted = (curve.zipWithIndex.flatMap { case (n, d) => burst(d, n, "click", 0L) }
+      ++ curve.zipWithIndex.flatMap { case (n, d) => burst(d + 3, n, "purchase", 9000000L) })
+      .toDF("user_id", "event_id", "event_type", "ts", "value")
+    val p = Events.leadLagCcf(planted).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getBoolean(2)))
+    val peak = p.filter(_._3)
+    assert(peak.length == 1 && peak.head._1 == 3L,
+      s"a 3-day replay must peak at +3, got ${peak.toSeq}")
+    // 0.72 on a 40-day window: the 3 non-overlapping edge days and the
+    // full-series centering cap the attainable ccf below 1
+    assert(peak.head._2 > 0.6)
+    // swapping the roles flips the lead to a lag of the same size
+    val sw = Events.leadLagCcf(planted, typeA = "purchase", typeB = "click")
+      .collect().map(r => (r.getLong(0), r.getBoolean(2))).filter(_._2)
+    assert(sw.length == 1 && sw.head._1 == -3L)
+  }
 }

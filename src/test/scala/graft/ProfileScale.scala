@@ -254,7 +254,9 @@ object ProfileScale {
       // entropy rate: the q286 driver state + a |T|^2 projection
       "q293_markov_entropy",
       // periodogram: day-frame x 29-period grid, trig quantized
-      "q294_periodogram")
+      "q294_periodogram",
+      // lead-lag ccf: day-frame lag joins, exact numerators
+      "q295_lead_lag")
       .filter(selected)
     carriers.foreach { name =>
       time(s"x$repl ${name}") {

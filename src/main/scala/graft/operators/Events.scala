@@ -2494,6 +2494,70 @@ object Events {
       .orderBy($"lag_days")
   }
 
+  /** Classical seasonal decomposition of the daily series with
+    * STL-style strength measures (q296; the moving-average
+    * decomposition of Persons 1919 + Hyndman's F_seasonal/F_trend):
+    * trend = centered 7-day moving average (full windows only),
+    * seasonal index = per-weekday mean of the detrended series,
+    * residual = what neither explains; F_seasonal =
+    * max(0, 1 − Var(R)/Var(S+R)) and F_trend = max(0, 1 −
+    * Var(R)/Var(T+R)) summarize HOW MUCH of the series each component
+    * carries — the decomposition q255's chart, q252's lag-7 forecast
+    * and q294's period scan all implicitly assume, made explicit and
+    * measured.
+    *
+    * Determinism: 7·detrended = 7x − Σ₇x is an EXACT integer
+    * (window sums of counts); it micro-quantizes once per day, the
+    * per-phase index is one mirrored double division, residuals are
+    * exact long differences, and all variances come from exact
+    * long/DECIMAL moments (squares multiply as DECIMAL — residuals can
+    * square past the long ceiling) with one double render each. Shape:
+    * everything after the daily aggregate runs on the calendar-bounded
+    * day frame; the output is the 7-row phase frame.
+    */
+  def seasonalDecomposition(events: DataFrame): DataFrame = {
+    val daily = events.groupBy(expr(s"ts div $NsPerDay").as("d"))
+      .agg(count(lit(1)).as("x"))
+    val cal = daily.agg(min($"d").as("d0"), max($"d").as("d1"))
+    val series = cal.select(explode(expr("sequence(d0, d1)")).as("d"))
+      .join(daily, Seq("d"), "left_outer")
+      .select($"d", coalesce($"x", lit(0L)).as("x"))
+    val w7 = Window.orderBy($"d").rowsBetween(-3, 3)
+    val t1 = series
+      .withColumn("t7", sum($"x").over(w7))
+      .withColumn("nw", count(lit(1)).over(w7))
+      .filter($"nw" === 7L)
+      .withColumn("d6",
+        round(($"x" * 7L - $"t7").cast("double") / 7.0 * 1e6, 0).cast("long"))
+      .withColumn("phase", pmod($"d", lit(7L)))
+    val sIdx = t1.groupBy($"phase")
+      .agg(sum($"d6").as("sd6"), count(lit(1)).as("np"))
+      .withColumn("s6", round($"sd6".cast("double") / $"np", 0).cast("long"))
+    def dec(c: Column): Column = c.cast("decimal(38,0)")
+    val t2 = t1.join(broadcast(sIdx.select($"phase", $"s6")), Seq("phase"))
+      .withColumn("r6", $"d6" - $"s6")
+      .withColumn("tr6", $"x" * 1000000L - $"s6")
+    val m = t2.agg(count(lit(1)).as("n"),
+      sum($"r6").as("sr"), sum(dec($"r6") * dec($"r6")).as("srr"),
+      sum($"d6").as("sd"), sum(dec($"d6") * dec($"d6")).as("sdd"),
+      sum($"tr6").as("st"), sum(dec($"tr6") * dec($"tr6")).as("stt"))
+    def popVar(s2: Column, s1: Column, n: Column): Column =
+      (s2.cast("double") - s1.cast("double") * s1.cast("double") / n) / n
+    val vR = popVar($"srr", $"sr", $"n")
+    val vD = popVar($"sdd", $"sd", $"n")
+    val vT = popVar($"stt", $"st", $"n")
+    val strengths = m.select(
+      when(vD > 0.0, round(greatest(lit(0.0), lit(1.0) - vR / vD), 4))
+        .as("f_seasonal"),
+      when(vT > 0.0, round(greatest(lit(0.0), lit(1.0) - vR / vT), 4))
+        .as("f_trend"))
+    sIdx.crossJoin(broadcast(strengths))
+      .select($"phase", $"np".as("n_days"),
+        round($"s6" / 1e6, 4).as("seasonal"),
+        $"f_seasonal", $"f_trend")
+      .orderBy($"phase")
+  }
+
   // ---- overdispersion panel (q260) ------------------------------------------
 
   /** Variance-to-mean dispersion panel per event type — "is per-user

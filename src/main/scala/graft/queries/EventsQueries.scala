@@ -191,6 +191,10 @@ private[graft] object EventsQueries extends QueryFamily {
     // lead-lag cross-correlation of two types' daily series: does
     // click activity lead purchases, and by how many days
     "q295_lead_lag" -> ((s, d) => Events.leadLagCcf(Tables.events(s, d))),
+    // classical 7-day decomposition + STL strength measures: how much
+    // of the series the trend and the weekday rhythm each carry
+    "q296_seasonal_decomp" -> ((s, d) =>
+      Events.seasonalDecomposition(Tables.events(s, d))),
   )
 
   /** The q286/q293 shared oracle chain: session transition counts, row
@@ -1962,6 +1966,68 @@ private[graft] object EventsQueries extends QueryFamily {
         |t4 AS (SELECT t3.*, min(key) OVER () AS best FROM t3)
         |SELECT k AS lag_days, ccf, coalesce(key = best, false) AS is_peak
         |FROM t4 ORDER BY lag_days""".stripMargin,
+    "q296_seasonal_decomp" -> {
+      // exact 7-scaled detrending on full MA windows, mirrored phase
+      // index division, DECIMAL-squared variance moments
+      def popVar(s2: String, s1: String) =
+        s"((CAST($s2 AS DOUBLE) - CAST($s1 AS DOUBLE) * CAST($s1 AS DOUBLE) / n) / n)"
+      val vR = popVar("srr", "sr"); val vD = popVar("sdd", "sd")
+      val vT = popVar("stt", "st")
+      s"""WITH daily AS (
+         |  SELECT epoch_ns(ts) // 86400000000000 AS d,
+         |    CAST(count(*) AS BIGINT) AS x
+         |  FROM events GROUP BY 1
+         |),
+         |cal AS (SELECT min(d) AS d0, max(d) AS d1 FROM daily),
+         |series AS (
+         |  SELECT g.d, coalesce(daily.x, 0) AS x
+         |  FROM (SELECT unnest(generate_series(d0, d1)) AS d FROM cal) g
+         |  LEFT JOIN daily USING (d)
+         |),
+         |t1 AS (
+         |  SELECT d, x,
+         |    CAST(sum(x) OVER w AS BIGINT) AS t7,
+         |    CAST(count(*) OVER w AS BIGINT) AS nw
+         |  FROM series
+         |  WINDOW w AS (ORDER BY d ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+         |),
+         |t1f AS (
+         |  SELECT d, x,
+         |    CAST(round(CAST(x * 7 - t7 AS DOUBLE) / 7.0 * 1e6) AS BIGINT) AS d6,
+         |    d % 7 AS phase
+         |  FROM t1 WHERE nw = 7
+         |),
+         |sidx AS (
+         |  SELECT phase, CAST(sum(d6) AS BIGINT) AS sd6,
+         |    CAST(count(*) AS BIGINT) AS np
+         |  FROM t1f GROUP BY 1
+         |),
+         |sidx2 AS (
+         |  SELECT sidx.*, CAST(round(CAST(sd6 AS DOUBLE) / np) AS BIGINT) AS s6
+         |  FROM sidx
+         |),
+         |t2 AS (
+         |  SELECT t1f.*, s.s6, t1f.d6 - s.s6 AS r6,
+         |    t1f.x * 1000000 - s.s6 AS tr6
+         |  FROM t1f JOIN sidx2 s USING (phase)
+         |),
+         |m AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS n,
+         |    CAST(sum(r6) AS BIGINT) AS sr,
+         |    sum(CAST(r6 AS HUGEINT) * r6) AS srr,
+         |    CAST(sum(d6) AS BIGINT) AS sd,
+         |    sum(CAST(d6 AS HUGEINT) * d6) AS sdd,
+         |    CAST(sum(tr6) AS BIGINT) AS st,
+         |    sum(CAST(tr6 AS HUGEINT) * tr6) AS stt
+         |  FROM t2
+         |)
+         |SELECT phase, np AS n_days, round(s6 / 1e6, 4) AS seasonal,
+         |  CASE WHEN $vD > 0.0
+         |    THEN round(greatest(0.0, 1.0 - $vR / $vD), 4) END AS f_seasonal,
+         |  CASE WHEN $vT > 0.0
+         |    THEN round(greatest(0.0, 1.0 - $vR / $vT), 4) END AS f_trend
+         |FROM sidx2, m ORDER BY phase""".stripMargin
+    },
     "q288_stratified_ate" ->
       // per-user (treated, spend, activity) -> exact log2 bucket frame;
       // bucket diffs micro-quantized before the weighted window sum;

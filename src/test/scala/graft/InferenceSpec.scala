@@ -1519,4 +1519,60 @@ class InferenceSpec extends GraftSuite {
       .collect().map(r => (r.getLong(0), r.getBoolean(2))).filter(_._2)
     assert(sw.length == 1 && sw.head._1 == -3L)
   }
+
+  test("seasonalDecomposition equals brute force; a weekly comb is all seasonal, a pure trend all trend (q296)") {
+    import spark.implicits.{localSeqToDatasetHolder, newProductEncoder}
+    val NsDay = 86400L * 1000000000L
+    // brute-force replica on the fixture daily series
+    val daily = events.select(expr("ts div 86400000000000").as("d")).collect()
+      .map(_.getLong(0)).groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val d0 = daily.keys.min; val d1 = daily.keys.max
+    val xs = (d0 to d1).map(d => (d, daily.getOrElse(d, 0L)))
+    val full = (3 until xs.length - 3).map { i =>
+      val (d, x) = xs(i)
+      val t7 = (i - 3 to i + 3).map(j => xs(j)._2).sum
+      (d, x, math.round((x * 7 - t7).toDouble / 7.0 * 1e6),
+        ((d % 7) + 7) % 7)
+    }
+    val sIdx = full.groupBy(_._4).view.mapValues { g =>
+      (math.round(g.map(_._3).sum.toDouble / g.length), g.length.toLong)
+    }.toMap
+    val rs = full.map(f => f._3 - sIdx(f._4)._1)
+    val ds = full.map(_._3)
+    val trs = full.map(f => f._2 * 1000000L - sIdx(f._4)._1)
+    def popVar(vs: Seq[Long]): Double = {
+      val n = vs.length.toLong
+      (vs.map(v => BigInt(v) * v).sum.toDouble
+        - vs.sum.toDouble * vs.sum.toDouble / n) / n
+    }
+    val (vr, vd, vt) = (popVar(rs), popVar(ds), popVar(trs))
+    val got = Events.seasonalDecomposition(events).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4)))
+    assert(got.length == 7)
+    got.foreach { case (p, np, s, fs, ft) =>
+      assert(np == sIdx(p)._2 && s == roundN(sIdx(p)._1 / 1e6, 4))
+      assert(fs == roundN(math.max(0.0, 1.0 - vr / vd), 4))
+      assert(ft == roundN(math.max(0.0, 1.0 - vr / vt), 4))
+    }
+    // weekly comb, no trend: the weekday rhythm carries ~everything
+    val comb = (0 until 70).flatMap { day =>
+      val n = if (day % 7 >= 5) 21 else 3
+      (0 until n).map(j => ((day * 100 + j).toLong, (day * 1000 + j).toLong,
+        "click", day.toLong * NsDay + j * 1000L, 0.0))
+    }.toDF("user_id", "event_id", "event_type", "ts", "value")
+    val c = Events.seasonalDecomposition(comb).collect()
+    assert(c.forall(_.getDouble(3) > 0.99), "a pure comb must be ~all seasonal")
+    // a pure linear ramp: the centered MA absorbs it EXACTLY -> zero
+    // seasonal indices, f_seasonal null (no detrended variance),
+    // f_trend exactly 1
+    val ramp = (0 until 40).flatMap { day =>
+      (0 to day).map(j => ((day * 100 + j).toLong, (day * 1000 + j).toLong,
+        "click", day.toLong * NsDay + j * 1000L, 0.0))
+    }.toDF("user_id", "event_id", "event_type", "ts", "value")
+    val r = Events.seasonalDecomposition(ramp).collect()
+    assert(r.forall(_.getDouble(2) == 0.0), "linear ramp: seasonal exactly 0")
+    assert(r.forall(_.isNullAt(3)), "no detrended variance -> null f_seasonal")
+    assert(r.forall(_.getDouble(4) == 1.0), "linear ramp: f_trend exactly 1")
+  }
 }

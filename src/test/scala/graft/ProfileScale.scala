@@ -256,7 +256,9 @@ object ProfileScale {
       // periodogram: day-frame x 29-period grid, trig quantized
       "q294_periodogram",
       // lead-lag ccf: day-frame lag joins, exact numerators
-      "q295_lead_lag")
+      "q295_lead_lag",
+      // seasonal decomposition: day-frame MA windows + phase frame
+      "q296_seasonal_decomp")
       .filter(selected)
     carriers.foreach { name =>
       time(s"x$repl ${name}") {

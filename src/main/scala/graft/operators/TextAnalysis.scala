@@ -1215,4 +1215,42 @@ object TextAnalysis {
         round($"f1".cast("double") / $"n_tokens", 6).as("gt_unseen_mass"))
       .orderBy($"source")
   }
+
+  /** Token burstiness panel (q297; Church & Gale 1995): the dispersion
+    * index var/mean of each frequent token's PER-DOCUMENT count —
+    * function words arrive ≈ Poisson (dispersion ≈ 1 at natural rates,
+    * 0 when exactly once per doc), content words BURST (a doc that
+    * mentions a topic mentions it repeatedly, dispersion ≫ 1).
+    * Burstiness is what tf-idf's df term cannot see (two tokens with
+    * the same df can differ 10× in burst), and the standard evidence
+    * for topical vs grammatical vocabulary — the per-token complement
+    * of q260's per-user event dispersion.
+    *
+    * Zero-count documents enter through the algebra (they add 0 to
+    * both exact moments while N counts them — the q260 device):
+    * dispersion = (S₂ − S₁²/N)/S₁ renders once per token from exact
+    * longs. Output = the `topN` most bursty tokens with df ≥ `minDf`
+    * (rare tokens' dispersion is noise), ordered by (rounded
+    * dispersion desc, token) — a total order both engines sort. Shape:
+    * one explode → (token, doc) counts (corpus-proportional, map-side
+    * combined), then a vocabulary-bounded frame.
+    */
+  def tokenBurstiness(documents: DataFrame, minDf: Long = 50L,
+      topN: Int = 25): DataFrame = {
+    val n = documents.agg(count(lit(1)).as("n"))
+    val perDoc = documents
+      .select($"doc_id", explode(split($"text", " ")).as("token"))
+      .filter(length($"token") > 0)
+      .groupBy($"token", $"doc_id").agg(count(lit(1)).as("c"))
+    val byTok = perDoc.groupBy($"token").agg(
+      count(lit(1)).as("df"), sum($"c").as("s1"),
+      sum($"c" * $"c").as("s2"))
+    val disp = ($"s2".cast("double") -
+      $"s1".cast("double") * $"s1".cast("double") / $"n") / $"s1"
+    byTok.filter($"df" >= minDf).crossJoin(broadcast(n))
+      .select($"token", $"df", $"s1".as("total_count"),
+        round(disp, 4).as("dispersion"))
+      .orderBy($"dispersion".desc, $"token")
+      .limit(topN)
+  }
 }

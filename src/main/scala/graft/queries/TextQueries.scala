@@ -92,6 +92,10 @@ private[graft] object TextQueries extends QueryFamily {
     // out-of-support tail collapses to a closed form (never zero-filled)
     "q280_lexical_jsd" -> ((s, d) =>
       TextAnalysis.lexicalJsDivergence(Tables.documents(s, d))),
+    // token burstiness: var/mean of per-doc counts (zeros implicit in
+    // the algebra) - the topical-vs-grammatical vocabulary evidence
+    "q297_token_burstiness" -> ((s, d) =>
+      TextAnalysis.tokenBurstiness(Tables.documents(s, d))),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -634,5 +638,25 @@ private[graft] object TextQueries extends QueryFamily {
         |    round(CAST((n - n_tokens) - rest_sup AS DOUBLE) / (n - n_tokens), 6)
         |  END AS unshared_rest_mass
         |FROM ps ORDER BY source""".stripMargin,
+    "q297_token_burstiness" ->
+      // zero-count docs enter through the moments; one double render
+      // per token; rounded-dispersion + token total order for the cut
+      """WITH n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+        |pd AS (
+        |  SELECT token, doc_id, CAST(count(*) AS BIGINT) AS c FROM (
+        |    SELECT doc_id, unnest(string_split(text, ' ')) AS token
+        |    FROM documents
+        |  ) WHERE length(token) > 0 GROUP BY 1, 2
+        |),
+        |bt AS (
+        |  SELECT token, CAST(count(*) AS BIGINT) AS df,
+        |    CAST(sum(c) AS BIGINT) AS s1, CAST(sum(c * c) AS BIGINT) AS s2
+        |  FROM pd GROUP BY 1
+        |)
+        |SELECT token, df, s1 AS total_count,
+        |  round((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / n)
+        |    / s1, 4) AS dispersion
+        |FROM bt, n WHERE df >= 50
+        |ORDER BY dispersion DESC, token LIMIT 25""".stripMargin,
   )
 }

@@ -2750,4 +2750,39 @@ class PipelineSpec extends GraftSuite {
     val coreLofs = p.tail.map(_.getDouble(3))
     assert(coreLofs.forall(_ < 1.5), "core points must stay near LOF 1")
   }
+
+  test("tokenBurstiness equals brute force; once-per-doc scores exactly 0, a one-doc burst exactly 10 - 10/N (q297)") {
+    import spark.implicits.{localSeqToDatasetHolder, newProductEncoder}
+    def round4(x: Double): Double =
+      java.math.BigDecimal.valueOf(x).setScale(4, java.math.RoundingMode.HALF_UP).doubleValue()
+    val rows = Tables.documents(spark, sf).select(col("doc_id"), col("text"))
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val nDocs = rows.length.toLong
+    val perTok = rows.flatMap { case (id, t) =>
+      t.split(" ", -1).filter(_.nonEmpty).groupBy(identity).map {
+        case (tok, g) => (tok, id, g.length.toLong)
+      }
+    }.groupBy(_._1).view.mapValues { g =>
+      val s1 = g.map(_._3).sum
+      (g.size.toLong, s1, g.map(c => c._3 * c._3).sum)
+    }.filter(_._2._1 >= 50L).toMap
+    val expected = perTok.map { case (tok, (df, s1, s2)) =>
+      (tok, df, s1,
+        round4((s2.toDouble - s1.toDouble * s1.toDouble / nDocs) / s1))
+    }.toSeq.sortBy(e => (-e._4, e._1)).take(25)
+    val got = TextAnalysis.tokenBurstiness(Tables.documents(spark, sf)).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+    assert(got === expected)
+    assert(got.nonEmpty)
+    // constructed: "flat" appears exactly once in every doc (dispersion
+    // exactly 0); "burst" appears 10 times in ONE doc of N = 10
+    // (dispersion exactly (100 - 100/10)/10 = 9.0)
+    val docs = (1 to 10).map { i =>
+      val burst = if (i == 1) " " + ("burst " * 10).trim else ""
+      (i.toLong, ("flat" + burst), "en", "s", 10L)
+    }.toDF("doc_id", "text", "lang", "source", "n_chars")
+    val c = TextAnalysis.tokenBurstiness(docs, minDf = 1L).collect()
+      .map(r => (r.getString(0), r.getDouble(3))).toMap
+    assert(c("flat") == 0.0 && c("burst") == 9.0)
+  }
 }

@@ -258,7 +258,9 @@ object ProfileScale {
       // lead-lag ccf: day-frame lag joins, exact numerators
       "q295_lead_lag",
       // seasonal decomposition: day-frame MA windows + phase frame
-      "q296_seasonal_decomp")
+      "q296_seasonal_decomp",
+      // burstiness: one explode into the vocabulary-bounded frame
+      "q297_token_burstiness")
       .filter(selected)
     carriers.foreach { name =>
       time(s"x$repl ${name}") {

@@ -2397,10 +2397,22 @@ object Events {
     * shares render from exact sums. Shape: the day frame × 29 periods
     * — a calendar-bounded grid, never corpus-proportional.
     */
-  def periodogram(events: DataFrame, maxPeriod: Int = 30): DataFrame = {
-    val spark = events.sparkSession
-    val daily = events.groupBy(expr(s"ts div $NsPerDay").as("d"))
-      .agg(count(lit(1)).as("x"))
+  def periodogram(events: DataFrame, maxPeriod: Int = 30): DataFrame =
+    periodogramFromDaily(
+      events.groupBy(expr(s"ts div $NsPerDay").as("d"))
+        .agg(count(lit(1)).as("x")),
+      maxPeriod)
+
+  /** The periodogram finisher over a (d, x) daily count frame — split
+    * from [[periodogram]] so the streaming twin (the per-day
+    * pure-addition counts `EventStreams.cusumMomentStream` already
+    * maintains) finishes through the IDENTICAL code path (the
+    * q255-EWMA reuse pattern: the thirteenth twin is zero new stream
+    * operators).
+    */
+  private[graft] def periodogramFromDaily(daily: DataFrame,
+      maxPeriod: Int): DataFrame = {
+    val spark = daily.sparkSession
     val cal = daily.agg(min($"d").as("d0"), max($"d").as("d1"))
     val series = cal.select(explode(expr("sequence(d0, d1)")).as("d"))
       .join(daily, Seq("d"), "left_outer")

@@ -1256,4 +1256,35 @@ class StreamingSpec extends GraftSuite {
     assert(served === batch,
       "finishing the streamed value counts must equal the batch Hill estimate")
   }
+
+  test("periodogram streaming twin: streamed day counts finish to the exact batch spectrum (q294 twin)") {
+    // the THIRTEENTH twin, zero new stream operators (the q255-EWMA
+    // pattern): cusumMomentStream's per-day counts are pure addition
+    // and periodogramFromDaily is the identical batch finisher — a live
+    // rhythm monitor ("did a weekly cycle appear?") streams for free
+    import graft.operators.Events
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val ev = Tables.events(spark, sf)
+    val raw = ev.select($"ts".cast("long"), $"value")
+      .as[EventStreams.CusumEvent].collect().toSeq
+    val input = MemoryStream[EventStreams.CusumEvent]
+    val q = EventStreams.cusumMomentStream(input.toDS())
+      .writeStream.outputMode("update").format("memory").queryName("pgram_days")
+      .start()
+    val splits = Seq(raw.take(raw.length / 3),
+      raw.slice(raw.length / 3, raw.length * 5 / 6), raw.drop(raw.length * 5 / 6))
+    splits.foreach { s => input.addData(s.toIndexedSeq); q.processAllAvailable() }
+    val state = spark.table("pgram_days").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).zipWithIndex
+      .groupBy(_._1._1).view.mapValues(g => g.maxBy(_._2)._1._2).toMap
+    q.stop()
+    val served = Events.periodogramFromDaily(
+      state.toSeq.map { case (dayEpoch, c) => (dayEpoch / 86400L, c) }
+        .toDF("d", "x"), 30)
+      .collect().map(_.toSeq).toSeq
+    val batch = Events.periodogram(ev).collect().map(_.toSeq).toSeq
+    assert(served === batch,
+      "finishing the streamed day counts must equal the batch periodogram")
+  }
 }

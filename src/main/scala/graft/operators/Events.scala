@@ -2570,6 +2570,115 @@ object Events {
       .orderBy($"phase")
   }
 
+  /** Cochran–Armitage trend test (q298; Cochran 1954, Armitage 1955):
+    * does conversion rise MONOTONICALLY with activity? q264's CMH
+    * tests arm–conversion association CONTROLLING the activity strata;
+    * this scores the strata themselves (w_b = the exact log₂ bucket
+    * index, the q264/q288 device) and asks the dose–response question
+    * — the one-degree-of-freedom test that beats an omnibus χ² exactly
+    * when the alternative is ordered. T = Σ w(a_b − n_b·p̄),
+    * Var = p̄(1−p̄)(Σw²n_b − (Σw·n_b)²/N). The response is the
+    * HEAVY-PURCHASER flag (purchase share above the uniform 1/5, the
+    * q288 exact integer test) — mere purchase PRESENCE is universal on
+    * a dense stream and would degenerate p̄ to 1.
+    *
+    * All five aggregates (N, A, Σwn, Σw²n, Σwa) are exact longs from
+    * ONE per-user scan + the bounded bucket frame; the finisher is a
+    * mirrored double expression; two-sided p via the A&S kernel. A
+    * perfectly flat dose–response gives T EXACTLY 0 (spec-pinned).
+    */
+  def cochranArmitage(events: DataFrame, metricType: String = "purchase"): DataFrame = {
+    val perUser = events.groupBy($"user_id").agg(
+      count(lit(1)).as("c"),
+      sum(when($"event_type" === metricType, 1L).otherwise(0L)).as("e"))
+      .withColumn("y", ($"e" * 5L > $"c").cast("long"))
+    val byB = perUser
+      .select((length(bin($"c")) - 1).cast("long").as("w"), $"y")
+      .groupBy($"w").agg(count(lit(1)).as("nb"), sum($"y").as("ab"))
+    val m = byB.agg(sum($"nb").as("n"), sum($"ab").as("a"),
+      sum($"w" * $"nb").as("swn"), sum($"w" * $"w" * $"nb").as("sw2n"),
+      sum($"w" * $"ab").as("swa"), count(lit(1)).as("k"))
+    val nD = $"n".cast("double")
+    val pbar = $"a".cast("double") / nD
+    val t = $"swa".cast("double") - $"swn".cast("double") * pbar
+    val v = pbar * (lit(1.0) - pbar) *
+      ($"sw2n".cast("double") - $"swn".cast("double") * $"swn" / nD)
+    val z = t / sqrt(v)
+    m.select($"n".as("n_users"), $"a".as("n_converted"), $"k".as("n_buckets"),
+      round(t, 4).as("t_stat"),
+      when(v > 0.0, round(z, 4)).as("z_trend"),
+      when(v > 0.0,
+        round(least(lit(2.0) * Inference.upperTail(abs(z)), lit(1.0)), 6))
+        .as("p_value"))
+  }
+
+  /** Chapman capture–recapture population estimate (q299; Chapman 1951
+    * — the bias-corrected Lincoln–Petersen): how many users EXIST,
+    * including the ones we never saw? The two capture occasions are
+    * the halves of the observed window (the q232 midpoint device);
+    * N̂ = (n₁+1)(n₂+1)/(m+1) − 1 with Seber's se. The
+    * population-size companion to Chao1 (q265 asks it of vocabulary,
+    * this of the user base) and the honest denominator for any
+    * "reach" metric. A closed world where every user appears in both
+    * halves collapses to N̂ = n₁ EXACTLY (spec-pinned).
+    *
+    * All counts are exact (distinct-user sets per half, intersection
+    * via both-halves flags on ONE per-user aggregate); the estimate
+    * and se are single mirrored double expressions.
+    */
+  def captureRecapture(events: DataFrame): DataFrame = {
+    val NsPerDayL = 86400L * 1000000000L
+    val ev = events.select($"user_id", expr(s"ts div $NsPerDayL").as("day"))
+    val mid = ev.agg(expr("(min(day) + max(day) + 1) div 2").as("mid"))
+    val perUser = ev.crossJoin(broadcast(mid))
+      .groupBy($"user_id").agg(
+        max(when($"day" < $"mid", 1L).otherwise(0L)).as("h1"),
+        max(when($"day" >= $"mid", 1L).otherwise(0L)).as("h2"))
+    val m = perUser.agg(count(lit(1)).as("obs"),
+      sum($"h1").as("n1"), sum($"h2").as("n2"),
+      sum($"h1" * $"h2").as("mm"))
+    def d(c: Column): Column = c.cast("double")
+    val nHat = (d($"n1") + 1.0) * (d($"n2") + 1.0) / (d($"mm") + 1.0) - 1.0
+    val se = sqrt((d($"n1") + 1.0) * (d($"n2") + 1.0) *
+      (d($"n1") - d($"mm")) * (d($"n2") - d($"mm")) /
+      ((d($"mm") + 1.0) * (d($"mm") + 1.0) * (d($"mm") + 2.0)))
+    m.select($"n1".as("n_first_half"), $"n2".as("n_second_half"),
+      $"mm".as("n_both"), $"obs".as("n_observed"),
+      round(nHat, 2).as("n_hat"), round(se, 2).as("se"),
+      round(nHat - $"obs", 2).as("undetected_hat"))
+  }
+
+  /** Negative-binomial fit for per-user event counts (q300;
+    * Greenwood & Yule 1920's accident-proneness model by method of
+    * moments): q260 FLAGS overdispersion; this QUANTIFIES the
+    * corrected model — r = m²/(v−m), p = m/v per event type, the
+    * parameters a rate simulation or an anomaly baseline actually
+    * needs. The full user universe enters through the algebra
+    * (zero-count users add 0 to both exact moments, the q260 device);
+    * v ≤ m (at-or-under Poisson) pins r/p to NULL — a stated
+    * convention, not a NaN.
+    *
+    * One corpus scan into per-(user, type) counts; exact long/DECIMAL
+    * moments per type; two mirrored double divisions per row.
+    */
+  def negativeBinomialFit(events: DataFrame): DataFrame = {
+    val users = events.select($"user_id").distinct().count()
+    val perUT = events.groupBy($"event_type", $"user_id")
+      .agg(count(lit(1)).as("c"))
+    def dec(c: Column): Column = c.cast("decimal(38,0)")
+    val byT = perUT.groupBy($"event_type").agg(
+      sum($"c").as("s1"), sum(dec($"c" * $"c")).as("s2"))
+    val uD = lit(users).cast("double")
+    val mean = $"s1".cast("double") / uD
+    val v = ($"s2".cast("double") - $"s1".cast("double") * $"s1" / uD) / uD
+    byT.select($"event_type", lit(users).as("n_users"),
+      round(mean, 4).as("mean"),
+      round(v, 4).as("variance"),
+      when(v > mean, round(mean * mean / (v - mean), 4)).as("nb_r"),
+      when(v > mean, round(mean / v, 6)).as("nb_p"))
+      .orderBy($"event_type")
+  }
+
   // ---- overdispersion panel (q260) ------------------------------------------
 
   /** Variance-to-mean dispersion panel per event type — "is per-user

@@ -195,6 +195,14 @@ private[graft] object EventsQueries extends QueryFamily {
     // of the series the trend and the weekday rhythm each carry
     "q296_seasonal_decomp" -> ((s, d) =>
       Events.seasonalDecomposition(Tables.events(s, d))),
+    // Chapman capture-recapture over the window halves: how many users
+    // exist, including the never-seen (the q265 question of the user base)
+    "q299_capture_recapture" -> ((s, d) =>
+      Events.captureRecapture(Tables.events(s, d))),
+    // negative-binomial method-of-moments fit per type: q260 flags
+    // overdispersion, this quantifies the corrected model
+    "q300_negbin_fit" -> ((s, d) =>
+      Events.negativeBinomialFit(Tables.events(s, d))),
   )
 
   /** The q286/q293 shared oracle chain: session transition counts, row
@@ -2028,6 +2036,71 @@ private[graft] object EventsQueries extends QueryFamily {
          |    THEN round(greatest(0.0, 1.0 - $vR / $vT), 4) END AS f_trend
          |FROM sidx2, m ORDER BY phase""".stripMargin
     },
+    "q299_capture_recapture" ->
+      // midpoint halves, per-user both-halves flags, Chapman + Seber
+      """WITH ev AS (
+        |  SELECT user_id, epoch_ns(ts) // 86400000000000 AS day FROM events
+        |),
+        |mid AS (SELECT (min(day) + max(day) + 1) // 2 AS m FROM ev),
+        |pu AS (
+        |  SELECT user_id,
+        |    CAST(max(CASE WHEN day < (SELECT m FROM mid) THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS h1,
+        |    CAST(max(CASE WHEN day >= (SELECT m FROM mid) THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS h2
+        |  FROM ev GROUP BY 1
+        |),
+        |m AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS obs, CAST(sum(h1) AS BIGINT) AS n1,
+        |    CAST(sum(h2) AS BIGINT) AS n2, CAST(sum(h1 * h2) AS BIGINT) AS mm
+        |  FROM pu
+        |)
+        |SELECT n1 AS n_first_half, n2 AS n_second_half, mm AS n_both,
+        |  obs AS n_observed,
+        |  round((CAST(n1 AS DOUBLE) + 1.0) * (CAST(n2 AS DOUBLE) + 1.0)
+        |    / (CAST(mm AS DOUBLE) + 1.0) - 1.0, 2) AS n_hat,
+        |  round(sqrt((CAST(n1 AS DOUBLE) + 1.0) * (CAST(n2 AS DOUBLE) + 1.0)
+        |    * (CAST(n1 AS DOUBLE) - CAST(mm AS DOUBLE))
+        |    * (CAST(n2 AS DOUBLE) - CAST(mm AS DOUBLE))
+        |    / ((CAST(mm AS DOUBLE) + 1.0) * (CAST(mm AS DOUBLE) + 1.0)
+        |      * (CAST(mm AS DOUBLE) + 2.0))), 2) AS se,
+        |  round((CAST(n1 AS DOUBLE) + 1.0) * (CAST(n2 AS DOUBLE) + 1.0)
+        |    / (CAST(mm AS DOUBLE) + 1.0) - 1.0 - obs, 2) AS undetected_hat
+        |FROM m""".stripMargin,
+    "q300_negbin_fit" ->
+      // full user universe through the algebra; exact moments; two
+      // mirrored divisions; v <= m pins r/p to NULL
+      """WITH u AS (SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS nu FROM events),
+        |put AS (
+        |  SELECT event_type, user_id, CAST(count(*) AS BIGINT) AS c
+        |  FROM events GROUP BY 1, 2
+        |),
+        |bt AS (
+        |  SELECT event_type, CAST(sum(c) AS BIGINT) AS s1,
+        |    sum(CAST(c * c AS HUGEINT)) AS s2
+        |  FROM put GROUP BY 1
+        |)
+        |SELECT event_type, nu AS n_users,
+        |  round(CAST(s1 AS DOUBLE) / CAST(nu AS DOUBLE), 4) AS mean,
+        |  round((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1
+        |    / CAST(nu AS DOUBLE)) / CAST(nu AS DOUBLE), 4) AS variance,
+        |  CASE WHEN (CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1
+        |      / CAST(nu AS DOUBLE)) / CAST(nu AS DOUBLE)
+        |      > CAST(s1 AS DOUBLE) / CAST(nu AS DOUBLE)
+        |    THEN round((CAST(s1 AS DOUBLE) / CAST(nu AS DOUBLE))
+        |      * (CAST(s1 AS DOUBLE) / CAST(nu AS DOUBLE))
+        |      / ((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1
+        |        / CAST(nu AS DOUBLE)) / CAST(nu AS DOUBLE)
+        |        - CAST(s1 AS DOUBLE) / CAST(nu AS DOUBLE)), 4)
+        |  END AS nb_r,
+        |  CASE WHEN (CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1
+        |      / CAST(nu AS DOUBLE)) / CAST(nu AS DOUBLE)
+        |      > CAST(s1 AS DOUBLE) / CAST(nu AS DOUBLE)
+        |    THEN round((CAST(s1 AS DOUBLE) / CAST(nu AS DOUBLE))
+        |      / ((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1
+        |        / CAST(nu AS DOUBLE)) / CAST(nu AS DOUBLE)), 6)
+        |  END AS nb_p
+        |FROM bt, u ORDER BY event_type""".stripMargin,
     "q288_stratified_ate" ->
       // per-user (treated, spend, activity) -> exact log2 bucket frame;
       // bucket diffs micro-quantized before the weighted window sum;

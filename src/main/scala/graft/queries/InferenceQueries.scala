@@ -72,7 +72,11 @@ private[graft] object InferenceQueries extends QueryFamily {
     // sharp regression discontinuity at the n_chars >= 300 gate: local
     // linear fits both sides, the jump at the cutoff with its se
     "q291_rd_gate_audit" -> ((s, d) =>
-      Inference.rdGateAudit(Tables.documents(s, d))))
+      Inference.rdGateAudit(Tables.documents(s, d))),
+    // Cochran-Armitage: does conversion rise MONOTONICALLY with
+    // activity (scored log2 buckets) - the ordered-alternative test
+    "q298_cochran_armitage" -> ((s, d) =>
+      Events.cochranArmitage(Tables.events(s, d))))
 
   /** DuckDB text of [[Inference.upperTail]]: 1−Φ(x) for the SQL
     * expression `x` (must be non-negative), Abramowitz–Stegun 26.2.17
@@ -876,6 +880,41 @@ private[graft] object InferenceQueries extends QueryFamily {
          |  CASE WHEN $okS AND $seS > 0.0 THEN round($tauS / $seS, 4) END AS z_score,
          |  CASE WHEN $okS AND $seS > 0.0
          |    THEN round(least(2.0 * ${upperTailSql(s"abs($tauS / $seS)")}, 1.0), 6)
+         |  END AS p_value
+         |FROM m""".stripMargin
+    },
+    "q298_cochran_armitage" -> {
+      // exact bucket-score moments; mirrored T/V finisher; A&S tail
+      val pb = "(CAST(a AS DOUBLE) / CAST(n AS DOUBLE))"
+      val tS = s"(CAST(swa AS DOUBLE) - CAST(swn AS DOUBLE) * $pb)"
+      val vS = s"""($pb * (1.0 - $pb)
+                  | * (CAST(sw2n AS DOUBLE) - CAST(swn AS DOUBLE) * swn
+                  |   / CAST(n AS DOUBLE)))""".stripMargin
+      s"""WITH pu AS (
+         |  SELECT user_id, CAST(count(*) AS BIGINT) AS c,
+         |    CASE WHEN CAST(sum(CASE WHEN event_type = 'purchase'
+         |        THEN 1 ELSE 0 END) AS BIGINT) * 5 > count(*)
+         |      THEN 1 ELSE 0 END AS y
+         |  FROM events GROUP BY 1
+         |),
+         |bb AS (
+         |  SELECT CAST(length(bin(c)) - 1 AS BIGINT) AS w,
+         |    CAST(count(*) AS BIGINT) AS nb, CAST(sum(y) AS BIGINT) AS ab
+         |  FROM pu GROUP BY 1
+         |),
+         |m AS (
+         |  SELECT CAST(sum(nb) AS BIGINT) AS n, CAST(sum(ab) AS BIGINT) AS a,
+         |    CAST(sum(w * nb) AS BIGINT) AS swn,
+         |    CAST(sum(w * w * nb) AS BIGINT) AS sw2n,
+         |    CAST(sum(w * ab) AS BIGINT) AS swa,
+         |    CAST(count(*) AS BIGINT) AS k
+         |  FROM bb
+         |)
+         |SELECT n AS n_users, a AS n_converted, k AS n_buckets,
+         |  round($tS, 4) AS t_stat,
+         |  CASE WHEN $vS > 0.0 THEN round($tS / sqrt($vS), 4) END AS z_trend,
+         |  CASE WHEN $vS > 0.0
+         |    THEN round(least(2.0 * ${upperTailSql(s"abs($tS / sqrt($vS))")}, 1.0), 6)
          |  END AS p_value
          |FROM m""".stripMargin
     },

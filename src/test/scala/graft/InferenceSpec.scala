@@ -1575,4 +1575,130 @@ class InferenceSpec extends GraftSuite {
     assert(r.forall(_.isNullAt(3)), "no detrended variance -> null f_seasonal")
     assert(r.forall(_.getDouble(4) == 1.0), "linear ramp: f_trend exactly 1")
   }
+
+  test("cochranArmitage equals brute force; flat dose-response scores T exactly 0, a monotone one rejects (q298)") {
+    import spark.implicits.{localSeqToDatasetHolder, newProductEncoder}
+    // brute-force replica on the fixture
+    val pu = events.select(col("user_id"), col("event_type")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+      .groupBy(_._1).toSeq.map { case (_, g) =>
+        ((63 - java.lang.Long.numberOfLeadingZeros(g.length.toLong)).toLong,
+          if (g.count(_._2 == "purchase").toLong * 5 > g.length) 1L else 0L)
+      }
+    val byB = pu.groupBy(_._1).view
+      .mapValues(g => (g.size.toLong, g.map(_._2).sum)).toMap
+    val n = pu.size.toLong; val a = pu.map(_._2).sum
+    val swn = byB.map { case (w, (nb, _)) => w * nb }.sum
+    val sw2n = byB.map { case (w, (nb, _)) => w * w * nb }.sum
+    val swa = byB.map { case (w, (_, ab)) => w * ab }.sum
+    val pbar = a.toDouble / n.toDouble
+    val t = swa.toDouble - swn.toDouble * pbar
+    val v = pbar * (1.0 - pbar) * (sw2n.toDouble - swn.toDouble * swn / n.toDouble)
+    val g = Events.cochranArmitage(events).collect()(0)
+    assert(g.getLong(0) == n && g.getLong(1) == a && g.getLong(2) == byB.size)
+    assert(g.getDouble(3) == roundN(t, 4))
+    if (v > 0.0) {
+      assert(g.getDouble(4) == roundN(t / math.sqrt(v), 4))
+      assert(g.getDouble(5) ==
+        roundN(math.min(2.0 * upperTail(math.abs(t / math.sqrt(v))), 1.0), 6))
+    } else {
+      // a universal conversion rate (pbar = 1, the sf0.001 fixture)
+      // degenerates V to 0: null z by the stated guard
+      assert(g.isNullAt(4) && g.isNullAt(5))
+    }
+    // flat dose-response: every bucket heavy-purchases at exactly 1/2
+    // -> T = 0 (light heavy-users: 1 purchase in 2 events, share 1/2;
+    // heavy heavy-users: 2 purchases in 8, share 1/4 - both above 1/5)
+    def user(u: Long, nEv: Int, convert: Boolean) = {
+      val nP = if (!convert) 0 else if (nEv >= 8) 2 else 1
+      (Seq.fill(nP)("purchase") ++ Seq.fill(nEv - nP)("view"))
+        .zipWithIndex.map { case (t2, i) =>
+          (u, u * 100 + i, t2, u * 1000000L + i * 1000L, 0.0)
+        }
+    }
+    val flat = ((1L to 20L).flatMap(u => user(u, 2, u % 2 == 0))
+      ++ (21L to 40L).flatMap(u => user(u, 8, u % 2 == 0)))
+      .toDF("user_id", "event_id", "event_type", "ts", "value")
+    val fr = Events.cochranArmitage(flat).collect()(0)
+    assert(fr.getDouble(3) == 0.0, "a flat dose-response must score T exactly 0")
+    // monotone: light users never convert, heavy users always -> rejects
+    val mono = ((1L to 40L).flatMap(u => user(u, 2, convert = false))
+      ++ (41L to 80L).flatMap(u => user(u, 8, convert = true)))
+      .toDF("user_id", "event_id", "event_type", "ts", "value")
+    val mr = Events.cochranArmitage(mono).collect()(0)
+    assert(mr.getDouble(4) > 3.0 && mr.getDouble(5) < 0.01)
+  }
+
+  test("captureRecapture equals brute force; a closed world collapses to n1 exactly; half overlap matches Chapman (q299)") {
+    import spark.implicits.{localSeqToDatasetHolder, newProductEncoder}
+    val NsDay = 86400L * 1000000000L
+    // brute-force replica on the fixture
+    val ev = events.select(col("user_id"), expr("ts div 86400000000000").as("d"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val mid = (ev.map(_._2).min + ev.map(_._2).max + 1) / 2
+    val pu = ev.groupBy(_._1).view.mapValues { g =>
+      (if (g.exists(_._2 < mid)) 1L else 0L, if (g.exists(_._2 >= mid)) 1L else 0L)
+    }.toMap
+    val n1 = pu.values.map(_._1).sum; val n2 = pu.values.map(_._2).sum
+    val mm = pu.values.count(v => v._1 == 1L && v._2 == 1L).toLong
+    val obs = pu.size.toLong
+    val nHat = (n1 + 1.0) * (n2 + 1.0) / (mm + 1.0) - 1.0
+    val se = math.sqrt((n1 + 1.0) * (n2 + 1.0) * (n1 - mm) * (n2 - mm) /
+      ((mm + 1.0) * (mm + 1.0) * (mm + 2.0)))
+    val g = Events.captureRecapture(events).collect()(0)
+    assert(g.getLong(0) == n1 && g.getLong(1) == n2 && g.getLong(2) == mm)
+    assert(g.getLong(3) == obs)
+    assert(g.getDouble(4) == roundN(nHat, 2) && g.getDouble(5) == roundN(se, 2))
+    assert(g.getDouble(6) == roundN(nHat - obs, 2))
+    // closed world: every user seen in both halves -> n_hat = n1 exactly
+    def sighting(u: Long, day: Long) =
+      (u, u * 10 + day, "click", day * NsDay, 0.0)
+    val closed = (1L to 20L).flatMap(u => Seq(sighting(u, 0L), sighting(u, 9L)))
+      .toDF("user_id", "event_id", "event_type", "ts", "value")
+    val c = Events.captureRecapture(closed).collect()(0)
+    assert(c.getDouble(4) == 20.0 && c.getDouble(6) == 0.0 && c.getDouble(5) == 0.0)
+    // 10 both + 10 first-only + 10 second-only: Chapman 21*21/11 - 1
+    val half = ((1L to 10L).flatMap(u => Seq(sighting(u, 0L), sighting(u, 9L)))
+      ++ (11L to 20L).map(u => sighting(u, 0L))
+      ++ (21L to 30L).map(u => sighting(u, 9L)))
+      .toDF("user_id", "event_id", "event_type", "ts", "value")
+    val h = Events.captureRecapture(half).collect()(0)
+    assert(h.getDouble(4) == roundN(21.0 * 21.0 / 11.0 - 1.0, 2))
+    assert(h.getLong(3) == 30L)
+  }
+
+  test("negativeBinomialFit equals brute force; MoM identities exact on a constructed burst; underdispersion pins null (q300)") {
+    import spark.implicits.{localSeqToDatasetHolder, newProductEncoder}
+    // brute-force replica on the fixture
+    val rows = events.select(col("event_type"), col("user_id")).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    val nu = rows.map(_._2).distinct.length.toLong
+    val byT = rows.groupBy(_._1).view.mapValues { g =>
+      val cs = g.groupBy(_._2).values.map(_.size.toLong)
+      (cs.sum, cs.map(c => c * c).sum)
+    }.toMap
+    val got = Events.negativeBinomialFit(events).collect()
+    assert(got.length == byT.size)
+    got.foreach { r =>
+      val (s1, s2) = byT(r.getString(0))
+      val m = s1.toDouble / nu.toDouble
+      val v = (s2.toDouble - s1.toDouble * s1 / nu.toDouble) / nu.toDouble
+      assert(r.getLong(1) == nu)
+      assert(r.getDouble(2) == roundN(m, 4) && r.getDouble(3) == roundN(v, 4))
+      if (v > m) {
+        assert(r.getDouble(4) == roundN(m * m / (v - m), 4))
+        assert(r.getDouble(5) == roundN(m / v, 6))
+      } else assert(r.isNullAt(4) && r.isNullAt(5))
+    }
+    // constructed burst: counts {4, 0, 0, 0} -> mean 1, var 3,
+    // r = 1/2 exactly, p = 1/3
+    val burst = ((1 to 4).map(j => (1L, j.toLong, "g", j * 1000L, 0.0))
+      ++ (2 to 4).map(u => (u.toLong, u * 100L, "other", u * 1000L, 0.0)))
+      .toDF("user_id", "event_id", "event_type", "ts", "value")
+    val b = Events.negativeBinomialFit(burst).collect()
+      .map(r => (r.getString(0), r)).toMap
+    assert(b("g").getDouble(4) == 0.5 && b("g").getDouble(5) == 0.333333)
+    // exactly one "other" event for users 2..4: v < m -> null fit
+    assert(b("other").isNullAt(4) && b("other").isNullAt(5))
+  }
 }

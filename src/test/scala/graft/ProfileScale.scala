@@ -260,7 +260,10 @@ object ProfileScale {
       // seasonal decomposition: day-frame MA windows + phase frame
       "q296_seasonal_decomp",
       // burstiness: one explode into the vocabulary-bounded frame
-      "q297_token_burstiness")
+      "q297_token_burstiness",
+      // trend test, capture-recapture, NB fit: per-user scans into
+      // bounded bucket / 1-row / types frames
+      "q298_cochran_armitage", "q299_capture_recapture", "q300_negbin_fit")
       .filter(selected)
     carriers.foreach { name =>
       time(s"x$repl ${name}") {

@@ -929,10 +929,11 @@ object Events {
     * construction. Per arm, then z on the difference.
     *
     * Determinism: per-user (y, x) are exact longs (y micro-units);
-    * second moments are per-row LONG products summed in DECIMAL(38,0)
-    * (the q232 posture — ANSI throws loudly past ~3·10⁹ micro-units
-    * per user); the finisher's double expressions mirror the oracle
-    * operation-for-operation. Shape: ONE corpus scan into a per-user
+    * second moments MULTIPLY AS DECIMAL(38,0) before summing (the q296
+    * posture — dec(y)·dec(y) has no per-user ceiling, where a long·long
+    * product would abort under ANSI past ~3·10⁹ micro-units; the
+    * oracle mirrors with HUGEINT-before-multiply); the finisher's
+    * double expressions mirror the oracle operation-for-operation. Shape: ONE corpus scan into a per-user
     * aggregate (map-side combined; the all-events groupBy means
     * signup-only users enter as (0,0) — the full randomization
     * universe, no second distinct pass), then a 1-row moment
@@ -947,15 +948,19 @@ object Events {
     val um = perUser.select(Scale.md5SlicePos($"user_id", 0, 2).as("arm"), $"y", $"x")
     def dec(c: Column): Column = c.cast("decimal(38,0)")
     def aSum(a: Long, c: Column): Column = sum(when($"arm" === a, c).otherwise(0L))
+    // second moments multiply as DECIMAL so no per-user total can
+    // overflow the product (long·long would throw under ANSI)
     def aDec(a: Long, c: Column): Column =
-      sum(dec(when($"arm" === a, c).otherwise(0L)))
+      sum(when($"arm" === a, c).otherwise(dec(lit(0L))))
     val m = um.agg(
       aSum(0L, lit(1L)).as("n_a"), aSum(0L, $"y").as("sy_a"), aSum(0L, $"x").as("sx_a"),
-      aDec(0L, $"y" * $"y").as("syy_a"), aDec(0L, $"x" * $"x").as("sxx_a"),
-      aDec(0L, $"x" * $"y").as("sxy_a"),
+      aDec(0L, dec($"y") * dec($"y")).as("syy_a"),
+      aDec(0L, dec($"x") * dec($"x")).as("sxx_a"),
+      aDec(0L, dec($"x") * dec($"y")).as("sxy_a"),
       aSum(1L, lit(1L)).as("n_b"), aSum(1L, $"y").as("sy_b"), aSum(1L, $"x").as("sx_b"),
-      aDec(1L, $"y" * $"y").as("syy_b"), aDec(1L, $"x" * $"x").as("sxx_b"),
-      aDec(1L, $"x" * $"y").as("sxy_b"))
+      aDec(1L, dec($"y") * dec($"y")).as("syy_b"),
+      aDec(1L, dec($"x") * dec($"x")).as("sxx_b"),
+      aDec(1L, dec($"x") * dec($"y")).as("sxy_b"))
     def nD(n: Column): Column = n.cast("double")
     // sample (co)variance from exact sums: (s12 − s1·s2/n)/(n−1)
     def sv(s12: Column, s1: Column, s2: Column, n: Column): Column =
@@ -1241,9 +1246,12 @@ object Events {
     * no float enters until the final normalization, so the driver loop
     * and the oracle's unrolled CTE chain (the q143 device) agree
     * bit-for-bit with no association-order concern. 24 iterations:
-    * convergence is geometric in the spectral gap and the residual is
-    * spec-asserted, while the GATE is exact equality of the iterate
-    * itself (a non-converged chain would still match).
+    * convergence is geometric in the spectral gap, and the output
+    * carries the step-25 residual max_i |s₂₅(i) − s₂₄(i)|/1e9 as a
+    * `residual` column — a slowly mixing chain on OTHER data is
+    * visible in the result itself (non-zero residual), not just
+    * asserted on the test fixture, while the GATE is exact equality
+    * of the iterate (a non-converged chain would still match).
     *
     * The state space is the types observed as transition SOURCES; the
     * chain must be closed over them (every destination also a source)
@@ -1280,11 +1288,14 @@ object Events {
   }
 
   /** The shared q286/q293 driver state: sorted source types, the exact
-    * count matrix and row sums, and the 1e9-scaled integer stationary
-    * iterate after `iters` half-up power steps.
+    * count matrix and row sums, the 1e9-scaled integer stationary
+    * iterate after `iters` half-up power steps, and the CONVERGENCE
+    * RESIDUAL max_i |s_{iters+1}(i) − s_iters(i)| on the same 1e9
+    * scale — a slowly mixing chain returns a visible non-zero residual
+    * instead of silently shipping a non-converged π.
     */
   private def markovState(matrix: Seq[(String, String, Long)], iters: Int)
-      : (Seq[String], Array[Array[Long]], Array[Long], Array[Long]) = {
+      : (Seq[String], Array[Array[Long]], Array[Long], Array[Long], Long) = {
     val sources = matrix.map(_._1).distinct.sorted
     val dead = matrix.map(_._2).distinct.filterNot(sources.contains)
     require(dead.isEmpty,
@@ -1294,14 +1305,17 @@ object Events {
     val c = Array.ofDim[Long](m, m)
     matrix.foreach { case (s, d, n) => c(idx(s))(idx(d)) = n }
     val r = (0 until m).map(i => (0 until m).map(j => c(i)(j)).sum).toArray
-    var s = Array.fill(m)(1000000000L / m)
-    for (_ <- 1 to iters) {
+    def step(v: Array[Long]): Array[Long] = {
       val s2 = Array.fill(m)(BigInt(0))
       for (i <- 0 until m; j <- 0 until m if c(i)(j) > 0L)
-        s2(j) += (BigInt(2) * s(i) * c(i)(j) + r(i)) / (BigInt(2) * r(i))
-      s = s2.map(_.toLong)
+        s2(j) += (BigInt(2) * v(i) * c(i)(j) + r(i)) / (BigInt(2) * r(i))
+      s2.map(_.toLong)
     }
-    (sources, c, r, s)
+    var s = Array.fill(m)(1000000000L / m)
+    for (_ <- 1 to iters) s = step(s)
+    val sNext = step(s)
+    val resid9 = (0 until m).map(i => math.abs(sNext(i) - s(i))).max
+    (sources, c, r, s, resid9)
   }
 
   /** Finish the q286 stationary distribution from a (src, dst, count)
@@ -1313,13 +1327,20 @@ object Events {
   def markovStationaryFromCounts(spark: org.apache.spark.sql.SparkSession,
       matrix: Seq[(String, String, Long)], iters: Int = 24): DataFrame = {
     import spark.implicits.{localSeqToDatasetHolder, newProductEncoder}
-    val (sources, _, r, s) = markovState(matrix, iters)
+    val (sources, _, r, s, resid9) = markovState(matrix, iters)
     val tot = s.sum
+    // residual = max_i |one more power step − s| on the 1e9 scale: a
+    // slowly mixing chain is VISIBLE in the output (non-zero residual),
+    // not just asserted on the test fixture. resid9 < 1e9 so the
+    // division is one exact int→double conversion + one IEEE divide —
+    // identical in both engines, no round() needed.
+    val residual = resid9.toDouble / 1e9
     sources.zipWithIndex.toSeq.map { case (t, i) =>
       (t, r(i),
         java.math.BigDecimal.valueOf(s(i).toDouble / tot.toDouble)
-          .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue())
-    }.toDF("event_type", "n_out", "pi").orderBy($"event_type")
+          .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue(),
+        residual)
+    }.toDF("event_type", "n_out", "pi", "residual").orderBy($"event_type")
   }
 
   /** Entropy rate of the session-transition chain (q293; Shannon's
@@ -1343,7 +1364,7 @@ object Events {
       iters: Int = 24): DataFrame = {
     val spark = events.sparkSession
     import spark.implicits.{localSeqToDatasetHolder, newProductEncoder}
-    val (sources, c, r, s) =
+    val (sources, c, r, s, _) =
       markovState(collectTransitionCounts(events, gapSeconds), iters)
     val m = sources.length
     val tot = s.sum
@@ -2464,6 +2485,11 @@ object Events {
     */
   def leadLagCcf(events: DataFrame, typeA: String = "click",
       typeB: String = "purchase", maxLag: Int = 7): DataFrame = {
+    // the packed peak key multiplies three slots into one long; the
+    // slot widths are sized FROM maxLag below, and 2e6·(maxLag+1)·
+    // (2·maxLag+1) must stay under Long.MaxValue
+    require(maxLag >= 0 && maxLag <= 1000000,
+      s"leadLagCcf: maxLag must be in [0, 1000000], got $maxLag")
     val spark = events.sparkSession
     val daily = events
       .filter($"event_type" === typeA || $"event_type" === typeB)
@@ -2496,9 +2522,13 @@ object Events {
         round(coalesce($"nab", lit(BigDecimal(0))).cast("double") /
           sqrt($"daa".cast("double") * $"dbb".cast("double")), 6)))
     val all = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-    // packed peak key: (-|ccf6|, |k|, k) lexicographic as one long
+    // packed peak key: (-|ccf6|, |k|, k) lexicographic as one long, the
+    // slot widths sized from maxLag (k+maxLag spans [0, 2·maxLag],
+    // |k| spans [0, maxLag]) so NO parameter value can overflow a slot
     val ccf6 = round(abs($"ccf") * 1e6, 0).cast("long")
-    val key = (lit(2000000L) - ccf6) * 10000L + abs($"k") * 100L + ($"k" + 50L)
+    val span = 2L * maxLag + 1L
+    val key = ((lit(2000000L) - ccf6) * (maxLag + 1L) + abs($"k")) * span +
+      ($"k" + maxLag.toLong)
     val t3 = t2.withColumn("key", when($"ccf".isNotNull, key))
       .withColumn("best", min($"key").over(all))
     t3.select($"k".as("lag_days"), $"ccf",

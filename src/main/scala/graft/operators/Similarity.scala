@@ -2615,6 +2615,13 @@ object Similarity {
   def lshDialPlanner(embeddings: DataFrame, tau: Double = 0.9,
       s0: Double = 0.5, recallTarget: Double = 0.95,
       maxTables: Int = 32, maxBits: Int = 16): DataFrame = {
+    // the argmin key packs (a6, cost, t) into one long with slot widths
+    // sized FROM the grid bounds below; 1e6·(t·b+1)·(t+1) must stay
+    // under Long.MaxValue
+    require(maxTables >= 1 && maxBits >= 1 &&
+      maxTables.toLong * maxBits <= 1000000,
+      s"lshDialPlanner: grid ${maxTables}x$maxBits out of range " +
+        "(need 1 <= maxTables*maxBits <= 1e6)")
     val spark = embeddings.sparkSession
     val n = embeddings.agg(count(lit(1)).as("n"))
     val grid = spark.range(1, maxTables + 1).toDF("t")
@@ -2628,7 +2635,11 @@ object Similarity {
       .withColumn("a6", q6(lit(1.0) - pow(lit(1.0) - pow(p0, $"b"), $"t")))
       .withColumn("cost", $"t" * $"b")
       .withColumn("meets", $"r6" >= math.round(recallTarget * 1e6))
-      .withColumn("key", ($"a6" * 1000L + $"cost") * 100L + $"t")
+      // exact lexicographic (a6, cost, t) for ANY grid inside the
+      // require above: cost spans [1, t·b], t spans [1, maxTables]
+      .withColumn("key",
+        ($"a6" * (maxTables.toLong * maxBits + 1L) + $"cost")
+          * (maxTables + 1L) + $"t")
     val all = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     // expected candidate COUNT as an exact integer: a6·n(n−1)/2 in
     // DECIMAL, half-up to whole pairs by integer division — a 2-decimal

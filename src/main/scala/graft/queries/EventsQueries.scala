@@ -207,8 +207,9 @@ private[graft] object EventsQueries extends QueryFamily {
 
   /** The q286/q293 shared oracle chain: session transition counts, row
     * sums, and the 24-step exact-integer power iteration unrolled as
-    * MATERIALIZED CTEs (ends with `s24` and `tot`; `srcs`, `rs`, `mm`
-    * in scope).
+    * MATERIALIZED CTEs (ends with `s24`, `tot`, a 25th step `s25` and
+    * the convergence residual `resid(r9)`; `srcs`, `rs`, `mm` in
+    * scope — q293 leaves `s25`/`resid` unreferenced).
     */
   private lazy val markovChainCtes: String = {
     def step(i: Int) =
@@ -244,8 +245,14 @@ private[graft] object EventsQueries extends QueryFamily {
        |  SELECT src AS t, CAST(1000000000 // mm.m AS HUGEINT) AS s
        |  FROM srcs, mm
        |),
-       |${(1 to 24).map(step).mkString(",\n")},
-       |tot AS (SELECT sum(s) AS tot FROM s24)""".stripMargin
+       |${(1 to 25).map(step).mkString(",\n")},
+       |tot AS (SELECT sum(s) AS tot FROM s24),
+       |resid AS (
+       |  SELECT CAST(max(abs(coalesce(a.s, 0) - coalesce(b.s, 0))) AS BIGINT) AS r9
+       |  FROM srcs
+       |  LEFT JOIN s25 a ON a.t = srcs.src
+       |  LEFT JOIN s24 b ON b.t = srcs.src
+       |)""".stripMargin
   }
 
   def oracleSql: Map[String, String] = Map(
@@ -1830,10 +1837,11 @@ private[graft] object EventsQueries extends QueryFamily {
       // (2sc + r) // (2r) per destination; float only at the final pi
       s"""$markovChainCtes
          |SELECT srcs.src AS event_type, rs.r AS n_out,
-         |  round(CAST(coalesce(f.s, 0) AS DOUBLE) / CAST(tot.tot AS DOUBLE), 6) AS pi
+         |  round(CAST(coalesce(f.s, 0) AS DOUBLE) / CAST(tot.tot AS DOUBLE), 6) AS pi,
+         |  CAST(resid.r9 AS DOUBLE) / 1e9 AS residual
          |FROM srcs
          |JOIN rs ON rs.src = srcs.src
-         |LEFT JOIN s24 f ON f.t = srcs.src, tot
+         |LEFT JOIN s24 f ON f.t = srcs.src, tot, resid
          |ORDER BY event_type""".stripMargin,
     "q293_markov_entropy" ->
       // the q286 chain plus one per-cell entropy projection: terms

@@ -716,15 +716,15 @@ private[graft] object InferenceQueries extends QueryFamily {
          |    CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
          |    CAST(sum(CASE WHEN arm = 0 THEN y ELSE 0 END) AS BIGINT) AS sy_a,
          |    CAST(sum(CASE WHEN arm = 0 THEN x ELSE 0 END) AS BIGINT) AS sx_a,
-         |    sum(CAST(CASE WHEN arm = 0 THEN y * y ELSE 0 END AS HUGEINT)) AS syy_a,
-         |    sum(CAST(CASE WHEN arm = 0 THEN x * x ELSE 0 END AS HUGEINT)) AS sxx_a,
-         |    sum(CAST(CASE WHEN arm = 0 THEN x * y ELSE 0 END AS HUGEINT)) AS sxy_a,
+         |    sum(CASE WHEN arm = 0 THEN CAST(y AS HUGEINT) * y ELSE 0 END) AS syy_a,
+         |    sum(CASE WHEN arm = 0 THEN CAST(x AS HUGEINT) * x ELSE 0 END) AS sxx_a,
+         |    sum(CASE WHEN arm = 0 THEN CAST(x AS HUGEINT) * y ELSE 0 END) AS sxy_a,
          |    CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
          |    CAST(sum(CASE WHEN arm = 1 THEN y ELSE 0 END) AS BIGINT) AS sy_b,
          |    CAST(sum(CASE WHEN arm = 1 THEN x ELSE 0 END) AS BIGINT) AS sx_b,
-         |    sum(CAST(CASE WHEN arm = 1 THEN y * y ELSE 0 END AS HUGEINT)) AS syy_b,
-         |    sum(CAST(CASE WHEN arm = 1 THEN x * x ELSE 0 END AS HUGEINT)) AS sxx_b,
-         |    sum(CAST(CASE WHEN arm = 1 THEN x * y ELSE 0 END AS HUGEINT)) AS sxy_b
+         |    sum(CASE WHEN arm = 1 THEN CAST(y AS HUGEINT) * y ELSE 0 END) AS syy_b,
+         |    sum(CASE WHEN arm = 1 THEN CAST(x AS HUGEINT) * x ELSE 0 END) AS sxx_b,
+         |    sum(CASE WHEN arm = 1 THEN CAST(x AS HUGEINT) * y ELSE 0 END) AS sxy_b
          |  FROM um
          |),
          |v AS (

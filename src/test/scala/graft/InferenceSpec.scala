@@ -1028,6 +1028,44 @@ class InferenceSpec extends GraftSuite {
     val seMean = math.sqrt(meanVar(0L) + meanVar(1L)) / 1e4
     assert(c.getDouble(5) == roundN(seMean, 6),
       "x==1: delta-method se must equal the plain two-sample mean se")
+    // no per-user product ceiling: y ≈ 5·10⁹ micro-units per user makes
+    // y·y ≈ 2.5·10¹⁹ > Long.MaxValue — the former long·long moment
+    // aborted under ANSI; the DECIMAL multiply must compute, matching
+    // the BigInt brute force
+    val whales = (1L to 60L).flatMap { u =>
+      Seq((u, u * 10L + 1L, "click", u * 1000L, 0.0),
+        (u, u * 10L + 2L, "click", u * 1000L + 1L, 0.0),
+        (u, u * 10L + 3L, "purchase", u * 1000L + 2L,
+          400000.0 + (u % 7).toDouble * 20000.0))
+    }.toDF("user_id", "event_id", "event_type", "ts", "value")
+    val w = Events.ratioMetricDelta(whales).collect()(0)
+    val wu = (1L to 60L).map(u =>
+      (arm(u), math.round((400000.0 + (u % 7).toDouble * 20000.0) * 10000), 2L))
+    def momB(a: Long) = {
+      val g = wu.filter(_._1 == a)
+      (g.size.toLong, g.map(_._2).sum, g.map(_._3).sum,
+        g.map(e => BigInt(e._2) * e._2).sum, g.map(e => BigInt(e._3) * e._3).sum,
+        g.map(e => BigInt(e._3) * e._2).sum)
+    }
+    def varB(n: Long, sy: Long, sx: Long, syy: BigInt, sxx: BigInt, sxy: BigInt) = {
+      def sv(s12: BigInt, s1: Long, s2: Long) =
+        (s12.toDouble - s1.toDouble * s2.toDouble / n.toDouble) / (n - 1)
+      val r = sy.toDouble / sx.toDouble
+      val xbar = sx.toDouble / n.toDouble
+      (sv(syy, sy, sy) - 2.0 * r * sv(sxy, sx, sy) + r * r * sv(sxx, sx, sx)) /
+        (n.toDouble * xbar * xbar)
+    }
+    val (wna, wsya, wsxa, wsyya, wsxxa, wsxya) = momB(0L)
+    val (wnb, wsyb, wsxb, wsyyb, wsxxb, wsxyb) = momB(1L)
+    assert(wsyya > BigInt(Long.MaxValue),
+      "fixture must actually exceed the long ceiling")
+    val wrA = wsya.toDouble / wsxa.toDouble; val wrB = wsyb.toDouble / wsxb.toDouble
+    val wvA = varB(wna, wsya, wsxa, wsyya, wsxxa, wsxya)
+    val wvB = varB(wnb, wsyb, wsxb, wsyyb, wsxxb, wsxyb)
+    assert(w.getLong(0) == wna && w.getLong(1) == wnb)
+    assert(w.getDouble(2) == roundN(wrA / 1e4, 6))
+    assert(w.getDouble(3) == roundN(wrB / 1e4, 6))
+    assert(w.getDouble(5) == roundN(math.sqrt(wvA + wvB) / 1e4, 6))
   }
 
   test("tostEquivalence equals brute force; identical arms declare, a shifted arm refuses (q283)") {
@@ -1204,6 +1242,19 @@ class InferenceSpec extends GraftSuite {
     val c = Events.markovStationary(chain).collect()
       .map(r => (r.getString(0), r.getDouble(2))).toMap
     assert(c("a") == 0.2 && c("b") == 0.8)
+    // the residual column: converged chains show ~0; a slowly mixing
+    // chain (self-loop mass 0.999/0.998, spectral gap 0.003 => 24
+    // steps cannot converge) shows a VISIBLY non-zero residual instead
+    // of silently shipping a non-converged pi
+    val fixtureResid = Events.markovStationary(events).collect()
+      .map(_.getDouble(3)).distinct
+    assert(fixtureResid.length == 1 && fixtureResid.head < 1e-6,
+      s"fixture chain must be converged, residual ${fixtureResid.toSeq}")
+    val slow = Events.markovStationaryFromCounts(spark,
+      Seq(("a", "a", 999L), ("a", "b", 1L), ("b", "b", 499L), ("b", "a", 1L)))
+    val sr = slow.collect().map(_.getDouble(3)).distinct
+    assert(sr.length == 1 && sr.head > 1e-4,
+      s"slow chain must surface a non-zero residual, got ${sr.toSeq}")
     // a destination that never transitions out must fail loudly, not
     // silently leak stationary mass
     val dead = (path(1L, Seq("a", "z")) ++ path(2L, Seq("a", "a")))
@@ -1518,6 +1569,20 @@ class InferenceSpec extends GraftSuite {
     val sw = Events.leadLagCcf(planted, typeA = "purchase", typeB = "click")
       .collect().map(r => (r.getLong(0), r.getBoolean(2))).filter(_._2)
     assert(sw.length == 1 && sw.head._1 == -3L)
+    // maxLag = 60 exceeds the former fixed k+50 slot: the widened
+    // packing must still flag exactly the +3 peak (an overflowed slot
+    // would silently flag a wrong row)
+    val wide = Events.leadLagCcf(planted, maxLag = 60).collect()
+      .map(r => (r.getLong(0), r.getBoolean(2)))
+    assert(wide.length == 121)
+    val wPeak = wide.filter(_._2)
+    assert(wPeak.length == 1 && wPeak.head._1 == 3L,
+      s"maxLag=60 must still peak at +3, got ${wPeak.toSeq}")
+    // past the documented packing bound the op refuses loudly
+    val err = intercept[IllegalArgumentException] {
+      Events.leadLagCcf(planted, maxLag = 1000001)
+    }
+    assert(err.getMessage.contains("maxLag"))
   }
 
   test("seasonalDecomposition equals brute force; a weekly comb is all seasonal, a pure trend all trend (q296)") {

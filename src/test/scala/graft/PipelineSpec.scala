@@ -2689,6 +2689,28 @@ class PipelineSpec extends GraftSuite {
     // with the documented ~0.98 per-pair recall at tau = 0.9
     val prod = got((24L, 12L))._1
     assert(prod > 0.97 && prod < 0.99, s"24x12 recall drifted: $prod")
+    // a 64x32 grid (cost up to 2048) overflowed the former fixed
+    // *1000/*100 packing; the widened key must still pick the true
+    // lexicographic (admit, cost, t) argmin over ALL meeting dials
+    val big = Similarity.lshDialPlanner(Tables.embeddings(spark, sf),
+      maxTables = 64, maxBits = 32).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(4),
+        r.getBoolean(6), r.getBoolean(7)))
+    assert(big.length == 64 * 32)
+    val bigChosen = big.filter(_._5)
+    assert(bigChosen.length == 1)
+    val bc = bigChosen.head
+    val bKey = (a6(bc._1, bc._2), bc._3, bc._1)
+    big.filter(d => d._4 && !d._5).foreach { d =>
+      assert(Ordering[(Long, Long, Long)].gt((a6(d._1, d._2), d._3, d._1), bKey),
+        s"64x32 grid: ${(d._1, d._2)} beats the chosen dial ${(bc._1, bc._2)}")
+    }
+    // past the documented packing bound the planner refuses loudly
+    val err = intercept[IllegalArgumentException] {
+      Similarity.lshDialPlanner(Tables.embeddings(spark, sf),
+        maxTables = 2000, maxBits = 2000)
+    }
+    assert(err.getMessage.contains("grid"))
   }
 
   test("lofOutliers equals the brute-force integer pipeline; uniform density scores exactly 1; a planted loose point tops the list (q290)") {

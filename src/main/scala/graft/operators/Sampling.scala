@@ -386,30 +386,56 @@ object Sampling {
     * REPLAYABLE — a contrastive-training run can be reproduced bit-for-bit
     * from the corpus alone (the family's md5 discipline).
     *
-    * Scale shape — the CDF never broadcasts a range join: smoothed
-    * weights are micro-quantized (round(10⁶·n^0.75) — exact integers
-    * after the one pow), the vocabulary CDF is a window cumsum over the
-    * vocab-sized frame, and draw→token resolution is an EQUI-join on a
-    * bucketized CDF: token spans map to the `buckets` ids they overlap
-    * (explode costs vocab + buckets rows), a draw computes its bucket by
-    * integer arithmetic, and the residual range check runs inside
-    * bucket-sized groups. Draws are docs×slots rows; nothing is ever
-    * vocab×draws. Production note: the raw table draw can hit a token
-    * present in the document (the classic false negative) — downstream
-    * re-draws on collision; this op emits the raw replayable draw.
+    * Scale shape — the CDF never broadcasts a range join OR funnels the
+    * vocabulary through one task: smoothed weights are micro-quantized
+    * (round(10⁶·n^0.75) — exact integers after the one pow), the
+    * vocabulary CDF is the two-stage pid-based DISTRIBUTED prefix sum
+    * (the budgetSelect device: range-partition by tok, per-partition
+    * subtotals, a `parts`-row base window, then within-partition
+    * cumsum — Heaps' law puts the vocab at 10⁸ types at 100 TB, far too
+    * big for the single-task Window.orderBy cumsum this replaced; the
+    * result is partition-count invariant because the cumsum is a
+    * function of the tok total order alone), and draw→token resolution
+    * is an EQUI-join on a bucketized CDF: token spans map to the
+    * `buckets` ids they overlap (explode costs vocab + buckets rows), a
+    * draw computes its bucket by integer arithmetic, and the residual
+    * range check runs inside bucket-sized groups. Draws are docs×slots
+    * rows; nothing is ever vocab×draws. Production note: the raw table
+    * draw can hit a token present in the document (the classic false
+    * negative) — downstream re-draws on collision; this op emits the
+    * raw replayable draw.
     */
-  def negativeSamples(documents: DataFrame, slots: Int = 4,
-      buckets: Int = 1024): DataFrame = {
+  /** The distributed unigram^0.75 CDF behind negativeSamples, exposed
+    * for the bit-equality and plan specs: (tok, n, w6, lo, hi) with
+    * [lo, hi) spans tiling [0, Σw6) in tok order — partition-count
+    * invariant (the cumsum depends only on the tok total order).
+    */
+  private[graft] def vocabCdf(documents: DataFrame, parts: Int): DataFrame = {
     val vocab = documents
       .select(explode(split($"text", " ")).as("tok"))
       .groupBy($"tok").agg(count(lit(1)).as("n"))
       .select($"tok", $"n",
         round(pow($"n", 0.75) * 1e6, 0).cast("long").as("w6"))
-    val wv = Window.orderBy($"tok")
+      .repartitionByRange(parts, $"tok")
+      .localCheckpoint() // pins partition identity: subtotal pass and
+      .withColumn("pid", spark_partition_id().cast("int")) // join agree
+    val wBase = Window.orderBy($"pid")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val cdf = vocab
-      .withColumn("hi", sum($"w6").over(wv))
+    val bases = vocab.groupBy($"pid").agg(sum($"w6").as("t"))
+      .withColumn("base", sum($"t").over(wBase) - $"t") // <= `parts` rows
+      .select($"pid", $"base")
+    val wIn = Window.partitionBy($"pid").orderBy($"tok")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    vocab
+      .join(broadcast(bases), Seq("pid"))
+      .withColumn("hi", $"base" + sum($"w6").over(wIn))
       .withColumn("lo", $"hi" - $"w6")
+      .select($"tok", $"n", $"w6", $"lo", $"hi")
+  }
+
+  def negativeSamples(documents: DataFrame, slots: Int = 4,
+      buckets: Int = 1024, parts: Int = 32): DataFrame = {
+    val cdf = vocabCdf(documents, parts)
       .localCheckpoint() // vocab-sized; feeds total, spans, and resolve
     val total = cdf.agg(max($"hi").as("tw"))
     val spans = cdf.crossJoin(broadcast(total))

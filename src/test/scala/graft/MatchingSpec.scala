@@ -321,6 +321,38 @@ class MatchingSpec extends GraftSuite {
     val rawShare = counts.filter(c => rare(c._1)).values.sum / total
     val drawShare = got.count(g => rare(g._3)).toDouble / got.size
     assert(drawShare > rawShare, s"smoothed draw share $drawShare <= raw $rawShare")
+    // the distributed two-stage CDF is BIT-IDENTICAL to the sequential
+    // fold at every partition count (parts=1 degenerates to the former
+    // single-window cumsum; 7 exercises uneven range boundaries)
+    val seqCdf = cdf.map(c => (c._1, c._2, c._3)).toSet
+    for (p <- Seq(1, 7, 32)) {
+      val distCdf = Sampling.vocabCdf(docs, p).collect()
+        .map(r => (r.getString(0), r.getLong(3), r.getLong(4))).toSet
+      assert(distCdf === seqCdf, s"CDF diverges from the fold at parts=$p")
+    }
+    // and the plan never funnels the vocabulary through one task: the
+    // only empty-partition window runs over the <= parts-row pid
+    // subtotal aggregate, never over the token frame
+    import org.apache.spark.sql.execution.window.WindowExec
+    import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    val plan =
+      try Sampling.vocabCdf(docs, 5).queryExecution.executedPlan
+      finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+    val wins = plan.collect { case w: WindowExec => w }
+    val (unpart, part) = wins.partition(_.partitionSpec.isEmpty)
+    assert(part.nonEmpty, "the within-pid cumsum window must be partitioned")
+    assert(unpart.nonEmpty, "expected the parts-row base window")
+    unpart.foreach { w =>
+      val aggBelow = w.child.collect {
+        case a: BaseAggregateExec
+          if a.groupingExpressions.exists(_.references.exists(_.name == "pid")) => a
+      }
+      assert(aggBelow.nonEmpty,
+        "an unpartitioned window must sit over the bounded pid aggregate, " +
+          s"not the vocab frame:\n${w.child.treeString}")
+    }
   }
 
   /** In-JVM replica of the q233/q239 pipeline: blocked keyed comparison

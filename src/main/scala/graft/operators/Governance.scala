@@ -426,6 +426,17 @@ object Governance {
     concat_ws("|", $"event_id", $"user_id", $"ts", $"event_type",
       round($"value" * 10000, 0).cast("long"))
 
+  /** Canonical per-embedding identity string: each float component
+    * casts to double (exact) and micro-quantizes to the 1e-6 grid —
+    * floats carry ~7 significant decimal digits, so the grid captures
+    * any real mutation while every piece renders as an integer on both
+    * engines (the round-then-long device every similarity oracle uses).
+    */
+  def embCanonical: Column =
+    concat_ws("|", $"vec_id", $"label",
+      concat_ws(",", transform($"embedding",
+        x => round(x.cast("double") * 1e6, 0).cast("long"))))
+
   /** One-row corpus fingerprint of a build slice: (row count, XOR-fold
     * of a 60-bit md5 prefix per canonical row). XOR is the right fold
     * for a distributed content hash — associative, commutative, and

@@ -1205,6 +1205,10 @@ object Similarity {
     mdl.corpus.withColumn("a", least(cellStructs(cents, $"v"): _*))
       .select($"vec_id", $"a.cid".as("centroid_id"))
       .write.mode("overwrite").parquet(s"$dir/ivflists")
+    // build-slice fingerprint (q242 staleness contract): a PQ index is
+    // the longest-lived artifact in the family — codes built from a
+    // previous corpus silently serve wrong neighbors otherwise
+    Governance.writeFingerprint(embeddings, Governance.embCanonical, dir)
   }
 
   /** The persisted codebooks, re-shaped for `buildAdcTables` — a bounded
@@ -1252,8 +1256,13 @@ object Similarity {
     * `pqAnnRecall` on the same corpus/dial (spec'd law).
     */
   def pqAnnRecallFromIndex(embeddings: DataFrame, dir: String,
-      shortlist: Int = 50, nQueries: Int = 5, k: Int = 3): DataFrame = {
+      shortlist: Int = 50, nQueries: Int = 5, k: Int = 3,
+      checkFresh: Boolean = false): DataFrame = {
     val spark = embeddings.sparkSession
+    // opt-in staleness precondition (the bm25FromIndex assertDisjoint
+    // posture): one fingerprint scan, refuse to serve a stale index
+    if (checkFresh) Governance.requireFresh(spark, dir, embeddings,
+      Governance.embCanonical, "pq-index")
     val corpus = embeddings.select($"vec_id", asDouble($"embedding").as("v"))
     val books = readPqBooks(spark, dir)
     val codesLong = spark.read.parquet(s"$dir/codes")
@@ -1321,8 +1330,10 @@ object Similarity {
     */
   def ivfPqAnnRecallFromIndex(embeddings: DataFrame, dir: String,
       nProbe: Int = 4, shortlist: Int = 50, nQueries: Int = 5,
-      k: Int = 3): DataFrame = {
+      k: Int = 3, checkFresh: Boolean = false): DataFrame = {
     val spark = embeddings.sparkSession
+    if (checkFresh) Governance.requireFresh(spark, dir, embeddings,
+      Governance.embCanonical, "ivfpq-index")
     val corpus = embeddings.select($"vec_id", asDouble($"embedding").as("v"))
     val books = readPqBooks(spark, dir)
     val codesLong = spark.read.parquet(s"$dir/codes")
@@ -2472,6 +2483,8 @@ object Similarity {
       Seq(("vn2", 0L, m.vn2), ("trace", 0L, m.trace), ("dim", 0L, m.dim.toLong))
     spark.createDataFrame(rows).toDF("kind", "i", "v")
       .write.mode("overwrite").parquet(s"$dir/model")
+    // build-slice fingerprint (q242 staleness contract)
+    Governance.writeFingerprint(embeddings, Governance.embCanonical, dir)
   }
 
   private def readSpectralModel(spark: org.apache.spark.sql.SparkSession,
@@ -2494,8 +2507,11 @@ object Similarity {
     * `abttProjections` is the shared projection core.
     */
   def abttOutliersFromModel(embeddings: DataFrame, dir: String,
-      topN: Int = 10): DataFrame =
+      topN: Int = 10, checkFresh: Boolean = false): DataFrame = {
+    if (checkFresh) Governance.requireFresh(embeddings.sparkSession, dir,
+      embeddings, Governance.embCanonical, "spectral-model")
     abttOutliersWith(embeddings, readSpectralModel(embeddings.sparkSession, dir), topN)
+  }
 
   /** Embedding-distribution drift monitor — the vector twin of q127's
     * text-profile drift: per-dimension mean shift between the first and

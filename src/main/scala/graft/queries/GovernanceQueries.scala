@@ -60,12 +60,15 @@ private[graft] object GovernanceQueries extends QueryFamily {
     // k-anonymity's size-only bound cannot see
     "q230_l_diversity" -> ((s, d) =>
       Governance.lDiversityReport(Tables.customer(s, d))),
-    // persisted-artifact staleness guard: the datasheet partials are
-    // built from the q227 base slice WITH a build-slice fingerprint;
-    // the report compares it against (a) the same slice (fresh), (b)
-    // the grown corpus (count+hash flip), (c) one row mutated in place
-    // (count holds, hash flips) - the failure mode only the content
-    // hash can see
+    // persisted-artifact staleness guard: the datasheet partials, the
+    // PQ serving bundle, and the spectral model are each built from a
+    // base slice WITH a build-slice fingerprint; the report compares it
+    // against (a) the same slice (fresh), (b) the grown corpus
+    // (count+hash flip), (c) one row mutated in place (count holds,
+    // hash flips) - the failure mode only the content hash can see.
+    // PQ/spectral are the LONGEST-LIVED artifacts in production: a code
+    // table built from a previous corpus silently serves wrong
+    // neighbors, exactly what this report exists to catch.
     "q242_artifact_staleness" -> ((s, d) => {
       import org.apache.spark.sql.functions.{col, concat, lit, when}
       val docs = Tables.documents(s, d)
@@ -75,10 +78,21 @@ private[graft] object GovernanceQueries extends QueryFamily {
       val mutated = base.withColumn("text",
         when(col("doc_id") === 5L, concat(col("text"), lit("~")))
           .otherwise(col("text")))
+      val embs = Tables.embeddings(s, d)
+      val embBase = embs.filter(col("vec_id") % 10 =!= 1)
+      graft.operators.Similarity.writePqIndex(embBase, s"$dir/pq")
+      graft.operators.Similarity.writeSpectralModel(embBase, s"$dir/abtt")
+      val embMut = embBase.withColumn("label",
+        when(col("vec_id") === 5L, col("label") + 1).otherwise(col("label")))
       Governance.stalenessReport(s, Seq(
         ("ds_fresh", s"$dir/partials", base, Governance.docCanonical),
         ("ds_grown", s"$dir/partials", docs, Governance.docCanonical),
-        ("ds_mutated", s"$dir/partials", mutated, Governance.docCanonical)))
+        ("ds_mutated", s"$dir/partials", mutated, Governance.docCanonical),
+        ("pq_fresh", s"$dir/pq", embBase, Governance.embCanonical),
+        ("pq_grown", s"$dir/pq", embs, Governance.embCanonical),
+        ("pq_mutated", s"$dir/pq", embMut, Governance.embCanonical),
+        ("sp_fresh", s"$dir/abtt", embBase, Governance.embCanonical),
+        ("sp_mutated", s"$dir/abtt", embMut, Governance.embCanonical)))
     }),
     // t-closeness EMD audit on the q230 QI frame: exact-integer prefix
     // differences over the ordered band domain (completes the
@@ -103,37 +117,65 @@ private[graft] object GovernanceQueries extends QueryFamily {
     ("supplier.s_nationkey->nation", "supplier", "s_nationkey", "nation", "n_nationkey"))
 
   /** q242 oracle: the q197 strpos-arithmetic 60-bit md5 parse over the
-    * '|'-joined doc canonical, XOR-folded per slice; each scenario row
-    * compares the BUILT (base-slice) fingerprint to its current slice.
+    * '|'-joined doc/embedding canonicals, XOR-folded per slice; each
+    * scenario row compares the BUILT (base-slice) fingerprint to its
+    * current slice. Embedding components render as exact 1e-6-grid
+    * integers (float -> DOUBLE is exact, round-then-BIGINT matches
+    * Spark's HALF_UP on the identical double).
     */
   private def stalenessSql: String = {
     def hv(idx: Int) = s"(strpos('0123456789abcdef', substr(h, $idx, 1)) - 1)"
     val h60 = (2 to 15).foldLeft(hv(1))((acc, i) => s"($acc * 16 + ${hv(i)})")
-    def fp(src: String) =
+    def fp(src: String, canonical: String) =
       s"""SELECT CAST(count(*) AS BIGINT) AS n,
          |  CAST(coalesce(bit_xor(CAST($h60 AS BIGINT)), 0) AS BIGINT) AS x
-         |FROM (SELECT md5(CAST(doc_id AS VARCHAR) || '|' || lang || '|' ||
-         |  source || '|' || text) AS h FROM $src)""".stripMargin
-    def row(label: String, cur: String) =
-      s"""SELECT '$label' AS artifact, b.n AS n_built, b.x AS hash_built,
+         |FROM (SELECT md5($canonical) AS h FROM $src)""".stripMargin
+    val docCanon = """CAST(doc_id AS VARCHAR) || '|' || lang || '|' ||
+      | source || '|' || text""".stripMargin
+    val embCanon = """CAST(vec_id AS VARCHAR) || '|' ||
+      | CAST(label AS VARCHAR) || '|' ||
+      | array_to_string(list_transform(embedding,
+      |   u -> CAST(CAST(round(CAST(u AS DOUBLE) * 1e6) AS BIGINT) AS VARCHAR)), ',')""".stripMargin
+    def row(label: String, built: String, cur: String) =
+      s"""SELECT '$label' AS artifact, $built.n AS n_built, $built.x AS hash_built,
          |  $cur.n AS n_current, $cur.x AS hash_current,
-         |  b.n = $cur.n AS count_match, b.x = $cur.x AS hash_match,
-         |  (b.n = $cur.n AND b.x = $cur.x) AS fresh
-         |FROM b, $cur""".stripMargin
+         |  $built.n = $cur.n AS count_match, $built.x = $cur.x AS hash_match,
+         |  ($built.n = $cur.n AND $built.x = $cur.x) AS fresh
+         |FROM $built, $cur""".stripMargin
     s"""WITH base AS (SELECT * FROM documents WHERE doc_id % 10 <> 1),
        |mut AS (
        |  SELECT doc_id, CASE WHEN doc_id = 5 THEN text || '~' ELSE text END AS text,
        |    lang, source FROM base
        |),
-       |b AS (${fp("base")}),
+       |ebase AS (SELECT * FROM embeddings WHERE vec_id % 10 <> 1),
+       |emut AS (
+       |  SELECT vec_id, embedding,
+       |    CASE WHEN vec_id = 5 THEN label + 1 ELSE label END AS label
+       |  FROM ebase
+       |),
+       |b AS (${fp("base", docCanon)}),
        |cf AS (SELECT n, x FROM b),
-       |cg AS (${fp("documents")}),
-       |cm AS (${fp("mut")})
-       |${row("ds_fresh", "cf")}
+       |cg AS (${fp("documents", docCanon)}),
+       |cm AS (${fp("mut", docCanon)}),
+       |eb AS (${fp("ebase", embCanon)}),
+       |ef AS (SELECT n, x FROM eb),
+       |eg AS (${fp("embeddings", embCanon)}),
+       |em AS (${fp("emut", embCanon)})
+       |${row("ds_fresh", "b", "cf")}
        |UNION ALL
-       |${row("ds_grown", "cg")}
+       |${row("ds_grown", "b", "cg")}
        |UNION ALL
-       |${row("ds_mutated", "cm")}
+       |${row("ds_mutated", "b", "cm")}
+       |UNION ALL
+       |${row("pq_fresh", "eb", "ef")}
+       |UNION ALL
+       |${row("pq_grown", "eb", "eg")}
+       |UNION ALL
+       |${row("pq_mutated", "eb", "em")}
+       |UNION ALL
+       |${row("sp_fresh", "eb", "ef")}
+       |UNION ALL
+       |${row("sp_mutated", "eb", "em")}
        |ORDER BY artifact""".stripMargin
   }
 

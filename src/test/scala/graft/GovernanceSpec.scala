@@ -361,6 +361,53 @@ class GovernanceSpec extends GraftSuite {
     assert(Curation.datasheetFromPartials(spark, Seq(s"$tmp/p")).count() > 0)
   }
 
+  test("PQ/spectral staleness: a one-component vector mutation flips stale; checkFresh enforces; serving ignores the sidecar") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_vecfp").toString
+    val base = embs.filter($"vec_id" % 10 =!= 1)
+    Similarity.writePqIndex(base, s"$tmp/pq")
+    Similarity.writeSpectralModel(base, s"$tmp/sp")
+    // a ONE-COMPONENT vector mutation: the content change a row count
+    // can never see — only the canonical's per-component hash catches it
+    val mutated = base.withColumn("embedding",
+      when($"vec_id" === 4L,
+        transform($"embedding", (x, i) => when(i === 0, x + lit(0.25f)).otherwise(x)))
+        .otherwise($"embedding"))
+    val rep = Governance.stalenessReport(spark, Seq(
+        ("pq_ok", s"$tmp/pq", base, Governance.embCanonical),
+        ("pq_mut", s"$tmp/pq", mutated, Governance.embCanonical),
+        ("sp_mut", s"$tmp/sp", mutated, Governance.embCanonical)))
+      .collect().map(r => r.getString(0) ->
+        ((r.getBoolean(5), r.getBoolean(6), r.getBoolean(7)))).toMap
+    assert(rep("pq_ok") === ((true, true, true)))
+    assert(rep("pq_mut") === ((true, false, false)))
+    assert(rep("sp_mut") === ((true, false, false)))
+    // opt-in read-time enforcement on every vector-artifact serve path:
+    // the fresh corpus serves, the mutated one refuses loudly
+    assert(Similarity.pqAnnRecallFromIndex(base, s"$tmp/pq",
+      checkFresh = true).count() > 0)
+    assert(Similarity.ivfPqAnnRecallFromIndex(base, s"$tmp/pq",
+      checkFresh = true).count() > 0)
+    assert(Similarity.abttOutliersFromModel(base, s"$tmp/sp",
+      checkFresh = true).count() > 0)
+    val e = intercept[IllegalArgumentException] {
+      Similarity.pqAnnRecallFromIndex(mutated, s"$tmp/pq", checkFresh = true)
+    }
+    assert(e.getMessage.contains("stale artifact 'pq-index'"))
+    val e2 = intercept[IllegalArgumentException] {
+      Similarity.ivfPqAnnRecallFromIndex(mutated, s"$tmp/pq", checkFresh = true)
+    }
+    assert(e2.getMessage.contains("ivfpq-index"))
+    val e3 = intercept[IllegalArgumentException] {
+      Similarity.abttOutliersFromModel(mutated, s"$tmp/sp", checkFresh = true)
+    }
+    assert(e3.getMessage.contains("spectral-model"))
+    // default serving performs no freshness scan and is untouched by
+    // the hidden _fingerprint sidecar (underscore dirs are invisible
+    // to parquet discovery)
+    assert(Similarity.pqAnnRecallFromIndex(base, s"$tmp/pq").count() > 0)
+    assert(Similarity.abttOutliersFromModel(base, s"$tmp/sp").count() > 0)
+  }
+
   test("tClosenessReport equals the brute-force prefix EMD; a concentrated class maximizes (q256)") {
     val cust = Tables.customer(spark, sf)
     val rows = cust.select("c_nationkey", "c_mktsegment", "c_acctbal")

@@ -276,7 +276,7 @@ class ScaleSpec extends GraftSuite {
     }
   }
 
-  test("UNIVERSAL sweep: no registered query's static plan broadcasts a pair-expansion build") {
+  test("UNIVERSAL sweep: no registered query's static plan broadcasts a pair-expansion build or runs an unpartitioned window over an unbounded frame") {
     // The ×30 defect class as a permanent invariant instead of a
     // remembered audit: a BroadcastHashJoin whose BUILD side descends
     // from a PAIR EXPANSION (explode of pair_combinations — the K²
@@ -303,14 +303,60 @@ class ScaleSpec extends GraftSuite {
     // raw-builder test over all six pinned sites; THIS sweep guards
     // every visible region of every registered query, i.e. any future
     // pair expansion consumed without an intervening checkpoint.
+    // WINDOW HALF (round-12 addition): a WindowExec with an EMPTY
+    // partition spec funnels its whole input through ONE task — benign
+    // over a bounded frame (a domain-keyed aggregate, a top-k head, a
+    // pid-subtotal frame), fatal over corpus rows (the negativeSamples
+    // vocab-CDF defect class this sweep exists to catch). Two rules:
+    // (1) every unpartitioned window's input subtree must be row-bounded
+    // by an aggregate / limit / local scan (resolving ReusedExchange) —
+    // a window straight over corpus rows has none; (2) the per-query
+    // COUNT of unpartitioned windows must match the audited allowlist
+    // below EXACTLY, so a new site (even one sitting over a
+    // corpus-proportional aggregate like groupBy(user_id), which rule 1
+    // cannot distinguish from a domain-keyed one) fails until a human
+    // audits it and updates the list. Inventory tool:
+    // `Test/runMain graft.ProfileWindows`; the audit of all 95 current
+    // sites (every one bounded) is recorded in SURVEY §6.
     import org.apache.spark.sql.catalyst.optimizer.BuildLeft
     import org.apache.spark.sql.execution.GenerateExec
     import org.apache.spark.sql.execution.SparkPlan
     import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+    import org.apache.spark.sql.execution.window.WindowExec
     import graft.functions.{PairCombinations, PairCombinationsKeyed}
     // Reviewed quadratic-by-design exceptions only (none today). Keep
     // this list justified per-site or the invariant rots.
     val allowed: Set[String] = Set()
+    // query -> audited count of empty-partition-spec WindowExec nodes;
+    // every site verified bounded (domain-keyed agg / top-k / pid frame)
+    val allowedWindows: Map[String, Int] = Map(
+      "q58_pack_offsets" -> 1, "q62_mixture_weights" -> 1,
+      "q69_temperature_mixture" -> 2, "q92_mixture_sample" -> 2,
+      "q107_curriculum" -> 2, "q111_datasheet" -> 1,
+      "q112_epoch_plan" -> 2, "q113_interleave" -> 2,
+      "q124_weighted_sample" -> 1, "q126_hybrid_rrf" -> 2,
+      "q153_abtt_outliers" -> 1, "q156_vocab_growth" -> 1,
+      "q158_zipf_fit" -> 1, "q167_budget_select" -> 1,
+      "q169_water_fill" -> 6, "q172_pareto_frontier" -> 1,
+      "q179_neyman_sample" -> 4, "q189_classifier_auc" -> 1,
+      "q193_cusum_drift" -> 4, "q201_trend_test" -> 2,
+      "q202_benford" -> 1, "q205_interarrival_ks" -> 1,
+      "q206_ht_estimate" -> 4, "q214_filter_attrition" -> 1,
+      "q215_source_calibration" -> 2, "q218_rate_outliers" -> 2,
+      "q220_late_arrivals" -> 1, "q221_srm_check" -> 2,
+      "q222_conversion_latency" -> 2, "q224_ordered_funnel" -> 1,
+      "q225_incremental_datasheet" -> 1, "q227_persisted_datasheet" -> 1,
+      "q235_survival_km" -> 3, "q245_chi2_independence" -> 1,
+      "q246_bh_fdr" -> 2, "q247_mann_whitney" -> 1,
+      "q248_kruskal_wallis" -> 3, "q249_spearman" -> 2,
+      "q253_ks_two_sample" -> 1, "q254_ks_panel" -> 3,
+      "q259_changepoint" -> 3, "q264_cmh" -> 1,
+      "q266_auc_delong" -> 1, "q275_changepoint_panel" -> 3,
+      "q276_weekday_effect" -> 3, "q281_logrank" -> 1,
+      "q285_hill_tail" -> 1, "q287_woe_iv" -> 1,
+      "q288_stratified_ate" -> 3, "q289_lsh_planner" -> 1,
+      "q294_periodogram" -> 3, "q295_lead_lag" -> 1,
+      "q296_seasonal_decomp" -> 3)
     def generateDescended(p: SparkPlan): Boolean =
       p.find {
         case g: GenerateExec =>
@@ -320,6 +366,20 @@ class ScaleSpec extends GraftSuite {
           }.isDefined
         case _ => false
       }.isDefined
+    def rowBounded(p: SparkPlan): Boolean = {
+      import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+      import org.apache.spark.sql.execution.{GlobalLimitExec, LocalLimitExec,
+        TakeOrderedAndProjectExec, LocalTableScanExec}
+      import org.apache.spark.sql.execution.exchange.ReusedExchangeExec
+      p.collectFirst {
+        case _: GlobalLimitExec | _: LocalLimitExec |
+             _: TakeOrderedAndProjectExec | _: BaseAggregateExec |
+             _: LocalTableScanExec => true
+        // ReusedExchange is a leaf pointing at another subtree — judge
+        // by the exchange it reuses
+        case r: ReusedExchangeExec if rowBounded(r.child) => true
+      }.isDefined
+    }
     val prev = spark.conf.get("spark.sql.adaptive.enabled")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     val offenders =
@@ -329,16 +389,29 @@ class ScaleSpec extends GraftSuite {
           .filterNot { case (name, _) => allowed.contains(name) }
           .flatMap { case (name, fn) =>
             val plan = fn(spark, sf).queryExecution.executedPlan
-            plan.collect {
+            val broadcastHits = plan.collect {
               case b: BroadcastHashJoinExec
                   if generateDescended(
                     if (b.buildSide == BuildLeft) b.left else b.right) =>
                 s"$name: ${b.nodeName} builds a Generate-descended frame"
             }
+            val wins = plan.collect {
+              case w: WindowExec if w.partitionSpec.isEmpty => w
+            }
+            val unbounded = wins.filterNot(w => rowBounded(w.child)).map(w =>
+              s"$name: unpartitioned Window over an UNBOUNDED frame:\n" +
+                w.child.treeString.linesIterator.take(6).mkString("\n"))
+            val countHit =
+              if (wins.size != allowedWindows.getOrElse(name, 0))
+                Seq(s"$name: ${wins.size} unpartitioned windows, allowlist says " +
+                  s"${allowedWindows.getOrElse(name, 0)} — audit the new site " +
+                  "(Test/runMain graft.ProfileWindows) and update allowedWindows")
+              else Seq.empty
+            broadcastHits ++ unbounded ++ countHit
           }
       } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
     assert(offenders.isEmpty,
-      "explode-blind broadcast builds (pin shuffle_hash or justify in `allowed`):\n" +
+      "plan-invariant offenders (pin shuffle_hash / fix the window / update the audited lists):\n" +
         offenders.mkString("\n"))
   }
 }

@@ -5,6 +5,9 @@ package graft
   *
   * Each query is forced through full evaluation with the noop sink
   * (`.count()` would let Spark skip computing projected columns).
+  * Queries whose first run exceeds 5 s (except index carriers) re-run
+  * twice and report the median of 3 — the `median_of_3` JSON key lists
+  * them (see the trial-loop comment).
   * q26_ngram_jaccard is excluded: it is the deliberately-quadratic
   * exact-baseline for the LSH dedup path (q27 measures the scalable
   * algorithm on the same task); running an O(n^2-pairs) shingle join at
@@ -53,24 +56,48 @@ object Bench {
     // it exists precisely to persist delta-bench vectors.
     val only: Option[Set[String]] =
       sys.env.get("SPARK_GRAFT_BENCH_QUERIES").map(_.split(",").map(_.trim).toSet)
+    // Isolate each query from its predecessors' GC debt. Round 1 showed
+    // trivial ~150k-row aggregations (q39/q40) absorbing ~19 s that
+    // vanished once the heavy allocators around them (non-vectorized
+    // events scans, corpus-broadcast dedup verification) were fixed —
+    // cross-query heap pressure, not plan cost. A forced collection
+    // between queries keeps one query's garbage out of the next
+    // query's wall-clock.
+    def trial(name: String,
+        fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame)
+        : (Double, Boolean) = {
+      System.gc()
+      val t0 = System.nanoTime()
+      val ok =
+        try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
+        catch { case scala.util.control.NonFatal(e) =>
+          System.err.println(s"[bench] $name failed: ${e.getMessage}"); false }
+      ((System.nanoTime() - t0) / 1e9, ok)
+    }
+    // Noise control on the expensive heads (round-11 measured a 2.2x
+    // same-commit swing on the spill-heavy q178 — box state, not code):
+    // a query whose first run exceeds 5 s re-runs twice and reports the
+    // MEDIAN of 3, so round-over-round deltas on the heads mean code,
+    // not page-cache luck. The fast tail stays single-run (its noise is
+    // absolute-small), and index CARRIERS stay single-run too — their
+    // first run charges the shared session-index build by design, and a
+    // median over warm re-runs would hide exactly that cost.
+    val medianed = scala.collection.mutable.ListBuffer.empty[String]
     val results = SparkEntry.queries.toSeq
       .sortBy { case (name, _) => name.drop(1).takeWhile(_.isDigit).toInt }
       .filterNot { case (name, _) => skipped.contains(name) }
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (name, fn) =>
-        // Isolate each query from its predecessors' GC debt. Round 1 showed
-        // trivial ~150k-row aggregations (q39/q40) absorbing ~19 s that
-        // vanished once the heavy allocators around them (non-vectorized
-        // events scans, corpus-broadcast dedup verification) were fixed —
-        // cross-query heap pressure, not plan cost. A forced collection
-        // between queries keeps one query's garbage out of the next
-        // query's wall-clock.
-        System.gc()
-        val t0 = System.nanoTime()
-        try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-        catch { case scala.util.control.NonFatal(e) =>
-          System.err.println(s"[bench] $name failed: ${e.getMessage}") }
-        name -> (System.nanoTime() - t0) / 1e9
+        val (t1, ok) = trial(name, fn)
+        val t =
+          if (ok && t1 > 5.0 && !carriers.contains(name)) {
+            val more = Seq(trial(name, fn), trial(name, fn))
+              .filter(_._2).map(_._1)
+            val all = (t1 +: more).sorted
+            medianed += name
+            all(all.size / 2)
+          } else t1
+        name -> t
       }
 
     // Short per-query keys (the qNN prefix): round 3's full-name JSON line
@@ -83,8 +110,9 @@ object Bench {
     val total = results.map(_._2).sum
     val skippedJson = skipped.map(s => "\"" + s.takeWhile(_ != '_') + "\"").mkString("[", ",", "]")
     val carriersJson = carriers.map(s => "\"" + s.takeWhile(_ != '_') + "\"").mkString("[", ",", "]")
+    val medianedJson = medianed.map(s => "\"" + s.takeWhile(_ != '_') + "\"").mkString("[", ",", "]")
     val line =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"skipped":$skippedJson,"index_carriers":$carriersJson,"sf":"$sfDir"}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"skipped":$skippedJson,"index_carriers":$carriersJson,"median_of_3":$medianedJson,"sf":"$sfDir"}"""
     println(line)
     // The artifact of record clips long stdout lines (BENCH_r07.json
     // recorded "parsed": null and lost q01–q67 from the tail window), so

@@ -194,6 +194,126 @@ object Multimodal {
       .orderBy($"asset_id")
   }
 
+  /** REAL audio codec over REAL bytes — the WAV/PCM twin of `BmpCodec`
+    * (round 12; completes the binary-columns story for the audio
+    * modality): RIFF/WAVE with 16-bit signed little-endian PCM is simple
+    * enough to implement from the published format spec with no library,
+    * and it exercises the parts a codec integration needs that BMP does
+    * NOT — the chunked container walk (unknown chunks skipped, odd sizes
+    * pad to even per the RIFF spec), interleaved multi-channel frames,
+    * and signed 16-bit little-endian sample decoding. Samples are a
+    * DETERMINISTIC arithmetic pattern of (frame, channel, asset_id)
+    * spanning the full s16 range, so the DuckDB oracle computes every
+    * decoded feature in closed form without touching bytes — equality
+    * proves the encoder and parser round-trip real binary exactly (and a
+    * hand-written golden file in PipelineSpec pins the format against
+    * self-consistent encode/decode bugs).
+    */
+  object WavCodec {
+    def channels(d: Long): Int = 1 + (d % 2).toInt // mono / stereo
+    def sampleRate(d: Long): Int = 8000 + (d % 4).toInt * 4000
+    def frames(d: Long): Int = 64 + (d * 11 % 192).toInt
+    def sample(d: Long, c: Int, i: Int): Int =
+      ((37L * i + 101L * c + d) % 65536).toInt - 32768
+    def fileBytes(d: Long): Int = 44 + channels(d) * 2 * frames(d)
+
+    private def tag(buf: java.nio.ByteBuffer, s: String): java.nio.ByteBuffer =
+      buf.put(s.getBytes("US-ASCII"))
+
+    /** Canonical RIFF/WAVE: 44-byte header (12 RIFF + 24 fmt + 8 data)
+      * then interleaved s16le frames.
+      */
+    def encode(d: Long): Array[Byte] = {
+      val ch = channels(d); val sr = sampleRate(d); val n = frames(d)
+      val dataBytes = ch * 2 * n
+      val buf = java.nio.ByteBuffer.allocate(44 + dataBytes)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      tag(buf, "RIFF").putInt(36 + dataBytes)
+      tag(buf, "WAVE")
+      tag(buf, "fmt ").putInt(16)
+        .putShort(1) // PCM
+        .putShort(ch.toShort).putInt(sr)
+        .putInt(sr * ch * 2) // byte rate
+        .putShort((ch * 2).toShort) // block align
+        .putShort(16) // bits per sample
+      tag(buf, "data").putInt(dataBytes)
+      for (i <- 0 until n; c <- 0 until ch) // frames outer = interleaved
+        buf.putShort(sample(d, c, i).toShort)
+      buf.array()
+    }
+
+    /** (channels, sampleRate, nFrames, per-channel (Σs, Σs², Σ(i+1)·s)).
+      * The position-weighted sum makes frame ORDER and the channel
+      * INTERLEAVE observable: plain channel sums round-trip even under a
+      * deinterleave or frame-reversal bug, the weighted sum does not.
+      * Walks the RIFF chunk list generically — unknown chunks (LIST,
+      * fact, ...) are skipped with the spec's odd-size pad byte, exactly
+      * what real-world WAV files require of a parser.
+      */
+    def decode(bytes: Array[Byte]): (Int, Int, Int, Array[(Long, Long, Long)]) = {
+      val buf = java.nio.ByteBuffer.wrap(bytes)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      def fourCc(off: Int): String =
+        new String(bytes, off, 4, "US-ASCII")
+      require(bytes.length >= 44 && fourCc(0) == "RIFF" && fourCc(8) == "WAVE",
+        "not a RIFF/WAVE payload")
+      var pos = 12
+      var ch = -1; var sr = -1; var dataOff = -1; var dataLen = -1
+      while (pos + 8 <= bytes.length && (ch < 0 || dataOff < 0)) {
+        val id = fourCc(pos); val size = buf.getInt(pos + 4)
+        id match {
+          case "fmt " =>
+            require(buf.getShort(pos + 8) == 1,
+              "decoder supports PCM (format 1) only")
+            require(buf.getShort(pos + 22) == 16,
+              "decoder supports 16 bits per sample only")
+            ch = buf.getShort(pos + 10)
+            sr = buf.getInt(pos + 12)
+          case "data" => dataOff = pos + 8; dataLen = size
+          case _ => // skip unknown chunk
+        }
+        pos += 8 + size + (size & 1) // RIFF pads odd chunks to even
+      }
+      require(ch > 0 && sr > 0 && dataOff >= 0, "missing fmt /data chunk")
+      val n = dataLen / (ch * 2)
+      val acc = Array.fill(ch)((0L, 0L, 0L))
+      for (i <- 0 until n; c <- 0 until ch) {
+        val s = buf.getShort(dataOff + (i * ch + c) * 2).toLong
+        val (ss, sq, ws) = acc(c)
+        acc(c) = (ss + s, sq + s * s, ws + (i + 1) * s)
+      }
+      (ch, sr, n, acc)
+    }
+  }
+
+  /** Per-asset, per-channel decoded waveform features (q301): channel
+    * sums, exact sum-of-squares, and the position-weighted sum from the
+    * REAL sample array of the audio-rotation assets — integer-exact, so
+    * an endianness / interleave / chunk-walk bug in either codec
+    * direction breaks the hash gate. RMS is the one double render
+    * (sqrt(Σs²/n), rounded 4 — both engines compute it from the same
+    * exact integers). Shape: encode+decode run batched per partition
+    * (the decodeBatched integration shape); output is asset×channel
+    * rows, corpus-proportional, no shuffle beyond the final sort.
+    */
+  def wavChannelFeatures(documents: DataFrame): DataFrame = {
+    import documents.sparkSession.implicits.{newLongEncoder, newProductEncoder}
+    documents.filter($"doc_id" % 3 === 1) // the q35 audio rotation
+      .select($"doc_id").as[Long]
+      .mapPartitions(_.flatMap { d =>
+        val bytes = WavCodec.encode(d)
+        val (ch, sr, n, perCh) = WavCodec.decode(bytes)
+        perCh.zipWithIndex.map { case ((ss, sq, ws), c) =>
+          val rms = java.math.BigDecimal.valueOf(math.sqrt(sq.toDouble / n))
+            .setScale(4, java.math.RoundingMode.HALF_UP).doubleValue()
+          (d, ch, sr, n, bytes.length.toLong, c, ss, sq, ws, rms)
+        }
+      })
+      .toDF("asset_id", "n_channels", "sample_rate", "n_frames", "n_bytes",
+        "channel", "s_sum", "s_sq_sum", "w_sum", "rms")
+      .orderBy($"asset_id", $"channel")
+  }
+
   /** Frame-sample stage: take every k-th "frame" (byte window) of each
     * video payload — the batch shape of video frame extraction: explode to
     * (asset, frame_no, frame_bytes) rows, repartition-friendly.

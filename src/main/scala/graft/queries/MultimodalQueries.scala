@@ -30,6 +30,12 @@ private[graft] object MultimodalQueries extends QueryFamily {
     // so equality proves the encoder+parser round-trip real binary
     "q244_bmp_pixels" -> ((s, d) =>
       Multimodal.bmpPixelFeatures(Tables.documents(s, d))),
+    // REAL audio codec gate (the q244 discipline on the WAV/PCM format):
+    // per-channel waveform features from decoding actual RIFF bytes
+    // (chunk walk, interleaved s16le frames); the oracle computes the
+    // generation closed forms without bytes
+    "q301_wav_features" -> ((s, d) =>
+      Multimodal.wavChannelFeatures(Tables.documents(s, d))),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -76,6 +82,32 @@ private[graft] object MultimodalQueries extends QueryFamily {
         | CAST(sum((13 * x + 17 * y + 3 * doc_id) % 256) AS BIGINT) AS b_sum,
         | CAST(sum((x + 1) * (y + 1) * r) AS BIGINT) AS rw_sum
         |FROM px GROUP BY doc_id, w, h ORDER BY asset_id""".stripMargin,
+    "q301_wav_features" ->
+      // the sample-pattern closed forms summed over each audio asset's
+      // (frame, channel) grid — no byte ever touched on the oracle side;
+      // rms is the one double render from the same exact integers
+      """WITH p AS (
+        |  SELECT doc_id, CAST(1 + doc_id % 2 AS INT) AS ch,
+        |    CAST(8000 + (doc_id % 4) * 4000 AS INT) AS sr,
+        |    CAST(64 + (doc_id * 11) % 192 AS INT) AS n
+        |  FROM documents WHERE doc_id % 3 = 1
+        |),
+        |s AS (
+        |  SELECT doc_id, ch, sr, n, c, i,
+        |    (37 * i + 101 * c + doc_id) % 65536 - 32768 AS s
+        |  FROM p,
+        |    LATERAL (SELECT unnest(range(0, ch)) AS c),
+        |    LATERAL (SELECT unnest(range(0, n)) AS i)
+        |)
+        |SELECT doc_id AS asset_id, ch AS n_channels, sr AS sample_rate,
+        | n AS n_frames, CAST(44 + ch * 2 * n AS BIGINT) AS n_bytes,
+        | CAST(c AS INT) AS channel,
+        | CAST(sum(s) AS BIGINT) AS s_sum,
+        | CAST(sum(s * s) AS BIGINT) AS s_sq_sum,
+        | CAST(sum((i + 1) * s) AS BIGINT) AS w_sum,
+        | round(sqrt(CAST(sum(s * s) AS DOUBLE) / n), 4) AS rms
+        |FROM s GROUP BY doc_id, ch, sr, n, c
+        |ORDER BY asset_id, channel""".stripMargin,
     "q36_frame_sample" ->
       """WITH v AS (
         |  SELECT doc_id AS asset_id, text,

@@ -292,6 +292,95 @@ class PipelineSpec extends GraftSuite {
     }
   }
 
+  test("WavCodec: hand-written golden file decodes to known samples; chunk walk skips unknown chunks; round-trip matches closed forms (q301)") {
+    import Multimodal.WavCodec
+    // golden mono/8kHz/2-frame s16le WAV, byte-by-byte from the RIFF
+    // spec (NOT from the encoder): samples [1000, -2]. Pins tag order,
+    // little-endian fields, and two's-complement sample bytes against a
+    // self-consistent encode/decode bug that sums alone cannot see.
+    val golden: Array[Byte] = (Seq(
+      'R'.toInt, 'I'.toInt, 'F'.toInt, 'F'.toInt, 40, 0, 0, 0,
+      'W'.toInt, 'A'.toInt, 'V'.toInt, 'E'.toInt,
+      'f'.toInt, 'm'.toInt, 't'.toInt, ' '.toInt, 16, 0, 0, 0,
+      1, 0, 1, 0, // PCM, mono
+      64, 31, 0, 0, // 8000 Hz = 0x1F40 little-endian
+      128, 62, 0, 0, // byte rate 16000 = 0x3E80
+      2, 0, 16, 0, // block align 2, 16 bps
+      'd'.toInt, 'a'.toInt, 't'.toInt, 'a'.toInt, 4, 0, 0, 0,
+      232, 3, // 1000 = 0x03E8
+      254, 255 // -2 = 0xFFFE
+    ) map (_.toByte)).toArray
+    val (gc, gsr, gn, gacc) = WavCodec.decode(golden)
+    assert((gc, gsr, gn) === ((1, 8000, 2)))
+    assert(gacc.toSeq === Seq((998L, 1000004L, 996L))) // Σs, Σs², Σ(i+1)s
+    // encode -> decode round-trip equals the generation closed forms for
+    // a sweep of asset ids (mono+stereo, every sample-rate class, every
+    // frame-count residue the fixture rotation produces)
+    for (d <- 0L to 63L) {
+      val (ch, sr, n) = (WavCodec.channels(d), WavCodec.sampleRate(d), WavCodec.frames(d))
+      val bytes = WavCodec.encode(d)
+      assert(bytes.length === WavCodec.fileBytes(d))
+      val expected = Array.tabulate(ch) { c =>
+        var (ss, sq, ws) = (0L, 0L, 0L)
+        for (i <- 0 until n) {
+          val s = WavCodec.sample(d, c, i).toLong
+          ss += s; sq += s * s; ws += (i + 1) * s
+        }
+        (ss, sq, ws)
+      }
+      val (dc, dsr, dn, dacc) = WavCodec.decode(bytes)
+      assert((dc, dsr, dn) === ((ch, sr, n)), s"asset $d header")
+      assert(dacc.toSeq === expected.toSeq, s"asset $d samples")
+    }
+    // the chunk walk: an unknown LIST chunk with an ODD size (the RIFF
+    // pad-to-even rule) spliced before fmt must be skipped transparently
+    val base = WavCodec.encode(7L)
+    val list = Array[Byte]('L', 'I', 'S', 'T', 5, 0, 0, 0,
+      'h', 'e', 'l', 'l', 'o', 0) // 5 payload bytes + 1 pad
+    val spliced = java.nio.ByteBuffer.allocate(base.length + list.length)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .put(base, 0, 12).put(list).put(base, 12, base.length - 12).array()
+    // keep the RIFF size field honest after the splice
+    java.nio.ByteBuffer.wrap(spliced).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .putInt(4, base.length - 8 + list.length)
+    val viaList = WavCodec.decode(spliced)
+    val direct = WavCodec.decode(base)
+    assert(viaList._1 === direct._1 && viaList._2 === direct._2 &&
+      viaList._3 === direct._3 && viaList._4.toSeq === direct._4.toSeq)
+    // loud failures: not RIFF/WAVE, non-PCM format, non-16-bit samples
+    intercept[IllegalArgumentException] {
+      WavCodec.decode("definitely not audio".getBytes("UTF-8"))
+    }
+    val float32 = golden.clone(); float32(20) = 3 // format 3 = IEEE float
+    intercept[IllegalArgumentException] { WavCodec.decode(float32) }
+    val eightBit = golden.clone(); eightBit(34) = 8
+    intercept[IllegalArgumentException] { WavCodec.decode(eightBit) }
+  }
+
+  test("wavChannelFeatures equals the in-JVM replica over the audio rotation (q301)") {
+    import Multimodal.WavCodec
+    val ids = docs.select(col("doc_id")).collect().map(_.getLong(0))
+      .filter(_ % 3 == 1).sorted
+    val expected = ids.flatMap { d =>
+      val (ch, sr, n, acc) = WavCodec.decode(WavCodec.encode(d))
+      acc.zipWithIndex.map { case ((ss, sq, ws), c) =>
+        val rms = java.math.BigDecimal.valueOf(math.sqrt(sq.toDouble / n))
+          .setScale(4, java.math.RoundingMode.HALF_UP).doubleValue()
+        (d, ch, sr, n, WavCodec.fileBytes(d).toLong, c, ss, sq, ws, rms)
+      }
+    }.toSeq
+    val got = Multimodal.wavChannelFeatures(docs).collect().map(r =>
+      (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3), r.getLong(4),
+        r.getInt(5), r.getLong(6), r.getLong(7), r.getLong(8), r.getDouble(9))).toSeq
+    assert(got === expected)
+    assert(got.nonEmpty)
+    // stereo assets contribute exactly two channel rows, mono one
+    val byAsset = got.groupBy(_._1)
+    byAsset.foreach { case (d, rows) =>
+      assert(rows.length === WavCodec.channels(d), s"asset $d channel rows")
+    }
+  }
+
   test("multimodal: batched decode serves real header fields for every asset") {
     import Multimodal.BmpCodec
     val decoded = Multimodal.decodeBatched(Multimodal.bmpAssets(docs)).collect()

@@ -852,7 +852,7 @@ object Dedup {
     * on degenerate data the cost is the exactness, not the plan.
     */
   def containmentDiscover(documents: DataFrame, n: Int = 5,
-      tau: Double = 0.9): DataFrame = {
+      tau: Double = 0.9, explodeVerify: Boolean = false): DataFrame = {
     import graft.functions.MinHashFunctions.{shingle_hashes, sorted_intersect_count}
     val parts = documents.sparkSession.sparkContext.defaultParallelism * 2
     val sh = documents
@@ -906,6 +906,42 @@ object Dedup {
         dir($"id2", $"id1", $"sz2", $"sz1"))).as("r"))
       .select($"r.contained_id", $"r.container_id", $"r.containment", $"r.jaccard")
       .filter($"containment" >= tau)
+    // POSTING-EXPLOSION intersection — A/B'd in round 12 and REJECTED
+    // by measurement (kept as the measured record + re-test hook, the
+    // waves-dial discipline): no shingle array is ever resident per
+    // pair — candidates explode through id1's posting rows and
+    // inner-join (id2, h) back onto the posting index, so the
+    // intersection is a streaming shuffle+count instead of 6M in-heap
+    // array pairs (~3.3 KB × 2 each). The hypothesis (removing the
+    // resident pair-arrays kills the 2.2× same-commit spill noise)
+    // LOST decisively: interleaved same-box A/B at sf0.1 ×2 reps
+    // measured arrays 12.4–57.5 s vs explode 132.6–260.0 s — the
+    // Σ_pairs|A| row volume (~6M pairs × ~170 grams ≈ 1G rows through
+    // two shuffles) costs 5–20× more than the resident arrays save,
+    // at HIGHER heap (7–12 GiB vs 1–4). Protocol: ProfileQ178 with
+    // SPARK_GRAFT_Q178_AB=1; table in SURVEY §6.11. The bench-noise
+    // fix is the Heaps fixture (q302) + Bench's median-of-3 instead.
+    // i ≥ 1 for every candidate (pairs enter via a shared probe
+    // shingle), so the inner-join groupBy loses no pair.
+    def verifyExplode(slice: DataFrame): DataFrame = {
+      val sizes = sh.select($"doc_id", size($"hs").as("sz"))
+      val inter = slice
+        .join(postings.select($"container_id".as("id1"), $"h")
+          .hint("shuffle_hash"), Seq("id1"))
+        .join(postings.select($"container_id".as("id2"), $"h")
+          .hint("shuffle_hash"), Seq("id2", "h"))
+        .groupBy($"id1", $"id2").agg(count(lit(1)).as("i"))
+      inter
+        .join(sizes.select($"doc_id".as("id1"), $"sz".as("sz1"))
+          .hint("shuffle_hash"), Seq("id1"))
+        .join(sizes.select($"doc_id".as("id2"), $"sz".as("sz2"))
+          .hint("shuffle_hash"), Seq("id2"))
+        .select(explode(array(
+          dir($"id1", $"id2", $"sz1", $"sz2"),
+          dir($"id2", $"id1", $"sz2", $"sz1"))).as("r"))
+        .select($"r.contained_id", $"r.container_id", $"r.containment", $"r.jaccard")
+        .filter($"containment" >= tau)
+    }
     // A sequential "verify wave" dial (hash-partition the candidates,
     // materialize one slice's post-filter result before the next) was
     // built and MEASURED here in rounds 8–9 as the suspect fix for
@@ -916,7 +952,42 @@ object Dedup {
     // extra scans of the checkpointed candidate set cost more than the
     // reduced peak live array volume saves at a 32g heap). Protocol and
     // tables: ProfileQ178/ProfileScale + SURVEY §6.11.
-    verify(cands).orderBy($"contained_id", $"container_id")
+    (if (explodeVerify) verifyExplode(cands) else verify(cands))
+      .orderBy($"contained_id", $"container_id")
+  }
+
+  /** Heaps-law containment fixture (q302): a deterministic synthetic
+    * corpus derived from the document ids where VOCABULARY GROWS WITH
+    * CORPUS SIZE — the property the raw fixture corpus lacks (its ~2k
+    * 5-gram types over 5k docs make nearly every pair share rare
+    * shingles, so the q178 bench head measures spill behavior on
+    * degenerate data instead of the prefix-filter plan; SURVEY §6.11).
+    * Token j of doc d is `w((d·131 + j·97) mod (d + 50))`: the modulus
+    * grows with d, so later documents draw from a larger token space
+    * (corpus vocabulary ≈ N + 50 types — Heaps with β ≈ 1) while small
+    * token ids stay common across all documents (a Zipf-flavored df
+    * decay: df(z) ~ Σ_{d ≥ z−50} len(d)/(d+50)). Document length is
+    * 30 + d mod 40 tokens. Every doc with d ≡ 3 (mod 10) is a PLANTED
+    * CONTAINMENT: its text is the first ⌊len/2⌋+2 tokens of doc d−3's
+    * stream — a strict text prefix, so its distinct 5-gram set is a
+    * subset of the container's and containment is exactly 1.0 (the
+    * short-quoted-in-long case the discovery op exists for).
+    * Integer-only arithmetic renders the identical corpus in both
+    * engines; the q302 oracle re-derives it in SQL and runs the q178
+    * exact all-pairs gate on it.
+    */
+  def heapsContainmentCorpus(documents: DataFrame): DataFrame = {
+    val isContained = $"doc_id" % 10 === 3 && $"doc_id" >= 3
+    documents.select($"doc_id")
+      .withColumn("src", when(isContained, $"doc_id" - 3L).otherwise($"doc_id"))
+      .withColumn("srclen", lit(30L) + ($"src" % 40L))
+      .withColumn("len",
+        when(isContained, expr("srclen div 2") + 2L).otherwise($"srclen"))
+      .select($"doc_id", concat_ws(" ",
+        transform(sequence(lit(0L), $"len" - 1L),
+          j => concat(lit("w"),
+            (($"src" * 131L + j * 97L) % ($"src" + 50L)).cast("string"))))
+        .as("text"))
   }
 
   /** Core-number (k-core) decomposition of the near-dup graph — the

@@ -73,6 +73,12 @@ private[graft] object DedupQueries extends QueryFamily {
     // the quote/inclusion pairs symmetric MinHash banding cannot see;
     // oracle states the exact all-pairs form → the gate proves recall
     "q178_containment" -> ((s, d) => Dedup.containmentDiscover(Tables.documents(s, d))),
+    // the same containment discovery on the HEAPS-LAW fixture: vocabulary
+    // grows with corpus size (the raw corpus's ~2k-type vocabulary makes
+    // q178 a degenerate near-all-pairs worst case), so this bench head
+    // measures the prefix-filter PLAN at realistic posting selectivity
+    "q302_containment_heaps" -> ((s, d) =>
+      Dedup.containmentDiscover(Dedup.heapsContainmentCorpus(Tables.documents(s, d)))),
     // term-frequency-aware refinement of the verified near-dup pairs:
     // token-multiset weighted Jaccard (sum-min / sum-max) beside the
     // set-Jaccard score; rides the session pair index
@@ -671,6 +677,49 @@ private[graft] object DedupQueries extends QueryFamily {
          |JOIN sizes sb ON id_b = sb.doc_id
          |WHERE round(i * 1.0 / sa.sz, 6) >= 0.9
          |ORDER BY contained_id, container_id""".stripMargin,
+    "q302_containment_heaps" ->
+      // the q178 exact all-ordered-pairs gate over the SQL re-derivation
+      // of the Heaps corpus (integer-only arithmetic renders the
+      // identical text in both engines; planted pairs d -> d-3 for
+      // d = 3 mod 10 have containment exactly 1.0 by prefix construction)
+      """WITH hsrc AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 10 = 3 AND doc_id >= 3
+        |      THEN doc_id - 3 ELSE doc_id END AS src,
+        |    (doc_id % 10 = 3 AND doc_id >= 3) AS contained
+        |  FROM documents
+        |),
+        |hlen AS (
+        |  SELECT doc_id, src,
+        |    CASE WHEN contained THEN (30 + src % 40) // 2 + 2
+        |      ELSE 30 + src % 40 END AS len
+        |  FROM hsrc
+        |),
+        |hcorp AS (
+        |  SELECT doc_id,
+        |    array_to_string(list_transform(range(0, len),
+        |      j -> 'w' || CAST((src * 131 + j * 97) % (src + 50) AS VARCHAR)), ' ') AS text
+        |  FROM hlen
+        |),
+        |grams AS (
+        |  SELECT doc_id,
+        |    unnest(list_distinct([substr(text, i, 5) for i in range(1, greatest(length(text)-4, 1)+1)])) AS g
+        |  FROM hcorp
+        |),
+        |sizes AS (SELECT doc_id, count(*) AS sz FROM grams GROUP BY doc_id),
+        |inter AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+        |  FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id <> b.doc_id
+        |  GROUP BY 1, 2
+        |)
+        |SELECT id_a AS contained_id, id_b AS container_id,
+        |  round(i * 1.0 / sa.sz, 6) AS containment,
+        |  round(i * 1.0 / (sa.sz + sb.sz - i), 6) AS jaccard
+        |FROM inter
+        |JOIN sizes sa ON id_a = sa.doc_id
+        |JOIN sizes sb ON id_b = sb.doc_id
+        |WHERE round(i * 1.0 / sa.sz, 6) >= 0.9
+        |ORDER BY contained_id, container_id""".stripMargin,
     "q229_weighted_jaccard" ->
       // pairs = the exact >= 0.6 shingle-Jaccard set (the q26/q27 oracle);
       // weighted score from token multisets: sum-min over shared tokens,

@@ -794,6 +794,42 @@ class MatchingSpec extends GraftSuite {
     assert(got.nonEmpty, "the fixture's near-dup families must surface here too")
   }
 
+  test("heapsContainmentCorpus: vocabulary grows with corpus size; every planted prefix pair discovered at containment 1.0 (q302)") {
+    import graft.operators.Dedup
+    val corpus = Dedup.heapsContainmentCorpus(docs).collect()
+      .map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+    // the corpus derives deterministically from ids: spot-check doc 0
+    // against the closed form (len 30, tokens (0*131 + 97j) mod 50)
+    val d0 = (0 until 30).map(j => "w" + ((97L * j) % 50L)).mkString(" ")
+    corpus.find(_._1 == 0L).foreach(c => assert(c._2 === d0))
+    // HEAPS PROPERTY — the reason this fixture exists: distinct token
+    // vocabulary over the first half of the corpus is materially smaller
+    // than over the whole (the raw fixture's ~2k-type vocabulary is flat
+    // in corpus size, which degenerates posting selectivity)
+    def vocab(cs: Seq[(Long, String)]): Int =
+      cs.flatMap(_._2.split(" ")).distinct.length
+    val half = corpus.take(corpus.length / 2)
+    val vHalf = vocab(half.toSeq); val vFull = vocab(corpus.toSeq)
+    assert(vFull > vHalf * 1.4,
+      s"vocabulary must grow with corpus size: half=$vHalf full=$vFull")
+    // every planted pair (d = 3 mod 10 -> d-3) surfaces with containment
+    // exactly 1.0 (text-prefix construction => gram-subset)
+    val found = Dedup.containmentDiscover(Dedup.heapsContainmentCorpus(docs))
+      .collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    val planted = corpus.map(_._1).filter(d => d % 10 == 3 && d >= 3)
+      .map(d => (d, d - 3))
+    assert(planted.nonEmpty)
+    planted.foreach { p =>
+      assert(found.get(p).contains(1.0), s"planted pair $p missing or < 1.0")
+    }
+    // and both verify arms agree on this fixture too (the A/B law)
+    val viaExplode = Dedup.containmentDiscover(
+      Dedup.heapsContainmentCorpus(docs), explodeVerify = true).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(viaExplode === found)
+  }
+
   test("kcoreDecomposition equals exact peeling; h-index iterate is converged at 8 rounds") {
     import graft.operators.Dedup
     val pairs = Dedup.minhashLshPairs(docs).collect()

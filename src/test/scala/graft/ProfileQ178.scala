@@ -43,6 +43,10 @@ object ProfileQ178 {
     def q178(): Unit =
       Dedup.containmentDiscover(Tables.documents(spark, sfDir))
         .write.format("noop").mode("overwrite").save()
+    def q178Explode(): Unit =
+      Dedup.containmentDiscover(Tables.documents(spark, sfDir),
+        explodeVerify = true)
+        .write.format("noop").mode("overwrite").save()
     def heavyHistory(): Unit =
       Seq("q27_dedup_minhash_lsh", "q48_embedding_neardup",
         "q143_classifier_weights", "q148_pq_ann", "q152_pc1_power")
@@ -60,6 +64,21 @@ object ProfileQ178 {
     if (sys.env.get("SPARK_GRAFT_Q178_ONLY").contains("1")) {
       time("contended (a)") { q178() }
       time("contended (b)") { q178() }
+      spark.stop()
+      return
+    }
+
+    // Round-12 A/B (SPARK_GRAFT_Q178_AB=1): array-shipping verify vs the
+    // posting-explosion intersection, interleaved back-to-back so both
+    // arms see the same box state — the judge's hypothesis is that
+    // removing the ~20 GB of resident pair-arrays kills the spill noise.
+    if (sys.env.get("SPARK_GRAFT_Q178_AB").contains("1")) {
+      for (rep <- 1 to reps) {
+        time(s"rep$rep arrays (a)") { q178() }
+        time(s"rep$rep explode (a)") { q178Explode() }
+        time(s"rep$rep arrays (b)") { q178() }
+        time(s"rep$rep explode (b)") { q178Explode() }
+      }
       spark.stop()
       return
     }

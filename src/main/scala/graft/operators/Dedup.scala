@@ -985,8 +985,22 @@ object Dedup {
         when(isContained, expr("srclen div 2") + 2L).otherwise($"srclen"))
       .select($"doc_id", concat_ws(" ",
         transform(sequence(lit(0L), $"len" - 1L),
-          j => concat(lit("w"),
-            (($"src" * 131L + j * 97L) % ($"src" + 50L)).cast("string"))))
+          // md5-RENDERED tokens (round-12 lesson from the sf1eq sweep):
+          // decimal rendering of token ids drawn from a NARROW numeric
+          // range (e.g. 1e7-offset replica ids ⇒ z ∈ [9.99e6, 1.0005e7])
+          // keeps ~4 digit positions constant across the whole corpus
+          // slice, so 5-grams covering those positions hit df ≈ corpus
+          // and the exact-oracle gram join degenerates quadratically
+          // (measured Σdf² 8.2e10 at 50k docs; digit REVERSAL just moves
+          // the constant run to the other end — same Σdf²). A 6-hex-char
+          // md5 prefix of the id varies uniformly in EVERY character
+          // position for any id distribution; md5 is the repo's
+          // established cross-engine string device, and gram sharing is
+          // then driven by shared token SEQUENCES — the intended
+          // semantics.
+          j => concat(lit("w"), substring(
+            md5((($"src" * 131L + j * 97L) % ($"src" + 50L)).cast("string")),
+            1, 6))))
         .as("text"))
   }
 

@@ -83,6 +83,25 @@ object Matching {
       .localCheckpoint() // re-aggregated once per EM round / scored once
   }
 
+  /** The blocked-pair volume gate (round 12, replacing the Long-width
+    * multiplyExact accident the sf1 sweep exposed): (brand, size)
+    * blocks grow WITH the corpus (the key domains are fixed), so the
+    * pair count grows quadratically — a documented Class-A dial, and
+    * crossing it means RE-BLOCK (more keys / the q292 PC-RR audit),
+    * not "widen the arithmetic and grind". 50M pairs ≈ one EM round of
+    * a few aggregate-only passes; the sf1-equivalent corpus (200k
+    * parts) measures 15.6M.
+    */
+  private def guardPairVolume(cand: DataFrame, maxPairs: Long): DataFrame = {
+    val n = cand.count() // the checkpoint above materialized it already
+    require(n <= maxPairs,
+      s"fs linkage: $n blocked candidate pairs exceed maxPairs=$maxPairs — " +
+        "the (p_brand, p_size) block key is too coarse at this corpus " +
+        "size; re-block (add keys; audit with q292 blockingQuality) " +
+        "instead of raising the gate")
+    cand
+  }
+
   /** The q233 EM loop over a candidate frame; returns (m6, u6) micro-unit
     * arrays after `rounds`. State is 9 scalars synced per round.
     */
@@ -117,12 +136,16 @@ object Matching {
       val sg = sums.getLong(0); val n = sums.getLong(1)
       val sug = sums.getLong(2)
       for (k <- 1 to 4) {
-        // multiplyExact: the repo's loud-overflow posture — a blocked
-        // candidate set > ~9.2e12/1e6 pairs must fail, not wrap silently
+        // BigInt M-step (round 12; oracle mirrors with HUGEINT): the
+        // former long multiplyExact made ~9.2e6 pairs an ARITHMETIC
+        // accident boundary — the sf1 sweep hit it at 15M blocked pairs
+        // where the EM itself is perfectly computable. The COST gate is
+        // now the explicit maxPairs guard at the candidate build (loud,
+        // documented, actionable), not a Long-width coincidence.
         m6(k - 1) = clamp(
-          (Math.multiplyExact(1000000L, sums.getLong(1 + 2 * k)) + sg / 2) / sg)
+          ((BigInt(1000000L) * sums.getLong(1 + 2 * k) + sg / 2) / sg).toLong)
         u6(k - 1) = clamp(
-          (Math.multiplyExact(1000000L, sums.getLong(2 + 2 * k)) + sug / 2) / sug)
+          ((BigInt(1000000L) * sums.getLong(2 + 2 * k) + sug / 2) / sug).toLong)
       }
       p6 = clamp((sg + n / 2) / n)
     }
@@ -152,9 +175,10 @@ object Matching {
     * Candidate volume is block-bounded (Σ_block |block|²); the EM passes
     * are candidate-proportional aggregates over ONE checkpointed frame.
     */
-  def fsLinkageWeights(part: DataFrame, rounds: Int = 3): DataFrame = {
+  def fsLinkageWeights(part: DataFrame, rounds: Int = 3,
+      maxPairs: Long = 50000000L): DataFrame = {
     val spark = part.sparkSession
-    val (m6, u6) = fsEmFit(fsCandidates(part), rounds)
+    val (m6, u6) = fsEmFit(guardPairVolume(fsCandidates(part), maxPairs), rounds)
     // finish IN Spark (not on the driver) so the log2/round rendering is
     // the same engine codepath every other oracle-checked query uses
     import spark.implicits.{localSeqToDatasetHolder, newProductEncoder}
@@ -188,8 +212,8 @@ object Matching {
     * scores with the same fixed-order sum).
     */
   def fsLinkageMatches(part: DataFrame, rounds: Int = 3,
-      minBits: Double = 4.0): DataFrame = {
-    val cand = fsCandidates(part)
+      minBits: Double = 4.0, maxPairs: Long = 50000000L): DataFrame = {
+    val cand = guardPairVolume(fsCandidates(part), maxPairs)
     val (m6, u6) = fsEmFit(cand, rounds)
     val score = (1 to 4).map { k =>
       when(col(s"g$k") === 1L,

@@ -164,8 +164,8 @@ private[graft] object DedupQueries extends QueryFamily {
          |w$i AS (
          |  SELECT
          |${(1 to 4).map(k =>
-            s"    least(greatest((1000000 * sm$k + sg // 2) // sg, 1), 999999) AS m$k,\n" +
-            s"    least(greatest((1000000 * su$k + sug // 2) // sug, 1), 999999) AS u$k")
+            s"    least(greatest((CAST(1000000 AS HUGEINT) * sm$k + sg // 2) // sg, 1), 999999) AS m$k,\n" +
+            s"    least(greatest((CAST(1000000 AS HUGEINT) * su$k + sug // 2) // sug, 1), 999999) AS u$k")
           .mkString(",\n")},
          |    least(greatest((sg + n // 2) // n, 1), 999999) AS p6
          |  FROM s$i
@@ -698,7 +698,7 @@ private[graft] object DedupQueries extends QueryFamily {
         |hcorp AS (
         |  SELECT doc_id,
         |    array_to_string(list_transform(range(0, len),
-        |      j -> 'w' || CAST((src * 131 + j * 97) % (src + 50) AS VARCHAR)), ' ') AS text
+        |      j -> 'w' || substr(md5(CAST((src * 131 + j * 97) % (src + 50) AS VARCHAR)), 1, 6)), ' ') AS text
         |  FROM hlen
         |),
         |grams AS (

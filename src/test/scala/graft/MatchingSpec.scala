@@ -799,8 +799,13 @@ class MatchingSpec extends GraftSuite {
     val corpus = Dedup.heapsContainmentCorpus(docs).collect()
       .map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
     // the corpus derives deterministically from ids: spot-check doc 0
-    // against the closed form (len 30, tokens (0*131 + 97j) mod 50)
-    val d0 = (0 until 30).map(j => "w" + ((97L * j) % 50L)).mkString(" ")
+    // against the closed form (len 30, token = "w" + 6-hex md5 prefix of
+    // (0*131 + 97j) mod 50 — see the operator's rendering note)
+    def md5hex6(v: String): String = java.security.MessageDigest
+      .getInstance("MD5").digest(v.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString.take(6)
+    val d0 = (0 until 30).map(j => "w" + md5hex6(((97L * j) % 50L).toString))
+      .mkString(" ")
     corpus.find(_._1 == 0L).foreach(c => assert(c._2 === d0))
     // HEAPS PROPERTY — the reason this fixture exists: distinct token
     // vocabulary over the first half of the corpus is materially smaller

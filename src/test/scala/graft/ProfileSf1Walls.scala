@@ -1,0 +1,38 @@
+package graft
+
+/** Dev-only per-query wall record for the round-12 sf1 sweep
+  * (Test/runMain graft.ProfileSf1Walls): one cold sitting over the
+  * 20 sweep heads at target/sf1eq, Bench semantics (noop sink,
+  * System.gc() between queries, warm-up outside the measured region),
+  * single-run (the wall column of SURVEY §6.21's table; correctness is
+  * the Verify+check.py gate, not this).
+  */
+object ProfileSf1Walls {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "target/sf1eq")
+    val spark = GraftSession
+      .builder(appName = "graft-sf1walls", master = "local[32]", shufflePartitions = 32)
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    spark.range(1000000L).selectExpr("sum(id)").collect()
+    val heads = Seq(
+      "q27_dedup_minhash_lsh", "q48_embedding_neardup", "q84_curation_pipeline",
+      "q122_tfidf_pairs", "q139_containment_search", "q143_classifier_weights",
+      "q147_capstone_v2", "q148_pq_ann", "q177_set_cover",
+      "q190_textrank_keywords", "q194_label_propagation", "q207_mutual_knn",
+      "q210_cluster_stability", "q228_sketch_rollup", "q231_margin_pairs",
+      "q233_fs_linkage", "q243_knn_autodial", "q272_persisted_quantiles",
+      "q290_lof_outliers", "q302_containment_heaps")
+    for (name <- heads) {
+      System.gc()
+      val t0 = System.nanoTime()
+      try SparkEntry.queries(name)(spark, sfDir)
+        .write.format("noop").mode("overwrite").save()
+      catch { case scala.util.control.NonFatal(e) =>
+        println(f"[sf1walls] $name FAILED: ${e.getMessage}")
+      }
+      println(f"[sf1walls] $name ${(System.nanoTime() - t0) / 1e9}%.1f s")
+    }
+    spark.stop()
+  }
+}

@@ -93,6 +93,15 @@ object Matching {
     * parts) measures 15.6M.
     */
   private def guardPairVolume(cand: DataFrame, maxPairs: Long): DataFrame = {
+    // The count below is only cheap because fsCandidates ends in
+    // localCheckpoint() — assert that, so the gate can never silently
+    // regress into a SECOND full blocked-join scan if the checkpoint is
+    // ever dropped (round-13 advice fix). After localCheckpoint the
+    // logical plan is a LogicalRDD leaf; class-name match avoids the
+    // private execution API.
+    require(cand.queryExecution.logical.getClass.getSimpleName == "LogicalRDD",
+      "fs linkage: guardPairVolume expects a checkpointed candidate frame " +
+        "(the volume count would otherwise recompute the blocked join)")
     val n = cand.count() // the checkpoint above materialized it already
     require(n <= maxPairs,
       s"fs linkage: $n blocked candidate pairs exceed maxPairs=$maxPairs — " +

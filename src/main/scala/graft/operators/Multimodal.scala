@@ -217,15 +217,30 @@ object Multimodal {
       ((37L * i + 101L * c + d) % 65536).toInt - 32768
     def fileBytes(d: Long): Int = 44 + channels(d) * 2 * frames(d)
 
+    // 8-bit-export generators (q303; round 13): the same audio-rotation
+    // assets re-encoded as 8-bit PCM — UNSIGNED per the WAVE spec
+    // (stored byte u ∈ [0,256), decoded sample = u − 128), the
+    // sign-convention corner a 16-bit fixture can never exercise, plus
+    // block-align = channels·1 (vs ·2), which makes any hard-coded
+    // 2-bytes-per-sample stride observable.
+    def frames8(d: Long): Int = 48 + (d * 13 % 160).toInt
+    def sampleRate8(d: Long): Int = 8000 + (d % 2).toInt * 3000
+    def sample8u(d: Long, c: Int, i: Int): Int =
+      ((29L * i + 67L * c + d) % 256).toInt
+    def fileBytes8(d: Long): Int = 44 + channels(d) * frames8(d)
+
     private def tag(buf: java.nio.ByteBuffer, s: String): java.nio.ByteBuffer =
       buf.put(s.getBytes("US-ASCII"))
 
     /** Canonical RIFF/WAVE: 44-byte header (12 RIFF + 24 fmt + 8 data)
-      * then interleaved s16le frames.
+      * then interleaved PCM frames (s16le, or unsigned bytes at 8 bps).
+      * `sampleOf(c, i)` supplies the STORED value — two's-complement
+      * for 16-bit, the unsigned byte for 8-bit.
       */
-    def encode(d: Long): Array[Byte] = {
-      val ch = channels(d); val sr = sampleRate(d); val n = frames(d)
-      val dataBytes = ch * 2 * n
+    private def encodePcm(ch: Int, sr: Int, bits: Int, n: Int)(
+        sampleOf: (Int, Int) => Int): Array[Byte] = {
+      val bytesPer = bits / 8
+      val dataBytes = ch * bytesPer * n
       val buf = java.nio.ByteBuffer.allocate(44 + dataBytes)
         .order(java.nio.ByteOrder.LITTLE_ENDIAN)
       tag(buf, "RIFF").putInt(36 + dataBytes)
@@ -233,24 +248,33 @@ object Multimodal {
       tag(buf, "fmt ").putInt(16)
         .putShort(1) // PCM
         .putShort(ch.toShort).putInt(sr)
-        .putInt(sr * ch * 2) // byte rate
-        .putShort((ch * 2).toShort) // block align
-        .putShort(16) // bits per sample
+        .putInt(sr * ch * bytesPer) // byte rate
+        .putShort((ch * bytesPer).toShort) // block align
+        .putShort(bits.toShort)
       tag(buf, "data").putInt(dataBytes)
       for (i <- 0 until n; c <- 0 until ch) // frames outer = interleaved
-        buf.putShort(sample(d, c, i).toShort)
+        if (bits == 16) buf.putShort(sampleOf(c, i).toShort)
+        else buf.put(sampleOf(c, i).toByte)
       buf.array()
     }
 
-    /** (channels, sampleRate, nFrames, per-channel (Σs, Σs², Σ(i+1)·s)).
-      * The position-weighted sum makes frame ORDER and the channel
-      * INTERLEAVE observable: plain channel sums round-trip even under a
-      * deinterleave or frame-reversal bug, the weighted sum does not.
-      * Walks the RIFF chunk list generically — unknown chunks (LIST,
-      * fact, ...) are skipped with the spec's odd-size pad byte, exactly
-      * what real-world WAV files require of a parser.
+    def encode(d: Long): Array[Byte] =
+      encodePcm(channels(d), sampleRate(d), 16, frames(d))(
+        (c, i) => sample(d, c, i))
+
+    def encode8(d: Long): Array[Byte] =
+      encodePcm(channels(d), sampleRate8(d), 8, frames8(d))(
+        (c, i) => sample8u(d, c, i))
+
+    /** RIFF chunk walk → (channels, sampleRate, bitsPerSample, dataOff,
+      * nFrames). Unknown chunks (LIST, fact, ...) are skipped with the
+      * spec's odd-size pad byte, exactly what real-world WAV files
+      * require of a parser. Chunk sizes are VALIDATED against the
+      * buffer (round-13 advice fix): a negative or overrunning size
+      * field fails loudly instead of looping forever on a non-advancing
+      * `pos` or throwing a raw IndexOutOfBounds from the sample reads.
       */
-    def decode(bytes: Array[Byte]): (Int, Int, Int, Array[(Long, Long, Long)]) = {
+    private def parse(bytes: Array[Byte]): (Int, Int, Int, Int, Int) = {
       val buf = java.nio.ByteBuffer.wrap(bytes)
         .order(java.nio.ByteOrder.LITTLE_ENDIAN)
       def fourCc(off: Int): String =
@@ -258,31 +282,69 @@ object Multimodal {
       require(bytes.length >= 44 && fourCc(0) == "RIFF" && fourCc(8) == "WAVE",
         "not a RIFF/WAVE payload")
       var pos = 12
-      var ch = -1; var sr = -1; var dataOff = -1; var dataLen = -1
+      var ch = -1; var sr = -1; var bits = -1; var dataOff = -1; var dataLen = -1
       while (pos + 8 <= bytes.length && (ch < 0 || dataOff < 0)) {
         val id = fourCc(pos); val size = buf.getInt(pos + 4)
+        require(size >= 0 && pos + 8 + size <= bytes.length,
+          s"corrupt RIFF: chunk '$id' at offset $pos declares $size bytes " +
+            s"in a ${bytes.length}-byte payload")
         id match {
           case "fmt " =>
             require(buf.getShort(pos + 8) == 1,
               "decoder supports PCM (format 1) only")
-            require(buf.getShort(pos + 22) == 16,
-              "decoder supports 16 bits per sample only")
-            ch = buf.getShort(pos + 10)
+            bits = buf.getShort(pos + 22).toInt
+            require(bits == 8 || bits == 16,
+              s"decoder supports 8/16 bits per sample only, got $bits")
+            ch = buf.getShort(pos + 10).toInt
             sr = buf.getInt(pos + 12)
           case "data" => dataOff = pos + 8; dataLen = size
           case _ => // skip unknown chunk
         }
         pos += 8 + size + (size & 1) // RIFF pads odd chunks to even
       }
-      require(ch > 0 && sr > 0 && dataOff >= 0, "missing fmt /data chunk")
-      val n = dataLen / (ch * 2)
+      require(ch > 0 && sr > 0 && bits > 0 && dataOff >= 0,
+        "missing fmt /data chunk")
+      (ch, sr, bits, dataOff, dataLen / (ch * (bits / 8)))
+    }
+
+    /** Stored→numeric sample at interleave index `idx`: s16le two's
+      * complement, or the 8-bit UNSIGNED byte centered to u − 128.
+      */
+    private def sampleAt(buf: java.nio.ByteBuffer, bytes: Array[Byte],
+        dataOff: Int, bits: Int, idx: Int): Int =
+      if (bits == 16) buf.getShort(dataOff + idx * 2).toInt
+      else (bytes(dataOff + idx) & 0xFF) - 128
+
+    /** (channels, sampleRate, nFrames, per-channel (Σs, Σs², Σ(i+1)·s)).
+      * The position-weighted sum makes frame ORDER and the channel
+      * INTERLEAVE observable: plain channel sums round-trip even under a
+      * deinterleave or frame-reversal bug, the weighted sum does not.
+      */
+    def decode(bytes: Array[Byte]): (Int, Int, Int, Array[(Long, Long, Long)]) = {
+      val (ch, sr, bits, dataOff, n) = parse(bytes)
+      val buf = java.nio.ByteBuffer.wrap(bytes)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
       val acc = Array.fill(ch)((0L, 0L, 0L))
       for (i <- 0 until n; c <- 0 until ch) {
-        val s = buf.getShort(dataOff + (i * ch + c) * 2).toLong
+        val s = sampleAt(buf, bytes, dataOff, bits, i * ch + c).toLong
         val (ss, sq, ws) = acc(c)
         acc(c) = (ss + s, sq + s * s, ws + (i + 1) * s)
       }
       (ch, sr, n, acc)
+    }
+
+    /** Full decoded waveform — (channels, sampleRate, bitsPerSample,
+      * per-channel sample arrays) — for analyses that need the actual
+      * series (q304 zero-crossings / dynamics), not just moment sums.
+      */
+    def decodeSamples(bytes: Array[Byte]): (Int, Int, Int, Array[Array[Int]]) = {
+      val (ch, sr, bits, dataOff, n) = parse(bytes)
+      val buf = java.nio.ByteBuffer.wrap(bytes)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      val out = Array.ofDim[Int](ch, n)
+      for (i <- 0 until n; c <- 0 until ch)
+        out(c)(i) = sampleAt(buf, bytes, dataOff, bits, i * ch + c)
+      (ch, sr, bits, out)
     }
   }
 
@@ -311,6 +373,75 @@ object Multimodal {
       })
       .toDF("asset_id", "n_channels", "sample_rate", "n_frames", "n_bytes",
         "channel", "s_sum", "s_sq_sum", "w_sum", "rms")
+      .orderBy($"asset_id", $"channel")
+  }
+
+  /** q301's feature set over the 8-BIT export of the same audio assets
+    * (q303; round 13): identical column shape, but the bytes on the
+    * wire are unsigned 8-bit PCM with block-align = channels — the
+    * decode path proves the unsigned-with-128-offset sign convention
+    * and the 1-byte stride that 16-bit files cannot distinguish from a
+    * hard-coded short reader. Same per-partition batched shape as q301.
+    */
+  def wavPcm8Features(documents: DataFrame): DataFrame = {
+    import documents.sparkSession.implicits.{newLongEncoder, newProductEncoder}
+    documents.filter($"doc_id" % 3 === 1) // the q35 audio rotation
+      .select($"doc_id").as[Long]
+      .mapPartitions(_.flatMap { d =>
+        val bytes = WavCodec.encode8(d)
+        val (ch, sr, n, perCh) = WavCodec.decode(bytes)
+        perCh.zipWithIndex.map { case ((ss, sq, ws), c) =>
+          val rms = java.math.BigDecimal.valueOf(math.sqrt(sq.toDouble / n))
+            .setScale(4, java.math.RoundingMode.HALF_UP).doubleValue()
+          (d, ch, sr, n, bytes.length.toLong, c, ss, sq, ws, rms)
+        }
+      })
+      .toDF("asset_id", "n_channels", "sample_rate", "n_frames", "n_bytes",
+        "channel", "s_sum", "s_sq_sum", "w_sum", "rms")
+      .orderBy($"asset_id", $"channel")
+  }
+
+  /** Waveform dynamics over the decoded sample SERIES (q304; round 13
+    * — audio analysis beyond moment sums): per (asset, channel) the
+    * zero-crossing count (the classic voiced/unvoiced + noisiness
+    * proxy), min/max sample, mean-absolute-amplitude numerator, and
+    * the crest factor peak/RMS (how "peaky" the waveform is). ZCR
+    * counts strict sign-class changes between consecutive frames
+    * (nonneg↔neg), an ORDER-sensitive statistic: any frame shuffle or
+    * interleave bug that the q301 moment sums might survive changes
+    * it. Everything but crest is integer-exact; crest is one double
+    * render from the same exact integers on both engines
+    * (max|s| / sqrt(Σs²/n), rounded 4). Shape: per-partition batched
+    * decode, asset×channel output rows, no shuffle beyond the sort.
+    */
+  def wavDynamics(documents: DataFrame): DataFrame = {
+    import documents.sparkSession.implicits.{newLongEncoder, newProductEncoder}
+    documents.filter($"doc_id" % 3 === 1) // the q35 audio rotation
+      .select($"doc_id").as[Long]
+      .mapPartitions(_.flatMap { d =>
+        val (_, _, _, chans) = WavCodec.decodeSamples(WavCodec.encode(d))
+        chans.zipWithIndex.map { case (arr, c) =>
+          var zcr = 0L; var mn = Int.MaxValue; var mx = Int.MinValue
+          var absSum = 0L; var sq = 0L
+          var i = 0
+          while (i < arr.length) {
+            val v = arr(i)
+            if (i > 0 && ((v >= 0) != (arr(i - 1) >= 0))) zcr += 1
+            if (v < mn) mn = v
+            if (v > mx) mx = v
+            absSum += math.abs(v.toLong)
+            sq += v.toLong * v.toLong
+            i += 1
+          }
+          val peak = math.max(math.abs(mn.toLong), math.abs(mx.toLong))
+          val crest = java.math.BigDecimal.valueOf(
+              peak.toDouble / math.sqrt(sq.toDouble / arr.length))
+            .setScale(4, java.math.RoundingMode.HALF_UP).doubleValue()
+          (d, c, arr.length, zcr, mn.toLong, mx.toLong, absSum, crest)
+        }
+      })
+      .toDF("asset_id", "channel", "n_frames", "zcr", "s_min", "s_max",
+        "abs_sum", "crest")
       .orderBy($"asset_id", $"channel")
   }
 

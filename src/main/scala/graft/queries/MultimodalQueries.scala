@@ -36,6 +36,14 @@ private[graft] object MultimodalQueries extends QueryFamily {
     // generation closed forms without bytes
     "q301_wav_features" -> ((s, d) =>
       Multimodal.wavChannelFeatures(Tables.documents(s, d))),
+    // 8-bit UNSIGNED PCM export of the same audio assets (round 13):
+    // the sign-convention + block-align corners 16-bit files can't see
+    "q303_wav_pcm8" -> ((s, d) =>
+      Multimodal.wavPcm8Features(Tables.documents(s, d))),
+    // waveform dynamics off the decoded sample SERIES: zero-crossing
+    // rate, min/max, mean-abs numerator, crest factor (round 13)
+    "q304_wav_dynamics" -> ((s, d) =>
+      Multimodal.wavDynamics(Tables.documents(s, d))),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -107,6 +115,61 @@ private[graft] object MultimodalQueries extends QueryFamily {
         | CAST(sum((i + 1) * s) AS BIGINT) AS w_sum,
         | round(sqrt(CAST(sum(s * s) AS DOUBLE) / n), 4) AS rms
         |FROM s GROUP BY doc_id, ch, sr, n, c
+        |ORDER BY asset_id, channel""".stripMargin,
+    "q303_wav_pcm8" ->
+      // the 8-bit export: stored byte u = (29i + 67c + d) mod 256,
+      // decoded sample s = u − 128 (8-bit PCM is UNSIGNED per the WAVE
+      // spec); n_bytes = 44 + ch·1·n (block-align = channels)
+      """WITH p AS (
+        |  SELECT doc_id, CAST(1 + doc_id % 2 AS INT) AS ch,
+        |    CAST(8000 + (doc_id % 2) * 3000 AS INT) AS sr,
+        |    CAST(48 + (doc_id * 13) % 160 AS INT) AS n
+        |  FROM documents WHERE doc_id % 3 = 1
+        |),
+        |s AS (
+        |  SELECT doc_id, ch, sr, n, c, i,
+        |    (29 * i + 67 * c + doc_id) % 256 - 128 AS s
+        |  FROM p,
+        |    LATERAL (SELECT unnest(range(0, ch)) AS c),
+        |    LATERAL (SELECT unnest(range(0, n)) AS i)
+        |)
+        |SELECT doc_id AS asset_id, ch AS n_channels, sr AS sample_rate,
+        | n AS n_frames, CAST(44 + ch * n AS BIGINT) AS n_bytes,
+        | CAST(c AS INT) AS channel,
+        | CAST(sum(s) AS BIGINT) AS s_sum,
+        | CAST(sum(s * s) AS BIGINT) AS s_sq_sum,
+        | CAST(sum((i + 1) * s) AS BIGINT) AS w_sum,
+        | round(sqrt(CAST(sum(s * s) AS DOUBLE) / n), 4) AS rms
+        |FROM s GROUP BY doc_id, ch, sr, n, c
+        |ORDER BY asset_id, channel""".stripMargin,
+    "q304_wav_dynamics" ->
+      // dynamics off the SERIES: zcr counts nonneg↔neg transitions via
+      // lag over the generated (frame, channel) grid; crest is the one
+      // double render from the same exact integers
+      """WITH p AS (
+        |  SELECT doc_id, CAST(1 + doc_id % 2 AS INT) AS ch,
+        |    CAST(64 + (doc_id * 11) % 192 AS INT) AS n
+        |  FROM documents WHERE doc_id % 3 = 1
+        |),
+        |s AS (
+        |  SELECT doc_id, ch, n, c, i,
+        |    (37 * i + 101 * c + doc_id) % 65536 - 32768 AS s
+        |  FROM p,
+        |    LATERAL (SELECT unnest(range(0, ch)) AS c),
+        |    LATERAL (SELECT unnest(range(0, n)) AS i)
+        |),
+        |w AS (
+        |  SELECT *, lag(s) OVER (PARTITION BY doc_id, c ORDER BY i) AS prev
+        |  FROM s
+        |)
+        |SELECT doc_id AS asset_id, CAST(c AS INT) AS channel, n AS n_frames,
+        | CAST(count(CASE WHEN prev IS NOT NULL
+        |   AND (s >= 0) <> (prev >= 0) THEN 1 END) AS BIGINT) AS zcr,
+        | CAST(min(s) AS BIGINT) AS s_min, CAST(max(s) AS BIGINT) AS s_max,
+        | CAST(sum(abs(s)) AS BIGINT) AS abs_sum,
+        | round(greatest(abs(min(s)), abs(max(s)))
+        |   / sqrt(CAST(sum(s * s) AS DOUBLE) / n), 4) AS crest
+        |FROM w GROUP BY doc_id, c, n
         |ORDER BY asset_id, channel""".stripMargin,
     "q36_frame_sample" ->
       """WITH v AS (

@@ -256,36 +256,48 @@ private[graft] object SimilarityQueries extends QueryFamily {
          |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q37_cosine_topk_native" -> CosineTopkSql, // native expression, same oracle,
     "q48_embedding_neardup" -> {
-      // replicate the multi-table bucketing: a pair is a candidate iff it
-      // shares a bucket in ANY table; then the exact cosine filter — the
-      // all-pairs OR-join is fine at oracle scale, while Spark runs the
-      // bucket equi-join
-      val buckets = (0 until Similarity.NeardupTables)
-        .map(t => s"${neardupBucketSql(t)} AS bk$t").mkString(",\n   ")
-      val anyTable = (0 until Similarity.NeardupTables)
-        .map(t => s"a.bk$t = b.bk$t").mkString(" OR ")
-      s"""WITH e AS (
-         |  SELECT vec_id, v,
-         |   $buckets
-         |  FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+      // replicate the multi-table bucketing as an EQUI-join (round 13,
+      // replacing the all-pairs `vec_id < AND (t0 OR ... OR t23)` form):
+      // unnest the (table, bucket) keys into rows, hash-join on them,
+      // DISTINCT the pairs (a pair can collide in several tables), then
+      // the exact cosine filter — the same shape the ENGINE runs, and
+      // the shape DuckDB can parallelize: the old OR-join nested-loops
+      // 200M id-pairs at sf1-equivalent scale (>40 CPU-min, no
+      // completion); this form passes the sf1eq gate in minutes.
+      // MATERIALIZED: DuckDB's default CTE inlining would recompute the
+      // 48-plane bucketing once per UNION branch reference.
+      val kb = (0 until Similarity.NeardupTables)
+        .map(t => s"SELECT vec_id, $t AS tbl, ${neardupBucketSql(t)} AS bk FROM e")
+        .mkString("\n  UNION ALL ")
+      s"""WITH e AS MATERIALIZED (
+         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+         |),
+         |kb AS MATERIALIZED (
+         |  $kb
+         |),
+         |cand AS (
+         |  SELECT DISTINCT a.vec_id AS id1, b.vec_id AS id2
+         |  FROM kb a JOIN kb b
+         |    ON a.tbl = b.tbl AND a.bk = b.bk AND a.vec_id < b.vec_id
          |)
-         |SELECT a.vec_id AS id1, b.vec_id AS id2,
-         | round(${cosSql("a.v", "b.v")}, 6) AS cos
-         |FROM e a JOIN e b ON a.vec_id < b.vec_id AND ($anyTable)
-         |WHERE round(${cosSql("a.v", "b.v")}, 6) >= 0.45
+         |SELECT c.id1, c.id2, round(${cosSql("x.v", "y.v")}, 6) AS cos
+         |FROM cand c
+         |JOIN e x ON x.vec_id = c.id1
+         |JOIN e y ON y.vec_id = c.id2
+         |WHERE round(${cosSql("x.v", "y.v")}, 6) >= 0.45
          |ORDER BY id1, id2""".stripMargin
     },
     "q226_production_neardup" -> {
       // q48's bucketing replica at the 24x12 production dial, over the
       // corpus plus the planted DOUBLE-space near-dup twins (one
-      // multiply-add per element -> bit-identical across engines); the
-      // any-table OR-join is fine at oracle scale
+      // multiply-add per element -> bit-identical across engines); same
+      // unnest-(table,bucket) EQUI-join shape as the rewritten q48
+      // oracle (round 13) — the 24-way OR-join variant nested-loops
       val tables = 24
       val bits = 12
-      val buckets = (0 until tables)
-        .map(t => s"${neardupBucketSql(t, bits)} AS bk$t").mkString(",\n   ")
-      val anyTable = (0 until tables)
-        .map(t => s"a.bk$t = b.bk$t").mkString(" OR ")
+      val kb = (0 until tables)
+        .map(t => s"SELECT vec_id, $t AS tbl, ${neardupBucketSql(t, bits)} AS bk FROM e")
+        .mkString("\n  UNION ALL ")
       s"""WITH base AS (
          |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
          |),
@@ -298,16 +310,22 @@ private[graft] object SimilarityQueries extends QueryFamily {
          |          THEN 0.39 ELSE -0.39 END)) AS v
          |  FROM base WHERE vec_id < 100
          |),
-         |u AS (SELECT vec_id, v FROM base UNION ALL SELECT vec_id, v FROM pl),
-         |e AS (
-         |  SELECT vec_id, v,
-         |   $buckets
-         |  FROM u
+         |e AS MATERIALIZED (
+         |  SELECT vec_id, v FROM base UNION ALL SELECT vec_id, v FROM pl
+         |),
+         |kb AS MATERIALIZED (
+         |  $kb
+         |),
+         |cand AS (
+         |  SELECT DISTINCT a.vec_id AS id1, b.vec_id AS id2
+         |  FROM kb a JOIN kb b
+         |    ON a.tbl = b.tbl AND a.bk = b.bk AND a.vec_id < b.vec_id
          |)
-         |SELECT a.vec_id AS id1, b.vec_id AS id2,
-         | round(${cosSql("a.v", "b.v")}, 6) AS cos
-         |FROM e a JOIN e b ON a.vec_id < b.vec_id AND ($anyTable)
-         |WHERE round(${cosSql("a.v", "b.v")}, 6) >= 0.9
+         |SELECT c.id1, c.id2, round(${cosSql("x.v", "y.v")}, 6) AS cos
+         |FROM cand c
+         |JOIN e x ON x.vec_id = c.id1
+         |JOIN e y ON y.vec_id = c.id2
+         |WHERE round(${cosSql("x.v", "y.v")}, 6) >= 0.9
          |ORDER BY id1, id2""".stripMargin
     },
     "q63_ann_recall" ->

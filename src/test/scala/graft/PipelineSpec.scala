@@ -347,14 +347,133 @@ class PipelineSpec extends GraftSuite {
     val direct = WavCodec.decode(base)
     assert(viaList._1 === direct._1 && viaList._2 === direct._2 &&
       viaList._3 === direct._3 && viaList._4.toSeq === direct._4.toSeq)
-    // loud failures: not RIFF/WAVE, non-PCM format, non-16-bit samples
+    // loud failures: not RIFF/WAVE, non-PCM format, unsupported depth
     intercept[IllegalArgumentException] {
       WavCodec.decode("definitely not audio".getBytes("UTF-8"))
     }
     val float32 = golden.clone(); float32(20) = 3 // format 3 = IEEE float
     intercept[IllegalArgumentException] { WavCodec.decode(float32) }
-    val eightBit = golden.clone(); eightBit(34) = 8
-    intercept[IllegalArgumentException] { WavCodec.decode(eightBit) }
+    val s24 = golden.clone(); s24(34) = 24 // 24 bps unsupported (8/16 only)
+    intercept[IllegalArgumentException] { WavCodec.decode(s24) }
+    // corrupt chunk sizes fail LOUDLY (round-13 advice fix): a negative
+    // size used to make the walk non-advancing (infinite loop); an
+    // oversized data size used to surface as a raw IndexOutOfBounds
+    val negSize = golden.clone(); negSize(19) = -128 // fmt size < 0
+    val e1 = intercept[IllegalArgumentException] { WavCodec.decode(negSize) }
+    assert(e1.getMessage.contains("corrupt RIFF"))
+    val overrun = golden.clone(); overrun(40) = 99 // data size > buffer
+    val e2 = intercept[IllegalArgumentException] { WavCodec.decode(overrun) }
+    assert(e2.getMessage.contains("corrupt RIFF"))
+  }
+
+  test("WavCodec 8-bit PCM: hand-written golden file pins the UNSIGNED convention; encode8 round-trips the closed forms (q303)") {
+    import Multimodal.WavCodec
+    // golden mono/8kHz/3-frame 8-bit WAV, byte-by-byte from the spec:
+    // stored UNSIGNED bytes [128, 255, 0] = centered samples [0, 127,
+    // -128]. A signed-byte misread decodes [0, -1, 0] — caught here.
+    val golden8: Array[Byte] = (Seq(
+      'R'.toInt, 'I'.toInt, 'F'.toInt, 'F'.toInt, 40, 0, 0, 0,
+      'W'.toInt, 'A'.toInt, 'V'.toInt, 'E'.toInt,
+      'f'.toInt, 'm'.toInt, 't'.toInt, ' '.toInt, 16, 0, 0, 0,
+      1, 0, 1, 0, // PCM, mono
+      64, 31, 0, 0, // 8000 Hz
+      64, 31, 0, 0, // byte rate = sr * 1 * 1
+      1, 0, 8, 0, // block align 1, 8 bps
+      'd'.toInt, 'a'.toInt, 't'.toInt, 'a'.toInt, 3, 0, 0, 0,
+      128, 255, 0, 0 // three samples + RIFF pad byte (odd data size)
+    ) map (_.toByte)).toArray
+    val (gc, gsr, gn, gacc) = WavCodec.decode(golden8)
+    assert((gc, gsr, gn) === ((1, 8000, 3)))
+    // Σs = 0+127-128, Σs² = 127²+128², Σ(i+1)s = 2·127 − 3·128
+    assert(gacc.toSeq === Seq((-1L, 32513L, -130L)))
+    val (_, _, gbits, gsm) = WavCodec.decodeSamples(golden8)
+    assert(gbits === 8)
+    assert(gsm.map(_.toSeq).toSeq === Seq(Seq(0, 127, -128)))
+    // encode8 -> decode round-trip equals the 8-bit generation closed
+    // forms across mono/stereo and every frame-count residue class
+    for (d <- 0L to 63L) {
+      val (ch, n) = (WavCodec.channels(d), WavCodec.frames8(d))
+      val bytes = WavCodec.encode8(d)
+      assert(bytes.length === WavCodec.fileBytes8(d))
+      val expected = Array.tabulate(ch) { c =>
+        var (ss, sq, ws) = (0L, 0L, 0L)
+        for (i <- 0 until n) {
+          val s = (WavCodec.sample8u(d, c, i) - 128).toLong
+          ss += s; sq += s * s; ws += (i + 1) * s
+        }
+        (ss, sq, ws)
+      }
+      val (dc, dsr, dn, dacc) = WavCodec.decode(bytes)
+      assert((dc, dsr, dn) === ((ch, WavCodec.sampleRate8(d), n)), s"asset $d header")
+      assert(dacc.toSeq === expected.toSeq, s"asset $d samples")
+    }
+  }
+
+  test("q48 oracle forms: any-table OR-join candidates == unnest (table,bucket) equi-join candidates") {
+    // The round-13 oracle rewrite replaced the all-pairs
+    // `vec_id < AND (bk0=bk0 OR ... OR bk7=bk7)` join with an unnested
+    // (table, bucket) equi-join + DISTINCT (SimilarityQueries q48/q226)
+    // because DuckDB nested-loops the OR shape at sf1eq scale. The two
+    // RELATIONAL forms are equivalent for any bucket assignment; this
+    // pins that over the engine's own buckets on the fixture corpus, so
+    // the oracle swap is covered by an in-repo gate (the DuckDB-side
+    // old==new run at sf0.01/sf0.1 is recorded in SURVEY 6.22).
+    val e = embs.select($"vec_id", col("embedding").cast("array<double>").as("v"))
+    val withBks = e.select(($"vec_id" +:
+      (0 until Similarity.NeardupTables).map(t =>
+        Similarity.neardupBucket($"v", t).as(s"bk$t"))): _*)
+    val orJoin = withBks.as("a").join(withBks.as("b"),
+        col("a.vec_id") < col("b.vec_id") &&
+          (0 until Similarity.NeardupTables)
+            .map(t => col(s"a.bk$t") === col(s"b.bk$t")).reduce(_ || _))
+      .select(col("a.vec_id"), col("b.vec_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val kb = Similarity.hyperplaneBucketRows(embs)
+    val equiJoin = kb.as("a").join(kb.as("b"),
+        col("a.t") === col("b.t") && col("a.bk") === col("b.bk") &&
+          col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id"), col("b.vec_id")).distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(orJoin === equiJoin)
+    assert(orJoin.nonEmpty)
+  }
+
+  test("wavPcm8Features + wavDynamics equal their in-JVM replicas over the audio rotation (q303/q304)") {
+    import Multimodal.WavCodec
+    val audioIds = docs.select(col("doc_id")).collect().map(_.getLong(0))
+      .filter(_ % 3 == 1).sorted
+    // q303: decode(encode8) features vs the closed forms
+    val got8 = Multimodal.wavPcm8Features(docs).collect().map(r =>
+      (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3), r.getLong(4),
+        r.getInt(5), r.getLong(6), r.getLong(7), r.getLong(8), r.getDouble(9)))
+    val exp8 = audioIds.flatMap { d =>
+      val (ch, sr, n, acc) = WavCodec.decode(WavCodec.encode8(d))
+      acc.zipWithIndex.map { case ((ss, sq, ws), c) =>
+        val rms = java.math.BigDecimal.valueOf(math.sqrt(sq.toDouble / n))
+          .setScale(4, java.math.RoundingMode.HALF_UP).doubleValue()
+        (d, ch, sr, n, WavCodec.fileBytes8(d).toLong, c, ss, sq, ws, rms)
+      }
+    }
+    assert(got8.toSeq === exp8.toSeq)
+    // q304: series-derived dynamics vs a direct per-sample replay
+    val gotDyn = Multimodal.wavDynamics(docs).collect().map(r =>
+      (r.getLong(0), r.getInt(1), r.getInt(2), r.getLong(3), r.getLong(4),
+        r.getLong(5), r.getLong(6), r.getDouble(7)))
+    val expDyn = audioIds.flatMap { d =>
+      val ch = WavCodec.channels(d); val n = WavCodec.frames(d)
+      (0 until ch).map { c =>
+        val s = (0 until n).map(i => WavCodec.sample(d, c, i))
+        val zcr = (1 until n).count(i => (s(i) >= 0) != (s(i - 1) >= 0)).toLong
+        val sq = s.map(v => v.toLong * v.toLong).sum
+        val peak = math.max(math.abs(s.min.toLong), math.abs(s.max.toLong))
+        val crest = java.math.BigDecimal.valueOf(
+            peak.toDouble / math.sqrt(sq.toDouble / n))
+          .setScale(4, java.math.RoundingMode.HALF_UP).doubleValue()
+        (d, c, n, zcr, s.min.toLong, s.max.toLong,
+          s.map(v => math.abs(v.toLong)).sum, crest)
+      }
+    }
+    assert(gotDyn.toSeq === expDyn.toSeq)
   }
 
   test("wavChannelFeatures equals the in-JVM replica over the audio rotation (q301)") {

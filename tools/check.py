@@ -1,12 +1,16 @@
 #!/usr/bin/env python3
 """Dev-only mimic of the driver's t2 correctness gate.
 
-Usage: python3 tools/check.py <sfDir> <outDir>
+Usage: python3 tools/check.py <sfDir> <outDir> [--only q1,q2,...] [--times]
   - expects <outDir>/<name>/ parquet dirs (written by graft.Verify)
     and <outDir>/oracle_sql.json
   - registers each parquet table from <sfDir> as a DuckDB view,
     runs every oracle SQL, and compares to the Spark result:
     columns sorted by name, rows as written (both sides ORDER BY).
+  - --only: restrict to a comma-separated list of FULL query names
+    (the sf1eq delta gate, tools/sf1gate.py, drives this).
+  - --times: print per-oracle DuckDB wall seconds (the SURVEY 6.21
+    oracle-cost column).
 
 NOT part of the shipped library (driver-side python is allowed for
 dev tooling only).
@@ -59,11 +63,17 @@ def audit_dtypes(sf_dir: str, out_dir: str) -> int:
     return 1 if n_bad else 0
 
 
-def main(sf_dir: str, out_dir: str) -> int:
+def main(sf_dir: str, out_dir: str, only=None, times=False) -> int:
     con = duckdb.connect()
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
     oracles = json.load(open(f"{out_dir}/oracle_sql.json"))
+    if only is not None:
+        missing = sorted(set(only) - set(oracles))
+        if missing:
+            print(f"FAIL --only names not registered: {missing}")
+            return 1
+        oracles = {k: v for k, v in oracles.items() if k in only}
     n_bad = 0
     for name, sql in sorted(oracles.items()):
         files = sorted(glob.glob(f"{out_dir}/{name}/*.parquet"))
@@ -72,8 +82,12 @@ def main(sf_dir: str, out_dir: str) -> int:
             n_bad += 1
             continue
         try:
+            import time as _time
             got = canon(pd.concat([pd.read_parquet(f) for f in files]))
+            t0 = _time.time()
             exp = canon(con.execute(sql).df())
+            if times:
+                print(f"TIME {name}: {_time.time() - t0:.1f}s oracle wall")
         except Exception as e:
             print(f"FAIL {name}: {e}")
             n_bad += 1
@@ -110,7 +124,15 @@ def main(sf_dir: str, out_dir: str) -> int:
 
 
 if __name__ == "__main__":
-    if "--dtypes" in sys.argv:
-        args = [a for a in sys.argv[1:] if a != "--dtypes"]
+    argv = sys.argv[1:]
+    only = None
+    if "--only" in argv:
+        i = argv.index("--only")
+        only = set(argv[i + 1].split(","))
+        argv = argv[:i] + argv[i + 2:]
+    times = "--times" in argv
+    argv = [a for a in argv if a != "--times"]
+    if "--dtypes" in argv:
+        args = [a for a in argv if a != "--dtypes"]
         sys.exit(audit_dtypes(args[0], args[1]))
-    sys.exit(main(sys.argv[1], sys.argv[2]))
+    sys.exit(main(argv[0], argv[1], only=only, times=times))

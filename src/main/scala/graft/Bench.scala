@@ -41,12 +41,16 @@ object Bench {
     // q118/q120/q133/q137/q151 then ride, q48 carries the embedding
     // bucket+pair index for q95/q110, q143 carries the 4-round
     // classifier training that q144/q145/q147 score with, q148
-    // carries the PQ codebook training + encoding that q149 rides, and
-    // q152 carries the ABTT mean/PC1 fit that q153 rides.
+    // carries the PQ codebook training + encoding that q149 rides,
+    // q152 carries the ABTT mean/PC1 fit that q153 rides, and q194
+    // carries the cell-restricted kNN graph (Lloyd train + in-cell
+    // top-k, session-cached since round 13) that q207/q208/q231/q290
+    // ride at the shared (k=5, kCells=16) dial.
     // A bench diff showing these queries above the fixed-cost floor is
     // the shared build, not a per-query regression.
     val carriers = Seq("q27_dedup_minhash_lsh", "q48_embedding_neardup",
-      "q143_classifier_weights", "q148_pq_ann", "q152_pc1_power")
+      "q143_classifier_weights", "q148_pq_ann", "q152_pc1_power",
+      "q194_label_propagation")
 
     // warm the JVM + file-index + codegen paths outside the measured region
     spark.range(1000000L).selectExpr("sum(id)").collect()

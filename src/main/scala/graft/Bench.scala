@@ -42,15 +42,19 @@ object Bench {
     // bucket+pair index for q95/q110, q143 carries the 4-round
     // classifier training that q144/q145/q147 score with, q148
     // carries the PQ codebook training + encoding that q149 rides,
-    // q152 carries the ABTT mean/PC1 fit that q153 rides, and q194
+    // q152 carries the ABTT mean/PC1 fit that q153 rides, q194
     // carries the cell-restricted kNN graph (Lloyd train + in-cell
     // top-k, session-cached since round 13) that q207/q208/q231/q290
-    // ride at the shared (k=5, kCells=16) dial.
+    // ride at the shared (k=5, kCells=16) dial, and q243 carries the
+    // (k=5, AutoCells) graph — it is that dial's ONLY consumer, and
+    // without carrier status its >5 s first run (the build) triggers
+    // median-of-3 whose warm re-runs hit the session cache at ~0.3 s,
+    // hiding the build from the vector entirely.
     // A bench diff showing these queries above the fixed-cost floor is
     // the shared build, not a per-query regression.
     val carriers = Seq("q27_dedup_minhash_lsh", "q48_embedding_neardup",
       "q143_classifier_weights", "q148_pq_ann", "q152_pc1_power",
-      "q194_label_propagation")
+      "q194_label_propagation", "q243_knn_autodial")
 
     // warm the JVM + file-index + codegen paths outside the measured region
     spark.range(1000000L).selectExpr("sum(id)").collect()

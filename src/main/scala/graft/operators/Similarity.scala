@@ -1681,16 +1681,23 @@ object Similarity {
       .orderBy($"cid")
 
   /** The trained Lloyd assignment frame behind `kmeansClusters` /
-    * `semanticDedup`: `(vec_id, v, cid, cos)` after `iters` rounds. See
-    * `kmeansClusters` for the scale shape (k×dim shuffle partials,
-    * driver holds centroids only).
+    * `semanticDedup` / `dbscanProfile` / the kNN-graph builds:
+    * `(vec_id, v, cid, cos)` after `iters` rounds. See `kmeansClusters`
+    * for the scale shape (k×dim shuffle partials, driver holds
+    * centroids only). SESSION-CACHED (round 13, the same plan-keyed
+    * pattern as the kNN graph one level up): q70/q100/q208 and the
+    * graph builds all train the identical (k=16, 2 rounds, coreset)
+    * model — one Lloyd train + one assignment join now serves them all.
     */
   private def kmeansAssignments(embeddings: DataFrame, k: Int, iters: Int,
       init: String): DataFrame = {
-    val corpus = embeddings.select($"vec_id", asDouble($"embedding").as("v"))
-      .localCheckpoint() // scanned once per Lloyd round + final report
-    val cents = trainCentroids(embeddings, corpus, k, iters, init)
-    assignCells(corpus, cents, wide = cents.length > WideDial)
+    val (sid, plan) = planKey(embeddings)
+    assignCache.getOrBuild((sid, plan, k, iters, init)) {
+      val corpus = embeddings.select($"vec_id", asDouble($"embedding").as("v"))
+        .localCheckpoint() // scanned once per Lloyd round + final report
+      val cents = trainCentroids(embeddings, corpus, k, iters, init)
+      assignCells(corpus, cents, wide = cents.length > WideDial)
+    }
   }
 
   /** Expression-width cliff guard for the argmin assignment. A
@@ -2046,9 +2053,12 @@ object Similarity {
   private val pairIndexCache   = new BoundedCache[(String, String, Double, Int, Int)]
   // (session, corpus plan, k, resolved kCells) -> checkpointed kNN graph
   private val knnGraphCache    = new BoundedCache[(String, String, Int, Int)]
+  // (session, corpus plan, k, iters, init) -> checkpointed Lloyd assignments
+  private val assignCache      = new BoundedCache[(String, String, Int, Int, String)]
 
   def clearEmbeddingIndexCaches(): Unit = {
     bucketIndexCache.clear(); pairIndexCache.clear(); knnGraphCache.clear()
+    assignCache.clear()
   }
 
   /** Plan-keyed session identity of a frame (identityHashCode of the

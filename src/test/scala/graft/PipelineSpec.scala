@@ -660,6 +660,17 @@ class PipelineSpec extends GraftSuite {
     assert(p1.select($"id1", $"id2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet ===
       Similarity.embeddingNearDup(embs, threshold = 0.45)
         .select($"id1", $"id2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet)
+    // the round-13 kNN-graph cache: same (corpus plan, k, dial) hits —
+    // q194/q207/q208/q231/q290 share ONE Lloyd train + in-cell top-k;
+    // a different k or resolved cell count builds fresh. AutoCells and
+    // its explicit resolution share a key (both resolve to kCellsFor(n)).
+    val g1 = Similarity.cellKnnGraph(Tables.embeddings(spark, sf), 5, 16)
+    val g2 = Similarity.cellKnnGraph(Tables.embeddings(spark, sf), 5, 16)
+    assert(g1 eq g2, "identical corpus plan + (k, kCells) must return the cached graph")
+    assert(!(g1 eq Similarity.cellKnnGraph(Tables.embeddings(spark, sf), 4, 16)))
+    val n = Tables.embeddings(spark, sf).count()
+    val auto = Similarity.cellKnnGraph(Tables.embeddings(spark, sf), 5, Similarity.AutoCells)
+    assert(auto eq Similarity.cellKnnGraph(Tables.embeddings(spark, sf), 5, Similarity.kCellsFor(n)))
   }
 
   test("persisted hyperplane index: probing the parquet read-back == session-index path") {

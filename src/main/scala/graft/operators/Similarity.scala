@@ -1748,6 +1748,16 @@ object Similarity {
     */
   private def trainCentroids(embeddings: DataFrame, corpus: DataFrame, k: Int,
       iters: Int, init: String): Array[(Long, Array[Double])] = {
+    // Session-cached like the frames above (round 13): q209/q210/q174
+    // and the assignment path all train the same (16, 2, coreset) model
+    // per corpus per session — the trained model is k×dim DRIVER-side
+    // doubles (the Lloyd's-on-Spark contract), so the cache holds
+    // values, not frames, and `iters` full corpus scans are paid once.
+    val key = (planKey(embeddings), k, iters, init)
+    centroidCache.synchronized {
+      val hit = centroidCache.get(key)
+      if (hit != null) return hit
+    }
     def round6(x: Double): Double = graft.functions.Rounding.halfUp(x, 6)
     val vecSum = udaf(new graft.functions.Aggregators.VectorSum)
     var cents = init match {
@@ -1767,6 +1777,7 @@ object Similarity {
         }
       }
     }
+    centroidCache.synchronized(centroidCache.put(key, cents))
     cents
   }
 
@@ -2055,10 +2066,20 @@ object Similarity {
   private val knnGraphCache    = new BoundedCache[(String, String, Int, Int)]
   // (session, corpus plan, k, iters, init) -> checkpointed Lloyd assignments
   private val assignCache      = new BoundedCache[(String, String, Int, Int, String)]
+  // ((session, corpus plan), k, iters, init) -> trained centroids
+  // (k x dim DRIVER-side doubles, bounded like the frame caches)
+  private val centroidCache =
+    new java.util.LinkedHashMap[((String, String), Int, Int, String),
+        Array[(Long, Array[Double])]](16, 0.75f, false) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[((String, String), Int, Int, String),
+            Array[(Long, Array[Double])]]): Boolean = size() > EmbIndexCacheMax
+    }
 
   def clearEmbeddingIndexCaches(): Unit = {
     bucketIndexCache.clear(); pairIndexCache.clear(); knnGraphCache.clear()
     assignCache.clear()
+    centroidCache.synchronized(centroidCache.clear())
   }
 
   /** Plan-keyed session identity of a frame (identityHashCode of the

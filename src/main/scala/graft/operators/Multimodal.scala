@@ -266,6 +266,23 @@ object Multimodal {
       encodePcm(channels(d), sampleRate8(d), 8, frames8(d))(
         (c, i) => sample8u(d, c, i))
 
+    // Burst-envelope assets (q305): 16-frame blocks alternate a quiet
+    // envelope (|s| ≤ 128) and a ×255 loud envelope (|s| ≤ 32640) — the
+    // linear q301 sawtooth wraps at most once inside an asset, so any
+    // amplitude predicate on it yields ≤ 2 runs and a segmentation
+    // fixture needs this faster-alternating family. Loud blocks still
+    // contain the occasional zero sample (base = 0 → s = 0), so run
+    // boundaries are NOT exactly block boundaries — a segmenter that
+    // assumes the envelope instead of reading samples diverges.
+    def framesBurst(d: Long): Int = 96 + (d * 7 % 160).toInt
+    def sampleBurst(d: Long, c: Int, i: Int): Int = {
+      val base = ((29L * i + 67L * c + d) % 256).toInt - 128
+      if ((i / 16 + c + d) % 2 == 1) base * 255 else base
+    }
+    def encodeBurst(d: Long): Array[Byte] =
+      encodePcm(channels(d), sampleRate(d), 16, framesBurst(d))(
+        (c, i) => sampleBurst(d, c, i))
+
     /** RIFF chunk walk → (channels, sampleRate, bitsPerSample, dataOff,
       * nFrames). Unknown chunks (LIST, fact, ...) are skipped with the
       * spec's odd-size pad byte, exactly what real-world WAV files
@@ -414,6 +431,47 @@ object Multimodal {
     * (max|s| / sqrt(Σs²/n), rounded 4). Shape: per-partition batched
     * decode, asset×channel output rows, no shuffle beyond the sort.
     */
+  /** Silence-run segmentation over the decoded series (q305; round 13
+    * — the VAD-preprocessing shape: "cut the quiet spans before
+    * shipping audio to ASR/training"): per (asset, channel), the
+    * maximal runs of consecutive frames with |s| ≤ `threshold` over the
+    * burst-envelope assets, reported as run COUNT, longest run, total
+    * quiet frames, and the first quiet frame index (−1 when none) —
+    * the classic gaps-and-islands statistic, which only a correctly
+    * ORDERED decode can produce (any frame permutation that preserves
+    * the q301 moment sums and even the q304 ZCR count still breaks run
+    * lengths). All integers; the oracle re-derives the runs with the
+    * standard `i − row_number()` island key over the generated sample
+    * grid. Shape: per-partition batched decode, per-channel O(n) scan,
+    * asset×channel output rows, no shuffle beyond the sort.
+    */
+  def wavSilenceRuns(documents: DataFrame, threshold: Int = 128): DataFrame = {
+    import documents.sparkSession.implicits.{newLongEncoder, newProductEncoder}
+    documents.filter($"doc_id" % 3 === 1) // the q35 audio rotation
+      .select($"doc_id").as[Long]
+      .mapPartitions(_.flatMap { d =>
+        val (_, _, _, chans) = WavCodec.decodeSamples(WavCodec.encodeBurst(d))
+        chans.zipWithIndex.map { case (arr, c) =>
+          var nQuiet = 0L; var nRuns = 0L; var longest = 0L
+          var first = -1L; var run = 0L
+          var i = 0
+          while (i < arr.length) {
+            if (math.abs(arr(i)) <= threshold) {
+              if (run == 0L) nRuns += 1
+              run += 1; nQuiet += 1
+              if (first < 0L) first = i
+              if (run > longest) longest = run
+            } else run = 0L
+            i += 1
+          }
+          (d, c, arr.length, nQuiet, nRuns, longest, first)
+        }
+      })
+      .toDF("asset_id", "channel", "n_frames", "n_quiet", "n_runs",
+        "longest_run", "first_quiet")
+      .orderBy($"asset_id", $"channel")
+  }
+
   def wavDynamics(documents: DataFrame): DataFrame = {
     import documents.sparkSession.implicits.{newLongEncoder, newProductEncoder}
     documents.filter($"doc_id" % 3 === 1) // the q35 audio rotation

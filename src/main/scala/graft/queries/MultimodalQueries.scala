@@ -44,6 +44,10 @@ private[graft] object MultimodalQueries extends QueryFamily {
     // rate, min/max, mean-abs numerator, crest factor (round 13)
     "q304_wav_dynamics" -> ((s, d) =>
       Multimodal.wavDynamics(Tables.documents(s, d))),
+    // silence-run segmentation (VAD preprocessing shape) over the
+    // burst-envelope assets: gaps-and-islands on |s| <= 128 (round 13)
+    "q305_wav_silence" -> ((s, d) =>
+      Multimodal.wavSilenceRuns(Tables.documents(s, d))),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -170,6 +174,51 @@ private[graft] object MultimodalQueries extends QueryFamily {
         | round(greatest(abs(min(s)), abs(max(s)))
         |   / sqrt(CAST(sum(s * s) AS DOUBLE) / n), 4) AS crest
         |FROM w GROUP BY doc_id, c, n
+        |ORDER BY asset_id, channel""".stripMargin,
+    "q305_wav_silence" ->
+      // the burst-envelope closed forms + the standard i - row_number()
+      // island key over quiet frames; channels with no quiet frame keep
+      // their row via the LEFT join (first_quiet = -1)
+      """WITH p AS (
+        |  SELECT doc_id, CAST(1 + doc_id % 2 AS INT) AS ch,
+        |    CAST(96 + (doc_id * 7) % 160 AS INT) AS n
+        |  FROM documents WHERE doc_id % 3 = 1
+        |),
+        |s AS (
+        |  SELECT doc_id, ch, n, c, i,
+        |    CASE WHEN ((i // 16) + c + doc_id) % 2 = 1
+        |      THEN ((29 * i + 67 * c + doc_id) % 256 - 128) * 255
+        |      ELSE (29 * i + 67 * c + doc_id) % 256 - 128 END AS s
+        |  FROM p,
+        |    LATERAL (SELECT unnest(range(0, ch)) AS c),
+        |    LATERAL (SELECT unnest(range(0, n)) AS i)
+        |),
+        |q AS (
+        |  SELECT doc_id, c, i,
+        |    i - row_number() OVER (PARTITION BY doc_id, c ORDER BY i) AS grp
+        |  FROM s WHERE abs(s) <= 128
+        |),
+        |runs AS (
+        |  SELECT doc_id, c, grp, count(*) AS len, min(i) AS st
+        |  FROM q GROUP BY doc_id, c, grp
+        |),
+        |agg AS (
+        |  SELECT doc_id, c, sum(len) AS n_quiet, count(*) AS n_runs,
+        |    max(len) AS longest_run, min(st) AS first_quiet
+        |  FROM runs GROUP BY doc_id, c
+        |),
+        |chans AS (
+        |  SELECT doc_id, n, c FROM p,
+        |    LATERAL (SELECT unnest(range(0, ch)) AS c)
+        |)
+        |SELECT chans.doc_id AS asset_id, CAST(chans.c AS INT) AS channel,
+        | chans.n AS n_frames,
+        | CAST(coalesce(a.n_quiet, 0) AS BIGINT) AS n_quiet,
+        | CAST(coalesce(a.n_runs, 0) AS BIGINT) AS n_runs,
+        | CAST(coalesce(a.longest_run, 0) AS BIGINT) AS longest_run,
+        | CAST(coalesce(a.first_quiet, -1) AS BIGINT) AS first_quiet
+        |FROM chans LEFT JOIN agg a
+        |  ON a.doc_id = chans.doc_id AND a.c = chans.c
         |ORDER BY asset_id, channel""".stripMargin,
     "q36_frame_sample" ->
       """WITH v AS (

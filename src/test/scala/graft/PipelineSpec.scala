@@ -409,6 +409,42 @@ class PipelineSpec extends GraftSuite {
     }
   }
 
+  test("wavSilenceRuns equals an independent closed-form replay; burst fixture is segmentation-rich (q305)") {
+    import Multimodal.WavCodec
+    val audioIds = docs.select(col("doc_id")).collect().map(_.getLong(0))
+      .filter(_ % 3 == 1).sorted
+    // independent replay: runs computed from the GENERATION closed forms
+    // (never through encode/decode), run-splitting by scanning the series
+    val expected = audioIds.flatMap { d =>
+      val ch = WavCodec.channels(d); val n = WavCodec.framesBurst(d)
+      (0 until ch).map { c =>
+        val s = (0 until n).map(i => WavCodec.sampleBurst(d, c, i))
+        val quiet = s.map(v => math.abs(v) <= 128)
+        val runs = scala.collection.mutable.ArrayBuffer.empty[Int]
+        var cur = 0
+        quiet.foreach { q => if (q) cur += 1 else { if (cur > 0) runs += cur; cur = 0 } }
+        if (cur > 0) runs += cur
+        (d, c, n, quiet.count(identity).toLong, runs.length.toLong,
+          if (runs.isEmpty) 0L else runs.max.toLong,
+          quiet.indexOf(true).toLong) // -1 when none, like the operator
+      }
+    }.toSeq
+    val got = Multimodal.wavSilenceRuns(docs).collect().map(r =>
+      (r.getLong(0), r.getInt(1), r.getInt(2), r.getLong(3), r.getLong(4),
+        r.getLong(5), r.getLong(6))).toSeq
+    assert(got === expected)
+    // fixture richness: segmentation must be non-trivial — multiple runs
+    // per channel somewhere, AND at least one channel where the run count
+    // differs from the naive quiet-block count (a zero sample inside a
+    // loud block merges or splits runs; an envelope-assuming segmenter
+    // would get these wrong)
+    assert(expected.exists(_._5 >= 3L), "some channel must have >= 3 runs")
+    val naiveBlocks = expected.map { case (d, c, n, _, _, _, _) =>
+      (0 until n).count(i => (i / 16 + c + d) % 2 == 0 && i % 16 == 0).toLong }
+    assert(expected.map(_._5) !== naiveBlocks,
+      "run counts must not equal the quiet-block count everywhere")
+  }
+
   test("q48 oracle forms: any-table OR-join candidates == unnest (table,bucket) equi-join candidates") {
     // The round-13 oracle rewrite replaced the all-pairs
     // `vec_id < AND (bk0=bk0 OR ... OR bk7=bk7)` join with an unnested

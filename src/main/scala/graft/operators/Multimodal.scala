@@ -302,7 +302,9 @@ object Multimodal {
       var ch = -1; var sr = -1; var bits = -1; var dataOff = -1; var dataLen = -1
       while (pos + 8 <= bytes.length && (ch < 0 || dataOff < 0)) {
         val id = fourCc(pos); val size = buf.getInt(pos + 4)
-        require(size >= 0 && pos + 8 + size <= bytes.length,
+        // Long arithmetic: a size near Int.MaxValue would overflow the
+        // bound check negative and sneak past an Int comparison
+        require(size >= 0 && pos.toLong + 8L + size <= bytes.length,
           s"corrupt RIFF: chunk '$id' at offset $pos declares $size bytes " +
             s"in a ${bytes.length}-byte payload")
         id match {

@@ -364,6 +364,12 @@ class PipelineSpec extends GraftSuite {
     val overrun = golden.clone(); overrun(40) = 99 // data size > buffer
     val e2 = intercept[IllegalArgumentException] { WavCodec.decode(overrun) }
     assert(e2.getMessage.contains("corrupt RIFF"))
+    // near-Int.MaxValue size: an Int bound check would overflow negative
+    // and sneak past; the Long-arithmetic guard must still fail loudly
+    val huge = golden.clone()
+    huge(40) = -10; huge(41) = -1; huge(42) = -1; huge(43) = 127 // 0x7FFFFFF6
+    val e3 = intercept[IllegalArgumentException] { WavCodec.decode(huge) }
+    assert(e3.getMessage.contains("corrupt RIFF"))
   }
 
   test("WavCodec 8-bit PCM: hand-written golden file pins the UNSIGNED convention; encode8 round-trips the closed forms (q303)") {

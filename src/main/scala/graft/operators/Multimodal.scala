@@ -69,9 +69,11 @@ object Multimodal {
     def rowBytes(w: Int): Int = (w * 3 + 3) / 4 * 4
     def fileBytes(w: Int, h: Int): Int = 54 + rowBytes(w) * h
 
-    /** 24-bit uncompressed BMP of the deterministic pattern. */
-    def encode(d: Long): Array[Byte] = {
-      val (w, h) = (width(d), height(d))
+    /** 24-bit uncompressed BMP of an arbitrary pixel function — the
+      * generalized writer behind `encode` and the q306 thumbnail
+      * re-encode. `px(x, y)` returns (r, g, b) top-down.
+      */
+    def encodePixels(w: Int, h: Int, px: (Int, Int) => (Int, Int, Int)): Array[Byte] = {
       val stride = rowBytes(w)
       val buf = java.nio.ByteBuffer.allocate(fileBytes(w, h))
         .order(java.nio.ByteOrder.LITTLE_ENDIAN)
@@ -81,12 +83,18 @@ object Multimodal {
         .putShort(1).putShort(24).putInt(0).putInt(stride * h)
         .putInt(2835).putInt(2835).putInt(0).putInt(0)
       for (y <- (h - 1) to 0 by -1) { // rows stored bottom-up
-        for (x <- 0 until w) // BGR byte order
-          buf.put(b(d, x, y).toByte).put(g(d, x, y).toByte).put(r(d, x, y).toByte)
+        for (x <- 0 until w) { // BGR byte order
+          val (rr, gg, bb) = px(x, y)
+          buf.put(bb.toByte).put(gg.toByte).put(rr.toByte)
+        }
         for (_ <- w * 3 until stride) buf.put(0.toByte)
       }
       buf.array()
     }
+
+    /** 24-bit uncompressed BMP of the deterministic pattern. */
+    def encode(d: Long): Array[Byte] =
+      encodePixels(width(d), height(d), (x, y) => (r(d, x, y), g(d, x, y), b(d, x, y)))
 
     /** (width, height, Σr, Σg, Σb, Σ(x+1)(y+1)·r). The position-weighted
       * sum makes row ORDER observable: plain channel sums round-trip
@@ -115,6 +123,33 @@ object Multimodal {
         }
       }
       (w, h, rs, gs, bs, rw)
+    }
+
+    /** Full decoded pixel array `(w, h, px)` with `px(y)(x) = (r, g, b)`
+      * top-down — the pixel-level reader the q306 resize stage needs
+      * (the feature `decode` above only returns moment sums).
+      */
+    def decodePixels(bytes: Array[Byte]): (Int, Int, Array[Array[(Int, Int, Int)]]) = {
+      val buf = java.nio.ByteBuffer.wrap(bytes)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      require(bytes.length >= 54 && bytes(0) == 'B' && bytes(1) == 'M',
+        "not a BMP payload")
+      val dataOffset = buf.getInt(10)
+      val w = buf.getInt(18); val h = buf.getInt(22)
+      require(buf.getShort(28) == 24 && buf.getInt(30) == 0,
+        "decoder supports 24bpp uncompressed only")
+      val stride = rowBytes(w)
+      require(dataOffset >= 54 && dataOffset.toLong + stride.toLong * h <= bytes.length,
+        "corrupt BMP: pixel data exceeds the payload")
+      val px = Array.ofDim[(Int, Int, Int)](h, w)
+      for (i <- 0 until h) {
+        val y = h - 1 - i // file rows are bottom-up
+        val base = dataOffset + i * stride
+        for (x <- 0 until w)
+          px(y)(x) = (bytes(base + 3 * x + 2) & 0xff,
+            bytes(base + 3 * x + 1) & 0xff, bytes(base + 3 * x) & 0xff)
+      }
+      (w, h, px)
     }
   }
 
@@ -191,6 +226,39 @@ object Multimodal {
       })
       .toDF("asset_id", "width", "height", "n_bytes", "r_sum", "g_sum",
         "b_sum", "rw_sum")
+      .orderBy($"asset_id")
+  }
+
+  /** Thumbnail (resize) stage through the REAL codec both ways (q306;
+    * round 13 — the vision-pipeline preprocessing step beside q244's
+    * feature extraction): decode the BMP payload to PIXELS,
+    * nearest-neighbor downsample by `k` (out(x,y) = in(kx, ky),
+    * wOut = ⌈w/k⌉ — both engines share the ceil convention), RE-ENCODE
+    * the thumbnail as a real BMP, and feature-decode THAT file. The
+    * double codec pass makes the thumbnail's OWN stride class
+    * observable: ⌈w/k⌉ lands in different mod-4 padding classes than w,
+    * so a pad bug that the original widths never trip breaks the gate
+    * here (spec asserts the fixture covers all four classes). Oracle:
+    * closed forms of the pattern at (kx, ky) summed over the output
+    * grid — no byte touched. Shape: per-partition batched, pixel work
+    * ∝ w·h per asset, asset-proportional rows, no shuffle beyond the
+    * sort — at 100 TB this is the embarrassingly-parallel map stage a
+    * thumbnailing pass is.
+    */
+  def bmpThumbnails(documents: DataFrame, k: Int = 2): DataFrame = {
+    require(k >= 1, s"bmpThumbnails: scale factor k=$k must be >= 1")
+    import documents.sparkSession.implicits.{newLongEncoder, newProductEncoder}
+    documents.filter($"doc_id" % 3 === 0) // the q35 image rotation
+      .select($"doc_id").as[Long]
+      .mapPartitions(_.map { d =>
+        val (w, h, px) = BmpCodec.decodePixels(BmpCodec.encode(d))
+        val wo = (w + k - 1) / k; val ho = (h + k - 1) / k
+        val thumb = BmpCodec.encodePixels(wo, ho, (x, y) => px(y * k)(x * k))
+        val (w2, h2, rs, gs, bs, rw) = BmpCodec.decode(thumb)
+        (d, w, h, w2, h2, thumb.length.toLong, rs, gs, bs, rw)
+      })
+      .toDF("asset_id", "width", "height", "thumb_w", "thumb_h",
+        "thumb_bytes", "r_sum", "g_sum", "b_sum", "rw_sum")
       .orderBy($"asset_id")
   }
 

@@ -48,6 +48,11 @@ private[graft] object MultimodalQueries extends QueryFamily {
     // burst-envelope assets: gaps-and-islands on |s| <= 128 (round 13)
     "q305_wav_silence" -> ((s, d) =>
       Multimodal.wavSilenceRuns(Tables.documents(s, d))),
+    // thumbnail/resize through the real BMP codec BOTH ways: decode
+    // pixels, nearest-neighbor downsample x2, re-encode, feature-decode
+    // the thumbnail file (round 13)
+    "q306_bmp_thumbnail" -> ((s, d) =>
+      Multimodal.bmpThumbnails(Tables.documents(s, d))),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -220,6 +225,39 @@ private[graft] object MultimodalQueries extends QueryFamily {
         |FROM chans LEFT JOIN agg a
         |  ON a.doc_id = chans.doc_id AND a.c = chans.c
         |ORDER BY asset_id, channel""".stripMargin,
+    "q306_bmp_thumbnail" ->
+      // the thumbnail pixel at (x, y) is the ORIGINAL pattern at
+      // (2x, 2y); sums run over the ceil(w/2) x ceil(h/2) output grid;
+      // thumb_bytes re-derives the thumbnail's own stride padding
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    CAST(16 + (doc_id * 7) % 48 AS INT) AS w,
+        |    CAST(16 + (doc_id * 13) % 32 AS INT) AS h
+        |  FROM documents WHERE doc_id % 3 = 0
+        |),
+        |t AS (
+        |  SELECT doc_id, w, h,
+        |    CAST((w + 1) // 2 AS INT) AS wo, CAST((h + 1) // 2 AS INT) AS ho
+        |  FROM d
+        |),
+        |px AS (
+        |  SELECT doc_id, w, h, wo, ho, x, y,
+        |    (3 * (x * 2) + 5 * (y * 2) + doc_id) % 256 AS r,
+        |    (7 * (x * 2) + 11 * (y * 2) + 2 * doc_id) % 256 AS g,
+        |    (13 * (x * 2) + 17 * (y * 2) + 3 * doc_id) % 256 AS b
+        |  FROM t,
+        |    LATERAL (SELECT unnest(range(0, wo)) AS x),
+        |    LATERAL (SELECT unnest(range(0, ho)) AS y)
+        |)
+        |SELECT doc_id AS asset_id, w AS width, h AS height,
+        | wo AS thumb_w, ho AS thumb_h,
+        | CAST(54 + ((wo * 3 + 3) // 4) * 4 * ho AS BIGINT) AS thumb_bytes,
+        | CAST(sum(r) AS BIGINT) AS r_sum,
+        | CAST(sum(g) AS BIGINT) AS g_sum,
+        | CAST(sum(b) AS BIGINT) AS b_sum,
+        | CAST(sum((x + 1) * (y + 1) * r) AS BIGINT) AS rw_sum
+        |FROM px GROUP BY doc_id, w, h, wo, ho
+        |ORDER BY asset_id""".stripMargin,
     "q36_frame_sample" ->
       """WITH v AS (
         |  SELECT doc_id AS asset_id, text,

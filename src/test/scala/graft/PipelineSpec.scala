@@ -292,6 +292,40 @@ class PipelineSpec extends GraftSuite {
     }
   }
 
+  test("bmpThumbnails: decodePixels round-trips the pattern; resize equals an independent replica; thumbnail stride classes covered (q306)") {
+    import Multimodal.BmpCodec
+    // pixel-level decode must reproduce the generation pattern exactly
+    for (d <- Seq(0L, 3L, 17L, 40L)) {
+      val (w, h, px) = BmpCodec.decodePixels(BmpCodec.encode(d))
+      assert((w, h) === ((BmpCodec.width(d), BmpCodec.height(d))))
+      for (y <- 0 until h; x <- 0 until w)
+        assert(px(y)(x) === ((BmpCodec.r(d, x, y), BmpCodec.g(d, x, y), BmpCodec.b(d, x, y))),
+          s"pixel ($x,$y) of asset $d")
+    }
+    // the operator vs an independent closed-form replica (never through
+    // the codec): thumbnail pixel (x, y) is the pattern at (2x, 2y)
+    val imageIds = docs.select(col("doc_id")).collect().map(_.getLong(0))
+      .filter(_ % 3 == 0).sorted
+    val expected = imageIds.map { d =>
+      val (w, h) = (BmpCodec.width(d), BmpCodec.height(d))
+      val (wo, ho) = ((w + 1) / 2, (h + 1) / 2)
+      var (rs, gs, bs, rw) = (0L, 0L, 0L, 0L)
+      for (y <- 0 until ho; x <- 0 until wo) {
+        rs += BmpCodec.r(d, 2 * x, 2 * y); gs += BmpCodec.g(d, 2 * x, 2 * y)
+        bs += BmpCodec.b(d, 2 * x, 2 * y)
+        rw += (x + 1).toLong * (y + 1) * BmpCodec.r(d, 2 * x, 2 * y)
+      }
+      (d, w, h, wo, ho, BmpCodec.fileBytes(wo, ho).toLong, rs, gs, bs, rw)
+    }.toSeq
+    val got = Multimodal.bmpThumbnails(docs).collect().map(r =>
+      (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3), r.getInt(4),
+        r.getLong(5), r.getLong(6), r.getLong(7), r.getLong(8), r.getLong(9))).toSeq
+    assert(got === expected)
+    // the thumbnail widths must cover all four stride mod-4 padding
+    // classes — the corner the double codec pass exists to exercise
+    assert(expected.map(_._4 % 4).toSet === Set(0, 1, 2, 3))
+  }
+
   test("WavCodec: hand-written golden file decodes to known samples; chunk walk skips unknown chunks; round-trip matches closed forms (q301)") {
     import Multimodal.WavCodec
     // golden mono/8kHz/2-frame s16le WAV, byte-by-byte from the RIFF

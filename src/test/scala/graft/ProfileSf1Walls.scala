@@ -5,7 +5,9 @@ package graft
   * 20 sweep heads at target/sf1eq, Bench semantics (noop sink,
   * System.gc() between queries, warm-up outside the measured region),
   * single-run (the wall column of SURVEY §6.21's table; correctness is
-  * the Verify+check.py gate, not this).
+  * the Verify+check.py gate, not this). The REPEATABLE correctness
+  * sweep at this scale is `tools/sf1gate.py` (round 13, SURVEY §7.5) —
+  * this main remains for engine-wall profiling only.
   */
 object ProfileSf1Walls {
   def main(args: Array[String]): Unit = {

@@ -303,9 +303,11 @@ object Multimodal {
     /** Canonical RIFF/WAVE: 44-byte header (12 RIFF + 24 fmt + 8 data)
       * then interleaved PCM frames (s16le, or unsigned bytes at 8 bps).
       * `sampleOf(c, i)` supplies the STORED value — two's-complement
-      * for 16-bit, the unsigned byte for 8-bit.
+      * for 16-bit, the unsigned byte for 8-bit. Public since round 13:
+      * the generalized writer behind every fixture encode AND the q307
+      * resample re-encode (the WAV analog of `BmpCodec.encodePixels`).
       */
-    private def encodePcm(ch: Int, sr: Int, bits: Int, n: Int)(
+    def encodePcm(ch: Int, sr: Int, bits: Int, n: Int)(
         sampleOf: (Int, Int) => Int): Array[Byte] = {
       val bytesPer = bits / 8
       val dataBytes = ch * bytesPer * n
@@ -485,6 +487,42 @@ object Multimodal {
       })
       .toDF("asset_id", "n_channels", "sample_rate", "n_frames", "n_bytes",
         "channel", "s_sum", "s_sq_sum", "w_sum", "rms")
+      .orderBy($"asset_id", $"channel")
+  }
+
+  /** Resample (decimation) stage through the real codec both ways
+    * (q307; round 13 — the audio twin of q306's thumbnailing, and the
+    * 48 kHz→16 kHz downsampling staple of every speech pipeline):
+    * decode the 16-bit payload to per-channel series, keep every k-th
+    * frame (out(j) = in(kj), nOut = ⌈n/k⌉ — plain decimation; no
+    * anti-alias filter, documented, the fixture patterns are not
+    * band-limited anyway and the gate checks the served semantics),
+    * RE-ENCODE at sampleRate/k through `encodePcm`, and feature-decode
+    * THAT file. The position-weighted sum of the resampled file makes
+    * decimation SELECTION observable: a "truncate to the first ⌈n/k⌉
+    * frames" bug preserves frame count and byte length but breaks
+    * every sum. Oracle: the q301 closed forms evaluated at i = kj.
+    * Shape: per-partition batched, asset-proportional, no shuffle
+    * beyond the sort.
+    */
+  def wavResample(documents: DataFrame, k: Int = 2): DataFrame = {
+    require(k >= 1, s"wavResample: decimation factor k=$k must be >= 1")
+    import documents.sparkSession.implicits.{newLongEncoder, newProductEncoder}
+    documents.filter($"doc_id" % 3 === 1) // the q35 audio rotation
+      .select($"doc_id").as[Long]
+      .mapPartitions(_.flatMap { d =>
+        val (ch, sr, _, chans) = WavCodec.decodeSamples(WavCodec.encode(d))
+        val n = chans(0).length
+        val nOut = (n + k - 1) / k
+        val out = WavCodec.encodePcm(ch, sr / k, 16, nOut)(
+          (c, j) => chans(c)(j * k))
+        val (_, srOut, n2, acc) = WavCodec.decode(out)
+        acc.zipWithIndex.map { case ((ss, sq, ws), c) =>
+          (d, sr, srOut, n, n2, out.length.toLong, c, ss, sq, ws)
+        }
+      })
+      .toDF("asset_id", "sr_in", "sr_out", "n_in", "n_out", "n_bytes",
+        "channel", "s_sum", "s_sq_sum", "w_sum")
       .orderBy($"asset_id", $"channel")
   }
 

@@ -53,6 +53,10 @@ private[graft] object MultimodalQueries extends QueryFamily {
     // the thumbnail file (round 13)
     "q306_bmp_thumbnail" -> ((s, d) =>
       Multimodal.bmpThumbnails(Tables.documents(s, d))),
+    // resample (x2 decimation) through the real WAV codec both ways:
+    // the audio twin of q306 (round 13)
+    "q307_wav_resample" -> ((s, d) =>
+      Multimodal.wavResample(Tables.documents(s, d))),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -258,6 +262,33 @@ private[graft] object MultimodalQueries extends QueryFamily {
         | CAST(sum((x + 1) * (y + 1) * r) AS BIGINT) AS rw_sum
         |FROM px GROUP BY doc_id, w, h, wo, ho
         |ORDER BY asset_id""".stripMargin,
+    "q307_wav_resample" ->
+      // decimation: output frame j is the q301 sample pattern at i = 2j;
+      // sums run over the ceil(n/2) output frames; sr halves exactly
+      // (every fixture rate is even), n_bytes re-derives the new header
+      """WITH p AS (
+        |  SELECT doc_id, CAST(1 + doc_id % 2 AS INT) AS ch,
+        |    CAST(8000 + (doc_id % 4) * 4000 AS INT) AS sr,
+        |    CAST(64 + (doc_id * 11) % 192 AS INT) AS n
+        |  FROM documents WHERE doc_id % 3 = 1
+        |),
+        |t AS (SELECT doc_id, ch, sr, n, CAST((n + 1) // 2 AS INT) AS no FROM p),
+        |s AS (
+        |  SELECT doc_id, ch, sr, n, no, c, j,
+        |    (37 * (2 * j) + 101 * c + doc_id) % 65536 - 32768 AS s
+        |  FROM t,
+        |    LATERAL (SELECT unnest(range(0, ch)) AS c),
+        |    LATERAL (SELECT unnest(range(0, no)) AS j)
+        |)
+        |SELECT doc_id AS asset_id, sr AS sr_in, CAST(sr // 2 AS INT) AS sr_out,
+        | n AS n_in, no AS n_out,
+        | CAST(44 + ch * 2 * no AS BIGINT) AS n_bytes,
+        | CAST(c AS INT) AS channel,
+        | CAST(sum(s) AS BIGINT) AS s_sum,
+        | CAST(sum(s * s) AS BIGINT) AS s_sq_sum,
+        | CAST(sum((j + 1) * s) AS BIGINT) AS w_sum
+        |FROM s GROUP BY doc_id, ch, sr, n, no, c
+        |ORDER BY asset_id, channel""".stripMargin,
     "q36_frame_sample" ->
       """WITH v AS (
         |  SELECT doc_id AS asset_id, text,

@@ -449,6 +449,46 @@ class PipelineSpec extends GraftSuite {
     }
   }
 
+  test("wavResample equals an independent decimation replica; a truncate bug is distinguishable (q307)") {
+    import Multimodal.WavCodec
+    val audioIds = docs.select(col("doc_id")).collect().map(_.getLong(0))
+      .filter(_ % 3 == 1).sorted
+    // independent replica straight from the generation closed forms at
+    // i = 2j (never through the codec)
+    val expected = audioIds.flatMap { d =>
+      val ch = WavCodec.channels(d); val sr = WavCodec.sampleRate(d)
+      val n = WavCodec.frames(d); val no = (n + 1) / 2
+      (0 until ch).map { c =>
+        var (ss, sq, ws) = (0L, 0L, 0L)
+        for (j <- 0 until no) {
+          val s = WavCodec.sample(d, c, 2 * j).toLong
+          ss += s; sq += s * s; ws += (j + 1) * s
+        }
+        (d, sr, sr / 2, n, no, (44 + ch * 2 * no).toLong, c, ss, sq, ws)
+      }
+    }.toSeq
+    val got = Multimodal.wavResample(docs).collect().map(r =>
+      (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3), r.getInt(4),
+        r.getLong(5), r.getInt(6), r.getLong(7), r.getLong(8), r.getLong(9))).toSeq
+    assert(got === expected)
+    // sensitivity: taking the FIRST ceil(n/2) frames (the truncate bug)
+    // preserves frame count and byte length but must break the sums for
+    // some channel — decimation SELECTION is observable, not just shape
+    val truncated = audioIds.flatMap { d =>
+      val ch = WavCodec.channels(d); val n = WavCodec.frames(d); val no = (n + 1) / 2
+      (0 until ch).map { c =>
+        var (ss, sq, ws) = (0L, 0L, 0L)
+        for (j <- 0 until no) {
+          val s = WavCodec.sample(d, c, j).toLong
+          ss += s; sq += s * s; ws += (j + 1) * s
+        }
+        (ss, sq, ws)
+      }
+    }.toSeq
+    assert(expected.map(e => (e._8, e._9, e._10)) !== truncated,
+      "decimated sums must differ from truncated-prefix sums")
+  }
+
   test("wavSilenceRuns equals an independent closed-form replay; burst fixture is segmentation-rich (q305)") {
     import Multimodal.WavCodec
     val audioIds = docs.select(col("doc_id")).collect().map(_.getLong(0))

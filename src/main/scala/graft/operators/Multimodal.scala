@@ -262,6 +262,53 @@ object Multimodal {
       .orderBy($"asset_id")
   }
 
+  /** Grayscale conversion through the real codec both ways (q308; round
+    * 13 — the vision-preprocessing staple beside q306's thumbnailing:
+    * most vision featurizers and OCR passes run on luma, not RGB):
+    * decode the BMP payload to pixels, integer BT.601 luma
+    * l = (299·r + 587·g + 114·b) / 1000 (scaled-integer floor division
+    * — both engines share the convention exactly; no float rounding
+    * seam), RE-ENCODE the gray image (r = g = b = l) as a real BMP,
+    * feature-decode THAT file, and read its pixels back for a 4-bucket
+    * luma HISTOGRAM (l / 64 ∈ 0..3) — the exposure/contrast QA
+    * distribution an image-quality filter computes over a corpus. Both
+    * the sums and the histogram come from the SECOND codec pass, so the
+    * gray file's own stride/BGR round-trip is load-bearing for every
+    * output column; a decoded channel inequality fails loudly. Oracle:
+    * luma closed forms over the (x, y) grid — no byte touched. Shape:
+    * per-partition batched, pixel work ∝ w·h per asset,
+    * asset-proportional rows, no shuffle beyond the sort.
+    */
+  def bmpGrayscale(documents: DataFrame): DataFrame = {
+    import documents.sparkSession.implicits.{newLongEncoder, newProductEncoder}
+    documents.filter($"doc_id" % 3 === 0) // the q35 image rotation
+      .select($"doc_id").as[Long]
+      .mapPartitions(_.map { d =>
+        val (w, h, px) = BmpCodec.decodePixels(BmpCodec.encode(d))
+        val gray = BmpCodec.encodePixels(w, h, (x, y) => {
+          val (r, g, b) = px(y)(x)
+          val l = (299 * r + 587 * g + 114 * b) / 1000
+          (l, l, l)
+        })
+        val (w2, h2, rs, gs, bs, rw) = BmpCodec.decode(gray)
+        require(rs == gs && gs == bs,
+          s"gray asset $d decoded unequal channel sums ($rs, $gs, $bs)")
+        val (_, _, gp) = BmpCodec.decodePixels(gray)
+        val hist = new Array[Long](4)
+        var y = 0
+        while (y < h2) {
+          var x = 0
+          while (x < w2) { hist(gp(y)(x)._1 / 64) += 1; x += 1 }
+          y += 1
+        }
+        (d, w2, h2, gray.length.toLong, rs, rw,
+          hist(0), hist(1), hist(2), hist(3))
+      })
+      .toDF("asset_id", "width", "height", "n_bytes", "l_sum", "lw_sum",
+        "h0", "h1", "h2", "h3")
+      .orderBy($"asset_id")
+  }
+
   /** REAL audio codec over REAL bytes — the WAV/PCM twin of `BmpCodec`
     * (round 12; completes the binary-columns story for the audio
     * modality): RIFF/WAVE with 16-bit signed little-endian PCM is simple
@@ -608,6 +655,45 @@ object Multimodal {
       })
       .toDF("asset_id", "channel", "n_frames", "zcr", "s_min", "s_max",
         "abs_sum", "crest")
+      .orderBy($"asset_id", $"channel")
+  }
+
+  /** Waveform autocorrelation at fixed lags (q309; round 13 — the
+    * periodicity/pitch proxy beside q304's ZCR: speech pipelines rank
+    * voiced frames by which short lag maximizes Σ sᵢ·sᵢ₋L): per
+    * (asset, channel), the INTEGER-EXACT autocorrelation numerators
+    * ac_L = Σ_{i=L}^{n−1} sᵢ·sᵢ₋L at L ∈ {1, 2, 4} plus the energy
+    * ac₀ = Σ s², and best_lag = the L maximizing ac_L (smallest lag on
+    * ties — both engines share the tie rule). Products of CONSECUTIVE
+    * samples are order-sensitive in a way the q301 moment sums are not
+    * (any permutation preserves Σs/Σs²; almost none preserves ac₁), and
+    * unlike q304's sign-class ZCR they see magnitude re-orderings too.
+    * All integers — no float anywhere, so the gate is exact. Oracle:
+    * lag() windows over the generated (frame, channel) grid. Shape:
+    * per-partition batched decode, O(n) per lag per channel,
+    * asset×channel output rows, no shuffle beyond the sort.
+    */
+  def wavAutocorr(documents: DataFrame): DataFrame = {
+    import documents.sparkSession.implicits.{newLongEncoder, newProductEncoder}
+    documents.filter($"doc_id" % 3 === 1) // the q35 audio rotation
+      .select($"doc_id").as[Long]
+      .mapPartitions(_.flatMap { d =>
+        val (_, _, _, chans) = WavCodec.decodeSamples(WavCodec.encode(d))
+        chans.zipWithIndex.map { case (arr, c) =>
+          val n = arr.length
+          def ac(lag: Int): Long = {
+            var s = 0L; var i = lag
+            while (i < n) { s += arr(i).toLong * arr(i - lag); i += 1 }
+            s
+          }
+          val (a0, a1, a2, a4) = (ac(0), ac(1), ac(2), ac(4))
+          val best = if (a1 >= a2 && a1 >= a4) 1L
+                     else if (a2 >= a4) 2L else 4L
+          (d, c, n, a0, a1, a2, a4, best)
+        }
+      })
+      .toDF("asset_id", "channel", "n_frames", "ac0", "ac1", "ac2", "ac4",
+        "best_lag")
       .orderBy($"asset_id", $"channel")
   }
 

@@ -348,4 +348,129 @@ object Scale {
       .withColumn("_salt", col("_salt").cast("bigint"))
     saltedFact.join(saltedDim, Seq(key, "_salt")).drop("_salt")
   }
+
+  /** Data-layout file-skipping audit (q311; round 13 — the companion
+    * QA to q78's Z-order report and the compaction planner: AFTER you
+    * lay a 100 TB table out, this measures what the layout BUYS — how
+    * many files a point predicate on `keyCol` must actually read, given
+    * per-file min/max footer statistics, under (a) the key-sorted
+    * layout and (b) the arrival-order layout. This is the
+    * Delta/Iceberg "OPTIMIZE effectiveness" number: sorted layouts
+    * should read ~1 file per probe; arrival layouts read almost all of
+    * them, because every file's [min, max] spans the whole key domain.
+    *
+    * Mechanics: a file is a rank slice — file = ⌊rank₀ · files / N⌋
+    * over the layout's total order ((key, id) for sorted, (id) for
+    * arrival; id unique, so both orders are total and the assignment is
+    * partition-count invariant). The global 0-based rank is the
+    * DISTRIBUTED two-phase prefix count (the q167/q189 pattern): range
+    * partition by the layout order, per-partition `row_number`, ≤
+    * `parts` base offsets broadcast back — no corpus-sized single-task
+    * window (ScaleSpec audits the two pid frames). Per-file min/max =
+    * one aggregate (`files` rows — exactly the parquet footer stats a
+    * real reader consults); probes = the DISTINCT key values
+    * (domain-sized); reads = probes × broadcast(file stats) filtered to
+    * lo ≤ v ≤ hi. Output: one summary row per layout, integer-exact
+    * except the one rounded mean.
+    */
+  def layoutSkippingAudit(df: DataFrame, keyCol: String, idCol: String,
+      files: Int = 64, parts: Int = 32): DataFrame = {
+    require(files > 0, s"layoutSkippingAudit: files=$files must be > 0")
+    import org.apache.spark.sql.expressions.Window
+    val base = df.select(col(idCol).as("id"), col(keyCol).as("k"))
+    val total = base.agg(count(lit(1)).as("n"))
+
+    // file id by global rank over `order` — two-phase, never one task
+    def fileStats(order: Seq[Column], layout: String): DataFrame = {
+      val f = base.repartitionByRange(parts, order: _*)
+        .localCheckpoint() // pins partition identity (subtotal pass == join)
+        .withColumn("pid", spark_partition_id().cast("int"))
+      val wBase = Window.orderBy($"pid")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val bases = f.groupBy($"pid").agg(count(lit(1)).as("t"))
+        .withColumn("base", sum($"t").over(wBase) - $"t") // <= `parts` rows
+        .select($"pid", $"base")
+      val wIn = Window.partitionBy($"pid").orderBy(order: _*)
+      f.join(broadcast(bases), Seq("pid"))
+        .withColumn("r0", $"base" + row_number().over(wIn).cast("long") - 1L)
+        .crossJoin(broadcast(total))
+        .withColumn("f", expr(s"r0 * ${files}L div n"))
+        .groupBy($"f")
+        .agg(min($"k").as("lo"), max($"k").as("hi"))
+        .withColumn("layout", lit(layout))
+    }
+
+    // materialize the footer-stats frame (2·files rows) once: it feeds
+    // both the probe join and the n_files rollup, and a real reader
+    // persists footer stats rather than recomputing the corpus pass —
+    // without this the corpus-sized rank window would run twice
+    val stats = fileStats(Seq($"k", $"id"), "sorted")
+      .unionByName(fileStats(Seq($"id"), "arrival"))
+      .localCheckpoint()
+    val probes = base.select($"k").distinct()
+    val reads = probes.crossJoin(broadcast(stats))
+      .filter($"k" >= $"lo" && $"k" <= $"hi")
+      .groupBy($"layout", $"k").agg(count(lit(1)).as("nf"))
+    reads.groupBy($"layout")
+      .agg(countDistinct($"k").as("n_probes"),
+        sum($"nf").as("reads_total"),
+        max($"nf").as("max_files_read"),
+        round(sum($"nf").cast("double") / count(lit(1)), 6).as("avg_files_read"))
+      .join(stats.groupBy($"layout").agg(countDistinct($"f").as("n_files")), Seq("layout"))
+      .select($"layout", $"n_files", $"n_probes", $"reads_total",
+        $"max_files_read", $"avg_files_read")
+      .orderBy($"layout")
+  }
+
+  /** Small-file compaction planner (q310; round 13 — the lakehouse
+    * maintenance op every 100 TB table needs: millions of KB-sized
+    * files murder scan parallelism and NameNode/manifest metadata, so a
+    * compactor periodically bin-packs them into ~`targetBytes` outputs).
+    * The plan is the SEQUENTIAL-PACK one a sorted compactor produces:
+    * order files by (size desc, id asc) — a total order, so the plan is
+    * partition-count invariant — lay them end to end, and assign each
+    * file to the bin its START offset lands in (`start div target`): a
+    * deterministic next-fit whose every bin except possibly the last
+    * reaches the target. Output is one row per planned output file with
+    * its fill statistics — `n_bins ≈ Σbytes / target`, so the report is
+    * corpus-bytes-proportional, never file-count-proportional.
+    *
+    * Scale shape: the global running offset is the fully DISTRIBUTED
+    * two-stage prefix sum (the q58/q234 pattern — partition-local
+    * cumsum + broadcast per-partition bases over ≤ `parts` rows;
+    * `localCheckpoint` pins partition identity so the subtotal pass and
+    * the join agree). No corpus-sized single-task window anywhere —
+    * ScaleSpec's unpartitioned-window sweep audits the one pid-frame
+    * site. Dial: `targetBytes` is workload-chosen (128 MB in a real
+    * lake); output rows scale as Σbytes / target, independent of file
+    * count.
+    */
+  def compactionPlan(files: DataFrame, fileId: String, sizeCol: String,
+      targetBytes: Long, parts: Int = 32): DataFrame = {
+    require(targetBytes > 0, s"compactionPlan: targetBytes=$targetBytes must be > 0")
+    import org.apache.spark.sql.expressions.Window
+    val f = files
+      .select(col(fileId).cast("long").as("file_id"),
+        col(sizeCol).cast("long").as("n_bytes"))
+      .repartitionByRange(parts, col("n_bytes").desc, col("file_id"))
+      .localCheckpoint() // pins partition identity: subtotal pass and join agree
+      .withColumn("pid", spark_partition_id().cast("int"))
+    val wBase = Window.orderBy($"pid")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val bases = f.groupBy($"pid").agg(sum($"n_bytes").as("t"))
+      .withColumn("base", sum($"t").over(wBase) - $"t") // <= `parts` rows
+      .select($"pid", $"base")
+    val wIn = Window.partitionBy($"pid").orderBy($"n_bytes".desc, $"file_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    f.join(broadcast(bases), Seq("pid"))
+      .withColumn("start_off", $"base" + sum($"n_bytes").over(wIn) - $"n_bytes")
+      .withColumn("bin", expr(s"start_off div ${targetBytes}L"))
+      .groupBy($"bin")
+      .agg(count(lit(1)).as("n_files"),
+        sum($"n_bytes").as("total_bytes"),
+        min($"n_bytes").as("min_file_bytes"),
+        max($"n_bytes").as("max_file_bytes"),
+        min($"file_id").as("first_file"))
+      .orderBy($"bin")
+  }
 }

@@ -57,6 +57,14 @@ private[graft] object MultimodalQueries extends QueryFamily {
     // the audio twin of q306 (round 13)
     "q307_wav_resample" -> ((s, d) =>
       Multimodal.wavResample(Tables.documents(s, d))),
+    // grayscale (integer BT.601 luma) through the BMP codec both ways
+    // + 4-bucket luma histogram off the re-decoded gray file (round 13)
+    "q308_bmp_grayscale" -> ((s, d) =>
+      Multimodal.bmpGrayscale(Tables.documents(s, d))),
+    // integer-exact waveform autocorrelation at lags {1,2,4} + best
+    // lag: the periodicity/pitch proxy beside q304's ZCR (round 13)
+    "q309_wav_autocorr" -> ((s, d) =>
+      Multimodal.wavAutocorr(Tables.documents(s, d))),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -289,6 +297,71 @@ private[graft] object MultimodalQueries extends QueryFamily {
         | CAST(sum((j + 1) * s) AS BIGINT) AS w_sum
         |FROM s GROUP BY doc_id, ch, sr, n, no, c
         |ORDER BY asset_id, channel""".stripMargin,
+    "q308_bmp_grayscale" ->
+      // the luma closed form over the (x, y) grid: integer BT.601 with
+      // the // 1000 floor shared by both engines; the histogram buckets
+      // l // 64; n_bytes is the gray file's own header + stride math
+      // (same dims as the original, so the same closed form)
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    CAST(16 + (doc_id * 7) % 48 AS INT) AS w,
+        |    CAST(16 + (doc_id * 13) % 32 AS INT) AS h
+        |  FROM documents WHERE doc_id % 3 = 0
+        |),
+        |px AS (
+        |  SELECT doc_id, w, h, x, y,
+        |    (299 * ((3 * x + 5 * y + doc_id) % 256)
+        |     + 587 * ((7 * x + 11 * y + 2 * doc_id) % 256)
+        |     + 114 * ((13 * x + 17 * y + 3 * doc_id) % 256)) // 1000 AS l
+        |  FROM d,
+        |    LATERAL (SELECT unnest(range(0, w)) AS x),
+        |    LATERAL (SELECT unnest(range(0, h)) AS y)
+        |)
+        |SELECT doc_id AS asset_id, w AS width, h AS height,
+        | CAST(54 + ((w * 3 + 3) // 4) * 4 * h AS BIGINT) AS n_bytes,
+        | CAST(sum(l) AS BIGINT) AS l_sum,
+        | CAST(sum((x + 1) * (y + 1) * l) AS BIGINT) AS lw_sum,
+        | CAST(count(CASE WHEN l // 64 = 0 THEN 1 END) AS BIGINT) AS h0,
+        | CAST(count(CASE WHEN l // 64 = 1 THEN 1 END) AS BIGINT) AS h1,
+        | CAST(count(CASE WHEN l // 64 = 2 THEN 1 END) AS BIGINT) AS h2,
+        | CAST(count(CASE WHEN l // 64 = 3 THEN 1 END) AS BIGINT) AS h3
+        |FROM px GROUP BY doc_id, w, h ORDER BY asset_id""".stripMargin,
+    "q309_wav_autocorr" ->
+      // lag() windows over the generated (frame, channel) grid: sum
+      // skips the NULL first-lag rows, matching the i >= L loop bound;
+      // best_lag shares the smallest-lag-on-ties rule
+      """WITH p AS (
+        |  SELECT doc_id, CAST(1 + doc_id % 2 AS INT) AS ch,
+        |    CAST(64 + (doc_id * 11) % 192 AS INT) AS n
+        |  FROM documents WHERE doc_id % 3 = 1
+        |),
+        |s AS (
+        |  SELECT doc_id, ch, n, c, i,
+        |    (37 * i + 101 * c + doc_id) % 65536 - 32768 AS s
+        |  FROM p,
+        |    LATERAL (SELECT unnest(range(0, ch)) AS c),
+        |    LATERAL (SELECT unnest(range(0, n)) AS i)
+        |),
+        |w AS (
+        |  SELECT doc_id, c, n, s,
+        |    lag(s, 1) OVER (PARTITION BY doc_id, c ORDER BY i) AS p1,
+        |    lag(s, 2) OVER (PARTITION BY doc_id, c ORDER BY i) AS p2,
+        |    lag(s, 4) OVER (PARTITION BY doc_id, c ORDER BY i) AS p4
+        |  FROM s
+        |),
+        |a AS (
+        |  SELECT doc_id, c, n,
+        |    CAST(sum(s * s) AS BIGINT) AS ac0,
+        |    CAST(sum(s * p1) AS BIGINT) AS ac1,
+        |    CAST(sum(s * p2) AS BIGINT) AS ac2,
+        |    CAST(sum(s * p4) AS BIGINT) AS ac4
+        |  FROM w GROUP BY doc_id, c, n
+        |)
+        |SELECT doc_id AS asset_id, CAST(c AS INT) AS channel, n AS n_frames,
+        | ac0, ac1, ac2, ac4,
+        | CAST(CASE WHEN ac1 >= ac2 AND ac1 >= ac4 THEN 1
+        |           WHEN ac2 >= ac4 THEN 2 ELSE 4 END AS BIGINT) AS best_lag
+        |FROM a ORDER BY asset_id, channel""".stripMargin,
     "q36_frame_sample" ->
       """WITH v AS (
         |  SELECT doc_id AS asset_id, text,

@@ -89,6 +89,23 @@ private[graft] object ScaleQueries extends QueryFamily {
     // shuffle-key skew audit: power-of-two histogram of per-key row
     // counts for a prospective join/agg key (exact bin() bucketing)
     "q157_key_skew" -> ((s, d) => Scale.keySkewAudit(Tables.events(s, d), "user_id")),
+    // small-file compaction planner over the REAL multimodal asset
+    // store: sequential next-fit bin packing (size desc, id asc) into
+    // 64 KiB outputs via the fully distributed two-stage prefix sum —
+    // the lakehouse maintenance pass a 100 TB table schedules (round 13)
+    "q310_compaction_plan" -> ((s, d) => {
+      import org.apache.spark.sql.functions.{col, length}
+      Scale.compactionPlan(
+        graft.operators.Multimodal.bmpAssets(Tables.documents(s, d))
+          .select(col("asset_id"), length(col("payload")).as("n_bytes")),
+        "asset_id", "n_bytes", targetBytes = 64L * 1024)
+    }),
+    // file-skipping layout audit: how many rank-slice "files" a point
+    // predicate on o_orderdate reads from min/max footer stats, sorted
+    // layout vs arrival layout — the OPTIMIZE-effectiveness number a
+    // lakehouse table reports after a re-layout (round 13)
+    "q311_layout_skipping" -> ((s, d) =>
+      Scale.layoutSkippingAudit(Tables.orders(s, d), "o_orderdate", "o_orderkey")),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -208,5 +225,67 @@ private[graft] object ScaleQueries extends QueryFamily {
         |  round(CAST(sum(c) AS DOUBLE) / t.n_rows_total, 4) AS row_share
         |FROM c, t GROUP BY 1, t.n_rows_total
         |ORDER BY log2_bucket""".stripMargin,
+    "q310_compaction_plan" ->
+      // file sizes are the BMP closed form (real payload length ==
+      // fileBytes(w, h), pinned by the q244 codec gate); the global
+      // running offset is a plain window here (DuckDB single-node) —
+      // the ENGINE side runs the distributed two-stage prefix sum
+      """WITH d AS (
+        |  SELECT doc_id AS file_id,
+        |    CAST(54 + (((16 + (doc_id * 7) % 48) * 3 + 3) // 4) * 4
+        |           * (16 + (doc_id * 13) % 32) AS BIGINT) AS n_bytes
+        |  FROM documents
+        |),
+        |o AS (
+        |  SELECT file_id, n_bytes,
+        |    sum(n_bytes) OVER (ORDER BY n_bytes DESC, file_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      - n_bytes AS start_off
+        |  FROM d
+        |)
+        |SELECT CAST(start_off // 65536 AS BIGINT) AS bin, count(*) AS n_files,
+        | CAST(sum(n_bytes) AS BIGINT) AS total_bytes,
+        | min(n_bytes) AS min_file_bytes, max(n_bytes) AS max_file_bytes,
+        | min(file_id) AS first_file
+        |FROM o GROUP BY bin ORDER BY bin""".stripMargin,
+    "q311_layout_skipping" ->
+      // file = floor(rank0 * files / N) over each layout's total order
+      // ((k, id) sorted / (id) arrival; id unique => total); reads =
+      // distinct probes x per-file [min, max] footer ranges. The global
+      // row_number is a plain window here (DuckDB single-node) — the
+      // ENGINE side runs the two-phase distributed prefix count
+      """WITH base AS (SELECT o_orderkey AS id, o_orderdate AS k FROM orders),
+        |n AS (SELECT count(*) AS n FROM base),
+        |r AS (
+        |  SELECT id, k,
+        |    row_number() OVER (ORDER BY k, id) - 1 AS rs,
+        |    row_number() OVER (ORDER BY id) - 1 AS ra
+        |  FROM base
+        |),
+        |fs AS (
+        |  SELECT 'sorted' AS layout, rs * 64 // n.n AS f,
+        |    min(k) AS lo, max(k) AS hi
+        |  FROM r, n GROUP BY 1, 2
+        |  UNION ALL
+        |  SELECT 'arrival', ra * 64 // n.n, min(k), max(k)
+        |  FROM r, n GROUP BY 1, 2
+        |),
+        |probes AS (SELECT DISTINCT k FROM base),
+        |reads AS (
+        |  SELECT layout, k, count(*) AS nf
+        |  FROM probes JOIN fs ON k >= lo AND k <= hi
+        |  GROUP BY 1, 2
+        |),
+        |agg AS (
+        |  SELECT layout, count(*) AS n_probes,
+        |    CAST(sum(nf) AS BIGINT) AS reads_total,
+        |    max(nf) AS max_files_read,
+        |    round(CAST(sum(nf) AS DOUBLE) / count(*), 6) AS avg_files_read
+        |  FROM reads GROUP BY 1
+        |),
+        |nfl AS (SELECT layout, count(DISTINCT f) AS n_files FROM fs GROUP BY 1)
+        |SELECT a.layout, nfl.n_files, a.n_probes, a.reads_total,
+        | a.max_files_read, a.avg_files_read
+        |FROM agg a JOIN nfl USING (layout) ORDER BY layout""".stripMargin,
   )
 }

@@ -326,6 +326,88 @@ class PipelineSpec extends GraftSuite {
     assert(expected.map(_._4 % 4).toSet === Set(0, 1, 2, 3))
   }
 
+  test("bmpGrayscale equals an independent closed-form replica; histogram covers every bucket; luma coefficients are observable (q308)") {
+    import Multimodal.BmpCodec
+    val imageIds = docs.select(col("doc_id")).collect().map(_.getLong(0))
+      .filter(_ % 3 == 0).sorted
+    // independent replica straight from the generation closed forms
+    // (never through the codec): integer BT.601 luma with floor division
+    def lumaOf(d: Long, x: Int, y: Int): Int =
+      (299 * BmpCodec.r(d, x, y) + 587 * BmpCodec.g(d, x, y) +
+        114 * BmpCodec.b(d, x, y)) / 1000
+    val expected = imageIds.map { d =>
+      val (w, h) = (BmpCodec.width(d), BmpCodec.height(d))
+      var (ls, lw) = (0L, 0L)
+      val hist = new Array[Long](4)
+      for (y <- 0 until h; x <- 0 until w) {
+        val l = lumaOf(d, x, y)
+        ls += l; lw += (x + 1).toLong * (y + 1) * l; hist(l / 64) += 1
+      }
+      (d, w, h, BmpCodec.fileBytes(w, h).toLong, ls, lw,
+        hist(0), hist(1), hist(2), hist(3))
+    }.toSeq
+    val got = Multimodal.bmpGrayscale(docs).collect().map(r =>
+      (r.getLong(0), r.getInt(1), r.getInt(2), r.getLong(3), r.getLong(4),
+        r.getLong(5), r.getLong(6), r.getLong(7), r.getLong(8), r.getLong(9))).toSeq
+    assert(got === expected)
+    // fixture richness: the histogram must populate all four luma
+    // buckets somewhere, or the distribution half of the gate is inert
+    assert((0 until 4).forall(b => expected.exists { e =>
+      Seq(e._7, e._8, e._9, e._10)(b) > 0L }),
+      "every luma bucket must be hit by some asset")
+    // the WEIGHTED luma must be observable: an equal-weight gray
+    // ((r+g+b)/3) produces different sums for some asset, so a
+    // coefficient bug cannot hide behind the fixture
+    val equalWeight = imageIds.map { d =>
+      val (w, h) = (BmpCodec.width(d), BmpCodec.height(d))
+      var ls = 0L
+      for (y <- 0 until h; x <- 0 until w)
+        ls += (BmpCodec.r(d, x, y) + BmpCodec.g(d, x, y) + BmpCodec.b(d, x, y)) / 3
+      ls
+    }.toSeq
+    assert(expected.map(_._5) !== equalWeight,
+      "BT.601 luma sums must differ from equal-weight gray sums")
+  }
+
+  test("wavAutocorr equals an independent closed-form replica; consecutive products see permutations the moment sums cannot (q309)") {
+    import Multimodal.WavCodec
+    val audioIds = docs.select(col("doc_id")).collect().map(_.getLong(0))
+      .filter(_ % 3 == 1).sorted
+    def series(d: Long, c: Int): Array[Long] =
+      Array.tabulate(WavCodec.frames(d))(i => WavCodec.sample(d, c, i).toLong)
+    def acOf(s: Array[Long], lag: Int): Long =
+      (lag until s.length).map(i => s(i) * s(i - lag)).sum
+    val expected = audioIds.flatMap { d =>
+      (0 until WavCodec.channels(d)).map { c =>
+        val s = series(d, c)
+        val (a0, a1, a2, a4) = (acOf(s, 0), acOf(s, 1), acOf(s, 2), acOf(s, 4))
+        val best = if (a1 >= a2 && a1 >= a4) 1L else if (a2 >= a4) 2L else 4L
+        (d, c, s.length, a0, a1, a2, a4, best)
+      }
+    }.toSeq
+    val got = Multimodal.wavAutocorr(docs).collect().map(r =>
+      (r.getLong(0), r.getInt(1), r.getInt(2), r.getLong(3), r.getLong(4),
+        r.getLong(5), r.getLong(6), r.getLong(7))).toSeq
+    assert(got === expected)
+    // sensitivity: the adjacent-pair-swap permutation preserves the
+    // sample MULTISET (so every q301 moment sum survives it) but must
+    // change ac1 somewhere — consecutive products are a strictly
+    // stronger order gate (note reversal and sorting do NOT distinguish
+    // these fixtures: the in-asset pattern never wraps, so the series is
+    // already monotone and autocorrelation is reversal-invariant)
+    val swapped = audioIds.flatMap { d =>
+      (0 until WavCodec.channels(d)).map { c =>
+        val s = series(d, c)
+        val p = s.clone()
+        var i = 0
+        while (i + 1 < p.length) { val t = p(i); p(i) = p(i + 1); p(i + 1) = t; i += 2 }
+        acOf(p, 1)
+      }
+    }.toSeq
+    assert(expected.map(_._5) !== swapped,
+      "pair-swap permutation must change ac1 for some channel")
+  }
+
   test("WavCodec: hand-written golden file decodes to known samples; chunk walk skips unknown chunks; round-trip matches closed forms (q301)") {
     import Multimodal.WavCodec
     // golden mono/8kHz/2-frame s16le WAV, byte-by-byte from the RIFF

@@ -231,6 +231,84 @@ class ScaleSpec extends GraftSuite {
     assert(got.map(_._3).sum === total, "buckets must partition the row mass")
   }
 
+  test("compactionPlan: equals a single-node replica; partition-count invariant; conserves bytes over contiguous bins (q310)") {
+    import graft.operators.Multimodal
+    val target = 64L * 1024
+    val files = Multimodal.bmpAssets(Tables.documents(spark, sf))
+      .select(col("asset_id"), length(col("payload")).cast("long").as("n_bytes"))
+    val got = Scale.compactionPlan(files, "asset_id", "n_bytes", target)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5))).toSeq
+    // single-node replica: sort (size desc, id asc), lay end to end,
+    // bin by start offset
+    val local = files.collect().map(r => (r.getLong(0), r.getLong(1)))
+      .sortBy { case (id, n) => (-n, id) }
+    var off = 0L
+    val binned = local.map { case (id, n) =>
+      val b = off / target; off += n; (b, id, n)
+    }
+    val expected = binned.groupBy(_._1).toSeq.sortBy(_._1).map { case (b, fs) =>
+      (b, fs.length.toLong, fs.map(_._3).sum, fs.map(_._3).min,
+        fs.map(_._3).max, fs.map(_._2).min)
+    }
+    assert(got === expected)
+    // the plan depends only on the (size desc, id asc) TOTAL order, so
+    // it must be partition-count invariant (the distributed prefix sum
+    // is exact, not per-partition-approximate)
+    val got5 = Scale.compactionPlan(files.repartition(7), "asset_id",
+        "n_bytes", target, parts = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5))).toSeq
+    assert(got5 === got)
+    // conservation + shape: bins are contiguous from 0, bytes conserve,
+    // and every non-final bin is filled to at least the target minus
+    // one largest file (next-fit by start offset cannot leave more
+    // headroom than the file that straddles the boundary)
+    assert(got.map(_._1) === got.indices.map(_.toLong))
+    assert(got.map(_._3).sum === local.map(_._2).sum)
+    val maxFile = local.map(_._2).max
+    got.dropRight(1).foreach { case (b, _, tot, _, _, _) =>
+      assert(tot >= target - maxFile, s"bin $b underfilled: $tot")
+    }
+  }
+
+  test("layoutSkippingAudit: equals a single-node replica; sorted layout skips, arrival layout cannot (q311)") {
+    val orders = Tables.orders(spark, sf)
+    val got = Scale.layoutSkippingAudit(orders, "o_orderdate", "o_orderkey")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getDouble(5))).toSeq
+    // single-node replica: rank-slice files over each total order, then
+    // probe every distinct key against per-file [min, max]. The key is
+    // read as epoch micros — a monotone image, so order/min/max agree
+    // with the operator's raw-column comparisons.
+    val rows = orders
+      .select(col("o_orderkey"), unix_micros(col("o_orderdate").cast("timestamp")))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val n = rows.length
+    def replica(layout: String, ordered: Seq[(Long, Long)]) = {
+      val stats = ordered.zipWithIndex
+        .groupBy { case (_, r0) => r0.toLong * 64 / n }
+        .map { case (f, fs) => (f, fs.map(_._1._2).min, fs.map(_._1._2).max) }
+        .toSeq
+      val probes = rows.map(_._2).distinct
+      val reads = probes.map(v => stats.count { case (_, lo, hi) =>
+        lo <= v && v <= hi })
+      (layout, stats.length.toLong, probes.length.toLong,
+        reads.map(_.toLong).sum, reads.max.toLong,
+        BigDecimal(reads.map(_.toLong).sum.toDouble / probes.length)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }
+    val expected = Seq(
+      replica("arrival", rows.sortBy(_._1).toSeq),
+      replica("sorted", rows.sortBy { case (id, d) => (d, id) }.toSeq))
+    assert(got === expected)
+    // the audit must SHOW the layout effect: the sorted layout reads
+    // (far) fewer files per probe than the arrival layout
+    val byLayout = got.map(r => r._1 -> r._6).toMap
+    assert(byLayout("sorted") < byLayout("arrival") / 4,
+      s"sorted layout should skip most files: $byLayout")
+  }
+
   test("near-dup verify joins never pick a broadcast build (explode-blind estimates)") {
     // Regression lock for the measured ×30 failure (SURVEY §6.11): the
     // candidate frame descends from explode(pair_combinations(...)),
@@ -356,7 +434,14 @@ class ScaleSpec extends GraftSuite {
       "q285_hill_tail" -> 1, "q287_woe_iv" -> 1,
       "q288_stratified_ate" -> 3, "q289_lsh_planner" -> 1,
       "q294_periodogram" -> 3, "q295_lead_lag" -> 1,
-      "q296_seasonal_decomp" -> 3)
+      "q296_seasonal_decomp" -> 3,
+      // round 13: the compaction planner's pid-subtotal frame (<= parts
+      // rows over a groupBy(pid) aggregate — the q58/q234 two-stage
+      // prefix-sum pattern)
+      "q310_compaction_plan" -> 1)
+    // (q311's two pid-subtotal frames sit UPSTREAM of its footer-stats
+    // localCheckpoint — executed at build time, audited by its spec,
+    // invisible to this static sweep like the pair-pipeline checkpoints)
     def generateDescended(p: SparkPlan): Boolean =
       p.find {
         case g: GenerateExec =>

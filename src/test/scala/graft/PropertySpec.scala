@@ -243,6 +243,57 @@ class PropertySpec extends GraftSuite {
       base.map(t => (t._4 * 2, t._5 * 2)).toSeq)
   }
 
+  test("property: compactionPlan conserves bytes, packs next-fit tight, and ignores input partitioning on generated file lists") {
+    import spark.implicits._
+    val fileGen: Gen[List[Long]] = for {
+      n     <- Gen.choose(1, 120)
+      sizes <- Gen.listOfN(n, Gen.choose(1L, 5000L))
+    } yield sizes
+    samples(fileGen.flatMap(s => Gen.choose(2000L, 20000L).map((s, _))), 6)
+      .foreach { case (sizes, target) =>
+        val files = sizes.zipWithIndex
+          .map { case (s, i) => (i.toLong, s) }.toDF("file_id", "n_bytes")
+        def run(df: org.apache.spark.sql.DataFrame, parts: Int) =
+          graft.operators.Scale.compactionPlan(df, "file_id", "n_bytes",
+            target, parts)
+            .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+              r.getLong(3), r.getLong(4), r.getLong(5))).toSeq
+        val got = run(files, 8)
+        // partitioning of the INPUT and of the prefix sum are both
+        // irrelevant: the plan depends only on the (size desc, id) order
+        assert(run(files.repartition(3), 2) === got)
+        // conservation; bins start at 0 and strictly increase; when no
+        // file EXCEEDS the target, bins are also contiguous and every
+        // non-final bin is filled to at least target - maxFile (an
+        // over-target file legitimately skips the start-bins it spans)
+        assert(got.map(_._3).sum === sizes.sum)
+        assert(got.head._1 === 0L)
+        assert(got.map(_._1) === got.map(_._1).sorted.distinct)
+        if (sizes.max <= target) {
+          assert(got.map(_._1) === got.indices.map(_.toLong))
+          got.dropRight(1).foreach { case (_, _, tot, _, _, _) =>
+            assert(tot >= target - sizes.max)
+          }
+        }
+      }
+  }
+
+  test("property: layoutSkippingAudit — key-sorted layout never reads more files per probe than arrival order") {
+    import spark.implicits._
+    val gen: Gen[List[(Long, Long)]] = for {
+      n    <- Gen.choose(10, 400)
+      keys <- Gen.listOfN(n, Gen.choose(0L, 50L)) // few distinct keys => ties
+    } yield keys.zipWithIndex.map { case (k, i) => (i.toLong, k) }
+    samples(gen, 5).foreach { rows =>
+      val df = rows.toDF("id", "k")
+      val out = graft.operators.Scale.layoutSkippingAudit(df, "k", "id", files = 8)
+        .collect().map(r => r.getString(0) ->
+          (r.getLong(3).toDouble / r.getLong(2))).toMap
+      assert(out("sorted") <= out("arrival") + 1e-9,
+        s"sorted must not read more than arrival: $out")
+    }
+  }
+
   test("property: Laplace release noise scales exactly as 1/epsilon") {
     // same md5 uniform per (tag, lang) => noise(eps) = noise(1)/eps
     // bit-for-bit before the output rounding

@@ -349,6 +349,32 @@ object Scale {
     saltedFact.join(saltedDim, Seq(key, "_salt")).drop("_salt")
   }
 
+  /** Compaction-debt monitor (q312; round 13 — the trigger metric that
+    * DECIDES when the q310 planner runs: per table family, how much of
+    * the stored volume sits in files below the small-file threshold.
+    * Real lakehouses alert on exactly this — "small-file debt" — because
+    * scan parallelism and manifest pressure degrade long before a
+    * scheduled compaction notices). Pure additive aggregates (counts +
+    * conditional sums + one rounded share), so the metric is exact,
+    * arrival-order-free, and has a live streaming twin
+    * (`EventStreams.compactionDebtStream`, complete mode, state = one
+    * row per family) that equals this batch form at every trigger.
+    */
+  def compactionDebt(files: DataFrame, typeCol: String, sizeCol: String,
+      smallBytes: Long = 4096): DataFrame = {
+    require(smallBytes > 0, s"compactionDebt: smallBytes=$smallBytes must be > 0")
+    val small = col(sizeCol) < smallBytes
+    files.groupBy(col(typeCol).as("family"))
+      .agg(count(lit(1)).as("n_files"),
+        sum(col(sizeCol)).as("total_bytes"),
+        count(when(small, 1)).as("small_files"),
+        coalesce(sum(when(small, col(sizeCol))), lit(0L)).as("small_bytes"))
+      .select($"family", $"n_files", $"total_bytes", $"small_files",
+        $"small_bytes",
+        round($"small_bytes".cast("double") / $"total_bytes", 6).as("debt_share"))
+      .orderBy($"family")
+  }
+
   /** Data-layout file-skipping audit (q311; round 13 — the companion
     * QA to q78's Z-order report and the compaction planner: AFTER you
     * lay a 100 TB table out, this measures what the layout BUYS — how

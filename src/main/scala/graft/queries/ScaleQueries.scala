@@ -106,6 +106,16 @@ private[graft] object ScaleQueries extends QueryFamily {
     // lakehouse table reports after a re-layout (round 13)
     "q311_layout_skipping" -> ((s, d) =>
       Scale.layoutSkippingAudit(Tables.orders(s, d), "o_orderdate", "o_orderkey")),
+    // small-file debt per media family over the real asset store — the
+    // trigger metric that decides when q310's planner runs; has the
+    // round-13 streaming twin (EventStreams.compactionDebtStream)
+    "q312_compaction_debt" -> ((s, d) => {
+      import org.apache.spark.sql.functions.{col, length}
+      Scale.compactionDebt(
+        graft.operators.Multimodal.bmpAssets(Tables.documents(s, d))
+          .select(col("media_type"), length(col("payload")).as("n_bytes")),
+        "media_type", "n_bytes")
+    }),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -287,5 +297,24 @@ private[graft] object ScaleQueries extends QueryFamily {
         |SELECT a.layout, nfl.n_files, a.n_probes, a.reads_total,
         | a.max_files_read, a.avg_files_read
         |FROM agg a JOIN nfl USING (layout) ORDER BY layout""".stripMargin,
+    "q312_compaction_debt" ->
+      // file sizes = the BMP closed form per doc; family = the q35
+      // media rotation; debt = conditional sums under the 4096 threshold
+      """WITH f AS (
+        |  SELECT
+        |    CASE WHEN doc_id % 3 = 0 THEN 'image'
+        |         WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS family,
+        |    CAST(54 + (((16 + (doc_id * 7) % 48) * 3 + 3) // 4) * 4
+        |           * (16 + (doc_id * 13) % 32) AS BIGINT) AS n_bytes
+        |  FROM documents
+        |)
+        |SELECT family, count(*) AS n_files,
+        | CAST(sum(n_bytes) AS BIGINT) AS total_bytes,
+        | CAST(count(CASE WHEN n_bytes < 4096 THEN 1 END) AS BIGINT) AS small_files,
+        | CAST(coalesce(sum(CASE WHEN n_bytes < 4096 THEN n_bytes END), 0) AS BIGINT)
+        |   AS small_bytes,
+        | round(CAST(coalesce(sum(CASE WHEN n_bytes < 4096 THEN n_bytes END), 0)
+        |   AS DOUBLE) / sum(n_bytes), 6) AS debt_share
+        |FROM f GROUP BY family ORDER BY family""".stripMargin,
   )
 }

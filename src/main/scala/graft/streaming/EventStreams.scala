@@ -486,6 +486,20 @@ object EventStreams {
         col("r.psi").as("psi"))
   }
 
+  /** Streaming twin of `Scale.compactionDebt` (q312; round 13 — twin
+    * #14): the small-file-debt dashboard maintained LIVE as files land
+    * in the lake, so the compaction trigger fires mid-ingest instead of
+    * at the next scheduled audit. The metric is purely ADDITIVE (counts
+    * + conditional byte sums + one rounded share), so this twin is the
+    * strongest equals-batch statement in the file: it IS the batch
+    * operator applied to the streaming frame — same Column expressions,
+    * same code path — and arrival order / micro-batch boundaries cannot
+    * move any cell. Complete mode; state = four integers per family,
+    * bounded by the family domain however long the stream runs.
+    */
+  def compactionDebtStream(files: DataFrame, smallBytes: Long = 4096): DataFrame =
+    graft.operators.Scale.compactionDebt(files, "media_type", "n_bytes", smallBytes)
+
   /** Streaming twin of batch q154's Misra-Gries pass: the SAME mergeable
     * summary (`Aggregators.MisraGries`) maintained live over the token
     * stream in complete mode — state is one k-counter buffer however

@@ -272,6 +272,27 @@ class ScaleSpec extends GraftSuite {
     }
   }
 
+  test("compactionDebt: equals a single-node replica; threshold splits the fixture (q312)") {
+    import graft.operators.Multimodal
+    val files = Multimodal.bmpAssets(Tables.documents(spark, sf))
+      .select(col("media_type"), length(col("payload")).as("n_bytes"))
+    val got = Scale.compactionDebt(files, "media_type", "n_bytes")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getDouble(5))).toSeq
+    val local = files.collect().map(r => (r.getString(0), r.getInt(1).toLong))
+    val expected = local.groupBy(_._1).toSeq.sortBy(_._1).map { case (f, fs) =>
+      val total = fs.map(_._2).sum
+      val small = fs.map(_._2).filter(_ < 4096L)
+      (f, fs.length.toLong, total, small.length.toLong, small.sum,
+        BigDecimal(small.sum.toDouble / total)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }
+    assert(got === expected)
+    // the 4096 threshold must split the population in some family, or
+    // the conditional sums are inert
+    assert(expected.exists(e => e._4 > 0 && e._4 < e._2))
+  }
+
   test("layoutSkippingAudit: equals a single-node replica; sorted layout skips, arrival layout cannot (q311)") {
     val orders = Tables.orders(spark, sf)
     val got = Scale.layoutSkippingAudit(orders, "o_orderdate", "o_orderkey")

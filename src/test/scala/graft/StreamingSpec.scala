@@ -431,6 +431,43 @@ class StreamingSpec extends GraftSuite {
     assert(streamed.nonEmpty)
   }
 
+  test("streaming compaction debt == batch compactionDebt bit-for-bit at every trigger") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val rows = graft.operators.Multimodal.bmpAssets(Tables.documents(spark, sf))
+      .select(col("media_type"), length(col("payload")).as("n_bytes"))
+      .collect().map(r => (r.getString(0), r.getInt(1)))
+    val input = MemoryStream[(String, Int)]
+    val q = EventStreams.compactionDebtStream(
+        input.toDS().toDF("media_type", "n_bytes"))
+      .writeStream.outputMode("complete").format("memory").queryName("debt_out")
+      .start()
+    def emitted() = spark.table("debt_out").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5))).toSet
+    def batchOver(prefix: Seq[(String, Int)]) =
+      graft.operators.Scale.compactionDebt(
+          prefix.toDF("media_type", "n_bytes"), "media_type", "n_bytes")
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4), r.getDouble(5))).toSet
+    // three UNEVEN splits; the metric must equal the batch form over
+    // each prefix, not just at the end
+    val (a, rest) = rows.splitAt(rows.length / 5)
+    val (b, c) = rest.splitAt(rest.length / 2)
+    var prefix = Seq.empty[(String, Int)]
+    for (chunk <- Seq(a, b, c)) {
+      input.addData(chunk.toIndexedSeq)
+      q.processAllAvailable()
+      prefix = prefix ++ chunk
+      assert(emitted() === batchOver(prefix), s"prefix of ${prefix.length}")
+    }
+    q.stop()
+    // the fixture must exercise BOTH sides of the threshold somewhere
+    val last = emitted()
+    assert(last.exists(r => r._4 > 0L) && last.exists(r => r._4 < r._2),
+      "threshold should split the fixture population")
+  }
+
   test("streaming Misra-Gries candidates: superset of exact heavy hitters at every cut") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

@@ -349,6 +349,51 @@ object Scale {
     saltedFact.join(saltedDim, Seq(key, "_salt")).drop("_salt")
   }
 
+  /** Keyed compaction planner (q313; round 13 — the shape real
+    * compactors run: one plan PER table family / partition, because
+    * output files must not mix families). Same next-fit-by-start-offset
+    * semantics as `compactionPlan`, but the running offset resets per
+    * family: the (family, size desc, id) order is range-partitioned,
+    * per-(pid, family) subtotals roll up, and the cross-partition bases
+    * come from a window PARTITIONED BY family over ≤ parts·families
+    * rows — fully distributed, no unpartitioned window at all (one
+    * step stronger than the global planner's audited pid frame).
+    * Output: one row per (family, bin) with fill statistics;
+    * families plan independently, so adding a family never moves
+    * another family's bins (spec'd against the global planner run on
+    * each family alone).
+    */
+  def compactionPlanKeyed(files: DataFrame, familyCol: String, fileId: String,
+      sizeCol: String, targetBytes: Long, parts: Int = 32): DataFrame = {
+    require(targetBytes > 0, s"compactionPlanKeyed: targetBytes=$targetBytes must be > 0")
+    import org.apache.spark.sql.expressions.Window
+    val f = files
+      .select(col(familyCol).as("family"),
+        col(fileId).cast("long").as("file_id"),
+        col(sizeCol).cast("long").as("n_bytes"))
+      .repartitionByRange(parts, $"family", col("n_bytes").desc, $"file_id")
+      .localCheckpoint() // pins partition identity: subtotal pass and join agree
+      .withColumn("pid", spark_partition_id().cast("int"))
+    val wBase = Window.partitionBy($"family").orderBy($"pid")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val bases = f.groupBy($"pid", $"family").agg(sum($"n_bytes").as("t"))
+      .withColumn("base", sum($"t").over(wBase) - $"t") // <= parts*families rows
+      .select($"pid", $"family", $"base")
+    val wIn = Window.partitionBy($"pid", $"family")
+      .orderBy($"n_bytes".desc, $"file_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    f.join(broadcast(bases), Seq("pid", "family"))
+      .withColumn("start_off", $"base" + sum($"n_bytes").over(wIn) - $"n_bytes")
+      .withColumn("bin", expr(s"start_off div ${targetBytes}L"))
+      .groupBy($"family", $"bin")
+      .agg(count(lit(1)).as("n_files"),
+        sum($"n_bytes").as("total_bytes"),
+        min($"n_bytes").as("min_file_bytes"),
+        max($"n_bytes").as("max_file_bytes"),
+        min($"file_id").as("first_file"))
+      .orderBy($"family", $"bin")
+  }
+
   /** Compaction-debt monitor (q312; round 13 — the trigger metric that
     * DECIDES when the q310 planner runs: per table family, how much of
     * the stored volume sits in files below the small-file threshold.

@@ -116,6 +116,16 @@ private[graft] object ScaleQueries extends QueryFamily {
           .select(col("media_type"), length(col("payload")).as("n_bytes")),
         "media_type", "n_bytes")
     }),
+    // per-family compaction plan — output files never mix families; the
+    // offset resets per family via a family-partitioned base window
+    "q313_compaction_keyed" -> ((s, d) => {
+      import org.apache.spark.sql.functions.{col, length}
+      Scale.compactionPlanKeyed(
+        graft.operators.Multimodal.bmpAssets(Tables.documents(s, d))
+          .select(col("media_type"), col("asset_id"),
+            length(col("payload")).as("n_bytes")),
+        "media_type", "asset_id", "n_bytes", targetBytes = 64L * 1024)
+    }),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -316,5 +326,31 @@ private[graft] object ScaleQueries extends QueryFamily {
         | round(CAST(coalesce(sum(CASE WHEN n_bytes < 4096 THEN n_bytes END), 0)
         |   AS DOUBLE) / sum(n_bytes), 6) AS debt_share
         |FROM f GROUP BY family ORDER BY family""".stripMargin,
+    "q313_compaction_keyed" ->
+      // the q310 window-cumsum oracle with the running offset
+      // PARTITIONED BY family — output files never mix families
+      """WITH d AS (
+        |  SELECT
+        |    CASE WHEN doc_id % 3 = 0 THEN 'image'
+        |         WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS family,
+        |    doc_id AS file_id,
+        |    CAST(54 + (((16 + (doc_id * 7) % 48) * 3 + 3) // 4) * 4
+        |           * (16 + (doc_id * 13) % 32) AS BIGINT) AS n_bytes
+        |  FROM documents
+        |),
+        |o AS (
+        |  SELECT family, file_id, n_bytes,
+        |    sum(n_bytes) OVER (PARTITION BY family
+        |      ORDER BY n_bytes DESC, file_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      - n_bytes AS start_off
+        |  FROM d
+        |)
+        |SELECT family, CAST(start_off // 65536 AS BIGINT) AS bin,
+        | count(*) AS n_files,
+        | CAST(sum(n_bytes) AS BIGINT) AS total_bytes,
+        | min(n_bytes) AS min_file_bytes, max(n_bytes) AS max_file_bytes,
+        | min(file_id) AS first_file
+        |FROM o GROUP BY family, bin ORDER BY family, bin""".stripMargin,
   )
 }

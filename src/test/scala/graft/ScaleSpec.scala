@@ -293,6 +293,32 @@ class ScaleSpec extends GraftSuite {
     assert(expected.exists(e => e._4 > 0 && e._4 < e._2))
   }
 
+  test("compactionPlanKeyed: per family == the global planner on that family alone; partition-count invariant (q313)") {
+    import graft.operators.Multimodal
+    val files = Multimodal.bmpAssets(Tables.documents(spark, sf))
+      .select(col("media_type"), col("asset_id"),
+        length(col("payload")).cast("long").as("n_bytes"))
+    val target = 64L * 1024
+    def rowsOf(df: org.apache.spark.sql.DataFrame) = df.collect().map(r =>
+      (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6))).toSeq
+    val got = rowsOf(Scale.compactionPlanKeyed(files, "media_type",
+      "asset_id", "n_bytes", target))
+    // independence: each family's bins equal the GLOBAL planner run on
+    // that family's files alone — families cannot perturb each other
+    val perFamily = Seq("audio", "image", "video").flatMap { fam =>
+      Scale.compactionPlan(files.filter(col("media_type") === fam)
+          .drop("media_type"), "asset_id", "n_bytes", target)
+        .collect().map(r => (fam, r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4), r.getLong(5)))
+    }
+    assert(got === perFamily)
+    // and the keyed plan is partition-count invariant like the global one
+    val got3 = rowsOf(Scale.compactionPlanKeyed(files.repartition(5),
+      "media_type", "asset_id", "n_bytes", target, parts = 3))
+    assert(got3 === got)
+  }
+
   test("layoutSkippingAudit: equals a single-node replica; sorted layout skips, arrival layout cannot (q311)") {
     val orders = Tables.orders(spark, sf)
     val got = Scale.layoutSkippingAudit(orders, "o_orderdate", "o_orderkey")

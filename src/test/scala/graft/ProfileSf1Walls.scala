@@ -17,14 +17,18 @@ object ProfileSf1Walls {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     spark.range(1000000L).selectExpr("sum(id)").collect()
-    val heads = Seq(
+    // SPARK_GRAFT_WALL_HEADS overrides the default sweep-head list —
+    // comma-separated full names (used for new-block decade profiling)
+    val heads = sys.env.get("SPARK_GRAFT_WALL_HEADS")
+      .map(_.split(",").map(_.trim).toSeq)
+      .getOrElse(Seq(
       "q27_dedup_minhash_lsh", "q48_embedding_neardup", "q84_curation_pipeline",
       "q122_tfidf_pairs", "q139_containment_search", "q143_classifier_weights",
       "q147_capstone_v2", "q148_pq_ann", "q177_set_cover",
       "q190_textrank_keywords", "q194_label_propagation", "q207_mutual_knn",
       "q210_cluster_stability", "q228_sketch_rollup", "q231_margin_pairs",
       "q233_fs_linkage", "q243_knn_autodial", "q272_persisted_quantiles",
-      "q290_lof_outliers", "q302_containment_heaps")
+      "q290_lof_outliers", "q302_containment_heaps"))
     for (name <- heads) {
       System.gc()
       val t0 = System.nanoTime()

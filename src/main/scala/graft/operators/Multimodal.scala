@@ -383,6 +383,18 @@ object Multimodal {
       encodePcm(channels(d), sampleRate8(d), 8, frames8(d))(
         (c, i) => sample8u(d, c, i))
 
+    // Quad-channel export (q314; round 13): the same audio-rotation
+    // assets as FOUR-channel 16-bit files — block-align = 4·2 = 8 and a
+    // 4-way interleave, the >stereo corner neither q301 (ch ∈ {1,2})
+    // nor q303 (1-byte stride) can see: a reader that hard-codes
+    // mono/stereo, or walks frames by a 2- or 4-byte stride, decodes
+    // the wrong samples here and every per-channel sum moves.
+    def frames4(d: Long): Int = 40 + (d * 9 % 128).toInt
+    def encode4(d: Long): Array[Byte] =
+      encodePcm(4, sampleRate(d), 16, frames4(d))(
+        (c, i) => sample(d, c, i))
+    def fileBytes4(d: Long): Int = 44 + 4 * 2 * frames4(d)
+
     // Burst-envelope assets (q305): 16-frame blocks alternate a quiet
     // envelope (|s| ≤ 128) and a ×255 loud envelope (|s| ≤ 32640) — the
     // linear q301 sawtooth wraps at most once inside an asset, so any
@@ -525,6 +537,31 @@ object Multimodal {
       .select($"doc_id").as[Long]
       .mapPartitions(_.flatMap { d =>
         val bytes = WavCodec.encode8(d)
+        val (ch, sr, n, perCh) = WavCodec.decode(bytes)
+        perCh.zipWithIndex.map { case ((ss, sq, ws), c) =>
+          val rms = java.math.BigDecimal.valueOf(math.sqrt(sq.toDouble / n))
+            .setScale(4, java.math.RoundingMode.HALF_UP).doubleValue()
+          (d, ch, sr, n, bytes.length.toLong, c, ss, sq, ws, rms)
+        }
+      })
+      .toDF("asset_id", "n_channels", "sample_rate", "n_frames", "n_bytes",
+        "channel", "s_sum", "s_sq_sum", "w_sum", "rms")
+      .orderBy($"asset_id", $"channel")
+  }
+
+  /** q301's feature set over the QUAD-channel export (q314; round 13 —
+    * the last block-align corner: four interleaved 16-bit channels,
+    * block-align 8). The position-weighted per-channel sums make the
+    * 4-way interleave order observable — swapping any two channels or
+    * misreading the stride moves some channel's sums. Same
+    * per-partition batched shape as q301/q303.
+    */
+  def wavQuadFeatures(documents: DataFrame): DataFrame = {
+    import documents.sparkSession.implicits.{newLongEncoder, newProductEncoder}
+    documents.filter($"doc_id" % 3 === 1) // the q35 audio rotation
+      .select($"doc_id").as[Long]
+      .mapPartitions(_.flatMap { d =>
+        val bytes = WavCodec.encode4(d)
         val (ch, sr, n, perCh) = WavCodec.decode(bytes)
         perCh.zipWithIndex.map { case ((ss, sq, ws), c) =>
           val rms = java.math.BigDecimal.valueOf(math.sqrt(sq.toDouble / n))

@@ -65,6 +65,10 @@ private[graft] object MultimodalQueries extends QueryFamily {
     // lag: the periodicity/pitch proxy beside q304's ZCR (round 13)
     "q309_wav_autocorr" -> ((s, d) =>
       Multimodal.wavAutocorr(Tables.documents(s, d))),
+    // quad-channel 16-bit export: block-align 8 + 4-way interleave —
+    // the >stereo corner q301/q303 cannot see (round 13)
+    "q314_wav_quad" -> ((s, d) =>
+      Multimodal.wavQuadFeatures(Tables.documents(s, d))),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -362,6 +366,32 @@ private[graft] object MultimodalQueries extends QueryFamily {
         | CAST(CASE WHEN ac1 >= ac2 AND ac1 >= ac4 THEN 1
         |           WHEN ac2 >= ac4 THEN 2 ELSE 4 END AS BIGINT) AS best_lag
         |FROM a ORDER BY asset_id, channel""".stripMargin,
+    "q314_wav_quad" ->
+      // the q301 sample closed forms over a FIXED ch = 4 grid with the
+      // quad frame-count formula; n_bytes = 44 + 4*2*n (block-align 8)
+      """WITH p AS (
+        |  SELECT doc_id,
+        |    CAST(8000 + (doc_id % 4) * 4000 AS INT) AS sr,
+        |    CAST(40 + (doc_id * 9) % 128 AS INT) AS n
+        |  FROM documents WHERE doc_id % 3 = 1
+        |),
+        |s AS (
+        |  SELECT doc_id, sr, n, c, i,
+        |    (37 * i + 101 * c + doc_id) % 65536 - 32768 AS s
+        |  FROM p,
+        |    LATERAL (SELECT unnest(range(0, 4)) AS c),
+        |    LATERAL (SELECT unnest(range(0, n)) AS i)
+        |)
+        |SELECT doc_id AS asset_id, CAST(4 AS INT) AS n_channels,
+        | sr AS sample_rate, n AS n_frames,
+        | CAST(44 + 8 * n AS BIGINT) AS n_bytes,
+        | CAST(c AS INT) AS channel,
+        | CAST(sum(s) AS BIGINT) AS s_sum,
+        | CAST(sum(s * s) AS BIGINT) AS s_sq_sum,
+        | CAST(sum((i + 1) * s) AS BIGINT) AS w_sum,
+        | round(sqrt(CAST(sum(s * s) AS DOUBLE) / n), 4) AS rms
+        |FROM s GROUP BY doc_id, sr, n, c
+        |ORDER BY asset_id, channel""".stripMargin,
     "q36_frame_sample" ->
       """WITH v AS (
         |  SELECT doc_id AS asset_id, text,

@@ -531,6 +531,48 @@ class PipelineSpec extends GraftSuite {
     }
   }
 
+  test("WavCodec quad-channel: hand-written 4-channel golden file pins the interleave; encode4 round-trips the closed forms (q314)") {
+    import Multimodal.WavCodec
+    // golden 4-channel/8kHz/2-frame s16le WAV, byte-by-byte from the
+    // spec: frames [[1,-1,2,-2],[3,-3,4,-4]] — block-align 8, byte rate
+    // 64000. A stereo-striding reader decodes ch0 = [1,2] instead of
+    // [1,3]; a channel-order bug permutes the per-channel sums.
+    val golden4: Array[Byte] = (Seq(
+      'R'.toInt, 'I'.toInt, 'F'.toInt, 'F'.toInt, 52, 0, 0, 0,
+      'W'.toInt, 'A'.toInt, 'V'.toInt, 'E'.toInt,
+      'f'.toInt, 'm'.toInt, 't'.toInt, ' '.toInt, 16, 0, 0, 0,
+      1, 0, 4, 0, // PCM, 4 channels
+      64, 31, 0, 0, // 8000 Hz
+      0, 250, 0, 0, // byte rate 64000 = 0xFA00
+      8, 0, 16, 0, // block align 8, 16 bps
+      'd'.toInt, 'a'.toInt, 't'.toInt, 'a'.toInt, 16, 0, 0, 0,
+      1, 0, 255, 255, 2, 0, 254, 255, // frame 0: [1, -1, 2, -2]
+      3, 0, 253, 255, 4, 0, 252, 255 // frame 1: [3, -3, 4, -4]
+    ) map (_.toByte)).toArray
+    val (gc, gsr, gn, gacc) = WavCodec.decode(golden4)
+    assert((gc, gsr, gn) === ((4, 8000, 2)))
+    assert(gacc.toSeq === Seq((4L, 10L, 7L), (-4L, 10L, -7L),
+      (6L, 20L, 10L), (-6L, 20L, -10L)))
+    // encode4 -> decode round-trip equals the closed forms for a sweep
+    // of asset ids (every sample-rate class and frame-count residue)
+    for (d <- 0L to 63L) {
+      val n = WavCodec.frames4(d)
+      val bytes = WavCodec.encode4(d)
+      assert(bytes.length === WavCodec.fileBytes4(d))
+      val expected = Array.tabulate(4) { c =>
+        var (ss, sq, ws) = (0L, 0L, 0L)
+        for (i <- 0 until n) {
+          val s = WavCodec.sample(d, c, i).toLong
+          ss += s; sq += s * s; ws += (i + 1) * s
+        }
+        (ss, sq, ws)
+      }
+      val (dc, dsr, dn, dacc) = WavCodec.decode(bytes)
+      assert((dc, dsr, dn) === ((4, WavCodec.sampleRate(d), n)), s"asset $d header")
+      assert(dacc.toSeq === expected.toSeq, s"asset $d samples")
+    }
+  }
+
   test("wavResample equals an independent decimation replica; a truncate bug is distinguishable (q307)") {
     import Multimodal.WavCodec
     val audioIds = docs.select(col("doc_id")).collect().map(_.getLong(0))

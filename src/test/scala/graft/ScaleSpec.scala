@@ -272,6 +272,43 @@ class ScaleSpec extends GraftSuite {
     }
   }
 
+  test("round-13 lakehouse ops prune their scans: asset ops read only doc_id; the layout audit reads only (o_orderkey, o_orderdate)") {
+    import graft.operators.Multimodal
+    def readSchemas(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.queryExecution.executedPlan.toString
+        .linesIterator.filter(_.contains("ReadSchema"))
+        .map(l => l.substring(l.indexOf("ReadSchema"))).toSeq
+    // q310/q312/q313 derive everything from encoded payloads of the
+    // asset table, which itself needs ONLY doc_id — a scan dragging
+    // text/embedding along would ship the corpus to encode 9 KB files
+    val files = Multimodal.bmpAssets(Tables.documents(spark, sf))
+      .select(col("media_type"), col("asset_id"),
+        length(col("payload")).as("n_bytes"))
+    for ((name, df) <- Seq(
+        "q310" -> Scale.compactionPlan(files, "asset_id", "n_bytes", 65536L),
+        "q313" -> Scale.compactionPlanKeyed(files, "media_type", "asset_id",
+          "n_bytes", 65536L),
+        "q312" -> Scale.compactionDebt(files, "media_type", "n_bytes"))) {
+      val scans = readSchemas(df)
+      // post-localCheckpoint plans may show no file scan at all (the
+      // RDD leaf); any file scan that IS visible must be doc_id-only
+      scans.foreach { s =>
+        assert(s.contains("doc_id") && !s.contains("text") && !s.contains(","),
+          s"$name must scan exactly doc_id: $s")
+      }
+    }
+    val audit = Scale.layoutSkippingAudit(Tables.orders(spark, sf),
+      "o_orderdate", "o_orderkey")
+    // visible scans: the probes branch prunes all the way to
+    // (o_orderdate) alone; no branch may read beyond the two consumed
+    // columns (the rank branches hide behind the footer-stats checkpoint)
+    readSchemas(audit).foreach { s =>
+      assert(s.contains("o_orderdate") && s.count(_ == ',') <= 1 &&
+        !s.contains("o_totalprice") && !s.contains("o_comment"),
+        s"q311 must scan within (o_orderkey, o_orderdate): $s")
+    }
+  }
+
   test("compactionDebt: equals a single-node replica; threshold splits the fixture (q312)") {
     import graft.operators.Multimodal
     val files = Multimodal.bmpAssets(Tables.documents(spark, sf))

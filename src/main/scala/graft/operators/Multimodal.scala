@@ -290,17 +290,26 @@ object Multimodal {
           val l = (299 * r + 587 * g + 114 * b) / 1000
           (l, l, l)
         })
-        val (w2, h2, rs, gs, bs, rw) = BmpCodec.decode(gray)
-        require(rs == gs && gs == bs,
-          s"gray asset $d decoded unequal channel sums ($rs, $gs, $bs)")
-        val (_, _, gp) = BmpCodec.decodePixels(gray)
+        // ONE pixel-level parse of the gray file serves sums, weighted
+        // sum, histogram AND the channel-equality check (a second
+        // decode() pass would re-walk every pixel for nothing)
+        val (w2, h2, gp) = BmpCodec.decodePixels(gray)
         val hist = new Array[Long](4)
+        var (rs, gs, bs, rw) = (0L, 0L, 0L, 0L)
         var y = 0
         while (y < h2) {
           var x = 0
-          while (x < w2) { hist(gp(y)(x)._1 / 64) += 1; x += 1 }
+          while (x < w2) {
+            val (r, g, b) = gp(y)(x)
+            rs += r; gs += g; bs += b
+            rw += (x + 1).toLong * (y + 1) * r
+            hist(r / 64) += 1
+            x += 1
+          }
           y += 1
         }
+        require(rs == gs && gs == bs,
+          s"gray asset $d decoded unequal channel sums ($rs, $gs, $bs)")
         (d, w2, h2, gray.length.toLong, rs, rw,
           hist(0), hist(1), hist(2), hist(3))
       })
@@ -506,12 +515,24 @@ object Multimodal {
     * (the decodeBatched integration shape); output is asset×channel
     * rows, corpus-proportional, no shuffle beyond the final sort.
     */
-  def wavChannelFeatures(documents: DataFrame): DataFrame = {
+  def wavChannelFeatures(documents: DataFrame): DataFrame =
+    wavFeatureRows(documents, WavCodec.encode)
+
+  /** Shared feature pass behind q301/q303/q314: encode each
+    * audio-rotation asset with `encodeOf`, decode the REAL bytes, and
+    * emit the per-channel moment rows (the rms render is the one
+    * double, from the same exact integers both engines hold). The
+    * encoder parameter is the same seam `decodeBatched` uses for
+    * decoders — the three export formats differ ONLY in the bytes on
+    * the wire.
+    */
+  private def wavFeatureRows(documents: DataFrame,
+      encodeOf: Long => Array[Byte]): DataFrame = {
     import documents.sparkSession.implicits.{newLongEncoder, newProductEncoder}
     documents.filter($"doc_id" % 3 === 1) // the q35 audio rotation
       .select($"doc_id").as[Long]
       .mapPartitions(_.flatMap { d =>
-        val bytes = WavCodec.encode(d)
+        val bytes = encodeOf(d)
         val (ch, sr, n, perCh) = WavCodec.decode(bytes)
         perCh.zipWithIndex.map { case ((ss, sq, ws), c) =>
           val rms = java.math.BigDecimal.valueOf(math.sqrt(sq.toDouble / n))
@@ -531,23 +552,8 @@ object Multimodal {
     * and the 1-byte stride that 16-bit files cannot distinguish from a
     * hard-coded short reader. Same per-partition batched shape as q301.
     */
-  def wavPcm8Features(documents: DataFrame): DataFrame = {
-    import documents.sparkSession.implicits.{newLongEncoder, newProductEncoder}
-    documents.filter($"doc_id" % 3 === 1) // the q35 audio rotation
-      .select($"doc_id").as[Long]
-      .mapPartitions(_.flatMap { d =>
-        val bytes = WavCodec.encode8(d)
-        val (ch, sr, n, perCh) = WavCodec.decode(bytes)
-        perCh.zipWithIndex.map { case ((ss, sq, ws), c) =>
-          val rms = java.math.BigDecimal.valueOf(math.sqrt(sq.toDouble / n))
-            .setScale(4, java.math.RoundingMode.HALF_UP).doubleValue()
-          (d, ch, sr, n, bytes.length.toLong, c, ss, sq, ws, rms)
-        }
-      })
-      .toDF("asset_id", "n_channels", "sample_rate", "n_frames", "n_bytes",
-        "channel", "s_sum", "s_sq_sum", "w_sum", "rms")
-      .orderBy($"asset_id", $"channel")
-  }
+  def wavPcm8Features(documents: DataFrame): DataFrame =
+    wavFeatureRows(documents, WavCodec.encode8)
 
   /** q301's feature set over the QUAD-channel export (q314; round 13 —
     * the last block-align corner: four interleaved 16-bit channels,
@@ -556,23 +562,8 @@ object Multimodal {
     * misreading the stride moves some channel's sums. Same
     * per-partition batched shape as q301/q303.
     */
-  def wavQuadFeatures(documents: DataFrame): DataFrame = {
-    import documents.sparkSession.implicits.{newLongEncoder, newProductEncoder}
-    documents.filter($"doc_id" % 3 === 1) // the q35 audio rotation
-      .select($"doc_id").as[Long]
-      .mapPartitions(_.flatMap { d =>
-        val bytes = WavCodec.encode4(d)
-        val (ch, sr, n, perCh) = WavCodec.decode(bytes)
-        perCh.zipWithIndex.map { case ((ss, sq, ws), c) =>
-          val rms = java.math.BigDecimal.valueOf(math.sqrt(sq.toDouble / n))
-            .setScale(4, java.math.RoundingMode.HALF_UP).doubleValue()
-          (d, ch, sr, n, bytes.length.toLong, c, ss, sq, ws, rms)
-        }
-      })
-      .toDF("asset_id", "n_channels", "sample_rate", "n_frames", "n_bytes",
-        "channel", "s_sum", "s_sq_sum", "w_sum", "rms")
-      .orderBy($"asset_id", $"channel")
-  }
+  def wavQuadFeatures(documents: DataFrame): DataFrame =
+    wavFeatureRows(documents, WavCodec.encode4)
 
   /** Resample (decimation) stage through the real codec both ways
     * (q307; round 13 — the audio twin of q306's thumbnailing, and the

@@ -449,18 +449,22 @@ object Scale {
     require(files > 0, s"layoutSkippingAudit: files=$files must be > 0")
     import org.apache.spark.sql.expressions.Window
     val base = df.select(col(idCol).as("id"), col(keyCol).as("k"))
-    val total = base.agg(count(lit(1)).as("n"))
 
-    // file id by global rank over `order` — two-phase, never one task
+    // file id by global rank over `order` — two-phase, never one task.
+    // The corpus row count N comes from the <= `parts`-row subtotal
+    // frame, NOT a separate corpus scan per layout.
     def fileStats(order: Seq[Column], layout: String): DataFrame = {
       val f = base.repartitionByRange(parts, order: _*)
         .localCheckpoint() // pins partition identity (subtotal pass == join)
         .withColumn("pid", spark_partition_id().cast("int"))
       val wBase = Window.orderBy($"pid")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val bases = f.groupBy($"pid").agg(count(lit(1)).as("t"))
-        .withColumn("base", sum($"t").over(wBase) - $"t") // <= `parts` rows
+      val subtot = f.groupBy($"pid").agg(count(lit(1)).as("t"))
+        .localCheckpoint() // <= `parts` rows; feeds bases AND the total
+      val bases = subtot
+        .withColumn("base", sum($"t").over(wBase) - $"t")
         .select($"pid", $"base")
+      val total = subtot.agg(sum($"t").as("n"))
       val wIn = Window.partitionBy($"pid").orderBy(order: _*)
       f.join(broadcast(bases), Seq("pid"))
         .withColumn("r0", $"base" + row_number().over(wIn).cast("long") - 1L)

@@ -20,7 +20,8 @@ object ProfileSf1Walls {
     // SPARK_GRAFT_WALL_HEADS overrides the default sweep-head list —
     // comma-separated full names (used for new-block decade profiling)
     val heads = sys.env.get("SPARK_GRAFT_WALL_HEADS")
-      .map(_.split(",").map(_.trim).toSeq)
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+      .filter(_.nonEmpty) // empty/blank override falls back to the default list
       .getOrElse(Seq(
       "q27_dedup_minhash_lsh", "q48_embedding_neardup", "q84_curation_pipeline",
       "q122_tfidf_pairs", "q139_containment_search", "q143_classifier_weights",

@@ -394,6 +394,34 @@ object Scale {
       .orderBy($"family", $"bin")
   }
 
+  /** Compaction forecast (q315; round 13 — the report that closes the
+    * maintenance loop: q312's debt says WHEN to compact, q313's keyed
+    * plan says HOW, this says WHAT IT BUYS — per family, current file
+    * count vs planned output count and the file-count reduction a run
+    * would deliver, next to the debt share that triggered it. The
+    * number an ops dashboard actually shows ("compaction would retire
+    * 96% of image files"). Compositional by construction: the spec pins
+    * this row-for-row against joining the two registered ops' outputs.
+    * Shape: the keyed plan's bin frame collapses to one row per family
+    * (count of bins) before the broadcast-sized join with the debt
+    * frame — nothing here outlives the plan's own aggregates.
+    */
+  def compactionForecast(files: DataFrame, familyCol: String, fileId: String,
+      sizeCol: String, targetBytes: Long, smallBytes: Long = 4096,
+      parts: Int = 32): DataFrame = {
+    val debt = compactionDebt(files.select(col(familyCol), col(sizeCol)),
+      familyCol, sizeCol, smallBytes)
+    val planned = compactionPlanKeyed(files, familyCol, fileId, sizeCol,
+        targetBytes, parts)
+      .groupBy($"family").agg(count(lit(1)).as("planned_files"))
+    debt.join(planned, Seq("family"))
+      .select($"family", $"n_files", $"total_bytes", $"small_files",
+        $"debt_share", $"planned_files",
+        round(lit(1.0) - $"planned_files".cast("double") / $"n_files", 6)
+          .as("file_reduction"))
+      .orderBy($"family")
+  }
+
   /** Compaction-debt monitor (q312; round 13 — the trigger metric that
     * DECIDES when the q310 planner runs: per table family, how much of
     * the stored volume sits in files below the small-file threshold.

@@ -126,6 +126,17 @@ private[graft] object ScaleQueries extends QueryFamily {
             length(col("payload")).as("n_bytes")),
         "media_type", "asset_id", "n_bytes", targetBytes = 64L * 1024)
     }),
+    // the maintenance loop's closing report: current vs planned file
+    // count per family + the reduction a compaction run delivers,
+    // beside the debt share that triggered it (q312 -> q313 -> this)
+    "q315_compaction_forecast" -> ((s, d) => {
+      import org.apache.spark.sql.functions.{col, length}
+      Scale.compactionForecast(
+        graft.operators.Multimodal.bmpAssets(Tables.documents(s, d))
+          .select(col("media_type"), col("asset_id"),
+            length(col("payload")).as("n_bytes")),
+        "media_type", "asset_id", "n_bytes", targetBytes = 64L * 1024)
+    }),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -352,5 +363,43 @@ private[graft] object ScaleQueries extends QueryFamily {
         | min(n_bytes) AS min_file_bytes, max(n_bytes) AS max_file_bytes,
         | min(file_id) AS first_file
         |FROM o GROUP BY family, bin ORDER BY family, bin""".stripMargin,
+    "q315_compaction_forecast" ->
+      // the q312 debt CTE joined with the q313 plan collapsed to a
+      // per-family bin count; reduction = 1 - planned/current
+      """WITH d AS (
+        |  SELECT
+        |    CASE WHEN doc_id % 3 = 0 THEN 'image'
+        |         WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS family,
+        |    doc_id AS file_id,
+        |    CAST(54 + (((16 + (doc_id * 7) % 48) * 3 + 3) // 4) * 4
+        |           * (16 + (doc_id * 13) % 32) AS BIGINT) AS n_bytes
+        |  FROM documents
+        |),
+        |debt AS (
+        |  SELECT family, count(*) AS n_files,
+        |    CAST(sum(n_bytes) AS BIGINT) AS total_bytes,
+        |    CAST(count(CASE WHEN n_bytes < 4096 THEN 1 END) AS BIGINT)
+        |      AS small_files,
+        |    round(CAST(coalesce(sum(CASE WHEN n_bytes < 4096 THEN n_bytes END), 0)
+        |      AS DOUBLE) / sum(n_bytes), 6) AS debt_share
+        |  FROM d GROUP BY family
+        |),
+        |o AS (
+        |  SELECT family,
+        |    sum(n_bytes) OVER (PARTITION BY family
+        |      ORDER BY n_bytes DESC, file_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      - n_bytes AS start_off
+        |  FROM d
+        |),
+        |plan AS (
+        |  SELECT family, count(DISTINCT start_off // 65536) AS planned_files
+        |  FROM o GROUP BY family
+        |)
+        |SELECT debt.family, debt.n_files, debt.total_bytes, debt.small_files,
+        | debt.debt_share, plan.planned_files,
+        | round(1.0 - CAST(plan.planned_files AS DOUBLE) / debt.n_files, 6)
+        |   AS file_reduction
+        |FROM debt JOIN plan USING (family) ORDER BY family""".stripMargin,
   )
 }

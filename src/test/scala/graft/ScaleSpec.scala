@@ -356,6 +356,39 @@ class ScaleSpec extends GraftSuite {
     assert(got3 === got)
   }
 
+  test("compactionForecast == join of the registered debt and keyed-plan outputs; compaction retires most files (q315)") {
+    import graft.operators.Multimodal
+    val files = Multimodal.bmpAssets(Tables.documents(spark, sf))
+      .select(col("media_type"), col("asset_id"),
+        length(col("payload")).as("n_bytes"))
+    val target = 64L * 1024
+    val got = Scale.compactionForecast(files, "media_type", "asset_id",
+        "n_bytes", target)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4), r.getLong(5), r.getDouble(6))).toSeq
+    // compositional identity: the forecast must equal joining the two
+    // ops it narrates (q312's debt, q313's plan collapsed per family)
+    val debt = Scale.compactionDebt(files.select(col("media_type"),
+        col("n_bytes")), "media_type", "n_bytes")
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(5))).toMap
+    val planned = Scale.compactionPlanKeyed(files, "media_type", "asset_id",
+        "n_bytes", target)
+      .collect().groupBy(_.getString(0)).view.mapValues(_.length.toLong).toMap
+    val expected = debt.keys.toSeq.sorted.map { fam =>
+      val (nf, tb, sf_, ds) = debt(fam)
+      val pf = planned(fam)
+      (fam, nf, tb, sf_, ds, pf,
+        BigDecimal(1.0 - pf.toDouble / nf)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }
+    assert(got === expected)
+    // the fixture's small files mean compaction must retire >half the
+    // files in every family
+    got.foreach { case (fam, _, _, _, _, _, red) =>
+      assert(red > 0.5, s"$fam reduction $red") }
+  }
+
   test("layoutSkippingAudit: equals a single-node replica; sorted layout skips, arrival layout cannot (q311)") {
     val orders = Tables.orders(spark, sf)
     val got = Scale.layoutSkippingAudit(orders, "o_orderdate", "o_orderkey")

@@ -10,6 +10,16 @@ import org.apache.spark.sql.functions._
   * (`/root/reference/D/Program.cs:131-139`); salting is the shuffle-native
   * generalization: spread one hot key over `salts` reducers, then (for
   * aggregation) fold the partials.
+  *
+  * Durability note (the lakehouse-maintenance ops): `compactionPlan`,
+  * `compactionPlanKeyed`, and `layoutSkippingAudit` pin their
+  * range-partitioned pass with `localCheckpoint(eager = false)` — LAZY,
+  * so constructing the operator runs nothing; the first action
+  * materializes UNREPLICATED local blocks that truncate lineage. On a
+  * real cluster an executor loss after materialization fails downstream
+  * reads of that frame: re-invoke the operator on failure, or swap in a
+  * reliable `checkpoint()` over shared storage where a maintenance plan
+  * must survive executor churn (round-14 advice).
   */
 object Scale {
 
@@ -366,13 +376,18 @@ object Scale {
   def compactionPlanKeyed(files: DataFrame, familyCol: String, fileId: String,
       sizeCol: String, targetBytes: Long, parts: Int = 32): DataFrame = {
     require(targetBytes > 0, s"compactionPlanKeyed: targetBytes=$targetBytes must be > 0")
+    require(parts > 0, s"compactionPlanKeyed: parts=$parts must be > 0")
     import org.apache.spark.sql.expressions.Window
     val f = files
       .select(col(familyCol).as("family"),
         col(fileId).cast("long").as("file_id"),
         col(sizeCol).cast("long").as("n_bytes"))
       .repartitionByRange(parts, $"family", col("n_bytes").desc, $"file_id")
-      .localCheckpoint() // pins partition identity: subtotal pass and join agree
+      // pins partition identity (subtotal pass and join agree); LAZY so
+      // merely constructing the operator runs nothing — the first action
+      // materializes the blocks (round-14 advice fix; see the class-level
+      // durability note: local blocks are unreplicated)
+      .localCheckpoint(eager = false)
       .withColumn("pid", spark_partition_id().cast("int"))
     val wBase = Window.partitionBy($"family").orderBy($"pid")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -475,6 +490,7 @@ object Scale {
   def layoutSkippingAudit(df: DataFrame, keyCol: String, idCol: String,
       files: Int = 64, parts: Int = 32): DataFrame = {
     require(files > 0, s"layoutSkippingAudit: files=$files must be > 0")
+    require(parts > 0, s"layoutSkippingAudit: parts=$parts must be > 0")
     import org.apache.spark.sql.expressions.Window
     val base = df.select(col(idCol).as("id"), col(keyCol).as("k"))
 
@@ -483,12 +499,14 @@ object Scale {
     // frame, NOT a separate corpus scan per layout.
     def fileStats(order: Seq[Column], layout: String): DataFrame = {
       val f = base.repartitionByRange(parts, order: _*)
-        .localCheckpoint() // pins partition identity (subtotal pass == join)
+        // pins partition identity (subtotal pass == join); LAZY so
+        // construction runs nothing (r14 advice fix; see class note)
+        .localCheckpoint(eager = false)
         .withColumn("pid", spark_partition_id().cast("int"))
       val wBase = Window.orderBy($"pid")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       val subtot = f.groupBy($"pid").agg(count(lit(1)).as("t"))
-        .localCheckpoint() // <= `parts` rows; feeds bases AND the total
+        .localCheckpoint(eager = false) // <= `parts` rows; feeds bases AND the total
       val bases = subtot
         .withColumn("base", sum($"t").over(wBase) - $"t")
         .select($"pid", $"base")
@@ -509,16 +527,26 @@ object Scale {
     // without this the corpus-sized rank window would run twice
     val stats = fileStats(Seq($"k", $"id"), "sorted")
       .unionByName(fileStats(Seq($"id"), "arrival"))
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
     val probes = base.select($"k").distinct()
     val reads = probes.crossJoin(broadcast(stats))
       .filter($"k" >= $"lo" && $"k" <= $"hi")
       .groupBy($"layout", $"k").agg(count(lit(1)).as("nf"))
+    // n_probes / the mean's denominator = the EXPLICIT probe-domain count
+    // (one 1-row aggregate, broadcast into the summary), not the count of
+    // probes that matched >= 1 file (r14 advice fix): self-sourced probes
+    // always lie inside their own file's [lo, hi], so the two agree here,
+    // but externally-sourced probes matching zero files must still be in
+    // the denominator for avg_files_read to mean "files read per probe".
+    val nProbes = probes.agg(count(lit(1)).as("n_probes_all"))
     reads.groupBy($"layout")
-      .agg(countDistinct($"k").as("n_probes"),
-        sum($"nf").as("reads_total"),
-        max($"nf").as("max_files_read"),
-        round(sum($"nf").cast("double") / count(lit(1)), 6).as("avg_files_read"))
+      .agg(sum($"nf").as("reads_total"),
+        max($"nf").as("max_files_read"))
+      .crossJoin(broadcast(nProbes))
+      .select($"layout", $"n_probes_all".as("n_probes"), $"reads_total",
+        $"max_files_read",
+        round($"reads_total".cast("double") / $"n_probes_all", 6)
+          .as("avg_files_read"))
       .join(stats.groupBy($"layout").agg(countDistinct($"f").as("n_files")), Seq("layout"))
       .select($"layout", $"n_files", $"n_probes", $"reads_total",
         $"max_files_read", $"avg_files_read")
@@ -551,12 +579,16 @@ object Scale {
   def compactionPlan(files: DataFrame, fileId: String, sizeCol: String,
       targetBytes: Long, parts: Int = 32): DataFrame = {
     require(targetBytes > 0, s"compactionPlan: targetBytes=$targetBytes must be > 0")
+    require(parts > 0, s"compactionPlan: parts=$parts must be > 0")
     import org.apache.spark.sql.expressions.Window
     val f = files
       .select(col(fileId).cast("long").as("file_id"),
         col(sizeCol).cast("long").as("n_bytes"))
       .repartitionByRange(parts, col("n_bytes").desc, col("file_id"))
-      .localCheckpoint() // pins partition identity: subtotal pass and join agree
+      // pins partition identity (subtotal pass and join agree); LAZY so
+      // construction runs nothing — the first action materializes (r14
+      // advice fix; local blocks are unreplicated, see class note)
+      .localCheckpoint(eager = false)
       .withColumn("pid", spark_partition_id().cast("int"))
     val wBase = Window.orderBy($"pid")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)

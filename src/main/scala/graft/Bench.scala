@@ -49,10 +49,16 @@ object Bench {
     // (k=5, AutoCells) graph — it is that dial's ONLY consumer, and
     // without carrier status its >5 s first run (the build) triggers
     // median-of-3 whose warm re-runs hit the session cache at ~0.3 s,
-    // hiding the build from the vector entirely.
+    // hiding the build from the vector entirely. q35 carries the
+    // round-14 parquet BINARY asset-store WRITE for the `bmp` kind
+    // (the whole-corpus BMP encode — the one store big enough to
+    // matter; q244/q306/q308 and the q310-family then scan it), the
+    // WAV-kind store writes are sub-second and stay charged to their
+    // first consumers (q301/q303/q305/q314) without carrier status.
     // A bench diff showing these queries above the fixed-cost floor is
     // the shared build, not a per-query regression.
-    val carriers = Seq("q27_dedup_minhash_lsh", "q48_embedding_neardup",
+    val carriers = Seq("q27_dedup_minhash_lsh", "q35_media_profile",
+      "q48_embedding_neardup",
       "q143_classifier_weights", "q148_pq_ann", "q152_pc1_power",
       "q194_label_propagation", "q243_knn_autodial")
 

@@ -155,7 +155,9 @@ object Multimodal {
 
   /** Real binary assets: one deterministic BMP per document id, tagged
     * with the q35 media-type rotation. Encoding runs per-partition (the
-    * batch shape a real media pipeline uses).
+    * batch shape a real media pipeline uses). Since round 14 this is the
+    * GENERATOR behind the `bmp` kind of `assetStore` — queries consume
+    * the parquet-backed store, not this in-flight frame.
     */
   def bmpAssets(documents: DataFrame): DataFrame = {
     import documents.sparkSession.implicits.{newLongEncoder, newProductEncoder}
@@ -166,6 +168,72 @@ object Multimodal {
         when($"asset_id" % 3 === 0, "image").when($"asset_id" % 3 === 1, "audio")
           .otherwise("video").as("media_type"),
         $"payload")
+  }
+
+  /** Parquet-BINARY-backed media asset store (round 14 — closes the r13
+    * "what's missing #1": payloads used to be synthesized in-flight from
+    * `doc_id` inside every consumer's `mapPartitions`, so no query ever
+    * exercised the binary-column SCAN path a real 100 TB multimodal lake
+    * lives on). Each asset family is encoded and written ONCE per
+    * (corpus plan, kind) per JVM as parquet with the payload in a BINARY
+    * column beside its typed metadata; every consumer is then a real
+    * parquet scan. Metadata-only consumers (the q310/q312/q313/q315
+    * compaction block) read `(asset_id, media_type, n_bytes)` and the
+    * reader PRUNES the payload column entirely (ReadSchema excludes it —
+    * spec-asserted), which is exactly how a production lake queries blob
+    * tables without shipping the blobs.
+    *
+    * Store schema: `asset_id LONG, media_type STRING, n_bytes LONG`
+    * (payload length stored AS metadata so size queries never touch
+    * bytes), `payload BINARY`.
+    *
+    * The cache value is a PATH under the self-cleaning Scratch root,
+    * keyed by (canonicalized corpus plan, kind): unlike the frame-level
+    * session caches, parquet files survive a SparkSession restart, so a
+    * fresh-session trial re-READS the store rather than re-writing it.
+    * The write is charged to the kind's first consumer in bench order
+    * (q35 for `bmp` — documented beside the other index carriers in
+    * `Bench.scala`); the WAV stores cover only the audio rotation and
+    * cost well under a second to build at sf0.1.
+    */
+  private val storePaths =
+    new java.util.concurrent.ConcurrentHashMap[(String, String), String]()
+
+  /** kind -> (doc_id filter, encoder). `bmp` spans the whole corpus with
+    * the q35 media-type rotation; the WAV kinds cover the audio rotation
+    * (doc_id % 3 == 1), one store per export format because the formats
+    * differ exactly in the bytes on the wire.
+    */
+  private val storeEncoders: Map[String, (Long => Boolean, Long => Array[Byte])] = Map(
+    "bmp" -> ((_: Long) => true, (d: Long) => BmpCodec.encode(d)),
+    "wav16" -> ((d: Long) => d % 3 == 1, (d: Long) => WavCodec.encode(d)),
+    "wav8" -> ((d: Long) => d % 3 == 1, (d: Long) => WavCodec.encode8(d)),
+    "wav4" -> ((d: Long) => d % 3 == 1, (d: Long) => WavCodec.encode4(d)),
+    "wavburst" -> ((d: Long) => d % 3 == 1, (d: Long) => WavCodec.encodeBurst(d)))
+
+  def assetStore(documents: DataFrame, kind: String): DataFrame = {
+    val (keep, enc) = storeEncoders.getOrElse(kind, throw new IllegalArgumentException(
+      s"assetStore: unknown kind '$kind' (valid: ${storeEncoders.keys.toSeq.sorted.mkString(", ")})"))
+    val spark = documents.sparkSession
+    val ids = documents.select($"doc_id")
+    val planKey = ids.queryExecution.analyzed.canonicalized.toString
+    val path = storePaths.computeIfAbsent((planKey, kind), _ => {
+      import spark.implicits.{newLongEncoder, newProductEncoder}
+      val dir = graft.sources.Scratch.dir(s"graft_assets_$kind")
+      ids.as[Long]
+        .mapPartitions(_.collect { case d if keep(d) =>
+          val bytes = enc(d)
+          val mt =
+            if (kind == "bmp") {
+              if (d % 3 == 0) "image" else if (d % 3 == 1) "audio" else "video"
+            } else "audio"
+          (d, mt, bytes.length.toLong, bytes)
+        })
+        .toDF("asset_id", "media_type", "n_bytes", "payload")
+        .write.mode("overwrite").parquet(dir)
+      dir
+    })
+    spark.read.parquet(path)
   }
 
   /** Batched per-partition decode — the integration shape for a codec
@@ -200,7 +268,7 @@ object Multimodal {
     * gate spans encode → bytes → decode cross-engine.
     */
   def mediaProfile(documents: DataFrame): DataFrame =
-    decodeBatched(bmpAssets(documents))
+    decodeBatched(assetStore(documents, "bmp"))
       .groupBy($"media_type")
       .agg(
         count(lit(1)).as("n_assets"),
@@ -217,7 +285,7 @@ object Multimodal {
     */
   def bmpPixelFeatures(documents: DataFrame): DataFrame = {
     import documents.sparkSession.implicits.newProductEncoder
-    bmpAssets(documents)
+    assetStore(documents, "bmp")
       .select($"asset_id", $"payload")
       .as[(Long, Array[Byte])]
       .mapPartitions(_.map { case (id, payload) =>
@@ -247,11 +315,12 @@ object Multimodal {
     */
   def bmpThumbnails(documents: DataFrame, k: Int = 2): DataFrame = {
     require(k >= 1, s"bmpThumbnails: scale factor k=$k must be >= 1")
-    import documents.sparkSession.implicits.{newLongEncoder, newProductEncoder}
-    documents.filter($"doc_id" % 3 === 0) // the q35 image rotation
-      .select($"doc_id").as[Long]
-      .mapPartitions(_.map { d =>
-        val (w, h, px) = BmpCodec.decodePixels(BmpCodec.encode(d))
+    import documents.sparkSession.implicits.newProductEncoder
+    assetStore(documents, "bmp")
+      .filter($"media_type" === "image") // the q35 image rotation, pushed to the scan
+      .select($"asset_id", $"payload").as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (d, stored) =>
+        val (w, h, px) = BmpCodec.decodePixels(stored)
         val wo = (w + k - 1) / k; val ho = (h + k - 1) / k
         val thumb = BmpCodec.encodePixels(wo, ho, (x, y) => px(y * k)(x * k))
         val (w2, h2, rs, gs, bs, rw) = BmpCodec.decode(thumb)
@@ -280,11 +349,12 @@ object Multimodal {
     * asset-proportional rows, no shuffle beyond the sort.
     */
   def bmpGrayscale(documents: DataFrame): DataFrame = {
-    import documents.sparkSession.implicits.{newLongEncoder, newProductEncoder}
-    documents.filter($"doc_id" % 3 === 0) // the q35 image rotation
-      .select($"doc_id").as[Long]
-      .mapPartitions(_.map { d =>
-        val (w, h, px) = BmpCodec.decodePixels(BmpCodec.encode(d))
+    import documents.sparkSession.implicits.newProductEncoder
+    assetStore(documents, "bmp")
+      .filter($"media_type" === "image") // the q35 image rotation, pushed to the scan
+      .select($"asset_id", $"payload").as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (d, stored) =>
+        val (w, h, px) = BmpCodec.decodePixels(stored)
         val gray = BmpCodec.encodePixels(w, h, (x, y) => {
           val (r, g, b) = px(y)(x)
           val l = (299 * r + 587 * g + 114 * b) / 1000
@@ -516,23 +586,21 @@ object Multimodal {
     * rows, corpus-proportional, no shuffle beyond the final sort.
     */
   def wavChannelFeatures(documents: DataFrame): DataFrame =
-    wavFeatureRows(documents, WavCodec.encode)
+    wavFeatureRows(documents, "wav16")
 
-  /** Shared feature pass behind q301/q303/q314: encode each
-    * audio-rotation asset with `encodeOf`, decode the REAL bytes, and
-    * emit the per-channel moment rows (the rms render is the one
-    * double, from the same exact integers both engines hold). The
-    * encoder parameter is the same seam `decodeBatched` uses for
-    * decoders — the three export formats differ ONLY in the bytes on
-    * the wire.
+  /** Shared feature pass behind q301/q303/q314: read the audio-rotation
+    * assets of the given STORE kind (parquet BINARY — encode ran once at
+    * store-build), decode the REAL bytes, and emit the per-channel
+    * moment rows (the rms render is the one double, from the same exact
+    * integers both engines hold). The kind parameter is the same seam
+    * `decodeBatched` uses for decoders — the three export formats differ
+    * ONLY in the bytes on the wire.
     */
-  private def wavFeatureRows(documents: DataFrame,
-      encodeOf: Long => Array[Byte]): DataFrame = {
-    import documents.sparkSession.implicits.{newLongEncoder, newProductEncoder}
-    documents.filter($"doc_id" % 3 === 1) // the q35 audio rotation
-      .select($"doc_id").as[Long]
-      .mapPartitions(_.flatMap { d =>
-        val bytes = encodeOf(d)
+  private def wavFeatureRows(documents: DataFrame, kind: String): DataFrame = {
+    import documents.sparkSession.implicits.newProductEncoder
+    assetStore(documents, kind)
+      .select($"asset_id", $"payload").as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (d, bytes) =>
         val (ch, sr, n, perCh) = WavCodec.decode(bytes)
         perCh.zipWithIndex.map { case ((ss, sq, ws), c) =>
           val rms = java.math.BigDecimal.valueOf(math.sqrt(sq.toDouble / n))
@@ -553,7 +621,7 @@ object Multimodal {
     * hard-coded short reader. Same per-partition batched shape as q301.
     */
   def wavPcm8Features(documents: DataFrame): DataFrame =
-    wavFeatureRows(documents, WavCodec.encode8)
+    wavFeatureRows(documents, "wav8")
 
   /** q301's feature set over the QUAD-channel export (q314; round 13 —
     * the last block-align corner: four interleaved 16-bit channels,
@@ -563,7 +631,7 @@ object Multimodal {
     * per-partition batched shape as q301/q303.
     */
   def wavQuadFeatures(documents: DataFrame): DataFrame =
-    wavFeatureRows(documents, WavCodec.encode4)
+    wavFeatureRows(documents, "wav4")
 
   /** Resample (decimation) stage through the real codec both ways
     * (q307; round 13 — the audio twin of q306's thumbnailing, and the
@@ -582,11 +650,11 @@ object Multimodal {
     */
   def wavResample(documents: DataFrame, k: Int = 2): DataFrame = {
     require(k >= 1, s"wavResample: decimation factor k=$k must be >= 1")
-    import documents.sparkSession.implicits.{newLongEncoder, newProductEncoder}
-    documents.filter($"doc_id" % 3 === 1) // the q35 audio rotation
-      .select($"doc_id").as[Long]
-      .mapPartitions(_.flatMap { d =>
-        val (ch, sr, _, chans) = WavCodec.decodeSamples(WavCodec.encode(d))
+    import documents.sparkSession.implicits.newProductEncoder
+    assetStore(documents, "wav16")
+      .select($"asset_id", $"payload").as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (d, stored) =>
+        val (ch, sr, _, chans) = WavCodec.decodeSamples(stored)
         val n = chans(0).length
         val nOut = (n + k - 1) / k
         val out = WavCodec.encodePcm(ch, sr / k, 16, nOut)(
@@ -629,11 +697,11 @@ object Multimodal {
     * asset×channel output rows, no shuffle beyond the sort.
     */
   def wavSilenceRuns(documents: DataFrame, threshold: Int = 128): DataFrame = {
-    import documents.sparkSession.implicits.{newLongEncoder, newProductEncoder}
-    documents.filter($"doc_id" % 3 === 1) // the q35 audio rotation
-      .select($"doc_id").as[Long]
-      .mapPartitions(_.flatMap { d =>
-        val (_, _, _, chans) = WavCodec.decodeSamples(WavCodec.encodeBurst(d))
+    import documents.sparkSession.implicits.newProductEncoder
+    assetStore(documents, "wavburst")
+      .select($"asset_id", $"payload").as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (d, stored) =>
+        val (_, _, _, chans) = WavCodec.decodeSamples(stored)
         chans.zipWithIndex.map { case (arr, c) =>
           var nQuiet = 0L; var nRuns = 0L; var longest = 0L
           var first = -1L; var run = 0L
@@ -656,11 +724,11 @@ object Multimodal {
   }
 
   def wavDynamics(documents: DataFrame): DataFrame = {
-    import documents.sparkSession.implicits.{newLongEncoder, newProductEncoder}
-    documents.filter($"doc_id" % 3 === 1) // the q35 audio rotation
-      .select($"doc_id").as[Long]
-      .mapPartitions(_.flatMap { d =>
-        val (_, _, _, chans) = WavCodec.decodeSamples(WavCodec.encode(d))
+    import documents.sparkSession.implicits.newProductEncoder
+    assetStore(documents, "wav16")
+      .select($"asset_id", $"payload").as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (d, stored) =>
+        val (_, _, _, chans) = WavCodec.decodeSamples(stored)
         chans.zipWithIndex.map { case (arr, c) =>
           var zcr = 0L; var mn = Int.MaxValue; var mx = Int.MinValue
           var absSum = 0L; var sq = 0L
@@ -702,11 +770,11 @@ object Multimodal {
     * asset×channel output rows, no shuffle beyond the sort.
     */
   def wavAutocorr(documents: DataFrame): DataFrame = {
-    import documents.sparkSession.implicits.{newLongEncoder, newProductEncoder}
-    documents.filter($"doc_id" % 3 === 1) // the q35 audio rotation
-      .select($"doc_id").as[Long]
-      .mapPartitions(_.flatMap { d =>
-        val (_, _, _, chans) = WavCodec.decodeSamples(WavCodec.encode(d))
+    import documents.sparkSession.implicits.newProductEncoder
+    assetStore(documents, "wav16")
+      .select($"asset_id", $"payload").as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (d, stored) =>
+        val (_, _, _, chans) = WavCodec.decodeSamples(stored)
         chans.zipWithIndex.map { case (arr, c) =>
           val n = arr.length
           def ac(lag: Int): Long = {

@@ -94,10 +94,10 @@ private[graft] object ScaleQueries extends QueryFamily {
     // 64 KiB outputs via the fully distributed two-stage prefix sum —
     // the lakehouse maintenance pass a 100 TB table schedules (round 13)
     "q310_compaction_plan" -> ((s, d) => {
-      import org.apache.spark.sql.functions.{col, length}
+      import org.apache.spark.sql.functions.col
       Scale.compactionPlan(
-        graft.operators.Multimodal.bmpAssets(Tables.documents(s, d))
-          .select(col("asset_id"), length(col("payload")).as("n_bytes")),
+        graft.operators.Multimodal.assetStore(Tables.documents(s, d), "bmp")
+          .select(col("asset_id"), col("n_bytes")),
         "asset_id", "n_bytes", targetBytes = 64L * 1024)
     }),
     // file-skipping layout audit: how many rank-slice "files" a point
@@ -110,31 +110,29 @@ private[graft] object ScaleQueries extends QueryFamily {
     // trigger metric that decides when q310's planner runs; has the
     // round-13 streaming twin (EventStreams.compactionDebtStream)
     "q312_compaction_debt" -> ((s, d) => {
-      import org.apache.spark.sql.functions.{col, length}
+      import org.apache.spark.sql.functions.col
       Scale.compactionDebt(
-        graft.operators.Multimodal.bmpAssets(Tables.documents(s, d))
-          .select(col("media_type"), length(col("payload")).as("n_bytes")),
+        graft.operators.Multimodal.assetStore(Tables.documents(s, d), "bmp")
+          .select(col("media_type"), col("n_bytes")),
         "media_type", "n_bytes")
     }),
     // per-family compaction plan — output files never mix families; the
     // offset resets per family via a family-partitioned base window
     "q313_compaction_keyed" -> ((s, d) => {
-      import org.apache.spark.sql.functions.{col, length}
+      import org.apache.spark.sql.functions.col
       Scale.compactionPlanKeyed(
-        graft.operators.Multimodal.bmpAssets(Tables.documents(s, d))
-          .select(col("media_type"), col("asset_id"),
-            length(col("payload")).as("n_bytes")),
+        graft.operators.Multimodal.assetStore(Tables.documents(s, d), "bmp")
+          .select(col("media_type"), col("asset_id"), col("n_bytes")),
         "media_type", "asset_id", "n_bytes", targetBytes = 64L * 1024)
     }),
     // the maintenance loop's closing report: current vs planned file
     // count per family + the reduction a compaction run delivers,
     // beside the debt share that triggered it (q312 -> q313 -> this)
     "q315_compaction_forecast" -> ((s, d) => {
-      import org.apache.spark.sql.functions.{col, length}
+      import org.apache.spark.sql.functions.col
       Scale.compactionForecast(
-        graft.operators.Multimodal.bmpAssets(Tables.documents(s, d))
-          .select(col("media_type"), col("asset_id"),
-            length(col("payload")).as("n_bytes")),
+        graft.operators.Multimodal.assetStore(Tables.documents(s, d), "bmp")
+          .select(col("media_type"), col("asset_id"), col("n_bytes")),
         "media_type", "asset_id", "n_bytes", targetBytes = 64L * 1024)
     }),
   )

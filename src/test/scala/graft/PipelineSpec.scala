@@ -3266,4 +3266,47 @@ class PipelineSpec extends GraftSuite {
       .map(r => (r.getString(0), r.getDouble(3))).toMap
     assert(c("flat") == 0.0 && c("burst") == 9.0)
   }
+
+  test("assetStore: parquet BINARY round-trips every kind's bytes; cache hit serves the same files; metadata read prunes payload (round 14)") {
+    import Multimodal.{BmpCodec, WavCodec}
+    val generators: Map[String, Long => Array[Byte]] = Map(
+      "bmp" -> BmpCodec.encode, "wav16" -> WavCodec.encode,
+      "wav8" -> WavCodec.encode8, "wav4" -> WavCodec.encode4,
+      "wavburst" -> WavCodec.encodeBurst)
+    for ((kind, gen) <- generators) {
+      val store = Multimodal.assetStore(docs, kind)
+      val rows = store.select(col("asset_id"), col("media_type"),
+          col("n_bytes"), col("payload"))
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+          r.getAs[Array[Byte]](3)))
+      assert(rows.nonEmpty, s"$kind store is empty")
+      rows.foreach { case (id, mt, nb, stored) =>
+        val fresh = gen(id)
+        assert(java.util.Arrays.equals(stored, fresh),
+          s"$kind asset $id: stored parquet bytes != generator bytes")
+        assert(nb === fresh.length.toLong, s"$kind asset $id n_bytes")
+        if (kind == "bmp")
+          assert(mt === (if (id % 3 == 0) "image"
+                         else if (id % 3 == 1) "audio" else "video"))
+        else { assert(mt === "audio"); assert(id % 3 === 1) }
+      }
+      // wav kinds cover exactly the audio rotation; bmp the whole corpus
+      val expectIds = docs.select(col("doc_id")).collect().map(_.getLong(0))
+        .filter(d => kind == "bmp" || d % 3 == 1).sorted
+      assert(rows.map(_._1).sorted.toSeq === expectIds.toSeq, s"$kind id set")
+      // cache hit: a semantically-identical corpus plan re-serves the
+      // SAME parquet files (no second write)
+      val again = Multimodal.assetStore(Tables.documents(spark, sf), kind)
+      assert(again.inputFiles.sorted.toSeq === store.inputFiles.sorted.toSeq,
+        s"$kind: cache miss on an identical corpus plan")
+    }
+    // metadata-only consumers prune the payload column at the reader
+    val metaPlan = Multimodal.assetStore(docs, "bmp")
+      .select(col("media_type"), col("n_bytes"))
+      .queryExecution.executedPlan.toString
+    val readSchemas = metaPlan.linesIterator.filter(_.contains("ReadSchema")).toSeq
+    assert(readSchemas.nonEmpty)
+    readSchemas.foreach(s => assert(!s.contains("payload"),
+      s"metadata query must prune payload: $s"))
+  }
 }

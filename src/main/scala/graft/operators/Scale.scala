@@ -377,6 +377,25 @@ object Scale {
       sizeCol: String, targetBytes: Long, parts: Int = 32): DataFrame = {
     require(targetBytes > 0, s"compactionPlanKeyed: targetBytes=$targetBytes must be > 0")
     require(parts > 0, s"compactionPlanKeyed: parts=$parts must be > 0")
+    keyedAssignments(files, familyCol, fileId, sizeCol, targetBytes, parts)
+      .groupBy($"family", $"bin")
+      .agg(count(lit(1)).as("n_files"),
+        sum($"n_bytes").as("total_bytes"),
+        min($"n_bytes").as("min_file_bytes"),
+        max($"n_bytes").as("max_file_bytes"),
+        min($"file_id").as("first_file"))
+      .orderBy($"family", $"bin")
+  }
+
+  /** Per-file keyed next-fit bin assignment — the shared core behind
+    * `compactionPlanKeyed` (metadata rollup) and `compactionExecute`
+    * (the physical rewrite): one row per input file with its planned
+    * output bin, `(family, file_id, n_bytes, bin)`. Same distributed
+    * two-stage prefix sum as the global planner, with the running
+    * offset reset per family via the family-partitioned base window.
+    */
+  private def keyedAssignments(files: DataFrame, familyCol: String, fileId: String,
+      sizeCol: String, targetBytes: Long, parts: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val f = files
       .select(col(familyCol).as("family"),
@@ -400,13 +419,113 @@ object Scale {
     f.join(broadcast(bases), Seq("pid", "family"))
       .withColumn("start_off", $"base" + sum($"n_bytes").over(wIn) - $"n_bytes")
       .withColumn("bin", expr(s"start_off div ${targetBytes}L"))
-      .groupBy($"family", $"bin")
-      .agg(count(lit(1)).as("n_files"),
-        sum($"n_bytes").as("total_bytes"),
-        min($"n_bytes").as("min_file_bytes"),
-        max($"n_bytes").as("max_file_bytes"),
-        min($"file_id").as("first_file"))
-      .orderBy($"family", $"bin")
+      .select($"family", $"file_id", $"n_bytes", $"bin")
+  }
+
+  /** Compaction EXECUTOR (q316; round 14 — closes the maintenance
+    * loop: q312's debt decides WHEN, q313's keyed plan decides HOW,
+    * q315 forecasts what it buys, and this op actually MOVES THE BYTES
+    * and proves the forecast with filesystem evidence, the way the
+    * reference's whole run is executing its partition plan
+    * (`/root/reference/D/Program.cs:63-149`)). Three stages:
+    *
+    *  1. PLAN on metadata only (`keyedAssignments` — no payload in the
+    *     prefix-sum shuffle; a real compactor plans from manifest
+    *     stats, not data files);
+    *  2. REWRITE: join payload bytes in BY file id, co-locate each
+    *     planned bin with one shuffle on (family, bin), and stream
+    *     every bin's members in plan order (size desc, id) into ONE
+    *     concatenated output blob `<family>-<bin>.blob` under
+    *     `outDir` — executed EAGERLY at call time (foreachPartition),
+    *     so the returned report always describes this run's files;
+    *  3. RECONCILE: re-LIST the output directory with Spark's
+    *     `binaryFile` source — sizes come from the FILESYSTEM, not
+    *     from the plan — and report, per family, before-state (file
+    *     count / bytes / debt share), planned vs ACTUAL output file
+    *     count, actual on-disk bytes, the two match booleans, and the
+    *     post-compaction debt share. A writer that drops, duplicates,
+    *     or pads a single byte flips `bytes_match`; a lost or extra
+    *     output file flips `files_match`; both are hash-gated.
+    *
+    * Scale shape: payload bytes move through exactly one shuffle
+    * (the bin co-location — the minimum any physical rewrite pays);
+    * the listing frame is output-file-proportional (Σbytes/target).
+    * Local-mode caveat: executors write `outDir` via `java.nio`, so
+    * outDir must be on storage every writer can reach (shared FS /
+    * object store on a real cluster — same contract as any Spark sink).
+    * Writes are idempotent per (family, bin): a task retry truncates
+    * and rewrites the same deterministic content.
+    */
+  def compactionExecute(assets: DataFrame, familyCol: String, fileId: String,
+      sizeCol: String, payloadCol: String, outDir: String,
+      targetBytes: Long, smallBytes: Long = 4096, parts: Int = 32): DataFrame = {
+    require(targetBytes > 0, s"compactionExecute: targetBytes=$targetBytes must be > 0")
+    require(smallBytes > 0, s"compactionExecute: smallBytes=$smallBytes must be > 0")
+    require(parts > 0, s"compactionExecute: parts=$parts must be > 0")
+    val spark = assets.sparkSession
+    val meta = assets.select(col(familyCol), col(fileId), col(sizeCol))
+    val asg = keyedAssignments(meta, familyCol, fileId, sizeCol, targetBytes, parts)
+
+    // fresh output dir per run (driver-side): stale blobs from a prior
+    // run would corrupt the listing-based reconciliation
+    val root = java.nio.file.Paths.get(outDir)
+    if (java.nio.file.Files.exists(root))
+      java.nio.file.Files.walk(root)
+        .sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+        .forEach(p => java.nio.file.Files.deleteIfExists(p))
+    java.nio.file.Files.createDirectories(root)
+
+    val members = asg
+      .join(assets.select(col(fileId).cast("long").as("file_id"),
+        col(payloadCol).as("payload")), Seq("file_id"))
+      .repartition(parts, $"family", $"bin") // every bin lands whole on one task
+      .sortWithinPartitions($"family", $"bin", $"n_bytes".desc, $"file_id")
+      .select($"family", $"bin", $"payload")
+    members.foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
+      var cur: (String, Long) = null
+      var out: java.io.OutputStream = null
+      try {
+        it.foreach { r =>
+          val key = (r.getString(0), r.getLong(1))
+          if (key != cur) {
+            if (out != null) out.close()
+            out = java.nio.file.Files.newOutputStream(
+              java.nio.file.Paths.get(outDir, s"${key._1}-${key._2}.blob"))
+            cur = key
+          }
+          out.write(r.getAs[Array[Byte]](2))
+        }
+      } finally if (out != null) out.close()
+    }
+
+    // independent post-state: list the directory; (family, bin) parse
+    // back out of the name, n_bytes is the FILESYSTEM length. Selecting
+    // only path+length prunes the binaryFile content column.
+    val fname = element_at(split($"path", "/"), -1)
+    val post = spark.read.format("binaryFile").load(outDir)
+      .select(
+        regexp_extract(fname, "^(.*)-(\\d+)\\.blob$", 1).as("family"),
+        regexp_extract(fname, "^(.*)-(\\d+)\\.blob$", 2).cast("long").as("bin"),
+        $"length".as("n_bytes"))
+
+    val before = compactionDebt(meta, familyCol, sizeCol, smallBytes)
+      .select($"family", $"n_files".as("n_files_before"),
+        $"total_bytes".as("total_bytes_before"),
+        $"debt_share".as("debt_share_before"))
+    val planned = asg.groupBy($"family")
+      .agg(countDistinct($"bin").as("planned_files"))
+    val after = compactionDebt(post, "family", "n_bytes", smallBytes)
+      .select($"family", $"n_files".as("actual_files"),
+        $"total_bytes".as("actual_bytes"),
+        $"debt_share".as("debt_share_after"))
+    before.join(planned, Seq("family")).join(after, Seq("family"))
+      .select($"family", $"n_files_before", $"total_bytes_before",
+        $"debt_share_before", $"planned_files", $"actual_files",
+        ($"planned_files" === $"actual_files").as("files_match"),
+        $"actual_bytes",
+        ($"actual_bytes" === $"total_bytes_before").as("bytes_match"),
+        $"debt_share_after")
+      .orderBy($"family")
   }
 
   /** Compaction forecast (q315; round 13 — the report that closes the

@@ -135,6 +135,24 @@ private[graft] object ScaleQueries extends QueryFamily {
           .select(col("media_type"), col("asset_id"), col("n_bytes")),
         "media_type", "asset_id", "n_bytes", targetBytes = 64L * 1024)
     }),
+    // the maintenance loop EXECUTED (round 14): apply q313's keyed plan
+    // to the real asset store — physically concatenate every planned
+    // bin's payloads into one blob on scratch disk — then reconcile the
+    // re-LISTED post-state (filesystem sizes via the binaryFile source)
+    // against the forecast: planned == actual file counts, bytes
+    // conserved, debt share collapsed. The oracle computes the plan's
+    // closed form; any byte the writer drops or duplicates flips a
+    // hash-gated match column.
+    "q316_compaction_execute" -> ((s, d) => {
+      import org.apache.spark.sql.functions.col
+      Scale.compactionExecute(
+        graft.operators.Multimodal.assetStore(Tables.documents(s, d), "bmp")
+          .select(col("media_type"), col("asset_id"), col("n_bytes"),
+            col("payload")),
+        "media_type", "asset_id", "n_bytes", "payload",
+        graft.sources.Scratch.dir("graft_compaction_exec"),
+        targetBytes = 64L * 1024)
+    }),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -399,5 +417,53 @@ private[graft] object ScaleQueries extends QueryFamily {
         | round(1.0 - CAST(plan.planned_files AS DOUBLE) / debt.n_files, 6)
         |   AS file_reduction
         |FROM debt JOIN plan USING (family) ORDER BY family""".stripMargin,
+    "q316_compaction_execute" ->
+      // the executed plan's closed form: before-state debt, the q313
+      // keyed next-fit collapsed per family, and the post-state the
+      // EXECUTION must land on — actual == planned counts, bytes
+      // conserved, debt share recomputed over BIN totals. The engine's
+      // actual_* columns come from re-listing the written blobs, so a
+      // faithless writer hash-mismatches every match column.
+      """WITH d AS (
+        |  SELECT
+        |    CASE WHEN doc_id % 3 = 0 THEN 'image'
+        |         WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS family,
+        |    doc_id AS file_id,
+        |    CAST(54 + (((16 + (doc_id * 7) % 48) * 3 + 3) // 4) * 4
+        |           * (16 + (doc_id * 13) % 32) AS BIGINT) AS n_bytes
+        |  FROM documents
+        |),
+        |before_s AS (
+        |  SELECT family, count(*) AS n_files_before,
+        |    CAST(sum(n_bytes) AS BIGINT) AS total_bytes_before,
+        |    round(CAST(coalesce(sum(CASE WHEN n_bytes < 4096 THEN n_bytes END), 0)
+        |      AS DOUBLE) / sum(n_bytes), 6) AS debt_share_before
+        |  FROM d GROUP BY family
+        |),
+        |o AS (
+        |  SELECT family, n_bytes,
+        |    sum(n_bytes) OVER (PARTITION BY family
+        |      ORDER BY n_bytes DESC, file_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      - n_bytes AS start_off
+        |  FROM d
+        |),
+        |bins AS (
+        |  SELECT family, start_off // 65536 AS bin,
+        |    CAST(sum(n_bytes) AS BIGINT) AS bin_bytes
+        |  FROM o GROUP BY family, bin
+        |),
+        |plan AS (
+        |  SELECT family, count(*) AS planned_files,
+        |    round(CAST(coalesce(sum(CASE WHEN bin_bytes < 4096 THEN bin_bytes END), 0)
+        |      AS DOUBLE) / sum(bin_bytes), 6) AS debt_share_after
+        |  FROM bins GROUP BY family
+        |)
+        |SELECT b.family, b.n_files_before, b.total_bytes_before,
+        | b.debt_share_before, p.planned_files,
+        | p.planned_files AS actual_files, TRUE AS files_match,
+        | b.total_bytes_before AS actual_bytes, TRUE AS bytes_match,
+        | p.debt_share_after
+        |FROM before_s b JOIN plan p USING (family) ORDER BY family""".stripMargin,
   )
 }

@@ -272,6 +272,78 @@ class ScaleSpec extends GraftSuite {
     }
   }
 
+  test("compactionExecute: forecast == measured post-state; blobs byte-equal the planned concatenation; rerun idempotent (q316)") {
+    import spark.implicits.{localSeqToDatasetHolder, newProductEncoder}
+    // constructed fixture: 3 families, sizes spanning the small-file
+    // threshold, payload bytes deterministic per id so blob content is
+    // independently recomputable
+    val target = 4096L
+    val smallBytes = 1024L
+    def payloadOf(id: Long, n: Int): Array[Byte] =
+      Array.tabulate(n)(i => ((id * 31 + i) % 256).toByte)
+    val fixture = (1L to 60L).map { id =>
+      val fam = Seq("alpha", "beta", "gamma")((id % 3).toInt)
+      val n = (200 + (id * 137) % 3000).toInt
+      (fam, id, n.toLong, payloadOf(id, n))
+    }
+    val assets = fixture.toDF("family", "file_id", "n_bytes", "payload")
+      .repartition(5)
+    val outDir = java.nio.file.Files.createTempDirectory("graft_exec_spec").toString
+    val report = Scale.compactionExecute(assets, "family", "file_id",
+        "n_bytes", "payload", outDir, target, smallBytes).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getLong(4), r.getLong(5), r.getBoolean(6), r.getLong(7),
+        r.getBoolean(8), r.getDouble(9)))
+    assert(report.length === 3)
+    report.foreach { case (fam, nb, tb, dBefore, planned, actual, fMatch,
+        aBytes, bMatch, dAfter) =>
+      assert(fMatch && bMatch, s"$fam: execution diverged from plan")
+      assert(actual === planned && aBytes === tb)
+      assert(dAfter <= dBefore, s"$fam: debt did not collapse")
+      assert(nb === 20L)
+    }
+    // forecast == measured post-state, row for row on the shared columns
+    val forecast = Scale.compactionForecast(assets.drop("payload"), "family",
+        "file_id", "n_bytes", target, smallBytes).collect()
+      .map(r => (r.getString(0), r.getLong(5))).toMap // family -> planned
+    report.foreach { case (fam, _, _, _, _, actual, _, _, _, _) =>
+      assert(actual === forecast(fam), s"$fam: forecast != executed file count")
+    }
+    // blob content: every written file byte-equals the concatenation of
+    // its planned members in (size desc, id) order — the single-node
+    // next-fit replica recomputed here without touching the operator
+    val byFam = fixture.groupBy(_._1)
+    for ((fam, rows) <- byFam) {
+      val ordered = rows.sortBy { case (_, id, n, _) => (-n, id) }
+      var off = 0L
+      val binned = ordered.map { case (_, id, n, p) =>
+        val b = off / target; off += n; (b, id, p)
+      }
+      for ((b, members) <- binned.groupBy(_._1)) {
+        val expectBytes = members.flatMap(_._3).toArray
+        val onDisk = java.nio.file.Files.readAllBytes(
+          java.nio.file.Paths.get(outDir, s"$fam-$b.blob"))
+        assert(java.util.Arrays.equals(onDisk, expectBytes),
+          s"$fam-$b.blob content diverges from the planned concatenation")
+      }
+    }
+    // no stray outputs beyond the planned bins
+    val expectedFiles = byFam.map { case (fam, rows) =>
+      fam -> {
+        val sizes = rows.sortBy { case (_, id, n, _) => (-n, id) }.map(_._3)
+        var off = 0L
+        sizes.map { n => val b = off / target; off += n; b }.distinct.length
+      }
+    }
+    val listed = new java.io.File(outDir).list().toSeq.filter(_.endsWith(".blob"))
+    assert(listed.length === expectedFiles.values.sum)
+    // rerun lands on the identical listing (fresh-dir semantics)
+    Scale.compactionExecute(assets, "family", "file_id", "n_bytes",
+      "payload", outDir, target, smallBytes).collect()
+    val relisted = new java.io.File(outDir).list().toSeq.filter(_.endsWith(".blob"))
+    assert(relisted.sorted === listed.sorted)
+  }
+
   test("round-13 lakehouse ops prune their scans: asset-store metadata queries never read payload; the layout audit reads only (o_orderkey, o_orderdate)") {
     import graft.operators.Multimodal
     def readSchemas(df: org.apache.spark.sql.DataFrame): Seq[String] =

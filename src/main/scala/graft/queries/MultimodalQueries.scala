@@ -69,6 +69,21 @@ private[graft] object MultimodalQueries extends QueryFamily {
     // the >stereo corner q301/q303 cannot see (round 13)
     "q314_wav_quad" -> ((s, d) =>
       Multimodal.wavQuadFeatures(Tables.documents(s, d))),
+    // WebDataset tar-shard container block (round 14): real .tar shards
+    // of interleaved <id>.bmp + <id>.json sample members on scratch
+    // disk, read back through binaryFile + a validating ustar walk.
+    // q317 = the loader's shard manifest (counts/bytes per shard, with
+    // on-disk archive size from the filesystem)
+    "q317_tar_inventory" -> ((s, d) =>
+      graft.operators.WebDataset.tarInventory(Tables.documents(s, d))),
+    // q318 = decode THROUGH the container: q244's pixel moments from
+    // bytes that traveled shard-build -> header walk -> member slice
+    "q318_tar_decode" -> ((s, d) =>
+      graft.operators.WebDataset.tarDecodeFeatures(Tables.documents(s, d))),
+    // q319 = sample integrity: sidecar JSON (real from_json) vs the
+    // paired BMP header dims + ustar padding accounting vs file length
+    "q319_tar_integrity" -> ((s, d) =>
+      graft.operators.WebDataset.tarIntegrity(Tables.documents(s, d))),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -451,5 +466,93 @@ private[graft] object MultimodalQueries extends QueryFamily {
          |WHERE bit_count(xor(a.phash, b.phash)) <= 3
          |ORDER BY id1, id2""".stripMargin
     },
+    "q317_tar_inventory" ->
+      // shard membership = doc_id div (3*16); member sizes are the BMP
+      // closed form + the sidecar's digit-length closed form
+      // (17 + digits(id) + digits(w) + digits(h)); archive size = ustar
+      // block arithmetic (512-byte header + content rounded to blocks
+      // per member, 1024-byte end marker, blocked to 10240). The ENGINE
+      // side derives every number from walking real archives.
+      """WITH img AS (
+        |  SELECT doc_id, doc_id // 48 AS shard_id,
+        |    CAST(16 + (doc_id * 7) % 48 AS BIGINT) AS w,
+        |    CAST(16 + (doc_id * 13) % 32 AS BIGINT) AS h
+        |  FROM documents WHERE doc_id % 3 = 0
+        |),
+        |m AS (
+        |  SELECT shard_id,
+        |    CAST(54 + ((w * 3 + 3) // 4) * 4 * h AS BIGINT) AS bmp_bytes,
+        |    CAST(17 + length(CAST(doc_id AS VARCHAR)) + length(CAST(w AS VARCHAR))
+        |       + length(CAST(h AS VARCHAR)) AS BIGINT) AS json_bytes
+        |  FROM img
+        |)
+        |SELECT shard_id, CAST(2 * count(*) AS BIGINT) AS n_members,
+        | count(*) AS n_bmp, count(*) AS n_json,
+        | CAST(sum(bmp_bytes + json_bytes) AS BIGINT) AS member_bytes,
+        | CAST(((sum(1024 + (bmp_bytes + 511) // 512 * 512
+        |          + (json_bytes + 511) // 512 * 512) + 1024 + 10239)
+        |        // 10240) * 10240 AS BIGINT) AS archive_bytes
+        |FROM m GROUP BY shard_id ORDER BY shard_id""".stripMargin,
+    "q318_tar_decode" ->
+      // the q244 pixel-moment closed forms, restricted to the image
+      // rotation and rolled up per shard — no byte touched on the
+      // oracle side; the engine decodes members sliced out of real tars
+      """WITH d AS (
+        |  SELECT doc_id, doc_id // 48 AS shard_id,
+        |    CAST(16 + (doc_id * 7) % 48 AS INT) AS w,
+        |    CAST(16 + (doc_id * 13) % 32 AS INT) AS h
+        |  FROM documents WHERE doc_id % 3 = 0
+        |),
+        |px AS (
+        |  SELECT doc_id, shard_id, w, h, x, y,
+        |    (3 * x + 5 * y + doc_id) % 256 AS r,
+        |    (7 * x + 11 * y + 2 * doc_id) % 256 AS g,
+        |    (13 * x + 17 * y + 3 * doc_id) % 256 AS b
+        |  FROM d,
+        |    LATERAL (SELECT unnest(range(0, w)) AS x),
+        |    LATERAL (SELECT unnest(range(0, h)) AS y)
+        |),
+        |per AS (
+        |  SELECT doc_id, shard_id, w, h,
+        |    sum(r) AS rs, sum(g) AS gs, sum(b) AS bs,
+        |    sum((x + 1) * (y + 1) * r) AS rw
+        |  FROM px GROUP BY doc_id, shard_id, w, h
+        |)
+        |SELECT shard_id, count(*) AS n_assets,
+        | CAST(min(w) AS BIGINT) AS min_width,
+        | CAST(max(h) AS BIGINT) AS max_height,
+        | CAST(sum(rs) AS BIGINT) AS r_sum, CAST(sum(gs) AS BIGINT) AS g_sum,
+        | CAST(sum(bs) AS BIGINT) AS b_sum, CAST(sum(rw) AS BIGINT) AS rw_sum
+        |FROM per GROUP BY shard_id ORDER BY shard_id""".stripMargin,
+    "q319_tar_integrity" ->
+      // every sidecar matches its paired image by construction, so
+      // n_dim_match == n_samples; padding = blocked archive size minus
+      // end marker minus member blocks — the engine recomputes all of
+      // it from parsed headers + the filesystem length
+      """WITH img AS (
+        |  SELECT doc_id, doc_id // 48 AS shard_id,
+        |    CAST(16 + (doc_id * 7) % 48 AS BIGINT) AS w,
+        |    CAST(16 + (doc_id * 13) % 32 AS BIGINT) AS h
+        |  FROM documents WHERE doc_id % 3 = 0
+        |),
+        |m AS (
+        |  SELECT shard_id,
+        |    CAST(54 + ((w * 3 + 3) // 4) * 4 * h AS BIGINT) AS bmp_bytes,
+        |    CAST(17 + length(CAST(doc_id AS VARCHAR)) + length(CAST(w AS VARCHAR))
+        |       + length(CAST(h AS VARCHAR)) AS BIGINT) AS json_bytes
+        |  FROM img
+        |),
+        |agg AS (
+        |  SELECT shard_id, count(*) AS n_samples, count(*) AS n_dim_match,
+        |    sum(1024 + (bmp_bytes + 511) // 512 * 512
+        |        + (json_bytes + 511) // 512 * 512) AS blocks
+        |  FROM m GROUP BY shard_id
+        |)
+        |SELECT shard_id, n_samples, n_dim_match,
+        | CAST(((blocks + 1024 + 10239) // 10240) * 10240 AS BIGINT)
+        |   AS archive_bytes,
+        | CAST(((blocks + 1024 + 10239) // 10240) * 10240 - 1024 - blocks
+        |   AS BIGINT) AS padding_bytes
+        |FROM agg ORDER BY shard_id""".stripMargin,
   )
 }

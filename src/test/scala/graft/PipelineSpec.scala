@@ -3309,4 +3309,92 @@ class PipelineSpec extends GraftSuite {
     readSchemas.foreach(s => assert(!s.contains("payload"),
       s"metadata query must prune payload: $s"))
   }
+
+  test("TarCodec: hand-built golden header parses; writer matches an independent header construction; corrupt/truncated archives fail loudly (round 14)") {
+    import graft.operators.WebDataset.TarCodec
+    // ---- golden: a 512-byte ustar header built FIELD BY FIELD here,
+    // independently of the codec (offsets and the space-seeded checksum
+    // straight from the POSIX spec), for member "a.txt" holding "hello"
+    val content = "hello".getBytes("US-ASCII")
+    val golden = new Array[Byte](512)
+    def putG(off: Int, s: String): Unit = {
+      val b = s.getBytes("US-ASCII")
+      System.arraycopy(b, 0, golden, off, b.length)
+    }
+    putG(0, "a.txt")
+    putG(100, "0000644\u0000"); putG(108, "0000000\u0000")
+    putG(116, "0000000\u0000")
+    putG(124, "00000000005\u0000") // size 5, 11 octal digits
+    putG(136, "00000000000\u0000")
+    java.util.Arrays.fill(golden, 148, 156, ' '.toByte)
+    golden(156) = '0'
+    putG(257, "ustar\u0000"); putG(263, "00")
+    putG(329, "0000000\u0000"); putG(337, "0000000\u0000")
+    val ck = golden.map(_ & 0xff).sum
+    putG(148, f"$ck%06o" + "\u0000 ")
+    assert(TarCodec.header("a.txt", 5L) === golden,
+      "codec header diverges from the independent POSIX construction")
+    // a full golden archive: header + padded content + end marker,
+    // blocked to 10240 — and the parser must read it back exactly
+    val archive = new Array[Byte](10240)
+    System.arraycopy(golden, 0, archive, 0, 512)
+    System.arraycopy(content, 0, archive, 512, 5)
+    val parsed = TarCodec.parse(archive)
+    assert(parsed.length === 1 && parsed.head._1 === "a.txt")
+    assert(java.util.Arrays.equals(parsed.head._2, content))
+    assert(TarCodec.archive(Seq(("a.txt", content))) === archive,
+      "writer output diverges from the hand-built golden archive")
+    // ---- loud-failure corners
+    val flipped = archive.clone(); flipped(0) = 'b' // name byte -> checksum breaks
+    val e1 = intercept[IllegalArgumentException](TarCodec.parse(flipped))
+    assert(e1.getMessage.contains("checksum"))
+    val truncated = java.util.Arrays.copyOfRange(archive, 0, 600)
+    val e2 = intercept[IllegalArgumentException](TarCodec.parse(truncated))
+    assert(e2.getMessage.contains("corrupt tar"))
+    val overrun = archive.clone() // size field says 8 GiB in a 10 KiB buffer
+    System.arraycopy("77777777777\u0000".getBytes("US-ASCII"), 0, overrun, 124, 12)
+    intercept[IllegalArgumentException](TarCodec.parse(overrun))
+    intercept[IllegalArgumentException](TarCodec.header("x" * 101, 1L))
+    // ---- padding classes: member sizes straddling block boundaries
+    // round-trip (511 -> 1 block, 512 -> 1 block exact, 513 -> 2 blocks)
+    val sizes = Seq(0, 1, 511, 512, 513, 1024)
+    val mem = sizes.zipWithIndex.map { case (n, i) =>
+      (s"m$i.bin", Array.tabulate(n)(j => ((i * 31 + j) % 256).toByte))
+    }
+    val multi = TarCodec.archive(mem)
+    assert(multi.length === TarCodec.archiveBytes(sizes))
+    val back = TarCodec.parse(multi)
+    assert(back.map(_._1) === mem.map(_._1))
+    back.zip(mem).foreach { case ((_, a), (_, b)) =>
+      assert(java.util.Arrays.equals(a, b)) }
+  }
+
+  test("WebDataset shards: member walk equals the per-asset generators; shard grouping law; sample pairing complete (round 14)") {
+    import graft.operators.{Multimodal, WebDataset}
+    val members = WebDataset.tarMembers(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        r.getAs[Array[Byte]](3)))
+    val imageIds = docs.select(col("doc_id")).collect().map(_.getLong(0))
+      .filter(_ % 3 == 0).sorted
+    assert(members.length === 2 * imageIds.length, "two members per sample")
+    // every image id appears exactly once per extension, in its shard
+    val span = 3L * WebDataset.ShardAssets
+    for (id <- imageIds) {
+      val shard = id / span
+      val bmp = members.filter(m => m._1 == shard && m._3 == s"$id.bmp")
+      val side = members.filter(m => m._1 == shard && m._3 == s"$id.json")
+      assert(bmp.length === 1 && side.length === 1, s"sample $id incomplete")
+      assert(java.util.Arrays.equals(bmp.head._4, Multimodal.BmpCodec.encode(id)),
+        s"member $id.bmp bytes diverge from the generator")
+      assert(new String(side.head._4, "US-ASCII") === WebDataset.sidecar(id))
+    }
+    // archive length on disk == the codec's block arithmetic per shard
+    for ((shard, group) <- members.groupBy(_._1)) {
+      val lens = group.sortBy(_._3).map(_._4.length)
+      // recompute independently of the member ORDER the walk returned
+      val expect = WebDataset.TarCodec.archiveBytes(lens)
+      assert(group.head._2 === expect.toLong,
+        s"shard $shard archive length != block arithmetic")
+    }
+  }
 }

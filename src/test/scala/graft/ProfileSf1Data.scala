@@ -91,7 +91,20 @@ object ProfileSf1Data {
         $"p_brand", $"p_type", $"p_size", $"p_retailprice")
     writeSingle((0 until 10).map(partReplica).reduce(_ unionByName _), "part")
 
-    for (t <- Seq("region", "nation", "customer", "supplier", "orders", "lineitem")) {
+    // orders: ×10 by key offset, payload columns verbatim (round 14 —
+    // q311's layout audit reads (o_orderdate, o_orderkey); a verbatim
+    // copy would make its "sf1eq" cell run at sf0.1 scale). Offsets keep
+    // keys unique; dates repeat per replica, so probe density rises the
+    // way a real 10× table's would.
+    val orders = spark.read.parquet(s"$sfDir/orders.parquet")
+    def ordReplica(r: Int): DataFrame =
+      if (r == 0) orders
+      else orders
+        .withColumn("o_orderkey", $"o_orderkey" + lit(r * 100000000L))
+        .withColumn("o_custkey", $"o_custkey" + lit(r * 100000000L))
+    writeSingle((0 until 10).map(ordReplica).reduce(_ unionByName _), "orders")
+
+    for (t <- Seq("region", "nation", "customer", "supplier", "lineitem")) {
       java.nio.file.Files.copy(
         java.nio.file.Paths.get(s"$sfDir/$t.parquet"),
         java.nio.file.Paths.get(s"$out/$t.parquet"),

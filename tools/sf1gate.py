@@ -70,6 +70,14 @@ HEADS = {
     "q272_persisted_quantiles": [f"{OPS}/Events.scala", f"{QRY}/EventsQueries.scala"],
     "q290_lof_outliers":        [f"{OPS}/Similarity.scala", f"{QRY}/SimilarityQueries.scala"],
     "q302_containment_heaps":   [f"{OPS}/Dedup.scala", f"{QRY}/DedupQueries.scala"],
+    # round-14: the lakehouse-maintenance block — defining files include
+    # Scale.scala (also shared infra: these entries make the delta rule
+    # cover Scale changes directly instead of relying on the warning)
+    # and Multimodal.scala (the asset STORE feeds the doc-based heads).
+    "q310_compaction_plan":     [f"{OPS}/Scale.scala", f"{OPS}/Multimodal.scala", f"{QRY}/ScaleQueries.scala"],
+    "q311_layout_skipping":     [f"{OPS}/Scale.scala", f"{QRY}/ScaleQueries.scala"],
+    "q313_compaction_keyed":    [f"{OPS}/Scale.scala", f"{OPS}/Multimodal.scala", f"{QRY}/ScaleQueries.scala"],
+    "q316_compaction_execute":  [f"{OPS}/Scale.scala", f"{OPS}/Multimodal.scala", f"{QRY}/ScaleQueries.scala"],
 }
 
 #: deliberately-quadratic oracles: excluded from routine --all sweeps

@@ -577,14 +577,14 @@ object Curation {
     * seed-set builder for vocabulary-complete subcorpora: tokenizer
     * training sets, language-coverage probes, evaluation seeds.
     *
-    * Shape per round (×nSel): one shuffle anti-join of the (doc, tok)
-    * type table against the covered set (both DISTRIBUTED — the covered
-    * set is vocabulary-proportional and never collected; a driver set
-    * would die exactly when coverage selection matters), a map-side-
-    * combined per-doc count, and a 1-row argmax collect; the winner's
-    * types union into the covered frame (localCheckpointed per round —
-    * iterative lineage, the Lloyd rule). The (doc, tok) table is built
-    * once and checkpointed.
+    * Shape per round (×nSel): one BROADCAST anti-join of the (doc, tok)
+    * type table against the covered set — covered is the union of the
+    * ≤ nSel already-picked documents' distinct grams (per-doc-bounded,
+    * NOT vocabulary-proportional: only winners' types enter it), derived
+    * per round as a filter over the checkpointed type table — then a
+    * map-side-combined per-doc count and a 1-row argmax collect. The
+    * (doc, tok) table is built once and checkpointed; no other
+    * materialization per round.
     *
     * Determinism: counts are integers; ties break to the smaller
     * doc_id on both engines. covered_total is exact by disjointness —
@@ -596,15 +596,47 @@ object Curation {
     // universe = distinct word `gram`-grams (the fixture's unigram
     // vocabulary is 31 types — one doc covers it; bigrams give the
     // coverage function room to discriminate)
+    // Checkpointed PRE-PARTITIONED by doc_id (r14): the raw explode
+    // inherits the scan's layout (one partition on a small fixture —
+    // the AQE-blindness guard, see Dedup.bandBuckets), which would make
+    // every greedy round's probe scan serial; hashing by doc_id both
+    // spreads the rounds across cores and lets each round's
+    // groupBy(doc_id) reuse the partitioning instead of re-exchanging.
+    // r14 (guide §4.1): the type table is built with the NATIVE
+    // codegen'd word_grams(distinct = true) — the compositional
+    // array_distinct(wordGrams(...)) HOF form this used to run was the
+    // actual wall of the whole operator (measured 4.8–5.5 s of the
+    // ~5.5 s total at sf0.1; the five greedy rounds cost ~0.3 s each).
+    // Same values by the word_grams == compositional-form spec law.
+    val parts = documents.sparkSession.sparkContext.defaultParallelism * 2
     val toks = documents
+      // compact doc rows spread BEFORE the per-row gram loop (the
+      // bandBuckets AQE-blindness guard); doc_id hashing also lets each
+      // round's groupBy(doc_id) reuse the partitioning
+      .repartition(parts, $"doc_id")
       .select($"doc_id",
-        explode(array_distinct(wordGrams($"text", gram))).as("tok"))
+        explode(graft.functions.TextFunctions.word_grams(
+          $"text", gram, distinct = true)).as("tok"))
       .localCheckpoint() // scanned once per greedy round
-    var covered = toks.select($"tok").limit(0).localCheckpoint()
+    // r14 (guide §2.4/§3.1): the covered set is NOT vocabulary-sized —
+    // it is the union of the ≤ nSel PICKED documents' distinct grams, a
+    // per-doc-bounded frame. Deriving it per round as a filter over the
+    // checkpointed type table (instead of the old unionAll + distinct +
+    // localCheckpoint rebuild) removes nSel materialization jobs and
+    // nSel distinct shuffles, and broadcasting it turns the per-round
+    // anti-join from a full shuffle of the corpus type table into a
+    // broadcast probe — the per-round cost drops to one map-side-
+    // combined aggregation over uncovered rows. The anti-join needs no
+    // distinct on the probe side (duplicates across picked docs cannot
+    // change anti-join semantics). nSel × max-doc-gram-count bounds the
+    // broadcast; a corpus of GB-sized single documents would dial this
+    // back to the shuffle plan by dropping the hint.
+    var picked = List.empty[Long]
     val out = scala.collection.mutable.ArrayBuffer.empty[(Int, Long, Long, Long)]
     var total = 0L
     for (r <- 1 to nSel) {
-      val pick = toks.join(covered, Seq("tok"), "left_anti")
+      val covered = toks.filter($"doc_id".isin(picked: _*)).select($"tok")
+      val pick = toks.join(broadcast(covered), Seq("tok"), "left_anti")
         .groupBy($"doc_id").agg(count(lit(1)).as("n"))
         .orderBy($"n".desc, $"doc_id").limit(1)
         .collect() // 1-row argmax — the only driver touch per round
@@ -612,9 +644,7 @@ object Curation {
         val (docId, n) = (pick(0).getLong(0), pick(0).getLong(1))
         total += n
         out += ((r, docId, n, total))
-        covered = covered
-          .unionAll(toks.filter($"doc_id" === docId).select($"tok"))
-          .distinct().localCheckpoint()
+        picked ::= docId
       }
     }
     spark0.createDataFrame(out.toSeq)

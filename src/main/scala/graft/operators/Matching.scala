@@ -290,9 +290,16 @@ object Matching {
         round($"tf" * log($"n_docs" / $"df"), 4).as("w"),
         dfCapAbsolute.map(lit(_).cast("long"))
           .getOrElse(expr(s"n_docs * $dfCapPerMille div 1000")).as("df_cap"))
+    // r14 (guide §2.4/§5): topw is consumed FIVE times below (the rare
+    // self-join's two branches, norms, and the two dot-product probes);
+    // without materialization the final DAG re-runs the corpus explode +
+    // tf/df aggregations + top-k window per consumer (self-join branches
+    // are deduplicated by the analyzer, so exchange reuse cannot cover
+    // them). k rows per doc — corpus-linear, the Lloyd-rule bound.
     val topw = Scale.topKPerGroup(scored, group = $"doc_id", rankKey = -$"w",
         tie = $"term", saltSource = $"term", k = k)
       .select($"doc_id", $"term", $"df", $"w", $"df_cap")
+      .localCheckpoint()
     val rare = topw.filter($"df" <= $"df_cap")
     val cand = rare.as("a")
       .join(rare.as("b"), $"a.term" === $"b.term" && $"a.doc_id" < $"b.doc_id")

@@ -798,9 +798,17 @@ object TextAnalysis {
     val kept = cooc
       .join(keep.select($"tok".as("a")), Seq("a"), "left_semi")
       .join(keep.select($"tok".as("b")), Seq("b"), "left_semi")
+    // Materialize the edge table ONCE (r14, guide §2.4/§5): edges feed
+    // wdeg, the node-count scalar, and every one of the `iters` scatter
+    // joins — without the checkpoint the final DAG re-derives the whole
+    // bigram explode + floor semi-joins per consumer (exchange reuse
+    // does not cover the union's two deduplicated branches). Edge- and
+    // node-proportional frames, the same Lloyd-rule bound as q151.
     val edges = kept.select($"a".as("src"), $"b".as("dst"), $"w")
       .unionAll(kept.select($"b".as("src"), $"a".as("dst"), $"w"))
+      .localCheckpoint()
     val wdeg = edges.groupBy($"src".as("node")).agg(sum($"w").as("wdeg"))
+      .localCheckpoint()
     val nNodes = wdeg.count() // 1-row scalar, as in neardupPagerank
     val r0 = if (nNodes == 0) 0L else 1000000L / nNodes
     val base = if (nNodes == 0) 0L else 150000L / nNodes

@@ -103,6 +103,7 @@ object Bench {
       graft.operators.Similarity.clearAbttModelCache()
       graft.operators.Dedup.clearPairIndexCache()
       graft.operators.Curation.clearWeightsCache()
+      graft.operators.TextAnalysis.clearBpeMergeCache()
       spark.sparkContext.getPersistentRDDs.values
         .foreach(_.unpersist(blocking = true))
       spark.catalog.clearCache()

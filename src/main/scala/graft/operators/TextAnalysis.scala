@@ -526,6 +526,27 @@ object TextAnalysis {
   def bpeMerges(documents: DataFrame, nMerges: Int = 5): DataFrame =
     bpeMergesWithRounds(documents, nMerges)._1
 
+  /** Session-scoped cache of trained BPE merge tables — the centroid-
+    * cache pattern (r14): the table is nMerges DRIVER-side rows, but
+    * TRAINING it is a multi-round loop of corpus-derived aggregations
+    * with per-round checkpoints and collects, and q104 (the merge list)
+    * and q105 (fertility, which re-encodes the vocabulary with the SAME
+    * merges) used to each pay the full loop. Keyed by (session, corpus
+    * plan, nMerges); bounded; holds no executor blocks.
+    */
+  private val BpeMergeCacheMax = 16
+  private val bpeMergeCache =
+    new java.util.LinkedHashMap[(String, String, Int),
+        (Seq[(Int, String, String, Long)], Int)](16, 0.75f, false) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[(String, String, Int),
+            (Seq[(Int, String, String, Long)], Int)]): Boolean =
+        size() > BpeMergeCacheMax
+    }
+
+  def clearBpeMergeCache(): Unit =
+    bpeMergeCache.synchronized(bpeMergeCache.clear())
+
   /** [[bpeMerges]] plus the number of rounds the batched training took —
     * the sub-linearity evidence ProfileScaling reports (nMerges merges in
     * far fewer than nMerges rounds).
@@ -534,6 +555,24 @@ object TextAnalysis {
     val spark = documents.sparkSession
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types.{IntegerType, LongType, StringType, StructField, StructType}
+    val cacheKey = (System.identityHashCode(spark).toString,
+      documents.queryExecution.analyzed.canonicalized.toString, nMerges)
+    val cached = bpeMergeCache.synchronized(Option(bpeMergeCache.get(cacheKey)))
+    val (mergeRows, roundsTaken) = cached.getOrElse(
+      trainBpeMerges(documents, nMerges, cacheKey))
+    val out = spark.createDataFrame(
+      spark.sparkContext.parallelize(mergeRows.map {
+        case (rk, p, m, c) => Row(rk, p, m, c) }, 1),
+      StructType(Seq(StructField("rank", IntegerType, nullable = false),
+        StructField("pair", StringType, nullable = false),
+        StructField("merged", StringType, nullable = false),
+        StructField("freq", LongType, nullable = false))))
+      .orderBy($"rank")
+    (out, roundsTaken)
+  }
+
+  private def trainBpeMerges(documents: DataFrame, nMerges: Int,
+      cacheKey: (String, String, Int)): (Seq[(Int, String, String, Long)], Int) = {
     var seqs = documents
       .select(explode(split($"text", " ")).as("w"))
       .filter(length($"w") > 0)
@@ -590,15 +629,9 @@ object TextAnalysis {
           .localCheckpoint()
       }
     }
-    val out = spark.createDataFrame(
-      spark.sparkContext.parallelize(merges.toSeq.map {
-        case (rk, p, m, c) => Row(rk, p, m, c) }, 1),
-      StructType(Seq(StructField("rank", IntegerType, nullable = false),
-        StructField("pair", StringType, nullable = false),
-        StructField("merged", StringType, nullable = false),
-        StructField("freq", LongType, nullable = false))))
-      .orderBy($"rank")
-    (out, rounds)
+    val result = (merges.toSeq, rounds)
+    bpeMergeCache.synchronized(bpeMergeCache.put(cacheKey, result))
+    result
   }
 
   /** Per-source quality-distribution drift vs the corpus baseline —

@@ -1337,6 +1337,14 @@ object Curation {
 
   /** Hashed feature frame: (doc_id, bucket, count) token counts in
     * `buckets` md5-slice bins plus the bias feature at bucket -1.
+    *
+    * Persisted HASH-PARTITIONED BY doc_id (r14, guide §2.4): the
+    * bias-row union destroys the aggregation's partitioning, so every
+    * training round's margin aggregation and gradient join used to
+    * re-exchange the whole frame by doc_id — 3 corpus-sized exchanges
+    * per round. One explicit repartition before persist makes every
+    * per-round groupBy(doc_id)/join(doc_id) partition-local; the only
+    * per-round exchange left is the (buckets+1)-row gradient one.
     */
   private def featureFrame(documents: DataFrame, buckets: Int): DataFrame =
     documents
@@ -1344,6 +1352,8 @@ object Curation {
       .select($"doc_id", Scale.md5SlicePos($"tok", 0, buckets).as("b"))
       .groupBy($"doc_id", $"b").agg(count(lit(1)).as("c"))
       .unionAll(documents.select($"doc_id", lit(-1L).as("b"), lit(1L).as("c")))
+      .repartition(documents.sparkSession.sparkContext.defaultParallelism * 2,
+        $"doc_id")
 
   private[graft] def trainQualityWeights(documents: DataFrame,
       targetLang: String, buckets: Int, rounds: Int,
@@ -1357,8 +1367,14 @@ object Curation {
       case Some(w) => (cachedFeatureFrame(documents, buckets), w)
       case None =>
         val fx = cachedFeatureFrame(documents, buckets)
+        // materialized once co-partitioned with fx (r14): the gradient
+        // join used to rescan + re-exchange the label projection per
+        // round; (doc_id, y) rows — corpus-linear, the Lloyd bound
         val labels = documents.select($"doc_id",
           when($"lang" === targetLang, 1L).otherwise(0L).as("y"))
+          .repartition(documents.sparkSession.sparkContext
+            .defaultParallelism * 2, $"doc_id")
+          .localCheckpoint()
         val nDocs = documents.count()
         // init: zero weight for every OBSERVED bucket (the oracle's
         // `SELECT DISTINCT b, 0 FROM fx` — at most buckets+1 rows)

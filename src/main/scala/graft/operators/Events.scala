@@ -1802,7 +1802,15 @@ object Events {
     * 3-4 and this op does too.
     */
   def motifCensus(events: DataFrame): DataFrame = {
+    // One explicit user_id hash exchange shared by the whole chain (r14,
+    // guide §2.4): every stage below keys on user_id (the per-user
+    // frontier aggs and the u1/u2 probe joins), so pre-clustering makes
+    // them all partition-local — the old plan exchanged the event scan
+    // independently per stage. AQE stage reuse dedupes the four
+    // references to this one exchange at runtime (no checkpoint needed).
     val ev = events.select($"user_id", $"event_type", $"ts")
+      .repartition(events.sparkSession.sparkContext.defaultParallelism * 2,
+        $"user_id")
     val total = ev.agg(countDistinct($"user_id").as("n_total"))
     val u1 = ev.groupBy($"user_id", $"event_type".as("s1"))
       .agg(min($"ts").as("t1"))

@@ -333,10 +333,20 @@ object Curation {
     */
   private def dupSpanIslands(documents: DataFrame, k: Int): DataFrame = {
     import graft.functions.TextFunctions.word_grams
+    // Materialized once (lazily — construction runs nothing): the gram
+    // explode feeds BOTH the occurrence-count aggregate and the position
+    // probe below, and without the checkpoint each consumer re-runs the
+    // corpus scan + explode + md5. Token-proportional rows (the Lloyd
+    // bound does not apply, but the same mass already flows through both
+    // shuffles); the skew-unsafe alternative — counting occurrences with
+    // a window over h — was A/B'd faster at sf0.1 but puts every copy of
+    // a hot duplicated gram in one partition, which is exactly the key
+    // distribution this operator hunts, so the agg + join form stays.
     val grams = documents
       .filter(size(split($"text", " ")) >= k)
       .select($"doc_id", posexplode(word_grams($"text", k)))
       .select($"doc_id", $"pos", md5($"col").as("h"))
+      .localCheckpoint(eager = false)
     val dup = grams.groupBy($"h").agg(count(lit(1)).as("occ")).filter($"occ" >= 2)
     val w = Window.partitionBy($"doc_id").orderBy($"pos")
     grams
@@ -1203,6 +1213,11 @@ object Curation {
             size(slice($"ws", i * width + 1, lit(width))).cast("long").as("ntok"))))
           .as("s"))
       .select($"doc_id", $"source", $"s.h".as("h"), $"s.ntok".as("ntok"))
+      // NOT checkpointed (unlike dupSpanIslands' grams): A/B'd at sf0.1 —
+      // materializing (doc_id, source, h, ntok) rows cost MORE than the
+      // doc-frequency branch's recompute, because that branch prunes to
+      // (doc_id, h) off the columnar scan while a checkpoint would force
+      // it through full materialized rows. 1.60 s vs 1.75-1.89 s measured.
     val df = segs.groupBy($"h")
       .agg(countDistinct($"doc_id").as("docfreq"))
       .filter($"docfreq" >= minDocs)
@@ -2008,6 +2023,9 @@ object Curation {
           sequence(lit(0), floor((size($"ws") - 1) / width).cast("int")),
           i => concat_ws(" ", slice($"ws", i * width + 1, lit(width))))))
       .select($"doc_id", $"pos".as("si"), $"col".as("seg"), md5($"col").as("h"))
+      // materialized once (lazily): feeds both the doc-frequency aggregate
+      // and the anti-join probe — same rationale as dupSpanIslands' grams
+      .localCheckpoint(eager = false)
     val bpHashes = segs.groupBy($"h")
       .agg(countDistinct($"doc_id").as("df"))
       .filter($"df" >= minDocs)
